@@ -1,13 +1,509 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableSql
+import graft.functions.PortableSql.{DuckDialect => DD, SparkDialect => SD}
+import graft.io.Layers
+import graft.ops.{Aggregate, Clean, Dedup, Multimodal, Quality, Similarity}
+import graft.ops.Aggregate.{AggSpec, Metric}
+
+/**
+ * Driver contract — one `queries` entry per implemented operator from
+ * SURVEY.md §2 (+ north-star extensions), each with a DuckDB-oracle
+ * twin in `oracleSql` designed for EXACT hash equality:
+ * deterministic dedup/top-k (total-order tiebreaks), exact decimal
+ * summation for doubles (cast→sum→single final rounding), md5-only
+ * hashing, and engine-portable SQL fragments generated once for both
+ * engines (`PortableSql`).
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def tmp(name: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_scratch/$name"
+
+  /** Exact double aggregation: cast→decimal, sum exactly, ONE final
+    * rounding back to double — identical in Spark and DuckDB. */
+  private def dsum(c: String): String =
+    s"cast(sum(cast($c as decimal(18,6))) as double)"
+
+  // ---------------------------------------------------------------- entry
+
+  /** Flagship: the full medallion pipeline (bronze JSONL capture →
+    * silver clean → gold union-of-rollups) on sf0.001. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val bronzeDir = tmp("entry_bronze")
+    val raw = T(spark, dir, "customer")
+    Layers.writeJsonl(raw, bronzeDir, Some("20251015"))
+    val bronze = Layers.readJsonl(
+      spark,
+      Layers.latestSuccessfulRun(spark, bronzeDir).getOrElse(bronzeDir),
+      graft.schema.Metadata.structFromSpec(
+        """
+        c_custkey: long !null
+        c_name: string
+        c_nationkey: int
+        c_acctbal: double
+        c_mktsegment: string
+        """))
+    val silver = Clean.silverClean(
+      bronze.toDF(),
+      keys = Seq("c_custkey"),
+      requiredCols = Seq("c_custkey", "c_name", "c_mktsegment"),
+      normalizeCols = Seq("c_name", "c_mktsegment"),
+      order = Seq(col("c_name").asc_nulls_first))
+    Aggregate.unionRollups(
+      silver,
+      Seq(
+        AggSpec(Seq("c_mktsegment"), Seq(Metric("total_customers", "count(*)")), "by_segment"),
+        AggSpec(Seq("c_mktsegment", "c_nationkey"),
+          Seq(Metric("total_customers", "count(*)")), "by_segment_nation")),
+      "2025-10-15")
+  }
+
+  // -------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- reference parity: silver clean (D1 + F1 + P2, SURVEY §2.3-2.5)
+    "q01_silver_clean" -> ((s, dir) => {
+      val base = T(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+      val dups = base.filter(col("c_custkey") % 20 === 0)
+        .withColumn("c_name", concat(lit(" "), col("c_name"), lit("  ")))
+      val nulls = base.filter(col("c_custkey") % 20 === 7)
+        .withColumn("c_name", lit(null).cast("string"))
+      val injected = base.unionByName(dups).unionByName(nulls)
+      val deduped = Clean.dedupLatest(injected, Seq("c_custkey"),
+        Seq(col("c_name").asc_nulls_first))
+      val dropped = Clean.dropNullKeys(deduped, Seq("c_custkey", "c_name"))
+      Clean.normalize(dropped, Seq("c_name", "c_mktsegment"))
+    }),
+
+    // ---- reference parity: gold 3-branch union of rollups (A1-A3+U1+P3+P4)
+    "q02_gold_union3" -> ((s, dir) =>
+      Aggregate.unionRollups(
+        T(s, dir, "orders"),
+        Seq(
+          AggSpec(Seq("o_orderstatus"),
+            Seq(Metric("total_orders", "count(*)")), "by_status"),
+          AggSpec(Seq("o_orderpriority", "o_orderstatus"),
+            Seq(Metric("total_orders", "count(*)")), "by_priority_status"),
+          AggSpec(Seq("o_orderstatus", "o_orderpriority"),
+            Seq(Metric("total_orders", "count(*)")), "by_status_priority")),
+        "2025-10-15")),
+
+    // ---- optimized twin: single-scan GROUPING SETS (SURVEY §4.3)
+    "q03_grouping_sets" -> ((s, dir) =>
+      Aggregate.groupingSetsRollup(
+        T(s, dir, "orders"),
+        Seq(
+          "g_status" -> Seq("o_orderstatus"),
+          "g_priority_status" -> Seq("o_orderstatus", "o_orderpriority")),
+        Seq(
+          Metric("total_orders", "count(*)"),
+          Metric("sum_price", dsum("o_totalprice"))),
+        "2025-10-15")),
+
+    // ---- quality-rule engine, single-pass (Q1, SURVEY §2.8)
+    "q04_quality_report" -> ((s, dir) =>
+      Quality.report(
+        T(s, dir, "lineitem"),
+        Seq(
+          Quality.NotNull("non_null_returnflag", "l_returnflag"),
+          Quality.GreaterThanZero("positive_quantity", "l_quantity"),
+          Quality.ExprRule("discount_range", "l_discount >= 0 and l_discount <= 0.1")))),
+
+    // ---- declarative agg DSL (A4) — TPC-H-Q1-shaped
+    "q05_agg_dsl" -> ((s, dir) =>
+      Aggregate.run(
+        T(s, dir, "lineitem"),
+        AggSpec(
+          Seq("l_returnflag", "l_linestatus"),
+          Seq(
+            Metric("count_order", "count(*)"),
+            Metric("sum_qty", dsum("l_quantity")),
+            Metric("sum_base_price", dsum("l_extendedprice")),
+            Metric("sum_disc_price",
+              "cast(sum(cast(l_extendedprice as decimal(18,2)) * (1 - cast(l_discount as decimal(4,2)))) as double)"),
+            Metric("avg_qty", s"${dsum("l_quantity")} / count(*)")),
+          "q1"))),
+
+    // ---- exact dedup (D1 full-row distinct)
+    "q06_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(T(s, dir, "documents").select("lang", "source"), Seq("lang", "source"))),
+
+    // ---- bronze stamp + enforced projection (P1 + P5)
+    "q07_ingest_stamp" -> ((s, dir) =>
+      T(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .withColumn("ingestion_date", lit("2025-10-15").cast("date"))),
+
+    // ---- JSONL sink + schema-enforced JSONL scan roundtrip (K1/K2 + S2/S3)
+    "q08_jsonl_roundtrip" -> ((s, dir) => {
+      val out = tmp("q08_jsonl")
+      Layers.writeJsonl(T(s, dir, "customer"), out)
+      Layers.readJsonl(s, out, graft.schema.Metadata.structFromSpec(
+        """
+        c_custkey: long
+        c_name: string
+        c_nationkey: int
+        c_acctbal: double
+        c_mktsegment: string
+        """))
+        .groupBy("c_mktsegment")
+        .agg(
+          count(lit(1)).as("n_customers"),
+          expr(dsum("c_acctbal")).as("sum_acctbal"))
+    }),
+
+    // ---- partitioned parquet sink w/ dynamic overwrite + readback (K3 + S4)
+    "q09_partition_roundtrip" -> ((s, dir) => {
+      val out = tmp("q09_silver")
+      Layers.writeSilver(
+        T(s, dir, "customer"), out, partitionCols = Seq("c_mktsegment"))
+      Layers.readParquet(s, out)
+        .groupBy("c_mktsegment")
+        .agg(
+          count(lit(1)).as("n_customers"),
+          expr(dsum("c_acctbal")).as("sum_acctbal"))
+    }),
+
+    // ---- latest-successful-run resolution (O3 analog)
+    "q10_latest_run" -> ((s, dir) => {
+      val base = tmp("q10_runs")
+      val cust = T(s, dir, "customer")
+      Layers.writeJsonl(cust.filter(col("c_custkey") % 2 === 0), base, Some("20251014"))
+      Layers.writeJsonl(cust, base, Some("20251015"))
+      val latest = Layers.latestSuccessfulRun(s, base).get
+      Layers.readJsonl(s, latest, graft.schema.Metadata.structFromSpec(
+        "c_custkey: long"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("c_custkey")).as("sum_key"))
+    }),
+
+    // ---- north-star text: token counting
+    "q11_token_count" -> ((s, dir) =>
+      T(s, dir, "documents").selectExpr(
+        "doc_id",
+        s"${PortableSql.tokenCount("text", SD)} AS n_tokens",
+        s"${PortableSql.regexTokenCount("text", SD)} AS n_rtokens")),
+
+    // ---- north-star text: language ID
+    "q12_lang_id" -> ((s, dir) =>
+      T(s, dir, "documents").selectExpr(
+        "doc_id", "lang",
+        s"${PortableSql.langId("text")} AS lang_pred")),
+
+    // ---- north-star text: quality scoring
+    "q13_quality_score" -> ((s, dir) =>
+      T(s, dir, "documents").selectExpr(
+        "doc_id",
+        s"${PortableSql.qualityScore("text", SD)} AS quality")),
+
+    // ---- north-star text: fingerprinting
+    "q14_fingerprint" -> ((s, dir) =>
+      T(s, dir, "documents").selectExpr(
+        "doc_id",
+        s"${PortableSql.fingerprint("text")} AS fp")),
+
+    // ---- north-star dedup: MinHash + LSH band buckets
+    "q15_minhash_bands" -> ((s, dir) =>
+      Dedup.lshBuckets(
+        Dedup.minhashSignatures(
+          T(s, dir, "documents"), "text", "doc_id",
+          numHashes = 8, shingleWords = 3),
+        "doc_id", numHashes = 8, bands = 4)),
+
+    // ---- north-star dedup: LSH candidates verified by n-gram Jaccard
+    "q16_neardup_pairs" -> ((s, dir) =>
+      Dedup.verifiedNearDups(
+        T(s, dir, "documents"), "text", "doc_id", threshold = 0.8)),
+
+    // ---- north-star dedup: SimHash fingerprint
+    "q17_simhash" -> ((s, dir) =>
+      T(s, dir, "documents").selectExpr(
+        "doc_id",
+        s"${PortableSql.simhash("text", 16, SD)} AS simhash")),
+
+    // ---- events: hourly tumbling-window aggregation (batch twin of the
+    //      streaming hourlyByType)
+    "q18_events_hourly" -> ((s, dir) =>
+      Layers.readEvents(s, s"$dir/events.parquet")
+        .groupBy(
+          date_trunc("hour", col("ts")).as("window_start"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          expr(dsum("value")).as("total_value"))),
+
+    // ---- events: batch sessionization (30-min inactivity gap)
+    "q19_sessions" -> ((s, dir) => {
+      val ev = Layers.readEvents(s, s"$dir/events.parquet")
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      ev.withColumn("prev", lag(col("ts"), 1).over(w))
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(when(col("prev").isNull ||
+            (col("ts").cast("double") - col("prev").cast("double")) > 1800.0, 1L)
+            .otherwise(0L)).as("n_sessions"))
+    }),
+
+    // ---- joins: star-schema revenue rollup, dims broadcast
+    "q20_join_revenue" -> ((s, dir) => {
+      val o = T(s, dir, "orders").filter(
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      o.join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(T(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(T(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          expr(dsum("o_totalprice")).as("revenue"))
+    }),
+
+    // ---- window top-k per group
+    "q21_topk_per_segment" -> ((s, dir) => {
+      val j = T(s, dir, "orders")
+        .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      j.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select("c_mktsegment", "rank", "o_orderkey", "o_totalprice")
+    }),
+
+    // ---- north-star similarity: exact brute-force cosine top-k
+    "q22_ann_topk" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+        emb, emb.filter(col("vec_id") === 0), "vec_id", "embedding", k = 10)
+    }),
+
+    // ---- north-star similarity: LSH-bucketed ANN top-k
+    "q23_ann_lsh" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.lshTopK(
+        emb, emb.filter(col("vec_id") === 0), "vec_id", "embedding",
+        k = 10, numPlanes = 8, dims = 64)
+    }),
+
+    // ---- north-star similarity: bucketed kNN pairs (embedding near-dup)
+    "q24_embedding_pairs" -> ((s, dir) =>
+      Similarity.bucketedNeighbors(
+        T(s, dir, "embeddings"), "vec_id", "embedding",
+        numPlanes = 4, dims = 64, minCosine = 0.15)),
+
+    // ---- north-star multimodal: binary payload plumbing + metadata stats
+    "q25_media_stats" -> ((s, dir) =>
+      Multimodal.mediaStats(
+        Multimodal.demoMediaTable(T(s, dir, "documents"), "doc_id", "text").toDF()))
+  )
+
+  // ------------------------------------------------------------ oracleSql
+
+  private val custSchemaCols = "c_custkey, c_name, c_mktsegment, c_acctbal"
+
+  /** DuckDB shingle list for documents.text (3-word shingles). */
+  private val duckToks = DD.tokens("text")
+  private val duckShingles = DD.shingles("toks", 3)
+
+  /** DuckDB CTEs shared by the MinHash queries. */
+  private def minhashCtes: String = {
+    val sigCols = (0 until 8)
+      .map(i => s"${PortableSql.minhashSig("s", i, DD)} AS s$i").mkString(", ")
+    val bandRows = (0 until 4).map { b =>
+      val lo = 2 * b; val hi = 2 * b + 1
+      s"SELECT doc_id, $b AS band, md5(concat(s$lo, '|', s$hi)) AS bucket FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+       |sh AS (SELECT doc_id, $duckShingles AS s FROM t),
+       |sig AS (SELECT doc_id, $sigCols FROM sh),
+       |buckets AS ($bandRows)""".stripMargin
+  }
+
+  /** DuckDB ±1-hyperplane projection sign-bucket for `embCol`. */
+  private def duckSignBucket(embCol: String, numPlanes: Int, dims: Int): String = {
+    val planes = Similarity.planes(numPlanes, dims)
+    val bits = planes.map { hp =>
+      val lst = hp.mkString("[", ", ", "]")
+      val proj = s"list_sum(list_transform(generate_series(1, $dims), " +
+        s"__i -> CAST(($embCol)[__i] AS DOUBLE) * ($lst)[__i]))"
+      s"(CASE WHEN $proj >= 0 THEN '1' ELSE '0' END)"
+    }
+    bits.mkString("concat(", ", ", ")")
+  }
+
+  private def duckCosine(a: String, b: String, dims: Int): String = {
+    def dot(x: String, y: String) =
+      s"list_sum(list_transform(generate_series(1, $dims), " +
+        s"__i -> CAST(($x)[__i] AS DOUBLE) * CAST(($y)[__i] AS DOUBLE)))"
+    s"round(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})), 6)"
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_silver_clean" ->
+      s"""WITH base AS (SELECT $custSchemaCols FROM customer),
+         |inj AS (
+         |  SELECT * FROM base
+         |  UNION ALL SELECT c_custkey, concat(' ', c_name, '  '), c_mktsegment, c_acctbal FROM base WHERE c_custkey % 20 = 0
+         |  UNION ALL SELECT c_custkey, NULL, c_mktsegment, c_acctbal FROM base WHERE c_custkey % 20 = 7
+         |), d AS (
+         |  SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY c_name ASC NULLS FIRST) AS rn FROM inj
+         |)
+         |SELECT c_custkey, trim(lower(c_name)) AS c_name, trim(lower(c_mktsegment)) AS c_mktsegment, c_acctbal
+         |FROM d WHERE rn = 1 AND c_name IS NOT NULL""".stripMargin,
+
+    "q02_gold_union3" ->
+      s"""SELECT o_orderstatus, NULL AS o_orderpriority, count(*) AS total_orders, 'by_status' AS aggregation, '2025-10-15' AS transformation_date FROM orders GROUP BY o_orderstatus
+         |UNION ALL
+         |SELECT o_orderstatus, o_orderpriority, count(*) AS total_orders, 'by_priority_status' AS aggregation, '2025-10-15' AS transformation_date FROM orders GROUP BY o_orderstatus, o_orderpriority
+         |UNION ALL
+         |SELECT o_orderstatus, o_orderpriority, count(*) AS total_orders, 'by_status_priority' AS aggregation, '2025-10-15' AS transformation_date FROM orders GROUP BY o_orderstatus, o_orderpriority""".stripMargin,
+
+    "q03_grouping_sets" ->
+      s"""SELECT o_orderstatus, o_orderpriority, count(*) AS total_orders,
+         |  ${dsum("o_totalprice")} AS sum_price,
+         |  CASE concat(CAST(GROUPING(o_orderstatus) AS VARCHAR), CAST(GROUPING(o_orderpriority) AS VARCHAR))
+         |    WHEN '01' THEN 'g_status' WHEN '00' THEN 'g_priority_status' END AS aggregation,
+         |  '2025-10-15' AS transformation_date
+         |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderstatus, o_orderpriority))""".stripMargin,
+
+    "q04_quality_report" ->
+      s"""WITH w AS (SELECT
+         |  CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS non_null_returnflag,
+         |  CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS positive_quantity,
+         |  CAST(sum(CASE WHEN NOT coalesce(l_discount >= 0 AND l_discount <= 0.1, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS discount_range
+         | FROM lineitem)
+         |SELECT 'non_null_returnflag' AS rule, non_null_returnflag AS invalid_count, non_null_returnflag = 0 AS passed FROM w
+         |UNION ALL SELECT 'positive_quantity', positive_quantity, positive_quantity = 0 FROM w
+         |UNION ALL SELECT 'discount_range', discount_range, discount_range = 0 FROM w""".stripMargin,
+
+    "q05_agg_dsl" ->
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS count_order,
+         |  ${dsum("l_quantity")} AS sum_qty,
+         |  ${dsum("l_extendedprice")} AS sum_base_price,
+         |  cast(sum(cast(l_extendedprice as decimal(18,2)) * (1 - cast(l_discount as decimal(4,2)))) as double) AS sum_disc_price,
+         |  ${dsum("l_quantity")} / count(*) AS avg_qty,
+         |  'q1' AS aggregation
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q06_dedup_exact" -> "SELECT DISTINCT lang, source FROM documents",
+
+    "q07_ingest_stamp" ->
+      "SELECT c_custkey, c_name, c_mktsegment, DATE '2025-10-15' AS ingestion_date FROM customer",
+
+    "q08_jsonl_roundtrip" ->
+      s"""SELECT c_mktsegment, count(*) AS n_customers, ${dsum("c_acctbal")} AS sum_acctbal
+         |FROM customer GROUP BY c_mktsegment""".stripMargin,
+
+    "q09_partition_roundtrip" ->
+      s"""SELECT c_mktsegment, count(*) AS n_customers, ${dsum("c_acctbal")} AS sum_acctbal
+         |FROM customer GROUP BY c_mktsegment""".stripMargin,
+
+    "q10_latest_run" ->
+      "SELECT count(*) AS n_rows, CAST(sum(c_custkey) AS BIGINT) AS sum_key FROM customer",
+
+    "q11_token_count" ->
+      s"""SELECT doc_id, ${PortableSql.tokenCount("text", DD)} AS n_tokens,
+         |  ${PortableSql.regexTokenCount("text", DD)} AS n_rtokens
+         |FROM documents""".stripMargin,
+
+    "q12_lang_id" ->
+      s"SELECT doc_id, lang, ${PortableSql.langId("text")} AS lang_pred FROM documents",
+
+    "q13_quality_score" ->
+      s"SELECT doc_id, ${PortableSql.qualityScore("text", DD)} AS quality FROM documents",
+
+    "q14_fingerprint" ->
+      s"SELECT doc_id, ${PortableSql.fingerprint("text")} AS fp FROM documents",
+
+    "q15_minhash_bands" ->
+      s"""WITH ${minhashCtes}
+         |SELECT doc_id, band, bucket FROM buckets""".stripMargin,
+
+    "q16_neardup_pairs" ->
+      s"""WITH ${minhashCtes},
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |),
+         |exsh AS (SELECT DISTINCT doc_id, unnest(s) AS sv FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM exsh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT p.id_a, p.id_b, count(*) AS i
+         |  FROM pairs p
+         |  JOIN exsh ea ON ea.doc_id = p.id_a
+         |  JOIN exsh eb ON eb.doc_id = p.id_b AND eb.sv = ea.sv
+         |  GROUP BY p.id_a, p.id_b
+         |)
+         |SELECT it.id_a, it.id_b, round(it.i / (sa.n + sb.n - it.i), 6) AS jaccard
+         |FROM inter it JOIN sizes sa ON sa.doc_id = it.id_a JOIN sizes sb ON sb.doc_id = it.id_b
+         |WHERE round(it.i / (sa.n + sb.n - it.i), 6) >= 0.8""".stripMargin,
+
+    "q17_simhash" ->
+      s"SELECT doc_id, ${PortableSql.simhash("text", 16, DD)} AS simhash FROM documents",
+
+    "q18_events_hourly" ->
+      s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
+         |  count(*) AS n_events, ${dsum("value")} AS total_value
+         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q19_sessions" ->
+      s"""WITH p AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events)
+         |SELECT user_id, count(*) AS n_events,
+         |  CAST(sum(CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 1800.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+         |FROM p GROUP BY user_id""".stripMargin,
+
+    "q20_join_revenue" ->
+      s"""SELECT r_name, n_name, count(*) AS n_orders, ${dsum("o_totalprice")} AS revenue
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY r_name, n_name""".stripMargin,
+
+    "q21_topk_per_segment" ->
+      s"""WITH r AS (
+         |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |)
+         |SELECT c_mktsegment, rank, o_orderkey, o_totalprice FROM r WHERE rank <= 3""".stripMargin,
+
+    "q22_ann_topk" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |s AS (SELECT vec_id, ${duckCosine("embedding", "qe", 64)} AS cosine_sim FROM embeddings, q)
+         |SELECT vec_id, cosine_sim FROM s ORDER BY cosine_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q23_ann_lsh" ->
+      s"""WITH q AS (SELECT embedding AS qe, ${duckSignBucket("embedding", 8, 64)} AS qbucket FROM embeddings WHERE vec_id = 0),
+         |b AS (SELECT vec_id, embedding, ${duckSignBucket("embedding", 8, 64)} AS bucket FROM embeddings),
+         |s AS (SELECT vec_id, ${duckCosine("embedding", "qe", 64)} AS cosine_sim FROM b, q WHERE b.bucket = q.qbucket)
+         |SELECT vec_id, cosine_sim FROM s ORDER BY cosine_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q24_embedding_pairs" ->
+      s"""WITH b AS (SELECT vec_id, embedding, ${duckSignBucket("embedding", 4, 64)} AS bucket FROM embeddings),
+         |p AS (
+         |  SELECT a.vec_id AS id_a, c.vec_id AS id_b, ${duckCosine("a.embedding", "c.embedding", 64)} AS cosine_sim
+         |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+         |)
+         |SELECT id_a, id_b, cosine_sim FROM p WHERE cosine_sim >= 0.15""".stripMargin,
+
+    "q25_media_stats" ->
+      s"""SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         |  count(*) AS n_assets,
+         |  CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+         |  CAST(max(strlen(text) * 10) AS BIGINT) AS max_duration_ms
+         |FROM documents GROUP BY 1""".stripMargin
+  )
 }

@@ -1,0 +1,106 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/**
+ * Medallion layer I/O (reference: bronze JSONL capture
+ * `src/pipelines/breweries_fetch_bronze_notebook.py:71-107`, silver
+ * partitioned parquet `breweries_transform_silver_notebook.py:85-91`,
+ * gold parquet `breweries_aggregate_gold_notebook.py:65`).
+ *
+ * Scale notes:
+ *  - Bronze stays row-oriented (JSONL) for append-friendly raw capture;
+ *    silver/gold are columnar Parquet. The reference's driver-side
+ *    atomic-rename publish (K1) is subsumed by Spark's file commit
+ *    protocol (`_temporary` staging + `_SUCCESS` marker) which is the
+ *    multi-executor-safe version of the same idea.
+ *  - Silver writes use dynamic partition overwrite
+ *    (`breweries_transform_silver_notebook.py:35`) so a daily re-run
+ *    replaces only the touched `state=/country=` dirs — at 100 TB you
+ *    never rewrite the whole table for one day's data.
+ *  - [[readJsonl]] with an enforced schema skips Spark's
+ *    schema-inference pre-pass (which reads the whole file once!) —
+ *    mandatory at scale.
+ */
+object Layers {
+
+  /** S2 — schema-inferred JSONL scan (bronze exploration path only;
+    * inference double-reads the data, so never on the hot path). */
+  def readJsonlInferred(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("multiLine", value = false).json(path)
+
+  /** S3 — schema-enforced JSONL scan (PERMISSIVE: missing → null, extra
+    * source fields projected away — reference
+    * `breweries_transform_silver_notebook.py:64-68`). */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("multiLine", value = false).json(path)
+
+  /** K1/K2 — bronze JSONL sink; a `runId` yields the reference's
+    * time-versioned `run_<ts>` layout
+    * (`breweries_fetch_bronze_notebook.py:103-107`). Pass the run id in
+    * (never wall-clock inside the job) so re-runs are reproducible. */
+  def writeJsonl(df: DataFrame, dir: String, runId: Option[String] = None): String = {
+    val target = runId.fold(dir)(id => s"$dir/run_$id")
+    df.write.mode(SaveMode.Overwrite).json(target)
+    target
+  }
+
+  /** K3 — silver partitioned Parquet sink with dynamic partition
+    * overwrite. */
+  def writeSilver(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** K4 — gold unpartitioned Parquet sink. */
+  def writeGold(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** S4/S5 — Parquet scan; partition columns recovered from the dir
+    * layout, so `WHERE state = …` prunes directories before any I/O. */
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /**
+   * Events-table reader: the synthetic `events` parquet carries
+   * nanosecond timestamps, which Spark's vectorized reader refuses
+   * ([PARQUET_TYPE_ILLEGAL]). Read them as raw nanos
+   * (`nanosAsLong`) and convert with exact integer math (`div 1000`,
+   * never double division — nanos exceed 2^53). Micro-truncation matches
+   * DuckDB's ns→us cast semantics.
+   */
+  def readEvents(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(path)
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+    else raw
+  }
+
+  /**
+   * O3 analog — resolve the latest *successfully published* run
+   * directory under `base` (subdirs named by sortable id, e.g.
+   * `run_20251015` or an ISO date), gated on Spark's `_SUCCESS` marker.
+   * Replaces the reference's Airflow `ExternalTaskSensor` + DagRun query
+   * (`dags/breweries_gold_dag.py:118-139`) with plain dataflow: the
+   * consumer reads the newest complete snapshot, never a half-written one.
+   */
+  def latestSuccessfulRun(spark: SparkSession, base: String): Option[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(conf)
+    if (!fs.exists(basePath)) None
+    else
+      fs.listStatus(basePath)
+        .filter(_.isDirectory)
+        .map(_.getPath)
+        .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+        .map(_.toString)
+        .sorted(Ordering[String].reverse)
+        .headOption
+  }
+}

@@ -1,0 +1,156 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Approximate-nearest-neighbor / similarity search over an embedding
+ * column (`array<float>`) — north-star extension.
+ *
+ * Scale design (100 TB):
+ *  - [[bruteForceTopK]] is the exactness baseline: a broadcast of the
+ *    (tiny) query vector against a full scan — one narrow pass, a
+ *    partial top-k per partition, and a final k-row reduce
+ *    (`orderBy.limit(k)` is planned by Spark as TakeOrderedAndProject —
+ *    NO global sort/shuffle of the corpus).
+ *  - [[signBuckets]]/[[lshTopK]] is the scale path: random-hyperplane
+ *    LSH where the "hyperplanes" are deterministic ±1 vectors derived
+ *    from md5(plane, dim) — seedless, engine-portable, and broadcastable
+ *    as pure expressions. Probing cost drops from O(corpus) to
+ *    O(bucket), with the usual recall/bucket-size trade governed by the
+ *    number of planes.
+ *  - dot products run via `zip_with` + `aggregate` higher-order
+ *    functions (codegen'd, no UDF). For a production hot loop you'd
+ *    promote this to a custom Catalyst Expression with a primitive
+ *    float-array loop in doGenCode; the plan shape stays identical.
+ *
+ * All similarity outputs are rounded to 6 decimals: the only
+ * cross-engine nondeterminism is float-sum association order, which is
+ * ~1e-13 relative — rounding removes it (SURVEY §7.4 risk 5).
+ */
+object Similarity {
+
+  /** Elementwise dot product of two float-array columns (as double). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity, 6-decimal-rounded for determinism. */
+  def cosine(a: Column, b: Column): Column =
+    round(dot(a, b) / (norm(a) * norm(b)), 6)
+
+  /**
+   * Exact top-k by cosine against the single row of `queryDf`
+   * (columns: `embedding`). Ties broken by id ascending — total order,
+   * oracle-reproducible. The query side is broadcast; the corpus is
+   * never shuffled.
+   */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queryDf: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int): DataFrame = {
+    val scored = corpus
+      .crossJoin(broadcast(queryDf.select(col(embCol).as("__q"))))
+      .select(
+        col(idCol),
+        cosine(col(embCol), col("__q")).as("cosine_sim"))
+    scored
+      .orderBy(col("cosine_sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Deterministic pseudo-random ±1 hyperplane component for
+    * (plane, dim): parity of the first md5 hex nibble. */
+  private def planeSign(plane: Int, dim: Int): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$plane:$dim".getBytes("UTF-8"))
+    if ((hex(0) & 1) == 0) 1 else -1
+  }
+
+  /** Precomputed ±1 hyperplanes (driver-side, tiny: planes × dims ints),
+    * embedded into the plan as literals — the distributed-friendly
+    * version of broadcasting a random projection matrix. */
+  def planes(numPlanes: Int, dims: Int): Seq[Seq[Int]] =
+    (0 until numPlanes).map(p => (0 until dims).map(d => planeSign(p, d)))
+
+  /** Sign-random-projection bucket id: one bit per hyperplane (sign of
+    * the ±1-projection), packed into a bit-string column. */
+  def signBucket(emb: Column, hyperplanes: Seq[Seq[Int]]): Column = {
+    val bits = hyperplanes.map { hp =>
+      val proj = aggregate(
+        zip_with(emb, lit(hp.toArray), (x, s) => x.cast("double") * s.cast("double")),
+        lit(0.0),
+        (acc, x) => acc + x)
+      when(proj >= 0, lit("1")).otherwise(lit("0"))
+    }
+    concat(bits: _*)
+  }
+
+  /** Corpus → (id, bucket) assignment; the ANN index build. Narrow. */
+  def signBuckets(
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      numPlanes: Int,
+      dims: Int): DataFrame =
+    corpus.select(col(idCol), signBucket(col(embCol), planes(numPlanes, dims)).as("bucket"))
+
+  /**
+   * ANN top-k: score only the query's own LSH bucket (plus the query
+   * broadcast). Recall < 1 by design; the oracle twin replays the same
+   * bucket-restricted search so correctness is still hash-checkable.
+   */
+  def lshTopK(
+      corpus: DataFrame,
+      queryDf: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      numPlanes: Int,
+      dims: Int): DataFrame = {
+    val hp = planes(numPlanes, dims)
+    val bucketed = corpus.withColumn("__bucket", signBucket(col(embCol), hp))
+    val q = broadcast(
+      queryDf.select(
+        col(embCol).as("__q"),
+        signBucket(col(embCol), hp).as("__qbucket")))
+    bucketed
+      .join(q, col("__bucket") === col("__qbucket"))
+      .select(col(idCol), cosine(col(embCol), col("__q")).as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** All-pairs top-k neighbors per vector within LSH buckets (the
+    * batch "kNN graph" builder): join within buckets, rank per source
+    * id. Used for embedding-cosine near-dup detection. */
+  def bucketedNeighbors(
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      numPlanes: Int,
+      dims: Int,
+      minCosine: Double): DataFrame = {
+    val hp = planes(numPlanes, dims)
+    val b = corpus.select(
+      col(idCol).as("id"),
+      col(embCol).as("emb"),
+      signBucket(col(embCol), hp).as("bucket"))
+    val a = b.select(col("id").as("id_a"), col("emb").as("emb_a"), col("bucket"))
+    val c = b.select(col("id").as("id_b"), col("emb").as("emb_b"), col("bucket"))
+    a.join(c, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        cosine(col("emb_a"), col("emb_b")).as("cosine_sim"))
+      .filter(col("cosine_sim") >= minCosine)
+  }
+}

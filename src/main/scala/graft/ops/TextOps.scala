@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for LLM-training-data pipelines (north-star
+ * extension; BASELINE.json). All are pure Column expressions — no UDFs —
+ * so they stay inside whole-stage codegen and scale linearly with zero
+ * shuffles: at 100 TB these run at scan speed.
+ *
+ * Every function is also expressible in ANSI SQL (the DuckDB oracle), so
+ * each gets a hash-checked correctness query. That constraint drove two
+ * choices: occurrence counting via `replace`-length deltas (identical in
+ * every engine, no regex-dialect drift), and md5 as the only hash
+ * primitive (bit-identical everywhere).
+ */
+object TextOps {
+
+  /** Whitespace tokenization (single-space delimited corpus). */
+  def tokens(c: Column): Column = split(c, " ")
+
+  /** Token count — `size(split(text,' '))`. */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish regex token count: alpha runs, digit runs, single
+    * punctuation marks each count as one token. The pattern uses only
+    * regex constructs with identical semantics in Java and RE2. */
+  def regexTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
+
+  /** Occurrences of literal `needle` via replace-length delta —
+    * engine-portable (no regex at all), codegen-friendly. */
+  def occurrencesPlain(c: Column, needle: String): Column =
+    (length(c) - length(replace(c, lit(needle)))) / lit(needle.length)
+
+  /** Language-ID stopword tables: tiny per-language marker words.
+    * Space-padded so matches are whole-token. Order = tie-break priority. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " with "),
+    "es" -> Seq(" el ", " los ", " con "),
+    "de" -> Seq(" der ", " und ", " mit "),
+    "fr" -> Seq(" le ", " les ", " avec "),
+    "zh" -> Seq(" de4 ", " he2 ", " yu3 "))
+
+  /** Score for one language = total marker occurrences in the padded,
+    * lowercased text. */
+  def langScore(c: Column, markers: Seq[String]): Column = {
+    val padded = concat(lit(" "), lower(c), lit(" "))
+    markers.map(m => occurrencesPlain(padded, m)).reduce(_ + _)
+  }
+
+  /**
+   * N-gram-heuristic language ID: argmax of marker scores with a fixed
+   * priority order for ties, `und` (undetermined) when all scores are 0.
+   * Expressed as a CASE chain so the DuckDB oracle is the literal same
+   * expression.
+   */
+  def langId(c: Column): Column = {
+    val scores = langMarkers.map { case (lang, ms) => lang -> langScore(c, ms) }
+    val maxScore = greatest(scores.map(_._2): _*)
+    val chain = scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === maxScore, lit(lang)).otherwise(acc)
+    }
+    when(maxScore <= 0, lit("und")).otherwise(chain)
+  }
+
+  /**
+   * Heuristic quality score in [0,1]: blend of length saturation,
+   * mean word length sanity, and punctuation-density penalty.
+   * Deterministic double arithmetic (identical expression both engines).
+   */
+  def qualityScore(c: Column): Column = {
+    val nChars = length(c).cast("double")
+    val nTok = tokenCount(c).cast("double")
+    val meanWordLen = (nChars - (nTok - lit(1.0))) / nTok
+    val lengthScore = least(nChars / lit(500.0), lit(1.0))
+    val wordLenScore =
+      when(meanWordLen >= 3.0 && meanWordLen <= 8.0, lit(1.0)).otherwise(lit(0.5))
+    val punct = Seq(".", ",", "!", "?", ";")
+      .map(p => occurrencesPlain(c, p))
+      .reduce(_ + _)
+      .cast("double")
+    val punctScore = lit(1.0) - least(punct / nTok, lit(1.0))
+    round(lit(0.4) * lengthScore + lit(0.3) * wordLenScore + lit(0.3) * punctScore, 6)
+  }
+
+  /** Document fingerprint: md5 of the casefolded, trimmed text. Identical
+    * hex in every engine; use for exact-dup detection after
+    * normalization. */
+  def fingerprint(c: Column): Column = md5(lower(trim(c)))
+
+  /** N-word shingles (the MinHash input): overlapping n-grams of the
+    * token array, joined with single spaces. */
+  def wordShingles(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    transform(
+      sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+  }
+}

@@ -1,0 +1,89 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+
+import scala.util.{Failure, Success, Try}
+
+/**
+ * Minimal sequential stage runner — the engine-native replacement for
+ * the reference's YAML→Airflow DAG factory
+ * (`dags/breweries_ingestion_dag.py:12-105`,
+ * `dags/breweries_gold_dag.py:45-185`): linear task chain, per-stage
+ * retry with exponential backoff (reference `default_args`
+ * `dags/breweries_ingestion_dag.py:53-66`), structured per-stage events
+ * (reference `src/libs/dag_utils.py:33-57`), and per-stage metrics
+ * (reference MLflow tracking `src/libs/observability.py:9-89`) — all
+ * in-process, no orchestrator.
+ *
+ * Cross-DAG sensing (reference `ExternalTaskSensor`,
+ * `dags/breweries_gold_dag.py:118-139`) is replaced by ordinary dataflow:
+ * a downstream stage reads its upstream's published path via
+ * `Layers.latestSuccessfulRun`.
+ */
+object Runner {
+
+  final case class Stage(
+      id: String,
+      run: SparkSession => Map[String, Long],
+      retries: Int = 0,
+      retryDelayMs: Long = 1000,
+      backoff: Double = 2.0)
+
+  sealed trait Status
+  case object Succeeded extends Status
+  final case class Failed(error: String) extends Status
+
+  final case class StageResult(
+      id: String,
+      status: Status,
+      attempts: Int,
+      durationMs: Long,
+      metrics: Map[String, Long])
+
+  final case class PipelineReport(results: Seq[StageResult]) {
+    def succeeded: Boolean = results.forall(_.status == Succeeded)
+    def toJson: String = results.map { r =>
+      val status = r.status match {
+        case Succeeded => "\"success\""
+        case Failed(e) => "\"failed: " + e.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\""
+      }
+      val ms = r.metrics.map { case (k, v) => s""""$k": $v""" }.mkString("{", ", ", "}")
+      s"""{"stage": "${r.id}", "status": $status, "attempts": ${r.attempts}, """ +
+        s""""duration_ms": ${r.durationMs}, "metrics": $ms}"""
+    }.mkString("[", ",\n ", "]")
+  }
+
+  /** Run stages sequentially; stop at the first exhausted-retries
+    * failure (downstream stages depend on upstream outputs). */
+  def run(spark: SparkSession, stages: Seq[Stage], sleep: Long => Unit = Thread.sleep)
+      : PipelineReport = {
+    val results = Seq.newBuilder[StageResult]
+    var halted = false
+    stages.foreach { st =>
+      if (!halted) {
+        var attempt = 0
+        var delay = st.retryDelayMs
+        var result: Option[StageResult] = None
+        val t0 = System.nanoTime()
+        while (result.isEmpty) {
+          attempt += 1
+          Try(st.run(spark)) match {
+            case Success(metrics) =>
+              result = Some(StageResult(
+                st.id, Succeeded, attempt, (System.nanoTime() - t0) / 1000000, metrics))
+            case Failure(e) if attempt <= st.retries =>
+              sleep(delay)
+              delay = (delay * st.backoff).toLong
+            case Failure(e) =>
+              result = Some(StageResult(
+                st.id, Failed(Option(e.getMessage).getOrElse(e.getClass.getName)),
+                attempt, (System.nanoTime() - t0) / 1000000, Map.empty))
+              halted = true
+          }
+        }
+        results += result.get
+      }
+    }
+    PipelineReport(results.result())
+  }
+}

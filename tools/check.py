@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate:
+run `graft.Verify <sfDir> <outDir>` first, then this script compares each
+query's parquet dump against the DuckDB oracle (columns sorted by name,
+rows sorted, exact value compare with a tiny float tolerance report).
+
+Usage: python3 tools/check.py <sfDir> <outDir>
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def compare(name, con, sf_dir, out_dir):
+    try:
+        oracle = con.sql(ORACLES[name]).fetchall()
+        ocols = [d[0] for d in con.sql(ORACLES[name]).description]
+    except Exception as e:
+        return f"ORACLE-ERROR {type(e).__name__}: {e}"
+    try:
+        spark = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchall()
+        scols = [d[0] for d in
+                 con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet' LIMIT 0").description]
+    except Exception as e:
+        return f"SPARK-READ-ERROR {type(e).__name__}: {e}"
+    if sorted(ocols) != sorted(scols):
+        return f"SCHEMA-MISMATCH oracle={sorted(ocols)} spark={sorted(scols)}"
+    # reorder both to sorted column order
+    oidx = [ocols.index(c) for c in sorted(ocols)]
+    sidx = [scols.index(c) for c in sorted(scols)]
+    orows = sorted([tuple(norm_cell(r[i]) for i in oidx) for r in oracle],
+                   key=lambda t: tuple((x is None, str(type(x)), x) for x in t))
+    srows = sorted([tuple(norm_cell(r[i]) for i in sidx) for r in spark],
+                   key=lambda t: tuple((x is None, str(type(x)), x) for x in t))
+    if len(orows) != len(srows):
+        return f"ROWCOUNT oracle={len(orows)} spark={len(srows)}"
+    for i, (o, s) in enumerate(zip(orows, srows)):
+        if o != s:
+            detail = []
+            for c, (a, b) in zip(sorted(ocols), zip(o, s)):
+                if a != b:
+                    detail.append(f"{c}: oracle={a!r} spark={b!r}")
+            return f"VALUE-MISMATCH row {i}: " + "; ".join(detail[:4])
+    return f"OK ({len(srows)} rows)"
+
+
+if __name__ == "__main__":
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        ORACLES = json.load(f)
+    failures = 0
+    for name in sorted(ORACLES):
+        res = compare(name, con, sf_dir, out_dir)
+        status = "PASS" if res.startswith("OK") else "FAIL"
+        if status == "FAIL":
+            failures += 1
+        print(f"[{status}] {name}: {res}")
+    print(f"\n{len(ORACLES) - failures}/{len(ORACLES)} queries match")
+    sys.exit(1 if failures else 0)
