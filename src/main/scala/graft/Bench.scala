@@ -1,5 +1,14 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Headline benchmark: runs every SparkEntry query on
+  * `SPARK_GRAFT_SF_DIR`, emits ONE machine-readable JSON line with
+  * per-query seconds AND per-query ok/err (a failed query must never
+  * masquerade as a fast one). The line goes to stdout and, when
+  * `SPARK_GRAFT_BENCH_OUT` is set, to that file verbatim (sbt log
+  * prefixes make stdout scraping fragile). Exit code 1 if any query
+  * failed. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +16,31 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err: Option[String] =
+        try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: $e")
+          Some(Option(e.getMessage).getOrElse(e.getClass.getName))
+        }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, v, _) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, Some(_)) => s"\"$k\"" }
+    val total = results.map(_._2).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""failed":[${failed.mkString(",")}],"sf":"$sfDir"}"""
+    println(line)
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      Files.writeString(Paths.get(p), line + "\n")
+    }
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -113,10 +113,13 @@ object PortableSql {
   /** md5 fingerprint of casefolded text. Portable. */
   def fingerprint(text: String): String = s"md5(lower(trim($text)))"
 
-  /** MinHash signature element `i`: min over shingles of
-    * md5('<i>:' || shingle). */
+  /** MinHash signature element `i`: min over shingles of the first 15
+    * hex chars of md5('<i>:' || shingle). Truncation to 60 bits lets the
+    * Spark side aggregate numerically (HashAggregate) while this string
+    * min stays byte-identical — fixed-width lowercase hex sorts exactly
+    * like its numeric value. */
   def minhashSig(shinglesExpr: String, i: Int, d: Dialect): String =
-    d.minOverStr(shinglesExpr, "__s", s"md5(concat('$i:', __s))")
+    d.minOverStr(shinglesExpr, "__s", s"substr(md5(concat('$i:', __s)), 1, 15)")
 
   /**
    * SimHash fragment: `bits`-bit token-vote fingerprint as a hex string.

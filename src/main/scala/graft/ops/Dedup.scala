@@ -39,10 +39,35 @@ object Dedup {
   def hashShingle(i: Int, shingle: Column): Column =
     md5(concat(lit(s"$i:"), shingle))
 
+  /** Numeric shingle hash: first 15 hex chars of [[hashShingle]] as a
+    * 60-bit long. `min(long)` runs in a HashAggregate with map-side
+    * partials — `min(string)` would fall back to SortAggregate (a full
+    * sort of the exploded shingle rows). Fixed-width lowercase hex
+    * orders lexicographically exactly like its numeric value, so
+    * rendering the numeric min back to padded hex equals the string-min
+    * of the truncated hashes. */
+  def hashShingleLong(i: Int, shingle: Column): Column =
+    conv(substring(hashShingle(i, shingle), 1, 15), 16, 10).cast("long")
+
+  /** Render the numeric minhash back to the canonical 15-hex-char form. */
+  private def sigHex(c: Column): Column =
+    lpad(lower(conv(c.cast("string"), 10, 16)), 15, "0")
+
   /**
    * Per-document MinHash signature: for each of `numHashes` virtual
-   * permutations, the min hash over the document's `n`-word shingles.
-   * Output: (idCol, sig: array&lt;string&gt;). Narrow — no shuffle.
+   * permutations, the min hash (15-hex-char truncated md5) over the
+   * document's `n`-word shingles. Output: (idCol, sig: array&lt;string&gt;).
+   *
+   * Plan shape: explode shingles → `numHashes` numeric md5s per
+   * (doc, shingle) row → `groupBy(doc).agg(min…)` → render hex. Each
+   * shingle string is CONSTRUCTED once and hashed `numHashes` times —
+   * the alternative single-projection formulation
+   * (`array(array_min(transform(shingles, md5)) × N)`) rebuilds the
+   * shingle array once per hash function because codegen subexpression
+   * elimination does not reach across higher-order-function lambdas
+   * (measured ~5× slower at sf0.1). The shuffle moves only map-side
+   * partially-aggregated rows: ~docs × numHashes longs per partition,
+   * independent of document length — the scan dominates at 100 TB.
    */
   def minhashSignatures(
       df: DataFrame,
@@ -50,10 +75,15 @@ object Dedup {
       idCol: String,
       numHashes: Int,
       shingleWords: Int): DataFrame = {
-    val sh = TextOps.wordShingles(col(textCol), shingleWords)
-    val sigs = (0 until numHashes).map(i =>
-      array_min(transform(sh, s => hashShingle(i, s))))
-    df.select(col(idCol), array(sigs: _*).as("sig"))
+    val ex = df.select(
+      col(idCol),
+      explode(TextOps.wordShingles(col(textCol), shingleWords)).as("__sh"))
+    val mins = (0 until numHashes).map(i =>
+      min(hashShingleLong(i, col("__sh"))).as(s"__s$i"))
+    ex.groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol),
+        array((0 until numHashes).map(i => sigHex(col(s"__s$i"))): _*).as("sig"))
   }
 
   /**
@@ -89,9 +119,18 @@ object Dedup {
       numHashes: Int = 8,
       bands: Int = 4,
       shingleWords: Int = 3): DataFrame = {
-    val buckets =
-      lshBuckets(minhashSignatures(df, textCol, idCol, numHashes, shingleWords),
-        idCol, numHashes, bands)
+    // Materialize the signature frame (docs × numHashes 15-hex strings —
+    // tiny) before the self-join: it feeds BOTH sides, and neither
+    // exchange reuse nor persist() helps here (no exchange to reuse in a
+    // narrow plan; persist's cache build bypasses codegen CSE and costs
+    // ~8× — measured at sf0.1). localCheckpoint materializes through the
+    // normal codegen path and truncates lineage, so the join probes read
+    // stored rows. This is the "LSH index" build; a production pipeline
+    // would write it to durable storage once and share it across runs
+    // (localCheckpoint trades executor-loss recovery for speed).
+    val sigs = minhashSignatures(df, textCol, idCol, numHashes, shingleWords)
+      .localCheckpoint()
+    val buckets = lshBuckets(sigs, idCol, numHashes, bands)
     val a = buckets.select(col("band"), col("bucket"), col(idCol).as("id_a"))
     val b = buckets.select(col("band"), col("bucket"), col(idCol).as("id_b"))
     a.join(b, Seq("band", "bucket"))
@@ -118,10 +157,22 @@ object Dedup {
       numHashes: Int = 8,
       bands: Int = 4,
       shingleWords: Int = 3): DataFrame = {
+    // Candidate pairs are a tiny fraction of the corpus; materialize them
+    // so the MinHash subtree runs once, not once per downstream use.
     val pairs = candidatePairs(df, textCol, idCol, numHashes, bands, shingleWords)
-    val shingled = df.select(
-      col(idCol).as("sid"),
-      array_distinct(TextOps.wordShingles(col(textCol), shingleWords)).as("shset"))
+      .localCheckpoint()
+    // Prune BEFORE the explode: only docs that appear in some candidate
+    // pair get shingled/exploded. At 100 TB this is the difference between
+    // shuffling the whole corpus's shingles and shuffling ~|pairs| docs.
+    val candIds = pairs.select(col("id_a").as("sid"))
+      .union(pairs.select(col("id_b").as("sid")))
+      .distinct()
+    val shingled = df
+      .select(
+        col(idCol).as("sid"),
+        array_distinct(TextOps.wordShingles(col(textCol), shingleWords)).as("shset"))
+      .join(candIds, Seq("sid"), "left_semi")
+      .localCheckpoint() // reused by both explode sides and the size lookup
     val ex = shingled.select(col("sid"), explode(col("shset")).as("s"))
     val sizes = shingled.select(col("sid"), size(col("shset")).as("n"))
     val inter = pairs

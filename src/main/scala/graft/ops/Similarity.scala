@@ -139,10 +139,17 @@ object Similarity {
       dims: Int,
       minCosine: Double): DataFrame = {
     val hp = planes(numPlanes, dims)
+    // Materialize the bucketed projection before the self-join —
+    // otherwise the join re-evaluates the numPlanes dot-product
+    // expressions per candidate row instead of once per vector.
+    // localCheckpoint, not persist: persist's cache build bypasses
+    // codegen and re-evaluates expression-heavy projections ~8× slower
+    // (same pathology as the MinHash index in Dedup.candidatePairs).
     val b = corpus.select(
       col(idCol).as("id"),
       col(embCol).as("emb"),
       signBucket(col(embCol), hp).as("bucket"))
+      .localCheckpoint()
     val a = b.select(col("id").as("id_a"), col("emb").as("emb_a"), col("bucket"))
     val c = b.select(col("id").as("id_b"), col("emb").as("emb_b"), col("bucket"))
     a.join(c, Seq("bucket"))
