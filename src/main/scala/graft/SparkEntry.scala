@@ -226,11 +226,10 @@ object SparkEntry {
       Dedup.verifiedNearDups(
         T(s, dir, "documents"), "text", "doc_id", threshold = 0.8)),
 
-    // ---- north-star dedup: SimHash fingerprint
+    // ---- north-star dedup: SimHash fingerprint (hash-once explode+agg
+    //      plan; the oracle replays the per-bit portable fragment)
     "q17_simhash" -> ((s, dir) =>
-      T(s, dir, "documents").selectExpr(
-        "doc_id",
-        s"${PortableSql.simhash("text", 16, SD)} AS simhash")),
+      Dedup.simhash(T(s, dir, "documents"), "text", "doc_id", bits = 16)),
 
     // ---- events: hourly tumbling-window aggregation (batch twin of the
     //      streaming hourlyByType)
@@ -337,7 +336,9 @@ object SparkEntry {
       val lst = hp.mkString("[", ", ", "]")
       val proj = s"list_sum(list_transform(generate_series(1, $dims), " +
         s"__i -> CAST(($embCol)[__i] AS DOUBLE) * ($lst)[__i]))"
-      s"(CASE WHEN $proj >= 0 THEN '1' ELSE '0' END)"
+      // round-before-sign mirrors Similarity.signBucket (cross-engine
+      // float-sum association can differ by ~1e-13 near zero)
+      s"(CASE WHEN round($proj, 6) >= 0 THEN '1' ELSE '0' END)"
     }
     bits.mkString("concat(", ", ", ")")
   }

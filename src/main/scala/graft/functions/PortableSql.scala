@@ -113,13 +113,44 @@ object PortableSql {
   /** md5 fingerprint of casefolded text. Portable. */
   def fingerprint(text: String): String = s"md5(lower(trim($text)))"
 
-  /** MinHash signature element `i`: min over shingles of the first 15
-    * hex chars of md5('<i>:' || shingle). Truncation to 60 bits lets the
-    * Spark side aggregate numerically (HashAggregate) while this string
-    * min stays byte-identical — fixed-width lowercase hex sorts exactly
-    * like its numeric value. */
-  def minhashSig(shinglesExpr: String, i: Int, d: Dialect): String =
-    d.minOverStr(shinglesExpr, "__s", s"substr(md5(concat('$i:', __s)), 1, 15)")
+  /** MinHash universal-hash parameters: `h_i(x) = (a_i·(H(x) mod P) +
+    * b_i) mod P` over the prime P = 2³¹−1, with one shared 60-bit base
+    * hash H = first 15 hex chars of md5(shingle). ONE md5 per shingle
+    * feeds all permutations — hashing cost is independent of
+    * `numHashes` (the dominant cost at corpus scale). a_i, b_i are
+    * fixed odd multipliers < P so `a_i·(H mod P)` stays under 2⁶²
+    * (no 64-bit overflow in either engine). */
+  val minhashP: Long = 2147483647L
+  def minhashA(i: Int): Long = (2654435761L * (2 * i + 1)) % minhashP
+  def minhashB(i: Int): Long = (40503L * (i + 1) * 2654435761L) % minhashP
+
+  /** 60-bit numeric base hash of a shingle, identical in both engines.
+    * Spark parses the 15 hex chars with `conv`; DuckDB (no conv) sums
+    * digit values — same number. */
+  def minhashBase(shingleExpr: String, d: Dialect): String = d match {
+    case SparkDialect =>
+      s"CAST(conv(substr(md5($shingleExpr), 1, 15), 16, 10) AS BIGINT)"
+    case DuckDialect =>
+      val digits = (1 to 15).map { j =>
+        val pow = java.math.BigInteger.valueOf(16L).pow(15 - j)
+        s"(instr('0123456789abcdef', substr(__m, $j, 1)) - 1) * $pow"
+      }.mkString(" + ")
+      // bind __m via a nested list_transform over the single md5 value so
+      // the md5 is written (and computed) once per shingle
+      s"list_transform([md5($shingleExpr)], __m -> $digits)[1]"
+  }
+
+  /** MinHash signature element `i`: numeric min over shingles of the
+    * universal hash `h_i`. */
+  def minhashSig(shinglesExpr: String, i: Int, d: Dialect): String = {
+    val h = s"(${minhashA(i)} * (${minhashBase("__s", d)} % $minhashP) + ${minhashB(i)}) % $minhashP"
+    d match {
+      case SparkDialect =>
+        s"array_min(transform($shinglesExpr, __s -> $h))"
+      case DuckDialect =>
+        s"list_min(list_transform($shinglesExpr, __s -> $h))"
+    }
+  }
 
   /**
    * SimHash fragment: `bits`-bit token-vote fingerprint as a hex string.

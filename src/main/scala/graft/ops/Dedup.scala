@@ -33,41 +33,39 @@ object Dedup {
     df.groupBy(TextOps.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** Deterministic per-shingle hash for permutation `i`:
-    * `md5(i || ':' || shingle)`. Lexicographic min over hex strings
-    * plays the MinHash role (any total order works for min-hashing). */
-  def hashShingle(i: Int, shingle: Column): Column =
-    md5(concat(lit(s"$i:"), shingle))
+  import graft.functions.PortableSql.{minhashA, minhashB, minhashP}
 
-  /** Numeric shingle hash: first 15 hex chars of [[hashShingle]] as a
-    * 60-bit long. `min(long)` runs in a HashAggregate with map-side
-    * partials — `min(string)` would fall back to SortAggregate (a full
-    * sort of the exploded shingle rows). Fixed-width lowercase hex
-    * orders lexicographically exactly like its numeric value, so
-    * rendering the numeric min back to padded hex equals the string-min
-    * of the truncated hashes. */
-  def hashShingleLong(i: Int, shingle: Column): Column =
-    conv(substring(hashShingle(i, shingle), 1, 15), 16, 10).cast("long")
+  /** Shared 60-bit base hash of a shingle: first 15 hex chars of its
+    * md5, as a long, reduced mod P = 2³¹−1. ONE md5 per shingle feeds
+    * every virtual permutation below. */
+  def shingleBase(shingle: Column): Column =
+    conv(substring(md5(shingle), 1, 15), 16, 10).cast("long") % minhashP
 
-  /** Render the numeric minhash back to the canonical 15-hex-char form. */
-  private def sigHex(c: Column): Column =
-    lpad(lower(conv(c.cast("string"), 10, 16)), 15, "0")
+  /** Universal hash `i` over a base-hash column:
+    * `(a_i·base + b_i) mod P` — pure 64-bit-safe arithmetic
+    * (a_i, base < 2³¹ ⇒ product < 2⁶²). */
+  def universalHash(i: Int, base: Column): Column =
+    (lit(minhashA(i)) * base + lit(minhashB(i))) % minhashP
 
   /**
    * Per-document MinHash signature: for each of `numHashes` virtual
-   * permutations, the min hash (15-hex-char truncated md5) over the
-   * document's `n`-word shingles. Output: (idCol, sig: array&lt;string&gt;).
+   * permutations, the min universal hash over the document's `n`-word
+   * shingles. Output: (idCol, sig: array&lt;long&gt;).
    *
-   * Plan shape: explode shingles → `numHashes` numeric md5s per
-   * (doc, shingle) row → `groupBy(doc).agg(min…)` → render hex. Each
-   * shingle string is CONSTRUCTED once and hashed `numHashes` times —
-   * the alternative single-projection formulation
-   * (`array(array_min(transform(shingles, md5)) × N)`) rebuilds the
-   * shingle array once per hash function because codegen subexpression
-   * elimination does not reach across higher-order-function lambdas
-   * (measured ~5× slower at sf0.1). The shuffle moves only map-side
-   * partially-aggregated rows: ~docs × numHashes longs per partition,
-   * independent of document length — the scan dominates at 100 TB.
+   * Plan shape: explode shingles → ONE md5 per (doc, shingle) row in a
+   * projection → `numHashes` cheap affine mins in a single
+   * HashAggregate (map-side partials). Two deliberate choices:
+   *  - universal hashing (one md5 + N multiplications, vs N md5s):
+   *    hashing cost is independent of signature width — at corpus scale
+   *    md5 dominates everything else in the dedup pipeline;
+   *  - explode+agg rather than one giant projection of
+   *    `array_min(transform(…))` expressions: codegen subexpression
+   *    elimination does not reach across HOF lambdas, so the projection
+   *    formulation rebuilds the shingle array once per hash function
+   *    (measured ~5× slower at sf0.1).
+   * The shuffle moves only partially-aggregated rows (~docs × numHashes
+   * longs per map partition), independent of document length — the scan
+   * dominates at 100 TB.
    */
   def minhashSignatures(
       df: DataFrame,
@@ -75,15 +73,17 @@ object Dedup {
       idCol: String,
       numHashes: Int,
       shingleWords: Int): DataFrame = {
-    val ex = df.select(
-      col(idCol),
-      explode(TextOps.wordShingles(col(textCol), shingleWords)).as("__sh"))
+    val ex = df
+      .select(
+        col(idCol),
+        explode(TextOps.wordShingles(col(textCol), shingleWords)).as("__sh"))
+      .select(col(idCol), shingleBase(col("__sh")).as("__base"))
     val mins = (0 until numHashes).map(i =>
-      min(hashShingleLong(i, col("__sh"))).as(s"__s$i"))
+      min(universalHash(i, col("__base"))).as(s"__s$i"))
     ex.groupBy(col(idCol))
       .agg(mins.head, mins.tail: _*)
       .select(col(idCol),
-        array((0 until numHashes).map(i => sigHex(col(s"__s$i"))): _*).as("sig"))
+        array((0 until numHashes).map(i => col(s"__s$i")): _*).as("sig"))
   }
 
   /**
@@ -99,7 +99,7 @@ object Dedup {
       struct(
         lit(b).as("band"),
         md5(concat_ws("|", (0 until rowsPerBand).map(r =>
-          col("sig").getItem(b * rowsPerBand + r)): _*)).as("bucket"))
+          col("sig").getItem(b * rowsPerBand + r).cast("string")): _*)).as("bucket"))
     }
     sigDf
       .select(col(idCol), explode(array(bandRows: _*)).as("bb"))
@@ -191,32 +191,41 @@ object Dedup {
   }
 
   /**
-   * SimHash-64: per-token md5-derived 64-bit vectors, majority vote per
-   * bit. Hamming-close simhashes ⇒ similar docs. Returned as a 16-hex
-   * string (bit-identical across engines; avoids signed-long pitfalls).
+   * SimHash: per-token md5-derived bit vectors, majority vote per bit.
+   * Hamming-close simhashes ⇒ similar docs. Output: (idCol, simhash) —
+   * a `bits/4`-hex-char string (bit-identical across engines; avoids
+   * signed-long pitfalls).
+   *
+   * Plan shape: explode tokens → ONE md5 per token in a projection →
+   * `bits` arithmetic bit-votes summed in a single HashAggregate
+   * (map-side partials, shuffle carries docs × bits ints). The md5 sits
+   * in its own projection below the aggregate so it is evaluated once
+   * per token, not once per bit — the single-expression formulation
+   * (`aggregate(tokens, …md5…)` × bits, kept as the oracle twin in
+   * `PortableSql.simhash`) rehashes every token `bits` times.
    */
-  def simhash(c: Column, bits: Int = 64): Column = {
+  def simhash(df: DataFrame, textCol: String, idCol: String, bits: Int = 16): DataFrame = {
     require(bits % 4 == 0 && bits <= 64, "bits must be a multiple of 4 ≤ 64")
-    val toks = TextOps.tokens(c)
-    // Vote per bit: bit b (hex char b/4, bit 3-(b%4) within the nibble)
-    // of md5(token) set → +1 else -1; majority across tokens wins.
-    val bitCols = (0 until bits).map { b =>
+    val hashed = df
+      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("__t"))
+      .select(col(idCol), md5(col("__t")).as("__h"))
+    // Vote per bit b: bit 3-(b%4) of hex nibble b/4 of md5(token) set
+    // → +1 else -1; majority across tokens wins.
+    val votes = (0 until bits).map { b =>
       val hexPos = b / 4 + 1
-      val bitInNibble = 3 - (b % 4)
-      val votes = aggregate(
-        toks,
-        lit(0),
-        (acc, t) => {
-          val nib = conv(substring(md5(t), hexPos, 1), 16, 10).cast("int")
-          acc + when(shiftright(nib, bitInNibble).mod(2) === 1, 1).otherwise(-1)
-        })
-      when(votes > 0, lit(1)).otherwise(lit(0))
+      val m1 = 1 << (3 - b % 4)
+      val m2 = m1 * 2
+      val nib = conv(substring(col("__h"), hexPos, 1), 16, 10).cast("int")
+      sum(when(nib.mod(m2) >= m1, 1).otherwise(-1)).as(s"__v$b")
     }
+    val agged = hashed.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    val bitCols = (0 until bits).map(b =>
+      when(col(s"__v$b") > 0, lit(1)).otherwise(lit(0)))
     // Pack bits → hex string, 4 at a time.
     val nibbles = bitCols.grouped(4).toSeq.map { g =>
       val v = g.zipWithIndex.map { case (bit, i) => bit * (8 >> i) }.reduce(_ + _)
       lower(conv(v.cast("string"), 10, 16))
     }
-    concat(nibbles: _*)
+    agged.select(col(idCol), concat(nibbles: _*).as("simhash"))
   }
 }

@@ -72,4 +72,12 @@ object Quality {
     val aggs = rules.map(r => sum(when(r.violated, 1L).otherwise(0L)).as(r.name))
     df.observe(observationName, aggs.head, aggs.tail: _*)
   }
+
+  /** Same, bound to an [[org.apache.spark.sql.Observation]] handle —
+    * `obs.get` blocks until the first action on the returned frame
+    * completes and then yields the per-rule violation counts. */
+  def observed(df: DataFrame, obs: org.apache.spark.sql.Observation, rules: Seq[Rule]): DataFrame = {
+    val aggs = rules.map(r => sum(when(r.violated, 1L).otherwise(0L)).as(r.name))
+    df.observe(obs, aggs.head, aggs.tail: _*)
+  }
 }

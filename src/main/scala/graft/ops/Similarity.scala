@@ -81,14 +81,19 @@ object Similarity {
     (0 until numPlanes).map(p => (0 until dims).map(d => planeSign(p, d)))
 
   /** Sign-random-projection bucket id: one bit per hyperplane (sign of
-    * the ±1-projection), packed into a bit-string column. */
+    * the ±1-projection), packed into a bit-string column. The projection
+    * is rounded to 6 decimals BEFORE the sign test (mirrored in the
+    * oracle twin): float-sum association order differs between engines
+    * by ~1e-13, which could otherwise flip the bit of a projection that
+    * lands within an ulp of zero and turn into a discrete bucket
+    * mismatch. */
   def signBucket(emb: Column, hyperplanes: Seq[Seq[Int]]): Column = {
     val bits = hyperplanes.map { hp =>
       val proj = aggregate(
         zip_with(emb, lit(hp.toArray), (x, s) => x.cast("double") * s.cast("double")),
         lit(0.0),
         (acc, x) => acc + x)
-      when(proj >= 0, lit("1")).otherwise(lit("0"))
+      when(round(proj, 6) >= 0, lit("1")).otherwise(lit("0"))
     }
     concat(bits: _*)
   }

@@ -40,15 +40,30 @@ object Runner {
       durationMs: Long,
       metrics: Map[String, Long])
 
+  /** JSON string escape: quote, backslash, and all control chars —
+    * stage ids, metric keys, and error messages are arbitrary caller
+    * strings and must not be able to break the report document. */
+  private[pipeline] def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'          => "\\\""
+      case '\\'         => "\\\\"
+      case '\n'         => "\\n"
+      case '\r'         => "\\r"
+      case '\t'         => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c            => c.toString
+    } + "\""
+
   final case class PipelineReport(results: Seq[StageResult]) {
     def succeeded: Boolean = results.forall(_.status == Succeeded)
     def toJson: String = results.map { r =>
       val status = r.status match {
-        case Succeeded => "\"success\""
-        case Failed(e) => "\"failed: " + e.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\""
+        case Succeeded => jsonStr("success")
+        case Failed(e) => jsonStr(s"failed: $e")
       }
-      val ms = r.metrics.map { case (k, v) => s""""$k": $v""" }.mkString("{", ", ", "}")
-      s"""{"stage": "${r.id}", "status": $status, "attempts": ${r.attempts}, """ +
+      val ms = r.metrics.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${jsonStr(k)}: $v" }.mkString("{", ", ", "}")
+      s"""{"stage": ${jsonStr(r.id)}, "status": $status, "attempts": ${r.attempts}, """ +
         s""""duration_ms": ${r.durationMs}, "metrics": $ms}"""
     }.mkString("[", ",\n ", "]")
   }

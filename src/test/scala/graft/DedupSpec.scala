@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.PortableSql
+import graft.functions.PortableSql.{SparkDialect => SD}
+import graft.ops.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  /** Tiny corpus with one engineered near-dup pair (1,2), one exact dup
+    * pair (3,4) and unrelated docs. */
+  private def corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank yesterday"),
+    (3L, "entirely identical text body for exact duplication checks in this suite"),
+    (4L, "entirely identical text body for exact duplication checks in this suite"),
+    (5L, "completely unrelated content about spark catalyst optimizer internals"),
+    (6L, "another disjoint document mentioning parquet row groups and pushdown")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps one row per key set") {
+    val df = Seq((1, "a"), (1, "a"), (2, "b")).toDF("k", "v")
+    assert(Dedup.exact(df, Seq("k", "v")).count() == 2)
+  }
+
+  test("normalizedKeepers: canonical min-id keeper per fingerprint") {
+    val keep = Dedup.normalizedKeepers(corpus, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("n_dups")).toMap
+    assert(keep(3L) == 2L) // 3 and 4 share a fingerprint; 3 is the keeper
+    assert(keep.keySet.intersect(Set(4L)).isEmpty)
+  }
+
+  test("minhashSignatures: deterministic, 8 universal-hash mins in [0,P), one row per doc") {
+    val sig1 = Dedup.minhashSignatures(corpus, "text", "doc_id", 8, 3)
+      .orderBy("doc_id").as[(Long, Seq[Long])].collect()
+    val sig2 = Dedup.minhashSignatures(corpus, "text", "doc_id", 8, 3)
+      .orderBy("doc_id").as[(Long, Seq[Long])].collect()
+    assert(sig1.toSeq == sig2.toSeq)
+    assert(sig1.length == 6)
+    assert(sig1.forall(_._2.length == 8))
+    assert(sig1.flatMap(_._2).forall(v => v >= 0 && v < PortableSql.minhashP))
+    // exact dups share the whole signature
+    val byId = sig1.toMap
+    assert(byId(3L) == byId(4L))
+  }
+
+  test("minhash signature equals the portable SQL fragment (oracle twin)") {
+    val frag = (0 until 8).map(i =>
+      PortableSql.minhashSig(SD.shingles(SD.tokens("text"), 3), i, SD)).mkString(
+      "array(", ", ", ")")
+    val a = corpus.selectExpr("doc_id", s"$frag AS sig")
+      .orderBy("doc_id").as[(Long, Seq[Long])].collect()
+    val b = Dedup.minhashSignatures(corpus, "text", "doc_id", 8, 3)
+      .orderBy("doc_id").as[(Long, Seq[Long])].collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("lshBuckets: docs × bands rows; identical docs co-bucket in every band") {
+    val buckets = Dedup.lshBuckets(
+      Dedup.minhashSignatures(corpus, "text", "doc_id", 8, 3), "doc_id", 8, 4)
+    assert(buckets.count() == 6 * 4)
+    val shared = buckets.groupBy("band", "bucket")
+      .agg(collect_set("doc_id").as("ids"))
+      .filter(array_contains(col("ids"), 3L) && array_contains(col("ids"), 4L))
+    assert(shared.count() == 4, "exact dups must share all 4 band buckets")
+  }
+
+  test("candidatePairs finds engineered near-dups, ordered and distinct") {
+    val pairs = Dedup.candidatePairs(corpus, "text", "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((3L, 4L)))
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.forall { case (a, b) => a < b })
+  }
+
+  test("verifiedNearDups: exact dups at 1.0, near-dups scored, unrelated absent") {
+    val out = Dedup.verifiedNearDups(corpus, "text", "doc_id", threshold = 0.5)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(out((3L, 4L)) == 1.0)
+    assert(out.contains((1L, 2L)))
+    assert(out((1L, 2L)) > 0.5 && out((1L, 2L)) < 1.0)
+    assert(out.keySet.forall { case (a, b) => Set(a, b).subsetOf(Set(1L, 2L, 3L, 4L)) })
+  }
+
+  test("verifiedNearDups jaccard matches a brute-force shingle jaccard") {
+    def shingles(text: String): Set[String] = {
+      val toks = text.split(" ", -1)
+      val n = math.max(toks.length - 2, 1)
+      (0 until n).map(i => toks.slice(i, i + 3).mkString(" ")).toSet
+    }
+    val docs = corpus.as[(Long, String)].collect().toMap
+    val out = Dedup.verifiedNearDups(corpus, "text", "doc_id", threshold = 0.1)
+      .as[(Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (a, b, j) =>
+      val (sa, sb) = (shingles(docs(a)), shingles(docs(b)))
+      val expected = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      assert(math.abs(j - expected) < 1e-6, s"pair ($a,$b)")
+    }
+  }
+
+  test("simhash: deterministic hex of bits/4 chars; exact dups collide; parity with oracle fragment") {
+    val out = Dedup.simhash(corpus, "text", "doc_id", bits = 16)
+      .as[(Long, String)].collect().toMap
+    assert(out.values.forall(s => s.length == 4 && s.matches("[0-9a-f]+")))
+    assert(out(3L) == out(4L))
+    val frag = corpus.selectExpr("doc_id", s"${PortableSql.simhash("text", 16, SD)} AS simhash")
+      .as[(Long, String)].collect().toMap
+    assert(out == frag)
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.Layers
+import graft.schema.Metadata
+
+class LayersSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def cust = TestSpark.table("customer")
+    .select("c_custkey", "c_name", "c_acctbal")
+
+  test("S2: schema-inferred JSONL roundtrip preserves rows") {
+    val dir = TestSpark.tmpDir("jsonl_inferred")
+    Layers.writeJsonl(cust, dir)
+    val back = Layers.readJsonlInferred(spark, dir)
+    assert(back.count() == cust.count())
+    assert(back.columns.sorted.toSeq == Seq("c_acctbal", "c_custkey", "c_name"))
+  }
+
+  test("S3: schema-enforced JSONL read drops extra fields, nulls missing") {
+    val dir = TestSpark.tmpDir("jsonl_enforced")
+    Layers.writeJsonl(cust, dir)
+    val st = Metadata.structFromSpec("c_custkey: long\nmissing_col: string")
+    val back = Layers.readJsonl(spark, dir, st)
+    assert(back.columns.toSeq == Seq("c_custkey", "missing_col"))
+    assert(back.filter(col("missing_col").isNotNull).count() == 0)
+    assert(back.agg(sum("c_custkey")).as[Long].collect()(0) ==
+      cust.agg(sum("c_custkey")).as[Long].collect()(0))
+  }
+
+  test("K2: runId creates versioned run_<id> dir") {
+    val dir = TestSpark.tmpDir("jsonl_runs")
+    val target = Layers.writeJsonl(cust, dir, Some("20251015"))
+    assert(target.endsWith("/run_20251015"))
+    assert(new java.io.File(target, "_SUCCESS").exists())
+  }
+
+  test("K3: partitioned silver write + dynamic partition overwrite touches only written partitions") {
+    val dir = TestSpark.tmpDir("silver_dyn")
+    val df = Seq((1, "A"), (2, "B")).toDF("id", "part")
+    Layers.writeSilver(df, dir, Seq("part"))
+    // overwrite ONLY partition B with a new row; partition A must survive
+    Layers.writeSilver(Seq((3, "B")).toDF("id", "part"), dir, Seq("part"))
+    val back = Layers.readParquet(spark, dir).as[(Int, String)].collect().toSet
+    assert(back == Set((1, "A"), (3, "B")))
+  }
+
+  test("K4/S5: plain gold parquet roundtrip") {
+    val dir = TestSpark.tmpDir("gold_plain")
+    Layers.writeGold(cust, dir)
+    assert(Layers.readParquet(spark, dir).count() == cust.count())
+  }
+
+  test("S4: partition columns are recovered and pruned from the dir layout") {
+    val dir = TestSpark.tmpDir("silver_prune")
+    val df = Seq((1, "A"), (2, "B"), (3, "B")).toDF("id", "part")
+    Layers.writeSilver(df, dir, Seq("part"))
+    val scan = Layers.readParquet(spark, dir).filter(col("part") === "B")
+    assert(scan.count() == 2)
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(!plan.contains("part=A"), "partition A must be pruned from the scan")
+  }
+
+  test("O3: latestSuccessfulRun picks newest _SUCCESS-gated dir, skips incomplete") {
+    val dir = TestSpark.tmpDir("runs")
+    Layers.writeJsonl(cust.limit(1), dir, Some("20251013"))
+    Layers.writeJsonl(cust.limit(1), dir, Some("20251015"))
+    // a half-written newer run: dir exists but no _SUCCESS marker
+    val broken = new java.io.File(dir, "run_20251016")
+    broken.mkdirs()
+    assert(Layers.latestSuccessfulRun(spark, dir).get.endsWith("/run_20251015"))
+    assert(Layers.latestSuccessfulRun(spark, TestSpark.tmpDir("empty")).isEmpty)
+  }
+
+  test("events reader converts nanosecond timestamps exactly") {
+    val ev = Layers.readEvents(spark, s"${TestSpark.sfDir}/events.parquet")
+    assert(ev.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    assert(ev.filter(col("ts").isNull).count() == 0)
+    assert(ev.count() > 0)
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.Observation
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Quality
+
+class QualitySpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def fixture = Seq(
+    (Some(1L), Some(5.0), "ok"),
+    (None: Option[Long], Some(-2.0), "bad"),
+    (Some(3L), None: Option[Double], "mixed")
+  ).toDF("id", "amount", "label")
+
+  private val rules = Seq(
+    Quality.NotNull("id_not_null", "id"),
+    Quality.GreaterThanZero("amount_positive", "amount"),
+    Quality.ExprRule("label_short", "length(label) <= 4"))
+
+  test("violationCounts: one row, one count column per rule, single pass") {
+    val row = Quality.violationCounts(fixture, rules).collect()(0)
+    assert(row.getAs[Long]("id_not_null") == 1)
+    // only -2 counts: NULL amount gives a null predicate, and the rule
+    // counts definite violations, mirroring the reference's filter().count()
+    assert(row.getAs[Long]("amount_positive") == 1)
+    assert(row.getAs[Long]("label_short") == 1) // "mixed" has length 5
+  }
+
+  test("ExprRule: null condition result counts as a violation") {
+    val df = Seq(Some(0.05), None, Some(0.5)).toDF("d")
+    val row = Quality.violationCounts(df,
+      Seq(Quality.ExprRule("range", "d >= 0 and d <= 0.1"))).collect()(0)
+    assert(row.getAs[Long]("range") == 2) // 0.5 out of range + NULL unknown
+  }
+
+  test("report: tall shape with passed flags") {
+    val rep = Quality.report(fixture, rules).collect()
+      .map(r => r.getAs[String]("rule") ->
+        ((r.getAs[Long]("invalid_count"), r.getAs[Boolean]("passed")))).toMap
+    assert(rep("id_not_null") == ((1L, false)))
+    assert(rep("amount_positive") == ((1L, false)))
+    assert(rep("label_short") == ((1L, false)))
+    val clean = Quality.report(fixture.filter("id = 1"), rules).collect()
+    assert(clean.forall(_.getAs[Boolean]("passed")))
+  }
+
+  test("report on real data matches direct per-rule filter counts") {
+    val li = TestSpark.table("lineitem")
+    val rep = Quality.report(li, Seq(
+      Quality.GreaterThanZero("positive_qty", "l_quantity"),
+      Quality.ExprRule("discount_range", "l_discount >= 0 and l_discount <= 0.1")))
+      .collect().map(r => r.getAs[String]("rule") -> r.getAs[Long]("invalid_count")).toMap
+    assert(rep("positive_qty") == li.filter("l_quantity <= 0").count())
+    assert(rep("discount_range") ==
+      li.filter("not coalesce(l_discount >= 0 and l_discount <= 0.1, false)").count())
+  }
+
+  test("observed: metrics piggy-back on an unrelated action, zero extra scans") {
+    val obs = Observation("q_test")
+    val observed = Quality.observed(fixture, obs, rules)
+    val n = observed.count() // the action that carries the metrics
+    assert(n == 3)
+    val m = obs.get
+    assert(m("id_not_null") == 1L)
+    assert(m("amount_positive") == 1L)
+    assert(m("label_short") == 1L)
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def vec(xs: Double*) = xs.map(_.toFloat).toArray
+
+  test("dot and cosine on known vectors") {
+    val df = Seq(
+      (vec(1, 0, 0), vec(1, 0, 0)),
+      (vec(1, 0, 0), vec(0, 1, 0)),
+      (vec(1, 2, 3), vec(4, 5, 6))
+    ).toDF("a", "b")
+    val rows = df.select(
+      Similarity.dot(col("a"), col("b")).as("dot"),
+      Similarity.cosine(col("a"), col("b")).as("cos")).collect()
+    assert(rows(0).getDouble(0) == 1.0 && rows(0).getDouble(1) == 1.0)
+    assert(rows(1).getDouble(0) == 0.0 && rows(1).getDouble(1) == 0.0)
+    assert(rows(2).getDouble(0) == 32.0)
+    assert(math.abs(rows(2).getDouble(1) - 0.974632) < 1e-6)
+  }
+
+  test("planes are deterministic ±1 matrices") {
+    val p1 = Similarity.planes(4, 16)
+    val p2 = Similarity.planes(4, 16)
+    assert(p1 == p2)
+    assert(p1.length == 4 && p1.forall(_.length == 16))
+    assert(p1.flatten.forall(v => v == 1 || v == -1))
+  }
+
+  test("bruteForceTopK: query vector ranks itself first with cosine 1.0") {
+    val emb = TestSpark.table("embeddings")
+    val q = emb.filter(col("vec_id") === 7)
+    val top = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 5)
+      .as[(Long, Double)].collect()
+    assert(top.length == 5)
+    assert(top(0) == ((7L, 1.0)))
+    assert(top.map(_._2).sliding(2).forall(p => p(0) >= p(1)), "descending scores")
+  }
+
+  test("lshTopK returns a subset of the brute-force ranking restricted to the query bucket") {
+    val emb = TestSpark.table("embeddings")
+    val q = emb.filter(col("vec_id") === 7)
+    val lsh = Similarity.lshTopK(emb, q, "vec_id", "embedding", k = 10,
+      numPlanes = 4, dims = 64).as[(Long, Double)].collect()
+    assert(lsh.nonEmpty)
+    assert(lsh(0)._1 == 7L, "query is in its own bucket and ranks first")
+    val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 2000)
+      .as[(Long, Double)].collect().toMap
+    lsh.foreach { case (id, c) => assert(math.abs(brute(id) - c) < 1e-9) }
+  }
+
+  test("bucketedNeighbors: ordered pairs above threshold; scores symmetric-consistent") {
+    val emb = TestSpark.table("embeddings").limit(300)
+    val pairs = Similarity.bucketedNeighbors(emb, "vec_id", "embedding",
+      numPlanes = 2, dims = 64, minCosine = 0.1)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (a, b, c) => a < b && c >= 0.1 })
+    // spot-check one pair against the cosine expression evaluated directly
+    val (a, b, c) = pairs.maxBy(_._3)
+    val direct = emb.filter(col("vec_id") === a).select(col("embedding").as("ea"))
+      .crossJoin(emb.filter(col("vec_id") === b).select(col("embedding").as("eb")))
+      .select(Similarity.cosine(col("ea"), col("eb"))).as[Double].collect()(0)
+    assert(c == direct)
+  }
+
+  test("signBuckets produces one bit per plane") {
+    val emb = TestSpark.table("embeddings").limit(50)
+    val b = Similarity.signBuckets(emb, "vec_id", "embedding", numPlanes = 6, dims = 64)
+      .as[(Long, String)].collect()
+    assert(b.length == 50)
+    assert(b.forall(_._2.matches("[01]{6}")))
+  }
+}

@@ -2,7 +2,9 @@
 """Local replica of the driver's correctness gate:
 run `graft.Verify <sfDir> <outDir>` first, then this script compares each
 query's parquet dump against the DuckDB oracle (columns sorted by name,
-rows sorted, exact value compare with a tiny float tolerance report).
+rows sorted, strict exact value compare — floats must be bit-identical,
+which both sides guarantee by rounding/decimal-summing; on mismatch the
+per-column detail shows the differing values so a 1-ulp drift is visible).
 
 Usage: python3 tools/check.py <sfDir> <outDir>
 """
