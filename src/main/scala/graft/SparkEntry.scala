@@ -304,8 +304,101 @@ object SparkEntry {
     // ---- north-star multimodal: binary payload plumbing + metadata stats
     "q25_media_stats" -> ((s, dir) =>
       Multimodal.mediaStats(
-        Multimodal.demoMediaTable(T(s, dir, "documents"), "doc_id", "text").toDF()))
+        Multimodal.demoMediaTable(T(s, dir, "documents"), "doc_id", "text").toDF())),
+
+    // ---- O1/O2/K4/K5: config-assembled medallion pipeline end-to-end
+    //      (bronze JSONL → silver clean parquet → gold rollups → quality
+    //      report artifact), result = the gold table it published
+    "q26_pipeline_gold" -> ((s, dir) => {
+      val base = tmp("q26_pipeline")
+      val conf = graft.config.PipelineConfig.parse(pipelineYaml)
+      val meta = graft.config.PipelineConfig.parseMetadata(metadataYaml)
+      val (report, goldPath) = graft.pipeline.Medallion.run(
+        s, conf, meta,
+        source = sp => T(sp, dir, "customer"),
+        baseDir = base, runId = "20251015", transformationDate = "2025-10-15",
+        clean = graft.pipeline.Medallion.CleanSpec(
+          dedupKeys = Seq("c_custkey"),
+          requiredCols = Seq("c_custkey", "c_name", "c_mktsegment"),
+          normalizeCols = Seq("c_name", "c_mktsegment"),
+          order = Seq(col("c_name").asc_nulls_first)))
+      require(report.succeeded, s"pipeline failed:\n${report.toJson}")
+      Layers.readParquet(s, goldPath)
+        .select("c_mktsegment", "c_nationkey", "total_customers", "sum_acctbal",
+          "aggregation", "transformation_date")
+    }),
+
+    // ---- S2: schema-inferred JSONL scan (bronze exploration path)
+    "q27_jsonl_inferred" -> ((s, dir) => {
+      val out = tmp("q27_jsonl")
+      Layers.writeJsonl(T(s, dir, "customer"), out)
+      Layers.readJsonlInferred(s, out)
+        .groupBy("c_mktsegment")
+        .agg(
+          count(lit(1)).as("n_customers"),
+          sum(col("c_custkey")).as("sum_key"))
+    })
   )
+
+  /** graft-authored pipeline config (reference YAML shape,
+    * `configs/breweries_gold_pipeline.yml:32-69`) over the customer
+    * table — parsed by `config.PipelineConfig` for q26. */
+  private val pipelineYaml: String =
+    s"""dag:
+       |  dag_id: customer_gold_daily
+       |  schedule_interval: "30 7 * * *"   # parity with the reference cadence
+       |
+       |stages:
+       |  - task_id: aggregate_gold
+       |    parameters:
+       |      aggregations:
+       |        - name: "by_segment"
+       |          group_by: ["c_mktsegment"]
+       |          metrics:
+       |            - name: "total_customers"
+       |              expr: "count(*)"
+       |            - name: "sum_acctbal"
+       |              expr: "${dsum("c_acctbal")}"
+       |        - name: "by_segment_nation"
+       |          group_by: ["c_mktsegment", "c_nationkey"]
+       |          metrics:
+       |            - name: "total_customers"
+       |              expr: "count(*)"
+       |            - name: "sum_acctbal"
+       |              expr: "${dsum("c_acctbal")}"
+       |  - task_id: validate_gold_quality
+       |    depends_on: ["aggregate_gold"]
+       |    quality_rules:
+       |      - rule: "positive_counts"
+       |        column: "total_customers"
+       |        type: "greater_than_zero"
+       |      - rule: "segment_not_null"
+       |        column: "c_mktsegment"
+       |        type: "not_null"
+       |""".stripMargin
+
+  /** Silver metadata config (reference shape,
+    * `configs/metadata/breweries_metadata_ingestion.yml`). */
+  private val metadataYaml: String =
+    """dataset:
+      |  name: customer_silver
+      |  layer: "silver"
+      |  format: "parquet"
+      |  partition_by: "c_mktsegment"
+      |
+      |schema:
+      |  - name: c_custkey
+      |    type: long
+      |    nullable: false
+      |  - name: c_name
+      |    type: string
+      |  - name: c_nationkey
+      |    type: int
+      |  - name: c_acctbal
+      |    type: double
+      |  - name: c_mktsegment
+      |    type: string
+      |""".stripMargin
 
   // ------------------------------------------------------------ oracleSql
 
@@ -505,6 +598,26 @@ object SparkEntry {
          |  count(*) AS n_assets,
          |  CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
          |  CAST(max(strlen(text) * 10) AS BIGINT) AS max_duration_ms
-         |FROM documents GROUP BY 1""".stripMargin
+         |FROM documents GROUP BY 1""".stripMargin,
+
+    "q26_pipeline_gold" ->
+      s"""WITH silver AS (
+         |  SELECT c_custkey, trim(lower(c_name)) AS c_name, c_nationkey, c_acctbal,
+         |         trim(lower(c_mktsegment)) AS c_mktsegment
+         |  FROM customer
+         |)
+         |SELECT c_mktsegment, CAST(NULL AS INTEGER) AS c_nationkey,
+         |  count(*) AS total_customers, ${dsum("c_acctbal")} AS sum_acctbal,
+         |  'by_segment' AS aggregation, '2025-10-15' AS transformation_date
+         |FROM silver GROUP BY c_mktsegment
+         |UNION ALL
+         |SELECT c_mktsegment, c_nationkey, count(*), ${dsum("c_acctbal")},
+         |  'by_segment_nation', '2025-10-15'
+         |FROM silver GROUP BY c_mktsegment, c_nationkey""".stripMargin,
+
+    "q27_jsonl_inferred" ->
+      """SELECT c_mktsegment, count(*) AS n_customers,
+        |  CAST(sum(c_custkey) AS BIGINT) AS sum_key
+        |FROM customer GROUP BY c_mktsegment""".stripMargin
   )
 }
