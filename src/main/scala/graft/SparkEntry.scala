@@ -295,11 +295,13 @@ object SparkEntry {
         k = 10, numPlanes = 8, dims = 64)
     }),
 
-    // ---- north-star similarity: bucketed kNN pairs (embedding near-dup)
+    // ---- north-star similarity: banded kNN pairs (embedding near-dup;
+    //      OR-amplified multi-band LSH with a per-bucket skew cap)
     "q24_embedding_pairs" -> ((s, dir) =>
-      Similarity.bucketedNeighbors(
+      Similarity.bandedNeighbors(
         T(s, dir, "embeddings"), "vec_id", "embedding",
-        numPlanes = 4, dims = 64, minCosine = 0.15)),
+        planesPerBand = 8, bands = 2, dims = 64,
+        minCosine = 0.15, maxBucketSize = 1000)),
 
     // ---- north-star multimodal: binary payload plumbing + metadata stats
     "q25_media_stats" -> ((s, dir) =>
@@ -423,8 +425,10 @@ object SparkEntry {
   }
 
   /** DuckDB ±1-hyperplane projection sign-bucket for `embCol`. */
-  private def duckSignBucket(embCol: String, numPlanes: Int, dims: Int): String = {
-    val planes = Similarity.planes(numPlanes, dims)
+  private def duckSignBucket(embCol: String, numPlanes: Int, dims: Int): String =
+    duckSignBucketP(embCol, Similarity.planes(numPlanes, dims), dims)
+
+  private def duckSignBucketP(embCol: String, planes: Seq[Seq[Int]], dims: Int): String = {
     val bits = planes.map { hp =>
       val lst = hp.mkString("[", ", ", "]")
       val proj = s"list_sum(list_transform(generate_series(1, $dims), " +
@@ -585,13 +589,26 @@ object SparkEntry {
          |s AS (SELECT vec_id, ${duckCosine("embedding", "qe", 64)} AS cosine_sim FROM b, q WHERE b.bucket = q.qbucket)
          |SELECT vec_id, cosine_sim FROM s ORDER BY cosine_sim DESC, vec_id LIMIT 10""".stripMargin,
 
-    "q24_embedding_pairs" ->
-      s"""WITH b AS (SELECT vec_id, embedding, ${duckSignBucket("embedding", 4, 64)} AS bucket FROM embeddings),
+    "q24_embedding_pairs" -> {
+      val all = Similarity.planes(16, 64)
+      val bandSelects = (0 until 2).map { b =>
+        val bucket = duckSignBucketP("embedding", all.slice(b * 8, (b + 1) * 8), 64)
+        s"SELECT vec_id, embedding, $b AS band, $bucket AS bucket FROM embeddings"
+      }.mkString(" UNION ALL ")
+      s"""WITH bb AS ($bandSelects),
+         |capped AS (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY band, bucket ORDER BY vec_id) AS rn FROM bb
+         |  ) WHERE rn <= 1000
+         |),
          |p AS (
-         |  SELECT a.vec_id AS id_a, c.vec_id AS id_b, ${duckCosine("a.embedding", "c.embedding", 64)} AS cosine_sim
-         |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+         |  SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b,
+         |    ${duckCosine("a.embedding", "c.embedding", 64)} AS cosine_sim
+         |  FROM capped a JOIN capped c
+         |    ON a.band = c.band AND a.bucket = c.bucket AND a.vec_id < c.vec_id
          |)
-         |SELECT id_a, id_b, cosine_sim FROM p WHERE cosine_sim >= 0.15""".stripMargin,
+         |SELECT id_a, id_b, cosine_sim FROM p WHERE cosine_sim >= 0.15""".stripMargin
+    },
 
     "q25_media_stats" ->
       s"""SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

@@ -71,6 +71,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(c == direct)
   }
 
+  test("bandedNeighbors: OR-amplification supersets a single band; cap bounds buckets") {
+    val emb = TestSpark.table("embeddings").limit(400)
+    val banded = Similarity.bandedNeighbors(emb, "vec_id", "embedding",
+      planesPerBand = 8, bands = 2, dims = 64, minCosine = 0.1)
+      .as[(Long, Long, Double)].collect()
+    assert(banded.nonEmpty)
+    assert(banded.map(p => (p._1, p._2)).distinct.length == banded.length, "pairs deduped across bands")
+    // band 0 of the banded variant uses plane indices 0..7 — the same
+    // assignment as a single 8-plane bucketing, so its pairs are a subset
+    val single = Similarity.bucketedNeighbors(emb, "vec_id", "embedding",
+      numPlanes = 8, dims = 64, minCosine = 0.1)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    val bandedPairs = banded.map(p => (p._1, p._2)).toSet
+    assert(single.subsetOf(bandedPairs))
+    // a tiny cap keeps results deterministic and strictly bounds pair count
+    val capped = Similarity.bandedNeighbors(emb, "vec_id", "embedding",
+      planesPerBand = 2, bands = 1, dims = 64, minCosine = -1.0, maxBucketSize = 5)
+      .as[(Long, Long, Double)].collect()
+    assert(capped.length <= 4 * 5 * 4 / 2, "≤ buckets × C(cap,2)")
+    val capped2 = Similarity.bandedNeighbors(emb, "vec_id", "embedding",
+      planesPerBand = 2, bands = 1, dims = 64, minCosine = -1.0, maxBucketSize = 5)
+      .as[(Long, Long, Double)].collect()
+    assert(capped.sortBy(p => (p._1, p._2)).toSeq == capped2.sortBy(p => (p._1, p._2)).toSeq)
+  }
+
   test("signBuckets produces one bit per plane") {
     val emb = TestSpark.table("embeddings").limit(50)
     val b = Similarity.signBuckets(emb, "vec_id", "embedding", numPlanes = 6, dims = 64)
