@@ -20,6 +20,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup at the smallest SF: JIT-compiles the codegen'd
+    // md5/HOF paths so the timed section measures steady-state operator
+    // throughput rather than first-query JVM warmup (~7 s of the
+    // heaviest query at sf0.1 was JIT). Disable with SPARK_GRAFT_WARMUP=0.
+    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0") {
+      val warmDir = "/root/testdata/sf0.001"
+      if (new java.io.File(warmDir).isDirectory)
+        SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+          try fn(spark, warmDir).count()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] warmup $name: $e") }
+        }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err: Option[String] =

@@ -339,6 +339,26 @@ object SparkEntry {
         .agg(
           count(lit(1)).as("n_customers"),
           sum(col("c_custkey")).as("sum_key"))
+    }),
+
+    // ---- S1: page-partitioned bounded source (DataSourceV2) — pages
+    //      fetched in parallel, per-page retry inside the reader
+    "q28_paged_source" -> ((s, dir) => {
+      val out = tmp("q28_paged")
+      Layers.writeJsonl(T(s, dir, "customer").coalesce(1), out)
+      val file = new java.io.File(out).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".json"))
+        .getOrElse(sys.error(s"no jsonl part file under $out")).getPath
+      s.read.format("graft.sources.PagedJsonlSource")
+        .option("path", file).option("pageSize", "100")
+        .load()
+        .select(col("page"),
+          from_json(col("value"), graft.schema.Metadata.structFromSpec(
+            "c_custkey: long")).getField("c_custkey").as("c_custkey"))
+        .agg(
+          countDistinct(col("page")).as("n_pages"),
+          count(lit(1)).as("n_rows"),
+          sum(col("c_custkey")).as("sum_key"))
     })
   )
 
@@ -635,6 +655,11 @@ object SparkEntry {
     "q27_jsonl_inferred" ->
       """SELECT c_mktsegment, count(*) AS n_customers,
         |  CAST(sum(c_custkey) AS BIGINT) AS sum_key
-        |FROM customer GROUP BY c_mktsegment""".stripMargin
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
+
+    "q28_paged_source" ->
+      """SELECT CAST(ceil(count(*) / 100.0) AS BIGINT) AS n_pages,
+        |  count(*) AS n_rows, CAST(sum(c_custkey) AS BIGINT) AS sum_key
+        |FROM customer""".stripMargin
   )
 }

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.PagedJsonlSource
+
+class PagedSourceSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def writeFixture(n: Int): String = {
+    val dir = TestSpark.tmpDir("paged_fixture")
+    val f = new java.io.File(dir, "data.jsonl")
+    val w = new java.io.PrintWriter(f)
+    try (0 until n).foreach(i => w.println(s"""{"id": $i}"""))
+    finally w.close()
+    f.getPath
+  }
+
+  private def paged(path: String, extra: (String, String)*): DataFrame = {
+    val base = spark.read.format("graft.sources.PagedJsonlSource")
+      .option("path", path).option("pageSize", "10")
+    extra.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }.load()
+  }
+
+  test("pages partition the file: one partition per page, complete content") {
+    val path = writeFixture(95)
+    val df = paged(path)
+    assert(df.rdd.getNumPartitions == 10, "ceil(95/10) page partitions")
+    assert(df.count() == 95)
+    val perPage = df.groupBy("page").count().as[(Int, Long)].collect().toMap
+    assert((0 to 8).forall(perPage(_) == 10) && perPage(9) == 5)
+    // line_no is the global position; value survives byte-exact
+    val ids = df.select(from_json(col("value"),
+      graft.schema.Metadata.structFromSpec("id: long")).getField("id").as("id"),
+      col("line_no"))
+    assert(ids.filter(col("id") =!= col("line_no")).count() == 0)
+  }
+
+  test("maxPages caps planning like the reference's max_pages config") {
+    val path = writeFixture(95)
+    val df = paged(path, "maxPages" -> "3")
+    assert(df.rdd.getNumPartitions == 3)
+    assert(df.count() == 30)
+  }
+
+  test("empty input plans zero pages (stop-on-empty)") {
+    val path = writeFixture(0)
+    assert(paged(path).count() == 0)
+  }
+
+  test("transient fetch errors are retried inside the page reader") {
+    val path = writeFixture(40)
+    PagedJsonlSource.fetchAttempts.clear()
+    val df = paged(path, "simulateTransientFailEvery" -> "2", "retryDelayMs" -> "1")
+    assert(df.count() == 40, "all rows despite simulated failures on pages 0 and 2")
+    // pages 0 and 2 each fetched twice: the failed first attempt + retry
+    val attempts = PagedJsonlSource.fetchAttempts
+    assert(attempts.get((path, 0)) == 2 && attempts.get((path, 2)) == 2,
+      "affected pages fetched exactly twice (fail, then successful retry)")
+  }
+
+  test("filters on the page column work downstream") {
+    val path = writeFixture(50)
+    val one = paged(path).filter(col("page") === 2)
+    assert(one.count() == 10)
+    assert(one.select(min("line_no"), max("line_no")).as[(Long, Long)].collect()(0) == ((20L, 29L)))
+  }
+}
