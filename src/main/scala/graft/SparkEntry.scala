@@ -341,6 +341,30 @@ object SparkEntry {
           sum(col("c_custkey")).as("sum_key"))
     }),
 
+    // ---- north-star similarity: IVF coarse-quantizer ANN (broadcast
+    //      centroids, inverted-list probe — the nprobe/nlist scale path)
+    "q29_ann_ivf" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.ivfTopK(
+        emb, emb.filter(col("vec_id") === 0), "vec_id", "embedding",
+        k = 10, nlist = 16, nprobe = 4)
+    }),
+
+    // ---- skew handling: salted two-stage aggregation over a 3-value
+    //      (maximally skewed) key — results identical to a plain groupBy
+    "q30_salted_agg" -> ((s, dir) =>
+      Aggregate.saltedRollup(
+        T(s, dir, "lineitem"),
+        groupBy = Seq("l_returnflag"),
+        metrics = Seq(
+          Aggregate.SaltedMetric("n_items", "count", "*"),
+          Aggregate.SaltedMetric("sum_qty_dec", "sum", "cast(l_quantity as decimal(18,6))"),
+          Aggregate.SaltedMetric("max_price", "max", "l_extendedprice")),
+        saltBuckets = 8,
+        saltOn = Seq("l_orderkey", "l_linenumber"))
+        .select(col("l_returnflag"), col("n_items"),
+          col("sum_qty_dec").cast("double").as("sum_qty"), col("max_price"))),
+
     // ---- S1: page-partitioned bounded source (DataSourceV2) — pages
     //      fetched in parallel, per-page retry inside the reader
     "q28_paged_source" -> ((s, dir) => {
@@ -660,6 +684,38 @@ object SparkEntry {
     "q28_paged_source" ->
       """SELECT CAST(ceil(count(*) / 100.0) AS BIGINT) AS n_pages,
         |  count(*) AS n_rows, CAST(sum(c_custkey) AS BIGINT) AS sum_key
-        |FROM customer""".stripMargin
+        |FROM customer""".stripMargin,
+
+    "q30_salted_agg" ->
+      s"""SELECT l_returnflag, count(*) AS n_items,
+         |  ${dsum("l_quantity")} AS sum_qty,
+         |  max(l_extendedprice) AS max_price
+         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q29_ann_ivf" ->
+      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 16),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |assign AS (
+         |  SELECT vec_id, list_id FROM (
+         |    SELECT e.vec_id, c.cid AS list_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckCosine("e.embedding", "c.cemb", 64)} DESC, c.cid ASC) AS rn
+         |    FROM embeddings e CROSS JOIN cents c
+         |  ) WHERE rn = 1
+         |),
+         |probe AS (
+         |  SELECT cid AS list_id FROM (
+         |    SELECT c.cid, row_number() OVER (
+         |      ORDER BY ${duckCosine("c.cemb", "q.qe", 64)} DESC, c.cid ASC) AS rn
+         |    FROM cents c, q
+         |  ) WHERE rn <= 4
+         |),
+         |s AS (
+         |  SELECT e.vec_id, ${duckCosine("e.embedding", "q.qe", 64)} AS cosine_sim
+         |  FROM embeddings e
+         |  JOIN assign a ON e.vec_id = a.vec_id
+         |  JOIN probe p ON a.list_id = p.list_id, q
+         |)
+         |SELECT vec_id, cosine_sim FROM s ORDER BY cosine_sim DESC, vec_id LIMIT 10""".stripMargin
   )
 }

@@ -63,6 +63,59 @@ object Aggregate {
       .select(ordered :+ col("transformation_date"): _*)
   }
 
+  /** One decomposable metric for [[saltedRollup]]: `func` must be an
+    * algebraic aggregate that recombines by itself (`sum`, `min`, `max`)
+    * or `count` (recombines by sum). */
+  final case class SaltedMetric(name: String, func: String, expression: String) {
+    require(Set("count", "sum", "min", "max")(func),
+      s"'$func' is not decomposable; salted aggregation needs count/sum/min/max")
+  }
+
+  /**
+   * Two-stage salted aggregation for SKEWED grouping keys — the 100 TB
+   * escape hatch when one key holds a disproportionate share of rows and
+   * its single reducer becomes the straggler. Stage 1 aggregates on
+   * (keys, salt) so the hot key's rows spread over `saltBuckets`
+   * reducers; stage 2 recombines the per-salt partials on the true keys
+   * (a shuffle of at most keys × saltBuckets tiny rows). Results are
+   * bit-identical to the plain `groupBy` for decomposable metrics —
+   * verified by the oracle twin.
+   *
+   * The salt hashes ALL input columns (`xxhash64`), so it is independent
+   * of scan layout; prefer a high-cardinality column subset in `saltOn`
+   * when the full row is wide.
+   */
+  def saltedRollup(
+      df: DataFrame,
+      groupBy: Seq[String],
+      metrics: Seq[SaltedMetric],
+      saltBuckets: Int,
+      saltOn: Seq[String] = Nil): DataFrame = {
+    require(groupBy.nonEmpty && metrics.nonEmpty && saltBuckets > 0)
+    val saltCols = (if (saltOn.nonEmpty) saltOn else df.columns.toSeq).map(col)
+    val salted = df.withColumn("__salt", pmod(xxhash64(saltCols: _*), lit(saltBuckets)))
+    val partial = metrics.map { m =>
+      (m.func match {
+        case "count" if m.expression == "*" => count(lit(1))
+        case "count"                        => count(expr(m.expression))
+        case "sum"                          => sum(expr(m.expression))
+        case "min"                          => min(expr(m.expression))
+        case "max"                          => max(expr(m.expression))
+      }).as(m.name)
+    }
+    val stage1 = salted
+      .groupBy((groupBy :+ "__salt").map(col): _*)
+      .agg(partial.head, partial.tail: _*)
+    val merge = metrics.map { m =>
+      (m.func match {
+        case "count" | "sum" => sum(col(m.name))
+        case "min"           => min(col(m.name))
+        case "max"           => max(col(m.name))
+      }).as(m.name)
+    }
+    stage1.groupBy(groupBy.map(col): _*).agg(merge.head, merge.tail: _*)
+  }
+
   /**
    * Optimized twin of [[unionRollups]]: a single GROUPING SETS aggregate.
    * The `aggregation` tag is reconstructed from `grouping(col)` flags so

@@ -190,6 +190,69 @@ object Similarity {
       .filter(col("cosine_sim") >= minCosine)
   }
 
+  /**
+   * IVF (inverted-file) coarse quantizer: assign every vector to its
+   * nearest of `nlist` centroid vectors (cosine, ties → lowest centroid
+   * id). The index build is one narrow pass over the corpus against a
+   * BROADCAST centroid table — no corpus shuffle except the per-vector
+   * rank (keyed on the vector id). Output: (idCol, list_id).
+   *
+   * `centroids` here are deterministic seeds (callers typically pass the
+   * first `nlist` corpus vectors) so the whole path is oracle-checkable;
+   * a production build would train them with k-means|| and keep THIS
+   * assignment/probe path unchanged — the quantizer quality changes, the
+   * plan shape does not.
+   */
+  def ivfAssign(
+      corpus: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      embCol: String,
+      centIdCol: String,
+      centEmbCol: String): DataFrame = {
+    val scored = corpus.select(col(idCol), col(embCol))
+      .crossJoin(broadcast(centroids.select(
+        col(centIdCol).as("__cid"), col(centEmbCol).as("__cemb"))))
+      .select(col(idCol),
+        col("__cid"),
+        cosine(col(embCol), col("__cemb")).as("__csim"))
+    val w = Window.partitionBy(idCol).orderBy(col("__csim").desc, col("__cid").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("__cid").as("list_id"))
+  }
+
+  /**
+   * IVF ANN top-k: rank the query's `nprobe` nearest inverted lists,
+   * then score ONLY vectors assigned to those lists — probe cost drops
+   * from O(corpus) to O(corpus·nprobe/nlist). Recall < 1 by design (the
+   * standard IVF trade); the oracle twin replays the same probe.
+   */
+  def ivfTopK(
+      corpus: DataFrame,
+      queryDf: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      nlist: Int,
+      nprobe: Int): DataFrame = {
+    val centroids = corpus.filter(col(idCol) < nlist)
+      .select(col(idCol).as("cid"), col(embCol).as("cemb"))
+    val assigned = ivfAssign(corpus, centroids, idCol, embCol, "cid", "cemb")
+    val q = queryDf.select(col(embCol).as("__q"))
+    val probeLists = broadcast(
+      q.crossJoin(broadcast(centroids))
+        .select(col("cid"), col("__q"), cosine(col("cemb"), col("__q")).as("__csim"))
+        .orderBy(col("__csim").desc, col("cid").asc)
+        .limit(nprobe)
+        .select(col("cid").as("list_id"), col("__q")))
+    corpus.join(assigned, idCol)
+      .join(probeLists, "list_id")
+      .select(col(idCol), cosine(col(embCol), col("__q")).as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** All-pairs top-k neighbors per vector within LSH buckets (the
     * batch "kNN graph" builder): join within buckets, rank per source
     * id. Used for embedding-cosine near-dup detection. Single-band —

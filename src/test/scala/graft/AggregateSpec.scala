@@ -62,6 +62,33 @@ class AggregateSpec extends AnyFunSuite {
       viaUnion.collect().map(key).sorted.toSeq)
   }
 
+  test("saltedRollup matches the plain groupBy for any bucket count") {
+    val li = TestSpark.table("lineitem")
+    val plain = li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("s"), max("l_discount").as("m"),
+        min("l_orderkey").as("mn"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    for (buckets <- Seq(1, 7, 32)) {
+      val salted = Aggregate.saltedRollup(li, Seq("l_returnflag"), Seq(
+        Aggregate.SaltedMetric("n", "count", "*"),
+        Aggregate.SaltedMetric("s", "sum", "l_quantity"),
+        Aggregate.SaltedMetric("m", "max", "l_discount"),
+        Aggregate.SaltedMetric("mn", "min", "l_orderkey")),
+        saltBuckets = buckets)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+      assert(salted.keySet == plain.keySet, s"buckets=$buckets")
+      salted.foreach { case (k, (n, s, m, mn)) =>
+        val (pn, ps, pm, pmn) = plain(k)
+        assert(n == pn && m == pm && mn == pmn, s"buckets=$buckets key=$k")
+        assert(math.abs(s - ps) < 1e-6, s"buckets=$buckets key=$k sum")
+      }
+    }
+  }
+
+  test("saltedRollup rejects non-decomposable metrics") {
+    intercept[IllegalArgumentException](Aggregate.SaltedMetric("a", "avg", "x"))
+  }
+
   test("metric expressions run through Catalyst expr (derived metrics)") {
     val out = Aggregate.run(
       TestSpark.table("lineitem"),

@@ -96,6 +96,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(capped.sortBy(p => (p._1, p._2)).toSeq == capped2.sortBy(p => (p._1, p._2)).toSeq)
   }
 
+  test("ivfAssign: every vector lands in exactly one list; centroids map to themselves") {
+    val emb = TestSpark.table("embeddings").limit(500)
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    val assigned = Similarity.ivfAssign(emb, cents, "vec_id", "embedding", "cid", "cemb")
+    assert(assigned.count() == emb.count())
+    assert(assigned.select("vec_id").distinct().count() == emb.count())
+    val self = assigned.filter(col("vec_id") < 8)
+      .as[(Long, Long)].collect().toMap
+    (0L until 8L).foreach(i => assert(self(i) == i, s"centroid $i must be its own nearest"))
+    assert(assigned.filter(col("list_id") >= 8 || col("list_id") < 0).count() == 0)
+  }
+
+  test("ivfTopK: query ranks itself first; scores agree with brute force; probes a subset") {
+    val emb = TestSpark.table("embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+    val ivf = Similarity.ivfTopK(emb, q, "vec_id", "embedding", k = 10, nlist = 16, nprobe = 4)
+      .as[(Long, Double)].collect()
+    assert(ivf.nonEmpty && ivf.length <= 10)
+    assert(ivf(0) == ((0L, 1.0)), "query vector is in a probed list and ranks first")
+    assert(ivf.map(_._2).sliding(2).forall(p => p(0) >= p(1)))
+    val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 2000)
+      .as[(Long, Double)].collect().toMap
+    ivf.foreach { case (id, c) => assert(brute(id) == c) }
+  }
+
   test("signBuckets produces one bit per plane") {
     val emb = TestSpark.table("embeddings").limit(50)
     val b = Similarity.signBuckets(emb, "vec_id", "embedding", numPlanes = 6, dims = 64)
