@@ -20,10 +20,13 @@ import org.apache.spark.sql.functions._
  *    as pure expressions. Probing cost drops from O(corpus) to
  *    O(bucket), with the usual recall/bucket-size trade governed by the
  *    number of planes.
- *  - dot products run via `zip_with` + `aggregate` higher-order
- *    functions (codegen'd, no UDF). For a production hot loop you'd
- *    promote this to a custom Catalyst Expression with a primitive
- *    float-array loop in doGenCode; the plan shape stays identical.
+ *  - cosine scoring runs through the custom Catalyst expression
+ *    [[graft.functions.CosineSimilarity]] (primitive fused loop with
+ *    doGenCode, inside whole-stage codegen) — Spark's own higher-order
+ *    functions are CodegenFallback, so the composable
+ *    `zip_with`+`aggregate` formulation ([[dot]]/[[cosine]], kept as
+ *    the reference implementation and parity check) pays interpreted
+ *    lambda dispatch per row.
  *
  * All similarity outputs are rounded to 6 decimals: the only
  * cross-engine nondeterminism is float-sum association order, which is
@@ -40,9 +43,20 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity, 6-decimal-rounded for determinism. */
+  /** Cosine similarity, 6-decimal-rounded for determinism. Composable
+    * HOF formulation — correct everywhere, but Spark's higher-order
+    * functions are CodegenFallback (interpreted per row). The operator
+    * paths below use [[cosineFast]] instead. */
   def cosine(a: Column, b: Column): Column =
     round(dot(a, b) / (norm(a) * norm(b)), 6)
+
+  /** Codegen'd cosine: the custom Catalyst expression
+    * [[graft.functions.CosineSimilarity]] (fused primitive loop inside
+    * whole-stage codegen, no intermediate arrays), rounded to 6 decimals.
+    * Accumulation order matches [[cosine]] exactly, so results are
+    * bit-identical — swapping kernels cannot move an oracle hash. */
+  def cosineFast(spark: org.apache.spark.sql.SparkSession, a: Column, b: Column): Column =
+    round(graft.functions.GraftFunctions.cosine(spark, a, b), 6)
 
   /**
    * Exact top-k by cosine against the single row of `queryDf`
@@ -60,7 +74,7 @@ object Similarity {
       .crossJoin(broadcast(queryDf.select(col(embCol).as("__q"))))
       .select(
         col(idCol),
-        cosine(col(embCol), col("__q")).as("cosine_sim"))
+        cosineFast(corpus.sparkSession, col(embCol), col("__q")).as("cosine_sim"))
     scored
       .orderBy(col("cosine_sim").desc, col(idCol).asc)
       .limit(k)
@@ -128,7 +142,7 @@ object Similarity {
         signBucket(col(embCol), hp).as("__qbucket")))
     bucketed
       .join(q, col("__bucket") === col("__qbucket"))
-      .select(col(idCol), cosine(col(embCol), col("__q")).as("cosine_sim"))
+      .select(col(idCol), cosineFast(corpus.sparkSession, col(embCol), col("__q")).as("cosine_sim"))
       .orderBy(col("cosine_sim").desc, col(idCol).asc)
       .limit(k)
   }
@@ -185,7 +199,7 @@ object Similarity {
     a.join(c, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        cosine(col("emb_a"), col("emb_b")).as("cosine_sim"))
+        cosineFast(corpus.sparkSession, col("emb_a"), col("emb_b")).as("cosine_sim"))
       .distinct() // a pair may collide in several bands
       .filter(col("cosine_sim") >= minCosine)
   }
@@ -215,7 +229,7 @@ object Similarity {
         col(centIdCol).as("__cid"), col(centEmbCol).as("__cemb"))))
       .select(col(idCol),
         col("__cid"),
-        cosine(col(embCol), col("__cemb")).as("__csim"))
+        cosineFast(corpus.sparkSession, col(embCol), col("__cemb")).as("__csim"))
     val w = Window.partitionBy(idCol).orderBy(col("__csim").desc, col("__cid").asc)
     scored.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
@@ -242,13 +256,13 @@ object Similarity {
     val q = queryDf.select(col(embCol).as("__q"))
     val probeLists = broadcast(
       q.crossJoin(broadcast(centroids))
-        .select(col("cid"), col("__q"), cosine(col("cemb"), col("__q")).as("__csim"))
+        .select(col("cid"), col("__q"), cosineFast(corpus.sparkSession, col("cemb"), col("__q")).as("__csim"))
         .orderBy(col("__csim").desc, col("cid").asc)
         .limit(nprobe)
         .select(col("cid").as("list_id"), col("__q")))
     corpus.join(assigned, idCol)
       .join(probeLists, "list_id")
-      .select(col(idCol), cosine(col(embCol), col("__q")).as("cosine_sim"))
+      .select(col(idCol), cosineFast(corpus.sparkSession, col(embCol), col("__q")).as("cosine_sim"))
       .orderBy(col("cosine_sim").desc, col(idCol).asc)
       .limit(k)
   }
@@ -283,7 +297,7 @@ object Similarity {
       .select(
         col("id_a"),
         col("id_b"),
-        cosine(col("emb_a"), col("emb_b")).as("cosine_sim"))
+        cosineFast(corpus.sparkSession, col("emb_a"), col("emb_b")).as("cosine_sim"))
       .filter(col("cosine_sim") >= minCosine)
   }
 }
