@@ -82,6 +82,27 @@ object Layers {
   }
 
   /**
+   * Bucketed managed-table sink: `bucketBy(buckets, keys) + sortBy(keys)`
+   * via `saveAsTable` (bucketing metadata lives in the catalog, so this
+   * is a table write, not a path write). Two tables bucketed on the same
+   * join keys with the same bucket count join WITHOUT any exchange —
+   * the co-located-join strategy for repeated large⋈large joins at
+   * 100 TB, where paying one bucketed write amortizes every later
+   * shuffle away (verified by plan assertion in LayersSpec).
+   */
+  def writeBucketedTable(
+      df: DataFrame,
+      table: String,
+      bucketCols: Seq[String],
+      buckets: Int): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /**
    * O3 analog — resolve the latest *successfully published* run
    * directory under `base` (subdirs named by sortable id, e.g.
    * `run_20251015` or an ISO date), gated on Spark's `_SUCCESS` marker.

@@ -76,6 +76,31 @@ class LayersSpec extends AnyFunSuite {
     assert(Layers.latestSuccessfulRun(spark, TestSpark.tmpDir("empty")).isEmpty)
   }
 
+  test("bucketed tables join without a shuffle (co-located join)") {
+    val o = TestSpark.table("orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    val c = TestSpark.table("customer").select("c_custkey", "c_mktsegment")
+    spark.sql("DROP TABLE IF EXISTS bkt_orders")
+    spark.sql("DROP TABLE IF EXISTS bkt_customer")
+    Layers.writeBucketedTable(o, "bkt_orders", Seq("o_custkey"), 8)
+    Layers.writeBucketedTable(c.withColumnRenamed("c_custkey", "o_custkey"),
+      "bkt_customer", Seq("o_custkey"), 8)
+    // force the large⋈large path (broadcast would hide the shuffle question)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bkt_orders")
+        .join(spark.table("bkt_customer"), "o_custkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"co-bucketed join must be shuffle-free, got:\n$plan")
+      assert(joined.count() == o.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS bkt_orders")
+      spark.sql("DROP TABLE IF EXISTS bkt_customer")
+    }
+  }
+
   test("events reader converts nanosecond timestamps exactly") {
     val ev = Layers.readEvents(spark, s"${TestSpark.sfDir}/events.parquet")
     assert(ev.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
