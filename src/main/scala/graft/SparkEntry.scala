@@ -350,6 +350,23 @@ object SparkEntry {
         k = 10, nlist = 16, nprobe = 4)
     }),
 
+    // ---- north-star dedup: SimHash near-dup pairs (hamming-block LSH,
+    //      perfect recall for hamming < blocks by pigeonhole)
+    "q31_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashNearDups(
+        T(s, dir, "documents"), "text", "doc_id",
+        bits = 32, blocks = 4, maxHamming = 3)),
+
+    // ---- events: sliding-window aggregation (1 h window, 30 min slide)
+    "q32_sliding_window" -> ((s, dir) =>
+      Layers.readEvents(s, s"$dir/events.parquet")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          expr(dsum("value")).as("total_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n_events"), col("total_value"))),
+
     // ---- skew handling: salted two-stage aggregation over a 3-value
     //      (maximally skewed) key — results identical to a plain groupBy
     "q30_salted_agg" -> ((s, dir) =>
@@ -691,6 +708,36 @@ object SparkEntry {
          |  ${dsum("l_quantity")} AS sum_qty,
          |  max(l_extendedprice) AS max_price
          |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q31_simhash_pairs" -> {
+      val nib = (c: String, i: Int) => s"(instr('0123456789abcdef', substr($c, $i, 1)) - 1)"
+      val hamming = (1 to 8).map(i =>
+        s"CAST(substr('0112122312232334', xor(${nib("sha", i)}, ${nib("shb", i)}) + 1, 1) AS BIGINT)")
+        .mkString(" + ")
+      s"""WITH s AS (SELECT doc_id, ${PortableSql.simhash("text", 32, DD)} AS sh FROM documents),
+         |ex AS (
+         |  SELECT doc_id, sh, b, substr(sh, b * 2 + 1, 2) AS v
+         |  FROM s CROSS JOIN (VALUES (0), (1), (2), (3)) t(b)
+         |),
+         |p AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b, a.sh AS sha, c.sh AS shb
+         |  FROM ex a JOIN ex c ON a.b = c.b AND a.v = c.v AND a.doc_id < c.doc_id
+         |),
+         |h AS (SELECT id_a, id_b, ($hamming) AS hamming FROM p)
+         |SELECT id_a, id_b, hamming FROM h WHERE hamming <= 3""".stripMargin
+    },
+
+    "q32_sliding_window" ->
+      s"""WITH e AS (SELECT event_type, value,
+         |    time_bucket(INTERVAL '30 minutes', ts) AS tb FROM events),
+         |w AS (
+         |  SELECT tb AS window_start, event_type, value FROM e
+         |  UNION ALL
+         |  SELECT tb - INTERVAL '30 minutes', event_type, value FROM e
+         |)
+         |SELECT CAST(window_start AS TIMESTAMP) AS window_start, event_type,
+         |  count(*) AS n_events, ${dsum("value")} AS total_value
+         |FROM w GROUP BY 1, 2""".stripMargin,
 
     "q29_ann_ivf" ->
       s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 16),

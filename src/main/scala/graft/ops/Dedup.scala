@@ -204,28 +204,113 @@ object Dedup {
    * (`aggregate(tokens, …md5…)` × bits, kept as the oracle twin in
    * `PortableSql.simhash`) rehashes every token `bits` times.
    */
-  def simhash(df: DataFrame, textCol: String, idCol: String, bits: Int = 16): DataFrame = {
+  /** Per-doc bit votes: explode tokens → ONE md5 per token → each md5
+    * hex nibble parsed ONCE (not once per bit) in a second projection →
+    * `bits` arithmetic ±1 votes summed in a single HashAggregate.
+    * Output: (idCol, __v0.., __v{bits-1}). */
+  private def simhashVotes(
+      df: DataFrame, textCol: String, idCol: String, bits: Int): DataFrame = {
     require(bits % 4 == 0 && bits <= 64, "bits must be a multiple of 4 ≤ 64")
+    val nibCols = (0 until bits / 4).map(k =>
+      conv(substring(col("__h"), k + 1, 1), 16, 10).cast("int").as(s"__n$k"))
     val hashed = df
       .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("__t"))
       .select(col(idCol), md5(col("__t")).as("__h"))
-    // Vote per bit b: bit 3-(b%4) of hex nibble b/4 of md5(token) set
-    // → +1 else -1; majority across tokens wins.
+      .select(col(idCol) +: nibCols: _*)
+    // Vote per bit b: bit 3-(b%4) of nibble b/4 set → +1 else -1;
+    // majority across tokens wins.
     val votes = (0 until bits).map { b =>
-      val hexPos = b / 4 + 1
       val m1 = 1 << (3 - b % 4)
       val m2 = m1 * 2
-      val nib = conv(substring(col("__h"), hexPos, 1), 16, 10).cast("int")
-      sum(when(nib.mod(m2) >= m1, 1).otherwise(-1)).as(s"__v$b")
+      sum(when(col(s"__n${b / 4}").mod(m2) >= m1, 1).otherwise(-1)).as(s"__v$b")
     }
-    val agged = hashed.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
-    val bitCols = (0 until bits).map(b =>
-      when(col(s"__v$b") > 0, lit(1)).otherwise(lit(0)))
+    hashed.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+  }
+
+  /** Majority-bit nibble values (one int in 0..15 per 4 bits) from the
+    * vote columns. */
+  private def voteNibbles(bits: Int): Seq[Column] =
+    (0 until bits).map(b => when(col(s"__v$b") > 0, lit(1)).otherwise(lit(0)))
+      .grouped(4).toSeq
+      .map(g => g.zipWithIndex.map { case (bit, i) => bit * (8 >> i) }.reduce(_ + _))
+
+  def simhash(df: DataFrame, textCol: String, idCol: String, bits: Int = 16): DataFrame = {
     // Pack bits → hex string, 4 at a time.
-    val nibbles = bitCols.grouped(4).toSeq.map { g =>
-      val v = g.zipWithIndex.map { case (bit, i) => bit * (8 >> i) }.reduce(_ + _)
-      lower(conv(v.cast("string"), 10, 16))
+    val hexChars = voteNibbles(bits).map(v => lower(conv(v.cast("string"), 10, 16)))
+    simhashVotes(df, textCol, idCol, bits)
+      .select(col(idCol), concat(hexChars: _*).as("simhash"))
+  }
+
+  /** Nibble-wise popcount lookup: element i holds popcount(i), i ∈ 0..15. */
+  private val popcount4 = Seq(0, 1, 1, 2, 1, 2, 2, 3, 1, 2, 2, 3, 2, 3, 3, 4)
+
+  /** Hamming distance between two equal-length hex-string simhash
+    * columns: per-nibble XOR → 4-bit popcount lookup, summed. Pure
+    * arithmetic (portable to the SQL oracle). */
+  def hammingHex(a: Column, b: Column, hexLen: Int): Column =
+    (1 to hexLen).map { i =>
+      val na = conv(substring(a, i, 1), 16, 10).cast("int")
+      val nb = conv(substring(b, i, 1), 16, 10).cast("int")
+      element_at(typedlit(popcount4), na.bitwiseXOR(nb) + 1)
+    }.reduce(_ + _).cast("long")
+
+  /**
+   * SimHash near-dup pairs via hamming-block LSH: split the `bits`-bit
+   * simhash into `blocks` equal hex blocks; by pigeonhole, any pair with
+   * hamming distance &lt; `blocks` shares at least one block verbatim, so
+   * the candidate join on (block_idx, block_value) has PERFECT recall
+   * for `maxHamming ≤ blocks − 1` while touching only same-block pairs
+   * (bucket count = blocks × 16^blockChars — scale it with the corpus
+   * via `bits`). Candidates are then verified with the exact
+   * [[hammingHex]] distance. One narrow simhash pass, one bounded
+   * ×blocks explode, one bucket-keyed shuffle — the same scale shape as
+   * the MinHash path.
+   *
+   * Output: (id_a, id_b, hamming) with hamming ≤ maxHamming.
+   */
+  def simhashNearDups(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      bits: Int = 32,
+      blocks: Int = 4,
+      maxHamming: Int = 3): DataFrame = {
+    val hexLen = bits / 4
+    require(hexLen % blocks == 0, "blocks must divide the hex length")
+    require(maxHamming < blocks,
+      "pigeonhole guarantee needs maxHamming < blocks (else recall < 1)")
+    val blockChars = hexLen / blocks
+    // materialized index: (id, simhash hex, nibble ints) — nibbles are
+    // parsed ONCE PER DOC here so the per-candidate-pair hamming below
+    // is pure integer arithmetic (candidate pairs outnumber docs by
+    // orders of magnitude; parsing hex at pair time dominated the op)
+    val nibVals = voteNibbles(bits)
+    val hexChars = nibVals.map(v => lower(conv(v.cast("string"), 10, 16)))
+    val sh = simhashVotes(df, textCol, idCol, bits)
+      .select(col(idCol), concat(hexChars: _*).as("simhash"),
+        array(nibVals: _*).as("nibs"))
+      .localCheckpoint()
+    val blocksCol = (0 until blocks).map { b =>
+      struct(
+        lit(b).as("blk"),
+        substring(col("simhash"), b * blockChars + 1, blockChars).as("v"))
     }
-    agged.select(col(idCol), concat(nibbles: _*).as("simhash"))
+    val ex = sh.select(col(idCol), col("nibs"),
+      explode(array(blocksCol: _*)).as("bb"))
+      .select(col(idCol), col("nibs"),
+        col("bb.blk").as("blk"), col("bb.v").as("v"))
+    val a = ex.select(col("blk"), col("v"),
+      col(idCol).as("id_a"), col("nibs").as("na"))
+    val b = ex.select(col("blk"), col("v"),
+      col(idCol).as("id_b"), col("nibs").as("nb"))
+    val hamming = (1 to hexLen).map(i =>
+      element_at(typedlit(popcount4),
+        element_at(col("na"), i).bitwiseXOR(element_at(col("nb"), i)) + 1))
+      .reduce(_ + _).cast("long")
+    a.join(b, Seq("blk", "v"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming.as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

@@ -103,6 +103,46 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("hammingHex: exact distances on known hex strings") {
+    val df = Seq(
+      ("0000", "0000", 0L),
+      ("0000", "000f", 4L),
+      ("ffff", "0000", 16L),
+      ("a5a5", "a5a4", 1L)
+    ).toDF("a", "b", "expected")
+    val bad = df.filter(
+      Dedup.hammingHex(col("a"), col("b"), 4) =!= col("expected"))
+    assert(bad.count() == 0)
+  }
+
+  test("simhashNearDups: exact dups at hamming 0; engineered near-dups found; recall guarantee") {
+    val out = Dedup.simhashNearDups(corpus, "text", "doc_id",
+      bits = 32, blocks = 4, maxHamming = 3)
+      .as[(Long, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(out((3L, 4L)) == 0L, "identical docs have identical simhash")
+    // brute-force check: EVERY pair within hamming 3 must be reported
+    // (pigeonhole recall guarantee), none above the threshold
+    val sh = Dedup.simhash(corpus, "text", "doc_id", 32)
+      .as[(Long, String)].collect().toMap
+    def ham(a: String, b: String) =
+      a.zip(b).map { case (x, y) =>
+        Integer.bitCount(Integer.parseInt(x.toString, 16) ^ Integer.parseInt(y.toString, 16))
+      }.sum
+    val ids = sh.keys.toSeq.sorted
+    val expected = (for {
+      i <- ids; j <- ids if i < j
+      d = ham(sh(i), sh(j)) if d <= 3
+    } yield (i, j) -> d.toLong).toMap
+    assert(out == expected)
+  }
+
+  test("simhashNearDups rejects parameter combos that would lose recall") {
+    intercept[IllegalArgumentException](
+      Dedup.simhashNearDups(corpus, "text", "doc_id", bits = 32, blocks = 4, maxHamming = 4))
+    intercept[IllegalArgumentException](
+      Dedup.simhashNearDups(corpus, "text", "doc_id", bits = 32, blocks = 3, maxHamming = 2))
+  }
+
   test("simhash: deterministic hex of bits/4 chars; exact dups collide; parity with oracle fragment") {
     val out = Dedup.simhash(corpus, "text", "doc_id", bits = 16)
       .as[(Long, String)].collect().toMap
