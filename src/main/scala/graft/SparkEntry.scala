@@ -367,6 +367,22 @@ object SparkEntry {
         .select(col("window.start").as("window_start"), col("event_type"),
           col("n_events"), col("total_value"))),
 
+    // ---- as-of (point-in-time) join: each event joined to the user's
+    //      latest prior purchase (no future leakage) — composed from
+    //      union + running-last window, oracle = DuckDB native ASOF JOIN
+    "q33_asof_join" -> ((s, dir) => {
+      val ev = Layers.readEvents(s, s"$dir/events.parquet")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+      graft.ops.AsOf.asofJoin(
+        ev.select("event_id", "user_id", "ts"),
+        purchases,
+        keys = Seq("user_id"), tsCol = "ts",
+        rightCols = Seq("purchase_id", "purchase_value"))
+        .select("event_id", "user_id", "purchase_id", "purchase_value")
+    }),
+
     // ---- skew handling: salted two-stage aggregation over a 3-value
     //      (maximally skewed) key — results identical to a plain groupBy
     "q30_salted_agg" -> ((s, dir) =>
@@ -708,6 +724,14 @@ object SparkEntry {
          |  ${dsum("l_quantity")} AS sum_qty,
          |  max(l_extendedprice) AS max_price
          |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q33_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |        event_id AS purchase_id, value AS purchase_value
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT e.event_id, e.user_id, p.purchase_id, p.purchase_value
+        |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin,
 
     "q31_simhash_pairs" -> {
       val nib = (c: String, i: Int) => s"(instr('0123456789abcdef', substr($c, $i, 1)) - 1)"
