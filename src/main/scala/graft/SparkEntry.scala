@@ -383,6 +383,22 @@ object SparkEntry {
         .select("event_id", "user_id", "purchase_id", "purchase_value")
     }),
 
+    // ---- range (interval) join via bucketed equi-join decomposition:
+    //      events counted into 2-hour windows opened by each purchase
+    "q34_range_join" -> ((s, dir) => {
+      val ev = Layers.readEvents(s, s"$dir/events.parquet")
+      val win = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("start_ts"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("end_ts"))
+      graft.ops.Ranges.rangeJoin(
+        ev.select(col("user_id"), col("ts"), col("event_id")),
+        win, keys = Seq("user_id"), tsCol = "ts",
+        startCol = "start_ts", endCol = "end_ts", bucketWidthSeconds = 3600)
+        .groupBy("purchase_id")
+        .agg(count(lit(1)).as("n_events"))
+    }),
+
     // ---- skew handling: salted two-stage aggregation over a 3-value
     //      (maximally skewed) key — results identical to a plain groupBy
     "q30_salted_agg" -> ((s, dir) =>
@@ -732,6 +748,15 @@ object SparkEntry {
         |      FROM events WHERE event_type = 'purchase')
         |SELECT e.event_id, e.user_id, p.purchase_id, p.purchase_value
         |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin,
+
+    "q34_range_join" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |p AS (SELECT user_id, event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS start_ts,
+        |        CAST(ts AS TIMESTAMP) + INTERVAL 2 HOUR AS end_ts
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT p.purchase_id, count(*) AS n_events
+        |FROM p JOIN e ON e.user_id = p.user_id AND e.ts >= p.start_ts AND e.ts < p.end_ts
+        |GROUP BY p.purchase_id""".stripMargin,
 
     "q31_simhash_pairs" -> {
       val nib = (c: String, i: Int) => s"(instr('0123456789abcdef', substr($c, $i, 1)) - 1)"
