@@ -399,6 +399,11 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"))
     }),
 
+    // ---- deterministic KMV cardinality sketch (bounded-memory typed
+    //      Aggregator; md5-derived → bit-reproducible in the oracle)
+    "q35_kmv_distinct" -> ((s, dir) =>
+      graft.ops.Sketches.kmvDistinct(T(s, dir, "orders"), "o_custkey", k = 256)),
+
     // ---- skew handling: salted two-stage aggregation over a 3-value
     //      (maximally skewed) key — results identical to a plain groupBy
     "q30_salted_agg" -> ((s, dir) =>
@@ -757,6 +762,16 @@ object SparkEntry {
         |SELECT p.purchase_id, count(*) AS n_events
         |FROM p JOIN e ON e.user_id = p.user_id AND e.ts >= p.start_ts AND e.ts < p.end_ts
         |GROUP BY p.purchase_id""".stripMargin,
+
+    "q35_kmv_distinct" -> {
+      val h = s"(CAST(${PortableSql.minhashBase("CAST(o_custkey AS VARCHAR)", DD)} AS DOUBLE) / 1152921504606846976.0)"
+      s"""WITH hs AS (SELECT DISTINCT $h AS h FROM orders),
+         |k AS (SELECT h FROM hs ORDER BY h LIMIT 256),
+         |agg AS (SELECT count(*) AS n, max(h) AS hk FROM k)
+         |SELECT round(CASE WHEN n < 256 THEN CAST(n AS DOUBLE) ELSE 255.0 / hk END, 6) AS est_distinct,
+         |  (SELECT count(DISTINCT o_custkey) FROM orders) AS exact_distinct
+         |FROM agg""".stripMargin
+    },
 
     "q31_simhash_pairs" -> {
       val nib = (c: String, i: Int) => s"(instr('0123456789abcdef', substr($c, $i, 1)) - 1)"

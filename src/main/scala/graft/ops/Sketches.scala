@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic cardinality sketch: KMV (k-minimum-values). Hash every
+ * value to a unit double, keep only the k smallest DISTINCT hashes, and
+ * estimate |distinct| as `(k−1)/h_k` (the classic bottom-k estimator).
+ *
+ * Two properties make it fit this engine:
+ *  - SCALE: the state is a bounded k-array per partition (a typed
+ *    [[Aggregator]] with map-side partial merge) — no shuffle of the
+ *    distinct values themselves, unlike exact `count(distinct)` whose
+ *    exchange grows with cardinality. At 100 TB that is the difference
+ *    between a fixed few KB per task and a full dedup shuffle.
+ *  - DETERMINISM: the hash is md5-derived (no seed, no randomness), so
+ *    the k-th smallest distinct hash — and therefore the estimate — is
+ *    a pure function of the input set, reproducible in the DuckDB
+ *    oracle down to the last bit (unlike HLL-based
+ *    `approx_count_distinct`, whose sketch is engine-specific).
+ */
+object Sketches {
+
+  /** 2⁶⁰ — exactly representable as a double (power of two). */
+  private val Pow60 = 1152921504606846976.0d
+
+  /** Value → unit-interval hash: first 15 hex chars of md5 of the
+    * string form, as a 60-bit integer, scaled to (0, 1]. */
+  def unitHash(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("double") / lit(Pow60)
+
+  /** Bottom-k distinct-hash state as a sorted array (bounded at k).
+    * Production note: the per-row path copies the array (fine for
+    * k ≤ a few hundred); swap the buffer for a mutable tree if k grows. */
+  final case class KMinValues(k: Int) extends Aggregator[Double, Array[Double], Double] {
+    require(k >= 2, "KMV needs k >= 2")
+
+    override def zero: Array[Double] = Array.empty
+
+    private def insert(buf: Array[Double], h: Double): Array[Double] = {
+      val pos = java.util.Arrays.binarySearch(buf, h)
+      if (pos >= 0) buf // already present (distinct semantics)
+      else {
+        val ins = -pos - 1
+        if (buf.length < k) {
+          val out = new Array[Double](buf.length + 1)
+          System.arraycopy(buf, 0, out, 0, ins)
+          out(ins) = h
+          System.arraycopy(buf, ins, out, ins + 1, buf.length - ins)
+          out
+        } else if (ins < k) {
+          val out = new Array[Double](k)
+          System.arraycopy(buf, 0, out, 0, ins)
+          out(ins) = h
+          System.arraycopy(buf, ins, out, ins + 1, k - ins - 1)
+          out
+        } else buf // h larger than the current k-th minimum
+      }
+    }
+
+    override def reduce(buf: Array[Double], h: Double): Array[Double] = insert(buf, h)
+
+    override def merge(a: Array[Double], b: Array[Double]): Array[Double] =
+      b.foldLeft(a)(insert)
+
+    /** Fewer distinct hashes than k ⇒ the buffer IS the distinct set
+      * (exact count); otherwise the bottom-k estimator. */
+    override def finish(buf: Array[Double]): Double =
+      if (buf.length < k) buf.length.toDouble
+      else (k - 1).toDouble / buf(k - 1)
+
+    override def bufferEncoder: Encoder[Array[Double]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** (estimate, exact) distinct count of `valueCol` — single row. The
+    * exact twin rides along for calibration/monitoring. */
+  def kmvDistinct(df: org.apache.spark.sql.DataFrame, valueCol: String, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val est = df.select(unitHash(col(valueCol)).as("h")).as[Double]
+      .select(KMinValues(k).toColumn.name("est_raw"))
+      .select(round(col("est_raw"), 6).as("est_distinct"))
+    est.crossJoin(df.agg(count_distinct(col(valueCol)).as("exact_distinct")))
+  }
+}

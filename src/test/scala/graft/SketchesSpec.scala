@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Sketches
+
+class SketchesSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("KMinValues aggregator: dedup, bound, exact-below-k, merge order-independence") {
+    val kmv = Sketches.KMinValues(4)
+    val z = kmv.zero
+    val buf = Seq(0.5, 0.2, 0.5, 0.9, 0.1, 0.3).foldLeft(z)(kmv.reduce)
+    assert(buf.toSeq == Seq(0.1, 0.2, 0.3, 0.5), "sorted 4 smallest distinct")
+    // below k → exact count
+    val small = Seq(0.7, 0.7, 0.4).foldLeft(kmv.zero)(kmv.reduce)
+    assert(kmv.finish(small) == 2.0)
+    // at/above k → (k-1)/h_k
+    assert(kmv.finish(buf) == 3.0 / 0.5)
+    // merge = same result regardless of how rows were partitioned
+    val all = (1 to 100).map(i => i / 101.0)
+    val (l, r) = all.splitAt(37)
+    val merged = kmv.merge(l.foldLeft(kmv.zero)(kmv.reduce), r.foldLeft(kmv.zero)(kmv.reduce))
+    assert(merged.toSeq == all.sorted.take(4))
+  }
+
+  test("kmvDistinct estimates within 20% of exact on real data, and is deterministic") {
+    val orders = TestSpark.table("orders")
+    val r1 = Sketches.kmvDistinct(orders, "o_custkey", 64).collect()(0)
+    val est = r1.getDouble(0)
+    val exact = r1.getLong(1)
+    assert(exact > 64, "fixture must exercise the estimation path")
+    assert(math.abs(est - exact) / exact < 0.2, s"est=$est exact=$exact")
+    val r2 = Sketches.kmvDistinct(orders, "o_custkey", 64).collect()(0)
+    assert(r1 == r2)
+  }
+
+  test("kmvDistinct is exact when cardinality < k") {
+    val df = Seq.tabulate(50)(i => i % 10).toDF("v")
+    val r = Sketches.kmvDistinct(df, "v", 256).collect()(0)
+    assert(r.getDouble(0) == 10.0)
+    assert(r.getLong(1) == 10L)
+  }
+}
