@@ -3,6 +3,7 @@ package graft.pipeline
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{count, lit}
 
 import graft.config.PipelineConfig.PipelineConf
 import graft.io.Layers
@@ -57,12 +58,15 @@ object Medallion {
     require(aggStage.aggregations.nonEmpty, s"stage $aggStageId declares no aggregations")
     require(qStage.qualityRules.nonEmpty, s"stage $qualityStageId declares no quality_rules")
 
+    // Stage metrics ride the write pass via Dataset.observe — a count()
+    // per metric would re-scan the stage input once per number.
     val bronze = Runner.Stage(
       "fetch_data_bronze",
       run = { spark =>
-        val df = source(spark)
+        val obs = org.apache.spark.sql.Observation()
+        val df = source(spark).observe(obs, count(lit(1)).as("rows_captured"))
         Layers.writeJsonl(df, bronzeDir, Some(runId))
-        Map("rows_captured" -> df.count())
+        Map("rows_captured" -> obs.get("rows_captured").asInstanceOf[Long])
       })
 
     val silver = Runner.Stage(
@@ -70,21 +74,28 @@ object Medallion {
       run = { spark =>
         val latest = Layers.latestSuccessfulRun(spark, bronzeDir).getOrElse(
           sys.error(s"no successful bronze run under $bronzeDir"))
+        val obsIn = org.apache.spark.sql.Observation()
+        val obsOut = org.apache.spark.sql.Observation()
         val raw = Layers.readJsonl(spark, latest, Metadata.toStruct(meta.fields))
+          .observe(obsIn, count(lit(1)).as("rows_in"))
         val cleaned = Clean.silverClean(
           raw, clean.dedupKeys, clean.requiredCols, clean.normalizeCols, clean.order)
+          .observe(obsOut, count(lit(1)).as("rows_clean"))
         Layers.writeSilver(cleaned, silverDir, meta.partitionBy)
-        Map("rows_in" -> raw.count(), "rows_clean" -> cleaned.count())
+        Map("rows_in" -> obsIn.get("rows_in").asInstanceOf[Long],
+          "rows_clean" -> obsOut.get("rows_clean").asInstanceOf[Long])
       },
       retries = aggStage.retries)
 
     val gold = Runner.Stage(
       aggStage.taskId,
       run = { spark =>
+        val obs = org.apache.spark.sql.Observation()
         val silverDf = Layers.readParquet(spark, silverDir)
         val goldDf = Aggregate.unionRollups(silverDf, aggStage.aggregations, transformationDate)
+          .observe(obs, count(lit(1)).as("rollup_rows"))
         Layers.writeGold(goldDf, goldDir)
-        Map("rollup_rows" -> goldDf.count())
+        Map("rollup_rows" -> obs.get("rollup_rows").asInstanceOf[Long])
       },
       retries = aggStage.retries)
 
