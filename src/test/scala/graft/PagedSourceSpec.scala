@@ -62,6 +62,17 @@ class PagedSourceSpec extends AnyFunSuite {
       "affected pages fetched exactly twice (fail, then successful retry)")
   }
 
+  test("exhausted in-reader retries surface as a query failure (outer safety net)") {
+    val path = writeFixture(20)
+    PagedJsonlSource.fetchAttempts.clear()
+    // every fetch of page 0 fails on its first attempt, and retries=0
+    // gives the reader no retry budget → Spark task fails → query fails
+    val df = paged(path, "simulateTransientFailEvery" -> "1", "retries" -> "0")
+    val e = intercept[org.apache.spark.SparkException](df.count())
+    assert(e.getMessage.contains("simulated transient fetch error") ||
+      Option(e.getCause).exists(_.getMessage.contains("simulated transient fetch error")))
+  }
+
   test("filters on the page column work downstream") {
     val path = writeFixture(50)
     val one = paged(path).filter(col("page") === 2)
