@@ -34,37 +34,26 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- entry
 
-  /** Flagship: the full medallion pipeline (bronze JSONL capture →
-    * silver clean → gold union-of-rollups) on sf0.001. */
+  /** Flagship: the full config-assembled medallion pipeline (bronze
+    * JSONL capture → silver clean partitioned parquet → gold
+    * union-of-rollups → quality gate + report artifact) on sf0.001,
+    * returning the gold table it published. */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
-    val bronzeDir = tmp("entry_bronze")
-    val raw = T(spark, dir, "customer")
-    Layers.writeJsonl(raw, bronzeDir, Some("20251015"))
-    val bronze = Layers.readJsonl(
+    val (report, goldPath) = graft.pipeline.Medallion.run(
       spark,
-      Layers.latestSuccessfulRun(spark, bronzeDir).getOrElse(bronzeDir),
-      graft.schema.Metadata.structFromSpec(
-        """
-        c_custkey: long !null
-        c_name: string
-        c_nationkey: int
-        c_acctbal: double
-        c_mktsegment: string
-        """))
-    val silver = Clean.silverClean(
-      bronze.toDF(),
-      keys = Seq("c_custkey"),
-      requiredCols = Seq("c_custkey", "c_name", "c_mktsegment"),
-      normalizeCols = Seq("c_name", "c_mktsegment"),
-      order = Seq(col("c_name").asc_nulls_first))
-    Aggregate.unionRollups(
-      silver,
-      Seq(
-        AggSpec(Seq("c_mktsegment"), Seq(Metric("total_customers", "count(*)")), "by_segment"),
-        AggSpec(Seq("c_mktsegment", "c_nationkey"),
-          Seq(Metric("total_customers", "count(*)")), "by_segment_nation")),
-      "2025-10-15")
+      graft.config.PipelineConfig.parse(pipelineYaml),
+      graft.config.PipelineConfig.parseMetadata(metadataYaml),
+      source = sp => T(sp, dir, "customer"),
+      baseDir = tmp("entry_pipeline"), runId = "20251015",
+      transformationDate = "2025-10-15",
+      clean = graft.pipeline.Medallion.CleanSpec(
+        dedupKeys = Seq("c_custkey"),
+        requiredCols = Seq("c_custkey", "c_name", "c_mktsegment"),
+        normalizeCols = Seq("c_name", "c_mktsegment"),
+        order = Seq(col("c_name").asc_nulls_first)))
+    require(report.succeeded, s"flagship pipeline failed:\n${report.toJson}")
+    Layers.readParquet(spark, goldPath)
   }
 
   // -------------------------------------------------------------- queries

@@ -62,6 +62,25 @@ class AggregateSpec extends AnyFunSuite {
       viaUnion.collect().map(key).sorted.toSeq)
   }
 
+  test("unionRollups == groupingSetsRollup for random grouping-set combinations") {
+    val orders = TestSpark.table("orders")
+    val candidates = Seq(Seq("o_orderstatus"), Seq("o_orderpriority"),
+      Seq("o_orderstatus", "o_orderpriority"))
+    val metrics = Seq(Metric("n", "count(*)"))
+    val key = (r: org.apache.spark.sql.Row) => r.toSeq.map(String.valueOf).mkString("|")
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val sets = rnd.shuffle(candidates).take(1 + rnd.nextInt(candidates.length))
+        .zipWithIndex.map { case (cols, i) => s"g$i" -> cols }
+      val viaUnion = Aggregate.unionRollups(
+        orders, sets.map { case (t, c) => AggSpec(c, metrics, t) }, date)
+      val viaGs = Aggregate.groupingSetsRollup(orders, sets, metrics, date)
+        .select(viaUnion.columns.map(col): _*)
+      assert(viaGs.collect().map(key).sorted.toSeq ==
+        viaUnion.collect().map(key).sorted.toSeq, s"seed=$seed sets=$sets")
+    }
+  }
+
   test("saltedRollup matches the plain groupBy for any bucket count") {
     val li = TestSpark.table("lineitem")
     val plain = li.groupBy("l_returnflag")

@@ -47,6 +47,29 @@ class AsOfSpec extends AnyFunSuite {
     assert(r.isNullAt(1), "null field of the matched row must NOT be backfilled")
   }
 
+  test("random data: asofJoin == brute force") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val left = Seq.tabulate(200)(i =>
+        (rnd.nextInt(5).toLong, ts(rnd.nextInt(1000)), i.toLong))
+        .toDF("k", "ts", "lid")
+      val rightRows = Seq.tabulate(60)(i =>
+        (rnd.nextInt(5).toLong, ts(rnd.nextInt(1000)), i.toLong))
+        .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq // unique per (k, ts)
+      val right = rightRows.toDF("k", "ts", "rid")
+      val out = AsOf.asofJoin(left, right, Seq("k"), "ts", Seq("rid"))
+        .select("lid", "rid").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+      val rByK = rightRows.groupBy(_._1)
+      left.collect().foreach { r =>
+        val (k, t, lid) = (r.getLong(0), r.getTimestamp(1), r.getLong(2))
+        val expected = rByK.getOrElse(k, Seq.empty)
+          .filter(!_._2.after(t)).sortBy(_._2.getTime).lastOption.map(_._3)
+        assert(out(lid) == expected, s"seed=$seed lid=$lid")
+      }
+    }
+  }
+
   test("asofJoin on real events matches a per-user brute force") {
     val ev = graft.io.Layers.readEvents(spark, s"${TestSpark.sfDir}/events.parquet")
     val purchases = ev.filter(col("event_type") === "purchase")

@@ -52,6 +52,28 @@ class RangesSpec extends AnyFunSuite {
     assert(bucketed.nonEmpty)
   }
 
+  test("random intervals: bucketed result == brute force for several bucket widths") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val points = Seq.tabulate(300)(i =>
+        (rnd.nextInt(5).toLong, ts(rnd.nextInt(10000)), i.toLong))
+        .toDF("k", "ts", "pid")
+      val intervals = Seq.tabulate(50) { i =>
+        val start = rnd.nextInt(9000)
+        (rnd.nextInt(5).toLong, ts(start), ts(start + 1 + rnd.nextInt(2000)), i.toLong)
+      }.toDF("k", "start_ts", "end_ts", "iv")
+      val brute = points.join(intervals, Seq("k"))
+        .filter(col("ts") >= col("start_ts") && col("ts") < col("end_ts"))
+        .select("pid", "iv").as[(Long, Long)].collect().toSet
+      for (width <- Seq(100L, 777L, 5000L)) {
+        val bucketed = Ranges.rangeJoin(points, intervals, Seq("k"), "ts",
+          "start_ts", "end_ts", width)
+          .select("pid", "iv").as[(Long, Long)].collect().toSet
+        assert(bucketed == brute, s"seed=$seed width=$width")
+      }
+    }
+  }
+
   test("no nested-loop join in the bucketed plan") {
     val points = Seq((1L, ts(100), 1L)).toDF("k", "ts", "event_id")
     val intervals = Seq((1L, ts(50), ts(150), 10L)).toDF("k", "start_ts", "end_ts", "iv")
