@@ -388,6 +388,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"))
     }),
 
+    // ---- composite corpus clean: fingerprint exact-dedup (min-id
+    //      keeper) → quality gate → language filter → per-source stats —
+    //      the end-to-end training-data cleaning flow in one plan
+    "q36_corpus_filter" -> ((s, dir) => {
+      val enriched = T(s, dir, "documents").select(
+        col("doc_id"), col("source"),
+        graft.ops.TextOps.qualityScore(col("text")).as("quality"),
+        graft.ops.TextOps.langId(col("text")).as("lang_pred"),
+        graft.ops.TextOps.fingerprint(col("text")).as("fp"))
+      val keepers = enriched.groupBy("fp").agg(min("doc_id").as("doc_id"))
+      enriched.join(keepers, Seq("doc_id"), "left_semi")
+        .filter(col("quality") >= 0.4 && col("lang_pred") === "en")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(expr("cast(sum(cast(quality as decimal(18,6))) as double)")
+            / count(lit(1)), 6).as("avg_quality"))
+    }),
+
     // ---- deterministic KMV cardinality sketch (bounded-memory typed
     //      Aggregator; md5-derived → bit-reproducible in the oracle)
     "q35_kmv_distinct" -> ((s, dir) =>
@@ -751,6 +770,19 @@ object SparkEntry {
         |SELECT p.purchase_id, count(*) AS n_events
         |FROM p JOIN e ON e.user_id = p.user_id AND e.ts >= p.start_ts AND e.ts < p.end_ts
         |GROUP BY p.purchase_id""".stripMargin,
+
+    "q36_corpus_filter" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, source, ${PortableSql.qualityScore("text", DD)} AS quality,
+         |    ${PortableSql.langId("text")} AS lang_pred, md5(lower(trim(text))) AS fp
+         |  FROM documents
+         |),
+         |k AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY fp),
+         |f AS (SELECT q.* FROM q JOIN k USING (doc_id)
+         |      WHERE quality >= 0.4 AND lang_pred = 'en')
+         |SELECT source, count(*) AS n_docs,
+         |  round(cast(sum(cast(quality as decimal(18,6))) as double) / count(*), 6) AS avg_quality
+         |FROM f GROUP BY source""".stripMargin,
 
     "q35_kmv_distinct" -> {
       val h = s"(CAST(${PortableSql.minhashBase("CAST(o_custkey AS VARCHAR)", DD)} AS DOUBLE) / 1152921504606846976.0)"
