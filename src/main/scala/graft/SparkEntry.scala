@@ -407,6 +407,18 @@ object SparkEntry {
             / count(lit(1)), 6).as("avg_quality"))
     }),
 
+    // ---- deterministic hash split: train/val/test fences that are a
+    //      pure function of the key (reproducible across runs/engines)
+    "q37_hash_split" -> ((s, dir) => {
+      val splits = graft.ops.Sampling.hashSplit(
+        T(s, dir, "documents"), "doc_id", Seq(0.8, 0.1, 0.1), salt = "v1")
+      splits.zip(Seq("train", "val", "test"))
+        .map { case (d, t) => d.select(lit(t).as("split"), col("doc_id")) }
+        .reduce(_.unionByName(_))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))
+    }),
+
     // ---- deterministic KMV cardinality sketch (bounded-memory typed
     //      Aggregator; md5-derived → bit-reproducible in the oracle)
     "q35_kmv_distinct" -> ((s, dir) =>
@@ -783,6 +795,22 @@ object SparkEntry {
          |SELECT source, count(*) AS n_docs,
          |  round(cast(sum(cast(quality as decimal(18,6))) as double) / count(*), 6) AS avg_quality
          |FROM f GROUP BY source""".stripMargin,
+
+    "q37_hash_split" -> {
+      // interpolate the EXACT cumulative doubles Spark's scanLeft
+      // produces (0.8 + 0.1 != 0.9 in binary) so both engines compare p
+      // against bit-identical thresholds
+      val cum = Seq(0.8, 0.1, 0.1).scanLeft(0.0)(_ + _)
+      val h = PortableSql.minhashBase("concat('v1', ':', CAST(doc_id AS VARCHAR))", DD)
+      s"""WITH h AS (SELECT doc_id,
+         |    CAST($h AS DOUBLE) / 1152921504606846976.0 AS p FROM documents),
+         |t AS (SELECT doc_id,
+         |    CASE WHEN p < ${cum(1)} THEN 'train'
+         |         WHEN p < ${cum(2)} THEN 'val' ELSE 'test' END AS split
+         |  FROM h)
+         |SELECT split, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |FROM t GROUP BY split""".stripMargin
+    },
 
     "q35_kmv_distinct" -> {
       val h = s"(CAST(${PortableSql.minhashBase("CAST(o_custkey AS VARCHAR)", DD)} AS DOUBLE) / 1152921504606846976.0)"

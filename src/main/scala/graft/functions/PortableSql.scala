@@ -22,8 +22,6 @@ object PortableSql {
     def tokens(text: String): String
     /** sum of `body` (int) over elements of `arr`, bound to `v` */
     def sumOver(arr: String, v: String, body: String): String
-    /** min of `body` (string) over elements of `arr`, bound to `v` */
-    def minOverStr(arr: String, v: String, body: String): String
     /** overlapping n-word shingles of token list `toks`, space-joined */
     def shingles(toks: String, n: Int): String
   }
@@ -32,8 +30,6 @@ object PortableSql {
     def tokens(text: String) = s"split($text, ' ')"
     def sumOver(arr: String, v: String, body: String) =
       s"aggregate($arr, 0, (__acc, $v) -> __acc + ($body))"
-    def minOverStr(arr: String, v: String, body: String) =
-      s"array_min(transform($arr, $v -> $body))"
     def shingles(toks: String, n: Int) =
       s"transform(sequence(1, greatest(size($toks) - ${n - 1}, 1)), " +
         s"__i -> concat_ws(' ', slice($toks, __i, $n)))"
@@ -43,8 +39,6 @@ object PortableSql {
     def tokens(text: String) = s"string_split($text, ' ')"
     def sumOver(arr: String, v: String, body: String) =
       s"CAST(list_sum(list_transform($arr, $v -> ($body))) AS BIGINT)"
-    def minOverStr(arr: String, v: String, body: String) =
-      s"list_min(list_transform($arr, $v -> $body))"
     def shingles(toks: String, n: Int) =
       s"list_transform(generate_series(1, greatest(len($toks) - ${n - 1}, 1)), " +
         s"__i -> array_to_string(($toks)[__i:__i+${n - 1}], ' '))"

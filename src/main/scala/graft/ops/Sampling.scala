@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic hash-based sampling and splitting. `df.sample()` draws
+ * from a per-partition RNG, so results change with partitioning, task
+ * retries, and reruns — unacceptable for training-data splits, where a
+ * document must land on the SAME side of the train/eval fence in every
+ * pipeline run forever (else eval contaminates training across
+ * versions). Hashing a stable key into the unit interval makes
+ * membership a pure function of the key:
+ *
+ *  - reproducible across runs, engines (md5), partitionings, and scale;
+ *  - consistent: `fraction=0.25` is a SUBSET of `fraction=0.5` for the
+ *    same salt, so growing a sample never resamples old members;
+ *  - disjoint splits come from interval partitioning of the same hash.
+ *
+ * `salt` decorrelates different sampling decisions over the same keys.
+ * All narrow (no shuffle) — filters evaluate at scan speed.
+ */
+object Sampling {
+
+  /** Stable unit-interval position of a key (md5, salted). */
+  def unitPos(key: Column, salt: String): Column =
+    Sketches.unitHash(concat_ws(":", lit(salt), key.cast("string")))
+
+  /** Keep rows whose salted key hash falls below `fraction`. */
+  def deterministicSample(
+      df: DataFrame, keyCol: String, fraction: Double, salt: String = ""): DataFrame = {
+    require(fraction >= 0 && fraction <= 1)
+    df.filter(unitPos(col(keyCol), salt) < fraction)
+  }
+
+  /**
+   * Disjoint covering split: row goes to bucket i when its hash lands in
+   * `[cum_{i-1}, cum_i)` of the cumulative weight intervals. Returns one
+   * DataFrame per weight (e.g. `Seq(0.8, 0.1, 0.1)` → train/val/test).
+   */
+  def hashSplit(
+      df: DataFrame, keyCol: String, weights: Seq[Double], salt: String = ""): Seq[DataFrame] = {
+    require(weights.nonEmpty && weights.forall(_ > 0) &&
+      math.abs(weights.sum - 1.0) < 1e-9, "weights must be positive and sum to 1")
+    val cum = weights.scanLeft(0.0)(_ + _)
+    val pos = unitPos(col(keyCol), salt)
+    cum.sliding(2).toSeq.map { case Seq(lo, hi) =>
+      df.filter(pos >= lo && pos < hi)
+    }
+  }
+}
