@@ -11,15 +11,16 @@ import org.apache.spark.sql.functions._
  *  - exact dedup = hash-aggregate on the dup key → ONE shuffle, with
  *    map-side partial aggregation collapsing duplicates before the wire.
  *  - near-dup avoids the O(n²) pair space entirely: shingle → per-doc
- *    MinHash signature (narrow, scan-speed) → band buckets (explode ×
- *    #bands) → self-join *within buckets only* (shuffle keyed on
+ *    MinHash signature (one md5 per shingle + universal-hash
+ *    permutations, partial-aggregated map-side) → band buckets (explode
+ *    × #bands) → self-join *within buckets only* (shuffle keyed on
  *    (band, bucket-hash); bucket sizes are small by construction, and a
  *    degenerate hot bucket is AQE-skew-split) → exact Jaccard verify on
- *    the candidate pairs only.
+ *    candidate docs only (left-semi pruned before any explode).
  *  - all hashing is md5-based (deterministic, seedless, identical across
  *    engines) so every stage is DuckDB-oracle-checkable. At production
  *    scale you'd swap md5 for xxhash64 (same plan shape, ~5× faster
- *    hashing) — the seam is [[hashShingle]].
+ *    hashing) — the seam is [[shingleBase]].
  */
 object Dedup {
 
