@@ -407,6 +407,14 @@ object SparkEntry {
             / count(lit(1)), 6).as("avg_quality"))
     }),
 
+    // ---- corpus distribution stats: exact interpolated percentiles of
+    //      doc token counts per language, one shuffle for all quantiles
+    "q38_length_stats" -> ((s, dir) =>
+      graft.ops.Stats.exactPercentiles(
+        T(s, dir, "documents").selectExpr("lang", "size(split(text, ' ')) AS n_tokens"),
+        groupCols = Seq("lang"), valueCol = "n_tokens",
+        ps = Seq(0.5, 0.9, 0.99))),
+
     // ---- deterministic hash split: train/val/test fences that are a
     //      pure function of the key (reproducible across runs/engines)
     "q37_hash_split" -> ((s, dir) => {
@@ -795,6 +803,25 @@ object SparkEntry {
          |SELECT source, count(*) AS n_docs,
          |  round(cast(sum(cast(quality as decimal(18,6))) as double) / count(*), 6) AS avg_quality
          |FROM f GROUP BY source""".stripMargin,
+
+    "q38_length_stats" -> {
+      val pcols = Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99").map { case (p, name) =>
+        s"""round(
+           |    max(CASE WHEN rn = CAST(floor((n - 1) * $p) AS BIGINT) + 1 THEN v END) +
+           |    (max(CASE WHEN rn = CAST(ceil((n - 1) * $p) AS BIGINT) + 1 THEN v END) -
+           |     max(CASE WHEN rn = CAST(floor((n - 1) * $p) AS BIGINT) + 1 THEN v END))
+           |    * max((n - 1) * $p - floor((n - 1) * $p)), 6) AS $name""".stripMargin
+      }.mkString(",\n  ")
+      s"""WITH t AS (SELECT lang, CAST(len(string_split(text, ' ')) AS DOUBLE) AS v FROM documents),
+         |r AS (SELECT lang, v,
+         |    row_number() OVER (PARTITION BY lang ORDER BY v ASC) AS rn,
+         |    CAST(count(*) OVER (PARTITION BY lang) AS DOUBLE) AS n
+         |  FROM t)
+         |SELECT lang,
+         |  $pcols,
+         |  CAST(max(n) AS BIGINT) AS n_rows
+         |FROM r GROUP BY lang""".stripMargin
+    },
 
     "q37_hash_split" -> {
       // interpolate the EXACT cumulative doubles Spark's scanLeft

@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Exact distribution statistics (percentiles with linear
+ * interpolation), computed from first principles rather than the
+ * engines' quantile builtins — `percentile`/`quantile_cont`
+ * implementations differ subtly across engines, while rank arithmetic
+ * (`pos = (n−1)·p`, interpolate between the two bracketing order
+ * statistics) is deterministic double math that reproduces bit-for-bit
+ * in the DuckDB oracle.
+ *
+ * Plan shape: ONE rank window per group (hash exchange on the group key
+ * + per-partition sort) feeding a conditional aggregation on the same
+ * key — Catalyst reuses the partitioning, so the whole multi-percentile
+ * computation costs a single shuffle. All requested percentiles come
+ * out of the same pass.
+ */
+object Stats {
+
+  /** Per-group exact percentiles of `valueCol` (linear interpolation,
+    * results rounded to 6 decimals). Output: group cols + one
+    * `p<percent>` column per requested fraction + `n_rows`. */
+  def exactPercentiles(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1))
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__v").asc)
+    val ranked = df
+      .select(groupCols.map(col) :+ col(valueCol).cast("double").as("__v"): _*)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(groupCols.map(col): _*)))
+    val aggs = ps.flatMap { p =>
+      val pos = (col("__n") - 1).cast("double") * p // 0-based fractional rank
+      val lo = floor(pos).cast("long") + 1 // 1-based bracketing ranks
+      val hi = ceil(pos).cast("long") + 1
+      val name = pName(p)
+      Seq(
+        max(when(col("__rn") === lo, col("__v"))).as(s"__lo_$name"),
+        max(when(col("__rn") === hi, col("__v"))).as(s"__hi_$name"),
+        max(pos - floor(pos)).as(s"__frac_$name"))
+    } :+ max(col("__n")).as("n_rows")
+    val agged = ranked.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val outCols = groupCols.map(col) ++ ps.map { p =>
+      val name = pName(p)
+      round(col(s"__lo_$name") +
+        (col(s"__hi_$name") - col(s"__lo_$name")) * col(s"__frac_$name"), 6).as(name)
+    } :+ col("n_rows")
+    agged.select(outCols: _*)
+  }
+
+  /** `0.95` → `p95`, `0.5` → `p50`, `0.999` → `p99_9`. Goes through the
+    * decimal STRING form of p — `0.9 * 100` in binary doubles is
+    * 90.00000000000001, which would leak into the column name. */
+  def pName(p: Double): String =
+    "p" + (BigDecimal(p.toString) * 100).underlying.stripTrailingZeros.toPlainString
+      .replace(".", "_").replace("-", "")
+}
