@@ -215,6 +215,16 @@ object SparkEntry {
       Dedup.verifiedNearDups(
         T(s, dir, "documents"), "text", "doc_id", threshold = 0.8)),
 
+    // ---- north-star dedup: pairs → DECISIONS (connected components of
+    //      the verified near-dup graph; min-id canonical keepers)
+    "q39_dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.verifiedNearDups(
+        T(s, dir, "documents"), "text", "doc_id", threshold = 0.8)
+      Dedup.components(pairs.select("id_a", "id_b"))
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+          (col("id") === col("label")).as("is_keeper"))
+    }),
+
     // ---- north-star dedup: SimHash fingerprint (hash-once explode+agg
     //      plan; the oracle replays the per-bit portable fragment)
     "q17_simhash" -> ((s, dir) =>
@@ -550,6 +560,30 @@ object SparkEntry {
        |buckets AS ($bandRows)""".stripMargin
   }
 
+  /** Shared CTE chain for the MinHash→LSH→Jaccard-verified near-dup
+    * pipeline, ending in `vpairs(id_a, id_b, jaccard ≥ 0.8)` — used by
+    * q16 (pairs) and q39 (clusters). */
+  private def jaccardCtes: String =
+    s"""${minhashCtes},
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |),
+       |exsh AS (SELECT DISTINCT doc_id, unnest(s) AS sv FROM sh),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM exsh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT p.id_a, p.id_b, count(*) AS i
+       |  FROM pairs p
+       |  JOIN exsh ea ON ea.doc_id = p.id_a
+       |  JOIN exsh eb ON eb.doc_id = p.id_b AND eb.sv = ea.sv
+       |  GROUP BY p.id_a, p.id_b
+       |),
+       |vpairs AS (
+       |  SELECT it.id_a, it.id_b, round(it.i / (sa.n + sb.n - it.i), 6) AS jaccard
+       |  FROM inter it JOIN sizes sa ON sa.doc_id = it.id_a JOIN sizes sb ON sb.doc_id = it.id_b
+       |  WHERE round(it.i / (sa.n + sb.n - it.i), 6) >= 0.8
+       |)""".stripMargin
+
   /** DuckDB ±1-hyperplane projection sign-bucket for `embCol`. */
   private def duckSignBucket(embCol: String, numPlanes: Int, dims: Int): String =
     duckSignBucketP(embCol, Similarity.planes(numPlanes, dims), dims)
@@ -655,23 +689,23 @@ object SparkEntry {
          |SELECT doc_id, band, bucket FROM buckets""".stripMargin,
 
     "q16_neardup_pairs" ->
-      s"""WITH ${minhashCtes},
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      s"""WITH $jaccardCtes
+         |SELECT id_a, id_b, jaccard FROM vpairs""".stripMargin,
+
+    "q39_dedup_clusters" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM vpairs
+         |  UNION SELECT id_b, id_a FROM vpairs
          |),
-         |exsh AS (SELECT DISTINCT doc_id, unnest(s) AS sv FROM sh),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM exsh GROUP BY doc_id),
-         |inter AS (
-         |  SELECT p.id_a, p.id_b, count(*) AS i
-         |  FROM pairs p
-         |  JOIN exsh ea ON ea.doc_id = p.id_a
-         |  JOIN exsh eb ON eb.doc_id = p.id_b AND eb.sv = ea.sv
-         |  GROUP BY p.id_a, p.id_b
+         |reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
          |)
-         |SELECT it.id_a, it.id_b, round(it.i / (sa.n + sb.n - it.i), 6) AS jaccard
-         |FROM inter it JOIN sizes sa ON sa.doc_id = it.id_a JOIN sizes sb ON sb.doc_id = it.id_b
-         |WHERE round(it.i / (sa.n + sb.n - it.i), 6) >= 0.8""".stripMargin,
+         |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id,
+         |  least(src, min(dst)) = src AS is_keeper
+         |FROM reach GROUP BY src""".stripMargin,
 
     "q17_simhash" ->
       s"SELECT doc_id, ${PortableSql.simhash("text", 16, DD)} AS simhash FROM documents",

@@ -242,6 +242,51 @@ object Dedup {
       .select(col(idCol), concat(hexChars: _*).as("simhash"))
   }
 
+  /**
+   * Connected components over an undirected pair list (id_a, id_b) —
+   * the step that turns near-dup PAIRS into dedup DECISIONS: every doc
+   * in a component gets the component's min id as `label`, and the doc
+   * owning that label is the canonical keeper.
+   *
+   * Distributed iterative min-label propagation: each round joins the
+   * current labels across the edges and keeps the per-node min. Rounds
+   * needed = component diameter — near-dup clusters are dense
+   * near-cliques, so this converges in 2-3 rounds (pointer-doubling
+   * would cut long chains to O(log n), at double the join cost per
+   * round; not worth it for this workload). Each round is one equi-join
+   * + one aggregation over the PAIR set only — the corpus itself is
+   * never touched. Deterministic: the fixpoint is unique.
+   */
+  def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col(pairs.columns(0)).as("src"), col(pairs.columns(1)).as("dst"))
+    val undirected = edges
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var labels = undirected.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val viaNeighbors = undirected
+        .join(labels, undirected("dst") === labels("id"))
+        .select(undirected("src").as("id"), col("label"))
+      val next = labels.union(viaNeighbors)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint()
+      val changed = next.as("n")
+        .join(labels.as("o"), "id")
+        .filter(col("n.label") =!= col("o.label"))
+        .count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    require(converged, s"components did not converge in $maxIter rounds")
+    labels
+  }
+
   /** Nibble-wise popcount lookup: element i holds popcount(i), i ∈ 0..15. */
   private val popcount4 = Seq(0, 1, 1, 2, 1, 2, 2, 3, 1, 2, 2, 3, 2, 3, 3, 4)
 

@@ -103,6 +103,26 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("components: min-label clusters on known graphs, incl. chains and singleton pairs") {
+    // two components: a chain 1-2-3-4 (diameter 3 → needs >1 iteration)
+    // and an isolated pair (10, 11)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Dedup.components(pairs).as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("components of verified near-dups: keepers are cluster minima, members clustered together") {
+    val pairs = Dedup.verifiedNearDups(corpus, "text", "doc_id", 0.5)
+    val comp = Dedup.components(pairs.select("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    // docs 3/4 are identical → same cluster, keeper = 3
+    assert(comp(3L) == 3L && comp(4L) == 3L)
+    // every label is the min of its members
+    comp.groupBy(_._2).foreach { case (label, members) =>
+      assert(label == members.keys.min)
+    }
+  }
+
   test("hammingHex: exact distances on known hex strings") {
     val df = Seq(
       ("0000", "0000", 0L),
