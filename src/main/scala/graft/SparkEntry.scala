@@ -438,9 +438,13 @@ object SparkEntry {
     }),
 
     // ---- deterministic KMV cardinality sketch (bounded-memory typed
-    //      Aggregator; md5-derived → bit-reproducible in the oracle)
+    //      Aggregator; md5-derived → bit-reproducible in the oracle).
+    //      calibrate=true rides the exact twin along for the oracle
+    //      check; the production default is sketch-only (no distinct
+    //      shuffle) — see SketchesSpec plan assertion.
     "q35_kmv_distinct" -> ((s, dir) =>
-      graft.ops.Sketches.kmvDistinct(T(s, dir, "orders"), "o_custkey", k = 256)),
+      graft.ops.Sketches.kmvDistinct(T(s, dir, "orders"), "o_custkey", k = 256,
+        calibrate = true)),
 
     // ---- skew handling: salted two-stage aggregation over a 3-value
     //      (maximally skewed) key — results identical to a plain groupBy

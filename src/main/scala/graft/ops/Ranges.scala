@@ -40,6 +40,11 @@ object Ranges {
     require(bucketWidthSeconds > 0)
     val l = left.withColumn("__bucket", bucketOf(col(tsCol), bucketWidthSeconds))
     val r = right
+      // [start, end) with end <= start is empty — drop such rows BEFORE
+      // bucketing: `sequence(b0, b1)` with b1 < b0 generates a DESCENDING
+      // sequence (implicit step −1), so one malformed row with end far
+      // before start would otherwise explode into a huge bucket array.
+      .filter(col(endCol) > col(startCol))
       .withColumn("__b0", bucketOf(col(startCol), bucketWidthSeconds))
       // end is exclusive: an interval touching a bucket boundary exactly
       // does not reach into the next bucket

@@ -44,8 +44,15 @@ object Sampling {
       math.abs(weights.sum - 1.0) < 1e-9, "weights must be positive and sum to 1")
     val cum = weights.scanLeft(0.0)(_ + _)
     val pos = unitPos(col(keyCol), salt)
-    cum.sliding(2).toSeq.map { case Seq(lo, hi) =>
-      df.filter(pos >= lo && pos < hi)
+    val n = weights.size
+    cum.sliding(2).toSeq.zipWithIndex.map { case (Seq(lo, hi), i) =>
+      // The LAST bucket is unbounded above (like a SQL CASE ... ELSE):
+      // the floating cumulative sum can land just below 1.0, and the
+      // hash itself reaches 1.0 inclusive — a `pos < hi` fence on the
+      // final bucket would silently drop keys hashing into [hi, 1],
+      // breaking the disjoint-COVERING contract.
+      if (i == n - 1) df.filter(pos >= lo)
+      else df.filter(pos >= lo && pos < hi)
     }
   }
 }

@@ -46,9 +46,12 @@ object Similarity {
   /** Cosine similarity, 6-decimal-rounded for determinism. Composable
     * HOF formulation — correct everywhere, but Spark's higher-order
     * functions are CodegenFallback (interpreted per row). The operator
-    * paths below use [[cosineFast]] instead. */
+    * paths below use [[cosineFast]] instead. `try_divide` makes a
+    * zero-norm (degenerate) vector yield NULL under ANSI mode rather
+    * than throwing — matching [[cosineFast]], and keeping a handful of
+    * empty embeddings from killing a corpus-wide job. */
   def cosine(a: Column, b: Column): Column =
-    round(dot(a, b) / (norm(a) * norm(b)), 6)
+    round(try_divide(dot(a, b), norm(a) * norm(b)), 6)
 
   /** Codegen'd cosine: the custom Catalyst expression
     * [[graft.functions.CosineSimilarity]] (fused primitive loop inside

@@ -76,15 +76,22 @@ object Sketches {
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
-  /** (estimate, exact) distinct count of `valueCol` — single row. The
-    * exact twin rides along for calibration/monitoring. */
-  def kmvDistinct(df: org.apache.spark.sql.DataFrame, valueCol: String, k: Int)
-      : org.apache.spark.sql.DataFrame = {
+  /** Estimated distinct count of `valueCol` — single row. The default
+    * path is SKETCH-ONLY: one bounded-state aggregation, no distinct
+    * shuffle. `calibrate = true` additionally computes the exact
+    * `count_distinct` twin (a second scan + full dedup exchange — the
+    * cost the sketch exists to avoid) for accuracy monitoring; keep it
+    * off on the production path. */
+  def kmvDistinct(
+      df: org.apache.spark.sql.DataFrame, valueCol: String, k: Int,
+      calibrate: Boolean = false): org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val est = df.select(unitHash(col(valueCol)).as("h")).as[Double]
       .select(KMinValues(k).toColumn.name("est_raw"))
       .select(round(col("est_raw"), 6).as("est_distinct"))
-    est.crossJoin(df.agg(count_distinct(col(valueCol)).as("exact_distinct")))
+    if (calibrate)
+      est.crossJoin(df.agg(count_distinct(col(valueCol)).as("exact_distinct")))
+    else est
   }
 }

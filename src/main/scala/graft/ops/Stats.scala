@@ -23,7 +23,14 @@ object Stats {
 
   /** Per-group exact percentiles of `valueCol` (linear interpolation,
     * results rounded to 6 decimals). Output: group cols + one
-    * `p<percent>` column per requested fraction + `n_rows`. */
+    * `p<percent>` column per requested fraction + `n_rows`.
+    *
+    * Null values of `valueCol` are EXCLUDED (the SQL-aggregate
+    * convention, and what DuckDB's `quantile_cont` does). Without the
+    * filter, Spark's `asc` window order puts nulls FIRST — they'd take
+    * ranks 1..m AND count toward `n`, shifting every percentile (and
+    * diverging from engines that order nulls last). `n_rows` counts
+    * non-null values only. */
   def exactPercentiles(
       df: DataFrame,
       groupCols: Seq[String],
@@ -33,6 +40,7 @@ object Stats {
     val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__v").asc)
     val ranked = df
       .select(groupCols.map(col) :+ col(valueCol).cast("double").as("__v"): _*)
+      .filter(col("__v").isNotNull)
       .withColumn("__rn", row_number().over(w))
       .withColumn("__n", count(lit(1)).over(Window.partitionBy(groupCols.map(col): _*)))
     val aggs = ps.flatMap { p =>

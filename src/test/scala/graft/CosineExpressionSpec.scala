@@ -50,6 +50,30 @@ class CosineExpressionSpec extends AnyFunSuite {
     assert(withNullElem(0).isNullAt(0))
   }
 
+  test("degenerate inputs match the HOF twin: zero-norm and length mismatch -> null") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (Seq(0.0f, 0.0f), Seq(1.0f, 2.0f)), // zero-norm left
+      (Seq(1.0f, 2.0f), Seq(0.0f, 0.0f)), // zero-norm right
+      (Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f)), // length mismatch
+      (Seq(1.0f, 2.0f), Seq(1.0f, 2.0f)) // sane control row
+    ).toDF("a", "b")
+    val out = df.select(
+      Similarity.cosine(col("a"), col("b")).as("hof"),
+      Similarity.cosineFast(spark, col("a"), col("b")).as("fast")).collect()
+    // HOF: Divide-by-zero -> null; zip_with pads short side with null -> null
+    assert(out(0).isNullAt(0) && out(0).isNullAt(1))
+    assert(out(1).isNullAt(0) && out(1).isNullAt(1))
+    assert(out(2).isNullAt(0) && out(2).isNullAt(1))
+    assert(!out(3).isNullAt(1) && out(3).getDouble(0) == out(3).getDouble(1))
+    // interpreted path agrees on the degenerate cases too
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    def lit(xs: Float*) = Literal.create(xs.toArray, ArrayType(FloatType))
+    assert(graft.functions.CosineSimilarity(lit(0f, 0f), lit(1f, 2f)).eval(null) == null)
+    assert(graft.functions.CosineSimilarity(lit(1f, 2f, 3f), lit(1f, 2f)).eval(null) == null)
+  }
+
   test("interpreted eval path agrees with codegen path") {
     // force the interpreted path by evaluating the expression directly
     val e = graft.functions.CosineSimilarity(

@@ -111,6 +111,27 @@ class DedupSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("components: pointer doubling resolves a long chain in O(log n) rounds") {
+    // a 200-long chain has diameter 199 — plain min-label propagation
+    // would need 199 rounds; pointer doubling must finish well under the
+    // default maxIter = 20 (≈ log2(200) + slack)
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.components(chain).as[(Long, Long)].collect().toMap
+    assert(out.size == 200 && out.values.forall(_ == 0L))
+  }
+
+  test("components: non-strict mode returns best-effort labels instead of throwing") {
+    val chain = (0L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    // maxIter too small to converge: strict throws, lenient degrades
+    intercept[IllegalStateException](
+      Dedup.components(chain, maxIter = 2, strict = true).collect())
+    val best = Dedup.components(chain, maxIter = 2, strict = false)
+      .as[(Long, Long)].collect().toMap
+    assert(best.size == 65)
+    // labels only ever decrease toward the component min
+    assert(best.forall { case (id, label) => label <= id })
+  }
+
   test("components of verified near-dups: keepers are cluster minima, members clustered together") {
     val pairs = Dedup.verifiedNearDups(corpus, "text", "doc_id", 0.5)
     val comp = Dedup.components(pairs.select("id_a", "id_b"))

@@ -74,6 +74,21 @@ class RangesSpec extends AnyFunSuite {
     }
   }
 
+  test("inverted interval (end <= start) matches nothing instead of exploding") {
+    val points = Seq((1L, ts(150), 1L)).toDF("k", "ts", "event_id")
+    val intervals = Seq(
+      // end WAY before start: sequence(b0, b1) would be a huge DESCENDING
+      // bucket array without the guard
+      (1L, ts(100000000), ts(0), 10L),
+      (1L, ts(100), ts(100), 11L), // empty interval
+      (1L, ts(100), ts(200), 12L)) // sane control
+      .toDF("k", "start_ts", "end_ts", "iv")
+    val out = Ranges.rangeJoin(points, intervals, Seq("k"), "ts",
+      "start_ts", "end_ts", bucketWidthSeconds = 3600)
+      .select("event_id", "iv").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 12L)))
+  }
+
   test("no nested-loop join in the bucketed plan") {
     val points = Seq((1L, ts(100), 1L)).toDF("k", "ts", "event_id")
     val intervals = Seq((1L, ts(50), ts(150), 10L)).toDF("k", "start_ts", "end_ts", "iv")

@@ -37,6 +37,16 @@ class SamplingSpec extends AnyFunSuite {
     assert(overlap > 0.3 && overlap < 0.7, s"independent-ish overlap, got $overlap")
   }
 
+  test("last bucket is unbounded above (covering even when cum sum < 1 or hash == 1)") {
+    // the final split must filter only on the lower fence — a `pos < hi`
+    // upper fence would silently drop keys hashing into [cum_last, 1]
+    val splits = Sampling.hashSplit(docs, "doc_id", Seq(0.8, 0.1, 0.1), "s1")
+    val lastPlan = splits.last.queryExecution.analyzed.toString
+    assert(!lastPlan.contains("<"), s"last bucket must have no upper bound:\n$lastPlan")
+    // non-last buckets keep both fences (disjointness)
+    assert(splits.head.queryExecution.analyzed.toString.contains("<"))
+  }
+
   test("hashSplit rejects weights that do not sum to 1") {
     intercept[IllegalArgumentException](
       Sampling.hashSplit(docs, "doc_id", Seq(0.5, 0.2), "s"))

@@ -28,19 +28,33 @@ class SketchesSpec extends AnyFunSuite {
 
   test("kmvDistinct estimates within 20% of exact on real data, and is deterministic") {
     val orders = TestSpark.table("orders")
-    val r1 = Sketches.kmvDistinct(orders, "o_custkey", 64).collect()(0)
+    val r1 = Sketches.kmvDistinct(orders, "o_custkey", 64, calibrate = true).collect()(0)
     val est = r1.getDouble(0)
     val exact = r1.getLong(1)
     assert(exact > 64, "fixture must exercise the estimation path")
     assert(math.abs(est - exact) / exact < 0.2, s"est=$est exact=$exact")
-    val r2 = Sketches.kmvDistinct(orders, "o_custkey", 64).collect()(0)
+    val r2 = Sketches.kmvDistinct(orders, "o_custkey", 64, calibrate = true).collect()(0)
     assert(r1 == r2)
   }
 
   test("kmvDistinct is exact when cardinality < k") {
     val df = Seq.tabulate(50)(i => i % 10).toDF("v")
-    val r = Sketches.kmvDistinct(df, "v", 256).collect()(0)
+    val r = Sketches.kmvDistinct(df, "v", 256, calibrate = true).collect()(0)
     assert(r.getDouble(0) == 10.0)
     assert(r.getLong(1) == 10L)
+  }
+
+  test("default (production) path is sketch-only: one aggregate, no distinct shuffle") {
+    val orders = TestSpark.table("orders")
+    val df = Sketches.kmvDistinct(orders, "o_custkey", 64)
+    assert(df.columns.toSeq == Seq("est_distinct"))
+    val plan = df.queryExecution.executedPlan.toString
+    // the exact twin would show up as a count(distinct ...) aggregate and
+    // a second join — the sketch-only plan has neither
+    assert(!plan.toLowerCase.contains("count(distinct"), plan)
+    assert(!plan.contains("Join"), plan)
+    val est = df.collect()(0).getDouble(0)
+    val exact = orders.select(count_distinct(col("o_custkey"))).collect()(0).getLong(0)
+    assert(math.abs(est - exact) / exact < 0.2)
   }
 }

@@ -48,6 +48,16 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("null values are excluded from percentiles and n_rows") {
+    val df = Seq(("a", Some(1)), ("a", None), ("a", Some(3)), ("a", None))
+      .toDF("g", "v")
+    val out = Stats.exactPercentiles(df, Seq("g"), "v", Seq(0.5))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    // nulls neither rank (which would select/shift order statistics) nor
+    // count toward n — median of {1, 3} is 2
+    assert(out("a") == ((2.0, 2L)))
+  }
+
   test("single shuffle: window and final aggregation share the group partitioning") {
     val df = TestSpark.table("documents")
       .selectExpr("lang", "size(split(text, ' ')) AS n")
