@@ -476,6 +476,21 @@ object SparkEntry {
         .select(col("l_returnflag"), col("n_items"),
           col("sum_qty_dec").cast("double").as("sum_qty"), col("max_price"))),
 
+    // ---- production-kernel twins of q16/q31: identical plan shape with
+    //      the xxhash64 kernel swapped in for md5 (Dedup.Xx64). No SQL
+    //      oracle (DuckDB has no xxhash64) → driver records a rows-only
+    //      check; pair-set parity with the md5 kernel is asserted in
+    //      DedupSpec, and the bench rows quantify the kernel speedup.
+    "q40_neardup_pairs_xx64" -> ((s, dir) =>
+      Dedup.verifiedNearDups(
+        T(s, dir, "documents"), "text", "doc_id", threshold = 0.8,
+        kind = Dedup.Xx64)),
+
+    "q41_simhash_pairs_xx64" -> ((s, dir) =>
+      Dedup.simhashNearDups(
+        T(s, dir, "documents"), "text", "doc_id",
+        bits = 32, blocks = 4, maxHamming = 3, kind = Dedup.Xx64)),
+
     // ---- S1: page-partitioned bounded source (DataSourceV2) — pages
     //      fetched in parallel, per-page retry inside the reader
     "q28_paged_source" -> ((s, dir) => {

@@ -90,6 +90,13 @@ object TextOps {
     * normalization. */
   def fingerprint(c: Column): Column = md5(lower(trim(c)))
 
+  /** Production fingerprint: xxhash64 of the same normalization — no
+    * cryptographic rounds, no hex materialization; equality semantics
+    * identical for exact-dup grouping (64-bit collision odds are
+    * negligible below ~10⁹ docs; use [[fingerprint]] when cross-engine
+    * reproducibility matters more than scan speed). */
+  def fingerprintFast(c: Column): Column = xxhash64(lower(trim(c)))
+
   /** N-word shingles (the MinHash input): overlapping n-grams of the
     * token array, joined with single spaces. */
   def wordShingles(c: Column, n: Int): Column = {

@@ -144,6 +144,41 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("Xx64 kernel: verified pair sets identical to Md5 on the fixture corpus") {
+    // verification is hash-free (exact shingle joins) — the kernel only
+    // moves candidate recall, and on this corpus both kernels' LSH
+    // catches every true pair, so jaccard values must agree to the bit
+    val md5Pairs = Dedup.verifiedNearDups(corpus, "text", "doc_id", 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val xxPairs = Dedup.verifiedNearDups(corpus, "text", "doc_id", 0.5,
+      kind = Dedup.Xx64)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(md5Pairs == xxPairs)
+    assert(xxPairs.nonEmpty)
+  }
+
+  test("Xx64 kernel on the real documents table: same verified pairs as Md5") {
+    val docs = TestSpark.table("documents")
+    val md5Pairs = Dedup.verifiedNearDups(docs, "text", "doc_id", 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    val xxPairs = Dedup.verifiedNearDups(docs, "text", "doc_id", 0.8,
+      kind = Dedup.Xx64)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(md5Pairs == xxPairs)
+    assert(xxPairs.nonEmpty)
+  }
+
+  test("Xx64 simhash: exact dups collide at hamming 0; base stays in [0, P)") {
+    val out = Dedup.simhashNearDups(corpus, "text", "doc_id",
+      bits = 32, blocks = 4, maxHamming = 3, kind = Dedup.Xx64)
+      .as[(Long, Long, Long)].collect()
+    assert(out.exists { case (a, b, h) => a == 3L && b == 4L && h == 0L })
+    // xx64 base hash respects the universal-hash precondition base < P
+    val bases = corpus
+      .select(Dedup.Xx64.base(col("text")).as("b")).as[Long].collect()
+    assert(bases.forall(b => b >= 0 && b < PortableSql.minhashP))
+  }
+
   test("hammingHex: exact distances on known hex strings") {
     val df = Seq(
       ("0000", "0000", 0L),
