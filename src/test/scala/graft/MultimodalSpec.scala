@@ -46,8 +46,46 @@ class MultimodalSpec extends AnyFunSuite {
       val expected = md.digest(r.payload).map("%02x".format(_)).mkString
       assert(f.checksum == expected)
       assert(f.feature.length == 8)
+      // demo payloads are utf-8 text, not decodable images → stub path
+      assert(!f.decoded && f.width == -1 && f.height == -1)
       assert(f.feature.toSeq == Multimodal.stubDecode(r.payload, 8).toSeq)
     }
+  }
+
+  /** Render a real PNG in memory: `w`×`h`, left half black, right half
+    * white. */
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (x < w / 2) 0x000000 else 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("real image decode: PNG payloads yield true dimensions and luminance histogram") {
+    val png = pngBytes(40, 20)
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, "image", png, png.length.toLong, 0, 0, 0L),
+      Multimodal.MediaRecord(2L, "image", "not an image".getBytes("UTF-8"), 12L, 0, 0, 0L),
+      Multimodal.MediaRecord(3L, "audio", png, png.length.toLong, 0, 0, 0L))
+      .toDS()
+    val out = Multimodal.decodeFeatures(recs, dims = 8).collect()
+      .map(f => f.media_id -> f).toMap
+    // real decode: true raster dims, histogram = half darkest + half brightest bucket
+    val f1 = out(1L)
+    assert(f1.decoded && f1.width == 40 && f1.height == 20)
+    assert(f1.feature(0) == 0.5 && f1.feature(7) == 0.5)
+    assert(f1.feature.sum == 1.0)
+    // garbage bytes under the image kind degrade to the stub, never throw
+    assert(!out(2L).decoded && out(2L).width == -1)
+    // audio kind never routes through the image decoder, even for decodable bytes
+    assert(!out(3L).decoded)
+    // direct kernel check too
+    val Some((w, h, hist)) = Multimodal.decodeImage(pngBytes(16, 16), 4)
+    assert(w == 16 && h == 16 && hist.sum == 1.0)
+    assert(Multimodal.decodeImage(Array[Byte](1, 2, 3)) == None)
   }
 
   test("sampleFrames: one row per sampled frame for video, passthrough otherwise") {
