@@ -28,8 +28,16 @@ import org.apache.spark.unsafe.types.UTF8String
  *  - per-page retry with exponential backoff lives INSIDE the partition
  *    reader, mirroring per-request retry (`:43-50`), with Spark task
  *    retry as the outer safety net;
- *  - the page count is planned from a cheap driver-side size probe (the
- *    HEAD-request analog); `maxPages` caps it like the reference config
+ *  - planning is O(1) in the file size: a `Files.size` metadata probe
+ *    (the HEAD-request analog) plus ONE bounded `probeBytes` read
+ *    (default 64 KB) to estimate lines-per-byte — never a full-file
+ *    line count, which would make the DRIVER read 100 TB before the
+ *    first task launches. The estimate only steers parallelism; the
+ *    LAST planned partition is a tail SWEEPER that keeps fetching
+ *    consecutive pages until a short page (the stop-on-empty rule), so
+ *    an under-estimate degrades to a longer final task instead of lost
+ *    rows, and an over-estimate costs a few empty fetches. `maxPages`
+ *    caps both, like the reference config
  *    (`configs/breweries_ingestion_pipeline.yml:36`).
  *
  * Output schema: `(page int, line_no long, value string)` — raw page
@@ -62,6 +70,45 @@ object PagedJsonlSource {
     * keyed by (path, page); JVM-local, which is exactly the scope a
     * local[] test runs in. */
   private[graft] val fetchAttempts = new ConcurrentHashMap[(String, Int), Integer]()
+
+  /**
+   * Estimate the page count from `fileBytes` and a SINGLE bounded read
+   * of at most `probeBytes` from the head of the stream: average bytes
+   * per line over the sample's complete lines, extrapolated to the full
+   * size. Reads nothing else — planning cost is independent of file
+   * size (asserted by PagedSourceSpec with a counting stream). The
+   * estimate is allowed to be wrong in either direction: the tail
+   * sweeper guarantees coverage, empty fetches guarantee termination.
+   */
+  private[graft] def estimatePages(
+      in: java.io.InputStream, fileBytes: Long, pageSize: Int,
+      probeBytes: Int = 65536): Int = {
+    if (fileBytes <= 0) return 0
+    val buf = new Array[Byte](probeBytes)
+    var read = 0
+    var n = in.read(buf, 0, probeBytes)
+    while (n > 0 && read + n < probeBytes) {
+      read += n
+      n = in.read(buf, read, probeBytes - read)
+    }
+    if (n > 0) read += n
+    var lastNl = -1
+    var newlines = 0
+    var i = 0
+    while (i < read) {
+      if (buf(i) == '\n') { newlines += 1; lastNl = i }
+      i += 1
+    }
+    // complete lines in the sample span [0, lastNl]; a sample with no
+    // newline means lines outrun the probe — fall back to one line per
+    // probe window (the sweeper absorbs the error either way)
+    val avgLineBytes =
+      if (newlines == 0) read.toDouble.max(1.0)
+      else (lastNl + 1).toDouble / newlines
+    val estLines = math.ceil(fileBytes / avgLineBytes).toLong
+    math.max(1L, math.ceil(estLines.toDouble / pageSize).toLong)
+      .min(Int.MaxValue.toLong).toInt
+  }
 }
 
 final class PagedTable(props: Map[String, String]) extends Table with SupportsRead {
@@ -87,17 +134,27 @@ final class PagedScan(opts: Map[String, String]) extends Scan with Batch {
   override def readSchema(): StructType = PagedJsonlSource.schema
   override def toBatch: Batch = this
 
-  /** Driver-side "HEAD request": line count → page count. Stop-on-empty
-    * becomes a planning decision (bounded source), `maxPages` caps it. */
+  /** Driver-side "HEAD request": byte-size metadata probe + one bounded
+    * sample read → page-count ESTIMATE. O(1) in the file size. The last
+    * partition sweeps the tail, so the estimate never loses rows;
+    * `maxPages` caps the sweep like the reference config. */
   override def planInputPartitions(): Array[InputPartition] = {
-    val lineCount = {
-      val s = java.nio.file.Files.lines(java.nio.file.Paths.get(path))
-      try s.count() finally s.close()
-    }
-    val pages = math.ceil(lineCount.toDouble / pageSize).toInt
-    val planned = maxPages.fold(pages)(math.min(pages, _))
+    val jpath = java.nio.file.Paths.get(path)
+    val fileBytes = java.nio.file.Files.size(jpath)
+    val probeBytes = opts.getOrElse("probeBytes", "65536").toInt
+    val est =
+      if (fileBytes == 0) 0
+      else {
+        val in = java.nio.file.Files.newInputStream(jpath)
+        try PagedJsonlSource.estimatePages(in, fileBytes, pageSize, probeBytes)
+        finally in.close()
+      }
+    val planned = maxPages.fold(est)(math.min(est, _))
+    val sweepUntil = maxPages.getOrElse(Int.MaxValue)
     (0 until planned).map(p => PagedPartition(
       path, p, pageSize,
+      // only the final partition sweeps past its own page
+      sweepUntil = if (p == planned - 1) sweepUntil else p + 1,
       failEvery = opts.get("simulateTransientFailEvery").map(_.toInt).getOrElse(0),
       retries = opts.getOrElse("retries", "3").toInt,
       retryDelayMs = opts.getOrElse("retryDelayMs", "10").toLong): InputPartition).toArray
@@ -110,10 +167,16 @@ final class PagedScan(opts: Map[String, String]) extends Scan with Batch {
     }
 }
 
+/** `page` is the FIRST page this partition fetches; it keeps fetching
+  * consecutive pages while `nextPage < sweepUntil` and the previous
+  * page came back full (a short page means end-of-data — the
+  * stop-on-empty rule). Non-sweeper partitions have
+  * `sweepUntil = page + 1`, i.e. exactly one page. */
 final case class PagedPartition(
     path: String,
     page: Int,
     pageSize: Int,
+    sweepUntil: Int,
     failEvery: Int,
     retries: Int,
     retryDelayMs: Long) extends InputPartition
@@ -122,27 +185,29 @@ final class PagedReader(p: PagedPartition) extends PartitionReader[InternalRow] 
 
   /** One page fetch. The test hook throws a transient error on the
     * FIRST attempt of every `failEvery`-th page — the analog of a 429 /
-    * connection reset. */
-  private def fetchPage(): Vector[String] = {
-    if (p.failEvery > 0 && p.page % p.failEvery == 0) {
+    * connection reset. NOTE the line-skip is the local-fixture stand-in
+    * for the SERVER's offset seek: in a real paginated API, fetching
+    * page p is one request regardless of p. */
+  private def fetchPage(page: Int): Vector[String] = {
+    if (p.failEvery > 0 && page % p.failEvery == 0) {
       val attempts = PagedJsonlSource.fetchAttempts
-        .merge((p.path, p.page), 1, (a, b) => a + b)
+        .merge((p.path, page), 1, (a, b) => a + b)
       if (attempts == 1)
-        throw new java.io.IOException(s"simulated transient fetch error, page ${p.page}")
+        throw new java.io.IOException(s"simulated transient fetch error, page $page")
     }
     val s = java.nio.file.Files.lines(java.nio.file.Paths.get(p.path))
-    try s.skip(p.page.toLong * p.pageSize).limit(p.pageSize)
+    try s.skip(page.toLong * p.pageSize).limit(p.pageSize)
       .iterator().asScala.toVector
     finally s.close()
   }
 
   /** Reference retry loop (`breweries_fetch_bronze_notebook.py:43-50`):
     * exponential backoff on transient errors, give up after `retries`. */
-  private def fetchWithRetry(): Vector[String] = {
+  private def fetchWithRetry(page: Int): Vector[String] = {
     var attempt = 0
     var delay = p.retryDelayMs
     while (true) {
-      try return fetchPage()
+      try return fetchPage(page)
       catch {
         case e: java.io.IOException if attempt < p.retries =>
           attempt += 1
@@ -153,15 +218,26 @@ final class PagedReader(p: PagedPartition) extends PartitionReader[InternalRow] 
     sys.error("unreachable")
   }
 
-  private val lines = fetchWithRetry()
+  private var curPage = p.page
+  private var lines = fetchWithRetry(curPage)
   private var idx = -1
 
-  override def next(): Boolean = { idx += 1; idx < lines.length }
+  override def next(): Boolean = {
+    idx += 1
+    if (idx < lines.length) true
+    else if (lines.length == p.pageSize && curPage + 1 < p.sweepUntil) {
+      // page came back full — there may be more data; sweep forward
+      curPage += 1
+      lines = fetchWithRetry(curPage)
+      idx = 0
+      idx < lines.length
+    } else false
+  }
 
   override def get(): InternalRow =
     InternalRow(
-      p.page,
-      p.page.toLong * p.pageSize + idx,
+      curPage,
+      curPage.toLong * p.pageSize + idx,
       UTF8String.fromString(lines(idx)))
 
   override def close(): Unit = ()

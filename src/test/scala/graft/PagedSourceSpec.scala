@@ -73,6 +73,64 @@ class PagedSourceSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("simulated transient fetch error")))
   }
 
+  test("planning I/O is bounded: estimatePages reads at most probeBytes of a huge stream") {
+    // a synthetic 10 GB "file" that would take minutes to line-count;
+    // the counting stream proves planning touches only the probe window
+    val line = """{"id": 123456789}""" + "\n"
+    val lineBytes = line.getBytes("UTF-8")
+    val fileBytes = 10L * 1024 * 1024 * 1024
+    var served = 0L
+    val endless = new java.io.InputStream {
+      override def read(): Int = {
+        val b = lineBytes((served % lineBytes.length).toInt)
+        served += 1
+        b & 0xff
+      }
+    }
+    val probe = 65536
+    val est = PagedJsonlSource.estimatePages(endless, fileBytes, pageSize = 100, probe)
+    assert(served <= probe, s"planning read $served bytes (probe window $probe)")
+    val actualLines = fileBytes.toDouble / lineBytes.length
+    val actualPages = math.ceil(actualLines / 100).toLong
+    assert(math.abs(est - actualPages).toDouble / actualPages < 0.01,
+      s"est $est vs actual $actualPages")
+  }
+
+  test("under-estimated planning never loses rows: the tail sweeper reads to end-of-data") {
+    // long head lines + tiny probe → the sample over-estimates bytes/line
+    // → too FEW pages planned → the last partition must sweep the tail
+    val dir = TestSpark.tmpDir("paged_sweep")
+    val f = new java.io.File(dir, "data.jsonl")
+    val w = new java.io.PrintWriter(f)
+    try {
+      (0 until 5).foreach(i => w.println(s"""{"id": $i, "pad": "${"x" * 200}"}"""))
+      (5 until 200).foreach(i => w.println(s"""{"id": $i}"""))
+    } finally w.close()
+    val df = paged(f.getPath, "probeBytes" -> "256")
+    assert(df.rdd.getNumPartitions < 20, "mis-estimate plans fewer partitions than pages")
+    assert(df.count() == 200, "sweeper must recover the unplanned tail pages")
+    // page ids stay line-index-based, identical to exact planning
+    val perPage = df.groupBy("page").count().as[(Int, Long)].collect().toMap
+    assert(perPage.size == 20 && (0 to 19).forall(perPage(_) == 10))
+  }
+
+  test("over-estimated planning stays correct: empty pages vanish from the output") {
+    // tiny head lines + long tail → too MANY pages planned; readers past
+    // end-of-data fetch empty and emit nothing
+    val dir = TestSpark.tmpDir("paged_over")
+    val f = new java.io.File(dir, "data.jsonl")
+    val w = new java.io.PrintWriter(f)
+    try {
+      (0 until 20).foreach(i => w.println(s"""{"id": $i}"""))
+      (20 until 95).foreach(i => w.println(s"""{"id": $i, "pad": "${"y" * 120}"}"""))
+    } finally w.close()
+    val df = paged(f.getPath, "probeBytes" -> "200")
+    assert(df.rdd.getNumPartitions > 10, "mis-estimate plans more partitions than pages")
+    assert(df.count() == 95)
+    assert(df.select(countDistinct(col("page"))).as[Long].collect()(0) == 10,
+      "non-empty page ids = ceil(rows/pageSize), as with exact planning")
+  }
+
   test("filters on the page column work downstream") {
     val path = writeFixture(50)
     val one = paged(path).filter(col("page") === 2)
