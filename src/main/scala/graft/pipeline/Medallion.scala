@@ -130,7 +130,9 @@ object Medallion {
   }
 
   /** Assemble and run; returns the report plus the gold path for
-    * downstream reads. */
+    * downstream reads. `onStageFailure` is the pluggable alerting seam
+    * (reference `src/libs/alerts.py:30-87` minus egress) — see
+    * [[Runner.run]]. */
   def run(
       spark: SparkSession,
       conf: PipelineConf,
@@ -139,9 +141,11 @@ object Medallion {
       baseDir: String,
       runId: String,
       transformationDate: String,
-      clean: CleanSpec): (Runner.PipelineReport, String) = {
+      clean: CleanSpec,
+      onStageFailure: Runner.StageResult => Unit = _ => ()): (Runner.PipelineReport, String) = {
     val report = Runner.run(spark,
-      stages(conf, meta, source, baseDir, runId, transformationDate, clean))
+      stages(conf, meta, source, baseDir, runId, transformationDate, clean),
+      onStageFailure = onStageFailure)
     (report, s"$baseDir/gold")
   }
 }

@@ -69,8 +69,21 @@ object Runner {
   }
 
   /** Run stages sequentially; stop at the first exhausted-retries
-    * failure (downstream stages depend on upstream outputs). */
-  def run(spark: SparkSession, stages: Seq[Stage], sleep: Long => Unit = Thread.sleep)
+    * failure (downstream stages depend on upstream outputs).
+    *
+    * `onStageFailure` is the alerting surface (O6): the engine-native
+    * seam for the reference's failure callbacks
+    * (`src/libs/alerts.py:30-87` email + Prometheus counters) — this
+    * sandbox has no egress, so the default is a no-op and callers plug
+    * in their transport (mail, pager, metrics push). It fires once per
+    * FINAL stage failure, after retries are exhausted, with the
+    * complete StageResult. A throwing alert hook is swallowed: failure
+    * REPORTING must never change pipeline control flow. */
+  def run(
+      spark: SparkSession,
+      stages: Seq[Stage],
+      sleep: Long => Unit = Thread.sleep,
+      onStageFailure: StageResult => Unit = _ => ())
       : PipelineReport = {
     val results = Seq.newBuilder[StageResult]
     var halted = false
@@ -90,9 +103,11 @@ object Runner {
               sleep(delay)
               delay = (delay * st.backoff).toLong
             case Failure(e) =>
-              result = Some(StageResult(
+              val failed = StageResult(
                 st.id, Failed(Option(e.getMessage).getOrElse(e.getClass.getName)),
-                attempt, (System.nanoTime() - t0) / 1000000, Map.empty))
+                attempt, (System.nanoTime() - t0) / 1000000, Map.empty)
+              Try(onStageFailure(failed)) // alerting must never alter control flow
+              result = Some(failed)
               halted = true
           }
         }

@@ -100,12 +100,16 @@ class MedallionSpec extends AnyFunSuite {
     val badConf = PipelineConfig.parse(confYaml.replace(
       "type: \"greater_than_zero\"",
       "type: \"expr\"\n        condition: \"total_customers > 1000000\""))
+    var alerted = List.empty[graft.pipeline.Runner.StageResult]
     val (report, _) = Medallion.run(
       spark, badConf, PipelineConfig.parseMetadata(metaYaml),
       source = sp => sp.read.parquet(s"${TestSpark.sfDir}/customer.parquet"),
       baseDir = base, runId = "20251015", transformationDate = "2025-10-15",
-      clean = cleanSpec)
+      clean = cleanSpec,
+      onStageFailure = r => alerted ::= r)
     assert(!report.succeeded)
+    // the O6 alerting seam fires for the failed stage
+    assert(alerted.map(_.id) == List("validate_gold_quality"))
     val qr = report.results.last
     assert(qr.id == "validate_gold_quality")
     qr.status match {

@@ -51,6 +51,45 @@ class RunnerSpec extends AnyFunSuite {
     assert(report.results(0).attempts == 2)
   }
 
+  test("onStageFailure fires once per FINAL failure with the full StageResult") {
+    var alerts = List.empty[Runner.StageResult]
+    val report = Runner.run(spark, Seq(
+      Stage("ok", _ => Map("n" -> 1L)),
+      Stage("flaky_dies", _ => sys.error("boom"), retries = 2, retryDelayMs = 1)),
+      sleep = _ => (),
+      onStageFailure = r => alerts ::= r)
+    assert(!report.succeeded)
+    // retried 3 attempts, but ONE alert, after retries were exhausted
+    assert(alerts.length == 1)
+    assert(alerts.head.id == "flaky_dies" && alerts.head.attempts == 3)
+    alerts.head.status match {
+      case Failed(msg) => assert(msg.contains("boom"))
+      case Succeeded   => fail("alert must carry the failure status")
+    }
+  }
+
+  test("a throwing alert hook never alters pipeline control flow") {
+    val report = Runner.run(spark, Seq(
+      Stage("dies", _ => sys.error("real failure")),
+      Stage("after", _ => Map.empty)),
+      sleep = _ => (),
+      onStageFailure = _ => sys.error("alert transport down"))
+    // the REAL failure is still reported; the hook's own crash is swallowed
+    assert(!report.succeeded)
+    assert(report.results.length == 1)
+    report.results(0).status match {
+      case Failed(msg) => assert(msg.contains("real failure"))
+      case Succeeded   => fail("expected failure")
+    }
+  }
+
+  test("no alert when every stage succeeds") {
+    var fired = false
+    val report = Runner.run(spark, Seq(Stage("ok", _ => Map.empty)),
+      sleep = _ => (), onStageFailure = _ => fired = true)
+    assert(report.succeeded && !fired)
+  }
+
   test("toJson escapes hostile stage ids, metric keys and error messages") {
     val report = Runner.run(spark, Seq(
       Stage("""sta"ge\one""", _ => Map("""k"ey""" -> 1L)),
