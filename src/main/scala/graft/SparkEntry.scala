@@ -440,6 +440,16 @@ object SparkEntry {
         groupCols = Seq("lang"), valueCol = "n_tokens",
         ps = Seq(0.5, 0.9, 0.99))),
 
+    // ---- 100 TB twin of q38: one bounded GK sketch per group instead
+    //      of a full per-group rank sort. No SQL oracle (sketch
+    //      internals are engine-specific) → rows-only check; StatsSpec
+    //      pins the rank-error bound against exactPercentiles.
+    "q42_length_stats_approx" -> ((s, dir) =>
+      graft.ops.Stats.approxPercentiles(
+        T(s, dir, "documents").selectExpr("lang", "size(split(text, ' ')) AS n_tokens"),
+        groupCols = Seq("lang"), valueCol = "n_tokens",
+        ps = Seq(0.5, 0.9, 0.99))),
+
     // ---- deterministic hash split: train/val/test fences that are a
     //      pure function of the key (reproducible across runs/engines)
     "q37_hash_split" -> ((s, dir) => {

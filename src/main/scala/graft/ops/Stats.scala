@@ -62,6 +62,46 @@ object Stats {
     agged.select(outCols: _*)
   }
 
+  /**
+   * Approximate percentiles — the 100 TB twin of [[exactPercentiles]],
+   * same output shape (group cols + one `p<percent>` column per
+   * fraction + `n_rows`) so it's a drop-in swap.
+   *
+   * [[exactPercentiles]] ranks every row (a full per-group sort under
+   * the window) — exact, but at extreme group cardinalities the sort
+   * IS the job. This twin aggregates a bounded Greenwald-Khanna
+   * quantile sketch instead, via Spark's built-in `percentile_approx`:
+   * deliberately NOT a bespoke typed Aggregator, because the built-in
+   * is the same KLL/GK-family sketch already implemented as a
+   * partial-aggregating ImperativeAggregate (map-side partials, one
+   * exchange of fixed-size sketch state, ObjectHashAggregate) — a
+   * hand-rolled one would duplicate it with more risk and no plan
+   * advantage. One sketch per group serves ALL requested fractions.
+   *
+   * Guarantee: rank error ≤ n/`accuracy` per group (GK bound), exact
+   * when a group has ≤ `accuracy` rows. Nulls excluded, like the exact
+   * twin. Values are true order statistics (no interpolation), so
+   * approx and exact can differ by one sample even on small groups.
+   */
+  def approxPercentiles(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      ps: Seq[Double],
+      accuracy: Int = 10000): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1))
+    val v = col(valueCol).cast("double")
+    val agged = df
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        percentile_approx(v, array(ps.map(lit): _*), lit(accuracy)).as("__qs"),
+        count(v).as("n_rows"))
+    val outCols = groupCols.map(col) ++
+      ps.zipWithIndex.map { case (p, i) => col("__qs").getItem(i).as(pName(p)) } :+
+      col("n_rows")
+    agged.select(outCols: _*)
+  }
+
   /** `0.95` → `p95`, `0.5` → `p50`, `0.999` → `p99_9`. Goes through the
     * decimal STRING form of p — `0.9 * 100` in binary doubles is
     * 90.00000000000001, which would leak into the column name. */

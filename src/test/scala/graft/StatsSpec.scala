@@ -58,6 +58,55 @@ class StatsSpec extends AnyFunSuite {
     assert(out("a") == ((2.0, 2L)))
   }
 
+  test("approxPercentiles: exact when accuracy >= group size; same output shape") {
+    val df = TestSpark.table("documents")
+      .selectExpr("lang", "size(split(text, ' ')) AS n")
+    val approx = Stats.approxPercentiles(df, Seq("lang"), "n", Seq(0.5, 0.9), accuracy = 100000)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val exact = Stats.exactPercentiles(df, Seq("lang"), "n", Seq(0.5, 0.9))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (lang, a) =>
+      val e = exact(lang)
+      assert(a.getLong(3) == e.getLong(3), s"$lang n_rows")
+      // GK at accuracy >= n returns true order statistics; the exact twin
+      // interpolates between them, so approx must sit within one sample
+      // of the interpolated value on each side
+      for (i <- 1 to 2)
+        assert(math.abs(a.getDouble(i) - e.getDouble(i)) <= 1.0,
+          s"$lang p$i approx=${a.getDouble(i)} exact=${e.getDouble(i)}")
+    }
+  }
+
+  test("approxPercentiles: GK rank-error bound holds at coarse accuracy") {
+    val rnd = new scala.util.Random(7)
+    val data = Seq.tabulate(2000)(_ => ("g", rnd.nextInt(100000).toDouble))
+    val df = data.toDF("g", "v")
+    val accuracy = 20 // rank error <= n/accuracy = 100 ranks
+    val sorted = data.map(_._2).sorted.toIndexedSeq
+    val n = sorted.length
+    val out = Stats.approxPercentiles(df, Seq("g"), "v", Seq(0.5, 0.9), accuracy)
+      .collect()(0)
+    for ((p, i) <- Seq(0.5 -> 1, 0.9 -> 2)) {
+      val v = out.getDouble(i)
+      // rank of the returned value in the true sorted data
+      val rank = sorted.count(_ <= v)
+      assert(math.abs(rank - p * n) <= n.toDouble / accuracy + 1,
+        s"p=$p returned $v at rank $rank (target ${p * n})")
+    }
+  }
+
+  test("approxPercentiles plan: bounded sketch state, partial aggregation, no sort") {
+    val df = TestSpark.table("documents")
+      .selectExpr("lang", "size(split(text, ' ')) AS n")
+    val plan = Stats.approxPercentiles(df, Seq("lang"), "n", Seq(0.5, 0.99))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_percentile_approx"), s"map-side sketch partials:\n$plan")
+    assert(!plan.contains("Sort"), s"sketch path must not sort:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"one exchange of sketch state, got $exchanges")
+  }
+
   test("single shuffle: window and final aggregation share the group partitioning") {
     val df = TestSpark.table("documents")
       .selectExpr("lang", "size(split(text, ' ')) AS n")
