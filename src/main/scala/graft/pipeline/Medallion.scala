@@ -132,7 +132,9 @@ object Medallion {
   /** Assemble and run; returns the report plus the gold path for
     * downstream reads. `onStageFailure` is the pluggable alerting seam
     * (reference `src/libs/alerts.py:30-87` minus egress) — see
-    * [[Runner.run]]. */
+    * [[Runner.run]]. Every run (success or failure) is appended to the
+    * [[RunLog]] under `baseDir` — the persistent tracking analog of the
+    * reference's MLflow store (`src/libs/observability.py`). */
   def run(
       spark: SparkSession,
       conf: PipelineConf,
@@ -146,6 +148,7 @@ object Medallion {
     val report = Runner.run(spark,
       stages(conf, meta, source, baseDir, runId, transformationDate, clean),
       onStageFailure = onStageFailure)
+    RunLog.append(baseDir, conf.dagId, runId, transformationDate, report)
     (report, s"$baseDir/gold")
   }
 }

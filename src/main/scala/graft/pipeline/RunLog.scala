@@ -1,0 +1,70 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Persistent run tracking — the engine-native analog of the reference's
+ * MLflow run-per-stage store (`src/libs/observability.py:9-89`: one
+ * tracked run per stage with params, duration, row-count metrics and a
+ * SUCCESS/FAILED tag).
+ *
+ * Instead of an external tracking server, the store is an append-only
+ * JSONL file under the pipeline's own base dir — which makes run
+ * history just DATA: `history` reads it back with `spark.read.json`,
+ * so the same engine that ran the pipeline can aggregate over its runs
+ * (success rates, duration trends, per-stage metric drift) with the
+ * same operators it applies to any other table. A 100 TB deployment
+ * would point `append` at the object store next to the published
+ * layers; one small line per run keeps it driver-side.
+ *
+ * `recordedAt` is caller-provided (like `transformationDate`) so run
+ * records stay deterministic and replayable.
+ */
+object RunLog {
+
+  private def logPath(baseDir: String) = Paths.get(baseDir, "_runs", "log.jsonl")
+
+  /** Append one run record. Line shape:
+    * `{"run_id": …, "pipeline": …, "recorded_at": …, "succeeded": …,
+    *   "total_duration_ms": …, "stages": [<StageResult json>…]}`. */
+  def append(
+      baseDir: String,
+      pipeline: String,
+      runId: String,
+      recordedAt: String,
+      report: Runner.PipelineReport): Unit = {
+    val line =
+      s"""{"run_id": ${Runner.jsonStr(runId)}, "pipeline": ${Runner.jsonStr(pipeline)}, """ +
+        s""""recorded_at": ${Runner.jsonStr(recordedAt)}, "succeeded": ${report.succeeded}, """ +
+        s""""total_duration_ms": ${report.results.map(_.durationMs).sum}, """ +
+        s""""stages": ${report.toJsonLine}}"""
+    val p = logPath(baseDir)
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, line + "\n",
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+  }
+
+  /** The run history as a DataFrame (one row per recorded run, stages
+    * as a nested array) — query it like any other table. Empty schema
+    * if nothing was recorded yet. */
+  def history(spark: SparkSession, baseDir: String): DataFrame = {
+    val p = logPath(baseDir)
+    if (!Files.exists(p)) spark.emptyDataFrame
+    else spark.read.json(p.toString)
+  }
+
+  /** Most recent (max run_id) successful run, if any — the run-store
+    * twin of `Layers.latestSuccessfulRun`'s `_SUCCESS` scan. */
+  def lastSuccessful(spark: SparkSession, baseDir: String): Option[String] = {
+    val h = history(spark, baseDir)
+    if (!h.columns.contains("succeeded")) None
+    else h.filter(col("succeeded"))
+      .agg(max("run_id")).collect()(0).getAs[Any](0) match {
+        case null      => None
+        case s: String => Some(s)
+      }
+  }
+}

@@ -56,7 +56,9 @@ object Runner {
 
   final case class PipelineReport(results: Seq[StageResult]) {
     def succeeded: Boolean = results.forall(_.status == Succeeded)
-    def toJson: String = results.map { r =>
+
+    /** One stage as a single-line JSON object. */
+    def stageJson(r: StageResult): String = {
       val status = r.status match {
         case Succeeded => jsonStr("success")
         case Failed(e) => jsonStr(s"failed: $e")
@@ -65,7 +67,13 @@ object Runner {
         .map { case (k, v) => s"${jsonStr(k)}: $v" }.mkString("{", ", ", "}")
       s"""{"stage": ${jsonStr(r.id)}, "status": $status, "attempts": ${r.attempts}, """ +
         s""""duration_ms": ${r.durationMs}, "metrics": $ms}"""
-    }.mkString("[", ",\n ", "]")
+    }
+
+    def toJson: String = results.map(stageJson).mkString("[", ",\n ", "]")
+
+    /** Single-line stages array (JSONL-safe — raw newlines would break a
+      * line-per-record store like [[RunLog]]). */
+    def toJsonLine: String = results.map(stageJson).mkString("[", ", ", "]")
   }
 
   /** Run stages sequentially; stop at the first exhausted-retries

@@ -120,4 +120,36 @@ class MedallionSpec extends AnyFunSuite {
     assert(java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$base/quality/gold_report.json")))
   }
+
+  test("run log: every run is recorded, queryable as data, lastSuccessful resolves") {
+    import graft.pipeline.RunLog
+    val base = TestSpark.tmpDir("medallion_runlog")
+    def runOnce(runId: String, breakQuality: Boolean) = {
+      val conf = if (!breakQuality) PipelineConfig.parse(confYaml)
+        else PipelineConfig.parse(confYaml.replace(
+          "type: \"greater_than_zero\"",
+          "type: \"expr\"\n        condition: \"total_customers > 1000000\""))
+      Medallion.run(
+        spark, conf, PipelineConfig.parseMetadata(metaYaml),
+        source = sp => sp.read.parquet(s"${TestSpark.sfDir}/customer.parquet"),
+        baseDir = base, runId = runId, transformationDate = s"2025-10-$runId",
+        clean = cleanSpec)
+    }
+    runOnce("15", breakQuality = false)
+    runOnce("16", breakQuality = true) // recorded as failed
+    val h = RunLog.history(spark, base)
+    assert(h.count() == 2)
+    // run history is ordinary data: aggregate over it with the engine
+    import org.apache.spark.sql.functions._
+    val byOutcome = h.groupBy("succeeded").count()
+      .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    assert(byOutcome == Map(true -> 1L, false -> 1L))
+    // nested stage metrics survive the round-trip
+    val bronzeRows = h.filter(col("run_id") === "15")
+      .selectExpr("filter(stages, s -> s.stage = 'fetch_data_bronze')[0].metrics.rows_captured")
+      .collect()(0).getLong(0)
+    assert(bronzeRows > 0)
+    assert(RunLog.lastSuccessful(spark, base) == Some("15"))
+    assert(RunLog.lastSuccessful(spark, TestSpark.tmpDir("runlog_empty")) == None)
+  }
 }
