@@ -486,6 +486,30 @@ object SparkEntry {
         .select(col("l_returnflag"), col("n_items"),
           col("sum_qty_dec").cast("double").as("sum_qty"), col("max_price"))),
 
+    // ---- north-star text: Gopher-style repetition filter signal
+    "q43_repetition" -> ((s, dir) =>
+      T(s, dir, "documents").select(
+        col("doc_id"),
+        size(graft.ops.TextOps.wordShingles(col("text"), 3)).cast("long").as("n_grams"),
+        graft.ops.TextOps.duplicateShingleRatio(col("text"), 3).as("dup_ratio"))),
+
+    // ---- north-star text: PII/URL scrubbing. The fixture corpus has no
+    //      PII, so deterministic addresses are synthesized per doc INSIDE
+    //      the query — the oracle then genuinely checks cross-engine
+    //      regexp_replace/extract semantics, not a no-op.
+    "q44_scrub" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val enriched = concat(
+        col("text"), lit(" contact user"), id, lit("@mail.example.com or "),
+        lit("https://site.example/d/"), id, lit(" thanks"))
+      T(s, dir, "documents").select(
+        col("doc_id"),
+        length(enriched).cast("long").as("raw_len"),
+        length(graft.ops.TextOps.scrub(enriched)).cast("long").as("clean_len"),
+        graft.ops.TextOps.matchCount(enriched, graft.ops.TextOps.emailPattern).as("n_emails"),
+        graft.ops.TextOps.matchCount(enriched, graft.ops.TextOps.urlPattern).as("n_urls"))
+    }),
+
     // ---- production-kernel twins of q16/q31: identical plan shape with
     //      the xxhash64 kernel swapped in for md5 (Dedup.Xx64). No SQL
     //      oracle (DuckDB has no xxhash64) → driver records a rows-only
@@ -956,6 +980,30 @@ object SparkEntry {
          |SELECT CAST(window_start AS TIMESTAMP) AS window_start, event_type,
          |  count(*) AS n_events, ${dsum("value")} AS total_value
          |FROM w GROUP BY 1, 2""".stripMargin,
+
+    "q43_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |sh AS (SELECT doc_id, $duckShingles AS s FROM t)
+         |SELECT doc_id, len(s) AS n_grams,
+         |  round(1.0 - CAST(len(list_distinct(s)) AS DOUBLE) / CAST(len(s) AS DOUBLE), 6) AS dup_ratio
+         |FROM sh""".stripMargin,
+
+    "q44_scrub" -> {
+      // literal single backslashes survive DuckDB standard string
+      // literals; the Scala escapes below render e.g. `\.` verbatim
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val url = "https?://[^ ]+"
+      val enriched = "concat(text, ' contact user', CAST(doc_id AS VARCHAR), " +
+        "'@mail.example.com or ', 'https://site.example/d/', CAST(doc_id AS VARCHAR), ' thanks')"
+      s"""WITH e AS (SELECT doc_id, $enriched AS x FROM documents)
+         |SELECT doc_id,
+         |  CAST(length(x) AS BIGINT) AS raw_len,
+         |  CAST(length(regexp_replace(regexp_replace(x, '$url', '<scrubbed>', 'g'),
+         |    '$email', '<scrubbed>', 'g')) AS BIGINT) AS clean_len,
+         |  CAST(len(regexp_extract_all(x, '$email')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(x, '$url')) AS BIGINT) AS n_urls
+         |FROM e""".stripMargin
+    },
 
     "q29_ann_ivf" ->
       s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 16),

@@ -105,4 +105,36 @@ object TextOps {
       sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(1))),
       i => concat_ws(" ", slice(toks, i, lit(n))))
   }
+
+  /** Gopher-style repetition signal: the fraction of a document's
+    * n-gram occurrences that are repeats of an earlier n-gram —
+    * `1 − |distinct n-grams| / |n-grams|`. Boilerplate, SEO spam and
+    * looping generations score high; use as a quality-filter fence.
+    * Pure array arithmetic on the shingle list — scan speed, zero
+    * shuffles. */
+  def duplicateShingleRatio(c: Column, n: Int): Column = {
+    val sh = wordShingles(c, n)
+    round(
+      lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh).cast("double"),
+      6)
+  }
+
+  /** PII patterns, constrained to constructs with identical semantics
+    * in Java regex (Spark) and RE2 (DuckDB oracle): character classes,
+    * greedy `+`, bounded `{m,}`. */
+  val emailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val urlPattern: String = "https?://[^ ]+"
+
+  /** PII/URL scrubbing for training corpora: replaces every URL, then
+    * every email, with `token`. URLs go first so an address embedded in
+    * a query string is swallowed by the URL match. `regexp_replace` is
+    * codegen'd with a cached compiled pattern — scan speed. */
+  def scrub(c: Column, token: String = "<scrubbed>"): Column =
+    regexp_replace(
+      regexp_replace(c, urlPattern, token),
+      emailPattern, token)
+
+  /** Occurrences of a regex pattern (for scrub-rate reporting). */
+  def matchCount(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0))).cast("long")
 }

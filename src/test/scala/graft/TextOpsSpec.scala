@@ -87,4 +87,35 @@ class TextOpsSpec extends AnyFunSuite {
       .join(docs.select(col("doc_id"), TextOps.wordShingles(col("text"), 3).as("b")), "doc_id")
     assert(d.filter(col("a") =!= col("b")).count() == 0)
   }
+
+  test("duplicateShingleRatio: known values, 0 for unique text, high for loops") {
+    val df = Seq(
+      (1L, "a b c a b c"), // 4 shingles, 3 distinct -> 0.25
+      (2L, "w x y z"), // all distinct -> 0.0
+      (3L, "spam spam spam spam spam spam") // 4 shingles, 1 distinct -> 0.75
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+      TextOps.duplicateShingleRatio(col("text"), 3).as("r"))
+      .as[(Long, Double)].collect().toMap
+    assert(out(1L) == 0.25 && out(2L) == 0.0 && out(3L) == 0.75)
+  }
+
+  test("scrub removes emails and urls, counts report the matches") {
+    val df = Seq(
+      (1L, "reach bob.smith+x@sub.example.co or https://a.example/p?q=1&r=2 today"),
+      (2L, "no pii here at all"),
+      (3L, "https://one.example/x then two@ex.io and three.four@ex.org end")
+    ).toDF("doc_id", "text")
+    val out = df.select(
+      col("doc_id"),
+      TextOps.scrub(col("text")).as("clean"),
+      TextOps.matchCount(col("text"), TextOps.emailPattern).as("ne"),
+      TextOps.matchCount(col("text"), TextOps.urlPattern).as("nu"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L)._1 == "reach <scrubbed> or <scrubbed> today")
+    assert(out(1L)._2 == 1 && out(1L)._3 == 1)
+    assert(out(2L) == (("no pii here at all", 0L, 0L)))
+    assert(out(3L)._1 == "<scrubbed> then <scrubbed> and <scrubbed> end")
+    assert(out(3L)._2 == 2 && out(3L)._3 == 1)
+  }
 }
