@@ -510,6 +510,16 @@ object SparkEntry {
         graft.ops.TextOps.matchCount(enriched, graft.ops.TextOps.urlPattern).as("n_urls"))
     }),
 
+    // ---- north-star: batched model-scoring seam (mapPartitions,
+    //      per-partition model init, fixed micro-batches). The stub
+    //      model is pure integer arithmetic, so the oracle checks the
+    //      WHOLE seam end-to-end — swapping in a real model changes
+    //      only the scorer, not the plan.
+    "q45_model_score" -> ((s, dir) =>
+      graft.ops.Scoring.scoreDocs(
+        T(s, dir, "documents"), "doc_id", "text",
+        () => new graft.ops.Scoring.StubScorer, batchSize = 64)),
+
     // ---- production-kernel twins of q16/q31: identical plan shape with
     //      the xxhash64 kernel swapped in for md5 (Dedup.Xx64). No SQL
     //      oracle (DuckDB has no xxhash64) → driver records a rows-only
@@ -1004,6 +1014,11 @@ object SparkEntry {
          |  CAST(len(regexp_extract_all(x, '$url')) AS BIGINT) AS n_urls
          |FROM e""".stripMargin
     },
+
+    "q45_model_score" ->
+      """SELECT doc_id,
+        |  CAST((length(text) * 2654435761) % 1000003 AS DOUBLE) / 1000003.0 AS score
+        |FROM documents""".stripMargin,
 
     "q29_ann_ivf" ->
       s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 16),

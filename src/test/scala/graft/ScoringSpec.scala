@@ -1,0 +1,79 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Scoring
+
+/** Top-level (serializable-closure-safe) tracking instrumentation:
+  * counts scorer inits and batch sizes — JVM-local statics are
+  * task-visible under local[]. */
+object ScoringSpecTracking {
+  val inits = new AtomicInteger(0)
+  val batches = new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
+  class TrackingScorer extends Scoring.DocScorer {
+    inits.incrementAndGet()
+    def scoreBatch(texts: Array[String]): Array[Double] = {
+      batches.add(texts.length)
+      texts.map(_ => 0.5)
+    }
+  }
+  class BrokenScorer extends Scoring.DocScorer {
+    def scoreBatch(texts: Array[String]): Array[Double] = Array(1.0)
+  }
+}
+
+class ScoringSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def docs = TestSpark.table("documents").select("doc_id", "text")
+
+  test("scoreDocs: one row per doc, stub scores match the closed form") {
+    val out = Scoring.scoreDocs(docs, "doc_id", "text",
+      () => new Scoring.StubScorer).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val src = docs.as[(Long, String)].collect()
+    assert(out.size == src.length)
+    src.foreach { case (id, text) =>
+      val h = (text.length.toLong * 2654435761L) % 1000003L
+      assert(out(id) == h.toDouble / 1000003.0, s"doc $id")
+    }
+  }
+
+  test("batching contract: one scorer init per non-empty partition, batches capped") {
+    ScoringSpecTracking.inits.set(0)
+    ScoringSpecTracking.batches.clear()
+    val df = docs.limit(300).repartition(4)
+    Scoring.scoreDocs(df, "doc_id", "text",
+      () => new ScoringSpecTracking.TrackingScorer, batchSize = 32)
+      .foreach(_ => ()) // force execution
+    import scala.jdk.CollectionConverters._
+    val sizes = ScoringSpecTracking.batches.asScala.map(_.toInt).toSeq
+    assert(ScoringSpecTracking.inits.get() <= 4, "at most one init per partition")
+    assert(sizes.sum == 300)
+    assert(sizes.forall(_ <= 32), s"micro-batches must respect batchSize, got $sizes")
+    assert(sizes.exists(_ == 32), "full batches where the partition allows")
+  }
+
+  test("a scorer returning the wrong batch size fails loudly") {
+    val e = intercept[org.apache.spark.SparkException] {
+      Scoring.scoreDocs(docs.limit(10), "doc_id", "text",
+        () => new ScoringSpecTracking.BrokenScorer, 8).collect()
+    }
+    assert(e.getMessage.contains("scorer returned") ||
+      Option(e.getCause).exists(_.getMessage.contains("scorer returned")))
+  }
+
+  test("fingerprintFast: equal iff md5 fingerprint equal on real docs") {
+    val d = docs.select(
+      graft.ops.TextOps.fingerprint(col("text")).as("fp"),
+      graft.ops.TextOps.fingerprintFast(col("text")).as("fpx"))
+    val groups = d.groupBy("fp").agg(countDistinct("fpx").as("n")).collect()
+    assert(groups.forall(_.getLong(1) == 1), "same md5 group -> same xx64 value")
+    val rev = d.groupBy("fpx").agg(countDistinct("fp").as("n")).collect()
+    assert(rev.forall(_.getLong(1) == 1), "no xx64 collisions across md5 groups here")
+  }
+}
