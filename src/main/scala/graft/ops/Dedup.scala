@@ -200,11 +200,16 @@ object Dedup {
   }
 
   /**
-   * Exact n-gram Jaccard verification of candidate pairs: explode each
-   * side's distinct shingles, count intersections with a co-partitioned
-   * join on the shingle string, and divide by the union size. Only
-   * candidate docs are exploded — at scale this touches a tiny fraction
-   * of the corpus.
+   * Exact n-gram Jaccard verification of candidate pairs: attach each
+   * side's distinct shingle SET (array) to the pair with two equi-joins
+   * on the doc id, then compute `|A∩B|` with `array_intersect` in a
+   * projection — no explode, no shingle-keyed shuffle, no
+   * count-aggregation. Earlier revision exploded both sides and
+   * re-aggregated (3 exchanges + a join keyed on the shingle string);
+   * the set-intersection form does the same exact work in the two id
+   * joins, with the intersection itself running at projection speed on
+   * co-located rows. Only candidate docs (left-semi pruned) carry
+   * arrays — at scale this touches a tiny fraction of the corpus.
    *
    * Output: (id_a, id_b, jaccard) for pairs ≥ `threshold`, rounded to 6
    * decimals for cross-engine float stability.
@@ -236,21 +241,22 @@ object Dedup {
         col(idCol).as("sid"),
         array_distinct(TextOps.wordShingles(col(textCol), shingleWords)).as("shset"))
       .join(candIds, Seq("sid"), "left_semi")
-      .localCheckpoint() // reused by both explode sides and the size lookup
-    val ex = shingled.select(col("sid"), explode(col("shset")).as("s"))
-    val sizes = shingled.select(col("sid"), size(col("shset")).as("n"))
-    val inter = pairs
-      .join(ex.as("ea"), col("id_a") === col("ea.sid"))
-      .join(ex.as("eb"), col("id_b") === col("eb.sid") && col("ea.s") === col("eb.s"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.as("sa"), col("id_a") === col("sa.sid"))
-      .join(sizes.as("sb"), col("id_b") === col("sb.sid"))
+      .localCheckpoint() // reused by both sides of the pair attach
+    pairs
+      .join(shingled.as("sa"), col("id_a") === col("sa.sid"))
+      .join(shingled.as("sb"), col("id_b") === col("sb.sid"))
+      // two-step select: `i` is referenced twice below and
+      // array_intersect is not cheap enough for CollapseProject to
+      // inline — this keeps ONE intersection per pair
+      .select(
+        col("id_a"), col("id_b"),
+        size(array_intersect(col("sa.shset"), col("sb.shset"))).as("i"),
+        size(col("sa.shset")).as("na"),
+        size(col("sb.shset")).as("nb"))
       .select(
         col("id_a"),
         col("id_b"),
-        round(col("i") / (col("sa.n") + col("sb.n") - col("i")), 6).as("jaccard"))
+        round(col("i") / (col("na") + col("nb") - col("i")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
