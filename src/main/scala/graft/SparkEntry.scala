@@ -43,11 +43,23 @@ object SparkEntry {
   private val pairsMemo =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
+  /** Coarse memo bound: localCheckpoint blocks are pinned until the
+    * context dies, so an unbounded per-dir cache would grow
+    * monotonically in a long-lived session. A handful of (app, dir)
+    * keys is the expected working set; beyond it, start over. */
+  private val pairsMemoMax = 8
+
   private def verifiedPairs(s: SparkSession, dir: String): DataFrame =
     pairsMemo.getOrElseUpdate(
-      (s.sparkContext.applicationId, dir),
-      Dedup.verifiedNearDups(T(s, dir, "documents"), "text", "doc_id", threshold = 0.8)
-        .localCheckpoint())
+      (s.sparkContext.applicationId, dir), {
+        if (pairsMemo.size >= pairsMemoMax) pairsMemo.clear()
+        Dedup.verifiedNearDups(T(s, dir, "documents"), "text", "doc_id", threshold = 0.8)
+          .localCheckpoint()
+      })
+
+  /** Drop all memoized intermediates (for harnesses like [[BenchOne]]
+    * that need every rep to rebuild the full pipeline). */
+  private[graft] def clearMemos(): Unit = pairsMemo.clear()
 
   // ---------------------------------------------------------------- entry
 
@@ -1002,7 +1014,7 @@ object SparkEntry {
       // literal single backslashes survive DuckDB standard string
       // literals; the Scala escapes below render e.g. `\.` verbatim
       val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-      val url = "https?://[^ ]+"
+      val url = "https?://[^\\s]+"
       val enriched = "concat(text, ' contact user', CAST(doc_id AS VARCHAR), " +
         "'@mail.example.com or ', 'https://site.example/d/', CAST(doc_id AS VARCHAR), ' thanks')"
       s"""WITH e AS (SELECT doc_id, $enriched AS x FROM documents)

@@ -49,7 +49,9 @@ object Scoring {
   /**
    * Score `textCol` per row: output (idCol, score). `mkScorer` is
    * called once per partition; rows stream through in `batchSize`
-   * micro-batches.
+   * micro-batches. NULL text scores NULL (the SQL convention — real
+   * corpora contain missing text, and one null must not NPE a model
+   * or kill the job); scorers only ever see non-null strings.
    */
   def scoreDocs(
       df: DataFrame,
@@ -65,10 +67,14 @@ object Scoring {
     typed.mapPartitions { it =>
       val scorer = mkScorer() // per-partition init: load weights HERE
       it.grouped(batchSize).flatMap { batch =>
-        val scores = scorer.scoreBatch(batch.map(_._2).toArray)
-        require(scores.length == batch.length,
-          s"scorer returned ${scores.length} scores for ${batch.length} texts")
-        batch.iterator.zip(scores.iterator).map { case ((id, _), s) => (id, s) }
+        // pair by batch POSITION, not id — ids need not be unique
+        val indexed = batch.zipWithIndex
+        val present = indexed.filter(_._1._2 != null)
+        val scores = scorer.scoreBatch(present.map(_._1._2).toArray)
+        require(scores.length == present.length,
+          s"scorer returned ${scores.length} scores for ${present.length} texts")
+        val byPos = present.map(_._2).zip(scores).toMap
+        indexed.iterator.map { case ((id, _), i) => (id, byPos.get(i)) }
       }
     }.toDF(idCol, "score")
   }

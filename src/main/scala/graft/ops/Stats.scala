@@ -79,9 +79,13 @@ object Stats {
    * advantage. One sketch per group serves ALL requested fractions.
    *
    * Guarantee: rank error ≤ n/`accuracy` per group (GK bound), exact
-   * when a group has ≤ `accuracy` rows. Nulls excluded, like the exact
-   * twin. Values are true order statistics (no interpolation), so
-   * approx and exact can differ by one sample even on small groups.
+   * when a group has ≤ `accuracy` rows. Null handling matches the
+   * exact twin EXACTLY, including the row set: null values are
+   * excluded BEFORE grouping, so a group whose values are all null is
+   * omitted from the output (not emitted with null percentiles) —
+   * swapping exact ↔ approx can never change which groups exist.
+   * Values are true order statistics (no interpolation), so approx and
+   * exact can differ by one sample even on small groups.
    */
   def approxPercentiles(
       df: DataFrame,
@@ -92,6 +96,7 @@ object Stats {
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1))
     val v = col(valueCol).cast("double")
     val agged = df
+      .filter(v.isNotNull)
       .groupBy(groupCols.map(col): _*)
       .agg(
         percentile_approx(v, array(ps.map(lit): _*), lit(accuracy)).as("__qs"),

@@ -123,7 +123,10 @@ object TextOps {
     * in Java regex (Spark) and RE2 (DuckDB oracle): character classes,
     * greedy `+`, bounded `{m,}`. */
   val emailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val urlPattern: String = "https?://[^ ]+"
+  // [^\s], not [^ ]: a URL at end-of-line must stop at the newline —
+  // matching past it would swallow the line break and the first word of
+  // the next line out of multi-line documents
+  val urlPattern: String = "https?://[^\\s]+"
 
   /** PII/URL scrubbing for training corpora: replaces every URL, then
     * every email, with `token`. URLs go first so an address embedded in

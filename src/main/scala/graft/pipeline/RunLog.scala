@@ -56,15 +56,21 @@ object RunLog {
     else spark.read.json(p.toString)
   }
 
-  /** Most recent (max run_id) successful run, if any — the run-store
-    * twin of `Layers.latestSuccessfulRun`'s `_SUCCESS` scan. */
-  def lastSuccessful(spark: SparkSession, baseDir: String): Option[String] = {
-    val h = history(spark, baseDir)
-    if (!h.columns.contains("succeeded")) None
-    else h.filter(col("succeeded"))
-      .agg(max("run_id")).collect()(0).getAs[Any](0) match {
-        case null      => None
-        case s: String => Some(s)
-      }
+  /** Most recent successful run, if any — the run-store twin of
+    * `Layers.latestSuccessfulRun`'s `_SUCCESS` scan. "Most recent" is
+    * APPEND order (the last successful line in the log), not
+    * lexicographic run_id order — run ids carry no ordering contract
+    * ("9" sorts after "10"), while the append-only log is inherently
+    * chronological. Driver-side scan: the log is one small line per
+    * run by design. */
+  def lastSuccessful(baseDir: String): Option[String] = {
+    val p = logPath(baseDir)
+    if (!Files.exists(p)) return None
+    val Line = """.*"run_id": "((?:[^"\\]|\\.)*)".*"succeeded": (true|false).*""".r
+    import scala.jdk.CollectionConverters._
+    Files.readAllLines(p).asScala.foldLeft(Option.empty[String]) {
+      case (acc, Line(id, "true")) => Some(id)
+      case (acc, _)                => acc
+    }
   }
 }

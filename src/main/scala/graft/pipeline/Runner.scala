@@ -114,7 +114,14 @@ object Runner {
               val failed = StageResult(
                 st.id, Failed(Option(e.getMessage).getOrElse(e.getClass.getName)),
                 attempt, (System.nanoTime() - t0) / 1000000, Map.empty)
-              Try(onStageFailure(failed)) // alerting must never alter control flow
+              // alerting must never alter control flow — but a broken
+              // alert transport must not fail SILENTLY either, or
+              // operators believe alerting is live while nothing is
+              // delivered
+              Try(onStageFailure(failed)).failed.foreach(he =>
+                org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                  s"onStageFailure hook threw for stage ${st.id} " +
+                    s"(alert likely NOT delivered): $he"))
               result = Some(failed)
               halted = true
           }

@@ -64,8 +64,10 @@ object IngestStream {
       normalizeCols: Seq[String],
       outDir: String,
       checkpointDir: String,
-      partitionBy: Seq[String] = Nil): Unit = {
-    val writer = cleanedStream(spark, srcDir, schema, requiredCols, normalizeCols)
+      partitionBy: Seq[String] = Nil,
+      maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val writer = cleanedStream(spark, srcDir, schema, requiredCols, normalizeCols,
+      maxFilesPerTrigger)
       .writeStream
       .format("parquet")
       .option("path", outDir)

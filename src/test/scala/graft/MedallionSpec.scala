@@ -149,7 +149,23 @@ class MedallionSpec extends AnyFunSuite {
       .selectExpr("filter(stages, s -> s.stage = 'fetch_data_bronze')[0].metrics.rows_captured")
       .collect()(0).getLong(0)
     assert(bronzeRows > 0)
-    assert(RunLog.lastSuccessful(spark, base) == Some("15"))
-    assert(RunLog.lastSuccessful(spark, TestSpark.tmpDir("runlog_empty")) == None)
+    assert(RunLog.lastSuccessful(base) == Some("15"))
+    assert(RunLog.lastSuccessful(TestSpark.tmpDir("runlog_empty")) == None)
+  }
+
+  test("run log: lastSuccessful is append-order, immune to lexicographic id traps") {
+    import graft.pipeline.{Runner, RunLog}
+    val base = TestSpark.tmpDir("runlog_order")
+    val ok = Runner.PipelineReport(Seq(
+      Runner.StageResult("s", Runner.Succeeded, 1, 1, Map.empty)))
+    val bad = Runner.PipelineReport(Seq(
+      Runner.StageResult("s", Runner.Failed("x"), 1, 1, Map.empty)))
+    // "9" then "10": lexicographic max would WRONGLY pick "9"
+    RunLog.append(base, "p", "9", "2025-10-09", ok)
+    RunLog.append(base, "p", "10", "2025-10-10", ok)
+    assert(RunLog.lastSuccessful(base) == Some("10"))
+    // a failed run never wins, regardless of recency
+    RunLog.append(base, "p", "11", "2025-10-11", bad)
+    assert(RunLog.lastSuccessful(base) == Some("10"))
   }
 }

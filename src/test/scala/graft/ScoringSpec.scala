@@ -58,6 +58,18 @@ class ScoringSpec extends AnyFunSuite {
     assert(sizes.exists(_ == 32), "full batches where the partition allows")
   }
 
+  test("null text scores null; the scorer never sees nulls") {
+    val df = Seq(
+      (1L, "real text"),
+      (2L, null: String),
+      (3L, "more text")).toDF("doc_id", "text")
+    val out = Scoring.scoreDocs(df, "doc_id", "text",
+      () => new Scoring.StubScorer, batchSize = 2).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out(2L) == None, "null text -> null score, not an NPE")
+    assert(out(1L).isDefined && out(3L).isDefined)
+  }
+
   test("a scorer returning the wrong batch size fails loudly") {
     val e = intercept[org.apache.spark.SparkException] {
       Scoring.scoreDocs(docs.limit(10), "doc_id", "text",

@@ -78,6 +78,17 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("approx and exact agree on the GROUP SET: all-null groups omitted by both") {
+    val df = Seq(("a", Some(1)), ("a", Some(3)), ("b", None), ("b", None))
+      .toDF("g", "v")
+    val exact = Stats.exactPercentiles(df, Seq("g"), "v", Seq(0.5))
+      .select("g").as[String].collect().toSet
+    val approx = Stats.approxPercentiles(df, Seq("g"), "v", Seq(0.5))
+      .select("g").as[String].collect().toSet
+    assert(exact == Set("a") && approx == Set("a"),
+      "swapping exact <-> approx must never change which groups exist")
+  }
+
   test("approxPercentiles: GK rank-error bound holds at coarse accuracy") {
     val rnd = new scala.util.Random(7)
     val data = Seq.tabulate(2000)(_ => ("g", rnd.nextInt(100000).toDouble))

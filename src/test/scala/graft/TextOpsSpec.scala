@@ -118,4 +118,12 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(3L)._1 == "<scrubbed> then <scrubbed> and <scrubbed> end")
     assert(out(3L)._2 == 2 && out(3L)._3 == 1)
   }
+
+  test("scrub stops URL matches at any whitespace, not just spaces") {
+    val df = Seq((1L, "see https://a.example\nNext line intact\tand https://b.example/x\tkept"))
+      .toDF("doc_id", "text")
+    val clean = df.select(TextOps.scrub(col("text"))).collect()(0).getString(0)
+    // newline/tab and the words after them must survive the scrub
+    assert(clean == "see <scrubbed>\nNext line intact\tand <scrubbed>\tkept")
+  }
 }
