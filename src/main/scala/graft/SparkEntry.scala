@@ -522,6 +522,22 @@ object SparkEntry {
         graft.ops.TextOps.matchCount(enriched, graft.ops.TextOps.urlPattern).as("n_urls"))
     }),
 
+    // ---- north-star dedup: INCREMENTAL near-dup (daily-ingest shape).
+    //      Corpus = doc_id % 10 != 0 with its signature index built
+    //      once (standing in for the persisted sig table); new batch =
+    //      doc_id % 10 == 0, hashed alone and probed against the index.
+    //      Oracle = the full pipeline's verified pairs filtered to
+    //      those touching a new doc.
+    "q46_incremental_neardups" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+      val corpusSigs = Dedup.minhashSignatures(
+        corpus, "text", "doc_id", numHashes = 8, shingleWords = 3)
+      Dedup.incrementalNearDups(
+        docs, corpusSigs, batch, "text", "doc_id", threshold = 0.8)
+    }),
+
     // ---- north-star: batched model-scoring seam (mapPartitions,
     //      per-partition model init, fixed micro-batches). The stub
     //      model is pure integer arithmetic, so the oracle checks the
@@ -1026,6 +1042,11 @@ object SparkEntry {
          |  CAST(len(regexp_extract_all(x, '$url')) AS BIGINT) AS n_urls
          |FROM e""".stripMargin
     },
+
+    "q46_incremental_neardups" ->
+      s"""WITH $jaccardCtes
+         |SELECT id_a, id_b, jaccard FROM vpairs
+         |WHERE id_a % 10 = 0 OR id_b % 10 = 0""".stripMargin,
 
     "q45_model_score" ->
       """SELECT doc_id,

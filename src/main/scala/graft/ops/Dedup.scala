@@ -225,14 +225,30 @@ object Dedup {
       kind: HashKind = Md5): DataFrame = {
     // Candidate pairs are a tiny fraction of the corpus; materialize them
     // so the MinHash subtree runs once, not once per downstream use.
-    // NOTE the verification below is HASH-FREE (exact shingle-string
-    // joins) — the kernel only affects candidate RECALL, so md5 and xx64
-    // runs agree wherever both kernels' LSH catches the pair.
+    // NOTE verification is HASH-FREE (exact shingle-set intersection) —
+    // the kernel only affects candidate RECALL, so md5 and xx64 runs
+    // agree wherever both kernels' LSH catches the pair.
     val pairs = candidatePairs(df, textCol, idCol, numHashes, bands, shingleWords, kind)
       .localCheckpoint()
-    // Prune BEFORE the explode: only docs that appear in some candidate
-    // pair get shingled/exploded. At 100 TB this is the difference between
-    // shuffling the whole corpus's shingles and shuffling ~|pairs| docs.
+    verifyPairs(df, pairs, textCol, idCol, threshold, shingleWords)
+  }
+
+  /** Exact-Jaccard verification of a (id_a, id_b) candidate pair list
+    * against the documents in `df` — the shared verify stage of
+    * [[verifiedNearDups]] and [[incrementalNearDups]]. Only docs
+    * appearing in some pair are shingled (left-semi prune); `|A∩B|`
+    * comes from `array_intersect` in a projection (no explode, no
+    * shingle-keyed shuffle). `pairs` should be materialized by the
+    * caller (it is read three times). */
+  def verifyPairs(
+      df: DataFrame,
+      pairs: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double,
+      shingleWords: Int): DataFrame = {
+    // Prune BEFORE shingling: at 100 TB this is the difference between
+    // building shingle sets for the whole corpus and for ~|pairs| docs.
     val candIds = pairs.select(col("id_a").as("sid"))
       .union(pairs.select(col("id_b").as("sid")))
       .distinct()
@@ -258,6 +274,58 @@ object Dedup {
         col("id_b"),
         round(col("i") / (col("na") + col("nb") - col("i")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /**
+   * Incremental near-dup detection — the daily-ingest workflow at
+   * corpus scale: you do NOT re-hash 100 TB because a batch landed.
+   * The corpus's MinHash signatures are built once
+   * ([[minhashSignatures]]) and PERSISTED (a tiny table: docs ×
+   * numHashes longs); each new batch
+   *
+   *  1. hashes only its own documents (cost ∝ batch, not corpus);
+   *  2. joins its band buckets against the stored index's buckets,
+   *     keeping only pairs that TOUCH a new doc (new×corpus and
+   *     new×new — normalized via least/greatest so the pair ordering
+   *     matches the full pipeline's);
+   *  3. verifies exactly like the full pipeline (corpus text is read
+   *     only for the docs that actually collide).
+   *
+   * The result equals `verifiedNearDups(corpus ∪ batch)` restricted to
+   * pairs with at least one new side (DedupSpec asserts this
+   * equivalence; q46's oracle replays the full pipeline + filter).
+   *
+   * `allDocs` provides text for verification (corpus + batch);
+   * `corpusSigs` is the persisted signature table (idCol, sig).
+   */
+  def incrementalNearDups(
+      allDocs: DataFrame,
+      corpusSigs: DataFrame,
+      newDocs: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double,
+      numHashes: Int = 8,
+      bands: Int = 4,
+      shingleWords: Int = 3,
+      kind: HashKind = Md5): DataFrame = {
+    val newSigs = minhashSignatures(newDocs, textCol, idCol, numHashes, shingleWords, kind)
+      .localCheckpoint()
+    val newBuckets = lshBuckets(newSigs, idCol, numHashes, bands, kind)
+      .localCheckpoint() // probes the index AND self-joins
+    val allBuckets = lshBuckets(corpusSigs, idCol, numHashes, bands, kind)
+      .union(newBuckets)
+    val pairs = newBuckets
+      .select(col("band"), col("bucket"), col(idCol).as("__new"))
+      .join(allBuckets.select(col("band"), col("bucket"), col(idCol).as("__other")),
+        Seq("band", "bucket"))
+      .filter(col("__new") =!= col("__other"))
+      .select(
+        least(col("__new"), col("__other")).as("id_a"),
+        greatest(col("__new"), col("__other")).as("id_b"))
+      .distinct()
+      .localCheckpoint()
+    verifyPairs(allDocs, pairs, textCol, idCol, threshold, shingleWords)
   }
 
   /**

@@ -144,6 +144,23 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("incrementalNearDups == full pipeline restricted to pairs touching the batch") {
+    val docs = TestSpark.table("documents")
+    val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+    val batch = docs.filter(col("doc_id") % 7 === 0)
+    val corpusSigs = Dedup.minhashSignatures(corpus, "text", "doc_id", 8, 3)
+    val inc = Dedup.incrementalNearDups(
+      docs, corpusSigs, batch, "text", "doc_id", 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    val full: Set[(Long, Long, Double)] = Dedup.verifiedNearDups(docs, "text", "doc_id", 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+      .filter(p => p._1 % 7 == 0 || p._2 % 7 == 0)
+    assert(inc == full, "incremental must find exactly the full pipeline's new-touching pairs")
+    assert(inc.nonEmpty, "fixture must exercise the path")
+    // both orientations present: new-vs-corpus and (if any) new-vs-new
+    assert(inc.exists { case (a, b, _) => a % 7 != 0 || b % 7 != 0 })
+  }
+
   test("Xx64 kernel: verified pair sets identical to Md5 on the fixture corpus") {
     // verification is hash-free (exact shingle joins) — the kernel only
     // moves candidate recall, and on this corpus both kernels' LSH
