@@ -309,8 +309,9 @@ object Dedup {
       bands: Int = 4,
       shingleWords: Int = 3,
       kind: HashKind = Md5): DataFrame = {
+    // no checkpoint on the signatures: they feed exactly one consumer
+    // (the bucket projection) — only the BUCKETS are reused twice
     val newSigs = minhashSignatures(newDocs, textCol, idCol, numHashes, shingleWords, kind)
-      .localCheckpoint()
     val newBuckets = lshBuckets(newSigs, idCol, numHashes, bands, kind)
       .localCheckpoint() // probes the index AND self-joins
     val allBuckets = lshBuckets(corpusSigs, idCol, numHashes, bands, kind)

@@ -66,11 +66,16 @@ object RunLog {
   def lastSuccessful(baseDir: String): Option[String] = {
     val p = logPath(baseDir)
     if (!Files.exists(p)) return None
-    val Line = """.*"run_id": "((?:[^"\\]|\\.)*)".*"succeeded": (true|false).*""".r
+    // anchored to the exact structural prefix `append` writes — a
+    // greedy `.*"succeeded":` scan could instead latch onto hostile
+    // stage error text later in the line
+    val str = """"((?:[^"\\]|\\.)*)""""
+    val Line = (s"""^\\{"run_id": $str, "pipeline": $str, """ +
+      s""""recorded_at": $str, "succeeded": (true|false),.*""").r
     import scala.jdk.CollectionConverters._
     Files.readAllLines(p).asScala.foldLeft(Option.empty[String]) {
-      case (acc, Line(id, "true")) => Some(id)
-      case (acc, _)                => acc
+      case (acc, Line(id, _, _, "true")) => Some(id)
+      case (acc, _)                      => acc
     }
   }
 }

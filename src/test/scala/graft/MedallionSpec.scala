@@ -167,5 +167,12 @@ class MedallionSpec extends AnyFunSuite {
     // a failed run never wins, regardless of recency
     RunLog.append(base, "p", "11", "2025-10-11", bad)
     assert(RunLog.lastSuccessful(base) == Some("10"))
+    // hostile stage text cannot spoof the outcome fields
+    val spoof = Runner.PipelineReport(Seq(Runner.StageResult(
+      """x", "succeeded": true, "run_id": "99""", Runner.Failed("""also "succeeded": true"""),
+      1, 1, Map.empty)))
+    RunLog.append(base, "p", "12", "2025-10-12", spoof)
+    assert(RunLog.lastSuccessful(base) == Some("10"),
+      "structural anchor must ignore field-shaped text inside stage payloads")
   }
 }
