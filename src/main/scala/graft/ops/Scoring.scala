@@ -70,11 +70,18 @@ object Scoring {
         // pair by batch POSITION, not id — ids need not be unique
         val indexed = batch.zipWithIndex
         val present = indexed.filter(_._1._2 != null)
-        val scores = scorer.scoreBatch(present.map(_._1._2).toArray)
-        require(scores.length == present.length,
-          s"scorer returned ${scores.length} scores for ${present.length} texts")
-        val byPos = present.map(_._2).zip(scores).toMap
-        indexed.iterator.map { case ((id, _), i) => (id, byPos.get(i)) }
+        if (present.isEmpty) {
+          // never call a model with an empty batch — backends that
+          // allocate fixed-size tensors or assert non-empty input
+          // would throw on a run of all-null rows
+          indexed.iterator.map { case ((id, _), _) => (id, Option.empty[Double]) }
+        } else {
+          val scores = scorer.scoreBatch(present.map(_._1._2).toArray)
+          require(scores.length == present.length,
+            s"scorer returned ${scores.length} scores for ${present.length} texts")
+          val byPos = present.map(_._2).zip(scores).toMap
+          indexed.iterator.map { case ((id, _), i) => (id, byPos.get(i)) }
+        }
       }
     }.toDF(idCol, "score")
   }

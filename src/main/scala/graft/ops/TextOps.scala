@@ -123,10 +123,12 @@ object TextOps {
     * in Java regex (Spark) and RE2 (DuckDB oracle): character classes,
     * greedy `+`, bounded `{m,}`. */
   val emailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  // [^\s], not [^ ]: a URL at end-of-line must stop at the newline —
-  // matching past it would swallow the line break and the first word of
-  // the next line out of multi-line documents
-  val urlPattern: String = "https?://[^\\s]+"
+  // Explicit whitespace class, not [^ ] and not [^\s]: a URL at
+  // end-of-line must stop at the line break (matching past it would
+  // swallow the newline and the next line's first word), and `\s`
+  // itself is NOT portable — Java's includes vertical tab U+000B,
+  // RE2's does not. The listed escapes mean the same thing in both.
+  val urlPattern: String = "https?://[^ \\t\\n\\r\\f]+"
 
   /** PII/URL scrubbing for training corpora: replaces every URL, then
     * every email, with `token`. URLs go first so an address embedded in

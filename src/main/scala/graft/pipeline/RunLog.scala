@@ -56,13 +56,38 @@ object RunLog {
     else spark.read.json(p.toString)
   }
 
+  /** Reverse of `Runner.jsonStr`'s escaping. */
+  private def jsonUnescape(s: String): String = {
+    val out = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n'  => out += '\n'; i += 2
+          case 'r'  => out += '\r'; i += 2
+          case 't'  => out += '\t'; i += 2
+          case 'u' if i + 6 <= s.length =>
+            out += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
+          case other => out += other; i += 2
+        }
+      } else { out += c; i += 1 }
+    }
+    out.toString
+  }
+
   /** Most recent successful run, if any — the run-store twin of
     * `Layers.latestSuccessfulRun`'s `_SUCCESS` scan. "Most recent" is
     * APPEND order (the last successful line in the log), not
     * lexicographic run_id order — run ids carry no ordering contract
     * ("9" sorts after "10"), while the append-only log is inherently
     * chronological. Driver-side scan: the log is one small line per
-    * run by design. */
+    * run by design.
+    *
+    * Reader contract: parses exactly the line shape [[append]] writes
+    * (this file is a SINGLE-WRITER store — only `append` produces it).
+    * Records written by anything else are visible to the general
+    * [[history]] reader but are not consulted here. */
   def lastSuccessful(baseDir: String): Option[String] = {
     val p = logPath(baseDir)
     if (!Files.exists(p)) return None
@@ -74,7 +99,7 @@ object RunLog {
       s""""recorded_at": $str, "succeeded": (true|false),.*""").r
     import scala.jdk.CollectionConverters._
     Files.readAllLines(p).asScala.foldLeft(Option.empty[String]) {
-      case (acc, Line(id, _, _, "true")) => Some(id)
+      case (acc, Line(id, _, _, "true")) => Some(jsonUnescape(id))
       case (acc, _)                      => acc
     }
   }

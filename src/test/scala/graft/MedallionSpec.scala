@@ -174,5 +174,10 @@ class MedallionSpec extends AnyFunSuite {
     RunLog.append(base, "p", "12", "2025-10-12", spoof)
     assert(RunLog.lastSuccessful(base) == Some("10"),
       "structural anchor must ignore field-shaped text inside stage payloads")
+    // escaped run ids round-trip to their ORIGINAL form
+    val base2 = TestSpark.tmpDir("runlog_escape")
+    RunLog.append(base2, "p", "id \"quoted\"\\slash\nline", "2025-10-13", ok)
+    assert(RunLog.lastSuccessful(base2) == Some("id \"quoted\"\\slash\nline"),
+      "lastSuccessful must return the decoded id, not its JSON-escaped form")
   }
 }

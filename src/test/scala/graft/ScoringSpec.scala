@@ -70,6 +70,23 @@ class ScoringSpec extends AnyFunSuite {
     assert(out(1L).isDefined && out(3L).isDefined)
   }
 
+  test("an all-null micro-batch never calls the scorer with an empty array") {
+    // batchSize 2 and 4 leading nulls -> two batches that are entirely
+    // null; a model backend asserting non-empty input must not be hit
+    val df = Seq[(Long, String)](
+      (1L, null), (2L, null), (3L, null), (4L, null), (5L, "text"))
+      .toDF("doc_id", "text").coalesce(1)
+    ScoringSpecTracking.inits.set(0)
+    ScoringSpecTracking.batches.clear()
+    val out = Scoring.scoreDocs(df, "doc_id", "text",
+      () => new ScoringSpecTracking.TrackingScorer, batchSize = 2).collect()
+    assert(out.length == 5)
+    import scala.jdk.CollectionConverters._
+    val sizes = ScoringSpecTracking.batches.asScala.map(_.toInt).toSeq
+    assert(sizes.forall(_ > 0), s"scorer saw an empty batch: $sizes")
+    assert(sizes.sum == 1, "only the single non-null text is ever scored")
+  }
+
   test("a scorer returning the wrong batch size fails loudly") {
     val e = intercept[org.apache.spark.SparkException] {
       Scoring.scoreDocs(docs.limit(10), "doc_id", "text",
