@@ -43,7 +43,7 @@ object Bench {
     // consumer-shaped for ANY reps setting, not by accident of what ran
     // before. Disable reps with SPARK_GRAFT_REPS=1.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
-    val memoConsumers = Set("q39_dedup_clusters")
+    val memoConsumers = Set("q39_dedup_clusters", "q47_dedup_decisions")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       var best = Double.MaxValue
       var err: Option[String] = None

@@ -534,6 +534,14 @@ object SparkEntry {
         graft.ops.TextOps.matchCount(enriched, graft.ops.TextOps.urlPattern).as("n_urls"))
     }),
 
+    // ---- north-star dedup: corpus-wide keep/drop DECISIONS — the
+    //      table a training pipeline consumes. Reads the same shared
+    //      pair index as q16/q39; singleton docs keep themselves.
+    "q47_dedup_decisions" -> ((s, dir) =>
+      Dedup.dedupDecisions(
+        T(s, dir, "documents"), "doc_id",
+        Dedup.components(verifiedPairs(s, dir).select("id_a", "id_b")))),
+
     // ---- north-star dedup: INCREMENTAL near-dup (daily-ingest shape).
     //      Corpus = doc_id % 10 != 0 with its signature index built
     //      once (standing in for the persisted sig table); new batch =
@@ -1059,6 +1067,26 @@ object SparkEntry {
       s"""WITH $jaccardCtes
          |SELECT id_a, id_b, jaccard FROM vpairs
          |WHERE id_a % 10 = 0 OR id_b % 10 = 0""".stripMargin,
+
+    "q47_dedup_decisions" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM vpairs
+         |  UNION SELECT id_b, id_a FROM vpairs
+         |),
+         |reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |),
+         |labels AS (
+         |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |  FROM reach GROUP BY src
+         |)
+         |SELECT d.doc_id,
+         |  coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+         |  coalesce(l.cluster_id, d.doc_id) = d.doc_id AS keep
+         |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id""".stripMargin,
 
     "q45_model_score" ->
       """SELECT doc_id,

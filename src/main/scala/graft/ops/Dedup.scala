@@ -458,6 +458,27 @@ object Dedup {
     labels
   }
 
+  /**
+   * Corpus-wide dedup DECISIONS — the artifact a training pipeline
+   * actually consumes: every doc mapped to its cluster id with a
+   * keep/drop verdict. Docs in no near-dup cluster (the vast majority)
+   * form their own singleton cluster and keep themselves; clustered
+   * docs keep only the min-id member. One LEFT join of the (tiny)
+   * label table onto the corpus id column — the corpus text is never
+   * touched.
+   *
+   * `labels` is the output of [[components]] (id, label).
+   */
+  def dedupDecisions(df: DataFrame, idCol: String, labels: DataFrame): DataFrame = {
+    val l = labels.select(col("id").as(idCol), col("label"))
+    df.select(col(idCol))
+      .join(l, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("label"), col(idCol)).as("cluster_id"),
+        (coalesce(col("label"), col(idCol)) === col(idCol)).as("keep"))
+  }
+
   /** Nibble-wise popcount lookup: element i holds popcount(i), i ∈ 0..15. */
   private val popcount4 = Seq(0, 1, 1, 2, 1, 2, 2, 3, 1, 2, 2, 3, 2, 3, 3, 4)
 

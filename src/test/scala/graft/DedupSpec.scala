@@ -144,6 +144,22 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("dedupDecisions: covering, one keeper per cluster, singletons keep themselves") {
+    val pairs = Dedup.verifiedNearDups(corpus, "text", "doc_id", 0.5)
+    val dec = Dedup.dedupDecisions(
+      corpus, "doc_id", Dedup.components(pairs.select("id_a", "id_b")))
+      .as[(Long, Long, Boolean)].collect()
+    assert(dec.length == 6, "every corpus doc gets a decision")
+    // exactly one keeper per cluster, and it is the cluster min
+    dec.groupBy(_._2).foreach { case (cluster, members) =>
+      assert(members.count(_._3) == 1, s"cluster $cluster keeper count")
+      assert(members.filter(_._3).head._1 == members.map(_._1).min)
+    }
+    val byId = dec.map(d => d._1 -> d).toMap
+    assert(byId(3L)._3 && !byId(4L)._3, "exact dups: 3 keeps, 4 drops")
+    assert(byId(5L)._3 && byId(5L)._2 == 5L, "unclustered doc is its own singleton keeper")
+  }
+
   test("incrementalNearDups == full pipeline restricted to pairs touching the batch") {
     val docs = TestSpark.table("documents")
     val corpus = docs.filter(col("doc_id") % 7 =!= 0)
