@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, Sampling, Sketches, Stats}
+
+/**
+ * Partitioning-invariance: every operator that feeds an oracle check
+ * must produce IDENTICAL results no matter how the input happens to be
+ * partitioned — the classic scale-up hazard (a result that silently
+ * depends on partition count works at sf0.1 and drifts on a
+ * 1000-executor cluster, task retries, or AQE re-plans). Each case
+ * runs the op on a 3-partition and a 23-partition copy of the same
+ * input and requires exact row-set equality.
+ */
+class DeterminismSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def docs = TestSpark.table("documents")
+
+  private def rowSet(df: DataFrame): Set[String] =
+    df.collect().map(_.mkString("|")).toSet
+
+  private def invariant(name: String)(op: DataFrame => DataFrame): Unit = {
+    val few = op(docs.repartition(3))
+    val many = op(docs.repartition(23))
+    assert(rowSet(few) == rowSet(many), s"$name must not depend on partitioning")
+    assert(few.count() > 0, s"$name fixture must be non-trivial")
+  }
+
+  test("minhash signatures are partitioning-invariant") {
+    invariant("minhashSignatures")(d =>
+      Dedup.minhashSignatures(d, "text", "doc_id", 8, 3)
+        .select(col("doc_id"), col("sig").cast("string")))
+  }
+
+  test("verified near-dup pairs are partitioning-invariant") {
+    invariant("verifiedNearDups")(d =>
+      Dedup.verifiedNearDups(d, "text", "doc_id", 0.8))
+  }
+
+  test("connected components are partitioning-invariant") {
+    invariant("components") { d =>
+      val pairs = Dedup.verifiedNearDups(d, "text", "doc_id", 0.8)
+      Dedup.components(pairs.select("id_a", "id_b"))
+    }
+  }
+
+  test("hash splits are partitioning-invariant") {
+    invariant("hashSplit")(d =>
+      Sampling.hashSplit(d.select("doc_id"), "doc_id", Seq(0.8, 0.1, 0.1), "s1").head)
+  }
+
+  test("KMV estimate is partitioning-invariant (merge order cannot move it)") {
+    invariant("kmvDistinct")(d =>
+      Sketches.kmvDistinct(d.select("doc_id"), "doc_id", 64))
+  }
+
+  test("exact percentiles are partitioning-invariant") {
+    invariant("exactPercentiles")(d =>
+      Stats.exactPercentiles(
+        d.selectExpr("lang", "size(split(text, ' ')) AS n"),
+        Seq("lang"), "n", Seq(0.5, 0.99)))
+  }
+
+  test("simhash near-dup pairs are partitioning-invariant") {
+    invariant("simhashNearDups")(d =>
+      Dedup.simhashNearDups(d, "text", "doc_id", 32, 4, 3))
+  }
+}
