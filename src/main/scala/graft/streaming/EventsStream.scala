@@ -108,6 +108,41 @@ object EventsStream {
       .toDF()
   }
 
+  /**
+   * Stream-stream interval join: every event joined to the SAME user's
+   * purchases that happened in the `windowMinutes` before it — the
+   * attribution/feature-join shape ("which purchase preceded this
+   * click"). This is the one streaming join Spark supports with BOUNDED
+   * state: both sides carry watermarks and the join condition bounds
+   * event time on both sides, so each side's state store evicts rows
+   * older than (watermark + window) instead of growing forever. An
+   * unbounded-condition stream-stream join is refused by Spark for
+   * exactly that reason — the time bound is not an optimization, it is
+   * what makes the join runnable at all.
+   *
+   * Inner join ⇒ results emit as soon as both sides arrive; the
+   * watermark only governs state eviction and late-data tolerance.
+   */
+  def purchasesBeforeEvents(
+      events: DataFrame, purchases: DataFrame, windowMinutes: Int = 120): DataFrame = {
+    val ev = events
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .withWatermark("ts", "30 minutes")
+    val pu = purchases
+      .select(
+        col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("p_ts", "30 minutes")
+    ev.join(
+      pu,
+      col("user_id") === col("p_user_id") &&
+        col("p_ts") <= col("ts") &&
+        col("p_ts") >= col("ts") - expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select("event_id", "user_id", "purchase_id", "purchase_value")
+  }
+
   /** Drive a stream to a memory sink until no more input (test/demo). */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append())
       : StreamingQuery =

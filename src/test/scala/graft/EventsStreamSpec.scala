@@ -65,6 +65,48 @@ class EventsStreamSpec extends AnyFunSuite {
     assert(out.select("event_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("stream-stream interval join matches the batch range join, state bounded") {
+    val dir = TestSpark.tmpDir("stream_ssjoin")
+    // purchases at t=600 (u1) and t=605 (u2); events within/outside the
+    // 120-min attribution window
+    val fixture = Seq(
+      (10L, ts(600), 1L, "purchase", 50.0, "{}"),
+      (11L, ts(605), 2L, "purchase", 70.0, "{}"),
+      (1L, ts(610), 1L, "click", 1.0, "{}"), // within window of 10
+      (2L, ts(700), 1L, "view", 2.0, "{}"), // within window of 10
+      (3L, ts(800), 1L, "click", 3.0, "{}"), // OUTSIDE 120-min window
+      (4L, ts(606), 2L, "view", 4.0, "{}"), // within window of 11
+      (5L, ts(500), 1L, "view", 5.0, "{}")) // BEFORE the purchase
+    writeEvents(dir, fixture)
+    val events = streamFrom(dir)
+    val purchases = streamFrom(dir).filter(col("event_type") === "purchase")
+    val q = EventsStream.runToMemory(
+      EventsStream.purchasesBeforeEvents(events, purchases, windowMinutes = 120),
+      "ssjoin_test")
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ssjoin_test")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // batch twin: plain inner join with the same time-bound condition
+    val b = spark.read.parquet(dir)
+    val bp = b.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"), col("value").as("purchase_value"))
+    val batch = b.select("event_id", "user_id", "ts")
+      .join(bp, col("user_id") === col("p_user_id") &&
+        col("p_ts") <= col("ts") &&
+        col("p_ts") >= col("ts") - expr("INTERVAL 120 MINUTES"))
+      .select("event_id", "user_id", "purchase_id", "purchase_value")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(streamed == batch)
+    // the fixture's semantics: purchases self-join (within window), the
+    // in-window events attributed, out-of-window and before-purchase not
+    assert(streamed.contains((1L, 1L, 10L, 50.0)))
+    assert(streamed.contains((2L, 1L, 10L, 50.0)))
+    assert(!streamed.exists(_._1 == 3L), "event outside the window must not join")
+    assert(!streamed.exists(_._1 == 5L), "event before the purchase must not join")
+    assert(streamed.contains((4L, 2L, 11L, 70.0)))
+  }
+
   test("sessionize emits 30-min-gap sessions as the watermark passes, matching the batch twin") {
     val dir = TestSpark.tmpDir("stream_sessions")
     writeEvents(dir, mainEvents)
