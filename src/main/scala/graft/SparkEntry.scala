@@ -534,6 +534,22 @@ object SparkEntry {
         graft.ops.TextOps.matchCount(enriched, graft.ops.TextOps.urlPattern).as("n_urls"))
     }),
 
+    // ---- relational surface: pivot (wide roll-up). Spark plans this
+    //      as a single two-phase aggregation over pivot-value CASE
+    //      branches — same cost as the manual conditional aggregation
+    //      the oracle spells out. Explicit value list: at scale you
+    //      never let pivot() run its implicit distinct-collect pass.
+    "q48_pivot" -> ((s, dir) =>
+      T(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(
+          col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))),
+
     // ---- north-star dedup: corpus-wide keep/drop DECISIONS — the
     //      table a training pipeline consumes. Reads the same shared
     //      pair index as q16/q39; singleton docs keep themselves.
@@ -1067,6 +1083,13 @@ object SparkEntry {
       s"""WITH $jaccardCtes
          |SELECT id_a, id_b, jaccard FROM vpairs
          |WHERE id_a % 10 = 0 OR id_b % 10 = 0""".stripMargin,
+
+    "q48_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
 
     "q47_dedup_decisions" ->
       s"""WITH RECURSIVE $jaccardCtes,
