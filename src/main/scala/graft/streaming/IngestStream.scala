@@ -21,8 +21,10 @@ import graft.ops.Clean
  * scheduled nightly drain and a continuously tailing ingester (swap
  * the trigger), and incremental progress is free — rerunning after new
  * files land processes ONLY the new files. That replaces the
- * reference's rerun-everything bronze capture with incremental
- * ingestion at no code cost.
+ * reference's rerun-everything daily bronze capture
+ * (`src/pipelines/breweries_fetch_bronze_notebook.py:71-107`, re-run
+ * per Airflow schedule with full overwrite) with incremental ingestion
+ * at no code cost.
  *
  * Keyed dedup is deliberately NOT here: it needs state and an
  * event-time watermark ([[EventsStream.dedupWithinWatermark]]); the
