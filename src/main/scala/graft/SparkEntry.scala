@@ -726,6 +726,25 @@ object SparkEntry {
        |  WHERE round(it.i / (sa.n + sb.n - it.i), 6) >= 0.8
        |)""".stripMargin
 
+  /** Recursive-CTE transitive closure + min-label clustering over
+    * `vpairs` (from [[jaccardCtes]]) — shared by q39 and q47 so the
+    * closure semantics can never desynchronize between their oracles.
+    * Ends in `labels(doc_id, cluster_id)`. */
+  private def closureCtes: String =
+    s"""edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM vpairs
+       |  UNION SELECT id_b, id_a FROM vpairs
+       |),
+       |reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       |),
+       |labels AS (
+       |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+       |  FROM reach GROUP BY src
+       |)""".stripMargin
+
   /** DuckDB ±1-hyperplane projection sign-bucket for `embCol`. */
   private def duckSignBucket(embCol: String, numPlanes: Int, dims: Int): String =
     duckSignBucketP(embCol, Similarity.planes(numPlanes, dims), dims)
@@ -836,18 +855,9 @@ object SparkEntry {
 
     "q39_dedup_clusters" ->
       s"""WITH RECURSIVE $jaccardCtes,
-         |edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM vpairs
-         |  UNION SELECT id_b, id_a FROM vpairs
-         |),
-         |reach AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-         |)
-         |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id,
-         |  least(src, min(dst)) = src AS is_keeper
-         |FROM reach GROUP BY src""".stripMargin,
+         |$closureCtes
+         |SELECT doc_id, cluster_id, cluster_id = doc_id AS is_keeper
+         |FROM labels""".stripMargin,
 
     "q17_simhash" ->
       s"SELECT doc_id, ${PortableSql.simhash("text", 16, DD)} AS simhash FROM documents",
@@ -1093,19 +1103,7 @@ object SparkEntry {
 
     "q47_dedup_decisions" ->
       s"""WITH RECURSIVE $jaccardCtes,
-         |edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM vpairs
-         |  UNION SELECT id_b, id_a FROM vpairs
-         |),
-         |reach AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-         |),
-         |labels AS (
-         |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
-         |  FROM reach GROUP BY src
-         |)
+         |$closureCtes
          |SELECT d.doc_id,
          |  coalesce(l.cluster_id, d.doc_id) AS cluster_id,
          |  coalesce(l.cluster_id, d.doc_id) = d.doc_id AS keep

@@ -21,14 +21,17 @@ class DeterminismSpec extends AnyFunSuite {
 
   private def docs = TestSpark.table("documents")
 
-  private def rowSet(df: DataFrame): Set[String] =
-    df.collect().map(_.mkString("|")).toSet
+  /** MULTISET comparison (sorted seq, not Set): a duplicate row emitted
+    * under one partitioning but not the other is exactly the drift this
+    * spec exists to catch, and a Set would collapse it. */
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.mkString("|")).toSeq.sorted
 
   private def invariant(name: String)(op: DataFrame => DataFrame): Unit = {
-    val few = op(docs.repartition(3))
-    val many = op(docs.repartition(23))
-    assert(rowSet(few) == rowSet(many), s"$name must not depend on partitioning")
-    assert(few.count() > 0, s"$name fixture must be non-trivial")
+    val few = rows(op(docs.repartition(3)))
+    val many = rows(op(docs.repartition(23)))
+    assert(few == many, s"$name must not depend on partitioning")
+    assert(few.nonEmpty, s"$name fixture must be non-trivial")
   }
 
   test("minhash signatures are partitioning-invariant") {
