@@ -534,6 +534,15 @@ object SparkEntry {
         graft.ops.TextOps.matchCount(enriched, graft.ops.TextOps.urlPattern).as("n_urls"))
     }),
 
+    // ---- north-star text: winnowing fingerprints (rolling k-gram
+    //      hash + min-per-window, the MOSS scheme) — local fingerprints
+    //      robust to edits, exploded to (doc, fp) pairs for bucket-join
+    //      candidate generation downstream.
+    "q49_winnowing" -> ((s, dir) =>
+      graft.ops.TextOps.winnowingFingerprints(
+        T(s, dir, "documents"), "text", "doc_id", k = 5, w = 4)
+        .select(col("doc_id"), explode(col("fingerprints")).as("fp"))),
+
     // ---- relational surface: pivot (wide roll-up). Spark plans this
     //      as a single two-phase aggregation over pivot-value CASE
     //      branches — same cost as the manual conditional aggregation
@@ -1093,6 +1102,28 @@ object SparkEntry {
       s"""WITH $jaccardCtes
          |SELECT id_a, id_b, jaccard FROM vpairs
          |WHERE id_a % 10 = 0 OR id_b % 10 = 0""".stripMargin,
+
+    "q49_winnowing" -> {
+      val k = 5; val w = 4
+      val terms = (0 until k).map { j =>
+        val pow = BigInt(257).pow(k - 1 - j).toLong
+        s"ascii(substr(text, __i + $j, 1)) * $pow"
+      }.mkString("(", " + ", ")")
+      // short-doc guards mirror the Spark side: < k chars → no k-grams
+      s"""WITH hs AS (
+         |  SELECT doc_id, CASE WHEN length(text) >= $k THEN list_transform(
+         |    generate_series(1, length(text) - ${k - 1}),
+         |    __i -> $terms % 1000003) ELSE [] END AS h
+         |  FROM documents
+         |),
+         |fp AS (
+         |  SELECT doc_id, CASE WHEN len(h) >= 1 THEN list_distinct(list_transform(
+         |    generate_series(1, greatest(len(h) - ${w - 1}, 1)),
+         |    __t -> list_min(h[__t:__t + ${w - 1}]))) ELSE [] END AS fps
+         |  FROM hs
+         |)
+         |SELECT doc_id, unnest(fps) AS fp FROM fp""".stripMargin
+    },
 
     "q48_pivot" ->
       """SELECT o_orderpriority,

@@ -24,13 +24,31 @@ object GraftFunctions {
     CosineSimilarity(args.head, args(1))
   }
 
-  def inject(ext: SparkSessionExtensions): Unit =
+  private val winnowId = FunctionIdentifier("graft_winnow")
+  private val winnowInfo =
+    new ExpressionInfo(classOf[WinnowingFingerprints].getName, "graft_winnow")
+  private val winnowBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 3, s"graft_winnow expects (text, k, w), got ${args.length} args")
+    def intLit(e: Expression, name: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"graft_winnow $name must be an integer literal, got $other")
+    }
+    WinnowingFingerprints(args.head, intLit(args(1), "k"), intLit(args(2), "w"))
+  }
+
+  def inject(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((cosineId, cosineInfo, cosineBuilder))
+    ext.injectFunction((winnowId, winnowInfo, winnowBuilder))
+  }
 
   /** Idempotent in-session registration. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry
       .registerFunction(cosineId, cosineInfo, cosineBuilder)
+    spark.sessionState.functionRegistry
+      .registerFunction(winnowId, winnowInfo, winnowBuilder)
+  }
 
   /** Column-API handle on the codegen'd kernel. Registers on the given
     * session first (idempotent), then resolves by name — Column
@@ -38,6 +56,13 @@ object GraftFunctions {
   def cosine(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     org.apache.spark.sql.functions.call_function("graft_cosine", a, b)
+  }
+
+  /** Column-API handle on the winnowing kernel. */
+  def winnow(spark: SparkSession, text: Column, k: Int, w: Int): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_winnow", text,
+      org.apache.spark.sql.functions.lit(k), org.apache.spark.sql.functions.lit(w))
   }
 }
 

@@ -142,4 +142,87 @@ object TextOps {
   /** Occurrences of a regex pattern (for scrub-rate reporting). */
   def matchCount(c: Column, pattern: String): Column =
     size(regexp_extract_all(c, lit(pattern), lit(0))).cast("long")
+
+  /** Rolling-hash parameters (Rabin-Karp polynomial over char codes):
+    * base B and modulus M, both small enough that the k-term sum stays
+    * far below 2⁶³ in either engine. */
+  val rollingB: Long = 257L
+  val rollingM: Long = 1000003L
+
+  /** Char codes of `c` as an array — decoded ONCE per row. The rolling
+    * hash below indexes this array with O(1) `element_at`; calling
+    * `substr(c, i, 1)` per position instead would re-walk the UTF8
+    * string from the start each time (O(len) per extraction, O(len²·k)
+    * per document — measured ~40 ms/doc on the fixture). */
+  def charCodes(c: Column): Column =
+    transform(split(c, ""), ch => ascii(ch))
+
+  /** Per-position polynomial hash of the `k`-char gram starting at each
+    * position (1-based): `Σ_j code(c[i+j])·B^(k−1−j) mod M`, over a
+    * char-codes ARRAY column (see [[charCodes]]). The k terms are
+    * unrolled flat — no incremental state — and the SAME arithmetic is
+    * expressible verbatim in the DuckDB oracle. */
+  def rollingHashesFromCodes(codes: Column, k: Int): Column = {
+    require(k >= 2 && k <= 16)
+    // explicit short-input guard: element_at past the end THROWS under
+    // ANSI mode, and sequence(1, 0) would generate a DESCENDING range —
+    // a doc shorter than k simply has no k-grams
+    when(
+      size(codes) >= k,
+      transform(
+        sequence(lit(1), size(codes) - lit(k - 1)),
+        i => (0 until k).map { j =>
+          val pow = BigInt(rollingB).pow(k - 1 - j).toLong
+          element_at(codes, i + lit(j)).cast("long") * lit(pow)
+        }.reduce(_ + _) % rollingM))
+      .otherwise(array().cast("array<long>"))
+  }
+
+  /**
+   * Winnowing fingerprints (the MOSS scheme): from the rolling k-gram
+   * hashes, keep the MINIMUM of every `w`-hash window, deduplicated.
+   * Guarantees: any shared substring of length ≥ k+w−1 contributes at
+   * least one SHARED fingerprint (detection), and an edit only disturbs
+   * the fingerprints of windows overlapping it (locality) — the
+   * rolling-hash dedup primitive that whole-doc digests can't provide.
+   * Pure array arithmetic per document: zero shuffles; downstream
+   * near-dup candidates come from the usual bucket join on the
+   * exploded (doc, fingerprint) pairs — same scale shape as MinHash
+   * bands.
+   *
+   * Runs through the custom Catalyst expression
+   * [[graft.functions.WinnowingFingerprints]] (`graft_winnow`): ONE
+   * primitive-loop eval per document. The Column/HOF formulation
+   * ([[rollingHashesFromCodes]] + window mins) is kept as the portable
+   * reference — it is the template for the DuckDB oracle SQL and the
+   * parity check — but it is NOT the execution path: interpreted HOFs
+   * pay per-element lambda dispatch and are one optimizer inlining away
+   * from re-evaluating the upstream array per element (an O(len²·k)
+   * per-doc blow-up, measured ~300× on the fixture corpus — the same
+   * pathology documented at [[graft.ops.Dedup.minhashSignatures]]).
+   *
+   * Output: idCol + `fingerprints` array&lt;long&gt;.
+   */
+  def winnowingFingerprints(
+      df: org.apache.spark.sql.DataFrame, textCol: String, idCol: String,
+      k: Int, w: Int): org.apache.spark.sql.DataFrame =
+    df.select(
+      col(idCol),
+      graft.functions.GraftFunctions
+        .winnow(df.sparkSession, col(textCol), k, w).as("fingerprints"))
+
+  /** Window-min winnowing over a MATERIALIZED hash-array column — the
+    * portable reference formulation (small inputs / parity tests only;
+    * see [[winnowingFingerprints]] for why this is not the execution
+    * path). */
+  def winnowingFromHashes(h: Column, w: Int): Column = {
+    require(w >= 1)
+    when(
+      size(h) >= 1,
+      array_distinct(
+        transform(
+          sequence(lit(1), greatest(size(h) - lit(w - 1), lit(1))),
+          t => array_min(slice(h, t, lit(w))))))
+      .otherwise(array().cast("array<long>"))
+  }
 }

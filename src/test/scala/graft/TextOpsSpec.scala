@@ -119,6 +119,67 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(3L)._2 == 2 && out(3L)._3 == 1)
   }
 
+  test("rolling hashes: known polynomial values, one hash per position") {
+    val df = Seq((1L, "abcdef")).toDF("doc_id", "text")
+    val hs = df.select(
+      TextOps.rollingHashesFromCodes(
+        transform(split(col("text"), ""), ch => ascii(ch)), 3).as("h"))
+      .collect()(0).getSeq[Long](0)
+    def ref(s: String): Long =
+      s.map(_.toLong).zip(Seq(257L * 257, 257L, 1L)).map { case (c, p) => c * p }.sum % 1000003L
+    assert(hs == Seq("abc", "bcd", "cde", "def").map(ref))
+  }
+
+  test("winnowing: docs shorter than k yield empty fingerprints, not errors") {
+    val df = Seq((1L, "ab"), (2L, ""), (3L, "long enough text here")).toDF("doc_id", "text")
+    val out = TextOps.winnowingFingerprints(df, "text", "doc_id", 5, 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(out(1L).isEmpty && out(2L).isEmpty)
+    assert(out(3L).nonEmpty)
+  }
+
+  test("winnowing Expression == HOF reference formulation (fingerprint sets)") {
+    // the HOF form is the template for the DuckDB oracle; the Expression
+    // is the execution path — their fingerprint SETS must agree exactly.
+    // Stages materialized in separate projections (the HOF form's
+    // contract; see winnowingFingerprints scaladoc).
+    val docs50 = docs.limit(50)
+    val viaExpr = TextOps.winnowingFingerprints(docs50, "text", "doc_id", 5, 4)
+      .select(col("doc_id"), explode(col("fingerprints")).as("fp"))
+      .as[(Long, Long)].collect().toSet
+    val viaHof = docs50
+      .select(col("doc_id"), TextOps.charCodes(col("text")).as("__codes"))
+      .select(col("doc_id"), TextOps.rollingHashesFromCodes(col("__codes"), 5).as("__h"))
+      .select(col("doc_id"), TextOps.winnowingFromHashes(col("__h"), 4).as("fps"))
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+      .as[(Long, Long)].collect().toSet
+    assert(viaExpr == viaHof)
+    assert(viaExpr.nonEmpty)
+  }
+
+  test("winnowing: exact dups share all fingerprints; an edit only moves local ones") {
+    val base = "the quick brown fox jumps over the lazy dog while counting stars at midnight"
+    val edited = base.replace("jumps", "leaps") // one local edit
+    val df = Seq((1L, base), (2L, base), (3L, edited)).toDF("doc_id", "text")
+    val fps = TextOps.winnowingFingerprints(df, "text", "doc_id", 5, 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(fps(1L) == fps(2L), "identical text -> identical fingerprint set")
+    val overlap = fps(1L).intersect(fps(3L)).size.toDouble / fps(1L).size
+    assert(overlap > 0.5, s"local edit must preserve most fingerprints, got $overlap")
+    assert(fps(1L) != fps(3L), "the edit must disturb SOME fingerprints")
+  }
+
+  test("winnowing guarantee: docs sharing a long substring share a fingerprint") {
+    val shared = "a sufficiently long shared passage of text"
+    val df = Seq(
+      (1L, s"prefix one $shared and unrelated tail content here"),
+      (2L, s"completely different opening $shared closing words")).toDF("doc_id", "text")
+    val fps = TextOps.winnowingFingerprints(df, "text", "doc_id", 5, 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(fps(1L).intersect(fps(2L)).nonEmpty,
+      "shared substring >= k+w-1 chars must contribute a shared fingerprint")
+  }
+
   test("scrub stops URL matches at any whitespace, not just spaces") {
     val df = Seq((1L, "see https://a.example\nNext line intact\tand https://b.example/x\tkept"))
       .toDF("doc_id", "text")
