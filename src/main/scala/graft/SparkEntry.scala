@@ -623,6 +623,16 @@ object SparkEntry {
     //      oracle (DuckDB has no xxhash64) → driver records a rows-only
     //      check; pair-set parity with the md5 kernel is asserted in
     //      DedupSpec, and the bench rows quantify the kernel speedup.
+    //      NOTE q41 returns ~3× MORE pairs than q31 (and costs
+    //      proportionally more): simhash bits are majority votes
+    //      dominated by the corpus's highest-frequency tokens, so on
+    //      this small-vocabulary synthetic corpus the per-bit 1-rates
+    //      are far from 0.5 under EITHER kernel (measured at sf0.1:
+    //      md5 ~10 of 32 bits ≥0.9 or ≤0.1, xx64 ~14), and the kernel
+    //      that draws more near-unanimous bits has less effective
+    //      entropy → more hamming-≤3 collisions. A property of 32-bit
+    //      simhash on this corpus, not of the kernel: the production
+    //      fix is more bits (64) or idf-weighted votes.
     "q40_neardup_pairs_xx64" -> ((s, dir) =>
       Dedup.verifiedNearDups(
         T(s, dir, "documents"), "text", "doc_id", threshold = 0.8,
