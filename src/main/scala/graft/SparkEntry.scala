@@ -643,6 +643,76 @@ object SparkEntry {
         T(s, dir, "documents"), "text", "doc_id",
         bits = 32, blocks = 4, maxHamming = 3, kind = Dedup.Xx64)),
 
+    // ---- north-star: benchmark decontamination — docs sharing any
+    //      4-word shingle with the benchmark set (doc_id % 50 == 0
+    //      stands in for a held-out eval benchmark). The benchmark
+    //      gram set is broadcast; the corpus probes it map-side.
+    "q50_contamination" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.ops.Search.contamination(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        "text", "doc_id", n = 4)
+    }),
+
+    // ---- north-star: Okapi BM25 top-k keyword retrieval — global
+    //      stats (N, df, avgdl) collapse to ONE broadcast row; scoring
+    //      is a narrow projection + TakeOrderedAndProject.
+    "q51_bm25" -> ((s, dir) =>
+      graft.ops.Search.bm25(
+        T(s, dir, "documents"), "text", "doc_id",
+        terms = Seq("spark", "hash", "window"), topK = 20)),
+
+    // ---- north-star: corpus-wide heavy hitters (exact top-k tokens;
+    //      map-side partial counts, k-row TakeOrdered — never a full
+    //      vocabulary sort).
+    "q52_heavy_hitters" -> ((s, dir) =>
+      graft.ops.Search.topTokens(T(s, dir, "documents"), "text", k = 20)),
+
+    // ---- north-star: count-min sketch — md5-derived buckets make the
+    //      whole sketch (cells AND estimates) replayable in the DuckDB
+    //      oracle, so unlike typical sketches this one is HASH-checked,
+    //      not just bounds-checked. width=32 forces real collisions on
+    //      the fixture vocabulary (est > exact for some tokens).
+    "q53_cms_counts" -> ((s, dir) =>
+      graft.ops.Sketches.cmsTopTokens(
+        T(s, dir, "documents"), "text", k = 10, depth = 3, width = 32)),
+
+    // ---- north-star: bloom-pruned exact semi-join — the broadcast
+    //      bloom bits prune the big side BEFORE its exchange; the
+    //      exact semi-join removes false positives, so the result (and
+    //      oracle) is a plain semi-join.
+    "q54_bloom_join" -> ((s, dir) => {
+      val hot = T(s, dir, "orders")
+        .filter(col("o_totalprice") > 450000.0)
+        .select("o_orderkey")
+      graft.ops.Bloom.prunedSemiJoin(
+        T(s, dir, "lineitem"), "l_orderkey", hot, "o_orderkey")
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          expr(s"${dsum("l_quantity")} AS sum_qty"))
+    }),
+
+    // ---- north-star: Lloyd's k-means over embeddings (2 iterations,
+    //      seeds = lowest-id vectors, broadcast centroids, partial-agg
+    //      means) — the trainer for the IVF quantizer q29 probes.
+    "q55_kmeans" -> ((s, dir) =>
+      graft.ops.Clustering.kmeans(
+        T(s, dir, "embeddings"), "vec_id", "embedding", k = 4, iters = 2)),
+
+    // ---- north-star: stratified deterministic sampling — the
+    //      data-mixing primitive (per-language keep fractions as one
+    //      narrow scan-speed filter).
+    "q56_stratified_sample" -> ((s, dir) =>
+      graft.ops.Sampling.stratifiedSample(
+        T(s, dir, "documents"), "lang", "doc_id",
+        fractions = Map(
+          "en" -> 0.9, "fr" -> 0.5, "es" -> 0.25, "de" -> 0.1, "zh" -> 0.05),
+        salt = "mix1")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))),
+
     // ---- S1: page-partitioned bounded source (DataSourceV2) — pages
     //      fetched in parallel, per-page retry inside the reader
     "q28_paged_source" -> ((s, dir) => {
@@ -1204,6 +1274,98 @@ object SparkEntry {
          |  JOIN assign a ON e.vec_id = a.vec_id
          |  JOIN probe p ON a.list_id = p.list_id, q
          |)
-         |SELECT vec_id, cosine_sim FROM s ORDER BY cosine_sim DESC, vec_id LIMIT 10""".stripMargin
+         |SELECT vec_id, cosine_sim FROM s ORDER BY cosine_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q50_contamination" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |sh AS (SELECT doc_id, ${DD.shingles("toks", 4)} AS s FROM t),
+         |cg AS (SELECT DISTINCT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 50 <> 0),
+         |bg AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 50 = 0)
+         |SELECT cg.doc_id, count(*) AS n_contaminated
+         |FROM cg JOIN bg USING (g) GROUP BY cg.doc_id""".stripMargin,
+
+    "q51_bm25" -> {
+      // constants appear as the same IEEE ops Spark's literals compute
+      // ((1.2 + 1.0), not 2.2 — addition is deterministic, literal
+      // parsing of the pre-summed decimal need not equal it)
+      val terms = Seq("spark", "hash", "window")
+      val tfCols = terms.zipWithIndex.map { case (t, i) =>
+        s"len(list_filter(toks, __t -> __t = '$t')) AS tf$i"
+      }.mkString(", ")
+      val dfCols = terms.indices.map(i =>
+        s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i").mkString(", ")
+      val score = terms.indices.map { i =>
+        val tf = s"CAST(tf$i AS DOUBLE)"
+        val dfT = s"CAST(df$i AS DOUBLE)"
+        s"ln((CAST(n AS DOUBLE) - $dfT + 0.5) / ($dfT + 0.5) + 1.0) * ($tf * (1.2 + 1.0)) / " +
+          s"($tf + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(len AS DOUBLE) / (CAST(sumlen AS DOUBLE) / CAST(n AS DOUBLE))))"
+      }.mkString("(", " + ", ")")
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |f AS (SELECT doc_id, len(toks) AS len, $tfCols FROM t),
+         |s AS (SELECT count(*) AS n, CAST(sum(len) AS BIGINT) AS sumlen, $dfCols FROM f),
+         |sc AS (SELECT doc_id, round($score, 6) AS bm25 FROM f, s)
+         |SELECT doc_id, bm25 FROM sc WHERE bm25 > 0
+         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+    },
+
+    "q52_heavy_hitters" ->
+      s"""WITH tok AS (SELECT unnest($duckToks) AS token FROM documents),
+         |c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token)
+         |SELECT token, cnt FROM c ORDER BY cnt DESC, token ASC LIMIT 20""".stripMargin,
+
+    "q53_cms_counts" -> {
+      val depth = 3; val width = 32
+      def bucket(d: Int) =
+        s"(${PortableSql.minhashBase(s"concat('cms$d:', token)", DD)} % $width)"
+      val cellSel = (0 until depth).map(d =>
+        s"SELECT $d AS d, ${bucket(d)} AS bucket, exact_cnt FROM cnt").mkString(" UNION ALL ")
+      val probeSel = (0 until depth).map(d =>
+        s"SELECT token, exact_cnt, $d AS d, ${bucket(d)} AS bucket FROM top").mkString(" UNION ALL ")
+      s"""WITH tok AS (SELECT unnest($duckToks) AS token FROM documents),
+         |cnt AS (SELECT token, count(*) AS exact_cnt FROM tok GROUP BY token),
+         |cells AS (SELECT d, bucket, CAST(sum(exact_cnt) AS BIGINT) AS total
+         |          FROM ($cellSel) GROUP BY d, bucket),
+         |top AS (SELECT token, exact_cnt FROM cnt ORDER BY exact_cnt DESC, token LIMIT 10),
+         |probes AS ($probeSel)
+         |SELECT p.token, p.exact_cnt, min(c.total) AS cms_est
+         |FROM probes p JOIN cells c USING (d, bucket)
+         |GROUP BY p.token, p.exact_cnt""".stripMargin
+    },
+
+    "q54_bloom_join" ->
+      s"""SELECT l_returnflag, count(*) AS n_rows, ${dsum("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000.0)
+         |GROUP BY l_returnflag""".stripMargin,
+
+    "q55_kmeans" -> {
+      val dims = 64
+      def assignCte(cents: String) =
+        s"""SELECT vec_id, cid AS cluster FROM (
+           |    SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY ${duckCosine("e.embedding", "c.cemb", dims)} DESC, c.cid ASC) AS rn
+           |    FROM embeddings e CROSS JOIN $cents c) WHERE rn = 1""".stripMargin
+      s"""WITH c0 AS (SELECT CAST(vec_id AS BIGINT) AS cid,
+         |            list_transform(embedding, __x -> CAST(__x AS DOUBLE)) AS cemb
+         |            FROM embeddings ORDER BY vec_id LIMIT 4),
+         |a0 AS (${assignCte("c0")}),
+         |m1 AS (SELECT a0.cluster, d.d, round(avg(CAST(e.embedding[d.d] AS DOUBLE)), 6) AS v
+         |       FROM a0 JOIN embeddings e USING (vec_id), generate_series(1, $dims) d(d)
+         |       GROUP BY a0.cluster, d.d),
+         |c1 AS (SELECT cluster AS cid, list(v ORDER BY d) AS cemb FROM m1 GROUP BY cluster),
+         |a1 AS (${assignCte("c1")})
+         |SELECT vec_id, cluster FROM a1""".stripMargin
+    },
+
+    "q56_stratified_sample" -> {
+      val h = PortableSql.minhashBase("concat('mix1', ':', CAST(doc_id AS VARCHAR))", DD)
+      s"""WITH h AS (SELECT doc_id, lang,
+         |    CAST($h AS DOUBLE) / 1152921504606846976.0 AS p FROM documents),
+         |f AS (SELECT doc_id, lang FROM h WHERE p < CASE lang
+         |    WHEN 'de' THEN 0.1 WHEN 'en' THEN 0.9 WHEN 'es' THEN 0.25
+         |    WHEN 'fr' THEN 0.5 WHEN 'zh' THEN 0.05 ELSE 0.0 END)
+         |SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |FROM f GROUP BY lang""".stripMargin
+    }
   )
 }

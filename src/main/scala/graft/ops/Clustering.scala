@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Embedding clustering for training-data pipelines (north-star
+ * extension): Lloyd's k-means over an `array<float>` embedding column —
+ * the primitive behind semantic dedup (drop all-but-one doc per tight
+ * cluster), data-mixing diagnostics (cluster → domain share), and the
+ * IVF coarse quantizer ([[Similarity.ivfAssign]] probes exactly the
+ * assignment this trains).
+ *
+ * Scale design (100 TB): each Lloyd iteration is
+ *  - one narrow pass scoring every vector against a BROADCAST centroid
+ *    table (k·dims doubles — KBs) with a `greatest(struct…)` argmax in
+ *    the projection: no per-vector window, no shuffle of embeddings;
+ *  - one aggregation keyed on (cluster, dim) with map-side partials —
+ *    the exchange carries k·dims partial sums per partition, not
+ *    vectors.
+ * The k·dims centroid matrix is the ONLY driver-side state (the same
+ * contract as MLlib's KMeans: broadcast-assign, tree-aggregate means).
+ *
+ * Determinism (oracle-checkable): seeds = the `k` lowest-id vectors;
+ * assignment similarity is rounded to 6 decimals with ties → lowest
+ * centroid id; centroid means are rounded to 6 decimals per dimension
+ * (float-sum association across engines differs by ~1e-13 — rounding
+ * removes it, same argument as [[Similarity]]).
+ */
+object Clustering {
+
+  /** Cosine between a float-embedding column and a double-array
+    * centroid literal (HOF formulation, double accumulation in element
+    * order — matches the oracle's arithmetic exactly). */
+  private def cosineToCentroid(emb: Column, centroid: Seq[Double]): Column = {
+    val c = typedlit(centroid)
+    def dot(a: Column, b: Column) = aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    round(try_divide(dot(emb, c), sqrt(dot(emb, emb)) * sqrt(dot(c, c))), 6)
+  }
+
+  /** One assignment pass: nearest centroid by (rounded) cosine, ties →
+    * lowest centroid id. `greatest` over (sim, −cid) structs is an
+    * argmax in the projection — no window, no shuffle. */
+  def assign(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      centroids: Seq[(Long, Seq[Double])]): DataFrame = {
+    require(centroids.size >= 2, "kmeans needs k >= 2")
+    val scored = centroids.map { case (cid, emb) =>
+      struct(
+        cosineToCentroid(col(embCol), emb).as("sim"),
+        lit(-cid).as("negcid"))
+    }
+    df.select(
+      col(idCol),
+      col(embCol),
+      (-greatest(scored: _*).getField("negcid")).as("cluster"))
+  }
+
+  /**
+   * Lloyd's k-means: `iters` assignment passes with `iters − 1`
+   * centroid updates between them (so the OUTPUT is always a fresh
+   * assignment against the final centroids). Seeds = embeddings of the
+   * `k` lowest ids, and the cluster LABEL is the seed's own id (stable
+   * under any id numbering — the oracle replays it verbatim). A cluster
+   * that loses all members keeps its previous centroid (standard
+   * degenerate-case handling).
+   *
+   * Output: (idCol, cluster).
+   */
+  def kmeans(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      iters: Int): DataFrame = {
+    require(k >= 2 && iters >= 1)
+    val seeds = df.orderBy(col(idCol).asc).limit(k)
+      .select(col(idCol).cast("long"), col(embCol)).collect()
+    var centroids: Seq[(Long, Seq[Double])] = seeds.map { r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq
+    }.toSeq
+    var iter = 1
+    while (iter < iters) {
+      val assigned = assign(df, idCol, embCol, centroids)
+      // (cluster, dim) partial-agg means; k·dims rows back to the driver
+      val means = assigned
+        .select(col("cluster"), posexplode(col(embCol)).as(Seq("__d", "__v")))
+        .groupBy(col("cluster"), col("__d"))
+        .agg(round(avg(col("__v").cast("double")), 6).as("__m"))
+        .collect()
+      val byCluster = means.groupBy(_.getLong(0)).map { case (cid, rows) =>
+        cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+      }
+      centroids = centroids.map { case (cid, old) =>
+        cid -> byCluster.getOrElse(cid, old)
+      }
+      iter += 1
+    }
+    assign(df, idCol, embCol, centroids).select(col(idCol), col("cluster"))
+  }
+}

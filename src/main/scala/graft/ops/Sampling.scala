@@ -34,6 +34,34 @@ object Sampling {
   }
 
   /**
+   * Stratified deterministic sampling — the data-MIXING primitive: each
+   * stratum (domain, language, source…) keeps its own fraction of rows,
+   * so a training mix like "90% en, 25% es, 5% zh" is one narrow filter
+   * over the corpus. Membership is a pure function of (salt, key):
+   * reruns, repartitions, and scale-ups keep every row on the same side,
+   * and because all strata share one hash position, RAISING a stratum's
+   * fraction strictly grows its sample (consistent mixture evolution).
+   * Strata absent from `fractions` keep `defaultFraction`.
+   */
+  def stratifiedSample(
+      df: DataFrame,
+      strataCol: String,
+      keyCol: String,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 0.0,
+      salt: String = ""): DataFrame = {
+    require((defaultFraction +: fractions.values.toSeq).forall(f => f >= 0 && f <= 1),
+      "fractions must be in [0, 1]")
+    // deterministic CASE order (sorted keys) — evaluation order never
+    // matters semantically (strata are disjoint) but a canonical plan
+    // keeps explains and oracle SQL stable
+    val frac = fractions.toSeq.sortBy(_._1).foldRight(lit(defaultFraction): Column) {
+      case ((s, f), acc) => when(col(strataCol) === s, lit(f)).otherwise(acc)
+    }
+    df.filter(unitPos(col(keyCol), salt) < frac)
+  }
+
+  /**
    * Disjoint covering split: row goes to bucket i when its hash lands in
    * `[cum_{i-1}, cum_i)` of the cumulative weight intervals. Returns one
    * DataFrame per weight (e.g. `Seq(0.8, 0.1, 0.1)` → train/val/test).

@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus search / lexical-statistics operators for training-data
+ * pipelines (north-star extension): benchmark decontamination, BM25
+ * keyword retrieval, and corpus-wide heavy hitters.
+ *
+ * Scale design (100 TB):
+ *  - [[contamination]] broadcasts the benchmark n-gram set (eval
+ *    benchmarks are MBs; the corpus is the 100 TB side) so the corpus
+ *    is scanned ONCE, the gram join runs map-side, and the only
+ *    shuffle carries (doc, matched-gram) rows for the tiny
+ *    contaminated fraction — partial-aggregated on doc id.
+ *  - [[bm25]] needs global stats (N, df per term, avg doc length):
+ *    ONE aggregation pass collapses them to a single broadcast row,
+ *    then scoring is a narrow projection over a second scan with a
+ *    `TakeOrderedAndProject` top-k — no global sort, no shuffle of
+ *    scored rows beyond the k-row reduce.
+ *  - [[topTokens]] is the canonical explode → partial-agg → top-k:
+ *    map-side combine collapses each partition's token counts before
+ *    the wire, and the final ordering is a k-row `TakeOrdered`, never
+ *    a full sort of the vocabulary.
+ */
+object Search {
+
+  /**
+   * Benchmark decontamination: for every corpus document sharing at
+   * least one `n`-word shingle with the benchmark set, the number of
+   * its distinct shingles that appear anywhere in the benchmark.
+   * Training sets are decontaminated against eval benchmarks by
+   * dropping (or flagging) exactly these docs — a doc with even one
+   * verbatim benchmark n-gram is suspect at the n used in practice
+   * (8–13 words; the fixture corpus's short docs use smaller n).
+   *
+   * Output: (idCol, n_contaminated) — flagged docs only.
+   */
+  def contamination(
+      corpus: DataFrame,
+      bench: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int): DataFrame = {
+    // The benchmark gram set is deduplicated once and broadcast; the
+    // corpus side explodes its own distinct grams and probes map-side.
+    val benchGrams = bench
+      .select(explode(array_distinct(TextOps.wordShingles(col(textCol), n))).as("__g"))
+      .distinct()
+    corpus
+      .select(
+        col(idCol),
+        explode(array_distinct(TextOps.wordShingles(col(textCol), n))).as("__g"))
+      .join(broadcast(benchGrams), Seq("__g"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_contaminated"))
+  }
+
+  /** Exact term frequency in a token array (list-filter length — exact
+    * for consecutive duplicate tokens, unlike replace-delta counting
+    * which merges matches sharing a delimiter space). */
+  def termFreq(toks: Column, term: String): Column =
+    size(filter(toks, t => t === term)).cast("long")
+
+  /**
+   * Okapi BM25 top-k retrieval for a fixed bag of query terms, with
+   * the standard always-positive idf variant
+   * `ln((N − df + 0.5)/(df + 0.5) + 1)`:
+   *
+   *   score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl))
+   *
+   * Scored docs are ranked (score desc, id asc — total order) and cut
+   * to `topK`. Scores are rounded to 6 decimals for cross-engine float
+   * stability. Docs matching no term (score 0) are excluded.
+   */
+  def bm25(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      terms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      topK: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val toks = TextOps.tokens(col(textCol))
+    val perDoc = df.select(
+      col(idCol) +:
+        size(toks).cast("long").as("__len") +:
+        terms.zipWithIndex.map { case (t, i) => termFreq(toks, t).as(s"__tf$i") }: _*)
+    // global stats → ONE row (broadcast): N, Σlen (exact integer sum —
+    // avgdl is derived by a single deterministic division), df per term
+    val statAggs =
+      sum(col("__len")).as("__sumlen") +:
+        terms.indices.map(i =>
+          sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i"))
+    val stats = perDoc.agg(count(lit(1)).as("__n"), statAggs: _*)
+    val nD = col("__n").cast("double")
+    val avgdl = col("__sumlen").cast("double") / nD
+    val score = terms.indices.map { i =>
+      val tf = col(s"__tf$i").cast("double")
+      val dfT = col(s"__df$i").cast("double")
+      val idf = log((nD - dfT + 0.5) / (dfT + 0.5) + 1.0)
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("__len").cast("double") / avgdl))
+    }.reduce(_ + _)
+    perDoc
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), round(score, 6).as("bm25"))
+      .filter(col("bm25") > 0)
+      .orderBy(col("bm25").desc, col(idCol).asc)
+      .limit(topK)
+  }
+
+  /** Corpus-wide top-`k` tokens by occurrence count (heavy hitters),
+    * deterministically ordered (count desc, token asc). */
+  def topTokens(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(k)
+}

@@ -76,6 +76,63 @@ object Sketches {
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
+  /** md5-derived count-min-sketch bucket of a value for hash row `d`:
+    * first 15 hex chars of md5("cms&lt;d&gt;:" + value) as a 60-bit long,
+    * mod `width`. Seedless and engine-portable — the whole sketch is
+    * replayable in the DuckDB oracle. */
+  def cmsBucket(c: Column, d: Int, width: Int): Column =
+    conv(substring(md5(concat(lit(s"cms$d:"), c.cast("string"))), 1, 15), 16, 10)
+      .cast("long") % width
+
+  /**
+   * Count-min sketch over token occurrences, applied to the exact
+   * top-`k` tokens: (token, exact_cnt, cms_est) with est ≥ exact
+   * always (CMS never underestimates) and equality when none of the
+   * token's `depth` cells collides.
+   *
+   * The sketch STATE is the `depth × width` cell table — built here as
+   * a distributed aggregation (explode tokens → per-token counts with
+   * map-side partials → `depth` cell keys per token → cell sums), which
+   * produces exactly the counters a single-pass streaming CMS holds:
+   * CMS is linear, so building cells from pre-aggregated counts equals
+   * incrementing per occurrence. At 100 TB the shuffle carries
+   * partial token counts (vocabulary-sized, not corpus-sized) and the
+   * cell table itself is `depth·width` rows — constant. The exact
+   * per-token counts here double as the accuracy reference (the same
+   * role the exact twin plays for [[kmvDistinct]]); a production
+   * pipeline keeps only the cell table.
+   */
+  def cmsTopTokens(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      k: Int,
+      depth: Int,
+      width: Int): org.apache.spark.sql.DataFrame = {
+    require(depth >= 1 && width >= 2)
+    // token counts feed BOTH the cell build and the top-k probe —
+    // materialize once (vocabulary-sized, tiny)
+    val counts = df
+      .select(explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("exact_cnt"))
+      .localCheckpoint()
+    def cellKeys(tok: Column) = array((0 until depth).map(d =>
+      struct(lit(d).as("d"), cmsBucket(tok, d, width).as("bucket"))): _*)
+    val cells = counts
+      .select(explode(cellKeys(col("token"))).as("db"), col("exact_cnt"))
+      .groupBy(col("db.d").as("d"), col("db.bucket").as("bucket"))
+      .agg(sum("exact_cnt").as("total"))
+    val top = counts
+      .orderBy(col("exact_cnt").desc, col("token").asc)
+      .limit(k)
+    top
+      .select(col("token"), col("exact_cnt"), explode(cellKeys(col("token"))).as("db"))
+      .join(broadcast(cells),
+        col("db.d") === cells("d") && col("db.bucket") === cells("bucket"))
+      .groupBy("token", "exact_cnt")
+      .agg(min("total").as("cms_est"))
+  }
+
   /** Estimated distinct count of `valueCol` — single row. The default
     * path is SKETCH-ONLY: one bounded-state aggregation, no distinct
     * shuffle. `calibrate = true` additionally computes the exact

@@ -51,4 +51,45 @@ class SamplingSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Sampling.hashSplit(docs, "doc_id", Seq(0.5, 0.2), "s"))
   }
+
+  test("stratifiedSample keeps ~the requested fraction per stratum, deterministically") {
+    val documents = TestSpark.table("documents")
+    val fr = Map("en" -> 0.9, "fr" -> 0.5, "es" -> 0.25, "de" -> 0.1, "zh" -> 0.05)
+    val out = Sampling.stratifiedSample(documents, "lang", "doc_id", fr, salt = "mix1")
+    val kept = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = documents.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    fr.foreach { case (lang, f) =>
+      val rate = kept.getOrElse(lang, 0L).toDouble / totals(lang)
+      assert(math.abs(rate - f) < 0.25,
+        s"$lang kept $rate of ${totals(lang)} docs, wanted ~$f")
+    }
+    val rerun = Sampling.stratifiedSample(
+      documents.repartition(7), "lang", "doc_id", fr, salt = "mix1")
+    assert(out.select("doc_id").collect().toSet == rerun.select("doc_id").collect().toSet,
+      "membership is a pure function of (salt, key) — partitioning-invariant")
+  }
+
+  test("raising a stratum's fraction strictly grows its sample (consistent mixture evolution)") {
+    val documents = TestSpark.table("documents")
+    def ids(f: Double) = Sampling.stratifiedSample(
+      documents, "lang", "doc_id", Map("en" -> f), salt = "mix1")
+      .select("doc_id").as[Long].collect().toSet
+    val quarter = ids(0.25)
+    val half = ids(0.5)
+    assert(quarter.subsetOf(half), "fraction=0.25 must be a subset of fraction=0.5")
+    assert(quarter.size < half.size)
+  }
+
+  test("strata missing from the fraction map keep defaultFraction") {
+    val documents = TestSpark.table("documents")
+    val dropped = Sampling.stratifiedSample(
+      documents, "lang", "doc_id", Map("en" -> 1.0), salt = "s")
+    assert(dropped.select("lang").distinct().collect().map(_.getString(0)).toSeq == Seq("en"),
+      "default 0.0 drops every other stratum")
+    val kept = Sampling.stratifiedSample(
+      documents, "lang", "doc_id", Map("en" -> 1.0), defaultFraction = 1.0, salt = "s")
+    assert(kept.count() == documents.count())
+  }
 }

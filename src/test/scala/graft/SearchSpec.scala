@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Search
+
+class SearchSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "a quick brown fox jumps over a sleeping cat"),
+    (3L, "completely unrelated words about spark and shuffle plans"),
+    (4L, "the quick brown fox naps all day long")
+  ).toDF("doc_id", "text")
+
+  test("contamination flags exactly the docs sharing an n-gram with the benchmark") {
+    // benchmark = doc 1; 4-grams of doc 2 sharing with doc 1:
+    // "quick brown fox jumps" only ("brown fox jumps over" also shared!)
+    val out = Search.contamination(
+      docs.filter($"doc_id" =!= 1L), docs.filter($"doc_id" === 1L),
+      "text", "doc_id", n = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(2L, 4L), "docs 2 and 4 share 4-grams with doc 1; doc 3 shares none")
+    assert(out(2L) == 2L, "doc 2: 'quick brown fox jumps' + 'brown fox jumps over'")
+    assert(out(4L) == 1L, "doc 4: 'the quick brown fox'")
+  }
+
+  test("contamination counts DISTINCT grams (repeats in a doc count once)") {
+    val corpus = Seq((10L, "x y x y x y")).toDF("doc_id", "text")
+    val bench = Seq((0L, "x y x")).toDF("doc_id", "text")
+    val out = Search.contamination(corpus, bench, "text", "doc_id", n = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // corpus doc grams: {x y, y x}; bench grams: {x y, y x} → 2 distinct hits
+    assert(out == Map(10L -> 2L))
+  }
+
+  test("bm25 ranks the term-dense doc first and excludes no-match docs") {
+    val out = Search.bm25(docs, "text", "doc_id", Seq("fox", "quick"), topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.map(_._1).toSet == Set(1L, 2L, 4L), "doc 3 has no query term")
+    // scores sorted desc, deterministic tiebreak
+    assert(out.map(_._2).reverse.toSeq == out.map(_._2).sortBy(identity).toSeq)
+    // shorter doc with same tf scores higher (length normalization)
+    val byId = out.toMap
+    assert(byId(4L) > byId(1L), "doc 4 is shorter than doc 1 with the same tf")
+  }
+
+  test("bm25 idf favors rarer terms: a doc matching only a rare term beats one matching only a common term") {
+    val corpus = Seq(
+      (1L, "common common common rare"),
+      (2L, "common filler filler filler"),
+      (3L, "rare filler filler filler"),
+      (4L, "common filler filler filler"),
+      (5L, "common filler filler filler")
+    ).toDF("doc_id", "text")
+    val out = Search.bm25(corpus, "text", "doc_id", Seq("common", "rare"), topK = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(3L) > out(2L), "same tf and length; 'rare' has higher idf")
+  }
+
+  test("topTokens returns exact counts with deterministic ordering") {
+    val out = Search.topTokens(docs, "text", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // "the" ×3, "quick"/"brown"/"fox" ×3 each... compute exact: ties broken by token asc
+    val exact = docs.select(explode(split($"text", " ")).as("t"))
+      .groupBy("t").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (t, c) => (-c, t) }.take(3)
+    assert(out.toSeq == exact.toSeq)
+  }
+}

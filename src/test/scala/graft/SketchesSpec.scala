@@ -44,6 +44,23 @@ class SketchesSpec extends AnyFunSuite {
     assert(r.getLong(1) == 10L)
   }
 
+  test("cmsTopTokens: estimates never undercount, and are exact when width kills collisions") {
+    val docs = TestSpark.table("documents")
+    val narrow = Sketches.cmsTopTokens(docs, "text", k = 10, depth = 3, width = 32).collect()
+    assert(narrow.length == 10)
+    narrow.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"CMS must never underestimate: ${r.getString(0)} est=${r.getLong(2)} exact=${r.getLong(1)}")
+    }
+    // a huge width makes collisions vanishingly unlikely on a tiny
+    // vocabulary → every estimate collapses to the exact count
+    val wide = Sketches.cmsTopTokens(docs, "text", k = 10, depth = 3, width = 1 << 20).collect()
+    wide.foreach(r => assert(r.getLong(2) == r.getLong(1)))
+    // deterministic: same rows both runs
+    val rerun = Sketches.cmsTopTokens(docs, "text", k = 10, depth = 3, width = 32).collect()
+    assert(narrow.map(_.toString).sorted.toSeq == rerun.map(_.toString).sorted.toSeq)
+  }
+
   test("default (production) path is sketch-only: one aggregate, no distinct shuffle") {
     val orders = TestSpark.table("orders")
     val df = Sketches.kmvDistinct(orders, "o_custkey", 64)
