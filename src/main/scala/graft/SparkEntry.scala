@@ -713,6 +713,43 @@ object SparkEntry {
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))),
 
+    // ---- K6: range-clustered parquet sink — every output file covers
+    //      a disjoint o_orderdate range (footer min/max → file skipping
+    //      for high-cardinality keys where partitionBy would explode).
+    //      Roundtrip + range-filter aggregate; oracle replays the
+    //      filter on the source table (layout changes I/O, not answers).
+    "q57_range_clustered" -> ((s, dir) => {
+      val out = tmp("q57_range")
+      Layers.writeRangeClustered(
+        T(s, dir, "orders"), out, Seq("o_orderdate"), numFiles = 8)
+      Layers.readParquet(s, out)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          expr(s"${dsum("o_totalprice")} AS sum_price"))
+    }),
+
+    // ---- north-star: one-pass column profiler (row/null/distinct
+    //      counts + numeric min/max for every column from ONE scan).
+    "q58_profile" -> ((s, dir) =>
+      graft.ops.Stats.profile(
+        T(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_returnflag", "l_orderkey"))),
+
+    // ---- north-star: SEMANTIC dedup decisions — embedding near-dup
+    //      pairs (q24's banded LSH) resolved into clusters (pointer-
+    //      doubling components) and keep/drop decisions: the
+    //      embedding-space twin of the lexical q47.
+    "q59_semantic_clusters" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val pairs = Similarity.bandedNeighbors(
+        emb, "vec_id", "embedding",
+        planesPerBand = 8, bands = 2, dims = 64, minCosine = 0.15)
+        .select("id_a", "id_b")
+      Dedup.dedupDecisions(emb, "vec_id", Dedup.components(pairs))
+    }),
+
     // ---- S1: page-partitioned bounded source (DataSourceV2) — pages
     //      fetched in parallel, per-page retry inside the reader
     "q28_paged_source" -> ((s, dir) => {
@@ -840,14 +877,17 @@ object SparkEntry {
        |  WHERE round(it.i / (sa.n + sb.n - it.i), 6) >= 0.8
        |)""".stripMargin
 
-  /** Recursive-CTE transitive closure + min-label clustering over
-    * `vpairs` (from [[jaccardCtes]]) — shared by q39 and q47 so the
-    * closure semantics can never desynchronize between their oracles.
-    * Ends in `labels(doc_id, cluster_id)`. */
-  private def closureCtes: String =
+  /** Recursive-CTE transitive closure + min-label clustering over a
+    * pair CTE with (id_a, id_b) columns — shared by q39/q47 (over
+    * [[jaccardCtes]]'s `vpairs`) and q59 (over [[embPairCtes]]'s `p`)
+    * so the closure semantics can never desynchronize between their
+    * oracles. Ends in `labels(doc_id, cluster_id)`. */
+  private def closureCtes: String = closureCtesOver("vpairs")
+
+  private def closureCtesOver(src: String): String =
     s"""edges AS (
-       |  SELECT id_a AS src, id_b AS dst FROM vpairs
-       |  UNION SELECT id_b, id_a FROM vpairs
+       |  SELECT id_a AS src, id_b AS dst FROM $src
+       |  UNION SELECT id_b, id_a FROM $src
        |),
        |reach AS (
        |  SELECT src, dst FROM edges
@@ -873,6 +913,33 @@ object SparkEntry {
       s"(CASE WHEN round($proj, 6) >= 0 THEN '1' ELSE '0' END)"
     }
     bits.mkString("concat(", ", ", ")")
+  }
+
+  /** Shared CTE chain for banded embedding near-dup pairs (the q24
+    * pipeline: 2 bands × 8 planes, capped buckets, cosine ≥ 0.15),
+    * ending in `p(id_a, id_b, cosine_sim)` — used by q24 (pairs) and
+    * q59 (semantic clusters) so the pair semantics can never
+    * desynchronize between their oracles. */
+  private def embPairCtes: String = {
+    val all = Similarity.planes(16, 64)
+    val bandSelects = (0 until 2).map { b =>
+      val bucket = duckSignBucketP("embedding", all.slice(b * 8, (b + 1) * 8), 64)
+      s"SELECT vec_id, embedding, $b AS band, $bucket AS bucket FROM embeddings"
+    }.mkString(" UNION ALL ")
+    s"""bb AS ($bandSelects),
+       |capped AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY band, bucket ORDER BY vec_id) AS rn FROM bb
+       |  ) WHERE rn <= 1000
+       |),
+       |p AS (
+       |  SELECT * FROM (
+       |    SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b,
+       |      ${duckCosine("a.embedding", "c.embedding", 64)} AS cosine_sim
+       |    FROM capped a JOIN capped c
+       |      ON a.band = c.band AND a.bucket = c.bucket AND a.vec_id < c.vec_id
+       |  ) WHERE cosine_sim >= 0.15
+       |)""".stripMargin
   }
 
   private def duckCosine(a: String, b: String, dims: Int): String = {
@@ -1015,26 +1082,9 @@ object SparkEntry {
          |s AS (SELECT vec_id, ${duckCosine("embedding", "qe", 64)} AS cosine_sim FROM b, q WHERE b.bucket = q.qbucket)
          |SELECT vec_id, cosine_sim FROM s ORDER BY cosine_sim DESC, vec_id LIMIT 10""".stripMargin,
 
-    "q24_embedding_pairs" -> {
-      val all = Similarity.planes(16, 64)
-      val bandSelects = (0 until 2).map { b =>
-        val bucket = duckSignBucketP("embedding", all.slice(b * 8, (b + 1) * 8), 64)
-        s"SELECT vec_id, embedding, $b AS band, $bucket AS bucket FROM embeddings"
-      }.mkString(" UNION ALL ")
-      s"""WITH bb AS ($bandSelects),
-         |capped AS (
-         |  SELECT * FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY band, bucket ORDER BY vec_id) AS rn FROM bb
-         |  ) WHERE rn <= 1000
-         |),
-         |p AS (
-         |  SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b,
-         |    ${duckCosine("a.embedding", "c.embedding", 64)} AS cosine_sim
-         |  FROM capped a JOIN capped c
-         |    ON a.band = c.band AND a.bucket = c.bucket AND a.vec_id < c.vec_id
-         |)
-         |SELECT id_a, id_b, cosine_sim FROM p WHERE cosine_sim >= 0.15""".stripMargin
-    },
+    "q24_embedding_pairs" ->
+      s"""WITH $embPairCtes
+         |SELECT id_a, id_b, cosine_sim FROM p""".stripMargin,
 
     "q25_media_stats" ->
       s"""SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
@@ -1356,6 +1406,36 @@ object SparkEntry {
          |a1 AS (${assignCte("c1")})
          |SELECT vec_id, cluster FROM a1""".stripMargin
     },
+
+    "q57_range_clustered" ->
+      s"""SELECT count(*) AS n_orders, ${dsum("o_totalprice")} AS sum_price
+         |FROM orders
+         |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin,
+
+    "q58_profile" -> {
+      def block(c: String, num: Boolean) = {
+        val mn = if (num) s"CAST(min($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+        val mx = if (num) s"CAST(max($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct, $mn AS min_val, $mx AS max_val
+           |FROM lineitem""".stripMargin
+      }
+      Seq(
+        block("l_quantity", num = true),
+        block("l_extendedprice", num = true),
+        block("l_returnflag", num = false),
+        block("l_orderkey", num = true)).mkString("\nUNION ALL\n")
+    },
+
+    "q59_semantic_clusters" ->
+      s"""WITH RECURSIVE $embPairCtes,
+         |${closureCtesOver("p")}
+         |SELECT e.vec_id,
+         |  coalesce(l.cluster_id, e.vec_id) AS cluster_id,
+         |  coalesce(l.cluster_id, e.vec_id) = e.vec_id AS keep
+         |FROM embeddings e LEFT JOIN labels l ON e.vec_id = l.doc_id""".stripMargin,
 
     "q56_stratified_sample" -> {
       val h = PortableSql.minhashBase("concat('mix1', ':', CAST(doc_id AS VARCHAR))", DD)

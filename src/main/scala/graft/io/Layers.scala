@@ -103,6 +103,29 @@ object Layers {
       .saveAsTable(table)
 
   /**
+   * Range-clustered Parquet sink: `repartitionByRange(n, keys) +
+   * sortWithinPartitions(keys)` before the write, so every output file
+   * covers a DISJOINT key range. Parquet footers then carry tight
+   * min/max stats per file and per row-group, and any reader filtering
+   * on the cluster keys skips whole files without opening them — the
+   * path-level analog of partition pruning for HIGH-cardinality keys
+   * (timestamps, ids) where `partitionBy` would explode into millions
+   * of directories. At 100 TB this is the difference between a range
+   * query touching ~1/n of the files and touching all of them.
+   * (LayersSpec asserts the per-file ranges are disjoint.)
+   */
+  def writeRangeClustered(
+      df: DataFrame,
+      path: String,
+      clusterCols: Seq[String],
+      numFiles: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.repartitionByRange(numFiles, clusterCols.map(col): _*)
+      .sortWithinPartitions(clusterCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /**
    * O3 analog — resolve the latest *successfully published* run
    * directory under `base` (subdirs named by sortable id, e.g.
    * `run_20251015` or an ISO date), gated on Spark's `_SUCCESS` marker.

@@ -21,6 +21,47 @@ import org.apache.spark.sql.functions._
  */
 object Stats {
 
+  /**
+   * One-pass column profiler — the data-quality sibling of the
+   * reference's rule engine: per column, row/null/distinct counts and
+   * (numeric columns only) min/max as doubles. Every metric for every
+   * column is computed in ONE aggregation over ONE scan; the single
+   * result row is MATERIALIZED (localCheckpoint) before the per-column
+   * unpivot, because each union branch would otherwise re-execute the
+   * whole aggregate — exchange reuse does not deduplicate across union
+   * branches here (measured: k columns → 2k scans without the
+   * checkpoint, one with). (The multi-column `count_distinct` plans
+   * through Spark's Expand — one duplicated stream per distinct column,
+   * the standard cost; at extreme scale swap it for the
+   * [[Sketches.KMinValues]] estimator, same one-scan shape.)
+   *
+   * Output: (column, n_rows, n_nulls, n_distinct, min_val, max_val).
+   */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty)
+    def isNum(c: String) = df.schema(c).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
+        count_distinct(col(c)).as(s"__nd_$c")) ++
+        (if (isNum(c))
+           Seq(min(col(c)).cast("double").as(s"__mn_$c"),
+             max(col(c)).cast("double").as(s"__mx_$c"))
+         else Nil)
+    }
+    val one = df.agg(count(lit(1)).as("__n"), aggs: _*).localCheckpoint()
+    cols.map { c =>
+      one.select(
+        lit(c).as("column"),
+        col("__n").as("n_rows"),
+        col(s"__nn_$c").as("n_nulls"),
+        col(s"__nd_$c").as("n_distinct"),
+        (if (isNum(c)) col(s"__mn_$c") else lit(null).cast("double")).as("min_val"),
+        (if (isNum(c)) col(s"__mx_$c") else lit(null).cast("double")).as("max_val"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Per-group exact percentiles of `valueCol` (linear interpolation,
     * results rounded to 6 decimals). Output: group cols + one
     * `p<percent>` column per requested fraction + `n_rows`.

@@ -107,4 +107,25 @@ class LayersSpec extends AnyFunSuite {
     assert(ev.filter(col("ts").isNull).count() == 0)
     assert(ev.count() > 0)
   }
+
+  test("writeRangeClustered: files cover disjoint key ranges (skippable layout), content intact") {
+    val orders = TestSpark.table("orders")
+    val dir = TestSpark.tmpDir("range_clustered")
+    Layers.writeRangeClustered(orders, dir, Seq("o_orderkey"), numFiles = 4)
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(files.length >= 2, "fixture must produce multiple range files")
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f.getPath)
+        .agg(min("o_orderkey"), max("o_orderkey")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) =>
+        assert(hi < lo2, s"file ranges must be disjoint: [$hi] overlaps [$lo2]")
+      case _ =>
+    }
+    // layout changes I/O, never the answer
+    assert(spark.read.parquet(dir).count() == orders.count())
+  }
 }

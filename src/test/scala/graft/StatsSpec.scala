@@ -126,4 +126,35 @@ class StatsSpec extends AnyFunSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges == 1, s"expected one exchange, got $exchanges:\n$plan")
   }
+
+  test("profile: exact counts/nulls/distincts, numeric min/max, null min/max for strings") {
+    val df = Seq(
+      (Some(1.5), Some("a"), 10L),
+      (Some(2.5), None, 10L),
+      (None, Some("b"), 20L),
+      (Some(2.5), Some("a"), 30L)
+    ).toDF("x", "s", "k")
+    val out = Stats.profile(df, Seq("x", "s", "k"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("x", "s", "k"))
+    val x = out("x")
+    assert(x.getLong(1) == 4 && x.getLong(2) == 1 && x.getLong(3) == 2)
+    assert(x.getDouble(4) == 1.5 && x.getDouble(5) == 2.5)
+    val s = out("s")
+    assert(s.getLong(2) == 1 && s.getLong(3) == 2)
+    assert(s.isNullAt(4) && s.isNullAt(5), "string columns carry no numeric min/max")
+    val k = out("k")
+    assert(k.getLong(2) == 0 && k.getLong(3) == 3)
+    assert(k.getDouble(4) == 10.0 && k.getDouble(5) == 30.0)
+  }
+
+  test("profile runs ONE scan: the unpivot reads the materialized row, never the table") {
+    val plan = Stats.profile(TestSpark.table("lineitem"), Seq("l_quantity", "l_returnflag"))
+      .queryExecution.optimizedPlan.toString
+    // the aggregate row is checkpointed, so the union branches contain
+    // zero parquet relations — without the materialization each branch
+    // re-executed the whole aggregate (measured 2 scans per column)
+    assert(!plan.contains("Relation") && !plan.contains("parquet"),
+      s"profile must not re-scan per column/metric:\n$plan")
+  }
 }
