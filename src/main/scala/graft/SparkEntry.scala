@@ -77,12 +77,32 @@ object SparkEntry {
           .localCheckpoint()
       })
 
+  /** On-disk build marker for the DURABLE signature index (q60) — the
+    * parquet-backed production form of [[corpusSigIndex]]'s session
+    * memo ([[graft.io.SignatureIndex]]). Built once per (app, dir);
+    * the index itself lives in scratch parquet and survives session
+    * restarts, the marker only prevents same-session rebuilds. */
+  private val durableIdxMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  private def durableSigIndex(s: SparkSession, dir: String): String =
+    durableIdxMemo.getOrElseUpdate(
+      (s.sparkContext.applicationId, dir), {
+        val idxDir = tmp("sig_index_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+        graft.io.SignatureIndex.build(
+          T(s, dir, "documents").filter(col("doc_id") % 10 =!= 0),
+          "text", "doc_id", idxDir, numHashes = 8, bands = 4, shingleWords = 3)
+        idxDir
+      })
+
   /** Drop all memoized intermediates (for harnesses like [[BenchOne]]
     * that need every rep to rebuild the full pipeline). Eviction drops
     * the references; the checkpointed blocks are reclaimed
     * asynchronously by Spark's ContextCleaner once the RDDs are
     * garbage-collected. */
-  private[graft] def clearMemos(): Unit = { pairsMemo.clear(); sigsMemo.clear() }
+  private[graft] def clearMemos(): Unit = {
+    pairsMemo.clear(); sigsMemo.clear(); durableIdxMemo.clear()
+  }
 
   /** Build (or rebuild) the shared pair index for `dir` — lets a bench
     * harness put an index CONSUMER (q39) into its production shape
@@ -99,7 +119,8 @@ object SparkEntry {
   private[graft] val indexWarmers: Map[String, (SparkSession, String) => Unit] = Map(
     "q39_dedup_clusters" -> warmSharedIndex,
     "q47_dedup_decisions" -> warmSharedIndex,
-    "q46_incremental_neardups" -> ((s, dir) => corpusSigIndex(s, dir).count(): Unit))
+    "q46_incremental_neardups" -> ((s, dir) => corpusSigIndex(s, dir).count(): Unit),
+    "q60_durable_index" -> ((s, dir) => durableSigIndex(s, dir): Unit))
 
   // ---------------------------------------------------------------- entry
 
@@ -606,6 +627,18 @@ object SparkEntry {
       val batch = docs.filter(col("doc_id") % 10 === 0)
       Dedup.incrementalNearDups(
         docs, corpusSigIndex(s, dir), batch, "text", "doc_id", threshold = 0.8)
+    }),
+
+    // ---- north-star: DURABLE signature index (q46's production form —
+    //      the corpus signatures live in parquet on disk, built once;
+    //      the probe reads them back cold. Same result set as q46, but
+    //      every signature crosses a real storage round-trip and the
+    //      hash parameters come from the index's own committed meta.)
+    "q60_durable_index" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+      graft.io.SignatureIndex.probe(
+        docs, batch, "text", durableSigIndex(s, dir), threshold = 0.8)
     }),
 
     // ---- north-star: batched model-scoring seam (mapPartitions,
@@ -1254,6 +1287,12 @@ object SparkEntry {
     },
 
     "q46_incremental_neardups" ->
+      s"""WITH $jaccardCtes
+         |SELECT id_a, id_b, jaccard FROM vpairs
+         |WHERE id_a % 10 = 0 OR id_b % 10 = 0""".stripMargin,
+
+    // durable-index probe returns exactly the incremental pair set
+    "q60_durable_index" ->
       s"""WITH $jaccardCtes
          |SELECT id_a, id_b, jaccard FROM vpairs
          |WHERE id_a % 10 = 0 OR id_b % 10 = 0""".stripMargin,

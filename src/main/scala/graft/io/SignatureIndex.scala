@@ -1,0 +1,157 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ops.Dedup
+
+/**
+ * Durable MinHash signature index — the parquet-backed store behind
+ * incremental near-dup detection ([[Dedup.incrementalNearDups]]).
+ *
+ * The reference recomputes everything per scheduled run (its Airflow
+ * DAG re-reads the whole bronze layer daily,
+ * `/root/reference/dags/breweries_dag.py`); at 100 TB that is exactly
+ * the cost an index exists to avoid. This store makes the dedup index
+ * a first-class PUBLISHED LAYER, same as silver/gold:
+ *
+ *  - `build` hashes the corpus ONCE and writes (id, sig) parquet —
+ *    docs × numHashes longs, ~3 orders of magnitude smaller than the
+ *    text it summarizes;
+ *  - `probe` answers "which existing docs does this batch collide
+ *    with?" by broadcasting the batch's band buckets against a single
+ *    map-side scan of the stored index (the index is NEVER shuffled);
+ *  - `append` adds the batch's signatures after a successful probe, so
+ *    tomorrow's batch sees today's docs.
+ *
+ * The hash parameters (numHashes, bands, shingleWords, kernel) are
+ * part of the index's identity: a probe hashed with different
+ * parameters silently finds nothing. They are therefore written ONCE
+ * at build time into `_graft_index.json` and every subsequent
+ * operation reads them from the store — callers cannot drift. The
+ * meta file is written AFTER the signature parquet commits, so a
+ * crashed build leaves no readable index (read fails cleanly rather
+ * than serving partial signatures).
+ *
+ * Concurrency contract: single writer (one ingest pipeline owns the
+ * index), many readers — the same contract as the reference's
+ * overwrite-per-run layers. Appends rely on Spark's parquet commit
+ * protocol; a crashed append leaves uncommitted temp files that
+ * parquet readers ignore.
+ */
+object SignatureIndex {
+
+  /** Index identity, fixed at build time. */
+  final case class Meta(
+      idCol: String,
+      numHashes: Int,
+      bands: Int,
+      shingleWords: Int,
+      kind: Dedup.HashKind)
+
+  private def kindName(k: Dedup.HashKind): String = k match {
+    case Dedup.Md5  => "md5"
+    case Dedup.Xx64 => "xx64"
+  }
+
+  private def kindOf(name: String): Dedup.HashKind = name match {
+    case "md5"  => Dedup.Md5
+    case "xx64" => Dedup.Xx64
+    case other  => sys.error(s"unknown hash kind '$other' in signature index meta")
+  }
+
+  private def sigsPath(dir: String) = s"$dir/sigs"
+  private def metaFile(dir: String) = new Path(dir, "_graft_index.json")
+
+  /** Build the index from scratch: hash every doc in `docs`, write the
+    * signature table, then commit the meta file. Overwrites any
+    * previous index at `dir`. */
+  def build(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      dir: String,
+      numHashes: Int = 8,
+      bands: Int = 4,
+      shingleWords: Int = 3,
+      kind: Dedup.HashKind = Dedup.Md5): Unit = {
+    require(idCol.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"idCol '$idCol' must be a plain identifier (stored in index meta)")
+    val spark = docs.sparkSession
+    Dedup.minhashSignatures(docs, textCol, idCol, numHashes, shingleWords, kind)
+      .sortWithinPartitions(idCol) // better parquet RLE/dictionary runs
+      .write.mode("overwrite").parquet(sigsPath(dir))
+    val json =
+      s"""{"id_col": "$idCol", "num_hashes": $numHashes, "bands": $bands, """ +
+        s""""shingle_words": $shingleWords, "kind": "${kindName(kind)}"}"""
+    val fs = metaFile(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(metaFile(dir), true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Read the index identity. Fails if `dir` holds no committed index. */
+  def meta(spark: SparkSession, dir: String): Meta = {
+    val p = metaFile(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"no signature index at $dir (missing ${p.getName})")
+    val in = fs.open(p)
+    val json =
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      finally in.close()
+    def str(k: String) = s""""$k": "([^"]*)"""".r.findFirstMatchIn(json)
+      .getOrElse(sys.error(s"bad index meta: missing $k")).group(1)
+    def num(k: String) = s""""$k": (\\d+)""".r.findFirstMatchIn(json)
+      .getOrElse(sys.error(s"bad index meta: missing $k")).group(1).toInt
+    Meta(str("id_col"), num("num_hashes"), num("bands"), num("shingle_words"),
+      kindOf(str("kind")))
+  }
+
+  /** The stored signature table (meta.idCol, sig). */
+  def signatures(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(sigsPath(dir))
+
+  /** Near-dup pairs between `newDocs` and everything indexed at `dir`
+    * (plus batch-internal pairs), verified by exact Jaccard ≥
+    * `threshold`. `allDocs` supplies text for verification (corpus ∪
+    * batch — only colliding docs are actually read). Hash parameters
+    * come from the stored meta. */
+  def probe(
+      allDocs: DataFrame,
+      newDocs: DataFrame,
+      textCol: String,
+      dir: String,
+      threshold: Double): DataFrame = {
+    val m = meta(allDocs.sparkSession, dir)
+    Dedup.incrementalNearDups(
+      allDocs, signatures(allDocs.sparkSession, dir), newDocs,
+      textCol, m.idCol, threshold,
+      m.numHashes, m.bands, m.shingleWords, m.kind)
+  }
+
+  /** Append `newDocs`' signatures so future probes see them. Hash
+    * parameters come from the stored meta — a batch CANNOT be appended
+    * with drifted parameters. Call after a successful [[probe]]. */
+  def append(newDocs: DataFrame, textCol: String, dir: String): Unit = {
+    val m = meta(newDocs.sparkSession, dir)
+    Dedup.minhashSignatures(
+      newDocs, textCol, m.idCol, m.numHashes, m.shingleWords, m.kind)
+      .sortWithinPartitions(m.idCol)
+      .write.mode("append").parquet(sigsPath(dir))
+  }
+
+  /** The daily-batch operation: probe the CURRENT index for the new
+    * batch's near-dups, then append the batch's signatures. Returns
+    * the verified pairs (materialized before the append so the result
+    * reflects the pre-append index). */
+  def ingestBatch(
+      allDocs: DataFrame,
+      newDocs: DataFrame,
+      textCol: String,
+      dir: String,
+      threshold: Double): DataFrame = {
+    val pairs = probe(allDocs, newDocs, textCol, dir, threshold).localCheckpoint()
+    append(newDocs, textCol, dir)
+    pairs
+  }
+}

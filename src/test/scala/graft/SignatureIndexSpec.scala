@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.SignatureIndex
+import graft.ops.Dedup
+
+class SignatureIndexSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  import spark.implicits._
+
+  private val docs = TestSpark.table("documents")
+  private def corpus = docs.filter($"doc_id" % 10 =!= 0)
+  private def batch = docs.filter($"doc_id" % 10 === 0)
+
+  test("build → meta round-trips the hash parameters") {
+    val dir = TestSpark.tmpDir("sigidx_meta")
+    SignatureIndex.build(corpus, "text", "doc_id", dir,
+      numHashes = 8, bands = 4, shingleWords = 3, kind = Dedup.Xx64)
+    val m = SignatureIndex.meta(spark, dir)
+    assert(m == SignatureIndex.Meta("doc_id", 8, 4, 3, Dedup.Xx64))
+  }
+
+  test("meta fails cleanly on a dir with no committed index") {
+    val err = intercept[IllegalArgumentException] {
+      SignatureIndex.meta(spark, TestSpark.tmpDir("sigidx_empty"))
+    }
+    assert(err.getMessage.contains("no signature index"))
+  }
+
+  test("stored signatures equal a direct minhashSignatures run") {
+    val dir = TestSpark.tmpDir("sigidx_sigs")
+    SignatureIndex.build(corpus, "text", "doc_id", dir)
+    val stored = SignatureIndex.signatures(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val direct = Dedup.minhashSignatures(corpus, "text", "doc_id", 8, 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(stored == direct)
+  }
+
+  test("probe equals the in-memory incremental pipeline") {
+    val dir = TestSpark.tmpDir("sigidx_probe")
+    SignatureIndex.build(corpus, "text", "doc_id", dir)
+    val viaIndex = SignatureIndex.probe(docs, batch, "text", dir, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = Dedup.incrementalNearDups(
+      docs, Dedup.minhashSignatures(corpus, "text", "doc_id", 8, 3),
+      batch, "text", "doc_id", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaIndex == direct)
+  }
+
+  test("ingestBatch appends: the NEXT batch sees this batch's docs") {
+    val dir = TestSpark.tmpDir("sigidx_ingest")
+    // day 0: corpus = docs with id % 10 ∈ {1..7}; batch A = % 10 == 8,
+    // batch B = % 10 ∈ {0, 9}. After ingesting A, probing B must find
+    // B×A pairs — which only exist if A's signatures were appended.
+    val day0 = docs.filter($"doc_id" % 10 =!= 0 && $"doc_id" % 10 =!= 8 && $"doc_id" % 10 =!= 9)
+    val batchA = docs.filter($"doc_id" % 10 === 8)
+    val batchB = docs.filter($"doc_id" % 10 === 0 || $"doc_id" % 10 === 9)
+    SignatureIndex.build(day0, "text", "doc_id", dir)
+    SignatureIndex.ingestBatch(docs, batchA, "text", dir, threshold = 0.8)
+    val afterB = SignatureIndex.probe(docs, batchB, "text", dir, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth: full-corpus pairs restricted to (B × (day0 ∪ A ∪ B))
+    val bIds = batchB.select("doc_id").as[Long].collect().toSet
+    val full = Dedup.verifiedNearDups(docs, "text", "doc_id", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .filter(p => bIds(p._1) || bIds(p._2))
+    assert(afterB == full)
+    val crossAB = afterB.filter { case (a, b) =>
+      (a % 10 == 8) != (b % 10 == 8) } // exactly one side in A
+    assert(full.exists { case (a, b) => a % 10 == 8 || b % 10 == 8 },
+      "fixture must exercise B×A pairs for the append to be observable")
+    assert(crossAB.nonEmpty)
+  }
+
+  test("append validates against the stored meta, not caller arguments") {
+    val dir = TestSpark.tmpDir("sigidx_drift")
+    SignatureIndex.build(corpus, "text", "doc_id", dir, numHashes = 16, bands = 8)
+    SignatureIndex.append(batch, "text", dir)
+    // every appended signature must have the STORED width (16), proving
+    // the batch could not drift to the default 8
+    val widths = SignatureIndex.signatures(spark, dir)
+      .select(size($"sig")).distinct().as[Int].collect().toSet
+    assert(widths == Set(16))
+  }
+}
