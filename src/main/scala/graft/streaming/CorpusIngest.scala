@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+import graft.io.SignatureIndex
+
+/**
+ * End-to-end incremental corpus maintenance: streaming document
+ * ingestion ([[IngestStream]], exactly-once file stream) feeding the
+ * durable near-dup index ([[SignatureIndex]]). One call per scheduled
+ * drain does what the reference's whole daily DAG does
+ * (`/root/reference/dags/breweries_dag.py` — re-read everything,
+ * recompute everything), at cost ∝ THE NEW FILES:
+ *
+ *  1. drain newly landed JSONL into the silver parquet layer
+ *     (checkpointed file stream → only unseen files are read);
+ *  2. delta = silver docs not yet in the signature index. The index
+ *     IS the ledger of processed docs — no separate bookkeeping table
+ *     to drift out of sync. The anti-join touches ids only (never
+ *     text), so the ledger check is a narrow id⋈id join;
+ *  3. probe the CURRENT index for the delta's near-dups (batch×corpus
+ *     via a broadcast of the delta's band buckets + batch-internal
+ *     pairs), then append the delta's signatures.
+ *
+ * Crash safety, step by step: a crash in (1) replays unfinished files
+ * (file-sink commit log hides partial output); a crash between (1)
+ * and (3) leaves docs in silver but not in the index, and the NEXT
+ * drain's anti-join picks them up again — the pipeline heals itself
+ * forward. The one at-least-once seam is the pair REPORT (a re-run
+ * after a crash in (3) re-emits the same pairs); dedup decisions keyed
+ * on (id_a, id_b) make the report idempotent downstream.
+ *
+ * First call bootstraps: if `indexDir` holds no index, an empty one is
+ * committed with the given hash parameters, so the initial corpus load
+ * is just a big first batch (its internal near-dups are still found,
+ * via the batch self-join).
+ */
+object CorpusIngest {
+
+  /** Drain pending files and maintain the index; returns this drain's
+    * verified near-dup pairs (id_a, id_b, jaccard) — new×corpus and
+    * new×new, exact Jaccard ≥ `threshold`. */
+  def maintain(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      idCol: String,
+      textCol: String,
+      silverDir: String,
+      checkpointDir: String,
+      indexDir: String,
+      threshold: Double,
+      numHashes: Int = 8,
+      bands: Int = 4,
+      shingleWords: Int = 3,
+      kind: graft.ops.Dedup.HashKind = graft.ops.Dedup.Md5): DataFrame = {
+    IngestStream.drainOnce(
+      spark, landingDir, schema,
+      requiredCols = Seq(idCol, textCol),
+      normalizeCols = Nil,
+      outDir = silverDir, checkpointDir = checkpointDir)
+    val silver = spark.read.parquet(silverDir)
+
+    val fs = new Path(indexDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(indexDir, "_graft_index.json")))
+      SignatureIndex.build(
+        silver.limit(0), textCol, idCol, indexDir,
+        numHashes, bands, shingleWords, kind)
+
+    val indexedIds = SignatureIndex.signatures(spark, indexDir)
+      .select(idCol)
+    val delta = silver.join(indexedIds, Seq(idCol), "left_anti")
+    SignatureIndex.ingestBatch(silver, delta, textCol, indexDir, threshold)
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.SignatureIndex
+import graft.streaming.CorpusIngest
+
+class CorpusIngestSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val schema = graft.schema.Metadata.structFromSpec(
+    """
+    doc_id: long
+    text: string
+    """)
+
+  // 12 distinct words → every 3-shingle differs across distinct texts;
+  // identical texts give Jaccard 1.0, so ≥0.8 pairs are exactly the
+  // identical-text pairs regardless of LSH parameters.
+  private val t1 = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+  private val t2 = "mike november oscar papa quebec romeo sierra tango uniform victor whiskey xray"
+
+  private def land(dir: String, name: String, rows: Seq[(Long, String)]): Unit = {
+    val w = new java.io.PrintWriter(new java.io.File(dir, name))
+    try rows.foreach { case (id, text) =>
+      w.println(s"""{"doc_id": $id, "text": "$text"}""")
+    } finally w.close()
+  }
+
+  test("streamed drains maintain the durable index incrementally") {
+    val base = TestSpark.tmpDir("corpus_ingest")
+    val landing = new java.io.File(base, "landing"); landing.mkdirs()
+    def drain() = CorpusIngest.maintain(
+      spark, landing.getPath, schema, "doc_id", "text",
+      silverDir = s"$base/silver", checkpointDir = s"$base/ckpt",
+      indexDir = s"$base/index", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // wave 1 bootstraps the index; docs 1,2 share a text → one pair
+    land(landing.getPath, "wave1.jsonl", Seq(1L -> t1, 2L -> t1, 3L -> t2))
+    assert(drain() == Set((1L, 2L)))
+    assert(SignatureIndex.signatures(spark, s"$base/index").count() == 3)
+
+    // no new files → no delta, no pairs, no index growth
+    assert(drain() == Set.empty)
+    assert(SignatureIndex.signatures(spark, s"$base/index").count() == 3)
+
+    // wave 2: doc 4 duplicates t1 → pairs against the INDEXED docs 1,2
+    // (not re-reporting 1~2); doc 5 is novel
+    land(landing.getPath, "wave2.jsonl", Seq(4L -> t1, 5L -> ("unique words only " + t2.toUpperCase)))
+    assert(drain() == Set((1L, 4L), (2L, 4L)))
+    assert(SignatureIndex.signatures(spark, s"$base/index").count() == 5)
+  }
+}
