@@ -11,11 +11,14 @@ import org.apache.spark.sql.functions._
  *
  * The IMAGE kind decodes for real via `javax.imageio` (JDK-only, no
  * external codecs): dimensions + a luminance histogram feature vector.
- * Audio/video codecs are NOT available in this environment, so their
- * decode kernel is a clearly-marked deterministic STUB
- * ([[stubDecode]]) — everything around it (schema, batching shape,
- * partitioning, output contract) is the real Spark plumbing you would
- * keep when swapping in a real decoder.
+ * The AUDIO kind decodes for real via `javax.sound.sampled` (also
+ * JDK-only): WAV/AIFF/AU PCM header parse + sample rate, channels,
+ * duration, and an RMS-energy envelope feature. VIDEO codecs are NOT
+ * available in this environment, so that decode kernel is a
+ * clearly-marked deterministic STUB ([[stubDecode]]) — everything
+ * around it (schema, batching shape, partitioning, output contract) is
+ * the real Spark plumbing you would keep when swapping in a real
+ * decoder.
  *
  * Scale notes:
  *  - payloads stay in `binary` columns → Parquet stores them as
@@ -57,7 +60,10 @@ object Multimodal {
       decoded: Boolean,
       width: Int,
       height: Int,
-      feature: Array[Double])
+      feature: Array[Double],
+      sample_rate: Int = -1, // audio-only (−1 otherwise)
+      channels: Int = -1,
+      decoded_ms: Long = -1L)
 
   /** Deterministic fake "decode": byte-level stats standing in for a
     * real codec. STUB — stands in for the audio/video decoders that
@@ -108,6 +114,72 @@ object Multimodal {
       }
     } catch { case _: Exception => None }
 
+  /** Decoded audio facts: PCM parameters + an RMS-energy envelope
+    * (`dims` equal-time buckets, values in [0, 1]). */
+  final case class AudioInfo(
+      sampleRate: Int, channels: Int, durationMs: Long, envelope: Array[Double])
+
+  /** REAL audio decode via `javax.sound.sampled` (WAV/AIFF/AU PCM with
+    * zero non-JDK dependencies): header parse + per-bucket RMS over the
+    * sample stream. Handles the formats the JDK emits natively —
+    * 16-bit signed little-endian and 8-bit unsigned PCM; anything else
+    * (compressed, big-endian, float) returns None and flows through
+    * the stub path, same per-row corrupt-blob contract as
+    * [[decodeImage]]. Deterministic: fixed traversal order, IEEE-754
+    * double accumulation. */
+  def decodeAudio(payload: Array[Byte], dims: Int = 8): Option[AudioInfo] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        val enc = fmt.getEncoding
+        val bits = fmt.getSampleSizeInBits
+        val pcm16le = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          bits == 16 && !fmt.isBigEndian
+        val pcm8u = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED &&
+          bits == 8
+        if (!pcm16le && !pcm8u) None
+        else {
+          val bytes = ais.readAllBytes()
+          val ch = fmt.getChannels
+          val bytesPerSample = bits / 8
+          val frameSize = ch * bytesPerSample
+          val nFrames = bytes.length / frameSize
+          if (nFrames == 0) None
+          else {
+            val sumSq = new Array[Double](dims)
+            val cnt = new Array[Long](dims)
+            var f = 0
+            while (f < nFrames) {
+              val b = (f.toLong * dims / nFrames).toInt
+              var acc = 0.0
+              var c = 0
+              while (c < ch) {
+                val off = f * frameSize + c * bytesPerSample
+                val s =
+                  if (pcm16le)
+                    ((bytes(off) & 0xff) | (bytes(off + 1) << 8)).toShort / 32768.0
+                  else ((bytes(off) & 0xff) - 128) / 128.0
+                acc += s * s
+                c += 1
+              }
+              sumSq(b) += acc / ch
+              cnt(b) += 1
+              f += 1
+            }
+            var i = 0
+            while (i < dims) {
+              sumSq(i) = if (cnt(i) == 0) 0.0 else math.sqrt(sumSq(i) / cnt(i))
+              i += 1
+            }
+            val rate = fmt.getSampleRate.toInt
+            Some(AudioInfo(rate, ch, nFrames * 1000L / rate, sumSq))
+          }
+        }
+      } finally ais.close()
+    } catch { case _: Exception => None }
+
   /** Build a demo media table from any (id, text) source — payload =
     * UTF-8 bytes. Stands in for reading real blobs. */
   def demoMediaTable(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
@@ -127,28 +199,36 @@ object Multimodal {
   /** Partition-batched decode → features. One decoder/digest per
     * partition (init hoisted out of the row loop), matching the
     * mapInPandas batch-shape contract. Image payloads decode for REAL
-    * (`javax.imageio`); audio/video (and undecodable image bytes) fall
-    * back to the stub feature with `decoded = false`. */
+    * (`javax.imageio`), audio payloads for REAL (`javax.sound.sampled`
+    * — WAV/AIFF/AU PCM); video (and undecodable bytes of any kind)
+    * falls back to the stub feature with `decoded = false`. */
   def decodeFeatures(media: Dataset[MediaRecord], dims: Int = 8): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
-      // per-partition init: digest here; a real audio/video impl would
-      // also open its codec once here
+      // per-partition init: digest here; a real video impl would also
+      // open its codec once here
       val digest = java.security.MessageDigest.getInstance("MD5")
       it.map { r =>
         digest.reset()
         val sum = digest.digest(r.payload).map("%02x".format(_)).mkString
-        val real =
-          if (r.kind == "image") decodeImage(r.payload, dims) else None
-        real match {
-          case Some((w, h, hist)) =>
-            MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, sum,
-              decoded = true, width = w, height = h, feature = hist)
-          case None =>
-            MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, sum,
-              decoded = false, width = -1, height = -1,
-              feature = stubDecode(r.payload, dims))
+        val base = MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, sum,
+          decoded = false, width = -1, height = -1,
+          feature = stubDecode(r.payload, dims))
+        r.kind match {
+          case "image" => decodeImage(r.payload, dims) match {
+            case Some((w, h, hist)) =>
+              base.copy(decoded = true, width = w, height = h, feature = hist)
+            case None => base
+          }
+          case "audio" => decodeAudio(r.payload, dims) match {
+            case Some(a) =>
+              base.copy(decoded = true, feature = a.envelope,
+                sample_rate = a.sampleRate, channels = a.channels,
+                decoded_ms = a.durationMs)
+            case None => base
+          }
+          case _ => base
         }
       }
     }

@@ -88,6 +88,55 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeImage(Array[Byte](1, 2, 3)) == None)
   }
 
+  /** Render a real WAV in memory: 16-bit signed little-endian mono PCM,
+    * `rate` Hz, `nSamples` frames — first half silence, second half a
+    * ±20000 square wave (energy envelope low → high). */
+  private def wavBytes(rate: Float, nSamples: Int): Array[Byte] = {
+    val data = new Array[Byte](nSamples * 2)
+    for (i <- 0 until nSamples) {
+      val v: Short =
+        if (i < nSamples / 2) 0
+        else if ((i / 8) % 2 == 0) 20000 else -20000
+      data(2 * i) = (v & 0xff).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("real audio decode: WAV payloads yield PCM facts and RMS envelope") {
+    val wav = wavBytes(8000f, 4000) // 0.5 s at 8 kHz
+    val Some(info) = Multimodal.decodeAudio(wav, dims = 8)
+    assert(info.sampleRate == 8000 && info.channels == 1 && info.durationMs == 500)
+    // first half silent, second half ~full-scale square wave
+    assert(info.envelope.take(4).forall(_ == 0.0))
+    val loud = 20000.0 / 32768.0
+    assert(info.envelope.drop(4).forall(e => math.abs(e - loud) < 1e-9))
+    // garbage never throws
+    assert(Multimodal.decodeAudio("not a wav".getBytes("UTF-8")) == None)
+
+    // end-to-end through the partition-batched decode path
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, "audio", wav, wav.length.toLong, 0, 0, 0L),
+      Multimodal.MediaRecord(2L, "audio", "garbage".getBytes("UTF-8"), 7L, 0, 0, 0L),
+      Multimodal.MediaRecord(3L, "video", wav, wav.length.toLong, 0, 0, 0L))
+      .toDS()
+    val out = Multimodal.decodeFeatures(recs, dims = 8).collect()
+      .map(f => f.media_id -> f).toMap
+    val f1 = out(1L)
+    assert(f1.decoded && f1.sample_rate == 8000 && f1.channels == 1 && f1.decoded_ms == 500)
+    assert(f1.feature.toSeq == info.envelope.toSeq)
+    assert(f1.width == -1 && f1.height == -1)
+    assert(!out(2L).decoded && out(2L).sample_rate == -1)
+    // video kind never routes through the audio decoder, even for WAV bytes
+    assert(!out(3L).decoded && out(3L).decoded_ms == -1)
+  }
+
   test("sampleFrames: one row per sampled frame for video, passthrough otherwise") {
     val df = media.toDF()
     val sampled = Multimodal.sampleFrames(df, everyMs = 1000)
