@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -21,10 +21,15 @@ import org.apache.spark.unsafe.types.UTF8String
  * with per-element dispatch — and is one optimizer inlining away from
  * re-evaluating the whole upstream array per element (an O(len²·k)
  * blow-up we measured at ~300× before pinning projection boundaries).
- * Here the whole document is one `eval` call running a primitive Scala
- * loop — O(len·k) with zero allocation per position. CodegenFallback:
- * one virtual call per ROW is already negligible next to the loop it
- * wraps (unlike per-ELEMENT fallback inside HOFs).
+ * Here the whole document is one call into [[WinnowingFingerprints
+ * .compute]] running a primitive Scala loop — O(len·k) with zero
+ * allocation per position.
+ *
+ * Codegen: `doGenCode` emits a static call to the same kernel, so the
+ * surrounding projection STAYS inside whole-stage codegen — a
+ * CodegenFallback expression would force the entire stage onto the
+ * interpreted path, losing fusion for every neighboring expression,
+ * which costs far more than the fallback's own virtual call.
  *
  * Char codes are `charAt` (UTF-16 units) — identical to `ascii()` on
  * the BMP text this corpus contains; documents with astral-plane chars
@@ -33,7 +38,7 @@ import org.apache.spark.unsafe.types.UTF8String
  * Null text → null. Docs shorter than `k` → empty array (no k-grams).
  */
 case class WinnowingFingerprints(child: Expression, k: Int, w: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(k >= 2 && k <= 64, "k must be in [2, 64]")
   require(w >= 1, "w must be >= 1")
@@ -47,11 +52,26 @@ case class WinnowingFingerprints(child: Expression, k: Int, w: Int)
       s"$prettyName expects a string argument, got ${child.dataType.sql}")
   override def prettyName: String = "graft_winnow"
 
+  override def nullSafeEval(input: Any): Any =
+    WinnowingFingerprints.compute(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WinnowingFingerprints.compute($c, $k, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WinnowingFingerprints {
+
   private val B = graft.ops.TextOps.rollingB
   private val M = graft.ops.TextOps.rollingM
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+  /** The winnowing kernel — static so generated code can call it
+    * directly (Scala emits a static forwarder on the class). */
+  def compute(input: UTF8String, k: Int, w: Int): GenericArrayData = {
+    val s = input.toString
     val n = s.length
     if (n < k) return new GenericArrayData(Array.empty[Long])
     val m = n - k + 1
@@ -81,7 +101,4 @@ case class WinnowingFingerprints(child: Expression, k: Int, w: Int)
     while (it.hasNext) { out(p) = it.next(); p += 1 }
     new GenericArrayData(out)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
 }

@@ -157,6 +157,18 @@ class TextOpsSpec extends AnyFunSuite {
     assert(viaExpr.nonEmpty)
   }
 
+  test("winnowing Expression stays inside whole-stage codegen") {
+    // a CodegenFallback here would force the WHOLE projection onto the
+    // interpreted path; the static-call doGenCode keeps the stage fused
+    val plan = TextOps.winnowingFingerprints(docs.limit(10), "text", "doc_id", 5, 4)
+      .queryExecution.executedPlan
+    val fused = plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec
+          if w.toString.contains("graft_winnow") => w
+    }
+    assert(fused.nonEmpty, s"graft_winnow not inside WholeStageCodegen:\n$plan")
+  }
+
   test("winnowing: exact dups share all fingerprints; an edit only moves local ones") {
     val base = "the quick brown fox jumps over the lazy dog while counting stars at midnight"
     val edited = base.replace("jumps", "leaps") // one local edit
