@@ -641,6 +641,17 @@ object SparkEntry {
         docs, batch, "text", durableSigIndex(s, dir), threshold = 0.8)
     }),
 
+    // ---- north-star: IVF with a TRAINED coarse quantizer — k-means
+    //      centroids (q55's trainer) feeding q29's probe shape. The
+    //      oracle replays training AND probe, so quantizer quality is
+    //      itself correctness-checked.
+    "q61_ann_ivf_trained" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.ivfTopKTrained(
+        emb, emb.filter(col("vec_id") === 0), "vec_id", "embedding",
+        k = 10, nlist = 8, nprobe = 2, iters = 2)
+    }),
+
     // ---- north-star: batched model-scoring seam (mapPartitions,
     //      per-partition model init, fixed micro-batches). The stub
     //      model is pure integer arithmetic, so the oracle checks the
@@ -1296,6 +1307,35 @@ object SparkEntry {
       s"""WITH $jaccardCtes
          |SELECT id_a, id_b, jaccard FROM vpairs
          |WHERE id_a % 10 = 0 OR id_b % 10 = 0""".stripMargin,
+
+    "q61_ann_ivf_trained" -> {
+      val dims = 64
+      def assignCte(cents: String) =
+        s"""SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY ${duckCosine("e.embedding", "c.cemb", dims)} DESC, c.cid ASC) AS rn
+           |    FROM embeddings e CROSS JOIN $cents c""".stripMargin
+      s"""WITH c0 AS (SELECT CAST(vec_id AS BIGINT) AS cid,
+         |            list_transform(embedding, __x -> CAST(__x AS DOUBLE)) AS cemb
+         |            FROM embeddings ORDER BY vec_id LIMIT 8),
+         |a0 AS (SELECT vec_id, cid AS cluster FROM (${assignCte("c0")}) WHERE rn = 1),
+         |m1 AS (SELECT a0.cluster, d.d, round(avg(CAST(e.embedding[d.d] AS DOUBLE)), 6) AS v
+         |       FROM a0 JOIN embeddings e USING (vec_id), generate_series(1, $dims) d(d)
+         |       GROUP BY a0.cluster, d.d),
+         |cm AS (SELECT cluster AS cid, list(v ORDER BY d) AS cemb FROM m1 GROUP BY cluster),
+         |c1 AS (SELECT c0.cid, coalesce(cm.cemb, c0.cemb) AS cemb
+         |       FROM c0 LEFT JOIN cm ON c0.cid = cm.cid),
+         |alist AS (SELECT vec_id, cid AS list_id FROM (${assignCte("c1")}) WHERE rn = 1),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |probe AS (SELECT cid AS list_id FROM (
+         |    SELECT c.cid, row_number() OVER (
+         |      ORDER BY ${duckCosine("c.cemb", "q.qe", dims)} DESC, c.cid ASC) AS rn
+         |    FROM c1 c, q) WHERE rn <= 2),
+         |s AS (SELECT e.vec_id, ${duckCosine("e.embedding", "q.qe", dims)} AS cosine_sim
+         |      FROM embeddings e
+         |      JOIN alist a ON e.vec_id = a.vec_id
+         |      JOIN probe p ON a.list_id = p.list_id, q)
+         |SELECT vec_id, cosine_sim FROM s ORDER BY cosine_sim DESC, vec_id LIMIT 10""".stripMargin
+    },
 
     "q49_winnowing" -> {
       val k = 5; val w = 4

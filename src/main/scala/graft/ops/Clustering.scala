@@ -61,22 +61,21 @@ object Clustering {
   }
 
   /**
-   * Lloyd's k-means: `iters` assignment passes with `iters − 1`
-   * centroid updates between them (so the OUTPUT is always a fresh
-   * assignment against the final centroids). Seeds = embeddings of the
-   * `k` lowest ids, and the cluster LABEL is the seed's own id (stable
-   * under any id numbering — the oracle replays it verbatim). A cluster
-   * that loses all members keeps its previous centroid (standard
-   * degenerate-case handling).
-   *
-   * Output: (idCol, cluster).
+   * Train Lloyd's k-means and return the final centroid matrix:
+   * `iters − 1` centroid updates over `iters − 1` assignment passes
+   * (the caller's final [[assign]] is then iteration `iters`). Seeds =
+   * embeddings of the `k` lowest ids, and the cluster LABEL is the
+   * seed's own id (stable under any id numbering — the oracle replays
+   * it verbatim). A cluster that loses all members keeps its previous
+   * centroid (standard degenerate-case handling). The k·dims centroid
+   * matrix is the only driver-side state.
    */
-  def kmeans(
+  def train(
       df: DataFrame,
       idCol: String,
       embCol: String,
       k: Int,
-      iters: Int): DataFrame = {
+      iters: Int): Seq[(Long, Seq[Double])] = {
     require(k >= 2 && iters >= 1)
     val seeds = df.orderBy(col(idCol).asc).limit(k)
       .select(col(idCol).cast("long"), col(embCol)).collect()
@@ -100,6 +99,19 @@ object Clustering {
       }
       iter += 1
     }
-    assign(df, idCol, embCol, centroids).select(col(idCol), col("cluster"))
+    centroids
   }
+
+  /**
+   * Lloyd's k-means: [[train]] + one fresh assignment against the
+   * final centroids. Output: (idCol, cluster).
+   */
+  def kmeans(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      iters: Int): DataFrame =
+    assign(df, idCol, embCol, train(df, idCol, embCol, k, iters))
+      .select(col(idCol), col("cluster"))
 }

@@ -270,6 +270,50 @@ object Similarity {
       .limit(k)
   }
 
+  /**
+   * IVF with a TRAINED coarse quantizer: centroids come from Lloyd's
+   * k-means ([[Clustering.train]]) instead of the first `nlist` corpus
+   * vectors, then the probe path is IDENTICAL in shape to [[ivfTopK]]
+   * — rank the query's `nprobe` nearest lists, score only vectors
+   * assigned there. Training cost is `iters` corpus passes paid ONCE
+   * at index build; the quantizer quality changes (balanced lists →
+   * better recall at the same nprobe), the probe plan does not.
+   *
+   * List assignment and list ranking go through [[Clustering.assign]]'s
+   * rounded HOF cosine (6 decimals, ties → lowest centroid id) so the
+   * whole path — training included — stays oracle-replayable; the
+   * final candidate scoring uses the codegen'd [[cosineFast]] kernel,
+   * same as every other ANN path.
+   */
+  def ivfTopKTrained(
+      corpus: DataFrame,
+      queryDf: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      nlist: Int,
+      nprobe: Int,
+      iters: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = Clustering.train(corpus, idCol, embCol, nlist, iters)
+    val assigned = Clustering.assign(corpus, idCol, embCol, cents)
+      .select(col(idCol), col("cluster").as("list_id"))
+    val centDf = cents.toDF("cid", "cemb") // nlist rows — broadcast literal
+    val q = queryDf.select(col(embCol).as("__q"))
+    val probeLists = broadcast(
+      q.crossJoin(broadcast(centDf))
+        .select(col("cid"), col("__q"), cosine(col("cemb"), col("__q")).as("__csim"))
+        .orderBy(col("__csim").desc, col("cid").asc)
+        .limit(nprobe)
+        .select(col("cid").as("list_id"), col("__q")))
+    corpus.join(assigned, idCol)
+      .join(probeLists, "list_id")
+      .select(col(idCol), cosineFast(spark, col(embCol), col("__q")).as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** All-pairs top-k neighbors per vector within LSH buckets (the
     * batch "kNN graph" builder): join within buckets, rank per source
     * id. Used for embedding-cosine near-dup detection. Single-band —

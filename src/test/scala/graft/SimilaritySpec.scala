@@ -122,6 +122,24 @@ class SimilaritySpec extends AnyFunSuite {
     ivf.foreach { case (id, c) => assert(brute(id) == c) }
   }
 
+  test("ivfTopKTrained: trained quantizer keeps the probe contract") {
+    val emb = TestSpark.table("embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+    def run() = Similarity.ivfTopKTrained(
+      emb, q, "vec_id", "embedding", k = 10, nlist = 8, nprobe = 2, iters = 2)
+      .as[(Long, Double)].collect()
+    val ivf = run()
+    assert(ivf.nonEmpty && ivf.length <= 10)
+    assert(ivf(0) == ((0L, 1.0)), "query vector is in its own probed list and ranks first")
+    assert(ivf.map(_._2).sliding(2).forall(p => p(0) >= p(1)))
+    // scores come from the same kernel as brute force
+    val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 2000)
+      .as[(Long, Double)].collect().toMap
+    ivf.foreach { case (id, c) => assert(brute(id) == c) }
+    // training is deterministic: identical result on a fresh run
+    assert(run().toSeq == ivf.toSeq)
+  }
+
   test("signBuckets produces one bit per plane") {
     val emb = TestSpark.table("embeddings").limit(50)
     val b = Similarity.signBuckets(emb, "vec_id", "embedding", numPlanes = 6, dims = 64)
