@@ -641,6 +641,15 @@ object SparkEntry {
         docs, batch, "text", durableSigIndex(s, dir), threshold = 0.8)
     }),
 
+    // ---- north-star: declarative corpus-quality filter chain (Gopher
+    //      shape) bound from YAML. The SAME filter objects generate the
+    //      Spark expression AND the DuckDB oracle below, so the config
+    //      surface itself is correctness-gated.
+    "q62_corpus_filter_dsl" -> ((s, dir) =>
+      graft.ops.CorpusFilters.decide(
+        T(s, dir, "documents"), "text", "doc_id",
+        graft.config.PipelineConfig.parseCorpusFilters(corpusFilterYaml))),
+
     // ---- north-star: IVF with a TRAINED coarse quantizer — k-means
     //      centroids (q55's trainer) feeding q29's probe shape. The
     //      oracle replays training AND probe, so quantizer quality is
@@ -818,6 +827,22 @@ object SparkEntry {
   /** graft-authored pipeline config (reference YAML shape,
     * `configs/breweries_gold_pipeline.yml:32-69`) over the customer
     * table — parsed by `config.PipelineConfig` for q26. */
+  /** Declarative corpus-clean chain (q62): order = evaluation order —
+    * cheap token fence first, heuristic scores after. */
+  private val corpusFilterYaml: String =
+    """corpus_filters:
+      |  - filter: min_tokens
+      |    min: 20
+      |  - filter: max_tokens
+      |    max: 100000
+      |  - filter: languages
+      |    allow: ["en", "fr", "es"]
+      |  - filter: min_quality
+      |    min: 0.3
+      |  - filter: max_repetition
+      |    max: 0.5
+      |""".stripMargin
+
   private val pipelineYaml: String =
     s"""dag:
        |  dag_id: customer_gold_daily
@@ -1307,6 +1332,11 @@ object SparkEntry {
       s"""WITH $jaccardCtes
          |SELECT id_a, id_b, jaccard FROM vpairs
          |WHERE id_a % 10 = 0 OR id_b % 10 = 0""".stripMargin,
+
+    "q62_corpus_filter_dsl" ->
+      graft.ops.CorpusFilters.oracleSql(
+        graft.config.PipelineConfig.parseCorpusFilters(corpusFilterYaml),
+        "documents", "text", "doc_id"),
 
     "q61_ann_ivf_trained" -> {
       val dims = 64

@@ -81,6 +81,31 @@ object PipelineConfig {
     }
   }
 
+  /** `corpus_filters: [{filter, …thresholds}]` → the Gopher-style
+    * document filter chain ([[graft.ops.CorpusFilters]]). Chain order
+    * in the YAML is evaluation order (first failing filter names the
+    * drop reason). Unknown filter names fail loudly, same policy as
+    * quality rules. */
+  def parseCorpusFilters(yaml: String): Seq[graft.ops.CorpusFilters.Filter] = {
+    import graft.ops.CorpusFilters._
+    Yaml.parse(yaml).listOpt("corpus_filters").map { f =>
+      f.str("filter") match {
+        case "min_tokens"     => MinTokens(f.str("min").toLong)
+        case "max_tokens"     => MaxTokens(f.str("max").toLong)
+        case "languages"      => AllowLangs(f.listOpt("allow").map(_.asScalar))
+        case "min_quality"    => MinQuality(f.str("min").toDouble)
+        case "max_repetition" =>
+          MaxRepetition(
+            f.str("max").toDouble,
+            f.strOpt("shingle_words").map(_.toInt).getOrElse(3))
+        case other =>
+          throw new IllegalArgumentException(
+            s"unknown corpus filter '$other' " +
+              "(refusing the reference's silent pass-through)")
+      }
+    }
+  }
+
   /** Metadata-file binding: `schema: [{name, type, nullable}]` →
     * field specs for [[Metadata.toStruct]]; `dataset.partition_by`
     * accepted as scalar or list. */

@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+import graft.functions.PortableSql
+import graft.functions.PortableSql.{Dialect, DuckDialect, SparkDialect}
+
+/**
+ * Declarative corpus-quality filtering (Gopher-style) — the
+ * training-data analog of the reference's YAML `quality_rules`
+ * (`configs/breweries_gold_pipeline.yml:62-69`): a document-level
+ * keep/drop DECISION composed from configurable thresholds over the
+ * text-quality primitives (token count, language ID, quality score,
+ * repetition ratio).
+ *
+ * Filters compile through the [[PortableSql]] dialect seam, so ONE
+ * filter definition yields both the Spark execution expression and the
+ * DuckDB oracle SQL — the config surface itself is correctness-gated,
+ * not just the primitives underneath it.
+ *
+ * Decision semantics mirror [[Dedup.dedupDecisions]]: every document
+ * keeps a row, `kept` is the verdict, and `drop_reason` names the
+ * FIRST failing filter in config order (evaluation is one CASE chain —
+ * cheap filters first is the caller's ordering lever, exactly like
+ * Gopher's staged fences). The whole decision is a single narrow
+ * projection: scan-speed, zero shuffles, trivially partitionable at
+ * 100 TB.
+ */
+object CorpusFilters {
+
+  sealed trait Filter {
+    /** Name recorded in `drop_reason` when this filter rejects. */
+    def name: String
+    /** Boolean pass-predicate over the text expression, in dialect `d`. */
+    def pass(text: String, d: Dialect): String
+  }
+
+  final case class MinTokens(min: Long) extends Filter {
+    val name = "min_tokens"
+    def pass(text: String, d: Dialect): String =
+      s"${PortableSql.tokenCount(text, d)} >= $min"
+  }
+
+  final case class MaxTokens(max: Long) extends Filter {
+    val name = "max_tokens"
+    def pass(text: String, d: Dialect): String =
+      s"${PortableSql.tokenCount(text, d)} <= $max"
+  }
+
+  final case class AllowLangs(langs: Seq[String]) extends Filter {
+    require(langs.nonEmpty, "languages filter needs at least one language")
+    require(langs.forall(_.matches("[a-z]{2,8}")),
+      s"language codes must be plain lowercase tags, got $langs")
+    val name = "languages"
+    def pass(text: String, d: Dialect): String =
+      s"${PortableSql.langId(text)} IN (${langs.map(l => s"'$l'").mkString(", ")})"
+  }
+
+  final case class MinQuality(min: Double) extends Filter {
+    val name = "min_quality"
+    def pass(text: String, d: Dialect): String =
+      s"${PortableSql.qualityScore(text, d)} >= $min"
+  }
+
+  final case class MaxRepetition(max: Double, shingleWords: Int = 3) extends Filter {
+    val name = "max_repetition"
+    def pass(text: String, d: Dialect): String = {
+      val sh = d.shingles(d.tokens(text), shingleWords)
+      val (sz, dedup) = d match {
+        case SparkDialect => ("size", "array_distinct")
+        case DuckDialect  => ("len", "list_distinct")
+      }
+      // shingles() floors at one element, so the ratio never divides by 0
+      s"round(1.0 - CAST($sz($dedup($sh)) AS DOUBLE) / CAST($sz($sh) AS DOUBLE), 6)" +
+        s" <= $max"
+    }
+  }
+
+  /** The `drop_reason` expression: first failing filter's name in
+    * config order, NULL when every filter passes. */
+  def dropReasonSql(filters: Seq[Filter], text: String, d: Dialect): String = {
+    require(filters.nonEmpty, "corpus filter chain is empty")
+    filters.map(f => s"WHEN NOT (${f.pass(text, d)}) THEN '${f.name}'")
+      .mkString("CASE ", " ", " ELSE NULL END")
+  }
+
+  /** Apply the chain: (idCol, kept, drop_reason) — one row per input
+    * document. `kept` derives from `drop_reason` in a second projection
+    * so the CASE chain is evaluated ONCE per row. */
+  def decide(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      filters: Seq[Filter]): DataFrame =
+    df.selectExpr(
+      idCol,
+      s"${dropReasonSql(filters, textCol, SparkDialect)} AS drop_reason")
+      .selectExpr(idCol, "drop_reason IS NULL AS kept", "drop_reason")
+
+  /** The DuckDB oracle for [[decide]] over table `table` — generated
+    * from the SAME filter objects, single source of truth. */
+  def oracleSql(
+      filters: Seq[Filter],
+      table: String,
+      textCol: String,
+      idCol: String): String =
+    s"""WITH r AS (SELECT $idCol,
+       |  ${dropReasonSql(filters, textCol, DuckDialect)} AS drop_reason FROM $table)
+       |SELECT $idCol, drop_reason IS NULL AS kept, drop_reason FROM r""".stripMargin
+}
