@@ -73,4 +73,20 @@ class DeterminismSpec extends AnyFunSuite {
     invariant("simhashNearDups")(d =>
       Dedup.simhashNearDups(d, "text", "doc_id", 32, 4, 3))
   }
+
+  test("corpus-filter decisions are partitioning-invariant") {
+    invariant("CorpusFilters.decide")(d =>
+      graft.ops.CorpusFilters.decide(d, "text", "doc_id", Seq(
+        graft.ops.CorpusFilters.MinTokens(20),
+        graft.ops.CorpusFilters.AllowLangs(Seq("en", "fr")),
+        graft.ops.CorpusFilters.MaxRepetition(0.5))))
+  }
+
+  test("k-means assignments are partitioning-invariant (rounded means absorb sum order)") {
+    val emb = TestSpark.table("embeddings")
+    def run(parts: Int) =
+      graft.ops.Clustering.kmeans(emb.repartition(parts), "vec_id", "embedding", 4, 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(run(3) == run(23), "kmeans must not depend on partitioning")
+  }
 }
