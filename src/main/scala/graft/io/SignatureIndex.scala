@@ -63,6 +63,23 @@ object SignatureIndex {
 
   private def sigsPath(dir: String) = s"$dir/sigs"
   private def metaFile(dir: String) = new Path(dir, "_graft_index.json")
+  private def prevPath(dir: String) = new Path(s"$dir/sigs_prev")
+  private def stagePath(dir: String) = s"$dir/sigs_compacting"
+
+  /** Recover the live signature dir after a crashed [[compact]]: the
+    * only window that can leave `sigs` missing is between its two
+    * renames, and then `sigs_prev` still holds the full pre-compaction
+    * index — restore it and drop the half-staged output. Called by
+    * every reader/writer entry point; no-op in the steady state. */
+  private def ensureLive(spark: SparkSession, dir: String): Unit = {
+    val live = new Path(sigsPath(dir))
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(live) && fs.exists(prevPath(dir))) {
+      fs.delete(new Path(stagePath(dir)), true)
+      require(fs.rename(prevPath(dir), live),
+        s"failed to restore $live from ${prevPath(dir)}")
+    }
+  }
 
   /** Build the index from scratch: hash every doc in `docs`, write the
     * signature table, then commit the meta file. Overwrites any
@@ -108,8 +125,41 @@ object SignatureIndex {
   }
 
   /** The stored signature table (meta.idCol, sig). */
-  def signatures(spark: SparkSession, dir: String): DataFrame =
+  def signatures(spark: SparkSession, dir: String): DataFrame = {
+    ensureLive(spark, dir)
     spark.read.parquet(sigsPath(dir))
+  }
+
+  /**
+   * Rewrite the signature store as `numFiles` id-range-clustered files
+   * — the maintenance pass for the small-file accretion every
+   * append-per-batch store suffers (a year of daily appends = hundreds
+   * of file-open round-trips per probe scan; at object-store latency
+   * that dominates the probe). Range clustering by id also gives every
+   * file a tight min/max id footer, so point lookups prune files.
+   *
+   * Crash-safe within the single-writer contract: the compacted copy
+   * is fully written to a staging dir first, then swapped in with two
+   * renames (live → `sigs_prev`, staged → live). A crash between the
+   * renames is healed by [[ensureLive]] on the next touch; `sigs_prev`
+   * is only deleted after the swap completes.
+   */
+  def compact(spark: SparkSession, dir: String, numFiles: Int): Unit = {
+    ensureLive(spark, dir)
+    val m = meta(spark, dir)
+    val live = new Path(sigsPath(dir))
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.read.parquet(sigsPath(dir))
+      .repartitionByRange(numFiles, org.apache.spark.sql.functions.col(m.idCol))
+      .sortWithinPartitions(m.idCol)
+      .write.mode("overwrite").parquet(stagePath(dir))
+    fs.delete(prevPath(dir), true) // leftover from an ancient crash
+    require(fs.rename(live, prevPath(dir)), s"compact: failed to retire $live")
+    require(fs.rename(new Path(stagePath(dir)), live),
+      s"compact: failed to promote staged index (recoverable — " +
+        s"${prevPath(dir)} holds the previous index)")
+    fs.delete(prevPath(dir), true)
+  }
 
   /** Near-dup pairs between `newDocs` and everything indexed at `dir`
     * (plus batch-internal pairs), verified by exact Jaccard ≥
@@ -133,6 +183,7 @@ object SignatureIndex {
     * parameters come from the stored meta — a batch CANNOT be appended
     * with drifted parameters. Call after a successful [[probe]]. */
   def append(newDocs: DataFrame, textCol: String, dir: String): Unit = {
+    ensureLive(newDocs.sparkSession, dir)
     val m = meta(newDocs.sparkSession, dir)
     Dedup.minhashSignatures(
       newDocs, textCol, m.idCol, m.numHashes, m.shingleWords, m.kind)

@@ -77,6 +77,42 @@ class SignatureIndexSpec extends AnyFunSuite {
     assert(crossAB.nonEmpty)
   }
 
+  test("compact: fewer files, identical signatures, probe unchanged") {
+    val dir = TestSpark.tmpDir("sigidx_compact")
+    SignatureIndex.build(corpus.repartition(4), "text", "doc_id", dir)
+    // three daily appends accrete small files
+    Seq(8, 9, 0).foreach { m =>
+      SignatureIndex.append(docs.filter($"doc_id" % 10 === m), "text", dir)
+    }
+    def sigFiles() = new java.io.File(s"$dir/sigs").listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    def sigSet() = SignatureIndex.signatures(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val before = sigSet()
+    assert(sigFiles() > 2)
+    SignatureIndex.compact(spark, dir, numFiles = 2)
+    assert(sigFiles() == 2, "compaction must hit the requested file count")
+    assert(sigSet() == before, "compaction must not change a single signature")
+    // probing still works against the compacted store
+    val pairs = SignatureIndex.probe(docs, batch, "text", dir, 0.8)
+    assert(pairs.count() > 0)
+  }
+
+  test("a crash between compact's renames heals on the next read") {
+    val dir = TestSpark.tmpDir("sigidx_crash")
+    SignatureIndex.build(corpus, "text", "doc_id", dir)
+    val before = SignatureIndex.signatures(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // simulate the crash window: live dir retired, staged dir half-written
+    val live = new java.io.File(s"$dir/sigs")
+    assert(live.renameTo(new java.io.File(s"$dir/sigs_prev")))
+    new java.io.File(s"$dir/sigs_compacting").mkdirs()
+    val healed = SignatureIndex.signatures(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(healed == before, "reader must transparently restore sigs_prev")
+    assert(!new java.io.File(s"$dir/sigs_prev").exists())
+  }
+
   test("append validates against the stored meta, not caller arguments") {
     val dir = TestSpark.tmpDir("sigidx_drift")
     SignatureIndex.build(corpus, "text", "doc_id", dir, numHashes = 16, bands = 8)
