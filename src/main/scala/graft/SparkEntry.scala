@@ -790,6 +790,15 @@ object SparkEntry {
         T(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_returnflag", "l_orderkey"))),
 
+    // ---- bench twin (no oracle: HLL estimates aren't replayable in
+    //      DuckDB): the profiler's 100 TB configuration — approx
+    //      distincts remove the Expand row duplication entirely.
+    "q63_profile_approx" -> ((s, dir) =>
+      graft.ops.Stats.profile(
+        T(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_returnflag", "l_orderkey"),
+        approxDistinct = true)),
+
     // ---- north-star: SEMANTIC dedup decisions — embedding near-dup
     //      pairs (q24's banded LSH) resolved into clusters (pointer-
     //      doubling components) and keep/drop decisions: the

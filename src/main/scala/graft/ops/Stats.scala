@@ -30,21 +30,30 @@ object Stats {
    * unpivot, because each union branch would otherwise re-execute the
    * whole aggregate — exchange reuse does not deduplicate across union
    * branches here (measured: k columns → 2k scans without the
-   * checkpoint, one with). (The multi-column `count_distinct` plans
+   * checkpoint, one with). The multi-column `count_distinct` plans
    * through Spark's Expand — one duplicated stream per distinct column,
-   * the standard cost; at extreme scale swap it for the
-   * [[Sketches.KMinValues]] estimator, same one-scan shape.)
+   * the standard cost and the dominant term in the profile's runtime;
+   * `approxDistinct = true` swaps in `approx_count_distinct` (HLL++,
+   * ~2% default error), which removes the Expand entirely — constant
+   * sketch state per column, one un-duplicated stream. That is the
+   * 100 TB configuration; exact distincts stay the oracle-checked
+   * default.
    *
    * Output: (column, n_rows, n_nulls, n_distinct, min_val, max_val).
    */
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def profile(
+      df: DataFrame,
+      cols: Seq[String],
+      approxDistinct: Boolean = false): DataFrame = {
     require(cols.nonEmpty)
     def isNum(c: String) = df.schema(c).dataType
       .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    def nd(c: String) =
+      if (approxDistinct) approx_count_distinct(col(c)) else count_distinct(col(c))
     val aggs = cols.flatMap { c =>
       Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
-        count_distinct(col(c)).as(s"__nd_$c")) ++
+        nd(c).as(s"__nd_$c")) ++
         (if (isNum(c))
            Seq(min(col(c)).cast("double").as(s"__mn_$c"),
              max(col(c)).cast("double").as(s"__mx_$c"))

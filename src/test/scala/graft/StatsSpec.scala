@@ -157,4 +157,35 @@ class StatsSpec extends AnyFunSuite {
     assert(!plan.contains("Relation") && !plan.contains("parquet"),
       s"profile must not re-scan per column/metric:\n$plan")
   }
+
+  test("approx profile: no Expand, exact metrics intact, distincts within HLL error") {
+    val li = TestSpark.table("lineitem")
+    val cols = Seq("l_quantity", "l_returnflag", "l_orderkey")
+    // exact distincts duplicate the stream through Expand; HLL must not
+    def aggPlan(approx: Boolean) = {
+      val one = li.agg(
+        count(lit(1)),
+        cols.map(c => (if (approx) approx_count_distinct(col(c))
+                       else count_distinct(col(c))).as(s"__$c")): _*)
+      one.queryExecution.executedPlan.toString
+    }
+    assert(aggPlan(approx = false).contains("Expand"))
+    assert(!aggPlan(approx = true).contains("Expand"),
+      "approx_count_distinct must plan without the Expand duplication")
+
+    val exact = Stats.profile(li, cols).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val approx = Stats.profile(li, cols, approxDistinct = true).collect()
+      .map(r => r.getString(0) -> r).toMap
+    cols.foreach { c =>
+      val (e, a) = (exact(c), approx(c))
+      assert(a.getLong(1) == e.getLong(1) && a.getLong(2) == e.getLong(2),
+        s"$c: row/null counts must stay exact")
+      assert(a.isNullAt(4) == e.isNullAt(4) &&
+        (a.isNullAt(4) || a.getDouble(4) == e.getDouble(4)), s"$c: min must stay exact")
+      val (ed, ad) = (e.getLong(3).toDouble, a.getLong(3).toDouble)
+      assert(math.abs(ad - ed) / ed < 0.1,
+        s"$c: HLL estimate $ad vs exact $ed beyond 10%")
+    }
+  }
 }
