@@ -790,6 +790,23 @@ object SparkEntry {
         T(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_returnflag", "l_orderkey"))),
 
+    // ---- north-star: GPT-style concat-and-chunk sequence packing —
+    //      ONE running-sum window per shard + a bounded explode maps
+    //      every doc to the fixed-budget training sequences it fills.
+    "q64_sequence_pack" -> ((s, dir) =>
+      graft.ops.Packing.packSequences(
+        T(s, dir, "documents"), "text", "lang", "doc_id", budget = 512L)),
+
+    // ---- north-star: per-source token quotas (data-mixing caps) —
+    //      keep docs in deterministic order while the source's running
+    //      token total is inside quota; boundary doc kept (truncate
+    //      downstream).
+    "q65_token_quota" -> ((s, dir) =>
+      graft.ops.Packing.tokenQuota(
+        T(s, dir, "documents"), "text", "lang", "doc_id", quota = 5000L)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))),
+
     // ---- bench twin (no oracle: HLL estimates aren't replayable in
     //      DuckDB): the profiler's 100 TB configuration — approx
     //      distincts remove the Expand row duplication entirely.
@@ -1341,6 +1358,32 @@ object SparkEntry {
       s"""WITH $jaccardCtes
          |SELECT id_a, id_b, jaccard FROM vpairs
          |WHERE id_a % 10 = 0 OR id_b % 10 = 0""".stripMargin,
+
+    "q64_sequence_pack" -> {
+      val n = PortableSql.tokenCount("text", DD)
+      s"""WITH t AS (SELECT doc_id, lang, CAST($n AS BIGINT) AS n FROM documents),
+         |p AS (SELECT doc_id, lang, n,
+         |        sum(n) OVER (PARTITION BY lang ORDER BY doc_id) AS e
+         |      FROM t WHERE n > 0),
+         |x AS (SELECT doc_id, lang, e - n AS s, e FROM p),
+         |u AS (SELECT doc_id, lang, s, e,
+         |        unnest(generate_series(CAST(s // 512 AS BIGINT),
+         |                               CAST((e - 1) // 512 AS BIGINT))) AS seq_idx
+         |      FROM x)
+         |SELECT doc_id, lang, seq_idx,
+         |  least(e, (seq_idx + 1) * 512) - greatest(s, seq_idx * 512) AS toks_in_seq
+         |FROM u""".stripMargin
+    },
+
+    "q65_token_quota" -> {
+      val n = PortableSql.tokenCount("text", DD)
+      s"""WITH t AS (SELECT doc_id, lang, CAST($n AS BIGINT) AS n FROM documents),
+         |p AS (SELECT doc_id, lang, n,
+         |        sum(n) OVER (PARTITION BY lang ORDER BY doc_id) AS e
+         |      FROM t WHERE n > 0)
+         |SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |FROM p WHERE e - n < 5000 GROUP BY lang""".stripMargin
+    },
 
     "q62_corpus_filter_dsl" ->
       graft.ops.CorpusFilters.oracleSql(

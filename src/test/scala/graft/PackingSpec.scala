@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Packing
+
+class PackingSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  // token counts: doc1=3, doc2=4, doc3=2, doc5=1 (shard "s"; note the
+  // whitespace tokenizer counts "" as ONE token — split('', ' ') = ['']
+  // in Spark AND DuckDB, the q11-verified semantics), doc4=2 (shard "t")
+  private def docs = Seq(
+    (1L, "s", "one two three"),
+    (2L, "s", "four five six seven"),
+    (3L, "s", "eight nine"),
+    (4L, "t", "ten eleven"),
+    (5L, "s", "")).toDF("doc_id", "shard", "text")
+
+  test("packSequences: boundary docs contribute to BOTH sequences, budget respected") {
+    val out = Packing.packSequences(docs, "text", "shard", "doc_id", budget = 5L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    // shard s intervals: doc1 [0,3), doc2 [3,7), doc3 [7,9), doc5 [9,10);
+    // budget 5 → seq0 = [0,5): doc1×3 + doc2×2; seq1 = [5,10): doc2×2 +
+    // doc3×2 + doc5×1. shard t: doc4 [0,2) → seq0×2.
+    assert(out == Set(
+      (1L, "s", 0L, 3L),
+      (2L, "s", 0L, 2L),
+      (2L, "s", 1L, 2L),
+      (3L, "s", 1L, 2L),
+      (5L, "s", 1L, 1L),
+      (4L, "t", 0L, 2L)))
+  }
+
+  test("packSequences: every sequence except a shard's last is exactly full") {
+    val out = Packing.packSequences(
+      TestSpark.table("documents"), "text", "lang", "doc_id", budget = 512L)
+    val perSeq = out.groupBy("lang", "seq_idx")
+      .agg(org.apache.spark.sql.functions.sum("toks_in_seq").as("toks"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(perSeq.nonEmpty)
+    val lastPerShard = perSeq.keys.groupBy(_._1).map { case (l, ks) => l -> ks.map(_._2).max }
+    perSeq.foreach { case ((lang, seq), toks) =>
+      if (seq < lastPerShard(lang)) assert(toks == 512L, s"$lang seq $seq not full: $toks")
+      else assert(toks <= 512L)
+    }
+  }
+
+  test("tokenQuota: kept in order while the running total starts inside quota") {
+    // shard s cumulative: doc1 ends 3, doc2 ends 7, doc3 ends 9
+    val kept = Packing.tokenQuota(docs, "text", "shard", "doc_id", quota = 4L)
+      .select("doc_id").as[Long].collect().toSet
+    // doc2 starts at 3 < 4 → kept (boundary doc, truncated downstream);
+    // doc3 starts at 7 → dropped; doc4 (shard t) starts at 0 → kept
+    assert(kept == Set(1L, 2L, 4L))
+  }
+
+  test("packing is partitioning-invariant") {
+    def run(parts: Int) = Packing.packSequences(
+      TestSpark.table("documents").repartition(parts), "text", "lang", "doc_id", 512L)
+      .collect().map(_.mkString("|")).toSeq.sorted
+    assert(run(3) == run(17))
+  }
+}
