@@ -807,6 +807,13 @@ object SparkEntry {
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))),
 
+    // ---- north-star: feature hashing (hashing-trick term
+    //      frequencies) — vocabulary-free fixed-width text features,
+    //      sparse row form, one shuffle with map-side partial counts.
+    "q66_feature_hash" -> ((s, dir) =>
+      graft.ops.TextOps.hashedTermFrequencies(
+        T(s, dir, "documents"), "text", "doc_id", dims = 64)),
+
     // ---- bench twin (no oracle: HLL estimates aren't replayable in
     //      DuckDB): the profiler's 100 TB configuration — approx
     //      distincts remove the Expand row duplication entirely.
@@ -1358,6 +1365,14 @@ object SparkEntry {
       s"""WITH $jaccardCtes
          |SELECT id_a, id_b, jaccard FROM vpairs
          |WHERE id_a % 10 = 0 OR id_b % 10 = 0""".stripMargin,
+
+    "q66_feature_hash" -> {
+      val base = PortableSql.minhashBase("tok", DD)
+      s"""WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+         |SELECT doc_id, ($base % ${PortableSql.minhashP}) % 64 AS feature_idx,
+         |  count(*) AS tf
+         |FROM e GROUP BY doc_id, feature_idx""".stripMargin
+    },
 
     "q64_sequence_pack" -> {
       val n = PortableSql.tokenCount("text", DD)

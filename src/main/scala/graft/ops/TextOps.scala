@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -224,5 +224,29 @@ object TextOps {
           sequence(lit(1), greatest(size(h) - lit(w - 1), lit(1))),
           t => array_min(slice(h, t, lit(w))))))
       .otherwise(array().cast("array<long>"))
+  }
+
+  /**
+   * Feature hashing (the "hashing trick"): token → one of `dims` hash
+   * buckets, term frequency per (doc, bucket). The fixed-width feature
+   * space needs no vocabulary pass — the classic one-scan text
+   * featurizer for linear quality models at corpus scale.
+   *
+   * Output is the SPARSE row form (idCol, feature_idx, tf) — directly
+   * joinable/aggregable; assembling dense vectors is one further
+   * groupBy the caller pays only if a model needs it. Plan: explode →
+   * hash in a projection → ONE shuffle keyed (doc, bucket) with
+   * map-side partial counts. Collisions sum into the shared bucket
+   * (standard hashing-trick semantics). md5-derived bucket for oracle
+   * parity, same [[Dedup.HashKind]] swap story as MinHash.
+   */
+  def hashedTermFrequencies(
+      df: DataFrame, textCol: String, idCol: String, dims: Int): DataFrame = {
+    require(dims >= 2, "feature space needs at least 2 buckets")
+    df.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+      .select(col(idCol),
+        pmod(graft.ops.Dedup.Md5.base(col("__tok")), lit(dims.toLong)).as("feature_idx"))
+      .groupBy(col(idCol), col("feature_idx"))
+      .agg(count(lit(1)).as("tf"))
   }
 }

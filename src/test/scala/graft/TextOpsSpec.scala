@@ -157,6 +157,27 @@ class TextOpsSpec extends AnyFunSuite {
     assert(viaExpr.nonEmpty)
   }
 
+  test("feature hashing: tf conservation, fixed width, repeated tokens sum") {
+    val df = Seq(
+      (1L, "a b a b a"),   // 5 tokens, 2 distinct
+      (2L, "c"),
+      (3L, "a")).toDF("doc_id", "text")
+    val out = TextOps.hashedTermFrequencies(df, "text", "doc_id", dims = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every token lands somewhere: per-doc tf sums equal token counts
+    val perDoc = out.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(perDoc == Map(1L -> 5L, 2L -> 1L, 3L -> 1L))
+    assert(out.forall(r => r._2 >= 0 && r._2 < 8))
+    // same token → same bucket in every doc
+    val bucketOfA = out.filter(r => r._1 == 3L).head._2
+    assert(out.filter(_._1 == 1L).map(_._2).contains(bucketOfA))
+    // collisions sum: with dims=2 doc 1's two distinct tokens either
+    // share one bucket (one row, tf 5) or split (two rows summing 5)
+    val tiny = TextOps.hashedTermFrequencies(df.filter($"doc_id" === 1), "text", "doc_id", 2)
+      .collect().map(_.getLong(2)).sum
+    assert(tiny == 5L)
+  }
+
   test("winnowing Expression stays inside whole-stage codegen") {
     // a CodegenFallback here would force the WHOLE projection onto the
     // interpreted path; the static-call doGenCode keeps the stage fused
