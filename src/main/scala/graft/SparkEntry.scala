@@ -807,6 +807,15 @@ object SparkEntry {
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))),
 
+    // ---- north-star: temperature mixture weights (UniMax shape) —
+    //      per-source token counts → α-scaled sampling weights + keep
+    //      fractions for a target-size mixture; |strata| rows out.
+    "q67_mixture_weights" -> ((s, dir) =>
+      graft.ops.Sampling.mixtureWeights(
+        T(s, dir, "documents"), "lang",
+        graft.ops.TextOps.tokenCount(col("text")),
+        alpha = 0.5, targetUnits = 50000L)),
+
     // ---- north-star: feature hashing (hashing-trick term
     //      frequencies) — vocabulary-free fixed-width text features,
     //      sparse row form, one shuffle with map-side partial counts.
@@ -1365,6 +1374,17 @@ object SparkEntry {
       s"""WITH $jaccardCtes
          |SELECT id_a, id_b, jaccard FROM vpairs
          |WHERE id_a % 10 = 0 OR id_b % 10 = 0""".stripMargin,
+
+    "q67_mixture_weights" -> {
+      val n = PortableSql.tokenCount("text", DD)
+      s"""WITH c AS (SELECT lang, CAST(sum($n) AS BIGINT) AS n_units
+         |           FROM documents GROUP BY lang),
+         |z AS (SELECT sum(pow(n_units, 0.5)) AS z FROM c)
+         |SELECT lang, n_units,
+         |  round(pow(n_units, 0.5) / z, 6) AS weight,
+         |  round(least(1.0, 50000 * (pow(n_units, 0.5) / z) / n_units), 6) AS keep_fraction
+         |FROM c, z""".stripMargin
+    },
 
     "q66_feature_hash" -> {
       val base = PortableSql.minhashBase("tok", DD)

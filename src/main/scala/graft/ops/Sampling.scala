@@ -62,6 +62,42 @@ object Sampling {
   }
 
   /**
+   * Temperature-scaled mixture weights (the UniMax/multilingual-
+   * sampling primitive): stratum `s` with `c_s` units (tokens, docs)
+   * gets weight `c_s^α / Σ c^α` — α = 1 reproduces natural proportions,
+   * α → 0 flattens toward uniform — and a per-stratum keep fraction
+   * `min(1, target·w_s / c_s)` that realizes a `targetUnits`-sized
+   * mixture when fed to [[stratifiedSample]].
+   *
+   * Plan: one partial-aggregated groupBy for the counts, a one-row
+   * normalizer broadcast back — the result is |strata| rows; nothing
+   * here grows with the corpus. Doubles rounded to 6 decimals at the
+   * output boundary (cross-engine sum-order jitter is ~1e-16).
+   *
+   * Output: (strataCol, n_units, weight, keep_fraction).
+   */
+  def mixtureWeights(
+      df: DataFrame,
+      strataCol: String,
+      unitCol: Column,
+      alpha: Double,
+      targetUnits: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "temperature exponent must be in (0, 1]")
+    require(targetUnits > 0, "target mixture size must be positive")
+    val counts = df.groupBy(col(strataCol))
+      .agg(sum(unitCol).cast("long").as("n_units"))
+    val z = counts.agg(sum(pow(col("n_units"), alpha)).as("__z"))
+    val w = pow(col("n_units"), alpha) / col("__z")
+    counts.crossJoin(broadcast(z))
+      .select(
+        col(strataCol),
+        col("n_units"),
+        round(w, 6).as("weight"),
+        round(least(lit(1.0), lit(targetUnits.toDouble) * w / col("n_units")), 6)
+          .as("keep_fraction"))
+  }
+
+  /**
    * Disjoint covering split: row goes to bucket i when its hash lands in
    * `[cum_{i-1}, cum_i)` of the cumulative weight intervals. Returns one
    * DataFrame per weight (e.g. `Seq(0.8, 0.1, 0.1)` → train/val/test).

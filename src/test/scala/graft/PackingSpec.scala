@@ -62,4 +62,34 @@ class PackingSpec extends AnyFunSuite {
       .collect().map(_.mkString("|")).toSeq.sorted
     assert(run(3) == run(17))
   }
+
+  test("property: token conservation and seq fullness hold for random corpora") {
+    import org.scalacheck.Gen
+    val gen = for {
+      nDocs <- Gen.choose(1, 40)
+      budget <- Gen.choose(2L, 17L)
+      toks <- Gen.listOfN(nDocs, Gen.choose(1, 25))
+    } yield (budget, toks)
+    // deterministic sample of generator space (fixed seed params)
+    val cases = Gen.listOfN(15, gen).apply(
+      org.scalacheck.Gen.Parameters.default,
+      org.scalacheck.rng.Seed(42L)).get
+    cases.foreach { case (budget, toks) =>
+      val rows = toks.zipWithIndex.map { case (n, i) =>
+        (i.toLong, "s", Seq.fill(n)("w").mkString(" "))
+      }
+      val out = Packing.packSequences(
+        rows.toDF("doc_id", "shard", "text"), "text", "shard", "doc_id", budget)
+        .collect().map(r => (r.getLong(2), r.getLong(3)))
+      val total = toks.map(_.toLong).sum
+      assert(out.map(_._2).sum == total, s"token conservation: budget=$budget toks=$toks")
+      val perSeq = out.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val last = perSeq.keys.max
+      perSeq.foreach { case (seq, t) =>
+        if (seq < last) assert(t == budget, s"seq $seq not full: budget=$budget toks=$toks")
+        else assert(t <= budget)
+      }
+      assert(perSeq.keySet == (0L to last).toSet, "no sequence gaps")
+    }
+  }
 }

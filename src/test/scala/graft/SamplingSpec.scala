@@ -92,4 +92,30 @@ class SamplingSpec extends AnyFunSuite {
       documents, "lang", "doc_id", Map("en" -> 1.0), defaultFraction = 1.0, salt = "s")
     assert(kept.count() == documents.count())
   }
+
+  test("mixtureWeights: α=1 reproduces natural proportions; α<1 flattens; fractions realize the target") {
+    val docs = TestSpark.table("documents")
+    val toks = graft.ops.TextOps.tokenCount(org.apache.spark.sql.functions.col("text"))
+    val natural = Sampling.mixtureWeights(docs, "lang", toks, alpha = 1.0, targetUnits = 10000L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val totalUnits = natural.values.map(_._1).sum.toDouble
+    natural.foreach { case (lang, (n, w, _)) =>
+      assert(math.abs(w - n / totalUnits) < 1e-6, s"$lang natural weight")
+    }
+    assert(math.abs(natural.values.map(_._2).sum - 1.0) < 1e-5, "weights normalize")
+
+    val flat = Sampling.mixtureWeights(docs, "lang", toks, alpha = 0.3, targetUnits = 10000L)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // flattening: the largest stratum loses weight, the smallest gains
+    val big = natural.maxBy(_._2._1)._1
+    val small = natural.minBy(_._2._1)._1
+    assert(flat(big) < natural(big)._2 && flat(small) > natural(small)._2)
+
+    // realized mixture ≈ target: Σ keep_fraction·n ≈ target (when no
+    // stratum saturates at 1.0)
+    if (natural.values.forall(_._3 < 1.0)) {
+      val realized = natural.map { case (_, (n, _, f)) => n * f }.sum
+      assert(math.abs(realized - 10000.0) / 10000.0 < 0.01, s"realized $realized")
+    }
+  }
 }
