@@ -807,6 +807,13 @@ object SparkEntry {
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))),
 
+    // ---- north-star: corpus unigram LM scoring (CCNet-style fence) —
+    //      per-doc mean negative log-likelihood under the corpus's own
+    //      token distribution; vocabulary broadcast, scoring narrow.
+    "q68_unigram_nll" -> ((s, dir) =>
+      graft.ops.LanguageModel.meanNegLogLik(
+        T(s, dir, "documents"), "text", "doc_id")),
+
     // ---- north-star: temperature mixture weights (UniMax shape) —
     //      per-source token counts → α-scaled sampling weights + keep
     //      fractions for a target-size mixture; |strata| rows out.
@@ -1374,6 +1381,13 @@ object SparkEntry {
       s"""WITH $jaccardCtes
          |SELECT id_a, id_b, jaccard FROM vpairs
          |WHERE id_a % 10 = 0 OR id_b % 10 = 0""".stripMargin,
+
+    "q68_unigram_nll" ->
+      s"""WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |c AS (SELECT tok, count(*) AS c FROM e GROUP BY tok),
+         |n AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM c)
+         |SELECT doc_id, round(avg(-ln(CAST(c AS DOUBLE) / n)), 6) AS nll
+         |FROM e JOIN c USING (tok), n GROUP BY doc_id""".stripMargin,
 
     "q67_mixture_weights" -> {
       val n = PortableSql.tokenCount("text", DD)

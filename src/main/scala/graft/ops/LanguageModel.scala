@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus unigram language model scoring (north-star extension) — the
+ * CCNet-style quality fence: score every document by its mean negative
+ * log-likelihood under the corpus's own unigram distribution. Rote /
+ * boilerplate text (common tokens) scores low, lexically unusual text
+ * scores high; thresholding either tail is a standard corpus-curation
+ * fence, one rung up from [[TextOps.qualityScore]]'s surface
+ * heuristics and one below a real LM ([[Scoring]]'s seam).
+ *
+ * Plan shape: token counts are ONE explode + hash-aggregate (map-side
+ * partials, shuffle ∝ vocabulary); scoring re-explodes the corpus and
+ * joins each token to its count. With `broadcastVocab` the count table
+ * ships to every executor and scoring is a narrow map-side join —
+ * right whenever the vocabulary fits in memory (always true after
+ * hashed bucketing). At raw-token 100 TB scale set it false: the join
+ * shuffles on the token key and AQE's skew splitting handles stopword
+ * keys; or pre-bucket tokens with [[TextOps.hashedTermFrequencies]]'s
+ * hash to bound the vocabulary first.
+ *
+ * MLE probabilities (`c/N`) — every scored token exists in the model
+ * corpus by construction when scoring the corpus itself; smoothing
+ * becomes necessary only when scoring held-out text against a frozen
+ * model. Output rounded to 6 decimals (double-sum association is the
+ * only cross-engine/partitioning jitter, ~1e-14 at these magnitudes).
+ */
+object LanguageModel {
+
+  /** Corpus unigram counts: (token, c). */
+  def unigramCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("c"))
+
+  /** Per-doc mean negative log-likelihood: (idCol, nll). */
+  def meanNegLogLik(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      broadcastVocab: Boolean = true): DataFrame = {
+    val toks = df.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("token"))
+    val counts = unigramCounts(df, textCol)
+    val vocab = if (broadcastVocab) broadcast(counts) else counts
+    val n = counts.agg(sum("c").cast("double").as("__n"))
+    toks.join(vocab, "token")
+      .crossJoin(broadcast(n))
+      .groupBy(col(idCol))
+      .agg(round(avg(-log(col("c").cast("double") / col("__n"))), 6).as("nll"))
+  }
+}
