@@ -814,6 +814,17 @@ object SparkEntry {
       graft.ops.LanguageModel.meanNegLogLik(
         T(s, dir, "documents"), "text", "doc_id")),
 
+    // ---- north-star: held-out LM scoring — batch docs scored against
+    //      the FROZEN corpus model with add-one smoothing (OOV-safe);
+    //      the daily-ingest quality fence companion to q60's index.
+    "q69_heldout_nll" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.ops.LanguageModel.scoreHeldOut(
+        graft.ops.LanguageModel.unigramCounts(
+          docs.filter(col("doc_id") % 10 =!= 0), "text"),
+        docs.filter(col("doc_id") % 10 === 0), "text", "doc_id")
+    }),
+
     // ---- north-star: temperature mixture weights (UniMax shape) —
     //      per-source token counts → α-scaled sampling weights + keep
     //      fractions for a target-size mixture; |strata| rows out.
@@ -1388,6 +1399,17 @@ object SparkEntry {
          |n AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM c)
          |SELECT doc_id, round(avg(-ln(CAST(c AS DOUBLE) / n)), 6) AS nll
          |FROM e JOIN c USING (tok), n GROUP BY doc_id""".stripMargin,
+
+    "q69_heldout_nll" ->
+      s"""WITH m AS (SELECT unnest(string_split(text, ' ')) AS tok
+         |           FROM documents WHERE doc_id % 10 != 0),
+         |c AS (SELECT tok, count(*) AS c FROM m GROUP BY tok),
+         |s AS (SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM c),
+         |b AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |      FROM documents WHERE doc_id % 10 = 0)
+         |SELECT doc_id,
+         |  round(avg(-ln(CAST(coalesce(c, 0) + 1 AS DOUBLE) / (n + v))), 6) AS nll
+         |FROM b LEFT JOIN c USING (tok), s GROUP BY doc_id""".stripMargin,
 
     "q67_mixture_weights" -> {
       val n = PortableSql.tokenCount("text", DD)

@@ -51,4 +51,33 @@ object LanguageModel {
       .groupBy(col(idCol))
       .agg(round(avg(-log(col("c").cast("double") / col("__n"))), 6).as("nll"))
   }
+
+  /**
+   * Score held-out documents against a FROZEN model (`modelCounts` =
+   * some corpus's [[unigramCounts]], typically persisted parquet next
+   * to the [[graft.io.SignatureIndex]]): add-one (Laplace) smoothing
+   * handles out-of-vocabulary tokens — `p = (c+1)/(N+V)`, `c = 0` when
+   * unseen — which is exactly what MLE cannot do and why the frozen-
+   * model path needs its own operator. LEFT join keeps OOV tokens
+   * flowing; same broadcast/shuffle vocabulary trade as
+   * [[meanNegLogLik]]. Output: (idCol, nll).
+   */
+  def scoreHeldOut(
+      modelCounts: DataFrame,
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      broadcastVocab: Boolean = true): DataFrame = {
+    val vocab = if (broadcastVocab) broadcast(modelCounts) else modelCounts
+    val stats = modelCounts.agg(
+      sum("c").cast("double").as("__n"),
+      count(lit(1)).cast("double").as("__v"))
+    df.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("token"))
+      .join(vocab, Seq("token"), "left")
+      .crossJoin(broadcast(stats))
+      .groupBy(col(idCol))
+      .agg(round(avg(-log(
+        (coalesce(col("c"), lit(0L)) + 1).cast("double") / (col("__n") + col("__v")))),
+        6).as("nll"))
+  }
 }

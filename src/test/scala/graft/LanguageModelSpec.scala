@@ -33,6 +33,24 @@ class LanguageModelSpec extends AnyFunSuite {
     assert(run(true) == run(false))
   }
 
+  test("held-out scoring: exact Laplace smoothing, OOV scores highest") {
+    // model corpus: "a"×6, "b"×3 → N=9, V=2
+    val model = LanguageModel.unigramCounts(
+      Seq((1L, "a a a a a a"), (2L, "b b b")).toDF("doc_id", "text"), "text")
+    val batch = Seq(
+      (10L, "a a"),   // common tokens
+      (11L, "b q")).toDF("doc_id", "text") // q is OOV → c=0
+    val out = LanguageModel.scoreHeldOut(model, batch, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def nll(cs: Seq[Long]) = {
+      val raw = cs.map(c => -math.log((c + 1).toDouble / 11.0)) // N+V = 11
+      BigDecimal(raw.sum / raw.size).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(out(10L) == nll(Seq(6L, 6L)))
+    assert(out(11L) == nll(Seq(3L, 0L)))
+    assert(out(11L) > out(10L), "OOV-bearing doc scores higher")
+  }
+
   test("scoring is partitioning-invariant (rounded sums absorb order)") {
     def run(parts: Int) = LanguageModel.meanNegLogLik(
       TestSpark.table("documents").repartition(parts), "text", "doc_id")
