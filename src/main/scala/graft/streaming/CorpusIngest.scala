@@ -62,7 +62,16 @@ object CorpusIngest {
       requiredCols = Seq(idCol, textCol),
       normalizeCols = Nil,
       outDir = silverDir, checkpointDir = checkpointDir)
-    val silver = spark.read.parquet(silverDir)
+    // a first drain with nothing landed commits no batch — the sink dir
+    // is missing entirely or holds only _spark_metadata. Read with the
+    // ENFORCED schema (inference has no files to look at), and treat a
+    // missing dir as "no docs yet", not an error.
+    val silverPath = new Path(silverDir)
+    val sfs = silverPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val silver =
+      if (sfs.exists(silverPath)) spark.read.schema(schema).parquet(silverDir)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
     val fs = new Path(indexDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(indexDir, "_graft_index.json")))

@@ -28,6 +28,18 @@ class CorpusIngestSpec extends AnyFunSuite {
     } finally w.close()
   }
 
+  test("a drain before anything lands is a clean no-op, then normal operation begins") {
+    val base = TestSpark.tmpDir("corpus_ingest_empty")
+    val landing = new java.io.File(base, "landing"); landing.mkdirs()
+    def drain() = CorpusIngest.maintain(
+      spark, landing.getPath, schema, "doc_id", "text",
+      silverDir = s"$base/silver", checkpointDir = s"$base/ckpt",
+      indexDir = s"$base/index", threshold = 0.8)
+    assert(drain().count() == 0, "empty landing dir must not error")
+    land(landing.getPath, "wave1.jsonl", Seq(1L -> t1, 2L -> t1))
+    assert(drain().collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
   test("streamed drains maintain the durable index incrementally") {
     val base = TestSpark.tmpDir("corpus_ingest")
     val landing = new java.io.File(base, "landing"); landing.mkdirs()
