@@ -43,7 +43,9 @@ object LanguageModel {
       idCol: String,
       broadcastVocab: Boolean = true): DataFrame = {
     val toks = df.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("token"))
-    val counts = unigramCounts(df, textCol)
+    // vocab-sized; read TWICE (scoring join + normalizer) — materialize
+    // so the count aggregation over the corpus runs once
+    val counts = unigramCounts(df, textCol).localCheckpoint()
     val vocab = if (broadcastVocab) broadcast(counts) else counts
     val n = counts.agg(sum("c").cast("double").as("__n"))
     toks.join(vocab, "token")
@@ -68,8 +70,12 @@ object LanguageModel {
       textCol: String,
       idCol: String,
       broadcastVocab: Boolean = true): DataFrame = {
-    val vocab = if (broadcastVocab) broadcast(modelCounts) else modelCounts
-    val stats = modelCounts.agg(
+    // the model is read twice (scoring join + smoothing stats); a
+    // parquet-backed model re-scans cheaply, but an UNMATERIALIZED
+    // counts pipeline would re-aggregate its corpus — checkpoint
+    val model = modelCounts.localCheckpoint()
+    val vocab = if (broadcastVocab) broadcast(model) else model
+    val stats = model.agg(
       sum("c").cast("double").as("__n"),
       count(lit(1)).cast("double").as("__v"))
     df.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("token"))
