@@ -807,6 +807,14 @@ object SparkEntry {
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))),
 
+    // ---- north-star: product-quantization codes — per-block trained
+    //      codebooks (q55's trainer per slice), encoding = ONE narrow
+    //      projection evaluating every block's argmax.
+    "q70_pq_codes" -> ((s, dir) =>
+      Similarity.pqCodes(
+        T(s, dir, "embeddings"), "vec_id", "embedding",
+        dims = 64, blocks = 4, k = 4, iters = 2)),
+
     // ---- north-star: corpus unigram LM scoring (CCNet-style fence) —
     //      per-doc mean negative log-likelihood under the corpus's own
     //      token distribution; vocabulary broadcast, scoring narrow.
@@ -1392,6 +1400,38 @@ object SparkEntry {
       s"""WITH $jaccardCtes
          |SELECT id_a, id_b, jaccard FROM vpairs
          |WHERE id_a % 10 = 0 OR id_b % 10 = 0""".stripMargin,
+
+    "q70_pq_codes" -> {
+      val (blocks, d, k) = (4, 16, 4)
+      // per-block CTE chain replaying Clustering.train + the final
+      // argmax, exactly the q55/q61 recipe applied to each slice
+      val blockCtes = (0 until blocks).map { b =>
+        val lo = b * d + 1
+        val hi = (b + 1) * d
+        val sl = s"(e.embedding)[$lo:$hi]"
+        def assignCte(cents: String) =
+          s"""SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+             |      ORDER BY ${duckCosine(sl, "c.cemb", d)} DESC, c.cid ASC) AS rn
+             |    FROM embeddings e CROSS JOIN $cents c""".stripMargin
+        s"""c0_$b AS (SELECT CAST(vec_id AS BIGINT) AS cid,
+           |  list_transform((embedding)[$lo:$hi], __x -> CAST(__x AS DOUBLE)) AS cemb
+           |  FROM embeddings ORDER BY vec_id LIMIT $k),
+           |a0_$b AS (SELECT vec_id, cid AS cluster FROM (${assignCte(s"c0_$b")}) WHERE rn = 1),
+           |m1_$b AS (SELECT a.cluster, d.d,
+           |    round(avg(CAST((e.embedding)[${lo - 1} + d.d] AS DOUBLE)), 6) AS v
+           |  FROM a0_$b a JOIN embeddings e USING (vec_id), generate_series(1, $d) d(d)
+           |  GROUP BY a.cluster, d.d),
+           |cm_$b AS (SELECT cluster AS cid, list(v ORDER BY d) AS cemb FROM m1_$b GROUP BY cluster),
+           |c1_$b AS (SELECT c0.cid, coalesce(cm.cemb, c0.cemb) AS cemb
+           |  FROM c0_$b c0 LEFT JOIN cm_$b cm ON c0.cid = cm.cid),
+           |ab_$b AS (SELECT vec_id, cid AS code_$b FROM (${assignCte(s"c1_$b")}) WHERE rn = 1)"""
+          .stripMargin
+      }.mkString(",\n")
+      val joins = (1 until blocks).map(b => s"JOIN ab_$b USING (vec_id)").mkString(" ")
+      val cols = (0 until blocks).map(b => s"code_$b").mkString(", ")
+      s"""WITH $blockCtes
+         |SELECT vec_id, $cols FROM ab_0 $joins""".stripMargin
+    },
 
     "q68_unigram_nll" ->
       s"""WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

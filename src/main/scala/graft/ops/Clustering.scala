@@ -40,24 +40,31 @@ object Clustering {
     round(try_divide(dot(emb, c), sqrt(dot(emb, emb)) * sqrt(dot(c, c))), 6)
   }
 
+  /** Nearest-centroid id for an embedding EXPRESSION: argmax by
+    * (rounded) cosine, ties → lowest centroid id, via `greatest` over
+    * (sim, −cid) structs — pure projection arithmetic, usable many
+    * times in ONE select (each PQ block is one of these). */
+  def nearestCentroid(emb: Column, centroids: Seq[(Long, Seq[Double])]): Column = {
+    require(centroids.size >= 2, "kmeans needs k >= 2")
+    val scored = centroids.map { case (cid, c) =>
+      struct(
+        cosineToCentroid(emb, c).as("sim"),
+        lit(-cid).as("negcid"))
+    }
+    -greatest(scored: _*).getField("negcid")
+  }
+
   /** One assignment pass: nearest centroid by (rounded) cosine, ties →
-    * lowest centroid id. `greatest` over (sim, −cid) structs is an
-    * argmax in the projection — no window, no shuffle. */
+    * lowest centroid id — no window, no shuffle. */
   def assign(
       df: DataFrame,
       idCol: String,
       embCol: String,
       centroids: Seq[(Long, Seq[Double])]): DataFrame = {
-    require(centroids.size >= 2, "kmeans needs k >= 2")
-    val scored = centroids.map { case (cid, emb) =>
-      struct(
-        cosineToCentroid(col(embCol), emb).as("sim"),
-        lit(-cid).as("negcid"))
-    }
     df.select(
       col(idCol),
       col(embCol),
-      (-greatest(scored: _*).getField("negcid")).as("cluster"))
+      nearestCentroid(col(embCol), centroids).as("cluster"))
   }
 
   /**

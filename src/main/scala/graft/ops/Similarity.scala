@@ -314,6 +314,44 @@ object Similarity {
       .limit(k)
   }
 
+  /**
+   * Product-quantization codes (the FAISS IVF-PQ compression block):
+   * each embedding splits into `blocks` contiguous sub-vectors; each
+   * block gets its OWN k-means codebook ([[Clustering.train]] on the
+   * slice) and every vector's block is replaced by its nearest code id.
+   * `dims/blocks · blocks` floats compress to `blocks` small ints —
+   * the memory move that lets a 100 TB embedding corpus fit an ANN
+   * index in RAM.
+   *
+   * Training is `blocks × iters` bounded passes paid once at index
+   * build. ENCODING is the part that must scale, and it is ONE narrow
+   * projection: all `blocks` argmaxes (`greatest(struct)` over literal
+   * centroids) evaluate in the same whole-stage-codegen pass — no
+   * joins, no shuffles, no per-block scans.
+   *
+   * Output: (idCol, code_0 … code_{blocks−1}); code ids are seed ids
+   * within the block's codebook (deterministic, oracle-replayable).
+   */
+  def pqCodes(
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      dims: Int,
+      blocks: Int,
+      k: Int,
+      iters: Int): DataFrame = {
+    require(blocks >= 1 && dims % blocks == 0, "blocks must divide dims")
+    val d = dims / blocks
+    val codebooks = (0 until blocks).map { b =>
+      val sub = corpus.select(col(idCol), slice(col(embCol), b * d + 1, d).as(embCol))
+      Clustering.train(sub, idCol, embCol, k, iters)
+    }
+    val codeCols = codebooks.zipWithIndex.map { case (cents, b) =>
+      Clustering.nearestCentroid(slice(col(embCol), b * d + 1, d), cents).as(s"code_$b")
+    }
+    corpus.select(col(idCol) +: codeCols: _*)
+  }
+
   /** All-pairs top-k neighbors per vector within LSH buckets (the
     * batch "kNN graph" builder): join within buckets, rank per source
     * id. Used for embedding-cosine near-dup detection. Single-band —

@@ -140,6 +140,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(run().toSeq == ivf.toSeq)
   }
 
+  test("pqCodes: one code per block from the block's own codebook; encoding is join-free") {
+    val emb = TestSpark.table("embeddings")
+    val codes = Similarity.pqCodes(emb, "vec_id", "embedding",
+      dims = 64, blocks = 4, k = 4, iters = 2)
+    assert(codes.columns.toSeq == Seq("vec_id", "code_0", "code_1", "code_2", "code_3"))
+    val rows = codes.collect()
+    assert(rows.length == emb.count())
+    // codes are seed ids: always one of the k lowest vec_ids
+    val valid = (0L until 4L).toSet
+    rows.foreach { r =>
+      (1 to 4).foreach(i => assert(valid(r.getLong(i)), s"block ${i - 1} code ${r.getLong(i)}"))
+    }
+    // blocks quantize independently: some vector must disagree across blocks
+    assert(rows.exists(r => (1 to 4).map(r.getLong).distinct.size > 1))
+    // identical vectors encode identically; encoding is deterministic
+    val again = Similarity.pqCodes(emb, "vec_id", "embedding", 64, 4, 4, 2).collect()
+    assert(rows.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+    // the ENCODE plan (given trained codebooks) is a single narrow
+    // projection: no joins, no exchanges
+    val plan = codes.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Join"), s"encoding must be join-free:\n$plan")
+  }
+
   test("signBuckets produces one bit per plane") {
     val emb = TestSpark.table("embeddings").limit(50)
     val b = Similarity.signBuckets(emb, "vec_id", "embedding", numPlanes = 6, dims = 64)
