@@ -815,6 +815,16 @@ object SparkEntry {
         T(s, dir, "embeddings"), "vec_id", "embedding",
         dims = 64, blocks = 4, k = 4, iters = 2)),
 
+    // ---- north-star: PQ asymmetric-distance search — approximate
+    //      inner-product top-k touching ONLY the integer code table
+    //      (exact query side, per-block lookup maps).
+    "q71_pq_topk" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.pqTopK(
+        emb, emb.filter(col("vec_id") === 0), "vec_id", "embedding",
+        topK = 10, dims = 64, blocks = 4, k = 4, iters = 2)
+    }),
+
     // ---- north-star: corpus unigram LM scoring (CCNet-style fence) —
     //      per-doc mean negative log-likelihood under the corpus's own
     //      token distribution; vocabulary broadcast, scoring narrow.
@@ -1078,6 +1088,34 @@ object SparkEntry {
        |  ) WHERE cosine_sim >= 0.15
        |)""".stripMargin
   }
+
+  /** Per-block PQ training CTE chain (q70/q71): replays
+    * `Clustering.train` + the final argmax for each slice — the
+    * q55/q61 recipe applied per block. Emits `c0_b`, `a0_b`, `m1_b`,
+    * `cm_b`, `c1_b` (trained codebook), `ab_b` (codes). */
+  private def pqBlockCtes(blocks: Int, d: Int, k: Int): String =
+    (0 until blocks).map { b =>
+      val lo = b * d + 1
+      val hi = (b + 1) * d
+      val sl = s"(e.embedding)[$lo:$hi]"
+      def assignCte(cents: String) =
+        s"""SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY ${duckCosine(sl, "c.cemb", d)} DESC, c.cid ASC) AS rn
+           |    FROM embeddings e CROSS JOIN $cents c""".stripMargin
+      s"""c0_$b AS (SELECT CAST(vec_id AS BIGINT) AS cid,
+         |  list_transform((embedding)[$lo:$hi], __x -> CAST(__x AS DOUBLE)) AS cemb
+         |  FROM embeddings ORDER BY vec_id LIMIT $k),
+         |a0_$b AS (SELECT vec_id, cid AS cluster FROM (${assignCte(s"c0_$b")}) WHERE rn = 1),
+         |m1_$b AS (SELECT a.cluster, d.d,
+         |    round(avg(CAST((e.embedding)[${lo - 1} + d.d] AS DOUBLE)), 6) AS v
+         |  FROM a0_$b a JOIN embeddings e USING (vec_id), generate_series(1, $d) d(d)
+         |  GROUP BY a.cluster, d.d),
+         |cm_$b AS (SELECT cluster AS cid, list(v ORDER BY d) AS cemb FROM m1_$b GROUP BY cluster),
+         |c1_$b AS (SELECT c0.cid, coalesce(cm.cemb, c0.cemb) AS cemb
+         |  FROM c0_$b c0 LEFT JOIN cm_$b cm ON c0.cid = cm.cid),
+         |ab_$b AS (SELECT vec_id, cid AS code_$b FROM (${assignCte(s"c1_$b")}) WHERE rn = 1)"""
+        .stripMargin
+    }.mkString(",\n")
 
   private def duckCosine(a: String, b: String, dims: Int): String = {
     def dot(x: String, y: String) =
@@ -1403,34 +1441,31 @@ object SparkEntry {
 
     "q70_pq_codes" -> {
       val (blocks, d, k) = (4, 16, 4)
-      // per-block CTE chain replaying Clustering.train + the final
-      // argmax, exactly the q55/q61 recipe applied to each slice
-      val blockCtes = (0 until blocks).map { b =>
-        val lo = b * d + 1
-        val hi = (b + 1) * d
-        val sl = s"(e.embedding)[$lo:$hi]"
-        def assignCte(cents: String) =
-          s"""SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
-             |      ORDER BY ${duckCosine(sl, "c.cemb", d)} DESC, c.cid ASC) AS rn
-             |    FROM embeddings e CROSS JOIN $cents c""".stripMargin
-        s"""c0_$b AS (SELECT CAST(vec_id AS BIGINT) AS cid,
-           |  list_transform((embedding)[$lo:$hi], __x -> CAST(__x AS DOUBLE)) AS cemb
-           |  FROM embeddings ORDER BY vec_id LIMIT $k),
-           |a0_$b AS (SELECT vec_id, cid AS cluster FROM (${assignCte(s"c0_$b")}) WHERE rn = 1),
-           |m1_$b AS (SELECT a.cluster, d.d,
-           |    round(avg(CAST((e.embedding)[${lo - 1} + d.d] AS DOUBLE)), 6) AS v
-           |  FROM a0_$b a JOIN embeddings e USING (vec_id), generate_series(1, $d) d(d)
-           |  GROUP BY a.cluster, d.d),
-           |cm_$b AS (SELECT cluster AS cid, list(v ORDER BY d) AS cemb FROM m1_$b GROUP BY cluster),
-           |c1_$b AS (SELECT c0.cid, coalesce(cm.cemb, c0.cemb) AS cemb
-           |  FROM c0_$b c0 LEFT JOIN cm_$b cm ON c0.cid = cm.cid),
-           |ab_$b AS (SELECT vec_id, cid AS code_$b FROM (${assignCte(s"c1_$b")}) WHERE rn = 1)"""
-          .stripMargin
-      }.mkString(",\n")
       val joins = (1 until blocks).map(b => s"JOIN ab_$b USING (vec_id)").mkString(" ")
       val cols = (0 until blocks).map(b => s"code_$b").mkString(", ")
-      s"""WITH $blockCtes
+      s"""WITH ${pqBlockCtes(blocks, d, k)}
          |SELECT vec_id, $cols FROM ab_0 $joins""".stripMargin
+    },
+
+    "q71_pq_topk" -> {
+      val (blocks, d, k) = (4, 16, 4)
+      // per-block ADC contribution: join each vector's code to its
+      // codebook entry, exact-query dot against the centroid
+      val scoreCtes = (0 until blocks).map { b =>
+        val lo = b * d
+        val dot = s"list_sum(list_transform(generate_series(1, $d), " +
+          s"__i -> CAST((qe.embedding)[$lo + __i] AS DOUBLE) * (c.cemb)[__i]))"
+        s"""s_$b AS (SELECT a.vec_id, $dot AS v_$b
+           |  FROM ab_$b a JOIN c1_$b c ON a.code_$b = c.cid, qe)""".stripMargin
+      }.mkString(",\n")
+      val joins = (1 until blocks).map(b => s"JOIN s_$b USING (vec_id)").mkString(" ")
+      val total = (0 until blocks).map(b => s"v_$b").mkString(" + ")
+      s"""WITH ${pqBlockCtes(blocks, d, k)},
+         |qe AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+         |$scoreCtes
+         |SELECT vec_id, round($total, 6) AS approx_dot
+         |FROM s_0 $joins
+         |ORDER BY approx_dot DESC, vec_id ASC LIMIT 10""".stripMargin
     },
 
     "q68_unigram_nll" ->

@@ -332,6 +332,37 @@ object Similarity {
    * Output: (idCol, code_0 … code_{blocks−1}); code ids are seed ids
    * within the block's codebook (deterministic, oracle-replayable).
    */
+  /** Train the per-block PQ codebooks (one k-means per slice). */
+  def pqCodebooks(
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      dims: Int,
+      blocks: Int,
+      k: Int,
+      iters: Int): Seq[Seq[(Long, Seq[Double])]] = {
+    require(blocks >= 1 && dims % blocks == 0, "blocks must divide dims")
+    val d = dims / blocks
+    (0 until blocks).map { b =>
+      val sub = corpus.select(col(idCol), slice(col(embCol), b * d + 1, d).as(embCol))
+      Clustering.train(sub, idCol, embCol, k, iters)
+    }
+  }
+
+  /** Encode against trained codebooks: ONE narrow projection. */
+  def pqEncode(
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      dims: Int,
+      codebooks: Seq[Seq[(Long, Seq[Double])]]): DataFrame = {
+    val d = dims / codebooks.size
+    val codeCols = codebooks.zipWithIndex.map { case (cents, b) =>
+      Clustering.nearestCentroid(slice(col(embCol), b * d + 1, d), cents).as(s"code_$b")
+    }
+    corpus.select(col(idCol) +: codeCols: _*)
+  }
+
   def pqCodes(
       corpus: DataFrame,
       idCol: String,
@@ -339,17 +370,49 @@ object Similarity {
       dims: Int,
       blocks: Int,
       k: Int,
+      iters: Int): DataFrame =
+    pqEncode(corpus, idCol, embCol, dims,
+      pqCodebooks(corpus, idCol, embCol, dims, blocks, k, iters))
+
+  /**
+   * PQ asymmetric-distance top-k (MIPS form): approximate inner
+   * product `dot(q, x) ≈ Σ_b dot(q_b, codebook_b[code_b])`. The query
+   * side is EXACT (never quantized — that is the "asymmetric"); the
+   * corpus side is looked up from `blocks` tiny code→value maps
+   * computed once per query on the driver (blocks × k doubles). Search
+   * therefore touches ONLY the integer code table — the compressed
+   * representation is the working set, which is the entire point of PQ
+   * at 100 TB — in one narrow projection + `TakeOrderedAndProject`.
+   *
+   * Inner product, not cosine: dot decomposes additively across blocks
+   * (cosine's norm does not). Output: (idCol, approx_dot) top `topK`
+   * by (score desc, id asc).
+   */
+  def pqTopK(
+      corpus: DataFrame,
+      queryDf: DataFrame,
+      idCol: String,
+      embCol: String,
+      topK: Int,
+      dims: Int,
+      blocks: Int,
+      k: Int,
       iters: Int): DataFrame = {
-    require(blocks >= 1 && dims % blocks == 0, "blocks must divide dims")
     val d = dims / blocks
-    val codebooks = (0 until blocks).map { b =>
-      val sub = corpus.select(col(idCol), slice(col(embCol), b * d + 1, d).as(embCol))
-      Clustering.train(sub, idCol, embCol, k, iters)
-    }
-    val codeCols = codebooks.zipWithIndex.map { case (cents, b) =>
-      Clustering.nearestCentroid(slice(col(embCol), b * d + 1, d), cents).as(s"code_$b")
-    }
-    corpus.select(col(idCol) +: codeCols: _*)
+    val q = queryDf.select(col(embCol)).head().getSeq[Float](0)
+    require(q.size == dims, s"query has ${q.size} dims, expected $dims")
+    val codebooks = pqCodebooks(corpus, idCol, embCol, dims, blocks, k, iters)
+    val codes = pqEncode(corpus, idCol, embCol, dims, codebooks)
+    val score = codebooks.zipWithIndex.map { case (cents, b) =>
+      val table = cents.map { case (cid, cent) =>
+        cid -> (0 until d).map(i => q(b * d + i).toDouble * cent(i)).sum
+      }.toMap
+      element_at(typedlit(table), col(s"code_$b"))
+    }.reduce(_ + _)
+    codes
+      .select(col(idCol), round(score, 6).as("approx_dot"))
+      .orderBy(col("approx_dot").desc, col(idCol).asc)
+      .limit(topK)
   }
 
   /** All-pairs top-k neighbors per vector within LSH buckets (the

@@ -163,6 +163,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"encoding must be join-free:\n$plan")
   }
 
+  test("pqTopK: ADC scores equal the lookup-table recompute; result deterministic") {
+    val emb = TestSpark.table("embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+    def run() = Similarity.pqTopK(emb, q, "vec_id", "embedding",
+      topK = 10, dims = 64, blocks = 4, k = 4, iters = 2)
+      .as[(Long, Double)].collect()
+    val out = run()
+    assert(out.length == 10)
+    assert(out.map(_._2).sliding(2).forall(p => p(0) >= p(1)), "descending")
+    assert(run().toSeq == out.toSeq, "deterministic end-to-end")
+    // manual ADC recompute for the top row: codes → codebook → Σ dot
+    val books = Similarity.pqCodebooks(emb, "vec_id", "embedding", 64, 4, 4, 2)
+    val qv = q.select("embedding").head().getSeq[Float](0)
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", 64, books)
+      .filter(col("vec_id") === out.head._1).head()
+    val expect = (0 until 4).map { b =>
+      val cent = books(b).toMap.apply(codes.getLong(b + 1))
+      (0 until 16).map(i => qv(b * 16 + i).toDouble * cent(i)).sum
+    }.sum
+    assert(out.head._2 == BigDecimal(expect)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("signBuckets produces one bit per plane") {
     val emb = TestSpark.table("embeddings").limit(50)
     val b = Similarity.signBuckets(emb, "vec_id", "embedding", numPlanes = 6, dims = 64)
