@@ -397,11 +397,24 @@ object Similarity {
       dims: Int,
       blocks: Int,
       k: Int,
-      iters: Int): DataFrame = {
+      iters: Int): DataFrame =
+    pqTopKWith(corpus, queryDf, idCol, embCol, topK, dims,
+      pqCodebooks(corpus, idCol, embCol, dims, blocks, k, iters))
+
+  /** [[pqTopK]] against ALREADY-TRAINED codebooks — the steady-state
+    * query path (training is an index-build cost, paid once). */
+  def pqTopKWith(
+      corpus: DataFrame,
+      queryDf: DataFrame,
+      idCol: String,
+      embCol: String,
+      topK: Int,
+      dims: Int,
+      codebooks: Seq[Seq[(Long, Seq[Double])]]): DataFrame = {
+    val blocks = codebooks.size
     val d = dims / blocks
     val q = queryDf.select(col(embCol)).head().getSeq[Float](0)
     require(q.size == dims, s"query has ${q.size} dims, expected $dims")
-    val codebooks = pqCodebooks(corpus, idCol, embCol, dims, blocks, k, iters)
     val codes = pqEncode(corpus, idCol, embCol, dims, codebooks)
     val score = codebooks.zipWithIndex.map { case (cents, b) =>
       val table = cents.map { case (cid, cent) =>
