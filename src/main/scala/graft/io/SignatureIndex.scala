@@ -95,6 +95,10 @@ object SignatureIndex {
       kind: Dedup.HashKind = Dedup.Md5): Unit = {
     require(idCol.matches("[A-Za-z_][A-Za-z0-9_]*"),
       s"idCol '$idCol' must be a plain identifier (stored in index meta)")
+    // validate at BUILD time — an index whose bands cannot divide its
+    // hashes would otherwise fail only when the first probe runs
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
     val spark = docs.sparkSession
     Dedup.minhashSignatures(docs, textCol, idCol, numHashes, shingleWords, kind)
       .sortWithinPartitions(idCol) // better parquet RLE/dictionary runs

@@ -91,11 +91,17 @@ object CorpusFilters {
       df: DataFrame,
       textCol: String,
       idCol: String,
-      filters: Seq[Filter]): DataFrame =
+      filters: Seq[Filter]): DataFrame = {
+    // both names are interpolated into generated SQL — reject anything
+    // that is not a plain identifier rather than emit broken expressions
+    Seq(textCol, idCol).foreach(c =>
+      require(c.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"column '$c' must be a plain identifier (used in generated SQL)"))
     df.selectExpr(
       idCol,
       s"${dropReasonSql(filters, textCol, SparkDialect)} AS drop_reason")
       .selectExpr(idCol, "drop_reason IS NULL AS kept", "drop_reason")
+  }
 
   /** The DuckDB oracle for [[decide]] over table `table` — generated
     * from the SAME filter objects, single source of truth. */
