@@ -138,7 +138,8 @@ object SparkEntry {
     "q46_incremental_neardups" -> ((s, dir) => corpusSigIndex(s, dir).count(): Unit),
     "q60_durable_index" -> ((s, dir) => durableSigIndex(s, dir): Unit),
     "q70_pq_codes" -> ((s, dir) => pqBooks(s, dir): Unit),
-    "q71_pq_topk" -> ((s, dir) => pqBooks(s, dir): Unit))
+    "q71_pq_topk" -> ((s, dir) => pqBooks(s, dir): Unit),
+    "q72_curation_pipeline" -> warmSharedIndex)
 
   // ---------------------------------------------------------------- entry
 
@@ -833,6 +834,26 @@ object SparkEntry {
         T(s, dir, "embeddings"), "vec_id", "embedding",
         dims = 64, codebooks = pqBooks(s, dir))),
 
+    // ---- capstone: the WHOLE curation pipeline as one declarative
+    //      plan — quality-filter chain ∧ near-dup keepers → packed
+    //      training sequences. Every stage reuses an operator that is
+    //      individually oracle-checked; this query checks their
+    //      COMPOSITION end-to-end.
+    "q72_curation_pipeline" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val keepers = Dedup.dedupDecisions(docs, "doc_id",
+        Dedup.components(verifiedPairs(s, dir).select("id_a", "id_b")))
+        .filter(col("keep")).select("doc_id")
+      val quality = graft.ops.CorpusFilters.decide(
+        docs, "text", "doc_id",
+        graft.config.PipelineConfig.parseCorpusFilters(corpusFilterYaml))
+        .filter(col("kept")).select("doc_id")
+      val curated = docs
+        .join(keepers, Seq("doc_id"), "left_semi")
+        .join(quality, Seq("doc_id"), "left_semi")
+      graft.ops.Packing.packSequences(curated, "text", "lang", "doc_id", budget = 512L)
+    }),
+
     // ---- north-star: PQ asymmetric-distance search — approximate
     //      inner-product top-k touching ONLY the integer code table
     //      (exact query side, per-block lookup maps).
@@ -1456,6 +1477,33 @@ object SparkEntry {
       s"""WITH $jaccardCtes
          |SELECT id_a, id_b, jaccard FROM vpairs
          |WHERE id_a % 10 = 0 OR id_b % 10 = 0""".stripMargin,
+
+    "q72_curation_pipeline" -> {
+      val dropCase = graft.ops.CorpusFilters.dropReasonSql(
+        graft.config.PipelineConfig.parseCorpusFilters(corpusFilterYaml),
+        "text", graft.functions.PortableSql.DuckDialect)
+      val n = PortableSql.tokenCount("text", DD)
+      s"""WITH RECURSIVE $jaccardCtes,
+         |$closureCtes,
+         |keepers AS (
+         |  SELECT d.doc_id FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+         |  WHERE coalesce(l.cluster_id, d.doc_id) = d.doc_id),
+         |quality AS (SELECT doc_id FROM documents WHERE ($dropCase) IS NULL),
+         |cur AS (
+         |  SELECT d.doc_id, d.lang, CAST($n AS BIGINT) AS n FROM documents d
+         |  JOIN keepers USING (doc_id) JOIN quality USING (doc_id)),
+         |p AS (SELECT doc_id, lang, n,
+         |        sum(n) OVER (PARTITION BY lang ORDER BY doc_id) AS e
+         |      FROM cur WHERE n > 0),
+         |x AS (SELECT doc_id, lang, e - n AS s, e FROM p),
+         |u AS (SELECT doc_id, lang, s, e,
+         |        unnest(generate_series(CAST(s // 512 AS BIGINT),
+         |                               CAST((e - 1) // 512 AS BIGINT))) AS seq_idx
+         |      FROM x)
+         |SELECT doc_id, lang, seq_idx,
+         |  least(e, (seq_idx + 1) * 512) - greatest(s, seq_idx * 512) AS toks_in_seq
+         |FROM u""".stripMargin
+    },
 
     "q70_pq_codes" -> {
       val (blocks, d, k) = (4, 16, 4)
