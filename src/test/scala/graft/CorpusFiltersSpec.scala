@@ -56,6 +56,33 @@ class CorpusFiltersSpec extends AnyFunSuite {
       s"doc 4 got ${out(4L)} — expected the repetition fence")
   }
 
+  test("the filter chain runs UNCHANGED on a stream (stateless narrow plan)") {
+    val dir = TestSpark.tmpDir("cf_stream")
+    val w = new java.io.PrintWriter(new java.io.File(dir, "docs.jsonl"))
+    try Seq(
+      (1L, "the cat and the dog are in the house with a bird"),
+      (2L, "one two"),
+      (3L, "uno dos tres cuatro cinco seis siete ocho nueve diez once doce"))
+      .foreach { case (id, t) => w.println(s"""{"doc_id": $id, "text": "$t"}""") }
+    finally w.close()
+    val schema = graft.schema.Metadata.structFromSpec("\ndoc_id: long\ntext: string\n")
+    val fs = PipelineConfig.parseCorpusFilters(yaml)
+    val stream = CorpusFilters.decide(
+      spark.readStream.schema(schema).json(dir), "text", "doc_id", fs)
+    assert(stream.isStreaming, "decide must not force a batch plan")
+    val name = "cf_stream_out"
+    stream.writeStream.format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      .awaitTermination()
+    val streamed = spark.table(name)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), Option(r.getString(2)))).toSet
+    val batch = CorpusFilters.decide(
+      spark.read.schema(schema).json(dir), "text", "doc_id", fs)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), Option(r.getString(2)))).toSet
+    assert(streamed == batch, "stream and batch decisions must be identical")
+    assert(batch.nonEmpty)
+  }
+
   test("thresholds agree with the standalone text primitives") {
     val docs = TestSpark.table("documents").limit(200)
     val fs = Seq(CorpusFilters.MinTokens(50): CorpusFilters.Filter)
