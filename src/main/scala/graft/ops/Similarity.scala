@@ -314,24 +314,6 @@ object Similarity {
       .limit(k)
   }
 
-  /**
-   * Product-quantization codes (the FAISS IVF-PQ compression block):
-   * each embedding splits into `blocks` contiguous sub-vectors; each
-   * block gets its OWN k-means codebook ([[Clustering.train]] on the
-   * slice) and every vector's block is replaced by its nearest code id.
-   * `dims/blocks · blocks` floats compress to `blocks` small ints —
-   * the memory move that lets a 100 TB embedding corpus fit an ANN
-   * index in RAM.
-   *
-   * Training is `blocks × iters` bounded passes paid once at index
-   * build. ENCODING is the part that must scale, and it is ONE narrow
-   * projection: all `blocks` argmaxes (`greatest(struct)` over literal
-   * centroids) evaluate in the same whole-stage-codegen pass — no
-   * joins, no shuffles, no per-block scans.
-   *
-   * Output: (idCol, code_0 … code_{blocks−1}); code ids are seed ids
-   * within the block's codebook (deterministic, oracle-replayable).
-   */
   /** Train the per-block PQ codebooks (one k-means per slice). */
   def pqCodebooks(
       corpus: DataFrame,
@@ -363,6 +345,25 @@ object Similarity {
     corpus.select(col(idCol) +: codeCols: _*)
   }
 
+  /**
+   * Product-quantization codes (the FAISS IVF-PQ compression block):
+   * each embedding splits into `blocks` contiguous sub-vectors; each
+   * block gets its OWN k-means codebook ([[Clustering.train]] on the
+   * slice) and every vector's block is replaced by its nearest code id.
+   * `dims/blocks · blocks` floats compress to `blocks` small ints —
+   * the memory move that lets a 100 TB embedding corpus fit an ANN
+   * index in RAM.
+   *
+   * Training is `blocks × iters` bounded passes paid once at index
+   * build ([[pqCodebooks]]). ENCODING is the part that must scale, and
+   * it is ONE narrow projection ([[pqEncode]]): all `blocks` argmaxes
+   * (`greatest(struct)` over literal centroids) evaluate in the same
+   * whole-stage-codegen pass — no joins, no shuffles, no per-block
+   * scans.
+   *
+   * Output: (idCol, code_0 … code_{blocks−1}); code ids are seed ids
+   * within the block's codebook (deterministic, oracle-replayable).
+   */
   def pqCodes(
       corpus: DataFrame,
       idCol: String,
