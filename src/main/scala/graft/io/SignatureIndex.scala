@@ -183,6 +183,21 @@ object SignatureIndex {
       m.numHashes, m.bands, m.shingleWords, m.kind)
   }
 
+  /** [[compact]] only when the store has fragmented past
+    * `2 × targetFiles` — the idempotent form a scheduled maintenance
+    * loop calls after every ingest: cheap no-op in the steady state
+    * (one driver-side listing), a full rewrite only when appends have
+    * actually accreted. Returns true when a compaction ran. */
+  def compactIfFragmented(spark: SparkSession, dir: String, targetFiles: Int): Boolean = {
+    ensureLive(spark, dir)
+    val live = new Path(sigsPath(dir))
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nFiles = fs.listStatus(live).count(_.getPath.getName.endsWith(".parquet"))
+    val fragmented = nFiles > 2 * targetFiles
+    if (fragmented) compact(spark, dir, targetFiles)
+    fragmented
+  }
+
   /** Append `newDocs`' signatures so future probes see them. Hash
     * parameters come from the stored meta — a batch CANNOT be appended
     * with drifted parameters. Call after a successful [[probe]]. */

@@ -56,7 +56,8 @@ object CorpusIngest {
       numHashes: Int = 8,
       bands: Int = 4,
       shingleWords: Int = 3,
-      kind: graft.ops.Dedup.HashKind = graft.ops.Dedup.Md5): DataFrame = {
+      kind: graft.ops.Dedup.HashKind = graft.ops.Dedup.Md5,
+      compactTo: Option[Int] = None): DataFrame = {
     IngestStream.drainOnce(
       spark, landingDir, schema,
       requiredCols = Seq(idCol, textCol),
@@ -82,6 +83,10 @@ object CorpusIngest {
     val indexedIds = SignatureIndex.signatures(spark, indexDir)
       .select(idCol)
     val delta = silver.join(indexedIds, Seq(idCol), "left_anti")
-    SignatureIndex.ingestBatch(silver, delta, textCol, indexDir, threshold)
+    val pairs = SignatureIndex.ingestBatch(silver, delta, textCol, indexDir, threshold)
+    // per-batch appends accrete small files; an opted-in target keeps
+    // the store bounded (no-op listing in the steady state)
+    compactTo.foreach(SignatureIndex.compactIfFragmented(spark, indexDir, _))
+    pairs
   }
 }

@@ -40,6 +40,24 @@ class CorpusIngestSpec extends AnyFunSuite {
     assert(drain().collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
   }
 
+  test("compactTo keeps the store's file count bounded across many drains") {
+    val base = TestSpark.tmpDir("corpus_ingest_compact")
+    val landing = new java.io.File(base, "landing"); landing.mkdirs()
+    def drain() = CorpusIngest.maintain(
+      spark, landing.getPath, schema, "doc_id", "text",
+      silverDir = s"$base/silver", checkpointDir = s"$base/ckpt",
+      indexDir = s"$base/index", threshold = 0.8, compactTo = Some(2)).count()
+    (0 until 5).foreach { w =>
+      land(landing.getPath, s"wave$w.jsonl",
+        Seq((100L + w) -> (t1 + s" wave$w"), (200L + w) -> (t2 + s" wave$w")))
+      drain()
+    }
+    val files = new java.io.File(s"$base/index/sigs").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files <= 4, s"store fragmented to $files files despite compactTo=2")
+    assert(graft.io.SignatureIndex.signatures(spark, s"$base/index").count() == 10)
+  }
+
   test("streamed drains maintain the durable index incrementally") {
     val base = TestSpark.tmpDir("corpus_ingest")
     val landing = new java.io.File(base, "landing"); landing.mkdirs()
