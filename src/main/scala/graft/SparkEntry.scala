@@ -848,9 +848,13 @@ object SparkEntry {
         docs, "text", "doc_id",
         graft.config.PipelineConfig.parseCorpusFilters(corpusFilterYaml))
         .filter(col("kept")).select("doc_id")
+      // both prune lists are id-only and corpus-bounded-small relative
+      // to the docs they prune — broadcast them (the static planner
+      // sees only stale size estimates through the filter/label joins
+      // and falls back to sort-merge)
       val curated = docs
-        .join(keepers, Seq("doc_id"), "left_semi")
-        .join(quality, Seq("doc_id"), "left_semi")
+        .join(broadcast(keepers), Seq("doc_id"), "left_semi")
+        .join(broadcast(quality), Seq("doc_id"), "left_semi")
       graft.ops.Packing.packSequences(curated, "text", "lang", "doc_id", budget = 512L)
     }),
 
