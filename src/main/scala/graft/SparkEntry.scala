@@ -851,6 +851,21 @@ object SparkEntry {
         T(s, dir, "embeddings"), "vec_id", "embedding",
         dims = 64, codebooks = pqBooks(s, dir))),
 
+    // ---- north-star: duplicated-line removal (Gopher-style intra-doc
+    //      cleanup). The fixture corpus is single-line, so duplicate
+    //      lines are synthesized IN-QUERY (q44's recipe) — the oracle
+    //      then checks real order-preserving first-occurrence dedup,
+    //      not a no-op.
+    "q73_line_dedup" -> ((s, dir) => {
+      val line1 = concat_ws(" ", slice(split(col("text"), " "), 1, 5))
+      val synth = concat_ws("\n", col("text"), line1, line1, col("text"))
+      T(s, dir, "documents").select(
+        col("doc_id"),
+        graft.ops.TextOps.dedupLines(synth).as("clean"),
+        size(split(synth, "\n")).cast("long").as("n_before"),
+        size(split(graft.ops.TextOps.dedupLines(synth), "\n")).cast("long").as("n_after"))
+    }),
+
     // ---- capstone: the WHOLE curation pipeline as one declarative
     //      plan — quality-filter chain ∧ near-dup keepers → packed
     //      training sequences. Every stage reuses an operator that is
@@ -1497,6 +1512,24 @@ object SparkEntry {
       s"""WITH $jaccardCtes
          |SELECT id_a, id_b, jaccard FROM vpairs
          |WHERE id_a % 10 = 0 OR id_b % 10 = 0""".stripMargin,
+
+    "q73_line_dedup" -> {
+      // order-preserving first-occurrence dedup: keep index i iff the
+      // line's first position IS i (DuckDB's list_distinct reorders)
+      val dedup = "array_to_string(list_transform(" +
+        "list_filter(generate_series(1, len(l)), __i -> list_position(l, l[__i]) = __i), " +
+        "__i -> l[__i]), chr(10))"
+      s"""WITH s AS (SELECT doc_id,
+         |  concat(text, chr(10), line1, chr(10), line1, chr(10), text) AS x
+         |  FROM (SELECT doc_id, text,
+         |    array_to_string((string_split(text, ' '))[1:5], ' ') AS line1
+         |    FROM documents)),
+         |t AS (SELECT doc_id, x, string_split(x, chr(10)) AS l FROM s)
+         |SELECT doc_id, $dedup AS clean,
+         |  CAST(len(l) AS BIGINT) AS n_before,
+         |  CAST(len(string_split($dedup, chr(10))) AS BIGINT) AS n_after
+         |FROM t""".stripMargin
+    },
 
     "q72_curation_pipeline" -> {
       val dropCase = graft.ops.CorpusFilters.dropReasonSql(

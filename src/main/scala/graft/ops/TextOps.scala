@@ -226,6 +226,14 @@ object TextOps {
       .otherwise(array().cast("array<long>"))
   }
 
+  /** Duplicated-line removal (the Gopher/CCNet intra-document cleanup):
+    * keep each line's FIRST occurrence, preserving document order —
+    * `array_distinct` is order-preserving in Spark (the DuckDB oracle
+    * needs an explicit first-occurrence filter; its `list_distinct`
+    * reorders). Pure array arithmetic at scan speed. */
+  def dedupLines(c: Column): Column =
+    concat_ws("\n", array_distinct(split(c, "\n")))
+
   /**
    * Feature hashing (the "hashing trick"): token → one of `dims` hash
    * buckets, term frequency per (doc, bucket). The fixed-width feature

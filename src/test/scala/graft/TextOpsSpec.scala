@@ -157,6 +157,18 @@ class TextOpsSpec extends AnyFunSuite {
     assert(viaExpr.nonEmpty)
   }
 
+  test("dedupLines keeps first occurrences in document order") {
+    val df = Seq(
+      (1L, "b\na\nb\nc\na"),
+      (2L, "solo"),
+      (3L, "x\nx\nx")).toDF("doc_id", "text")
+    val out = df.select($"doc_id", TextOps.dedupLines($"text").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "b\na\nc", "order preserved, later dups dropped")
+    assert(out(2L) == "solo")
+    assert(out(3L) == "x")
+  }
+
   test("feature hashing: tf conservation, fixed width, repeated tokens sum") {
     val df = Seq(
       (1L, "a b a b a"),   // 5 tokens, 2 distinct
