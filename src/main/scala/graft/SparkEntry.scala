@@ -1554,7 +1554,7 @@ object SparkEntry {
          |                               CAST((e - 1) // 512 AS BIGINT))) AS seq_idx
          |      FROM x)
          |SELECT doc_id, lang, seq_idx,
-         |  least(e, (seq_idx + 1) * 512) - greatest(s, seq_idx * 512) AS toks_in_seq
+         |  CAST(least(e, (seq_idx + 1) * 512) - greatest(s, seq_idx * 512) AS BIGINT) AS toks_in_seq
          |FROM u""".stripMargin
     },
 
@@ -1636,7 +1636,7 @@ object SparkEntry {
          |                               CAST((e - 1) // 512 AS BIGINT))) AS seq_idx
          |      FROM x)
          |SELECT doc_id, lang, seq_idx,
-         |  least(e, (seq_idx + 1) * 512) - greatest(s, seq_idx * 512) AS toks_in_seq
+         |  CAST(least(e, (seq_idx + 1) * 512) - greatest(s, seq_idx * 512) AS BIGINT) AS toks_in_seq
          |FROM u""".stripMargin
     },
 

@@ -40,6 +40,16 @@ def compare(name, con, sf_dir, out_dir):
         return f"SPARK-READ-ERROR {type(e).__name__}: {e}"
     if sorted(ocols) != sorted(scols):
         return f"SCHEMA-MISMATCH oracle={sorted(ocols)} spark={sorted(scols)}"
+    # The driver's hash path is stricter than Python-int equality: a
+    # HUGEINT/DECIMAL oracle column (e.g. DuckDB sum() over BIGINT)
+    # round-trips through its dataframe layer as float/object and
+    # hash-mismatches an int64 Spark column even when every value is
+    # equal. Surface those types here so the local gate catches them.
+    otypes = [str(t) for t in con.sql(ORACLES[name]).types]
+    widened = [f"{c}:{t}" for c, t in zip(ocols, otypes)
+               if t in ("HUGEINT", "UHUGEINT") or t.startswith("DECIMAL")]
+    if widened:
+        return f"ORACLE-TYPE-WIDENED (cast to BIGINT/DOUBLE): {widened}"
     # reorder both to sorted column order
     oidx = [ocols.index(c) for c in sorted(ocols)]
     sidx = [scols.index(c) for c in sorted(scols)]
