@@ -21,8 +21,12 @@ import graft.ops.Aggregate.{AggSpec, Metric}
  */
 object SparkEntry {
 
-  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+  private def T(s: SparkSession, dir: String, name: String): DataFrame = {
+    // several query fragments compile to graft_* kernel calls
+    // (idempotent, map-insert cheap)
+    graft.functions.GraftFunctions.register(s)
     s.read.parquet(s"$dir/$name.parquet")
+  }
 
   private def tmp(name: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_scratch/$name"
@@ -314,7 +318,7 @@ object SparkEntry {
     "q12_lang_id" -> ((s, dir) =>
       T(s, dir, "documents").selectExpr(
         "doc_id", "lang",
-        s"${PortableSql.langId("text")} AS lang_pred")),
+        s"${PortableSql.langId("text", SD)} AS lang_pred")),
 
     // ---- north-star text: quality scoring
     "q13_quality_score" -> ((s, dir) =>
@@ -529,7 +533,7 @@ object SparkEntry {
       val enriched = T(s, dir, "documents").select(
         col("doc_id"), col("source"),
         graft.ops.TextOps.qualityScore(col("text")).as("quality"),
-        graft.ops.TextOps.langId(col("text")).as("lang_pred"),
+        graft.functions.GraftFunctions.langId(s, col("text")).as("lang_pred"),
         graft.ops.TextOps.fingerprint(col("text")).as("fp"))
       val keepers = enriched.groupBy("fp").agg(min("doc_id").as("doc_id"))
       enriched.join(keepers, Seq("doc_id"), "left_semi")
@@ -599,8 +603,12 @@ object SparkEntry {
     "q43_repetition" -> ((s, dir) =>
       T(s, dir, "documents").select(
         col("doc_id"),
-        size(graft.ops.TextOps.wordShingles(col("text"), 3)).cast("long").as("n_grams"),
-        graft.ops.TextOps.duplicateShingleRatio(col("text"), 3).as("dup_ratio"))),
+        // |shingles| = max(tokens − 2, 1) — arithmetic instead of
+        // materializing the shingle array just to take its size
+        greatest(graft.functions.GraftFunctions.tokenCount(s, col("text")) - 2,
+          lit(1L)).as("n_grams"),
+        round(graft.functions.GraftFunctions.dupShingleRatio(s, col("text"), 3), 6)
+          .as("dup_ratio"))),
 
     // ---- north-star text: PII/URL scrubbing. The fixture corpus has no
     //      PII, so deterministic addresses are synthesized per doc INSIDE
@@ -923,7 +931,7 @@ object SparkEntry {
     "q67_mixture_weights" -> ((s, dir) =>
       graft.ops.Sampling.mixtureWeights(
         T(s, dir, "documents"), "lang",
-        graft.ops.TextOps.tokenCount(col("text")),
+        graft.functions.GraftFunctions.tokenCount(s, col("text")),
         alpha = 0.5, targetUnits = 50000L)),
 
     // ---- north-star: feature hashing (hashing-trick term
@@ -1267,7 +1275,7 @@ object SparkEntry {
          |FROM documents""".stripMargin,
 
     "q12_lang_id" ->
-      s"SELECT doc_id, lang, ${PortableSql.langId("text")} AS lang_pred FROM documents",
+      s"SELECT doc_id, lang, ${PortableSql.langId("text", DD)} AS lang_pred FROM documents",
 
     "q13_quality_score" ->
       s"SELECT doc_id, ${PortableSql.qualityScore("text", DD)} AS quality FROM documents",
@@ -1393,7 +1401,7 @@ object SparkEntry {
     "q36_corpus_filter" ->
       s"""WITH q AS (
          |  SELECT doc_id, source, ${PortableSql.qualityScore("text", DD)} AS quality,
-         |    ${PortableSql.langId("text")} AS lang_pred, md5(lower(trim(text))) AS fp
+         |    ${PortableSql.langId("text", DD)} AS lang_pred, md5(lower(trim(text))) AS fp
          |  FROM documents
          |),
          |k AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY fp),

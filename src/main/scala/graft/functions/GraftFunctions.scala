@@ -37,18 +37,53 @@ object GraftFunctions {
     WinnowingFingerprints(args.head, intLit(args(1), "k"), intLit(args(2), "w"))
   }
 
-  def inject(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((cosineId, cosineInfo, cosineBuilder))
-    ext.injectFunction((winnowId, winnowInfo, winnowBuilder))
+  private def intLit(e: Expression, fn: String, name: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn $name must be an integer literal, got $other")
   }
 
-  /** Idempotent in-session registration. */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry
-      .registerFunction(cosineId, cosineInfo, cosineBuilder)
-    spark.sessionState.functionRegistry
-      .registerFunction(winnowId, winnowInfo, winnowBuilder)
+  private val tokenCountId = FunctionIdentifier("graft_token_count")
+  private val tokenCountInfo =
+    new ExpressionInfo(classOf[TokenCountKernel].getName, "graft_token_count")
+  private val tokenCountBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 1,
+      s"graft_token_count expects 1 argument, got ${args.length}")
+    TokenCountKernel(args.head)
   }
+
+  private val langIdId = FunctionIdentifier("graft_lang_id")
+  private val langIdInfo =
+    new ExpressionInfo(classOf[LangIdKernel].getName, "graft_lang_id")
+  private val langIdBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 1, s"graft_lang_id expects 1 argument, got ${args.length}")
+    LangIdKernel(args.head)
+  }
+
+  private val dupRatioId = FunctionIdentifier("graft_dup_ratio")
+  private val dupRatioInfo =
+    new ExpressionInfo(classOf[DupShingleRatioKernel].getName, "graft_dup_ratio")
+  private val dupRatioBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 2,
+      s"graft_dup_ratio expects (text, n), got ${args.length} args")
+    DupShingleRatioKernel(args.head, intLit(args(1), "graft_dup_ratio", "n"))
+  }
+
+  private val all = Seq(
+    (cosineId, cosineInfo, cosineBuilder),
+    (winnowId, winnowInfo, winnowBuilder),
+    (tokenCountId, tokenCountInfo, tokenCountBuilder),
+    (langIdId, langIdInfo, langIdBuilder),
+    (dupRatioId, dupRatioInfo, dupRatioBuilder))
+
+  def inject(ext: SparkSessionExtensions): Unit =
+    all.foreach(ext.injectFunction)
+
+  /** Idempotent in-session registration. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 
   /** Column-API handle on the codegen'd kernel. Registers on the given
     * session first (idempotent), then resolves by name — Column
@@ -63,6 +98,26 @@ object GraftFunctions {
     register(spark)
     org.apache.spark.sql.functions.call_function("graft_winnow", text,
       org.apache.spark.sql.functions.lit(k), org.apache.spark.sql.functions.lit(w))
+  }
+
+  /** Column-API handle on the token-count kernel. */
+  def tokenCount(spark: SparkSession, text: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_token_count", text)
+  }
+
+  /** Column-API handle on the language-ID kernel. */
+  def langId(spark: SparkSession, text: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_lang_id", text)
+  }
+
+  /** Column-API handle on the duplicate-shingle-ratio kernel
+    * (UNROUNDED; apply `round(…, 6)` for the oracle-parity form). */
+  def dupShingleRatio(spark: SparkSession, text: Column, n: Int): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_dup_ratio", text,
+      org.apache.spark.sql.functions.lit(n))
   }
 }
 

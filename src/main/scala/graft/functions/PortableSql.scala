@@ -59,9 +59,11 @@ object PortableSql {
     "zh" -> Seq(" de4 ", " he2 ", " yu3 "))
 
   /** N-gram-heuristic language ID fragment: argmax of stopword scores,
-    * fixed tie priority, 'und' when nothing matches. Fully portable —
-    * needs no dialect. */
-  def langId(text: String): String = {
+    * fixed tie priority, 'und' when nothing matches. Valid in BOTH
+    * engines (the Spark parity reference for the kernel below), but
+    * each marker occurrence is a full `replace` copy of the text —
+    * ~45 text scans per row. */
+  def langIdPortable(text: String): String = {
     val padded = s"concat(' ', lower($text), ' ')"
     val scores = langMarkers.map { case (lang, ms) =>
       lang -> ms.map(m => occurrences(padded, m)).mkString("(", " + ", ")")
@@ -71,6 +73,17 @@ object PortableSql {
       .map { case (lang, s) => s"WHEN $s = $maxE THEN '$lang'" }
       .mkString(" ")
     s"CASE WHEN $maxE <= 0 THEN 'und' $whens ELSE 'und' END"
+  }
+
+  /** Language ID, per dialect: the Spark side runs the single-pass
+    * codegen kernel [[graft.functions.LangIdKernel]] (requires
+    * [[GraftFunctions.register]] on the session — [[graft.ops
+    * .CorpusFilters.decide]] and the entry queries do this); the DuckDB
+    * oracle keeps the portable argmax CASE. Bit-identical results —
+    * oracle-checked by q12 and every corpus-filter query. */
+  def langId(text: String, d: Dialect): String = d match {
+    case SparkDialect => s"graft_lang_id($text)"
+    case DuckDialect  => langIdPortable(text)
   }
 
   /** Heuristic quality score in [0,1] (see `TextOps.qualityScore`);
@@ -89,10 +102,18 @@ object PortableSql {
     s"round(0.4 * $lengthScore + 0.3 * $wordLenScore + 0.3 * $punctScore, 6)"
   }
 
+  /** Token count, per dialect. The Spark side runs the byte-scan
+    * kernel [[graft.functions.TokenCountKernel]] (split-free, zero
+    * allocation); the portable `size(split(…))` form is kept below as
+    * the parity reference. Both = (space count) + 1. */
   def tokenCount(text: String, d: Dialect): String = d match {
-    case SparkDialect => s"CAST(size(${d.tokens(text)}) AS BIGINT)"
+    case SparkDialect => s"graft_token_count($text)"
     case DuckDialect  => s"len(${d.tokens(text)})"
   }
+
+  /** The portable Spark token count (parity reference for the kernel). */
+  def tokenCountPortable(text: String): String =
+    s"CAST(size(${SparkDialect.tokens(text)}) AS BIGINT)"
 
   /** Regex-token count ("BPE-ish"): alpha runs / digit runs / single
     * other-chars. Pattern constrained to constructs with identical

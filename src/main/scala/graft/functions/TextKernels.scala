@@ -1,0 +1,165 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Single-pass text kernels for the corpus-quality hot path, as custom
+ * Catalyst expressions (same design as [[WinnowingFingerprints]]: a
+ * primitive-loop kernel behind `doGenCode`, so the surrounding
+ * projection stays inside whole-stage codegen).
+ *
+ * Why: the portable Column/SQL formulations these mirror — kept in
+ * [[graft.ops.TextOps]] / [[PortableSql]] as the parity reference and
+ * the DuckDB oracle template — re-scan the document once per marker
+ * (`replace`-length deltas allocate a full copy of the text per
+ * marker, ~45 copies per row for language ID) or build every shingle
+ * through interpreted HOF lambdas. Measured on the sf0.1 corpus the
+ * filter chain of [[graft.ops.CorpusFilters]] costs ~4.3 s through the
+ * portable expressions and ~0.3 s through these kernels — the
+ * difference is pure allocation/dispatch, not algorithm.
+ *
+ * Parity contract (oracle-checked by q11/q12/q43 and every
+ * corpus-filter query): each kernel reproduces its portable
+ * formulation bit-for-bit —
+ *  - token count  = `size(split(text, ' '))` = (space count) + 1;
+ *  - language ID  = argmax of marker-occurrence sums over the padded,
+ *    lowercased text, `langMarkers` order breaking ties, `und` when
+ *    all scores are 0; occurrences are non-overlapping left-to-right,
+ *    exactly what a `replace`-length delta counts;
+ *  - shingle-dup ratio = `1 − |distinct n-gram strings| / |n-grams|`
+ *    over `max(tokens − n + 1, 1)` space-joined word n-grams (the
+ *    short-doc floor keeps the divisor positive) — UNROUNDED; callers
+ *    apply the same `round(…, 6)` both engines share.
+ */
+object TextKernels {
+
+  /** Token count: `split(text, ' ')` field count = spaces + 1. Counted
+    * on UTF-8 bytes — 0x20 never appears in a multi-byte sequence. */
+  def tokenCount(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var c = 1L
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == 0x20) c += 1
+      i += 1
+    }
+    c
+  }
+
+  /** Non-overlapping left-to-right occurrence count — identical to the
+    * count a `replace`-length delta observes. */
+  private def countOccurrences(hay: String, needle: String): Long = {
+    var c = 0L
+    var i = hay.indexOf(needle)
+    while (i >= 0) {
+      c += 1
+      i = hay.indexOf(needle, i + needle.length)
+    }
+    c
+  }
+
+  private val langNames: Array[UTF8String] =
+    graft.ops.TextOps.langMarkers.map(p => UTF8String.fromString(p._1)).toArray
+  private val langMarkerWords: Array[Array[String]] =
+    graft.ops.TextOps.langMarkers.map(_._2.toArray).toArray
+  private val und = UTF8String.fromString("und")
+
+  /** Language ID over ONE lowercase pass + one indexOf sweep per marker
+    * (15 total), zero per-marker text copies. `toLowerCase` is
+    * UTF8String's — the exact function Spark's `lower()` applies. */
+  def langId(s: UTF8String): UTF8String = {
+    val padded = " " + s.toLowerCase.toString + " "
+    val scores = new Array[Long](langMarkerWords.length)
+    var g = 0
+    var max = 0L
+    while (g < langMarkerWords.length) {
+      val ms = langMarkerWords(g)
+      var sum = 0L
+      var j = 0
+      while (j < ms.length) { sum += countOccurrences(padded, ms(j)); j += 1 }
+      scores(g) = sum
+      if (sum > max) max = sum
+      g += 1
+    }
+    if (max <= 0L) return und
+    var i = 0
+    while (scores(i) != max) i += 1
+    langNames(i)
+  }
+
+  /** Duplicate word-n-gram fraction, unrounded: `1 − distinct/total`
+    * over the same shingle list the HOF formulation builds (short docs
+    * floor at one shingle of however many tokens exist). */
+  def dupShingleRatio(s: UTF8String, n: Int): Double = {
+    val toks = s.toString.split(" ", -1)
+    val total = math.max(toks.length - n + 1, 1)
+    val seen = new java.util.HashSet[String](total * 2)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < total) {
+      sb.setLength(0)
+      val end = math.min(i + n, toks.length)
+      var j = i
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    1.0 - seen.size.toDouble / total.toDouble
+  }
+}
+
+private[functions] trait StringKernelExpression extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string argument, got ${child.dataType.sql}")
+}
+
+/** `graft_token_count(text)` — see [[TextKernels.tokenCount]]. */
+case class TokenCountKernel(child: Expression) extends StringKernelExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_token_count"
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.tokenCount(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.tokenCount($c);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_lang_id(text)` — see [[TextKernels.langId]]. */
+case class LangIdKernel(child: Expression) extends StringKernelExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_lang_id"
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.langId(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.langId($c);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_dup_ratio(text, n)` — see [[TextKernels.dupShingleRatio]]. */
+case class DupShingleRatioKernel(child: Expression, n: Int)
+    extends StringKernelExpression {
+  require(n >= 1 && n <= 64, "shingle width must be in [1, 64]")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dup_ratio"
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.dupShingleRatio(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.dupShingleRatio($c, $n);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -53,7 +53,7 @@ object CorpusFilters {
       s"language codes must be plain lowercase tags, got $langs")
     val name = "languages"
     def pass(text: String, d: Dialect): String =
-      s"${PortableSql.langId(text)} IN (${langs.map(l => s"'$l'").mkString(", ")})"
+      s"${PortableSql.langId(text, d)} IN (${langs.map(l => s"'$l'").mkString(", ")})"
   }
 
   final case class MinQuality(min: Double) extends Filter {
@@ -64,15 +64,16 @@ object CorpusFilters {
 
   final case class MaxRepetition(max: Double, shingleWords: Int = 3) extends Filter {
     val name = "max_repetition"
-    def pass(text: String, d: Dialect): String = {
-      val sh = d.shingles(d.tokens(text), shingleWords)
-      val (sz, dedup) = d match {
-        case SparkDialect => ("size", "array_distinct")
-        case DuckDialect  => ("len", "list_distinct")
-      }
-      // shingles() floors at one element, so the ratio never divides by 0
-      s"round(1.0 - CAST($sz($dedup($sh)) AS DOUBLE) / CAST($sz($sh) AS DOUBLE), 6)" +
-        s" <= $max"
+    def pass(text: String, d: Dialect): String = d match {
+      // Spark: the single-pass kernel (unrounded ratio; the shared
+      // round(…, 6) keeps both engines' comparison identical)
+      case SparkDialect =>
+        s"round(graft_dup_ratio($text, $shingleWords), 6) <= $max"
+      case DuckDialect =>
+        val sh = d.shingles(d.tokens(text), shingleWords)
+        // shingles() floors at one element, so the ratio never divides by 0
+        s"round(1.0 - CAST(len(list_distinct($sh)) AS DOUBLE) / " +
+          s"CAST(len($sh) AS DOUBLE), 6) <= $max"
     }
   }
 
@@ -97,6 +98,8 @@ object CorpusFilters {
     Seq(textCol, idCol).foreach(c =>
       require(c.matches("[A-Za-z_][A-Za-z0-9_]*"),
         s"column '$c' must be a plain identifier (used in generated SQL)"))
+    // the Spark dialect compiles to graft_* kernel calls
+    graft.functions.GraftFunctions.register(df.sparkSession)
     df.selectExpr(
       idCol,
       s"${dropReasonSql(filters, textCol, SparkDialect)} AS drop_reason")

@@ -40,7 +40,8 @@ object Packing {
   private def intervals(
       df: DataFrame, textCol: String, shardCol: String, orderCol: String): DataFrame = {
     val w = Window.partitionBy(shardCol).orderBy(orderCol)
-    df.withColumn("__n", TextOps.tokenCount(col(textCol)).cast("long"))
+    df.withColumn("__n",
+        graft.functions.GraftFunctions.tokenCount(df.sparkSession, col(textCol)))
       .filter(col("__n") > 0)
       .withColumn("__end", sum(col("__n")).over(w))
       .withColumn("__start", col("__end") - col("__n"))

@@ -17,6 +17,8 @@ object TestSpark {
         java.nio.file.Files.createTempDirectory("graft_warehouse").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    // SQL fragments under test compile to graft_* kernel calls
+    graft.functions.GraftFunctions.register(s)
     s
   }
 

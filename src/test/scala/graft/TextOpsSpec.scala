@@ -64,9 +64,67 @@ class TextOpsSpec extends AnyFunSuite {
   }
 
   test("parity: langId Column == PortableSql fragment") {
-    val d = docs.selectExpr("doc_id", s"${PortableSql.langId("text")} AS a")
+    val d = docs.selectExpr("doc_id", s"${PortableSql.langId("text", SD)} AS a")
       .join(docs.select(col("doc_id"), TextOps.langId(col("text")).as("b")), "doc_id")
     assert(d.filter(col("a") =!= col("b")).count() == 0)
+  }
+
+  // Kernel parity: the graft_* codegen kernels must match the portable
+  // formulations bit-for-bit on real corpus data AND adversarial edges
+  // (empty text, runs of spaces, unicode, marker ties). The portable
+  // side below is ALWAYS the pre-kernel Column/SQL form.
+  private def edgeDocs = {
+    val rows = Seq(
+      1L -> "",
+      2L -> " ",
+      3L -> "   ",
+      4L -> "the the the the",
+      5L -> " the and with el los con ", // en/es tie → first in table order
+      6L -> "thethethe unpadded markers never match",
+      7L -> "café naïve 中文 text the and",
+      8L -> "a b", // fewer tokens than the shingle width
+      9L -> "x", // single token
+      10L -> "der und mit der und mit", // de markers, repeated shingles
+      11L -> "THE AND WITH upper case folds", // lower() parity
+      12L -> "spam spam spam spam spam spam")
+    rows.toDF("doc_id", "text")
+  }
+
+  test("kernel parity: graft_token_count == size(split) on corpus + edges") {
+    for (d <- Seq(docs, edgeDocs)) {
+      val j = d.selectExpr("doc_id", s"${PortableSql.tokenCountPortable("text")} AS a")
+        .join(d.selectExpr("doc_id", "graft_token_count(text) AS b"), "doc_id")
+      assert(j.filter(col("a") =!= col("b")).count() == 0)
+    }
+  }
+
+  test("kernel parity: graft_lang_id == portable argmax CASE on corpus + edges") {
+    for (d <- Seq(docs, edgeDocs)) {
+      val j = d.selectExpr("doc_id", s"${PortableSql.langIdPortable("text")} AS a")
+        .join(d.selectExpr("doc_id", "graft_lang_id(text) AS b"), "doc_id")
+      assert(j.filter(col("a") =!= col("b")).count() == 0)
+    }
+  }
+
+  test("kernel parity: graft_dup_ratio == HOF shingle ratio on corpus + edges") {
+    for (d <- Seq(docs, edgeDocs)) {
+      val j = d.select(col("doc_id"),
+        TextOps.duplicateShingleRatio(col("text"), 3).as("a"))
+        .join(d.selectExpr("doc_id", "round(graft_dup_ratio(text, 3), 6) AS b"), "doc_id")
+      assert(j.filter(col("a") =!= col("b")).count() == 0)
+    }
+  }
+
+  test("kernel: null text → null, wrong type fails analysis") {
+    val df = Seq[(Long, Option[String])](1L -> None).toDF("doc_id", "text")
+    val r = df.selectExpr(
+      "graft_token_count(text)", "graft_lang_id(text)",
+      "graft_dup_ratio(text, 3)").collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+    val bad = intercept[Exception] {
+      Seq(1L).toDF("x").selectExpr("graft_lang_id(x)").collect()
+    }
+    assert(bad.getMessage.contains("string"))
   }
 
   test("parity: qualityScore Column == PortableSql fragment") {
