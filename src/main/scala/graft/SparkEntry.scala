@@ -874,6 +874,19 @@ object SparkEntry {
         size(split(graft.ops.TextOps.dedupLines(synth), "\n")).cast("long").as("n_after"))
     }),
 
+    // ---- north-star: exact-substring duplicate spans (token
+    //      granularity) — every 3-token window occurring >1 time in
+    //      the corpus, merged into maximal per-doc token spans. The
+    //      verbatim-boilerplate detector doc-level near-dup can't see.
+    "q74_dup_spans" -> ((s, dir) =>
+      Dedup.duplicateSpans(T(s, dir, "documents"), "text", "doc_id", n = 3)),
+
+    // ---- north-star: exact-substring SCRUBBING — cut every duplicated
+    //      3-token window except its first corpus-wide occurrence and
+    //      rebuild the text (the keep-first action for q74's detector).
+    "q75_span_scrub" -> ((s, dir) =>
+      Dedup.scrubDuplicates(T(s, dir, "documents"), "text", "doc_id", n = 3)),
+
     // ---- capstone: the WHOLE curation pipeline as one declarative
     //      plan — quality-filter chain ∧ near-dup keepers → packed
     //      training sequences. Every stage reuses an operator that is
@@ -1537,6 +1550,73 @@ object SparkEntry {
          |  CAST(len(l) AS BIGINT) AS n_before,
          |  CAST(len(string_split($dedup, chr(10))) AS BIGINT) AS n_after
          |FROM t""".stripMargin
+    },
+
+    "q74_dup_spans" -> {
+      val n = 3
+      // same gaps-and-islands construction as the Spark plan: windows
+      // whose md5 occurs >1 time, merged per doc on overlap-or-touch
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |u AS (SELECT doc_id,
+         |        unnest(generate_series(1, len(toks) - ${n - 1})) AS pos, toks
+         |      FROM t WHERE len(toks) >= $n),
+         |h AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |        md5(array_to_string(toks[pos:pos + ${n - 1}], ' ')) AS hh
+         |      FROM u),
+         |d AS (SELECT hh FROM h GROUP BY hh HAVING count(*) > 1),
+         |m AS (SELECT doc_id, pos FROM h JOIN d USING (hh)),
+         |i AS (SELECT doc_id, pos,
+         |        CASE WHEN pos <= max(pos + $n) OVER (PARTITION BY doc_id
+         |          ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |        THEN 0 ELSE 1 END AS brk
+         |      FROM m),
+         |g AS (SELECT doc_id, pos, CAST(sum(brk) OVER (PARTITION BY doc_id
+         |        ORDER BY pos) AS BIGINT) AS grp FROM i)
+         |SELECT doc_id, min(pos) AS span_start, max(pos) + $n AS span_end,
+         |  count(*) AS n_windows
+         |FROM g GROUP BY doc_id, grp""".stripMargin
+    },
+
+    "q75_span_scrub" -> {
+      val n = 3
+      // windows → keep-first marking (row_number per hash) → cut set →
+      // merged spans → rebuild: token i survives iff no span covers it
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |u AS (SELECT doc_id,
+         |        unnest(generate_series(1, len(toks) - ${n - 1})) AS pos, toks
+         |      FROM t WHERE len(toks) >= $n),
+         |h AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |        md5(array_to_string(toks[pos:pos + ${n - 1}], ' ')) AS hh
+         |      FROM u),
+         |mk AS (SELECT doc_id, pos,
+         |         row_number() OVER (PARTITION BY hh ORDER BY doc_id, pos) AS rn,
+         |         count(*) OVER (PARTITION BY hh) AS c
+         |       FROM h),
+         |cut AS (SELECT doc_id, pos FROM mk WHERE c > 1 AND rn > 1),
+         |i AS (SELECT doc_id, pos,
+         |        CASE WHEN pos <= max(pos + $n) OVER (PARTITION BY doc_id
+         |          ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |        THEN 0 ELSE 1 END AS brk
+         |      FROM cut),
+         |g AS (SELECT doc_id, pos, CAST(sum(brk) OVER (PARTITION BY doc_id
+         |        ORDER BY pos) AS BIGINT) AS grp FROM i),
+         |sp AS (SELECT doc_id, min(pos) AS s, max(pos) + $n AS e
+         |       FROM g GROUP BY doc_id, grp),
+         |sl AS (SELECT doc_id, list(s ORDER BY s) AS ss, list(e ORDER BY s) AS ee
+         |       FROM sp GROUP BY doc_id),
+         |k AS (SELECT t.doc_id, t.toks,
+         |        list_filter(generate_series(1, len(t.toks)), __i ->
+         |          len(list_filter(generate_series(1, coalesce(len(sl.ss), 0)),
+         |            __j -> __i >= sl.ss[__j] AND __i < sl.ee[__j])) = 0) AS kept
+         |      FROM t LEFT JOIN sl USING (doc_id))
+         |SELECT doc_id,
+         |  -- coalesce: DuckDB's array_to_string of an empty list is NULL,
+         |  -- Spark's concat_ws is '' — a fully-scrubbed doc must agree
+         |  coalesce(array_to_string(list_transform(kept, __i -> toks[__i]), ' '),
+         |           '') AS clean,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(toks) - len(kept) AS BIGINT) AS n_removed
+         |FROM k""".stripMargin
     },
 
     "q72_curation_pipeline" -> {

@@ -563,4 +563,151 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /**
+   * Exact-substring duplicate spans at token granularity — the
+   * "deduplicating training data" primitive (find every exact n-token
+   * window whose text occurs MORE THAN ONCE anywhere in the corpus —
+   * other docs or elsewhere in the same doc — and merge each document's
+   * duplicated windows into maximal token spans). Doc-level near-dup
+   * (MinHash/SimHash) can't see a verbatim boilerplate paragraph inside
+   * two otherwise-different documents; this can.
+   *
+   * Output: (idCol, span_start, span_end, n_windows) — token positions,
+   * 1-based, end EXCLUSIVE; `n_windows` = duplicated n-gram windows the
+   * span merged. Downstream policy (cut the span, drop the doc, keep
+   * first occurrence) is the caller's.
+   *
+   * Plan shape and 100 TB behavior:
+   *  1. one row per n-gram window position — ∝ corpus tokens, the
+   *     irreducible price of EXACT substring dedup (a suffix array
+   *     reads the same volume; this shape is shuffle-friendly instead
+   *     of memory-resident);
+   *  2. windows carry only (id, pos, 128-bit hash) — never the n-gram
+   *     text — so the dup-detection shuffle moves a constant ~48 bytes
+   *     per token regardless of n;
+   *  3. duplicated hashes found by count(*)>1 hash aggregation
+   *     (map-side partials), then a semi-join prunes positions to
+   *     duplicated ones BEFORE the per-doc window merge — corpus text
+   *     is never re-read;
+   *  4. per-doc interval merge = ONE window function pass partitioned
+   *     by doc (gaps-and-islands with a running max of window ends).
+   *
+   * Hashing goes through the [[HashKind]] seam: [[Md5]] (default) is
+   * oracle-checkable; [[Xx64]] is the production kernel (same plan).
+   */
+  def duplicateSpans(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int,
+      kind: HashKind = Md5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val windows = windowPositions(df, textCol, idCol, n, kind)
+    // dup detection as ONE window count over the hash rather than a
+    // groupBy + semi-join back: the join formulation consumes `windows`
+    // twice, re-running the n-gram explode + hash over the whole corpus
+    // (measured 4× at sf0.1); the window pass reads it once and
+    // shuffles the same (id, pos, hash) volume
+    val dupWindows = windows
+      .withColumn("__c", count(lit(1)).over(Window.partitionBy("__h")))
+      .filter(col("__c") > 1)
+      .select(col(idCol), col("pos"))
+    mergeIslands(dupWindows, idCol, n)
+  }
+
+  /** One row per n-token window: (idCol, pos [1-based long], __h).
+    * Strict window semantics: docs with fewer than n tokens have no
+    * windows (no short-doc floor — a 2-token doc cannot contain a
+    * duplicated 3-token substring). */
+  private def windowPositions(
+      df: DataFrame, textCol: String, idCol: String, n: Int,
+      kind: HashKind): DataFrame = {
+    require(n >= 2 && n <= 64, "window width must be in [2, 64]")
+    val toks = split(col(textCol), " ")
+    df.select(col(idCol), toks.as("__toks"))
+      .filter(size(col("__toks")) >= n)
+      .select(col(idCol),
+        posexplode(transform(
+          sequence(lit(1), size(col("__toks")) - lit(n - 1)),
+          i => concat_ws(" ", slice(col("__toks"), i, lit(n))))))
+      .select(col(idCol), (col("pos") + 1).cast("long").as("pos"),
+        kind.bucket(col("col")).as("__h"))
+  }
+
+  /** Gaps-and-islands merge of (idCol, pos) n-token windows into
+    * maximal spans: a window starts a new span unless it overlaps or
+    * touches the running max end of earlier windows in the doc. ONE
+    * window-function pass partitioned by doc. */
+  private def mergeIslands(
+      dupWindows: DataFrame, idCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val prior = Window.partitionBy(idCol).orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val running = Window.partitionBy(idCol).orderBy("pos")
+    dupWindows
+      .withColumn("__brk",
+        when(col("pos") <= max(col("pos") + lit(n)).over(prior), lit(0L))
+          .otherwise(lit(1L)))
+      .withColumn("__grp", sum(col("__brk")).over(running))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(
+        min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(n)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .drop("__grp")
+  }
+
+  /**
+   * Exact-substring scrubbing — the ACTION for [[duplicateSpans]]:
+   * remove every duplicated n-token window from the corpus EXCEPT its
+   * first occurrence (canonical = smallest `(idCol, pos)` corpus-wide,
+   * the deterministic keep-first policy), and rebuild each document's
+   * text without the cut tokens.
+   *
+   * Output: (idCol, clean, n_tokens, n_removed) — `clean` is the
+   * space-rejoined surviving tokens (may be empty when a doc is pure
+   * boilerplate), `n_tokens` the original count, `n_removed` how many
+   * tokens were cut. Every input doc keeps a row.
+   *
+   * Plan: window positions as in [[duplicateSpans]]; canonical-vs-cut
+   * decided by ONE window pass over the hash (`row_number` + `count`
+   * partitioned by hash — same shuffle volume as the dup-detection
+   * aggregation); cut windows merge per doc (islands); the rebuild is
+   * a narrow projection — token i survives iff no cut span covers it,
+   * evaluated against the doc's own (bounded, merged) span list.
+   */
+  def scrubDuplicates(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int,
+      kind: HashKind = Md5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val windows = windowPositions(df, textCol, idCol, n, kind)
+    val byHash = Window.partitionBy("__h").orderBy(idCol, "pos")
+    val cut = windows
+      .withColumn("__rn", row_number().over(byHash))
+      .withColumn("__c", count(lit(1)).over(Window.partitionBy("__h")))
+      .filter(col("__c") > 1 && col("__rn") > 1)
+      .select(col(idCol), col("pos"))
+    val spans = mergeIslands(cut, idCol, n)
+      .groupBy(idCol)
+      .agg(collect_list(struct(
+        col("span_start").as("s"), col("span_end").as("e"))).as("__spans"))
+    val toks = split(col(textCol), " ")
+    val spansOrEmpty = coalesce(col("__spans"),
+      array().cast("array<struct<s:bigint,e:bigint>>"))
+    val keptToks = transform(
+      filter(
+        sequence(lit(1L), size(toks).cast("long")),
+        i => !exists(spansOrEmpty, sp => i >= sp("s") && i < sp("e"))),
+      i => element_at(toks, i.cast("int")))
+    df.join(spans, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        concat_ws(" ", keptToks).as("clean"),
+        size(toks).cast("long").as("n_tokens"),
+        (size(toks).cast("long") - size(keptToks)).as("n_removed"))
+  }
 }

@@ -261,4 +261,58 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toMap
     assert(out == frag)
   }
+
+  test("duplicateSpans: cross-doc + intra-doc windows, merged spans, short docs excluded") {
+    // docs 1/2 share the verbatim run "p q r s" (windows "p q r" and
+    // "q r s"); doc 3 repeats "x y z" twice INSIDE itself (windows at
+    // pos 1 and 5, non-adjacent → two spans); doc 4 is unique; doc 5 is
+    // shorter than the window width and must yield nothing even though
+    // its whole text appears inside doc 1.
+    val df = Seq(
+      (1L, "a b p q r s c d"),
+      (2L, "e f g p q r s h"),
+      (3L, "x y z w x y z v"),
+      (4L, "unique words only here never repeated"),
+      (5L, "p q")).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(df, "text", "doc_id", n = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(spans == Set(
+      (1L, 3L, 7L, 2L), // "p q r s" = windows at pos 3,4 merged
+      (2L, 4L, 8L, 2L),
+      (3L, 1L, 4L, 1L), // first "x y z"
+      (3L, 5L, 8L, 1L)) // second "x y z", separated by w → own span
+    )
+    // adjacent (touching) windows merge into one span: "m n o m n o m n o"
+    // repeats "m n o" — every window of the run is duplicated somewhere
+    val run = Seq((9L, "m n o m n o m n o"), (10L, "m n o")).toDF("doc_id", "text")
+    val merged = Dedup.duplicateSpans(run, "text", "doc_id", n = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(merged == Set((9L, 1L, 10L, 7L), (10L, 1L, 4L, 1L)))
+    // xx64 kernel: identical span set on the same corpus (hash-free merge)
+    val xx = Dedup.duplicateSpans(df, "text", "doc_id", n = 3, kind = Dedup.Xx64)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(xx == spans)
+  }
+
+  test("scrubDuplicates: keep-first policy cuts later occurrences only; every doc keeps a row") {
+    val df = Seq(
+      (1L, "a b p q r s c d"), // first occurrence of "p q r s" → kept whole
+      (2L, "e f g p q r s h"), // later occurrence → cut
+      (3L, "x y z w x y z v"), // intra-doc repeat: second "x y z" cut
+      (4L, "unique words only here never repeated"),
+      (5L, "p q")).toDF("doc_id", "text")
+    val out = Dedup.scrubDuplicates(df, "text", "doc_id", n = 3)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == (("a b p q r s c d", 8L, 0L)))
+    assert(out(2L) == (("e f g h", 8L, 4L)))
+    assert(out(3L) == (("x y z w v", 8L, 3L)))
+    assert(out(4L) == (("unique words only here never repeated", 6L, 0L)))
+    assert(out(5L) == (("p q", 2L, 0L))) // shorter than the window → untouched
+    // a doc that is ALL boilerplate scrubs to empty, not to a crash
+    val all = Seq((1L, "m n o"), (2L, "m n o")).toDF("doc_id", "text")
+    val scrubbed = Dedup.scrubDuplicates(all, "text", "doc_id", n = 3)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(scrubbed(1L) == "m n o" && scrubbed(2L) == "")
+  }
 }
