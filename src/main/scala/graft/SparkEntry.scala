@@ -604,9 +604,12 @@ object SparkEntry {
       T(s, dir, "documents").select(
         col("doc_id"),
         // |shingles| = max(tokens − 2, 1) — arithmetic instead of
-        // materializing the shingle array just to take its size
-        greatest(graft.functions.GraftFunctions.tokenCount(s, col("text")) - 2,
-          lit(1L)).as("n_grams"),
+        // materializing the shingle array just to take its size. NULL
+        // text must stay NULL (the oracle's len() over a NULL list):
+        // greatest() SKIPS null arguments, so guard explicitly.
+        when(col("text").isNull, lit(null).cast("long")).otherwise(
+          greatest(graft.functions.GraftFunctions.tokenCount(s, col("text")) - 2,
+            lit(1L))).as("n_grams"),
         round(graft.functions.GraftFunctions.dupShingleRatio(s, col("text"), 3), 6)
           .as("dup_ratio"))),
 

@@ -79,11 +79,15 @@ object GraftFunctions {
   def inject(ext: SparkSessionExtensions): Unit =
     all.foreach(ext.injectFunction)
 
-  /** Idempotent in-session registration. */
-  def register(spark: SparkSession): Unit =
+  /** Idempotent in-session registration. Skips names that already
+    * resolve — re-registering logs a "replaced a previously registered
+    * function" WARN per call, and this runs inside every Column helper. */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
     all.foreach { case (id, info, builder) =>
-      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+      if (!registry.functionExists(id)) registry.registerFunction(id, info, builder)
     }
+  }
 
   /** Column-API handle on the codegen'd kernel. Registers on the given
     * session first (idempotent), then resolves by name — Column

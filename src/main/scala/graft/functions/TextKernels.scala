@@ -68,6 +68,13 @@ object TextKernels {
     graft.ops.TextOps.langMarkers.map(_._2.toArray).toArray
   private val und = UTF8String.fromString("und")
 
+  /** Language ID with the portable form's NULL contract: NULL text
+    * scores 0 on every marker, so it classifies as `und` — the CASE
+    * chain's NULL conditions all fall through to `ELSE 'und'`, and the
+    * DuckDB oracle does the same. Called from [[LangIdKernel]] codegen. */
+  def langIdOrUnd(s: UTF8String): UTF8String =
+    if (s == null) und else langId(s)
+
   /** Language ID over ONE lowercase pass + one indexOf sweep per marker
     * (15 total), zero per-marker text copies. `toLowerCase` is
     * UTF8String's — the exact function Spark's `lower()` applies. */
@@ -136,15 +143,29 @@ case class TokenCountKernel(child: Expression) extends StringKernelExpression {
     copy(child = newChild)
 }
 
-/** `graft_lang_id(text)` — see [[TextKernels.langId]]. */
+/** `graft_lang_id(text)` — see [[TextKernels.langId]]. NOT
+  * null-propagating: NULL text yields `und` (never NULL), matching the
+  * portable CASE form and the DuckDB oracle, where NULL marker scores
+  * fall through every WHEN to `ELSE 'und'`
+  * ([[TextKernels.langIdOrUnd]]). */
 case class LangIdKernel(child: Expression) extends StringKernelExpression {
   override def dataType: DataType = StringType
   override def prettyName: String = "graft_lang_id"
-  override def nullSafeEval(input: Any): Any =
-    TextKernels.langId(input.asInstanceOf[UTF8String])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.TextKernels.langId($c);")
+  override def nullable: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    TextKernels.langIdOrUnd(child.eval(input).asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val c = child.genCode(ctx)
+    val resultCode =
+      code"""
+         |${c.code}
+         |org.apache.spark.unsafe.types.UTF8String ${ev.value} =
+         |  graft.functions.TextKernels.langIdOrUnd(${c.isNull} ? null : ${c.value});
+       """.stripMargin
+    ev.copy(code = resultCode,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -582,16 +582,26 @@ object Dedup {
    *  1. one row per n-gram window position — ∝ corpus tokens, the
    *     irreducible price of EXACT substring dedup (a suffix array
    *     reads the same volume; this shape is shuffle-friendly instead
-   *     of memory-resident);
+   *     of memory-resident) — materialized ONCE (`localCheckpoint`, the
+   *     [[candidatePairs]] pattern) because it feeds both the dup-hash
+   *     aggregation and the position probe; without it the semi-join
+   *     re-runs the n-gram explode + hash over the whole corpus
+   *     (measured 4× at sf0.1);
    *  2. windows carry only (id, pos, 128-bit hash) — never the n-gram
    *     text — so the dup-detection shuffle moves a constant ~48 bytes
    *     per token regardless of n;
-   *  3. duplicated hashes found by count(*)>1 hash aggregation
-   *     (map-side partials), then a semi-join prunes positions to
-   *     duplicated ones BEFORE the per-doc window merge — corpus text
-   *     is never re-read;
+   *  3. dup detection = `groupBy(hash).count > 1`, a DECOMPOSABLE
+   *     aggregation: map-side partials collapse a hot hash (a license
+   *     header repeated on a billion docs) per-mapper, and the
+   *     semi-join back on the hash is a plain equi-join AQE's skew
+   *     split can rewrite. A `count() over (partition by hash)` window
+   *     would be one shuffle cheaper but is a scale hazard: a window
+   *     partition cannot be split, so the hottest boilerplate n-gram
+   *     — exactly what this operator exists to find — becomes one
+   *     task's sorted partition;
    *  4. per-doc interval merge = ONE window function pass partitioned
-   *     by doc (gaps-and-islands with a running max of window ends).
+   *     by doc (gaps-and-islands with a running max of window ends);
+   *     doc size bounds that partition.
    *
    * Hashing goes through the [[HashKind]] seam: [[Md5]] (default) is
    * oracle-checkable; [[Xx64]] is the production kernel (same plan).
@@ -602,16 +612,14 @@ object Dedup {
       idCol: String,
       n: Int,
       kind: HashKind = Md5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val windows = windowPositions(df, textCol, idCol, n, kind)
-    // dup detection as ONE window count over the hash rather than a
-    // groupBy + semi-join back: the join formulation consumes `windows`
-    // twice, re-running the n-gram explode + hash over the whole corpus
-    // (measured 4× at sf0.1); the window pass reads it once and
-    // shuffles the same (id, pos, hash) volume
-    val dupWindows = windows
-      .withColumn("__c", count(lit(1)).over(Window.partitionBy("__h")))
+    val windows = windowPositions(df, textCol, idCol, n, kind).localCheckpoint()
+    val dupHashes = windows
+      .groupBy(col("__h"))
+      .agg(count(lit(1)).as("__c"))
       .filter(col("__c") > 1)
+      .select("__h")
+    val dupWindows = windows
+      .join(dupHashes, Seq("__h"), "left_semi")
       .select(col(idCol), col("pos"))
     mergeIslands(dupWindows, idCol, n)
   }
@@ -670,12 +678,23 @@ object Dedup {
    * boilerplate), `n_tokens` the original count, `n_removed` how many
    * tokens were cut. Every input doc keeps a row.
    *
-   * Plan: window positions as in [[duplicateSpans]]; canonical-vs-cut
-   * decided by ONE window pass over the hash (`row_number` + `count`
-   * partitioned by hash — same shuffle volume as the dup-detection
-   * aggregation); cut windows merge per doc (islands); the rebuild is
-   * a narrow projection — token i survives iff no cut span covers it,
-   * evaluated against the doc's own (bounded, merged) span list.
+   * Plan: window positions as in [[duplicateSpans]] (materialized once
+   * — they feed the canonical aggregation AND the cut-set probe);
+   * keep-first canonical per hash = `min(struct(id, pos))`, a
+   * decomposable skew-immune aggregation (same reasoning as
+   * [[duplicateSpans]] step 3 — a per-hash `row_number` window cannot
+   * split the hottest boilerplate hash's partition), joined back on
+   * the hash: a window is CUT iff its hash is duplicated and it is not
+   * the canonical occurrence. Cut windows merge per doc (islands); the
+   * rebuild is a narrow projection — token i survives iff no cut span
+   * covers it, evaluated against the doc's own (bounded, merged) span
+   * list.
+   *
+   * Use [[Md5]] (128-bit, default) for scrubbing. [[Xx64]] is a
+   * DETECTION-grade kernel: at trillions of windows, 64-bit birthday
+   * collisions are expected in the millions, and here a false hash
+   * match irreversibly cuts unique legitimate text (in
+   * [[duplicateSpans]] it only adds a spurious report row).
    */
   def scrubDuplicates(
       df: DataFrame,
@@ -683,13 +702,17 @@ object Dedup {
       idCol: String,
       n: Int,
       kind: HashKind = Md5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val windows = windowPositions(df, textCol, idCol, n, kind)
-    val byHash = Window.partitionBy("__h").orderBy(idCol, "pos")
+    val windows = windowPositions(df, textCol, idCol, n, kind).localCheckpoint()
+    val canon = windows
+      .groupBy(col("__h"))
+      .agg(
+        min(struct(col(idCol).as("i"), col("pos").as("p"))).as("__first"),
+        count(lit(1)).as("__c"))
+      .filter(col("__c") > 1)
+      .select(col("__h"), col("__first"))
     val cut = windows
-      .withColumn("__rn", row_number().over(byHash))
-      .withColumn("__c", count(lit(1)).over(Window.partitionBy("__h")))
-      .filter(col("__c") > 1 && col("__rn") > 1)
+      .join(canon, Seq("__h"))
+      .filter(col(idCol) =!= col("__first.i") || col("pos") =!= col("__first.p"))
       .select(col(idCol), col("pos"))
     val spans = mergeIslands(cut, idCol, n)
       .groupBy(idCol)

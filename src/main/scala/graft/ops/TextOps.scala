@@ -114,9 +114,14 @@ object TextOps {
     * shuffles. */
   def duplicateShingleRatio(c: Column, n: Int): Column = {
     val sh = wordShingles(c, n)
-    round(
-      lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh).cast("double"),
-      6)
+    // explicit NULL propagation: wordShingles' short-doc floor
+    // (greatest, which SKIPS null args) turns NULL text into [""] and
+    // would score it 0.0 — but the codegen kernel (nullSafeEval) and
+    // the DuckDB oracle (len over a NULL list) both yield NULL
+    when(c.isNull, lit(null).cast("double")).otherwise(
+      round(
+        lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh).cast("double"),
+        6))
   }
 
   /** PII patterns, constrained to constructs with identical semantics

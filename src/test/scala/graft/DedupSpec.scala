@@ -315,4 +315,52 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r._2).toMap
     assert(scrubbed(1L) == "m n o" && scrubbed(2L) == "")
   }
+
+  test("exact-substring dedup survives a hot hash: one boilerplate n-gram on most docs") {
+    // the adversarial shape exact-substring dedup exists to find — a
+    // verbatim license header on a large fraction of the corpus. Every
+    // one of the 60 docs opens with the same 3 tokens (one hash carrying
+    // 60 window rows) and ends with a unique tail.
+    val docs = (1L to 60L).map(i => (i, s"shared boiler plate tail$i only$i"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs, "text", "doc_id", n = 3)
+      .as[(Long, Long, Long, Long)].collect()
+    // "shared boiler plate" = windows at pos 1 only (pos 2 window
+    // "boiler plate tail$i" is unique per doc) → span [1, 4) per doc
+    assert(spans.length == 60)
+    assert(spans.forall(s => s._2 == 1L && s._3 == 4L && s._4 == 1L))
+    val out = Dedup.scrubDuplicates(docs, "text", "doc_id", n = 3)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._4))).toMap
+    // keep-first: doc 1 (smallest (id, pos)) keeps the boilerplate
+    assert(out(1L) == (("shared boiler plate tail1 only1", 0L)))
+    (2L to 60L).foreach(i => assert(out(i) == ((s"tail$i only$i", 3L))))
+  }
+
+  test("duplicateSpans/scrubDuplicates plans carry no window function over the hash") {
+    // scale guardrail: a window partitioned by the n-gram hash cannot be
+    // split by AQE and does no map-side partial aggregation, so the
+    // hottest boilerplate hash would serialize into ONE task. Dup
+    // detection and keep-first must stay decomposable aggregations
+    // (groupBy count / min(struct)) joined back on the hash; the only
+    // legal window partitioning is the per-doc islands merge.
+    val df = Seq((1L, "a b c d e"), (2L, "a b c d f")).toDF("doc_id", "text")
+    val plans = Seq(
+      "duplicateSpans" -> Dedup.duplicateSpans(df, "text", "doc_id", n = 3),
+      "scrubDuplicates" -> Dedup.scrubDuplicates(df, "text", "doc_id", n = 3))
+    for ((name, out) <- plans) {
+      val plan = out.queryExecution.optimizedPlan
+      val hashWindows = plan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.exists(_.references.exists(_.name == "__h")) => w
+      }
+      assert(hashWindows.isEmpty,
+        s"$name has a window partitioned by the hash — skew hazard:\n$plan")
+      // and the dup decision IS there, as an aggregation over the hash
+      val hashAggs = plan.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+            if a.groupingExpressions.exists(_.references.exists(_.name == "__h")) => a
+      }
+      assert(hashAggs.nonEmpty, s"$name lost the hash aggregation:\n$plan")
+    }
+  }
 }

@@ -74,27 +74,30 @@ class TextOpsSpec extends AnyFunSuite {
   // (empty text, runs of spaces, unicode, marker ties). The portable
   // side below is ALWAYS the pre-kernel Column/SQL form.
   private def edgeDocs = {
-    val rows = Seq(
-      1L -> "",
-      2L -> " ",
-      3L -> "   ",
-      4L -> "the the the the",
-      5L -> " the and with el los con ", // en/es tie → first in table order
-      6L -> "thethethe unpadded markers never match",
-      7L -> "café naïve 中文 text the and",
-      8L -> "a b", // fewer tokens than the shingle width
-      9L -> "x", // single token
-      10L -> "der und mit der und mit", // de markers, repeated shingles
-      11L -> "THE AND WITH upper case folds", // lower() parity
-      12L -> "spam spam spam spam spam spam")
+    val rows = Seq[(Long, Option[String])](
+      1L -> Some(""),
+      2L -> Some(" "),
+      3L -> Some("   "),
+      4L -> Some("the the the the"),
+      5L -> Some(" the and with el los con "), // en/es tie → first in table order
+      6L -> Some("thethethe unpadded markers never match"),
+      7L -> Some("café naïve 中文 text the and"),
+      8L -> Some("a b"), // fewer tokens than the shingle width
+      9L -> Some("x"), // single token
+      10L -> Some("der und mit der und mit"), // de markers, repeated shingles
+      11L -> Some("THE AND WITH upper case folds"), // lower() parity
+      12L -> Some("spam spam spam spam spam spam"),
+      13L -> None) // NULL text: langId must agree ('und'), the rest NULL
     rows.toDF("doc_id", "text")
   }
 
+  // null-SAFE comparison (`<=>`): a plain =!= filter evaluates NULL on a
+  // NULL-vs-value divergence and silently drops the row it should flag
   test("kernel parity: graft_token_count == size(split) on corpus + edges") {
     for (d <- Seq(docs, edgeDocs)) {
       val j = d.selectExpr("doc_id", s"${PortableSql.tokenCountPortable("text")} AS a")
         .join(d.selectExpr("doc_id", "graft_token_count(text) AS b"), "doc_id")
-      assert(j.filter(col("a") =!= col("b")).count() == 0)
+      assert(j.filter(!(col("a") <=> col("b"))).count() == 0)
     }
   }
 
@@ -102,7 +105,7 @@ class TextOpsSpec extends AnyFunSuite {
     for (d <- Seq(docs, edgeDocs)) {
       val j = d.selectExpr("doc_id", s"${PortableSql.langIdPortable("text")} AS a")
         .join(d.selectExpr("doc_id", "graft_lang_id(text) AS b"), "doc_id")
-      assert(j.filter(col("a") =!= col("b")).count() == 0)
+      assert(j.filter(!(col("a") <=> col("b"))).count() == 0)
     }
   }
 
@@ -111,16 +114,18 @@ class TextOpsSpec extends AnyFunSuite {
       val j = d.select(col("doc_id"),
         TextOps.duplicateShingleRatio(col("text"), 3).as("a"))
         .join(d.selectExpr("doc_id", "round(graft_dup_ratio(text, 3), 6) AS b"), "doc_id")
-      assert(j.filter(col("a") =!= col("b")).count() == 0)
+      assert(j.filter(!(col("a") <=> col("b"))).count() == 0)
     }
   }
 
-  test("kernel: null text → null, wrong type fails analysis") {
+  test("kernel: null text → null (lang_id → 'und'), wrong type fails analysis") {
     val df = Seq[(Long, Option[String])](1L -> None).toDF("doc_id", "text")
     val r = df.selectExpr(
       "graft_token_count(text)", "graft_lang_id(text)",
       "graft_dup_ratio(text, 3)").collect()(0)
-    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+    // lang_id is NOT null-propagating: the portable CASE form and the
+    // DuckDB oracle both fall through NULL scores to ELSE 'und'
+    assert(r.isNullAt(0) && r.getString(1) == "und" && r.isNullAt(2))
     val bad = intercept[Exception] {
       Seq(1L).toDF("x").selectExpr("graft_lang_id(x)").collect()
     }
