@@ -160,7 +160,8 @@ object SparkEntry {
     "q60_durable_index" -> ((s, dir) => durableSigIndex(s, dir): Unit),
     "q70_pq_codes" -> ((s, dir) => pqBooks(s, dir): Unit),
     "q71_pq_topk" -> ((s, dir) => pqBooks(s, dir): Unit),
-    "q72_curation_pipeline" -> ((s, dir) => clusterLabels(s, dir).count(): Unit))
+    "q72_curation_pipeline" -> ((s, dir) => clusterLabels(s, dir).count(): Unit),
+    "q76_curation_scrubbed" -> ((s, dir) => clusterLabels(s, dir).count(): Unit))
 
   // ---------------------------------------------------------------- entry
 
@@ -890,6 +891,32 @@ object SparkEntry {
     "q75_span_scrub" -> ((s, dir) =>
       Dedup.scrubDuplicates(T(s, dir, "documents"), "text", "doc_id", n = 3)),
 
+    // ---- capstone variant WITH span scrubbing: the production order
+    //      (silver clean before gold assembly) — near-dup keepers ∧
+    //      quality filters select the docs, THEN exact-substring
+    //      scrubbing cuts residual verbatim boilerplate among the
+    //      survivors, THEN the cleaned text is packed. Scrub runs over
+    //      the CURATED corpus: whole near-dup docs are already gone, so
+    //      the span pass only pays for what doc-level dedup can't see.
+    "q76_curation_scrubbed" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val keepers = Dedup.dedupDecisions(docs, "doc_id", clusterLabels(s, dir))
+        .filter(col("keep")).select("doc_id")
+      val quality = graft.ops.CorpusFilters.decide(
+        docs, "text", "doc_id",
+        graft.config.PipelineConfig.parseCorpusFilters(corpusFilterYaml))
+        .filter(col("kept")).select("doc_id")
+      val curated = docs
+        .join(broadcast(keepers), Seq("doc_id"), "left_semi")
+        .join(broadcast(quality), Seq("doc_id"), "left_semi")
+      val scrubbed = Dedup.scrubDuplicates(curated, "text", "doc_id", n = 3)
+        .select(col("doc_id"), col("clean"))
+        // re-attach the shard key (scrub projects it away); id-keyed
+        // equi-join against the id+lang projection only
+        .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      graft.ops.Packing.packSequences(scrubbed, "clean", "lang", "doc_id", budget = 512L)
+    }),
+
     // ---- capstone: the WHOLE curation pipeline as one declarative
     //      plan — quality-filter chain ∧ near-dup keepers → packed
     //      training sequences. Every stage reuses an operator that is
@@ -1121,6 +1148,51 @@ object SparkEntry {
        |  FROM inter it JOIN sizes sa ON sa.doc_id = it.id_a JOIN sizes sb ON sb.doc_id = it.id_b
        |  WHERE round(it.i / (sa.n + sb.n - it.i), 6) >= 0.8
        |)""".stripMargin
+
+  /** DuckDB CTE chain for exact-substring scrubbing (q75's shape) over
+    * `src(doc_id, text)`: windows → keep-first marking (row_number per
+    * hash) → cut set → merged spans → rebuild (token i survives iff no
+    * span covers it). Ends in `sc_clean(doc_id, clean, n_tokens,
+    * n_removed)`; all CTE names are `sc_`-prefixed so the chain
+    * composes with the jaccard/closure/packing CTEs (q76). Shared by
+    * q75 and q76 so their scrub semantics can never desynchronize. */
+  private def scrubCtes(src: String, n: Int): String =
+    s"""sc_t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM $src),
+       |sc_u AS (SELECT doc_id,
+       |        unnest(generate_series(1, len(toks) - ${n - 1})) AS pos, toks
+       |      FROM sc_t WHERE len(toks) >= $n),
+       |sc_h AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       |        md5(array_to_string(toks[pos:pos + ${n - 1}], ' ')) AS hh
+       |      FROM sc_u),
+       |sc_mk AS (SELECT doc_id, pos,
+       |         row_number() OVER (PARTITION BY hh ORDER BY doc_id, pos) AS rn,
+       |         count(*) OVER (PARTITION BY hh) AS c
+       |       FROM sc_h),
+       |sc_cut AS (SELECT doc_id, pos FROM sc_mk WHERE c > 1 AND rn > 1),
+       |sc_i AS (SELECT doc_id, pos,
+       |        CASE WHEN pos <= max(pos + $n) OVER (PARTITION BY doc_id
+       |          ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |        THEN 0 ELSE 1 END AS brk
+       |      FROM sc_cut),
+       |sc_g AS (SELECT doc_id, pos, CAST(sum(brk) OVER (PARTITION BY doc_id
+       |        ORDER BY pos) AS BIGINT) AS grp FROM sc_i),
+       |sc_sp AS (SELECT doc_id, min(pos) AS s, max(pos) + $n AS e
+       |       FROM sc_g GROUP BY doc_id, grp),
+       |sc_sl AS (SELECT doc_id, list(s ORDER BY s) AS ss, list(e ORDER BY s) AS ee
+       |       FROM sc_sp GROUP BY doc_id),
+       |sc_k AS (SELECT t.doc_id, t.toks,
+       |        list_filter(generate_series(1, len(t.toks)), __i ->
+       |          len(list_filter(generate_series(1, coalesce(len(sl.ss), 0)),
+       |            __j -> __i >= sl.ss[__j] AND __i < sl.ee[__j])) = 0) AS kept
+       |      FROM sc_t t LEFT JOIN sc_sl sl USING (doc_id)),
+       |sc_clean AS (SELECT doc_id,
+       |  -- coalesce: DuckDB's array_to_string of an empty list is NULL,
+       |  -- Spark's concat_ws is '' — a fully-scrubbed doc must agree
+       |  coalesce(array_to_string(list_transform(kept, __i -> toks[__i]), ' '),
+       |           '') AS clean,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(len(toks) - len(kept) AS BIGINT) AS n_removed
+       |FROM sc_k)""".stripMargin
 
   /** Recursive-CTE transitive closure + min-label clustering over a
     * pair CTE with (id_a, id_b) columns — shared by q39/q47 (over
@@ -1580,46 +1652,40 @@ object SparkEntry {
          |FROM g GROUP BY doc_id, grp""".stripMargin
     },
 
-    "q75_span_scrub" -> {
-      val n = 3
-      // windows → keep-first marking (row_number per hash) → cut set →
-      // merged spans → rebuild: token i survives iff no span covers it
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |u AS (SELECT doc_id,
-         |        unnest(generate_series(1, len(toks) - ${n - 1})) AS pos, toks
-         |      FROM t WHERE len(toks) >= $n),
-         |h AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
-         |        md5(array_to_string(toks[pos:pos + ${n - 1}], ' ')) AS hh
-         |      FROM u),
-         |mk AS (SELECT doc_id, pos,
-         |         row_number() OVER (PARTITION BY hh ORDER BY doc_id, pos) AS rn,
-         |         count(*) OVER (PARTITION BY hh) AS c
-         |       FROM h),
-         |cut AS (SELECT doc_id, pos FROM mk WHERE c > 1 AND rn > 1),
-         |i AS (SELECT doc_id, pos,
-         |        CASE WHEN pos <= max(pos + $n) OVER (PARTITION BY doc_id
-         |          ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-         |        THEN 0 ELSE 1 END AS brk
-         |      FROM cut),
-         |g AS (SELECT doc_id, pos, CAST(sum(brk) OVER (PARTITION BY doc_id
-         |        ORDER BY pos) AS BIGINT) AS grp FROM i),
-         |sp AS (SELECT doc_id, min(pos) AS s, max(pos) + $n AS e
-         |       FROM g GROUP BY doc_id, grp),
-         |sl AS (SELECT doc_id, list(s ORDER BY s) AS ss, list(e ORDER BY s) AS ee
-         |       FROM sp GROUP BY doc_id),
-         |k AS (SELECT t.doc_id, t.toks,
-         |        list_filter(generate_series(1, len(t.toks)), __i ->
-         |          len(list_filter(generate_series(1, coalesce(len(sl.ss), 0)),
-         |            __j -> __i >= sl.ss[__j] AND __i < sl.ee[__j])) = 0) AS kept
-         |      FROM t LEFT JOIN sl USING (doc_id))
-         |SELECT doc_id,
-         |  -- coalesce: DuckDB's array_to_string of an empty list is NULL,
-         |  -- Spark's concat_ws is '' — a fully-scrubbed doc must agree
-         |  coalesce(array_to_string(list_transform(kept, __i -> toks[__i]), ' '),
-         |           '') AS clean,
-         |  CAST(len(toks) AS BIGINT) AS n_tokens,
-         |  CAST(len(toks) - len(kept) AS BIGINT) AS n_removed
-         |FROM k""".stripMargin
+    "q75_span_scrub" ->
+      s"""WITH ${scrubCtes("documents", 3)}
+         |SELECT doc_id, clean, n_tokens, n_removed FROM sc_clean""".stripMargin,
+
+    "q76_curation_scrubbed" -> {
+      val dropCase = graft.ops.CorpusFilters.dropReasonSql(
+        graft.config.PipelineConfig.parseCorpusFilters(corpusFilterYaml),
+        "text", graft.functions.PortableSql.DuckDialect)
+      val n = PortableSql.tokenCount("clean", DD)
+      // q72's selection (near-dup keepers ∧ quality) → q75's scrub over
+      // the curated docs → q72's packing, on the CLEANED token counts
+      s"""WITH RECURSIVE $jaccardCtes,
+         |$closureCtes,
+         |keepers AS (
+         |  SELECT d.doc_id FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+         |  WHERE coalesce(l.cluster_id, d.doc_id) = d.doc_id),
+         |quality AS (SELECT doc_id FROM documents WHERE ($dropCase) IS NULL),
+         |cdocs AS (
+         |  SELECT d.doc_id, d.lang, d.text FROM documents d
+         |  JOIN keepers USING (doc_id) JOIN quality USING (doc_id)),
+         |${scrubCtes("cdocs", 3)},
+         |cur AS (SELECT c.doc_id, d.lang, CAST($n AS BIGINT) AS n
+         |        FROM sc_clean c JOIN cdocs d USING (doc_id)),
+         |p AS (SELECT doc_id, lang, n,
+         |        sum(n) OVER (PARTITION BY lang ORDER BY doc_id) AS e
+         |      FROM cur WHERE n > 0),
+         |x AS (SELECT doc_id, lang, e - n AS s, e FROM p),
+         |u AS (SELECT doc_id, lang, s, e,
+         |        unnest(generate_series(CAST(s // 512 AS BIGINT),
+         |                               CAST((e - 1) // 512 AS BIGINT))) AS seq_idx
+         |      FROM x)
+         |SELECT doc_id, lang, seq_idx,
+         |  CAST(least(e, (seq_idx + 1) * 512) - greatest(s, seq_idx * 512) AS BIGINT) AS toks_in_seq
+         |FROM u""".stripMargin
     },
 
     "q72_curation_pipeline" -> {
