@@ -99,6 +99,23 @@ object SparkEntry {
         idxDir
       })
 
+  /** On-disk build marker for the durable exact-substring WINDOW index
+    * (q77) — [[graft.io.WindowIndex]] over the standing corpus
+    * (doc_id % 10 ≠ 0, the q46/q60 convention), probed by the
+    * held-out batch. Same lifecycle as [[durableSigIndex]]. */
+  private val winIdxMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  private def durableWinIndex(s: SparkSession, dir: String): String =
+    winIdxMemo.getOrElseUpdate(
+      (s.sparkContext.applicationId, dir), {
+        val idxDir = tmp("win_index_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+        graft.io.WindowIndex.build(
+          T(s, dir, "documents").filter(col("doc_id") % 10 =!= 0),
+          "text", "doc_id", idxDir, n = 3)
+        idxDir
+      })
+
   /** Session memo of the resolved near-dup cluster labels — the
     * second PUBLISHED dedup artifact (a pipeline writes the label
     * table right after the pair index; consumers read it, they don't
@@ -138,7 +155,7 @@ object SparkEntry {
     * garbage-collected. */
   private[graft] def clearMemos(): Unit = {
     pairsMemo.clear(); sigsMemo.clear(); durableIdxMemo.clear()
-    pqMemo.clear(); labelsMemo.clear()
+    pqMemo.clear(); labelsMemo.clear(); winIdxMemo.clear()
   }
 
   /** Build (or rebuild) the shared pair index for `dir` — lets a bench
@@ -161,7 +178,8 @@ object SparkEntry {
     "q70_pq_codes" -> ((s, dir) => pqBooks(s, dir): Unit),
     "q71_pq_topk" -> ((s, dir) => pqBooks(s, dir): Unit),
     "q72_curation_pipeline" -> ((s, dir) => clusterLabels(s, dir).count(): Unit),
-    "q76_curation_scrubbed" -> ((s, dir) => clusterLabels(s, dir).count(): Unit))
+    "q76_curation_scrubbed" -> ((s, dir) => clusterLabels(s, dir).count(): Unit),
+    "q77_incremental_spans" -> ((s, dir) => durableWinIndex(s, dir): Unit))
 
   // ---------------------------------------------------------------- entry
 
@@ -885,6 +903,17 @@ object SparkEntry {
     "q74_dup_spans" -> ((s, dir) =>
       Dedup.duplicateSpans(T(s, dir, "documents"), "text", "doc_id", n = 3)),
 
+    // ---- north-star: INCREMENTAL exact-substring spans — the daily
+    //      batch (doc_id % 10 == 0, the q46/q60 convention) probed
+    //      against the persisted window-hash index built once over the
+    //      standing corpus. Only the batch is hashed; the index is
+    //      pruned map-side by the batch's hashes, never reshuffled.
+    //      Result ≡ full-corpus q74 restricted to batch docs.
+    "q77_incremental_spans" -> ((s, dir) =>
+      graft.io.WindowIndex.probe(
+        T(s, dir, "documents").filter(col("doc_id") % 10 === 0),
+        "text", durableWinIndex(s, dir))),
+
     // ---- north-star: exact-substring SCRUBBING — cut every duplicated
     //      3-token window except its first corpus-wide occurrence and
     //      rebuild the text (the keep-first action for q74's detector).
@@ -1148,6 +1177,33 @@ object SparkEntry {
        |  FROM inter it JOIN sizes sa ON sa.doc_id = it.id_a JOIN sizes sb ON sb.doc_id = it.id_b
        |  WHERE round(it.i / (sa.n + sb.n - it.i), 6) >= 0.8
        |)""".stripMargin
+
+  /** DuckDB oracle for exact-substring duplicate spans — the same
+    * gaps-and-islands construction as the Spark plan: windows whose md5
+    * occurs >1 time anywhere in the corpus, merged per doc on
+    * overlap-or-touch. `finalWhere` filters the final span rows (empty
+    * for the full corpus, q74; a doc predicate for the incremental
+    * probe, q77 — dup-ness itself is ALWAYS judged corpus-wide). */
+  private def dupSpansSql(finalWhere: String, n: Int = 3): String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |u AS (SELECT doc_id,
+       |        unnest(generate_series(1, len(toks) - ${n - 1})) AS pos, toks
+       |      FROM t WHERE len(toks) >= $n),
+       |h AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       |        md5(array_to_string(toks[pos:pos + ${n - 1}], ' ')) AS hh
+       |      FROM u),
+       |d AS (SELECT hh FROM h GROUP BY hh HAVING count(*) > 1),
+       |m AS (SELECT doc_id, pos FROM h JOIN d USING (hh)),
+       |i AS (SELECT doc_id, pos,
+       |        CASE WHEN pos <= max(pos + $n) OVER (PARTITION BY doc_id
+       |          ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |        THEN 0 ELSE 1 END AS brk
+       |      FROM m),
+       |g AS (SELECT doc_id, pos, CAST(sum(brk) OVER (PARTITION BY doc_id
+       |        ORDER BY pos) AS BIGINT) AS grp FROM i)
+       |SELECT doc_id, min(pos) AS span_start, max(pos) + $n AS span_end,
+       |  count(*) AS n_windows
+       |FROM g $finalWhere GROUP BY doc_id, grp""".stripMargin
 
   /** DuckDB CTE chain for exact-substring scrubbing (q75's shape) over
     * `src(doc_id, text)`: windows → keep-first marking (row_number per
@@ -1627,30 +1683,12 @@ object SparkEntry {
          |FROM t""".stripMargin
     },
 
-    "q74_dup_spans" -> {
-      val n = 3
-      // same gaps-and-islands construction as the Spark plan: windows
-      // whose md5 occurs >1 time, merged per doc on overlap-or-touch
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |u AS (SELECT doc_id,
-         |        unnest(generate_series(1, len(toks) - ${n - 1})) AS pos, toks
-         |      FROM t WHERE len(toks) >= $n),
-         |h AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
-         |        md5(array_to_string(toks[pos:pos + ${n - 1}], ' ')) AS hh
-         |      FROM u),
-         |d AS (SELECT hh FROM h GROUP BY hh HAVING count(*) > 1),
-         |m AS (SELECT doc_id, pos FROM h JOIN d USING (hh)),
-         |i AS (SELECT doc_id, pos,
-         |        CASE WHEN pos <= max(pos + $n) OVER (PARTITION BY doc_id
-         |          ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-         |        THEN 0 ELSE 1 END AS brk
-         |      FROM m),
-         |g AS (SELECT doc_id, pos, CAST(sum(brk) OVER (PARTITION BY doc_id
-         |        ORDER BY pos) AS BIGINT) AS grp FROM i)
-         |SELECT doc_id, min(pos) AS span_start, max(pos) + $n AS span_end,
-         |  count(*) AS n_windows
-         |FROM g GROUP BY doc_id, grp""".stripMargin
-    },
+    "q74_dup_spans" -> dupSpansSql(""),
+
+    // incremental probe returns exactly the full-corpus span set
+    // restricted to the batch docs — dup-ness is judged against the
+    // WHOLE corpus (index counts + batch counts)
+    "q77_incremental_spans" -> dupSpansSql("WHERE doc_id % 10 = 0"),
 
     "q75_span_scrub" ->
       s"""WITH ${scrubCtes("documents", 3)}

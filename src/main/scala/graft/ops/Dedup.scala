@@ -624,6 +624,65 @@ object Dedup {
     mergeIslands(dupWindows, idCol, n)
   }
 
+  /**
+   * Incremental [[duplicateSpans]]: duplicated spans of a NEW BATCH of
+   * documents, judged against batch ∪ indexed corpus, WITHOUT
+   * re-hashing the corpus — the daily-ingest form
+   * ([[graft.io.WindowIndex]] is the parquet-backed store; this is the
+   * algorithm, mirroring the [[incrementalNearDups]] /
+   * [[graft.io.SignatureIndex]] split).
+   *
+   * `indexCounts` holds per-hash occurrence counts of the already-
+   * indexed corpus — columns (`hh`, `cnt`), possibly several rows per
+   * hash (appends accrete; they are summed here). A batch window is
+   * duplicated iff its hash's total count across batch + index exceeds
+   * one; islands merge exactly as in [[duplicateSpans]]. Output ≡ the
+   * full-corpus [[duplicateSpans]] restricted to batch docs (provided
+   * the index covers corpus ∖ batch with the same (n, kind)).
+   *
+   * Scale shape: only the BATCH is hashed; the stored index is pruned
+   * with a broadcast of the batch's distinct hashes (a map-side scan —
+   * the index is never shuffled) and only the pruned remainder joins.
+   */
+  def incrementalDuplicateSpans(
+      newDocs: DataFrame,
+      indexCounts: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int,
+      kind: HashKind = Md5): DataFrame = {
+    val batchWins = windowPositions(newDocs, textCol, idCol, n, kind).localCheckpoint()
+    val batchCounts = batchWins
+      .groupBy(col("__h")).agg(count(lit(1)).as("__bc"))
+      .localCheckpoint() // feeds the index prune AND the dup decision
+    val idxPruned = indexCounts
+      .join(broadcast(batchCounts.select("__h")), col("hh") === col("__h"), "left_semi")
+      .groupBy(col("hh")).agg(sum(col("cnt")).as("__ic"))
+    val dupHashes = batchCounts
+      .join(idxPruned, col("__h") === col("hh"), "left")
+      .filter(col("__bc") + coalesce(col("__ic"), lit(0L)) > 1)
+      .select("__h")
+    val dupWindows = batchWins
+      .join(dupHashes, Seq("__h"), "left_semi")
+      .select(col(idCol), col("pos"))
+    mergeIslands(dupWindows, idCol, n)
+  }
+
+  /** Per-hash occurrence counts of `docs`' n-token windows: (hh, cnt)
+    * — the build/append payload of [[graft.io.WindowIndex]]. One row
+    * per DISTINCT window hash (∝ distinct n-grams, not tokens), via the
+    * same decomposable aggregation as [[duplicateSpans]]' detection. */
+  def windowHashCounts(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int,
+      kind: HashKind = Md5): DataFrame =
+    windowPositions(docs, textCol, idCol, n, kind)
+      .groupBy(col("__h"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("__h").as("hh"), col("cnt"))
+
   /** One row per n-token window: (idCol, pos [1-based long], __h).
     * Strict window semantics: docs with fewer than n tokens have no
     * windows (no short-doc floor — a 2-token doc cannot contain a
