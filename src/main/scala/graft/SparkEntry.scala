@@ -762,6 +762,16 @@ object SparkEntry {
         T(s, dir, "documents"), "text", "doc_id",
         bits = 32, blocks = 4, maxHamming = 3, kind = Dedup.Xx64)),
 
+    // ---- production-kernel twin of q74 (rows-only bench row, like
+    //      q40/q41): xx64 window hashing on the full token-window
+    //      volume — same plan, no md5. Span-set parity with Md5 is
+    //      spec-pinned (DedupSpec duplicateSpans xx64 case). Xx64 is
+    //      DETECTION-grade only; the scrub path stays on Md5
+    //      (see scrubDuplicates scaladoc).
+    "q78_dup_spans_xx64" -> ((s, dir) =>
+      Dedup.duplicateSpans(T(s, dir, "documents"), "text", "doc_id", n = 3,
+        kind = Dedup.Xx64)),
+
     // ---- north-star: benchmark decontamination — docs sharing any
     //      4-word shingle with the benchmark set (doc_id % 50 == 0
     //      stands in for a held-out eval benchmark). The benchmark

@@ -316,6 +316,18 @@ class DedupSpec extends AnyFunSuite {
     assert(scrubbed(1L) == "m n o" && scrubbed(2L) == "")
   }
 
+  test("Xx64 duplicateSpans on the real documents table: same span set as Md5") {
+    // pins the q78 (production-kernel) bench twin to q74's oracle-checked
+    // result on real corpus data, not just the engineered fixture
+    val d = TestSpark.table("documents")
+    def spans(k: Dedup.HashKind) =
+      Dedup.duplicateSpans(d, "text", "doc_id", n = 3, kind = k)
+        .as[(Long, Long, Long, Long)].collect().toSet
+    val md = spans(Dedup.Md5)
+    assert(spans(Dedup.Xx64) == md)
+    assert(md.nonEmpty, "fixture corpus must contain duplicated windows")
+  }
+
   test("exact-substring dedup survives a hot hash: one boilerplate n-gram on most docs") {
     // the adversarial shape exact-substring dedup exists to find — a
     // verbatim license header on a large fraction of the corpus. Every
