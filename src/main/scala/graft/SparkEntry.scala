@@ -1023,6 +1023,39 @@ object SparkEntry {
       graft.ops.TextOps.hashedTermFrequencies(
         T(s, dir, "documents"), "text", "doc_id", dims = 64)),
 
+    // ---- north-star: DSIR importance weights — every raw doc scored
+    //      by ln p̂_target − ln p̂_raw over hashed unigram+bigram
+    //      features (target = the English slice); two dims-bounded
+    //      model aggregations + one broadcast lookup join.
+    "q79_dsir_weights" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.ops.LanguageModel.importanceWeights(
+        docs, docs.filter(col("lang") === "en"), "text", "doc_id", dims = 128)
+    }),
+
+    // ---- north-star: corpus-level line dedup (CCNet/RefinedWeb
+    //      paragraph dedup) — keep each line's first corpus-wide
+    //      occurrence, rebuild docs. The fixture corpus is single-line
+    //      (q73's note), so multi-line bodies with a GUARANTEED
+    //      cross-doc duplicate (a shared header) plus likely ones (the
+    //      first-5-token line) are synthesized in-query.
+    "q80_corpus_line_dedup" -> ((s, dir) => {
+      val line1 = concat_ws(" ", slice(split(col("text"), " "), 1, 5))
+      val synth = concat_ws("\n",
+        lit("graft shared header line"), col("text"), line1, line1)
+      Dedup.corpusLineDedup(
+        T(s, dir, "documents").select(col("doc_id"), synth.as("body")),
+        "body", "doc_id")
+    }),
+
+    // ---- north-star: token-balanced shard export — seeded
+    //      deterministic global shuffle + contiguous token-budget
+    //      shards via a distributed prefix sum (256 salt groups;
+    //      constant-size offset state, no corpus-wide window).
+    "q81_balanced_shards" -> ((s, dir) =>
+      graft.ops.Packing.exportShards(
+        T(s, dir, "documents"), "text", "doc_id", targetTokens = 2048L)),
+
     // ---- bench twin (no oracle: HLL estimates aren't replayable in
     //      DuckDB): the profiler's 100 TB configuration — approx
     //      distincts remove the Expand row duplication entirely.
@@ -1809,6 +1842,63 @@ object SparkEntry {
          |SELECT doc_id,
          |  round(avg(-ln(CAST(coalesce(c, 0) + 1 AS DOUBLE) / (n + v))), 6) AS nll
          |FROM b LEFT JOIN c USING (tok), s GROUP BY doc_id""".stripMargin,
+
+    "q79_dsir_weights" -> {
+      // hashed unigram+bigram features; smoothed per-bucket log-ratio
+      // summed per gram INSTANCE — the same association the Spark side
+      // uses (lookup per gram, sum per doc)
+      val base = PortableSql.minhashBase("gram", DD)
+      val sh2 = DD.shingles("l", 2)
+      s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents),
+         |g AS (SELECT doc_id, lang, unnest(list_concat(l, $sh2)) AS gram FROM d),
+         |b AS (SELECT doc_id, lang,
+         |  ($base % ${PortableSql.minhashP}) % 128 AS bucket FROM g),
+         |t AS (SELECT bucket, count(*) AS tc FROM b WHERE lang = 'en' GROUP BY bucket),
+         |r AS (SELECT bucket, count(*) AS rc FROM b GROUP BY bucket),
+         |s AS (SELECT (SELECT CAST(sum(tc) AS DOUBLE) FROM t) AS tn,
+         |             (SELECT CAST(sum(rc) AS DOUBLE) FROM r) AS rn)
+         |SELECT b.doc_id,
+         |  round(sum(ln(CAST(coalesce(t.tc, 0) + 1 AS DOUBLE) / (s.tn + 128.0)) -
+         |            ln(CAST(r.rc + 1 AS DOUBLE) / (s.rn + 128.0))), 6) AS logratio
+         |FROM b LEFT JOIN t USING (bucket) JOIN r USING (bucket), s
+         |GROUP BY b.doc_id""".stripMargin
+    },
+
+    "q80_corpus_line_dedup" ->
+      // keep-first corpus-wide per LINE: row_number over (line, order
+      // doc,pos) = 1 ≡ Spark's min(struct(doc,pos)) canonical
+      s"""WITH s0 AS (SELECT doc_id, text,
+         |    array_to_string((string_split(text, ' '))[1:5], ' ') AS l1
+         |  FROM documents),
+         |s AS (SELECT doc_id, concat('graft shared header line', chr(10),
+         |    text, chr(10), l1, chr(10), l1) AS x FROM s0),
+         |t AS (SELECT doc_id, string_split(x, chr(10)) AS l FROM s),
+         |e AS (SELECT doc_id, unnest(l) AS line,
+         |    unnest(generate_series(1, len(l))) AS pos FROM t),
+         |k AS (SELECT doc_id, line, pos,
+         |    row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+         |  FROM e),
+         |r AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean,
+         |    count(*) AS n_after
+         |  FROM k WHERE rn = 1 GROUP BY doc_id)
+         |SELECT t.doc_id, coalesce(r.clean, '') AS clean,
+         |  CAST(len(t.l) AS BIGINT) AS n_before,
+         |  CAST(coalesce(r.n_after, 0) AS BIGINT) AS n_after
+         |FROM t LEFT JOIN r USING (doc_id)""".stripMargin,
+
+    "q81_balanced_shards" -> {
+      // ONE global running sum in the oracle — equals Spark's salted
+      // prefix-sum decomposition because the salt is a key prefix
+      val n = PortableSql.tokenCount("text", DD)
+      s"""WITH h AS (SELECT doc_id,
+         |    md5(concat('shards', ':', CAST(doc_id AS VARCHAR))) AS k,
+         |    CAST($n AS BIGINT) AS n FROM documents),
+         |p AS (SELECT doc_id, n,
+         |    CAST(sum(n) OVER (ORDER BY k, doc_id) - n AS BIGINT) AS s FROM h)
+         |SELECT doc_id, n AS n_toks, s AS tok_start,
+         |  CAST(s // 2048 AS BIGINT) AS shard_idx
+         |FROM p""".stripMargin
+    },
 
     "q67_mixture_weights" -> {
       val n = PortableSql.tokenCount("text", DD)

@@ -792,4 +792,64 @@ object Dedup {
         size(toks).cast("long").as("n_tokens"),
         (size(toks).cast("long") - size(keptToks)).as("n_removed"))
   }
+
+  /**
+   * Corpus-level duplicated-line removal — the CCNet/RefinedWeb
+   * paragraph dedup: keep each distinct line's FIRST corpus-wide
+   * occurrence (canonical = smallest `(idCol, position)`), drop every
+   * other occurrence — across documents and within them — and rebuild
+   * each document from its surviving lines in order.
+   * [[TextOps.dedupLines]] is the intra-document form; this is the
+   * corpus-wide one that kills a boilerplate header/footer line shared
+   * by millions of pages, which no single document can see.
+   *
+   * Output: (idCol, clean, n_before, n_after) — every input doc keeps
+   * a row; a doc of pure boilerplate rebuilds to `''`.
+   *
+   * Plan ([[scrubDuplicates]]' shape at line granularity):
+   *  1. one (id, pos, 128-bit line hash) row per line — the line TEXT
+   *     never shuffles anywhere — materialized once
+   *     (`localCheckpoint`: the frame feeds the canonical aggregation
+   *     AND the keep-set probe);
+   *  2. keep-first canonical per hash = `min(struct(id, pos))`, a
+   *     DECOMPOSABLE aggregation: the hottest header line on a billion
+   *     docs collapses map-side (never a window over the hash — an
+   *     unsplittable partition under exactly this operator's target
+   *     data shape), and the join back is AQE-splittable;
+   *  3. rebuild = surviving positions collected per doc (bounded by
+   *     doc size), then a NARROW projection re-splits the text and
+   *     keeps the listed positions.
+   *
+   * Line identity is hash equality: [[Md5]] (128-bit, default) for
+   * the destructive path; [[Xx64]] is detection-grade only (same
+   * birthday-collision caveat as [[scrubDuplicates]]).
+   */
+  def corpusLineDedup(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      kind: HashKind = Md5): DataFrame = {
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol), "\n")))
+      .select(col(idCol), (col("pos") + 1).cast("long").as("pos"),
+        kind.bucket(col("col")).as("__h"))
+      .localCheckpoint()
+    val canon = lines
+      .groupBy(col("__h"))
+      .agg(min(struct(col(idCol).as("i"), col("pos").as("p"))).as("__first"))
+    val keptPos = lines
+      .join(canon, Seq("__h"))
+      .filter(col(idCol) === col("__first.i") && col("pos") === col("__first.p"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("__keep"))
+    val arr = split(col(textCol), "\n")
+    val keep = coalesce(col("__keep"), array().cast("array<bigint>"))
+    df.join(keptPos, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        concat_ws("\n",
+          transform(keep, i => element_at(arr, i.cast("int")))).as("clean"),
+        size(arr).cast("long").as("n_before"),
+        size(keep).cast("long").as("n_after"))
+  }
 }

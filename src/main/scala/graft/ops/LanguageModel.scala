@@ -86,4 +86,73 @@ object LanguageModel {
         (coalesce(col("c"), lit(0L)) + 1).cast("double") / (col("__n") + col("__v")))),
         6).as("nll"))
   }
+
+  /** Hashed n-gram features (unigrams + bigrams → one of `dims` hash
+    * buckets), one row per gram INSTANCE: (idCol, bucket). The fixed-
+    * width feature space needs no vocabulary pass — [[TextOps
+    * .hashedTermFrequencies]]'s hashing trick, widened to bigrams so
+    * word ORDER contributes (the feature set of the DSIR selector
+    * below). md5-derived bucket for oracle parity ([[Dedup.HashKind]]
+    * swap story for production). Short docs: the bigram list floors to
+    * the whole text ([[TextOps.wordShingles]]'s 1-element floor),
+    * mirrored verbatim in the oracle SQL. */
+  def hashedGrams(df: DataFrame, textCol: String, idCol: String, dims: Int): DataFrame = {
+    require(dims >= 2, "feature space needs at least 2 buckets")
+    val t = col(textCol)
+    df.select(
+        col(idCol),
+        explode(concat(TextOps.tokens(t), TextOps.wordShingles(t, 2))).as("__g"))
+      .select(col(idCol), pmod(Dedup.Md5.base(col("__g")), lit(dims.toLong)).as("bucket"))
+  }
+
+  /**
+   * DSIR-style importance weights (Xie et al. 2023, "Data Selection
+   * for Language Models via Importance Resampling"): score every raw
+   * document by how much more likely its hashed-n-gram bag is under
+   * the TARGET domain's distribution than under the raw corpus's own —
+   * `Σ_grams ln p̂_target(b) − ln p̂_raw(b)`, with add-one smoothing
+   * over the `dims` hash buckets (`p̂(b) = (c_b + 1)/(N + dims)`).
+   * Selecting the top weights (or Gumbel-top-k resampling on them)
+   * tilts a generic crawl toward a target domain with nothing but two
+   * bag-of-hashed-ngrams passes — the standard cheap alternative to a
+   * trained quality classifier ([[Scoring]]'s seam).
+   *
+   * Plan shape: both models are ONE explode + hash-aggregate each
+   * (map-side partials; shuffle ∝ `dims`, NOT vocabulary). The scorer
+   * joins each raw gram instance to a `dims`-row broadcast lookup of
+   * per-bucket log-ratios (never more than `dims` rows ship anywhere)
+   * and sums per doc — one doc-keyed shuffle with partial aggregation.
+   * Nothing here holds state proportional to the corpus: at 100 TB the
+   * raw corpus is scanned twice (model fit + scoring), which is the
+   * DSIR algorithm's own shape.
+   *
+   * Output: (idCol, logratio) — one row per raw doc, rounded 6 (double
+   * sum-order jitter ~1e-12 at these magnitudes).
+   */
+  def importanceWeights(
+      raw: DataFrame,
+      target: DataFrame,
+      textCol: String,
+      idCol: String,
+      dims: Int): DataFrame = {
+    val rawG = hashedGrams(raw, textCol, idCol, dims)
+    val tgtC = hashedGrams(target, textCol, idCol, dims)
+      .groupBy("bucket").agg(count(lit(1)).as("tc"))
+    val rawC = rawG.groupBy("bucket").agg(count(lit(1)).as("rc"))
+    val stats = tgtC.agg(sum("tc").cast("double").as("__tn"))
+      .crossJoin(rawC.agg(sum("rc").cast("double").as("__rn")))
+    val d = lit(dims.toDouble)
+    // ≤ dims rows; buckets the target never saw still need their raw
+    // count (smoothed target prob) → full outer over the bucket key
+    val lut = tgtC.join(rawC, Seq("bucket"), "full_outer")
+      .crossJoin(broadcast(stats))
+      .select(
+        col("bucket"),
+        (log((coalesce(col("tc"), lit(0L)) + lit(1)).cast("double") / (col("__tn") + d)) -
+          log((coalesce(col("rc"), lit(0L)) + lit(1)).cast("double") / (col("__rn") + d)))
+          .as("__lr"))
+    rawG.join(broadcast(lut), "bucket")
+      .groupBy(col(idCol))
+      .agg(round(sum("__lr"), 6).as("logratio"))
+  }
 }

@@ -91,4 +91,63 @@ object Packing {
       .filter(col("__start") < quota)
       .drop("__n", "__start", "__end")
   }
+
+  /**
+   * Token-balanced shard export — the training-data writer's
+   * assignment: a deterministic seeded global shuffle (order = salted
+   * md5 of the key — the [[Sampling]] hash story: reruns, retries and
+   * repartitions reproduce the same order forever) with contiguous
+   * `targetTokens`-sized shards cut along the running token total, so
+   * every output shard carries the same token volume (± one document)
+   * regardless of document-length skew. Doc-count sharding
+   * (`hash % N`) leaves per-shard token imbalance equal to the
+   * doc-length variance; trainer workers and output files want token
+   * balance.
+   *
+   * Output: (idCol, n_toks, tok_start, shard_idx) — `tok_start` =
+   * tokens preceding the doc in the global shuffled order; a doc
+   * straddling a shard boundary belongs to the shard its FIRST token
+   * lands in ([[packSequences]]' convention, truncation downstream).
+   *
+   * Scale: the global running sum is a DISTRIBUTED PREFIX SUM, never
+   * one window over the corpus. Docs group by the first two hex chars
+   * of the order key (256 salt groups; the salt is a PREFIX of the
+   * key, so per-group order concatenated in salt order IS the global
+   * key order), each group running-sums under a partitioned window,
+   * and the 256 GROUP TOTALS — constant-size state, independent of
+   * the corpus — cumulate in one bounded single-partition window and
+   * broadcast back as per-group offsets. Shard assignment is then a
+   * scan-speed projection.
+   */
+  def exportShards(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      targetTokens: Long,
+      seed: String = "shards"): DataFrame = {
+    require(targetTokens >= 1, "shard token target must be positive")
+    val pre = df
+      .withColumn("__key", md5(concat_ws(":", lit(seed), col(idCol).cast("string"))))
+      .withColumn("__salt", substring(col("__key"), 1, 2))
+      .withColumn("__n",
+        graft.functions.GraftFunctions.tokenCount(df.sparkSession, col(textCol))
+          .cast("long"))
+    // idCol tiebreak keeps the order total even under an md5 collision
+    val w = Window.partitionBy("__salt").orderBy(col("__key"), col(idCol))
+    val local = pre.withColumn("__e", sum(col("__n")).over(w))
+    // 256 rows — the single-partition window is over CONSTANT-size
+    // state (the salt-group totals), not the data; exclusive prefix
+    val offsets = local.groupBy(col("__salt")).agg(sum(col("__n")).as("__t"))
+      .withColumn("__off",
+        coalesce(
+          sum(col("__t")).over(
+            Window.orderBy("__salt").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("__salt", "__off")
+    local.join(broadcast(offsets), Seq("__salt"))
+      .withColumn("__start", col("__off") + col("__e") - col("__n"))
+      .withColumn("shard_idx", expr(s"__start DIV $targetTokens"))
+      .select(col(idCol), col("__n").as("n_toks"),
+        col("__start").as("tok_start"), col("shard_idx"))
+  }
 }

@@ -375,4 +375,57 @@ class DedupSpec extends AnyFunSuite {
       assert(hashAggs.nonEmpty, s"$name lost the hash aggregation:\n$plan")
     }
   }
+
+  test("corpus line dedup: keep-first across docs and within them, order preserved") {
+    val docs = Seq(
+      (1L, "h\na\nb"),
+      (2L, "h\nc\na"),
+      (3L, "h\nh\nd"),
+      (4L, "h\na")).toDF("doc_id", "text")
+    val out = Dedup.corpusLineDedup(docs, "text", "doc_id")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == (("h\na\nb", 3L, 3L)), "first doc keeps everything")
+    assert(out(2L) == (("c", 3L, 1L)), "cross-doc dups drop, order kept")
+    assert(out(3L) == (("d", 3L, 1L)), "intra-doc repeat drops too")
+    assert(out(4L) == (("", 2L, 0L)), "pure-boilerplate doc keeps its row, empty")
+  }
+
+  test("corpus line dedup survives a hot line and matches brute force") {
+    // a shared header line on every doc — the hot-hash shape — plus a
+    // unique body line; only doc 1 keeps the header
+    val docs = (1L to 60L).map(i => (i, s"shared header\nbody line $i"))
+      .toDF("doc_id", "text")
+    val out = Dedup.corpusLineDedup(docs, "text", "doc_id")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(out(1L) == "shared header\nbody line 1")
+    (2L to 60L).foreach(i => assert(out(i) == s"body line $i"))
+  }
+
+  test("corpus line dedup plan: no window over the hash, decomposable canonical") {
+    val df = Seq((1L, "x\ny"), (2L, "x\nz")).toDF("doc_id", "text")
+    val plan = Dedup.corpusLineDedup(df, "text", "doc_id")
+      .queryExecution.optimizedPlan
+    val hashWindows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.exists(_.references.exists(_.name == "__h")) => w
+    }
+    assert(hashWindows.isEmpty, s"window partitioned by the line hash — skew hazard:\n$plan")
+    val hashAggs = plan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+          if a.groupingExpressions.exists(_.references.exists(_.name == "__h")) => a
+    }
+    assert(hashAggs.nonEmpty, s"lost the canonical hash aggregation:\n$plan")
+  }
+
+  test("corpus line dedup is partitioning-invariant") {
+    val base = TestSpark.table("documents").limit(120)
+      .select(col("doc_id"),
+        concat_ws("\n", lit("hdr"), col("text")).as("text"))
+    def run(parts: Int) =
+      Dedup.corpusLineDedup(base.repartition(parts), "text", "doc_id")
+        .as[(Long, String, Long, Long)].collect().toSet
+    assert(run(3) == run(17))
+  }
 }

@@ -57,4 +57,62 @@ class LanguageModelSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(run(3) == run(23))
   }
+
+  test("hashed grams: unigrams + bigrams, short-doc floor") {
+    val df = Seq((1L, "a b c"), (2L, "solo")).toDF("doc_id", "text")
+    val counts = LanguageModel.hashedGrams(df, "text", "doc_id", dims = 64)
+      .groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts(1L) == 5L, "3 unigrams + 2 bigrams")
+    // wordShingles' 1-element floor: a 1-token doc's bigram list is
+    // [token] — 1 unigram + 1 floored 'bigram' (mirrored in the oracle)
+    assert(counts(2L) == 2L)
+  }
+
+  test("DSIR importance weights: exact smoothed log-ratio against an independent replay") {
+    // replay the formula with plain Scala maps over the operator's own
+    // bucket assignments (the bucket hash itself is cross-engine-checked
+    // by q79's oracle); checks smoothing, normalization, per-instance
+    // association and rounding
+    val raw = Seq(
+      (1L, "spark scala engine"),
+      (2L, "le chat noir"),
+      (3L, "spark le engine")).toDF("doc_id", "text")
+    val target = raw.filter($"doc_id" === 1L)
+    val dims = 32
+    val grams = LanguageModel.hashedGrams(raw, "text", "doc_id", dims)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val tgt = grams.filter(_._1 == 1L).groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val all = grams.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val (tn, rn) = (tgt.values.sum.toDouble, all.values.sum.toDouble)
+    val expected = grams.groupBy(_._1).map { case (id, gs) =>
+      val s = gs.map { case (_, b) =>
+        math.log((tgt.getOrElse(b, 0L) + 1).toDouble / (tn + dims)) -
+          math.log((all(b) + 1).toDouble / (rn + dims))
+      }.sum
+      id -> BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val out = LanguageModel.importanceWeights(raw, target, "text", "doc_id", dims)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out == expected)
+    assert(out(1L) > out(2L), "the target doc itself outranks off-target text")
+  }
+
+  test("DSIR weights favor target-like docs and are partitioning-invariant") {
+    val docs = TestSpark.table("documents")
+    def run(parts: Int) = LanguageModel.importanceWeights(
+      docs.repartition(parts), docs.filter($"lang" === "en"),
+      "text", "doc_id", dims = 128)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val w = run(5)
+    assert(w == run(29))
+    // aggregate separation: the en slice (the target itself) must
+    // average a higher importance weight than the rest of the corpus
+    val langs = docs.select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (en, rest) = w.partition { case (id, _) => langs(id) == "en" }
+    val avg = (m: Map[Long, Double]) => m.values.sum / m.size
+    assert(avg(en) > avg(rest),
+      "target-language docs must outrank the rest on average")
+  }
 }

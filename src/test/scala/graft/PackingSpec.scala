@@ -92,4 +92,50 @@ class PackingSpec extends AnyFunSuite {
       assert(perSeq.keySet == (0L to last).toSet, "no sequence gaps")
     }
   }
+
+  test("exportShards: distributed prefix sum equals the single-window reference") {
+    import org.apache.spark.sql.functions._
+    val d = TestSpark.table("documents")
+    val out = Packing.exportShards(d, "text", "doc_id", targetTokens = 2048L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // independent replay: collect (key, n), one global running sum
+    val rows = d.select(
+        col("doc_id"),
+        md5(concat_ws(":", lit("shards"), col("doc_id").cast("string"))).as("k"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._2, t._1))
+    var cum = 0L
+    val expected = rows.map { case (id, _, n) =>
+      val start = cum; cum += n
+      (id, n, start, start / 2048L)
+    }.toSet
+    assert(out == expected)
+  }
+
+  test("exportShards: every shard except the last is token-balanced within one doc") {
+    val out = Packing.exportShards(
+      TestSpark.table("documents"), "text", "doc_id", targetTokens = 2048L)
+      .collect().map(r => (r.getLong(1), r.getLong(3))) // (n_toks, shard)
+    val maxDoc = out.map(_._1).max
+    val perShard = out.groupBy(_._2).view.mapValues(_.map(_._1).sum).toMap
+    val last = perShard.keys.max
+    assert(perShard.size > 3, "fixture must produce several shards")
+    perShard.foreach { case (shard, toks) =>
+      if (shard < last)
+        assert(toks > 2048L - maxDoc && toks < 2048L + maxDoc,
+          s"shard $shard carries $toks tokens (target 2048, max doc $maxDoc)")
+    }
+    assert(perShard.keySet == (0L to last).toSet, "contiguous shard ids")
+  }
+
+  test("exportShards: deterministic, partitioning-invariant, seed-sensitive") {
+    val d = TestSpark.table("documents").limit(200)
+    def run(parts: Int, seed: String) =
+      Packing.exportShards(d.repartition(parts), "text", "doc_id", 1024L, seed)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val a = run(3, "shards")
+    assert(a == run(19, "shards"), "same seed → same global order everywhere")
+    assert(a != run(3, "v2"), "a different seed reshuffles the order")
+  }
 }
