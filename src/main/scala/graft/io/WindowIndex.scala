@@ -18,15 +18,41 @@ import graft.ops.Dedup
  * window of every doc per run — exactly the cost an index exists to
  * avoid).
  *
- * Store layout: `counts/` parquet with one (hh, cnt) row per appended
- * batch per distinct window hash — per-HASH summaries, never per-window
- * rows, so the store is ∝ distinct n-grams (not corpus tokens) and a
- * probe aggregates duplicate rows cheaply. `_graft_index.json` pins the
- * index identity (n, hash kind) and is committed AFTER the parquet, so
- * a crashed build leaves no readable index. Same single-writer /
- * many-reader contract, crash-safe compaction (stage + two renames +
- * [[SignatureIndex]]-style recovery), and append protocol as the
- * signature store.
+ * Store layout — COMMITTED BATCHES:
+ * {{{
+ *   _graft_index.json                  index identity (id_col, n, kind)
+ *   store/counts/batch=<tag>/          (hh, cnt) per distinct window hash
+ *   store/docs/batch=<tag>/            (id) + _graft_committed  ← commit point
+ * }}}
+ * Every write lands under a per-batch partition pair whose tag is a
+ * DETERMINISTIC function of the batch's doc ids, and a batch is LIVE
+ * only once its docs-side `_graft_committed` marker exists (written
+ * last). That pair of properties makes maintenance effectively
+ * exactly-once without a transactional store:
+ *
+ *  - a crash between the counts write and the docs commit leaves an
+ *    INVISIBLE orphan — readers (probe, [[counts]], [[processedIds]])
+ *    filter to live tags, so nothing is double-counted and the
+ *    batch's docs are still "unprocessed" (they re-enter the next
+ *    delta);
+ *  - a replay of the same delta recomputes the same tag and
+ *    OVERWRITES the orphan in place (mode=overwrite per partition),
+ *    then commits — no accretion, identical final state;
+ *  - a replay with a GROWN delta (new files landed before the retry)
+ *    writes a fresh tag covering the superset; the old orphan stays
+ *    invisible until [[compact]] rewrites the store from live
+ *    partitions only, dropping orphan garbage.
+ *
+ * The docs partition doubles as the PROCESSED-DOCS LEDGER (the
+ * [[SignatureIndex]] "the index IS the ledger" invariant, recovered
+ * here by committing ids and counts as one visibility unit):
+ * [[processedIds]] drives the anti-join delta of
+ * [[graft.streaming.CorpusIngest.maintainSpans]]. The store is still
+ * ∝ distinct n-grams + doc IDS (never per-window rows, never text).
+ *
+ * Same single-writer / many-reader contract and crash-safe compaction
+ * (stage + two renames of the ONE `store/` root + recovery) as the
+ * signature store; serialize [[compact]] with appends.
  */
 object WindowIndex {
 
@@ -44,26 +70,74 @@ object WindowIndex {
     case other  => sys.error(s"unknown hash kind '$other' in window index meta")
   }
 
-  private def countsPath(dir: String) = s"$dir/counts"
+  private def storePath(dir: String) = s"$dir/store"
+  private def countsPath(dir: String) = s"${storePath(dir)}/counts"
+  private def docsPath(dir: String) = s"${storePath(dir)}/docs"
   private def metaFile(dir: String) = new Path(dir, "_graft_index.json")
-  private def prevPath(dir: String) = new Path(s"$dir/counts_prev")
-  private def stagePath(dir: String) = s"$dir/counts_compacting"
+  private def prevPath(dir: String) = new Path(s"$dir/store_prev")
+  private def stagePath(dir: String) = s"$dir/store_compacting"
+  private val marker = "_graft_committed"
+  private val baseTag = "__base__"
 
-  /** Recover the live counts dir after a crashed [[compact]] — see
+  private def fs(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Recover the live store after a crashed [[compact]] — see
     * [[SignatureIndex]]; no-op in the steady state. */
   private def ensureLive(spark: SparkSession, dir: String): Unit = {
-    val live = new Path(countsPath(dir))
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(live) && fs.exists(prevPath(dir))) {
-      fs.delete(new Path(stagePath(dir)), true)
-      require(fs.rename(prevPath(dir), live),
+    val live = new Path(storePath(dir))
+    val f = fs(spark, live)
+    if (!f.exists(live) && f.exists(prevPath(dir))) {
+      f.delete(new Path(stagePath(dir)), true)
+      require(f.rename(prevPath(dir), live),
         s"failed to restore $live from ${prevPath(dir)}")
     }
   }
 
-  /** Build the index from scratch: count every n-token window hash of
-    * `docs`, write the counts table, then commit the meta file.
-    * Overwrites any previous index at `dir`. */
+  /** Deterministic batch tag from the batch's doc ids: same delta →
+    * same tag → a crashed write is OVERWRITTEN by its replay, never
+    * accreted. (Order-insensitive XOR of per-id hashes — wrap-free
+    * under ANSI mode; the count guards the degenerate empty batch.) */
+  def batchTag(docs: DataFrame, idCol: String): String = {
+    val r = docs.agg(
+      count(lit(1)).as("c"),
+      coalesce(expr(s"bit_xor(xxhash64(cast($idCol as string)))"), lit(0L)).as("h"))
+      .head()
+    s"b${r.getLong(0)}x${java.lang.Long.toHexString(r.getLong(1))}"
+  }
+
+  /** Tags whose docs-side commit marker exists — the only partitions
+    * any reader sees. */
+  private def liveTags(spark: SparkSession, dir: String): Seq[String] = {
+    ensureLive(spark, dir)
+    val docs = new Path(docsPath(dir))
+    val f = fs(spark, docs)
+    if (!f.exists(docs)) Nil
+    else f.listStatus(docs).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith("batch="))
+      .filter(nm => f.exists(new Path(docs, s"$nm/$marker")))
+      .map(_.stripPrefix("batch="))
+  }
+
+  /** Write one committed batch: counts partition, then the docs/ledger
+    * partition, then the marker — the LAST create is the commit. */
+  private def writeBatch(
+      newDocs: DataFrame, textCol: String, dir: String, tag: String,
+      m: Meta): Unit = {
+    val spark = newDocs.sparkSession
+    Dedup.windowHashCounts(newDocs, textCol, m.idCol, m.n, m.kind)
+      .sortWithinPartitions("hh") // dictionary/RLE-friendly runs
+      .write.mode("overwrite").parquet(s"${countsPath(dir)}/batch=$tag")
+    newDocs.select(m.idCol)
+      .write.mode("overwrite").parquet(s"${docsPath(dir)}/batch=$tag")
+    val mk = new Path(s"${docsPath(dir)}/batch=$tag/$marker")
+    fs(spark, mk).create(mk, true).close()
+  }
+
+  /** Build the index from scratch as the `__base__` batch, then commit
+    * the meta file. Overwrites any previous index at `dir`. */
   def build(
       docs: DataFrame,
       textCol: String,
@@ -74,22 +148,24 @@ object WindowIndex {
     require(idCol.matches("[A-Za-z_][A-Za-z0-9_]*"),
       s"idCol '$idCol' must be a plain identifier (stored in index meta)")
     val spark = docs.sparkSession
-    Dedup.windowHashCounts(docs, textCol, idCol, n, kind)
-      .sortWithinPartitions("hh") // dictionary/RLE-friendly runs
-      .write.mode("overwrite").parquet(countsPath(dir))
+    val root = new Path(dir)
+    val f = fs(spark, root)
+    f.delete(new Path(storePath(dir)), true)
+    f.delete(prevPath(dir), true)
+    f.delete(new Path(stagePath(dir)), true)
+    writeBatch(docs, textCol, dir, baseTag, Meta(idCol, n, kind))
     val json =
       s"""{"id_col": "$idCol", "n": $n, "kind": "${kindName(kind)}"}"""
-    val fs = metaFile(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(metaFile(dir), true)
+    val out = f.create(metaFile(dir), true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
   }
 
   /** Read the index identity. Fails if `dir` holds no committed index. */
   def meta(spark: SparkSession, dir: String): Meta = {
     val p = metaFile(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(p), s"no window index at $dir (missing ${p.getName})")
-    val in = fs.open(p)
+    val f = fs(spark, p)
+    require(f.exists(p), s"no window index at $dir (missing ${p.getName})")
+    val in = f.open(p)
     val json =
       try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
       finally in.close()
@@ -100,11 +176,25 @@ object WindowIndex {
     Meta(str("id_col"), num("n"), kindOf(str("kind")))
   }
 
-  /** The stored per-hash counts (hh, cnt) — possibly several rows per
-    * hash (one per appended batch) until the next [[compact]]. */
+  /** The LIVE per-hash counts (hh, cnt) — possibly several rows per
+    * hash (one per committed batch) until the next [[compact]].
+    * Orphans of crashed writes are filtered out by tag. */
   def counts(spark: SparkSession, dir: String): DataFrame = {
-    ensureLive(spark, dir)
-    spark.read.parquet(countsPath(dir))
+    val tags = liveTags(spark, dir)
+    val df = spark.read.parquet(countsPath(dir))
+    (if (tags.isEmpty) df.limit(0) else df.filter(col("batch").isin(tags: _*)))
+      .select("hh", "cnt")
+  }
+
+  /** The processed-docs ledger: ids of every doc whose counts are live
+    * in the index — the anti-join source for delta detection (the
+    * "index IS the ledger" invariant at window granularity). */
+  def processedIds(spark: SparkSession, dir: String): DataFrame = {
+    val m = meta(spark, dir)
+    val tags = liveTags(spark, dir)
+    val df = spark.read.parquet(docsPath(dir))
+    (if (tags.isEmpty) df.limit(0) else df.filter(col("batch").isin(tags: _*)))
+      .select(m.idCol)
   }
 
   /** Duplicated spans of `newDocs`, judged against batch ∪ indexed
@@ -116,52 +206,65 @@ object WindowIndex {
       newDocs, counts(newDocs.sparkSession, dir), textCol, m.idCol, m.n, m.kind)
   }
 
-  /** Append `newDocs`' window-hash counts so future probes see them. */
+  /** Append `newDocs` as one committed batch so future probes see
+    * them. Idempotent per doc set (deterministic tag + overwrite). */
   def append(newDocs: DataFrame, textCol: String, dir: String): Unit = {
-    ensureLive(newDocs.sparkSession, dir)
-    val m = meta(newDocs.sparkSession, dir)
-    Dedup.windowHashCounts(newDocs, textCol, m.idCol, m.n, m.kind)
-      .sortWithinPartitions("hh")
-      .write.mode("append").parquet(countsPath(dir))
+    val spark = newDocs.sparkSession
+    ensureLive(spark, dir)
+    val m = meta(spark, dir)
+    writeBatch(newDocs, textCol, dir, batchTag(newDocs, m.idCol), m)
   }
 
-  /** Re-aggregate accreted append rows to one (hh, cnt) row per hash
-    * in `numFiles` hash-range-clustered files, swapped in crash-safely
-    * (stage → rename live to prev → promote stage → drop prev). */
+  /** Re-aggregate the LIVE partitions to one (hh, cnt) row per hash in
+    * `numFiles` hash-range-clustered files (plus the compacted ledger),
+    * swapped in crash-safely (stage → rename live to prev → promote
+    * stage → drop prev). Orphan partitions of crashed appends are NOT
+    * carried over — compaction is also the garbage collector. Must not
+    * run concurrently with an append (single-writer contract). */
   def compact(spark: SparkSession, dir: String, numFiles: Int): Unit = {
     ensureLive(spark, dir)
-    val live = new Path(countsPath(dir))
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    spark.read.parquet(countsPath(dir))
+    val live = new Path(storePath(dir))
+    val f = fs(spark, live)
+    counts(spark, dir)
       .groupBy(col("hh")).agg(sum(col("cnt")).as("cnt"))
       .repartitionByRange(numFiles, col("hh"))
       .sortWithinPartitions("hh")
-      .write.mode("overwrite").parquet(stagePath(dir))
-    fs.delete(prevPath(dir), true) // leftover from an ancient crash
-    require(fs.rename(live, prevPath(dir)), s"compact: failed to retire $live")
-    require(fs.rename(new Path(stagePath(dir)), live),
+      .write.mode("overwrite").parquet(s"${stagePath(dir)}/counts/batch=$baseTag")
+    processedIds(spark, dir)
+      .write.mode("overwrite").parquet(s"${stagePath(dir)}/docs/batch=$baseTag")
+    val mk = new Path(s"${stagePath(dir)}/docs/batch=$baseTag/$marker")
+    f.create(mk, true).close()
+    f.delete(prevPath(dir), true) // leftover from an ancient crash
+    require(f.rename(live, prevPath(dir)), s"compact: failed to retire $live")
+    require(f.rename(new Path(stagePath(dir)), live),
       s"compact: failed to promote staged index (recoverable — " +
         s"${prevPath(dir)} holds the previous index)")
-    fs.delete(prevPath(dir), true)
+    f.delete(prevPath(dir), true)
   }
 
-  /** [[compact]] only when appends have fragmented the store past
-    * `2 × targetFiles` — the idempotent scheduled-maintenance form.
-    * Returns true when a compaction ran. */
+  /** [[compact]] only when committed batches have fragmented the store
+    * past `2 × targetFiles` counts files — the idempotent scheduled-
+    * maintenance form. Returns true when a compaction ran. */
   def compactIfFragmented(spark: SparkSession, dir: String, targetFiles: Int): Boolean = {
     ensureLive(spark, dir)
     val live = new Path(countsPath(dir))
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val nFiles = fs.listStatus(live).count(_.getPath.getName.endsWith(".parquet"))
+    val f = fs(spark, live)
+    val it = f.listFiles(live, true)
+    var nFiles = 0
+    while (it.hasNext) {
+      if (it.next().getPath.getName.endsWith(".parquet")) nFiles += 1
+    }
     val fragmented = nFiles > 2 * targetFiles
     if (fragmented) compact(spark, dir, targetFiles)
     fragmented
   }
 
   /** The daily-batch operation: probe the CURRENT index for the new
-    * batch's duplicated spans, then append the batch's counts. Returns
-    * the spans (materialized before the append so the result reflects
-    * the pre-append index). */
+    * batch's duplicated spans, then append the batch as one committed
+    * partition pair. The spans are materialized before the append (the
+    * result reflects the pre-append index), and the whole call is
+    * REPLAY-SAFE: a crashed earlier attempt left only an invisible
+    * orphan, which the retry overwrites. */
   def ingestBatch(newDocs: DataFrame, textCol: String, dir: String): DataFrame = {
     val spans = probe(newDocs, textCol, dir).localCheckpoint()
     append(newDocs, textCol, dir)

@@ -5,7 +5,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
 
-import graft.io.SignatureIndex
+import graft.io.{SignatureIndex, WindowIndex}
 
 /**
  * End-to-end incremental corpus maintenance: streaming document
@@ -88,5 +88,61 @@ object CorpusIngest {
     // the store bounded (no-op listing in the steady state)
     compactTo.foreach(SignatureIndex.compactIfFragmented(spark, indexDir, _))
     pairs
+  }
+
+  /**
+   * [[maintain]]'s exact-substring twin: drain newly landed JSONL,
+   * then find the delta's duplicated token spans (judged against delta
+   * ∪ indexed corpus — [[graft.io.WindowIndex.probe]]) and commit the
+   * delta into the window-hash index. One call per scheduled drain
+   * keeps verbatim-boilerplate detection current at cost ∝ the new
+   * files: only the delta is hashed, and the standing index is pruned
+   * map-side (never reshuffled).
+   *
+   * Delta detection anti-joins the silver ids against the index's own
+   * processed-docs ledger ([[graft.io.WindowIndex.processedIds]] — ids
+   * only, never text). Crash safety is STRONGER than [[maintain]]'s
+   * pair report: the window store commits each batch's counts and ids
+   * as one visibility unit under a deterministic tag, so a crashed
+   * drain leaves an invisible orphan, the docs re-enter the next
+   * delta, and a replay overwrites in place — the span report AND the
+   * store are effectively exactly-once.
+   *
+   * Returns the drain's duplicated spans (idCol, span_start, span_end,
+   * n_windows) — cross-corpus and delta-internal.
+   */
+  def maintainSpans(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      idCol: String,
+      textCol: String,
+      silverDir: String,
+      checkpointDir: String,
+      indexDir: String,
+      n: Int = 3,
+      kind: graft.ops.Dedup.HashKind = graft.ops.Dedup.Md5,
+      compactTo: Option[Int] = None): DataFrame = {
+    IngestStream.drainOnce(
+      spark, landingDir, schema,
+      requiredCols = Seq(idCol, textCol),
+      normalizeCols = Nil,
+      outDir = silverDir, checkpointDir = checkpointDir)
+    val silverPath = new Path(silverDir)
+    val sfs = silverPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val silver =
+      if (sfs.exists(silverPath)) spark.read.schema(schema).parquet(silverDir)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+    val fs = new Path(indexDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(indexDir, "_graft_index.json")))
+      WindowIndex.build(silver.limit(0), textCol, idCol, indexDir, n, kind)
+
+    val delta = silver.join(
+      WindowIndex.processedIds(spark, indexDir), Seq(idCol), "left_anti")
+    val spans = WindowIndex.ingestBatch(delta, textCol, indexDir)
+    compactTo.foreach(WindowIndex.compactIfFragmented(spark, indexDir, _))
+    spans
   }
 }

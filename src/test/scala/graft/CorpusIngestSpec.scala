@@ -82,4 +82,35 @@ class CorpusIngestSpec extends AnyFunSuite {
     assert(drain() == Set((1L, 4L), (2L, 4L)))
     assert(SignatureIndex.signatures(spark, s"$base/index").count() == 5)
   }
+
+  test("maintainSpans: streamed drains keep exact-substring detection current") {
+    val base = TestSpark.tmpDir("corpus_ingest_spans")
+    val landing = new java.io.File(base, "landing"); landing.mkdirs()
+    def drain() = CorpusIngest.maintainSpans(
+      spark, landing.getPath, schema, "doc_id", "text",
+      silverDir = s"$base/silver", checkpointDir = s"$base/ckpt",
+      indexDir = s"$base/index", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    def ledger() = graft.io.WindowIndex.processedIds(spark, s"$base/index").count()
+
+    // wave 1 bootstraps; docs 1,2 share the run "shared run here"
+    land(landing.getPath, "wave1.jsonl", Seq(
+      1L -> "k1 k2 shared run here k3",
+      2L -> "k4 k5 shared run here k6"))
+    assert(drain() == Set((1L, 3L, 6L, 1L), (2L, 3L, 6L, 1L)),
+      "wave-internal duplicated span found on bootstrap")
+    assert(ledger() == 2)
+
+    // no new files → empty delta, empty report, no ledger growth
+    assert(drain() == Set.empty)
+    assert(ledger() == 2)
+
+    // wave 2: doc 3 repeats the run (cross-CORPUS dup — docs 1,2 are
+    // only in the index now); doc 4 is novel and must not appear
+    land(landing.getPath, "wave2.jsonl", Seq(
+      3L -> "k7 k8 shared run here k9",
+      4L -> "n1 n2 n3 n4 n5"))
+    assert(drain() == Set((3L, 3L, 6L, 1L)))
+    assert(ledger() == 4)
+  }
 }

@@ -74,12 +74,15 @@ class WindowIndexSpec extends AnyFunSuite {
   test("compact preserves probe results and collapses accreted rows") {
     val dir = TestSpark.tmpDir("winidx_compact")
     WindowIndex.build(corpus, "text", "doc_id", dir, n = 3)
-    // accrete: append two more slices so some hashes carry >1 row
+    // accrete: two DIFFERENT slices (same docs would overwrite — the
+    // idempotence contract) so some hashes carry >1 live row
     WindowIndex.append(batch.limit(10), "text", dir)
-    WindowIndex.append(batch.limit(10), "text", dir)
+    WindowIndex.append(batch.limit(20), "text", dir)
     val before = WindowIndex.counts(spark, dir)
       .groupBy("hh").agg(sum("cnt").as("c")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ids = WindowIndex.processedIds(spark, dir)
+      .as[Long].collect().sorted.toSeq
     WindowIndex.compact(spark, dir, numFiles = 2)
     val after = WindowIndex.counts(spark, dir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -87,17 +90,58 @@ class WindowIndexSpec extends AnyFunSuite {
     // one row per hash after compaction
     assert(WindowIndex.counts(spark, dir).groupBy("hh").count()
       .filter($"count" > 1).count() == 0)
+    assert(WindowIndex.processedIds(spark, dir).as[Long].collect().sorted.toSeq
+      == ids, "compaction must preserve the processed-docs ledger")
   }
 
   test("compactIfFragmented is a no-op until appends accrete") {
     val dir = TestSpark.tmpDir("winidx_frag")
     WindowIndex.build(corpus.limit(20), "text", "doc_id", dir, n = 3)
-    val nBuild = spark.read.parquet(s"$dir/counts").inputFiles.length
+    val nBuild = spark.read.parquet(s"$dir/store/counts").inputFiles.length
     assert(!WindowIndex.compactIfFragmented(spark, dir, targetFiles = nBuild))
-    (1 to 2 * nBuild + 1).foreach { _ =>
-      WindowIndex.append(batch.limit(3), "text", dir)
+    (1 to 2 * nBuild + 1).foreach { i =>
+      // distinct doc sets → distinct committed batches (fragmentation)
+      WindowIndex.append(batch.limit(2 + i), "text", dir)
     }
     assert(WindowIndex.compactIfFragmented(spark, dir, targetFiles = nBuild))
-    assert(spark.read.parquet(s"$dir/counts").inputFiles.length <= nBuild)
+    assert(spark.read.parquet(s"$dir/store/counts").inputFiles.length <= nBuild)
+  }
+
+  test("a crashed append (no commit marker) is invisible, and the replay is exactly-once") {
+    // control: the same wave ingested with no crash anywhere
+    val ctlDir = TestSpark.tmpDir("winidx_crash_ctl")
+    WindowIndex.build(corpus, "text", "doc_id", ctlDir, n = 3)
+    val ctlSpans = spanSet(WindowIndex.ingestBatch(batch, "text", ctlDir))
+    def state(dir: String) = (
+      WindowIndex.counts(spark, dir).groupBy("hh").agg(sum("cnt").as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap,
+      WindowIndex.processedIds(spark, dir).as[Long].collect().sorted.toSeq)
+
+    val dir = TestSpark.tmpDir("winidx_crash")
+    WindowIndex.build(corpus, "text", "doc_id", dir, n = 3)
+    val preCounts = WindowIndex.counts(spark, dir).agg(sum("cnt")).head.getLong(0)
+    val preIds = WindowIndex.processedIds(spark, dir).count()
+    WindowIndex.append(batch, "text", dir)
+    // simulate the crash window: counts partition written, docs commit
+    // marker never created
+    val tag = WindowIndex.batchTag(batch, "doc_id")
+    val mk = new org.apache.hadoop.fs.Path(s"$dir/store/docs/batch=$tag/_graft_committed")
+    val fs = mk.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(mk), "sanity: committed append has a marker")
+    fs.delete(mk, false)
+    // orphan is invisible to every reader
+    assert(WindowIndex.counts(spark, dir).agg(sum("cnt")).head.getLong(0) == preCounts)
+    assert(WindowIndex.processedIds(spark, dir).count() == preIds,
+      "uncommitted docs must re-enter the next delta")
+    // the retry overwrites the orphan in place and commits: report AND
+    // store must equal the never-crashed control (exactly-once) and
+    // the full-corpus truth
+    val spans = spanSet(WindowIndex.ingestBatch(batch, "text", dir))
+    assert(spans == ctlSpans, "post-heal report equals the crash-free run")
+    assert(spans == spanSet(
+      Dedup.duplicateSpans(docs, "text", "doc_id", n = 3)
+        .filter($"doc_id" % 10 === 0)),
+      "post-heal report equals the full-corpus truth restricted to the batch")
+    assert(state(dir) == state(ctlDir), "post-heal store equals the crash-free store")
   }
 }
