@@ -116,6 +116,38 @@ object SparkEntry {
         idxDir
       })
 
+  /** Indexes AFTER a takedown pass (q82/q83): built over the standing
+    * corpus (doc_id % 10 ≠ 0), then every 7th doc deleted — the
+    * forget-then-probe lifecycle. Separate dirs from the q60/q77
+    * indexes (deletion mutates the store; those memos must keep
+    * serving the undeleted probes). */
+  private val forgetIdxMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), String]
+
+  private def forgottenSigIndex(s: SparkSession, dir: String): String =
+    forgetIdxMemo.getOrElseUpdate(
+      (s.sparkContext.applicationId, dir, "sig"), {
+        val idxDir = tmp("sig_forget_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+        val corpus = T(s, dir, "documents").filter(col("doc_id") % 10 =!= 0)
+        graft.io.SignatureIndex.build(
+          corpus, "text", "doc_id", idxDir,
+          numHashes = 8, bands = 4, shingleWords = 3)
+        graft.io.SignatureIndex.delete(
+          corpus.filter(col("doc_id") % 7 === 0).select("doc_id"), idxDir)
+        idxDir
+      })
+
+  private def forgottenWinIndex(s: SparkSession, dir: String): String =
+    forgetIdxMemo.getOrElseUpdate(
+      (s.sparkContext.applicationId, dir, "win"), {
+        val idxDir = tmp("win_forget_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+        val corpus = T(s, dir, "documents").filter(col("doc_id") % 10 =!= 0)
+        graft.io.WindowIndex.build(corpus, "text", "doc_id", idxDir, n = 3)
+        graft.io.WindowIndex.delete(
+          corpus.filter(col("doc_id") % 7 === 0), "text", idxDir)
+        idxDir
+      })
+
   /** Session memo of the resolved near-dup cluster labels — the
     * second PUBLISHED dedup artifact (a pipeline writes the label
     * table right after the pair index; consumers read it, they don't
@@ -156,6 +188,7 @@ object SparkEntry {
   private[graft] def clearMemos(): Unit = {
     pairsMemo.clear(); sigsMemo.clear(); durableIdxMemo.clear()
     pqMemo.clear(); labelsMemo.clear(); winIdxMemo.clear()
+    forgetIdxMemo.clear()
   }
 
   /** Build (or rebuild) the shared pair index for `dir` — lets a bench
@@ -179,7 +212,9 @@ object SparkEntry {
     "q71_pq_topk" -> ((s, dir) => pqBooks(s, dir): Unit),
     "q72_curation_pipeline" -> ((s, dir) => clusterLabels(s, dir).count(): Unit),
     "q76_curation_scrubbed" -> ((s, dir) => clusterLabels(s, dir).count(): Unit),
-    "q77_incremental_spans" -> ((s, dir) => durableWinIndex(s, dir): Unit))
+    "q77_incremental_spans" -> ((s, dir) => durableWinIndex(s, dir): Unit),
+    "q82_forget_neardups" -> ((s, dir) => forgottenSigIndex(s, dir): Unit),
+    "q83_forget_spans" -> ((s, dir) => forgottenWinIndex(s, dir): Unit))
 
   // ---------------------------------------------------------------- entry
 
@@ -924,6 +959,40 @@ object SparkEntry {
         T(s, dir, "documents").filter(col("doc_id") % 10 === 0),
         "text", durableWinIndex(s, dir))),
 
+    // ---- north-star: right-to-be-forgotten on the SIGNATURE index —
+    //      every 7th standing-corpus doc deleted from the store (one
+    //      index rewrite, the corpus never re-hashed), then the daily
+    //      batch probed. No pair may touch a forgotten doc; result ≡
+    //      probing an index rebuilt on corpus-minus-deleted.
+    "q82_forget_neardups" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.io.SignatureIndex.probe(
+        docs, docs.filter(col("doc_id") % 10 === 0), "text",
+        forgottenSigIndex(s, dir), threshold = 0.8)
+    }),
+
+    // ---- north-star: right-to-be-forgotten on the WINDOW-HASH index —
+    //      takedown docs' window counts SUBTRACTED (only the deleted
+    //      docs are hashed; one store rewrite), then the batch probed.
+    //      A span is still "duplicated" only if surviving docs repeat
+    //      it — dup-ness is re-judged against the post-delete corpus.
+    "q83_forget_spans" -> ((s, dir) =>
+      graft.io.WindowIndex.probe(
+        T(s, dir, "documents").filter(col("doc_id") % 10 === 0),
+        "text", forgottenWinIndex(s, dir))),
+
+    // ---- north-star: TEXT-derived embedding near-dup — hashed tf-idf
+    //      vectors (q66's feature space, idf-weighted, L2-normalized)
+    //      fed into q24's banded sign-LSH pair pipeline. Closes the
+    //      text→vector→cosine path for corpora with no embedding
+    //      column; every stage is dims-bounded or bucket-keyed.
+    "q84_text_cosine_pairs" -> ((s, dir) =>
+      Similarity.bandedNeighbors(
+        graft.ops.TextOps.hashedTfidfVectors(
+          T(s, dir, "documents"), "text", "doc_id", dims = 64),
+        "doc_id", "tvec",
+        planesPerBand = 8, bands = 2, dims = 64, minCosine = 0.9)),
+
     // ---- north-star: exact-substring SCRUBBING — cut every duplicated
     //      3-token window except its first corpus-wide occurrence and
     //      rebuild the text (the keep-first action for q74's detector).
@@ -1227,8 +1296,9 @@ object SparkEntry {
     * overlap-or-touch. `finalWhere` filters the final span rows (empty
     * for the full corpus, q74; a doc predicate for the incremental
     * probe, q77 — dup-ness itself is ALWAYS judged corpus-wide). */
-  private def dupSpansSql(finalWhere: String, n: Int = 3): String =
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+  private def dupSpansSql(
+      finalWhere: String, n: Int = 3, corpusWhere: String = ""): String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents $corpusWhere),
        |u AS (SELECT doc_id,
        |        unnest(generate_series(1, len(toks) - ${n - 1})) AS pos, toks
        |      FROM t WHERE len(toks) >= $n),
@@ -1732,6 +1802,58 @@ object SparkEntry {
     // restricted to the batch docs — dup-ness is judged against the
     // WHOLE corpus (index counts + batch counts)
     "q77_incremental_spans" -> dupSpansSql("WHERE doc_id % 10 = 0"),
+
+    // forgetting is endpoint-local for PAIRWISE near-dup: the full
+    // pipeline's pairs minus any touching a deleted doc
+    "q82_forget_neardups" ->
+      s"""WITH $jaccardCtes
+         |SELECT id_a, id_b, jaccard FROM vpairs
+         |WHERE (id_a % 10 = 0 OR id_b % 10 = 0)
+         |  AND NOT (id_a % 10 <> 0 AND id_a % 7 = 0)
+         |  AND NOT (id_b % 10 <> 0 AND id_b % 7 = 0)""".stripMargin,
+
+    // forgetting is CORPUS-GLOBAL for exact-substring dup-ness (a
+    // window can stop being duplicated when its other occurrence is
+    // deleted) — the oracle recomputes spans over corpus-minus-deleted
+    "q83_forget_spans" -> dupSpansSql("WHERE doc_id % 10 = 0", 3,
+      "WHERE NOT (doc_id % 10 <> 0 AND doc_id % 7 = 0)"),
+
+    "q84_text_cosine_pairs" -> {
+      // replay: hashed tf → idf in the hashed space → round-then-float
+      // normalized weights → dense 64-wide vectors → the q24 banding
+      val base = PortableSql.minhashBase("tok", DD)
+      val all = Similarity.planes(16, 64)
+      val bandSelects = (0 until 2).map { b =>
+        val bucket = duckSignBucketP("tvec", all.slice(b * 8, (b + 1) * 8), 64)
+        s"SELECT doc_id, tvec, $b AS band, $bucket AS bucket FROM tv"
+      }.mkString(" UNION ALL ")
+      s"""WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |tf AS (SELECT doc_id, ($base % ${PortableSql.minhashP}) % 64 AS b, count(*) AS tf
+         |       FROM e GROUP BY doc_id, b),
+         |dfq AS (SELECT b, count(*) AS df FROM tf GROUP BY b),
+         |nn AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM tf),
+         |w AS (SELECT doc_id, b, tf * ln(nn.n / dfq.df) AS w
+         |      FROM tf JOIN dfq USING (b), nn),
+         |nm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+         |wn AS (SELECT w.doc_id, b, CAST(round(w / nrm, 6) AS REAL) AS w
+         |       FROM w JOIN nm USING (doc_id) WHERE nrm > 0),
+         |grid AS (SELECT doc_id, i.i AS idx
+         |         FROM (SELECT DISTINCT doc_id FROM wn), generate_series(0, 63) i(i)),
+         |vv AS (SELECT g.doc_id, g.idx, coalesce(wn.w, CAST(0.0 AS REAL)) AS w
+         |       FROM grid g LEFT JOIN wn ON wn.doc_id = g.doc_id AND wn.b = g.idx),
+         |tv AS (SELECT doc_id, list(w ORDER BY idx) AS tvec FROM vv GROUP BY doc_id),
+         |bb AS ($bandSelects),
+         |capped AS (SELECT * FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY band, bucket ORDER BY doc_id) AS rn FROM bb
+         |) WHERE rn <= 1000),
+         |p AS (SELECT * FROM (
+         |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+         |    ${duckCosine("a.tvec", "c.tvec", 64)} AS cosine_sim
+         |  FROM capped a JOIN capped c
+         |    ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id
+         |) WHERE cosine_sim >= 0.9)
+         |SELECT id_a, id_b, cosine_sim FROM p""".stripMargin
+    },
 
     "q75_span_scrub" ->
       s"""WITH ${scrubCtes("documents", 3)}

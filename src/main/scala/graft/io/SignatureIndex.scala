@@ -3,6 +3,7 @@ package graft.io
 import org.apache.hadoop.fs.Path
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col}
 
 import graft.ops.Dedup
 
@@ -161,6 +162,39 @@ object SignatureIndex {
     require(fs.rename(live, prevPath(dir)), s"compact: failed to retire $live")
     require(fs.rename(new Path(stagePath(dir)), live),
       s"compact: failed to promote staged index (recoverable — " +
+        s"${prevPath(dir)} holds the previous index)")
+    fs.delete(prevPath(dir), true)
+  }
+
+  /**
+   * Remove docs from the index — the takedown / right-to-be-forgotten
+   * maintenance pass. A deletion request at 100 TB cannot afford a
+   * corpus re-hash; because the index is ~3 orders of magnitude
+   * smaller than the text, the honest cost of forgetting is ONE
+   * rewrite of the signature store minus the deleted ids (an
+   * anti-join at scan speed — the deleted-id side is broadcast).
+   *
+   * After this, [[probe]] can no longer pair any batch with a deleted
+   * doc — equivalent to an index rebuilt from the corpus minus the
+   * deleted docs (signatures are per-doc, so dropping rows IS the
+   * rebuild; spec-pinned). Crash-safe via the same stage + two-rename
+   * swap as [[compact]] ([[ensureLive]] heals the window); serialize
+   * with appends (single-writer contract).
+   */
+  def delete(deletedIds: DataFrame, dir: String): Unit = {
+    val spark = deletedIds.sparkSession
+    ensureLive(spark, dir)
+    val m = meta(spark, dir)
+    val live = new Path(sigsPath(dir))
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.read.parquet(sigsPath(dir))
+      .join(broadcast(deletedIds.select(col(deletedIds.columns.head).as(m.idCol))),
+        Seq(m.idCol), "left_anti")
+      .write.mode("overwrite").parquet(stagePath(dir))
+    fs.delete(prevPath(dir), true) // leftover from an ancient crash
+    require(fs.rename(live, prevPath(dir)), s"delete: failed to retire $live")
+    require(fs.rename(new Path(stagePath(dir)), live),
+      s"delete: failed to promote rewritten index (recoverable — " +
         s"${prevPath(dir)} holds the previous index)")
     fs.delete(prevPath(dir), true)
   }

@@ -221,25 +221,86 @@ object WindowIndex {
     * stage → drop prev). Orphan partitions of crashed appends are NOT
     * carried over — compaction is also the garbage collector. Must not
     * run concurrently with an append (single-writer contract). */
-  def compact(spark: SparkSession, dir: String, numFiles: Int): Unit = {
+  def compact(spark: SparkSession, dir: String, numFiles: Int): Unit =
+    rewriteStore(spark, dir,
+      counts(spark, dir).groupBy(col("hh")).agg(sum(col("cnt")).as("cnt")),
+      processedIds(spark, dir), numFiles)
+
+  /** Rewrite the whole store as ONE `__base__` batch holding
+    * (`newCounts`, `newIds`), swapped in crash-safely — the shared tail
+    * of [[compact]] and [[delete]]. */
+  private def rewriteStore(
+      spark: SparkSession, dir: String,
+      newCounts: DataFrame, newIds: DataFrame, numFiles: Int): Unit = {
     ensureLive(spark, dir)
     val live = new Path(storePath(dir))
     val f = fs(spark, live)
-    counts(spark, dir)
-      .groupBy(col("hh")).agg(sum(col("cnt")).as("cnt"))
+    newCounts
       .repartitionByRange(numFiles, col("hh"))
       .sortWithinPartitions("hh")
       .write.mode("overwrite").parquet(s"${stagePath(dir)}/counts/batch=$baseTag")
-    processedIds(spark, dir)
+    newIds
       .write.mode("overwrite").parquet(s"${stagePath(dir)}/docs/batch=$baseTag")
     val mk = new Path(s"${stagePath(dir)}/docs/batch=$baseTag/$marker")
     f.create(mk, true).close()
     f.delete(prevPath(dir), true) // leftover from an ancient crash
-    require(f.rename(live, prevPath(dir)), s"compact: failed to retire $live")
+    require(f.rename(live, prevPath(dir)), s"rewrite: failed to retire $live")
     require(f.rename(new Path(stagePath(dir)), live),
-      s"compact: failed to promote staged index (recoverable — " +
+      s"rewrite: failed to promote staged index (recoverable — " +
         s"${prevPath(dir)} holds the previous index)")
     f.delete(prevPath(dir), true)
+  }
+
+  /**
+   * Remove docs from the index — the takedown / right-to-be-forgotten
+   * maintenance pass at window granularity. The store holds per-hash
+   * COUNTS (∝ distinct n-grams, never per-doc window rows — that
+   * compression is the whole point of the design), so forgetting a doc
+   * means SUBTRACTING its window-hash counts: `deletedDocs` must carry
+   * the doc TEXT as indexed (a takedown request ships the content;
+   * storing per-doc hashes in the index would reinstate the per-window
+   * volume the counts layout exists to avoid). Cost: hash ONLY the
+   * deleted docs + one store rewrite — the corpus is never re-read.
+   *
+   * Every deleted id must be in the ledger and its text unchanged
+   * since indexing, else the subtraction would corrupt counts — the
+   * ledger side is validated here (fails loudly), the text side is the
+   * caller's contract (the same immutable-corpus assumption every
+   * batch append already relies on). Hashes a window shares with OTHER
+   * live docs keep their residual count, so a span duplicated between
+   * a deleted doc and a survivor correctly stops being "duplicated"
+   * only if the survivor was its sole other occurrence — equivalent to
+   * a rebuild on corpus-minus-deleted (spec-pinned). Single-writer
+   * contract: serialize with appends/compactions.
+   */
+  def delete(deletedDocs: DataFrame, textCol: String, dir: String): Unit = {
+    val spark = deletedDocs.sparkSession
+    ensureLive(spark, dir)
+    val m = meta(spark, dir)
+    val delIds = deletedDocs.select(m.idCol)
+    val missing = delIds.join(processedIds(spark, dir), Seq(m.idCol), "left_anti")
+      .limit(1).count()
+    require(missing == 0,
+      s"delete: some ids are not in the index ledger at $dir — " +
+        "subtracting an unindexed doc would corrupt the counts")
+    val del = Dedup.windowHashCounts(deletedDocs, textCol, m.idCol, m.n, m.kind)
+      .withColumnRenamed("cnt", "del_cnt")
+    val remaining = counts(spark, dir)
+      .groupBy(col("hh")).agg(sum(col("cnt")).as("cnt"))
+      .join(del, Seq("hh"), "left_outer")
+      .select(col("hh"),
+        (col("cnt") - coalesce(col("del_cnt"), lit(0L))).as("cnt"))
+      .filter(col("cnt") > 0)
+    val liveCountFiles = {
+      val it = fs(spark, new Path(countsPath(dir))).listFiles(
+        new Path(countsPath(dir)), true)
+      var n = 0
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      math.max(1, n)
+    }
+    rewriteStore(spark, dir, remaining,
+      processedIds(spark, dir).join(broadcast(delIds), Seq(m.idCol), "left_anti"),
+      liveCountFiles)
   }
 
   /** [[compact]] only when committed batches have fragmented the store

@@ -262,4 +262,47 @@ object TextOps {
       .groupBy(col(idCol), col("feature_idx"))
       .agg(count(lit(1)).as("tf"))
   }
+
+  /**
+   * Dense L2-normalized tf-idf vectors over the hashed feature space —
+   * the TEXT-derived embedding: [[hashedTermFrequencies]] weighted by
+   * `ln(N / df)` in the hashed space (standard hashing-trick practice:
+   * colliding terms share one df), normalized, and assembled into a
+   * fixed `dims`-wide `array<float>` ready for the embedding operators
+   * ([[Similarity.bandedNeighbors]], k-means, ANN). This closes the
+   * text→vector→cosine-near-dup path for corpora that ship no
+   * embedding column.
+   *
+   * Plan: the tf shuffle, a dims-bounded df aggregation joined back as
+   * a broadcast, a ONE-ROW corpus-size aggregate broadcast in, and one
+   * per-doc assembly shuffle — nothing grows with the vocabulary.
+   * Normalized weights are rounded to 6 decimals BEFORE the float
+   * cast (both engines), so cross-engine float-sum association in the
+   * norm cannot flip a stored component. Docs whose every feature has
+   * zero idf (term in every doc) have no direction and are dropped.
+   */
+  def hashedTfidfVectors(
+      df: DataFrame, textCol: String, idCol: String, dims: Int,
+      vecCol: String = "tvec"): DataFrame = {
+    val tf = hashedTermFrequencies(df, textCol, idCol, dims)
+      .localCheckpoint() // feeds df-counts AND the weight projection
+    // one row per (doc, bucket) ⇒ count(*) per bucket IS the doc freq
+    val dfreq = tf.groupBy("feature_idx").agg(count(lit(1)).as("__df"))
+    val nDocs = tf.agg(countDistinct(col(idCol)).cast("double").as("__n"))
+    tf.join(broadcast(dfreq), Seq("feature_idx"))
+      .crossJoin(broadcast(nDocs))
+      .select(col(idCol), col("feature_idx"),
+        (col("tf") * log(col("__n") / col("__df"))).as("__w"))
+      .groupBy(col(idCol))
+      .agg(
+        map_from_entries(collect_list(struct(col("feature_idx"), col("__w"))))
+          .as("__m"),
+        sqrt(sum(col("__w") * col("__w"))).as("__norm"))
+      .filter(col("__norm") > 0)
+      .select(col(idCol),
+        transform(sequence(lit(0L), lit(dims - 1L)),
+          i => coalesce(round(element_at(col("__m"), i) / col("__norm"), 6),
+            lit(0.0)))
+          .cast("array<float>").as(vecCol))
+  }
 }

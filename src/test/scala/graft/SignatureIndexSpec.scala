@@ -52,6 +52,40 @@ class SignatureIndexSpec extends AnyFunSuite {
     assert(viaIndex == direct)
   }
 
+  test("delete ≡ an index rebuilt without the deleted docs") {
+    val dir = TestSpark.tmpDir("sigidx_forget")
+    SignatureIndex.build(corpus, "text", "doc_id", dir)
+    SignatureIndex.delete(
+      corpus.filter($"doc_id" % 7 === 0).select("doc_id"), dir)
+    val afterDelete = SignatureIndex.signatures(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val rebuiltDir = TestSpark.tmpDir("sigidx_forget_rebuild")
+    SignatureIndex.build(
+      corpus.filter($"doc_id" % 7 =!= 0), "text", "doc_id", rebuiltDir)
+    val rebuilt = SignatureIndex.signatures(spark, rebuiltDir)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(afterDelete == rebuilt)
+    assert(afterDelete.keySet.forall(id => id % 7 != 0 || id % 10 == 0))
+    // meta (and so the probe parameters) survives the rewrite
+    assert(SignatureIndex.meta(spark, dir) ==
+      SignatureIndex.meta(spark, rebuiltDir))
+  }
+
+  test("probe after delete never pairs a forgotten doc") {
+    val dir = TestSpark.tmpDir("sigidx_forget_probe")
+    SignatureIndex.build(corpus, "text", "doc_id", dir)
+    val before = SignatureIndex.probe(docs, batch, "text", dir, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val deleted = before.flatMap(p => Seq(p._1, p._2))
+      .filter(id => id % 10 != 0).take(1)
+    assume(deleted.nonEmpty, "fixture must pair the batch with the corpus")
+    SignatureIndex.delete(deleted.toSeq.toDF("doc_id"), dir)
+    val after = SignatureIndex.probe(docs, batch, "text", dir, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == before.filterNot(p =>
+      deleted.contains(p._1) || deleted.contains(p._2)))
+  }
+
   test("ingestBatch appends: the NEXT batch sees this batch's docs") {
     val dir = TestSpark.tmpDir("sigidx_ingest")
     // day 0: corpus = docs with id % 10 ∈ {1..7}; batch A = % 10 == 8,

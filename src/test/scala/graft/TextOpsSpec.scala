@@ -253,6 +253,35 @@ class TextOpsSpec extends AnyFunSuite {
     assert(tiny == 5L)
   }
 
+  test("hashed tf-idf vectors: unit norm, fixed width, idf downweights common terms") {
+    val df = Seq(
+      (1L, "rare alpha shared shared"),
+      (2L, "rare beta shared shared"),
+      (3L, "gamma delta shared shared")).toDF("doc_id", "text")
+    // dims=64: the five distinct tokens land in five distinct buckets
+    // (md5 is fixed, so this is a stable property of the fixture)
+    val out = TextOps.hashedTfidfVectors(df, "text", "doc_id", dims = 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out.values.forall(_.length == 64))
+    // normalized: ||v|| ≈ 1 (weights rounded to 6dp before the cast)
+    out.values.foreach { v =>
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      assert(math.abs(n - 1.0) < 1e-4, s"norm was $n")
+    }
+    // 'shared' occurs in EVERY doc → idf 0 → its bucket carries no
+    // weight; docs 1/2 agree on 'rare', disagree on alpha/beta, and
+    // doc 3 shares only the zero-weight term with either
+    def cos(a: Seq[Float], b: Seq[Float]) =
+      a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    assert(cos(out(1L), out(2L)) > 0.05)
+    assert(cos(out(1L), out(3L)) < 1e-6)
+    // a doc made ONLY of zero-idf terms has no direction → dropped
+    val allShared = Seq((1L, "x y"), (2L, "x y"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    assert(TextOps.hashedTfidfVectors(allShared, "text", "doc_id", 8).count() == 0)
+  }
+
   test("winnowing Expression stays inside whole-stage codegen") {
     // a CodegenFallback here would force the WHOLE projection onto the
     // interpreted path; the static-call doGenCode keeps the stage fused

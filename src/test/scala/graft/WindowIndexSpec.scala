@@ -71,6 +71,55 @@ class WindowIndexSpec extends AnyFunSuite {
       Set((2L, 3L, 6L, 1L)))
   }
 
+  test("delete ≡ an index rebuilt on corpus-minus-deleted") {
+    val dir = TestSpark.tmpDir("winidx_forget")
+    WindowIndex.build(corpus, "text", "doc_id", dir, n = 3)
+    val takedown = corpus.filter($"doc_id" % 7 === 0)
+    WindowIndex.delete(takedown, "text", dir)
+    val rebuiltDir = TestSpark.tmpDir("winidx_forget_rebuild")
+    WindowIndex.build(
+      corpus.filter($"doc_id" % 7 =!= 0), "text", "doc_id", rebuiltDir, n = 3)
+    def norm(d: String) = WindowIndex.counts(spark, d)
+      .groupBy("hh").agg(sum("cnt").as("cnt"))
+      .as[(String, Long)].collect().toMap
+    assert(norm(dir) == norm(rebuiltDir))
+    // the ledger forgets the deleted ids too
+    val ledger = WindowIndex.processedIds(spark, dir)
+      .as[Long].collect().toSet
+    assert(ledger == corpus.filter($"doc_id" % 7 =!= 0)
+      .select("doc_id").as[Long].collect().toSet)
+    // and the batch probe equals the rebuilt index's probe
+    assert(spanSet(WindowIndex.probe(batch, "text", dir)) ==
+      spanSet(WindowIndex.probe(batch, "text", rebuiltDir)))
+  }
+
+  test("deleting a window's only other occurrence un-duplicates it") {
+    val dir = TestSpark.tmpDir("winidx_forget_undup")
+    WindowIndex.build(Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "completely different standing text")).toDF("doc_id", "text"),
+      "text", "doc_id", dir, n = 3)
+    val b = Seq((10L, "alpha beta gamma end")).toDF("doc_id", "text")
+    // before: "alpha beta gamma" is shared with indexed doc 1
+    assert(spanSet(WindowIndex.probe(b, "text", dir)) == Set((10L, 1L, 4L, 1L)))
+    WindowIndex.delete(
+      Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text"), "text", dir)
+    // after the takedown nothing in the corpus repeats the window
+    assert(spanSet(WindowIndex.probe(b, "text", dir)).isEmpty)
+  }
+
+  test("delete rejects ids missing from the ledger") {
+    val dir = TestSpark.tmpDir("winidx_forget_missing")
+    WindowIndex.build(
+      Seq((1L, "some standing corpus document text")).toDF("doc_id", "text"),
+      "text", "doc_id", dir, n = 3)
+    val err = intercept[IllegalArgumentException] {
+      WindowIndex.delete(
+        Seq((99L, "never indexed text here")).toDF("doc_id", "text"), "text", dir)
+    }
+    assert(err.getMessage.contains("not in the index ledger"))
+  }
+
   test("compact preserves probe results and collapses accreted rows") {
     val dir = TestSpark.tmpDir("winidx_compact")
     WindowIndex.build(corpus, "text", "doc_id", dir, n = 3)
