@@ -993,6 +993,33 @@ object SparkEntry {
         "doc_id", "tvec",
         planesPerBand = 8, bands = 2, dims = 64, minCosine = 0.9)),
 
+    // ---- north-star: quality-signal pack (Gopher/C4-family fences) —
+    //      type-token ratio, code-point Shannon entropy (codegen
+    //      kernel), mean word length, digit/uppercase density. One
+    //      scan-speed projection, zero shuffles.
+    "q85_quality_signals" -> ((s, dir) =>
+      graft.ops.TextOps.qualitySignals(T(s, dir, "documents"), "text", "doc_id")),
+
+    // ---- north-star: curriculum difficulty bins — per-language exact
+    //      quartiles of char entropy broadcast back as a scan-speed
+    //      CASE (curriculum schedules read the bin column; nothing
+    //      globally sorts the corpus).
+    "q86_curriculum_bins" -> ((s, dir) =>
+      graft.ops.Sampling.curriculumBins(
+        T(s, dir, "documents"), "lang", "doc_id",
+        graft.functions.GraftFunctions.charEntropy(s, col("text")), nBins = 4)),
+
+    // ---- north-star: shard manifest / dataset card — per-shard doc
+    //      and token counts + source composition over q81's balanced
+    //      export; |shards| rows a consumer reads instead of scanning
+    //      the export.
+    "q87_shard_manifest" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.ops.Packing.shardManifest(
+        graft.ops.Packing.exportShards(docs, "text", "doc_id", targetTokens = 2048L),
+        docs, "doc_id", "source")
+    }),
+
     // ---- north-star: exact-substring SCRUBBING — cut every duplicated
     //      3-token window except its first corpus-wide occurrence and
     //      rebuild the text (the keep-first action for q74's detector).
@@ -1853,6 +1880,84 @@ object SparkEntry {
          |    ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id
          |) WHERE cosine_sim >= 0.9)
          |SELECT id_a, id_b, cosine_sim FROM p""".stripMargin
+    },
+
+    "q85_quality_signals" ->
+      // ttr replays the kernel's exact double ops (1 − (1 − d/t));
+      // entropy over code points — DuckDB string_split('') code-point
+      // semantics match the kernel's codePointAt walk
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+         |c AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+         |f AS (SELECT doc_id, ch, count(*) AS n FROM c GROUP BY doc_id, ch),
+         |tt AS (SELECT doc_id, CAST(sum(n) AS DOUBLE) AS t FROM f GROUP BY doc_id),
+         |ent AS (SELECT f.doc_id,
+         |    round(-sum((CAST(n AS DOUBLE) / t) * ln(CAST(n AS DOUBLE) / t)), 6) AS char_entropy
+         |  FROM f JOIN tt USING (doc_id) GROUP BY f.doc_id)
+         |SELECT t.doc_id,
+         |  round(1.0 - (1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)), 6) AS ttr,
+         |  ent.char_entropy,
+         |  round((CAST(length(text) AS DOUBLE) - (CAST(len(toks) AS DOUBLE) - 1.0))
+         |    / CAST(len(toks) AS DOUBLE), 6) AS mean_word_len,
+         |  round((CAST(length(text) AS DOUBLE) - length(regexp_replace(text, '[0-9]', '', 'g')))
+         |    / CAST(length(text) AS DOUBLE), 6) AS digit_ratio,
+         |  round((CAST(length(text) AS DOUBLE) - length(regexp_replace(text, '[A-Z]', '', 'g')))
+         |    / CAST(length(text) AS DOUBLE), 6) AS upper_ratio
+         |FROM t JOIN ent USING (doc_id)""".stripMargin,
+
+    "q86_curriculum_bins" -> {
+      // q38's rank-interpolation percentile replay at 0.25/0.5/0.75,
+      // then the same ≤-boundary CASE sum the Spark projection uses
+      val pcols = Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75").map { case (p, name) =>
+        s"""round(
+           |    max(CASE WHEN rn = CAST(floor((n - 1) * $p) AS BIGINT) + 1 THEN metric END) +
+           |    (max(CASE WHEN rn = CAST(ceil((n - 1) * $p) AS BIGINT) + 1 THEN metric END) -
+           |     max(CASE WHEN rn = CAST(floor((n - 1) * $p) AS BIGINT) + 1 THEN metric END))
+           |    * max((n - 1) * $p - floor((n - 1) * $p)), 6) AS $name""".stripMargin
+      }.mkString(",\n  ")
+      s"""WITH c AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+         |f AS (SELECT doc_id, ch, count(*) AS n FROM c GROUP BY doc_id, ch),
+         |tt AS (SELECT doc_id, CAST(sum(n) AS DOUBLE) AS t FROM f GROUP BY doc_id),
+         |m AS (SELECT d.lang, f.doc_id,
+         |    round(-sum((CAST(n AS DOUBLE) / t) * ln(CAST(n AS DOUBLE) / t)), 6) AS metric
+         |  FROM f JOIN tt USING (doc_id) JOIN documents d ON d.doc_id = f.doc_id
+         |  GROUP BY d.lang, f.doc_id),
+         |r AS (SELECT lang, metric,
+         |    row_number() OVER (PARTITION BY lang ORDER BY metric ASC) AS rn,
+         |    CAST(count(*) OVER (PARTITION BY lang) AS DOUBLE) AS n
+         |  FROM m),
+         |b AS (SELECT lang,
+         |  $pcols
+         |FROM r GROUP BY lang)
+         |SELECT m.lang, m.doc_id, m.metric,
+         |  CAST(CASE WHEN m.metric <= b.p25 THEN 0 ELSE 1 END +
+         |       CASE WHEN m.metric <= b.p50 THEN 0 ELSE 1 END +
+         |       CASE WHEN m.metric <= b.p75 THEN 0 ELSE 1 END AS BIGINT) AS bin
+         |FROM m JOIN b USING (lang)""".stripMargin
+    },
+
+    "q87_shard_manifest" -> {
+      // q81's salted prefix-sum shard assignment + per-shard rollup;
+      // modal source with ties → lexicographically first
+      val n = PortableSql.tokenCount("text", DD)
+      s"""WITH h AS (SELECT doc_id,
+         |    md5(concat('shards', ':', CAST(doc_id AS VARCHAR))) AS k,
+         |    CAST($n AS BIGINT) AS n FROM documents),
+         |p AS (SELECT doc_id, n,
+         |    CAST(sum(n) OVER (ORDER BY k, doc_id) - n AS BIGINT) AS s FROM h),
+         |a AS (SELECT p.doc_id, p.n, CAST(s // 2048 AS BIGINT) AS shard_idx, d.source
+         |      FROM p JOIN documents d USING (doc_id)),
+         |g AS (SELECT shard_idx, source, count(*) AS c, sum(n) AS t
+         |      FROM a GROUP BY shard_idx, source),
+         |r AS (SELECT shard_idx, source,
+         |    row_number() OVER (PARTITION BY shard_idx ORDER BY c DESC, source ASC) AS rn
+         |  FROM g)
+         |SELECT g.shard_idx,
+         |  CAST(sum(g.c) AS BIGINT) AS n_docs,
+         |  CAST(sum(g.t) AS BIGINT) AS n_tokens,
+         |  count(*) AS n_attrs,
+         |  max(r.source) AS top_attr
+         |FROM g JOIN r ON r.shard_idx = g.shard_idx AND r.rn = 1
+         |GROUP BY g.shard_idx""".stripMargin
     },
 
     "q75_span_scrub" ->

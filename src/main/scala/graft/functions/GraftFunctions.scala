@@ -69,12 +69,22 @@ object GraftFunctions {
     DupShingleRatioKernel(args.head, intLit(args(1), "graft_dup_ratio", "n"))
   }
 
+  private val entropyId = FunctionIdentifier("graft_char_entropy")
+  private val entropyInfo =
+    new ExpressionInfo(classOf[CharEntropyKernel].getName, "graft_char_entropy")
+  private val entropyBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 1,
+      s"graft_char_entropy expects 1 argument, got ${args.length}")
+    CharEntropyKernel(args.head)
+  }
+
   private val all = Seq(
     (cosineId, cosineInfo, cosineBuilder),
     (winnowId, winnowInfo, winnowBuilder),
     (tokenCountId, tokenCountInfo, tokenCountBuilder),
     (langIdId, langIdInfo, langIdBuilder),
-    (dupRatioId, dupRatioInfo, dupRatioBuilder))
+    (dupRatioId, dupRatioInfo, dupRatioBuilder),
+    (entropyId, entropyInfo, entropyBuilder))
 
   def inject(ext: SparkSessionExtensions): Unit =
     all.foreach(ext.injectFunction)
@@ -114,6 +124,13 @@ object GraftFunctions {
   def langId(spark: SparkSession, text: Column): Column = {
     register(spark)
     org.apache.spark.sql.functions.call_function("graft_lang_id", text)
+  }
+
+  /** Column-API handle on the char-entropy kernel (UNROUNDED nats;
+    * apply `round(…, 6)` for the oracle-parity form). */
+  def charEntropy(spark: SparkSession, text: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_char_entropy", text)
   }
 
   /** Column-API handle on the duplicate-shingle-ratio kernel

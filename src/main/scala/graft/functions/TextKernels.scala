@@ -98,6 +98,33 @@ object TextKernels {
     langNames(i)
   }
 
+  /** Shannon entropy in NATS over Unicode code points, unrounded —
+    * the low-entropy fence for degenerate text (one repeated char,
+    * binary junk, keyboard mashing). One pass, a small count map; the
+    * DuckDB oracle's `string_split(text, '')` also yields code points,
+    * so the distributions agree by construction. Empty string → 0.0. */
+  def charEntropy(s: UTF8String): Double = {
+    val str = s.toString
+    if (str.isEmpty) return 0.0
+    val counts = new java.util.HashMap[Integer, java.lang.Long]()
+    var i = 0
+    var n = 0L
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      val prev = counts.get(cp)
+      counts.put(cp, if (prev == null) 1L else prev + 1L)
+      i += java.lang.Character.charCount(cp)
+      n += 1
+    }
+    var ent = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val p = it.next().toDouble / n
+      ent -= p * math.log(p)
+    }
+    ent
+  }
+
   /** Duplicate word-n-gram fraction, unrounded: `1 − distinct/total`
     * over the same shingle list the HOF formulation builds (short docs
     * floor at one shingle of however many tokens exist). */
@@ -166,6 +193,19 @@ case class LangIdKernel(child: Expression) extends StringKernelExpression {
     ev.copy(code = resultCode,
       isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
   }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_char_entropy(text)` — see [[TextKernels.charEntropy]]. */
+case class CharEntropyKernel(child: Expression) extends StringKernelExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_char_entropy"
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.charEntropy(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.charEntropy($c);")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -150,4 +150,33 @@ object Packing {
       .select(col(idCol), col("__n").as("n_toks"),
         col("__start").as("tok_start"), col("shard_idx"))
   }
+
+  /**
+   * Per-shard dataset card: the manifest a published training export
+   * ships beside its shards — doc/token counts plus composition over
+   * an attribute (source, language…). One groupBy over the
+   * [[exportShards]] assignment joined with the doc attributes; at
+   * 100 TB the manifest is |shards| rows — the queryable metadata a
+   * consumer reads INSTEAD of scanning the export to learn its mix.
+   *
+   * `n_attrs` = distinct attribute values in the shard;
+   * `top_attr` = lexicographically-first modal value (deterministic
+   * tie-break so the manifest is reproducible run to run).
+   */
+  def shardManifest(
+      shards: DataFrame, docs: DataFrame, idCol: String,
+      attrCol: String): DataFrame = {
+    val joined = shards.join(docs.select(col(idCol), col(attrCol)), Seq(idCol))
+    val byAttr = joined.groupBy(col("shard_idx"), col(attrCol))
+      .agg(count(lit(1)).as("__c"), sum(col("n_toks")).as("__t"))
+    byAttr.groupBy(col("shard_idx"))
+      .agg(
+        sum(col("__c")).as("n_docs"),
+        sum(col("__t")).as("n_tokens"),
+        count(lit(1)).as("n_attrs"),
+        // modal attribute, ties → lexicographically first:
+        // min(struct(−count, attr)) — decomposable, no window
+        min(struct((-col("__c")).as("__negc"), col(attrCol).as("__a")))
+          .getField("__a").as("top_attr"))
+  }
 }

@@ -119,4 +119,33 @@ object Sampling {
       else df.filter(pos >= lo && pos < hi)
     }
   }
+
+  /**
+   * Curriculum binning: assign every row to one of `nBins` difficulty
+   * quantile bins of `metric` WITHIN its group — the
+   * easy-to-hard-ordering primitive (curriculum learning schedules
+   * consume the bin column, not a global sort: totally ordering 100 TB
+   * is the one thing a distributed engine must never do).
+   *
+   * Two stages: per-group exact quantile boundaries
+   * ([[Stats.exactPercentiles]] — one shuffle, |groups| rows out;
+   * swap in `approxPercentiles` at extreme scale), broadcast back and
+   * compared in a scan-speed CASE projection. The metric is rounded to
+   * 6 decimals BEFORE ranking so both engines bin the identical value
+   * against the identical boundary. Bins: 0 = lowest metric quantile.
+   */
+  def curriculumBins(
+      df: DataFrame, groupCol: String, idCol: String, metric: Column,
+      nBins: Int = 4): DataFrame = {
+    require(nBins >= 2 && nBins <= 100, "need 2..100 bins")
+    val scored = df.select(col(groupCol), col(idCol),
+      round(metric.cast("double"), 6).as("metric"))
+    val ps = (1 until nBins).map(_.toDouble / nBins)
+    val bounds = Stats.exactPercentiles(scored, Seq(groupCol), "metric", ps)
+      .drop("n_rows")
+    val bin = ps.map(p => when(col("metric") <= col(Stats.pName(p)), 0L).otherwise(1L))
+      .reduce(_ + _)
+    scored.join(broadcast(bounds), Seq(groupCol))
+      .select(col(groupCol), col(idCol), col("metric"), bin.as("bin"))
+  }
 }

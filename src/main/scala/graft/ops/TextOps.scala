@@ -264,6 +264,40 @@ object TextOps {
   }
 
   /**
+   * Per-document quality SIGNALS beyond the q13 composite score — the
+   * standard Gopher/C4-family fences, one scan-speed projection:
+   *
+   *  - `ttr` type-token ratio (distinct words / words; low = loops),
+   *    derived from the n=1 shingle kernel;
+   *  - `char_entropy` Shannon entropy in nats over code points
+   *    ([[graft.functions.TextKernels.charEntropy]], codegen kernel;
+   *    low = repeated chars / degenerate text);
+   *  - `mean_word_len` (chars excluding the n−1 separators / words;
+   *    junk corpora sit far from natural-language ~4–6);
+   *  - `digit_ratio`, `upper_ratio` (char-class density fences).
+   *
+   * All rounded to 6 decimals (cross-engine float-sum association).
+   * Zero shuffles — at 100 TB this runs at scan speed next to the
+   * other corpus filters.
+   */
+  def qualitySignals(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val s = df.sparkSession
+    val t = col(textCol)
+    val len = length(t).cast("double")
+    val nToks = graft.functions.GraftFunctions.tokenCount(s, t).cast("double")
+    df.select(col(idCol),
+      round(lit(1.0) - graft.functions.GraftFunctions.dupShingleRatio(s, t, 1), 6)
+        .as("ttr"),
+      round(graft.functions.GraftFunctions.charEntropy(s, t), 6)
+        .as("char_entropy"),
+      round((len - (nToks - lit(1.0))) / nToks, 6).as("mean_word_len"),
+      round((len - length(regexp_replace(t, lit("[0-9]"), lit("")))) / len, 6)
+        .as("digit_ratio"),
+      round((len - length(regexp_replace(t, lit("[A-Z]"), lit("")))) / len, 6)
+        .as("upper_ratio"))
+  }
+
+  /**
    * Dense L2-normalized tf-idf vectors over the hashed feature space —
    * the TEXT-derived embedding: [[hashedTermFrequencies]] weighted by
    * `ln(N / df)` in the hashed space (standard hashing-trick practice:

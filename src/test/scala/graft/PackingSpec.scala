@@ -138,4 +138,25 @@ class PackingSpec extends AnyFunSuite {
     assert(a == run(19, "shards"), "same seed → same global order everywhere")
     assert(a != run(3, "v2"), "a different seed reshuffles the order")
   }
+
+  test("shardManifest: conserves docs/tokens, modal attr ties break lexicographically") {
+    val docs = TestSpark.table("documents")
+    val shards = Packing.exportShards(docs, "text", "doc_id", targetTokens = 2048L)
+    val manifest = Packing.shardManifest(shards, docs, "doc_id", "source")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    // conservation: manifest totals equal the shard assignment's totals
+    val assigned = shards.collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(manifest.map(_._2).sum == assigned.length)
+    assert(manifest.map(_._3).sum == assigned.map(_._1).sum)
+    assert(manifest.map(_._1).toSet == assigned.map(_._2).toSet)
+    // crafted tie: two attrs with equal counts → lexicographically first
+    import TestSpark.spark.implicits._
+    val tied = Packing.shardManifest(
+      Seq((1L, 5L, 0L, 0L), (2L, 5L, 5L, 0L)).toDF("doc_id", "n_toks", "tok_start", "shard_idx"),
+      Seq((1L, "zeta"), (2L, "alpha")).toDF("doc_id", "source"),
+      "doc_id", "source")
+      .collect().map(r => r.getString(4))
+    assert(tied.toSeq == Seq("alpha"))
+  }
 }

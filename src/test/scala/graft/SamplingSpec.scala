@@ -118,4 +118,28 @@ class SamplingSpec extends AnyFunSuite {
       assert(math.abs(realized - 10000.0) / 10000.0 < 0.01, s"realized $realized")
     }
   }
+
+  test("curriculumBins: quartiles per group, monotone in the metric, near-equal sizes") {
+    import org.apache.spark.sql.functions.col
+    val docs = TestSpark.table("documents")
+    val out = Sampling.curriculumBins(
+      docs, "lang", "doc_id", org.apache.spark.sql.functions.length(col("text")),
+      nBins = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(out.map(_._4).toSet == Set(0L, 1L, 2L, 3L))
+    // within a group, a doc in a lower bin never has a larger metric
+    out.groupBy(_._1).foreach { case (lang, rows) =>
+      val byBin = rows.groupBy(_._4).view.mapValues(_.map(_._3)).toMap
+      byBin.keys.toSeq.sorted.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(byBin(a).max <= byBin(b).min + 1e-9, s"$lang bins $a/$b overlap")
+        case _ =>
+      }
+      // quartiles: each bin holds ≤ ceil(n/4) + ties worth of rows
+      val n = rows.size
+      byBin.values.foreach(v => assert(v.size <= n / 2, s"$lang bin too large"))
+    }
+    // every doc got exactly one bin
+    assert(out.length == docs.count())
+  }
 }

@@ -253,6 +253,43 @@ class TextOpsSpec extends AnyFunSuite {
     assert(tiny == 5L)
   }
 
+  test("char entropy kernel: known values, degenerate text scores low") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.TextKernels
+    // H("abca") = −(½ln½ + ¼ln¼·2) ≈ 1.039721
+    assert(math.abs(
+      TextKernels.charEntropy(UTF8String.fromString("abca")) - 1.0397207708399179) < 1e-12)
+    assert(TextKernels.charEntropy(UTF8String.fromString("aaaa")) == 0.0)
+    assert(TextKernels.charEntropy(UTF8String.fromString("")) == 0.0)
+    // surrogate pairs count as ONE code point (matches DuckDB's split)
+    assert(TextKernels.charEntropy(UTF8String.fromString("😀")) == 0.0)
+    val natural = TextKernels.charEntropy(
+      UTF8String.fromString("the quick brown fox jumps over the lazy dog"))
+    val mash = TextKernels.charEntropy(UTF8String.fromString("aaaaabbbbbaaaaabbbbb"))
+    assert(natural > 2.5 && mash < 1.2)
+  }
+
+  test("quality signals: known values on a crafted doc, zero-shuffle shape") {
+    val df = Seq(
+      (1L, "aa bb aa CC 99"),   // 5 toks, 4 distinct; 14 chars
+      (2L, "x x x x")).toDF("doc_id", "text")
+    val out = TextOps.qualitySignals(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    val (ttr1, _, mwl1, dig1, up1) = out(1L)
+    assert(ttr1 == 0.8)                    // 4 distinct / 5 tokens
+    assert(mwl1 == 2.0)                    // (14 − 4) / 5
+    assert(dig1 == math.rint(2.0 / 14 * 1e6) / 1e6)
+    assert(up1 == dig1)                    // 2 uppercase of 14
+    val (ttr2, ent2, _, _, _) = out(2L)
+    assert(ttr2 == 0.25 && ent2 > 0)       // 1 distinct / 4 tokens
+    // scan-speed contract: no exchange anywhere in the plan
+    val plan = TextOps.qualitySignals(df, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected a narrow plan:\n$plan")
+  }
+
   test("hashed tf-idf vectors: unit norm, fixed width, idf downweights common terms") {
     val df = Seq(
       (1L, "rare alpha shared shared"),
