@@ -993,6 +993,16 @@ object SparkEntry {
         "doc_id", "tvec",
         planesPerBand = 8, bands = 2, dims = 64, minCosine = 0.9)),
 
+    // ---- north-star: EXACT all-pairs Jaccard join via prefix
+    //      filtering (AllPairs/PPJoin family) — deterministic recall,
+    //      no LSH misses; candidates come only from each doc's rarest
+    //      shingles, so frequent-shingle posting lists never self-join.
+    //      The oracle is a plain all-pairs Jaccard — checking the
+    //      exactness guarantee itself, not a replay of the mechanics.
+    "q88_exact_jaccard_pairs" -> ((s, dir) =>
+      Dedup.prefixFilteredPairs(
+        T(s, dir, "documents"), "text", "doc_id", threshold = 0.8)),
+
     // ---- north-star: quality-signal pack (Gopher/C4-family fences) —
     //      type-token ratio, code-point Shannon entropy (codegen
     //      kernel), mean word length, digit/uppercase density. One
@@ -1881,6 +1891,23 @@ object SparkEntry {
          |) WHERE cosine_sim >= 0.9)
          |SELECT id_a, id_b, cosine_sim FROM p""".stripMargin
     },
+
+    // the EXACTNESS oracle: all pairs with Jaccard ≥ 0.8, computed with
+    // no prefix/LSH mechanics at all — any miss in the prefix path
+    // would surface here as a row-count/hash mismatch
+    "q88_exact_jaccard_pairs" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |sh AS (SELECT doc_id, $duckShingles AS s FROM t),
+         |exsh AS (SELECT DISTINCT doc_id, unnest(s) AS sv FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM exsh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT ea.doc_id AS id_a, eb.doc_id AS id_b, count(*) AS i
+         |  FROM exsh ea JOIN exsh eb ON eb.sv = ea.sv AND ea.doc_id < eb.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, round(it.i / (sa.n + sb.n - it.i), 6) AS jaccard
+         |FROM inter it JOIN sizes sa ON sa.doc_id = it.id_a
+         |JOIN sizes sb ON sb.doc_id = it.id_b
+         |WHERE round(it.i / (sa.n + sb.n - it.i), 6) >= 0.8""".stripMargin,
 
     "q85_quality_signals" ->
       // ttr replays the kernel's exact double ops (1 − (1 − d/t));

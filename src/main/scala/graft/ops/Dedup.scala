@@ -277,6 +277,64 @@ object Dedup {
   }
 
   /**
+   * EXACT all-pairs Jaccard similarity join via prefix filtering — the
+   * deterministic-recall complement to the MinHash pipeline: the
+   * result is mathematically ALL pairs with shingle-Jaccard ≥
+   * `threshold`, no LSH misses (the oracle exploits exactly that: it
+   * checks against a plain all-pairs Jaccard, never replaying the
+   * prefix mechanics).
+   *
+   * Standard prefix-filtering theorem (AllPairs/PPJoin family): under
+   * ANY global total order of the element universe, two sets with
+   * J ≥ t must share an element among each one's first
+   * `|x| − ⌈t·|x|⌉ + 1` elements. We order shingle hashes by
+   * (document frequency ASC, hash) — rarest first, the classic
+   * candidate-minimizing choice — so candidate generation joins only
+   * PREFIX rows on the shingle hash: posting lists of the frequent
+   * shingles (the quadratic hazard) never enter the join.
+   *
+   * Scale shape: shingle hashes only (128-bit md5 under [[Md5]] —
+   * collision-induced recall loss is cryptographically negligible;
+   * [[Xx64]] for throughput twins), df counts are a decomposable
+   * aggregation, the per-doc ranking windows over the DOC id (bounded
+   * by doc length — never over the hash), and the final verify is the
+   * shared semi-join-pruned [[verifyPairs]]. The ceil gets a −1e-9
+   * nudge: float error may only ever LENGTHEN a prefix (more
+   * candidates), never shorten one (missed pairs).
+   */
+  def prefixFilteredPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double,
+      shingleWords: Int = 3,
+      kind: HashKind = Md5): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val sh = df
+      .select(col(idCol).as("id"),
+        explode(array_distinct(TextOps.wordShingles(col(textCol), shingleWords)))
+          .as("__s"))
+      .select(col("id"), kind.bucket(col("__s")).as("__h"))
+      .localCheckpoint() // feeds the df counts AND the ranking
+    val dfreq = sh.groupBy("__h").agg(count(lit(1)).as("__df"))
+    val prefix = sh.join(dfreq, Seq("__h"))
+      .withColumn("__k",
+        row_number().over(Window.partitionBy("id").orderBy(col("__df"), col("__h"))))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("id")))
+      .filter(col("__k") <=
+        col("__n") - ceil(lit(threshold) * col("__n") - lit(1e-9)) + 1)
+      .select(col("id"), col("__h"))
+      .localCheckpoint() // self-joined below
+    val cands = prefix.select(col("__h"), col("id").as("id_a"))
+      .join(prefix.select(col("__h"), col("id").as("id_b")), Seq("__h"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    verifyPairs(df, cands, textCol, idCol, threshold, shingleWords)
+  }
+
+  /**
    * Incremental near-dup detection — the daily-ingest workflow at
    * corpus scale: you do NOT re-hash 100 TB because a batch landed.
    * The corpus's MinHash signatures are built once

@@ -103,6 +103,40 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("prefixFilteredPairs == brute-force all-pairs Jaccard (exactness guarantee)") {
+    val docs = TestSpark.table("documents")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaPrefix = pairSet(
+      Dedup.prefixFilteredPairs(docs, "text", "doc_id", threshold = 0.8))
+    // brute force: EVERY ordered id pair as a candidate, same verifier
+    val ids = docs.select(col("doc_id"))
+    val allPairs = ids.select(col("doc_id").as("id_a"))
+      .crossJoin(ids.select(col("doc_id").as("id_b")))
+      .filter(col("id_a") < col("id_b"))
+    val brute = pairSet(
+      Dedup.verifyPairs(docs, allPairs, "text", "doc_id", 0.8, 3))
+    assert(viaPrefix == brute)
+    assert(brute.nonEmpty, "fixture must contain near-dups")
+    // and the LSH pipeline can only ever be a SUBSET of the exact join
+    val lsh = pairSet(
+      Dedup.verifiedNearDups(docs, "text", "doc_id", threshold = 0.8))
+    assert(lsh.subsetOf(viaPrefix))
+  }
+
+  test("prefixFilteredPairs: engineered near-dups found; windows only over the doc id") {
+    val out = Dedup.prefixFilteredPairs(corpus, "text", "doc_id", threshold = 0.8)
+    val pairs = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((3L, 4L)), "exact dups must pair")
+    assert(pairs.contains((1L, 2L)), "engineered near-dups must pair")
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+    // skew guardrail: ranking windows partition by the DOC id (bounded
+    // by doc length), never by the shingle hash (unbounded hot key)
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("windowspecdefinition(__h"),
+      s"window over the hash column:\n$plan")
+  }
+
   test("components: min-label clusters on known graphs, incl. chains and singleton pairs") {
     // two components: a chain 1-2-3-4 (diameter 3 → needs >1 iteration)
     // and an isolated pair (10, 11)
