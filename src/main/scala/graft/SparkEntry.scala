@@ -1003,6 +1003,28 @@ object SparkEntry {
       Dedup.prefixFilteredPairs(
         T(s, dir, "documents"), "text", "doc_id", threshold = 0.8)),
 
+    // ---- north-star: corpus-health report — the corpus-level dataset
+    //      card: docs, tokens, lang/source cardinalities, normalized
+    //      exact-dup rate, decimal-summed mean quality, ONE aggregation
+    //      pass (exact distincts; q63's HLL profile is the 100 TB twin).
+    "q89_corpus_report" -> ((s, dir) => {
+      val t = col("text")
+      T(s, dir, "documents")
+        .select(
+          graft.functions.GraftFunctions.tokenCount(s, t).as("__n"),
+          col("lang"), col("source"),
+          graft.ops.TextOps.fingerprint(t).as("__fp"),
+          graft.ops.TextOps.qualityScore(t).cast("decimal(18,6)").as("__q"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("__n")).as("n_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("source")).as("n_sources"),
+          round(lit(1.0) - countDistinct(col("__fp")).cast("double") / count(lit(1)), 6)
+            .as("dup_rate"),
+          round(sum(col("__q")).cast("double") / count(lit(1)), 6).as("mean_quality"))
+    }),
+
     // ---- north-star: quality-signal pack (Gopher/C4-family fences) —
     //      type-token ratio, code-point Shannon entropy (codegen
     //      kernel), mean word length, digit/uppercase density. One
@@ -1908,6 +1930,18 @@ object SparkEntry {
          |FROM inter it JOIN sizes sa ON sa.doc_id = it.id_a
          |JOIN sizes sb ON sb.doc_id = it.id_b
          |WHERE round(it.i / (sa.n + sb.n - it.i), 6) >= 0.8""".stripMargin,
+
+    "q89_corpus_report" -> {
+      val n = PortableSql.tokenCount("text", DD)
+      val q = PortableSql.qualityScore("text", DD)
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum($n) AS BIGINT) AS n_tokens,
+         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         |  round(1.0 - CAST(count(DISTINCT md5(lower(trim(text)))) AS DOUBLE) / count(*), 6) AS dup_rate,
+         |  round(cast(sum(cast($q as decimal(18,6))) as double) / count(*), 6) AS mean_quality
+         |FROM documents""".stripMargin
+    },
 
     "q85_quality_signals" ->
       // ttr replays the kernel's exact double ops (1 − (1 − d/t));

@@ -1,55 +1,33 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
-/** Throwaway stage-timing harness for plan investigations (not part of
-  * the driver surface). */
+/** Throwaway plan-audit harness for the round's new queries (not part
+  * of the driver surface). Prints each query's formatted plan plus the
+  * exchange/broadcast counts a reviewer audits. */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    def t(name: String)(f: => Long): Unit = {
-      (1 to 3).foreach { i =>
-        val t0 = System.nanoTime()
-        val n = f
-        println(f"[scratch] $name rep $i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
-      }
-    }
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val filters = graft.config.PipelineConfig.parseCorpusFilters("""corpus_filters:
-      |  - filter: min_tokens
-      |    min: 20
-      |  - filter: max_tokens
-      |    max: 100000
-      |  - filter: languages
-      |    allow: ["en", "fr", "es"]
-      |  - filter: min_quality
-      |    min: 0.3
-      |  - filter: max_repetition
-      |    max: 0.5
-      |""".stripMargin)
-    t("tokens-only") {
-      docs.filter(graft.ops.TextOps.tokenCount(col("text")).between(20, 100000)).count()
-    }
-    t("langid-only") {
-      docs.filter(graft.ops.TextOps.langId(col("text")).isin("en", "fr", "es")).count()
-    }
-    t("quality-only") {
-      docs.filter(graft.ops.TextOps.qualityScore(col("text")) >= 0.3).count()
-    }
-    t("repetition-only") {
-      docs.filter(graft.ops.TextOps.duplicateShingleRatio(col("text"), 3) <= 0.5).count()
-    }
-    t("decide-only") {
-      graft.ops.CorpusFilters.decide(docs, "text", "doc_id", filters)
-        .filter(col("kept")).select("doc_id").count()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names = if (args.nonEmpty) args.toSeq else Seq(
+      "q82_forget_neardups", "q83_forget_spans", "q84_text_cosine_pairs",
+      "q85_quality_signals", "q86_curriculum_bins", "q87_shard_manifest",
+      "q88_exact_jaccard_pairs")
+    names.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      val exchanges = "Exchange ".r.findAllIn(plan).length
+      val bcasts = "BroadcastExchange".r.findAllIn(plan).length
+      val windows = "Window ".r.findAllIn(plan).length
+      println(s"==== $name: exchanges=$exchanges broadcasts=$bcasts windows=$windows")
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode).take(4000))
     }
     spark.stop()
   }
