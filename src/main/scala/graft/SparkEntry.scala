@@ -214,7 +214,8 @@ object SparkEntry {
     "q76_curation_scrubbed" -> ((s, dir) => clusterLabels(s, dir).count(): Unit),
     "q77_incremental_spans" -> ((s, dir) => durableWinIndex(s, dir): Unit),
     "q82_forget_neardups" -> ((s, dir) => forgottenSigIndex(s, dir): Unit),
-    "q83_forget_spans" -> ((s, dir) => forgottenWinIndex(s, dir): Unit))
+    "q83_forget_spans" -> ((s, dir) => forgottenWinIndex(s, dir): Unit),
+    "q90_novelty_scores" -> ((s, dir) => durableWinIndex(s, dir): Unit))
 
   // ---------------------------------------------------------------- entry
 
@@ -1002,6 +1003,15 @@ object SparkEntry {
     "q88_exact_jaccard_pairs" -> ((s, dir) =>
       Dedup.prefixFilteredPairs(
         T(s, dir, "documents"), "text", "doc_id", threshold = 0.8)),
+
+    // ---- north-star: per-doc n-gram NOVELTY vs the standing corpus —
+    //      the data-selection read of the q77 window index (boilerplate
+    //      re-crawls score ~0, genuinely new text ~1); only the batch
+    //      is hashed, the index is pruned map-side, never reshuffled.
+    "q90_novelty_scores" -> ((s, dir) =>
+      graft.io.WindowIndex.noveltyProbe(
+        T(s, dir, "documents").filter(col("doc_id") % 10 === 0),
+        "text", durableWinIndex(s, dir))),
 
     // ---- north-star: corpus-health report — the corpus-level dataset
     //      card: docs, tokens, lang/source cardinalities, normalized
@@ -1930,6 +1940,25 @@ object SparkEntry {
          |FROM inter it JOIN sizes sa ON sa.doc_id = it.id_a
          |JOIN sizes sb ON sb.doc_id = it.id_b
          |WHERE round(it.i / (sa.n + sb.n - it.i), 6) >= 0.8""".stripMargin,
+
+    // novelty judged vs the CORPUS only (batch-internal repeats stay
+    // novel): batch windows left-join the corpus's distinct window set
+    "q90_novelty_scores" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |u AS (SELECT doc_id,
+         |        unnest(generate_series(1, len(toks) - 2)) AS pos, toks
+         |      FROM t WHERE len(toks) >= 3),
+         |h AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |        md5(array_to_string(toks[pos:pos + 2], ' ')) AS hh
+         |      FROM u),
+         |cw AS (SELECT DISTINCT hh FROM h WHERE doc_id % 10 <> 0),
+         |bw AS (SELECT doc_id, hh FROM h WHERE doc_id % 10 = 0)
+         |SELECT bw.doc_id, count(*) AS n_windows,
+         |  CAST(sum(CASE WHEN cw.hh IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |  round(CAST(sum(CASE WHEN cw.hh IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 6) AS novelty
+         |FROM bw LEFT JOIN cw USING (hh)
+         |GROUP BY bw.doc_id""".stripMargin,
 
     "q89_corpus_report" -> {
       val n = PortableSql.tokenCount("text", DD)

@@ -206,6 +206,16 @@ object WindowIndex {
       newDocs, counts(newDocs.sparkSession, dir), textCol, m.idCol, m.n, m.kind)
   }
 
+  /** Per-doc n-gram novelty of `newDocs` against the indexed corpus
+    * ([[Dedup.noveltyScores]]) — the data-selection read of the same
+    * store the span probe uses. Window width and hash kind come from
+    * the stored meta. */
+  def noveltyProbe(newDocs: DataFrame, textCol: String, dir: String): DataFrame = {
+    val m = meta(newDocs.sparkSession, dir)
+    Dedup.noveltyScores(
+      newDocs, counts(newDocs.sparkSession, dir), textCol, m.idCol, m.n, m.kind)
+  }
+
   /** Append `newDocs` as one committed batch so future probes see
     * them. Idempotent per doc set (deterministic tag + overwrite). */
   def append(newDocs: DataFrame, textCol: String, dir: String): Unit = {

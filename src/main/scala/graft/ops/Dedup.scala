@@ -726,6 +726,49 @@ object Dedup {
     mergeIslands(dupWindows, idCol, n)
   }
 
+  /**
+   * Novelty scoring against a standing window-hash index — the
+   * data-selection twin of [[incrementalDuplicateSpans]]: instead of
+   * asking "which batch spans duplicate the corpus", ask per batch doc
+   * "how much of this text is n-gram-NOVEL relative to the corpus"
+   * (the high-signal docs a selection policy wants to keep; boilerplate
+   * re-crawls score ~0). Output: (idCol, n_windows, n_novel,
+   * novelty [rounded 6dp]) for every batch doc with ≥ n tokens.
+   *
+   * Same scale shape as the span probe: only the BATCH is hashed, the
+   * index is pruned map-side by a broadcast of the batch's distinct
+   * hashes and never reshuffled; novelty is judged against the CORPUS
+   * only (batch-internal repeats stay novel — a deliberate contrast
+   * with the span probe's batch∪index dup rule, since selection runs
+   * BEFORE the batch itself is deduped).
+   */
+  def noveltyScores(
+      newDocs: DataFrame,
+      indexCounts: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int,
+      kind: HashKind = Md5): DataFrame = {
+    val batchWins = windowPositions(newDocs, textCol, idCol, n, kind).localCheckpoint()
+    val batchCounts = batchWins
+      .groupBy(col("__h")).agg(count(lit(1)).as("__bc"))
+      .localCheckpoint() // feeds the index prune AND the per-doc rollup
+    val idxPruned = indexCounts
+      .join(broadcast(batchCounts.select("__h")), col("hh") === col("__h"), "left_semi")
+      .groupBy(col("hh")).agg(sum(col("cnt")).as("__ic"))
+    val seen = batchCounts
+      .join(idxPruned, col("__h") === col("hh"), "left")
+      .select(col("__h"), (coalesce(col("__ic"), lit(0L)) > 0).as("__seen"))
+    batchWins
+      .join(seen, Seq("__h"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(when(col("__seen"), 0L).otherwise(1L)).as("n_novel"))
+      .select(col(idCol), col("n_windows"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_windows"), 6).as("novelty"))
+  }
+
   /** Per-hash occurrence counts of `docs`' n-token windows: (hh, cnt)
     * — the build/append payload of [[graft.io.WindowIndex]]. One row
     * per DISTINCT window hash (∝ distinct n-grams, not tokens), via the

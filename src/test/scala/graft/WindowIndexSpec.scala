@@ -71,6 +71,34 @@ class WindowIndexSpec extends AnyFunSuite {
       Set((2L, 3L, 6L, 1L)))
   }
 
+  test("noveltyProbe: known ratios; batch-internal repeats stay novel") {
+    val dir = TestSpark.tmpDir("winidx_novelty")
+    WindowIndex.build(
+      Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text"),
+      "text", "doc_id", dir, n = 3)
+    val b = Seq(
+      (10L, "alpha beta gamma delta"),      // re-crawl: 2 windows, 0 novel
+      (11L, "alpha beta gamma epsilon"),    // 1 seen, 1 novel
+      (12L, "wholly new content here now"), // 3 windows, all novel
+      (13L, "xx yy")                        // < n tokens → no row
+    ).toDF("doc_id", "text")
+    val out = WindowIndex.noveltyProbe(b, "text", dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out == Map(
+      10L -> ((2L, 0L, 0.0)),
+      11L -> ((2L, 1L, 0.5)),
+      12L -> ((3L, 3L, 1.0))))
+    // batch-internal repetition is NOT "seen": two batch docs sharing
+    // a window the corpus lacks both stay fully novel
+    val twins = Seq(
+      (20L, "shared run of tokens"), (21L, "shared run of tokens"))
+      .toDF("doc_id", "text")
+    val tw = WindowIndex.noveltyProbe(twins, "text", dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(tw == Map(20L -> 1.0, 21L -> 1.0))
+  }
+
   test("delete ≡ an index rebuilt on corpus-minus-deleted") {
     val dir = TestSpark.tmpDir("winidx_forget")
     WindowIndex.build(corpus, "text", "doc_id", dir, n = 3)
