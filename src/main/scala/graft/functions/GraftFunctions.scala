@@ -78,13 +78,23 @@ object GraftFunctions {
     CharEntropyKernel(args.head)
   }
 
+  private val sortedIntersectId = FunctionIdentifier("graft_sorted_intersect")
+  private val sortedIntersectInfo =
+    new ExpressionInfo(classOf[SortedIntersectCount].getName, "graft_sorted_intersect")
+  private val sortedIntersectBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 2,
+      s"graft_sorted_intersect expects 2 arguments, got ${args.length}")
+    SortedIntersectCount(args.head, args(1))
+  }
+
   private val all = Seq(
     (cosineId, cosineInfo, cosineBuilder),
     (winnowId, winnowInfo, winnowBuilder),
     (tokenCountId, tokenCountInfo, tokenCountBuilder),
     (langIdId, langIdInfo, langIdBuilder),
     (dupRatioId, dupRatioInfo, dupRatioBuilder),
-    (entropyId, entropyInfo, entropyBuilder))
+    (entropyId, entropyInfo, entropyBuilder),
+    (sortedIntersectId, sortedIntersectInfo, sortedIntersectBuilder))
 
   def inject(ext: SparkSessionExtensions): Unit =
     all.foreach(ext.injectFunction)
@@ -124,6 +134,13 @@ object GraftFunctions {
   def langId(spark: SparkSession, text: Column): Column = {
     register(spark)
     org.apache.spark.sql.functions.call_function("graft_lang_id", text)
+  }
+
+  /** Column-API handle on the sorted-intersect-count kernel (both
+    * arrays must be `sort_array`-sorted and duplicate-free). */
+  def sortedIntersect(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_sorted_intersect", a, b)
   }
 
   /** Column-API handle on the char-entropy kernel (UNROUNDED nats;

@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+
+/**
+ * `graft_sorted_intersect(a, b)` — intersection SIZE of two SORTED,
+ * duplicate-free `array<string>` columns via a single merge scan.
+ *
+ * The Jaccard-verify hot loop (`Dedup.verifyPairs`, behind every
+ * near-dup pipeline q16/q40/q46/q60/q82/q88) needs only
+ * `|a ∩ b|`, but `size(array_intersect(a, b))` builds a hash set of
+ * one side PER CANDIDATE PAIR — at 119 k candidates × ~50 shingles
+ * (q88 at sf0.1) that is millions of per-pair string hashes and a
+ * transient set allocation per row. Sorting each doc's shingle set
+ * ONCE (`sort_array`, per doc not per pair) converts the per-pair work
+ * to an allocation-free two-pointer merge of UTF8String comparisons.
+ *
+ * Contract: both inputs sorted ascending in UTF8String binary order
+ * (exactly what Spark's `sort_array` produces for strings) with
+ * distinct, non-null elements (`array_distinct` output). The count
+ * equals `size(array_intersect(a, b))` on such inputs BY CONSTRUCTION
+ * (both are |a ∩ b| on sets) — spec-pinned on the real corpus, so
+ * swapping it into an oracle-checked query cannot move a hash.
+ */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(StringType, _) => true
+      case _                        => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two array<string> arguments, " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_sorted_intersect"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersectCount.count(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SortedIntersectCount.count($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedIntersectCount {
+  /** Two-pointer merge count; static so codegen calls it directly. */
+  def count(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+}

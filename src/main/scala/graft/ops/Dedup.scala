@@ -252,21 +252,28 @@ object Dedup {
     val candIds = pairs.select(col("id_a").as("sid"))
       .union(pairs.select(col("id_b").as("sid")))
       .distinct()
+    // sort ONCE per doc: the per-pair intersection then runs as an
+    // allocation-free merge scan (graft_sorted_intersect kernel) —
+    // size(array_intersect) would build a per-PAIR hash set instead
+    // (identical counts by construction: both are |a ∩ b| on the
+    // distinct shingle sets; kernel parity is spec-pinned)
     val shingled = df
       .select(
         col(idCol).as("sid"),
-        array_distinct(TextOps.wordShingles(col(textCol), shingleWords)).as("shset"))
+        sort_array(array_distinct(TextOps.wordShingles(col(textCol), shingleWords)))
+          .as("shset"))
       .join(candIds, Seq("sid"), "left_semi")
       .localCheckpoint() // reused by both sides of the pair attach
     pairs
       .join(shingled.as("sa"), col("id_a") === col("sa.sid"))
       .join(shingled.as("sb"), col("id_b") === col("sb.sid"))
-      // two-step select: `i` is referenced twice below and
-      // array_intersect is not cheap enough for CollapseProject to
+      // two-step select: `i` is referenced twice below and the
+      // intersection is not cheap enough for CollapseProject to
       // inline — this keeps ONE intersection per pair
       .select(
         col("id_a"), col("id_b"),
-        size(array_intersect(col("sa.shset"), col("sb.shset"))).as("i"),
+        graft.functions.GraftFunctions
+          .sortedIntersect(df.sparkSession, col("sa.shset"), col("sb.shset")).as("i"),
         size(col("sa.shset")).as("na"),
         size(col("sb.shset")).as("nb"))
       .select(

@@ -103,6 +103,35 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("sorted-intersect kernel == size(array_intersect) on corpus pairs + edges") {
+    // crafted edges: identical, disjoint, empty sides, subset
+    val edges = Seq(
+      (Seq("a", "b", "c"), Seq("a", "b", "c")),
+      (Seq("a", "b"), Seq("c", "d")),
+      (Seq[String](), Seq("a")),
+      (Seq[String](), Seq[String]()),
+      (Seq("a", "b", "c", "d"), Seq("b", "d"))).toDF("x", "y")
+      .select(sort_array(col("x")).as("x"), sort_array(col("y")).as("y"))
+    val checkedEdges = edges.select(
+      graft.functions.GraftFunctions.sortedIntersect(spark, col("x"), col("y")).as("k"),
+      size(array_intersect(col("x"), col("y"))).as("r"))
+      .collect()
+    checkedEdges.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+    // real corpus: every cross pair of 40 docs' sorted shingle sets
+    val sh = TestSpark.table("documents").limit(40)
+      .select(col("doc_id"),
+        sort_array(array_distinct(graft.ops.TextOps.wordShingles(col("text"), 3)))
+          .as("s"))
+    val diffs = sh.as("a").crossJoin(sh.as("b"))
+      .select(
+        graft.functions.GraftFunctions
+          .sortedIntersect(spark, col("a.s"), col("b.s")).as("k"),
+        size(array_intersect(col("a.s"), col("b.s"))).as("r"))
+      .filter(col("k") =!= col("r"))
+      .count()
+    assert(diffs == 0)
+  }
+
   test("prefixFilteredPairs == brute-force all-pairs Jaccard (exactness guarantee)") {
     val docs = TestSpark.table("documents")
     def pairSet(df: org.apache.spark.sql.DataFrame) =

@@ -290,6 +290,34 @@ class TextOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"expected a narrow plan:\n$plan")
   }
 
+  test("qualitySignals runs UNCHANGED on a stream (stateless narrow plan)") {
+    val dir = TestSpark.tmpDir("qs_stream")
+    val w = new java.io.PrintWriter(new java.io.File(dir, "docs.jsonl"))
+    try Seq(
+      (1L, "the cat and the dog are in the house with a bird"),
+      (2L, "AAAA 1234 aaaa"),
+      (3L, "uno dos tres cuatro cinco seis siete ocho"))
+      .foreach { case (id, t) => w.println(s"""{"doc_id": $id, "text": "$t"}""") }
+    finally w.close()
+    val schema = graft.schema.Metadata.structFromSpec("\ndoc_id: long\ntext: string\n")
+    val stream = TextOps.qualitySignals(
+      TestSpark.spark.readStream.schema(schema).json(dir), "text", "doc_id")
+    assert(stream.isStreaming, "qualitySignals must not force a batch plan")
+    val name = "qs_stream_out"
+    stream.writeStream.format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      .awaitTermination()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0),
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+        .toSet
+    val streamed = rows(TestSpark.spark.table(name))
+    val batch = rows(TextOps.qualitySignals(
+      TestSpark.spark.read.schema(schema).json(dir), "text", "doc_id"))
+    assert(streamed == batch, "stream and batch signals must be identical")
+    assert(batch.nonEmpty)
+  }
+
   test("hashed tf-idf vectors: unit norm, fixed width, idf downweights common terms") {
     val df = Seq(
       (1L, "rare alpha shared shared"),
