@@ -215,7 +215,9 @@ object SparkEntry {
     "q77_incremental_spans" -> ((s, dir) => durableWinIndex(s, dir): Unit),
     "q82_forget_neardups" -> ((s, dir) => forgottenSigIndex(s, dir): Unit),
     "q83_forget_spans" -> ((s, dir) => forgottenWinIndex(s, dir): Unit),
-    "q90_novelty_scores" -> ((s, dir) => durableWinIndex(s, dir): Unit))
+    "q90_novelty_scores" -> ((s, dir) => durableWinIndex(s, dir): Unit),
+    "q91_source_dup_matrix" -> warmSharedIndex,
+    "q92_cluster_sizes" -> ((s, dir) => clusterLabels(s, dir).count(): Unit))
 
   // ---------------------------------------------------------------- entry
 
@@ -1003,6 +1005,32 @@ object SparkEntry {
     "q88_exact_jaccard_pairs" -> ((s, dir) =>
       Dedup.prefixFilteredPairs(
         T(s, dir, "documents"), "text", "doc_id", threshold = 0.8)),
+
+    // ---- north-star: cross-source duplication matrix — which sources
+    //      copy from which: the verified near-dup pairs (shared q16
+    //      index) rolled up by normalized source pair. |sources|² rows;
+    //      the curation question behind per-source dedup budgets.
+    "q91_source_dup_matrix" -> ((s, dir) => {
+      val src = T(s, dir, "documents").select(col("doc_id"), col("source"))
+      verifiedPairs(s, dir)
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("__sa")), Seq("id_a"))
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("__sb")), Seq("id_b"))
+        .groupBy(
+          least(col("__sa"), col("__sb")).as("source_a"),
+          greatest(col("__sa"), col("__sb")).as("source_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("cast(sum(cast(jaccard as decimal(18,6))) as double)").as("sum_jaccard"))
+    }),
+
+    // ---- north-star: dup-cluster size histogram — the shape report of
+    //      the near-dup graph (how much is pairwise noise vs template
+    //      families); consumes the published cluster labels.
+    "q92_cluster_sizes" -> ((s, dir) =>
+      clusterLabels(s, dir)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))),
 
     // ---- north-star: per-doc n-gram NOVELTY vs the standing corpus —
     //      the data-selection read of the q77 window index (boilerplate
@@ -1940,6 +1968,25 @@ object SparkEntry {
          |FROM inter it JOIN sizes sa ON sa.doc_id = it.id_a
          |JOIN sizes sb ON sb.doc_id = it.id_b
          |WHERE round(it.i / (sa.n + sb.n - it.i), 6) >= 0.8""".stripMargin,
+
+    "q91_source_dup_matrix" ->
+      s"""WITH $jaccardCtes
+         |SELECT least(da.source, db.source) AS source_a,
+         |  greatest(da.source, db.source) AS source_b,
+         |  count(*) AS n_pairs,
+         |  cast(sum(cast(jaccard as decimal(18,6))) as double) AS sum_jaccard
+         |FROM vpairs v
+         |JOIN documents da ON da.doc_id = v.id_a
+         |JOIN documents db ON db.doc_id = v.id_b
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q92_cluster_sizes" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         |$closureCtes,
+         |cs AS (SELECT cluster_id, count(*) AS cluster_size
+         |       FROM labels GROUP BY cluster_id)
+         |SELECT cluster_size, count(*) AS n_clusters
+         |FROM cs GROUP BY cluster_size""".stripMargin,
 
     // novelty judged vs the CORPUS only (batch-internal repeats stay
     // novel): batch windows left-join the corpus's distinct window set
