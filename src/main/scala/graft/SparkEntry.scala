@@ -217,7 +217,8 @@ object SparkEntry {
     "q83_forget_spans" -> ((s, dir) => forgottenWinIndex(s, dir): Unit),
     "q90_novelty_scores" -> ((s, dir) => durableWinIndex(s, dir): Unit),
     "q91_source_dup_matrix" -> warmSharedIndex,
-    "q92_cluster_sizes" -> ((s, dir) => clusterLabels(s, dir).count(): Unit))
+    "q92_cluster_sizes" -> ((s, dir) => clusterLabels(s, dir).count(): Unit),
+    "q93_index_stats" -> ((s, dir) => durableWinIndex(s, dir): Unit))
 
   // ---------------------------------------------------------------- entry
 
@@ -1005,6 +1006,14 @@ object SparkEntry {
     "q88_exact_jaccard_pairs" -> ((s, dir) =>
       Dedup.prefixFilteredPairs(
         T(s, dir, "documents"), "text", "doc_id", threshold = 0.8)),
+
+    // ---- north-star: corpus n-gram stats FROM THE INDEX ALONE — the
+    //      metadata-only read of the q77 window store: distinct/total/
+    //      duplicated grams + ledger doc count without touching the
+    //      corpus (cost ∝ index, not data). Oracle recomputes the same
+    //      numbers from the corpus — index ≡ corpus by construction.
+    "q93_index_stats" -> ((s, dir) =>
+      graft.io.WindowIndex.stats(s, durableWinIndex(s, dir))),
 
     // ---- north-star: cross-source duplication matrix — which sources
     //      copy from which: the verified near-dup pairs (shared q16
@@ -1968,6 +1977,20 @@ object SparkEntry {
          |FROM inter it JOIN sizes sa ON sa.doc_id = it.id_a
          |JOIN sizes sb ON sb.doc_id = it.id_b
          |WHERE round(it.i / (sa.n + sb.n - it.i), 6) >= 0.8""".stripMargin,
+
+    "q93_index_stats" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |           WHERE doc_id % 10 <> 0),
+         |u AS (SELECT doc_id,
+         |        unnest(generate_series(1, len(toks) - 2)) AS pos, toks
+         |      FROM t WHERE len(toks) >= 3),
+         |h AS (SELECT md5(array_to_string(toks[pos:pos + 2], ' ')) AS hh FROM u),
+         |g AS (SELECT hh, count(*) AS c FROM h GROUP BY hh)
+         |SELECT CAST(count(*) AS BIGINT) AS n_distinct_grams,
+         |  CAST(sum(c) AS BIGINT) AS n_windows,
+         |  CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+         |  (SELECT count(*) FROM documents WHERE doc_id % 10 <> 0) AS n_docs
+         |FROM g""".stripMargin,
 
     "q91_source_dup_matrix" ->
       s"""WITH $jaccardCtes

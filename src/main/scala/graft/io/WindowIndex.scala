@@ -216,6 +216,21 @@ object WindowIndex {
       newDocs, counts(newDocs.sparkSession, dir), textCol, m.idCol, m.n, m.kind)
   }
 
+  /** Corpus n-gram statistics FROM THE INDEX ALONE — distinct grams,
+    * total windows, duplicated grams, ledger doc count — the
+    * metadata-only read: a 100 TB corpus answers these without a
+    * corpus scan because the index already aggregated them (cost ∝
+    * index size). Equals the corpus-derived numbers by construction
+    * (oracle-checked). */
+  def stats(spark: SparkSession, dir: String): DataFrame = {
+    val c = counts(spark, dir).groupBy(col("hh")).agg(sum("cnt").as("cnt"))
+    c.agg(
+      count(lit(1)).as("n_distinct_grams"),
+      sum(col("cnt")).as("n_windows"),
+      sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup_grams"))
+      .crossJoin(processedIds(spark, dir).agg(count(lit(1)).as("n_docs")))
+  }
+
   /** Append `newDocs` as one committed batch so future probes see
     * them. Idempotent per doc set (deterministic tag + overwrite). */
   def append(newDocs: DataFrame, textCol: String, dir: String): Unit = {

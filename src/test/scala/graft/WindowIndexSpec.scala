@@ -71,6 +71,24 @@ class WindowIndexSpec extends AnyFunSuite {
       Set((2L, 3L, 6L, 1L)))
   }
 
+  test("stats: metadata-only read equals corpus-derived numbers, tracks appends") {
+    val dir = TestSpark.tmpDir("winidx_stats")
+    WindowIndex.build(corpus, "text", "doc_id", dir, n = 3)
+    def direct(d: org.apache.spark.sql.DataFrame) = {
+      val c = Dedup.windowHashCounts(d, "text", "doc_id", 3)
+        .as[(String, Long)].collect()
+      (c.length.toLong, c.map(_._2).sum, c.count(_._2 > 1).toLong, d.count())
+    }
+    def fromIndex() = {
+      val r = WindowIndex.stats(spark, dir).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    assert(fromIndex() == direct(corpus))
+    // appends fold in: stats now describe corpus ∪ batch
+    WindowIndex.append(batch, "text", dir)
+    assert(fromIndex() == direct(docs))
+  }
+
   test("noveltyProbe: known ratios; batch-internal repeats stay novel") {
     val dir = TestSpark.tmpDir("winidx_novelty")
     WindowIndex.build(
