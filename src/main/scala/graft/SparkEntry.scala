@@ -1072,6 +1072,18 @@ object SparkEntry {
           round(sum(col("__q")).cast("double") / count(lit(1)), 6).as("mean_quality"))
     }),
 
+    // ---- production-kernel twin of q88 (rows-only bench row, like
+    //      q40/q78): xx64 shingle hashing in the prefix join. The
+    //      RESULT is provably IDENTICAL to q88 — the prefix theorem
+    //      holds under ANY global total order (each kernel just
+    //      induces a different one) and the verify stage compares
+    //      shingle STRINGS — so this twin is equality-spec-pinned,
+    //      not merely parity-checked.
+    "q94_exact_jaccard_xx64" -> ((s, dir) =>
+      Dedup.prefixFilteredPairs(
+        T(s, dir, "documents"), "text", "doc_id", threshold = 0.8,
+        kind = Dedup.Xx64)),
+
     // ---- north-star: quality-signal pack (Gopher/C4-family fences) —
     //      type-token ratio, code-point Shannon entropy (codegen
     //      kernel), mean word length, digit/uppercase density. One

@@ -123,6 +123,60 @@ object CorpusIngest {
       n: Int = 3,
       kind: graft.ops.Dedup.HashKind = graft.ops.Dedup.Md5,
       compactTo: Option[Int] = None): DataFrame = {
+    val delta = windowDelta(spark, landingDir, schema, idCol, textCol,
+      silverDir, checkpointDir, indexDir, n, kind)
+    val spans = WindowIndex.ingestBatch(delta, textCol, indexDir)
+    compactTo.foreach(WindowIndex.compactIfFragmented(spark, indexDir, _))
+    spans
+  }
+
+  /**
+   * [[maintainSpans]]' data-SELECTION variant: drain, score the
+   * delta's n-gram novelty against the standing index
+   * ([[graft.io.WindowIndex.noveltyProbe]] — boilerplate re-crawls ≈ 0,
+   * new text ≈ 1), THEN commit the delta. The selection policy reads
+   * the returned (idCol, n_windows, n_novel, novelty) rows to decide
+   * what enters training; the index advances regardless, so tomorrow's
+   * drain is judged against today's corpus either way. Same
+   * exactly-once store semantics as [[maintainSpans]].
+   */
+  def maintainNovelty(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      idCol: String,
+      textCol: String,
+      silverDir: String,
+      checkpointDir: String,
+      indexDir: String,
+      n: Int = 3,
+      kind: graft.ops.Dedup.HashKind = graft.ops.Dedup.Md5,
+      compactTo: Option[Int] = None): DataFrame = {
+    val delta = windowDelta(spark, landingDir, schema, idCol, textCol,
+      silverDir, checkpointDir, indexDir, n, kind)
+    // materialize BEFORE the append: novelty is judged against the
+    // pre-drain corpus (the probe-then-append order of ingestBatch)
+    val novelty = WindowIndex.noveltyProbe(delta, textCol, indexDir)
+      .localCheckpoint()
+    WindowIndex.append(delta, textCol, indexDir)
+    compactTo.foreach(WindowIndex.compactIfFragmented(spark, indexDir, _))
+    novelty
+  }
+
+  /** Shared drain preamble of the window-index maintainers: drain
+    * landed files into silver, bootstrap an empty index on first call,
+    * anti-join the ledger → this drain's unprocessed delta. */
+  private def windowDelta(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      idCol: String,
+      textCol: String,
+      silverDir: String,
+      checkpointDir: String,
+      indexDir: String,
+      n: Int,
+      kind: graft.ops.Dedup.HashKind): DataFrame = {
     IngestStream.drainOnce(
       spark, landingDir, schema,
       requiredCols = Seq(idCol, textCol),
@@ -139,10 +193,7 @@ object CorpusIngest {
     if (!fs.exists(new Path(indexDir, "_graft_index.json")))
       WindowIndex.build(silver.limit(0), textCol, idCol, indexDir, n, kind)
 
-    val delta = silver.join(
+    silver.join(
       WindowIndex.processedIds(spark, indexDir), Seq(idCol), "left_anti")
-    val spans = WindowIndex.ingestBatch(delta, textCol, indexDir)
-    compactTo.foreach(WindowIndex.compactIfFragmented(spark, indexDir, _))
-    spans
   }
 }

@@ -113,4 +113,33 @@ class CorpusIngestSpec extends AnyFunSuite {
     assert(drain() == Set((3L, 3L, 6L, 1L)))
     assert(ledger() == 4)
   }
+
+  test("maintainNovelty: per-drain selection scores judged against the pre-drain corpus") {
+    val base = TestSpark.tmpDir("corpus_ingest_novelty")
+    val landing = new java.io.File(base, "landing"); landing.mkdirs()
+    def drain() = CorpusIngest.maintainNovelty(
+      spark, landing.getPath, schema, "doc_id", "text",
+      silverDir = s"$base/silver", checkpointDir = s"$base/ckpt",
+      indexDir = s"$base/index", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    def ledger() = graft.io.WindowIndex.processedIds(spark, s"$base/index").count()
+
+    // bootstrap wave: the corpus is empty, so everything is novel
+    land(landing.getPath, "wave1.jsonl", Seq(
+      1L -> "alpha beta gamma delta"))
+    assert(drain() == Map(1L -> 1.0))
+
+    // wave 2: a verbatim re-crawl scores 0, new text scores 1, a
+    // half-overlap scores between — all judged vs wave 1's corpus
+    land(landing.getPath, "wave2.jsonl", Seq(
+      2L -> "alpha beta gamma delta",
+      3L -> "wholly new tokens entirely",
+      4L -> "alpha beta gamma epsilon"))
+    assert(drain() == Map(2L -> 0.0, 3L -> 1.0, 4L -> 0.5))
+    assert(ledger() == 4, "the delta still enters the index after scoring")
+
+    // no new files → empty report, no ledger growth
+    assert(drain().isEmpty)
+    assert(ledger() == 4)
+  }
 }

@@ -153,6 +153,16 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh.subsetOf(viaPrefix))
   }
 
+  test("prefixFilteredPairs: Xx64 kernel returns the IDENTICAL pair set (exactness under any order)") {
+    val docs = TestSpark.table("documents")
+    def pairSet(k: Dedup.HashKind) =
+      Dedup.prefixFilteredPairs(docs, "text", "doc_id", 0.8, kind = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val md5 = pairSet(Dedup.Md5)
+    assert(md5 == pairSet(Dedup.Xx64))
+    assert(md5.nonEmpty)
+  }
+
   test("prefixFilteredPairs: engineered near-dups found; windows only over the doc id") {
     val out = Dedup.prefixFilteredPairs(corpus, "text", "doc_id", threshold = 0.8)
     val pairs = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
