@@ -218,7 +218,8 @@ object SparkEntry {
     "q90_novelty_scores" -> ((s, dir) => durableWinIndex(s, dir): Unit),
     "q91_source_dup_matrix" -> warmSharedIndex,
     "q92_cluster_sizes" -> ((s, dir) => clusterLabels(s, dir).count(): Unit),
-    "q93_index_stats" -> ((s, dir) => durableWinIndex(s, dir): Unit))
+    "q93_index_stats" -> ((s, dir) => durableWinIndex(s, dir): Unit),
+    "q95_incremental_scrub" -> ((s, dir) => durableWinIndex(s, dir): Unit))
 
   // ---------------------------------------------------------------- entry
 
@@ -1006,6 +1007,17 @@ object SparkEntry {
     "q88_exact_jaccard_pairs" -> ((s, dir) =>
       Dedup.prefixFilteredPairs(
         T(s, dir, "documents"), "text", "doc_id", threshold = 0.8)),
+
+    // ---- north-star: INCREMENTAL exact-substring scrubbing — the
+    //      batch scrubbed against the standing window index with
+    //      ARRIVAL-order keep-first (a window the corpus has seen is
+    //      cut from every batch occurrence; a corpus-new window keeps
+    //      its first batch occurrence). Completes the incremental
+    //      family: detect (q77) / select (q90) / scrub (q95).
+    "q95_incremental_scrub" -> ((s, dir) =>
+      graft.io.WindowIndex.scrubProbe(
+        T(s, dir, "documents").filter(col("doc_id") % 10 === 0),
+        "text", durableWinIndex(s, dir))),
 
     // ---- north-star: corpus n-gram stats FROM THE INDEX ALONE — the
     //      metadata-only read of the q77 window store: distinct/total/
@@ -1989,6 +2001,47 @@ object SparkEntry {
          |FROM inter it JOIN sizes sa ON sa.doc_id = it.id_a
          |JOIN sizes sb ON sb.doc_id = it.id_b
          |WHERE round(it.i / (sa.n + sb.n - it.i), 6) >= 0.8""".stripMargin,
+
+    // arrival-order keep-first: corpus occurrences are canonical (cut
+    // every batch occurrence of a corpus-seen window), corpus-new
+    // windows keep their first (doc,pos) batch occurrence
+    "q95_incremental_scrub" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |u AS (SELECT doc_id,
+         |        unnest(generate_series(1, len(toks) - 2)) AS pos, toks
+         |      FROM t WHERE len(toks) >= 3),
+         |h AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |        md5(array_to_string(toks[pos:pos + 2], ' ')) AS hh
+         |      FROM u),
+         |cw AS (SELECT DISTINCT hh FROM h WHERE doc_id % 10 <> 0),
+         |bm AS (SELECT doc_id, pos, hh,
+         |    row_number() OVER (PARTITION BY hh ORDER BY doc_id, pos) AS rn
+         |  FROM h WHERE doc_id % 10 = 0),
+         |cut AS (SELECT bm.doc_id, bm.pos FROM bm LEFT JOIN cw USING (hh)
+         |        WHERE cw.hh IS NOT NULL OR bm.rn > 1),
+         |i AS (SELECT doc_id, pos,
+         |        CASE WHEN pos <= max(pos + 3) OVER (PARTITION BY doc_id
+         |          ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |        THEN 0 ELSE 1 END AS brk
+         |      FROM cut),
+         |g AS (SELECT doc_id, pos, CAST(sum(brk) OVER (PARTITION BY doc_id
+         |        ORDER BY pos) AS BIGINT) AS grp FROM i),
+         |sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 3 AS e
+         |       FROM g GROUP BY doc_id, grp),
+         |sl AS (SELECT doc_id, list(s ORDER BY s) AS ss, list(e ORDER BY s) AS ee
+         |       FROM sp GROUP BY doc_id),
+         |bt AS (SELECT doc_id, toks FROM t WHERE doc_id % 10 = 0),
+         |k AS (SELECT bt.doc_id, bt.toks,
+         |        list_filter(generate_series(1, len(bt.toks)), __i ->
+         |          len(list_filter(generate_series(1, coalesce(len(sl.ss), 0)),
+         |            __j -> __i >= sl.ss[__j] AND __i < sl.ee[__j])) = 0) AS kept
+         |      FROM bt LEFT JOIN sl USING (doc_id))
+         |SELECT doc_id,
+         |  coalesce(array_to_string(list_transform(kept, __i -> toks[__i]), ' '),
+         |           '') AS clean,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(toks) - len(kept) AS BIGINT) AS n_removed
+         |FROM k""".stripMargin,
 
     "q93_index_stats" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents

@@ -216,6 +216,18 @@ object WindowIndex {
       newDocs, counts(newDocs.sparkSession, dir), textCol, m.idCol, m.n, m.kind)
   }
 
+  /** Incrementally scrub `newDocs`' duplicated spans against the
+    * indexed corpus ([[Dedup.incrementalScrub]] — arrival-order
+    * keep-first: corpus occurrences are always canonical). Parameters
+    * come from the stored meta. */
+  def scrubProbe(newDocs: DataFrame, textCol: String, dir: String): DataFrame = {
+    val m = meta(newDocs.sparkSession, dir)
+    require(m.kind == Dedup.Md5,
+      "scrubbing requires the 128-bit Md5 index (xx64 is detection-grade)")
+    Dedup.incrementalScrub(
+      newDocs, counts(newDocs.sparkSession, dir), textCol, m.idCol, m.n, m.kind)
+  }
+
   /** Corpus n-gram statistics FROM THE INDEX ALONE — distinct grams,
     * total windows, duplicated grams, ledger doc count — the
     * metadata-only read: a 100 TB corpus answers these without a

@@ -881,6 +881,15 @@ object Dedup {
       .join(canon, Seq("__h"))
       .filter(col(idCol) =!= col("__first.i") || col("pos") =!= col("__first.p"))
       .select(col(idCol), col("pos"))
+    rebuildScrubbed(df, cut, textCol, idCol, n)
+  }
+
+  /** Shared scrub tail: merge the cut windows into maximal spans and
+    * rebuild every doc's text in a narrow projection (token survives
+    * iff no cut span covers it). Every doc of `df` keeps a row. */
+  private def rebuildScrubbed(
+      df: DataFrame, cut: DataFrame, textCol: String, idCol: String,
+      n: Int): DataFrame = {
     val spans = mergeIslands(cut, idCol, n)
       .groupBy(idCol)
       .agg(collect_list(struct(
@@ -899,6 +908,47 @@ object Dedup {
         concat_ws(" ", keptToks).as("clean"),
         size(toks).cast("long").as("n_tokens"),
         (size(toks).cast("long") - size(keptToks)).as("n_removed"))
+  }
+
+  /**
+   * Incremental exact-substring scrubbing — [[scrubDuplicates]] for
+   * the daily batch against a standing [[graft.io.WindowIndex]]:
+   * completes the incremental family (detect = q77, select = q90,
+   * scrub = this). Keep-first follows ARRIVAL order, which is what
+   * production means by "first": the corpus was published before the
+   * batch, so a window the corpus has seen is cut from EVERY batch
+   * occurrence (the corpus copy is canonical even when a batch doc id
+   * happens to sort lower), and a window new to the corpus keeps only
+   * its first `(id, pos)` batch occurrence. Only the batch is hashed;
+   * the index is pruned map-side by a broadcast of the batch's
+   * distinct hashes, never reshuffled. Md5 only for the destructive
+   * path (the [[scrubDuplicates]] collision caveat).
+   */
+  def incrementalScrub(
+      newDocs: DataFrame,
+      indexCounts: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int,
+      kind: HashKind = Md5): DataFrame = {
+    val windows = windowPositions(newDocs, textCol, idCol, n, kind).localCheckpoint()
+    val batchFirst = windows
+      .groupBy(col("__h"))
+      .agg(min(struct(col(idCol).as("i"), col("pos").as("p"))).as("__first"))
+      .localCheckpoint() // feeds the index prune AND the cut decision
+    val idxPruned = indexCounts
+      .join(broadcast(batchFirst.select("__h")), col("hh") === col("__h"), "left_semi")
+      .groupBy(col("hh")).agg(sum(col("cnt")).as("__ic"))
+    val hashInfo = batchFirst
+      .join(idxPruned, col("__h") === col("hh"), "left")
+      .select(col("__h"), col("__first"),
+        (coalesce(col("__ic"), lit(0L)) > 0).as("__inCorpus"))
+    val cut = windows
+      .join(hashInfo, Seq("__h"))
+      .filter(col("__inCorpus") ||
+        col(idCol) =!= col("__first.i") || col("pos") =!= col("__first.p"))
+      .select(col(idCol), col("pos"))
+    rebuildScrubbed(newDocs, cut, textCol, idCol, n)
   }
 
   /**

@@ -71,6 +71,37 @@ class WindowIndexSpec extends AnyFunSuite {
       Set((2L, 3L, 6L, 1L)))
   }
 
+  test("scrubProbe: arrival-order keep-first — corpus canonical even with a LARGER id") {
+    val dir = TestSpark.tmpDir("winidx_scrub")
+    // corpus doc id 100 > every batch id: id order must NOT matter
+    WindowIndex.build(
+      Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text"),
+      "text", "doc_id", dir, n = 3)
+    val b = Seq(
+      (1L, "alpha beta gamma end"),     // corpus-seen window → cut
+      (2L, "fresh run of new tokens"),  // corpus-new, single → kept whole
+      (3L, "fresh run of other words"), // shares batch window with 2 → cut here
+      (4L, "xx yy")                     // < n tokens → untouched
+    ).toDF("doc_id", "text")
+    val out = WindowIndex.scrubProbe(b, "text", dir)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(3))).toMap
+    assert(out(1L) == (("end", 3L)), "corpus-seen span cut despite corpus id 100 > 1")
+    assert(out(2L) == (("fresh run of new tokens", 0L)),
+      "first batch occurrence of a corpus-new window survives")
+    assert(out(3L) == (("other words", 3L)),
+      "later batch occurrence of the shared window is cut")
+    assert(out(4L) == (("xx yy", 0L)), "short docs pass through untouched")
+    // md5-only contract for the destructive path
+    val xxDir = TestSpark.tmpDir("winidx_scrub_xx")
+    WindowIndex.build(
+      Seq((1L, "a b c d")).toDF("doc_id", "text"), "text", "doc_id", xxDir,
+      n = 3, kind = Dedup.Xx64)
+    val err = intercept[IllegalArgumentException] {
+      WindowIndex.scrubProbe(b, "text", xxDir)
+    }
+    assert(err.getMessage.contains("detection-grade"))
+  }
+
   test("stats: metadata-only read equals corpus-derived numbers, tracks appends") {
     val dir = TestSpark.tmpDir("winidx_stats")
     WindowIndex.build(corpus, "text", "doc_id", dir, n = 3)
