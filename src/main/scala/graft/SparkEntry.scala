@@ -219,7 +219,10 @@ object SparkEntry {
     "q91_source_dup_matrix" -> warmSharedIndex,
     "q92_cluster_sizes" -> ((s, dir) => clusterLabels(s, dir).count(): Unit),
     "q93_index_stats" -> ((s, dir) => durableWinIndex(s, dir): Unit),
-    "q95_incremental_scrub" -> ((s, dir) => durableWinIndex(s, dir): Unit))
+    "q95_incremental_scrub" -> ((s, dir) => durableWinIndex(s, dir): Unit),
+    "q96_incremental_curation" -> ((s, dir) => {
+      durableSigIndex(s, dir); durableWinIndex(s, dir); ()
+    }))
 
   // ---------------------------------------------------------------- entry
 
@@ -1007,6 +1010,38 @@ object SparkEntry {
     "q88_exact_jaccard_pairs" -> ((s, dir) =>
       Dedup.prefixFilteredPairs(
         T(s, dir, "documents"), "text", "doc_id", threshold = 0.8)),
+
+    // ---- capstone: the INCREMENTAL curation pipeline — what the daily
+    //      batch actually runs: quality filters on the batch, near-dup
+    //      drops from the durable signature-index probe (arrival-order:
+    //      corpus wins, then batch keep-first), incremental scrub of
+    //      the survivors against the window index, packed training
+    //      sequences. Every stage consumes a PUBLISHED index; the
+    //      corpus is never re-read (text enters only for pair verify).
+    "q96_incremental_curation" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+      val quality = graft.ops.CorpusFilters.decide(
+        batch, "text", "doc_id",
+        graft.config.PipelineConfig.parseCorpusFilters(corpusFilterYaml))
+        .filter(col("kept")).select("doc_id")
+      val pairs = graft.io.SignatureIndex.probe(
+        docs, batch, "text", durableSigIndex(s, dir), threshold = 0.8)
+      // arrival-order drop: a batch doc loses to ANY corpus partner
+      // (regardless of id order) and to a smaller-id batch partner
+      val dropIds = pairs.select(
+        when(col("id_a") % 10 === 0 && col("id_b") % 10 === 0, col("id_b"))
+          .when(col("id_a") % 10 === 0, col("id_a"))
+          .otherwise(col("id_b")).as("doc_id")).distinct()
+      val kept = batch
+        .join(broadcast(quality), Seq("doc_id"), "left_semi")
+        .join(broadcast(dropIds), Seq("doc_id"), "left_anti")
+      val cleaned = graft.io.WindowIndex.scrubProbe(
+        kept, "text", durableWinIndex(s, dir))
+        .select(col("doc_id"), col("clean"))
+        .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      graft.ops.Packing.packSequences(cleaned, "clean", "lang", "doc_id", budget = 512L)
+    }),
 
     // ---- north-star: INCREMENTAL exact-substring scrubbing — the
     //      batch scrubbed against the standing window index with
@@ -2001,6 +2036,73 @@ object SparkEntry {
          |FROM inter it JOIN sizes sa ON sa.doc_id = it.id_a
          |JOIN sizes sb ON sb.doc_id = it.id_b
          |WHERE round(it.i / (sa.n + sb.n - it.i), 6) >= 0.8""".stripMargin,
+
+    "q96_incremental_curation" -> {
+      val dropCase = graft.ops.CorpusFilters.dropReasonSql(
+        graft.config.PipelineConfig.parseCorpusFilters(corpusFilterYaml),
+        "text", graft.functions.PortableSql.DuckDialect)
+      val nClean = PortableSql.tokenCount("clean", DD)
+      // batch quality gate → arrival-order near-dup drops (vpairs
+      // touching the batch) → q95's scrub restricted to the kept docs
+      // → q64's packing on the CLEANED token counts. `t` (doc_id, toks)
+      // is shared with the jaccard chain.
+      s"""WITH $jaccardCtes,
+         |quality AS (SELECT doc_id FROM documents
+         |            WHERE doc_id % 10 = 0 AND ($dropCase) IS NULL),
+         |drops AS (SELECT DISTINCT CASE
+         |    WHEN id_a % 10 = 0 AND id_b % 10 = 0 THEN id_b
+         |    WHEN id_a % 10 = 0 THEN id_a
+         |    ELSE id_b END AS doc_id
+         |  FROM vpairs WHERE id_a % 10 = 0 OR id_b % 10 = 0),
+         |kept AS (SELECT q.doc_id FROM quality q
+         |         LEFT JOIN drops dr ON q.doc_id = dr.doc_id
+         |         WHERE dr.doc_id IS NULL),
+         |wu AS (SELECT doc_id,
+         |        unnest(generate_series(1, len(toks) - 2)) AS pos, toks
+         |      FROM t WHERE len(toks) >= 3),
+         |wh AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |        md5(array_to_string(toks[pos:pos + 2], ' ')) AS hh
+         |      FROM wu),
+         |cw AS (SELECT DISTINCT hh FROM wh WHERE doc_id % 10 <> 0),
+         |bm AS (SELECT doc_id, pos, hh,
+         |    row_number() OVER (PARTITION BY hh ORDER BY doc_id, pos) AS rn
+         |  FROM wh JOIN kept USING (doc_id)),
+         |cut AS (SELECT bm.doc_id, bm.pos FROM bm LEFT JOIN cw USING (hh)
+         |        WHERE cw.hh IS NOT NULL OR bm.rn > 1),
+         |ii AS (SELECT doc_id, pos,
+         |        CASE WHEN pos <= max(pos + 3) OVER (PARTITION BY doc_id
+         |          ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |        THEN 0 ELSE 1 END AS brk
+         |      FROM cut),
+         |gg AS (SELECT doc_id, pos, CAST(sum(brk) OVER (PARTITION BY doc_id
+         |        ORDER BY pos) AS BIGINT) AS grp FROM ii),
+         |ssp AS (SELECT doc_id, min(pos) AS s, max(pos) + 3 AS e
+         |       FROM gg GROUP BY doc_id, grp),
+         |sl AS (SELECT doc_id, list(s ORDER BY s) AS ss, list(e ORDER BY s) AS ee
+         |       FROM ssp GROUP BY doc_id),
+         |bt AS (SELECT t.doc_id, t.toks FROM t JOIN kept USING (doc_id)),
+         |kk AS (SELECT bt.doc_id, bt.toks,
+         |        list_filter(generate_series(1, len(bt.toks)), __i ->
+         |          len(list_filter(generate_series(1, coalesce(len(sl.ss), 0)),
+         |            __j -> __i >= sl.ss[__j] AND __i < sl.ee[__j])) = 0) AS kept_i
+         |      FROM bt LEFT JOIN sl USING (doc_id)),
+         |cleaned AS (SELECT doc_id,
+         |  coalesce(array_to_string(list_transform(kept_i, __i -> toks[__i]), ' '),
+         |           '') AS clean FROM kk),
+         |cur AS (SELECT c.doc_id, d.lang, CAST($nClean AS BIGINT) AS n
+         |        FROM cleaned c JOIN documents d USING (doc_id)),
+         |pp AS (SELECT doc_id, lang, n,
+         |        sum(n) OVER (PARTITION BY lang ORDER BY doc_id) AS e
+         |      FROM cur WHERE n > 0),
+         |xx AS (SELECT doc_id, lang, e - n AS s, e FROM pp),
+         |pu AS (SELECT doc_id, lang, s, e,
+         |        unnest(generate_series(CAST(s // 512 AS BIGINT),
+         |                               CAST((e - 1) // 512 AS BIGINT))) AS seq_idx
+         |      FROM xx)
+         |SELECT doc_id, lang, seq_idx,
+         |  CAST(least(e, (seq_idx + 1) * 512) - greatest(s, seq_idx * 512) AS BIGINT) AS toks_in_seq
+         |FROM pu""".stripMargin
+    },
 
     // arrival-order keep-first: corpus occurrences are canonical (cut
     // every batch occurrence of a corpus-seen window), corpus-new
