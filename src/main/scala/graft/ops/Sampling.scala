@@ -136,12 +136,16 @@ object Sampling {
    */
   def curriculumBins(
       df: DataFrame, groupCol: String, idCol: String, metric: Column,
-      nBins: Int = 4): DataFrame = {
+      nBins: Int = 4, approx: Boolean = false): DataFrame = {
     require(nBins >= 2 && nBins <= 100, "need 2..100 bins")
     val scored = df.select(col(groupCol), col(idCol),
       round(metric.cast("double"), 6).as("metric"))
     val ps = (1 until nBins).map(_.toDouble / nBins)
-    val bounds = Stats.exactPercentiles(scored, Seq(groupCol), "metric", ps)
+    // approx = the extreme-scale configuration: GK-sketch boundaries
+    // (bounded state, sort-free) instead of the per-group rank sort;
+    // same output shape, bins shift only within the sketch's rank error
+    val bounds = (if (approx) Stats.approxPercentiles(scored, Seq(groupCol), "metric", ps)
+      else Stats.exactPercentiles(scored, Seq(groupCol), "metric", ps))
       .drop("n_rows")
     val bin = ps.map(p => when(col("metric") <= col(Stats.pName(p)), 0L).otherwise(1L))
       .reduce(_ + _)

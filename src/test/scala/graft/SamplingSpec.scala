@@ -142,4 +142,21 @@ class SamplingSpec extends AnyFunSuite {
     // every doc got exactly one bin
     assert(out.length == docs.count())
   }
+
+  test("curriculumBins approx mode: same shape, bins agree within sketch rank error") {
+    import org.apache.spark.sql.functions.{col, length}
+    val docs = TestSpark.table("documents")
+    def bins(approx: Boolean) = Sampling.curriculumBins(
+      docs, "lang", "doc_id", length(col("text")), nBins = 4, approx = approx)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val exact = bins(approx = false)
+    val approxBins = bins(approx = true)
+    assert(approxBins.keySet == exact.keySet, "one bin per doc either way")
+    assert(approxBins.values.toSet.subsetOf(Set(0L, 1L, 2L, 3L)))
+    // high accuracy at fixture scale: boundary drift may only move docs
+    // NEAR a boundary — the overwhelming majority must agree exactly
+    val disagree = exact.count { case (k, v) => approxBins(k) != v }
+    assert(disagree.toDouble / exact.size < 0.05,
+      s"$disagree of ${exact.size} docs changed bins")
+  }
 }
