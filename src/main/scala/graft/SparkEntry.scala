@@ -137,6 +137,22 @@ object SparkEntry {
         idxDir
       })
 
+  /** On-disk build marker for the durable IVF vector index (q97) —
+    * [[graft.io.VectorIndex]] over the full embeddings table, trained
+    * with q61's parameters so the probe is oracle-comparable. */
+  private val vecIdxMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  private def durableVecIndex(s: SparkSession, dir: String): String =
+    vecIdxMemo.getOrElseUpdate(
+      (s.sparkContext.applicationId, dir), {
+        val idxDir = tmp("vec_index_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+        graft.io.VectorIndex.build(
+          T(s, dir, "embeddings"), "vec_id", "embedding", idxDir,
+          nlist = 8, iters = 2)
+        idxDir
+      })
+
   private def forgottenWinIndex(s: SparkSession, dir: String): String =
     forgetIdxMemo.getOrElseUpdate(
       (s.sparkContext.applicationId, dir, "win"), {
@@ -188,7 +204,7 @@ object SparkEntry {
   private[graft] def clearMemos(): Unit = {
     pairsMemo.clear(); sigsMemo.clear(); durableIdxMemo.clear()
     pqMemo.clear(); labelsMemo.clear(); winIdxMemo.clear()
-    forgetIdxMemo.clear()
+    forgetIdxMemo.clear(); vecIdxMemo.clear()
   }
 
   /** Build (or rebuild) the shared pair index for `dir` — lets a bench
@@ -222,7 +238,8 @@ object SparkEntry {
     "q95_incremental_scrub" -> ((s, dir) => durableWinIndex(s, dir): Unit),
     "q96_incremental_curation" -> ((s, dir) => {
       durableSigIndex(s, dir); durableWinIndex(s, dir); ()
-    }))
+    }),
+    "q97_durable_ann" -> ((s, dir) => durableVecIndex(s, dir): Unit))
 
   // ---------------------------------------------------------------- entry
 
@@ -1011,6 +1028,17 @@ object SparkEntry {
       Dedup.prefixFilteredPairs(
         T(s, dir, "documents"), "text", "doc_id", threshold = 0.8)),
 
+    // ---- north-star: DURABLE IVF ANN index — the vector-space member
+    //      of the published index family: centroids trained once, the
+    //      corpus stored PARTITIONED BY inverted list, probes scan only
+    //      the nprobe winning list DIRECTORIES (static partition
+    //      pruning at planning time). Result ≡ q61's in-memory pipeline
+    //      through a storage round-trip.
+    "q97_durable_ann" -> ((s, dir) =>
+      graft.io.VectorIndex.probe(
+        T(s, dir, "embeddings").filter(col("vec_id") === 0),
+        durableVecIndex(s, dir), k = 10, nprobe = 2)),
+
     // ---- capstone: the INCREMENTAL curation pipeline — what the daily
     //      batch actually runs: quality filters on the batch, near-dup
     //      drops from the durable signature-index probe (arrival-order:
@@ -1533,6 +1561,38 @@ object SparkEntry {
     * [[jaccardCtes]]'s `vpairs`) and q59 (over [[embPairCtes]]'s `p`)
     * so the closure semantics can never desynchronize between their
     * oracles. Ends in `labels(doc_id, cluster_id)`. */
+  /** DuckDB oracle for the trained-IVF probe (q61) — reused verbatim by
+    * q97 (the durable [[graft.io.VectorIndex]] probe must return the
+    * identical result through the storage round-trip). */
+  private def ivfTrainedSql: String = {
+    val dims = 64
+    def assignCte(cents: String) =
+      s"""SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${duckCosine("e.embedding", "c.cemb", dims)} DESC, c.cid ASC) AS rn
+         |    FROM embeddings e CROSS JOIN $cents c""".stripMargin
+    s"""WITH c0 AS (SELECT CAST(vec_id AS BIGINT) AS cid,
+       |            list_transform(embedding, __x -> CAST(__x AS DOUBLE)) AS cemb
+       |            FROM embeddings ORDER BY vec_id LIMIT 8),
+       |a0 AS (SELECT vec_id, cid AS cluster FROM (${assignCte("c0")}) WHERE rn = 1),
+       |m1 AS (SELECT a0.cluster, d.d, round(avg(CAST(e.embedding[d.d] AS DOUBLE)), 6) AS v
+       |       FROM a0 JOIN embeddings e USING (vec_id), generate_series(1, $dims) d(d)
+       |       GROUP BY a0.cluster, d.d),
+       |cm AS (SELECT cluster AS cid, list(v ORDER BY d) AS cemb FROM m1 GROUP BY cluster),
+       |c1 AS (SELECT c0.cid, coalesce(cm.cemb, c0.cemb) AS cemb
+       |       FROM c0 LEFT JOIN cm ON c0.cid = cm.cid),
+       |alist AS (SELECT vec_id, cid AS list_id FROM (${assignCte("c1")}) WHERE rn = 1),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |probe AS (SELECT cid AS list_id FROM (
+       |    SELECT c.cid, row_number() OVER (
+       |      ORDER BY ${duckCosine("c.cemb", "q.qe", dims)} DESC, c.cid ASC) AS rn
+       |    FROM c1 c, q) WHERE rn <= 2),
+       |s AS (SELECT e.vec_id, ${duckCosine("e.embedding", "q.qe", dims)} AS cosine_sim
+       |      FROM embeddings e
+       |      JOIN alist a ON e.vec_id = a.vec_id
+       |      JOIN probe p ON a.list_id = p.list_id, q)
+       |SELECT vec_id, cosine_sim FROM s ORDER BY cosine_sim DESC, vec_id LIMIT 10""".stripMargin
+  }
+
   private def closureCtes: String = closureCtesOver("vpairs")
 
   private def closureCtesOver(src: String): String =
@@ -2504,34 +2564,11 @@ object SparkEntry {
         graft.config.PipelineConfig.parseCorpusFilters(corpusFilterYaml),
         "documents", "text", "doc_id"),
 
-    "q61_ann_ivf_trained" -> {
-      val dims = 64
-      def assignCte(cents: String) =
-        s"""SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
-           |      ORDER BY ${duckCosine("e.embedding", "c.cemb", dims)} DESC, c.cid ASC) AS rn
-           |    FROM embeddings e CROSS JOIN $cents c""".stripMargin
-      s"""WITH c0 AS (SELECT CAST(vec_id AS BIGINT) AS cid,
-         |            list_transform(embedding, __x -> CAST(__x AS DOUBLE)) AS cemb
-         |            FROM embeddings ORDER BY vec_id LIMIT 8),
-         |a0 AS (SELECT vec_id, cid AS cluster FROM (${assignCte("c0")}) WHERE rn = 1),
-         |m1 AS (SELECT a0.cluster, d.d, round(avg(CAST(e.embedding[d.d] AS DOUBLE)), 6) AS v
-         |       FROM a0 JOIN embeddings e USING (vec_id), generate_series(1, $dims) d(d)
-         |       GROUP BY a0.cluster, d.d),
-         |cm AS (SELECT cluster AS cid, list(v ORDER BY d) AS cemb FROM m1 GROUP BY cluster),
-         |c1 AS (SELECT c0.cid, coalesce(cm.cemb, c0.cemb) AS cemb
-         |       FROM c0 LEFT JOIN cm ON c0.cid = cm.cid),
-         |alist AS (SELECT vec_id, cid AS list_id FROM (${assignCte("c1")}) WHERE rn = 1),
-         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-         |probe AS (SELECT cid AS list_id FROM (
-         |    SELECT c.cid, row_number() OVER (
-         |      ORDER BY ${duckCosine("c.cemb", "q.qe", dims)} DESC, c.cid ASC) AS rn
-         |    FROM c1 c, q) WHERE rn <= 2),
-         |s AS (SELECT e.vec_id, ${duckCosine("e.embedding", "q.qe", dims)} AS cosine_sim
-         |      FROM embeddings e
-         |      JOIN alist a ON e.vec_id = a.vec_id
-         |      JOIN probe p ON a.list_id = p.list_id, q)
-         |SELECT vec_id, cosine_sim FROM s ORDER BY cosine_sim DESC, vec_id LIMIT 10""".stripMargin
-    },
+    "q61_ann_ivf_trained" -> ivfTrainedSql,
+
+    // durable index probe ≡ the in-memory trained-IVF pipeline: same
+    // trainer, same probe ranking, through a storage round-trip
+    "q97_durable_ann" -> ivfTrainedSql,
 
     "q49_winnowing" -> {
       val k = 5; val w = 4

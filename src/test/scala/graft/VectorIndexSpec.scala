@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.VectorIndex
+import graft.ops.Similarity
+
+class VectorIndexSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  import spark.implicits._
+
+  private val emb = TestSpark.table("embeddings")
+
+  test("build → meta round-trips the index identity; missing index fails cleanly") {
+    val dir = TestSpark.tmpDir("vecidx_meta")
+    VectorIndex.build(emb, "vec_id", "embedding", dir, nlist = 8, iters = 2)
+    assert(VectorIndex.meta(spark, dir) ==
+      VectorIndex.Meta("vec_id", "embedding", 8, 2))
+    val err = intercept[IllegalArgumentException] {
+      VectorIndex.meta(spark, TestSpark.tmpDir("vecidx_empty"))
+    }
+    assert(err.getMessage.contains("no vector index"))
+  }
+
+  test("probe == the in-memory trained-IVF pipeline through the storage round-trip") {
+    val dir = TestSpark.tmpDir("vecidx_probe")
+    VectorIndex.build(emb, "vec_id", "embedding", dir, nlist = 8, iters = 2)
+    val q = emb.filter($"vec_id" === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val viaIndex = rows(VectorIndex.probe(q, dir, k = 10, nprobe = 2))
+    val direct = rows(Similarity.ivfTopKTrained(
+      emb, q, "vec_id", "embedding", k = 10, nlist = 8, nprobe = 2, iters = 2))
+    assert(viaIndex == direct)
+    assert(viaIndex.size == 10)
+  }
+
+  test("probe scans ONLY the nprobe winning list directories (static partition pruning)") {
+    val dir = TestSpark.tmpDir("vecidx_prune")
+    VectorIndex.build(emb, "vec_id", "embedding", dir, nlist = 8, iters = 2)
+    val probe = VectorIndex.probe(emb.filter($"vec_id" === 0), dir, k = 5, nprobe = 2)
+    val scan = probe.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).find(_.contains("lists")).getOrElse("")
+    // the list_id IN-filter must land in PartitionFilters (planning-time
+    // directory pruning), NOT in the post-scan DataFilters
+    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(scan).map(_.group(1)).getOrElse("")
+    val df = "DataFilters: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(scan).map(_.group(1)).getOrElse("")
+    assert(pf.contains("list_id"), s"expected list_id in PartitionFilters:\n$scan")
+    assert(!df.contains("list_id"), s"list_id leaked into DataFilters:\n$scan")
+  }
+
+  test("append: a new vector enters its list and becomes findable") {
+    val dir = TestSpark.tmpDir("vecidx_append")
+    VectorIndex.build(emb, "vec_id", "embedding", dir, nlist = 8, iters = 2)
+    // a verbatim copy of vector 0 under a fresh id: lands in the same
+    // list, ties vector 0 at cosine 1.0
+    val clone = emb.filter($"vec_id" === 0)
+      .select(lit(900000L).as("vec_id"), $"embedding")
+    VectorIndex.append(clone, dir)
+    val top = VectorIndex.probe(emb.filter($"vec_id" === 0), dir, k = 2, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(top.toSeq == Seq((0L, 1.0), (900000L, 1.0)),
+      s"appended clone must rank beside the original, got ${top.toSeq}")
+  }
+}
