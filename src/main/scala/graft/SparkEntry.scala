@@ -239,7 +239,8 @@ object SparkEntry {
     "q96_incremental_curation" -> ((s, dir) => {
       durableSigIndex(s, dir); durableWinIndex(s, dir); ()
     }),
-    "q97_durable_ann" -> ((s, dir) => durableVecIndex(s, dir): Unit))
+    "q97_durable_ann" -> ((s, dir) => durableVecIndex(s, dir): Unit),
+    "q98_incremental_decisions" -> ((s, dir) => durableSigIndex(s, dir): Unit))
 
   // ---------------------------------------------------------------- entry
 
@@ -1028,6 +1029,20 @@ object SparkEntry {
       Dedup.prefixFilteredPairs(
         T(s, dir, "documents"), "text", "doc_id", threshold = 0.8)),
 
+    // ---- north-star: INCREMENTAL dedup decisions — the batch
+    //      keep/drop verdict table (q47's daily-ingest twin): arrival
+    //      order decides (corpus partner wins regardless of id order,
+    //      then batch keep-first). One row per batch doc.
+    "q98_incremental_decisions" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+      Dedup.incrementalDedupDecisions(
+        batch,
+        graft.io.SignatureIndex.probe(
+          docs, batch, "text", durableSigIndex(s, dir), threshold = 0.8),
+        "doc_id")
+    }),
+
     // ---- north-star: DURABLE IVF ANN index — the vector-space member
     //      of the published index family: centroids trained once, the
     //      corpus stored PARTITIONED BY inverted list, probes scan only
@@ -1057,13 +1072,11 @@ object SparkEntry {
         docs, batch, "text", durableSigIndex(s, dir), threshold = 0.8)
       // arrival-order drop: a batch doc loses to ANY corpus partner
       // (regardless of id order) and to a smaller-id batch partner
-      val dropIds = pairs.select(
-        when(col("id_a") % 10 === 0 && col("id_b") % 10 === 0, col("id_b"))
-          .when(col("id_a") % 10 === 0, col("id_a"))
-          .otherwise(col("id_b")).as("doc_id")).distinct()
+      val keepIds = Dedup.incrementalDedupDecisions(batch, pairs, "doc_id")
+        .filter(col("keep")).select("doc_id")
       val kept = batch
         .join(broadcast(quality), Seq("doc_id"), "left_semi")
-        .join(broadcast(dropIds), Seq("doc_id"), "left_anti")
+        .join(broadcast(keepIds), Seq("doc_id"), "left_semi")
       val cleaned = graft.io.WindowIndex.scrubProbe(
         kept, "text", durableWinIndex(s, dir))
         .select(col("doc_id"), col("clean"))
@@ -2096,6 +2109,19 @@ object SparkEntry {
          |FROM inter it JOIN sizes sa ON sa.doc_id = it.id_a
          |JOIN sizes sb ON sb.doc_id = it.id_b
          |WHERE round(it.i / (sa.n + sb.n - it.i), 6) >= 0.8""".stripMargin,
+
+    // arrival-order verdicts over the incremental pair set (q60's SQL):
+    // drop = corpus partner exists OR a smaller-id batch partner exists
+    "q98_incremental_decisions" ->
+      s"""WITH $jaccardCtes,
+         |drops AS (SELECT DISTINCT CASE
+         |    WHEN id_a % 10 = 0 AND id_b % 10 = 0 THEN id_b
+         |    WHEN id_a % 10 = 0 THEN id_a
+         |    ELSE id_b END AS doc_id
+         |  FROM vpairs WHERE id_a % 10 = 0 OR id_b % 10 = 0)
+         |SELECT d.doc_id, dr.doc_id IS NULL AS keep
+         |FROM documents d LEFT JOIN drops dr ON d.doc_id = dr.doc_id
+         |WHERE d.doc_id % 10 = 0""".stripMargin,
 
     "q96_incremental_curation" -> {
       val dropCase = graft.ops.CorpusFilters.dropReasonSql(

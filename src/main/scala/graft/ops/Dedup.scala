@@ -734,6 +734,37 @@ object Dedup {
   }
 
   /**
+   * Batch keep/drop DECISIONS from an incremental near-dup probe —
+   * [[dedupDecisions]]' daily-ingest twin (q47 is the full-corpus
+   * resolution; this is what the batch pipeline consumes). Arrival
+   * order decides: a batch doc is dropped when it pairs with ANY
+   * already-indexed corpus doc (the corpus copy is canonical
+   * regardless of id order), or with a SMALLER-id batch doc
+   * (keep-first within the batch). `pairs` is the output of an index
+   * probe ([[graft.io.SignatureIndex.probe]] /
+   * [[incrementalNearDups]]); corpus membership = "not in the batch".
+   * Output: one (idCol, keep) row per batch doc.
+   */
+  def incrementalDedupDecisions(
+      newDocs: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    val batchIds = newDocs.select(col(idCol)).distinct().localCheckpoint()
+    val flagged = pairs
+      .join(broadcast(batchIds.select(col(idCol).as("id_a"),
+        lit(true).as("__ab"))), Seq("id_a"), "left")
+      .join(broadcast(batchIds.select(col(idCol).as("id_b"),
+        lit(true).as("__bb"))), Seq("id_b"), "left")
+    val dropIds = flagged.select(
+      when(coalesce(col("__ab"), lit(false)) && coalesce(col("__bb"), lit(false)),
+        col("id_b"))
+        .when(coalesce(col("__ab"), lit(false)), col("id_a"))
+        .otherwise(col("id_b")).as(idCol))
+      .distinct()
+    batchIds
+      .join(broadcast(dropIds.withColumn("__drop", lit(true))), Seq(idCol), "left")
+      .select(col(idCol), col("__drop").isNull.as("keep"))
+  }
+
+  /**
    * Novelty scoring against a standing window-hash index — the
    * data-selection twin of [[incrementalDuplicateSpans]]: instead of
    * asking "which batch spans duplicate the corpus", ask per batch doc

@@ -103,6 +103,22 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("incrementalDedupDecisions: corpus partner wins regardless of id order, batch keep-first") {
+    val batch = Seq((5L, "x"), (20L, "x"), (30L, "x")).toDF("doc_id", "text")
+    // pairs sorted id_a < id_b: (5,100) = batch 5 vs corpus 100 → drop 5
+    // even though 5 < 100; (20,30) = both batch → drop 30 (keep-first)
+    val pairs = Seq((5L, 100L, 1.0), (20L, 30L, 0.9))
+      .toDF("id_a", "id_b", "jaccard")
+    val out = Dedup.incrementalDedupDecisions(batch, pairs, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out == Map(5L -> false, 20L -> true, 30L -> false))
+    // a corpus partner with a SMALLER id also wins: (2, 20) drops 20
+    val pairs2 = Seq((2L, 20L, 1.0)).toDF("id_a", "id_b", "jaccard")
+    val out2 = Dedup.incrementalDedupDecisions(batch, pairs2, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out2 == Map(5L -> true, 20L -> false, 30L -> true))
+  }
+
   test("sorted-intersect kernel == size(array_intersect) on corpus pairs + edges") {
     // crafted edges: identical, disjoint, empty sides, subset
     val edges = Seq(
