@@ -153,6 +153,18 @@ object SparkEntry {
         idxDir
       })
 
+  private def forgottenVecIndex(s: SparkSession, dir: String): String =
+    forgetIdxMemo.getOrElseUpdate(
+      (s.sparkContext.applicationId, dir, "vec"), {
+        val idxDir = tmp("vec_forget_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+        val emb = T(s, dir, "embeddings")
+        graft.io.VectorIndex.build(
+          emb, "vec_id", "embedding", idxDir, nlist = 8, iters = 2)
+        graft.io.VectorIndex.delete(
+          emb.filter(col("vec_id") % 7 === 0).select("vec_id"), idxDir)
+        idxDir
+      })
+
   private def forgottenWinIndex(s: SparkSession, dir: String): String =
     forgetIdxMemo.getOrElseUpdate(
       (s.sparkContext.applicationId, dir, "win"), {
@@ -240,7 +252,8 @@ object SparkEntry {
       durableSigIndex(s, dir); durableWinIndex(s, dir); ()
     }),
     "q97_durable_ann" -> ((s, dir) => durableVecIndex(s, dir): Unit),
-    "q98_incremental_decisions" -> ((s, dir) => durableSigIndex(s, dir): Unit))
+    "q98_incremental_decisions" -> ((s, dir) => durableSigIndex(s, dir): Unit),
+    "q99_forget_vectors" -> ((s, dir) => forgottenVecIndex(s, dir): Unit))
 
   // ---------------------------------------------------------------- entry
 
@@ -1054,6 +1067,16 @@ object SparkEntry {
         T(s, dir, "embeddings").filter(col("vec_id") === 0),
         durableVecIndex(s, dir), k = 10, nprobe = 2)),
 
+    // ---- north-star: right-to-be-forgotten on the VECTOR index —
+    //      takedown vectors removed by one lists rewrite (quantizer and
+    //      probe pruning untouched); the probe simply stops surfacing
+    //      them. Query vector 0 is itself forgotten: it can still ASK,
+    //      it just no longer appears in anyone's results.
+    "q99_forget_vectors" -> ((s, dir) =>
+      graft.io.VectorIndex.probe(
+        T(s, dir, "embeddings").filter(col("vec_id") === 0),
+        forgottenVecIndex(s, dir), k = 10, nprobe = 2)),
+
     // ---- capstone: the INCREMENTAL curation pipeline — what the daily
     //      batch actually runs: quality filters on the batch, near-dup
     //      drops from the durable signature-index probe (arrival-order:
@@ -1576,8 +1599,10 @@ object SparkEntry {
     * oracles. Ends in `labels(doc_id, cluster_id)`. */
   /** DuckDB oracle for the trained-IVF probe (q61) — reused verbatim by
     * q97 (the durable [[graft.io.VectorIndex]] probe must return the
-    * identical result through the storage round-trip). */
-  private def ivfTrainedSql: String = {
+    * identical result through the storage round-trip) and, with a scan
+    * filter, by q99 (deletion leaves the quantizer and probe ranking
+    * untouched; only the scored lists shrink). */
+  private def ivfTrainedSql(scanWhere: String = ""): String = {
     val dims = 64
     def assignCte(cents: String) =
       s"""SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
@@ -1602,7 +1627,7 @@ object SparkEntry {
        |s AS (SELECT e.vec_id, ${duckCosine("e.embedding", "q.qe", dims)} AS cosine_sim
        |      FROM embeddings e
        |      JOIN alist a ON e.vec_id = a.vec_id
-       |      JOIN probe p ON a.list_id = p.list_id, q)
+       |      JOIN probe p ON a.list_id = p.list_id, q $scanWhere)
        |SELECT vec_id, cosine_sim FROM s ORDER BY cosine_sim DESC, vec_id LIMIT 10""".stripMargin
   }
 
@@ -2590,11 +2615,15 @@ object SparkEntry {
         graft.config.PipelineConfig.parseCorpusFilters(corpusFilterYaml),
         "documents", "text", "doc_id"),
 
-    "q61_ann_ivf_trained" -> ivfTrainedSql,
+    "q61_ann_ivf_trained" -> ivfTrainedSql(),
 
     // durable index probe ≡ the in-memory trained-IVF pipeline: same
     // trainer, same probe ranking, through a storage round-trip
-    "q97_durable_ann" -> ivfTrainedSql,
+    "q97_durable_ann" -> ivfTrainedSql(),
+
+    // deletion touches only the LISTS: quantizer, probe ranking and
+    // scan pruning are unchanged — the scored set just shrinks
+    "q99_forget_vectors" -> ivfTrainedSql("WHERE e.vec_id % 7 <> 0"),
 
     "q49_winnowing" -> {
       val k = 5; val w = 4

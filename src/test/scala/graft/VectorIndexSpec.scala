@@ -17,7 +17,7 @@ class VectorIndexSpec extends AnyFunSuite {
     val dir = TestSpark.tmpDir("vecidx_meta")
     VectorIndex.build(emb, "vec_id", "embedding", dir, nlist = 8, iters = 2)
     assert(VectorIndex.meta(spark, dir) ==
-      VectorIndex.Meta("vec_id", "embedding", 8, 2))
+      VectorIndex.Meta("vec_id", "embedding", 64, 8, 2))
     val err = intercept[IllegalArgumentException] {
       VectorIndex.meta(spark, TestSpark.tmpDir("vecidx_empty"))
     }
@@ -51,6 +51,37 @@ class VectorIndexSpec extends AnyFunSuite {
       .findFirstMatchIn(scan).map(_.group(1)).getOrElse("")
     assert(pf.contains("list_id"), s"expected list_id in PartitionFilters:\n$scan")
     assert(!df.contains("list_id"), s"list_id leaked into DataFilters:\n$scan")
+  }
+
+  test("delete: probe == the full probe minus forgotten ids (quantizer untouched)") {
+    val dir = TestSpark.tmpDir("vecidx_forget")
+    VectorIndex.build(emb, "vec_id", "embedding", dir, nlist = 8, iters = 2)
+    val q = emb.filter($"vec_id" === 3)
+    val full = VectorIndex.probe(q, dir, k = 1000000, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    VectorIndex.delete(
+      emb.filter($"vec_id" % 7 === 0).select("vec_id"), dir)
+    val after = VectorIndex.probe(q, dir, k = 10, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // same centroids ⇒ same probed lists ⇒ the scored set just shrank
+    assert(after.toSeq == full.filter(_._1 % 7 != 0).take(10).toSeq)
+    assert(after.forall(_._1 % 7 != 0))
+    // meta (and dims validation) survives the rewrite
+    assert(VectorIndex.meta(spark, dir).dims == 64)
+  }
+
+  test("dims validation: malformed batches and queries fail loudly") {
+    val dir = TestSpark.tmpDir("vecidx_dims")
+    VectorIndex.build(emb, "vec_id", "embedding", dir, nlist = 8, iters = 2)
+    val short = Seq((777L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val appendErr = intercept[IllegalArgumentException] {
+      VectorIndex.append(short, dir)
+    }
+    assert(appendErr.getMessage.contains("width != index dims"))
+    val probeErr = intercept[IllegalArgumentException] {
+      VectorIndex.probe(short, dir, k = 5, nprobe = 2)
+    }
+    assert(probeErr.getMessage.contains("width != index dims"))
   }
 
   test("append: a new vector enters its list and becomes findable") {
