@@ -253,7 +253,8 @@ object SparkEntry {
     }),
     "q97_durable_ann" -> ((s, dir) => durableVecIndex(s, dir): Unit),
     "q98_incremental_decisions" -> ((s, dir) => durableSigIndex(s, dir): Unit),
-    "q99_forget_vectors" -> ((s, dir) => forgottenVecIndex(s, dir): Unit))
+    "q99_forget_vectors" -> ((s, dir) => forgottenVecIndex(s, dir): Unit),
+    "q100_source_novelty" -> ((s, dir) => durableWinIndex(s, dir): Unit))
 
   // ---------------------------------------------------------------- entry
 
@@ -1160,6 +1161,23 @@ object SparkEntry {
       graft.io.WindowIndex.noveltyProbe(
         T(s, dir, "documents").filter(col("doc_id") % 10 === 0),
         "text", durableWinIndex(s, dir))),
+
+    // ---- north-star: per-SOURCE novelty rollup — the acquisition
+    //      dashboard: which sources still yield n-gram-new text vs
+    //      boilerplate re-crawls. Token-weighted (Σnovel/Σwindows) over
+    //      the q90 index probe; |sources| rows out.
+    "q100_source_novelty" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.io.WindowIndex.noveltyProbe(
+        docs.filter(col("doc_id") % 10 === 0), "text", durableWinIndex(s, dir))
+        .join(docs.select("doc_id", "source"), Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_windows").as("n_windows"),
+          sum("n_novel").as("n_novel"),
+          round(sum(col("n_novel")).cast("double") / sum(col("n_windows")), 6)
+            .as("novelty"))
+    }),
 
     // ---- north-star: corpus-health report — the corpus-level dataset
     //      card: docs, tokens, lang/source cardinalities, normalized
@@ -2288,6 +2306,26 @@ object SparkEntry {
          |       FROM labels GROUP BY cluster_id)
          |SELECT cluster_size, count(*) AS n_clusters
          |FROM cs GROUP BY cluster_size""".stripMargin,
+
+    "q100_source_novelty" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |u AS (SELECT doc_id,
+         |        unnest(generate_series(1, len(toks) - 2)) AS pos, toks
+         |      FROM t WHERE len(toks) >= 3),
+         |h AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |        md5(array_to_string(toks[pos:pos + 2], ' ')) AS hh
+         |      FROM u),
+         |cw AS (SELECT DISTINCT hh FROM h WHERE doc_id % 10 <> 0),
+         |bw AS (SELECT doc_id, hh FROM h WHERE doc_id % 10 = 0),
+         |d AS (SELECT bw.doc_id, count(*) AS w,
+         |        sum(CASE WHEN cw.hh IS NULL THEN 1 ELSE 0 END) AS nv
+         |      FROM bw LEFT JOIN cw USING (hh) GROUP BY bw.doc_id)
+         |SELECT s.source, count(*) AS n_docs,
+         |  CAST(sum(d.w) AS BIGINT) AS n_windows,
+         |  CAST(sum(d.nv) AS BIGINT) AS n_novel,
+         |  round(CAST(sum(d.nv) AS DOUBLE) / sum(d.w), 6) AS novelty
+         |FROM d JOIN documents s USING (doc_id)
+         |GROUP BY s.source""".stripMargin,
 
     // novelty judged vs the CORPUS only (batch-internal repeats stay
     // novel): batch windows left-join the corpus's distinct window set
