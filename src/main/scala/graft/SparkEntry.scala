@@ -254,7 +254,9 @@ object SparkEntry {
     "q97_durable_ann" -> ((s, dir) => durableVecIndex(s, dir): Unit),
     "q98_incremental_decisions" -> ((s, dir) => durableSigIndex(s, dir): Unit),
     "q99_forget_vectors" -> ((s, dir) => forgottenVecIndex(s, dir): Unit),
-    "q100_source_novelty" -> ((s, dir) => durableWinIndex(s, dir): Unit))
+    "q100_source_novelty" -> ((s, dir) => durableWinIndex(s, dir): Unit),
+    "q103_ann_batch_pq" -> ((s, dir) => pqBooks(s, dir): Unit),
+    "q104_durable_ann_batch" -> ((s, dir) => durableVecIndex(s, dir): Unit))
 
   // ---------------------------------------------------------------- entry
 
@@ -1078,6 +1080,50 @@ object SparkEntry {
         T(s, dir, "embeddings").filter(col("vec_id") === 0),
         forgottenVecIndex(s, dir), k = 10, nprobe = 2)),
 
+    // ---- north-star: BATCH multi-query ANN — retrieval for a query
+    //      SET (seed-set dedup, eval batches): ONE corpus scan scores
+    //      every query against the broadcast query table; per-query
+    //      ranking is the salted two-stage window (no corpus-sized
+    //      partition per query). N single-query jobs become one.
+    "q101_ann_batch_brute" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.bruteForceTopKBatch(
+        emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding", "vec_id",
+        k = 10)
+    }),
+
+    // ---- north-star: batch IVF — one training run + one corpus
+    //      assignment serve the whole query set; each query ranks its
+    //      own nprobe lists inside the same broadcast and all
+    //      candidate scoring rides one join.
+    "q102_ann_batch_ivf" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.ivfTopKTrainedBatch(
+        emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding", "vec_id",
+        k = 10, nlist = 8, nprobe = 2, iters = 2)
+    }),
+
+    // ---- north-star: batch PQ ADC — the per-block code→partial-dot
+    //      lookups become nested (query → code) literal maps, so all
+    //      queries score in one narrow projection over the integer
+    //      code table.
+    "q103_ann_batch_pq" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.pqTopKWithBatch(
+        emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding", "vec_id",
+        topK = 10, dims = 64, codebooks = pqBooks(s, dir))
+    }),
+
+    // ---- north-star: batch probe of the DURABLE vector index — each
+    //      query ranks its own nprobe lists; the scan covers the UNION
+    //      of probed list directories (still a static planning-time
+    //      partition filter) and each list is scored only against the
+    //      queries that probed it.
+    "q104_durable_ann_batch" -> ((s, dir) =>
+      graft.io.VectorIndex.probeBatch(
+        T(s, dir, "embeddings").filter(col("vec_id") < 3), "vec_id",
+        durableVecIndex(s, dir), k = 10, nprobe = 2)),
+
     // ---- capstone: the INCREMENTAL curation pipeline — what the daily
     //      batch actually runs: quality filters on the batch, near-dup
     //      drops from the durable signature-index probe (arrival-order:
@@ -1620,13 +1666,15 @@ object SparkEntry {
     * identical result through the storage round-trip) and, with a scan
     * filter, by q99 (deletion leaves the quantizer and probe ranking
     * untouched; only the scored lists shrink). */
-  private def ivfTrainedSql(scanWhere: String = ""): String = {
-    val dims = 64
+  /** Shared k-means-training + list-assignment CTE prefix of the
+    * trained-IVF oracles (q61/q97/q99 single-query, q102/q104 batch):
+    * ends in `c1` (trained centroids) and `alist(vec_id, list_id)`. */
+  private def ivfTrainCtes(dims: Int): String = {
     def assignCte(cents: String) =
       s"""SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
          |      ORDER BY ${duckCosine("e.embedding", "c.cemb", dims)} DESC, c.cid ASC) AS rn
          |    FROM embeddings e CROSS JOIN $cents c""".stripMargin
-    s"""WITH c0 AS (SELECT CAST(vec_id AS BIGINT) AS cid,
+    s"""c0 AS (SELECT CAST(vec_id AS BIGINT) AS cid,
        |            list_transform(embedding, __x -> CAST(__x AS DOUBLE)) AS cemb
        |            FROM embeddings ORDER BY vec_id LIMIT 8),
        |a0 AS (SELECT vec_id, cid AS cluster FROM (${assignCte("c0")}) WHERE rn = 1),
@@ -1636,7 +1684,13 @@ object SparkEntry {
        |cm AS (SELECT cluster AS cid, list(v ORDER BY d) AS cemb FROM m1 GROUP BY cluster),
        |c1 AS (SELECT c0.cid, coalesce(cm.cemb, c0.cemb) AS cemb
        |       FROM c0 LEFT JOIN cm ON c0.cid = cm.cid),
-       |alist AS (SELECT vec_id, cid AS list_id FROM (${assignCte("c1")}) WHERE rn = 1),
+       |alist AS (SELECT vec_id, cid AS list_id FROM (${assignCte("c1")}) WHERE rn = 1)"""
+      .stripMargin
+  }
+
+  private def ivfTrainedSql(scanWhere: String = ""): String = {
+    val dims = 64
+    s"""WITH ${ivfTrainCtes(dims)},
        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
        |probe AS (SELECT cid AS list_id FROM (
        |    SELECT c.cid, row_number() OVER (
@@ -1647,6 +1701,33 @@ object SparkEntry {
        |      JOIN alist a ON e.vec_id = a.vec_id
        |      JOIN probe p ON a.list_id = p.list_id, q $scanWhere)
        |SELECT vec_id, cosine_sim FROM s ORDER BY cosine_sim DESC, vec_id LIMIT 10""".stripMargin
+  }
+
+  /** Multi-query trained-IVF oracle (q102; reused verbatim by q104 —
+    * the durable batch probe must equal the in-memory pipeline through
+    * the storage round-trip): same training CTEs, then every query
+    * ranks its own nprobe lists and its own candidates. The Spark
+    * side's salted two-stage ranking is salt-invariant (the final rank
+    * is the global total order), so the oracle replays it as ONE plain
+    * window per query. */
+  private def ivfTrainedBatchSql(): String = {
+    val dims = 64
+    s"""WITH ${ivfTrainCtes(dims)},
+       |q AS (SELECT CAST(vec_id AS BIGINT) AS query_id, embedding AS qe
+       |      FROM embeddings WHERE vec_id < 3),
+       |probe AS (SELECT query_id, cid AS list_id FROM (
+       |    SELECT q.query_id, c.cid, row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY ${duckCosine("c.cemb", "q.qe", dims)} DESC, c.cid ASC) AS rn
+       |    FROM c1 c, q) WHERE rn <= 2),
+       |s AS (SELECT p.query_id, e.vec_id,
+       |        ${duckCosine("e.embedding", "q.qe", dims)} AS cosine_sim
+       |      FROM probe p JOIN q USING (query_id)
+       |      JOIN alist a ON a.list_id = p.list_id
+       |      JOIN embeddings e ON e.vec_id = a.vec_id),
+       |r AS (SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cosine_sim DESC, vec_id ASC) AS BIGINT) AS rank,
+       |        vec_id, cosine_sim FROM s)
+       |SELECT query_id, rank, vec_id, cosine_sim FROM r WHERE rank <= 10""".stripMargin
   }
 
   private def closureCtes: String = closureCtesOver("vpairs")
@@ -2662,6 +2743,50 @@ object SparkEntry {
     // deletion touches only the LISTS: quantizer, probe ranking and
     // scan pruning are unchanged — the scored set just shrinks
     "q99_forget_vectors" -> ivfTrainedSql("WHERE e.vec_id % 7 <> 0"),
+
+    // batch retrieval oracles replay the Spark side's salted two-stage
+    // ranking as ONE plain window per query (salt-invariant: the final
+    // rank is the global total order score desc, id asc)
+    "q101_ann_batch_brute" ->
+      s"""WITH q AS (SELECT CAST(vec_id AS BIGINT) AS query_id, embedding AS qe
+         |      FROM embeddings WHERE vec_id < 3),
+         |s AS (SELECT q.query_id, e.vec_id,
+         |        ${duckCosine("e.embedding", "q.qe", 64)} AS cosine_sim
+         |      FROM embeddings e, q),
+         |r AS (SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cosine_sim DESC, vec_id ASC) AS BIGINT) AS rank,
+         |        vec_id, cosine_sim FROM s)
+         |SELECT query_id, rank, vec_id, cosine_sim FROM r WHERE rank <= 10""".stripMargin,
+
+    "q102_ann_batch_ivf" -> ivfTrainedBatchSql(),
+
+    // batch probe of the durable index ≡ the in-memory batch pipeline
+    // through the storage round-trip (the q97/q61 equivalence, per query)
+    "q104_durable_ann_batch" -> ivfTrainedBatchSql(),
+
+    "q103_ann_batch_pq" -> {
+      val (blocks, d, k) = (4, 16, 4)
+      val scoreCtes = (0 until blocks).map { b =>
+        val lo = b * d
+        val dot = s"list_sum(list_transform(generate_series(1, $d), " +
+          s"__i -> CAST((q.qe)[$lo + __i] AS DOUBLE) * (c.cemb)[__i]))"
+        s"""s_$b AS (SELECT q.query_id, a.vec_id, $dot AS v_$b
+           |  FROM ab_$b a JOIN c1_$b c ON a.code_$b = c.cid, q)""".stripMargin
+      }.mkString(",\n")
+      val joins = (1 until blocks)
+        .map(b => s"JOIN s_$b USING (query_id, vec_id)").mkString(" ")
+      val total = (0 until blocks).map(b => s"v_$b").mkString(" + ")
+      s"""WITH ${pqBlockCtes(blocks, d, k)},
+         |q AS (SELECT CAST(vec_id AS BIGINT) AS query_id, embedding AS qe
+         |      FROM embeddings WHERE vec_id < 3),
+         |$scoreCtes,
+         |t AS (SELECT query_id, vec_id, round($total, 6) AS approx_dot
+         |      FROM s_0 $joins),
+         |r AS (SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+         |        ORDER BY approx_dot DESC, vec_id ASC) AS BIGINT) AS rank,
+         |        vec_id, approx_dot FROM t)
+         |SELECT query_id, rank, vec_id, approx_dot FROM r WHERE rank <= 10""".stripMargin
+    },
 
     "q49_winnowing" -> {
       val k = 5; val w = 4

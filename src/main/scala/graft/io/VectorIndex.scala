@@ -4,6 +4,7 @@ import org.apache.hadoop.fs.Path
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructType}
 
 import graft.ops.{Clustering, Similarity}
 
@@ -22,39 +23,60 @@ import graft.ops.{Clustering, Similarity}
  *    is static (literal list ids), so pruning happens at PLANNING
  *    time: file listing, IO, and scan all shrink by ~nprobe/nlist.
  *    This is the storage-level realization of what q29/q61 do with an
- *    in-memory assignment join;
+ *    in-memory assignment join. [[probeBatch]] is the query-SET form:
+ *    every query ranks its own nprobe lists, the scan covers the
+ *    UNION of probed lists (still a static partition filter), and one
+ *    job returns per-query rankings;
  *  - `append` assigns a new batch against the STORED centroids (the
  *    quantizer is frozen at build time — the standard IVF contract;
- *    retrain = rebuild) and appends into the matching list dirs;
- *  - `delete` is the takedown pass: one rewrite of the lists minus the
- *    deleted ids (broadcast anti-join), crash-safe via the family's
- *    stage + two-rename swap — the quantizer is untouched, so probes
- *    keep their pruning and simply stop surfacing forgotten vectors.
+ *    retrain = rebuild) and lands it as a COMMITTED BATCH: the data
+ *    goes under `lists/batch=<tag>/list_id=*` where the tag is a
+ *    deterministic function of the batch's ids, and the batch is live
+ *    only once its `_graft_committed` marker exists (written last).
+ *    A retried or re-drained batch recomputes the same tag and
+ *    OVERWRITES its own partition — idempotent, never double-inserted
+ *    (the [[WindowIndex]] exactly-once recipe); a crashed append
+ *    leaves an invisible orphan that [[compact]]/[[delete]] garbage-
+ *    collect;
+ *  - `delete` is the takedown pass: one rewrite of the live lists
+ *    minus the deleted ids (broadcast anti-join), crash-safe via the
+ *    family's stage + two-rename swap — the quantizer is untouched,
+ *    so probes keep their pruning and simply stop surfacing forgotten
+ *    vectors.
  *
- * Identity (id/vec columns, DIMS, nlist, iters) is committed to
- * `_graft_index.json` AFTER the data, same crash contract as the
- * sibling indexes: a crashed build leaves no readable index. Probes
- * read every parameter from the meta — they cannot drift — and every
- * write path validates vector width against the stored dims (a
+ * Identity (id/vec columns + their types, DIMS, nlist, iters) is
+ * committed to `_graft_index.json` AFTER the data, same crash contract
+ * as the sibling indexes: a crashed build leaves no readable index.
+ * Probes read every parameter from the meta — they cannot drift — and
+ * every write path validates vector width against the stored dims (a
  * malformed batch fails loudly instead of silently polluting a list
- * with unscorable vectors).
+ * with unscorable vectors). An index whose vectors have ALL been
+ * deleted stays readable (the stored schema reconstructs the empty
+ * frame) and probes return zero rows rather than a schema-inference
+ * error.
  */
 object VectorIndex {
 
-  /** Index identity, fixed at build time. */
-  final case class Meta(idCol: String, vecCol: String, dims: Int, nlist: Int, iters: Int)
+  /** Index identity, fixed at build time. `schemaDdl` is the DDL of
+    * the (id, vec) data columns — reconstructs reads of an index whose
+    * lists are empty (every vector deleted). */
+  final case class Meta(
+      idCol: String, vecCol: String, dims: Int, nlist: Int, iters: Int,
+      schemaDdl: String)
 
   private def listsPath(dir: String) = s"$dir/lists"
   private def centsPath(dir: String) = s"$dir/centroids"
   private def metaFile(dir: String) = new Path(dir, "_graft_index.json")
   private def prevPath(dir: String) = new Path(s"$dir/lists_prev")
   private def stagePath(dir: String) = s"$dir/lists_staging"
+  private val marker = "_graft_committed"
+  private val baseTag = "__base__"
 
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Recover the live lists dir after a crashed [[delete]] — the
-    * sibling indexes' two-rename window; no-op in the steady state. */
+  /** Recover the live lists dir after a crashed [[delete]]/[[compact]]
+    * — the sibling indexes' two-rename window; no-op in steady state. */
   private def ensureLive(spark: SparkSession, dir: String): Unit = {
     val live = new Path(listsPath(dir))
     val f = fs(spark, live)
@@ -72,6 +94,74 @@ object VectorIndex {
     require(bad == 0, s"$what contains vectors whose width != index dims ($dims)")
   }
 
+  /** Deterministic batch tag from the batch's vector ids — same delta
+    * → same tag → a crashed or retried append OVERWRITES its own
+    * partition instead of accreting (the [[WindowIndex.batchTag]]
+    * convention: order-insensitive XOR of per-id hashes + count). */
+  def batchTag(vecs: DataFrame, idCol: String): String = {
+    val r = vecs.agg(
+      count(lit(1)).as("c"),
+      coalesce(expr(s"bit_xor(xxhash64(cast($idCol as string)))"), lit(0L)).as("h"))
+      .head()
+    s"b${r.getLong(0)}x${java.lang.Long.toHexString(r.getLong(1))}"
+  }
+
+  /** Tags whose commit marker exists — the only batches a reader
+    * sees; orphans of crashed appends stay invisible. */
+  private def liveTags(spark: SparkSession, dir: String): Seq[String] = {
+    ensureLive(spark, dir)
+    val lists = new Path(listsPath(dir))
+    val f = fs(spark, lists)
+    if (!f.exists(lists)) Nil
+    else f.listStatus(lists).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith("batch="))
+      .filter(nm => f.exists(new Path(lists, s"$nm/$marker")))
+      .map(_.stripPrefix("batch="))
+  }
+
+  /** Does any live batch hold at least one parquet file? (An index
+    * whose vectors were all deleted has committed batches but no
+    * files — `spark.read.parquet` would die on schema inference.) */
+  private def liveHasFiles(spark: SparkSession, dir: String, tags: Seq[String]): Boolean =
+    tags.exists { t =>
+      val p = new Path(s"${listsPath(dir)}/batch=$t")
+      val f = fs(spark, p)
+      val it = f.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext)
+        found = it.next().getPath.getName.endsWith(".parquet")
+      found
+    }
+
+  /** The live stored vectors (idCol, vecCol, list_id) — committed
+    * batches only; empty-but-valid frame (schema from meta) when every
+    * vector has been deleted. The `batch`/`list_id` predicates are
+    * partition filters, so callers layering a `list_id` IN-filter on
+    * top keep planning-time directory pruning. */
+  private def liveLists(spark: SparkSession, dir: String, m: Meta): DataFrame = {
+    val tags = liveTags(spark, dir)
+    if (tags.isEmpty || !liveHasFiles(spark, dir, tags))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType.fromDDL(m.schemaDdl).add("list_id", LongType))
+    else
+      spark.read.parquet(listsPath(dir))
+        .filter(col("batch").isin(tags: _*))
+        .drop("batch")
+  }
+
+  /** Write one committed batch under `root/batch=tag` (partitioned by
+    * list_id), marker last — the create is the commit point. */
+  private def writeBatch(
+      assigned: DataFrame, root: String, tag: String, spark: SparkSession): Unit = {
+    assigned.write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"$root/batch=$tag")
+    val mk = new Path(s"$root/batch=$tag/$marker")
+    fs(spark, mk).create(mk, true).close()
+  }
+
   /** Train the quantizer and publish the index. Overwrites `dir`. */
   def build(
       corpus: DataFrame,
@@ -85,6 +175,9 @@ object VectorIndex {
       "column names are stored in index meta and must be plain identifiers")
     val spark = corpus.sparkSession
     import spark.implicits._
+    require(!corpus.isEmpty,
+      s"cannot build a vector index over an empty corpus ($dir): " +
+        "the quantizer has nothing to train on")
     val cents = Clustering.train(corpus, idCol, vecCol, nlist, iters)
     val dims = cents.head._2.length
     requireDims(corpus, vecCol, dims, "build corpus")
@@ -97,11 +190,12 @@ object VectorIndex {
       .write.mode("overwrite").parquet(centsPath(dir))
     val assigned = Clustering.assign(corpus, idCol, vecCol, cents)
       .select(col(idCol), col("cluster").as("list_id"))
-    corpus.select(col(idCol), col(vecCol))
-      .join(assigned, Seq(idCol))
-      .write.mode("overwrite").partitionBy("list_id").parquet(listsPath(dir))
+    val data = corpus.select(col(idCol), col(vecCol)).join(assigned, Seq(idCol))
+    writeBatch(data, listsPath(dir), baseTag, spark)
+    val ddl = corpus.select(col(idCol), col(vecCol)).schema.toDDL
     val json = s"""{"id_col": "$idCol", "vec_col": "$vecCol", """ +
-      s""""dims": $dims, "nlist": $nlist, "iters": $iters}"""
+      s""""dims": $dims, "nlist": $nlist, "iters": $iters, """ +
+      s""""schema": "$ddl"}"""
     val out = f.create(metaFile(dir), true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
   }
@@ -118,7 +212,8 @@ object VectorIndex {
       .getOrElse(sys.error(s"bad index meta: missing $k")).group(1)
     def num(k: String) = s""""$k": (\\d+)""".r.findFirstMatchIn(json)
       .getOrElse(sys.error(s"bad index meta: missing $k")).group(1).toInt
-    Meta(str("id_col"), str("vec_col"), num("dims"), num("nlist"), num("iters"))
+    Meta(str("id_col"), str("vec_col"), num("dims"), num("nlist"), num("iters"),
+      str("schema"))
   }
 
   /** The stored centroids as (cid, cemb) — nlist rows. */
@@ -133,6 +228,9 @@ object VectorIndex {
    * ≤ nlist rows on the driver — same footprint as the PQ codebooks),
    * and scan ONLY those list directories via a static partition
    * filter. Scoring is the codegen cosine kernel; ties → id asc.
+   * Exactly one query row ([[probeBatch]] for query sets — two rows
+   * here would interleave both queries' candidates into one
+   * meaningless ranking).
    */
   def probe(
       queryDf: DataFrame,
@@ -142,6 +240,10 @@ object VectorIndex {
     val spark = queryDf.sparkSession
     ensureLive(spark, dir)
     val m = meta(spark, dir)
+    val nq = queryDf.limit(2).count()
+    require(nq == 1,
+      s"probe expects exactly one query row, got ${if (nq == 0) "none" else "2+"} — " +
+        "use probeBatch for query sets")
     requireDims(queryDf, m.vecCol, m.dims, "probe query")
     val q = queryDf.select(col(m.vecCol).as("__q"))
     val ranked = centroids(spark, dir)
@@ -152,7 +254,7 @@ object VectorIndex {
       .limit(nprobe)
       .select("cid")
       .collect().map(_.getLong(0))
-    spark.read.parquet(listsPath(dir))
+    liveLists(spark, dir, m)
       .filter(col("list_id").isin(ranked: _*))
       .crossJoin(broadcast(q))
       .select(col(m.idCol),
@@ -161,8 +263,53 @@ object VectorIndex {
       .limit(k)
   }
 
-  /** Assign a new batch against the FROZEN stored quantizer and append
-    * into the matching list dirs (dynamic partition append). */
+  /**
+   * [[probe]] for a query SET — ONE job for N queries: each query
+   * ranks its own `nprobe` lists against the broadcast centroid table
+   * (per-query window over a queries×nlist frame — tiny), the scan
+   * covers the UNION of probed list directories (still a static,
+   * planning-time partition filter: ≤ nlist literal ids), and each
+   * candidate list is scored only against the queries that probed it
+   * (broadcast join on list_id). Final ranking is the salted
+   * two-stage [[Similarity.perQueryTopK]]. Output: (query_id, rank,
+   * idCol, cosine_sim).
+   */
+  def probeBatch(
+      queries: DataFrame,
+      qidCol: String,
+      dir: String,
+      k: Int,
+      nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    ensureLive(spark, dir)
+    val m = meta(spark, dir)
+    requireDims(queries, m.vecCol, m.dims, "probe queries")
+    val q = queries.select(col(qidCol).as("query_id"), col(m.vecCol).as("__q"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("__csim").desc, col("cid").asc)
+    // (query_id, list_id, __q): ≤ queries × nprobe rows — materialized
+    // once, read twice (list-id union + scoring join)
+    val pairs = centroids(spark, dir)
+      .crossJoin(broadcast(q))
+      .select(col("query_id"), col("cid"), col("__q"),
+        Similarity.cosine(col("cemb").cast("array<double>"), col("__q")).as("__csim"))
+      .withColumn("__rn", row_number().over(wq))
+      .filter(col("__rn") <= nprobe)
+      .select(col("query_id"), col("cid").as("list_id"), col("__q"))
+      .localCheckpoint()
+    val listIds = pairs.select("list_id").distinct().collect().map(_.getLong(0))
+    val scored = liveLists(spark, dir, m)
+      .filter(col("list_id").isin(listIds: _*))
+      .join(broadcast(pairs), "list_id")
+      .select(col("query_id"), col(m.idCol),
+        Similarity.cosineFast(spark, col(m.vecCol), col("__q")).as("cosine_sim"))
+    Similarity.perQueryTopK(scored, "query_id", m.idCol, "cosine_sim", k)
+      .select(col("query_id"), col("rank"), col(m.idCol), col("cosine_sim"))
+  }
+
+  /** Assign a new batch against the FROZEN stored quantizer and land
+    * it as one committed batch — idempotent per vector set
+    * (deterministic tag + overwrite + marker-last commit). */
   def append(newVecs: DataFrame, dir: String): Unit = {
     val spark = newVecs.sparkSession
     ensureLive(spark, dir)
@@ -173,36 +320,55 @@ object VectorIndex {
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
     val assigned = Clustering.assign(newVecs, m.idCol, m.vecCol, cents)
       .select(col(m.idCol), col("cluster").as("list_id"))
-    newVecs.select(col(m.idCol), col(m.vecCol))
-      .join(assigned, Seq(m.idCol))
-      .write.mode("append").partitionBy("list_id").parquet(listsPath(dir))
+    val data = newVecs.select(col(m.idCol), col(m.vecCol)).join(assigned, Seq(m.idCol))
+    writeBatch(data, listsPath(dir), batchTag(newVecs, m.idCol), spark)
+  }
+
+  /** Rewrite the whole lists store as ONE committed `__base__` batch
+    * holding `data`, swapped in crash-safely (stage → retire live →
+    * promote stage → drop prev) — the shared tail of [[compact]] and
+    * [[delete]]. Orphans of crashed appends are NOT carried over. */
+  private def rewriteLists(spark: SparkSession, dir: String, data: DataFrame): Unit = {
+    val live = new Path(listsPath(dir))
+    val f = fs(spark, live)
+    f.delete(new Path(stagePath(dir)), true)
+    writeBatch(data, stagePath(dir), baseTag, spark)
+    f.delete(prevPath(dir), true) // leftover from an ancient crash
+    require(f.rename(live, prevPath(dir)), s"rewrite: failed to retire $live")
+    require(f.rename(new Path(stagePath(dir)), live),
+      s"rewrite: failed to promote rewritten lists (recoverable — " +
+        s"${prevPath(dir)} holds the previous index)")
+    f.delete(prevPath(dir), true)
+  }
+
+  /** Fold the live batches into one `__base__` batch and drop orphan
+    * garbage from crashed appends. Single-writer contract: serialize
+    * with appends. */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    ensureLive(spark, dir)
+    val m = meta(spark, dir)
+    rewriteLists(spark, dir, liveLists(spark, dir, m))
   }
 
   /**
    * Remove vectors from the index — the takedown pass: ONE rewrite of
-   * the lists minus the deleted ids (broadcast anti-join preserving
-   * the list partitioning), behind the family's crash-safe stage + two
-   * renames. The quantizer is untouched (centroids carry no
-   * per-vector data), so probe pruning is unchanged and a forgotten
+   * the live lists minus the deleted ids (broadcast anti-join
+   * preserving the list partitioning), behind the family's crash-safe
+   * stage + two renames. The quantizer is untouched (centroids carry
+   * no per-vector data), so probe pruning is unchanged and a forgotten
    * vector simply stops surfacing — equivalent to an index whose
-   * lists never held it (spec-pinned). Single-writer contract:
-   * serialize with appends.
+   * lists never held it (spec-pinned). Deleting EVERY vector leaves a
+   * valid empty index (probes return zero rows). Single-writer
+   * contract: serialize with appends.
    */
   def delete(deletedIds: DataFrame, dir: String): Unit = {
     val spark = deletedIds.sparkSession
     ensureLive(spark, dir)
     val m = meta(spark, dir)
-    val live = new Path(listsPath(dir))
-    val f = fs(spark, live)
-    spark.read.parquet(listsPath(dir))
-      .join(broadcast(deletedIds.select(col(deletedIds.columns.head).as(m.idCol))),
-        Seq(m.idCol), "left_anti")
-      .write.mode("overwrite").partitionBy("list_id").parquet(stagePath(dir))
-    f.delete(prevPath(dir), true) // leftover from an ancient crash
-    require(f.rename(live, prevPath(dir)), s"delete: failed to retire $live")
-    require(f.rename(new Path(stagePath(dir)), live),
-      s"delete: failed to promote rewritten lists (recoverable — " +
-        s"${prevPath(dir)} holds the previous index)")
-    f.delete(prevPath(dir), true)
+    val ids = deletedIds
+      .select(col(deletedIds.columns.head).as(m.idCol))
+      .dropDuplicates(m.idCol)
+    rewriteLists(spark, dir,
+      liveLists(spark, dir, m).join(broadcast(ids), Seq(m.idCol), "left_anti"))
   }
 }

@@ -314,13 +314,17 @@ object WindowIndex {
     val spark = deletedDocs.sparkSession
     ensureLive(spark, dir)
     val m = meta(spark, dir)
-    val delIds = deletedDocs.select(m.idCol)
+    // A duplicated id in the takedown request would subtract that doc's
+    // window counts twice, silently corrupting residuals for hashes it
+    // shares with surviving docs — dedupe before hashing.
+    val deduped = deletedDocs.dropDuplicates(m.idCol)
+    val delIds = deduped.select(m.idCol)
     val missing = delIds.join(processedIds(spark, dir), Seq(m.idCol), "left_anti")
       .limit(1).count()
     require(missing == 0,
       s"delete: some ids are not in the index ledger at $dir — " +
         "subtracting an unindexed doc would corrupt the counts")
-    val del = Dedup.windowHashCounts(deletedDocs, textCol, m.idCol, m.n, m.kind)
+    val del = Dedup.windowHashCounts(deduped, textCol, m.idCol, m.n, m.kind)
       .withColumnRenamed("cnt", "del_cnt")
     val remaining = counts(spark, dir)
       .groupBy(col("hh")).agg(sum(col("cnt")).as("cnt"))

@@ -900,6 +900,9 @@ object Dedup {
       idCol: String,
       n: Int,
       kind: HashKind = Md5): DataFrame = {
+    require(kind == Md5,
+      "scrubbing requires the 128-bit Md5 kernel (xx64 is detection-grade: " +
+        "a 64-bit birthday collision here irreversibly cuts legitimate text)")
     val windows = windowPositions(df, textCol, idCol, n, kind).localCheckpoint()
     val canon = windows
       .groupBy(col("__h"))
@@ -1018,6 +1021,9 @@ object Dedup {
       textCol: String,
       idCol: String,
       kind: HashKind = Md5): DataFrame = {
+    require(kind == Md5,
+      "line dedup is destructive and requires the 128-bit Md5 kernel " +
+        "(xx64 is detection-grade: a collision silently drops a unique line)")
     val lines = df
       .select(col(idCol), posexplode(split(col(textCol), "\n")))
       .select(col(idCol), (col("pos") + 1).cast("long").as("pos"),

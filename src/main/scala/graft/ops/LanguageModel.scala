@@ -135,7 +135,10 @@ object LanguageModel {
       textCol: String,
       idCol: String,
       dims: Int): DataFrame = {
-    val rawG = hashedGrams(raw, textCol, idCol, dims)
+    // The gram explode (2× token volume — the dominant cost) feeds BOTH
+    // the raw-count model fit and the final scoring join; materialize it
+    // once (same convention as the shared frames in Dedup).
+    val rawG = hashedGrams(raw, textCol, idCol, dims).localCheckpoint()
     val tgtC = hashedGrams(target, textCol, idCol, dims)
       .groupBy("bucket").agg(count(lit(1)).as("tc"))
     val rawC = rawG.groupBy("bucket").agg(count(lit(1)).as("rc"))

@@ -61,6 +61,57 @@ object Similarity {
   def cosineFast(spark: org.apache.spark.sql.SparkSession, a: Column, b: Column): Column =
     round(graft.functions.GraftFunctions.cosine(spark, a, b), 6)
 
+  /** The single-query entry points take EXACTLY one query row: their
+    * global `orderBy…limit` would silently interleave several queries'
+    * candidates into one meaningless ranking (wrong answer, no error).
+    * Enforced cheaply (`limit(2)` short-circuits the scan); query SETS
+    * go through the `…Batch` variants, which carry a query id. */
+  private def requireSingleQuery(queryDf: DataFrame, op: String): Unit = {
+    val n = queryDf.limit(2).count()
+    require(n == 1,
+      s"$op expects exactly one query row, got ${if (n == 0) "none" else "2+"} — " +
+        "use the Batch variant for query sets")
+  }
+
+  /**
+   * Distributed per-query top-k over a scored (query_id, id, score)
+   * frame — the shared tail of every batch retrieval path. A plain
+   * `Window.partitionBy(query_id)` puts each query's ENTIRE candidate
+   * set in one task (corpus-sized for brute force — the unsplittable
+   * partition that kills a 1000-executor run), so rank in two stages:
+   *
+   *  1. within (query, salt) where salt = hash(id) mod `salts`: each
+   *     query's ranking spreads over `salts` bounded partitions. Any
+   *     global top-k row is necessarily in its salt group's top-k
+   *     under the same total order, so survivors (≤ salts·k per
+   *     query) lose nothing;
+   *  2. final rank over survivors only.
+   *
+   * The salt cannot move the result — stage 2 re-ranks under the
+   * global total order (score desc, id asc) — so oracles replay this
+   * as ONE plain window. Output: input columns + `rank` (1-based,
+   * long), filtered to rank ≤ k.
+   */
+  def perQueryTopK(
+      scored: DataFrame,
+      qidCol: String,
+      idCol: String,
+      scoreCol: String,
+      k: Int,
+      salts: Int = 64): DataFrame = {
+    val order = Seq(col(scoreCol).desc, col(idCol).asc)
+    val w1 = Window
+      .partitionBy(col(qidCol), pmod(hash(col(idCol)), lit(salts)))
+      .orderBy(order: _*)
+    val w2 = Window.partitionBy(col(qidCol)).orderBy(order: _*)
+    scored
+      .withColumn("__rn", row_number().over(w1))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+      .withColumn("rank", row_number().over(w2).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /**
    * Exact top-k by cosine against the single row of `queryDf`
    * (columns: `embedding`). Ties broken by id ascending — total order,
@@ -73,6 +124,7 @@ object Similarity {
       idCol: String,
       embCol: String,
       k: Int): DataFrame = {
+    requireSingleQuery(queryDf, "bruteForceTopK")
     val scored = corpus
       .crossJoin(broadcast(queryDf.select(col(embCol).as("__q"))))
       .select(
@@ -81,6 +133,33 @@ object Similarity {
     scored
       .orderBy(col("cosine_sim").desc, col(idCol).asc)
       .limit(k)
+  }
+
+  /**
+   * Exact top-k per query for a query SET — retrieval for seed-set
+   * dedup, eval batches, RAG batches: ONE job for N queries instead of
+   * N driver-synchronized single-query jobs. The (tiny) query table is
+   * broadcast against one corpus scan; ranking is the salted two-stage
+   * [[perQueryTopK]] (no corpus-sized partition per query). Output:
+   * (query_id, rank, idCol, cosine_sim).
+   */
+  def bruteForceTopKBatch(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      embCol: String,
+      qidCol: String,
+      k: Int): DataFrame = {
+    val q = broadcast(
+      queries.select(col(qidCol).as("query_id"), col(embCol).as("__q")))
+    val scored = corpus
+      .crossJoin(q)
+      .select(
+        col("query_id"),
+        col(idCol),
+        cosineFast(corpus.sparkSession, col(embCol), col("__q")).as("cosine_sim"))
+    perQueryTopK(scored, "query_id", idCol, "cosine_sim", k)
+      .select(col("query_id"), col("rank"), col(idCol), col("cosine_sim"))
   }
 
   /** Deterministic pseudo-random ±1 hyperplane component for
@@ -137,6 +216,7 @@ object Similarity {
       k: Int,
       numPlanes: Int,
       dims: Int): DataFrame = {
+    requireSingleQuery(queryDf, "lshTopK")
     val hp = planes(numPlanes, dims)
     val bucketed = corpus.withColumn("__bucket", signBucket(col(embCol), hp))
     val q = broadcast(
@@ -253,6 +333,7 @@ object Similarity {
       k: Int,
       nlist: Int,
       nprobe: Int): DataFrame = {
+    requireSingleQuery(queryDf, "ivfTopK")
     val centroids = corpus.filter(col(idCol) < nlist)
       .select(col(idCol).as("cid"), col(embCol).as("cemb"))
     val assigned = ivfAssign(corpus, centroids, idCol, embCol, "cid", "cemb")
@@ -294,6 +375,7 @@ object Similarity {
       nlist: Int,
       nprobe: Int,
       iters: Int): DataFrame = {
+    requireSingleQuery(queryDf, "ivfTopKTrained")
     val spark = corpus.sparkSession
     import spark.implicits._
     val cents = Clustering.train(corpus, idCol, embCol, nlist, iters)
@@ -312,6 +394,51 @@ object Similarity {
       .select(col(idCol), cosineFast(spark, col(embCol), col("__q")).as("cosine_sim"))
       .orderBy(col("cosine_sim").desc, col(idCol).asc)
       .limit(k)
+  }
+
+  /**
+   * [[ivfTopKTrained]] for a query SET: ONE training run, ONE corpus
+   * assignment, then every query ranks its own `nprobe` lists inside
+   * the same broadcast (a per-query window over the queries×nlist
+   * centroid frame — tiny) and all candidate scoring rides one join.
+   * A vector assigned to a list probed by several queries is scored
+   * once per probing query — exactly the per-query candidate sets of
+   * N single-query runs, in one job. Final ranking is the salted
+   * two-stage [[perQueryTopK]]. Output: (query_id, rank, idCol,
+   * cosine_sim).
+   */
+  def ivfTopKTrainedBatch(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      embCol: String,
+      qidCol: String,
+      k: Int,
+      nlist: Int,
+      nprobe: Int,
+      iters: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = Clustering.train(corpus, idCol, embCol, nlist, iters)
+    val assigned = Clustering.assign(corpus, idCol, embCol, cents)
+      .select(col(idCol), col("cluster").as("list_id"))
+    val centDf = cents.toDF("cid", "cemb") // nlist rows — broadcast literal
+    val q = queries.select(col(qidCol).as("query_id"), col(embCol).as("__q"))
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("__csim").desc, col("cid").asc)
+    val probeLists = broadcast(
+      q.crossJoin(broadcast(centDf))
+        .select(col("query_id"), col("cid"), col("__q"),
+          cosine(col("cemb"), col("__q")).as("__csim"))
+        .withColumn("__rn", row_number().over(wq))
+        .filter(col("__rn") <= nprobe)
+        .select(col("query_id"), col("cid").as("list_id"), col("__q")))
+    val scored = corpus.join(assigned, idCol)
+      .join(probeLists, "list_id")
+      .select(col("query_id"), col(idCol),
+        cosineFast(spark, col(embCol), col("__q")).as("cosine_sim"))
+    perQueryTopK(scored, "query_id", idCol, "cosine_sim", k)
+      .select(col("query_id"), col("rank"), col(idCol), col("cosine_sim"))
   }
 
   /** Train the per-block PQ codebooks (one k-means per slice). */
@@ -414,7 +541,11 @@ object Similarity {
       codebooks: Seq[Seq[(Long, Seq[Double])]]): DataFrame = {
     val blocks = codebooks.size
     val d = dims / blocks
-    val q = queryDf.select(col(embCol)).head().getSeq[Float](0)
+    val qRows = queryDf.select(col(embCol)).limit(2).collect()
+    require(qRows.length == 1,
+      s"pqTopKWith expects exactly one query row, got " +
+        s"${if (qRows.isEmpty) "none" else "2+"} — use pqTopKWithBatch for query sets")
+    val q = qRows.head.getSeq[Float](0)
     require(q.size == dims, s"query has ${q.size} dims, expected $dims")
     val codes = pqEncode(corpus, idCol, embCol, dims, codebooks)
     val score = codebooks.zipWithIndex.map { case (cents, b) =>
@@ -427,6 +558,53 @@ object Similarity {
       .select(col(idCol), round(score, 6).as("approx_dot"))
       .orderBy(col("approx_dot").desc, col(idCol).asc)
       .limit(topK)
+  }
+
+  /**
+   * [[pqTopKWith]] for a query SET: the per-block code→partial-dot
+   * lookup becomes a NESTED map (query → code → partial, still
+   * driver-computed constants: queries × blocks × k doubles — the
+   * query table is small by contract, it rides the plan as a literal
+   * just like the single-query tables), so scoring all N queries stays
+   * one narrow projection over the integer code table. Final ranking
+   * is the salted two-stage [[perQueryTopK]]. Output: (query_id, rank,
+   * idCol, approx_dot). Query ids must be distinct and are read as
+   * long.
+   */
+  def pqTopKWithBatch(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      embCol: String,
+      qidCol: String,
+      topK: Int,
+      dims: Int,
+      codebooks: Seq[Seq[(Long, Seq[Double])]]): DataFrame = {
+    val blocks = codebooks.size
+    val d = dims / blocks
+    val qs = queries.select(col(qidCol).cast("long"), col(embCol)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+    require(qs.nonEmpty, "pqTopKWithBatch: empty query set")
+    require(qs.map(_._1).distinct.length == qs.length,
+      "pqTopKWithBatch: duplicate query ids")
+    qs.foreach { case (qid, q) =>
+      require(q.size == dims, s"query $qid has ${q.size} dims, expected $dims") }
+    val codes = pqEncode(corpus, idCol, embCol, dims, codebooks)
+    val qids = broadcast(
+      queries.select(col(qidCol).cast("long").as("query_id")))
+    val score = codebooks.zipWithIndex.map { case (cents, b) =>
+      val table: Map[Long, Map[Long, Double]] = qs.map { case (qid, q) =>
+        qid -> cents.map { case (cid, cent) =>
+          cid -> (0 until d).map(i => q(b * d + i).toDouble * cent(i)).sum
+        }.toMap
+      }.toMap
+      element_at(element_at(typedlit(table), col("query_id")), col(s"code_$b"))
+    }.reduce(_ + _)
+    val scored = codes
+      .crossJoin(qids)
+      .select(col("query_id"), col(idCol), round(score, 6).as("approx_dot"))
+    perQueryTopK(scored, "query_id", idCol, "approx_dot", topK)
+      .select(col("query_id"), col("rank"), col(idCol), col("approx_dot"))
   }
 
   /** All-pairs top-k neighbors per vector within LSH buckets (the

@@ -517,4 +517,19 @@ class DedupSpec extends AnyFunSuite {
         .as[(Long, String, Long, Long)].collect().toSet
     assert(run(3) == run(17))
   }
+
+  test("destructive paths reject the 64-bit kernel (xx64 is detection-grade only)") {
+    // mirrors WindowIndexSpec's scrubProbe xx64 rejection: a birthday
+    // collision in detection adds a spurious report row; in scrubbing it
+    // irreversibly cuts legitimate text
+    val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val scrubErr = intercept[IllegalArgumentException] {
+      Dedup.scrubDuplicates(docs, "text", "doc_id", n = 3, kind = Dedup.Xx64)
+    }
+    assert(scrubErr.getMessage.contains("detection-grade"))
+    val lineErr = intercept[IllegalArgumentException] {
+      Dedup.corpusLineDedup(docs, "text", "doc_id", kind = Dedup.Xx64)
+    }
+    assert(lineErr.getMessage.contains("detection-grade"))
+  }
 }

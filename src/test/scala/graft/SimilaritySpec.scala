@@ -193,4 +193,79 @@ class SimilaritySpec extends AnyFunSuite {
     assert(b.length == 50)
     assert(b.forall(_._2.matches("[01]{6}")))
   }
+
+  test("single-query entry points reject a multi-row queryDf instead of interleaving") {
+    val emb = TestSpark.table("embeddings")
+    val two = emb.filter(col("vec_id") < 2)
+    for ((name, run) <- Seq[(String, () => Any)](
+        "bruteForceTopK" -> (() =>
+          Similarity.bruteForceTopK(emb, two, "vec_id", "embedding", k = 5)),
+        "lshTopK" -> (() =>
+          Similarity.lshTopK(emb, two, "vec_id", "embedding", 5, 8, 64)),
+        "ivfTopK" -> (() =>
+          Similarity.ivfTopK(emb, two, "vec_id", "embedding", 5, 8, 2)),
+        "ivfTopKTrained" -> (() =>
+          Similarity.ivfTopKTrained(emb, two, "vec_id", "embedding", 5, 8, 2, 2)),
+        "pqTopKWith" -> (() =>
+          Similarity.pqTopKWith(emb, two, "vec_id", "embedding", 5, 64,
+            Similarity.pqCodebooks(emb, "vec_id", "embedding", 64, 4, 4, 1))))) {
+      val err = intercept[IllegalArgumentException](run())
+      assert(err.getMessage.toLowerCase.contains("batch"),
+        s"$name must point multi-query callers at the Batch variant: ${err.getMessage}")
+    }
+  }
+
+  test("bruteForceTopKBatch == one bruteForceTopK per query (salted ranking is invisible)") {
+    val emb = TestSpark.table("embeddings")
+    val got = Similarity.bruteForceTopKBatch(
+        emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding", "vec_id", k = 10)
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    val expected = (0L until 3L).flatMap { qid =>
+      Similarity.bruteForceTopK(
+          emb, emb.filter(col("vec_id") === qid), "vec_id", "embedding", k = 10)
+        .as[(Long, Double)].collect().zipWithIndex
+        .map { case ((id, sim), i) => (qid, (i + 1).toLong, id, sim) }
+    }
+    assert(got.toSeq == expected)
+  }
+
+  test("ivfTopKTrainedBatch == one ivfTopKTrained per query") {
+    val emb = TestSpark.table("embeddings")
+    val got = Similarity.ivfTopKTrainedBatch(
+        emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding", "vec_id",
+        k = 10, nlist = 8, nprobe = 2, iters = 2)
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    val expected = (0L until 3L).flatMap { qid =>
+      Similarity.ivfTopKTrained(
+          emb, emb.filter(col("vec_id") === qid), "vec_id", "embedding",
+          k = 10, nlist = 8, nprobe = 2, iters = 2)
+        .as[(Long, Double)].collect().zipWithIndex
+        .map { case ((id, sim), i) => (qid, (i + 1).toLong, id, sim) }
+    }
+    assert(got.toSeq == expected)
+  }
+
+  test("pqTopKWithBatch == one pqTopKWith per query; duplicate query ids rejected") {
+    val emb = TestSpark.table("embeddings")
+    val books = Similarity.pqCodebooks(emb, "vec_id", "embedding", 64, 4, 4, 2)
+    val got = Similarity.pqTopKWithBatch(
+        emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding", "vec_id",
+        topK = 10, dims = 64, codebooks = books)
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    val expected = (0L until 3L).flatMap { qid =>
+      Similarity.pqTopKWith(
+          emb, emb.filter(col("vec_id") === qid), "vec_id", "embedding",
+          topK = 10, dims = 64, codebooks = books)
+        .as[(Long, Double)].collect().zipWithIndex
+        .map { case ((id, sim), i) => (qid, (i + 1).toLong, id, sim) }
+    }
+    assert(got.toSeq == expected)
+    val dup = emb.filter(col("vec_id") === 0)
+      .union(emb.filter(col("vec_id") === 0))
+    val err = intercept[IllegalArgumentException] {
+      Similarity.pqTopKWithBatch(emb, dup, "vec_id", "embedding", "vec_id",
+        topK = 5, dims = 64, codebooks = books)
+    }
+    assert(err.getMessage.contains("duplicate query ids"))
+  }
 }

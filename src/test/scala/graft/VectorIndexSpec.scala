@@ -17,7 +17,8 @@ class VectorIndexSpec extends AnyFunSuite {
     val dir = TestSpark.tmpDir("vecidx_meta")
     VectorIndex.build(emb, "vec_id", "embedding", dir, nlist = 8, iters = 2)
     assert(VectorIndex.meta(spark, dir) ==
-      VectorIndex.Meta("vec_id", "embedding", 64, 8, 2))
+      VectorIndex.Meta("vec_id", "embedding", 64, 8, 2,
+        emb.select("vec_id", "embedding").schema.toDDL))
     val err = intercept[IllegalArgumentException] {
       VectorIndex.meta(spark, TestSpark.tmpDir("vecidx_empty"))
     }
@@ -96,5 +97,70 @@ class VectorIndexSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(top.toSeq == Seq((0L, 1.0), (900000L, 1.0)),
       s"appended clone must rank beside the original, got ${top.toSeq}")
+  }
+
+  test("append is idempotent: a retried batch overwrites itself, never double-inserts") {
+    val dir = TestSpark.tmpDir("vecidx_retry")
+    VectorIndex.build(emb, "vec_id", "embedding", dir, nlist = 8, iters = 2)
+    val batch = emb.filter($"vec_id" === 0)
+      .select(lit(900001L).as("vec_id"), $"embedding")
+    VectorIndex.append(batch, dir) // first drain
+    VectorIndex.append(batch, dir) // replayed drain (same delta, same tag)
+    val hits = VectorIndex.probe(emb.filter($"vec_id" === 0), dir,
+        k = 1000000, nprobe = 1)
+      .filter($"vec_id" === 900001L).count()
+    assert(hits == 1L, s"retried append must not duplicate the vector, got $hits rows")
+  }
+
+  test("single-query contract: a multi-row queryDf is rejected, not silently interleaved") {
+    val dir = TestSpark.tmpDir("vecidx_guard")
+    VectorIndex.build(emb, "vec_id", "embedding", dir, nlist = 8, iters = 2)
+    val err = intercept[IllegalArgumentException] {
+      VectorIndex.probe(emb.filter($"vec_id" < 2), dir, k = 5, nprobe = 2)
+    }
+    assert(err.getMessage.contains("probeBatch"))
+  }
+
+  test("probeBatch == one probe per query, in one job") {
+    val dir = TestSpark.tmpDir("vecidx_batch")
+    VectorIndex.build(emb, "vec_id", "embedding", dir, nlist = 8, iters = 2)
+    val got = VectorIndex.probeBatch(
+        emb.filter($"vec_id" < 3), "vec_id", dir, k = 10, nprobe = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(r => (r._1, r._2))
+    val expected = (0L until 3L).flatMap { qid =>
+      VectorIndex.probe(emb.filter($"vec_id" === qid), dir, k = 10, nprobe = 2)
+        .collect().zipWithIndex
+        .map { case (r, i) => (qid, (i + 1).toLong, r.getLong(0), r.getDouble(1)) }
+    }
+    assert(got.toSeq == expected)
+  }
+
+  test("deleting every vector leaves a valid empty index; appends revive it") {
+    val dir = TestSpark.tmpDir("vecidx_empty_all")
+    VectorIndex.build(emb, "vec_id", "embedding", dir, nlist = 8, iters = 2)
+    VectorIndex.delete(emb.select("vec_id"), dir)
+    val q = emb.filter($"vec_id" === 0)
+    assert(VectorIndex.probe(q, dir, k = 10, nprobe = 2).count() == 0L)
+    // the frozen quantizer still accepts new batches
+    VectorIndex.append(q, dir)
+    assert(VectorIndex.probe(q, dir, k = 10, nprobe = 2)
+      .collect().map(_.getLong(0)).toSeq == Seq(0L))
+  }
+
+  test("delete dedupes the takedown request; build rejects an empty corpus") {
+    val dir = TestSpark.tmpDir("vecidx_del_dup")
+    VectorIndex.build(emb, "vec_id", "embedding", dir, nlist = 8, iters = 2)
+    // the same id twice in one request must behave as once
+    VectorIndex.delete(Seq(3L, 3L).toDF("vec_id"), dir)
+    val left = VectorIndex.probe(emb.filter($"vec_id" === 3), dir,
+      k = 1000000, nprobe = 8)
+    assert(left.filter($"vec_id" === 3L).count() == 0L)
+    val err = intercept[IllegalArgumentException] {
+      VectorIndex.build(emb.limit(0), "vec_id", "embedding",
+        TestSpark.tmpDir("vecidx_build_empty"), nlist = 8, iters = 2)
+    }
+    assert(err.getMessage.contains("empty corpus"))
   }
 }

@@ -185,6 +185,29 @@ class WindowIndexSpec extends AnyFunSuite {
     assert(spanSet(WindowIndex.probe(b, "text", dir)).isEmpty)
   }
 
+  test("a duplicated id in the takedown request subtracts once, not twice") {
+    val dir = TestSpark.tmpDir("winidx_forget_dupreq")
+    WindowIndex.build(Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma epsilon")).toDF("doc_id", "text"),
+      "text", "doc_id", dir, n = 3)
+    // doc 1 listed twice: a double subtraction would drive the shared
+    // "alpha beta gamma" count to 0 and erase doc 2's occurrence
+    WindowIndex.delete(
+      Seq((1L, "alpha beta gamma delta"), (1L, "alpha beta gamma delta"))
+        .toDF("doc_id", "text"), "text", dir)
+    val counts = WindowIndex.counts(spark, dir)
+      .groupBy("hh").agg(sum("cnt").as("cnt"))
+      .as[(String, Long)].collect().toMap
+    val rebuiltDir = TestSpark.tmpDir("winidx_forget_dupreq_rebuild")
+    WindowIndex.build(Seq((2L, "alpha beta gamma epsilon")).toDF("doc_id", "text"),
+      "text", "doc_id", rebuiltDir, n = 3)
+    val rebuilt = WindowIndex.counts(spark, rebuiltDir)
+      .groupBy("hh").agg(sum("cnt").as("cnt"))
+      .as[(String, Long)].collect().toMap
+    assert(counts == rebuilt)
+  }
+
   test("delete rejects ids missing from the ledger") {
     val dir = TestSpark.tmpDir("winidx_forget_missing")
     WindowIndex.build(
