@@ -87,7 +87,11 @@ object PortableSql {
   }
 
   /** Heuristic quality score in [0,1] (see `TextOps.qualityScore`);
-    * `tokCount` is the dialect-specific token-count expression. */
+    * `tokCount` is the dialect-specific token-count expression.
+    * NULL text → NULL, guarded EXPLICITLY: without the guard both
+    * engines' NULL-skipping `least`/`CASE` would agree on a phantom
+    * 0.55 for a NULL doc — parity-safe but semantically wrong (a
+    * quality-only fence would keep a doc with no text). */
   def qualityScore(text: String, d: Dialect): String = {
     val nTok = s"CAST(${tokenCount(text, d)} AS DOUBLE)"
     val nChars = s"CAST(length($text) AS DOUBLE)"
@@ -99,7 +103,8 @@ object PortableSql {
       .map(p => occurrences(text, p))
       .mkString("(", " + ", ")")
     val punctScore = s"(1.0 - least(CAST($punct AS DOUBLE) / $nTok, 1.0))"
-    s"round(0.4 * $lengthScore + 0.3 * $wordLenScore + 0.3 * $punctScore, 6)"
+    s"(CASE WHEN $text IS NULL THEN NULL ELSE " +
+      s"round(0.4 * $lengthScore + 0.3 * $wordLenScore + 0.3 * $punctScore, 6) END)"
   }
 
   /** Token count, per dialect. The Spark side runs the byte-scan

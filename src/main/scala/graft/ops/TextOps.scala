@@ -68,7 +68,10 @@ object TextOps {
   /**
    * Heuristic quality score in [0,1]: blend of length saturation,
    * mean word length sanity, and punctuation-density penalty.
-   * Deterministic double arithmetic (identical expression both engines).
+   * Deterministic double arithmetic (identical expression both
+   * engines). NULL text → NULL, guarded explicitly — the NULL-skipping
+   * `least`/`when` chain would otherwise score a textless doc a
+   * phantom 0.55 (see [[graft.functions.PortableSql.qualityScore]]).
    */
   def qualityScore(c: Column): Column = {
     val nChars = length(c).cast("double")
@@ -82,7 +85,8 @@ object TextOps {
       .reduce(_ + _)
       .cast("double")
     val punctScore = lit(1.0) - least(punct / nTok, lit(1.0))
-    round(lit(0.4) * lengthScore + lit(0.3) * wordLenScore + lit(0.3) * punctScore, 6)
+    when(c.isNull, lit(null).cast("double")).otherwise(
+      round(lit(0.4) * lengthScore + lit(0.3) * wordLenScore + lit(0.3) * punctScore, 6))
   }
 
   /** Document fingerprint: md5 of the casefolded, trimmed text. Identical
