@@ -1124,6 +1124,15 @@ object SparkEntry {
         T(s, dir, "embeddings").filter(col("vec_id") < 3), "vec_id",
         durableVecIndex(s, dir), k = 10, nprobe = 2)),
 
+    // ---- north-star: SemDeDup — k-means partitions the embedding
+    //      space, near-dup pruning runs only WITHIN each cluster
+    //      (Σ|cluster|² pairs, cluster-keyed join — never corpus×corpus);
+    //      keep = lowest id per semantic dup set.
+    "q105_semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDedup(
+        T(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 4, iters = 2, threshold = 0.15)),
+
     // ---- capstone: the INCREMENTAL curation pipeline — what the daily
     //      batch actually runs: quality filters on the batch, near-dup
     //      drops from the durable signature-index probe (arrival-order:
@@ -2786,6 +2795,34 @@ object SparkEntry {
          |        ORDER BY approx_dot DESC, vec_id ASC) AS BIGINT) AS rank,
          |        vec_id, approx_dot FROM t)
          |SELECT query_id, rank, vec_id, approx_dot FROM r WHERE rank <= 10""".stripMargin
+    },
+
+    // SemDeDup oracle: q55's kmeans CTE chain (same k=4/iters=2 seeds
+    // and update) + within-cluster pair probe; keep ⇔ no lower-id
+    // cluster-mate with cosine ≥ 0.15
+    "q105_semantic_dedup" -> {
+      val dims = 64
+      def assignCte(cents: String) =
+        s"""SELECT vec_id, cid AS cluster FROM (
+           |    SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY ${duckCosine("e.embedding", "c.cemb", dims)} DESC, c.cid ASC) AS rn
+           |    FROM embeddings e CROSS JOIN $cents c) WHERE rn = 1""".stripMargin
+      s"""WITH c0 AS (SELECT CAST(vec_id AS BIGINT) AS cid,
+         |            list_transform(embedding, __x -> CAST(__x AS DOUBLE)) AS cemb
+         |            FROM embeddings ORDER BY vec_id LIMIT 4),
+         |a0 AS (${assignCte("c0")}),
+         |m1 AS (SELECT a0.cluster, d.d, round(avg(CAST(e.embedding[d.d] AS DOUBLE)), 6) AS v
+         |       FROM a0 JOIN embeddings e USING (vec_id), generate_series(1, $dims) d(d)
+         |       GROUP BY a0.cluster, d.d),
+         |c1 AS (SELECT cluster AS cid, list(v ORDER BY d) AS cemb FROM m1 GROUP BY cluster),
+         |a1 AS (${assignCte("c1")}),
+         |dr AS (SELECT DISTINCT b.vec_id AS id
+         |       FROM a1 a JOIN a1 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |       JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |       JOIN embeddings eb ON eb.vec_id = b.vec_id
+         |       WHERE ${duckCosine("ea.embedding", "eb.embedding", dims)} >= 0.15)
+         |SELECT a1.vec_id, a1.cluster, dr.id IS NULL AS keep
+         |FROM a1 LEFT JOIN dr ON a1.vec_id = dr.id""".stripMargin
     },
 
     "q49_winnowing" -> {

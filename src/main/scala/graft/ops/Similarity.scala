@@ -640,4 +640,55 @@ object Similarity {
         cosineFast(corpus.sparkSession, col("emb_a"), col("emb_b")).as("cosine_sim"))
       .filter(col("cosine_sim") >= minCosine)
   }
+
+  /**
+   * SemDeDup-style semantic dedup: k-means partitions the embedding
+   * space, then near-dup pruning runs ONLY within each cluster — the
+   * corpus-wide O(N²) pairwise cosine collapses to Σ|cluster|², and
+   * the cluster id is the join/shuffle key. At 100 TB the production
+   * knob is `k` itself (SemDeDup's regime is k ≈ N/10³, keeping every
+   * cluster's pair block bounded); the pair join never shuffles the
+   * corpus on anything but the cluster id, so AQE's skew split is the
+   * guardrail for an unbalanced quantizer, exactly as in
+   * [[bandedNeighbors]]'s bucket join.
+   *
+   * Keep policy (deterministic, oracle-replayable): a vector survives
+   * iff its cluster holds NO lower-id vector with cosine ≥
+   * `threshold` — "keep lowest id per semantic dup set", the same
+   * convention as every destructive dedup in [[graft.ops.Dedup]].
+   *
+   * Output: (idCol, cluster, keep) — one row per input vector.
+   */
+  def semanticDedup(
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      iters: Int,
+      threshold: Double): DataFrame = {
+    val centroids = Clustering.train(corpus, idCol, embCol, k, iters)
+    // materialize the assignment once — it feeds both sides of the
+    // pair join and the final decision frame, and the k·dims argmax
+    // projection is expression-heavy (same reasoning as
+    // bucketedNeighbors' index materialization)
+    val assigned = Clustering.assign(corpus, idCol, embCol, centroids)
+      .select(col(idCol).as("id"), col(embCol).as("emb"), col("cluster"))
+      .localCheckpoint()
+    val lo = assigned.select(
+      col("cluster"), col("id").as("__lo"), col("emb").as("__elo"))
+    val hi = assigned.select(
+      col("cluster"), col("id").as("__hi"), col("emb").as("__ehi"))
+    val dropped = lo.join(hi, Seq("cluster"))
+      .filter(col("__lo") < col("__hi"))
+      .filter(
+        cosineFast(corpus.sparkSession, col("__elo"), col("__ehi")) >= threshold)
+      .select(col("__hi").as("id"))
+      .distinct()
+    assigned
+      .join(dropped.withColumn("__drop", lit(true)), Seq("id"), "left")
+      .select(
+        col("id").as(idCol),
+        col("cluster"),
+        col("__drop").isNull.as("keep"))
+  }
 }

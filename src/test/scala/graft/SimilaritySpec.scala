@@ -268,4 +268,30 @@ class SimilaritySpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("duplicate query ids"))
   }
+
+  test("semanticDedup: keep-lowest-id per dup set, pruning never crosses clusters") {
+    // two tight bundles on orthogonal axes + one outlier per axis
+    // region: kmeans (k=2) separates the axes, so cross-axis cosine 0
+    // pairs are never even compared
+    def unit(axis: Int, eps: Double): Array[Float] = {
+      val v = Array.fill(4)(eps.toFloat); v(axis) = 1.0f; v
+    }
+    val df = Seq(
+      (0L, unit(0, 0.0)), (1L, unit(0, 0.001)), (2L, unit(0, 0.002)),
+      (10L, unit(1, 0.0)), (11L, unit(1, 0.001)),
+      (20L, unit(2, 0.0)) // joins one of the k=2 clusters, far from both
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semanticDedup(
+        df, "vec_id", "embedding", k = 2, iters = 2, threshold = 0.9)
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r._3).toMap
+    // axis-0 bundle: 0 survives, 1 and 2 are its near-dups
+    assert(got(0L) && !got(1L) && !got(2L))
+    // axis-1 bundle: 10 survives, 11 dropped
+    assert(got(10L) && !got(11L))
+    // the orthogonal outlier has no neighbor above 0.9 anywhere
+    assert(got(20L))
+    // decision frame is total: one row per input vector
+    assert(got.size == 6)
+  }
 }
