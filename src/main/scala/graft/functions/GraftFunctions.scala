@@ -78,6 +78,15 @@ object GraftFunctions {
     CharEntropyKernel(args.head)
   }
 
+  private val wordShinglesId = FunctionIdentifier("graft_word_shingles")
+  private val wordShinglesInfo =
+    new ExpressionInfo(classOf[WordShinglesKernel].getName, "graft_word_shingles")
+  private val wordShinglesBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 2,
+      s"graft_word_shingles expects (text, n), got ${args.length} args")
+    WordShinglesKernel(args.head, intLit(args(1), "graft_word_shingles", "n"))
+  }
+
   private val sortedIntersectId = FunctionIdentifier("graft_sorted_intersect")
   private val sortedIntersectInfo =
     new ExpressionInfo(classOf[SortedIntersectCount].getName, "graft_sorted_intersect")
@@ -94,6 +103,7 @@ object GraftFunctions {
     (langIdId, langIdInfo, langIdBuilder),
     (dupRatioId, dupRatioInfo, dupRatioBuilder),
     (entropyId, entropyInfo, entropyBuilder),
+    (wordShinglesId, wordShinglesInfo, wordShinglesBuilder),
     (sortedIntersectId, sortedIntersectInfo, sortedIntersectBuilder))
 
   def inject(ext: SparkSessionExtensions): Unit =
@@ -134,6 +144,15 @@ object GraftFunctions {
   def langId(spark: SparkSession, text: Column): Column = {
     register(spark)
     org.apache.spark.sql.functions.call_function("graft_lang_id", text)
+  }
+
+  /** Column-API handle on the word-shingles kernel — the codegen'd
+    * replacement for [[graft.ops.TextOps.wordShingles]]'s HOF form on
+    * every shingle-explode hot path (identical output array). */
+  def wordShingles(spark: SparkSession, text: Column, n: Int): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_word_shingles", text,
+      org.apache.spark.sql.functions.lit(n))
   }
 
   /** Column-API handle on the sorted-intersect-count kernel (both

@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
@@ -125,6 +126,46 @@ object TextKernels {
     ent
   }
 
+  /** N-word shingles as one primitive loop — the array the HOF
+    * formulation (`transform(sequence…, i -> concat_ws(' ',
+    * slice(split(text)…)))`, kept in [[graft.ops.TextOps.wordShingles]]
+    * as the parity/oracle reference) builds, without its failure mode:
+    * `transform` is CodegenFallback, and with `split(text)` inlined in
+    * the lambda the interpreted evaluator re-splits the WHOLE document
+    * once per shingle — O(tokens²) per doc through megamorphic `eval`
+    * call sites (thread dumps under the shingle explodes show executors
+    * pinned in `StringSplit.nullSafeEval`; q79's corpus pass dropped
+    * ~10× at 15k docs when this kernel replaced the HOF). Short-doc
+    * floor: < n tokens → ONE shingle of however many tokens exist. */
+  /** NULL contract of the HOF form, reproduced exactly: `greatest`
+    * SKIPS null args, so NULL text floors to one shingle and
+    * `concat_ws` over the null slice yields `""` — NULL in, `[""]`
+    * out (identical to empty text). Kept bit-for-bit so swapping the
+    * kernel into a hot path can never move an oracle hash. */
+  def wordShinglesOrEmpty(s: UTF8String, n: Int): ArrayData =
+    wordShingles(if (s == null) UTF8String.EMPTY_UTF8 else s, n)
+
+  def wordShingles(s: UTF8String, n: Int): ArrayData = {
+    val toks = s.toString.split(" ", -1)
+    val total = math.max(toks.length - n + 1, 1)
+    val out = new Array[Any](total)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < total) {
+      sb.setLength(0)
+      val end = math.min(i + n, toks.length)
+      var j = i
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Duplicate word-n-gram fraction, unrounded: `1 − distinct/total`
     * over the same shingle list the HOF formulation builds (short docs
     * floor at one shingle of however many tokens exist). */
@@ -206,6 +247,34 @@ case class CharEntropyKernel(child: Expression) extends StringKernelExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.TextKernels.charEntropy($c);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_word_shingles(text, n)` — see [[TextKernels.wordShingles]].
+  * NOT null-propagating: NULL text yields `[""]`, the HOF form's exact
+  * NULL artifact ([[TextKernels.wordShinglesOrEmpty]]). */
+case class WordShinglesKernel(child: Expression, n: Int)
+    extends StringKernelExpression {
+  require(n >= 1 && n <= 64, "shingle width must be in [1, 64]")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_word_shingles"
+  override def nullable: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    TextKernels.wordShinglesOrEmpty(child.eval(input).asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val c = child.genCode(ctx)
+    val resultCode =
+      code"""
+         |${c.code}
+         |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+         |  graft.functions.TextKernels.wordShinglesOrEmpty(
+         |    ${c.isNull} ? null : ${c.value}, $n);
+       """.stripMargin
+    ev.copy(code = resultCode,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -133,7 +133,8 @@ object Dedup {
     val ex = df
       .select(
         col(idCol),
-        explode(TextOps.wordShingles(col(textCol), shingleWords)).as("__sh"))
+        explode(graft.functions.GraftFunctions
+          .wordShingles(df.sparkSession, col(textCol), shingleWords)).as("__sh"))
       .select(col(idCol), kind.base(col("__sh")).as("__base"))
     val mins = (0 until numHashes).map(i =>
       min(universalHash(i, col("__base"))).as(s"__s$i"))
@@ -260,7 +261,8 @@ object Dedup {
     val shingled = df
       .select(
         col(idCol).as("sid"),
-        sort_array(array_distinct(TextOps.wordShingles(col(textCol), shingleWords)))
+        sort_array(array_distinct(graft.functions.GraftFunctions
+          .wordShingles(df.sparkSession, col(textCol), shingleWords)))
           .as("shset"))
       .join(candIds, Seq("sid"), "left_semi")
       .localCheckpoint() // reused by both sides of the pair attach
@@ -320,7 +322,8 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val sh = df
       .select(col(idCol).as("id"),
-        explode(array_distinct(TextOps.wordShingles(col(textCol), shingleWords)))
+        explode(array_distinct(graft.functions.GraftFunctions
+          .wordShingles(df.sparkSession, col(textCol), shingleWords)))
           .as("__s"))
       .select(col("id"), kind.bucket(col("__s")).as("__h"))
       .localCheckpoint() // feeds the df counts AND the ranking

@@ -101,7 +101,9 @@ object LanguageModel {
     val t = col(textCol)
     df.select(
         col(idCol),
-        explode(concat(TextOps.tokens(t), TextOps.wordShingles(t, 2))).as("__g"))
+        explode(concat(
+          TextOps.tokens(t),
+          graft.functions.GraftFunctions.wordShingles(df.sparkSession, t, 2))).as("__g"))
       .select(col(idCol), pmod(Dedup.Md5.base(col("__g")), lit(dims.toLong)).as("bucket"))
   }
 

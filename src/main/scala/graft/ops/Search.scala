@@ -46,12 +46,14 @@ object Search {
     // The benchmark gram set is deduplicated once and broadcast; the
     // corpus side explodes its own distinct grams and probes map-side.
     val benchGrams = bench
-      .select(explode(array_distinct(TextOps.wordShingles(col(textCol), n))).as("__g"))
+      .select(explode(array_distinct(graft.functions.GraftFunctions
+        .wordShingles(bench.sparkSession, col(textCol), n))).as("__g"))
       .distinct()
     corpus
       .select(
         col(idCol),
-        explode(array_distinct(TextOps.wordShingles(col(textCol), n))).as("__g"))
+        explode(array_distinct(graft.functions.GraftFunctions
+          .wordShingles(corpus.sparkSession, col(textCol), n))).as("__g"))
       .join(broadcast(benchGrams), Seq("__g"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_contaminated"))

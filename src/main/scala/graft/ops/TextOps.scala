@@ -102,7 +102,12 @@ object TextOps {
   def fingerprintFast(c: Column): Column = xxhash64(lower(trim(c)))
 
   /** N-word shingles (the MinHash input): overlapping n-grams of the
-    * token array, joined with single spaces. */
+    * token array, joined with single spaces. PARITY/ORACLE REFERENCE
+    * form — `transform` is CodegenFallback and the interpreted
+    * evaluator re-splits the document once per shingle (O(tokens²) per
+    * doc); every shingle-explode hot path uses the codegen kernel
+    * [[graft.functions.TextKernels.wordShingles]] instead (identical
+    * output array, spec-pinned). */
   def wordShingles(c: Column, n: Int): Column = {
     val toks = tokens(c)
     transform(

@@ -118,6 +118,15 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("kernel parity: graft_word_shingles == HOF shingle array on corpus + edges") {
+    for (d <- Seq(docs, edgeDocs); n <- Seq(2, 3, 4)) {
+      val j = d.select(col("doc_id"), TextOps.wordShingles(col("text"), n).as("a"))
+        .join(d.selectExpr("doc_id", s"graft_word_shingles(text, $n) AS b"), "doc_id")
+      assert(j.filter(!(col("a") <=> col("b"))).count() == 0,
+        s"kernel/HOF shingle divergence at n=$n")
+    }
+  }
+
   test("kernel: null text → null (lang_id → 'und'), wrong type fails analysis") {
     val df = Seq[(Long, Option[String])](1L -> None).toDF("doc_id", "text")
     val r = df.selectExpr(
