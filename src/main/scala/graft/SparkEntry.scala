@@ -1133,6 +1133,25 @@ object SparkEntry {
         T(s, dir, "embeddings"), "vec_id", "embedding",
         k = 4, iters = 2, threshold = 0.15)),
 
+    // ---- north-star: hashed-feature Naive Bayes — the fastText-style
+    //      corpus classifier (quality/domain/lang routing): model =
+    //      classes×dims rows broadcast; scoring = one gram explode +
+    //      broadcast LUT join + doc-keyed agg. Train even ids, score odd.
+    "q106_nb_classifier" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.ops.LanguageModel.naiveBayesClassify(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 =!= 0),
+        "text", "doc_id", "lang", dims = 128)
+    }),
+
+    // ---- north-star: interpolated bigram LM NLL (KenLM-lite) — word
+    //      ORDER enters the fluency fence; vocab-bounded count tables,
+    //      one bigram explode + broadcast joins + per-doc mean.
+    "q107_bigram_nll" -> ((s, dir) =>
+      graft.ops.LanguageModel.bigramNll(
+        T(s, dir, "documents"), "text", "doc_id", lambda = 0.75)),
+
     // ---- capstone: the INCREMENTAL curation pipeline — what the daily
     //      batch actually runs: quality filters on the batch, near-dup
     //      drops from the durable signature-index probe (arrival-order:
@@ -2824,6 +2843,58 @@ object SparkEntry {
          |SELECT a1.vec_id, a1.cluster, dr.id IS NULL AS keep
          |FROM a1 LEFT JOIN dr ON a1.vec_id = dr.id""".stripMargin
     },
+
+    // Naive Bayes oracle: per-class smoothed bucket log-liks over the
+    // q79 hashed-gram chain + log priors; argmax replayed as a rank
+    // window (score DESC, class ASC = the Spark min-struct tie-break)
+    "q106_nb_classifier" -> {
+      val base = PortableSql.minhashBase("gram", DD)
+      val sh2 = DD.shingles("l", 2)
+      s"""WITH tr AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 0),
+         |te AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 <> 0),
+         |dtr AS (SELECT lang AS cls, string_split(text, ' ') AS l FROM tr),
+         |gtr AS (SELECT cls, unnest(list_concat(l, $sh2)) AS gram FROM dtr),
+         |btr AS (SELECT cls, ($base % ${PortableSql.minhashP}) % 128 AS bucket FROM gtr),
+         |cnt AS (SELECT cls, bucket, count(*) AS c FROM btr GROUP BY cls, bucket),
+         |tot AS (SELECT cls, CAST(sum(c) AS DOUBLE) AS n FROM cnt GROUP BY cls),
+         |bkt AS (SELECT unnest(generate_series(0, 127)) AS bucket),
+         |lut AS (SELECT t.cls, b.bucket,
+         |        ln(CAST(coalesce(c.c, 0) + 1 AS DOUBLE) / (t.n + 128.0)) AS ll
+         |        FROM tot t CROSS JOIN bkt b
+         |        LEFT JOIN cnt c ON c.cls = t.cls AND c.bucket = b.bucket),
+         |dt AS (SELECT CAST(count(*) AS DOUBLE) AS dt FROM tr),
+         |pri AS (SELECT lang AS cls, ln(CAST(count(*) AS DOUBLE) / dt.dt) AS lp
+         |        FROM tr, dt GROUP BY lang, dt.dt),
+         |dte AS (SELECT doc_id, string_split(text, ' ') AS l FROM te),
+         |gte AS (SELECT doc_id, unnest(list_concat(l, $sh2)) AS gram FROM dte),
+         |bte AS (SELECT doc_id, ($base % ${PortableSql.minhashP}) % 128 AS bucket FROM gte),
+         |sc AS (SELECT bte.doc_id, l.cls, round(sum(l.ll) + p.lp, 6) AS score
+         |       FROM bte JOIN lut l USING (bucket) JOIN pri p ON p.cls = l.cls
+         |       GROUP BY bte.doc_id, l.cls, p.lp),
+         |r AS (SELECT doc_id, cls, score, row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY score DESC, cls ASC) AS rn FROM sc)
+         |SELECT doc_id, cls AS predicted, score FROM r WHERE rn = 1""".stripMargin
+    },
+
+    // interpolated bigram NLL oracle: same smoothing arithmetic, the
+    // bigram's context/next words recovered from the shingle string
+    "q107_bigram_nll" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         |m AS (SELECT doc_id, l FROM d WHERE len(l) >= 2),
+         |u AS (SELECT unnest(l) AS token FROM d),
+         |uc AS (SELECT token, count(*) AS c FROM u GROUP BY token),
+         |st AS (SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM uc),
+         |bg AS (SELECT doc_id, unnest(${DD.shingles("l", 2)}) AS bgm FROM m),
+         |bc AS (SELECT bgm, count(*) AS bc FROM bg GROUP BY bgm),
+         |sc AS (SELECT g.doc_id,
+         |    0.75 * (CAST(coalesce(b.bc, 0) + 1 AS DOUBLE) /
+         |            (CAST(coalesce(u1.c, 0) AS DOUBLE) + st.v)) +
+         |    (1.0 - 0.75) * (CAST(coalesce(u2.c, 0) + 1 AS DOUBLE) / (st.n + st.v)) AS p
+         |  FROM bg g
+         |  LEFT JOIN bc b USING (bgm)
+         |  LEFT JOIN uc u1 ON u1.token = string_split(g.bgm, ' ')[1]
+         |  LEFT JOIN uc u2 ON u2.token = string_split(g.bgm, ' ')[-1], st)
+         |SELECT doc_id, round(avg(-ln(p)), 6) AS nll2 FROM sc GROUP BY doc_id""".stripMargin,
 
     "q49_winnowing" -> {
       val k = 5; val w = 4

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -159,5 +159,132 @@ object LanguageModel {
     rawG.join(broadcast(lut), "bucket")
       .groupBy(col(idCol))
       .agg(round(sum("__lr"), 6).as("logratio"))
+  }
+
+  /**
+   * Hashed-feature multinomial Naive Bayes — the fastText-style
+   * corpus classifier seam (quality filtering against a curated seed
+   * set, domain routing, large-scale language ID) as pure
+   * aggregations. Train on a LABELED slice: per-class gram-bucket
+   * counts with add-one smoothing over the `dims` buckets
+   * (`ln (c(class,b)+1)/(n_class+dims)`) plus log class priors from
+   * doc counts — the whole model is a `classes × dims`-row table.
+   * Score: one gram explode + one broadcast LUT join + one doc-keyed
+   * aggregation; prediction = argmax of joint log-likelihood, ties →
+   * lexicographically smallest class (deterministic, the oracle
+   * replays it as a rank window).
+   *
+   * Scale shape: training shuffles ≤ classes×dims count partials
+   * (map-side combine); scoring broadcasts the model and shuffles one
+   * row per (doc, class) partial — never anything corpus-∝. The
+   * features are [[hashedGrams]]' unigram+bigram buckets, so the
+   * classifier shares the DSIR selector's feature space.
+   *
+   * Output: (idCol, predicted, score) — score = winning class's
+   * rounded joint log-likelihood.
+   */
+  def naiveBayesClassify(
+      train: DataFrame,
+      test: DataFrame,
+      textCol: String,
+      idCol: String,
+      labelCol: String,
+      dims: Int): DataFrame = {
+    val spark = train.sparkSession
+    def grams(df: DataFrame, key: Column, keyName: String): DataFrame = {
+      val t = col(textCol)
+      df.select(key.as(keyName),
+          explode(concat(
+            TextOps.tokens(t),
+            graft.functions.GraftFunctions.wordShingles(df.sparkSession, t, 2)))
+            .as("__g"))
+        .select(col(keyName), pmod(Dedup.Md5.base(col("__g")), lit(dims.toLong)).as("bucket"))
+    }
+    // (class, bucket) counts feed the totals AND the LUT — materialize
+    val counts = grams(train, col(labelCol), "__cls")
+      .groupBy("__cls", "bucket").agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val totals = counts.groupBy("__cls").agg(sum("__c").cast("double").as("__n"))
+    // every (class, bucket) cell gets a row: unseen buckets still
+    // carry smoothing mass when a scored doc hashes into them
+    val lut = totals
+      .crossJoin(spark.range(dims).select(col("id").as("bucket")))
+      .join(counts, Seq("__cls", "bucket"), "left")
+      .select(col("__cls"), col("bucket"),
+        log((coalesce(col("__c"), lit(0L)) + lit(1)).cast("double") /
+          (col("__n") + lit(dims.toDouble))).as("__ll"))
+    val docTotal = train.agg(count(lit(1)).cast("double").as("__dt"))
+    val priors = train.groupBy(col(labelCol).as("__cls"))
+      .agg(count(lit(1)).as("__docs"))
+      .crossJoin(broadcast(docTotal))
+      .select(col("__cls"), log(col("__docs").cast("double") / col("__dt")).as("__lp"))
+    grams(test, col(idCol), idCol)
+      .join(broadcast(lut), "bucket")
+      .groupBy(col(idCol), col("__cls"))
+      .agg(sum("__ll").as("__gll"))
+      .join(broadcast(priors), "__cls")
+      .select(col(idCol), col("__cls"),
+        round(col("__gll") + col("__lp"), 6).as("__score"))
+      .groupBy(col(idCol))
+      .agg(min(struct((-col("__score")).as("ns"), col("__cls").as("cls"))).as("__best"))
+      .select(col(idCol),
+        col("__best.cls").as("predicted"),
+        (-col("__best.ns")).as("score"))
+  }
+
+  /**
+   * Interpolated bigram LM NLL (KenLM-lite): per-doc mean
+   * `−ln [λ·P̂(w₂|w₁) + (1−λ)·P̂(w₂)]` over the doc's bigram
+   * positions, both components add-one smoothed — `P̂(w) =
+   * (c(w)+1)/(N+V)`, `P̂(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁)+V)`. One step
+   * beyond [[meanNegLogLik]]'s unigram fence: word ORDER now matters,
+   * so shuffled/templated word salad that sails through a unigram
+   * model scores high here.
+   *
+   * State: vocabulary- and bigram-vocabulary-sized count tables
+   * (broadcast at fixture scale; the same broadcast/shuffle seam as
+   * [[meanNegLogLik]] governs at 100 TB where the bigram vocabulary
+   * outgrows a broadcast). Docs with fewer than 2 tokens have no
+   * bigram positions and are excluded (document the contract rather
+   * than invent a score).
+   *
+   * Output: (idCol, nll2).
+   */
+  def bigramNll(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      lambda: Double = 0.75): DataFrame = {
+    require(lambda > 0 && lambda < 1, "interpolation weight must be in (0, 1)")
+    val spark = df.sparkSession
+    val multi = df.filter(size(TextOps.tokens(col(textCol))) >= 2)
+    val bi = multi.select(col(idCol),
+        explode(graft.functions.GraftFunctions.wordShingles(spark, col(textCol), 2))
+          .as("__bg"))
+      .select(col(idCol), col("__bg"),
+        substring_index(col("__bg"), " ", 1).as("__w1"),
+        substring_index(col("__bg"), " ", -1).as("__w2"))
+    val uni = unigramCounts(df, textCol).localCheckpoint()
+    val biC = multi.select(
+        explode(graft.functions.GraftFunctions.wordShingles(spark, col(textCol), 2))
+          .as("__bg"))
+      .groupBy("__bg").agg(count(lit(1)).as("__bc"))
+    val stats = uni.agg(
+      sum("c").cast("double").as("__n"),
+      count(lit(1)).cast("double").as("__v"))
+    val pU = (coalesce(col("__c2"), lit(0L)) + lit(1)).cast("double") /
+      (col("__n") + col("__v"))
+    val pB = (coalesce(col("__bc"), lit(0L)) + lit(1)).cast("double") /
+      (coalesce(col("__c1"), lit(0L)).cast("double") + col("__v"))
+    bi
+      .join(broadcast(uni.select(col("token").as("__w2"), col("c").as("__c2"))),
+        Seq("__w2"), "left")
+      .join(broadcast(uni.select(col("token").as("__w1"), col("c").as("__c1"))),
+        Seq("__w1"), "left")
+      .join(broadcast(biC), Seq("__bg"), "left")
+      .crossJoin(broadcast(stats))
+      .groupBy(col(idCol))
+      .agg(round(avg(-log(lit(lambda) * pB + (lit(1.0) - lit(lambda)) * pU)), 6)
+        .as("nll2"))
   }
 }

@@ -115,4 +115,50 @@ class LanguageModelSpec extends AnyFunSuite {
     assert(avg(en) > avg(rest),
       "target-language docs must outrank the rest on average")
   }
+
+  test("naive bayes: separable classes recovered; decision frame total; deterministic") {
+    // class A docs are all-'x y' text, class B all-'p q' — trivially
+    // separable even through 128 hash buckets
+    val train = Seq(
+      (0L, "x y x y x", "A"), (2L, "y x y x y", "A"), (4L, "x x y y x", "A"),
+      (6L, "p q p q p", "B"), (8L, "q p q p q", "B"), (10L, "p p q q p", "B"))
+      .toDF("doc_id", "text", "lang")
+    val test = Seq((1L, "x y x"), (3L, "q p q"), (5L, "y y x x")).toDF("doc_id", "text")
+    val got = LanguageModel.naiveBayesClassify(
+        train, test, "text", "doc_id", "lang", dims = 128)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got == Map(1L -> "A", 3L -> "B", 5L -> "A"))
+    // rerun is bit-identical (pure aggregation, no sampling anywhere)
+    val again = LanguageModel.naiveBayesClassify(
+        train, test, "text", "doc_id", "lang", dims = 128)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val first = LanguageModel.naiveBayesClassify(
+        train, test, "text", "doc_id", "lang", dims = 128)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(again == first)
+  }
+
+  test("bigram NLL: exact on a known corpus; order sensitivity; short docs excluded") {
+    // corpus bigrams: doc1 'a b','b a','a b' doc2 'b a' doc3 none (1 token)
+    val df = Seq((1L, "a b a b"), (2L, "b a"), (3L, "z")).toDF("doc_id", "text")
+    val out = LanguageModel.bigramNll(df, "text", "doc_id", lambda = 0.75)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // counts: unigrams a×3 b×3 z×1 (N=7, V=3); bigrams 'a b'×2, 'b a'×2
+    val n = 7.0; val v = 3.0
+    def p(bc: Long, c1: Long, c2: Long) =
+      0.75 * ((bc + 1.0) / (c1 + v)) + 0.25 * ((c2 + 1.0) / (n + v))
+    def nll(ps: Seq[Double]) =
+      BigDecimal(ps.map(x => -math.log(x)).sum / ps.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) == nll(Seq(p(2, 3, 3), p(2, 3, 3), p(2, 3, 3))))
+    assert(out(2L) == nll(Seq(p(2, 3, 3))))
+    assert(!out.contains(3L), "single-token docs have no bigram positions")
+    // order sensitivity: same token BAG, different order — the doc
+    // whose bigrams are rarer in the corpus must score strictly higher
+    // (a unigram model scores these two identically)
+    val shuffled = Seq((1L, "a a b b"), (2L, "a b a b")).toDF("doc_id", "text")
+    val s = LanguageModel.bigramNll(shuffled, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s(1L) > s(2L), "rare-bigram ordering must score higher")
+  }
 }
