@@ -1152,6 +1152,17 @@ object SparkEntry {
       graft.ops.LanguageModel.bigramNll(
         T(s, dir, "documents"), "text", "doc_id", lambda = 0.75)),
 
+    // ---- north-star: eval-set decontamination SCRUB — the action for
+    //      q50's report: benchmark-overlapping n-gram spans are cut
+    //      (broadcast bench hash set, map-side probe, narrow rebuild);
+    //      the rest of a contaminated doc survives.
+    "q108_decontaminate" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Dedup.decontaminate(
+        docs.filter(col("doc_id") % 50 =!= 0), "text", "doc_id",
+        docs.filter(col("doc_id") % 50 === 0), "text", n = 4)
+    }),
+
     // ---- capstone: the INCREMENTAL curation pipeline — what the daily
     //      batch actually runs: quality filters on the batch, near-dup
     //      drops from the durable signature-index probe (arrival-order:
@@ -1646,7 +1657,18 @@ object SparkEntry {
     * n_removed)`; all CTE names are `sc_`-prefixed so the chain
     * composes with the jaccard/closure/packing CTEs (q76). Shared by
     * q75 and q76 so their scrub semantics can never desynchronize. */
-  private def scrubCtes(src: String, n: Int): String =
+  private def scrubCtes(src: String, n: Int): String = scrubCtesWith(src, n,
+    s"""sc_mk AS (SELECT doc_id, pos,
+       |         row_number() OVER (PARTITION BY hh ORDER BY doc_id, pos) AS rn,
+       |         count(*) OVER (PARTITION BY hh) AS c
+       |       FROM sc_h),
+       |sc_cut AS (SELECT doc_id, pos FROM sc_mk WHERE c > 1 AND rn > 1)""".stripMargin)
+
+  /** [[scrubCtes]] with a caller-supplied cut rule: `cutCtes` must end
+    * in `sc_cut(doc_id, pos)` over the window frame `sc_h(doc_id, pos,
+    * hh)`; the islands merge + narrow rebuild tail is shared verbatim
+    * (q75/q76 keep-first vs q108 benchmark-match can never drift). */
+  private def scrubCtesWith(src: String, n: Int, cutCtes: String): String =
     s"""sc_t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM $src),
        |sc_u AS (SELECT doc_id,
        |        unnest(generate_series(1, len(toks) - ${n - 1})) AS pos, toks
@@ -1654,11 +1676,7 @@ object SparkEntry {
        |sc_h AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
        |        md5(array_to_string(toks[pos:pos + ${n - 1}], ' ')) AS hh
        |      FROM sc_u),
-       |sc_mk AS (SELECT doc_id, pos,
-       |         row_number() OVER (PARTITION BY hh ORDER BY doc_id, pos) AS rn,
-       |         count(*) OVER (PARTITION BY hh) AS c
-       |       FROM sc_h),
-       |sc_cut AS (SELECT doc_id, pos FROM sc_mk WHERE c > 1 AND rn > 1),
+       |$cutCtes,
        |sc_i AS (SELECT doc_id, pos,
        |        CASE WHEN pos <= max(pos + $n) OVER (PARTITION BY doc_id
        |          ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
@@ -2874,6 +2892,21 @@ object SparkEntry {
          |r AS (SELECT doc_id, cls, score, row_number() OVER (PARTITION BY doc_id
          |        ORDER BY score DESC, cls ASC) AS rn FROM sc)
          |SELECT doc_id, cls AS predicted, score FROM r WHERE rn = 1""".stripMargin
+    },
+
+    // decontamination oracle: q50's corpus/bench split, the scrub
+    // chain's shared islands+rebuild tail, cut = windows whose md5
+    // matches any distinct benchmark shingle hash
+    "q108_decontaminate" -> {
+      val cut =
+        s"""sc_bw AS (SELECT unnest(${DD.shingles("toks", 4)}) AS w
+           |       FROM (SELECT string_split(text, ' ') AS toks
+           |             FROM documents WHERE doc_id % 50 = 0)),
+           |sc_bh AS (SELECT DISTINCT md5(w) AS hh FROM sc_bw),
+           |sc_cut AS (SELECT doc_id, pos FROM sc_h JOIN sc_bh USING (hh))""".stripMargin
+      s"""WITH c108 AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0),
+         |${scrubCtesWith("c108", 4, cut)}
+         |SELECT doc_id, clean, n_tokens, n_removed FROM sc_clean""".stripMargin
     },
 
     // interpolated bigram NLL oracle: same smoothing arithmetic, the

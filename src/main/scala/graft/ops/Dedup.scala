@@ -921,6 +921,46 @@ object Dedup {
     rebuildScrubbed(df, cut, textCol, idCol, n)
   }
 
+  /**
+   * Benchmark decontamination scrub — the ACTION for
+   * [[graft.ops.Search.contamination]]: every n-token window of a
+   * corpus doc whose text appears anywhere in the benchmark set is cut
+   * (islands-merged), and the doc is rebuilt without it — the standard
+   * eval-set n-gram scrub (the GPT-3-style 13-gram recipe), keeping
+   * the REST of a contaminated doc instead of dropping it wholesale.
+   *
+   * Scale shape: the benchmark's distinct window hashes are
+   * benchmark-sized (≪ corpus) and BROADCAST into the probe join, so
+   * corpus windows stream map-side and the corpus is never reshuffled
+   * on a hash; the rebuild is the shared narrow projection. [[Md5]]
+   * enforced — this path is destructive, and a 64-bit collision
+   * against a benchmark gram would silently cut legitimate text.
+   *
+   * Output: (idCol, clean, n_tokens, n_removed) — one row per corpus
+   * doc, including untouched ones.
+   */
+  def decontaminate(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      bench: DataFrame,
+      benchTextCol: String,
+      n: Int,
+      kind: HashKind = Md5): DataFrame = {
+    require(kind == Md5,
+      "decontamination is destructive and requires the 128-bit Md5 kernel " +
+        "(xx64 is detection-grade: a collision silently cuts legitimate text)")
+    val benchH = bench
+      .select(explode(array_distinct(graft.functions.GraftFunctions
+        .wordShingles(bench.sparkSession, col(benchTextCol), n))).as("__w"))
+      .select(kind.bucket(col("__w")).as("__h"))
+      .distinct()
+    val cut = windowPositions(df, textCol, idCol, n, kind)
+      .join(broadcast(benchH), Seq("__h"))
+      .select(col(idCol), col("pos"))
+    rebuildScrubbed(df, cut, textCol, idCol, n)
+  }
+
   /** Shared scrub tail: merge the cut windows into maximal spans and
     * rebuild every doc's text in a narrow projection (token survives
     * iff no cut span covers it). Every doc of `df` keeps a row. */

@@ -532,4 +532,33 @@ class DedupSpec extends AnyFunSuite {
     }
     assert(lineErr.getMessage.contains("detection-grade"))
   }
+
+  test("decontaminate: benchmark spans cut, clean docs untouched, full overlap scrubs to ''") {
+    val bench = Seq((100L, "secret eval answer key here")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // contains the bench 4-gram 'secret eval answer key' mid-doc
+      (1L, "intro words secret eval answer key more tail text"),
+      // no 4-gram overlap (shares words, not windows)
+      (2L, "secret words and answer text with no overlap"),
+      // IS a bench doc verbatim → every window matches → scrubbed empty
+      (3L, "secret eval answer key here"),
+      // shorter than the window width → untouchable by construction
+      (4L, "tiny doc")).toDF("doc_id", "text")
+    val got = Dedup.decontaminate(corpus, "text", "doc_id", bench, "text", n = 4)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc 1: windows at pos 3 and 4 match ('secret eval answer key',
+    // 'eval answer key more'? no — only windows present in bench text);
+    // bench windows: 'secret eval answer key', 'eval answer key here'
+    assert(got(1L) == (("intro words more tail text", 9L, 4L)))
+    assert(got(2L) == (("secret words and answer text with no overlap", 8L, 0L)))
+    assert(got(3L) == (("", 5L, 5L)))
+    assert(got(4L) == (("tiny doc", 2L, 0L)))
+    assert(got.size == 4, "every corpus doc keeps a row")
+    val err = intercept[IllegalArgumentException] {
+      Dedup.decontaminate(corpus, "text", "doc_id", bench, "text", n = 4,
+        kind = Dedup.Xx64)
+    }
+    assert(err.getMessage.contains("detection-grade"))
+  }
 }
