@@ -256,7 +256,8 @@ object SparkEntry {
     "q99_forget_vectors" -> ((s, dir) => forgottenVecIndex(s, dir): Unit),
     "q100_source_novelty" -> ((s, dir) => durableWinIndex(s, dir): Unit),
     "q103_ann_batch_pq" -> ((s, dir) => pqBooks(s, dir): Unit),
-    "q104_durable_ann_batch" -> ((s, dir) => durableVecIndex(s, dir): Unit))
+    "q104_durable_ann_batch" -> ((s, dir) => durableVecIndex(s, dir): Unit),
+    "q109_cluster_cap" -> ((s, dir) => clusterLabels(s, dir).count(): Unit))
 
   // ---------------------------------------------------------------- entry
 
@@ -1161,6 +1162,36 @@ object SparkEntry {
       Dedup.decontaminate(
         docs.filter(col("doc_id") % 50 =!= 0), "text", "doc_id",
         docs.filter(col("doc_id") % 50 === 0), "text", n = 4)
+    }),
+
+    // ---- north-star: cluster-capped diversity sampling — keep the
+    //      top-2 (longest, then lowest id) of each near-dup family
+    //      instead of hard dedup; only clustered docs (∝ pairs) enter
+    //      the ranking window, singletons bypass via anti-join.
+    "q109_cluster_cap" -> ((s, dir) =>
+      graft.ops.Sampling.clusterCapped(
+        T(s, dir, "documents"), "doc_id", clusterLabels(s, dir),
+        cap = 2, orderCol = "n_chars")),
+
+    // ---- north-star: JL random-projection retrieval — rank in a
+    //      16-dim ±1-projected space, exact-rerank the top 4k
+    //      candidates on full vectors (two-stage compressed retrieval).
+    "q110_ann_projected" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.projectedTopK(
+        emb, emb.filter(col("vec_id") === 7), "vec_id", "embedding",
+        k = 10, projDims = 16, dims = 64)
+    }),
+
+    // ---- north-star: excess-loss domain mixture (DoReMi-lite) — the
+    //      reference LM's per-source mean NLL → softmax upweighting of
+    //      hard domains; |sources| rows of broadcast arithmetic.
+    "q111_domain_mixture" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.ops.Sampling.excessLossWeights(
+        graft.ops.LanguageModel.meanNegLogLik(docs, "text", "doc_id")
+          .join(docs.select("doc_id", "source"), "doc_id"),
+        "source", "nll", temperature = 0.25)
     }),
 
     // ---- capstone: the INCREMENTAL curation pipeline — what the daily
@@ -2893,6 +2924,56 @@ object SparkEntry {
          |        ORDER BY score DESC, cls ASC) AS rn FROM sc)
          |SELECT doc_id, cls AS predicted, score FROM r WHERE rn = 1""".stripMargin
     },
+
+    // JL projection oracle: the ±1 plane matrix as a nested literal,
+    // stage-1 rank on 16-dim cosines, exact rerank of the 40 survivors
+    "q110_ann_projected" -> {
+      val mat = Similarity.planes(16, 64)
+        .map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+      val projList =
+        s"""list_transform(generate_series(1, 16), __j ->
+           |  list_sum(list_transform(generate_series(1, 64), __i ->
+           |    CAST(embedding[__i] AS DOUBLE) * CAST(($mat)[__j][__i] AS DOUBLE))))""".stripMargin
+      s"""WITH pr AS (SELECT vec_id, embedding, $projList AS p FROM embeddings),
+         |q AS (SELECT p AS qp, embedding AS qemb FROM pr WHERE vec_id = 7),
+         |c AS (SELECT pr.vec_id, pr.embedding,
+         |      ${duckCosine("pr.p", "q.qp", 16)} AS pc FROM pr, q),
+         |cand AS (SELECT vec_id, embedding FROM c
+         |      ORDER BY pc DESC, vec_id ASC LIMIT 40)
+         |SELECT cand.vec_id, ${duckCosine("cand.embedding", "q.qemb", 64)} AS cosine_sim
+         |FROM cand, q ORDER BY cosine_sim DESC, vec_id ASC LIMIT 10""".stripMargin
+    },
+
+    // domain-mixture oracle: q68's corpus NLL per doc → per-source
+    // means → exact softmax over the excess vs the easiest source
+    "q111_domain_mixture" ->
+      s"""WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |c AS (SELECT tok, count(*) AS c FROM e GROUP BY tok),
+         |n AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM c),
+         |nll AS (SELECT doc_id, round(avg(-ln(CAST(c AS DOUBLE) / n)), 6) AS nll
+         |        FROM e JOIN c USING (tok), n GROUP BY doc_id),
+         |ms AS (SELECT d.source, round(avg(nll.nll), 6) AS mean_score
+         |       FROM nll JOIN documents d USING (doc_id) GROUP BY d.source),
+         |mn AS (SELECT min(mean_score) AS m FROM ms),
+         |ex AS (SELECT source, mean_score, exp((mean_score - mn.m) / 0.25) AS e
+         |       FROM ms, mn),
+         |z AS (SELECT sum(e) AS z FROM ex)
+         |SELECT source, mean_score, round(e / z.z, 6) AS weight FROM ex, z""".stripMargin,
+
+    // cluster-cap oracle: q47's closure labels + a per-cluster rank
+    // window; singletons (not in labels) keep unconditionally
+    "q109_cluster_cap" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         |$closureCtes,
+         |rk AS (SELECT d.doc_id, l.cluster_id,
+         |        row_number() OVER (PARTITION BY l.cluster_id
+         |          ORDER BY d.n_chars DESC, d.doc_id ASC) AS rk
+         |      FROM documents d JOIN labels l ON d.doc_id = l.doc_id)
+         |SELECT doc_id, cluster_id, rk <= 2 AS keep FROM rk
+         |UNION ALL
+         |SELECT d.doc_id, d.doc_id AS cluster_id, TRUE AS keep
+         |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+         |WHERE l.doc_id IS NULL""".stripMargin,
 
     // decontamination oracle: q50's corpus/bench split, the scrub
     // chain's shared islands+rebuild tail, cut = windows whose md5

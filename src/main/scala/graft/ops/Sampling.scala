@@ -152,4 +152,73 @@ object Sampling {
     scored.join(broadcast(bounds), Seq(groupCol))
       .select(col(groupCol), col(idCol), col("metric"), bin.as("bin"))
   }
+
+  /**
+   * Cluster-capped diversity sampling: at most `cap` docs survive per
+   * near-dup cluster (ranked `orderCol` DESC, id ASC — "keep the
+   * longest/best few of each template family"), singletons always
+   * survive. The anti-mode-collapse knob between full dedup (cap = 1 ≡
+   * [[graft.ops.Dedup.dedupDecisions]]) and no dedup (cap = ∞): near-dup
+   * families still contribute VARIANTS, just not their whole volume.
+   *
+   * Scale shape: only CLUSTERED docs (∝ verified pairs, ≪ corpus)
+   * enter the ranking window; singletons bypass it entirely via an
+   * anti-join, so the window partition count is the cluster count and
+   * partition size the cluster size — never corpus-keyed. `labels` is
+   * [[graft.ops.Dedup.components]] output (id, label).
+   *
+   * Output: (idCol, cluster_id, keep) — one row per input doc.
+   */
+  def clusterCapped(
+      df: DataFrame,
+      idCol: String,
+      labels: DataFrame,
+      cap: Int,
+      orderCol: String): DataFrame = {
+    require(cap >= 1, "cap must keep at least one doc per cluster")
+    import org.apache.spark.sql.expressions.Window
+    val l = labels.select(col("id").as(idCol), col("label"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col(orderCol).desc, col(idCol).asc)
+    val ranked = df.join(l, Seq(idCol))
+      .select(col(idCol), col(orderCol), col("label").as("cluster_id"))
+      .withColumn("__rk", row_number().over(w))
+      .select(col(idCol), col("cluster_id"), (col("__rk") <= cap).as("keep"))
+    val singles = df.join(l, Seq(idCol), "left_anti")
+      .select(col(idCol), col(idCol).as("cluster_id"), lit(true).as("keep"))
+    ranked.union(singles)
+  }
+
+  /**
+   * Excess-loss mixture weights (DoReMi-lite): upweight the domains a
+   * reference model finds HARD. Per group: mean of the (already
+   * rounded) per-item scores — typically [[graft.ops.LanguageModel
+   * .meanNegLogLik]] per doc — then `excess = mean − min(means)` and
+   * `weight = softmax(excess / T)` over the groups. T → 0 puts all
+   * mass on the hardest domain; T → ∞ flattens to uniform.
+   *
+   * Scale shape: one groupBy over (group, score) pairs, then
+   * |groups|-row arithmetic against two broadcast one-row stats — the
+   * corpus-sized input is whatever produced the scores.
+   *
+   * Output: (groupCol, mean_score, weight), |groups| rows.
+   */
+  def excessLossWeights(
+      scored: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      temperature: Double = 1.0): DataFrame = {
+    require(temperature > 0, "softmax temperature must be positive")
+    val means = scored.groupBy(col(groupCol))
+      .agg(round(avg(col(scoreCol)), 6).as("mean_score"))
+      .localCheckpoint() // feeds the min stat AND the weight projection
+    val minStat = means.agg(min("mean_score").as("__min"))
+    val expw = means.crossJoin(broadcast(minStat))
+      .select(col(groupCol), col("mean_score"),
+        exp((col("mean_score") - col("__min")) / lit(temperature)).as("__e"))
+    val z = expw.agg(sum("__e").as("__z"))
+    expw.crossJoin(broadcast(z))
+      .select(col(groupCol), col("mean_score"),
+        round(col("__e") / col("__z"), 6).as("weight"))
+  }
 }

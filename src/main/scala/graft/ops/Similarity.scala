@@ -642,6 +642,55 @@ object Similarity {
   }
 
   /**
+   * Random-projection (Johnson–Lindenstrauss) compressed retrieval:
+   * project every vector onto `projDims` deterministic ±1 hyperplanes
+   * (the [[planes]] matrix — the same public-seed construction the
+   * sign-LSH path uses, kept UNQUANTIZED here), rank by cosine in the
+   * compressed space, then exact-rerank the top `k·rerankFactor`
+   * candidates on the full vectors. The classic two-stage shape:
+   * stage 1 touches `projDims`-sized arrays (4× fewer multiplies at
+   * 64→16), stage 2 pays full cost on a candidate set ∝ k, not ∝
+   * corpus.
+   *
+   * Scale shape: the projection is a narrow per-row expression over a
+   * broadcast literal matrix (no shuffle); stage-1 ranking is
+   * `TakeOrderedAndProject`-bounded; stage 2 joins only the candidate
+   * ids back to the corpus. Exactness caveat (the JL trade): recall
+   * is probabilistic in `projDims` — candidates are whatever the
+   * compressed cosine ranks highest, deterministically replayable.
+   *
+   * Output: (idCol, cosine_sim) — exact cosines, top-k of the
+   * candidate set, ties → lowest id.
+   */
+  def projectedTopK(
+      corpus: DataFrame,
+      queryDf: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      projDims: Int,
+      dims: Int,
+      rerankFactor: Int = 4): DataFrame = {
+    requireSingleQuery(queryDf, "projectedTopK")
+    val mat = planes(projDims, dims)
+    def proj(c: Column): Column = array(
+      mat.map(p => dot(c, typedlit(p.map(_.toDouble)))): _*)
+    val cp = corpus.select(col(idCol).as("id"), col(embCol).as("emb"),
+      proj(col(embCol)).as("p"))
+    val qp = broadcast(queryDf.select(proj(col(embCol)).as("qp"),
+      col(embCol).as("qemb")))
+    val cand = cp.crossJoin(qp)
+      .select(col("id"), col("emb"), col("qemb"), cosine(col("p"), col("qp")).as("__pc"))
+      .orderBy(col("__pc").desc, col("id").asc)
+      .limit(k * rerankFactor)
+    cand
+      .select(col("id").as(idCol),
+        cosineFast(corpus.sparkSession, col("emb"), col("qemb")).as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /**
    * SemDeDup-style semantic dedup: k-means partitions the embedding
    * space, then near-dup pruning runs ONLY within each cluster — the
    * corpus-wide O(N²) pairwise cosine collapses to Σ|cluster|², and

@@ -159,4 +159,49 @@ class SamplingSpec extends AnyFunSuite {
     assert(disagree.toDouble / exact.size < 0.05,
       s"$disagree of ${exact.size} docs changed bins")
   }
+
+  test("clusterCapped: top-cap per family by (order desc, id), singletons always keep") {
+    val docs = Seq(
+      (1L, 100L), (2L, 300L), (3L, 200L), // cluster A (label 1)
+      (10L, 50L), (11L, 50L), // cluster B (label 10) — order tie → id
+      (20L, 10L), (21L, 999L) // singletons
+    ).toDF("doc_id", "n_chars")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "label")
+    val got = Sampling.clusterCapped(docs, "doc_id", labels, cap = 2, orderCol = "n_chars")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.size == 7, "every doc keeps a row")
+    // cluster A keeps the two longest (2: 300, 3: 200), drops 1 (100)
+    assert(got(2L) == ((1L, true)) && got(3L) == ((1L, true)) && got(1L) == ((1L, false)))
+    // order tie broken by id ascending — both fit under cap=2 anyway
+    assert(got(10L) == ((10L, true)) && got(11L) == ((10L, true)))
+    assert(got(20L) == ((20L, true)) && got(21L) == ((21L, true)))
+    // cap=1 reduces to hard dedup: exactly one keeper per family
+    val hard = Sampling.clusterCapped(docs, "doc_id", labels, cap = 1, orderCol = "n_chars")
+      .as[(Long, Long, Boolean)].collect()
+    assert(hard.filter(r => r._2 == 1L && r._3).map(_._1).toSeq == Seq(2L))
+  }
+
+  test("excessLossWeights: exact softmax, hardest group dominates, weights sum to 1") {
+    val scored = Seq(
+      ("easy", 1.0), ("easy", 2.0), // mean 1.5
+      ("mid", 3.0), ("mid", 4.0), // mean 3.5
+      ("hard", 6.0), ("hard", 8.0) // mean 7.0
+    ).toDF("source", "nll")
+    val got = Sampling.excessLossWeights(scored, "source", "nll", temperature = 1.0)
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val e = Map("easy" -> math.exp(0.0), "mid" -> math.exp(2.0), "hard" -> math.exp(5.5))
+    val z = e.values.sum
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("easy") == ((1.5, r6(e("easy") / z))))
+    assert(got("mid") == ((3.5, r6(e("mid") / z))))
+    assert(got("hard") == ((7.0, r6(e("hard") / z))))
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-5)
+    // colder temperature concentrates mass on the hardest group
+    val cold = Sampling.excessLossWeights(scored, "source", "nll", temperature = 0.25)
+      .as[(String, Double, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(cold("hard") > got("hard")._2)
+  }
 }

@@ -269,6 +269,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(err.getMessage.contains("duplicate query ids"))
   }
 
+  test("projectedTopK: self ranks first with exact cosine 1.0; results are true cosines") {
+    val emb = TestSpark.table("embeddings")
+    val q = emb.filter(col("vec_id") === 7)
+    val got = Similarity.projectedTopK(emb, q, "vec_id", "embedding",
+      k = 10, projDims = 16, dims = 64).as[(Long, Double)].collect()
+    assert(got.length == 10)
+    assert(got(0) == ((7L, 1.0)), "the query survives its own projection and reranks first")
+    assert(got.map(_._2).sliding(2).forall(p => p(0) >= p(1)), "descending exact cosines")
+    // every reported cosine is the TRUE cosine (rerank is exact)
+    val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 2000)
+      .as[(Long, Double)].collect().toMap
+    got.foreach { case (id, c) => assert(brute(id) == c) }
+    val err = intercept[IllegalArgumentException] {
+      Similarity.projectedTopK(emb, emb.filter(col("vec_id") < 2), "vec_id",
+        "embedding", k = 5, projDims = 16, dims = 64)
+    }
+    assert(err.getMessage.contains("exactly one query row"))
+  }
+
   test("semanticDedup: keep-lowest-id per dup set, pruning never crosses clusters") {
     // two tight bundles on orthogonal axes + one outlier per axis
     // region: kmeans (k=2) separates the axes, so cross-axis cosine 0
