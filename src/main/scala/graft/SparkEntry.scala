@@ -1194,6 +1194,17 @@ object SparkEntry {
         "source", "nll", temperature = 0.25)
     }),
 
+    // ---- north-star: residual IVF-PQ — the FAISS composite index:
+    //      coarse-quantize, product-quantize the RESIDUALS, search =
+    //      per-list dot correction + ADC over probed lists' codes only.
+    "q112_ann_ivfpq" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.ivfPqTopK(
+        emb, emb.filter(col("vec_id") === 0), "vec_id", "embedding",
+        topK = 10, dims = 64, nlist = 8, nprobe = 2, coarseIters = 2,
+        blocks = 4, k = 4, pqIters = 2)
+    }),
+
     // ---- capstone: the INCREMENTAL curation pipeline — what the daily
     //      batch actually runs: quality filters on the batch, near-dup
     //      drops from the durable signature-index probe (arrival-order:
@@ -1871,7 +1882,7 @@ object SparkEntry {
     * `Clustering.train` + the final argmax for each slice — the
     * q55/q61 recipe applied per block. Emits `c0_b`, `a0_b`, `m1_b`,
     * `cm_b`, `c1_b` (trained codebook), `ab_b` (codes). */
-  private def pqBlockCtes(blocks: Int, d: Int, k: Int): String =
+  private def pqBlockCtes(blocks: Int, d: Int, k: Int, src: String = "embeddings"): String =
     (0 until blocks).map { b =>
       val lo = b * d + 1
       val hi = (b + 1) * d
@@ -1879,14 +1890,14 @@ object SparkEntry {
       def assignCte(cents: String) =
         s"""SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
            |      ORDER BY ${duckCosine(sl, "c.cemb", d)} DESC, c.cid ASC) AS rn
-           |    FROM embeddings e CROSS JOIN $cents c""".stripMargin
+           |    FROM $src e CROSS JOIN $cents c""".stripMargin
       s"""c0_$b AS (SELECT CAST(vec_id AS BIGINT) AS cid,
          |  list_transform((embedding)[$lo:$hi], __x -> CAST(__x AS DOUBLE)) AS cemb
-         |  FROM embeddings ORDER BY vec_id LIMIT $k),
+         |  FROM $src ORDER BY vec_id LIMIT $k),
          |a0_$b AS (SELECT vec_id, cid AS cluster FROM (${assignCte(s"c0_$b")}) WHERE rn = 1),
          |m1_$b AS (SELECT a.cluster, d.d,
          |    round(avg(CAST((e.embedding)[${lo - 1} + d.d] AS DOUBLE)), 6) AS v
-         |  FROM a0_$b a JOIN embeddings e USING (vec_id), generate_series(1, $d) d(d)
+         |  FROM a0_$b a JOIN $src e USING (vec_id), generate_series(1, $d) d(d)
          |  GROUP BY a.cluster, d.d),
          |cm_$b AS (SELECT cluster AS cid, list(v ORDER BY d) AS cemb FROM m1_$b GROUP BY cluster),
          |c1_$b AS (SELECT c0.cid, coalesce(cm.cemb, c0.cemb) AS cemb
@@ -2923,6 +2934,44 @@ object SparkEntry {
          |r AS (SELECT doc_id, cls, score, row_number() OVER (PARTITION BY doc_id
          |        ORDER BY score DESC, cls ASC) AS rn FROM sc)
          |SELECT doc_id, cls AS predicted, score FROM r WHERE rn = 1""".stripMargin
+    },
+
+    // residual IVF-PQ oracle: q61's coarse CTEs → residual table →
+    // q71's per-block training/code CTEs over the residuals → ADC
+    // partials + the per-list dot(q, centroid) correction
+    "q112_ann_ivfpq" -> {
+      val (dims, blocks, d, k) = (64, 4, 16, 4)
+      val scoreCtes = (0 until blocks).map { b =>
+        val lo = b * d
+        val dot = s"list_sum(list_transform(generate_series(1, $d), " +
+          s"__i -> CAST((q.qe)[$lo + __i] AS DOUBLE) * (c.cemb)[__i]))"
+        s"""s_$b AS (SELECT a.vec_id, $dot AS v_$b
+           |  FROM ab_$b a JOIN c1_$b c ON a.code_$b = c.cid, q)""".stripMargin
+      }.mkString(",\n")
+      val joins = (1 until blocks).map(b => s"JOIN s_$b USING (vec_id)").mkString(" ")
+      val total = (0 until blocks).map(b => s"v_$b").mkString(" + ")
+      val qcDot = s"list_sum(list_transform(generate_series(1, $dims), " +
+        s"__i -> CAST((q.qe)[__i] AS DOUBLE) * (c.cemb)[__i]))"
+      s"""WITH ${ivfTrainCtes(dims)},
+         |res AS (SELECT e.vec_id,
+         |    list_transform(generate_series(1, $dims), __i ->
+         |      CAST(CAST(e.embedding[__i] AS DOUBLE) - (c.cemb)[__i] AS FLOAT)) AS embedding
+         |  FROM embeddings e JOIN alist a USING (vec_id) JOIN c1 c ON c.cid = a.list_id),
+         |${pqBlockCtes(blocks, d, k, "res")},
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |probe AS (SELECT cid AS list_id FROM (
+         |    SELECT c.cid, row_number() OVER (
+         |      ORDER BY ${duckCosine("c.cemb", "q.qe", dims)} DESC, c.cid ASC) AS rn
+         |    FROM c1 c, q) WHERE rn <= 2),
+         |corr AS (SELECT c.cid AS list_id, $qcDot AS qc FROM c1 c, q),
+         |$scoreCtes,
+         |t AS (SELECT vec_id, $total AS adcv FROM s_0 $joins),
+         |sc AS (SELECT t.vec_id, round(co.qc + t.adcv, 6) AS approx_dot
+         |      FROM t JOIN alist al ON t.vec_id = al.vec_id
+         |      JOIN probe p ON al.list_id = p.list_id
+         |      JOIN corr co ON co.list_id = al.list_id)
+         |SELECT vec_id, approx_dot FROM sc ORDER BY approx_dot DESC, vec_id LIMIT 10"""
+        .stripMargin
     },
 
     // JL projection oracle: the ±1 plane matrix as a nested literal,

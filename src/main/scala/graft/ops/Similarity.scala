@@ -607,6 +607,83 @@ object Similarity {
       .select(col("query_id"), col("rank"), col(idCol), col("approx_dot"))
   }
 
+  /**
+   * IVF-PQ with residual encoding — the FAISS composite index: the
+   * coarse quantizer ([[Clustering.train]], [[ivfTopKTrained]]'s
+   * trainer) routes every vector to a list, the vector's RESIDUAL
+   * against its list centroid is product-quantized ([[pqCodebooks]] on
+   * residuals — residuals cluster far tighter than raw vectors, the
+   * whole point of the composite), and search scores only the probed
+   * lists' integer codes: `dot(q, x) ≈ dot(q, c_list) + Σ_b
+   * dot(q_b, codebook_b[code_b])` — the first term a per-list constant
+   * lookup, the second the standard ADC table.
+   *
+   * Scale shape: training is bounded passes paid at index build;
+   * encode is one narrow projection (+ one broadcast map lookup for
+   * the centroid); search touches only `nprobe/nlist` of the code
+   * table, never a float vector — compressed working set AND pruned
+   * scan in the same index, exactly the 100 TB serving layout. The
+   * residual frame is `localCheckpoint`ed: it feeds `blocks × iters`
+   * training passes plus the encode.
+   *
+   * Output: (idCol, approx_dot) — top `topK` by (score desc, id asc).
+   */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queryDf: DataFrame,
+      idCol: String,
+      embCol: String,
+      topK: Int,
+      dims: Int,
+      nlist: Int,
+      nprobe: Int,
+      coarseIters: Int,
+      blocks: Int,
+      k: Int,
+      pqIters: Int): DataFrame = {
+    requireSingleQuery(queryDf, "ivfPqTopK")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    require(blocks >= 1 && dims % blocks == 0, "blocks must divide dims")
+    val d = dims / blocks
+    val cents = Clustering.train(corpus, idCol, embCol, nlist, coarseIters)
+    val centMap = typedlit(cents.toMap)
+    val res = Clustering.assign(corpus, idCol, embCol, cents)
+      .select(col(idCol), col("cluster").as("list_id"),
+        zip_with(col(embCol), element_at(centMap, col("cluster")),
+          (x, c) => (x.cast("double") - c).cast("float")).as("__res"))
+      .localCheckpoint()
+    val books = pqCodebooks(res, idCol, "__res", dims, blocks, k, pqIters)
+    val codeCols = books.zipWithIndex.map { case (cs, b) =>
+      Clustering.nearestCentroid(slice(col("__res"), b * d + 1, d), cs).as(s"code_$b")
+    }
+    val codes = res.select(col(idCol) +: col("list_id") +: codeCols: _*)
+    val centDf = cents.toDF("cid", "cemb")
+    val q = queryDf.select(col(embCol).as("__q"))
+    val probeLists = broadcast(
+      q.crossJoin(broadcast(centDf))
+        .select(col("cid"), cosine(col("cemb"), col("__q")).as("__csim"))
+        .orderBy(col("__csim").desc, col("cid").asc)
+        .limit(nprobe)
+        .select(col("cid").as("list_id")))
+    val qv = queryDf.select(col(embCol)).collect().head.getSeq[Float](0)
+    require(qv.size == dims, s"query has ${qv.size} dims, expected $dims")
+    val adc = books.zipWithIndex.map { case (cs, b) =>
+      val table = cs.map { case (cid, cent) =>
+        cid -> (0 until d).map(i => qv(b * d + i).toDouble * cent(i)).sum
+      }.toMap
+      element_at(typedlit(table), col(s"code_$b"))
+    }.reduce(_ + _)
+    val corr = cents.map { case (cid, c) =>
+      cid -> (0 until dims).map(i => qv(i).toDouble * c(i)).sum
+    }.toMap
+    codes.join(broadcast(probeLists), "list_id")
+      .select(col(idCol),
+        round(element_at(typedlit(corr), col("list_id")) + adc, 6).as("approx_dot"))
+      .orderBy(col("approx_dot").desc, col(idCol).asc)
+      .limit(topK)
+  }
+
   /** All-pairs top-k neighbors per vector within LSH buckets (the
     * batch "kNN graph" builder): join within buckets, rank per source
     * id. Used for embedding-cosine near-dup detection. Single-band —

@@ -288,6 +288,46 @@ class SimilaritySpec extends AnyFunSuite {
     assert(err.getMessage.contains("exactly one query row"))
   }
 
+  test("ivfPqTopK: candidates come from probed lists only; deterministic; sane scores") {
+    val emb = TestSpark.table("embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+    def run() = Similarity.ivfPqTopK(emb, q, "vec_id", "embedding",
+      topK = 10, dims = 64, nlist = 8, nprobe = 2, coarseIters = 2,
+      blocks = 4, k = 4, pqIters = 2).as[(Long, Double)].collect()
+    val got = run()
+    assert(got.length == 10)
+    assert(got.map(_._2).sliding(2).forall(p => p(0) >= p(1)), "descending scores")
+    assert(got.toSeq == run().toSeq, "bit-identical rerun")
+    // structural: every candidate sits in one of the 2 probed lists of
+    // the SAME deterministic coarse quantizer
+    val cents = graft.ops.Clustering.train(emb, "vec_id", "embedding", 8, 2)
+    val assigned = graft.ops.Clustering.assign(emb, "vec_id", "embedding", cents)
+      .select(col("vec_id"), col("cluster"))
+      .as[(Long, Long)].collect().toMap
+    val qv = q.select(col("embedding")).collect().head.getSeq[Float](0)
+    val probed = cents.map { case (cid, c) =>
+      val dot = (0 until 64).map(i => qv(i).toDouble * c(i)).sum
+      val nq = math.sqrt(qv.map(x => x.toDouble * x).sum)
+      val nc = math.sqrt(c.map(x => x * x).sum)
+      (cid, dot / (nq * nc))
+    }.sortBy { case (cid, s) => (-s, cid) }.take(2).map(_._1).toSet
+    got.foreach { case (id, _) =>
+      assert(probed.contains(assigned(id)), s"vec $id outside probed lists") }
+    // the query survives into its own probed top-10 and its ADC score
+    // approximates dot(q,q)=1 from below — 4-entry codebooks on 16-dim
+    // near-random subspaces reconstruct coarsely (observed ~0.43), so
+    // the bound only pins "positive and not absurd", not tightness
+    val self = got.find(_._1 == 0L)
+    assert(self.nonEmpty, "query must appear in its own probed lists' top-10")
+    self.foreach { case (_, s) => assert(s > 0.0 && s <= 1.5, s"self score $s") }
+    val err = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 2), "vec_id", "embedding",
+        topK = 5, dims = 64, nlist = 8, nprobe = 2, coarseIters = 2,
+        blocks = 4, k = 4, pqIters = 2)
+    }
+    assert(err.getMessage.contains("exactly one query row"))
+  }
+
   test("semanticDedup: keep-lowest-id per dup set, pruning never crosses clusters") {
     // two tight bundles on orthogonal axes + one outlier per axis
     // region: kmeans (k=2) separates the axes, so cross-axis cosine 0
