@@ -142,6 +142,8 @@ object SparkEntry {
     * with q61's parameters so the probe is oracle-comparable. */
   private val vecIdxMemo =
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private val corpusVecIdxMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
   private def durableVecIndex(s: SparkSession, dir: String): String =
     vecIdxMemo.getOrElseUpdate(
@@ -150,6 +152,18 @@ object SparkEntry {
         graft.io.VectorIndex.build(
           T(s, dir, "embeddings"), "vec_id", "embedding", idxDir,
           nlist = 8, iters = 2)
+        idxDir
+      })
+
+  /** Durable vector index over the CORPUS SLICE (vec_id % 10 ≠ 0) —
+    * the standing index the q113 incremental batch probes. */
+  private def corpusVecIndex(s: SparkSession, dir: String): String =
+    corpusVecIdxMemo.getOrElseUpdate(
+      (s.sparkContext.applicationId, dir), {
+        val idxDir = tmp("vec_index_c_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+        graft.io.VectorIndex.build(
+          T(s, dir, "embeddings").filter(col("vec_id") % 10 =!= 0),
+          "vec_id", "embedding", idxDir, nlist = 8, iters = 2)
         idxDir
       })
 
@@ -216,7 +230,7 @@ object SparkEntry {
   private[graft] def clearMemos(): Unit = {
     pairsMemo.clear(); sigsMemo.clear(); durableIdxMemo.clear()
     pqMemo.clear(); labelsMemo.clear(); winIdxMemo.clear()
-    forgetIdxMemo.clear(); vecIdxMemo.clear()
+    forgetIdxMemo.clear(); vecIdxMemo.clear(); corpusVecIdxMemo.clear()
   }
 
   /** Build (or rebuild) the shared pair index for `dir` — lets a bench
@@ -257,7 +271,8 @@ object SparkEntry {
     "q100_source_novelty" -> ((s, dir) => durableWinIndex(s, dir): Unit),
     "q103_ann_batch_pq" -> ((s, dir) => pqBooks(s, dir): Unit),
     "q104_durable_ann_batch" -> ((s, dir) => durableVecIndex(s, dir): Unit),
-    "q109_cluster_cap" -> ((s, dir) => clusterLabels(s, dir).count(): Unit))
+    "q109_cluster_cap" -> ((s, dir) => clusterLabels(s, dir).count(): Unit),
+    "q113_incremental_semdedup" -> ((s, dir) => corpusVecIndex(s, dir): Unit))
 
   // ---------------------------------------------------------------- entry
 
@@ -1205,6 +1220,17 @@ object SparkEntry {
         blocks = 4, k = 4, pqIters = 2)
     }),
 
+    // ---- north-star: incremental semantic dedup — the daily batch
+    //      screened against the DURABLE vector index (threshold probe:
+    //      every corpus match ≥ t in the probed lists, no top-k
+    //      truncation; arrival order: corpus wins), then batch
+    //      keep-first.
+    "q113_incremental_semdedup" -> ((s, dir) =>
+      Similarity.incrementalSemanticDedup(
+        T(s, dir, "embeddings").filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", corpusVecIndex(s, dir),
+        threshold = 0.15, nprobe = 2)),
+
     // ---- capstone: the INCREMENTAL curation pipeline — what the daily
     //      batch actually runs: quality filters on the batch, near-dup
     //      drops from the durable signature-index probe (arrival-order:
@@ -1757,17 +1783,17 @@ object SparkEntry {
   /** Shared k-means-training + list-assignment CTE prefix of the
     * trained-IVF oracles (q61/q97/q99 single-query, q102/q104 batch):
     * ends in `c1` (trained centroids) and `alist(vec_id, list_id)`. */
-  private def ivfTrainCtes(dims: Int): String = {
+  private def ivfTrainCtes(dims: Int, src: String = "embeddings"): String = {
     def assignCte(cents: String) =
       s"""SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
          |      ORDER BY ${duckCosine("e.embedding", "c.cemb", dims)} DESC, c.cid ASC) AS rn
-         |    FROM embeddings e CROSS JOIN $cents c""".stripMargin
+         |    FROM $src e CROSS JOIN $cents c""".stripMargin
     s"""c0 AS (SELECT CAST(vec_id AS BIGINT) AS cid,
        |            list_transform(embedding, __x -> CAST(__x AS DOUBLE)) AS cemb
-       |            FROM embeddings ORDER BY vec_id LIMIT 8),
+       |            FROM $src ORDER BY vec_id LIMIT 8),
        |a0 AS (SELECT vec_id, cid AS cluster FROM (${assignCte("c0")}) WHERE rn = 1),
        |m1 AS (SELECT a0.cluster, d.d, round(avg(CAST(e.embedding[d.d] AS DOUBLE)), 6) AS v
-       |       FROM a0 JOIN embeddings e USING (vec_id), generate_series(1, $dims) d(d)
+       |       FROM a0 JOIN $src e USING (vec_id), generate_series(1, $dims) d(d)
        |       GROUP BY a0.cluster, d.d),
        |cm AS (SELECT cluster AS cid, list(v ORDER BY d) AS cemb FROM m1 GROUP BY cluster),
        |c1 AS (SELECT c0.cid, coalesce(cm.cemb, c0.cemb) AS cemb
@@ -2934,6 +2960,36 @@ object SparkEntry {
          |r AS (SELECT doc_id, cls, score, row_number() OVER (PARTITION BY doc_id
          |        ORDER BY score DESC, cls ASC) AS rn FROM sc)
          |SELECT doc_id, cls AS predicted, score FROM r WHERE rn = 1""".stripMargin
+    },
+
+    // incremental semantic dedup oracle: the slice-trained quantizer
+    // CTEs, per-query probe of 2 lists, corpus matches ≥ t within
+    // probed lists, then batch-internal keep-first pairwise
+    "q113_incremental_semdedup" -> {
+      val dims = 64
+      val corpusSrc = "(SELECT * FROM embeddings WHERE vec_id % 10 <> 0)"
+      s"""WITH ${ivfTrainCtes(dims, corpusSrc)},
+         |bq AS (SELECT CAST(vec_id AS BIGINT) AS query_id, embedding AS qe
+         |       FROM embeddings WHERE vec_id % 10 = 0),
+         |probe AS (SELECT query_id, cid AS list_id FROM (
+         |    SELECT bq.query_id, c.cid, row_number() OVER (PARTITION BY bq.query_id
+         |      ORDER BY ${duckCosine("c.cemb", "bq.qe", dims)} DESC, c.cid ASC) AS rn
+         |    FROM c1 c, bq) WHERE rn <= 2),
+         |cd AS (SELECT DISTINCT p.query_id
+         |       FROM probe p JOIN bq USING (query_id)
+         |       JOIN alist a ON a.list_id = p.list_id
+         |       JOIN embeddings e ON e.vec_id = a.vec_id
+         |       WHERE ${duckCosine("e.embedding", "bq.qe", dims)} >= 0.15),
+         |bd AS (SELECT DISTINCT hi.query_id
+         |       FROM bq lo JOIN bq hi ON lo.query_id < hi.query_id
+         |       WHERE ${duckCosine("lo.qe", "hi.qe", dims)} >= 0.15)
+         |SELECT b.query_id AS vec_id,
+         |  CASE WHEN cd.query_id IS NOT NULL THEN 'corpus'
+         |       WHEN bd.query_id IS NOT NULL THEN 'batch' END AS reason,
+         |  cd.query_id IS NULL AND bd.query_id IS NULL AS keep
+         |FROM bq b
+         |LEFT JOIN cd ON b.query_id = cd.query_id
+         |LEFT JOIN bd ON b.query_id = bd.query_id""".stripMargin
     },
 
     // residual IVF-PQ oracle: q61's coarse CTEs → residual table →

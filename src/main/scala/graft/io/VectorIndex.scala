@@ -307,6 +307,45 @@ object VectorIndex {
       .select(col("query_id"), col("rank"), col(m.idCol), col("cosine_sim"))
   }
 
+  /**
+   * Threshold probe — [[probeBatch]] with "every candidate ≥
+   * `minCosine` in the probed lists" instead of a top-k cutoff: the
+   * dedup/takedown primitive, where an arbitrary k would silently drop
+   * the (k+1)-th true near-duplicate. Same plan shape (static
+   * partition filter over the probed list union, broadcast pair join);
+   * the output is bounded by the true match count, not a rank.
+   * Output: (query_id, idCol, cosine_sim), all matches ≥ threshold.
+   */
+  def probeThreshold(
+      queries: DataFrame,
+      qidCol: String,
+      dir: String,
+      minCosine: Double,
+      nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    ensureLive(spark, dir)
+    val m = meta(spark, dir)
+    requireDims(queries, m.vecCol, m.dims, "probe queries")
+    val q = queries.select(col(qidCol).as("query_id"), col(m.vecCol).as("__q"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("__csim").desc, col("cid").asc)
+    val pairs = centroids(spark, dir)
+      .crossJoin(broadcast(q))
+      .select(col("query_id"), col("cid"), col("__q"),
+        Similarity.cosine(col("cemb").cast("array<double>"), col("__q")).as("__csim"))
+      .withColumn("__rn", row_number().over(wq))
+      .filter(col("__rn") <= nprobe)
+      .select(col("query_id"), col("cid").as("list_id"), col("__q"))
+      .localCheckpoint()
+    val listIds = pairs.select("list_id").distinct().collect().map(_.getLong(0))
+    liveLists(spark, dir, m)
+      .filter(col("list_id").isin(listIds: _*))
+      .join(broadcast(pairs), "list_id")
+      .select(col("query_id"), col(m.idCol),
+        Similarity.cosineFast(spark, col(m.vecCol), col("__q")).as("cosine_sim"))
+      .filter(col("cosine_sim") >= minCosine)
+  }
+
   /** Assign a new batch against the FROZEN stored quantizer and land
     * it as one committed batch — idempotent per vector set
     * (deterministic tag + overwrite + marker-last commit). */

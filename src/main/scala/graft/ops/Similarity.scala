@@ -768,6 +768,48 @@ object Similarity {
   }
 
   /**
+   * Incremental semantic dedup — the daily-batch shape of
+   * [[semanticDedup]]: new vectors are screened against the DURABLE
+   * vector index ([[graft.io.VectorIndex.probeThreshold]] — all
+   * corpus matches ≥ threshold in the probed lists, arrival order:
+   * the corpus copy always wins) and then against each other
+   * (keep-first by id within the batch). The corpus is never
+   * re-scored; probe IO is `nprobe/nlist` of the stored lists, and
+   * the batch-internal pass is batch × batch (the batch is small by
+   * contract — a day's arrivals, not a corpus).
+   *
+   * Output: (idCol, reason, keep) — one row per batch vector; reason
+   * = 'corpus' | 'batch' | NULL, keep ⇔ reason IS NULL.
+   */
+  def incrementalSemanticDedup(
+      batch: DataFrame,
+      idCol: String,
+      embCol: String,
+      indexDir: String,
+      threshold: Double,
+      nprobe: Int): DataFrame = {
+    val corpusDups = graft.io.VectorIndex
+      .probeThreshold(batch, idCol, indexDir, threshold, nprobe)
+      .select(col("query_id").as(idCol)).distinct()
+      .withColumn("__corpus", lit(true))
+    val lo = batch.select(col(idCol).as("__lo"), col(embCol).as("__elo"))
+    val hi = batch.select(col(idCol).as("__hi"), col(embCol).as("__ehi"))
+    val batchDups = lo.crossJoin(hi)
+      .filter(col("__lo") < col("__hi"))
+      .filter(cosineFast(batch.sparkSession, col("__elo"), col("__ehi")) >= threshold)
+      .select(col("__hi").as(idCol)).distinct()
+      .withColumn("__batch", lit(true))
+    batch.select(col(idCol))
+      .join(corpusDups, Seq(idCol), "left")
+      .join(batchDups, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__corpus"), lit("corpus"))
+          .when(col("__batch"), lit("batch"))
+          .otherwise(lit(null).cast("string")).as("reason"),
+        (col("__corpus").isNull && col("__batch").isNull).as("keep"))
+  }
+
+  /**
    * SemDeDup-style semantic dedup: k-means partitions the embedding
    * space, then near-dup pruning runs ONLY within each cluster — the
    * corpus-wide O(N²) pairwise cosine collapses to Σ|cluster|², and

@@ -163,4 +163,39 @@ class VectorIndexSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("empty corpus"))
   }
+
+  test("probeThreshold returns ALL matches >= t (no top-k truncation); incremental dedup reasons") {
+    val dir = TestSpark.tmpDir("vecidx_thresh")
+    VectorIndex.build(emb, "vec_id", "embedding", dir, nlist = 8, iters = 2)
+    val q = emb.filter($"vec_id" === 0)
+    // every threshold match must appear even when k=1 would truncate:
+    // compare against the exhaustive probe at huge k
+    val viaK = VectorIndex.probe(q, dir, k = 1000000, nprobe = 2)
+      .filter($"cosine_sim" >= 0.1)
+      .as[(Long, Double)].collect().toSet
+    val viaT = VectorIndex
+      .probeThreshold(q.withColumn("qid", $"vec_id"), "qid", dir, 0.1, nprobe = 2)
+      .select($"vec_id", $"cosine_sim").as[(Long, Double)].collect().toSet
+    assert(viaT == viaK && viaT.nonEmpty)
+    // incremental dedup: corpus-dup wins over batch-dup; novel keeps
+    def unit(axis: Int, eps: Double): Array[Float] = {
+      val v = Array.fill(4)(eps.toFloat); v(axis) = 1.0f; v
+    }
+    val corpus = Seq((1L, unit(0, 0.0)), (2L, unit(1, 0.0)), (3L, unit(1, 0.002)))
+      .toDF("vec_id", "embedding")
+    val cdir = TestSpark.tmpDir("vecidx_inc")
+    VectorIndex.build(corpus, "vec_id", "embedding", cdir, nlist = 2, iters = 2)
+    val batch = Seq(
+      (10L, unit(0, 0.001)), // near-copy of corpus 1 → 'corpus'
+      (20L, unit(2, 0.0)), // novel axis → keep
+      (21L, unit(2, 0.001)) // near-copy of batch 20 → 'batch'
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.incrementalSemanticDedup(
+        batch, "vec_id", "embedding", cdir, threshold = 0.9, nprobe = 2)
+      .as[(Long, Option[String], Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(10L) == ((Some("corpus"), false)))
+    assert(got(20L) == ((None, true)))
+    assert(got(21L) == ((Some("batch"), false)))
+  }
 }
