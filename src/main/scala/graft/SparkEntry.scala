@@ -1231,6 +1231,13 @@ object SparkEntry {
         "vec_id", "embedding", corpusVecIndex(s, dir),
         threshold = 0.15, nprobe = 2)),
 
+    // ---- north-star: boilerplate report — the top-20 most frequent
+    //      4-token windows with doc/source spread; the audit a pipeline
+    //      owner runs before configuring the scrub.
+    "q114_boilerplate_report" -> ((s, dir) =>
+      graft.ops.TextOps.boilerplateReport(
+        T(s, dir, "documents"), "text", "doc_id", "source", n = 4, k = 20)),
+
     // ---- capstone: the INCREMENTAL curation pipeline — what the daily
     //      batch actually runs: quality filters on the batch, near-dup
     //      drops from the durable signature-index probe (arrival-order:
@@ -2961,6 +2968,16 @@ object SparkEntry {
          |        ORDER BY score DESC, cls ASC) AS rn FROM sc)
          |SELECT doc_id, cls AS predicted, score FROM r WHERE rn = 1""".stripMargin
     },
+
+    "q114_boilerplate_report" ->
+      s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS l FROM documents),
+         |w AS (SELECT doc_id, source, unnest(${DD.shingles("l", 4)}) AS "window" FROM t),
+         |c AS (SELECT "window", count(*) AS n_occurrences,
+         |        count(DISTINCT doc_id) AS n_docs,
+         |        count(DISTINCT source) AS n_sources
+         |      FROM w GROUP BY "window")
+         |SELECT "window", n_occurrences, n_docs, n_sources
+         |FROM c ORDER BY n_occurrences DESC, "window" ASC LIMIT 20""".stripMargin,
 
     // incremental semantic dedup oracle: the slice-trained quantizer
     // CTEs, per-query probe of 2 lists, corpus matches ≥ t within

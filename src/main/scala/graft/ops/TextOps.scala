@@ -115,6 +115,39 @@ object TextOps {
       i => concat_ws(" ", slice(toks, i, lit(n))))
   }
 
+  /**
+   * Boilerplate report: the top-k most frequent n-token windows with
+   * their occurrence, document and source counts — what a pipeline
+   * owner eyeballs BEFORE configuring the scrub (q74/q75/q108): which
+   * templates dominate, and whether they are one source's navigation
+   * chrome or corpus-wide. One explode ([[graft.functions.TextKernels
+   * .wordShingles]] kernel) → one hash aggregation with map-side
+   * partials (per-mapper combine collapses each window to one partial
+   * row, so window TEXT ships once per mapper, not per occurrence) →
+   * `TakeOrderedAndProject` for the k winners — never a full sort.
+   *
+   * Output: (window, n_occurrences, n_docs, n_sources), top `k` by
+   * (occurrences desc, window asc).
+   */
+  def boilerplateReport(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      srcCol: String,
+      n: Int,
+      k: Int): DataFrame = {
+    df.select(col(srcCol), col(idCol),
+        explode(graft.functions.GraftFunctions
+          .wordShingles(df.sparkSession, col(textCol), n)).as("window"))
+      .groupBy("window")
+      .agg(
+        count(lit(1)).as("n_occurrences"),
+        count_distinct(col(idCol)).as("n_docs"),
+        count_distinct(col(srcCol)).as("n_sources"))
+      .orderBy(col("n_occurrences").desc, col("window").asc)
+      .limit(k)
+  }
+
   /** Gopher-style repetition signal: the fraction of a document's
     * n-gram occurrences that are repeats of an earlier n-gram —
     * `1 − |distinct n-grams| / |n-grams|`. Boilerplate, SEO spam and

@@ -380,6 +380,20 @@ class TextOpsSpec extends AnyFunSuite {
     assert(fps(1L) != fps(3L), "the edit must disturb SOME fingerprints")
   }
 
+  test("boilerplateReport: shared windows counted across docs and sources") {
+    val df = Seq(
+      (1L, "s1", "visit our great site now please"),
+      (2L, "s1", "also visit our great site now"),
+      (3L, "s2", "visit our great site now again today")
+    ).toDF("doc_id", "source", "text")
+    val got = TextOps.boilerplateReport(df, "text", "doc_id", "source", n = 4, k = 3)
+      .as[(String, Long, Long, Long)].collect()
+    val m = got.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(m("visit our great site") == ((3L, 3L, 2L)))
+    assert(m("our great site now") == ((3L, 3L, 2L)))
+    assert(got.map(_._2).sliding(2).forall(p => p(0) >= p(1)), "ranked by occurrences")
+  }
+
   test("winnowing guarantee: docs sharing a long substring share a fingerprint") {
     val shared = "a sufficiently long shared passage of text"
     val df = Seq(
