@@ -334,11 +334,31 @@ object Dedup {
       .withColumn("__n", count(lit(1)).over(Window.partitionBy("id")))
       .filter(col("__k") <=
         col("__n") - ceil(lit(threshold) * col("__n") - lit(1e-9)) + 1)
-      .select(col("id"), col("__h"))
+      .select(col("id"), col("__h"), col("__n"), col("__k"))
       .localCheckpoint() // self-joined below
-    val cands = prefix.select(col("__h"), col("id").as("id_a"))
-      .join(prefix.select(col("__h"), col("id").as("id_b")), Seq("__h"))
+    // PPJoin candidate filters — both exactness-preserving (the −1e-9
+    // nudges may only ADMIT extra candidates, never drop a true pair):
+    //  1. length: J(a,b) ≥ t forces t·|a| ≤ |b| ≤ |a|/t, so
+    //     size-mismatched collisions (the bulk of what shared
+    //     boilerplate chunks generate — the superlinear regime in
+    //     BASELINE's third-decade table) die at the join;
+    //  2. positional: a prefix match at ranks (k_a, k_b) caps the
+    //     achievable overlap at 1 + min(n_a−k_a, n_b−k_b), which must
+    //     reach α = t/(1+t)·(n_a+n_b) — the J ≥ t overlap requirement.
+    //     Kills same-size pairs whose only shared prefix hash sits too
+    //     deep to matter (the hot-template tail the length filter
+    //     cannot see).
+    val alpha = lit(threshold / (1 + threshold)) *
+      (col("__na") + col("__nb")) - lit(1e-9)
+    val cands = prefix.select(col("__h"), col("id").as("id_a"),
+        col("__n").as("__na"), col("__k").as("__ka"))
+      .join(prefix.select(col("__h"), col("id").as("id_b"),
+        col("__n").as("__nb"), col("__k").as("__kb")), Seq("__h"))
       .filter(col("id_a") < col("id_b"))
+      .filter(col("__nb") >= lit(threshold) * col("__na") - lit(1e-9) &&
+        col("__na") >= lit(threshold) * col("__nb") - lit(1e-9))
+      .filter(lit(1) +
+        least(col("__na") - col("__ka"), col("__nb") - col("__kb")) >= alpha)
       .select("id_a", "id_b")
       .distinct()
     verifyPairs(df, cands, textCol, idCol, threshold, shingleWords)
