@@ -1238,6 +1238,17 @@ object SparkEntry {
       graft.ops.TextOps.boilerplateReport(
         T(s, dir, "documents"), "text", "doc_id", "source", n = 4, k = 20)),
 
+    // ---- north-star: batch residual IVF-PQ — the q112 composite for
+    //      a query SET: nested ADC/correction literal maps, per-query
+    //      probe ranking, one scan of the probed code table.
+    "q115_ann_ivfpq_batch" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.ivfPqTopKBatch(
+        emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding", "vec_id",
+        topK = 10, dims = 64, nlist = 8, nprobe = 2, coarseIters = 2,
+        blocks = 4, k = 4, pqIters = 2)
+    }),
+
     // ---- capstone: the INCREMENTAL curation pipeline — what the daily
     //      batch actually runs: quality filters on the batch, near-dup
     //      drops from the durable signature-index probe (arrival-order:
@@ -3007,6 +3018,47 @@ object SparkEntry {
          |FROM bq b
          |LEFT JOIN cd ON b.query_id = cd.query_id
          |LEFT JOIN bd ON b.query_id = bd.query_id""".stripMargin
+    },
+
+    // batch residual IVF-PQ oracle: q112's chain with per-query probe,
+    // correction and ADC CTEs keyed by query_id, rank window per query
+    "q115_ann_ivfpq_batch" -> {
+      val (dims, blocks, d, k) = (64, 4, 16, 4)
+      val scoreCtes = (0 until blocks).map { b =>
+        val lo = b * d
+        val dot = s"list_sum(list_transform(generate_series(1, $d), " +
+          s"__i -> CAST((q.qe)[$lo + __i] AS DOUBLE) * (c.cemb)[__i]))"
+        s"""s_$b AS (SELECT q.query_id, a.vec_id, $dot AS v_$b
+           |  FROM ab_$b a JOIN c1_$b c ON a.code_$b = c.cid, q)""".stripMargin
+      }.mkString(",\n")
+      val joins = (1 until blocks)
+        .map(b => s"JOIN s_$b USING (query_id, vec_id)").mkString(" ")
+      val total = (0 until blocks).map(b => s"v_$b").mkString(" + ")
+      val qcDot = s"list_sum(list_transform(generate_series(1, $dims), " +
+        s"__i -> CAST((q.qe)[__i] AS DOUBLE) * (c.cemb)[__i]))"
+      s"""WITH ${ivfTrainCtes(dims)},
+         |res AS (SELECT e.vec_id,
+         |    list_transform(generate_series(1, $dims), __i ->
+         |      CAST(CAST(e.embedding[__i] AS DOUBLE) - (c.cemb)[__i] AS FLOAT)) AS embedding
+         |  FROM embeddings e JOIN alist a USING (vec_id) JOIN c1 c ON c.cid = a.list_id),
+         |${pqBlockCtes(blocks, d, k, "res")},
+         |q AS (SELECT CAST(vec_id AS BIGINT) AS query_id, embedding AS qe
+         |      FROM embeddings WHERE vec_id < 3),
+         |probe AS (SELECT query_id, cid AS list_id FROM (
+         |    SELECT q.query_id, c.cid, row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY ${duckCosine("c.cemb", "q.qe", dims)} DESC, c.cid ASC) AS rn
+         |    FROM c1 c, q) WHERE rn <= 2),
+         |corr AS (SELECT q.query_id, c.cid AS list_id, $qcDot AS qc FROM c1 c, q),
+         |$scoreCtes,
+         |t AS (SELECT query_id, vec_id, $total AS adcv FROM s_0 $joins),
+         |sc AS (SELECT t.query_id, t.vec_id, round(co.qc + t.adcv, 6) AS approx_dot
+         |      FROM t JOIN alist al ON t.vec_id = al.vec_id
+         |      JOIN probe p ON p.query_id = t.query_id AND al.list_id = p.list_id
+         |      JOIN corr co ON co.query_id = t.query_id AND co.list_id = al.list_id),
+         |r AS (SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+         |        ORDER BY approx_dot DESC, vec_id ASC) AS BIGINT) AS rank,
+         |        vec_id, approx_dot FROM sc)
+         |SELECT query_id, rank, vec_id, approx_dot FROM r WHERE rank <= 10""".stripMargin
     },
 
     // residual IVF-PQ oracle: q61's coarse CTEs → residual table →

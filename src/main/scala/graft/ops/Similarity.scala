@@ -684,6 +684,88 @@ object Similarity {
       .limit(topK)
   }
 
+  /**
+   * [[ivfPqTopK]] for a query SET — one training run, one residual
+   * encode, one scan of the probed lists' codes serves every query:
+   * the ADC tables become nested (query → code) literal maps and the
+   * per-list corrections a nested (query → list) map (queries × nlist
+   * doubles — driver constants like the single-query tables); each
+   * query ranks its own `nprobe` lists in the broadcast centroid
+   * frame, and candidates score only against the queries that probed
+   * their list. Final ranking is the salted two-stage
+   * [[perQueryTopK]]. Output: (query_id, rank, idCol, approx_dot);
+   * query ids must be distinct.
+   */
+  def ivfPqTopKBatch(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      embCol: String,
+      qidCol: String,
+      topK: Int,
+      dims: Int,
+      nlist: Int,
+      nprobe: Int,
+      coarseIters: Int,
+      blocks: Int,
+      k: Int,
+      pqIters: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    require(blocks >= 1 && dims % blocks == 0, "blocks must divide dims")
+    val d = dims / blocks
+    val qs = queries.select(col(qidCol).cast("long"), col(embCol)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+    require(qs.nonEmpty, "ivfPqTopKBatch: empty query set")
+    require(qs.map(_._1).distinct.length == qs.length,
+      "ivfPqTopKBatch: duplicate query ids")
+    qs.foreach { case (qid, q) =>
+      require(q.size == dims, s"query $qid has ${q.size} dims, expected $dims") }
+    val cents = Clustering.train(corpus, idCol, embCol, nlist, coarseIters)
+    val centMap = typedlit(cents.toMap)
+    val res = Clustering.assign(corpus, idCol, embCol, cents)
+      .select(col(idCol), col("cluster").as("list_id"),
+        zip_with(col(embCol), element_at(centMap, col("cluster")),
+          (x, c) => (x.cast("double") - c).cast("float")).as("__res"))
+      .localCheckpoint()
+    val books = pqCodebooks(res, idCol, "__res", dims, blocks, k, pqIters)
+    val codeCols = books.zipWithIndex.map { case (cs, b) =>
+      Clustering.nearestCentroid(slice(col("__res"), b * d + 1, d), cs).as(s"code_$b")
+    }
+    val codes = res.select(col(idCol) +: col("list_id") +: codeCols: _*)
+    val centDf = cents.toDF("cid", "cemb")
+    val q = queries.select(col(qidCol).cast("long").as("query_id"),
+      col(embCol).as("__q"))
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("__csim").desc, col("cid").asc)
+    val probePairs = broadcast(
+      q.crossJoin(broadcast(centDf))
+        .select(col("query_id"), col("cid"),
+          cosine(col("cemb"), col("__q")).as("__csim"))
+        .withColumn("__rn", row_number().over(wq))
+        .filter(col("__rn") <= nprobe)
+        .select(col("query_id"), col("cid").as("list_id")))
+    val adc = books.zipWithIndex.map { case (cs, b) =>
+      val table: Map[Long, Map[Long, Double]] = qs.map { case (qid, qv) =>
+        qid -> cs.map { case (cid, cent) =>
+          cid -> (0 until d).map(i => qv(b * d + i).toDouble * cent(i)).sum
+        }.toMap
+      }.toMap
+      element_at(element_at(typedlit(table), col("query_id")), col(s"code_$b"))
+    }.reduce(_ + _)
+    val corr: Map[Long, Map[Long, Double]] = qs.map { case (qid, qv) =>
+      qid -> cents.map { case (cid, c) =>
+        cid -> (0 until dims).map(i => qv(i).toDouble * c(i)).sum
+      }.toMap
+    }.toMap
+    val scored = codes.join(probePairs, "list_id")
+      .select(col("query_id"), col(idCol),
+        round(element_at(element_at(typedlit(corr), col("query_id")), col("list_id"))
+          + adc, 6).as("approx_dot"))
+    perQueryTopK(scored, "query_id", idCol, "approx_dot", topK)
+      .select(col("query_id"), col("rank"), col(idCol), col("approx_dot"))
+  }
+
   /** All-pairs top-k neighbors per vector within LSH buckets (the
     * batch "kNN graph" builder): join within buckets, rank per source
     * id. Used for embedding-cosine near-dup detection. Single-band —

@@ -328,6 +328,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(err.getMessage.contains("exactly one query row"))
   }
 
+  test("ivfPqTopKBatch == one ivfPqTopK per query; duplicate query ids rejected") {
+    val emb = TestSpark.table("embeddings")
+    def single(qid: Long) = Similarity.ivfPqTopK(
+        emb, emb.filter(col("vec_id") === qid), "vec_id", "embedding",
+        topK = 10, dims = 64, nlist = 8, nprobe = 2, coarseIters = 2,
+        blocks = 4, k = 4, pqIters = 2)
+      .as[(Long, Double)].collect().zipWithIndex
+      .map { case ((id, s), i) => (qid, (i + 1).toLong, id, s) }
+    val got = Similarity.ivfPqTopKBatch(
+        emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding", "vec_id",
+        topK = 10, dims = 64, nlist = 8, nprobe = 2, coarseIters = 2,
+        blocks = 4, k = 4, pqIters = 2)
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq == (0L until 3L).flatMap(single))
+    val dup = emb.filter(col("vec_id") === 0)
+      .union(emb.filter(col("vec_id") === 0))
+    val err = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopKBatch(emb, dup, "vec_id", "embedding", "vec_id",
+        topK = 5, dims = 64, nlist = 8, nprobe = 2, coarseIters = 2,
+        blocks = 4, k = 4, pqIters = 2)
+    }
+    assert(err.getMessage.contains("duplicate query ids"))
+  }
+
   test("semanticDedup: keep-lowest-id per dup set, pruning never crosses clusters") {
     // two tight bundles on orthogonal axes + one outlier per axis
     // region: kmeans (k=2) separates the axes, so cross-axis cosine 0
