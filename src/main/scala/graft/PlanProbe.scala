@@ -1,6 +1,13 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+
+/** Ad-hoc stage-decomposition harness (`runMain graft.PlanProbe
+  * [sfDir]`) — times an operator's pipeline stage by stage in one
+  * session, the complement to [[BenchOne]]'s whole-query reps. Current
+  * target: the DSIR gram pipeline (this probe is what isolated the r9
+  * shingle-HOF O(tokens²) pathology — see BASELINE.md "Third scaling
+  * decade"); repoint the body at whatever needs decomposing next. */
 object PlanProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/graftdata/sf0.3")
