@@ -1249,6 +1249,20 @@ object SparkEntry {
         blocks = 4, k = 4, pqIters = 2)
     }),
 
+    // ---- north-star: DURABLE Naive Bayes model — train once, publish
+    //      the classes×dims model table as parquet, score later batches
+    //      from the stored model; must equal q106 through the roundtrip.
+    "q116_durable_nb_model" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val modelDir = tmp("q116_nb_model")
+      graft.ops.LanguageModel.naiveBayesModel(
+          docs.filter(col("doc_id") % 2 === 0), "text", "lang", dims = 128)
+        .write.mode("overwrite").parquet(modelDir)
+      graft.ops.LanguageModel.naiveBayesScore(
+        s.read.parquet(modelDir),
+        docs.filter(col("doc_id") % 2 =!= 0), "text", "doc_id")
+    }),
+
     // ---- capstone: the INCREMENTAL curation pipeline — what the daily
     //      batch actually runs: quality filters on the batch, near-dup
     //      drops from the durable signature-index probe (arrival-order:
@@ -1949,6 +1963,40 @@ object SparkEntry {
          |ab_$b AS (SELECT vec_id, cid AS code_$b FROM (${assignCte(s"c1_$b")}) WHERE rn = 1)"""
         .stripMargin
     }.mkString(",\n")
+
+  /** Naive Bayes oracle (q106; reused verbatim by q116 — the stored
+    * model table must change nothing through the parquet roundtrip):
+    * per-class smoothed bucket log-liks over the q79 hashed-gram chain
+    * + log priors; argmax replayed as a rank window (score DESC, class
+    * ASC = the Spark min-struct tie-break). */
+  private def nbOracleSql: String = {
+    val base = PortableSql.minhashBase("gram", DD)
+    val sh2 = DD.shingles("l", 2)
+    s"""WITH tr AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 0),
+       |te AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 <> 0),
+       |dtr AS (SELECT lang AS cls, string_split(text, ' ') AS l FROM tr),
+       |gtr AS (SELECT cls, unnest(list_concat(l, $sh2)) AS gram FROM dtr),
+       |btr AS (SELECT cls, ($base % ${PortableSql.minhashP}) % 128 AS bucket FROM gtr),
+       |cnt AS (SELECT cls, bucket, count(*) AS c FROM btr GROUP BY cls, bucket),
+       |tot AS (SELECT cls, CAST(sum(c) AS DOUBLE) AS n FROM cnt GROUP BY cls),
+       |bkt AS (SELECT unnest(generate_series(0, 127)) AS bucket),
+       |lut AS (SELECT t.cls, b.bucket,
+       |        ln(CAST(coalesce(c.c, 0) + 1 AS DOUBLE) / (t.n + 128.0)) AS ll
+       |        FROM tot t CROSS JOIN bkt b
+       |        LEFT JOIN cnt c ON c.cls = t.cls AND c.bucket = b.bucket),
+       |dt AS (SELECT CAST(count(*) AS DOUBLE) AS dt FROM tr),
+       |pri AS (SELECT lang AS cls, ln(CAST(count(*) AS DOUBLE) / dt.dt) AS lp
+       |        FROM tr, dt GROUP BY lang, dt.dt),
+       |dte AS (SELECT doc_id, string_split(text, ' ') AS l FROM te),
+       |gte AS (SELECT doc_id, unnest(list_concat(l, $sh2)) AS gram FROM dte),
+       |bte AS (SELECT doc_id, ($base % ${PortableSql.minhashP}) % 128 AS bucket FROM gte),
+       |sc AS (SELECT bte.doc_id, l.cls, round(sum(l.ll) + p.lp, 6) AS score
+       |       FROM bte JOIN lut l USING (bucket) JOIN pri p ON p.cls = l.cls
+       |       GROUP BY bte.doc_id, l.cls, p.lp),
+       |r AS (SELECT doc_id, cls, score, row_number() OVER (PARTITION BY doc_id
+       |        ORDER BY score DESC, cls ASC) AS rn FROM sc)
+       |SELECT doc_id, cls AS predicted, score FROM r WHERE rn = 1""".stripMargin
+  }
 
   private def duckCosine(a: String, b: String, dims: Int): String = {
     def dot(x: String, y: String) =
@@ -2951,34 +2999,10 @@ object SparkEntry {
     // Naive Bayes oracle: per-class smoothed bucket log-liks over the
     // q79 hashed-gram chain + log priors; argmax replayed as a rank
     // window (score DESC, class ASC = the Spark min-struct tie-break)
-    "q106_nb_classifier" -> {
-      val base = PortableSql.minhashBase("gram", DD)
-      val sh2 = DD.shingles("l", 2)
-      s"""WITH tr AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 0),
-         |te AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 <> 0),
-         |dtr AS (SELECT lang AS cls, string_split(text, ' ') AS l FROM tr),
-         |gtr AS (SELECT cls, unnest(list_concat(l, $sh2)) AS gram FROM dtr),
-         |btr AS (SELECT cls, ($base % ${PortableSql.minhashP}) % 128 AS bucket FROM gtr),
-         |cnt AS (SELECT cls, bucket, count(*) AS c FROM btr GROUP BY cls, bucket),
-         |tot AS (SELECT cls, CAST(sum(c) AS DOUBLE) AS n FROM cnt GROUP BY cls),
-         |bkt AS (SELECT unnest(generate_series(0, 127)) AS bucket),
-         |lut AS (SELECT t.cls, b.bucket,
-         |        ln(CAST(coalesce(c.c, 0) + 1 AS DOUBLE) / (t.n + 128.0)) AS ll
-         |        FROM tot t CROSS JOIN bkt b
-         |        LEFT JOIN cnt c ON c.cls = t.cls AND c.bucket = b.bucket),
-         |dt AS (SELECT CAST(count(*) AS DOUBLE) AS dt FROM tr),
-         |pri AS (SELECT lang AS cls, ln(CAST(count(*) AS DOUBLE) / dt.dt) AS lp
-         |        FROM tr, dt GROUP BY lang, dt.dt),
-         |dte AS (SELECT doc_id, string_split(text, ' ') AS l FROM te),
-         |gte AS (SELECT doc_id, unnest(list_concat(l, $sh2)) AS gram FROM dte),
-         |bte AS (SELECT doc_id, ($base % ${PortableSql.minhashP}) % 128 AS bucket FROM gte),
-         |sc AS (SELECT bte.doc_id, l.cls, round(sum(l.ll) + p.lp, 6) AS score
-         |       FROM bte JOIN lut l USING (bucket) JOIN pri p ON p.cls = l.cls
-         |       GROUP BY bte.doc_id, l.cls, p.lp),
-         |r AS (SELECT doc_id, cls, score, row_number() OVER (PARTITION BY doc_id
-         |        ORDER BY score DESC, cls ASC) AS rn FROM sc)
-         |SELECT doc_id, cls AS predicted, score FROM r WHERE rn = 1""".stripMargin
-    },
+    "q106_nb_classifier" -> nbOracleSql,
+
+    // the stored model must change nothing: q106's SQL verbatim
+    "q116_durable_nb_model" -> nbOracleSql,
 
     "q114_boilerplate_report" ->
       s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS l FROM documents),

@@ -189,44 +189,79 @@ object LanguageModel {
       textCol: String,
       idCol: String,
       labelCol: String,
+      dims: Int): DataFrame =
+    naiveBayesScore(
+      naiveBayesModel(train, textCol, labelCol, dims), test, textCol, idCol)
+
+  private def nbGrams(
+      df: DataFrame, textCol: String, key: Column, keyName: String,
+      dims: Int): DataFrame = {
+    val t = col(textCol)
+    df.select(key.as(keyName),
+        explode(concat(
+          TextOps.tokens(t),
+          graft.functions.GraftFunctions.wordShingles(df.sparkSession, t, 2)))
+          .as("__g"))
+      .select(col(keyName), pmod(Dedup.Md5.base(col("__g")), lit(dims.toLong)).as("bucket"))
+  }
+
+  /**
+   * The trained Naive Bayes model as a PERSISTABLE table — classes ×
+   * dims rows of `(cls, bucket, ll, lp)`: the add-one-smoothed bucket
+   * log-likelihood and the class log-prior (denormalized per row, so
+   * one parquet write captures the whole model). Train once on the
+   * labeled slice, publish next to the other durable layers, score
+   * any later batch with [[naiveBayesScore]] — the frozen-model
+   * lifecycle [[scoreHeldOut]] gives the unigram LM, for the
+   * classifier.
+   */
+  def naiveBayesModel(
+      train: DataFrame,
+      textCol: String,
+      labelCol: String,
       dims: Int): DataFrame = {
     val spark = train.sparkSession
-    def grams(df: DataFrame, key: Column, keyName: String): DataFrame = {
-      val t = col(textCol)
-      df.select(key.as(keyName),
-          explode(concat(
-            TextOps.tokens(t),
-            graft.functions.GraftFunctions.wordShingles(df.sparkSession, t, 2)))
-            .as("__g"))
-        .select(col(keyName), pmod(Dedup.Md5.base(col("__g")), lit(dims.toLong)).as("bucket"))
-    }
     // (class, bucket) counts feed the totals AND the LUT — materialize
-    val counts = grams(train, col(labelCol), "__cls")
+    val counts = nbGrams(train, textCol, col(labelCol), "__cls", dims)
       .groupBy("__cls", "bucket").agg(count(lit(1)).as("__c"))
       .localCheckpoint()
     val totals = counts.groupBy("__cls").agg(sum("__c").cast("double").as("__n"))
-    // every (class, bucket) cell gets a row: unseen buckets still
-    // carry smoothing mass when a scored doc hashes into them
-    val lut = totals
-      .crossJoin(spark.range(dims).select(col("id").as("bucket")))
-      .join(counts, Seq("__cls", "bucket"), "left")
-      .select(col("__cls"), col("bucket"),
-        log((coalesce(col("__c"), lit(0L)) + lit(1)).cast("double") /
-          (col("__n") + lit(dims.toDouble))).as("__ll"))
     val docTotal = train.agg(count(lit(1)).cast("double").as("__dt"))
     val priors = train.groupBy(col(labelCol).as("__cls"))
       .agg(count(lit(1)).as("__docs"))
       .crossJoin(broadcast(docTotal))
-      .select(col("__cls"), log(col("__docs").cast("double") / col("__dt")).as("__lp"))
-    grams(test, col(idCol), idCol)
-      .join(broadcast(lut), "bucket")
-      .groupBy(col(idCol), col("__cls"))
-      .agg(sum("__ll").as("__gll"))
+      .select(col("__cls"), log(col("__docs").cast("double") / col("__dt")).as("lp"))
+    // every (class, bucket) cell gets a row: unseen buckets still
+    // carry smoothing mass when a scored doc hashes into them
+    totals
+      .crossJoin(spark.range(dims).select(col("id").as("bucket")))
+      .join(counts, Seq("__cls", "bucket"), "left")
+      .select(col("__cls"), col("bucket"),
+        log((coalesce(col("__c"), lit(0L)) + lit(1)).cast("double") /
+          (col("__n") + lit(dims.toDouble))).as("ll"))
       .join(broadcast(priors), "__cls")
-      .select(col(idCol), col("__cls"),
+      .select(col("__cls").as("cls"), col("bucket"), col("ll"), col("lp"))
+  }
+
+  /** Score a corpus against a (possibly parquet-read) [[naiveBayesModel]]:
+    * one gram explode + broadcast model join + doc-keyed argmax (ties →
+    * smallest class). `dims` is implied by the model's bucket range.
+    * Output: (idCol, predicted, score). */
+  def naiveBayesScore(
+      model: DataFrame,
+      df: DataFrame,
+      textCol: String,
+      idCol: String): DataFrame = {
+    val m = model.localCheckpoint() // read for dims probe + the join
+    val dims = m.agg(max("bucket")).first().getLong(0) + 1
+    nbGrams(df, textCol, col(idCol), idCol, dims.toInt)
+      .join(broadcast(m), "bucket")
+      .groupBy(col(idCol), col("cls"))
+      .agg(sum("ll").as("__gll"), max("lp").as("__lp"))
+      .select(col(idCol), col("cls"),
         round(col("__gll") + col("__lp"), 6).as("__score"))
       .groupBy(col(idCol))
-      .agg(min(struct((-col("__score")).as("ns"), col("__cls").as("cls"))).as("__best"))
+      .agg(min(struct((-col("__score")).as("ns"), col("cls").as("cls"))).as("__best"))
       .select(col(idCol),
         col("__best.cls").as("predicted"),
         (-col("__best.ns")).as("score"))

@@ -138,6 +138,26 @@ class LanguageModelSpec extends AnyFunSuite {
     assert(again == first)
   }
 
+  test("naive bayes model survives the parquet roundtrip (stored-model scoring == direct)") {
+    val train = Seq(
+      (0L, "x y x y x", "A"), (2L, "y x y x y", "A"),
+      (6L, "p q p q p", "B"), (8L, "q p q p q", "B"))
+      .toDF("doc_id", "text", "lang")
+    val test = Seq((1L, "x y x"), (3L, "q p q")).toDF("doc_id", "text")
+    val dir = TestSpark.tmpDir("nb_model")
+    LanguageModel.naiveBayesModel(train, "text", "lang", dims = 128)
+      .write.mode("overwrite").parquet(dir)
+    val stored = LanguageModel.naiveBayesScore(
+        spark.read.parquet(dir), test, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val direct = LanguageModel.naiveBayesClassify(
+        train, test, "text", "doc_id", "lang", dims = 128)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(stored == direct)
+    // the model table is the complete classes×dims grid
+    assert(spark.read.parquet(dir).count() == 2L * 128L)
+  }
+
   test("bigram NLL: exact on a known corpus; order sensitivity; short docs excluded") {
     // corpus bigrams: doc1 'a b','b a','a b' doc2 'b a' doc3 none (1 token)
     val df = Seq((1L, "a b a b"), (2L, "b a"), (3L, "z")).toDF("doc_id", "text")
