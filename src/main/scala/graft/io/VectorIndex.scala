@@ -152,6 +152,15 @@ object VectorIndex {
         .drop("batch")
   }
 
+  /** The ids currently stored in the index — the processed-vectors
+    * LEDGER for incremental maintainers (id column only; parquet
+    * column pruning keeps the float vectors on disk). */
+  def storedIds(spark: SparkSession, dir: String): DataFrame = {
+    ensureLive(spark, dir)
+    val m = meta(spark, dir)
+    liveLists(spark, dir, m).select(m.idCol)
+  }
+
   /** Write one committed batch under `root/batch=tag` (partitioned by
     * list_id), marker last — the create is the commit point. */
   private def writeBatch(

@@ -874,21 +874,32 @@ object Similarity {
       .probeThreshold(batch, idCol, indexDir, threshold, nprobe)
       .select(col("query_id").as(idCol)).distinct()
       .withColumn("__corpus", lit(true))
-    val lo = batch.select(col(idCol).as("__lo"), col(embCol).as("__elo"))
-    val hi = batch.select(col(idCol).as("__hi"), col(embCol).as("__ehi"))
-    val batchDups = lo.crossJoin(hi)
-      .filter(col("__lo") < col("__hi"))
-      .filter(cosineFast(batch.sparkSession, col("__elo"), col("__ehi")) >= threshold)
-      .select(col("__hi").as(idCol)).distinct()
-      .withColumn("__batch", lit(true))
     batch.select(col(idCol))
       .join(corpusDups, Seq(idCol), "left")
-      .join(batchDups, Seq(idCol), "left")
+      .join(batchInternalDups(batch, idCol, embCol, threshold), Seq(idCol), "left")
       .select(col(idCol),
         when(col("__corpus"), lit("corpus"))
           .when(col("__batch"), lit("batch"))
           .otherwise(lit(null).cast("string")).as("reason"),
         (col("__corpus").isNull && col("__batch").isNull).as("keep"))
+  }
+
+  /** The batch-internal keep-first pass of [[incrementalSemanticDedup]]
+    * (also the whole decision on a BOOTSTRAP wave, when no index exists
+    * yet): ids with a lower-id batch mate at cosine ≥ threshold, marked
+    * `__batch`. The batch is small by contract — this is pairwise. */
+  private[graft] def batchInternalDups(
+      batch: DataFrame,
+      idCol: String,
+      embCol: String,
+      threshold: Double): DataFrame = {
+    val lo = batch.select(col(idCol).as("__lo"), col(embCol).as("__elo"))
+    val hi = batch.select(col(idCol).as("__hi"), col(embCol).as("__ehi"))
+    lo.crossJoin(hi)
+      .filter(col("__lo") < col("__hi"))
+      .filter(cosineFast(batch.sparkSession, col("__elo"), col("__ehi")) >= threshold)
+      .select(col("__hi").as(idCol)).distinct()
+      .withColumn("__batch", lit(true))
   }
 
   /**

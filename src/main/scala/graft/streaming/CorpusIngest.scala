@@ -163,6 +163,81 @@ object CorpusIngest {
     novelty
   }
 
+  /**
+   * [[maintain]]'s VECTOR twin: drain newly landed embedding JSONL,
+   * screen the delta against the standing [[graft.io.VectorIndex]]
+   * (threshold probe + batch keep-first —
+   * [[graft.ops.Similarity.incrementalSemanticDedup]], judged against
+   * the PRE-drain corpus), then append the delta as one committed
+   * batch. The stored ids are the processed-vectors ledger
+   * ([[graft.io.VectorIndex.storedIds]] — ids only); a crashed drain's
+   * vectors re-enter the next delta and the idempotent append
+   * overwrites its own orphan, the [[maintainSpans]] exactly-once
+   * story in vector space.
+   *
+   * Bootstrap: [[graft.io.VectorIndex.build]] needs a non-empty corpus
+   * to train its quantizer, so the FIRST non-empty wave trains and
+   * becomes the corpus; its decisions are batch-internal only (there
+   * is no prior corpus to be a duplicate of — probing the just-built
+   * index would match every vector against itself).
+   *
+   * Returns this drain's decisions: (idCol, reason, keep) with reason
+   * ∈ {'corpus', 'batch', NULL}.
+   */
+  def maintainVectors(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      idCol: String,
+      vecCol: String,
+      silverDir: String,
+      checkpointDir: String,
+      indexDir: String,
+      threshold: Double,
+      nprobe: Int = 2,
+      nlist: Int = 8,
+      iters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.functions._
+    IngestStream.drainOnce(
+      spark, landingDir, schema,
+      requiredCols = Seq(idCol, vecCol),
+      normalizeCols = Nil,
+      outDir = silverDir, checkpointDir = checkpointDir)
+    val silverPath = new Path(silverDir)
+    val sfs = silverPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val silver =
+      if (sfs.exists(silverPath)) spark.read.schema(schema).parquet(silverDir)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    def decisions(delta: DataFrame, dups: DataFrame): DataFrame = delta
+      .select(col(idCol))
+      .join(dups, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__batch"), lit("batch"))
+          .otherwise(lit(null).cast("string")).as("reason"),
+        col("__batch").isNull.as("keep"))
+    val fs = new Path(indexDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(indexDir, "_graft_index.json"))) {
+      if (silver.isEmpty) return decisions(silver, silver.select(col(idCol))
+        .withColumn("__batch", lit(true)).limit(0))
+      val d = decisions(silver,
+          graft.ops.Similarity.batchInternalDups(silver, idCol, vecCol, threshold))
+        .localCheckpoint()
+      graft.io.VectorIndex.build(silver, idCol, vecCol, indexDir, nlist, iters)
+      return d
+    }
+    val delta = silver.join(
+      graft.io.VectorIndex.storedIds(spark, indexDir), Seq(idCol), "left_anti")
+    // decide BEFORE appending: dup status is judged against the
+    // pre-drain corpus, and the report must not see the delta itself
+    val d = graft.ops.Similarity.incrementalSemanticDedup(
+        delta, idCol, vecCol, indexDir, threshold, nprobe)
+      .localCheckpoint()
+    if (!delta.isEmpty)
+      graft.io.VectorIndex.append(delta.select(col(idCol), col(vecCol)), indexDir)
+    d
+  }
+
   /** Shared drain preamble of the window-index maintainers: drain
     * landed files into silver, bootstrap an empty index on first call,
     * anti-join the ledger → this drain's unprocessed delta. */

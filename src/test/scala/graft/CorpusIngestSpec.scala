@@ -114,6 +114,56 @@ class CorpusIngestSpec extends AnyFunSuite {
     assert(ledger() == 4)
   }
 
+  test("maintainVectors: bootstrap wave trains, later drains screen against the index") {
+    val base = TestSpark.tmpDir("corpus_ingest_vec")
+    val landing = new java.io.File(base, "landing"); landing.mkdirs()
+    val vschema = graft.schema.Metadata.structFromSpec(
+      """
+      vec_id: long
+      embedding: array<float>
+      """)
+    def unit(axis: Int, eps: Double): Seq[Float] = {
+      val v = Array.fill(4)(eps.toFloat); v(axis) = 1.0f; v.toSeq
+    }
+    def landVecs(name: String, rows: Seq[(Long, Seq[Float])]): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(landing, name))
+      try rows.foreach { case (id, v) =>
+        w.println(s"""{"vec_id": $id, "embedding": [${v.mkString(", ")}]}""")
+      } finally w.close()
+    }
+    def drain() = CorpusIngest.maintainVectors(
+        spark, landing.getPath, vschema, "vec_id", "embedding",
+        silverDir = s"$base/silver", checkpointDir = s"$base/ckpt",
+        indexDir = s"$base/index", threshold = 0.9, nprobe = 2, nlist = 2)
+      .as[(Long, Option[String], Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(drain().isEmpty, "drain before anything lands is a clean no-op")
+    // bootstrap wave: two axis-0 near-dups + one axis-1 vector
+    landVecs("wave1.jsonl",
+      Seq(1L -> unit(0, 0.0), 2L -> unit(0, 0.001), 10L -> unit(1, 0.0)))
+    val w1 = drain()
+    assert(w1 == Map(
+      1L -> ((None, true)), 2L -> ((Some("batch"), false)), 10L -> ((None, true))),
+      "bootstrap decisions are batch-internal keep-first")
+    // second wave: a corpus near-dup, a batch-internal pair, a novel axis
+    landVecs("wave2.jsonl", Seq(
+      20L -> unit(0, 0.002), // near wave-1's axis-0 family → 'corpus'
+      30L -> unit(2, 0.0), 31L -> unit(2, 0.001), // batch pair → 31 drops
+      40L -> unit(3, 0.0))) // novel → keep
+    val w2 = drain()
+    assert(w2 == Map(
+      20L -> ((Some("corpus"), false)),
+      30L -> ((None, true)), 31L -> ((Some("batch"), false)),
+      40L -> ((None, true))))
+    // the index advanced: wave-2 vectors are now the corpus for wave 3
+    landVecs("wave3.jsonl", Seq(50L -> unit(3, 0.001)))
+    assert(drain() == Map(50L -> ((Some("corpus"), false))),
+      "wave-2 keepers are corpus by wave 3")
+    // drain with nothing new is a no-op and the ledger holds every vector
+    assert(drain().isEmpty)
+    assert(graft.io.VectorIndex.storedIds(spark, s"$base/index").count() == 8)
+  }
+
   test("maintainNovelty: per-drain selection scores judged against the pre-drain corpus") {
     val base = TestSpark.tmpDir("corpus_ingest_novelty")
     val landing = new java.io.File(base, "landing"); landing.mkdirs()
