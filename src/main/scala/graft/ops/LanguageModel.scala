@@ -253,7 +253,23 @@ object LanguageModel {
       textCol: String,
       idCol: String): DataFrame = {
     val m = model.localCheckpoint() // read for dims probe + the join
-    val dims = m.agg(max("bucket")).first().getLong(0) + 1
+    // dims is inferred as max(bucket)+1 — sound ONLY on the complete
+    // classes×dims grid naiveBayesModel writes. Validate that shape so
+    // a filtered/compacted model (e.g. zero-count rows pruned before
+    // persisting) fails loudly instead of silently shrinking the hash
+    // space and misbucketing every scored gram.
+    val shape = m.agg(
+      max("bucket").as("mb"),
+      countDistinct("cls").as("nc"),
+      count(lit(1)).as("n")).first()
+    val dims = shape.getLong(0) + 1
+    require(
+      shape.getLong(2) == shape.getLong(1) * dims,
+      s"naiveBayesScore: model is not the complete classes×dims grid " +
+        s"(${shape.getLong(1)} classes × $dims dims implies " +
+        s"${shape.getLong(1) * dims} rows, found ${shape.getLong(2)}); " +
+        "a pruned/filtered model would misbucket every gram — rebuild " +
+        "with naiveBayesModel, which writes every (class, bucket) cell")
     nbGrams(df, textCol, col(idCol), idCol, dims.toInt)
       .join(broadcast(m), "bucket")
       .groupBy(col(idCol), col("cls"))

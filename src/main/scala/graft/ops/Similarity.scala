@@ -870,8 +870,17 @@ object Similarity {
       indexDir: String,
       threshold: Double,
       nprobe: Int): DataFrame = {
+    // The index probe reads the column named by the index's stored
+    // vecCol; align the caller's embCol to it explicitly so a batch
+    // whose embedding column is named differently (or that happens to
+    // carry an unrelated column under that name) can't feed the two
+    // passes different vectors.
+    val vecCol = graft.io.VectorIndex.meta(batch.sparkSession, indexDir).vecCol
+    val probeFrame =
+      if (embCol == vecCol) batch
+      else batch.select(col(idCol), col(embCol).as(vecCol))
     val corpusDups = graft.io.VectorIndex
-      .probeThreshold(batch, idCol, indexDir, threshold, nprobe)
+      .probeThreshold(probeFrame, idCol, indexDir, threshold, nprobe)
       .select(col("query_id").as(idCol)).distinct()
       .withColumn("__corpus", lit(true))
     batch.select(col(idCol))

@@ -156,6 +156,16 @@ class LanguageModelSpec extends AnyFunSuite {
     assert(stored == direct)
     // the model table is the complete classes×dims grid
     assert(spark.read.parquet(dir).count() == 2L * 128L)
+    // a pruned/compacted model (rows dropped before persisting) must be
+    // rejected: dims is inferred from max(bucket), so an incomplete grid
+    // would silently shrink the hash space and misbucket every gram
+    val pruned = spark.read.parquet(dir)
+      .filter(!($"cls" === "A" && $"bucket" === 0L))
+    assert(pruned.count() == 2L * 128L - 1, "fixture must actually prune a row")
+    val err = intercept[IllegalArgumentException] {
+      LanguageModel.naiveBayesScore(pruned, test, "text", "doc_id").collect()
+    }
+    assert(err.getMessage.contains("complete classes"))
   }
 
   test("bigram NLL: exact on a known corpus; order sensitivity; short docs excluded") {

@@ -197,5 +197,14 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(got(10L) == ((Some("corpus"), false)))
     assert(got(20L) == ((None, true)))
     assert(got(21L) == ((Some("batch"), false)))
+    // a batch whose embedding column name differs from the index's
+    // stored vecCol must probe the SAME vectors (the op aligns the
+    // caller's column to the index meta before the probe)
+    val renamed = Similarity.incrementalSemanticDedup(
+        batch.withColumnRenamed("embedding", "day_emb"),
+        "vec_id", "day_emb", cdir, threshold = 0.9, nprobe = 2)
+      .as[(Long, Option[String], Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(renamed == got, "decisions must not depend on the batch's column name")
   }
 }
