@@ -1597,7 +1597,15 @@ object SparkEntry {
           countDistinct(col("page")).as("n_pages"),
           count(lit(1)).as("n_rows"),
           sum(col("c_custkey")).as("sum_key"))
-    })
+    }),
+
+    // ---- north-star: RAG-style document chunking — overlapping
+    //      fixed-width token windows (the pre-embedding split for
+    //      retrieval corpora); pure narrow explode, scan-speed.
+    "q117_chunk_docs" -> ((s, dir) =>
+      graft.ops.TextOps.chunkDocuments(
+        T(s, dir, "documents"), "text", "doc_id",
+        chunkTokens = 32, overlap = 8))
   )
 
   /** graft-authored pipeline config (reference YAML shape,
@@ -3396,6 +3404,22 @@ object SparkEntry {
          |    WHEN 'fr' THEN 0.5 WHEN 'zh' THEN 0.05 ELSE 0.0 END)
          |SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
          |FROM f GROUP BY lang""".stripMargin
+    },
+
+    // chunking oracle: same start grid (0, stride, …, capped so a
+    // window fully contained in its predecessor is dropped), same
+    // inclusive list slice
+    "q117_chunk_docs" -> {
+      val (chunk, ov) = (32, 8)
+      val stride = chunk - ov
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         |s AS (SELECT doc_id, l,
+         |        unnest(generate_series(0, greatest(len(l) - $ov - 1, 0), $stride)) AS st
+         |      FROM t)
+         |SELECT doc_id, CAST(st / $stride AS BIGINT) AS chunk_index,
+         |  array_to_string(l[st + 1 : st + $chunk], ' ') AS chunk_text,
+         |  CAST(least($chunk, len(l) - st) AS BIGINT) AS n_tokens
+         |FROM s""".stripMargin
     }
   )
 }

@@ -340,6 +340,44 @@ object TextOps {
   }
 
   /**
+   * RAG-style document chunking: overlapping fixed-size token windows
+   * (`chunkTokens` wide, consecutive chunks sharing `overlap` tokens),
+   * the standard pre-embedding split for retrieval corpora. Output is
+   * one row per (doc, chunk): `chunk_index`, `chunk_text`, `n_tokens`.
+   *
+   * Window starts step by `stride = chunkTokens − overlap`; the final
+   * stride positions whose window would be fully contained in its
+   * predecessor (start ≥ nTokens − overlap, start ≠ 0) are dropped, so
+   * every emitted chunk contributes at least one new token and every
+   * token appears in ≥ 1 chunk. The trailing chunk may be shorter than
+   * `chunkTokens` (`n_tokens` carries the true width).
+   *
+   * Plan: pure narrow projection + explode — zero shuffles, stays in
+   * whole-stage codegen; at 100 TB this is a scan-speed map whose
+   * output volume is the (1 + overlap/stride)× token blow-up the
+   * caller chose.
+   */
+  def chunkDocuments(
+      df: DataFrame, textCol: String, idCol: String,
+      chunkTokens: Int, overlap: Int): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap must be in [0, chunkTokens): got $overlap of $chunkTokens")
+    val stride = chunkTokens - overlap
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    val starts = sequence(lit(0), greatest(n - overlap - 1, lit(0)), lit(stride))
+    df.select(col(idCol),
+        explode(transform(starts, s => struct(
+          (s.cast("long") / stride).cast("long").as("chunk_index"),
+          concat_ws(" ", slice(toks, s + 1, lit(chunkTokens))).as("chunk_text"),
+          least(lit(chunkTokens), n - s).cast("long").as("n_tokens"))))
+          .as("__c"))
+      .select(col(idCol), col("__c.chunk_index"), col("__c.chunk_text"),
+        col("__c.n_tokens"))
+  }
+
+  /**
    * Dense L2-normalized tf-idf vectors over the hashed feature space —
    * the TEXT-derived embedding: [[hashedTermFrequencies]] weighted by
    * `ln(N / df)` in the hashed space (standard hashing-trick practice:

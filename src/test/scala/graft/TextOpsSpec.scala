@@ -412,4 +412,56 @@ class TextOpsSpec extends AnyFunSuite {
     // newline/tab and the words after them must survive the scrub
     assert(clean == "see <scrubbed>\nNext line intact\tand <scrubbed>\tkept")
   }
+
+  test("chunkDocuments: exact windows, redundant tail dropped, short-doc edge") {
+    val df = Seq(
+      (1L, "a b c d e f g h i j"), // 10 tokens
+      (2L, "x y"), //  2 tokens: single short chunk
+      (3L, "")). //  split("", " ") = [""]: one 1-token chunk
+      toDF("doc_id", "text")
+    val got = TextOps.chunkDocuments(df, "text", "doc_id", chunkTokens = 4, overlap = 2)
+      .as[(Long, Long, String, Long)].collect().toSet
+    // starts step by stride 2; start 8 would give [i j] ⊆ [g h i j] — dropped
+    assert(got == Set(
+      (1L, 0L, "a b c d", 4L),
+      (1L, 1L, "c d e f", 4L),
+      (1L, 2L, "e f g h", 4L),
+      (1L, 3L, "g h i j", 4L),
+      (2L, 0L, "x y", 2L),
+      (3L, 0L, "", 1L)))
+  }
+
+  test("chunkDocuments: every token covered; overlap 0 partitions exactly") {
+    val sample = docs.select(col("doc_id"), col("text"))
+    val chunks = TextOps.chunkDocuments(sample, "text", "doc_id", 16, 4)
+      .groupBy("doc_id")
+      .agg(sum("n_tokens").as("covered"), count(lit(1)).as("n_chunks"))
+      .join(sample.select(col("doc_id"), TextOps.tokenCount(col("text")).cast("long").as("n")), "doc_id")
+      .as[(Long, Long, Long, Long)].collect()
+    // with overlap 4, chunk k>0 re-covers exactly 4 tokens of its predecessor
+    assert(chunks.nonEmpty && chunks.forall { case (_, covered, nChunks, n) =>
+      covered == n + 4L * (nChunks - 1) })
+    val exact = TextOps.chunkDocuments(sample, "text", "doc_id", 16, 0)
+      .groupBy("doc_id").agg(sum("n_tokens").as("covered"))
+      .join(sample.select(col("doc_id"), TextOps.tokenCount(col("text")).cast("long").as("n")), "doc_id")
+      .as[(Long, Long, Long)].collect()
+    assert(exact.forall { case (_, covered, n) => covered == n })
+    // zero shuffles: chunking must stay a narrow scan-speed explode
+    // (pinned on the un-limited scan — the fixture's limit(200) adds
+    // its own single-partition exchange)
+    val plan = TextOps.chunkDocuments(
+        TestSpark.table("documents"), "text", "doc_id", 16, 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking plan must not shuffle:\n$plan")
+  }
+
+  test("chunkDocuments rejects degenerate geometry") {
+    val df = Seq((1L, "a b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      TextOps.chunkDocuments(df, "text", "doc_id", chunkTokens = 4, overlap = 4)
+    }
+    intercept[IllegalArgumentException] {
+      TextOps.chunkDocuments(df, "text", "doc_id", chunkTokens = 0, overlap = 0)
+    }
+  }
 }
