@@ -1605,7 +1605,29 @@ object SparkEntry {
     "q117_chunk_docs" -> ((s, dir) =>
       graft.ops.TextOps.chunkDocuments(
         T(s, dir, "documents"), "text", "doc_id",
-        chunkTokens = 32, overlap = 8))
+        chunkTokens = 32, overlap = 8)),
+
+    // ---- north-star: distributed BPE tokenizer training — ONE corpus
+    //      pass builds the (word, count) vocabulary, then every merge
+    //      iteration is vocab-bounded (pair agg + 1-row collect +
+    //      narrow merge projection, checkpointed lineage).
+    "q118_bpe_merges" -> ((s, dir) =>
+      graft.ops.Bpe.train(T(s, dir, "documents"), "text", merges = 6)),
+
+    // ---- north-star: BPE encoding with the learned merge list — the
+    //      codegen kernel loops the (broadcast-as-literal) merge array
+    //      per word; scan-speed, parity-pinned against the portable
+    //      fold-of-replace form the oracle replays.
+    "q119_bpe_encode" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val merges = graft.ops.Bpe.mergeList(
+        graft.ops.Bpe.train(docs, "text", merges = 6))
+      docs.select(col("doc_id"),
+        graft.functions.GraftFunctions.bpeCount(s, col("text"), merges)
+          .as("n_bpe_tokens"),
+        graft.functions.GraftFunctions.tokenCount(s, col("text"))
+          .as("n_ws_tokens"))
+    })
   )
 
   /** graft-authored pipeline config (reference YAML shape,
@@ -1729,6 +1751,43 @@ object SparkEntry {
        |  FROM inter it JOIN sizes sa ON sa.doc_id = it.id_a JOIN sizes sb ON sb.doc_id = it.id_b
        |  WHERE round(it.i / (sa.n + sb.n - it.i), 6) >= 0.8
        |)""".stripMargin
+
+  /** DuckDB oracle CTE chain replaying [[graft.ops.Bpe.train]]
+    * verbatim: `w` word counts, `v0` the char-symbol seeding (symbols
+    * joined by the doubled `chr(1)` separator), then per merge rank i
+    * the pair aggregation `p_i`, the deterministic winner `b_i`
+    * (count desc, left asc, right asc — the exact Spark ordering), and
+    * the merge application `v_i` via the SAME padded-`replace` both
+    * engines share (leftmost non-overlapping = greedy BPE). */
+  private def bpeTrainCtes(k: Int): String = {
+    val ss = "chr(1) || chr(1)"
+    val sb = new StringBuilder
+    sb ++=
+      s"""WITH w AS (SELECT word, count(*) AS n
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |  GROUP BY word),
+         |v0 AS (SELECT rtrim(regexp_replace(word, '(.)', '\\1' || $ss, 'g'), chr(1)) AS wsym, n
+         |       FROM w)""".stripMargin
+    for (i <- 1 to k) {
+      val prev = s"v${i - 1}"
+      sb ++=
+        s""",
+           |p$i AS (SELECT pair, sum(n) AS cnt FROM (
+           |    SELECT n, unnest(list_transform(generate_series(1, len(l) - 1),
+           |      __j -> l[__j] || chr(2) || l[__j + 1])) AS pair
+           |    FROM (SELECT n, string_split(wsym, $ss) AS l FROM $prev))
+           |  GROUP BY pair),
+           |b$i AS (SELECT string_split(pair, chr(2))[1] AS left_sym,
+           |         string_split(pair, chr(2))[2] AS right_sym,
+           |         CAST(cnt AS BIGINT) AS pair_count
+           |       FROM p$i ORDER BY cnt DESC, left_sym ASC, right_sym ASC LIMIT 1),
+           |v$i AS (SELECT trim(replace(chr(1) || wsym || chr(1),
+           |          chr(1) || b.left_sym || $ss || b.right_sym || chr(1),
+           |          chr(1) || b.left_sym || b.right_sym || chr(1)), chr(1)) AS wsym, n
+           |        FROM $prev, b$i b)""".stripMargin
+    }
+    sb.toString
+  }
 
   /** DuckDB oracle for exact-substring duplicate spans — the same
     * gaps-and-islands construction as the Spark plan: windows whose md5
@@ -3420,6 +3479,36 @@ object SparkEntry {
          |  array_to_string(l[st + 1 : st + $chunk], ' ') AS chunk_text,
          |  CAST(least($chunk, len(l) - st) AS BIGINT) AS n_tokens
          |FROM s""".stripMargin
+    },
+
+    // BPE training replay: the v0…v6 merge chain, one row per rank
+    "q118_bpe_merges" -> {
+      val k = 6
+      s"""${bpeTrainCtes(k)}
+         |${(1 to k).map(i =>
+            s"SELECT CAST($i AS BIGINT) AS rank, left_sym, right_sym, pair_count FROM b$i")
+            .mkString("\nUNION ALL\n")}""".stripMargin
+    },
+
+    // BPE encoding replay: the same training chain learns b1…b6, then
+    // every doc's words run the 6 padded replaces in rank order and
+    // the surviving symbols are counted — the portable form of the
+    // graft_bpe_count kernel
+    "q119_bpe_encode" -> {
+      val k = 6
+      val seed = "chr(1) || rtrim(regexp_replace(__w, '(.)', '\\1' || chr(1) || chr(1), 'g'), chr(1)) || chr(1)"
+      val merged = (1 to k).foldLeft(seed) { (acc, i) =>
+        s"""replace($acc,
+           |  chr(1) || b$i.left_sym || chr(1) || chr(1) || b$i.right_sym || chr(1),
+           |  chr(1) || b$i.left_sym || b$i.right_sym || chr(1))""".stripMargin
+      }
+      s"""${bpeTrainCtes(k)}
+         |SELECT d.doc_id,
+         |  CAST(list_sum(list_transform(string_split(d.text, ' '), __w ->
+         |    len(string_split(trim($merged, chr(1)), chr(1) || chr(1))))) AS BIGINT)
+         |    AS n_bpe_tokens,
+         |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_ws_tokens
+         |FROM documents d, ${(1 to k).map(i => s"b$i").mkString(", ")}""".stripMargin
     }
   )
 }

@@ -96,6 +96,15 @@ object GraftFunctions {
     SortedIntersectCount(args.head, args(1))
   }
 
+  private val bpeCountId = FunctionIdentifier("graft_bpe_count")
+  private val bpeCountInfo =
+    new ExpressionInfo(classOf[BpeCountKernel].getName, "graft_bpe_count")
+  private val bpeCountBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 2,
+      s"graft_bpe_count expects (text, mergeSpec), got ${args.length} args")
+    BpeCountKernel(args.head, args(1))
+  }
+
   private val all = Seq(
     (cosineId, cosineInfo, cosineBuilder),
     (winnowId, winnowInfo, winnowBuilder),
@@ -104,7 +113,8 @@ object GraftFunctions {
     (dupRatioId, dupRatioInfo, dupRatioBuilder),
     (entropyId, entropyInfo, entropyBuilder),
     (wordShinglesId, wordShinglesInfo, wordShinglesBuilder),
-    (sortedIntersectId, sortedIntersectInfo, sortedIntersectBuilder))
+    (sortedIntersectId, sortedIntersectInfo, sortedIntersectBuilder),
+    (bpeCountId, bpeCountInfo, bpeCountBuilder))
 
   def inject(ext: SparkSessionExtensions): Unit =
     all.foreach(ext.injectFunction)
@@ -175,6 +185,17 @@ object GraftFunctions {
     register(spark)
     org.apache.spark.sql.functions.call_function("graft_dup_ratio", text,
       org.apache.spark.sql.functions.lit(n))
+  }
+
+  /** Column-API handle on the BPE segment-count kernel — the
+    * production encoder for a learned merge list
+    * ([[graft.ops.Bpe.train]]); parity-pinned against the portable
+    * fold-of-`replace` form ([[graft.ops.Bpe.segmentCountPortable]]). */
+  def bpeCount(
+      spark: SparkSession, text: Column, merges: Seq[(String, String)]): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_bpe_count", text,
+      org.apache.spark.sql.functions.lit(BpeCountKernel.spec(merges)))
   }
 }
 

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{BpeCountKernel, GraftFunctions}
+import graft.ops.Bpe
+
+class BpeSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("train: hand-computed merges on the classic low/lower corpus") {
+    val df = Seq("low low low", "lower lower", "newest").toDF("text")
+    val got = Bpe.train(df, "text", merges = 4)
+      .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+    // iter 1: (l,o)=5 ties (o,w)=5 → left asc picks (l,o)
+    // iter 2: (lo,w)=5
+    // iter 3: (low,e)=2 ties (e,r)=2 → left asc picks (e,r)
+    // iter 4: (low,er)=2
+    assert(got == Seq(
+      (1L, "l", "o", 5L),
+      (2L, "lo", "w", 5L),
+      (3L, "e", "r", 2L),
+      (4L, "low", "er", 2L)))
+  }
+
+  test("train stops early when the vocabulary has no adjacent pairs") {
+    val df = Seq("a a b", "b a").toDF("text")
+    assert(Bpe.train(df, "text", merges = 5).count() == 0)
+    // and a vocab that fuses completely before the budget is spent
+    val tiny = Seq("ab ab ab").toDF("text")
+    val got = Bpe.train(tiny, "text", merges = 5)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(got == Seq((1L, "a", "b", 3L)))
+  }
+
+  test("greedy leftmost merge semantics: 'a a a' → [aa, a]") {
+    val merges = Seq(("a", "a"))
+    val df = Seq("aaa", "aaaa", "aaaaa").toDF("text")
+    val got = df.select(Bpe.segmentCountPortable(col("text"), merges))
+      .as[Long].collect().toSeq
+    assert(got == Seq(2L, 2L, 3L)) // [aa,a], [aa,aa], [aa,aa,a]
+    val kern = df.select(
+        GraftFunctions.bpeCount(spark, col("text"), merges))
+      .as[Long].collect().toSeq
+    assert(kern == got)
+  }
+
+  test("kernel == portable fold-of-replace on the real corpus") {
+    val docs = TestSpark.table("documents").limit(300)
+    val merges = Bpe.mergeList(Bpe.train(docs, "text", merges = 8))
+    assert(merges.length == 8)
+    val both = docs.select(
+        Bpe.segmentCountPortable(col("text"), merges).as("portable"),
+        GraftFunctions.bpeCount(spark, col("text"), merges).as("kernel"))
+      .as[(Long, Long)].collect()
+    assert(both.nonEmpty && both.forall { case (p, k) => p == k })
+    // merges COMPRESS: BPE count strictly below char count for real text
+    val (bpe, chars) = docs.select(
+        sum(GraftFunctions.bpeCount(spark, col("text"), merges)),
+        sum(length(regexp_replace(col("text"), " ", ""))))
+      .as[(Long, Long)].collect().head
+    assert(bpe < chars)
+  }
+
+  test("merge spec roundtrip; empty merge list counts characters") {
+    val merges = Seq(("l", "o"), ("lo", "w"), ("e", "r"))
+    assert(BpeCountKernel.parseSpec(BpeCountKernel.spec(merges)).toSeq ==
+      Seq("l", "o", "lo", "w", "e", "r"))
+    val df = Seq("low lower", "").toDF("text")
+    val none = df.select(GraftFunctions.bpeCount(spark, col("text"), Nil))
+      .as[Long].collect().toSeq
+    assert(none == Seq(8L, 1L)) // chars per word; empty text = 1 empty word
+    val withM = df.select(GraftFunctions.bpeCount(spark, col("text"), merges))
+      .as[Long].collect().toSeq
+    assert(withM == Seq(3L, 1L)) // [low] + [low, er]
+  }
+
+  test("BPE count kernel stays inside whole-stage codegen") {
+    // a CodegenFallback here would force the WHOLE projection onto the
+    // interpreted path; the static-call doGenCode keeps the stage fused
+    val plan = TestSpark.table("documents")
+      .select(GraftFunctions.bpeCount(spark, col("text"), Seq(("t", "h"))))
+      .queryExecution.executedPlan
+    val fused = plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec
+          if w.toString.contains("graft_bpe_count") => w
+    }
+    assert(fused.nonEmpty, s"graft_bpe_count not inside WholeStageCodegen:\n$plan")
+  }
+}
