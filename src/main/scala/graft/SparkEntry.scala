@@ -1627,6 +1627,35 @@ object SparkEntry {
           .as("n_bpe_tokens"),
         graft.functions.GraftFunctions.tokenCount(s, col("text"))
           .as("n_ws_tokens"))
+    }),
+
+    // ---- north-star: Z-order (Morton) cluster key — integer rank
+    //      buckets against full-table bounds, bits interleaved; the
+    //      arithmetic the z-ordered sink sorts by, oracle-checked
+    //      value-for-value on a deterministic slice.
+    "q120_zvalues" -> ((s, dir) =>
+      Layers.zValues(
+          T(s, dir, "lineitem"), Seq("l_orderkey", "l_partkey"),
+          bits = 8, zCol = "zval")
+        .filter(col("l_orderkey") <= 400)
+        .select("l_orderkey", "l_partkey", "zval")),
+
+    // ---- north-star: Z-order clustered sink roundtrip — layout
+    //      changes I/O (multi-column file skipping, LayersSpec), never
+    //      answers: the box-filter aggregate must equal the source.
+    "q121_zorder_roundtrip" -> ((s, dir) => {
+      val out = tmp("q121_zorder")
+      Layers.writeZOrdered(
+        T(s, dir, "lineitem"), out, Seq("l_orderkey", "l_partkey"),
+        numFiles = 8)
+      Layers.readParquet(s, out)
+        .filter(col("l_orderkey").between(3000, 6000) &&
+          col("l_partkey").between(500, 900))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum("l_orderkey").as("sum_ok"),
+          sum("l_partkey").as("sum_pk"),
+          expr(s"${dsum("l_quantity")} AS sum_qty"))
     })
   )
 
@@ -3509,6 +3538,37 @@ object SparkEntry {
          |    AS n_bpe_tokens,
          |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_ws_tokens
          |FROM documents d, ${(1 to k).map(i => s"b$i").mkString(", ")}""".stripMargin
-    }
+    },
+
+    // Morton-key replay: same integer bucketing (bit-exact // div)
+    // and the same bit-interleave positions (col i bit j → j·k + i)
+    "q120_zvalues" -> {
+      val bits = 8
+      val terms = (0 until bits).flatMap(j => Seq(
+        s"(((bk1 >> $j) & 1) << ${2 * j})",
+        s"(((bk2 >> $j) & 1) << ${2 * j + 1})"))
+      s"""WITH b AS (SELECT CAST(min(l_orderkey) AS BIGINT) AS mn1,
+         |                  CAST(max(l_orderkey) AS BIGINT) AS mx1,
+         |                  CAST(min(l_partkey) AS BIGINT) AS mn2,
+         |                  CAST(max(l_partkey) AS BIGINT) AS mx2 FROM lineitem),
+         |k AS (SELECT l_orderkey, l_partkey,
+         |        ((CAST(l_orderkey AS BIGINT) - b.mn1) * 256) // (b.mx1 - b.mn1 + 1) AS bk1,
+         |        ((CAST(l_partkey AS BIGINT) - b.mn2) * 256) // (b.mx2 - b.mn2 + 1) AS bk2
+         |      FROM lineitem, b WHERE l_orderkey <= 400)
+         |SELECT l_orderkey, l_partkey,
+         |  CAST(${terms.mkString(" | ")} AS BIGINT) AS zval
+         |FROM k""".stripMargin
+    },
+
+    // z-ordering is pure layout: the box filter answers come straight
+    // from the source table
+    "q121_zorder_roundtrip" ->
+      s"""SELECT count(*) AS n_rows,
+         |  CAST(sum(l_orderkey) AS BIGINT) AS sum_ok,
+         |  CAST(sum(l_partkey) AS BIGINT) AS sum_pk,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+         |FROM lineitem
+         |WHERE l_orderkey BETWEEN 3000 AND 6000
+         |  AND l_partkey BETWEEN 500 AND 900""".stripMargin
   )
 }

@@ -126,6 +126,77 @@ object Layers {
   }
 
   /**
+   * Z-order (Morton-curve) cluster key over `zCols`, appended as
+   * `zCol`: each column is rank-bucketed into `2^bits` cells against
+   * its OWN full-frame min/max (one constant-size aggregate, collected
+   * to the driver — never per-row state), and the buckets' bits are
+   * interleaved (bit j of column i lands at position `j·k + i`).
+   *
+   * All arithmetic is INTEGER (`(v − min) · 2^bits div range`) so the
+   * DuckDB oracle replays it exactly — no float rounding seam. Caller
+   * contract: `(max − min + 1) · 2^bits` must fit in a signed 64-bit
+   * long (pick `bits` accordingly for extreme-range keys).
+   *
+   * Why: range-clustering ([[writeRangeClustered]]) gives perfect file
+   * skipping on ONE leading key; a Z-order layout gives good (not
+   * perfect) skipping on EVERY participating key simultaneously —
+   * queries filtering on any subset of the z columns touch a small
+   * fraction of files. The 100 TB standard for multi-dimensional scan
+   * pruning (Delta/Iceberg `OPTIMIZE ZORDER BY` do exactly this).
+   */
+  def zValues(
+      df: DataFrame,
+      zCols: Seq[String],
+      bits: Int = 8,
+      zCol: String = "__z"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val k = zCols.size
+    require(k >= 2 && k <= 4, s"z-order needs 2–4 columns, got $k")
+    require(bits >= 1 && bits * k <= 62,
+      s"bits*cols must fit a long: got $bits*$k")
+    val boundExprs = zCols.flatMap(c => Seq(
+      min(col(c)).cast("long"), max(col(c)).cast("long")))
+    val row = df.agg(boundExprs.head, boundExprs.tail: _*).first()
+    if (row.isNullAt(0)) return df.withColumn(zCol, lit(0L)) // empty frame
+    val cells = 1L << bits
+    val buckets = zCols.zipWithIndex.map { case (c, i) =>
+      val mn = row.getLong(2 * i)
+      val range = row.getLong(2 * i + 1) - mn + 1L
+      // exact integer bucketing, identical in every engine
+      expr(s"((CAST($c AS BIGINT) - $mn) * ${cells}L) div ${range}L")
+    }
+    val z = (0 until bits).flatMap { j =>
+      buckets.zipWithIndex.map { case (b, i) =>
+        shiftleft(shiftright(b, j).bitwiseAND(lit(1L)), j * k + i)
+      }
+    }.reduce(_ bitwiseOR _)
+    df.withColumn(zCol, z)
+  }
+
+  /**
+   * Z-order clustered Parquet sink: rows range-partitioned and sorted
+   * by their [[zValues]] Morton key, so consecutive files cover
+   * compact HYPER-RECTANGLES of the key space and parquet footer
+   * min/max stats stay tight on every z column at once. The helper
+   * key is dropped before the write — layout changes I/O, never
+   * content (LayersSpec asserts multi-column file skipping; the
+   * roundtrip query's answers are oracle-checked).
+   */
+  def writeZOrdered(
+      df: DataFrame,
+      path: String,
+      zCols: Seq[String],
+      numFiles: Int,
+      bits: Int = 8): Unit = {
+    import org.apache.spark.sql.functions.col
+    zValues(df, zCols, bits)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /**
    * O3 analog — resolve the latest *successfully published* run
    * directory under `base` (subdirs named by sortable id, e.g.
    * `run_20251015` or an ISO date), gated on Spark's `_SUCCESS` marker.

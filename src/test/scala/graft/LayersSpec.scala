@@ -128,4 +128,50 @@ class LayersSpec extends AnyFunSuite {
     // layout changes I/O, never the answer
     assert(spark.read.parquet(dir).count() == orders.count())
   }
+
+  test("zValues: hand-computed Morton interleave; empty frame safe") {
+    import spark.implicits._
+    // values 0..3 with bits=2 bucket to themselves (range 4 over 4 cells)
+    val df = Seq((0L, 0L), (1L, 2L), (3L, 3L), (2L, 1L), (0L, 3L))
+      .toDF("x", "y")
+    val got = Layers.zValues(df, Seq("x", "y"), bits = 2, zCol = "z")
+      .as[(Long, Long, Long)].collect().toSet
+    // z interleaves x at even positions, y at odd: z(1,2)=0b1001=9
+    assert(got == Set(
+      (0L, 0L, 0L), // 00|00
+      (1L, 2L, 9L), // x=01 y=10 → 1001
+      (3L, 3L, 15L), // 1111
+      (2L, 1L, 6L), // x=10 y=01 → 0110
+      (0L, 3L, 10L))) // x=00 y=11 → 1010
+    val empty = Layers.zValues(df.filter(lit(false)), Seq("x", "y"), bits = 2)
+    assert(empty.count() == 0)
+  }
+
+  test("writeZOrdered: multi-column file skipping, content intact") {
+    val li = TestSpark.table("lineitem")
+    val dir = TestSpark.tmpDir("zorder")
+    Layers.writeZOrdered(li, dir, Seq("l_orderkey", "l_partkey"), numFiles = 8)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == li.count())
+    assert(!back.columns.contains("__z"), "helper key must not be persisted")
+    val nFiles = new java.io.File(dir).listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(nFiles >= 4, "fixture must produce multiple z files")
+    // a tight box on BOTH dimensions must touch a strict subset of
+    // files — the multi-column skipping a single-key range layout
+    // cannot give on its second key
+    val okMax = li.agg(max("l_orderkey")).collect()(0).getLong(0)
+    val pkMax = li.agg(max("l_partkey")).collect()(0).getLong(0)
+    val touched = back
+      .filter(col("l_orderkey") <= okMax / 8 && col("l_partkey") <= pkMax / 8)
+      .select(input_file_name()).distinct().count()
+    assert(touched < nFiles,
+      s"box filter touched all $nFiles files — no z-locality")
+    // and the filtered CONTENT matches the source exactly
+    val a = back.filter(col("l_orderkey") <= 500 && col("l_partkey") <= 300)
+      .agg(count(lit(1)), sum("l_suppkey")).collect()(0)
+    val b = li.filter(col("l_orderkey") <= 500 && col("l_partkey") <= 300)
+      .agg(count(lit(1)), sum("l_suppkey")).collect()(0)
+    assert(a == b)
+  }
 }
