@@ -1656,6 +1656,32 @@ object SparkEntry {
           sum("l_orderkey").as("sum_ok"),
           sum("l_partkey").as("sum_pk"),
           expr(s"${dsum("l_quantity")} AS sum_qty"))
+    }),
+
+    // ---- north-star: SCD2 versioned-dimension merge — corpus
+    //      metadata (source registries, licenses) maintained with full
+    //      history; batch-∝: only touched keys' open rows enter the
+    //      window, closed history passes through. Batch synthesized
+    //      in-query: real updates (ts 10), no-op churn (ts 20, must
+    //      NOT create versions), and brand-new keys.
+    "q122_scd2_merge" -> ((s, dir) => {
+      val cust = T(s, dir, "customer")
+      val state0 = cust.select(col("c_custkey"), col("c_mktsegment"),
+        lit(0L).as("valid_from"), lit(null).cast("long").as("valid_to"),
+        lit(true).as("is_current"))
+      val upd = cust.filter(col("c_custkey") % 5 === 0)
+        .select(col("c_custkey"),
+          concat(col("c_mktsegment"), lit("_U")).as("c_mktsegment"),
+          lit(10L).as("ts"))
+        .unionByName(cust.filter(col("c_custkey") % 10 === 0)
+          .select(col("c_custkey"),
+            concat(col("c_mktsegment"), lit("_U")).as("c_mktsegment"),
+            lit(20L).as("ts")))
+        .unionByName(cust.filter(col("c_custkey") % 25 === 0)
+          .select((col("c_custkey") + 100000L).as("c_custkey"),
+            lit("NEW_SEG").as("c_mktsegment"), lit(10L).as("ts")))
+      graft.ops.Scd.mergeScd2(state0, upd, "c_custkey", "ts",
+        Seq("c_mktsegment"))
     })
   )
 
@@ -3569,6 +3595,37 @@ object SparkEntry {
          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
          |FROM lineitem
          |WHERE l_orderkey BETWEEN 3000 AND 6000
-         |  AND l_partkey BETWEEN 500 AND 900""".stripMargin
+         |  AND l_partkey BETWEEN 500 AND 900""".stripMargin,
+
+    // SCD2 replay: candidate sequencing (open row first on ties),
+    // null-safe no-op suppression, lead() closing, anti-join
+    // pass-through of untouched keys
+    "q122_scd2_merge" ->
+      s"""WITH s0 AS (SELECT c_custkey AS k, c_mktsegment AS seg,
+         |             CAST(0 AS BIGINT) AS vf FROM customer),
+         |u AS (SELECT c_custkey AS k, c_mktsegment || '_U' AS seg,
+         |        CAST(10 AS BIGINT) AS vf FROM customer WHERE c_custkey % 5 = 0
+         |      UNION ALL
+         |      SELECT c_custkey, c_mktsegment || '_U', 20
+         |      FROM customer WHERE c_custkey % 10 = 0
+         |      UNION ALL
+         |      SELECT c_custkey + 100000, 'NEW_SEG', 10
+         |      FROM customer WHERE c_custkey % 25 = 0),
+         |uk AS (SELECT DISTINCT k FROM u),
+         |cand AS (SELECT s0.k, s0.seg, s0.vf, 0 AS src FROM s0 JOIN uk USING (k)
+         |         UNION ALL SELECT k, seg, vf, 1 FROM u),
+         |seq AS (SELECT *, lag(seg) OVER (PARTITION BY k ORDER BY vf, src) AS prev
+         |        FROM cand),
+         |kept AS (SELECT k, seg, vf, src FROM seq
+         |         WHERE prev IS NULL OR seg IS DISTINCT FROM prev),
+         |ver AS (SELECT k, seg, vf,
+         |          lead(vf) OVER (PARTITION BY k ORDER BY vf, src) AS vt
+         |        FROM kept)
+         |SELECT k AS c_custkey, seg AS c_mktsegment, vf AS valid_from,
+         |  vt AS valid_to, vt IS NULL AS is_current
+         |FROM ver
+         |UNION ALL
+         |SELECT s0.k, s0.seg, s0.vf, CAST(NULL AS BIGINT), TRUE
+         |FROM s0 ANTI JOIN uk USING (k)""".stripMargin
   )
 }

@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * SCD2 (slowly-changing-dimension, type 2) upsert merge — versioned
+ * metadata maintenance for corpus dimensions (source registries,
+ * license records, domain reputations): every change closes the open
+ * row and opens a new one, so any past pipeline run can be replayed
+ * against the dimension AS OF its read time.
+ *
+ * State schema: key, attrs…, `valid_from`, `valid_to` (null = open),
+ * `is_current`. Batch schema: key, attrs…, `tsCol` (the effective
+ * time; (key, ts) unique per batch).
+ *
+ * Merge semantics, per key: the open row and the batch's updates are
+ * sequenced by effective time (the open row first on ties); updates
+ * whose attributes equal the previous version (null-safe) are
+ * SUPPRESSED (no-op churn never creates versions); each kept version's
+ * `valid_to` is the next version's `valid_from`; the last is current.
+ * Unknown keys insert as new current rows. CLOSED history rows are
+ * never touched.
+ *
+ * Scale shape (batch-∝, the q46/q95 incremental discipline): batch
+ * keys are broadcast, and ONLY the open rows of touched keys enter the
+ * window (left-semi prune) — every other state row, closed or open,
+ * passes through untouched. Cost ∝ |batch| + |touched open rows|; the
+ * dimension's history is never reshuffled. Both window passes share
+ * one key-partitioning (a single shuffle of the touched slice).
+ */
+object Scd {
+
+  def mergeScd2(
+      state: DataFrame,
+      updates: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      attrCols: Seq[String]): DataFrame = {
+    require(attrCols.nonEmpty, "SCD2 merge needs at least one attribute column")
+    val attrs = attrCols.map(col)
+    val outCols = (Seq(keyCol) ++ attrCols ++
+      Seq("valid_from", "valid_to", "is_current")).map(col)
+
+    val upKeys = updates.select(keyCol).distinct()
+    val open = state.filter(col("is_current"))
+    // untouched: all closed history + open rows of keys the batch
+    // never mentions — a pass-through, no shuffle beyond the semi-join
+    val untouched = state.filter(!col("is_current"))
+      .unionByName(open.join(broadcast(upKeys), Seq(keyCol), "left_anti"))
+
+    val cand = open.join(broadcast(upKeys), Seq(keyCol), "left_semi")
+      .select((Seq(col(keyCol)) ++ attrs :+ col("valid_from") :+ lit(0).as("__src")): _*)
+      .unionByName(updates.select(
+        (Seq(col(keyCol)) ++ attrs :+ col(tsCol).as("valid_from") :+ lit(1).as("__src")): _*))
+
+    val seqW = Window.partitionBy(keyCol).orderBy(col("valid_from"), col("__src"))
+    val kept = cand
+      .withColumn("__prev", lag(struct(attrs: _*), 1).over(seqW))
+      // null-safe: a version is kept iff its attributes differ from
+      // the previous kept... strictly the previous CANDIDATE — with
+      // the open row first and (key, ts) unique, consecutive equal
+      // candidates collapse transitively to the same suppression set
+      .filter(col("__prev").isNull || !(struct(attrs: _*) <=> col("__prev")))
+    val versioned = kept
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(seqW))
+      .withColumn("is_current", col("valid_to").isNull)
+
+    untouched.select(outCols: _*).unionByName(versioned.select(outCols: _*))
+  }
+}
