@@ -1682,6 +1682,30 @@ object SparkEntry {
             lit("NEW_SEG").as("c_mktsegment"), lit(10L).as("ts")))
       graft.ops.Scd.mergeScd2(state0, upd, "c_custkey", "ts",
         Seq("c_mktsegment"))
+    }),
+
+    // ---- north-star: BPE vocabulary — the token frequency table a
+    //      tokenizer ships beside its merges; vocab-bounded after the
+    //      one corpus word-count pass.
+    "q123_bpe_vocab" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.ops.Bpe.vocabulary(docs, "text",
+        graft.ops.Bpe.mergeList(graft.ops.Bpe.train(docs, "text", 6)))
+    }),
+
+    // ---- north-star: DURABLE BPE model — train on the even half,
+    //      publish the merge table as parquet, encode the odd half
+    //      from the STORED model (the q69/q116 frozen-model lifecycle
+    //      for the tokenizer).
+    "q124_durable_bpe" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val modelDir = tmp("q124_bpe_model")
+      graft.ops.Bpe.train(docs.filter(col("doc_id") % 2 === 0), "text", 6)
+        .write.mode("overwrite").parquet(modelDir)
+      val merges = graft.ops.Bpe.mergeList(s.read.parquet(modelDir))
+      docs.filter(col("doc_id") % 2 =!= 0).select(col("doc_id"),
+        graft.functions.GraftFunctions.bpeCount(s, col("text"), merges)
+          .as("n_bpe_tokens"))
     })
   )
 
@@ -1814,12 +1838,13 @@ object SparkEntry {
     * (count desc, left asc, right asc — the exact Spark ordering), and
     * the merge application `v_i` via the SAME padded-`replace` both
     * engines share (leftmost non-overlapping = greedy BPE). */
-  private def bpeTrainCtes(k: Int): String = {
+  private def bpeTrainCtes(k: Int, corpusWhere: String = ""): String = {
     val ss = "chr(1) || chr(1)"
     val sb = new StringBuilder
     sb ++=
       s"""WITH w AS (SELECT word, count(*) AS n
-         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+         |        FROM documents $corpusWhere)
          |  GROUP BY word),
          |v0 AS (SELECT rtrim(regexp_replace(word, '(.)', '\\1' || $ss, 'g'), chr(1)) AS wsym, n
          |       FROM w)""".stripMargin
@@ -1842,6 +1867,19 @@ object SparkEntry {
            |        FROM $prev, b$i b)""".stripMargin
     }
     sb.toString
+  }
+
+  /** Per-word BPE encode expression over the learned b1…bk CTE rows:
+    * seed chars (doubled chr(1) separators), then the k merges applied
+    * in rank order as padded replaces — the portable twin of
+    * `graft_bpe_count` (q119/q124). */
+  private def bpeMergedExpr(k: Int): String = {
+    val seed = "chr(1) || rtrim(regexp_replace(__w, '(.)', '\\1' || chr(1) || chr(1), 'g'), chr(1)) || chr(1)"
+    (1 to k).foldLeft(seed) { (acc, i) =>
+      s"""replace($acc,
+         |  chr(1) || b$i.left_sym || chr(1) || chr(1) || b$i.right_sym || chr(1),
+         |  chr(1) || b$i.left_sym || b$i.right_sym || chr(1))""".stripMargin
+    }
   }
 
   /** DuckDB oracle for exact-substring duplicate spans — the same
@@ -3551,19 +3589,37 @@ object SparkEntry {
     // graft_bpe_count kernel
     "q119_bpe_encode" -> {
       val k = 6
-      val seed = "chr(1) || rtrim(regexp_replace(__w, '(.)', '\\1' || chr(1) || chr(1), 'g'), chr(1)) || chr(1)"
-      val merged = (1 to k).foldLeft(seed) { (acc, i) =>
-        s"""replace($acc,
-           |  chr(1) || b$i.left_sym || chr(1) || chr(1) || b$i.right_sym || chr(1),
-           |  chr(1) || b$i.left_sym || b$i.right_sym || chr(1))""".stripMargin
-      }
       s"""${bpeTrainCtes(k)}
          |SELECT d.doc_id,
          |  CAST(list_sum(list_transform(string_split(d.text, ' '), __w ->
-         |    len(string_split(trim($merged, chr(1)), chr(1) || chr(1))))) AS BIGINT)
+         |    len(string_split(trim(${bpeMergedExpr(k)}, chr(1)), chr(1) || chr(1))))) AS BIGINT)
          |    AS n_bpe_tokens,
          |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_ws_tokens
          |FROM documents d, ${(1 to k).map(i => s"b$i").mkString(", ")}""".stripMargin
+    },
+
+    // BPE vocabulary replay: the trained chain's FINAL vocab state v6
+    // already holds every word's surviving symbols — unnest and roll up
+    "q123_bpe_vocab" -> {
+      val k = 6
+      s"""${bpeTrainCtes(k)}
+         |SELECT symbol, CAST(sum(n) AS BIGINT) AS n_occurrences FROM (
+         |  SELECT unnest(string_split(wsym, chr(1) || chr(1))) AS symbol, n
+         |  FROM v$k)
+         |GROUP BY symbol""".stripMargin
+    },
+
+    // durable BPE replay: train chain restricted to the even half,
+    // encode chain over the odd half — storage must change nothing
+    "q124_durable_bpe" -> {
+      val k = 6
+      s"""${bpeTrainCtes(k, "WHERE doc_id % 2 = 0")}
+         |SELECT d.doc_id,
+         |  CAST(list_sum(list_transform(string_split(d.text, ' '), __w ->
+         |    len(string_split(trim(${bpeMergedExpr(k)}, chr(1)), chr(1) || chr(1))))) AS BIGINT)
+         |    AS n_bpe_tokens
+         |FROM documents d, ${(1 to k).map(i => s"b$i").mkString(", ")}
+         |WHERE d.doc_id % 2 <> 0""".stripMargin
     },
 
     // Morton-key replay: same integer bucketing (bit-exact // div)

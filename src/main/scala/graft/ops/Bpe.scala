@@ -130,14 +130,37 @@ object Bpe {
    * [[graft.functions.GraftFunctions.bpeCount]] kernel, parity-pinned
    * against this form in BpeSpec.
    */
-  def segmentCountPortable(c: Column, merges: Seq[(String, String)]): Column = {
-    val perWord = transform(TextOps.tokens(c), w => {
-      val seeded = concat(lit(S), seedSymbols(w), lit(S))
-      val mergedPadded = merges.foldLeft(seeded) { case (acc, (l, r)) =>
+  /** Padded symbol string of one word after applying `merges` in rank
+    * order — the shared core of the portable encode forms. */
+  private def encodePadded(w: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(concat(lit(S), seedSymbols(w), lit(S))) {
+      case (acc, (l, r)) =>
         replace(acc, lit(S + l + SS + r + S), lit(S + l + r + S))
-      }
-      size(split(trim(mergedPadded, S), SS)).cast("long")
-    })
+    }
+
+  def segmentCountPortable(c: Column, merges: Seq[(String, String)]): Column = {
+    val perWord = transform(TextOps.tokens(c),
+      w => size(split(trim(encodePadded(w, merges), S), SS)).cast("long"))
     aggregate(perWord, lit(0L), (acc, x) => acc + x)
   }
+
+  /**
+   * The corpus vocabulary under a learned merge list: every surviving
+   * symbol (= BPE token) with its corpus occurrence count — the token
+   * frequency table a tokenizer ships beside its merges (and the input
+   * to vocabulary-size/coverage decisions).
+   *
+   * Same scale shape as [[train]]: ONE corpus pass aggregates
+   * (distinct word, count); encoding and the symbol rollup then run on
+   * the vocab frame — applying the merge list costs |vocab| ×
+   * |merges| replaces, never a corpus re-read.
+   */
+  def vocabulary(
+      df: DataFrame, textCol: String, merges: Seq[(String, String)]): DataFrame =
+    df.select(explode(TextOps.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .select(split(trim(encodePadded(col("word"), merges), S), SS).as("syms"),
+        col("n"))
+      .select(explode(col("syms")).as("symbol"), col("n"))
+      .groupBy("symbol").agg(sum("n").as("n_occurrences"))
 }

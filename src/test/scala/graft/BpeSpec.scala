@@ -77,6 +77,37 @@ class BpeSpec extends AnyFunSuite {
     assert(withM == Seq(3L, 1L)) // [low] + [low, er]
   }
 
+  test("vocabulary: hand-computed symbol frequencies; counts conserve tokens") {
+    val df = Seq("low low low", "lower lower", "newest").toDF("text")
+    val merges = Bpe.mergeList(Bpe.train(df, "text", merges = 4))
+    // after (l,o)(lo,w)(e,r)(low,er): low→[low]×3, lower→[lower]×2
+    // (merge 4 fuses it), newest→[n,e,w,e,s,t]
+    val got = Bpe.vocabulary(df, "text", merges)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map(
+      "low" -> 3L, "lower" -> 2L,
+      "n" -> 1L, "e" -> 2L, "w" -> 1L, "s" -> 1L, "t" -> 1L))
+    // total symbol occurrences == total BPE tokens of the corpus
+    val totalViaCount = df.select(
+        sum(Bpe.segmentCountPortable(col("text"), merges)))
+      .as[Long].collect().head
+    assert(got.values.sum == totalViaCount)
+  }
+
+  test("durable model: encoding from the stored merge table == direct") {
+    val docs = TestSpark.table("documents").limit(200)
+    val dir = TestSpark.tmpDir("bpe_model")
+    Bpe.train(docs, "text", merges = 5).write.mode("overwrite").parquet(dir)
+    val stored = Bpe.mergeList(spark.read.parquet(dir))
+    val direct = Bpe.mergeList(Bpe.train(docs, "text", merges = 5))
+    assert(stored == direct && stored.length == 5)
+    val a = docs.select(GraftFunctions.bpeCount(spark, col("text"), stored))
+      .as[Long].collect().toSeq
+    val b = docs.select(GraftFunctions.bpeCount(spark, col("text"), direct))
+      .as[Long].collect().toSeq
+    assert(a == b)
+  }
+
   test("BPE count kernel stays inside whole-stage codegen") {
     // a CodegenFallback here would force the WHOLE projection onto the
     // interpreted path; the static-call doGenCode keeps the stage fused
