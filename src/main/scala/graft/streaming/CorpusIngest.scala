@@ -271,4 +271,83 @@ object CorpusIngest {
     silver.join(
       WindowIndex.processedIds(spark, indexDir), Seq(idCol), "left_anti")
   }
+
+  /**
+   * Streaming SCD2 dimension maintenance — the versioned-metadata twin
+   * of the three index maintainers: drain newly landed JSONL updates
+   * (key, attrs…, effective ts), merge ONLY the not-yet-applied delta
+   * into the stored dimension ([[graft.ops.Scd.mergeScd2]] — batch-∝:
+   * closed history passes through, untouched keys never enter the
+   * window), and publish the new state as the next `_SUCCESS`-gated
+   * run directory ([[graft.io.Layers.latestSuccessfulRun]] resolves
+   * readers to the newest COMPLETE snapshot, never a half-written one).
+   *
+   * Why a ledger: replaying an already-applied update is NOT always a
+   * no-op for SCD2 — an old update re-entering after later versions
+   * landed would resurrect its version row. The applied-(key, ts)
+   * ledger (which also records SUPPRESSED no-ops — they must not
+   * re-enter either) makes every drain exactly-once: delta = silver
+   * anti-join ledger, so a crash between silver commit and state
+   * publish self-heals on the next drain, and a crash mid-publish
+   * leaves an unmarked orphan run dir that the retry overwrites.
+   *
+   * Returns the published state (the pre-drain state on a no-op
+   * drain). State + ledger are dimension-sized — versioned snapshots
+   * are cheap where the corpus would not be.
+   */
+  def maintainDimension(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      keyCol: String,
+      tsCol: String,
+      attrCols: Seq[String],
+      silverDir: String,
+      checkpointDir: String,
+      stateDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    IngestStream.drainOnce(
+      spark, landingDir, schema,
+      requiredCols = Seq(keyCol, tsCol),
+      normalizeCols = Nil,
+      outDir = silverDir, checkpointDir = checkpointDir)
+    val silverPath = new Path(silverDir)
+    val sfs = silverPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val silver =
+      if (sfs.exists(silverPath)) spark.read.schema(schema).parquet(silverDir)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+    val (state, ledger) =
+      graft.io.Layers.latestSuccessfulRun(spark, stateDir) match {
+        case Some(run) =>
+          (spark.read.parquet(s"$run/state"), spark.read.parquet(s"$run/ledger"))
+        case None =>
+          (silver.limit(0)
+            .select((Seq(col(keyCol)) ++ attrCols.map(col) :+
+              col(tsCol).as("valid_from")): _*)
+            .withColumn("valid_to", col("valid_from"))
+            .withColumn("is_current", lit(true)),
+            silver.limit(0).select(col(keyCol), col(tsCol)))
+      }
+    val delta = silver.join(ledger, Seq(keyCol, tsCol), "left_anti")
+    if (delta.isEmpty) return state
+    val merged = graft.ops.Scd
+      .mergeScd2(state, delta, keyCol, tsCol, attrCols)
+      .localCheckpoint()
+    val newLedger = ledger
+      .unionByName(delta.select(col(keyCol), col(tsCol)))
+      .localCheckpoint()
+    val fs = new Path(stateDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nDone =
+      if (!fs.exists(new Path(stateDir))) 0
+      else fs.listStatus(new Path(stateDir)).count(s => s.isDirectory &&
+        fs.exists(new Path(s.getPath, "_SUCCESS")))
+    val runDir = f"$stateDir/run_${nDone + 1}%06d"
+    merged.write.mode("overwrite").parquet(s"$runDir/state")
+    newLedger.write.mode("overwrite").parquet(s"$runDir/ledger")
+    // run-level marker LAST: the two writes become one visibility unit
+    fs.create(new Path(runDir, "_SUCCESS"), true).close()
+    merged
+  }
 }

@@ -192,4 +192,57 @@ class CorpusIngestSpec extends AnyFunSuite {
     assert(drain().isEmpty)
     assert(ledger() == 4)
   }
+
+  test("maintainDimension: versioned SCD2 state, exactly-once delta, replay-safe ledger") {
+    val base = TestSpark.tmpDir("corpus_ingest_dim")
+    val landing = new java.io.File(base, "landing"); landing.mkdirs()
+    val dschema = graft.schema.Metadata.structFromSpec(
+      """
+      k: long
+      seg: string
+      ts: long
+      """)
+    def landU(name: String, rows: Seq[(Long, String, Long)]): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(landing, name))
+      try rows.foreach { case (k, seg, ts) =>
+        w.println(s"""{"k": $k, "seg": "$seg", "ts": $ts}""")
+      } finally w.close()
+    }
+    def drain(): Set[(Long, String, Long, Option[Long], Boolean)] =
+      CorpusIngest.maintainDimension(
+          spark, landing.getPath, dschema, "k", "ts", Seq("seg"),
+          silverDir = s"$base/silver", checkpointDir = s"$base/ckpt",
+          stateDir = s"$base/state")
+        .as[(Long, String, Long, Option[Long], Boolean)].collect().toSet
+    def runs(): Int = {
+      val d = new java.io.File(s"$base/state")
+      if (!d.exists()) 0
+      else d.listFiles().count(f => f.isDirectory &&
+        new java.io.File(f, "_SUCCESS").exists())
+    }
+    assert(drain().isEmpty && runs() == 0, "empty drain publishes nothing")
+    landU("w1.jsonl", Seq((1L, "A", 0L), (2L, "C", 0L)))
+    val s1 = drain()
+    assert(s1 == Set((1L, "A", 0L, None, true), (2L, "C", 0L, None, true)))
+    assert(runs() == 1)
+    // change + no-op churn in one wave
+    landU("w2.jsonl", Seq((1L, "B", 10L), (1L, "B", 20L)))
+    val s2 = drain()
+    assert(s2 == Set(
+      (1L, "A", 0L, Some(10L), false),
+      (1L, "B", 10L, None, true),
+      (2L, "C", 0L, None, true)))
+    assert(runs() == 2)
+    // no-op drain: standing state returned, nothing published
+    assert(drain() == s2 && runs() == 2)
+    // replay safety: an already-applied OLD update re-landing must not
+    // resurrect its version (the ledger, not merge idempotence, is
+    // what guarantees this once later versions exist)
+    landU("w3.jsonl", Seq((1L, "B", 10L)))
+    assert(drain() == s2 && runs() == 2)
+    // a reader resolves the newest COMPLETE snapshot
+    val latest = graft.io.Layers.latestSuccessfulRun(spark, s"$base/state").get
+    assert(spark.read.parquet(s"$latest/state")
+      .as[(Long, String, Long, Option[Long], Boolean)].collect().toSet == s2)
+  }
 }
