@@ -13,12 +13,14 @@ import org.apache.spark.sql.functions._
  * external codecs): dimensions + a luminance histogram feature vector.
  * The AUDIO kind decodes for real via `javax.sound.sampled` (also
  * JDK-only): WAV/AIFF/AU PCM header parse + sample rate, channels,
- * duration, and an RMS-energy envelope feature. VIDEO codecs are NOT
- * available in this environment, so that decode kernel is a
- * clearly-marked deterministic STUB ([[stubDecode]]) — everything
- * around it (schema, batching shape, partitioning, output contract) is
- * the real Spark plumbing you would keep when swapping in a real
- * decoder.
+ * duration, and an RMS-energy envelope feature. The VIDEO kind parses
+ * MP4/QuickTime CONTAINER metadata for real ([[parseMp4Meta]] — box
+ * tree, mvhd duration, tkhd dimensions; pure byte parsing, no codec);
+ * only the frame/pixel decode remains a clearly-marked deterministic
+ * STUB ([[stubDecode]]) — video CODECS are not available in this
+ * environment, and everything around the stub (schema, batching
+ * shape, partitioning, output contract) is the real Spark plumbing
+ * you would keep when swapping in a real decoder.
  *
  * Scale notes:
  *  - payloads stay in `binary` columns → Parquet stores them as
@@ -180,6 +182,74 @@ object Multimodal {
       } finally ais.close()
     } catch { case _: Exception => None }
 
+  /** Parsed MP4/QuickTime container facts (header-only, no codec). */
+  final case class VideoMeta(
+      durationMs: Long, width: Int, height: Int, nTracks: Int)
+
+  /**
+   * REAL MP4/QuickTime CONTAINER parse (header-only, zero codecs):
+   * walks the ISO BMFF box tree (32-bit size + fourcc headers; 64-bit
+   * `largesize` and size-0 run-to-end boxes handled), reads
+   * `moov/mvhd` for timescale + duration and the first video track's
+   * `moov/trak/tkhd` 16.16 fixed-point display dimensions (audio
+   * tracks carry 0×0 there), and counts `trak` boxes.
+   *
+   * This closes the metadata half of the video gap the FRAME decoder
+   * stub cannot: duration/dimension corpus filters and the
+   * [[sampleFrames]] grid need exactly these fields, none of which
+   * require a codec. Pixel/frame decode stays [[stubDecode]]-stubbed —
+   * no codecs exist in this sandbox. Returns None for anything that
+   * is not a well-formed MP4 (same per-row corrupt-blob contract as
+   * [[decodeImage]]/[[decodeAudio]]).
+   */
+  def parseMp4Meta(payload: Array[Byte]): Option[VideoMeta] =
+    try {
+      val bb = java.nio.ByteBuffer.wrap(payload) // big-endian per spec
+      def u32(off: Int): Long = bb.getInt(off) & 0xffffffffL
+      var durationMs = -1L
+      var w = -1
+      var h = -1
+      var tracks = 0
+      var sawMvhd = false
+      def walk(start: Long, end: Long, depth: Int): Unit = {
+        var off = start
+        var ok = true
+        while (ok && off + 8 <= end) {
+          var size = u32(off.toInt)
+          val typ = new String(payload, off.toInt + 4, 4, "ISO-8859-1")
+          var hdr = 8L
+          if (size == 1L) { size = bb.getLong(off.toInt + 8); hdr = 16L }
+          else if (size == 0L) size = end - off
+          if (size < hdr || off + size > end) ok = false // malformed: stop
+          else {
+            val body = (off + hdr).toInt
+            typ match {
+              case "moov" => walk(off + hdr, off + size, depth + 1)
+              case "trak" if depth == 1 =>
+                tracks += 1; walk(off + hdr, off + size, depth + 1)
+              case "mvhd" if depth == 1 =>
+                val ver = payload(body) & 0xff
+                val (ts, dur) =
+                  if (ver == 1) (u32(body + 20), bb.getLong(body + 24))
+                  else (u32(body + 12), u32(body + 16))
+                if (ts > 0) { durationMs = dur * 1000L / ts; sawMvhd = true }
+              case "tkhd" if depth == 2 =>
+                val ver = payload(body) & 0xff
+                // v0: 4 ver/flags + 20 times/id + 16 layer block + 36 matrix
+                val dimOff = body + (if (ver == 1) 88 else 76)
+                val tw = (u32(dimOff) >> 16).toInt
+                val th = (u32(dimOff + 4) >> 16).toInt
+                if (tw > 0 && th > 0 && w < 0) { w = tw; h = th }
+              case _ => ()
+            }
+            off += size
+          }
+        }
+      }
+      walk(0L, payload.length.toLong, 0)
+      if (sawMvhd) Some(VideoMeta(durationMs, w, h, tracks)) else None
+    } catch { case _: Exception => None }
+
   /** Build a demo media table from any (id, text) source — payload =
     * UTF-8 bytes. Stands in for reading real blobs. */
   def demoMediaTable(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
@@ -226,6 +296,14 @@ object Multimodal {
               base.copy(decoded = true, feature = a.envelope,
                 sample_rate = a.sampleRate, channels = a.channels,
                 decoded_ms = a.durationMs)
+            case None => base
+          }
+          case "video" => parseMp4Meta(r.payload) match {
+            // container metadata is REAL (box-tree parse); the frame
+            // feature stays the stub — no codecs in this sandbox
+            case Some(v) =>
+              base.copy(decoded = true, width = v.width, height = v.height,
+                decoded_ms = v.durationMs)
             case None => base
           }
           case _ => base

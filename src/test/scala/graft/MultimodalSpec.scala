@@ -170,4 +170,57 @@ class MultimodalSpec extends AnyFunSuite {
       .map(r => r.getAs[String]("kind") -> r.getAs[Long]("tb")).toMap
     assert(rows == expected)
   }
+
+  /** Minimal well-formed MP4: ftyp + moov{mvhd v0, trak{tkhd v0}}. */
+  private def mp4Bytes(
+      timescale: Int, duration: Int, w: Int, h: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(16 + 8 + 108 + 8 + 92)
+    bb.putInt(16).put("ftyp".getBytes("ISO-8859-1"))
+      .put("isom".getBytes("ISO-8859-1")).putInt(0)
+    bb.putInt(8 + 108 + 8 + 92).put("moov".getBytes("ISO-8859-1"))
+    // mvhd v0: ver/flags, creation, modification, timescale, duration,
+    // rate, volume+reserved, matrix(36), predefined(24), next_track
+    bb.putInt(108).put("mvhd".getBytes("ISO-8859-1"))
+      .putInt(0).putInt(0).putInt(0).putInt(timescale).putInt(duration)
+      .putInt(0x00010000).putInt(0x01000000).putInt(0).putInt(0)
+    (0 until 9).foreach(i => bb.putInt(if (i % 4 == 0) 0x00010000 else 0))
+    (0 until 6).foreach(_ => bb.putInt(0))
+    bb.putInt(2)
+    bb.putInt(8 + 92).put("trak".getBytes("ISO-8859-1"))
+    // tkhd v0: ver/flags, creation, mod, track id, reserved, duration,
+    // reserved(8), layer/alt/volume/reserved(8), matrix(36), w, h (16.16)
+    bb.putInt(92).put("tkhd".getBytes("ISO-8859-1"))
+      .putInt(0).putInt(0).putInt(0).putInt(1).putInt(0).putInt(duration)
+      .putLong(0L).putInt(0).putInt(0)
+    (0 until 9).foreach(i => bb.putInt(if (i % 4 == 0) 0x00010000 else 0))
+    bb.putInt(w << 16).putInt(h << 16)
+    bb.array()
+  }
+
+  test("real MP4 container parse: mvhd duration, tkhd dimensions, corrupt-safe") {
+    val ok = Multimodal.parseMp4Meta(mp4Bytes(1000, 5000, 640, 360))
+    assert(ok.contains(Multimodal.VideoMeta(5000L, 640, 360, 1)))
+    // non-1000 timescale converts exactly
+    assert(Multimodal.parseMp4Meta(mp4Bytes(90000, 450000, 1920, 1080))
+      .contains(Multimodal.VideoMeta(5000L, 1920, 1080, 1)))
+    // garbage, truncation, and a non-MP4 payload all refuse cleanly
+    assert(Multimodal.parseMp4Meta("not a video".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.parseMp4Meta(mp4Bytes(1000, 5000, 640, 360).take(20)).isEmpty)
+    assert(Multimodal.parseMp4Meta(Array.empty[Byte]).isEmpty)
+  }
+
+  test("decodeFeatures marks MP4 video payloads decoded with container facts") {
+    import TestSpark.spark
+    import spark.implicits._
+    val rows = Seq(
+      Multimodal.MediaRecord(2L, "video", mp4Bytes(1000, 7000, 320, 240),
+        0L, -1, -1, 0L),
+      Multimodal.MediaRecord(5L, "video", "junk".getBytes("UTF-8"),
+        0L, -1, -1, 0L)).toDS()
+    val got = Multimodal.decodeFeatures(rows).collect()
+      .map(f => f.media_id -> ((f.decoded, f.width, f.height, f.decoded_ms)))
+      .toMap
+    assert(got(2L) == ((true, 320, 240, 7000L)))
+    assert(got(5L) == ((false, -1, -1, -1L)), "corrupt video flows through the stub path")
+  }
 }
