@@ -1706,6 +1706,18 @@ object SparkEntry {
       docs.filter(col("doc_id") % 2 =!= 0).select(col("doc_id"),
         graft.functions.GraftFunctions.bpeCount(s, col("text"), merges)
           .as("n_bpe_tokens"))
+    }),
+
+    // ---- north-star composition: tokenizer-aware sequence packing —
+    //      q64's concat-and-chunk, but budgeted in the tokens the
+    //      MODEL will see (the learned BPE), not whitespace words.
+    "q125_bpe_pack" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val merges = graft.ops.Bpe.mergeList(
+        graft.ops.Bpe.train(docs, "text", 6))
+      graft.ops.Packing.packSequencesBy(docs,
+        graft.functions.GraftFunctions.bpeCount(s, col("text"), merges),
+        "lang", "doc_id", budget = 512L)
     })
   )
 
@@ -3620,6 +3632,28 @@ object SparkEntry {
          |    AS n_bpe_tokens
          |FROM documents d, ${(1 to k).map(i => s"b$i").mkString(", ")}
          |WHERE d.doc_id % 2 <> 0""".stripMargin
+    },
+
+    // tokenizer-aware packing replay: q64's running-sum chain with n =
+    // the BPE count (training replay + 6 chained replaces per word)
+    "q125_bpe_pack" -> {
+      val k = 6
+      s"""${bpeTrainCtes(k)},
+         |t AS (SELECT d.doc_id, d.lang,
+         |  CAST(list_sum(list_transform(string_split(d.text, ' '), __w ->
+         |    len(string_split(trim(${bpeMergedExpr(k)}, chr(1)), chr(1) || chr(1))))) AS BIGINT) AS n
+         |  FROM documents d, ${(1 to k).map(i => s"b$i").mkString(", ")}),
+         |p AS (SELECT doc_id, lang, n,
+         |        sum(n) OVER (PARTITION BY lang ORDER BY doc_id) AS e
+         |      FROM t WHERE n > 0),
+         |x AS (SELECT doc_id, lang, e - n AS s, e FROM p),
+         |u AS (SELECT doc_id, lang, s, e,
+         |        unnest(generate_series(CAST(s // 512 AS BIGINT),
+         |                               CAST((e - 1) // 512 AS BIGINT))) AS seq_idx
+         |      FROM x)
+         |SELECT doc_id, lang, seq_idx,
+         |  CAST(least(e, (seq_idx + 1) * 512) - greatest(s, seq_idx * 512) AS BIGINT) AS toks_in_seq
+         |FROM u""".stripMargin
     },
 
     // Morton-key replay: same integer bucketing (bit-exact // div)

@@ -38,10 +38,18 @@ object Packing {
     * end exclusive). Zero-token docs are dropped — they contribute to
     * no sequence and would otherwise need a degenerate-range guard. */
   private def intervals(
-      df: DataFrame, textCol: String, shardCol: String, orderCol: String): DataFrame = {
+      df: DataFrame, textCol: String, shardCol: String, orderCol: String): DataFrame =
+    intervalsBy(df,
+      graft.functions.GraftFunctions.tokenCount(df.sparkSession, col(textCol)),
+      shardCol, orderCol)
+
+  /** [[intervals]] under ANY per-doc token counter (e.g. the BPE
+    * kernel — packing budgets should be measured in the tokens the
+    * MODEL will see, not whitespace words). */
+  private def intervalsBy(
+      df: DataFrame, countExpr: Column, shardCol: String, orderCol: String): DataFrame = {
     val w = Window.partitionBy(shardCol).orderBy(orderCol)
-    df.withColumn("__n",
-        graft.functions.GraftFunctions.tokenCount(df.sparkSession, col(textCol)))
+    df.withColumn("__n", countExpr)
       .filter(col("__n") > 0)
       .withColumn("__end", sum(col("__n")).over(w))
       .withColumn("__start", col("__end") - col("__n"))
@@ -58,12 +66,27 @@ object Packing {
       textCol: String,
       shardCol: String,
       orderCol: String,
+      budget: Long): DataFrame =
+    packSequencesBy(df,
+      graft.functions.GraftFunctions.tokenCount(df.sparkSession, col(textCol)),
+      shardCol, orderCol, budget)
+
+  /** [[packSequences]] under ANY per-doc token counter — pass the BPE
+    * kernel ([[graft.functions.GraftFunctions.bpeCount]]) to budget
+    * sequences in MODEL tokens (what the trainer actually packs)
+    * instead of whitespace words. Same plan: one running-sum window
+    * per shard + a bounded explode. */
+  def packSequencesBy(
+      df: DataFrame,
+      countExpr: Column,
+      shardCol: String,
+      orderCol: String,
       budget: Long): DataFrame = {
     require(budget >= 1, "token budget must be positive")
     val b = lit(budget)
     val firstSeq: Column = expr(s"__start DIV $budget")
     val lastSeq: Column = expr(s"(__end - 1) DIV $budget")
-    intervals(df, textCol, shardCol, orderCol)
+    intervalsBy(df, countExpr, shardCol, orderCol)
       .select(
         col(orderCol), col(shardCol), col("__start"), col("__end"),
         explode(sequence(firstSeq, lastSeq)).as("seq_idx"))

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, sum}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ops.Packing
@@ -158,5 +159,24 @@ class PackingSpec extends AnyFunSuite {
       "doc_id", "source")
       .collect().map(r => r.getString(4))
     assert(tied.toSeq == Seq("alpha"))
+  }
+
+  test("packSequencesBy: whitespace counter reproduces packSequences; a custom counter changes the budget basis") {
+    val docs = TestSpark.table("documents").limit(150)
+    val ws = graft.functions.GraftFunctions
+      .tokenCount(TestSpark.spark, col("text"))
+    val a = Packing.packSequences(docs, "text", "lang", "doc_id", 256L)
+      .collect().toSet
+    val b = Packing.packSequencesBy(docs, ws, "lang", "doc_id", 256L)
+      .collect().toSet
+    assert(a == b)
+    // a doubled counter halves how many docs fit a sequence: total
+    // packed tokens double while conservation still holds per doc
+    val doubled = Packing.packSequencesBy(docs, ws * 2, "lang", "doc_id", 256L)
+      .groupBy("doc_id").agg(sum("toks_in_seq").as("t"))
+    val direct = docs.select(col("doc_id"), (ws * 2).as("n"))
+    val joined = doubled.join(direct, "doc_id")
+      .filter(col("t") =!= col("n")).count()
+    assert(joined == 0, "custom-counter packing must conserve the counter's tokens")
   }
 }
