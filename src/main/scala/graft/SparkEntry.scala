@@ -1736,6 +1736,22 @@ object SparkEntry {
             .as("bpe_tokens"))
         .withColumn("chars_per_bpe_token",
           round(col("n_chars").cast("double") / col("bpe_tokens"), 6))
+    }),
+
+    // ---- north-star: ANN recall@k — the measurement that closes the
+    //      approximate-index tuning loop (nlist/nprobe chosen by
+    //      measured recall against exact ground truth, not guesswork).
+    //      Both sides are k·|queries|-row index outputs, so the
+    //      compare is a broadcast join, never a corpus pass.
+    "q127_ann_recall" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 3)
+      val truth = Similarity.bruteForceTopKBatch(
+        emb, queries, "vec_id", "embedding", "vec_id", k = 10)
+      val approx = Similarity.ivfTopKTrainedBatch(
+        emb, queries, "vec_id", "embedding", "vec_id",
+        k = 10, nlist = 8, nprobe = 2, iters = 2)
+      Similarity.recallAtK(truth, approx, "query_id", "vec_id", k = 10)
     })
   )
 
@@ -2046,6 +2062,19 @@ object SparkEntry {
     * side's salted two-stage ranking is salt-invariant (the final rank
     * is the global total order), so the oracle replays it as ONE plain
     * window per query. */
+  // batch brute-force oracle: one plain window per query over the full
+  // cross score (salt-invariant replay of the Spark side's two-stage rank)
+  private def bruteBatchSql(): String =
+    s"""WITH q AS (SELECT CAST(vec_id AS BIGINT) AS query_id, embedding AS qe
+       |      FROM embeddings WHERE vec_id < 3),
+       |s AS (SELECT q.query_id, e.vec_id,
+       |        ${duckCosine("e.embedding", "q.qe", 64)} AS cosine_sim
+       |      FROM embeddings e, q),
+       |r AS (SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cosine_sim DESC, vec_id ASC) AS BIGINT) AS rank,
+       |        vec_id, cosine_sim FROM s)
+       |SELECT query_id, rank, vec_id, cosine_sim FROM r WHERE rank <= 10""".stripMargin
+
   private def ivfTrainedBatchSql(): String = {
     val dims = 64
     s"""WITH ${ivfTrainCtes(dims)},
@@ -3117,16 +3146,7 @@ object SparkEntry {
     // batch retrieval oracles replay the Spark side's salted two-stage
     // ranking as ONE plain window per query (salt-invariant: the final
     // rank is the global total order score desc, id asc)
-    "q101_ann_batch_brute" ->
-      s"""WITH q AS (SELECT CAST(vec_id AS BIGINT) AS query_id, embedding AS qe
-         |      FROM embeddings WHERE vec_id < 3),
-         |s AS (SELECT q.query_id, e.vec_id,
-         |        ${duckCosine("e.embedding", "q.qe", 64)} AS cosine_sim
-         |      FROM embeddings e, q),
-         |r AS (SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
-         |        ORDER BY cosine_sim DESC, vec_id ASC) AS BIGINT) AS rank,
-         |        vec_id, cosine_sim FROM s)
-         |SELECT query_id, rank, vec_id, cosine_sim FROM r WHERE rank <= 10""".stripMargin,
+    "q101_ann_batch_brute" -> bruteBatchSql(),
 
     "q102_ann_batch_ivf" -> ivfTrainedBatchSql(),
 
@@ -3692,6 +3712,17 @@ object SparkEntry {
          |  round(CAST(sum(ch) AS DOUBLE) / sum(bpe), 6) AS chars_per_bpe_token
          |FROM t GROUP BY lang""".stripMargin
     },
+
+    // recall replay: the q101 exact chain LEFT JOINed against the q102
+    // IVF chain on (query, id); recall = matched / k
+    "q127_ann_recall" ->
+      s"""WITH truth AS (SELECT query_id, vec_id FROM (${bruteBatchSql()})),
+         |approx AS (SELECT query_id, vec_id FROM (${ivfTrainedBatchSql()}))
+         |SELECT t.query_id, count(a.vec_id) AS hits,
+         |  round(count(a.vec_id) / 10.0, 6) AS recall_at_k
+         |FROM truth t LEFT JOIN approx a
+         |  ON t.query_id = a.query_id AND t.vec_id = a.vec_id
+         |GROUP BY t.query_id""".stripMargin,
 
     // Morton-key replay: same integer bucketing (bit-exact // div)
     // and the same bit-interleave positions (col i bit j → j·k + i)

@@ -162,6 +162,34 @@ object Similarity {
       .select(col("query_id"), col("rank"), col(idCol), col("cosine_sim"))
   }
 
+  /**
+   * Recall@k of an approximate retrieval run against exact ground
+   * truth — the evaluation harness that closes the ANN tuning loop
+   * (pick nlist/nprobe/planes by measured recall, not guesswork).
+   *
+   * Both inputs are per-query top-k frames (k·|queries| rows — index
+   * output, never corpus-sized), so the join is trivially
+   * broadcastable; per-query recall = |approx ∩ truth| / k. Ids are
+   * compared, not ranks: an approximate index that returns the right
+   * set in a different order has perfect recall.
+   */
+  def recallAtK(
+      truth: DataFrame,
+      approx: DataFrame,
+      qidCol: String,
+      idCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"recallAtK needs k > 0, got $k")
+    val t = truth.select(col(qidCol).as("query_id"), col(idCol).as("__id"))
+    val a = approx.select(
+      col(qidCol).as("query_id"), col(idCol).as("__id"),
+      lit(1).as("__hit"))
+    t.join(a, Seq("query_id", "__id"), "left")
+      .groupBy("query_id")
+      .agg(count(col("__hit")).as("hits"))
+      .withColumn("recall_at_k", round(col("hits").cast("double") / k, 6))
+  }
+
   /** Deterministic pseudo-random ±1 hyperplane component for
     * (plane, dim): parity of the first md5 hex nibble. */
   private def planeSign(plane: Int, dim: Int): Int = {

@@ -377,4 +377,25 @@ class SimilaritySpec extends AnyFunSuite {
     // decision frame is total: one row per input vector
     assert(got.size == 6)
   }
+
+  test("recallAtK: hit counting, perfect self-recall, order-insensitive") {
+    val truth = Seq(
+      (0L, 1L, 10L), (0L, 2L, 11L), (0L, 3L, 12L),
+      (1L, 1L, 20L), (1L, 2L, 21L), (1L, 3L, 22L)
+    ).toDF("query_id", "rank", "vec_id")
+    // query 0: right set, wrong order → still 3/3.
+    // query 1: one of three right → 1/3.
+    val approx = Seq(
+      (0L, 1L, 12L), (0L, 2L, 10L), (0L, 3L, 11L),
+      (1L, 1L, 20L), (1L, 2L, 99L), (1L, 3L, 98L)
+    ).toDF("query_id", "rank", "vec_id")
+    val got = Similarity.recallAtK(truth, approx, "query_id", "vec_id", k = 3)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(0L) == ((3L, 1.0)))
+    assert(got(1L) == ((1L, 0.333333)))
+    // self-compare is always perfect, and the output is one row per query
+    val self = Similarity.recallAtK(truth, truth, "query_id", "vec_id", k = 3)
+      .as[(Long, Long, Double)].collect()
+    assert(self.length == 2 && self.forall(r => r._2 == 3L && r._3 == 1.0))
+  }
 }
