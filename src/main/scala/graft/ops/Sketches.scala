@@ -35,31 +35,35 @@ object Sketches {
   /** Bottom-k distinct-hash state as a sorted array (bounded at k).
     * Production note: the per-row path copies the array (fine for
     * k ≤ a few hundred); swap the buffer for a mutable tree if k grows. */
+  /** Sorted-array bottom-k insert with distinct semantics (shared by
+    * the estimate and sketch-array aggregators). */
+  private def kmvInsert(k: Int)(buf: Array[Double], h: Double): Array[Double] = {
+    val pos = java.util.Arrays.binarySearch(buf, h)
+    if (pos >= 0) buf // already present (distinct semantics)
+    else {
+      val ins = -pos - 1
+      if (buf.length < k) {
+        val out = new Array[Double](buf.length + 1)
+        System.arraycopy(buf, 0, out, 0, ins)
+        out(ins) = h
+        System.arraycopy(buf, ins, out, ins + 1, buf.length - ins)
+        out
+      } else if (ins < k) {
+        val out = new Array[Double](k)
+        System.arraycopy(buf, 0, out, 0, ins)
+        out(ins) = h
+        System.arraycopy(buf, ins, out, ins + 1, k - ins - 1)
+        out
+      } else buf // h larger than the current k-th minimum
+    }
+  }
+
   final case class KMinValues(k: Int) extends Aggregator[Double, Array[Double], Double] {
     require(k >= 2, "KMV needs k >= 2")
 
     override def zero: Array[Double] = Array.empty
 
-    private def insert(buf: Array[Double], h: Double): Array[Double] = {
-      val pos = java.util.Arrays.binarySearch(buf, h)
-      if (pos >= 0) buf // already present (distinct semantics)
-      else {
-        val ins = -pos - 1
-        if (buf.length < k) {
-          val out = new Array[Double](buf.length + 1)
-          System.arraycopy(buf, 0, out, 0, ins)
-          out(ins) = h
-          System.arraycopy(buf, ins, out, ins + 1, buf.length - ins)
-          out
-        } else if (ins < k) {
-          val out = new Array[Double](k)
-          System.arraycopy(buf, 0, out, 0, ins)
-          out(ins) = h
-          System.arraycopy(buf, ins, out, ins + 1, k - ins - 1)
-          out
-        } else buf // h larger than the current k-th minimum
-      }
-    }
+    private val insert = kmvInsert(k) _
 
     override def reduce(buf: Array[Double], h: Double): Array[Double] = insert(buf, h)
 
@@ -150,5 +154,65 @@ object Sketches {
     if (calibrate)
       est.crossJoin(df.agg(count_distinct(col(valueCol)).as("exact_distinct")))
     else est
+  }
+
+  /** Bottom-k sketch finishing to the sorted hash ARRAY itself —
+    * the mergeable state published for cross-set comparisons
+    * ([[overlapMatrix]]) rather than collapsed to one estimate. */
+  final case class KMinValuesSketch(k: Int)
+      extends Aggregator[Double, Array[Double], Array[Double]] {
+    require(k >= 2, "KMV sketch needs k >= 2")
+    private val insert = kmvInsert(k) _
+    override def zero: Array[Double] = Array.empty
+    override def reduce(buf: Array[Double], h: Double): Array[Double] = insert(buf, h)
+    override def merge(a: Array[Double], b: Array[Double]): Array[Double] =
+      b.foldLeft(a)(insert)
+    override def finish(buf: Array[Double]): Array[Double] = buf
+    override def bufferEncoder: Encoder[Array[Double]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Array[Double]] = ExpressionEncoder()
+  }
+
+  /**
+   * Pairwise overlap matrix between groups (e.g. corpus sources) from
+   * bottom-k sketches — "how much does CommonCrawl repeat what's
+   * already in Wikipedia?" answered WITHOUT a doc-level join.
+   *
+   * One corpus pass builds a bounded k-array sketch per group
+   * (map-side mergeable — no shuffle of the values); pair scoring then
+   * touches only the |groups|-row sketch frame. The estimator is the
+   * standard bottom-k Jaccard: among the k smallest distinct hashes of
+   * the pair's UNION, the fraction present in both group sketches.
+   * When the union has fewer than k distinct hashes the sketches are
+   * the complete sets and the result is the exact Jaccard. md5-derived
+   * hashing keeps every value engine-portable (oracle-replayable).
+   *
+   * At 100 TB: the corpus pass is a narrow scan + bounded-state agg;
+   * the quadratic part runs over |groups|² sketch rows (a handful),
+   * never over documents.
+   */
+  def overlapMatrix(
+      df: org.apache.spark.sql.DataFrame,
+      groupCol: String,
+      valueCol: String,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val sketchUdaf = udaf(KMinValuesSketch(k), Encoders.scalaDouble)
+    // tiny (|groups| rows) but the product of a full corpus scan — pin
+    // it so the self-join's two sides don't each rescan the corpus
+    val sk = df
+      .groupBy(col(groupCol).as("g"))
+      .agg(sketchUdaf(unitHash(col(valueCol))).as("sketch"))
+      .localCheckpoint()
+    val a = sk.select(col("g").as(s"${groupCol}_a"), col("sketch").as("__sa"))
+    val b = sk.select(col("g").as(s"${groupCol}_b"), col("sketch").as("__sb"))
+    val bottom = slice(array_sort(array_union(col("__sa"), col("__sb"))), 1, k)
+    val both = array_intersect(col("__sa"), col("__sb"))
+    a.crossJoin(b)
+      .filter(col(s"${groupCol}_a") < col(s"${groupCol}_b"))
+      .select(
+        col(s"${groupCol}_a"), col(s"${groupCol}_b"),
+        size(bottom).cast("long").as("sketch_size"),
+        size(array_intersect(bottom, both)).cast("long").as("shared_in_sketch"))
+      .withColumn("est_jaccard",
+        round(col("shared_in_sketch").cast("double") / col("sketch_size"), 6))
   }
 }
