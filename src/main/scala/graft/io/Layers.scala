@@ -65,20 +65,36 @@ object Layers {
     spark.read.parquet(path)
 
   /**
-   * Events-table reader: the synthetic `events` parquet carries
-   * nanosecond timestamps, which Spark's vectorized reader refuses
-   * ([PARQUET_TYPE_ILLEGAL]). Read them as raw nanos
-   * (`nanosAsLong`) and convert with exact integer math (`div 1000`,
-   * never double division — nanos exceed 2^53). Micro-truncation matches
-   * DuckDB's ns→us cast semantics.
+   * Events-table reader: normalizes `ts` to session-zoned
+   * `TimestampType` regardless of the physical encoding the fixture
+   * generator happened to use:
+   *
+   *   - nanosecond timestamps — Spark's vectorized reader refuses them
+   *     ([PARQUET_TYPE_ILLEGAL]), so read as raw nanos (`nanosAsLong`)
+   *     and convert with exact integer math (`div 1000`, never double
+   *     division — nanos exceed 2^53). Micro-truncation matches
+   *     DuckDB's ns→us cast semantics.
+   *   - tz-naive `timestamp[us]` — Spark infers `TIMESTAMP_NTZ`, on
+   *     which arithmetic casts (`CAST(ts AS DOUBLE)`) are illegal.
+   *     Cast to `TimestampType`; the session is pinned UTC, so the
+   *     wall-clock reinterpretation is value-identical.
+   *
+   * Downstream operators (sessionization gaps, range-join bucketing)
+   * may therefore assume `ts: TimestampType` unconditionally.
    */
   def readEvents(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(path)
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   /**

@@ -101,11 +101,34 @@ class LayersSpec extends AnyFunSuite {
     }
   }
 
-  test("events reader converts nanosecond timestamps exactly") {
+  test("events reader normalizes ts to TimestampType for the fixture's encoding") {
     val ev = Layers.readEvents(spark, s"${TestSpark.sfDir}/events.parquet")
     assert(ev.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
     assert(ev.filter(col("ts").isNull).count() == 0)
     assert(ev.count() > 0)
+    // the double-cast the sessionization/range-join ops rely on must be legal
+    assert(ev.select(col("ts").cast("double")).limit(1).collect().nonEmpty)
+  }
+
+  test("events reader normalizes a TIMESTAMP_NTZ encoding to TimestampType, value-identical") {
+    import org.apache.spark.sql.types._
+    // build an NTZ-typed frame (what pyarrow's tz-naive timestamp[us] infers as)
+    val dir = TestSpark.tmpDir("events_ntz")
+    val micros = Seq(0L, 1_000_000L, 1_723_500_000_123_456L)
+    val src = spark.range(micros.size)
+      .withColumn("event_id", col("id"))
+      .withColumn("ts", expr(
+        s"cast(timestamp_micros(element_at(array(${micros.mkString(",")}), cast(id AS int) + 1)) AS timestamp_ntz)"))
+      .drop("id")
+    assert(src.schema("ts").dataType == TimestampNTZType)
+    src.write.mode("overwrite").parquet(dir)
+    assert(spark.read.parquet(dir).schema("ts").dataType == TimestampNTZType,
+      "fixture must round-trip as NTZ for the test to exercise the branch")
+    val ev = Layers.readEvents(spark, dir)
+    assert(ev.schema("ts").dataType == TimestampType)
+    // UTC session ⇒ the reinterpretation preserves the underlying instant
+    val got = ev.select(expr("unix_micros(ts)")).collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == micros.sorted)
   }
 
   test("writeRangeClustered: files cover disjoint key ranges (skippable layout), content intact") {
