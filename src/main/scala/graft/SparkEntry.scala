@@ -3714,12 +3714,13 @@ object SparkEntry {
     },
 
     // recall replay: the q101 exact chain LEFT JOINed against the q102
-    // IVF chain on (query, id); recall = matched / k
+    // IVF chain on (query, id), both DEDUPED; recall = matched over the
+    // query's own distinct truth count (≤ k), mirroring recallAtK
     "q127_ann_recall" ->
-      s"""WITH truth AS (SELECT query_id, vec_id FROM (${bruteBatchSql()})),
-         |approx AS (SELECT query_id, vec_id FROM (${ivfTrainedBatchSql()}))
+      s"""WITH truth AS (SELECT DISTINCT query_id, vec_id FROM (${bruteBatchSql()})),
+         |approx AS (SELECT DISTINCT query_id, vec_id FROM (${ivfTrainedBatchSql()}))
          |SELECT t.query_id, count(a.vec_id) AS hits,
-         |  round(count(a.vec_id) / 10.0, 6) AS recall_at_k
+         |  round(CAST(count(a.vec_id) AS DOUBLE) / count(*), 6) AS recall_at_k
          |FROM truth t LEFT JOIN approx a
          |  ON t.query_id = a.query_id AND t.vec_id = a.vec_id
          |GROUP BY t.query_id""".stripMargin,

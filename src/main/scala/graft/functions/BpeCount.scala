@@ -96,13 +96,19 @@ object BpeCountKernel {
         // matching the portable form's seed of the empty string
         total += 1L
       } else {
-        val syms = new Array[String](w.length)
+        // seed one symbol per CODE POINT (not UTF-16 code unit), matching
+        // the portable form's `(.)` regex and the trainer — a surrogate
+        // pair (emoji, astral CJK) is a single seed symbol
+        val syms = new Array[String](w.length) // code points ≤ code units
         var ci = 0
+        var nSeed = 0
         while (ci < w.length) {
-          syms(ci) = String.valueOf(w.charAt(ci))
-          ci += 1
+          val cc = Character.charCount(w.codePointAt(ci))
+          syms(nSeed) = w.substring(ci, ci + cc)
+          nSeed += 1
+          ci += cc
         }
-        var n = syms.length
+        var n = nSeed
         var m = 0
         while (m < nMerges && n > 1) {
           val l = flat(2 * m)

@@ -169,9 +169,14 @@ object Similarity {
    *
    * Both inputs are per-query top-k frames (k·|queries| rows — index
    * output, never corpus-sized), so the join is trivially
-   * broadcastable; per-query recall = |approx ∩ truth| / k. Ids are
-   * compared, not ranks: an approximate index that returns the right
-   * set in a different order has perfect recall.
+   * broadcastable; per-query recall = |approx ∩ truth| / |truth∩topk|,
+   * i.e. hits over the query's own (distinct, ≤ k) truth-set size — NOT
+   * over the literal k, which would deflate recall when the ground
+   * truth has fewer than k candidates (small corpus, filtered truth).
+   * Both sides are DEDUPED on (query, id) first, so duplicate result
+   * rows can neither inflate hits past 1.0 nor double-count truth.
+   * Ids are compared, not ranks: an approximate index that returns the
+   * right set in a different order has perfect recall.
    */
   def recallAtK(
       truth: DataFrame,
@@ -180,14 +185,17 @@ object Similarity {
       idCol: String,
       k: Int): DataFrame = {
     require(k > 0, s"recallAtK needs k > 0, got $k")
-    val t = truth.select(col(qidCol).as("query_id"), col(idCol).as("__id"))
-    val a = approx.select(
-      col(qidCol).as("query_id"), col(idCol).as("__id"),
-      lit(1).as("__hit"))
+    val t = truth
+      .select(col(qidCol).as("query_id"), col(idCol).as("__id")).distinct()
+    val a = approx
+      .select(col(qidCol).as("query_id"), col(idCol).as("__id")).distinct()
+      .withColumn("__hit", lit(1))
     t.join(a, Seq("query_id", "__id"), "left")
       .groupBy("query_id")
-      .agg(count(col("__hit")).as("hits"))
-      .withColumn("recall_at_k", round(col("hits").cast("double") / k, 6))
+      .agg(count(col("__hit")).as("hits"), count(lit(1)).as("truth_n"))
+      .withColumn("recall_at_k",
+        round(col("hits").cast("double") / col("truth_n"), 6))
+      .drop("truth_n")
   }
 
   /** Deterministic pseudo-random ±1 hyperplane component for

@@ -64,6 +64,45 @@ class BpeSpec extends AnyFunSuite {
     assert(bpe < chars)
   }
 
+  test("non-BMP text: kernel == portable == trainer seed (code points, not code units)") {
+    // emoji (U+1F600-range) and astral CJK (U+20000-range) are surrogate
+    // PAIRS in UTF-16; each must seed as ONE symbol everywhere
+    val astral = new String(Character.toChars(0x20BB7)) // 𠮷
+    val emoji = "😀" // 😀
+    val docs = Seq(
+      s"$emoji$emoji $astral${astral}ab",
+      s"ab$emoji ${astral}b $emoji",
+      s"$emoji$astral $emoji$astral $emoji$astral").toDF("text")
+    // no merges: count == code points per word (empty-merge parity)
+    val seedCounts = docs.select(
+        GraftFunctions.bpeCount(spark, col("text"), Nil).as("kernel"),
+        Bpe.segmentCountPortable(col("text"), Nil).as("portable"))
+      .as[(Long, Long)].collect()
+    assert(seedCounts.toSeq == Seq((6L, 6L), (6L, 6L), (6L, 6L)))
+    // train on the astral corpus and check three-way parity
+    val merges = Bpe.mergeList(Bpe.train(docs, "text", merges = 3))
+    assert(merges.nonEmpty)
+    // a learned merge must pair whole code points — never a lone surrogate
+    merges.foreach { case (l, r) =>
+      Seq(l, r).foreach { s =>
+        assert(!Character.isSurrogate(s.charAt(s.length - 1)) ||
+          Character.isLowSurrogate(s.charAt(s.length - 1)) && s.length >= 2 &&
+          Character.isHighSurrogate(s.charAt(s.length - 2)),
+          s"merge side '$s' splits a surrogate pair")
+      }
+    }
+    val both = docs.select(
+        Bpe.segmentCountPortable(col("text"), merges).as("portable"),
+        GraftFunctions.bpeCount(spark, col("text"), merges).as("kernel"))
+      .as[(Long, Long)].collect()
+    assert(both.nonEmpty && both.forall { case (p, k) => p == k })
+    // the repeated emoji+astral bigram must actually compress
+    val withM = docs.select(sum(
+        GraftFunctions.bpeCount(spark, col("text"), merges)))
+      .as[Long].collect().head
+    assert(withM < 18L, s"merges must compress astral text, got $withM of 18 seeds")
+  }
+
   test("merge spec roundtrip; empty merge list counts characters") {
     val merges = Seq(("l", "o"), ("lo", "w"), ("e", "r"))
     assert(BpeCountKernel.parseSpec(BpeCountKernel.spec(merges)).toSeq ==

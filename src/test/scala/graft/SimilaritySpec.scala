@@ -398,4 +398,23 @@ class SimilaritySpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect()
     assert(self.length == 2 && self.forall(r => r._2 == 3L && r._3 == 1.0))
   }
+
+  test("recallAtK: duplicate rows cannot inflate recall past 1.0; truth < k uses truth size") {
+    // duplicate (query, id) rows on BOTH sides — a join without dedup
+    // would fan out to 4 hit rows for query 0 and report recall 1.33
+    val truth = Seq(
+      (0L, 1L, 10L), (0L, 2L, 10L), (0L, 3L, 11L), (0L, 4L, 12L),
+      (1L, 1L, 20L), (1L, 2L, 21L)
+    ).toDF("query_id", "rank", "vec_id")
+    val approx = Seq(
+      (0L, 1L, 10L), (0L, 2L, 10L), (0L, 3L, 11L), (0L, 4L, 12L),
+      (1L, 1L, 20L), (1L, 2L, 99L)
+    ).toDF("query_id", "rank", "vec_id")
+    val got = Similarity.recallAtK(truth, approx, "query_id", "vec_id", k = 3)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // query 0: distinct truth {10,11,12}, all found → exactly 1.0, never more
+    assert(got(0L) == ((3L, 1.0)))
+    // query 1: distinct truth {20,21} (< k=3); 1 found → 1/2, not 1/3
+    assert(got(1L) == ((1L, 0.5)))
+  }
 }
