@@ -81,6 +81,13 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""failed":[${failed.mkString(",")}],"reps":$reps,"sf":"$sfDir"}"""
     println(line)
+    // The structured line must survive a FAILED run too: on rc=1 the
+    // sbt runner appends its own [error] lines after stdout, so
+    // last-line log scraping breaks exactly when the numbers matter
+    // most. Always drop the line at a stable path (cwd = project root
+    // under `sbt runMain`) in addition to stdout and the optional
+    // explicit out-file.
+    Files.writeString(Paths.get("bench_last.json"), line + "\n")
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
       Files.writeString(Paths.get(p), line + "\n")
     }

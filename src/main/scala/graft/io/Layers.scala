@@ -173,13 +173,25 @@ object Layers {
     val boundExprs = zCols.flatMap(c => Seq(
       min(col(c)).cast("long"), max(col(c)).cast("long")))
     val row = df.agg(boundExprs.head, boundExprs.tail: _*).first()
-    if (row.isNullAt(0)) return df.withColumn(zCol, lit(0L)) // empty frame
     val cells = 1L << bits
+    // Null contract (every min/max slot guarded independently):
+    //  - an ALL-NULL (or empty-frame) column has no bounds — it carries
+    //    zero clustering information, so it contributes the constant
+    //    cell 0 and the other columns still cluster;
+    //  - a PER-ROW null maps to cell 0 (nulls-first, matching Spark's
+    //    default sort order), giving the row a finite z-key instead of
+    //    a null key that would silently collapse into one range
+    //    partition at write time.
     val buckets = zCols.zipWithIndex.map { case (c, i) =>
-      val mn = row.getLong(2 * i)
-      val range = row.getLong(2 * i + 1) - mn + 1L
-      // exact integer bucketing, identical in every engine
-      expr(s"((CAST($c AS BIGINT) - $mn) * ${cells}L) div ${range}L")
+      if (row.isNullAt(2 * i)) lit(0L)
+      else {
+        val mn = row.getLong(2 * i)
+        val range = row.getLong(2 * i + 1) - mn + 1L
+        // exact integer bucketing, identical in every engine
+        coalesce(
+          expr(s"((CAST($c AS BIGINT) - $mn) * ${cells}L) div ${range}L"),
+          lit(0L))
+      }
     }
     val z = (0 until bits).flatMap { j =>
       buckets.zipWithIndex.map { case (b, i) =>

@@ -23,6 +23,15 @@ import org.apache.spark.sql.functions._
  * Unknown keys insert as new current rows. CLOSED history rows are
  * never touched.
  *
+ * LATE updates — effective time strictly BEFORE the open row's
+ * `valid_from` — are DROPPED: sequencing one in would open a version
+ * whose interval overlaps already-closed history (the closed row
+ * ending at the open row's `valid_from` covers that span), silently
+ * corrupting as-of replays. Callers that need to audit or
+ * dead-letter them get the exact dropped set from [[lateUpdates]];
+ * true retro-active corrections are a history REWRITE, not a merge,
+ * and must be done deliberately against the closed rows.
+ *
  * Scale shape (batch-∝, the q46/q95 incremental discipline): batch
  * keys are broadcast, and ONLY the open rows of touched keys enter the
  * window (left-semi prune) — every other state row, closed or open,
@@ -43,8 +52,17 @@ object Scd {
     val outCols = (Seq(keyCol) ++ attrCols ++
       Seq("valid_from", "valid_to", "is_current")).map(col)
 
-    val upKeys = updates.select(keyCol).distinct()
     val open = state.filter(col("is_current"))
+    // guard: drop updates older than their key's open row (see class
+    // doc) — a broadcast of the tiny (key, open valid_from) map, so
+    // the filter is map-side and batch-∝ like everything else here
+    val updatesOnTime = updates.join(
+        broadcast(open.select(col(keyCol), col("valid_from").as("__open_from"))),
+        Seq(keyCol), "left")
+      .filter(col("__open_from").isNull || col(tsCol) >= col("__open_from"))
+      .drop("__open_from")
+
+    val upKeys = updatesOnTime.select(keyCol).distinct()
     // untouched: all closed history + open rows of keys the batch
     // never mentions — a pass-through, no shuffle beyond the semi-join
     val untouched = state.filter(!col("is_current"))
@@ -52,7 +70,7 @@ object Scd {
 
     val cand = open.join(broadcast(upKeys), Seq(keyCol), "left_semi")
       .select((Seq(col(keyCol)) ++ attrs :+ col("valid_from") :+ lit(0).as("__src")): _*)
-      .unionByName(updates.select(
+      .unionByName(updatesOnTime.select(
         (Seq(col(keyCol)) ++ attrs :+ col(tsCol).as("valid_from") :+ lit(1).as("__src")): _*))
 
     val seqW = Window.partitionBy(keyCol).orderBy(col("valid_from"), col("__src"))
@@ -68,5 +86,20 @@ object Scd {
       .withColumn("is_current", col("valid_to").isNull)
 
     untouched.select(outCols: _*).unionByName(versioned.select(outCols: _*))
+  }
+
+  /** The updates [[mergeScd2]] would DROP as late (effective time
+    * strictly before their key's open row) — the audit/dead-letter
+    * companion. Same broadcast shape as the merge's guard. */
+  def lateUpdates(
+      state: DataFrame,
+      updates: DataFrame,
+      keyCol: String,
+      tsCol: String): DataFrame = {
+    val openFrom = state.filter(col("is_current"))
+      .select(col(keyCol), col("valid_from").as("__open_from"))
+    updates.join(broadcast(openFrom), Seq(keyCol), "inner")
+      .filter(col(tsCol) < col("__open_from"))
+      .drop("__open_from")
   }
 }

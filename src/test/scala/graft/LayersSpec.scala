@@ -170,6 +170,30 @@ class LayersSpec extends AnyFunSuite {
     assert(empty.count() == 0)
   }
 
+  test("zValues null contract: all-null column contributes cell 0; per-row nulls map to cell 0") {
+    import spark.implicits._
+    // y entirely null: min/max slots 2,3 are null — must not NPE, and x
+    // must still cluster alone (y contributes constant 0 bits)
+    val allNullY = Seq((0L, Option.empty[Long]), (3L, Option.empty[Long]))
+      .toDF("x", "y")
+    val gotAllNull = Layers.zValues(allNullY, Seq("x", "y"), bits = 2, zCol = "z")
+      .select("x", "z").as[(Long, Long)].collect().toSet
+    // x=0 → cell 0 → z 0; x=3 → cell 3 (bits 11 at even positions) → z 0b0101=5
+    assert(gotAllNull == Set((0L, 0L), (3L, 5L)))
+    // per-row null y: the row gets a FINITE key (null y → cell 0), so
+    // range-partitioning by z spreads rows instead of pooling null keys
+    val rowNull = Seq((0L, Some(0L)), (1L, Some(2L)), (3L, Option.empty[Long]))
+      .toDF("x", "y")
+    val gotRowNull = Layers.zValues(rowNull, Seq("x", "y"), bits = 2, zCol = "z")
+      .select("x", "z").as[(Long, Long)].collect().toMap
+    assert(!gotRowNull.values.exists(_ == null), "every row must have a z-key")
+    // y bounds come from the non-null rows {0,2}: range 3 over 4 cells →
+    // y=0→0, y=2→2; null y → 0. x range {0..3} buckets to itself.
+    assert(gotRowNull(0L) == 0L)  // x=00,y=00 → 0000
+    assert(gotRowNull(1L) == 9L)  // x=01,y=10 → 1001
+    assert(gotRowNull(3L) == 5L)  // x=11,y=00 → 0101
+  }
+
   test("writeZOrdered: multi-column file skipping, content intact") {
     val li = TestSpark.table("lineitem")
     val dir = TestSpark.tmpDir("zorder")

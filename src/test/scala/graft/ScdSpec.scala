@@ -81,4 +81,33 @@ class ScdSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
       s"expected broadcast key pruning:\n$plan")
   }
+
+  test("late update (ts < open valid_from) is dropped, never overlaps closed history") {
+    val s = state(
+      (1L, "Z", -5L, Some(0L), false), // closed: covers [-5, 0)
+      (1L, "A", 0L, None, true))       // open since 0
+    // ts=-3 lands inside the CLOSED row's interval — merging it would
+    // open a version overlapping [-5, 0); it must be dropped, and the
+    // on-time update must still merge normally
+    val u = Seq((1L, "L", -3L), (1L, "B", 10L)).toDF("k", "seg", "ts")
+    val got = collect(Scd.mergeScd2(s, u, "k", "ts", Seq("seg")))
+    assert(got == Set(
+      (1L, "Z", -5L, Some(0L), false), // closed history byte-identical
+      (1L, "A", 0L, Some(10L), false),
+      (1L, "B", 10L, None, true)))
+    // no two versions of a key may overlap: for sorted intervals,
+    // each valid_to must equal the next valid_from
+    val ivs = got.toSeq.sortBy(_._3).map(r => (r._3, r._4))
+    ivs.sliding(2).foreach {
+      case Seq((_, Some(hi)), (lo2, _)) => assert(hi == lo2, s"gap/overlap at $hi vs $lo2")
+      case _ =>
+    }
+    // the auditor surfaces exactly the dropped row
+    val late = Scd.lateUpdates(s, u, "k", "ts")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(late == Seq((1L, "L", -3L)))
+    // a batch that is ENTIRELY late leaves the state byte-identical
+    val allLate = Seq((1L, "L", -4L)).toDF("k", "seg", "ts")
+    assert(collect(Scd.mergeScd2(s, allLate, "k", "ts", Seq("seg"))) == collect(s))
+  }
 }
