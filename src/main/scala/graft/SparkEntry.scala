@@ -1752,6 +1752,34 @@ object SparkEntry {
         emb, queries, "vec_id", "embedding", "vec_id",
         k = 10, nlist = 8, nprobe = 2, iters = 2)
       Similarity.recallAtK(truth, approx, "query_id", "vec_id", k = 10)
+    }),
+
+    // ---- north-star: encoding-health report — Unicode NFC
+    //      normalization via the `graft_nfc` codegen kernel (Spark's
+    //      function library has NO normalizer; mixed composed/
+    //      decomposed forms break exact dedup, fingerprints, and BPE
+    //      vocab unification) + mojibake signals (U+FFFD replacement
+    //      chars). The fixture corpus is clean ASCII, so decomposed
+    //      sequences and replacement chars are seeded deterministically
+    //      in-query (the q44 pattern) — the oracle then checks REAL
+    //      normalization semantics, not an identity pass.
+    "q128_unicode_clean" -> ((s, dir) => {
+      val seeded = when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" cafe\u0301 re\u0301sume\u0301")))
+        .when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" \uFFFD\uFFFDbroken")))
+        .otherwise(col("text"))
+      val t = col("t")
+      val nt = graft.functions.GraftFunctions.nfc(s, t)
+      T(s, dir, "documents")
+        .select(col("lang"), seeded.as("t"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(t =!= nt, 1L).otherwise(0L)).as("n_non_nfc"),
+          sum((length(t) - length(nt)).cast("long")).as("chars_saved"),
+          sum((length(t) - length(replace(t, lit("\uFFFD"), lit(""))))
+            .cast("long")).as("repl_chars"))
     })
   )
 
@@ -3724,6 +3752,26 @@ object SparkEntry {
          |FROM truth t LEFT JOIN approx a
          |  ON t.query_id = a.query_id AND t.vec_id = a.vec_id
          |GROUP BY t.query_id""".stripMargin,
+
+    // encoding-health replay: the same deterministic seeding (chr(769)
+    // = U+0301 combining acute, chr(65533) = U+FFFD), DuckDB's
+    // utf8proc nfc_normalize against the kernel's java.text.Normalizer
+    // — both count length in code points
+    "q128_unicode_clean" ->
+      """WITH seeded AS (
+        |  SELECT lang,
+        |    CASE WHEN doc_id % 7 = 0
+        |           THEN text || ' cafe' || chr(769) || ' re' || chr(769)
+        |                || 'sume' || chr(769)
+        |         WHEN doc_id % 11 = 0
+        |           THEN text || ' ' || chr(65533) || chr(65533) || 'broken'
+        |         ELSE text END AS t
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN t <> nfc_normalize(t) THEN 1 ELSE 0 END) AS BIGINT) AS n_non_nfc,
+        |  CAST(sum(length(t) - length(nfc_normalize(t))) AS BIGINT) AS chars_saved,
+        |  CAST(sum(length(t) - length(replace(t, chr(65533), ''))) AS BIGINT) AS repl_chars
+        |FROM seeded GROUP BY lang""".stripMargin,
 
     // Morton-key replay: same integer bucketing (bit-exact // div)
     // and the same bit-interleave positions (col i bit j → j·k + i)

@@ -105,6 +105,14 @@ object GraftFunctions {
     BpeCountKernel(args.head, args(1))
   }
 
+  private val nfcId = FunctionIdentifier("graft_nfc")
+  private val nfcInfo =
+    new ExpressionInfo(classOf[NfcNormalizeKernel].getName, "graft_nfc")
+  private val nfcBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 1, s"graft_nfc expects 1 argument, got ${args.length}")
+    NfcNormalizeKernel(args.head)
+  }
+
   private val all = Seq(
     (cosineId, cosineInfo, cosineBuilder),
     (winnowId, winnowInfo, winnowBuilder),
@@ -114,7 +122,8 @@ object GraftFunctions {
     (entropyId, entropyInfo, entropyBuilder),
     (wordShinglesId, wordShinglesInfo, wordShinglesBuilder),
     (sortedIntersectId, sortedIntersectInfo, sortedIntersectBuilder),
-    (bpeCountId, bpeCountInfo, bpeCountBuilder))
+    (bpeCountId, bpeCountInfo, bpeCountBuilder),
+    (nfcId, nfcInfo, nfcBuilder))
 
   def inject(ext: SparkSessionExtensions): Unit =
     all.foreach(ext.injectFunction)
@@ -196,6 +205,13 @@ object GraftFunctions {
     register(spark)
     org.apache.spark.sql.functions.call_function("graft_bpe_count", text,
       org.apache.spark.sql.functions.lit(BpeCountKernel.spec(merges)))
+  }
+
+  /** Column-API handle on the NFC normalization kernel
+    * ([[TextKernels.nfcNormalize]] — ASCII/already-NFC fast paths). */
+  def nfc(spark: SparkSession, text: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_nfc", text)
   }
 }
 

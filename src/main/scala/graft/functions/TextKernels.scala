@@ -189,6 +189,36 @@ object TextKernels {
     }
     1.0 - seen.size.toDouble / total.toDouble
   }
+
+  /**
+   * Unicode NFC normalization (canonical composition) — Spark's
+   * function library has no normalizer at all, yet web-crawled corpora
+   * mix composed ("é" U+00E9) and decomposed ("e"+U+0301) forms of the
+   * same text, which breaks exact dedup, fingerprinting, and tokenizer
+   * vocabulary unification (the same surface word hashes twice).
+   *
+   * Fast paths, in order: a pure-ASCII byte sweep returns the INPUT
+   * object untouched (no String allocation at all — the overwhelmingly
+   * common case in mixed corpora), then `Normalizer.isNormalized`
+   * (quick-check only, no output buffer) returns the input for
+   * already-NFC non-ASCII text; only genuinely decomposed text pays
+   * the normalize-and-reencode cost.
+   *
+   * Parity contract: `java.text.Normalizer` (ICU-aligned Unicode NFC)
+   * agrees with DuckDB's utf8proc `nfc_normalize` — the oracle form —
+   * on canonical composition; q128 pins the seam on seeded decomposed
+   * sequences.
+   */
+  def nfcNormalize(s: UTF8String): UTF8String = {
+    val bytes = s.getBytes
+    var i = 0
+    while (i < bytes.length && bytes(i) >= 0) i += 1
+    if (i == bytes.length) return s // pure ASCII is NFC by definition
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
 }
 
 private[functions] trait StringKernelExpression extends UnaryExpression {
@@ -290,6 +320,21 @@ case class DupShingleRatioKernel(child: Expression, n: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.TextKernels.dupShingleRatio($c, $n);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_nfc(text)` — see [[TextKernels.nfcNormalize]]. Standard
+  * null-propagation (NULL in, NULL out — normalization has no NULL
+  * artifact to reproduce, unlike lang-ID/shingles). */
+case class NfcNormalizeKernel(child: Expression) extends StringKernelExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc"
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.nfcNormalize(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.nfcNormalize($c);")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.PortableSql
+import graft.functions.{GraftFunctions, PortableSql}
 import graft.functions.PortableSql.{SparkDialect => SD}
 import graft.ops.TextOps
 
@@ -125,6 +125,41 @@ class TextOpsSpec extends AnyFunSuite {
       assert(j.filter(!(col("a") <=> col("b"))).count() == 0,
         s"kernel/HOF shingle divergence at n=$n")
     }
+  }
+
+  test("graft_nfc: composes decomposed sequences, identity on ASCII/NFC, null-propagates, stays fused") {
+    val rows = Seq[(Long, Option[String])](
+      1L -> Some("plain ascii stays identical"),
+      2L -> Some("cafe\u0301 re\u0301sume\u0301"), // decomposed, via escapes
+      3L -> Some("caf\u00e9 already composed"), // NFC already
+      4L -> Some("mixed A\u030a ring and \uFFFD junk"), // A+ring composes; FFFD untouched
+      5L -> Some("astral 😀 surrogate pair ok"),
+      6L -> None)
+    val df = rows.toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        GraftFunctions.nfc(spark, col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got(1L).contains("plain ascii stays identical"))
+    assert(got(2L).contains("caf\u00e9 r\u00e9sum\u00e9")) // composed
+    assert(got(3L).contains("caf\u00e9 already composed"))
+    assert(got(4L).contains("mixed \u00c5 ring and \uFFFD junk"))
+    assert(got(5L).contains("astral 😀 surrogate pair ok"))
+    assert(got(6L).isEmpty)
+    // length drops by exactly the number of combining marks composed
+    val saved = df.filter(col("doc_id") === 2L)
+      .select(length(col("text")) - length(GraftFunctions.nfc(spark, col("text"))))
+      .collect()(0).getInt(0)
+    assert(saved == 3)
+    // fusion: the kernel must stay inside whole-stage codegen (over a
+    // parquet scan — a local Seq constant-folds to LocalTableScan)
+    val plan = TestSpark.table("documents")
+      .select(GraftFunctions.nfc(spark, col("text")))
+      .queryExecution.executedPlan
+    val fused = plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec
+          if w.toString.contains("graft_nfc") => w
+    }
+    assert(fused.nonEmpty, s"graft_nfc not inside WholeStageCodegen:\n$plan")
   }
 
   test("kernel: null text → null (lang_id → 'und'), wrong type fails analysis") {
