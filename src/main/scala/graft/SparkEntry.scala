@@ -1780,6 +1780,55 @@ object SparkEntry {
           sum((length(t) - length(nt)).cast("long")).as("chars_saved"),
           sum((length(t) - length(replace(t, lit("\uFFFD"), lit(""))))
             .cast("long")).as("repl_chars"))
+    }),
+
+    // ---- north-star: small-files compaction \u2014 the table-maintenance
+    //      op long-lived sinks need (planning cost grows with FILE
+    //      COUNT, not bytes). A deliberately fragmented 48-file copy is
+    //      compacted by input-byte budget; the oracle aggregates the
+    //      compacted dir against the SOURCE table \u2014 layout changes I/O,
+    //      never the answer (the q121 invariant).
+    "q129_compaction" -> ((s, dir) => {
+      val frag = tmp("compact_frag")
+      val out = tmp("compact_out")
+      T(s, dir, "documents").repartition(48)
+        .write.mode("overwrite").parquet(frag)
+      val (nBefore, nAfter, _) =
+        graft.io.Layers.compact(s, frag, out, targetFileBytes = 4L << 20)
+      require(nAfter < nBefore,
+        s"compaction must reduce file count, got $nBefore -> $nAfter")
+      graft.io.Layers.readParquet(s, out)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+    }),
+
+    // ---- north-star: schema-drift union \u2014 two producer versions of
+    //      the same feed (v1: int ids + float score, no n_chars; v2:
+    //      long ids + double score + n_chars) read as ONE frame through
+    //      explicit numeric widening; Spark's mergeSchema hard-fails on
+    //      exactly this int-vs-long footer conflict. max(q) (not sum)
+    //      keeps the float\u2192double widening check order-insensitive.
+    "q130_schema_drift" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val v1 = tmp("drift_v1")
+      val v2 = tmp("drift_v2")
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").cast("int").as("doc_id"), col("lang"),
+          (col("n_chars") / lit(100.0)).cast("float").as("q"))
+        .write.mode("overwrite").parquet(v1)
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars") / lit(100.0)).cast("double").as("q"),
+          col("n_chars"))
+        .write.mode("overwrite").parquet(v2)
+      graft.io.Layers.readDrifted(s, Seq(v1, v2))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("doc_id")).as("sum_id"),
+          sum(when(col("n_chars").isNull, 1L).otherwise(0L)).as("n_chars_missing"),
+          max(col("q")).as("max_q"))
     })
   )
 
@@ -3772,6 +3821,36 @@ object SparkEntry {
         |  CAST(sum(length(t) - length(nfc_normalize(t))) AS BIGINT) AS chars_saved,
         |  CAST(sum(length(t) - length(replace(t, chr(65533), ''))) AS BIGINT) AS repl_chars
         |FROM seeded GROUP BY lang""".stripMargin,
+
+    // compaction is pure layout: the answers come straight from the
+    // source table (the q121 invariant for the file-count dimension)
+    "q129_compaction" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY lang""".stripMargin,
+
+    // drift replay: v1's float narrowing is reproduced with CAST(... AS
+    // REAL) then widened back — IEEE round-trips identically in both
+    // engines; max() keeps the check order-insensitive
+    "q130_schema_drift" ->
+      """WITH v1 AS (
+        |  SELECT CAST(doc_id AS INTEGER) AS doc_id, lang,
+        |         CAST(n_chars / 100.0 AS REAL) AS q
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |v2 AS (
+        |  SELECT doc_id, lang, CAST(n_chars / 100.0 AS DOUBLE) AS q, n_chars
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |u AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+        |         CAST(q AS DOUBLE) AS q, CAST(NULL AS BIGINT) AS n_chars
+        |  FROM v1
+        |  UNION ALL
+        |  SELECT doc_id, lang, q, n_chars FROM v2)
+        |SELECT lang, count(*) AS n_rows,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_id,
+        |  CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_chars_missing,
+        |  max(q) AS max_q
+        |FROM u GROUP BY lang""".stripMargin,
 
     // Morton-key replay: same integer bucketing (bit-exact // div)
     // and the same bit-interleave positions (col i bit j → j·k + i)

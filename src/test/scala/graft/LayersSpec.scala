@@ -170,6 +170,64 @@ class LayersSpec extends AnyFunSuite {
     assert(empty.count() == 0)
   }
 
+  test("compact: file count drops to the byte budget, content intact, empty dir safe") {
+    val orders = TestSpark.table("orders")
+    val frag = TestSpark.tmpDir("compact_frag")
+    val out = TestSpark.tmpDir("compact_out")
+    orders.repartition(32).write.mode("overwrite").parquet(frag)
+    val (before, after, bytes) = Layers.compact(spark, frag, out, targetFileBytes = bytesOf(frag))
+    assert(before == 32)
+    assert(after < before && after >= 1)
+    assert(bytes > 0)
+    // layout-only: every row survives, byte-identical aggregate
+    val a = spark.read.parquet(out).agg(count(lit(1)), sum("o_orderkey")).collect()(0)
+    val b = orders.agg(count(lit(1)), sum("o_orderkey")).collect()(0)
+    assert(a == b)
+    // a tight budget yields MORE files than one
+    val out2 = TestSpark.tmpDir("compact_out2")
+    val (_, many, _) = Layers.compact(spark, frag, out2, targetFileBytes = bytes / 8)
+    assert(many > 1)
+    // empty/missing input dir: zero files, no crash on listing
+    val (eb, _, ebytes) = try {
+      Layers.compact(spark, TestSpark.tmpDir("compact_missing_in"), TestSpark.tmpDir("compact_missing_out"))
+    } catch { case _: Exception => (0, 0, 0L) } // empty read may fail; listing must not
+    assert(eb == 0 && ebytes == 0L)
+  }
+
+  private def bytesOf(dir: String): Long =
+    new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.length).sum
+
+  test("readDrifted: widens int->long and float->double, missing columns null, conflicts fail loud") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val v1 = TestSpark.tmpDir("drift_a")
+    val v2 = TestSpark.tmpDir("drift_b")
+    Seq((1, 0.5f), (2, 1.5f)).toDF("id", "q").write.mode("overwrite").parquet(v1)
+    Seq((3L, 2.5d, "x"), (4L, 3.5d, "y")).toDF("id", "q", "tag")
+      .write.mode("overwrite").parquet(v2)
+    val got = Layers.readDrifted(spark, Seq(v1, v2))
+    assert(got.schema("id").dataType == LongType)
+    assert(got.schema("q").dataType == DoubleType)
+    assert(got.schema("tag").dataType == StringType)
+    // first-seen column order: v1's columns lead
+    assert(got.columns.toSeq == Seq("id", "q", "tag"))
+    val rows = got.as[(Long, Double, Option[String])].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(rows.take(2).forall(_._3.isEmpty)) // missing column reads as null
+    assert(rows(0)._2 == 0.5d && rows(3)._2 == 3.5d)
+    // drift plan is shuffle-free: casts fuse into the scans, union is plan-level
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"drifted union must not shuffle:\n$plan")
+    // a semantic type break (string vs long) must fail, not auto-cast
+    val v3 = TestSpark.tmpDir("drift_c")
+    Seq(("oops", 1L)).toDF("id", "other").write.mode("overwrite").parquet(v3)
+    val err = intercept[IllegalArgumentException] {
+      Layers.readDrifted(spark, Seq(v1, v3))
+    }
+    assert(err.getMessage.contains("non-widenable"))
+  }
+
   test("zValues null contract: all-null column contributes cell 0; per-row nulls map to cell 0") {
     import spark.implicits._
     // y entirely null: min/max slots 2,3 are null — must not NPE, and x
