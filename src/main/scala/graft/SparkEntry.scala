@@ -272,6 +272,7 @@ object SparkEntry {
     "q103_ann_batch_pq" -> ((s, dir) => pqBooks(s, dir): Unit),
     "q104_durable_ann_batch" -> ((s, dir) => durableVecIndex(s, dir): Unit),
     "q109_cluster_cap" -> ((s, dir) => clusterLabels(s, dir).count(): Unit),
+    "q131_leakage_safe_split" -> ((s, dir) => clusterLabels(s, dir).count(): Unit),
     "q113_incremental_semdedup" -> ((s, dir) => corpusVecIndex(s, dir): Unit))
 
   // ---------------------------------------------------------------- entry
@@ -1829,6 +1830,23 @@ object SparkEntry {
           sum(col("doc_id")).as("sum_id"),
           sum(when(col("n_chars").isNull, 1L).otherwise(0L)).as("n_chars_missing"),
           max(col("q")).as("max_q"))
+    }),
+
+    // ---- north-star: leakage-safe train/val/test split — docs hash on
+    //      their near-dup CLUSTER representative (q39's components;
+    //      singletons on themselves), so a duplicate family can never
+    //      straddle the train/test fence and leak training text into
+    //      eval through its copies. Same salted fence as q37; the
+    //      SamplingSpec integrity case proves zero straddling clusters.
+    "q131_leakage_safe_split" -> ((s, dir) => {
+      val splits = graft.ops.Sampling.clusterAwareSplit(
+        T(s, dir, "documents"), "doc_id", clusterLabels(s, dir),
+        Seq(0.8, 0.1, 0.1), salt = "v1")
+      splits.zip(Seq("train", "val", "test"))
+        .map { case (d, t) => d.select(lit(t).as("split"), col("doc_id")) }
+        .reduce(_.unionByName(_))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))
     })
   )
 
@@ -3832,6 +3850,27 @@ object SparkEntry {
     // drift replay: v1's float narrowing is reproduced with CAST(... AS
     // REAL) then widened back — IEEE round-trips identically in both
     // engines; max() keeps the check order-insensitive
+    // leakage-safe split replay: closure labels give the cluster
+    // representative; every doc hashes on it (singletons on their own
+    // id), then q37's salted fence with bit-identical cumulative
+    // thresholds
+    "q131_leakage_safe_split" -> {
+      val cum = Seq(0.8, 0.1, 0.1).scanLeft(0.0)(_ + _)
+      val h = PortableSql.minhashBase("concat('v1', ':', CAST(skey AS VARCHAR))", DD)
+      s"""WITH RECURSIVE $jaccardCtes,
+         |$closureCtes,
+         |ls_k AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS skey
+         |      FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id),
+         |ls_h AS (SELECT doc_id,
+         |    CAST($h AS DOUBLE) / 1152921504606846976.0 AS p FROM ls_k),
+         |ls_t AS (SELECT doc_id,
+         |    CASE WHEN p < ${cum(1)} THEN 'train'
+         |         WHEN p < ${cum(2)} THEN 'val' ELSE 'test' END AS split
+         |  FROM ls_h)
+         |SELECT split, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |FROM ls_t GROUP BY split""".stripMargin
+    },
+
     "q130_schema_drift" ->
       """WITH v1 AS (
         |  SELECT CAST(doc_id AS INTEGER) AS doc_id, lang,

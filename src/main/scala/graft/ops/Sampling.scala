@@ -98,6 +98,43 @@ object Sampling {
   }
 
   /**
+   * Leakage-safe split: split by the near-dup CLUSTER, not the
+   * document. A plain per-doc [[hashSplit]] routinely lands two
+   * near-duplicates on opposite sides of the train/test fence —
+   * training text leaks into evaluation through its copies. Here every
+   * doc hashes on its cluster representative (`labels` = the
+   * [[graft.ops.Dedup.components]] output; singletons represent
+   * themselves), so an entire duplicate family always falls in ONE
+   * split; weights then govern CLUSTER mass, which for bounded cluster
+   * sizes converges to the same doc-level proportions.
+   *
+   * Scale shape: `labels` is pair-bounded (only clustered docs appear),
+   * so the left join is broadcast-sized in practice; the fence itself
+   * is the same stateless salted-hash interval test as [[hashSplit]] —
+   * no shuffle beyond the label join, no per-split data pass.
+   */
+  def clusterAwareSplit(
+      df: DataFrame,
+      idCol: String,
+      labels: DataFrame,
+      weights: Seq[Double],
+      salt: String = ""): Seq[DataFrame] = {
+    require(weights.nonEmpty && weights.forall(_ > 0) &&
+      math.abs(weights.sum - 1.0) < 1e-9, "weights must be positive and sum to 1")
+    val l = labels.select(col("id").as(idCol), col("label"))
+    val keyed = df.join(l, Seq(idCol), "left")
+      .withColumn("__skey", coalesce(col("label"), col(idCol)))
+    val cum = weights.scanLeft(0.0)(_ + _)
+    val pos = unitPos(col("__skey"), salt)
+    val n = weights.size
+    cum.sliding(2).toSeq.zipWithIndex.map { case (Seq(lo, hi), i) =>
+      val b = if (i == n - 1) keyed.filter(pos >= lo)
+              else keyed.filter(pos >= lo && pos < hi)
+      b.drop("label", "__skey")
+    }
+  }
+
+  /**
    * Disjoint covering split: row goes to bucket i when its hash lands in
    * `[cum_{i-1}, cum_i)` of the cumulative weight intervals. Returns one
    * DataFrame per weight (e.g. `Seq(0.8, 0.1, 0.1)` → train/val/test).

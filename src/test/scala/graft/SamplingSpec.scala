@@ -182,6 +182,40 @@ class SamplingSpec extends AnyFunSuite {
     assert(hard.filter(r => r._2 == 1L && r._3).map(_._1).toSeq == Seq(2L))
   }
 
+  test("clusterAwareSplit: no cluster straddles a split; singletons match plain hashSplit") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.range(0, 500).select(col("id").as("doc_id"))
+    // clusters of 3: representative r, members r+1, r+2, for r in 0,30,60…
+    val labels = spark.range(0, 500, 30)
+      .select(explode(array(col("id"), col("id") + 1, col("id") + 2)).as("id"),
+        col("id").as("label"))
+    val splits = Sampling.clusterAwareSplit(
+      docs, "doc_id", labels, Seq(0.6, 0.2, 0.2), salt = "s1")
+    val tagged = splits.zipWithIndex
+      .map { case (d, i) => d.select(col("doc_id"), lit(i).as("split")) }
+      .reduce(_.unionByName(_))
+    // disjoint + covering
+    assert(tagged.count() == 500)
+    assert(tagged.select("doc_id").distinct().count() == 500)
+    // INTEGRITY: every cluster's members share one split
+    val straddling = tagged.join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"))
+      .groupBy("label").agg(countDistinct("split").as("ns"))
+      .filter(col("ns") > 1).count()
+    assert(straddling == 0, "a near-dup cluster crossed the train/test fence")
+    // a doc in NO cluster splits exactly as plain hashSplit on its own id
+    val singletonIds = tagged.join(labels.withColumnRenamed("id", "doc_id"),
+      Seq("doc_id"), "left_anti")
+    val plain = Sampling.hashSplit(
+        singletonIds.select("doc_id"), "doc_id", Seq(0.6, 0.2, 0.2), salt = "s1")
+      .zipWithIndex.map { case (d, i) => d.select(col("doc_id"), lit(i).as("p")) }
+      .reduce(_.unionByName(_))
+    val diverged = singletonIds.join(plain, Seq("doc_id"))
+      .filter(col("split") =!= col("p")).count()
+    assert(diverged == 0, "singleton routing must equal hashSplit")
+    // original columns come back untouched (helper columns dropped)
+    assert(splits.head.columns.toSeq == Seq("doc_id"))
+  }
+
   test("excessLossWeights: exact softmax, hardest group dominates, weights sum to 1") {
     val scored = Seq(
       ("easy", 1.0), ("easy", 2.0), // mean 1.5
