@@ -1847,6 +1847,28 @@ object SparkEntry {
         .reduce(_.unionByName(_))
         .groupBy("split")
         .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))
+    }),
+
+    // ---- north-star: token-budget selection — keep the best-quality
+    //      docs until a global token budget, WITHOUT a global sort:
+    //      quality bins → per-bin token mass (≤100 driver rows) →
+    //      threshold bin found driver-side → stateless keep/drop
+    //      filters everywhere except the ONE threshold bin, whose
+    //      ~corpus/100 rows spend the remainder via a running-sum
+    //      window in id order. The "data selection under budget" op
+    //      every pretraining run starts with.
+    "q132_token_budget" -> ((s, dir) => {
+      val scored = T(s, dir, "documents").select(
+        col("doc_id"), col("source"),
+        graft.ops.TextOps.qualityScore(col("text")).as("q"),
+        graft.functions.GraftFunctions.tokenCount(s, col("text")).as("tok"))
+      graft.ops.Sampling.tokenBudgetSelect(
+          scored, "doc_id", "q", "tok", budget = 12000L, bins = 100)
+        .filter(col("keep"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("tok").cast("long").as("n_tokens"),
+          min("q").as("min_q"))
     })
   )
 
@@ -3850,6 +3872,39 @@ object SparkEntry {
     // drift replay: v1's float narrowing is reproduced with CAST(... AS
     // REAL) then widened back — IEEE round-trips identically in both
     // engines; max() keeps the check order-insensitive
+    // token-budget replay: identical two-stage arithmetic — per-bin
+    // token mass, window cum-mass from the top bin down (`above` =
+    // strictly-higher bins), full bins where above+btok <= B, the one
+    // threshold bin spends B-above in doc_id order; all integer math
+    "q132_token_budget" -> {
+      val budget = 12000L
+      val q = PortableSql.qualityScore("text", DD)
+      val tok = PortableSql.tokenCount("text", DD)
+      s"""WITH tb_d AS (
+         |  SELECT doc_id, source, CAST($tok AS BIGINT) AS tok,
+         |    CAST(least(greatest(floor($q * 100), 0), 99) AS INT) AS b
+         |  FROM documents WHERE $q IS NOT NULL),
+         |tb_bs AS (SELECT b, sum(tok) AS btok FROM tb_d GROUP BY b),
+         |tb_a AS (SELECT b, btok,
+         |    coalesce(sum(btok) OVER (ORDER BY b DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS above
+         |  FROM tb_bs),
+         |tb_sel AS (
+         |  SELECT d.doc_id, d.source, d.tok, d.b, a.above, a.btok,
+         |    sum(d.tok) OVER (PARTITION BY d.b ORDER BY d.doc_id) AS run
+         |  FROM tb_d d JOIN tb_a a USING (b)),
+         |tb_kept AS (
+         |  SELECT * FROM tb_sel
+         |  WHERE above + btok <= $budget
+         |     OR (above <= $budget AND above + btok > $budget
+         |         AND above + run <= $budget))
+         |SELECT k.source, count(*) AS n_docs,
+         |  CAST(sum(k.tok) AS BIGINT) AS n_tokens,
+         |  min($q) AS min_q
+         |FROM tb_kept k JOIN documents USING (doc_id)
+         |GROUP BY k.source""".stripMargin
+    },
+
     // leakage-safe split replay: closure labels give the cluster
     // representative; every doc hashes on it (singletons on their own
     // id), then q37's salted fence with bit-identical cumulative

@@ -135,6 +135,70 @@ object Sampling {
   }
 
   /**
+   * Token-budget selection — "keep the best docs until the budget is
+   * spent". Given per-doc (score ∈ [0,1], tokens), selects the
+   * highest-scoring subset whose token sum fits `budget`, WITHOUT the
+   * global sort the naive `ORDER BY score DESC` formulation implies
+   * (totally ordering 100 TB is the one thing a distributed engine
+   * must never do). Three stages:
+   *
+   *  1. scores bin into `bins` fixed-width cells (stateless map);
+   *  2. one decomposable groupBy yields per-bin token mass — ≤ `bins`
+   *     rows to the driver, which walks them top-down to find the
+   *     threshold bin and the remainder;
+   *  3. bins above the threshold keep by a stateless filter; ONLY the
+   *     threshold bin's docs (≈ corpus/bins rows) enter a running-sum
+   *     window (ascending id — deterministic) to spend the remainder;
+   *     bins below drop by filter.
+   *
+   * Selection granularity is by-bin, then by-id inside the threshold
+   * bin — fully deterministic and replayable in plain SQL (q132's
+   * oracle). Rows with a NULL score are never kept (no text ⇒ no
+   * quality claim). Returns the input columns plus `keep`.
+   */
+  def tokenBudgetSelect(
+      df: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      tokCol: String,
+      budget: Long,
+      bins: Int = 100): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    require(bins >= 1 && bins <= 100000, "bins must be in [1, 100000]")
+    import org.apache.spark.sql.expressions.Window
+    val bin = least(greatest(floor(col(scoreCol) * bins), lit(0.0)),
+      lit((bins - 1).toDouble)).cast("int")
+    val cands = df.withColumn("__bin",
+      when(col(scoreCol).isNotNull, bin))
+    val mass = cands.filter(col("__bin").isNotNull)
+      .groupBy("__bin").agg(sum(col(tokCol).cast("long")).as("btok"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(-_._1)
+    var acc = 0L
+    var cutoff = Option.empty[(Int, Long)] // (threshold bin, remainder)
+    val it = mass.iterator
+    while (it.hasNext && cutoff.isEmpty) {
+      val (b, t) = it.next()
+      if (acc + t <= budget) acc += t
+      else cutoff = Some((b, budget - acc))
+    }
+    val out = cutoff match {
+      case None => // everything fits
+        cands.withColumn("keep", col("__bin").isNotNull)
+      case Some((c, remaining)) =>
+        val w = Window.partitionBy("__bin").orderBy(col(idCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val full = cands.filter(col("__bin").isNotNull && col("__bin") > c)
+          .withColumn("keep", lit(true))
+        val partial = cands.filter(col("__bin") === c)
+          .withColumn("keep", sum(col(tokCol).cast("long")).over(w) <= remaining)
+        val dropped = cands.filter(col("__bin").isNull || col("__bin") < c)
+          .withColumn("keep", lit(false))
+        full.unionByName(partial).unionByName(dropped)
+    }
+    out.drop("__bin")
+  }
+
+  /**
    * Disjoint covering split: row goes to bucket i when its hash lands in
    * `[cum_{i-1}, cum_i)` of the cumulative weight intervals. Returns one
    * DataFrame per weight (e.g. `Seq(0.8, 0.1, 0.1)` → train/val/test).

@@ -216,6 +216,49 @@ class SamplingSpec extends AnyFunSuite {
     assert(splits.head.columns.toSeq == Seq("doc_id"))
   }
 
+  test("tokenBudgetSelect: full bins keep, threshold bin spends remainder in id order, nulls never keep") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq[(Long, Option[Double], Long)](
+      (1L, Some(0.95), 10L), // bin 9
+      (2L, Some(0.95), 10L), // bin 9
+      (3L, Some(0.85), 5L),  // bin 8, earliest id
+      (4L, Some(0.85), 10L), // bin 8
+      (5L, Some(0.55), 100L), // bin 5
+      (6L, None, 7L)          // no score — never kept
+    ).toDF("doc_id", "q", "tok")
+    // budget 27: bin 9 (mass 20) keeps fully; bin 8 is the threshold
+    // with remainder 7 — id 3 (run 5) fits, id 4 (run 15) does not;
+    // bin 5 and the null row drop
+    val got = Sampling.tokenBudgetSelect(docs, "doc_id", "q", "tok", budget = 27L, bins = 10)
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(got == Map(1L -> true, 2L -> true, 3L -> true,
+      4L -> false, 5L -> false, 6L -> false))
+    // a huge budget keeps every scored row, never the null one
+    val all = Sampling.tokenBudgetSelect(docs, "doc_id", "q", "tok", budget = 1000L, bins = 10)
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(all == Map(1L -> true, 2L -> true, 3L -> true,
+      4L -> true, 5L -> true, 6L -> false))
+    // zero budget keeps nothing; kept token mass never exceeds budget
+    val none = Sampling.tokenBudgetSelect(docs, "doc_id", "q", "tok", budget = 0L, bins = 10)
+      .filter(col("keep")).count()
+    assert(none == 0)
+    // invariant on real data: kept mass <= budget, and greedy-by-bin
+    // optimality — no dropped bin outranks a kept one
+    val corpus = TestSpark.table("documents").select(
+      col("doc_id"),
+      graft.ops.TextOps.qualityScore(col("text")).as("q"),
+      graft.functions.GraftFunctions.tokenCount(spark, col("text")).as("tok"))
+    val sel = Sampling.tokenBudgetSelect(corpus, "doc_id", "q", "tok", budget = 5000L)
+    val keptMass = sel.filter(col("keep")).agg(sum("tok")).collect()(0).getLong(0)
+    assert(keptMass <= 5000L)
+    // bin comparison clamps like the op does (q == 1.0 → top bin 99)
+    val maxDroppedQ = sel.filter(!col("keep")).agg(max("q")).collect()(0).getDouble(0)
+    val minKeptBin = sel.filter(col("keep"))
+      .agg(min(least(floor(col("q") * 100), lit(99L)))).collect()(0).getLong(0)
+    assert(math.min(math.floor(maxDroppedQ * 100).toLong, 99L) <= minKeptBin,
+      "a dropped doc outranked a kept bin")
+  }
+
   test("excessLossWeights: exact softmax, hardest group dominates, weights sum to 1") {
     val scored = Seq(
       ("easy", 1.0), ("easy", 2.0), // mean 1.5
