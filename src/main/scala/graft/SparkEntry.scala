@@ -1869,7 +1869,30 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum("tok").cast("long").as("n_tokens"),
           min("q").as("min_q"))
-    })
+    }),
+
+    // ---- north-star: keyed-skew diagnostics — the pre-flight report
+    //      before any big join/agg: heavy-hitter keys, their share,
+    //      skew vs the key-space mean, and the salt fan-out that would
+    //      level them (feeds q30's salted path). Decomposable counts +
+    //      broadcast 1-row stats + TakeOrdered top-k — no global sort.
+    "q133_skew_report" -> ((s, dir) =>
+      graft.ops.Diagnostics.skewReport(
+        graft.io.Layers.readEvents(s, s"$dir/events.parquet")
+          .select("user_id"),
+        "user_id", topK = 5)),
+
+    // ---- north-star: per-source quality calibration — exact p50/p90
+    //      quality per source, the threshold table a mixing pipeline
+    //      consumes (a global quality fence over uncalibrated
+    //      per-domain score distributions systematically starves whole
+    //      domains; thresholds must be set per source).
+    "q134_quality_calibration" -> ((s, dir) =>
+      graft.ops.Stats.exactPercentiles(
+        T(s, dir, "documents").select(col("source"),
+          graft.ops.TextOps.qualityScore(col("text")).as("q")),
+        groupCols = Seq("source"), valueCol = "q",
+        ps = Seq(0.5, 0.9)))
   )
 
   /** graft-authored pipeline config (reference YAML shape,
@@ -3872,6 +3895,43 @@ object SparkEntry {
     // drift replay: v1's float narrowing is reproduced with CAST(... AS
     // REAL) then widened back — IEEE round-trips identically in both
     // engines; max() keeps the check order-insensitive
+    // skew-report replay: decomposable counts, 1-row stats, LIMIT-ed
+    // top-k with ascending-key tie-break; arithmetic order mirrored
+    // exactly (n*nkeys/total, then /2 for the salt)
+    "q133_skew_report" ->
+      """WITH sk_c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+        |sk_s AS (SELECT count(*) AS nkeys, sum(n) AS total FROM sk_c),
+        |sk_t AS (SELECT user_id, n FROM sk_c ORDER BY n DESC, user_id ASC LIMIT 5)
+        |SELECT t.user_id, t.n,
+        |  round(CAST(t.n AS DOUBLE) / s.total, 6) AS share,
+        |  round(CAST(s.total AS DOUBLE) / s.nkeys, 6) AS mean_n,
+        |  round(CAST(t.n AS DOUBLE) * s.nkeys / s.total, 6) AS skew,
+        |  CAST(ceil(CAST(t.n AS DOUBLE) * s.nkeys / s.total / 2) AS BIGINT) AS rec_salt
+        |FROM sk_t t, sk_s s""".stripMargin,
+
+    // calibration replay: q38's exact interpolated-percentile scheme
+    // over the per-source quality distribution
+    "q134_quality_calibration" -> {
+      val q = PortableSql.qualityScore("text", DD)
+      val pcols = Seq(0.5 -> "p50", 0.9 -> "p90").map { case (p, name) =>
+        s"""round(
+           |    max(CASE WHEN rn = CAST(floor((n - 1) * $p) AS BIGINT) + 1 THEN v END) +
+           |    (max(CASE WHEN rn = CAST(ceil((n - 1) * $p) AS BIGINT) + 1 THEN v END) -
+           |     max(CASE WHEN rn = CAST(floor((n - 1) * $p) AS BIGINT) + 1 THEN v END))
+           |    * max((n - 1) * $p - floor((n - 1) * $p)), 6) AS $name""".stripMargin
+      }.mkString(",\n  ")
+      s"""WITH qc_t AS (SELECT source, CAST($q AS DOUBLE) AS v
+         |  FROM documents WHERE $q IS NOT NULL),
+         |qc_r AS (SELECT source, v,
+         |    row_number() OVER (PARTITION BY source ORDER BY v ASC) AS rn,
+         |    CAST(count(*) OVER (PARTITION BY source) AS DOUBLE) AS n
+         |  FROM qc_t)
+         |SELECT source,
+         |  $pcols,
+         |  CAST(max(n) AS BIGINT) AS n_rows
+         |FROM qc_r GROUP BY source""".stripMargin
+    },
+
     // token-budget replay: identical two-stage arithmetic — per-bin
     // token mass, window cum-mass from the top bin down (`above` =
     // strictly-higher bins), full bins where above+btok <= B, the one
