@@ -1892,7 +1892,28 @@ object SparkEntry {
         T(s, dir, "documents").select(col("source"),
           graft.ops.TextOps.qualityScore(col("text")).as("q")),
         groupCols = Seq("source"), valueCol = "q",
-        ps = Seq(0.5, 0.9)))
+        ps = Seq(0.5, 0.9))),
+
+    // ---- north-star events: ordered funnel — greedy-earliest
+    //      view→click→purchase within 7 days of the anchor; one
+    //      decomposable groupBy(user).min per step chained by user-key
+    //      equi-joins, each stage checkpointed once (no per-user loops,
+    //      no event-array collection).
+    "q135_event_funnel" -> ((s, dir) =>
+      graft.ops.EventOps.funnel(
+        graft.io.Layers.readEvents(s, s"$dir/events.parquet"),
+        "user_id", "event_type", "ts",
+        steps = Seq("view", "click", "purchase"),
+        windowSeconds = 604800L)),
+
+    // ---- north-star events: weekly cohort retention — cohort = the
+    //      period of a user's first event (integer arithmetic vs a
+    //      fixed epoch date, bit-replayable); (cohort, k) activity
+    //      counts + rate vs the cohort's own size.
+    "q136_retention" -> ((s, dir) =>
+      graft.ops.EventOps.retention(
+        graft.io.Layers.readEvents(s, s"$dir/events.parquet"),
+        "user_id", "ts", epochDate = "2024-01-01", periodDays = 7))
   )
 
   /** graft-authored pipeline config (reference YAML shape,
@@ -3895,6 +3916,44 @@ object SparkEntry {
     // drift replay: v1's float narrowing is reproduced with CAST(... AS
     // REAL) then widened back — IEEE round-trips identically in both
     // engines; max() keeps the check order-insensitive
+    // funnel replay: identical greedy-earliest chaining — per-step
+    // first-occurrence min after the previous step, whole chain fenced
+    // to the anchor's window
+    "q135_event_funnel" ->
+      """WITH fn1 AS (SELECT user_id, min(ts) AS anchor
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |fn2 AS (SELECT e.user_id, min(f.anchor) AS anchor, min(e.ts) AS prev
+        |  FROM events e JOIN fn1 f ON e.user_id = f.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > f.anchor
+        |    AND e.ts <= f.anchor + INTERVAL 604800 SECONDS
+        |  GROUP BY e.user_id),
+        |fn3 AS (SELECT e.user_id
+        |  FROM events e JOIN fn2 f ON e.user_id = f.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > f.prev
+        |    AND e.ts <= f.anchor + INTERVAL 604800 SECONDS
+        |  GROUP BY e.user_id),
+        |fn_n AS (SELECT (SELECT count(*) FROM fn1) AS n1,
+        |                (SELECT count(*) FROM fn2) AS n2,
+        |                (SELECT count(*) FROM fn3) AS n3)
+        |SELECT 'view' AS step, 1 AS step_idx, n1 AS n_users, 1.0 AS conversion FROM fn_n
+        |UNION ALL SELECT 'click', 2, n2, round(CAST(n2 AS DOUBLE) / n1, 6) FROM fn_n
+        |UNION ALL SELECT 'purchase', 3, n3, round(CAST(n3 AS DOUBLE) / n1, 6) FROM fn_n""".stripMargin,
+
+    // retention replay: identical integer period arithmetic vs the
+    // fixed epoch date
+    "q136_retention" ->
+      """WITH rt_a AS (SELECT DISTINCT user_id,
+        |    CAST(floor(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7.0) AS BIGINT) AS p
+        |  FROM events),
+        |rt_c AS (SELECT user_id, min(p) AS cohort FROM rt_a GROUP BY user_id),
+        |rt_j AS (SELECT a.user_id, c.cohort, a.p - c.cohort AS k
+        |  FROM rt_a a JOIN rt_c c USING (user_id)),
+        |rt_k AS (SELECT cohort, k, count(*) AS n_users FROM rt_j GROUP BY cohort, k),
+        |rt_s AS (SELECT cohort, count(*) AS sz FROM rt_c GROUP BY cohort)
+        |SELECT k.cohort, k.k, k.n_users,
+        |  round(CAST(k.n_users AS DOUBLE) / s.sz, 6) AS retention
+        |FROM rt_k k JOIN rt_s s USING (cohort)""".stripMargin,
+
     // skew-report replay: decomposable counts, 1-row stats, LIMIT-ed
     // top-k with ascending-key tie-break; arithmetic order mirrored
     // exactly (n*nkeys/total, then /2 for the salt)

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.EventOps
+
+class EventOpsSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def ev(rows: (Long, String, Long)*) =
+    rows.toDF("user_id", "event_type", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+
+  test("funnel: greedy-earliest chaining, strict order, whole chain inside the anchor window") {
+    val events = ev(
+      (1L, "view", 0L), (1L, "click", 10L), (1L, "purchase", 20L), // completes
+      (2L, "view", 0L), (2L, "purchase", 5L), (2L, "click", 10L),  // purchase BEFORE click → stops at click
+      (3L, "click", 5L), (3L, "purchase", 6L),                     // no view → never enters
+      (4L, "view", 0L), (4L, "click", 500L),                       // click outside the window
+      (5L, "view", 0L), (5L, "view", 3L), (5L, "click", 1L))       // click after FIRST view only
+    val got = EventOps.funnel(events, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), windowSeconds = 100L)
+      .as[(String, Int, Long, Double)].collect().sortBy(_._2)
+    // entered: u1,u2,u4,u5 = 4; clicked: u1,u2,u5 = 3; purchased: u1 = 1
+    assert(got(0) == (("view", 1, 4L, 1.0)))
+    assert(got(1) == (("click", 2, 3L, 0.75)))
+    assert(got(2) == (("purchase", 3, 1L, 0.25)))
+  }
+
+  test("funnel: empty entry step yields zero rows reached, conversions 0") {
+    val events = ev((1L, "click", 0L))
+    val got = EventOps.funnel(events, "user_id", "event_type", "ts",
+        Seq("view", "click"), windowSeconds = 10L)
+      .as[(String, Int, Long, Double)].collect().sortBy(_._2)
+    assert(got(0) == (("view", 1, 0L, 0.0)))
+    assert(got(1) == (("click", 2, 0L, 0.0)))
+  }
+
+  test("retention: cohort by first-activity period, k counts and rates; duplicate activity collapses") {
+    val day = 86400L
+    val events = ev(
+      (1L, "view", 0L),            // u1 cohort 0 (day 0)
+      (1L, "click", 8L * day),     // p1 → k1
+      (1L, "view", 19L * day),     // p2 → k2
+      (2L, "view", 9L * day),      // u2 cohort 1 (day 9)
+      (2L, "click", 9L * day + 1), // same period — collapses
+      (2L, "view", 17L * day),     // p2 → k1
+      (3L, "view", 1L * day))      // u3 cohort 0, never returns
+    val got = EventOps.retention(events, "user_id", "ts",
+        epochDate = "1970-01-01", periodDays = 7)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == Set(
+      (0L, 0L, 2L, 1.0),  // cohort 0: u1 + u3
+      (0L, 1L, 1L, 0.5),  // only u1 returns in week 1
+      (0L, 2L, 1L, 0.5),
+      (1L, 0L, 1L, 1.0),  // cohort 1: u2
+      (1L, 1L, 1L, 1.0)))
+  }
+
+  test("retention on real events: k=0 always has rate 1.0, rates never exceed 1, k never negative") {
+    val events = graft.io.Layers.readEvents(spark, s"${TestSpark.sfDir}/events.parquet")
+    val got = EventOps.retention(events, "user_id", "ts", "2024-01-01", 7)
+    assert(got.filter(col("k") < 0).count() == 0)
+    assert(got.filter(col("retention") > 1.0).count() == 0)
+    assert(got.filter(col("k") === 0 && col("retention") =!= 1.0).count() == 0)
+  }
+}
