@@ -1913,7 +1913,43 @@ object SparkEntry {
     "q136_retention" -> ((s, dir) =>
       graft.ops.EventOps.retention(
         graft.io.Layers.readEvents(s, s"$dir/events.parquet"),
-        "user_id", "ts", epochDate = "2024-01-01", periodDays = 7))
+        "user_id", "ts", epochDate = "2024-01-01", periodDays = 7)),
+
+    // ---- north-star: CDC apply — materialize an I/U/D change log onto
+    //      a current-state table (the flat-state sibling of q122's
+    //      SCD2: serving shape, no history). Winner per key via ONE
+    //      decomposable max_by aggregate; the state is pruned by a
+    //      broadcast anti-join, never reshuffled. Changes synthesized
+    //      in-query: updates (ts 10), deletes (ts 20, overriding the
+    //      update where keys overlap), a LATE update (ts 5, must lose
+    //      to the delete), and brand-new inserts.
+    "q137_cdc_apply" -> ((s, dir) => {
+      val cust = T(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      val upd = cust.filter(col("c_custkey") % 5 === 0).select(
+        col("c_custkey"), lit(10L).as("ts"), lit("U").as("op"),
+        concat(col("c_mktsegment"), lit("_U")).as("c_mktsegment"),
+        (col("c_acctbal") + lit(100.0)).as("c_acctbal"))
+      val del = cust.filter(col("c_custkey") % 7 === 0).select(
+        col("c_custkey"), lit(20L).as("ts"), lit("D").as("op"),
+        lit(null).cast("string").as("c_mktsegment"),
+        lit(null).cast("double").as("c_acctbal"))
+      val late = cust.filter(col("c_custkey") % 7 === 0).select(
+        col("c_custkey"), lit(5L).as("ts"), lit("U").as("op"),
+        lit("LATE").as("c_mktsegment"), lit(0.0).as("c_acctbal"))
+      val ins = cust.filter(col("c_custkey") % 25 === 0).select(
+        (col("c_custkey") + 1000000L).as("c_custkey"),
+        lit(10L).as("ts"), lit("I").as("op"),
+        lit("NEW_SEG").as("c_mktsegment"), lit(1.5).as("c_acctbal"))
+      graft.ops.Cdc.applyCdc(cust,
+          upd.unionByName(del).unionByName(late).unionByName(ins),
+          "c_custkey", "ts", "op", Seq("c_mktsegment", "c_acctbal"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_rows"),
+          sum("c_custkey").as("sum_keys"),
+          expr("cast(sum(cast(c_acctbal as decimal(18,6))) as double)")
+            .as("sum_bal"))
+    })
   )
 
   /** graft-authored pipeline config (reference YAML shape,
@@ -3916,6 +3952,38 @@ object SparkEntry {
     // drift replay: v1's float narrowing is reproduced with CAST(... AS
     // REAL) then widened back — IEEE round-trips identically in both
     // engines; max() keeps the check order-insensitive
+    // CDC replay: latest change per key via row_number over ts desc
+    // ((key, ts) unique by construction), delete removes, I/U replaces,
+    // untouched state passes through the anti-join
+    "q137_cdc_apply" ->
+      """WITH cd_c AS (
+        |  SELECT c_custkey, 10 AS ts, 'U' AS op,
+        |    c_mktsegment || '_U' AS seg, c_acctbal + 100.0 AS bal
+        |  FROM customer WHERE c_custkey % 5 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, 20, 'D', NULL, NULL
+        |  FROM customer WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, 5, 'U', 'LATE', 0.0
+        |  FROM customer WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 10, 'I', 'NEW_SEG', 1.5
+        |  FROM customer WHERE c_custkey % 25 = 0),
+        |cd_w AS (SELECT * FROM (
+        |  SELECT c_custkey, op, seg, bal,
+        |    row_number() OVER (PARTITION BY c_custkey ORDER BY ts DESC) AS rn
+        |  FROM cd_c) WHERE rn = 1),
+        |cd_f AS (
+        |  SELECT c.c_custkey, c.c_mktsegment AS seg, c.c_acctbal AS bal
+        |  FROM customer c LEFT JOIN cd_w w ON c.c_custkey = w.c_custkey
+        |  WHERE w.c_custkey IS NULL
+        |  UNION ALL
+        |  SELECT c_custkey, seg, bal FROM cd_w WHERE op <> 'D')
+        |SELECT seg AS c_mktsegment, count(*) AS n_rows,
+        |  CAST(sum(c_custkey) AS BIGINT) AS sum_keys,
+        |  cast(sum(cast(bal as decimal(18,6))) as double) AS sum_bal
+        |FROM cd_f GROUP BY seg""".stripMargin,
+
     // funnel replay: identical greedy-earliest chaining — per-step
     // first-occurrence min after the previous step, whole chain fenced
     // to the anchor's window
