@@ -19,11 +19,14 @@ import org.apache.spark.sql.functions._
  * never mentions pass through untouched. Deleting an absent key and
  * re-inserting a deleted key are both naturally legal.
  *
- * Scale shape (batch-∝, the q122 discipline): the winner per key is
- * ONE decomposable `max_by(struct(...), ts)` aggregate — map-side
- * combined, no window, no sort; the state is pruned by a BROADCAST
- * anti-join on the (small) changed-key set, so the table itself is
- * never reshuffled. Cost ∝ |changes| + O(state scan).
+ * Scale shape (batch-∝, the q122 discipline): the winner per key is a
+ * decomposable `max(ts)` aggregate joined back on (key, ts) — both
+ * sides share one key partitioning, no window, no sort. (NOT
+ * `max_by(struct(...), ts)`: Spark's codegen'd max_by NPEs on struct
+ * payloads with null string fields — exactly what a delete row
+ * carries.) The state is pruned by a BROADCAST anti-join on the
+ * (small) changed-key set, so the table itself is never reshuffled.
+ * Cost ∝ |changes| + O(state scan).
  */
 object Cdc {
 
@@ -36,9 +39,10 @@ object Cdc {
       attrCols: Seq[String]): DataFrame = {
     require(attrCols.nonEmpty, "CDC apply needs at least one attribute column")
     val outCols = (keyCol +: attrCols).map(col)
-    val latest = changes.groupBy(col(keyCol)).agg(
-      max_by(struct((opCol +: attrCols).map(col): _*), col(tsCol)).as("__c"))
-      .select(col(keyCol), col("__c.*"))
+    val winnerTs = changes.groupBy(col(keyCol))
+      .agg(max(col(tsCol)).as(tsCol))
+    val latest = changes.join(winnerTs, Seq(keyCol, tsCol))
+      .select((Seq(keyCol, opCol) ++ attrCols).map(col): _*)
     val untouched = state
       .join(broadcast(latest.select(keyCol)), Seq(keyCol), "left_anti")
     val applied = latest.filter(col(opCol) =!= "D").select(outCols: _*)

@@ -350,4 +350,78 @@ object CorpusIngest {
     fs.create(new Path(runDir, "_SUCCESS"), true).close()
     merged
   }
+
+  /**
+   * Streaming CDC serving-table maintenance — the flat-state twin of
+   * [[maintainDimension]]: drain landed I/U/D change files, apply the
+   * not-yet-applied delta onto the stored current-state table
+   * ([[graft.ops.Cdc.applyCdc]]), publish as the next `_SUCCESS`-gated
+   * run dir.
+   *
+   * Why the ledger is a per-key HIGH-WATER ts (not the applied-(key,ts)
+   * set the SCD2 maintainer keeps): a flat state has no timestamp
+   * memory, so an OLD change landing after a newer one was applied —
+   * replayed file or late upstream delivery — would silently overwrite
+   * newer state (or resurrect a deleted key). Dropping every change at
+   * or below its key's high-water makes drains exactly-once AND
+   * order-safe; the ledger is key-sized, not log-sized.
+   *
+   * Returns the published state (the pre-drain state on a no-op drain).
+   */
+  def maintainServing(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      keyCol: String,
+      tsCol: String,
+      opCol: String,
+      attrCols: Seq[String],
+      silverDir: String,
+      checkpointDir: String,
+      stateDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    IngestStream.drainOnce(
+      spark, landingDir, schema,
+      requiredCols = Seq(keyCol, tsCol, opCol),
+      normalizeCols = Nil,
+      outDir = silverDir, checkpointDir = checkpointDir)
+    val silverPath = new Path(silverDir)
+    val sfs = silverPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val silver =
+      if (sfs.exists(silverPath)) spark.read.schema(schema).parquet(silverDir)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+    val (state, hw) =
+      graft.io.Layers.latestSuccessfulRun(spark, stateDir) match {
+        case Some(run) =>
+          (spark.read.parquet(s"$run/state"), spark.read.parquet(s"$run/ledger"))
+        case None =>
+          (silver.limit(0).select((keyCol +: attrCols).map(col): _*),
+            silver.limit(0).select(col(keyCol), col(tsCol).as("hw_ts")))
+      }
+    val delta = silver
+      .join(broadcast(hw), Seq(keyCol), "left")
+      .filter(col("hw_ts").isNull || col(tsCol) > col("hw_ts"))
+      .drop("hw_ts")
+    if (delta.isEmpty) return state
+    val applied = graft.ops.Cdc
+      .applyCdc(state, delta, keyCol, tsCol, opCol, attrCols)
+      .localCheckpoint()
+    val newHw = hw
+      .unionByName(delta.groupBy(col(keyCol)).agg(max(col(tsCol)).as("hw_ts")))
+      .groupBy(col(keyCol)).agg(max(col("hw_ts")).as("hw_ts"))
+      .localCheckpoint()
+    val fs = new Path(stateDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nDone =
+      if (!fs.exists(new Path(stateDir))) 0
+      else fs.listStatus(new Path(stateDir)).count(s => s.isDirectory &&
+        fs.exists(new Path(s.getPath, "_SUCCESS")))
+    val runDir = f"$stateDir/run_${nDone + 1}%06d"
+    applied.write.mode("overwrite").parquet(s"$runDir/state")
+    newHw.write.mode("overwrite").parquet(s"$runDir/ledger")
+    // run-level marker LAST: the two writes become one visibility unit
+    fs.create(new Path(runDir, "_SUCCESS"), true).close()
+    applied
+  }
 }

@@ -245,4 +245,56 @@ class CorpusIngestSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$latest/state")
       .as[(Long, String, Long, Option[Long], Boolean)].collect().toSet == s2)
   }
+
+  test("maintainServing: CDC state, exactly-once drains, high-water drops late/replayed changes") {
+    val base = TestSpark.tmpDir("corpus_ingest_cdc")
+    val landing = new java.io.File(base, "landing"); landing.mkdirs()
+    val cschema = graft.schema.Metadata.structFromSpec(
+      """
+      k: long
+      ts: long
+      op: string
+      v: string
+      """)
+    def landC(name: String, rows: Seq[(Long, Long, String, String)]): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(landing, name))
+      try rows.foreach { case (k, ts, op, v) =>
+        val vj = if (v == null) "null" else s""""$v""""
+        w.println(s"""{"k": $k, "ts": $ts, "op": "$op", "v": $vj}""")
+      } finally w.close()
+    }
+    def drain(): Set[(Long, String)] =
+      CorpusIngest.maintainServing(
+          spark, landing.getPath, cschema, "k", "ts", "op", Seq("v"),
+          silverDir = s"$base/silver", checkpointDir = s"$base/ckpt",
+          stateDir = s"$base/state")
+        .as[(Long, String)].collect().toSet
+    def runs(): Int = {
+      val d = new java.io.File(s"$base/state")
+      if (!d.exists()) 0
+      else d.listFiles().count(f => f.isDirectory &&
+        new java.io.File(f, "_SUCCESS").exists())
+    }
+    assert(drain().isEmpty && runs() == 0, "empty drain publishes nothing")
+    landC("w1.jsonl", Seq((1L, 10L, "I", "a"), (2L, 10L, "I", "b")))
+    assert(drain() == Set(1L -> "a", 2L -> "b") && runs() == 1)
+    // update + delete in one wave
+    landC("w2.jsonl", Seq((1L, 20L, "U", "a2"), (2L, 20L, "D", null)))
+    val s2 = drain()
+    assert(s2 == Set(1L -> "a2") && runs() == 2)
+    // no-op drain: standing state returned, nothing published
+    assert(drain() == s2 && runs() == 2)
+    // ORDER safety: a LATE change (ts 15 < high-water 20) landing after
+    // newer state must be dropped — it would otherwise resurrect the
+    // deleted key 2 and roll key 1 back
+    landC("w3.jsonl", Seq((1L, 15L, "U", "stale"), (2L, 15L, "I", "ghost")))
+    assert(drain() == s2, "late changes must not rewind the serving state")
+    // a genuinely new change still applies
+    landC("w4.jsonl", Seq((2L, 30L, "I", "b2")))
+    assert(drain() == Set(1L -> "a2", 2L -> "b2"))
+    // a reader resolves the newest COMPLETE snapshot
+    val latest = graft.io.Layers.latestSuccessfulRun(spark, s"$base/state").get
+    assert(spark.read.parquet(s"$latest/state")
+      .as[(Long, String)].collect().toSet == Set(1L -> "a2", 2L -> "b2"))
+  }
 }
