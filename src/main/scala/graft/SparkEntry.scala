@@ -1949,6 +1949,24 @@ object SparkEntry {
           sum("c_custkey").as("sum_keys"),
           expr("cast(sum(cast(c_acctbal as decimal(18,6))) as double)")
             .as("sum_bal"))
+    }),
+
+    // ---- north-star: vector-quality audit — the pre-index health
+    //      check (NaN components, zero norms, wrong dims poison an ANN
+    //      index SILENTLY). The fixture is clean, so corruption is
+    //      seeded deterministically in-query (the q44/q128 pattern):
+    //      zero vectors, a NaN component, truncated dims.
+    "q138_vector_audit" -> ((s, dir) => {
+      val e = col("embedding")
+      val seeded = when(col("vec_id") % 13 === 0,
+          transform(e, _ => lit(0.0f)))
+        .when(col("vec_id") % 17 === 0,
+          concat(array(lit(Float.NaN)), slice(e, 2, 63)))
+        .when(col("vec_id") % 19 === 0, slice(e, 1, 32))
+        .otherwise(e)
+      graft.ops.Similarity.vectorAudit(
+        T(s, dir, "embeddings").select(seeded.as("embedding")),
+        "embedding", expectedDims = 64)
     })
   )
 
@@ -3952,6 +3970,36 @@ object SparkEntry {
     // drift replay: v1's float narrowing is reproduced with CAST(... AS
     // REAL) then widened back — IEEE round-trips identically in both
     // engines; max() keeps the check order-insensitive
+    // vector-audit replay: identical corruption seeding (CASE order
+    // mirrored — zero wins over NaN wins over truncation), norms via
+    // the q22 list arithmetic, healthy = right dims AND no NaN
+    "q138_vector_audit" -> {
+      val normOf = "sqrt(list_sum(list_transform(e, __x -> " +
+        "CAST(__x AS DOUBLE) * CAST(__x AS DOUBLE))))"
+      s"""WITH va_s AS (
+         |  SELECT CASE
+         |    WHEN vec_id % 13 = 0
+         |      THEN list_transform(embedding, __x -> CAST(0.0 AS REAL))
+         |    WHEN vec_id % 17 = 0
+         |      THEN list_concat([CAST('nan' AS REAL)], embedding[2:64])
+         |    WHEN vec_id % 19 = 0 THEN embedding[1:32]
+         |    ELSE embedding END AS e
+         |  FROM embeddings),
+         |va_m AS (
+         |  SELECT len(e) = 64 AS dims_ok,
+         |    len(list_filter(e, __x -> isnan(CAST(__x AS DOUBLE)))) > 0 AS has_nan,
+         |    $normOf AS nrm
+         |  FROM va_s)
+         |SELECT count(*) AS n_vectors,
+         |  CAST(sum(CASE WHEN NOT dims_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_wrong_dims,
+         |  CAST(sum(CASE WHEN has_nan THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
+         |  CAST(sum(CASE WHEN dims_ok AND NOT has_nan AND nrm < 1e-6
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+         |  round(min(CASE WHEN dims_ok AND NOT has_nan THEN nrm END), 6) AS min_norm,
+         |  round(max(CASE WHEN dims_ok AND NOT has_nan THEN nrm END), 6) AS max_norm
+         |FROM va_m""".stripMargin
+    },
+
     // CDC replay: latest change per key via row_number over ts desc
     // ((key, ts) unique by construction), delete removes, I/U replaces,
     // untouched state passes through the anti-join

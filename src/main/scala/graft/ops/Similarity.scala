@@ -997,4 +997,39 @@ object Similarity {
         col("cluster"),
         col("__drop").isNull.as("keep"))
   }
+
+  /**
+   * Embedding-column quality audit — the pre-index health check:
+   * corrupt vectors (NaN components, zero norms, wrong dimensionality)
+   * poison an ANN index SILENTLY — a NaN propagates through every
+   * dot product it touches, a zero vector has undefined cosine, a
+   * truncated vector skews any centroid it lands in — and none of them
+   * crash the build. One narrow scan, one 1-row decomposable
+   * aggregate: n_vectors, the three corruption counts, and min/max
+   * norm over the healthy rows (rounded 6, the engine-parity
+   * convention).
+   */
+  def vectorAudit(
+      df: DataFrame,
+      embCol: String,
+      expectedDims: Int): DataFrame = {
+    require(expectedDims >= 1, "expectedDims must be positive")
+    val e = col(embCol)
+    val norm = sqrt(aggregate(e, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val dimsOk = size(e) === expectedDims
+    val hasNan = exists(e, x => isnan(x))
+    val healthy = dimsOk && !hasNan
+    df.select(
+        dimsOk.as("__dims_ok"), hasNan.as("__nan"),
+        norm.as("__norm"), healthy.as("__healthy"))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        sum(when(!col("__dims_ok"), 1L).otherwise(0L)).as("n_wrong_dims"),
+        sum(when(col("__nan"), 1L).otherwise(0L)).as("n_nan"),
+        sum(when(col("__healthy") && col("__norm") < 1e-6, 1L)
+          .otherwise(0L)).as("n_zero_norm"),
+        round(min(when(col("__healthy"), col("__norm"))), 6).as("min_norm"),
+        round(max(when(col("__healthy"), col("__norm"))), 6).as("max_norm"))
+  }
 }

@@ -399,6 +399,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(self.length == 2 && self.forall(r => r._2 == 3L && r._3 == 1.0))
   }
 
+  test("vectorAudit: counts zero-norm, NaN, wrong-dims; min/max norms over healthy rows only") {
+    val rows = Seq(
+      (1L, Array(3.0f, 4.0f)),            // healthy, norm 5
+      (2L, Array(0.6f, 0.8f)),            // healthy, norm 1
+      (3L, Array(0.0f, 0.0f)),            // zero norm
+      (4L, Array(Float.NaN, 1.0f)),       // NaN — excluded from norms
+      (5L, Array(1.0f)),                  // wrong dims — excluded from norms
+      (6L, Array(7.0f, 24.0f)))           // healthy, norm 25
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.vectorAudit(df, "embedding", expectedDims = 2)
+      .as[(Long, Long, Long, Long, Double, Double)].collect()(0)
+    assert(got == ((6L, 1L, 1L, 1L, 0.0, 25.0)))
+    // a clean frame audits clean
+    val clean = Similarity.vectorAudit(
+        df.filter(col("vec_id") === 1L || col("vec_id") === 6L), "embedding", 2)
+      .as[(Long, Long, Long, Long, Double, Double)].collect()(0)
+    assert(clean == ((2L, 0L, 0L, 0L, 5.0, 25.0)))
+  }
+
   test("recallAtK: duplicate rows cannot inflate recall past 1.0; truth < k uses truth size") {
     // duplicate (query, id) rows on BOTH sides — a join without dedup
     // would fan out to 4 hit rows for query 0 and report recall 1.33
