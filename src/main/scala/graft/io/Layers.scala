@@ -248,7 +248,13 @@ object Layers {
    * oracle aggregates the compacted dir against the source table).
    * Partitioned tables compact per-partition through the same call on
    * each partition dir (composed with [[writeSilver]]'s dynamic
-   * overwrite); this entry point is the single-directory primitive.
+   * overwrite); this entry point is the single-directory primitive,
+   * and it FAILS LOUD when handed anything else: a partitioned table
+   * root (data in `col=val/` subdirectories) would list 0 top-level
+   * files, plan n=1, and silently rewrite the whole tree into one
+   * unpartitioned file — layout destroyed, no error. So a non-hidden
+   * subdirectory or an input dir with no `*.parquet` files is a
+   * caller bug, not a no-op.
    */
   def compact(
       spark: SparkSession,
@@ -264,7 +270,20 @@ object Layers {
       else fs.listStatus(p).filter(f =>
         f.isFile && f.getPath.getName.endsWith(".parquet"))
     }
+    val inP = new org.apache.hadoop.fs.Path(inPath)
+    val inFs = inP.getFileSystem(conf)
+    require(inFs.exists(inP), s"compact: input dir $inPath does not exist")
+    val subdirs = inFs.listStatus(inP).filter(s => s.isDirectory && {
+      val n = s.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    })
+    require(subdirs.isEmpty,
+      s"compact: $inPath contains subdirectories " +
+        s"(${subdirs.take(3).map(_.getPath.getName).mkString(", ")}) — " +
+        "compact is a single-directory primitive; point it at each " +
+        "partition directory (compose with writeSilver's dynamic overwrite)")
     val before = dataFiles(inPath)
+    require(before.nonEmpty, s"compact: no *.parquet data files under $inPath")
     val bytes = before.map(_.getLen).sum
     val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     spark.read.parquet(inPath)

@@ -42,16 +42,20 @@ object EventOps {
     val base = events.select(
       col(userCol).as("u"), col(typeCol).as("t"), col(tsCol).as("ts"))
     // anchor: first occurrence of the entry step. Each stage is
-    // localCheckpoint'ed: the per-step reach counts are driver actions,
-    // and without the checkpoint counting step i would re-execute every
-    // earlier stage's shuffle through the lineage.
+    // localCheckpoint'ed: stage i+1 joins against stage i, and without
+    // the checkpoint every later stage would re-execute every earlier
+    // stage's shuffle through the lineage. (K stages therefore
+    // materialize as K sequential jobs — inherent to the chain, since
+    // stage i+1's input IS stage i's output — but the per-step reach
+    // COUNTS ride one final aggregation over the K tagged user frames,
+    // not K extra driver actions.)
     var reached = base.filter(col("t") === steps.head)
       .groupBy("u").agg(min(col("ts")).as("anchor"))
       .withColumn("prev", col("anchor"))
       .localCheckpoint()
-    val counts = Array.newBuilder[(String, Long)]
-    counts += steps.head -> reached.count()
-    steps.tail.foreach { step =>
+    val stages = Seq.newBuilder[DataFrame]
+    stages += reached.select(col("u"), lit(1).as("step_idx"))
+    steps.tail.zipWithIndex.foreach { case (step, i) =>
       val prevStage = reached.withColumnRenamed("u", "__ru")
       reached = base.filter(col("t") === step)
         .join(prevStage, col("u") === col("__ru")).drop("__ru")
@@ -62,14 +66,20 @@ object EventOps {
           min(col("anchor")).as("anchor")) // constant per user
         .withColumn("prev", col("__step_ts")).drop("__step_ts")
         .localCheckpoint()
-      counts += step -> reached.count()
+      stages += reached.select(col("u"), lit(i + 2).as("step_idx"))
     }
-    val rows = counts.result()
-    val n1 = rows.head._2.toDouble
-    rows.zipWithIndex.map { case ((step, n), i) =>
-      (step, i + 1, n, if (n1 == 0) 0.0 else
+    // ONE action over the checkpointed stages: K rows, driver-bounded
+    val reach = stages.result().reduce(_ unionByName _)
+      .groupBy("step_idx").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val rows = steps.zipWithIndex.map { case (step, i) =>
+      (step, i + 1, reach.getOrElse(i + 1, 0L))
+    }
+    val n1 = rows.head._3.toDouble
+    rows.map { case (step, idx, n) =>
+      (step, idx, n, if (n1 == 0) 0.0 else
         BigDecimal(n / n1).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-    }.toSeq.toDF("step", "step_idx", "n_users", "conversion")
+    }.toDF("step", "step_idx", "n_users", "conversion")
   }
 
   /**

@@ -38,37 +38,60 @@ import org.apache.spark.sql.functions._
  * passes through untouched. Cost ∝ |batch| + |touched open rows|; the
  * dimension's history is never reshuffled. Both window passes share
  * one key-partitioning (a single shuffle of the touched slice).
+ * EVERY broadcast here is batch-∝ — the batch's key set, and the open
+ * rows of touched keys (≤ one per batch key) — never the full open
+ * state, so a wide dimension cannot blow the driver through the hint.
+ * The hints are also size-GUARDED: the batch key count is probed once
+ * (a batch-∝ distinct + count on an already-needed frame), and a
+ * backfill-sized batch above `maxBroadcastKeys` degrades to shuffle
+ * joins instead of a driver-sized broadcast.
  */
 object Scd {
+
+  /** Default hint ceiling: ~10M keys is comfortably inside a 4–8 GiB
+    * driver for the slim (key, valid_from) frames broadcast here;
+    * beyond it a shuffle join is the right plan anyway. */
+  val DefaultMaxBroadcastKeys: Long = 10L * 1000 * 1000
 
   def mergeScd2(
       state: DataFrame,
       updates: DataFrame,
       keyCol: String,
       tsCol: String,
-      attrCols: Seq[String]): DataFrame = {
+      attrCols: Seq[String],
+      maxBroadcastKeys: Long = DefaultMaxBroadcastKeys): DataFrame = {
     require(attrCols.nonEmpty, "SCD2 merge needs at least one attribute column")
     val attrs = attrCols.map(col)
     val outCols = (Seq(keyCol) ++ attrCols ++
       Seq("valid_from", "valid_to", "is_current")).map(col)
 
     val open = state.filter(col("is_current"))
+    // batch key set: materialized once (it anchors three joins) and
+    // counted — the size probe that decides whether the hints below
+    // are safe. Cost: one batch-∝ distinct, nothing state-sized.
+    val upKeys = updates.select(keyCol).distinct().localCheckpoint()
+    val hint: DataFrame => DataFrame =
+      if (upKeys.count() <= maxBroadcastKeys) broadcast else identity
+    // open rows of touched keys — ≤ |batch keys| rows, the ONLY state
+    // slice this merge ever moves
+    val openTouched = open.join(hint(upKeys), Seq(keyCol), "left_semi")
     // guard: drop updates older than their key's open row (see class
-    // doc) — a broadcast of the tiny (key, open valid_from) map, so
-    // the filter is map-side and batch-∝ like everything else here
+    // doc) — the broadcast operand is the batch-∝ touched slice, NOT
+    // the full open state, so the filter is map-side AND driver-safe
     val updatesOnTime = updates.join(
-        broadcast(open.select(col(keyCol), col("valid_from").as("__open_from"))),
+        hint(openTouched.select(col(keyCol), col("valid_from").as("__open_from"))),
         Seq(keyCol), "left")
       .filter(col("__open_from").isNull || col(tsCol) >= col("__open_from"))
       .drop("__open_from")
 
-    val upKeys = updatesOnTime.select(keyCol).distinct()
     // untouched: all closed history + open rows of keys the batch
-    // never mentions — a pass-through, no shuffle beyond the semi-join
+    // never mentions — a pass-through, no shuffle beyond the semi-join.
+    // (Keys whose updates were ALL late flow through the window below
+    // as a single open-row candidate and re-emerge unchanged.)
     val untouched = state.filter(!col("is_current"))
-      .unionByName(open.join(broadcast(upKeys), Seq(keyCol), "left_anti"))
+      .unionByName(open.join(hint(upKeys), Seq(keyCol), "left_anti"))
 
-    val cand = open.join(broadcast(upKeys), Seq(keyCol), "left_semi")
+    val cand = openTouched
       .select((Seq(col(keyCol)) ++ attrs :+ col("valid_from") :+ lit(0).as("__src")): _*)
       .unionByName(updatesOnTime.select(
         (Seq(col(keyCol)) ++ attrs :+ col(tsCol).as("valid_from") :+ lit(1).as("__src")): _*))
@@ -90,15 +113,23 @@ object Scd {
 
   /** The updates [[mergeScd2]] would DROP as late (effective time
     * strictly before their key's open row) — the audit/dead-letter
-    * companion. Same broadcast shape as the merge's guard. */
+    * companion. Same batch-∝, size-guarded broadcast shape as the
+    * merge's guard: the open state is semi-pruned down to the batch's
+    * keys BEFORE any hint, so the broadcast operand is ≤ one slim row
+    * per batch key, never the full dimension. */
   def lateUpdates(
       state: DataFrame,
       updates: DataFrame,
       keyCol: String,
-      tsCol: String): DataFrame = {
+      tsCol: String,
+      maxBroadcastKeys: Long = DefaultMaxBroadcastKeys): DataFrame = {
+    val upKeys = updates.select(keyCol).distinct().localCheckpoint()
+    val hint: DataFrame => DataFrame =
+      if (upKeys.count() <= maxBroadcastKeys) broadcast else identity
     val openFrom = state.filter(col("is_current"))
+      .join(hint(upKeys), Seq(keyCol), "left_semi")
       .select(col(keyCol), col("valid_from").as("__open_from"))
-    updates.join(broadcast(openFrom), Seq(keyCol), "inner")
+    updates.join(hint(openFrom), Seq(keyCol), "inner")
       .filter(col(tsCol) < col("__open_from"))
       .drop("__open_from")
   }

@@ -177,6 +177,13 @@ object Similarity {
    * rows can neither inflate hits past 1.0 nor double-count truth.
    * Ids are compared, not ranks: an approximate index that returns the
    * right set in a different order has perfect recall.
+   *
+   * `k` is ENFORCED, not advisory: a query with more than k distinct
+   * truth rows means the caller passed un-truncated ground truth — the
+   * metric computed would be recall-vs-full-truth while the name
+   * promises recall@k — so the plan fails loud at execution (a lazy
+   * `raise_error` riding the denominator, zero cost on valid input)
+   * instead of silently reporting the wrong metric.
    */
   def recallAtK(
       truth: DataFrame,
@@ -190,11 +197,19 @@ object Similarity {
     val a = approx
       .select(col(qidCol).as("query_id"), col(idCol).as("__id")).distinct()
       .withColumn("__hit", lit(1))
+    // the guard rides the denominator so column pruning can never
+    // drop it: valid rows pass truth_n through unchanged
+    val guardedTruthN = when(col("truth_n") > k,
+        raise_error(concat(
+          lit("recallAtK: query "), col("query_id").cast("string"),
+          lit(" has "), col("truth_n").cast("string"),
+          lit(s" distinct truth rows > k=$k — pass per-query top-k ground truth"))))
+      .otherwise(col("truth_n"))
     t.join(a, Seq("query_id", "__id"), "left")
       .groupBy("query_id")
       .agg(count(col("__hit")).as("hits"), count(lit(1)).as("truth_n"))
       .withColumn("recall_at_k",
-        round(col("hits").cast("double") / col("truth_n"), 6))
+        round(col("hits").cast("double") / guardedTruthN.cast("double"), 6))
       .drop("truth_n")
   }
 

@@ -385,12 +385,19 @@ object CorpusIngest {
       requiredCols = Seq(keyCol, tsCol, opCol),
       normalizeCols = Nil,
       outDir = silverDir, checkpointDir = checkpointDir)
+    // CDC reads RELAX the declared nullability: delete rows lawfully
+    // carry null attributes, but a caller schema declaring attrs
+    // non-null (the bare-type default of the `?` spec convention)
+    // would make every codegen consumer skip the null check — an
+    // enforced read never VALIDATES non-nullness, it only promises it
+    // to the optimizer, and here the promise is structurally false.
+    val readSchema = StructType(schema.fields.map(_.copy(nullable = true)))
     val silverPath = new Path(silverDir)
     val sfs = silverPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val silver =
-      if (sfs.exists(silverPath)) spark.read.schema(schema).parquet(silverDir)
+      if (sfs.exists(silverPath)) spark.read.schema(readSchema).parquet(silverDir)
       else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], readSchema)
 
     val (state, hw) =
       graft.io.Layers.latestSuccessfulRun(spark, stateDir) match {
@@ -400,8 +407,15 @@ object CorpusIngest {
           (silver.limit(0).select((keyCol +: attrCols).map(col): _*),
             silver.limit(0).select(col(keyCol), col(tsCol).as("hw_ts")))
       }
+    // NO broadcast hint on the ledger: it is key-sized (grows with the
+    // table, not the drain), so the join strategy is left to size
+    // stats/AQE — broadcast while the key space is small, shuffle once
+    // it is not. applyCdc below likewise size-guards its own
+    // changed-key prune, so a first-drain/recovery delta (= the whole
+    // log) degrades to shuffle joins instead of a driver-sized
+    // broadcast.
     val delta = silver
-      .join(broadcast(hw), Seq(keyCol), "left")
+      .join(hw, Seq(keyCol), "left")
       .filter(col("hw_ts").isNull || col(tsCol) > col("hw_ts"))
       .drop("hw_ts")
     if (delta.isEmpty) return state

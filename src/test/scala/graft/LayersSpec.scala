@@ -187,11 +187,36 @@ class LayersSpec extends AnyFunSuite {
     val out2 = TestSpark.tmpDir("compact_out2")
     val (_, many, _) = Layers.compact(spark, frag, out2, targetFileBytes = bytes / 8)
     assert(many > 1)
-    // empty/missing input dir: zero files, no crash on listing
-    val (eb, _, ebytes) = try {
-      Layers.compact(spark, TestSpark.tmpDir("compact_missing_in"), TestSpark.tmpDir("compact_missing_out"))
-    } catch { case _: Exception => (0, 0, 0L) } // empty read may fail; listing must not
-    assert(eb == 0 && ebytes == 0L)
+    // missing input dir fails loud (a silent 0-file "compaction" hides
+    // a caller-side path bug)
+    intercept[IllegalArgumentException] {
+      Layers.compact(spark, TestSpark.tmpDir("compact_missing_in"),
+        TestSpark.tmpDir("compact_missing_out"))
+    }
+  }
+
+  test("compact fails loud on a partitioned table root and on a dir with no data files") {
+    val part = TestSpark.tmpDir("compact_part_root")
+    TestSpark.table("customer")
+      .write.mode("overwrite").partitionBy("c_mktsegment").parquet(part)
+    // pointed at the ROOT, compact would silently flatten the
+    // partition layout into one file — must refuse instead
+    val e = intercept[IllegalArgumentException] {
+      Layers.compact(spark, part, TestSpark.tmpDir("compact_part_out"))
+    }
+    assert(e.getMessage.contains("single-directory"))
+    // …but each partition DIR is exactly the supported primitive
+    val sub = new java.io.File(part).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("c_mktsegment="))
+      .head.getPath
+    val (b1, a1, _) = Layers.compact(spark, sub, TestSpark.tmpDir("compact_part_sub"))
+    assert(b1 >= 1 && a1 >= 1)
+    // an existing dir with zero *.parquet files is a caller bug too
+    val emptyDir = TestSpark.tmpDir("compact_empty_in")
+    new java.io.File(emptyDir).mkdirs()
+    intercept[IllegalArgumentException] {
+      Layers.compact(spark, emptyDir, TestSpark.tmpDir("compact_empty_out"))
+    }
   }
 
   private def bytesOf(dir: String): Long =

@@ -82,6 +82,29 @@ class ScdSpec extends AnyFunSuite {
       s"expected broadcast key pruning:\n$plan")
   }
 
+  test("large batch: above maxBroadcastKeys the merge degrades to shuffle joins, same result") {
+    val s = state(
+      (1L, "A", 0L, None, true),
+      (1L, "Z", -5L, Some(0L), false),
+      (3L, "C", 0L, None, true))
+    val u = Seq((1L, "B", 10L), (2L, "N", 5L)).toDF("k", "seg", "ts")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // hints are the only broadcast source with the threshold off
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = Scd.mergeScd2(s, u, "k", "ts", Seq("seg"), maxBroadcastKeys = 0L)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"maxBroadcastKeys=0 must not force a broadcast:\n$plan")
+      assert(collect(df) == collect(Scd.mergeScd2(s, u, "k", "ts", Seq("seg"))),
+        "shuffle-join path must produce the broadcast path's exact output")
+      val late = Scd.lateUpdates(s, u, "k", "ts", maxBroadcastKeys = 0L)
+      assert(late.queryExecution.executedPlan.toString.indexOf("BroadcastHashJoin") < 0)
+      assert(late.count() == 0L)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("late update (ts < open valid_from) is dropped, never overlaps closed history") {
     val s = state(
       (1L, "Z", -5L, Some(0L), false), // closed: covers [-5, 0)

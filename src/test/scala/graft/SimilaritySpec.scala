@@ -436,4 +436,18 @@ class SimilaritySpec extends AnyFunSuite {
     // query 1: distinct truth {20,21} (< k=3); 1 found → 1/2, not 1/3
     assert(got(1L) == ((1L, 0.5)))
   }
+
+  test("recallAtK enforces k: un-truncated ground truth fails loud, not recall-vs-full-truth") {
+    val truth = Seq( // query 0 has 4 distinct truth ids but k=3
+      (0L, 10L), (0L, 11L), (0L, 12L), (0L, 13L)
+    ).toDF("query_id", "vec_id")
+    val approx = Seq((0L, 10L)).toDF("query_id", "vec_id")
+    val e = intercept[Exception] {
+      Similarity.recallAtK(truth, approx, "query_id", "vec_id", k = 3).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("top-k ground truth")),
+      s"expected the recallAtK guard, got: $e")
+  }
 }
