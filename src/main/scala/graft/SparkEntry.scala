@@ -1967,6 +1967,41 @@ object SparkEntry {
       graft.ops.Similarity.vectorAudit(
         T(s, dir, "embeddings").select(seeded.as("embedding")),
         "embedding", expectedDims = 64)
+    }),
+
+    // ---- north-star: WARC web-archive ingestion roundtrip — documents
+    //      land as one gzip member per record via the distributed sink,
+    //      then the DataSourceV2 reader re-ingests them across
+    //      record-boundary-aware splits (splitBytes forced tiny so the
+    //      sync path actually runs); the per-bucket aggregate proves no
+    //      record is lost, duplicated, or byte-shifted vs the table the
+    //      archive was rendered from (content_length = UTF-8 bytes,
+    //      decoded chars = source chars).
+    "q139_warc_source" -> ((s, dir) => {
+      val out = tmp("q139_warc")
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      graft.sources.WarcIO.writeWarc(
+        docs.select(
+          concat(lit("http://corpus.local/doc/"), col("doc_id")).as("target_uri"),
+          lit("2026-01-01T00:00:00Z").as("warc_date"),
+          concat(lit("<urn:graft:doc:"), col("doc_id"), lit(">")).as("record_id"),
+          lit("text/plain").as("content_type"),
+          encode(col("text"), "UTF-8").as("payload"))
+          .repartition(4),
+        out)
+      s.read.format("graft.sources.WarcSource")
+        .option("path", out).option("splitBytes", "16384").load()
+        .select(
+          regexp_extract(col("target_uri"), "doc/([0-9]+)$", 1)
+            .cast("long").as("doc_id"),
+          col("content_length"),
+          length(decode(col("payload"), "UTF-8")).as("n_chars"))
+        .groupBy((col("doc_id") % 7).as("bucket"))
+        .agg(
+          count(lit(1)).as("n_records"),
+          sum(col("content_length")).as("sum_bytes"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("doc_id")).as("sum_doc"))
     })
   )
 
@@ -3999,6 +4034,16 @@ object SparkEntry {
          |  round(max(CASE WHEN dims_ok AND NOT has_nan THEN nrm END), 6) AS max_norm
          |FROM va_m""".stripMargin
     },
+
+    // WARC replay: the archive is rendered FROM documents, so a
+    // lossless roundtrip must reproduce the table's own per-bucket
+    // byte/char/key sums (strlen = UTF-8 bytes = Content-Length)
+    "q139_warc_source" ->
+      """SELECT doc_id % 7 AS bucket, count(*) AS n_records,
+        |  CAST(sum(strlen(text)) AS BIGINT) AS sum_bytes,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_doc
+        |FROM documents WHERE text IS NOT NULL GROUP BY 1""".stripMargin,
 
     // CDC replay: latest change per key via row_number over ts desc
     // ((key, ts) unique by construction), delete removes, I/U replaces,
