@@ -36,6 +36,35 @@ object SparkEntry {
   private def dsum(c: String): String =
     s"cast(sum(cast($c as decimal(18,6))) as double)"
 
+  /** Deterministic boilerplate-wrapped page for the q140/q141 web
+    * pipeline: the doc text split into two `<p>` blocks at its middle
+    * space, surrounded by everything a real crawl drags in — nav link
+    * lists, header/aside/footer, a comment, a script whose STRING
+    * contains markup, entities. The extractor must recover EXACTLY the
+    * original text (single-spaced ASCII, so the two blocks re-join
+    * losslessly), which is what lets DuckDB oracle-check an HTML
+    * pipeline without parsing HTML. */
+  private def syntheticPage(docId: org.apache.spark.sql.Column,
+      text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val words = split(text, " ")
+    val half = ceil(size(words).cast("double") / 2.0).cast("int")
+    val p1 = array_join(slice(words, lit(1), half), " ")
+    val p2 = array_join(slice(words, half + 1, size(words) - half), " ")
+    concat(
+      lit("<!DOCTYPE html><html><head><title>Doc "), docId,
+      lit("</title><style>p{margin:0}</style>" +
+        "<script>var x = '<div>not text</div>';</script></head><body>" +
+        "<nav><ul><li><a href=\"/\">Home</a></li>" +
+        "<li><a href=\"/about\">About</a></li>" +
+        "<li><a href=\"/contact\">Contact&nbsp;Us</a></li></ul></nav>" +
+        "<header><h1>Corpus Viewer</h1></header>" +
+        "<!-- rendered by graft --><article><p>"), p1, lit("</p><p>"), p2,
+      lit("</p></article><aside>Related: <a href=\"/d/1\">one</a> " +
+        "<a href=\"/d/2\">two</a></aside>" +
+        "<footer><a href=\"/tos\">Terms</a> <a href=\"/privacy\">Privacy</a>" +
+        " &copy; 2026 corpus.local</footer></body></html>"))
+  }
+
   /** Session-scoped memo of the verified near-dup pair set — the
     * in-memory analog of a pipeline writing its expensive pair index to
     * storage ONCE and sharing it across consumers (the q16 pair report
@@ -2002,6 +2031,46 @@ object SparkEntry {
           sum(col("content_length")).as("sum_bytes"),
           sum(col("n_chars")).as("sum_chars"),
           sum(col("doc_id")).as("sum_doc"))
+    }),
+
+    // ---- north-star: HTML main-content extraction — jusText-family
+    //      block classification (ancestor tags + link density + length
+    //      floor) as a codegen kernel; the synthesized page buries each
+    //      doc's text in nav/header/aside/footer soup and extraction
+    //      must recover it byte-for-byte, which the oracle checks
+    //      without parsing HTML (n_exact must equal n_docs).
+    "q140_html_extract" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      docs.select(col("doc_id"), col("text"),
+          graft.functions.GraftFunctions.htmlMain(
+            s, syntheticPage(col("doc_id"), col("text")), minChars = 5)
+            .as("extracted"))
+        .groupBy((col("doc_id") % 5).as("bucket"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("extracted") === col("text"), 1L).otherwise(0L))
+            .as("n_exact"),
+          sum(length(col("extracted"))).as("sum_chars"))
+    }),
+
+    // ---- north-star: web-corpus pipeline composition — render (with a
+    //      seeded duplicate crawl of every 3rd doc) → extract main
+    //      content → token-count quality fence → exact-dedup count; the
+    //      whole chain replays in the oracle AS IF extraction were
+    //      identity, which q140 proves it is.
+    "q141_web_pipeline" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+      val pages = docs.unionByName(docs.filter(col("doc_id") % 3 === 0))
+      val extracted = pages.select(
+        graft.functions.GraftFunctions.htmlMain(
+          s, syntheticPage(col("doc_id"), col("text")), minChars = 5)
+          .as("text"))
+      extracted
+        .filter(graft.functions.GraftFunctions.tokenCount(s, col("text")) >= 20)
+        .agg(
+          count(lit(1)).as("n_pages_kept"),
+          countDistinct(col("text")).as("n_unique"))
     })
   )
 
@@ -4044,6 +4113,29 @@ object SparkEntry {
         |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
         |  CAST(sum(doc_id) AS BIGINT) AS sum_doc
         |FROM documents WHERE text IS NOT NULL GROUP BY 1""".stripMargin,
+
+    // HTML-extract replay: q140's page is rendered FROM documents and
+    // extraction is exact recovery, so the oracle needs no HTML — every
+    // doc must come back byte-identical (n_exact = n_docs = count)
+    "q140_html_extract" ->
+      """SELECT doc_id % 5 AS bucket, count(*) AS n_docs,
+        |  count(*) AS n_exact,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_chars
+        |FROM documents WHERE text IS NOT NULL GROUP BY 1""".stripMargin,
+
+    // web-pipeline replay: extraction is identity (q140), so the
+    // filter+dedup chain runs directly on documents; the duplicate
+    // crawl is the same doc_id % 3 union
+    "q141_web_pipeline" ->
+      """WITH pages AS (
+        |  SELECT text FROM documents WHERE text IS NOT NULL
+        |  UNION ALL
+        |  SELECT text FROM documents WHERE text IS NOT NULL AND doc_id % 3 = 0),
+        |kept AS (
+        |  SELECT text FROM pages WHERE len(string_split(text, ' ')) >= 20)
+        |SELECT count(*) AS n_pages_kept,
+        |  count(DISTINCT text) AS n_unique
+        |FROM kept""".stripMargin,
 
     // CDC replay: latest change per key via row_number over ts desc
     // ((key, ts) unique by construction), delete removes, I/U replaces,

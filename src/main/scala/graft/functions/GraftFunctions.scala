@@ -43,6 +43,28 @@ object GraftFunctions {
       s"$fn $name must be an integer literal, got $other")
   }
 
+  private def doubleLit(e: Expression, fn: String, name: String): Double = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Double, _) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toDouble
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: java.math.BigDecimal, _) =>
+      v.doubleValue // SQL parses 0.33 as a DECIMAL literal
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: org.apache.spark.sql.types.Decimal, _) =>
+      v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$fn $name must be a numeric literal, got $other")
+  }
+
+  private val htmlMainId = FunctionIdentifier("graft_html_main")
+  private val htmlMainInfo =
+    new ExpressionInfo(classOf[HtmlMainKernel].getName, "graft_html_main")
+  private val htmlMainBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 3,
+      s"graft_html_main expects (html, minChars, maxLinkDensity), got ${args.length} args")
+    HtmlMainKernel(args.head,
+      intLit(args(1), "graft_html_main", "minChars"),
+      doubleLit(args(2), "graft_html_main", "maxLinkDensity"))
+  }
+
   private val tokenCountId = FunctionIdentifier("graft_token_count")
   private val tokenCountInfo =
     new ExpressionInfo(classOf[TokenCountKernel].getName, "graft_token_count")
@@ -123,7 +145,8 @@ object GraftFunctions {
     (wordShinglesId, wordShinglesInfo, wordShinglesBuilder),
     (sortedIntersectId, sortedIntersectInfo, sortedIntersectBuilder),
     (bpeCountId, bpeCountInfo, bpeCountBuilder),
-    (nfcId, nfcInfo, nfcBuilder))
+    (nfcId, nfcInfo, nfcBuilder),
+    (htmlMainId, htmlMainInfo, htmlMainBuilder))
 
   def inject(ext: SparkSessionExtensions): Unit =
     all.foreach(ext.injectFunction)
@@ -151,6 +174,17 @@ object GraftFunctions {
     register(spark)
     org.apache.spark.sql.functions.call_function("graft_winnow", text,
       org.apache.spark.sql.functions.lit(k), org.apache.spark.sql.functions.lit(w))
+  }
+
+  /** Column-API handle on the HTML main-content kernel — see
+    * [[HtmlExtract.mainContent]]. */
+  def htmlMain(
+      spark: SparkSession, html: Column,
+      minChars: Int = 25, maxLinkDensity: Double = 0.33): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_html_main", html,
+      org.apache.spark.sql.functions.lit(minChars),
+      org.apache.spark.sql.functions.lit(maxLinkDensity))
   }
 
   /** Column-API handle on the token-count kernel. */
