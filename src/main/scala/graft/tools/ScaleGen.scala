@@ -22,8 +22,14 @@ import scala.util.Random
   * files). Deterministic for a given mult: a single seeded PRNG drives
   * the whole generation, so reruns byte-match.
   *
-  * The remaining TPC-H-ish tables are NOT scaled here (the scaling
-  * targets are the corpus/vector ops); copy them from sf0.1 so every
+  * Also scales `events` (5 uniform types, users ∝ scale at ~67
+  * events/user, one fixed 30-day window that DENSIFIES with scale —
+  * the funnel/retention/sessionization shape) and `customer`
+  * (profiled driver recipe), both generated distributed with every
+  * column derived from `xxhash64(row_id, salt)` — deterministic
+  * independent of partition layout, no driver-side row buffers. The
+  * remaining TPC-H-ish tables are NOT scaled (no query's scaling
+  * claim depends on them); copy them from sf0.1 so every
   * `SparkEntry.queries` entry still runs against the scaled dir.
   */
 object ScaleGen {
@@ -50,6 +56,7 @@ object ScaleGen {
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -132,6 +139,52 @@ object ScaleGen {
     spark.createDataFrame(
         spark.sparkContext.parallelize(vecRows, 32), vecSchema)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    // --- events ------------------------------------------------------
+    // Driver recipe (profiled from sf0.1): 5 uniform event types,
+    // users ∝ scale at ~67 events/user, ONE 30-day window (Jan 2024,
+    // UTC — the window stays fixed and densifies as scale grows, the
+    // right shape for funnel/retention), value ~ Exp(mean 50) to
+    // cents, props = {"k": 0..99}. Generated DISTRIBUTED and
+    // partition-layout-independent: every column derives from
+    // xxhash64(event_id, salt), no driver-side rows, no closures.
+    {
+      import org.apache.spark.sql.Column
+      import org.apache.spark.sql.functions._
+      val nEvents = 100000L * mult
+      val nUsers = 1500L * mult
+      val id = col("id")
+      def u(salt: Int): Column = // uniform [0,1) from a salted row hash
+        pmod(xxhash64(id, lit(salt)), lit(1L << 40)).cast("double") / (1L << 40).toDouble
+      spark.range(0L, nEvents, 1L, 32)
+        .select(
+          id.as("event_id"),
+          timestamp_millis((lit(1704067200000L) + // 2024-01-01T00:00:00Z
+            (u(2) * lit(30.0 * 86400 * 1000)).cast("long"))).as("ts"),
+          pmod(xxhash64(id, lit(3)), lit(nUsers)).as("user_id"),
+          element_at(
+            array(Seq("view", "click", "purchase", "signup", "error").map(lit): _*),
+            (pmod(xxhash64(id, lit(4)), lit(5)) + 1).cast("int")).as("event_type"),
+          round(-lit(50.0) * log(lit(1.0) - u(5)), 2).as("value"),
+          concat(lit("{\"k\": "), pmod(xxhash64(id, lit(6)), lit(100)), lit("}"))
+            .as("props"))
+        .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+
+      // --- customer --------------------------------------------------
+      val nCust = 15000L * mult
+      spark.range(0L, nCust, 1L, 32)
+        .select(
+          id.as("c_custkey"),
+          concat(lit("Customer#"), lpad(id.cast("string"), 9, "0")).as("c_name"),
+          pmod(xxhash64(id, lit(11)), lit(25)).cast("int").as("c_nationkey"),
+          round(lit(-999.99) + u(12) * lit(10999.98), 2).as("c_acctbal"),
+          element_at(
+            array(Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+              "MACHINERY").map(lit): _*),
+            (pmod(xxhash64(id, lit(13)), lit(5)) + 1).cast("int")).as("c_mktsegment"))
+        .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
+      println(s"[scalegen] wrote $nEvents events + $nCust customers to $outDir")
+    }
 
     println(s"[scalegen] wrote $nDocs docs + $nVecs vectors to $outDir")
     spark.stop()
