@@ -2071,6 +2071,58 @@ object SparkEntry {
         .agg(
           count(lit(1)).as("n_pages_kept"),
           countDistinct(col("text")).as("n_unique"))
+    }),
+
+    // ---- north-star: URL canonicalization — RFC 3986 syntax
+    //      normalization + crawl extras (case, default ports,
+    //      fragments, tracking params) and registrable-domain
+    //      extraction; messy URLs are synthesized constructively so
+    //      the oracle knows the clean form WITHOUT normalizing
+    //      (n_exact must equal n_urls — the q140 pattern).
+    "q142_url_normalize" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val tlds = array(lit("com"), lit("org"), lit("net"), lit("co.uk"), lit("de"))
+      val tld = element_at(tlds, (col("doc_id") % 5 + 1).cast("int"))
+      val subs = array(lit(""), lit("WWW."), lit("CDN.Assets."))
+      val sub = element_at(subs, (col("doc_id") % 3 + 1).cast("int"))
+      val port = when(col("doc_id") % 2 === 0, lit(":80")).otherwise(lit(""))
+      val messy = concat(lit("HTTP://"), sub, lit("Site"), col("doc_id") % 11,
+        lit("."), upper(tld), port, lit("/Doc/"), col("doc_id"),
+        lit("?utm_source=feed&id="), col("doc_id"), lit("&gclid=XYZ#frag"))
+      val expected = concat(lit("http://"), lower(sub), lit("site"),
+        col("doc_id") % 11, lit("."), tld, lit("/Doc/"), col("doc_id"),
+        lit("?id="), col("doc_id"))
+      docs.select(col("doc_id"), tld.as("tld"),
+          graft.ops.UrlOps.normalizeUrl(messy).as("norm"),
+          expected.as("expected"),
+          graft.ops.UrlOps.registrableDomain(
+            graft.ops.UrlOps.hostOf(messy)).as("dom"))
+        .groupBy("tld")
+        .agg(
+          count(lit(1)).as("n_urls"),
+          sum(when(col("norm") === col("expected"), 1L).otherwise(0L))
+            .as("n_exact"),
+          countDistinct(col("dom")).as("n_domains"),
+          sum(col("doc_id")).as("sum_ids"))
+    }),
+
+    // ---- north-star: per-domain page caps — the crawl-balance step
+    //      (no domain may dominate the corpus); selection by salted
+    //      md5 hash order so the oracle replays the winner set exactly,
+    //      small domains skip the window, seeded hot domains exercise
+    //      the capped path.
+    "q143_domain_cap" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val domNum = when(col("doc_id") % 3 === 0, col("doc_id") % 10)
+        .otherwise(col("doc_id") % 200)
+      val urls = docs.select(col("doc_id"),
+        concat(lit("http://d"), domNum, lit(".com/p/"), col("doc_id")).as("url"))
+      graft.ops.UrlOps.domainCap(urls, "url", cap = 5, salt = "domcap")
+        .agg(
+          count(lit(1)).as("n_kept"),
+          countDistinct(graft.ops.UrlOps.registrableDomain(
+            graft.ops.UrlOps.hostOf(col("url")))).as("n_domains"),
+          sum(col("doc_id")).as("sum_ids"))
     })
   )
 
@@ -4136,6 +4188,44 @@ object SparkEntry {
         |SELECT count(*) AS n_pages_kept,
         |  count(DISTINCT text) AS n_unique
         |FROM kept""".stripMargin,
+
+    // URL-normalize replay: the messy URL is built FROM the clean
+    // parts, so the oracle reconstructs expected forms without any URL
+    // parsing — every normalization must land exactly (n_exact=n_urls)
+    "q142_url_normalize" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    ['com','org','net','co.uk','de'][CAST(doc_id % 5 AS INT) + 1] AS tld,
+        |    'site' || CAST(doc_id % 11 AS VARCHAR) || '.'
+        |      || ['com','org','net','co.uk','de'][CAST(doc_id % 5 AS INT) + 1] AS dom
+        |  FROM documents)
+        |SELECT tld, count(*) AS n_urls, count(*) AS n_exact,
+        |  count(DISTINCT dom) AS n_domains,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM u GROUP BY tld""".stripMargin,
+
+    // domain-cap replay: identical salted-md5 unit positions on both
+    // engines (the q37 hash discipline), row_number over (pos, url)
+    "q143_domain_cap" -> {
+      val h = PortableSql.minhashBase("concat('domcap', ':', url)", DD)
+      """WITH urls AS (
+        |  SELECT doc_id,
+        |    'http://d' || CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 10
+        |      ELSE doc_id % 200 END AS VARCHAR)
+        |      || '.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+        |    'd' || CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 10
+        |      ELSE doc_id % 200 END AS VARCHAR) || '.com' AS dom
+        |  FROM documents),
+        |h AS (SELECT doc_id, url, dom,
+        |    CAST(""".stripMargin + h +
+        """ AS DOUBLE) / 1152921504606846976.0 AS p FROM urls),
+        |r AS (SELECT doc_id, dom,
+        |    ROW_NUMBER() OVER (PARTITION BY dom ORDER BY p, url) AS rn
+        |  FROM h)
+        |SELECT count(*) AS n_kept, count(DISTINCT dom) AS n_domains,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM r WHERE rn <= 5""".stripMargin
+    },
 
     // CDC replay: latest change per key via row_number over ts desc
     // ((key, ts) unique by construction), delete removes, I/U replaces,

@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * URL hygiene for web-scale corpus ingestion — the step between a web
+ * source ([[graft.sources.WarcSource]] → [[graft.functions.HtmlExtract]])
+ * and corpus dedup: crawls carry the SAME page under uppercase hosts,
+ * explicit default ports, tracking parameters, and fragments, so URL
+ * canonicalization is what makes URL-level dedup and per-domain
+ * accounting mean anything. (The reference has no web ingestion —
+ * north-star surface.)
+ *
+ * Everything here is pure `Column` arithmetic over Spark built-ins
+ * (`parse_url`, regex, array HOFs) — codegen'd, scan-speed, no UDFs,
+ * no shuffles until an operator genuinely aggregates.
+ *
+ *  - [[normalizeUrl]]: RFC 3986 §6 syntax-based normalization plus the
+ *    crawl-standard extras — lowercase scheme+host (case-insensitive
+ *    by spec; path/query case PRESERVED, they are not), strip default
+ *    ports (:80 http, :443 https), drop fragments, drop tracking
+ *    parameters (utm_*, fbclid, gclid, msclkid by default) while
+ *    preserving the order of the rest. Null/unparseable input → null.
+ *  - [[registrableDomain]]: the per-site grouping key. Full
+ *    public-suffix-list resolution needs the (large, mutable) PSL
+ *    database; this uses the documented two-label heuristic with the
+ *    common second-level set (`co/com/net/org/gov/ac/edu` under a
+ *    2-char TLD → three labels, e.g. `site.co.uk`), which resolves the
+ *    dominant crawl patterns and is exactly replayable in the oracle.
+ *    Swap point for a broadcast PSL lookup if exactness on exotic
+ *    suffixes ever matters.
+ *  - [[domainCap]]: at most `cap` pages per registrable domain, chosen
+ *    by salted-hash order — deterministic across runs/partitionings
+ *    (the [[Sampling.unitPos]] discipline), no favored crawl order.
+ *    One shuffle: the count join and the row_number window share the
+ *    domain hash-partitioning, so Spark plans a single exchange.
+ *    Small domains (≤ cap, the overwhelming mass of the web) take the
+ *    count-join fast path and SKIP the window entirely; only
+ *    above-cap domains sort, and `prefilterMargin` optionally fences
+ *    a pathological mega-domain's window partition down to
+ *    ~margin·cap hash-selected survivors (keep the margin generous:
+ *    the fence is probabilistic — an under-selected domain would keep
+ *    fewer than cap; margin 8 at cap ≥ 100 puts that beyond 1e-12).
+ */
+object UrlOps {
+
+  /** Tracking parameters dropped by [[normalizeUrl]]: `name(=…)?`. */
+  val DefaultDropParams = "^(utm_[^=]*|fbclid|gclid|msclkid)(=.*)?$"
+
+  /** Lowercased host of a URL (hosts are case-insensitive, RFC 3986
+    * §3.2.2); null for unparseable input. */
+  def hostOf(url: Column): Column = lower(try_parse_url(url, lit("HOST")))
+
+  def normalizeUrl(url: Column, dropParams: String = DefaultDropParams): Column = {
+    val scheme = lower(try_parse_url(url, lit("PROTOCOL")))
+    val host = hostOf(url)
+    val port = regexp_extract(try_parse_url(url, lit("AUTHORITY")), ":([0-9]+)$", 1)
+    val isDefault = (scheme === "http" && port === "80") ||
+      (scheme === "https" && port === "443")
+    val portPart = when(port === "" || isDefault, lit(""))
+      .otherwise(concat(lit(":"), port))
+    val path = coalesce(try_parse_url(url, lit("PATH")), lit(""))
+    val query = try_parse_url(url, lit("QUERY"))
+    val kept = filter(split(coalesce(query, lit("")), "&"),
+      p => p =!= "" && !p.rlike(dropParams))
+    val queryPart = when(query.isNull || size(kept) === 0, lit(""))
+      .otherwise(concat(lit("?"), array_join(kept, "&")))
+    // an unparseable URL has null scheme/host → whole concat null
+    concat(scheme, lit("://"), host, portPart, path, queryPart)
+  }
+
+  /** Second-level labels that usually sit under a country TLD. */
+  private val CommonSlds = Seq("co", "com", "net", "org", "gov", "ac", "edu")
+
+  def registrableDomain(host: Column): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val tld = element_at(labels, -1)
+    val sld = element_at(labels, -2)
+    when(host.isNull, lit(null).cast("string"))
+      .when(n >= 3 && sld.isin(CommonSlds: _*) && length(tld) === 2,
+        concat_ws(".", element_at(labels, -3), sld, tld))
+      .when(n >= 2, concat_ws(".", sld, tld))
+      .otherwise(host)
+  }
+
+  /**
+   * Keep at most `cap` rows per registrable domain, selected by salted
+   * hash order over the URL (ties broken by the URL itself — total
+   * order, bit-replayable). Output keeps the input columns.
+   */
+  def domainCap(
+      df: DataFrame,
+      urlCol: String,
+      cap: Int,
+      salt: String = "domcap",
+      prefilterMargin: Option[Double] = None): DataFrame = {
+    require(cap >= 1, "cap must keep at least one page per domain")
+    prefilterMargin.foreach(m => require(m > 1.0, "prefilterMargin must exceed 1"))
+    val inCols = df.columns.map(col).toSeq
+    val withDom = df
+      .withColumn("__dom", registrableDomain(hostOf(col(urlCol))))
+      .withColumn("__pos", Sampling.unitPos(col(urlCol), salt))
+    val counts = withDom.groupBy("__dom").agg(count(lit(1)).as("__n"))
+    val joined = withDom.join(counts, Seq("__dom")) // hash-partitioned by __dom
+    val small = joined.filter(col("__n") <= cap).select(inCols: _*)
+    val bigAll = joined.filter(col("__n") > cap)
+    // optional mega-domain fence: the window partition shrinks from __n
+    // to ~margin·cap hash-selected rows (uniform hash ⇒ binomial tail)
+    val big = prefilterMargin.fold(bigAll) { m =>
+      bigAll.filter(col("__pos") < lit(m * cap) / col("__n"))
+    }
+    val w = Window.partitionBy("__dom").orderBy(col("__pos"), col(urlCol))
+    val kept = big.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap)
+      .select(inCols: _*)
+    small.unionByName(kept)
+  }
+}
