@@ -2123,6 +2123,88 @@ object SparkEntry {
           countDistinct(graft.ops.UrlOps.registrableDomain(
             graft.ops.UrlOps.hostOf(col("url")))).as("n_domains"),
           sum(col("doc_id")).as("sum_ids"))
+    }),
+
+    // ---- north-star: robots.txt crawl-policy gate (RFC 9309) — rules
+    //      parse once per host, per-URL decisions at scan speed;
+    //      synthesized policies exercise group selection (specific
+    //      agent over *), longest-match allow-over-disallow, wildcard
+    //      + end-anchor patterns, and the missing-robots default. The
+    //      oracle replays the DECISIONS constructively (it knows which
+    //      (host, path) cases are legal by design), never parsing.
+    "q144_robots_filter" -> ((s, dir) => {
+      import s.implicits._
+      val docs = T(s, dir, "documents")
+      val stdPolicy =
+        """# graft crawl policy
+          |User-Agent: *
+          |Disallow: /private/
+          |Allow: /private/pub*
+          |Disallow: /*.tmp$""".stripMargin
+      val botPolicy =
+        "User-agent: graftbot\nDisallow: /\n\nUser-agent: *\nAllow: /"
+      val robots = Seq(
+        ("h0.com", stdPolicy), ("h1.com", stdPolicy), ("h3.com", botPolicy))
+        .toDF("host", "robots_txt")
+      val path = element_at(array(
+          concat(lit("/public/doc"), col("doc_id")),
+          concat(lit("/private/doc"), col("doc_id")),
+          concat(lit("/private/pub"), col("doc_id")),
+          concat(lit("/cache/doc"), col("doc_id"), lit(".tmp")),
+          concat(lit("/docs/doc"), col("doc_id"), lit(".html"))),
+        (col("doc_id") % 5 + 1).cast("int"))
+      val urls = docs.select(col("doc_id"),
+        concat(lit("http://h"), col("doc_id") % 4, lit(".com"), path).as("url"))
+      graft.ops.Robots.filterAllowed(s, urls, "url", robots, "graftbot")
+        .groupBy(regexp_extract(col("url"), "http://([^/]+)/", 1).as("host"))
+        .agg(count(lit(1)).as("n_allowed"), sum(col("doc_id")).as("sum_ids"))
+    }),
+
+    // ---- north-star: crawl-payload triage — magic-byte MIME sniffing
+    //      (WHATWG pattern set), charset cascade (BOM → meta charset →
+    //      UTF-8 validation → windows-1252), per-row-charset decode;
+    //      payloads synthesized constructively per doc (plain text,
+    //      HTML, BOM'd text, PNG magic, PDF header, latin-1 bytes) so
+    //      every sniff/detect/decode outcome is known by design.
+    "q145_payload_triage" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      val m = col("doc_id") % 6
+      val utf8 = encode(col("text"), "UTF-8")
+      val bom = lit(Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte))
+      val pngJunk = lit(Array[Byte](0x89.toByte, 'P', 'N', 'G',
+        0x0d, 0x0a, 0x1a, 0x0a, 1, 2, 3, 4))
+      val latin1Tail = lit(Array(0xE9.toByte)) // 'é' in windows-1252
+      val payload = when(m === 0, utf8)
+        .when(m === 1, encode(concat(lit("<html><body>"), col("text")), "UTF-8"))
+        .when(m === 2, concat(bom, utf8))
+        .when(m === 3, pngJunk)
+        .when(m === 4, encode(concat(lit("%PDF-1.4 "), col("text")), "UTF-8"))
+        .otherwise(concat(utf8, latin1Tail))
+      val expectMime = element_at(array(
+        lit("text/plain"), lit("text/html"), lit("text/plain"),
+        lit("image/png"), lit("application/pdf"), lit("text/plain")),
+        (m + 1).cast("int"))
+      val expectCs = element_at(array(
+        lit("utf-8"), lit("utf-8"), lit("utf-8"),
+        lit("windows-1252"), lit("utf-8"), lit("windows-1252")),
+        (m + 1).cast("int"))
+      val expectText = when(m === 0 || m === 2, col("text"))
+        .when(m === 1, concat(lit("<html><body>"), col("text")))
+        .when(m === 4, concat(lit("%PDF-1.4 "), col("text")))
+        .when(m === 5, concat(col("text"), lit("é")))
+      val g = graft.functions.GraftFunctions
+      docs.select(m.as("bucket"),
+          g.sniffMime(s, payload).as("mime"),
+          g.detectCharset(s, payload).as("cs"),
+          g.decodeText(s, payload).as("decoded"),
+          expectMime.as("em"), expectCs.as("ec"), expectText.as("et"))
+        .groupBy("bucket")
+        .agg(
+          count(lit(1)).as("n_payloads"),
+          sum(when(col("mime") === col("em"), 1L).otherwise(0L)).as("n_mime_ok"),
+          sum(when(col("cs") === col("ec"), 1L).otherwise(0L)).as("n_charset_ok"),
+          sum(when(col("bucket") === 3 || col("decoded") === col("et"), 1L)
+            .otherwise(0L)).as("n_decode_ok"))
     })
   )
 
@@ -4226,6 +4308,31 @@ object SparkEntry {
         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
         |FROM r WHERE rn <= 5""".stripMargin
     },
+
+    // robots replay: decisions are known by construction — host h2 has
+    // no robots (allow all), h3's agent-specific group denies all,
+    // h0/h1 allow exactly path cases 0/2/4 (public, allow-override,
+    // no-match default); the oracle never parses robots.txt
+    "q144_robots_filter" ->
+      """WITH u AS (
+        |  SELECT doc_id, CAST(doc_id % 4 AS INT) AS hostnum,
+        |    CAST(doc_id % 5 AS INT) AS pc
+        |  FROM documents),
+        |a AS (
+        |  SELECT * FROM u
+        |  WHERE hostnum = 2 OR (hostnum <> 3 AND pc IN (0, 2, 4)))
+        |SELECT 'h' || CAST(hostnum AS VARCHAR) || '.com' AS host,
+        |  count(*) AS n_allowed, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM a GROUP BY 1""".stripMargin,
+
+    // triage replay: payloads are synthesized so every sniff, charset,
+    // and decode outcome is known by construction — all counters must
+    // equal the bucket size
+    "q145_payload_triage" ->
+      """SELECT doc_id % 6 AS bucket, count(*) AS n_payloads,
+        |  count(*) AS n_mime_ok, count(*) AS n_charset_ok,
+        |  count(*) AS n_decode_ok
+        |FROM documents WHERE text IS NOT NULL GROUP BY 1""".stripMargin,
 
     // CDC replay: latest change per key via row_number over ts desc
     // ((key, ts) unique by construction), delete removes, I/U replaces,

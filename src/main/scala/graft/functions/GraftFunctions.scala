@@ -135,7 +135,56 @@ object GraftFunctions {
     NfcNormalizeKernel(args.head)
   }
 
+  private val robotsRulesId = FunctionIdentifier("graft_robots_rules")
+  private val robotsRulesInfo =
+    new ExpressionInfo(classOf[RobotsRulesKernel].getName, "graft_robots_rules")
+  private val robotsRulesBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 2,
+      s"graft_robots_rules expects (content, agent), got ${args.length} args")
+    RobotsRulesKernel(args.head, args(1))
+  }
+
+  private val robotsAllowedId = FunctionIdentifier("graft_robots_allowed")
+  private val robotsAllowedInfo =
+    new ExpressionInfo(classOf[RobotsAllowedKernel].getName, "graft_robots_allowed")
+  private val robotsAllowedBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 2,
+      s"graft_robots_allowed expects (path, rules), got ${args.length} args")
+    RobotsAllowedKernel(args.head, args(1))
+  }
+
+  private val sniffMimeId = FunctionIdentifier("graft_sniff_mime")
+  private val sniffMimeInfo =
+    new ExpressionInfo(classOf[SniffMimeKernel].getName, "graft_sniff_mime")
+  private val sniffMimeBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 1, s"graft_sniff_mime expects 1 argument, got ${args.length}")
+    SniffMimeKernel(args.head)
+  }
+
+  private val detectCharsetId = FunctionIdentifier("graft_detect_charset")
+  private val detectCharsetInfo =
+    new ExpressionInfo(classOf[DetectCharsetKernel].getName, "graft_detect_charset")
+  private val detectCharsetBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 1,
+      s"graft_detect_charset expects 1 argument, got ${args.length}")
+    DetectCharsetKernel(args.head)
+  }
+
+  private val decodeTextId = FunctionIdentifier("graft_decode_text")
+  private val decodeTextInfo =
+    new ExpressionInfo(classOf[DecodeTextKernel].getName, "graft_decode_text")
+  private val decodeTextBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 1,
+      s"graft_decode_text expects 1 argument, got ${args.length}")
+    DecodeTextKernel(args.head)
+  }
+
   private val all = Seq(
+    (robotsRulesId, robotsRulesInfo, robotsRulesBuilder),
+    (robotsAllowedId, robotsAllowedInfo, robotsAllowedBuilder),
+    (sniffMimeId, sniffMimeInfo, sniffMimeBuilder),
+    (detectCharsetId, detectCharsetInfo, detectCharsetBuilder),
+    (decodeTextId, decodeTextInfo, decodeTextBuilder),
     (cosineId, cosineInfo, cosineBuilder),
     (winnowId, winnowInfo, winnowBuilder),
     (tokenCountId, tokenCountInfo, tokenCountBuilder),
@@ -174,6 +223,27 @@ object GraftFunctions {
     register(spark)
     org.apache.spark.sql.functions.call_function("graft_winnow", text,
       org.apache.spark.sql.functions.lit(k), org.apache.spark.sql.functions.lit(w))
+  }
+
+  /** Column-API handle on the payload MIME sniffer — see
+    * [[SniffKernels.sniffMime]]. */
+  def sniffMime(spark: SparkSession, payload: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_sniff_mime", payload)
+  }
+
+  /** Column-API handle on the charset detector — see
+    * [[SniffKernels.detectCharset]]. */
+  def detectCharset(spark: SparkSession, payload: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_detect_charset", payload)
+  }
+
+  /** Column-API handle on the sniffed-charset text decoder — see
+    * [[SniffKernels.decodeText]]. */
+  def decodeText(spark: SparkSession, payload: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_decode_text", payload)
   }
 
   /** Column-API handle on the HTML main-content kernel — see
