@@ -2205,6 +2205,55 @@ object SparkEntry {
           sum(when(col("cs") === col("ec"), 1L).otherwise(0L)).as("n_charset_ok"),
           sum(when(col("bucket") === 3 || col("decoded") === col("et"), 1L)
             .otherwise(0L)).as("n_decode_ok"))
+    }),
+
+    // ---- north-star CAPSTONE: the full web-ingestion pipeline — render
+    //      pages (duplicate crawl for every 3rd doc, UTF-8 BOM on every
+    //      2nd payload), land them as a splittable WARC archive, then
+    //      re-ingest: boundary-synced WARC scan → MIME sniff → charset-
+    //      sniffed decode → HTML main-content extraction → robots.txt
+    //      gate (messy-cased hosts, /private/ paths denied) → exact
+    //      dedup + char accounting. Every stage is one of the round's
+    //      oracle-proven operators, so the END-TO-END oracle is purely
+    //      constructive over the source table.
+    "q146_web_capstone" -> ((s, dir) => {
+      import s.implicits._
+      val g = graft.functions.GraftFunctions
+      val out = tmp("q146_warc")
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      def pathFor(stem: String) = when(col("doc_id") % 7 === 0,
+          concat(lit("/private/" + stem), col("doc_id")))
+        .otherwise(concat(lit("/docs/" + stem), col("doc_id")))
+      def page(d: DataFrame, pathCol: org.apache.spark.sql.Column) = d.select(
+        concat(lit("HTTP://Corpus.LOCAL"), pathCol).as("target_uri"),
+        lit("2026-03-01T00:00:00Z").as("warc_date"),
+        concat(lit("<urn:web:"), col("doc_id"), lit(":"), pathCol, lit(">"))
+          .as("record_id"),
+        lit("text/html").as("content_type"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit(Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte)),
+            encode(syntheticPage(col("doc_id"), col("text")), "UTF-8")))
+          .otherwise(encode(syntheticPage(col("doc_id"), col("text")), "UTF-8"))
+          .as("payload"))
+      graft.sources.WarcIO.writeWarc(
+        page(docs, pathFor("doc"))
+          .unionByName(
+            page(docs.filter(col("doc_id") % 3 === 0), pathFor("copy")))
+          .repartition(4),
+        out)
+      val robots = Seq(("corpus.local", "User-agent: *\nDisallow: /private/"))
+        .toDF("host", "robots_txt")
+      val fetched = s.read.format("graft.sources.WarcSource")
+        .option("path", out).option("splitBytes", "32768").load()
+        .filter(g.sniffMime(s, col("payload")) === "text/html")
+        .select(col("target_uri").as("url"),
+          g.htmlMain(s, g.decodeText(s, col("payload")), minChars = 5)
+            .as("content"))
+      graft.ops.Robots.filterAllowed(s, fetched, "url", robots, "graftbot")
+        .agg(
+          count(lit(1)).as("n_allowed"),
+          countDistinct(col("content")).as("n_unique"),
+          sum(length(col("content"))).as("sum_chars"))
     })
   )
 
@@ -4333,6 +4382,23 @@ object SparkEntry {
         |  count(*) AS n_mime_ok, count(*) AS n_charset_ok,
         |  count(*) AS n_decode_ok
         |FROM documents WHERE text IS NOT NULL GROUP BY 1""".stripMargin,
+
+    // capstone replay: every stage is identity-or-known (WARC roundtrip
+    // byte-exact per q139, decode strips the BOM per q145, extraction
+    // recovers text per q140, robots denies exactly the /private/
+    // paths per q144), so the oracle is pure arithmetic on documents —
+    // duplicate crawl rows included
+    "q146_web_capstone" ->
+      """WITH pages AS (
+        |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id, text FROM documents
+        |  WHERE text IS NOT NULL AND doc_id % 3 = 0),
+        |allowed AS (SELECT * FROM pages WHERE doc_id % 7 <> 0)
+        |SELECT count(*) AS n_allowed,
+        |  count(DISTINCT text) AS n_unique,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_chars
+        |FROM allowed""".stripMargin,
 
     // CDC replay: latest change per key via row_number over ts desc
     // ((key, ts) unique by construction), delete removes, I/U replaces,
