@@ -2254,6 +2254,22 @@ object SparkEntry {
           count(lit(1)).as("n_allowed"),
           countDistinct(col("content")).as("n_unique"),
           sum(length(col("content"))).as("sum_chars"))
+    }),
+
+    // ---- north-star: page-title metadata extraction — the corpus
+    //      record's metadata field beside the extracted body
+    //      (trafilatura's metadata step); the synthesized page titles
+    //      each doc "Doc <id>", so recovery is constructive.
+    "q147_html_title" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      docs.select(col("doc_id"),
+          graft.functions.GraftFunctions.htmlTitle(
+            s, syntheticPage(col("doc_id"), col("text"))).as("title"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("title") === concat(lit("Doc "), col("doc_id")), 1L)
+            .otherwise(0L)).as("n_title_ok"),
+          countDistinct(col("title")).as("n_unique"))
     })
   )
 
@@ -4399,6 +4415,14 @@ object SparkEntry {
         |  count(DISTINCT text) AS n_unique,
         |  CAST(sum(length(text)) AS BIGINT) AS sum_chars
         |FROM allowed""".stripMargin,
+
+    // title replay: the synthesized page titles each doc "Doc <id>",
+    // so every title must come back exactly and titles are as distinct
+    // as doc ids
+    "q147_html_title" ->
+      """SELECT count(*) AS n_docs, count(*) AS n_title_ok,
+        |  count(DISTINCT doc_id) AS n_unique
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
 
     // CDC replay: latest change per key via row_number over ts desc
     // ((key, ts) unique by construction), delete removes, I/U replaces,

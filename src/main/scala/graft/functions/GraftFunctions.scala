@@ -179,9 +179,18 @@ object GraftFunctions {
     DecodeTextKernel(args.head)
   }
 
+  private val htmlTitleId = FunctionIdentifier("graft_html_title")
+  private val htmlTitleInfo =
+    new ExpressionInfo(classOf[HtmlTitleKernel].getName, "graft_html_title")
+  private val htmlTitleBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 1, s"graft_html_title expects 1 argument, got ${args.length}")
+    HtmlTitleKernel(args.head)
+  }
+
   private val all = Seq(
     (robotsRulesId, robotsRulesInfo, robotsRulesBuilder),
     (robotsAllowedId, robotsAllowedInfo, robotsAllowedBuilder),
+    (htmlTitleId, htmlTitleInfo, htmlTitleBuilder),
     (sniffMimeId, sniffMimeInfo, sniffMimeBuilder),
     (detectCharsetId, detectCharsetInfo, detectCharsetBuilder),
     (decodeTextId, decodeTextInfo, decodeTextBuilder),
@@ -223,6 +232,13 @@ object GraftFunctions {
     register(spark)
     org.apache.spark.sql.functions.call_function("graft_winnow", text,
       org.apache.spark.sql.functions.lit(k), org.apache.spark.sql.functions.lit(w))
+  }
+
+  /** Column-API handle on the page-title kernel — see
+    * [[HtmlExtract.title]]. */
+  def htmlTitle(spark: SparkSession, html: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_html_title", html)
   }
 
   /** Column-API handle on the payload MIME sniffer — see

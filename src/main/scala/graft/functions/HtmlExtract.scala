@@ -219,6 +219,53 @@ object HtmlExtract {
     }
     -1
   }
+
+  /** `<title>` text of a page: first title element's content, entity-
+    * decoded and whitespace-normalized; null when absent/empty. The
+    * per-document metadata a corpus record carries beside the extracted
+    * body (trafilatura's metadata step). Title is a raw-text-ish
+    * element — nested tags are not legal inside it, so the content is
+    * everything to `</title>`. */
+  def title(html: UTF8String): UTF8String = {
+    val s = html.toString
+    val open = indexOfIgnoreCase(s, "<title", 0)
+    if (open < 0) return null
+    val gt = s.indexOf('>', open)
+    if (gt < 0) return null
+    val close = indexOfIgnoreCase(s, "</title", gt + 1)
+    val raw = s.substring(gt + 1, if (close < 0) s.length else close)
+    // entity-decode then normalize through the shared paths
+    val buf = new java.lang.StringBuilder
+    var i = 0
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      if (c == '&') {
+        val (d, next) = decodeEntity(raw, i)
+        buf.append(d); i = next
+      } else { buf.append(c); i += 1 }
+    }
+    val norm = normalizeWs(buf)
+    if (norm.isEmpty) null else UTF8String.fromString(norm)
+  }
+}
+
+/** `graft_html_title(html)` — see [[HtmlExtract.title]]. Null-
+  * propagating; also null for pages without a non-empty title. */
+case class HtmlTitleKernel(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_html_title"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string argument, got ${child.dataType.sql}")
+  override def nullSafeEval(input: Any): Any =
+    HtmlExtract.title(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.HtmlExtract.title($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** `graft_html_main(html, minChars, maxLinkDensity)` — see

@@ -96,6 +96,20 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(got(2).isNullAt(1))
   }
 
+  test("title extraction: entity decode, normalization, absent/empty → null") {
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    def t(h: String): String =
+      Option(HtmlExtract.title(u(h))).map(_.toString).orNull
+    assert(t("<html><head><TITLE>  My &amp; Page \n</TITLE></head></html>") == "My & Page")
+    assert(t("<title attr=\"x\">With Attr</title>") == "With Attr")
+    assert(t("<body>no title</body>") == null)
+    assert(t("<title></title><p>x</p>") == null)
+    assert(t("<title>unclosed at EOF") == "unclosed at EOF")
+    val df = Seq("<title>From DF</title>").toDF("h")
+      .select(GraftFunctions.htmlTitle(spark, col("h")))
+    assert(df.as[String].head() == "From DF")
+  }
+
   test("SQL surface: graft_html_main with literal config") {
     GraftFunctions.register(spark)
     val got = spark.sql(
