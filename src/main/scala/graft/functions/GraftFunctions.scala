@@ -187,7 +187,35 @@ object GraftFunctions {
     HtmlTitleKernel(args.head)
   }
 
+  private val piiStatsId = FunctionIdentifier("graft_pii_stats")
+  private val piiStatsInfo =
+    new ExpressionInfo(classOf[PiiStatsKernel].getName, "graft_pii_stats")
+  private val piiStatsBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 1, s"graft_pii_stats expects 1 argument, got ${args.length}")
+    PiiStatsKernel(args.head)
+  }
+
+  private val piiScrubId = FunctionIdentifier("graft_pii_scrub")
+  private val piiScrubInfo =
+    new ExpressionInfo(classOf[PiiScrubKernel].getName, "graft_pii_scrub")
+  private val piiScrubBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 1, s"graft_pii_scrub expects 1 argument, got ${args.length}")
+    PiiScrubKernel(args.head)
+  }
+
+  private val htmlAnchorsId = FunctionIdentifier("graft_html_anchors")
+  private val htmlAnchorsInfo =
+    new ExpressionInfo(classOf[HtmlAnchorsKernel].getName, "graft_html_anchors")
+  private val htmlAnchorsBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 1,
+      s"graft_html_anchors expects 1 argument, got ${args.length}")
+    HtmlAnchorsKernel(args.head)
+  }
+
   private val all = Seq(
+    (piiStatsId, piiStatsInfo, piiStatsBuilder),
+    (piiScrubId, piiScrubInfo, piiScrubBuilder),
+    (htmlAnchorsId, htmlAnchorsInfo, htmlAnchorsBuilder),
     (robotsRulesId, robotsRulesInfo, robotsRulesBuilder),
     (robotsAllowedId, robotsAllowedInfo, robotsAllowedBuilder),
     (htmlTitleId, htmlTitleInfo, htmlTitleBuilder),
@@ -325,6 +353,27 @@ object GraftFunctions {
     register(spark)
     org.apache.spark.sql.functions.call_function("graft_bpe_count", text,
       org.apache.spark.sql.functions.lit(BpeCountKernel.spec(merges)))
+  }
+
+  /** Column-API handle on the PII audit kernel — see
+    * [[PiiKernels.piiStats]]: `[n_email, n_phone, n_ipv4, n_card]`. */
+  def piiStats(spark: SparkSession, text: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_pii_stats", text)
+  }
+
+  /** Column-API handle on the PII redaction kernel — see
+    * [[PiiKernels.piiScrub]]. */
+  def piiScrub(spark: SparkSession, text: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_pii_scrub", text)
+  }
+
+  /** Column-API handle on the outbound-link kernel — see
+    * [[HtmlExtract.anchors]]. */
+  def htmlAnchors(spark: SparkSession, html: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_html_anchors", html)
   }
 
   /** Column-API handle on the NFC normalization kernel

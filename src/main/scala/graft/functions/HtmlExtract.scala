@@ -210,6 +210,135 @@ object HtmlExtract {
     if (decoded == null) ("&", i + 1) else (decoded, semi + 1)
   }
 
+  /** Outbound links of a page: `(href, anchor)` pairs in document
+    * order — the edge list a web-graph build (in-degree, anchor-text
+    * aggregation, PageRank) starts from. One pass, same tag/entity/
+    * whitespace discipline as [[mainContent]]:
+    *
+    *  - an `<a>` tag contributes a pair iff it has a non-empty `href`
+    *    attribute (entity-decoded — `&amp;` in query strings is the
+    *    common case); anchors without `href` are link targets, not
+    *    links;
+    *  - the anchor text is the tag-stripped, entity-decoded,
+    *    whitespace-normalized text to the matching `</a>` (or to the
+    *    next `<a` / EOF on malformed markup — browsers auto-close);
+    *    empty anchors (image links) yield an empty string, not null;
+    *  - `href` is the raw attribute value after entity decoding: no
+    *    resolution against a base URL here — that is
+    *    [[graft.ops.UrlOps]]' job, against the page's own URI, and
+    *    belongs in the plan, not the kernel.
+    */
+  def anchors(html: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val s = html.toString
+    val n = s.length
+    val out = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.catalyst.InternalRow]
+    var i = 0
+    while (i < n) {
+      val open = indexOfIgnoreCase(s, "<a", i)
+      if (open < 0 || open + 2 > n) { i = n }
+      else if (open + 2 < n && Character.isLetterOrDigit(s.charAt(open + 2))) {
+        i = open + 2 // "<abbr" etc — not an anchor tag
+      } else {
+        // parse the open tag's attributes for href
+        var j = open + 2
+        var href: String = null
+        var quote = 0.toChar
+        var tagEnd = -1
+        var selfClose = false
+        while (j < n && tagEnd < 0) {
+          val c = s.charAt(j)
+          if (quote != 0) { if (c == quote) quote = 0; j += 1 }
+          else if (c == '"' || c == '\'') { quote = c; j += 1 }
+          else if (c == '>') tagEnd = j
+          else if (c == '/' && j + 1 < n && s.charAt(j + 1) == '>') { selfClose = true; j += 1 }
+          else if (Character.isLetter(c)) {
+            val nameStart = j
+            while (j < n && (Character.isLetterOrDigit(s.charAt(j)) || s.charAt(j) == '-')) j += 1
+            val attr = s.substring(nameStart, j).toLowerCase(java.util.Locale.ROOT)
+            while (j < n && isWs(s.charAt(j))) j += 1
+            var value: String = null
+            if (j < n && s.charAt(j) == '=') {
+              j += 1
+              while (j < n && isWs(s.charAt(j))) j += 1
+              if (j < n && (s.charAt(j) == '"' || s.charAt(j) == '\'')) {
+                val q = s.charAt(j)
+                val end = s.indexOf(q, j + 1)
+                value = s.substring(j + 1, if (end < 0) n else end)
+                j = if (end < 0) n else end + 1
+              } else {
+                val valStart = j
+                while (j < n && !isWs(s.charAt(j)) && s.charAt(j) != '>') j += 1
+                value = s.substring(valStart, j)
+              }
+            }
+            if (attr == "href" && href == null && value != null) href = value
+          } else j += 1
+        }
+        if (tagEnd < 0) { i = n }
+        else {
+          var next = tagEnd + 1
+          if (href != null && !selfClose) {
+            // collect anchor text to </a>, the next <a, or EOF
+            val buf = new java.lang.StringBuilder
+            var k = next
+            var stop = -1
+            while (k < n && stop < 0) {
+              val c = s.charAt(k)
+              if (c == '<' && k + 1 < n) {
+                if (s.regionMatches(true, k, "</a", 0, 3) &&
+                  (k + 3 >= n || !Character.isLetterOrDigit(s.charAt(k + 3)))) {
+                  val gt = s.indexOf('>', k)
+                  stop = if (gt < 0) n else gt + 1
+                } else if (s.regionMatches(true, k, "<a", 0, 2) &&
+                  (k + 2 >= n || !Character.isLetterOrDigit(s.charAt(k + 2)))) {
+                  stop = k // malformed: auto-close at next anchor
+                } else {
+                  // skip the nested tag (quoted '>' honored)
+                  var q2 = 0.toChar
+                  var m = k + 1
+                  var done = false
+                  while (m < n && !done) {
+                    val cc = s.charAt(m)
+                    if (q2 != 0) { if (cc == q2) q2 = 0 }
+                    else if (cc == '"' || cc == '\'') q2 = cc
+                    else if (cc == '>') done = true
+                    m += 1
+                  }
+                  k = if (done) m else n
+                }
+              } else if (c == '&') {
+                val (d, nx) = decodeEntity(s, k)
+                buf.append(d); k = nx
+              } else { buf.append(c); k += 1 }
+            }
+            next = if (stop < 0) n else stop
+            val hrefBuf = new java.lang.StringBuilder
+            var h = 0
+            while (h < href.length) {
+              val c = href.charAt(h)
+              if (c == '&') {
+                val (d, nx) = decodeEntity(href, h)
+                hrefBuf.append(d); h = nx
+              } else { hrefBuf.append(c); h += 1 }
+            }
+            val hrefDec = hrefBuf.toString.trim
+            if (hrefDec.nonEmpty)
+              out += org.apache.spark.sql.catalyst.InternalRow(
+                UTF8String.fromString(hrefDec),
+                UTF8String.fromString(normalizeWs(buf)))
+          } else if (href != null && selfClose) {
+            val hrefDec = href.trim
+            if (hrefDec.nonEmpty)
+              out += org.apache.spark.sql.catalyst.InternalRow(
+                UTF8String.fromString(hrefDec), UTF8String.fromString(""))
+          }
+          i = next
+        }
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray[Any])
+  }
+
   private def indexOfIgnoreCase(s: String, needle: String, from: Int): Int = {
     var i = math.max(0, from)
     val last = s.length - needle.length
@@ -264,6 +393,29 @@ case class HtmlTitleKernel(child: Expression) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, c => s"""
       ${ev.value} = graft.functions.HtmlExtract.title($c);
       ${ev.isNull} = ${ev.value} == null;""")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_html_anchors(html)` — see [[HtmlExtract.anchors]]. Returns
+  * `array<struct<href:string, anchor:string>>` in document order;
+  * empty array for pages without links. */
+case class HtmlAnchorsKernel(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("href", StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("anchor", StringType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_html_anchors"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string argument, got ${child.dataType.sql}")
+  override def nullSafeEval(input: Any): Any =
+    HtmlExtract.anchors(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HtmlExtract.anchors($c);")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

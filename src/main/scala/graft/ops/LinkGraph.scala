@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Web-graph analytics over an extracted link table — the ranking side
+ * of a crawl pipeline: link popularity is a standard corpus-quality
+ * prior (pages nothing links to are disproportionately spam), and the
+ * in-degree/anchor-text tables feed retrieval. Input edges come from
+ * [[graft.functions.HtmlExtract.anchors]] → [[UrlOps]] resolution;
+ * nothing here parses HTML or URLs. (The reference has no graph
+ * processing — north-star surface.)
+ *
+ * Scale shape: PageRank (Page et al. 1999, public) is the textbook
+ * iterate-joins algorithm —
+ *
+ *  - the edge table is the big, IMMUTABLE side: out-degrees are
+ *    attached once and the (src, dst, outdeg) frame is
+ *    `localCheckpoint`ed, so each iteration re-reads a materialized
+ *    edge partition set instead of re-running the degree aggregation
+ *    (on a cluster, bucket the edge table by `src` so the per-iteration
+ *    rank⋈edge join co-locates without reshuffling the edges);
+ *  - each iteration is: rank ⋈ edges on src (shuffles only the
+ *    node-sized rank frame), a decomposable `sum` of contributions
+ *    keyed by dst, and a node-sized left join back onto the node set —
+ *    nothing driver-sided, no windows, no global sorts;
+ *  - dangling mass (nodes with no out-links) is folded in
+ *    DECLARATIVELY: a one-row aggregate cross-joined into the update
+ *    projection, so an iteration stays one job and the driver never
+ *    collects a rank;
+ *  - `localCheckpoint` per iteration keeps lineage O(1) (the q118 BPE
+ *    discipline) — iteration count is the only sequential dimension,
+ *    inherent to the power method.
+ */
+object LinkGraph {
+
+  /** In-degree + distinct-source count per target — the cheap
+    * link-popularity signal (one shuffle on `dst`). */
+  def inDegree(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    edges.groupBy(col(dstCol).as("id"))
+      .agg(count(lit(1)).as("in_links"),
+        countDistinct(col(srcCol)).as("in_sources"))
+
+  /**
+   * Power-method PageRank with damping `d`: uniform init 1/n, update
+   * `pr' = (1-d)/n + d * (Σ_in pr/outdeg + danglingMass/n)`.
+   * Duplicate edges contribute once each (a page linking twice votes
+   * twice — deterministic and what the raw anchor table gives you;
+   * `distinct` the edges first for the other contract).
+   *
+   * @param nodes one column `id` — every rankable node (isolated nodes
+   *              included; they hold (1-d)/n + the dangling share)
+   * @param edges columns `src`, `dst`; rows whose endpoints are not in
+   *              `nodes` still contribute mass to `dst` (caller
+   *              restricts first if the graph must be closed)
+   */
+  def pageRank(
+      nodes: DataFrame,
+      edges: DataFrame,
+      iters: Int,
+      damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, "pageRank needs at least one iteration")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    val n = nodes.select(col("id")).distinct().localCheckpoint()
+    // node count enters as a one-row frame, not a driver scalar — the
+    // whole build stays declarative (q84's corpus-size discipline)
+    val nRow = n.agg(count(lit(1)).cast("double").as("__n")).localCheckpoint()
+
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("__outdeg"))
+    val edgesDeg = edges.select(col("src"), col("dst"))
+      .join(deg, "src")
+      .localCheckpoint() // the immutable per-iteration input
+
+    var ranks = n.crossJoin(nRow)
+      .select(col("id"), (lit(1.0) / col("__n")).as("pr"))
+      .localCheckpoint()
+
+    var it = 0
+    while (it < iters) {
+      val contribs = ranks
+        .join(edgesDeg, ranks("id") === edgesDeg("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("pr") / col("__outdeg")).as("__in"))
+      // dangling mass: rank sitting on nodes with no out-edges
+      val dangling = ranks
+        .join(deg, ranks("id") === deg("src"), "left_anti")
+        .agg(coalesce(sum(col("pr")), lit(0.0)).as("__dm"))
+      ranks = n
+        .join(contribs, Seq("id"), "left_outer")
+        .crossJoin(dangling)
+        .crossJoin(nRow)
+        .select(col("id"),
+          (lit(1.0 - damping) / col("__n") +
+            lit(damping) * (coalesce(col("__in"), lit(0.0)) +
+              col("__dm") / col("__n"))).as("pr"))
+        .localCheckpoint()
+      it += 1
+    }
+    ranks
+  }
+}

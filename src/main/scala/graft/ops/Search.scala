@@ -122,4 +122,55 @@ object Search {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token").asc)
       .limit(k)
+
+  /**
+   * Positional inverted index: one row per (token, doc) carrying the
+   * sorted 0-based position list and term frequency — the durable
+   * artifact phrase/proximity queries run against WITHOUT rescanning
+   * document text. Build cost is one explode + one (token, doc_id)
+   * aggregation; persist partitioned by a token hash bucket so a query
+   * for k tokens prunes to k buckets' files
+   * ([[graft.io.VectorIndex]]'s static-pruning discipline).
+   */
+  def invertedIndex(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "token")))
+      .groupBy("token", "doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("positions"),
+        count(lit(1)).as("tf"))
+
+  /**
+   * Exact phrase search from the positional index alone: a doc matches
+   * at start position `s` iff for EVERY phrase offset `o`, token
+   * `phrase(o)` has a posting at `s + o`. The phrase (with its
+   * offsets — repeated tokens are handled) enters as a broadcast
+   * literal table; the index is restricted to the phrase's tokens
+   * FIRST (an `isin` pushdown — with a bucketed index this prunes at
+   * planning time), so everything downstream is posting-list-sized:
+   * explode to (doc, candidate start, offset), then one (doc, start)
+   * aggregation checking full offset coverage.
+   *
+   * Output: (doc_id, n_occurrences, first_pos) per matching doc.
+   */
+  def phraseSearch(index: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    val k = phrase.length
+    val spark = index.sparkSession
+    val offsets = spark.createDataFrame(
+      phrase.zipWithIndex.map { case (t, o) => (t, o) })
+      .toDF("token", "__off")
+    index
+      .filter(col("token").isin(phrase.distinct: _*))
+      .join(broadcast(offsets), "token")
+      .select(col("doc_id"), col("__off"),
+        explode(col("positions")).as("__pos"))
+      .select(col("doc_id"), col("__off"), (col("__pos") - col("__off")).as("__start"))
+      .filter(col("__start") >= 0)
+      .groupBy("doc_id", "__start")
+      .agg(countDistinct(col("__off")).as("__cover"))
+      .filter(col("__cover") === k)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_occurrences"), min(col("__start")).as("first_pos"))
+  }
 }

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.{GraftFunctions, HtmlExtract}
+import graft.ops.LinkGraph
+
+class LinkGraphSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def anchors(html: String): Seq[(String, String)] = {
+    val a = HtmlExtract.anchors(UTF8String.fromString(html))
+    (0 until a.numElements()).map { i =>
+      val r = a.getStruct(i, 2)
+      (r.getUTF8String(0).toString, r.getUTF8String(1).toString)
+    }
+  }
+
+  test("anchor extraction: quotes, entities, nesting, malformed") {
+    assert(anchors("""<p>x <a href="/a">One</a> y <a href='/b?q=1&amp;r=2'>Two  words</a></p>""") ==
+      Seq("/a" -> "One", "/b?q=1&r=2" -> "Two words"))
+    // nested inline tags stripped from the anchor text
+    assert(anchors("""<a href="/x"><b>Bold</b> &amp; <i>it</i></a>""") ==
+      Seq("/x" -> "Bold & it"))
+    // no href -> no edge; unquoted href; self-closing; empty anchor
+    assert(anchors("""<a name="t">target</a> <a href=/rel>r</a> <a href="/i"/> after""") ==
+      Seq("/rel" -> "r", "/i" -> ""))
+    // unclosed anchor auto-closes at the next <a; "<abbr" is not "<a"
+    assert(anchors("""<a href="/1">one <a href="/2">two</a> <abbr>z</abbr>""") ==
+      Seq("/1" -> "one", "/2" -> "two"))
+    assert(anchors("no links at all") == Seq())
+    // quoted '>' inside an attribute does not end the tag
+    assert(anchors("""<a href="/q" title="a>b">Q</a>""") == Seq("/q" -> "Q"))
+  }
+
+  test("anchors kernel: column API, null propagation, empty array") {
+    val df = Seq(
+      (1L, """<a href="/d/9">nine</a>"""),
+      (2L, null.asInstanceOf[String]),
+      (3L, "plain")).toDF("id", "html")
+    val got = df.select(col("id"),
+        GraftFunctions.htmlAnchors(spark, col("html")).as("a"))
+      .orderBy("id").collect()
+    assert(got(0).getSeq[org.apache.spark.sql.Row](1).map(r =>
+      (r.getString(0), r.getString(1))) == Seq("/d/9" -> "nine"))
+    assert(got(1).isNullAt(1))
+    assert(got(2).getSeq[org.apache.spark.sql.Row](1).isEmpty)
+  }
+
+  test("inDegree: counts and distinct sources") {
+    val edges = Seq((1L, 2L), (1L, 2L), (3L, 2L), (2L, 1L)).toDF("src", "dst")
+    val got = LinkGraph.inDegree(edges, "src", "dst")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 1L, 1L), (2L, 3L, 2L)))
+  }
+
+  test("pageRank matches a driver-side reference on a small graph") {
+    // 0 -> 1,2 ; 1 -> 2 ; 2 -> 0 ; 3 -> 2 ; 4 dangling
+    val edgeList = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L), (3L, 2L))
+    val nodes = (0L to 4L).toDF("id")
+    val edges = edgeList.toDF("src", "dst")
+    val iters = 4
+    val d = 0.85
+
+    // reference: plain double power method, same update order
+    val n = 5
+    val outdeg = edgeList.groupBy(_._1).view.mapValues(_.size).toMap
+    var pr = Array.fill(n)(1.0 / n)
+    for (_ <- 1 to iters) {
+      val in = Array.fill(n)(0.0)
+      edgeList.foreach { case (s, t) => in(t.toInt) += pr(s.toInt) / outdeg(s) }
+      val dm = (0 until n).filterNot(i => outdeg.contains(i.toLong)).map(pr).sum
+      pr = Array.tabulate(n)(i => (1 - d) / n + d * (in(i) + dm / n))
+    }
+
+    val got = LinkGraph.pageRank(nodes, edges, iters, d)
+      .orderBy("id").collect().map(_.getDouble(1))
+    got.zip(pr).foreach { case (g, e) =>
+      assert(math.abs(g - e) < 1e-12, s"got $g expected $e")
+    }
+    // total mass conserved
+    assert(math.abs(got.sum - 1.0) < 1e-9)
+  }
+
+  test("pageRank: duplicate edges vote twice, deterministically") {
+    val nodes = (0L to 2L).toDF("id")
+    val edges = Seq((0L, 1L), (0L, 1L), (0L, 2L), (1L, 0L), (2L, 0L)).toDF("src", "dst")
+    val got = LinkGraph.pageRank(nodes, edges, 2, 0.85)
+      .orderBy("id").collect().map(_.getDouble(1))
+    // node 1 gets 2/3 of node 0's vote, node 2 gets 1/3
+    assert(got(1) > got(2))
+    assert(math.abs(got.sum - 1.0) < 1e-9)
+  }
+}

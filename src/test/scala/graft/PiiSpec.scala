@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.{GraftFunctions, PiiKernels}
+
+class PiiSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def stats(s: String): Seq[Long] =
+    PiiKernels.piiStats(UTF8String.fromString(s)) match {
+      case a => (0 until 4).map(a.getLong)
+    }
+
+  private def scrub(s: String): String =
+    PiiKernels.piiScrub(UTF8String.fromString(s)).toString
+
+  test("luhn checksum: public test vectors") {
+    assert(PiiKernels.luhnValid("4532015112830366"))
+    assert(PiiKernels.luhnValid("4111111111111111"))
+    assert(PiiKernels.luhnValid("5500005555555559"))
+    assert(PiiKernels.luhnValid("378282246310005")) // 15-digit Amex shape
+    assert(!PiiKernels.luhnValid("4532015112830367"))
+    assert(!PiiKernels.luhnValid("4111111111111112"))
+  }
+
+  test("emails: shape, truncation, boundaries") {
+    assert(stats("mail me at jo.doe+spam@sub.example.co.uk today") ==
+      Seq(1L, 0L, 0L, 0L))
+    // trailing junk after the TLD is not part of the address
+    assert(scrub("x a@b.com. y") == "x <EMAIL>. y")
+    // digits inside a matched email are never phone candidates
+    assert(stats("user1234567@example.com") == Seq(1L, 0L, 0L, 0L))
+    // no TLD, no match
+    assert(stats("not an email: a@b, a@, @b.com") == Seq(0L, 0L, 0L, 0L))
+    // '@' with a 1-letter TLD shape fails the >=2-letter rule
+    assert(stats("a@b.c") == Seq(0L, 0L, 0L, 0L))
+  }
+
+  test("phones: structure required, bare digit runs excluded") {
+    assert(stats("call +1 555 123 4567 now") == Seq(0L, 1L, 0L, 0L))
+    assert(stats("call (555) 123-4567 now") == Seq(0L, 1L, 0L, 0L))
+    assert(stats("call 555-123-4567 now") == Seq(0L, 1L, 0L, 0L))
+    assert(stats("call 555.123.4567 now") == Seq(0L, 1L, 0L, 0L))
+    assert(stats("+442071838750") == Seq(0L, 1L, 0L, 0L)) // + alone is structure
+    // bare 10-digit run: no structural signal, not a phone
+    assert(stats("order 5551234567 shipped") == Seq(0L, 0L, 0L, 0L))
+    // decimals stay untouched: dot-separated needs >=3 groups
+    assert(stats("pi is 3.14159265 ok") == Seq(0L, 0L, 0L, 0L))
+    // too few digits
+    assert(stats("room 12-34-5 x") == Seq(0L, 0L, 0L, 0L))
+    // adjacent alnum breaks the boundary
+    assert(stats("id:x555-123-4567") == Seq(0L, 0L, 0L, 0L))
+  }
+
+  test("ipv4: four dotted octets <= 255") {
+    assert(stats("host 192.168.0.1 up") == Seq(0L, 0L, 1L, 0L))
+    assert(stats("host 10.0.0.255 up") == Seq(0L, 0L, 1L, 0L))
+    // octet out of range: falls through (here: dotted 4-group phone FP
+    // territory, but only 9 digits w/ 3 dot seps -> phone needs >=3
+    // groups which holds, digits 10 in range -> classified phone)
+    assert(stats("v 10.20.30.4567 x")(2) == 0L)
+    // version strings: 3 groups but < 7 digits
+    assert(stats("spark 3.5.1 rocks") == Seq(0L, 0L, 0L, 0L))
+  }
+
+  test("cards: Luhn-gated 13-19 digit runs, space/dash grouping") {
+    assert(stats("pay 4532015112830366 now") == Seq(0L, 0L, 0L, 1L))
+    assert(stats("pay 4532 0151 1283 0366 now") == Seq(0L, 0L, 0L, 1L))
+    assert(stats("pay 4532-0151-1283-0366 now") == Seq(0L, 0L, 0L, 1L))
+    // Luhn-invalid: not a card, and >15 digits is not a phone either
+    assert(stats("ref 4532015112830367 x") == Seq(0L, 0L, 0L, 0L))
+    // Luhn-valid 16-digit with '+' prefix is a phone-shaped span, not
+    // a card (cards never carry '+') — 16 digits > 15 exceeds phone too
+    assert(stats("n +4532015112830366 x") == Seq(0L, 0L, 0L, 0L))
+  }
+
+  test("scrub: typed tokens, mixed document, idempotence") {
+    val doc = "Write jo@ex.com or call (555) 123-4567; server 10.0.0.1, " +
+      "card 4111 1111 1111 1111."
+    val expect = "Write <EMAIL> or call <PHONE>; server <IP>, card <CARD>."
+    assert(scrub(doc) == expect)
+    assert(scrub(expect) == expect) // idempotent: tokens contain no PII
+    assert(scrub("no pii here at all") == "no pii here at all")
+  }
+
+  test("kernel parity: column API == object methods, null propagates") {
+    val df = Seq(
+      (1L, "a@b.com and +1 555 123 4567"),
+      (2L, null.asInstanceOf[String]),
+      (3L, "4111111111111111 at 8.8.8.8")).toDF("id", "text")
+    val got = df.select(col("id"),
+        GraftFunctions.piiStats(spark, col("text")).as("s"),
+        GraftFunctions.piiScrub(spark, col("text")).as("t"))
+      .orderBy("id").collect()
+    assert(got(0).getSeq[Long](1) == Seq(1L, 1L, 0L, 0L))
+    assert(got(0).getString(2) == "<EMAIL> and <PHONE>")
+    assert(got(1).isNullAt(1) && got(1).isNullAt(2))
+    assert(got(2).getSeq[Long](1) == Seq(0L, 0L, 1L, 1L))
+    assert(got(2).getString(2) == "<CARD> at <IP>")
+  }
+
+  test("sql registration: callable from SQL text") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_pii_scrub('mail a@b.org now') AS t").head.getString(0)
+    assert(r == "mail <EMAIL> now")
+  }
+}
