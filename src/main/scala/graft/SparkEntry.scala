@@ -65,6 +65,25 @@ object SparkEntry {
         " &copy; 2026 corpus.local</footer></body></html>"))
   }
 
+  /** Constructively PII-laden text for q148/q149: modular conditions
+    * on `doc_id` decide which spans each doc gets, so the audit counts
+    * AND the exact scrubbed text are known without running detection.
+    * The `%5==1` branch is a Luhn-INVALID 16-digit decoy — too long
+    * for a phone, checksum-failed for a card — that must come through
+    * both queries untouched. The corpus text itself is digit-free
+    * vocab words (spec-checked by the oracle equality itself). */
+  private def piiMessy(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(col("text"),
+      when(id % 3 === 0,
+        concat(lit(" contact u"), id, lit("@example.com"))).otherwise(lit("")),
+      when(id % 4 === 0,
+        concat(lit(" call +1 555-"),
+          lpad((id % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+      when(id % 6 === 0,
+        concat(lit(" host 10."), id % 200, lit(".0."), id % 250)).otherwise(lit("")),
+      when(id % 5 === 0, lit(" card 4532 0151 1283 0366"))
+        .when(id % 5 === 1, lit(" ref 4532015112830367")).otherwise(lit("")))
+
   /** Session-scoped memo of the verified near-dup pair set — the
     * in-memory analog of a pipeline writing its expensive pair index to
     * storage ONCE and sharing it across consumers (the q16 pair report
@@ -2270,6 +2289,213 @@ object SparkEntry {
           sum(when(col("title") === concat(lit("Doc "), col("doc_id")), 1L)
             .otherwise(0L)).as("n_title_ok"),
           countDistinct(col("title")).as("n_unique"))
+    }),
+
+    // ---- north-star: PII audit — the privacy-prevalence report a
+    //      corpus release runs first. PII is synthesized
+    //      constructively (modular conditions pick which docs get an
+    //      email / structured phone / IPv4 / Luhn-valid card — plus a
+    //      Luhn-INVALID 16-digit decoy that must count as NOTHING), so
+    //      the oracle is pure arithmetic on doc_id while the kernel
+    //      must actually find every span.
+    "q148_pii_audit" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      val id = col("doc_id")
+      docs.select((id % 7).as("bucket"),
+          graft.functions.GraftFunctions.piiStats(s, piiMessy(id)).as("st"))
+        .groupBy("bucket")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(element_at(col("st"), 1)).as("n_email"),
+          sum(element_at(col("st"), 2)).as("n_phone"),
+          sum(element_at(col("st"), 3)).as("n_ipv4"),
+          sum(element_at(col("st"), 4)).as("n_card"))
+    }),
+
+    // ---- north-star: PII redaction — same constructed corpus, but
+    //      the scrub must reproduce the EXPECTED text byte-for-byte
+    //      (typed tokens replace each span, the Luhn-invalid decoy
+    //      survives untouched): n_exact must equal n_docs, the q140
+    //      exact-recovery pattern.
+    "q149_pii_scrub" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      val id = col("doc_id")
+      val expected = concat(col("text"),
+        when(id % 3 === 0, lit(" contact <EMAIL>")).otherwise(lit("")),
+        when(id % 4 === 0, lit(" call <PHONE>")).otherwise(lit("")),
+        when(id % 6 === 0, lit(" host <IP>")).otherwise(lit("")),
+        when(id % 5 === 0, lit(" card <CARD>"))
+          .when(id % 5 === 1, lit(" ref 4532015112830367")).otherwise(lit("")))
+      docs.select((id % 7).as("bucket"),
+          graft.functions.GraftFunctions.piiScrub(s, piiMessy(id)).as("scrubbed"),
+          expected.as("expected"))
+        .groupBy("bucket")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("scrubbed") === col("expected"), 1L).otherwise(0L))
+            .as("n_exact"),
+          sum(length(col("scrubbed"))).as("sum_chars"))
+    }),
+
+    // ---- north-star: link-graph extraction — pages carry 3
+    //      constructive article links (plus nav boilerplate that must
+    //      be filtered by href shape); the anchors kernel recovers the
+    //      edge list, including the entity-decoded anchor text, and
+    //      the oracle rebuilds the same edges from doc_id arithmetic.
+    "q150_link_graph" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      val nRow = docs.agg(count(lit(1)).as("__n"))
+      val id = col("doc_id")
+      val page = concat(
+        lit("<html><body><nav><a href=\"/home\">Home</a></nav><article><p>"),
+        col("text"),
+        lit("</p><p>See <a href=\"/doc/"), (id * 2 + 1) % col("__n"),
+        lit("\">ref one</a> <a href=\"/doc/"), (id * 3 + 2) % col("__n"),
+        lit("\">ref two</a> and <a href=\"/doc/"), (id * 7 + 5) % col("__n"),
+        lit("\">ref &amp; three</a>.</p></article></body></html>"))
+      docs.crossJoin(broadcast(nRow))
+        .select(id.as("src"),
+          explode(graft.functions.GraftFunctions.htmlAnchors(s, page)).as("a"))
+        .filter(col("a.href").startsWith("/doc/"))
+        .select(col("src"),
+          regexp_extract(col("a.href"), "^/doc/([0-9]+)$", 1).cast("long").as("dst"),
+          col("a.anchor").as("anchor"))
+        .groupBy((col("dst") % 5).as("bucket"))
+        .agg(
+          count(lit(1)).as("n_edges"),
+          countDistinct(col("dst")).as("n_targets"),
+          countDistinct(col("src")).as("n_sources"),
+          sum(col("dst")).as("sum_dst"),
+          sum(when(col("anchor") === "ref & three", 1L).otherwise(0L)).as("n_amp"))
+    }),
+
+    // ---- north-star: PageRank over the synthetic web graph (3
+    //      out-links per page, q150's formula) — declarative power
+    //      method, 3 iterations at d=0.85; the oracle unrolls the same
+    //      iterations as CTEs. Float discipline: both engines compute
+    //      (1.0 - 0.85) rather than a rounded 0.15 literal, and the
+    //      report rounds only at the end.
+    "q151_pagerank" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      val nRow = docs.agg(count(lit(1)).as("__n"))
+      val id = col("doc_id")
+      val edges = docs.crossJoin(broadcast(nRow)).select(
+        id.as("src"),
+        explode(array(
+          (id * 2 + 1) % col("__n"),
+          (id * 3 + 2) % col("__n"),
+          (id * 7 + 5) % col("__n"))).as("dst"))
+      val nodes = docs.select(id.as("id"))
+      graft.ops.LinkGraph.pageRank(nodes, edges, iters = 3, damping = 0.85)
+        .groupBy((col("id") % 5).as("bucket"))
+        .agg(
+          count(lit(1)).as("n_nodes"),
+          round(sum(col("pr")), 6).as("sum_pr"),
+          round(max(col("pr")), 9).as("max_pr"))
+    }),
+
+    // ---- north-star: exact phrase search answered from a PERSISTED
+    //      positional inverted index (token-hash-bucketed so a k-token
+    //      query prunes to k buckets) — the corpus text is never
+    //      rescanned at query time; the oracle replays the phrase scan
+    //      directly over documents.
+    "q152_phrase_search" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      val out = tmp("q152_index")
+      graft.ops.Search.invertedIndex(docs, "text", "doc_id")
+        .withColumn("tbucket", pmod(xxhash64(col("token")), lit(16)))
+        .write.mode("overwrite").partitionBy("tbucket").parquet(out)
+      val idx = s.read.parquet(out)
+      graft.ops.Search.phraseSearch(idx, Seq("spark", "window"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_occurrences")).as("n_occ"),
+          sum(col("doc_id")).as("sum_ids"),
+          min(col("first_pos")).cast("long").as("min_first"))
+    }),
+
+    // ---- north-star: crawl-snapshot delta — the monthly-recrawl
+    //      diff (drop 1/13, edit 1/5, add 1/11 by construction) that
+    //      gates incremental ingest; classification is scan-side
+    //      xxhash64 + one full-outer key join, and the oracle knows
+    //      every status from the arithmetic.
+    "q153_crawl_delta" -> ((s, dir) => {
+      val base = T(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+      val id = col("doc_id")
+      val next = base.filter(id % 13 =!= 0)
+        .select(id.as("doc_id"),
+          when(id % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(base.filter(id % 11 === 0)
+          .select((id + 1000000L).as("doc_id"), col("text")))
+      graft.ops.SnapshotDiff.diff(base, next, "doc_id", Seq("text"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"), sum(col("key")).as("sum_keys"))
+    }),
+
+    // ---- north-star: sitemap staleness — crawl DISCOVERY: each host
+    //      publishes a constructive urlset (entities in locs, absent
+    //      lastmod on 1/9 of entries, namespace/priority noise); the
+    //      kernel's extraction joins the fetch ledger to find stale
+    //      pages. Dates are day-of-month arithmetic, so staleness is
+    //      known by construction.
+    "q154_sitemap_stale" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      val id = col("doc_id")
+      val host = concat(lit("h"), id % 10, lit(".example"))
+      val lastmodDay = id % 27 + 1
+      val entry = concat(
+        lit("<url>\n  <loc>https://"), host, lit("/doc/"), id,
+        lit("?a=1&amp;b=2</loc>"),
+        when(id % 9 =!= 0,
+          concat(lit("<lastmod>2026-01-"), lpad(lastmodDay.cast("string"), 2, "0"),
+            lit("</lastmod>"))).otherwise(lit("")),
+        lit("<priority>0.5</priority></url>"))
+      val sitemaps = docs
+        .groupBy((id % 10).as("hostnum"))
+        .agg(concat(
+          lit("<?xml version=\"1.0\"?><urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"),
+          array_join(collect_list(entry), "\n"), lit("</urlset>")).as("xml"))
+      val extracted = sitemaps.select(col("hostnum"),
+          explode(graft.functions.GraftFunctions.sitemapUrls(s, col("xml"))).as("u"))
+        .select(col("hostnum"),
+          regexp_extract(col("u.loc"), "/doc/([0-9]+)\\?", 1).cast("long").as("doc_id"),
+          col("u.lastmod").as("lastmod"))
+      val ledger = docs.select(id.as("doc_id"),
+        concat(lit("2026-01-"),
+          lpad(((id * 3) % 27 + 1).cast("string"), 2, "0")).as("fetched"))
+      extracted.join(ledger, "doc_id")
+        .groupBy("hostnum")
+        .agg(
+          count(lit(1)).as("n_urls"),
+          sum(when(col("lastmod") === "", 1L).otherwise(0L)).as("n_nolastmod"),
+          sum(when(col("lastmod") > col("fetched"), 1L).otherwise(0L)).as("n_stale"),
+          sum(when(col("lastmod") > col("fetched"), col("doc_id"))).as("sum_stale"))
+    }),
+
+    // ---- north-star: politeness schedule — per-host fetch slots
+    //      (seq within host by URL order, eta = seq × crawl-delay) and
+    //      the capacity rollup; the oracle replays the same
+    //      row_number arithmetic.
+    "q155_crawl_schedule" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      val id = col("doc_id")
+      val frontier = docs.select(
+        concat(lit("d"), id % 50, lit(".example")).as("host"),
+        concat(lit("https://d"), id % 50, lit(".example/p/"),
+          lpad(id.cast("string"), 6, "0")).as("url"),
+        (id % 50 % 5 + 1).cast("long").as("delay_s"))
+      val sched = graft.ops.Crawl.politeSchedule(
+        frontier, "host", "url", "delay_s")
+      graft.ops.Crawl.hostLoad(sched, "host", "delay_s")
+        .groupBy((length(col("host")) % 3).as("bucket"))
+        .agg(
+          count(lit(1)).as("n_hosts"),
+          sum(col("n_urls")).as("n_urls"),
+          sum(col("makespan_s")).as("sum_makespan"),
+          round(sum(col("mean_wait_s")), 6).as("sum_mean_wait"),
+          sum(col("delay_s")).as("sum_delay"))
     })
   )
 
@@ -4423,6 +4649,167 @@ object SparkEntry {
       """SELECT count(*) AS n_docs, count(*) AS n_title_ok,
         |  count(DISTINCT doc_id) AS n_unique
         |FROM documents WHERE text IS NOT NULL""".stripMargin,
+
+    // PII-audit replay: every span is placed (or withheld — the Luhn
+    // decoy) by a modular condition, so the counts are arithmetic;
+    // the kernel must agree exactly
+    "q148_pii_audit" ->
+      """SELECT doc_id % 7 AS bucket, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_email,
+        |  CAST(sum(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_phone,
+        |  CAST(sum(CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ipv4,
+        |  CAST(sum(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_card
+        |FROM documents WHERE text IS NOT NULL GROUP BY 1""".stripMargin,
+
+    // PII-scrub replay: expected text is reconstructible (typed token
+    // lengths: " contact <EMAIL>"=16, " call <PHONE>"=13,
+    // " host <IP>"=10, " card <CARD>"=12, untouched decoy=21), and
+    // exactness is asserted by n_exact = n_docs
+    "q149_pii_scrub" ->
+      """SELECT doc_id % 7 AS bucket, count(*) AS n_docs, count(*) AS n_exact,
+        |  CAST(sum(length(text)
+        |    + CASE WHEN doc_id % 3 = 0 THEN 16 ELSE 0 END
+        |    + CASE WHEN doc_id % 4 = 0 THEN 13 ELSE 0 END
+        |    + CASE WHEN doc_id % 6 = 0 THEN 10 ELSE 0 END
+        |    + CASE WHEN doc_id % 5 = 0 THEN 12
+        |           WHEN doc_id % 5 = 1 THEN 21 ELSE 0 END) AS BIGINT) AS sum_chars
+        |FROM documents WHERE text IS NOT NULL GROUP BY 1""".stripMargin,
+
+    // link-graph replay: the 3 article links per page are doc_id
+    // arithmetic; nav links fail the '/doc/' shape filter; the third
+    // anchor's '&amp;' must decode
+    "q150_link_graph" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents WHERE text IS NOT NULL),
+        |e AS (
+        |  SELECT doc_id AS src, (doc_id*2+1) % n AS dst, 'ref one' AS anchor
+        |  FROM documents, nn WHERE text IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*3+2) % n, 'ref two'
+        |  FROM documents, nn WHERE text IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*7+5) % n, 'ref & three'
+        |  FROM documents, nn WHERE text IS NOT NULL)
+        |SELECT dst % 5 AS bucket, count(*) AS n_edges,
+        |  count(DISTINCT dst) AS n_targets,
+        |  count(DISTINCT src) AS n_sources,
+        |  CAST(sum(dst) AS BIGINT) AS sum_dst,
+        |  CAST(sum(CASE WHEN anchor = 'ref & three' THEN 1 ELSE 0 END) AS BIGINT) AS n_amp
+        |FROM e GROUP BY 1""".stripMargin,
+
+    // PageRank replay: the same 3 unrolled power iterations as CTEs;
+    // (1.0 - 0.85) keeps the teleport constant bit-identical to the
+    // Scala side's `1.0 - damping`; dangling mass is 0 by construction
+    // (every node has 3 out-links) on BOTH engines
+    "q151_pagerank" -> {
+      def iter(prev: String, cur: String): String =
+        s"""c_$cur AS (
+           |  SELECT e.dst AS id, sum(r_$prev.pr / deg.outdeg) AS cin
+           |  FROM r_$prev JOIN e ON r_$prev.id = e.src
+           |  JOIN deg ON e.src = deg.src
+           |  GROUP BY e.dst),
+           |r_$cur AS (
+           |  SELECT nodes.id,
+           |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))/nn.nd
+           |      + CAST(0.85 AS DOUBLE)*(COALESCE(c_$cur.cin, 0.0)) AS pr
+           |  FROM nodes LEFT JOIN c_$cur ON nodes.id = c_$cur.id, nn)""".stripMargin
+      s"""WITH nn AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS nd, count(*) AS n
+         |  FROM documents WHERE text IS NOT NULL),
+         |nodes AS (SELECT doc_id AS id FROM documents WHERE text IS NOT NULL),
+         |e AS (
+         |  SELECT doc_id AS src, (doc_id*2+1) % n AS dst
+         |  FROM documents, nn WHERE text IS NOT NULL
+         |  UNION ALL
+         |  SELECT doc_id, (doc_id*3+2) % n FROM documents, nn WHERE text IS NOT NULL
+         |  UNION ALL
+         |  SELECT doc_id, (doc_id*7+5) % n FROM documents, nn WHERE text IS NOT NULL),
+         |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+         |r_0 AS (SELECT id, 1.0/nd AS pr FROM nodes, nn),
+         |${iter("0", "1")},
+         |${iter("1", "2")},
+         |${iter("2", "3")}
+         |SELECT id % 5 AS bucket, count(*) AS n_nodes,
+         |  round(sum(pr), 6) AS sum_pr,
+         |  round(max(pr), 9) AS max_pr
+         |FROM r_3 GROUP BY 1""".stripMargin
+    },
+
+    // phrase replay: DuckDB scans the corpus directly with a lambda
+    // over token bigrams (1-based list index i -> 0-based position
+    // i-1); the Spark side must reach the same answer from the
+    // persisted index alone
+    "q152_phrase_search" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |m AS (
+        |  SELECT doc_id,
+        |    len(list_filter(range(1, len(toks)),
+        |      i -> toks[i] = 'spark' AND toks[i+1] = 'window')) AS occ,
+        |    list_min(list_filter(range(1, len(toks)),
+        |      i -> toks[i] = 'spark' AND toks[i+1] = 'window')) AS first1
+        |  FROM tk)
+        |SELECT count(*) FILTER (occ > 0) AS n_docs,
+        |  CAST(sum(occ) AS BIGINT) AS n_occ,
+        |  CAST(sum(CASE WHEN occ > 0 THEN doc_id END) AS BIGINT) AS sum_ids,
+        |  CAST(min(first1) - 1 AS BIGINT) AS min_first
+        |FROM m""".stripMargin,
+
+    // sitemap replay: lastmod/fetched are day-of-month arithmetic, the
+    // 1/9 no-lastmod entries are never stale, and string date compare
+    // ("" on the Spark side, NULL-cased here) agrees by construction
+    "q154_sitemap_stale" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE text IS NOT NULL),
+        |x AS (
+        |  SELECT doc_id, doc_id % 10 AS hostnum,
+        |    CASE WHEN doc_id % 9 <> 0 THEN doc_id % 27 + 1 END AS lm,
+        |    (doc_id*3) % 27 + 1 AS f
+        |  FROM d)
+        |SELECT hostnum, count(*) AS n_urls,
+        |  CAST(sum(CASE WHEN lm IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nolastmod,
+        |  CAST(sum(CASE WHEN lm > f THEN 1 ELSE 0 END) AS BIGINT) AS n_stale,
+        |  CAST(sum(CASE WHEN lm > f THEN doc_id END) AS BIGINT) AS sum_stale
+        |FROM x GROUP BY hostnum""".stripMargin,
+
+    // schedule replay: per-host aggregates depend only on the slot SET
+    // {0..n-1} × delay, so the rollup is exact arithmetic; mean waits
+    // are exact multiples of 0.5×delay and survive round(…,6) intact
+    "q155_crawl_schedule" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    'd' || CAST(doc_id % 50 AS VARCHAR) || '.example' AS host,
+        |    (doc_id % 50 % 5 + 1) AS delay_s
+        |  FROM documents WHERE text IS NOT NULL),
+        |h AS (
+        |  SELECT host, count(*) AS n_urls,
+        |    (count(*) - 1) * min(delay_s) AS makespan_s,
+        |    round((count(*) - 1) * min(delay_s) / 2.0, 6) AS mean_wait_s,
+        |    min(delay_s) AS delay_s
+        |  FROM f GROUP BY host)
+        |SELECT length(host) % 3 AS bucket, count(*) AS n_hosts,
+        |  CAST(sum(n_urls) AS BIGINT) AS n_urls,
+        |  CAST(sum(makespan_s) AS BIGINT) AS sum_makespan,
+        |  round(sum(mean_wait_s), 6) AS sum_mean_wait,
+        |  CAST(sum(delay_s) AS BIGINT) AS sum_delay
+        |FROM h GROUP BY 1""".stripMargin,
+
+    // crawl-delta replay: every status is decided by the construction
+    // arithmetic (drop %13, edit %5 of the survivors, add %11 under
+    // shifted keys)
+    "q153_crawl_delta" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE text IS NOT NULL),
+        |s AS (
+        |  SELECT 'removed' AS status, doc_id AS key FROM d WHERE doc_id % 13 = 0
+        |  UNION ALL
+        |  SELECT 'changed', doc_id FROM d
+        |  WHERE doc_id % 13 <> 0 AND doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT 'added', doc_id + 1000000 FROM d WHERE doc_id % 11 = 0
+        |  UNION ALL
+        |  SELECT 'unchanged', doc_id FROM d
+        |  WHERE doc_id % 13 <> 0 AND doc_id % 5 <> 0)
+        |SELECT status, count(*) AS n, CAST(sum(key) AS BIGINT) AS sum_keys
+        |FROM s GROUP BY status""".stripMargin,
 
     // CDC replay: latest change per key via row_number over ts desc
     // ((key, ts) unique by construction), delete removes, I/U replaces,

@@ -212,7 +212,17 @@ object GraftFunctions {
     HtmlAnchorsKernel(args.head)
   }
 
+  private val sitemapUrlsId = FunctionIdentifier("graft_sitemap_urls")
+  private val sitemapUrlsInfo =
+    new ExpressionInfo(classOf[SitemapUrlsKernel].getName, "graft_sitemap_urls")
+  private val sitemapUrlsBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 1,
+      s"graft_sitemap_urls expects 1 argument, got ${args.length}")
+    SitemapUrlsKernel(args.head)
+  }
+
   private val all = Seq(
+    (sitemapUrlsId, sitemapUrlsInfo, sitemapUrlsBuilder),
     (piiStatsId, piiStatsInfo, piiStatsBuilder),
     (piiScrubId, piiScrubInfo, piiScrubBuilder),
     (htmlAnchorsId, htmlAnchorsInfo, htmlAnchorsBuilder),
@@ -367,6 +377,13 @@ object GraftFunctions {
   def piiScrub(spark: SparkSession, text: Column): Column = {
     register(spark)
     org.apache.spark.sql.functions.call_function("graft_pii_scrub", text)
+  }
+
+  /** Column-API handle on the sitemap-entry kernel — see
+    * [[SitemapExtract.urls]]. */
+  def sitemapUrls(spark: SparkSession, xml: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_sitemap_urls", xml)
   }
 
   /** Column-API handle on the outbound-link kernel — see

@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Crawl scheduling — the step between a discovered frontier
+ * ([[graft.functions.SitemapExtract]], extracted links) and the
+ * fetcher fleet: per-host POLITENESS serializes requests to one host
+ * (RFC 9309 crawl-delay etiquette), so the schedule assigns every URL
+ * a per-host sequence slot and an earliest-fetch offset, and the
+ * per-host makespan (slots × delay) is what capacity planning reads —
+ * a host with 10⁶ pages at 1 req/s is an 11-day crawl no matter how
+ * many fetchers exist, which is why [[UrlOps.domainCap]] runs first.
+ *
+ * Scale shape: ONE host-keyed window (rank within host) — the same
+ * partitioning the per-domain cap and the fetch queues themselves use;
+ * no global sort, no driver state. Ordering within a host is
+ * deterministic (priority asc, then URL asc), so re-planning a crawl
+ * on different cluster layouts yields the same schedule.
+ */
+object Crawl {
+
+  /**
+   * Assign per-host fetch slots: `seq` (0-based within host, by
+   * `priorityCol` asc then `urlCol` asc) and `eta_s = seq × delay`.
+   * `delayCol` is the host's crawl delay in seconds (constant per
+   * host — typically joined from parsed robots rules; rows of one
+   * host MUST agree, the first row's value wins deterministically
+   * only when they do, so feed it from a host-keyed table).
+   */
+  def politeSchedule(
+      frontier: DataFrame,
+      hostCol: String,
+      urlCol: String,
+      delayCol: String,
+      priorityCol: Option[String] = None): DataFrame = {
+    val order: Seq[Column] =
+      priorityCol.map(c => col(c).asc).toSeq :+ col(urlCol).asc
+    val w = Window.partitionBy(col(hostCol)).orderBy(order: _*)
+    frontier.withColumn("seq", row_number().over(w) - 1)
+      .withColumn("eta_s", col("seq") * col(delayCol))
+  }
+
+  /** Per-host schedule summary: queue depth, makespan, mean wait —
+    * the capacity-planning rollup (decomposable aggregates over the
+    * schedule; shares the host partitioning). */
+  def hostLoad(schedule: DataFrame, hostCol: String, delayCol: String): DataFrame =
+    schedule.groupBy(col(hostCol).as("host"))
+      .agg(
+        count(lit(1)).as("n_urls"),
+        max(col("eta_s")).as("makespan_s"),
+        round(avg(col("eta_s")), 6).as("mean_wait_s"),
+        first(col(delayCol)).as("delay_s"))
+}

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.{GraftFunctions, SitemapExtract}
+import graft.ops.Crawl
+
+class CrawlSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def urls(xml: String): Seq[(String, String)] = {
+    val a = SitemapExtract.urls(UTF8String.fromString(xml))
+    (0 until a.numElements()).map { i =>
+      val r = a.getStruct(i, 2)
+      (r.getUTF8String(0).toString, r.getUTF8String(1).toString)
+    }
+  }
+
+  test("sitemap extraction: entries, entities, absent lastmod, noise") {
+    val xml =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |  <url>
+        |    <loc> https://a.example/p?x=1&amp;y=2 </loc>
+        |    <lastmod>2026-01-15</lastmod>
+        |    <changefreq>daily</changefreq><priority>0.8</priority>
+        |  </url>
+        |  <url><loc>https://a.example/q</loc></url>
+        |  <url><priority>0.1</priority></url>
+        |</urlset>""".stripMargin
+    assert(urls(xml) == Seq(
+      "https://a.example/p?x=1&y=2" -> "2026-01-15",
+      "https://a.example/q" -> ""))
+  }
+
+  test("sitemap-index entries extract with the same shape") {
+    val xml =
+      """<sitemapindex><sitemap><loc>https://a.example/s1.xml</loc>
+        |<lastmod>2026-02-01</lastmod></sitemap>
+        |<sitemap><loc>https://a.example/s2.xml</loc></sitemap></sitemapindex>""".stripMargin
+    assert(urls(xml) == Seq(
+      "https://a.example/s1.xml" -> "2026-02-01",
+      "https://a.example/s2.xml" -> ""))
+  }
+
+  test("sitemap extraction tolerates case, truncation, and junk") {
+    assert(urls("<URL><LOC>https://x/1</LOC></URL>") == Seq("https://x/1" -> ""))
+    // truncated mid-entry: loc still recovered to EOF
+    assert(urls("<url><loc>https://x/2") == Seq("https://x/2" -> ""))
+    assert(urls("not xml at all") == Seq())
+    assert(urls("") == Seq())
+  }
+
+  test("politeSchedule: per-host slots, deterministic order, eta") {
+    val frontier = Seq(
+      ("a.com", "https://a.com/2", 3L),
+      ("a.com", "https://a.com/1", 3L),
+      ("a.com", "https://a.com/3", 3L),
+      ("b.com", "https://b.com/1", 5L)).toDF("host", "url", "delay_s")
+    val got = Crawl.politeSchedule(frontier, "host", "url", "delay_s")
+      .select("host", "url", "seq", "eta_s")
+      .as[(String, String, Int, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq == Seq(
+      ("a.com", "https://a.com/1", 0, 0L),
+      ("a.com", "https://a.com/2", 1, 3L),
+      ("a.com", "https://a.com/3", 2, 6L),
+      ("b.com", "https://b.com/1", 0, 0L)))
+  }
+
+  test("politeSchedule honors a priority column before URL order") {
+    val frontier = Seq(
+      ("a.com", "https://a.com/low", 1L, 9),
+      ("a.com", "https://a.com/hi", 1L, 1)).toDF("host", "url", "delay_s", "prio")
+    val got = Crawl.politeSchedule(frontier, "host", "url", "delay_s", Some("prio"))
+      .select("url", "seq").as[(String, Int)].collect().toMap
+    assert(got == Map("https://a.com/hi" -> 0, "https://a.com/low" -> 1))
+  }
+
+  test("hostLoad: makespan and mean wait") {
+    val frontier = Seq(
+      ("a.com", "u1", 2L), ("a.com", "u2", 2L), ("a.com", "u3", 2L))
+      .toDF("host", "url", "delay_s")
+    val sched = Crawl.politeSchedule(frontier, "host", "url", "delay_s")
+    val r = Crawl.hostLoad(sched, "host", "delay_s").head
+    assert(r.getAs[Long]("n_urls") == 3L)
+    assert(r.getAs[Long]("makespan_s") == 4L) // slots 0,2,4
+    assert(r.getAs[Double]("mean_wait_s") == 2.0)
+    assert(r.getAs[Long]("delay_s") == 2L)
+  }
+
+  test("sitemap kernel: column surface + null propagation") {
+    val df = Seq((1L, "<url><loc>https://k/1</loc></url>"),
+      (2L, null.asInstanceOf[String])).toDF("id", "xml")
+    val got = df.select(col("id"),
+        GraftFunctions.sitemapUrls(spark, col("xml")).as("u"))
+      .orderBy("id").collect()
+    assert(got(0).getSeq[org.apache.spark.sql.Row](1).map(_.getString(0)) ==
+      Seq("https://k/1"))
+    assert(got(1).isNullAt(1))
+  }
+}
