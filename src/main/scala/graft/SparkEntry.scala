@@ -2496,6 +2496,106 @@ object SparkEntry {
           sum(col("makespan_s")).as("sum_makespan"),
           round(sum(col("mean_wait_s")), 6).as("sum_mean_wait"),
           sum(col("delay_s")).as("sum_delay"))
+    }),
+
+    // ---- north-star: crawl-PLANNING capstone — discover (sitemap
+    //      kernel) → staleness fence (refetch stale or lastmod-less)
+    //      → robots policy (per-host mix: std rules on even hosts,
+    //      bot-ban on h3/h7, no robots = allow on the rest) →
+    //      stale-first politeness schedule capped at 30 slots/host.
+    //      Every stage is constructive, so the oracle replays the
+    //      whole plan arithmetically.
+    "q156_crawl_plan" -> ((s, dir) => {
+      import s.implicits._
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      val id = col("doc_id")
+      val h = id % 10
+      val host = concat(lit("h"), h, lit(".example"))
+      // path case from id/10 so EVERY host sees all five path shapes
+      // (id%5 would be constant per host: id ≡ h (mod 10) ⇒ mod 5 too)
+      val pc = floor(id / 10) % 5
+      val path = element_at(array(
+        concat(lit("/public/doc"), id),
+        concat(lit("/private/doc"), id),
+        concat(lit("/private/pub"), id),
+        concat(lit("/cache/doc"), id, lit(".tmp")),
+        concat(lit("/docs/doc"), id, lit(".html"))), (pc + 1).cast("int"))
+      val entry = concat(lit("<url><loc>https://"), host, path, lit("</loc>"),
+        when(id % 9 =!= 0,
+          concat(lit("<lastmod>2026-01-"), lpad((id % 27 + 1).cast("string"), 2, "0"),
+            lit("</lastmod>"))).otherwise(lit("")),
+        lit("</url>"))
+      val sitemaps = docs.groupBy(h.as("hostnum"))
+        .agg(concat(lit("<urlset>"), array_join(collect_list(entry), ""),
+          lit("</urlset>")).as("xml"))
+      val urls = sitemaps.select(col("hostnum"),
+          explode(graft.functions.GraftFunctions.sitemapUrls(s, col("xml"))).as("u"))
+        .select(col("hostnum"), col("u.loc").as("url"), col("u.lastmod").as("lastmod"),
+          regexp_extract(col("u.loc"), "([0-9]+)(?:\\.tmp|\\.html)?$", 1)
+            .cast("long").as("doc_id"))
+      val ledger = docs.select(id.as("doc_id"),
+        concat(lit("2026-01-"),
+          lpad(((id * 3) % 27 + 1).cast("string"), 2, "0")).as("fetched"))
+      val due = urls.join(ledger, "doc_id")
+        .filter(col("lastmod") === "" || col("lastmod") > col("fetched"))
+      val stdPolicy =
+        """# graft crawl policy
+          |User-Agent: *
+          |Disallow: /private/
+          |Allow: /private/pub*
+          |Disallow: /*.tmp$""".stripMargin
+      val botPolicy =
+        "User-agent: graftbot\nDisallow: /\n\nUser-agent: *\nAllow: /"
+      val robots = (0 to 9).flatMap { hh =>
+        if (hh % 4 == 3) Some((s"h$hh.example", botPolicy))
+        else if (hh % 2 == 0) Some((s"h$hh.example", stdPolicy))
+        else None
+      }.toDF("host", "robots_txt")
+      val allowed = graft.ops.Robots.filterAllowed(s, due, "url", robots, "graftbot")
+      val prioritized = allowed
+        .withColumn("prio", when(col("lastmod") === "", 1).otherwise(0))
+        .withColumn("host", concat(lit("h"), col("hostnum"), lit(".example")))
+        .withColumn("delay_s", (col("hostnum") % 5 + 1))
+      val sched = graft.ops.Crawl.politeSchedule(
+        prioritized, "host", "url", "delay_s", Some("prio"))
+      sched.filter(col("seq") < 30)
+        .groupBy("hostnum")
+        .agg(
+          count(lit(1)).as("n_fetch"),
+          max(col("eta_s")).as("makespan_s"),
+          sum(col("doc_id")).as("sum_ids"),
+          sum(when(col("prio") === 0, 1L).otherwise(0L)).as("n_stale"))
+    }),
+
+    // ---- north-star: anchor-text aggregation — the web's description
+    //      of each page (modal anchor per target with deterministic
+    //      tie-break); targets collect 'ref one'/'ref two'/'ref &
+    //      three' votes through q150's formulas, and the oracle
+    //      replays the same mode arithmetic.
+    "q157_anchor_text" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      val nRow = docs.agg(count(lit(1)).as("__n"))
+      val id = col("doc_id")
+      val page = concat(
+        lit("<html><body><article><p>See <a href=\"/doc/"), (id * 2 + 1) % col("__n"),
+        lit("\">ref one</a> <a href=\"/doc/"), (id * 3 + 2) % col("__n"),
+        lit("\">ref two</a> and <a href=\"/doc/"), (id * 7 + 5) % col("__n"),
+        lit("\">ref &amp; three</a>.</p></article></body></html>"))
+      val edges = docs.crossJoin(broadcast(nRow))
+        .select(id.as("src"),
+          explode(graft.functions.GraftFunctions.htmlAnchors(s, page)).as("a"))
+        .select(col("src"),
+          regexp_extract(col("a.href"), "^/doc/([0-9]+)$", 1).cast("long").as("dst"),
+          col("a.anchor").as("anchor"))
+      graft.ops.LinkGraph.topAnchors(edges, "dst", "anchor")
+        .groupBy((col("id") % 5).as("bucket"))
+        .agg(
+          count(lit(1)).as("n_targets"),
+          sum(col("n_links")).as("n_links"),
+          sum(col("n_distinct_anchors")).as("sum_distinct"),
+          sum(when(col("top_anchor") === "ref one", 1L).otherwise(0L)).as("n_top_one"),
+          sum(when(col("top_anchor") === "ref & three", 1L).otherwise(0L)).as("n_top_amp"),
+          sum(col("top_count")).as("sum_top"))
     })
   )
 
@@ -4792,6 +4892,67 @@ object SparkEntry {
         |  round(sum(mean_wait_s), 6) AS sum_mean_wait,
         |  CAST(sum(delay_s) AS BIGINT) AS sum_delay
         |FROM h GROUP BY 1""".stripMargin,
+
+    // crawl-plan replay: discovery/staleness/robots/schedule are all
+    // constructive — robots decisions mirror q144's pinned semantics
+    // (even hosts: path cases 0/2/4 allowed; h3/h7: bot-banned; odd
+    // non-ban hosts: no robots = allow), the schedule is the same
+    // (prio, url) row_number
+    "q156_crawl_plan" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 10 AS h, (doc_id // 10) % 5 AS pc
+        |  FROM documents WHERE text IS NOT NULL),
+        |u AS (
+        |  SELECT doc_id, h, pc,
+        |    'https://h' || CAST(h AS VARCHAR) || '.example' ||
+        |    CASE pc WHEN 0 THEN '/public/doc' || CAST(doc_id AS VARCHAR)
+        |            WHEN 1 THEN '/private/doc' || CAST(doc_id AS VARCHAR)
+        |            WHEN 2 THEN '/private/pub' || CAST(doc_id AS VARCHAR)
+        |            WHEN 3 THEN '/cache/doc' || CAST(doc_id AS VARCHAR) || '.tmp'
+        |            ELSE '/docs/doc' || CAST(doc_id AS VARCHAR) || '.html' END AS url,
+        |    CASE WHEN doc_id % 9 = 0 THEN 1 ELSE 0 END AS prio,
+        |    (doc_id % 27) > ((doc_id*3) % 27) AS stale
+        |  FROM d),
+        |due AS (SELECT * FROM u WHERE prio = 1 OR stale),
+        |alw AS (
+        |  SELECT * FROM due
+        |  WHERE h % 4 <> 3 AND (h % 2 <> 0 OR pc IN (0, 2, 4))),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY h ORDER BY prio, url) AS rn
+        |  FROM alw)
+        |SELECT h AS hostnum, count(*) AS n_fetch,
+        |  CAST(max((rn-1) * (h % 5 + 1)) AS BIGINT) AS makespan_s,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(sum(CASE WHEN prio = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_stale
+        |FROM r WHERE rn <= 30 GROUP BY h""".stripMargin,
+
+    // anchor-mode replay: per-(dst, anchor) counts then the same
+    // deterministic mode (count desc, anchor asc)
+    "q157_anchor_text" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents WHERE text IS NOT NULL),
+        |e AS (
+        |  SELECT (doc_id*2+1) % n AS dst, 'ref one' AS anchor
+        |  FROM documents, nn WHERE text IS NOT NULL
+        |  UNION ALL
+        |  SELECT (doc_id*3+2) % n, 'ref two'
+        |  FROM documents, nn WHERE text IS NOT NULL
+        |  UNION ALL
+        |  SELECT (doc_id*7+5) % n, 'ref & three'
+        |  FROM documents, nn WHERE text IS NOT NULL),
+        |c AS (SELECT dst, anchor, count(*) AS cnt FROM e GROUP BY dst, anchor),
+        |t AS (
+        |  SELECT dst, anchor, cnt,
+        |    ROW_NUMBER() OVER (PARTITION BY dst ORDER BY cnt DESC, anchor ASC) AS rn,
+        |    sum(cnt) OVER (PARTITION BY dst) AS total,
+        |    count(*) OVER (PARTITION BY dst) AS ndis
+        |  FROM c)
+        |SELECT dst % 5 AS bucket, count(*) AS n_targets,
+        |  CAST(sum(total) AS BIGINT) AS n_links,
+        |  CAST(sum(ndis) AS BIGINT) AS sum_distinct,
+        |  CAST(sum(CASE WHEN anchor = 'ref one' THEN 1 ELSE 0 END) AS BIGINT) AS n_top_one,
+        |  CAST(sum(CASE WHEN anchor = 'ref & three' THEN 1 ELSE 0 END) AS BIGINT) AS n_top_amp,
+        |  CAST(sum(cnt) AS BIGINT) AS sum_top
+        |FROM t WHERE rn = 1 GROUP BY 1""".stripMargin,
 
     // crawl-delta replay: every status is decided by the construction
     // arithmetic (drop %13, edit %5 of the survivors, add %11 under

@@ -42,6 +42,25 @@ object LinkGraph {
       .agg(count(lit(1)).as("in_links"),
         countDistinct(col(srcCol)).as("in_sources"))
 
+  /** Modal anchor text per target — the classic retrieval signal (how
+    * the web DESCRIBES a page beats how the page describes itself):
+    * per (dst, anchor) counts, then the deterministic mode
+    * (count desc, anchor asc tie-break) via a decomposable
+    * `min(struct(-count, anchor))` — no window, two key-local
+    * aggregations sharing the dst partitioning. */
+  def topAnchors(edges: DataFrame, dstCol: String, anchorCol: String): DataFrame =
+    edges
+      .groupBy(col(dstCol).as("id"), col(anchorCol).as("__a"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("id"))
+      .agg(
+        min(struct((-col("__c")).as("nc"), col("__a").as("a"))).as("__m"),
+        sum(col("__c")).as("n_links"),
+        count(lit(1)).as("n_distinct_anchors"))
+      .select(col("id"), col("__m.a").as("top_anchor"),
+        (-col("__m.nc")).as("top_count"),
+        col("n_links"), col("n_distinct_anchors"))
+
   /**
    * Power-method PageRank with damping `d`: uniform init 1/n, update
    * `pr' = (1-d)/n + d * (Σ_in pr/outdeg + danglingMass/n)`.
