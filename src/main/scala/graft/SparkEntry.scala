@@ -2596,6 +2596,52 @@ object SparkEntry {
           sum(when(col("top_anchor") === "ref one", 1L).otherwise(0L)).as("n_top_one"),
           sum(when(col("top_anchor") === "ref & three", 1L).otherwise(0L)).as("n_top_amp"),
           sum(col("top_count")).as("sum_top"))
+    }),
+
+    // ---- north-star: HITS hubs/authorities over the synthetic link
+    //      graph — 2 mutual-reinforcement iterations with in-plan L2
+    //      normalization; the oracle unrolls the identical update
+    //      order (authority from OLD hubs, hub from NEW authorities).
+    "q158_hits" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      val nRow = docs.agg(count(lit(1)).as("__n"))
+      val id = col("doc_id")
+      val edges = docs.crossJoin(broadcast(nRow)).select(
+        id.as("src"),
+        explode(array(
+          (id * 2 + 1) % col("__n"),
+          (id * 3 + 2) % col("__n"),
+          (id * 7 + 5) % col("__n"))).as("dst"))
+      graft.ops.LinkGraph.hits(docs.select(id.as("id")), edges, iters = 2)
+        .groupBy((col("id") % 5).as("bucket"))
+        .agg(
+          count(lit(1)).as("n_nodes"),
+          round(sum(col("auth")), 6).as("sum_auth"),
+          round(sum(col("hub")), 6).as("sum_hub"))
+    }),
+
+    // ---- north-star: personalized PageRank (random walk with
+    //      restart) — teleport pinned to the 1%-of-docs seed set, the
+    //      graph-expansion primitive for "more pages like these";
+    //      oracle unrolls the same 3 iterations with the same teleport
+    //      vector and double-precision discipline.
+    "q159_ppr" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      val nRow = docs.agg(count(lit(1)).as("__n"))
+      val id = col("doc_id")
+      val edges = docs.crossJoin(broadcast(nRow)).select(
+        id.as("src"),
+        explode(array(
+          (id * 2 + 1) % col("__n"),
+          (id * 3 + 2) % col("__n"),
+          (id * 7 + 5) % col("__n"))).as("dst"))
+      val seeds = docs.filter(id % 100 === 0).select(id.as("id"))
+      graft.ops.LinkGraph.personalizedPageRank(
+          docs.select(id.as("id")), edges, seeds, iters = 3, damping = 0.85)
+        .groupBy((col("id") % 5).as("bucket"))
+        .agg(
+          count(lit(1)).as("n_nodes"),
+          round(sum(col("pr")), 6).as("sum_pr"))
     })
   )
 
@@ -4953,6 +4999,88 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN anchor = 'ref & three' THEN 1 ELSE 0 END) AS BIGINT) AS n_top_amp,
         |  CAST(sum(cnt) AS BIGINT) AS sum_top
         |FROM t WHERE rn = 1 GROUP BY 1""".stripMargin,
+
+    // HITS replay: identical update order (auth from OLD hubs, hub
+    // from NEW auths), L2 norms as one-row aggregates
+    "q158_hits" -> {
+      def iter(prev: String, cur: String): String =
+        s"""a${cur}raw AS (
+           |  SELECT e.dst AS id, sum(h$prev.hub) AS v
+           |  FROM h$prev JOIN e ON h$prev.id = e.src GROUP BY e.dst),
+           |a${cur}u AS (
+           |  SELECT nodes.id, COALESCE(a${cur}raw.v, 0.0) AS auth
+           |  FROM nodes LEFT JOIN a${cur}raw ON nodes.id = a${cur}raw.id),
+           |a${cur}n AS (SELECT sqrt(sum(auth*auth)) AS nrm FROM a${cur}u),
+           |a$cur AS (
+           |  SELECT id, CASE WHEN nrm > 0 THEN auth/nrm ELSE 0.0 END AS auth
+           |  FROM a${cur}u, a${cur}n),
+           |h${cur}raw AS (
+           |  SELECT e.src AS id, sum(a$cur.auth) AS v
+           |  FROM a$cur JOIN e ON a$cur.id = e.dst GROUP BY e.src),
+           |h${cur}u AS (
+           |  SELECT nodes.id, COALESCE(h${cur}raw.v, 0.0) AS hub
+           |  FROM nodes LEFT JOIN h${cur}raw ON nodes.id = h${cur}raw.id),
+           |h${cur}n AS (SELECT sqrt(sum(hub*hub)) AS nrm FROM h${cur}u),
+           |h$cur AS (
+           |  SELECT id, CASE WHEN nrm > 0 THEN hub/nrm ELSE 0.0 END AS hub
+           |  FROM h${cur}u, h${cur}n)""".stripMargin
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents WHERE text IS NOT NULL),
+         |nodes AS (SELECT doc_id AS id FROM documents WHERE text IS NOT NULL),
+         |e AS (
+         |  SELECT doc_id AS src, (doc_id*2+1) % n AS dst
+         |  FROM documents, nn WHERE text IS NOT NULL
+         |  UNION ALL
+         |  SELECT doc_id, (doc_id*3+2) % n FROM documents, nn WHERE text IS NOT NULL
+         |  UNION ALL
+         |  SELECT doc_id, (doc_id*7+5) % n FROM documents, nn WHERE text IS NOT NULL),
+         |h0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS hub FROM nodes),
+         |${iter("0", "1")},
+         |${iter("1", "2")}
+         |SELECT a2.id % 5 AS bucket, count(*) AS n_nodes,
+         |  round(sum(a2.auth), 6) AS sum_auth,
+         |  round(sum(h2.hub), 6) AS sum_hub
+         |FROM a2 JOIN h2 ON a2.id = h2.id GROUP BY 1""".stripMargin
+    },
+
+    // personalized-PageRank replay: teleport = isSeed/|S|, init = t,
+    // 3 unrolled iterations, dangling term 0 by construction; the
+    // (1.0 − 0.85) CAST discipline matches the Scala double exactly
+    "q159_ppr" -> {
+      def iter(prev: String, cur: String): String =
+        s"""c_$cur AS (
+           |  SELECT e.dst AS id, sum(r_$prev.pr / deg.outdeg) AS cin
+           |  FROM r_$prev JOIN e ON r_$prev.id = e.src
+           |  JOIN deg ON e.src = deg.src
+           |  GROUP BY e.dst),
+           |r_$cur AS (
+           |  SELECT t.id,
+           |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * t.t
+           |      + CAST(0.85 AS DOUBLE)*(COALESCE(c_$cur.cin, 0.0)) AS pr
+           |  FROM t LEFT JOIN c_$cur ON t.id = c_$cur.id)""".stripMargin
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents WHERE text IS NOT NULL),
+         |ss AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS s
+         |  FROM documents WHERE text IS NOT NULL AND doc_id % 100 = 0),
+         |t AS (
+         |  SELECT doc_id AS id,
+         |    CASE WHEN doc_id % 100 = 0 THEN 1.0/s ELSE CAST(0.0 AS DOUBLE) END AS t
+         |  FROM documents, ss WHERE text IS NOT NULL),
+         |e AS (
+         |  SELECT doc_id AS src, (doc_id*2+1) % n AS dst
+         |  FROM documents, nn WHERE text IS NOT NULL
+         |  UNION ALL
+         |  SELECT doc_id, (doc_id*3+2) % n FROM documents, nn WHERE text IS NOT NULL
+         |  UNION ALL
+         |  SELECT doc_id, (doc_id*7+5) % n FROM documents, nn WHERE text IS NOT NULL),
+         |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+         |r_0 AS (SELECT id, t AS pr FROM t),
+         |${iter("0", "1")},
+         |${iter("1", "2")},
+         |${iter("2", "3")}
+         |SELECT id % 5 AS bucket, count(*) AS n_nodes,
+         |  round(sum(pr), 6) AS sum_pr
+         |FROM r_3 GROUP BY 1""".stripMargin
+    },
 
     // crawl-delta replay: every status is decided by the construction
     // arithmetic (drop %13, edit %5 of the survivors, add %11 under

@@ -118,4 +118,110 @@ object LinkGraph {
     }
     ranks
   }
+
+  /**
+   * Personalized PageRank (random walk with restart): teleport lands
+   * only on the `seeds` set, so rank measures proximity TO the seeds —
+   * the standard graph-expansion primitive for corpus curation
+   * ("pages like these known-good ones"). Same declarative shape as
+   * [[pageRank]]; teleport vector `t = isSeed/|S|` attaches to the
+   * node frame once, init = t, update
+   * `pr' = (1-d)·t + d·(Σ_in pr/outdeg + danglingMass·t)`.
+   * Seeds not present in `nodes` are ignored (their teleport share is
+   * still counted in |S| — feed a consistent seed set).
+   */
+  def personalizedPageRank(
+      nodes: DataFrame,
+      edges: DataFrame,
+      seeds: DataFrame,
+      iters: Int,
+      damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, "personalizedPageRank needs at least one iteration")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    val sd = seeds.select(col("id")).distinct().localCheckpoint()
+    val sRow = sd.agg(count(lit(1)).cast("double").as("__s")).localCheckpoint()
+    val n = nodes.select(col("id")).distinct()
+      .join(sd.withColumn("__isSeed", lit(1)), Seq("id"), "left_outer")
+      .crossJoin(sRow)
+      .select(col("id"),
+        when(col("__isSeed").isNotNull, lit(1.0) / col("__s"))
+          .otherwise(lit(0.0)).as("__t"))
+      .localCheckpoint()
+
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("__outdeg"))
+    val edgesDeg = edges.select(col("src"), col("dst"))
+      .join(deg, "src")
+      .localCheckpoint()
+
+    var ranks = n.select(col("id"), col("__t"), col("__t").as("pr"))
+      .localCheckpoint()
+    var it = 0
+    while (it < iters) {
+      val contribs = ranks
+        .join(edgesDeg, ranks("id") === edgesDeg("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("pr") / col("__outdeg")).as("__in"))
+      val dangling = ranks
+        .join(deg, ranks("id") === deg("src"), "left_anti")
+        .agg(coalesce(sum(col("pr")), lit(0.0)).as("__dm"))
+      ranks = n
+        .join(contribs, Seq("id"), "left_outer")
+        .crossJoin(dangling)
+        .select(col("id"), col("__t"),
+          (lit(1.0 - damping) * col("__t") +
+            lit(damping) * (coalesce(col("__in"), lit(0.0)) +
+              col("__dm") * col("__t"))).as("pr"))
+        .localCheckpoint()
+      it += 1
+    }
+    ranks.select(col("id"), col("pr"))
+  }
+
+  /**
+   * HITS hubs & authorities (Kleinberg 1999, public): mutual
+   * reinforcement — a good hub links to good authorities, a good
+   * authority is linked from good hubs. Per iteration: authority =
+   * dst-keyed sum of hub over in-edges, L2-normalized; then hub =
+   * src-keyed sum of the NEW authority over out-edges, L2-normalized
+   * (the classic in-place ordering). Both normalizations are one-row
+   * aggregates cross-joined back — declarative, no driver collect;
+   * edge frame checkpointed once, scores are node-sized.
+   */
+  def hits(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, "hits needs at least one iteration")
+    val n = nodes.select(col("id")).distinct().localCheckpoint()
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+
+    def l2normalize(df: DataFrame, c: String): DataFrame = {
+      val norm = df.agg(sqrt(sum(col(c) * col(c))).as("__norm"))
+      df.crossJoin(norm)
+        .select(col("id"),
+          when(col("__norm") > 0.0, col(c) / col("__norm"))
+            .otherwise(lit(0.0)).as(c))
+    }
+
+    var hubs = n.select(col("id"), lit(1.0).as("hub")).localCheckpoint()
+    var auths = n.select(col("id"), lit(1.0).as("auth"))
+    var it = 0
+    while (it < iters) {
+      val authRaw = hubs
+        .join(e, hubs("id") === e("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("hub")).as("auth"))
+      auths = l2normalize(
+        n.join(authRaw, Seq("id"), "left_outer")
+          .select(col("id"), coalesce(col("auth"), lit(0.0)).as("auth")),
+        "auth").localCheckpoint()
+      val hubRaw = auths
+        .join(e, auths("id") === e("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(sum(col("auth")).as("hub"))
+      hubs = l2normalize(
+        n.join(hubRaw, Seq("id"), "left_outer")
+          .select(col("id"), coalesce(col("hub"), lit(0.0)).as("hub")),
+        "hub").localCheckpoint()
+      it += 1
+    }
+    auths.join(hubs, "id")
+  }
 }

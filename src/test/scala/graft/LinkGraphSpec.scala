@@ -85,6 +85,72 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(math.abs(got.sum - 1.0) < 1e-9)
   }
 
+  test("personalizedPageRank concentrates mass near the seed set") {
+    // two communities: 0-1-2 cycle, 3-4 cycle, one bridge 2->3
+    val nodes = (0L to 4L).toDF("id")
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L), (3L, 4L), (4L, 3L))
+      .toDF("src", "dst")
+    val seeds = Seq(0L).toDF("id")
+    val edgeList = Seq((0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 3))
+    val outdeg = edgeList.groupBy(_._1).view.mapValues(_.size).toMap
+    val d = 0.85
+    val t = Array(1.0, 0, 0, 0, 0)
+    var pr = t.clone()
+    for (_ <- 1 to 3) {
+      val in = Array.fill(5)(0.0)
+      edgeList.foreach { case (s, u) => in(u) += pr(s) / outdeg(s) }
+      pr = Array.tabulate(5)(i => (1 - d) * t(i) + d * in(i))
+    }
+    val got = graft.ops.LinkGraph.personalizedPageRank(nodes, edges, seeds, 3, d)
+      .orderBy("id").collect().map(_.getDouble(1))
+    got.zip(pr).foreach { case (g, e) =>
+      assert(math.abs(g - e) < 1e-12, s"got $g expected $e")
+    }
+    // seed community holds more rank than the far community
+    assert(got(0) + got(1) + got(2) > got(3) + got(4))
+  }
+
+  test("hits matches a driver-side reference; hubs vs authorities") {
+    // 0 and 1 are hubs pointing at authority 2; 2 points at 3
+    val nodes = (0L to 3L).toDF("id")
+    val edgeList = Seq((0, 2), (1, 2), (2, 3))
+    val edges = edgeList.map { case (a, b) => (a.toLong, b.toLong) }.toDF("src", "dst")
+    val iters = 2
+    var hub = Array.fill(4)(1.0)
+    var auth = Array.fill(4)(1.0)
+    for (_ <- 1 to iters) {
+      val a = Array.fill(4)(0.0)
+      edgeList.foreach { case (s, t2) => a(t2) += hub(s) }
+      val an = math.sqrt(a.map(x => x * x).sum)
+      auth = a.map(x => if (an > 0) x / an else 0.0)
+      val h = Array.fill(4)(0.0)
+      edgeList.foreach { case (s, t2) => h(s) += auth(t2) }
+      val hn = math.sqrt(h.map(x => x * x).sum)
+      hub = h.map(x => if (hn > 0) x / hn else 0.0)
+    }
+    val got = graft.ops.LinkGraph.hits(nodes, edges, iters)
+      .orderBy("id").collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    got.zipWithIndex.foreach { case ((ga, gh), i) =>
+      assert(math.abs(ga - auth(i)) < 1e-12, s"auth $i: got $ga expected ${auth(i)}")
+      assert(math.abs(gh - hub(i)) < 1e-12, s"hub $i: got $gh expected ${hub(i)}")
+    }
+    // node 2 is the authority; 0/1 are hubs with zero authority
+    assert(got(2)._1 > got(3)._1 && got(0)._1 == 0.0)
+    assert(got(0)._2 > 0 && got(0)._2 == got(1)._2 && got(3)._2 == 0.0)
+  }
+
+  test("topAnchors: deterministic mode with tie-break") {
+    val edges = Seq(
+      (1L, 9L, "beta"), (2L, 9L, "alpha"), (3L, 9L, "beta"),
+      (4L, 8L, "zed"), (5L, 8L, "abc")).toDF("src", "dst", "anchor")
+    val got = graft.ops.LinkGraph.topAnchors(edges, "dst", "anchor")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (8L, "abc", 1L, 2L, 2L), // tie 1-1: smallest anchor wins
+      (9L, "beta", 2L, 3L, 2L)))
+  }
+
   test("pageRank: duplicate edges vote twice, deterministically") {
     val nodes = (0L to 2L).toDF("id")
     val edges = Seq((0L, 1L), (0L, 1L), (0L, 2L), (1L, 0L), (2L, 0L)).toDF("src", "dst")
