@@ -438,4 +438,91 @@ object CorpusIngest {
     fs.create(new Path(runDir, "_SUCCESS"), true).close()
     applied
   }
+
+  /**
+   * Streaming crawl-frontier maintenance: drain newly landed sitemap
+   * snapshots (JSONL rows of `(host, xml)` — what a sitemap fetcher
+   * writes per host per cycle), extract their `(loc, lastmod)` entries
+   * with [[graft.functions.SitemapExtract]], and MERGE into the
+   * durable frontier table `(url, host, lastmod)` that the planner
+   * (q156's staleness fence) reads.
+   *
+   * The merge is a pure idempotent aggregation, not CDC: sitemap
+   * `lastmod` is a W3C datetime string (lexicographic = chronological),
+   * so per URL the frontier keeps `max(lastmod)` — replayed files,
+   * re-fetched identical sitemaps, and out-of-order drains all
+   * converge to the same state, which makes drains exactly-once
+   * without any ledger: the DATA is its own high-water. A URL that
+   * disappears from later sitemaps stays in the frontier (sitemaps are
+   * advisory discovery, not tombstones; deletion is the crawl-delta
+   * op's job — [[graft.ops.SnapshotDiff]]).
+   *
+   * Scale shape: extraction is |hosts|-row kernel work; the merge is
+   * one url-keyed aggregation of (stored ∪ new entries) — at cluster
+   * scale, store the frontier bucketed by url hash so the merge
+   * co-locates. Publishes `_SUCCESS`-gated run dirs (same visibility
+   * discipline as every maintainer here); a no-op drain publishes
+   * nothing and returns the current frontier.
+   */
+  def maintainFrontier(
+      spark: SparkSession,
+      landingDir: String,
+      silverDir: String,
+      checkpointDir: String,
+      frontierDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{StringType, StructField}
+    val schema = StructType(Seq(
+      StructField("host", StringType, nullable = true),
+      StructField("xml", StringType, nullable = true)))
+    IngestStream.drainOnce(
+      spark, landingDir, schema,
+      requiredCols = Seq("host", "xml"),
+      normalizeCols = Nil,
+      outDir = silverDir, checkpointDir = checkpointDir)
+    val silverPath = new Path(silverDir)
+    val sfs = silverPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val silver =
+      if (sfs.exists(silverPath)) spark.read.schema(schema).parquet(silverDir)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+    val stored = graft.io.Layers.latestSuccessfulRun(spark, frontierDir) match {
+      case Some(run) => spark.read.parquet(s"$run/frontier")
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("url", StringType, nullable = true),
+          StructField("host", StringType, nullable = true),
+          StructField("lastmod", StringType, nullable = true))))
+    }
+    // silver holds EVERY drained snapshot; the merge is idempotent, so
+    // re-aggregating all of it converges to the same frontier — but
+    // only publish when the result DIFFERS from the stored state
+    // (cheap anti-join count), so replay/no-op drains publish nothing.
+    val entries = silver
+      .select(col("host"),
+        explode(graft.functions.GraftFunctions.sitemapUrls(spark, col("xml")))
+          .as("u"))
+      .select(col("u.loc").as("url"), col("host"), col("u.lastmod").as("lastmod"))
+    val merged = stored.unionByName(entries)
+      .groupBy(col("url"))
+      .agg(max(col("host")).as("host"), max(col("lastmod")).as("lastmod"))
+      .localCheckpoint()
+    val changed = merged
+      .join(stored.withColumnRenamed("lastmod", "__sl")
+          .withColumnRenamed("host", "__sh"),
+        Seq("url"), "left")
+      .filter(col("__sl").isNull || col("lastmod") > col("__sl"))
+    if (changed.isEmpty) return stored
+    val fs = new Path(frontierDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nDone =
+      if (!fs.exists(new Path(frontierDir))) 0
+      else fs.listStatus(new Path(frontierDir)).count(s => s.isDirectory &&
+        fs.exists(new Path(s.getPath, "_SUCCESS")))
+    val runDir = f"$frontierDir/run_${nDone + 1}%06d"
+    merged.write.mode("overwrite").parquet(s"$runDir/frontier")
+    fs.create(new Path(runDir, "_SUCCESS"), true).close()
+    merged
+  }
 }

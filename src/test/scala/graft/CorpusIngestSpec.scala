@@ -297,4 +297,64 @@ class CorpusIngestSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$latest/state")
       .as[(Long, String)].collect().toSet == Set(1L -> "a2", 2L -> "b2"))
   }
+
+  test("maintainFrontier: sitemap drains merge idempotently into the frontier") {
+    val base = TestSpark.tmpDir("corpus_ingest_frontier")
+    val landing = new java.io.File(base, "landing"); landing.mkdirs()
+    def landS(name: String, rows: Seq[(String, String)]): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(landing, name))
+      try rows.foreach { case (host, xml) =>
+        w.println(s"""{"host": "$host", "xml": "${xml.replace("\"", "\\\"")}"}""")
+      } finally w.close()
+    }
+    def drain() = CorpusIngest.maintainFrontier(
+      spark, landing.getPath,
+      silverDir = s"$base/silver", checkpointDir = s"$base/ckpt",
+      frontierDir = s"$base/frontier")
+
+    // bootstrap on empty landing: no publish, empty frontier
+    assert(drain().count() == 0)
+    assert(graft.io.Layers.latestSuccessfulRun(spark, s"$base/frontier").isEmpty)
+
+    // wave 1: two hosts discovered
+    landS("w1.jsonl", Seq(
+      "a.example" -> ("<urlset><url><loc>https://a.example/1</loc>" +
+        "<lastmod>2026-01-10</lastmod></url>" +
+        "<url><loc>https://a.example/2</loc></url></urlset>"),
+      "b.example" -> "<urlset><url><loc>https://b.example/1</loc></url></urlset>"))
+    val f1 = drain().as[(String, String, String)].collect().toSet
+    assert(f1 == Set(
+      ("https://a.example/1", "a.example", "2026-01-10"),
+      ("https://a.example/2", "a.example", ""),
+      ("https://b.example/1", "b.example", "")))
+
+    // wave 2: lastmod advances on /1, a new URL appears; /2 unchanged
+    landS("w2.jsonl", Seq(
+      "a.example" -> ("<urlset><url><loc>https://a.example/1</loc>" +
+        "<lastmod>2026-02-01</lastmod></url>" +
+        "<url><loc>https://a.example/3</loc>" +
+        "<lastmod>2026-01-20</lastmod></url></urlset>")))
+    val f2 = drain().as[(String, String, String)].collect().toSet
+    assert(f2 == Set(
+      ("https://a.example/1", "a.example", "2026-02-01"),
+      ("https://a.example/2", "a.example", ""),
+      ("https://a.example/3", "a.example", "2026-01-20"),
+      ("https://b.example/1", "b.example", "")))
+
+    // no-op drain: nothing new landed -> nothing published, state stable
+    val runsBefore = new java.io.File(s"$base/frontier").listFiles()
+      .count(f => f.isDirectory && new java.io.File(f, "_SUCCESS").exists())
+    val f3 = drain().as[(String, String, String)].collect().toSet
+    assert(f3 == f2)
+    val runsAfter = new java.io.File(s"$base/frontier").listFiles()
+      .count(f => f.isDirectory && new java.io.File(f, "_SUCCESS").exists())
+    assert(runsAfter == runsBefore, "a no-op drain must not publish a run")
+
+    // an OLDER lastmod replayed later never rewinds the frontier
+    landS("w3.jsonl", Seq(
+      "a.example" -> ("<urlset><url><loc>https://a.example/1</loc>" +
+        "<lastmod>2026-01-05</lastmod></url></urlset>")))
+    val f4 = drain().as[(String, String, String)].collect().toSet
+    assert(f4 == f2, "stale lastmod must not rewind; no new URL, no change")
+  }
 }
