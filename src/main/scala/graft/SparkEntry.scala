@@ -2642,6 +2642,73 @@ object SparkEntry {
         .agg(
           count(lit(1)).as("n_nodes"),
           round(sum(col("pr")), 6).as("sum_pr"))
+    }),
+
+    // ---- north-star: weighted sampling without replacement
+    //      (Efraimidis–Spirakis keys over the deterministic md5 unit
+    //      hash) — per-source top-k by u^(1/w); the oracle replays the
+    //      identical keys, so the exact member SET must agree.
+    "q160_weighted_sample" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      graft.ops.Sampling.weightedSample(
+          docs.withColumn("w", (col("doc_id") % 4 + 1).cast("double")),
+          "doc_id", "w", k = 10, salt = "ws1", strataCol = Some("source"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("doc_id")).as("sum_ids"),
+          round(sum(col("w")), 6).as("sum_w"))
+    }),
+
+    // ---- north-star: ORC interchange — the second columnar format a
+    //      lakehouse ingests from; write documents to ORC, read back
+    //      through a pushdown-eligible filter, and the roundtrip must
+    //      reproduce the source aggregates exactly.
+    "q161_orc_roundtrip" -> ((s, dir) => {
+      val out = tmp("q161_orc")
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      docs.select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .filter(col("n_chars") >= 20)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("doc_id")).as("sum_ids"),
+          countDistinct(col("source")).as("n_sources"))
+    }),
+
+    // ---- north-star: CSV interchange with hostile fields — embedded
+    //      commas, RFC 4180 double-quote escaping, and a literal
+    //      NEWLINE inside a quoted field (the multiLine trap that
+    //      breaks naive line-split readers); every payload must
+    //      round-trip byte-exactly (n_exact = n_rows).
+    "q162_csv_roundtrip" -> ((s, dir) => {
+      val out = tmp("q162_csv")
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      val payload = concat(lit("pre,"), col("text"), lit(" \"q\" end"),
+        lit("\nline2 "), col("doc_id"))
+      docs.select(col("doc_id"), payload.as("payload"), col("lang"))
+        .write.mode("overwrite")
+        .option("header", "true").option("escape", "\"")
+        .csv(out)
+      val back = s.read
+        .option("header", "true").option("multiLine", "true")
+        .option("escape", "\"")
+        .schema("doc_id LONG, payload STRING, lang STRING")
+        .csv(out)
+      back
+        .join(docs.select(col("doc_id"),
+          concat(lit("pre,"), col("text"), lit(" \"q\" end"),
+            lit("\nline2 "), col("doc_id")).as("expected")), "doc_id")
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("payload") === col("expected"), 1L).otherwise(0L))
+            .as("n_exact"),
+          sum(length(col("payload"))).as("sum_chars"))
     })
   )
 
@@ -5081,6 +5148,44 @@ object SparkEntry {
          |  round(sum(pr), 6) AS sum_pr
          |FROM r_3 GROUP BY 1""".stripMargin
     },
+
+    // weighted-sample replay: identical Efraimidis–Spirakis keys from
+    // the shared salted-md5 unit hash — the exact member set must
+    // agree, not just the counts
+    "q160_weighted_sample" -> {
+      val h = PortableSql.minhashBase("concat('ws1', ':', CAST(doc_id AS VARCHAR))", DD)
+      s"""WITH hh AS (
+         |  SELECT doc_id, source, CAST(doc_id % 4 + 1 AS DOUBLE) AS w,
+         |    CAST($h AS DOUBLE) / 1152921504606846976.0 AS p
+         |  FROM documents WHERE text IS NOT NULL),
+         |sc AS (SELECT *, power(p, 1.0/w) AS ws FROM hh),
+         |r AS (
+         |  SELECT *, ROW_NUMBER() OVER
+         |    (PARTITION BY source ORDER BY ws DESC, doc_id ASC) AS rn
+         |  FROM sc)
+         |SELECT source, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+         |  round(sum(w), 6) AS sum_w
+         |FROM r WHERE rn <= 10 GROUP BY source""".stripMargin
+    },
+
+    // ORC replay: lossless roundtrip ⇒ the filtered aggregates equal
+    // the source table's
+    "q161_orc_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  count(DISTINCT source) AS n_sources
+        |FROM documents WHERE text IS NOT NULL AND n_chars >= 20
+        |GROUP BY lang""".stripMargin,
+
+    // CSV replay: payload = 'pre,' + text + ' "q" end' + newline +
+    // 'line2 ' + id ⇒ length = len(text) + 19 + digits(id); exactness
+    // asserted by n_exact = n_rows
+    "q162_csv_roundtrip" ->
+      """SELECT lang, count(*) AS n_rows, count(*) AS n_exact,
+        |  CAST(sum(length(text) + 19 + length(CAST(doc_id AS VARCHAR))) AS BIGINT)
+        |    AS sum_chars
+        |FROM documents WHERE text IS NOT NULL GROUP BY lang""".stripMargin,
 
     // crawl-delta replay: every status is decided by the construction
     // arithmetic (drop %13, edit %5 of the survivors, add %11 under

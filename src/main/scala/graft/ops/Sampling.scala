@@ -322,4 +322,50 @@ object Sampling {
       .select(col(groupCol), col("mean_score"),
         round(col("__e") / col("__z"), 6).as("weight"))
   }
+
+  /**
+   * Weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006,
+   * public): each row draws key `u^(1/w)` and the k LARGEST keys per
+   * stratum win — inclusion probability proportional to weight, no
+   * sequential pass. The uniform `u` is [[unitPos]]'s salted md5 hash,
+   * NOT an RNG, so the sample is a pure function of (salt, key,
+   * weight): reruns, repartitions, task retries, and engines agree on
+   * the exact member set — the property that makes a weighted training
+   * mix reproducible. Rows with null or non-positive weight never
+   * sample (a zero-weight row has key 0).
+   *
+   * Scale: one stratum-keyed window (rank over the score) — the same
+   * single exchange every per-group top-k pays; for a GLOBAL sample
+   * pass `strataCol = None` and the plan is a `TakeOrderedAndProject`
+   * (k-row reduce, no global sort, no window).
+   */
+  def weightedSample(
+      df: DataFrame,
+      keyCol: String,
+      weightCol: String,
+      k: Int,
+      salt: String = "",
+      strataCol: Option[String] = None): DataFrame = {
+    require(k > 0, "sample size must be positive")
+    val score = pow(unitPos(col(keyCol), salt),
+      lit(1.0) / col(weightCol).cast("double"))
+    // NaN guard is load-bearing: Spark ORDERS NaN above every numeric,
+    // so `w > 0` alone would admit NaN weights (and their NaN keys
+    // would then win every stratum's top-k)
+    val eligible = df.filter(col(weightCol).isNotNull &&
+        !isnan(col(weightCol).cast("double")) && col(weightCol) > 0)
+      .withColumn("__ws", score)
+    strataCol match {
+      case Some(sc) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(sc)).orderBy(col("__ws").desc, col(keyCol).asc)
+        eligible.withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") <= k)
+          .drop("__rk", "__ws")
+      case None =>
+        eligible.orderBy(col("__ws").desc, col(keyCol).asc)
+          .limit(k)
+          .drop("__ws")
+    }
+  }
 }

@@ -281,4 +281,35 @@ class SamplingSpec extends AnyFunSuite {
       .as[(String, Double, Double)].collect().map(r => r._1 -> r._3).toMap
     assert(cold("hard") > got("hard")._2)
   }
+
+  test("weightedSample: deterministic ES keys, weight bias, invariances") {
+    val df = (0L until 400L).map(i => (i, s"g${i % 2}",
+      if (i % 2 == 0) 9.0 else 1.0)).toDF("id", "grp", "w")
+    val take = Sampling.weightedSample(df, "id", "w", k = 50, salt = "t",
+        strataCol = Some("grp"))
+      .select("id").as[Long].collect().toSet
+    assert(take.size == 100) // 50 per stratum (each stratum has 200 rows)
+    // identical under repartitioning (pure function of salt+key+weight)
+    val take2 = Sampling.weightedSample(df.repartition(13), "id", "w", 50,
+        salt = "t", strataCol = Some("grp"))
+      .select("id").as[Long].collect().toSet
+    assert(take2 == take)
+    // a GLOBAL k=50 over the same frame: the heavy-weight group (w=9)
+    // must dominate the sample
+    val global = Sampling.weightedSample(df, "id", "w", k = 50, salt = "t")
+      .select("id").as[Long].collect()
+    assert(global.length == 50)
+    val heavy = global.count(_ % 2 == 0)
+    assert(heavy > 35, s"w=9 rows should dominate, got $heavy/50")
+    // null / non-positive weights never sample
+    // NaN is a live trap here: Spark orders NaN above every numeric,
+    // so an unguarded `w > 0` admits it and its NaN key tops the rank
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val bad = Seq((1L, "g", 1.0), (2L, "g", 0.0), (3L, "g", -1.0),
+      (4L, "g", 2.0), (5L, "g", Double.NaN)).toDF("id", "grp", "w")
+      .withColumn("w", when(col("id") === 1L, lit(null)).otherwise(col("w")))
+    val kept = Sampling.weightedSample(bad, "id", "w", 10, "t", Some("grp"))
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(4L))
+  }
 }
