@@ -2709,6 +2709,41 @@ object SparkEntry {
           sum(when(col("payload") === col("expected"), 1L).otherwise(0L))
             .as("n_exact"),
           sum(length(col("payload"))).as("sum_chars"))
+    }),
+
+    // ---- north-star: robots-fed politeness — Crawl-delay parsed per
+    //      host (agent-specific group beats '*'; absent → crawler
+    //      default) feeds the schedule, closing the robots → scheduler
+    //      loop; makespans are slot-set arithmetic for the oracle.
+    "q163_robots_politeness" -> ((s, dir) => {
+      import s.implicits._
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      val id = col("doc_id")
+      val robots = (0 to 9).flatMap { h =>
+        if (h % 3 == 0) Some((s"d$h.example",
+          s"User-agent: *\nCrawl-delay: ${h % 5 + 2}\nDisallow: /private/"))
+        else if (h % 3 == 1) Some((s"d$h.example",
+          "User-agent: graftbot\nCrawl-delay: 10\n\nUser-agent: *\nCrawl-delay: 1"))
+        else None // h%3==2: no robots -> crawler default
+      }.toDF("host", "robots_txt")
+      val frontier = docs.select(
+        concat(lit("d"), id % 10, lit(".example")).as("host"),
+        concat(lit("https://d"), id % 10, lit(".example/p/"),
+          lpad(id.cast("string"), 6, "0")).as("url"))
+      val delays = robots.select(col("host"),
+        graft.ops.Robots.crawlDelayFor(s, col("robots_txt"), "graftbot").as("rd"))
+      val planned = frontier.join(broadcast(delays), Seq("host"), "left")
+        .withColumn("delay_s", coalesce(col("rd"), lit(1.0)))
+      val sched = graft.ops.Crawl.politeSchedule(planned, "host", "url", "delay_s")
+      graft.ops.Crawl.hostLoad(sched, "host", "delay_s")
+        .withColumn("hostnum",
+          regexp_extract(col("host"), "^d([0-9]+)\\.", 1).cast("long"))
+        .groupBy((col("hostnum") % 3).as("bucket"))
+        .agg(
+          count(lit(1)).as("n_hosts"),
+          sum(col("n_urls")).as("n_urls"),
+          round(sum(col("makespan_s")), 6).as("sum_makespan"),
+          round(sum(col("delay_s")), 6).as("sum_delay"))
     })
   )
 
@@ -5186,6 +5221,26 @@ object SparkEntry {
         |  CAST(sum(length(text) + 19 + length(CAST(doc_id AS VARCHAR))) AS BIGINT)
         |    AS sum_chars
         |FROM documents WHERE text IS NOT NULL GROUP BY lang""".stripMargin,
+
+    // robots-politeness replay: delays are known per host class
+    // (h%3==0 declares h%5+2 for '*', h%3==1 overrides graftbot to 10,
+    // h%3==2 has no robots -> default 1.0); makespan = (n-1)·delay
+    "q163_robots_politeness" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 10 AS h
+        |  FROM documents WHERE text IS NOT NULL),
+        |hn AS (SELECT h, count(*) AS n FROM d GROUP BY h),
+        |del AS (
+        |  SELECT h, n,
+        |    CASE WHEN h % 3 = 0 THEN CAST(h % 5 + 2 AS DOUBLE)
+        |         WHEN h % 3 = 1 THEN CAST(10.0 AS DOUBLE)
+        |         ELSE CAST(1.0 AS DOUBLE) END AS delay
+        |  FROM hn)
+        |SELECT h % 3 AS bucket, count(*) AS n_hosts,
+        |  CAST(sum(n) AS BIGINT) AS n_urls,
+        |  round(sum((n-1) * delay), 6) AS sum_makespan,
+        |  round(sum(delay), 6) AS sum_delay
+        |FROM del GROUP BY 1""".stripMargin,
 
     // crawl-delta replay: every status is decided by the construction
     // arithmetic (drop %13, edit %5 of the survivors, add %11 under

@@ -221,7 +221,17 @@ object GraftFunctions {
     SitemapUrlsKernel(args.head)
   }
 
+  private val robotsDelayId = FunctionIdentifier("graft_robots_delay")
+  private val robotsDelayInfo =
+    new ExpressionInfo(classOf[RobotsDelayKernel].getName, "graft_robots_delay")
+  private val robotsDelayBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 2,
+      s"graft_robots_delay expects (content, agent), got ${args.length} args")
+    RobotsDelayKernel(args.head, args(1))
+  }
+
   private val all = Seq(
+    (robotsDelayId, robotsDelayInfo, robotsDelayBuilder),
     (sitemapUrlsId, sitemapUrlsInfo, sitemapUrlsBuilder),
     (piiStatsId, piiStatsInfo, piiStatsBuilder),
     (piiScrubId, piiScrubInfo, piiScrubBuilder),

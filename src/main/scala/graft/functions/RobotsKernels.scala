@@ -68,8 +68,31 @@ object RobotsKernels {
 
   /** Parse + group-select; see object doc. Null content → empty rules
     * (no policy = allow all), the missing-robots default. */
-  def rules(content: UTF8String, agent: UTF8String): ArrayData = {
-    if (content == null) return new GenericArrayData(Array.empty[Any])
+  def rules(content: UTF8String, agent: UTF8String): ArrayData =
+    new GenericArrayData(
+      chosenEntries(content, agent).filterNot(_.startsWith("C:"))
+        .map(r => UTF8String.fromString(r): Any).toArray)
+
+  /** De-facto `Crawl-delay` (seconds) governing `agent` — the value the
+    * politeness scheduler ([[graft.ops.Crawl.politeSchedule]]) feeds
+    * per host. Group selection is identical to [[rules]]; when several
+    * matching groups declare delays, the MAXIMUM wins (conservative —
+    * the crawler can only be too polite). Null when absent/unparsable
+    * or the robots body is null: caller supplies its default. */
+  def crawlDelay(content: UTF8String, agent: UTF8String): java.lang.Double = {
+    val ds = chosenEntries(content, agent).filter(_.startsWith("C:"))
+      .flatMap(r => scala.util.Try(r.substring(2).toDouble).toOption)
+      .filter(d => !d.isNaN && d >= 0)
+    if (ds.isEmpty) null else java.lang.Double.valueOf(ds.max)
+  }
+
+  /** Shared parse + group-select: `"A:.."`/`"D:.."` rules plus
+    * `"C:<secs>"` crawl-delay entries of the chosen groups, file
+    * order. */
+  private def chosenEntries(
+      content: UTF8String,
+      agent: UTF8String): scala.collection.mutable.ArrayBuffer[String] = {
+    if (content == null) return scala.collection.mutable.ArrayBuffer.empty[String]
     val agentLc = if (agent == null) "*" else agent.toString.toLowerCase(java.util.Locale.ROOT)
     // groups: (agent tokens, rules "A:.."/"D:..")
     val groups = scala.collection.mutable.ArrayBuffer
@@ -101,7 +124,10 @@ object RobotsKernels {
             inAgentRun = false
             if (value.nonEmpty) // empty pattern = no-op per RFC
               curRules += (if (field == "allow") "A:" else "D:") + value
-          case _ => // sitemap, crawl-delay, unknown: ignore
+          case "crawl-delay" =>
+            inAgentRun = false
+            if (value.nonEmpty) curRules += "C:" + value
+          case _ => // sitemap, unknown: ignore
             inAgentRun = false
         }
       }
@@ -110,8 +136,7 @@ object RobotsKernels {
     // specific-agent groups take precedence over '*'; matches COMBINE
     val specific = groups.filter(_._1.contains(agentLc))
     val chosen = if (specific.nonEmpty) specific else groups.filter(_._1.contains("*"))
-    new GenericArrayData(
-      chosen.flatMap(_._2).map(r => UTF8String.fromString(r): Any).toArray)
+    chosen.flatMap(_._2)
   }
 
   /** Longest-match decision; allow wins length ties; default allow. */
@@ -204,6 +229,48 @@ case class RobotsAllowedKernel(left: Expression, right: Expression)
        """.stripMargin
     ev.copy(code = resultCode,
       isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_robots_delay(content, agent)` — see
+  * [[RobotsKernels.crawlDelay]]. Null result (not null-propagating
+  * inputs) means "no declared delay": the caller coalesces its own
+  * politeness default. */
+case class RobotsDelayKernel(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_robots_delay"
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (string, string), got " +
+        s"(${left.dataType.sql}, ${right.dataType.sql})")
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val d = RobotsKernels.crawlDelay(
+      left.eval(input).asInstanceOf[UTF8String],
+      right.eval(input).asInstanceOf[UTF8String])
+    if (d == null) null else d.doubleValue
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    val boxed = ctx.freshName("delay")
+    val resultCode =
+      code"""
+         |${l.code}
+         |${r.code}
+         |java.lang.Double $boxed = graft.functions.RobotsKernels.crawlDelay(
+         |  ${l.isNull} ? null : ${l.value}, ${r.isNull} ? null : ${r.value});
+         |boolean ${ev.isNull} = $boxed == null;
+         |double ${ev.value} = ${ev.isNull} ? -1.0 : $boxed.doubleValue();
+       """.stripMargin
+    ev.copy(code = resultCode)
   }
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

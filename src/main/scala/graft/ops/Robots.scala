@@ -31,6 +31,14 @@ object Robots {
     call_function("graft_robots_allowed", path, rules)
   }
 
+  /** De-facto `Crawl-delay` (seconds) governing `agent`; null when the
+    * host declares none — coalesce the crawler's politeness default.
+    * See [[graft.functions.RobotsKernels.crawlDelay]]. */
+  def crawlDelayFor(spark: SparkSession, robotsBody: Column, agent: String): Column = {
+    graft.functions.GraftFunctions.register(spark)
+    call_function("graft_robots_delay", robotsBody, lit(agent))
+  }
+
   /**
    * Filter a URL frontier to the crawl-allowed subset. `robots` has one
    * row per host: (`host` string, `robots_txt` string). Output keeps

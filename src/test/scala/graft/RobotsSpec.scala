@@ -97,4 +97,37 @@ class RobotsSpec extends AnyFunSuite {
         "graft_robots_rules('User-agent: *\nDisallow: /x', '*')) AS d").as[Boolean].head()
     assert(!got)
   }
+
+  test("crawl-delay: group selection, max-wins, junk, absence") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def delay(body: String, agent: String): Option[Double] =
+      Option(graft.functions.RobotsKernels.crawlDelay(
+        UTF8String.fromString(body), UTF8String.fromString(agent)))
+        .map(_.doubleValue)
+    // agent-specific group beats '*'
+    val body = "User-agent: graftbot\nCrawl-delay: 10\n\nUser-agent: *\nCrawl-delay: 1"
+    assert(delay(body, "graftbot").contains(10.0))
+    assert(delay(body, "otherbot").contains(1.0))
+    // several matching groups: the conservative MAX wins
+    val multi = "User-agent: a\nCrawl-delay: 2\n\nUser-agent: a\nCrawl-delay: 7.5"
+    assert(delay(multi, "a").contains(7.5))
+    // junk / negative values are ignored; comments strip
+    assert(delay("User-agent: *\nCrawl-delay: soon", "x").isEmpty)
+    assert(delay("User-agent: *\nCrawl-delay: -3", "x").isEmpty)
+    assert(delay("User-agent: *\nCrawl-delay: 4 # seconds", "x").contains(4.0))
+    // absent directive / null-ish body
+    assert(delay("User-agent: *\nDisallow: /", "x").isEmpty)
+    assert(Option(graft.functions.RobotsKernels.crawlDelay(null,
+      UTF8String.fromString("x"))).isEmpty)
+    // crawl-delay lines never leak into the rule list
+    val rules = graft.functions.RobotsKernels.rules(
+      UTF8String.fromString(body), UTF8String.fromString("graftbot"))
+    assert(rules.numElements() == 0)
+    // SQL surface
+    graft.functions.GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT graft_robots_delay('User-agent: *\nCrawl-delay: 3', 'b') AS d")
+      .as[Double].head()
+    assert(viaSql == 3.0)
+  }
 }
