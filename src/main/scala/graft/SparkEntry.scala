@@ -2744,6 +2744,30 @@ object SparkEntry {
           sum(col("n_urls")).as("n_urls"),
           round(sum(col("makespan_s")), 6).as("sum_makespan"),
           round(sum(col("delay_s")), 6).as("sum_delay"))
+    }),
+
+    // ---- north-star: accent-fold canonicalization — accents are
+    //      INJECTED constructively (translate aeiou→áéíóü on half the
+    //      corpus), so the fold must recover the original text
+    //      byte-exactly (n_exact = n_docs) while the untouched half
+    //      proves the ASCII fast path returns identity; cross-accent
+    //      dedup is the composition: distinct folded == distinct raw.
+    "q164_accent_fold" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      val id = col("doc_id")
+      val accented = when(id % 2 === 0,
+        translate(col("text"), "aeiou", "áéíóü"))
+        .otherwise(col("text"))
+      docs.select((id % 7).as("bucket"), col("text"),
+          graft.functions.GraftFunctions.foldAccents(s, accented).as("folded"),
+          accented.as("accented"))
+        .groupBy("bucket")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("folded") === col("text"), 1L).otherwise(0L)).as("n_exact"),
+          countDistinct(col("folded")).as("n_distinct_folded"),
+          countDistinct(col("text")).as("n_distinct_raw"),
+          sum(length(col("accented"))).as("sum_acc_chars"))
     })
   )
 
@@ -5241,6 +5265,16 @@ object SparkEntry {
         |  round(sum((n-1) * delay), 6) AS sum_makespan,
         |  round(sum(delay), 6) AS sum_delay
         |FROM del GROUP BY 1""".stripMargin,
+
+    // accent-fold replay: folding recovers the pre-injection text
+    // exactly, so every aggregate is the raw table's (translate is
+    // 1:1 in chars, so even the accented char sum is the raw sum)
+    "q164_accent_fold" ->
+      """SELECT doc_id % 7 AS bucket, count(*) AS n_docs, count(*) AS n_exact,
+        |  count(DISTINCT text) AS n_distinct_folded,
+        |  count(DISTINCT text) AS n_distinct_raw,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_acc_chars
+        |FROM documents WHERE text IS NOT NULL GROUP BY 1""".stripMargin,
 
     // crawl-delta replay: every status is decided by the construction
     // arithmetic (drop %13, edit %5 of the survivors, add %11 under

@@ -230,7 +230,17 @@ object GraftFunctions {
     RobotsDelayKernel(args.head, args(1))
   }
 
+  private val foldAccentsId = FunctionIdentifier("graft_fold_accents")
+  private val foldAccentsInfo =
+    new ExpressionInfo(classOf[FoldAccentsKernel].getName, "graft_fold_accents")
+  private val foldAccentsBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 1,
+      s"graft_fold_accents expects 1 argument, got ${args.length}")
+    FoldAccentsKernel(args.head)
+  }
+
   private val all = Seq(
+    (foldAccentsId, foldAccentsInfo, foldAccentsBuilder),
     (robotsDelayId, robotsDelayInfo, robotsDelayBuilder),
     (sitemapUrlsId, sitemapUrlsInfo, sitemapUrlsBuilder),
     (piiStatsId, piiStatsInfo, piiStatsBuilder),
@@ -408,6 +418,13 @@ object GraftFunctions {
   def nfc(spark: SparkSession, text: Column): Column = {
     register(spark)
     org.apache.spark.sql.functions.call_function("graft_nfc", text)
+  }
+
+  /** Column-API handle on the accent-folding kernel
+    * ([[TextKernels.foldAccents]] — lossy; match keys only). */
+  def foldAccents(spark: SparkSession, text: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_fold_accents", text)
   }
 }
 

@@ -219,6 +219,36 @@ object TextKernels {
     else UTF8String.fromString(
       java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
   }
+
+  /**
+   * Accent folding — the dedup/matching canonicalization one notch
+   * more aggressive than [[nfcNormalize]]: NFKD-decompose, drop every
+   * combining mark (Unicode category Mn), recompose to NFC. "café",
+   * "café" (decomposed), and "cafe" all collapse to "cafe"; compatible
+   * forms (ﬁ ligature, full-width Ａ) also fold through NFKD. This is
+   * the CCNet/fastText-style preprocessing step for cross-accent
+   * near-dup detection and lexicon matching; it is intentionally a
+   * SEPARATE kernel from NFC normalization — folding is lossy and
+   * belongs only in match keys, never in stored text. Pure-ASCII
+   * inputs return the input object untouched (byte-sweep fast path).
+   */
+  def foldAccents(s: UTF8String): UTF8String = {
+    val bytes = s.getBytes
+    var i = 0
+    while (i < bytes.length && bytes(i) >= 0) i += 1
+    if (i == bytes.length) return s // ASCII folds to itself
+    val decomposed = java.text.Normalizer.normalize(
+      s.toString, java.text.Normalizer.Form.NFKD)
+    val sb = new java.lang.StringBuilder(decomposed.length)
+    var j = 0
+    while (j < decomposed.length) {
+      val c = decomposed.charAt(j)
+      if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
+      j += 1
+    }
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      sb.toString, java.text.Normalizer.Form.NFC))
+  }
 }
 
 private[functions] trait StringKernelExpression extends UnaryExpression {
@@ -335,6 +365,19 @@ case class NfcNormalizeKernel(child: Expression) extends StringKernelExpression 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.TextKernels.nfcNormalize($c);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_fold_accents(text)` — see [[TextKernels.foldAccents]]. */
+case class FoldAccentsKernel(child: Expression) extends StringKernelExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_fold_accents"
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.foldAccents(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.foldAccents($c);")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

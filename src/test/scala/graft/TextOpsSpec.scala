@@ -162,6 +162,29 @@ class TextOpsSpec extends AnyFunSuite {
     assert(fused.nonEmpty, s"graft_nfc not inside WholeStageCodegen:\n$plan")
   }
 
+  test("graft_fold_accents: folds diacritics/ligatures/width, ASCII identity, null-propagates") {
+    val rows = Seq[(Long, Option[String])](
+      1L -> Some("plain ascii stays identical"),
+      2L -> Some("café résumé ñ ç"), // composed accents
+      3L -> Some("café decomposed"), // combining acute
+      4L -> Some("ﬁle ligature and Ａ fullwidth"), // ﬁ, Ａ (NFKD)
+      5L -> None)
+    val got = rows.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        GraftFunctions.foldAccents(spark, col("text")).as("f"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got(1L).contains("plain ascii stays identical"))
+    assert(got(2L).contains("cafe resume n c"))
+    assert(got(3L).contains("cafe decomposed"))
+    assert(got(4L).contains("file ligature and A fullwidth"))
+    assert(got(5L).isEmpty)
+    // idempotent, and NOT the same as NFC (folding is lossy on purpose)
+    val once = graft.functions.TextKernels.foldAccents(
+      org.apache.spark.unsafe.types.UTF8String.fromString("élève"))
+    assert(once.toString == "eleve")
+    assert(graft.functions.TextKernels.foldAccents(once).toString == "eleve")
+  }
+
   test("kernel: null text → null (lang_id → 'und'), wrong type fails analysis") {
     val df = Seq[(Long, Option[String])](1L -> None).toDF("doc_id", "text")
     val r = df.selectExpr(
