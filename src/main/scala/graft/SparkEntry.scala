@@ -2768,6 +2768,39 @@ object SparkEntry {
           countDistinct(col("folded")).as("n_distinct_folded"),
           countDistinct(col("text")).as("n_distinct_raw"),
           sum(length(col("accented"))).as("sum_acc_chars"))
+    }),
+
+    // ---- north-star: BUCKETED co-located join — the 100 TB join
+    //      pattern: both fact tables land bucketed (+ bucket-sorted)
+    //      on the join key, so the sort-merge join consumes bucket
+    //      files directly with ZERO shuffle of either side
+    //      (BucketedJoinSpec pins the exchange-free plan); the `merge`
+    //      hint keeps the demonstration honest at fixture scale, where
+    //      AQE would otherwise broadcast the small side.
+    "q165_bucketed_join" -> ((s, dir) => {
+      val liPath = tmp("q165_li")
+      val ordPath = tmp("q165_ord")
+      s.sql("DROP TABLE IF EXISTS graft_li_bucketed")
+      s.sql("DROP TABLE IF EXISTS graft_ord_bucketed")
+      T(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", liPath).saveAsTable("graft_li_bucketed")
+      T(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", ordPath).saveAsTable("graft_ord_bucketed")
+      s.table("graft_li_bucketed").hint("merge")
+        .join(s.table("graft_ord_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          countDistinct(col("o_orderkey")).as("n_orders"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          expr(dsum("l_extendedprice")).as("sum_price"))
     })
   )
 
@@ -5265,6 +5298,16 @@ object SparkEntry {
         |  round(sum((n-1) * delay), 6) AS sum_makespan,
         |  round(sum(delay), 6) AS sum_delay
         |FROM del GROUP BY 1""".stripMargin,
+
+    // bucketed-join replay: bucketing changes the PLAN, not the
+    // answer — plain join + rollup
+    "q165_bucketed_join" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, count(*) AS n_items,
+        |  count(DISTINCT o_orderkey) AS n_orders,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  cast(sum(cast(l_extendedprice as decimal(18,6))) as double) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
 
     // accent-fold replay: folding recovers the pre-injection text
     // exactly, so every aggregate is the raw table's (translate is
