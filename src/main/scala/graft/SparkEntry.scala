@@ -2801,6 +2801,43 @@ object SparkEntry {
           countDistinct(col("o_orderkey")).as("n_orders"),
           sum(col("l_quantity").cast("long")).as("sum_qty"),
           expr(dsum("l_extendedprice")).as("sum_price"))
+    }),
+
+    // ---- north-star: full web-corpus capstone — render PII-laden
+    //      pages (duplicate crawl of every 3rd doc) → WARC archive →
+    //      re-ingest across forced splits → charset-sniffed decode →
+    //      main-content extraction → PII redaction → token-count
+    //      fence → exact dedup. Every stage is identity-or-known
+    //      (q139/q140/q145/q148/q149 pin each seam), so the oracle is
+    //      pure arithmetic over documents.
+    "q166_corpus_capstone" -> ((s, dir) => {
+      val g = graft.functions.GraftFunctions
+      val out = tmp("q166_warc")
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      val id = col("doc_id")
+      def page(d: DataFrame, crawl: String) = d.select(
+        concat(lit("http://c.local/doc/"), col("doc_id")).as("target_uri"),
+        lit("2026-04-01T00:00:00Z").as("warc_date"),
+        concat(lit("<urn:cc:" + crawl + ":"), col("doc_id"), lit(">"))
+          .as("record_id"),
+        lit("text/html").as("content_type"),
+        encode(syntheticPage(col("doc_id"), piiMessy(col("doc_id"))), "UTF-8")
+          .as("payload"))
+      graft.sources.WarcIO.writeWarc(
+        page(docs, "a")
+          .unionByName(page(docs.filter(id % 3 === 0), "b"))
+          .repartition(4),
+        out)
+      s.read.format("graft.sources.WarcSource")
+        .option("path", out).option("splitBytes", "32768").load()
+        .select(g.htmlMain(s, g.decodeText(s, col("payload")), minChars = 5)
+          .as("content"))
+        .select(g.piiScrub(s, col("content")).as("t"))
+        .filter(g.tokenCount(s, col("t")) >= 20)
+        .agg(
+          count(lit(1)).as("n_kept"),
+          countDistinct(col("t")).as("n_unique"),
+          sum(length(col("t"))).as("sum_chars"))
     })
   )
 
@@ -5308,6 +5345,41 @@ object SparkEntry {
         |  cast(sum(cast(l_extendedprice as decimal(18,6))) as double) AS sum_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1""".stripMargin,
+
+    // corpus-capstone replay: WARC/decode/extract are identity
+    // (q139/q145/q140), the scrub is the q149 construction, token and
+    // char deltas per suffix are fixed (+2 tokens each; 16/13/10/12/21
+    // chars) — pure arithmetic incl. the duplicate-crawl union
+    "q166_corpus_capstone" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' '))
+        |      + CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 0 END
+        |      + CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 0 END
+        |      + CASE WHEN doc_id % 6 = 0 THEN 2 ELSE 0 END
+        |      + CASE WHEN doc_id % 5 IN (0, 1) THEN 2 ELSE 0 END AS toks,
+        |    length(text)
+        |      + CASE WHEN doc_id % 3 = 0 THEN 16 ELSE 0 END
+        |      + CASE WHEN doc_id % 4 = 0 THEN 13 ELSE 0 END
+        |      + CASE WHEN doc_id % 6 = 0 THEN 10 ELSE 0 END
+        |      + CASE WHEN doc_id % 5 = 0 THEN 12
+        |             WHEN doc_id % 5 = 1 THEN 21 ELSE 0 END AS chars,
+        |    text
+        |      || CASE WHEN doc_id % 3 = 0 THEN ' contact <EMAIL>' ELSE '' END
+        |      || CASE WHEN doc_id % 4 = 0 THEN ' call <PHONE>' ELSE '' END
+        |      || CASE WHEN doc_id % 6 = 0 THEN ' host <IP>' ELSE '' END
+        |      || CASE WHEN doc_id % 5 = 0 THEN ' card <CARD>'
+        |              WHEN doc_id % 5 = 1 THEN ' ref 4532015112830367'
+        |              ELSE '' END AS scrub
+        |  FROM documents WHERE text IS NOT NULL),
+        |pages AS (
+        |  SELECT * FROM base
+        |  UNION ALL
+        |  SELECT * FROM base WHERE doc_id % 3 = 0),
+        |kept AS (SELECT * FROM pages WHERE toks >= 20)
+        |SELECT count(*) AS n_kept, count(DISTINCT scrub) AS n_unique,
+        |  CAST(sum(chars) AS BIGINT) AS sum_chars
+        |FROM kept""".stripMargin,
 
     // accent-fold replay: folding recovers the pre-injection text
     // exactly, so every aggregate is the raw table's (translate is
