@@ -2838,6 +2838,32 @@ object SparkEntry {
           count(lit(1)).as("n_kept"),
           countDistinct(col("t")).as("n_unique"),
           sum(length(col("t"))).as("sum_chars"))
+    }),
+
+    // ---- north-star: PSI drift alarm — the refresh gate between two
+    //      corpus snapshots; the next snapshot drifts constructively
+    //      (drop 1/7, inflate 1/3 of lengths by +40), and the oracle
+    //      replays the identical binning arithmetic.
+    "q167_psi_drift" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      val id = col("doc_id")
+      val next = docs.filter(id % 7 =!= 0)
+        .select(when(id % 3 === 0, col("n_chars") + 40)
+          .otherwise(col("n_chars")).as("n_chars"))
+      graft.ops.Diagnostics.psi(
+        docs.select(col("n_chars")), next, "n_chars", bins = 10)
+    }),
+
+    // ---- north-star: Jensen–Shannon lexical divergence between two
+    //      subcorpora (en vs fr) — the mixing diagnostic; symmetric,
+    //      bounded by ln 2, one (token, count) join, corpus text never
+    //      shuffles.
+    "q168_js_divergence" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      graft.ops.Diagnostics.jsDivergence(
+        docs.filter(col("lang") === "en"),
+        docs.filter(col("lang") === "fr"),
+        "text")
     })
   )
 
@@ -5380,6 +5406,67 @@ object SparkEntry {
         |SELECT count(*) AS n_kept, count(DISTINCT scrub) AS n_unique,
         |  CAST(sum(chars) AS BIGINT) AS sum_chars
         |FROM kept""".stripMargin,
+
+    // PSI replay: identical equal-width binning from the BASE
+    // min/max, identical ((v-lo)*bins)/(hi-lo) evaluation order,
+    // eps-floored shares, per-bin terms rounded at 6
+    "q167_psi_drift" ->
+      """WITH b AS (SELECT n_chars FROM documents WHERE text IS NOT NULL),
+        |nx AS (
+        |  SELECT CASE WHEN doc_id % 3 = 0 THEN n_chars + 40
+        |              ELSE n_chars END AS n_chars
+        |  FROM documents WHERE text IS NOT NULL AND doc_id % 7 <> 0),
+        |st AS (
+        |  SELECT CAST(min(n_chars) AS DOUBLE) AS lo,
+        |    CAST(max(n_chars) AS DOUBLE) AS hi
+        |  FROM b),
+        |bb AS (
+        |  SELECT LEAST(9, GREATEST(0, CAST(floor(
+        |      (CAST(n_chars AS DOUBLE) - lo) * 10 / (hi - lo)) AS INT))) AS bin,
+        |    count(*) AS bn
+        |  FROM b, st GROUP BY 1),
+        |nb AS (
+        |  SELECT LEAST(9, GREATEST(0, CAST(floor(
+        |      (CAST(n_chars AS DOUBLE) - lo) * 10 / (hi - lo)) AS INT))) AS bin,
+        |    count(*) AS nn
+        |  FROM nx, st GROUP BY 1),
+        |bt AS (SELECT CAST(sum(bn) AS DOUBLE) AS t FROM bb),
+        |nt AS (SELECT CAST(sum(nn) AS DOUBLE) AS t FROM nb),
+        |allb AS (SELECT CAST(range AS INT) AS bin FROM range(0, 10)),
+        |sh AS (
+        |  SELECT allb.bin,
+        |    GREATEST(CAST(COALESCE(bb.bn, 0) AS DOUBLE) / bt.t, 1e-6) AS bs,
+        |    GREATEST(CAST(COALESCE(nb.nn, 0) AS DOUBLE) / nt.t, 1e-6) AS ns
+        |  FROM allb LEFT JOIN bb ON allb.bin = bb.bin
+        |  LEFT JOIN nb ON allb.bin = nb.bin, bt, nt)
+        |SELECT bin, round(bs, 6) AS base_share, round(ns, 6) AS next_share,
+        |  round((bs - ns) * ln(bs / ns), 6) AS psi_term
+        |FROM sh""".stripMargin,
+
+    // JS replay: token distributions via unnest, full-outer vocab
+    // join, p>0-guarded log terms, one rounded scalar
+    "q168_js_divergence" ->
+      """WITH ta AS (
+        |  SELECT u.tok AS token, count(*) AS ca
+        |  FROM documents, UNNEST(string_split(text, ' ')) AS u(tok)
+        |  WHERE text IS NOT NULL AND lang = 'en' GROUP BY 1),
+        |tb AS (
+        |  SELECT u.tok AS token, count(*) AS cb
+        |  FROM documents, UNNEST(string_split(text, ' ')) AS u(tok)
+        |  WHERE text IS NOT NULL AND lang = 'fr' GROUP BY 1),
+        |tot AS (
+        |  SELECT (SELECT CAST(sum(ca) AS DOUBLE) FROM ta) AS sa,
+        |    (SELECT CAST(sum(cb) AS DOUBLE) FROM tb) AS sb),
+        |pq AS (
+        |  SELECT CAST(COALESCE(ca, 0) AS DOUBLE) / sa AS p,
+        |    CAST(COALESCE(cb, 0) AS DOUBLE) / sb AS q
+        |  FROM ta FULL OUTER JOIN tb ON ta.token = tb.token, tot),
+        |pqm AS (SELECT p, q, (p + q) / 2 AS m FROM pq)
+        |SELECT round((
+        |  sum(CASE WHEN p > 0 THEN p * ln(p / m) ELSE 0.0 END) +
+        |  sum(CASE WHEN q > 0 THEN q * ln(q / m) ELSE 0.0 END)) / 2, 6)
+        |  AS js_nats
+        |FROM pqm""".stripMargin,
 
     // accent-fold replay: folding recovers the pre-injection text
     // exactly, so every aggregate is the raw table's (translate is

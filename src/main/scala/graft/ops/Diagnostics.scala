@@ -45,4 +45,90 @@ object Diagnostics {
         round(skew, 6).as("skew"),
         ceil(skew / 2).as("rec_salt"))
   }
+
+  /**
+   * Population Stability Index between two snapshots of a numeric
+   * column — the standard drift alarm a corpus-refresh pipeline runs
+   * before retraining anything downstream (PSI < 0.1 stable, 0.1–0.25
+   * drifting, > 0.25 shifted; credit-scoring folklore, public).
+   * Bins are `bins` equal-width intervals over the BASE snapshot's
+   * [min, max] (two broadcast scalars), with open-ended edge bins so
+   * out-of-range `next` values land in bins 0 / bins−1 instead of
+   * vanishing; per-bin shares are floored at `eps` on BOTH sides (the
+   * standard guard — an empty bin would make the log term infinite).
+   *
+   * Scale shape: two scans (one per snapshot) → per-bin decomposable
+   * counts (≤ bins rows) → |bins|-row arithmetic. Output: one row per
+   * bin (base_share, next_share, psi_term) — `sum(psi_term)` is the
+   * index; keeping the per-bin terms is what makes the alarm
+   * actionable (WHICH region moved).
+   */
+  def psi(
+      base: DataFrame,
+      next: DataFrame,
+      valueCol: String,
+      bins: Int = 10,
+      eps: Double = 1e-6): DataFrame = {
+    require(bins >= 2, "psi needs at least 2 bins")
+    val stats = base.agg(
+      min(col(valueCol)).cast("double").as("__lo"),
+      max(col(valueCol)).cast("double").as("__hi"))
+    def binned(df: DataFrame): DataFrame = df
+      .filter(col(valueCol).isNotNull)
+      .crossJoin(broadcast(stats))
+      .select(least(lit(bins - 1), greatest(lit(0),
+        floor((col(valueCol).cast("double") - col("__lo")) * bins /
+          (col("__hi") - col("__lo"))).cast("int"))).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+    val b = binned(base).withColumnRenamed("n", "bn")
+    val nx = binned(next).withColumnRenamed("n", "nn")
+    val bTot = b.agg(sum(col("bn")).cast("double").as("__bt"))
+    val nTot = nx.agg(sum(col("nn")).cast("double").as("__nt"))
+    val allBins = base.sparkSession.range(0, bins)
+      .select(col("id").cast("int").as("bin"))
+    allBins
+      .join(b, Seq("bin"), "left").join(nx, Seq("bin"), "left")
+      .crossJoin(broadcast(bTot)).crossJoin(broadcast(nTot))
+      .select(col("bin"),
+        greatest(coalesce(col("bn"), lit(0L)).cast("double") / col("__bt"),
+          lit(eps)).as("base_share"),
+        greatest(coalesce(col("nn"), lit(0L)).cast("double") / col("__nt"),
+          lit(eps)).as("next_share"))
+      .select(col("bin"),
+        round(col("base_share"), 6).as("base_share"),
+        round(col("next_share"), 6).as("next_share"),
+        round((col("base_share") - col("next_share")) *
+          log(col("base_share") / col("next_share")), 6).as("psi_term"))
+  }
+
+  /**
+   * Jensen–Shannon divergence (nats) between two corpora's token
+   * distributions — the mixing diagnostic that quantifies how far two
+   * sources/languages/snapshots are lexically (0 = identical,
+   * ln 2 ≈ 0.693 = disjoint). Symmetric and bounded, unlike KL, which
+   * is what makes it a usable dashboard number. One explode+count per
+   * side (vocab-bounded aggregations), a full-outer vocab join, then a
+   * one-row sum — the corpus text never shuffles, only (token, count)
+   * pairs do.
+   */
+  def jsDivergence(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
+    def dist(df: DataFrame, cname: String): DataFrame = df
+      .select(explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as(cname))
+    val da = dist(a, "ca")
+    val db = dist(b, "cb")
+    val tot = da.agg(sum(col("ca")).cast("double").as("__ta"))
+      .crossJoin(db.agg(sum(col("cb")).cast("double").as("__tb")))
+    da.join(db, Seq("token"), "full_outer")
+      .crossJoin(broadcast(tot))
+      .select(
+        (coalesce(col("ca"), lit(0L)).cast("double") / col("__ta")).as("p"),
+        (coalesce(col("cb"), lit(0L)).cast("double") / col("__tb")).as("q"))
+      .select(col("p"), col("q"), ((col("p") + col("q")) / 2).as("m"))
+      .agg(round(
+        (sum(when(col("p") > 0, col("p") * log(col("p") / col("m")))
+          .otherwise(0.0)) +
+          sum(when(col("q") > 0, col("q") * log(col("q") / col("m")))
+            .otherwise(0.0))) / 2, 6).as("js_nats"))
+  }
 }

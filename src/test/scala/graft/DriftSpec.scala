@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Diagnostics
+
+class DriftSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("psi: identical snapshots score ~0; known shift scores the hand value") {
+    val base = (1L to 100L).toDF("v")
+    val same = Diagnostics.psi(base, base, "v", bins = 4)
+      .agg(sum("psi_term")).head.getDouble(0)
+    assert(math.abs(same) < 1e-9)
+
+    // next concentrates everything in the top half: bins 0,1 empty
+    val next = (51L to 100L).toDF("v")
+    val terms = Diagnostics.psi(base, next, "v", bins = 4)
+      .orderBy("bin").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    // base shares: bins 0..3 hold 25/100 each (edges: bin = floor((v-1)*4/99))
+    assert(terms.forall(t => t._2 > 0.2 && t._2 < 0.3))
+    // next: bins 0,1 floored at eps -> large positive psi terms
+    assert(terms(0)._3 == 1e-6 && terms(1)._3 == 1e-6)
+    assert(terms(0)._4 > 1.0) // 0.25 * ln(0.25/1e-6) ≈ 3.1 rounded per-term
+    val total = terms.map(_._4).sum
+    assert(total > 5.0, s"concentrated shift must alarm, got $total")
+  }
+
+  test("psi: out-of-range next values clamp to edge bins, nulls drop") {
+    val base = (0L to 9L).toDF("v")
+    val next = Seq(-100L, 100L, 5L).toDF("v")
+      .unionByName(Seq(Option.empty[Long]).toDF("v"))
+    val terms = Diagnostics.psi(base, next, "v", bins = 5)
+      .orderBy("bin").collect().map(r => (r.getInt(0), r.getDouble(2)))
+    // 3 non-null values: one in bin 0 (clamped), one in bin 4
+    // (clamped), one mid -> next shares sum to 1
+    assert(math.abs(terms.map(_._2).sum - 1.0) < 1e-6)
+    assert(terms.head._2 > 0.3 && terms.last._2 > 0.3)
+  }
+
+  test("jsDivergence: identical corpora 0, disjoint corpora ln 2, hand case") {
+    val a = Seq("x y", "x z").toDF("text")
+    assert(Diagnostics.jsDivergence(a, a, "text").head.getDouble(0) == 0.0)
+    val b = Seq("p q r s").toDF("text")
+    assert(math.abs(Diagnostics.jsDivergence(a, b, "text").head.getDouble(0)
+      - math.log(2)) < 1e-6)
+    // hand case: a = {x:1/2, y:1/4, z:1/4}, c = {x:1/2, y:1/2}
+    val c = Seq("x y").toDF("text")
+    def kl(p: Map[String, Double], m: Map[String, Double]): Double =
+      p.collect { case (t, pv) if pv > 0 => pv * math.log(pv / m(t)) }.sum
+    val pa = Map("x" -> 0.5, "y" -> 0.25, "z" -> 0.25)
+    val pc = Map("x" -> 0.5, "y" -> 0.5, "z" -> 0.0)
+    val m = (pa.keySet ++ pc.keySet).map(t =>
+      t -> (pa.getOrElse(t, 0.0) + pc.getOrElse(t, 0.0)) / 2).toMap
+    val expect = (kl(pa, m) + kl(pc, m)) / 2
+    val got = Diagnostics.jsDivergence(a, c, "text").head.getDouble(0)
+    assert(math.abs(got - expect) < 1e-6, s"got $got expected $expect")
+  }
+}
