@@ -2864,6 +2864,16 @@ object SparkEntry {
         docs.filter(col("lang") === "en"),
         docs.filter(col("lang") === "fr"),
         "text")
+    }),
+
+    // ---- north-star: near-containment pairs — the asymmetric
+    //      duplicates Jaccard misses (a short doc quoted inside a
+    //      longer one: tiny resemblance, near-total containment);
+    //      |A∩B|/min(|A|,|B|) ≥ 0.9 over the LSH candidates, exact
+    //      overlap verification shared with q16.
+    "q169_containment" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      graft.ops.Dedup.containmentPairs(docs, "text", "doc_id", threshold = 0.9)
     })
   )
 
@@ -2968,7 +2978,9 @@ object SparkEntry {
   /** Shared CTE chain for the MinHash→LSH→Jaccard-verified near-dup
     * pipeline, ending in `vpairs(id_a, id_b, jaccard ≥ 0.8)` — used by
     * q16 (pairs) and q39 (clusters). */
-  private def jaccardCtes: String =
+  /** Candidate generation + exact overlap counts (`inter`/`sizes`) —
+    * the shared stem of the Jaccard and containment oracles. */
+  private def lshInterCtes: String =
     s"""${minhashCtes},
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -2982,7 +2994,10 @@ object SparkEntry {
        |  JOIN exsh ea ON ea.doc_id = p.id_a
        |  JOIN exsh eb ON eb.doc_id = p.id_b AND eb.sv = ea.sv
        |  GROUP BY p.id_a, p.id_b
-       |),
+       |)""".stripMargin
+
+  private def jaccardCtes: String =
+    s"""$lshInterCtes,
        |vpairs AS (
        |  SELECT it.id_a, it.id_b, round(it.i / (sa.n + sb.n - it.i), 6) AS jaccard
        |  FROM inter it JOIN sizes sa ON sa.doc_id = it.id_a JOIN sizes sb ON sb.doc_id = it.id_b
@@ -3420,6 +3435,18 @@ object SparkEntry {
     "q16_neardup_pairs" ->
       s"""WITH $jaccardCtes
          |SELECT id_a, id_b, jaccard FROM vpairs""".stripMargin,
+
+    // containment replay: the shared LSH-candidate/overlap stem with
+    // the min-size denominator instead of the union
+    "q169_containment" ->
+      s"""WITH $lshInterCtes,
+         |cpairs AS (
+         |  SELECT it.id_a, it.id_b,
+         |    round(it.i / LEAST(sa.n, sb.n), 6) AS containment
+         |  FROM inter it JOIN sizes sa ON sa.doc_id = it.id_a
+         |  JOIN sizes sb ON sb.doc_id = it.id_b
+         |  WHERE round(it.i / LEAST(sa.n, sb.n), 6) >= 0.9)
+         |SELECT id_a, id_b, containment FROM cpairs""".stripMargin,
 
     "q39_dedup_clusters" ->
       s"""WITH RECURSIVE $jaccardCtes,

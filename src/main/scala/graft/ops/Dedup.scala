@@ -247,6 +247,66 @@ object Dedup {
       textCol: String,
       idCol: String,
       threshold: Double,
+      shingleWords: Int): DataFrame =
+    pairOverlap(df, pairs, textCol, idCol, shingleWords)
+      .select(
+        col("id_a"),
+        col("id_b"),
+        round(col("i") / (col("na") + col("nb") - col("i")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+
+  /**
+   * Near-CONTAINMENT pairs: `|A∩B| / min(|A|, |B|)` ≥ threshold over
+   * the LSH candidates — the asymmetric-duplicate detector Jaccard
+   * misses: a tweet quoted inside an article has tiny resemblance but
+   * near-total containment, and training corpora are full of exactly
+   * that shape (quotes, boilerplate-wrapped reposts, excerpt pages).
+   * Same candidate generation and verify plumbing as
+   * [[verifiedNearDups]]; LSH recall is resemblance-tuned, so heavily
+   * size-skewed containment pairs may need [[exactJaccardPairs]]-style
+   * exact generation — documented trade, the threshold applies to
+   * whatever candidates banding surfaces.
+   */
+  def containmentPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double,
+      numHashes: Int = 8,
+      bands: Int = 4,
+      shingleWords: Int = 3,
+      kind: HashKind = Md5): DataFrame = {
+    val pairs = candidatePairs(df, textCol, idCol, numHashes, bands, shingleWords, kind)
+      .localCheckpoint()
+    containmentOfPairs(df, pairs, textCol, idCol, threshold, shingleWords)
+  }
+
+  /** Containment verification of an EXPLICIT (id_a, id_b) candidate
+    * list — for candidates from a containment-appropriate generator
+    * (exact-substring span hits, prefix filtering, a quotes heuristic)
+    * rather than resemblance-tuned LSH. `pairs` should be materialized
+    * by the caller. */
+  def containmentOfPairs(
+      df: DataFrame,
+      pairs: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double,
+      shingleWords: Int): DataFrame =
+    pairOverlap(df, pairs, textCol, idCol, shingleWords)
+      .select(
+        col("id_a"),
+        col("id_b"),
+        round(col("i") / least(col("na"), col("nb")), 6).as("containment"))
+      .filter(col("containment") >= threshold)
+
+  /** Shared verify plumbing: exact shingle-set overlap per candidate
+    * pair — (id_a, id_b, i, na, nb). */
+  private def pairOverlap(
+      df: DataFrame,
+      pairs: DataFrame,
+      textCol: String,
+      idCol: String,
       shingleWords: Int): DataFrame = {
     // Prune BEFORE shingling: at 100 TB this is the difference between
     // building shingle sets for the whole corpus and for ~|pairs| docs.
@@ -278,11 +338,6 @@ object Dedup {
           .sortedIntersect(df.sparkSession, col("sa.shset"), col("sb.shset")).as("i"),
         size(col("sa.shset")).as("na"),
         size(col("sb.shset")).as("nb"))
-      .select(
-        col("id_a"),
-        col("id_b"),
-        round(col("i") / (col("na") + col("nb") - col("i")), 6).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
   }
 
   /**

@@ -561,4 +561,32 @@ class DedupSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("detection-grade"))
   }
+
+  test("containmentPairs: asymmetric quote has high containment, low jaccard") {
+    val quote = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val article = ("lorem ipsum dolor sit amet consectetur adipiscing elit sed do " +
+      quote + " eiusmod tempor incididunt ut labore et dolore magna aliqua quis")
+    val docs = Seq(
+      (1L, quote),
+      (2L, article),
+      (3L, "completely different words with nothing shared at all here now"))
+      .toDF("doc_id", "text")
+    // resemblance-tuned LSH does NOT surface this pair (J ≈ 0.16) —
+    // that is the documented trade; verification of an explicit
+    // candidate list is the sub-document path
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val cont = Dedup.containmentOfPairs(docs, pairs, "text", "doc_id",
+        threshold = 0.9, shingleWords = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every shingle of the quote appears in the article -> containment 1.0
+    assert(cont.toSeq == Seq((1L, 2L, 1.0)))
+    // jaccard on the same pair is far below a dedup threshold
+    val jac = Dedup.verifiedNearDups(docs, "text", "doc_id", threshold = 0.8)
+    assert(jac.count() == 0)
+    // LSH-generated containment still catches exact/near duplicates
+    val withDup = docs.unionByName(Seq((4L, article)).toDF("doc_id", "text"))
+    val lsh = Dedup.containmentPairs(withDup, "text", "doc_id", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(lsh.toSeq.contains((2L, 4L, 1.0)))
+  }
 }
