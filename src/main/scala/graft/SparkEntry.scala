@@ -2874,6 +2874,22 @@ object SparkEntry {
     "q169_containment" -> ((s, dir) => {
       val docs = T(s, dir, "documents").filter(col("text").isNotNull)
       graft.ops.Dedup.containmentPairs(docs, "text", "doc_id", threshold = 0.9)
+    }),
+
+    // ---- north-star: event-rate anomaly alarm — per-type hourly
+    //      counts z-scored against their own trailing 24 h; the
+    //      baseline uses decomposable Σn/Σn² window sums (NOT
+    //      stddev_samp, whose merge order differs between engines at
+    //      the ulp level), so both engines compute identical doubles.
+    "q170_rate_anomaly" -> ((s, dir) => {
+      val ev = Layers.readEvents(s, s"$dir/events.parquet")
+      graft.ops.EventOps.rateAnomalies(ev, "event_type", "ts")
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_hours"),
+          sum(when(col("is_anomaly"), 1L).otherwise(0L)).as("n_anomalies"),
+          sum(when(col("z").isNull, 1L).otherwise(0L)).as("n_warmup"),
+          round(max(abs(col("z"))), 6).as("max_abs_z"))
     })
   )
 
@@ -3435,6 +3451,36 @@ object SparkEntry {
     "q16_neardup_pairs" ->
       s"""WITH $jaccardCtes
          |SELECT id_a, id_b, jaccard FROM vpairs""".stripMargin,
+
+    // anomaly replay: identical Σn/Σn² window arithmetic on the same
+    // trailing frame — integer sums are exact, so the doubles match
+    // bit-for-bit before the shared round(…,6)
+    "q170_rate_anomaly" ->
+      """WITH h AS (
+        |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |wstats AS (
+        |  SELECT event_type, hour, n,
+        |    sum(CAST(n AS DOUBLE)) OVER w AS s1,
+        |    sum(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) OVER w AS s2,
+        |    CAST(count(n) OVER w AS DOUBLE) AS c
+        |  FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hour
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        |z AS (
+        |  SELECT event_type, hour, n,
+        |    CASE WHEN c >= 2 AND sqrt(GREATEST((s2 - s1*s1/c)/(c-1),
+        |        CAST(0 AS DOUBLE))) > 0
+        |      THEN round((CAST(n AS DOUBLE) - s1/c) /
+        |        sqrt(GREATEST((s2 - s1*s1/c)/(c-1), CAST(0 AS DOUBLE))), 6)
+        |    END AS z
+        |  FROM wstats)
+        |SELECT event_type, count(*) AS n_hours,
+        |  CAST(sum(CASE WHEN abs(z) > 3.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_anomalies,
+        |  CAST(sum(CASE WHEN z IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_warmup,
+        |  round(max(abs(z)), 6) AS max_abs_z
+        |FROM z GROUP BY event_type""".stripMargin,
 
     // containment replay: the shared LSH-candidate/overlap stem with
     // the min-size denominator instead of the union

@@ -112,4 +112,58 @@ object EventOps {
       .select(col("cohort"), col("k"), col("n_users"),
         round(col("n_users").cast("double") / col("__size"), 6).as("retention"))
   }
+
+  /**
+   * Event-rate anomaly detection: per (type, hour) counts z-scored
+   * against that type's own TRAILING window (`trailing` hours ending
+   * the hour before — the current hour never contaminates its own
+   * baseline). The ops alarm behind ingestion monitoring: a source
+   * going dark or a bot storm is a |z| spike long before it is a
+   * corpus-quality problem.
+   *
+   * Determinism note (oracle parity): the baseline is computed from
+   * DECOMPOSABLE window sums — `Σn`, `Σn²`, `count` → mean = Σn/c,
+   * var = (Σn² − (Σn)²/c)/(c−1) — rather than `stddev_samp`, whose
+   * merge order differs between engines at the ulp level. Integer sums
+   * are exact, so both engines evaluate bit-identical doubles.
+   *
+   * Scale shape: one (type, hour) aggregation, then ONE type-keyed
+   * window — |types| partitions of |hours| rows each; warm-up hours
+   * (fewer than 2 trailing points) emit null z.
+   */
+  def rateAnomalies(
+      events: DataFrame,
+      typeCol: String,
+      tsCol: String,
+      trailing: Int = 24,
+      zThreshold: Double = 3.0): DataFrame = {
+    require(trailing >= 2, "need at least 2 trailing hours for a variance")
+    val hourly = events
+      .groupBy(col(typeCol).as("event_type"),
+        date_trunc("hour", col(tsCol)).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(-trailing, -1)
+    val nD = col("n").cast("double")
+    val s1 = sum(nD).over(w)
+    val s2 = sum(nD * nD).over(w)
+    val c = count(col("n")).over(w).cast("double")
+    hourly
+      .select(col("event_type"), col("hour"), col("n"),
+        s1.as("__s1"), s2.as("__s2"), c.as("__c"))
+      .select(col("event_type"), col("hour"), col("n"),
+        when(col("__c") >= 2,
+          greatest(
+            (col("__s2") - col("__s1") * col("__s1") / col("__c")) /
+              (col("__c") - 1),
+            lit(0.0))).as("__var"),
+        (col("__s1") / col("__c")).as("__mean"), col("__c"))
+      .select(col("event_type"), col("hour"), col("n"),
+        when(col("__c") >= 2 && sqrt(col("__var")) > 0,
+          round((col("n").cast("double") - col("__mean")) / sqrt(col("__var")), 6))
+          .as("z"))
+      .withColumn("is_anomaly",
+        coalesce(abs(col("z")) > zThreshold, lit(false)))
+  }
 }

@@ -41,6 +41,28 @@ class DriftSpec extends AnyFunSuite {
     assert(terms.head._2 > 0.3 && terms.last._2 > 0.3)
   }
 
+  test("rateAnomalies: injected spike flags, steady rate does not, warm-up nulls") {
+    import java.sql.Timestamp
+    // 40 hours of a steady ~10 events/hour, then one 100-event spike
+    val base = 1767225600000L // 2026-01-01T00:00:00Z
+    val rows = (0 until 40).flatMap { h =>
+      val n = if (h == 39) 100 else 10 + (h % 3) // mild jitter, huge spike
+      (0 until n).map(_ =>
+        ("click", new Timestamp(base + h * 3600000L + 600000L)))
+    }
+    val df = rows.toDF("event_type", "ts")
+    val got = graft.ops.EventOps.rateAnomalies(df, "event_type", "ts",
+        trailing = 24, zThreshold = 3.0)
+      .orderBy("hour").collect()
+    // first 2 hours lack a 2-point baseline -> null z
+    assert(got.take(2).forall(_.isNullAt(3)))
+    // the spike hour is anomalous; the steady hours are not
+    val flagged = got.filter(_.getAs[Boolean]("is_anomaly"))
+    assert(flagged.length == 1)
+    assert(flagged.head.getAs[Long]("n") == 100L)
+    assert(math.abs(flagged.head.getAs[Double]("z")) > 3.0)
+  }
+
   test("jsDivergence: identical corpora 0, disjoint corpora ln 2, hand case") {
     val a = Seq("x y", "x z").toDF("text")
     assert(Diagnostics.jsDivergence(a, a, "text").head.getDouble(0) == 0.0)
