@@ -2890,6 +2890,18 @@ object SparkEntry {
           sum(when(col("is_anomaly"), 1L).otherwise(0L)).as("n_anomalies"),
           sum(when(col("z").isNull, 1L).otherwise(0L)).as("n_warmup"),
           round(max(abs(col("z"))), 6).as("max_abs_z"))
+    }),
+
+    // ---- north-star: k-anonymity / l-diversity release gate — the
+    //      aggregate-side privacy audit after the span-level scrub:
+    //      quasi-identifier combos covering < k rows are
+    //      re-identifiable, k-anonymous combos whose sensitive bucket
+    //      takes < l values still leak.
+    "q171_k_anonymity" -> ((s, dir) => {
+      val cust = T(s, dir, "customer")
+        .withColumn("bal_bucket", floor(col("c_acctbal") / 1000))
+      graft.ops.Privacy.anonymityReport(
+        cust, Seq("c_nationkey", "c_mktsegment"), "bal_bucket", k = 10, l = 3)
     })
   )
 
@@ -3481,6 +3493,24 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN z IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_warmup,
         |  round(max(abs(z)), 6) AS max_abs_z
         |FROM z GROUP BY event_type""".stripMargin,
+
+    // k-anonymity replay: identical grouping + identical floor-bucket
+    // of the sensitive attribute; l failures counted only among
+    // k-anonymous groups
+    "q171_k_anonymity" ->
+      """WITH g AS (
+        |  SELECT c_nationkey, c_mktsegment, count(*) AS n,
+        |    count(DISTINCT floor(c_acctbal / 1000)) AS nd
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT count(*) AS n_groups,
+        |  CAST(sum(CASE WHEN n < 10 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_small_groups,
+        |  CAST(COALESCE(sum(CASE WHEN n < 10 THEN n END), 0) AS BIGINT)
+        |    AS n_rows_at_risk,
+        |  CAST(min(n) AS BIGINT) AS min_group,
+        |  CAST(sum(CASE WHEN n >= 10 AND nd < 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_low_diversity
+        |FROM g""".stripMargin,
 
     // containment replay: the shared LSH-candidate/overlap stem with
     // the min-size denominator instead of the union

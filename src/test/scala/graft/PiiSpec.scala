@@ -109,4 +109,29 @@ class PiiSpec extends AnyFunSuite {
       "SELECT graft_pii_scrub('mail a@b.org now') AS t").head.getString(0)
     assert(r == "mail <EMAIL> now")
   }
+
+  test("anonymityReport: hand-computed k and l violations") {
+    // combos: (A,x): 12 rows / 4 sensitive values — fine;
+    //         (A,y): 3 rows — k violation (rows at risk);
+    //         (B,x): 10 rows / 1 sensitive value — l violation only
+    val rows =
+      (1 to 12).map(i => ("A", "x", i % 4)) ++
+        (1 to 3).map(i => ("A", "y", i)) ++
+        (1 to 10).map(_ => ("B", "x", 7))
+    val df = rows.toDF("q1", "q2", "s")
+    val r = graft.ops.Privacy.anonymityReport(df, Seq("q1", "q2"), "s",
+      k = 10, l = 3).head
+    assert(r.getAs[Long]("n_groups") == 3L)
+    assert(r.getAs[Long]("n_small_groups") == 1L)
+    assert(r.getAs[Long]("n_rows_at_risk") == 3L)
+    assert(r.getAs[Long]("min_group") == 3L)
+    assert(r.getAs[Long]("n_low_diversity") == 1L)
+    // a fully-anonymous release gates clean
+    val clean = graft.ops.Privacy.anonymityReport(
+      (1 to 40).map(i => ("A", "x", i % 5)).toDF("q1", "q2", "s"),
+      Seq("q1", "q2"), "s", k = 10, l = 3).head
+    assert(clean.getAs[Long]("n_small_groups") == 0L)
+    assert(clean.getAs[Long]("n_rows_at_risk") == 0L)
+    assert(clean.getAs[Long]("n_low_diversity") == 0L)
+  }
 }
