@@ -3464,14 +3464,26 @@ object SparkEntry {
       s"""WITH $jaccardCtes
          |SELECT id_a, id_b, jaccard FROM vpairs""".stripMargin,
 
-    // anomaly replay: identical Σn/Σn² window arithmetic on the same
-    // trailing frame — integer sums are exact, so the doubles match
-    // bit-for-bit before the shared round(…,6)
+    // anomaly replay: identical per-type hour-grid densification
+    // (min..max spine, n=0 fill) + identical Σn/Σn² window arithmetic
+    // on the same trailing frame — integer sums are exact, so the
+    // doubles match bit-for-bit before the shared round(…,6)
     "q170_rate_anomaly" ->
-      """WITH h AS (
+      """WITH obs AS (
         |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
         |    count(*) AS n
         |  FROM events GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT event_type, min(hour) AS mn, max(hour) AS mx
+        |  FROM obs GROUP BY 1),
+        |spine AS (
+        |  SELECT event_type,
+        |    unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour
+        |  FROM bounds),
+        |h AS (
+        |  SELECT spine.event_type, spine.hour, COALESCE(obs.n, 0) AS n
+        |  FROM spine LEFT JOIN obs
+        |    ON spine.event_type = obs.event_type AND spine.hour = obs.hour),
         |wstats AS (
         |  SELECT event_type, hour, n,
         |    sum(CAST(n AS DOUBLE)) OVER w AS s1,
@@ -5524,13 +5536,19 @@ object SparkEntry {
         |    CAST(max(n_chars) AS DOUBLE) AS hi
         |  FROM b),
         |bb AS (
-        |  SELECT LEAST(9, GREATEST(0, CAST(floor(
-        |      (CAST(n_chars AS DOUBLE) - lo) * 10 / (hi - lo)) AS INT))) AS bin,
+        |  SELECT CASE WHEN hi = lo
+        |      THEN CASE WHEN CAST(n_chars AS DOUBLE) > lo THEN 9 ELSE 0 END
+        |      ELSE LEAST(9, GREATEST(0, CAST(floor(
+        |        (CAST(n_chars AS DOUBLE) - lo) * 10 / (hi - lo)) AS INT)))
+        |      END AS bin,
         |    count(*) AS bn
         |  FROM b, st GROUP BY 1),
         |nb AS (
-        |  SELECT LEAST(9, GREATEST(0, CAST(floor(
-        |      (CAST(n_chars AS DOUBLE) - lo) * 10 / (hi - lo)) AS INT))) AS bin,
+        |  SELECT CASE WHEN hi = lo
+        |      THEN CASE WHEN CAST(n_chars AS DOUBLE) > lo THEN 9 ELSE 0 END
+        |      ELSE LEAST(9, GREATEST(0, CAST(floor(
+        |        (CAST(n_chars AS DOUBLE) - lo) * 10 / (hi - lo)) AS INT)))
+        |      END AS bin,
         |    count(*) AS nn
         |  FROM nx, st GROUP BY 1),
         |bt AS (SELECT CAST(sum(bn) AS DOUBLE) AS t FROM bb),

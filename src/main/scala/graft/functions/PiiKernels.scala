@@ -111,6 +111,10 @@ object PiiKernels {
             if (letters >= 2 && j > domStart && s.charAt(j) == '.') ok = true
             else e -= math.max(1, letters)
           }
+          // trailing boundary: when truncation left the span mid-run
+          // ('a@b.com2x' -> 'a@b.com' + '2x'), the char after the span
+          // is alphanumeric and the grammar rejects the partial email
+          if (ok && e < n && isAlnum(s.charAt(e))) ok = false
           if (ok) {
             spans += ((l, e, EMAIL))
             guard = e

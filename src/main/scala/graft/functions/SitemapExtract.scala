@@ -30,21 +30,6 @@ import org.apache.spark.unsafe.types.UTF8String
  */
 object SitemapExtract {
 
-  private def indexOfIgnoreCase(s: String, needle: String, from: Int): Int =
-    indexOfIgnoreCase(s, needle, from, s.length)
-
-  /** Bounded search: never scans past `to` — a per-entry probe for an
-    * ABSENT inner tag must cost O(entry), not O(document). */
-  private def indexOfIgnoreCase(s: String, needle: String, from: Int, to: Int): Int = {
-    var i = math.max(0, from)
-    val last = math.min(s.length, to) - needle.length
-    while (i <= last) {
-      if (s.regionMatches(true, i, needle, 0, needle.length)) return i
-      i += 1
-    }
-    -1
-  }
-
   /** Decode the XML predefined entities + numeric refs; unknown
     * entities pass through literally (crawl tolerance). */
   private def decodeXml(raw: String): String = {
@@ -80,14 +65,57 @@ object SitemapExtract {
     sb.toString
   }
 
+  /** If the element starting at `lt` (`s(lt) == '<'`) names `name` —
+    * tolerating an XML namespace prefix (`<sm:url>`), attributes
+    * (`<url changefreq="...">`) and whitespace before `>` — return the
+    * index just past the element name, else -1. `closing = true`
+    * matches `</[prefix:]name` instead. */
+  private def elementAt(
+      s: String, lt: Int, to: Int, name: String, closing: Boolean): Int = {
+    var p = lt + 1
+    if (closing) {
+      if (p >= to || s.charAt(p) != '/') return -1
+      p += 1
+    }
+    // optional `prefix:` — an NCName-ish run followed by ':'
+    var q = p
+    while (q < to && {
+      val c = s.charAt(q)
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '_' || c == '-' || c == '.'
+    }) q += 1
+    if (q < to && s.charAt(q) == ':') p = q + 1
+    if (!s.regionMatches(true, p, name, 0, name.length)) return -1
+    val e = p + name.length
+    if (e >= to) return -1
+    val c = s.charAt(e)
+    // the name must END here: '<urlset>' is not '<url'
+    if (c == '>' || c == '/' || Character.isWhitespace(c)) e else -1
+  }
+
+  /** First `<` at/after `from` (before `to`) whose element names
+    * `name`; -1 when absent. One forward scan, '<' by '<'. */
+  private def findTag(
+      s: String, name: String, from: Int, to: Int, closing: Boolean): Int = {
+    var i = math.max(0, from)
+    while (i < to) {
+      val lt = s.indexOf('<', i)
+      if (lt < 0 || lt >= to) return -1
+      if (elementAt(s, lt, to, name, closing) >= 0) return lt
+      i = lt + 1
+    }
+    -1
+  }
+
   /** Content of the first `<tag>…</tag>` inside [from, to); null when
-    * absent. Tolerates attributes on the open tag. */
+    * absent. Tolerates attributes, whitespace, and namespace prefixes
+    * on both tags. */
   private def tagContent(s: String, tag: String, from: Int, to: Int): String = {
-    val open = indexOfIgnoreCase(s, "<" + tag, from, to)
+    val open = findTag(s, tag, from, to, closing = false)
     if (open < 0) return null
     val gt = s.indexOf('>', open)
     if (gt < 0 || gt >= to) return null
-    val close = indexOfIgnoreCase(s, "</" + tag, gt + 1, to)
+    val close = findTag(s, tag, gt + 1, to, closing = true)
     val end = if (close < 0) to else close
     decodeXml(s.substring(gt + 1, end)).trim
   }
@@ -109,14 +137,17 @@ object SitemapExtract {
       val lt = s.indexOf('<', i)
       if (lt < 0) i = n
       else {
+        // entry tags tolerate attributes, whitespace before '>', and a
+        // namespace prefix ('<url changefreq="...">', '<sm:url>') —
+        // the name-END check is what keeps '<urlset>' from matching
         val tag =
-          if (s.regionMatches(true, lt, "<url>", 0, 5)) "url"
-          else if (s.regionMatches(true, lt, "<sitemap>", 0, 9)) "sitemap"
+          if (elementAt(s, lt, n, "url", closing = false) >= 0) "url"
+          else if (elementAt(s, lt, n, "sitemap", closing = false) >= 0) "sitemap"
           else null
         if (tag == null) i = lt + 1
         else {
           val open = lt
-          val close = indexOfIgnoreCase(s, "</" + tag + ">", open)
+          val close = findTag(s, tag, open + 1, n, closing = true)
           val end = if (close < 0) n else close
           val loc = tagContent(s, "loc", open, end)
           if (loc != null && loc.nonEmpty) {
@@ -125,7 +156,11 @@ object SitemapExtract {
               UTF8String.fromString(loc),
               UTF8String.fromString(if (lastmod == null) "" else lastmod))
           }
-          i = if (close < 0) n else end + tag.length + 3
+          i = if (close < 0) n
+          else {
+            val gt = s.indexOf('>', close)
+            if (gt < 0) n else gt + 1
+          }
         }
       }
     }

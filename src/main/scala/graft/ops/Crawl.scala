@@ -27,8 +27,9 @@ object Crawl {
    * `priorityCol` asc then `urlCol` asc) and `eta_s = seq × delay`.
    * `delayCol` is the host's crawl delay in seconds (constant per
    * host — typically joined from parsed robots rules; rows of one
-   * host MUST agree, the first row's value wins deterministically
-   * only when they do, so feed it from a host-keyed table).
+   * host MUST agree — [[hostLoad]]'s `n_delay_values` column surfaces
+   * violations of that contract, and its reported `delay_s` is the
+   * deterministic `min` either way).
    */
   def politeSchedule(
       frontier: DataFrame,
@@ -45,12 +46,17 @@ object Crawl {
 
   /** Per-host schedule summary: queue depth, makespan, mean wait —
     * the capacity-planning rollup (decomposable aggregates over the
-    * schedule; shares the host partitioning). */
+    * schedule; shares the host partitioning). `delay_s` is the
+    * deterministic `min` of the delay column (== the delay when the
+    * rows-agree contract holds); `n_delay_values` counts distinct
+    * delays per host, so a contract violation (> 1) is visible in the
+    * rollup instead of silently picking an arbitrary row. */
   def hostLoad(schedule: DataFrame, hostCol: String, delayCol: String): DataFrame =
     schedule.groupBy(col(hostCol).as("host"))
       .agg(
         count(lit(1)).as("n_urls"),
         max(col("eta_s")).as("makespan_s"),
         round(avg(col("eta_s")), 6).as("mean_wait_s"),
-        first(col(delayCol)).as("delay_s"))
+        min(col(delayCol)).as("delay_s"),
+        countDistinct(col(delayCol)).as("n_delay_values"))
 }

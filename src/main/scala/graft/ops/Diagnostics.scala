@@ -56,6 +56,11 @@ object Diagnostics {
    * out-of-range `next` values land in bins 0 / bins−1 instead of
    * vanishing; per-bin shares are floored at `eps` on BOTH sides (the
    * standard guard — an empty bin would make the log term infinite).
+   * A DEGENERATE base column (min == max, width 0) takes the limit of
+   * the clamping formula — values at/below the constant land in bin 0,
+   * values above it in bin bins−1 — rather than dividing by zero (the
+   * 0/0 null bin silently dropped every row and read ~0 "stable" even
+   * when the next snapshot had drifted off the constant).
    *
    * Scale shape: two scans (one per snapshot) → per-bin decomposable
    * counts (≤ bins rows) → |bins|-row arithmetic. Output: one row per
@@ -76,9 +81,16 @@ object Diagnostics {
     def binned(df: DataFrame): DataFrame = df
       .filter(col(valueCol).isNotNull)
       .crossJoin(broadcast(stats))
-      .select(least(lit(bins - 1), greatest(lit(0),
-        floor((col(valueCol).cast("double") - col("__lo")) * bins /
-          (col("__hi") - col("__lo"))).cast("int"))).as("bin"))
+      .select(
+        // width-0 base (min == max): the limit of the clamping formula
+        // — at/below the constant -> bin 0, above -> top bin — instead
+        // of a 0/0 null bin that silently drops every row
+        when(col("__hi") === col("__lo"),
+          when(col(valueCol).cast("double") > col("__lo"), lit(bins - 1))
+            .otherwise(lit(0)))
+          .otherwise(least(lit(bins - 1), greatest(lit(0),
+            floor((col(valueCol).cast("double") - col("__lo")) * bins /
+              (col("__hi") - col("__lo"))).cast("int")))).as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("n"))
     val b = binned(base).withColumnRenamed("n", "bn")
     val nx = binned(next).withColumnRenamed("n", "nn")

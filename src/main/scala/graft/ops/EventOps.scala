@@ -115,11 +115,21 @@ object EventOps {
 
   /**
    * Event-rate anomaly detection: per (type, hour) counts z-scored
-   * against that type's own TRAILING window (`trailing` hours ending
-   * the hour before — the current hour never contaminates its own
-   * baseline). The ops alarm behind ingestion monitoring: a source
-   * going dark or a bot storm is a |z| spike long before it is a
-   * corpus-quality problem.
+   * against that type's own TRAILING window (`trailing` WALL-CLOCK
+   * hours ending the hour before — the current hour never contaminates
+   * its own baseline). The ops alarm behind ingestion monitoring: a
+   * source going dark or a bot storm is a |z| spike long before it is
+   * a corpus-quality problem.
+   *
+   * The hour grid is DENSIFIED per type before windowing: each type's
+   * [min hour, max hour] range is filled with n = 0 rows, so the
+   * trailing frame spans `trailing` real hours (not the last
+   * `trailing` OBSERVED hours, which under gaps could cover an
+   * arbitrarily long wall-clock span), and an hour with zero events
+   * emits an n = 0 row whose z goes sharply negative — the
+   * source-going-dark alarm actually fires. (Full-range darkness past
+   * a type's last event is unobservable batch-side by construction;
+   * the streaming maintainer owns the "no data at all since T" case.)
    *
    * Determinism note (oracle parity): the baseline is computed from
    * DECOMPOSABLE window sums — `Σn`, `Σn²`, `count` → mean = Σn/c,
@@ -127,9 +137,11 @@ object EventOps {
    * merge order differs between engines at the ulp level. Integer sums
    * are exact, so both engines evaluate bit-identical doubles.
    *
-   * Scale shape: one (type, hour) aggregation, then ONE type-keyed
-   * window — |types| partitions of |hours| rows each; warm-up hours
-   * (fewer than 2 trailing points) emit null z.
+   * Scale shape: one (type, hour) aggregation, a per-type hour spine
+   * (one `sequence` array per type — a decade-long type is ~90k
+   * entries, well under array limits) left-joined back, then ONE
+   * type-keyed window — |types| partitions of |range-hours| rows each;
+   * warm-up hours (fewer than 2 trailing points) emit null z.
    */
   def rateAnomalies(
       events: DataFrame,
@@ -138,10 +150,18 @@ object EventOps {
       trailing: Int = 24,
       zThreshold: Double = 3.0): DataFrame = {
     require(trailing >= 2, "need at least 2 trailing hours for a variance")
-    val hourly = events
+    val observed = events
       .groupBy(col(typeCol).as("event_type"),
         date_trunc("hour", col(tsCol)).as("hour"))
       .agg(count(lit(1)).as("n"))
+    // densify: every hour in the type's [min, max] range, n = 0 fill
+    val spine = observed.groupBy("event_type")
+      .agg(min(col("hour")).as("__mn"), max(col("hour")).as("__mx"))
+      .select(col("event_type"),
+        explode(expr("sequence(__mn, __mx, interval 1 hour)")).as("hour"))
+    val hourly = spine.join(observed, Seq("event_type", "hour"), "left")
+      .select(col("event_type"), col("hour"),
+        coalesce(col("n"), lit(0L)).as("n"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("event_type")).orderBy(col("hour"))
       .rowsBetween(-trailing, -1)

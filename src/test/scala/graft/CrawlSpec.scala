@@ -46,6 +46,25 @@ class CrawlSpec extends AnyFunSuite {
       "https://a.example/s2.xml" -> ""))
   }
 
+  test("sitemap extraction tolerates attributes, whitespace, ns prefixes") {
+    // attributes on the entry tag
+    assert(urls("""<url changefreq="daily"><loc>https://x/a</loc></url>""") ==
+      Seq("https://x/a" -> ""))
+    // whitespace before '>'
+    assert(urls("<url >\n<loc>https://x/b</loc></url >") ==
+      Seq("https://x/b" -> ""))
+    // namespace prefix on entry AND inner tags
+    assert(urls("<sm:url><sm:loc>https://x/c</sm:loc>" +
+      "<sm:lastmod>2026-03-01</sm:lastmod></sm:url>") ==
+      Seq("https://x/c" -> "2026-03-01"))
+    // prefixed sitemap-index entry
+    assert(urls("<sm:sitemap><sm:loc>https://x/s.xml</sm:loc></sm:sitemap>") ==
+      Seq("https://x/s.xml" -> ""))
+    // '<urlset>' still does NOT match as an entry (name-END check)
+    assert(urls("<urlset><urlx><loc>https://x/no</loc></urlx></urlset>") ==
+      Seq())
+  }
+
   test("sitemap extraction tolerates case, truncation, and junk") {
     assert(urls("<URL><LOC>https://x/1</LOC></URL>") == Seq("https://x/1" -> ""))
     // truncated mid-entry: loc still recovered to EOF
@@ -89,6 +108,17 @@ class CrawlSpec extends AnyFunSuite {
     assert(r.getAs[Long]("makespan_s") == 4L) // slots 0,2,4
     assert(r.getAs[Double]("mean_wait_s") == 2.0)
     assert(r.getAs[Long]("delay_s") == 2L)
+    assert(r.getAs[Long]("n_delay_values") == 1L)
+  }
+
+  test("hostLoad: disagreeing per-host delays are deterministic and visible") {
+    val frontier = Seq(
+      ("a.com", "u1", 5L), ("a.com", "u2", 2L), ("a.com", "u3", 9L))
+      .toDF("host", "url", "delay_s")
+    val sched = Crawl.politeSchedule(frontier, "host", "url", "delay_s")
+    val r = Crawl.hostLoad(sched, "host", "delay_s").head
+    assert(r.getAs[Long]("delay_s") == 2L) // min, not an arbitrary first
+    assert(r.getAs[Long]("n_delay_values") == 3L) // contract violation visible
   }
 
   test("sitemap kernel: column surface + null propagation") {

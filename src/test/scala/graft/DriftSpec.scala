@@ -41,6 +41,21 @@ class DriftSpec extends AnyFunSuite {
     assert(terms.head._2 > 0.3 && terms.last._2 > 0.3)
   }
 
+  test("psi: constant base column does not vanish into a null bin") {
+    val base = Seq(5L, 5L, 5L, 5L).toDF("v") // width-0 range
+    // next drifts entirely above the constant -> top bin, huge PSI
+    val next = Seq(9L, 9L, 9L, 5L).toDF("v")
+    val terms = Diagnostics.psi(base, next, "v", bins = 5)
+      .orderBy("bin").collect()
+    assert(terms.length == 5) // every bin row present, nothing dropped
+    val bin0 = terms.head
+    val bin4 = terms.last
+    assert(bin0.getDouble(1) == 1.0) // all base mass in bin 0
+    assert(math.abs(bin4.getDouble(2) - 0.75) < 1e-9) // drifted next mass
+    val psiTotal = terms.map(_.getDouble(3)).sum
+    assert(psiTotal > 0.25, s"drift off a constant must alarm, got $psiTotal")
+  }
+
   test("rateAnomalies: injected spike flags, steady rate does not, warm-up nulls") {
     import java.sql.Timestamp
     // 40 hours of a steady ~10 events/hour, then one 100-event spike
@@ -61,6 +76,30 @@ class DriftSpec extends AnyFunSuite {
     assert(flagged.length == 1)
     assert(flagged.head.getAs[Long]("n") == 100L)
     assert(math.abs(flagged.head.getAs[Double]("z")) > 3.0)
+  }
+
+  test("rateAnomalies: a source going dark emits n=0 rows that alarm") {
+    import java.sql.Timestamp
+    val base = 1767225600000L // 2026-01-01T00:00:00Z
+    // ~10-12/hour for 30 hours, then hours 30-32 DARK, then resume
+    val rows = ((0 until 30) ++ (33 until 36)).flatMap { h =>
+      (0 until (10 + h % 3)).map(_ =>
+        ("ingest", new Timestamp(base + h * 3600000L + 60000L)))
+    }
+    val got = graft.ops.EventOps.rateAnomalies(rows.toDF("event_type", "ts"),
+        "event_type", "ts", trailing = 24, zThreshold = 3.0)
+      .orderBy("hour").collect()
+    // the dense grid covers every hour in [0, 35] — gaps included
+    assert(got.length == 36)
+    val dark = got.slice(30, 33)
+    assert(dark.forall(_.getAs[Long]("n") == 0L))
+    // zero against a steady-10 trailing baseline is a sharp negative z
+    assert(dark.forall(r => r.getAs[Double]("z") < -3.0 &&
+      r.getAs[Boolean]("is_anomaly")))
+    // and the trailing frame is wall-clock: resumed hours see the
+    // zeros in their baseline (variance > 0, no false alarm on 10s)
+    assert(!got(33).getAs[Boolean]("is_anomaly") ||
+      got(33).getAs[Double]("z") > 0)
   }
 
   test("jsDivergence: identical corpora 0, disjoint corpora ln 2, hand case") {

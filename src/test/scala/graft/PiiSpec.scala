@@ -38,6 +38,12 @@ class PiiSpec extends AnyFunSuite {
     assert(stats("not an email: a@b, a@, @b.com") == Seq(0L, 0L, 0L, 0L))
     // '@' with a 1-letter TLD shape fails the >=2-letter rule
     assert(stats("a@b.c") == Seq(0L, 0L, 0L, 0L))
+    // truncation that lands mid-run fails the trailing boundary rule:
+    // 'a@b.com' inside 'a@b.com2x' is a partial email, not a match
+    assert(stats("a@b.com2x") == Seq(0L, 0L, 0L, 0L))
+    assert(scrub("write a@b.com2x soon") == "write a@b.com2x soon")
+    // but a non-alnum char after the truncated span is a real boundary
+    assert(scrub("a@b.com-x") == "<EMAIL>-x")
   }
 
   test("phones: structure required, bare digit runs excluded") {
