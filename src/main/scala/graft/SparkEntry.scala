@@ -2902,6 +2902,59 @@ object SparkEntry {
         .withColumn("bal_bucket", floor(col("c_acctbal") / 1000))
       graft.ops.Privacy.anonymityReport(
         cust, Seq("c_nationkey", "c_mktsegment"), "bal_bucket", k = 10, l = 3)
+    }),
+
+    // ---- north-star: unigram-LM (SentencePiece-style) tokenizer
+    //      training — seed substrings → hard-EM Viterbi re-counts →
+    //      prune; integer-micronat log-probs make every Viterbi
+    //      comparison an exact integer sum, so the oracle replays
+    //      training bit-for-bit (chained DP CTEs + recursive
+    //      backtrace). One corpus pass; everything after is
+    //      vocab-bounded.
+    "q172_unigram_model" -> ((s, dir) =>
+      graft.ops.Unigram.train(T(s, dir, "documents"), "text",
+        maxPieceLen = 3, seedSize = 30, emIters = 2, keepSize = 12)),
+
+    // ---- north-star: DURABLE unigram model — train on the even half,
+    //      publish (piece, cnt, logp_micro) as parquet, encode the odd
+    //      half from the STORED model (the q124 frozen-model lifecycle
+    //      for the second tokenizer; odd-half-only characters exercise
+    //      the deterministic UNK path).
+    "q173_unigram_encode" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val modelDir = tmp("q173_unigram_model")
+      graft.ops.Unigram.train(docs.filter(col("doc_id") % 2 === 0), "text",
+          maxPieceLen = 3, seedSize = 30, emIters = 2, keepSize = 12)
+        .write.mode("overwrite").parquet(modelDir)
+      val model = graft.ops.Unigram.modelTable(s.read.parquet(modelDir))
+      docs.filter(col("doc_id") % 2 =!= 0 && col("text").isNotNull)
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.unigramCount(s, col("text"), model)
+            .as("n_unigram_tokens"))
+    }),
+
+    // ---- north-star: tokenizer equity report over BOTH tokenizers —
+    //      per-language compression (chars per token) of the learned
+    //      BPE AND unigram vocabularies side by side; the fairness
+    //      audit that decides which tokenizer ships.
+    "q174_tokenizer_equity2" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val bpeMerges = graft.ops.Bpe.mergeList(
+        graft.ops.Bpe.train(docs, "text", merges = 6))
+      val uniModel = graft.ops.Unigram.modelTable(
+        graft.ops.Unigram.train(docs, "text",
+          maxPieceLen = 3, seedSize = 30, emIters = 2, keepSize = 12))
+      docs.filter(col("text").isNotNull).groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(length(replace(col("text"), lit(" ")))).as("n_chars"),
+          sum(graft.functions.GraftFunctions.bpeCount(s, col("text"), bpeMerges))
+            .as("bpe_tokens"),
+          sum(graft.functions.GraftFunctions.unigramCount(s, col("text"), uniModel))
+            .as("unigram_tokens"))
+        .withColumn("chars_per_bpe_token",
+          round(col("n_chars").cast("double") / col("bpe_tokens"), 6))
+        .withColumn("chars_per_unigram_token",
+          round(col("n_chars").cast("double") / col("unigram_tokens"), 6))
     })
   )
 
@@ -3067,6 +3120,130 @@ object SparkEntry {
            |          chr(1) || b.left_sym || b.right_sym || chr(1)), chr(1)) AS wsym, n
            |        FROM $prev, b$i b)""".stripMargin
     }
+    sb.toString
+  }
+
+  /**
+   * Viterbi-segmentation replay chain (q172+): DP over `wordCte`
+   * (word, n, wl) under model `modelCte` (piece, lp) — integer
+   * micronat scores, so every comparison is exact. Emits CTEs
+   * `{p}sub` (end-position piece-score lookups), `{p}d0…{p}dW` (the
+   * position-chained DP: best-score list `b`, chosen-length list `c`),
+   * and `{p}bt` (recursive backtrace; piece rows have piece NOT NULL).
+   * Starts with a comma — appends to an open WITH RECURSIVE list.
+   */
+  private def unigramSegCtes(
+      p: String, wordCte: String, modelCte: String,
+      maxPieceLen: Int, maxW: Int): String = {
+    val unk = graft.functions.UnigramKernels.UnkMicro
+    val sb = new StringBuilder
+    val eCols = (1 to maxPieceLen).map { l =>
+      if (l == 1)
+        s"(SELECT lp FROM $modelCte x WHERE x.piece = substr(q.word, q.i, 1)) AS e1"
+      else
+        s"CASE WHEN q.i >= $l THEN (SELECT lp FROM $modelCte x " +
+          s"WHERE x.piece = substr(q.word, q.i - ${l - 1}, $l)) END AS e$l"
+    }.mkString(",\n    ")
+    sb ++=
+      s""",
+         |${p}sub AS MATERIALIZED (
+         |  SELECT q.word, q.i,
+         |    $eCols
+         |  FROM (SELECT word, unnest(generate_series(1, wl)) AS i FROM $wordCte) q),
+         |${p}d0 AS MATERIALIZED (SELECT word, n, wl, [CAST(0 AS BIGINT)] AS b,
+         |           CAST([] AS INTEGER[]) AS c FROM $wordCte)""".stripMargin
+    for (i <- 1 to maxW) {
+      val cands = (1 to maxPieceLen).map { l =>
+        if (l == 1) s"d.b[$i] + coalesce(s.e1, $unk) AS cand1"
+        else if (l <= i) s"d.b[${i - l + 1}] + s.e$l AS cand$l"
+        else s"CAST(NULL AS BIGINT) AS cand$l"
+      }.mkString(", ")
+      val bestArgs = (1 to maxPieceLen).map(l => s"cand$l").mkString(", ")
+      val multi = (2 to maxPieceLen).map(l => s"cand$l").mkString(", ")
+      val tie = (maxPieceLen to 2 by -1)
+        .map(l => s"WHEN cand$l = best THEN $l").mkString(" ")
+      sb ++=
+        s""",
+           |${p}d$i AS MATERIALIZED (
+           |  SELECT word, n, wl,
+           |    CASE WHEN wl >= $i THEN list_append(b, best) ELSE b END AS b,
+           |    CASE WHEN wl >= $i
+           |      THEN list_append(c, CASE $tie ELSE 1 END) ELSE c END AS c
+           |  FROM (SELECT word, n, wl, b, c, greatest($bestArgs) AS best, $multi
+           |        FROM (SELECT d.word, d.n, d.wl, d.b, d.c, $cands
+           |              FROM ${p}d${i - 1} d LEFT JOIN ${p}sub s
+           |                ON s.word = d.word AND s.i = $i) z1) z2)""".stripMargin
+    }
+    sb ++=
+      s""",
+         |${p}bt AS (
+         |  SELECT word, n, c, wl AS i, CAST(NULL AS VARCHAR) AS piece FROM ${p}d$maxW
+         |  UNION ALL
+         |  SELECT word, n, c, i - c[i], substr(word, i - c[i] + 1, c[i])
+         |  FROM ${p}bt WHERE i > 0)""".stripMargin
+    sb.toString
+  }
+
+  /**
+   * Unigram-LM training replay (q172+), mirroring
+   * [[graft.ops.Unigram.train]] step for step: substring seed → hard-EM
+   * Viterbi re-counts (one [[unigramSegCtes]] chain per round) → prune
+   * → `ulpf` (piece, cnt, logp_micro). Must open under WITH RECURSIVE
+   * (the backtrace CTEs recurse).
+   */
+  private def unigramTrainCtes(
+      maxPieceLen: Int, seedSize: Int, emIters: Int, keepSize: Int,
+      maxWordLen: Int, corpusWhere: String = ""): String = {
+    val sb = new StringBuilder
+    sb ++=
+      s"""uw AS MATERIALIZED (SELECT word, count(*) AS n FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS word
+         |    FROM documents $corpusWhere)
+         |  GROUP BY word),
+         |uwf AS MATERIALIZED (SELECT word, CAST(n AS BIGINT) AS n, len(word) AS wl
+         |        FROM uw WHERE len(word) BETWEEN 1 AND $maxWordLen),
+         |usubs AS MATERIALIZED (SELECT piece, CAST(sum(n) AS BIGINT) AS cnt FROM (
+         |    SELECT n, unnest(flatten(list_transform(generate_series(1, wl), __s ->
+         |      list_transform(generate_series(__s, least(__s + ${maxPieceLen - 1}, wl)),
+         |        __e -> substr(word, __s, __e - __s + 1))))) AS piece
+         |    FROM uwf)
+         |  GROUP BY piece),
+         |usingles AS MATERIALIZED (SELECT piece, cnt FROM usubs WHERE len(piece) = 1),
+         |um0 AS MATERIALIZED (SELECT piece, cnt FROM usingles
+         |        UNION ALL SELECT piece, cnt FROM (
+         |          SELECT piece, cnt FROM usubs WHERE len(piece) > 1
+         |          ORDER BY cnt DESC, piece ASC LIMIT $seedSize)),
+         |ulp0 AS MATERIALIZED (SELECT piece, cnt,
+         |    CAST(round(ln(CAST(cnt AS DOUBLE) / tot) * 1000000) AS BIGINT) AS lp
+         |  FROM um0, (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM um0) t)""".stripMargin
+    for (k <- 1 to emIters) {
+      sb ++= unigramSegCtes(s"ue$k", "uwf", s"ulp${k - 1}", maxPieceLen, maxWordLen)
+      sb ++=
+        s""",
+           |ucnt$k AS MATERIALIZED (SELECT piece, CAST(sum(n) AS BIGINT) AS cnt
+           |  FROM ue${k}bt WHERE piece IS NOT NULL GROUP BY piece),
+           |um$k AS MATERIALIZED (
+           |  SELECT s.piece, greatest(coalesce(cc.cnt, 0), 1) AS cnt
+           |  FROM usingles s LEFT JOIN ucnt$k cc ON cc.piece = s.piece
+           |  UNION ALL
+           |  SELECT p.piece, cc.cnt
+           |  FROM ulp${k - 1} p JOIN ucnt$k cc ON cc.piece = p.piece
+           |  WHERE len(p.piece) > 1),
+           |ulp$k AS MATERIALIZED (SELECT piece, cnt,
+           |    CAST(round(ln(CAST(cnt AS DOUBLE) / tot) * 1000000) AS BIGINT) AS lp
+           |  FROM um$k, (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM um$k) t)""".stripMargin
+    }
+    sb ++=
+      s""",
+         |ufin AS MATERIALIZED (SELECT piece, cnt FROM ulp$emIters WHERE len(piece) = 1
+         |         UNION ALL SELECT piece, cnt FROM (
+         |           SELECT piece, cnt FROM ulp$emIters WHERE len(piece) > 1
+         |           ORDER BY cnt DESC, piece ASC LIMIT $keepSize)),
+         |ulpf AS MATERIALIZED (SELECT piece, CAST(cnt AS BIGINT) AS cnt,
+         |    CAST(round(ln(CAST(cnt AS DOUBLE) / tot) * 1000000) AS BIGINT)
+         |      AS logp_micro,
+         |    CAST(round(ln(CAST(cnt AS DOUBLE) / tot) * 1000000) AS BIGINT) AS lp
+         |  FROM ufin, (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM ufin) t)""".stripMargin
     sb.toString
   }
 
@@ -3523,6 +3700,71 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN n >= 10 AND nd < 3 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_low_diversity
         |FROM g""".stripMargin,
+
+    // unigram training replay: substring seed, two hard-EM Viterbi
+    // rounds (integer-micronat DP chains + recursive backtraces),
+    // count-based prune — the model arithmetic step for step
+    "q172_unigram_model" ->
+      s"""WITH RECURSIVE ${unigramTrainCtes(3, 30, 2, 12, 16)}
+         |SELECT piece, cnt, logp_micro FROM ulpf""".stripMargin,
+
+    // durable unigram replay: train chain restricted to the even half,
+    // then ONE more segmentation chain over the odd half's distinct
+    // words under the final model — storage must change nothing
+    "q173_unigram_encode" ->
+      s"""WITH RECURSIVE ${unigramTrainCtes(3, 30, 2, 12, 16, "WHERE doc_id % 2 = 0")},
+         |ew AS MATERIALIZED (SELECT word, CAST(0 AS BIGINT) AS n, len(word) AS wl FROM (
+         |    SELECT DISTINCT word FROM (
+         |      SELECT unnest(string_split(text, ' ')) AS word
+         |      FROM documents WHERE doc_id % 2 <> 0 AND text IS NOT NULL)))
+         |${unigramSegCtes("en", "ew", "ulpf", 3, 16)},
+         |upc AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS pc
+         |        FROM enbt WHERE piece IS NOT NULL GROUP BY word)
+         |SELECT dw.doc_id, CAST(sum(coalesce(p.pc, 0)) AS BIGINT)
+         |    AS n_unigram_tokens
+         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |      FROM documents WHERE doc_id % 2 <> 0 AND text IS NOT NULL) dw
+         |LEFT JOIN upc p ON p.word = dw.word
+         |GROUP BY dw.doc_id""".stripMargin,
+
+    // dual-tokenizer equity replay: the q126 BPE chain and the unigram
+    // train+encode chains rolled up per language side by side
+    "q174_tokenizer_equity2" -> {
+      val k = 6
+      s"""WITH RECURSIVE ${unigramTrainCtes(3, 30, 2, 12, 16)},
+         |${bpeTrainCtes(k).stripPrefix("WITH ")},
+         |ew AS MATERIALIZED (SELECT word, CAST(0 AS BIGINT) AS n, len(word) AS wl FROM (
+         |    SELECT DISTINCT word FROM (
+         |      SELECT unnest(string_split(text, ' ')) AS word
+         |      FROM documents WHERE text IS NOT NULL)))
+         |${unigramSegCtes("en", "ew", "ulpf", 3, 16)},
+         |upc AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS pc
+         |        FROM enbt WHERE piece IS NOT NULL GROUP BY word),
+         |udoc AS (
+         |  SELECT dw.doc_id, sum(coalesce(p.pc, 0)) AS un
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |        FROM documents WHERE text IS NOT NULL) dw
+         |  LEFT JOIN upc p ON p.word = dw.word
+         |  GROUP BY dw.doc_id),
+         |base AS (
+         |  SELECT d.doc_id, d.lang,
+         |    len(replace(d.text, ' ', '')) AS ch,
+         |    list_sum(list_transform(string_split(d.text, ' '), __w ->
+         |      len(string_split(trim(${bpeMergedExpr(k)}, chr(1)),
+         |        chr(1) || chr(1))))) AS bpe
+         |  FROM documents d, ${(1 to k).map(i => s"b$i").mkString(", ")}
+         |  WHERE d.text IS NOT NULL)
+         |SELECT b.lang, count(*) AS n_docs,
+         |  CAST(sum(b.ch) AS BIGINT) AS n_chars,
+         |  CAST(sum(b.bpe) AS BIGINT) AS bpe_tokens,
+         |  CAST(sum(u.un) AS BIGINT) AS unigram_tokens,
+         |  round(CAST(sum(b.ch) AS DOUBLE) / sum(b.bpe), 6)
+         |    AS chars_per_bpe_token,
+         |  round(CAST(sum(b.ch) AS DOUBLE) / sum(u.un), 6)
+         |    AS chars_per_unigram_token
+         |FROM base b JOIN udoc u ON u.doc_id = b.doc_id
+         |GROUP BY b.lang""".stripMargin
+    },
 
     // containment replay: the shared LSH-candidate/overlap stem with
     // the min-size denominator instead of the union

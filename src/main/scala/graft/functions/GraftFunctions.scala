@@ -239,7 +239,27 @@ object GraftFunctions {
     FoldAccentsKernel(args.head)
   }
 
+  private val unigramPiecesId = FunctionIdentifier("graft_unigram_pieces")
+  private val unigramPiecesInfo =
+    new ExpressionInfo(classOf[UnigramPiecesKernel].getName, "graft_unigram_pieces")
+  private val unigramPiecesBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 2,
+      s"graft_unigram_pieces expects (word, modelSpec), got ${args.length} args")
+    UnigramPiecesKernel(args.head, args(1))
+  }
+
+  private val unigramCountId = FunctionIdentifier("graft_unigram_count")
+  private val unigramCountInfo =
+    new ExpressionInfo(classOf[UnigramCountKernel].getName, "graft_unigram_count")
+  private val unigramCountBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 2,
+      s"graft_unigram_count expects (text, modelSpec), got ${args.length} args")
+    UnigramCountKernel(args.head, args(1))
+  }
+
   private val all = Seq(
+    (unigramPiecesId, unigramPiecesInfo, unigramPiecesBuilder),
+    (unigramCountId, unigramCountInfo, unigramCountBuilder),
     (foldAccentsId, foldAccentsInfo, foldAccentsBuilder),
     (robotsDelayId, robotsDelayInfo, robotsDelayBuilder),
     (sitemapUrlsId, sitemapUrlsInfo, sitemapUrlsBuilder),
@@ -383,6 +403,26 @@ object GraftFunctions {
     register(spark)
     org.apache.spark.sql.functions.call_function("graft_bpe_count", text,
       org.apache.spark.sql.functions.lit(BpeCountKernel.spec(merges)))
+  }
+
+  /** Column-API handle on the unigram Viterbi-segmentation kernel —
+    * see [[UnigramKernels.pieces]]. `model` = (piece, logp_micro) of a
+    * trained [[graft.ops.Unigram]] model. */
+  def unigramPieces(
+      spark: SparkSession, word: Column, model: Seq[(String, Long)]): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_unigram_pieces", word,
+      org.apache.spark.sql.functions.lit(UnigramKernels.spec(model)))
+  }
+
+  /** Column-API handle on the unigram token-count kernel — see
+    * [[UnigramKernels.count]]: the production encoder for a trained
+    * unigram model (the unigram twin of [[bpeCount]]). */
+  def unigramCount(
+      spark: SparkSession, text: Column, model: Seq[(String, Long)]): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_unigram_count", text,
+      org.apache.spark.sql.functions.lit(UnigramKernels.spec(model)))
   }
 
   /** Column-API handle on the PII audit kernel — see
