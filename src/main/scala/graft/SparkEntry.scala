@@ -2955,6 +2955,49 @@ object SparkEntry {
           round(col("n_chars").cast("double") / col("bpe_tokens"), 6))
         .withColumn("chars_per_unigram_token",
           round(col("n_chars").cast("double") / col("unigram_tokens"), 6))
+    }),
+
+    // ---- north-star: meta-robots / rel=canonical corpus fence — the
+    //      page-level directives robots.txt cannot express: pages
+    //      served with "noindex" (or the "none" shorthand) must not
+    //      enter the corpus, and pages declaring a DIFFERENT canonical
+    //      URL are self-identified duplicates. Directives injected
+    //      constructively (messy case, unquoted/single-quoted attrs),
+    //      so the oracle is pure doc_id arithmetic while the kernel
+    //      must actually parse every page.
+    "q175_meta_robots_fence" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      val id = col("doc_id")
+      val url = concat(lit("https://corpus.local/d/"), id)
+      val meta = when(id % 5 === 0,
+          lit("<meta name=\"robots\" content=\"noindex, follow\">"))
+        .when(id % 5 === 1, lit("<meta NAME=\"ROBOTS\" Content=\"nofollow\">"))
+        .when(id % 5 === 2, lit("<meta name=robots content=none>"))
+        .otherwise(lit(""))
+      val link = when(id % 7 === 0,
+          concat(lit("<link rel=\"canonical\" href=\"https://corpus.local/d/"),
+            floor(id / 7).cast("long"), lit("\">")))
+        .when(id % 7 === 3,
+          concat(lit("<link REL=\"Canonical\" HREF='https://corpus.local/d/"),
+            id, lit("'>")))
+        .otherwise(lit(""))
+      val page = concat(syntheticPage(id, col("text")), meta, link)
+      val keep = !col("noindex") &&
+        (col("canonical").isNull || col("canonical") === col("url"))
+      docs.select(id.as("doc_id"), url.as("url"),
+          graft.functions.GraftFunctions.pageDirectives(s, page).as("d"))
+        .select(col("doc_id"), col("url"),
+          col("d.noindex").as("noindex"), col("d.nofollow").as("nofollow"),
+          col("d.canonical").as("canonical"))
+        .agg(
+          count(lit(1)).as("n_pages"),
+          sum(when(col("noindex"), 1L).otherwise(0L)).as("n_noindex"),
+          sum(when(col("nofollow"), 1L).otherwise(0L)).as("n_nofollow"),
+          sum(when(col("canonical").isNotNull &&
+            col("canonical") =!= col("url"), 1L).otherwise(0L))
+            .as("n_cross_canonical"),
+          sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(keep, col("doc_id")).otherwise(0L)).as("sum_kept_ids"))
     })
   )
 
@@ -3765,6 +3808,35 @@ object SparkEntry {
          |FROM base b JOIN udoc u ON u.doc_id = b.doc_id
          |GROUP BY b.lang""".stripMargin
     },
+
+    // meta-robots fence replay: the injected directives are modular in
+    // doc_id, so the fence is pure arithmetic — noindex for %5 in
+    // {0 ("noindex, follow"), 2 ("none")}, nofollow for %5 in {1, 2},
+    // cross-canonical for %7 = 0 except the self-targeting doc 0
+    "q175_meta_robots_fence" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    (doc_id % 5 = 0 OR doc_id % 5 = 2) AS noindex,
+        |    (doc_id % 5 = 1 OR doc_id % 5 = 2) AS nofollow,
+        |    CASE WHEN doc_id % 7 = 0
+        |           THEN 'https://corpus.local/d/' || CAST(doc_id // 7 AS VARCHAR)
+        |         WHEN doc_id % 7 = 3
+        |           THEN 'https://corpus.local/d/' || CAST(doc_id AS VARCHAR)
+        |    END AS canonical,
+        |    'https://corpus.local/d/' || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents WHERE text IS NOT NULL),
+        |k AS (SELECT doc_id, noindex, nofollow, canonical, url,
+        |        (NOT noindex AND (canonical IS NULL OR canonical = url)) AS keep
+        |      FROM p)
+        |SELECT count(*) AS n_pages,
+        |  CAST(sum(CASE WHEN noindex THEN 1 ELSE 0 END) AS BIGINT) AS n_noindex,
+        |  CAST(sum(CASE WHEN nofollow THEN 1 ELSE 0 END) AS BIGINT) AS n_nofollow,
+        |  CAST(sum(CASE WHEN canonical IS NOT NULL AND canonical <> url
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_canonical,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN keep THEN doc_id ELSE 0 END) AS BIGINT)
+        |    AS sum_kept_ids
+        |FROM k""".stripMargin,
 
     // containment replay: the shared LSH-candidate/overlap stem with
     // the min-size denominator instead of the union

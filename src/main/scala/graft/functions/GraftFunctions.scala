@@ -257,7 +257,17 @@ object GraftFunctions {
     UnigramCountKernel(args.head, args(1))
   }
 
+  private val pageDirectivesId = FunctionIdentifier("graft_page_directives")
+  private val pageDirectivesInfo =
+    new ExpressionInfo(classOf[PageDirectivesKernel].getName, "graft_page_directives")
+  private val pageDirectivesBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 1,
+      s"graft_page_directives expects 1 argument, got ${args.length}")
+    PageDirectivesKernel(args.head)
+  }
+
   private val all = Seq(
+    (pageDirectivesId, pageDirectivesInfo, pageDirectivesBuilder),
     (unigramPiecesId, unigramPiecesInfo, unigramPiecesBuilder),
     (unigramCountId, unigramCountInfo, unigramCountBuilder),
     (foldAccentsId, foldAccentsInfo, foldAccentsBuilder),
@@ -403,6 +413,14 @@ object GraftFunctions {
     register(spark)
     org.apache.spark.sql.functions.call_function("graft_bpe_count", text,
       org.apache.spark.sql.functions.lit(BpeCountKernel.spec(merges)))
+  }
+
+  /** Column-API handle on the page-directives kernel — see
+    * [[MetaRobots.directives]]: robots-meta noindex/nofollow flags +
+    * the declared canonical URL. */
+  def pageDirectives(spark: SparkSession, html: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_page_directives", html)
   }
 
   /** Column-API handle on the unigram Viterbi-segmentation kernel —
