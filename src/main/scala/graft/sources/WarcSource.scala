@@ -106,18 +106,33 @@ final class WarcTable(props: Map[String, String]) extends Table with SupportsRea
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val merged = props ++ options.asScala
-    new ScanBuilder with SupportsPushDownRequiredColumns {
+    new ScanBuilder with SupportsPushDownRequiredColumns
+        with SupportsPushDownFilters {
       private var required: StructType = WarcSource.schema
+      private var accepted: Array[org.apache.spark.sql.sources.Filter] = Array.empty
       override def pruneColumns(requiredSchema: StructType): Unit = {
         // Spark may prune to zero columns (count(*)); keep the struct as-is.
         required = requiredSchema
       }
-      override def build(): Scan = new WarcScan(merged, required)
+      override def pushFilters(
+          filters: Array[org.apache.spark.sql.sources.Filter])
+          : Array[org.apache.spark.sql.sources.Filter] = {
+        accepted = filters.filter(f => WarcFilters.compile(f).isDefined)
+        // conservative contract: EVERYTHING stays a Spark-side residual,
+        // so source-side evaluation can only skip rows Spark would drop
+        filters
+      }
+      override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+        accepted
+      override def build(): Scan =
+        new WarcScan(merged, required, accepted.flatMap(WarcFilters.compile).toSeq)
     }
   }
 }
 
-final class WarcScan(opts: Map[String, String], required: StructType)
+final class WarcScan(
+    opts: Map[String, String], required: StructType,
+    pushed: Seq[WarcFilters.Pushed] = Seq.empty)
     extends Scan with Batch {
   private val path = opts.getOrElse("path",
     throw new IllegalArgumentException("warc source requires option 'path'"))
@@ -135,6 +150,10 @@ final class WarcScan(opts: Map[String, String], required: StructType)
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  /** Surface the pushed predicates in `.explain` (plan-pinnable). */
+  override def description(): String =
+    s"graft.WarcScan(path=$path, " +
+      s"pushedFilters=[${pushed.mkString(", ")}])"
 
   /** Metadata-only planning: list files, carve byte ranges. */
   override def planInputPartitions(): Array[InputPartition] = {
@@ -160,13 +179,13 @@ final class WarcScan(opts: Map[String, String], required: StructType)
       else if (!gz)
         // plain WARC: no validatable sync marker → whole file, one task
         Seq(WarcPartition(f.getPath.toString, 0L, len, gzip = false,
-          onMalformedSkip, maxRecordBytes, maxHeaderBytes))
+          onMalformedSkip, maxRecordBytes, maxHeaderBytes, pushed))
       else {
         val n = math.max(1L, math.ceil(len.toDouble / splitBytes).toLong)
         (0L until n).map { i =>
           WarcPartition(f.getPath.toString, i * splitBytes,
             math.min(len, (i + 1) * splitBytes), gzip = true,
-            onMalformedSkip, maxRecordBytes, maxHeaderBytes)
+            onMalformedSkip, maxRecordBytes, maxHeaderBytes, pushed)
         }
       }
     }.map(identity[InputPartition])
@@ -188,7 +207,8 @@ final case class WarcPartition(
     gzip: Boolean,
     onMalformedSkip: Boolean,
     maxRecordBytes: Long,
-    maxHeaderBytes: Int) extends InputPartition
+    maxHeaderBytes: Int,
+    filters: Seq[WarcFilters.Pushed] = Seq.empty) extends InputPartition
 
 /** One parsed record. Header names are lowercased (WARC headers are
   * case-insensitive); `headers` preserves arrival order. */
@@ -331,9 +351,78 @@ private[sources] object GzipMember {
   }
 }
 
-private[sources] object WarcParse {
+/**
+ * Pushed-filter support ([[SupportsPushDownFilters]]): header-level
+ * predicates on the string columns evaluate after header parse and
+ * BEFORE payload materialization, so a WET-only read
+ * (`warc_type = 'conversion'`) over a mixed crawl archive never
+ * allocates response payload bytes or rows (decompression still runs —
+ * gzip-member boundaries require it). Pushdown is best-effort and
+ * CONSERVATIVE: every filter is also kept as a Spark-side residual
+ * (`pushFilters` returns its full input), so source-side evaluation can
+ * only skip rows the filter would drop anyway.
+ */
+private[sources] object WarcFilters {
+  import org.apache.spark.sql.sources._
+
+  /** Columns a header predicate can see without touching the payload. */
+  private val headerCols =
+    Set("record_id", "warc_type", "target_uri", "warc_date", "content_type")
+
+  private def field(r: WarcRecord, col: String): String = col match {
+    case "record_id" => r.recordId
+    case "warc_type" => r.warcType
+    case "target_uri" => r.targetUri
+    case "warc_date" => r.warcDate
+    case "content_type" => r.contentType
+    case _ => null
+  }
+
+  sealed trait Pushed extends Serializable { def eval(r: WarcRecord): Boolean }
+  private final case class PEq(col: String, v: String) extends Pushed {
+    def eval(r: WarcRecord): Boolean = { val f = field(r, col); f != null && f == v }
+  }
+  private final case class PStarts(col: String, v: String) extends Pushed {
+    def eval(r: WarcRecord): Boolean = {
+      val f = field(r, col); f != null && f.startsWith(v)
+    }
+  }
+  private final case class PIn(col: String, vs: Array[String]) extends Pushed {
+    def eval(r: WarcRecord): Boolean = {
+      val f = field(r, col); f != null && vs.contains(f)
+    }
+  }
+  private final case class PNotNull(col: String) extends Pushed {
+    def eval(r: WarcRecord): Boolean = field(r, col) != null
+  }
+
+  /** Compile one Spark filter; None = not pushable (stays Spark-only). */
+  def compile(f: Filter): Option[Pushed] = f match {
+    case EqualTo(c, v: String) if headerCols(c) => Some(PEq(c, v))
+    case StringStartsWith(c, v) if headerCols(c) => Some(PStarts(c, v))
+    case In(c, vs) if headerCols(c) && vs.forall(_.isInstanceOf[String]) =>
+      Some(PIn(c, vs.map(_.asInstanceOf[String])))
+    case IsNotNull(c) if headerCols(c) => Some(PNotNull(c))
+    case _ => None
+  }
+}
+
+private[graft] object WarcParse {
+  /** Parse one record from a fully-decoded member: headers first, then
+    * `keep` on the header-only record — a vetoed record returns
+    * Right(None) WITHOUT allocating its payload copy. */
+  def parseRecordFiltered(
+      bytes: Array[Byte], maxHeaderBytes: Int,
+      keep: WarcRecord => Boolean): Either[String, Option[WarcRecord]] =
+    parseRecordImpl(bytes, maxHeaderBytes, keep)
+
   /** Parse one record from a fully-decoded member. */
-  def parseRecord(bytes: Array[Byte], maxHeaderBytes: Int): Either[String, WarcRecord] = {
+  def parseRecord(bytes: Array[Byte], maxHeaderBytes: Int): Either[String, WarcRecord] =
+    parseRecordImpl(bytes, maxHeaderBytes, _ => true).map(_.get)
+
+  private def parseRecordImpl(
+      bytes: Array[Byte], maxHeaderBytes: Int,
+      keep: WarcRecord => Boolean): Either[String, Option[WarcRecord]] = {
     if (bytes.length < 8 || !startsWith(bytes, 0, "WARC/"))
       return Left("missing WARC/ version line")
     val headerEnd = indexOf(bytes, 0, math.min(bytes.length, maxHeaderBytes), "\r\n\r\n")
@@ -362,7 +451,7 @@ private[sources] object WarcParse {
     val bodyStart = headerEnd + 4
     if (clen < 0 || bodyStart + clen > bytes.length)
       return Left(s"payload truncated: Content-Length=$clen, ${bytes.length - bodyStart} available")
-    Right(WarcRecord(
+    val headerOnly = WarcRecord(
       recordId = hmap.getOrElse("warc-record-id", null),
       warcType = hmap.getOrElse("warc-type", null),
       targetUri = hmap.getOrElse("warc-target-uri", null),
@@ -370,7 +459,10 @@ private[sources] object WarcParse {
       contentType = hmap.getOrElse("content-type", null),
       contentLength = clen,
       headers = headers.toSeq,
-      payload = java.util.Arrays.copyOfRange(bytes, bodyStart, bodyStart + clen.toInt)))
+      payload = null)
+    if (!keep(headerOnly)) Right(None)
+    else Right(Some(headerOnly.copy(
+      payload = java.util.Arrays.copyOfRange(bytes, bodyStart, bodyStart + clen.toInt))))
   }
 
   def startsWith(bytes: Array[Byte], off: Int, s: String): Boolean = {
@@ -433,6 +525,11 @@ final class WarcReader(p: WarcPartition, required: StructType)
     }
   }
 
+  /** Conjunction of the pushed header filters (true when none). */
+  private val keepPred: WarcRecord => Boolean =
+    if (p.filters.isEmpty) (_ => true)
+    else r => p.filters.forall(_.eval(r))
+
   override def next(): Boolean = if (p.gzip) nextGzip() else nextPlain()
 
   /** Scan for the 1f 8b 08 member magic from `from`; -1 past EOF. */
@@ -462,11 +559,14 @@ final class WarcReader(p: WarcPartition, required: StructType)
     w.release(c)
     GzipMember.decode(w, c, p.maxRecordBytes) match {
       case Right((bytes, nxt)) =>
-        parseRecord(bytes, p.maxHeaderBytes) match {
-          case Right(r) =>
+        parseRecordFiltered(bytes, p.maxHeaderBytes, keepPred) match {
+          case Right(Some(r)) =>
             current = r; curOffset = c; pos = nxt; synced = true
             w.release(nxt)
             true
+          case Right(None) => // valid record vetoed by a pushed filter:
+            // advance normally, never materialize its payload/row
+            pos = nxt; synced = true; w.release(nxt); nextGzip()
           case Left(err) =>
             if (!synced) { pos = c + 1; nextGzip() } // false-positive magic
             else if (p.onMalformedSkip) { pos = c + 1; synced = false; nextGzip() }
@@ -488,9 +588,12 @@ final class WarcReader(p: WarcPartition, required: StructType)
     w.release(pos)
     if (w.get(pos) < 0) return false
     parsePlainAt(pos) match {
-      case Right((r, nxt)) =>
+      case Right((Some(r), nxt)) =>
         current = r; curOffset = pos; pos = nxt; synced = true
         true
+      case Right((None, nxt)) => // vetoed by a pushed filter
+        pos = nxt; synced = true
+        nextPlain()
       case Left(err) =>
         if (!p.onMalformedSkip) fail(pos, err)
         else {
@@ -502,7 +605,7 @@ final class WarcReader(p: WarcPartition, required: StructType)
     }
   }
 
-  private def parsePlainAt(off: Long): Either[String, (WarcRecord, Long)] = {
+  private def parsePlainAt(off: Long): Either[String, (Option[WarcRecord], Long)] = {
     val headProbe = w.available(off, p.maxHeaderBytes)
     if (headProbe < 8) return Left("truncated record head")
     val head = w.slice(off, headProbe)
@@ -530,9 +633,8 @@ final class WarcReader(p: WarcPartition, required: StructType)
       return Left(s"record exceeds maxRecordBytes=${p.maxRecordBytes}")
     val total = headerEnd + 4 + clenIdx
     if (w.available(off, total.toInt) < total) return Left("payload truncated at EOF")
-    parseRecord(w.slice(off, total.toInt), p.maxHeaderBytes).map { r =>
-      (r, off + total)
-    }
+    parseRecordFiltered(w.slice(off, total.toInt), p.maxHeaderBytes, keepPred)
+      .map { r => (r, off + total) }
   }
 
   private def scanAscii(from: Long, pat: String): Long = {

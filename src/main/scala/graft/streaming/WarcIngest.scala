@@ -16,7 +16,11 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
  * the [[CorpusIngest]] discipline applied to the WARC source).
  *
  * Ledger design: an append-only parquet log of processed file paths
- * (`distinct` on read, so replayed appends are harmless). Why not
+ * (duplicate appends are harmless — the anti-join diff treats the
+ * ledger as a set). The diff of listed files against the ledger is a
+ * DISTRIBUTED left-anti join: a multi-year 100 TB landing zone's
+ * ledger is millions of rows and never reaches the driver — only the
+ * batch-∝ new-files result is collected. Why not
  * Structured Streaming's file source: SS checkpoints key on the FILE
  * format reader, and [[graft.sources.WarcSource]] is a batch
  * DataSourceV2 — a driver-listed diff against a durable ledger gives
@@ -64,6 +68,19 @@ object WarcIngest {
     out.sorted.toSeq
   }
 
+  /** The listed archives NOT yet in the ledger, as a DISTRIBUTED
+    * left-anti join: the ledger (multi-year, zone-∝) is processed by
+    * executors and never collected — only this batch-∝ diff reaches
+    * the driver. Catalyst picks the strategy (ledger-side broadcast
+    * while the ledger is small, shuffle join once it is not — an anti
+    * join never broadcasts its preserved side, so no hint is pinned). */
+  private[graft] def newArchives(
+      spark: SparkSession, listed: Seq[String], ledgerDir: String): DataFrame = {
+    import spark.implicits._
+    val ledger = spark.read.parquet(ledgerDir).select(col("file"))
+    listed.toDF("file").join(ledger, Seq("file"), "left_anti")
+  }
+
   def drainWarc(
       spark: SparkSession,
       landingDir: String,
@@ -73,13 +90,13 @@ object WarcIngest {
     def exists(d: String): Boolean = {
       val p = new Path(d); p.getFileSystem(hconf).exists(p)
     }
-    val processed: Set[String] =
-      if (exists(ledgerDir))
-        spark.read.parquet(ledgerDir).select("file").distinct()
-          .collect().map(_.getString(0)).toSet
-      else Set.empty
     val listed = listArchives(spark, landingDir)
-    val newFiles = listed.filterNot(processed)
+    val newFiles: Seq[String] =
+      if (listed.isEmpty) Seq.empty
+      else if (exists(ledgerDir))
+        newArchives(spark, listed, ledgerDir)
+          .collect().map(_.getString(0)).sorted.toSeq
+      else listed
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], silverSchema)
     if (newFiles.isEmpty) return empty

@@ -62,4 +62,26 @@ class WarcIngestSpec extends AnyFunSuite {
       .select("p").as[String].head()
     assert(pay == "payload 3")
   }
+
+  test("ledger diff is a distributed anti-join, correct against a large ledger") {
+    val base = TestSpark.tmpDir("warc_ledger")
+    // a multi-year ledger: 50k processed archives (plus duplicate
+    // appends, which the set semantics must absorb)
+    val ledger = (0 until 50000)
+      .map(i => s"file:/zone/archive-$i.warc.gz").toDF("file")
+    ledger.write.mode("append").parquet(s"$base/ledger")
+    ledger.limit(100).write.mode("append").parquet(s"$base/ledger") // replays
+    val listed = Seq(
+      "file:/zone/archive-17.warc.gz",   // processed
+      "file:/zone/archive-49999.warc.gz", // processed (also replayed)
+      "file:/zone/archive-50000.warc.gz", // new
+      "file:/zone/fresh.warc.gz")        // new
+    val diff = WarcIngest.newArchives(spark, listed, s"$base/ledger")
+    // the plan is join-based: the ledger streams through executors,
+    // it is never collected to the driver
+    val plan = diff.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"expected an anti-join plan:\n$plan")
+    assert(diff.as[String].collect().sorted.toSeq ==
+      Seq("file:/zone/archive-50000.warc.gz", "file:/zone/fresh.warc.gz"))
+  }
 }

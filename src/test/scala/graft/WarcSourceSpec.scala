@@ -157,6 +157,57 @@ class WarcSourceSpec extends AnyFunSuite {
     assert(scans == Seq(Seq("target_uri")))
   }
 
+  test("filter pushdown: WET-only read skips response rows at the source") {
+    val dir = TestSpark.tmpDir("warc_pushdown")
+    val bos = new ByteArrayOutputStream()
+    (0 until 12).foreach { i =>
+      val t = if (i % 3 == 0) "conversion" else "response"
+      bos.write(gzipMember(record(i, s"body $i".getBytes(UTF_8), wtype = t)))
+    }
+    writeFile(dir, "seg.warc.gz", bos.toByteArray)
+
+    val wet = readWarc(dir).filter(col("warc_type") === "conversion")
+    // the predicate reaches the scan (plan-pinned via the scan description)
+    val plan = wet.queryExecution.executedPlan
+    val descs = plan.collect { case b: BatchScanExec => b.scan.description() }
+    assert(descs.exists(d => d.contains("pushedFilters=[") &&
+      d.contains("warc_type") && d.contains("conversion")), descs.mkString("\n"))
+    // and the result is exactly the conversion records
+    val ids = wet.select("record_id").as[String].collect().sorted.toSeq
+    assert(ids == (0 until 12).filter(_ % 3 == 0).map(i => s"<urn:test:$i>").sorted)
+
+    // prefix pushdown on target_uri composes with the type filter
+    val pre = readWarc(dir).filter(col("warc_type") === "conversion" &&
+      col("target_uri").startsWith("http://t.local/p/"))
+    assert(pre.count() == 4)
+    // an unfiltered read is untouched (no filters pushed, all rows)
+    assert(readWarc(dir).count() == 12)
+    // plain (non-gzip) mode honors the same pushed filters
+    val pdir = TestSpark.tmpDir("warc_pushdown_plain")
+    val pbos = new ByteArrayOutputStream()
+    (0 until 6).foreach { i =>
+      val t = if (i % 2 == 0) "conversion" else "response"
+      pbos.write(record(i, s"b$i".getBytes(UTF_8), wtype = t))
+    }
+    writeFile(pdir, "seg.warc", pbos.toByteArray)
+    assert(readWarc(pdir).filter(col("warc_type") === "conversion").count() == 3)
+  }
+
+  test("pushed-filter veto never materializes the payload") {
+    import graft.sources.{WarcParse, WarcRecord}
+    val bytes = record(7, "do not copy me".getBytes(UTF_8), wtype = "response")
+    var sawPayload: Array[Byte] = Array.emptyByteArray
+    val r = WarcParse.parseRecordFiltered(bytes, 65536, { h: WarcRecord =>
+      sawPayload = h.payload // header-only view: payload must be null here
+      h.warcType == "conversion"
+    })
+    assert(r == Right(None))
+    assert(sawPayload == null, "filter must see a header-only record")
+    // and an accepted record still carries its exact payload
+    val kept = WarcParse.parseRecordFiltered(bytes, 65536, _ => true)
+    assert(new String(kept.toOption.get.get.payload, UTF_8) == "do not copy me")
+  }
+
   test("truncated tail in fail mode: clean EOF is not an error, cut-off member is") {
     val dir = TestSpark.tmpDir("warc_trunc")
     val g0 = gzipMember(record(0, "whole".getBytes(UTF_8)))
