@@ -296,6 +296,7 @@ object SparkEntry {
   private[graft] val indexWarmers: Map[String, (SparkSession, String) => Unit] = Map(
     "q39_dedup_clusters" -> warmSharedIndex,
     "q47_dedup_decisions" -> warmSharedIndex,
+    "q176_soft_dedup" -> warmSharedIndex,
     "q46_incremental_neardups" -> ((s, dir) => corpusSigIndex(s, dir).count(): Unit),
     "q60_durable_index" -> ((s, dir) => durableSigIndex(s, dir): Unit),
     "q70_pq_codes" -> ((s, dir) => pqBooks(s, dir): Unit),
@@ -2998,7 +2999,16 @@ object SparkEntry {
             .as("n_cross_canonical"),
           sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
           sum(when(keep, col("doc_id")).otherwise(0L)).as("sum_kept_ids"))
-    })
+    }),
+
+    // ---- north-star: soft-dedup mixture weights — near-dup cluster
+    //      members keep weight 1/|cluster| instead of being dropped
+    //      (each cluster contributes one unit of sampling mass);
+    //      reads the SAME shared pair index as q16/q39/q47.
+    "q176_soft_dedup" -> ((s, dir) =>
+      graft.ops.Sampling.softDedupWeights(
+        T(s, dir, "documents"), "doc_id",
+        Dedup.components(verifiedPairs(s, dir).select("id_a", "id_b"))))
   )
 
   /** graft-authored pipeline config (reference YAML shape,
@@ -4995,6 +5005,20 @@ object SparkEntry {
          |  coalesce(l.cluster_id, d.doc_id) AS cluster_id,
          |  coalesce(l.cluster_id, d.doc_id) = d.doc_id AS keep
          |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id""".stripMargin,
+
+    // soft-dedup replay: the q47 closure chain plus a cluster-size
+    // rollup; weight = 1/|cluster|, singletons weigh 1
+    "q176_soft_dedup" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         |$closureCtes,
+         |clsizes AS (SELECT cluster_id, count(*) AS csize
+         |            FROM labels GROUP BY cluster_id)
+         |SELECT d.doc_id,
+         |  coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+         |  round(CAST(1 AS DOUBLE) / coalesce(sz.csize, 1), 6) AS weight
+         |FROM documents d
+         |LEFT JOIN labels l ON d.doc_id = l.doc_id
+         |LEFT JOIN clsizes sz ON l.cluster_id = sz.cluster_id""".stripMargin,
 
     "q45_model_score" ->
       """SELECT doc_id,

@@ -339,6 +339,35 @@ object Sampling {
    * pass `strataCol = None` and the plan is a `TakeOrderedAndProject`
    * (k-row reduce, no global sort, no window).
    */
+  /**
+   * SOFT deduplication for mixture weighting: instead of hard-dropping
+   * near-duplicate cluster members ([[Dedup.dedupDecisions]]'s
+   * keep/drop), every member of a duplicate cluster gets weight
+   * `1/|cluster|`, so each cluster contributes ONE unit of sampling
+   * mass to the training mixture while keeping its internal variation
+   * available — the documented alternative to hard dedup in the dedup
+   * literature (duplicates signal quality as well as redundancy).
+   * Singletons weigh 1. The output feeds [[weightedSample]]'s
+   * Efraimidis–Spirakis keys directly (`weightCol = "weight"`).
+   *
+   * `labels` is [[Dedup.components]] output (`id`, `label`) — pair-∝
+   * small. Scale shape: one decomposable cluster-size aggregation over
+   * the labels (never the corpus), then two broadcast-sized joins onto
+   * the corpus ids; weights round at 6 for oracle parity.
+   */
+  def softDedupWeights(
+      df: DataFrame, idCol: String, labels: DataFrame): DataFrame = {
+    val l = labels.select(col("id").as(idCol), col("label"))
+    val sizes = l.groupBy("label").agg(count(lit(1)).as("__csize"))
+    df.select(col(idCol))
+      .join(l, Seq(idCol), "left")
+      .join(sizes, Seq("label"), "left")
+      .select(
+        col(idCol),
+        coalesce(col("label"), col(idCol)).as("cluster_id"),
+        round(lit(1.0) / coalesce(col("__csize"), lit(1L)), 6).as("weight"))
+  }
+
   def weightedSample(
       df: DataFrame,
       keyCol: String,

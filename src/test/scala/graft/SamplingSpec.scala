@@ -312,4 +312,25 @@ class SamplingSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSet
     assert(kept == Set(4L))
   }
+
+  test("softDedupWeights: 1/|cluster| per member, singletons weigh 1") {
+    // clusters: {1,2,3} labeled 1, {5,6} labeled 5; 4 and 9 singleton
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L, 9L).toDF("doc_id")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("id", "label")
+    val got = Sampling.softDedupWeights(docs, "doc_id", labels)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == Set(
+      (1L, 1L, 0.333333), (2L, 1L, 0.333333), (3L, 1L, 0.333333),
+      (4L, 4L, 1.0), (5L, 5L, 0.5), (6L, 5L, 0.5), (9L, 9L, 1.0)))
+    // total mass = one unit per cluster-or-singleton (up to rounding)
+    val mass = got.toSeq.map(_._3).sum
+    assert(math.abs(mass - 4.0) < 1e-4)
+    // and the weights feed the ES sampler directly: every stratum
+    // draw is weight-eligible (no nulls/zeros from the weighting)
+    val sampled = Sampling.weightedSample(
+      Sampling.softDedupWeights(docs, "doc_id", labels),
+      "doc_id", "weight", k = 3, salt = "sd")
+    assert(sampled.count() == 3)
+  }
 }
