@@ -3008,7 +3008,41 @@ object SparkEntry {
     "q176_soft_dedup" -> ((s, dir) =>
       graft.ops.Sampling.softDedupWeights(
         T(s, dir, "documents"), "doc_id",
-        Dedup.components(verifiedPairs(s, dir).select("id_a", "id_b"))))
+        Dedup.components(verifiedPairs(s, dir).select("id_a", "id_b")))),
+
+    // ---- north-star: tokenizer coverage / OOV audit — per-language
+    //      UNK-piece rate of the unigram model on HELD-OUT text (train
+    //      even half, measure odd half: characters unique to the
+    //      held-out side surface as UNK pieces). The coverage report a
+    //      multilingual release reads before freezing a vocab. One
+    //      piece-explode scan + a |langs|-group decomposable rollup.
+    //      OOV is INJECTED constructively (every 11th held-out doc
+    //      gains a token of characters absent from the corpus
+    //      alphabet), so the UNK path is exercised and its per-lang
+    //      rate is known by design.
+    "q177_unigram_coverage" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      val model = graft.ops.Unigram.modelTable(
+        graft.ops.Unigram.train(docs.filter(col("doc_id") % 2 === 0), "text",
+          maxPieceLen = 3, seedSize = 30, emIters = 2, keepSize = 12))
+      val known = model.map(_._1)
+      docs.filter(col("doc_id") % 2 =!= 0)
+        .withColumn("text", when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" zxz"))).otherwise(col("text")))
+        .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) >= 1)
+        .select(col("lang"),
+          explode(graft.functions.GraftFunctions.unigramPieces(
+            s, col("word"), model)).as("piece"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_pieces"),
+          sum(when(!col("piece").isInCollection(known), 1L).otherwise(0L))
+            .as("n_unk"),
+          countDistinct(col("piece")).as("n_distinct_pieces"))
+        .withColumn("unk_rate",
+          round(col("n_unk").cast("double") / col("n_pieces"), 6))
+    })
   )
 
   /** graft-authored pipeline config (reference YAML shape,
@@ -3818,6 +3852,36 @@ object SparkEntry {
          |FROM base b JOIN udoc u ON u.doc_id = b.doc_id
          |GROUP BY b.lang""".stripMargin
     },
+
+    // coverage replay: the q173 train+encode chains over the
+    // OOV-injected held-out text, pieces kept with their words,
+    // UNK = piece absent from the final model table
+    "q177_unigram_coverage" ->
+      s"""WITH RECURSIVE ${unigramTrainCtes(3, 30, 2, 12, 16, "WHERE doc_id % 2 = 0")},
+         |odocs AS MATERIALIZED (
+         |  SELECT lang, CASE WHEN doc_id % 11 = 0 THEN text || ' zxz'
+         |                    ELSE text END AS text
+         |  FROM documents WHERE doc_id % 2 <> 0 AND text IS NOT NULL),
+         |ew AS MATERIALIZED (SELECT word, CAST(0 AS BIGINT) AS n,
+         |    len(word) AS wl FROM (
+         |    SELECT DISTINCT word FROM (
+         |      SELECT unnest(string_split(text, ' ')) AS word FROM odocs)))
+         |${unigramSegCtes("en", "ew", "ulpf", 3, 16)},
+         |wpieces AS MATERIALIZED (SELECT word, piece FROM enbt
+         |                         WHERE piece IS NOT NULL),
+         |docw AS (SELECT lang, word FROM (
+         |    SELECT lang, unnest(string_split(text, ' ')) AS word FROM odocs)
+         |  WHERE len(word) >= 1),
+         |pieces AS (SELECT d.lang, w.piece
+         |           FROM docw d JOIN wpieces w ON w.word = d.word)
+         |SELECT p.lang, count(*) AS n_pieces,
+         |  CAST(sum(CASE WHEN m.piece IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_unk,
+         |  count(DISTINCT p.piece) AS n_distinct_pieces,
+         |  round(CAST(sum(CASE WHEN m.piece IS NULL THEN 1 ELSE 0 END)
+         |      AS DOUBLE) / count(*), 6) AS unk_rate
+         |FROM pieces p LEFT JOIN ulpf m ON m.piece = p.piece
+         |GROUP BY p.lang""".stripMargin,
 
     // meta-robots fence replay: the injected directives are modular in
     // doc_id, so the fence is pure arithmetic — noindex for %5 in
