@@ -3042,6 +3042,25 @@ object SparkEntry {
           countDistinct(col("piece")).as("n_distinct_pieces"))
         .withColumn("unk_rate",
           round(col("n_unk").cast("double") / col("n_pieces"), 6))
+    }),
+
+    // ---- north-star: seed-centroid quality scoring — the
+    //      classifier-free embedding quality signal: a curated seed
+    //      set's centroid defines "good", every corpus vector scores
+    //      by cosine to it. Centroid = decimal-summed dims-bounded
+    //      aggregate (deterministic); scoring = ONE codegen scan with
+    //      the centroid as a literal array; histogram rollup.
+    "q178_seed_centroid" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val cent = Similarity.seedCentroid(
+        emb.filter(col("vec_id") % 37 === 0), "embedding")
+      Similarity.seedCentroidScores(emb, "vec_id", "embedding", cent)
+        .groupBy(floor(col("cos") * 10).cast("int").as("bucket"))
+        .agg(
+          count(lit(1)).as("n_vectors"),
+          sum(col("vec_id")).as("sum_ids"),
+          round(sum(col("cos").cast("decimal(18,6)")).cast("double"), 6)
+            .as("sum_cos"))
     })
   )
 
@@ -3882,6 +3901,27 @@ object SparkEntry {
          |      AS DOUBLE) / count(*), 6) AS unk_rate
          |FROM pieces p LEFT JOIN ulpf m ON m.piece = p.piece
          |GROUP BY p.lang""".stripMargin,
+
+    // seed-centroid replay: identical decimal-summed per-dim means,
+    // float-cast centroid, same cosine/round arithmetic, decimal-exact
+    // score sums per histogram bucket
+    "q178_seed_centroid" ->
+      s"""WITH seeds AS (SELECT embedding AS e FROM embeddings
+         |               WHERE vec_id % 37 = 0),
+         |cent AS (
+         |  SELECT i, CAST(round(CAST(sum(CAST(round(CAST(e[i] AS DOUBLE), 6)
+         |      AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS FLOAT) AS c
+         |  FROM seeds, (SELECT unnest(generate_series(1, 64)) AS i) d
+         |  GROUP BY i),
+         |cl AS (SELECT list(c ORDER BY i) AS cl FROM cent),
+         |sc AS (SELECT vec_id,
+         |         ${duckCosine("embedding", "cl", 64)} AS cos
+         |       FROM embeddings, cl)
+         |SELECT CAST(floor(cos * 10) AS INT) AS bucket,
+         |  count(*) AS n_vectors,
+         |  CAST(sum(vec_id) AS BIGINT) AS sum_ids,
+         |  round(CAST(sum(CAST(cos AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_cos
+         |FROM sc GROUP BY 1""".stripMargin,
 
     // meta-robots fence replay: the injected directives are modular in
     // doc_id, so the fence is pure arithmetic — noindex for %5 in

@@ -1047,4 +1047,45 @@ object Similarity {
         round(min(when(col("__healthy"), col("__norm"))), 6).as("min_norm"),
         round(max(when(col("__healthy"), col("__norm"))), 6).as("max_norm"))
   }
+
+  /**
+   * Seed-centroid quality scoring — the classifier-free embedding
+   * quality signal from the data-selection literature: a small curated
+   * SEED set defines "good" as its centroid, and every corpus vector
+   * scores by cosine to it (domain routing, quality fencing, "more
+   * like these" selection — the lightweight sibling of a trained
+   * classifier).
+   *
+   * Determinism contract (cross-engine/partitioning): components are
+   * rounded to 6 dp and summed as exact DECIMALs (order-independent —
+   * a plain float mean varies with partition merge order), the per-dim
+   * mean re-rounds at 6, and the centroid is cast to FLOAT (both
+   * engines' nearest-float of the same decimal). Scoring then rides
+   * the codegen cosine kernel with the centroid as ONE literal array.
+   *
+   * Scale shape: the centroid is a dims-bounded aggregation over the
+   * SEEDS (seed-∝, collected as `dims` driver rows — same class as a
+   * query vector); scoring is one narrow codegen scan of the corpus,
+   * no shuffle, no join.
+   */
+  def seedCentroid(seeds: DataFrame, embCol: String): Array[Float] =
+    seeds.select(posexplode(col(embCol)).as(Seq("i", "x")))
+      .groupBy("i")
+      .agg(round(
+        sum(round(col("x").cast("double"), 6).cast("decimal(18,6)"))
+          .cast("double") / count(lit(1)), 6).as("c"))
+      .orderBy("i")
+      .collect().map(_.getDouble(1).toFloat)
+
+  /** Corpus scored against a seed centroid: (idCol, cos) — see
+    * [[seedCentroid]]. */
+  def seedCentroidScores(
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      centroid: Array[Float]): DataFrame = {
+    val spark = corpus.sparkSession
+    corpus.select(col(idCol),
+      cosineFast(spark, col(embCol), typedlit(centroid)).as("cos"))
+  }
 }

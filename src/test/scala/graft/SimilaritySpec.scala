@@ -450,4 +450,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(msgs(e).exists(_.contains("top-k ground truth")),
       s"expected the recallAtK guard, got: $e")
   }
+
+  test("seedCentroid: hand mean, partitioning invariance, scoring ranks") {
+    val seeds = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val c = Similarity.seedCentroid(seeds, "embedding")
+    assert(c.toSeq == Seq(0.5f, 0.5f, 0.0f))
+    // deterministic under repartitioning (decimal sums are exact)
+    val c2 = Similarity.seedCentroid(seeds.repartition(7), "embedding")
+    assert(c2.toSeq == c.toSeq)
+    // scoring: a vector along the centroid outranks an orthogonal one
+    val corpus = Seq(
+      (10L, Array(1.0f, 1.0f, 0.0f)),  // cos 1.0 with centroid
+      (11L, Array(0.0f, 0.0f, 1.0f)),  // cos 0.0
+      (12L, Array(1.0f, 0.0f, 0.0f))). // cos ~0.707
+      toDF("vec_id", "embedding")
+    val got = Similarity.seedCentroidScores(corpus, "vec_id", "embedding", c)
+      .as[(Long, Double)].collect().toMap
+    assert(got(10L) == 1.0 && got(11L) == 0.0)
+    assert(math.abs(got(12L) - 0.707107) < 1e-6)
+  }
 }
