@@ -3061,6 +3061,39 @@ object SparkEntry {
           sum(col("vec_id")).as("sum_ids"),
           round(sum(col("cos").cast("decimal(18,6)")).cast("double"), 6)
             .as("sum_cos"))
+    }),
+
+    // ---- north-star multimodal: JPEG/EXIF metadata extraction —
+    //      dimensions + orientation + camera make + capture datetime
+    //      parsed from REAL assembled bytes (SOI/APP1/SOF0 markers,
+    //      both TIFF byte orders), no pixel decode; every field is a
+    //      pure function of doc_id, truncated payloads (id%13=0) must
+    //      yield null fields. The oracle is modular arithmetic while
+    //      the kernel walks actual JPEG segments.
+    "q179_exif_meta" -> ((s, dir) => {
+      import s.implicits._
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      val payloads = docs.select(col("doc_id")).as[Long]
+        .map(id => (id, graft.ops.Multimodal.demoJpeg(id)))
+        .toDF("doc_id", "payload")
+      val id = col("doc_id")
+      payloads.select(id,
+          graft.functions.GraftFunctions.exifMeta(s, col("payload")).as("m"))
+        .select(id, col("m.width").as("w"), col("m.height").as("h"),
+          col("m.orientation").as("o"), col("m.make").as("mk"),
+          col("m.datetime").as("dt"))
+        .groupBy(col("o").as("orientation"))
+        .agg(
+          count(lit(1)).as("n_images"),
+          sum(id).as("sum_ids"),
+          sum(when(col("w") === (lit(200) + id % 30) &&
+            col("h") === (lit(100) + id % 50), 1L).otherwise(0L))
+            .as("n_dims_ok"),
+          sum(when(col("mk") === concat(lit("Cam"), id % 3), 1L)
+            .otherwise(0L)).as("n_make_ok"),
+          sum(when(col("dt") === concat(lit("2026:01:"),
+            lpad((id % 27 + 1).cast("string"), 2, "0"),
+            lit(" 12:00:00")), 1L).otherwise(0L)).as("n_dt_ok"))
     })
   )
 
@@ -3901,6 +3934,25 @@ object SparkEntry {
          |      AS DOUBLE) / count(*), 6) AS unk_rate
          |FROM pieces p LEFT JOIN ulpf m ON m.piece = p.piece
          |GROUP BY p.lang""".stripMargin,
+
+    // EXIF replay: the injected metadata is modular in doc_id — valid
+    // ids recover every field (checks == counts), truncated ids
+    // (%13=0) land in the NULL-orientation group with zero recoveries
+    "q179_exif_meta" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0 THEN NULL
+        |         ELSE CAST(doc_id % 8 + 1 AS INT) END AS o
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT o AS orientation, count(*) AS n_images,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(sum(CASE WHEN o IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_dims_ok,
+        |  CAST(sum(CASE WHEN o IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_make_ok,
+        |  CAST(sum(CASE WHEN o IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_dt_ok
+        |FROM p GROUP BY o""".stripMargin,
 
     // seed-centroid replay: identical decimal-summed per-dim means,
     // float-cast centroid, same cosine/round arithmetic, decimal-exact

@@ -266,7 +266,17 @@ object GraftFunctions {
     PageDirectivesKernel(args.head)
   }
 
+  private val exifMetaId = FunctionIdentifier("graft_exif_meta")
+  private val exifMetaInfo =
+    new ExpressionInfo(classOf[ExifMetaKernel].getName, "graft_exif_meta")
+  private val exifMetaBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 1,
+      s"graft_exif_meta expects 1 argument, got ${args.length}")
+    ExifMetaKernel(args.head)
+  }
+
   private val all = Seq(
+    (exifMetaId, exifMetaInfo, exifMetaBuilder),
     (pageDirectivesId, pageDirectivesInfo, pageDirectivesBuilder),
     (unigramPiecesId, unigramPiecesInfo, unigramPiecesBuilder),
     (unigramCountId, unigramCountInfo, unigramCountBuilder),
@@ -413,6 +423,14 @@ object GraftFunctions {
     register(spark)
     org.apache.spark.sql.functions.call_function("graft_bpe_count", text,
       org.apache.spark.sql.functions.lit(BpeCountKernel.spec(merges)))
+  }
+
+  /** Column-API handle on the JPEG/EXIF metadata kernel — see
+    * [[ExifExtract.meta]]: `struct<width, height, orientation, make,
+    * datetime>`; null struct for non-JPEG payloads. */
+  def exifMeta(spark: SparkSession, payload: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_exif_meta", payload)
   }
 
   /** Column-API handle on the page-directives kernel — see

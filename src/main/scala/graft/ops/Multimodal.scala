@@ -250,6 +250,64 @@ object Multimodal {
       if (sawMvhd) Some(VideoMeta(durationMs, w, h, tracks)) else None
     } catch { case _: Exception => None }
 
+  /**
+   * Deterministic minimal JPEG-with-EXIF fixture for `doc_id` (q179):
+   * SOI, an APP1/Exif TIFF block (IFD0 with Make/Orientation/DateTime;
+   * even ids little-endian `II`, odd ids big-endian `MM` — both TIFF
+   * byte orders exercised), an SOF0 frame header carrying the
+   * dimensions, EOI. Every field is a pure function of the id, so the
+   * extraction oracle is modular arithmetic. Ids divisible by 13
+   * return a TRUNCATED header (kernel must yield null fields, not
+   * crash). Assembled by hand — the point is real bytes, not a
+   * library.
+   */
+  def demoJpeg(id: Long): Array[Byte] = {
+    if (id % 13 == 0)
+      return Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte) // truncated
+    val le = id % 2 == 0
+    val orientation = (id % 8 + 1).toInt
+    val make = s"Cam${id % 3}"
+    val dt = f"2026:01:${id % 27 + 1}%02d 12:00:00" // EXIF layout, 19 chars
+    val makeBytes = (make + " ").getBytes("US-ASCII")
+    val dtBytes = (dt + " ").getBytes("US-ASCII")
+    // TIFF block: 8-byte header, IFD0 (count=3, 12-byte entries
+    // ascending by tag, 4-byte next-IFD), then the value area
+    val valueArea = 8 + 2 + 3 * 12 + 4
+    val tiff = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit =
+      if (le) { tiff.write(v & 0xff); tiff.write((v >> 8) & 0xff) }
+      else { tiff.write((v >> 8) & 0xff); tiff.write(v & 0xff) }
+    def u32(v: Int): Unit =
+      if (le) { tiff.write(v & 0xff); tiff.write((v >> 8) & 0xff)
+        tiff.write((v >> 16) & 0xff); tiff.write((v >> 24) & 0xff) }
+      else { tiff.write((v >> 24) & 0xff); tiff.write((v >> 16) & 0xff)
+        tiff.write((v >> 8) & 0xff); tiff.write(v & 0xff) }
+    if (le) { tiff.write('I'); tiff.write('I') }
+    else { tiff.write('M'); tiff.write('M') }
+    u16(42); u32(8) // magic + IFD0 offset
+    u16(3) // three entries
+    u16(0x010F); u16(2); u32(makeBytes.length); u32(valueArea) // Make
+    u16(0x0112); u16(3); u32(1); u16(orientation); u16(0) // Orientation
+    u16(0x0132); u16(2); u32(dtBytes.length) // DateTime
+    u32(valueArea + makeBytes.length)
+    u32(0) // next IFD
+    tiff.write(makeBytes); tiff.write(dtBytes)
+    val tiffBytes = tiff.toByteArray
+    val h = (100 + id % 50).toInt
+    val w = (200 + id % 30).toInt
+    val out = new java.io.ByteArrayOutputStream()
+    def b(v: Int): Unit = out.write(v & 0xff)
+    def be16(v: Int): Unit = { b(v >> 8); b(v) }
+    b(0xFF); b(0xD8) // SOI
+    b(0xFF); b(0xE1); be16(2 + 6 + tiffBytes.length) // APP1
+    out.write("Exif".getBytes("US-ASCII")); b(0); b(0)
+    out.write(tiffBytes)
+    b(0xFF); b(0xC0); be16(11) // SOF0: precision, h, w, 1 component
+    b(8); be16(h); be16(w); b(1); b(1); b(0x11); b(0)
+    b(0xFF); b(0xD9) // EOI
+    out.toByteArray
+  }
+
   /** Build a demo media table from any (id, text) source — payload =
     * UTF-8 bytes. Stands in for reading real blobs. */
   def demoMediaTable(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
