@@ -297,6 +297,7 @@ object SparkEntry {
     "q39_dedup_clusters" -> warmSharedIndex,
     "q47_dedup_decisions" -> warmSharedIndex,
     "q176_soft_dedup" -> warmSharedIndex,
+    "q180_triangles" -> warmSharedIndex,
     "q46_incremental_neardups" -> ((s, dir) => corpusSigIndex(s, dir).count(): Unit),
     "q60_durable_index" -> ((s, dir) => durableSigIndex(s, dir): Unit),
     "q70_pq_codes" -> ((s, dir) => pqBooks(s, dir): Unit),
@@ -3094,6 +3095,40 @@ object SparkEntry {
           sum(when(col("dt") === concat(lit("2026:01:"),
             lpad((id % 27 + 1).cast("string"), 2, "0"),
             lit(" 12:00:00")), 1L).otherwise(0L)).as("n_dt_ok"))
+    }),
+
+    // ---- north-star: triangle counting over the near-dup graph —
+    //      degree-ordered edge orientation (compact-forward) bounds
+    //      oriented out-degree at O(√m), so the wedge join stays
+    //      O(m^1.5) even on skewed graphs; the cluster-density audit
+    //      (triangle-rich near-dup families = template copying,
+    //      triangle-poor = chains of borderline matches). Reads the
+    //      same shared pair index as q16/q39/q47/q176.
+    "q180_triangles" -> ((s, dir) =>
+      graft.ops.LinkGraph.triangles(
+        verifiedPairs(s, dir).select("id_a", "id_b"), "id_a", "id_b")),
+
+    // ---- north-star: reciprocal-rank fusion — the score-free hybrid
+    //      combiner: BM25 relevance fused with a quality-prior ranking
+    //      (each list contributes 1/(60+rank), summed as exact integer
+    //      micro-units). Items high in EITHER list surface without
+    //      score calibration; the aggregation is list-∝, never
+    //      corpus-∝.
+    "q181_rrf_hybrid" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val bm = graft.ops.Search.ranked(
+        graft.ops.Search.bm25(docs, "text", "doc_id",
+          terms = Seq("spark", "hash", "window"), topK = 20),
+        desc("bm25"), asc("doc_id"))
+      val qual = graft.ops.Search.ranked(
+        docs.filter(col("text").isNotNull)
+          .selectExpr("doc_id",
+            s"${PortableSql.qualityScore("text", SD)} AS quality")
+          .orderBy(desc("quality"), asc("doc_id")).limit(20),
+        desc("quality"), asc("doc_id"))
+      graft.ops.Search.rrfFuse(
+        Seq(bm.select("doc_id", "rank"), qual.select("doc_id", "rank")),
+        "doc_id", k = 60, topK = 10)
     })
   )
 
@@ -3179,6 +3214,31 @@ object SparkEntry {
 
   /** DuckDB shingle list for documents.text (3-word shingles). */
   private val duckToks = DD.tokens("text")
+
+  /** Shared BM25 scoring CTEs (q51/q181): terms spark/hash/window,
+    * k1 = 1.2, b = 0.75, ending in `sc(doc_id, bm25)`. Constants
+    * appear as the same IEEE ops Spark's literals compute ((1.2 + 1.0),
+    * not 2.2 — addition is deterministic, literal parsing of the
+    * pre-summed decimal need not equal it). */
+  private def bm25Ctes: String = {
+    val terms = Seq("spark", "hash", "window")
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(toks, __t -> __t = '$t')) AS tf$i"
+    }.mkString(", ")
+    val dfCols = terms.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+      .mkString(", ")
+    val score = terms.indices.map { i =>
+      val tf = s"CAST(tf$i AS DOUBLE)"
+      val dfT = s"CAST(df$i AS DOUBLE)"
+      s"ln((CAST(n AS DOUBLE) - $dfT + 0.5) / ($dfT + 0.5) + 1.0) * ($tf * (1.2 + 1.0)) / " +
+        s"($tf + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(len AS DOUBLE) / (CAST(sumlen AS DOUBLE) / CAST(n AS DOUBLE))))"
+    }.mkString("(", " + ", ")")
+    s"""t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+       |f AS (SELECT doc_id, len(toks) AS len, $tfCols FROM t),
+       |s AS (SELECT count(*) AS n, CAST(sum(len) AS BIGINT) AS sumlen, $dfCols FROM f),
+       |sc AS (SELECT doc_id, round($score, 6) AS bm25 FROM f, s)""".stripMargin
+  }
   private val duckShingles = DD.shingles("toks", 3)
 
   /** DuckDB CTEs shared by the MinHash queries. */
@@ -3934,6 +3994,33 @@ object SparkEntry {
          |      AS DOUBLE) / count(*), 6) AS unk_rate
          |FROM pieces p LEFT JOIN ulpf m ON m.piece = p.piece
          |GROUP BY p.lang""".stripMargin,
+
+    // triangle replay: canonical a<b edges from the shared pair CTEs;
+    // wedge count = Σ C(d⁺,2) under the same (degree, id) orientation,
+    // triangle count = the a<b<c closed-triple join (orientation-free,
+    // provably equal)
+    "q180_triangles" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         |te AS (SELECT DISTINCT least(id_a, id_b) AS a,
+         |         greatest(id_a, id_b) AS b
+         |       FROM vpairs WHERE id_a <> id_b),
+         |tdeg AS (SELECT v, count(*) AS d FROM (
+         |    SELECT a AS v FROM te UNION ALL SELECT b AS v FROM te)
+         |  GROUP BY v),
+         |tor AS (SELECT
+         |    CASE WHEN (da.d < db.d) OR (da.d = db.d AND te.a < te.b)
+         |      THEN te.a ELSE te.b END AS f
+         |  FROM te JOIN tdeg da ON da.v = te.a
+         |  JOIN tdeg db ON db.v = te.b),
+         |todeg AS (SELECT f, count(*) AS dd FROM tor GROUP BY f),
+         |tri AS (SELECT count(*) AS n_triangles
+         |        FROM te e1 JOIN te e2 ON e2.a = e1.a AND e2.b > e1.b
+         |        JOIN te e3 ON e3.a = e1.b AND e3.b = e2.b)
+         |SELECT (SELECT count(*) FROM tdeg) AS n_vertices,
+         |  (SELECT count(*) FROM te) AS n_edges,
+         |  (SELECT CAST(coalesce(sum(dd * (dd - 1) / 2), 0) AS BIGINT)
+         |   FROM todeg) AS n_wedges,
+         |  (SELECT CAST(n_triangles AS BIGINT) FROM tri) AS n_triangles""".stripMargin,
 
     // EXIF replay: the injected metadata is modular in doc_id — valid
     // ids recover every field (checks == counts), truncated ids
@@ -5215,29 +5302,40 @@ object SparkEntry {
          |SELECT cg.doc_id, count(*) AS n_contaminated
          |FROM cg JOIN bg USING (g) GROUP BY cg.doc_id""".stripMargin,
 
-    "q51_bm25" -> {
-      // constants appear as the same IEEE ops Spark's literals compute
-      // ((1.2 + 1.0), not 2.2 — addition is deterministic, literal
-      // parsing of the pre-summed decimal need not equal it)
-      val terms = Seq("spark", "hash", "window")
-      val tfCols = terms.zipWithIndex.map { case (t, i) =>
-        s"len(list_filter(toks, __t -> __t = '$t')) AS tf$i"
-      }.mkString(", ")
-      val dfCols = terms.indices.map(i =>
-        s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i").mkString(", ")
-      val score = terms.indices.map { i =>
-        val tf = s"CAST(tf$i AS DOUBLE)"
-        val dfT = s"CAST(df$i AS DOUBLE)"
-        s"ln((CAST(n AS DOUBLE) - $dfT + 0.5) / ($dfT + 0.5) + 1.0) * ($tf * (1.2 + 1.0)) / " +
-          s"($tf + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(len AS DOUBLE) / (CAST(sumlen AS DOUBLE) / CAST(n AS DOUBLE))))"
-      }.mkString("(", " + ", ")")
-      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
-         |f AS (SELECT doc_id, len(toks) AS len, $tfCols FROM t),
-         |s AS (SELECT count(*) AS n, CAST(sum(len) AS BIGINT) AS sumlen, $dfCols FROM f),
-         |sc AS (SELECT doc_id, round($score, 6) AS bm25 FROM f, s)
+    "q51_bm25" ->
+      s"""WITH $bm25Ctes
          |SELECT doc_id, bm25 FROM sc WHERE bm25 > 0
-         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
-    },
+         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+
+    // RRF replay: the shared q51 BM25 chain and the q13 quality score
+    // each ranked top-20, fused as exact integer micro-contributions
+    "q181_rrf_hybrid" ->
+      s"""WITH $bm25Ctes,
+         |bml AS (SELECT doc_id, bm25 FROM sc WHERE bm25 > 0
+         |        ORDER BY bm25 DESC, doc_id LIMIT 20),
+         |bmr AS (SELECT doc_id,
+         |          row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+         |        FROM bml),
+         |ql AS (SELECT doc_id,
+         |         ${PortableSql.qualityScore("text", DD)} AS quality
+         |       FROM documents WHERE text IS NOT NULL
+         |       ORDER BY quality DESC, doc_id LIMIT 20),
+         |qr AS (SELECT doc_id,
+         |         row_number() OVER (ORDER BY quality DESC, doc_id) AS rank
+         |       FROM ql),
+         |u AS (SELECT doc_id,
+         |        CAST(round(1000000000.0 / (CAST(60 AS DOUBLE) + rank))
+         |          AS BIGINT) AS c
+         |      FROM bmr
+         |      UNION ALL
+         |      SELECT doc_id,
+         |        CAST(round(1000000000.0 / (CAST(60 AS DOUBLE) + rank))
+         |          AS BIGINT) AS c
+         |      FROM qr)
+         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS rrf_micro,
+         |  count(*) AS n_lists
+         |FROM u GROUP BY doc_id
+         |ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin,
 
     "q52_heavy_hitters" ->
       s"""WITH tok AS (SELECT unnest($duckToks) AS token FROM documents),

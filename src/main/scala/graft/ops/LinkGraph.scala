@@ -224,4 +224,63 @@ object LinkGraph {
     }
     auths.join(hubs, "id")
   }
+
+  /**
+   * Triangle counting via DEGREE-ORDERED edge orientation (the
+   * compact-forward / node-iterator++ algorithm, public) — the graph
+   * density primitive behind clustering coefficients, community
+   * quality, and near-dup-cluster shape audits.
+   *
+   * Each undirected edge is oriented from its lower-(degree, id)
+   * endpoint to the higher, so every triangle has EXACTLY one wedge at
+   * its minimum vertex: count = |wedges that close|. The orientation
+   * is the scale story: out-degree under it is O(√m), so the wedge
+   * self-join materializes Σ d⁺(v)² = O(m^1.5) candidates instead of
+   * the Σ d(v)² a naive wedge join pays on skewed graphs (one
+   * celebrity node would otherwise square its degree).
+   *
+   * Shape: canonical-edge dedup → one degree aggregation → two
+   * broadcast-or-shuffle hash joins attach the orientation keys → one
+   * wedge self-join on the apex + one semi-join against the oriented
+   * edge set → 1-row report (n_vertices, n_edges, n_wedges,
+   * n_triangles). All joins key on vertex ids; no windows, no driver
+   * state.
+   */
+  def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+      .localCheckpoint()
+    val deg = und.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    // orient by (degree, id): lower key -> higher key
+    val withKeys = und
+      .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withKeys.select(
+        when(aFirst, col("a")).otherwise(col("b")).as("from"),
+        when(aFirst, col("b")).otherwise(col("a")).as("to"),
+        when(aFirst, col("db")).otherwise(col("da")).as("dto"))
+      .localCheckpoint()
+    // wedges at the apex; the pair ordered by the SAME (degree, id)
+    // key so the closing edge, if present, is oriented exactly u -> w
+    val x = oriented.select(col("from").as("apex"), col("to").as("u"),
+      col("dto").as("du"))
+    val y = oriented.select(col("from").as("apex"), col("to").as("w"),
+      col("dto").as("dw"))
+    val wedges = x.join(y, Seq("apex"))
+      .filter(col("du") < col("dw") ||
+        (col("du") === col("dw") && col("u") < col("w")))
+    val closed = wedges.join(
+      oriented.select(col("from").as("u"), col("to").as("w")),
+      Seq("u", "w"), "left_semi")
+    deg.agg(count(lit(1)).as("n_vertices"))
+      .crossJoin(und.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
+      .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
+  }
 }

@@ -173,4 +173,47 @@ object Search {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_occurrences"), min(col("__start")).as("first_pos"))
   }
+
+  /**
+   * Reciprocal-rank fusion (Cormack/Clarke/Büttcher, public) — the
+   * standard score-free combiner for heterogeneous retrievers (BM25 +
+   * dense, relevance + quality priors, …): each list contributes
+   * `1/(k + rank)` per member and contributions sum; items high in ANY
+   * list surface without any score calibration between retrievers.
+   *
+   * Each input frame must carry `idCol` and a 1-based `rank` column
+   * (use [[ranked]] on a top-K frame). Determinism contract:
+   * contributions are INTEGER MICRO-UNITS (`round(1e9/(k+rank))` as
+   * BIGINT), so the fused score is an exact integer sum — independent
+   * of list order and engine, the [[graft.functions.UnigramKernels]]
+   * discipline. Output: (idCol, rrf_micro, n_lists), top-`topK` by
+   * (rrf_micro desc, id asc).
+   *
+   * Scale shape: inputs are top-K lists (K-row frames by contract), so
+   * the union + id-keyed aggregation is list-∝ — never corpus-∝.
+   */
+  def rrfFuse(
+      rankings: Seq[DataFrame],
+      idCol: String,
+      k: Int = 60,
+      topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k >= 1, "rrf k must be positive")
+    val contribs = rankings.map(_.select(col(idCol),
+      round(lit(1e9) / (lit(k).cast("double") + col("rank")), 0)
+        .cast("long").as("__c")))
+    contribs.reduce(_ unionByName _)
+      .groupBy(idCol)
+      .agg(sum(col("__c")).as("rrf_micro"), count(lit(1)).as("n_lists"))
+      .orderBy(desc("rrf_micro"), asc(idCol))
+      .limit(topK)
+  }
+
+  /** Attach a 1-based `rank` to a TOP-K frame by the given order.
+    * Single-partition window by design — the input is a K-row ranked
+    * list, not a corpus (rank a corpus with per-key windows instead). */
+  def ranked(topList: DataFrame, order: Column*): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(order: _*)
+    topList.withColumn("rank", row_number().over(w))
+  }
 }

@@ -160,4 +160,23 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(got(1) > got(2))
     assert(math.abs(got.sum - 1.0) < 1e-9)
   }
+
+  test("triangles: hand-counted graphs, dedup, direction-insensitivity") {
+    def tri(edges: Seq[(Long, Long)]): (Long, Long, Long, Long) = {
+      val r = LinkGraph.triangles(edges.toDF("s", "d"), "s", "d").head
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    // K4: 4 vertices, 6 edges, 4 triangles
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    assert(tri(k4) == ((4L, 6L, 4L, 4L)))
+    // a path has no triangles; the degree orientation leaves no apex
+    // with two out-edges, so not even a wedge candidate materializes
+    assert(tri(Seq((1L, 2L), (2L, 3L), (3L, 4L))) == ((4L, 3L, 0L, 0L)))
+    // duplicate edges, reversed duplicates, and self-loops collapse
+    assert(tri(Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L),
+      (2L, 2L))) == ((3L, 3L, 1L, 1L)))
+    // bowtie: two triangles sharing vertex 0
+    assert(tri(Seq((0L, 1L), (0L, 2L), (1L, 2L), (0L, 3L), (0L, 4L),
+      (3L, 4L)))._4 == 2L)
+  }
 }

@@ -71,4 +71,26 @@ class SearchSpec extends AnyFunSuite {
       .sortBy { case (t, c) => (-c, t) }.take(3)
     assert(out.toSeq == exact.toSeq)
   }
+
+  test("rrfFuse: hand-computed fusion, both-lists items win, determinism") {
+    // list 1 ranks: a(1), b(2), c(3); list 2 ranks: c(1), d(2)
+    val l1 = Seq(("a", 1), ("b", 2), ("c", 3)).toDF("id", "rank")
+    val l2 = Seq(("c", 1), ("d", 2)).toDF("id", "rank")
+    val got = Search.rrfFuse(Seq(l1, l2), "id", k = 60, topK = 10)
+      .as[(String, Long, Long)].collect().toSeq
+    def c(r: Int): Long = math.round(1e9 / (60.0 + r))
+    val expect = Seq(
+      ("c", c(3) + c(1), 2L), // in both lists: highest fused score
+      ("a", c(1), 1L),
+      ("d", c(2), 1L),
+      ("b", c(2), 1L)).sortBy(t => (-t._2, t._1))
+    assert(got == expect)
+    // c (rank 3 + rank 1) beats a (rank 1 in one list only)
+    assert(got.head._1 == "c")
+    // ranked() attaches 1-based ranks in the given order
+    val r = Search.ranked(Seq(("x", 0.9), ("y", 0.8)).toDF("id", "s"),
+      org.apache.spark.sql.functions.desc("s")).as[(String, Double, Int)]
+      .collect().map { case (i, _, rk) => (i, rk) }.toMap
+    assert(r == Map("x" -> 1, "y" -> 2))
+  }
 }
