@@ -3129,6 +3129,70 @@ object SparkEntry {
       graft.ops.Search.rrfFuse(
         Seq(bm.select("doc_id", "rank"), qual.select("doc_id", "rank")),
         "doc_id", k = 60, topK = 10)
+    }),
+
+    // ---- north-star: label-propagation communities over the q151
+    //      synthetic web graph — 3 synchronous rounds with the
+    //      deterministic (max votes, min label) rule + self-vote; the
+    //      oracle unrolls the same rounds as CTEs, so the full
+    //      labeling replays bit-identically.
+    "q182_label_prop" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      val nRow = docs.agg(count(lit(1)).as("__n"))
+      val id = col("doc_id")
+      val edges = docs.crossJoin(broadcast(nRow)).select(
+        id.as("src"),
+        explode(array(
+          (id * 2 + 1) % col("__n"),
+          (id * 3 + 2) % col("__n"),
+          (id * 7 + 5) % col("__n"))).as("dst"))
+      val nodes = docs.select(id.as("id"))
+      graft.ops.LinkGraph
+        .labelPropagation(nodes, edges, "src", "dst", iters = 3)
+        .groupBy((col("label") % 5).as("bucket"))
+        .agg(
+          count(lit(1)).as("n_nodes"),
+          countDistinct(col("label")).as("n_communities"),
+          sum(col("label")).as("sum_labels"),
+          sum(when(col("label") === col("id"), 1L).otherwise(0L))
+            .as("n_self"))
+    }),
+
+    // ---- north-star: co-citation (shared citing sources) and
+    //      bibliographic coupling (shared out-links) over the same
+    //      graph — the two classic link-structure similarity signals;
+    //      both self-joins key on the BOUNDED-degree side (out-degree
+    //      for co-citation, capped in-degree for coupling).
+    "q183_link_similarity" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      val nRow = docs.agg(count(lit(1)).as("__n"))
+      val id = col("doc_id")
+      val edges = docs.crossJoin(broadcast(nRow)).select(
+        id.as("src"),
+        explode(array(
+          (id * 2 + 1) % col("__n"),
+          (id * 3 + 2) % col("__n"),
+          (id * 7 + 5) % col("__n"))).as("dst"))
+      val cc = graft.ops.LinkGraph.coCitation(edges, "src", "dst")
+        .groupBy((col("ta") % 5).as("bucket"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(col("n_common")).as("sum_common"),
+          max(col("n_common")).as("max_common"),
+          sum(when(col("n_common") >= 2, 1L).otherwise(0L)).as("n_strong"))
+        .select(lit("cocite").as("kind"), col("bucket"), col("n_pairs"),
+          col("sum_common"), col("max_common"), col("n_strong"))
+      val bc = graft.ops.LinkGraph
+        .bibCoupling(edges, "src", "dst", maxIndeg = 1000L)
+        .groupBy((col("sa") % 5).as("bucket"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(col("n_common")).as("sum_common"),
+          max(col("n_common")).as("max_common"),
+          sum(when(col("n_common") >= 2, 1L).otherwise(0L)).as("n_strong"))
+        .select(lit("bibcouple").as("kind"), col("bucket"), col("n_pairs"),
+          col("sum_common"), col("max_common"), col("n_strong"))
+      cc.unionByName(bc)
     })
   )
 
@@ -5808,6 +5872,82 @@ object SparkEntry {
          |  round(max(pr), 9) AS max_pr
          |FROM r_3 GROUP BY 1""".stripMargin
     },
+
+    // LPA replay: the same 3 synchronous rounds as CTEs — neighbor
+    // votes + one self-vote, argmax = (max count, min label) via a
+    // per-node windowed max; pure integer logic, bit-identical
+    "q182_label_prop" -> {
+      def iter(prev: String, cur: String): String =
+        s"""v_$cur AS (
+           |  SELECT x.id, x.label, count(*) AS c FROM (
+           |    SELECT adj.v AS id, l.label
+           |    FROM adj JOIN l_$prev l ON l.id = adj.nbr
+           |    UNION ALL SELECT id, label FROM l_$prev) x
+           |  GROUP BY x.id, x.label),
+           |l_$cur AS (
+           |  SELECT id, min(label) AS label FROM (
+           |    SELECT id, label, c, max(c) OVER (PARTITION BY id) AS mc
+           |    FROM v_$cur) WHERE c = mc GROUP BY id)""".stripMargin
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents WHERE text IS NOT NULL),
+         |nodes AS (SELECT doc_id AS id FROM documents WHERE text IS NOT NULL),
+         |e AS (
+         |  SELECT doc_id AS src, (doc_id*2+1) % n AS dst
+         |  FROM documents, nn WHERE text IS NOT NULL
+         |  UNION ALL
+         |  SELECT doc_id, (doc_id*3+2) % n FROM documents, nn WHERE text IS NOT NULL
+         |  UNION ALL
+         |  SELECT doc_id, (doc_id*7+5) % n FROM documents, nn WHERE text IS NOT NULL),
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |        FROM e WHERE src <> dst),
+         |adj AS (SELECT a AS v, b AS nbr FROM und
+         |        UNION ALL SELECT b, a FROM und),
+         |l_0 AS (SELECT id, id AS label FROM nodes),
+         |${iter("0", "1")},
+         |${iter("1", "2")},
+         |${iter("2", "3")}
+         |SELECT label % 5 AS bucket, count(*) AS n_nodes,
+         |  count(DISTINCT label) AS n_communities,
+         |  CAST(sum(label) AS BIGINT) AS sum_labels,
+         |  CAST(sum(CASE WHEN label = id THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_self
+         |FROM l_3 GROUP BY 1""".stripMargin
+    },
+
+    // co-citation / coupling replay: distinct (src, dst) edges, pair
+    // self-joins on the shared endpoint, the same >=2-strength rollup;
+    // the coupling side replays the in-degree cap (non-binding at
+    // fixture scale, but the contract is part of the query)
+    "q183_link_similarity" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents WHERE text IS NOT NULL),
+        |e0 AS (
+        |  SELECT doc_id AS src, (doc_id*2+1) % n AS dst
+        |  FROM documents, nn WHERE text IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*3+2) % n FROM documents, nn WHERE text IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*7+5) % n FROM documents, nn WHERE text IS NOT NULL),
+        |e AS (SELECT DISTINCT src, dst FROM e0),
+        |cc AS (
+        |  SELECT ea.dst AS ta, eb.dst AS tb, count(*) AS n_common
+        |  FROM e ea JOIN e eb ON ea.src = eb.src AND ea.dst < eb.dst
+        |  GROUP BY 1, 2),
+        |kept AS (SELECT dst FROM e GROUP BY dst HAVING count(*) <= 1000),
+        |ek AS (SELECT e.src, e.dst FROM e JOIN kept USING (dst)),
+        |bc AS (
+        |  SELECT ea.src AS sa, eb.src AS sb, count(*) AS n_common
+        |  FROM ek ea JOIN ek eb ON ea.dst = eb.dst AND ea.src < eb.src
+        |  GROUP BY 1, 2)
+        |SELECT 'cocite' AS kind, ta % 5 AS bucket, count(*) AS n_pairs,
+        |  CAST(sum(n_common) AS BIGINT) AS sum_common,
+        |  max(n_common) AS max_common,
+        |  CAST(sum(CASE WHEN n_common >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_strong
+        |FROM cc GROUP BY 1, 2
+        |UNION ALL
+        |SELECT 'bibcouple', sa % 5, count(*),
+        |  CAST(sum(n_common) AS BIGINT), max(n_common),
+        |  CAST(sum(CASE WHEN n_common >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM bc GROUP BY 1, 2""".stripMargin,
 
     // phrase replay: DuckDB scans the corpus directly with a lambda
     // over token bigrams (1-based list index i -> 0-based position

@@ -226,6 +226,121 @@ object LinkGraph {
   }
 
   /**
+   * Synchronous label propagation (Raghavan et al. 2007, public) with
+   * a DETERMINISTIC vote rule — the near-linear community detector a
+   * crawl pipeline runs over its host/link graph to find template
+   * families and mutually-linking spam clusters.
+   *
+   * Every node starts labeled with its own id. Each round, a node
+   * adopts the label with the most votes among its undirected
+   * neighbors PLUS ONE self-vote for its current label (the self-vote
+   * is the standard damping against the 2-cycle oscillation of the
+   * synchronous variant); ties break toward the SMALLEST label, so a
+   * round is a pure function of the previous labeling and the whole
+   * run replays bit-identically in any engine.
+   *
+   * Scale shape: the adjacency (both directions of the deduped
+   * undirected edge set) is `localCheckpoint`ed once; each round is
+   * one node-sized label shuffle joined against it, a decomposable
+   * (node, label) count, and the `min(struct(-count, label))` argmax —
+   * no windows, no driver state, iteration count the only sequential
+   * dimension (the [[pageRank]] discipline). On a cluster, bucket the
+   * adjacency by `v` so rounds co-locate without reshuffling edges.
+   *
+   * @return one row per node: (id, label) after `iters` rounds
+   */
+  def labelPropagation(
+      nodes: DataFrame,
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 1, "labelPropagation needs at least one iteration")
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+    val adj = und.select(col("a").as("v"), col("b").as("nbr"))
+      .unionAll(und.select(col("b").as("v"), col("a").as("nbr")))
+      .localCheckpoint() // immutable per-round input
+    val n = nodes.select(col("id")).distinct().localCheckpoint()
+
+    var labels = n.select(col("id"), col("id").as("label")).localCheckpoint()
+    var it = 0
+    while (it < iters) {
+      val nbrVotes = adj
+        .join(labels.select(col("id").as("nbr"), col("label")), Seq("nbr"))
+        .select(col("v").as("id"), col("label"))
+      val votes = nbrVotes.unionAll(labels) // self-vote damps oscillation
+      labels = votes
+        .groupBy(col("id"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col("id"))
+        .agg(min(struct((-col("__c")).as("nc"), col("label").as("l")))
+          .as("__m"))
+        .select(col("id"), col("__m.l").as("label"))
+        .localCheckpoint()
+      it += 1
+    }
+    labels
+  }
+
+  /**
+   * Co-citation strength (Small 1973, public): two pages are related
+   * when many THIRD pages cite both — the link-structure similarity
+   * signal that needs no content. One row per unordered target pair
+   * with `n_common` = distinct citing sources shared.
+   *
+   * Scale shape: (src, dst) pairs dedup first (a page citing twice
+   * votes once), then a self-join keyed ON THE CITING SOURCE emits
+   * Σ C(outdeg, 2) candidate pairs — bounded by the out-degree cap
+   * the crawl already enforces (a page cites tens, not millions), so
+   * the join never squares a popular TARGET's in-degree. The pair
+   * count aggregation is decomposable; no windows.
+   */
+  def coCitation(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint()
+    e.select(col("src"), col("dst").as("ta"))
+      .join(e.select(col("src"), col("dst").as("tb")), Seq("src"))
+      .filter(col("ta") < col("tb"))
+      .groupBy(col("ta"), col("tb"))
+      .agg(count(lit(1)).as("n_common"))
+  }
+
+  /**
+   * Bibliographic coupling (Kessler 1963, public) — the dual of
+   * [[coCitation]]: two SOURCES are related when their out-link sets
+   * overlap (near-identical out-link sets = template/mirror pages).
+   * Self-join keyed on the shared TARGET: cost Σ C(indeg, 2), so a
+   * hub target with huge in-degree dominates — cap it first with
+   * `maxIndeg` (links into a mega-hub carry no coupling signal; the
+   * standard stoplist discipline, same role as [[UrlOps]] domain
+   * caps). Pairs from capped-out targets are dropped, not sampled —
+   * deterministic.
+   */
+  def bibCoupling(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxIndeg: Long = 1000L): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    val kept = e.groupBy(col("dst")).agg(count(lit(1)).as("__in"))
+      .filter(col("__in") <= maxIndeg)
+      .select(col("dst"))
+    val ee = e.join(kept, Seq("dst"), "left_semi").localCheckpoint()
+    ee.select(col("dst"), col("src").as("sa"))
+      .join(ee.select(col("dst"), col("src").as("sb")), Seq("dst"))
+      .filter(col("sa") < col("sb"))
+      .groupBy(col("sa"), col("sb"))
+      .agg(count(lit(1)).as("n_common"))
+  }
+
+  /**
    * Triangle counting via DEGREE-ORDERED edge orientation (the
    * compact-forward / node-iterator++ algorithm, public) — the graph
    * density primitive behind clustering coefficients, community

@@ -179,4 +179,58 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(tri(Seq((0L, 1L), (0L, 2L), (1L, 2L), (0L, 3L), (0L, 4L),
       (3L, 4L)))._4 == 2L)
   }
+
+  private def lpa(nodes: Seq[Long], edges: Seq[(Long, Long)],
+      iters: Int): Map[Long, Long] =
+    LinkGraph.labelPropagation(nodes.toDF("id"),
+        edges.toDF("src", "dst"), "src", "dst", iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("labelPropagation: two cliques + bridge resolve to two communities") {
+    // hand-traced 3 rounds: {0,1,2} -> 0, {10,11,12} -> 10; the bridge
+    // 2-10 pulls label 2 into 10's round-1 vote but the clique majority
+    // overturns it in round 2
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (2L, 10L))
+    val got = lpa(Seq(0L, 1L, 2L, 10L, 11L, 12L), edges, 3)
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("labelPropagation: tie-break toward min label, path graph") {
+    // round 1 (all votes tied at 1): 0->0, 1->0, 2->1; round 2: node 2
+    // sees nbr 1's label 0 vs its own 1, tie -> 0 — all converge to 0
+    val got = lpa(Seq(0L, 1L, 2L), Seq((0L, 1L), (1L, 2L)), 2)
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L))
+    val r1 = lpa(Seq(0L, 1L, 2L), Seq((0L, 1L), (1L, 2L)), 1)
+    assert(r1 == Map(0L -> 0L, 1L -> 0L, 2L -> 1L))
+  }
+
+  test("labelPropagation: duplicate/reversed edges collapse to one vote") {
+    // und dedup means 1 and 2 each see ONE neighbor vote + self: tied,
+    // min label 1 wins on both sides
+    val got = lpa(Seq(1L, 2L), Seq((1L, 2L), (2L, 1L), (1L, 2L)), 1)
+    assert(got == Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("coCitation: shared citing sources, duplicate edges vote once") {
+    val edges = Seq((100L, 1L), (100L, 1L), (100L, 2L), (100L, 3L),
+      (200L, 1L), (200L, 2L), (300L, 1L), (300L, 2L)).toDF("src", "dst")
+    val got = LinkGraph.coCitation(edges, "src", "dst")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got == Map((1L, 2L) -> 3L, (1L, 3L) -> 1L, (2L, 3L) -> 1L))
+  }
+
+  test("bibCoupling: shared out-links; in-degree cap drops hub targets") {
+    val edges = Seq((100L, 1L), (100L, 2L), (100L, 3L),
+      (200L, 1L), (200L, 2L), (300L, 1L), (300L, 2L)).toDF("src", "dst")
+    val got = LinkGraph.bibCoupling(edges, "src", "dst")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got == Map((100L, 200L) -> 2L, (100L, 300L) -> 2L,
+      (200L, 300L) -> 2L))
+    // cap = 2: targets 1 and 2 (indeg 3) drop; target 3 has one citer,
+    // so no pairs survive
+    assert(LinkGraph.bibCoupling(edges, "src", "dst", maxIndeg = 2L)
+      .count() == 0L)
+  }
 }
