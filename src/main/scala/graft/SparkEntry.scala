@@ -3193,6 +3193,64 @@ object SparkEntry {
         .select(lit("bibcouple").as("kind"), col("bucket"), col("n_pairs"),
           col("sum_common"), col("max_common"), col("n_strong"))
       cc.unionByName(bc)
+    }),
+
+    // ---- north-star: Unicode-script audit — one-pass per-script
+    //      code-point counts (pinned BMP block ranges, kernel codegen)
+    //      with constructively injected multilingual suffixes; the
+    //      dominant-script argmax and mixed-script flag are the same
+    //      CASE arithmetic on both engines, and the oracle recovers
+    //      each count with one [^range] regex per class.
+    "q184_script_audit" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      val id = col("doc_id")
+      // id%3=0 docs keep ONLY the injected script (their dominant IS
+      // the script); the rest append it to the latin base (mixed, but
+      // latin-dominant) — so every class appears as a dominant group
+      val scripted = concat(
+        when(id % 7 =!= 0 && id % 3 === 0, lit("")).otherwise(col("text")),
+        when(id % 7 === 1, lit(" Привет мир 2024"))
+          .when(id % 7 === 2, lit(" Ελληνικά κείμενο"))
+          .when(id % 7 === 3, lit(" مرحبا بالعالم"))
+          .when(id % 7 === 4, lit(" שלום עולם"))
+          .when(id % 7 === 5, lit(" नमस्ते दुनिया"))
+          .when(id % 7 === 6, lit(" 你好世界 ありがとう 한국어"))
+          .otherwise(lit("")))
+      val prof = docs
+        .select(id.as("doc_id"),
+          graft.functions.GraftFunctions.scriptProfile(s, scripted).as("p"))
+        .select(col("doc_id"), col("p.*"))
+      val letters = Seq("n_latin", "n_cyrillic", "n_greek", "n_arabic",
+        "n_hebrew", "n_devanagari", "n_cjk")
+      // first class >= all LATER classes = deterministic argmax with
+      // ties toward the earlier class — identical chain in the oracle
+      val dominant = expr(
+        """CASE
+          |  WHEN n_latin >= n_cyrillic AND n_latin >= n_greek
+          |    AND n_latin >= n_arabic AND n_latin >= n_hebrew
+          |    AND n_latin >= n_devanagari AND n_latin >= n_cjk THEN 'latin'
+          |  WHEN n_cyrillic >= n_greek AND n_cyrillic >= n_arabic
+          |    AND n_cyrillic >= n_hebrew AND n_cyrillic >= n_devanagari
+          |    AND n_cyrillic >= n_cjk THEN 'cyrillic'
+          |  WHEN n_greek >= n_arabic AND n_greek >= n_hebrew
+          |    AND n_greek >= n_devanagari AND n_greek >= n_cjk THEN 'greek'
+          |  WHEN n_arabic >= n_hebrew AND n_arabic >= n_devanagari
+          |    AND n_arabic >= n_cjk THEN 'arabic'
+          |  WHEN n_hebrew >= n_devanagari AND n_hebrew >= n_cjk THEN 'hebrew'
+          |  WHEN n_devanagari >= n_cjk THEN 'devanagari'
+          |  ELSE 'cjk' END""".stripMargin)
+      val mixed = letters.map(c =>
+        when(col(c) > 0, 1L).otherwise(0L)).reduce(_ + _) >= 2
+      prof
+        .withColumn("dominant", dominant)
+        .withColumn("mixed", when(mixed, 1L).otherwise(0L))
+        .groupBy("dominant")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("mixed")).as("n_mixed"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("n_digit")).as("sum_digits"),
+          sum(col("n_other")).as("sum_other"))
     })
   )
 
@@ -5948,6 +6006,67 @@ object SparkEntry {
         |  CAST(sum(n_common) AS BIGINT), max(n_common),
         |  CAST(sum(CASE WHEN n_common >= 2 THEN 1 ELSE 0 END) AS BIGINT)
         |FROM bc GROUP BY 1, 2""".stripMargin,
+
+    // script-profile replay: per-class counts via one [^range] regex
+    // each over the SAME pinned BMP blocks the kernel sweeps; other =
+    // chars minus all classes; identical argmax CASE chain
+    "q184_script_audit" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 7 <> 0 AND doc_id % 3 = 0 THEN ''
+        |          ELSE text END) ||
+        |    CASE WHEN doc_id % 7 = 1 THEN ' Привет мир 2024'
+        |         WHEN doc_id % 7 = 2 THEN ' Ελληνικά κείμενο'
+        |         WHEN doc_id % 7 = 3 THEN ' مرحبا بالعالم'
+        |         WHEN doc_id % 7 = 4 THEN ' שלום עולם'
+        |         WHEN doc_id % 7 = 5 THEN ' नमस्ते दुनिया'
+        |         WHEN doc_id % 7 = 6 THEN ' 你好世界 ありがとう 한국어'
+        |         ELSE '' END AS tx
+        |  FROM documents WHERE text IS NOT NULL),
+        |p AS (
+        |  SELECT doc_id, length(tx) AS n_chars,
+        |    length(regexp_replace(tx, '[^A-Za-z\x{00C0}-\x{00D6}\x{00D8}-\x{00F6}\x{00F8}-\x{00FF}\x{0100}-\x{024F}]', '', 'g')) AS n_latin,
+        |    length(regexp_replace(tx, '[^\x{0400}-\x{04FF}]', '', 'g')) AS n_cyrillic,
+        |    length(regexp_replace(tx, '[^\x{0370}-\x{03FF}]', '', 'g')) AS n_greek,
+        |    length(regexp_replace(tx, '[^\x{0600}-\x{06FF}]', '', 'g')) AS n_arabic,
+        |    length(regexp_replace(tx, '[^\x{0590}-\x{05FF}]', '', 'g')) AS n_hebrew,
+        |    length(regexp_replace(tx, '[^\x{0900}-\x{097F}]', '', 'g')) AS n_devanagari,
+        |    length(regexp_replace(tx, '[^\x{3040}-\x{30FF}\x{4E00}-\x{9FFF}\x{AC00}-\x{D7A3}]', '', 'g')) AS n_cjk,
+        |    length(regexp_replace(tx, '[^0-9]', '', 'g')) AS n_digit
+        |  FROM t),
+        |d AS (
+        |  SELECT *,
+        |    n_chars - n_latin - n_cyrillic - n_greek - n_arabic - n_hebrew
+        |      - n_devanagari - n_cjk - n_digit AS n_other,
+        |    CASE
+        |      WHEN n_latin >= n_cyrillic AND n_latin >= n_greek
+        |        AND n_latin >= n_arabic AND n_latin >= n_hebrew
+        |        AND n_latin >= n_devanagari AND n_latin >= n_cjk THEN 'latin'
+        |      WHEN n_cyrillic >= n_greek AND n_cyrillic >= n_arabic
+        |        AND n_cyrillic >= n_hebrew AND n_cyrillic >= n_devanagari
+        |        AND n_cyrillic >= n_cjk THEN 'cyrillic'
+        |      WHEN n_greek >= n_arabic AND n_greek >= n_hebrew
+        |        AND n_greek >= n_devanagari AND n_greek >= n_cjk THEN 'greek'
+        |      WHEN n_arabic >= n_hebrew AND n_arabic >= n_devanagari
+        |        AND n_arabic >= n_cjk THEN 'arabic'
+        |      WHEN n_hebrew >= n_devanagari AND n_hebrew >= n_cjk THEN 'hebrew'
+        |      WHEN n_devanagari >= n_cjk THEN 'devanagari'
+        |      ELSE 'cjk' END AS dominant,
+        |    CASE WHEN (CASE WHEN n_latin > 0 THEN 1 ELSE 0 END
+        |      + CASE WHEN n_cyrillic > 0 THEN 1 ELSE 0 END
+        |      + CASE WHEN n_greek > 0 THEN 1 ELSE 0 END
+        |      + CASE WHEN n_arabic > 0 THEN 1 ELSE 0 END
+        |      + CASE WHEN n_hebrew > 0 THEN 1 ELSE 0 END
+        |      + CASE WHEN n_devanagari > 0 THEN 1 ELSE 0 END
+        |      + CASE WHEN n_cjk > 0 THEN 1 ELSE 0 END) >= 2
+        |      THEN 1 ELSE 0 END AS mixed
+        |  FROM p)
+        |SELECT dominant, count(*) AS n_docs,
+        |  CAST(sum(mixed) AS BIGINT) AS n_mixed,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(n_digit) AS BIGINT) AS sum_digits,
+        |  CAST(sum(n_other) AS BIGINT) AS sum_other
+        |FROM d GROUP BY 1""".stripMargin,
 
     // phrase replay: DuckDB scans the corpus directly with a lambda
     // over token bigrams (1-based list index i -> 0-based position

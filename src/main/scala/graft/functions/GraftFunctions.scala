@@ -275,7 +275,17 @@ object GraftFunctions {
     ExifMetaKernel(args.head)
   }
 
+  private val scriptProfileId = FunctionIdentifier("graft_script_profile")
+  private val scriptProfileInfo =
+    new ExpressionInfo(classOf[ScriptProfileKernel].getName, "graft_script_profile")
+  private val scriptProfileBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 1,
+      s"graft_script_profile expects 1 argument, got ${args.length}")
+    ScriptProfileKernel(args.head)
+  }
+
   private val all = Seq(
+    (scriptProfileId, scriptProfileInfo, scriptProfileBuilder),
     (exifMetaId, exifMetaInfo, exifMetaBuilder),
     (pageDirectivesId, pageDirectivesInfo, pageDirectivesBuilder),
     (unigramPiecesId, unigramPiecesInfo, unigramPiecesBuilder),
@@ -501,6 +511,13 @@ object GraftFunctions {
   def foldAccents(spark: SparkSession, text: Column): Column = {
     register(spark)
     org.apache.spark.sql.functions.call_function("graft_fold_accents", text)
+  }
+
+  /** Column-API handle on the one-pass Unicode-script profile kernel
+    * ([[TextKernels.scriptProfile]] — pinned BMP block ranges). */
+  def scriptProfile(spark: SparkSession, text: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_script_profile", text)
   }
 }
 

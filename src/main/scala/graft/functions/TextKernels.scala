@@ -249,6 +249,67 @@ object TextKernels {
     UTF8String.fromString(java.text.Normalizer.normalize(
       sb.toString, java.text.Normalizer.Form.NFC))
   }
+
+  /**
+   * One-pass Unicode-script profile: per-script code-point counts for
+   * the multilingual-corpus audit (script vs language-ID mismatch,
+   * mixed-script spoofing/boilerplate, digit-heavy noise). The class
+   * ranges are FIXED BMP blocks — explicitly pinned, not
+   * `Character.UnicodeScript` (whose assignments move between Unicode
+   * versions and JDKs), so the DuckDB oracle reproduces each count
+   * with one `[^range]` regex per class over the same code points:
+   *
+   *   latin      A–Z a–z U+00C0–D6 D8–F6 F8–FF U+0100–024F
+   *   greek      U+0370–03FF          cyrillic  U+0400–04FF
+   *   hebrew     U+0590–05FF          arabic    U+0600–06FF
+   *   devanagari U+0900–097F
+   *   cjk        U+3040–30FF (kana) U+4E00–9FFF (unified)
+   *              U+AC00–D7A3 (hangul)
+   *   digit      0–9;  everything else (punct, space, other planes) →
+   *   other.  `n_chars` counts CODE POINTS (so does DuckDB `length`).
+   *
+   * Decodes UTF-8 bytes directly (all classes are BMP; 4-byte
+   * sequences land in `other`) — zero String allocation per row.
+   */
+  def scriptProfile(s: UTF8String):
+      org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    val bytes = s.getBytes
+    var i = 0
+    var n = 0L; var lat = 0L; var cyr = 0L; var gre = 0L; var ara = 0L
+    var heb = 0L; var dev = 0L; var cjk = 0L; var dig = 0L; var oth = 0L
+    val len = bytes.length
+    while (i < len) {
+      val b0 = bytes(i) & 0xFF
+      var cp = -1
+      if (b0 < 0x80) { cp = b0; i += 1 }
+      else if (b0 < 0xC0) { i += 1 } // stray continuation -> other
+      else if (b0 < 0xE0) {
+        if (i + 1 < len) cp = ((b0 & 0x1F) << 6) | (bytes(i + 1) & 0x3F)
+        i += 2
+      } else if (b0 < 0xF0) {
+        if (i + 2 < len)
+          cp = ((b0 & 0x0F) << 12) | ((bytes(i + 1) & 0x3F) << 6) |
+            (bytes(i + 2) & 0x3F)
+        i += 3
+      } else { i += 4 } // non-BMP -> other
+      n += 1
+      if (cp >= '0' && cp <= '9') dig += 1
+      else if ((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z') ||
+        (cp >= 0xC0 && cp <= 0xD6) || (cp >= 0xD8 && cp <= 0xF6) ||
+        (cp >= 0xF8 && cp <= 0x24F)) lat += 1
+      else if (cp >= 0x370 && cp <= 0x3FF) gre += 1
+      else if (cp >= 0x400 && cp <= 0x4FF) cyr += 1
+      else if (cp >= 0x590 && cp <= 0x5FF) heb += 1
+      else if (cp >= 0x600 && cp <= 0x6FF) ara += 1
+      else if (cp >= 0x900 && cp <= 0x97F) dev += 1
+      else if ((cp >= 0x3040 && cp <= 0x30FF) ||
+        (cp >= 0x4E00 && cp <= 0x9FFF) ||
+        (cp >= 0xAC00 && cp <= 0xD7A3)) cjk += 1
+      else oth += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, lat, cyr, gre, ara, heb, dev, cjk, dig, oth))
+  }
 }
 
 private[functions] trait StringKernelExpression extends UnaryExpression {
@@ -380,4 +441,33 @@ case class FoldAccentsKernel(child: Expression) extends StringKernelExpression {
       s"${ev.value} = graft.functions.TextKernels.foldAccents($c);")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** `graft_script_profile(text)` — see [[TextKernels.scriptProfile]].
+  * Standard null-propagation. */
+case class ScriptProfileKernel(child: Expression) extends StringKernelExpression {
+  override def dataType: DataType = ScriptProfileKernel.schema
+  override def prettyName: String = "graft_script_profile"
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.scriptProfile(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.scriptProfile($c);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ScriptProfileKernel {
+  import org.apache.spark.sql.types.StructType
+  val schema: StructType = new StructType()
+    .add("n_chars", LongType, nullable = false)
+    .add("n_latin", LongType, nullable = false)
+    .add("n_cyrillic", LongType, nullable = false)
+    .add("n_greek", LongType, nullable = false)
+    .add("n_arabic", LongType, nullable = false)
+    .add("n_hebrew", LongType, nullable = false)
+    .add("n_devanagari", LongType, nullable = false)
+    .add("n_cjk", LongType, nullable = false)
+    .add("n_digit", LongType, nullable = false)
+    .add("n_other", LongType, nullable = false)
 }

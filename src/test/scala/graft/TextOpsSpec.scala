@@ -522,4 +522,48 @@ class TextOpsSpec extends AnyFunSuite {
       TextOps.chunkDocuments(df, "text", "doc_id", chunkTokens = 0, overlap = 0)
     }
   }
+
+  private def profile(s: String): Seq[Long] = {
+    val r = graft.functions.TextKernels.scriptProfile(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    (0 until 10).map(r.getLong)
+  }
+
+  test("scriptProfile: hand-counted per-script code points") {
+    // "abc Привет 42." -> 14 cps: 3 latin, 6 cyrillic, 2 digit,
+    // 3 other (two spaces + dot)
+    assert(profile("abc Привет 42.") ==
+      Seq(14L, 3L, 6L, 0L, 0L, 0L, 0L, 0L, 2L, 3L))
+    // latin block edges: × (D7) and ÷ (F7) are OTHER, é/ÿ/Ā are latin
+    assert(profile("é×ÿ÷Ā") == Seq(5L, 3L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 2L))
+    // kana + unified + hangul all count as cjk; greek/arabic/hebrew/
+    // devanagari blocks each land in their own bucket
+    assert(profile("あ你한αبאन") == Seq(7L, 0L, 0L, 1L, 1L, 1L, 1L, 3L, 0L, 0L))
+    // combining devanagari vowel signs are code points in 0900-097F
+    assert(profile("नमस्ते") == Seq(6L, 0L, 0L, 0L, 0L, 0L, 6L, 0L, 0L, 0L))
+    // non-BMP (emoji, 4-byte) counts one code point in OTHER — same as
+    // DuckDB's length() over the single code point
+    assert(profile("a😀b") == Seq(3L, 2L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 1L))
+    assert(profile("") == Seq(0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L))
+  }
+
+  test("scriptProfile kernel: SQL surface, null propagation, codegen") {
+    val df = Seq((1L, "hi Привет"), (2L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val got = df.select(col("id"),
+        GraftFunctions.scriptProfile(spark, col("text")).as("p"))
+      .selectExpr("id", "p.n_chars", "p.n_latin", "p.n_cyrillic")
+      .orderBy("id").collect()
+    assert(got(0).getLong(1) == 9L && got(0).getLong(2) == 2L &&
+      got(0).getLong(3) == 6L)
+    assert(got(1).isNullAt(1))
+    // the projection must stay inside whole-stage codegen (a literal
+    // Seq collapses to LocalTableScan, so pin over a range scan)
+    val plan = spark.range(10)
+      .select(GraftFunctions.scriptProfile(spark,
+        concat(lit("doc "), col("id").cast("string"))))
+      .queryExecution.executedPlan.toString
+    // "*(1) Project" = the projection fused into a WholeStageCodegen span
+    assert(plan.contains("*(1) Project"), plan)
+  }
 }
