@@ -3251,6 +3251,35 @@ object SparkEntry {
           sum(col("n_chars")).as("sum_chars"),
           sum(col("n_digit")).as("sum_digits"),
           sum(col("n_other")).as("sum_other"))
+    }),
+
+    // ---- north-star: CCNet-style perplexity bucketing — per-language
+    //      head/middle/tail terciles by unigram-LM mean NLL (lowest
+    //      perplexity = head). Rank ties break on doc_id; tercile
+    //      boundaries are pure integer comparisons (3·(rn−1) vs cnt) —
+    //      no float division, replays exactly. One per-lang window +
+    //      a broadcast per-lang count join; NLL sums travel as exact
+    //      integer micronats.
+    "q185_perplexity_buckets" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val nll = graft.ops.LanguageModel.meanNegLogLik(docs, "text", "doc_id")
+      val byLang = nll.join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      val cnt = byLang.groupBy("lang").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("nll"), col("doc_id"))
+      byLang
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .join(broadcast(cnt), Seq("lang"))
+        .withColumn("bucket",
+          when(lit(3) * (col("rn") - 1) < col("cnt"), "head")
+            .when(lit(3) * (col("rn") - 1) < lit(2) * col("cnt"), "middle")
+            .otherwise("tail"))
+        .groupBy("lang", "bucket")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(round(col("nll") * 1e6, 0).cast("long")).as("sum_nll_micro"),
+          min(col("nll")).as("min_nll"),
+          max(col("nll")).as("max_nll"))
     })
   )
 
@@ -6067,6 +6096,31 @@ object SparkEntry {
         |  CAST(sum(n_digit) AS BIGINT) AS sum_digits,
         |  CAST(sum(n_other) AS BIGINT) AS sum_other
         |FROM d GROUP BY 1""".stripMargin,
+
+    // perplexity-bucket replay: the q68 NLL chain (rounded 6dp both
+    // engines), per-lang rank with doc_id tie-break, integer tercile
+    // comparisons, micronat sums
+    "q185_perplexity_buckets" ->
+      s"""WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |           FROM documents),
+         |c AS (SELECT tok, count(*) AS c FROM e GROUP BY tok),
+         |n AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM c),
+         |nll AS (SELECT doc_id, round(avg(-ln(CAST(c AS DOUBLE) / n)), 6) AS nll
+         |        FROM e JOIN c USING (tok), n GROUP BY doc_id),
+         |r AS (SELECT d.lang, nll.doc_id, nll.nll,
+         |        CAST(row_number() OVER (PARTITION BY d.lang
+         |          ORDER BY nll.nll, nll.doc_id) AS BIGINT) AS rn,
+         |        count(*) OVER (PARTITION BY d.lang) AS cnt
+         |      FROM nll JOIN documents d ON d.doc_id = nll.doc_id)
+         |SELECT lang,
+         |  CASE WHEN 3*(rn-1) < cnt THEN 'head'
+         |       WHEN 3*(rn-1) < 2*cnt THEN 'middle'
+         |       ELSE 'tail' END AS bucket,
+         |  count(*) AS n_docs,
+         |  CAST(sum(CAST(round(nll*1000000, 0) AS BIGINT)) AS BIGINT)
+         |    AS sum_nll_micro,
+         |  min(nll) AS min_nll, max(nll) AS max_nll
+         |FROM r GROUP BY 1, 2""".stripMargin,
 
     // phrase replay: DuckDB scans the corpus directly with a lambda
     // over token bigrams (1-based list index i -> 0-based position
