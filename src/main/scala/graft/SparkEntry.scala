@@ -3280,6 +3280,34 @@ object SparkEntry {
           sum(round(col("nll") * 1e6, 0).cast("long")).as("sum_nll_micro"),
           min(col("nll")).as("min_nll"),
           max(col("nll")).as("max_nll"))
+    }),
+
+    // ---- north-star: audio quality triage — integer-exact clipping/
+    //      peak/DC stats over REAL constructed WAV bytes (every sample
+    //      a pure function of doc_id, so the oracle replays the per-
+    //      sample arithmetic); corrupt payloads (id%13=0) must land in
+    //      the NULL bucket, not crash.
+    "q186_audio_quality" -> ((s, dir) => {
+      import s.implicits._
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      val payloads = docs.select(col("doc_id")).as[Long]
+        .map(id => (id, graft.ops.Multimodal.demoWav(id)))
+        .toDF("doc_id", "payload")
+      val id = col("doc_id")
+      payloads
+        .select(id,
+          graft.functions.GraftFunctions.audioStats(s, col("payload")).as("a"))
+        .groupBy((id % 5).as("bucket"))
+        .agg(
+          count(lit(1)).as("n_payloads"),
+          sum(when(col("a").isNull, 1L).otherwise(0L)).as("n_corrupt"),
+          sum(col("a.n_samples")).as("sum_samples"),
+          max(col("a.peak")).as("max_peak"),
+          sum(col("a.n_clipped")).as("n_clipped"),
+          sum(col("a.sum_abs")).as("sum_abs"),
+          sum(col("a.sum_val")).as("sum_val"),
+          sum(when(col("a.sample_rate") === 8000 && col("a.channels") === 1,
+            1L).otherwise(0L)).as("n_fmt_ok"))
     })
   )
 
@@ -6121,6 +6149,35 @@ object SparkEntry {
          |    AS sum_nll_micro,
          |  min(nll) AS min_nll, max(nll) AS max_nll
          |FROM r GROUP BY 1, 2""".stripMargin,
+
+    // audio replay: per-sample modular arithmetic over unnest(range),
+    // same clip/peak/abs/DC sums; id%13 payloads are corrupt by
+    // construction and must count only in n_corrupt
+    "q186_audio_quality" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT doc_id FROM d WHERE doc_id % 13 <> 0),
+        |s AS (SELECT doc_id, unnest(range(0, 200 + doc_id % 50)) AS i FROM g),
+        |v AS (SELECT doc_id,
+        |        CASE WHEN doc_id % 9 = 0 AND i % 25 = 0 THEN 32767
+        |             ELSE ((doc_id*31 + i*17) % 2001 - 1000) * 16 END AS v
+        |      FROM s),
+        |a AS (SELECT doc_id, count(*) AS n_samples, max(abs(v)) AS peak,
+        |        sum(CASE WHEN v = 32767 OR v = -32768 THEN 1 ELSE 0 END)
+        |          AS n_clipped,
+        |        sum(abs(v)) AS sum_abs, sum(v) AS sum_val
+        |      FROM v GROUP BY doc_id)
+        |SELECT d.doc_id % 5 AS bucket, count(*) AS n_payloads,
+        |  CAST(sum(CASE WHEN a.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_corrupt,
+        |  CAST(sum(a.n_samples) AS BIGINT) AS sum_samples,
+        |  CAST(max(a.peak) AS BIGINT) AS max_peak,
+        |  CAST(sum(a.n_clipped) AS BIGINT) AS n_clipped,
+        |  CAST(sum(a.sum_abs) AS BIGINT) AS sum_abs,
+        |  CAST(sum(a.sum_val) AS BIGINT) AS sum_val,
+        |  CAST(sum(CASE WHEN a.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_fmt_ok
+        |FROM d LEFT JOIN a ON a.doc_id = d.doc_id
+        |GROUP BY 1""".stripMargin,
 
     // phrase replay: DuckDB scans the corpus directly with a lambda
     // over token bigrams (1-based list index i -> 0-based position

@@ -284,7 +284,17 @@ object GraftFunctions {
     ScriptProfileKernel(args.head)
   }
 
+  private val audioStatsId = FunctionIdentifier("graft_audio_stats")
+  private val audioStatsInfo =
+    new ExpressionInfo(classOf[AudioStatsKernel].getName, "graft_audio_stats")
+  private val audioStatsBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 1,
+      s"graft_audio_stats expects 1 argument, got ${args.length}")
+    AudioStatsKernel(args.head)
+  }
+
   private val all = Seq(
+    (audioStatsId, audioStatsInfo, audioStatsBuilder),
     (scriptProfileId, scriptProfileInfo, scriptProfileBuilder),
     (exifMetaId, exifMetaInfo, exifMetaBuilder),
     (pageDirectivesId, pageDirectivesInfo, pageDirectivesBuilder),
@@ -518,6 +528,13 @@ object GraftFunctions {
   def scriptProfile(spark: SparkSession, text: Column): Column = {
     register(spark)
     org.apache.spark.sql.functions.call_function("graft_script_profile", text)
+  }
+
+  /** Column-API handle on the integer-exact WAV quality-stats kernel
+    * ([[AudioStats.stats]] — NULL for malformed/non-PCM payloads). */
+  def audioStats(spark: SparkSession, payload: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_audio_stats", payload)
   }
 }
 

@@ -308,6 +308,41 @@ object Multimodal {
     out.toByteArray
   }
 
+  /**
+   * Constructive WAV fixture: a REAL RIFF/WAVE PCM payload (16-bit LE
+   * mono 8000 Hz) whose every sample is a pure function of the id, so
+   * the quality-stats oracle ([[graft.functions.AudioStats]]) is
+   * modular arithmetic replayed per sample:
+   * `n = 200 + id%50` frames; sample i = `((id·31 + i·17) % 2001 −
+   * 1000)·16`, except ids divisible by 9 hard-clip every 25th sample
+   * to 32767. Ids divisible by 13 return a truncated non-WAV payload
+   * (kernel must yield NULL, not crash).
+   */
+  def demoWav(id: Long): Array[Byte] = {
+    if (id % 13 == 0)
+      return Array('R'.toByte, 'I'.toByte, 'F'.toByte) // truncated
+    val n = (200 + id % 50).toInt
+    val out = new java.io.ByteArrayOutputStream(44 + 2 * n)
+    def b(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { b(v); b(v >> 8) }
+    def u32(v: Int): Unit = { b(v); b(v >> 8); b(v >> 16); b(v >> 24) }
+    out.write("RIFF".getBytes("US-ASCII")); u32(36 + 2 * n)
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); u32(16)
+    u16(1); u16(1); u32(8000) // PCM, mono, 8 kHz
+    u32(16000); u16(2); u16(16) // byte rate, block align, bits
+    out.write("data".getBytes("US-ASCII")); u32(2 * n)
+    var i = 0
+    while (i < n) {
+      val s =
+        if (id % 9 == 0 && i % 25 == 0) 32767
+        else (((id * 31 + i * 17) % 2001 - 1000) * 16).toInt
+      u16(s)
+      i += 1
+    }
+    out.toByteArray
+  }
+
   /** Build a demo media table from any (id, text) source — payload =
     * UTF-8 bytes. Stands in for reading real blobs. */
   def demoMediaTable(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {

@@ -223,4 +223,48 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(2L) == ((true, 320, 240, 7000L)))
     assert(got(5L) == ((false, -1, -1, -1L)), "corrupt video flows through the stub path")
   }
+
+  private def audioStats(payload: Array[Byte]): Option[Seq[Long]] =
+    Option(graft.functions.AudioStats.stats(payload))
+      .map(r => (0 until 7).map(r.getLong))
+
+  test("audioStats: demoWav fixture replays the per-sample arithmetic") {
+    // independently computed: id=3 -> 203 samples, peak 15952, no
+    // clips, sum|s|=1470944, DC sum=-250560; id=9 (clip path) -> 209
+    // samples, 9 full-scale samples
+    assert(audioStats(Multimodal.demoWav(3L)) ==
+      Some(Seq(203L, 8000L, 1L, 15952L, 0L, 1470944L, -250560L)))
+    assert(audioStats(Multimodal.demoWav(9L)) ==
+      Some(Seq(209L, 8000L, 1L, 32767L, 9L, 1735719L, 357447L)))
+    // id%13=0 payloads are truncated garbage -> NULL, not a crash
+    assert(audioStats(Multimodal.demoWav(13L)).isEmpty)
+  }
+
+  test("audioStats: malformed / non-PCM payloads take the NULL path") {
+    assert(audioStats("not audio at all, far too short".getBytes("UTF-8")).isEmpty)
+    assert(audioStats(Array.empty[Byte]).isEmpty)
+    // valid WAV whose declared data size overruns the payload: stats
+    // cover the readable prefix (torn landing-zone file contract)
+    val whole = Multimodal.demoWav(3L)
+    val torn = whole.take(whole.length - 100)
+    val t = audioStats(torn)
+    assert(t.isDefined && t.get.head == 203L - 50L)
+    // flipping the fmt tag to 0x55 (MP3) must reject
+    val mp3ish = whole.clone
+    mp3ish(20) = 0x55.toByte
+    assert(audioStats(mp3ish).isEmpty)
+  }
+
+  test("audioStats kernel: SQL surface over a payload column") {
+    import TestSpark.spark
+    import spark.implicits._
+    val df = Seq((3L, Multimodal.demoWav(3L)),
+      (13L, Multimodal.demoWav(13L))).toDF("id", "payload")
+    val got = df.select(col("id"),
+        graft.functions.GraftFunctions.audioStats(spark, col("payload")).as("a"))
+      .selectExpr("id", "a.n_samples", "a.n_clipped")
+      .orderBy("id").collect()
+    assert(got(0).getLong(1) == 203L && got(0).getLong(2) == 0L)
+    assert(got(1).isNullAt(1))
+  }
 }
