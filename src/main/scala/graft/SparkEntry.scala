@@ -3308,6 +3308,29 @@ object SparkEntry {
           sum(col("a.sum_val")).as("sum_val"),
           sum(when(col("a.sample_rate") === 8000 && col("a.channels") === 1,
             1L).otherwise(0L)).as("n_fmt_ok"))
+    }),
+
+    // ---- north-star: trust distance — multi-source BFS hops from a
+    //      sparse seed set (id%97=0) along out-links, 3 rounds of
+    //      declarative min-relaxation; unreachable pages stay NULL.
+    //      The oracle unrolls the same rounds (least() ignores NULL
+    //      identically in both engines).
+    "q187_seed_distance" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      val nRow = docs.agg(count(lit(1)).as("__n"))
+      val id = col("doc_id")
+      val edges = docs.crossJoin(broadcast(nRow)).select(
+        id.as("src"),
+        explode(array(
+          (id * 2 + 1) % col("__n"),
+          (id * 3 + 2) % col("__n"),
+          (id * 7 + 5) % col("__n"))).as("dst"))
+      val nodes = docs.select(id.as("id"))
+      graft.ops.LinkGraph
+        .seedDistance(nodes, edges, nodes.filter(col("id") % 97 === 0),
+          maxHops = 3)
+        .groupBy("dist")
+        .agg(count(lit(1)).as("n_nodes"), sum(col("id")).as("sum_ids"))
     })
   )
 
@@ -6178,6 +6201,37 @@ object SparkEntry {
         |    AS n_fmt_ok
         |FROM d LEFT JOIN a ON a.doc_id = d.doc_id
         |GROUP BY 1""".stripMargin,
+
+    // BFS replay: 3 unrolled min-relaxation rounds over the distinct
+    // synthetic edges; least() ignores NULL in both engines
+    "q187_seed_distance" -> {
+      def iter(prev: String, cur: String): String =
+        s"""r_$cur AS (
+           |  SELECT e.dst AS id, min(d.dist + 1) AS via
+           |  FROM d_$prev d JOIN e ON d.id = e.src
+           |  WHERE d.dist IS NOT NULL GROUP BY e.dst),
+           |d_$cur AS (
+           |  SELECT d.id, least(d.dist, r.via) AS dist
+           |  FROM d_$prev d LEFT JOIN r_$cur r ON r.id = d.id)""".stripMargin
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents WHERE text IS NOT NULL),
+         |nodes AS (SELECT doc_id AS id FROM documents WHERE text IS NOT NULL),
+         |e0 AS (
+         |  SELECT doc_id AS src, (doc_id*2+1) % n AS dst
+         |  FROM documents, nn WHERE text IS NOT NULL
+         |  UNION ALL
+         |  SELECT doc_id, (doc_id*3+2) % n FROM documents, nn WHERE text IS NOT NULL
+         |  UNION ALL
+         |  SELECT doc_id, (doc_id*7+5) % n FROM documents, nn WHERE text IS NOT NULL),
+         |e AS (SELECT DISTINCT src, dst FROM e0),
+         |d_0 AS (SELECT id,
+         |          CASE WHEN id % 97 = 0 THEN CAST(0 AS BIGINT) END AS dist
+         |        FROM nodes),
+         |${iter("0", "1")},
+         |${iter("1", "2")},
+         |${iter("2", "3")}
+         |SELECT dist, count(*) AS n_nodes, CAST(sum(id) AS BIGINT) AS sum_ids
+         |FROM d_3 GROUP BY 1""".stripMargin
+    },
 
     // phrase replay: DuckDB scans the corpus directly with a lambda
     // over token bigrams (1-based list index i -> 0-based position

@@ -213,6 +213,26 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L))
   }
 
+  test("seedDistance: multi-source BFS, hop cap, unreachable stays NULL") {
+    def dists(nodes: Seq[Long], edges: Seq[(Long, Long)], seeds: Seq[Long],
+        hops: Int): Map[Long, Option[Long]] =
+      LinkGraph.seedDistance(nodes.toDF("id"), edges.toDF("src", "dst"),
+          seeds.toDF("id"), hops)
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    // chain 0->1->2->3->4, seed 0, 3 hops: node 4 unreachable in cap
+    assert(dists(0L to 4L, Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)),
+      Seq(0L), 3) ==
+      Map(0L -> Some(0L), 1L -> Some(1L), 2L -> Some(2L), 3L -> Some(3L),
+        4L -> None))
+    // two seeds: min distance wins (node 2 is 1 hop from seed 4, not 2
+    // hops from seed 0); direction respected (nothing reaches a seed)
+    assert(dists(0L to 4L, Seq((0L, 1L), (1L, 2L), (4L, 2L)),
+      Seq(0L, 4L), 3) ==
+      Map(0L -> Some(0L), 1L -> Some(1L), 2L -> Some(1L), 3L -> None,
+        4L -> Some(0L)))
+  }
+
   test("coCitation: shared citing sources, duplicate edges vote once") {
     val edges = Seq((100L, 1L), (100L, 1L), (100L, 2L), (100L, 3L),
       (200L, 1L), (200L, 2L), (300L, 1L), (300L, 2L)).toDF("src", "dst")
