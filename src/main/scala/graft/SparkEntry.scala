@@ -3331,6 +3331,51 @@ object SparkEntry {
           maxHops = 3)
         .groupBy("dist")
         .agg(count(lit(1)).as("n_nodes"), sum(col("id")).as("sum_ids"))
+    }),
+
+    // ---- north-star: fuzzy eval decontamination via token LCS
+    //      (ROUGE-L) — benchmark items (12-token prefixes of id%53
+    //      docs) are candidate-matched by shared word 3-grams, then
+    //      VERIFIED by the LCS kernel: 10·lcs >= 8·|item| flags a
+    //      leaked-with-edits item that verbatim n-gram checks miss.
+    //      The oracle replays the exact DP as an anti-diagonal
+    //      recursive CTE.
+    "q188_lcs_decontamination" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      val items = toks.filter(col("doc_id") % 53 === 0)
+        .select(col("doc_id").as("item_id"),
+          slice(col("t"), 1, 12).as("bt"))
+        .select(col("item_id"), concat_ws(" ", col("bt")).as("item_text"),
+          size(col("bt")).cast("long").as("m"))
+      val itemGrams = toks.filter(col("doc_id") % 53 === 0)
+        .select(col("doc_id").as("item_id"), slice(col("t"), 1, 12).as("bt"))
+        .filter(size(col("bt")) >= 3)
+        .select(col("item_id"), explode(expr(
+          "transform(sequence(0, size(bt)-3), i -> " +
+            "concat_ws(' ', bt[i], bt[i+1], bt[i+2]))")).as("g"))
+        .distinct()
+      val docGrams = toks.filter(size(col("t")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(t)-3), i -> " +
+            "concat_ws(' ', t[i], t[i+1], t[i+2]))")).as("g"))
+        .distinct()
+      val cands = docGrams.join(broadcast(itemGrams), Seq("g"))
+        .filter(col("doc_id") =!= col("item_id"))
+        .select("doc_id", "item_id").distinct()
+      cands
+        .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+        .join(broadcast(items), Seq("item_id"))
+        .select(col("item_id"), col("m"),
+          graft.functions.GraftFunctions
+            .lcsCount(s, col("text"), col("item_text")).as("lcs"))
+        .groupBy("item_id")
+        .agg(
+          count(lit(1)).as("n_candidates"),
+          sum(when(lit(10) * col("lcs") >= lit(8) * col("m"), 1L)
+            .otherwise(0L)).as("n_contaminated"),
+          max(col("lcs")).as("max_lcs"),
+          sum(col("lcs")).as("sum_lcs"))
     })
   )
 
@@ -6232,6 +6277,52 @@ object SparkEntry {
          |SELECT dist, count(*) AS n_nodes, CAST(sum(id) AS BIGINT) AS sum_ids
          |FROM d_3 GROUP BY 1""".stripMargin
     },
+
+    // LCS replay: identical 3-gram candidate gen, then the SAME DP as
+    // an anti-diagonal recursive CTE — diag d+1 computed from diags d
+    // and d-1 with list_transform (out-of-grid cells coalesce to 0);
+    // the answer is the single cell of diag n+m
+    "q188_lcs_decontamination" ->
+      """WITH RECURSIVE tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |it AS (SELECT doc_id AS item_id, list_slice(t, 1, 12) AS bt
+        |       FROM tk WHERE doc_id % 53 = 0),
+        |dg AS (SELECT DISTINCT doc_id, g FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t)-2+1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+        |  FROM tk WHERE len(t) >= 3)),
+        |ig AS (SELECT DISTINCT item_id, g FROM (
+        |  SELECT item_id, unnest(list_transform(range(1, len(bt)-2+1),
+        |    i -> bt[i] || ' ' || bt[i+1] || ' ' || bt[i+2])) AS g
+        |  FROM it WHERE len(bt) >= 3)),
+        |cand AS (SELECT DISTINCT dg.doc_id, ig.item_id
+        |         FROM dg JOIN ig USING (g) WHERE dg.doc_id <> ig.item_id),
+        |pm AS (SELECT c.doc_id, c.item_id, tk.t AS a, it.bt AS b,
+        |         len(tk.t) AS n, len(it.bt) AS m
+        |       FROM cand c JOIN tk ON tk.doc_id = c.doc_id
+        |       JOIN it ON it.item_id = c.item_id),
+        |dp AS (
+        |  SELECT doc_id, item_id, 1 AS d, CAST([] AS BIGINT[]) AS prev2,
+        |         CAST([] AS BIGINT[]) AS prev, n, m, a, b FROM pm
+        |  UNION ALL
+        |  SELECT doc_id, item_id, d+1,
+        |    prev,
+        |    list_transform(range(greatest(1, (d+1)-m), least(n, d)+1),
+        |      i -> CASE WHEN a[i] = b[(d+1)-i]
+        |        THEN coalesce(prev2[(i-1) - greatest(1, (d-1)-m) + 1], 0) + 1
+        |        ELSE greatest(
+        |          coalesce(prev[(i-1) - greatest(1, d-m) + 1], 0),
+        |          coalesce(prev[i - greatest(1, d-m) + 1], 0)) END),
+        |    n, m, a, b
+        |  FROM dp WHERE d < n + m),
+        |res AS (SELECT item_id, m, coalesce(prev[1], 0) AS lcs
+        |        FROM dp WHERE d = n + m)
+        |SELECT item_id, count(*) AS n_candidates,
+        |  CAST(sum(CASE WHEN 10*lcs >= 8*m THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_contaminated,
+        |  max(lcs) AS max_lcs, CAST(sum(lcs) AS BIGINT) AS sum_lcs
+        |FROM res GROUP BY 1""".stripMargin,
 
     // phrase replay: DuckDB scans the corpus directly with a lambda
     // over token bigrams (1-based list index i -> 0-based position

@@ -293,7 +293,17 @@ object GraftFunctions {
     AudioStatsKernel(args.head)
   }
 
+  private val lcsCountId = FunctionIdentifier("graft_lcs_count")
+  private val lcsCountInfo =
+    new ExpressionInfo(classOf[LcsCountKernel].getName, "graft_lcs_count")
+  private val lcsCountBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 2,
+      s"graft_lcs_count expects 2 arguments, got ${args.length}")
+    LcsCountKernel(args.head, args(1))
+  }
+
   private val all = Seq(
+    (lcsCountId, lcsCountInfo, lcsCountBuilder),
     (audioStatsId, audioStatsInfo, audioStatsBuilder),
     (scriptProfileId, scriptProfileInfo, scriptProfileBuilder),
     (exifMetaId, exifMetaInfo, exifMetaBuilder),
@@ -535,6 +545,13 @@ object GraftFunctions {
   def audioStats(spark: SparkSession, payload: Column): Column = {
     register(spark)
     org.apache.spark.sql.functions.call_function("graft_audio_stats", payload)
+  }
+
+  /** Column-API handle on the token-LCS (ROUGE-L) kernel
+    * ([[LcsCount.tokenLcs]] — pass the short side as `b`). */
+  def lcsCount(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_lcs_count", a, b)
   }
 }
 

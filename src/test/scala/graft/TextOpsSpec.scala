@@ -547,6 +547,50 @@ class TextOpsSpec extends AnyFunSuite {
     assert(profile("") == Seq(0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L))
   }
 
+  private def lcs(a: String, b: String): Long =
+    graft.functions.LcsCount.tokenLcs(
+      org.apache.spark.unsafe.types.UTF8String.fromString(a),
+      org.apache.spark.unsafe.types.UTF8String.fromString(b))
+
+  test("lcsCount: hand-traced token LCS, subsequence not substring") {
+    assert(lcs("the quick brown fox jumps over the lazy dog",
+      "quick fox jumps lazy dog") == 5L)
+    assert(lcs("a b c d e", "x y z") == 0L)
+    // interleaved repeats: LCS of 'a b a b a' / 'b a b' is 'b a b'
+    assert(lcs("a b a b a", "b a b") == 3L)
+    assert(lcs("hello", "hello") == 1L)
+    // order matters: tokens common but reversed give only 1
+    assert(lcs("a b c", "c b a") == 1L)
+    // double spaces produce empty tokens that can match (the
+    // string_split(' ') contract both engines share)
+    assert(lcs("a  b", "c  d") == 1L)
+    // brute-force cross-check on random-ish small token streams
+    def brute(a: Seq[String], b: Seq[String]): Int = {
+      val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = if (a(i - 1) == b(j - 1)) dp(i - 1)(j - 1) + 1
+        else math.max(dp(i - 1)(j), dp(i)(j - 1))
+      dp(a.length)(b.length)
+    }
+    val vocab = Array("w0", "w1", "w2", "w3")
+    for (seed <- 1 to 20) {
+      val a = (0 until 15).map(i => vocab((seed * 7 + i * 13) % 4))
+      val b = (0 until 6).map(i => vocab((seed * 11 + i * 5) % 4))
+      assert(lcs(a.mkString(" "), b.mkString(" ")) == brute(a, b).toLong,
+        s"seed $seed")
+    }
+  }
+
+  test("lcsCount kernel: SQL surface and null propagation") {
+    val df = Seq((1L, "a b c", "a c"), (2L, null.asInstanceOf[String], "a"))
+      .toDF("id", "a", "b")
+    val got = df.select(col("id"),
+        GraftFunctions.lcsCount(spark, col("a"), col("b")).as("l"))
+      .orderBy("id").collect()
+    assert(got(0).getLong(1) == 2L)
+    assert(got(1).isNullAt(1))
+  }
+
   test("scriptProfile kernel: SQL surface, null propagation, codegen") {
     val df = Seq((1L, "hi Привет"), (2L, null.asInstanceOf[String]))
       .toDF("id", "text")
