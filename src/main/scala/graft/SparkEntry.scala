@@ -3376,6 +3376,55 @@ object SparkEntry {
             .otherwise(0L)).as("n_contaminated"),
           max(col("lcs")).as("max_lcs"),
           sum(col("lcs")).as("sum_lcs"))
+    }),
+
+    // ---- capstone: multilingual corpus gate — ONE scan evaluates
+    //      lang-ID and the script profile side by side, then three
+    //      integer drop rules in precedence order: mixed-script,
+    //      lang-unsupported (identifier says 'und' but letters are
+    //      present — the CCNet keep-only-supported-languages
+    //      discipline), digit-heavy (5·digits > chars). Fixture
+    //      extends q184's with forced digit-run docs.
+    "q189_multilingual_gate" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      val id = col("doc_id")
+      val scripted = concat(
+        when(id % 7 =!= 0 && id % 3 === 0, lit("")).otherwise(col("text")),
+        when(id % 7 === 1, lit(" Привет мир 2024"))
+          .when(id % 7 === 2, lit(" Ελληνικά κείμενο"))
+          .when(id % 7 === 3, lit(" مرحبا بالعالم"))
+          .when(id % 7 === 4, lit(" שלום עולם"))
+          .when(id % 7 === 5, lit(" नमस्ते दुनिया"))
+          .when(id % 7 === 6, lit(" 你好世界 ありがとう 한국어"))
+          .otherwise(lit("")),
+        when(id % 23 === 0, lit(
+          " 0123456789012345678901234567890123456789012345678" +
+            " 0123456789012345678901234567890123456789012345678" +
+            " 0123456789012345678901234567890123456789012345678"))
+          .otherwise(lit("")))
+      val prof = docs
+        .select(id.as("doc_id"),
+          graft.functions.GraftFunctions.langId(s, scripted).as("lang_pred"),
+          graft.functions.GraftFunctions.scriptProfile(s, scripted).as("p"))
+        .select(col("doc_id"), col("lang_pred"), col("p.*"))
+      val letters = Seq("n_latin", "n_cyrillic", "n_greek", "n_arabic",
+        "n_hebrew", "n_devanagari", "n_cjk")
+      val nScripts = letters.map(c =>
+        when(col(c) > 0, 1L).otherwise(0L)).reduce(_ + _)
+      val nLetters = letters.map(col).reduce(_ + _)
+      prof
+        .withColumn("reason",
+          when(nScripts >= 2, "mixed_script")
+            .when(col("lang_pred") === "und" && nLetters > 0,
+              "lang_unsupported")
+            .when(lit(5) * col("n_digit") > col("n_chars"), "digit_heavy")
+            .otherwise("kept"))
+        .groupBy("reason")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("lang_pred")).as("n_langs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("doc_id")).as("sum_ids"))
     })
   )
 
@@ -6323,6 +6372,61 @@ object SparkEntry {
         |    AS n_contaminated,
         |  max(lcs) AS max_lcs, CAST(sum(lcs) AS BIGINT) AS sum_lcs
         |FROM res GROUP BY 1""".stripMargin,
+
+    // gate replay: q184's regex-count chain over the extended fixture
+    // + the portable lang-ID CASE + the same precedence rules
+    "q189_multilingual_gate" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN doc_id % 7 <> 0 AND doc_id % 3 = 0 THEN ''
+         |          ELSE text END) ||
+         |    CASE WHEN doc_id % 7 = 1 THEN ' Привет мир 2024'
+         |         WHEN doc_id % 7 = 2 THEN ' Ελληνικά κείμενο'
+         |         WHEN doc_id % 7 = 3 THEN ' مرحبا بالعالم'
+         |         WHEN doc_id % 7 = 4 THEN ' שלום עולם'
+         |         WHEN doc_id % 7 = 5 THEN ' नमस्ते दुनिया'
+         |         WHEN doc_id % 7 = 6 THEN ' 你好世界 ありがとう 한국어'
+         |         ELSE '' END ||
+         |    CASE WHEN doc_id % 23 = 0 THEN
+         |      ' 0123456789012345678901234567890123456789012345678' ||
+         |      ' 0123456789012345678901234567890123456789012345678' ||
+         |      ' 0123456789012345678901234567890123456789012345678'
+         |      ELSE '' END AS tx
+         |  FROM documents WHERE text IS NOT NULL),
+         |p AS (
+         |  SELECT doc_id, ${PortableSql.langId("tx", DD)} AS lang_pred,
+         |    length(tx) AS n_chars,
+         |    length(regexp_replace(tx, '[^A-Za-z\\x{00C0}-\\x{00D6}\\x{00D8}-\\x{00F6}\\x{00F8}-\\x{00FF}\\x{0100}-\\x{024F}]', '', 'g')) AS n_latin,
+         |    length(regexp_replace(tx, '[^\\x{0400}-\\x{04FF}]', '', 'g')) AS n_cyrillic,
+         |    length(regexp_replace(tx, '[^\\x{0370}-\\x{03FF}]', '', 'g')) AS n_greek,
+         |    length(regexp_replace(tx, '[^\\x{0600}-\\x{06FF}]', '', 'g')) AS n_arabic,
+         |    length(regexp_replace(tx, '[^\\x{0590}-\\x{05FF}]', '', 'g')) AS n_hebrew,
+         |    length(regexp_replace(tx, '[^\\x{0900}-\\x{097F}]', '', 'g')) AS n_devanagari,
+         |    length(regexp_replace(tx, '[^\\x{3040}-\\x{30FF}\\x{4E00}-\\x{9FFF}\\x{AC00}-\\x{D7A3}]', '', 'g')) AS n_cjk,
+         |    length(regexp_replace(tx, '[^0-9]', '', 'g')) AS n_digit
+         |  FROM t),
+         |d AS (
+         |  SELECT doc_id, lang_pred, n_chars,
+         |    CASE
+         |      WHEN (CASE WHEN n_latin > 0 THEN 1 ELSE 0 END
+         |        + CASE WHEN n_cyrillic > 0 THEN 1 ELSE 0 END
+         |        + CASE WHEN n_greek > 0 THEN 1 ELSE 0 END
+         |        + CASE WHEN n_arabic > 0 THEN 1 ELSE 0 END
+         |        + CASE WHEN n_hebrew > 0 THEN 1 ELSE 0 END
+         |        + CASE WHEN n_devanagari > 0 THEN 1 ELSE 0 END
+         |        + CASE WHEN n_cjk > 0 THEN 1 ELSE 0 END) >= 2
+         |        THEN 'mixed_script'
+         |      WHEN lang_pred = 'und' AND
+         |        (n_latin + n_cyrillic + n_greek + n_arabic + n_hebrew
+         |          + n_devanagari + n_cjk) > 0 THEN 'lang_unsupported'
+         |      WHEN 5*n_digit > n_chars THEN 'digit_heavy'
+         |      ELSE 'kept' END AS reason
+         |  FROM p)
+         |SELECT reason, count(*) AS n_docs,
+         |  count(DISTINCT lang_pred) AS n_langs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |FROM d GROUP BY 1""".stripMargin,
 
     // phrase replay: DuckDB scans the corpus directly with a lambda
     // over token bigrams (1-based list index i -> 0-based position
