@@ -3425,7 +3425,26 @@ object SparkEntry {
           countDistinct(col("lang_pred")).as("n_langs"),
           sum(col("n_chars")).as("sum_chars"),
           sum(col("doc_id")).as("sum_ids"))
-    })
+    }),
+
+    // ---- north-star: local clustering coefficients over the
+    //      near-dup graph (q180's shared pair index) — per-vertex
+    //      cc = 2T/(d(d−1)) from the degree-oriented triangle
+    //      pipeline; degree-1 vertices are unmeasurable (NULL), and
+    //      cc totals ride as integer micro-units.
+    "q190_clustering_coeff" -> ((s, dir) =>
+      graft.ops.LinkGraph.clusteringCoefficients(
+        verifiedPairs(s, dir).select("id_a", "id_b"), "id_a", "id_b")
+        .groupBy((col("id") % 5).as("bucket"))
+        .agg(
+          count(lit(1)).as("n_vertices"),
+          sum(col("degree")).as("sum_deg"),
+          sum(col("n_triangles")).as("sum_tri"),
+          sum(when(col("cc").isNotNull, 1L).otherwise(0L))
+            .as("n_cc_defined"),
+          sum(when(col("cc").isNotNull,
+            round(col("cc") * 1e6, 0).cast("long")).otherwise(0L))
+            .as("sum_cc_micro")))
   )
 
   /** graft-authored pipeline config (reference YAML shape,
@@ -4317,6 +4336,37 @@ object SparkEntry {
          |  (SELECT CAST(coalesce(sum(dd * (dd - 1) / 2), 0) AS BIGINT)
          |   FROM todeg) AS n_wedges,
          |  (SELECT CAST(n_triangles AS BIGINT) FROM tri) AS n_triangles""".stripMargin,
+
+    // clustering replay: the orientation-free a<b<c triple enumeration
+    // hits the same triangle set, so per-corner explode + counts equal
+    // the oriented pipeline's; identical IEEE division, micro-rounded
+    "q190_clustering_coeff" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         |te AS (SELECT DISTINCT least(id_a, id_b) AS a,
+         |         greatest(id_a, id_b) AS b
+         |       FROM vpairs WHERE id_a <> id_b),
+         |tdeg AS (SELECT v, count(*) AS d FROM (
+         |    SELECT a AS v FROM te UNION ALL SELECT b AS v FROM te)
+         |  GROUP BY v),
+         |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |        FROM te e1 JOIN te e2 ON e2.a = e1.a AND e2.b > e1.b
+         |        JOIN te e3 ON e3.a = e1.b AND e3.b = e2.b),
+         |pv AS (SELECT v, count(*) AS t FROM (
+         |    SELECT x AS v FROM tri UNION ALL SELECT y FROM tri
+         |    UNION ALL SELECT z FROM tri) GROUP BY v),
+         |cc AS (SELECT d.v, d.d, coalesce(pv.t, 0) AS t,
+         |         CASE WHEN d.d >= 2
+         |           THEN 2.0*coalesce(pv.t, 0)/(d.d*(d.d - 1)) END AS cc
+         |       FROM tdeg d LEFT JOIN pv ON pv.v = d.v)
+         |SELECT v % 5 AS bucket, count(*) AS n_vertices,
+         |  CAST(sum(d) AS BIGINT) AS sum_deg,
+         |  CAST(sum(t) AS BIGINT) AS sum_tri,
+         |  CAST(sum(CASE WHEN cc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_cc_defined,
+         |  CAST(sum(CASE WHEN cc IS NOT NULL
+         |    THEN CAST(round(cc*1000000, 0) AS BIGINT) ELSE 0 END) AS BIGINT)
+         |    AS sum_cc_micro
+         |FROM cc GROUP BY 1""".stripMargin,
 
     // EXIF replay: the injected metadata is modular in doc_id — valid
     // ids recover every field (checks == counts), truncated ids

@@ -410,6 +410,21 @@ object LinkGraph {
    * state.
    */
   def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val (und, deg, wedges, closed) = triangleFrames(edges, srcCol, dstCol)
+    deg.agg(count(lit(1)).as("n_vertices"))
+      .crossJoin(und.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
+      .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
+  }
+
+  /** Shared degree-ordered-orientation pipeline behind [[triangles]]
+    * and [[clusteringCoefficients]]: canonical undirected edges,
+    * degrees, candidate wedges, and the CLOSED (apex, u, w) triples —
+    * each closed row is exactly one triangle (the orientation
+    * guarantees uniqueness at the minimum vertex). */
+  private def triangleFrames(
+      edges: DataFrame, srcCol: String, dstCol: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val und = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
@@ -441,9 +456,37 @@ object LinkGraph {
     val closed = wedges.join(
       oriented.select(col("from").as("u"), col("to").as("w")),
       Seq("u", "w"), "left_semi")
-    deg.agg(count(lit(1)).as("n_vertices"))
-      .crossJoin(und.agg(count(lit(1)).as("n_edges")))
-      .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
-      .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
+    (und, deg, wedges, closed)
+  }
+
+  /**
+   * Per-vertex local clustering coefficient (Watts–Strogatz 1998,
+   * public): `cc = 2·T_v / (d_v·(d_v − 1))` — how close a page's link
+   * neighborhood is to a clique. In a web corpus the extremes are the
+   * signal: cc≈1 hubs inside densely self-linking families are
+   * template/spam suspects, cc≈0 high-degree nodes are genuine
+   * aggregation points.
+   *
+   * Shape: the [[triangleFrames]] pipeline (O(m^1.5) bound from the
+   * degree orientation) + one explode of each closed triple into its
+   * three corners and a decomposable per-vertex count; degree-1
+   * vertices get cc NULL (undefined denominator), not 0 — a leaf is
+   * not "unclustered", it is unmeasurable. The division is plain IEEE
+   * double of two integers (identical across engines); callers round.
+   */
+  def clusteringCoefficients(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val (_, deg, _, closed) = triangleFrames(edges, srcCol, dstCol)
+    val perVertex = closed
+      .select(explode(array(col("apex"), col("u"), col("w"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("n_triangles"))
+    deg
+      .join(perVertex, Seq("v"), "left_outer")
+      .select(col("v").as("id"), col("d").as("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("cc",
+        when(col("degree") >= 2,
+          lit(2.0) * col("n_triangles") /
+            (col("degree") * (col("degree") - 1))))
   }
 }

@@ -213,6 +213,21 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L))
   }
 
+  test("clusteringCoefficients: bowtie + leaf, NULL for degree-1") {
+    // bowtie (two triangles sharing vertex 0) + a leaf 5 hanging off 0:
+    // deg(0)=5 with 2 triangles -> cc=0.2; wing vertices cc=1.0; the
+    // leaf is unmeasurable (NULL), not 0
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (0L, 3L), (0L, 4L),
+      (3L, 4L), (0L, 5L)).toDF("s", "d")
+    val got = LinkGraph.clusteringCoefficients(edges, "s", "d")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(got(0L) == ((5L, 2L, Some(0.2))))
+    assert(got(1L) == ((2L, 1L, Some(1.0))))
+    assert(got(3L) == ((2L, 1L, Some(1.0))))
+    assert(got(5L) == ((1L, 0L, None)))
+  }
+
   test("seedDistance: multi-source BFS, hop cap, unreachable stays NULL") {
     def dists(nodes: Seq[Long], edges: Seq[(Long, Long)], seeds: Seq[Long],
         hops: Int): Map[Long, Option[Long]] =
