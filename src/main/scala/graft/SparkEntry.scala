@@ -3444,7 +3444,23 @@ object SparkEntry {
             .as("n_cc_defined"),
           sum(when(col("cc").isNotNull,
             round(col("cc") * 1e6, 0).cast("long")).otherwise(0L))
-            .as("sum_cc_micro")))
+            .as("sum_cc_micro"))),
+
+    // ---- north-star: kNN graph over the embedding corpus (q24's
+    //      banded candidates, k=5) — per-vertex top-k as a pure
+    //      aggregation (sorted-struct slice, integer sort keys), the
+    //      input structure for graph clustering and SemDeDup.
+    "q191_knn_graph" -> ((s, dir) =>
+      Similarity.knnGraph(
+        T(s, dir, "embeddings"), "vec_id", "embedding",
+        planesPerBand = 8, bands = 2, dims = 64, k = 5,
+        minCosine = 0.15, maxBucketSize = 1000)
+        .groupBy("rank")
+        .agg(
+          count(lit(1)).as("n_edges"),
+          countDistinct(col("id")).as("n_vertices"),
+          sum(col("cos_micro")).as("sum_cos_micro"),
+          sum(col("nbr")).as("sum_nbrs")))
   )
 
   /** graft-authored pipeline config (reference YAML shape,
@@ -4500,6 +4516,24 @@ object SparkEntry {
     "q24_embedding_pairs" ->
       s"""WITH $embPairCtes
          |SELECT id_a, id_b, cosine_sim FROM p""".stripMargin,
+
+    // kNN replay: the q24 pair CTEs symmetrized, per-vertex rank by
+    // (cosine_micro desc, nbr) — the same integer key the sorted-
+    // struct slice uses
+    "q191_knn_graph" ->
+      s"""WITH $embPairCtes,
+         |sym AS (SELECT id_a AS id, id_b AS nbr, cosine_sim FROM p
+         |        UNION ALL SELECT id_b, id_a, cosine_sim FROM p),
+         |r AS (SELECT id, nbr,
+         |        CAST(round(cosine_sim*1000000, 0) AS BIGINT) AS cm,
+         |        row_number() OVER (PARTITION BY id
+         |          ORDER BY round(cosine_sim*1000000, 0) DESC, nbr) AS rank
+         |      FROM sym)
+         |SELECT rank, count(*) AS n_edges,
+         |  count(DISTINCT id) AS n_vertices,
+         |  CAST(sum(cm) AS BIGINT) AS sum_cos_micro,
+         |  CAST(sum(nbr) AS BIGINT) AS sum_nbrs
+         |FROM r WHERE rank <= 5 GROUP BY 1""".stripMargin,
 
     "q25_media_stats" ->
       s"""SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

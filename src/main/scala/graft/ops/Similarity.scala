@@ -339,6 +339,49 @@ object Similarity {
   }
 
   /**
+   * kNN graph over the whole corpus from banded-LSH candidates — the
+   * input structure for graph-based clustering and SemDeDup-style
+   * neighborhood dedup: every vector's top-`k` neighbors by cosine
+   * among its [[bandedNeighbors]] candidates (approximate by
+   * construction: only same-bucket pairs compete; recall is the
+   * banding trade documented there).
+   *
+   * Top-k is a pure AGGREGATION, not a window: candidate edges
+   * symmetrize, then per-vertex `array_sort` + `slice` over the
+   * collected (−cosine_micro, nbr) structs — deterministic integer
+   * sort keys, no per-vertex global sort, and the per-vertex list is
+   * bounded by `bands · maxBucketSize` candidates. `rank` is dense
+   * 1..k by that key.
+   */
+  def knnGraph(
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      planesPerBand: Int,
+      bands: Int,
+      dims: Int,
+      k: Int,
+      minCosine: Double,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(k >= 1, "knnGraph needs k >= 1")
+    val pairs = bandedNeighbors(corpus, idCol, embCol, planesPerBand,
+      bands, dims, minCosine, maxBucketSize)
+    val sym = pairs
+      .select(col("id_a").as("id"), col("id_b").as("nbr"), col("cosine_sim"))
+      .unionAll(pairs.select(col("id_b").as("id"), col("id_a").as("nbr"),
+        col("cosine_sim")))
+    sym
+      .select(col("id"), struct(
+        (-round(col("cosine_sim") * 1e6, 0).cast("long")).as("nc"),
+        col("nbr").as("nbr")).as("e"))
+      .groupBy("id")
+      .agg(slice(array_sort(collect_list(col("e"))), 1, k).as("top"))
+      .select(col("id"), posexplode(col("top")).as(Seq("rank0", "e")))
+      .select(col("id"), (col("rank0") + 1).cast("long").as("rank"),
+        col("e.nbr").as("nbr"), (-col("e.nc")).as("cos_micro"))
+  }
+
+  /**
    * IVF (inverted-file) coarse quantizer: assign every vector to its
    * nearest of `nlist` centroid vectors (cosine, ties → lowest centroid
    * id). The index build is one narrow pass over the corpus against a

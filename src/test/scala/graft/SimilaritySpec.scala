@@ -96,6 +96,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(capped.sortBy(p => (p._1, p._2)).toSeq == capped2.sortBy(p => (p._1, p._2)).toSeq)
   }
 
+  test("knnGraph: per-vertex top-k of the banded candidate pairs, exactly") {
+    val emb = TestSpark.table("embeddings").limit(300)
+    val pairs = Similarity.bandedNeighbors(emb, "vec_id", "embedding",
+      planesPerBand = 8, bands = 2, dims = 64, minCosine = 0.1)
+      .as[(Long, Long, Double)].collect()
+    // driver-side reference: symmetrize, sort by (cos_micro desc, nbr),
+    // take 3 per vertex
+    val sym = pairs.flatMap { case (a, b, c) =>
+      val cm = math.round(c * 1e6)
+      Seq((a, b, cm), (b, a, cm))
+    }
+    val expected = sym.groupBy(_._1).toSeq.flatMap { case (id, es) =>
+      es.sortBy(e => (-e._3, e._2)).take(3).zipWithIndex.map {
+        case ((_, nbr, cm), i) => (id, i + 1L, nbr, cm)
+      }.toSeq
+    }.toSet
+    val got = Similarity.knnGraph(emb, "vec_id", "embedding",
+      planesPerBand = 8, bands = 2, dims = 64, k = 3, minCosine = 0.1)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // rank is dense 1..k per vertex
+    val byId = got.groupBy(_._1)
+    assert(byId.values.forall(es =>
+      es.map(_._2).toSeq.sorted == (1L to es.size).toSeq))
+  }
+
   test("ivfAssign: every vector lands in exactly one list; centroids map to themselves") {
     val emb = TestSpark.table("embeddings").limit(500)
     val cents = emb.filter(col("vec_id") < 8)
