@@ -3460,7 +3460,59 @@ object SparkEntry {
           count(lit(1)).as("n_edges"),
           countDistinct(col("id")).as("n_vertices"),
           sum(col("cos_micro")).as("sum_cos_micro"),
-          sum(col("nbr")).as("sum_nbrs")))
+          sum(col("nbr")).as("sum_nbrs"))),
+
+    // ---- north-star: k-core peeling over the q182 synthetic web
+    //      graph — 4 synchronous peel rounds at k=5 strip the
+    //      periphery (pendant chains, one-shot links) whose graph
+    //      signals are noise; the oracle unrolls the same rounds as
+    //      CTEs, so the surviving-core membership and in-core degrees
+    //      replay bit-identically.
+    "q192_k_core" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      val nRow = docs.agg(count(lit(1)).as("__n"))
+      val id = col("doc_id")
+      val edges = docs.crossJoin(broadcast(nRow)).select(
+        id.as("src"),
+        explode(array(
+          (id * 2 + 1) % col("__n"),
+          (id * 3 + 2) % col("__n"),
+          (id * 7 + 5) % col("__n"))).as("dst"))
+      graft.ops.LinkGraph.kCore(edges, "src", "dst", k = 5, rounds = 4)
+        .groupBy((col("id") % 5).as("bucket"))
+        .agg(
+          count(lit(1)).as("n_vertices"),
+          sum(col("core_deg")).as("sum_core_deg"),
+          max(col("core_deg")).as("max_core_deg"),
+          min(col("core_deg")).as("min_core_deg"))
+    }),
+
+    // ---- north-star: edit-distance-verified near-dups — the
+    //      ORDER-SENSITIVE verifier over the q16 LSH candidates:
+    //      Spark's builtin banded levenshtein (Ukkonen cut at
+    //      maxDist) separates light-touch edits from same-vocabulary
+    //      rewrites that fool set-based Jaccard; DuckDB's builtin
+    //      levenshtein replays it exactly on the ASCII corpus.
+    "q193_edit_verified" -> ((s, dir) =>
+      graft.ops.Dedup.editVerifiedPairs(
+        T(s, dir, "documents"), "text", "doc_id", maxDist = 200)
+        .groupBy((col("id_a") % 5).as("bucket"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(col("edit_dist")).as("sum_dist"),
+          max(col("edit_dist")).as("max_dist"),
+          round(sum(col("edit_sim")), 6).as("sum_sim"))),
+
+    // ---- north-star: the Gopher structural gate (Rae et al. 2021) —
+    //      word-shape bounds, symbol density, alpha-word floor, and
+    //      the stopword prose test, compiled through the SAME dual-
+    //      dialect DSL as q62 (one filter definition is both the Spark
+    //      expression and the oracle SQL); per-doc verdict + first
+    //      failing rule, scan-speed, zero shuffles.
+    "q194_gopher_gate" -> ((s, dir) =>
+      graft.ops.CorpusFilters.decide(
+        T(s, dir, "documents"), "text", "doc_id",
+        graft.ops.CorpusFilters.gopherRules(minTokens = 30L, minStopwords = 1)))
   )
 
   /** graft-authored pipeline config (reference YAML shape,
@@ -4534,6 +4586,78 @@ object SparkEntry {
          |  CAST(sum(cm) AS BIGINT) AS sum_cos_micro,
          |  CAST(sum(nbr) AS BIGINT) AS sum_nbrs
          |FROM r WHERE rank <= 5 GROUP BY 1""".stripMargin,
+
+    // k-core replay: the q182 edge CTEs + 4 unrolled peel rounds —
+    // each round keeps vertices with degree >= 5 in the PREVIOUS edge
+    // set and edges whose both endpoints survive; pure integer counts,
+    // so core membership and in-core degrees replay bit-identically
+    "q192_k_core" -> {
+      def peel(prev: String, cur: String): String =
+        s"""k_$cur AS (
+           |  SELECT v FROM (SELECT a AS v FROM e_$prev
+           |                 UNION ALL SELECT b FROM e_$prev)
+           |  GROUP BY v HAVING count(*) >= 5),
+           |e_$cur AS (
+           |  SELECT e.a, e.b FROM e_$prev e
+           |  JOIN k_$cur x ON e.a = x.v
+           |  JOIN k_$cur y ON e.b = y.v)""".stripMargin
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents WHERE text IS NOT NULL),
+         |e0 AS (
+         |  SELECT doc_id AS src, (doc_id*2+1) % n AS dst
+         |  FROM documents, nn WHERE text IS NOT NULL
+         |  UNION ALL
+         |  SELECT doc_id, (doc_id*3+2) % n FROM documents, nn WHERE text IS NOT NULL
+         |  UNION ALL
+         |  SELECT doc_id, (doc_id*7+5) % n FROM documents, nn WHERE text IS NOT NULL),
+         |e_0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |        FROM e0 WHERE src <> dst),
+         |${peel("0", "1")},
+         |${peel("1", "2")},
+         |${peel("2", "3")},
+         |${peel("3", "4")},
+         |deg AS (
+         |  SELECT id, count(*) AS core_deg FROM (
+         |    SELECT a AS id FROM e_4 UNION ALL SELECT b FROM e_4)
+         |  GROUP BY id)
+         |SELECT id % 5 AS bucket, count(*) AS n_vertices,
+         |  CAST(sum(core_deg) AS BIGINT) AS sum_core_deg,
+         |  max(core_deg) AS max_core_deg,
+         |  min(core_deg) AS min_core_deg
+         |FROM deg GROUP BY 1""".stripMargin
+    },
+
+    // edit-verified replay: the shared LSH candidate CTEs + DuckDB's
+    // builtin levenshtein (byte-based, == code-point on this ASCII
+    // corpus); the Spark side's banded -1 drop replays as d <= cap
+    "q193_edit_verified" ->
+      s"""WITH $minhashCtes,
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM buckets a JOIN buckets b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |lv AS (
+         |  SELECT p.id_a, p.id_b,
+         |    levenshtein(da.text, db.text) AS d,
+         |    greatest(strlen(da.text), strlen(db.text)) AS mx
+         |  FROM pairs p
+         |  JOIN documents da ON da.doc_id = p.id_a
+         |  JOIN documents db ON db.doc_id = p.id_b),
+         |kept AS (
+         |  SELECT id_a, id_b, CAST(d AS BIGINT) AS d,
+         |    CASE WHEN mx = 0 THEN 1.0 ELSE round(1.0 - d / mx, 6) END AS sim
+         |  FROM lv WHERE d <= 200)
+         |SELECT id_a % 5 AS bucket, count(*) AS n_pairs,
+         |  CAST(sum(d) AS BIGINT) AS sum_dist,
+         |  max(d) AS max_dist,
+         |  round(sum(sim), 6) AS sum_sim
+         |FROM kept GROUP BY 1""".stripMargin,
+
+    // Gopher-gate replay: generated from the SAME filter objects as
+    // the Spark expression (single source of truth, the q62 pattern)
+    "q194_gopher_gate" ->
+      graft.ops.CorpusFilters.oracleSql(
+        graft.ops.CorpusFilters.gopherRules(minTokens = 30L, minStopwords = 1),
+        "documents", "text", "doc_id"),
 
     "q25_media_stats" ->
       s"""SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

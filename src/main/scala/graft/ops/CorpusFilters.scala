@@ -77,6 +77,98 @@ object CorpusFilters {
     }
   }
 
+  // --- Gopher structural rules (Rae et al. 2021 appendix A1.1,
+  // public) — the non-repetition document gates a web-scale corpus
+  // ships beside the token fence: word-shape bounds, symbol density,
+  // and the stopword floor that separates prose from keyword soup.
+  // Each compiles to a pure per-row predicate in BOTH dialects
+  // (scan-speed, no shuffle, inside whole-stage codegen on Spark).
+
+  /** Mean space-token length must sit in [min, max]: too short is
+    * symbol soup / character-split text, too long is code or
+    * concatenated junk. mean = (chars − (ntok − 1)) / ntok — exact,
+    * split-free on the Spark side. */
+  final case class MeanWordLenBand(min: Double, max: Double) extends Filter {
+    require(min <= max, s"mean_word_len band is empty: [$min, $max]")
+    val name = "mean_word_len"
+    def pass(text: String, d: Dialect): String = {
+      val nt = s"CAST(${PortableSql.tokenCount(text, d)} AS DOUBLE)"
+      val m = s"((CAST(length($text) AS DOUBLE) - ($nt - 1.0)) / $nt)"
+      s"($m >= $min AND $m <= $max)"
+    }
+  }
+
+  /** Symbol-to-word ratio cap: occurrences of '#' and '...' (the
+    * Gopher symbol set) per token must not exceed `max`. */
+  final case class MaxSymbolRatio(max: Double) extends Filter {
+    val name = "max_symbol_ratio"
+    def pass(text: String, d: Dialect): String = {
+      val nt = s"CAST(${PortableSql.tokenCount(text, d)} AS DOUBLE)"
+      val sym = s"(${PortableSql.occurrences(text, "#")} + " +
+        s"${PortableSql.occurrences(text, "...")})"
+      s"(CAST($sym AS DOUBLE) / $nt <= $max)"
+    }
+  }
+
+  /** At least `min` of the space tokens must contain an alphabetic
+    * character — drops tables of numbers, markup fragments, and
+    * delimiter runs that survive the token-count fence. */
+  final case class MinAlphaWordRatio(min: Double) extends Filter {
+    val name = "min_alpha_word_ratio"
+    def pass(text: String, d: Dialect): String = d match {
+      case SparkDialect =>
+        s"(CAST(size(filter(split($text, ' '), __t -> __t rlike '[A-Za-z]')) AS DOUBLE)" +
+          s" / CAST(${PortableSql.tokenCount(text, d)} AS DOUBLE) >= $min)"
+      case DuckDialect =>
+        s"(CAST(len(list_filter(string_split($text, ' '), " +
+          s"__t -> regexp_matches(__t, '[A-Za-z]'))) AS DOUBLE)" +
+          s" / CAST(len(string_split($text, ' ')) AS DOUBLE) >= $min)"
+    }
+  }
+
+  /** Prose floor: at least `min` DISTINCT words from the Gopher
+    * stopword list must appear as whole tokens (case-folded) —
+    * keyword-stuffed pages and word salads rarely clear it. */
+  final case class MinStopwordHits(
+      min: Int,
+      stopwords: Seq[String] = MinStopwordHits.gopherStopwords) extends Filter {
+    require(min >= 1 && min <= stopwords.length,
+      s"min_stopword_hits needs 1 <= min <= ${stopwords.length}, got $min")
+    require(stopwords.forall(_.matches("[a-z]+")),
+      s"stopwords must be plain lowercase words, got $stopwords")
+    val name = "min_stopword_hits"
+    def pass(text: String, d: Dialect): String = {
+      val toks = d.tokens(s"lower($text)")
+      val contains = d match {
+        case SparkDialect => "array_contains"
+        case DuckDialect  => "list_contains"
+      }
+      val hits = stopwords
+        .map(w => s"(CASE WHEN $contains($toks, '$w') THEN 1 ELSE 0 END)")
+        .mkString("(", " + ", ")")
+      s"($hits >= $min)"
+    }
+  }
+
+  object MinStopwordHits {
+    /** The Gopher paper's stopword set. */
+    val gopherStopwords: Seq[String] =
+      Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  }
+
+  /** The Gopher structural chain with the paper's thresholds — token
+    * fence first (cheapest), stopword floor last (most text scans).
+    * `minStopwords` is the floor the paper sets at 2; corpora with a
+    * constrained vocabulary (or non-English text routed here by
+    * mistake) tune it rather than fork the chain. */
+  def gopherRules(
+      minTokens: Long = 50L,
+      maxTokens: Long = 100000L,
+      minStopwords: Int = 2): Seq[Filter] = Seq(
+    MinTokens(minTokens), MaxTokens(maxTokens),
+    MeanWordLenBand(3.0, 10.0), MaxSymbolRatio(0.1),
+    MinAlphaWordRatio(0.8), MinStopwordHits(minStopwords))
+
   /** The `drop_reason` expression: first failing filter's name in
     * config order, NULL when every filter passes. */
   def dropReasonSql(filters: Seq[Filter], text: String, d: Dialect): String = {

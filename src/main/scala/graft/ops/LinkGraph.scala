@@ -489,4 +489,64 @@ object LinkGraph {
           lit(2.0) * col("n_triangles") /
             (col("degree") * (col("degree") - 1))))
   }
+
+  /**
+   * k-core peeling (Seidman 1983, public) — the density filter a
+   * link-graph curation pass runs before trusting graph signals:
+   * vertices outside the k-core (the maximal subgraph where every
+   * vertex keeps degree ≥ k INSIDE the subgraph) are periphery —
+   * pendant chains, one-shot links — whose PageRank/community labels
+   * are noise; the core is where mutually-reinforcing structure
+   * (templates, spam farms, genuine hubs) lives.
+   *
+   * Synchronous peeling: each round computes degrees over the CURRENT
+   * edge set, drops every vertex with degree < k, and keeps only
+   * edges whose BOTH endpoints survive. A round is a pure function of
+   * the previous edge set — integer counts and comparisons only — so
+   * `rounds` fixed rounds replay bit-identically in any engine
+   * (unrolled CTEs in the oracle). With `rounds` ≥ the peeling depth
+   * the result IS the exact k-core; callers verify convergence by
+   * checking one extra round changes nothing (the spec does).
+   *
+   * Scale shape: each round is ONE degree aggregation over the
+   * shrinking checkpointed edge frame plus two semi-joins — no
+   * windows, no driver state; the edge set only ever shrinks, so the
+   * per-round cost is monotone non-increasing. On a cluster, bucket
+   * the canonical edges by `a` so rounds co-locate. Peeling depth on
+   * real web graphs is small (degeneracy ordering removes whole
+   * shells per round), so the sequential dimension stays short.
+   *
+   * @return one row per surviving vertex: (id, core_deg) — its degree
+   *         inside the remaining subgraph after `rounds` peels
+   */
+  def kCore(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int,
+      rounds: Int): DataFrame = {
+    require(k >= 1, "kCore needs k >= 1")
+    require(rounds >= 1, "kCore needs at least one peeling round")
+    var und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+      .localCheckpoint()
+    var it = 0
+    while (it < rounds) {
+      val keep = und.select(explode(array(col("a"), col("b"))).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k)
+        .select("v")
+      und = und
+        .join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
+        .select("a", "b")
+        .localCheckpoint()
+      it += 1
+    }
+    und.select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("core_deg"))
+  }
 }

@@ -94,4 +94,58 @@ class CorpusFiltersSpec extends AnyFunSuite {
     assert(viaChain == viaPrimitive)
     assert(viaChain.nonEmpty && viaChain.size < 200, "fixture must split")
   }
+
+  test("gopher rules: each structural fence fires on its crafted doc") {
+    // every doc clears min_tokens(3) so the structural rules decide
+    val fs = Seq[CorpusFilters.Filter](
+      CorpusFilters.MinTokens(3),
+      CorpusFilters.MeanWordLenBand(3.0, 10.0),
+      CorpusFilters.MaxSymbolRatio(0.1),
+      CorpusFilters.MinAlphaWordRatio(0.8),
+      CorpusFilters.MinStopwordHits(2))
+    val docs = Seq(
+      (1L, "the cat sat with dogs and birds near those warm houses"),
+      (2L, "a b c d e f g h i j"),              // mean word len 1 -> band
+      (3L, "extraordinarily incomprehensible " * 3 +
+        "internationalization considerations"), // mean len > 10 -> band
+      (4L, "the cat ... and ... dog ... with ... bird ... runs"), // symbols
+      (5L, "the 1234 5678 9012 3456 7890 1234 5678 9012 and"), // 2/10 alpha
+      (6L, "cats dogs birds mice horses goats sheep cows hens ducks"))
+      .toDF("doc_id", "text")
+    val out = CorpusFilters.decide(docs, "text", "doc_id", fs)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    assert(out(1L).isEmpty)
+    assert(out(2L) == Some("mean_word_len"))
+    assert(out(3L) == Some("mean_word_len"))
+    assert(out(4L) == Some("max_symbol_ratio"))
+    assert(out(5L) == Some("min_alpha_word_ratio"))
+    assert(out(6L) == Some("min_stopword_hits")) // word salad: no stopwords
+  }
+
+  test("gopher stopword floor: whole tokens only, case-folded, distinct") {
+    def kept(text: String): Boolean =
+      CorpusFilters.decide(Seq((1L, text)).toDF("doc_id", "text"),
+        "text", "doc_id", Seq(CorpusFilters.MinStopwordHits(2)))
+        .head().getBoolean(1)
+    assert(kept("THE cat AND dog"))          // case-folds
+    assert(!kept("theory android otherwise")) // substrings don't count
+    assert(!kept("the the the the"))          // distinct words, not hits
+    assert(kept("of with"))
+    // hand-rolled list validation fails loudly
+    intercept[IllegalArgumentException] {
+      CorpusFilters.MinStopwordHits(2, Seq("the", "bad'word"))
+    }
+    intercept[IllegalArgumentException] { CorpusFilters.MinStopwordHits(9) }
+  }
+
+  test("gopher chain on the real corpus: splits and reasons are sane") {
+    val docs = TestSpark.table("documents")
+    val out = CorpusFilters.decide(docs, "text", "doc_id",
+      CorpusFilters.gopherRules(minTokens = 30L, minStopwords = 1))
+    val byReason = out.groupBy("drop_reason").count()
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(byReason.getOrElse(None, 0L) > 0L, "some docs must survive")
+    assert(byReason.size >= 2, "at least one rule must fire on the fixture")
+    assert(out.count() == docs.count(), "every doc keeps a verdict row")
+  }
 }

@@ -589,4 +589,43 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(lsh.toSeq.contains((2L, 4L, 1.0)))
   }
+
+  test("editVerifyPairs: hand distances, band cap drop, empty-text sim") {
+    val docs = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "the quack brown fox"),   // one substitution -> dist 1
+      (3L, "fox brown quick the"),   // same words reordered -> big dist
+      (4L, ""), (5L, ""))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    def run(cap: Int): Map[(Long, Long), (Long, Double)] =
+      Dedup.editVerifyPairs(docs, pairs, "text", "doc_id", maxDist = cap)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+        .toMap
+    val all = run(100)
+    assert(all((1L, 2L)) == ((1L, math.rint((1.0 - 1.0 / 19) * 1e6) / 1e6)))
+    // reorder: set-identical but order-distant (spot the exact value
+    // via Spark's own unbanded builtin as the independent reference)
+    val ref = docs.sparkSession.sql(
+      "SELECT levenshtein('the quick brown fox', 'fox brown quick the')")
+      .head().getInt(0).toLong
+    assert(ref > 5L && all((1L, 3L))._1 == ref)
+    assert(all((4L, 5L)) == ((0L, 1.0))) // both empty: dist 0, sim 1.0
+    // band cap: only the 1-edit pair and the empty pair survive at 5
+    assert(run(5).keySet == Set((1L, 2L), (4L, 5L)))
+  }
+
+  test("editVerifiedPairs: LSH candidates feed the levenshtein verify") {
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango"
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("echo", "exho")),  // near-identical: LSH catches
+      (3L, "completely different words with nothing shared at all here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.editVerifiedPairs(docs, "text", "doc_id", maxDist = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 2L, 1L)))
+  }
 }

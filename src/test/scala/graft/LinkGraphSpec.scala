@@ -268,4 +268,27 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(LinkGraph.bibCoupling(edges, "src", "dst", maxIndeg = 2L)
       .count() == 0L)
   }
+
+  test("kCore: K4 + pendant chain peels in waves; fixpoint reached") {
+    def core(edges: Seq[(Long, Long)], k: Int, rounds: Int): Map[Long, Long] =
+      LinkGraph.kCore(edges.toDF("s", "d"), "s", "d", k, rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // K4 on {0,1,2,3} + chain 3-4-5-6: the 2-core is exactly the K4 —
+    // but the chain strips one vertex per round (6 first, then 5,
+    // then 4), so intermediate rounds expose the wave semantics
+    val g = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L),
+      (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    assert(core(g, 2, 1) == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 4L,
+      4L -> 2L, 5L -> 1L)) // 6 dropped (deg 1); 5 keeps its stub to 4
+    assert(core(g, 2, 2) == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 4L,
+      4L -> 1L)) // 5 dropped, 4 now dangling
+    val fix = Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L)
+    assert(core(g, 2, 3) == fix)          // exact 2-core = the K4
+    assert(core(g, 2, 4) == fix)          // one more round: unchanged
+    // k=4: even the K4 dies (max degree inside is 3) -> empty core
+    assert(core(g, 4, 3).isEmpty)
+    // duplicate/reversed/self-loop edges collapse before peeling
+    val noisy = g ++ Seq((1L, 0L), (0L, 0L), (0L, 1L))
+    assert(core(noisy, 2, 3) == fix)
+  }
 }
