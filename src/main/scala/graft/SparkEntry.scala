@@ -3512,7 +3512,34 @@ object SparkEntry {
     "q194_gopher_gate" -> ((s, dir) =>
       graft.ops.CorpusFilters.decide(
         T(s, dir, "documents"), "text", "doc_id",
-        graft.ops.CorpusFilters.gopherRules(minTokens = 30L, minStopwords = 1)))
+        graft.ops.CorpusFilters.gopherRules(minTokens = 30L, minStopwords = 1))),
+
+    // ---- north-star: WordPiece trainer (Schuster & Nakajima 2012 —
+    //      the third public tokenizer algorithm beside BPE and the
+    //      unigram LM): the BPE merge loop with the LIKELIHOOD
+    //      objective pc/(cl·cr); the oracle replays every round's
+    //      symbol counts, pair counts, score argmax, and ##-aware
+    //      merge application bit-identically.
+    "q195_wordpiece_train" -> ((s, dir) =>
+      graft.ops.WordPiece.train(T(s, dir, "documents"), "text", 6)),
+
+    // ---- north-star: DURABLE WordPiece vocabulary — train on the
+    //      even half, publish alphabet+merges as parquet, greedy-
+    //      encode the odd half from the STORED vocab via the codegen
+    //      kernel (the q124/q173 frozen-model lifecycle; longest-
+    //      match-first with the whole-word [UNK] fallback).
+    "q196_durable_wordpiece" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val even = docs.filter(col("doc_id") % 2 === 0)
+      val modelDir = tmp("q196_wp_vocab")
+      graft.ops.WordPiece.vocab(even, "text",
+        graft.ops.WordPiece.train(even, "text", 6))
+        .write.mode("overwrite").parquet(modelDir)
+      val pieces = graft.ops.WordPiece.pieceList(s.read.parquet(modelDir))
+      docs.filter(col("doc_id") % 2 =!= 0).select(col("doc_id"),
+        graft.functions.GraftFunctions.wordPieceCount(s, col("text"), pieces)
+          .as("n_wp_tokens"))
+    })
   )
 
   /** graft-authored pipeline config (reference YAML shape,
@@ -3688,7 +3715,7 @@ object SparkEntry {
       val prev = s"v${i - 1}"
       sb ++=
         s""",
-           |p$i AS (SELECT pair, sum(n) AS cnt FROM (
+           |p$i AS MATERIALIZED (SELECT pair, sum(n) AS cnt FROM (
            |    SELECT n, unnest(list_transform(generate_series(1, len(l) - 1),
            |      __j -> l[__j] || chr(2) || l[__j + 1])) AS pair
            |    FROM (SELECT n, string_split(wsym, $ss) AS l FROM $prev))
@@ -3702,6 +3729,116 @@ object SparkEntry {
            |          chr(1) || b.left_sym || b.right_sym || chr(1)), chr(1)) AS wsym, n
            |        FROM $prev, b$i b)""".stripMargin
     }
+    sb.toString
+  }
+
+  /** DuckDB oracle CTE chain replaying [[graft.ops.WordPiece.train]]
+    * verbatim — [[bpeTrainCtes]]'s loop with the WordPiece objective:
+    * per rank i a symbol-count aggregation `sy_i`, the pair counts
+    * `p_i`, the winner `b_i` by likelihood score `pc/(cl·cr)` (double
+    * of exact ints — identically rounded in both engines; ties left
+    * asc, right asc), and the merge application `v_i` where the fused
+    * symbol drops the right side's `##` marker. Starts the WITH list
+    * as RECURSIVE so [[wordPieceEncodeCtes]] can append its walk. */
+  private def wordPieceTrainCtes(k: Int, corpusWhere: String = ""): String = {
+    val ss = "chr(1) || chr(1)"
+    val sb = new StringBuilder
+    sb ++=
+      s"""WITH RECURSIVE w AS (SELECT word, count(*) AS n
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+         |        FROM documents $corpusWhere)
+         |  GROUP BY word),
+         |v0 AS MATERIALIZED (SELECT regexp_replace(rtrim(regexp_replace(word, '(.)',
+         |         '##\\1' || $ss, 'g'), chr(1)), '^##', '') AS wsym, n
+         |       FROM w)""".stripMargin
+    for (i <- 1 to k) {
+      val prev = s"v${i - 1}"
+      sb ++=
+        s""",
+           |sy$i AS MATERIALIZED (SELECT sym, sum(n) AS cnt FROM (
+           |    SELECT n, unnest(string_split(wsym, $ss)) AS sym FROM $prev)
+           |  GROUP BY sym),
+           |p$i AS MATERIALIZED (SELECT pair, sum(n) AS cnt FROM (
+           |    SELECT n, unnest(list_transform(generate_series(1, len(l) - 1),
+           |      __j -> l[__j] || chr(2) || l[__j + 1])) AS pair
+           |    FROM (SELECT n, string_split(wsym, $ss) AS l FROM $prev))
+           |  GROUP BY pair),
+           |b$i AS MATERIALIZED (SELECT left_sym, right_sym, pair_count, left_count, right_count,
+           |         left_sym || CASE WHEN right_sym LIKE '##%' THEN substr(right_sym, 3)
+           |                          ELSE right_sym END AS merged_sym
+           |       FROM (SELECT string_split(pair, chr(2))[1] AS left_sym,
+           |               string_split(pair, chr(2))[2] AS right_sym,
+           |               CAST(p.cnt AS BIGINT) AS pair_count,
+           |               CAST(sl.cnt AS BIGINT) AS left_count,
+           |               CAST(sr.cnt AS BIGINT) AS right_count
+           |             FROM p$i p
+           |             JOIN sy$i sl ON sl.sym = string_split(p.pair, chr(2))[1]
+           |             JOIN sy$i sr ON sr.sym = string_split(p.pair, chr(2))[2])
+           |       ORDER BY CAST(pair_count AS DOUBLE) /
+           |           (CAST(left_count AS DOUBLE) * CAST(right_count AS DOUBLE)) DESC,
+           |         left_sym ASC, right_sym ASC LIMIT 1),
+           |v$i AS MATERIALIZED (SELECT trim(replace(chr(1) || wsym || chr(1),
+           |          chr(1) || b.left_sym || $ss || b.right_sym || chr(1),
+           |          chr(1) || b.merged_sym || chr(1)), chr(1)) AS wsym, n
+           |        FROM $prev, b$i b)""".stripMargin
+    }
+    sb.toString
+  }
+
+  /** Greedy WordPiece encode replay (appends to [[wordPieceTrainCtes]]):
+    * `vocab` = training alphabet (every seeded piece of `v0`) + the k
+    * merged pieces; the longest-match-first walk over `wordsCte`'s
+    * DISTINCT words is UNROLLED as `maxW` chained step CTEs against a
+    * precomputed per-(word, position) best-match-length table `wsub`
+    * (each step consumes >= 1 char, so `maxW` >= the max word length
+    * bounds the walk — 16 vs the fixture's 8, the q173 margin). A
+    * matchless position kills the word to one [UNK] token (`fin`).
+    * Deliberately NOT a recursive CTE: DuckDB 1.0 mis-evaluates
+    * correlated lookups against MATERIALIZED CTEs inside recursion
+    * (observed: every lookup NULL -> all words [UNK]), and without
+    * materialization the chained train CTEs re-inline exponentially.
+    * Character positions replay the kernel's code points exactly on
+    * ASCII corpora (spec-pinned). */
+  private def wordPieceEncodeCtes(
+      k: Int, wordsCte: String, maxW: Int = 16): String = {
+    val ss = "chr(1) || chr(1)"
+    val merged = (1 to k).map(i => s"SELECT merged_sym FROM b$i").mkString(" UNION ")
+    val sb = new StringBuilder
+    sb ++=
+      s""",
+         |walpha AS (SELECT DISTINCT unnest(string_split(wsym, $ss)) AS piece
+         |           FROM v0 WHERE wsym <> ''),
+         |vocab AS (SELECT piece FROM walpha UNION $merged),
+         |vraw AS MATERIALIZED (SELECT piece, piece NOT LIKE '##%' AS init,
+         |    CASE WHEN piece LIKE '##%' THEN substr(piece, 3) ELSE piece END AS raw
+         |  FROM vocab),
+         |words AS MATERIALIZED (SELECT word, length(word) AS wl
+         |  FROM (SELECT DISTINCT word FROM $wordsCte WHERE word <> '')),
+         |wsub AS MATERIALIZED (
+         |  SELECT w.word, q.i AS pos, max(length(v.raw)) AS bl
+         |  FROM words w
+         |  JOIN (SELECT unnest(generate_series(1, $maxW)) AS i) q ON q.i <= w.wl
+         |  JOIN vraw v ON v.init = (q.i = 1)
+         |    AND substr(w.word, q.i, length(v.raw)) = v.raw
+         |  GROUP BY w.word, q.i),
+         |g0 AS (SELECT word, wl, 1 AS pos, 0 AS np, FALSE AS dead FROM words)""".stripMargin
+    for (j <- 1 to maxW) {
+      sb ++=
+        s""",
+           |g$j AS MATERIALIZED (
+           |  SELECT g.word, g.wl,
+           |    CASE WHEN g.pos > g.wl OR g.dead THEN g.pos
+           |         ELSE g.pos + coalesce(s.bl, 1) END AS pos,
+           |    CASE WHEN g.pos > g.wl OR g.dead THEN g.np ELSE g.np + 1 END AS np,
+           |    CASE WHEN g.pos > g.wl THEN g.dead
+           |         ELSE g.dead OR s.bl IS NULL END AS dead
+           |  FROM g${j - 1} g LEFT JOIN wsub s
+           |    ON s.word = g.word AND s.pos = g.pos)""".stripMargin
+    }
+    sb ++=
+      s""",
+         |fin AS (SELECT word, CASE WHEN dead THEN 1 ELSE np END AS n
+         |        FROM g$maxW)""".stripMargin
     sb.toString
   }
 
@@ -4658,6 +4795,32 @@ object SparkEntry {
       graft.ops.CorpusFilters.oracleSql(
         graft.ops.CorpusFilters.gopherRules(minTokens = 30L, minStopwords = 1),
         "documents", "text", "doc_id"),
+
+    // WordPiece training replay: per-round symbol/pair aggregations,
+    // the likelihood-score argmax (double of exact ints — identically
+    // rounded), and the ##-aware merge, unrolled per rank
+    "q195_wordpiece_train" -> {
+      val k = 6
+      s"""${wordPieceTrainCtes(k)}
+         |${(1 to k).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS rank, left_sym, right_sym, " +
+          s"merged_sym, pair_count, left_count, right_count FROM b$i")
+        .mkString(" UNION ALL ")}""".stripMargin
+    },
+
+    // durable-WordPiece replay: train on the even half, vocabulary =
+    // seeded alphabet + merged pieces, then the recursive greedy
+    // longest-match walk over the odd half's distinct words (whole-
+    // word [UNK] on a matchless position), summed back per doc
+    "q196_durable_wordpiece" -> {
+      val k = 6
+      s"""${wordPieceTrainCtes(k, "WHERE doc_id % 2 = 0")},
+         |tw AS MATERIALIZED (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |       FROM documents WHERE doc_id % 2 <> 0)${wordPieceEncodeCtes(k, "tw")}
+         |SELECT t.doc_id, CAST(coalesce(sum(f.n), 0) AS BIGINT) AS n_wp_tokens
+         |FROM tw t JOIN fin f ON f.word = t.word
+         |GROUP BY t.doc_id""".stripMargin
+    },
 
     "q25_media_stats" ->
       s"""SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

@@ -302,7 +302,27 @@ object GraftFunctions {
     LcsCountKernel(args.head, args(1))
   }
 
+  private val wordPiecePiecesId = FunctionIdentifier("graft_wordpiece_pieces")
+  private val wordPiecePiecesInfo =
+    new ExpressionInfo(classOf[WordPiecePiecesKernel].getName, "graft_wordpiece_pieces")
+  private val wordPiecePiecesBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 2,
+      s"graft_wordpiece_pieces expects (word, vocabSpec), got ${args.length} args")
+    WordPiecePiecesKernel(args.head, args(1))
+  }
+
+  private val wordPieceCountId = FunctionIdentifier("graft_wordpiece_count")
+  private val wordPieceCountInfo =
+    new ExpressionInfo(classOf[WordPieceCountKernel].getName, "graft_wordpiece_count")
+  private val wordPieceCountBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 2,
+      s"graft_wordpiece_count expects (text, vocabSpec), got ${args.length} args")
+    WordPieceCountKernel(args.head, args(1))
+  }
+
   private val all = Seq(
+    (wordPiecePiecesId, wordPiecePiecesInfo, wordPiecePiecesBuilder),
+    (wordPieceCountId, wordPieceCountInfo, wordPieceCountBuilder),
     (lcsCountId, lcsCountInfo, lcsCountBuilder),
     (audioStatsId, audioStatsInfo, audioStatsBuilder),
     (scriptProfileId, scriptProfileInfo, scriptProfileBuilder),
@@ -489,6 +509,26 @@ object GraftFunctions {
     register(spark)
     org.apache.spark.sql.functions.call_function("graft_unigram_count", text,
       org.apache.spark.sql.functions.lit(UnigramKernels.spec(model)))
+  }
+
+  /** Column-API handle on the WordPiece greedy-segmentation kernel —
+    * see [[WordPieceKernels.pieces]]. `vocab` = piece list of a
+    * trained [[graft.ops.WordPiece]] vocabulary. */
+  def wordPiecePieces(
+      spark: SparkSession, word: Column, vocab: Seq[String]): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_wordpiece_pieces", word,
+      org.apache.spark.sql.functions.lit(WordPieceKernels.spec(vocab)))
+  }
+
+  /** Column-API handle on the WordPiece token-count kernel — see
+    * [[WordPieceKernels.count]]: the production encoder for a trained
+    * WordPiece vocabulary (the greedy twin of [[unigramCount]]). */
+  def wordPieceCount(
+      spark: SparkSession, text: Column, vocab: Seq[String]): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_wordpiece_count", text,
+      org.apache.spark.sql.functions.lit(WordPieceKernels.spec(vocab)))
   }
 
   /** Column-API handle on the PII audit kernel — see
