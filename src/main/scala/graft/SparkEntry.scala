@@ -3539,6 +3539,19 @@ object SparkEntry {
       docs.filter(col("doc_id") % 2 =!= 0).select(col("doc_id"),
         graft.functions.GraftFunctions.wordPieceCount(s, col("text"), pieces)
           .as("n_wp_tokens"))
+    }),
+
+    // ---- north-star: SQ8 scalar-quantized ANN — the no-codebook
+    //      sibling of PQ (q70/q71): per-dimension min/max train, one
+    //      narrow encode projection to [0,255] codes, asymmetric
+    //      midpoint-dequantized inner product; search touches only the
+    //      integer code table. Train/encode/score replay exactly
+    //      (min/max are summation-free, the score is the shared
+    //      left-fold dot, rounded).
+    "q197_sq8_topk" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.sqTopK(emb, emb.filter(col("vec_id") === 0),
+        "vec_id", "embedding", topK = 10, dims = 64)
     })
   )
 
@@ -4821,6 +4834,33 @@ object SparkEntry {
          |FROM tw t JOIN fin f ON f.word = t.word
          |GROUP BY t.doc_id""".stripMargin
     },
+
+    // SQ8 replay: per-dimension min/max (summation-free — exact), the
+    // same floor/clamp code arithmetic, midpoint dequantization with
+    // identical parenthesization, and the shared left-fold dot
+    "q197_sq8_topk" ->
+      s"""WITH rngrows AS (
+         |  SELECT d.__i AS d,
+         |    min(CAST(embedding[d.__i] AS DOUBLE)) AS mn,
+         |    max(CAST(embedding[d.__i] AS DOUBLE)) AS mx
+         |  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS __i) d
+         |  GROUP BY d.__i),
+         |rng AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs
+         |        FROM rngrows),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |s AS (SELECT e.vec_id,
+         |    round(list_sum(list_transform(generate_series(1, 64), __i ->
+         |      CAST(q.qe[__i] AS DOUBLE) *
+         |        (r.mns[__i] +
+         |          ((CASE WHEN r.mxs[__i] = r.mns[__i] THEN 0
+         |             ELSE least(greatest(CAST(floor(
+         |               (CAST(e.embedding[__i] AS DOUBLE) - r.mns[__i])
+         |                 / (r.mxs[__i] - r.mns[__i]) * 255) AS BIGINT),
+         |               0), 255) END) + 0.5) *
+         |          ((r.mxs[__i] - r.mns[__i]) / 256)))), 6) AS approx_dot
+         |  FROM embeddings e, rng r, q)
+         |SELECT vec_id, approx_dot FROM s
+         |ORDER BY approx_dot DESC, vec_id ASC LIMIT 10""".stripMargin,
 
     "q25_media_stats" ->
       s"""SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

@@ -1131,4 +1131,103 @@ object Similarity {
     corpus.select(col(idCol),
       cosineFast(spark, col(embCol), typedlit(centroid)).as("cos"))
   }
+
+  /**
+   * Train SQ8 scalar-quantization ranges: the per-dimension (min, max)
+   * over the corpus — ONE aggregation, output dims-bounded
+   * (driver-sized by design, like a PQ codebook). Exact: min/max
+   * involve no float summation, so both engines compute identical
+   * doubles.
+   */
+  def sqRanges(
+      corpus: DataFrame, embCol: String, dims: Int): Seq[(Double, Double)] = {
+    require(dims >= 1, "sqRanges needs dims >= 1")
+    val aggs = (0 until dims).flatMap { d =>
+      val x = element_at(col(embCol), d + 1).cast("double")
+      Seq(min(x).as(s"mn_$d"), max(x).as(s"mx_$d"))
+    }
+    val row = corpus.agg(aggs.head, aggs.tail: _*).head()
+    (0 until dims).map(d => (row.getDouble(2 * d), row.getDouble(2 * d + 1)))
+  }
+
+  /**
+   * SQ8 encode (the FAISS `SQ8` / scalar-quantizer compression block,
+   * public): each float dimension maps to an integer code in [0, 255]
+   * via `floor((x − min) / (max − min) · 255)` (clamped; a degenerate
+   * constant dimension codes 0). 64 floats → 64 bytes conceptually —
+   * the simpler sibling of PQ: no training iterations, no codebook
+   * search, reconstruction error bounded per-dimension instead of
+   * per-block.
+   *
+   * Ranges are driver literals, so encoding is ONE narrow codegen
+   * projection — no joins, no shuffles; identical floor/clamp
+   * arithmetic replays in the oracle.
+   */
+  def sqEncode(
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      dims: Int,
+      ranges: Seq[(Double, Double)]): DataFrame = {
+    require(ranges.length == dims, s"ranges must have $dims entries")
+    val codes = (0 until dims).map { d =>
+      val (mn, mx) = ranges(d)
+      val x = element_at(col(embCol), d + 1).cast("double")
+      if (mx == mn) lit(0L)
+      else least(greatest(
+        floor((x - lit(mn)) / lit(mx - mn) * lit(255.0)).cast("long"),
+        lit(0L)), lit(255L))
+    }
+    corpus.select(col(idCol), array(codes: _*).as("codes"))
+  }
+
+  /**
+   * SQ8 asymmetric-distance top-k (MIPS form): approximate inner
+   * product against the DEQUANTIZED corpus codes — the query side
+   * stays exact (the "asymmetric" of the ADC family), the corpus side
+   * reconstructs each dimension at its bucket midpoint
+   * `min + (code + 0.5) · (max − min)/256`. Search touches only the
+   * integer code table + the dims-bounded range literals: one narrow
+   * projection + `TakeOrderedAndProject`, never the float embeddings —
+   * the working-set shrink that makes a 100 TB vector corpus
+   * RAM-resident. Scores fold left-to-right over dimensions and round
+   * to 6 decimals (the [[dot]] determinism contract).
+   */
+  def sqTopKWith(
+      codes: DataFrame,
+      queryDf: DataFrame,
+      idCol: String,
+      embCol: String,
+      topK: Int,
+      dims: Int,
+      ranges: Seq[(Double, Double)]): DataFrame = {
+    require(ranges.length == dims, s"ranges must have $dims entries")
+    requireSingleQuery(queryDf, "sqTopKWith")
+    val q = queryDf.select(col(embCol)).head().getSeq[Float](0)
+    require(q.length == dims, s"query must have $dims dims, got ${q.length}")
+    val qArr = array(q.map(v => lit(v.toDouble)): _*)
+    val recon = array((0 until dims).map { d =>
+      val (mn, mx) = ranges(d)
+      lit(mn) + (element_at(col("codes"), d + 1) + lit(0.5)) * lit((mx - mn) / 256.0)
+    }: _*)
+    codes
+      .select(col(idCol), round(dot(qArr, recon), 6).as("approx_dot"))
+      .orderBy(col("approx_dot").desc, col(idCol).asc)
+      .limit(topK)
+  }
+
+  /** Train + encode + search in one call (the q70/q71 convenience
+    * shape; production persists [[sqEncode]]'s codes and calls
+    * [[sqTopKWith]] per query). */
+  def sqTopK(
+      corpus: DataFrame,
+      queryDf: DataFrame,
+      idCol: String,
+      embCol: String,
+      topK: Int,
+      dims: Int): DataFrame = {
+    val ranges = sqRanges(corpus, embCol, dims)
+    sqTopKWith(sqEncode(corpus, idCol, embCol, dims, ranges),
+      queryDf, idCol, embCol, topK, dims, ranges)
+  }
 }

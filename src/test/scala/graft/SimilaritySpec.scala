@@ -498,4 +498,50 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got(10L) == 1.0 && got(11L) == 0.0)
     assert(math.abs(got(12L) - 0.707107) < 1e-6)
   }
+
+  test("sq8: hand ranges, codes, clamp, degenerate dim") {
+    val corpus = Seq(
+      (1L, vec(0.0, 5.0, 7.0)),
+      (2L, vec(10.0, 5.0, 3.0)),
+      (3L, vec(5.0, 5.0, 5.0))).toDF("vec_id", "embedding")
+    val r = Similarity.sqRanges(corpus, "embedding", 3)
+    assert(r == Seq((0.0, 10.0), (5.0, 5.0), (3.0, 7.0)))
+    val codes = Similarity.sqEncode(corpus, "vec_id", "embedding", 3, r)
+      .collect().map(x => x.getLong(0) -> x.getSeq[Long](1)).toMap
+    // dim 0: (x-0)/10*255 -> floor 0 / 255 / 127; dim 1 degenerate -> 0;
+    // dim 2: (x-3)/4*255 -> 255 / 0 / 127
+    assert(codes(1L) == Seq(0L, 0L, 255L))
+    assert(codes(2L) == Seq(255L, 0L, 0L))
+    assert(codes(3L) == Seq(127L, 0L, 127L))
+  }
+
+  test("sq8 topK: midpoint dequantization, ranking, driver reference") {
+    val n = 40
+    val corpus = (0 until n).map { i =>
+      (i.toLong, vec((i % 7).toDouble, (i % 5).toDouble, (i * 3 % 11).toDouble, 1.0))
+    }.toDF("vec_id", "embedding")
+    val q = corpus.filter($"vec_id" === 0)
+    val got = Similarity.sqTopK(corpus, q, "vec_id", "embedding", topK = 5, dims = 4)
+      .collect().map(x => (x.getLong(0), x.getDouble(1)))
+    // driver-side reference with the same midpoint reconstruction
+    val data = (0 until n).map(i =>
+      (i.toLong, Seq((i % 7).toDouble, (i % 5).toDouble, (i * 3 % 11).toDouble, 1.0)))
+    val mins = (0 until 4).map(d => data.map(_._2(d)).min)
+    val maxs = (0 until 4).map(d => data.map(_._2(d)).max)
+    val qv = data.head._2
+    def score(v: Seq[Double]): Double = {
+      val s = (0 until 4).map { d =>
+        val code =
+          if (maxs(d) == mins(d)) 0L
+          else math.floor((v(d) - mins(d)) / (maxs(d) - mins(d)) * 255)
+            .toLong.max(0L).min(255L)
+        qv(d) * (mins(d) + (code + 0.5) * ((maxs(d) - mins(d)) / 256.0))
+      }.sum
+      // Spark round() is decimal HALF_UP, not rint's half-even
+      BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val ref = data.map { case (id, v) => (id, score(v)) }
+      .sortBy { case (id, sc) => (-sc, id) }.take(5)
+    assert(got.toSeq == ref)
+  }
 }
