@@ -3552,6 +3552,18 @@ object SparkEntry {
       val emb = T(s, dir, "embeddings")
       Similarity.sqTopK(emb, emb.filter(col("vec_id") === 0),
         "vec_id", "embedding", topK = 10, dims = 64)
+    }),
+
+    // ---- north-star: t-closeness audit (q171's missing third gate):
+    //      per-group Earth Mover's Distance of the sensitive-bucket
+    //      distribution from the global one, over the ordered
+    //      equal-spacing metric — integer-exact cumulative numerators
+    //      over the common denominator, ONE double division per group.
+    "q198_t_closeness" -> ((s, dir) => {
+      val cust = T(s, dir, "customer")
+        .withColumn("bal_bucket", floor(col("c_acctbal") / 1000))
+      graft.ops.Privacy.tClosenessGroups(
+        cust, Seq("c_nationkey", "c_mktsegment"), "bal_bucket")
     })
   )
 
@@ -4861,6 +4873,36 @@ object SparkEntry {
          |  FROM embeddings e, rng r, q)
          |SELECT vec_id, approx_dot FROM s
          |ORDER BY approx_dot DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    // t-closeness replay: identical integer numerators over the
+    // group×value grid, ordered cumulative window, one final division
+    "q198_t_closeness" ->
+      """WITH rows0 AS (
+        |  SELECT c_nationkey, c_mktsegment, floor(c_acctbal / 1000) AS v
+        |  FROM customer WHERE floor(c_acctbal / 1000) IS NOT NULL),
+        |gv AS (SELECT v, count(*) AS gcnt FROM rows0 GROUP BY v),
+        |gvr AS (SELECT v, gcnt, row_number() OVER (ORDER BY v) AS r FROM gv),
+        |meta AS (SELECT CAST(sum(gcnt) AS BIGINT) AS n_total, count(*) AS m
+        |         FROM gv),
+        |grp AS (SELECT c_nationkey, c_mktsegment, count(*) AS ng
+        |        FROM rows0 GROUP BY 1, 2),
+        |cells AS (SELECT c_nationkey, c_mktsegment, v, count(*) AS cnt
+        |          FROM rows0 GROUP BY 1, 2, 3),
+        |grid AS (
+        |  SELECT g.c_nationkey, g.c_mktsegment, g.ng, x.r, m.n_total, m.m,
+        |    (coalesce(c.cnt, 0) * m.n_total - x.gcnt * g.ng) AS numer
+        |  FROM grp g CROSS JOIN gvr x CROSS JOIN meta m
+        |  LEFT JOIN cells c ON c.c_nationkey = g.c_nationkey
+        |    AND c.c_mktsegment = g.c_mktsegment AND c.v = x.v),
+        |cum AS (SELECT c_nationkey, c_mktsegment, ng, n_total, m,
+        |    sum(numer) OVER (PARTITION BY c_nationkey, c_mktsegment
+        |      ORDER BY r) AS cum
+        |  FROM grid)
+        |SELECT c_nationkey, c_mktsegment, CAST(ng AS BIGINT) AS n,
+        |  CASE WHEN m <= 1 THEN 0.0
+        |       ELSE round(CAST(sum(abs(cum)) AS BIGINT)
+        |         / (ng * n_total * (m - 1)), 6) END AS emd
+        |FROM cum GROUP BY c_nationkey, c_mktsegment, ng, n_total, m""".stripMargin,
 
     "q25_media_stats" ->
       s"""SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

@@ -140,4 +140,46 @@ class PiiSpec extends AnyFunSuite {
     assert(clean.getAs[Long]("n_rows_at_risk") == 0L)
     assert(clean.getAs[Long]("n_low_diversity") == 0L)
   }
+
+  test("tCloseness: hand EMD over the ordered metric, densified grid") {
+    // global: v1:3 v2:3 v3:2 (N=8, m=3)
+    // A=[1,1]: cum numerators 10, 4, 0  -> EMD 14/(2*8*2) = 0.4375
+    // B=[2,2]: cum numerators -6, 4, 0  -> EMD 10/32      = 0.3125
+    // C=[1,2,3,3]: cum -4, -8, 0        -> EMD 12/64      = 0.1875
+    val rows = Seq(("A", 1), ("A", 1), ("B", 2), ("B", 2),
+      ("C", 1), ("C", 2), ("C", 3), ("C", 3))
+    val df = rows.toDF("q", "s")
+    val got = graft.ops.Privacy.tClosenessGroups(df, Seq("q"), "s")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got == Map("A" -> ((2L, 0.4375)), "B" -> ((2L, 0.3125)),
+      "C" -> ((4L, 0.1875))))
+    // partitioning-invariant (integer core; one final division)
+    val got7 = graft.ops.Privacy.tClosenessGroups(df.repartition(7), Seq("q"), "s")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got7 == got)
+    // constant sensitive attribute: every group matches global, EMD 0
+    val const = graft.ops.Privacy.tClosenessGroups(
+      Seq(("A", 5), ("B", 5)).toDF("q", "s"), Seq("q"), "s")
+      .collect().map(_.getDouble(2))
+    assert(const.toSeq == Seq(0.0, 0.0))
+  }
+
+  test("tClosenessReport: violations among k-anonymous groups only") {
+    val rows = Seq(("A", 1), ("A", 1), ("B", 2), ("B", 2),
+      ("C", 1), ("C", 2), ("C", 3), ("C", 3), ("D", 3))
+    // D has n=1 < k: its (large) EMD must NOT count as a violation
+    val r = graft.ops.Privacy.tClosenessReport(
+      rows.toDF("q", "s"), Seq("q"), "s", k = 2, t = 0.3).head()
+    assert(r.getAs[Long]("n_groups") == 4L)
+    assert(r.getAs[Long]("n_tclose_violations") == 2L) // A and B
+    val mx = r.getAs[Double]("max_emd_anonymous")
+    assert(mx > 0.3 && mx < 1.0)
+    assert(r.getAs[Long]("sum_emd_micro") > 0L)
+    intercept[IllegalArgumentException] {
+      graft.ops.Privacy.tClosenessReport(rows.toDF("q", "s"), Seq("q"), "s",
+        k = 2, t = 1.5)
+    }
+  }
 }
