@@ -3564,6 +3564,39 @@ object SparkEntry {
         .withColumn("bal_bucket", floor(col("c_acctbal") / 1000))
       graft.ops.Privacy.tClosenessGroups(
         cust, Seq("c_nationkey", "c_mktsegment"), "bal_bucket")
+    }),
+
+    // ---- north-star: THREE-tokenizer equity report — q174 extended
+    //      with the WordPiece column: per-language chars/token under
+    //      BPE, unigram-LM, and greedy WordPiece side by side, all
+    //      three trained on the same corpus in the same job. The
+    //      fairness dashboard a multilingual pipeline publishes when
+    //      CHOOSING its tokenizer, not just shipping one.
+    "q199_tokenizer_equity3" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val bpeMerges = graft.ops.Bpe.mergeList(
+        graft.ops.Bpe.train(docs, "text", merges = 6))
+      val uniModel = graft.ops.Unigram.modelTable(
+        graft.ops.Unigram.train(docs, "text",
+          maxPieceLen = 3, seedSize = 30, emIters = 2, keepSize = 12))
+      val wpPieces = graft.ops.WordPiece.pieceList(
+        graft.ops.WordPiece.vocab(docs, "text",
+          graft.ops.WordPiece.train(docs, "text", merges = 6)))
+      docs.filter(col("text").isNotNull).groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(length(replace(col("text"), lit(" ")))).as("n_chars"),
+          sum(graft.functions.GraftFunctions.bpeCount(s, col("text"), bpeMerges))
+            .as("bpe_tokens"),
+          sum(graft.functions.GraftFunctions.unigramCount(s, col("text"), uniModel))
+            .as("unigram_tokens"),
+          sum(graft.functions.GraftFunctions.wordPieceCount(s, col("text"), wpPieces))
+            .as("wp_tokens"))
+        .withColumn("chars_per_bpe_token",
+          round(col("n_chars").cast("double") / col("bpe_tokens"), 6))
+        .withColumn("chars_per_unigram_token",
+          round(col("n_chars").cast("double") / col("unigram_tokens"), 6))
+        .withColumn("chars_per_wp_token",
+          round(col("n_chars").cast("double") / col("wp_tokens"), 6))
     })
   )
 
@@ -3765,30 +3798,31 @@ object SparkEntry {
     * asc, right asc), and the merge application `v_i` where the fused
     * symbol drops the right side's `##` marker. Starts the WITH list
     * as RECURSIVE so [[wordPieceEncodeCtes]] can append its walk. */
-  private def wordPieceTrainCtes(k: Int, corpusWhere: String = ""): String = {
+  private def wordPieceTrainCtes(
+      k: Int, corpusWhere: String = "", pfx: String = ""): String = {
     val ss = "chr(1) || chr(1)"
     val sb = new StringBuilder
     sb ++=
-      s"""WITH RECURSIVE w AS (SELECT word, count(*) AS n
+      s"""WITH RECURSIVE ${pfx}w AS (SELECT word, count(*) AS n
          |  FROM (SELECT unnest(string_split(text, ' ')) AS word
          |        FROM documents $corpusWhere)
          |  GROUP BY word),
-         |v0 AS MATERIALIZED (SELECT regexp_replace(rtrim(regexp_replace(word, '(.)',
+         |${pfx}v0 AS MATERIALIZED (SELECT regexp_replace(rtrim(regexp_replace(word, '(.)',
          |         '##\\1' || $ss, 'g'), chr(1)), '^##', '') AS wsym, n
-         |       FROM w)""".stripMargin
+         |       FROM ${pfx}w)""".stripMargin
     for (i <- 1 to k) {
-      val prev = s"v${i - 1}"
+      val prev = s"${pfx}v${i - 1}"
       sb ++=
         s""",
-           |sy$i AS MATERIALIZED (SELECT sym, sum(n) AS cnt FROM (
+           |${pfx}sy$i AS MATERIALIZED (SELECT sym, sum(n) AS cnt FROM (
            |    SELECT n, unnest(string_split(wsym, $ss)) AS sym FROM $prev)
            |  GROUP BY sym),
-           |p$i AS MATERIALIZED (SELECT pair, sum(n) AS cnt FROM (
+           |${pfx}p$i AS MATERIALIZED (SELECT pair, sum(n) AS cnt FROM (
            |    SELECT n, unnest(list_transform(generate_series(1, len(l) - 1),
            |      __j -> l[__j] || chr(2) || l[__j + 1])) AS pair
            |    FROM (SELECT n, string_split(wsym, $ss) AS l FROM $prev))
            |  GROUP BY pair),
-           |b$i AS MATERIALIZED (SELECT left_sym, right_sym, pair_count, left_count, right_count,
+           |${pfx}b$i AS MATERIALIZED (SELECT left_sym, right_sym, pair_count, left_count, right_count,
            |         left_sym || CASE WHEN right_sym LIKE '##%' THEN substr(right_sym, 3)
            |                          ELSE right_sym END AS merged_sym
            |       FROM (SELECT string_split(pair, chr(2))[1] AS left_sym,
@@ -3796,16 +3830,16 @@ object SparkEntry {
            |               CAST(p.cnt AS BIGINT) AS pair_count,
            |               CAST(sl.cnt AS BIGINT) AS left_count,
            |               CAST(sr.cnt AS BIGINT) AS right_count
-           |             FROM p$i p
-           |             JOIN sy$i sl ON sl.sym = string_split(p.pair, chr(2))[1]
-           |             JOIN sy$i sr ON sr.sym = string_split(p.pair, chr(2))[2])
+           |             FROM ${pfx}p$i p
+           |             JOIN ${pfx}sy$i sl ON sl.sym = string_split(p.pair, chr(2))[1]
+           |             JOIN ${pfx}sy$i sr ON sr.sym = string_split(p.pair, chr(2))[2])
            |       ORDER BY CAST(pair_count AS DOUBLE) /
            |           (CAST(left_count AS DOUBLE) * CAST(right_count AS DOUBLE)) DESC,
            |         left_sym ASC, right_sym ASC LIMIT 1),
-           |v$i AS MATERIALIZED (SELECT trim(replace(chr(1) || wsym || chr(1),
+           |${pfx}v$i AS MATERIALIZED (SELECT trim(replace(chr(1) || wsym || chr(1),
            |          chr(1) || b.left_sym || $ss || b.right_sym || chr(1),
            |          chr(1) || b.merged_sym || chr(1)), chr(1)) AS wsym, n
-           |        FROM $prev, b$i b)""".stripMargin
+           |        FROM $prev, ${pfx}b$i b)""".stripMargin
     }
     sb.toString
   }
@@ -3825,45 +3859,45 @@ object SparkEntry {
     * Character positions replay the kernel's code points exactly on
     * ASCII corpora (spec-pinned). */
   private def wordPieceEncodeCtes(
-      k: Int, wordsCte: String, maxW: Int = 16): String = {
+      k: Int, wordsCte: String, maxW: Int = 16, pfx: String = ""): String = {
     val ss = "chr(1) || chr(1)"
-    val merged = (1 to k).map(i => s"SELECT merged_sym FROM b$i").mkString(" UNION ")
+    val merged = (1 to k).map(i => s"SELECT merged_sym FROM ${pfx}b$i").mkString(" UNION ")
     val sb = new StringBuilder
     sb ++=
       s""",
-         |walpha AS (SELECT DISTINCT unnest(string_split(wsym, $ss)) AS piece
-         |           FROM v0 WHERE wsym <> ''),
-         |vocab AS (SELECT piece FROM walpha UNION $merged),
-         |vraw AS MATERIALIZED (SELECT piece, piece NOT LIKE '##%' AS init,
+         |${pfx}walpha AS (SELECT DISTINCT unnest(string_split(wsym, $ss)) AS piece
+         |           FROM ${pfx}v0 WHERE wsym <> ''),
+         |${pfx}vocab AS (SELECT piece FROM ${pfx}walpha UNION $merged),
+         |${pfx}vraw AS MATERIALIZED (SELECT piece, piece NOT LIKE '##%' AS init,
          |    CASE WHEN piece LIKE '##%' THEN substr(piece, 3) ELSE piece END AS raw
-         |  FROM vocab),
-         |words AS MATERIALIZED (SELECT word, length(word) AS wl
+         |  FROM ${pfx}vocab),
+         |${pfx}words AS MATERIALIZED (SELECT word, length(word) AS wl
          |  FROM (SELECT DISTINCT word FROM $wordsCte WHERE word <> '')),
-         |wsub AS MATERIALIZED (
+         |${pfx}wsub AS MATERIALIZED (
          |  SELECT w.word, q.i AS pos, max(length(v.raw)) AS bl
-         |  FROM words w
+         |  FROM ${pfx}words w
          |  JOIN (SELECT unnest(generate_series(1, $maxW)) AS i) q ON q.i <= w.wl
-         |  JOIN vraw v ON v.init = (q.i = 1)
+         |  JOIN ${pfx}vraw v ON v.init = (q.i = 1)
          |    AND substr(w.word, q.i, length(v.raw)) = v.raw
          |  GROUP BY w.word, q.i),
-         |g0 AS (SELECT word, wl, 1 AS pos, 0 AS np, FALSE AS dead FROM words)""".stripMargin
+         |${pfx}g0 AS (SELECT word, wl, 1 AS pos, 0 AS np, FALSE AS dead FROM ${pfx}words)""".stripMargin
     for (j <- 1 to maxW) {
       sb ++=
         s""",
-           |g$j AS MATERIALIZED (
+           |${pfx}g$j AS MATERIALIZED (
            |  SELECT g.word, g.wl,
            |    CASE WHEN g.pos > g.wl OR g.dead THEN g.pos
            |         ELSE g.pos + coalesce(s.bl, 1) END AS pos,
            |    CASE WHEN g.pos > g.wl OR g.dead THEN g.np ELSE g.np + 1 END AS np,
            |    CASE WHEN g.pos > g.wl THEN g.dead
            |         ELSE g.dead OR s.bl IS NULL END AS dead
-           |  FROM g${j - 1} g LEFT JOIN wsub s
+           |  FROM ${pfx}g${j - 1} g LEFT JOIN ${pfx}wsub s
            |    ON s.word = g.word AND s.pos = g.pos)""".stripMargin
     }
     sb ++=
       s""",
-         |fin AS (SELECT word, CASE WHEN dead THEN 1 ELSE np END AS n
-         |        FROM g$maxW)""".stripMargin
+         |${pfx}fin AS (SELECT word, CASE WHEN dead THEN 1 ELSE np END AS n
+         |        FROM ${pfx}g$maxW)""".stripMargin
     sb.toString
   }
 
@@ -4903,6 +4937,56 @@ object SparkEntry {
         |       ELSE round(CAST(sum(abs(cum)) AS BIGINT)
         |         / (ng * n_total * (m - 1)), 6) END AS emd
         |FROM cum GROUP BY c_nationkey, c_mktsegment, ng, n_total, m""".stripMargin,
+
+    // three-tokenizer equity replay: the q174 BPE+unigram chains plus
+    // the "wp"-prefixed WordPiece train + greedy-walk chains, per-doc
+    // WordPiece sums joined into the same per-language rollup
+    "q199_tokenizer_equity3" -> {
+      val k = 6
+      s"""WITH RECURSIVE ${unigramTrainCtes(3, 30, 2, 12, 16)},
+         |${bpeTrainCtes(k).stripPrefix("WITH ")},
+         |${wordPieceTrainCtes(k, "", "wp").stripPrefix("WITH RECURSIVE ")},
+         |ew AS MATERIALIZED (SELECT word, CAST(0 AS BIGINT) AS n, len(word) AS wl FROM (
+         |    SELECT DISTINCT word FROM (
+         |      SELECT unnest(string_split(text, ' ')) AS word
+         |      FROM documents WHERE text IS NOT NULL)))
+         |${unigramSegCtes("en", "ew", "ulpf", 3, 16)},
+         |upc AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS pc
+         |        FROM enbt WHERE piece IS NOT NULL GROUP BY word),
+         |dw AS MATERIALIZED (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |  FROM documents WHERE text IS NOT NULL)${wordPieceEncodeCtes(k, "dw", 16, "wp")},
+         |udoc AS (
+         |  SELECT dw.doc_id, sum(coalesce(p.pc, 0)) AS un
+         |  FROM dw LEFT JOIN upc p ON p.word = dw.word
+         |  GROUP BY dw.doc_id),
+         |wdoc AS (
+         |  SELECT dw.doc_id, CAST(coalesce(sum(f.n), 0) AS BIGINT) AS wp
+         |  FROM dw JOIN wpfin f ON f.word = dw.word
+         |  GROUP BY dw.doc_id),
+         |base AS (
+         |  SELECT d.doc_id, d.lang,
+         |    len(replace(d.text, ' ', '')) AS ch,
+         |    list_sum(list_transform(string_split(d.text, ' '), __w ->
+         |      len(string_split(trim(${bpeMergedExpr(k)}, chr(1)),
+         |        chr(1) || chr(1))))) AS bpe
+         |  FROM documents d, ${(1 to k).map(i => s"b$i").mkString(", ")}
+         |  WHERE d.text IS NOT NULL)
+         |SELECT b.lang, count(*) AS n_docs,
+         |  CAST(sum(b.ch) AS BIGINT) AS n_chars,
+         |  CAST(sum(b.bpe) AS BIGINT) AS bpe_tokens,
+         |  CAST(sum(u.un) AS BIGINT) AS unigram_tokens,
+         |  CAST(sum(w.wp) AS BIGINT) AS wp_tokens,
+         |  round(CAST(sum(b.ch) AS DOUBLE) / sum(b.bpe), 6)
+         |    AS chars_per_bpe_token,
+         |  round(CAST(sum(b.ch) AS DOUBLE) / sum(u.un), 6)
+         |    AS chars_per_unigram_token,
+         |  round(CAST(sum(b.ch) AS DOUBLE) / sum(w.wp), 6)
+         |    AS chars_per_wp_token
+         |FROM base b JOIN udoc u ON u.doc_id = b.doc_id
+         |JOIN wdoc w ON w.doc_id = b.doc_id
+         |GROUP BY b.lang""".stripMargin
+    },
 
     "q25_media_stats" ->
       s"""SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
