@@ -3597,7 +3597,16 @@ object SparkEntry {
           round(col("n_chars").cast("double") / col("unigram_tokens"), 6))
         .withColumn("chars_per_wp_token",
           round(col("n_chars").cast("double") / col("wp_tokens"), 6))
-    })
+    }),
+
+    // ---- north-star: Heaps-law vocabulary growth — distinct word
+    //      types vs corpus size at 10 ingestion-order checkpoints; a
+    //      flattening curve means the crawl is re-reading itself. One
+    //      (word -> first bucket) aggregation; everything after is
+    //      buckets-bounded integers.
+    "q200_vocab_growth" -> ((s, dir) =>
+      graft.ops.TextOps.vocabularyGrowth(
+        T(s, dir, "documents"), "text", "doc_id", buckets = 10))
   )
 
   /** graft-authored pipeline config (reference YAML shape,
@@ -4987,6 +4996,28 @@ object SparkEntry {
          |JOIN wdoc w ON w.doc_id = b.doc_id
          |GROUP BY b.lang""".stripMargin
     },
+
+    // vocab-growth replay: identical bucket arithmetic (double
+    // division + floor), first-bucket-per-type aggregation, and the
+    // buckets-bounded cumulative window
+    "q200_vocab_growth" ->
+      """WITH rows0 AS (SELECT doc_id, text FROM documents
+        |               WHERE text IS NOT NULL),
+        |mx AS (SELECT max(doc_id) AS mx FROM rows0),
+        |words AS (SELECT doc_id,
+        |    least(CAST(floor(doc_id * 10 / (mx + 1)) AS BIGINT), 9) AS b,
+        |    unnest(string_split(text, ' ')) AS w
+        |  FROM rows0, mx),
+        |pb AS (SELECT b, count(DISTINCT doc_id) AS n_docs,
+        |         count(*) AS n_tokens FROM words GROUP BY b),
+        |nt AS (SELECT b, count(*) AS n_new_types FROM (
+        |    SELECT w, min(b) AS b FROM words GROUP BY w) GROUP BY b)
+        |SELECT pb.b AS bucket, pb.n_docs, pb.n_tokens,
+        |  coalesce(nt.n_new_types, 0) AS n_new_types,
+        |  CAST(sum(pb.n_tokens) OVER (ORDER BY pb.b) AS BIGINT) AS cum_tokens,
+        |  CAST(sum(coalesce(nt.n_new_types, 0)) OVER (ORDER BY pb.b)
+        |    AS BIGINT) AS cum_types
+        |FROM pb LEFT JOIN nt ON nt.b = pb.b""".stripMargin,
 
     "q25_media_stats" ->
       s"""SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

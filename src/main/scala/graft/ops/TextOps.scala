@@ -419,4 +419,51 @@ object TextOps {
             lit(0.0)))
           .cast("array<float>").as(vecCol))
   }
+
+  /**
+   * Vocabulary growth curve (Heaps'/Herdan's law, public): distinct
+   * word types as a function of corpus size, measured at `buckets`
+   * equal id-range checkpoints in ingestion order. The corpus-health
+   * dial a crawl pipeline watches: a vocabulary that keeps growing at
+   * the Heaps exponent is ingesting genuinely new content; a curve
+   * that flattens early means the crawl is re-reading itself (and a
+   * super-linear jag flags an encoding break or spam flood).
+   *
+   * Scale shape: a word contributes through its FIRST occurrence only
+   * — one (word → min doc) aggregation over the exploded token stream,
+   * then everything is buckets-bounded: per-bucket new-type counts,
+   * per-bucket token counts, and one window over `buckets` rows for
+   * the cumulative curve. All integers — replays exactly. Requires a
+   * dense-ish id space (bucket = id·buckets/(max+1)); the id ORDER is
+   * the ingestion order being measured.
+   *
+   * @return one row per non-empty bucket: (bucket, n_docs, n_tokens,
+   *         n_new_types, cum_tokens, cum_types)
+   */
+  def vocabularyGrowth(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      buckets: Int): DataFrame = {
+    require(buckets >= 2, s"need at least 2 checkpoints, got $buckets")
+    val rows = df.filter(col(textCol).isNotNull)
+    val mx = rows.agg(max(col(idCol)).as("__mx"))
+    val words = rows
+      .crossJoin(broadcast(mx))
+      .select(col(idCol),
+        least(floor(col(idCol) * buckets / (col("__mx") + 1)), lit(buckets - 1))
+          .cast("long").as("__b"),
+        explode(tokens(col(textCol))).as("__w"))
+    val perBucket = words.groupBy("__b")
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_tokens"))
+    val newTypes = words.groupBy("__w").agg(min(col("__b")).as("__b"))
+      .groupBy("__b").agg(count(lit(1)).as("n_new_types"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+    perBucket.join(newTypes, Seq("__b"), "left_outer")
+      .select(col("__b").as("bucket"), col("n_docs"), col("n_tokens"),
+        coalesce(col("n_new_types"), lit(0L)).as("n_new_types"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("cum_types", sum(col("n_new_types")).over(w))
+  }
 }

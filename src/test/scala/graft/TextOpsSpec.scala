@@ -610,4 +610,32 @@ class TextOpsSpec extends AnyFunSuite {
     // "*(1) Project" = the projection fused into a WholeStageCodegen span
     assert(plan.contains("*(1) Project"), plan)
   }
+
+  test("vocabularyGrowth: hand curve, first-occurrence attribution") {
+    // ids 0..3, 2 buckets: {0,1} -> bucket 0, {2,3} -> bucket 1
+    val docs = Seq(
+      (0L, "a b a"),          // new: a, b      (3 tokens)
+      (1L, "b c"),            // new: c         (2 tokens)
+      (2L, "a c d d"),        // new: d         (4 tokens)
+      (3L, "d e"))            // new: e         (2 tokens)
+      .toDF("doc_id", "text")
+    val got = TextOps.vocabularyGrowth(docs, "text", "doc_id", buckets = 2)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      (0L, 2L, 5L, 3L, 5L, 3L),
+      (1L, 2L, 6L, 2L, 11L, 5L)))
+    // partitioning-invariant (integer core)
+    val got7 = TextOps.vocabularyGrowth(docs.repartition(7), "text",
+        "doc_id", buckets = 2)
+      .orderBy("bucket").collect().map(r => r.toSeq)
+    assert(got7.toSeq == got.map(_.productIterator.toSeq).toSeq)
+    // a vocabulary-saturated corpus flattens: bucket 1 adds no types
+    val sat = TextOps.vocabularyGrowth(
+      Seq((0L, "x y"), (1L, "y x"), (2L, "x y x"), (3L, "y")).toDF("doc_id", "text"),
+      "text", "doc_id", buckets = 2).orderBy("bucket").collect()
+    assert(sat(0).getLong(3) == 2L && sat(1).getLong(3) == 0L)
+    assert(sat(1).getLong(5) == 2L) // cum_types stays flat
+  }
 }
