@@ -3606,7 +3606,33 @@ object SparkEntry {
     //      buckets-bounded integers.
     "q200_vocab_growth" -> ((s, dir) =>
       graft.ops.TextOps.vocabularyGrowth(
-        T(s, dir, "documents"), "text", "doc_id", buckets = 10))
+        T(s, dir, "documents"), "text", "doc_id", buckets = 10)),
+
+    // ---- north-star: MMR diversification (Carbonell & Goldstein
+    //      1998) — dedup-aware re-ranking of the q51 BM25 top-15:
+    //      greedy integer-scored selection 7·rel − 3·maxSimToSelected
+    //      (λ = 0.7 as exact weights) with 3-gram-Jaccard similarity
+    //      between candidates; the retrieval-time complement of
+    //      corpus dedup. Driver greedy over a top-k list by design.
+    "q201_mmr_rerank" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val bm = graft.ops.Search.bm25(docs, "text", "doc_id",
+          terms = Seq("spark", "hash", "window"), topK = 15)
+        .select(col("doc_id"),
+          round(col("bm25") * 1e6, 0).cast("long").as("rel_micro"))
+        .localCheckpoint()
+      val ids = bm.select("doc_id")
+      val pairs = ids.select(col("doc_id").as("id_a"))
+        .crossJoin(ids.select(col("doc_id").as("id_b")))
+        .filter(col("id_a") < col("id_b"))
+        .localCheckpoint()
+      val sims = Dedup.verifyPairs(docs, pairs, "text", "doc_id",
+          threshold = 0.0, shingleWords = 3)
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard") * 1e6, 0).cast("long").as("sim_micro"))
+      graft.ops.Search.mmrSelect(bm, sims, "doc_id",
+        k = 8, wRel = 7L, wDiv = 3L)
+    })
   )
 
   /** graft-authored pipeline config (reference YAML shape,
@@ -5018,6 +5044,59 @@ object SparkEntry {
         |  CAST(sum(coalesce(nt.n_new_types, 0)) OVER (ORDER BY pb.b)
         |    AS BIGINT) AS cum_types
         |FROM pb LEFT JOIN nt ON nt.b = pb.b""".stripMargin,
+
+    // MMR replay: the q51 BM25 chain top-15 (micro relevance), exact
+    // 3-gram-Jaccard micro sims over candidate pairs, then 8 unrolled
+    // greedy steps — integer 7·rel − 3·maxSimToSelected, ties by id
+    "q201_mmr_rerank" -> {
+      val steps = 8
+      val sb = new StringBuilder
+      sb ++=
+        s"""WITH $bm25Ctes,
+           |top AS MATERIALIZED (
+           |  SELECT doc_id, CAST(round(bm25 * 1e6, 0) AS BIGINT) AS rel
+           |  FROM sc WHERE bm25 > 0 ORDER BY bm25 DESC, doc_id LIMIT 15),
+           |csh AS MATERIALIZED (
+           |  SELECT DISTINCT t.doc_id, unnest($duckShingles) AS sv
+           |  FROM t JOIN top USING (doc_id)),
+           |csz AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM csh
+           |                     GROUP BY doc_id),
+           |cp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |       FROM top a JOIN top b ON a.doc_id < b.doc_id),
+           |pin AS (SELECT p.id_a, p.id_b, count(*) AS i
+           |  FROM cp p JOIN csh ea ON ea.doc_id = p.id_a
+           |  JOIN csh eb ON eb.doc_id = p.id_b AND eb.sv = ea.sv
+           |  GROUP BY p.id_a, p.id_b),
+           |psim0 AS (SELECT pin.id_a, pin.id_b,
+           |    CAST(round(round(pin.i / (sa.n + sb.n - pin.i), 6) * 1e6, 0)
+           |      AS BIGINT) AS sim
+           |  FROM pin JOIN csz sa ON sa.doc_id = pin.id_a
+           |  JOIN csz sb ON sb.doc_id = pin.id_b),
+           |sym AS MATERIALIZED (SELECT id_a AS ida, id_b AS idb, sim FROM psim0
+           |       UNION ALL SELECT id_b, id_a, sim FROM psim0),
+           |sel0 AS (SELECT CAST(NULL AS BIGINT) AS id WHERE FALSE)""".stripMargin
+      for (i <- 1 to steps) {
+        sb ++=
+          s""",
+             |rem$i AS (SELECT c.doc_id, c.rel FROM top c
+             |  LEFT JOIN sel${i - 1} s ON s.id = c.doc_id WHERE s.id IS NULL),
+             |ms$i AS (SELECT r.doc_id, r.rel, coalesce(max(z.sim), 0) AS ms
+             |  FROM rem$i r LEFT JOIN (
+             |    SELECT y.ida, y.sim FROM sym y
+             |    JOIN sel${i - 1} s ON s.id = y.idb) z ON z.ida = r.doc_id
+             |  GROUP BY r.doc_id, r.rel),
+             |pick$i AS MATERIALIZED (
+             |  SELECT doc_id, 7 * rel - 3 * ms AS mmr FROM ms$i
+             |  ORDER BY mmr DESC, doc_id LIMIT 1),
+             |sel$i AS MATERIALIZED (SELECT id FROM sel${i - 1}
+             |  UNION ALL SELECT doc_id FROM pick$i)""".stripMargin
+      }
+      sb ++= "\n" + (1 to steps).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS position, doc_id, " +
+          s"CAST(mmr AS BIGINT) AS mmr_micro FROM pick$i")
+        .mkString(" UNION ALL ")
+      sb.toString
+    },
 
     "q25_media_stats" ->
       s"""SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

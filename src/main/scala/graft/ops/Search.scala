@@ -216,4 +216,73 @@ object Search {
     val w = org.apache.spark.sql.expressions.Window.orderBy(order: _*)
     topList.withColumn("rank", row_number().over(w))
   }
+
+  /**
+   * Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+   * 1998, public) — dedup-aware retrieval: pure relevance ranking
+   * returns five near-copies of the best hit; MMR greedily picks the
+   * candidate maximizing `wRel·relevance − wDiv·maxSimToSelected`, so
+   * each selection is relevant AND novel against what is already in
+   * the result. The retrieval-time complement of corpus dedup (a RAG
+   * context window has no room for near-duplicates).
+   *
+   * Contracts: `candidates` = (idCol, rel_micro: long), `sims` =
+   * (id_a, id_b, sim_micro: long) over candidate pairs
+   * (orientation-insensitive; a missing pair scores 0). ALL-INTEGER
+   * scoring — λ enters as the exact weight pair (wRel, wDiv), e.g.
+   * (7, 3) for λ = 0.7 — so selection replays bit-identically; ties
+   * break toward the smaller id.
+   *
+   * The greedy loop runs on the DRIVER over the collected candidate
+   * list — bounded BY DESIGN: a re-ranker consumes a top-k list
+   * (corpus-scale work happened upstream in BM25/ANN), and the k·n
+   * step cost is microscopic next to one distributed job dispatch.
+   * Guarded at 10k candidates: past that the caller is misusing a
+   * re-ranker as a ranker.
+   *
+   * @return one row per selection: (position, idCol, mmr_micro)
+   */
+  def mmrSelect(
+      candidates: DataFrame,
+      sims: DataFrame,
+      idCol: String,
+      k: Int,
+      wRel: Long,
+      wDiv: Long): DataFrame = {
+    require(k >= 1, "mmrSelect needs k >= 1")
+    require(wRel >= 0 && wDiv >= 0 && wRel + wDiv > 0,
+      s"weights must be non-negative and not both zero: ($wRel, $wDiv)")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val cand = candidates
+      .select(col(idCol).cast("long"), col("rel_micro").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    require(cand.length <= 10000,
+      s"mmrSelect re-ranks a top-k list, got ${cand.length} candidates")
+    val sim = sims
+      .select(col("id_a").cast("long"), col("id_b").cast("long"),
+        col("sim_micro").cast("long"))
+      .collect().flatMap { r =>
+        val (a, b, v) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        Seq((a, b) -> v, (b, a) -> v)
+      }.toMap
+    val selected = Seq.newBuilder[(Long, Long, Long)] // (position, id, mmr)
+    var picked = Vector.empty[Long]
+    var remaining = cand.sortBy(_._1).toVector
+    var pos = 1L
+    while (pos <= k && remaining.nonEmpty) {
+      val scored = remaining.map { case (id, rel) =>
+        val ms =
+          if (picked.isEmpty) 0L
+          else picked.map(s => sim.getOrElse((id, s), 0L)).max
+        (wRel * rel - wDiv * ms, id)
+      }
+      val (bestScore, bestId) = scored.maxBy { case (sc, id) => (sc, -id) }
+      selected += ((pos, bestId, bestScore))
+      picked :+= bestId
+      remaining = remaining.filterNot(_._1 == bestId)
+      pos += 1
+    }
+    selected.result().toDF("position", idCol, "mmr_micro")
+  }
 }

@@ -93,4 +93,30 @@ class SearchSpec extends AnyFunSuite {
       .collect().map { case (i, _, rk) => (i, rk) }.toMap
     assert(r == Map("x" -> 1, "y" -> 2))
   }
+
+  test("mmrSelect: diversity beats relevance, ties, orientation") {
+    def run(cands: Seq[(Long, Long)], sims: Seq[(Long, Long, Long)],
+        k: Int): Seq[(Long, Long, Long)] =
+      Search.mmrSelect(
+        cands.toDF("doc_id", "rel_micro"),
+        sims.toDF("id_a", "id_b", "sim_micro"),
+        "doc_id", k, wRel = 7L, wDiv = 3L)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    val cands = Seq((1L, 100L), (2L, 95L), (3L, 50L))
+    // low redundancy: pure relevance order survives
+    val mild = run(cands, Seq((1L, 2L, 30L)), 3)
+    assert(mild.map(_._2) == Seq(1L, 2L, 3L))
+    assert(mild.head == ((1L, 1L, 700L)))
+    assert(mild(1) == ((2L, 2L, 7L * 95 - 3L * 30)))
+    // near-dup of the first pick: diversity flips positions 2/3
+    val strong = run(cands, Seq((1L, 2L, 200L)), 3)
+    assert(strong.map(_._2) == Seq(1L, 3L, 2L))
+    assert(strong(1) == ((2L, 3L, 350L)))
+    assert(strong(2) == ((3L, 2L, 7L * 95 - 3L * 200)))
+    // orientation-insensitive: (2,1) sim gives the same selection
+    assert(run(cands, Seq((2L, 1L, 200L)), 3) == strong)
+    // score tie breaks toward the smaller id; k > n stops at n
+    val tied = run(Seq((5L, 10L), (4L, 10L)), Nil, 5)
+    assert(tied.map(_._2) == Seq(4L, 5L) && tied.length == 2)
+  }
 }
