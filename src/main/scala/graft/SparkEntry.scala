@@ -3632,6 +3632,24 @@ object SparkEntry {
           round(col("jaccard") * 1e6, 0).cast("long").as("sim_micro"))
       graft.ops.Search.mmrSelect(bm, sims, "doc_id",
         k = 8, wRel = 7L, wDiv = 3L)
+    }),
+
+    // ---- north-star: degree assortativity (Newman 2002) over the
+    //      q182 synthetic web graph — do hubs link to hubs? The 1-row
+    //      graph-shape statistic (negative = hub-to-leaf web shape;
+    //      a positive jag flags mutually-linking spam farms).
+    //      Integer-exact Σ sums; one final division.
+    "q202_assortativity" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      val nRow = docs.agg(count(lit(1)).as("__n"))
+      val id = col("doc_id")
+      val edges = docs.crossJoin(broadcast(nRow)).select(
+        id.as("src"),
+        explode(array(
+          (id * 2 + 1) % col("__n"),
+          (id * 3 + 2) % col("__n"),
+          (id * 7 + 5) % col("__n"))).as("dst"))
+      graft.ops.LinkGraph.degreeAssortativity(edges, "src", "dst")
     })
   )
 
@@ -5097,6 +5115,37 @@ object SparkEntry {
         .mkString(" UNION ALL ")
       sb.toString
     },
+
+    // assortativity replay: canonical edges, degrees, symmetrized
+    // endpoint-degree sample, exact integer sums, one division
+    "q202_assortativity" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents WHERE text IS NOT NULL),
+        |e0 AS (
+        |  SELECT doc_id AS src, (doc_id*2+1) % n AS dst
+        |  FROM documents, nn WHERE text IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*3+2) % n FROM documents, nn WHERE text IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*7+5) % n FROM documents, nn WHERE text IS NOT NULL),
+        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |        FROM e0 WHERE src <> dst),
+        |deg AS (SELECT v, count(*) AS d FROM (
+        |    SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY v),
+        |att AS (SELECT da.d AS x, db.d AS y FROM und
+        |        JOIN deg da ON da.v = und.a JOIN deg db ON db.v = und.b),
+        |sym AS (SELECT x, y FROM att UNION ALL SELECT y, x FROM att),
+        |agg AS (SELECT count(*) AS m2,
+        |    CAST(sum(x*y) AS BIGINT) AS sum_xy,
+        |    CAST(sum(x) AS BIGINT) AS sum_x,
+        |    CAST(sum(x*x) AS BIGINT) AS sum_x2
+        |  FROM sym)
+        |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+        |  CAST(m2 / 2 AS BIGINT) AS n_edges, sum_xy, sum_x, sum_x2,
+        |  CASE WHEN m2 * sum_x2 - sum_x * sum_x <> 0
+        |    THEN round(CAST(m2 * sum_xy - sum_x * sum_x AS DOUBLE)
+        |      / CAST(m2 * sum_x2 - sum_x * sum_x AS DOUBLE), 6) END
+        |    AS assortativity
+        |FROM agg""".stripMargin,
 
     "q25_media_stats" ->
       s"""SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

@@ -549,4 +549,51 @@ object LinkGraph {
     und.select(explode(array(col("a"), col("b"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("core_deg"))
   }
+
+  /**
+   * Degree assortativity coefficient (Newman 2002, public): the
+   * Pearson correlation of endpoint degrees over the undirected edge
+   * set — positive when hubs link to hubs (social/citation shape),
+   * negative when hubs link to leaves (web/biology shape, also the
+   * signature of template/hub spam farms). Computed over full
+   * degrees on the symmetrized edge sample (each edge contributes
+   * both orientations, the convention NetworkX ships), where symmetry
+   * collapses Pearson to `r = (M·Σxy − (Σx)²) / (M·Σx² − (Σx)²)`.
+   *
+   * Every Σ is an INTEGER sum of degree products — exact and
+   * decomposable; ONE canonical-edge dedup, one degree aggregation,
+   * two attach joins, one 1-row rollup, one final double division
+   * (round 6). Regular graphs (zero degree variance) yield NULL, not
+   * a 0/0. Nothing but (edge, degree) pairs ever shuffles.
+   */
+  def degreeAssortativity(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+      .localCheckpoint()
+    val deg = und.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val attached = und
+      .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
+    val sym = attached.select(col("da").as("x"), col("db").as("y"))
+      .unionAll(attached.select(col("db").as("x"), col("da").as("y")))
+    sym.agg(
+        count(lit(1)).as("m2"),
+        sum(col("x") * col("y")).as("sum_xy"),
+        sum(col("x")).as("sum_x"),
+        sum(col("x") * col("x")).as("sum_x2"))
+      .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
+      .select(col("n_nodes"), (col("m2") / 2).cast("long").as("n_edges"),
+        col("sum_xy"), col("sum_x"), col("sum_x2"),
+        when(col("m2") * col("sum_x2") - col("sum_x") * col("sum_x") =!= 0L,
+          round((col("m2") * col("sum_xy") - col("sum_x") * col("sum_x"))
+            .cast("double") /
+            (col("m2") * col("sum_x2") - col("sum_x") * col("sum_x"))
+              .cast("double"), 6))
+          .as("assortativity"))
+  }
 }

@@ -291,4 +291,24 @@ class LinkGraphSpec extends AnyFunSuite {
     val noisy = g ++ Seq((1L, 0L), (0L, 0L), (0L, 1L))
     assert(core(noisy, 2, 3) == fix)
   }
+
+  test("degreeAssortativity: star -1, regular NULL, mixed hand value") {
+    def r(edges: Seq[(Long, Long)]): (Long, Long, Option[Double]) = {
+      val row = LinkGraph.degreeAssortativity(edges.toDF("s", "d"), "s", "d")
+        .head()
+      (row.getLong(0), row.getLong(1),
+        if (row.isNullAt(5)) None else Some(row.getDouble(5)))
+    }
+    // star K1,3: perfectly disassortative
+    assert(r(Seq((0L, 1L), (0L, 2L), (0L, 3L))) == ((4L, 3L, Some(-1.0))))
+    // 4-cycle: every degree 2 -> zero variance -> NULL, not 0/0
+    assert(r(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))) ==
+      ((4L, 4L, None)))
+    // triangle + pendant: hand Pearson = -20/28
+    val mixed = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L))
+    assert(r(mixed) == ((4L, 4L, Some(-0.714286))))
+    // duplicate/reversed/self-loop edges collapse first
+    assert(r(mixed ++ Seq((1L, 0L), (3L, 3L), (2L, 1L))) ==
+      ((4L, 4L, Some(-0.714286))))
+  }
 }
