@@ -3650,6 +3650,29 @@ object SparkEntry {
           (id * 3 + 2) % col("__n"),
           (id * 7 + 5) % col("__n"))).as("dst"))
       graft.ops.LinkGraph.degreeAssortativity(edges, "src", "dst")
+    }),
+
+    // ---- north-star: matryoshka truncation recall (Kusupati et al.
+    //      2022) — how much ANN quality survives keeping only a
+    //      prefix of each embedding (the 4×/2× memory lever an MRL-
+    //      trained model offers): recall@10 of dim-16 and dim-32
+    //      prefix search against the full-64 exact top-k, per query.
+    //      Truncated cosine ≡ cosine over the first d components, so
+    //      the oracle reuses the exact-batch chain at dims=d.
+    "q203_matryoshka_recall" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 3)
+      val truth = Similarity.bruteForceTopKBatch(
+        emb, queries, "vec_id", "embedding", "vec_id", k = 10)
+      def tr(df: DataFrame, d: Int): DataFrame = df.select(
+        col("vec_id"), slice(col("embedding"), 1, d).as("embedding"))
+      Seq(16, 32).map { d =>
+        Similarity.recallAtK(truth,
+          Similarity.bruteForceTopKBatch(
+            tr(emb, d), tr(queries, d), "vec_id", "embedding", "vec_id", k = 10),
+          "query_id", "vec_id", k = 10)
+          .withColumn("dims", lit(d.toLong))
+      }.reduce(_ unionByName _)
     })
   )
 
@@ -4227,11 +4250,11 @@ object SparkEntry {
     * window per query. */
   // batch brute-force oracle: one plain window per query over the full
   // cross score (salt-invariant replay of the Spark side's two-stage rank)
-  private def bruteBatchSql(): String =
+  private def bruteBatchSql(dims: Int = 64): String =
     s"""WITH q AS (SELECT CAST(vec_id AS BIGINT) AS query_id, embedding AS qe
        |      FROM embeddings WHERE vec_id < 3),
        |s AS (SELECT q.query_id, e.vec_id,
-       |        ${duckCosine("e.embedding", "q.qe", 64)} AS cosine_sim
+       |        ${duckCosine("e.embedding", "q.qe", dims)} AS cosine_sim
        |      FROM embeddings e, q),
        |r AS (SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
        |        ORDER BY cosine_sim DESC, vec_id ASC) AS BIGINT) AS rank,
@@ -5146,6 +5169,25 @@ object SparkEntry {
         |      / CAST(m2 * sum_x2 - sum_x * sum_x AS DOUBLE), 6) END
         |    AS assortativity
         |FROM agg""".stripMargin,
+
+    // matryoshka replay: the exact-batch chain at dims 64 (truth), 16
+    // and 32 (prefix cosine == cosine of the truncated vectors),
+    // recall joins per truncation level
+    "q203_matryoshka_recall" -> {
+      def level(d: Int): String =
+        s"""SELECT t.query_id, count(a$d.vec_id) AS hits,
+           |  round(CAST(count(a$d.vec_id) AS DOUBLE) / count(*), 6)
+           |    AS recall_at_k, CAST($d AS BIGINT) AS dims
+           |FROM truth t LEFT JOIN a$d
+           |  ON t.query_id = a$d.query_id AND t.vec_id = a$d.vec_id
+           |GROUP BY t.query_id""".stripMargin
+      s"""WITH truth AS (SELECT DISTINCT query_id, vec_id FROM (${bruteBatchSql()})),
+         |a16 AS (SELECT DISTINCT query_id, vec_id FROM (${bruteBatchSql(16)})),
+         |a32 AS (SELECT DISTINCT query_id, vec_id FROM (${bruteBatchSql(32)}))
+         |${level(16)}
+         |UNION ALL
+         |${level(32)}""".stripMargin
+    },
 
     "q25_media_stats" ->
       s"""SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
