@@ -3673,6 +3673,41 @@ object SparkEntry {
           "query_id", "vec_id", k = 10)
           .withColumn("dims", lit(d.toLong))
       }.reduce(_ unionByName _)
+    }),
+
+    // ---- north-star: crawl-trap audit — the URL-shape fence a
+    //      frontier runs BEFORE fetching: mirrored path cycles,
+    //      runaway depth, and facet/session parameter explosions are
+    //      detected per URL by real parsing (try_parse_url + codegen
+    //      array lambdas); the fixture builds each trap shape
+    //      constructively, so the oracle is pure doc_id arithmetic
+    //      while the Spark side must actually parse.
+    "q204_crawl_traps" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val id = col("doc_id")
+      val (m3, m12, m15) = (id % 3, id % 12, id % 15)
+      val host = concat(lit("h"), (id % 7).cast("string"), lit(".example"))
+      val path = when(id % 4 === 0,
+          array_join(transform(sequence(lit(1), m3 + 2), _ => lit("a/b")), "/"))
+        .when(id % 4 === 1,
+          array_join(transform(sequence(lit(0), m12),
+            i => concat(lit("s"), i.cast("string"))), "/"))
+        .when(id % 4 === 2,
+          concat(lit("p?"), array_join(transform(sequence(lit(1), m15 + 1),
+            i => concat(lit("p"), i.cast("string"), lit("=1"))), "&")))
+        .otherwise(concat(lit("docs/x"), id.cast("string")))
+      val urls = docs.select(id, concat(lit("http://"), host, lit("/"), path)
+        .as("url"))
+      graft.ops.UrlOps.trapAudit(urls, "url")
+        .groupBy("host")
+        .agg(
+          count(lit(1)).as("n_urls"),
+          sum(when(col("is_trap"), 1L).otherwise(0L)).as("n_traps"),
+          sum(col("depth")).as("sum_depth"),
+          max(col("depth")).as("max_depth"),
+          sum(col("n_params")).as("sum_params"),
+          max(col("max_repeat")).as("max_rep"),
+          sum(id).as("sum_ids"))
     })
   )
 
@@ -5188,6 +5223,31 @@ object SparkEntry {
          |UNION ALL
          |${level(32)}""".stripMargin
     },
+
+    // crawl-trap replay: every trap shape is constructive, so depth /
+    // repeat / params are doc_id arithmetic; thresholds depth>8,
+    // repeat>=3, params>10
+    "q204_crawl_traps" ->
+      """WITH x AS (
+        |  SELECT doc_id,
+        |    'h' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS host,
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN 2 * (doc_id % 3 + 2)
+        |      WHEN 1 THEN doc_id % 12 + 1
+        |      WHEN 2 THEN 1
+        |      ELSE 2 END AS depth,
+        |    CASE WHEN doc_id % 4 = 0 THEN doc_id % 3 + 2 ELSE 1 END AS rep,
+        |    CASE WHEN doc_id % 4 = 2 THEN doc_id % 15 + 1 ELSE 0 END AS params
+        |  FROM documents)
+        |SELECT host, count(*) AS n_urls,
+        |  CAST(sum(CASE WHEN depth > 8 OR rep >= 3 OR params > 10
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_traps,
+        |  CAST(sum(depth) AS BIGINT) AS sum_depth,
+        |  CAST(max(depth) AS BIGINT) AS max_depth,
+        |  CAST(sum(params) AS BIGINT) AS sum_params,
+        |  CAST(max(rep) AS BIGINT) AS max_rep,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM x GROUP BY host""".stripMargin,
 
     "q25_media_stats" ->
       s"""SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

@@ -118,4 +118,52 @@ object UrlOps {
       .select(inCols: _*)
     small.unionByName(kept)
   }
+
+  /**
+   * Crawl-trap audit — the URL-shape fence a frontier runs BEFORE
+   * fetching (public crawl-engineering lore: calendar pages, session-id
+   * loops, and mirrored path cycles generate unbounded URL spaces that
+   * all fetch fine and say nothing new). Three structural signals per
+   * URL, each cheap and parser-exact:
+   *
+   *  - `depth`: non-empty path segments — runaway nesting;
+   *  - `max_repeat`: the most-repeated path segment (`/a/b/a/b/a` ⇒ 3)
+   *    — the mirrored-cycle signature;
+   *  - `n_params`: query parameters — the facet/session explosion.
+   *
+   * `is_trap` fires when any signal crosses its threshold. Pure narrow
+   * projection over Spark's HOFs (`try_parse_url` + array lambdas, all
+   * codegen): no UDF, no shuffle; the per-URL repeat scan is O(depth²)
+   * on depth capped by the trap fence itself. Per-host rollups are the
+   * caller's one aggregation.
+   *
+   * @return input columns + (host, depth, max_repeat, n_params, is_trap)
+   */
+  def trapAudit(
+      df: DataFrame,
+      urlCol: String,
+      maxDepth: Int = 8,
+      minRepeat: Int = 3,
+      maxParams: Int = 10): DataFrame = {
+    require(maxDepth >= 1 && minRepeat >= 2 && maxParams >= 1,
+      s"nonsense thresholds: depth $maxDepth, repeat $minRepeat, params $maxParams")
+    val u = col(urlCol)
+    val segs = filter(split(coalesce(try_parse_url(u, lit("PATH")), lit("")),
+      "/"), x => x =!= "")
+    val q = try_parse_url(u, lit("QUERY"))
+    df
+      .withColumn("host", hostOf(u))
+      .withColumn("depth", size(segs).cast("long"))
+      .withColumn("max_repeat",
+        coalesce(
+          array_max(transform(array_distinct(segs),
+            s0 => size(filter(segs, x => x === s0)))),
+          lit(0)).cast("long"))
+      .withColumn("n_params",
+        when(q.isNull || q === "", lit(0L))
+          .otherwise(size(split(q, "&")).cast("long")))
+      .withColumn("is_trap",
+        col("depth") > maxDepth || col("max_repeat") >= minRepeat ||
+          col("n_params") > maxParams)
+  }
 }

@@ -84,4 +84,29 @@ class UrlOpsSpec extends AnyFunSuite {
     val ids = kept.select("id").as[Long].collect().toSet
     assert(ids.contains(3L)) // y.com's only row always survives
   }
+
+  test("trapAudit: depth, repeated segments, param explosion, benign") {
+    def audit(url: String): (Long, Long, Long, Boolean) = {
+      val r = UrlOps.trapAudit(Seq(url).toDF("url"), "url").head()
+      (r.getAs[Long]("depth"), r.getAs[Long]("max_repeat"),
+        r.getAs[Long]("n_params"), r.getAs[Boolean]("is_trap"))
+    }
+    // benign page
+    assert(audit("http://x.com/docs/page1") == ((2L, 1L, 0L, false)))
+    // mirrored cycle: /a/b/a/b/a -> 'a' repeats 3 times
+    assert(audit("http://x.com/a/b/a/b/a") == ((5L, 3L, 0L, true)))
+    // runaway depth: 9 distinct segments > 8
+    assert(audit("http://x.com/1/2/3/4/5/6/7/8/9") == ((9L, 1L, 0L, true)))
+    // facet explosion: 11 params > 10
+    val q = (1 to 11).map(i => s"f$i=1").mkString("&")
+    assert(audit(s"http://x.com/p?$q") == ((1L, 1L, 11L, true)))
+    // threshold edges: depth 8, repeat 2, params 10 all pass
+    assert(!audit("http://x.com/1/2/3/4/5/6/7/8")._4)
+    assert(!audit("http://x.com/a/b/a")._4)
+    assert(!audit("http://x.com/p?" +
+      (1 to 10).map(i => s"f$i=1").mkString("&"))._4)
+    // empty path / bare host: depth 0, nothing fires
+    assert(audit("http://x.com") == ((0L, 0L, 0L, false)))
+    assert(audit("http://x.com/") == ((0L, 0L, 0L, false)))
+  }
 }
