@@ -3708,6 +3708,19 @@ object SparkEntry {
           sum(col("n_params")).as("sum_params"),
           max(col("max_repeat")).as("max_rep"),
           sum(id).as("sum_ids"))
+    }),
+
+    // ---- north-star: KWIC snippets — the display layer of the q152
+    //      positional-index phrase search: ±3 tokens of context around
+    //      the first "spark window" hit, with the in-snippet phrase
+    //      offset for highlighting; the text attach touches ONLY
+    //      matching docs (posting-list-sized, never a corpus scan).
+    "q205_kwic_snippets" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      val idx = graft.ops.Search.invertedIndex(docs, "text", "doc_id")
+      val hits = graft.ops.Search.phraseSearch(idx, Seq("spark", "window"))
+      graft.ops.Search.kwicSnippets(docs, hits, "text", "doc_id",
+        phraseLen = 2, ctx = 3)
     })
   )
 
@@ -5248,6 +5261,27 @@ object SparkEntry {
         |  CAST(max(rep) AS BIGINT) AS max_rep,
         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
         |FROM x GROUP BY host""".stripMargin,
+
+    // KWIC replay: the q152 direct-scan phrase lambda + inclusive
+    // 1-based list slicing (both ends clamp); hit_off is the phrase's
+    // 0-based token offset inside the snippet
+    "q205_kwic_snippets" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |m AS (
+        |  SELECT doc_id, toks,
+        |    len(list_filter(range(1, len(toks)),
+        |      i -> toks[i] = 'spark' AND toks[i+1] = 'window')) AS occ,
+        |    list_min(list_filter(range(1, len(toks)),
+        |      i -> toks[i] = 'spark' AND toks[i+1] = 'window')) AS first1
+        |  FROM tk)
+        |SELECT doc_id, CAST(occ AS BIGINT) AS n_occurrences,
+        |  CAST(first1 - 1 AS BIGINT) AS first_pos,
+        |  array_to_string(toks[greatest(first1 - 3, 1):first1 + 4], ' ')
+        |    AS snippet,
+        |  CAST(first1 - greatest(first1 - 3, 1) AS BIGINT) AS hit_off
+        |FROM m WHERE occ > 0""".stripMargin,
 
     "q25_media_stats" ->
       s"""SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

@@ -175,6 +175,43 @@ object Search {
   }
 
   /**
+   * KWIC (key-word-in-context) snippets — the display layer of
+   * [[phraseSearch]]: for every matching document, the `ctx` tokens on
+   * each side of the FIRST phrase occurrence, joined back into a
+   * space-separated snippet (the classic concordance view, public
+   * since Luhn 1960). `hit_off` gives the phrase's token offset inside
+   * the snippet so a renderer can highlight it without re-searching.
+   *
+   * Scale shape: `matches` is posting-list-sized (the phraseSearch
+   * output), so the text attach join touches ONLY matching documents
+   * (never a corpus scan); the window slice is one narrow codegen
+   * projection. Window edges clamp at both ends of the document.
+   *
+   * @param matches output of [[phraseSearch]] — (doc_id,
+   *                n_occurrences, first_pos)
+   * @return (doc_id, n_occurrences, first_pos, snippet, hit_off)
+   */
+  def kwicSnippets(
+      docs: DataFrame,
+      matches: DataFrame,
+      textCol: String,
+      idCol: String,
+      phraseLen: Int,
+      ctx: Int): DataFrame = {
+    require(phraseLen >= 1, "phraseLen must be positive")
+    require(ctx >= 0, "context width must be non-negative")
+    val toks = TextOps.tokens(col(textCol))
+    val start1 = greatest(col("first_pos") + 1 - ctx, lit(1L)) // 1-based
+    val end1 = col("first_pos") + phraseLen + ctx              // 1-based
+    matches
+      .join(docs.select(col(idCol).as("doc_id"), col(textCol)), Seq("doc_id"))
+      .select(col("doc_id"), col("n_occurrences"), col("first_pos"),
+        array_join(slice(toks, start1.cast("int"),
+          (end1 - start1 + 1).cast("int")), " ").as("snippet"),
+        (col("first_pos") + 1 - start1).cast("long").as("hit_off"))
+  }
+
+  /**
    * Reciprocal-rank fusion (Cormack/Clarke/Büttcher, public) — the
    * standard score-free combiner for heterogeneous retrievers (BM25 +
    * dense, relevance + quality priors, …): each list contributes

@@ -119,4 +119,25 @@ class SearchSpec extends AnyFunSuite {
     val tied = run(Seq((5L, 10L), (4L, 10L)), Nil, 5)
     assert(tied.map(_._2) == Seq(4L, 5L) && tied.length == 2)
   }
+
+  test("kwicSnippets: window, both clamps, hit offset, non-match prune") {
+    val docs = Seq(
+      (1L, "one two spark window five six seven"),
+      (2L, "spark window tail a b"),
+      (3L, "a b spark window"),
+      (4L, "no phrase here at all")).toDF("doc_id", "text")
+    val idx = Search.invertedIndex(docs, "text", "doc_id")
+    val hits = Search.phraseSearch(idx, Seq("spark", "window"))
+    def kw(ctx: Int): Map[Long, (Long, String, Long)] =
+      Search.kwicSnippets(docs, hits, "text", "doc_id", phraseLen = 2, ctx = ctx)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getAs[Long]("first_pos"),
+          r.getAs[String]("snippet"), r.getAs[Long]("hit_off")))).toMap
+    val got = kw(2)
+    assert(got.keySet == Set(1L, 2L, 3L)) // doc 4 never joins
+    assert(got(1L) == ((2L, "one two spark window five six", 2L)))
+    assert(got(2L) == ((0L, "spark window tail a", 0L))) // left clamp
+    val wide = kw(3)
+    assert(wide(3L) == ((2L, "a b spark window", 2L)))   // right clamp
+  }
 }
