@@ -3721,7 +3721,16 @@ object SparkEntry {
       val hits = graft.ops.Search.phraseSearch(idx, Seq("spark", "window"))
       graft.ops.Search.kwicSnippets(docs, hits, "text", "doc_id",
         phraseLen = 2, ctx = 3)
-    })
+    }),
+
+    // ---- north-star: Kneser–Ney bigram NLL — THE standard n-gram
+    //      smoothing (absolute discount + continuation unigram); the
+    //      "San Francisco" effect the q107 add-one interpolation
+    //      cannot express. All model statistics are decomposable
+    //      aggregations over the bigram TYPE table.
+    "q206_kneser_ney" -> ((s, dir) =>
+      graft.ops.LanguageModel.kneserNeyNll(
+        T(s, dir, "documents"), "text", "doc_id", discount = 0.75))
   )
 
   /** graft-authored pipeline config (reference YAML shape,
@@ -6339,6 +6348,29 @@ object SparkEntry {
          |  LEFT JOIN uc u1 ON u1.token = string_split(g.bgm, ' ')[1]
          |  LEFT JOIN uc u2 ON u2.token = string_split(g.bgm, ' ')[-1], st)
          |SELECT doc_id, round(avg(-ln(p)), 6) AS nll2 FROM sc GROUP BY doc_id""".stripMargin,
+
+    // Kneser-Ney oracle: replay the absolute-discount + continuation
+    // arithmetic from the same bigram TYPE table (w1/w2 recovered from
+    // the shingle string, as q107)
+    "q206_kneser_ney" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         |m AS (SELECT doc_id, l FROM d WHERE len(l) >= 2),
+         |bg AS (SELECT doc_id, unnest(${DD.shingles("l", 2)}) AS bgm FROM m),
+         |bc AS (SELECT bgm, count(*) AS bc FROM bg GROUP BY bgm),
+         |bt AS (SELECT bgm, bc, string_split(bgm, ' ')[1] AS w1,
+         |         string_split(bgm, ' ')[-1] AS w2 FROM bc),
+         |hist AS (SELECT w1, CAST(sum(bc) AS DOUBLE) AS h,
+         |           CAST(count(*) AS DOUBLE) AS fert FROM bt GROUP BY w1),
+         |cont AS (SELECT w2, CAST(count(*) AS DOUBLE) AS pre FROM bt GROUP BY w2),
+         |tt AS (SELECT CAST(count(*) AS DOUBLE) AS b FROM bt),
+         |sc AS (SELECT g.doc_id,
+         |    greatest(CAST(t.bc AS DOUBLE) - 0.75, 0.0) / h.h +
+         |    0.75 * h.fert / h.h * (c.pre / tt.b) AS p
+         |  FROM bg g
+         |  JOIN bt t USING (bgm)
+         |  JOIN hist h ON h.w1 = t.w1
+         |  JOIN cont c ON c.w2 = t.w2, tt)
+         |SELECT doc_id, round(avg(-ln(p)), 6) AS nll_kn FROM sc GROUP BY doc_id""".stripMargin,
 
     "q49_winnowing" -> {
       val k = 5; val w = 4

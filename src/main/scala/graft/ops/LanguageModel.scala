@@ -338,4 +338,74 @@ object LanguageModel {
       .agg(round(avg(-log(lit(lambda) * pB + (lit(1.0) - lit(lambda)) * pU)), 6)
         .as("nll2"))
   }
+
+  /**
+   * Interpolated Kneser–Ney bigram NLL (Kneser & Ney 1995; the
+   * formulation in Chen & Goodman 1998 §2.7) — THE standard n-gram
+   * smoothing, one rung above [[bigramNll]]'s add-one interpolation:
+   * absolute discounting plus the CONTINUATION unigram. The lower-order
+   * weight of a word is how many distinct contexts it follows, not how
+   * often it occurs — the classic "San Francisco" effect ("Francisco"
+   * is frequent but only ever follows "San", so its continuation
+   * probability is tiny and novel contexts stop backing off to it).
+   *
+   *   P(w₂|w₁) = max(c(w₁w₂) − D, 0)/h(w₁)
+   *              + D·N₁₊(w₁·)/h(w₁) · N₁₊(·w₂)/B
+   *
+   * with `h(w₁) = Σ_w c(w₁w)` (bigram instances with history w₁),
+   * `N₁₊(w₁·)`/`N₁₊(·w₂)` the distinct-successor/-predecessor type
+   * counts, and `B` the total number of distinct bigram types. Scoring
+   * the model corpus itself: every bigram position is in-model by
+   * construction, so the max(·,0) guard is belt only.
+   *
+   * Scale shape: every model statistic is a decomposable aggregation
+   * over the bigram TYPE table (vocab-bounded, never corpus-∝); the
+   * history/continuation tables are sub-vocabulary-sized. Scoring joins
+   * each bigram position against three broadcast LUTs — the same
+   * broadcast/shuffle seam as [[bigramNll]] governs when the bigram
+   * vocabulary outgrows a broadcast at raw-crawl scale. All counts are
+   * exact integers; the only doubles are the final per-position
+   * probability and the per-doc mean (round 6 — the usual sum-order
+   * jitter bound).
+   *
+   * Docs with fewer than 2 tokens have no bigram positions and are
+   * excluded ([[bigramNll]]'s contract). Output: (idCol, nll_kn).
+   */
+  def kneserNeyNll(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, "absolute discount must be in (0, 1)")
+    val spark = df.sparkSession
+    val multi = df.filter(size(TextOps.tokens(col(textCol))) >= 2)
+    val bg = multi.select(col(idCol),
+        explode(graft.functions.GraftFunctions.wordShingles(spark, col(textCol), 2))
+          .as("__bg"))
+    // bigram TYPE table — feeds all four model statistics; materialize
+    // so the corpus explode aggregates once
+    val biC = bg.groupBy("__bg").agg(count(lit(1)).as("__bc"))
+      .select(col("__bg"), col("__bc"),
+        substring_index(col("__bg"), " ", 1).as("__w1"),
+        substring_index(col("__bg"), " ", -1).as("__w2"))
+      .localCheckpoint()
+    // per-history: h(w1) = Σ c(w1 ·) and fertility N1+(w1 ·)
+    val hist = biC.groupBy("__w1").agg(
+      sum("__bc").as("__h"), count(lit(1)).as("__fert"))
+    // per-continuation: N1+(· w2)
+    val cont = biC.groupBy("__w2").agg(count(lit(1)).as("__pre"))
+    val totTypes = biC.agg(count(lit(1)).cast("double").as("__bt"))
+    val d = lit(discount)
+    val p = greatest(col("__bc").cast("double") - d, lit(0.0)) /
+        col("__h").cast("double") +
+      d * col("__fert").cast("double") / col("__h").cast("double") *
+        (col("__pre").cast("double") / col("__bt"))
+    bg
+      .join(broadcast(biC), "__bg")
+      .join(broadcast(hist), "__w1")
+      .join(broadcast(cont), "__w2")
+      .crossJoin(broadcast(totTypes))
+      .groupBy(col(idCol))
+      .agg(round(avg(-log(p)), 6).as("nll_kn"))
+  }
 }

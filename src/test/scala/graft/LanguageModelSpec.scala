@@ -191,4 +191,55 @@ class LanguageModelSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(s(1L) > s(2L), "rare-bigram ordering must score higher")
   }
+
+  test("Kneser-Ney: exact on a known corpus; continuation effect that add-one interpolation cannot express") {
+    // f and m both occur 4x (equal unigram frequency), but f only ever
+    // follows s or q (pre=2) while m follows four distinct contexts
+    // (pre=4) — the "San Francisco" setup. d7/d8 are singleton bigrams
+    // with the SAME history q, so add-one interpolation scores them
+    // identically; KN's continuation unigram separates them.
+    val df = Seq(
+      (1L, "s f"), (2L, "s f"), (3L, "s f"),
+      (4L, "a m"), (5L, "b m"), (6L, "c m"),
+      (7L, "q f"), (8L, "q m"),
+      (9L, "z")).toDF("doc_id", "text")
+    val out = LanguageModel.kneserNeyNll(df, "text", "doc_id", discount = 0.75)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // bigram types: s-f(3) a-m(1) b-m(1) c-m(1) q-f(1) q-m(1); B=6
+    // hist: s h=3 fert=1; a/b/c h=1 fert=1; q h=2 fert=2
+    // cont: pre(f)=2, pre(m)=4
+    val b = 6.0
+    def p(bc: Long, h: Long, fert: Long, pre: Long) =
+      math.max(bc - 0.75, 0.0) / h + 0.75 * fert / h * (pre / b)
+    def nll(ps: Seq[Double]) =
+      BigDecimal(ps.map(x => -math.log(x)).sum / ps.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) == nll(Seq(p(3, 3, 1, 2))))
+    assert(out(1L) == out(2L) && out(2L) == out(3L))
+    assert(out(4L) == nll(Seq(p(1, 1, 1, 4))))
+    assert(out(7L) == nll(Seq(p(1, 2, 2, 2))))
+    assert(out(8L) == nll(Seq(p(1, 2, 2, 4))))
+    assert(!out.contains(9L), "single-token docs have no bigram positions")
+    // the effect: same history, same bigram count, same unigram
+    // frequency of the next word — KN ranks the low-diversity
+    // continuation (f) strictly worse...
+    assert(out(7L) > out(8L),
+      "continuation diversity must separate equal-frequency next words")
+    // ...while the add-one interpolated model provably ties them
+    val addOne = LanguageModel.bigramNll(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(addOne(7L) == addOne(8L),
+      "fixture must hit the add-one blind spot it claims to")
+  }
+
+  test("Kneser-Ney is partitioning-invariant and rejects out-of-range discounts") {
+    def run(parts: Int) = LanguageModel.kneserNeyNll(
+      TestSpark.table("documents").repartition(parts), "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(run(3) == run(23))
+    intercept[IllegalArgumentException] {
+      LanguageModel.kneserNeyNll(
+        TestSpark.table("documents"), "text", "doc_id", discount = 1.0)
+    }
+  }
 }
