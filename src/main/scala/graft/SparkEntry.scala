@@ -3730,7 +3730,117 @@ object SparkEntry {
     //      aggregations over the bigram TYPE table.
     "q206_kneser_ney" -> ((s, dir) =>
       graft.ops.LanguageModel.kneserNeyNll(
-        T(s, dir, "documents"), "text", "doc_id", discount = 0.75))
+        T(s, dir, "documents"), "text", "doc_id", discount = 0.75)),
+
+    // ---- north-star: SQ8 + exact refine re-rank (the FAISS
+    //      IndexRefineFlat pattern) — the compressed stage over-fetches
+    //      3·k candidates from the integer code table, then ONLY those
+    //      30 ids re-score against the float embeddings; the final
+    //      order is exact while scan cost stays code-table-sized.
+    "q207_sq8_refine" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.sqRefineTopK(emb, emb.filter(col("vec_id") === 0),
+        "vec_id", "embedding", topK = 10, refineFactor = 3, dims = 64)
+    }),
+
+    // ---- north-star: zone-map data-skipping stats — per-file min/max
+    //      over a range-clustered layout (16 files on o_orderdate) for
+    //      the clustered column AND an uncorrelated one; the pruned
+    //      flags show a date predicate skipping most files while the
+    //      price predicate skips none — the audit a clustering
+    //      decision is made from. File ids are closed-form range bins
+    //      (engine-replayable, unlike sampled range boundaries).
+    "q208_zone_map" -> ((s, dir) => {
+      val orders = T(s, dir, "orders")
+      val withF = graft.io.ZoneMap.assignFiles(
+        orders, col("o_orderdate").cast("timestamp"), nFiles = 16)
+      val st = graft.io.ZoneMap.stats(
+        withF, "file_id", Seq("o_orderdate", "o_totalprice"))
+      val dLo = lit("1997-01-01 00:00:00").cast("timestamp")
+      val dHi = lit("1997-03-31 00:00:00").cast("timestamp")
+      st.select(col("file_id"), col("n_rows"),
+        col("o_orderdate_mn"), col("o_orderdate_mx"),
+        col("o_totalprice_mn"), col("o_totalprice_mx"),
+        graft.io.ZoneMap.prunedFlag(
+          col("o_orderdate_mn"), col("o_orderdate_mx"), dLo, dHi)
+          .as("pruned_date"),
+        graft.io.ZoneMap.prunedFlag(
+          col("o_totalprice_mn"), col("o_totalprice_mx"),
+          lit(100000.0), lit(150000.0)).as("pruned_price"))
+    }),
+
+    // ---- north-star: mirror-host detection (Bharat & Broder 1999) —
+    //      host pairs sharing content fingerprints are crawl mirrors;
+    //      the pair join is keyed on the FINGERPRINT with a spread cap
+    //      (boilerplate on every host carries no mirror signal and
+    //      would quadratically dominate), never host × host. The
+    //      corpus has no exact-duplicate texts, so the mirror is built
+    //      CONSTRUCTIVELY: host m<k> re-serves the even half of host
+    //      h<k>'s pages — each (h<k>, m<k>) pair must surface with
+    //      containment 1.0 (m ⊂ h) and a partial resemblance, and no
+    //      cross pair exists.
+    "q209_mirror_hosts" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      val fp = graft.ops.TextOps.fingerprint(col("text"))
+      val originals = docs.select(
+        concat(lit("h"), (col("doc_id") % 6).cast("string")).as("host"),
+        fp.as("fp"))
+      val mirrors = docs.filter(col("doc_id") % 2 === 0).select(
+        concat(lit("m"), (col("doc_id") % 6).cast("string")).as("host"),
+        fp.as("fp"))
+      Dedup.mirrorHosts(originals.unionByName(mirrors), "host", "fp",
+        maxHostsPerFp = 8, minShared = 2)
+    }),
+
+    // ---- north-star: UniMax language-budget allocation (Chung et
+    //      al. 2023) — water-filling a token budget across languages
+    //      under a per-language epoch ceiling: at this budget every
+    //      tail language caps at 4 epochs and the head (en) absorbs
+    //      exactly the remainder — the anti-rich-get-richer mixture
+    //      temperature sampling cannot express.
+    "q210_unimax" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      graft.ops.Sampling.unimaxAllocation(docs, "lang",
+        graft.ops.TextOps.tokenCount(col("text")).cast("long"),
+        budget = 80000L, epochCap = 4.0)
+    }),
+
+    // ---- north-star: nDCG@10 of the q51 BM25 ranking against a
+    //      constructively graded judgment pool (docs ≡ 0 mod 3, grade
+    //      = id mod 4) — the position-aware eval recall@k cannot
+    //      express; unjudged ranked docs score 0 per the standard
+    //      convention.
+    "q211_ndcg" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val bm = graft.ops.Search.bm25(docs, "text", "doc_id",
+        terms = Seq("spark", "hash", "window"), topK = 20)
+      val ranking = graft.ops.Search.ranked(
+        bm, col("bm25").desc, col("doc_id").asc).select("doc_id", "rank")
+      val rels = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), (col("doc_id") % 4).cast("int").as("rel"))
+      graft.ops.Search.ndcgAtK(ranking, rels, "doc_id", k = 10)
+    }),
+
+    // ---- north-star: Zipf-law head fit — least-squares slope of
+    //      ln(freq) on ln(rank) over the top-100 types (the head is
+    //      where the law holds AND what keeps ranking a TakeOrdered
+    //      top-k instead of a vocabulary sort); the corpus-shape
+    //      sibling of q200's Heaps curve.
+    "q212_zipf_fit" -> ((s, dir) =>
+      graft.ops.TextOps.zipfFit(
+        T(s, dir, "documents"), "text", headSize = 100)),
+
+    // ---- north-star: Cohen's kappa between two keep-gates (quality
+    //      score vs length cutoff) — chance-corrected agreement, the
+    //      QA metric for a classifier change; raw agreement flatters
+    //      imbalanced gates, κ subtracts the marginal-expected part.
+    "q213_kappa" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      val labeled = docs.select(
+        (graft.ops.TextOps.qualityScore(col("text")) >= 0.5).as("gate_a"),
+        (col("n_chars") >= 306L).as("gate_b"))
+      graft.ops.Quality.agreementKappa(labeled, "gate_a", "gate_b")
+    })
   )
 
   /** graft-authored pipeline config (reference YAML shape,
@@ -6371,6 +6481,192 @@ object SparkEntry {
          |  JOIN hist h ON h.w1 = t.w1
          |  JOIN cont c ON c.w2 = t.w2, tt)
          |SELECT doc_id, round(avg(-ln(p)), 6) AS nll_kn FROM sc GROUP BY doc_id""".stripMargin,
+
+    // SQ8-refine replay: the q197 ADC chain over-fetches LIMIT 30,
+    // then the exact float dot re-ranks only those candidates
+    "q207_sq8_refine" ->
+      s"""WITH rngrows AS (
+         |  SELECT d.__i AS d,
+         |    min(CAST(embedding[d.__i] AS DOUBLE)) AS mn,
+         |    max(CAST(embedding[d.__i] AS DOUBLE)) AS mx
+         |  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS __i) d
+         |  GROUP BY d.__i),
+         |rng AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs
+         |        FROM rngrows),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |s AS (SELECT e.vec_id,
+         |    round(list_sum(list_transform(generate_series(1, 64), __i ->
+         |      CAST(q.qe[__i] AS DOUBLE) *
+         |        (r.mns[__i] +
+         |          ((CASE WHEN r.mxs[__i] = r.mns[__i] THEN 0
+         |             ELSE least(greatest(CAST(floor(
+         |               (CAST(e.embedding[__i] AS DOUBLE) - r.mns[__i])
+         |                 / (r.mxs[__i] - r.mns[__i]) * 255) AS BIGINT),
+         |               0), 255) END) + 0.5) *
+         |          ((r.mxs[__i] - r.mns[__i]) / 256)))), 6) AS approx_dot
+         |  FROM embeddings e, rng r, q),
+         |cand AS (SELECT vec_id, approx_dot FROM s
+         |         ORDER BY approx_dot DESC, vec_id ASC LIMIT 30)
+         |SELECT c.vec_id, c.approx_dot,
+         |  round(list_sum(list_transform(generate_series(1, 64), __i ->
+         |    CAST(q.qe[__i] AS DOUBLE) * CAST(e.embedding[__i] AS DOUBLE))), 6)
+         |    AS exact_dot
+         |FROM cand c JOIN embeddings e USING (vec_id), q
+         |ORDER BY exact_dot DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    // zone-map replay: identical closed-form range binning (multiply
+    // before divide, clamp), min/max stats, overlap flags
+    "q208_zone_map" ->
+      """WITH b AS (SELECT min(epoch(o_orderdate)) AS lo,
+        |                  max(epoch(o_orderdate)) AS hi FROM orders),
+        |f AS (SELECT o.*,
+        |    CASE WHEN b.hi = b.lo THEN 0
+        |         ELSE least(15, greatest(0, CAST(floor(
+        |           (epoch(o_orderdate) - b.lo) * 16 / (b.hi - b.lo))
+        |           AS INT))) END AS file_id
+        |  FROM orders o, b),
+        |st AS (SELECT file_id, count(*) AS n_rows,
+        |    min(o_orderdate) AS o_orderdate_mn,
+        |    max(o_orderdate) AS o_orderdate_mx,
+        |    min(o_totalprice) AS o_totalprice_mn,
+        |    max(o_totalprice) AS o_totalprice_mx
+        |  FROM f GROUP BY file_id)
+        |SELECT file_id, n_rows, o_orderdate_mn, o_orderdate_mx,
+        |  o_totalprice_mn, o_totalprice_mx,
+        |  NOT (o_orderdate_mx >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND o_orderdate_mn <= TIMESTAMP '1997-03-31 00:00:00')
+        |    AS pruned_date,
+        |  NOT (o_totalprice_mx >= 100000.0 AND o_totalprice_mn <= 150000.0)
+        |    AS pruned_price
+        |FROM st""".stripMargin,
+
+    // mirror replay: distinct (host, fp), spread cap 2..8, fp-keyed
+    // pair join, resemblance/containment arithmetic
+    "q209_mirror_hosts" ->
+      """WITH pages AS (
+        |  SELECT DISTINCT host, fp FROM (
+        |    SELECT 'h' || CAST(doc_id % 6 AS VARCHAR) AS host,
+        |      md5(lower(trim(text))) AS fp
+        |    FROM documents WHERE text IS NOT NULL
+        |    UNION ALL
+        |    SELECT 'm' || CAST(doc_id % 6 AS VARCHAR) AS host,
+        |      md5(lower(trim(text))) AS fp
+        |    FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0)),
+        |rare AS (SELECT fp FROM pages GROUP BY fp
+        |         HAVING count(*) BETWEEN 2 AND 8),
+        |capped AS (SELECT p.host, p.fp FROM pages p JOIN rare USING (fp)),
+        |sizes AS (SELECT host, count(*) AS sz FROM pages GROUP BY host),
+        |prs AS (SELECT a.host AS host_a, b.host AS host_b,
+        |    count(*) AS shared
+        |  FROM capped a JOIN capped b
+        |    ON a.fp = b.fp AND a.host < b.host
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT host_a, host_b, shared,
+        |  sa.sz AS n_a, sb.sz AS n_b,
+        |  round(CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared), 6)
+        |    AS resemblance,
+        |  round(CAST(shared AS DOUBLE) / least(sa.sz, sb.sz), 6)
+        |    AS containment
+        |FROM prs
+        |JOIN sizes sa ON sa.host = host_a
+        |JOIN sizes sb ON sb.host = host_b""".stripMargin,
+
+    // UniMax replay: per-lang exact-double capacities, ascending
+    // exclusive prefix sums, theta = max water level, min-clamp
+    "q210_unimax" ->
+      s"""WITH pl AS (SELECT lang,
+         |    CAST(sum(len(${DD.tokens("text")})) AS DOUBLE) AS n_tokens
+         |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+         |  GROUP BY lang),
+         |c AS (SELECT lang, n_tokens, n_tokens * 4.0 AS capacity FROM pl),
+         |w AS (SELECT *,
+         |    row_number() OVER (ORDER BY capacity ASC, lang ASC) AS i,
+         |    coalesce(sum(capacity) OVER (ORDER BY capacity ASC, lang ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS cum,
+         |    count(*) OVER () AS n
+         |  FROM c),
+         |t AS (SELECT max((80000.0 - cum) / (n - i + 1)) AS theta FROM w)
+         |SELECT lang, CAST(n_tokens AS BIGINT) AS n_tokens, capacity,
+         |  round(least(capacity, theta), 6) AS alloc_tokens,
+         |  round(least(capacity, theta) / n_tokens, 6) AS sample_rate
+         |FROM w, t""".stripMargin,
+
+    // nDCG replay: the shared q51 BM25 chain top-20 ranked, judged
+    // pool doc_id%3=0 graded id%4, unjudged rel 0; ideal = judged
+    // top-10 by grade
+    "q211_ndcg" ->
+      s"""WITH $bm25Ctes,
+         |bml AS (SELECT doc_id, bm25 FROM sc WHERE bm25 > 0
+         |        ORDER BY bm25 DESC, doc_id LIMIT 20),
+         |rk AS (SELECT doc_id,
+         |         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+         |       FROM bml),
+         |rels AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS rel
+         |         FROM documents WHERE doc_id % 3 = 0),
+         |sys AS (SELECT sum((pow(2.0, CAST(coalesce(r.rel, 0) AS DOUBLE)) - 1.0)
+         |          / log2(CAST(rk.rank AS DOUBLE) + 1.0)) AS dcg
+         |        FROM rk LEFT JOIN rels r USING (doc_id)
+         |        WHERE rk.rank <= 10),
+         |itop AS (SELECT rel,
+         |           row_number() OVER (ORDER BY rel DESC, doc_id ASC) AS rank
+         |         FROM (SELECT * FROM rels
+         |               ORDER BY rel DESC, doc_id ASC LIMIT 10)),
+         |ideal AS (SELECT sum((pow(2.0, CAST(rel AS DOUBLE)) - 1.0)
+         |            / log2(CAST(rank AS DOUBLE) + 1.0)) AS idcg
+         |          FROM itop)
+         |SELECT 10 AS k, round(dcg, 6) AS dcg, round(idcg, 6) AS idcg,
+         |  round(dcg / idcg, 6) AS ndcg
+         |FROM sys, ideal""".stripMargin,
+
+    // Zipf replay: head-100 frequency table, ln-ln least squares with
+    // the same multiply-before-divide normal-equation arithmetic
+    "q212_zipf_fit" ->
+      s"""WITH tok AS (SELECT unnest(${DD.tokens("text")}) AS w
+         |  FROM documents WHERE text IS NOT NULL),
+         |c AS (SELECT w, count(*) AS n FROM tok GROUP BY w),
+         |h AS (SELECT w, n FROM c ORDER BY n DESC, w ASC LIMIT 100),
+         |xy AS (SELECT
+         |    ln(CAST(row_number() OVER (ORDER BY n DESC, w ASC) AS DOUBLE))
+         |      AS x,
+         |    ln(CAST(n AS DOUBLE)) AS y
+         |  FROM h),
+         |s AS (SELECT CAST(count(*) AS DOUBLE) AS k,
+         |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         |    sum(x * x) AS sxx, sum(y * y) AS syy
+         |  FROM xy)
+         |SELECT CAST(k AS BIGINT) AS n_fit,
+         |  round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS slope,
+         |  round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx) / k, 6)
+         |    AS intercept,
+         |  round(((k * sxy - sx * sy) * (k * sxy - sx * sy))
+         |    / ((k * sxx - sx * sx) * (k * syy - sy * sy)), 6) AS r2
+         |FROM s""".stripMargin,
+
+    // kappa replay: integer confusion cells, marginal products, three
+    // final divisions
+    "q213_kappa" ->
+      s"""WITH l AS (SELECT
+         |    (${PortableSql.qualityScore("text", DD)} >= 0.5) AS a,
+         |    (n_chars >= 306) AS b
+         |  FROM documents WHERE text IS NOT NULL),
+         |cells AS (SELECT a, b, count(*) AS n FROM l
+         |          WHERE a IS NOT NULL AND b IS NOT NULL GROUP BY a, b),
+         |rm AS (SELECT a, sum(n) AS ra FROM cells GROUP BY a),
+         |cm AS (SELECT b, sum(n) AS cb FROM cells GROUP BY b),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN a = b THEN n ELSE 0 END) AS BIGINT)
+         |      AS n_agree
+         |  FROM cells),
+         |pe AS (SELECT coalesce(sum(ra * cb), 0) AS pe_num
+         |       FROM rm JOIN cm ON rm.a = cm.b),
+         |st AS (SELECT n, n_agree,
+         |    CAST(n_agree AS DOUBLE) / n AS po,
+         |    CAST(pe_num AS DOUBLE) / (n * n) AS pe
+         |  FROM tot, pe)
+         |SELECT n, n_agree, round(po, 6) AS po, round(pe, 6) AS pe,
+         |  round(CASE WHEN pe = 1.0 THEN NULL
+         |             ELSE (po - pe) / (1.0 - pe) END, 6) AS kappa
+         |FROM st""".stripMargin,
 
     "q49_winnowing" -> {
       val k = 5; val w = 4

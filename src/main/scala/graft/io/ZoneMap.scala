@@ -1,0 +1,104 @@
+package graft.io
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Zone maps — per-file min/max statistics and the file-skipping read
+ * they enable (the data-skipping index of Delta/Iceberg/ORC, public:
+ * Moerkotte "Small Materialized Aggregates" 1998; the txn-log file
+ * stats every lakehouse reader consults before planning a scan).
+ * North-star extension — the reference has no layout management.
+ *
+ * The idea at 100 TB: a predicate on a NON-partition column normally
+ * costs a full scan; if files were written clustered on that column,
+ * a (file → min/max) side table turns the predicate into a file list
+ * BEFORE the scan — I/O ∝ matching files, not corpus. Effectiveness
+ * is entirely a layout property: stats over the clustering column are
+ * tight (disjoint ranges → most files prune), stats over an
+ * uncorrelated column span the whole domain (nothing prunes). Both
+ * facts are visible in [[pruneReport]], which is the audit a layout
+ * decision (which column to Z-order/cluster by) is made from.
+ *
+ * Determinism contract: file ids come from VALUE-RANGE binning
+ * (`floor((v − lo)/(hi − lo) · nFiles)`, clamped — the [[graft.ops
+ * .Diagnostics.psi]] formula), i.e. the assignment a range-partitioned
+ * writer produces, computed as one 1-row min/max pass plus one narrow
+ * projection — no global sort, no sampled range boundaries (Spark's
+ * `repartitionByRange` samples, so its exact boundaries are not
+ * engine-replayable; the closed-form binning is). Stats are min/max —
+ * summation-free, so every output value is exact in both engines.
+ *
+ * Scale shape: stats build = one decomposable `groupBy(file_id)` over
+ * a narrow projection (|files| output rows); the prune decision is
+ * arithmetic over the |files|-row stats table — driver-safe to
+ * collect, cheap to broadcast; the pruned read shuffles nothing.
+ */
+object ZoneMap {
+
+  /** Clamped range-bin file id in [0, nFiles): the deterministic
+    * stand-in for a range-clustered writer's file assignment. `lo`/`hi`
+    * are the column's min/max (1-row aggregate, cross-broadcast by the
+    * callers). A width-0 domain (constant column) collapses to file 0. */
+  def rangeFileId(v: Column, lo: Column, hi: Column, nFiles: Int): Column = {
+    require(nFiles >= 1, "nFiles must be >= 1")
+    when(hi === lo, lit(0))
+      .otherwise(least(lit(nFiles - 1), greatest(lit(0),
+        floor((v - lo) * nFiles / (hi - lo)).cast("int"))))
+  }
+
+  /** Assign each row its range-bin file id on `clusterCol` (numeric or
+    * castable-to-double; timestamps cast to epoch seconds first at the
+    * call site). Adds `file_id`. One 1-row min/max pass + one narrow
+    * projection — zero shuffles. */
+  def assignFiles(df: DataFrame, clusterCol: Column, nFiles: Int): DataFrame = {
+    val v = clusterCol.cast("double")
+    val bounds = df.agg(min(v).as("__lo"), max(v).as("__hi"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("file_id", rangeFileId(v, col("__lo"), col("__hi"), nFiles))
+      .drop("__lo", "__hi")
+  }
+
+  /** Per-file zone-map stats: `n_rows` + `<c>_mn`/`<c>_mx` per tracked
+    * column. min/max are summation-free (exact in any engine/order);
+    * output is |files| rows. */
+  def stats(df: DataFrame, fileIdCol: String, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one tracked column")
+    val aggs = count(lit(1)).as("n_rows") +:
+      cols.flatMap(c => Seq(min(col(c)).as(s"${c}_mn"), max(col(c)).as(s"${c}_mx")))
+    df.groupBy(col(fileIdCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** A file survives the predicate `valueCol BETWEEN lo AND hi` iff its
+    * [mn, mx] zone overlaps the range; `pruned` is the complement. Null
+    * zone edges (all-null file) never overlap. */
+  def prunedFlag(mn: Column, mx: Column, lo: Column, hi: Column): Column =
+    !(mx >= lo && mn <= hi)
+
+  /** The file list a zone-map-pruned read would open for
+    * `valueCol BETWEEN lo AND hi` — arithmetic over the |files|-row
+    * stats table (collected; files-bounded by construction). */
+  def survivingFiles(
+      stats: DataFrame, valueCol: String, lo: Column, hi: Column,
+      fileIdCol: String = "file_id"): Seq[Int] =
+    stats
+      .filter(!prunedFlag(col(s"${valueCol}_mn"), col(s"${valueCol}_mx"), lo, hi))
+      .select(col(fileIdCol).cast("int"))
+      .collect().map(_.getInt(0)).sorted.toSeq
+
+  /** Zone-map-pruned read of a directory written with
+    * `partitionBy(fileIdCol)`: the stats table converts the VALUE
+    * predicate into a `file_id IN (...)` partition filter — the
+    * predicate transfer Spark cannot do natively without a lakehouse
+    * txn log — then the value filter itself still applies (zones are
+    * necessary, not sufficient). The isin lands in `PartitionFilters`
+    * (spec-pinned), so non-surviving files are never opened. */
+  def readPruned(
+      spark: SparkSession, dir: String, stats: DataFrame,
+      valueCol: String, lo: Column, hi: Column,
+      fileIdCol: String = "file_id"): DataFrame = {
+    val keep = survivingFiles(stats, valueCol, lo, hi, fileIdCol)
+    spark.read.parquet(dir)
+      .filter(col(fileIdCol).isin(keep: _*) && col(valueCol).between(lo, hi))
+  }
+}

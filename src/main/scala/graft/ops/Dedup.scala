@@ -1239,4 +1239,66 @@ object Dedup {
         size(arr).cast("long").as("n_before"),
         size(keep).cast("long").as("n_after"))
   }
+
+  /**
+   * Mirror-host detection (Bharat & Broder, "Mirror, mirror on the
+   * web" 1999, public): host PAIRS whose content-fingerprint sets
+   * overlap heavily are mirrors — crawl one, skip the other, and
+   * collapse their pages before corpus entry (per-URL dedup misses
+   * mirrors whose URLs differ entirely). Input is one (host,
+   * fingerprint) row per page; identity is fingerprint equality, so
+   * the caller picks the granularity (page md5, winnowing sketch, …).
+   *
+   * Per surviving pair: `shared` distinct fingerprints, each side's
+   * set size, `resemblance = shared / (|A| + |B| − shared)` (Jaccard)
+   * and `containment = shared / min(|A|, |B|)` (the one-directional
+   * mirror-of-a-subsection signal). Pairs below `minShared` drop.
+   *
+   * Scale shape: the pair generation is a SELF-JOIN KEYED ON THE
+   * FINGERPRINT — never host × host. Its fanout per fingerprint is
+   * `n_hosts²`, so fingerprints on more than `maxHostsPerFp` hosts are
+   * dropped FIRST (the boilerplate fence: a shared footer fingerprint
+   * appearing on every host of the web would otherwise quadratically
+   * dominate — and carries no mirror signal precisely because it is
+   * everywhere; same df-cap discipline as the co-citation and PPJoin
+   * prefix filters). After the cap, per-key work is ≤ maxHostsPerFp²
+   * and the aggregation is decomposable on (host_a, host_b).
+   * Host-pair ordering `host_a < host_b` emits each pair once.
+   */
+  def mirrorHosts(
+      pages: DataFrame,
+      hostCol: String,
+      fpCol: String,
+      maxHostsPerFp: Int = 32,
+      minShared: Long = 2L): DataFrame = {
+    require(maxHostsPerFp >= 2, "maxHostsPerFp must be >= 2")
+    val fps = pages
+      .select(col(hostCol).as("__host"), col(fpCol).as("__fp"))
+      .filter(col("__host").isNotNull && col("__fp").isNotNull)
+      .distinct()
+      .localCheckpoint() // feeds the spread cap, sizes, AND the pair join
+    val rare = fps
+      .groupBy("__fp").agg(count(lit(1)).as("__nh"))
+      .filter(col("__nh") >= 2 && col("__nh") <= maxHostsPerFp)
+      .select("__fp")
+    val capped = fps.join(rare, Seq("__fp"))
+    val sizes = fps.groupBy("__host").agg(count(lit(1)).as("__sz"))
+    val pairs = capped.as("a")
+      .join(capped.as("b"),
+        col("a.__fp") === col("b.__fp") && col("a.__host") < col("b.__host"))
+      .groupBy(col("a.__host").as("host_a"), col("b.__host").as("host_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+    pairs
+      .join(sizes.withColumnRenamed("__host", "host_a")
+        .withColumnRenamed("__sz", "n_a"), "host_a")
+      .join(sizes.withColumnRenamed("__host", "host_b")
+        .withColumnRenamed("__sz", "n_b"), "host_b")
+      .select(col("host_a"), col("host_b"), col("shared"),
+        col("n_a"), col("n_b"),
+        round(col("shared").cast("double") /
+          (col("n_a") + col("n_b") - col("shared")), 6).as("resemblance"),
+        round(col("shared").cast("double") /
+          least(col("n_a"), col("n_b")), 6).as("containment"))
+  }
 }

@@ -43,6 +43,52 @@ object Quality {
   }
 
   /** Single-row wide result: one `<rule>` count column per rule. */
+  /**
+   * Cohen's kappa (Cohen 1960, public) — chance-corrected agreement
+   * between two labelers over the same rows: the QA metric for a
+   * quality-classifier change ("the new gate agrees with the old one
+   * at κ = 0.8") and for human-vs-model label audits. Raw agreement
+   * `po` flatters imbalanced label sets (two always-say-keep gates
+   * agree 100% by accident); κ subtracts the agreement `pe` expected
+   * from the marginals alone: `κ = (po − pe)/(1 − pe)`.
+   *
+   * Everything is integer counts until three final divisions: one
+   * |labels|²-bounded confusion aggregation, marginals from it, and
+   * `pe`'s numerator as a Σ(row-marginal × col-marginal) over the
+   * label join — exact in any order, so both engines produce
+   * bit-identical doubles (round 6 on publication). Rows where either
+   * label is null are excluded (not labeled by both). Degenerate
+   * `pe = 1` (both sides constant and equal) yields null κ — the
+   * statistic is undefined there, not 1.0.
+   *
+   * Output: one row (n, n_agree, po, pe, kappa).
+   */
+  def agreementKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__n"))
+    val rowM = cells.groupBy("__a").agg(sum("__n").as("__ra"))
+    val colM = cells.groupBy("__b").agg(sum("__n").as("__cb"))
+    val tot = cells.agg(
+      sum(col("__n")).as("n"),
+      sum(when(col("__a") === col("__b"), col("__n")).otherwise(0L))
+        .as("n_agree"))
+    val peNum = rowM
+      .join(colM, col("__a") === col("__b"))
+      .agg(coalesce(sum(col("__ra") * col("__cb")), lit(0L)).as("__pe_num"))
+    tot.crossJoin(peNum)
+      .select(col("n"), col("n_agree"),
+        (col("n_agree").cast("double") / col("n")).as("__po"),
+        (col("__pe_num").cast("double") / (col("n") * col("n"))).as("__pe"))
+      .select(col("n"), col("n_agree"),
+        round(col("__po"), 6).as("po"),
+        round(col("__pe"), 6).as("pe"),
+        round(when(col("__pe") === 1.0, lit(null).cast("double"))
+          .otherwise((col("__po") - col("__pe")) / (lit(1.0) - col("__pe"))), 6)
+          .as("kappa"))
+  }
+
   def violationCounts(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "at least one rule")
     val aggs = rules.map(r =>

@@ -368,6 +368,76 @@ object Sampling {
         round(lit(1.0) / coalesce(col("__csize"), lit(1L)), 6).as("weight"))
   }
 
+  /**
+   * UniMax language-budget allocation (Chung et al., "UniMax: Fairer
+   * and More Effective Language Sampling for Large-Scale Multilingual
+   * Pretraining", 2023, public): given a total token budget `B` and a
+   * per-language repeat ceiling (`epochCap` epochs over that
+   * language's `tokens`), spread the budget as UNIFORMLY across
+   * languages as the ceilings allow — head languages stop absorbing
+   * the budget the moment every tail language is capped, instead of
+   * proportional/temperature sampling's rich-get-richer allocation.
+   *
+   * This is water-filling with per-language capacity `cap_l =
+   * epochCap · tokens_l`: allocate `alloc_l = min(cap_l, θ)` where θ
+   * solves `Σ min(cap_l, θ) = B` (θ = ∞ when `Σ cap ≤ B` — everyone
+   * is capped). Closed form over languages sorted ASCENDING by
+   * capacity (ties: language asc): with `cum_i` the exclusive prefix
+   * sum of capacities, `θ = max_i (B − cum_i)/(n − i + 1)` — one
+   * window pass + a 1-row max, no driver loop.
+   *
+   * Determinism: capacities are `tokens × epochCap` — exact doubles
+   * when epochCap is a small dyadic rational (the practical values: 1,
+   * 2, 4, 0.5) — and the prefix sums of exact doubles are exact in any
+   * order, so θ and every allocation replay bit-identically in the
+   * oracle; the only rounding is the final 6-dp on the published rate.
+   *
+   * Scale shape: one corpus aggregation to (lang, tokens) — |langs|
+   * rows — then all arithmetic happens on that frame; the window
+   * partitions by a constant over |langs| rows, which is the POINT
+   * (languages number in the hundreds, never corpus-∝). The per-doc
+   * application is a broadcast join of the |langs|-row rate table.
+   *
+   * Output: (lang, n_tokens, capacity, alloc_tokens, sample_rate =
+   * alloc/tokens — the per-language inclusion rate a sampler applies;
+   * rate > 1 means the language repeats for that many epochs).
+   */
+  def unimaxAllocation(
+      df: DataFrame,
+      langCol: String,
+      tokensCol: Column,
+      budget: Long,
+      epochCap: Double): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(epochCap > 0, "epochCap must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val perLang = df
+      .filter(col(langCol).isNotNull)
+      .groupBy(col(langCol).as("lang"))
+      .agg(sum(tokensCol).cast("double").as("n_tokens"))
+      .withColumn("capacity", col("n_tokens") * lit(epochCap))
+    // |langs|-row frame from here on: the single-partition window is
+    // deliberate (languages are bounded; the corpus never enters it)
+    val ord = Window.orderBy(col("capacity").asc, col("lang").asc)
+    val cum = Window.orderBy(col("capacity").asc, col("lang").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val n = Window.partitionBy(lit(1))
+    val withTheta = perLang
+      .withColumn("__i", row_number().over(ord))
+      .withColumn("__cum", coalesce(sum(col("capacity")).over(cum), lit(0.0)))
+      .withColumn("__n", count(lit(1)).over(n))
+      .withColumn("__r",
+        (lit(budget.toDouble) - col("__cum")) / (col("__n") - col("__i") + 1))
+      .withColumn("__theta", max(col("__r")).over(n))
+    withTheta
+      .select(col("lang"), col("n_tokens").cast("long").as("n_tokens"),
+        col("capacity"),
+        least(col("capacity"), col("__theta")).as("alloc_tokens"))
+      .withColumn("sample_rate",
+        round(col("alloc_tokens") / col("n_tokens"), 6))
+      .withColumn("alloc_tokens", round(col("alloc_tokens"), 6))
+  }
+
   def weightedSample(
       df: DataFrame,
       keyCol: String,

@@ -255,6 +255,52 @@ object Search {
   }
 
   /**
+   * nDCG@k (Järvelin & Kekäläinen 2002, public) — THE graded ranking
+   * metric: `DCG@k = Σ_{i≤k} (2^rel_i − 1)/log2(i + 1)` over the
+   * system ranking, normalized by the ideal DCG of the best possible
+   * ordering of the judged set. The eval every retrieval change
+   * (BM25 tuning, ANN recall dial, MMR/RRF re-rank) is gated on —
+   * recall@k sees WHETHER the right docs arrived, nDCG sees WHERE.
+   *
+   * Contracts: `ranking` = (idCol, rank 1-based) — a top-k list, not
+   * a corpus; `rels` = the judged relevance set (idCol, rel: integer
+   * grade ≥ 0) — judgment-pool-sized by definition. Unjudged ranked
+   * docs score rel = 0 (the standard convention); the ideal ordering
+   * sorts the judged set by grade desc (ties: id asc — deterministic).
+   * Both joins are judgment-sized broadcasts; the ideal top-k is
+   * `TakeOrderedAndProject`, never a global sort. Gains `2^rel − 1`
+   * are exact integers; the k-term discounted sums are the only
+   * doubles (round 6 — the usual sum-order bound).
+   *
+   * Output: one row (k, dcg, idcg, ndcg).
+   */
+  def ndcgAtK(
+      ranking: DataFrame,
+      rels: DataFrame,
+      idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "ndcgAtK needs k >= 1")
+    def gain(rel: Column): Column =
+      (pow(lit(2.0), rel.cast("double")) - 1.0)
+    def disc(pos: Column): Column = log2(pos.cast("double") + 1.0)
+    val sys = ranking
+      .filter(col("rank") <= k)
+      .join(broadcast(rels.select(col(idCol), col("rel"))), Seq(idCol), "left")
+      .select((gain(coalesce(col("rel"), lit(0))) / disc(col("rank"))).as("__g"))
+      .agg(sum(col("__g")).as("dcg"))
+    val ideal = ranked(
+      rels.orderBy(col("rel").desc, col(idCol).asc).limit(k),
+      col("rel").desc, col(idCol).asc)
+      .select((gain(col("rel")) / disc(col("rank"))).as("__g"))
+      .agg(sum(col("__g")).as("idcg"))
+    sys.crossJoin(ideal)
+      .select(lit(k).as("k"),
+        round(col("dcg"), 6).as("dcg"),
+        round(col("idcg"), 6).as("idcg"),
+        round(try_divide(col("dcg"), col("idcg")), 6).as("ndcg"))
+  }
+
+  /**
    * Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
    * 1998, public) — dedup-aware retrieval: pure relevance ranking
    * returns five near-copies of the best hit; MMR greedily picks the

@@ -1230,4 +1230,53 @@ object Similarity {
     sqTopKWith(sqEncode(corpus, idCol, embCol, dims, ranges),
       queryDf, idCol, embCol, topK, dims, ranges)
   }
+
+  /**
+   * Two-stage refine re-rank (the FAISS `IndexRefineFlat` pattern,
+   * public): the compressed stage ([[sqTopKWith]] over the integer
+   * code table) over-fetches `topK × refineFactor` candidates, then
+   * ONLY those candidate rows are re-scored against the exact float
+   * embeddings and re-ranked. The standard accuracy/cost dial of every
+   * production vector index: quantization error decides RECALL INTO
+   * the candidate set (cheap to widen — scan cost is code-table-sized
+   * either way), while the final ORDER is exact, so the approximate
+   * stage only has to be good enough to not drop a true neighbor past
+   * rank R.
+   *
+   * Scale shape: stage 1 never touches the float embeddings (the
+   * working-set shrink that makes the 100 TB corpus scannable); stage
+   * 2 attaches R = topK·refineFactor ids — an R-row broadcast
+   * semi-join against the embedding table, so exact-scoring cost is
+   * R·dims, not corpus·dims. Both stages end in
+   * `TakeOrderedAndProject` (no global sort). Ties break on id
+   * ascending at both stages, so the candidate CUT at rank R is
+   * deterministic and the oracle replays it exactly.
+   *
+   * Output: (idCol, approx_dot, exact_dot) — keeping the stage-1 score
+   * beside the exact one is what makes the quantization error
+   * observable (the audit column a recall regression starts from).
+   */
+  def sqRefineTopK(
+      corpus: DataFrame,
+      queryDf: DataFrame,
+      idCol: String,
+      embCol: String,
+      topK: Int,
+      refineFactor: Int,
+      dims: Int): DataFrame = {
+    require(refineFactor >= 1, "refineFactor must be >= 1")
+    requireSingleQuery(queryDf, "sqRefineTopK")
+    val ranges = sqRanges(corpus, embCol, dims)
+    val codes = sqEncode(corpus, idCol, embCol, dims, ranges)
+    val cands = sqTopKWith(codes, queryDf, idCol, embCol,
+      topK * refineFactor, dims, ranges)
+    val q = queryDf.select(col(embCol)).head().getSeq[Float](0)
+    val qArr = array(q.map(v => lit(v.toDouble)): _*)
+    corpus
+      .join(broadcast(cands), idCol)
+      .select(col(idCol), col("approx_dot"),
+        round(dot(qArr, col(embCol)), 6).as("exact_dot"))
+      .orderBy(col("exact_dot").desc, col(idCol).asc)
+      .limit(topK)
+  }
 }

@@ -466,4 +466,57 @@ object TextOps {
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .withColumn("cum_types", sum(col("n_new_types")).over(w))
   }
+
+  /**
+   * Zipf-law fit over the frequency head (Zipf 1949; the companion of
+   * [[vocabularyGrowth]]'s Heaps curve): least-squares slope of
+   * `ln(freq)` against `ln(rank)` for the top `headSize` word types.
+   * A healthy natural-language corpus slopes ≈ −1; a flatter head
+   * means template/boilerplate flooding (many words artificially
+   * equally frequent), a steeper one a degenerate vocabulary — the
+   * corpus-shape diagnostic beside the growth curve.
+   *
+   * Fitting the HEAD is deliberate and standard (the tail bends away
+   * from the power law and is Heaps-noise-dominated) — and it is what
+   * makes the op scale-safe: ranking is a `TakeOrderedAndProject`
+   * top-k of the (vocab-bounded) frequency table, never a global sort
+   * of the vocabulary, and the regression runs over `headSize` rows.
+   * Ties rank deterministically (count desc, word asc). The ln/product
+   * sums are the only doubles (round 6 on the published stats, the
+   * usual sum-order bound).
+   *
+   * Output: one row (n_fit, slope, intercept, r2).
+   */
+  def zipfFit(
+      df: DataFrame,
+      textCol: String,
+      headSize: Int = 100): DataFrame = {
+    require(headSize >= 3, "zipfFit needs at least 3 head ranks")
+    val freqs = df
+      .filter(col(textCol).isNotNull)
+      .select(explode(tokens(col(textCol))).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("__w").asc)
+      .limit(headSize)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__n").desc, col("__w").asc)
+    val xy = freqs
+      .withColumn("__x", log(row_number().over(w).cast("double")))
+      .withColumn("__y", log(col("__n").cast("double")))
+    val s = xy.agg(
+      count(lit(1)).cast("double").as("__k"),
+      sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+      sum(col("__x") * col("__y")).as("__sxy"),
+      sum(col("__x") * col("__x")).as("__sxx"),
+      sum(col("__y") * col("__y")).as("__syy"))
+    val cov = col("__k") * col("__sxy") - col("__sx") * col("__sy")
+    val varX = col("__k") * col("__sxx") - col("__sx") * col("__sx")
+    val varY = col("__k") * col("__syy") - col("__sy") * col("__sy")
+    s.select(
+      col("__k").cast("long").as("n_fit"),
+      round(cov / varX, 6).as("slope"),
+      round((col("__sy") - (cov / varX) * col("__sx")) / col("__k"), 6)
+        .as("intercept"),
+      round((cov * cov) / (varX * varY), 6).as("r2"))
+  }
 }

@@ -628,4 +628,34 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got.toSeq == Seq((1L, 2L, 1L)))
   }
+
+  test("mirrorHosts: overlap arithmetic, ubiquitous-fingerprint cap, minShared floor") {
+    // A={f0..f4} B={f0,f1,f2} C={f0,f9}; f0 is on all three hosts ->
+    // excluded by the spread cap 2, so only (A,B) shares {f1,f2};
+    // sizes stay the TRUE set sizes (the cap is a join fence, not a
+    // set redefinition)
+    val pages = Seq(
+      ("A", "f0"), ("A", "f1"), ("A", "f2"), ("A", "f3"), ("A", "f4"),
+      ("B", "f0"), ("B", "f1"), ("B", "f2"),
+      ("C", "f0"), ("C", "f9"),
+      ("B", "f1") // duplicate page row: identity is the distinct set
+    ).toDF("host", "fp")
+    val got = Dedup.mirrorHosts(pages, "host", "fp",
+      maxHostsPerFp = 2, minShared = 2).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getString(0), r.getString(1), r.getLong(2),
+      r.getLong(3), r.getLong(4)) == (("A", "B", 2L, 5L, 3L)))
+    assert(r.getDouble(5) == 0.333333) // 2 / (5 + 3 - 2)
+    assert(r.getDouble(6) == 0.666667) // 2 / min(5, 3)
+    // raising the cap admits f0: (A,B) gains a share, (A,C)/(B,C)
+    // appear at shared=1 only if the floor allows
+    val loose = Dedup.mirrorHosts(pages, "host", "fp",
+        maxHostsPerFp = 3, minShared = 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(loose == Set(("A", "B", 3L), ("A", "C", 1L), ("B", "C", 1L)))
+    intercept[IllegalArgumentException] {
+      Dedup.mirrorHosts(pages, "host", "fp", maxHostsPerFp = 1)
+    }
+  }
 }

@@ -68,4 +68,35 @@ class QualitySpec extends AnyFunSuite {
     assert(m("amount_positive") == 1L)
     assert(m("label_short") == 1L)
   }
+
+  test("agreementKappa: hand-computed 2x2 confusion; nulls excluded") {
+    // cells: (T,T)=20 (T,F)=5 (F,T)=10 (F,F)=15 -> n=50, agree=35,
+    // po=0.7; marginals row (25,25) col (30,20) -> pe=(750+500)/2500=0.5
+    // -> kappa = (0.7-0.5)/0.5 = 0.4
+    val rows: Seq[(Option[Boolean], Option[Boolean])] =
+      Seq.fill(20)((Some(true), Some(true))) ++
+        Seq.fill(5)((Some(true), Some(false))) ++
+        Seq.fill(10)((Some(false), Some(true))) ++
+        Seq.fill(15)((Some(false), Some(false))) :+
+        (None, Some(true)) // half-labeled row must not count
+    val df = rows.toDF("a", "b")
+    val got = Quality.agreementKappa(df, "a", "b").collect().head
+    assert(got.getLong(0) == 50L && got.getLong(1) == 35L)
+    assert(got.getDouble(2) == 0.7 && got.getDouble(3) == 0.5)
+    assert(got.getDouble(4) == 0.4)
+  }
+
+  test("agreementKappa: perfect agreement, chance-level labels, degenerate pe=1") {
+    val perfect = Seq((1, 1), (2, 2), (3, 3), (1, 1)).toDF("a", "b")
+    assert(Quality.agreementKappa(perfect, "a", "b")
+      .collect().head.getDouble(4) == 1.0)
+    // independent coin flips at 50/50: po == pe -> kappa 0
+    val chance = Seq((true, true), (true, false), (false, true),
+      (false, false)).toDF("a", "b")
+    assert(Quality.agreementKappa(chance, "a", "b")
+      .collect().head.getDouble(4) == 0.0)
+    // both sides constant and equal: pe = 1, kappa undefined -> null
+    val const = Seq((1, 1), (1, 1)).toDF("a", "b")
+    assert(Quality.agreementKappa(const, "a", "b").collect().head.isNullAt(4))
+  }
 }

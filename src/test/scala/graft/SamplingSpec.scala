@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ops.Sampling
@@ -332,5 +333,45 @@ class SamplingSpec extends AnyFunSuite {
       Sampling.softDedupWeights(docs, "doc_id", labels),
       "doc_id", "weight", k = 3, salt = "sd")
     assert(sampled.count() == 3)
+  }
+
+  test("unimaxAllocation: hand-computed water-fill — tails cap, head absorbs the remainder") {
+    // per-doc rows aggregate to a=10, b=20, c=100 tokens; epochCap 2
+    // -> capacities 20, 40, 200; budget 100: ascending r = (100/3,
+    // (100-20)/2, (100-60)/1) = (33.3, 40, 40) -> theta 40; allocs
+    // (20, 40, 40), sum exactly the budget
+    val docs = Seq(("a", 4L), ("a", 6L), ("b", 20L), ("c", 70L), ("c", 30L))
+      .toDF("lang", "toks")
+    val got = Sampling.unimaxAllocation(docs, "lang", col("toks"),
+        budget = 100L, epochCap = 2.0)
+      .select("lang", "n_tokens", "alloc_tokens", "sample_rate")
+      .as[(String, Long, Double, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      ("a", 10L, 20.0, 2.0),      // capped: full 2 epochs
+      ("b", 20L, 40.0, 2.0),      // capped exactly at the water level
+      ("c", 100L, 40.0, 0.4)))    // head: budget-limited below 1 epoch
+    assert(got.map(_._3).sum == 100.0, "allocations exhaust the budget")
+  }
+
+  test("unimaxAllocation: surplus budget degrades to the epoch caps; bad args rejected") {
+    val docs = Seq(("a", 10L), ("b", 20L), ("c", 100L)).toDF("lang", "toks")
+    val got = Sampling.unimaxAllocation(docs, "lang", col("toks"),
+        budget = 10000L, epochCap = 2.0)
+      .select("lang", "alloc_tokens", "sample_rate")
+      .as[(String, Double, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(("a", 20.0, 2.0), ("b", 40.0, 2.0), ("c", 200.0, 2.0)),
+      "when the budget exceeds total capacity every language caps")
+    // partitioning invariance: |langs|-row arithmetic is layout-free
+    val p2 = Sampling.unimaxAllocation(docs.repartition(2), "lang",
+      col("toks"), budget = 100L, epochCap = 2.0).collect().map(_.toSeq).toSet
+    val p5 = Sampling.unimaxAllocation(docs.repartition(5), "lang",
+      col("toks"), budget = 100L, epochCap = 2.0).collect().map(_.toSeq).toSet
+    assert(p2 == p5)
+    intercept[IllegalArgumentException] {
+      Sampling.unimaxAllocation(docs, "lang", col("toks"), budget = 0L, epochCap = 2.0)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.unimaxAllocation(docs, "lang", col("toks"), budget = 10L, epochCap = 0.0)
+    }
   }
 }

@@ -140,4 +140,40 @@ class SearchSpec extends AnyFunSuite {
     val wide = kw(3)
     assert(wide(3L) == ((2L, "a b spark window", 2L)))   // right clamp
   }
+
+  test("ndcgAtK: hand-computed grades, unjudged rank counts as rel 0") {
+    // system ranking: doc1 (rel 3), doc2 (unjudged -> 0), doc3 (rel 1);
+    // judged pool also holds doc9 (rel 2), unreturned
+    val ranking = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("doc_id", "rank")
+    val rels = Seq((1L, 3), (3L, 1), (9L, 2)).toDF("doc_id", "rel")
+    val got = Search.ndcgAtK(ranking, rels, "doc_id", k = 3).collect().head
+    def g(rel: Int) = math.pow(2.0, rel) - 1.0
+    def d(pos: Int) = math.log(pos + 1.0) / math.log(2.0)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val dcg = g(3) / d(1) + g(0) / d(2) + g(1) / d(3)
+    val idcg = g(3) / d(1) + g(2) / d(2) + g(1) / d(3) // ideal: 3,2,1
+    assert(got.getInt(0) == 3)
+    assert(got.getDouble(1) == r6(dcg))
+    assert(got.getDouble(2) == r6(idcg))
+    assert(got.getDouble(3) == r6(dcg / idcg))
+    assert(got.getDouble(3) < 1.0)
+  }
+
+  test("ndcgAtK: the ideal ordering of the judged pool scores exactly 1.0; k truncates") {
+    val rels = Seq((1L, 3), (2L, 2), (3L, 2), (4L, 0)).toDF("doc_id", "rel")
+    // perfect system ranking = grade desc, id asc (the ideal tie-break)
+    val perfect = Seq((1L, 1), (2L, 2), (3L, 3), (4L, 4)).toDF("doc_id", "rank")
+    val got = Search.ndcgAtK(perfect, rels, "doc_id", k = 4).collect().head
+    assert(got.getDouble(3) == 1.0)
+    // k = 2 ignores everything past rank 2 on BOTH sides
+    val k2 = Search.ndcgAtK(perfect, rels, "doc_id", k = 2).collect().head
+    assert(k2.getDouble(3) == 1.0)
+    val worst = Seq((4L, 1), (3L, 2), (2L, 3), (1L, 4)).toDF("doc_id", "rank")
+    assert(Search.ndcgAtK(worst, rels, "doc_id", k = 4)
+      .collect().head.getDouble(3) < 1.0)
+    intercept[IllegalArgumentException] {
+      Search.ndcgAtK(perfect, rels, "doc_id", k = 0)
+    }
+  }
 }

@@ -544,4 +544,37 @@ class SimilaritySpec extends AnyFunSuite {
       .sortBy { case (id, sc) => (-sc, id) }.take(5)
     assert(got.toSeq == ref)
   }
+
+  test("sqRefineTopK: final order is the EXACT dot over the approximate candidate cut") {
+    val emb = TestSpark.table("embeddings")
+    val q = emb.filter($"vec_id" === 0)
+    val n = emb.count().toInt
+    // refine wide enough to admit the whole corpus == brute-force MIPS
+    val all = Similarity.sqRefineTopK(emb, q, "vec_id", "embedding",
+        topK = 5, refineFactor = n / 5 + 1, dims = 64)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    val qv = q.select("embedding").head().getSeq[Float](0).map(_.toDouble)
+    val exact = emb.select("vec_id", "embedding").collect().map { r =>
+      val v = r.getSeq[Float](1)
+      val s = v.indices.foldLeft(0.0)((acc, i) => acc + qv(i) * v(i).toDouble)
+      (r.getLong(0),
+        BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy { case (id, s) => (-s, id) }.take(5)
+    assert(all.toSeq == exact.toSeq)
+    // the tight cut: candidates = sq top-15, re-ranked exactly — the
+    // result must be a subset of that candidate set in exact-dot order
+    val tight = Similarity.sqRefineTopK(emb, q, "vec_id", "embedding",
+      topK = 5, refineFactor = 3, dims = 64).collect()
+    val candIds = Similarity.sqTopK(emb, q, "vec_id", "embedding",
+      topK = 15, dims = 64).collect().map(_.getLong(0)).toSet
+    assert(tight.map(_.getLong(0)).forall(candIds.contains))
+    val exactDots = tight.map(_.getDouble(2))
+    assert(exactDots.sameElements(exactDots.sorted(Ordering[Double].reverse)))
+    // approx score rides along for the quantization-error audit
+    assert(tight.forall(r => !r.isNullAt(1)))
+    intercept[IllegalArgumentException] {
+      Similarity.sqRefineTopK(emb, q, "vec_id", "embedding",
+        topK = 5, refineFactor = 0, dims = 64)
+    }
+  }
 }

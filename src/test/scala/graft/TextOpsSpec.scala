@@ -638,4 +638,45 @@ class TextOpsSpec extends AnyFunSuite {
     assert(sat(0).getLong(3) == 2L && sat(1).getLong(3) == 0L)
     assert(sat(1).getLong(5) == 2L) // cum_types stays flat
   }
+
+  test("zipfFit: exact normal-equation replay on known counts; head cutoff; determinism") {
+    // counts: aa 16, bb 8, cc 4, dd 2 (geometric head)
+    val text = (Seq.fill(16)("aa") ++ Seq.fill(8)("bb") ++
+      Seq.fill(4)("cc") ++ Seq.fill(2)("dd")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    def expected(counts: Seq[Long]): (Long, Double, Double, Double) = {
+      val xy = counts.zipWithIndex.map { case (c, i) =>
+        (math.log((i + 1).toDouble), math.log(c.toDouble))
+      }
+      val k = xy.size.toDouble
+      val sx = xy.map(_._1).sum; val sy = xy.map(_._2).sum
+      val sxy = xy.map(p => p._1 * p._2).sum
+      val sxx = xy.map(p => p._1 * p._1).sum
+      val syy = xy.map(p => p._2 * p._2).sum
+      val cov = k * sxy - sx * sy; val vx = k * sxx - sx * sx
+      val vy = k * syy - sy * sy
+      def r6(v: Double) =
+        BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (k.toLong, r6(cov / vx), r6((sy - (cov / vx) * sx) / k),
+        r6((cov * cov) / (vx * vy)))
+    }
+    val got = TextOps.zipfFit(docs, "text", headSize = 10).collect().head
+    val (n, slope, icept, r2) = expected(Seq(16L, 8L, 4L, 2L))
+    assert((got.getLong(0), got.getDouble(1), got.getDouble(2), got.getDouble(3))
+      == ((n, slope, icept, r2)))
+    assert(slope < 0, "frequency falls with rank")
+    // headSize truncates the fit to the top ranks
+    val head3 = TextOps.zipfFit(docs, "text", headSize = 3).collect().head
+    assert(head3.getLong(0) == 3L)
+    assert((head3.getDouble(1), head3.getDouble(2), head3.getDouble(3)) ==
+      ((expected(Seq(16L, 8L, 4L))._2, expected(Seq(16L, 8L, 4L))._3,
+        expected(Seq(16L, 8L, 4L))._4)))
+    // layout-independent (rank ties break on the word)
+    val p = TextOps.zipfFit(docs.repartition(5), "text", headSize = 10)
+      .collect().head
+    assert(p.toSeq == got.toSeq)
+    intercept[IllegalArgumentException] {
+      TextOps.zipfFit(docs, "text", headSize = 2)
+    }
+  }
 }
