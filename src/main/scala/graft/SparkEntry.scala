@@ -3840,7 +3840,43 @@ object SparkEntry {
         (graft.ops.TextOps.qualityScore(col("text")) >= 0.5).as("gate_a"),
         (col("n_chars") >= 306L).as("gate_b"))
       graft.ops.Quality.agreementKappa(labeled, "gate_a", "gate_b")
-    })
+    }),
+
+    // ---- north-star: PMI collocations (Church & Hanks 1990) — word
+    //      pairs co-occurring far above chance over the bigram TYPE
+    //      table; minCount fences the singleton-pair pathology AND the
+    //      vocab² tail. The multiword-expression miner.
+    "q214_pmi" -> ((s, dir) =>
+      graft.ops.LanguageModel.pmiCollocations(
+        T(s, dir, "documents"), "text", minCount = 3L, topK = 20)),
+
+    // ---- north-star: empirical-Bayes source quality — per-source
+    //      good-doc rates shrunk toward the corpus rate with 20
+    //      pseudo-observations; the curation ranking raw rates get
+    //      wrong for barely-sampled sources.
+    "q215_source_quality" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.ops.Quality.shrunkSourceQuality(docs, "source",
+        graft.ops.TextOps.qualityScore(col("text")) >= 0.5,
+        priorStrength = 20.0)
+    }),
+
+    // ---- north-star: LSH parameter eval — precision/recall of the
+    //      (8 hashes, 4 bands) candidate set against the exact
+    //      prefix-filtered ground truth at J ≥ 0.8: the measurement a
+    //      banding choice is made from before a 100 TB dedup run.
+    "q216_lsh_eval" -> ((s, dir) =>
+      Dedup.lshDedupEval(
+        T(s, dir, "documents"), "text", "doc_id", threshold = 0.8)),
+
+    // ---- north-star: top-k user journeys — most common 3-step
+    //      event-type sequences inside 30-min sessions (one user-keyed
+    //      window + session-bounded lists + decomposable gram counts).
+    "q217_journeys" -> ((s, dir) =>
+      graft.ops.EventOps.topJourneys(
+        Layers.readEvents(s, s"$dir/events.parquet"),
+        "user_id", "ts", "event_id", "event_type",
+        gapSeconds = 1800, n = 3, topK = 15))
   )
 
   /** graft-authored pipeline config (reference YAML shape,
@@ -6667,6 +6703,103 @@ object SparkEntry {
          |  round(CASE WHEN pe = 1.0 THEN NULL
          |             ELSE (po - pe) / (1.0 - pe) END, 6) AS kappa
          |FROM st""".stripMargin,
+
+    // PMI replay: bigram type table, slot marginals, exact integer
+    // ratio under one ln
+    "q214_pmi" ->
+      s"""WITH d AS (SELECT string_split(text, ' ') AS l FROM documents
+         |           WHERE text IS NOT NULL),
+         |m AS (SELECT l FROM d WHERE len(l) >= 2),
+         |bg AS (SELECT unnest(${DD.shingles("l", 2)}) AS bgm FROM m),
+         |bc AS (SELECT bgm, count(*) AS n_pair FROM bg GROUP BY bgm),
+         |bt AS (SELECT bgm, n_pair, string_split(bgm, ' ')[1] AS w1,
+         |         string_split(bgm, ' ')[-1] AS w2 FROM bc),
+         |lft AS (SELECT w1, CAST(sum(n_pair) AS BIGINT) AS n_left
+         |        FROM bt GROUP BY w1),
+         |rgt AS (SELECT w2, CAST(sum(n_pair) AS BIGINT) AS n_right
+         |        FROM bt GROUP BY w2),
+         |tt AS (SELECT CAST(sum(n_pair) AS DOUBLE) AS t FROM bt)
+         |SELECT bgm AS bigram, n_pair, n_left, n_right,
+         |  round(ln(CAST(n_pair AS DOUBLE) * t /
+         |    (CAST(n_left AS DOUBLE) * CAST(n_right AS DOUBLE))), 6) AS pmi
+         |FROM bt JOIN lft USING (w1) JOIN rgt USING (w2), tt
+         |WHERE n_pair >= 3
+         |ORDER BY pmi DESC, bigram ASC LIMIT 20""".stripMargin,
+
+    // shrinkage replay: integer per-source counts, 1-row global rate,
+    // (k·mu + good)/(k + n)
+    "q215_source_quality" ->
+      s"""WITH s AS (SELECT source,
+         |    CASE WHEN ${PortableSql.qualityScore("text", DD)} >= 0.5
+         |         THEN 1 ELSE 0 END AS good
+         |  FROM documents WHERE source IS NOT NULL),
+         |per AS (SELECT source, count(*) AS n_docs,
+         |          CAST(sum(good) AS BIGINT) AS n_good
+         |        FROM s GROUP BY source),
+         |g AS (SELECT CAST(sum(n_good) AS DOUBLE) / sum(n_docs) AS mu
+         |      FROM per)
+         |SELECT source, n_docs, n_good,
+         |  round(CAST(n_good AS DOUBLE) / n_docs, 6) AS raw_rate,
+         |  round((20.0 * mu + n_good) / (20.0 + n_docs), 6) AS shrunk_rate
+         |FROM per, g""".stripMargin,
+
+    // LSH-eval replay: the shared banded-candidate CTEs vs the q88
+    // exact all-pairs truth, three 1-row counts
+    "q216_lsh_eval" ->
+      s"""WITH $minhashCtes,
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM buckets a JOIN buckets b
+         |    ON a.band = b.band AND a.bucket = b.bucket
+         |      AND a.doc_id < b.doc_id),
+         |exsh AS (SELECT DISTINCT doc_id, unnest(s) AS sv FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM exsh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT ea.doc_id AS id_a, eb.doc_id AS id_b, count(*) AS i
+         |  FROM exsh ea JOIN exsh eb
+         |    ON eb.sv = ea.sv AND ea.doc_id < eb.doc_id
+         |  GROUP BY 1, 2),
+         |truth AS (SELECT id_a, id_b
+         |  FROM inter it JOIN sizes sa ON sa.doc_id = it.id_a
+         |  JOIN sizes sb ON sb.doc_id = it.id_b
+         |  WHERE round(it.i / (sa.n + sb.n - it.i), 6) >= 0.8),
+         |cnts AS (SELECT
+         |    (SELECT count(*) FROM cand) AS n_candidates,
+         |    (SELECT count(*) FROM truth) AS n_truth,
+         |    (SELECT count(*) FROM cand c
+         |       WHERE EXISTS (SELECT 1 FROM truth t
+         |         WHERE t.id_a = c.id_a AND t.id_b = c.id_b)) AS n_hits),
+         |pr AS (SELECT n_candidates, n_truth, n_hits,
+         |    CAST(n_hits AS DOUBLE) / n_candidates AS p,
+         |    CAST(n_hits AS DOUBLE) / n_truth AS r
+         |  FROM cnts)
+         |SELECT n_candidates, n_truth, n_hits,
+         |  round(p, 6) AS precision, round(r, 6) AS recall,
+         |  CASE WHEN p + r = 0 THEN NULL
+         |       ELSE round(2.0 * p * r / (p + r), 6) END AS f1
+         |FROM pr""".stripMargin,
+
+    // journeys replay: the q19 sessionization window, ordered
+    // per-session type lists, sliding 3-gram slices
+    "q217_journeys" ->
+      """WITH p AS (SELECT user_id, event_id, ts, event_type,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev
+        |  FROM events),
+        |s AS (SELECT *, sum(CASE WHEN prev IS NULL
+        |      OR epoch(ts) - epoch(prev) > 1800.0 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM p),
+        |seqs AS (SELECT user_id, sess,
+        |    list(event_type ORDER BY ts, event_id) AS types
+        |  FROM s GROUP BY user_id, sess),
+        |g AS (SELECT array_to_string(list_slice(types, gi, gi + 2), '→')
+        |    AS journey
+        |  FROM seqs, unnest(generate_series(1, len(types) - 2)) AS t(gi)
+        |  WHERE len(types) >= 3)
+        |SELECT journey, count(*) AS n_occurrences
+        |FROM g GROUP BY journey
+        |ORDER BY n_occurrences DESC, journey ASC LIMIT 15""".stripMargin,
 
     "q49_winnowing" -> {
       val k = 5; val w = 4

@@ -1241,6 +1241,52 @@ object Dedup {
   }
 
   /**
+   * LSH parameter evaluation — precision/recall of the banded-MinHash
+   * CANDIDATE set against the exact ground truth (the
+   * [[prefixFilteredPairs]] all-pairs Jaccard ≥ t, whose recall is
+   * deterministic): the measurement a (numHashes, bands) choice is
+   * made from before committing a 100 TB dedup run to it. Candidate
+   * precision is the verification-cost driver (every false candidate
+   * pays an exact-Jaccard check); recall is the miss rate — the pairs
+   * banding never surfaces and no verification can recover
+   * (Broder 1997 / the standard S-curve trade, measured instead of
+   * assumed).
+   *
+   * Pair sets are id-ordered (`id_a < id_b`) on both sides, so the
+   * intersection is a plain equi-semi-join; all counts are exact
+   * integers from 1-row aggregations, combined by cross-broadcast —
+   * the eval costs one LSH pass + one exact pass, each already
+   * bucketed/prefix-fenced. F1 is null when both sets are empty.
+   *
+   * Output: one row (n_candidates, n_truth, n_hits, precision,
+   * recall, f1).
+   */
+  def lshDedupEval(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double,
+      numHashes: Int = 8,
+      bands: Int = 4,
+      shingleWords: Int = 3,
+      kind: HashKind = Md5): DataFrame = {
+    val cand = candidatePairs(df, textCol, idCol, numHashes, bands,
+      shingleWords, kind).localCheckpoint()
+    val truth = prefixFilteredPairs(df, textCol, idCol, threshold,
+      shingleWords, kind).select("id_a", "id_b").localCheckpoint()
+    val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val nHit = cand.join(truth, Seq("id_a", "id_b"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+    val p = col("n_hits").cast("double") / col("n_candidates")
+    val r = col("n_hits").cast("double") / col("n_truth")
+    nCand.crossJoin(nTruth).crossJoin(nHit)
+      .select(col("n_candidates"), col("n_truth"), col("n_hits"),
+        round(p, 6).as("precision"), round(r, 6).as("recall"),
+        round(try_divide(lit(2.0) * p * r, p + r), 6).as("f1"))
+  }
+
+  /**
    * Mirror-host detection (Bharat & Broder, "Mirror, mirror on the
    * web" 1999, public): host PAIRS whose content-fingerprint sets
    * overlap heavily are mirrors — crawl one, skip the other, and

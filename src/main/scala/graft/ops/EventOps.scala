@@ -90,6 +90,66 @@ object EventOps {
    * rate vs the cohort's own size (k = 0 row ≡ cohort size, rate 1.0).
    * Pure integer period arithmetic — replayable bit-exactly in SQL.
    */
+  /**
+   * Top-k user journeys — the most common length-`n` event-type
+   * sequences inside sessions (the path-analysis staple: "what do
+   * users actually do before X"). Sessionizes on an inactivity gap,
+   * orders each session's events deterministically by (ts, event id —
+   * the equal-timestamp tie-break), and counts sliding `n`-grams over
+   * the per-session type sequence.
+   *
+   * Scale shape: ONE user-keyed window pass (lag + running session
+   * sum — the q19 sessionization shape), one (user, session)
+   * aggregation whose collected list is session-bounded (sessions are
+   * gap-delimited by construction; a runaway bot session is a data
+   * problem the politeness/rate alarms own), an n-gram explode ∝
+   * events, a decomposable gram count, and a `TakeOrderedAndProject`
+   * top-k (count desc, journey asc) — never a journey-vocabulary
+   * sort.
+   *
+   * Output: (journey "a→b→c", n_occurrences), topK rows.
+   */
+  def topJourneys(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      idCol: String,
+      typeCol: String,
+      gapSeconds: Int = 1800,
+      n: Int = 3,
+      topK: Int = 20): DataFrame = {
+    require(n >= 2, "a journey needs at least 2 steps")
+    require(topK >= 1 && gapSeconds >= 1, "topK and gapSeconds must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val sessioned = events
+      .withColumn("__prev", lag(col(tsCol), 1).over(w))
+      .withColumn("__new", when(col("__prev").isNull ||
+        (col(tsCol).cast("double") - col("__prev").cast("double"))
+          > gapSeconds.toDouble, 1L).otherwise(0L))
+      .withColumn("__sess", sum(col("__new")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+    val seqs = sessioned
+      .groupBy(col(userCol), col("__sess"))
+      .agg(transform(
+        sort_array(collect_list(struct(col(tsCol).as("t"),
+          col(idCol).as("i"), col(typeCol).as("e")))),
+        x => x.getField("e")).as("__types"))
+      .filter(size(col("__types")) >= n)
+    val grams = seqs.select(explode(transform(
+      sequence(lit(0), size(col("__types")) - n),
+      i => concat_ws("→", slice(col("__types"), i + 1, lit(n)))))
+      .as("journey"))
+    grams.groupBy("journey")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("journey").asc)
+      .limit(topK)
+  }
+
   def retention(
       events: DataFrame,
       userCol: String,

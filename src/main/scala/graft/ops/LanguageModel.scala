@@ -408,4 +408,58 @@ object LanguageModel {
       .groupBy(col(idCol))
       .agg(round(avg(-log(p)), 6).as("nll_kn"))
   }
+
+  /**
+   * PMI collocations (Church & Hanks 1990, public) — word pairs that
+   * co-occur far above chance: `pmi(x,y) = ln(c(xy)·T / (c(x·)·c(·y)))`
+   * over adjacent-bigram positions, with `T` the total positions and
+   * the marginals counted in the SAME position table (left-slot /
+   * right-slot counts, so Σ marginals ≡ T exactly). The multiword-
+   * expression miner of the tokenizer/phrase-table world: "San
+   * Francisco" surfaces long before raw frequency would find it.
+   *
+   * `minCount` fences the classic PMI pathology — singleton pairs of
+   * two rare words score arbitrarily high — and is also the scale
+   * fence: the output candidate set is (pairs with c ≥ minCount),
+   * collapsing the vocab² tail before the join. Everything is exact
+   * integer counts aggregated decomposably over the bigram TYPE table
+   * (vocab-bounded, never corpus-∝); `ln` of an exact integer ratio is
+   * the only double (round 6). Top-k is `TakeOrderedAndProject`
+   * (pmi desc, bigram asc — deterministic).
+   *
+   * Output: (bigram, n_pair, n_left, n_right, pmi), topK rows.
+   */
+  def pmiCollocations(
+      df: DataFrame,
+      textCol: String,
+      minCount: Long = 3L,
+      topK: Int = 20): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    require(topK >= 1, "topK must be >= 1")
+    val spark = df.sparkSession
+    val bg = df
+      .filter(size(TextOps.tokens(col(textCol))) >= 2)
+      .select(explode(
+        graft.functions.GraftFunctions.wordShingles(spark, col(textCol), 2))
+        .as("__bg"))
+    val biC = bg.groupBy("__bg").agg(count(lit(1)).as("n_pair"))
+      .select(col("__bg"), col("n_pair"),
+        substring_index(col("__bg"), " ", 1).as("__w1"),
+        substring_index(col("__bg"), " ", -1).as("__w2"))
+      .localCheckpoint() // feeds marginals, total, AND the candidates
+    val left = biC.groupBy("__w1").agg(sum("n_pair").as("n_left"))
+    val right = biC.groupBy("__w2").agg(sum("n_pair").as("n_right"))
+    val total = biC.agg(sum(col("n_pair")).cast("double").as("__t"))
+    biC.filter(col("n_pair") >= minCount)
+      .join(broadcast(left), "__w1")
+      .join(broadcast(right), "__w2")
+      .crossJoin(broadcast(total))
+      .select(col("__bg").as("bigram"), col("n_pair"),
+        col("n_left"), col("n_right"),
+        round(log(col("n_pair").cast("double") * col("__t") /
+          (col("n_left").cast("double") * col("n_right").cast("double"))), 6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram").asc)
+      .limit(topK)
+  }
 }

@@ -89,6 +89,44 @@ object Quality {
           .as("kappa"))
   }
 
+  /**
+   * Empirical-Bayes shrunk per-source quality rates (beta-binomial /
+   * James–Stein shrinkage, public textbook statistics): a source with
+   * 3/3 good docs must NOT outrank one with 970/1000 — small samples
+   * shrink toward the corpus-wide rate `μ` with prior strength `k`
+   * pseudo-observations: `shrunk = (k·μ + good) / (k + n)`. The
+   * source-level curation ranking (crawl seed weighting, domain caps,
+   * mixture weights) that raw rates get WRONG for exactly the sources
+   * a crawl has barely sampled.
+   *
+   * One decomposable per-source aggregation + a 1-row global rate
+   * cross-broadcast into |sources|-row arithmetic. Counts are exact
+   * integers; `μ` and the shrunk rate are single-division doubles
+   * (round 6) — bit-replayable.
+   *
+   * Output: (sourceCol, n_docs, n_good, raw_rate, shrunk_rate).
+   */
+  def shrunkSourceQuality(
+      df: DataFrame,
+      sourceCol: String,
+      goodFlag: Column,
+      priorStrength: Double = 20.0): DataFrame = {
+    require(priorStrength > 0, "priorStrength must be positive")
+    val perSource = df
+      .filter(col(sourceCol).isNotNull)
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(goodFlag, 1L).otherwise(0L)).as("n_good"))
+    val global = perSource.agg(
+      (sum(col("n_good")).cast("double") / sum(col("n_docs")))
+        .as("__mu"))
+    perSource.crossJoin(broadcast(global))
+      .select(col(sourceCol), col("n_docs"), col("n_good"),
+        round(col("n_good").cast("double") / col("n_docs"), 6).as("raw_rate"),
+        round((lit(priorStrength) * col("__mu") + col("n_good")) /
+          (lit(priorStrength) + col("n_docs")), 6).as("shrunk_rate"))
+  }
+
   def violationCounts(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "at least one rule")
     val aggs = rules.map(r =>

@@ -658,4 +658,31 @@ class DedupSpec extends AnyFunSuite {
       Dedup.mirrorHosts(pages, "host", "fp", maxHostsPerFp = 1)
     }
   }
+
+  test("lshDedupEval: counts reconcile with the component ops; perfect recall at fixture density") {
+    val docs = TestSpark.table("documents")
+    val got = Dedup.lshDedupEval(docs, "text", "doc_id", threshold = 0.8)
+      .collect().head
+    val nCand = Dedup.candidatePairs(docs, "text", "doc_id").count()
+    val truth = Dedup.prefixFilteredPairs(docs, "text", "doc_id", 0.8)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = Dedup.candidatePairs(docs, "text", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.getLong(0) == nCand)
+    assert(got.getLong(1) == truth.size)
+    assert(got.getLong(2) == cand.intersect(truth).size)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val p = got.getLong(2).toDouble / got.getLong(0)
+    val r = got.getLong(2).toDouble / got.getLong(1)
+    assert(got.getDouble(3) == r6(p) && got.getDouble(4) == r6(r))
+    assert(got.getDouble(5) == r6(2 * p * r / (p + r)))
+    // 8 hashes / 4 bands on the template fixture: near-dups share most
+    // shingles, so banding should surface every true pair
+    assert(got.getDouble(4) == 1.0,
+      "recall < 1 at this density means the banding regressed")
+    assert(got.getLong(0) > got.getLong(2),
+      "candidates include false positives — precision is the verify-cost signal")
+  }
 }

@@ -66,4 +66,36 @@ class EventOpsSpec extends AnyFunSuite {
     assert(got.filter(col("retention") > 1.0).count() == 0)
     assert(got.filter(col("k") === 0 && col("retention") =!= 1.0).count() == 0)
   }
+
+  test("topJourneys: session boundaries cut grams, order is (ts, id), counts exact") {
+    import spark.implicits._
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    // u1 session A: view->cart->buy->view ; gap >30min ; session B:
+    // view->cart->buy  => "view→cart→buy" ×2, "cart→buy→view" ×1
+    // u2: a 2-event session contributes no 3-gram
+    val ev = Seq(
+      (1L, 1L, ts(0), "view"), (2L, 1L, ts(1), "cart"),
+      (3L, 1L, ts(2), "buy"), (4L, 1L, ts(3), "view"),
+      (5L, 1L, ts(50), "view"), (6L, 1L, ts(51), "cart"), (7L, 1L, ts(52), "buy"),
+      (8L, 2L, ts(0), "view"), (9L, 2L, ts(1), "cart"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = EventOps.topJourneys(ev, "user_id", "ts", "event_id",
+        "event_type", gapSeconds = 1800, n = 3, topK = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("view→cart→buy" -> 2L, "cart→buy→view" -> 1L))
+    // the session cut is load-bearing: without it, "buy→view→view"
+    // and "view→view→cart" would bridge the gap
+    assert(!got.contains("buy→view→view") && !got.contains("view→view→cart"))
+    // equal timestamps order by event id
+    val tie = Seq(
+      (20L, 3L, ts(0), "a"), (21L, 3L, ts(0), "b"), (22L, 3L, ts(0), "c"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val t = EventOps.topJourneys(tie, "user_id", "ts", "event_id",
+      "event_type", n = 3, topK = 5).collect()
+    assert(t.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a→b→c", 1L)))
+    intercept[IllegalArgumentException] {
+      EventOps.topJourneys(ev, "user_id", "ts", "event_id", "event_type", n = 1)
+    }
+  }
 }

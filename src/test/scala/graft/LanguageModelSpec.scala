@@ -232,6 +232,33 @@ class LanguageModelSpec extends AnyFunSuite {
       "fixture must hit the add-one blind spot it claims to")
   }
 
+  test("PMI collocations: exact arithmetic; chance-level pairs score ~0; minCount fences singletons") {
+    // "san francisco" always co-occurs (4 of 12 positions); "the" pairs
+    // with everything (chance-level); "rare gem" occurs once
+    val df = Seq(
+      (1L, "san francisco the a"), (2L, "san francisco the b"),
+      (3L, "san francisco the c"), (4L, "san francisco rare gem"))
+      .toDF("doc_id", "text")
+    val all = LanguageModel.pmiCollocations(df, "text", minCount = 1L, topK = 50)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // 12 bigram positions total; "san francisco": pair 4, left(san) 4,
+    // right(francisco) 4 -> pmi = ln(4*12/(4*4)) = ln 3
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(all("san francisco") == ((4L, 4L, 4L, r6(math.log(3.0)))))
+    // "francisco the": pair 3, left 4, right 3 -> ln(3*12/12) = ln 3
+    assert(all("francisco the") == ((3L, 4L, 3L, r6(math.log(3.0)))))
+    assert(all("rare gem")._4 == r6(math.log(12.0)),
+      "singleton of two rare words maxes PMI — the pathology minCount fences")
+    val fenced = LanguageModel.pmiCollocations(df, "text", minCount = 3L, topK = 50)
+      .collect().map(_.getString(0)).toSet
+    assert(!fenced.contains("rare gem") && fenced.contains("san francisco"))
+    intercept[IllegalArgumentException] {
+      LanguageModel.pmiCollocations(df, "text", minCount = 0L)
+    }
+  }
+
   test("Kneser-Ney is partitioning-invariant and rejects out-of-range discounts") {
     def run(parts: Int) = LanguageModel.kneserNeyNll(
       TestSpark.table("documents").repartition(parts), "text", "doc_id")

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Observation
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ops.Quality
@@ -84,6 +85,32 @@ class QualitySpec extends AnyFunSuite {
     assert(got.getLong(0) == 50L && got.getLong(1) == 35L)
     assert(got.getDouble(2) == 0.7 && got.getDouble(3) == 0.5)
     assert(got.getDouble(4) == 0.4)
+  }
+
+  test("shrunkSourceQuality: small samples shrink hard, large ones barely move") {
+    // big: 90/100 good, tiny: 3/3, junk: 10/100 -> mu = 103/203 ≈ 0.51
+    val rows = Seq.fill(90)(("big", true)) ++ Seq.fill(10)(("big", false)) ++
+      Seq.fill(3)(("tiny", true)) ++
+      Seq.fill(10)(("junk", true)) ++ Seq.fill(90)(("junk", false)) :+
+      ((null: String, true))
+    val df = rows.toDF("source", "good")
+    val got = Quality.shrunkSourceQuality(df, "source", col("good"),
+        priorStrength = 20.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val mu = 103.0 / 203.0
+    assert(got("big") == ((100L, 90L, 0.9, r6((20.0 * mu + 90) / 120.0))))
+    assert(got("tiny") == ((3L, 3L, 1.0, r6((20.0 * mu + 3) / 23.0))))
+    assert(got("junk")._4 > got("junk")._3, "junk shrinks UP toward mu")
+    // the POINT: tiny's raw 100% (highest raw rate) must rank BELOW
+    // big's 90% once both shrink — 3 observations cannot beat 100
+    assert(got("tiny")._3 > got("big")._3 && got("tiny")._4 < got("big")._4)
+    assert(!got.contains(null), "null sources excluded")
+    intercept[IllegalArgumentException] {
+      Quality.shrunkSourceQuality(df, "source", col("good"), priorStrength = 0.0)
+    }
   }
 
   test("agreementKappa: perfect agreement, chance-level labels, degenerate pe=1") {
