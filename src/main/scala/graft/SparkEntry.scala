@@ -298,6 +298,7 @@ object SparkEntry {
     "q47_dedup_decisions" -> warmSharedIndex,
     "q176_soft_dedup" -> warmSharedIndex,
     "q180_triangles" -> warmSharedIndex,
+    "q220_quality_canonical" -> warmSharedIndex,
     "q46_incremental_neardups" -> ((s, dir) => corpusSigIndex(s, dir).count(): Unit),
     "q60_durable_index" -> ((s, dir) => durableSigIndex(s, dir): Unit),
     "q70_pq_codes" -> ((s, dir) => pqBooks(s, dir): Unit),
@@ -3876,7 +3877,53 @@ object SparkEntry {
       graft.ops.EventOps.topJourneys(
         Layers.readEvents(s, s"$dir/events.parquet"),
         "user_id", "ts", "event_id", "event_type",
-        gapSeconds = 1800, n = 3, topK = 15))
+        gapSeconds = 1800, n = 3, topK = 15)),
+
+    // ---- north-star: hard-negative mining (DPR-style) — for each of
+    //      3 query vectors, the most similar candidates NOT sharing
+    //      its cluster label: over-fetched exact cut (k·4), group
+    //      filter, per-query re-rank. The training-data op behind
+    //      every dense retriever.
+    "q218_hard_negatives" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.hardNegatives(emb,
+        emb.filter(col("vec_id").isin(0L, 1L, 2L)),
+        "vec_id", "embedding", "vec_id", "label", k = 5, overFetch = 4)
+    }),
+
+    // ---- north-star: multi-probe LSH (Lv et al. 2007) — the query's
+    //      sign-bucket plus all Hamming-1 flips (9 buckets of 256):
+    //      the recall repair for hairline hyperplane misses at ~9/256
+    //      of the corpus touched; probe set is a driver literal, the
+    //      scan stays narrow with an isin filter.
+    "q219_multiprobe_lsh" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.multiProbeTopK(emb, emb.filter(col("vec_id") === 0),
+        "vec_id", "embedding", k = 10, numPlanes = 8, dims = 64)
+    }),
+
+    // ---- north-star: quality-canonical cluster keepers — the q39
+    //      clusters re-decided by HIGHEST QUALITY member (tie: min id)
+    //      instead of min id: one decomposable max(struct) per
+    //      cluster, no corpus window. Reads the SAME shared pair
+    //      index as q16/q39/q47.
+    "q220_quality_canonical" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      val labels = Dedup.components(
+        verifiedPairs(s, dir).select("id_a", "id_b"))
+      Dedup.qualityCanonical(docs, "doc_id", labels,
+        graft.ops.TextOps.qualityScore(col("text")))
+    }),
+
+    // ---- north-star: ordered proximity search (Lucene slop) — docs
+    //      where "window" follows "spark" within 3 tokens, straight
+    //      from the positional index: the relevance middle ground
+    //      between exact-phrase and bag-of-words AND.
+    "q221_proximity" -> ((s, dir) => {
+      val idx = graft.ops.Search.invertedIndex(
+        T(s, dir, "documents"), "text", "doc_id")
+      graft.ops.Search.proximitySearch(idx, "spark", "window", slop = 3)
+    })
   )
 
   /** graft-authored pipeline config (reference YAML shape,
@@ -6800,6 +6847,82 @@ object SparkEntry {
         |SELECT journey, count(*) AS n_occurrences
         |FROM g GROUP BY journey
         |ORDER BY n_occurrences DESC, journey ASC LIMIT 15""".stripMargin,
+
+    // hard-negative replay: exact over-fetch cut (rank <= 20), label
+    // filter, per-query re-rank to 5
+    "q218_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS qg
+         |           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+         |sc AS (SELECT q.query_id, e.vec_id,
+         |    ${duckCosine("e.embedding", "q.qe", 64)} AS cosine_sim,
+         |    q.qg, e.label AS cg
+         |  FROM embeddings e, q),
+         |cut AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine_sim DESC, vec_id ASC) AS rn FROM sc),
+         |neg AS (SELECT query_id, vec_id, cosine_sim FROM cut
+         |  WHERE rn <= 20 AND vec_id <> query_id
+         |    AND (cg IS NULL OR qg IS NULL OR cg <> qg)),
+         |rk AS (SELECT query_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine_sim DESC, vec_id ASC) AS BIGINT) AS rank,
+         |    vec_id, cosine_sim FROM neg)
+         |SELECT query_id, rank, vec_id, cosine_sim FROM rk
+         |WHERE rank <= 5""".stripMargin,
+
+    // multi-probe replay: per-bit bucket comparison, Hamming <= 1
+    "q219_multiprobe_lsh" ->
+      s"""WITH q AS (SELECT embedding AS qe,
+         |    ${duckSignBucket("embedding", 8, 64)} AS qb
+         |  FROM embeddings WHERE vec_id = 0),
+         |b AS (SELECT vec_id, embedding,
+         |    ${duckSignBucket("embedding", 8, 64)} AS bucket
+         |  FROM embeddings),
+         |s AS (SELECT vec_id,
+         |    ${duckCosine("embedding", "qe", 64)} AS cosine_sim
+         |  FROM b, q
+         |  WHERE list_sum(list_transform(generate_series(1, 8), __i ->
+         |    CASE WHEN substr(bucket, CAST(__i AS INT), 1)
+         |       <> substr(qb, CAST(__i AS INT), 1) THEN 1 ELSE 0 END)) <= 1)
+         |SELECT vec_id, cosine_sim FROM s
+         |ORDER BY cosine_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    // quality-canonical replay: the q39 closure labels + quality
+    // argmax per cluster (qual desc, id asc)
+    "q220_quality_canonical" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         |$closureCtes,
+         |qq AS (SELECT doc_id,
+         |    ${PortableSql.qualityScore("text", DD)} AS qual
+         |  FROM documents WHERE text IS NOT NULL),
+         |lab AS (SELECT qq.doc_id, qq.qual,
+         |    coalesce(l.cluster_id, qq.doc_id) AS cluster_id
+         |  FROM qq LEFT JOIN labels l ON l.doc_id = qq.doc_id),
+         |k AS (SELECT cluster_id, doc_id AS keeper_id,
+         |    qual AS keeper_quality,
+         |    row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY qual DESC, doc_id ASC) AS rn
+         |  FROM lab)
+         |SELECT lab.doc_id, lab.cluster_id, k.keeper_id,
+         |  k.keeper_quality, lab.doc_id = k.keeper_id AS is_keeper
+         |FROM lab JOIN k ON k.cluster_id = lab.cluster_id AND k.rn = 1""".stripMargin,
+
+    // proximity replay: token positions from the text directly —
+    // gaps are base-independent (Spark postings are 0-based)
+    "q221_proximity" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l
+        |  FROM documents WHERE text IS NOT NULL),
+        |pa AS (SELECT doc_id, gi AS p FROM tok,
+        |  unnest(generate_series(1, len(l))) AS t(gi)
+        |  WHERE l[CAST(gi AS INT)] = 'spark'),
+        |pb AS (SELECT doc_id, gi AS p FROM tok,
+        |  unnest(generate_series(1, len(l))) AS t(gi)
+        |  WHERE l[CAST(gi AS INT)] = 'window'),
+        |m AS (SELECT pa.doc_id, pb.p - pa.p AS gap
+        |  FROM pa JOIN pb USING (doc_id)
+        |  WHERE pb.p > pa.p AND pb.p - pa.p <= 3)
+        |SELECT doc_id, count(*) AS n_matches,
+        |  CAST(min(gap) AS BIGINT) AS min_gap
+        |FROM m GROUP BY doc_id""".stripMargin,
 
     "q49_winnowing" -> {
       val k = 5; val w = 4

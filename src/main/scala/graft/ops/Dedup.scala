@@ -1241,6 +1241,46 @@ object Dedup {
   }
 
   /**
+   * Quality-canonical cluster selection — keep the HIGHEST-QUALITY
+   * member of each near-dup cluster instead of the min-id one (the
+   * documented alternative in dedup practice: when near-dups differ
+   * by boilerplate/truncation, min-id keeps an arbitrary copy; the
+   * curation-grade choice keeps the best one). Ties break toward the
+   * smaller id, so the verdict is total and replayable.
+   *
+   * One broadcast label attach (labels are pair-graph-sized, never
+   * corpus-∝) + ONE decomposable per-cluster aggregation: the argmax
+   * rides a single `max(struct(quality, -id))` — no window over the
+   * corpus. Unlabeled docs are their own singleton cluster (keeper =
+   * themselves), same contract as [[graft.ops.Sampling.softDedupWeights]].
+   *
+   * @param labels (id, label) cluster assignment — [[components]]
+   *               output or any equivalent
+   * @return one row per doc: (idCol, cluster_id, keeper_id,
+   *         keeper_quality, is_keeper)
+   */
+  def qualityCanonical(
+      docs: DataFrame,
+      idCol: String,
+      labels: DataFrame,
+      quality: Column): DataFrame = {
+    val scored = docs.select(col(idCol), quality.as("__q"))
+      .join(broadcast(labels.select(col("id").as(idCol), col("label"))),
+        Seq(idCol), "left")
+      .select(col(idCol), col("__q"),
+        coalesce(col("label"), col(idCol)).as("cluster_id"))
+    val keepers = scored
+      .groupBy("cluster_id")
+      .agg(max(struct(col("__q").as("q"), (-col(idCol)).as("ni"))).as("__w"))
+      .select(col("cluster_id"), (-col("__w.ni")).as("keeper_id"),
+        col("__w.q").as("keeper_quality"))
+    scored
+      .join(keepers, Seq("cluster_id"))
+      .select(col(idCol), col("cluster_id"), col("keeper_id"),
+        col("keeper_quality"), (col(idCol) === col("keeper_id")).as("is_keeper"))
+  }
+
+  /**
    * LSH parameter evaluation — precision/recall of the banded-MinHash
    * CANDIDATE set against the exact ground truth (the
    * [[prefixFilteredPairs]] all-pairs Jaccard ≥ t, whose recall is

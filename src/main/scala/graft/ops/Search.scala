@@ -175,6 +175,41 @@ object Search {
   }
 
   /**
+   * Ordered proximity search from the positional index (the Lucene
+   * "slop" query, public): documents where `termB` occurs within
+   * [1, slop] tokens AFTER `termA` — the relevance middle ground
+   * between the exact-adjacent [[phraseSearch]] and a bag-of-words
+   * AND ("new ... york" with an adjective between still matches).
+   *
+   * Same scale contract as phraseSearch: the index is isin-restricted
+   * to the two terms FIRST (partition pruning on a bucketed index),
+   * the position pairing is a doc-keyed join of two posting lists
+   * whose fanout is tf_A × tf_B per doc — posting-list-sized, never a
+   * corpus scan.
+   *
+   * Output: (doc_id, n_matches, min_gap) per matching doc.
+   */
+  def proximitySearch(
+      index: DataFrame,
+      termA: String,
+      termB: String,
+      slop: Int): DataFrame = {
+    require(slop >= 1, "slop must be >= 1")
+    require(termA != termB,
+      "self-proximity is ambiguous (every occurrence pairs with itself)")
+    val pa = index.filter(col("token") === termA)
+      .select(col("doc_id"), explode(col("positions")).as("__pa"))
+    val pb = index.filter(col("token") === termB)
+      .select(col("doc_id"), explode(col("positions")).as("__pb"))
+    pa.join(pb, "doc_id")
+      .filter(col("__pb") > col("__pa") &&
+        col("__pb") - col("__pa") <= slop)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("__pb") - col("__pa")).cast("long").as("min_gap"))
+  }
+
+  /**
    * KWIC (key-word-in-context) snippets — the display layer of
    * [[phraseSearch]]: for every matching document, the `ctx` tokens on
    * each side of the FIRST phrase occurrence, joined back into a

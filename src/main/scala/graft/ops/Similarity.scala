@@ -1232,6 +1232,92 @@ object Similarity {
   }
 
   /**
+   * Multi-probe LSH (Lv et al., VLDB 2007, public): probe the query's
+   * own sign-bucket PLUS every bucket at Hamming distance 1 (one
+   * flipped hyperplane sign) — the recall repair for single-bucket LSH,
+   * whose misses are exactly the near-neighbors that landed a
+   * hairline's width across one hyperplane. numPlanes+1 buckets probed
+   * instead of 2^numPlanes scanned: recall strictly ⊇ [[lshTopK]]'s at
+   * ~(numPlanes+1)/2^numPlanes of the corpus touched (expected).
+   *
+   * The probe set is a driver literal (the query row is one vector, so
+   * its bucket string and the flips are computed once) — the corpus
+   * side stays ONE narrow bucketed scan with an `isin` filter, no
+   * shuffle, top-k via `TakeOrderedAndProject`. With a bucket-
+   * partitioned durable index the isin becomes partition pruning.
+   */
+  def multiProbeTopK(
+      corpus: DataFrame,
+      queryDf: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      numPlanes: Int,
+      dims: Int): DataFrame = {
+    requireSingleQuery(queryDf, "multiProbeTopK")
+    val hp = planes(numPlanes, dims)
+    val qBucket = queryDf.select(signBucket(col(embCol), hp).as("b"))
+      .head().getString(0)
+    val probeSet = qBucket +: (0 until numPlanes).map { i =>
+      qBucket.updated(i, if (qBucket.charAt(i) == '1') '0' else '1')
+    }
+    val q = broadcast(queryDf.select(col(embCol).as("__q")))
+    corpus
+      .withColumn("__bucket", signBucket(col(embCol), hp))
+      .filter(col("__bucket").isin(probeSet: _*))
+      .crossJoin(q)
+      .select(col(idCol),
+        cosineFast(corpus.sparkSession, col(embCol), col("__q"))
+          .as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /**
+   * Hard-negative mining (the dense-retrieval training-data staple —
+   * Karpukhin et al. 2020 DPR, public): for each query, the most
+   * SIMILAR candidates that are NOT positives (here: not the query
+   * itself and not sharing its `groupCol` — cluster label, source,
+   * whatever defines "same thing"). Random negatives are too easy;
+   * the gradient signal lives in the near-misses.
+   *
+   * Mining runs the standard two-stage shape: an over-fetched
+   * retrieval cut (`k · overFetch` per query — the ANN stage of a
+   * production miner; brute-force here so the cut itself is exact and
+   * oracle-replayable), then the group filter, then a per-query
+   * re-rank to k. The FILTER-AFTER-CUT contract is deliberate and
+   * documented: a query whose top-R is flooded by its own positives
+   * yields fewer than k negatives — raise `overFetch`, don't scan the
+   * corpus. All joins after the cut are (queries·R)-row frames.
+   *
+   * Output: (query_id, rank, idCol, cosine_sim), rank ≤ k per query.
+   */
+  def hardNegatives(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      embCol: String,
+      qidCol: String,
+      groupCol: String,
+      k: Int,
+      overFetch: Int = 4): DataFrame = {
+    require(k >= 1 && overFetch >= 1, "k and overFetch must be positive")
+    val cut = bruteForceTopKBatch(corpus, queries, idCol, embCol, qidCol,
+      k * overFetch)
+    val qGroups = broadcast(queries.select(col(qidCol).as("query_id"),
+      col(groupCol).as("__qg")))
+    val cGroups = broadcast(corpus.select(col(idCol), col(groupCol).as("__cg")))
+    val negatives = cut
+      .join(qGroups, "query_id")
+      .join(cGroups, idCol)
+      .filter(col(idCol) =!= col("query_id") &&
+        (col("__cg").isNull || col("__qg").isNull || col("__cg") =!= col("__qg")))
+      .select(col("query_id"), col(idCol), col("cosine_sim"))
+    perQueryTopK(negatives, "query_id", idCol, "cosine_sim", k)
+      .select(col("query_id"), col("rank"), col(idCol), col("cosine_sim"))
+  }
+
+  /**
    * Two-stage refine re-rank (the FAISS `IndexRefineFlat` pattern,
    * public): the compressed stage ([[sqTopKWith]] over the integer
    * code table) over-fetches `topK × refineFactor` candidates, then

@@ -659,6 +659,25 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("qualityCanonical: argmax keeper per cluster, min-id ties, singleton fallback") {
+    // cluster 7: docs 1 (q .2), 2 (q .9), 3 (q .9) -> keeper 2 (tie min id)
+    // doc 5 unlabeled -> own singleton
+    val docs = Seq((1L, 0.2), (2L, 0.9), (3L, 0.9), (5L, 0.4))
+      .toDF("doc_id", "q")
+    val labels = Seq((1L, 7L), (2L, 7L), (3L, 7L)).toDF("id", "label")
+    val got = Dedup.qualityCanonical(docs, "doc_id", labels, col("q"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(got(1L) == ((7L, 2L, 0.9, false)))
+    assert(got(2L) == ((7L, 2L, 0.9, true)))
+    assert(got(3L) == ((7L, 2L, 0.9, false)))
+    assert(got(5L) == ((5L, 5L, 0.4, true)))
+    // exactly one keeper per cluster
+    val keepers = got.values.groupBy(_._1).map { case (c, vs) =>
+      c -> vs.count(_._4) }
+    assert(keepers.values.forall(_ == 1))
+  }
+
   test("lshDedupEval: counts reconcile with the component ops; perfect recall at fixture density") {
     val docs = TestSpark.table("documents")
     val got = Dedup.lshDedupEval(docs, "text", "doc_id", threshold = 0.8)

@@ -141,6 +141,26 @@ class SearchSpec extends AnyFunSuite {
     assert(wide(3L) == ((2L, "a b spark window", 2L)))   // right clamp
   }
 
+  test("proximitySearch: ordered window, slop edges, tf fanout counted") {
+    val pdocs = Seq(
+      (1L, "spark a b window"),        // gap 3: in at slop 3
+      (2L, "spark window"),            // gap 1
+      (3L, "window spark"),            // wrong order: out
+      (4L, "spark a b c window"),      // gap 4: out at slop 3
+      (5L, "spark window spark window") // pairs: (0,1),(0,3),(2,3) -> gaps 1,3,1
+    ).toDF("doc_id", "text")
+    val idx = Search.invertedIndex(pdocs, "text", "doc_id")
+    val got = Search.proximitySearch(idx, "spark", "window", slop = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(1L -> ((1L, 3L)), 2L -> ((1L, 1L)), 5L -> ((3L, 1L))))
+    intercept[IllegalArgumentException] {
+      Search.proximitySearch(idx, "spark", "spark", slop = 3)
+    }
+    intercept[IllegalArgumentException] {
+      Search.proximitySearch(idx, "spark", "window", slop = 0)
+    }
+  }
+
   test("ndcgAtK: hand-computed grades, unjudged rank counts as rel 0") {
     // system ranking: doc1 (rel 3), doc2 (unjudged -> 0), doc3 (rel 1);
     // judged pool also holds doc9 (rel 2), unreturned

@@ -577,4 +577,47 @@ class SimilaritySpec extends AnyFunSuite {
         topK = 5, refineFactor = 0, dims = 64)
     }
   }
+
+  test("multiProbeTopK: candidate set is a strict superset of the single-bucket probe") {
+    val emb = TestSpark.table("embeddings")
+    val q = emb.filter($"vec_id" === 0)
+    val single = Similarity.lshTopK(emb, q, "vec_id", "embedding",
+      k = 1000, numPlanes = 8, dims = 64).collect().map(_.getLong(0)).toSet
+    val multi = Similarity.multiProbeTopK(emb, q, "vec_id", "embedding",
+      k = 1000, numPlanes = 8, dims = 64).collect().map(_.getLong(0)).toSet
+    assert(single.subsetOf(multi),
+      "the query's own bucket is always in the probe set")
+    assert(multi.size > single.size,
+      "Hamming-1 flips must widen the candidate pool on this fixture")
+    // scores are the same exact cosine — the top of both lists agrees
+    // wherever single-bucket recall sufficed
+    val s5 = Similarity.lshTopK(emb, q, "vec_id", "embedding", 5, 8, 64)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val m = Similarity.multiProbeTopK(emb, q, "vec_id", "embedding", 1000, 8, 64)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    s5.foreach { case (id, sc) => assert(m(id) == sc) }
+  }
+
+  test("hardNegatives: self and same-group excluded, ranks contiguous per query") {
+    val emb = TestSpark.table("embeddings")
+    val queries = emb.filter($"vec_id".isin(0L, 1L))
+    val got = Similarity.hardNegatives(emb, queries, "vec_id", "embedding",
+      "vec_id", "label", k = 5, overFetch = 4).collect()
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    got.foreach { r =>
+      val qid = r.getLong(0); val id = r.getLong(2)
+      assert(id != qid, "a query is its own positive")
+      assert(labels(id) != labels(qid), "same-label candidates are positives")
+    }
+    got.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq == (1L to rows.length),
+        "ranks re-number contiguously after the filter")
+      assert(rows.length <= 5)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.hardNegatives(emb, queries, "vec_id", "embedding",
+        "vec_id", "label", k = 0)
+    }
+  }
 }
