@@ -3923,6 +3923,62 @@ object SparkEntry {
       val idx = graft.ops.Search.invertedIndex(
         T(s, dir, "documents"), "text", "doc_id")
       graft.ops.Search.proximitySearch(idx, "spark", "window", slop = 3)
+    }),
+
+    // ---- north-star: reciprocal nearest neighbors — mutual-kNN
+    //      pairs over the q191 graph (both sides rank each other in
+    //      their own top-5): the duplicate signal that survives
+    //      hubness; one self-equi-join of the k·|nodes| edge list.
+    "q222_reciprocal_nn" -> ((s, dir) =>
+      Similarity.reciprocalNeighbors(
+        Similarity.knnGraph(
+          T(s, dir, "embeddings"), "vec_id", "embedding",
+          planesPerBand = 8, bands = 2, dims = 64, k = 5,
+          minCosine = 0.15, maxBucketSize = 1000))),
+
+    // ---- north-star: PageRank convergence residual — L1 distance
+    //      between the last two power iterations of the q151 graph
+    //      (prev tracked inside ONE loop, no second run): the stopping
+    //      gauge that decides whether iters was enough before ranks
+    //      feed scheduling.
+    "q223_pagerank_residual" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      val nRow = docs.agg(count(lit(1)).as("__n"))
+      val id = col("doc_id")
+      val edges = docs.crossJoin(broadcast(nRow)).select(
+        id.as("src"),
+        explode(array(
+          (id * 2 + 1) % col("__n"),
+          (id * 3 + 2) % col("__n"),
+          (id * 7 + 5) % col("__n"))).as("dst"))
+      graft.ops.LinkGraph.pageRankResidual(
+        docs.select(id.as("id")), edges, iters = 3, damping = 0.85)
+    }),
+
+    // ---- north-star: host-level PageRank — the q151 page graph
+    //      CONTRACTED to hosts (page id % 12; intra-host links
+    //      dropped, inter-host edges deduped): the graph a crawler
+    //      actually ranks for seed budgets — |hosts| nodes, so the
+    //      iteration cost is independent of page count after the one
+    //      contraction pass. Dangling hosts handled by the op.
+    "q224_host_pagerank" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      val nRow = docs.agg(count(lit(1)).as("__n"))
+      val id = col("doc_id")
+      val pageEdges = docs.crossJoin(broadcast(nRow)).select(
+        id.as("psrc"),
+        explode(array(
+          (id * 2 + 1) % col("__n"),
+          (id * 3 + 2) % col("__n"),
+          (id * 7 + 5) % col("__n"))).as("pdst"))
+      val hostEdges = pageEdges
+        .select((col("psrc") % 12).as("src"), (col("pdst") % 12).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      val hosts = docs.select((id % 12).as("id")).distinct()
+      graft.ops.LinkGraph.pageRank(hosts, hostEdges, iters = 3,
+          damping = 0.85)
+        .select(col("id").as("host"), round(col("pr"), 9).as("pr"))
     })
   )
 
@@ -6905,6 +6961,101 @@ object SparkEntry {
          |SELECT lab.doc_id, lab.cluster_id, k.keeper_id,
          |  k.keeper_quality, lab.doc_id = k.keeper_id AS is_keeper
          |FROM lab JOIN k ON k.cluster_id = lab.cluster_id AND k.rn = 1""".stripMargin,
+
+    // reciprocal-NN replay: the q191 kNN chain + ordered-pair
+    // self-join of the rank<=5 edges
+    "q222_reciprocal_nn" ->
+      s"""WITH $embPairCtes,
+         |sym AS (SELECT id_a AS id, id_b AS nbr, cosine_sim FROM p
+         |        UNION ALL SELECT id_b, id_a, cosine_sim FROM p),
+         |r AS (SELECT id, nbr,
+         |        CAST(round(cosine_sim*1000000, 0) AS BIGINT) AS cm,
+         |        CAST(row_number() OVER (PARTITION BY id
+         |          ORDER BY round(cosine_sim*1000000, 0) DESC, nbr)
+         |          AS BIGINT) AS rank
+         |      FROM sym),
+         |k AS (SELECT id, nbr, rank, cm FROM r WHERE rank <= 5),
+         |fwd AS (SELECT id AS id_a, nbr AS id_b, rank AS rank_ab, cm
+         |        FROM k WHERE id < nbr),
+         |bwd AS (SELECT nbr AS id_a, id AS id_b, rank AS rank_ba
+         |        FROM k WHERE id > nbr)
+         |SELECT id_a, id_b, rank_ab, rank_ba, cm AS cos_micro
+         |FROM fwd JOIN bwd USING (id_a, id_b)""".stripMargin,
+
+    // residual replay: the q151 unrolled iterations, diff of r_3 vs r_2
+    "q223_pagerank_residual" -> {
+      def iter(prev: String, cur: String): String =
+        s"""c_$cur AS (
+           |  SELECT e.dst AS id, sum(r_$prev.pr / deg.outdeg) AS cin
+           |  FROM r_$prev JOIN e ON r_$prev.id = e.src
+           |  JOIN deg ON e.src = deg.src
+           |  GROUP BY e.dst),
+           |r_$cur AS (
+           |  SELECT nodes.id,
+           |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))/nn.nd
+           |      + CAST(0.85 AS DOUBLE)*(COALESCE(c_$cur.cin, 0.0)) AS pr
+           |  FROM nodes LEFT JOIN c_$cur ON nodes.id = c_$cur.id, nn)""".stripMargin
+      s"""WITH nn AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS nd, count(*) AS n
+         |  FROM documents WHERE text IS NOT NULL),
+         |nodes AS (SELECT doc_id AS id FROM documents WHERE text IS NOT NULL),
+         |e AS (
+         |  SELECT doc_id AS src, (doc_id*2+1) % n AS dst
+         |  FROM documents, nn WHERE text IS NOT NULL
+         |  UNION ALL
+         |  SELECT doc_id, (doc_id*3+2) % n FROM documents, nn WHERE text IS NOT NULL
+         |  UNION ALL
+         |  SELECT doc_id, (doc_id*7+5) % n FROM documents, nn WHERE text IS NOT NULL),
+         |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+         |r_0 AS (SELECT id, 1.0/nd AS pr FROM nodes, nn),
+         |${iter("0", "1")},
+         |${iter("1", "2")},
+         |${iter("2", "3")}
+         |SELECT 3 AS iters, count(*) AS n_nodes,
+         |  round(sum(abs(r_3.pr - r_2.pr)), 6) AS l1_residual,
+         |  round(max(abs(r_3.pr - r_2.pr)), 9) AS max_delta
+         |FROM r_3 JOIN r_2 ON r_3.id = r_2.id""".stripMargin
+    },
+
+    // host-PageRank replay: page edges contracted to distinct
+    // inter-host edges, 3 iterations WITH the dangling-mass term
+    "q224_host_pagerank" -> {
+      def iter(prev: String, cur: String): String =
+        s"""c_$cur AS (
+           |  SELECT he.dst AS id, sum(r_$prev.pr / deg.outdeg) AS cin
+           |  FROM r_$prev JOIN he ON r_$prev.id = he.src
+           |  JOIN deg ON he.src = deg.src
+           |  GROUP BY he.dst),
+           |d_$cur AS (
+           |  SELECT coalesce(sum(pr), 0.0) AS dm FROM r_$prev
+           |  WHERE id NOT IN (SELECT src FROM deg)),
+           |r_$cur AS (
+           |  SELECT hosts.id,
+           |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))/hn.nd
+           |      + CAST(0.85 AS DOUBLE)*(COALESCE(c_$cur.cin, 0.0)
+           |        + d_$cur.dm/hn.nd) AS pr
+           |  FROM hosts LEFT JOIN c_$cur ON hosts.id = c_$cur.id,
+           |    hn, d_$cur)""".stripMargin
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents WHERE text IS NOT NULL),
+         |pe AS (
+         |  SELECT doc_id AS psrc, (doc_id*2+1) % n AS pdst
+         |  FROM documents, nn WHERE text IS NOT NULL
+         |  UNION ALL
+         |  SELECT doc_id, (doc_id*3+2) % n FROM documents, nn WHERE text IS NOT NULL
+         |  UNION ALL
+         |  SELECT doc_id, (doc_id*7+5) % n FROM documents, nn WHERE text IS NOT NULL),
+         |he AS (SELECT DISTINCT psrc % 12 AS src, pdst % 12 AS dst
+         |       FROM pe WHERE psrc % 12 <> pdst % 12),
+         |hosts AS (SELECT DISTINCT doc_id % 12 AS id
+         |          FROM documents WHERE text IS NOT NULL),
+         |hn AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM hosts),
+         |deg AS (SELECT src, count(*) AS outdeg FROM he GROUP BY src),
+         |r_0 AS (SELECT id, 1.0/nd AS pr FROM hosts, hn),
+         |${iter("0", "1")},
+         |${iter("1", "2")},
+         |${iter("2", "3")}
+         |SELECT id AS host, round(pr, 9) AS pr FROM r_3""".stripMargin
+    },
 
     // proximity replay: token positions from the text directly —
     // gaps are base-independent (Spark postings are 0-based)

@@ -97,26 +97,79 @@ object LinkGraph {
 
     var it = 0
     while (it < iters) {
-      val contribs = ranks
-        .join(edgesDeg, ranks("id") === edgesDeg("src"))
-        .groupBy(col("dst").as("id"))
-        .agg(sum(col("pr") / col("__outdeg")).as("__in"))
-      // dangling mass: rank sitting on nodes with no out-edges
-      val dangling = ranks
-        .join(deg, ranks("id") === deg("src"), "left_anti")
-        .agg(coalesce(sum(col("pr")), lit(0.0)).as("__dm"))
-      ranks = n
-        .join(contribs, Seq("id"), "left_outer")
-        .crossJoin(dangling)
-        .crossJoin(nRow)
-        .select(col("id"),
-          (lit(1.0 - damping) / col("__n") +
-            lit(damping) * (coalesce(col("__in"), lit(0.0)) +
-              col("__dm") / col("__n"))).as("pr"))
-        .localCheckpoint()
+      ranks = prStep(n, nRow, deg, edgesDeg, ranks, damping)
       it += 1
     }
     ranks
+  }
+
+  /** One power-method step: contributions + dangling mass + teleport.
+    * Shared by [[pageRank]] and [[pageRankResidual]]. */
+  private def prStep(
+      n: DataFrame, nRow: DataFrame, deg: DataFrame, edgesDeg: DataFrame,
+      ranks: DataFrame, damping: Double): DataFrame = {
+    val contribs = ranks
+      .join(edgesDeg, ranks("id") === edgesDeg("src"))
+      .groupBy(col("dst").as("id"))
+      .agg(sum(col("pr") / col("__outdeg")).as("__in"))
+    // dangling mass: rank sitting on nodes with no out-edges
+    val dangling = ranks
+      .join(deg, ranks("id") === deg("src"), "left_anti")
+      .agg(coalesce(sum(col("pr")), lit(0.0)).as("__dm"))
+    n
+      .join(contribs, Seq("id"), "left_outer")
+      .crossJoin(dangling)
+      .crossJoin(nRow)
+      .select(col("id"),
+        (lit(1.0 - damping) / col("__n") +
+          lit(damping) * (coalesce(col("__in"), lit(0.0)) +
+            col("__dm") / col("__n"))).as("pr"))
+      .localCheckpoint()
+  }
+
+  /**
+   * PageRank convergence report — the L1 residual between the last two
+   * power iterations (`Σ|pr_i − pr_{i−1}|`, the standard stopping
+   * criterion): the ops gauge that decides whether `iters` was enough
+   * BEFORE the ranks feed crawl scheduling or quality priors. Tracks
+   * the previous iterate inside ONE loop (no second run of the power
+   * method); the diff is a node-keyed join + 1-row aggregation.
+   *
+   * Output: one row (iters, n_nodes, l1_residual, max_delta) —
+   * residual halves roughly per iteration at d = 0.85 on a well-mixed
+   * graph, so a stalled residual is a graph-shape alarm, not a
+   * convergence success.
+   */
+  def pageRankResidual(
+      nodes: DataFrame,
+      edges: DataFrame,
+      iters: Int,
+      damping: Double = 0.85): DataFrame = {
+    require(iters >= 2, "a residual needs at least two iterations")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    val n = nodes.select(col("id")).distinct().localCheckpoint()
+    val nRow = n.agg(count(lit(1)).cast("double").as("__n")).localCheckpoint()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("__outdeg"))
+    val edgesDeg = edges.select(col("src"), col("dst"))
+      .join(deg, "src")
+      .localCheckpoint()
+    var ranks = n.crossJoin(nRow)
+      .select(col("id"), (lit(1.0) / col("__n")).as("pr"))
+      .localCheckpoint()
+    var prev = ranks
+    var it = 0
+    while (it < iters) {
+      prev = ranks
+      ranks = prStep(n, nRow, deg, edgesDeg, ranks, damping)
+      it += 1
+    }
+    ranks
+      .join(prev.withColumnRenamed("pr", "__prev"), "id")
+      .agg(count(lit(1)).as("n_nodes"),
+        round(sum(abs(col("pr") - col("__prev"))), 6).as("l1_residual"),
+        round(max(abs(col("pr") - col("__prev"))), 9).as("max_delta"))
+      .select(lit(iters).as("iters"), col("n_nodes"),
+        col("l1_residual"), col("max_delta"))
   }
 
   /**

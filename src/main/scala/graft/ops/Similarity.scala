@@ -382,6 +382,31 @@ object Similarity {
   }
 
   /**
+   * Reciprocal nearest neighbors over a [[knnGraph]]: pairs where EACH
+   * side ranks the other in its own top-k (the mutual-kNN criterion —
+   * public staple of agglomerative/near-dup clustering, e.g. Qin et
+   * al. 2011 re-ranking): a one-directional kNN edge often just means
+   * "b is popular"; mutuality is the strong duplicate/same-entity
+   * signal that survives hubness.
+   *
+   * Input is the knnGraph's directed edge list (id, rank, nbr,
+   * cos_micro) — k·|nodes| rows, never corpus-∝ — and the check is ONE
+   * self-equi-join on the ordered pair. Output: (id_a, id_b, rank_ab,
+   * rank_ba, cos_micro), id_a < id_b.
+   */
+  def reciprocalNeighbors(knn: DataFrame): DataFrame = {
+    val fwd = knn.filter(col("id") < col("nbr"))
+      .select(col("id").as("id_a"), col("nbr").as("id_b"),
+        col("rank").as("rank_ab"), col("cos_micro"))
+    val bwd = knn.filter(col("id") > col("nbr"))
+      .select(col("nbr").as("id_a"), col("id").as("id_b"),
+        col("rank").as("rank_ba"))
+    fwd.join(bwd, Seq("id_a", "id_b"))
+      .select(col("id_a"), col("id_b"), col("rank_ab"), col("rank_ba"),
+        col("cos_micro"))
+  }
+
+  /**
    * IVF (inverted-file) coarse quantizer: assign every vector to its
    * nearest of `nlist` centroid vectors (cosine, ties → lowest centroid
    * id). The index build is one narrow pass over the corpus against a

@@ -311,4 +311,32 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(r(mixed ++ Seq((1L, 0L), (3L, 3L), (2L, 1L))) ==
       ((4L, 4L, Some(-0.714286))))
   }
+
+  test("pageRankResidual: equals the diff of two separate runs; shrinks with iterations") {
+    import spark.implicits._
+    val nodes = Seq(0L, 1L, 2L, 3L).toDF("id")
+    // 3 has no out-edges: the dangling path is exercised too
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L), (1L, 3L))
+      .toDF("src", "dst")
+    def resid(iters: Int): (Long, Double, Double) = {
+      val r = LinkGraph.pageRankResidual(nodes, edges, iters).collect().head
+      (r.getLong(1), r.getDouble(2), r.getDouble(3))
+    }
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // reference: diff of independent pageRank runs at iters and iters-1
+    val p2 = LinkGraph.pageRank(nodes, edges, 2).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val p3 = LinkGraph.pageRank(nodes, edges, 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val (n, l1, mx) = resid(3)
+    assert(n == 4L)
+    assert(l1 == r6(p3.map { case (k, v) => math.abs(v - p2(k)) }.sum))
+    assert(mx > 0 && mx <= l1)
+    // convergence: the residual at 6 iterations is far below 3's
+    assert(resid(6)._2 < l1 / 2)
+    intercept[IllegalArgumentException] {
+      LinkGraph.pageRankResidual(nodes, edges, iters = 1)
+    }
+  }
 }

@@ -598,6 +598,22 @@ class SimilaritySpec extends AnyFunSuite {
     s5.foreach { case (id, sc) => assert(m(id) == sc) }
   }
 
+  test("reciprocalNeighbors: only mutual top-k edges survive, one row per pair") {
+    import spark.implicits._
+    // 1→2 (r1), 2→1 (r2): mutual. 1→3 (r2) but 3's list lacks 1: not.
+    // 3→4 / 4→3: mutual.
+    val knn = Seq(
+      (1L, 1L, 2L, 900000L), (1L, 2L, 3L, 800000L),
+      (2L, 2L, 1L, 900000L),
+      (3L, 1L, 4L, 700000L), (3L, 2L, 5L, 600000L),
+      (4L, 1L, 3L, 700000L))
+      .toDF("id", "rank", "nbr", "cos_micro")
+    val got = Similarity.reciprocalNeighbors(knn)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == Set((1L, 2L, 1L, 2L, 900000L), (3L, 4L, 1L, 1L, 700000L)))
+  }
+
   test("hardNegatives: self and same-group excluded, ranks contiguous per query") {
     val emb = TestSpark.table("embeddings")
     val queries = emb.filter($"vec_id".isin(0L, 1L))
