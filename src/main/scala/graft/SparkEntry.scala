@@ -3979,7 +3979,31 @@ object SparkEntry {
       graft.ops.LinkGraph.pageRank(hosts, hostEdges, iters = 3,
           damping = 0.85)
         .select(col("id").as("host"), round(col("pr"), 9).as("pr"))
-    })
+    }),
+
+    // ---- north-star: language confusability matrix — pairwise
+    //      cosine of per-language char-trigram profiles (Cavnar &
+    //      Trenkle 1994): the lang pairs a lang-ID gate confuses;
+    //      integer dot products over ONE trigram-keyed join.
+    "q225_lang_confusability" -> ((s, dir) =>
+      graft.ops.TextOps.langConfusability(
+        T(s, dir, "documents"), "text", "lang")),
+
+    // ---- north-star: MinHash estimation-error report — measured
+    //      accuracy of the 8-component signature estimate vs exact
+    //      Jaccard over the LSH candidates: the empirical "how many
+    //      hashes do I need" answer (stderr ≈ √(J(1−J)/h)).
+    "q226_minhash_error" -> ((s, dir) =>
+      Dedup.minhashErrorReport(
+        T(s, dir, "documents"), "text", "doc_id")),
+
+    // ---- north-star: per-source trimmed length stats — 5%-trimmed
+    //      robust means per source (one per-group window, never a
+    //      global sort; equal boundary values interchangeable so the
+    //      trimmed multiset is deterministic).
+    "q227_trimmed_stats" -> ((s, dir) =>
+      graft.ops.Stats.trimmedStats(
+        T(s, dir, "documents"), "source", "n_chars", trimFrac = 0.05))
   )
 
   /** graft-authored pipeline config (reference YAML shape,
@@ -7056,6 +7080,79 @@ object SparkEntry {
          |${iter("2", "3")}
          |SELECT id AS host, round(pr, 9) AS pr FROM r_3""".stripMargin
     },
+
+    // confusability replay: trigram profiles, integer dots, one sqrt
+    "q225_lang_confusability" ->
+      """WITH tri AS (SELECT lang AS l,
+        |    unnest(list_transform(generate_series(1,
+        |      greatest(length(text) - 2, 0)),
+        |      __i -> substr(text, CAST(__i AS INT), 3))) AS tg
+        |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+        |prof AS (SELECT l, tg, count(*) AS c FROM tri GROUP BY l, tg),
+        |norms AS (SELECT l, CAST(sum(c * c) AS BIGINT) AS n2
+        |          FROM prof GROUP BY l),
+        |dots AS (SELECT a.l AS lang_a, b.l AS lang_b,
+        |    count(*) AS n_shared, CAST(sum(a.c * b.c) AS BIGINT) AS dot
+        |  FROM prof a JOIN prof b ON a.tg = b.tg AND a.l < b.l
+        |  GROUP BY 1, 2)
+        |SELECT lang_a, lang_b, n_shared,
+        |  round(dot / (sqrt(CAST(na.n2 AS DOUBLE))
+        |    * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cosine
+        |FROM dots
+        |JOIN norms na ON na.l = lang_a
+        |JOIN norms nb ON nb.l = lang_b""".stripMargin,
+
+    // minhash-error replay: the shared sig/bucket CTEs, candidate
+    // pairs, component-match estimate vs the exact candidate Jaccard
+    "q226_minhash_error" -> {
+      val matches = (0 until 8).map(i =>
+        s"(CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH $minhashCtes,
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM buckets a JOIN buckets b
+         |    ON a.band = b.band AND a.bucket = b.bucket
+         |      AND a.doc_id < b.doc_id),
+         |exsh AS (SELECT DISTINCT doc_id, unnest(s) AS sv FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM exsh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.id_a, c.id_b, count(*) AS i
+         |  FROM cand c
+         |  JOIN exsh ea ON ea.doc_id = c.id_a
+         |  JOIN exsh eb ON eb.doc_id = c.id_b AND eb.sv = ea.sv
+         |  GROUP BY c.id_a, c.id_b),
+         |ex AS (SELECT it.id_a, it.id_b,
+         |    round(it.i / (sa.n + sb.n - it.i), 6) AS jaccard
+         |  FROM inter it JOIN sizes sa ON sa.doc_id = it.id_a
+         |  JOIN sizes sb ON sb.doc_id = it.id_b),
+         |est AS (SELECT c.id_a, c.id_b,
+         |    CAST(($matches) AS DOUBLE) / 8 AS e
+         |  FROM cand c JOIN sig sa ON sa.doc_id = c.id_a
+         |  JOIN sig sb ON sb.doc_id = c.id_b)
+         |SELECT count(*) AS n_pairs,
+         |  round(avg(jaccard), 6) AS mean_exact,
+         |  round(avg(e), 6) AS mean_est,
+         |  round(avg(e - jaccard), 6) AS bias,
+         |  round(avg(abs(e - jaccard)), 6) AS mean_abs_err,
+         |  round(max(abs(e - jaccard)), 6) AS max_abs_err
+         |FROM est JOIN ex USING (id_a, id_b)""".stripMargin
+    },
+
+    // trimmed-stats replay: per-source rank window, floor(n·0.05)
+    // cut from each end, exact integer sums
+    "q227_trimmed_stats" ->
+      """WITH r AS (SELECT source, n_chars AS v,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars)
+        |      AS rk,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+        |c AS (SELECT *, CAST(floor(n * 0.05) AS BIGINT) AS cut FROM r)
+        |SELECT source, max(n) AS n,
+        |  2 * max(cut) AS n_trimmed,
+        |  round(CAST(sum(v) AS DOUBLE) / max(n), 6) AS mean_raw,
+        |  round(CAST(sum(CASE WHEN rk > cut AND rk <= n - cut
+        |      THEN v ELSE 0 END) AS DOUBLE)
+        |    / (max(n) - 2 * max(cut)), 6) AS mean_trimmed
+        |FROM c GROUP BY source""".stripMargin,
 
     // proximity replay: token positions from the text directly —
     // gaps are base-independent (Spark postings are 0-based)

@@ -1241,6 +1241,57 @@ object Dedup {
   }
 
   /**
+   * MinHash estimation-error report — measured accuracy of the
+   * signature-based Jaccard estimate (matching components / numHashes,
+   * Broder 1997: each component matches with probability J) against
+   * the EXACT Jaccard, over the LSH candidate pairs: the empirical
+   * answer to "how many hash functions do I need" (stderr ≈
+   * √(J(1−J)/h)), measured on THIS corpus instead of assumed. The
+   * companion of [[lshDedupEval]]: that one grades the banding's
+   * candidate set, this one grades the estimator the bands are built
+   * from.
+   *
+   * One signature build (docs × numHashes longs), the candidate join,
+   * one exact-overlap verification of candidates only, and a 1-row
+   * aggregation. Estimate = exact rational h_match/h; exact Jaccard
+   * rounds at 6 (the [[verifyPairs]] contract); errors aggregate at 6.
+   *
+   * Output: one row (n_pairs, mean_exact, mean_est, bias,
+   * mean_abs_err, max_abs_err).
+   */
+  def minhashErrorReport(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 8,
+      bands: Int = 4,
+      shingleWords: Int = 3,
+      kind: HashKind = Md5): DataFrame = {
+    val cands = candidatePairs(df, textCol, idCol, numHashes, bands,
+      shingleWords, kind).localCheckpoint()
+    val exact = verifyPairs(df, cands, textCol, idCol, threshold = 0.0,
+      shingleWords)
+    val sigs = minhashSignatures(df, textCol, idCol, numHashes,
+      shingleWords, kind)
+    val est = cands
+      .join(sigs.select(col(idCol).as("id_a"), col("sig").as("__sa")), "id_a")
+      .join(sigs.select(col(idCol).as("id_b"), col("sig").as("__sb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (aggregate(
+          zip_with(col("__sa"), col("__sb"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / numHashes)
+          .as("__est"))
+    est.join(exact, Seq("id_a", "id_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(col("jaccard")), 6).as("mean_exact"),
+        round(avg(col("__est")), 6).as("mean_est"),
+        round(avg(col("__est") - col("jaccard")), 6).as("bias"),
+        round(avg(abs(col("__est") - col("jaccard"))), 6).as("mean_abs_err"),
+        round(max(abs(col("__est") - col("jaccard"))), 6).as("max_abs_err"))
+  }
+
+  /**
    * Quality-canonical cluster selection — keep the HIGHEST-QUALITY
    * member of each near-dup cluster instead of the min-id one (the
    * documented alternative in dedup practice: when near-dups differ

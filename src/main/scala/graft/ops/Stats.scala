@@ -22,6 +22,55 @@ import org.apache.spark.sql.functions._
 object Stats {
 
   /**
+   * Per-group trimmed statistics — the robust mean of textbook
+   * statistics: drop the `trimFrac` smallest and largest values in
+   * each group before averaging, so a handful of pathological
+   * documents (a 100 MB page, a 3-byte stub) cannot drag a source's
+   * length profile. The per-source calibration input raw means get
+   * wrong exactly where curation matters (the outlier-heavy sources).
+   *
+   * The rank is one PER-GROUP window (never a global sort); trimming
+   * cuts `floor(n·trimFrac)` rows per end by rank, and because equal
+   * boundary values are interchangeable under sum/mean, the tie order
+   * inside the window cannot change the result — the trimmed MULTISET
+   * is deterministic even though the rank itself is not total.
+   * Integer-valued inputs keep the sums exact; the two means are
+   * single divisions (round 6).
+   *
+   * Output: (groupCol, n, n_trimmed, mean_raw, mean_trimmed).
+   */
+  def trimmedStats(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      trimFrac: Double = 0.05): DataFrame = {
+    require(trimFrac >= 0 && trimFrac < 0.5,
+      s"trimFrac must be in [0, 0.5), got $trimFrac")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
+    val n = Window.partitionBy(col(groupCol))
+    val ranked = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol), col(valueCol).as("__v"))
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(n))
+      .withColumn("__cut", floor(col("__n") * lit(trimFrac)))
+    ranked
+      .groupBy(col(groupCol))
+      .agg(
+        max(col("__n")).as("n"),
+        (lit(2) * max(col("__cut"))).as("n_trimmed"),
+        round(sum(col("__v")).cast("double") / max(col("__n")), 6)
+          .as("mean_raw"),
+        round(
+          sum(when(col("__rk") > col("__cut") &&
+            col("__rk") <= col("__n") - col("__cut"), col("__v"))
+            .otherwise(lit(0))).cast("double") /
+            (max(col("__n")) - lit(2) * max(col("__cut"))), 6)
+          .as("mean_trimmed"))
+  }
+
+  /**
    * One-pass column profiler — the data-quality sibling of the
    * reference's rule engine: per column, row/null/distinct counts and
    * (numeric columns only) min/max as doubles. Every metric for every

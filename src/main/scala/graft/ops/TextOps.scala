@@ -468,6 +468,54 @@ object TextOps {
   }
 
   /**
+   * Language confusability matrix — pairwise cosine of per-language
+   * character-trigram profiles (the Cavnar & Trenkle 1994 n-gram
+   * representation): language pairs whose character statistics are
+   * near-indistinguishable are exactly where a lang-ID gate's errors
+   * concentrate, so the matrix tells you which per-language corpora
+   * are cross-contaminated BEFORE per-doc auditing.
+   *
+   * Profiles are (lang, trigram, count) rows — trigram-vocabulary-
+   * bounded, never corpus-∝; the pair dot products ride ONE join keyed
+   * on the trigram (fanout ≤ |langs| per key), norms are per-lang
+   * integer sums. Everything is exact integers until sqrt and one
+   * division (round 6).
+   *
+   * Output: (lang_a, lang_b, n_shared, cosine), lang_a < lang_b.
+   */
+  def langConfusability(
+      df: DataFrame,
+      textCol: String,
+      langCol: String): DataFrame = {
+    val tri = df
+      .filter(col(textCol).isNotNull && col(langCol).isNotNull)
+      .select(col(langCol).as("__lang"),
+        explode(expr(
+          s"transform(sequence(1, greatest(length($textCol) - 2, 0)), " +
+            s"__i -> substring($textCol, __i, 3))")).as("__tg"))
+    val prof = tri.groupBy("__lang", "__tg").agg(count(lit(1)).as("__c"))
+      .localCheckpoint() // feeds dots AND norms
+    val norms = prof.groupBy("__lang")
+      .agg(sum(col("__c") * col("__c")).as("__n2"))
+    val dots = prof.select(col("__lang").as("lang_a"), col("__tg"),
+        col("__c").as("__ca"))
+      .join(prof.select(col("__lang").as("lang_b"), col("__tg"),
+        col("__c").as("__cb")), Seq("__tg"))
+      .filter(col("lang_a") < col("lang_b"))
+      .groupBy("lang_a", "lang_b")
+      .agg(count(lit(1)).as("n_shared"), sum(col("__ca") * col("__cb")).as("__dot"))
+    dots
+      .join(broadcast(norms.withColumnRenamed("__lang", "lang_a")
+        .withColumnRenamed("__n2", "__na")), "lang_a")
+      .join(broadcast(norms.withColumnRenamed("__lang", "lang_b")
+        .withColumnRenamed("__n2", "__nb")), "lang_b")
+      .select(col("lang_a"), col("lang_b"), col("n_shared"),
+        round(col("__dot") /
+          (sqrt(col("__na").cast("double")) * sqrt(col("__nb").cast("double"))), 6)
+          .as("cosine"))
+  }
+
+  /**
    * Zipf-law fit over the frequency head (Zipf 1949; the companion of
    * [[vocabularyGrowth]]'s Heaps curve): least-squares slope of
    * `ln(freq)` against `ln(rank)` for the top `headSize` word types.

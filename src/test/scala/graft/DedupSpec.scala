@@ -659,6 +659,33 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("minhashErrorReport: reconciles with a component-level replay") {
+    val docs = TestSpark.table("documents")
+    val got = Dedup.minhashErrorReport(docs, "text", "doc_id").collect().head
+    // replay from the component ops
+    val cands = Dedup.candidatePairs(docs, "text", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sigs = Dedup.minhashSignatures(docs, "text", "doc_id", 8, 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+    val exact = Dedup.verifyPairs(docs,
+        Dedup.candidatePairs(docs, "text", "doc_id"), "text", "doc_id",
+        threshold = 0.0, shingleWords = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val errs = cands.map { case (a, b) =>
+      val est = sigs(a).zip(sigs(b)).count { case (x, y) => x == y } / 8.0
+      est - exact((a, b))
+    }
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getLong(0) == cands.length)
+    assert(got.getDouble(3) == r6(errs.sum / errs.length))
+    assert(got.getDouble(4) == r6(errs.map(math.abs).sum / errs.length))
+    assert(got.getDouble(5) == r6(errs.map(math.abs).max))
+    // sanity: with 8 hashes the mean absolute error is material but
+    // bounded — the report exists to SHOW this, not hide it
+    assert(got.getDouble(4) > 0.0 && got.getDouble(4) < 0.5)
+  }
+
   test("qualityCanonical: argmax keeper per cluster, min-id ties, singleton fallback") {
     // cluster 7: docs 1 (q .2), 2 (q .9), 3 (q .9) -> keeper 2 (tie min id)
     // doc 5 unlabeled -> own singleton

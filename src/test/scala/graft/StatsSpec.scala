@@ -188,4 +188,26 @@ class StatsSpec extends AnyFunSuite {
         s"$c: HLL estimate $ad vs exact $ed beyond 10%")
     }
   }
+
+  test("trimmedStats: outliers dropped from the mean; trim count floor; nulls excluded") {
+    import TestSpark.spark.implicits._
+    // group g: 19 values of 100 + one 1e6 outlier -> n=20, cut=1
+    // (floor(20*0.05)); trimmed mean drops the min (100) AND the
+    // outlier, leaving 18×100
+    val rows: Seq[(String, Option[Long])] =
+      Seq.fill(19)(("g", Some(100L))) ++
+        Seq(("g", Some(1000000L)), ("s", Some(7L)), ("s", Some(9L)),
+          ("g", None))
+    val df = rows.toDF("src", "v")
+    val got = Stats.trimmedStats(df, "src", "v", trimFrac = 0.05)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val rawG = (19 * 100L + 1000000L).toDouble / 20
+    assert(got("g") == ((20L, 2L, rawG, 100.0)))
+    // a 2-row group trims nothing (floor(2*0.05) = 0): mean unchanged
+    assert(got("s") == ((2L, 0L, 8.0, 8.0)))
+    intercept[IllegalArgumentException] {
+      Stats.trimmedStats(df, "src", "v", trimFrac = 0.5)
+    }
+  }
 }

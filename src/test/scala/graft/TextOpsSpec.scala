@@ -639,6 +639,30 @@ class TextOpsSpec extends AnyFunSuite {
     assert(sat(1).getLong(5) == 2L) // cum_types stays flat
   }
 
+  test("langConfusability: identical profiles cosine 1, disjoint pairs absent, hand dot") {
+    val docs = Seq(
+      (1L, "abcd", "x"), (2L, "abcd", "y"),  // identical trigram profiles
+      (3L, "zzzz", "w")                       // disjoint from both
+    ).toDF("doc_id", "text", "lang")
+    val got = TextOps.langConfusability(docs, "text", "lang")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // x and y both have {abc:1, bcd:1} -> cosine exactly 1.0
+    assert(got(("x", "y")) == ((2L, 1.0)))
+    // w shares no trigram with either -> no row at all (dot join)
+    assert(!got.contains(("w", "x")) && !got.contains(("w", "y")) &&
+      !got.contains(("x", "w")))
+    // hand case: p = {aaa:2, aab:1} vs q = {aaa:1} ->
+    // dot 2, norms sqrt(5)·1 -> 0.894427
+    val h = TextOps.langConfusability(
+      Seq((1L, "aaaab", "p"), (2L, "aaa", "q")).toDF("doc_id", "text", "lang"),
+      "text", "lang").collect().head
+    assert((h.getString(0), h.getString(1), h.getLong(2)) == (("p", "q", 1L)))
+    assert(h.getDouble(3) ==
+      BigDecimal(2.0 / math.sqrt(5.0)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("zipfFit: exact normal-equation replay on known counts; head cutoff; determinism") {
     // counts: aa 16, bb 8, cc 4, dd 2 (geometric head)
     val text = (Seq.fill(16)("aa") ++ Seq.fill(8)("bb") ++
