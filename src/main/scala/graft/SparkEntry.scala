@@ -4003,7 +4003,54 @@ object SparkEntry {
     //      trimmed multiset is deterministic).
     "q227_trimmed_stats" -> ((s, dir) =>
       graft.ops.Stats.trimmedStats(
-        T(s, dir, "documents"), "source", "n_chars", trimFrac = 0.05))
+        T(s, dir, "documents"), "source", "n_chars", trimFrac = 0.05)),
+
+    // ---- north-star: per-source quantile normalization — each doc's
+    //      quality score mapped to its within-source rank position
+    //      rank/(n+1): "top 10% of each source" becomes the same
+    //      predicate everywhere (raw scales drift per source).
+    "q228_quantile_norm" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .withColumn("quality", graft.ops.TextOps.qualityScore(col("text")))
+      graft.ops.Quality.quantileNormalize(docs, "source", "quality", "doc_id")
+    }),
+
+    // ---- north-star: χ² drift attribution — WHICH tokens moved
+    //      between the even-id and odd-id corpus halves: per-token
+    //      goodness-of-fit terms over the minCount-fenced vocabulary,
+    //      the explanation layer over q167/q168's single-number alarms.
+    "q229_chi2_drift" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.ops.Diagnostics.chiSquareDrift(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "text", minCount = 5L, topK = 20)
+    }),
+
+    // ---- north-star: compaction plan — merge bins of ≈2000 rows over
+    //      a 64-file range-clustered stats ledger, ordered by zone
+    //      floor so compaction PRESERVES the clustering the zone maps
+    //      exist for; the plan window runs over |files| rows, never
+    //      data rows.
+    "q230_compaction_plan" -> ((s, dir) => {
+      val orders = T(s, dir, "orders")
+      val withF = graft.io.ZoneMap.assignFiles(
+        orders, col("o_orderdate").cast("timestamp"), nFiles = 64)
+      val st = graft.io.ZoneMap.stats(withF, "file_id", Seq("o_orderdate"))
+      graft.io.ZoneMap.compactionPlan(
+        st, "o_orderdate_mn", "n_rows", targetRows = 2000L)
+    }),
+
+    // ---- north-star: last-touch attribution — which event type
+    //      immediately precedes each purchase in its session (the
+    //      first attribution model every analytics stack ships);
+    //      session-opening purchases attribute to "(direct)".
+    "q231_attribution" -> ((s, dir) =>
+      graft.ops.EventOps.lastTouchAttribution(
+        Layers.readEvents(s, s"$dir/events.parquet"),
+        "user_id", "ts", "event_id", "event_type",
+        conversionType = "purchase", gapSeconds = 1800))
   )
 
   /** graft-authored pipeline config (reference YAML shape,
@@ -7153,6 +7200,83 @@ object SparkEntry {
         |      THEN v ELSE 0 END) AS DOUBLE)
         |    / (max(n) - 2 * max(cut)), 6) AS mean_trimmed
         |FROM c GROUP BY source""".stripMargin,
+
+    // quantile-norm replay: per-source rank window, rank/(n+1)
+    "q228_quantile_norm" ->
+      s"""WITH s AS (SELECT doc_id, source,
+         |    ${PortableSql.qualityScore("text", DD)} AS quality
+         |  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+         |r AS (SELECT *,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY quality, doc_id) AS rk,
+         |    count(*) OVER (PARTITION BY source) AS n
+         |  FROM s)
+         |SELECT doc_id, source, quality,
+         |  round(CAST(rk AS DOUBLE) / (n + 1), 6) AS q_norm FROM r""".stripMargin,
+
+    // chi2 replay: fenced vocab, shared-vocab totals, identical
+    // expected expression at every use site
+    "q229_chi2_drift" ->
+      s"""WITH b AS (SELECT token, count(*) AS n_base FROM (
+         |    SELECT unnest(${DD.tokens("text")}) AS token
+         |    FROM documents WHERE doc_id % 2 = 0) GROUP BY token
+         |  HAVING count(*) >= 5),
+         |nx AS (SELECT token, count(*) AS n_next FROM (
+         |    SELECT unnest(${DD.tokens("text")}) AS token
+         |    FROM documents WHERE doc_id % 2 = 1) GROUP BY token),
+         |j AS (SELECT b.token, b.n_base,
+         |    CAST(coalesce(nx.n_next, 0) AS BIGINT) AS n_next
+         |  FROM b LEFT JOIN nx USING (token)),
+         |t AS (SELECT CAST(sum(n_base) AS DOUBLE) AS bt,
+         |    CAST(sum(n_next) AS DOUBLE) AS nt FROM j)
+         |SELECT token, n_base, n_next,
+         |  round(nt * n_base / bt, 6) AS expected,
+         |  round((n_next - nt * n_base / bt) * (n_next - nt * n_base / bt)
+         |    / (nt * n_base / bt), 6) AS chi2_term
+         |FROM j, t
+         |ORDER BY chi2_term DESC, token ASC LIMIT 20""".stripMargin,
+
+    // compaction-plan replay: the q208 binning at 64 files, running-sum
+    // bins at 2000 target rows
+    "q230_compaction_plan" ->
+      """WITH b AS (SELECT min(epoch(o_orderdate)) AS lo,
+        |                  max(epoch(o_orderdate)) AS hi FROM orders),
+        |f AS (SELECT o.*,
+        |    CASE WHEN b.hi = b.lo THEN 0
+        |         ELSE least(63, greatest(0, CAST(floor(
+        |           (epoch(o_orderdate) - b.lo) * 64 / (b.hi - b.lo))
+        |           AS INT))) END AS file_id
+        |  FROM orders o, b),
+        |st AS (SELECT file_id, count(*) AS n_rows,
+        |    min(o_orderdate) AS mn FROM f GROUP BY file_id),
+        |w AS (SELECT *,
+        |    sum(n_rows) OVER (ORDER BY mn, n_rows
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM st)
+        |SELECT CAST(floor((cum - n_rows) / 2000) AS BIGINT) AS bin,
+        |  count(*) AS n_files, CAST(sum(n_rows) AS BIGINT) AS total_rows
+        |FROM w GROUP BY 1""".stripMargin,
+
+    // attribution replay: the q19/q217 sessionization window + lag of
+    // (type, session), purchase rows only
+    "q231_attribution" ->
+      """WITH p AS (SELECT user_id, event_id, ts, event_type,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS ptype
+        |  FROM events),
+        |s AS (SELECT *, sum(CASE WHEN prev IS NULL
+        |      OR epoch(ts) - epoch(prev) > 1800.0 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM p),
+        |s2 AS (SELECT *, lag(sess) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS psess FROM s)
+        |SELECT CASE WHEN psess IS NULL OR psess <> sess THEN '(direct)'
+        |            ELSE ptype END AS touch_type,
+        |  count(*) AS n_conversions
+        |FROM s2 WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
 
     // proximity replay: token positions from the text directly —
     // gaps are base-independent (Spark postings are 0-based)

@@ -86,6 +86,45 @@ object ZoneMap {
       .select(col(fileIdCol).cast("int"))
       .collect().map(_.getInt(0)).sorted.toSeq
 
+  /**
+   * Compaction plan over a file-stats ledger — group small files into
+   * merge bins of ≈ `targetRows` by the running-sum binning every file
+   * coalescer uses (Spark's own file grouping; Delta OPTIMIZE's greedy
+   * sizing): files sort by their zone floor (so merged files stay
+   * range-clustered — compaction must not destroy the layout the zone
+   * maps exist for), and `bin = floor((cumRows − rows)/target)` — a
+   * file opens a new bin exactly when the running total before it
+   * crosses a target boundary.
+   *
+   * The window runs over the STATS LEDGER (|files| rows, never data
+   * rows) partitioned by `partitionCols` when given — real compaction
+   * plans per table partition; the unpartitioned form is for
+   * single-partition ledgers and documented as files-bounded.
+   *
+   * Output: one row per merge bin (+ partition cols): (bin, n_files,
+   * total_rows) — bins with one file need no rewrite; the caller
+   * filters n_files > 1.
+   */
+  def compactionPlan(
+      stats: DataFrame,
+      sortCol: String,
+      rowsCol: String,
+      targetRows: Long,
+      partitionCols: Seq[String] = Seq.empty): DataFrame = {
+    require(targetRows >= 1, "targetRows must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(col(sortCol), col(rowsCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val binned = stats
+      .withColumn("__cum", sum(col(rowsCol)).over(w))
+      .withColumn("bin",
+        floor((col("__cum") - col(rowsCol)) / targetRows).cast("long"))
+    binned
+      .groupBy((partitionCols.map(col) :+ col("bin")): _*)
+      .agg(count(lit(1)).as("n_files"), sum(col(rowsCol)).as("total_rows"))
+  }
+
   /** Zone-map-pruned read of a directory written with
     * `partitionBy(fileIdCol)`: the stats table converts the VALUE
     * predicate into a `file_id IN (...)` partition filter — the

@@ -143,4 +143,56 @@ object Diagnostics {
           sum(when(col("q") > 0, col("q") * log(col("q") / col("m")))
             .otherwise(0.0))) / 2, 6).as("js_nats"))
   }
+
+  /**
+   * χ² drift attribution — the per-token complement of [[psi]]/
+   * [[jsDivergence]]'s single-number alarms: WHICH tokens moved. For
+   * each token with base count ≥ `minCount` (the standard
+   * expected-frequency floor of the χ² test — and the fence that
+   * keeps the long tail out of the report), the goodness-of-fit term
+   * `(observed − expected)² / expected` with `expected = nextTotal ·
+   * baseCount / baseTotal`; the top-k terms ARE the drift
+   * explanation ("the crawl started speaking Python").
+   *
+   * Two token-count aggregations (vocab-bounded) + one token-keyed
+   * join + `TakeOrderedAndProject` top-k; expected/term are two
+   * deterministic float ops over exact integer counts (round 6).
+   * Tokens newly appearing in `next` are outside the fence by
+   * construction — [[jsDivergence]] owns the new-mass signal.
+   *
+   * Output: (token, n_base, n_next, expected, chi2_term), topK rows.
+   */
+  def chiSquareDrift(
+      base: DataFrame,
+      next: DataFrame,
+      textCol: String,
+      minCount: Long = 5L,
+      topK: Int = 20): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    require(topK >= 1, "topK must be >= 1")
+    def counts(df: DataFrame, cname: String): DataFrame = df
+      .select(explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as(cname))
+    // BOTH totals run over the fenced comparison vocabulary, so the
+    // expected counts are a proper (conditional) goodness-of-fit
+    val joined = counts(base, "n_base")
+      .filter(col("n_base") >= minCount)
+      .join(counts(next, "n_next"), Seq("token"), "left_outer")
+      .select(col("token"), col("n_base"),
+        coalesce(col("n_next"), lit(0L)).as("n_next"))
+      .localCheckpoint() // feeds the totals AND the terms
+    val tot = joined.agg(
+      sum(col("n_base")).cast("double").as("__bt"),
+      sum(col("n_next")).cast("double").as("__nt"))
+    joined
+      .crossJoin(broadcast(tot))
+      .select(col("token"), col("n_base"), col("n_next"),
+        (col("__nt") * col("n_base") / col("__bt")).as("__e"))
+      .select(col("token"), col("n_base"), col("n_next"),
+        round(col("__e"), 6).as("expected"),
+        round((col("n_next") - col("__e")) * (col("n_next") - col("__e"))
+          / col("__e"), 6).as("chi2_term"))
+      .orderBy(col("chi2_term").desc, col("token").asc)
+      .limit(topK)
+  }
 }

@@ -150,6 +150,51 @@ object EventOps {
       .limit(topK)
   }
 
+  /**
+   * Last-touch attribution — for every conversion event, the
+   * event type IMMEDIATELY preceding it in the same session (the
+   * simplest published attribution model, and the one every analytics
+   * stack ships first): which touchpoint "gets credit" for the
+   * conversion. Conversions that OPEN a session attribute to
+   * `(direct)`.
+   *
+   * Same single user-keyed window pass as [[topJourneys]] (lag of
+   * type AND of session id — the session-boundary check rides the
+   * same window), then one decomposable count per touch type.
+   *
+   * Output: (touch_type, n_conversions), the attribution report.
+   */
+  def lastTouchAttribution(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      idCol: String,
+      typeCol: String,
+      conversionType: String,
+      gapSeconds: Int = 1800): DataFrame = {
+    require(gapSeconds >= 1, "gapSeconds must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val cum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    events
+      .withColumn("__prev", lag(col(tsCol), 1).over(w))
+      .withColumn("__new", when(col("__prev").isNull ||
+        (col(tsCol).cast("double") - col("__prev").cast("double"))
+          > gapSeconds.toDouble, 1L).otherwise(0L))
+      .withColumn("__sess", sum(col("__new")).over(cum))
+      .withColumn("__ptype", lag(col(typeCol), 1).over(w))
+      .withColumn("__psess", lag(col("__sess"), 1).over(w))
+      .filter(col(typeCol) === conversionType)
+      .select(when(col("__psess").isNull || col("__psess") =!= col("__sess"),
+        lit("(direct)")).otherwise(col("__ptype")).as("touch_type"))
+      .groupBy("touch_type")
+      .agg(count(lit(1)).as("n_conversions"))
+  }
+
   def retention(
       events: DataFrame,
       userCol: String,

@@ -127,6 +127,40 @@ object Quality {
           (lit(priorStrength) + col("n_docs")), 6).as("shrunk_rate"))
   }
 
+  /**
+   * Per-group quantile normalization of a score column — map each
+   * row's score to its within-group rank position `rank/(n+1)` (the
+   * Hazen-style plotting position; textbook quantile normalization):
+   * the cross-source comparability fix for quality scores, whose raw
+   * scales drift per source (a 0.6 from a clean source ≠ a 0.6 from a
+   * boilerplate farm). After the transform, "top 10% of each source"
+   * is the SAME predicate everywhere — the usual selection rule
+   * quota-based curation actually wants.
+   *
+   * One PER-GROUP rank window (the [[graft.ops.Stats.trimmedStats]]
+   * shape, never a global sort); ties rank deterministically by the id
+   * column, and the normalized score is one exact integer ratio
+   * (round 6).
+   *
+   * Output: input id/group plus (raw value, `q_norm`).
+   */
+  def quantileNormalize(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(valueCol), col(idCol))
+    val n = Window.partitionBy(col(groupCol))
+    df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(idCol), col(groupCol), col(valueCol))
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(n))
+      .select(col(idCol), col(groupCol), col(valueCol),
+        round(col("__rk").cast("double") / (col("__n") + 1), 6).as("q_norm"))
+  }
+
   def violationCounts(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "at least one rule")
     val aggs = rules.map(r =>

@@ -120,4 +120,31 @@ class DriftSpec extends AnyFunSuite {
     val got = Diagnostics.jsDivergence(a, c, "text").head.getDouble(0)
     assert(math.abs(got - expect) < 1e-6, s"got $got expected $expect")
   }
+
+  test("chiSquareDrift: hand terms, minCount fence, vanished token attributed, new token outside") {
+    import TestSpark.spark.implicits._
+    // base: aa×6 bb×6 cc×2 ; next: aa×2 bb×6 zz×4
+    val base = Seq((1L, ("aa " * 6 + "bb " * 6 + "cc " * 2).trim)).toDF("doc_id", "text")
+    val next = Seq((2L, ("aa " * 2 + "bb " * 6 + "zz " * 4).trim)).toDF("doc_id", "text")
+    val got = Diagnostics.chiSquareDrift(base, next, "text",
+        minCount = 5L, topK = 10)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // fenced vocab {aa, bb}: bt = 12, nt = 8 (cc under fence; zz new)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val eAa = 8.0 * 6 / 12; val eBb = 8.0 * 6 / 12
+    assert(got("aa") == ((6L, 2L, r6(eAa), r6((2 - eAa) * (2 - eAa) / eAa))))
+    assert(got("bb") == ((6L, 6L, r6(eBb), r6((6 - eBb) * (6 - eBb) / eBb))))
+    assert(!got.contains("cc"), "under the minCount fence")
+    assert(!got.contains("zz"), "new tokens are jsDivergence's signal")
+    // a token that VANISHES from next still gets a term (n_next = 0)
+    val gone = Diagnostics.chiSquareDrift(base,
+        Seq((3L, "bb bb")).toDF("doc_id", "text"), "text", 5L, 10)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(gone("aa") == 0L)
+    intercept[IllegalArgumentException] {
+      Diagnostics.chiSquareDrift(base, next, "text", minCount = 0L)
+    }
+  }
 }

@@ -98,4 +98,24 @@ class EventOpsSpec extends AnyFunSuite {
       EventOps.topJourneys(ev, "user_id", "ts", "event_id", "event_type", n = 1)
     }
   }
+
+  test("lastTouchAttribution: predecessor in-session, (direct) on session opens, gap resets") {
+    import spark.implicits._
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val ev = Seq(
+      // u1 session A: view -> purchase (credit: view)
+      (1L, 1L, ts(0), "view"), (2L, 1L, ts(1), "purchase"),
+      // u1 session B opens WITH a purchase after a 40-min gap: (direct)
+      // — the preceding 'click' is in the previous session
+      (3L, 1L, ts(2), "click"), (4L, 1L, ts(45), "purchase"),
+      // u2 first-ever event is a purchase: (direct)
+      (5L, 2L, ts(0), "purchase"),
+      // u2: click -> purchase in one session (credit: click)
+      (6L, 2L, ts(10), "click"), (7L, 2L, ts(11), "purchase"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = EventOps.lastTouchAttribution(ev, "user_id", "ts",
+        "event_id", "event_type", "purchase", gapSeconds = 1800)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("view" -> 1L, "click" -> 1L, "(direct)" -> 2L))
+  }
 }

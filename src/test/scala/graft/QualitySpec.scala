@@ -113,6 +113,26 @@ class QualitySpec extends AnyFunSuite {
     }
   }
 
+  test("quantileNormalize: rank positions per group, cross-group comparability, tie order by id") {
+    val df = Seq(
+      (1L, "a", 0.9), (2L, "a", 0.1), (3L, "a", 0.5),
+      (4L, "b", 100.0), (5L, "b", 200.0),          // wildly different scale
+      (6L, "a", 0.5)                                // tie with doc 3
+    ).toDF("doc_id", "src", "score")
+    val got = Quality.quantileNormalize(df, "src", "score", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // group a (n=4): ranks 2=1, 3=2, 6=3 (tie -> id), 1=4 over n+1=5
+    assert(got(2L) == 0.2 && got(3L) == 0.4 && got(6L) == 0.6 && got(1L) == 0.8)
+    // group b (n=2): the raw-scale gap vanishes — positions only
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(4L) == r6(1.0 / 3) && got(5L) == r6(2.0 / 3))
+    // the comparability claim: "top score of its source" is the same
+    // predicate in both groups despite scales 0.9 vs 200
+    assert(got(1L) == got.filterKeys(Set(1L, 2L, 3L, 6L)).values.max)
+    assert(got(5L) == got.filterKeys(Set(4L, 5L)).values.max)
+  }
+
   test("agreementKappa: perfect agreement, chance-level labels, degenerate pe=1") {
     val perfect = Seq((1, 1), (2, 2), (3, 3), (1, 1)).toDF("a", "b")
     assert(Quality.agreementKappa(perfect, "a", "b")

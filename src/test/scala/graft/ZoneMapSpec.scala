@@ -92,6 +92,29 @@ class ZoneMapSpec extends AnyFunSuite {
         s"${fullScan.metrics("numFiles").value}")
   }
 
+  test("compactionPlan: running-sum bins respect the target; zone order preserved; per-partition scope") {
+    val stats = Seq(
+      // (partition, zone floor, rows)
+      ("p1", 0.0, 600L), ("p1", 1.0, 600L), ("p1", 2.0, 600L),
+      ("p1", 3.0, 600L), ("p1", 4.0, 1500L),
+      ("p2", 0.0, 100L)
+    ).toDF("part", "mn", "n_rows")
+    val got = ZoneMap.compactionPlan(stats, "mn", "n_rows",
+        targetRows = 1000L, partitionCols = Seq("part"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // p1 cums: 600,1200,1800,2400,3900 -> bins floor((cum-rows)/1000):
+    // 0,0,1,1,2 — files stay in zone order inside each bin
+    assert(got(("p1", 0L)) == ((2L, 1200L)))
+    assert(got(("p1", 1L)) == ((2L, 1200L)))
+    assert(got(("p1", 2L)) == ((1L, 1500L)))
+    // p2 plans independently (its own running sum)
+    assert(got(("p2", 0L)) == ((1L, 100L)))
+    intercept[IllegalArgumentException] {
+      ZoneMap.compactionPlan(stats, "mn", "n_rows", targetRows = 0L)
+    }
+  }
+
   test("stats rejects an empty tracked-column list; assignFiles rejects nFiles < 1") {
     val df = spark.range(3).select(col("id").cast("double").as("v"))
     intercept[IllegalArgumentException] {
