@@ -4050,7 +4050,49 @@ object SparkEntry {
       graft.ops.EventOps.lastTouchAttribution(
         Layers.readEvents(s, s"$dir/events.parquet"),
         "user_id", "ts", "event_id", "event_type",
-        conversionType = "purchase", gapSeconds = 1800))
+        conversionType = "purchase", gapSeconds = 1800)),
+
+    // ---- north-star: time-travel reads of the versioned sink — every
+    //      _SUCCESS-gated run is a pinned table version (q10 reads the
+    //      latest; this reads ALL of them by index): the audit-replay
+    //      primitive of the lakehouse pattern.
+    "q232_time_travel" -> ((s, dir) => {
+      val base = tmp("q232_runs")
+      val cust = T(s, dir, "customer")
+      Layers.writeJsonl(cust.filter(col("c_custkey") % 3 === 0),
+        base, Some("20250101"))
+      Layers.writeJsonl(cust.filter(col("c_custkey") % 2 === 0),
+        base, Some("20250102"))
+      Layers.writeJsonl(cust, base, Some("20250103"))
+      val schema = graft.schema.Metadata.structFromSpec("c_custkey: long")
+      Layers.successfulRuns(s, base).zipWithIndex.map { case (p, v) =>
+        Layers.readJsonl(s, p, schema)
+          .agg(count(lit(1)).as("n_rows"), sum(col("c_custkey")).as("sum_key"))
+          .select(lit(v).as("version"), col("n_rows"), col("sum_key"))
+      }.reduce(_ unionByName _)
+    }),
+
+    // ---- north-star: Gini concentration of per-source doc mass —
+    //      the "is this corpus a monoculture" gauge beside the domain
+    //      caps; one |sources|-row window, integer-exact sums.
+    "q233_gini" -> ((s, dir) =>
+      graft.ops.Stats.giniConcentration(
+        T(s, dir, "documents").filter(col("source").isNotNull), "source")),
+
+    // ---- north-star: host-scoped boilerplate removal (the
+    //      CCNet/FineWeb cleaner) — NAV chrome injected on every page
+    //      of its host (freq 1.0 → scrubbed), PROMO on 25% of pages
+    //      (kept), the unique content line always kept; per-(host,
+    //      line) distinct-page frequencies, doc-bounded rebuild.
+    "q234_host_boilerplate" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      val host = concat(lit("h"), (col("doc_id") % 5).cast("string"))
+      val page = concat(lit("NAV "), host, lit("\n"), col("text"),
+        when(col("doc_id") % 4 === 0, lit("\nPROMO")).otherwise(lit("")))
+      graft.ops.TextOps.hostBoilerplateScrub(
+        docs.select(col("doc_id"), host.as("host"), page.as("page")),
+        "page", "doc_id", "host", minPages = 3L, maxFrac = 0.5)
+    })
   )
 
   /** graft-authored pipeline config (reference YAML shape,
@@ -7277,6 +7319,66 @@ object SparkEntry {
         |            ELSE ptype END AS touch_type,
         |  count(*) AS n_conversions
         |FROM s2 WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
+
+    // time-travel replay: each version's filter re-derived
+    "q232_time_travel" ->
+      """SELECT 0 AS version, count(*) AS n_rows,
+        |  CAST(sum(c_custkey) AS BIGINT) AS sum_key
+        |FROM customer WHERE c_custkey % 3 = 0
+        |UNION ALL
+        |SELECT 1, count(*), CAST(sum(c_custkey) AS BIGINT)
+        |FROM customer WHERE c_custkey % 2 = 0
+        |UNION ALL
+        |SELECT 2, count(*), CAST(sum(c_custkey) AS BIGINT)
+        |FROM customer""".stripMargin,
+
+    // Gini replay: per-source counts, ascending rank window, the
+    // discrete-distribution formula with integer sums
+    "q233_gini" ->
+      """WITH g AS (SELECT source, count(*) AS x FROM documents
+        |           WHERE source IS NOT NULL GROUP BY source),
+        |r AS (SELECT x, row_number() OVER (ORDER BY x ASC, source ASC)
+        |        AS i FROM g)
+        |SELECT count(*) AS n_groups, CAST(sum(x) AS BIGINT) AS total,
+        |  round(CAST(2 * sum(i * x) - (count(*) + 1) * sum(x) AS DOUBLE)
+        |    / (count(*) * sum(x)), 6) AS gini
+        |FROM r""".stripMargin,
+
+    // host-boilerplate replay: constructive pages, per-(host, line)
+    // distinct-page frequencies, ordered surviving-line rebuild
+    "q234_host_boilerplate" ->
+      """WITH pages AS (SELECT doc_id,
+        |    'h' || CAST(doc_id % 5 AS VARCHAR) AS host,
+        |    'NAV h' || CAST(doc_id % 5 AS VARCHAR) || chr(10) || text ||
+        |      CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'PROMO'
+        |           ELSE '' END AS page
+        |  FROM documents WHERE text IS NOT NULL),
+        |split0 AS (SELECT doc_id, host, string_split(page, chr(10)) AS l
+        |           FROM pages),
+        |lines AS (SELECT doc_id, host, gi AS p,
+        |    md5(l[CAST(gi AS INT)]) AS h
+        |  FROM split0, unnest(generate_series(1, len(l))) AS u(gi)),
+        |hp AS (SELECT host, count(DISTINCT doc_id) AS np
+        |       FROM pages GROUP BY host),
+        |lf AS (SELECT host, h, count(DISTINCT doc_id) AS nl
+        |       FROM lines GROUP BY host, h),
+        |boiler AS (SELECT lf.host, lf.h
+        |  FROM lf JOIN hp ON hp.host = lf.host
+        |  WHERE hp.np >= 3 AND CAST(lf.nl AS DOUBLE) >= 0.5 * hp.np),
+        |kept AS (SELECT li.doc_id, li.p, li.h
+        |  FROM lines li LEFT JOIN boiler b
+        |    ON b.host = li.host AND b.h = li.h
+        |  WHERE b.h IS NULL),
+        |rebuilt AS (SELECT s.doc_id,
+        |    coalesce(string_agg(s.l[CAST(k.p AS INT)], chr(10)
+        |      ORDER BY k.p), '') AS clean,
+        |    any_value(len(s.l)) AS n_before,
+        |    count(k.p) AS n_after
+        |  FROM split0 s LEFT JOIN kept k ON k.doc_id = s.doc_id
+        |  GROUP BY s.doc_id)
+        |SELECT doc_id, clean, CAST(n_before AS BIGINT) AS n_before,
+        |  CAST(n_after AS BIGINT) AS n_after
+        |FROM rebuilt""".stripMargin,
 
     // proximity replay: token positions from the text directly —
     // gaps are base-independent (Spark postings are 0-based)

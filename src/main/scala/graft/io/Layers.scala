@@ -358,4 +358,24 @@ object Layers {
         .sorted(Ordering[String].reverse)
         .headOption
   }
+
+  /** Every `_SUCCESS`-gated run of a versioned-sink base directory,
+    * OLDEST FIRST — [[latestSuccessfulRun]]'s full time-travel
+    * companion: version `i` of the table is `successfulRuns(...)(i)`.
+    * Same directory-listing contract (half-written runs without a
+    * marker are invisible); listing cost ∝ run count, never data. */
+  def successfulRuns(spark: SparkSession, base: String): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(conf)
+    if (!fs.exists(basePath)) Seq.empty
+    else
+      fs.listStatus(basePath)
+        .filter(_.isDirectory)
+        .map(_.getPath)
+        .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+        .map(_.toString)
+        .sorted
+        .toSeq
+  }
 }

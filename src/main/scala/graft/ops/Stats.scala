@@ -71,6 +71,42 @@ object Stats {
   }
 
   /**
+   * Gini concentration of per-group mass — the single-number "is this
+   * corpus a monoculture" gauge (textbook Gini over the discrete
+   * distribution, sorted ascending): 0 = every domain contributes
+   * equally, →1 = a handful of domains own everything. The
+   * corpus-health companion of the domain caps: the cap enforces a
+   * limit, the Gini MEASURES how close the crawl sails to needing it.
+   *
+   *   G = (2·Σ i·xᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ)   (xᵢ ascending, i = 1…n)
+   *
+   * One decomposable per-group count, then ONE window over the
+   * |groups|-row frame (groups = domains/sources — bounded, never
+   * corpus-∝); integer sums throughout, one final division (round 6).
+   * Ties in mass order by group name — the formula is tie-invariant
+   * (equal xᵢ swap freely), the pin is for the plan's determinism.
+   *
+   * Output: one row (n_groups, total, gini).
+   */
+  def giniConcentration(
+      df: DataFrame,
+      groupCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perGroup = df
+      .filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__x"))
+    val w = Window.orderBy(col("__x").asc, col(groupCol).asc)
+    perGroup
+      .withColumn("__i", row_number().over(w))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("__x")).as("total"),
+        round((lit(2) * sum(col("__i") * col("__x")) -
+          (count(lit(1)) + 1) * sum(col("__x"))).cast("double") /
+          (count(lit(1)) * sum(col("__x"))), 6).as("gini"))
+  }
+
+  /**
    * One-pass column profiler — the data-quality sibling of the
    * reference's rule engine: per column, row/null/distinct counts and
    * (numeric columns only) min/max as doubles. Every metric for every

@@ -468,6 +468,63 @@ object TextOps {
   }
 
   /**
+   * Host-scoped boilerplate line removal — the CCNet/FineWeb-style
+   * cleaner the window-based [[boilerplateReport]] diagnoses for:
+   * lines appearing on ≥ `maxFrac` of a HOST's pages are navigation/
+   * footer chrome, not content ("Home | About | Contact" repeats on
+   * every page of ITS site — corpus-wide line dedup misses it when
+   * each host words it differently, and keep-first would keep one
+   * copy per host). Hosts with fewer than `minPages` pages are left
+   * untouched (a 2-page host has no frequency signal).
+   *
+   * Scale shape: line identity is a per-(host, md5-line) DISTINCT-page
+   * count joined back to the exploded lines — all aggregations
+   * decomposable on (host, hash); the rebuild collects surviving
+   * positions per doc (doc-bounded) and re-splits the text in one
+   * narrow projection, the [[graft.ops.Dedup.corpusLineDedup]]
+   * rebuild contract.
+   *
+   * Output: (idCol, clean, n_before, n_after).
+   */
+  def hostBoilerplateScrub(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      hostCol: String,
+      minPages: Long = 3L,
+      maxFrac: Double = 0.5): DataFrame = {
+    require(minPages >= 2, "minPages must be >= 2")
+    require(maxFrac > 0 && maxFrac <= 1, "maxFrac must be in (0, 1]")
+    val lines = df
+      .select(col(idCol), col(hostCol).as("__host"),
+        posexplode(split(col(textCol), "\n")))
+      .select(col(idCol), col("__host"),
+        (col("pos") + 1).cast("long").as("__p"), md5(col("col")).as("__h"))
+      .localCheckpoint() // feeds the frequency table AND the rebuild
+    val hostPages = df.groupBy(col(hostCol).as("__host"))
+      .agg(countDistinct(col(idCol)).as("__np"))
+    val boiler = lines
+      .groupBy("__host", "__h")
+      .agg(countDistinct(col(idCol)).as("__nl"))
+      .join(hostPages, "__host")
+      .filter(col("__np") >= minPages &&
+        col("__nl").cast("double") >= lit(maxFrac) * col("__np"))
+      .select("__host", "__h")
+    val keptPos = lines
+      .join(boiler, Seq("__host", "__h"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("__p"))).as("__keep"))
+    val arr = split(col(textCol), "\n")
+    val keep = coalesce(col("__keep"), array().cast("array<bigint>"))
+    df.join(keptPos, Seq(idCol), "left")
+      .select(col(idCol),
+        concat_ws("\n",
+          transform(keep, i => element_at(arr, i.cast("int")))).as("clean"),
+        size(arr).cast("long").as("n_before"),
+        size(keep).cast("long").as("n_after"))
+  }
+
+  /**
    * Language confusability matrix — pairwise cosine of per-language
    * character-trigram profiles (the Cavnar & Trenkle 1994 n-gram
    * representation): language pairs whose character statistics are

@@ -76,6 +76,20 @@ class LayersSpec extends AnyFunSuite {
     assert(Layers.latestSuccessfulRun(spark, TestSpark.tmpDir("empty")).isEmpty)
   }
 
+  test("successfulRuns: oldest-first time-travel list, half-written runs invisible") {
+    val dir = TestSpark.tmpDir("runs_tt")
+    Layers.writeJsonl(cust.limit(1), dir, Some("20251015"))
+    Layers.writeJsonl(cust.limit(2), dir, Some("20251013"))
+    new java.io.File(dir, "run_20251014").mkdirs() // no _SUCCESS
+    val runs = Layers.successfulRuns(spark, dir)
+    assert(runs.length == 2)
+    assert(runs.head.endsWith("/run_20251013") &&
+      runs.last.endsWith("/run_20251015"),
+      "oldest first: index i IS table version i")
+    assert(runs.last == Layers.latestSuccessfulRun(spark, dir).get)
+    assert(Layers.successfulRuns(spark, TestSpark.tmpDir("empty_tt")).isEmpty)
+  }
+
   test("bucketed tables join without a shuffle (co-located join)") {
     val o = TestSpark.table("orders").select("o_orderkey", "o_custkey", "o_totalprice")
     val c = TestSpark.table("customer").select("c_custkey", "c_mktsegment")

@@ -189,6 +189,22 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("giniConcentration: uniform = 0, extremes -> high, hand formula") {
+    import TestSpark.spark.implicits._
+    def gini(counts: Seq[(String, Int)]): Double =
+      Stats.giniConcentration(
+        counts.flatMap { case (g, n) => Seq.fill(n)(g) }.toDF("src"), "src")
+        .collect().head.getDouble(2)
+    // perfectly uniform mass -> 0
+    assert(gini(Seq("a" -> 5, "b" -> 5, "c" -> 5)) == 0.0)
+    // hand case: x = (1, 1, 8) ascending -> G = (2*(1+2+24) - 4*10)/(3*10)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(gini(Seq("a" -> 8, "b" -> 1, "c" -> 1)) == r6(14.0 / 30))
+    // more concentration -> strictly higher
+    assert(gini(Seq("a" -> 98, "b" -> 1, "c" -> 1)) > gini(Seq("a" -> 8, "b" -> 1, "c" -> 1)))
+  }
+
   test("trimmedStats: outliers dropped from the mean; trim count floor; nulls excluded") {
     import TestSpark.spark.implicits._
     // group g: 19 values of 100 + one 1e6 outlier -> n=20, cut=1

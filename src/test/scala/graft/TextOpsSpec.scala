@@ -639,6 +639,40 @@ class TextOpsSpec extends AnyFunSuite {
     assert(sat(1).getLong(5) == 2L) // cum_types stays flat
   }
 
+  test("hostBoilerplateScrub: host chrome removed, rare lines kept, small hosts untouched") {
+    val pages = Seq(
+      // host A (4 pages): NAV on all, PROMO on 2 (50% -> boiler at 0.5)
+      (1L, "A", "NAV\ncontent one\nPROMO"),
+      (2L, "A", "NAV\ncontent two"),
+      (3L, "A", "NAV\ncontent three\nPROMO"),
+      (4L, "A", "NAV\ncontent four"),
+      // host B (2 pages < minPages 3): identical chrome survives
+      (5L, "B", "NAV\nb content"),
+      (6L, "B", "NAV\nb other")
+    ).toDF("doc_id", "host", "page")
+    val got = TextOps.hostBoilerplateScrub(pages, "page", "doc_id", "host",
+        minPages = 3L, maxFrac = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == (("content one", 3L, 1L)))
+    assert(got(2L) == (("content two", 2L, 1L)))
+    assert(got(3L) == (("content three", 3L, 1L)))
+    assert(got(4L) == (("content four", 2L, 1L)))
+    // under minPages the host keeps everything, chrome included
+    assert(got(5L) == (("NAV\nb content", 2L, 2L)))
+    assert(got(6L) == (("NAV\nb other", 2L, 2L)))
+    // line ORDER is preserved in the rebuild (not just membership)
+    val keep = TextOps.hostBoilerplateScrub(
+      Seq((1L, "A", "z last\nNAV\na first"), (2L, "A", "NAV\nmid"),
+        (3L, "A", "NAV\nend")).toDF("doc_id", "host", "page"),
+      "page", "doc_id", "host", minPages = 3L, maxFrac = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(keep(1L) == "z last\na first")
+    intercept[IllegalArgumentException] {
+      TextOps.hostBoilerplateScrub(pages, "page", "doc_id", "host", minPages = 1L)
+    }
+  }
+
   test("langConfusability: identical profiles cosine 1, disjoint pairs absent, hand dot") {
     val docs = Seq(
       (1L, "abcd", "x"), (2L, "abcd", "y"),  // identical trigram profiles
