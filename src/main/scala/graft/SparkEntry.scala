@@ -4092,6 +4092,36 @@ object SparkEntry {
       graft.ops.TextOps.hostBoilerplateScrub(
         docs.select(col("doc_id"), host.as("host"), page.as("page")),
         "page", "doc_id", "host", minPages = 3L, maxFrac = 0.5)
+    }),
+
+    // ---- north-star: content-defined chunking block dedup (LBFS
+    //      Rabin boundaries) — a shared license tail appended at
+    //      DIFFERENT offsets per doc still yields identical chunks
+    //      (boundaries are content-derived), so the report must show
+    //      the shared bytes on every third doc; pure-Rabin form,
+    //      oracle-exact.
+    "q235_cdc_dedup" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      val lic = (" license clause alpha beta gamma delta epsilon " +
+        "zeta eta theta iota kappa applies to this corpus document ") * 4
+      val page = when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(lic))).otherwise(col("text"))
+      Dedup.cdcDedupReport(
+        docs.select(col("doc_id"), page.as("page")),
+        "page", "doc_id", k = 5, divisor = 64L)
+    }),
+
+    // ---- north-star: KMV set-operation cardinalities (Beyer et al.
+    //      2007) — distinct-customer estimates for the pre/post-1996
+    //      order halves AND their union/intersection from two
+    //      bottom-256 sketches alone; the sketch algebra behind "how
+    //      many NEW users does source B add".
+    "q236_kmv_setops" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      val cut = lit("1996-01-01 00:00:00").cast("timestamp")
+      graft.ops.Sketches.kmvSetCardinalities(
+        o.filter(col("o_orderdate") < cut), "o_custkey",
+        o.filter(col("o_orderdate") >= cut), "o_custkey", k = 256)
     })
   )
 
@@ -7379,6 +7409,84 @@ object SparkEntry {
         |SELECT doc_id, clean, CAST(n_before AS BIGINT) AS n_before,
         |  CAST(n_after AS BIGINT) AS n_after
         |FROM rebuilt""".stripMargin,
+
+    // CDC replay: q49's polynomial hash terms at k=5, cut positions
+    // i+4 where h%64=0, bounds-window chunks, md5 identity, spread>=2
+    "q235_cdc_dedup" -> {
+      val k = 5
+      val terms = (0 until k).map { j =>
+        val pow = BigInt(257).pow(k - 1 - j).toLong
+        s"ascii(substr(page, __i + $j, 1)) * $pow"
+      }.mkString("(", " + ", ")")
+      val lic = (" license clause alpha beta gamma delta epsilon " +
+        "zeta eta theta iota kappa applies to this corpus document ") * 4
+      s"""WITH pages AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 0 THEN text || '$lic'
+         |         ELSE text END AS page
+         |  FROM documents WHERE text IS NOT NULL),
+         |hs AS (SELECT doc_id, page,
+         |    CASE WHEN length(page) >= $k THEN list_transform(
+         |      generate_series(1, length(page) - ${k - 1}),
+         |      __i -> $terms % 1000003) ELSE [] END AS h
+         |  FROM pages),
+         |cuts AS (SELECT doc_id, page,
+         |    list_sort(list_distinct(
+         |      [CAST(0 AS BIGINT)] ||
+         |      list_transform(
+         |        list_filter(generate_series(1, len(h)),
+         |          __i -> h[CAST(__i AS INT)] % 64 = 0),
+         |        __i -> __i + ${k - 1}) ||
+         |      [CAST(length(page) AS BIGINT)])) AS b
+         |  FROM hs),
+         |chunks AS (SELECT doc_id, page,
+         |    b[CAST(gi AS INT)] + 1 AS s,
+         |    b[CAST(gi AS INT) + 1] - b[CAST(gi AS INT)] AS l
+         |  FROM cuts, unnest(generate_series(1, len(b) - 1)) AS u(gi)
+         |  WHERE len(b) >= 2),
+         |ch AS (SELECT doc_id,
+         |    md5(substr(page, CAST(s AS INT), CAST(l AS INT))) AS h2,
+         |    l FROM chunks),
+         |spread AS (SELECT h2 FROM ch GROUP BY h2
+         |           HAVING count(DISTINCT doc_id) >= 2),
+         |tot AS (SELECT doc_id, count(*) AS n_chunks,
+         |    CAST(sum(l) AS BIGINT) AS total_bytes FROM ch GROUP BY doc_id),
+         |shr AS (SELECT doc_id, count(*) AS n_shared_chunks,
+         |    CAST(sum(l) AS BIGINT) AS shared_bytes
+         |  FROM ch WHERE h2 IN (SELECT h2 FROM spread) GROUP BY doc_id)
+         |SELECT t.doc_id, t.n_chunks,
+         |  coalesce(s.n_shared_chunks, 0) AS n_shared_chunks,
+         |  coalesce(s.shared_bytes, 0) AS shared_bytes,
+         |  t.total_bytes,
+         |  round(CAST(coalesce(s.shared_bytes, 0) AS DOUBLE)
+         |    / t.total_bytes, 6) AS dup_ratio
+         |FROM tot t LEFT JOIN shr s ON s.doc_id = t.doc_id""".stripMargin
+    },
+
+    // KMV set-ops replay: the q35 hash, bottom-256 per half, merged
+    // bottom-256 union, both-sketch membership
+    "q236_kmv_setops" -> {
+      val h = s"(CAST(${PortableSql.minhashBase("CAST(o_custkey AS VARCHAR)", DD)} AS DOUBLE) / 1152921504606846976.0)"
+      def estSel(src: String) =
+        s"(SELECT CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE) ELSE 255.0 / max(h) END FROM $src)"
+      s"""WITH ha AS (SELECT DISTINCT $h AS h FROM orders
+         |  WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'),
+         |hb AS (SELECT DISTINCT $h AS h FROM orders
+         |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'),
+         |ka AS (SELECT h FROM ha ORDER BY h LIMIT 256),
+         |kb AS (SELECT h FROM hb ORDER BY h LIMIT 256),
+         |ku AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+         |       ORDER BY h LIMIT 256),
+         |sh AS (SELECT count(*) AS s FROM ku
+         |  WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)),
+         |un AS (SELECT count(*) AS nu FROM ku)
+         |SELECT round(${estSel("ka")}, 6) AS est_a,
+         |  round(${estSel("kb")}, 6) AS est_b,
+         |  round(${estSel("ku")}, 6) AS est_union,
+         |  round(CAST(sh.s AS DOUBLE) / un.nu, 6) AS est_jaccard,
+         |  round((CAST(sh.s AS DOUBLE) / un.nu) * ${estSel("ku")}, 6)
+         |    AS est_intersection
+         |FROM sh, un""".stripMargin
+    },
 
     // proximity replay: token positions from the text directly —
     // gaps are base-independent (Spark postings are 0-based)

@@ -1241,6 +1241,113 @@ object Dedup {
   }
 
   /**
+   * Content-defined chunking (the Rabin-boundary block-dedup scheme of
+   * LBFS/backup dedup, public: Muthitacharoen et al. 2001): cut a
+   * document at every position whose rolling k-gram hash ≡ 0 mod
+   * `divisor` — boundaries are a function of CONTENT, so an insertion
+   * shifts only the chunks it touches, and identical passages yield
+   * identical chunks at ANY offset. The dedup granularity between
+   * whole-doc fingerprints (miss everything after one edit) and
+   * per-shingle sets (expensive): storage-style block dedup for a
+   * text corpus. Expected chunk length = `divisor` chars; this is the
+   * oracle-exact PURE Rabin form — FastCDC's min/max chunk clamps are
+   * a sequential scan over boundaries (kernel-able, but not
+   * SQL-replayable) and deliberately out of scope.
+   *
+   * Implementation note: the rolling-hash and boundary arrays are
+   * MATERIALIZED (localCheckpoint) between stages — the documented
+   * HOF-inlining pathology ([[graft.ops.TextOps.winnowingFingerprints]])
+   * would otherwise re-evaluate the full hash array per lambda element
+   * (O(len²·k) per doc). After the explode each chunk row is one
+   * narrow codegen `substring`+`md5` projection.
+   *
+   * Output: one row per chunk — (idCol, chunk_idx 1-based, start
+   * 1-based, chunk_len, chunk_hash).
+   */
+  def contentDefinedChunks(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 5,
+      divisor: Long = 64L): DataFrame = {
+    require(divisor >= 2, "divisor must be >= 2")
+    val h = TextOps.rollingHashesFromCodes(
+      TextOps.charCodes(col(textCol)), k)
+    val withH = df
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), col(textCol), h.as("__h"))
+      .localCheckpoint()
+    val cuts = filter(
+      sequence(lit(1), greatest(size(col("__h")), lit(1))),
+      i => i <= size(col("__h")) &&
+        element_at(col("__h"), i) % divisor === 0L)
+    val bounds = array_distinct(concat(
+      array(lit(0)),
+      sort_array(transform(cuts, i => i + lit(k - 1))),
+      array(length(col(textCol)))))
+    val withB = withH
+      .select(col(idCol), col(textCol), bounds.as("__b"))
+      .localCheckpoint()
+    // size(__b) == 1 only for an EMPTY text (bounds [0]) — no chunks;
+    // the guard keeps sequence() from generating a descending range
+    val chunkDefs = when(size(col("__b")) >= 2,
+      transform(
+        sequence(lit(1), size(col("__b")) - 1),
+        j => struct(
+          (element_at(col("__b"), j) + 1).as("s"),
+          (element_at(col("__b"), j + 1) - element_at(col("__b"), j))
+            .as("l"))))
+      .otherwise(array().cast("array<struct<s:int,l:int>>"))
+    withB
+      .select(col(idCol), col(textCol), posexplode(chunkDefs))
+      .select(col(idCol), (col("pos") + 1).cast("long").as("chunk_idx"),
+        col("col.s").cast("long").as("start"),
+        col("col.l").cast("long").as("chunk_len"),
+        md5(expr(s"substring($textCol, col.s, col.l)")).as("chunk_hash"))
+  }
+
+  /**
+   * Cross-document block-dedup report over [[contentDefinedChunks]]:
+   * per doc, how many of its chunks (and bytes) also appear in OTHER
+   * documents — the storage-dedup view of corpus redundancy ("38% of
+   * this doc's bytes exist elsewhere"), computed without any pair
+   * join: chunk identity is a hash equi-group, shared = hash appears
+   * under ≥ 2 distinct docs. All aggregations decomposable on the
+   * chunk hash / the doc id.
+   *
+   * Output: (idCol, n_chunks, n_shared_chunks, shared_bytes,
+   * total_bytes, dup_ratio).
+   */
+  def cdcDedupReport(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 5,
+      divisor: Long = 64L): DataFrame = {
+    val chunks = contentDefinedChunks(df, textCol, idCol, k, divisor)
+      .localCheckpoint() // feeds the spread table AND the per-doc rollup
+    val spread = chunks
+      .groupBy("chunk_hash")
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= 2)
+      .select("chunk_hash")
+    chunks
+      .join(spread, Seq("chunk_hash"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared_chunks"),
+        sum(col("chunk_len")).as("shared_bytes"))
+      .join(chunks.groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("chunk_len")).as("total_bytes")), Seq(idCol), "right")
+      .select(col(idCol), col("n_chunks"),
+        coalesce(col("n_shared_chunks"), lit(0L)).as("n_shared_chunks"),
+        coalesce(col("shared_bytes"), lit(0L)).as("shared_bytes"),
+        col("total_bytes"),
+        round(coalesce(col("shared_bytes"), lit(0L)).cast("double") /
+          col("total_bytes"), 6).as("dup_ratio"))
+  }
+
+  /**
    * MinHash estimation-error report — measured accuracy of the
    * signature-based Jaccard estimate (matching components / numHashes,
    * Broder 1997: each component matches with probability J) against

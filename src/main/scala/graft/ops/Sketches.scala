@@ -215,4 +215,45 @@ object Sketches {
       .withColumn("est_jaccard",
         round(col("shared_in_sketch").cast("double") / col("sketch_size"), 6))
   }
+
+  /**
+   * KMV set-operation cardinalities (Beyer et al., SIGMOD 2007,
+   * public): distinct-count estimates for two sets AND their
+   * union/intersection from two bottom-k sketches alone — the sketch
+   * algebra that answers "how many NEW users would source B add on
+   * top of A" without ever joining the sets. Union sketch = bottom-k
+   * of the merged hashes; `D̂ = (k−1)/h₍ₖ₎` (exact count when the
+   * sketch holds the whole set); Jaccard = fraction of the union
+   * sketch present in both sides; intersection = Jaccard · D̂(∪).
+   *
+   * Plan shape: two bounded-state sketch aggregations (map-side
+   * mergeable, constant shuffle) cross-joined into ONE row; the merge
+   * arithmetic runs on ≤ 2k doubles. All estimates replay
+   * bit-identically (md5-derived hashes, exact sorts, one division).
+   *
+   * Output: one row (est_a, est_b, est_union, est_jaccard,
+   * est_intersection).
+   */
+  def kmvSetCardinalities(
+      a: org.apache.spark.sql.DataFrame, colA: String,
+      b: org.apache.spark.sql.DataFrame, colB: String,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val sketchUdaf = udaf(KMinValuesSketch(k), Encoders.scalaDouble)
+    val sa = a.agg(sketchUdaf(unitHash(col(colA))).as("__sa"))
+    val sb = b.agg(sketchUdaf(unitHash(col(colB))).as("__sb"))
+    def est(sketch: Column): Column =
+      when(size(sketch) < k, size(sketch).cast("double"))
+        .otherwise(lit((k - 1).toDouble) / element_at(sketch, k))
+    val uni = slice(array_sort(array_union(col("__sa"), col("__sb"))), 1, k)
+    val shared = array_intersect(uni,
+      array_intersect(col("__sa"), col("__sb")))
+    sa.crossJoin(sb)
+      .select(
+        round(est(col("__sa")), 6).as("est_a"),
+        round(est(col("__sb")), 6).as("est_b"),
+        round(est(uni), 6).as("est_union"),
+        round(size(shared).cast("double") / size(uni), 6).as("est_jaccard"),
+        round((size(shared).cast("double") / size(uni)) * est(uni), 6)
+          .as("est_intersection"))
+  }
 }

@@ -210,7 +210,11 @@ object TextOps {
     * unrolled flat — no incremental state — and the SAME arithmetic is
     * expressible verbatim in the DuckDB oracle. */
   def rollingHashesFromCodes(codes: Column, k: Int): Column = {
-    require(k >= 2 && k <= 16)
+    // upper bound is an OVERFLOW fence, not taste: the unrolled sum
+    // peaks at k·255·257^(k−1) before the mod — k = 7 stays under
+    // Long.Max (5.2e17), k = 8 does not (1.5e20, an ANSI-mode throw
+    // on high-codepoint input)
+    require(k >= 2 && k <= 7, s"k must be in [2, 7] (overflow fence), got $k")
     // explicit short-input guard: element_at past the end THROWS under
     // ANSI mode, and sequence(1, 0) would generate a DESCENDING range —
     // a doc shorter than k simply has no k-grams

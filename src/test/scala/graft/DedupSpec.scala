@@ -659,6 +659,48 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("contentDefinedChunks: boundaries are content-derived — shared tail chunks align at any offset") {
+    // the same long tail appended after DIFFERENT prefixes must yield
+    // identical interior chunks (the whole point of CDC); a whole-doc
+    // hash or fixed-width blocking would miss all of them
+    val tail = ("the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep green forest tonight ") * 6
+    val docs = Seq(
+      (1L, "short prefix " + tail),
+      (2L, "a completely different and much longer prefix here " + tail),
+      (3L, "unrelated content with nothing shared at all in it"))
+      .toDF("doc_id", "text")
+    val chunks = Dedup.contentDefinedChunks(docs, "text", "doc_id",
+      k = 5, divisor = 64L)
+    val byDoc = chunks.collect().groupBy(_.getLong(0))
+    // chunk tiling is exact: lengths sum to the text length, starts chain
+    byDoc.foreach { case (id, rows) =>
+      val txt = docs.filter(col("doc_id") === id).head().getString(1)
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(3)).sum == txt.length)
+      assert(sorted.head.getLong(2) == 1L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getLong(2) == a.getLong(2) + a.getLong(3))
+        case _ =>
+      }
+    }
+    val h1 = byDoc(1L).map(_.getString(4)).toSet
+    val h2 = byDoc(2L).map(_.getString(4)).toSet
+    val h3 = byDoc(3L).map(_.getString(4)).toSet
+    assert((h1 intersect h2).nonEmpty,
+      "offset-shifted shared tail must still align on interior chunks")
+    assert((h1 intersect h3).isEmpty && (h2 intersect h3).isEmpty)
+    // the report rolls the same structure up
+    val rep = Dedup.cdcDedupReport(docs, "text", "doc_id", k = 5, divisor = 64L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(5)))).toMap
+    assert(rep(1L)._1 > 0 && rep(2L)._1 > 0)
+    assert(rep(3L) == ((0L, 0.0)))
+    intercept[IllegalArgumentException] {
+      Dedup.contentDefinedChunks(docs, "text", "doc_id", k = 5, divisor = 1L)
+    }
+  }
+
   test("minhashErrorReport: reconciles with a component-level replay") {
     val docs = TestSpark.table("documents")
     val got = Dedup.minhashErrorReport(docs, "text", "doc_id").collect().head

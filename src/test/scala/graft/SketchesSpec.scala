@@ -74,4 +74,34 @@ class SketchesSpec extends AnyFunSuite {
     val exact = orders.select(count_distinct(col("o_custkey"))).collect()(0).getLong(0)
     assert(math.abs(est - exact) / exact < 0.2)
   }
+
+  test("kmvSetCardinalities: exact below k; union/intersection algebra consistent") {
+    import TestSpark.spark.implicits._
+    // 60 and 80 distinct keys with a 40-key overlap — well under
+    // k = 256, so every sketch holds its full set and the estimates
+    // are EXACT set cardinalities
+    val a = (0 until 60).map(_.toLong).toDF("k")
+    val b = (20 until 100).map(_.toLong).toDF("k")
+    val r = Sketches.kmvSetCardinalities(a, "k", b, "k", k = 256)
+      .collect().head
+    assert(r.getDouble(0) == 60.0 && r.getDouble(1) == 80.0)
+    assert(r.getDouble(2) == 100.0, "union exact below k")
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(3) == 0.4, "jaccard 40/100 from full sketches")
+    assert(r.getDouble(4) == r6(0.4 * 100.0), "intersection = J * union")
+    // at-scale estimates stay within the bottom-k error envelope
+    val big = TestSpark.table("orders")
+    val ts = col("o_orderdate")
+    val cut = lit("1996-01-01 00:00:00").cast("timestamp")
+    val est = Sketches.kmvSetCardinalities(
+      big.filter(ts < cut), "o_custkey",
+      big.filter(ts >= cut), "o_custkey", k = 128).collect().head
+    val exact = big.select(count_distinct(col("o_custkey"))).head().getLong(0)
+    assert(math.abs(est.getDouble(2) - exact) / exact < 0.3,
+      s"union estimate ${est.getDouble(2)} vs exact $exact")
+    assert(est.getDouble(4) <= est.getDouble(0) + 1e-9 ||
+      est.getDouble(4) <= est.getDouble(1) + 1e-9,
+      "intersection cannot exceed both sides")
+  }
 }
