@@ -4122,6 +4122,53 @@ object SparkEntry {
       graft.ops.Sketches.kmvSetCardinalities(
         o.filter(col("o_orderdate") < cut), "o_custkey",
         o.filter(col("o_orderdate") >= cut), "o_custkey", k = 256)
+    }),
+
+    // ---- north-star: the multi-probe recall repair, MEASURED —
+    //      recall@10 of single-bucket LSH vs Hamming-1 multi-probe
+    //      against exact truth, per query: the evidence the q219
+    //      probe-set widening exists for.
+    "q237_multiprobe_recall" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 3)
+      val truth = Similarity.bruteForceTopKBatch(
+        emb, queries, "vec_id", "embedding", "vec_id", k = 10)
+      def batched(fn: DataFrame => DataFrame): DataFrame =
+        (0L until 3L).map { q =>
+          fn(emb.filter(col("vec_id") === q))
+            .withColumn("query_id", lit(q))
+        }.reduce(_ unionByName _)
+      val single = batched(q => Similarity.lshTopK(
+        emb, q, "vec_id", "embedding", k = 10, numPlanes = 8, dims = 64))
+      val multi = batched(q => Similarity.multiProbeTopK(
+        emb, q, "vec_id", "embedding", k = 10, numPlanes = 8, dims = 64))
+      Similarity.recallAtK(truth, single, "query_id", "vec_id", k = 10)
+        .withColumn("method", lit("single"))
+        .unionByName(
+          Similarity.recallAtK(truth, multi, "query_id", "vec_id", k = 10)
+            .withColumn("method", lit("multiprobe")))
+        .select("method", "query_id", "hits", "recall_at_k")
+    }),
+
+    // ---- north-star: mirror detection at WINNOWING granularity —
+    //      the q209 host-pair overlap re-run over winnowing
+    //      fingerprints instead of whole-page md5: the fingerprint
+    //      family that also catches NEAR-identical mirrors (template
+    //      rewrites), fed through the SAME fingerprint-keyed pair
+    //      join with its ubiquity cap.
+    "q238_winnow_mirrors" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      val fps = graft.ops.TextOps.winnowingFingerprints(
+          docs, "text", "doc_id", k = 5, w = 4)
+        .select(col("doc_id"), explode(col("fingerprints")).as("fp"))
+      val originals = fps.select(
+        concat(lit("h"), (col("doc_id") % 6).cast("string")).as("host"),
+        col("fp"))
+      val mirrors = fps.filter(col("doc_id") % 2 === 0).select(
+        concat(lit("m"), (col("doc_id") % 6).cast("string")).as("host"),
+        col("fp"))
+      Dedup.mirrorHosts(originals.unionByName(mirrors), "host", "fp",
+        maxHostsPerFp = 8, minShared = 5)
     })
   )
 
@@ -7486,6 +7533,93 @@ object SparkEntry {
          |  round((CAST(sh.s AS DOUBLE) / un.nu) * ${estSel("ku")}, 6)
          |    AS est_intersection
          |FROM sh, un""".stripMargin
+    },
+
+    // multi-probe recall replay: per-bit Hamming distance against each
+    // query's bucket — 0 for single, <=1 for multi-probe — vs the
+    // shared brute-force truth
+    "q237_multiprobe_recall" -> {
+      def ham(b: String, qb: String) =
+        s"""list_sum(list_transform(generate_series(1, 8), __i ->
+           |  CASE WHEN substr($b, CAST(__i AS INT), 1)
+           |     <> substr($qb, CAST(__i AS INT), 1) THEN 1 ELSE 0 END))""".stripMargin
+      def method(name: String, maxHam: Int) =
+        s"""SELECT '$name' AS method, t.query_id,
+           |  CAST(count(a.vec_id) AS BIGINT) AS hits,
+           |  round(CAST(count(a.vec_id) AS DOUBLE) / count(*), 6)
+           |    AS recall_at_k
+           |FROM truth t LEFT JOIN (
+           |  SELECT query_id, vec_id FROM ranked_$name WHERE rn <= 10) a
+           |  ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+           |GROUP BY t.query_id""".stripMargin
+      s"""WITH tr AS (${bruteBatchSql()}),
+         |truth AS (SELECT DISTINCT query_id, vec_id FROM tr),
+         |q AS (SELECT CAST(vec_id AS BIGINT) AS query_id, embedding AS qe,
+         |    ${duckSignBucket("embedding", 8, 64)} AS qb
+         |  FROM embeddings WHERE vec_id < 3),
+         |b AS (SELECT vec_id, embedding,
+         |    ${duckSignBucket("embedding", 8, 64)} AS bucket
+         |  FROM embeddings),
+         |sc AS (SELECT q.query_id, b.vec_id,
+         |    ${duckCosine("b.embedding", "q.qe", 64)} AS cs,
+         |    ${ham("b.bucket", "q.qb")} AS hd
+         |  FROM b, q),
+         |ranked_single AS (SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cs DESC, vec_id ASC) AS rn
+         |  FROM sc WHERE hd = 0),
+         |ranked_multiprobe AS (SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cs DESC, vec_id ASC) AS rn
+         |  FROM sc WHERE hd <= 1)
+         |${method("single", 0)}
+         |UNION ALL
+         |${method("multiprobe", 1)}""".stripMargin
+    },
+
+    // winnow-mirror replay: the q49 fingerprint CTE feeding the q209
+    // mirror SQL at fingerprint granularity
+    "q238_winnow_mirrors" -> {
+      val k = 5; val w = 4
+      val terms = (0 until k).map { j =>
+        val pow = BigInt(257).pow(k - 1 - j).toLong
+        s"ascii(substr(text, __i + $j, 1)) * $pow"
+      }.mkString("(", " + ", ")")
+      s"""WITH hs AS (
+         |  SELECT doc_id, CASE WHEN length(text) >= $k THEN list_transform(
+         |    generate_series(1, length(text) - ${k - 1}),
+         |    __i -> $terms % 1000003) ELSE [] END AS h
+         |  FROM documents WHERE text IS NOT NULL),
+         |fpl AS (
+         |  SELECT doc_id, CASE WHEN len(h) >= 1 THEN list_distinct(list_transform(
+         |    generate_series(1, greatest(len(h) - ${w - 1}, 1)),
+         |    __t -> list_min(h[__t:__t + ${w - 1}]))) ELSE [] END AS fps
+         |  FROM hs),
+         |fps AS (SELECT doc_id, unnest(fps) AS fp FROM fpl),
+         |pages AS (
+         |  SELECT DISTINCT host, fp FROM (
+         |    SELECT 'h' || CAST(doc_id % 6 AS VARCHAR) AS host, fp FROM fps
+         |    UNION ALL
+         |    SELECT 'm' || CAST(doc_id % 6 AS VARCHAR) AS host, fp
+         |    FROM fps WHERE doc_id % 2 = 0)),
+         |rare AS (SELECT fp FROM pages GROUP BY fp
+         |         HAVING count(*) BETWEEN 2 AND 8),
+         |capped AS (SELECT p.host, p.fp FROM pages p JOIN rare USING (fp)),
+         |sizes AS (SELECT host, count(*) AS sz FROM pages GROUP BY host),
+         |prs AS (SELECT a.host AS host_a, b.host AS host_b,
+         |    count(*) AS shared
+         |  FROM capped a JOIN capped b
+         |    ON a.fp = b.fp AND a.host < b.host
+         |  GROUP BY 1, 2 HAVING count(*) >= 5)
+         |SELECT host_a, host_b, shared,
+         |  sa.sz AS n_a, sb.sz AS n_b,
+         |  round(CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared), 6)
+         |    AS resemblance,
+         |  round(CAST(shared AS DOUBLE) / least(sa.sz, sb.sz), 6)
+         |    AS containment
+         |FROM prs
+         |JOIN sizes sa ON sa.host = host_a
+         |JOIN sizes sb ON sb.host = host_b""".stripMargin
     },
 
     // proximity replay: token positions from the text directly —
