@@ -4169,6 +4169,84 @@ object SparkEntry {
         col("fp"))
       Dedup.mirrorHosts(originals.unionByName(mirrors), "host", "fp",
         maxHostsPerFp = 8, minShared = 5)
+    }),
+
+    // ---- north-star: two-sample Kolmogorov–Smirnov drift — the
+    //      binning-free companion of PSI/JS/χ²: sup-norm distance
+    //      between the empirical token-length CDFs of the English and
+    //      non-English corpus halves.
+    "q239_ks_drift" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+        .selectExpr("lang", "size(split(text, ' ')) AS n_tokens")
+      graft.ops.Diagnostics.ksStatistic(
+        docs.filter(col("lang") === "en"),
+        docs.filter(col("lang") =!= "en"), "n_tokens")
+    }),
+
+    // ---- north-star: optimizer-statistics quality — equi-height
+    //      histogram selectivity estimates vs TRUE counts for three
+    //      range predicates: the report that says whether the cost
+    //      model's numbers can be trusted before a join order locks.
+    "q240_selectivity" -> ((s, dir) =>
+      graft.ops.OptimizerStats.rangeSelectivityReport(
+        T(s, dir, "lineitem"), "l_extendedprice", bins = 8,
+        predicates = Seq((2000.0, 10000.0), (10000.0, 50000.0),
+          (50000.0, 105000.0)))),
+
+    // ---- north-star: System-R join-cardinality estimate vs actual on
+    //      the two workhorse TPC-H joins — actual computed from the
+    //      per-key count frames, never by materializing the join.
+    "q241_join_card" -> ((s, dir) =>
+      graft.ops.OptimizerStats.joinCardinalityEstimate(
+          T(s, dir, "orders"), "o_orderkey",
+          T(s, dir, "lineitem"), "l_orderkey", label = "orders_lineitem")
+        .unionByName(graft.ops.OptimizerStats.joinCardinalityEstimate(
+          T(s, dir, "customer"), "c_custkey",
+          T(s, dir, "orders"), "o_custkey", label = "customer_orders"))),
+
+    // ---- north-star: Markov-chain removal-effect attribution — the
+    //      principled upgrade over q231's last-touch: credit = how much
+    //      conversion probability drops when the channel is removed.
+    "q242_markov_attribution" -> ((s, dir) =>
+      graft.ops.EventOps.markovAttribution(
+        Layers.readEvents(s, s"$dir/events.parquet"),
+        "user_id", "ts", "event_id", "event_type",
+        conversionType = "purchase", gapSeconds = 1800, iters = 15)),
+
+    // ---- north-star: ε-DP Laplace release counts with SEEDED noise
+    //      (salted md5 inverse-CDF draw) — reproducible releases, no
+    //      fresh noise leakage on re-runs; per-language doc counts.
+    "q243_dp_counts" -> ((s, dir) =>
+      graft.ops.Privacy.dpNoisyCounts(
+        T(s, dir, "documents"), "lang", epsilon = 1.0, salt = "e1")),
+
+    // ---- north-star: IDF-weighted token Jaccard over the exact
+    //      PPJoin candidate stem — boilerplate-shared pairs drop, rare
+    //      shared content dominates; micro-integer weights keep the
+    //      sums engine-exact.
+    "q244_weighted_jaccard" -> ((s, dir) =>
+      Dedup.weightedJaccardPairs(
+        T(s, dir, "documents"), "text", "doc_id", candThreshold = 0.5)),
+
+    // ---- north-star: Newman–Girvan modularity of the q182
+    //      label-propagation communities over the same synthetic link
+    //      graph — integer-numerator per-community terms, one division.
+    "q245_modularity" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      val nRow = docs.agg(count(lit(1)).as("__n"))
+      val id = col("doc_id")
+      val edges = docs.crossJoin(broadcast(nRow)).select(
+        id.as("src"),
+        explode(array(
+          (id * 2 + 1) % col("__n"),
+          (id * 3 + 2) % col("__n"),
+          (id * 7 + 5) % col("__n"))).as("dst"))
+      val nodes = docs.select(id.as("id"))
+      val labels = graft.ops.LinkGraph
+        .labelPropagation(nodes, edges, "src", "dst", iters = 3)
+      graft.ops.LinkGraph
+        .communityModularity(labels, edges, "src", "dst")
+        .filter(col("n_nodes") >= 2)
     })
   )
 
@@ -7620,6 +7698,264 @@ object SparkEntry {
          |FROM prs
          |JOIN sizes sa ON sa.host = host_a
          |JOIN sizes sb ON sb.host = host_b""".stripMargin
+    },
+
+    // KS replay: per-value counts, running-sum CDFs over the joined
+    // distinct-value frame, argmax with smallest-value tie-break —
+    // integer cumulatives make both CDF quotients engine-exact
+    "q239_ks_drift" ->
+      """WITH d AS (SELECT lang,
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS v
+        |  FROM documents WHERE text IS NOT NULL),
+        |a AS (SELECT v, count(*) AS ca FROM d WHERE lang = 'en' GROUP BY v),
+        |b AS (SELECT v, count(*) AS cb FROM d WHERE lang <> 'en' GROUP BY v),
+        |j AS (SELECT coalesce(a.v, b.v) AS v, coalesce(ca, 0) AS ca,
+        |    coalesce(cb, 0) AS cb
+        |  FROM a FULL OUTER JOIN b ON a.v = b.v),
+        |c AS (SELECT v,
+        |    sum(ca) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+        |    sum(cb) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+        |    sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+        |  FROM j)
+        |SELECT round(abs(CAST(cuma AS DOUBLE) / na
+        |    - CAST(cumb AS DOUBLE) / nb), 6) AS d_stat,
+        |  v AS at_value, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b
+        |FROM c
+        |ORDER BY abs(CAST(cuma AS DOUBLE) / na
+        |  - CAST(cumb AS DOUBLE) / nb) DESC, v ASC
+        |LIMIT 1""".stripMargin,
+
+    // histogram-selectivity replay: rank → equal-count bins (floor of
+    // the same double quotient), uniform-within-bin overlap estimate,
+    // one conditional-aggregation actual; rel_error from the ROUNDED
+    // estimate so the report is engine-exact
+    "q240_selectivity" ->
+      """WITH r AS (SELECT l_extendedprice AS v,
+        |    row_number() OVER (ORDER BY l_extendedprice) AS rk,
+        |    count(*) OVER () AS n
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |h AS (SELECT CAST(floor((rk - 1) * 8.0 / n) AS BIGINT) AS bin,
+        |    min(v) AS lo, max(v) AS hi, count(*) AS cnt
+        |  FROM r GROUP BY 1),
+        |preds AS (SELECT CAST(pl AS DOUBLE) AS pred_lo,
+        |    CAST(ph AS DOUBLE) AS pred_hi
+        |  FROM (VALUES (2000.0, 10000.0),
+        |    (10000.0, 50000.0), (50000.0, 105000.0)) AS t(pl, ph)),
+        |est AS (SELECT pred_lo, pred_hi,
+        |    round(sum(cnt * CASE WHEN hi = lo
+        |      THEN CASE WHEN pred_lo <= lo AND lo < pred_hi
+        |        THEN 1.0 ELSE 0.0 END
+        |      ELSE greatest(0.0, least((least(hi, pred_hi)
+        |        - greatest(lo, pred_lo)) / (hi - lo), 1.0)) END), 4)
+        |      AS est_rows
+        |  FROM h CROSS JOIN preds GROUP BY 1, 2),
+        |act AS (SELECT p.pred_lo, p.pred_hi,
+        |    CAST(sum(CASE WHEN l.l_extendedprice >= p.pred_lo
+        |      AND l.l_extendedprice < p.pred_hi THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS actual_rows
+        |  FROM preds p CROSS JOIN lineitem l GROUP BY 1, 2)
+        |SELECT e.pred_lo, e.pred_hi, e.est_rows, a.actual_rows,
+        |  CASE WHEN a.actual_rows = 0 THEN NULL
+        |    ELSE round((e.est_rows - a.actual_rows) / a.actual_rows, 6)
+        |  END AS rel_error
+        |FROM est e JOIN act a
+        |  ON a.pred_lo = e.pred_lo AND a.pred_hi = e.pred_hi""".stripMargin,
+
+    // join-cardinality replay: per-key count frames, System-R estimate
+    // |A||B|/max(ndv), actual = Σ cnt_a·cnt_b — never the join itself
+    "q241_join_card" -> {
+      def one(label: String, ta: String, ka: String, tb: String, kb: String) =
+        s"""SELECT '$label' AS label, n_a, n_b, ndv_a, ndv_b,
+           |  round(CAST(n_a AS DOUBLE) * n_b / greatest(ndv_a, ndv_b), 4)
+           |    AS est_rows,
+           |  actual_rows,
+           |  round(actual_rows / round(CAST(n_a AS DOUBLE) * n_b
+           |    / greatest(ndv_a, ndv_b), 4), 6) AS ratio
+           |FROM (
+           |  SELECT
+           |    (SELECT count(*) FROM $ta WHERE $ka IS NOT NULL) AS n_a,
+           |    (SELECT count(DISTINCT $ka) FROM $ta) AS ndv_a,
+           |    (SELECT count(*) FROM $tb WHERE $kb IS NOT NULL) AS n_b,
+           |    (SELECT count(DISTINCT $kb) FROM $tb) AS ndv_b,
+           |    (SELECT CAST(coalesce(sum(ca.na * cb.nb), 0) AS BIGINT) FROM
+           |      (SELECT $ka AS k, count(*) AS na FROM $ta
+           |       WHERE $ka IS NOT NULL GROUP BY 1) ca
+           |      JOIN (SELECT $kb AS k, count(*) AS nb FROM $tb
+           |       WHERE $kb IS NOT NULL GROUP BY 1) cb USING (k))
+           |      AS actual_rows)""".stripMargin
+      one("orders_lineitem", "orders", "o_orderkey", "lineitem", "l_orderkey") +
+        "\nUNION ALL\n" +
+        one("customer_orders", "customer", "c_custkey", "orders", "o_custkey")
+    },
+
+    // Markov-attribution replay: q231's sessionization, paths truncated
+    // at the first conversion, (src,dst) transition counts, and the
+    // SAME 15-step truncated Neumann series unrolled as chained CTEs —
+    // per removed channel — that the Spark side computes on the
+    // collected (type-vocabulary-bounded) transition matrix
+    "q242_markov_attribution" -> {
+      def iter(prev: Int, cur: Int): String =
+        s"""it$cur AS (
+           |  SELECT r.removed, t.src AS state,
+           |    sum(t.prob * CASE WHEN t.dst = 'CONV' THEN 1.0
+           |      WHEN t.dst = 'NULL' OR t.dst = r.removed THEN 0.0
+           |      ELSE coalesce(i.p, 0.0) END) AS p
+           |  FROM tp t CROSS JOIN removals r
+           |  LEFT JOIN it$prev i ON i.state = t.dst AND i.removed = r.removed
+           |  GROUP BY 1, 2)""".stripMargin
+      val itChain = (1 to 15).map(i => iter(i - 1, i)).mkString(",\n")
+      s"""WITH pp AS (SELECT user_id, event_id, ts, event_type,
+         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |      AS prev
+         |  FROM events),
+         |ss AS (SELECT *, sum(CASE WHEN prev IS NULL
+         |      OR epoch(ts) - epoch(prev) > 1800.0 THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+         |  FROM pp),
+         |paths AS (SELECT user_id, sess,
+         |    list(event_type ORDER BY ts, event_id) AS types
+         |  FROM ss GROUP BY user_id, sess),
+         |tr0 AS (SELECT CASE WHEN cpos IS NOT NULL AND cpos > 0
+         |    THEN ['START'] || types[1:cpos-1] || ['CONV']
+         |    ELSE ['START'] || types || ['NULL'] END AS path
+         |  FROM (SELECT types, list_position(types, 'purchase') AS cpos
+         |        FROM paths)),
+         |trans AS (SELECT path[i] AS src, path[i+1] AS dst, count(*) AS cnt
+         |  FROM (SELECT path, unnest(generate_series(1, len(path) - 1)) AS i
+         |        FROM tr0)
+         |  GROUP BY 1, 2),
+         |tp AS (SELECT src, dst,
+         |    CAST(cnt AS DOUBLE) / sum(cnt) OVER (PARTITION BY src) AS prob
+         |  FROM trans),
+         |states AS (SELECT DISTINCT src AS state FROM trans),
+         |removals AS (SELECT 'NONE' AS removed
+         |  UNION ALL SELECT state FROM states WHERE state <> 'START'),
+         |it0 AS (SELECT r.removed, st.state, 0.0 AS p
+         |  FROM states st CROSS JOIN removals r),
+         |$itChain,
+         |base AS (SELECT p AS pb FROM it15
+         |  WHERE removed = 'NONE' AND state = 'START'),
+         |eff AS (SELECT i.removed AS channel, (b.pb - i.p) / b.pb AS effect
+         |  FROM it15 i, base b
+         |  WHERE i.removed <> 'NONE' AND i.state = 'START'),
+         |tot AS (SELECT sum(effect) AS te FROM eff)
+         |SELECT channel, round(effect, 6) AS removal_effect,
+         |  round(CASE WHEN te > 0 THEN effect / te ELSE 0.0 END, 6)
+         |    AS attribution_share
+         |FROM eff, tot""".stripMargin
+    },
+
+    // DP-counts replay: the q37 salted md5 unit hash drives the same
+    // Laplace inverse CDF at ε = 1
+    "q243_dp_counts" -> {
+      val h = PortableSql.minhashBase("concat('e1', ':', lang)", DD)
+      s"""WITH g AS (SELECT lang, count(*) AS n FROM documents
+         |  WHERE lang IS NOT NULL GROUP BY lang),
+         |u AS (SELECT lang, n,
+         |    CAST($h AS DOUBLE) / 1152921504606846976.0 AS u FROM g)
+         |SELECT lang, round(n + (-1.0) * sign(u - 0.5)
+         |  * ln(1 - 2 * abs(u - 0.5)), 6) AS n_noisy
+         |FROM u""".stripMargin
+    },
+
+    // weighted-Jaccard replay: the q88 all-pairs stem at 0.5 for the
+    // candidate set, then micro-integer IDF token weights — integer
+    // intersection/total sums, one final division
+    "q244_weighted_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents
+         |  WHERE text IS NOT NULL),
+         |sh AS (SELECT doc_id, $duckShingles AS s FROM t),
+         |exsh AS (SELECT DISTINCT doc_id, unnest(s) AS sv FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM exsh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT ea.doc_id AS id_a, eb.doc_id AS id_b, count(*) AS i
+         |  FROM exsh ea JOIN exsh eb ON eb.sv = ea.sv
+         |    AND ea.doc_id < eb.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT id_a, id_b,
+         |    round(it.i / (sa.n + sb.n - it.i), 6) AS jaccard
+         |  FROM inter it JOIN sizes sa ON sa.doc_id = it.id_a
+         |  JOIN sizes sb ON sb.doc_id = it.id_b
+         |  WHERE round(it.i / (sa.n + sb.n - it.i), 6) >= 0.5),
+         |nd AS (SELECT count(*) AS nd FROM documents WHERE text IS NOT NULL),
+         |tok AS (SELECT DISTINCT doc_id, unnest(toks) AS tk FROM t),
+         |idf AS (SELECT tk,
+         |    CAST(round(ln((nd + 1.0) / (count(*) + 1)) * 1e6) AS BIGINT)
+         |      AS w
+         |  FROM tok, nd GROUP BY tk, nd.nd),
+         |docw AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS sw
+         |  FROM tok JOIN idf USING (tk) GROUP BY doc_id),
+         |iw AS (SELECT p.id_a, p.id_b, CAST(sum(i.w) AS BIGINT) AS iw
+         |  FROM pairs p
+         |  JOIN tok ta ON ta.doc_id = p.id_a
+         |  JOIN tok tb ON tb.doc_id = p.id_b AND tb.tk = ta.tk
+         |  JOIN idf i ON i.tk = ta.tk
+         |  GROUP BY 1, 2)
+         |SELECT p.id_a, p.id_b, p.jaccard,
+         |  round(CAST(coalesce(iw.iw, 0) AS DOUBLE)
+         |    / (da.sw + db.sw - coalesce(iw.iw, 0)), 6) AS w_jaccard
+         |FROM pairs p
+         |LEFT JOIN iw ON iw.id_a = p.id_a AND iw.id_b = p.id_b
+         |JOIN docw da ON da.doc_id = p.id_a
+         |JOIN docw db ON db.doc_id = p.id_b""".stripMargin,
+
+    // modularity replay: q182's graph + 3 label-prop rounds, then the
+    // Newman–Girvan decomposition with integer numerators over the
+    // common 4m² denominator
+    "q245_modularity" -> {
+      def iter(prev: String, cur: String): String =
+        s"""v_$cur AS (
+           |  SELECT x.id, x.label, count(*) AS c FROM (
+           |    SELECT adj.v AS id, l.label
+           |    FROM adj JOIN l_$prev l ON l.id = adj.nbr
+           |    UNION ALL SELECT id, label FROM l_$prev) x
+           |  GROUP BY x.id, x.label),
+           |l_$cur AS (
+           |  SELECT id, min(label) AS label FROM (
+           |    SELECT id, label, c, max(c) OVER (PARTITION BY id) AS mc
+           |    FROM v_$cur) WHERE c = mc GROUP BY id)""".stripMargin
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents
+         |  WHERE text IS NOT NULL),
+         |nodes AS (SELECT doc_id AS id FROM documents WHERE text IS NOT NULL),
+         |e AS (
+         |  SELECT doc_id AS src, (doc_id*2+1) % n AS dst
+         |  FROM documents, nn WHERE text IS NOT NULL
+         |  UNION ALL
+         |  SELECT doc_id, (doc_id*3+2) % n FROM documents, nn
+         |  WHERE text IS NOT NULL
+         |  UNION ALL
+         |  SELECT doc_id, (doc_id*7+5) % n FROM documents, nn
+         |  WHERE text IS NOT NULL),
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |        FROM e WHERE src <> dst),
+         |adj AS (SELECT a AS v, b AS nbr FROM und
+         |        UNION ALL SELECT b, a FROM und),
+         |l_0 AS (SELECT id, id AS label FROM nodes),
+         |${iter("0", "1")},
+         |${iter("1", "2")},
+         |${iter("2", "3")},
+         |m AS (SELECT count(*) AS m FROM und),
+         |deg AS (SELECT id, count(*) AS d FROM (
+         |    SELECT a AS id FROM und UNION ALL SELECT b FROM und)
+         |  GROUP BY id),
+         |ds AS (SELECT l.label, count(*) AS n_nodes,
+         |    CAST(sum(coalesce(deg.d, 0)) AS BIGINT) AS degree_sum
+         |  FROM l_3 l LEFT JOIN deg ON deg.id = l.id GROUP BY l.label),
+         |intra AS (SELECT la.label, count(*) AS internal_edges
+         |  FROM und u JOIN l_3 la ON la.id = u.a
+         |  JOIN l_3 lb ON lb.id = u.b AND lb.label = la.label
+         |  GROUP BY la.label)
+         |SELECT ds.label, ds.n_nodes, ds.degree_sum,
+         |  coalesce(i.internal_edges, 0) AS internal_edges,
+         |  round(CAST(4 * m.m * coalesce(i.internal_edges, 0)
+         |    - ds.degree_sum * ds.degree_sum AS DOUBLE)
+         |    / (4 * m.m * m.m), 6) AS q_term
+         |FROM ds LEFT JOIN intra i USING (label) CROSS JOIN m
+         |WHERE ds.n_nodes >= 2""".stripMargin
     },
 
     // proximity replay: token positions from the text directly —

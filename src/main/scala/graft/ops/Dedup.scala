@@ -494,6 +494,68 @@ object Dedup {
   }
 
   /**
+   * IDF-weighted token Jaccard over an exact candidate stem — the
+   * rarity-aware re-score of near-dup candidates: plain set Jaccard
+   * counts a shared stopword and a shared 40-character error hash the
+   * same, so template-heavy corpora produce high plain scores from
+   * boilerplate alone. Weighting each token by
+   * `idf = ln((N+1)/(df+1))` makes shared RARE content dominate —
+   * pairs that agree only on chrome drop, pairs that share the
+   * distinctive middle rise (the standard weighted-Jaccard form of
+   * the record-linkage literature).
+   *
+   * Candidates come from [[prefixFilteredPairs]] at `candThreshold`
+   * (exact recall at that plain-Jaccard level — no LSH misses), so the
+   * weighted score is only ever computed on a candidate-sized frame,
+   * never all pairs.
+   *
+   * DETERMINISM: IDF weights are micro-quantized to integer
+   * `round(idf·10⁶)` BEFORE any summation, so per-doc totals and
+   * per-pair intersections are exact integer sums (order-free), and
+   * the final ratio is one division — the same double in any engine.
+   *
+   * Output: (id_a, id_b, jaccard, w_jaccard) — the plain candidate
+   * score next to the weighted one, both rounded 6.
+   */
+  def weightedJaccardPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      candThreshold: Double = 0.5): DataFrame = {
+    val pairs = prefixFilteredPairs(df, textCol, idCol, candThreshold)
+    val docs = df.filter(col(textCol).isNotNull)
+    val toks = docs
+      .select(col(idCol).as("__id"),
+        explode(array_distinct(TextOps.tokens(col(textCol)))).as("__tok"))
+      .localCheckpoint() // feeds df counts, doc totals, and the pair join
+    val nDocs = docs.agg(count(lit(1)).as("__nd"))
+    val idf = toks.groupBy("__tok").agg(count(lit(1)).as("__df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("__tok"),
+        round(log((col("__nd") + 1).cast("double") / (col("__df") + 1))
+          * 1e6).cast("long").as("__w"))
+    val wtoks = toks.join(idf, Seq("__tok"))
+    val docw = wtoks.groupBy(col("__id")).agg(sum(col("__w")).as("__sw"))
+    val inter = pairs.select(col("id_a"), col("id_b"))
+      .join(wtoks.select(col("__id").as("id_a"), col("__tok"), col("__w")),
+        Seq("id_a"))
+      .join(wtoks.select(col("__id").as("id_b"), col("__tok")),
+        Seq("id_b", "__tok"))
+      .groupBy("id_a", "id_b")
+      .agg(sum(col("__w")).as("__iw"))
+    pairs
+      .join(inter, Seq("id_a", "id_b"), "left_outer")
+      .join(docw.select(col("__id").as("id_a"), col("__sw").as("__sa")),
+        Seq("id_a"))
+      .join(docw.select(col("__id").as("id_b"), col("__sw").as("__sb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        round(coalesce(col("__iw"), lit(0L)).cast("double") /
+          (col("__sa") + col("__sb") - coalesce(col("__iw"), lit(0L))), 6)
+          .as("w_jaccard"))
+  }
+
+  /**
    * Incremental near-dup detection — the daily-ingest workflow at
    * corpus scale: you do NOT re-hash 100 TB because a batch landed.
    * The corpus's MinHash signatures are built once

@@ -195,4 +195,62 @@ object Diagnostics {
       .orderBy(col("chi2_term").desc, col("token").asc)
       .limit(topK)
   }
+
+  /**
+   * Two-sample Kolmogorov–Smirnov statistic — the distribution-drift
+   * test that needs NO binning choice (PSI and χ² both inherit their
+   * sensitivity from the bin edges; KS is the sup-norm distance between
+   * the two empirical CDFs directly):
+   *
+   *   D = max over observed values x of |F_a(x) − F_b(x)|
+   *
+   * The classic acceptance gate for "is this snapshot still the same
+   * distribution" on ordinal signals (doc lengths, quality scores).
+   *
+   * Scale shape: each side collapses to (value, count) with one
+   * decomposable aggregation, the outer-joined distinct-value frame gets
+   * ONE running-sum window, and the report is a 1-row TakeOrdered. The
+   * window is deliberately unpartitioned — it runs over the DISTINCT
+   * value frame, which for the ordinal columns KS applies to is
+   * vocabulary-bounded, never row-∝ (for a truly continuous column,
+   * quantize first; the binning then IS the declared resolution).
+   *
+   * Determinism: cumulative counts are integer-valued, so F_a and F_b
+   * are exact IEEE quotients reproduced bit-for-bit by any engine; the
+   * argmax tie breaks on the smallest value. `d_stat` rounds to 6 only
+   * for display — the max is taken on unrounded quotients.
+   *
+   * Output: one row (d_stat, at_value, n_a, n_b).
+   */
+  def ksStatistic(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    def side(df: DataFrame, cname: String): DataFrame = df
+      .select(col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy("__v").agg(count(lit(1)).as(cname))
+    val joined = side(a, "__ca")
+      .join(side(b, "__cb"), Seq("__v"), "full_outer")
+      .select(col("__v"),
+        coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val all = org.apache.spark.sql.expressions.Window.orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    joined
+      .select(col("__v"),
+        sum(col("__ca")).over(w).as("__cuma"),
+        sum(col("__cb")).over(w).as("__cumb"),
+        sum(col("__ca")).over(all).as("__na"),
+        sum(col("__cb")).over(all).as("__nb"))
+      .select(col("__v"),
+        abs(col("__cuma").cast("double") / col("__na") -
+          col("__cumb").cast("double") / col("__nb")).as("__d"),
+        col("__na"), col("__nb"))
+      .orderBy(col("__d").desc, col("__v").asc)
+      .limit(1)
+      .select(round(col("__d"), 6).as("d_stat"), col("__v").as("at_value"),
+        col("__na").as("n_a"), col("__nb").as("n_b"))
+  }
 }

@@ -195,6 +195,120 @@ object EventOps {
       .agg(count(lit(1)).as("n_conversions"))
   }
 
+  /**
+   * Markov-chain (removal-effect) attribution — the published upgrade
+   * over [[lastTouchAttribution]]: model sessions as first-order Markov
+   * paths `START → e₁ → … → CONV|NULL`, and credit each channel by how
+   * much the overall conversion probability DROPS when that channel is
+   * removed from the chain (its transitions redirected to NULL). A
+   * channel that only ever appears after the decision is made earns
+   * ~nothing; a channel every converting path flows through earns its
+   * true share — exactly what last-touch gets wrong.
+   *
+   * Each session path is truncated at its FIRST conversion (events
+   * after it belong to the next decision, and a conversion state must
+   * be absorbing for the chain to be well-defined); non-converting
+   * sessions end in NULL. Conversion probability is the `iters`-step
+   * truncated Neumann series of the absorption equations
+   * `p(s) = P(s→CONV) + Σ_t P(s→t)·p(t)` from p₀ = 0 — both engines
+   * compute the SAME pinned-iteration value, so the result is
+   * deterministic parity rather than a convergence promise (at the
+   * default 15 steps the residual is far below the 6-decimal display
+   * for real session chains, whose per-step continue-mass is well
+   * under 1).
+   *
+   * Scale shape: the same single user-keyed window pass as
+   * [[topJourneys]] (sessionize + session-bounded path collect), one
+   * decomposable (src, dst) count — and then the chain solve runs on
+   * the TRANSITION MATRIX, which is ≤ (|event types| + 3)² rows no
+   * matter how many events fed it: the collect is bounded by the type
+   * vocabulary (the q135 funnel-counts pattern), never by data volume.
+   *
+   * Output: (channel, removal_effect, attribution_share), one row per
+   * non-START transient state, effects relative to the baseline
+   * conversion probability, both rounded 6.
+   */
+  def markovAttribution(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      idCol: String,
+      typeCol: String,
+      conversionType: String,
+      gapSeconds: Int = 1800,
+      iters: Int = 15): DataFrame = {
+    require(gapSeconds >= 1, "gapSeconds must be positive")
+    require(iters >= 1, "iters must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val cum = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val sessioned = events
+      .withColumn("__prev", lag(col(tsCol), 1).over(w))
+      .withColumn("__new", when(col("__prev").isNull ||
+        (col(tsCol).cast("double") - col("__prev").cast("double"))
+          > gapSeconds.toDouble, 1L).otherwise(0L))
+      .withColumn("__sess", sum(col("__new")).over(cum))
+    val paths = sessioned
+      .groupBy(col(userCol), col("__sess"))
+      .agg(transform(
+        sort_array(collect_list(struct(col(tsCol).as("t"),
+          col(idCol).as("i"), col(typeCol).as("e")))),
+        x => x.getField("e")).as("__types"))
+      .withColumn("__cpos", array_position(col("__types"), lit(conversionType)))
+      .select(when(col("__cpos") > 0,
+          concat(array(lit("START")),
+            slice(col("__types"), lit(1), (col("__cpos") - 1).cast("int")),
+            array(lit("CONV"))))
+        .otherwise(concat(array(lit("START")), col("__types"),
+          array(lit("NULL")))).as("__path"))
+    val trans = paths
+      .select(explode(transform(
+        sequence(lit(0), size(col("__path")) - 2),
+        i => struct(element_at(col("__path"), i + 1).as("src"),
+          element_at(col("__path"), i + 2).as("dst")))).as("p"))
+      .select(col("p.src"), col("p.dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
+    // bounded by the event-type vocabulary squared — never data-∝
+    val edges = trans.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(e => (e._1, e._2))
+    val totals = edges.groupBy(_._1).map { case (s, es) =>
+      s -> es.map(_._3).sum
+    }
+    val transientStates =
+      edges.map(_._1).distinct.sorted // every transient state has out-edges
+    def absorb(removed: Option[String]): Double = {
+      var p = transientStates.map(_ -> 0.0).toMap
+      for (_ <- 1 to iters) {
+        p = transientStates.map { s =>
+          s -> edges.filter(_._1 == s).map { case (_, t, c) =>
+            val pv =
+              if (t == "CONV") 1.0
+              else if (t == "NULL" || removed.contains(t)) 0.0
+              else p(t)
+            (c.toDouble / totals(s)) * pv
+          }.sum
+        }.toMap
+      }
+      p("START")
+    }
+    val pBase = absorb(None)
+    require(pBase > 0,
+      "markovAttribution: no converting path — nothing to attribute")
+    val channels = transientStates.filterNot(_ == "START")
+    val effects = channels.map(c => c -> (pBase - absorb(Some(c))) / pBase)
+    val totalEffect = effects.map(_._2).sum
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = effects.map { case (c, e) =>
+      (c, r6(e), r6(if (totalEffect > 0) e / totalEffect else 0.0))
+    }
+    events.sparkSession.createDataFrame(out.toSeq)
+      .toDF("channel", "removal_effect", "attribution_share")
+  }
+
   def retention(
       events: DataFrame,
       userCol: String,

@@ -340,6 +340,70 @@ object LinkGraph {
   }
 
   /**
+   * Per-community modularity decomposition (Newman & Girvan 2004,
+   * public) — the quality gauge for ANY community assignment (label
+   * propagation above, host clusters, template families): how much
+   * denser is each community than the degree-preserving random graph?
+   *
+   *   Q = Σ_c [ L_c/m − (D_c/2m)² ]
+   *
+   * (m = undirected edge count, L_c = edges internal to c, D_c = total
+   * degree of c's nodes). Emitted per community over the common
+   * denominator 4m²: `q_term = (4·m·L_c − D_c²) / (4m²)` — the
+   * numerator is an exact integer (counts only), so each term is ONE
+   * IEEE division and the frame replays bit-for-bit in any engine;
+   * Q itself is the sum of the unrounded terms (sum the micro column
+   * when exactness matters downstream).
+   *
+   * Scale shape: edges dedup to the undirected set once (the
+   * [[labelPropagation]] normalization, so the two compose on the
+   * same graph), then TWO node-sized label joins tag each edge's
+   * endpoints, and everything else is decomposable counts keyed by
+   * community — no windows, no iteration, nothing driver-side. The
+   * 1-row m frame broadcasts.
+   *
+   * Output: one row per community:
+   * (label, n_nodes, degree_sum, internal_edges, q_term round 6).
+   */
+  def communityModularity(
+      labels: DataFrame,
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+      .localCheckpoint() // feeds m, degrees, and the tagged-edge frame
+    val m = und.agg(count(lit(1)).as("__m"))
+    val lab = labels.select(col("id"), col("label"))
+    val degrees = und.select(col("a").as("id"))
+      .unionAll(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("__deg"))
+    val degSum = lab.join(degrees, Seq("id"), "left_outer")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(coalesce(col("__deg"), lit(0L))).as("degree_sum"))
+    val internal = und
+      .join(lab.select(col("id").as("a"), col("label").as("__la")), Seq("a"))
+      .join(lab.select(col("id").as("b"), col("label").as("__lb")), Seq("b"))
+      .filter(col("__la") === col("__lb"))
+      .groupBy(col("__la").as("label"))
+      .agg(count(lit(1)).as("internal_edges"))
+    degSum
+      .join(internal, Seq("label"), "left_outer")
+      .withColumn("internal_edges",
+        coalesce(col("internal_edges"), lit(0L)))
+      .crossJoin(broadcast(m))
+      .select(col("label"), col("n_nodes"), col("degree_sum"),
+        col("internal_edges"),
+        round((lit(4) * col("__m") * col("internal_edges") -
+          col("degree_sum") * col("degree_sum")).cast("double") /
+          (lit(4) * col("__m") * col("__m")), 6).as("q_term"))
+  }
+
+  /**
    * Multi-source BFS hop distance from a trusted seed set — the
    * link-distance prior behind TrustRank-style curation (Gyöngyi et
    * al. 2004, public): pages few hops from vetted seeds are

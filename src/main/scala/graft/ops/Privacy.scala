@@ -151,4 +151,51 @@ object Privacy {
         max(when(col("n") >= k, col("emd"))).as("max_emd_anonymous"),
         sum(round(col("emd") * 1e6).cast("long")).as("sum_emd_micro"))
   }
+
+  /**
+   * Differentially-private release counts — the aggregate-release
+   * mechanism the audits above gate: per-group counts with Laplace
+   * noise at sensitivity 1 (one row in/out moves any count by ≤ 1),
+   * the ε-DP Laplace mechanism of Dwork et al. 2006 (public). The
+   * k-anonymity/t-closeness family asks "is this grouping safe to
+   * release raw"; this releases a grouping that ISN'T, with calibrated
+   * noise instead of suppression.
+   *
+   * The noise is SEEDED, not sampled: the Laplace draw comes from the
+   * inverse CDF
+   * `noise = −(1/ε)·sign(u−½)·ln(1−2|u−½|)`
+   * applied to the salted md5 unit hash of the group key (the
+   * [[Sampling.unitPos]] mechanism the split fences already use). That
+   * makes releases REPRODUCIBLE — the same (salt, group) always gets
+   * the same draw, so re-running the pipeline cannot leak fresh
+   * independent noise about the same count (noise reuse across
+   * re-releases of the same statistic is the standard practitioner
+   * guidance), and the oracle can replay the draw bit-for-bit. A NEW
+   * release epoch (new privacy budget) is a new salt by contract. The
+   * unit hash has 2⁻⁶⁰ granularity, so |noise| ≤ ~41.6/ε — finite by
+   * construction, no clipping branch needed.
+   *
+   * Scale shape: one decomposable groupBy count; the noise is a scalar
+   * expression over the |groups|-row frame. Nothing row-∝ shuffles.
+   *
+   * Output: (groupCol, n_noisy) — the TRUE count deliberately does not
+   * ride along (it is the secret); round 6.
+   */
+  def dpNoisyCounts(
+      df: DataFrame,
+      groupCol: String,
+      epsilon: Double,
+      salt: String): DataFrame = {
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    require(salt.nonEmpty, "salt (release epoch) must be non-empty")
+    val u = Sampling.unitPos(col(groupCol), salt)
+    val centered = u - 0.5
+    val noise = lit(-1.0 / epsilon) *
+      signum(centered) * log(lit(1.0) - lit(2.0) * abs(centered))
+    df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"))
+      .select(col(groupCol),
+        round(col("__n") + noise, 6).as("n_noisy"))
+  }
 }

@@ -773,4 +773,34 @@ class DedupSpec extends AnyFunSuite {
     assert(got.getLong(0) > got.getLong(2),
       "candidates include false positives — precision is the verify-cost signal")
   }
+
+  test("weightedJaccardPairs: IDF micro-weights replayed by hand") {
+    import TestSpark.spark
+    import spark.implicits._
+    // d1/d2 share 4 common-ish tokens and differ in one rare token
+    // each; d3 only inflates N (no candidate pair with it)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the quick brown fox leaps"),
+      (3L, "totally different words here now")).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.weightedJaccardPairs(
+      docs, "text", "doc_id", candThreshold = 0.5).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1)) == ((1L, 2L)))
+    // plain 3-shingle jaccard: 2 shared of 4 distinct shingles
+    assert(r.getDouble(2) == 0.5)
+    // micro-int IDF: shared tokens df=2 -> w = round(ln(4/3)·1e6);
+    // unique tokens df=1 -> w = round(ln(2)·1e6)
+    val wc = math.round(math.log(4.0 / 3) * 1e6)
+    val wr = math.round(math.log(2.0) * 1e6)
+    val inter = 4 * wc
+    val union = 2 * (4 * wc + wr) - inter
+    val expect = BigDecimal(inter.toDouble / union)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(3) == expect)
+    // rarity-awareness: the weighted score sits BELOW the plain one
+    // here because the shared tokens are the corpus-common ones
+    assert(r.getDouble(3) < r.getDouble(2))
+  }
 }

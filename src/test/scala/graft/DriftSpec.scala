@@ -147,4 +147,22 @@ class DriftSpec extends AnyFunSuite {
       Diagnostics.chiSquareDrift(base, next, "text", minCount = 0L)
     }
   }
+
+  test("ksStatistic: hand CDFs, smallest-value tie-break, nulls drop") {
+    // F_a over {1,2,3,4}: .5 .75 1 1; F_b: 0 .25 .75 1
+    // diffs: .5 .5 .25 0 -> D = .5 at the SMALLEST tied value (1)
+    val a = Seq(1L, 1L, 2L, 3L).toDF("v")
+    val b = Seq(2L, 3L, 3L, 4L).toDF("v")
+    val r = Diagnostics.ksStatistic(a, b, "v").head
+    assert(r.getDouble(0) == 0.5)
+    assert(r.getDouble(1) == 1.0)
+    assert(r.getLong(2) == 4L && r.getLong(3) == 4L)
+    // identical samples -> D = 0 (argmax falls to the smallest value)
+    val same = Diagnostics.ksStatistic(a, a, "v").head
+    assert(same.getDouble(0) == 0.0 && same.getDouble(1) == 1.0)
+    // null values are excluded from both counts and CDFs
+    val withNull = Seq(Some(1L), Some(1L), Some(2L), Some(3L), None).toDF("v")
+    val rn = Diagnostics.ksStatistic(withNull, b, "v").head
+    assert(rn.getDouble(0) == 0.5 && rn.getLong(2) == 4L)
+  }
 }

@@ -118,4 +118,47 @@ class EventOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == Map("view" -> 1L, "click" -> 1L, "(direct)" -> 2L))
   }
+
+  test("markovAttribution: hand chain, removal effects, first-conversion truncation") {
+    import spark.implicits._
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    // paths: u1 START→a→CONV, u2 START→a→NULL, u3 START→b→CONV
+    // P(START→a)=2/3, P(START→b)=1/3, p(a)=1/2, p(b)=1
+    // pBase = 2/3·1/2 + 1/3·1 = 2/3; remove a → 1/3; remove b → 1/3
+    // effects: a = (2/3−1/3)/(2/3) = 0.5, b = 0.5; shares 0.5 each
+    val ev = Seq(
+      (1L, 1L, ts(0), "a"), (2L, 1L, ts(1), "purchase"),
+      (3L, 2L, ts(0), "a"),
+      (4L, 3L, ts(0), "b"), (5L, 3L, ts(1), "purchase"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = EventOps.markovAttribution(ev, "user_id", "ts",
+        "event_id", "event_type", "purchase")
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got == Map("a" -> ((0.5, 0.5)), "b" -> ((0.5, 0.5))))
+
+    // events AFTER the first conversion in a session are outside the
+    // path: the trailing 'c' must not become a state; and a
+    // session-opening conversion is a direct START→CONV edge that
+    // keeps pBase > 0 with no channels at all
+    val trunc = Seq(
+      (1L, 1L, ts(0), "a"), (2L, 1L, ts(1), "purchase"),
+      (3L, 1L, ts(2), "c"),
+      (4L, 2L, ts(0), "purchase"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val chans = EventOps.markovAttribution(trunc, "user_id", "ts",
+        "event_id", "event_type", "purchase")
+      .collect().map(_.getString(0)).toSet
+    // 'c' trails u1's conversion, so truncation drops it entirely —
+    // the only channel left is 'a'
+    assert(chans == Set("a"))
+
+    // no conversion anywhere -> fail loud
+    intercept[IllegalArgumentException] {
+      EventOps.markovAttribution(
+        Seq((1L, 1L, ts(0), "a")).toDF("event_id", "user_id", "ts",
+          "event_type"),
+        "user_id", "ts", "event_id", "event_type", "purchase")
+    }
+  }
 }

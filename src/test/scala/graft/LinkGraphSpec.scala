@@ -339,4 +339,40 @@ class LinkGraphSpec extends AnyFunSuite {
       LinkGraph.pageRankResidual(nodes, edges, iters = 1)
     }
   }
+
+  test("communityModularity: two bridged triangles hit the textbook value") {
+    import spark.implicits._
+    // two triangles joined by one bridge: m = 7,
+    // each community: L = 3, D = 2+2+3 = 7
+    // q_term = (4·7·3 − 49)/(4·49) = 35/196 = 0.178571; Q ≈ 0.357143
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("src", "dst")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 4L), (5L, 4L), (6L, 4L)).toDF("id", "label")
+    val got = LinkGraph.communityModularity(labels, edges, "src", "dst")
+      .orderBy("label").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 7L, 3L, 0.178571), (4L, 3L, 7L, 3L, 0.178571)))
+
+    // duplicate/reversed/self edges collapse to the same undirected
+    // set; an isolated node scores a zero term, a degree-only
+    // community (no internal edges) scores negative
+    val messy = edges.unionByName(
+      Seq((2L, 1L), (1L, 1L), (3L, 4L)).toDF("src", "dst"))
+    val labels2 = labels.unionByName(
+      Seq((7L, 7L)).toDF("id", "label")) // isolated
+    val got2 = LinkGraph.communityModularity(labels2, messy, "src", "dst")
+      .orderBy("label").collect()
+      .map(r => (r.getLong(0), r.getDouble(4))).toMap
+    assert(got2(1L) == 0.178571 && got2(4L) == 0.178571)
+    assert(got2(7L) == 0.0)
+    val split = LinkGraph.communityModularity(
+      Seq((1L, 1L), (2L, 2L)).toDF("id", "label"),
+      Seq((1L, 2L)).toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    // m = 1, L = 0, D = 1 each: term = −1/4 per side
+    assert(split == Map(1L -> -0.25, 2L -> -0.25))
+  }
 }

@@ -182,4 +182,32 @@ class PiiSpec extends AnyFunSuite {
         k = 2, t = 1.5)
     }
   }
+
+  test("dpNoisyCounts: seeded Laplace — reproducible, bounded, ε-scaled") {
+    import TestSpark.spark
+    import spark.implicits._
+    val df = (Seq.fill(40)("a") ++ Seq.fill(25)("b") ++ Seq.fill(9)("c"))
+      .toDF("g")
+    def run(eps: Double, salt: String) =
+      graft.ops.Privacy.dpNoisyCounts(df, "g", eps, salt)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val r1 = run(1.0, "s1")
+    // same (salt, group) -> the SAME draw, run over run
+    assert(run(1.0, "s1") == r1)
+    // a fresh release epoch re-draws (md5 of a different preimage)
+    assert(run(1.0, "s2") != r1)
+    // noise is bounded by the hash granularity: |noise| <= 60·ln2/ε
+    val truth = Map("a" -> 40.0, "b" -> 25.0, "c" -> 9.0)
+    truth.foreach { case (g, n) =>
+      assert(math.abs(r1(g) - n) <= 60 * math.log(2) + 1e-6) }
+    // at least one group actually moved (u = exactly 0.5 is measure-0)
+    assert(truth.exists { case (g, n) => math.abs(r1(g) - n) > 1e-6 })
+    // ε = 2 halves the SAME draw's magnitude (identical u, b = 1/ε)
+    val r2 = run(2.0, "s1")
+    truth.foreach { case (g, n) =>
+      assert(math.abs((r1(g) - n) - 2.0 * (r2(g) - n)) < 2e-6) }
+    intercept[IllegalArgumentException] {
+      graft.ops.Privacy.dpNoisyCounts(df, "g", 0.0, "s1")
+    }
+  }
 }
