@@ -4247,7 +4247,81 @@ object SparkEntry {
       graft.ops.LinkGraph
         .communityModularity(labels, edges, "src", "dst")
         .filter(col("n_nodes") >= 2)
-    })
+    }),
+
+    // ---- north-star: simplified (centroid) silhouette of the q55
+    //      k-means clustering — the LINEAR cluster-quality gauge (the
+    //      classic silhouette is all-pairs, dead at corpus scale);
+    //      micro-int per-point scores keep the means engine-exact.
+    "q246_silhouette" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val cents = graft.ops.Clustering.train(
+        emb, "vec_id", "embedding", k = 4, iters = 2)
+      graft.ops.Clustering.silhouette(emb, "vec_id", "embedding", cents)
+    }),
+
+    // ---- north-star: VACUUM planning for the versioned sink — gated
+    //      runs beyond keepLast plan as expire, unmarked directories
+    //      report as orphans (never auto-deleted: indistinguishable
+    //      from a write in flight); joined with per-version counts so
+    //      the plan is content-checkable.
+    "q247_vacuum_plan" -> ((s, dir) => {
+      val base = tmp("q247_runs")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val cust = T(s, dir, "customer")
+      Layers.writeJsonl(cust.filter(col("c_custkey") % 3 === 0),
+        base, Some("20250101"))
+      Layers.writeJsonl(cust.filter(col("c_custkey") % 2 === 0),
+        base, Some("20250102"))
+      Layers.writeJsonl(cust.filter(col("c_custkey") % 5 === 0),
+        base, Some("20250103"))
+      Layers.writeJsonl(cust, base, Some("20250104"))
+      new java.io.File(s"$base/run_20250105_partial").mkdirs()
+      val plan = Layers.vacuumPlan(s, base, keepLast = 2)
+      val schema = graft.schema.Metadata.structFromSpec("c_custkey: long")
+      val counts = Layers.successfulRuns(s, base).map { p =>
+        val name = p.substring(p.lastIndexOf('/') + 1)
+        Layers.readJsonl(s, p, schema)
+          .agg(count(lit(1)).as("n_rows"))
+          .select(lit(name).as("run_name"), col("n_rows"))
+      }.reduce(_ unionByName _)
+      plan.join(counts, Seq("run_name"), "left_outer")
+        .select(col("run_name"), col("version"), col("status"),
+          col("n_rows"))
+    }),
+
+    // ---- north-star: stupid-backoff trigram NLL (Brants 2007) over a
+    //      real train/heldout split — the web-scale unnormalized
+    //      backoff beside q206's Kneser–Ney; the heldout side actually
+    //      exercises all three backoff branches.
+    "q248_stupid_backoff" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      graft.ops.LanguageModel.stupidBackoffNll(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "text", "doc_id", alpha = 0.4)
+    }),
+
+    // ---- north-star: zone-map skip-rate report — clustered-on-the-
+    //      predicate-column layout vs orderkey (insertion-order) layout
+    //      for a 3-predicate workload: the measured CLUSTER BY decision.
+    "q249_skip_rate" -> ((s, dir) =>
+      graft.io.ZoneMap.skipRateReport(
+        T(s, dir, "orders"),
+        layoutA = col("o_totalprice"), layoutB = col("o_orderkey"),
+        valueCol = "o_totalprice", nFiles = 32,
+        predicates = Seq((1000.0, 50000.0), (100000.0, 200000.0),
+          (400000.0, 500000.0)))),
+
+    // ---- north-star: b-bit minwise hashing (Li & König 2010) — the
+    //      32× signature-store compression with its collision-corrected
+    //      estimator, graded against full-width and exact Jaccard on
+    //      the same candidate pairs.
+    "q250_bbit_minhash" -> ((s, dir) =>
+      Dedup.bBitMinhashReport(
+        T(s, dir, "documents"), "text", "doc_id", numHashes = 8, b = 2))
   )
 
   /** graft-authored pipeline config (reference YAML shape,
@@ -7956,6 +8030,179 @@ object SparkEntry {
          |    / (4 * m.m * m.m), 6) AS q_term
          |FROM ds LEFT JOIN intra i USING (label) CROSS JOIN m
          |WHERE ds.n_nodes >= 2""".stripMargin
+    },
+
+    // silhouette replay: the q55 2-iteration k-means chain, per-point
+    // sims to all final centroids, micro-int scores, exact means
+    "q246_silhouette" -> {
+      val dims = 64
+      def assignCte(cents: String) =
+        s"""SELECT vec_id, cid AS cluster FROM (
+           |    SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY ${duckCosine("e.embedding", "c.cemb", dims)} DESC, c.cid ASC) AS rn
+           |    FROM embeddings e CROSS JOIN $cents c) WHERE rn = 1""".stripMargin
+      s"""WITH c0 AS (SELECT CAST(vec_id AS BIGINT) AS cid,
+         |            list_transform(embedding, __x -> CAST(__x AS DOUBLE)) AS cemb
+         |            FROM embeddings ORDER BY vec_id LIMIT 4),
+         |a0 AS (${assignCte("c0")}),
+         |m1 AS (SELECT a0.cluster, d.d, round(avg(CAST(e.embedding[d.d] AS DOUBLE)), 6) AS v
+         |       FROM a0 JOIN embeddings e USING (vec_id), generate_series(1, $dims) d(d)
+         |       GROUP BY a0.cluster, d.d),
+         |c1 AS (SELECT cluster AS cid, list(v ORDER BY d) AS cemb FROM m1 GROUP BY cluster),
+         |sims AS (SELECT e.vec_id, c.cid,
+         |    ${duckCosine("e.embedding", "c.cemb", dims)} AS sim
+         |  FROM embeddings e CROSS JOIN c1 c),
+         |asg AS (SELECT vec_id, cid AS cluster FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY sim DESC, cid ASC) AS rn FROM sims) WHERE rn = 1),
+         |sil AS (SELECT s.vec_id, a.cluster,
+         |    max(CASE WHEN s.cid = a.cluster THEN s.sim END) AS own,
+         |    max(CASE WHEN s.cid <> a.cluster THEN s.sim END) AS oth
+         |  FROM sims s JOIN asg a USING (vec_id) GROUP BY 1, 2),
+         |pt AS (SELECT cluster,
+         |    CAST(round(CASE WHEN 1 - least(own, oth) = 0 THEN 0.0
+         |      ELSE (own - oth) / (1 - least(own, oth)) END * 1e6) AS BIGINT)
+         |      AS sm
+         |  FROM sil)
+         |SELECT cluster, count(*) AS n_points,
+         |  round(CAST(sum(sm) AS BIGINT) / 1e6 / count(*), 6)
+         |    AS mean_silhouette
+         |FROM pt GROUP BY cluster""".stripMargin
+    },
+
+    // vacuum replay: pinned run ids make names deterministic; content
+    // counts re-derive from the version filters; the orphan reports
+    // with NULL version/rows
+    "q247_vacuum_plan" ->
+      """SELECT 'run_20250101' AS run_name, CAST(0 AS BIGINT) AS version,
+        |  'expire' AS status,
+        |  (SELECT count(*) FROM customer WHERE c_custkey % 3 = 0) AS n_rows
+        |UNION ALL
+        |SELECT 'run_20250102', CAST(1 AS BIGINT), 'expire',
+        |  (SELECT count(*) FROM customer WHERE c_custkey % 2 = 0)
+        |UNION ALL
+        |SELECT 'run_20250103', CAST(2 AS BIGINT), 'keep',
+        |  (SELECT count(*) FROM customer WHERE c_custkey % 5 = 0)
+        |UNION ALL
+        |SELECT 'run_20250104', CAST(3 AS BIGINT), 'keep',
+        |  (SELECT count(*) FROM customer)
+        |UNION ALL
+        |SELECT 'run_20250105_partial', CAST(NULL AS BIGINT), 'orphan',
+        |  CAST(NULL AS BIGINT)""".stripMargin,
+
+    // stupid-backoff replay: model-half n-gram count tables, heldout
+    // trigram positions, the same three-branch CASE (α interpolated as
+    // the exact Scala doubles so both engines score identical floats)
+    "q248_stupid_backoff" -> {
+      val a = 0.4
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS l
+         |  FROM documents WHERE text IS NOT NULL),
+         |mdl AS (SELECT * FROM d WHERE doc_id % 2 = 0),
+         |hld AS (SELECT * FROM d WHERE doc_id % 2 = 1),
+         |tc AS (SELECT g, count(*) AS c3 FROM (
+         |    SELECT unnest(${DD.shingles("l", 3)}) AS g FROM mdl
+         |    WHERE len(l) >= 3) GROUP BY g),
+         |bc AS (SELECT g, count(*) AS c2 FROM (
+         |    SELECT unnest(${DD.shingles("l", 2)}) AS g FROM mdl
+         |    WHERE len(l) >= 2) GROUP BY g),
+         |uc AS (SELECT w, count(*) AS c1 FROM (
+         |    SELECT unnest(l) AS w FROM mdl) GROUP BY w),
+         |st AS (SELECT CAST(sum(c1) AS DOUBLE) AS n,
+         |    CAST(count(*) AS DOUBLE) AS v FROM uc),
+         |px AS (SELECT doc_id, tg,
+         |    array_to_string(string_split(tg, ' ')[1:2], ' ') AS h12,
+         |    array_to_string(string_split(tg, ' ')[2:3], ' ') AS g23,
+         |    string_split(tg, ' ')[2] AS w2,
+         |    string_split(tg, ' ')[3] AS w3
+         |  FROM (SELECT doc_id, unnest(${DD.shingles("l", 3)}) AS tg
+         |        FROM hld WHERE len(l) >= 3)),
+         |sc AS (SELECT p.doc_id,
+         |    CASE WHEN coalesce(t.c3, 0) > 0
+         |      THEN CAST(t.c3 AS DOUBLE) / bh.c2
+         |    WHEN coalesce(bg.c2, 0) > 0
+         |      THEN $a * CAST(bg.c2 AS DOUBLE) / u2.c1
+         |    ELSE ${a * a} * (coalesce(u3.c1, 0) + 1) / (st.n + st.v)
+         |    END AS s
+         |  FROM px p
+         |  LEFT JOIN tc t ON t.g = p.tg
+         |  LEFT JOIN bc bh ON bh.g = p.h12
+         |  LEFT JOIN bc bg ON bg.g = p.g23
+         |  LEFT JOIN uc u2 ON u2.w = p.w2
+         |  LEFT JOIN uc u3 ON u3.w = p.w3, st)
+         |SELECT doc_id, round(avg(-ln(s)), 6) AS nll_sb
+         |FROM sc GROUP BY doc_id""".stripMargin
+    },
+
+    // skip-rate replay: the q208 range-bin file assignment per layout,
+    // per-file min/max zones, overlap counting per predicate
+    "q249_skip_rate" -> {
+      def layout(cluster: String, tag: String) =
+        s"""b_$tag AS (SELECT min(CAST($cluster AS DOUBLE)) AS lo,
+           |    max(CAST($cluster AS DOUBLE)) AS hi FROM orders),
+           |f_$tag AS (SELECT CASE WHEN b.hi = b.lo THEN 0
+           |    ELSE least(31, greatest(0,
+           |      CAST(floor((CAST($cluster AS DOUBLE) - b.lo) * 32
+           |        / (b.hi - b.lo)) AS INT))) END AS file_id,
+           |    o_totalprice AS v
+           |  FROM orders, b_$tag b),
+           |s_$tag AS (SELECT file_id, min(v) AS mn, max(v) AS mx
+           |  FROM f_$tag GROUP BY file_id),
+           |o_$tag AS (SELECT pred_lo, pred_hi, count(*) AS ft,
+           |    CAST(sum(CASE WHEN mx >= pred_lo AND mn <= pred_hi
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS opened
+           |  FROM s_$tag CROSS JOIN preds GROUP BY 1, 2)""".stripMargin
+      s"""WITH preds AS (SELECT CAST(pl AS DOUBLE) AS pred_lo,
+         |    CAST(ph AS DOUBLE) AS pred_hi
+         |  FROM (VALUES (1000.0, 50000.0), (100000.0, 200000.0),
+         |    (400000.0, 500000.0)) AS t(pl, ph)),
+         |${layout("o_totalprice", "a")},
+         |${layout("o_orderkey", "b")}
+         |SELECT a.pred_lo, a.pred_hi, a.ft AS files_a,
+         |  a.opened AS open_a,
+         |  round(CAST(a.ft - a.opened AS DOUBLE) / a.ft, 6) AS skip_rate_a,
+         |  b.ft AS files_b, b.opened AS open_b,
+         |  round(CAST(b.ft - b.opened AS DOUBLE) / b.ft, 6) AS skip_rate_b
+         |FROM o_a a JOIN o_b b
+         |  ON b.pred_lo = a.pred_lo AND b.pred_hi = a.pred_hi""".stripMargin
+    },
+
+    // b-bit replay: the q226 chain plus the low-2-bit match fraction
+    // and its exact collision correction (E_b − ¼)/¾
+    "q250_bbit_minhash" -> {
+      val mf = (0 until 8).map(i =>
+        s"(CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END)").mkString(" + ")
+      val mb = (0 until 8).map(i =>
+        s"(CASE WHEN sa.s$i % 4 = sb.s$i % 4 THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $minhashCtes,
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM buckets a JOIN buckets b
+         |    ON a.band = b.band AND a.bucket = b.bucket
+         |      AND a.doc_id < b.doc_id),
+         |exsh AS (SELECT DISTINCT doc_id, unnest(s) AS sv FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM exsh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.id_a, c.id_b, count(*) AS i
+         |  FROM cand c
+         |  JOIN exsh ea ON ea.doc_id = c.id_a
+         |  JOIN exsh eb ON eb.doc_id = c.id_b AND eb.sv = ea.sv
+         |  GROUP BY c.id_a, c.id_b),
+         |ex AS (SELECT it.id_a, it.id_b,
+         |    round(it.i / (sa.n + sb.n - it.i), 6) AS jaccard
+         |  FROM inter it JOIN sizes sa ON sa.doc_id = it.id_a
+         |  JOIN sizes sb ON sb.doc_id = it.id_b),
+         |est AS (SELECT c.id_a, c.id_b,
+         |    CAST(($mf) AS DOUBLE) / 8 AS ef,
+         |    (CAST(($mb) AS DOUBLE) / 8 - 0.25) / 0.75 AS eb
+         |  FROM cand c JOIN sig sa ON sa.doc_id = c.id_a
+         |  JOIN sig sb ON sb.doc_id = c.id_b)
+         |SELECT count(*) AS n_pairs, 2 AS bits_per_component,
+         |  round(avg(jaccard), 6) AS mean_exact,
+         |  round(avg(ef), 6) AS mean_est_full,
+         |  round(avg(eb), 6) AS mean_est_b,
+         |  round(avg(abs(ef - jaccard)), 6) AS mae_full,
+         |  round(avg(abs(eb - jaccard)), 6) AS mae_b
+         |FROM est JOIN ex USING (id_a, id_b)""".stripMargin
     },
 
     // proximity replay: token positions from the text directly —

@@ -378,4 +378,44 @@ object Layers {
         .sorted
         .toSeq
   }
+
+  /** Retention plan for a versioned-sink base directory — the VACUUM
+    * planner of the lakehouse pattern, split from execution so the
+    * deletions can be reviewed/audited first:
+    *
+    *  - `_SUCCESS`-gated runs, oldest first, are table versions; all
+    *    but the newest `keepLast` plan as `expire`;
+    *  - directories WITHOUT a marker plan as `orphan` — reported,
+    *    never auto-expired: an unmarked directory is
+    *    indistinguishable from a write in flight, so deleting it is a
+    *    race by construction (age-based orphan reaping needs a
+    *    wall-clock retention contract this listing deliberately does
+    *    not assume).
+    *
+    * Listing cost ∝ run count (the [[successfulRuns]] contract),
+    * never data. Output: (run_name, version, status) — version is
+    * NULL for orphans; the newest `keepLast` versions keep.
+    */
+  def vacuumPlan(
+      spark: SparkSession,
+      base: String,
+      keepLast: Int): org.apache.spark.sql.DataFrame = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(conf)
+    val dirs =
+      if (!fs.exists(basePath)) Array.empty[org.apache.hadoop.fs.Path]
+      else fs.listStatus(basePath).filter(_.isDirectory).map(_.getPath)
+    val (gated, orphans) = dirs.sortBy(_.getName).partition(p =>
+      fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+    val cut = gated.length - keepLast
+    val rows =
+      gated.zipWithIndex.map { case (p, v) =>
+        (p.getName, Option(v.toLong),
+          if (v < cut) "expire" else "keep")
+      } ++ orphans.map(p => (p.getName, Option.empty[Long], "orphan"))
+    spark.createDataFrame(rows.toSeq)
+      .toDF("run_name", "version", "status")
+  }
 }

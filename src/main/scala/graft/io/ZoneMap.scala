@@ -75,6 +75,57 @@ object ZoneMap {
   def prunedFlag(mn: Column, mx: Column, lo: Column, hi: Column): Column =
     !(mx >= lo && mn <= hi)
 
+  /**
+   * Layout-effectiveness report — the measured answer to "is
+   * clustering this table on that column worth the write cost": for
+   * each range predicate in a caller-bounded workload model, the
+   * fraction of files a zone-map-pruned read SKIPS under two candidate
+   * layouts (e.g. clustered on the predicate column vs insertion
+   * order). The decision input for CLUSTER BY / OPTIMIZE ZORDER — a
+   * layout whose skip rate isn't materially higher doesn't pay for its
+   * rewrite.
+   *
+   * Each layout gets one [[assignFiles]] + [[stats]] pass (one 1-row
+   * bounds aggregate + one |files|-row groupBy over a narrow
+   * projection); the report is arithmetic over the two |files|-row
+   * stats frames crossed with the |preds|-row workload — nothing here
+   * scales with the table beyond the two stats scans. Counts are
+   * integers; the skip rates are single divisions (round 6).
+   *
+   * Output: one row per predicate: (pred_lo, pred_hi, files_a, open_a,
+   * skip_rate_a, files_b, open_b, skip_rate_b) — per-layout file
+   * counts are separate because the two layouts need not fill the
+   * same number of range bins.
+   */
+  def skipRateReport(
+      df: DataFrame,
+      layoutA: Column,
+      layoutB: Column,
+      valueCol: String,
+      nFiles: Int,
+      predicates: Seq[(Double, Double)]): DataFrame = {
+    require(predicates.nonEmpty, "need at least one predicate")
+    val preds = df.sparkSession.createDataFrame(predicates)
+      .toDF("pred_lo", "pred_hi")
+    def opens(layout: Column, name: String): DataFrame =
+      stats(assignFiles(df, layout, nFiles), "file_id", Seq(valueCol))
+        .crossJoin(broadcast(preds))
+        .groupBy("pred_lo", "pred_hi")
+        .agg(count(lit(1)).as(s"__ft_$name"),
+          sum(when(!prunedFlag(col(s"${valueCol}_mn"), col(s"${valueCol}_mx"),
+            col("pred_lo"), col("pred_hi")), 1L).otherwise(0L))
+            .as(s"open_$name"))
+    opens(layoutA, "a")
+      .join(opens(layoutB, "b"), Seq("pred_lo", "pred_hi"))
+      .select(col("pred_lo"), col("pred_hi"),
+        col("__ft_a").as("files_a"), col("open_a"),
+        round((col("__ft_a") - col("open_a")).cast("double") /
+          col("__ft_a"), 6).as("skip_rate_a"),
+        col("__ft_b").as("files_b"), col("open_b"),
+        round((col("__ft_b") - col("open_b")).cast("double") /
+          col("__ft_b"), 6).as("skip_rate_b"))
+  }
+
   /** The file list a zone-map-pruned read would open for
     * `valueCol BETWEEN lo AND hi` — arithmetic over the |files|-row
     * stats table (collected; files-bounded by construction). */

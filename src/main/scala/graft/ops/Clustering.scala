@@ -121,4 +121,55 @@ object Clustering {
       iters: Int): DataFrame =
     assign(df, idCol, embCol, train(df, idCol, embCol, k, iters))
       .select(col(idCol), col("cluster"))
+
+  /**
+   * Simplified silhouette (the centroid-distance variant — Hruschka et
+   * al.'s simplified silhouette width criterion, public) — the cluster
+   * quality gauge that stays LINEAR: the classic silhouette needs
+   * all-pairs distances (dead at corpus scale); the simplified form
+   * replaces "mean distance to a cluster's members" with "distance to
+   * its centroid", so each point costs k cosine evaluations in the
+   * same projection pass the assignment already does.
+   *
+   *   s(i) = (b_i − a_i) / max(a_i, b_i),  a_i = d(i, own centroid),
+   *   b_i = min over other centroids,  d = 1 − cosine (rounded 6,
+   *   the [[assign]] arithmetic) — s ∈ [0, 1] under nearest-centroid
+   *   assignment, higher = tighter/better separated.
+   *
+   * Per-point scores micro-quantize to integers before the per-cluster
+   * mean, so the aggregation is exact integer sums (order-free) and
+   * the report replays bit-for-bit. Both-distances-zero (a point AT
+   * two coincident centroids) scores 0 by convention.
+   *
+   * Output: (cluster, n_points, mean_silhouette), one row per
+   * non-empty cluster.
+   */
+  def silhouette(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      centroids: Seq[(Long, Seq[Double])]): DataFrame = {
+    require(centroids.size >= 2, "silhouette needs k >= 2")
+    val sims = array(centroids.map { case (cid, c) =>
+      struct(lit(cid).as("cid"),
+        cosineToCentroid(col(embCol), c).as("sim"))
+    }: _*)
+    val own = element_at(filter(col("__sims"),
+      x => x.getField("cid") === col("cluster")), 1).getField("sim")
+    val other = array_max(transform(filter(col("__sims"),
+      x => x.getField("cid") =!= col("cluster")), x => x.getField("sim")))
+    // d = 1 − sim: a = 1 − own, b = 1 − other; max(a,b) = 1 − min sims
+    val denom = lit(1.0) - least(own, other)
+    val s = when(denom === 0, lit(0.0))
+      .otherwise((own - other) / denom)
+    df
+      .select(col(idCol),
+        nearestCentroid(col(embCol), centroids).as("cluster"),
+        sims.as("__sims"))
+      .select(col("cluster"), round(s * 1e6).cast("long").as("__sm"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_points"),
+        round(sum(col("__sm")).cast("double") / 1e6 / count(lit(1)), 6)
+          .as("mean_silhouette"))
+  }
 }

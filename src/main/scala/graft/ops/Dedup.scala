@@ -1461,6 +1461,70 @@ object Dedup {
   }
 
   /**
+   * b-bit minwise hashing report (Li & König 2010, public) — the
+   * storage-side answer to "how many hash functions": keep only the
+   * LOWEST b BITS of each MinHash component (a 64→b-bit compression of
+   * the signature store, 32× at b=2) and correct for the accidental
+   * collisions that costs. Two b-bit components now match with
+   * probability `C + (1−C)·J`, `C = 2⁻ᵇ`, so the unbiased estimate is
+   *
+   *   Ĵ_b = (E_b − C) / (1 − C),  E_b = matching b-bit components / h.
+   *
+   * Reported side by side with the full-width estimate and the EXACT
+   * Jaccard over the same LSH candidate pairs ([[minhashErrorReport]]'s
+   * protocol), so the trade — b× smaller index vs the measured extra
+   * error — is a number, not a belief. At 100 TB the signature store
+   * IS the dedup index's footprint; this is the knob that shrinks it.
+   *
+   * Same plan shape as [[minhashErrorReport]]: one signature build, the
+   * candidate join, exact verification of candidates only, one 1-row
+   * aggregation. E_b is an exact rational (integer matches / h); the
+   * correction is one exact-power-of-two affine map — engine-exact.
+   *
+   * Output: one row (n_pairs, bits_per_component, mean_exact,
+   * mean_est_full, mean_est_b, mae_full, mae_b).
+   */
+  def bBitMinhashReport(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 8,
+      b: Int = 2,
+      bands: Int = 4,
+      shingleWords: Int = 3,
+      kind: HashKind = Md5): DataFrame = {
+    require(b >= 1 && b <= 32, s"b must be in [1, 32], got $b")
+    val cands = candidatePairs(df, textCol, idCol, numHashes, bands,
+      shingleWords, kind).localCheckpoint()
+    val exact = verifyPairs(df, cands, textCol, idCol, threshold = 0.0,
+      shingleWords)
+    val sigs = minhashSignatures(df, textCol, idCol, numHashes,
+      shingleWords, kind)
+    val mod = lit(1L << b)
+    val c = 1.0 / (1L << b)
+    def matchFrac(cmp: (Column, Column) => Column) =
+      aggregate(
+        zip_with(col("__sa"), col("__sb"),
+          (x, y) => when(cmp(x, y), 1).otherwise(0)),
+        lit(0), (acc, x) => acc + x).cast("double") / numHashes
+    val est = cands
+      .join(sigs.select(col(idCol).as("id_a"), col("sig").as("__sa")), "id_a")
+      .join(sigs.select(col(idCol).as("id_b"), col("sig").as("__sb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        matchFrac((x, y) => x === y).as("__ef"),
+        ((matchFrac((x, y) => x % mod === y % mod) - lit(c)) /
+          lit(1.0 - c)).as("__eb"))
+    est.join(exact, Seq("id_a", "id_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        max(lit(b)).as("bits_per_component"),
+        round(avg(col("jaccard")), 6).as("mean_exact"),
+        round(avg(col("__ef")), 6).as("mean_est_full"),
+        round(avg(col("__eb")), 6).as("mean_est_b"),
+        round(avg(abs(col("__ef") - col("jaccard"))), 6).as("mae_full"),
+        round(avg(abs(col("__eb") - col("jaccard"))), 6).as("mae_b"))
+  }
+
+  /**
    * Quality-canonical cluster selection — keep the HIGHEST-QUALITY
    * member of each near-dup cluster instead of the min-id one (the
    * documented alternative in dedup practice: when near-dups differ

@@ -410,6 +410,86 @@ object LanguageModel {
   }
 
   /**
+   * Stupid-backoff trigram NLL (Brants et al. 2007, "Large Language
+   * Models in Machine Translation" — the web-scale n-gram scorer) —
+   * the deliberately unnormalized backoff Google shipped for
+   * trillion-token counts because proper discounting (the
+   * [[kneserNeyNll]] machinery) stops mattering at that scale:
+   *
+   *   S(w₃|w₁w₂) = c(w₁w₂w₃)/c(w₁w₂)          if the trigram is seen
+   *              = α·c(w₂w₃)/c(w₂)             else if the bigram is
+   *              = α²·(c(w₃)+1)/(N+V)          else (add-one unigram
+   *                                             floor so unseen words
+   *                                             still score finitely)
+   *
+   * with the fixed backoff penalty α = 0.4 from the paper. Counts come
+   * from `model`; `score` is the held-out side — scoring the model
+   * corpus on itself would never leave the first branch, so the
+   * backoff path only means something across a real train/heldout
+   * split (the q69 discipline).
+   *
+   * Scale shape: three vocabulary-bounded count tables (trigram,
+   * bigram, unigram types — never corpus-∝) joined as broadcast LUTs
+   * against the held-out trigram positions; the same broadcast/shuffle
+   * seam as [[bigramNll]] governs when the n-gram vocabulary outgrows
+   * a broadcast. All counts exact integers; S is exact-integer ratios
+   * (one double division per branch), −ln and the per-doc mean are the
+   * only float accumulations (round 6).
+   *
+   * Held-out docs with fewer than 3 tokens have no trigram positions
+   * and are excluded (the [[bigramNll]] contract). Output:
+   * (idCol, nll_sb).
+   */
+  def stupidBackoffNll(
+      model: DataFrame,
+      score: DataFrame,
+      textCol: String,
+      idCol: String,
+      alpha: Double = 0.4): DataFrame = {
+    require(alpha > 0 && alpha < 1, "backoff penalty must be in (0, 1)")
+    val spark = model.sparkSession
+    def grams(df: DataFrame, n: Int, out: String) = df
+      .filter(size(TextOps.tokens(col(textCol))) >= n)
+      .select(col(idCol),
+        explode(graft.functions.GraftFunctions
+          .wordShingles(spark, col(textCol), n)).as(out))
+    val triC = grams(model, 3, "__tg")
+      .groupBy("__tg").agg(count(lit(1)).as("__c3"))
+    val biC = grams(model, 2, "__bg")
+      .groupBy("__bg").agg(count(lit(1)).as("__c2"))
+    val uni = unigramCounts(model, textCol)
+    val stats = uni.agg(
+      sum("c").cast("double").as("__n"),
+      count(lit(1)).cast("double").as("__v"))
+    val pos = grams(score, 3, "__tg").select(col(idCol), col("__tg"),
+      substring_index(col("__tg"), " ", 2).as("__h12"),
+      substring_index(col("__tg"), " ", -2).as("__g23"),
+      substring_index(substring_index(col("__tg"), " ", 2), " ", -1)
+        .as("__w2"),
+      substring_index(col("__tg"), " ", -1).as("__w3"))
+    val s = when(coalesce(col("__c3"), lit(0L)) > 0,
+        col("__c3").cast("double") / col("__ch"))
+      .when(coalesce(col("__cg"), lit(0L)) > 0,
+        lit(alpha) * col("__cg").cast("double") / col("__cw2"))
+      .otherwise(lit(alpha * alpha) *
+        (coalesce(col("__c1"), lit(0L)) + lit(1)).cast("double") /
+        (col("__n") + col("__v")))
+    pos
+      .join(broadcast(triC), Seq("__tg"), "left")
+      .join(broadcast(biC.select(col("__bg").as("__h12"),
+        col("__c2").as("__ch"))), Seq("__h12"), "left")
+      .join(broadcast(biC.select(col("__bg").as("__g23"),
+        col("__c2").as("__cg"))), Seq("__g23"), "left")
+      .join(broadcast(uni.select(col("token").as("__w2"),
+        col("c").as("__cw2"))), Seq("__w2"), "left")
+      .join(broadcast(uni.select(col("token").as("__w3"),
+        col("c").as("__c1"))), Seq("__w3"), "left")
+      .crossJoin(broadcast(stats))
+      .groupBy(col(idCol))
+      .agg(round(avg(-log(s)), 6).as("nll_sb"))
+  }
+
+  /**
    * PMI collocations (Church & Hanks 1990, public) — word pairs that
    * co-occur far above chance: `pmi(x,y) = ln(c(xy)·T / (c(x·)·c(·y)))`
    * over adjacent-bigram positions, with `T` the total positions and

@@ -58,4 +58,35 @@ class ClusteringSpec extends AnyFunSuite {
     assert(sizes.length == 4, "all 4 clusters survive on the fixture")
     assert(out.count() == emb.count(), "every vector is assigned")
   }
+
+  test("silhouette: hand geometry — tight separated clusters score ~1") {
+    import spark.implicits._
+    // orthogonal axes: members exactly at their centroid score
+    // own = 1, other = 0 -> s = (1 - 0)/(1 - 0) = 1
+    val emb = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(1f, 0f, 0f, 0f)),
+      (3L, Array(0f, 1f, 0f, 0f)), (4L, Array(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq(
+      1L -> Seq(1.0, 0.0, 0.0, 0.0), 3L -> Seq(0.0, 1.0, 0.0, 0.0))
+    val got = Clustering.silhouette(emb, "vec_id", "embedding", cents)
+      .orderBy("cluster").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 2L, 1.0), (3L, 2L, 1.0)))
+
+    // a mid-angle point drags its cluster's mean below a tight one's:
+    // 45°-ish member has own ≈ other -> s near 0
+    val mixed = emb.unionByName(
+      Seq((5L, Array(1f, 1f, 0f, 0f))).toDF("vec_id", "embedding"))
+    val got2 = Clustering.silhouette(mixed, "vec_id", "embedding", cents)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // the equidistant point ties to the LOWEST cid (cluster 1)
+    assert(got2(1L) < got2(3L) && got2(3L) == 1.0)
+    assert(got2(1L) > 0.6 && got2(1L) < 0.7) // (1 + 1 + 0)/3
+
+    intercept[IllegalArgumentException] {
+      Clustering.silhouette(emb, "vec_id", "embedding",
+        Seq(1L -> Seq(1.0, 0.0, 0.0, 0.0)))
+    }
+  }
 }

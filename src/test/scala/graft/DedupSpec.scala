@@ -803,4 +803,26 @@ class DedupSpec extends AnyFunSuite {
     // here because the shared tokens are the corpus-common ones
     assert(r.getDouble(3) < r.getDouble(2))
   }
+
+  test("bBitMinhashReport: identical pair is exact under any b; correction bounds") {
+    import TestSpark.spark
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "completely unrelated text with none of those words at all"))
+      .toDF("doc_id", "text")
+    val r = graft.ops.Dedup.bBitMinhashReport(
+      docs, "text", "doc_id", numHashes = 8, b = 2).head
+    // only the identical pair collides in any band
+    assert(r.getLong(0) == 1L)
+    assert(r.getInt(1) == 2)
+    // identical signatures: full and b-bit estimates are both exactly 1
+    assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 1.0 &&
+      r.getDouble(4) == 1.0)
+    assert(r.getDouble(5) == 0.0 && r.getDouble(6) == 0.0)
+    intercept[IllegalArgumentException] {
+      graft.ops.Dedup.bBitMinhashReport(docs, "text", "doc_id", b = 0)
+    }
+  }
 }

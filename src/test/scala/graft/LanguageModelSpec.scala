@@ -269,4 +269,31 @@ class LanguageModelSpec extends AnyFunSuite {
         TestSpark.table("documents"), "text", "doc_id", discount = 1.0)
     }
   }
+
+  test("stupidBackoffNll: all three backoff branches hit their hand values") {
+    import TestSpark.spark
+    import spark.implicits._
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // model: N = 6 tokens, V = 4; trigrams {a b c, b c a, c a b, a b d};
+    // bigrams {a b:2, b c:1, c a:1, b d:1}; unigrams {a:2, b:2, c:1, d:1}
+    val model = Seq((1L, "a b c a b d")).toDF("doc_id", "text")
+    val heldout = Seq(
+      (11L, "a b c"),  // seen trigram:   S = c3/c(a b)   = 1/2
+      (13L, "a b z"),  // unseen all:     S = α²·(0+1)/(N+V)
+      (15L, "d a b"),  // bigram backoff: S = α·c(a b)/c(a) = 0.4·2/2
+      (17L, "a b"))    // < 3 tokens — excluded by contract
+      .toDF("doc_id", "text")
+    val got = LanguageModel.stupidBackoffNll(model, heldout,
+        "text", "doc_id", alpha = 0.4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == Set(11L, 13L, 15L))
+    assert(got(11L) == r6(-math.log(1.0 / 2)))
+    assert(got(13L) == r6(-math.log(0.4 * 0.4 * 1.0 / 10.0)))
+    assert(got(15L) == r6(-math.log(0.4 * 2.0 / 2)))
+    intercept[IllegalArgumentException] {
+      LanguageModel.stupidBackoffNll(model, heldout, "text", "doc_id",
+        alpha = 1.0)
+    }
+  }
 }

@@ -318,4 +318,30 @@ class LayersSpec extends AnyFunSuite {
       .agg(count(lit(1)), sum("l_suppkey")).collect()(0)
     assert(a == b)
   }
+
+  test("vacuumPlan: keepLast fence, orphan reporting, empty base") {
+    import TestSpark.spark
+    import spark.implicits._
+    val base = TestSpark.tmpDir("vacuum")
+    val df = Seq(1L, 2L).toDF("k")
+    Layers.writeJsonl(df, base, Some("a"))
+    Layers.writeJsonl(df, base, Some("b"))
+    Layers.writeJsonl(df, base, Some("c"))
+    new java.io.File(s"$base/run_zz_inflight").mkdirs()
+    val plan = Layers.vacuumPlan(spark, base, keepLast = 1)
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1), r.getString(2))).toSet
+    assert(plan == Set(
+      ("run_a", 0L, "expire"), ("run_b", 1L, "expire"),
+      ("run_c", 2L, "keep"), ("run_zz_inflight", -1L, "orphan")))
+    // keepLast >= run count: nothing expires, orphan still reported
+    val all = Layers.vacuumPlan(spark, base, keepLast = 5)
+      .collect().map(_.getString(2)).toSet
+    assert(all == Set("keep", "orphan"))
+    // missing base: empty plan, no error
+    assert(Layers.vacuumPlan(spark, s"$base/nope", 1).count() == 0L)
+    intercept[IllegalArgumentException] {
+      Layers.vacuumPlan(spark, base, keepLast = 0)
+    }
+  }
 }

@@ -124,4 +124,25 @@ class ZoneMapSpec extends AnyFunSuite {
       ZoneMap.rangeFileId(col("v"), lit(0.0), lit(1.0), 0)
     }
   }
+
+  test("skipRateReport: clustered layout skips, scattered layout opens") {
+    import TestSpark.spark
+    import spark.implicits._
+    val df = (1L to 64L).toDF("v")
+      .withColumn("scatter", (col("v") * 37) % 64)
+    val r = ZoneMap.skipRateReport(df,
+      layoutA = col("v"), layoutB = col("scatter"),
+      valueCol = "v", nFiles = 8, predicates = Seq((1.0, 8.0)))
+      .head
+    // layout A: 8-wide contiguous zones — only file 0 overlaps [1, 8]
+    assert(r.getLong(2) == 8L)            // files_a
+    assert(r.getLong(3) == 1L)            // open_a
+    assert(r.getDouble(4) == 0.875)       // skip_rate_a
+    // scattered layout: wide zones, most files open, skip rate lower
+    assert(r.getLong(6) > r.getLong(3))   // open_b > open_a
+    assert(r.getDouble(7) < r.getDouble(4))
+    intercept[IllegalArgumentException] {
+      ZoneMap.skipRateReport(df, col("v"), col("v"), "v", 8, Seq.empty)
+    }
+  }
 }
