@@ -4321,7 +4321,109 @@ object SparkEntry {
     //      the same candidate pairs.
     "q250_bbit_minhash" -> ((s, dir) =>
       Dedup.bBitMinhashReport(
-        T(s, dir, "documents"), "text", "doc_id", numHashes = 8, b = 2))
+        T(s, dir, "documents"), "text", "doc_id", numHashes = 8, b = 2)),
+
+    // ---- north-star: Krippendorff's alpha over three quality
+    //      "raters" with abstention (the token gate skips zh) — the
+    //      missing-tolerant IAA statistic κ cannot be; exact-integer
+    //      disagreement sums via the lcm scaling.
+    "q251_krippendorff" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      val rated = docs.select(col("doc_id"),
+        (graft.ops.TextOps.qualityScore(col("text")) >= 0.5)
+          .cast("string").as("rater_quality"),
+        (col("n_chars") >= 306L).cast("string").as("rater_length"),
+        when(col("lang") =!= "zh",
+          (graft.ops.TextOps.tokenCount(col("text")) >= 50L)
+            .cast("string")).as("rater_tokens"))
+      graft.ops.Quality.krippendorffAlpha(rated, "doc_id",
+        Seq("rater_quality", "rater_length", "rater_tokens"))
+    }),
+
+    // ---- north-star: URL query-parameter audit — the data-driven
+    //      strip list beside q142's static one: per-URL-unique params
+    //      (session ids / cache busters) flag `strip`, low-cardinality
+    //      ones keep, thin evidence abstains.
+    "q252_param_audit" -> ((s, dir) => {
+      val urls = T(s, dir, "documents").select(concat(
+        lit("https://h"), (col("doc_id") % 4).cast("string"),
+        lit(".example.com/p/"), (col("doc_id") % 7).cast("string"),
+        lit("?sid="), md5(col("doc_id").cast("string")),
+        lit("&page="), (col("doc_id") % 3).cast("string"),
+        when(col("doc_id") % 5 === 0, lit("&ref=mail")).otherwise(lit("")))
+        .as("url"))
+      graft.ops.UrlOps.paramAudit(urls, "url",
+        minUrls = 10L, stripRatio = 0.9)
+    }),
+
+    // ---- north-star: CUPED variance-reduced experiment readout
+    //      (Deng 2013) — pre-period covariate adjustment with
+    //      decimal-exact moments and ANALYTIC per-arm adjusted means
+    //      (no row-wise float accumulation anywhere).
+    "q253_cuped" -> ((s, dir) =>
+      graft.ops.EventOps.cupedReadout(
+        Layers.readEvents(s, s"$dir/events.parquet"),
+        "user_id", "ts", "value",
+        cutoverTs = "2024-01-16 00:00:00",
+        armOf = col("user_id") % 2)),
+
+    // ---- north-star: embedding centroid drift — the vector-space
+    //      drift gauge beside PSI/JS/KS: snapshot mean-vector cosine +
+    //      top-8 dimensions by centroid shift, decimal-exact means.
+    "q254_centroid_drift" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      graft.ops.Diagnostics.embeddingCentroidDrift(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1), "embedding", topK = 8)
+    }),
+
+    // ---- north-star: funnel time-to-convert percentiles — the
+    //      latency companion of q135's reach counts (same greedy
+    //      chain); p50/p90 seconds from anchor per step decide the
+    //      attribution window.
+    "q255_funnel_latency" -> ((s, dir) =>
+      graft.ops.EventOps.funnelLatency(
+        Layers.readEvents(s, s"$dir/events.parquet"),
+        "user_id", "event_type", "ts",
+        steps = Seq("view", "click", "purchase"),
+        windowSeconds = 604800L, ps = Seq(0.5, 0.9))),
+
+    // ---- north-star: seasonal-naive volume forecast error (MASE) —
+    //      does "same hour yesterday" beat "last hour" per event type,
+    //      over the DENSIFIED hour grid; integer-exact sums, one
+    //      division.
+    "q256_volume_mase" -> ((s, dir) =>
+      graft.ops.EventOps.volumeForecastError(
+        Layers.readEvents(s, s"$dir/events.parquet"),
+        "event_type", "ts", seasonHours = 24)),
+
+    // ---- north-star: Fellegi–Sunter probabilistic record linkage —
+    //      per-field m/u log-likelihood evidence over blocked pairs of
+    //      the customer table vs its perturbed twin; disagreements
+    //      SUBTRACT (what set-overlap dedup can't express).
+    "q257_record_linkage" -> ((s, dir) => {
+      val cust = T(s, dir, "customer")
+      val dirty = cust.filter(col("c_custkey") % 20 === 0).select(
+        (col("c_custkey") + 100000).as("c_custkey"),
+        concat(lit(" "), upper(col("c_name")), lit("  ")).as("c_name"),
+        col("c_nationkey"),
+        (col("c_acctbal") + 0.5).as("c_acctbal"),
+        col("c_mktsegment"))
+      graft.ops.Linkage.fellegiSunter(
+        dirty, cust, idCol = "c_custkey", blockCol = "c_mktsegment",
+        fields = Seq(
+          graft.ops.Linkage.Field("name",
+            lower(trim(col("a_c_name"))) === lower(trim(col("b_c_name"))),
+            m = 0.95, u = 0.002),
+          graft.ops.Linkage.Field("bal",
+            abs(col("a_c_acctbal") - col("b_c_acctbal")) <= 1.0,
+            m = 0.9, u = 0.05),
+          graft.ops.Linkage.Field("nation",
+            col("a_c_nationkey") === col("b_c_nationkey"),
+            m = 0.95, u = 0.04)),
+        upper = 5.0, lower = 0.0)
+        .filter(col("decision") =!= "non_match")
+    })
   )
 
   /** graft-authored pipeline config (reference YAML shape,
@@ -8203,6 +8305,231 @@ object SparkEntry {
          |  round(avg(abs(ef - jaccard)), 6) AS mae_full,
          |  round(avg(abs(eb - jaccard)), 6) AS mae_b
          |FROM est JOIN ex USING (id_a, id_b)""".stripMargin
+    },
+
+    // Krippendorff replay: melt the three raters (token gate abstains
+    // on zh), per-unit category counts, lcm(1,2)=2-scaled integer
+    // disagreement sums, one final division
+    "q251_krippendorff" ->
+      s"""WITH r AS (SELECT doc_id,
+         |    CAST((${PortableSql.qualityScore("text", DD)} >= 0.5)
+         |      AS VARCHAR) AS ra,
+         |    CAST((n_chars >= 306) AS VARCHAR) AS rb,
+         |    CASE WHEN lang <> 'zh'
+         |      THEN CAST((len(string_split(text, ' ')) >= 50) AS VARCHAR)
+         |    END AS rc
+         |  FROM documents WHERE text IS NOT NULL),
+         |m AS (SELECT doc_id, cat FROM (
+         |    SELECT doc_id, ra AS cat FROM r
+         |    UNION ALL SELECT doc_id, rb FROM r
+         |    UNION ALL SELECT doc_id, rc FROM r)
+         |  WHERE cat IS NOT NULL),
+         |uc AS (SELECT doc_id, cat, count(*) AS nuc FROM m GROUP BY 1, 2),
+         |u AS (SELECT doc_id, CAST(sum(nuc) AS BIGINT) AS mu,
+         |    CAST(sum(nuc * nuc) AS BIGINT) AS sq
+         |  FROM uc GROUP BY doc_id HAVING sum(nuc) >= 2),
+         |d_o AS (SELECT
+         |    coalesce(CAST(sum((mu * mu - sq) * (2 / (mu - 1)))
+         |      AS BIGINT), 0) AS d_o_scaled,
+         |    coalesce(CAST(sum(mu) AS BIGINT), 0) AS n_ratings,
+         |    count(*) AS n_units
+         |  FROM u),
+         |ct AS (SELECT coalesce(CAST(sum(nc * nc) AS BIGINT), 0) AS sqc
+         |  FROM (SELECT cat, sum(nuc) AS nc FROM uc
+         |        JOIN u USING (doc_id) GROUP BY cat))
+         |SELECT n_ratings, n_units, d_o_scaled,
+         |  n_ratings * n_ratings - sqc AS d_e,
+         |  round(CASE WHEN n_ratings * n_ratings - sqc = 0 THEN NULL
+         |    ELSE 1.0 - CAST(n_ratings - 1 AS DOUBLE) * d_o_scaled
+         |      / (2 * (n_ratings * n_ratings - sqc)) END, 6) AS alpha
+         |FROM d_o, ct""".stripMargin,
+
+    // param-audit replay: the constructive URL recipe re-derived as
+    // (host, param, value) rows directly, then the same counts and
+    // rounded-ratio verdicts
+    "q252_param_audit" ->
+      """WITH b AS (SELECT doc_id,
+        |    'h' || CAST(doc_id % 4 AS VARCHAR) || '.example.com' AS host
+        |  FROM documents),
+        |p AS (
+        |  SELECT host, 'sid' AS param,
+        |    md5(CAST(doc_id AS VARCHAR)) AS value FROM b
+        |  UNION ALL
+        |  SELECT host, 'page', CAST(doc_id % 3 AS VARCHAR) FROM b
+        |  UNION ALL
+        |  SELECT host, 'ref', 'mail' FROM b WHERE doc_id % 5 = 0),
+        |g AS (SELECT host, param, count(*) AS n_urls,
+        |    count(DISTINCT value) AS n_values FROM p GROUP BY 1, 2)
+        |SELECT host, param, n_urls, n_values,
+        |  round(CAST(n_values AS DOUBLE) / n_urls, 6) AS distinct_ratio,
+        |  CASE WHEN n_urls < 10 THEN 'low_evidence'
+        |    WHEN round(CAST(n_values AS DOUBLE) / n_urls, 6) >= 0.9
+        |      THEN 'strip'
+        |    ELSE 'keep' END AS verdict
+        |FROM g""".stripMargin,
+
+    // CUPED replay: decimal-exact per-user pre/post sums and global
+    // moments, then the SAME scalar expression tree (theta, analytic
+    // per-arm adjusted mean, variance identity)
+    "q253_cuped" -> {
+      val cut = "TIMESTAMP '2024-01-16 00:00:00'"
+      val theta = "((sxy/nd - (sx/nd)*(sy/nd)) / (sxx/nd - (sx/nd)*(sx/nd)))"
+      s"""WITH pu AS (SELECT user_id,
+         |    CAST(sum(CAST(CASE WHEN ts < $cut THEN value ELSE 0.0 END
+         |      AS DECIMAL(28,8))) AS DOUBLE) AS x,
+         |    CAST(sum(CAST(CASE WHEN ts >= $cut THEN value ELSE 0.0 END
+         |      AS DECIMAL(28,8))) AS DOUBLE) AS y
+         |  FROM events GROUP BY user_id),
+         |mo AS (SELECT count(*) AS n,
+         |    CAST(sum(CAST(x AS DECIMAL(28,8))) AS DOUBLE) AS sx,
+         |    CAST(sum(CAST(y AS DECIMAL(28,8))) AS DOUBLE) AS sy,
+         |    CAST(sum(CAST(x * y AS DECIMAL(28,8))) AS DOUBLE) AS sxy,
+         |    CAST(sum(CAST(x * x AS DECIMAL(28,8))) AS DOUBLE) AS sxx,
+         |    CAST(sum(CAST(y * y AS DECIMAL(28,8))) AS DOUBLE) AS syy
+         |  FROM pu),
+         |ar AS (SELECT user_id % 2 AS arm, count(*) AS n_users,
+         |    CAST(sum(CAST(x AS DECIMAL(28,8))) AS DOUBLE) AS ax,
+         |    CAST(sum(CAST(y AS DECIMAL(28,8))) AS DOUBLE) AS ay
+         |  FROM pu GROUP BY 1),
+         |f AS (SELECT arm, n_users, ax, ay, sx, sy, sxy, sxx, syy,
+         |    CAST(n AS DOUBLE) AS nd FROM ar, mo)
+         |SELECT arm, n_users,
+         |  round(ay / n_users, 6) AS mean_y,
+         |  round((ay - $theta * (ax - n_users * (sx/nd))) / n_users, 6)
+         |    AS mean_y_adj,
+         |  round($theta, 6) AS theta,
+         |  round(syy/nd - (sy/nd)*(sy/nd), 6) AS var_y,
+         |  round((syy/nd - (sy/nd)*(sy/nd))
+         |    - $theta * $theta * (sxx/nd - (sx/nd)*(sx/nd)), 6)
+         |    AS var_y_adj
+         |FROM f""".stripMargin
+    },
+
+    // centroid-drift replay: decimal-exact per-dim means for each
+    // half, in-order cosine fold over the two mean vectors, rounded
+    // abs-shift top-k (posexplode dims are 0-based: dim = __i − 1)
+    "q254_centroid_drift" -> {
+      def half(tag: String, m: Int) =
+        s"""m_$tag AS (SELECT d.__i AS di,
+           |    CAST(sum(CAST(CAST(embedding[d.__i] AS DOUBLE)
+           |      AS DECIMAL(28,8))) AS DOUBLE) / count(*) AS mean_$tag
+           |  FROM embeddings, (SELECT unnest(generate_series(1, 64))
+           |    AS __i) d
+           |  WHERE vec_id % 2 = $m GROUP BY d.__i)""".stripMargin
+      s"""WITH ${half("base", 0)},
+         |${half("next", 1)},
+         |j AS (SELECT m_base.di - 1 AS dim, mean_base, mean_next
+         |  FROM m_base JOIN m_next ON m_next.di = m_base.di),
+         |va AS (SELECT list(mean_base ORDER BY dim) AS a,
+         |    list(mean_next ORDER BY dim) AS b FROM j),
+         |cs AS (SELECT ${duckCosine("a", "b", 64)} AS centroid_cosine
+         |  FROM va)
+         |SELECT dim, round(mean_base, 6) AS mean_base,
+         |  round(mean_next, 6) AS mean_next,
+         |  round(abs(mean_next - mean_base), 6) AS abs_shift,
+         |  cs.centroid_cosine
+         |FROM j, cs
+         |ORDER BY round(abs(mean_next - mean_base), 6) DESC, dim ASC
+         |LIMIT 8""".stripMargin
+    },
+
+    // funnel-latency replay: the q135 chain keeping each step's
+    // timestamp, elapsed = epoch diff, then the q38 percentile
+    // interpolation partitioned by step
+    "q255_funnel_latency" -> {
+      val pcols = Seq(0.5 -> "p50", 0.9 -> "p90").map { case (p, name) =>
+        s"""round(
+           |    max(CASE WHEN rn = CAST(floor((n - 1) * $p) AS BIGINT) + 1 THEN v END) +
+           |    (max(CASE WHEN rn = CAST(ceil((n - 1) * $p) AS BIGINT) + 1 THEN v END) -
+           |     max(CASE WHEN rn = CAST(floor((n - 1) * $p) AS BIGINT) + 1 THEN v END))
+           |    * max((n - 1) * $p - floor((n - 1) * $p)), 6) AS $name""".stripMargin
+      }.mkString(",\n  ")
+      s"""WITH fn1 AS (SELECT user_id, min(ts) AS anchor
+         |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+         |fn2 AS (SELECT e.user_id, min(f.anchor) AS anchor,
+         |    min(e.ts) AS prev
+         |  FROM events e JOIN fn1 f ON e.user_id = f.user_id
+         |  WHERE e.event_type = 'click' AND e.ts > f.anchor
+         |    AND e.ts <= f.anchor + INTERVAL 604800 SECONDS
+         |  GROUP BY e.user_id),
+         |fn3 AS (SELECT e.user_id, min(f.anchor) AS anchor,
+         |    min(e.ts) AS prev
+         |  FROM events e JOIN fn2 f ON e.user_id = f.user_id
+         |  WHERE e.event_type = 'purchase' AND e.ts > f.prev
+         |    AND e.ts <= f.anchor + INTERVAL 604800 SECONDS
+         |  GROUP BY e.user_id),
+         |lat AS (SELECT 'click' AS step, 2 AS step_idx,
+         |    epoch(prev) - epoch(anchor) AS v FROM fn2
+         |  UNION ALL SELECT 'purchase', 3,
+         |    epoch(prev) - epoch(anchor) FROM fn3),
+         |r AS (SELECT step, step_idx, v,
+         |    row_number() OVER (PARTITION BY step ORDER BY v ASC) AS rn,
+         |    CAST(count(*) OVER (PARTITION BY step) AS DOUBLE) AS n
+         |  FROM lat)
+         |SELECT step, step_idx,
+         |  $pcols,
+         |  CAST(max(n) AS BIGINT) AS n_rows
+         |FROM r GROUP BY step, step_idx""".stripMargin
+    },
+
+    // MASE replay: hour-floor counts, per-type densified spine, both
+    // lags on one window, the four integer sums and one division
+    "q256_volume_mase" ->
+      """WITH hc AS (SELECT event_type,
+        |    CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (SELECT event_type, unnest(generate_series(min(h), max(h)))
+        |    AS h FROM hc GROUP BY event_type),
+        |g AS (SELECT sp.event_type, sp.h, coalesce(hc.n, 0) AS y
+        |  FROM sp LEFT JOIN hc USING (event_type, h)),
+        |l AS (SELECT event_type, y,
+        |    lag(y, 24) OVER (PARTITION BY event_type ORDER BY h) AS ys,
+        |    lag(y, 1) OVER (PARTITION BY event_type ORDER BY h) AS y1
+        |  FROM g)
+        |SELECT event_type, count(*) AS n_hours,
+        |  coalesce(CAST(sum(abs(y - ys)) AS BIGINT), 0)
+        |    AS sum_abs_seasonal,
+        |  count(ys) AS n_seasonal,
+        |  coalesce(CAST(sum(abs(y - y1)) AS BIGINT), 0) AS sum_abs_naive1,
+        |  count(y1) AS n_naive1,
+        |  round(CASE WHEN coalesce(sum(abs(y - y1)), 0) = 0
+        |      OR count(ys) = 0 THEN NULL
+        |    ELSE CAST(sum(abs(y - ys)) AS DOUBLE) * count(y1)
+        |      / (count(ys) * sum(abs(y - y1))) END, 6) AS mase
+        |FROM l GROUP BY event_type""".stripMargin,
+
+    // Fellegi–Sunter replay: the same perturbed twin, blocking join,
+    // and the Scala-computed m/u log weights interpolated verbatim so
+    // both engines sum identical literals
+    "q257_record_linkage" -> {
+      val (wnA, wnD) = (math.log(0.95 / 0.002), math.log(0.05 / 0.998))
+      val (wbA, wbD) = (math.log(0.9 / 0.05), math.log(0.1 / 0.95))
+      val (wkA, wkD) = (math.log(0.95 / 0.04), math.log(0.05 / 0.96))
+      s"""WITH dirty AS (SELECT c_custkey + 100000 AS k,
+         |    ' ' || upper(c_name) || '  ' AS name, c_nationkey AS nk,
+         |    c_acctbal + 0.5 AS bal, c_mktsegment AS seg
+         |  FROM customer WHERE c_custkey % 20 = 0),
+         |p AS (SELECT d.k AS id_a, c.c_custkey AS id_b,
+         |    coalesce(lower(trim(d.name)) = lower(trim(c.c_name)), false)
+         |      AS agree_name,
+         |    coalesce(abs(d.bal - c.c_acctbal) <= 1.0, false) AS agree_bal,
+         |    coalesce(d.nk = c.c_nationkey, false) AS agree_nation
+         |  FROM dirty d JOIN customer c ON c.c_mktsegment = d.seg),
+         |s AS (SELECT *,
+         |    round((CASE WHEN agree_name THEN CAST($wnA AS DOUBLE)
+         |        ELSE CAST($wnD AS DOUBLE) END)
+         |      + (CASE WHEN agree_bal THEN CAST($wbA AS DOUBLE)
+         |        ELSE CAST($wbD AS DOUBLE) END)
+         |      + (CASE WHEN agree_nation THEN CAST($wkA AS DOUBLE)
+         |        ELSE CAST($wkD AS DOUBLE) END), 6) AS score
+         |  FROM p),
+         |dec AS (SELECT id_a, id_b, agree_name, agree_bal, agree_nation,
+         |    score,
+         |    CASE WHEN score >= 5.0 THEN 'match'
+         |      WHEN score <= 0.0 THEN 'non_match'
+         |      ELSE 'possible' END AS decision
+         |  FROM s)
+         |SELECT * FROM dec WHERE decision <> 'non_match'""".stripMargin
     },
 
     // proximity replay: token positions from the text directly —

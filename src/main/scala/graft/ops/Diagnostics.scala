@@ -222,6 +222,65 @@ object Diagnostics {
    *
    * Output: one row (d_stat, at_value, n_a, n_b).
    */
+  /**
+   * Embedding centroid drift — the drift gauge for the VECTOR side of
+   * the corpus (PSI/JS/KS watch scalar columns; a re-embedded or
+   * distribution-shifted corpus moves in embedding space first): the
+   * cosine between the two snapshots' mean vectors, plus the top-k
+   * dimensions by absolute centroid shift (the "which directions
+   * moved" attribution).
+   *
+   * DETERMINISM: per-dimension means run the float→double values
+   * through decimal(28,8) sums (exact, order-free); the cross-snapshot
+   * cosine folds the two dims-length mean vectors IN DIMENSION ORDER
+   * (same HOF shape both engines), so every output value replays.
+   *
+   * Scale shape: one posexplode + decomposable (dim) aggregation per
+   * snapshot (dims-bounded output), a dims-row join, one dims-row
+   * fold for the cosine, TakeOrdered top-k. Nothing row-∝ shuffles
+   * beyond the two per-dim aggregations.
+   *
+   * Output: topK rows (dim, mean_base, mean_next, abs_shift,
+   * centroid_cosine) — the cosine is global, repeated per row.
+   */
+  def embeddingCentroidDrift(
+      base: DataFrame,
+      next: DataFrame,
+      embCol: String,
+      topK: Int = 8): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    val dec = "decimal(28,8)"
+    def dimMeans(df: DataFrame, cname: String): DataFrame = df
+      .select(posexplode(col(embCol)).as(Seq("__d", "__v")))
+      .groupBy("__d")
+      .agg((sum(col("__v").cast("double").cast(dec)).cast("double") /
+        count(lit(1))).as(cname))
+    val joined = dimMeans(base, "mean_base")
+      .join(dimMeans(next, "mean_next"), Seq("__d"))
+      .localCheckpoint() // feeds the cosine fold AND the top-k
+    val vecs = joined
+      .select(struct(col("__d"), col("mean_base"), col("mean_next"))
+        .as("__s"))
+      .agg(sort_array(collect_list(col("__s"))).as("__rows"))
+      .select(
+        transform(col("__rows"), r => r.getField("mean_base")).as("__a"),
+        transform(col("__rows"), r => r.getField("mean_next")).as("__b"))
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val cosine = vecs.select(
+      round(dot(col("__a"), col("__b")) /
+        (sqrt(dot(col("__a"), col("__a"))) *
+          sqrt(dot(col("__b"), col("__b")))), 6).as("centroid_cosine"))
+    joined
+      .select(col("__d").as("dim"),
+        round(col("mean_base"), 6).as("mean_base"),
+        round(col("mean_next"), 6).as("mean_next"),
+        round(abs(col("mean_next") - col("mean_base")), 6).as("abs_shift"))
+      .orderBy(col("abs_shift").desc, col("dim").asc)
+      .limit(topK)
+      .crossJoin(broadcast(cosine))
+  }
+
   def ksStatistic(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
     def side(df: DataFrame, cname: String): DataFrame = df
       .select(col(valueCol).cast("double").as("__v"))

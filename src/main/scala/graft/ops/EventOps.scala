@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -307,6 +307,200 @@ object EventOps {
     }
     events.sparkSession.createDataFrame(out.toSeq)
       .toDF("channel", "removal_effect", "attribution_share")
+  }
+
+  /**
+   * Funnel time-to-convert percentiles — the latency companion of
+   * [[funnel]]'s reach counts: for every user who reached step k, the
+   * seconds from their funnel ANCHOR (first entry-step event) to the
+   * greedy-earliest step-k completion, summarized as exact percentiles
+   * per step. "Half the buyers buy within 8 minutes, the p90 takes two
+   * days" is what decides the attribution window and the re-engagement
+   * cadence — the reach counts alone can't say it.
+   *
+   * Exactly [[funnel]]'s chaining semantics (greedy-earliest, strict
+   * order, whole chain inside the anchor window) — the per-step user
+   * sets are identical by construction; this variant keeps each
+   * reached user's step timestamp and feeds the elapsed seconds to
+   * [[Stats.exactPercentiles]] (one per-step rank window over the
+   * step's reached-user frame). Elapsed values are timestamp
+   * differences in double seconds — engine-exact arithmetic on
+   * identical inputs.
+   *
+   * Output: one row per non-entry step:
+   * (step, step_idx, p<…> per requested fraction, n_rows).
+   */
+  def funnelLatency(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      steps: Seq[String],
+      windowSeconds: Long,
+      ps: Seq[Double] = Seq(0.5, 0.9)): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least 2 steps")
+    require(windowSeconds > 0, "window must be positive")
+    val base = events.select(
+      col(userCol).as("u"), col(typeCol).as("t"), col(tsCol).as("ts"))
+    var reached = base.filter(col("t") === steps.head)
+      .groupBy("u").agg(min(col("ts")).as("anchor"))
+      .withColumn("prev", col("anchor"))
+      .localCheckpoint()
+    val latFrames = Seq.newBuilder[DataFrame]
+    steps.tail.zipWithIndex.foreach { case (step, i) =>
+      val prevStage = reached.withColumnRenamed("u", "__ru")
+      reached = base.filter(col("t") === step)
+        .join(prevStage, col("u") === col("__ru")).drop("__ru")
+        .filter(col("ts") > col("prev") &&
+          col("ts") <= col("anchor") + expr(s"INTERVAL $windowSeconds SECONDS"))
+        .groupBy("u")
+        .agg(min(col("ts")).as("__step_ts"),
+          min(col("anchor")).as("anchor"))
+        .withColumn("prev", col("__step_ts")).drop("__step_ts")
+        .localCheckpoint()
+      latFrames += reached.select(
+        lit(step).as("step"), lit(i + 2).as("step_idx"),
+        (col("prev").cast("double") - col("anchor").cast("double"))
+          .as("elapsed_s"))
+    }
+    Stats.exactPercentiles(
+      latFrames.result().reduce(_ unionByName _),
+      groupCols = Seq("step", "step_idx"), valueCol = "elapsed_s", ps = ps)
+  }
+
+  /**
+   * Seasonal-naive volume forecast error (MASE — Hyndman & Koehler
+   * 2006, public) — the capacity-planning gauge over event volumes:
+   * how well does "same hour yesterday" predict each type's hourly
+   * count, scaled by the one-step naive baseline so types with wildly
+   * different volumes compare on one axis:
+   *
+   *   MASE = mean|y_t − y_{t−season}| / mean|y_t − y_{t−1}|
+   *
+   * MASE < 1 → the seasonal pattern is real (schedule by it);
+   * MASE ≈ 1 → no daily seasonality; a constant series (denominator
+   * 0) → null. Both means run over the DENSIFIED per-type hour grid
+   * ([[rateAnomalies]]' spine discipline — missing hours are real
+   * zeros, not absent rows), so a source going dark counts against
+   * the forecast instead of vanishing.
+   *
+   * All counts and absolute differences are exact integers; the MASE
+   * ratio is computed from the four integer sums in one division —
+   * engine-exact. One (type, hour) aggregation, one per-type spine
+   * join, ONE type-keyed window pass (both lags ride it).
+   *
+   * Output: one row per type: (event_type, n_hours, sum_abs_seasonal,
+   * n_seasonal, sum_abs_naive1, n_naive1, mase).
+   */
+  def volumeForecastError(
+      events: DataFrame,
+      typeCol: String,
+      tsCol: String,
+      seasonHours: Int = 24): DataFrame = {
+    require(seasonHours >= 2, "season must be at least 2 hours")
+    val hourly = events
+      .select(col(typeCol).as("event_type"),
+        floor(col(tsCol).cast("double") / 3600).as("__h"))
+      .groupBy("event_type", "__h")
+      .agg(count(lit(1)).as("__n"))
+    val spine = hourly.groupBy("event_type")
+      .agg(min("__h").as("__lo"), max("__h").as("__hi"))
+      .select(col("event_type"),
+        explode(sequence(col("__lo"), col("__hi"))).as("__h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("__h"))
+    val grid = spine
+      .join(hourly, Seq("event_type", "__h"), "left_outer")
+      .select(col("event_type"), col("__h"),
+        coalesce(col("__n"), lit(0L)).as("__y"))
+      .withColumn("__ys", lag(col("__y"), seasonHours).over(w))
+      .withColumn("__y1", lag(col("__y"), 1).over(w))
+    grid.groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"),
+        coalesce(sum(abs(col("__y") - col("__ys"))), lit(0L))
+          .as("sum_abs_seasonal"),
+        count(col("__ys")).as("n_seasonal"),
+        coalesce(sum(abs(col("__y") - col("__y1"))), lit(0L))
+          .as("sum_abs_naive1"),
+        count(col("__y1")).as("n_naive1"))
+      .select(col("event_type"), col("n_hours"), col("sum_abs_seasonal"),
+        col("n_seasonal"), col("sum_abs_naive1"), col("n_naive1"),
+        round(when(col("sum_abs_naive1") === 0 || col("n_seasonal") === 0,
+          lit(null).cast("double"))
+          .otherwise(col("sum_abs_seasonal").cast("double") *
+            col("n_naive1") / (col("n_seasonal") * col("sum_abs_naive1"))),
+          6).as("mase"))
+  }
+
+  /**
+   * CUPED experiment readout (Deng et al. 2013, "Improving the
+   * Sensitivity of Online Controlled Experiments", public) — the
+   * variance-reduction standard of every experimentation platform:
+   * adjust each user's in-experiment metric by their PRE-PERIOD
+   * behavior, `y* = y − θ·(x − x̄)`, `θ = cov(x,y)/var(x)`, shrinking
+   * metric variance by exactly `θ²·var(x)` without biasing the
+   * treatment contrast (x predates assignment).
+   *
+   * DETERMINISM: per-user x (pre) and y (post) sums run through
+   * decimal(28,8) — exact, order-free; every downstream moment
+   * (Σx, Σy, Σxy, Σx², Σy²) is likewise decimal-exact, and the
+   * per-arm ADJUSTED mean is computed analytically from those sums
+   * (`meanŷ = (Σy_arm − θ·(Σx_arm − n_arm·x̄))/n_arm`) rather than by
+   * summing per-row adjusted values — no float accumulation anywhere,
+   * so the readout replays bit-for-bit. Variance reduction is the
+   * identity `var(y*) = var(y) − θ²·var(x)`.
+   *
+   * Scale shape: one decomposable per-user conditional aggregation
+   * (the universe = users with any event), one 1-row moment rollup
+   * broadcast into the |arms|-row report. Nothing row-∝ beyond the
+   * first aggregation.
+   *
+   * Output: one row per arm: (arm, n_users, mean_y, mean_y_adj,
+   * theta, var_y, var_y_adj) — theta/variances are global, repeated
+   * per row for a self-contained report.
+   */
+  def cupedReadout(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      valueCol: String,
+      cutoverTs: String,
+      armOf: Column): DataFrame = {
+    val dec = "decimal(28,8)"
+    val pre = when(col(tsCol) < lit(cutoverTs).cast("timestamp"),
+      col(valueCol)).otherwise(lit(0.0))
+    val post = when(col(tsCol) >= lit(cutoverTs).cast("timestamp"),
+      col(valueCol)).otherwise(lit(0.0))
+    val perUser = events
+      .groupBy(col(userCol))
+      .agg(sum(pre.cast(dec)).cast("double").as("__x"),
+        sum(post.cast(dec)).cast("double").as("__y"))
+      .select(col(userCol), armOf.as("arm"), col("__x"), col("__y"))
+    val moments = perUser.agg(
+      count(lit(1)).as("__n"),
+      sum(col("__x").cast(dec)).cast("double").as("__sx"),
+      sum(col("__y").cast(dec)).cast("double").as("__sy"),
+      sum((col("__x") * col("__y")).cast(dec)).cast("double").as("__sxy"),
+      sum((col("__x") * col("__x")).cast(dec)).cast("double").as("__sxx"),
+      sum((col("__y") * col("__y")).cast(dec)).cast("double").as("__syy"))
+    val arms = perUser.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("__x").cast(dec)).cast("double").as("__ax"),
+        sum(col("__y").cast(dec)).cast("double").as("__ay"))
+    val n = col("__n").cast("double")
+    val varX = col("__sxx") / n - (col("__sx") / n) * (col("__sx") / n)
+    val varY = col("__syy") / n - (col("__sy") / n) * (col("__sy") / n)
+    val covXY = col("__sxy") / n - (col("__sx") / n) * (col("__sy") / n)
+    val theta = covXY / varX
+    arms.crossJoin(broadcast(moments))
+      .select(col("arm"), col("n_users"),
+        round(col("__ay") / col("n_users"), 6).as("mean_y"),
+        round((col("__ay") - theta *
+          (col("__ax") - col("n_users") * (col("__sx") / n))) /
+          col("n_users"), 6).as("mean_y_adj"),
+        round(theta, 6).as("theta"),
+        round(varY, 6).as("var_y"),
+        round(varY - theta * theta * varX, 6).as("var_y_adj"))
   }
 
   def retention(

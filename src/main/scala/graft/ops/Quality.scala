@@ -90,6 +90,76 @@ object Quality {
   }
 
   /**
+   * Krippendorff's alpha, nominal metric (Krippendorff 2004, public) —
+   * the inter-annotator statistic that [[agreementKappa]] cannot be
+   * when raters ABSTAIN: κ needs exactly two complete raters; α takes
+   * any number of raters with arbitrary missingness (the real shape of
+   * LLM-judge / multi-gate labeling, where judges skip out-of-domain
+   * rows). Units with fewer than 2 ratings carry no agreement
+   * information and drop (the standard convention).
+   *
+   * Nominal form over per-unit category counts n_uc (m_u = Σ_c n_uc):
+   *
+   *   α = 1 − (n−1) · Σ_u [(m_u² − Σ_c n_uc²)/(m_u−1)] / (n² − Σ_c n_c²)
+   *
+   * DETERMINISM: every per-unit term is scaled by
+   * `L = lcm(1…maxRaters−1)` (bounded by the caller's rater-column
+   * list), making the observed-disagreement sum EXACT INTEGERS — no
+   * float accumulation anywhere; α is one final division (round 6).
+   * Perfect agreement on every multi-rated unit → α = 1; an expected
+   * disagreement of 0 (all ratings one category) → α undefined → null.
+   *
+   * Scale shape: one melt (units × raters, narrow), one (unit,
+   * category) count, one unit-keyed rollup, category totals — all
+   * decomposable; the report is 1 row.
+   *
+   * Output: (n_ratings, n_units, d_o_scaled, d_e, alpha) — d_o_scaled
+   * is the integer L-scaled observed-disagreement numerator, d_e the
+   * integer expected numerator (n² − Σ n_c²).
+   */
+  def krippendorffAlpha(
+      df: DataFrame,
+      unitCol: String,
+      raterCols: Seq[String]): DataFrame = {
+    require(raterCols.size >= 2, "alpha needs at least two rater columns")
+    val lcm = (2 until raterCols.size).foldLeft(1L) { (acc, i) =>
+      val g = BigInt(acc).gcd(BigInt(i)).toLong
+      acc / g * i
+    }
+    // L = lcm(1 .. maxRaters−1): every (m_u − 1) divides it exactly
+    val melted = df
+      .select(col(unitCol).as("__u"), explode(array(raterCols.map(c =>
+        col(c).cast("string")): _*)).as("__cat"))
+      .filter(col("__cat").isNotNull)
+    val unitCat = melted.groupBy("__u", "__cat")
+      .agg(count(lit(1)).as("__nuc"))
+    val units = unitCat.groupBy("__u")
+      .agg(sum(col("__nuc")).as("__mu"),
+        sum(col("__nuc") * col("__nuc")).as("__sq"))
+      .filter(col("__mu") >= 2)
+    val dO = units.agg(
+      coalesce(sum((col("__mu") * col("__mu") - col("__sq")) *
+        (lit(lcm) / (col("__mu") - 1)).cast("long")), lit(0L))
+        .as("d_o_scaled"),
+      coalesce(sum(col("__mu")), lit(0L)).as("n_ratings"),
+      count(lit(1)).as("n_units"))
+    // category totals over the SCORED units only
+    val catTot = unitCat
+      .join(units.select("__u"), Seq("__u"), "left_semi")
+      .groupBy("__cat").agg(sum("__nuc").as("__nc"))
+      .agg(coalesce(sum(col("__nc") * col("__nc")), lit(0L)).as("__sqc"))
+    dO.crossJoin(catTot)
+      .select(col("n_ratings"), col("n_units"), col("d_o_scaled"),
+        (col("n_ratings") * col("n_ratings") - col("__sqc")).as("d_e"))
+      .select(col("n_ratings"), col("n_units"), col("d_o_scaled"),
+        col("d_e"),
+        round(when(col("d_e") === 0, lit(null).cast("double"))
+          .otherwise(lit(1.0) -
+            (col("n_ratings") - 1).cast("double") * col("d_o_scaled") /
+            (lit(lcm) * col("d_e"))), 6).as("alpha"))
+  }
+
+  /**
    * Empirical-Bayes shrunk per-source quality rates (beta-binomial /
    * James–Stein shrinkage, public textbook statistics): a source with
    * 3/3 good docs must NOT outrank one with 970/1000 — small samples

@@ -71,6 +71,57 @@ object UrlOps {
     concat(scheme, lit("://"), host, portPart, path, queryPart)
   }
 
+  /**
+   * Query-parameter audit — the DATA-DRIVEN companion of
+   * [[normalizeUrl]]'s static drop list: tracking/session parameters
+   * are an open set, and the ones that actually fragment a crawl are
+   * corpus-specific. Per (host, parameter): how many URLs carry it and
+   * how many DISTINCT values it takes. A parameter whose value is
+   * unique-ish per URL (`distinct_ratio ≥ stripRatio`) is a session
+   * id / cache buster by behavior — every value maps to the same page,
+   * so keeping it multiplies the frontier; the audit recommends
+   * `strip` and the result feeds a per-host canonicalization list.
+   * Low-occurrence parameters stay `low_evidence` rather than
+   * guessing (`minUrls` fence).
+   *
+   * Scale shape: one parse + explode (∝ URL count × params/URL, narrow),
+   * one decomposable (host, param) count + distinct — the output is
+   * parameter-vocabulary-sized, never crawl-∝. Pure integer counts +
+   * one division (round 6).
+   *
+   * Output: (host, param, n_urls, n_values, distinct_ratio, verdict).
+   */
+  def paramAudit(
+      df: DataFrame,
+      urlCol: String,
+      minUrls: Long = 10L,
+      stripRatio: Double = 0.9): DataFrame = {
+    require(minUrls >= 1, "minUrls must be >= 1")
+    require(stripRatio > 0 && stripRatio <= 1, "stripRatio must be in (0, 1]")
+    val host = hostOf(col(urlCol))
+    val query = try_parse_url(col(urlCol), lit("QUERY"))
+    val pairs = df
+      .select(host.as("host"), explode(filter(
+        split(coalesce(query, lit("")), "&"), p => p =!= "")).as("__kv"))
+      .filter(col("host").isNotNull)
+      .select(col("host"),
+        substring_index(col("__kv"), "=", 1).as("param"),
+        // value = everything after the FIRST '=' (values may embed '=');
+        // a bare flag parameter has a NULL value
+        when(col("__kv").contains("="),
+          expr("substring(__kv, instr(__kv, '=') + 1)")).as("__value"))
+    pairs.groupBy("host", "param")
+      .agg(count(lit(1)).as("n_urls"),
+        count_distinct(col("__value")).as("n_values"))
+      .select(col("host"), col("param"), col("n_urls"), col("n_values"),
+        round(col("n_values").cast("double") / col("n_urls"), 6)
+          .as("distinct_ratio"))
+      .withColumn("verdict",
+        when(col("n_urls") < minUrls, lit("low_evidence"))
+          .when(col("distinct_ratio") >= stripRatio, lit("strip"))
+          .otherwise(lit("keep")))
+  }
+
   /** Second-level labels that usually sit under a country TLD. */
   private val CommonSlds = Seq("co", "com", "net", "org", "gov", "ac", "edu")
 

@@ -165,4 +165,26 @@ class DriftSpec extends AnyFunSuite {
     val rn = Diagnostics.ksStatistic(withNull, b, "v").head
     assert(rn.getDouble(0) == 0.5 && rn.getLong(2) == 4L)
   }
+
+  test("embeddingCentroidDrift: hand means, orthogonal cosine, shift ranking") {
+    val base = Seq((1L, Array(1f, 0f)), (2L, Array(3f, 0f)))
+      .toDF("vec_id", "embedding")
+    val next = Seq((3L, Array(0f, 2f)), (4L, Array(0f, 4f)))
+      .toDF("vec_id", "embedding")
+    // mean_base = [2, 0], mean_next = [0, 3] -> cosine 0; dim 1 shifts
+    // most (3 > 2)
+    val got = Diagnostics.embeddingCentroidDrift(base, next, "embedding",
+        topK = 2)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      (1, 0.0, 3.0, 3.0, 0.0), (0, 2.0, 0.0, 2.0, 0.0)))
+    // identical snapshots: cosine 1, zero shifts
+    val same = Diagnostics.embeddingCentroidDrift(base, base, "embedding",
+        topK = 1).head
+    assert(same.getDouble(3) == 0.0 && same.getDouble(4) == 1.0)
+    intercept[IllegalArgumentException] {
+      Diagnostics.embeddingCentroidDrift(base, next, "embedding", topK = 0)
+    }
+  }
 }

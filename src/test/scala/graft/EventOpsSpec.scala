@@ -161,4 +161,77 @@ class EventOpsSpec extends AnyFunSuite {
         "user_id", "ts", "event_id", "event_type", "purchase")
     }
   }
+
+  test("cupedReadout: θ = 2 hand model, analytic adjusted means, variance identity") {
+    import spark.implicits._
+    def t(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    // y = 2x exactly (+5 for arm 1): θ = cov/var = 2,
+    // arm-0 adjusted mean 30, arm-1 35; var_y 106.25 → adj 6.25
+    val ev = Seq(
+      (0L, t(1), 10.0), (0L, t(20), 20.0),
+      (2L, t(1), 20.0), (2L, t(20), 40.0),
+      (1L, t(1), 10.0), (1L, t(20), 25.0),
+      (3L, t(1), 20.0), (3L, t(20), 45.0))
+      .toDF("user_id", "ts", "value")
+    val got = EventOps.cupedReadout(ev, "user_id", "ts", "value",
+        cutoverTs = "2024-01-16 00:00:00", armOf = col("user_id") % 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6)))).toMap
+    assert(got(0L) == ((2L, 30.0, 30.0, 2.0, 106.25, 6.25)))
+    assert(got(1L) == ((2L, 35.0, 35.0, 2.0, 106.25, 6.25)))
+    // the adjustment only moves arms whose PRE-period composition
+    // differs: shift user 3's pre value and arm 1 re-centers
+    val skewed = ev.withColumn("value",
+      when(col("user_id") === 3 && col("ts") < lit("2024-01-16"),
+        lit(40.0)).otherwise(col("value")))
+    val adj = EventOps.cupedReadout(skewed, "user_id", "ts", "value",
+        cutoverTs = "2024-01-16 00:00:00", armOf = col("user_id") % 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(adj(1L) < 35.0, "pre-heavy arm must adjust DOWN")
+    assert(adj(0L) > 30.0, "pre-light arm must adjust UP")
+  }
+
+  test("funnelLatency: greedy-earliest elapsed, percentile interpolation") {
+    val events = ev(
+      // u1: view@0 -> click@10 (chain clock starts at the FIRST view)
+      (1L, "view", 0L), (1L, "view", 5L), (1L, "click", 10L),
+      // u2: view@0 -> click@30, the later click@50 is ignored (greedy)
+      (2L, "view", 0L), (2L, "click", 30L), (2L, "click", 50L),
+      // u3: click precedes the view: strict order -> never reaches
+      (3L, "click", 5L), (3L, "view", 6L),
+      // u4: view only
+      (4L, "view", 0L))
+    val got = EventOps.funnelLatency(events, "user_id", "event_type",
+        "ts", Seq("view", "click"), windowSeconds = 100L,
+        ps = Seq(0.5, 0.9))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4)))
+    // elapsed = {10, 30}: p50 = 20 (midpoint), p90 = 28
+    assert(got.toSeq == Seq(("click", 2, 20.0, 28.0, 2L)))
+  }
+
+  test("volumeForecastError: perfectly seasonal series scores MASE 0") {
+    // 48 hours alternating 2 events / 0 events with period 24:
+    // seasonal diff is always 0, one-step diff alternates -> MASE 0
+    val rows = (0 until 48).flatMap { h =>
+      if (h % 24 == 0) Seq((1L, "a", h * 3600L), (2L, "a", h * 3600L))
+      else Seq((1L, "a", h * 3600L + 1))
+    }
+    val got = EventOps.volumeForecastError(ev(rows: _*), "event_type",
+        "ts", seasonHours = 24)
+      .head
+    assert(got.getString(0) == "a" && got.getLong(1) == 48L)
+    assert(got.getLong(2) == 0L, "seasonal forecast is exact here")
+    assert(got.getLong(4) > 0L)
+    assert(got.getDouble(6) == 0.0)
+    // constant series: naive1 denominator 0 -> MASE undefined -> null
+    val const = ev((0 until 30).map(h => (1L, "b", h * 3600L)): _*)
+    assert(EventOps.volumeForecastError(const, "event_type", "ts")
+      .head.isNullAt(6))
+    intercept[IllegalArgumentException] {
+      EventOps.volumeForecastError(const, "event_type", "ts",
+        seasonHours = 1)
+    }
+  }
 }

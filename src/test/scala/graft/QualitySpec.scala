@@ -146,4 +146,38 @@ class QualitySpec extends AnyFunSuite {
     val const = Seq((1, 1), (1, 1)).toDF("a", "b")
     assert(Quality.agreementKappa(const, "a", "b").collect().head.isNullAt(4))
   }
+
+  test("krippendorffAlpha: hand values, missing tolerance, degenerate null") {
+    import TestSpark.spark
+    import spark.implicits._
+    // 2 raters, 3 units: (a,a) (b,b) (a,b)
+    // d_o = 2, d_e = 36 − 18 = 18, α = 1 − 5·2/18 = 0.444444
+    val two = Seq((1L, "a", "a"), (2L, "b", "b"), (3L, "a", "b"))
+      .toDF("u", "r1", "r2")
+    val g = Quality.krippendorffAlpha(two, "u", Seq("r1", "r2")).head
+    assert((g.getLong(0), g.getLong(1), g.getLong(2), g.getLong(3)) ==
+      ((6L, 3L, 2L, 18L)))
+    assert(g.getDouble(4) == 0.444444)
+    // perfect agreement -> 1.0 (two categories so d_e > 0)
+    val perfect = Seq((1L, "a", "a"), (2L, "b", "b")).toDF("u", "r1", "r2")
+    assert(Quality.krippendorffAlpha(perfect, "u", Seq("r1", "r2"))
+      .head.getDouble(4) == 1.0)
+    // a third rater who abstains everywhere changes nothing except L;
+    // a unit with ONE rating drops entirely
+    val miss = Seq(
+      (1L, Some("a"), Some("a"), Option.empty[String]),
+      (2L, Some("b"), Some("b"), None),
+      (3L, Some("a"), Some("b"), None),
+      (4L, Some("a"), None, None)) // single rating: no information
+      .toDF("u", "r1", "r2", "r3")
+    val m = Quality.krippendorffAlpha(miss, "u", Seq("r1", "r2", "r3")).head
+    assert(m.getLong(1) == 3L && m.getDouble(4) == 0.444444)
+    // all ratings one category: d_e = 0 -> α undefined -> null
+    val const = Seq((1L, "a", "a"), (2L, "a", "a")).toDF("u", "r1", "r2")
+    assert(Quality.krippendorffAlpha(const, "u", Seq("r1", "r2"))
+      .head.isNullAt(4))
+    intercept[IllegalArgumentException] {
+      Quality.krippendorffAlpha(two, "u", Seq("r1"))
+    }
+  }
 }

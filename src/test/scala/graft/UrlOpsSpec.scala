@@ -109,4 +109,24 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(audit("http://x.com") == ((0L, 0L, 0L, false)))
     assert(audit("http://x.com/") == ((0L, 0L, 0L, false)))
   }
+
+  test("paramAudit: session-id strip, keep, low-evidence, bare flags") {
+    import TestSpark.spark
+    import spark.implicits._
+    val urls = ((1 to 12).map(i => s"https://A.example.com/x?sid=s$i&page=1") ++
+      Seq("https://a.example.com/x?flag",
+        "https://a.example.com/x?page=2"))
+      .toDF("url")
+    val got = graft.ops.UrlOps.paramAudit(urls, "url",
+        minUrls = 10L, stripRatio = 0.9)
+      .collect().map(r => r.getString(1) ->
+        ((r.getLong(2), r.getLong(3), r.getString(5)))).toMap
+    // hosts fold case: A.example.com == a.example.com
+    assert(got("sid") == ((12L, 12L, "strip")))      // unique per URL
+    assert(got("page") == ((13L, 2L, "keep")))       // 2 values over 13
+    assert(got("flag") == ((1L, 0L, "low_evidence"))) // bare flag, thin
+    intercept[IllegalArgumentException] {
+      graft.ops.UrlOps.paramAudit(urls, "url", minUrls = 0L)
+    }
+  }
 }
