@@ -4423,7 +4423,65 @@ object SparkEntry {
             m = 0.95, u = 0.04)),
         upper = 5.0, lower = 0.0)
         .filter(col("decision") =!= "non_match")
-    })
+    }),
+
+    // ---- north-star: Benford first-digit audit — the fabricated-
+    //      data detector: observed first-significant-digit shares vs
+    //      log10(1+1/d), per-digit χ² terms; string-derived digits, no
+    //      float-boundary risk.
+    "q258_benford" -> ((s, dir) =>
+      graft.ops.Stats.benfordAudit(
+        T(s, dir, "lineitem"), "l_extendedprice")),
+
+    // ---- north-star: freshness-aware revisit scheduling (Cho &
+    //      Garcia-Molina) — Poisson change-rate MLE from synthetic
+    //      visit histories → clamped re-crawl cadence; continuity
+    //      correction at the always-changed boundary.
+    "q259_revisit" -> ((s, dir) => {
+      val hist = T(s, dir, "documents").select(
+        col("doc_id"),
+        when(col("doc_id") % 13 === 0, lit(2L))
+          .otherwise(lit(4L) + col("doc_id") % 10).as("visits"),
+        when(col("doc_id") % 17 === 0,
+          when(col("doc_id") % 13 === 0, lit(2L))
+            .otherwise(lit(4L) + col("doc_id") % 10))
+          .otherwise(col("doc_id") % 5).as("changes"))
+      graft.ops.Crawl.revisitSchedule(hist, "visits", "changes",
+        baseDays = 1.0, minDays = 0.25, maxDays = 60.0, minVisits = 4L)
+    }),
+
+    // ---- north-star: weight-of-evidence binning — equi-height score
+    //      bins encoded as ln(good-share/bad-share) with per-bin
+    //      information value: the scorecard feature-engineering
+    //      standard, Laplace-smoothed.
+    "q260_woe" -> ((s, dir) =>
+      graft.ops.Scoring.woeBinning(
+        T(s, dir, "lineitem").withColumn("is_r", col("l_returnflag") === "R"),
+        "l_extendedprice", "is_r", bins = 6, smooth = 0.5)),
+
+    // ---- north-star: doc-granular search-index upsert — the stale
+    //      index (every 10th doc carries outdated text) takes the
+    //      re-crawled batch via tombstone + append, and phrase search
+    //      over the MERGED index must answer as if rebuilt fresh.
+    "q261_index_upsert" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      val stale = docs.withColumn("text",
+        when(col("doc_id") % 10 === 0,
+          concat(lit("stale page marker "), col("text")))
+          .otherwise(col("text")))
+      val stored = graft.ops.Search.invertedIndex(stale, "text", "doc_id")
+      val merged = graft.ops.Search.upsertIndex(stored,
+        docs.filter(col("doc_id") % 10 === 0), "text", "doc_id")
+      graft.ops.Search.phraseSearch(merged, Seq("spark", "window"))
+    }),
+
+    // ---- north-star: Hill tail-index of doc lengths — the
+    //      extreme-value companion of q212's Zipf rank fit: α̂ ≤ 2
+    //      means infinite variance and mean-based planning is wrong;
+    //      micro-int ln terms over the top-k order statistics.
+    "q262_hill_tail" -> ((s, dir) =>
+      graft.ops.Stats.hillTailIndex(
+        T(s, dir, "documents"), "n_chars", k = 100))
   )
 
   /** graft-authored pipeline config (reference YAML shape,
@@ -8531,6 +8589,125 @@ object SparkEntry {
          |  FROM s)
          |SELECT * FROM dec WHERE decision <> 'non_match'""".stripMargin
     },
+
+    // Benford replay: first [1-9] of the string form, the SAME Scala
+    // log10 expectation doubles interpolated, per-digit χ² terms
+    "q258_benford" -> {
+      val shares = (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d))
+      val digitRows = shares.map { case (d, e) =>
+        s"SELECT $d AS digit, CAST($e AS DOUBLE) AS e"
+      }.mkString("\nUNION ALL ")
+      s"""WITH c AS (SELECT CAST(regexp_extract(
+         |      CAST(abs(l_extendedprice) AS VARCHAR), '[1-9]') AS INT)
+         |      AS digit,
+         |    count(*) AS n
+         |  FROM lineitem
+         |  WHERE l_extendedprice IS NOT NULL AND l_extendedprice <> 0
+         |    AND regexp_extract(CAST(abs(l_extendedprice) AS VARCHAR),
+         |      '[1-9]') <> ''
+         |  GROUP BY 1),
+         |d AS ($digitRows),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c)
+         |SELECT d.digit, coalesce(c.n, 0) AS n,
+         |  round(CAST(coalesce(c.n, 0) AS DOUBLE) / t.t, 6) AS share,
+         |  round(d.e, 6) AS expected_share,
+         |  round((coalesce(c.n, 0) - d.e * t.t)
+         |    * (coalesce(c.n, 0) - d.e * t.t) / (d.e * t.t), 6)
+         |    AS chi2_term
+         |FROM d LEFT JOIN c ON c.digit = d.digit CROSS JOIN t""".stripMargin
+    },
+
+    // revisit replay: the same synthetic history, the Poisson MLE with
+    // the continuity-corrected boundary, clamps, and verdict fences
+    "q259_revisit" ->
+      """WITH h AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0 THEN 2
+        |      ELSE 4 + doc_id % 10 END AS visits,
+        |    CASE WHEN doc_id % 17 = 0 THEN
+        |        CASE WHEN doc_id % 13 = 0 THEN 2 ELSE 4 + doc_id % 10 END
+        |      ELSE doc_id % 5 END AS changes
+        |  FROM documents),
+        |x AS (SELECT doc_id, visits, changes,
+        |    CAST(visits AS DOUBLE) AS v, CAST(changes AS DOUBLE) AS c
+        |  FROM h),
+        |l AS (SELECT *,
+        |    -ln(1.0 - CASE WHEN c >= v THEN (v - 0.5) / v
+        |      ELSE c / v END) AS lam
+        |  FROM x)
+        |SELECT doc_id, visits, changes,
+        |  CASE WHEN visits < 4 OR c = 0 THEN NULL
+        |    ELSE round(lam, 6) END AS change_rate,
+        |  CASE WHEN visits < 4 THEN NULL
+        |    WHEN c = 0 THEN 60.0
+        |    ELSE round(least(60.0, greatest(0.25,
+        |      CAST(1.0 AS DOUBLE) / lam)), 6) END AS revisit_days,
+        |  CASE WHEN visits < 4 THEN 'insufficient'
+        |    WHEN c = 0 THEN 'static'
+        |    ELSE 'scheduled' END AS verdict
+        |FROM l""".stripMargin,
+
+    // WOE replay: rank-cut equal-count bins, smoothed shares, ln
+    // evidence and IV terms — same expression shapes
+    "q260_woe" ->
+      """WITH r AS (SELECT l_extendedprice AS v,
+        |    (l_returnflag = 'R') AS g,
+        |    row_number() OVER (ORDER BY l_extendedprice,
+        |      (l_returnflag = 'R')) AS rk,
+        |    count(*) OVER () AS n
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL),
+        |b AS (SELECT CAST(floor((rk - 1) * 6.0 / n) AS BIGINT) AS bin,
+        |    v, g FROM r),
+        |pb AS (SELECT bin, min(v) AS lo, max(v) AS hi,
+        |    CAST(sum(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+        |    CAST(sum(CASE WHEN g THEN 0 ELSE 1 END) AS BIGINT) AS n_bad
+        |  FROM b GROUP BY bin),
+        |t AS (SELECT CAST(sum(n_good) AS BIGINT) AS tg,
+        |    CAST(sum(n_bad) AS BIGINT) AS tb, count(*) AS k FROM pb)
+        |SELECT bin, lo, hi, n_good, n_bad,
+        |  round(ln(((n_good + CAST(0.5 AS DOUBLE)) / (tg + CAST(0.5 AS DOUBLE) * k))
+        |    / ((n_bad + CAST(0.5 AS DOUBLE)) / (tb + CAST(0.5 AS DOUBLE) * k))), 6)
+        |    AS woe,
+        |  round((((n_good + CAST(0.5 AS DOUBLE)) / (tg + CAST(0.5 AS DOUBLE) * k))
+        |    - ((n_bad + CAST(0.5 AS DOUBLE)) / (tb + CAST(0.5 AS DOUBLE) * k)))
+        |    * ln(((n_good + CAST(0.5 AS DOUBLE)) / (tg + CAST(0.5 AS DOUBLE) * k))
+        |    / ((n_bad + CAST(0.5 AS DOUBLE)) / (tb + CAST(0.5 AS DOUBLE) * k))), 6)
+        |    AS iv_term
+        |FROM pb CROSS JOIN t""".stripMargin,
+
+    // index-upsert replay: the merged index must answer phrase queries
+    // as if rebuilt over CURRENT text — q152's positional replay,
+    // per-doc rows
+    "q261_index_upsert" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |m AS (
+        |  SELECT doc_id,
+        |    len(list_filter(range(1, len(toks)),
+        |      i -> toks[i] = 'spark' AND toks[i+1] = 'window')) AS occ,
+        |    list_min(list_filter(range(1, len(toks)),
+        |      i -> toks[i] = 'spark' AND toks[i+1] = 'window')) AS first1
+        |  FROM tk)
+        |SELECT doc_id, CAST(occ AS BIGINT) AS n_occurrences,
+        |  CAST(first1 - 1 AS INT) AS first_pos
+        |FROM m WHERE occ > 0""".stripMargin,
+
+    // Hill replay: top-(k+1) order statistics, min threshold,
+    // micro-int ln terms over the strictly-above set, /k
+    "q262_hill_tail" ->
+      """WITH v AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+        |  WHERE n_chars IS NOT NULL AND n_chars > 0),
+        |top AS (SELECT v FROM v ORDER BY v DESC LIMIT 101),
+        |thr AS (SELECT min(v) AS t FROM top),
+        |s AS (SELECT coalesce(CAST(sum(CAST(round(ln(v / t) * 1e6)
+        |      AS BIGINT)) AS BIGINT), 0) AS s
+        |  FROM top, thr WHERE v > t)
+        |SELECT 100 AS k, t AS threshold,
+        |  round(CAST(s AS DOUBLE) / 1e6 / 100, 6) AS hill,
+        |  CASE WHEN s = 0 THEN NULL
+        |    ELSE round(100 * 1e6 / CAST(s AS DOUBLE), 6) END AS alpha
+        |FROM s, thr""".stripMargin,
 
     // proximity replay: token positions from the text directly —
     // gaps are base-independent (Spark postings are 0-based)

@@ -51,6 +51,61 @@ object Crawl {
     * rows-agree contract holds); `n_delay_values` counts distinct
     * delays per host, so a contract violation (> 1) is visible in the
     * rollup instead of silently picking an arbitrary row. */
+  /**
+   * Freshness-aware revisit scheduling (Cho & Garcia-Molina 2003,
+   * "Estimating Frequency of Change", public) — turn per-page visit
+   * history into a re-crawl cadence: with `changes` detected over
+   * `visits` equi-spaced checks, the Poisson change-rate MLE is
+   *
+   *   λ̂ = −ln(1 − changes/visits)   (changes per visit interval)
+   *
+   * and the revisit interval scales as `baseDays / λ̂`, clamped to
+   * [minDays, maxDays] — hot pages re-crawl fast, static archives
+   * don't burn fetch budget. The always-changed boundary
+   * (changes = visits, λ̂ = ∞) clamps the fraction to
+   * `(visits − 0.5)/visits` (the standard continuity correction) so
+   * the estimator stays finite; zero changes clamp to the max
+   * interval directly. Pages with fewer than `minVisits` observations
+   * report `insufficient` instead of a guessed cadence.
+   *
+   * Pure projection arithmetic over the (page, visits, changes)
+   * history frame — one `ln`, one division, two clamps; round 6. At
+   * crawl scale the history frame IS the page table: everything stays
+   * narrow, nothing shuffles.
+   *
+   * Output: (input cols…, change_rate, revisit_days, verdict).
+   */
+  def revisitSchedule(
+      history: DataFrame,
+      visitsCol: String,
+      changesCol: String,
+      baseDays: Double = 1.0,
+      minDays: Double = 0.25,
+      maxDays: Double = 60.0,
+      minVisits: Long = 4L): DataFrame = {
+    require(baseDays > 0 && minDays > 0 && maxDays >= minDays,
+      "day bounds must be positive and ordered")
+    require(minVisits >= 1, "minVisits must be >= 1")
+    val v = col(visitsCol).cast("double")
+    val c = col(changesCol).cast("double")
+    val frac = when(c >= v, (v - 0.5) / v).otherwise(c / v)
+    val lambda = -log(lit(1.0) - frac)
+    val days = least(lit(maxDays),
+      greatest(lit(minDays), lit(baseDays) / lambda))
+    history
+      .withColumn("change_rate",
+        when(col(visitsCol) < minVisits || c === 0, lit(null))
+          .otherwise(round(lambda, 6)))
+      .withColumn("revisit_days",
+        when(col(visitsCol) < minVisits, lit(null))
+          .when(c === 0, lit(maxDays))
+          .otherwise(round(days, 6)))
+      .withColumn("verdict",
+        when(col(visitsCol) < minVisits, lit("insufficient"))
+          .when(c === 0, lit("static"))
+          .otherwise(lit("scheduled")))
+  }
+
   def hostLoad(schedule: DataFrame, hostCol: String, delayCol: String): DataFrame =
     schedule.groupBy(col(hostCol).as("host"))
       .agg(

@@ -141,6 +141,36 @@ object Search {
         count(lit(1)).as("tf"))
 
   /**
+   * Doc-granular index upsert — the MAINTENANCE half of the durable
+   * [[invertedIndex]] (the SignatureIndex/VectorIndex discipline,
+   * applied to search): a re-crawled or newly ingested batch replaces
+   * its documents' postings without rebuilding the corpus index.
+   * Semantics: postings for batch doc ids are dropped from the store
+   * (tombstone), the batch's fresh postings append. Equivalent to
+   * `invertedIndex(corpus with the batch's docs replaced)` — the spec
+   * pins that equivalence.
+   *
+   * Scale shape: the tombstone list is BATCH-∝ and broadcasts into a
+   * scan-filter (`left_anti`) — the stored index is read once,
+   * map-side, and NEVER reshuffled (the incremental-dedup probe
+   * contract); fresh postings are batch-∝ and append bucketed exactly
+   * like the store's layout, so query-time pruning is unchanged. A
+   * doc-granular delete touches every token bucket by nature — that
+   * is a full index READ, not a shuffle, and amortizes across the
+   * whole batch.
+   */
+  def upsertIndex(
+      stored: DataFrame,
+      batchDocs: DataFrame,
+      textCol: String,
+      idCol: String): DataFrame = {
+    val tombstones = batchDocs.select(col(idCol).as("doc_id")).distinct()
+    stored
+      .join(broadcast(tombstones), Seq("doc_id"), "left_anti")
+      .unionByName(invertedIndex(batchDocs, textCol, idCol))
+  }
+
+  /**
    * Exact phrase search from the positional index alone: a doc matches
    * at start position `s` iff for EVERY phrase offset `o`, token
    * `phrase(o)` has a posting at `s + o`. The phrase (with its

@@ -242,6 +242,106 @@ object Stats {
     agged.select(outCols: _*)
   }
 
+  /**
+   * Benford first-digit audit (Newcomb 1881 / Benford 1938, public) —
+   * the fabricated-data detector every audit stack ships: naturally
+   * occurring multi-scale positive quantities put digit d first with
+   * probability log₁₀(1 + 1/d); synthetic, truncated, or manually
+   * entered values don't. Per digit: observed count/share, the Benford
+   * expectation, and the χ² goodness-of-fit term.
+   *
+   * The first significant digit comes from the value's STRING form
+   * (first character in 1-9) rather than log/pow arithmetic — the
+   * string route has no float-boundary risk (log₁₀(1000) landing at
+   * 2.9999…), and any decimal or scientific rendering starts with the
+   * same significant digit. Zero/null/negative values are excluded
+   * (Benford applies to positive magnitudes; sign conventions are the
+   * caller's normalization).
+   *
+   * One decomposable digit count (9-row output) + a 1-row total;
+   * expected shares are exact `log10` of rational constants. χ² terms
+   * round 6.
+   *
+   * Output: (digit, n, share, expected_share, chi2_term), 9 rows.
+   */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val firstDigit = regexp_extract(
+      abs(col(valueCol)).cast("string"), "[1-9]", 0)
+    val counts = df
+      .filter(col(valueCol).isNotNull && col(valueCol) =!= 0)
+      .select(firstDigit.as("__d"))
+      .filter(col("__d") =!= "")
+      .groupBy(col("__d").cast("int").as("digit"))
+      .agg(count(lit(1)).as("n"))
+    val digits = df.sparkSession.createDataFrame(
+      (1 to 9).map(d => (d, math.log10(1.0 + 1.0 / d))))
+      .toDF("digit", "expected_share")
+    val tot = counts.agg(sum(col("n")).as("__t"))
+    digits
+      .join(counts, Seq("digit"), "left_outer")
+      .crossJoin(broadcast(tot))
+      .select(col("digit"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        round(coalesce(col("n"), lit(0L)).cast("double") / col("__t"), 6)
+          .as("share"),
+        round(col("expected_share"), 6).as("expected_share"),
+        round(
+          (coalesce(col("n"), lit(0L)) - col("expected_share") * col("__t")) *
+            (coalesce(col("n"), lit(0L)) - col("expected_share") * col("__t"))
+            / (col("expected_share") * col("__t")), 6).as("chi2_term"))
+  }
+
+  /**
+   * Hill tail-index estimator (Hill 1975, public) — how heavy is the
+   * upper tail of a positive metric (doc lengths, host page counts):
+   * over the top `k` order statistics x₍₁₎ ≥ … ≥ x₍ₖ₎ and the
+   * threshold x₍ₖ₊₁₎,
+   *
+   *   H = (1/k) Σᵢ ln(xᵢ / x₍ₖ₊₁₎),   α̂ = 1/H
+   *
+   * α̂ ≤ 2 means infinite variance — mean-based capacity planning on
+   * that column is wrong, quantile planning isn't optional. The
+   * TAIL-side companion of the q212 Zipf rank-slope (that fits the
+   * frequency law; this measures a distribution's extreme-value
+   * weight).
+   *
+   * The top k+1 values are order statistics (tie-deterministic) via
+   * one TakeOrdered — k is caller-bounded, nothing global sorts. Each
+   * ln term micro-quantizes to an integer before summation, so H is
+   * an exact integer sum + one division; α̂ = 1/H (both round 6).
+   * Zero/negative values are excluded (the estimator is defined on
+   * positive tails).
+   *
+   * Output: one row (k, threshold, hill, alpha).
+   */
+  def hillTailIndex(
+      df: DataFrame,
+      valueCol: String,
+      k: Int = 100): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val top = df
+      .select(col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull && col("__v") > 0)
+      .orderBy(col("__v").desc)
+      .limit(k + 1)
+      .localCheckpoint() // feeds the threshold AND the terms
+    val thr = top.agg(min(col("__v")).as("__thr"))
+    // terms tied AT the threshold contribute ln(1) = 0 — excluding
+    // them leaves the k-term sum unchanged, so the tie cut is exact
+    top.crossJoin(broadcast(thr))
+      .filter(col("__v") > col("__thr"))
+      .select(round(log(col("__v") / col("__thr")) * 1e6).cast("long")
+        .as("__t"))
+      .agg(coalesce(sum(col("__t")), lit(0L)).as("__s"))
+      .crossJoin(broadcast(thr))
+      .select(lit(k).as("k"), col("__thr").as("threshold"),
+        round(col("__s").cast("double") / 1e6 / lit(k), 6).as("hill"),
+        // a flat top (H = 0) has no finite tail index — null, not ∞
+        when(col("__s") === 0, lit(null).cast("double"))
+          .otherwise(round(lit(k) * 1e6 / col("__s").cast("double"), 6))
+          .as("alpha"))
+  }
+
   /** `0.95` → `p95`, `0.5` → `p50`, `0.999` → `p99_9`. Goes through the
     * decimal STRING form of p — `0.9 * 100` in binary doubles is
     * 90.00000000000001, which would leak into the column name. */

@@ -131,4 +131,34 @@ class CrawlSpec extends AnyFunSuite {
       Seq("https://k/1"))
     assert(got(1).isNullAt(1))
   }
+
+  test("revisitSchedule: MLE, clamps, continuity correction, fences") {
+    import TestSpark.spark
+    import spark.implicits._
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val hist = Seq(
+      (1L, 10L, 5L),  // λ = −ln(0.5) = 0.693…, days = 1/λ ≈ 1.44
+      (2L, 10L, 0L),  // static: max interval, null rate
+      (3L, 10L, 10L), // always changed: continuity-corrected, min clamp
+      (4L, 2L, 1L))   // insufficient evidence
+      .toDF("page", "visits", "changes")
+    val got = graft.ops.Crawl.revisitSchedule(hist, "visits", "changes",
+        baseDays = 1.0, minDays = 0.25, maxDays = 60.0, minVisits = 4L)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(3)).map(_.asInstanceOf[Double]),
+          Option(r.get(4)).map(_.asInstanceOf[Double]),
+          r.getString(5)))).toMap
+    val lam1 = -math.log(0.5)
+    assert(got(1L) == ((Some(r6(lam1)), Some(r6(1.0 / lam1)), "scheduled")))
+    assert(got(2L) == ((None, Some(60.0), "static")))
+    // 10/10 → frac 0.95 → λ ≈ 3.0, 1/λ ≈ 0.33 (above the 0.25 floor)
+    val lam3 = -math.log(1.0 - 0.95)
+    assert(got(3L) == ((Some(r6(lam3)), Some(r6(1.0 / lam3)), "scheduled")))
+    assert(got(4L) == ((None, None, "insufficient")))
+    intercept[IllegalArgumentException] {
+      graft.ops.Crawl.revisitSchedule(hist, "visits", "changes",
+        minDays = 5.0, maxDays = 1.0)
+    }
+  }
 }

@@ -105,4 +105,37 @@ class ScoringSpec extends AnyFunSuite {
     val rev = d.groupBy("fpx").agg(countDistinct("fp").as("n")).collect()
     assert(rev.forall(_.getLong(1) == 1), "no xx64 collisions across md5 groups here")
   }
+
+  test("woeBinning: hand shares, monotone evidence, tie-safe boundary") {
+    import TestSpark.spark
+    import spark.implicits._
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // scores 1..8: lows mostly bad, highs mostly good; 2 bins of 4
+    val df = Seq(
+      (1.0, false), (2.0, false), (3.0, false), (4.0, true),
+      (5.0, true), (6.0, true), (7.0, true), (8.0, false))
+      .toDF("s", "g")
+    val got = graft.ops.Scoring.woeBinning(df, "s", "g", bins = 2)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4),
+        r.getDouble(5), r.getDouble(6)))
+    // bin 0: 1 good / 3 bad; bin 1: 3 good / 1 bad; G = B = 4, k = 2
+    def woe(good: Long, bad: Long) =
+      math.log(((good + 0.5) / 5.0) / ((bad + 0.5) / 5.0))
+    assert(got(0) == ((0L, 1L, 3L, r6(woe(1, 3)),
+      r6((1.5 / 5 - 3.5 / 5) * woe(1, 3)))))
+    assert(got(1) == ((1L, 3L, 1L, r6(woe(3, 1)),
+      r6((3.5 / 5 - 1.5 / 5) * woe(3, 1)))))
+    assert(got(0)._4 < 0 && got(1)._4 > 0, "evidence signs")
+    // equal scores at a boundary: label tie-break keeps counts stable
+    val ties = Seq((1.0, false), (1.0, true), (1.0, false), (1.0, true))
+      .toDF("s", "g")
+    val t = graft.ops.Scoring.woeBinning(ties, "s", "g", bins = 2)
+      .orderBy("bin").collect().map(r => (r.getLong(3), r.getLong(4)))
+    assert(t.toSeq == Seq((0L, 2L), (2L, 0L)), "false ranks before true")
+    intercept[IllegalArgumentException] {
+      graft.ops.Scoring.woeBinning(df, "s", "g", bins = 1)
+    }
+  }
 }

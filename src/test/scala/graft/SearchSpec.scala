@@ -196,4 +196,28 @@ class SearchSpec extends AnyFunSuite {
       Search.ndcgAtK(perfect, rels, "doc_id", k = 0)
     }
   }
+
+  test("upsertIndex: tombstone + append equals a fresh rebuild") {
+    import TestSpark.spark
+    import spark.implicits._
+    val current = Seq(
+      (1L, "a b c"), (2L, "c d"), (3L, "a a b")).toDF("doc_id", "text")
+    val stale = Seq(
+      (1L, "a b c"), (2L, "OLD junk"), (3L, "STALE a")).toDF("doc_id", "text")
+    val stored = Search.invertedIndex(stale, "text", "doc_id")
+    val merged = Search.upsertIndex(stored,
+      current.filter(col("doc_id") >= 2), "text", "doc_id")
+    def dump(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getAs[String]("token"),
+        r.getAs[Long]("doc_id"), r.getAs[Seq[Int]]("positions"),
+        r.getAs[Long]("tf"))).toSet
+    assert(dump(merged) == dump(Search.invertedIndex(current, "text",
+      "doc_id")), "merged index must equal a fresh rebuild")
+    // untouched doc 1's postings came from the STORE, not a rescan
+    assert(dump(merged).exists { case (t, d, _, _) => t == "a" && d == 1L })
+    // phrase search over the merged index answers on current text
+    val hits = Search.phraseSearch(merged, Seq("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits == Map(1L -> 1L, 3L -> 1L))
+  }
 }

@@ -226,4 +226,48 @@ class StatsSpec extends AnyFunSuite {
       Stats.trimmedStats(df, "src", "v", trimFrac = 0.5)
     }
   }
+
+  test("benfordAudit: string-derived digits, exclusions, χ² arithmetic") {
+    import TestSpark.spark
+    import spark.implicits._
+    // digits: 1 (×3: 1.0, 0.015, 123), 9 (×1), zero/null excluded;
+    // negatives count by magnitude
+    val df = Seq(Some(1.0), Some(0.015), Some(123.0), Some(-9.5),
+      Some(0.0), None).toDF("v")
+    val got = Stats.benfordAudit(df, "v")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1L.toInt) == ((3L, 0.75)))
+    assert(got(9) == ((1L, 0.25)))
+    assert((2 to 8).forall(d => got(d)._1 == 0L))
+    // χ² term for digit 1: (3 − e·4)²/(e·4), e = log10(2)
+    val e1 = math.log10(2.0) * 4
+    val chi1 = Stats.benfordAudit(df, "v")
+      .filter(col("digit") === 1).head.getDouble(4)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(chi1 == r6((3 - e1) * (3 - e1) / e1))
+  }
+
+  test("hillTailIndex: hand logs, threshold ties contribute zero") {
+    import TestSpark.spark
+    import spark.implicits._
+    // top-3 at k=2: (10e², 10e, 10) -> terms ln e² + ln e = 3,
+    // H = 3/2, α = 2/3
+    val df = Seq(10 * math.exp(2), 10 * math.E, 10.0, 5.0, 1.0).toDF("v")
+    val r = Stats.hillTailIndex(df, "v", k = 2).head
+    assert(r.getInt(0) == 2 && r.getDouble(1) == 10.0)
+    assert(r.getDouble(2) == 1.5 && r.getDouble(3) == 0.666667)
+    // all top values tied: every term is ln(1) = 0 -> H 0, α undefined
+    val flat = Seq(8.0, 8.0, 8.0, 5.0).toDF("v")
+    val f = Stats.hillTailIndex(flat, "v", k = 2).head
+    assert(f.getDouble(2) == 0.0 && f.isNullAt(3))
+    // zero/negative values are outside the estimator's domain
+    val pos = Stats.hillTailIndex(
+      Seq(-1.0, 0.0, 4.0, 2.0, 1.0).toDF("v"), "v", k = 2).head
+    assert(pos.getDouble(1) == 1.0)
+    intercept[IllegalArgumentException] {
+      Stats.hillTailIndex(df, "v", k = 1)
+    }
+  }
 }
