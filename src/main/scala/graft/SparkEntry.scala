@@ -4481,7 +4481,49 @@ object SparkEntry {
     //      micro-int ln terms over the top-k order statistics.
     "q262_hill_tail" -> ((s, dir) =>
       graft.ops.Stats.hillTailIndex(
-        T(s, dir, "documents"), "n_chars", k = 100))
+        T(s, dir, "documents"), "n_chars", k = 100)),
+
+    // ---- north-star: split-conformal accept gate — the
+    //      distribution-free threshold turning a raw quality score
+    //      into a gate with a STATED miscoverage budget; calibration
+    //      on the even half, coverage audited on the odd half.
+    "q263_conformal" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          (lit(1.0) - graft.ops.TextOps.qualityScore(col("text")))
+            .as("nonconf"))
+      graft.ops.Scoring.conformalReport(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "nonconf", alpha = 0.1)
+    }),
+
+    // ---- north-star: bucket-jackknife ratio metric — revenue per
+    //      event with a delete-one-user-bucket standard error;
+    //      decimal-exact θ moments (a float Σθ²−Bθ̄² is catastrophic
+    //      cancellation).
+    "q264_jackknife" -> ((s, dir) =>
+      graft.ops.Stats.jackknifeRatio(
+        Layers.readEvents(s, s"$dir/events.parquet")
+          .select(col("user_id"),
+            when(col("event_type") === "purchase", col("value"))
+              .otherwise(lit(0.0)).as("rev"),
+            lit(1.0).as("one")),
+        bucketOf = col("user_id") % 20, numCol = "rev", denCol = "one")),
+
+    // ---- north-star: Good–Turing frequency masses — the unseen-mass
+    //      estimate (r=0 ≡ singleton share) plus the r=1…5 ladder:
+    //      "how much of the language have we crawled".
+    "q265_good_turing" -> ((s, dir) =>
+      graft.ops.LanguageModel.goodTuringMass(
+        T(s, dir, "documents").filter(col("text").isNotNull),
+        "text", maxR = 5)),
+
+    // ---- north-star: largest-remainder apportionment — split 1000
+    //      eval slots across sources proportionally with EXACT integer
+    //      quotas (truncation alone starves small groups).
+    "q266_allocation" -> ((s, dir) =>
+      graft.ops.Sampling.largestRemainderAllocation(
+        T(s, dir, "documents"), "source", seats = 1000L))
   )
 
   /** graft-authored pipeline config (reference YAML shape,
@@ -8708,6 +8750,98 @@ object SparkEntry {
         |  CASE WHEN s = 0 THEN NULL
         |    ELSE round(100 * 1e6 / CAST(s AS DOUBLE), 6) END AS alpha
         |FROM s, thr""".stripMargin,
+
+    // conformal replay: the rank ⌈(n+1)(1−α)⌉ with (1−α) interpolated
+    // as the exact Scala double, the rank-th order statistic, and the
+    // test-side coverage count
+    "q263_conformal" -> {
+      val oneMinusAlpha = 1.0 - 0.1
+      s"""WITH calr AS (SELECT 1.0 - (${PortableSql.qualityScore("text", DD)})
+         |    AS s
+         |  FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0),
+         |r AS (SELECT s, row_number() OVER (ORDER BY s ASC) AS rk
+         |  FROM calr),
+         |k AS (SELECT count(*) AS n_cal,
+         |    CAST(ceil((count(*) + 1) * CAST($oneMinusAlpha AS DOUBLE))
+         |      AS BIGINT) AS rank
+         |  FROM calr),
+         |thr AS (SELECT k.n_cal, k.rank, r.s AS threshold
+         |  FROM k LEFT JOIN r ON r.rk = k.rank),
+         |tst AS (SELECT 1.0 - (${PortableSql.qualityScore("text", DD)})
+         |    AS t
+         |  FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 1),
+         |cov AS (SELECT count(*) AS n_test,
+         |    CAST(sum(CASE WHEN t <= thr.threshold THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS nc2
+         |  FROM tst, thr)
+         |SELECT n_cal, rank, threshold, n_test,
+         |  CASE WHEN threshold IS NULL THEN NULL ELSE nc2 END
+         |    AS n_covered,
+         |  CASE WHEN threshold IS NULL THEN NULL
+         |    ELSE round(CAST(nc2 AS DOUBLE) / n_test, 6) END AS coverage
+         |FROM thr, cov""".stripMargin
+    },
+
+    // jackknife replay: decimal-exact bucket sums, analytic
+    // leave-one-out thetas, decimal-exact theta moments, the same
+    // scalar shapes
+    "q264_jackknife" ->
+      """WITH pe AS (SELECT user_id % 20 AS bkt,
+        |    CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN value
+        |      ELSE 0.0 END AS DECIMAL(28,8))) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(1.0 AS DECIMAL(28,8))) AS DOUBLE) AS d
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT count(*) AS B,
+        |    CAST(sum(CAST(n AS DECIMAL(28,8))) AS DOUBLE) AS sn,
+        |    CAST(sum(CAST(d AS DECIMAL(28,8))) AS DOUBLE) AS sd
+        |  FROM pe),
+        |loo AS (SELECT B, sn, sd, (sn - n) / (sd - d) AS t
+        |  FROM pe, tot),
+        |m AS (SELECT B, sn, sd,
+        |    CAST(sum(CAST(t AS DECIMAL(28,8))) AS DOUBLE) AS st,
+        |    CAST(sum(CAST(t * t AS DECIMAL(28,8))) AS DOUBLE) AS tsq
+        |  FROM loo GROUP BY B, sn, sd)
+        |SELECT B AS b_buckets, round(sn / sd, 6) AS theta,
+        |  round(B * (sn / sd) - (B - 1) * (st / B), 6) AS theta_jk,
+        |  round(sqrt(greatest(CAST(0.0 AS DOUBLE),
+        |    (CAST(B - 1 AS DOUBLE) / B)
+        |    * (tsq - B * (st / B) * (st / B)))), 6) AS se
+        |FROM m""".stripMargin,
+
+    // Good–Turing replay: count-of-counts, the (r+1)·n_{r+1}/N ladder
+    // over r = 0…5 with absent frequencies as zero
+    "q265_good_turing" ->
+      """WITH uc AS (SELECT w, count(*) AS c FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w
+        |    FROM documents WHERE text IS NOT NULL) GROUP BY w),
+        |fof AS (SELECT c AS r, count(*) AS nr FROM uc GROUP BY c),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS N FROM uc),
+        |rs AS (SELECT unnest(generate_series(0, 5)) AS r)
+        |SELECT rs.r, coalesce(f1.nr, 0) AS n_types,
+        |  round((rs.r + 1) * CAST(coalesce(f2.nr, 0) AS DOUBLE) / N, 6)
+        |    AS gt_mass
+        |FROM rs LEFT JOIN fof f1 ON f1.r = rs.r
+        |LEFT JOIN fof f2 ON f2.r = rs.r + 1 CROSS JOIN tot""".stripMargin,
+
+    // largest-remainder replay: exact integer quota/remainder via //
+    // and %, remainder-ranked bonuses, group-ascending tie-break
+    "q266_allocation" ->
+      """WITH g AS (SELECT source, count(*) AS n_rows FROM documents
+        |  WHERE source IS NOT NULL GROUP BY source),
+        |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS N FROM g),
+        |b AS (SELECT source, n_rows,
+        |    CAST((1000 * n_rows) // N AS BIGINT) AS base,
+        |    (1000 * n_rows) % N AS rem
+        |  FROM g, t),
+        |e AS (SELECT CAST(1000 - sum(base) AS BIGINT) AS extra FROM b),
+        |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source ASC)
+        |    AS rk FROM b)
+        |SELECT source, n_rows, base,
+        |  CAST(CASE WHEN rk <= e.extra THEN 1 ELSE 0 END AS BIGINT)
+        |    AS bonus,
+        |  CAST(base + CASE WHEN rk <= e.extra THEN 1 ELSE 0 END
+        |    AS BIGINT) AS allocation
+        |FROM r, e""".stripMargin,
 
     // proximity replay: token positions from the text directly —
     // gaps are base-independent (Spark postings are 0-based)

@@ -36,6 +36,51 @@ object LanguageModel {
       .groupBy("token")
       .agg(count(lit(1)).as("c"))
 
+  /**
+   * Good–Turing frequency mass estimates (Good 1953; the Gale–Sampson
+   * "simple Good–Turing" presentation, public) — how much probability
+   * mass belongs to words seen exactly r times, including the UNSEEN
+   * (r = 0) mass every open-vocabulary consumer needs (KN's discount,
+   * OOV budgets, "how much of the language have we crawled"):
+   *
+   *   mass(r) = (r+1) · n_{r+1} / N      (n_r = #types with count r)
+   *
+   * — so mass(0) = n₁/N: the singleton share IS the unseen-mass
+   * estimate, the classic result. Reported for r = 0…maxR next to the
+   * raw counts, so the tail where the estimate gets noisy (n_r sparse)
+   * is visible rather than smoothed over.
+   *
+   * Scale shape: one token count (vocab-bounded), one
+   * count-of-counts aggregation (≤ distinct-count-values rows), a
+   * bounded self-join on r+1. All integers; each mass is one division
+   * (round 6).
+   *
+   * Output: (r, n_types, gt_mass), maxR+1 rows (absent n_r → 0).
+   */
+  def goodTuringMass(
+      df: DataFrame,
+      textCol: String,
+      maxR: Int = 5): DataFrame = {
+    require(maxR >= 1, s"maxR must be >= 1, got $maxR")
+    val counts = unigramCounts(df, textCol)
+    val fof = counts.groupBy(col("c").as("__r"))
+      .agg(count(lit(1)).as("__nr"))
+      .localCheckpoint() // joined twice below
+    val total = counts.agg(sum(col("c")).as("__tot"))
+    val rs = df.sparkSession.createDataFrame((0 to maxR).map(Tuple1(_)))
+      .toDF("r")
+    rs
+      .join(fof.select(col("__r").cast("int").as("r"),
+        col("__nr").as("n_types")), Seq("r"), "left_outer")
+      .join(fof.select((col("__r") - 1).cast("int").as("r"),
+        col("__nr").as("__nr1")), Seq("r"), "left_outer")
+      .crossJoin(broadcast(total))
+      .select(col("r"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        round((col("r") + 1) * coalesce(col("__nr1"), lit(0L))
+          .cast("double") / col("__tot"), 6).as("gt_mass"))
+  }
+
   /** Per-doc mean negative log-likelihood: (idCol, nll). */
   def meanNegLogLik(
       df: DataFrame,

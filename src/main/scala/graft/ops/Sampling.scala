@@ -355,6 +355,52 @@ object Sampling {
    * the labels (never the corpus), then two broadcast-sized joins onto
    * the corpus ids; weights round at 6 for oracle parity.
    */
+  /**
+   * Largest-remainder (Hare-quota) apportionment — the exact integer
+   * allocator for "split `seats` eval/sample slots across groups
+   * proportionally": each group gets ⌊seats·n_g/N⌋ outright, and the
+   * leftover slots go to the largest FRACTIONAL remainders (the
+   * election-apportionment standard; proportional-rounding by
+   * truncation alone systematically starves small groups). The
+   * deterministic backbone of eval-set construction — per-group
+   * quotas that sum EXACTLY to the budget, bias-free.
+   *
+   * ENTIRELY integer: base = (seats·n_g) div N, remainder =
+   * (seats·n_g) mod N — no floating quotas anywhere, so the
+   * allocation replays bit-identically. Remainder ties break on the
+   * group ascending (total order). One decomposable count + ONE
+   * |groups|-row window.
+   *
+   * Output: (groupCol, n_rows, base, bonus, allocation);
+   * Σ allocation = min(seats, …) — exactly `seats` by construction.
+   */
+  def largestRemainderAllocation(
+      df: DataFrame,
+      groupCol: String,
+      seats: Long): DataFrame = {
+    require(seats >= 1, s"seats must be >= 1, got $seats")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("n_rows"))
+    val withBase = counts
+      .crossJoin(broadcast(counts.agg(sum(col("n_rows")).as("__N"))))
+      .select(col(groupCol), col("n_rows"),
+        (lit(seats) * col("n_rows")).as("__scaled"), col("__N"))
+      .select(col(groupCol), col("n_rows"),
+        expr("__scaled div __N").as("base"),
+        (col("__scaled") % col("__N")).as("__rem"))
+      .localCheckpoint() // feeds the leftover count AND the ranking
+    val leftover = withBase
+      .agg((lit(seats) - sum(col("base"))).as("__extra"))
+    val w = Window.orderBy(col("__rem").desc, col(groupCol).asc)
+    withBase
+      .withColumn("__rk", row_number().over(w))
+      .crossJoin(broadcast(leftover))
+      .select(col(groupCol), col("n_rows"), col("base"),
+        when(col("__rk") <= col("__extra"), 1L).otherwise(0L).as("bonus"))
+      .withColumn("allocation", col("base") + col("bonus"))
+  }
+
   def softDedupWeights(
       df: DataFrame, idCol: String, labels: DataFrame): DataFrame = {
     val l = labels.select(col("id").as(idCol), col("label"))

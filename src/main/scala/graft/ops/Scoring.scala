@@ -108,6 +108,61 @@ object Scoring {
    * Output: one row per bin: (bin, lo, hi, n_good, n_bad, woe,
    * iv_term).
    */
+  /**
+   * Split-conformal calibration report (Vovk et al.; the
+   * distribution-free prediction-set recipe, public) — given a
+   * CALIBRATION sample of nonconformity scores (higher = worse) and a
+   * miscoverage budget α, the threshold is the
+   * `⌈(n+1)(1−α)⌉`-th smallest calibration score; accepting test
+   * points at-or-under it guarantees ≥ 1−α coverage with NO
+   * distributional assumption — the principled way to turn a raw
+   * quality/novelty score into an accept gate with a stated error
+   * rate.
+   *
+   * The rank is exact integer arithmetic on the calibration count
+   * (`⌈·⌉` of an exact product); when it exceeds n (α too small for
+   * the sample) the threshold is undefined → null, coverage null —
+   * fail-visible, not a silently-infinite gate. The rank selection is
+   * one order-statistic window over the CALIBRATION frame (sample-
+   * bounded by design — calibration sets are drawn, never corpus-∝);
+   * the coverage check is one conditional aggregation over test.
+   *
+   * Output: one row (n_cal, rank, threshold, n_test, n_covered,
+   * coverage).
+   */
+  def conformalReport(
+      cal: DataFrame,
+      test: DataFrame,
+      scoreCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__s").asc)
+    val ranked = cal
+      .select(col(scoreCol).cast("double").as("__s"))
+      .filter(col("__s").isNotNull)
+      .withColumn("__rk", row_number().over(w))
+    val nCal = ranked.agg(count(lit(1)).as("n_cal"))
+      .withColumn("rank",
+        ceil((col("n_cal") + 1) * lit(1.0 - alpha)).cast("long"))
+    val thr = nCal.join(ranked, col("__rk") === col("rank"), "left_outer")
+      .select(col("n_cal"), col("rank"), col("__s").as("threshold"))
+    val cover = test
+      .select(col(scoreCol).cast("double").as("__t"))
+      .filter(col("__t").isNotNull)
+      .crossJoin(broadcast(thr))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("__t") <= col("threshold"), 1L).otherwise(0L))
+          .as("__nc"))
+    thr.crossJoin(cover)
+      .select(col("n_cal"), col("rank"), col("threshold"), col("n_test"),
+        when(col("threshold").isNull, lit(null).cast("long"))
+          .otherwise(col("__nc")).as("n_covered"),
+        when(col("threshold").isNull, lit(null).cast("double"))
+          .otherwise(round(col("__nc").cast("double") / col("n_test"), 6))
+          .as("coverage"))
+  }
+
   def woeBinning(
       df: DataFrame,
       scoreCol: String,

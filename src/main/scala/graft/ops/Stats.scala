@@ -292,6 +292,63 @@ object Stats {
   }
 
   /**
+   * Bucket-jackknife ratio-metric readout (Quenouille/Tukey jackknife;
+   * the delete-one-bucket form every experimentation platform uses for
+   * ratio metrics, public) — a ratio of sums `θ = Σnum/Σden` (revenue
+   * per session, clicks per user) has NO closed-form variance; the
+   * delete-one-bucket estimates
+   *
+   *   θ₍ᵦ₎ = (Σnum − num_b)/(Σden − den_b)
+   *
+   * give `se² = (B−1)/B · Σ(θ₍ᵦ₎ − θ̄)²` and the bias-corrected
+   * `θ_jk = B·θ − (B−1)·θ̄`. Buckets come from a deterministic hash of
+   * the RANDOMIZATION UNIT (users), so correlated rows stay together —
+   * bucketing rows instead would understate the variance.
+   *
+   * Per-bucket sums run through decimal(28,8) (exact, order-free);
+   * each θ₍ᵦ₎ is computed ANALYTICALLY from those sums; only the final
+   * B-term moments are float sums (B caller-bounded, round-6 display
+   * far above the jitter). Output: one row
+   * (b_buckets, theta, theta_jk, se).
+   */
+  def jackknifeRatio(
+      df: DataFrame,
+      bucketOf: Column,
+      numCol: String,
+      denCol: String): DataFrame = {
+    val dec = "decimal(28,8)"
+    val per = df
+      .groupBy(bucketOf.as("__bkt"))
+      .agg(sum(col(numCol).cast(dec)).cast("double").as("__n"),
+        sum(col(denCol).cast(dec)).cast("double").as("__d"))
+      .localCheckpoint() // feeds totals AND leave-one-out frame
+    val tot = per.agg(count(lit(1)).as("__B"),
+      sum(col("__n").cast(dec)).cast("double").as("__sn"),
+      sum(col("__d").cast(dec)).cast("double").as("__sd"))
+    val loo = per.crossJoin(broadcast(tot))
+      .select(col("__B"), col("__sn"), col("__sd"),
+        ((col("__sn") - col("__n")) / (col("__sd") - col("__d")))
+          .as("__t"))
+    // θ moments also go through decimal — a float Σθ² − B·θ̄² is a
+    // catastrophic cancellation, and its last-ulp jitter would be
+    // AMPLIFIED, not hidden, by the final sqrt
+    loo
+      .groupBy(col("__B"), col("__sn"), col("__sd"))
+      .agg(sum(col("__t").cast(dec)).cast("double").as("__st"),
+        sum((col("__t") * col("__t")).cast(dec)).cast("double")
+          .as("__tsq"))
+      .select(col("__B").as("b_buckets"),
+        round(col("__sn") / col("__sd"), 6).as("theta"),
+        round(col("__B") * (col("__sn") / col("__sd")) -
+          (col("__B") - 1) * (col("__st") / col("__B")), 6)
+          .as("theta_jk"),
+        round(sqrt(greatest(lit(0.0),
+          ((col("__B") - 1).cast("double") / col("__B")) *
+            (col("__tsq") - col("__B") * (col("__st") / col("__B")) *
+              (col("__st") / col("__B"))))), 6).as("se"))
+  }
+
+  /**
    * Hill tail-index estimator (Hill 1975, public) — how heavy is the
    * upper tail of a positive metric (doc lengths, host page counts):
    * over the top `k` order statistics x₍₁₎ ≥ … ≥ x₍ₖ₎ and the

@@ -296,4 +296,22 @@ class LanguageModelSpec extends AnyFunSuite {
         alpha = 1.0)
     }
   }
+
+  test("goodTuringMass: singleton share is the unseen mass, absent n_r = 0") {
+    import TestSpark.spark
+    import spark.implicits._
+    // counts: a×3, b×2, c×2, d,e,f ×1 → N = 10, n1 = 3, n2 = 2, n3 = 1
+    val df = Seq((1L, "a a a b b c c d e f")).toDF("doc_id", "text")
+    val got = LanguageModel.goodTuringMass(df, "text", maxR = 4)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(0) == ((0L, 0.3)))        // unseen mass = n1/N = 3/10
+    assert(got(1) == ((3L, 0.4)))        // 2·n2/N = 4/10
+    assert(got(2) == ((2L, 0.3)))        // 3·n3/N = 3/10
+    assert(got(3) == ((1L, 0.0)))        // n4 = 0
+    assert(got(4) == ((0L, 0.0)))
+    intercept[IllegalArgumentException] {
+      LanguageModel.goodTuringMass(df, "text", maxR = 0)
+    }
+  }
 }

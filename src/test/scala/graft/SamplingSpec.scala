@@ -374,4 +374,28 @@ class SamplingSpec extends AnyFunSuite {
       Sampling.unimaxAllocation(docs, "lang", col("toks"), budget = 10L, epochCap = 0.0)
     }
   }
+
+  test("largestRemainderAllocation: integer quotas sum exactly to seats") {
+    import TestSpark.spark
+    import spark.implicits._
+    // counts a=5, b=3, c=2 over 7 seats: quotas 3.5/2.1/1.4 → base
+    // 3/2/1 (6), one leftover goes to the largest remainder (a: .5)
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c"))
+      .toDF("g")
+    val got = Sampling.largestRemainderAllocation(df, "g", seats = 7L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("a") == ((3L, 1L, 4L)))
+    assert(got("b") == ((2L, 0L, 2L)))
+    assert(got("c") == ((1L, 0L, 1L)))
+    assert(got.values.map(_._3).sum == 7L, "allocations sum to seats")
+    // remainder ties break on the group ascending
+    val tied = (Seq.fill(1)("x") ++ Seq.fill(1)("y")).toDF("g")
+    val t = Sampling.largestRemainderAllocation(tied, "g", seats = 3L)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(t == Map("x" -> 2L, "y" -> 1L))
+    intercept[IllegalArgumentException] {
+      Sampling.largestRemainderAllocation(df, "g", seats = 0L)
+    }
+  }
 }

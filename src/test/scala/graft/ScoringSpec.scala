@@ -138,4 +138,24 @@ class ScoringSpec extends AnyFunSuite {
       graft.ops.Scoring.woeBinning(df, "s", "g", bins = 1)
     }
   }
+
+  test("conformalReport: rank arithmetic, order-statistic threshold, α fence") {
+    import TestSpark.spark
+    import spark.implicits._
+    // n = 9, α = 0.2: rank = ⌈10·0.8⌉ = 8 → threshold = 8th smallest
+    val cal = (1 to 9).map(_.toDouble).toDF("s")
+    val test9 = Seq(7.5, 8.0, 8.5, 100.0).toDF("s")
+    val r = graft.ops.Scoring.conformalReport(cal, test9, "s", alpha = 0.2)
+      .head
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) == ((9L, 8L, 8.0)))
+    assert((r.getLong(3), r.getLong(4), r.getDouble(5)) == ((4L, 2L, 0.5)))
+    // α smaller than the sample can certify: rank > n → null gate,
+    // null coverage — fail-visible, not an accept-everything gate
+    val tiny = graft.ops.Scoring.conformalReport(
+      Seq(1.0, 2.0).toDF("s"), test9, "s", alpha = 0.1).head
+    assert(tiny.getLong(1) == 3L && tiny.isNullAt(2) && tiny.isNullAt(5))
+    intercept[IllegalArgumentException] {
+      graft.ops.Scoring.conformalReport(cal, test9, "s", alpha = 0.0)
+    }
+  }
 }

@@ -270,4 +270,29 @@ class StatsSpec extends AnyFunSuite {
       Stats.hillTailIndex(df, "v", k = 1)
     }
   }
+
+  test("jackknifeRatio: hand buckets, zero-variance series, bias identity") {
+    import TestSpark.spark
+    import spark.implicits._
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // buckets (n, d): (2, 1), (4, 2), (6, 3) — every leave-one-out
+    // ratio is exactly 2.0 -> zero variance, no bias
+    val same = Seq((0L, 2.0, 1.0), (1L, 4.0, 2.0), (2L, 6.0, 3.0))
+      .toDF("u", "n", "d")
+    val s = Stats.jackknifeRatio(same, col("u"), "n", "d").head
+    assert(s.getLong(0) == 3L)
+    assert(s.getDouble(1) == 2.0 && s.getDouble(2) == 2.0 &&
+      s.getDouble(3) == 0.0)
+    // heterogeneous buckets: θ = 10/4; θ₍ᵦ₎ = {8/3, 9/3, 3/2}
+    val mix = Seq((0L, 2.0, 1.0), (1L, 1.0, 1.0), (2L, 7.0, 2.0))
+      .toDF("u", "n", "d")
+    val m = Stats.jackknifeRatio(mix, col("u"), "n", "d").head
+    val thetas = Seq(8.0 / 3, 9.0 / 3, 3.0 / 2)
+    val tbar = thetas.sum / 3
+    assert(m.getDouble(1) == 2.5)
+    assert(math.abs(m.getDouble(2) - (3 * 2.5 - 2 * tbar)) < 2e-6)
+    val va = (2.0 / 3) * thetas.map(t => (t - tbar) * (t - tbar)).sum
+    assert(math.abs(m.getDouble(3) - math.sqrt(va)) < 2e-6)
+  }
 }
