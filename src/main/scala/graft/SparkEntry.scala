@@ -4523,7 +4523,62 @@ object SparkEntry {
     //      quotas (truncation alone starves small groups).
     "q266_allocation" -> ((s, dir) =>
       graft.ops.Sampling.largestRemainderAllocation(
-        T(s, dir, "documents"), "source", seats = 1000L))
+        T(s, dir, "documents"), "source", seats = 1000L)),
+
+    // ---- north-star: merge-on-read index lifecycle end-to-end — two
+    //      landed waves (the second re-crawls every 10th doc), then
+    //      COMPACTION folds live postings into one generation and
+    //      prunes the dead ones; phrase answers must match current
+    //      text throughout.
+    "q267_index_compaction" -> ((s, dir) => {
+      val base = tmp("q267_idx")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+      val stale = docs.withColumn("text",
+        when(col("doc_id") % 10 === 0,
+          concat(lit("stale page marker "), col("text")))
+          .otherwise(col("text")))
+      val schema = graft.schema.Metadata.structFromSpec(
+        "doc_id: long\ntext: string")
+      def drain() = graft.streaming.SearchIngest.maintainIndex(
+        s, s"$base/landing/run_*", schema, "doc_id", "text",
+        silverDir = s"$base/silver", checkpointDir = s"$base/ckpt",
+        indexDir = s"$base/index", buckets = 8)
+      Layers.writeJsonl(stale, s"$base/landing", Some("w1"))
+      drain()
+      Layers.writeJsonl(docs.filter(col("doc_id") % 10 === 0),
+        s"$base/landing", Some("w2"))
+      drain()
+      val pruned = graft.streaming.SearchIngest.compactIndex(
+        s, s"$base/index")
+      val live = graft.streaming.SearchIngest.readIndex(s, s"$base/index")
+      graft.ops.Search.phraseSearch(live, Seq("spark", "window"))
+        .withColumn("n_pruned_generations", lit(pruned))
+    }),
+
+    // ---- north-star: dedup threshold sensitivity — pair counts, doc
+    //      reach, and mean similarity at each candidate threshold from
+    //      ONE exact stem at the lowest: the tuning table behind THE
+    //      dedup knob.
+    "q268_threshold_sensitivity" -> ((s, dir) =>
+      Dedup.thresholdSensitivity(
+        T(s, dir, "documents"), "text", "doc_id",
+        thresholds = Seq(0.5, 0.7, 0.9))),
+
+    // ---- north-star: Bloom FPR calibration — measured false-positive
+    //      rate on a DISJOINT probe set vs the a-priori theory line and
+    //      the actual-fill line (a clumping hash family diverges);
+    //      md5 double hashing so the family itself replays.
+    "q269_bloom_fpr" -> ((s, dir) => {
+      val cust = T(s, dir, "customer")
+      graft.ops.Bloom.fprCalibration(
+        cust.select(col("c_custkey").as("key")),
+        cust.select((col("c_custkey") + 1000000).as("key")),
+        "key", numBits = 4096, numHashes = 3)
+    })
   )
 
   /** graft-authored pipeline config (reference YAML shape,
@@ -8842,6 +8897,91 @@ object SparkEntry {
         |  CAST(base + CASE WHEN rk <= e.extra THEN 1 ELSE 0 END
         |    AS BIGINT) AS allocation
         |FROM r, e""".stripMargin,
+
+    // compaction replay: after the second wave the live index IS the
+    // current corpus, and exactly two dead generations (0 and 1) fall
+    // to the compactor — the phrase rows are q261's replay
+    "q267_index_compaction" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |m AS (
+        |  SELECT doc_id,
+        |    len(list_filter(range(1, len(toks)),
+        |      i -> toks[i] = 'spark' AND toks[i+1] = 'window')) AS occ,
+        |    list_min(list_filter(range(1, len(toks)),
+        |      i -> toks[i] = 'spark' AND toks[i+1] = 'window')) AS first1
+        |  FROM tk)
+        |SELECT doc_id, CAST(occ AS BIGINT) AS n_occurrences,
+        |  CAST(first1 - 1 AS INT) AS first_pos,
+        |  2 AS n_pruned_generations
+        |FROM m WHERE occ > 0""".stripMargin,
+
+    // threshold-sensitivity replay: the q88 all-pairs stem at the
+    // lowest threshold, melted to (jaccard, doc), per-threshold
+    // conditional aggregates
+    "q268_threshold_sensitivity" -> {
+      def row(t: Double) =
+        s"""SELECT CAST($t AS DOUBLE) AS threshold,
+           |  CAST((count(*) FILTER (jaccard >= $t)) // 2 AS BIGINT)
+           |    AS n_pairs,
+           |  count(DISTINCT d) FILTER (jaccard >= $t) AS n_docs,
+           |  round(avg(jaccard) FILTER (jaccard >= $t), 6)
+           |    AS mean_jaccard
+           |FROM mel""".stripMargin
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |sh AS (SELECT doc_id, $duckShingles AS s FROM t),
+         |exsh AS (SELECT DISTINCT doc_id, unnest(s) AS sv FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM exsh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT ea.doc_id AS id_a, eb.doc_id AS id_b, count(*) AS i
+         |  FROM exsh ea JOIN exsh eb ON eb.sv = ea.sv
+         |    AND ea.doc_id < eb.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT id_a, id_b,
+         |    round(it.i / (sa.n + sb.n - it.i), 6) AS jaccard
+         |  FROM inter it JOIN sizes sa ON sa.doc_id = it.id_a
+         |  JOIN sizes sb ON sb.doc_id = it.id_b
+         |  WHERE round(it.i / (sa.n + sb.n - it.i), 6) >= 0.5),
+         |mel AS (SELECT jaccard, id_a AS d FROM pairs
+         |  UNION ALL SELECT jaccard, id_b FROM pairs)
+         |${row(0.5)}
+         |UNION ALL ${row(0.7)}
+         |UNION ALL ${row(0.9)}""".stripMargin
+    },
+
+    // Bloom-FPR replay: the salted md5 double hash per key, the
+    // distinct set-position frame, any-position-missing probe test,
+    // and both theory lines with the same expression shapes
+    "q269_bloom_fpr" -> {
+      def h(expr: String) = PortableSql.minhashBase(expr, DD)
+      val h1 = s"${h("CAST(key AS VARCHAR)")} % 4096"
+      val h2 = s"${h("concat(CAST(key AS VARCHAR), ':bloom2')")} % 4096"
+      s"""WITH ik AS (SELECT DISTINCT c_custkey AS key FROM customer),
+         |ipos AS (SELECT DISTINCT p FROM (
+         |  SELECT unnest(list_transform(generate_series(0, 2),
+         |    __j -> (($h1) + __j * ($h2)) % 4096)) AS p
+         |  FROM ik)),
+         |pk AS (SELECT DISTINCT c_custkey + 1000000 AS key FROM customer),
+         |pp AS (SELECT key, unnest(list_transform(generate_series(0, 2),
+         |    __j -> (($h1) + __j * ($h2)) % 4096)) AS p
+         |  FROM pk),
+         |miss AS (SELECT count(DISTINCT key) AS nm FROM pp
+         |  WHERE p NOT IN (SELECT p FROM ipos)),
+         |meta AS (SELECT (SELECT count(*) FROM ik) AS n_inserted,
+         |    (SELECT count(*) FROM pk) AS n_probes,
+         |    (SELECT count(*) FROM ipos) AS set_bits,
+         |    (SELECT nm FROM miss) AS nm)
+         |SELECT n_inserted, n_probes, 4096 AS m_bits, 3 AS k_hashes,
+         |  set_bits, n_probes - nm AS n_false_hits,
+         |  round(CAST(n_probes - nm AS DOUBLE) / n_probes, 6)
+         |    AS fpr_measured,
+         |  round(pow(CAST(set_bits AS DOUBLE) / 4096, 3), 6) AS fpr_fill,
+         |  round(pow(CAST(1.0 AS DOUBLE) - exp(CAST(-3.0 AS DOUBLE)
+         |    * n_inserted / 4096), 3), 6) AS fpr_theory
+         |FROM meta""".stripMargin
+    },
 
     // proximity replay: token positions from the text directly —
     // gaps are base-independent (Spark postings are 0-based)

@@ -46,6 +46,84 @@ object Bloom {
       i => pmod(h1 + i * h2, lit(numBits.toLong)))
   }
 
+  /** md5-derived double-hash positions — the ORACLE-REPLAYABLE twin of
+    * [[positions]] (xxhash64 has no cross-engine replay; the salted
+    * md5 base does — the q37/q243 mechanism). Used by the calibration
+    * report, where the HASH FAMILY itself is under measurement. */
+  private def md5Positions(
+      key: Column, numBits: Int, numHashes: Int): Column = {
+    def base(c: Column): Column =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val h1 = pmod(base(key.cast("string")), lit(numBits.toLong))
+    val h2 = pmod(base(concat(key.cast("string"), lit(":bloom2"))),
+      lit(numBits.toLong))
+    transform(
+      sequence(lit(0), lit(numHashes - 1)),
+      i => pmod(h1 + i * h2, lit(numBits.toLong)))
+  }
+
+  /**
+   * False-positive-rate calibration — MEASURE the filter the planner
+   * will trust: insert one key set, probe with a DISJOINT one (every
+   * hit is a false positive by construction), and report the measured
+   * FPR against two theory lines:
+   *
+   *  - `fpr_theory` = (1 − e^(−k·n/m))^k — the textbook a-priori rate;
+   *  - `fpr_fill`   = (set_bits/m)^k — the rate implied by the ACTUAL
+   *    fill (catches a bad hash family: clumped positions set fewer
+   *    bits than theory assumes and the measured rate diverges).
+   *
+   * Scale shape: the distinct set-position frame is ≤ m rows (the
+   * filter's own size — never key-∝); the probe check is an explode +
+   * one anti-join against it (a probe is a false positive iff NONE of
+   * its k positions is missing), then integer counting. Exponentials
+   * are single scalar evaluations (round 6).
+   *
+   * Output: one row (n_inserted, n_probes, m_bits, k_hashes, set_bits,
+   * n_false_hits, fpr_measured, fpr_fill, fpr_theory).
+   */
+  def fprCalibration(
+      insert: DataFrame,
+      probe: DataFrame,
+      keyCol: String,
+      numBits: Int,
+      numHashes: Int): DataFrame = {
+    require(numBits >= 64 && numHashes >= 1, "need m >= 64, k >= 1")
+    val ins = insert.select(col(keyCol).as("__k")).distinct()
+      .localCheckpoint() // feeds n and the position set
+    val setPos = ins
+      .select(explode(md5Positions(col("__k"), numBits, numHashes))
+        .as("__p"))
+      .distinct()
+      .localCheckpoint() // ≤ m rows; probed twice below
+    val nIns = ins.agg(count(lit(1)).as("n_inserted"))
+    val nBits = setPos.agg(count(lit(1)).as("set_bits"))
+    val probes = probe.select(col(keyCol).as("__k")).distinct()
+      .join(ins, Seq("__k"), "left_anti") // disjoint by construction
+      .localCheckpoint()
+    val nProbe = probes.agg(count(lit(1)).as("n_probes"))
+    // a probe misses iff ANY of its positions is unset
+    val misses = probes
+      .select(col("__k"),
+        explode(md5Positions(col("__k"), numBits, numHashes)).as("__p"))
+      .join(setPos, Seq("__p"), "left_anti")
+      .select(col("__k")).distinct()
+      .agg(count(lit(1)).as("__nmiss"))
+    nIns.crossJoin(nProbe).crossJoin(nBits).crossJoin(misses)
+      .select(col("n_inserted"), col("n_probes"),
+        lit(numBits).as("m_bits"), lit(numHashes).as("k_hashes"),
+        col("set_bits"),
+        (col("n_probes") - col("__nmiss")).as("n_false_hits"),
+        // an all-overlapping probe set measures nothing: null, not 0/0
+        when(col("n_probes") === 0, lit(null).cast("double"))
+          .otherwise(round((col("n_probes") - col("__nmiss"))
+            .cast("double") / col("n_probes"), 6)).as("fpr_measured"),
+        round(pow(col("set_bits").cast("double") / numBits, numHashes), 6)
+          .as("fpr_fill"),
+        round(pow(lit(1.0) - exp(lit(-1.0 * numHashes) *
+          col("n_inserted") / numBits), numHashes), 6).as("fpr_theory"))
+  }
+
   /**
    * Build the bit array: ONE row holding `numBits/64` longs. The build
    * aggregates at most `numBits/64` groups regardless of key count —

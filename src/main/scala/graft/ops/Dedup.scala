@@ -1461,6 +1461,52 @@ object Dedup {
   }
 
   /**
+   * Dedup threshold-sensitivity report — the tuning table for THE
+   * dedup knob: how many pairs (and how much of the corpus) each
+   * candidate Jaccard threshold would implicate. Built from ONE exact
+   * candidate stem at the LOWEST threshold ([[prefixFilteredPairs]] —
+   * exact recall, so every higher threshold's pair set is a subset by
+   * construction), then |thresholds|-row arithmetic: no re-scan, no
+   * re-join per threshold. "0.8 drops 3% of docs, 0.7 drops 11%" is
+   * the sentence a curation review needs before committing a number.
+   *
+   * Output: one row per threshold:
+   * (threshold, n_pairs, n_docs, mean_jaccard round 6).
+   */
+  def thresholdSensitivity(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty && thresholds.forall(t => t > 0 && t <= 1),
+      "thresholds must be in (0, 1]")
+    // melt pairs to (jaccard, doc): every threshold's pair count, doc
+    // reach, and mean come out of ONE aggregation over the frame
+    // (conditional count-distincts — nulls don't count); each pair
+    // appears twice, so n_pairs halves and the mean is unchanged
+    val melted = prefixFilteredPairs(df, textCol, idCol, thresholds.min)
+      .select(col("jaccard"),
+        explode(array(col("id_a"), col("id_b"))).as("__d"))
+    val ts = thresholds.sorted
+    val aggs = ts.zipWithIndex.flatMap { case (t, i) =>
+      Seq(
+        (sum(when(col("jaccard") >= t, 1L).otherwise(0L)) / 2)
+          .cast("long").as(s"__np_$i"),
+        count_distinct(when(col("jaccard") >= t, col("__d")))
+          .as(s"__nd_$i"),
+        round(avg(when(col("jaccard") >= t, col("jaccard"))), 6)
+          .as(s"__mj_$i"))
+    }
+    val one = melted.agg(aggs.head, aggs.tail: _*).localCheckpoint()
+    ts.zipWithIndex.map { case (t, i) =>
+      one.select(lit(t).as("threshold"),
+        col(s"__np_$i").as("n_pairs"),
+        col(s"__nd_$i").as("n_docs"),
+        col(s"__mj_$i").as("mean_jaccard"))
+    }.reduce(_ unionByName _)
+  }
+
+  /**
    * b-bit minwise hashing report (Li & König 2010, public) — the
    * storage-side answer to "how many hash functions": keep only the
    * LOWEST b BITS of each MinHash component (a 64→b-bit compression of

@@ -61,18 +61,35 @@ object SearchIngest {
       indexDir: String,
       buckets: Int = 16): Long = {
     require(buckets >= 1, "buckets must be >= 1")
+    // the drain's BATCH is the silver files this drain added — an
+    // append-only silver keeps every superseded version of a
+    // re-crawled doc, so "delta vs ledger over ALL of silver" would
+    // resurrect stale rows forever (and pay an O(silver) scan per
+    // drain); the file-list diff keeps the drain O(batch)
+    val silverPath = new Path(silverDir)
+    val sfs = silverPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def silverFiles(): Set[String] =
+      if (!sfs.exists(silverPath)) Set.empty
+      else sfs.listStatus(silverPath).filter(_.isFile)
+        .map(_.getPath.toString).filter(_.endsWith(".parquet")).toSet
+    val before = silverFiles()
     IngestStream.drainOnce(spark, landingDir, schema,
       requiredCols = Seq(idCol, textCol), normalizeCols = Nil,
       outDir = silverDir, checkpointDir = checkpointDir)
-    val silverPath = new Path(silverDir)
-    val sfs = silverPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val silver =
-      if (sfs.exists(silverPath)) spark.read.schema(schema).parquet(silverDir)
+    val fresh = (silverFiles() -- before).toSeq.sorted
+    val batch =
+      if (fresh.nonEmpty) spark.read.schema(schema).parquet(fresh: _*)
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    val docs = silver.select(col(idCol).as("doc_id"),
+    // one version per doc per drain is the landing-zone contract; a
+    // violating batch resolves to the max (hash, text) — deterministic
+    val docs = batch.select(col(idCol).as("doc_id"),
         col(textCol).as("__text"))
       .withColumn("__h", xxhash64(col("__text")))
+      .groupBy("doc_id")
+      .agg(max(struct(col("__h"), col("__text"))).as("__m"))
+      .select(col("doc_id"), col("__m.__text").as("__text"),
+        col("__m.__h").as("__h"))
     val lPath = new Path(ledgerDir(indexDir))
     val lfs = lPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hasLedger = lfs.exists(lPath)
@@ -108,5 +125,47 @@ object SearchIngest {
       newLedger.write.mode("overwrite").parquet(ledgerDir(indexDir))
     }
     nDelta
+  }
+
+  /**
+   * Merge-on-read compaction — fold every LIVE posting into one fresh
+   * generation and drop the dead ones (the executor the q230 planner
+   * decides WHEN to run). Crash-safe by the same ledger-last protocol
+   * as a drain: the consolidated generation is written first (a crash
+   * leaves it an invisible orphan), the ledger swap makes it live
+   * atomically-enough (readers join on (doc, gen) — they see either
+   * all-old or all-new), and only THEN are dead generation directories
+   * pruned. Cost ∝ live postings — the rewrite merge-on-read defers,
+   * paid once, on schedule, instead of on every drain.
+   *
+   * Returns the number of generation directories pruned.
+   */
+  def compactIndex(spark: SparkSession, indexDir: String): Int = {
+    val live = readIndex(spark, indexDir)
+      .localCheckpoint() // sever lineage from the dirs being replaced
+    val gen = spark.read.parquet(ledgerDir(indexDir))
+      .agg(max(col("gen"))).head.getInt(0) + 1
+    live.drop("gen")
+      .withColumn("gen", lit(gen))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("gen", "tbucket")
+      .parquet(postingsDir(indexDir))
+    val ledger = spark.read.parquet(ledgerDir(indexDir))
+      .select(col("doc_id"), col("text_hash"), lit(gen).as("gen"))
+      .localCheckpoint()
+    ledger.write.mode("overwrite").parquet(ledgerDir(indexDir))
+    // dead generations are now unreachable — prune their directories
+    val pPath = new Path(postingsDir(indexDir))
+    val fs = pPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dead = fs.listStatus(pPath)
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n.startsWith("gen=") && n != s"gen=$gen"
+      }
+    dead.foreach(fs.delete(_, true))
+    dead.length
   }
 }

@@ -68,4 +68,32 @@ class BloomSpec extends AnyFunSuite {
       .filter($"o_totalprice" > 1e12).select("o_orderkey")
     assert(Bloom.prunedSemiJoin(lineitem, "l_orderkey", none, "o_orderkey").count() == 0)
   }
+
+  test("fprCalibration: measured FPR sits in the theory band, edges behave") {
+    import TestSpark.spark
+    import spark.implicits._
+    val insert = (1L to 400L).toDF("key")
+    val probe = (10001L to 12000L).toDF("key")
+    val r = Bloom.fprCalibration(insert, probe, "key",
+      numBits = 4096, numHashes = 3).head
+    assert(r.getLong(0) == 400L && r.getLong(1) == 2000L)
+    assert(r.getLong(4) > 0L && r.getLong(4) <= 1200L) // <= k·n bits set
+    val (measured, fill, theory) =
+      (r.getDouble(6), r.getDouble(7), r.getDouble(8))
+    // k=3, n=400, m=4096: theory ≈ 1.6% — measured within a loose band
+    assert(theory > 0.005 && theory < 0.05)
+    assert(measured >= 0.0 && measured < 5 * theory + 0.01,
+      s"measured $measured wildly off theory $theory")
+    assert(fill > 0 && fill < 0.05)
+    // probes that ARE inserted are excluded: an all-overlapping probe
+    // set measures nothing (0 probes -> NaN guarded upstream by data,
+    // here just assert the disjointness filter)
+    val overlap = Bloom.fprCalibration(insert, insert, "key",
+      numBits = 4096, numHashes = 3).head
+    assert(overlap.getLong(1) == 0L)
+    intercept[IllegalArgumentException] {
+      Bloom.fprCalibration(insert, probe, "key", numBits = 32,
+        numHashes = 3)
+    }
+  }
 }

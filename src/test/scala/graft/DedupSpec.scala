@@ -825,4 +825,26 @@ class DedupSpec extends AnyFunSuite {
       graft.ops.Dedup.bBitMinhashReport(docs, "text", "doc_id", b = 0)
     }
   }
+
+  test("thresholdSensitivity: monotone pair/doc counts from one stem") {
+    import TestSpark.spark
+    import spark.implicits._
+    // d1~d2 share 2/4 shingles (J = 0.5), d3 = d4 exactly (J = 1.0)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the quick brown fox leaps"),
+      (3L, "completely different words here now"),
+      (4L, "completely different words here now")).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.thresholdSensitivity(
+        docs, "text", "doc_id", thresholds = Seq(0.5, 0.9))
+      .orderBy("threshold").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got(0) == ((0.5, 2L, 4L, 0.75)))  // both pairs, all 4 docs
+    assert(got(1) == ((0.9, 1L, 2L, 1.0)))   // only the exact twins
+    intercept[IllegalArgumentException] {
+      graft.ops.Dedup.thresholdSensitivity(docs, "text", "doc_id",
+        Seq(1.5))
+    }
+  }
 }

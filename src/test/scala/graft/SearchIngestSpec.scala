@@ -71,5 +71,23 @@ class SearchIngestSpec extends AnyFunSuite {
     val idx3 = SearchIngest.readIndex(spark, s"$base/index")
     assert(idx3.filter(org.apache.spark.sql.functions.col("doc_id") === 99L)
       .count() == 0L, "orphan generations never surface")
+
+    // compaction: folds live postings into one generation, prunes the
+    // rest (incl. the orphan), answers unchanged
+    val before = dump(idx3.select("token", "doc_id", "positions"))
+    val pruned = SearchIngest.compactIndex(spark, s"$base/index")
+    assert(pruned >= 2, s"dead generations must be pruned, got $pruned")
+    val idx4 = SearchIngest.readIndex(spark, s"$base/index")
+    assert(dump(idx4.select("token", "doc_id", "positions")) == before,
+      "compaction must not change the live index")
+    val genDirs = new java.io.File(s"$base/index/postings").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("gen="))
+    assert(genDirs.length == 1, "exactly one live generation remains")
+    // a drain after compaction continues the generation sequence
+    land(landing.getPath, "wave3.jsonl", Seq(4L -> "red fox again"))
+    assert(drain() == 1L)
+    assert(Search.phraseSearch(SearchIngest.readIndex(spark, s"$base/index"),
+      Seq("red", "fox")).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 4L))
   }
 }
