@@ -4578,7 +4578,70 @@ object SparkEntry {
         cust.select(col("c_custkey").as("key")),
         cust.select((col("c_custkey") + 1000000).as("key")),
         "key", numBits = 4096, numHashes = 3)
-    })
+    }),
+
+    // ---- north-star: entity-resolution capstone — q257's probabilistic
+    //      matches close transitively into entity clusters with a
+    //      min-id canonical per cluster: the golden-record step every
+    //      linkage pipeline ends on.
+    "q270_linkage_clusters" -> ((s, dir) => {
+      val cust = T(s, dir, "customer")
+      val dirty = cust.filter(col("c_custkey") % 20 === 0).select(
+        (col("c_custkey") + 100000).as("c_custkey"),
+        concat(lit(" "), upper(col("c_name")), lit("  ")).as("c_name"),
+        col("c_nationkey"),
+        (col("c_acctbal") + 0.5).as("c_acctbal"),
+        col("c_mktsegment"))
+      val matches = graft.ops.Linkage.fellegiSunter(
+        dirty, cust, idCol = "c_custkey", blockCol = "c_mktsegment",
+        fields = Seq(
+          graft.ops.Linkage.Field("name",
+            lower(trim(col("a_c_name"))) === lower(trim(col("b_c_name"))),
+            m = 0.95, u = 0.002),
+          graft.ops.Linkage.Field("bal",
+            abs(col("a_c_acctbal") - col("b_c_acctbal")) <= 1.0,
+            m = 0.9, u = 0.05),
+          graft.ops.Linkage.Field("nation",
+            col("a_c_nationkey") === col("b_c_nationkey"),
+            m = 0.95, u = 0.04)),
+        upper = 5.0, lower = 0.0)
+        .filter(col("decision") === "match")
+        .select(col("id_a"), col("id_b"))
+      Dedup.components(matches)
+        .select(col("id"), col("label").as("cluster_id"),
+          (col("id") === col("label")).as("is_canonical"))
+    }),
+
+    // ---- north-star: directed reciprocity of the synthetic link
+    //      graph — the link-exchange/mutual-citation-ring gauge; one
+    //      distinct edge set + one reversed-key semi-join.
+    "q271_reciprocity" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      val nRow = docs.agg(count(lit(1)).as("__n"))
+      val id = col("doc_id")
+      val edges = docs.crossJoin(broadcast(nRow)).select(
+        id.as("src"),
+        explode(array(
+          (id * 2 + 1) % col("__n"),
+          (id * 3 + 2) % col("__n"),
+          (id * 7 + 5) % col("__n"))).as("dst"))
+      graft.ops.LinkGraph.reciprocity(edges, "src", "dst")
+    }),
+
+    // ---- north-star: longest sustained burst per event type — the
+    //      gaps-and-islands decomposition over the densified hour grid:
+    //      duration-aware operational facts beside q170's point alarms.
+    "q272_longest_burst" -> ((s, dir) =>
+      graft.ops.EventOps.longestBurst(
+        Layers.readEvents(s, s"$dir/events.parquet"),
+        "event_type", "ts", minCount = 3L)),
+
+    // ---- north-star: Cramér's V between language and source — "are
+    //      the corpus's categoricals independent", normalized to [0,1]
+    //      over the DENSIFIED contingency grid.
+    "q273_cramers_v" -> ((s, dir) =>
+      graft.ops.Diagnostics.cramersV(
+        T(s, dir, "documents"), "lang", "source"))
   )
 
   /** graft-authored pipeline config (reference YAML shape,
@@ -8982,6 +9045,118 @@ object SparkEntry {
          |    * n_inserted / 4096), 3), 6) AS fpr_theory
          |FROM meta""".stripMargin
     },
+
+    // linkage-cluster replay: q257's match pairs + the recursive
+    // min-label closure, canonical = cluster minimum
+    "q270_linkage_clusters" -> {
+      val (wnA, wnD) = (math.log(0.95 / 0.002), math.log(0.05 / 0.998))
+      val (wbA, wbD) = (math.log(0.9 / 0.05), math.log(0.1 / 0.95))
+      val (wkA, wkD) = (math.log(0.95 / 0.04), math.log(0.05 / 0.96))
+      s"""WITH RECURSIVE dirty AS (SELECT c_custkey + 100000 AS k,
+         |    ' ' || upper(c_name) || '  ' AS name, c_nationkey AS nk,
+         |    c_acctbal + 0.5 AS bal, c_mktsegment AS seg
+         |  FROM customer WHERE c_custkey % 20 = 0),
+         |pp AS (SELECT d.k AS id_a, c.c_custkey AS id_b,
+         |    coalesce(lower(trim(d.name)) = lower(trim(c.c_name)), false)
+         |      AS agree_name,
+         |    coalesce(abs(d.bal - c.c_acctbal) <= 1.0, false) AS agree_bal,
+         |    coalesce(d.nk = c.c_nationkey, false) AS agree_nation
+         |  FROM dirty d JOIN customer c ON c.c_mktsegment = d.seg),
+         |sc AS (SELECT id_a, id_b,
+         |    round((CASE WHEN agree_name THEN CAST($wnA AS DOUBLE)
+         |        ELSE CAST($wnD AS DOUBLE) END)
+         |      + (CASE WHEN agree_bal THEN CAST($wbA AS DOUBLE)
+         |        ELSE CAST($wbD AS DOUBLE) END)
+         |      + (CASE WHEN agree_nation THEN CAST($wkA AS DOUBLE)
+         |        ELSE CAST($wkD AS DOUBLE) END), 6) AS score
+         |  FROM pp),
+         |m AS (SELECT id_a, id_b FROM sc WHERE score >= 5.0),
+         |${closureCtesOver("m")}
+         |SELECT doc_id AS id, cluster_id,
+         |  cluster_id = doc_id AS is_canonical
+         |FROM labels""".stripMargin
+    },
+
+    // reciprocity replay: the directed synthetic edges, distinct,
+    // self-loop-free, reversed-key semi-join via EXISTS
+    "q271_reciprocity" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents
+        |  WHERE text IS NOT NULL),
+        |e0 AS (
+        |  SELECT doc_id AS src, (doc_id*2+1) % n AS dst
+        |  FROM documents, nn WHERE text IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*3+2) % n FROM documents, nn
+        |  WHERE text IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*7+5) % n FROM documents, nn
+        |  WHERE text IS NOT NULL),
+        |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+        |r AS (SELECT count(*) AS n_reciprocated FROM e a
+        |  WHERE EXISTS (SELECT 1 FROM e b
+        |    WHERE b.src = a.dst AND b.dst = a.src)),
+        |t AS (SELECT count(*) AS n_edges FROM e)
+        |SELECT n_edges, n_reciprocated,
+        |  round(CAST(n_reciprocated AS DOUBLE) / n_edges, 6)
+        |    AS reciprocity
+        |FROM t, r""".stripMargin,
+
+    // longest-burst replay: densified hour grid, the two-rank island
+    // id, per-island lengths, longest with earliest-start tie-break
+    "q272_longest_burst" ->
+      """WITH hc AS (SELECT event_type,
+        |    CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (SELECT event_type, unnest(generate_series(min(h), max(h)))
+        |    AS h FROM hc GROUP BY event_type),
+        |g AS (SELECT sp.event_type, sp.h,
+        |    (coalesce(hc.n, 0) >= 3) AS q
+        |  FROM sp LEFT JOIN hc USING (event_type, h)),
+        |gr AS (SELECT *,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h)
+        |    - row_number() OVER (PARTITION BY event_type, q ORDER BY h)
+        |      AS grp
+        |  FROM g),
+        |isl AS (SELECT event_type, grp, count(*) AS len,
+        |    min(h) AS start FROM gr WHERE q GROUP BY 1, 2),
+        |tot AS (SELECT event_type, count(*) AS n_hours,
+        |    CAST(sum(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_burst_hours
+        |  FROM gr GROUP BY event_type),
+        |best AS (SELECT event_type, len AS longest_burst,
+        |    start AS burst_start_hour,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY len DESC, start ASC) AS rk
+        |  FROM isl)
+        |SELECT t.event_type, t.n_hours, t.n_burst_hours,
+        |  b.longest_burst, b.burst_start_hour
+        |FROM tot t JOIN best b
+        |  ON b.event_type = t.event_type AND b.rk = 1""".stripMargin,
+
+    // Cramér's V replay: margins, densified r×c grid, χ² over every
+    // cell (absent = observed-0), the min(r−1,c−1) normalization
+    "q273_cramers_v" ->
+      """WITH rws AS (SELECT lang AS a, source AS b FROM documents
+        |  WHERE lang IS NOT NULL AND source IS NOT NULL),
+        |cells AS (SELECT a, b, count(*) AS o FROM rws GROUP BY 1, 2),
+        |ma AS (SELECT a, count(*) AS ra FROM rws GROUP BY a),
+        |mb AS (SELECT b, count(*) AS cb FROM rws GROUP BY b),
+        |t AS (SELECT count(*) AS n FROM rws),
+        |grid AS (SELECT t.n,
+        |    CAST(ma.ra AS DOUBLE) * mb.cb / t.n AS e,
+        |    coalesce(c.o, 0) AS o
+        |  FROM ma CROSS JOIN mb
+        |  LEFT JOIN cells c ON c.a = ma.a AND c.b = mb.b
+        |  CROSS JOIN t),
+        |x AS (SELECT CAST(max(n) AS BIGINT) AS n,
+        |    sum((o - e) * (o - e) / e) AS chi2 FROM grid),
+        |d AS (SELECT (SELECT count(*) FROM ma) AS r,
+        |    (SELECT count(*) FROM mb) AS c)
+        |SELECT n, r, c, round(chi2, 6) AS chi2,
+        |  CASE WHEN least(r, c) <= 1 THEN NULL
+        |    ELSE round(sqrt(chi2 / (n * (least(r, c) - 1))), 6)
+        |  END AS cramers_v
+        |FROM x, d""".stripMargin,
 
     // proximity replay: token positions from the text directly —
     // gaps are base-independent (Spark postings are 0-based)

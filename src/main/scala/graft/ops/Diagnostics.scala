@@ -197,6 +197,58 @@ object Diagnostics {
   }
 
   /**
+   * Cramér's V association between two categoricals (textbook
+   * contingency statistics) — "are language and source independent, and
+   * how far from it": the normalized χ² that stays in [0, 1] no matter
+   * the table size, so "lang×source V = 0.6" and "lang×license V =
+   * 0.05" compare directly. The cross-categorical companion of
+   * [[chiSquareDrift]] (that one compares two SNAPSHOTS of one
+   * column).
+   *
+   *   V = √( χ² / (n · min(r−1, c−1)) ),
+   *   χ² over the DENSIFIED r×c grid (absent cells are observed-0 with
+   *   full expected mass — skipping them understates χ²).
+   *
+   * Scale shape: one (a, b) cell count plus the two margins (all
+   * category-bounded, never row-∝), the r×c grid by margin cross
+   * join, one 1-row rollup. Counts are exact integers; expected values
+   * and χ² terms are double products of exact ratios (round 6 at the
+   * report — term-order jitter is ~1e-13 against O(1..n) values).
+   *
+   * Output: one row (n, r, c, chi2, cramers_v).
+   */
+  def cramersV(
+      df: DataFrame,
+      aCol: String,
+      bCol: String): DataFrame = {
+    val rows = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).as("__a"), col(bCol).as("__b"))
+    val cells = rows.groupBy("__a", "__b").agg(count(lit(1)).as("__o"))
+    val ma = rows.groupBy("__a").agg(count(lit(1)).as("__ra"))
+    val mb = rows.groupBy("__b").agg(count(lit(1)).as("__cb"))
+    val tot = rows.agg(count(lit(1)).as("__n"))
+    val grid = ma.crossJoin(mb)
+      .join(cells, Seq("__a", "__b"), "left_outer")
+      .crossJoin(broadcast(tot))
+      .select(col("__n"),
+        (col("__ra").cast("double") * col("__cb") / col("__n")).as("__e"),
+        coalesce(col("__o"), lit(0L)).as("__o"))
+    val chi2 = grid.agg(
+      max(col("__n")).as("n"),
+      sum((col("__o") - col("__e")) * (col("__o") - col("__e")) /
+        col("__e")).as("__chi2"))
+    val dims = ma.agg(count(lit(1)).as("r"))
+      .crossJoin(mb.agg(count(lit(1)).as("c")))
+    chi2.crossJoin(dims)
+      .select(col("n"), col("r"), col("c"),
+        round(col("__chi2"), 6).as("chi2"),
+        when(least(col("r"), col("c")) <= 1, lit(null).cast("double"))
+          .otherwise(round(sqrt(col("__chi2") /
+            (col("n") * (least(col("r"), col("c")) - 1))), 6))
+          .as("cramers_v"))
+  }
+
+  /**
    * Two-sample Kolmogorov–Smirnov statistic — the distribution-drift
    * test that needs NO binning choice (PSI and χ² both inherit their
    * sensitivity from the bin edges; KS is the sup-norm distance between

@@ -433,6 +433,70 @@ object EventOps {
   }
 
   /**
+   * Longest sustained burst per event type — the classic
+   * gaps-and-islands decomposition over the DENSIFIED hour grid
+   * ([[volumeForecastError]]'s spine discipline): consecutive hours at
+   * or above `minCount` events form an island; the report gives each
+   * type's longest island and when it started. The duration-aware
+   * companion of [[rateAnomalies]]' point alarms — "traffic spiked"
+   * vs "traffic has been elevated for 14 straight hours" are
+   * different operational facts.
+   *
+   * Islands come from the standard two-rank difference (`row_number`
+   * over all hours minus `row_number` over qualifying hours is
+   * constant within a run) — both ranks ride ONE type-keyed window
+   * pass over the hour grid; the rollup is decomposable. Ties on
+   * length break toward the EARLIEST start. Integer arithmetic
+   * end-to-end.
+   *
+   * Output: one row per type with any qualifying hour:
+   * (event_type, n_hours, n_burst_hours, longest_burst,
+   * burst_start_hour).
+   */
+  def longestBurst(
+      events: DataFrame,
+      typeCol: String,
+      tsCol: String,
+      minCount: Long): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    val hourly = events
+      .select(col(typeCol).as("event_type"),
+        floor(col(tsCol).cast("double") / 3600).as("__h"))
+      .groupBy("event_type", "__h")
+      .agg(count(lit(1)).as("__n"))
+    val spine = hourly.groupBy("event_type")
+      .agg(min("__h").as("__lo"), max("__h").as("__hi"))
+      .select(col("event_type"),
+        explode(sequence(col("__lo"), col("__hi"))).as("__h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("__h"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"), col("__q")).orderBy(col("__h"))
+    val grid = spine
+      .join(hourly, Seq("event_type", "__h"), "left_outer")
+      .select(col("event_type"), col("__h"),
+        (coalesce(col("__n"), lit(0L)) >= minCount).as("__q"))
+      .withColumn("__grp",
+        row_number().over(w) - row_number().over(wq))
+    val islands = grid
+      .filter(col("__q"))
+      .groupBy(col("event_type"), col("__grp"))
+      .agg(count(lit(1)).as("__len"), min(col("__h")).as("__start"))
+    val totals = grid.groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"),
+        sum(when(col("__q"), 1L).otherwise(0L)).as("n_burst_hours"))
+    islands
+      .groupBy("event_type")
+      .agg(max(struct(col("__len").as("l"), (-col("__start")).as("ns")))
+        .as("__m"))
+      .select(col("event_type"), col("__m.l").as("longest_burst"),
+        (-col("__m.ns")).as("burst_start_hour"))
+      .join(totals, Seq("event_type"))
+      .select(col("event_type"), col("n_hours"), col("n_burst_hours"),
+        col("longest_burst"), col("burst_start_hour"))
+  }
+
+  /**
    * CUPED experiment readout (Deng et al. 2013, "Improving the
    * Sensitivity of Online Controlled Experiments", public) — the
    * variance-reduction standard of every experimentation platform:

@@ -340,6 +340,36 @@ object LinkGraph {
   }
 
   /**
+   * Directed reciprocity — the fraction of distinct directed edges
+   * whose reverse also exists (textbook network statistic): high
+   * reciprocity in a web/link graph flags link exchanges and mutual-
+   * citation rings; organic citation graphs run low. One distinct
+   * edge set + ONE self-join on the reversed key — decomposable,
+   * edge-∝, no windows. Self-loops are excluded (they are trivially
+   * their own reverse and inflate the ratio).
+   *
+   * Output: one row (n_edges, n_reciprocated, reciprocity round 6).
+   */
+  def reciprocity(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst") &&
+        col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint() // self-joined below
+    e.join(e.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"), "left_semi")
+      .agg(count(lit(1)).as("n_reciprocated"))
+      .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+      .select(col("n_edges"), col("n_reciprocated"),
+        round(col("n_reciprocated").cast("double") / col("n_edges"), 6)
+          .as("reciprocity"))
+  }
+
+  /**
    * Per-community modularity decomposition (Newman & Girvan 2004,
    * public) — the quality gauge for ANY community assignment (label
    * propagation above, host clusters, template families): how much

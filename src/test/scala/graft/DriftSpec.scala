@@ -187,4 +187,24 @@ class DriftSpec extends AnyFunSuite {
       Diagnostics.embeddingCentroidDrift(base, next, "embedding", topK = 0)
     }
   }
+
+  test("cramersV: perfect association = 1, independence = 0, 1-column null") {
+    // perfect: every a maps to its own b (2×2, n = 4)
+    val perfect = Seq(("x", "p"), ("x", "p"), ("y", "q"), ("y", "q"))
+      .toDF("a", "b")
+    val p = Diagnostics.cramersV(perfect, "a", "b").head
+    assert((p.getLong(0), p.getLong(1), p.getLong(2)) == ((4L, 2L, 2L)))
+    assert(p.getDouble(4) == 1.0)
+    // independence: uniform 2×2 -> χ² = 0, V = 0 (and the densified
+    // grid matters: remove one cell and V must rise above 0)
+    val indep = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
+      .toDF("a", "b")
+    val i = Diagnostics.cramersV(indep, "a", "b").head
+    assert(i.getDouble(3) == 0.0 && i.getDouble(4) == 0.0)
+    val sparse = Seq(("x", "p"), ("x", "q"), ("y", "p")).toDF("a", "b")
+    assert(Diagnostics.cramersV(sparse, "a", "b").head.getDouble(4) > 0.0)
+    // a single-category column: V undefined -> null
+    val flat = Seq(("x", "p"), ("x", "q")).toDF("a", "b")
+    assert(Diagnostics.cramersV(flat, "a", "b").head.isNullAt(4))
+  }
 }

@@ -234,4 +234,27 @@ class EventOpsSpec extends AnyFunSuite {
         seasonHours = 1)
     }
   }
+
+  test("longestBurst: islands over the densified grid, earliest tie-break") {
+    // hours 0-1 burst (len 2), hour 2 dark (no events at all — the
+    // spine must still break the run), hours 3-5 burst (len 3),
+    // hours 6-7 quiet (1 event each)
+    def burst(h: Int) = Seq((1L, "a", h * 3600L), (2L, "a", h * 3600L),
+      (3L, "a", h * 3600L + 5))
+    val rows = burst(0) ++ burst(1) ++ burst(3) ++ burst(4) ++ burst(5) ++
+      Seq((9L, "a", 6 * 3600L), (9L, "a", 7 * 3600L))
+    val r = EventOps.longestBurst(ev(rows: _*), "event_type", "ts",
+      minCount = 3L).head
+    assert(r.getString(0) == "a")
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((8L, 5L, 3L, 3L)))
+    // tie on length: the EARLIEST island wins
+    val tie = burst(0) ++ burst(1) ++ burst(4) ++ burst(5) ++
+      Seq((9L, "a", 7 * 3600L))
+    val t = EventOps.longestBurst(ev(tie: _*), "event_type", "ts", 3L).head
+    assert(t.getLong(3) == 2L && t.getLong(4) == 0L)
+    intercept[IllegalArgumentException] {
+      EventOps.longestBurst(ev(rows: _*), "event_type", "ts", 0L)
+    }
+  }
 }

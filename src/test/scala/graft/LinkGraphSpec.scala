@@ -375,4 +375,19 @@ class LinkGraphSpec extends AnyFunSuite {
     // m = 1, L = 0, D = 1 each: term = −1/4 per side
     assert(split == Map(1L -> -0.25, 2L -> -0.25))
   }
+
+  test("reciprocity: mutual pairs counted both ways, self-loops/dups out") {
+    import spark.implicits._
+    // 1↔2 mutual (2 reciprocated edges), 1→3 one-way, 3→3 self-loop
+    // dropped, duplicate 1→2 collapses
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 3L), (1L, 2L))
+      .toDF("src", "dst")
+    val r = LinkGraph.reciprocity(e, "src", "dst").head
+    assert((r.getLong(0), r.getLong(1)) == ((3L, 2L)))
+    assert(r.getDouble(2) == 0.666667)
+    // fully one-way graph: zero
+    val one = LinkGraph.reciprocity(
+      Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"), "src", "dst").head
+    assert(one.getLong(1) == 0L && one.getDouble(2) == 0.0)
+  }
 }
