@@ -4641,7 +4641,36 @@ object SparkEntry {
     //      over the DENSIFIED contingency grid.
     "q273_cramers_v" -> ((s, dir) =>
       graft.ops.Diagnostics.cramersV(
-        T(s, dir, "documents"), "lang", "source"))
+        T(s, dir, "documents"), "lang", "source")),
+
+    // ---- north-star: language assortativity of the link graph —
+    //      Newman's categorical mixing coefficient (do pages link
+    //      within their language?); integer-exact over the E² common
+    //      denominator.
+    "q274_lang_assortativity" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      val nRow = docs.agg(count(lit(1)).as("__n"))
+      val id = col("doc_id")
+      val edges = docs.crossJoin(broadcast(nRow)).select(
+        id.as("src"),
+        explode(array(
+          (id * 2 + 1) % col("__n"),
+          (id * 3 + 2) % col("__n"),
+          (id * 7 + 5) % col("__n"))).as("dst"))
+      graft.ops.LinkGraph.attributeAssortativity(
+        edges, docs.select(id.as("id"), col("lang").as("label")),
+        "src", "dst")
+    }),
+
+    // ---- north-star: posting-list health — the heavy tokens an
+    //      isin-prune cannot shrink, with df/tf shares: where stopword
+    //      fences and impact-ordered lists get their numbers.
+    "q275_index_health" -> ((s, dir) =>
+      graft.ops.Search.indexHealth(
+        graft.ops.Search.invertedIndex(
+          T(s, dir, "documents").filter(col("text").isNotNull),
+          "text", "doc_id"),
+        topK = 10))
   )
 
   /** graft-authored pipeline config (reference YAML shape,
@@ -9157,6 +9186,59 @@ object SparkEntry {
         |    ELSE round(sqrt(chi2 / (n * (least(r, c) - 1))), 6)
         |  END AS cramers_v
         |FROM x, d""".stripMargin,
+
+    // assortativity replay: labeled synthetic edges, mixing margins,
+    // the integer-exact E² common-denominator form
+    "q274_lang_assortativity" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents
+        |  WHERE text IS NOT NULL),
+        |e AS (
+        |  SELECT doc_id AS src, (doc_id*2+1) % n AS dst
+        |  FROM documents, nn WHERE text IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*3+2) % n FROM documents, nn
+        |  WHERE text IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*7+5) % n FROM documents, nn
+        |  WHERE text IS NOT NULL),
+        |lab AS (SELECT doc_id AS id, lang AS label FROM documents
+        |  WHERE text IS NOT NULL),
+        |tg AS (SELECT ls.label AS lx, ld.label AS ly
+        |  FROM e JOIN lab ls ON ls.id = e.src
+        |  JOIN lab ld ON ld.id = e.dst),
+        |mix AS (SELECT lx, ly, count(*) AS nxy FROM tg GROUP BY 1, 2),
+        |rs AS (SELECT lx, CAST(sum(nxy) AS BIGINT) AS r FROM mix
+        |  GROUP BY lx),
+        |cs AS (SELECT ly, CAST(sum(nxy) AS BIGINT) AS c FROM mix
+        |  GROUP BY ly),
+        |ab AS (SELECT coalesce(CAST(sum(r * c) AS BIGINT), 0) AS ab
+        |  FROM rs JOIN cs ON cs.ly = rs.lx),
+        |dg AS (SELECT CAST(sum(nxy) AS BIGINT) AS n_edges,
+        |    CAST(sum(CASE WHEN lx = ly THEN nxy ELSE 0 END) AS BIGINT)
+        |      AS n_same_label
+        |  FROM mix)
+        |SELECT n_edges, n_same_label,
+        |  CASE WHEN n_edges * n_edges = ab THEN NULL
+        |    ELSE round(CAST(n_edges * n_same_label - ab AS DOUBLE)
+        |      / (n_edges * n_edges - ab), 6) END AS r_assortativity
+        |FROM dg, ab""".stripMargin,
+
+    // index-health replay: per-token df/tf from the text directly,
+    // totals, top-10 by df with the token tie-break
+    "q275_index_health" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($duckToks) AS token
+         |  FROM documents WHERE text IS NOT NULL),
+         |pt AS (SELECT token, count(DISTINCT doc_id) AS df,
+         |    count(*) AS tf_sum FROM tok GROUP BY token),
+         |t AS (SELECT count(*) AS n_tokens,
+         |    CAST(sum(df) AS BIGINT) AS n_postings,
+         |    CAST(sum(tf_sum) AS BIGINT) AS ttf FROM pt)
+         |SELECT token, df, CAST(tf_sum AS BIGINT) AS tf_sum,
+         |  round(CAST(df AS DOUBLE) / n_postings, 6) AS df_share,
+         |  round(CAST(tf_sum AS DOUBLE) / ttf, 6) AS tf_share,
+         |  n_tokens, n_postings
+         |FROM pt, t
+         |ORDER BY df DESC, token ASC LIMIT 10""".stripMargin,
 
     // proximity replay: token positions from the text directly —
     // gaps are base-independent (Spark postings are 0-based)

@@ -340,6 +340,63 @@ object LinkGraph {
   }
 
   /**
+   * Attribute (categorical) assortativity — Newman 2003's mixing
+   * coefficient for a NODE LABEL (language, host class): do edges
+   * connect like with like?
+   *
+   *   r = (Σ_x e_xx − Σ_x a_x·b_x) / (1 − Σ_x a_x·b_x)
+   *
+   * over the directed mixing matrix (e_xy = edge fraction from label x
+   * to label y; a/b the margins). The categorical sibling of
+   * [[degreeAssortativity]]: r → 1 means language-segregated link
+   * communities (expected in a web graph), r ≈ 0 random mixing,
+   * r < 0 disassortative. DETERMINISM: over the common denominator E²
+   * both numerator `E·Σn_xx − Σ rowsum_x·colsum_x` and denominator
+   * `E² − Σ rowsum_x·colsum_x` are exact integers — one division
+   * (round 6); a single-label graph has an undefined r → null.
+   *
+   * Scale shape: one label attach per endpoint (node-sized joins), a
+   * label²-bounded mixing count + label-bounded margins, 1-row rollup.
+   *
+   * Output: one row (n_edges, n_same_label, r_assortativity).
+   */
+  def attributeAssortativity(
+      edges: DataFrame,
+      labels: DataFrame,
+      srcCol: String,
+      dstCol: String): DataFrame = {
+    val lab = labels.select(col("id"), col("label"))
+    val tagged = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .join(lab.select(col("id").as("src"), col("label").as("__lx")),
+        Seq("src"))
+      .join(lab.select(col("id").as("dst"), col("label").as("__ly")),
+        Seq("dst"))
+    val mix = tagged.groupBy("__lx", "__ly")
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint() // feeds margins AND the diagonal
+    val rows = mix.groupBy("__lx").agg(sum("__n").as("__rs"))
+    val cols_ = mix.groupBy("__ly").agg(sum("__n").as("__cs"))
+    val cross = rows
+      .join(cols_, col("__lx") === col("__ly"))
+      .agg(coalesce(sum(col("__rs") * col("__cs")), lit(0L)).as("__ab"))
+    val diag = mix.agg(
+      sum(col("__n")).as("n_edges"),
+      sum(when(col("__lx") === col("__ly"), col("__n")).otherwise(0L))
+        .as("n_same_label"))
+    diag.crossJoin(cross)
+      .select(col("n_edges"), col("n_same_label"),
+        when(col("n_edges") * col("n_edges") === col("__ab"),
+          lit(null).cast("double"))
+          .otherwise(round(
+            (col("n_edges") * col("n_same_label") - col("__ab"))
+              .cast("double") /
+              (col("n_edges") * col("n_edges") - col("__ab")), 6))
+          .as("r_assortativity"))
+  }
+
+  /**
    * Directed reciprocity — the fraction of distinct directed edges
    * whose reverse also exists (textbook network statistic): high
    * reciprocity in a web/link graph flags link exchanges and mutual-

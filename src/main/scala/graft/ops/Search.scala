@@ -141,6 +141,43 @@ object Search {
         count(lit(1)).as("tf"))
 
   /**
+   * Posting-list health report — the index-side capacity view query
+   * planning needs: the heavy tokens (stopword-class posting lists are
+   * the rows a phrase query's isin-prune can NOT shrink) with their
+   * document frequency, total term frequency, and share of all
+   * postings. A token holding >1% of the index is a candidate for a
+   * stopword fence or an impact-ordered list — this report is where
+   * that decision gets its numbers.
+   *
+   * One decomposable per-token rollup over the postings frame, a 1-row
+   * totals broadcast, TakeOrdered top-k (df desc, token asc). Counts
+   * exact; shares single divisions (round 6).
+   *
+   * Output: topK rows (token, df, tf_sum, df_share, postings_share) —
+   * totals ride along as (n_tokens, n_postings).
+   */
+  def indexHealth(index: DataFrame, topK: Int = 10): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    val perToken = index.groupBy("token")
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_sum"))
+      .localCheckpoint() // feeds totals AND the top-k
+    val totals = perToken.agg(
+      count(lit(1)).as("n_tokens"),
+      sum(col("df")).as("n_postings"),
+      sum(col("tf_sum")).as("__ttf"))
+    perToken
+      .orderBy(col("df").desc, col("token").asc)
+      .limit(topK)
+      .crossJoin(broadcast(totals))
+      .select(col("token"), col("df"), col("tf_sum"),
+        round(col("df").cast("double") / col("n_postings"), 6)
+          .as("df_share"),
+        round(col("tf_sum").cast("double") / col("__ttf"), 6)
+          .as("tf_share"),
+        col("n_tokens"), col("n_postings"))
+  }
+
+  /**
    * Doc-granular index upsert — the MAINTENANCE half of the durable
    * [[invertedIndex]] (the SignatureIndex/VectorIndex discipline,
    * applied to search): a re-crawled or newly ingested batch replaces

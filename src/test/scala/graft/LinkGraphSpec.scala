@@ -390,4 +390,27 @@ class LinkGraphSpec extends AnyFunSuite {
       Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"), "src", "dst").head
     assert(one.getLong(1) == 0L && one.getDouble(2) == 0.0)
   }
+
+  test("attributeAssortativity: hand mixing matrix, perfect, degenerate") {
+    import spark.implicits._
+    val labels = Seq((1L, "A"), (2L, "A"), (3L, "B")).toDF("id", "label")
+    // mixing AA:2, BA:1, AB:1 -> E=4, same=2, ab=9+1=10
+    // r = (8−10)/(16−10) = −1/3
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 1L), (1L, 3L))
+      .toDF("src", "dst")
+    val r = LinkGraph.attributeAssortativity(edges, labels, "src", "dst")
+      .head
+    assert((r.getLong(0), r.getLong(1)) == ((4L, 2L)))
+    assert(r.getDouble(2) == -0.333333)
+    // perfectly label-segregated edges ACROSS ≥2 labels -> r = 1
+    // (AA:2, BB:1 -> (3·3−5)/(9−5) = 1)
+    val seg = Seq((1L, 2L), (2L, 1L), (3L, 3L)).toDF("src", "dst")
+    assert(LinkGraph.attributeAssortativity(seg, labels, "src", "dst")
+      .head.getDouble(2) == 1.0)
+    // single label: denominator 0 -> undefined -> null
+    val mono = labels.withColumn("label",
+      org.apache.spark.sql.functions.lit("A"))
+    assert(LinkGraph.attributeAssortativity(edges, mono, "src", "dst")
+      .head.isNullAt(2))
+  }
 }

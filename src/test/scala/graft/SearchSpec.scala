@@ -220,4 +220,22 @@ class SearchSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(hits == Map(1L -> 1L, 3L -> 1L))
   }
+
+  test("indexHealth: heavy tokens by df, shares, token tie-break") {
+    import TestSpark.spark
+    import spark.implicits._
+    // 'a' in 3 docs (df 3, tf 4), 'b' in 2 (tf 2), 'c' in 1 (tf 1)
+    val docs = Seq((1L, "a a b"), (2L, "a b"), (3L, "a c"))
+      .toDF("doc_id", "text")
+    val idx = Search.invertedIndex(docs, "text", "doc_id")
+    val got = Search.indexHealth(idx, topK = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(5), r.getLong(6)))
+    // totals: 3 tokens, 6 postings; a: df 3 (share 0.5), b: df 2
+    assert(got.toSeq == Seq(
+      ("a", 3L, 4L, 0.5, 3L, 6L), ("b", 2L, 2L, 0.333333, 3L, 6L)))
+    intercept[IllegalArgumentException] {
+      Search.indexHealth(idx, topK = 0)
+    }
+  }
 }
