@@ -353,6 +353,9 @@ object Layers {
       fs.listStatus(basePath)
         .filter(_.isDirectory)
         .map(_.getPath)
+        // hidden names are staging dirs (Commits.publishAtomic) or
+        // metadata — never published runs, whatever markers they hold
+        .filter(p => !p.getName.startsWith(".") && !p.getName.startsWith("_"))
         .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
         .map(_.toString)
         .sorted(Ordering[String].reverse)
@@ -373,6 +376,8 @@ object Layers {
       fs.listStatus(basePath)
         .filter(_.isDirectory)
         .map(_.getPath)
+        // hidden names are staging dirs (Commits.publishAtomic), not runs
+        .filter(p => !p.getName.startsWith(".") && !p.getName.startsWith("_"))
         .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
         .map(_.toString)
         .sorted

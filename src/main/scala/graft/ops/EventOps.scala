@@ -555,7 +555,10 @@ object EventOps {
     val varX = col("__sxx") / n - (col("__sx") / n) * (col("__sx") / n)
     val varY = col("__syy") / n - (col("__sy") / n) * (col("__sy") / n)
     val covXY = col("__sxy") / n - (col("__sx") / n) * (col("__sy") / n)
-    val theta = covXY / varX
+    // degenerate pre-period (no activity / constant covariate): theta
+    // would be cov/0 = NaN and poison every adjusted column — degrade
+    // to the UNADJUSTED readout instead (theta = 0 ⇒ adj = raw)
+    val theta = when(varX === 0.0, lit(0.0)).otherwise(covXY / varX)
     arms.crossJoin(broadcast(moments))
       .select(col("arm"), col("n_users"),
         round(col("__ay") / col("n_users"), 6).as("mean_y"),

@@ -57,7 +57,8 @@ object CorpusIngest {
       bands: Int = 4,
       shingleWords: Int = 3,
       kind: graft.ops.Dedup.HashKind = graft.ops.Dedup.Md5,
-      compactTo: Option[Int] = None): DataFrame = {
+      compactTo: Option[Int] = None): DataFrame =
+    graft.io.Commits.withClaim(spark, indexDir) {
     IngestStream.drainOnce(
       spark, landingDir, schema,
       requiredCols = Seq(idCol, textCol),
@@ -122,7 +123,8 @@ object CorpusIngest {
       indexDir: String,
       n: Int = 3,
       kind: graft.ops.Dedup.HashKind = graft.ops.Dedup.Md5,
-      compactTo: Option[Int] = None): DataFrame = {
+      compactTo: Option[Int] = None): DataFrame =
+    graft.io.Commits.withClaim(spark, indexDir) {
     val delta = windowDelta(spark, landingDir, schema, idCol, textCol,
       silverDir, checkpointDir, indexDir, n, kind)
     val spans = WindowIndex.ingestBatch(delta, textCol, indexDir)
@@ -151,7 +153,8 @@ object CorpusIngest {
       indexDir: String,
       n: Int = 3,
       kind: graft.ops.Dedup.HashKind = graft.ops.Dedup.Md5,
-      compactTo: Option[Int] = None): DataFrame = {
+      compactTo: Option[Int] = None): DataFrame =
+    graft.io.Commits.withClaim(spark, indexDir) {
     val delta = windowDelta(spark, landingDir, schema, idCol, textCol,
       silverDir, checkpointDir, indexDir, n, kind)
     // materialize BEFORE the append: novelty is judged against the
@@ -196,7 +199,8 @@ object CorpusIngest {
       threshold: Double,
       nprobe: Int = 2,
       nlist: Int = 8,
-      iters: Int = 2): DataFrame = {
+      iters: Int = 2): DataFrame =
+    graft.io.Commits.withClaim(spark, indexDir) {
     import org.apache.spark.sql.functions._
     IngestStream.drainOnce(
       spark, landingDir, schema,
@@ -218,24 +222,27 @@ object CorpusIngest {
         col("__batch").isNull.as("keep"))
     val fs = new Path(indexDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(indexDir, "_graft_index.json"))) {
-      if (silver.isEmpty) return decisions(silver, silver.select(col(idCol))
+      if (silver.isEmpty) decisions(silver, silver.select(col(idCol))
         .withColumn("__batch", lit(true)).limit(0))
-      val d = decisions(silver,
-          graft.ops.Similarity.batchInternalDups(silver, idCol, vecCol, threshold))
+      else {
+        val d = decisions(silver,
+            graft.ops.Similarity.batchInternalDups(silver, idCol, vecCol, threshold))
+          .localCheckpoint()
+        graft.io.VectorIndex.build(silver, idCol, vecCol, indexDir, nlist, iters)
+        d
+      }
+    } else {
+      val delta = silver.join(
+        graft.io.VectorIndex.storedIds(spark, indexDir), Seq(idCol), "left_anti")
+      // decide BEFORE appending: dup status is judged against the
+      // pre-drain corpus, and the report must not see the delta itself
+      val d = graft.ops.Similarity.incrementalSemanticDedup(
+          delta, idCol, vecCol, indexDir, threshold, nprobe)
         .localCheckpoint()
-      graft.io.VectorIndex.build(silver, idCol, vecCol, indexDir, nlist, iters)
-      return d
+      if (!delta.isEmpty)
+        graft.io.VectorIndex.append(delta.select(col(idCol), col(vecCol)), indexDir)
+      d
     }
-    val delta = silver.join(
-      graft.io.VectorIndex.storedIds(spark, indexDir), Seq(idCol), "left_anti")
-    // decide BEFORE appending: dup status is judged against the
-    // pre-drain corpus, and the report must not see the delta itself
-    val d = graft.ops.Similarity.incrementalSemanticDedup(
-        delta, idCol, vecCol, indexDir, threshold, nprobe)
-      .localCheckpoint()
-    if (!delta.isEmpty)
-      graft.io.VectorIndex.append(delta.select(col(idCol), col(vecCol)), indexDir)
-    d
   }
 
   /** Shared drain preamble of the window-index maintainers: drain
@@ -289,7 +296,10 @@ object CorpusIngest {
    * re-enter either) makes every drain exactly-once: delta = silver
    * anti-join ledger, so a crash between silver commit and state
    * publish self-heals on the next drain, and a crash mid-publish
-   * leaves an unmarked orphan run dir that the retry overwrites.
+   * leaves only an invisible staging dir (the publish is a
+   * [[graft.io.Commits.publishAtomic]] stage+rename, which also makes
+   * a CONCURRENT drain fail visibly instead of silently dropping this
+   * drain's delta from the published lineage).
    *
    * Returns the published state (the pre-drain state on a no-op
    * drain). State + ledger are dimension-sized — versioned snapshots
@@ -318,18 +328,18 @@ object CorpusIngest {
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
-    val (state, ledger) =
-      graft.io.Layers.latestSuccessfulRun(spark, stateDir) match {
-        case Some(run) =>
-          (spark.read.parquet(s"$run/state"), spark.read.parquet(s"$run/ledger"))
-        case None =>
-          (silver.limit(0)
-            .select((Seq(col(keyCol)) ++ attrCols.map(col) :+
-              col(tsCol).as("valid_from")): _*)
-            .withColumn("valid_to", col("valid_from"))
-            .withColumn("is_current", lit(true)),
-            silver.limit(0).select(col(keyCol), col(tsCol)))
-      }
+    val readRun = graft.io.Layers.latestSuccessfulRun(spark, stateDir)
+    val (state, ledger) = readRun match {
+      case Some(run) =>
+        (spark.read.parquet(s"$run/state"), spark.read.parquet(s"$run/ledger"))
+      case None =>
+        (silver.limit(0)
+          .select((Seq(col(keyCol)) ++ attrCols.map(col) :+
+            col(tsCol).as("valid_from")): _*)
+          .withColumn("valid_to", col("valid_from"))
+          .withColumn("is_current", lit(true)),
+          silver.limit(0).select(col(keyCol), col(tsCol)))
+    }
     val delta = silver.join(ledger, Seq(keyCol, tsCol), "left_anti")
     if (delta.isEmpty) return state
     val merged = graft.ops.Scd
@@ -338,17 +348,29 @@ object CorpusIngest {
     val newLedger = ledger
       .unionByName(delta.select(col(keyCol), col(tsCol)))
       .localCheckpoint()
+    // CAS publish: the target run is (run READ from)+1, staged into a
+    // hidden tmp and renamed (one atomic visibility unit — state,
+    // ledger, marker all-or-nothing). A concurrent drain that read the
+    // same base run targets the same slot and fails VISIBLY instead of
+    // silently publishing a state that drops this drain's delta; a
+    // crash leaves only an invisible tmp, and the retry self-heals.
     val fs = new Path(stateDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val nDone =
-      if (!fs.exists(new Path(stateDir))) 0
-      else fs.listStatus(new Path(stateDir)).count(s => s.isDirectory &&
-        fs.exists(new Path(s.getPath, "_SUCCESS")))
-    val runDir = f"$stateDir/run_${nDone + 1}%06d"
-    merged.write.mode("overwrite").parquet(s"$runDir/state")
-    newLedger.write.mode("overwrite").parquet(s"$runDir/ledger")
-    // run-level marker LAST: the two writes become one visibility unit
-    fs.create(new Path(runDir, "_SUCCESS"), true).close()
+    val runDir = nextRunDir(stateDir, readRun)
+    graft.io.Commits.publishAtomic(fs, new Path(runDir)) { tmp =>
+      merged.write.mode("overwrite").parquet(s"$tmp/state")
+      newLedger.write.mode("overwrite").parquet(s"$tmp/ledger")
+      fs.create(new Path(tmp, "_SUCCESS"), true).close()
+    }
     merged
+  }
+
+  /** The CAS target slot of a run-dir publisher: the run AFTER the one
+    * the caller read its base state from (`run_000001` on bootstrap). */
+  private def nextRunDir(base: String, readRun: Option[String]): String = {
+    val n = readRun
+      .map(r => new Path(r).getName.stripPrefix("run_").toInt)
+      .getOrElse(0)
+    f"$base/run_${n + 1}%06d"
   }
 
   /**
@@ -399,14 +421,14 @@ object CorpusIngest {
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], readSchema)
 
-    val (state, hw) =
-      graft.io.Layers.latestSuccessfulRun(spark, stateDir) match {
-        case Some(run) =>
-          (spark.read.parquet(s"$run/state"), spark.read.parquet(s"$run/ledger"))
-        case None =>
-          (silver.limit(0).select((keyCol +: attrCols).map(col): _*),
-            silver.limit(0).select(col(keyCol), col(tsCol).as("hw_ts")))
-      }
+    val readRun = graft.io.Layers.latestSuccessfulRun(spark, stateDir)
+    val (state, hw) = readRun match {
+      case Some(run) =>
+        (spark.read.parquet(s"$run/state"), spark.read.parquet(s"$run/ledger"))
+      case None =>
+        (silver.limit(0).select((keyCol +: attrCols).map(col): _*),
+          silver.limit(0).select(col(keyCol), col(tsCol).as("hw_ts")))
+    }
     // NO broadcast hint on the ledger: it is key-sized (grows with the
     // table, not the drain), so the join strategy is left to size
     // stats/AQE — broadcast while the key space is small, shuffle once
@@ -426,16 +448,14 @@ object CorpusIngest {
       .unionByName(delta.groupBy(col(keyCol)).agg(max(col(tsCol)).as("hw_ts")))
       .groupBy(col(keyCol)).agg(max(col("hw_ts")).as("hw_ts"))
       .localCheckpoint()
+    // CAS publish — same protocol and rationale as maintainDimension's
     val fs = new Path(stateDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val nDone =
-      if (!fs.exists(new Path(stateDir))) 0
-      else fs.listStatus(new Path(stateDir)).count(s => s.isDirectory &&
-        fs.exists(new Path(s.getPath, "_SUCCESS")))
-    val runDir = f"$stateDir/run_${nDone + 1}%06d"
-    applied.write.mode("overwrite").parquet(s"$runDir/state")
-    newHw.write.mode("overwrite").parquet(s"$runDir/ledger")
-    // run-level marker LAST: the two writes become one visibility unit
-    fs.create(new Path(runDir, "_SUCCESS"), true).close()
+    val runDir = nextRunDir(stateDir, readRun)
+    graft.io.Commits.publishAtomic(fs, new Path(runDir)) { tmp =>
+      applied.write.mode("overwrite").parquet(s"$tmp/state")
+      newHw.write.mode("overwrite").parquet(s"$tmp/ledger")
+      fs.create(new Path(tmp, "_SUCCESS"), true).close()
+    }
     applied
   }
 
@@ -487,7 +507,8 @@ object CorpusIngest {
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
-    val stored = graft.io.Layers.latestSuccessfulRun(spark, frontierDir) match {
+    val readRun = graft.io.Layers.latestSuccessfulRun(spark, frontierDir)
+    val stored = readRun match {
       case Some(run) => spark.read.parquet(s"$run/frontier")
       case None => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -515,14 +536,13 @@ object CorpusIngest {
         Seq("url"), "left")
       .filter(col("__sl").isNull || col("lastmod") > col("__sl"))
     if (changed.isEmpty) return stored
+    // CAS publish — same protocol and rationale as maintainDimension's
     val fs = new Path(frontierDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val nDone =
-      if (!fs.exists(new Path(frontierDir))) 0
-      else fs.listStatus(new Path(frontierDir)).count(s => s.isDirectory &&
-        fs.exists(new Path(s.getPath, "_SUCCESS")))
-    val runDir = f"$frontierDir/run_${nDone + 1}%06d"
-    merged.write.mode("overwrite").parquet(s"$runDir/frontier")
-    fs.create(new Path(runDir, "_SUCCESS"), true).close()
+    val runDir = nextRunDir(frontierDir, readRun)
+    graft.io.Commits.publishAtomic(fs, new Path(runDir)) { tmp =>
+      merged.write.mode("overwrite").parquet(s"$tmp/frontier")
+      fs.create(new Path(tmp, "_SUCCESS"), true).close()
+    }
     merged
   }
 }

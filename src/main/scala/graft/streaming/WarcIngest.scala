@@ -85,15 +85,34 @@ object WarcIngest {
       spark: SparkSession,
       landingDir: String,
       silverDir: String,
-      ledgerDir: String): DataFrame = {
+      ledgerDir: String): DataFrame =
+    // exclusive drain claim: the drain spans two non-transactional
+    // appends (silver records, then the file ledger), and two
+    // CONCURRENT drains would both read the pre-append silver and
+    // double-append the same records — the claim makes the second
+    // drain fail visibly instead ([[graft.io.Commits.withClaim]]);
+    // released on any in-process exit, so only a process crash leaves
+    // it stale (named in the error; forceReleaseClaim recovers, and
+    // the crash-replay path itself stays automatic via the record_id
+    // anti-join below)
+    graft.io.Commits.withClaim(spark, ledgerDir) {
     val hconf = spark.sparkContext.hadoopConfiguration
     def exists(d: String): Boolean = {
       val p = new Path(d); p.getFileSystem(hconf).exists(p)
     }
+    // "ledger exists" = holds DATA files: the drain claim marker
+    // (hidden `_` name) may have created the directory on a first drain
+    def hasLedgerData: Boolean = {
+      val p = new Path(ledgerDir); val fs = p.getFileSystem(hconf)
+      fs.exists(p) && fs.listStatus(p).exists { s =>
+        val n = s.getPath.getName
+        s.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+    }
     val listed = listArchives(spark, landingDir)
     val newFiles: Seq[String] =
       if (listed.isEmpty) Seq.empty
-      else if (exists(ledgerDir))
+      else if (hasLedgerData)
         newArchives(spark, listed, ledgerDir)
           .collect().map(_.getString(0)).sorted.toSeq
       else listed
