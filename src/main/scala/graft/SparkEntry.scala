@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.PortableSql
 import graft.functions.PortableSql.{DuckDialect => DD, SparkDialect => SD}
 import graft.io.Layers
-import graft.ops.{Aggregate, Clean, Dedup, Multimodal, Quality, Similarity}
+import graft.ops.{Aggregate, Clean, Dedup, ImageDedup, Multimodal, Quality, Similarity}
 import graft.ops.Aggregate.{AggSpec, Metric}
 
 /**
@@ -3537,9 +3537,13 @@ object SparkEntry {
         graft.ops.WordPiece.train(even, "text", 6))
         .write.mode("overwrite").parquet(modelDir)
       val pieces = graft.ops.WordPiece.pieceList(s.read.parquet(modelDir))
-      docs.filter(col("doc_id") % 2 =!= 0).select(col("doc_id"),
-        graft.functions.GraftFunctions.wordPieceCount(s, col("text"), pieces)
-          .as("n_wp_tokens"))
+      // text IS NOT NULL pins the row universe to the oracle's: its
+      // string_split unnest silently drops null-text docs, so an
+      // unfiltered Spark side would emit an extra null-count row
+      docs.filter(col("doc_id") % 2 =!= 0 && col("text").isNotNull)
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.wordPieceCount(s, col("text"), pieces)
+            .as("n_wp_tokens"))
     }),
 
     // ---- north-star: SQ8 scalar-quantized ANN — the no-codebook
@@ -4670,8 +4674,46 @@ object SparkEntry {
         graft.ops.Search.invertedIndex(
           T(s, dir, "documents").filter(col("text").isNotNull),
           "text", "doc_id"),
-        topK = 10))
+        topK = 10)),
+
+    // ---- north-star: image perceptual hashes over REAL PNG payloads —
+    //      constructive grayscale PNGs (zlib/CRC assembled by hand,
+    //      decoded back through javax.imageio), BT.601 luma pooled to a
+    //      9×8 integer grid, aHash/dHash packed into signed 64-bit
+    //      words. PNG is lossless and integer pooling is exact, so the
+    //      oracle replays decode→pool→hash as pure modular arithmetic
+    //      from the pixel formula (Multimodal.demoPng) — the codec
+    //      itself is inside the verified chain, not stubbed around.
+    "q276_image_phash" -> ((s, dir) => {
+      ImageDedup.perceptualHashes(
+        demoImageTable(s, dir), "media_id", "payload")
+    }),
+
+    // ---- north-star: image near-dup pairs — Hamming ball over the
+    //      aHash via 16-bit band LSH (the q31 SimHash shape on image
+    //      content): candidates share a band, verify is
+    //      bit_count(xor) <= 6, never an all-pairs product. The demo
+    //      corpus stripes ids into structural clusters, so the answer
+    //      set is the within-cluster pair lattice minus jitter-broken
+    //      edges — replayed by the oracle with identical banding.
+    "q277_image_neardup" -> ((s, dir) => {
+      val hashes = ImageDedup.perceptualHashes(
+        demoImageTable(s, dir), "media_id", "payload")
+      ImageDedup.hammingNearDups(
+        hashes, "media_id", "ahash", maxHamming = 6)
+    })
   )
+
+  /** Deterministic image corpus for q276/q277: one 36×32 grayscale PNG
+    * per document (REAL bytes — see [[graft.ops.Multimodal.demoPng]];
+    * ids divisible by 13 are truncated blobs that must drop, not
+    * crash). The payload column is built executor-side per row: the
+    * corpus never materializes on the driver. */
+  private def demoImageTable(s: SparkSession, dir: String): DataFrame = {
+    val png = udf((id: Long) => graft.ops.Multimodal.demoPng(id, 36, 32))
+    T(s, dir, "documents").select(col("doc_id").as("media_id"))
+      .withColumn("payload", png(col("media_id")))
+  }
 
   /** graft-authored pipeline config (reference YAML shape,
     * `configs/breweries_gold_pipeline.yml:32-69`) over the customer
@@ -10819,6 +10861,67 @@ object SparkEntry {
          |FROM ver
          |UNION ALL
          |SELECT s0.k, s0.seg, s0.vf, CAST(NULL AS BIGINT), TRUE
-         |FROM s0 ANTI JOIN uk USING (k)""".stripMargin
+         |FROM s0 ANTI JOIN uk USING (k)""".stripMargin,
+
+    // perceptual-hash replay: the WHOLE decode→pool→hash chain as
+    // modular arithmetic — PNG is lossless, gray-raster luma is the
+    // pixel value, pooling is integer block means, bits pack into a
+    // signed BIGINT (bit 63 is the two's-complement sign term, spelled
+    // as a literal because 1<<63 overflows)
+    "q276_image_phash" -> (imagePhashSql +
+      """
+        |SELECT ah.id AS media_id, ah.ahash, dh.dhash
+        |FROM ah JOIN dh ON dh.id = ah.id""".stripMargin),
+
+    // near-dup replay: identical 16-bit banding over the oracle's own
+    // ahash, then the bit_count(xor) verify — band recall is part of
+    // the CONTRACT (both engines surface exactly the banded pairs)
+    "q277_image_neardup" -> (imagePhashSql +
+      """,
+        |bands AS (SELECT id, b.b AS band,
+        |    (ahash >> CAST(b.b * 16 AS INTEGER)) & 65535 AS v
+        |  FROM ah, generate_series(0, 3) b(b)),
+        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON b.band = a.band AND b.v = a.v AND a.id < b.id)
+        |SELECT c.id_a, c.id_b,
+        |  CAST(bit_count(xor(x.ahash, y.ahash)) AS BIGINT) AS hamming
+        |FROM cand c JOIN ah x ON x.id = c.id_a JOIN ah y ON y.id = c.id_b
+        |WHERE bit_count(xor(x.ahash, y.ahash)) <= 6""".stripMargin)
   )
+
+  /** Shared q276/q277 oracle stem: pixels from the demoPng formula →
+    * 4×4 integer block means → aHash/dHash BIGINTs (CTEs px, grid, m,
+    * ah, dh — composed by each query's final SELECT). */
+  private val imagePhashSql: String =
+    """WITH px AS (
+      |  SELECT d.doc_id AS id, x.x AS x, y.y AS y,
+      |    ((3 + d.doc_id % 50) * x.x + (5 + 2 * (d.doc_id % 50)) * y.y
+      |      + CASE WHEN (d.doc_id * 131 + x.x * 7 + y.y * 3) % 97 = 0
+      |             THEN 40 ELSE 0 END) % 256 AS v
+      |  FROM documents d,
+      |    generate_series(0, 35) x(x), generate_series(0, 31) y(y)
+      |  WHERE d.doc_id % 13 <> 0),
+      |grid AS (
+      |  SELECT id, y // 4 AS r, x // 4 AS c,
+      |    CAST(SUM(v) // 16 AS BIGINT) AS g
+      |  FROM px GROUP BY id, y // 4, x // 4),
+      |m AS (
+      |  SELECT id, CAST(SUM(g) // 64 AS BIGINT) AS mean
+      |  FROM grid WHERE r < 8 AND c < 8 GROUP BY id),
+      |ah AS (
+      |  SELECT g.id, COALESCE(bit_or(CASE WHEN g.g > m.mean THEN
+      |      CASE WHEN g.r * 8 + g.c = 63 THEN (-9223372036854775807 - 1)
+      |           ELSE (CAST(1 AS BIGINT) << CAST(g.r * 8 + g.c AS INTEGER))
+      |      END END), 0) AS ahash
+      |  FROM grid g JOIN m ON m.id = g.id
+      |  WHERE g.r < 8 AND g.c < 8 GROUP BY g.id),
+      |dh AS (
+      |  SELECT a.id, COALESCE(bit_or(CASE WHEN b.g > a.g THEN
+      |      CASE WHEN a.r * 8 + a.c = 63 THEN (-9223372036854775807 - 1)
+      |           ELSE (CAST(1 AS BIGINT) << CAST(a.r * 8 + a.c AS INTEGER))
+      |      END END), 0) AS dhash
+      |  FROM grid a JOIN grid b
+      |    ON b.id = a.id AND b.r = a.r AND b.c = a.c + 1
+      |  WHERE a.r < 8 AND a.c < 8 GROUP BY a.id)""".stripMargin
 }

@@ -343,6 +343,125 @@ object Multimodal {
     out.toByteArray
   }
 
+  /**
+   * Constructive PNG fixture: a REAL 8-bit-grayscale PNG (zlib IDAT
+   * via `java.util.zip.Deflater`, CRC-32 chunk trailers — assembled by
+   * hand, decoded back by `javax.imageio` for real) whose every pixel
+   * is a pure function of (id, x, y):
+   *
+   *   v(x,y) = ((3 + id % 50)·x + (5 + 2·(id % 50))·y
+   *             + [ (id·131 + x·7 + y·3) % 97 == 0 ] · 40) % 256
+   *
+   * so the perceptual-hash oracle ([[ImageDedup]]) replays the whole
+   * decode→pool→hash chain as modular arithmetic: PNG is lossless and
+   * BT.601 integer luma of a gray pixel is the pixel value itself.
+   * The `id % 50` term sets the STRIPE SLOPE (structure, not a uniform
+   * brightness offset — aHash is shift-invariant by construction, so
+   * an offset would collapse every cluster to one hash), striping the
+   * corpus into near-dup clusters: members differ only in the sparse
+   * +40 jitter (a few flipped hash bits); different clusters differ
+   * structurally. Ids divisible by 13 return a TRUNCATED payload
+   * (decode must yield None, not crash) — the [[demoJpeg]]/[[demoWav]]
+   * corrupt-blob convention.
+   */
+  def demoPng(id: Long, w: Int, h: Int): Array[Byte] = {
+    if (id % 13 == 0)
+      return Array(0x89.toByte, 'P'.toByte, 'N'.toByte) // truncated
+    val raw = new Array[Byte]((w + 1) * h) // filter byte 0 + w per row
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val jitter = if ((id * 131 + x * 7 + y * 3) % 97 == 0) 40 else 0
+        val v = (((3 + id % 50) * x + (5 + 2 * (id % 50)) * y + jitter) % 256).toInt
+        raw(y * (w + 1) + 1 + x) = v.toByte
+        x += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val zbuf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](4096)
+    while (!deflater.finished()) zbuf.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+    def chunk(kind: String, data: Array[Byte]): Unit = {
+      val len = data.length
+      out.write(Array((len >> 24) & 0xff, (len >> 16) & 0xff,
+        (len >> 8) & 0xff, len & 0xff).map(_.toByte))
+      val body = kind.getBytes("US-ASCII") ++ data
+      out.write(body)
+      val crc = new java.util.zip.CRC32(); crc.update(body)
+      val c = crc.getValue
+      out.write(Array((c >> 24) & 0xff, (c >> 16) & 0xff,
+        (c >> 8) & 0xff, c & 0xff).map(v => v.toByte))
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+    ihdr.putInt(w).putInt(h)
+    ihdr.put(8.toByte).put(0.toByte) // bit depth 8, colortype 0 (gray)
+    ihdr.put(0.toByte).put(0.toByte).put(0.toByte) // deflate, adaptive, no interlace
+    chunk("IHDR", ihdr.array())
+    chunk("IDAT", zbuf.toByteArray)
+    chunk("IEND", Array.empty)
+    out.toByteArray
+  }
+
+  /**
+   * Decode an image payload and block-average-pool its BT.601 integer
+   * luma down to a `gw`×`gh` grid (row-major Array[Int]) — the pixel
+   * fixture perceptual hashes are computed from. Pooling is exact
+   * integer arithmetic (sum over the block, then one integer division)
+   * with floor block boundaries `[c·w/gw, (c+1)·w/gw)`, so an engine
+   * with no image codec can replay it from raw pixels. None on
+   * undecodable payloads or rasters smaller than the grid — the
+   * per-row corrupt-blob contract of [[decodeImage]].
+   */
+  def lumaGrid(payload: Array[Byte], gw: Int, gh: Int): Option[Array[Int]] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null || img.getWidth < gw || img.getHeight < gh) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        // single-band rasters read RAW samples: getRGB would route a
+        // gray image through ICC gray→sRGB conversion (128 ↦ ~186) and
+        // break bit-replayability; color images take the BT.601 path
+        val raster = img.getRaster
+        val gray = raster.getNumBands == 1 &&
+          raster.getSampleModel.getSampleSize(0) == 8
+        val sums = new Array[Long](gw * gh)
+        val counts = new Array[Long](gw * gh)
+        var y = 0
+        while (y < h) {
+          val r = y * gh / h
+          var x = 0
+          while (x < w) {
+            val c = x * gw / w
+            val lum =
+              if (gray) raster.getSample(x, y, 0)
+              else {
+                val rgb = img.getRGB(x, y)
+                (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                  (rgb & 0xff) * 114) / 1000
+              }
+            sums(r * gw + c) += lum
+            counts(r * gw + c) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val grid = new Array[Int](gw * gh)
+        var i = 0
+        while (i < grid.length) {
+          grid(i) = (sums(i) / counts(i)).toInt
+          i += 1
+        }
+        Some(grid)
+      }
+    } catch { case _: Exception => None }
+
   /** Build a demo media table from any (id, text) source — payload =
     * UTF-8 bytes. Stands in for reading real blobs. */
   def demoMediaTable(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {

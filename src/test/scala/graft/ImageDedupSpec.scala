@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{ImageDedup, Multimodal}
+
+class ImageDedupSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  /** The demoPng pixel formula, independently restated. */
+  private def pixel(id: Long, x: Int, y: Int): Int = {
+    val jitter = if ((id * 131 + x * 7 + y * 3) % 97 == 0) 40 else 0
+    (((3 + id % 50) * x + (5 + 2 * (id % 50)) * y + jitter) % 256).toInt
+  }
+
+  test("demoPng → lumaGrid is a bit-exact replay of the pixel formula") {
+    for (id <- Seq(1L, 7L, 50L, 123L)) {
+      val grid = Multimodal.lumaGrid(Multimodal.demoPng(id, 36, 32), 9, 8)
+        .getOrElse(fail(s"id=$id must decode"))
+      // expected: exact integer block means of the formula (4×4 blocks)
+      for (r <- 0 until 8; c <- 0 until 9) {
+        val sum = (for (y <- r * 4 until r * 4 + 4; x <- c * 4 until c * 4 + 4)
+          yield pixel(id, x, y).toLong).sum
+        assert(grid(r * 9 + c) == (sum / 16).toInt,
+          s"id=$id cell ($r,$c): PNG decode diverged from the formula")
+      }
+    }
+  }
+
+  test("truncated payloads drop without killing the decode pass") {
+    assert(Multimodal.lumaGrid(Multimodal.demoPng(13L, 36, 32), 9, 8).isEmpty)
+    assert(Multimodal.lumaGrid(Array[Byte](1, 2, 3), 9, 8).isEmpty)
+    // raster smaller than the grid is undecodable-by-contract
+    assert(Multimodal.lumaGrid(Multimodal.demoPng(1L, 4, 4), 9, 8).isEmpty)
+  }
+
+  test("hashesOfGrid: hand-computed aHash and dHash") {
+    // 8 rows × 9 cols: left 8×8 all 10 except (0,0)=100; 9th column 20.
+    // sum = 63·10 + 100 = 730, mean = 730/64 = 11 → only (0,0) exceeds
+    // it → ahash = 1. dHash: within the flat rows every gradient is 0
+    // except c=7 → c=8 (10→20) → bit r·8+7 per row → 0x8080808080808080.
+    val grid = Array.tabulate(72) { i =>
+      val (r, c) = (i / 9, i % 9)
+      if (r == 0 && c == 0) 100 else if (c == 8) 20 else 10
+    }
+    val (a, d) = ImageDedup.hashesOfGrid(grid, 9)
+    assert(a == 1L)
+    assert(d == 0x8080808080808080L) // sign bit set: bit 63 = cell (7,7)
+  }
+
+  test("aHash is invariant to uniform brightness shift; dHash to contrast sign-preserving maps") {
+    val base = Array.tabulate(72)(i => (i * 37) % 200)
+    val (a0, d0) = ImageDedup.hashesOfGrid(base, 9)
+    val (a1, d1) = ImageDedup.hashesOfGrid(base.map(_ + 30), 9)
+    assert(a0 == a1, "aHash must survive +30 brightness")
+    assert(d0 == d1, "dHash must survive +30 brightness")
+    val (_, d2) = ImageDedup.hashesOfGrid(base.map(_ * 2), 9)
+    assert(d0 == d2, "dHash must survive 2× contrast")
+  }
+
+  test("perceptualHashes: decodable rows only, end-to-end against hashesOfGrid") {
+    import spark.implicits._
+    val media = Seq(1L, 2L, 13L, 26L, 51L).toDF("media_id")
+      .withColumn("payload", udf((id: Long) => Multimodal.demoPng(id, 36, 32))
+        .apply(col("media_id")))
+    val out = ImageDedup.perceptualHashes(media, "media_id", "payload")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet == Set(1L, 2L, 51L), "ids %13==0 are truncated → dropped")
+    for (id <- Seq(1L, 2L, 51L)) {
+      val grid = Multimodal.lumaGrid(Multimodal.demoPng(id, 36, 32), 9, 8).get
+      assert(out(id) == ImageDedup.hashesOfGrid(grid, 9))
+    }
+    // ids 1 and 51 share a cluster (id%50): near-identical hashes;
+    // id 2 is another cluster: far from both
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(out(1L)._1, out(51L)._1) <= 10)
+    assert(ham(out(1L)._1, out(2L)._1) > 10)
+  }
+
+  test("hammingNearDups: pigeonhole recall, verify filter, no self/dup pairs") {
+    import spark.implicits._
+    // h2 = h1 with 3 flipped bits (≤ bands−1 → guaranteed candidate);
+    // h3 shares band 0 with h1 but fails the hamming verify;
+    // h4 shares no band with anyone
+    val h1 = 0x1111222233334444L
+    val h2 = h1 ^ (1L << 1) ^ (1L << 20) ^ (1L << 63)
+    val h3 = 0x7777666655554444L
+    val h4 = 0x0f0f0e0e0d0d0c0cL
+    val df = Seq((1L, h1), (2L, h2), (3L, h3), (4L, h4)).toDF("id", "h")
+    val pairs = ImageDedup.hammingNearDups(df, "id", "h", maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((1L, 2L, 3L)))
+  }
+}
