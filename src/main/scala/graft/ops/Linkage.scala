@@ -32,6 +32,15 @@ import org.apache.spark.sql.functions._
  * Scala-computed constants folded into the plan, so the score is a
  * fixed-order sum of literals — engine-exact; round 6.
  *
+ * Hot-key fence: blocking only bounds the pair space while every
+ * block stays small — ONE pathological key (an empty-string city, a
+ * null-ish placeholder date) silently turns the join quadratic. So
+ * the pair build first audits per-block pair counts (a key-∝
+ * aggregation, trivial next to the pair join it protects) and FAILS
+ * LOUDLY when any block would form more than `maxBlockPairs`
+ * candidates, naming the offending key — the caller salts or refines
+ * the blocking key instead of OOM-ing hours into a 100 TB run.
+ *
  * @param fields (name, agreement predicate over the prefixed pair
  *               frame `a_*`/`b_*`, m, u) — m, u ∈ (0,1), m > u
  */
@@ -56,6 +65,12 @@ object Linkage {
    * Output: (id_a, id_b, per-field agreement booleans `agree_<name>`,
    * score, decision) — decision ∈ match / possible / non_match by
    * `upper` / `lower`.
+   *
+   * @param maxBlockPairs hot-key fence (see the object docblock): the
+   *        largest |a-block|·|b-block| any single block key may form.
+   *        The default caps one block's pairs at 25M (~a few seconds
+   *        of score arithmetic per executor core); pass
+   *        `Long.MaxValue` to opt out for a key already proven safe.
    */
   def fellegiSunter(
       a: DataFrame,
@@ -64,9 +79,28 @@ object Linkage {
       blockCol: String,
       fields: Seq[Field],
       upper: Double,
-      lower: Double): DataFrame = {
+      lower: Double,
+      maxBlockPairs: Long = 25_000_000L): DataFrame = {
     require(fields.nonEmpty, "need at least one comparison field")
     require(upper >= lower, "upper threshold must be >= lower")
+    if (maxBlockPairs < Long.MaxValue) {
+      // key-∝ audit; null keys never join, so they never form pairs
+      val hot = a.filter(col(blockCol).isNotNull)
+        .groupBy(col(blockCol).as("__k")).agg(count(lit(1)).as("__na"))
+        .join(b.filter(col(blockCol).isNotNull)
+          .groupBy(col(blockCol).as("__k")).agg(count(lit(1)).as("__nb")),
+          Seq("__k"))
+        .filter(col("__na") * col("__nb") > maxBlockPairs)
+        .select(col("__k").cast("string"), col("__na") * col("__nb"))
+        .limit(1).collect()
+      require(hot.isEmpty, {
+        val r = hot.head
+        s"blocking key '${r.getString(0)}' would form ${r.getLong(1)} " +
+          s"candidate pairs (> maxBlockPairs=$maxBlockPairs): one hot " +
+          "block makes the linkage join quadratic — salt or refine the " +
+          "blocking key (or raise the cap explicitly)"
+      })
+    }
     def prefixed(df: DataFrame, p: String): DataFrame =
       df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, s"$p$c"))
     val pairs = prefixed(a, "a_")

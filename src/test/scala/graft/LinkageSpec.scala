@@ -56,4 +56,31 @@ class LinkageSpec extends AnyFunSuite {
       Linkage.fellegiSunter(a, b, "id", "seg", fields, 0.0, 1.0)
     }
   }
+
+  test("hot-block fence: one oversized block fails loudly, names the key") {
+    // segment X: 3 × 3 = 9 pairs, Y: 1 × 1 — a cap of 8 must trip on X
+    // and say so; null block keys never form pairs, so they are exempt
+    val a = Seq((1L, "p", Option("X")), (2L, "q", Option("X")),
+      (3L, "r", Option("X")), (4L, "s", Option("Y")),
+      (5L, "t", Option.empty[String])).toDF("id", "name", "seg")
+    val b = Seq((11L, "p", Option("X")), (12L, "q", Option("X")),
+      (13L, "r", Option("X")), (14L, "s", Option("Y")),
+      (15L, "t", Option.empty[String])).toDF("id", "name", "seg")
+    val fields = Seq(
+      Field("name", col("a_name") === col("b_name"), m = 0.9, u = 0.1))
+    val e = intercept[IllegalArgumentException] {
+      Linkage.fellegiSunter(a, b, "id", "seg", fields,
+        upper = 1.0, lower = -1.0, maxBlockPairs = 8L)
+    }
+    assert(e.getMessage.contains("'X'") && e.getMessage.contains("9"),
+      s"fence must name the hot key and its pair count: ${e.getMessage}")
+    // at-the-cap blocks pass (9 ≤ 9), and the result is the plain
+    // blocked scoring — the fence never changes answers, only fails
+    val ok = Linkage.fellegiSunter(a, b, "id", "seg", fields,
+      upper = 1.0, lower = -1.0, maxBlockPairs = 9L)
+    assert(ok.count() == 9 + 1)
+    // explicit opt-out skips the audit pass entirely
+    assert(Linkage.fellegiSunter(a, b, "id", "seg", fields,
+      upper = 1.0, lower = -1.0, maxBlockPairs = Long.MaxValue).count() == 10)
+  }
 }
