@@ -4701,8 +4701,39 @@ object SparkEntry {
         demoImageTable(s, dir), "media_id", "payload")
       ImageDedup.hammingNearDups(
         hashes, "media_id", "ahash", maxHamming = 6)
-    })
+    }),
+
+    // ---- north-star: audio constellation fingerprints (Wang 2003's
+    //      peak-pair landmarks) over REAL WAV payloads decoded through
+    //      javax.sound — square-wave filter bank instead of an FFT so
+    //      frame → peak → landmark is exact integer arithmetic the
+    //      oracle replays from the tone formula (PCM is lossless; the
+    //      codec is inside the verified chain).
+    "q278_audio_fingerprint" -> ((s, dir) =>
+      graft.ops.AudioDedup.fingerprints(
+        demoToneTable(s, dir), "media_id", "payload")),
+
+    // ---- north-star: audio near-dup pairs — shared-landmark counting
+    //      through the inverted fp→doc join (the Shazam index probe;
+    //      never all-pairs). The demo corpus clusters ids by dominant
+    //      square period, so cluster mates share most landmarks and
+    //      strangers share almost none; the oracle replays landmarking
+    //      AND the same threshold count.
+    "q279_audio_neardup" -> ((s, dir) =>
+      graft.ops.AudioDedup.sharedFingerprintPairs(
+        graft.ops.AudioDedup.fingerprints(
+          demoToneTable(s, dir), "media_id", "payload"),
+        "media_id", minShared = 8L))
   )
+
+  /** Deterministic audio corpus for q278/q279: one RIFF/WAVE PCM tone
+    * per document (REAL bytes — [[graft.ops.Multimodal.demoTone]]; ids
+    * divisible by 13 are truncated blobs that must drop, not crash). */
+  private def demoToneTable(s: SparkSession, dir: String): DataFrame = {
+    val wav = udf((id: Long) => graft.ops.Multimodal.demoTone(id))
+    T(s, dir, "documents").select(col("doc_id").as("media_id"))
+      .withColumn("payload", wav(col("media_id")))
+  }
 
   /** Deterministic image corpus for q276/q277: one 36×32 grayscale PNG
     * per document (REAL bytes — see [[graft.ops.Multimodal.demoPng]];
@@ -10887,8 +10918,57 @@ object SparkEntry {
         |SELECT c.id_a, c.id_b,
         |  CAST(bit_count(xor(x.ahash, y.ahash)) AS BIGINT) AS hamming
         |FROM cand c JOIN ah x ON x.id = c.id_a JOIN ah y ON y.id = c.id_b
-        |WHERE bit_count(xor(x.ahash, y.ahash)) <= 6""".stripMargin)
+        |WHERE bit_count(xor(x.ahash, y.ahash)) <= 6""".stripMargin),
+
+    // constellation replay: tone formula → 32-sample frames → 8-bin
+    // square-wave responses → |mag| argmax (low-bin ties) → fanout-3
+    // landmark packing fp = p1·24 + p2·3 + (Δt−1)
+    "q278_audio_fingerprint" -> (audioPeaksSql +
+      """
+        |SELECT a.id AS media_id, CAST(a.t AS BIGINT) AS t,
+        |  CAST(a.peak * 24 + b.peak * 3 + (b.t - a.t - 1) AS BIGINT) AS fp
+        |FROM pk a JOIN pk b
+        |  ON b.id = a.id AND b.t > a.t AND b.t <= a.t + 3""".stripMargin),
+
+    // shared-landmark replay: distinct per-doc landmarks, inverted
+    // fp join, same >= 8 threshold
+    "q279_audio_neardup" -> (audioPeaksSql +
+      """,
+        |fp AS (SELECT DISTINCT a.id,
+        |    a.peak * 24 + b.peak * 3 + (b.t - a.t - 1) AS fp
+        |  FROM pk a JOIN pk b
+        |    ON b.id = a.id AND b.t > a.t AND b.t <= a.t + 3)
+        |SELECT x.id AS id_a, y.id AS id_b, count(*) AS n_shared
+        |FROM fp x JOIN fp y ON y.fp = x.fp AND x.id < y.id
+        |GROUP BY x.id, y.id HAVING count(*) >= 8""".stripMargin)
   )
+
+  /** Shared q278/q279 oracle stem: demoTone samples from the formula →
+    * framed square-wave filter-bank responses → per-frame peak bin
+    * (CTEs par, smp, corr, pk — composed by each query's final
+    * SELECT). */
+  private val audioPeaksSql: String =
+    """WITH par AS (
+      |  SELECT d.doc_id AS id, 2 + (d.doc_id % 40) % 7 AS p1,
+      |    3 + (5 * (d.doc_id % 40)) % 11 AS p2, 200 + d.doc_id % 50 AS n
+      |  FROM documents d WHERE d.doc_id % 13 <> 0),
+      |smp AS (
+      |  SELECT id, i.i // 32 AS t, i.i % 32 AS j,
+      |    9000 * (1 - 2 * ((i.i // p1) % 2))
+      |      + 5000 * (1 - 2 * ((i.i // p2) % 2))
+      |      + CASE WHEN (id * 37 + i.i * 13) % 89 = 0 THEN 800 ELSE 0 END AS s
+      |  FROM par, generate_series(0, 248) i(i)
+      |  WHERE i.i < (n // 32) * 32),
+      |corr AS (
+      |  SELECT id, t, k.k AS k,
+      |    abs(SUM(s * (1 - 2 * ((j // (k.k + 1)) % 2)))) AS mag
+      |  FROM smp, generate_series(0, 7) k(k)
+      |  GROUP BY id, t, k.k),
+      |pk AS (
+      |  SELECT id, t, k AS peak FROM (
+      |    SELECT id, t, k, row_number()
+      |      OVER (PARTITION BY id, t ORDER BY mag DESC, k ASC) AS rn
+      |    FROM corr) WHERE rn = 1)""".stripMargin
 
   /** Shared q276/q277 oracle stem: pixels from the demoPng formula →
     * 4×4 integer block means → aHash/dHash BIGINTs (CTEs px, grid, m,

@@ -182,6 +182,104 @@ object Multimodal {
       } finally ais.close()
     } catch { case _: Exception => None }
 
+  /**
+   * Decode an audio payload to raw integer PCM samples (channels
+   * averaged by integer mean — deterministic), via the REAL
+   * `javax.sound.sampled` codec path of [[decodeAudio]] and with its
+   * format/corrupt-blob contract: 16-bit signed LE and 8-bit unsigned
+   * PCM decode, anything else (or garbage bytes) is None. The exact
+   * sample values are what the audio-fingerprint oracle replays —
+   * WAV/AIFF PCM is lossless, so decoded samples equal the generator
+   * formula bit-for-bit.
+   */
+  def pcmSamples(payload: Array[Byte]): Option[Array[Int]] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        val enc = fmt.getEncoding
+        val bits = fmt.getSampleSizeInBits
+        val pcm16le = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          bits == 16 && !fmt.isBigEndian
+        val pcm8u = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED &&
+          bits == 8
+        if (!pcm16le && !pcm8u) None
+        else {
+          val bytes = ais.readAllBytes()
+          val ch = fmt.getChannels
+          val bytesPerSample = bits / 8
+          val frameSize = ch * bytesPerSample
+          val nFrames = bytes.length / frameSize
+          if (nFrames == 0) None
+          else {
+            val out = new Array[Int](nFrames)
+            var f = 0
+            while (f < nFrames) {
+              var acc = 0
+              var c = 0
+              while (c < ch) {
+                val off = f * frameSize + c * bytesPerSample
+                acc +=
+                  (if (pcm16le)
+                    ((bytes(off) & 0xff) | (bytes(off + 1) << 8)).toShort.toInt
+                  else (bytes(off) & 0xff) - 128)
+                c += 1
+              }
+              out(f) = acc / ch
+              f += 1
+            }
+            Some(out)
+          }
+        }
+      } finally ais.close()
+    } catch { case _: Exception => None }
+
+  /**
+   * Constructive near-dup TONE fixture: a REAL RIFF/WAVE PCM payload
+   * (16-bit LE mono 8000 Hz, the [[demoWav]] container) of
+   * `n = 200 + id % 50` samples, each the sum of two square waves
+   * whose half-periods are set by the CLUSTER (`id % 40` — CRT-distinct
+   * (p1, p2) per cluster) plus a sparse id-keyed jitter:
+   *
+   *   p1 = 2 + (id%40) % 7,  p2 = 3 + (5·(id%40)) % 11
+   *   s(i) = 9000·sq(i, p1) + 5000·sq(i, p2)
+   *          + [ (id·37 + i·13) % 89 == 0 ] · 800
+   *   where sq(i, p) = 1 − 2·((i / p) % 2)
+   *
+   * Same-cluster payloads differ only in the jitter (a few perturbed
+   * samples → mostly-shared spectral peaks); different clusters have
+   * different dominant periods. Ids divisible by 13 return a truncated
+   * payload (decode must yield None, not crash).
+   */
+  def demoTone(id: Long): Array[Byte] = {
+    if (id % 13 == 0)
+      return Array('R'.toByte, 'I'.toByte, 'F'.toByte) // truncated
+    val cluster = (id % 40).toInt
+    val p1 = 2 + cluster % 7
+    val p2 = 3 + (5 * cluster) % 11
+    val n = (200 + id % 50).toInt
+    val out = new java.io.ByteArrayOutputStream(44 + 2 * n)
+    def b(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { b(v); b(v >> 8) }
+    def u32(v: Int): Unit = { b(v); b(v >> 8); b(v >> 16); b(v >> 24) }
+    out.write("RIFF".getBytes("US-ASCII")); u32(36 + 2 * n)
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); u32(16)
+    u16(1); u16(1); u32(8000) // PCM, mono, 8 kHz
+    u32(16000); u16(2); u16(16) // byte rate, block align, bits
+    out.write("data".getBytes("US-ASCII")); u32(2 * n)
+    var i = 0
+    while (i < n) {
+      val jitter = if ((id * 37 + i * 13) % 89 == 0) 800 else 0
+      val s = 9000 * (1 - 2 * ((i / p1) % 2)) +
+        5000 * (1 - 2 * ((i / p2) % 2)) + jitter
+      u16(s)
+      i += 1
+    }
+    out.toByteArray
+  }
+
   /** Parsed MP4/QuickTime container facts (header-only, no codec). */
   final case class VideoMeta(
       durationMs: Long, width: Int, height: Int, nTracks: Int)

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{AudioDedup, Multimodal}
+
+class AudioDedupSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  /** The demoTone sample formula, independently restated. */
+  private def tone(id: Long, i: Int): Int = {
+    val cluster = (id % 40).toInt
+    val p1 = 2 + cluster % 7
+    val p2 = 3 + (5 * cluster) % 11
+    val jitter = if ((id * 37 + i * 13) % 89 == 0) 800 else 0
+    9000 * (1 - 2 * ((i / p1) % 2)) + 5000 * (1 - 2 * ((i / p2) % 2)) + jitter
+  }
+
+  test("demoTone → pcmSamples is a bit-exact replay of the sample formula") {
+    for (id <- Seq(1L, 2L, 41L, 199L)) {
+      val n = (200 + id % 50).toInt
+      val got = Multimodal.pcmSamples(Multimodal.demoTone(id))
+        .getOrElse(fail(s"id=$id must decode"))
+      assert(got.length == n)
+      for (i <- 0 until n)
+        assert(got(i) == tone(id, i), s"id=$id sample $i")
+    }
+    assert(Multimodal.pcmSamples(Multimodal.demoTone(13L)).isEmpty)
+    assert(Multimodal.pcmSamples(Array[Byte](9, 9, 9)).isEmpty)
+  }
+
+  test("constellation: hand-computed square-wave responses, |mag| argmax, low-bin ties") {
+    // frameLen=4, bins=2: w0 = +−+−, w1 = ++−−
+    val samples = Array(
+      10, -10, 10, -10, // corr0=40, corr1=0   → peak 0
+      5, 5, -5, -5,     // corr0=0,  corr1=20  → peak 1
+      1, 0, 0, 0,       // corr0=1,  corr1=1   → tie → bin 0
+      0, -3, 0, 0,      // corr0=3 (|−3|), corr1=−3 → |3|=|3| tie → bin 0
+      7, 7, 7)          // trailing partial frame: dropped
+    assert(AudioDedup.constellation(samples, 4, 2).toSeq ==
+      Seq((0, 0), (1, 1), (2, 0), (3, 0)))
+    intercept[IllegalArgumentException] {
+      AudioDedup.constellation(samples, 3, 2) // frameLen < 2·bins
+    }
+  }
+
+  test("fingerprints: landmark packing over the peak sequence") {
+    import spark.implicits._
+    // a payload whose peaks are [0, 1, 0] under frameLen=4/bins=2
+    val pay = {
+      val n = 12
+      val out = new java.io.ByteArrayOutputStream(44 + 2 * n)
+      def b(v: Int): Unit = out.write(v & 0xff)
+      def u16(v: Int): Unit = { b(v); b(v >> 8) }
+      def u32(v: Int): Unit = { b(v); b(v >> 8); b(v >> 16); b(v >> 24) }
+      out.write("RIFF".getBytes("US-ASCII")); u32(36 + 2 * n)
+      out.write("WAVE".getBytes("US-ASCII"))
+      out.write("fmt ".getBytes("US-ASCII")); u32(16)
+      u16(1); u16(1); u32(8000); u32(16000); u16(2); u16(16)
+      out.write("data".getBytes("US-ASCII")); u32(2 * n)
+      Seq(10, -10, 10, -10, 5, 5, -5, -5, 10, -10, 10, -10).foreach(u16)
+      out.toByteArray
+    }
+    val media = Seq((7L, pay)).toDF("media_id", "payload")
+    val got = AudioDedup.fingerprints(media, "media_id", "payload",
+        frameLen = 4, bins = 2, fanout = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // peaks [0,1,0]; fp = p1·(bins·fanout) + p2·fanout + (d−1)
+    assert(got == Set(
+      (7L, 0L, 0L * 4 + 1L * 2 + 0L), // t=0 → t=1
+      (7L, 0L, 0L * 4 + 0L * 2 + 1L), // t=0 → t=2
+      (7L, 1L, 1L * 4 + 0L * 2 + 0L)  // t=1 → t=2
+    ))
+  }
+
+  test("sharedFingerprintPairs: cluster mates share landmarks, strangers don't") {
+    import spark.implicits._
+    val png = udf((id: Long) => Multimodal.demoTone(id))
+    // ids 1 and 81 share cluster 1; id 2 is cluster 2; id 13 truncated
+    val media = Seq(1L, 2L, 81L, 13L).toDF("media_id")
+      .withColumn("payload", png(col("media_id")))
+    val fps = AudioDedup.fingerprints(media, "media_id", "payload")
+    assert(fps.filter(col("media_id") === 13L).count() == 0)
+    val pairs = AudioDedup.sharedFingerprintPairs(fps, "media_id", minShared = 8L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 81L)), "same-cluster tones must pair")
+    assert(!pairs.contains((1L, 2L)) && !pairs.contains((2L, 81L)),
+      "different dominant periods must not pair at the threshold")
+  }
+}
