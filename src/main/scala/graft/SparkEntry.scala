@@ -192,6 +192,8 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
   private val corpusVecIdxMemo =
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private val maintReportMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
   private def durableVecIndex(s: SparkSession, dir: String): String =
     vecIdxMemo.getOrElseUpdate(
@@ -279,7 +281,29 @@ object SparkEntry {
     pairsMemo.clear(); sigsMemo.clear(); durableIdxMemo.clear()
     pqMemo.clear(); labelsMemo.clear(); winIdxMemo.clear()
     forgetIdxMemo.clear(); vecIdxMemo.clear(); corpusVecIdxMemo.clear()
+    maintReportMemo.clear()
   }
+
+  /** q280 fixture: durable IVF built on the EVEN vectors, the odd half
+    * appended against the frozen quantizer (the drift source), then ONE
+    * [[graft.io.VectorIndex.maintainLists]] pass. The memo pins the
+    * FIRST maintenance report as the query result — a re-invocation
+    * (bench reps) would otherwise see the post-maintenance steady state
+    * (drift ≈ 0) and return a different answer. */
+  private def maintainedVecReport(s: SparkSession, dir: String): DataFrame =
+    maintReportMemo.getOrElseUpdate(
+      (s.sparkContext.applicationId, dir), {
+        val idxDir = tmp("vec_index_m_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+        val emb = T(s, dir, "embeddings")
+        graft.io.VectorIndex.build(
+          emb.filter(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", idxDir, nlist = 8, iters = 2)
+        graft.io.VectorIndex.append(
+          emb.filter(col("vec_id") % 2 =!= 0).select("vec_id", "embedding"),
+          idxDir)
+        graft.io.VectorIndex.maintainLists(s, idxDir, driftThreshold = 0.07)
+          .localCheckpoint()
+      })
 
   /** Build (or rebuild) the shared pair index for `dir` — lets a bench
     * harness put an index CONSUMER (q39) into its production shape
@@ -4723,7 +4747,18 @@ object SparkEntry {
       graft.ops.AudioDedup.sharedFingerprintPairs(
         graft.ops.AudioDedup.fingerprints(
           demoToneTable(s, dir), "media_id", "payload"),
-        "media_id", minShared = 8L))
+        "media_id", minShared = 8L)),
+
+    // ---- north-star: IVF list maintenance — the quantizer-drift
+    //      audit + list-local retrain (FAISS practice: appends assign
+    //      against frozen centroids, so a shifting corpus decays probe
+    //      recall until drifted lists re-center and reassign). Build on
+    //      the even half, append the odd half as the drift source, one
+    //      maintenance pass; the result is the audit report. Cost ∝
+    //      drifted lists (retire-spec'd maintenance batch), never the
+    //      corpus; the oracle replays train → frozen-assign → member
+    //      means → cosine drift → threshold.
+    "q280_ivf_maintain" -> ((s, dir) => maintainedVecReport(s, dir))
   )
 
   /** Deterministic audio corpus for q278/q279: one RIFF/WAVE PCM tone
@@ -10940,7 +10975,40 @@ object SparkEntry {
         |    ON b.id = a.id AND b.t > a.t AND b.t <= a.t + 3)
         |SELECT x.id AS id_a, y.id AS id_b, count(*) AS n_shared
         |FROM fp x JOIN fp y ON y.fp = x.fp AND x.id < y.id
-        |GROUP BY x.id, y.id HAVING count(*) >= 8""".stripMargin)
+        |GROUP BY x.id, y.id HAVING count(*) >= 8""".stripMargin),
+
+    // IVF maintenance replay: k-means on the even half (the shared
+    // trained-IVF CTEs), frozen-quantizer assignment of the odd half,
+    // per-list member means (rounded per the training convention),
+    // cosine drift with the ≤1 float guard, the 0.07 threshold
+    "q280_ivf_maintain" -> {
+      val dims = 64
+      val driftSql = "CASE WHEN mv.mean IS NULL THEN NULL ELSE " +
+        s"round(greatest(0.0, 1.0 - ${duckCosine("c.cemb", "mv.mean", dims)}), 6) END"
+      s"""WITH ${ivfTrainCtes(dims, "(SELECT * FROM embeddings WHERE vec_id % 2 = 0)")},
+         |odd AS (SELECT * FROM embeddings WHERE vec_id % 2 <> 0),
+         |aodd AS (SELECT vec_id, cid AS list_id FROM (
+         |    SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${duckCosine("e.embedding", "c.cemb", dims)} DESC, c.cid ASC) AS rn
+         |    FROM odd e CROSS JOIN c1 c) WHERE rn = 1),
+         |mem AS (SELECT vec_id, list_id FROM alist
+         |  UNION ALL SELECT vec_id, list_id FROM aodd),
+         |md AS (SELECT m.list_id, d.d,
+         |    round(avg(CAST(e.embedding[d.d] AS DOUBLE)), 6) AS v
+         |  FROM mem m JOIN embeddings e USING (vec_id),
+         |    generate_series(1, $dims) d(d)
+         |  GROUP BY m.list_id, d.d),
+         |mv AS (SELECT list_id, list(v ORDER BY d) AS mean FROM md
+         |  GROUP BY list_id),
+         |cnt AS (SELECT list_id, count(*) AS n_members FROM mem
+         |  GROUP BY list_id)
+         |SELECT c.cid AS list_id,
+         |  CAST(coalesce(cnt.n_members, 0) AS BIGINT) AS n_members,
+         |  $driftSql AS drift,
+         |  coalesce($driftSql > 0.07, FALSE) AS retrained
+         |FROM c1 c LEFT JOIN mv ON mv.list_id = c.cid
+         |LEFT JOIN cnt ON cnt.list_id = c.cid""".stripMargin
+    }
   )
 
   /** Shared q278/q279 oracle stem: demoTone samples from the formula →

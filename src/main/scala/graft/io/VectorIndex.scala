@@ -69,14 +69,19 @@ object VectorIndex {
   private def metaFile(dir: String) = new Path(dir, "_graft_index.json")
   private def prevPath(dir: String) = new Path(s"$dir/lists_prev")
   private def stagePath(dir: String) = s"$dir/lists_staging"
+  private def centsPrevPath(dir: String) = new Path(s"$dir/centroids_prev")
+  private def centsStagePath(dir: String) = new Path(s"$dir/centroids_staging")
   private val marker = "_graft_committed"
+  private val retireFile = "_graft_retire"
   private val baseTag = "__base__"
 
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Recover the live lists dir after a crashed [[delete]]/[[compact]]
-    * — the sibling indexes' two-rename window; no-op in steady state. */
+    * — the sibling indexes' two-rename window; no-op in steady state.
+    * Also restores the centroids dir after a crashed [[maintainLists]]
+    * quantizer swap (same two-rename recovery). */
   private def ensureLive(spark: SparkSession, dir: String): Unit = {
     val live = new Path(listsPath(dir))
     val f = fs(spark, live)
@@ -84,6 +89,12 @@ object VectorIndex {
       f.delete(new Path(stagePath(dir)), true)
       require(f.rename(prevPath(dir), live),
         s"failed to restore $live from ${prevPath(dir)}")
+    }
+    val cents = new Path(centsPath(dir))
+    if (!f.exists(cents) && f.exists(centsPrevPath(dir))) {
+      f.delete(centsStagePath(dir), true)
+      require(f.rename(centsPrevPath(dir), cents),
+        s"failed to restore $cents from ${centsPrevPath(dir)}")
     }
   }
 
@@ -146,10 +157,19 @@ object VectorIndex {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType.fromDDL(m.schemaDdl).add("list_id", LongType))
-    else
+    else {
+      // retired (batch, list) partitions are superseded by a newer
+      // maintenance batch — excluded with partition-column predicates,
+      // so directory pruning still plans around them
+      val retired = liveRetirements(spark, dir, tags)
+      val keep = retired.foldLeft(col("batch").isin(tags: _*)) {
+        case (p, (t, ls)) =>
+          p && !(col("batch") === t && col("list_id").isin(ls: _*))
+      }
       spark.read.parquet(listsPath(dir))
-        .filter(col("batch").isin(tags: _*))
+        .filter(keep)
         .drop("batch")
+    }
   }
 
   /** The ids currently stored in the index — the processed-vectors
@@ -162,13 +182,47 @@ object VectorIndex {
   }
 
   /** Write one committed batch under `root/batch=tag` (partitioned by
-    * list_id), marker last — the create is the commit point. */
+    * list_id), marker last — the create is the commit point. `retire`
+    * names (older batch tag → list ids) partitions this batch
+    * SUPERSEDES ([[maintainLists]]): written before the marker, so the
+    * new data and the retirements become one visibility unit. */
   private def writeBatch(
-      assigned: DataFrame, root: String, tag: String, spark: SparkSession): Unit = {
+      assigned: DataFrame, root: String, tag: String, spark: SparkSession,
+      retire: Seq[(String, Seq[Long])] = Nil): Unit = {
     assigned.write.mode("overwrite").partitionBy("list_id")
       .parquet(s"$root/batch=$tag")
+    if (retire.nonEmpty) {
+      val rf = new Path(s"$root/batch=$tag/$retireFile")
+      val out = fs(spark, rf).create(rf, true)
+      try out.write(retire
+        .map { case (t, ls) => s"$t:${ls.sorted.mkString(",")}" }
+        .mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+    }
     val mk = new Path(s"$root/batch=$tag/$marker")
     fs(spark, mk).create(mk, true).close()
+  }
+
+  /** Retirements declared by LIVE batches: batch tag → list ids whose
+    * partitions in that batch are superseded. Cost ∝ batch count. */
+  private def liveRetirements(
+      spark: SparkSession, dir: String, tags: Seq[String]): Map[String, Seq[Long]] = {
+    val lists = new Path(listsPath(dir))
+    val f = fs(spark, lists)
+    tags.flatMap { t =>
+      val rf = new Path(lists, s"batch=$t/$retireFile")
+      if (!f.exists(rf)) Nil
+      else {
+        val in = f.open(rf)
+        val txt =
+          try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+          finally in.close()
+        txt.split("\n").filter(_.nonEmpty).toSeq.map { line =>
+          val Array(tag, ls) = line.split(":", 2)
+          tag -> ls.split(",").filter(_.nonEmpty).map(_.toLong).toSeq
+        }
+      }
+    }.groupBy(_._1).map { case (t, xs) => t -> xs.flatMap(_._2).distinct.sorted }
   }
 
   /** Train the quantizer and publish the index. Overwrites `dir`. */
@@ -418,5 +472,115 @@ object VectorIndex {
       .dropDuplicates(m.idCol)
     rewriteLists(spark, dir,
       liveLists(spark, dir, m).join(broadcast(ids), Seq(m.idCol), "left_anti"))
+  }
+
+  /** Crash-safe quantizer swap — the [[rewriteLists]] two-rename
+    * protocol on the centroids dir ([[ensureLive]] recovers the
+    * window). */
+  private def swapCentroids(
+      spark: SparkSession, dir: String, cents: Seq[(Long, Seq[Double])]): Unit = {
+    import spark.implicits._
+    val live = new Path(centsPath(dir))
+    val f = fs(spark, live)
+    f.delete(centsStagePath(dir), true)
+    cents.toDF("cid", "cemb").coalesce(1)
+      .write.mode("overwrite").parquet(centsStagePath(dir).toString)
+    f.delete(centsPrevPath(dir), true)
+    require(f.rename(live, centsPrevPath(dir)),
+      s"maintain: failed to retire $live")
+    require(f.rename(centsStagePath(dir), live),
+      s"maintain: failed to promote centroids (recoverable — " +
+        s"${centsPrevPath(dir)} holds the previous quantizer)")
+    f.delete(centsPrevPath(dir), true)
+  }
+
+  /**
+   * IVF list maintenance — the FAISS-practice answer to quantizer
+   * drift (appends assign against FROZEN centroids, so a shifting
+   * corpus slowly concentrates mass in lists whose centroid no longer
+   * sits at the member mean, and probe recall decays):
+   *
+   *  1. AUDIT (the q254 drift report, per list): member count and the
+   *     cosine drift `1 − cos(stored centroid, member mean)` — means
+   *     rounded per the [[graft.ops.Clustering.train]] convention, so
+   *     an SQL engine replays the whole report;
+   *  2. lists whose drift exceeds `driftThreshold` RETRAIN: their
+   *     centroid moves to the member mean (one local Lloyd update) and
+   *     ONLY their vectors reassign against the updated centroid set —
+   *     cost ∝ the drifted lists, never the corpus;
+   *  3. the reassignment lands as one committed maintenance batch
+   *     whose retire spec names the superseded (older batch, drifted
+   *     list) partitions — written before the batch marker, so data
+   *     and retirements become one visibility unit (a crash leaves an
+   *     invisible orphan; old partitions are only LOGICALLY retired
+   *     and physically reclaimed by [[compact]]);
+   *  4. the quantizer swaps last ([[swapCentroids]], crash-recovered
+   *     by [[ensureLive]]). A crash between 3 and 4 degrades recall
+   *     only (vectors sit in lists of the new centroids while probes
+   *     rank the old) — re-running maintenance heals forward.
+   *
+   * Non-drifted lists are untouched: their partitions are neither
+   * read, rewritten, nor retired (spec-pinned). Single-writer
+   * contract: serialize with appends. Returns the audit report
+   * (list_id, n_members, drift, retrained) — drift is NULL for an
+   * empty list (nothing to compare), which never retrains.
+   */
+  def maintainLists(
+      spark: SparkSession, dir: String, driftThreshold: Double): DataFrame = {
+    ensureLive(spark, dir)
+    val m = meta(spark, dir)
+    val live = liveLists(spark, dir, m)
+    val meanArr = live
+      .select(col("list_id"), posexplode(col(m.vecCol)).as(Seq("__d", "__v")))
+      .groupBy(col("list_id"), col("__d"))
+      .agg(round(avg(col("__v").cast("double")), 6).as("__m"))
+      .groupBy(col("list_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("__d"), col("__m")))),
+        x => x.getField("__m")).as("__mean"))
+    val counts = live.groupBy(col("list_id"))
+      .agg(count(lit(1)).as("n_members"))
+    val drift = round(
+      greatest(lit(0.0), // float guard: true cosine ≤ 1, rounding can graze it
+        lit(1.0) - graft.ops.Similarity.cosine(
+          col("cemb").cast("array<double>"), col("__mean"))), 6)
+    val report = centroids(spark, dir)
+      .select(col("cid").as("list_id"), col("cemb"))
+      .join(meanArr, Seq("list_id"), "left")
+      .join(counts, Seq("list_id"), "left")
+      .select(
+        col("list_id"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"),
+        when(col("__mean").isNull, lit(null).cast("double"))
+          .otherwise(drift).as("drift"),
+        col("__mean"))
+      .withColumn("retrained",
+        coalesce(col("drift") > driftThreshold, lit(false)))
+      .localCheckpoint() // nlist rows; sever from the dirs swapped below
+    val drifted = report.filter(col("retrained"))
+      .select(col("list_id"), col("__mean"))
+      .collect() // ≤ nlist rows — the Clustering.train driver footprint
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+    if (drifted.nonEmpty) {
+      val newCents = centroids(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
+        .map { case (cid, c) => cid -> drifted.getOrElse(cid, c) }
+        .sortBy(_._1)
+      val driftedIds = drifted.keys.toSeq.sorted
+      val affected = live
+        .filter(col("list_id").isin(driftedIds: _*)) // partition-pruned
+        .select(col(m.idCol), col(m.vecCol))
+      val data = Clustering.assign(affected, m.idCol, m.vecCol, newCents)
+        .select(col(m.idCol), col(m.vecCol), col("cluster").as("list_id"))
+        .localCheckpoint() // sever from a same-tag dir being overwritten
+      // "m" namespace: a maintenance tag must never collide with (and
+      // overwrite) the APPEND batch of the same vector set
+      val tag = "m" + batchTag(affected, m.idCol)
+      writeBatch(data, listsPath(dir), tag, spark,
+        retire = liveTags(spark, dir).filterNot(_ == tag)
+          .map(t => t -> driftedIds))
+      swapCentroids(spark, dir, newCents)
+    }
+    report.drop("__mean")
   }
 }

@@ -207,4 +207,84 @@ class VectorIndexSpec extends AnyFunSuite {
       .map(r => r._1 -> ((r._2, r._3))).toMap
     assert(renamed == got, "decisions must not depend on the batch's column name")
   }
+
+  test("maintainLists: drift audit, list-local retrain, non-drifted lists untouched") {
+    val dir = TestSpark.tmpDir("vecidx_maintain")
+    // build: seeds [1,0] (cid 0) and [0,1] (cid 1); members sit exactly
+    // on the seeds, so trained centroids stay [1,0]/[0,1]
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(1.0f, 0.0f)), (3L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    VectorIndex.build(corpus, "vec_id", "embedding", dir, nlist = 2, iters = 2)
+    // append [1,1]×2: cos to both centroids = 0.707107 → tie → list 0.
+    // list 0 mean becomes [1.0, 0.5]:
+    //   drift_0 = 1 − cos([1,0],[1,0.5]) = 1 − round(1/√1.25, 6) = 0.105573
+    // list 1 stays exactly on its centroid: drift_1 = 0
+    VectorIndex.append(
+      Seq((10L, Array(1.0f, 1.0f)), (11L, Array(1.0f, 1.0f)))
+        .toDF("vec_id", "embedding"), dir)
+    val lists = new java.io.File(s"$dir/lists")
+    val baseList1 = new java.io.File(lists, "batch=__base__/list_id=1")
+    val baseList1Before = baseList1.listFiles().map(_.getName).toSet
+    val dirsBefore = lists.listFiles().map(_.getName).toSet
+
+    val report = VectorIndex.maintainLists(spark, dir, driftThreshold = 0.05)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]), r.getBoolean(3))))
+      .toMap
+    assert(report(0L) == ((4L, Some(0.105573), true)))
+    assert(report(1L) == ((2L, Some(0.0), false)))
+
+    // quantizer: drifted centroid moved to the member mean, other untouched
+    val cents = VectorIndex.centroids(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+    assert(cents(0L) == Seq(1.0, 0.5) && cents(1L) == Seq(0.0, 1.0))
+
+    // corpus intact: every id stored exactly once (retirements hide the
+    // superseded copies; nothing lost, nothing duplicated)
+    val stored = VectorIndex.storedIds(spark, dir)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(stored == Seq(0L, 1L, 2L, 3L, 10L, 11L))
+
+    // NON-DRIFTED lists are physically untouched: list 1's base
+    // partition still holds exactly its original files, and the only
+    // new store entry is the maintenance batch
+    assert(baseList1.listFiles().map(_.getName).toSet == baseList1Before)
+    val newDirs = lists.listFiles().map(_.getName).toSet -- dirsBefore
+    assert(newDirs.size == 1 && newDirs.head.startsWith("batch=m"),
+      s"expected exactly one maintenance batch, got $newDirs")
+    // and its retire spec names only the drifted list
+    val retire = new java.io.File(lists, s"${newDirs.head}/_graft_retire")
+    val spec = new String(java.nio.file.Files.readAllBytes(retire.toPath), "UTF-8")
+    assert(spec.split("\n").forall(_.endsWith(":0")), s"retire spec: $spec")
+
+    // probe ranks by the UPDATED quantizer: query [1,1] now prefers the
+    // moved centroid's list and surfaces its members
+    val got = VectorIndex.probe(
+        Seq((99L, Array(1.0f, 1.0f))).toDF("vec_id", "embedding"),
+        dir, k = 2, nprobe = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(10L, 11L))
+
+    // idempotent steady state: centroid now equals the member mean, so a
+    // second maintain retrains nothing and writes nothing
+    val dirsAfter = lists.listFiles().map(_.getName).toSet
+    val again = VectorIndex.maintainLists(spark, dir, driftThreshold = 0.05)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(again == Map(0L -> false, 1L -> false))
+    assert(lists.listFiles().map(_.getName).toSet == dirsAfter)
+
+    // compact folds the retirements away: one base batch, answers intact
+    VectorIndex.compact(spark, dir)
+    assert(VectorIndex.storedIds(spark, dir).count() == 6)
+    assert(lists.listFiles().map(_.getName).toSet == Set("batch=__base__"))
+
+    // crash recovery of the quantizer swap window: live retired, staging
+    // lost → the next reader restores the previous centroids
+    val f = new java.io.File(s"$dir/centroids")
+    assert(f.renameTo(new java.io.File(s"$dir/centroids_prev")))
+    assert(VectorIndex.centroids(spark, dir)
+      .collect().map(_.getLong(0)).toSet == Set(0L, 1L))
+  }
 }
