@@ -4437,8 +4437,14 @@ object SparkEntry {
         col("c_nationkey"),
         (col("c_acctbal") + 0.5).as("c_acctbal"),
         col("c_mktsegment"))
+      // maxBlockPairs raised explicitly: the 5-value mktsegment block key
+      // is demonstration-grade and exceeds the default fence at the sf1
+      // sweep fixture (the fence firing there is by design — a real
+      // deployment blocks on a finer key); the pair frame stays a
+      // projection, so 10^8 candidates are still join-arithmetic cheap
       graft.ops.Linkage.fellegiSunter(
         dirty, cust, idCol = "c_custkey", blockCol = "c_mktsegment",
+        maxBlockPairs = 500_000_000L,
         fields = Seq(
           graft.ops.Linkage.Field("name",
             lower(trim(col("a_c_name"))) === lower(trim(col("b_c_name"))),
@@ -4622,6 +4628,8 @@ object SparkEntry {
         col("c_mktsegment"))
       val matches = graft.ops.Linkage.fellegiSunter(
         dirty, cust, idCol = "c_custkey", blockCol = "c_mktsegment",
+        maxBlockPairs = 500_000_000L, // demonstration-grade key; see q257
+
         fields = Seq(
           graft.ops.Linkage.Field("name",
             lower(trim(col("a_c_name"))) === lower(trim(col("b_c_name"))),
@@ -4748,6 +4756,43 @@ object SparkEntry {
         graft.ops.AudioDedup.fingerprints(
           demoToneTable(s, dir), "media_id", "payload"),
         "media_id", minShared = 8L)),
+
+    // ---- north-star: CROSS-MODAL duplicate clusters — the fusion
+    //      capstone of the multimodal dedup family: image Hamming
+    //      pairs (q277) and audio shared-landmark pairs (q279) over
+    //      the SAME asset ids union into one evidence graph, and
+    //      transitive closure merges what no single modality sees
+    //      (A≈B by image, B≈C by audio ⇒ {A,B,C} one dup group — the
+    //      re-encoded-copy case: visual match survives, audio was
+    //      re-mastered, or vice versa). Per cluster: member count +
+    //      per-modality edge counts (the agreement report).
+    "q281_multimodal_clusters" -> ((s, dir) => {
+      val img = ImageDedup.hammingNearDups(
+          ImageDedup.perceptualHashes(
+            demoImageTable(s, dir), "media_id", "payload"),
+          "media_id", "ahash", maxHamming = 6)
+        .select(col("id_a"), col("id_b"), lit("image").as("modality"))
+      val aud = graft.ops.AudioDedup.sharedFingerprintPairs(
+          graft.ops.AudioDedup.fingerprints(
+            demoToneTable(s, dir), "media_id", "payload"),
+          "media_id", minShared = 8L)
+        .select(col("id_a"), col("id_b"), lit("audio").as("modality"))
+      // materialized once: the edge set feeds the closure AND the
+      // per-modality agreement counts
+      val edges = img.unionByName(aud).localCheckpoint()
+      val labels = Dedup.components(edges.select("id_a", "id_b"))
+        .select(col("id").as("id_a"), col("label").as("cluster_id"))
+      val members = labels.groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"))
+      val byModality = edges.join(labels, Seq("id_a"))
+        .groupBy("cluster_id")
+        .agg(
+          sum(when(col("modality") === "image", 1L).otherwise(0L))
+            .as("n_image_edges"),
+          sum(when(col("modality") === "audio", 1L).otherwise(0L))
+            .as("n_audio_edges"))
+      members.join(byModality, Seq("cluster_id"))
+    }),
 
     // ---- north-star: IVF list maintenance — the quantizer-drift
     //      audit + list-local retrain (FAISS practice: appends assign
@@ -10957,11 +11002,11 @@ object SparkEntry {
 
     // constellation replay: tone formula → 32-sample frames → 8-bin
     // square-wave responses → |mag| argmax (low-bin ties) → fanout-3
-    // landmark packing fp = p1·24 + p2·3 + (Δt−1)
+    // top-two landmark packing fp = (((pA·8+pA₂)·8+pB)·8+pB₂)·3 + (Δt−1)
     "q278_audio_fingerprint" -> (audioPeaksSql +
       """
         |SELECT a.id AS media_id, CAST(a.t AS BIGINT) AS t,
-        |  CAST(a.peak * 24 + b.peak * 3 + (b.t - a.t - 1) AS BIGINT) AS fp
+        |  CAST((((a.peak * 8 + a.peak2) * 8 + b.peak) * 8 + b.peak2) * 3 + (b.t - a.t - 1) AS BIGINT) AS fp
         |FROM pk a JOIN pk b
         |  ON b.id = a.id AND b.t > a.t AND b.t <= a.t + 3""".stripMargin),
 
@@ -10970,12 +11015,52 @@ object SparkEntry {
     "q279_audio_neardup" -> (audioPeaksSql +
       """,
         |fp AS (SELECT DISTINCT a.id,
-        |    a.peak * 24 + b.peak * 3 + (b.t - a.t - 1) AS fp
+        |    (((a.peak * 8 + a.peak2) * 8 + b.peak) * 8 + b.peak2) * 3 + (b.t - a.t - 1) AS fp
         |  FROM pk a JOIN pk b
         |    ON b.id = a.id AND b.t > a.t AND b.t <= a.t + 3)
         |SELECT x.id AS id_a, y.id AS id_b, count(*) AS n_shared
         |FROM fp x JOIN fp y ON y.fp = x.fp AND x.id < y.id
         |GROUP BY x.id, y.id HAVING count(*) >= 8""".stripMargin),
+
+    // cross-modal cluster replay: both modality stems, identical pair
+    // derivations, union → recursive min-id closure → per-cluster
+    // member and per-modality edge counts
+    "q281_multimodal_clusters" -> {
+      val img = imagePhashSql.stripPrefix("WITH ")
+      val aud = audioPeaksSql.stripPrefix("WITH ")
+      s"""WITH RECURSIVE $img,
+         |$aud,
+         |ibands AS (SELECT id, b.b AS band,
+         |    (ahash >> CAST(b.b * 16 AS INTEGER)) & 65535 AS v
+         |  FROM ah, generate_series(0, 3) b(b)),
+         |ipairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM ibands a JOIN ibands b
+         |    ON b.band = a.band AND b.v = a.v AND a.id < b.id
+         |  JOIN ah x ON x.id = a.id JOIN ah y ON y.id = b.id
+         |  WHERE bit_count(xor(x.ahash, y.ahash)) <= 6),
+         |afp AS (SELECT DISTINCT a.id,
+         |    (((a.peak * 8 + a.peak2) * 8 + b.peak) * 8 + b.peak2) * 3 + (b.t - a.t - 1) AS fp
+         |  FROM pk a JOIN pk b
+         |    ON b.id = a.id AND b.t > a.t AND b.t <= a.t + 3),
+         |apairs AS (SELECT x.id AS id_a, y.id AS id_b
+         |  FROM afp x JOIN afp y ON y.fp = x.fp AND x.id < y.id
+         |  GROUP BY x.id, y.id HAVING count(*) >= 8),
+         |medges AS (SELECT id_a, id_b, 'image' AS modality FROM ipairs
+         |  UNION ALL SELECT id_a, id_b, 'audio' FROM apairs),
+         |mp AS (SELECT DISTINCT id_a, id_b FROM medges),
+         |${closureCtesOver("mp")},
+         |mm AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+         |  FROM labels GROUP BY cluster_id),
+         |ec AS (SELECT l.cluster_id,
+         |    CAST(sum(CASE WHEN e.modality = 'image' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_image_edges,
+         |    CAST(sum(CASE WHEN e.modality = 'audio' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_audio_edges
+         |  FROM medges e JOIN labels l ON l.doc_id = e.id_a
+         |  GROUP BY l.cluster_id)
+         |SELECT mm.cluster_id, mm.n_members, ec.n_image_edges, ec.n_audio_edges
+         |FROM mm JOIN ec ON ec.cluster_id = mm.cluster_id""".stripMargin
+    },
 
     // IVF maintenance replay: k-means on the even half (the shared
     // trained-IVF CTEs), frozen-quantizer assignment of the odd half,
@@ -11032,11 +11117,14 @@ object SparkEntry {
       |    abs(SUM(s * (1 - 2 * ((j // (k.k + 1)) % 2)))) AS mag
       |  FROM smp, generate_series(0, 7) k(k)
       |  GROUP BY id, t, k.k),
+      |pkr AS (
+      |  SELECT id, t, k, row_number()
+      |    OVER (PARTITION BY id, t ORDER BY mag DESC, k ASC) AS rn
+      |  FROM corr),
       |pk AS (
-      |  SELECT id, t, k AS peak FROM (
-      |    SELECT id, t, k, row_number()
-      |      OVER (PARTITION BY id, t ORDER BY mag DESC, k ASC) AS rn
-      |    FROM corr) WHERE rn = 1)""".stripMargin
+      |  SELECT a.id, a.t, a.k AS peak, b.k AS peak2
+      |  FROM pkr a JOIN pkr b ON b.id = a.id AND b.t = a.t AND b.rn = 2
+      |  WHERE a.rn = 1)""".stripMargin
 
   /** Shared q276/q277 oracle stem: pixels from the demoPng formula →
     * 4×4 integer block means → aHash/dHash BIGINTs (CTEs px, grid, m,

@@ -16,11 +16,18 @@ import org.apache.spark.sql.functions._
  *    integer correlation against half-period-(k+1) square waves (the
  *    Walsh-function idea), because a float FFT would never replay
  *    bit-for-bit across engines;
- *  - the frame's PEAK is the bin with the largest |response|, ties to
- *    the lowest bin — a pure integer argmax;
- *  - landmarks pair each frame's peak with the next `fanout` frames'
- *    peaks: fp = peak_t · (bins·fanout) + peak_{t+d} · fanout + (d−1)
- *    — time-translation-invariant, like the original;
+ *  - the frame's signature is its TOP-TWO bins by |response| (ties to
+ *    the lowest bin; runner-up = argmax excluding the winner) — the
+ *    pure-integer stand-in for Wang's peak constellation, and the
+ *    entropy knob: a single peak per frame gives only
+ *    bins²·fanout distinct landmarks, so at corpus scale every
+ *    inverted-index bucket grows ∝ corpus and the candidate join goes
+ *    quadratic (measured: the peak-only first cut was the bench's #2
+ *    query at sf0.1); the top-two signature raises the space to
+ *    bins⁴·fanout and bounds buckets again;
+ *  - landmarks pair each frame's signature with the next `fanout`
+ *    frames': fp = (((pA·bins + pA₂)·bins + pB)·bins + pB₂)·fanout
+ *    + (d−1) — time-translation-invariant, like the original;
  *  - near-dups count SHARED DISTINCT fingerprints per candidate pair,
  *    where candidates come from the inverted fp→doc join (Shazam's
  *    index probe; never an all-pairs product).
@@ -28,24 +35,29 @@ import org.apache.spark.sql.functions._
  * 100 TB shape: fingerprinting is one narrow map (payload in, small
  * int rows out — the payload never survives the projection); the pair
  * stage shuffles (fp)-keyed buckets whose sizes the fingerprint
- * entropy bounds, then aggregates (id_a, id_b) counts — both
- * decomposable. The codec partition is payload-bound
+ * entropy bounds (the top-two design above is what makes that claim
+ * true), then aggregates (id_a, id_b) counts — both decomposable. The
+ * codec partition is payload-bound
  * (`spark.sql.files.maxPartitionBytes` sizes decode tasks).
  */
 object AudioDedup {
 
   /** Square-wave filter-bank constellation of one PCM sample array:
-    * (frame, peak bin) pairs — exact integer replay of the docblock
-    * formulas. */
+    * (frame, top bin, runner-up bin) — exact integer replay of the
+    * docblock formulas (|response| desc, bin asc; runner-up = the
+    * second row of that order). */
   def constellation(
-      samples: Array[Int], frameLen: Int, bins: Int): Array[(Int, Int)] = {
+      samples: Array[Int], frameLen: Int, bins: Int): Array[(Int, Int, Int)] = {
     require(frameLen >= 2 * bins, "frameLen must cover the largest half-period twice")
+    require(bins >= 2, "the top-two signature needs at least two bins")
     val nFrames = samples.length / frameLen
-    val out = new Array[(Int, Int)](nFrames)
+    val out = new Array[(Int, Int, Int)](nFrames)
     var t = 0
     while (t < nFrames) {
       var bestMag = -1L
       var best = 0
+      var secondMag = -1L
+      var second = 0
       var k = 0
       while (k < bins) {
         val h = k + 1
@@ -57,10 +69,15 @@ object AudioDedup {
           i += 1
         }
         val mag = math.abs(corr)
-        if (mag > bestMag) { bestMag = mag; best = k }
+        if (mag > bestMag) {
+          secondMag = bestMag; second = best
+          bestMag = mag; best = k
+        } else if (mag > secondMag) {
+          secondMag = mag; second = k
+        }
         k += 1
       }
-      out(t) = (t, best)
+      out(t) = (t, best, second)
       t += 1
     }
     out
@@ -86,11 +103,15 @@ object AudioDedup {
         Multimodal.pcmSamples(payload).toSeq.flatMap { samples =>
           val peaks = constellation(samples, frameLen, bins)
           for {
-            (t, p1) <- peaks
+            (t, pA, pA2) <- peaks
             d <- 1 to fanout
             if t + d < peaks.length
-          } yield (id, t.toLong,
-            (p1 * bins * fanout + peaks(t + d)._2 * fanout + (d - 1)).toLong)
+          } yield {
+            val (_, pB, pB2) = peaks(t + d)
+            (id, t.toLong,
+              ((((pA.toLong * bins + pA2) * bins + pB) * bins + pB2)
+                * fanout + (d - 1)))
+          }
         }
       }
       .toDF(idCol, "t", "fp")
@@ -101,10 +122,26 @@ object AudioDedup {
    * fp→doc join over DISTINCT per-doc fingerprints, kept when they
    * share at least `minShared`. Output (id_a, id_b, n_shared),
    * id_a < id_b.
+   *
+   * @param maxDocsPerFp stop-landmark fence: a fingerprint carried by
+   *        more than this many documents (silence, test tones, codec
+   *        preambles — the audio analog of stopwords) contributes a
+   *        near-quadratic bucket to the join while carrying no
+   *        discriminative evidence; such landmarks are DROPPED before
+   *        the join (the SimHash family's per-bucket skew cap). 0
+   *        disables the fence.
    */
   def sharedFingerprintPairs(
-      fps: DataFrame, idCol: String, minShared: Long): DataFrame = {
-    val d = fps.select(col(idCol), col("fp")).distinct()
+      fps: DataFrame, idCol: String, minShared: Long,
+      maxDocsPerFp: Long = 0L): DataFrame = {
+    val d0 = fps.select(col(idCol), col("fp")).distinct()
+    val d =
+      if (maxDocsPerFp <= 0L) d0
+      else d0.withColumn("__n",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("fp"))))
+        .filter(col("__n") <= maxDocsPerFp)
+        .drop("__n")
     val a = d.select(col(idCol).as("id_a"), col("fp"))
     val b = d.select(col(idCol).as("id_b"), col("fp"))
     a.join(b, Seq("fp"))

@@ -29,6 +29,7 @@ object BenchSweep {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     names.foreach { name =>
       val fn = SparkEntry.queries.getOrElse(name, sys.error(s"unknown query $name"))
       val warmer = SparkEntry.indexWarmers.get(name)
@@ -43,6 +44,15 @@ object BenchSweep {
         println(f"[sweep] $name rep $i: $s%.3f s ($n rows)")
       }
       println(f"[sweep] $name best: $best%.3f s")
+      results(name) = best
+    }
+    // machine-readable record for tools/scaling.py (SCALING.md is
+    // regenerated from these instead of hand-copied console output)
+    sys.env.get("SPARK_GRAFT_SWEEP_JSON").foreach { path =>
+      val json = results
+        .map { case (k, v) => s""""$k": ${f"$v%.3f"}""" }
+        .mkString("{", ", ", "}")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
     }
     spark.stop()
   }

@@ -31,17 +31,21 @@ class AudioDedupSpec extends AnyFunSuite {
   }
 
   test("constellation: hand-computed square-wave responses, |mag| argmax, low-bin ties") {
-    // frameLen=4, bins=2: w0 = +−+−, w1 = ++−−
+    // frameLen=4, bins=2: w0 = +−+−, w1 = ++−−; signature = top-two
+    // bins by (|response| desc, bin asc)
     val samples = Array(
-      10, -10, 10, -10, // corr0=40, corr1=0   → peak 0
-      5, 5, -5, -5,     // corr0=0,  corr1=20  → peak 1
-      1, 0, 0, 0,       // corr0=1,  corr1=1   → tie → bin 0
-      0, -3, 0, 0,      // corr0=3 (|−3|), corr1=−3 → |3|=|3| tie → bin 0
+      10, -10, 10, -10, // corr0=40, corr1=0   → (0, 1)
+      5, 5, -5, -5,     // corr0=0,  corr1=20  → (1, 0)
+      1, 0, 0, 0,       // corr0=1,  corr1=1   → tie → (0, 1)
+      0, -3, 0, 0,      // |corr0|=3, |corr1|=3 → tie → (0, 1)
       7, 7, 7)          // trailing partial frame: dropped
     assert(AudioDedup.constellation(samples, 4, 2).toSeq ==
-      Seq((0, 0), (1, 1), (2, 0), (3, 0)))
+      Seq((0, 0, 1), (1, 1, 0), (2, 0, 1), (3, 0, 1)))
     intercept[IllegalArgumentException] {
       AudioDedup.constellation(samples, 3, 2) // frameLen < 2·bins
+    }
+    intercept[IllegalArgumentException] {
+      AudioDedup.constellation(samples, 4, 1) // top-two needs 2 bins
     }
   }
 
@@ -66,11 +70,12 @@ class AudioDedupSpec extends AnyFunSuite {
     val got = AudioDedup.fingerprints(media, "media_id", "payload",
         frameLen = 4, bins = 2, fanout = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    // peaks [0,1,0]; fp = p1·(bins·fanout) + p2·fanout + (d−1)
+    // signatures [(0,1),(1,0),(0,1)];
+    // fp = (((pA·b + pA₂)·b + pB)·b + pB₂)·fanout + (d−1)
     assert(got == Set(
-      (7L, 0L, 0L * 4 + 1L * 2 + 0L), // t=0 → t=1
-      (7L, 0L, 0L * 4 + 0L * 2 + 1L), // t=0 → t=2
-      (7L, 1L, 1L * 4 + 0L * 2 + 0L)  // t=1 → t=2
+      (7L, 0L, 12L), // t=0→1: ((0·2+1)·2+1)·2+0 = 6, ·2+0
+      (7L, 0L, 11L), // t=0→2: ((0·2+1)·2+0)·2+1 = 5, ·2+1
+      (7L, 1L, 18L)  // t=1→2: ((1·2+0)·2+0)·2+1 = 9, ·2+0
     ))
   }
 
@@ -87,5 +92,24 @@ class AudioDedupSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 81L)), "same-cluster tones must pair")
     assert(!pairs.contains((1L, 2L)) && !pairs.contains((2L, 81L)),
       "different dominant periods must not pair at the threshold")
+  }
+
+  test("stop-landmark fence: a landmark carried by too many docs is dropped") {
+    import spark.implicits._
+    // fp 100 appears in ALL 4 docs (the 'silence' landmark); fps
+    // 1..8 are shared only by docs 1 and 2
+    val fps = (Seq.tabulate(4)(i => (i + 1L, 0L, 100L)) ++
+      (1L to 8L).flatMap(f => Seq((1L, f, f), (2L, f, f))))
+      .toDF("media_id", "t", "fp")
+    // unfenced: every doc pair shares the hot landmark (6 candidate
+    // pairs enter the count); fenced at 2: only the discriminative
+    // 1–2 evidence survives, and the hot landmark no longer counts
+    val open = graft.ops.AudioDedup.sharedFingerprintPairs(
+      fps, "media_id", minShared = 1L)
+    assert(open.count() == 6)
+    val fenced = graft.ops.AudioDedup.sharedFingerprintPairs(
+        fps, "media_id", minShared = 1L, maxDocsPerFp = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fenced == Set((1L, 2L, 8L)))
   }
 }
