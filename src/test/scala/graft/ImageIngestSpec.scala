@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{ImageDedup, Multimodal}
+import graft.sources.WarcIO
+import graft.streaming.ImageIngest
+
+class ImageIngestSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def urn(i: Long) = s"<urn:graft:img:$i>"
+
+  /** Land one WARC wave of demoPng payloads (plus one text record that
+    * the image gate must ignore). */
+  private def landWave(dir: String, ids: Seq[Long]): Unit =
+    WarcIO.writeWarc(
+      (ids.map(i => (s"http://img.example/$i", "2026-01-01T00:00:00Z",
+          urn(i), "image/png", Multimodal.demoPng(i, 36, 32))) :+
+        (("http://txt.example/x", "2026-01-01T00:00:00Z",
+          "<urn:graft:txt:1>", "text/plain", "not an image".getBytes("UTF-8"))))
+        .toDF("target_uri", "warc_date", "record_id", "content_type", "payload")
+        .repartition(2),
+      dir)
+
+  test("maintainImages: exactly-once gating, batch×corpus pairs, crash heal") {
+    val base = TestSpark.tmpDir("image_ingest")
+    def drain() = ImageIngest.maintainImages(
+      spark, s"$base/landing", s"$base/silver", s"$base/ledger",
+      s"$base/index", maxHamming = 6)
+
+    assert(drain().count() == 0, "empty landing zone is a clean no-op")
+
+    // wave 1: cluster 1 (ids 1, 51) + cluster 2 (id 2); batch-internal
+    // pair (1, 51) only — id 13 is a truncated blob that must drop
+    landWave(s"$base/landing/w1", Seq(1L, 51L, 2L, 13L))
+    def unordered(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => Set(r.getString(0), r.getString(1))).toSet
+    val p1 = unordered(drain().collect())
+    assert(p1 == Set(Set(urn(1), urn(51))))
+    // the text record and the corrupt blob never enter the index
+    assert(ImageIngest.readHashes(spark, s"$base/index")
+      .select("media_id").collect().map(_.getString(0)).toSet ==
+      Set(urn(1), urn(51), urn(2)))
+
+    // re-drain with nothing new: no pairs, no index growth
+    assert(drain().count() == 0)
+
+    // wave 2: id 101 joins cluster 1 → pairs against BOTH standing
+    // members; id 102 joins cluster 2 → pairs with standing id 2
+    // (52 would be cluster 2 too, but 52 % 13 == 0 is a corrupt blob)
+    landWave(s"$base/landing/w2", Seq(101L, 102L))
+    val p2 = unordered(drain().collect())
+    assert(p2 == Set(
+      Set(urn(1), urn(101)), Set(urn(101), urn(51)), Set(urn(2), urn(102))))
+
+    // hashes in the index match the batch kernel exactly
+    val stored = ImageIngest.readHashes(spark, s"$base/index")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val grid = Multimodal.lumaGrid(Multimodal.demoPng(101L, 36, 32), 9, 8).get
+    assert(stored(urn(101)) == ImageDedup.hashesOfGrid(grid, 9)._1)
+
+    // CRASH SIMULATION: wave 3 reaches silver (drainWarc committed),
+    // but the process dies before the hash-index append — the
+    // index-as-ledger delta must recover those images next drain
+    landWave(s"$base/landing/w3", Seq(151L))
+    graft.streaming.WarcIngest.drainWarc(
+      spark, s"$base/landing", s"$base/silver", s"$base/ledger")
+    val p3 = unordered(drain().collect())
+    assert(p3 == Set(
+      Set(urn(1), urn(151)), Set(urn(101), urn(151)), Set(urn(151), urn(51))),
+      "images stranded in silver by a crash must be gated on the next drain")
+
+    // concurrent drain fails visibly under the index claim
+    graft.io.Commits.acquireClaim(spark, s"$base/index")
+    intercept[graft.io.Commits.ConcurrentWriteException] { drain() }
+    graft.io.Commits.forceReleaseClaim(spark, s"$base/index")
+    assert(drain().count() == 0)
+  }
+
+  test("hammingProbe: batch-internal + batch×corpus, never corpus×corpus") {
+    val corpus = Seq(("c1", 0x1111222233334444L), ("c2", 0x1111222233334445L))
+      .toDF("id", "h") // corpus pair (c1, c2) differs by 1 bit — but
+                       // neither is in the batch, so it must NOT surface
+    val batch = Seq(
+      ("b1", 0x1111222233334444L ^ (1L << 5)), // near c1/c2
+      ("b2", 0x7777666655554444L))             // shares band 0 only; far
+      .toDF("id", "h")
+    val got = ImageDedup.hammingProbe(batch, corpus, "id", "h", maxHamming = 6)
+      .collect().map(r => (Set(r.getString(0), r.getString(1)), r.getLong(2))).toSet
+    assert(got == Set((Set("b1", "c1"), 1L), (Set("b1", "c2"), 2L)))
+  }
+}
