@@ -4813,8 +4813,51 @@ object SparkEntry {
     //      Result = drain 2's verified Hamming pairs; the oracle
     //      replays decode→hash from the pixel formula plus the same
     //      banding with the odd-side-required candidate rule.
-    "q282_image_ingest" -> ((s, dir) => imageIngestPairs(s, dir))
+    "q282_image_ingest" -> ((s, dir) => imageIngestPairs(s, dir)),
+
+    // ---- north-star: graph ANN — beam (ef-) search over the LSH-built
+    //      kNN graph (single-layer NSW, the HNSW/Vamana base layer with
+    //      deterministic entries): adaptive expansion scores only
+    //      ≤ beam·k·steps vectors per query, no corpus scan — the
+    //      third pruning regime beside IVF partitions and LSH buckets.
+    //      The oracle unrolls every beam round (neighbor scoring +
+    //      top-beam cut) — search path, not just the answer, is what
+    //      replays.
+    "q283_graph_ann" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.graphSearch(
+        emb, "vec_id", "embedding", emb.filter(col("vec_id") === 0),
+        annGraph(emb), k = 10,
+        nEntries = 4, beamWidth = 16, maxSteps = 10)
+    }),
+
+    // ---- north-star: graph-ANN recall readout — the dial that says
+    //      whether beam/steps/graph-degree are enough: recall@10 of
+    //      the q283 walk against the exact brute-force ranking, one
+    //      row. (The q219 multi-probe-LSH recall pattern applied to
+    //      the graph regime.)
+    "q284_graph_ann_recall" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+      val walk = Similarity.graphSearch(
+        emb, "vec_id", "embedding", q, annGraph(emb), k = 10,
+        nEntries = 4, beamWidth = 16, maxSteps = 10)
+      val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 10)
+      walk.select("vec_id").join(exact.select("vec_id"), Seq("vec_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(10L).as("k"), col("n_hits"),
+          round(col("n_hits").cast("double") / 10.0, 6).as("recall"))
+    })
   )
+
+  /** q283/q284 navigation graph: dense LSH candidates (4 bands × 4
+    * planes — collision-rich banding; edges are NAVIGATION, so no
+    * cosine floor) → per-vertex top-8. */
+  private def annGraph(emb: DataFrame): DataFrame =
+    Similarity.knnGraph(emb, "vec_id", "embedding",
+      planesPerBand = 4, bands = 4, dims = 64, k = 8,
+      minCosine = -1.0, maxBucketSize = 1000)
+      .select(col("id"), col("nbr"))
 
   private val imageIngestMemo =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
@@ -5520,7 +5563,8 @@ object SparkEntry {
       val bucket = duckSignBucketP("embedding", all.slice(b * 8, (b + 1) * 8), 64)
       s"SELECT vec_id, embedding, $b AS band, $bucket AS bucket FROM embeddings"
     }.mkString(" UNION ALL ")
-    s"""bb AS ($bandSelects),
+    s"""embm AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+       |bb AS ($bandSelects),
        |capped AS (
        |  SELECT * FROM (
        |    SELECT *, row_number() OVER (PARTITION BY band, bucket ORDER BY vec_id) AS rn FROM bb
@@ -5534,6 +5578,71 @@ object SparkEntry {
        |      ON a.band = c.band AND a.bucket = c.bucket AND a.vec_id < c.vec_id
        |  ) WHERE cosine_sim >= 0.15
        |)""".stripMargin
+  }
+
+  /** Shared q283/q284 oracle stem: 4×4-band LSH candidates (no cosine
+    * floor — navigation edges) → per-vertex top-8 kNN edges (`kg`) →
+    * `steps` unrolled beam rounds from the 4 lowest-id entries; ends
+    * in `vis` (every visited node, scored) and `res` (the walk's
+    * top-10). Replays the SEARCH PATH of Similarity.graphSearch, cut
+    * by cut. */
+  private def graphAnnCtes(steps: Int = 10, beam: Int = 16): String = {
+    val dims = 64
+    val all = Similarity.planes(16, dims)
+    val bandSelects = (0 until 4).map { b =>
+      val bucket = duckSignBucketP("embedding", all.slice(b * 4, (b + 1) * 4), dims)
+      s"SELECT vec_id, embedding, $b AS band, $bucket AS bucket FROM embm"
+    }.mkString(" UNION ALL ")
+    val stepCtes = (1 to steps).map { i =>
+      val prev = s"p_${i - 1}"
+      s"""n_$i AS (SELECT DISTINCT g.nbr AS node FROM $prev pp
+         |  JOIN kg g ON g.id = pp.node),
+         |ns_$i AS MATERIALIZED (SELECT n.node,
+         |    ${duckCosine("e.embedding", "qv.qe", dims)} AS sim
+         |  FROM n_$i n JOIN embm e ON e.vec_id = n.node, qv),
+         |u_$i AS (SELECT node, max(sim) AS sim FROM (
+         |    SELECT node, sim FROM $prev UNION ALL SELECT node, sim FROM ns_$i)
+         |  GROUP BY node),
+         |p_$i AS MATERIALIZED (SELECT node, sim FROM (
+         |    SELECT node, sim,
+         |      row_number() OVER (ORDER BY sim DESC, node ASC) AS rn
+         |    FROM u_$i) WHERE rn <= $beam)""".stripMargin
+    }.mkString(",\n")
+    val visUnions = (1 to steps)
+      .map(i => s"SELECT node, sim FROM ns_$i").mkString(" UNION ALL ")
+    s"""embm AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+       |bb AS ($bandSelects),
+       |capped AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY band, bucket
+       |      ORDER BY vec_id) AS rn FROM bb
+       |  ) WHERE rn <= 1000),
+       |cp AS (
+       |  SELECT * FROM (
+       |    SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b,
+       |      ${duckCosine("a.embedding", "c.embedding", dims)} AS cosine_sim
+       |    FROM capped a JOIN capped c
+       |      ON a.band = c.band AND a.bucket = c.bucket AND a.vec_id < c.vec_id
+       |  ) WHERE cosine_sim >= -1.0),
+       |sym AS (SELECT id_a AS id, id_b AS nbr, cosine_sim FROM cp
+       |  UNION ALL SELECT id_b, id_a, cosine_sim FROM cp),
+       |kr AS (SELECT id, nbr,
+       |    row_number() OVER (PARTITION BY id
+       |      ORDER BY round(cosine_sim*1000000, 0) DESC, nbr) AS rank
+       |  FROM sym),
+       |kg AS MATERIALIZED (SELECT id, nbr FROM kr WHERE rank <= 8),
+       |qv AS (SELECT embedding AS qe FROM embm WHERE vec_id = 0),
+       |ent AS (SELECT vec_id AS node FROM embm ORDER BY vec_id LIMIT 4),
+       |p_0 AS MATERIALIZED (SELECT e.node,
+       |    ${duckCosine("emb.embedding", "qv.qe", dims)} AS sim
+       |  FROM ent e JOIN embm emb ON emb.vec_id = e.node, qv),
+       |$stepCtes,
+       |vis AS (SELECT node, max(sim) AS sim FROM (
+       |    SELECT node, sim FROM p_0 UNION ALL $visUnions) GROUP BY node),
+       |res AS (SELECT node AS vec_id, sim AS cosine_sim FROM (
+       |    SELECT node, sim,
+       |      row_number() OVER (ORDER BY sim DESC, node ASC) AS rn
+       |    FROM vis) WHERE rn <= 10)""".stripMargin
   }
 
   /** Per-block PQ training CTE chain (q70/q71): replays
@@ -11128,6 +11237,26 @@ object SparkEntry {
         |  AND s.rid <> p.rid
         |WHERE bit_count(xor(p.ahash, s.ahash)) <= 6""".stripMargin),
 
+    // graph-ANN replay: candidate banding → kNN edges → every beam
+    // round unrolled (the search path, not just the answer)
+    "q283_graph_ann" ->
+      s"""WITH ${graphAnnCtes()}
+         |SELECT vec_id, cosine_sim FROM res""".stripMargin,
+
+    // recall readout: the same walk intersected with the exact top-10
+    "q284_graph_ann_recall" ->
+      s"""WITH ${graphAnnCtes()},
+         |bt AS (SELECT vec_id FROM (
+         |    SELECT e.vec_id,
+         |      row_number() OVER (ORDER BY
+         |        ${duckCosine("e.embedding", "qv.qe", 64)} DESC,
+         |        e.vec_id ASC) AS rn
+         |    FROM embm e, qv) WHERE rn <= 10)
+         |SELECT CAST(10 AS BIGINT) AS k,
+         |  CAST(count(*) AS BIGINT) AS n_hits,
+         |  round(count(*) / 10.0, 6) AS recall
+         |FROM res JOIN bt USING (vec_id)""".stripMargin,
+
     // IVF maintenance replay: k-means on the even half (the shared
     // trained-IVF CTEs), frozen-quantizer assignment of the odd half,
     // per-list member means (rounded per the training convention),
@@ -11168,13 +11297,15 @@ object SparkEntry {
     * SELECT). */
   private val audioPeaksSql: String =
     """WITH par AS (
-      |  SELECT d.doc_id AS id, 2 + (d.doc_id % 40) % 7 AS p1,
-      |    3 + (5 * (d.doc_id % 40)) % 11 AS p2, 200 + d.doc_id % 50 AS n
+      |  SELECT d.doc_id AS id, 2 + (d.doc_id // 10) % 7 AS p1,
+      |    3 + (5 * (d.doc_id // 10)) % 11 AS p2,
+      |    (d.doc_id // 10) % 5 AS ph1, (d.doc_id // 10) % 13 AS ph2,
+      |    200 + d.doc_id % 50 AS n
       |  FROM documents d WHERE d.doc_id % 13 <> 0),
       |smp AS (
       |  SELECT id, i.i // 32 AS t, i.i % 32 AS j,
-      |    9000 * (1 - 2 * ((i.i // p1) % 2))
-      |      + 5000 * (1 - 2 * ((i.i // p2) % 2))
+      |    9000 * (1 - 2 * (((i.i + ph1) // p1) % 2))
+      |      + 5000 * (1 - 2 * (((i.i + ph2) // p2) % 2))
       |      + CASE WHEN (id * 37 + i.i * 13) % 89 = 0 THEN 800 ELSE 0 END AS s
       |  FROM par, generate_series(0, 248) i(i)
       |  WHERE i.i < (n // 32) * 32),
@@ -11198,7 +11329,8 @@ object SparkEntry {
   private val imagePhashSql: String =
     """WITH px AS (
       |  SELECT d.doc_id AS id, x.x AS x, y.y AS y,
-      |    ((3 + d.doc_id % 50) * x.x + (5 + 2 * (d.doc_id % 50)) * y.y
+      |    ((3 + (d.doc_id // 10) % 199) * x.x
+      |      + (5 + (d.doc_id // 10) % 193) * y.y
       |      + CASE WHEN (d.doc_id * 131 + x.x * 7 + y.y * 3) % 97 = 0
       |             THEN 40 ELSE 0 END) % 256 AS v
       |  FROM documents d,

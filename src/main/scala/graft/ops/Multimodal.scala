@@ -238,26 +238,31 @@ object Multimodal {
   /**
    * Constructive near-dup TONE fixture: a REAL RIFF/WAVE PCM payload
    * (16-bit LE mono 8000 Hz, the [[demoWav]] container) of
-   * `n = 200 + id % 50` samples, each the sum of two square waves
-   * whose half-periods are set by the CLUSTER (`id % 40` — CRT-distinct
-   * (p1, p2) per cluster) plus a sparse id-keyed jitter:
+   * `n = 200 + id % 50` samples, each the sum of two PHASE-SHIFTED
+   * square waves whose half-periods and phases are set by the CLUSTER
+   * `c = id / 10` (constant cluster size 10 — pair density stays ∝
+   * corpus, see [[demoPng]]) plus a sparse id-keyed jitter:
    *
-   *   p1 = 2 + (id%40) % 7,  p2 = 3 + (5·(id%40)) % 11
-   *   s(i) = 9000·sq(i, p1) + 5000·sq(i, p2)
+   *   p1 = 2 + c % 7,  p2 = 3 + (5·c) % 11
+   *   ph1 = c % 5,     ph2 = c % 13
+   *   s(i) = 9000·sq(i + ph1, p1) + 5000·sq(i + ph2, p2)
    *          + [ (id·37 + i·13) % 89 == 0 ] · 800
    *   where sq(i, p) = 1 − 2·((i / p) % 2)
    *
    * Same-cluster payloads differ only in the jitter (a few perturbed
-   * samples → mostly-shared spectral peaks); different clusters have
-   * different dominant periods. Ids divisible by 13 return a truncated
+   * samples → mostly-shared spectral peaks); different clusters differ
+   * in dominant periods or phase (CRT-distinct (p1, p2, ph1, ph2)
+   * below ~50 k ids). Ids divisible by 13 return a truncated
    * payload (decode must yield None, not crash).
    */
   def demoTone(id: Long): Array[Byte] = {
     if (id % 13 == 0)
       return Array('R'.toByte, 'I'.toByte, 'F'.toByte) // truncated
-    val cluster = (id % 40).toInt
-    val p1 = 2 + cluster % 7
-    val p2 = 3 + (5 * cluster) % 11
+    val cluster = id / 10
+    val p1 = (2 + cluster % 7).toInt
+    val p2 = (3 + (5 * cluster) % 11).toInt
+    val ph1 = (cluster % 5).toInt
+    val ph2 = (cluster % 13).toInt
     val n = (200 + id % 50).toInt
     val out = new java.io.ByteArrayOutputStream(44 + 2 * n)
     def b(v: Int): Unit = out.write(v & 0xff)
@@ -272,8 +277,8 @@ object Multimodal {
     var i = 0
     while (i < n) {
       val jitter = if ((id * 37 + i * 13) % 89 == 0) 800 else 0
-      val s = 9000 * (1 - 2 * ((i / p1) % 2)) +
-        5000 * (1 - 2 * ((i / p2) % 2)) + jitter
+      val s = 9000 * (1 - 2 * (((i + ph1) / p1) % 2)) +
+        5000 * (1 - 2 * (((i + ph2) / p2) % 2)) + jitter
       u16(s)
       i += 1
     }
@@ -447,18 +452,22 @@ object Multimodal {
    * hand, decoded back by `javax.imageio` for real) whose every pixel
    * is a pure function of (id, x, y):
    *
-   *   v(x,y) = ((3 + id % 50)·x + (5 + 2·(id % 50))·y
+   *   c = id / 10   (integer division — the near-dup CLUSTER)
+   *   v(x,y) = ((3 + c % 199)·x + (5 + c % 193)·y
    *             + [ (id·131 + x·7 + y·3) % 97 == 0 ] · 40) % 256
    *
    * so the perceptual-hash oracle ([[ImageDedup]]) replays the whole
    * decode→pool→hash chain as modular arithmetic: PNG is lossless and
    * BT.601 integer luma of a gray pixel is the pixel value itself.
-   * The `id % 50` term sets the STRIPE SLOPE (structure, not a uniform
+   * The cluster term sets the STRIPE SLOPES (structure, not a uniform
    * brightness offset — aHash is shift-invariant by construction, so
-   * an offset would collapse every cluster to one hash), striping the
-   * corpus into near-dup clusters: members differ only in the sparse
-   * +40 jitter (a few flipped hash bits); different clusters differ
-   * structurally. Ids divisible by 13 return a TRUNCATED payload
+   * an offset would collapse every cluster to one hash): members of a
+   * cluster differ only in the sparse +40 jitter (a few flipped hash
+   * bits); different clusters differ structurally (coprime-moduli
+   * slopes — no collisions below ~380 k ids). Cluster SIZE is a
+   * constant 10, so true-pair density stays ∝ corpus at every scale
+   * factor (an `id % K` key would grow clusters with the corpus and
+   * make the pair OUTPUT quadratic — measured on the sf1 sweep). Ids divisible by 13 return a TRUNCATED payload
    * (decode must yield None, not crash) — the [[demoJpeg]]/[[demoWav]]
    * corrupt-blob convention.
    */
@@ -471,7 +480,8 @@ object Multimodal {
       var x = 0
       while (x < w) {
         val jitter = if ((id * 131 + x * 7 + y * 3) % 97 == 0) 40 else 0
-        val v = (((3 + id % 50) * x + (5 + 2 * (id % 50)) * y + jitter) % 256).toInt
+        val c = id / 10
+        val v = (((3 + c % 199) * x + (5 + c % 193) * y + jitter) % 256).toInt
         raw(y * (w + 1) + 1 + x) = v.toByte
         x += 1
       }

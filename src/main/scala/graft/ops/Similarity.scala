@@ -407,6 +407,75 @@ object Similarity {
   }
 
   /**
+   * Graph-based ANN: beam (ef-) search over a [[knnGraph]] — the
+   * single-layer NSW construction behind HNSW/Vamana (Malkov &
+   * Yashunin 2018) with deterministic entry points instead of the
+   * level hierarchy. The candidate POOL starts at the `nEntries`
+   * lowest corpus ids (replayable), and each of exactly `maxSteps`
+   * rounds scores the pool's out-neighbors and keeps the top
+   * `beamWidth` of (pool ∪ neighbors) by (cosine desc, id asc) —
+   * greedy walks (beam 1) stall in the first local optimum, which is
+   * precisely why the public algorithm carries a pool. The answer is
+   * the top-`k` of every node VISITED.
+   *
+   * Why this matters at scale: every other ANN family here (IVF, PQ,
+   * LSH) prunes by precomputed partitions; the beam prunes by ADAPTIVE
+   * expansion — per query it scores ≤ beamWidth·k·maxSteps vectors
+   * (a few hundred), no corpus scan at all. Embeddings are
+   * point-looked-up per round (the pool is broadcast; against the
+   * durable VectorIndex at cluster scale, where the search runs
+   * partition-locally inside IVF-routed lists). The fixed round count
+   * (vs converge-detection) keeps the whole search SQL-unrollable —
+   * the oracle replays every round, top-`beamWidth` cut included.
+   */
+  def graphSearch(
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      queryDf: DataFrame,
+      graph: DataFrame,
+      k: Int,
+      nEntries: Int = 4,
+      beamWidth: Int = 8,
+      maxSteps: Int = 8): DataFrame = {
+    require(k >= 1 && nEntries >= 1 && beamWidth >= 1 && maxSteps >= 0,
+      "degenerate geometry")
+    requireSingleQuery(queryDf, "graphSearch")
+    val spark = corpus.sparkSession
+    val q = queryDf.select(col(embCol).as("__q"))
+    val edges = graph.select(col("id").as("__gid"), col("nbr"))
+    // score-to-query attach: a point lookup of the pool's ids (the
+    // pool is broadcast; only visited nodes are ever scored)
+    def scored(nodes: DataFrame): DataFrame = broadcast(nodes)
+      .join(corpus.select(col(idCol).as("node"), col(embCol).as("__e")), Seq("node"))
+      .crossJoin(broadcast(q))
+      .withColumn("__sim", cosineFast(spark, col("__e"), col("__q")))
+      .select(col("node"), col("__sim"))
+    var pool = scored(
+      corpus.select(col(idCol).as("node")).orderBy(col("node").asc).limit(nEntries))
+      .localCheckpoint() // nEntries rows
+    var visited = pool
+    (1 to maxSteps).foreach { _ =>
+      val nbrs = scored(
+        broadcast(pool.select(col("node").as("__c"))) // beam rows: map-side
+          .join(edges, col("__gid") === col("__c"))
+          .select(col("nbr").as("node")).distinct())
+        .localCheckpoint() // ≤ beamWidth·k rows; feeds visited AND the cut
+      visited = visited.unionByName(nbrs).localCheckpoint()
+      pool = pool.unionByName(nbrs)
+        .groupBy(col("node")).agg(max(col("__sim")).as("__sim"))
+        .orderBy(col("__sim").desc, col("node").asc)
+        .limit(beamWidth)
+        .localCheckpoint()
+    }
+    visited.groupBy(col("node"))
+      .agg(max(col("__sim")).as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col("node").asc)
+      .limit(k)
+      .select(col("node").as(idCol), col("cosine_sim"))
+  }
+
+  /**
    * IVF (inverted-file) coarse quantizer: assign every vector to its
    * nearest of `nlist` centroid vectors (cosine, ties → lowest centroid
    * id). The index build is one narrow pass over the corpus against a

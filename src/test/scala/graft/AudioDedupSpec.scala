@@ -10,11 +10,14 @@ class AudioDedupSpec extends AnyFunSuite {
 
   /** The demoTone sample formula, independently restated. */
   private def tone(id: Long, i: Int): Int = {
-    val cluster = (id % 40).toInt
-    val p1 = 2 + cluster % 7
-    val p2 = 3 + (5 * cluster) % 11
+    val c = id / 10
+    val p1 = (2 + c % 7).toInt
+    val p2 = (3 + (5 * c) % 11).toInt
+    val ph1 = (c % 5).toInt
+    val ph2 = (c % 13).toInt
     val jitter = if ((id * 37 + i * 13) % 89 == 0) 800 else 0
-    9000 * (1 - 2 * ((i / p1) % 2)) + 5000 * (1 - 2 * ((i / p2) % 2)) + jitter
+    9000 * (1 - 2 * (((i + ph1) / p1) % 2)) +
+      5000 * (1 - 2 * (((i + ph2) / p2) % 2)) + jitter
   }
 
   test("demoTone → pcmSamples is a bit-exact replay of the sample formula") {
@@ -81,17 +84,18 @@ class AudioDedupSpec extends AnyFunSuite {
 
   test("sharedFingerprintPairs: cluster mates share landmarks, strangers don't") {
     import spark.implicits._
-    val png = udf((id: Long) => Multimodal.demoTone(id))
-    // ids 1 and 81 share cluster 1; id 2 is cluster 2; id 13 truncated
+    val wav = udf((id: Long) => Multimodal.demoTone(id))
+    // ids 1 and 2 share cluster 0 (id/10); id 81 is cluster 8 (differs
+    // in phase AND period); id 13 truncated
     val media = Seq(1L, 2L, 81L, 13L).toDF("media_id")
-      .withColumn("payload", png(col("media_id")))
+      .withColumn("payload", wav(col("media_id")))
     val fps = AudioDedup.fingerprints(media, "media_id", "payload")
     assert(fps.filter(col("media_id") === 13L).count() == 0)
     val pairs = AudioDedup.sharedFingerprintPairs(fps, "media_id", minShared = 8L)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(pairs.contains((1L, 81L)), "same-cluster tones must pair")
-    assert(!pairs.contains((1L, 2L)) && !pairs.contains((2L, 81L)),
-      "different dominant periods must not pair at the threshold")
+    assert(pairs.contains((1L, 2L)), "same-cluster tones must pair")
+    assert(!pairs.contains((1L, 81L)) && !pairs.contains((2L, 81L)),
+      "different dominant periods/phases must not pair at the threshold")
   }
 
   test("stop-landmark fence: a landmark carried by too many docs is dropped") {

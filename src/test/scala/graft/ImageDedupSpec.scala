@@ -11,7 +11,8 @@ class ImageDedupSpec extends AnyFunSuite {
   /** The demoPng pixel formula, independently restated. */
   private def pixel(id: Long, x: Int, y: Int): Int = {
     val jitter = if ((id * 131 + x * 7 + y * 3) % 97 == 0) 40 else 0
-    (((3 + id % 50) * x + (5 + 2 * (id % 50)) * y + jitter) % 256).toInt
+    val c = id / 10
+    (((3 + c % 199) * x + (5 + c % 193) * y + jitter) % 256).toInt
   }
 
   test("demoPng → lumaGrid is a bit-exact replay of the pixel formula") {
@@ -71,11 +72,11 @@ class ImageDedupSpec extends AnyFunSuite {
       val grid = Multimodal.lumaGrid(Multimodal.demoPng(id, 36, 32), 9, 8).get
       assert(out(id) == ImageDedup.hashesOfGrid(grid, 9))
     }
-    // ids 1 and 51 share a cluster (id%50): near-identical hashes;
-    // id 2 is another cluster: far from both
+    // ids 1 and 2 share cluster 0 (id/10): near-identical hashes;
+    // id 51 is cluster 5: far from both
     def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
-    assert(ham(out(1L)._1, out(51L)._1) <= 10)
-    assert(ham(out(1L)._1, out(2L)._1) > 10)
+    assert(ham(out(1L)._1, out(2L)._1) <= 10)
+    assert(ham(out(1L)._1, out(51L)._1) > 10)
   }
 
   test("hammingNearDups: pigeonhole recall, verify filter, no self/dup pairs") {

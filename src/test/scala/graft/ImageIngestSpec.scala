@@ -33,44 +33,43 @@ class ImageIngestSpec extends AnyFunSuite {
 
     assert(drain().count() == 0, "empty landing zone is a clean no-op")
 
-    // wave 1: cluster 1 (ids 1, 51) + cluster 2 (id 2); batch-internal
-    // pair (1, 51) only — id 13 is a truncated blob that must drop
-    landWave(s"$base/landing/w1", Seq(1L, 51L, 2L, 13L))
+    // wave 1: cluster 0 (ids 1, 2) + cluster 5 (id 51); batch-internal
+    // pair (1, 2) only — id 13 is a truncated blob that must drop
+    landWave(s"$base/landing/w1", Seq(1L, 2L, 51L, 13L))
     def unordered(rows: Array[org.apache.spark.sql.Row]) =
       rows.map(r => Set(r.getString(0), r.getString(1))).toSet
     val p1 = unordered(drain().collect())
-    assert(p1 == Set(Set(urn(1), urn(51))))
+    assert(p1 == Set(Set(urn(1), urn(2))))
     // the text record and the corrupt blob never enter the index
     assert(ImageIngest.readHashes(spark, s"$base/index")
       .select("media_id").collect().map(_.getString(0)).toSet ==
-      Set(urn(1), urn(51), urn(2)))
+      Set(urn(1), urn(2), urn(51)))
 
     // re-drain with nothing new: no pairs, no index growth
     assert(drain().count() == 0)
 
-    // wave 2: id 101 joins cluster 1 → pairs against BOTH standing
-    // members; id 102 joins cluster 2 → pairs with standing id 2
-    // (52 would be cluster 2 too, but 52 % 13 == 0 is a corrupt blob)
-    landWave(s"$base/landing/w2", Seq(101L, 102L))
+    // wave 2: id 3 joins cluster 0 → pairs against BOTH standing
+    // members; id 55 joins cluster 5 → pairs with standing id 51
+    landWave(s"$base/landing/w2", Seq(3L, 55L))
     val p2 = unordered(drain().collect())
     assert(p2 == Set(
-      Set(urn(1), urn(101)), Set(urn(101), urn(51)), Set(urn(2), urn(102))))
+      Set(urn(1), urn(3)), Set(urn(2), urn(3)), Set(urn(51), urn(55))))
 
     // hashes in the index match the batch kernel exactly
     val stored = ImageIngest.readHashes(spark, s"$base/index")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val grid = Multimodal.lumaGrid(Multimodal.demoPng(101L, 36, 32), 9, 8).get
-    assert(stored(urn(101)) == ImageDedup.hashesOfGrid(grid, 9)._1)
+    val grid = Multimodal.lumaGrid(Multimodal.demoPng(3L, 36, 32), 9, 8).get
+    assert(stored(urn(3)) == ImageDedup.hashesOfGrid(grid, 9)._1)
 
     // CRASH SIMULATION: wave 3 reaches silver (drainWarc committed),
     // but the process dies before the hash-index append — the
     // index-as-ledger delta must recover those images next drain
-    landWave(s"$base/landing/w3", Seq(151L))
+    landWave(s"$base/landing/w3", Seq(4L))
     graft.streaming.WarcIngest.drainWarc(
       spark, s"$base/landing", s"$base/silver", s"$base/ledger")
     val p3 = unordered(drain().collect())
     assert(p3 == Set(
-      Set(urn(1), urn(151)), Set(urn(101), urn(151)), Set(urn(151), urn(51))),
+      Set(urn(1), urn(4)), Set(urn(2), urn(4)), Set(urn(3), urn(4))),
       "images stranded in silver by a crash must be gated on the next drain")
 
     // concurrent drain fails visibly under the index claim

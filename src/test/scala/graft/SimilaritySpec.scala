@@ -636,4 +636,58 @@ class SimilaritySpec extends AnyFunSuite {
         "vec_id", "label", k = 0)
     }
   }
+
+  test("graphSearch: best-first walk, strict-improvement freeze, visited top-k") {
+    import spark.implicits._
+    // a 2-d chain toward the query [1,0]: both entries (lowest ids 0,1)
+    // must walk 0→1→2→3→4 and freeze at 4 (its only neighbor is worse)
+    val corpus = Seq(
+      (0L, Array(0.0f, 1.0f)),   // sim 0
+      (1L, Array(1.0f, 1.0f)),   // sim 0.707107
+      (2L, Array(1.0f, 0.5f)),   // sim 0.894427
+      (3L, Array(1.0f, 0.1f)),   // sim 0.995037
+      (4L, Array(1.0f, 0.0f)),   // sim 1.0 — the optimum
+      (5L, Array(-1.0f, 0.0f)))  // unreachable: no inbound edges
+      .toDF("vec_id", "embedding")
+    val graph = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 3L))
+      .toDF("id", "nbr")
+    val query = corpus.filter(col("vec_id") === 4L)
+    val got = Similarity.graphSearch(
+        corpus, "vec_id", "embedding", query, graph, k = 3,
+        nEntries = 2, maxSteps = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == Seq((4L, 1.0), (3L, 0.995037), (2L, 0.894427)))
+
+    // maxSteps = 0: only the entries themselves are visited
+    val frozen = Similarity.graphSearch(
+        corpus, "vec_id", "embedding", query, graph, k = 3,
+        nEntries = 2, maxSteps = 0)
+      .collect().map(_.getLong(0)).toSeq
+    assert(frozen == Seq(1L, 0L), "no steps → entry nodes only, ranked")
+
+    // too few steps: the walk stops mid-chain — visited is the fence
+    val short = Similarity.graphSearch(
+        corpus, "vec_id", "embedding", query, graph, k = 1,
+        nEntries = 2, maxSteps = 1)
+      .collect().map(_.getLong(0)).toSeq
+    assert(short == Seq(2L), "one step from entry 1 reaches node 2 at best")
+
+    // end-to-end over the fixture corpus: the walk on the LSH-built
+    // kNN graph must recover most of the exact top-10 (deterministic
+    // fixture → a pinned lower bound, not a flaky expectation)
+    val emb = TestSpark.table("embeddings")
+    val g = Similarity.knnGraph(emb, "vec_id", "embedding",
+      planesPerBand = 4, bands = 4, dims = 64, k = 8,
+      minCosine = -1.0, maxBucketSize = 1000)
+      .select(col("id"), col("nbr"))
+    val q0 = emb.filter(col("vec_id") === 0)
+    val walk = Similarity.graphSearch(
+        emb, "vec_id", "embedding", q0, g, k = 10, beamWidth = 16, maxSteps = 10)
+      .collect().map(_.getLong(0)).toSet
+    val exact = Similarity.bruteForceTopK(
+        emb, q0, "vec_id", "embedding", k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert((walk & exact).size >= 5,
+      s"graph walk recall collapsed: ${(walk & exact).size}/10")
+  }
 }
