@@ -281,7 +281,7 @@ object SparkEntry {
     pairsMemo.clear(); sigsMemo.clear(); durableIdxMemo.clear()
     pqMemo.clear(); labelsMemo.clear(); winIdxMemo.clear()
     forgetIdxMemo.clear(); vecIdxMemo.clear(); corpusVecIdxMemo.clear()
-    maintReportMemo.clear()
+    maintReportMemo.clear(); imageIngestMemo.clear(); annGraphMemo.clear()
   }
 
   /** q280 fixture: durable IVF built on the EVEN vectors, the odd half
@@ -348,7 +348,9 @@ object SparkEntry {
     "q104_durable_ann_batch" -> ((s, dir) => durableVecIndex(s, dir): Unit),
     "q109_cluster_cap" -> ((s, dir) => clusterLabels(s, dir).count(): Unit),
     "q131_leakage_safe_split" -> ((s, dir) => clusterLabels(s, dir).count(): Unit),
-    "q113_incremental_semdedup" -> ((s, dir) => corpusVecIndex(s, dir): Unit))
+    "q113_incremental_semdedup" -> ((s, dir) => corpusVecIndex(s, dir): Unit),
+    "q283_graph_ann" -> ((s, dir) => annGraph(s, dir): Unit),
+    "q284_graph_ann_recall" -> ((s, dir) => annGraph(s, dir): Unit))
 
   // ---------------------------------------------------------------- entry
 
@@ -4827,7 +4829,7 @@ object SparkEntry {
       val emb = T(s, dir, "embeddings")
       Similarity.graphSearch(
         emb, "vec_id", "embedding", emb.filter(col("vec_id") === 0),
-        annGraph(emb), k = 10,
+        annGraph(s, dir), k = 10,
         nEntries = 4, beamWidth = 16, maxSteps = 10)
     }),
 
@@ -4840,7 +4842,7 @@ object SparkEntry {
       val emb = T(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") === 0)
       val walk = Similarity.graphSearch(
-        emb, "vec_id", "embedding", q, annGraph(emb), k = 10,
+        emb, "vec_id", "embedding", q, annGraph(s, dir), k = 10,
         nEntries = 4, beamWidth = 16, maxSteps = 10)
       val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 10)
       walk.select("vec_id").join(exact.select("vec_id"), Seq("vec_id"))
@@ -4850,14 +4852,25 @@ object SparkEntry {
     })
   )
 
-  /** q283/q284 navigation graph: dense LSH candidates (4 bands × 4
-    * planes — collision-rich banding; edges are NAVIGATION, so no
-    * cosine floor) → per-vertex top-8. */
-  private def annGraph(emb: DataFrame): DataFrame =
-    Similarity.knnGraph(emb, "vec_id", "embedding",
-      planesPerBand = 4, bands = 4, dims = 64, k = 8,
-      minCosine = -1.0, maxBucketSize = 1000)
-      .select(col("id"), col("nbr"))
+  private val annGraphMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  /** q283/q284 navigation graph: LSH candidates (4 bands × 6 planes;
+    * edges are NAVIGATION, so no cosine floor; per-bucket cap 400
+    * bounds the build at any corpus — production scales planes/band
+    * with log(corpus) instead, the banding note of q216) → per-vertex
+    * top-8. MEMOIZED + checkpointed: the graph is the durable artifact
+    * a deployment builds once (an indexWarmers entry keeps bench reps
+    * timing the SEARCH, not the build — the q97 convention). */
+  private def annGraph(s: SparkSession, dir: String): DataFrame =
+    annGraphMemo.getOrElseUpdate(
+      (s.sparkContext.applicationId, dir), {
+        Similarity.knnGraph(T(s, dir, "embeddings"), "vec_id", "embedding",
+          planesPerBand = 6, bands = 4, dims = 64, k = 8,
+          minCosine = -1.0, maxBucketSize = 400)
+          .select(col("id"), col("nbr"))
+          .localCheckpoint()
+      })
 
   private val imageIngestMemo =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
@@ -5588,9 +5601,9 @@ object SparkEntry {
     * by cut. */
   private def graphAnnCtes(steps: Int = 10, beam: Int = 16): String = {
     val dims = 64
-    val all = Similarity.planes(16, dims)
+    val all = Similarity.planes(24, dims)
     val bandSelects = (0 until 4).map { b =>
-      val bucket = duckSignBucketP("embedding", all.slice(b * 4, (b + 1) * 4), dims)
+      val bucket = duckSignBucketP("embedding", all.slice(b * 6, (b + 1) * 6), dims)
       s"SELECT vec_id, embedding, $b AS band, $bucket AS bucket FROM embm"
     }.mkString(" UNION ALL ")
     val stepCtes = (1 to steps).map { i =>
@@ -5616,7 +5629,7 @@ object SparkEntry {
        |  SELECT * FROM (
        |    SELECT *, row_number() OVER (PARTITION BY band, bucket
        |      ORDER BY vec_id) AS rn FROM bb
-       |  ) WHERE rn <= 1000),
+       |  ) WHERE rn <= 400),
        |cp AS (
        |  SELECT * FROM (
        |    SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b,
@@ -11300,12 +11313,14 @@ object SparkEntry {
       |  SELECT d.doc_id AS id, 2 + (d.doc_id // 10) % 7 AS p1,
       |    3 + (5 * (d.doc_id // 10)) % 11 AS p2,
       |    (d.doc_id // 10) % 5 AS ph1, (d.doc_id // 10) % 13 AS ph2,
+      |    9000 - 100 * ((d.doc_id // 10) % 23) AS a1,
+      |    5000 + 100 * ((d.doc_id // 10) % 29) AS a2,
       |    200 + d.doc_id % 50 AS n
       |  FROM documents d WHERE d.doc_id % 13 <> 0),
       |smp AS (
       |  SELECT id, i.i // 32 AS t, i.i % 32 AS j,
-      |    9000 * (1 - 2 * (((i.i + ph1) // p1) % 2))
-      |      + 5000 * (1 - 2 * (((i.i + ph2) // p2) % 2))
+      |    a1 * (1 - 2 * (((i.i + ph1) // p1) % 2))
+      |      + a2 * (1 - 2 * (((i.i + ph2) // p2) % 2))
       |      + CASE WHEN (id * 37 + i.i * 13) % 89 = 0 THEN 800 ELSE 0 END AS s
       |  FROM par, generate_series(0, 248) i(i)
       |  WHERE i.i < (n // 32) * 32),

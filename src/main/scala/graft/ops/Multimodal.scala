@@ -245,14 +245,19 @@ object Multimodal {
    *
    *   p1 = 2 + c % 7,  p2 = 3 + (5·c) % 11
    *   ph1 = c % 5,     ph2 = c % 13
-   *   s(i) = 9000·sq(i + ph1, p1) + 5000·sq(i + ph2, p2)
+   *   A1 = 9000 − 100·(c % 23),  A2 = 5000 + 100·(c % 29)
+   *   s(i) = A1·sq(i + ph1, p1) + A2·sq(i + ph2, p2)
    *          + [ (id·37 + i·13) % 89 == 0 ] · 800
    *   where sq(i, p) = 1 − 2·((i / p) % 2)
    *
    * Same-cluster payloads differ only in the jitter (a few perturbed
    * samples → mostly-shared spectral peaks); different clusters differ
-   * in dominant periods or phase (CRT-distinct (p1, p2, ph1, ph2)
-   * below ~50 k ids). Ids divisible by 13 return a truncated
+   * in period, phase, OR amplitude ratio — the last matters because
+   * the fingerprint signature is an argmax ORDER over filter-bank
+   * magnitudes, so amplitude ratios reorder the top-two bins where
+   * periods/phases alone coincide (without them, the 7·11·5·13
+   * period/phase classes collide at ~5 k clusters and cross-cluster
+   * landmark sharing made the sf1 pair OUTPUT quadratic — measured). Ids divisible by 13 return a truncated
    * payload (decode must yield None, not crash).
    */
   def demoTone(id: Long): Array[Byte] = {
@@ -263,6 +268,8 @@ object Multimodal {
     val p2 = (3 + (5 * cluster) % 11).toInt
     val ph1 = (cluster % 5).toInt
     val ph2 = (cluster % 13).toInt
+    val a1 = (9000 - 100 * (cluster % 23)).toInt
+    val a2 = (5000 + 100 * (cluster % 29)).toInt
     val n = (200 + id % 50).toInt
     val out = new java.io.ByteArrayOutputStream(44 + 2 * n)
     def b(v: Int): Unit = out.write(v & 0xff)
@@ -277,8 +284,8 @@ object Multimodal {
     var i = 0
     while (i < n) {
       val jitter = if ((id * 37 + i * 13) % 89 == 0) 800 else 0
-      val s = 9000 * (1 - 2 * (((i + ph1) / p1) % 2)) +
-        5000 * (1 - 2 * (((i + ph2) / p2) % 2)) + jitter
+      val s = a1 * (1 - 2 * (((i + ph1) / p1) % 2)) +
+        a2 * (1 - 2 * (((i + ph2) / p2) % 2)) + jitter
       u16(s)
       i += 1
     }

@@ -15,9 +15,11 @@ class AudioDedupSpec extends AnyFunSuite {
     val p2 = (3 + (5 * c) % 11).toInt
     val ph1 = (c % 5).toInt
     val ph2 = (c % 13).toInt
+    val a1 = (9000 - 100 * (c % 23)).toInt
+    val a2 = (5000 + 100 * (c % 29)).toInt
     val jitter = if ((id * 37 + i * 13) % 89 == 0) 800 else 0
-    9000 * (1 - 2 * (((i + ph1) / p1) % 2)) +
-      5000 * (1 - 2 * (((i + ph2) / p2) % 2)) + jitter
+    a1 * (1 - 2 * (((i + ph1) / p1) % 2)) +
+      a2 * (1 - 2 * (((i + ph2) / p2) % 2)) + jitter
   }
 
   test("demoTone → pcmSamples is a bit-exact replay of the sample formula") {
