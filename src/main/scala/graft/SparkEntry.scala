@@ -11321,6 +11321,7 @@ object SparkEntry {
       |  SELECT id, i.i // 32 AS t, i.i % 32 AS j,
       |    a1 * (1 - 2 * (((i.i + ph1) // p1) % 2))
       |      + a2 * (1 - 2 * (((i.i + ph2) // p2) % 2))
+      |      + ((id // 10) * 2654435761 + i.i * 40503) % 4001 - 2000
       |      + CASE WHEN (id * 37 + i.i * 13) % 89 = 0 THEN 800 ELSE 0 END AS s
       |  FROM par, generate_series(0, 248) i(i)
       |  WHERE i.i < (n // 32) * 32),

@@ -246,18 +246,21 @@ object Multimodal {
    *   p1 = 2 + c % 7,  p2 = 3 + (5·c) % 11
    *   ph1 = c % 5,     ph2 = c % 13
    *   A1 = 9000 − 100·(c % 23),  A2 = 5000 + 100·(c % 29)
-   *   s(i) = A1·sq(i + ph1, p1) + A2·sq(i + ph2, p2)
+   *   noise(i) = (c·2654435761 + i·40503) % 4001 − 2000
+   *   s(i) = A1·sq(i + ph1, p1) + A2·sq(i + ph2, p2) + noise(i)
    *          + [ (id·37 + i·13) % 89 == 0 ] · 800
    *   where sq(i, p) = 1 − 2·((i / p) % 2)
    *
    * Same-cluster payloads differ only in the jitter (a few perturbed
-   * samples → mostly-shared spectral peaks); different clusters differ
-   * in period, phase, OR amplitude ratio — the last matters because
-   * the fingerprint signature is an argmax ORDER over filter-bank
-   * magnitudes, so amplitude ratios reorder the top-two bins where
-   * periods/phases alone coincide (without them, the 7·11·5·13
-   * period/phase classes collide at ~5 k clusters and cross-cluster
-   * landmark sharing made the sf1 pair OUTPUT quadratic — measured). Ids divisible by 13 return a truncated
+   * samples → mostly-shared spectral peaks). The CLUSTER-KEYED
+   * pseudo-noise floor is what makes different clusters separable at
+   * scale: the fingerprint signature is an argmax order over an 8-bin
+   * filter bank, so periods beyond the bank (p2 up to 13) contribute
+   * little and the period/phase/amplitude classes alone still
+   * collided in the thousands of clusters (measured: cross-cluster
+   * landmark sharing kept the sf1 pair OUTPUT ~10× its intra-cluster
+   * floor); the noise term perturbs every close argmax call uniquely
+   * per cluster, exactly like real recordings' broadband content. Ids divisible by 13 return a truncated
    * payload (decode must yield None, not crash).
    */
   def demoTone(id: Long): Array[Byte] = {
@@ -270,6 +273,7 @@ object Multimodal {
     val ph2 = (cluster % 13).toInt
     val a1 = (9000 - 100 * (cluster % 23)).toInt
     val a2 = (5000 + 100 * (cluster % 29)).toInt
+    val noiseKey = cluster * 2654435761L
     val n = (200 + id % 50).toInt
     val out = new java.io.ByteArrayOutputStream(44 + 2 * n)
     def b(v: Int): Unit = out.write(v & 0xff)
@@ -284,8 +288,9 @@ object Multimodal {
     var i = 0
     while (i < n) {
       val jitter = if ((id * 37 + i * 13) % 89 == 0) 800 else 0
+      val noise = ((noiseKey + i * 40503L) % 4001L - 2000L).toInt
       val s = a1 * (1 - 2 * (((i + ph1) / p1) % 2)) +
-        a2 * (1 - 2 * (((i + ph2) / p2) % 2)) + jitter
+        a2 * (1 - 2 * (((i + ph2) / p2) % 2)) + noise + jitter
       u16(s)
       i += 1
     }

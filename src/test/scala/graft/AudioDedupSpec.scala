@@ -17,9 +17,10 @@ class AudioDedupSpec extends AnyFunSuite {
     val ph2 = (c % 13).toInt
     val a1 = (9000 - 100 * (c % 23)).toInt
     val a2 = (5000 + 100 * (c % 29)).toInt
+    val noise = ((c * 2654435761L + i * 40503L) % 4001L - 2000L).toInt
     val jitter = if ((id * 37 + i * 13) % 89 == 0) 800 else 0
     a1 * (1 - 2 * (((i + ph1) / p1) % 2)) +
-      a2 * (1 - 2 * (((i + ph2) / p2) % 2)) + jitter
+      a2 * (1 - 2 * (((i + ph2) / p2) % 2)) + noise + jitter
   }
 
   test("demoTone → pcmSamples is a bit-exact replay of the sample formula") {
