@@ -4740,12 +4740,17 @@ object SparkEntry {
     // ---- north-star: audio constellation fingerprints (Wang 2003's
     //      peak-pair landmarks) over REAL WAV payloads decoded through
     //      javax.sound — square-wave filter bank instead of an FFT so
-    //      frame → peak → landmark is exact integer arithmetic the
-    //      oracle replays from the tone formula (PCM is lossless; the
-    //      codec is inside the verified chain).
+    //      frame → signed-top-two signature → landmark is exact
+    //      integer arithmetic the oracle replays from the tone formula
+    //      (PCM is lossless; the codec is inside the verified chain).
+    //      16 bins: the bank must cover the corpus's period range AND
+    //      carry enough per-frame entropy that landmark classes exceed
+    //      the source count — an 8-bin bank saturated at the sf1
+    //      fixture's 5000 sources (measured 4× false-pair floor; the
+    //      1024-bin FFT of the public system is this dial at scale).
     "q278_audio_fingerprint" -> ((s, dir) =>
       graft.ops.AudioDedup.fingerprints(
-        demoToneTable(s, dir), "media_id", "payload")),
+        demoToneTable(s, dir), "media_id", "payload", bins = 16)),
 
     // ---- north-star: audio near-dup pairs — shared-landmark counting
     //      through the inverted fp→doc join (the Shazam index probe;
@@ -4756,7 +4761,7 @@ object SparkEntry {
     "q279_audio_neardup" -> ((s, dir) =>
       graft.ops.AudioDedup.sharedFingerprintPairs(
         graft.ops.AudioDedup.fingerprints(
-          demoToneTable(s, dir), "media_id", "payload"),
+          demoToneTable(s, dir), "media_id", "payload", bins = 16),
         "media_id", minShared = 8L)),
 
     // ---- north-star: CROSS-MODAL duplicate clusters — the fusion
@@ -4776,7 +4781,7 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), lit("image").as("modality"))
       val aud = graft.ops.AudioDedup.sharedFingerprintPairs(
           graft.ops.AudioDedup.fingerprints(
-            demoToneTable(s, dir), "media_id", "payload"),
+            demoToneTable(s, dir), "media_id", "payload", bins = 16),
           "media_id", minShared = 8L)
         .select(col("id_a"), col("id_b"), lit("audio").as("modality"))
       // materialized once: the edge set feeds the closure AND the
@@ -11169,11 +11174,11 @@ object SparkEntry {
 
     // constellation replay: tone formula → 32-sample frames → 8-bin
     // square-wave responses → |mag| argmax (low-bin ties) → fanout-3
-    // top-two landmark packing fp = (((pA·8+pA₂)·8+pB)·8+pB₂)·3 + (Δt−1)
+    // signed top-two landmark packing fp = (sig_t·256 + sig_{t+d})·3 + (Δt−1)
     "q278_audio_fingerprint" -> (audioPeaksSql +
       """
         |SELECT a.id AS media_id, CAST(a.t AS BIGINT) AS t,
-        |  CAST((((a.peak * 8 + a.peak2) * 8 + b.peak) * 8 + b.peak2) * 3 + (b.t - a.t - 1) AS BIGINT) AS fp
+        |  CAST((a.sig * 1024 + b.sig) * 3 + (b.t - a.t - 1) AS BIGINT) AS fp
         |FROM pk a JOIN pk b
         |  ON b.id = a.id AND b.t > a.t AND b.t <= a.t + 3""".stripMargin),
 
@@ -11182,7 +11187,7 @@ object SparkEntry {
     "q279_audio_neardup" -> (audioPeaksSql +
       """,
         |fp AS (SELECT DISTINCT a.id,
-        |    (((a.peak * 8 + a.peak2) * 8 + b.peak) * 8 + b.peak2) * 3 + (b.t - a.t - 1) AS fp
+        |    (a.sig * 1024 + b.sig) * 3 + (b.t - a.t - 1) AS fp
         |  FROM pk a JOIN pk b
         |    ON b.id = a.id AND b.t > a.t AND b.t <= a.t + 3)
         |SELECT x.id AS id_a, y.id AS id_b, count(*) AS n_shared
@@ -11206,7 +11211,7 @@ object SparkEntry {
          |  JOIN ah x ON x.id = a.id JOIN ah y ON y.id = b.id
          |  WHERE bit_count(xor(x.ahash, y.ahash)) <= 6),
          |afp AS (SELECT DISTINCT a.id,
-         |    (((a.peak * 8 + a.peak2) * 8 + b.peak) * 8 + b.peak2) * 3 + (b.t - a.t - 1) AS fp
+         |    (a.sig * 1024 + b.sig) * 3 + (b.t - a.t - 1) AS fp
          |  FROM pk a JOIN pk b
          |    ON b.id = a.id AND b.t > a.t AND b.t <= a.t + 3),
          |apairs AS (SELECT x.id AS id_a, y.id AS id_b
@@ -11327,15 +11332,17 @@ object SparkEntry {
       |  WHERE i.i < (n // 32) * 32),
       |corr AS (
       |  SELECT id, t, k.k AS k,
-      |    abs(SUM(s * (1 - 2 * ((j // (k.k + 1)) % 2)))) AS mag
-      |  FROM smp, generate_series(0, 7) k(k)
+      |    SUM(s * (1 - 2 * ((j // (k.k + 1)) % 2))) AS corr
+      |  FROM smp, generate_series(0, 15) k(k)
       |  GROUP BY id, t, k.k),
       |pkr AS (
-      |  SELECT id, t, k, row_number()
-      |    OVER (PARTITION BY id, t ORDER BY mag DESC, k ASC) AS rn
+      |  SELECT id, t, k, corr, row_number()
+      |    OVER (PARTITION BY id, t ORDER BY abs(corr) DESC, k ASC) AS rn
       |  FROM corr),
       |pk AS (
-      |  SELECT a.id, a.t, a.k AS peak, b.k AS peak2
+      |  SELECT a.id, a.t,
+      |    ((a.k * 2 + CASE WHEN a.corr >= 0 THEN 1 ELSE 0 END) * 16 + b.k) * 2
+      |      + CASE WHEN b.corr >= 0 THEN 1 ELSE 0 END AS sig
       |  FROM pkr a JOIN pkr b ON b.id = a.id AND b.t = a.t AND b.rn = 2
       |  WHERE a.rn = 1)""".stripMargin
 

@@ -17,17 +17,23 @@ import org.apache.spark.sql.functions._
  *    Walsh-function idea), because a float FFT would never replay
  *    bit-for-bit across engines;
  *  - the frame's signature is its TOP-TWO bins by |response| (ties to
- *    the lowest bin; runner-up = argmax excluding the winner) — the
- *    pure-integer stand-in for Wang's peak constellation, and the
- *    entropy knob: a single peak per frame gives only
- *    bins²·fanout distinct landmarks, so at corpus scale every
- *    inverted-index bucket grows ∝ corpus and the candidate join goes
- *    quadratic (measured: the peak-only first cut was the bench's #2
- *    query at sf0.1); the top-two signature raises the space to
- *    bins⁴·fanout and bounds buckets again;
+ *    the lowest bin; runner-up = argmax excluding the winner), each
+ *    CARRYING ITS RESPONSE SIGN — the pure-integer stand-in for
+ *    Wang's peak constellation, and the entropy knob, twice over:
+ *    a single peak per frame gives only bins²·fanout distinct
+ *    landmarks, so at corpus scale every inverted-index bucket grows
+ *    ∝ corpus and the candidate join goes quadratic (measured: the
+ *    peak-only first cut was the bench's #2 query at sf0.1); and
+ *    bins alone still alias — different sources share dominant
+ *    PERIODS while differing in PHASE, which the magnitude argmax
+ *    cannot see (measured again at sf1: same-period clusters kept
+ *    the pair output ~8× its true-dup floor). The sign bit is the
+ *    integer shadow of the phase, lifting the per-frame alphabet to
+ *    (2·bins)² states:
+ *      sig = ((pA·2 + sA)·bins + pA₂)·2 + sA₂,  s = [corr ≥ 0]
  *  - landmarks pair each frame's signature with the next `fanout`
- *    frames': fp = (((pA·bins + pA₂)·bins + pB)·bins + pB₂)·fanout
- *    + (d−1) — time-translation-invariant, like the original;
+ *    frames': fp = (sig_t·4·bins² + sig_{t+d})·fanout + (d−1) —
+ *    time-translation-invariant, like the original;
  *  - near-dups count SHARED DISTINCT fingerprints per candidate pair,
  *    where candidates come from the inverted fp→doc join (Shazam's
  *    index probe; never an all-pairs product).
@@ -43,21 +49,23 @@ import org.apache.spark.sql.functions._
 object AudioDedup {
 
   /** Square-wave filter-bank constellation of one PCM sample array:
-    * (frame, top bin, runner-up bin) — exact integer replay of the
-    * docblock formulas (|response| desc, bin asc; runner-up = the
-    * second row of that order). */
+    * (frame, signature) — exact integer replay of the docblock
+    * formulas (|response| desc, bin asc; runner-up = the second row of
+    * that order; sign bit = [response ≥ 0] of the CHOSEN rows). */
   def constellation(
-      samples: Array[Int], frameLen: Int, bins: Int): Array[(Int, Int, Int)] = {
+      samples: Array[Int], frameLen: Int, bins: Int): Array[(Int, Int)] = {
     require(frameLen >= 2 * bins, "frameLen must cover the largest half-period twice")
     require(bins >= 2, "the top-two signature needs at least two bins")
     val nFrames = samples.length / frameLen
-    val out = new Array[(Int, Int, Int)](nFrames)
+    val out = new Array[(Int, Int)](nFrames)
     var t = 0
     while (t < nFrames) {
       var bestMag = -1L
       var best = 0
+      var bestCorr = 0L
       var secondMag = -1L
       var second = 0
+      var secondCorr = 0L
       var k = 0
       while (k < bins) {
         val h = k + 1
@@ -70,14 +78,16 @@ object AudioDedup {
         }
         val mag = math.abs(corr)
         if (mag > bestMag) {
-          secondMag = bestMag; second = best
-          bestMag = mag; best = k
+          secondMag = bestMag; second = best; secondCorr = bestCorr
+          bestMag = mag; best = k; bestCorr = corr
         } else if (mag > secondMag) {
-          secondMag = mag; second = k
+          secondMag = mag; second = k; secondCorr = corr
         }
         k += 1
       }
-      out(t) = (t, best, second)
+      val sA = if (bestCorr >= 0) 1 else 0
+      val sA2 = if (secondCorr >= 0) 1 else 0
+      out(t) = (t, ((best * 2 + sA) * bins + second) * 2 + sA2)
       t += 1
     }
     out
@@ -101,17 +111,14 @@ object AudioDedup {
       .as[(Long, Array[Byte])]
       .flatMap { case (id, payload) =>
         Multimodal.pcmSamples(payload).toSeq.flatMap { samples =>
-          val peaks = constellation(samples, frameLen, bins)
+          val sigs = constellation(samples, frameLen, bins)
+          val sigSpace = 4L * bins * bins
           for {
-            (t, pA, pA2) <- peaks
+            (t, sigA) <- sigs
             d <- 1 to fanout
-            if t + d < peaks.length
-          } yield {
-            val (_, pB, pB2) = peaks(t + d)
-            (id, t.toLong,
-              ((((pA.toLong * bins + pA2) * bins + pB) * bins + pB2)
-                * fanout + (d - 1)))
-          }
+            if t + d < sigs.length
+          } yield (id, t.toLong,
+            (sigA * sigSpace + sigs(t + d)._2) * fanout + (d - 1))
         }
       }
       .toDF(idCol, "t", "fp")

@@ -37,16 +37,16 @@ class AudioDedupSpec extends AnyFunSuite {
   }
 
   test("constellation: hand-computed square-wave responses, |mag| argmax, low-bin ties") {
-    // frameLen=4, bins=2: w0 = +−+−, w1 = ++−−; signature = top-two
-    // bins by (|response| desc, bin asc)
+    // frameLen=4, bins=2: w0 = +−+−, w1 = ++−−; signature
+    // sig = ((pA·2 + sA)·bins + pA₂)·2 + sA₂ with s = [corr ≥ 0]
     val samples = Array(
-      10, -10, 10, -10, // corr0=40, corr1=0   → (0, 1)
-      5, 5, -5, -5,     // corr0=0,  corr1=20  → (1, 0)
-      1, 0, 0, 0,       // corr0=1,  corr1=1   → tie → (0, 1)
-      0, -3, 0, 0,      // |corr0|=3, |corr1|=3 → tie → (0, 1)
+      10, -10, 10, -10, // corr0=+40, corr1=0(+)  → ((0·2+1)·2+1)·2+1 = 7
+      5, 5, -5, -5,     // corr0=0(+), corr1=+20  → ((1·2+1)·2+0)·2+1 = 13
+      1, 0, 0, 0,       // corr0=+1, corr1=+1 tie → 7
+      0, -3, 0, 0,      // corr0=+3, corr1=−3 tie → ((0·2+1)·2+1)·2+0 = 6
       7, 7, 7)          // trailing partial frame: dropped
     assert(AudioDedup.constellation(samples, 4, 2).toSeq ==
-      Seq((0, 0, 1), (1, 1, 0), (2, 0, 1), (3, 0, 1)))
+      Seq((0, 7), (1, 13), (2, 7), (3, 6)))
     intercept[IllegalArgumentException] {
       AudioDedup.constellation(samples, 3, 2) // frameLen < 2·bins
     }
@@ -76,12 +76,12 @@ class AudioDedupSpec extends AnyFunSuite {
     val got = AudioDedup.fingerprints(media, "media_id", "payload",
         frameLen = 4, bins = 2, fanout = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    // signatures [(0,1),(1,0),(0,1)];
-    // fp = (((pA·b + pA₂)·b + pB)·b + pB₂)·fanout + (d−1)
+    // signatures [7, 13, 7] (see constellation test);
+    // fp = (sig_t·4·bins² + sig_{t+d})·fanout + (d−1), 4·bins² = 16
     assert(got == Set(
-      (7L, 0L, 12L), // t=0→1: ((0·2+1)·2+1)·2+0 = 6, ·2+0
-      (7L, 0L, 11L), // t=0→2: ((0·2+1)·2+0)·2+1 = 5, ·2+1
-      (7L, 1L, 18L)  // t=1→2: ((1·2+0)·2+0)·2+1 = 9, ·2+0
+      (7L, 0L, 250L), // t=0→1: (7·16+13)·2+0
+      (7L, 0L, 239L), // t=0→2: (7·16+7)·2+1
+      (7L, 1L, 430L)  // t=1→2: (13·16+7)·2+0
     ))
   }
 
