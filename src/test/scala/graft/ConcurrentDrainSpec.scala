@@ -222,6 +222,59 @@ class ConcurrentDrainSpec extends AnyFunSuite {
 
   // ------------------------------------------------------- run-dir publishers
 
+  test("SCD2 publish is CAS; signature-index drains serialize under the claim") {
+    val base = TestSpark.tmpDir("scd2_cas")
+    val landing = new java.io.File(base, "landing"); landing.mkdirs()
+    val dschema = graft.schema.Metadata.structFromSpec(
+      """
+      k: long
+      seg: string
+      ts: long
+      """)
+    def landU(name: String, rows: Seq[(Long, String, Long)]): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(landing, name))
+      try rows.foreach { case (k, seg, ts) =>
+        w.println(s"""{"k": $k, "seg": "$seg", "ts": $ts}""")
+      } finally w.close()
+    }
+    def drain() = CorpusIngest.maintainDimension(
+      spark, landing.getPath, dschema, "k", "ts", Seq("seg"),
+      s"$base/silver", s"$base/ckpt", s"$base/state")
+    landU("u1.jsonl", Seq((1L, "A", 10L)))
+    assert(drain().count() == 1)
+    // a racing publisher claimed run_000002 between this drain's read
+    // and publish → visible conflict; run_000001 stays live
+    val fs = fsOf(base)
+    fs.mkdirs(new Path(s"$base/state/run_000002"))
+    landU("u2.jsonl", Seq((1L, "B", 20L)))
+    intercept[Commits.ConcurrentWriteException] { drain() }
+    assert(graft.io.Layers.latestSuccessfulRun(spark, s"$base/state")
+      .get.endsWith("run_000001"))
+    // slot freed (the race resolved) → the RETRY self-heals: the u2
+    // delta is still unapplied (ledger lives with the state), so the
+    // same drain re-merges and publishes run_000002
+    fs.delete(new Path(s"$base/state/run_000002"), true)
+    val st = drain()
+    assert(st.filter(col("is_current") && col("seg") === "B").count() == 1)
+    assert(graft.io.Layers.latestSuccessfulRun(spark, s"$base/state")
+      .get.endsWith("run_000002"))
+
+    // the SignatureIndex maintainer serializes under the index claim
+    val base2 = TestSpark.tmpDir("sig_claim")
+    val landing2 = new java.io.File(base2, "landing"); landing2.mkdirs()
+    Commits.acquireClaim(spark, s"$base2/index")
+    intercept[Commits.ConcurrentWriteException] {
+      CorpusIngest.maintain(
+        spark, landing2.getPath, schema, "doc_id", "text",
+        s"$base2/silver", s"$base2/ckpt", s"$base2/index", threshold = 0.8)
+    }
+    Commits.forceReleaseClaim(spark, s"$base2/index")
+    assert(CorpusIngest.maintain(
+      spark, landing2.getPath, schema, "doc_id", "text",
+      s"$base2/silver", s"$base2/ckpt", s"$base2/index",
+      threshold = 0.8).count() == 0)
+  }
+
   test("frontier publish is CAS: a taken run slot fails visibly, state intact") {
     val base = TestSpark.tmpDir("frontier_cas")
     val landing = new java.io.File(base, "landing"); landing.mkdirs()
