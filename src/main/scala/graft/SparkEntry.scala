@@ -11172,9 +11172,10 @@ object SparkEntry {
         |FROM cand c JOIN ah x ON x.id = c.id_a JOIN ah y ON y.id = c.id_b
         |WHERE bit_count(xor(x.ahash, y.ahash)) <= 6""".stripMargin),
 
-    // constellation replay: tone formula → 32-sample frames → 8-bin
-    // square-wave responses → |mag| argmax (low-bin ties) → fanout-3
-    // signed top-two landmark packing fp = (sig_t·256 + sig_{t+d})·3 + (Δt−1)
+    // constellation replay: tone formula → 32-sample frames → 16-bin
+    // square-wave responses → signed top-two signature
+    // sig = ((top·2+sgn_top)·16 + second)·2 + sgn_second ∈ [0, 4·bins²=1024)
+    // → fanout-3 landmark packing fp = (sig_t·1024 + sig_{t+d})·3 + (Δt−1)
     "q278_audio_fingerprint" -> (audioPeaksSql +
       """
         |SELECT a.id AS media_id, CAST(a.t AS BIGINT) AS t,

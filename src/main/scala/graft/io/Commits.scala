@@ -57,20 +57,39 @@ object Commits {
    * the tmp path it is given; the subsequent rename is the commit
    * point. Throws [[ConcurrentWriteException]] if `finalDir` is
    * already taken (and removes the staged tmp).
+   *
+   * Rename success alone is NOT commit proof: when a racing writer
+   * creates `finalDir` between our existence check and our rename,
+   * Hadoop's old-API rename semantics (HDFS, and RawLocalFileSystem's
+   * copy fallback) move the staged tmp INSIDE the winner's directory
+   * and still return true — both writers would report success and the
+   * loser's payload would be silently shadowed. So each publish stages
+   * a unique hidden token file and, after the rename, requires OUR
+   * token directly under `finalDir`: the identity check that turns the
+   * check-then-act window back into a true single-slot CAS.
    */
   def publishAtomic(fs: FileSystem, finalDir: Path)(stage: Path => Unit): Unit = {
     val parent = finalDir.getParent
     fs.mkdirs(parent)
     val tmp = new Path(parent, s".tmp-${UUID.randomUUID().toString}")
+    val token = s".commit-${UUID.randomUUID().toString}"
     try {
       stage(tmp)
+      fs.create(new Path(tmp, token), false).close()
       if (fs.exists(finalDir))
         throw new ConcurrentWriteException(
           s"$finalDir already exists — a concurrent writer committed this " +
             "slot first; re-read the store and retry")
-      if (!fs.rename(tmp, finalDir) || !fs.exists(finalDir))
+      val renamed = fs.rename(tmp, finalDir)
+      if (!renamed || !fs.exists(new Path(finalDir, token))) {
+        // a racing winner may have swallowed our tmp as finalDir/.tmp-*;
+        // remove the stray (hidden, so readers never saw it) and lose
+        val stray = new Path(finalDir, tmp.getName)
+        if (fs.exists(stray)) fs.delete(stray, true)
         throw new ConcurrentWriteException(
-          s"rename to $finalDir failed — lost the commit race")
+          s"rename to $finalDir did not commit our payload — lost the " +
+            "commit race; re-read the store and retry")
+      }
     } finally {
       if (fs.exists(tmp)) fs.delete(tmp, true)
     }
@@ -134,21 +153,36 @@ object Commits {
     new Path(storeDir, "_drain.claim")
 
   /**
-   * Acquire the store's exclusive drain claim (create-exclusive — the
-   * one atomic put-if-absent primitive every Hadoop filesystem has).
+   * Acquire the store's exclusive drain claim via create-exclusive.
    * Throws [[ConcurrentWriteException]] if held: either a drain is in
    * flight, or a crashed drain left it stale — the message names the
    * file, and [[forceReleaseClaim]] recovers once the caller knows no
    * drain is running (crash recovery itself stays automatic: the
    * record/id anti-joins inside each maintainer heal a replayed batch).
+   *
+   * Atomicity assumption: create-exclusive is put-if-absent on HDFS
+   * and POSIX filesystems (where `O_CREAT|O_EXCL` / NameNode create
+   * are atomic). On S3A and similar object stores it is check-then-act
+   * and does NOT serialize writers — there, run drains under an
+   * external scheduler lock (the single-writer-per-store convention
+   * every public object-store table format documents). Only the
+   * already-exists failure maps to "claim held"; any other I/O error
+   * (transient network, permission) propagates as itself so a flaky
+   * store is never misreported as a concurrent drain.
    */
   def acquireClaim(spark: SparkSession, storeDir: String): Unit = {
     val p = claimPath(storeDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    acquireClaim(p.getFileSystem(spark.sparkContext.hadoopConfiguration),
+      storeDir)
+  }
+
+  private[graft] def acquireClaim(fs: FileSystem, storeDir: String): Unit = {
+    val p = claimPath(storeDir)
     fs.mkdirs(p.getParent)
     try fs.create(p, false).close()
     catch {
-      case _: java.io.IOException =>
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+          _: java.nio.file.FileAlreadyExistsException =>
         throw new ConcurrentWriteException(
           s"drain claim $p is held — another drain is in flight, or a " +
             "crashed drain left it stale; forceReleaseClaim() recovers " +

@@ -18,16 +18,20 @@ import graft.ops.ImageDedup
  * payloads decode → aHash → probe the standing hash index for
  * Hamming-ball near-dups → append as one committed batch.
  *
- * Ledger discipline ([[CorpusIngest.maintain]]'s): the hash index IS
- * the processed-images ledger — the delta is silver images anti-joined
- * against stored ids, so a crash ANYWHERE between the silver commit
- * and the index append self-heals forward (the next drain re-hashes
- * exactly the unindexed backlog; the lesson of the SearchIngest
+ * Ledger discipline ([[SearchIngest.maintainIndex]]'s): the drain's
+ * batch is the silver FILES not yet folded into the index, judged
+ * against a durable `folded/v=<n>` record — so each drain reads only
+ * new files (O(drain), never an O(silver) payload scan), and the
+ * folded record commits LAST so a crash anywhere re-scans the same
+ * files next drain. Within the batch, the hash index doubles as the
+ * processed-images ledger: fresh images anti-join against stored ids,
+ * healing the crash window between the index append and the folded
+ * commit without double-hashing (the lesson of the SearchIngest
  * in-memory-listing bug, applied from the start). The batch commits
  * marker-last under a deterministic id-derived tag, so a replayed
  * batch overwrites its own orphan. Drains serialize under the index
  * claim ([[graft.io.Commits.withClaim]]); concurrent drains fail
- * visibly.
+ * visibly on the claim or the folded-version CAS.
  *
  * Scale shape: decode cost ∝ the drain's payload bytes (hashing emits
  * 2 longs per image — the payload never leaves the projection); the
@@ -96,33 +100,60 @@ object ImageIngest {
         StructField("hamming", LongType, nullable = false))))
     if (!sfs.exists(silverPath)) empty
     else {
-      val images = spark.read.parquet(silverDir)
-        .filter(col("content_type").startsWith("image/"))
-        .select(col("record_id").as("media_id"), col("payload"))
-      val standing = readHashes(spark, indexDir).localCheckpoint()
-      // index-as-ledger: hash only the unindexed backlog (heals any
-      // crash between silver commit and index append)
-      val delta = images.join(
-        standing.select("media_id"), Seq("media_id"), "left_anti")
-      val hashed = ImageDedup.perceptualHashesStr(delta, "media_id", "payload")
-        .localCheckpoint() // feeds the probe AND the append
-      if (hashed.isEmpty) empty
+      // O(drain) batch: silver data files not yet folded into the
+      // index, judged against the durable folded record — every drain
+      // reads only new files instead of paying an O(silver) payload
+      // scan; silver is append-only flat parquet, so the file set IS
+      // the fold unit
+      val silverFiles: Set[String] = sfs.listStatus(silverPath)
+        .filter(_.isFile).map(_.getPath.toString)
+        .filter(_.endsWith(".parquet")).toSet
+      val foldedBase = s"$indexDir/folded"
+      val foldedRead = Commits.readVersioned(spark, foldedBase)
+      val foldedVersion = foldedRead.map(_._1).getOrElse(-1)
+      val folded: Set[String] = foldedRead
+        .map(_._2.collect().map(_.getString(0)).toSet) // ∝ silver FILE COUNT
+        .getOrElse(Set.empty)
+      val fresh = (silverFiles -- folded).toSeq.sorted
+      if (fresh.isEmpty) empty
       else {
-        val pairs = ImageDedup.hammingProbe(
-            hashed, standing, "media_id", "ahash", maxHamming, bands)
-          .localCheckpoint() // judged against the PRE-append store
-        // deterministic tag: a replayed batch overwrites its own orphan
-        val r = hashed.agg(
-          count(lit(1)).as("c"),
-          coalesce(expr("bit_xor(xxhash64(media_id))"), lit(0L)).as("h"))
-          .head()
-        val tag = s"b${r.getLong(0)}x${java.lang.Long.toHexString(r.getLong(1))}"
-        val dir = s"$indexDir/batch=$tag"
-        hashed.write.mode("overwrite").parquet(dir)
-        val mk = new Path(dir, marker)
-        val fs = mk.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.create(mk, true).close() // marker LAST: the commit point
-        pairs
+        def commitFolded(): Unit = {
+          import spark.implicits._
+          Commits.commitVersion(
+            folded.union(fresh.toSet).toSeq.sorted.toDF("file"),
+            foldedBase, foldedVersion)
+        }
+        val images = spark.read.parquet(fresh: _*)
+          .filter(col("content_type").startsWith("image/"))
+          .select(col("record_id").as("media_id"), col("payload"))
+        val standing = readHashes(spark, indexDir).localCheckpoint()
+        // index-as-ledger backstop: a crash between the index append
+        // and the folded commit replays these files — the anti-join
+        // keeps the replay from double-hashing/double-appending
+        val delta = images.join(
+          standing.select("media_id"), Seq("media_id"), "left_anti")
+        val hashed = ImageDedup.perceptualHashesStr(delta, "media_id", "payload")
+          .localCheckpoint() // feeds the probe AND the append
+        if (hashed.isEmpty) { commitFolded(); empty }
+        else {
+          val pairs = ImageDedup.hammingProbe(
+              hashed, standing, "media_id", "ahash", maxHamming, bands)
+            .localCheckpoint() // judged against the PRE-append store
+          // deterministic tag: a replayed batch overwrites its own orphan
+          val r = hashed.agg(
+            count(lit(1)).as("c"),
+            coalesce(expr("bit_xor(xxhash64(media_id))"), lit(0L)).as("h"))
+            .head()
+          val tag = s"b${r.getLong(0)}x${java.lang.Long.toHexString(r.getLong(1))}"
+          val dir = s"$indexDir/batch=$tag"
+          hashed.write.mode("overwrite").parquet(dir)
+          val mk = new Path(dir, marker)
+          val fs = mk.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fs.create(mk, true).close() // index commit point
+          commitFolded() // folded record LAST: crash before re-scans,
+                         // the anti-join above heals the replay
+          pairs
+        }
       }
     }
   }

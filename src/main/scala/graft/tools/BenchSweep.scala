@@ -50,7 +50,13 @@ object BenchSweep {
     // regenerated from these instead of hand-copied console output)
     sys.env.get("SPARK_GRAFT_SWEEP_JSON").foreach { path =>
       val json = results
-        .map { case (k, v) => s""""$k": ${f"$v%.3f"}""" }
+        .map { case (k, v) =>
+          // explicit locale: %f under a comma-decimal default locale
+          // would emit "0,123" and break the JSON for tools/scaling.py
+          val num = String.format(java.util.Locale.ROOT, "%.3f",
+            Double.box(v))
+          s""""$k": $num"""
+        }
         .mkString("{", ", ", "}")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
     }

@@ -84,6 +84,69 @@ class ConcurrentDrainSpec extends AnyFunSuite {
     assert(!fs.listStatus(new Path(base)).exists(_.getPath.getName.startsWith(".tmp-")))
   }
 
+  test("publishAtomic: a winner committing INSIDE the exists→rename window loses visibly") {
+    // The check-then-act hazard: dest-exists returns false, a racing
+    // writer commits the slot, then OUR rename still "succeeds" —
+    // local-FS (and HDFS old-API) semantics move the staged tmp INSIDE
+    // the winner's dir. The staged commit token must detect that the
+    // rename did not commit our payload. The window is made
+    // deterministic with a FilterFileSystem whose exists() lets the
+    // winner commit right after the loser's (false) check.
+    val base = TestSpark.tmpDir("commits_publish_race")
+    val raw = fsOf(base)
+    val slot = new Path(s"$base/run_000001")
+    def commitWinner(): Unit = {
+      val wtmp = new Path(base, "winner-stage")
+      raw.mkdirs(wtmp)
+      raw.create(new Path(wtmp, "winner.txt"), true).close()
+      raw.create(new Path(wtmp, "_SUCCESS"), true).close()
+      assert(raw.rename(wtmp, slot))
+    }
+    val raced = new org.apache.hadoop.fs.FilterFileSystem(raw) {
+      private var fired = false
+      override def exists(p: Path): Boolean = {
+        val r = super.exists(p)
+        if (!fired && p == slot && !r) { fired = true; commitWinner() }
+        r
+      }
+    }
+    intercept[Commits.ConcurrentWriteException] {
+      Commits.publishAtomic(raced, slot) { tmp =>
+        raw.mkdirs(tmp)
+        raw.create(new Path(tmp, "loser.txt"), true).close()
+      }
+    }
+    // the winner's payload is intact and the loser left NOTHING behind:
+    // no nested .tmp-* shadow inside the slot, no staged sibling
+    assert(raw.exists(new Path(slot, "winner.txt")))
+    assert(!raw.listStatus(slot).exists(_.getPath.getName.startsWith(".tmp-")))
+    assert(!raw.listStatus(new Path(base)).exists(_.getPath.getName.startsWith(".tmp-")))
+  }
+
+  test("acquireClaim: non-already-exists I/O failures propagate, not misreported as held") {
+    val store = TestSpark.tmpDir("commits_claim_ioerr")
+    val boom = new java.io.IOException("simulated transient store failure")
+    // a flaky create (network blip, permission) must surface as itself —
+    // reporting it as "claim held" would send the operator to
+    // forceReleaseClaim against a claim that was never taken
+    val flaky = new org.apache.hadoop.fs.FilterFileSystem(fsOf(store)) {
+      override def create(p: Path, overwrite: Boolean)
+          : org.apache.hadoop.fs.FSDataOutputStream =
+        if (p.getName == "_drain.claim") throw boom
+        else super.create(p, overwrite)
+    }
+    val e = intercept[java.io.IOException] {
+      Commits.acquireClaim(flaky, store)
+    }
+    assert(e eq boom)
+    // and a genuinely held claim still maps to the visible conflict
+    Commits.acquireClaim(fsOf(store), store)
+    intercept[Commits.ConcurrentWriteException] {
+      Commits.acquireClaim(fsOf(store), store)
+    }
+    Commits.forceReleaseClaim(spark, store)
+  }
+
   test("withClaim: serializes, releases on success AND exception, recovery documented") {
     val store = TestSpark.tmpDir("commits_claim")
     // held claim → visible failure that names the file

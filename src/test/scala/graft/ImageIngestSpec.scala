@@ -77,6 +77,20 @@ class ImageIngestSpec extends AnyFunSuite {
     intercept[graft.io.Commits.ConcurrentWriteException] { drain() }
     graft.io.Commits.forceReleaseClaim(spark, s"$base/index")
     assert(drain().count() == 0)
+
+    // O(drain) contract: the durable folded record now covers every
+    // silver data file, so the next drain reads NO silver payload at
+    // all (fresh = ∅ short-circuits before any parquet scan)
+    val silverFiles = {
+      val p = new org.apache.hadoop.fs.Path(s"$base/silver")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).filter(_.isFile).map(_.getPath.toString)
+        .filter(_.endsWith(".parquet")).toSet
+    }
+    val folded = graft.io.Commits.readVersioned(spark, s"$base/index/folded")
+      .get._2.collect().map(_.getString(0)).toSet
+    assert(folded == silverFiles,
+      "folded record must track exactly the silver data files")
   }
 
   test("hammingProbe: batch-internal + batch×corpus, never corpus×corpus") {
