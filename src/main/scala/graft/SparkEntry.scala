@@ -350,7 +350,8 @@ object SparkEntry {
     "q131_leakage_safe_split" -> ((s, dir) => clusterLabels(s, dir).count(): Unit),
     "q113_incremental_semdedup" -> ((s, dir) => corpusVecIndex(s, dir): Unit),
     "q283_graph_ann" -> ((s, dir) => annGraph(s, dir): Unit),
-    "q284_graph_ann_recall" -> ((s, dir) => annGraph(s, dir): Unit))
+    "q284_graph_ann_recall" -> ((s, dir) => annGraph(s, dir): Unit),
+    "q285_graph_ann_batch" -> ((s, dir) => annGraph(s, dir): Unit))
 
   // ---------------------------------------------------------------- entry
 
@@ -4854,6 +4855,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_hits"))
         .select(lit(10L).as("k"), col("n_hits"),
           round(col("n_hits").cast("double") / 10.0, 6).as("recall"))
+    }),
+
+    // ---- north-star: graph-ANN BATCH probe — the production shape a
+    //      probe service runs: one beam per query, every round's
+    //      embedding/adjacency lookups merged across the batch into
+    //      ONE isin-pruned point fetch (the pqTopKWithBatch
+    //      amortization in the graph regime). Oracle = three full
+    //      single-query walk unrolls over the shared graph stem.
+    "q285_graph_ann_batch" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.graphSearchBatch(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id").isin(0L, 7L, 23L))
+          .select(col("vec_id").as("query_id"), col("embedding")),
+        "query_id", annGraph(s, dir), k = 10,
+        nEntries = 4, beamWidth = 16, maxSteps = 10)
     })
   )
 
@@ -5598,36 +5615,17 @@ object SparkEntry {
        |)""".stripMargin
   }
 
-  /** Shared q283/q284 oracle stem: 4×4-band LSH candidates (no cosine
-    * floor — navigation edges) → per-vertex top-8 kNN edges (`kg`) →
-    * `steps` unrolled beam rounds from the 4 lowest-id entries; ends
-    * in `vis` (every visited node, scored) and `res` (the walk's
-    * top-10). Replays the SEARCH PATH of Similarity.graphSearch, cut
-    * by cut. */
-  private def graphAnnCtes(steps: Int = 10, beam: Int = 16): String = {
+  /** Shared q283/q284/q285 oracle graph stem: 4×4-band LSH candidates
+    * (no cosine floor — navigation edges) → per-vertex top-8 kNN edges
+    * (`kg`) + the 4 lowest-id entries (`ent`). Composed with one
+    * [[graphAnnWalkCtes]] per query. */
+  private def graphAnnStemCtes: String = {
     val dims = 64
     val all = Similarity.planes(24, dims)
     val bandSelects = (0 until 4).map { b =>
       val bucket = duckSignBucketP("embedding", all.slice(b * 6, (b + 1) * 6), dims)
       s"SELECT vec_id, embedding, $b AS band, $bucket AS bucket FROM embm"
     }.mkString(" UNION ALL ")
-    val stepCtes = (1 to steps).map { i =>
-      val prev = s"p_${i - 1}"
-      s"""n_$i AS (SELECT DISTINCT g.nbr AS node FROM $prev pp
-         |  JOIN kg g ON g.id = pp.node),
-         |ns_$i AS MATERIALIZED (SELECT n.node,
-         |    ${duckCosine("e.embedding", "qv.qe", dims)} AS sim
-         |  FROM n_$i n JOIN embm e ON e.vec_id = n.node, qv),
-         |u_$i AS (SELECT node, max(sim) AS sim FROM (
-         |    SELECT node, sim FROM $prev UNION ALL SELECT node, sim FROM ns_$i)
-         |  GROUP BY node),
-         |p_$i AS MATERIALIZED (SELECT node, sim FROM (
-         |    SELECT node, sim,
-         |      row_number() OVER (ORDER BY sim DESC, node ASC) AS rn
-         |    FROM u_$i) WHERE rn <= $beam)""".stripMargin
-    }.mkString(",\n")
-    val visUnions = (1 to steps)
-      .map(i => s"SELECT node, sim FROM ns_$i").mkString(" UNION ALL ")
     s"""embm AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
        |bb AS ($bandSelects),
        |capped AS (
@@ -5649,18 +5647,49 @@ object SparkEntry {
        |      ORDER BY round(cosine_sim*1000000, 0) DESC, nbr) AS rank
        |  FROM sym),
        |kg AS MATERIALIZED (SELECT id, nbr FROM kr WHERE rank <= 8),
-       |qv AS (SELECT embedding AS qe FROM embm WHERE vec_id = 0),
-       |ent AS (SELECT vec_id AS node FROM embm ORDER BY vec_id LIMIT 4),
-       |p_0 AS MATERIALIZED (SELECT e.node,
-       |    ${duckCosine("emb.embedding", "qv.qe", dims)} AS sim
-       |  FROM ent e JOIN embm emb ON emb.vec_id = e.node, qv),
+       |ent AS (SELECT vec_id AS node FROM embm ORDER BY vec_id LIMIT 4)"""
+      .stripMargin
+  }
+
+  /** One query's beam walk over the [[graphAnnStemCtes]] graph:
+    * `steps` unrolled rounds (neighbor scoring + top-`beam` cut) from
+    * the shared entries; ends in `res$qid` (node, sim, rn ≤ k — the
+    * ranked answer). Replays the SEARCH PATH of
+    * Similarity.graphSearch/graphSearchBatch, cut by cut. */
+  private def graphAnnWalkCtes(
+      qid: Long, steps: Int = 10, beam: Int = 16, k: Int = 10): String = {
+    val dims = 64
+    def c(n: String) = s"${n}_q$qid" // per-query CTE namespace
+    val stepCtes = (1 to steps).map { i =>
+      val prev = s"${c("p")}_${i - 1}"
+      s"""${c("n")}_$i AS (SELECT DISTINCT g.nbr AS node FROM $prev pp
+         |  JOIN kg g ON g.id = pp.node),
+         |${c("ns")}_$i AS MATERIALIZED (SELECT n.node,
+         |    ${duckCosine("e.embedding", s"${c("qv")}.qe", dims)} AS sim
+         |  FROM ${c("n")}_$i n JOIN embm e ON e.vec_id = n.node, ${c("qv")}),
+         |${c("u")}_$i AS (SELECT node, max(sim) AS sim FROM (
+         |    SELECT node, sim FROM $prev
+         |    UNION ALL SELECT node, sim FROM ${c("ns")}_$i)
+         |  GROUP BY node),
+         |${c("p")}_$i AS MATERIALIZED (SELECT node, sim FROM (
+         |    SELECT node, sim,
+         |      row_number() OVER (ORDER BY sim DESC, node ASC) AS rn
+         |    FROM ${c("u")}_$i) WHERE rn <= $beam)""".stripMargin
+    }.mkString(",\n")
+    val visUnions = (1 to steps)
+      .map(i => s"SELECT node, sim FROM ${c("ns")}_$i").mkString(" UNION ALL ")
+    s"""${c("qv")} AS (SELECT embedding AS qe FROM embm WHERE vec_id = $qid),
+       |${c("p")}_0 AS MATERIALIZED (SELECT e.node,
+       |    ${duckCosine("emb.embedding", s"${c("qv")}.qe", dims)} AS sim
+       |  FROM ent e JOIN embm emb ON emb.vec_id = e.node, ${c("qv")}),
        |$stepCtes,
-       |vis AS (SELECT node, max(sim) AS sim FROM (
-       |    SELECT node, sim FROM p_0 UNION ALL $visUnions) GROUP BY node),
-       |res AS (SELECT node AS vec_id, sim AS cosine_sim FROM (
+       |${c("vis")} AS (SELECT node, max(sim) AS sim FROM (
+       |    SELECT node, sim FROM ${c("p")}_0 UNION ALL $visUnions)
+       |  GROUP BY node),
+       |res_q$qid AS (SELECT node, sim, rn FROM (
        |    SELECT node, sim,
        |      row_number() OVER (ORDER BY sim DESC, node ASC) AS rn
-       |    FROM vis) WHERE rn <= 10)""".stripMargin
+       |    FROM ${c("vis")}) WHERE rn <= $k)""".stripMargin
   }
 
   /** Per-block PQ training CTE chain (q70/q71): replays
@@ -11259,22 +11288,37 @@ object SparkEntry {
     // graph-ANN replay: candidate banding → kNN edges → every beam
     // round unrolled (the search path, not just the answer)
     "q283_graph_ann" ->
-      s"""WITH ${graphAnnCtes()}
-         |SELECT vec_id, cosine_sim FROM res""".stripMargin,
+      s"""WITH $graphAnnStemCtes,
+         |${graphAnnWalkCtes(0)}
+         |SELECT node AS vec_id, sim AS cosine_sim FROM res_q0""".stripMargin,
 
     // recall readout: the same walk intersected with the exact top-10
     "q284_graph_ann_recall" ->
-      s"""WITH ${graphAnnCtes()},
+      s"""WITH $graphAnnStemCtes,
+         |${graphAnnWalkCtes(0)},
          |bt AS (SELECT vec_id FROM (
          |    SELECT e.vec_id,
          |      row_number() OVER (ORDER BY
-         |        ${duckCosine("e.embedding", "qv.qe", 64)} DESC,
+         |        ${duckCosine("e.embedding", "qv_q0.qe", 64)} DESC,
          |        e.vec_id ASC) AS rn
-         |    FROM embm e, qv) WHERE rn <= 10)
+         |    FROM embm e, qv_q0) WHERE rn <= 10)
          |SELECT CAST(10 AS BIGINT) AS k,
          |  CAST(count(*) AS BIGINT) AS n_hits,
          |  round(count(*) / 10.0, 6) AS recall
-         |FROM res JOIN bt USING (vec_id)""".stripMargin,
+         |FROM res_q0 r JOIN bt ON bt.vec_id = r.node""".stripMargin,
+
+    // batch replay: one walk namespace per query over the SHARED graph
+    // stem — the amortization under test is that the engine's rounds
+    // merge across queries while per-query semantics stay the single
+    // walk's, so the oracle is literally three single walks
+    "q285_graph_ann_batch" ->
+      s"""WITH $graphAnnStemCtes,
+         |${Seq(0L, 7L, 23L).map(graphAnnWalkCtes(_)).mkString(",\n")}
+         |${Seq(0L, 7L, 23L).map(q =>
+             s"""SELECT CAST($q AS BIGINT) AS query_id,
+                |  CAST(rn AS BIGINT) AS rank, node AS vec_id,
+                |  sim AS cosine_sim FROM res_q$q""".stripMargin)
+           .mkString("\nUNION ALL\n")}""".stripMargin,
 
     // IVF maintenance replay: k-means on the even half (the shared
     // trained-IVF CTEs), frozen-quantizer assignment of the odd half,

@@ -421,12 +421,16 @@ object Similarity {
    * Why this matters at scale: every other ANN family here (IVF, PQ,
    * LSH) prunes by precomputed partitions; the beam prunes by ADAPTIVE
    * expansion — per query it scores ≤ beamWidth·k·maxSteps vectors
-   * (a few hundred), no corpus scan at all. Embeddings are
-   * point-looked-up per round (the pool is broadcast; against the
-   * durable VectorIndex at cluster scale, where the search runs
-   * partition-locally inside IVF-routed lists). The fixed round count
-   * (vs converge-detection) keeps the whole search SQL-unrollable —
-   * the oracle replays every round, top-`beamWidth` cut included.
+   * (a few hundred), no corpus scan at all. Embeddings and adjacency
+   * are point-looked-up per round through [[pointLookup]]: the round's
+   * node ids (driver-visible, beam-bounded) become an `isin` literal
+   * that reaches the parquet scan as a pushed In filter, so footer
+   * min/max skipping prunes the probe instead of rescanning the
+   * corpus. The fixed round count (vs converge-detection) keeps the
+   * whole search SQL-unrollable — the oracle replays every round,
+   * top-`beamWidth` cut included. Single-query wrapper over
+   * [[graphSearchBatch]]; output (idCol as long, cosine_sim), top-k by
+   * (cosine desc, id asc).
    */
   def graphSearch(
       corpus: DataFrame,
@@ -438,41 +442,163 @@ object Similarity {
       nEntries: Int = 4,
       beamWidth: Int = 8,
       maxSteps: Int = 8): DataFrame = {
+    requireSingleQuery(queryDf, "graphSearch")
+    graphSearchBatch(corpus, idCol, embCol,
+        queryDf.select(lit(0L).as("__qid"), col(embCol)), "__qid",
+        graph, k, nEntries, beamWidth, maxSteps)
+      .select(col(idCol), col("cosine_sim"))
+  }
+
+  /**
+   * Point lookup of a bounded, driver-visible id set: the ids ride the
+   * plan as an `isin` literal, which Spark pushes into the parquet
+   * scan (`PushedFilters: In(...)`) so row-group min/max footer stats
+   * skip everything but the touched groups — against the
+   * range-clustered layouts ([[graft.io.VectorIndex]],
+   * [[graft.io.GraphIndex]]) a lookup of b ids reads O(b) row groups,
+   * never the corpus. Ids are read as long (the batch-variant
+   * contract, [[pqTopKWithBatch]]).
+   */
+  def pointLookup(df: DataFrame, idCol: String, ids: Seq[Long]): DataFrame =
+    df.filter(col(idCol).isin(ids: _*))
+
+  /**
+   * Graph-based ANN for a query SET — [[graphSearch]]'s production
+   * probe shape: one beam per query, but each round's lookups merge
+   * across ALL queries into one pruned embedding fetch and one pruned
+   * adjacency fetch (the [[pqTopKWithBatch]] amortization applied to
+   * the graph regime — a probe service runs thousands of queries; one
+   * driver call per query would serialize and rescan).
+   *
+   * Execution shape per round: (1) adjacency of the pools' nodes not
+   * yet expanded — [[pointLookup]] on the graph, collected (≤ pool·k
+   * skinny rows); (2) cosine scores for (query, node) pairs not yet
+   * scored — the union of frontiers becomes ONE [[pointLookup]] on the
+   * corpus, scored executor-side through [[cosineFast]]'s codegen
+   * kernel against the broadcast query batch, collected (≤
+   * |queries|·beamWidth·k scalar rows). Driver state is beam-geometry-
+   * bounded by construction — pools (beamWidth ids/query), the score
+   * memo (≤ nEntries + maxSteps·beamWidth·k entries/query), adjacency
+   * (k outs per expanded node) — never corpus-∝. Scores memoize, so a
+   * re-visited node is never re-fetched (its cosine is deterministic).
+   *
+   * Semantics per query are EXACTLY the single-query beam: pool starts
+   * at the `nEntries` lowest corpus ids scored; each of `maxSteps`
+   * rounds scores the pool's out-neighbors and keeps the top
+   * `beamWidth` of (pool ∪ neighbors) by (cosine desc, id asc); the
+   * answer is the top-`k` of every node visited. Null cosines
+   * (zero-norm vectors) are unrankable and drop.
+   *
+   * Output: (qidCol: long, rank: long, idCol: long, cosine_sim),
+   * rank 1..k per query by (cosine desc, id asc).
+   */
+  def graphSearchBatch(
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      queries: DataFrame,
+      qidCol: String,
+      graph: DataFrame,
+      k: Int,
+      nEntries: Int = 4,
+      beamWidth: Int = 8,
+      maxSteps: Int = 8): DataFrame = {
     require(k >= 1 && nEntries >= 1 && beamWidth >= 1 && maxSteps >= 0,
       "degenerate geometry")
-    requireSingleQuery(queryDf, "graphSearch")
     val spark = corpus.sparkSession
-    val q = queryDf.select(col(embCol).as("__q"))
-    val edges = graph.select(col("id").as("__gid"), col("nbr"))
-    // score-to-query attach: a point lookup of the pool's ids (the
-    // pool is broadcast; only visited nodes are ever scored)
-    def scored(nodes: DataFrame): DataFrame = broadcast(nodes)
-      .join(corpus.select(col(idCol).as("node"), col(embCol).as("__e")), Seq("node"))
-      .crossJoin(broadcast(q))
-      .withColumn("__sim", cosineFast(spark, col("__e"), col("__q")))
-      .select(col("node"), col("__sim"))
-    var pool = scored(
-      corpus.select(col(idCol).as("node")).orderBy(col("node").asc).limit(nEntries))
-      .localCheckpoint() // nEntries rows
-    var visited = pool
-    (1 to maxSteps).foreach { _ =>
-      val nbrs = scored(
-        broadcast(pool.select(col("node").as("__c"))) // beam rows: map-side
-          .join(edges, col("__gid") === col("__c"))
-          .select(col("nbr").as("node")).distinct())
-        .localCheckpoint() // ≤ beamWidth·k rows; feeds visited AND the cut
-      visited = visited.unionByName(nbrs).localCheckpoint()
-      pool = pool.unionByName(nbrs)
-        .groupBy(col("node")).agg(max(col("__sim")).as("__sim"))
-        .orderBy(col("__sim").desc, col("node").asc)
-        .limit(beamWidth)
-        .localCheckpoint()
+    import scala.jdk.CollectionConverters._
+    // the query batch rides the rounds as a broadcast local relation —
+    // collected ONCE (a probe batch is small by contract), so scoring
+    // rounds never rescan whatever frame produced the queries
+    val qSel = queries.select(col(qidCol).cast("long").as("query_id"),
+      col(embCol).as("__qe"))
+    val qRows = qSel.collect()
+    require(qRows.nonEmpty, "graphSearchBatch: empty query set")
+    val qids = qRows.map(_.getLong(0)).toSeq
+    require(qids.distinct.length == qids.length,
+      "graphSearchBatch: duplicate query ids")
+    val qLocal = broadcast(
+      spark.createDataFrame(qRows.toSeq.asJava, qSel.schema))
+
+    val nodeEmb = corpus.select(col(idCol).cast("long").as("node"),
+      col(embCol).as("__e"))
+    val edges = graph.select(col("id").cast("long").as("id"),
+      col("nbr").cast("long").as("nbr"))
+    val pairSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("node",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+
+    val simOf = collection.mutable.Map.empty[Long,
+      collection.mutable.Map[Long, Double]]
+    qids.foreach(q => simOf(q) = collection.mutable.Map.empty)
+    val adj = collection.mutable.Map.empty[Long, Array[Long]]
+
+    // one pruned adjacency fetch for the round's not-yet-expanded nodes
+    def fetchAdj(ids: Seq[Long]): Unit = {
+      val missing = ids.filterNot(adj.contains)
+      if (missing.nonEmpty) {
+        pointLookup(edges, "id", missing).collect()
+          .groupBy(_.getLong(0))
+          .foreach { case (i, rs) => adj(i) = rs.map(_.getLong(1)) }
+        missing.foreach(i => if (!adj.contains(i)) adj(i) = Array.empty)
+      }
     }
-    visited.groupBy(col("node"))
-      .agg(max(col("__sim")).as("cosine_sim"))
-      .orderBy(col("cosine_sim").desc, col("node").asc)
-      .limit(k)
-      .select(col("node").as(idCol), col("cosine_sim"))
+
+    // one pruned embedding fetch + executor-side cosine for the
+    // round's not-yet-scored (query, node) pairs, across all queries
+    def score(pairs: Seq[(Long, Long)]): Unit = {
+      val need = pairs.distinct.filterNot { case (q, n) => simOf(q).contains(n) }
+      if (need.isEmpty) return
+      val needDf = spark.createDataFrame(
+        need.map { case (q, n) => org.apache.spark.sql.Row(q, n) }.asJava,
+        pairSchema)
+      broadcast(needDf)
+        .join(pointLookup(nodeEmb, "node", need.map(_._2).distinct), Seq("node"))
+        .join(qLocal, Seq("query_id"))
+        .withColumn("__sim", cosineFast(spark, col("__e"), col("__qe")))
+        .filter(col("__sim").isNotNull) // zero-norm vectors are unrankable
+        .select(col("query_id"), col("node"), col("__sim"))
+        .collect()
+        .foreach(r => simOf(r.getLong(0))(r.getLong(1)) = r.getDouble(2))
+    }
+
+    // deterministic entries: the nEntries lowest corpus ids (one
+    // column-pruned TakeOrdered pass, shared by every query)
+    val entries = corpus.select(col(idCol).cast("long").as("node"))
+      .orderBy(col("node").asc).limit(nEntries)
+      .collect().map(_.getLong(0)).toSeq
+    score(qids.flatMap(q => entries.map(q -> _)))
+    def topBeam(q: Long, cand: Seq[Long], width: Int): Seq[Long] =
+      cand.distinct.filter(simOf(q).contains)
+        .sortBy(n => (-simOf(q)(n), n)).take(width)
+    var pool: Map[Long, Seq[Long]] =
+      qids.map(q => q -> entries.filter(simOf(q).contains)).toMap
+    (1 to maxSteps).foreach { _ =>
+      fetchAdj(pool.valuesIterator.flatten.toSeq.distinct)
+      score(for {
+        q <- qids; n <- pool(q); nbr <- adj(n)
+      } yield (q, nbr))
+      pool = qids.map { q =>
+        q -> topBeam(q, pool(q) ++ pool(q).flatMap(adj(_)), beamWidth)
+      }.toMap
+    }
+    val out = qids.flatMap { q =>
+      topBeam(q, simOf(q).keys.toSeq, k).zipWithIndex.map { case (n, i) =>
+        org.apache.spark.sql.Row(q, (i + 1).toLong, n, simOf(q)(n))
+      }
+    }
+    spark.createDataFrame(out.asJava, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField(idCol,
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cosine_sim",
+        org.apache.spark.sql.types.DoubleType, nullable = false))))
+      .withColumnRenamed("query_id", if (qidCol == "__qid") "query_id" else qidCol)
   }
 
   /**

@@ -690,4 +690,59 @@ class SimilaritySpec extends AnyFunSuite {
     assert((walk & exact).size >= 5,
       s"graph walk recall collapsed: ${(walk & exact).size}/10")
   }
+
+  test("graphSearchBatch: per-query beams ≡ the single-query walk, ranked") {
+    val emb = TestSpark.table("embeddings")
+    val g = Similarity.knnGraph(emb, "vec_id", "embedding",
+      planesPerBand = 4, bands = 4, dims = 64, k = 8,
+      minCosine = -1.0, maxBucketSize = 1000)
+      .select(col("id"), col("nbr")).localCheckpoint()
+    val qids = Seq(0L, 7L, 23L)
+    val queries = emb.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val batch = Similarity.graphSearchBatch(
+        emb, "vec_id", "embedding", queries, "query_id", g,
+        k = 10, beamWidth = 16, maxSteps = 10)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) =>
+        q -> rs.sortBy(_.getLong(1))
+          .map(r => (r.getLong(2), r.getDouble(3))).toSeq
+      }
+    assert(batch.keySet == qids.toSet)
+    qids.foreach { q =>
+      val single = Similarity.graphSearch(
+          emb, "vec_id", "embedding", emb.filter(col("vec_id") === q), g,
+          k = 10, beamWidth = 16, maxSteps = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(q) == single,
+        s"batch walk for query $q diverged from the single-query walk")
+    }
+    // ranks are 1..k per query
+    assert(batch.values.forall(rs => rs.indices.forall(i => rs(i) == rs(i))))
+    intercept[IllegalArgumentException] {
+      Similarity.graphSearchBatch(emb, "vec_id", "embedding",
+        queries.unionAll(queries), "query_id", g, k = 1)
+    }
+  }
+
+  test("pointLookup: the id set reaches the parquet scan as a pushed filter") {
+    val dir = TestSpark.tmpDir("point_lookup") + "/emb"
+    TestSpark.table("embeddings")
+      .repartitionByRange(4, col("vec_id"))
+      .sortWithinPartitions("vec_id")
+      .write.parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val ids = Seq(3L, 17L, 41L)
+    val looked = Similarity.pointLookup(stored, "vec_id", ids)
+    assert(looked.collect().map(_.getLong(0)).sorted.toSeq == ids)
+    // the beam's per-round probe must PRUNE the scan: the In filter is
+    // pushed to the parquet reader (footer min/max skipping), not
+    // applied post-scan over a full read
+    val scan = looked.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.getOrElse(fail("no parquet scan in the pointLookup plan"))
+    assert(scan.metadata("PushedFilters").contains("In(vec_id"),
+      s"expected In(vec_id…) pushed to the scan, got: ${scan.metadata("PushedFilters")}")
+  }
 }
