@@ -351,7 +351,9 @@ object SparkEntry {
     "q113_incremental_semdedup" -> ((s, dir) => corpusVecIndex(s, dir): Unit),
     "q283_graph_ann" -> ((s, dir) => annGraph(s, dir): Unit),
     "q284_graph_ann_recall" -> ((s, dir) => annGraph(s, dir): Unit),
-    "q285_graph_ann_batch" -> ((s, dir) => annGraph(s, dir): Unit))
+    "q285_graph_ann_batch" -> ((s, dir) => annGraph(s, dir): Unit),
+    "q286_durable_graph_ann" -> ((s, dir) => durableGraphIndex(s, dir): Unit),
+    "q287_graph_ann_insert" -> ((s, dir) => insertedGraphIndex(s, dir): Unit))
 
   // ---------------------------------------------------------------- entry
 
@@ -4871,8 +4873,70 @@ object SparkEntry {
           .select(col("vec_id").as("query_id"), col("embedding")),
         "query_id", annGraph(s, dir), k = 10,
         nEntries = 4, beamWidth = 16, maxSteps = 10)
+    }),
+
+    // ---- north-star: DURABLE nav-graph index (q283's production
+    //      form — the adjacency lives in parquet with a merge-on-read
+    //      gen/ledger lifecycle, built once; the probe walks the
+    //      stored graph cold with the geometry from the index's own
+    //      committed meta). Same oracle as q283: the store must
+    //      reproduce the in-memory walk verbatim (q60 convention).
+    "q286_durable_graph_ann" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      graft.io.GraphIndex.search(s, durableGraphIndex(s, dir), emb,
+        emb.filter(col("vec_id") === 0), k = 10)
+    }),
+
+    // ---- north-star: incremental NSW insert (search-then-link) —
+    //      the graph twin of SignatureIndex.ingestBatch: a held-out
+    //      batch joins the standing graph through one beam search per
+    //      vector + exact batch-internal links, touched nodes re-prune
+    //      to degree k, and the probe then walks the MERGED graph
+    //      (query = an inserted vector — only reachable if the link
+    //      pass actually wired it in). Oracle replays walks, forward
+    //      cut, symmetrize, re-prune, and the final probe.
+    "q287_graph_ann_insert" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      graft.io.GraphIndex.search(s, insertedGraphIndex(s, dir), emb,
+        emb.filter(col("vec_id") === 0), k = 10)
     })
   )
+
+  private val graphIdxMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), String]
+
+  /** q286 durable nav graph over the FULL fixture corpus — annGraph's
+    * geometry, persisted. Built once per app run (bench reps time the
+    * PROBE — the q97 convention); rebuilt from scratch so a stale
+    * store from a previous JVM can't serve. */
+  private def durableGraphIndex(s: SparkSession, dir: String): String =
+    graphIdxMemo.getOrElseUpdate(
+      (s.sparkContext.applicationId, dir, "full"), {
+        val idxDir = tmp("graph_index_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+        graft.io.GraphIndex.build(
+          T(s, dir, "embeddings"), "vec_id", "embedding", idxDir,
+          dims = 64, k = 8, planesPerBand = 6, bands = 4,
+          maxBucketSize = 400, nEntries = 4, beamWidth = 16, maxSteps = 10)
+        idxDir
+      })
+
+  /** q287 store: standing graph over the corpus minus (0, 10, 20),
+    * then ONE search-then-link drain inserting those three. */
+  private def insertedGraphIndex(s: SparkSession, dir: String): String =
+    graphIdxMemo.getOrElseUpdate(
+      (s.sparkContext.applicationId, dir, "ins"), {
+        val idxDir = tmp("graph_index_i_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+        val emb = T(s, dir, "embeddings")
+        val batchIds = Seq(0L, 10L, 20L)
+        graft.io.GraphIndex.build(
+          emb.filter(!col("vec_id").isin(batchIds: _*)),
+          "vec_id", "embedding", idxDir,
+          dims = 64, k = 8, planesPerBand = 6, bands = 4,
+          maxBucketSize = 400, nEntries = 4, beamWidth = 16, maxSteps = 10)
+        graft.io.GraphIndex.ingestBatch(s, idxDir, emb,
+          emb.filter(col("vec_id").isin(batchIds: _*)))
+        idxDir
+      })
 
   private val annGraphMemo =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
@@ -5615,58 +5679,70 @@ object SparkEntry {
        |)""".stripMargin
   }
 
-  /** Shared q283/q284/q285 oracle graph stem: 4×4-band LSH candidates
-    * (no cosine floor — navigation edges) → per-vertex top-8 kNN edges
-    * (`kg`) + the 4 lowest-id entries (`ent`). Composed with one
+  /** Shared q283–q287 oracle graph stem: 4×4-band LSH candidates (no
+    * cosine floor — navigation edges) → per-vertex top-8 kNN edges
+    * (`kg$sfx`, plus `kgc$sfx` retaining the edge cosines for the
+    * q287 degree-re-prune) + the 4 lowest-id entries (`ent$sfx`).
+    * `src` is the corpus relation (a table or a parenthesized
+    * subquery); `sfx` namespaces the CTEs so two stems (full corpus +
+    * standing slice) can coexist. Composed with
     * [[graphAnnWalkCtes]] per query. */
-  private def graphAnnStemCtes: String = {
+  private def graphAnnStemCtes(
+      src: String = "embeddings", sfx: String = ""): String = {
     val dims = 64
     val all = Similarity.planes(24, dims)
     val bandSelects = (0 until 4).map { b =>
       val bucket = duckSignBucketP("embedding", all.slice(b * 6, (b + 1) * 6), dims)
-      s"SELECT vec_id, embedding, $b AS band, $bucket AS bucket FROM embm"
+      s"SELECT vec_id, embedding, $b AS band, $bucket AS bucket FROM embm$sfx"
     }.mkString(" UNION ALL ")
-    s"""embm AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
-       |bb AS ($bandSelects),
-       |capped AS (
+    s"""embm$sfx AS MATERIALIZED (SELECT vec_id, embedding FROM $src),
+       |bb$sfx AS ($bandSelects),
+       |capped$sfx AS (
        |  SELECT * FROM (
        |    SELECT *, row_number() OVER (PARTITION BY band, bucket
-       |      ORDER BY vec_id) AS rn FROM bb
+       |      ORDER BY vec_id) AS rn FROM bb$sfx
        |  ) WHERE rn <= 400),
-       |cp AS (
+       |cp$sfx AS (
        |  SELECT * FROM (
        |    SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b,
        |      ${duckCosine("a.embedding", "c.embedding", dims)} AS cosine_sim
-       |    FROM capped a JOIN capped c
+       |    FROM capped$sfx a JOIN capped$sfx c
        |      ON a.band = c.band AND a.bucket = c.bucket AND a.vec_id < c.vec_id
        |  ) WHERE cosine_sim >= -1.0),
-       |sym AS (SELECT id_a AS id, id_b AS nbr, cosine_sim FROM cp
-       |  UNION ALL SELECT id_b, id_a, cosine_sim FROM cp),
-       |kr AS (SELECT id, nbr,
+       |sym$sfx AS (SELECT id_a AS id, id_b AS nbr, cosine_sim FROM cp$sfx
+       |  UNION ALL SELECT id_b, id_a, cosine_sim FROM cp$sfx),
+       |kr$sfx AS (SELECT id, nbr, cosine_sim,
        |    row_number() OVER (PARTITION BY id
        |      ORDER BY round(cosine_sim*1000000, 0) DESC, nbr) AS rank
-       |  FROM sym),
-       |kg AS MATERIALIZED (SELECT id, nbr FROM kr WHERE rank <= 8),
-       |ent AS (SELECT vec_id AS node FROM embm ORDER BY vec_id LIMIT 4)"""
-      .stripMargin
+       |  FROM sym$sfx),
+       |kgc$sfx AS MATERIALIZED (SELECT id, nbr, cosine_sim FROM kr$sfx
+       |  WHERE rank <= 8),
+       |kg$sfx AS (SELECT id, nbr FROM kgc$sfx),
+       |ent$sfx AS (SELECT vec_id AS node FROM embm$sfx
+       |  ORDER BY vec_id LIMIT 4)""".stripMargin
   }
 
-  /** One query's beam walk over the [[graphAnnStemCtes]] graph:
+  /** One query's beam walk over a [[graphAnnStemCtes]] graph:
     * `steps` unrolled rounds (neighbor scoring + top-`beam` cut) from
-    * the shared entries; ends in `res$qid` (node, sim, rn ≤ k — the
-    * ranked answer). Replays the SEARCH PATH of
-    * Similarity.graphSearch/graphSearchBatch, cut by cut. */
+    * the `ent` entries; ends in `res_$ns` (node, sim, rn ≤ k — the
+    * ranked answer). `graph`/`ent`/`emb` name the stem CTEs to walk;
+    * `qsrc` is the relation holding the query vector (q287's inserted
+    * vectors live outside the standing stem). Replays the SEARCH PATH
+    * of Similarity.graphSearch/graphSearchBatch, cut by cut. */
   private def graphAnnWalkCtes(
-      qid: Long, steps: Int = 10, beam: Int = 16, k: Int = 10): String = {
+      qid: Long, steps: Int = 10, beam: Int = 16, k: Int = 10,
+      graph: String = "kg", ent: String = "ent", emb: String = "embm",
+      qsrc: String = "embm", ns0: String = ""): String = {
     val dims = 64
-    def c(n: String) = s"${n}_q$qid" // per-query CTE namespace
+    val ns = if (ns0.nonEmpty) ns0 else s"q$qid"
+    def c(n: String) = s"${n}_$ns" // per-walk CTE namespace
     val stepCtes = (1 to steps).map { i =>
       val prev = s"${c("p")}_${i - 1}"
       s"""${c("n")}_$i AS (SELECT DISTINCT g.nbr AS node FROM $prev pp
-         |  JOIN kg g ON g.id = pp.node),
+         |  JOIN $graph g ON g.id = pp.node),
          |${c("ns")}_$i AS MATERIALIZED (SELECT n.node,
          |    ${duckCosine("e.embedding", s"${c("qv")}.qe", dims)} AS sim
-         |  FROM ${c("n")}_$i n JOIN embm e ON e.vec_id = n.node, ${c("qv")}),
+         |  FROM ${c("n")}_$i n JOIN $emb e ON e.vec_id = n.node, ${c("qv")}),
          |${c("u")}_$i AS (SELECT node, max(sim) AS sim FROM (
          |    SELECT node, sim FROM $prev
          |    UNION ALL SELECT node, sim FROM ${c("ns")}_$i)
@@ -5678,15 +5754,15 @@ object SparkEntry {
     }.mkString(",\n")
     val visUnions = (1 to steps)
       .map(i => s"SELECT node, sim FROM ${c("ns")}_$i").mkString(" UNION ALL ")
-    s"""${c("qv")} AS (SELECT embedding AS qe FROM embm WHERE vec_id = $qid),
+    s"""${c("qv")} AS (SELECT embedding AS qe FROM $qsrc WHERE vec_id = $qid),
        |${c("p")}_0 AS MATERIALIZED (SELECT e.node,
        |    ${duckCosine("emb.embedding", s"${c("qv")}.qe", dims)} AS sim
-       |  FROM ent e JOIN embm emb ON emb.vec_id = e.node, ${c("qv")}),
+       |  FROM $ent e JOIN $emb emb ON emb.vec_id = e.node, ${c("qv")}),
        |$stepCtes,
        |${c("vis")} AS (SELECT node, max(sim) AS sim FROM (
        |    SELECT node, sim FROM ${c("p")}_0 UNION ALL $visUnions)
        |  GROUP BY node),
-       |res_q$qid AS (SELECT node, sim, rn FROM (
+       |res_$ns AS (SELECT node, sim, rn FROM (
        |    SELECT node, sim,
        |      row_number() OVER (ORDER BY sim DESC, node ASC) AS rn
        |    FROM ${c("vis")}) WHERE rn <= $k)""".stripMargin
@@ -11288,13 +11364,73 @@ object SparkEntry {
     // graph-ANN replay: candidate banding → kNN edges → every beam
     // round unrolled (the search path, not just the answer)
     "q283_graph_ann" ->
-      s"""WITH $graphAnnStemCtes,
+      s"""WITH ${graphAnnStemCtes()},
          |${graphAnnWalkCtes(0)}
          |SELECT node AS vec_id, sim AS cosine_sim FROM res_q0""".stripMargin,
 
+    // durable nav-graph probe: the stored graph must reproduce the
+    // in-memory walk verbatim (the q60 equivalence convention — same
+    // oracle as q283)
+    "q286_durable_graph_ann" ->
+      s"""WITH ${graphAnnStemCtes()},
+         |${graphAnnWalkCtes(0)}
+         |SELECT node AS vec_id, sim AS cosine_sim FROM res_q0""".stripMargin,
+
+    // search-then-link replay: standing stem (batch held out) → one
+    // walk per inserted vector (its top-8 forward candidates) + exact
+    // batch-internal pairs → micro-ranked forward cut → symmetrize →
+    // degree-re-prune touched nodes against the standing edge cosines
+    // → merged graph → the final probe walk over the FULL corpus
+    "q287_graph_ann_insert" -> {
+      val batch = Seq(0L, 10L, 20L)
+      val bList = batch.mkString(", ")
+      val walks = batch.map(q => graphAnnWalkCtes(q, k = 8,
+        graph = "kg_s", ent = "ent_s", emb = "embm_s", qsrc = "fullemb",
+        ns0 = s"i$q")).mkString(",\n")
+      val walkCand = batch.map(q =>
+        s"SELECT CAST($q AS BIGINT) AS qid, node, sim FROM res_i$q")
+        .mkString(" UNION ALL ")
+      s"""WITH ${graphAnnStemCtes(
+             s"(SELECT * FROM embeddings WHERE vec_id NOT IN ($bList))", "_s")},
+         |fullemb AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+         |$walks,
+         |batchv AS (SELECT vec_id, embedding FROM fullemb
+         |  WHERE vec_id IN ($bList)),
+         |internal AS (SELECT a.vec_id AS qid, CAST(b.vec_id AS BIGINT) AS node,
+         |    ${duckCosine("a.embedding", "b.embedding", 64)} AS sim
+         |  FROM batchv a JOIN batchv b ON b.vec_id <> a.vec_id),
+         |candm AS (SELECT qid AS id, node AS nbr,
+         |    max(CAST(round(sim*1000000, 0) AS BIGINT)) AS c
+         |  FROM ($walkCand UNION ALL SELECT qid, node, sim FROM internal)
+         |  GROUP BY qid, node),
+         |fwd AS (SELECT id, nbr, c FROM (SELECT id, nbr, c,
+         |    row_number() OVER (PARTITION BY id ORDER BY c DESC, nbr ASC) AS rn
+         |  FROM candm) WHERE rn <= 8),
+         |symn AS (SELECT id, nbr, c FROM fwd
+         |  UNION ALL SELECT nbr AS id, id AS nbr, c FROM fwd),
+         |touched AS (SELECT DISTINCT id FROM symn),
+         |mrg AS (SELECT id, nbr, max(c) AS c FROM (
+         |    SELECT k.id, k.nbr,
+         |      CAST(round(k.cosine_sim*1000000, 0) AS BIGINT) AS c
+         |    FROM kgc_s k JOIN touched t ON t.id = k.id
+         |    UNION ALL SELECT id, nbr, c FROM symn)
+         |  GROUP BY id, nbr),
+         |pr AS (SELECT id, nbr FROM (SELECT id, nbr,
+         |    row_number() OVER (PARTITION BY id ORDER BY c DESC, nbr ASC) AS rn
+         |  FROM mrg) WHERE rn <= 8),
+         |kg2 AS MATERIALIZED (
+         |  SELECT k.id, k.nbr FROM kg_s k
+         |  WHERE k.id NOT IN (SELECT id FROM touched)
+         |  UNION ALL SELECT id, nbr FROM pr),
+         |ent2 AS (SELECT vec_id AS node FROM fullemb ORDER BY vec_id LIMIT 4),
+         |${graphAnnWalkCtes(0, k = 10, graph = "kg2", ent = "ent2",
+             emb = "fullemb", qsrc = "fullemb", ns0 = "f")}
+         |SELECT node AS vec_id, sim AS cosine_sim FROM res_f""".stripMargin
+    },
+
     // recall readout: the same walk intersected with the exact top-10
     "q284_graph_ann_recall" ->
-      s"""WITH $graphAnnStemCtes,
+      s"""WITH ${graphAnnStemCtes()},
          |${graphAnnWalkCtes(0)},
          |bt AS (SELECT vec_id FROM (
          |    SELECT e.vec_id,
@@ -11312,7 +11448,7 @@ object SparkEntry {
     // merge across queries while per-query semantics stay the single
     // walk's, so the oracle is literally three single walks
     "q285_graph_ann_batch" ->
-      s"""WITH $graphAnnStemCtes,
+      s"""WITH ${graphAnnStemCtes()},
          |${Seq(0L, 7L, 23L).map(graphAnnWalkCtes(_)).mkString(",\n")}
          |${Seq(0L, 7L, 23L).map(q =>
              s"""SELECT CAST($q AS BIGINT) AS query_id,

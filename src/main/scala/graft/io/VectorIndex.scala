@@ -414,6 +414,7 @@ object VectorIndex {
     * (deterministic tag + overwrite + marker-last commit). */
   def append(newVecs: DataFrame, dir: String): Unit = {
     val spark = newVecs.sparkSession
+    Commits.withClaim(spark, dir) {
     ensureLive(spark, dir)
     val m = meta(spark, dir)
     requireDims(newVecs, m.vecCol, m.dims, "append batch")
@@ -424,7 +425,7 @@ object VectorIndex {
       .select(col(m.idCol), col("cluster").as("list_id"))
     val data = newVecs.select(col(m.idCol), col(m.vecCol)).join(assigned, Seq(m.idCol))
     writeBatch(data, listsPath(dir), batchTag(newVecs, m.idCol), spark)
-  }
+  } }
 
   /** Rewrite the whole lists store as ONE committed `__base__` batch
     * holding `data`, swapped in crash-safely (stage → retire live →
@@ -446,11 +447,12 @@ object VectorIndex {
   /** Fold the live batches into one `__base__` batch and drop orphan
     * garbage from crashed appends. Single-writer contract: serialize
     * with appends. */
-  def compact(spark: SparkSession, dir: String): Unit = {
-    ensureLive(spark, dir)
-    val m = meta(spark, dir)
-    rewriteLists(spark, dir, liveLists(spark, dir, m))
-  }
+  def compact(spark: SparkSession, dir: String): Unit =
+    Commits.withClaim(spark, dir) {
+      ensureLive(spark, dir)
+      val m = meta(spark, dir)
+      rewriteLists(spark, dir, liveLists(spark, dir, m))
+    }
 
   /**
    * Remove vectors from the index — the takedown pass: ONE rewrite of
@@ -465,6 +467,7 @@ object VectorIndex {
    */
   def delete(deletedIds: DataFrame, dir: String): Unit = {
     val spark = deletedIds.sparkSession
+    Commits.withClaim(spark, dir) {
     ensureLive(spark, dir)
     val m = meta(spark, dir)
     val ids = deletedIds
@@ -472,7 +475,7 @@ object VectorIndex {
       .dropDuplicates(m.idCol)
     rewriteLists(spark, dir,
       liveLists(spark, dir, m).join(broadcast(ids), Seq(m.idCol), "left_anti"))
-  }
+  } }
 
   /** Crash-safe quantizer swap — the [[rewriteLists]] two-rename
     * protocol on the centroids dir ([[ensureLive]] recovers the
@@ -526,7 +529,8 @@ object VectorIndex {
    * empty list (nothing to compare), which never retrains.
    */
   def maintainLists(
-      spark: SparkSession, dir: String, driftThreshold: Double): DataFrame = {
+      spark: SparkSession, dir: String, driftThreshold: Double): DataFrame =
+    Commits.withClaim(spark, dir) {
     ensureLive(spark, dir)
     val m = meta(spark, dir)
     val live = liveLists(spark, dir, m)
@@ -582,5 +586,5 @@ object VectorIndex {
       swapCentroids(spark, dir, newCents)
     }
     report.drop("__mean")
-  }
+    }
 }

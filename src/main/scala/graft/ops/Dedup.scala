@@ -446,7 +446,8 @@ object Dedup {
       idCol: String,
       threshold: Double,
       shingleWords: Int = 3,
-      kind: HashKind = Md5): DataFrame = {
+      kind: HashKind = Md5,
+      maxPrefixPairs: Long = 25_000_000L): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
     import org.apache.spark.sql.expressions.Window
     val sh = df
@@ -465,6 +466,28 @@ object Dedup {
         col("__n") - ceil(lit(threshold) * col("__n") - lit(1e-9)) + 1)
       .select(col("id"), col("__h"), col("__n"), col("__k"))
       .localCheckpoint() // self-joined below
+    if (maxPrefixPairs < Long.MaxValue) {
+      // hot-bucket fence (the Linkage.fellegiSunter template): pair
+      // density is ∝ Σ|posting|² over PREFIX postings — rarest-first
+      // ordering keeps these short on honest corpora, but a degenerate
+      // one (mass-duplicated templates at a low threshold) can still
+      // concentrate one hash; that bucket alone makes the candidate
+      // join quadratic, so it fails LOUDLY naming the key instead of
+      // silently burning the cluster
+      val hot = prefix.groupBy(col("__h").as("__hk"))
+        .agg(count(lit(1)).as("__np"))
+        .filter(col("__np") * col("__np") > maxPrefixPairs)
+        .select(col("__hk").cast("string"), col("__np") * col("__np"))
+        .limit(1).collect()
+      require(hot.isEmpty, {
+        val r = hot.head
+        s"prefix bucket '${r.getString(0)}' would form ${r.getLong(1)} " +
+          s"candidate pairs (> maxPrefixPairs=$maxPrefixPairs): one hot " +
+          "shingle makes the similarity join quadratic — raise the " +
+          "threshold, widen shingleWords, pre-dedup exact copies (or " +
+          "raise the cap explicitly)"
+      })
+    }
     // PPJoin candidate filters — both exactness-preserving (the −1e-9
     // nudges may only ADMIT extra candidates, never drop a true pair):
     //  1. length: J(a,b) ≥ t forces t·|a| ≤ |b| ≤ |a|/t, so
@@ -521,8 +544,10 @@ object Dedup {
       df: DataFrame,
       textCol: String,
       idCol: String,
-      candThreshold: Double = 0.5): DataFrame = {
-    val pairs = prefixFilteredPairs(df, textCol, idCol, candThreshold)
+      candThreshold: Double = 0.5,
+      maxPrefixPairs: Long = 25_000_000L): DataFrame = {
+    val pairs = prefixFilteredPairs(df, textCol, idCol, candThreshold,
+      maxPrefixPairs = maxPrefixPairs)
     val docs = df.filter(col(textCol).isNotNull)
     val toks = docs
       .select(col(idCol).as("__id"),
@@ -1485,14 +1510,16 @@ object Dedup {
       df: DataFrame,
       textCol: String,
       idCol: String,
-      thresholds: Seq[Double]): DataFrame = {
+      thresholds: Seq[Double],
+      maxPrefixPairs: Long = 25_000_000L): DataFrame = {
     require(thresholds.nonEmpty && thresholds.forall(t => t > 0 && t <= 1),
       "thresholds must be in (0, 1]")
     // melt pairs to (jaccard, doc): every threshold's pair count, doc
     // reach, and mean come out of ONE aggregation over the frame
     // (conditional count-distincts — nulls don't count); each pair
     // appears twice, so n_pairs halves and the mean is unchanged
-    val melted = prefixFilteredPairs(df, textCol, idCol, thresholds.min)
+    val melted = prefixFilteredPairs(df, textCol, idCol, thresholds.min,
+        maxPrefixPairs = maxPrefixPairs)
       .select(col("jaccard"),
         explode(array(col("id_a"), col("id_b"))).as("__d"))
     val ts = thresholds.sorted

@@ -598,7 +598,6 @@ object Similarity {
         org.apache.spark.sql.types.LongType, nullable = false),
       org.apache.spark.sql.types.StructField("cosine_sim",
         org.apache.spark.sql.types.DoubleType, nullable = false))))
-      .withColumnRenamed("query_id", if (qidCol == "__qid") "query_id" else qidCol)
   }
 
   /**

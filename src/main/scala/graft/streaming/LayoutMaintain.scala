@@ -73,14 +73,26 @@ object LayoutMaintain {
       ledgerDir: String,
       cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one tracked column")
+    // exclusive drain claim (the WarcIngest discipline): two in-flight
+    // drains would both read the pre-append ledger and double-append
+    // the same stats rows — readers DO max-merge (min/max tolerate
+    // at-least-once), but a concurrent drain is an operator error that
+    // should fail visibly, not dilute silently into duplicate rows
+    graft.io.Commits.withClaim(spark, ledgerDir) {
     val hconf = spark.sparkContext.hadoopConfiguration
-    def exists(d: String): Boolean = {
-      val p = new Path(d); p.getFileSystem(hconf).exists(p)
+    // "ledger exists" = holds DATA files: the drain claim marker
+    // (hidden `_` name) creates the directory on a first drain
+    def hasLedgerData: Boolean = {
+      val p = new Path(ledgerDir); val fs = p.getFileSystem(hconf)
+      fs.exists(p) && fs.listStatus(p).exists { s =>
+        val n = s.getPath.getName
+        s.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
     }
     val listed = listDataFiles(spark, tableDir)
     val batch: Seq[String] =
       if (listed.isEmpty) Seq.empty
-      else if (exists(ledgerDir))
+      else if (hasLedgerData)
         newFiles(spark, listed, ledgerDir)
           .collect().map(_.getString(0)).sorted.toSeq
       else listed
@@ -88,19 +100,20 @@ object LayoutMaintain {
       cols.flatMap(c => Seq(min(col(c)).as(s"${c}_mn"), max(col(c)).as(s"${c}_mx")))
     if (batch.isEmpty) {
       // schema-stable empty frame: stat a zero-row slice of the table
-      if (listed.isEmpty) return spark.emptyDataFrame
-      return spark.read.parquet(listed.head).limit(0)
+      if (listed.isEmpty) spark.emptyDataFrame
+      else spark.read.parquet(listed.head).limit(0)
         .select(lit("").as("file") +: cols.map(col): _*)
         .groupBy("file").agg(aggs.head, aggs.tail: _*).limit(0)
+    } else {
+      val stats = spark.read.parquet(batch: _*)
+        .select(input_file_name().as("file") +: cols.map(col): _*)
+        .groupBy("file")
+        .agg(aggs.head, aggs.tail: _*)
+        .localCheckpoint() // stats append + return; never recompute
+      stats.write.mode("append").parquet(statsDir)
+      import spark.implicits._
+      batch.toDF("file").write.mode("append").parquet(ledgerDir)
+      stats
     }
-    val stats = spark.read.parquet(batch: _*)
-      .select(input_file_name().as("file") +: cols.map(col): _*)
-      .groupBy("file")
-      .agg(aggs.head, aggs.tail: _*)
-      .localCheckpoint() // stats append + return; never recompute
-    stats.write.mode("append").parquet(statsDir)
-    import spark.implicits._
-    batch.toDF("file").write.mode("append").parquet(ledgerDir)
-    stats
-  }
+  } }
 }

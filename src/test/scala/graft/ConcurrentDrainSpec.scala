@@ -369,4 +369,78 @@ class ConcurrentDrainSpec extends AnyFunSuite {
     assert(graft.io.Layers.latestSuccessfulRun(spark, s"$base/frontier")
       .get.endsWith("run_000002"))
   }
+
+  // ------------------------------------------------------------ VectorIndex
+
+  test("vector-index writers serialize under the claim; crashed quantizer swap heals") {
+    import spark.implicits._
+    import graft.io.VectorIndex
+    val dir = TestSpark.tmpDir("vecidx_conc")
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(1.0f, 0.0f)), (3L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    VectorIndex.build(corpus, "vec_id", "embedding", dir, nlist = 2, iters = 2)
+    val batch = Seq((10L, Array(1.0f, 1.0f))).toDF("vec_id", "embedding")
+
+    // every writer — append, maintenance, delete, compact — fails
+    // visibly while a drain holds the claim; readers are unaffected
+    Commits.acquireClaim(spark, dir)
+    intercept[Commits.ConcurrentWriteException] {
+      VectorIndex.append(batch, dir)
+    }
+    intercept[Commits.ConcurrentWriteException] {
+      VectorIndex.maintainLists(spark, dir, driftThreshold = 0.05)
+    }
+    intercept[Commits.ConcurrentWriteException] {
+      VectorIndex.delete(Seq(0L).toDF("vec_id"), dir)
+    }
+    intercept[Commits.ConcurrentWriteException] {
+      VectorIndex.compact(spark, dir)
+    }
+    assert(VectorIndex.probe(
+      Seq(Array(1.0f, 0.0f)).toDF("embedding"), dir, k = 2, nprobe = 2)
+      .count() == 2, "a held writer claim must not block probes")
+    Commits.forceReleaseClaim(spark, dir)
+
+    // released → the drain proceeds and the q280 retrain path commits
+    VectorIndex.append(batch, dir)
+    val report = VectorIndex.maintainLists(spark, dir, driftThreshold = 0.05)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(report(0L), "list 0 drifted and must retrain")
+
+    // SELF-HEAL: simulate a crash inside the maintenance quantizer
+    // swap (between the two renames — centroids retired to _prev, the
+    // staged copy not yet promoted); the next touch restores the
+    // previous quantizer and the store stays fully probeable
+    val fs = fsOf(dir)
+    fs.delete(new Path(s"$dir/centroids_staging"), true)
+    require(fs.rename(new Path(s"$dir/centroids"), new Path(s"$dir/centroids_prev")))
+    val healed = VectorIndex.probe(
+      Seq(Array(1.0f, 0.0f)).toDF("embedding"), dir, k = 2, nprobe = 2)
+    assert(healed.count() == 2,
+      "the crashed-swap window must heal on the next touch")
+    assert(fs.exists(new Path(s"$dir/centroids")) &&
+      !fs.exists(new Path(s"$dir/centroids_prev")))
+  }
+
+  // ---------------------------------------------------------- LayoutMaintain
+
+  test("concurrent zone-map stats drain fails visibly; recovery drains normally") {
+    import spark.implicits._
+    val base = TestSpark.tmpDir("layout_conc")
+    Seq((1L, 5L), (2L, 9L)).toDF("id", "v")
+      .coalesce(1).write.parquet(s"$base/table/w1")
+    def drain() = graft.streaming.LayoutMaintain.drainStats(
+      spark, s"$base/table", s"$base/stats", s"$base/ledger", Seq("v"))
+    assert(drain().count() == 1)
+    Commits.acquireClaim(spark, s"$base/ledger")
+    intercept[Commits.ConcurrentWriteException] { drain() }
+    Commits.forceReleaseClaim(spark, s"$base/ledger")
+    // recovery: nothing new → clean no-op; a new file drains normally
+    assert(drain().count() == 0)
+    Seq((3L, 1L)).toDF("id", "v").coalesce(1)
+      .write.parquet(s"$base/table/w2")
+    assert(drain().count() == 1)
+  }
 }

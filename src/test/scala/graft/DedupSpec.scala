@@ -192,6 +192,35 @@ class DedupSpec extends AnyFunSuite {
       s"window over the hash column:\n$plan")
   }
 
+  test("prefixFilteredPairs: hot prefix bucket fails loudly naming the key") {
+    // a degenerate corpus: many exact copies concentrate every prefix
+    // shingle into one posting list — the quadratic hazard the fence
+    // exists for (the Linkage.fellegiSunter hot-block template)
+    val clones = (1L to 40L)
+      .map(i => (i, "the same template text repeated verbatim everywhere"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.prefixFilteredPairs(clones, "text", "doc_id", threshold = 0.8,
+        maxPrefixPairs = 100L)
+    }
+    assert(e.getMessage.contains("prefix bucket") &&
+      e.getMessage.contains("maxPrefixPairs=100"),
+      s"fence must name the bucket and the cap: ${e.getMessage}")
+    // the fenced callers inherit the fence...
+    intercept[IllegalArgumentException] {
+      Dedup.weightedJaccardPairs(clones, "text", "doc_id",
+        candThreshold = 0.8, maxPrefixPairs = 100L)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.thresholdSensitivity(clones, "text", "doc_id",
+        thresholds = Seq(0.8), maxPrefixPairs = 100L)
+    }
+    // ...and an explicit opt-out still computes (the key is now a
+    // deliberate decision, not a silent burn)
+    assert(Dedup.prefixFilteredPairs(clones, "text", "doc_id", 0.8,
+      maxPrefixPairs = Long.MaxValue).count() == 40L * 39 / 2)
+  }
+
   test("components: min-label clusters on known graphs, incl. chains and singleton pairs") {
     // two components: a chain 1-2-3-4 (diameter 3 → needs >1 iteration)
     // and an isolated pair (10, 11)
