@@ -4899,8 +4899,80 @@ object SparkEntry {
       val emb = T(s, dir, "embeddings")
       graft.io.GraphIndex.search(s, insertedGraphIndex(s, dir), emb,
         emb.filter(col("vec_id") === 0), k = 10)
+    }),
+
+    // ---- north-star: video perceptual hashes over REAL Y4M frame
+    //      decode (uncompressed planar YUV — pure byte parsing, no
+    //      codec; the last modality leaves the stub): every sampled
+    //      frame pools to a 9×8 luma grid and hashes with the exact
+    //      q276 aHash kernel. The oracle replays decode→pool→hash from
+    //      the luma formula — raw video is lossless, so the codec sits
+    //      inside the verified chain.
+    "q288_video_phash" -> ((s, dir) =>
+      graft.ops.VideoDedup.frameHashes(
+        demoVideoTable(s, dir), "media_id", "payload")),
+
+    // ---- north-star: video near-dup via ALIGNED frames — candidates
+    //      share an identical (frame_idx, 16-bit band, value) bucket,
+    //      alignments verify at Hamming ≤ 6, pairs report at ≥ 2
+    //      aligned sampled frames (the audio shared-landmark evidence
+    //      convention in the frame-timing domain).
+    "q289_video_neardup" -> ((s, dir) =>
+      graft.ops.VideoDedup.videoNearDups(
+        graft.ops.VideoDedup.frameHashes(
+          demoVideoTable(s, dir), "media_id", "payload"),
+        "media_id")),
+
+    // ---- north-star: TRI-modal duplicate clusters — the q281
+    //      capstone with the video modality joined in: image Hamming
+    //      pairs ∪ audio shared-landmark pairs ∪ video aligned-frame
+    //      pairs over the same asset ids form one evidence graph;
+    //      min-label closure; per-cluster member and per-modality
+    //      edge counts. All three decoders are REAL (PNG, WAV, Y4M).
+    "q290_trimodal_clusters" -> ((s, dir) => {
+      val img = ImageDedup.hammingNearDups(
+          ImageDedup.perceptualHashes(
+            demoImageTable(s, dir), "media_id", "payload"),
+          "media_id", "ahash", maxHamming = 6)
+        .select(col("id_a"), col("id_b"), lit("image").as("modality"))
+      val aud = graft.ops.AudioDedup.sharedFingerprintPairs(
+          graft.ops.AudioDedup.fingerprints(
+            demoToneTable(s, dir), "media_id", "payload", bins = 16),
+          "media_id", minShared = 8L)
+        .select(col("id_a"), col("id_b"), lit("audio").as("modality"))
+      val vid = graft.ops.VideoDedup.videoNearDups(
+          graft.ops.VideoDedup.frameHashes(
+            demoVideoTable(s, dir), "media_id", "payload"),
+          "media_id")
+        .select(col("id_a"), col("id_b"), lit("video").as("modality"))
+      val edges = img.unionByName(aud).unionByName(vid).localCheckpoint()
+      val labels = Dedup.components(edges.select("id_a", "id_b"))
+        .select(col("id").as("id_a"), col("label").as("cluster_id"))
+      val members = labels.groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"))
+      val byModality = edges.join(labels, Seq("id_a"))
+        .groupBy("cluster_id")
+        .agg(
+          sum(when(col("modality") === "image", 1L).otherwise(0L))
+            .as("n_image_edges"),
+          sum(when(col("modality") === "audio", 1L).otherwise(0L))
+            .as("n_audio_edges"),
+          sum(when(col("modality") === "video", 1L).otherwise(0L))
+            .as("n_video_edges"))
+      members.join(byModality, Seq("cluster_id"))
     })
   )
+
+  /** Deterministic video corpus for q288/q289: one raw Y4M clip per
+    * document (REAL bytes — [[graft.ops.Multimodal.demoY4m]]; ids
+    * divisible by 13 are truncated blobs that must drop, not crash).
+    * Built executor-side per row — the corpus never reaches the
+    * driver. */
+  private def demoVideoTable(s: SparkSession, dir: String): DataFrame = {
+    val y4m = udf((id: Long) => graft.ops.Multimodal.demoY4m(id, 36, 32))
+    T(s, dir, "documents").select(col("doc_id").as("media_id"))
+      .withColumn("payload", y4m(col("media_id")))
+  }
 
   private val graphIdxMemo =
     scala.collection.concurrent.TrieMap.empty[(String, String, String), String]
@@ -11277,6 +11349,32 @@ object SparkEntry {
         |FROM cand c JOIN ah x ON x.id = c.id_a JOIN ah y ON y.id = c.id_b
         |WHERE bit_count(xor(x.ahash, y.ahash)) <= 6""".stripMargin),
 
+    // video replay: luma formula → sampled frames (t even, t < nf) →
+    // 4×4 block means → per-frame aHash (the q276 packing, with the
+    // frame dimension threaded through every CTE)
+    "q288_video_phash" -> (videoPhashSql +
+      """
+        |SELECT id AS media_id, CAST(t AS BIGINT) AS frame_idx, ahash
+        |FROM vah""".stripMargin),
+
+    // aligned-frame near-dup replay: identical 16-bit banding per
+    // (frame_idx, band), Hamming ≤ 6 verify per alignment, pairs at
+    // ≥ 2 aligned sampled frames
+    "q289_video_neardup" -> (videoPhashSql +
+      """,
+        |vbands AS (SELECT id, t, b.b AS band,
+        |    (ahash >> CAST(b.b * 16 AS INTEGER)) & 65535 AS v
+        |  FROM vah, generate_series(0, 3) b(b)),
+        |vcand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.t
+        |  FROM vbands a JOIN vbands b
+        |    ON b.t = a.t AND b.band = a.band AND b.v = a.v AND a.id < b.id),
+        |valign AS (SELECT DISTINCT c.id_a, c.id_b, c.t
+        |  FROM vcand c JOIN vah x ON x.id = c.id_a AND x.t = c.t
+        |  JOIN vah y ON y.id = c.id_b AND y.t = c.t
+        |  WHERE bit_count(xor(x.ahash, y.ahash)) <= 6)
+        |SELECT id_a, id_b, count(*) AS n_frames FROM valign
+        |GROUP BY id_a, id_b HAVING count(*) >= 2""".stripMargin),
+
     // constellation replay: tone formula → 32-sample frames → 16-bin
     // square-wave responses → signed top-two signature
     // sig = ((top·2+sgn_top)·16 + second)·2 + sgn_second ∈ [0, 4·bins²=1024)
@@ -11337,6 +11435,66 @@ object SparkEntry {
          |  FROM medges e JOIN labels l ON l.doc_id = e.id_a
          |  GROUP BY l.cluster_id)
          |SELECT mm.cluster_id, mm.n_members, ec.n_image_edges, ec.n_audio_edges
+         |FROM mm JOIN ec ON ec.cluster_id = mm.cluster_id""".stripMargin
+    },
+
+    // tri-modal cluster replay: all three modality stems (image
+    // pixels, audio tones, video frames — every decoder lossless, so
+    // each replays from its formula), identical pair derivations,
+    // union → recursive min-id closure → per-cluster member and
+    // per-modality edge counts
+    "q290_trimodal_clusters" -> {
+      val img = imagePhashSql.stripPrefix("WITH ")
+      val aud = audioPeaksSql.stripPrefix("WITH ")
+      val vid = videoPhashSql.stripPrefix("WITH ")
+      s"""WITH RECURSIVE $img,
+         |$aud,
+         |$vid,
+         |ibands AS (SELECT id, b.b AS band,
+         |    (ahash >> CAST(b.b * 16 AS INTEGER)) & 65535 AS v
+         |  FROM ah, generate_series(0, 3) b(b)),
+         |ipairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM ibands a JOIN ibands b
+         |    ON b.band = a.band AND b.v = a.v AND a.id < b.id
+         |  JOIN ah x ON x.id = a.id JOIN ah y ON y.id = b.id
+         |  WHERE bit_count(xor(x.ahash, y.ahash)) <= 6),
+         |afp AS (SELECT DISTINCT a.id,
+         |    (a.sig * 1024 + b.sig) * 3 + (b.t - a.t - 1) AS fp
+         |  FROM pk a JOIN pk b
+         |    ON b.id = a.id AND b.t > a.t AND b.t <= a.t + 3),
+         |apairs AS (SELECT x.id AS id_a, y.id AS id_b
+         |  FROM afp x JOIN afp y ON y.fp = x.fp AND x.id < y.id
+         |  GROUP BY x.id, y.id HAVING count(*) >= 8),
+         |vbands AS (SELECT id, t, b.b AS band,
+         |    (ahash >> CAST(b.b * 16 AS INTEGER)) & 65535 AS v
+         |  FROM vah, generate_series(0, 3) b(b)),
+         |vcand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.t
+         |  FROM vbands a JOIN vbands b
+         |    ON b.t = a.t AND b.band = a.band AND b.v = a.v AND a.id < b.id),
+         |valign AS (SELECT DISTINCT c.id_a, c.id_b, c.t
+         |  FROM vcand c JOIN vah x ON x.id = c.id_a AND x.t = c.t
+         |  JOIN vah y ON y.id = c.id_b AND y.t = c.t
+         |  WHERE bit_count(xor(x.ahash, y.ahash)) <= 6),
+         |vpairs AS (SELECT id_a, id_b FROM valign
+         |  GROUP BY id_a, id_b HAVING count(*) >= 2),
+         |medges AS (SELECT id_a, id_b, 'image' AS modality FROM ipairs
+         |  UNION ALL SELECT id_a, id_b, 'audio' FROM apairs
+         |  UNION ALL SELECT id_a, id_b, 'video' FROM vpairs),
+         |mp AS (SELECT DISTINCT id_a, id_b FROM medges),
+         |${closureCtesOver("mp")},
+         |mm AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+         |  FROM labels GROUP BY cluster_id),
+         |ec AS (SELECT l.cluster_id,
+         |    CAST(sum(CASE WHEN e.modality = 'image' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_image_edges,
+         |    CAST(sum(CASE WHEN e.modality = 'audio' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_audio_edges,
+         |    CAST(sum(CASE WHEN e.modality = 'video' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_video_edges
+         |  FROM medges e JOIN labels l ON l.doc_id = e.id_a
+         |  GROUP BY l.cluster_id)
+         |SELECT mm.cluster_id, mm.n_members, ec.n_image_edges,
+         |  ec.n_audio_edges, ec.n_video_edges
          |FROM mm JOIN ec ON ec.cluster_id = mm.cluster_id""".stripMargin
     },
 
@@ -11526,6 +11684,38 @@ object SparkEntry {
       |      + CASE WHEN b.corr >= 0 THEN 1 ELSE 0 END AS sig
       |  FROM pkr a JOIN pkr b ON b.id = a.id AND b.t = a.t AND b.rn = 2
       |  WHERE a.rn = 1)""".stripMargin
+
+  /** Shared q288/q289 oracle stem: sampled-frame pixels from the
+    * demoY4m luma formula (t even, t < nf = 4 + id%5) → 4×4 integer
+    * block means → per-frame aHash BIGINTs (CTEs vpar, vpx, vgrid,
+    * vmn, vah — composed by each query's final SELECT). Raw video is
+    * lossless, so this replays the REAL decode end to end. */
+  private val videoPhashSql: String =
+    """WITH vpar AS (
+      |  SELECT d.doc_id AS id, d.doc_id // 10 AS k, 4 + d.doc_id % 5 AS nf
+      |  FROM documents d WHERE d.doc_id % 13 <> 0),
+      |vpx AS (
+      |  SELECT id, t.t AS t, x.x AS x, y.y AS y,
+      |    ((3 + k % 199) * x.x + (5 + k % 193) * y.y + (11 + k % 7) * t.t
+      |      + CASE WHEN (id * 131 + x.x * 7 + y.y * 3 + t.t * 17) % 97 = 0
+      |             THEN 40 ELSE 0 END) % 256 AS v
+      |  FROM vpar, generate_series(0, 7) t(t),
+      |    generate_series(0, 35) x(x), generate_series(0, 31) y(y)
+      |  WHERE t.t < nf AND t.t % 2 = 0),
+      |vgrid AS (
+      |  SELECT id, t, y // 4 AS r, x // 4 AS c,
+      |    CAST(SUM(v) // 16 AS BIGINT) AS g
+      |  FROM vpx GROUP BY id, t, y // 4, x // 4),
+      |vmn AS (
+      |  SELECT id, t, CAST(SUM(g) // 64 AS BIGINT) AS mean
+      |  FROM vgrid WHERE r < 8 AND c < 8 GROUP BY id, t),
+      |vah AS (
+      |  SELECT g.id, g.t, COALESCE(bit_or(CASE WHEN g.g > m.mean THEN
+      |      CASE WHEN g.r * 8 + g.c = 63 THEN (-9223372036854775807 - 1)
+      |           ELSE (CAST(1 AS BIGINT) << CAST(g.r * 8 + g.c AS INTEGER))
+      |      END END), 0) AS ahash
+      |  FROM vgrid g JOIN vmn m ON m.id = g.id AND m.t = g.t
+      |  WHERE g.r < 8 AND g.c < 8 GROUP BY g.id, g.t)""".stripMargin
 
   /** Shared q276/q277 oracle stem: pixels from the demoPng formula →
     * 4×4 integer block means → aHash/dHash BIGINTs (CTEs px, grid, m,

@@ -13,14 +13,17 @@ import org.apache.spark.sql.functions._
  * external codecs): dimensions + a luminance histogram feature vector.
  * The AUDIO kind decodes for real via `javax.sound.sampled` (also
  * JDK-only): WAV/AIFF/AU PCM header parse + sample rate, channels,
- * duration, and an RMS-energy envelope feature. The VIDEO kind parses
- * MP4/QuickTime CONTAINER metadata for real ([[parseMp4Meta]] — box
- * tree, mvhd duration, tkhd dimensions; pure byte parsing, no codec);
- * only the frame/pixel decode remains a clearly-marked deterministic
- * STUB ([[stubDecode]]) — video CODECS are not available in this
- * environment, and everything around the stub (schema, batching
- * shape, partitioning, output contract) is the real Spark plumbing
- * you would keep when swapping in a real decoder.
+ * duration, and an RMS-energy envelope feature. The VIDEO kind
+ * decodes raw Y4M frames for real ([[y4mFrameGrids]] — uncompressed
+ * planar YUV needs no codec; header + FRAME-delimited plane parsing,
+ * frame-sampled pooled luma grids) and parses MP4/QuickTime CONTAINER
+ * metadata for real ([[parseMp4Meta]] — box tree, mvhd duration, tkhd
+ * dimensions; pure byte parsing); only COMPRESSED-bitstream frame
+ * decode remains a clearly-marked deterministic STUB ([[stubDecode]])
+ * — video codecs are not available in this environment, and
+ * everything around the stub (schema, batching shape, partitioning,
+ * output contract) is the real Spark plumbing you would keep when
+ * swapping in a real decoder.
  *
  * Scale notes:
  *  - payloads stay in `binary` columns → Parquet stores them as
@@ -309,11 +312,12 @@ object Multimodal {
    * `moov/trak/tkhd` 16.16 fixed-point display dimensions (audio
    * tracks carry 0×0 there), and counts `trak` boxes.
    *
-   * This closes the metadata half of the video gap the FRAME decoder
-   * stub cannot: duration/dimension corpus filters and the
-   * [[sampleFrames]] grid need exactly these fields, none of which
-   * require a codec. Pixel/frame decode stays [[stubDecode]]-stubbed —
-   * no codecs exist in this sandbox. Returns None for anything that
+   * This closes the metadata half of the COMPRESSED-video gap:
+   * duration/dimension corpus filters and the [[sampleFrames]] grid
+   * need exactly these fields, none of which require a codec. Raw Y4M
+   * video decodes frames for REAL ([[y4mFrameGrids]]); only MP4
+   * BITSTREAM frame decode stays [[stubDecode]]-stubbed — compressed
+   * codecs do not exist in this sandbox. Returns None for anything that
    * is not a well-formed MP4 (same per-row corrupt-blob contract as
    * [[decodeImage]]/[[decodeAudio]]).
    */
@@ -529,6 +533,139 @@ object Multimodal {
   }
 
   /**
+   * Deterministic YUV4MPEG2 (Y4M) fixture for `doc_id` — the one video
+   * format that needs NO codec (a plain-text header + `FRAME`-
+   * delimited raw planar YUV), so the frame decode is REAL byte
+   * parsing inside the verified chain, closing the last stubbed
+   * modality. Luma(x, y, t) is pure integer arithmetic an SQL engine
+   * replays; chroma planes are constant 128 (grayscale — C420 layout
+   * still written and parsed for real). Cluster key `id / 10` (the
+   * constant-cluster-size lesson of [[demoPng]]); frame count
+   * 4 + id % 5, so same-cluster videos differ in length AND noise.
+   * Ids divisible by 13 return a TRUNCATED payload (decode must yield
+   * None, not crash) — the corrupt-blob convention.
+   */
+  def demoY4m(id: Long, w: Int, h: Int): Array[Byte] = {
+    val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420jpeg\n"
+      .getBytes("ISO-8859-1")
+    if (id % 13 == 0) return header.take(9) // truncated: no header newline
+    val frames = (4 + (id % 5)).toInt
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(header)
+    val k = id / 10
+    val chroma = new Array[Byte]((w / 2) * (h / 2))
+    java.util.Arrays.fill(chroma, 128.toByte)
+    var t = 0
+    while (t < frames) {
+      out.write("FRAME\n".getBytes("ISO-8859-1"))
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val jitter = if ((id * 131 + x * 7 + y * 3 + t * 17) % 97 == 0) 40 else 0
+          val v = (((3 + k % 199) * x + (5 + k % 193) * y +
+            (11 + k % 7) * t + jitter) % 256).toInt
+          out.write(v)
+          x += 1
+        }
+        y += 1
+      }
+      out.write(chroma) // U
+      out.write(chroma) // V
+      t += 1
+    }
+    out.toByteArray
+  }
+
+  /** Floor-block mean pooling of one raw 8-bit luma plane to a
+    * `gw`×`gh` grid — the [[lumaGrid]] arithmetic applied to a plane
+    * slice (video frames skip the image codec entirely). */
+  private def gridOfPlane(
+      p: Array[Byte], off: Int, w: Int, h: Int, gw: Int, gh: Int): Array[Int] = {
+    val sums = new Array[Long](gw * gh)
+    val counts = new Array[Long](gw * gh)
+    var y = 0
+    while (y < h) {
+      val r = y * gh / h
+      var x = 0
+      while (x < w) {
+        val c = x * gw / w
+        sums(r * gw + c) += (p(off + y * w + x) & 0xff)
+        counts(r * gw + c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val grid = new Array[Int](gw * gh)
+    var i = 0
+    while (i < grid.length) {
+      grid(i) = (sums(i) / counts(i)).toInt
+      i += 1
+    }
+    grid
+  }
+
+  /**
+   * REAL Y4M frame decode (pure byte parsing — uncompressed planar
+   * YUV needs no codec): parses the `YUV4MPEG2` header tags (W/H/C —
+   * 420/422/444/mono plane geometries), walks the `FRAME`-delimited
+   * stream, and returns the frame-SAMPLED pooled luma grids (every
+   * `everyN`-th frame, as (frame_idx, grid)) via the exact
+   * floor-block-mean arithmetic of [[lumaGrid]]. None for anything
+   * malformed or truncated mid-frame — the per-row corrupt-blob
+   * contract of [[decodeImage]]/[[decodeAudio]]. Chroma planes are
+   * skipped by offset, never materialized.
+   */
+  def y4mFrameGrids(
+      payload: Array[Byte], gw: Int, gh: Int, everyN: Int = 2)
+      : Option[Seq[(Int, Array[Int])]] =
+    try {
+      require(everyN >= 1, "everyN must be >= 1")
+      def lineEnd(from: Int): Int = {
+        var i = from
+        while (i < payload.length && payload(i) != '\n'.toByte) i += 1
+        if (i >= payload.length) -1 else i
+      }
+      val nl = lineEnd(0)
+      if (nl < 0) return None
+      val header = new String(payload, 0, nl, "ISO-8859-1")
+      val toks = header.split(" ")
+      if (toks.head != "YUV4MPEG2") return None
+      var w = -1
+      var h = -1
+      var c = "420jpeg"
+      toks.tail.foreach { t =>
+        if (t.startsWith("W")) w = t.drop(1).toInt
+        else if (t.startsWith("H")) h = t.drop(1).toInt
+        else if (t.startsWith("C")) c = t.drop(1)
+      }
+      if (w < gw || h < gh) return None
+      val chromaBytes =
+        if (c.startsWith("420")) (w / 2) * (h / 2) * 2
+        else if (c.startsWith("422")) (w / 2) * h * 2
+        else if (c.startsWith("444")) w * h * 2
+        else if (c == "mono") 0
+        else return None
+      val frameBytes = w * h + chromaBytes
+      val out = Seq.newBuilder[(Int, Array[Int])]
+      var off = nl + 1
+      var t = 0
+      while (off < payload.length) {
+        val fnl = lineEnd(off)
+        if (fnl < 0) return None // torn frame marker
+        if (!new String(payload, off, fnl - off, "ISO-8859-1")
+          .startsWith("FRAME")) return None
+        val dataStart = fnl + 1
+        if (dataStart + frameBytes > payload.length) return None // truncated
+        if (t % everyN == 0)
+          out += ((t, gridOfPlane(payload, dataStart, w, h, gw, gh)))
+        off = dataStart + frameBytes
+        t += 1
+      }
+      if (t == 0) None else Some(out.result())
+    } catch { case _: Exception => None }
+
+  /**
    * Decode an image payload and block-average-pool its BT.601 integer
    * luma down to a `gw`×`gh` grid (row-major Array[Int]) — the pixel
    * fixture perceptual hashes are computed from. Pooling is exact
@@ -630,13 +767,27 @@ object Multimodal {
                 decoded_ms = a.durationMs)
             case None => base
           }
-          case "video" => parseMp4Meta(r.payload) match {
-            // container metadata is REAL (box-tree parse); the frame
-            // feature stays the stub — no codecs in this sandbox
-            case Some(v) =>
-              base.copy(decoded = true, width = v.width, height = v.height,
-                decoded_ms = v.durationMs)
-            case None => base
+          case "video" => y4mFrameGrids(r.payload, 9, 8) match {
+            // raw Y4M decodes for REAL (uncompressed planar YUV needs
+            // no codec): the feature is the pooled-luma histogram over
+            // the sampled frames — the video twin of decodeImage's
+            case Some(frames) =>
+              val hist = new Array[Double](dims)
+              var n = 0L
+              frames.foreach { case (_, grid) =>
+                grid.foreach { v => hist(v * dims / 256) += 1.0; n += 1 }
+              }
+              if (n > 0) { var i = 0; while (i < dims) { hist(i) /= n; i += 1 } }
+              base.copy(decoded = true, feature = hist)
+            case None => parseMp4Meta(r.payload) match {
+              // compressed containers: metadata is REAL (box-tree
+              // parse); the frame feature stays the stub — bitstream
+              // CODECS are not available in this sandbox
+              case Some(v) =>
+                base.copy(decoded = true, width = v.width, height = v.height,
+                  decoded_ms = v.durationMs)
+              case None => base
+            }
           }
           case _ => base
         }

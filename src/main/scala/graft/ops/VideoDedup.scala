@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Video near-duplicate detection over REAL frame decode — the video
+ * member of the perceptual-hash family ([[ImageDedup]] stills,
+ * [[AudioDedup]] constellations): raw Y4M payloads decode through
+ * [[Multimodal.y4mFrameGrids]] (pure byte parsing — no codec), every
+ * SAMPLED frame pools to a 9×8 luma grid and hashes with the exact
+ * [[ImageDedup.hashesOfGrid]] aHash kernel, and two videos are
+ * near-dups when enough ALIGNED frames (same sampled frame index)
+ * fall within a Hamming ball.
+ *
+ * Frame alignment is the video-specific part of the trade: re-encodes
+ * and noise-level variants of the same cut share frame timing, so
+ * matching (frame_idx, hash) beats pooling all frames into one bag —
+ * a static-logo channel would otherwise glue unrelated videos. The
+ * aligned-frame count `n_frames` is the pair's evidence weight (the
+ * [[AudioDedup]] shared-landmark convention).
+ *
+ * 100 TB shape: decode is one narrow pass over payload bytes (the
+ * payload never survives the projection — ~64 bits per sampled frame
+ * leave it); candidates come from identical (frame_idx, 16-bit band,
+ * value) buckets — pigeonhole-complete for maxHamming ≤ bands−1 per
+ * frame, never an all-pairs product; verification is
+ * `bit_count(XOR)` on two longs inside the join projection.
+ */
+object VideoDedup {
+
+  /**
+   * Per-sampled-frame perceptual hashes: (idCol, frame_idx, ahash),
+   * one row per decodable sampled frame (corrupt/truncated payloads
+   * drop whole — the per-row contract of
+   * [[Multimodal.y4mFrameGrids]]).
+   */
+  def frameHashes(
+      media: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      gw: Int = 9,
+      gh: Int = 8,
+      everyN: Int = 2): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        Multimodal.y4mFrameGrids(payload, gw, gh, everyN)
+          .getOrElse(Seq.empty)
+          .map { case (t, grid) =>
+            (id, t.toLong, ImageDedup.hashesOfGrid(grid, gw)._1)
+          }
+      }
+      .toDF(idCol, "frame_idx", "ahash")
+  }
+
+  /**
+   * Aligned-frame near-dup pairs over [[frameHashes]] output:
+   * candidates share an identical (frame_idx, band, value) 16-bit
+   * band; a frame alignment verifies at `bit_count(XOR) ≤ maxHamming`;
+   * a PAIR reports when ≥ `minFrames` sampled frames align. Output
+   * (id_a, id_b, n_frames), id_a < id_b.
+   */
+  def videoNearDups(
+      hashes: DataFrame,
+      idCol: String,
+      maxHamming: Int = 6,
+      bands: Int = 4,
+      minFrames: Int = 2): DataFrame = {
+    require(bands >= 1 && bands <= 4, "64-bit hash holds 1..4 16-bit bands")
+    require(minFrames >= 1, "minFrames must be >= 1")
+    val ex = hashes.select(
+        col(idCol), col("frame_idx"), col("ahash").as("__h"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("ahash"), b * 16).bitwiseAND(lit(0xffffL))
+              .as("v"))): _*)).as("bb"))
+      .select(col(idCol), col("frame_idx"), col("__h"),
+        col("bb.band").as("band"), col("bb.v").as("v"))
+    val a = ex.select(col("frame_idx"), col("band"), col("v"),
+      col(idCol).as("id_a"), col("__h").as("__ha"))
+    val b = ex.select(col("frame_idx"), col("band"), col("v"),
+      col(idCol).as("id_b"), col("__h").as("__hb"))
+    a.join(b, Seq("frame_idx", "band", "v"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(bit_count(col("__ha").bitwiseXOR(col("__hb"))) <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("frame_idx"))
+      .distinct() // one vote per aligned frame, however many bands hit
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_frames"))
+      .filter(col("n_frames") >= minFrames)
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{ImageDedup, Multimodal, VideoDedup}
+
+/** Real Y4M frame decode + the aligned-frame near-dup family:
+  * formula-exact replay of the sampled grids, corrupt-blob drops,
+  * plane-geometry variants, and the banded pair semantics. */
+class VideoDedupSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  /** The demoY4m luma formula, recomputed by hand. */
+  private def lum(id: Long, x: Int, y: Int, t: Int): Int = {
+    val k = id / 10
+    val jitter = if ((id * 131 + x * 7 + y * 3 + t * 17) % 97 == 0) 40 else 0
+    (((3 + k % 199) * x + (5 + k % 193) * y + (11 + k % 7) * t + jitter) % 256).toInt
+  }
+
+  test("y4mFrameGrids: formula-exact sampled grids; truncation and tears drop") {
+    val id = 7L
+    val bytes = Multimodal.demoY4m(id, 36, 32)
+    val got = Multimodal.y4mFrameGrids(bytes, 9, 8, everyN = 2).get
+    // frame count 4 + id % 5 = 6 → sampled frames 0, 2, 4
+    assert(got.map(_._1) == Seq(0, 2, 4))
+    // hand-pooled grid of frame 2: floor blocks are exactly 4×4
+    val t = 2
+    val hand = Array.tabulate(9 * 8) { i =>
+      val r = i / 9; val c = i % 9
+      val vs = for (y <- r * 4 until r * 4 + 4; x <- c * 4 until c * 4 + 4)
+        yield lum(id, x, y, t)
+      (vs.map(_.toLong).sum / 16).toInt
+    }
+    assert(got.find(_._1 == 2).get._2.toSeq == hand.toSeq,
+      "sampled grid must replay the luma formula exactly")
+
+    // corrupt-blob contract: id % 13 == 0 truncates before the header
+    // newline; a torn frame (cut mid-plane) also drops whole
+    assert(Multimodal.y4mFrameGrids(Multimodal.demoY4m(13L, 36, 32), 9, 8).isEmpty)
+    assert(Multimodal.y4mFrameGrids(bytes.take(bytes.length - 10), 9, 8).isEmpty)
+    assert(Multimodal.y4mFrameGrids("not video".getBytes, 9, 8).isEmpty)
+  }
+
+  test("y4mFrameGrids: C444 and mono plane geometries parse") {
+    def stream(ctag: String, chromaPerFrame: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(s"YUV4MPEG2 W12 H8 F25:1 $ctag\n".getBytes("ISO-8859-1"))
+      (0 until 2).foreach { t =>
+        out.write("FRAME\n".getBytes("ISO-8859-1"))
+        (0 until 12 * 8).foreach(i => out.write((i + t) % 256))
+        (0 until chromaPerFrame).foreach(_ => out.write(128))
+      }
+      out.toByteArray
+    }
+    val c444 = Multimodal.y4mFrameGrids(
+      stream("C444", 12 * 8 * 2), 9, 8, everyN = 1).get
+    val mono = Multimodal.y4mFrameGrids(
+      stream("Cmono", 0), 9, 8, everyN = 1).get
+    assert(c444.map(_._1) == Seq(0, 1) && mono.map(_._1) == Seq(0, 1))
+    // identical luma planes → identical grids regardless of chroma tag
+    assert(c444.head._2.toSeq == mono.head._2.toSeq)
+  }
+
+  test("frameHashes + videoNearDups: aligned clusters pair, cross-cluster does not") {
+    val media = spark.range(0, 60).select(col("id").as("media_id"))
+      .as[Long].map(i => (i, Multimodal.demoY4m(i, 36, 32)))
+      .toDF("media_id", "payload")
+    val hashes = VideoDedup.frameHashes(media, "media_id", "payload")
+      .localCheckpoint()
+    // corrupt ids (0, 13, 26, 39, 52) never hash
+    val ids = hashes.select("media_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(Seq(0L, 13L, 26L, 39L, 52L).forall(i => !ids.contains(i)))
+    // the hash kernel is the shared ImageDedup one, frame-exact
+    val h7 = hashes.filter(col("media_id") === 7 && col("frame_idx") === 2)
+      .head().getLong(2)
+    val grid = Multimodal.y4mFrameGrids(
+      Multimodal.demoY4m(7L, 36, 32), 9, 8).get.find(_._1 == 2).get._2
+    assert(h7 == ImageDedup.hashesOfGrid(grid, 9)._1)
+
+    val pairs = VideoDedup.videoNearDups(hashes, "media_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.nonEmpty, "same-cluster videos must near-dup")
+    // every reported pair is within one id/10 cluster (cross-cluster
+    // luma ramps differ in both coefficients — far in Hamming space)
+    assert(pairs.forall { case (a, b, _) => a / 10 == b / 10 },
+      s"cross-cluster pair leaked: ${pairs.filterNot(p => p._1 / 10 == p._2 / 10).toSeq}")
+    // evidence weight: aligned sampled frames only (≥ minFrames = 2)
+    assert(pairs.forall(_._3 >= 2))
+  }
+}
