@@ -19,341 +19,9 @@ import graft.ops.Aggregate.{AggSpec, Metric}
  * hashing, and engine-portable SQL fragments generated once for both
  * engines (`PortableSql`).
  */
-object SparkEntry {
-
-  private def T(s: SparkSession, dir: String, name: String): DataFrame = {
-    // several query fragments compile to graft_* kernel calls
-    // (idempotent, map-insert cheap)
-    graft.functions.GraftFunctions.register(s)
-    s.read.parquet(s"$dir/$name.parquet")
-  }
-
-  private def tmp(name: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_scratch/$name"
-
-  /** Exact double aggregation: cast→decimal, sum exactly, ONE final
-    * rounding back to double — identical in Spark and DuckDB. */
-  private def dsum(c: String): String =
-    s"cast(sum(cast($c as decimal(18,6))) as double)"
-
-  /** Deterministic boilerplate-wrapped page for the q140/q141 web
-    * pipeline: the doc text split into two `<p>` blocks at its middle
-    * space, surrounded by everything a real crawl drags in — nav link
-    * lists, header/aside/footer, a comment, a script whose STRING
-    * contains markup, entities. The extractor must recover EXACTLY the
-    * original text (single-spaced ASCII, so the two blocks re-join
-    * losslessly), which is what lets DuckDB oracle-check an HTML
-    * pipeline without parsing HTML. */
-  private def syntheticPage(docId: org.apache.spark.sql.Column,
-      text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val words = split(text, " ")
-    val half = ceil(size(words).cast("double") / 2.0).cast("int")
-    val p1 = array_join(slice(words, lit(1), half), " ")
-    val p2 = array_join(slice(words, half + 1, size(words) - half), " ")
-    concat(
-      lit("<!DOCTYPE html><html><head><title>Doc "), docId,
-      lit("</title><style>p{margin:0}</style>" +
-        "<script>var x = '<div>not text</div>';</script></head><body>" +
-        "<nav><ul><li><a href=\"/\">Home</a></li>" +
-        "<li><a href=\"/about\">About</a></li>" +
-        "<li><a href=\"/contact\">Contact&nbsp;Us</a></li></ul></nav>" +
-        "<header><h1>Corpus Viewer</h1></header>" +
-        "<!-- rendered by graft --><article><p>"), p1, lit("</p><p>"), p2,
-      lit("</p></article><aside>Related: <a href=\"/d/1\">one</a> " +
-        "<a href=\"/d/2\">two</a></aside>" +
-        "<footer><a href=\"/tos\">Terms</a> <a href=\"/privacy\">Privacy</a>" +
-        " &copy; 2026 corpus.local</footer></body></html>"))
-  }
-
-  /** Constructively PII-laden text for q148/q149: modular conditions
-    * on `doc_id` decide which spans each doc gets, so the audit counts
-    * AND the exact scrubbed text are known without running detection.
-    * The `%5==1` branch is a Luhn-INVALID 16-digit decoy — too long
-    * for a phone, checksum-failed for a card — that must come through
-    * both queries untouched. The corpus text itself is digit-free
-    * vocab words (spec-checked by the oracle equality itself). */
-  private def piiMessy(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    concat(col("text"),
-      when(id % 3 === 0,
-        concat(lit(" contact u"), id, lit("@example.com"))).otherwise(lit("")),
-      when(id % 4 === 0,
-        concat(lit(" call +1 555-"),
-          lpad((id % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
-      when(id % 6 === 0,
-        concat(lit(" host 10."), id % 200, lit(".0."), id % 250)).otherwise(lit("")),
-      when(id % 5 === 0, lit(" card 4532 0151 1283 0366"))
-        .when(id % 5 === 1, lit(" ref 4532015112830367")).otherwise(lit("")))
-
-  /** Session-scoped memo of the verified near-dup pair set — the
-    * in-memory analog of a pipeline writing its expensive pair index to
-    * storage ONCE and sharing it across consumers (the q16 pair report
-    * and the q39 cluster resolution both read the same index; a real
-    * deployment would `write.parquet` it between stages). First use
-    * pays the full MinHash→LSH→Jaccard cost and localCheckpoints the
-    * (tiny) result; later uses in the same session reuse it. Keyed by
-    * (application, data dir) so sessions and scale factors never mix. */
-  private val pairsMemo =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
-
-  /** Coarse memo bound: checkpointed blocks stay pinned WHILE
-    * referenced, so an unbounded per-dir cache would grow monotonically
-    * in a long-lived session. Eviction drops the references; Spark's
-    * ContextCleaner then reclaims the blocks asynchronously once the
-    * RDDs are garbage-collected. A handful of (app, dir) keys is the
-    * expected working set; beyond it, start over. */
-  private val pairsMemoMax = 8
-
-  private def verifiedPairs(s: SparkSession, dir: String): DataFrame =
-    pairsMemo.getOrElseUpdate(
-      (s.sparkContext.applicationId, dir), {
-        if (pairsMemo.size >= pairsMemoMax) pairsMemo.clear()
-        Dedup.verifiedNearDups(T(s, dir, "documents"), "text", "doc_id", threshold = 0.8)
-          .localCheckpoint()
-      })
-
-  /** Session-scoped memo of the corpus MinHash signature index that
-    * [[Dedup.incrementalNearDups]] probes (q46) — the in-memory analog
-    * of the PERSISTED signature table a daily-ingest pipeline maintains:
-    * built once when the corpus lands, then probed by every batch. Same
-    * lifecycle/eviction story as [[pairsMemo]]. */
-  private val sigsMemo =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
-
-  private def corpusSigIndex(s: SparkSession, dir: String): DataFrame =
-    sigsMemo.getOrElseUpdate(
-      (s.sparkContext.applicationId, dir), {
-        if (sigsMemo.size >= pairsMemoMax) sigsMemo.clear()
-        Dedup.minhashSignatures(
-          T(s, dir, "documents").filter(col("doc_id") % 10 =!= 0),
-          "text", "doc_id", numHashes = 8, shingleWords = 3)
-          .localCheckpoint()
-      })
-
-  /** On-disk build marker for the DURABLE signature index (q60) — the
-    * parquet-backed production form of [[corpusSigIndex]]'s session
-    * memo ([[graft.io.SignatureIndex]]). Built once per (app, dir);
-    * the index itself lives in scratch parquet and survives session
-    * restarts, the marker only prevents same-session rebuilds. */
-  private val durableIdxMemo =
-    scala.collection.concurrent.TrieMap.empty[(String, String), String]
-
-  private def durableSigIndex(s: SparkSession, dir: String): String =
-    durableIdxMemo.getOrElseUpdate(
-      (s.sparkContext.applicationId, dir), {
-        val idxDir = tmp("sig_index_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
-        graft.io.SignatureIndex.build(
-          T(s, dir, "documents").filter(col("doc_id") % 10 =!= 0),
-          "text", "doc_id", idxDir, numHashes = 8, bands = 4, shingleWords = 3)
-        idxDir
-      })
-
-  /** On-disk build marker for the durable exact-substring WINDOW index
-    * (q77) — [[graft.io.WindowIndex]] over the standing corpus
-    * (doc_id % 10 ≠ 0, the q46/q60 convention), probed by the
-    * held-out batch. Same lifecycle as [[durableSigIndex]]. */
-  private val winIdxMemo =
-    scala.collection.concurrent.TrieMap.empty[(String, String), String]
-
-  private def durableWinIndex(s: SparkSession, dir: String): String =
-    winIdxMemo.getOrElseUpdate(
-      (s.sparkContext.applicationId, dir), {
-        val idxDir = tmp("win_index_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
-        graft.io.WindowIndex.build(
-          T(s, dir, "documents").filter(col("doc_id") % 10 =!= 0),
-          "text", "doc_id", idxDir, n = 3)
-        idxDir
-      })
-
-  /** Indexes AFTER a takedown pass (q82/q83): built over the standing
-    * corpus (doc_id % 10 ≠ 0), then every 7th doc deleted — the
-    * forget-then-probe lifecycle. Separate dirs from the q60/q77
-    * indexes (deletion mutates the store; those memos must keep
-    * serving the undeleted probes). */
-  private val forgetIdxMemo =
-    scala.collection.concurrent.TrieMap.empty[(String, String, String), String]
-
-  private def forgottenSigIndex(s: SparkSession, dir: String): String =
-    forgetIdxMemo.getOrElseUpdate(
-      (s.sparkContext.applicationId, dir, "sig"), {
-        val idxDir = tmp("sig_forget_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
-        val corpus = T(s, dir, "documents").filter(col("doc_id") % 10 =!= 0)
-        graft.io.SignatureIndex.build(
-          corpus, "text", "doc_id", idxDir,
-          numHashes = 8, bands = 4, shingleWords = 3)
-        graft.io.SignatureIndex.delete(
-          corpus.filter(col("doc_id") % 7 === 0).select("doc_id"), idxDir)
-        idxDir
-      })
-
-  /** On-disk build marker for the durable IVF vector index (q97) —
-    * [[graft.io.VectorIndex]] over the full embeddings table, trained
-    * with q61's parameters so the probe is oracle-comparable. */
-  private val vecIdxMemo =
-    scala.collection.concurrent.TrieMap.empty[(String, String), String]
-  private val corpusVecIdxMemo =
-    scala.collection.concurrent.TrieMap.empty[(String, String), String]
-  private val maintReportMemo =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
-
-  private def durableVecIndex(s: SparkSession, dir: String): String =
-    vecIdxMemo.getOrElseUpdate(
-      (s.sparkContext.applicationId, dir), {
-        val idxDir = tmp("vec_index_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
-        graft.io.VectorIndex.build(
-          T(s, dir, "embeddings"), "vec_id", "embedding", idxDir,
-          nlist = 8, iters = 2)
-        idxDir
-      })
-
-  /** Durable vector index over the CORPUS SLICE (vec_id % 10 ≠ 0) —
-    * the standing index the q113 incremental batch probes. */
-  private def corpusVecIndex(s: SparkSession, dir: String): String =
-    corpusVecIdxMemo.getOrElseUpdate(
-      (s.sparkContext.applicationId, dir), {
-        val idxDir = tmp("vec_index_c_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
-        graft.io.VectorIndex.build(
-          T(s, dir, "embeddings").filter(col("vec_id") % 10 =!= 0),
-          "vec_id", "embedding", idxDir, nlist = 8, iters = 2)
-        idxDir
-      })
-
-  private def forgottenVecIndex(s: SparkSession, dir: String): String =
-    forgetIdxMemo.getOrElseUpdate(
-      (s.sparkContext.applicationId, dir, "vec"), {
-        val idxDir = tmp("vec_forget_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
-        val emb = T(s, dir, "embeddings")
-        graft.io.VectorIndex.build(
-          emb, "vec_id", "embedding", idxDir, nlist = 8, iters = 2)
-        graft.io.VectorIndex.delete(
-          emb.filter(col("vec_id") % 7 === 0).select("vec_id"), idxDir)
-        idxDir
-      })
-
-  private def forgottenWinIndex(s: SparkSession, dir: String): String =
-    forgetIdxMemo.getOrElseUpdate(
-      (s.sparkContext.applicationId, dir, "win"), {
-        val idxDir = tmp("win_forget_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
-        val corpus = T(s, dir, "documents").filter(col("doc_id") % 10 =!= 0)
-        graft.io.WindowIndex.build(corpus, "text", "doc_id", idxDir, n = 3)
-        graft.io.WindowIndex.delete(
-          corpus.filter(col("doc_id") % 7 === 0), "text", idxDir)
-        idxDir
-      })
-
-  /** Session memo of the resolved near-dup cluster labels — the
-    * second PUBLISHED dedup artifact (a pipeline writes the label
-    * table right after the pair index; consumers read it, they don't
-    * re-resolve). q39/q47 remain the timed RESOLUTION queries; the
-    * capstone (q72) CONSUMES the published labels. */
-  private val labelsMemo =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
-
-  private def clusterLabels(s: SparkSession, dir: String): DataFrame =
-    labelsMemo.getOrElseUpdate(
-      (s.sparkContext.applicationId, dir), {
-        if (labelsMemo.size >= pairsMemoMax) labelsMemo.clear()
-        Dedup.components(verifiedPairs(s, dir).select("id_a", "id_b"))
-          .localCheckpoint()
-      })
-
-  /** Session memo of the trained PQ codebooks (q70 encode + q71 ADC
-    * search share ONE training run — the production lifecycle: train
-    * once at index build, reuse for every encode/search). Driver-side
-    * Seq of blocks×k centroid vectors — a few KB. */
-  private val pqMemo = scala.collection.concurrent.TrieMap
-    .empty[(String, String), Seq[Seq[(Long, Seq[Double])]]]
-
-  private def pqBooks(s: SparkSession, dir: String): Seq[Seq[(Long, Seq[Double])]] =
-    pqMemo.getOrElseUpdate(
-      (s.sparkContext.applicationId, dir), {
-        if (pqMemo.size >= pairsMemoMax) pqMemo.clear()
-        Similarity.pqCodebooks(
-          T(s, dir, "embeddings"), "vec_id", "embedding",
-          dims = 64, blocks = 4, k = 4, iters = 2)
-      })
-
-  /** Drop all memoized intermediates (for harnesses like [[BenchOne]]
-    * that need every rep to rebuild the full pipeline). Eviction drops
-    * the references; the checkpointed blocks are reclaimed
-    * asynchronously by Spark's ContextCleaner once the RDDs are
-    * garbage-collected. */
-  private[graft] def clearMemos(): Unit = {
-    pairsMemo.clear(); sigsMemo.clear(); durableIdxMemo.clear()
-    pqMemo.clear(); labelsMemo.clear(); winIdxMemo.clear()
-    forgetIdxMemo.clear(); vecIdxMemo.clear(); corpusVecIdxMemo.clear()
-    maintReportMemo.clear(); imageIngestMemo.clear(); annGraphMemo.clear()
-  }
-
-  /** q280 fixture: durable IVF built on the EVEN vectors, the odd half
-    * appended against the frozen quantizer (the drift source), then ONE
-    * [[graft.io.VectorIndex.maintainLists]] pass. The memo pins the
-    * FIRST maintenance report as the query result — a re-invocation
-    * (bench reps) would otherwise see the post-maintenance steady state
-    * (drift ≈ 0) and return a different answer. */
-  private def maintainedVecReport(s: SparkSession, dir: String): DataFrame =
-    maintReportMemo.getOrElseUpdate(
-      (s.sparkContext.applicationId, dir), {
-        val idxDir = tmp("vec_index_m_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
-        val emb = T(s, dir, "embeddings")
-        graft.io.VectorIndex.build(
-          emb.filter(col("vec_id") % 2 === 0),
-          "vec_id", "embedding", idxDir, nlist = 8, iters = 2)
-        graft.io.VectorIndex.append(
-          emb.filter(col("vec_id") % 2 =!= 0).select("vec_id", "embedding"),
-          idxDir)
-        graft.io.VectorIndex.maintainLists(s, idxDir, driftThreshold = 0.07)
-          .localCheckpoint()
-      })
-
-  /** Build (or rebuild) the shared pair index for `dir` — lets a bench
-    * harness put an index CONSUMER (q39) into its production shape
-    * deterministically, instead of depending on which queries ran
-    * before it. */
-  private[graft] def warmSharedIndex(s: SparkSession, dir: String): Unit =
-    verifiedPairs(s, dir).count(): Unit
-
-  /** Per-query index warmers for bench harnesses: queries whose
-    * production shape CONSUMES a persisted index (built once, probed
-    * many times). A harness runs the warmer untimed before the query's
-    * timed reps — without it, the measurement would charge every rep
-    * the index BUILD the real workflow pays once. */
-  private[graft] val indexWarmers: Map[String, (SparkSession, String) => Unit] = Map(
-    "q39_dedup_clusters" -> warmSharedIndex,
-    "q47_dedup_decisions" -> warmSharedIndex,
-    "q176_soft_dedup" -> warmSharedIndex,
-    "q180_triangles" -> warmSharedIndex,
-    "q220_quality_canonical" -> warmSharedIndex,
-    "q46_incremental_neardups" -> ((s, dir) => corpusSigIndex(s, dir).count(): Unit),
-    "q60_durable_index" -> ((s, dir) => durableSigIndex(s, dir): Unit),
-    "q70_pq_codes" -> ((s, dir) => pqBooks(s, dir): Unit),
-    "q71_pq_topk" -> ((s, dir) => pqBooks(s, dir): Unit),
-    "q72_curation_pipeline" -> ((s, dir) => clusterLabels(s, dir).count(): Unit),
-    "q76_curation_scrubbed" -> ((s, dir) => clusterLabels(s, dir).count(): Unit),
-    "q77_incremental_spans" -> ((s, dir) => durableWinIndex(s, dir): Unit),
-    "q82_forget_neardups" -> ((s, dir) => forgottenSigIndex(s, dir): Unit),
-    "q83_forget_spans" -> ((s, dir) => forgottenWinIndex(s, dir): Unit),
-    "q90_novelty_scores" -> ((s, dir) => durableWinIndex(s, dir): Unit),
-    "q91_source_dup_matrix" -> warmSharedIndex,
-    "q92_cluster_sizes" -> ((s, dir) => clusterLabels(s, dir).count(): Unit),
-    "q93_index_stats" -> ((s, dir) => durableWinIndex(s, dir): Unit),
-    "q95_incremental_scrub" -> ((s, dir) => durableWinIndex(s, dir): Unit),
-    "q96_incremental_curation" -> ((s, dir) => {
-      durableSigIndex(s, dir); durableWinIndex(s, dir); ()
-    }),
-    "q97_durable_ann" -> ((s, dir) => durableVecIndex(s, dir): Unit),
-    "q98_incremental_decisions" -> ((s, dir) => durableSigIndex(s, dir): Unit),
-    "q99_forget_vectors" -> ((s, dir) => forgottenVecIndex(s, dir): Unit),
-    "q100_source_novelty" -> ((s, dir) => durableWinIndex(s, dir): Unit),
-    "q103_ann_batch_pq" -> ((s, dir) => pqBooks(s, dir): Unit),
-    "q104_durable_ann_batch" -> ((s, dir) => durableVecIndex(s, dir): Unit),
-    "q109_cluster_cap" -> ((s, dir) => clusterLabels(s, dir).count(): Unit),
-    "q131_leakage_safe_split" -> ((s, dir) => clusterLabels(s, dir).count(): Unit),
-    "q113_incremental_semdedup" -> ((s, dir) => corpusVecIndex(s, dir): Unit),
-    "q283_graph_ann" -> ((s, dir) => annGraph(s, dir): Unit),
-    "q284_graph_ann_recall" -> ((s, dir) => annGraph(s, dir): Unit),
-    "q285_graph_ann_batch" -> ((s, dir) => annGraph(s, dir): Unit),
-    "q286_durable_graph_ann" -> ((s, dir) => durableGraphIndex(s, dir): Unit),
-    "q287_graph_ann_insert" -> ((s, dir) => insertedGraphIndex(s, dir): Unit))
+object SparkEntry extends EntryContext
+    with EntryIo with EntryMedia with EntryDedup with EntryAnn
+    with EntryWeb with EntryText with EntryStats {
 
   // ---------------------------------------------------------------- entry
 
@@ -381,11375 +49,11 @@ object SparkEntry {
 
   // -------------------------------------------------------------- queries
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // ---- reference parity: silver clean (D1 + F1 + P2, SURVEY §2.3-2.5)
-    "q01_silver_clean" -> ((s, dir) => {
-      val base = T(s, dir, "customer")
-        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
-      val dups = base.filter(col("c_custkey") % 20 === 0)
-        .withColumn("c_name", concat(lit(" "), col("c_name"), lit("  ")))
-      val nulls = base.filter(col("c_custkey") % 20 === 7)
-        .withColumn("c_name", lit(null).cast("string"))
-      val injected = base.unionByName(dups).unionByName(nulls)
-      val deduped = Clean.dedupLatest(injected, Seq("c_custkey"),
-        Seq(col("c_name").asc_nulls_first))
-      val dropped = Clean.dropNullKeys(deduped, Seq("c_custkey", "c_name"))
-      Clean.normalize(dropped, Seq("c_name", "c_mktsegment"))
-    }),
-
-    // ---- reference parity: gold 3-branch union of rollups (A1-A3+U1+P3+P4)
-    "q02_gold_union3" -> ((s, dir) =>
-      Aggregate.unionRollups(
-        T(s, dir, "orders"),
-        Seq(
-          AggSpec(Seq("o_orderstatus"),
-            Seq(Metric("total_orders", "count(*)")), "by_status"),
-          AggSpec(Seq("o_orderpriority", "o_orderstatus"),
-            Seq(Metric("total_orders", "count(*)")), "by_priority_status"),
-          AggSpec(Seq("o_orderstatus", "o_orderpriority"),
-            Seq(Metric("total_orders", "count(*)")), "by_status_priority")),
-        "2025-10-15")),
-
-    // ---- optimized twin: single-scan GROUPING SETS (SURVEY §4.3)
-    "q03_grouping_sets" -> ((s, dir) =>
-      Aggregate.groupingSetsRollup(
-        T(s, dir, "orders"),
-        Seq(
-          "g_status" -> Seq("o_orderstatus"),
-          "g_priority_status" -> Seq("o_orderstatus", "o_orderpriority")),
-        Seq(
-          Metric("total_orders", "count(*)"),
-          Metric("sum_price", dsum("o_totalprice"))),
-        "2025-10-15")),
-
-    // ---- quality-rule engine, single-pass (Q1, SURVEY §2.8)
-    "q04_quality_report" -> ((s, dir) =>
-      Quality.report(
-        T(s, dir, "lineitem"),
-        Seq(
-          Quality.NotNull("non_null_returnflag", "l_returnflag"),
-          Quality.GreaterThanZero("positive_quantity", "l_quantity"),
-          Quality.ExprRule("discount_range", "l_discount >= 0 and l_discount <= 0.1")))),
-
-    // ---- declarative agg DSL (A4) — TPC-H-Q1-shaped
-    "q05_agg_dsl" -> ((s, dir) =>
-      Aggregate.run(
-        T(s, dir, "lineitem"),
-        AggSpec(
-          Seq("l_returnflag", "l_linestatus"),
-          Seq(
-            Metric("count_order", "count(*)"),
-            Metric("sum_qty", dsum("l_quantity")),
-            Metric("sum_base_price", dsum("l_extendedprice")),
-            Metric("sum_disc_price",
-              "cast(sum(cast(l_extendedprice as decimal(18,2)) * (1 - cast(l_discount as decimal(4,2)))) as double)"),
-            Metric("avg_qty", s"${dsum("l_quantity")} / count(*)")),
-          "q1"))),
-
-    // ---- exact dedup (D1 full-row distinct)
-    "q06_dedup_exact" -> ((s, dir) =>
-      Dedup.exact(T(s, dir, "documents").select("lang", "source"), Seq("lang", "source"))),
-
-    // ---- bronze stamp + enforced projection (P1 + P5)
-    "q07_ingest_stamp" -> ((s, dir) =>
-      T(s, dir, "customer")
-        .select("c_custkey", "c_name", "c_mktsegment")
-        .withColumn("ingestion_date", lit("2025-10-15").cast("date"))),
-
-    // ---- JSONL sink + schema-enforced JSONL scan roundtrip (K1/K2 + S2/S3)
-    "q08_jsonl_roundtrip" -> ((s, dir) => {
-      val out = tmp("q08_jsonl")
-      Layers.writeJsonl(T(s, dir, "customer"), out)
-      Layers.readJsonl(s, out, graft.schema.Metadata.structFromSpec(
-        """
-        c_custkey: long
-        c_name: string
-        c_nationkey: int
-        c_acctbal: double
-        c_mktsegment: string
-        """))
-        .groupBy("c_mktsegment")
-        .agg(
-          count(lit(1)).as("n_customers"),
-          expr(dsum("c_acctbal")).as("sum_acctbal"))
-    }),
-
-    // ---- partitioned parquet sink w/ dynamic overwrite + readback (K3 + S4)
-    "q09_partition_roundtrip" -> ((s, dir) => {
-      val out = tmp("q09_silver")
-      Layers.writeSilver(
-        T(s, dir, "customer"), out, partitionCols = Seq("c_mktsegment"))
-      Layers.readParquet(s, out)
-        .groupBy("c_mktsegment")
-        .agg(
-          count(lit(1)).as("n_customers"),
-          expr(dsum("c_acctbal")).as("sum_acctbal"))
-    }),
-
-    // ---- latest-successful-run resolution (O3 analog)
-    "q10_latest_run" -> ((s, dir) => {
-      val base = tmp("q10_runs")
-      val cust = T(s, dir, "customer")
-      Layers.writeJsonl(cust.filter(col("c_custkey") % 2 === 0), base, Some("20251014"))
-      Layers.writeJsonl(cust, base, Some("20251015"))
-      val latest = Layers.latestSuccessfulRun(s, base).get
-      Layers.readJsonl(s, latest, graft.schema.Metadata.structFromSpec(
-        "c_custkey: long"))
-        .agg(
-          count(lit(1)).as("n_rows"),
-          sum(col("c_custkey")).as("sum_key"))
-    }),
-
-    // ---- north-star text: token counting
-    "q11_token_count" -> ((s, dir) =>
-      T(s, dir, "documents").selectExpr(
-        "doc_id",
-        s"${PortableSql.tokenCount("text", SD)} AS n_tokens",
-        s"${PortableSql.regexTokenCount("text", SD)} AS n_rtokens")),
-
-    // ---- north-star text: language ID
-    "q12_lang_id" -> ((s, dir) =>
-      T(s, dir, "documents").selectExpr(
-        "doc_id", "lang",
-        s"${PortableSql.langId("text", SD)} AS lang_pred")),
-
-    // ---- north-star text: quality scoring
-    "q13_quality_score" -> ((s, dir) =>
-      T(s, dir, "documents").selectExpr(
-        "doc_id",
-        s"${PortableSql.qualityScore("text", SD)} AS quality")),
-
-    // ---- north-star text: fingerprinting
-    "q14_fingerprint" -> ((s, dir) =>
-      T(s, dir, "documents").selectExpr(
-        "doc_id",
-        s"${PortableSql.fingerprint("text")} AS fp")),
-
-    // ---- north-star dedup: MinHash + LSH band buckets
-    "q15_minhash_bands" -> ((s, dir) =>
-      Dedup.lshBuckets(
-        Dedup.minhashSignatures(
-          T(s, dir, "documents"), "text", "doc_id",
-          numHashes = 8, shingleWords = 3),
-        "doc_id", numHashes = 8, bands = 4)),
-
-    // ---- north-star dedup: LSH candidates verified by n-gram Jaccard
-    //      (builds + memoizes the shared pair index — see verifiedPairs)
-    "q16_neardup_pairs" -> ((s, dir) => verifiedPairs(s, dir)),
-
-    // ---- north-star dedup: pairs → DECISIONS (connected components of
-    //      the verified near-dup graph; min-id canonical keepers).
-    //      Reads the SAME pair index q16 built — a pipeline materializes
-    //      the expensive subtree once, not once per consumer.
-    "q39_dedup_clusters" -> ((s, dir) =>
-      Dedup.components(verifiedPairs(s, dir).select("id_a", "id_b"))
-        .select(col("id").as("doc_id"), col("label").as("cluster_id"),
-          (col("id") === col("label")).as("is_keeper"))),
-
-    // ---- north-star dedup: SimHash fingerprint (hash-once explode+agg
-    //      plan; the oracle replays the per-bit portable fragment)
-    "q17_simhash" -> ((s, dir) =>
-      Dedup.simhash(T(s, dir, "documents"), "text", "doc_id", bits = 16)),
-
-    // ---- events: hourly tumbling-window aggregation (batch twin of the
-    //      streaming hourlyByType)
-    "q18_events_hourly" -> ((s, dir) =>
-      Layers.readEvents(s, s"$dir/events.parquet")
-        .groupBy(
-          date_trunc("hour", col("ts")).as("window_start"),
-          col("event_type"))
-        .agg(
-          count(lit(1)).as("n_events"),
-          expr(dsum("value")).as("total_value"))),
-
-    // ---- events: batch sessionization (30-min inactivity gap)
-    "q19_sessions" -> ((s, dir) => {
-      val ev = Layers.readEvents(s, s"$dir/events.parquet")
-      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      ev.withColumn("prev", lag(col("ts"), 1).over(w))
-        .groupBy("user_id")
-        .agg(
-          count(lit(1)).as("n_events"),
-          sum(when(col("prev").isNull ||
-            (col("ts").cast("double") - col("prev").cast("double")) > 1800.0, 1L)
-            .otherwise(0L)).as("n_sessions"))
-    }),
-
-    // ---- joins: star-schema revenue rollup, dims broadcast
-    "q20_join_revenue" -> ((s, dir) => {
-      val o = T(s, dir, "orders").filter(
-        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
-          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
-      o.join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(T(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(T(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
-        .groupBy("r_name", "n_name")
-        .agg(
-          count(lit(1)).as("n_orders"),
-          expr(dsum("o_totalprice")).as("revenue"))
-    }),
-
-    // ---- window top-k per group
-    "q21_topk_per_segment" -> ((s, dir) => {
-      val j = T(s, dir, "orders")
-        .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
-      val w = Window.partitionBy("c_mktsegment")
-        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-      j.withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 3)
-        .select("c_mktsegment", "rank", "o_orderkey", "o_totalprice")
-    }),
-
-    // ---- north-star similarity: exact brute-force cosine top-k
-    "q22_ann_topk" -> ((s, dir) => {
-      val emb = T(s, dir, "embeddings")
-      Similarity.bruteForceTopK(
-        emb, emb.filter(col("vec_id") === 0), "vec_id", "embedding", k = 10)
-    }),
-
-    // ---- north-star similarity: LSH-bucketed ANN top-k
-    "q23_ann_lsh" -> ((s, dir) => {
-      val emb = T(s, dir, "embeddings")
-      Similarity.lshTopK(
-        emb, emb.filter(col("vec_id") === 0), "vec_id", "embedding",
-        k = 10, numPlanes = 8, dims = 64)
-    }),
-
-    // ---- north-star similarity: banded kNN pairs (embedding near-dup;
-    //      OR-amplified multi-band LSH with a per-bucket skew cap)
-    "q24_embedding_pairs" -> ((s, dir) =>
-      Similarity.bandedNeighbors(
-        T(s, dir, "embeddings"), "vec_id", "embedding",
-        planesPerBand = 8, bands = 2, dims = 64,
-        minCosine = 0.15, maxBucketSize = 1000)),
-
-    // ---- north-star multimodal: binary payload plumbing + metadata stats
-    "q25_media_stats" -> ((s, dir) =>
-      Multimodal.mediaStats(
-        Multimodal.demoMediaTable(T(s, dir, "documents"), "doc_id", "text").toDF())),
-
-    // ---- O1/O2/K4/K5: config-assembled medallion pipeline end-to-end
-    //      (bronze JSONL → silver clean parquet → gold rollups → quality
-    //      report artifact), result = the gold table it published
-    "q26_pipeline_gold" -> ((s, dir) => {
-      val base = tmp("q26_pipeline")
-      val conf = graft.config.PipelineConfig.parse(pipelineYaml)
-      val meta = graft.config.PipelineConfig.parseMetadata(metadataYaml)
-      val (report, goldPath) = graft.pipeline.Medallion.run(
-        s, conf, meta,
-        source = sp => T(sp, dir, "customer"),
-        baseDir = base, runId = "20251015", transformationDate = "2025-10-15",
-        clean = graft.pipeline.Medallion.CleanSpec(
-          dedupKeys = Seq("c_custkey"),
-          requiredCols = Seq("c_custkey", "c_name", "c_mktsegment"),
-          normalizeCols = Seq("c_name", "c_mktsegment"),
-          order = Seq(col("c_name").asc_nulls_first)))
-      require(report.succeeded, s"pipeline failed:\n${report.toJson}")
-      Layers.readParquet(s, goldPath)
-        .select("c_mktsegment", "c_nationkey", "total_customers", "sum_acctbal",
-          "aggregation", "transformation_date")
-    }),
-
-    // ---- S2: schema-inferred JSONL scan (bronze exploration path)
-    "q27_jsonl_inferred" -> ((s, dir) => {
-      val out = tmp("q27_jsonl")
-      Layers.writeJsonl(T(s, dir, "customer"), out)
-      Layers.readJsonlInferred(s, out)
-        .groupBy("c_mktsegment")
-        .agg(
-          count(lit(1)).as("n_customers"),
-          sum(col("c_custkey")).as("sum_key"))
-    }),
-
-    // ---- north-star similarity: IVF coarse-quantizer ANN (broadcast
-    //      centroids, inverted-list probe — the nprobe/nlist scale path)
-    "q29_ann_ivf" -> ((s, dir) => {
-      val emb = T(s, dir, "embeddings")
-      Similarity.ivfTopK(
-        emb, emb.filter(col("vec_id") === 0), "vec_id", "embedding",
-        k = 10, nlist = 16, nprobe = 4)
-    }),
-
-    // ---- north-star dedup: SimHash near-dup pairs (hamming-block LSH,
-    //      perfect recall for hamming < blocks by pigeonhole)
-    "q31_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashNearDups(
-        T(s, dir, "documents"), "text", "doc_id",
-        bits = 32, blocks = 4, maxHamming = 3)),
-
-    // ---- events: sliding-window aggregation (1 h window, 30 min slide)
-    "q32_sliding_window" -> ((s, dir) =>
-      Layers.readEvents(s, s"$dir/events.parquet")
-        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
-        .agg(
-          count(lit(1)).as("n_events"),
-          expr(dsum("value")).as("total_value"))
-        .select(col("window.start").as("window_start"), col("event_type"),
-          col("n_events"), col("total_value"))),
-
-    // ---- as-of (point-in-time) join: each event joined to the user's
-    //      latest prior purchase (no future leakage) — composed from
-    //      union + running-last window, oracle = DuckDB native ASOF JOIN
-    "q33_asof_join" -> ((s, dir) => {
-      val ev = Layers.readEvents(s, s"$dir/events.parquet")
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts"),
-          col("event_id").as("purchase_id"), col("value").as("purchase_value"))
-      graft.ops.AsOf.asofJoin(
-        ev.select("event_id", "user_id", "ts"),
-        purchases,
-        keys = Seq("user_id"), tsCol = "ts",
-        rightCols = Seq("purchase_id", "purchase_value"))
-        .select("event_id", "user_id", "purchase_id", "purchase_value")
-    }),
-
-    // ---- range (interval) join via bucketed equi-join decomposition:
-    //      events counted into 2-hour windows opened by each purchase
-    "q34_range_join" -> ((s, dir) => {
-      val ev = Layers.readEvents(s, s"$dir/events.parquet")
-      val win = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id").as("purchase_id"),
-          col("ts").as("start_ts"),
-          (col("ts") + expr("INTERVAL 2 HOURS")).as("end_ts"))
-      graft.ops.Ranges.rangeJoin(
-        ev.select(col("user_id"), col("ts"), col("event_id")),
-        win, keys = Seq("user_id"), tsCol = "ts",
-        startCol = "start_ts", endCol = "end_ts", bucketWidthSeconds = 3600)
-        .groupBy("purchase_id")
-        .agg(count(lit(1)).as("n_events"))
-    }),
-
-    // ---- composite corpus clean: fingerprint exact-dedup (min-id
-    //      keeper) → quality gate → language filter → per-source stats —
-    //      the end-to-end training-data cleaning flow in one plan
-    "q36_corpus_filter" -> ((s, dir) => {
-      val enriched = T(s, dir, "documents").select(
-        col("doc_id"), col("source"),
-        graft.ops.TextOps.qualityScore(col("text")).as("quality"),
-        graft.functions.GraftFunctions.langId(s, col("text")).as("lang_pred"),
-        graft.ops.TextOps.fingerprint(col("text")).as("fp"))
-      val keepers = enriched.groupBy("fp").agg(min("doc_id").as("doc_id"))
-      enriched.join(keepers, Seq("doc_id"), "left_semi")
-        .filter(col("quality") >= 0.4 && col("lang_pred") === "en")
-        .groupBy("source")
-        .agg(
-          count(lit(1)).as("n_docs"),
-          round(expr("cast(sum(cast(quality as decimal(18,6))) as double)")
-            / count(lit(1)), 6).as("avg_quality"))
-    }),
-
-    // ---- corpus distribution stats: exact interpolated percentiles of
-    //      doc token counts per language, one shuffle for all quantiles
-    "q38_length_stats" -> ((s, dir) =>
-      graft.ops.Stats.exactPercentiles(
-        T(s, dir, "documents").selectExpr("lang", "size(split(text, ' ')) AS n_tokens"),
-        groupCols = Seq("lang"), valueCol = "n_tokens",
-        ps = Seq(0.5, 0.9, 0.99))),
-
-    // ---- 100 TB twin of q38: one bounded GK sketch per group instead
-    //      of a full per-group rank sort. No SQL oracle (sketch
-    //      internals are engine-specific) → rows-only check; StatsSpec
-    //      pins the rank-error bound against exactPercentiles.
-    "q42_length_stats_approx" -> ((s, dir) =>
-      graft.ops.Stats.approxPercentiles(
-        T(s, dir, "documents").selectExpr("lang", "size(split(text, ' ')) AS n_tokens"),
-        groupCols = Seq("lang"), valueCol = "n_tokens",
-        ps = Seq(0.5, 0.9, 0.99))),
-
-    // ---- deterministic hash split: train/val/test fences that are a
-    //      pure function of the key (reproducible across runs/engines)
-    "q37_hash_split" -> ((s, dir) => {
-      val splits = graft.ops.Sampling.hashSplit(
-        T(s, dir, "documents"), "doc_id", Seq(0.8, 0.1, 0.1), salt = "v1")
-      splits.zip(Seq("train", "val", "test"))
-        .map { case (d, t) => d.select(lit(t).as("split"), col("doc_id")) }
-        .reduce(_.unionByName(_))
-        .groupBy("split")
-        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))
-    }),
-
-    // ---- deterministic KMV cardinality sketch (bounded-memory typed
-    //      Aggregator; md5-derived → bit-reproducible in the oracle).
-    //      calibrate=true rides the exact twin along for the oracle
-    //      check; the production default is sketch-only (no distinct
-    //      shuffle) — see SketchesSpec plan assertion.
-    "q35_kmv_distinct" -> ((s, dir) =>
-      graft.ops.Sketches.kmvDistinct(T(s, dir, "orders"), "o_custkey", k = 256,
-        calibrate = true)),
-
-    // ---- skew handling: salted two-stage aggregation over a 3-value
-    //      (maximally skewed) key — results identical to a plain groupBy
-    "q30_salted_agg" -> ((s, dir) =>
-      Aggregate.saltedRollup(
-        T(s, dir, "lineitem"),
-        groupBy = Seq("l_returnflag"),
-        metrics = Seq(
-          Aggregate.SaltedMetric("n_items", "count", "*"),
-          Aggregate.SaltedMetric("sum_qty_dec", "sum", "cast(l_quantity as decimal(18,6))"),
-          Aggregate.SaltedMetric("max_price", "max", "l_extendedprice")),
-        saltBuckets = 8,
-        saltOn = Seq("l_orderkey", "l_linenumber"))
-        .select(col("l_returnflag"), col("n_items"),
-          col("sum_qty_dec").cast("double").as("sum_qty"), col("max_price"))),
-
-    // ---- north-star text: Gopher-style repetition filter signal
-    "q43_repetition" -> ((s, dir) =>
-      T(s, dir, "documents").select(
-        col("doc_id"),
-        // |shingles| = max(tokens − 2, 1) — arithmetic instead of
-        // materializing the shingle array just to take its size. NULL
-        // text must stay NULL (the oracle's len() over a NULL list):
-        // greatest() SKIPS null arguments, so guard explicitly.
-        when(col("text").isNull, lit(null).cast("long")).otherwise(
-          greatest(graft.functions.GraftFunctions.tokenCount(s, col("text")) - 2,
-            lit(1L))).as("n_grams"),
-        round(graft.functions.GraftFunctions.dupShingleRatio(s, col("text"), 3), 6)
-          .as("dup_ratio"))),
-
-    // ---- north-star text: PII/URL scrubbing. The fixture corpus has no
-    //      PII, so deterministic addresses are synthesized per doc INSIDE
-    //      the query — the oracle then genuinely checks cross-engine
-    //      regexp_replace/extract semantics, not a no-op.
-    "q44_scrub" -> ((s, dir) => {
-      val id = col("doc_id").cast("string")
-      val enriched = concat(
-        col("text"), lit(" contact user"), id, lit("@mail.example.com or "),
-        lit("https://site.example/d/"), id, lit(" thanks"))
-      T(s, dir, "documents").select(
-        col("doc_id"),
-        length(enriched).cast("long").as("raw_len"),
-        length(graft.ops.TextOps.scrub(enriched)).cast("long").as("clean_len"),
-        graft.ops.TextOps.matchCount(enriched, graft.ops.TextOps.emailPattern).as("n_emails"),
-        graft.ops.TextOps.matchCount(enriched, graft.ops.TextOps.urlPattern).as("n_urls"))
-    }),
-
-    // ---- north-star text: winnowing fingerprints (rolling k-gram
-    //      hash + min-per-window, the MOSS scheme) — local fingerprints
-    //      robust to edits, exploded to (doc, fp) pairs for bucket-join
-    //      candidate generation downstream.
-    "q49_winnowing" -> ((s, dir) =>
-      graft.ops.TextOps.winnowingFingerprints(
-        T(s, dir, "documents"), "text", "doc_id", k = 5, w = 4)
-        .select(col("doc_id"), explode(col("fingerprints")).as("fp"))),
-
-    // ---- relational surface: pivot (wide roll-up). Spark plans this
-    //      as a single two-phase aggregation over pivot-value CASE
-    //      branches — same cost as the manual conditional aggregation
-    //      the oracle spells out. Explicit value list: at scale you
-    //      never let pivot() run its implicit distinct-collect pass.
-    "q48_pivot" -> ((s, dir) =>
-      T(s, dir, "orders")
-        .groupBy("o_orderpriority")
-        .pivot("o_orderstatus", Seq("F", "O", "P"))
-        .agg(count(lit(1)))
-        .select(
-          col("o_orderpriority"),
-          coalesce(col("F"), lit(0L)).as("n_f"),
-          coalesce(col("O"), lit(0L)).as("n_o"),
-          coalesce(col("P"), lit(0L)).as("n_p"))),
-
-    // ---- north-star dedup: corpus-wide keep/drop DECISIONS — the
-    //      table a training pipeline consumes. Reads the same shared
-    //      pair index as q16/q39; singleton docs keep themselves.
-    "q47_dedup_decisions" -> ((s, dir) =>
-      Dedup.dedupDecisions(
-        T(s, dir, "documents"), "doc_id",
-        Dedup.components(verifiedPairs(s, dir).select("id_a", "id_b")))),
-
-    // ---- north-star dedup: INCREMENTAL near-dup (daily-ingest shape).
-    //      Corpus = doc_id % 10 != 0 with its signature index built
-    //      once (standing in for the persisted sig table); new batch =
-    //      doc_id % 10 == 0, hashed alone and probed against the index.
-    //      Oracle = the full pipeline's verified pairs filtered to
-    //      those touching a new doc.
-    "q46_incremental_neardups" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
-      val batch = docs.filter(col("doc_id") % 10 === 0)
-      Dedup.incrementalNearDups(
-        docs, corpusSigIndex(s, dir), batch, "text", "doc_id", threshold = 0.8)
-    }),
-
-    // ---- north-star: DURABLE signature index (q46's production form —
-    //      the corpus signatures live in parquet on disk, built once;
-    //      the probe reads them back cold. Same result set as q46, but
-    //      every signature crosses a real storage round-trip and the
-    //      hash parameters come from the index's own committed meta.)
-    "q60_durable_index" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
-      val batch = docs.filter(col("doc_id") % 10 === 0)
-      graft.io.SignatureIndex.probe(
-        docs, batch, "text", durableSigIndex(s, dir), threshold = 0.8)
-    }),
-
-    // ---- north-star: declarative corpus-quality filter chain (Gopher
-    //      shape) bound from YAML. The SAME filter objects generate the
-    //      Spark expression AND the DuckDB oracle below, so the config
-    //      surface itself is correctness-gated.
-    "q62_corpus_filter_dsl" -> ((s, dir) =>
-      graft.ops.CorpusFilters.decide(
-        T(s, dir, "documents"), "text", "doc_id",
-        graft.config.PipelineConfig.parseCorpusFilters(corpusFilterYaml))),
-
-    // ---- north-star: IVF with a TRAINED coarse quantizer — k-means
-    //      centroids (q55's trainer) feeding q29's probe shape. The
-    //      oracle replays training AND probe, so quantizer quality is
-    //      itself correctness-checked.
-    "q61_ann_ivf_trained" -> ((s, dir) => {
-      val emb = T(s, dir, "embeddings")
-      Similarity.ivfTopKTrained(
-        emb, emb.filter(col("vec_id") === 0), "vec_id", "embedding",
-        k = 10, nlist = 8, nprobe = 2, iters = 2)
-    }),
-
-    // ---- north-star: batched model-scoring seam (mapPartitions,
-    //      per-partition model init, fixed micro-batches). The stub
-    //      model is pure integer arithmetic, so the oracle checks the
-    //      WHOLE seam end-to-end — swapping in a real model changes
-    //      only the scorer, not the plan.
-    "q45_model_score" -> ((s, dir) =>
-      graft.ops.Scoring.scoreDocs(
-        T(s, dir, "documents"), "doc_id", "text",
-        () => new graft.ops.Scoring.StubScorer, batchSize = 64)),
-
-    // ---- production-kernel twins of q16/q31: identical plan shape with
-    //      the xxhash64 kernel swapped in for md5 (Dedup.Xx64). No SQL
-    //      oracle (DuckDB has no xxhash64) → driver records a rows-only
-    //      check; pair-set parity with the md5 kernel is asserted in
-    //      DedupSpec, and the bench rows quantify the kernel speedup.
-    //      NOTE q41 returns ~3× MORE pairs than q31 (and costs
-    //      proportionally more): simhash bits are majority votes
-    //      dominated by the corpus's highest-frequency tokens, so on
-    //      this small-vocabulary synthetic corpus the per-bit 1-rates
-    //      are far from 0.5 under EITHER kernel (measured at sf0.1:
-    //      md5 ~10 of 32 bits ≥0.9 or ≤0.1, xx64 ~14), and the kernel
-    //      that draws more near-unanimous bits has less effective
-    //      entropy → more hamming-≤3 collisions. A property of 32-bit
-    //      simhash on this corpus, not of the kernel: the production
-    //      fix is more bits (64) or idf-weighted votes.
-    "q40_neardup_pairs_xx64" -> ((s, dir) =>
-      Dedup.verifiedNearDups(
-        T(s, dir, "documents"), "text", "doc_id", threshold = 0.8,
-        kind = Dedup.Xx64)),
-
-    "q41_simhash_pairs_xx64" -> ((s, dir) =>
-      Dedup.simhashNearDups(
-        T(s, dir, "documents"), "text", "doc_id",
-        bits = 32, blocks = 4, maxHamming = 3, kind = Dedup.Xx64)),
-
-    // ---- production-kernel twin of q74 (rows-only bench row, like
-    //      q40/q41): xx64 window hashing on the full token-window
-    //      volume — same plan, no md5. Span-set parity with Md5 is
-    //      spec-pinned (DedupSpec duplicateSpans xx64 case). Xx64 is
-    //      DETECTION-grade only; the scrub path stays on Md5
-    //      (see scrubDuplicates scaladoc).
-    "q78_dup_spans_xx64" -> ((s, dir) =>
-      Dedup.duplicateSpans(T(s, dir, "documents"), "text", "doc_id", n = 3,
-        kind = Dedup.Xx64)),
-
-    // ---- north-star: benchmark decontamination — docs sharing any
-    //      4-word shingle with the benchmark set (doc_id % 50 == 0
-    //      stands in for a held-out eval benchmark). The benchmark
-    //      gram set is broadcast; the corpus probes it map-side.
-    "q50_contamination" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
-      graft.ops.Search.contamination(
-        docs.filter(col("doc_id") % 50 =!= 0),
-        docs.filter(col("doc_id") % 50 === 0),
-        "text", "doc_id", n = 4)
-    }),
-
-    // ---- north-star: Okapi BM25 top-k keyword retrieval — global
-    //      stats (N, df, avgdl) collapse to ONE broadcast row; scoring
-    //      is a narrow projection + TakeOrderedAndProject.
-    "q51_bm25" -> ((s, dir) =>
-      graft.ops.Search.bm25(
-        T(s, dir, "documents"), "text", "doc_id",
-        terms = Seq("spark", "hash", "window"), topK = 20)),
-
-    // ---- north-star: corpus-wide heavy hitters (exact top-k tokens;
-    //      map-side partial counts, k-row TakeOrdered — never a full
-    //      vocabulary sort).
-    "q52_heavy_hitters" -> ((s, dir) =>
-      graft.ops.Search.topTokens(T(s, dir, "documents"), "text", k = 20)),
-
-    // ---- north-star: count-min sketch — md5-derived buckets make the
-    //      whole sketch (cells AND estimates) replayable in the DuckDB
-    //      oracle, so unlike typical sketches this one is HASH-checked,
-    //      not just bounds-checked. width=32 forces real collisions on
-    //      the fixture vocabulary (est > exact for some tokens).
-    "q53_cms_counts" -> ((s, dir) =>
-      graft.ops.Sketches.cmsTopTokens(
-        T(s, dir, "documents"), "text", k = 10, depth = 3, width = 32)),
-
-    // ---- north-star: bloom-pruned exact semi-join — the broadcast
-    //      bloom bits prune the big side BEFORE its exchange; the
-    //      exact semi-join removes false positives, so the result (and
-    //      oracle) is a plain semi-join.
-    "q54_bloom_join" -> ((s, dir) => {
-      val hot = T(s, dir, "orders")
-        .filter(col("o_totalprice") > 450000.0)
-        .select("o_orderkey")
-      graft.ops.Bloom.prunedSemiJoin(
-        T(s, dir, "lineitem"), "l_orderkey", hot, "o_orderkey")
-        .groupBy("l_returnflag")
-        .agg(
-          count(lit(1)).as("n_rows"),
-          expr(s"${dsum("l_quantity")} AS sum_qty"))
-    }),
-
-    // ---- north-star: Lloyd's k-means over embeddings (2 iterations,
-    //      seeds = lowest-id vectors, broadcast centroids, partial-agg
-    //      means) — the trainer for the IVF quantizer q29 probes.
-    "q55_kmeans" -> ((s, dir) =>
-      graft.ops.Clustering.kmeans(
-        T(s, dir, "embeddings"), "vec_id", "embedding", k = 4, iters = 2)),
-
-    // ---- north-star: stratified deterministic sampling — the
-    //      data-mixing primitive (per-language keep fractions as one
-    //      narrow scan-speed filter).
-    "q56_stratified_sample" -> ((s, dir) =>
-      graft.ops.Sampling.stratifiedSample(
-        T(s, dir, "documents"), "lang", "doc_id",
-        fractions = Map(
-          "en" -> 0.9, "fr" -> 0.5, "es" -> 0.25, "de" -> 0.1, "zh" -> 0.05),
-        salt = "mix1")
-        .groupBy("lang")
-        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))),
-
-    // ---- K6: range-clustered parquet sink — every output file covers
-    //      a disjoint o_orderdate range (footer min/max → file skipping
-    //      for high-cardinality keys where partitionBy would explode).
-    //      Roundtrip + range-filter aggregate; oracle replays the
-    //      filter on the source table (layout changes I/O, not answers).
-    "q57_range_clustered" -> ((s, dir) => {
-      val out = tmp("q57_range")
-      Layers.writeRangeClustered(
-        T(s, dir, "orders"), out, Seq("o_orderdate"), numFiles = 8)
-      Layers.readParquet(s, out)
-        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
-          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
-        .agg(
-          count(lit(1)).as("n_orders"),
-          expr(s"${dsum("o_totalprice")} AS sum_price"))
-    }),
-
-    // ---- north-star: one-pass column profiler (row/null/distinct
-    //      counts + numeric min/max for every column from ONE scan).
-    "q58_profile" -> ((s, dir) =>
-      graft.ops.Stats.profile(
-        T(s, dir, "lineitem"),
-        Seq("l_quantity", "l_extendedprice", "l_returnflag", "l_orderkey"))),
-
-    // ---- north-star: GPT-style concat-and-chunk sequence packing —
-    //      ONE running-sum window per shard + a bounded explode maps
-    //      every doc to the fixed-budget training sequences it fills.
-    "q64_sequence_pack" -> ((s, dir) =>
-      graft.ops.Packing.packSequences(
-        T(s, dir, "documents"), "text", "lang", "doc_id", budget = 512L)),
-
-    // ---- north-star: per-source token quotas (data-mixing caps) —
-    //      keep docs in deterministic order while the source's running
-    //      token total is inside quota; boundary doc kept (truncate
-    //      downstream).
-    "q65_token_quota" -> ((s, dir) =>
-      graft.ops.Packing.tokenQuota(
-        T(s, dir, "documents"), "text", "lang", "doc_id", quota = 5000L)
-        .groupBy("lang")
-        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))),
-
-    // ---- north-star: product-quantization codes — per-block trained
-    //      codebooks (q55's trainer per slice), encoding = ONE narrow
-    //      projection evaluating every block's argmax.
-    "q70_pq_codes" -> ((s, dir) =>
-      Similarity.pqEncode(
-        T(s, dir, "embeddings"), "vec_id", "embedding",
-        dims = 64, codebooks = pqBooks(s, dir))),
-
-    // ---- north-star: duplicated-line removal (Gopher-style intra-doc
-    //      cleanup). The fixture corpus is single-line, so duplicate
-    //      lines are synthesized IN-QUERY (q44's recipe) — the oracle
-    //      then checks real order-preserving first-occurrence dedup,
-    //      not a no-op.
-    "q73_line_dedup" -> ((s, dir) => {
-      val line1 = concat_ws(" ", slice(split(col("text"), " "), 1, 5))
-      val synth = concat_ws("\n", col("text"), line1, line1, col("text"))
-      T(s, dir, "documents").select(
-        col("doc_id"),
-        graft.ops.TextOps.dedupLines(synth).as("clean"),
-        size(split(synth, "\n")).cast("long").as("n_before"),
-        size(split(graft.ops.TextOps.dedupLines(synth), "\n")).cast("long").as("n_after"))
-    }),
-
-    // ---- north-star: exact-substring duplicate spans (token
-    //      granularity) — every 3-token window occurring >1 time in
-    //      the corpus, merged into maximal per-doc token spans. The
-    //      verbatim-boilerplate detector doc-level near-dup can't see.
-    "q74_dup_spans" -> ((s, dir) =>
-      Dedup.duplicateSpans(T(s, dir, "documents"), "text", "doc_id", n = 3)),
-
-    // ---- north-star: INCREMENTAL exact-substring spans — the daily
-    //      batch (doc_id % 10 == 0, the q46/q60 convention) probed
-    //      against the persisted window-hash index built once over the
-    //      standing corpus. Only the batch is hashed; the index is
-    //      pruned map-side by the batch's hashes, never reshuffled.
-    //      Result ≡ full-corpus q74 restricted to batch docs.
-    "q77_incremental_spans" -> ((s, dir) =>
-      graft.io.WindowIndex.probe(
-        T(s, dir, "documents").filter(col("doc_id") % 10 === 0),
-        "text", durableWinIndex(s, dir))),
-
-    // ---- north-star: right-to-be-forgotten on the SIGNATURE index —
-    //      every 7th standing-corpus doc deleted from the store (one
-    //      index rewrite, the corpus never re-hashed), then the daily
-    //      batch probed. No pair may touch a forgotten doc; result ≡
-    //      probing an index rebuilt on corpus-minus-deleted.
-    "q82_forget_neardups" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
-      graft.io.SignatureIndex.probe(
-        docs, docs.filter(col("doc_id") % 10 === 0), "text",
-        forgottenSigIndex(s, dir), threshold = 0.8)
-    }),
-
-    // ---- north-star: right-to-be-forgotten on the WINDOW-HASH index —
-    //      takedown docs' window counts SUBTRACTED (only the deleted
-    //      docs are hashed; one store rewrite), then the batch probed.
-    //      A span is still "duplicated" only if surviving docs repeat
-    //      it — dup-ness is re-judged against the post-delete corpus.
-    "q83_forget_spans" -> ((s, dir) =>
-      graft.io.WindowIndex.probe(
-        T(s, dir, "documents").filter(col("doc_id") % 10 === 0),
-        "text", forgottenWinIndex(s, dir))),
-
-    // ---- north-star: TEXT-derived embedding near-dup — hashed tf-idf
-    //      vectors (q66's feature space, idf-weighted, L2-normalized)
-    //      fed into q24's banded sign-LSH pair pipeline. Closes the
-    //      text→vector→cosine path for corpora with no embedding
-    //      column; every stage is dims-bounded or bucket-keyed.
-    "q84_text_cosine_pairs" -> ((s, dir) =>
-      Similarity.bandedNeighbors(
-        graft.ops.TextOps.hashedTfidfVectors(
-          T(s, dir, "documents"), "text", "doc_id", dims = 64),
-        "doc_id", "tvec",
-        planesPerBand = 8, bands = 2, dims = 64, minCosine = 0.9)),
-
-    // ---- north-star: EXACT all-pairs Jaccard join via prefix
-    //      filtering (AllPairs/PPJoin family) — deterministic recall,
-    //      no LSH misses; candidates come only from each doc's rarest
-    //      shingles, so frequent-shingle posting lists never self-join.
-    //      The oracle is a plain all-pairs Jaccard — checking the
-    //      exactness guarantee itself, not a replay of the mechanics.
-    "q88_exact_jaccard_pairs" -> ((s, dir) =>
-      Dedup.prefixFilteredPairs(
-        T(s, dir, "documents"), "text", "doc_id", threshold = 0.8)),
-
-    // ---- north-star: INCREMENTAL dedup decisions — the batch
-    //      keep/drop verdict table (q47's daily-ingest twin): arrival
-    //      order decides (corpus partner wins regardless of id order,
-    //      then batch keep-first). One row per batch doc.
-    "q98_incremental_decisions" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
-      val batch = docs.filter(col("doc_id") % 10 === 0)
-      Dedup.incrementalDedupDecisions(
-        batch,
-        graft.io.SignatureIndex.probe(
-          docs, batch, "text", durableSigIndex(s, dir), threshold = 0.8),
-        "doc_id")
-    }),
-
-    // ---- north-star: DURABLE IVF ANN index — the vector-space member
-    //      of the published index family: centroids trained once, the
-    //      corpus stored PARTITIONED BY inverted list, probes scan only
-    //      the nprobe winning list DIRECTORIES (static partition
-    //      pruning at planning time). Result ≡ q61's in-memory pipeline
-    //      through a storage round-trip.
-    "q97_durable_ann" -> ((s, dir) =>
-      graft.io.VectorIndex.probe(
-        T(s, dir, "embeddings").filter(col("vec_id") === 0),
-        durableVecIndex(s, dir), k = 10, nprobe = 2)),
-
-    // ---- north-star: right-to-be-forgotten on the VECTOR index —
-    //      takedown vectors removed by one lists rewrite (quantizer and
-    //      probe pruning untouched); the probe simply stops surfacing
-    //      them. Query vector 0 is itself forgotten: it can still ASK,
-    //      it just no longer appears in anyone's results.
-    "q99_forget_vectors" -> ((s, dir) =>
-      graft.io.VectorIndex.probe(
-        T(s, dir, "embeddings").filter(col("vec_id") === 0),
-        forgottenVecIndex(s, dir), k = 10, nprobe = 2)),
-
-    // ---- north-star: BATCH multi-query ANN — retrieval for a query
-    //      SET (seed-set dedup, eval batches): ONE corpus scan scores
-    //      every query against the broadcast query table; per-query
-    //      ranking is the salted two-stage window (no corpus-sized
-    //      partition per query). N single-query jobs become one.
-    "q101_ann_batch_brute" -> ((s, dir) => {
-      val emb = T(s, dir, "embeddings")
-      Similarity.bruteForceTopKBatch(
-        emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding", "vec_id",
-        k = 10)
-    }),
-
-    // ---- north-star: batch IVF — one training run + one corpus
-    //      assignment serve the whole query set; each query ranks its
-    //      own nprobe lists inside the same broadcast and all
-    //      candidate scoring rides one join.
-    "q102_ann_batch_ivf" -> ((s, dir) => {
-      val emb = T(s, dir, "embeddings")
-      Similarity.ivfTopKTrainedBatch(
-        emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding", "vec_id",
-        k = 10, nlist = 8, nprobe = 2, iters = 2)
-    }),
-
-    // ---- north-star: batch PQ ADC — the per-block code→partial-dot
-    //      lookups become nested (query → code) literal maps, so all
-    //      queries score in one narrow projection over the integer
-    //      code table.
-    "q103_ann_batch_pq" -> ((s, dir) => {
-      val emb = T(s, dir, "embeddings")
-      Similarity.pqTopKWithBatch(
-        emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding", "vec_id",
-        topK = 10, dims = 64, codebooks = pqBooks(s, dir))
-    }),
-
-    // ---- north-star: batch probe of the DURABLE vector index — each
-    //      query ranks its own nprobe lists; the scan covers the UNION
-    //      of probed list directories (still a static planning-time
-    //      partition filter) and each list is scored only against the
-    //      queries that probed it.
-    "q104_durable_ann_batch" -> ((s, dir) =>
-      graft.io.VectorIndex.probeBatch(
-        T(s, dir, "embeddings").filter(col("vec_id") < 3), "vec_id",
-        durableVecIndex(s, dir), k = 10, nprobe = 2)),
-
-    // ---- north-star: SemDeDup — k-means partitions the embedding
-    //      space, near-dup pruning runs only WITHIN each cluster
-    //      (Σ|cluster|² pairs, cluster-keyed join — never corpus×corpus);
-    //      keep = lowest id per semantic dup set.
-    "q105_semantic_dedup" -> ((s, dir) =>
-      Similarity.semanticDedup(
-        T(s, dir, "embeddings"), "vec_id", "embedding",
-        k = 4, iters = 2, threshold = 0.15)),
-
-    // ---- north-star: hashed-feature Naive Bayes — the fastText-style
-    //      corpus classifier (quality/domain/lang routing): model =
-    //      classes×dims rows broadcast; scoring = one gram explode +
-    //      broadcast LUT join + doc-keyed agg. Train even ids, score odd.
-    "q106_nb_classifier" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
-      graft.ops.LanguageModel.naiveBayesClassify(
-        docs.filter(col("doc_id") % 2 === 0),
-        docs.filter(col("doc_id") % 2 =!= 0),
-        "text", "doc_id", "lang", dims = 128)
-    }),
-
-    // ---- north-star: interpolated bigram LM NLL (KenLM-lite) — word
-    //      ORDER enters the fluency fence; vocab-bounded count tables,
-    //      one bigram explode + broadcast joins + per-doc mean.
-    "q107_bigram_nll" -> ((s, dir) =>
-      graft.ops.LanguageModel.bigramNll(
-        T(s, dir, "documents"), "text", "doc_id", lambda = 0.75)),
-
-    // ---- north-star: eval-set decontamination SCRUB — the action for
-    //      q50's report: benchmark-overlapping n-gram spans are cut
-    //      (broadcast bench hash set, map-side probe, narrow rebuild);
-    //      the rest of a contaminated doc survives.
-    "q108_decontaminate" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
-      Dedup.decontaminate(
-        docs.filter(col("doc_id") % 50 =!= 0), "text", "doc_id",
-        docs.filter(col("doc_id") % 50 === 0), "text", n = 4)
-    }),
-
-    // ---- north-star: cluster-capped diversity sampling — keep the
-    //      top-2 (longest, then lowest id) of each near-dup family
-    //      instead of hard dedup; only clustered docs (∝ pairs) enter
-    //      the ranking window, singletons bypass via anti-join.
-    "q109_cluster_cap" -> ((s, dir) =>
-      graft.ops.Sampling.clusterCapped(
-        T(s, dir, "documents"), "doc_id", clusterLabels(s, dir),
-        cap = 2, orderCol = "n_chars")),
-
-    // ---- north-star: JL random-projection retrieval — rank in a
-    //      16-dim ±1-projected space, exact-rerank the top 4k
-    //      candidates on full vectors (two-stage compressed retrieval).
-    "q110_ann_projected" -> ((s, dir) => {
-      val emb = T(s, dir, "embeddings")
-      Similarity.projectedTopK(
-        emb, emb.filter(col("vec_id") === 7), "vec_id", "embedding",
-        k = 10, projDims = 16, dims = 64)
-    }),
-
-    // ---- north-star: excess-loss domain mixture (DoReMi-lite) — the
-    //      reference LM's per-source mean NLL → softmax upweighting of
-    //      hard domains; |sources| rows of broadcast arithmetic.
-    "q111_domain_mixture" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
-      graft.ops.Sampling.excessLossWeights(
-        graft.ops.LanguageModel.meanNegLogLik(docs, "text", "doc_id")
-          .join(docs.select("doc_id", "source"), "doc_id"),
-        "source", "nll", temperature = 0.25)
-    }),
-
-    // ---- north-star: residual IVF-PQ — the FAISS composite index:
-    //      coarse-quantize, product-quantize the RESIDUALS, search =
-    //      per-list dot correction + ADC over probed lists' codes only.
-    "q112_ann_ivfpq" -> ((s, dir) => {
-      val emb = T(s, dir, "embeddings")
-      Similarity.ivfPqTopK(
-        emb, emb.filter(col("vec_id") === 0), "vec_id", "embedding",
-        topK = 10, dims = 64, nlist = 8, nprobe = 2, coarseIters = 2,
-        blocks = 4, k = 4, pqIters = 2)
-    }),
-
-    // ---- north-star: incremental semantic dedup — the daily batch
-    //      screened against the DURABLE vector index (threshold probe:
-    //      every corpus match ≥ t in the probed lists, no top-k
-    //      truncation; arrival order: corpus wins), then batch
-    //      keep-first.
-    "q113_incremental_semdedup" -> ((s, dir) =>
-      Similarity.incrementalSemanticDedup(
-        T(s, dir, "embeddings").filter(col("vec_id") % 10 === 0),
-        "vec_id", "embedding", corpusVecIndex(s, dir),
-        threshold = 0.15, nprobe = 2)),
-
-    // ---- north-star: boilerplate report — the top-20 most frequent
-    //      4-token windows with doc/source spread; the audit a pipeline
-    //      owner runs before configuring the scrub.
-    "q114_boilerplate_report" -> ((s, dir) =>
-      graft.ops.TextOps.boilerplateReport(
-        T(s, dir, "documents"), "text", "doc_id", "source", n = 4, k = 20)),
-
-    // ---- north-star: batch residual IVF-PQ — the q112 composite for
-    //      a query SET: nested ADC/correction literal maps, per-query
-    //      probe ranking, one scan of the probed code table.
-    "q115_ann_ivfpq_batch" -> ((s, dir) => {
-      val emb = T(s, dir, "embeddings")
-      Similarity.ivfPqTopKBatch(
-        emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding", "vec_id",
-        topK = 10, dims = 64, nlist = 8, nprobe = 2, coarseIters = 2,
-        blocks = 4, k = 4, pqIters = 2)
-    }),
-
-    // ---- north-star: DURABLE Naive Bayes model — train once, publish
-    //      the classes×dims model table as parquet, score later batches
-    //      from the stored model; must equal q106 through the roundtrip.
-    "q116_durable_nb_model" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
-      val modelDir = tmp("q116_nb_model")
-      graft.ops.LanguageModel.naiveBayesModel(
-          docs.filter(col("doc_id") % 2 === 0), "text", "lang", dims = 128)
-        .write.mode("overwrite").parquet(modelDir)
-      graft.ops.LanguageModel.naiveBayesScore(
-        s.read.parquet(modelDir),
-        docs.filter(col("doc_id") % 2 =!= 0), "text", "doc_id")
-    }),
-
-    // ---- capstone: the INCREMENTAL curation pipeline — what the daily
-    //      batch actually runs: quality filters on the batch, near-dup
-    //      drops from the durable signature-index probe (arrival-order:
-    //      corpus wins, then batch keep-first), incremental scrub of
-    //      the survivors against the window index, packed training
-    //      sequences. Every stage consumes a PUBLISHED index; the
-    //      corpus is never re-read (text enters only for pair verify).
-    "q96_incremental_curation" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
-      val batch = docs.filter(col("doc_id") % 10 === 0)
-      val quality = graft.ops.CorpusFilters.decide(
-        batch, "text", "doc_id",
-        graft.config.PipelineConfig.parseCorpusFilters(corpusFilterYaml))
-        .filter(col("kept")).select("doc_id")
-      val pairs = graft.io.SignatureIndex.probe(
-        docs, batch, "text", durableSigIndex(s, dir), threshold = 0.8)
-      // arrival-order drop: a batch doc loses to ANY corpus partner
-      // (regardless of id order) and to a smaller-id batch partner
-      val keepIds = Dedup.incrementalDedupDecisions(batch, pairs, "doc_id")
-        .filter(col("keep")).select("doc_id")
-      val kept = batch
-        .join(broadcast(quality), Seq("doc_id"), "left_semi")
-        .join(broadcast(keepIds), Seq("doc_id"), "left_semi")
-      val cleaned = graft.io.WindowIndex.scrubProbe(
-        kept, "text", durableWinIndex(s, dir))
-        .select(col("doc_id"), col("clean"))
-        .join(docs.select("doc_id", "lang"), Seq("doc_id"))
-      graft.ops.Packing.packSequences(cleaned, "clean", "lang", "doc_id", budget = 512L)
-    }),
-
-    // ---- north-star: INCREMENTAL exact-substring scrubbing — the
-    //      batch scrubbed against the standing window index with
-    //      ARRIVAL-order keep-first (a window the corpus has seen is
-    //      cut from every batch occurrence; a corpus-new window keeps
-    //      its first batch occurrence). Completes the incremental
-    //      family: detect (q77) / select (q90) / scrub (q95).
-    "q95_incremental_scrub" -> ((s, dir) =>
-      graft.io.WindowIndex.scrubProbe(
-        T(s, dir, "documents").filter(col("doc_id") % 10 === 0),
-        "text", durableWinIndex(s, dir))),
-
-    // ---- north-star: corpus n-gram stats FROM THE INDEX ALONE — the
-    //      metadata-only read of the q77 window store: distinct/total/
-    //      duplicated grams + ledger doc count without touching the
-    //      corpus (cost ∝ index, not data). Oracle recomputes the same
-    //      numbers from the corpus — index ≡ corpus by construction.
-    "q93_index_stats" -> ((s, dir) =>
-      graft.io.WindowIndex.stats(s, durableWinIndex(s, dir))),
-
-    // ---- north-star: cross-source duplication matrix — which sources
-    //      copy from which: the verified near-dup pairs (shared q16
-    //      index) rolled up by normalized source pair. |sources|² rows;
-    //      the curation question behind per-source dedup budgets.
-    "q91_source_dup_matrix" -> ((s, dir) => {
-      val src = T(s, dir, "documents").select(col("doc_id"), col("source"))
-      verifiedPairs(s, dir)
-        .join(src.select(col("doc_id").as("id_a"), col("source").as("__sa")), Seq("id_a"))
-        .join(src.select(col("doc_id").as("id_b"), col("source").as("__sb")), Seq("id_b"))
-        .groupBy(
-          least(col("__sa"), col("__sb")).as("source_a"),
-          greatest(col("__sa"), col("__sb")).as("source_b"))
-        .agg(count(lit(1)).as("n_pairs"),
-          expr("cast(sum(cast(jaccard as decimal(18,6))) as double)").as("sum_jaccard"))
-    }),
-
-    // ---- north-star: dup-cluster size histogram — the shape report of
-    //      the near-dup graph (how much is pairwise noise vs template
-    //      families); consumes the published cluster labels.
-    "q92_cluster_sizes" -> ((s, dir) =>
-      clusterLabels(s, dir)
-        .groupBy(col("label"))
-        .agg(count(lit(1)).as("cluster_size"))
-        .groupBy(col("cluster_size"))
-        .agg(count(lit(1)).as("n_clusters"))),
-
-    // ---- north-star: per-doc n-gram NOVELTY vs the standing corpus —
-    //      the data-selection read of the q77 window index (boilerplate
-    //      re-crawls score ~0, genuinely new text ~1); only the batch
-    //      is hashed, the index is pruned map-side, never reshuffled.
-    "q90_novelty_scores" -> ((s, dir) =>
-      graft.io.WindowIndex.noveltyProbe(
-        T(s, dir, "documents").filter(col("doc_id") % 10 === 0),
-        "text", durableWinIndex(s, dir))),
-
-    // ---- north-star: per-SOURCE novelty rollup — the acquisition
-    //      dashboard: which sources still yield n-gram-new text vs
-    //      boilerplate re-crawls. Token-weighted (Σnovel/Σwindows) over
-    //      the q90 index probe; |sources| rows out.
-    "q100_source_novelty" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
-      graft.io.WindowIndex.noveltyProbe(
-        docs.filter(col("doc_id") % 10 === 0), "text", durableWinIndex(s, dir))
-        .join(docs.select("doc_id", "source"), Seq("doc_id"))
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-          sum("n_windows").as("n_windows"),
-          sum("n_novel").as("n_novel"),
-          round(sum(col("n_novel")).cast("double") / sum(col("n_windows")), 6)
-            .as("novelty"))
-    }),
-
-    // ---- north-star: corpus-health report — the corpus-level dataset
-    //      card: docs, tokens, lang/source cardinalities, normalized
-    //      exact-dup rate, decimal-summed mean quality, ONE aggregation
-    //      pass (exact distincts; q63's HLL profile is the 100 TB twin).
-    "q89_corpus_report" -> ((s, dir) => {
-      val t = col("text")
-      T(s, dir, "documents")
-        .select(
-          graft.functions.GraftFunctions.tokenCount(s, t).as("__n"),
-          col("lang"), col("source"),
-          graft.ops.TextOps.fingerprint(t).as("__fp"),
-          graft.ops.TextOps.qualityScore(t).cast("decimal(18,6)").as("__q"))
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum(col("__n")).as("n_tokens"),
-          countDistinct(col("lang")).as("n_langs"),
-          countDistinct(col("source")).as("n_sources"),
-          round(lit(1.0) - countDistinct(col("__fp")).cast("double") / count(lit(1)), 6)
-            .as("dup_rate"),
-          round(sum(col("__q")).cast("double") / count(lit(1)), 6).as("mean_quality"))
-    }),
-
-    // ---- production-kernel twin of q88 (rows-only bench row, like
-    //      q40/q78): xx64 shingle hashing in the prefix join. The
-    //      RESULT is provably IDENTICAL to q88 — the prefix theorem
-    //      holds under ANY global total order (each kernel just
-    //      induces a different one) and the verify stage compares
-    //      shingle STRINGS — so this twin is equality-spec-pinned,
-    //      not merely parity-checked.
-    "q94_exact_jaccard_xx64" -> ((s, dir) =>
-      Dedup.prefixFilteredPairs(
-        T(s, dir, "documents"), "text", "doc_id", threshold = 0.8,
-        kind = Dedup.Xx64)),
-
-    // ---- north-star: quality-signal pack (Gopher/C4-family fences) —
-    //      type-token ratio, code-point Shannon entropy (codegen
-    //      kernel), mean word length, digit/uppercase density. One
-    //      scan-speed projection, zero shuffles.
-    "q85_quality_signals" -> ((s, dir) =>
-      graft.ops.TextOps.qualitySignals(T(s, dir, "documents"), "text", "doc_id")),
-
-    // ---- north-star: curriculum difficulty bins — per-language exact
-    //      quartiles of char entropy broadcast back as a scan-speed
-    //      CASE (curriculum schedules read the bin column; nothing
-    //      globally sorts the corpus).
-    "q86_curriculum_bins" -> ((s, dir) =>
-      graft.ops.Sampling.curriculumBins(
-        T(s, dir, "documents"), "lang", "doc_id",
-        graft.functions.GraftFunctions.charEntropy(s, col("text")), nBins = 4)),
-
-    // ---- north-star: shard manifest / dataset card — per-shard doc
-    //      and token counts + source composition over q81's balanced
-    //      export; |shards| rows a consumer reads instead of scanning
-    //      the export.
-    "q87_shard_manifest" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
-      graft.ops.Packing.shardManifest(
-        graft.ops.Packing.exportShards(docs, "text", "doc_id", targetTokens = 2048L),
-        docs, "doc_id", "source")
-    }),
-
-    // ---- north-star: exact-substring SCRUBBING — cut every duplicated
-    //      3-token window except its first corpus-wide occurrence and
-    //      rebuild the text (the keep-first action for q74's detector).
-    "q75_span_scrub" -> ((s, dir) =>
-      Dedup.scrubDuplicates(T(s, dir, "documents"), "text", "doc_id", n = 3)),
-
-    // ---- capstone variant WITH span scrubbing: the production order
-    //      (silver clean before gold assembly) — near-dup keepers ∧
-    //      quality filters select the docs, THEN exact-substring
-    //      scrubbing cuts residual verbatim boilerplate among the
-    //      survivors, THEN the cleaned text is packed. Scrub runs over
-    //      the CURATED corpus: whole near-dup docs are already gone, so
-    //      the span pass only pays for what doc-level dedup can't see.
-    "q76_curation_scrubbed" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
-      val keepers = Dedup.dedupDecisions(docs, "doc_id", clusterLabels(s, dir))
-        .filter(col("keep")).select("doc_id")
-      val quality = graft.ops.CorpusFilters.decide(
-        docs, "text", "doc_id",
-        graft.config.PipelineConfig.parseCorpusFilters(corpusFilterYaml))
-        .filter(col("kept")).select("doc_id")
-      val curated = docs
-        .join(broadcast(keepers), Seq("doc_id"), "left_semi")
-        .join(broadcast(quality), Seq("doc_id"), "left_semi")
-      val scrubbed = Dedup.scrubDuplicates(curated, "text", "doc_id", n = 3)
-        .select(col("doc_id"), col("clean"))
-        // re-attach the shard key (scrub projects it away); id-keyed
-        // equi-join against the id+lang projection only
-        .join(docs.select("doc_id", "lang"), Seq("doc_id"))
-      graft.ops.Packing.packSequences(scrubbed, "clean", "lang", "doc_id", budget = 512L)
-    }),
-
-    // ---- capstone: the WHOLE curation pipeline as one declarative
-    //      plan — quality-filter chain ∧ near-dup keepers → packed
-    //      training sequences. Every stage reuses an operator that is
-    //      individually oracle-checked; this query checks their
-    //      COMPOSITION end-to-end.
-    "q72_curation_pipeline" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
-      val keepers = Dedup.dedupDecisions(docs, "doc_id", clusterLabels(s, dir))
-        .filter(col("keep")).select("doc_id")
-      val quality = graft.ops.CorpusFilters.decide(
-        docs, "text", "doc_id",
-        graft.config.PipelineConfig.parseCorpusFilters(corpusFilterYaml))
-        .filter(col("kept")).select("doc_id")
-      // both prune lists are id-only and corpus-bounded-small relative
-      // to the docs they prune — broadcast them (the static planner
-      // sees only stale size estimates through the filter/label joins
-      // and falls back to sort-merge)
-      val curated = docs
-        .join(broadcast(keepers), Seq("doc_id"), "left_semi")
-        .join(broadcast(quality), Seq("doc_id"), "left_semi")
-      graft.ops.Packing.packSequences(curated, "text", "lang", "doc_id", budget = 512L)
-    }),
-
-    // ---- north-star: PQ asymmetric-distance search — approximate
-    //      inner-product top-k touching ONLY the integer code table
-    //      (exact query side, per-block lookup maps).
-    "q71_pq_topk" -> ((s, dir) => {
-      val emb = T(s, dir, "embeddings")
-      Similarity.pqTopKWith(
-        emb, emb.filter(col("vec_id") === 0), "vec_id", "embedding",
-        topK = 10, dims = 64, codebooks = pqBooks(s, dir))
-    }),
-
-    // ---- north-star: corpus unigram LM scoring (CCNet-style fence) —
-    //      per-doc mean negative log-likelihood under the corpus's own
-    //      token distribution; vocabulary broadcast, scoring narrow.
-    "q68_unigram_nll" -> ((s, dir) =>
-      graft.ops.LanguageModel.meanNegLogLik(
-        T(s, dir, "documents"), "text", "doc_id")),
-
-    // ---- north-star: held-out LM scoring — batch docs scored against
-    //      the FROZEN corpus model with add-one smoothing (OOV-safe);
-    //      the daily-ingest quality fence companion to q60's index.
-    "q69_heldout_nll" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
-      graft.ops.LanguageModel.scoreHeldOut(
-        graft.ops.LanguageModel.unigramCounts(
-          docs.filter(col("doc_id") % 10 =!= 0), "text"),
-        docs.filter(col("doc_id") % 10 === 0), "text", "doc_id")
-    }),
-
-    // ---- north-star: temperature mixture weights (UniMax shape) —
-    //      per-source token counts → α-scaled sampling weights + keep
-    //      fractions for a target-size mixture; |strata| rows out.
-    "q67_mixture_weights" -> ((s, dir) =>
-      graft.ops.Sampling.mixtureWeights(
-        T(s, dir, "documents"), "lang",
-        graft.functions.GraftFunctions.tokenCount(s, col("text")),
-        alpha = 0.5, targetUnits = 50000L)),
-
-    // ---- north-star: feature hashing (hashing-trick term
-    //      frequencies) — vocabulary-free fixed-width text features,
-    //      sparse row form, one shuffle with map-side partial counts.
-    "q66_feature_hash" -> ((s, dir) =>
-      graft.ops.TextOps.hashedTermFrequencies(
-        T(s, dir, "documents"), "text", "doc_id", dims = 64)),
-
-    // ---- north-star: DSIR importance weights — every raw doc scored
-    //      by ln p̂_target − ln p̂_raw over hashed unigram+bigram
-    //      features (target = the English slice); two dims-bounded
-    //      model aggregations + one broadcast lookup join.
-    "q79_dsir_weights" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
-      graft.ops.LanguageModel.importanceWeights(
-        docs, docs.filter(col("lang") === "en"), "text", "doc_id", dims = 128)
-    }),
-
-    // ---- north-star: corpus-level line dedup (CCNet/RefinedWeb
-    //      paragraph dedup) — keep each line's first corpus-wide
-    //      occurrence, rebuild docs. The fixture corpus is single-line
-    //      (q73's note), so multi-line bodies with a GUARANTEED
-    //      cross-doc duplicate (a shared header) plus likely ones (the
-    //      first-5-token line) are synthesized in-query.
-    "q80_corpus_line_dedup" -> ((s, dir) => {
-      val line1 = concat_ws(" ", slice(split(col("text"), " "), 1, 5))
-      val synth = concat_ws("\n",
-        lit("graft shared header line"), col("text"), line1, line1)
-      Dedup.corpusLineDedup(
-        T(s, dir, "documents").select(col("doc_id"), synth.as("body")),
-        "body", "doc_id")
-    }),
-
-    // ---- north-star: token-balanced shard export — seeded
-    //      deterministic global shuffle + contiguous token-budget
-    //      shards via a distributed prefix sum (256 salt groups;
-    //      constant-size offset state, no corpus-wide window).
-    "q81_balanced_shards" -> ((s, dir) =>
-      graft.ops.Packing.exportShards(
-        T(s, dir, "documents"), "text", "doc_id", targetTokens = 2048L)),
-
-    // ---- bench twin (no oracle: HLL estimates aren't replayable in
-    //      DuckDB): the profiler's 100 TB configuration — approx
-    //      distincts remove the Expand row duplication entirely.
-    "q63_profile_approx" -> ((s, dir) =>
-      graft.ops.Stats.profile(
-        T(s, dir, "lineitem"),
-        Seq("l_quantity", "l_extendedprice", "l_returnflag", "l_orderkey"),
-        approxDistinct = true)),
-
-    // ---- north-star: SEMANTIC dedup decisions — embedding near-dup
-    //      pairs (q24's banded LSH) resolved into clusters (pointer-
-    //      doubling components) and keep/drop decisions: the
-    //      embedding-space twin of the lexical q47.
-    "q59_semantic_clusters" -> ((s, dir) => {
-      val emb = T(s, dir, "embeddings")
-      val pairs = Similarity.bandedNeighbors(
-        emb, "vec_id", "embedding",
-        planesPerBand = 8, bands = 2, dims = 64, minCosine = 0.15)
-        .select("id_a", "id_b")
-      Dedup.dedupDecisions(emb, "vec_id", Dedup.components(pairs))
-    }),
-
-    // ---- S1: page-partitioned bounded source (DataSourceV2) — pages
-    //      fetched in parallel, per-page retry inside the reader
-    "q28_paged_source" -> ((s, dir) => {
-      val out = tmp("q28_paged")
-      Layers.writeJsonl(T(s, dir, "customer").coalesce(1), out)
-      val file = new java.io.File(out).listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".json"))
-        .getOrElse(sys.error(s"no jsonl part file under $out")).getPath
-      s.read.format("graft.sources.PagedJsonlSource")
-        .option("path", file).option("pageSize", "100")
-        .load()
-        .select(col("page"),
-          from_json(col("value"), graft.schema.Metadata.structFromSpec(
-            "c_custkey: long")).getField("c_custkey").as("c_custkey"))
-        .agg(
-          countDistinct(col("page")).as("n_pages"),
-          count(lit(1)).as("n_rows"),
-          sum(col("c_custkey")).as("sum_key"))
-    }),
-
-    // ---- north-star: RAG-style document chunking — overlapping
-    //      fixed-width token windows (the pre-embedding split for
-    //      retrieval corpora); pure narrow explode, scan-speed.
-    "q117_chunk_docs" -> ((s, dir) =>
-      graft.ops.TextOps.chunkDocuments(
-        T(s, dir, "documents"), "text", "doc_id",
-        chunkTokens = 32, overlap = 8)),
-
-    // ---- north-star: distributed BPE tokenizer training — ONE corpus
-    //      pass builds the (word, count) vocabulary, then every merge
-    //      iteration is vocab-bounded (pair agg + 1-row collect +
-    //      narrow merge projection, checkpointed lineage).
-    "q118_bpe_merges" -> ((s, dir) =>
-      graft.ops.Bpe.train(T(s, dir, "documents"), "text", merges = 6)),
-
-    // ---- north-star: BPE encoding with the learned merge list — the
-    //      codegen kernel loops the (broadcast-as-literal) merge array
-    //      per word; scan-speed, parity-pinned against the portable
-    //      fold-of-replace form the oracle replays.
-    "q119_bpe_encode" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
-      val merges = graft.ops.Bpe.mergeList(
-        graft.ops.Bpe.train(docs, "text", merges = 6))
-      docs.select(col("doc_id"),
-        graft.functions.GraftFunctions.bpeCount(s, col("text"), merges)
-          .as("n_bpe_tokens"),
-        graft.functions.GraftFunctions.tokenCount(s, col("text"))
-          .as("n_ws_tokens"))
-    }),
-
-    // ---- north-star: Z-order (Morton) cluster key — integer rank
-    //      buckets against full-table bounds, bits interleaved; the
-    //      arithmetic the z-ordered sink sorts by, oracle-checked
-    //      value-for-value on a deterministic slice.
-    "q120_zvalues" -> ((s, dir) =>
-      Layers.zValues(
-          T(s, dir, "lineitem"), Seq("l_orderkey", "l_partkey"),
-          bits = 8, zCol = "zval")
-        .filter(col("l_orderkey") <= 400)
-        .select("l_orderkey", "l_partkey", "zval")),
-
-    // ---- north-star: Z-order clustered sink roundtrip — layout
-    //      changes I/O (multi-column file skipping, LayersSpec), never
-    //      answers: the box-filter aggregate must equal the source.
-    "q121_zorder_roundtrip" -> ((s, dir) => {
-      val out = tmp("q121_zorder")
-      Layers.writeZOrdered(
-        T(s, dir, "lineitem"), out, Seq("l_orderkey", "l_partkey"),
-        numFiles = 8)
-      Layers.readParquet(s, out)
-        .filter(col("l_orderkey").between(3000, 6000) &&
-          col("l_partkey").between(500, 900))
-        .agg(
-          count(lit(1)).as("n_rows"),
-          sum("l_orderkey").as("sum_ok"),
-          sum("l_partkey").as("sum_pk"),
-          expr(s"${dsum("l_quantity")} AS sum_qty"))
-    }),
-
-    // ---- north-star: SCD2 versioned-dimension merge — corpus
-    //      metadata (source registries, licenses) maintained with full
-    //      history; batch-∝: only touched keys' open rows enter the
-    //      window, closed history passes through. Batch synthesized
-    //      in-query: real updates (ts 10), no-op churn (ts 20, must
-    //      NOT create versions), and brand-new keys.
-    "q122_scd2_merge" -> ((s, dir) => {
-      val cust = T(s, dir, "customer")
-      val state0 = cust.select(col("c_custkey"), col("c_mktsegment"),
-        lit(0L).as("valid_from"), lit(null).cast("long").as("valid_to"),
-        lit(true).as("is_current"))
-      val upd = cust.filter(col("c_custkey") % 5 === 0)
-        .select(col("c_custkey"),
-          concat(col("c_mktsegment"), lit("_U")).as("c_mktsegment"),
-          lit(10L).as("ts"))
-        .unionByName(cust.filter(col("c_custkey") % 10 === 0)
-          .select(col("c_custkey"),
-            concat(col("c_mktsegment"), lit("_U")).as("c_mktsegment"),
-            lit(20L).as("ts")))
-        .unionByName(cust.filter(col("c_custkey") % 25 === 0)
-          .select((col("c_custkey") + 100000L).as("c_custkey"),
-            lit("NEW_SEG").as("c_mktsegment"), lit(10L).as("ts")))
-      graft.ops.Scd.mergeScd2(state0, upd, "c_custkey", "ts",
-        Seq("c_mktsegment"))
-    }),
-
-    // ---- north-star: BPE vocabulary — the token frequency table a
-    //      tokenizer ships beside its merges; vocab-bounded after the
-    //      one corpus word-count pass.
-    "q123_bpe_vocab" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
-      graft.ops.Bpe.vocabulary(docs, "text",
-        graft.ops.Bpe.mergeList(graft.ops.Bpe.train(docs, "text", 6)))
-    }),
-
-    // ---- north-star: DURABLE BPE model — train on the even half,
-    //      publish the merge table as parquet, encode the odd half
-    //      from the STORED model (the q69/q116 frozen-model lifecycle
-    //      for the tokenizer).
-    "q124_durable_bpe" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
-      val modelDir = tmp("q124_bpe_model")
-      graft.ops.Bpe.train(docs.filter(col("doc_id") % 2 === 0), "text", 6)
-        .write.mode("overwrite").parquet(modelDir)
-      val merges = graft.ops.Bpe.mergeList(s.read.parquet(modelDir))
-      docs.filter(col("doc_id") % 2 =!= 0).select(col("doc_id"),
-        graft.functions.GraftFunctions.bpeCount(s, col("text"), merges)
-          .as("n_bpe_tokens"))
-    }),
-
-    // ---- north-star composition: tokenizer-aware sequence packing —
-    //      q64's concat-and-chunk, but budgeted in the tokens the
-    //      MODEL will see (the learned BPE), not whitespace words.
-    "q125_bpe_pack" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
-      val merges = graft.ops.Bpe.mergeList(
-        graft.ops.Bpe.train(docs, "text", 6))
-      graft.ops.Packing.packSequencesBy(docs,
-        graft.functions.GraftFunctions.bpeCount(s, col("text"), merges),
-        "lang", "doc_id", budget = 512L)
-    }),
-
-    // ---- north-star: tokenizer equity report — per-language
-    //      compression (chars per BPE token) of the learned tokenizer;
-    //      the fairness/efficiency audit run before shipping a vocab.
-    "q126_tokenizer_report" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
-      val merges = graft.ops.Bpe.mergeList(
-        graft.ops.Bpe.train(docs, "text", 6))
-      docs.groupBy("lang").agg(
-          count(lit(1)).as("n_docs"),
-          sum(graft.functions.GraftFunctions.tokenCount(s, col("text")))
-            .as("ws_tokens"),
-          sum(length(replace(col("text"), lit(" ")))).as("n_chars"),
-          sum(graft.functions.GraftFunctions.bpeCount(s, col("text"), merges))
-            .as("bpe_tokens"))
-        .withColumn("chars_per_bpe_token",
-          round(col("n_chars").cast("double") / col("bpe_tokens"), 6))
-    }),
-
-    // ---- north-star: ANN recall@k — the measurement that closes the
-    //      approximate-index tuning loop (nlist/nprobe chosen by
-    //      measured recall against exact ground truth, not guesswork).
-    //      Both sides are k·|queries|-row index outputs, so the
-    //      compare is a broadcast join, never a corpus pass.
-    "q127_ann_recall" -> ((s, dir) => {
-      val emb = T(s, dir, "embeddings")
-      val queries = emb.filter(col("vec_id") < 3)
-      val truth = Similarity.bruteForceTopKBatch(
-        emb, queries, "vec_id", "embedding", "vec_id", k = 10)
-      val approx = Similarity.ivfTopKTrainedBatch(
-        emb, queries, "vec_id", "embedding", "vec_id",
-        k = 10, nlist = 8, nprobe = 2, iters = 2)
-      Similarity.recallAtK(truth, approx, "query_id", "vec_id", k = 10)
-    }),
-
-    // ---- north-star: encoding-health report — Unicode NFC
-    //      normalization via the `graft_nfc` codegen kernel (Spark's
-    //      function library has NO normalizer; mixed composed/
-    //      decomposed forms break exact dedup, fingerprints, and BPE
-    //      vocab unification) + mojibake signals (U+FFFD replacement
-    //      chars). The fixture corpus is clean ASCII, so decomposed
-    //      sequences and replacement chars are seeded deterministically
-    //      in-query (the q44 pattern) — the oracle then checks REAL
-    //      normalization semantics, not an identity pass.
-    "q128_unicode_clean" -> ((s, dir) => {
-      val seeded = when(col("doc_id") % 7 === 0,
-          concat(col("text"), lit(" cafe\u0301 re\u0301sume\u0301")))
-        .when(col("doc_id") % 11 === 0,
-          concat(col("text"), lit(" \uFFFD\uFFFDbroken")))
-        .otherwise(col("text"))
-      val t = col("t")
-      val nt = graft.functions.GraftFunctions.nfc(s, t)
-      T(s, dir, "documents")
-        .select(col("lang"), seeded.as("t"))
-        .groupBy(col("lang"))
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum(when(t =!= nt, 1L).otherwise(0L)).as("n_non_nfc"),
-          sum((length(t) - length(nt)).cast("long")).as("chars_saved"),
-          sum((length(t) - length(replace(t, lit("\uFFFD"), lit(""))))
-            .cast("long")).as("repl_chars"))
-    }),
-
-    // ---- north-star: small-files compaction \u2014 the table-maintenance
-    //      op long-lived sinks need (planning cost grows with FILE
-    //      COUNT, not bytes). A deliberately fragmented 48-file copy is
-    //      compacted by input-byte budget; the oracle aggregates the
-    //      compacted dir against the SOURCE table \u2014 layout changes I/O,
-    //      never the answer (the q121 invariant).
-    "q129_compaction" -> ((s, dir) => {
-      val frag = tmp("compact_frag")
-      val out = tmp("compact_out")
-      T(s, dir, "documents").repartition(48)
-        .write.mode("overwrite").parquet(frag)
-      val (nBefore, nAfter, _) =
-        graft.io.Layers.compact(s, frag, out, targetFileBytes = 4L << 20)
-      require(nAfter < nBefore,
-        s"compaction must reduce file count, got $nBefore -> $nAfter")
-      graft.io.Layers.readParquet(s, out)
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_chars")).cast("long").as("sum_chars"))
-    }),
-
-    // ---- north-star: schema-drift union \u2014 two producer versions of
-    //      the same feed (v1: int ids + float score, no n_chars; v2:
-    //      long ids + double score + n_chars) read as ONE frame through
-    //      explicit numeric widening; Spark's mergeSchema hard-fails on
-    //      exactly this int-vs-long footer conflict. max(q) (not sum)
-    //      keeps the float\u2192double widening check order-insensitive.
-    "q130_schema_drift" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
-      val v1 = tmp("drift_v1")
-      val v2 = tmp("drift_v2")
-      docs.filter(col("doc_id") % 2 === 0)
-        .select(col("doc_id").cast("int").as("doc_id"), col("lang"),
-          (col("n_chars") / lit(100.0)).cast("float").as("q"))
-        .write.mode("overwrite").parquet(v1)
-      docs.filter(col("doc_id") % 2 === 1)
-        .select(col("doc_id"), col("lang"),
-          (col("n_chars") / lit(100.0)).cast("double").as("q"),
-          col("n_chars"))
-        .write.mode("overwrite").parquet(v2)
-      graft.io.Layers.readDrifted(s, Seq(v1, v2))
-        .groupBy(col("lang"))
-        .agg(
-          count(lit(1)).as("n_rows"),
-          sum(col("doc_id")).as("sum_id"),
-          sum(when(col("n_chars").isNull, 1L).otherwise(0L)).as("n_chars_missing"),
-          max(col("q")).as("max_q"))
-    }),
-
-    // ---- north-star: leakage-safe train/val/test split — docs hash on
-    //      their near-dup CLUSTER representative (q39's components;
-    //      singletons on themselves), so a duplicate family can never
-    //      straddle the train/test fence and leak training text into
-    //      eval through its copies. Same salted fence as q37; the
-    //      SamplingSpec integrity case proves zero straddling clusters.
-    "q131_leakage_safe_split" -> ((s, dir) => {
-      val splits = graft.ops.Sampling.clusterAwareSplit(
-        T(s, dir, "documents"), "doc_id", clusterLabels(s, dir),
-        Seq(0.8, 0.1, 0.1), salt = "v1")
-      splits.zip(Seq("train", "val", "test"))
-        .map { case (d, t) => d.select(lit(t).as("split"), col("doc_id")) }
-        .reduce(_.unionByName(_))
-        .groupBy("split")
-        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))
-    }),
-
-    // ---- north-star: token-budget selection — keep the best-quality
-    //      docs until a global token budget, WITHOUT a global sort:
-    //      quality bins → per-bin token mass (≤100 driver rows) →
-    //      threshold bin found driver-side → stateless keep/drop
-    //      filters everywhere except the ONE threshold bin, whose
-    //      ~corpus/100 rows spend the remainder via a running-sum
-    //      window in id order. The "data selection under budget" op
-    //      every pretraining run starts with.
-    "q132_token_budget" -> ((s, dir) => {
-      val scored = T(s, dir, "documents").select(
-        col("doc_id"), col("source"),
-        graft.ops.TextOps.qualityScore(col("text")).as("q"),
-        graft.functions.GraftFunctions.tokenCount(s, col("text")).as("tok"))
-      graft.ops.Sampling.tokenBudgetSelect(
-          scored, "doc_id", "q", "tok", budget = 12000L, bins = 100)
-        .filter(col("keep"))
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-          sum("tok").cast("long").as("n_tokens"),
-          min("q").as("min_q"))
-    }),
-
-    // ---- north-star: keyed-skew diagnostics — the pre-flight report
-    //      before any big join/agg: heavy-hitter keys, their share,
-    //      skew vs the key-space mean, and the salt fan-out that would
-    //      level them (feeds q30's salted path). Decomposable counts +
-    //      broadcast 1-row stats + TakeOrdered top-k — no global sort.
-    "q133_skew_report" -> ((s, dir) =>
-      graft.ops.Diagnostics.skewReport(
-        graft.io.Layers.readEvents(s, s"$dir/events.parquet")
-          .select("user_id"),
-        "user_id", topK = 5)),
-
-    // ---- north-star: per-source quality calibration — exact p50/p90
-    //      quality per source, the threshold table a mixing pipeline
-    //      consumes (a global quality fence over uncalibrated
-    //      per-domain score distributions systematically starves whole
-    //      domains; thresholds must be set per source).
-    "q134_quality_calibration" -> ((s, dir) =>
-      graft.ops.Stats.exactPercentiles(
-        T(s, dir, "documents").select(col("source"),
-          graft.ops.TextOps.qualityScore(col("text")).as("q")),
-        groupCols = Seq("source"), valueCol = "q",
-        ps = Seq(0.5, 0.9))),
-
-    // ---- north-star events: ordered funnel — greedy-earliest
-    //      view→click→purchase within 7 days of the anchor; one
-    //      decomposable groupBy(user).min per step chained by user-key
-    //      equi-joins, each stage checkpointed once (no per-user loops,
-    //      no event-array collection).
-    "q135_event_funnel" -> ((s, dir) =>
-      graft.ops.EventOps.funnel(
-        graft.io.Layers.readEvents(s, s"$dir/events.parquet"),
-        "user_id", "event_type", "ts",
-        steps = Seq("view", "click", "purchase"),
-        windowSeconds = 604800L)),
-
-    // ---- north-star events: weekly cohort retention — cohort = the
-    //      period of a user's first event (integer arithmetic vs a
-    //      fixed epoch date, bit-replayable); (cohort, k) activity
-    //      counts + rate vs the cohort's own size.
-    "q136_retention" -> ((s, dir) =>
-      graft.ops.EventOps.retention(
-        graft.io.Layers.readEvents(s, s"$dir/events.parquet"),
-        "user_id", "ts", epochDate = "2024-01-01", periodDays = 7)),
-
-    // ---- north-star: CDC apply — materialize an I/U/D change log onto
-    //      a current-state table (the flat-state sibling of q122's
-    //      SCD2: serving shape, no history). Winner per key via ONE
-    //      decomposable max_by aggregate; the state is pruned by a
-    //      broadcast anti-join, never reshuffled. Changes synthesized
-    //      in-query: updates (ts 10), deletes (ts 20, overriding the
-    //      update where keys overlap), a LATE update (ts 5, must lose
-    //      to the delete), and brand-new inserts.
-    "q137_cdc_apply" -> ((s, dir) => {
-      val cust = T(s, dir, "customer")
-        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
-      val upd = cust.filter(col("c_custkey") % 5 === 0).select(
-        col("c_custkey"), lit(10L).as("ts"), lit("U").as("op"),
-        concat(col("c_mktsegment"), lit("_U")).as("c_mktsegment"),
-        (col("c_acctbal") + lit(100.0)).as("c_acctbal"))
-      val del = cust.filter(col("c_custkey") % 7 === 0).select(
-        col("c_custkey"), lit(20L).as("ts"), lit("D").as("op"),
-        lit(null).cast("string").as("c_mktsegment"),
-        lit(null).cast("double").as("c_acctbal"))
-      val late = cust.filter(col("c_custkey") % 7 === 0).select(
-        col("c_custkey"), lit(5L).as("ts"), lit("U").as("op"),
-        lit("LATE").as("c_mktsegment"), lit(0.0).as("c_acctbal"))
-      val ins = cust.filter(col("c_custkey") % 25 === 0).select(
-        (col("c_custkey") + 1000000L).as("c_custkey"),
-        lit(10L).as("ts"), lit("I").as("op"),
-        lit("NEW_SEG").as("c_mktsegment"), lit(1.5).as("c_acctbal"))
-      graft.ops.Cdc.applyCdc(cust,
-          upd.unionByName(del).unionByName(late).unionByName(ins),
-          "c_custkey", "ts", "op", Seq("c_mktsegment", "c_acctbal"))
-        .groupBy("c_mktsegment")
-        .agg(count(lit(1)).as("n_rows"),
-          sum("c_custkey").as("sum_keys"),
-          expr("cast(sum(cast(c_acctbal as decimal(18,6))) as double)")
-            .as("sum_bal"))
-    }),
-
-    // ---- north-star: vector-quality audit — the pre-index health
-    //      check (NaN components, zero norms, wrong dims poison an ANN
-    //      index SILENTLY). The fixture is clean, so corruption is
-    //      seeded deterministically in-query (the q44/q128 pattern):
-    //      zero vectors, a NaN component, truncated dims.
-    "q138_vector_audit" -> ((s, dir) => {
-      val e = col("embedding")
-      val seeded = when(col("vec_id") % 13 === 0,
-          transform(e, _ => lit(0.0f)))
-        .when(col("vec_id") % 17 === 0,
-          concat(array(lit(Float.NaN)), slice(e, 2, 63)))
-        .when(col("vec_id") % 19 === 0, slice(e, 1, 32))
-        .otherwise(e)
-      graft.ops.Similarity.vectorAudit(
-        T(s, dir, "embeddings").select(seeded.as("embedding")),
-        "embedding", expectedDims = 64)
-    }),
-
-    // ---- north-star: WARC web-archive ingestion roundtrip — documents
-    //      land as one gzip member per record via the distributed sink,
-    //      then the DataSourceV2 reader re-ingests them across
-    //      record-boundary-aware splits (splitBytes forced tiny so the
-    //      sync path actually runs); the per-bucket aggregate proves no
-    //      record is lost, duplicated, or byte-shifted vs the table the
-    //      archive was rendered from (content_length = UTF-8 bytes,
-    //      decoded chars = source chars).
-    "q139_warc_source" -> ((s, dir) => {
-      val out = tmp("q139_warc")
-      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
-      graft.sources.WarcIO.writeWarc(
-        docs.select(
-          concat(lit("http://corpus.local/doc/"), col("doc_id")).as("target_uri"),
-          lit("2026-01-01T00:00:00Z").as("warc_date"),
-          concat(lit("<urn:graft:doc:"), col("doc_id"), lit(">")).as("record_id"),
-          lit("text/plain").as("content_type"),
-          encode(col("text"), "UTF-8").as("payload"))
-          .repartition(4),
-        out)
-      s.read.format("graft.sources.WarcSource")
-        .option("path", out).option("splitBytes", "16384").load()
-        .select(
-          regexp_extract(col("target_uri"), "doc/([0-9]+)$", 1)
-            .cast("long").as("doc_id"),
-          col("content_length"),
-          length(decode(col("payload"), "UTF-8")).as("n_chars"))
-        .groupBy((col("doc_id") % 7).as("bucket"))
-        .agg(
-          count(lit(1)).as("n_records"),
-          sum(col("content_length")).as("sum_bytes"),
-          sum(col("n_chars")).as("sum_chars"),
-          sum(col("doc_id")).as("sum_doc"))
-    }),
-
-    // ---- north-star: HTML main-content extraction — jusText-family
-    //      block classification (ancestor tags + link density + length
-    //      floor) as a codegen kernel; the synthesized page buries each
-    //      doc's text in nav/header/aside/footer soup and extraction
-    //      must recover it byte-for-byte, which the oracle checks
-    //      without parsing HTML (n_exact must equal n_docs).
-    "q140_html_extract" -> ((s, dir) => {
-      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
-      docs.select(col("doc_id"), col("text"),
-          graft.functions.GraftFunctions.htmlMain(
-            s, syntheticPage(col("doc_id"), col("text")), minChars = 5)
-            .as("extracted"))
-        .groupBy((col("doc_id") % 5).as("bucket"))
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum(when(col("extracted") === col("text"), 1L).otherwise(0L))
-            .as("n_exact"),
-          sum(length(col("extracted"))).as("sum_chars"))
-    }),
-
-    // ---- north-star: web-corpus pipeline composition — render (with a
-    //      seeded duplicate crawl of every 3rd doc) → extract main
-    //      content → token-count quality fence → exact-dedup count; the
-    //      whole chain replays in the oracle AS IF extraction were
-    //      identity, which q140 proves it is.
-    "q141_web_pipeline" -> ((s, dir) => {
-      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
-        .select(col("doc_id"), col("text"))
-      val pages = docs.unionByName(docs.filter(col("doc_id") % 3 === 0))
-      val extracted = pages.select(
-        graft.functions.GraftFunctions.htmlMain(
-          s, syntheticPage(col("doc_id"), col("text")), minChars = 5)
-          .as("text"))
-      extracted
-        .filter(graft.functions.GraftFunctions.tokenCount(s, col("text")) >= 20)
-        .agg(
-          count(lit(1)).as("n_pages_kept"),
-          countDistinct(col("text")).as("n_unique"))
-    }),
-
-    // ---- north-star: URL canonicalization — RFC 3986 syntax
-    //      normalization + crawl extras (case, default ports,
-    //      fragments, tracking params) and registrable-domain
-    //      extraction; messy URLs are synthesized constructively so
-    //      the oracle knows the clean form WITHOUT normalizing
-    //      (n_exact must equal n_urls — the q140 pattern).
-    "q142_url_normalize" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
-      val tlds = array(lit("com"), lit("org"), lit("net"), lit("co.uk"), lit("de"))
-      val tld = element_at(tlds, (col("doc_id") % 5 + 1).cast("int"))
-      val subs = array(lit(""), lit("WWW."), lit("CDN.Assets."))
-      val sub = element_at(subs, (col("doc_id") % 3 + 1).cast("int"))
-      val port = when(col("doc_id") % 2 === 0, lit(":80")).otherwise(lit(""))
-      val messy = concat(lit("HTTP://"), sub, lit("Site"), col("doc_id") % 11,
-        lit("."), upper(tld), port, lit("/Doc/"), col("doc_id"),
-        lit("?utm_source=feed&id="), col("doc_id"), lit("&gclid=XYZ#frag"))
-      val expected = concat(lit("http://"), lower(sub), lit("site"),
-        col("doc_id") % 11, lit("."), tld, lit("/Doc/"), col("doc_id"),
-        lit("?id="), col("doc_id"))
-      docs.select(col("doc_id"), tld.as("tld"),
-          graft.ops.UrlOps.normalizeUrl(messy).as("norm"),
-          expected.as("expected"),
-          graft.ops.UrlOps.registrableDomain(
-            graft.ops.UrlOps.hostOf(messy)).as("dom"))
-        .groupBy("tld")
-        .agg(
-          count(lit(1)).as("n_urls"),
-          sum(when(col("norm") === col("expected"), 1L).otherwise(0L))
-            .as("n_exact"),
-          countDistinct(col("dom")).as("n_domains"),
-          sum(col("doc_id")).as("sum_ids"))
-    }),
-
-    // ---- north-star: per-domain page caps — the crawl-balance step
-    //      (no domain may dominate the corpus); selection by salted
-    //      md5 hash order so the oracle replays the winner set exactly,
-    //      small domains skip the window, seeded hot domains exercise
-    //      the capped path.
-    "q143_domain_cap" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
-      val domNum = when(col("doc_id") % 3 === 0, col("doc_id") % 10)
-        .otherwise(col("doc_id") % 200)
-      val urls = docs.select(col("doc_id"),
-        concat(lit("http://d"), domNum, lit(".com/p/"), col("doc_id")).as("url"))
-      graft.ops.UrlOps.domainCap(urls, "url", cap = 5, salt = "domcap")
-        .agg(
-          count(lit(1)).as("n_kept"),
-          countDistinct(graft.ops.UrlOps.registrableDomain(
-            graft.ops.UrlOps.hostOf(col("url")))).as("n_domains"),
-          sum(col("doc_id")).as("sum_ids"))
-    }),
-
-    // ---- north-star: robots.txt crawl-policy gate (RFC 9309) — rules
-    //      parse once per host, per-URL decisions at scan speed;
-    //      synthesized policies exercise group selection (specific
-    //      agent over *), longest-match allow-over-disallow, wildcard
-    //      + end-anchor patterns, and the missing-robots default. The
-    //      oracle replays the DECISIONS constructively (it knows which
-    //      (host, path) cases are legal by design), never parsing.
-    "q144_robots_filter" -> ((s, dir) => {
-      import s.implicits._
-      val docs = T(s, dir, "documents")
-      val stdPolicy =
-        """# graft crawl policy
-          |User-Agent: *
-          |Disallow: /private/
-          |Allow: /private/pub*
-          |Disallow: /*.tmp$""".stripMargin
-      val botPolicy =
-        "User-agent: graftbot\nDisallow: /\n\nUser-agent: *\nAllow: /"
-      val robots = Seq(
-        ("h0.com", stdPolicy), ("h1.com", stdPolicy), ("h3.com", botPolicy))
-        .toDF("host", "robots_txt")
-      val path = element_at(array(
-          concat(lit("/public/doc"), col("doc_id")),
-          concat(lit("/private/doc"), col("doc_id")),
-          concat(lit("/private/pub"), col("doc_id")),
-          concat(lit("/cache/doc"), col("doc_id"), lit(".tmp")),
-          concat(lit("/docs/doc"), col("doc_id"), lit(".html"))),
-        (col("doc_id") % 5 + 1).cast("int"))
-      val urls = docs.select(col("doc_id"),
-        concat(lit("http://h"), col("doc_id") % 4, lit(".com"), path).as("url"))
-      graft.ops.Robots.filterAllowed(s, urls, "url", robots, "graftbot")
-        .groupBy(regexp_extract(col("url"), "http://([^/]+)/", 1).as("host"))
-        .agg(count(lit(1)).as("n_allowed"), sum(col("doc_id")).as("sum_ids"))
-    }),
-
-    // ---- north-star: crawl-payload triage — magic-byte MIME sniffing
-    //      (WHATWG pattern set), charset cascade (BOM → meta charset →
-    //      UTF-8 validation → windows-1252), per-row-charset decode;
-    //      payloads synthesized constructively per doc (plain text,
-    //      HTML, BOM'd text, PNG magic, PDF header, latin-1 bytes) so
-    //      every sniff/detect/decode outcome is known by design.
-    "q145_payload_triage" -> ((s, dir) => {
-      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
-      val m = col("doc_id") % 6
-      val utf8 = encode(col("text"), "UTF-8")
-      val bom = lit(Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte))
-      val pngJunk = lit(Array[Byte](0x89.toByte, 'P', 'N', 'G',
-        0x0d, 0x0a, 0x1a, 0x0a, 1, 2, 3, 4))
-      val latin1Tail = lit(Array(0xE9.toByte)) // 'é' in windows-1252
-      val payload = when(m === 0, utf8)
-        .when(m === 1, encode(concat(lit("<html><body>"), col("text")), "UTF-8"))
-        .when(m === 2, concat(bom, utf8))
-        .when(m === 3, pngJunk)
-        .when(m === 4, encode(concat(lit("%PDF-1.4 "), col("text")), "UTF-8"))
-        .otherwise(concat(utf8, latin1Tail))
-      val expectMime = element_at(array(
-        lit("text/plain"), lit("text/html"), lit("text/plain"),
-        lit("image/png"), lit("application/pdf"), lit("text/plain")),
-        (m + 1).cast("int"))
-      val expectCs = element_at(array(
-        lit("utf-8"), lit("utf-8"), lit("utf-8"),
-        lit("windows-1252"), lit("utf-8"), lit("windows-1252")),
-        (m + 1).cast("int"))
-      val expectText = when(m === 0 || m === 2, col("text"))
-        .when(m === 1, concat(lit("<html><body>"), col("text")))
-        .when(m === 4, concat(lit("%PDF-1.4 "), col("text")))
-        .when(m === 5, concat(col("text"), lit("é")))
-      val g = graft.functions.GraftFunctions
-      docs.select(m.as("bucket"),
-          g.sniffMime(s, payload).as("mime"),
-          g.detectCharset(s, payload).as("cs"),
-          g.decodeText(s, payload).as("decoded"),
-          expectMime.as("em"), expectCs.as("ec"), expectText.as("et"))
-        .groupBy("bucket")
-        .agg(
-          count(lit(1)).as("n_payloads"),
-          sum(when(col("mime") === col("em"), 1L).otherwise(0L)).as("n_mime_ok"),
-          sum(when(col("cs") === col("ec"), 1L).otherwise(0L)).as("n_charset_ok"),
-          sum(when(col("bucket") === 3 || col("decoded") === col("et"), 1L)
-            .otherwise(0L)).as("n_decode_ok"))
-    }),
-
-    // ---- north-star CAPSTONE: the full web-ingestion pipeline — render
-    //      pages (duplicate crawl for every 3rd doc, UTF-8 BOM on every
-    //      2nd payload), land them as a splittable WARC archive, then
-    //      re-ingest: boundary-synced WARC scan → MIME sniff → charset-
-    //      sniffed decode → HTML main-content extraction → robots.txt
-    //      gate (messy-cased hosts, /private/ paths denied) → exact
-    //      dedup + char accounting. Every stage is one of the round's
-    //      oracle-proven operators, so the END-TO-END oracle is purely
-    //      constructive over the source table.
-    "q146_web_capstone" -> ((s, dir) => {
-      import s.implicits._
-      val g = graft.functions.GraftFunctions
-      val out = tmp("q146_warc")
-      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
-      def pathFor(stem: String) = when(col("doc_id") % 7 === 0,
-          concat(lit("/private/" + stem), col("doc_id")))
-        .otherwise(concat(lit("/docs/" + stem), col("doc_id")))
-      def page(d: DataFrame, pathCol: org.apache.spark.sql.Column) = d.select(
-        concat(lit("HTTP://Corpus.LOCAL"), pathCol).as("target_uri"),
-        lit("2026-03-01T00:00:00Z").as("warc_date"),
-        concat(lit("<urn:web:"), col("doc_id"), lit(":"), pathCol, lit(">"))
-          .as("record_id"),
-        lit("text/html").as("content_type"),
-        when(col("doc_id") % 2 === 0,
-          concat(lit(Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte)),
-            encode(syntheticPage(col("doc_id"), col("text")), "UTF-8")))
-          .otherwise(encode(syntheticPage(col("doc_id"), col("text")), "UTF-8"))
-          .as("payload"))
-      graft.sources.WarcIO.writeWarc(
-        page(docs, pathFor("doc"))
-          .unionByName(
-            page(docs.filter(col("doc_id") % 3 === 0), pathFor("copy")))
-          .repartition(4),
-        out)
-      val robots = Seq(("corpus.local", "User-agent: *\nDisallow: /private/"))
-        .toDF("host", "robots_txt")
-      val fetched = s.read.format("graft.sources.WarcSource")
-        .option("path", out).option("splitBytes", "32768").load()
-        .filter(g.sniffMime(s, col("payload")) === "text/html")
-        .select(col("target_uri").as("url"),
-          g.htmlMain(s, g.decodeText(s, col("payload")), minChars = 5)
-            .as("content"))
-      graft.ops.Robots.filterAllowed(s, fetched, "url", robots, "graftbot")
-        .agg(
-          count(lit(1)).as("n_allowed"),
-          countDistinct(col("content")).as("n_unique"),
-          sum(length(col("content"))).as("sum_chars"))
-    }),
-
-    // ---- north-star: page-title metadata extraction — the corpus
-    //      record's metadata field beside the extracted body
-    //      (trafilatura's metadata step); the synthesized page titles
-    //      each doc "Doc <id>", so recovery is constructive.
-    "q147_html_title" -> ((s, dir) => {
-      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
-      docs.select(col("doc_id"),
-          graft.functions.GraftFunctions.htmlTitle(
-            s, syntheticPage(col("doc_id"), col("text"))).as("title"))
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum(when(col("title") === concat(lit("Doc "), col("doc_id")), 1L)
-            .otherwise(0L)).as("n_title_ok"),
-          countDistinct(col("title")).as("n_unique"))
-    }),
-
-    // ---- north-star: PII audit — the privacy-prevalence report a
-    //      corpus release runs first. PII is synthesized
-    //      constructively (modular conditions pick which docs get an
-    //      email / structured phone / IPv4 / Luhn-valid card — plus a
-    //      Luhn-INVALID 16-digit decoy that must count as NOTHING), so
-    //      the oracle is pure arithmetic on doc_id while the kernel
-    //      must actually find every span.
-    "q148_pii_audit" -> ((s, dir) => {
-      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
-      val id = col("doc_id")
-      docs.select((id % 7).as("bucket"),
-          graft.functions.GraftFunctions.piiStats(s, piiMessy(id)).as("st"))
-        .groupBy("bucket")
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum(element_at(col("st"), 1)).as("n_email"),
-          sum(element_at(col("st"), 2)).as("n_phone"),
-          sum(element_at(col("st"), 3)).as("n_ipv4"),
-          sum(element_at(col("st"), 4)).as("n_card"))
-    }),
-
-    // ---- north-star: PII redaction — same constructed corpus, but
-    //      the scrub must reproduce the EXPECTED text byte-for-byte
-    //      (typed tokens replace each span, the Luhn-invalid decoy
-    //      survives untouched): n_exact must equal n_docs, the q140
-    //      exact-recovery pattern.
-    "q149_pii_scrub" -> ((s, dir) => {
-      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
-      val id = col("doc_id")
-      val expected = concat(col("text"),
-        when(id % 3 === 0, lit(" contact <EMAIL>")).otherwise(lit("")),
-        when(id % 4 === 0, lit(" call <PHONE>")).otherwise(lit("")),
-        when(id % 6 === 0, lit(" host <IP>")).otherwise(lit("")),
-        when(id % 5 === 0, lit(" card <CARD>"))
-          .when(id % 5 === 1, lit(" ref 4532015112830367")).otherwise(lit("")))
-      docs.select((id % 7).as("bucket"),
-          graft.functions.GraftFunctions.piiScrub(s, piiMessy(id)).as("scrubbed"),
-          expected.as("expected"))
-        .groupBy("bucket")
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum(when(col("scrubbed") === col("expected"), 1L).otherwise(0L))
-            .as("n_exact"),
-          sum(length(col("scrubbed"))).as("sum_chars"))
-    }),
-
-    // ---- north-star: link-graph extraction — pages carry 3
-    //      constructive article links (plus nav boilerplate that must
-    //      be filtered by href shape); the anchors kernel recovers the
-    //      edge list, including the entity-decoded anchor text, and
-    //      the oracle rebuilds the same edges from doc_id arithmetic.
-    "q150_link_graph" -> ((s, dir) => {
-      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
-      val nRow = docs.agg(count(lit(1)).as("__n"))
-      val id = col("doc_id")
-      val page = concat(
-        lit("<html><body><nav><a href=\"/home\">Home</a></nav><article><p>"),
-        col("text"),
-        lit("</p><p>See <a href=\"/doc/"), (id * 2 + 1) % col("__n"),
-        lit("\">ref one</a> <a href=\"/doc/"), (id * 3 + 2) % col("__n"),
-        lit("\">ref two</a> and <a href=\"/doc/"), (id * 7 + 5) % col("__n"),
-        lit("\">ref &amp; three</a>.</p></article></body></html>"))
-      docs.crossJoin(broadcast(nRow))
-        .select(id.as("src"),
-          explode(graft.functions.GraftFunctions.htmlAnchors(s, page)).as("a"))
-        .filter(col("a.href").startsWith("/doc/"))
-        .select(col("src"),
-          regexp_extract(col("a.href"), "^/doc/([0-9]+)$", 1).cast("long").as("dst"),
-          col("a.anchor").as("anchor"))
-        .groupBy((col("dst") % 5).as("bucket"))
-        .agg(
-          count(lit(1)).as("n_edges"),
-          countDistinct(col("dst")).as("n_targets"),
-          countDistinct(col("src")).as("n_sources"),
-          sum(col("dst")).as("sum_dst"),
-          sum(when(col("anchor") === "ref & three", 1L).otherwise(0L)).as("n_amp"))
-    }),
-
-    // ---- north-star: PageRank over the synthetic web graph (3
-    //      out-links per page, q150's formula) — declarative power
-    //      method, 3 iterations at d=0.85; the oracle unrolls the same
-    //      iterations as CTEs. Float discipline: both engines compute
-    //      (1.0 - 0.85) rather than a rounded 0.15 literal, and the
-    //      report rounds only at the end.
-    "q151_pagerank" -> ((s, dir) => {
-      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
-      val nRow = docs.agg(count(lit(1)).as("__n"))
-      val id = col("doc_id")
-      val edges = docs.crossJoin(broadcast(nRow)).select(
-        id.as("src"),
-        explode(array(
-          (id * 2 + 1) % col("__n"),
-          (id * 3 + 2) % col("__n"),
-          (id * 7 + 5) % col("__n"))).as("dst"))
-      val nodes = docs.select(id.as("id"))
-      graft.ops.LinkGraph.pageRank(nodes, edges, iters = 3, damping = 0.85)
-        .groupBy((col("id") % 5).as("bucket"))
-        .agg(
-          count(lit(1)).as("n_nodes"),
-          round(sum(col("pr")), 6).as("sum_pr"),
-          round(max(col("pr")), 9).as("max_pr"))
-    }),
-
-    // ---- north-star: exact phrase search answered from a PERSISTED
-    //      positional inverted index (token-hash-bucketed so a k-token
-    //      query prunes to k buckets) — the corpus text is never
-    //      rescanned at query time; the oracle replays the phrase scan
-    //      directly over documents.
-    "q152_phrase_search" -> ((s, dir) => {
-      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
-      val out = tmp("q152_index")
-      graft.ops.Search.invertedIndex(docs, "text", "doc_id")
-        .withColumn("tbucket", pmod(xxhash64(col("token")), lit(16)))
-        .write.mode("overwrite").partitionBy("tbucket").parquet(out)
-      val idx = s.read.parquet(out)
-      graft.ops.Search.phraseSearch(idx, Seq("spark", "window"))
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum(col("n_occurrences")).as("n_occ"),
-          sum(col("doc_id")).as("sum_ids"),
-          min(col("first_pos")).cast("long").as("min_first"))
-    }),
-
-    // ---- north-star: crawl-snapshot delta — the monthly-recrawl
-    //      diff (drop 1/13, edit 1/5, add 1/11 by construction) that
-    //      gates incremental ingest; classification is scan-side
-    //      xxhash64 + one full-outer key join, and the oracle knows
-    //      every status from the arithmetic.
-    "q153_crawl_delta" -> ((s, dir) => {
-      val base = T(s, dir, "documents").filter(col("text").isNotNull)
-        .select(col("doc_id"), col("text"))
-      val id = col("doc_id")
-      val next = base.filter(id % 13 =!= 0)
-        .select(id.as("doc_id"),
-          when(id % 5 === 0, concat(col("text"), lit(" v2")))
-            .otherwise(col("text")).as("text"))
-        .unionByName(base.filter(id % 11 === 0)
-          .select((id + 1000000L).as("doc_id"), col("text")))
-      graft.ops.SnapshotDiff.diff(base, next, "doc_id", Seq("text"))
-        .groupBy("status")
-        .agg(count(lit(1)).as("n"), sum(col("key")).as("sum_keys"))
-    }),
-
-    // ---- north-star: sitemap staleness — crawl DISCOVERY: each host
-    //      publishes a constructive urlset (entities in locs, absent
-    //      lastmod on 1/9 of entries, namespace/priority noise); the
-    //      kernel's extraction joins the fetch ledger to find stale
-    //      pages. Dates are day-of-month arithmetic, so staleness is
-    //      known by construction.
-    "q154_sitemap_stale" -> ((s, dir) => {
-      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
-      val id = col("doc_id")
-      val host = concat(lit("h"), id % 10, lit(".example"))
-      val lastmodDay = id % 27 + 1
-      val entry = concat(
-        lit("<url>\n  <loc>https://"), host, lit("/doc/"), id,
-        lit("?a=1&amp;b=2</loc>"),
-        when(id % 9 =!= 0,
-          concat(lit("<lastmod>2026-01-"), lpad(lastmodDay.cast("string"), 2, "0"),
-            lit("</lastmod>"))).otherwise(lit("")),
-        lit("<priority>0.5</priority></url>"))
-      val sitemaps = docs
-        .groupBy((id % 10).as("hostnum"))
-        .agg(concat(
-          lit("<?xml version=\"1.0\"?><urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"),
-          array_join(collect_list(entry), "\n"), lit("</urlset>")).as("xml"))
-      val extracted = sitemaps.select(col("hostnum"),
-          explode(graft.functions.GraftFunctions.sitemapUrls(s, col("xml"))).as("u"))
-        .select(col("hostnum"),
-          regexp_extract(col("u.loc"), "/doc/([0-9]+)\\?", 1).cast("long").as("doc_id"),
-          col("u.lastmod").as("lastmod"))
-      val ledger = docs.select(id.as("doc_id"),
-        concat(lit("2026-01-"),
-          lpad(((id * 3) % 27 + 1).cast("string"), 2, "0")).as("fetched"))
-      extracted.join(ledger, "doc_id")
-        .groupBy("hostnum")
-        .agg(
-          count(lit(1)).as("n_urls"),
-          sum(when(col("lastmod") === "", 1L).otherwise(0L)).as("n_nolastmod"),
-          sum(when(col("lastmod") > col("fetched"), 1L).otherwise(0L)).as("n_stale"),
-          sum(when(col("lastmod") > col("fetched"), col("doc_id"))).as("sum_stale"))
-    }),
-
-    // ---- north-star: politeness schedule — per-host fetch slots
-    //      (seq within host by URL order, eta = seq × crawl-delay) and
-    //      the capacity rollup; the oracle replays the same
-    //      row_number arithmetic.
-    "q155_crawl_schedule" -> ((s, dir) => {
-      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
-      val id = col("doc_id")
-      val frontier = docs.select(
-        concat(lit("d"), id % 50, lit(".example")).as("host"),
-        concat(lit("https://d"), id % 50, lit(".example/p/"),
-          lpad(id.cast("string"), 6, "0")).as("url"),
-        (id % 50 % 5 + 1).cast("long").as("delay_s"))
-      val sched = graft.ops.Crawl.politeSchedule(
-        frontier, "host", "url", "delay_s")
-      graft.ops.Crawl.hostLoad(sched, "host", "delay_s")
-        .groupBy((length(col("host")) % 3).as("bucket"))
-        .agg(
-          count(lit(1)).as("n_hosts"),
-          sum(col("n_urls")).as("n_urls"),
-          sum(col("makespan_s")).as("sum_makespan"),
-          round(sum(col("mean_wait_s")), 6).as("sum_mean_wait"),
-          sum(col("delay_s")).as("sum_delay"))
-    }),
-
-    // ---- north-star: crawl-PLANNING capstone — discover (sitemap
-    //      kernel) → staleness fence (refetch stale or lastmod-less)
-    //      → robots policy (per-host mix: std rules on even hosts,
-    //      bot-ban on h3/h7, no robots = allow on the rest) →
-    //      stale-first politeness schedule capped at 30 slots/host.
-    //      Every stage is constructive, so the oracle replays the
-    //      whole plan arithmetically.
-    "q156_crawl_plan" -> ((s, dir) => {
-      import s.implicits._
-      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
-      val id = col("doc_id")
-      val h = id % 10
-      val host = concat(lit("h"), h, lit(".example"))
-      // path case from id/10 so EVERY host sees all five path shapes
-      // (id%5 would be constant per host: id ≡ h (mod 10) ⇒ mod 5 too)
-      val pc = floor(id / 10) % 5
-      val path = element_at(array(
-        concat(lit("/public/doc"), id),
-        concat(lit("/private/doc"), id),
-        concat(lit("/private/pub"), id),
-        concat(lit("/cache/doc"), id, lit(".tmp")),
-        concat(lit("/docs/doc"), id, lit(".html"))), (pc + 1).cast("int"))
-      val entry = concat(lit("<url><loc>https://"), host, path, lit("</loc>"),
-        when(id % 9 =!= 0,
-          concat(lit("<lastmod>2026-01-"), lpad((id % 27 + 1).cast("string"), 2, "0"),
-            lit("</lastmod>"))).otherwise(lit("")),
-        lit("</url>"))
-      val sitemaps = docs.groupBy(h.as("hostnum"))
-        .agg(concat(lit("<urlset>"), array_join(collect_list(entry), ""),
-          lit("</urlset>")).as("xml"))
-      val urls = sitemaps.select(col("hostnum"),
-          explode(graft.functions.GraftFunctions.sitemapUrls(s, col("xml"))).as("u"))
-        .select(col("hostnum"), col("u.loc").as("url"), col("u.lastmod").as("lastmod"),
-          regexp_extract(col("u.loc"), "([0-9]+)(?:\\.tmp|\\.html)?$", 1)
-            .cast("long").as("doc_id"))
-      val ledger = docs.select(id.as("doc_id"),
-        concat(lit("2026-01-"),
-          lpad(((id * 3) % 27 + 1).cast("string"), 2, "0")).as("fetched"))
-      val due = urls.join(ledger, "doc_id")
-        .filter(col("lastmod") === "" || col("lastmod") > col("fetched"))
-      val stdPolicy =
-        """# graft crawl policy
-          |User-Agent: *
-          |Disallow: /private/
-          |Allow: /private/pub*
-          |Disallow: /*.tmp$""".stripMargin
-      val botPolicy =
-        "User-agent: graftbot\nDisallow: /\n\nUser-agent: *\nAllow: /"
-      val robots = (0 to 9).flatMap { hh =>
-        if (hh % 4 == 3) Some((s"h$hh.example", botPolicy))
-        else if (hh % 2 == 0) Some((s"h$hh.example", stdPolicy))
-        else None
-      }.toDF("host", "robots_txt")
-      val allowed = graft.ops.Robots.filterAllowed(s, due, "url", robots, "graftbot")
-      val prioritized = allowed
-        .withColumn("prio", when(col("lastmod") === "", 1).otherwise(0))
-        .withColumn("host", concat(lit("h"), col("hostnum"), lit(".example")))
-        .withColumn("delay_s", (col("hostnum") % 5 + 1))
-      val sched = graft.ops.Crawl.politeSchedule(
-        prioritized, "host", "url", "delay_s", Some("prio"))
-      sched.filter(col("seq") < 30)
-        .groupBy("hostnum")
-        .agg(
-          count(lit(1)).as("n_fetch"),
-          max(col("eta_s")).as("makespan_s"),
-          sum(col("doc_id")).as("sum_ids"),
-          sum(when(col("prio") === 0, 1L).otherwise(0L)).as("n_stale"))
-    }),
-
-    // ---- north-star: anchor-text aggregation — the web's description
-    //      of each page (modal anchor per target with deterministic
-    //      tie-break); targets collect 'ref one'/'ref two'/'ref &
-    //      three' votes through q150's formulas, and the oracle
-    //      replays the same mode arithmetic.
-    "q157_anchor_text" -> ((s, dir) => {
-      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
-      val nRow = docs.agg(count(lit(1)).as("__n"))
-      val id = col("doc_id")
-      val page = concat(
-        lit("<html><body><article><p>See <a href=\"/doc/"), (id * 2 + 1) % col("__n"),
-        lit("\">ref one</a> <a href=\"/doc/"), (id * 3 + 2) % col("__n"),
-        lit("\">ref two</a> and <a href=\"/doc/"), (id * 7 + 5) % col("__n"),
-        lit("\">ref &amp; three</a>.</p></article></body></html>"))
-      val edges = docs.crossJoin(broadcast(nRow))
-        .select(id.as("src"),
-          explode(graft.functions.GraftFunctions.htmlAnchors(s, page)).as("a"))
-        .select(col("src"),
-          regexp_extract(col("a.href"), "^/doc/([0-9]+)$", 1).cast("long").as("dst"),
-          col("a.anchor").as("anchor"))
-      graft.ops.LinkGraph.topAnchors(edges, "dst", "anchor")
-        .groupBy((col("id") % 5).as("bucket"))
-        .agg(
-          count(lit(1)).as("n_targets"),
-          sum(col("n_links")).as("n_links"),
-          sum(col("n_distinct_anchors")).as("sum_distinct"),
-          sum(when(col("top_anchor") === "ref one", 1L).otherwise(0L)).as("n_top_one"),
-          sum(when(col("top_anchor") === "ref & three", 1L).otherwise(0L)).as("n_top_amp"),
-          sum(col("top_count")).as("sum_top"))
-    }),
-
-    // ---- north-star: HITS hubs/authorities over the synthetic link
-    //      graph — 2 mutual-reinforcement iterations with in-plan L2
-    //      normalization; the oracle unrolls the identical update
-    //      order (authority from OLD hubs, hub from NEW authorities).
-    "q158_hits" -> ((s, dir) => {
-      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
-      val nRow = docs.agg(count(lit(1)).as("__n"))
-      val id = col("doc_id")
-      val edges = docs.crossJoin(broadcast(nRow)).select(
-        id.as("src"),
-        explode(array(
-          (id * 2 + 1) % col("__n"),
-          (id * 3 + 2) % col("__n"),
-          (id * 7 + 5) % col("__n"))).as("dst"))
-      graft.ops.LinkGraph.hits(docs.select(id.as("id")), edges, iters = 2)
-        .groupBy((col("id") % 5).as("bucket"))
-        .agg(
-          count(lit(1)).as("n_nodes"),
-          round(sum(col("auth")), 6).as("sum_auth"),
-          round(sum(col("hub")), 6).as("sum_hub"))
-    }),
-
-    // ---- north-star: personalized PageRank (random walk with
-    //      restart) — teleport pinned to the 1%-of-docs seed set, the
-    //      graph-expansion primitive for "more pages like these";
-    //      oracle unrolls the same 3 iterations with the same teleport
-    //      vector and double-precision discipline.
-    "q159_ppr" -> ((s, dir) => {
-      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
-      val nRow = docs.agg(count(lit(1)).as("__n"))
-      val id = col("doc_id")
-      val edges = docs.crossJoin(broadcast(nRow)).select(
-        id.as("src"),
-        explode(array(
-          (id * 2 + 1) % col("__n"),
-          (id * 3 + 2) % col("__n"),
-          (id * 7 + 5) % col("__n"))).as("dst"))
-      val seeds = docs.filter(id % 100 === 0).select(id.as("id"))
-      graft.ops.LinkGraph.personalizedPageRank(
-          docs.select(id.as("id")), edges, seeds, iters = 3, damping = 0.85)
-        .groupBy((col("id") % 5).as("bucket"))
-        .agg(
-          count(lit(1)).as("n_nodes"),
-          round(sum(col("pr")), 6).as("sum_pr"))
-    }),
-
-    // ---- north-star: weighted sampling without replacement
-    //      (Efraimidis–Spirakis keys over the deterministic md5 unit
-    //      hash) — per-source top-k by u^(1/w); the oracle replays the
-    //      identical keys, so the exact member SET must agree.
-    "q160_weighted_sample" -> ((s, dir) => {
-      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
-      graft.ops.Sampling.weightedSample(
-          docs.withColumn("w", (col("doc_id") % 4 + 1).cast("double")),
-          "doc_id", "w", k = 10, salt = "ws1", strataCol = Some("source"))
-        .groupBy("source")
-        .agg(
-          count(lit(1)).as("n"),
-          sum(col("doc_id")).as("sum_ids"),
-          round(sum(col("w")), 6).as("sum_w"))
-    }),
-
-    // ---- north-star: ORC interchange — the second columnar format a
-    //      lakehouse ingests from; write documents to ORC, read back
-    //      through a pushdown-eligible filter, and the roundtrip must
-    //      reproduce the source aggregates exactly.
-    "q161_orc_roundtrip" -> ((s, dir) => {
-      val out = tmp("q161_orc")
-      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
-      docs.select(col("doc_id"), col("text"), col("lang"), col("source"),
-          col("n_chars"))
-        .write.mode("overwrite").orc(out)
-      s.read.orc(out)
-        .filter(col("n_chars") >= 20)
-        .groupBy("lang")
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum(col("n_chars")).as("sum_chars"),
-          sum(col("doc_id")).as("sum_ids"),
-          countDistinct(col("source")).as("n_sources"))
-    }),
-
-    // ---- north-star: CSV interchange with hostile fields — embedded
-    //      commas, RFC 4180 double-quote escaping, and a literal
-    //      NEWLINE inside a quoted field (the multiLine trap that
-    //      breaks naive line-split readers); every payload must
-    //      round-trip byte-exactly (n_exact = n_rows).
-    "q162_csv_roundtrip" -> ((s, dir) => {
-      val out = tmp("q162_csv")
-      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
-      val payload = concat(lit("pre,"), col("text"), lit(" \"q\" end"),
-        lit("\nline2 "), col("doc_id"))
-      docs.select(col("doc_id"), payload.as("payload"), col("lang"))
-        .write.mode("overwrite")
-        .option("header", "true").option("escape", "\"")
-        .csv(out)
-      val back = s.read
-        .option("header", "true").option("multiLine", "true")
-        .option("escape", "\"")
-        .schema("doc_id LONG, payload STRING, lang STRING")
-        .csv(out)
-      back
-        .join(docs.select(col("doc_id"),
-          concat(lit("pre,"), col("text"), lit(" \"q\" end"),
-            lit("\nline2 "), col("doc_id")).as("expected")), "doc_id")
-        .groupBy("lang")
-        .agg(
-          count(lit(1)).as("n_rows"),
-          sum(when(col("payload") === col("expected"), 1L).otherwise(0L))
-            .as("n_exact"),
-          sum(length(col("payload"))).as("sum_chars"))
-    }),
-
-    // ---- north-star: robots-fed politeness — Crawl-delay parsed per
-    //      host (agent-specific group beats '*'; absent → crawler
-    //      default) feeds the schedule, closing the robots → scheduler
-    //      loop; makespans are slot-set arithmetic for the oracle.
-    "q163_robots_politeness" -> ((s, dir) => {
-      import s.implicits._
-      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
-      val id = col("doc_id")
-      val robots = (0 to 9).flatMap { h =>
-        if (h % 3 == 0) Some((s"d$h.example",
-          s"User-agent: *\nCrawl-delay: ${h % 5 + 2}\nDisallow: /private/"))
-        else if (h % 3 == 1) Some((s"d$h.example",
-          "User-agent: graftbot\nCrawl-delay: 10\n\nUser-agent: *\nCrawl-delay: 1"))
-        else None // h%3==2: no robots -> crawler default
-      }.toDF("host", "robots_txt")
-      val frontier = docs.select(
-        concat(lit("d"), id % 10, lit(".example")).as("host"),
-        concat(lit("https://d"), id % 10, lit(".example/p/"),
-          lpad(id.cast("string"), 6, "0")).as("url"))
-      val delays = robots.select(col("host"),
-        graft.ops.Robots.crawlDelayFor(s, col("robots_txt"), "graftbot").as("rd"))
-      val planned = frontier.join(broadcast(delays), Seq("host"), "left")
-        .withColumn("delay_s", coalesce(col("rd"), lit(1.0)))
-      val sched = graft.ops.Crawl.politeSchedule(planned, "host", "url", "delay_s")
-      graft.ops.Crawl.hostLoad(sched, "host", "delay_s")
-        .withColumn("hostnum",
-          regexp_extract(col("host"), "^d([0-9]+)\\.", 1).cast("long"))
-        .groupBy((col("hostnum") % 3).as("bucket"))
-        .agg(
-          count(lit(1)).as("n_hosts"),
-          sum(col("n_urls")).as("n_urls"),
-          round(sum(col("makespan_s")), 6).as("sum_makespan"),
-          round(sum(col("delay_s")), 6).as("sum_delay"))
-    }),
-
-    // ---- north-star: accent-fold canonicalization — accents are
-    //      INJECTED constructively (translate aeiou→áéíóü on half the
-    //      corpus), so the fold must recover the original text
-    //      byte-exactly (n_exact = n_docs) while the untouched half
-    //      proves the ASCII fast path returns identity; cross-accent
-    //      dedup is the composition: distinct folded == distinct raw.
-    "q164_accent_fold" -> ((s, dir) => {
-      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
-      val id = col("doc_id")
-      val accented = when(id % 2 === 0,
-        translate(col("text"), "aeiou", "áéíóü"))
-        .otherwise(col("text"))
-      docs.select((id % 7).as("bucket"), col("text"),
-          graft.functions.GraftFunctions.foldAccents(s, accented).as("folded"),
-          accented.as("accented"))
-        .groupBy("bucket")
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum(when(col("folded") === col("text"), 1L).otherwise(0L)).as("n_exact"),
-          countDistinct(col("folded")).as("n_distinct_folded"),
-          countDistinct(col("text")).as("n_distinct_raw"),
-          sum(length(col("accented"))).as("sum_acc_chars"))
-    }),
-
-    // ---- north-star: BUCKETED co-located join — the 100 TB join
-    //      pattern: both fact tables land bucketed (+ bucket-sorted)
-    //      on the join key, so the sort-merge join consumes bucket
-    //      files directly with ZERO shuffle of either side
-    //      (BucketedJoinSpec pins the exchange-free plan); the `merge`
-    //      hint keeps the demonstration honest at fixture scale, where
-    //      AQE would otherwise broadcast the small side.
-    "q165_bucketed_join" -> ((s, dir) => {
-      val liPath = tmp("q165_li")
-      val ordPath = tmp("q165_ord")
-      s.sql("DROP TABLE IF EXISTS graft_li_bucketed")
-      s.sql("DROP TABLE IF EXISTS graft_ord_bucketed")
-      T(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
-        .write.mode("overwrite").format("parquet")
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .option("path", liPath).saveAsTable("graft_li_bucketed")
-      T(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_orderdate"))
-        .write.mode("overwrite").format("parquet")
-        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .option("path", ordPath).saveAsTable("graft_ord_bucketed")
-      s.table("graft_li_bucketed").hint("merge")
-        .join(s.table("graft_ord_bucketed"),
-          col("l_orderkey") === col("o_orderkey"))
-        .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
-        .agg(
-          count(lit(1)).as("n_items"),
-          countDistinct(col("o_orderkey")).as("n_orders"),
-          sum(col("l_quantity").cast("long")).as("sum_qty"),
-          expr(dsum("l_extendedprice")).as("sum_price"))
-    }),
-
-    // ---- north-star: full web-corpus capstone — render PII-laden
-    //      pages (duplicate crawl of every 3rd doc) → WARC archive →
-    //      re-ingest across forced splits → charset-sniffed decode →
-    //      main-content extraction → PII redaction → token-count
-    //      fence → exact dedup. Every stage is identity-or-known
-    //      (q139/q140/q145/q148/q149 pin each seam), so the oracle is
-    //      pure arithmetic over documents.
-    "q166_corpus_capstone" -> ((s, dir) => {
-      val g = graft.functions.GraftFunctions
-      val out = tmp("q166_warc")
-      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
-      val id = col("doc_id")
-      def page(d: DataFrame, crawl: String) = d.select(
-        concat(lit("http://c.local/doc/"), col("doc_id")).as("target_uri"),
-        lit("2026-04-01T00:00:00Z").as("warc_date"),
-        concat(lit("<urn:cc:" + crawl + ":"), col("doc_id"), lit(">"))
-          .as("record_id"),
-        lit("text/html").as("content_type"),
-        encode(syntheticPage(col("doc_id"), piiMessy(col("doc_id"))), "UTF-8")
-          .as("payload"))
-      graft.sources.WarcIO.writeWarc(
-        page(docs, "a")
-          .unionByName(page(docs.filter(id % 3 === 0), "b"))
-          .repartition(4),
-        out)
-      s.read.format("graft.sources.WarcSource")
-        .option("path", out).option("splitBytes", "32768").load()
-        .select(g.htmlMain(s, g.decodeText(s, col("payload")), minChars = 5)
-          .as("content"))
-        .select(g.piiScrub(s, col("content")).as("t"))
-        .filter(g.tokenCount(s, col("t")) >= 20)
-        .agg(
-          count(lit(1)).as("n_kept"),
-          countDistinct(col("t")).as("n_unique"),
-          sum(length(col("t"))).as("sum_chars"))
-    }),
-
-    // ---- north-star: PSI drift alarm — the refresh gate between two
-    //      corpus snapshots; the next snapshot drifts constructively
-    //      (drop 1/7, inflate 1/3 of lengths by +40), and the oracle
-    //      replays the identical binning arithmetic.
-    "q167_psi_drift" -> ((s, dir) => {
-      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
-      val id = col("doc_id")
-      val next = docs.filter(id % 7 =!= 0)
-        .select(when(id % 3 === 0, col("n_chars") + 40)
-          .otherwise(col("n_chars")).as("n_chars"))
-      graft.ops.Diagnostics.psi(
-        docs.select(col("n_chars")), next, "n_chars", bins = 10)
-    }),
-
-    // ---- north-star: Jensen–Shannon lexical divergence between two
-    //      subcorpora (en vs fr) — the mixing diagnostic; symmetric,
-    //      bounded by ln 2, one (token, count) join, corpus text never
-    //      shuffles.
-    "q168_js_divergence" -> ((s, dir) => {
-      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
-      graft.ops.Diagnostics.jsDivergence(
-        docs.filter(col("lang") === "en"),
-        docs.filter(col("lang") === "fr"),
-        "text")
-    }),
-
-    // ---- north-star: near-containment pairs — the asymmetric
-    //      duplicates Jaccard misses (a short doc quoted inside a
-    //      longer one: tiny resemblance, near-total containment);
-    //      |A∩B|/min(|A|,|B|) ≥ 0.9 over the LSH candidates, exact
-    //      overlap verification shared with q16.
-    "q169_containment" -> ((s, dir) => {
-      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
-      graft.ops.Dedup.containmentPairs(docs, "text", "doc_id", threshold = 0.9)
-    }),
-
-    // ---- north-star: event-rate anomaly alarm — per-type hourly
-    //      counts z-scored against their own trailing 24 h; the
-    //      baseline uses decomposable Σn/Σn² window sums (NOT
-    //      stddev_samp, whose merge order differs between engines at
-    //      the ulp level), so both engines compute identical doubles.
-    "q170_rate_anomaly" -> ((s, dir) => {
-      val ev = Layers.readEvents(s, s"$dir/events.parquet")
-      graft.ops.EventOps.rateAnomalies(ev, "event_type", "ts")
-        .groupBy("event_type")
-        .agg(
-          count(lit(1)).as("n_hours"),
-          sum(when(col("is_anomaly"), 1L).otherwise(0L)).as("n_anomalies"),
-          sum(when(col("z").isNull, 1L).otherwise(0L)).as("n_warmup"),
-          round(max(abs(col("z"))), 6).as("max_abs_z"))
-    }),
-
-    // ---- north-star: k-anonymity / l-diversity release gate — the
-    //      aggregate-side privacy audit after the span-level scrub:
-    //      quasi-identifier combos covering < k rows are
-    //      re-identifiable, k-anonymous combos whose sensitive bucket
-    //      takes < l values still leak.
-    "q171_k_anonymity" -> ((s, dir) => {
-      val cust = T(s, dir, "customer")
-        .withColumn("bal_bucket", floor(col("c_acctbal") / 1000))
-      graft.ops.Privacy.anonymityReport(
-        cust, Seq("c_nationkey", "c_mktsegment"), "bal_bucket", k = 10, l = 3)
-    }),
-
-    // ---- north-star: unigram-LM (SentencePiece-style) tokenizer
-    //      training — seed substrings → hard-EM Viterbi re-counts →
-    //      prune; integer-micronat log-probs make every Viterbi
-    //      comparison an exact integer sum, so the oracle replays
-    //      training bit-for-bit (chained DP CTEs + recursive
-    //      backtrace). One corpus pass; everything after is
-    //      vocab-bounded.
-    "q172_unigram_model" -> ((s, dir) =>
-      graft.ops.Unigram.train(T(s, dir, "documents"), "text",
-        maxPieceLen = 3, seedSize = 30, emIters = 2, keepSize = 12)),
-
-    // ---- north-star: DURABLE unigram model — train on the even half,
-    //      publish (piece, cnt, logp_micro) as parquet, encode the odd
-    //      half from the STORED model (the q124 frozen-model lifecycle
-    //      for the second tokenizer; odd-half-only characters exercise
-    //      the deterministic UNK path).
-    "q173_unigram_encode" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
-      val modelDir = tmp("q173_unigram_model")
-      graft.ops.Unigram.train(docs.filter(col("doc_id") % 2 === 0), "text",
-          maxPieceLen = 3, seedSize = 30, emIters = 2, keepSize = 12)
-        .write.mode("overwrite").parquet(modelDir)
-      val model = graft.ops.Unigram.modelTable(s.read.parquet(modelDir))
-      docs.filter(col("doc_id") % 2 =!= 0 && col("text").isNotNull)
-        .select(col("doc_id"),
-          graft.functions.GraftFunctions.unigramCount(s, col("text"), model)
-            .as("n_unigram_tokens"))
-    }),
-
-    // ---- north-star: tokenizer equity report over BOTH tokenizers —
-    //      per-language compression (chars per token) of the learned
-    //      BPE AND unigram vocabularies side by side; the fairness
-    //      audit that decides which tokenizer ships.
-    "q174_tokenizer_equity2" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
-      val bpeMerges = graft.ops.Bpe.mergeList(
-        graft.ops.Bpe.train(docs, "text", merges = 6))
-      val uniModel = graft.ops.Unigram.modelTable(
-        graft.ops.Unigram.train(docs, "text",
-          maxPieceLen = 3, seedSize = 30, emIters = 2, keepSize = 12))
-      docs.filter(col("text").isNotNull).groupBy("lang").agg(
-          count(lit(1)).as("n_docs"),
-          sum(length(replace(col("text"), lit(" ")))).as("n_chars"),
-          sum(graft.functions.GraftFunctions.bpeCount(s, col("text"), bpeMerges))
-            .as("bpe_tokens"),
-          sum(graft.functions.GraftFunctions.unigramCount(s, col("text"), uniModel))
-            .as("unigram_tokens"))
-        .withColumn("chars_per_bpe_token",
-          round(col("n_chars").cast("double") / col("bpe_tokens"), 6))
-        .withColumn("chars_per_unigram_token",
-          round(col("n_chars").cast("double") / col("unigram_tokens"), 6))
-    }),
-
-    // ---- north-star: meta-robots / rel=canonical corpus fence — the
-    //      page-level directives robots.txt cannot express: pages
-    //      served with "noindex" (or the "none" shorthand) must not
-    //      enter the corpus, and pages declaring a DIFFERENT canonical
-    //      URL are self-identified duplicates. Directives injected
-    //      constructively (messy case, unquoted/single-quoted attrs),
-    //      so the oracle is pure doc_id arithmetic while the kernel
-    //      must actually parse every page.
-    "q175_meta_robots_fence" -> ((s, dir) => {
-      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
-      val id = col("doc_id")
-      val url = concat(lit("https://corpus.local/d/"), id)
-      val meta = when(id % 5 === 0,
-          lit("<meta name=\"robots\" content=\"noindex, follow\">"))
-        .when(id % 5 === 1, lit("<meta NAME=\"ROBOTS\" Content=\"nofollow\">"))
-        .when(id % 5 === 2, lit("<meta name=robots content=none>"))
-        .otherwise(lit(""))
-      val link = when(id % 7 === 0,
-          concat(lit("<link rel=\"canonical\" href=\"https://corpus.local/d/"),
-            floor(id / 7).cast("long"), lit("\">")))
-        .when(id % 7 === 3,
-          concat(lit("<link REL=\"Canonical\" HREF='https://corpus.local/d/"),
-            id, lit("'>")))
-        .otherwise(lit(""))
-      val page = concat(syntheticPage(id, col("text")), meta, link)
-      val keep = !col("noindex") &&
-        (col("canonical").isNull || col("canonical") === col("url"))
-      docs.select(id.as("doc_id"), url.as("url"),
-          graft.functions.GraftFunctions.pageDirectives(s, page).as("d"))
-        .select(col("doc_id"), col("url"),
-          col("d.noindex").as("noindex"), col("d.nofollow").as("nofollow"),
-          col("d.canonical").as("canonical"))
-        .agg(
-          count(lit(1)).as("n_pages"),
-          sum(when(col("noindex"), 1L).otherwise(0L)).as("n_noindex"),
-          sum(when(col("nofollow"), 1L).otherwise(0L)).as("n_nofollow"),
-          sum(when(col("canonical").isNotNull &&
-            col("canonical") =!= col("url"), 1L).otherwise(0L))
-            .as("n_cross_canonical"),
-          sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
-          sum(when(keep, col("doc_id")).otherwise(0L)).as("sum_kept_ids"))
-    }),
-
-    // ---- north-star: soft-dedup mixture weights — near-dup cluster
-    //      members keep weight 1/|cluster| instead of being dropped
-    //      (each cluster contributes one unit of sampling mass);
-    //      reads the SAME shared pair index as q16/q39/q47.
-    "q176_soft_dedup" -> ((s, dir) =>
-      graft.ops.Sampling.softDedupWeights(
-        T(s, dir, "documents"), "doc_id",
-        Dedup.components(verifiedPairs(s, dir).select("id_a", "id_b")))),
-
-    // ---- north-star: tokenizer coverage / OOV audit — per-language
-    //      UNK-piece rate of the unigram model on HELD-OUT text (train
-    //      even half, measure odd half: characters unique to the
-    //      held-out side surface as UNK pieces). The coverage report a
-    //      multilingual release reads before freezing a vocab. One
-    //      piece-explode scan + a |langs|-group decomposable rollup.
-    //      OOV is INJECTED constructively (every 11th held-out doc
-    //      gains a token of characters absent from the corpus
-    //      alphabet), so the UNK path is exercised and its per-lang
-    //      rate is known by design.
-    "q177_unigram_coverage" -> ((s, dir) => {
-      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
-      val model = graft.ops.Unigram.modelTable(
-        graft.ops.Unigram.train(docs.filter(col("doc_id") % 2 === 0), "text",
-          maxPieceLen = 3, seedSize = 30, emIters = 2, keepSize = 12))
-      val known = model.map(_._1)
-      docs.filter(col("doc_id") % 2 =!= 0)
-        .withColumn("text", when(col("doc_id") % 11 === 0,
-          concat(col("text"), lit(" zxz"))).otherwise(col("text")))
-        .select(col("lang"), explode(split(col("text"), " ")).as("word"))
-        .filter(length(col("word")) >= 1)
-        .select(col("lang"),
-          explode(graft.functions.GraftFunctions.unigramPieces(
-            s, col("word"), model)).as("piece"))
-        .groupBy("lang")
-        .agg(
-          count(lit(1)).as("n_pieces"),
-          sum(when(!col("piece").isInCollection(known), 1L).otherwise(0L))
-            .as("n_unk"),
-          countDistinct(col("piece")).as("n_distinct_pieces"))
-        .withColumn("unk_rate",
-          round(col("n_unk").cast("double") / col("n_pieces"), 6))
-    }),
-
-    // ---- north-star: seed-centroid quality scoring — the
-    //      classifier-free embedding quality signal: a curated seed
-    //      set's centroid defines "good", every corpus vector scores
-    //      by cosine to it. Centroid = decimal-summed dims-bounded
-    //      aggregate (deterministic); scoring = ONE codegen scan with
-    //      the centroid as a literal array; histogram rollup.
-    "q178_seed_centroid" -> ((s, dir) => {
-      val emb = T(s, dir, "embeddings")
-      val cent = Similarity.seedCentroid(
-        emb.filter(col("vec_id") % 37 === 0), "embedding")
-      Similarity.seedCentroidScores(emb, "vec_id", "embedding", cent)
-        .groupBy(floor(col("cos") * 10).cast("int").as("bucket"))
-        .agg(
-          count(lit(1)).as("n_vectors"),
-          sum(col("vec_id")).as("sum_ids"),
-          round(sum(col("cos").cast("decimal(18,6)")).cast("double"), 6)
-            .as("sum_cos"))
-    }),
-
-    // ---- north-star multimodal: JPEG/EXIF metadata extraction —
-    //      dimensions + orientation + camera make + capture datetime
-    //      parsed from REAL assembled bytes (SOI/APP1/SOF0 markers,
-    //      both TIFF byte orders), no pixel decode; every field is a
-    //      pure function of doc_id, truncated payloads (id%13=0) must
-    //      yield null fields. The oracle is modular arithmetic while
-    //      the kernel walks actual JPEG segments.
-    "q179_exif_meta" -> ((s, dir) => {
-      import s.implicits._
-      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
-      val payloads = docs.select(col("doc_id")).as[Long]
-        .map(id => (id, graft.ops.Multimodal.demoJpeg(id)))
-        .toDF("doc_id", "payload")
-      val id = col("doc_id")
-      payloads.select(id,
-          graft.functions.GraftFunctions.exifMeta(s, col("payload")).as("m"))
-        .select(id, col("m.width").as("w"), col("m.height").as("h"),
-          col("m.orientation").as("o"), col("m.make").as("mk"),
-          col("m.datetime").as("dt"))
-        .groupBy(col("o").as("orientation"))
-        .agg(
-          count(lit(1)).as("n_images"),
-          sum(id).as("sum_ids"),
-          sum(when(col("w") === (lit(200) + id % 30) &&
-            col("h") === (lit(100) + id % 50), 1L).otherwise(0L))
-            .as("n_dims_ok"),
-          sum(when(col("mk") === concat(lit("Cam"), id % 3), 1L)
-            .otherwise(0L)).as("n_make_ok"),
-          sum(when(col("dt") === concat(lit("2026:01:"),
-            lpad((id % 27 + 1).cast("string"), 2, "0"),
-            lit(" 12:00:00")), 1L).otherwise(0L)).as("n_dt_ok"))
-    }),
-
-    // ---- north-star: triangle counting over the near-dup graph —
-    //      degree-ordered edge orientation (compact-forward) bounds
-    //      oriented out-degree at O(√m), so the wedge join stays
-    //      O(m^1.5) even on skewed graphs; the cluster-density audit
-    //      (triangle-rich near-dup families = template copying,
-    //      triangle-poor = chains of borderline matches). Reads the
-    //      same shared pair index as q16/q39/q47/q176.
-    "q180_triangles" -> ((s, dir) =>
-      graft.ops.LinkGraph.triangles(
-        verifiedPairs(s, dir).select("id_a", "id_b"), "id_a", "id_b")),
-
-    // ---- north-star: reciprocal-rank fusion — the score-free hybrid
-    //      combiner: BM25 relevance fused with a quality-prior ranking
-    //      (each list contributes 1/(60+rank), summed as exact integer
-    //      micro-units). Items high in EITHER list surface without
-    //      score calibration; the aggregation is list-∝, never
-    //      corpus-∝.
-    "q181_rrf_hybrid" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
-      val bm = graft.ops.Search.ranked(
-        graft.ops.Search.bm25(docs, "text", "doc_id",
-          terms = Seq("spark", "hash", "window"), topK = 20),
-        desc("bm25"), asc("doc_id"))
-      val qual = graft.ops.Search.ranked(
-        docs.filter(col("text").isNotNull)
-          .selectExpr("doc_id",
-            s"${PortableSql.qualityScore("text", SD)} AS quality")
-          .orderBy(desc("quality"), asc("doc_id")).limit(20),
-        desc("quality"), asc("doc_id"))
-      graft.ops.Search.rrfFuse(
-        Seq(bm.select("doc_id", "rank"), qual.select("doc_id", "rank")),
-        "doc_id", k = 60, topK = 10)
-    }),
-
-    // ---- north-star: label-propagation communities over the q151
-    //      synthetic web graph — 3 synchronous rounds with the
-    //      deterministic (max votes, min label) rule + self-vote; the
-    //      oracle unrolls the same rounds as CTEs, so the full
-    //      labeling replays bit-identically.
-    "q182_label_prop" -> ((s, dir) => {
-      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
-      val nRow = docs.agg(count(lit(1)).as("__n"))
-      val id = col("doc_id")
-      val edges = docs.crossJoin(broadcast(nRow)).select(
-        id.as("src"),
-        explode(array(
-          (id * 2 + 1) % col("__n"),
-          (id * 3 + 2) % col("__n"),
-          (id * 7 + 5) % col("__n"))).as("dst"))
-      val nodes = docs.select(id.as("id"))
-      graft.ops.LinkGraph
-        .labelPropagation(nodes, edges, "src", "dst", iters = 3)
-        .groupBy((col("label") % 5).as("bucket"))
-        .agg(
-          count(lit(1)).as("n_nodes"),
-          countDistinct(col("label")).as("n_communities"),
-          sum(col("label")).as("sum_labels"),
-          sum(when(col("label") === col("id"), 1L).otherwise(0L))
-            .as("n_self"))
-    }),
-
-    // ---- north-star: co-citation (shared citing sources) and
-    //      bibliographic coupling (shared out-links) over the same
-    //      graph — the two classic link-structure similarity signals;
-    //      both self-joins key on the BOUNDED-degree side (out-degree
-    //      for co-citation, capped in-degree for coupling).
-    "q183_link_similarity" -> ((s, dir) => {
-      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
-      val nRow = docs.agg(count(lit(1)).as("__n"))
-      val id = col("doc_id")
-      val edges = docs.crossJoin(broadcast(nRow)).select(
-        id.as("src"),
-        explode(array(
-          (id * 2 + 1) % col("__n"),
-          (id * 3 + 2) % col("__n"),
-          (id * 7 + 5) % col("__n"))).as("dst"))
-      val cc = graft.ops.LinkGraph.coCitation(edges, "src", "dst")
-        .groupBy((col("ta") % 5).as("bucket"))
-        .agg(
-          count(lit(1)).as("n_pairs"),
-          sum(col("n_common")).as("sum_common"),
-          max(col("n_common")).as("max_common"),
-          sum(when(col("n_common") >= 2, 1L).otherwise(0L)).as("n_strong"))
-        .select(lit("cocite").as("kind"), col("bucket"), col("n_pairs"),
-          col("sum_common"), col("max_common"), col("n_strong"))
-      val bc = graft.ops.LinkGraph
-        .bibCoupling(edges, "src", "dst", maxIndeg = 1000L)
-        .groupBy((col("sa") % 5).as("bucket"))
-        .agg(
-          count(lit(1)).as("n_pairs"),
-          sum(col("n_common")).as("sum_common"),
-          max(col("n_common")).as("max_common"),
-          sum(when(col("n_common") >= 2, 1L).otherwise(0L)).as("n_strong"))
-        .select(lit("bibcouple").as("kind"), col("bucket"), col("n_pairs"),
-          col("sum_common"), col("max_common"), col("n_strong"))
-      cc.unionByName(bc)
-    }),
-
-    // ---- north-star: Unicode-script audit — one-pass per-script
-    //      code-point counts (pinned BMP block ranges, kernel codegen)
-    //      with constructively injected multilingual suffixes; the
-    //      dominant-script argmax and mixed-script flag are the same
-    //      CASE arithmetic on both engines, and the oracle recovers
-    //      each count with one [^range] regex per class.
-    "q184_script_audit" -> ((s, dir) => {
-      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
-      val id = col("doc_id")
-      // id%3=0 docs keep ONLY the injected script (their dominant IS
-      // the script); the rest append it to the latin base (mixed, but
-      // latin-dominant) — so every class appears as a dominant group
-      val scripted = concat(
-        when(id % 7 =!= 0 && id % 3 === 0, lit("")).otherwise(col("text")),
-        when(id % 7 === 1, lit(" Привет мир 2024"))
-          .when(id % 7 === 2, lit(" Ελληνικά κείμενο"))
-          .when(id % 7 === 3, lit(" مرحبا بالعالم"))
-          .when(id % 7 === 4, lit(" שלום עולם"))
-          .when(id % 7 === 5, lit(" नमस्ते दुनिया"))
-          .when(id % 7 === 6, lit(" 你好世界 ありがとう 한국어"))
-          .otherwise(lit("")))
-      val prof = docs
-        .select(id.as("doc_id"),
-          graft.functions.GraftFunctions.scriptProfile(s, scripted).as("p"))
-        .select(col("doc_id"), col("p.*"))
-      val letters = Seq("n_latin", "n_cyrillic", "n_greek", "n_arabic",
-        "n_hebrew", "n_devanagari", "n_cjk")
-      // first class >= all LATER classes = deterministic argmax with
-      // ties toward the earlier class — identical chain in the oracle
-      val dominant = expr(
-        """CASE
-          |  WHEN n_latin >= n_cyrillic AND n_latin >= n_greek
-          |    AND n_latin >= n_arabic AND n_latin >= n_hebrew
-          |    AND n_latin >= n_devanagari AND n_latin >= n_cjk THEN 'latin'
-          |  WHEN n_cyrillic >= n_greek AND n_cyrillic >= n_arabic
-          |    AND n_cyrillic >= n_hebrew AND n_cyrillic >= n_devanagari
-          |    AND n_cyrillic >= n_cjk THEN 'cyrillic'
-          |  WHEN n_greek >= n_arabic AND n_greek >= n_hebrew
-          |    AND n_greek >= n_devanagari AND n_greek >= n_cjk THEN 'greek'
-          |  WHEN n_arabic >= n_hebrew AND n_arabic >= n_devanagari
-          |    AND n_arabic >= n_cjk THEN 'arabic'
-          |  WHEN n_hebrew >= n_devanagari AND n_hebrew >= n_cjk THEN 'hebrew'
-          |  WHEN n_devanagari >= n_cjk THEN 'devanagari'
-          |  ELSE 'cjk' END""".stripMargin)
-      val mixed = letters.map(c =>
-        when(col(c) > 0, 1L).otherwise(0L)).reduce(_ + _) >= 2
-      prof
-        .withColumn("dominant", dominant)
-        .withColumn("mixed", when(mixed, 1L).otherwise(0L))
-        .groupBy("dominant")
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum(col("mixed")).as("n_mixed"),
-          sum(col("n_chars")).as("sum_chars"),
-          sum(col("n_digit")).as("sum_digits"),
-          sum(col("n_other")).as("sum_other"))
-    }),
-
-    // ---- north-star: CCNet-style perplexity bucketing — per-language
-    //      head/middle/tail terciles by unigram-LM mean NLL (lowest
-    //      perplexity = head). Rank ties break on doc_id; tercile
-    //      boundaries are pure integer comparisons (3·(rn−1) vs cnt) —
-    //      no float division, replays exactly. One per-lang window +
-    //      a broadcast per-lang count join; NLL sums travel as exact
-    //      integer micronats.
-    "q185_perplexity_buckets" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
-      val nll = graft.ops.LanguageModel.meanNegLogLik(docs, "text", "doc_id")
-      val byLang = nll.join(docs.select("doc_id", "lang"), Seq("doc_id"))
-      val cnt = byLang.groupBy("lang").agg(count(lit(1)).as("cnt"))
-      val w = Window.partitionBy(col("lang"))
-        .orderBy(col("nll"), col("doc_id"))
-      byLang
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .join(broadcast(cnt), Seq("lang"))
-        .withColumn("bucket",
-          when(lit(3) * (col("rn") - 1) < col("cnt"), "head")
-            .when(lit(3) * (col("rn") - 1) < lit(2) * col("cnt"), "middle")
-            .otherwise("tail"))
-        .groupBy("lang", "bucket")
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum(round(col("nll") * 1e6, 0).cast("long")).as("sum_nll_micro"),
-          min(col("nll")).as("min_nll"),
-          max(col("nll")).as("max_nll"))
-    }),
-
-    // ---- north-star: audio quality triage — integer-exact clipping/
-    //      peak/DC stats over REAL constructed WAV bytes (every sample
-    //      a pure function of doc_id, so the oracle replays the per-
-    //      sample arithmetic); corrupt payloads (id%13=0) must land in
-    //      the NULL bucket, not crash.
-    "q186_audio_quality" -> ((s, dir) => {
-      import s.implicits._
-      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
-      val payloads = docs.select(col("doc_id")).as[Long]
-        .map(id => (id, graft.ops.Multimodal.demoWav(id)))
-        .toDF("doc_id", "payload")
-      val id = col("doc_id")
-      payloads
-        .select(id,
-          graft.functions.GraftFunctions.audioStats(s, col("payload")).as("a"))
-        .groupBy((id % 5).as("bucket"))
-        .agg(
-          count(lit(1)).as("n_payloads"),
-          sum(when(col("a").isNull, 1L).otherwise(0L)).as("n_corrupt"),
-          sum(col("a.n_samples")).as("sum_samples"),
-          max(col("a.peak")).as("max_peak"),
-          sum(col("a.n_clipped")).as("n_clipped"),
-          sum(col("a.sum_abs")).as("sum_abs"),
-          sum(col("a.sum_val")).as("sum_val"),
-          sum(when(col("a.sample_rate") === 8000 && col("a.channels") === 1,
-            1L).otherwise(0L)).as("n_fmt_ok"))
-    }),
-
-    // ---- north-star: trust distance — multi-source BFS hops from a
-    //      sparse seed set (id%97=0) along out-links, 3 rounds of
-    //      declarative min-relaxation; unreachable pages stay NULL.
-    //      The oracle unrolls the same rounds (least() ignores NULL
-    //      identically in both engines).
-    "q187_seed_distance" -> ((s, dir) => {
-      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
-      val nRow = docs.agg(count(lit(1)).as("__n"))
-      val id = col("doc_id")
-      val edges = docs.crossJoin(broadcast(nRow)).select(
-        id.as("src"),
-        explode(array(
-          (id * 2 + 1) % col("__n"),
-          (id * 3 + 2) % col("__n"),
-          (id * 7 + 5) % col("__n"))).as("dst"))
-      val nodes = docs.select(id.as("id"))
-      graft.ops.LinkGraph
-        .seedDistance(nodes, edges, nodes.filter(col("id") % 97 === 0),
-          maxHops = 3)
-        .groupBy("dist")
-        .agg(count(lit(1)).as("n_nodes"), sum(col("id")).as("sum_ids"))
-    }),
-
-    // ---- north-star: fuzzy eval decontamination via token LCS
-    //      (ROUGE-L) — benchmark items (12-token prefixes of id%53
-    //      docs) are candidate-matched by shared word 3-grams, then
-    //      VERIFIED by the LCS kernel: 10·lcs >= 8·|item| flags a
-    //      leaked-with-edits item that verbatim n-gram checks miss.
-    //      The oracle replays the exact DP as an anti-diagonal
-    //      recursive CTE.
-    "q188_lcs_decontamination" -> ((s, dir) => {
-      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
-      val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
-      val items = toks.filter(col("doc_id") % 53 === 0)
-        .select(col("doc_id").as("item_id"),
-          slice(col("t"), 1, 12).as("bt"))
-        .select(col("item_id"), concat_ws(" ", col("bt")).as("item_text"),
-          size(col("bt")).cast("long").as("m"))
-      val itemGrams = toks.filter(col("doc_id") % 53 === 0)
-        .select(col("doc_id").as("item_id"), slice(col("t"), 1, 12).as("bt"))
-        .filter(size(col("bt")) >= 3)
-        .select(col("item_id"), explode(expr(
-          "transform(sequence(0, size(bt)-3), i -> " +
-            "concat_ws(' ', bt[i], bt[i+1], bt[i+2]))")).as("g"))
-        .distinct()
-      val docGrams = toks.filter(size(col("t")) >= 3)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(t)-3), i -> " +
-            "concat_ws(' ', t[i], t[i+1], t[i+2]))")).as("g"))
-        .distinct()
-      val cands = docGrams.join(broadcast(itemGrams), Seq("g"))
-        .filter(col("doc_id") =!= col("item_id"))
-        .select("doc_id", "item_id").distinct()
-      cands
-        .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
-        .join(broadcast(items), Seq("item_id"))
-        .select(col("item_id"), col("m"),
-          graft.functions.GraftFunctions
-            .lcsCount(s, col("text"), col("item_text")).as("lcs"))
-        .groupBy("item_id")
-        .agg(
-          count(lit(1)).as("n_candidates"),
-          sum(when(lit(10) * col("lcs") >= lit(8) * col("m"), 1L)
-            .otherwise(0L)).as("n_contaminated"),
-          max(col("lcs")).as("max_lcs"),
-          sum(col("lcs")).as("sum_lcs"))
-    }),
-
-    // ---- capstone: multilingual corpus gate — ONE scan evaluates
-    //      lang-ID and the script profile side by side, then three
-    //      integer drop rules in precedence order: mixed-script,
-    //      lang-unsupported (identifier says 'und' but letters are
-    //      present — the CCNet keep-only-supported-languages
-    //      discipline), digit-heavy (5·digits > chars). Fixture
-    //      extends q184's with forced digit-run docs.
-    "q189_multilingual_gate" -> ((s, dir) => {
-      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
-      val id = col("doc_id")
-      val scripted = concat(
-        when(id % 7 =!= 0 && id % 3 === 0, lit("")).otherwise(col("text")),
-        when(id % 7 === 1, lit(" Привет мир 2024"))
-          .when(id % 7 === 2, lit(" Ελληνικά κείμενο"))
-          .when(id % 7 === 3, lit(" مرحبا بالعالم"))
-          .when(id % 7 === 4, lit(" שלום עולם"))
-          .when(id % 7 === 5, lit(" नमस्ते दुनिया"))
-          .when(id % 7 === 6, lit(" 你好世界 ありがとう 한국어"))
-          .otherwise(lit("")),
-        when(id % 23 === 0, lit(
-          " 0123456789012345678901234567890123456789012345678" +
-            " 0123456789012345678901234567890123456789012345678" +
-            " 0123456789012345678901234567890123456789012345678"))
-          .otherwise(lit("")))
-      val prof = docs
-        .select(id.as("doc_id"),
-          graft.functions.GraftFunctions.langId(s, scripted).as("lang_pred"),
-          graft.functions.GraftFunctions.scriptProfile(s, scripted).as("p"))
-        .select(col("doc_id"), col("lang_pred"), col("p.*"))
-      val letters = Seq("n_latin", "n_cyrillic", "n_greek", "n_arabic",
-        "n_hebrew", "n_devanagari", "n_cjk")
-      val nScripts = letters.map(c =>
-        when(col(c) > 0, 1L).otherwise(0L)).reduce(_ + _)
-      val nLetters = letters.map(col).reduce(_ + _)
-      prof
-        .withColumn("reason",
-          when(nScripts >= 2, "mixed_script")
-            .when(col("lang_pred") === "und" && nLetters > 0,
-              "lang_unsupported")
-            .when(lit(5) * col("n_digit") > col("n_chars"), "digit_heavy")
-            .otherwise("kept"))
-        .groupBy("reason")
-        .agg(
-          count(lit(1)).as("n_docs"),
-          countDistinct(col("lang_pred")).as("n_langs"),
-          sum(col("n_chars")).as("sum_chars"),
-          sum(col("doc_id")).as("sum_ids"))
-    }),
-
-    // ---- north-star: local clustering coefficients over the
-    //      near-dup graph (q180's shared pair index) — per-vertex
-    //      cc = 2T/(d(d−1)) from the degree-oriented triangle
-    //      pipeline; degree-1 vertices are unmeasurable (NULL), and
-    //      cc totals ride as integer micro-units.
-    "q190_clustering_coeff" -> ((s, dir) =>
-      graft.ops.LinkGraph.clusteringCoefficients(
-        verifiedPairs(s, dir).select("id_a", "id_b"), "id_a", "id_b")
-        .groupBy((col("id") % 5).as("bucket"))
-        .agg(
-          count(lit(1)).as("n_vertices"),
-          sum(col("degree")).as("sum_deg"),
-          sum(col("n_triangles")).as("sum_tri"),
-          sum(when(col("cc").isNotNull, 1L).otherwise(0L))
-            .as("n_cc_defined"),
-          sum(when(col("cc").isNotNull,
-            round(col("cc") * 1e6, 0).cast("long")).otherwise(0L))
-            .as("sum_cc_micro"))),
-
-    // ---- north-star: kNN graph over the embedding corpus (q24's
-    //      banded candidates, k=5) — per-vertex top-k as a pure
-    //      aggregation (sorted-struct slice, integer sort keys), the
-    //      input structure for graph clustering and SemDeDup.
-    "q191_knn_graph" -> ((s, dir) =>
-      Similarity.knnGraph(
-        T(s, dir, "embeddings"), "vec_id", "embedding",
-        planesPerBand = 8, bands = 2, dims = 64, k = 5,
-        minCosine = 0.15, maxBucketSize = 1000)
-        .groupBy("rank")
-        .agg(
-          count(lit(1)).as("n_edges"),
-          countDistinct(col("id")).as("n_vertices"),
-          sum(col("cos_micro")).as("sum_cos_micro"),
-          sum(col("nbr")).as("sum_nbrs"))),
-
-    // ---- north-star: k-core peeling over the q182 synthetic web
-    //      graph — 4 synchronous peel rounds at k=5 strip the
-    //      periphery (pendant chains, one-shot links) whose graph
-    //      signals are noise; the oracle unrolls the same rounds as
-    //      CTEs, so the surviving-core membership and in-core degrees
-    //      replay bit-identically.
-    "q192_k_core" -> ((s, dir) => {
-      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
-      val nRow = docs.agg(count(lit(1)).as("__n"))
-      val id = col("doc_id")
-      val edges = docs.crossJoin(broadcast(nRow)).select(
-        id.as("src"),
-        explode(array(
-          (id * 2 + 1) % col("__n"),
-          (id * 3 + 2) % col("__n"),
-          (id * 7 + 5) % col("__n"))).as("dst"))
-      graft.ops.LinkGraph.kCore(edges, "src", "dst", k = 5, rounds = 4)
-        .groupBy((col("id") % 5).as("bucket"))
-        .agg(
-          count(lit(1)).as("n_vertices"),
-          sum(col("core_deg")).as("sum_core_deg"),
-          max(col("core_deg")).as("max_core_deg"),
-          min(col("core_deg")).as("min_core_deg"))
-    }),
-
-    // ---- north-star: edit-distance-verified near-dups — the
-    //      ORDER-SENSITIVE verifier over the q16 LSH candidates:
-    //      Spark's builtin banded levenshtein (Ukkonen cut at
-    //      maxDist) separates light-touch edits from same-vocabulary
-    //      rewrites that fool set-based Jaccard; DuckDB's builtin
-    //      levenshtein replays it exactly on the ASCII corpus.
-    "q193_edit_verified" -> ((s, dir) =>
-      graft.ops.Dedup.editVerifiedPairs(
-        T(s, dir, "documents"), "text", "doc_id", maxDist = 200)
-        .groupBy((col("id_a") % 5).as("bucket"))
-        .agg(
-          count(lit(1)).as("n_pairs"),
-          sum(col("edit_dist")).as("sum_dist"),
-          max(col("edit_dist")).as("max_dist"),
-          round(sum(col("edit_sim")), 6).as("sum_sim"))),
-
-    // ---- north-star: the Gopher structural gate (Rae et al. 2021) —
-    //      word-shape bounds, symbol density, alpha-word floor, and
-    //      the stopword prose test, compiled through the SAME dual-
-    //      dialect DSL as q62 (one filter definition is both the Spark
-    //      expression and the oracle SQL); per-doc verdict + first
-    //      failing rule, scan-speed, zero shuffles.
-    "q194_gopher_gate" -> ((s, dir) =>
-      graft.ops.CorpusFilters.decide(
-        T(s, dir, "documents"), "text", "doc_id",
-        graft.ops.CorpusFilters.gopherRules(minTokens = 30L, minStopwords = 1))),
-
-    // ---- north-star: WordPiece trainer (Schuster & Nakajima 2012 —
-    //      the third public tokenizer algorithm beside BPE and the
-    //      unigram LM): the BPE merge loop with the LIKELIHOOD
-    //      objective pc/(cl·cr); the oracle replays every round's
-    //      symbol counts, pair counts, score argmax, and ##-aware
-    //      merge application bit-identically.
-    "q195_wordpiece_train" -> ((s, dir) =>
-      graft.ops.WordPiece.train(T(s, dir, "documents"), "text", 6)),
-
-    // ---- north-star: DURABLE WordPiece vocabulary — train on the
-    //      even half, publish alphabet+merges as parquet, greedy-
-    //      encode the odd half from the STORED vocab via the codegen
-    //      kernel (the q124/q173 frozen-model lifecycle; longest-
-    //      match-first with the whole-word [UNK] fallback).
-    "q196_durable_wordpiece" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
-      val even = docs.filter(col("doc_id") % 2 === 0)
-      val modelDir = tmp("q196_wp_vocab")
-      graft.ops.WordPiece.vocab(even, "text",
-        graft.ops.WordPiece.train(even, "text", 6))
-        .write.mode("overwrite").parquet(modelDir)
-      val pieces = graft.ops.WordPiece.pieceList(s.read.parquet(modelDir))
-      // text IS NOT NULL pins the row universe to the oracle's: its
-      // string_split unnest silently drops null-text docs, so an
-      // unfiltered Spark side would emit an extra null-count row
-      docs.filter(col("doc_id") % 2 =!= 0 && col("text").isNotNull)
-        .select(col("doc_id"),
-          graft.functions.GraftFunctions.wordPieceCount(s, col("text"), pieces)
-            .as("n_wp_tokens"))
-    }),
-
-    // ---- north-star: SQ8 scalar-quantized ANN — the no-codebook
-    //      sibling of PQ (q70/q71): per-dimension min/max train, one
-    //      narrow encode projection to [0,255] codes, asymmetric
-    //      midpoint-dequantized inner product; search touches only the
-    //      integer code table. Train/encode/score replay exactly
-    //      (min/max are summation-free, the score is the shared
-    //      left-fold dot, rounded).
-    "q197_sq8_topk" -> ((s, dir) => {
-      val emb = T(s, dir, "embeddings")
-      Similarity.sqTopK(emb, emb.filter(col("vec_id") === 0),
-        "vec_id", "embedding", topK = 10, dims = 64)
-    }),
-
-    // ---- north-star: t-closeness audit (q171's missing third gate):
-    //      per-group Earth Mover's Distance of the sensitive-bucket
-    //      distribution from the global one, over the ordered
-    //      equal-spacing metric — integer-exact cumulative numerators
-    //      over the common denominator, ONE double division per group.
-    "q198_t_closeness" -> ((s, dir) => {
-      val cust = T(s, dir, "customer")
-        .withColumn("bal_bucket", floor(col("c_acctbal") / 1000))
-      graft.ops.Privacy.tClosenessGroups(
-        cust, Seq("c_nationkey", "c_mktsegment"), "bal_bucket")
-    }),
-
-    // ---- north-star: THREE-tokenizer equity report — q174 extended
-    //      with the WordPiece column: per-language chars/token under
-    //      BPE, unigram-LM, and greedy WordPiece side by side, all
-    //      three trained on the same corpus in the same job. The
-    //      fairness dashboard a multilingual pipeline publishes when
-    //      CHOOSING its tokenizer, not just shipping one.
-    "q199_tokenizer_equity3" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
-      val bpeMerges = graft.ops.Bpe.mergeList(
-        graft.ops.Bpe.train(docs, "text", merges = 6))
-      val uniModel = graft.ops.Unigram.modelTable(
-        graft.ops.Unigram.train(docs, "text",
-          maxPieceLen = 3, seedSize = 30, emIters = 2, keepSize = 12))
-      val wpPieces = graft.ops.WordPiece.pieceList(
-        graft.ops.WordPiece.vocab(docs, "text",
-          graft.ops.WordPiece.train(docs, "text", merges = 6)))
-      docs.filter(col("text").isNotNull).groupBy("lang").agg(
-          count(lit(1)).as("n_docs"),
-          sum(length(replace(col("text"), lit(" ")))).as("n_chars"),
-          sum(graft.functions.GraftFunctions.bpeCount(s, col("text"), bpeMerges))
-            .as("bpe_tokens"),
-          sum(graft.functions.GraftFunctions.unigramCount(s, col("text"), uniModel))
-            .as("unigram_tokens"),
-          sum(graft.functions.GraftFunctions.wordPieceCount(s, col("text"), wpPieces))
-            .as("wp_tokens"))
-        .withColumn("chars_per_bpe_token",
-          round(col("n_chars").cast("double") / col("bpe_tokens"), 6))
-        .withColumn("chars_per_unigram_token",
-          round(col("n_chars").cast("double") / col("unigram_tokens"), 6))
-        .withColumn("chars_per_wp_token",
-          round(col("n_chars").cast("double") / col("wp_tokens"), 6))
-    }),
-
-    // ---- north-star: Heaps-law vocabulary growth — distinct word
-    //      types vs corpus size at 10 ingestion-order checkpoints; a
-    //      flattening curve means the crawl is re-reading itself. One
-    //      (word -> first bucket) aggregation; everything after is
-    //      buckets-bounded integers.
-    "q200_vocab_growth" -> ((s, dir) =>
-      graft.ops.TextOps.vocabularyGrowth(
-        T(s, dir, "documents"), "text", "doc_id", buckets = 10)),
-
-    // ---- north-star: MMR diversification (Carbonell & Goldstein
-    //      1998) — dedup-aware re-ranking of the q51 BM25 top-15:
-    //      greedy integer-scored selection 7·rel − 3·maxSimToSelected
-    //      (λ = 0.7 as exact weights) with 3-gram-Jaccard similarity
-    //      between candidates; the retrieval-time complement of
-    //      corpus dedup. Driver greedy over a top-k list by design.
-    "q201_mmr_rerank" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
-      val bm = graft.ops.Search.bm25(docs, "text", "doc_id",
-          terms = Seq("spark", "hash", "window"), topK = 15)
-        .select(col("doc_id"),
-          round(col("bm25") * 1e6, 0).cast("long").as("rel_micro"))
-        .localCheckpoint()
-      val ids = bm.select("doc_id")
-      val pairs = ids.select(col("doc_id").as("id_a"))
-        .crossJoin(ids.select(col("doc_id").as("id_b")))
-        .filter(col("id_a") < col("id_b"))
-        .localCheckpoint()
-      val sims = Dedup.verifyPairs(docs, pairs, "text", "doc_id",
-          threshold = 0.0, shingleWords = 3)
-        .select(col("id_a"), col("id_b"),
-          round(col("jaccard") * 1e6, 0).cast("long").as("sim_micro"))
-      graft.ops.Search.mmrSelect(bm, sims, "doc_id",
-        k = 8, wRel = 7L, wDiv = 3L)
-    }),
-
-    // ---- north-star: degree assortativity (Newman 2002) over the
-    //      q182 synthetic web graph — do hubs link to hubs? The 1-row
-    //      graph-shape statistic (negative = hub-to-leaf web shape;
-    //      a positive jag flags mutually-linking spam farms).
-    //      Integer-exact Σ sums; one final division.
-    "q202_assortativity" -> ((s, dir) => {
-      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
-      val nRow = docs.agg(count(lit(1)).as("__n"))
-      val id = col("doc_id")
-      val edges = docs.crossJoin(broadcast(nRow)).select(
-        id.as("src"),
-        explode(array(
-          (id * 2 + 1) % col("__n"),
-          (id * 3 + 2) % col("__n"),
-          (id * 7 + 5) % col("__n"))).as("dst"))
-      graft.ops.LinkGraph.degreeAssortativity(edges, "src", "dst")
-    }),
-
-    // ---- north-star: matryoshka truncation recall (Kusupati et al.
-    //      2022) — how much ANN quality survives keeping only a
-    //      prefix of each embedding (the 4×/2× memory lever an MRL-
-    //      trained model offers): recall@10 of dim-16 and dim-32
-    //      prefix search against the full-64 exact top-k, per query.
-    //      Truncated cosine ≡ cosine over the first d components, so
-    //      the oracle reuses the exact-batch chain at dims=d.
-    "q203_matryoshka_recall" -> ((s, dir) => {
-      val emb = T(s, dir, "embeddings")
-      val queries = emb.filter(col("vec_id") < 3)
-      val truth = Similarity.bruteForceTopKBatch(
-        emb, queries, "vec_id", "embedding", "vec_id", k = 10)
-      def tr(df: DataFrame, d: Int): DataFrame = df.select(
-        col("vec_id"), slice(col("embedding"), 1, d).as("embedding"))
-      Seq(16, 32).map { d =>
-        Similarity.recallAtK(truth,
-          Similarity.bruteForceTopKBatch(
-            tr(emb, d), tr(queries, d), "vec_id", "embedding", "vec_id", k = 10),
-          "query_id", "vec_id", k = 10)
-          .withColumn("dims", lit(d.toLong))
-      }.reduce(_ unionByName _)
-    }),
-
-    // ---- north-star: crawl-trap audit — the URL-shape fence a
-    //      frontier runs BEFORE fetching: mirrored path cycles,
-    //      runaway depth, and facet/session parameter explosions are
-    //      detected per URL by real parsing (try_parse_url + codegen
-    //      array lambdas); the fixture builds each trap shape
-    //      constructively, so the oracle is pure doc_id arithmetic
-    //      while the Spark side must actually parse.
-    "q204_crawl_traps" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
-      val id = col("doc_id")
-      val (m3, m12, m15) = (id % 3, id % 12, id % 15)
-      val host = concat(lit("h"), (id % 7).cast("string"), lit(".example"))
-      val path = when(id % 4 === 0,
-          array_join(transform(sequence(lit(1), m3 + 2), _ => lit("a/b")), "/"))
-        .when(id % 4 === 1,
-          array_join(transform(sequence(lit(0), m12),
-            i => concat(lit("s"), i.cast("string"))), "/"))
-        .when(id % 4 === 2,
-          concat(lit("p?"), array_join(transform(sequence(lit(1), m15 + 1),
-            i => concat(lit("p"), i.cast("string"), lit("=1"))), "&")))
-        .otherwise(concat(lit("docs/x"), id.cast("string")))
-      val urls = docs.select(id, concat(lit("http://"), host, lit("/"), path)
-        .as("url"))
-      graft.ops.UrlOps.trapAudit(urls, "url")
-        .groupBy("host")
-        .agg(
-          count(lit(1)).as("n_urls"),
-          sum(when(col("is_trap"), 1L).otherwise(0L)).as("n_traps"),
-          sum(col("depth")).as("sum_depth"),
-          max(col("depth")).as("max_depth"),
-          sum(col("n_params")).as("sum_params"),
-          max(col("max_repeat")).as("max_rep"),
-          sum(id).as("sum_ids"))
-    }),
-
-    // ---- north-star: KWIC snippets — the display layer of the q152
-    //      positional-index phrase search: ±3 tokens of context around
-    //      the first "spark window" hit, with the in-snippet phrase
-    //      offset for highlighting; the text attach touches ONLY
-    //      matching docs (posting-list-sized, never a corpus scan).
-    "q205_kwic_snippets" -> ((s, dir) => {
-      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
-      val idx = graft.ops.Search.invertedIndex(docs, "text", "doc_id")
-      val hits = graft.ops.Search.phraseSearch(idx, Seq("spark", "window"))
-      graft.ops.Search.kwicSnippets(docs, hits, "text", "doc_id",
-        phraseLen = 2, ctx = 3)
-    }),
-
-    // ---- north-star: Kneser–Ney bigram NLL — THE standard n-gram
-    //      smoothing (absolute discount + continuation unigram); the
-    //      "San Francisco" effect the q107 add-one interpolation
-    //      cannot express. All model statistics are decomposable
-    //      aggregations over the bigram TYPE table.
-    "q206_kneser_ney" -> ((s, dir) =>
-      graft.ops.LanguageModel.kneserNeyNll(
-        T(s, dir, "documents"), "text", "doc_id", discount = 0.75)),
-
-    // ---- north-star: SQ8 + exact refine re-rank (the FAISS
-    //      IndexRefineFlat pattern) — the compressed stage over-fetches
-    //      3·k candidates from the integer code table, then ONLY those
-    //      30 ids re-score against the float embeddings; the final
-    //      order is exact while scan cost stays code-table-sized.
-    "q207_sq8_refine" -> ((s, dir) => {
-      val emb = T(s, dir, "embeddings")
-      Similarity.sqRefineTopK(emb, emb.filter(col("vec_id") === 0),
-        "vec_id", "embedding", topK = 10, refineFactor = 3, dims = 64)
-    }),
-
-    // ---- north-star: zone-map data-skipping stats — per-file min/max
-    //      over a range-clustered layout (16 files on o_orderdate) for
-    //      the clustered column AND an uncorrelated one; the pruned
-    //      flags show a date predicate skipping most files while the
-    //      price predicate skips none — the audit a clustering
-    //      decision is made from. File ids are closed-form range bins
-    //      (engine-replayable, unlike sampled range boundaries).
-    "q208_zone_map" -> ((s, dir) => {
-      val orders = T(s, dir, "orders")
-      val withF = graft.io.ZoneMap.assignFiles(
-        orders, col("o_orderdate").cast("timestamp"), nFiles = 16)
-      val st = graft.io.ZoneMap.stats(
-        withF, "file_id", Seq("o_orderdate", "o_totalprice"))
-      val dLo = lit("1997-01-01 00:00:00").cast("timestamp")
-      val dHi = lit("1997-03-31 00:00:00").cast("timestamp")
-      st.select(col("file_id"), col("n_rows"),
-        col("o_orderdate_mn"), col("o_orderdate_mx"),
-        col("o_totalprice_mn"), col("o_totalprice_mx"),
-        graft.io.ZoneMap.prunedFlag(
-          col("o_orderdate_mn"), col("o_orderdate_mx"), dLo, dHi)
-          .as("pruned_date"),
-        graft.io.ZoneMap.prunedFlag(
-          col("o_totalprice_mn"), col("o_totalprice_mx"),
-          lit(100000.0), lit(150000.0)).as("pruned_price"))
-    }),
-
-    // ---- north-star: mirror-host detection (Bharat & Broder 1999) —
-    //      host pairs sharing content fingerprints are crawl mirrors;
-    //      the pair join is keyed on the FINGERPRINT with a spread cap
-    //      (boilerplate on every host carries no mirror signal and
-    //      would quadratically dominate), never host × host. The
-    //      corpus has no exact-duplicate texts, so the mirror is built
-    //      CONSTRUCTIVELY: host m<k> re-serves the even half of host
-    //      h<k>'s pages — each (h<k>, m<k>) pair must surface with
-    //      containment 1.0 (m ⊂ h) and a partial resemblance, and no
-    //      cross pair exists.
-    "q209_mirror_hosts" -> ((s, dir) => {
-      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
-      val fp = graft.ops.TextOps.fingerprint(col("text"))
-      val originals = docs.select(
-        concat(lit("h"), (col("doc_id") % 6).cast("string")).as("host"),
-        fp.as("fp"))
-      val mirrors = docs.filter(col("doc_id") % 2 === 0).select(
-        concat(lit("m"), (col("doc_id") % 6).cast("string")).as("host"),
-        fp.as("fp"))
-      Dedup.mirrorHosts(originals.unionByName(mirrors), "host", "fp",
-        maxHostsPerFp = 8, minShared = 2)
-    }),
-
-    // ---- north-star: UniMax language-budget allocation (Chung et
-    //      al. 2023) — water-filling a token budget across languages
-    //      under a per-language epoch ceiling: at this budget every
-    //      tail language caps at 4 epochs and the head (en) absorbs
-    //      exactly the remainder — the anti-rich-get-richer mixture
-    //      temperature sampling cannot express.
-    "q210_unimax" -> ((s, dir) => {
-      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
-      graft.ops.Sampling.unimaxAllocation(docs, "lang",
-        graft.ops.TextOps.tokenCount(col("text")).cast("long"),
-        budget = 80000L, epochCap = 4.0)
-    }),
-
-    // ---- north-star: nDCG@10 of the q51 BM25 ranking against a
-    //      constructively graded judgment pool (docs ≡ 0 mod 3, grade
-    //      = id mod 4) — the position-aware eval recall@k cannot
-    //      express; unjudged ranked docs score 0 per the standard
-    //      convention.
-    "q211_ndcg" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
-      val bm = graft.ops.Search.bm25(docs, "text", "doc_id",
-        terms = Seq("spark", "hash", "window"), topK = 20)
-      val ranking = graft.ops.Search.ranked(
-        bm, col("bm25").desc, col("doc_id").asc).select("doc_id", "rank")
-      val rels = docs.filter(col("doc_id") % 3 === 0)
-        .select(col("doc_id"), (col("doc_id") % 4).cast("int").as("rel"))
-      graft.ops.Search.ndcgAtK(ranking, rels, "doc_id", k = 10)
-    }),
-
-    // ---- north-star: Zipf-law head fit — least-squares slope of
-    //      ln(freq) on ln(rank) over the top-100 types (the head is
-    //      where the law holds AND what keeps ranking a TakeOrdered
-    //      top-k instead of a vocabulary sort); the corpus-shape
-    //      sibling of q200's Heaps curve.
-    "q212_zipf_fit" -> ((s, dir) =>
-      graft.ops.TextOps.zipfFit(
-        T(s, dir, "documents"), "text", headSize = 100)),
-
-    // ---- north-star: Cohen's kappa between two keep-gates (quality
-    //      score vs length cutoff) — chance-corrected agreement, the
-    //      QA metric for a classifier change; raw agreement flatters
-    //      imbalanced gates, κ subtracts the marginal-expected part.
-    "q213_kappa" -> ((s, dir) => {
-      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
-      val labeled = docs.select(
-        (graft.ops.TextOps.qualityScore(col("text")) >= 0.5).as("gate_a"),
-        (col("n_chars") >= 306L).as("gate_b"))
-      graft.ops.Quality.agreementKappa(labeled, "gate_a", "gate_b")
-    }),
-
-    // ---- north-star: PMI collocations (Church & Hanks 1990) — word
-    //      pairs co-occurring far above chance over the bigram TYPE
-    //      table; minCount fences the singleton-pair pathology AND the
-    //      vocab² tail. The multiword-expression miner.
-    "q214_pmi" -> ((s, dir) =>
-      graft.ops.LanguageModel.pmiCollocations(
-        T(s, dir, "documents"), "text", minCount = 3L, topK = 20)),
-
-    // ---- north-star: empirical-Bayes source quality — per-source
-    //      good-doc rates shrunk toward the corpus rate with 20
-    //      pseudo-observations; the curation ranking raw rates get
-    //      wrong for barely-sampled sources.
-    "q215_source_quality" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
-      graft.ops.Quality.shrunkSourceQuality(docs, "source",
-        graft.ops.TextOps.qualityScore(col("text")) >= 0.5,
-        priorStrength = 20.0)
-    }),
-
-    // ---- north-star: LSH parameter eval — precision/recall of the
-    //      (8 hashes, 4 bands) candidate set against the exact
-    //      prefix-filtered ground truth at J ≥ 0.8: the measurement a
-    //      banding choice is made from before a 100 TB dedup run.
-    "q216_lsh_eval" -> ((s, dir) =>
-      Dedup.lshDedupEval(
-        T(s, dir, "documents"), "text", "doc_id", threshold = 0.8)),
-
-    // ---- north-star: top-k user journeys — most common 3-step
-    //      event-type sequences inside 30-min sessions (one user-keyed
-    //      window + session-bounded lists + decomposable gram counts).
-    "q217_journeys" -> ((s, dir) =>
-      graft.ops.EventOps.topJourneys(
-        Layers.readEvents(s, s"$dir/events.parquet"),
-        "user_id", "ts", "event_id", "event_type",
-        gapSeconds = 1800, n = 3, topK = 15)),
-
-    // ---- north-star: hard-negative mining (DPR-style) — for each of
-    //      3 query vectors, the most similar candidates NOT sharing
-    //      its cluster label: over-fetched exact cut (k·4), group
-    //      filter, per-query re-rank. The training-data op behind
-    //      every dense retriever.
-    "q218_hard_negatives" -> ((s, dir) => {
-      val emb = T(s, dir, "embeddings")
-      Similarity.hardNegatives(emb,
-        emb.filter(col("vec_id").isin(0L, 1L, 2L)),
-        "vec_id", "embedding", "vec_id", "label", k = 5, overFetch = 4)
-    }),
-
-    // ---- north-star: multi-probe LSH (Lv et al. 2007) — the query's
-    //      sign-bucket plus all Hamming-1 flips (9 buckets of 256):
-    //      the recall repair for hairline hyperplane misses at ~9/256
-    //      of the corpus touched; probe set is a driver literal, the
-    //      scan stays narrow with an isin filter.
-    "q219_multiprobe_lsh" -> ((s, dir) => {
-      val emb = T(s, dir, "embeddings")
-      Similarity.multiProbeTopK(emb, emb.filter(col("vec_id") === 0),
-        "vec_id", "embedding", k = 10, numPlanes = 8, dims = 64)
-    }),
-
-    // ---- north-star: quality-canonical cluster keepers — the q39
-    //      clusters re-decided by HIGHEST QUALITY member (tie: min id)
-    //      instead of min id: one decomposable max(struct) per
-    //      cluster, no corpus window. Reads the SAME shared pair
-    //      index as q16/q39/q47.
-    "q220_quality_canonical" -> ((s, dir) => {
-      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
-      val labels = Dedup.components(
-        verifiedPairs(s, dir).select("id_a", "id_b"))
-      Dedup.qualityCanonical(docs, "doc_id", labels,
-        graft.ops.TextOps.qualityScore(col("text")))
-    }),
-
-    // ---- north-star: ordered proximity search (Lucene slop) — docs
-    //      where "window" follows "spark" within 3 tokens, straight
-    //      from the positional index: the relevance middle ground
-    //      between exact-phrase and bag-of-words AND.
-    "q221_proximity" -> ((s, dir) => {
-      val idx = graft.ops.Search.invertedIndex(
-        T(s, dir, "documents"), "text", "doc_id")
-      graft.ops.Search.proximitySearch(idx, "spark", "window", slop = 3)
-    }),
-
-    // ---- north-star: reciprocal nearest neighbors — mutual-kNN
-    //      pairs over the q191 graph (both sides rank each other in
-    //      their own top-5): the duplicate signal that survives
-    //      hubness; one self-equi-join of the k·|nodes| edge list.
-    "q222_reciprocal_nn" -> ((s, dir) =>
-      Similarity.reciprocalNeighbors(
-        Similarity.knnGraph(
-          T(s, dir, "embeddings"), "vec_id", "embedding",
-          planesPerBand = 8, bands = 2, dims = 64, k = 5,
-          minCosine = 0.15, maxBucketSize = 1000))),
-
-    // ---- north-star: PageRank convergence residual — L1 distance
-    //      between the last two power iterations of the q151 graph
-    //      (prev tracked inside ONE loop, no second run): the stopping
-    //      gauge that decides whether iters was enough before ranks
-    //      feed scheduling.
-    "q223_pagerank_residual" -> ((s, dir) => {
-      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
-      val nRow = docs.agg(count(lit(1)).as("__n"))
-      val id = col("doc_id")
-      val edges = docs.crossJoin(broadcast(nRow)).select(
-        id.as("src"),
-        explode(array(
-          (id * 2 + 1) % col("__n"),
-          (id * 3 + 2) % col("__n"),
-          (id * 7 + 5) % col("__n"))).as("dst"))
-      graft.ops.LinkGraph.pageRankResidual(
-        docs.select(id.as("id")), edges, iters = 3, damping = 0.85)
-    }),
-
-    // ---- north-star: host-level PageRank — the q151 page graph
-    //      CONTRACTED to hosts (page id % 12; intra-host links
-    //      dropped, inter-host edges deduped): the graph a crawler
-    //      actually ranks for seed budgets — |hosts| nodes, so the
-    //      iteration cost is independent of page count after the one
-    //      contraction pass. Dangling hosts handled by the op.
-    "q224_host_pagerank" -> ((s, dir) => {
-      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
-      val nRow = docs.agg(count(lit(1)).as("__n"))
-      val id = col("doc_id")
-      val pageEdges = docs.crossJoin(broadcast(nRow)).select(
-        id.as("psrc"),
-        explode(array(
-          (id * 2 + 1) % col("__n"),
-          (id * 3 + 2) % col("__n"),
-          (id * 7 + 5) % col("__n"))).as("pdst"))
-      val hostEdges = pageEdges
-        .select((col("psrc") % 12).as("src"), (col("pdst") % 12).as("dst"))
-        .filter(col("src") =!= col("dst"))
-        .distinct()
-      val hosts = docs.select((id % 12).as("id")).distinct()
-      graft.ops.LinkGraph.pageRank(hosts, hostEdges, iters = 3,
-          damping = 0.85)
-        .select(col("id").as("host"), round(col("pr"), 9).as("pr"))
-    }),
-
-    // ---- north-star: language confusability matrix — pairwise
-    //      cosine of per-language char-trigram profiles (Cavnar &
-    //      Trenkle 1994): the lang pairs a lang-ID gate confuses;
-    //      integer dot products over ONE trigram-keyed join.
-    "q225_lang_confusability" -> ((s, dir) =>
-      graft.ops.TextOps.langConfusability(
-        T(s, dir, "documents"), "text", "lang")),
-
-    // ---- north-star: MinHash estimation-error report — measured
-    //      accuracy of the 8-component signature estimate vs exact
-    //      Jaccard over the LSH candidates: the empirical "how many
-    //      hashes do I need" answer (stderr ≈ √(J(1−J)/h)).
-    "q226_minhash_error" -> ((s, dir) =>
-      Dedup.minhashErrorReport(
-        T(s, dir, "documents"), "text", "doc_id")),
-
-    // ---- north-star: per-source trimmed length stats — 5%-trimmed
-    //      robust means per source (one per-group window, never a
-    //      global sort; equal boundary values interchangeable so the
-    //      trimmed multiset is deterministic).
-    "q227_trimmed_stats" -> ((s, dir) =>
-      graft.ops.Stats.trimmedStats(
-        T(s, dir, "documents"), "source", "n_chars", trimFrac = 0.05)),
-
-    // ---- north-star: per-source quantile normalization — each doc's
-    //      quality score mapped to its within-source rank position
-    //      rank/(n+1): "top 10% of each source" becomes the same
-    //      predicate everywhere (raw scales drift per source).
-    "q228_quantile_norm" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
-        .filter(col("text").isNotNull)
-        .withColumn("quality", graft.ops.TextOps.qualityScore(col("text")))
-      graft.ops.Quality.quantileNormalize(docs, "source", "quality", "doc_id")
-    }),
-
-    // ---- north-star: χ² drift attribution — WHICH tokens moved
-    //      between the even-id and odd-id corpus halves: per-token
-    //      goodness-of-fit terms over the minCount-fenced vocabulary,
-    //      the explanation layer over q167/q168's single-number alarms.
-    "q229_chi2_drift" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
-      graft.ops.Diagnostics.chiSquareDrift(
-        docs.filter(col("doc_id") % 2 === 0),
-        docs.filter(col("doc_id") % 2 === 1),
-        "text", minCount = 5L, topK = 20)
-    }),
-
-    // ---- north-star: compaction plan — merge bins of ≈2000 rows over
-    //      a 64-file range-clustered stats ledger, ordered by zone
-    //      floor so compaction PRESERVES the clustering the zone maps
-    //      exist for; the plan window runs over |files| rows, never
-    //      data rows.
-    "q230_compaction_plan" -> ((s, dir) => {
-      val orders = T(s, dir, "orders")
-      val withF = graft.io.ZoneMap.assignFiles(
-        orders, col("o_orderdate").cast("timestamp"), nFiles = 64)
-      val st = graft.io.ZoneMap.stats(withF, "file_id", Seq("o_orderdate"))
-      graft.io.ZoneMap.compactionPlan(
-        st, "o_orderdate_mn", "n_rows", targetRows = 2000L)
-    }),
-
-    // ---- north-star: last-touch attribution — which event type
-    //      immediately precedes each purchase in its session (the
-    //      first attribution model every analytics stack ships);
-    //      session-opening purchases attribute to "(direct)".
-    "q231_attribution" -> ((s, dir) =>
-      graft.ops.EventOps.lastTouchAttribution(
-        Layers.readEvents(s, s"$dir/events.parquet"),
-        "user_id", "ts", "event_id", "event_type",
-        conversionType = "purchase", gapSeconds = 1800)),
-
-    // ---- north-star: time-travel reads of the versioned sink — every
-    //      _SUCCESS-gated run is a pinned table version (q10 reads the
-    //      latest; this reads ALL of them by index): the audit-replay
-    //      primitive of the lakehouse pattern.
-    "q232_time_travel" -> ((s, dir) => {
-      val base = tmp("q232_runs")
-      val cust = T(s, dir, "customer")
-      Layers.writeJsonl(cust.filter(col("c_custkey") % 3 === 0),
-        base, Some("20250101"))
-      Layers.writeJsonl(cust.filter(col("c_custkey") % 2 === 0),
-        base, Some("20250102"))
-      Layers.writeJsonl(cust, base, Some("20250103"))
-      val schema = graft.schema.Metadata.structFromSpec("c_custkey: long")
-      Layers.successfulRuns(s, base).zipWithIndex.map { case (p, v) =>
-        Layers.readJsonl(s, p, schema)
-          .agg(count(lit(1)).as("n_rows"), sum(col("c_custkey")).as("sum_key"))
-          .select(lit(v).as("version"), col("n_rows"), col("sum_key"))
-      }.reduce(_ unionByName _)
-    }),
-
-    // ---- north-star: Gini concentration of per-source doc mass —
-    //      the "is this corpus a monoculture" gauge beside the domain
-    //      caps; one |sources|-row window, integer-exact sums.
-    "q233_gini" -> ((s, dir) =>
-      graft.ops.Stats.giniConcentration(
-        T(s, dir, "documents").filter(col("source").isNotNull), "source")),
-
-    // ---- north-star: host-scoped boilerplate removal (the
-    //      CCNet/FineWeb cleaner) — NAV chrome injected on every page
-    //      of its host (freq 1.0 → scrubbed), PROMO on 25% of pages
-    //      (kept), the unique content line always kept; per-(host,
-    //      line) distinct-page frequencies, doc-bounded rebuild.
-    "q234_host_boilerplate" -> ((s, dir) => {
-      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
-      val host = concat(lit("h"), (col("doc_id") % 5).cast("string"))
-      val page = concat(lit("NAV "), host, lit("\n"), col("text"),
-        when(col("doc_id") % 4 === 0, lit("\nPROMO")).otherwise(lit("")))
-      graft.ops.TextOps.hostBoilerplateScrub(
-        docs.select(col("doc_id"), host.as("host"), page.as("page")),
-        "page", "doc_id", "host", minPages = 3L, maxFrac = 0.5)
-    }),
-
-    // ---- north-star: content-defined chunking block dedup (LBFS
-    //      Rabin boundaries) — a shared license tail appended at
-    //      DIFFERENT offsets per doc still yields identical chunks
-    //      (boundaries are content-derived), so the report must show
-    //      the shared bytes on every third doc; pure-Rabin form,
-    //      oracle-exact.
-    "q235_cdc_dedup" -> ((s, dir) => {
-      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
-      val lic = (" license clause alpha beta gamma delta epsilon " +
-        "zeta eta theta iota kappa applies to this corpus document ") * 4
-      val page = when(col("doc_id") % 3 === 0,
-        concat(col("text"), lit(lic))).otherwise(col("text"))
-      Dedup.cdcDedupReport(
-        docs.select(col("doc_id"), page.as("page")),
-        "page", "doc_id", k = 5, divisor = 64L)
-    }),
-
-    // ---- north-star: KMV set-operation cardinalities (Beyer et al.
-    //      2007) — distinct-customer estimates for the pre/post-1996
-    //      order halves AND their union/intersection from two
-    //      bottom-256 sketches alone; the sketch algebra behind "how
-    //      many NEW users does source B add".
-    "q236_kmv_setops" -> ((s, dir) => {
-      val o = T(s, dir, "orders")
-      val cut = lit("1996-01-01 00:00:00").cast("timestamp")
-      graft.ops.Sketches.kmvSetCardinalities(
-        o.filter(col("o_orderdate") < cut), "o_custkey",
-        o.filter(col("o_orderdate") >= cut), "o_custkey", k = 256)
-    }),
-
-    // ---- north-star: the multi-probe recall repair, MEASURED —
-    //      recall@10 of single-bucket LSH vs Hamming-1 multi-probe
-    //      against exact truth, per query: the evidence the q219
-    //      probe-set widening exists for.
-    "q237_multiprobe_recall" -> ((s, dir) => {
-      val emb = T(s, dir, "embeddings")
-      val queries = emb.filter(col("vec_id") < 3)
-      val truth = Similarity.bruteForceTopKBatch(
-        emb, queries, "vec_id", "embedding", "vec_id", k = 10)
-      def batched(fn: DataFrame => DataFrame): DataFrame =
-        (0L until 3L).map { q =>
-          fn(emb.filter(col("vec_id") === q))
-            .withColumn("query_id", lit(q))
-        }.reduce(_ unionByName _)
-      val single = batched(q => Similarity.lshTopK(
-        emb, q, "vec_id", "embedding", k = 10, numPlanes = 8, dims = 64))
-      val multi = batched(q => Similarity.multiProbeTopK(
-        emb, q, "vec_id", "embedding", k = 10, numPlanes = 8, dims = 64))
-      Similarity.recallAtK(truth, single, "query_id", "vec_id", k = 10)
-        .withColumn("method", lit("single"))
-        .unionByName(
-          Similarity.recallAtK(truth, multi, "query_id", "vec_id", k = 10)
-            .withColumn("method", lit("multiprobe")))
-        .select("method", "query_id", "hits", "recall_at_k")
-    }),
-
-    // ---- north-star: mirror detection at WINNOWING granularity —
-    //      the q209 host-pair overlap re-run over winnowing
-    //      fingerprints instead of whole-page md5: the fingerprint
-    //      family that also catches NEAR-identical mirrors (template
-    //      rewrites), fed through the SAME fingerprint-keyed pair
-    //      join with its ubiquity cap.
-    "q238_winnow_mirrors" -> ((s, dir) => {
-      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
-      val fps = graft.ops.TextOps.winnowingFingerprints(
-          docs, "text", "doc_id", k = 5, w = 4)
-        .select(col("doc_id"), explode(col("fingerprints")).as("fp"))
-      val originals = fps.select(
-        concat(lit("h"), (col("doc_id") % 6).cast("string")).as("host"),
-        col("fp"))
-      val mirrors = fps.filter(col("doc_id") % 2 === 0).select(
-        concat(lit("m"), (col("doc_id") % 6).cast("string")).as("host"),
-        col("fp"))
-      Dedup.mirrorHosts(originals.unionByName(mirrors), "host", "fp",
-        maxHostsPerFp = 8, minShared = 5)
-    }),
-
-    // ---- north-star: two-sample Kolmogorov–Smirnov drift — the
-    //      binning-free companion of PSI/JS/χ²: sup-norm distance
-    //      between the empirical token-length CDFs of the English and
-    //      non-English corpus halves.
-    "q239_ks_drift" -> ((s, dir) => {
-      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
-        .selectExpr("lang", "size(split(text, ' ')) AS n_tokens")
-      graft.ops.Diagnostics.ksStatistic(
-        docs.filter(col("lang") === "en"),
-        docs.filter(col("lang") =!= "en"), "n_tokens")
-    }),
-
-    // ---- north-star: optimizer-statistics quality — equi-height
-    //      histogram selectivity estimates vs TRUE counts for three
-    //      range predicates: the report that says whether the cost
-    //      model's numbers can be trusted before a join order locks.
-    "q240_selectivity" -> ((s, dir) =>
-      graft.ops.OptimizerStats.rangeSelectivityReport(
-        T(s, dir, "lineitem"), "l_extendedprice", bins = 8,
-        predicates = Seq((2000.0, 10000.0), (10000.0, 50000.0),
-          (50000.0, 105000.0)))),
-
-    // ---- north-star: System-R join-cardinality estimate vs actual on
-    //      the two workhorse TPC-H joins — actual computed from the
-    //      per-key count frames, never by materializing the join.
-    "q241_join_card" -> ((s, dir) =>
-      graft.ops.OptimizerStats.joinCardinalityEstimate(
-          T(s, dir, "orders"), "o_orderkey",
-          T(s, dir, "lineitem"), "l_orderkey", label = "orders_lineitem")
-        .unionByName(graft.ops.OptimizerStats.joinCardinalityEstimate(
-          T(s, dir, "customer"), "c_custkey",
-          T(s, dir, "orders"), "o_custkey", label = "customer_orders"))),
-
-    // ---- north-star: Markov-chain removal-effect attribution — the
-    //      principled upgrade over q231's last-touch: credit = how much
-    //      conversion probability drops when the channel is removed.
-    "q242_markov_attribution" -> ((s, dir) =>
-      graft.ops.EventOps.markovAttribution(
-        Layers.readEvents(s, s"$dir/events.parquet"),
-        "user_id", "ts", "event_id", "event_type",
-        conversionType = "purchase", gapSeconds = 1800, iters = 15)),
-
-    // ---- north-star: ε-DP Laplace release counts with SEEDED noise
-    //      (salted md5 inverse-CDF draw) — reproducible releases, no
-    //      fresh noise leakage on re-runs; per-language doc counts.
-    "q243_dp_counts" -> ((s, dir) =>
-      graft.ops.Privacy.dpNoisyCounts(
-        T(s, dir, "documents"), "lang", epsilon = 1.0, salt = "e1")),
-
-    // ---- north-star: IDF-weighted token Jaccard over the exact
-    //      PPJoin candidate stem — boilerplate-shared pairs drop, rare
-    //      shared content dominates; micro-integer weights keep the
-    //      sums engine-exact.
-    "q244_weighted_jaccard" -> ((s, dir) =>
-      Dedup.weightedJaccardPairs(
-        T(s, dir, "documents"), "text", "doc_id", candThreshold = 0.5)),
-
-    // ---- north-star: Newman–Girvan modularity of the q182
-    //      label-propagation communities over the same synthetic link
-    //      graph — integer-numerator per-community terms, one division.
-    "q245_modularity" -> ((s, dir) => {
-      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
-      val nRow = docs.agg(count(lit(1)).as("__n"))
-      val id = col("doc_id")
-      val edges = docs.crossJoin(broadcast(nRow)).select(
-        id.as("src"),
-        explode(array(
-          (id * 2 + 1) % col("__n"),
-          (id * 3 + 2) % col("__n"),
-          (id * 7 + 5) % col("__n"))).as("dst"))
-      val nodes = docs.select(id.as("id"))
-      val labels = graft.ops.LinkGraph
-        .labelPropagation(nodes, edges, "src", "dst", iters = 3)
-      graft.ops.LinkGraph
-        .communityModularity(labels, edges, "src", "dst")
-        .filter(col("n_nodes") >= 2)
-    }),
-
-    // ---- north-star: simplified (centroid) silhouette of the q55
-    //      k-means clustering — the LINEAR cluster-quality gauge (the
-    //      classic silhouette is all-pairs, dead at corpus scale);
-    //      micro-int per-point scores keep the means engine-exact.
-    "q246_silhouette" -> ((s, dir) => {
-      val emb = T(s, dir, "embeddings")
-      val cents = graft.ops.Clustering.train(
-        emb, "vec_id", "embedding", k = 4, iters = 2)
-      graft.ops.Clustering.silhouette(emb, "vec_id", "embedding", cents)
-    }),
-
-    // ---- north-star: VACUUM planning for the versioned sink — gated
-    //      runs beyond keepLast plan as expire, unmarked directories
-    //      report as orphans (never auto-deleted: indistinguishable
-    //      from a write in flight); joined with per-version counts so
-    //      the plan is content-checkable.
-    "q247_vacuum_plan" -> ((s, dir) => {
-      val base = tmp("q247_runs")
-      val fs = new org.apache.hadoop.fs.Path(base)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(base), true)
-      val cust = T(s, dir, "customer")
-      Layers.writeJsonl(cust.filter(col("c_custkey") % 3 === 0),
-        base, Some("20250101"))
-      Layers.writeJsonl(cust.filter(col("c_custkey") % 2 === 0),
-        base, Some("20250102"))
-      Layers.writeJsonl(cust.filter(col("c_custkey") % 5 === 0),
-        base, Some("20250103"))
-      Layers.writeJsonl(cust, base, Some("20250104"))
-      new java.io.File(s"$base/run_20250105_partial").mkdirs()
-      val plan = Layers.vacuumPlan(s, base, keepLast = 2)
-      val schema = graft.schema.Metadata.structFromSpec("c_custkey: long")
-      val counts = Layers.successfulRuns(s, base).map { p =>
-        val name = p.substring(p.lastIndexOf('/') + 1)
-        Layers.readJsonl(s, p, schema)
-          .agg(count(lit(1)).as("n_rows"))
-          .select(lit(name).as("run_name"), col("n_rows"))
-      }.reduce(_ unionByName _)
-      plan.join(counts, Seq("run_name"), "left_outer")
-        .select(col("run_name"), col("version"), col("status"),
-          col("n_rows"))
-    }),
-
-    // ---- north-star: stupid-backoff trigram NLL (Brants 2007) over a
-    //      real train/heldout split — the web-scale unnormalized
-    //      backoff beside q206's Kneser–Ney; the heldout side actually
-    //      exercises all three backoff branches.
-    "q248_stupid_backoff" -> ((s, dir) => {
-      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
-      graft.ops.LanguageModel.stupidBackoffNll(
-        docs.filter(col("doc_id") % 2 === 0),
-        docs.filter(col("doc_id") % 2 === 1),
-        "text", "doc_id", alpha = 0.4)
-    }),
-
-    // ---- north-star: zone-map skip-rate report — clustered-on-the-
-    //      predicate-column layout vs orderkey (insertion-order) layout
-    //      for a 3-predicate workload: the measured CLUSTER BY decision.
-    "q249_skip_rate" -> ((s, dir) =>
-      graft.io.ZoneMap.skipRateReport(
-        T(s, dir, "orders"),
-        layoutA = col("o_totalprice"), layoutB = col("o_orderkey"),
-        valueCol = "o_totalprice", nFiles = 32,
-        predicates = Seq((1000.0, 50000.0), (100000.0, 200000.0),
-          (400000.0, 500000.0)))),
-
-    // ---- north-star: b-bit minwise hashing (Li & König 2010) — the
-    //      32× signature-store compression with its collision-corrected
-    //      estimator, graded against full-width and exact Jaccard on
-    //      the same candidate pairs.
-    "q250_bbit_minhash" -> ((s, dir) =>
-      Dedup.bBitMinhashReport(
-        T(s, dir, "documents"), "text", "doc_id", numHashes = 8, b = 2)),
-
-    // ---- north-star: Krippendorff's alpha over three quality
-    //      "raters" with abstention (the token gate skips zh) — the
-    //      missing-tolerant IAA statistic κ cannot be; exact-integer
-    //      disagreement sums via the lcm scaling.
-    "q251_krippendorff" -> ((s, dir) => {
-      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
-      val rated = docs.select(col("doc_id"),
-        (graft.ops.TextOps.qualityScore(col("text")) >= 0.5)
-          .cast("string").as("rater_quality"),
-        (col("n_chars") >= 306L).cast("string").as("rater_length"),
-        when(col("lang") =!= "zh",
-          (graft.ops.TextOps.tokenCount(col("text")) >= 50L)
-            .cast("string")).as("rater_tokens"))
-      graft.ops.Quality.krippendorffAlpha(rated, "doc_id",
-        Seq("rater_quality", "rater_length", "rater_tokens"))
-    }),
-
-    // ---- north-star: URL query-parameter audit — the data-driven
-    //      strip list beside q142's static one: per-URL-unique params
-    //      (session ids / cache busters) flag `strip`, low-cardinality
-    //      ones keep, thin evidence abstains.
-    "q252_param_audit" -> ((s, dir) => {
-      val urls = T(s, dir, "documents").select(concat(
-        lit("https://h"), (col("doc_id") % 4).cast("string"),
-        lit(".example.com/p/"), (col("doc_id") % 7).cast("string"),
-        lit("?sid="), md5(col("doc_id").cast("string")),
-        lit("&page="), (col("doc_id") % 3).cast("string"),
-        when(col("doc_id") % 5 === 0, lit("&ref=mail")).otherwise(lit("")))
-        .as("url"))
-      graft.ops.UrlOps.paramAudit(urls, "url",
-        minUrls = 10L, stripRatio = 0.9)
-    }),
-
-    // ---- north-star: CUPED variance-reduced experiment readout
-    //      (Deng 2013) — pre-period covariate adjustment with
-    //      decimal-exact moments and ANALYTIC per-arm adjusted means
-    //      (no row-wise float accumulation anywhere).
-    "q253_cuped" -> ((s, dir) =>
-      graft.ops.EventOps.cupedReadout(
-        Layers.readEvents(s, s"$dir/events.parquet"),
-        "user_id", "ts", "value",
-        cutoverTs = "2024-01-16 00:00:00",
-        armOf = col("user_id") % 2)),
-
-    // ---- north-star: embedding centroid drift — the vector-space
-    //      drift gauge beside PSI/JS/KS: snapshot mean-vector cosine +
-    //      top-8 dimensions by centroid shift, decimal-exact means.
-    "q254_centroid_drift" -> ((s, dir) => {
-      val emb = T(s, dir, "embeddings")
-      graft.ops.Diagnostics.embeddingCentroidDrift(
-        emb.filter(col("vec_id") % 2 === 0),
-        emb.filter(col("vec_id") % 2 === 1), "embedding", topK = 8)
-    }),
-
-    // ---- north-star: funnel time-to-convert percentiles — the
-    //      latency companion of q135's reach counts (same greedy
-    //      chain); p50/p90 seconds from anchor per step decide the
-    //      attribution window.
-    "q255_funnel_latency" -> ((s, dir) =>
-      graft.ops.EventOps.funnelLatency(
-        Layers.readEvents(s, s"$dir/events.parquet"),
-        "user_id", "event_type", "ts",
-        steps = Seq("view", "click", "purchase"),
-        windowSeconds = 604800L, ps = Seq(0.5, 0.9))),
-
-    // ---- north-star: seasonal-naive volume forecast error (MASE) —
-    //      does "same hour yesterday" beat "last hour" per event type,
-    //      over the DENSIFIED hour grid; integer-exact sums, one
-    //      division.
-    "q256_volume_mase" -> ((s, dir) =>
-      graft.ops.EventOps.volumeForecastError(
-        Layers.readEvents(s, s"$dir/events.parquet"),
-        "event_type", "ts", seasonHours = 24)),
-
-    // ---- north-star: Fellegi–Sunter probabilistic record linkage —
-    //      per-field m/u log-likelihood evidence over blocked pairs of
-    //      the customer table vs its perturbed twin; disagreements
-    //      SUBTRACT (what set-overlap dedup can't express).
-    "q257_record_linkage" -> ((s, dir) => {
-      val cust = T(s, dir, "customer")
-      val dirty = cust.filter(col("c_custkey") % 20 === 0).select(
-        (col("c_custkey") + 100000).as("c_custkey"),
-        concat(lit(" "), upper(col("c_name")), lit("  ")).as("c_name"),
-        col("c_nationkey"),
-        (col("c_acctbal") + 0.5).as("c_acctbal"),
-        col("c_mktsegment"))
-      // maxBlockPairs raised explicitly: the 5-value mktsegment block key
-      // is demonstration-grade and exceeds the default fence at the sf1
-      // sweep fixture (the fence firing there is by design — a real
-      // deployment blocks on a finer key); the pair frame stays a
-      // projection, so 10^8 candidates are still join-arithmetic cheap
-      graft.ops.Linkage.fellegiSunter(
-        dirty, cust, idCol = "c_custkey", blockCol = "c_mktsegment",
-        maxBlockPairs = 500_000_000L,
-        fields = Seq(
-          graft.ops.Linkage.Field("name",
-            lower(trim(col("a_c_name"))) === lower(trim(col("b_c_name"))),
-            m = 0.95, u = 0.002),
-          graft.ops.Linkage.Field("bal",
-            abs(col("a_c_acctbal") - col("b_c_acctbal")) <= 1.0,
-            m = 0.9, u = 0.05),
-          graft.ops.Linkage.Field("nation",
-            col("a_c_nationkey") === col("b_c_nationkey"),
-            m = 0.95, u = 0.04)),
-        upper = 5.0, lower = 0.0)
-        .filter(col("decision") =!= "non_match")
-    }),
-
-    // ---- north-star: Benford first-digit audit — the fabricated-
-    //      data detector: observed first-significant-digit shares vs
-    //      log10(1+1/d), per-digit χ² terms; string-derived digits, no
-    //      float-boundary risk.
-    "q258_benford" -> ((s, dir) =>
-      graft.ops.Stats.benfordAudit(
-        T(s, dir, "lineitem"), "l_extendedprice")),
-
-    // ---- north-star: freshness-aware revisit scheduling (Cho &
-    //      Garcia-Molina) — Poisson change-rate MLE from synthetic
-    //      visit histories → clamped re-crawl cadence; continuity
-    //      correction at the always-changed boundary.
-    "q259_revisit" -> ((s, dir) => {
-      val hist = T(s, dir, "documents").select(
-        col("doc_id"),
-        when(col("doc_id") % 13 === 0, lit(2L))
-          .otherwise(lit(4L) + col("doc_id") % 10).as("visits"),
-        when(col("doc_id") % 17 === 0,
-          when(col("doc_id") % 13 === 0, lit(2L))
-            .otherwise(lit(4L) + col("doc_id") % 10))
-          .otherwise(col("doc_id") % 5).as("changes"))
-      graft.ops.Crawl.revisitSchedule(hist, "visits", "changes",
-        baseDays = 1.0, minDays = 0.25, maxDays = 60.0, minVisits = 4L)
-    }),
-
-    // ---- north-star: weight-of-evidence binning — equi-height score
-    //      bins encoded as ln(good-share/bad-share) with per-bin
-    //      information value: the scorecard feature-engineering
-    //      standard, Laplace-smoothed.
-    "q260_woe" -> ((s, dir) =>
-      graft.ops.Scoring.woeBinning(
-        T(s, dir, "lineitem").withColumn("is_r", col("l_returnflag") === "R"),
-        "l_extendedprice", "is_r", bins = 6, smooth = 0.5)),
-
-    // ---- north-star: doc-granular search-index upsert — the stale
-    //      index (every 10th doc carries outdated text) takes the
-    //      re-crawled batch via tombstone + append, and phrase search
-    //      over the MERGED index must answer as if rebuilt fresh.
-    "q261_index_upsert" -> ((s, dir) => {
-      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
-      val stale = docs.withColumn("text",
-        when(col("doc_id") % 10 === 0,
-          concat(lit("stale page marker "), col("text")))
-          .otherwise(col("text")))
-      val stored = graft.ops.Search.invertedIndex(stale, "text", "doc_id")
-      val merged = graft.ops.Search.upsertIndex(stored,
-        docs.filter(col("doc_id") % 10 === 0), "text", "doc_id")
-      graft.ops.Search.phraseSearch(merged, Seq("spark", "window"))
-    }),
-
-    // ---- north-star: Hill tail-index of doc lengths — the
-    //      extreme-value companion of q212's Zipf rank fit: α̂ ≤ 2
-    //      means infinite variance and mean-based planning is wrong;
-    //      micro-int ln terms over the top-k order statistics.
-    "q262_hill_tail" -> ((s, dir) =>
-      graft.ops.Stats.hillTailIndex(
-        T(s, dir, "documents"), "n_chars", k = 100)),
-
-    // ---- north-star: split-conformal accept gate — the
-    //      distribution-free threshold turning a raw quality score
-    //      into a gate with a STATED miscoverage budget; calibration
-    //      on the even half, coverage audited on the odd half.
-    "q263_conformal" -> ((s, dir) => {
-      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
-        .select(col("doc_id"),
-          (lit(1.0) - graft.ops.TextOps.qualityScore(col("text")))
-            .as("nonconf"))
-      graft.ops.Scoring.conformalReport(
-        docs.filter(col("doc_id") % 2 === 0),
-        docs.filter(col("doc_id") % 2 === 1), "nonconf", alpha = 0.1)
-    }),
-
-    // ---- north-star: bucket-jackknife ratio metric — revenue per
-    //      event with a delete-one-user-bucket standard error;
-    //      decimal-exact θ moments (a float Σθ²−Bθ̄² is catastrophic
-    //      cancellation).
-    "q264_jackknife" -> ((s, dir) =>
-      graft.ops.Stats.jackknifeRatio(
-        Layers.readEvents(s, s"$dir/events.parquet")
-          .select(col("user_id"),
-            when(col("event_type") === "purchase", col("value"))
-              .otherwise(lit(0.0)).as("rev"),
-            lit(1.0).as("one")),
-        bucketOf = col("user_id") % 20, numCol = "rev", denCol = "one")),
-
-    // ---- north-star: Good–Turing frequency masses — the unseen-mass
-    //      estimate (r=0 ≡ singleton share) plus the r=1…5 ladder:
-    //      "how much of the language have we crawled".
-    "q265_good_turing" -> ((s, dir) =>
-      graft.ops.LanguageModel.goodTuringMass(
-        T(s, dir, "documents").filter(col("text").isNotNull),
-        "text", maxR = 5)),
-
-    // ---- north-star: largest-remainder apportionment — split 1000
-    //      eval slots across sources proportionally with EXACT integer
-    //      quotas (truncation alone starves small groups).
-    "q266_allocation" -> ((s, dir) =>
-      graft.ops.Sampling.largestRemainderAllocation(
-        T(s, dir, "documents"), "source", seats = 1000L)),
-
-    // ---- north-star: merge-on-read index lifecycle end-to-end — two
-    //      landed waves (the second re-crawls every 10th doc), then
-    //      COMPACTION folds live postings into one generation and
-    //      prunes the dead ones; phrase answers must match current
-    //      text throughout.
-    "q267_index_compaction" -> ((s, dir) => {
-      val base = tmp("q267_idx")
-      val fs = new org.apache.hadoop.fs.Path(base)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(base), true)
-      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
-        .select(col("doc_id"), col("text"))
-      val stale = docs.withColumn("text",
-        when(col("doc_id") % 10 === 0,
-          concat(lit("stale page marker "), col("text")))
-          .otherwise(col("text")))
-      val schema = graft.schema.Metadata.structFromSpec(
-        "doc_id: long\ntext: string")
-      def drain() = graft.streaming.SearchIngest.maintainIndex(
-        s, s"$base/landing/run_*", schema, "doc_id", "text",
-        silverDir = s"$base/silver", checkpointDir = s"$base/ckpt",
-        indexDir = s"$base/index", buckets = 8)
-      Layers.writeJsonl(stale, s"$base/landing", Some("w1"))
-      drain()
-      Layers.writeJsonl(docs.filter(col("doc_id") % 10 === 0),
-        s"$base/landing", Some("w2"))
-      drain()
-      val pruned = graft.streaming.SearchIngest.compactIndex(
-        s, s"$base/index")
-      val live = graft.streaming.SearchIngest.readIndex(s, s"$base/index")
-      graft.ops.Search.phraseSearch(live, Seq("spark", "window"))
-        .withColumn("n_pruned_generations", lit(pruned))
-    }),
-
-    // ---- north-star: dedup threshold sensitivity — pair counts, doc
-    //      reach, and mean similarity at each candidate threshold from
-    //      ONE exact stem at the lowest: the tuning table behind THE
-    //      dedup knob.
-    "q268_threshold_sensitivity" -> ((s, dir) =>
-      Dedup.thresholdSensitivity(
-        T(s, dir, "documents"), "text", "doc_id",
-        thresholds = Seq(0.5, 0.7, 0.9))),
-
-    // ---- north-star: Bloom FPR calibration — measured false-positive
-    //      rate on a DISJOINT probe set vs the a-priori theory line and
-    //      the actual-fill line (a clumping hash family diverges);
-    //      md5 double hashing so the family itself replays.
-    "q269_bloom_fpr" -> ((s, dir) => {
-      val cust = T(s, dir, "customer")
-      graft.ops.Bloom.fprCalibration(
-        cust.select(col("c_custkey").as("key")),
-        cust.select((col("c_custkey") + 1000000).as("key")),
-        "key", numBits = 4096, numHashes = 3)
-    }),
-
-    // ---- north-star: entity-resolution capstone — q257's probabilistic
-    //      matches close transitively into entity clusters with a
-    //      min-id canonical per cluster: the golden-record step every
-    //      linkage pipeline ends on.
-    "q270_linkage_clusters" -> ((s, dir) => {
-      val cust = T(s, dir, "customer")
-      val dirty = cust.filter(col("c_custkey") % 20 === 0).select(
-        (col("c_custkey") + 100000).as("c_custkey"),
-        concat(lit(" "), upper(col("c_name")), lit("  ")).as("c_name"),
-        col("c_nationkey"),
-        (col("c_acctbal") + 0.5).as("c_acctbal"),
-        col("c_mktsegment"))
-      val matches = graft.ops.Linkage.fellegiSunter(
-        dirty, cust, idCol = "c_custkey", blockCol = "c_mktsegment",
-        maxBlockPairs = 500_000_000L, // demonstration-grade key; see q257
-
-        fields = Seq(
-          graft.ops.Linkage.Field("name",
-            lower(trim(col("a_c_name"))) === lower(trim(col("b_c_name"))),
-            m = 0.95, u = 0.002),
-          graft.ops.Linkage.Field("bal",
-            abs(col("a_c_acctbal") - col("b_c_acctbal")) <= 1.0,
-            m = 0.9, u = 0.05),
-          graft.ops.Linkage.Field("nation",
-            col("a_c_nationkey") === col("b_c_nationkey"),
-            m = 0.95, u = 0.04)),
-        upper = 5.0, lower = 0.0)
-        .filter(col("decision") === "match")
-        .select(col("id_a"), col("id_b"))
-      Dedup.components(matches)
-        .select(col("id"), col("label").as("cluster_id"),
-          (col("id") === col("label")).as("is_canonical"))
-    }),
-
-    // ---- north-star: directed reciprocity of the synthetic link
-    //      graph — the link-exchange/mutual-citation-ring gauge; one
-    //      distinct edge set + one reversed-key semi-join.
-    "q271_reciprocity" -> ((s, dir) => {
-      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
-      val nRow = docs.agg(count(lit(1)).as("__n"))
-      val id = col("doc_id")
-      val edges = docs.crossJoin(broadcast(nRow)).select(
-        id.as("src"),
-        explode(array(
-          (id * 2 + 1) % col("__n"),
-          (id * 3 + 2) % col("__n"),
-          (id * 7 + 5) % col("__n"))).as("dst"))
-      graft.ops.LinkGraph.reciprocity(edges, "src", "dst")
-    }),
-
-    // ---- north-star: longest sustained burst per event type — the
-    //      gaps-and-islands decomposition over the densified hour grid:
-    //      duration-aware operational facts beside q170's point alarms.
-    "q272_longest_burst" -> ((s, dir) =>
-      graft.ops.EventOps.longestBurst(
-        Layers.readEvents(s, s"$dir/events.parquet"),
-        "event_type", "ts", minCount = 3L)),
-
-    // ---- north-star: Cramér's V between language and source — "are
-    //      the corpus's categoricals independent", normalized to [0,1]
-    //      over the DENSIFIED contingency grid.
-    "q273_cramers_v" -> ((s, dir) =>
-      graft.ops.Diagnostics.cramersV(
-        T(s, dir, "documents"), "lang", "source")),
-
-    // ---- north-star: language assortativity of the link graph —
-    //      Newman's categorical mixing coefficient (do pages link
-    //      within their language?); integer-exact over the E² common
-    //      denominator.
-    "q274_lang_assortativity" -> ((s, dir) => {
-      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
-      val nRow = docs.agg(count(lit(1)).as("__n"))
-      val id = col("doc_id")
-      val edges = docs.crossJoin(broadcast(nRow)).select(
-        id.as("src"),
-        explode(array(
-          (id * 2 + 1) % col("__n"),
-          (id * 3 + 2) % col("__n"),
-          (id * 7 + 5) % col("__n"))).as("dst"))
-      graft.ops.LinkGraph.attributeAssortativity(
-        edges, docs.select(id.as("id"), col("lang").as("label")),
-        "src", "dst")
-    }),
-
-    // ---- north-star: posting-list health — the heavy tokens an
-    //      isin-prune cannot shrink, with df/tf shares: where stopword
-    //      fences and impact-ordered lists get their numbers.
-    "q275_index_health" -> ((s, dir) =>
-      graft.ops.Search.indexHealth(
-        graft.ops.Search.invertedIndex(
-          T(s, dir, "documents").filter(col("text").isNotNull),
-          "text", "doc_id"),
-        topK = 10)),
-
-    // ---- north-star: image perceptual hashes over REAL PNG payloads —
-    //      constructive grayscale PNGs (zlib/CRC assembled by hand,
-    //      decoded back through javax.imageio), BT.601 luma pooled to a
-    //      9×8 integer grid, aHash/dHash packed into signed 64-bit
-    //      words. PNG is lossless and integer pooling is exact, so the
-    //      oracle replays decode→pool→hash as pure modular arithmetic
-    //      from the pixel formula (Multimodal.demoPng) — the codec
-    //      itself is inside the verified chain, not stubbed around.
-    "q276_image_phash" -> ((s, dir) => {
-      ImageDedup.perceptualHashes(
-        demoImageTable(s, dir), "media_id", "payload")
-    }),
-
-    // ---- north-star: image near-dup pairs — Hamming ball over the
-    //      aHash via 16-bit band LSH (the q31 SimHash shape on image
-    //      content): candidates share a band, verify is
-    //      bit_count(xor) <= 6, never an all-pairs product. The demo
-    //      corpus stripes ids into structural clusters, so the answer
-    //      set is the within-cluster pair lattice minus jitter-broken
-    //      edges — replayed by the oracle with identical banding.
-    "q277_image_neardup" -> ((s, dir) => {
-      val hashes = ImageDedup.perceptualHashes(
-        demoImageTable(s, dir), "media_id", "payload")
-      ImageDedup.hammingNearDups(
-        hashes, "media_id", "ahash", maxHamming = 6)
-    }),
-
-    // ---- north-star: audio constellation fingerprints (Wang 2003's
-    //      peak-pair landmarks) over REAL WAV payloads decoded through
-    //      javax.sound — square-wave filter bank instead of an FFT so
-    //      frame → signed-top-two signature → landmark is exact
-    //      integer arithmetic the oracle replays from the tone formula
-    //      (PCM is lossless; the codec is inside the verified chain).
-    //      16 bins: the bank must cover the corpus's period range AND
-    //      carry enough per-frame entropy that landmark classes exceed
-    //      the source count — an 8-bin bank saturated at the sf1
-    //      fixture's 5000 sources (measured 4× false-pair floor; the
-    //      1024-bin FFT of the public system is this dial at scale).
-    "q278_audio_fingerprint" -> ((s, dir) =>
-      graft.ops.AudioDedup.fingerprints(
-        demoToneTable(s, dir), "media_id", "payload", bins = 16)),
-
-    // ---- north-star: audio near-dup pairs — shared-landmark counting
-    //      through the inverted fp→doc join (the Shazam index probe;
-    //      never all-pairs). The demo corpus clusters ids by dominant
-    //      square period, so cluster mates share most landmarks and
-    //      strangers share almost none; the oracle replays landmarking
-    //      AND the same threshold count.
-    "q279_audio_neardup" -> ((s, dir) =>
-      graft.ops.AudioDedup.sharedFingerprintPairs(
-        graft.ops.AudioDedup.fingerprints(
-          demoToneTable(s, dir), "media_id", "payload", bins = 16),
-        "media_id", minShared = 8L)),
-
-    // ---- north-star: CROSS-MODAL duplicate clusters — the fusion
-    //      capstone of the multimodal dedup family: image Hamming
-    //      pairs (q277) and audio shared-landmark pairs (q279) over
-    //      the SAME asset ids union into one evidence graph, and
-    //      transitive closure merges what no single modality sees
-    //      (A≈B by image, B≈C by audio ⇒ {A,B,C} one dup group — the
-    //      re-encoded-copy case: visual match survives, audio was
-    //      re-mastered, or vice versa). Per cluster: member count +
-    //      per-modality edge counts (the agreement report).
-    "q281_multimodal_clusters" -> ((s, dir) => {
-      val img = ImageDedup.hammingNearDups(
-          ImageDedup.perceptualHashes(
-            demoImageTable(s, dir), "media_id", "payload"),
-          "media_id", "ahash", maxHamming = 6)
-        .select(col("id_a"), col("id_b"), lit("image").as("modality"))
-      val aud = graft.ops.AudioDedup.sharedFingerprintPairs(
-          graft.ops.AudioDedup.fingerprints(
-            demoToneTable(s, dir), "media_id", "payload", bins = 16),
-          "media_id", minShared = 8L)
-        .select(col("id_a"), col("id_b"), lit("audio").as("modality"))
-      // materialized once: the edge set feeds the closure AND the
-      // per-modality agreement counts
-      val edges = img.unionByName(aud).localCheckpoint()
-      val labels = Dedup.components(edges.select("id_a", "id_b"))
-        .select(col("id").as("id_a"), col("label").as("cluster_id"))
-      val members = labels.groupBy("cluster_id")
-        .agg(count(lit(1)).as("n_members"))
-      val byModality = edges.join(labels, Seq("id_a"))
-        .groupBy("cluster_id")
-        .agg(
-          sum(when(col("modality") === "image", 1L).otherwise(0L))
-            .as("n_image_edges"),
-          sum(when(col("modality") === "audio", 1L).otherwise(0L))
-            .as("n_audio_edges"))
-      members.join(byModality, Seq("cluster_id"))
-    }),
-
-    // ---- north-star: IVF list maintenance — the quantizer-drift
-    //      audit + list-local retrain (FAISS practice: appends assign
-    //      against frozen centroids, so a shifting corpus decays probe
-    //      recall until drifted lists re-center and reassign). Build on
-    //      the even half, append the odd half as the drift source, one
-    //      maintenance pass; the result is the audit report. Cost ∝
-    //      drifted lists (retire-spec'd maintenance batch), never the
-    //      corpus; the oracle replays train → frozen-assign → member
-    //      means → cosine drift → threshold.
-    "q280_ivf_maintain" -> ((s, dir) => maintainedVecReport(s, dir)),
-
-    // ---- north-star: streaming image near-dup gate — the perceptual-
-    //      hash maintainer end-to-end: WARC wave 1 (even ids) builds
-    //      the standing hash index through the exactly-once archive
-    //      drain, WARC wave 2 (odd ids) decodes, probes the standing
-    //      index (batch bands only — never store×store), and appends.
-    //      Result = drain 2's verified Hamming pairs; the oracle
-    //      replays decode→hash from the pixel formula plus the same
-    //      banding with the odd-side-required candidate rule.
-    "q282_image_ingest" -> ((s, dir) => imageIngestPairs(s, dir)),
-
-    // ---- north-star: graph ANN — beam (ef-) search over the LSH-built
-    //      kNN graph (single-layer NSW, the HNSW/Vamana base layer with
-    //      deterministic entries): adaptive expansion scores only
-    //      ≤ beam·k·steps vectors per query, no corpus scan — the
-    //      third pruning regime beside IVF partitions and LSH buckets.
-    //      The oracle unrolls every beam round (neighbor scoring +
-    //      top-beam cut) — search path, not just the answer, is what
-    //      replays.
-    "q283_graph_ann" -> ((s, dir) => {
-      val emb = T(s, dir, "embeddings")
-      Similarity.graphSearch(
-        emb, "vec_id", "embedding", emb.filter(col("vec_id") === 0),
-        annGraph(s, dir), k = 10,
-        nEntries = 4, beamWidth = 16, maxSteps = 10)
-    }),
-
-    // ---- north-star: graph-ANN recall readout — the dial that says
-    //      whether beam/steps/graph-degree are enough: recall@10 of
-    //      the q283 walk against the exact brute-force ranking, one
-    //      row. (The q219 multi-probe-LSH recall pattern applied to
-    //      the graph regime.)
-    "q284_graph_ann_recall" -> ((s, dir) => {
-      val emb = T(s, dir, "embeddings")
-      val q = emb.filter(col("vec_id") === 0)
-      val walk = Similarity.graphSearch(
-        emb, "vec_id", "embedding", q, annGraph(s, dir), k = 10,
-        nEntries = 4, beamWidth = 16, maxSteps = 10)
-      val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 10)
-      walk.select("vec_id").join(exact.select("vec_id"), Seq("vec_id"))
-        .agg(count(lit(1)).as("n_hits"))
-        .select(lit(10L).as("k"), col("n_hits"),
-          round(col("n_hits").cast("double") / 10.0, 6).as("recall"))
-    }),
-
-    // ---- north-star: graph-ANN BATCH probe — the production shape a
-    //      probe service runs: one beam per query, every round's
-    //      embedding/adjacency lookups merged across the batch into
-    //      ONE isin-pruned point fetch (the pqTopKWithBatch
-    //      amortization in the graph regime). Oracle = three full
-    //      single-query walk unrolls over the shared graph stem.
-    "q285_graph_ann_batch" -> ((s, dir) => {
-      val emb = T(s, dir, "embeddings")
-      Similarity.graphSearchBatch(
-        emb, "vec_id", "embedding",
-        emb.filter(col("vec_id").isin(0L, 7L, 23L))
-          .select(col("vec_id").as("query_id"), col("embedding")),
-        "query_id", annGraph(s, dir), k = 10,
-        nEntries = 4, beamWidth = 16, maxSteps = 10)
-    }),
-
-    // ---- north-star: DURABLE nav-graph index (q283's production
-    //      form — the adjacency lives in parquet with a merge-on-read
-    //      gen/ledger lifecycle, built once; the probe walks the
-    //      stored graph cold with the geometry from the index's own
-    //      committed meta). Same oracle as q283: the store must
-    //      reproduce the in-memory walk verbatim (q60 convention).
-    "q286_durable_graph_ann" -> ((s, dir) => {
-      val emb = T(s, dir, "embeddings")
-      graft.io.GraphIndex.search(s, durableGraphIndex(s, dir), emb,
-        emb.filter(col("vec_id") === 0), k = 10)
-    }),
-
-    // ---- north-star: incremental NSW insert (search-then-link) —
-    //      the graph twin of SignatureIndex.ingestBatch: a held-out
-    //      batch joins the standing graph through one beam search per
-    //      vector + exact batch-internal links, touched nodes re-prune
-    //      to degree k, and the probe then walks the MERGED graph
-    //      (query = an inserted vector — only reachable if the link
-    //      pass actually wired it in). Oracle replays walks, forward
-    //      cut, symmetrize, re-prune, and the final probe.
-    "q287_graph_ann_insert" -> ((s, dir) => {
-      val emb = T(s, dir, "embeddings")
-      graft.io.GraphIndex.search(s, insertedGraphIndex(s, dir), emb,
-        emb.filter(col("vec_id") === 0), k = 10)
-    }),
-
-    // ---- north-star: video perceptual hashes over REAL Y4M frame
-    //      decode (uncompressed planar YUV — pure byte parsing, no
-    //      codec; the last modality leaves the stub): every sampled
-    //      frame pools to a 9×8 luma grid and hashes with the exact
-    //      q276 aHash kernel. The oracle replays decode→pool→hash from
-    //      the luma formula — raw video is lossless, so the codec sits
-    //      inside the verified chain.
-    "q288_video_phash" -> ((s, dir) =>
-      graft.ops.VideoDedup.frameHashes(
-        demoVideoTable(s, dir), "media_id", "payload")),
-
-    // ---- north-star: video near-dup via ALIGNED frames — candidates
-    //      share an identical (frame_idx, 16-bit band, value) bucket,
-    //      alignments verify at Hamming ≤ 6, pairs report at ≥ 2
-    //      aligned sampled frames (the audio shared-landmark evidence
-    //      convention in the frame-timing domain).
-    "q289_video_neardup" -> ((s, dir) =>
-      graft.ops.VideoDedup.videoNearDups(
-        graft.ops.VideoDedup.frameHashes(
-          demoVideoTable(s, dir), "media_id", "payload"),
-        "media_id")),
-
-    // ---- north-star: TRI-modal duplicate clusters — the q281
-    //      capstone with the video modality joined in: image Hamming
-    //      pairs ∪ audio shared-landmark pairs ∪ video aligned-frame
-    //      pairs over the same asset ids form one evidence graph;
-    //      min-label closure; per-cluster member and per-modality
-    //      edge counts. All three decoders are REAL (PNG, WAV, Y4M).
-    "q290_trimodal_clusters" -> ((s, dir) => {
-      val img = ImageDedup.hammingNearDups(
-          ImageDedup.perceptualHashes(
-            demoImageTable(s, dir), "media_id", "payload"),
-          "media_id", "ahash", maxHamming = 6)
-        .select(col("id_a"), col("id_b"), lit("image").as("modality"))
-      val aud = graft.ops.AudioDedup.sharedFingerprintPairs(
-          graft.ops.AudioDedup.fingerprints(
-            demoToneTable(s, dir), "media_id", "payload", bins = 16),
-          "media_id", minShared = 8L)
-        .select(col("id_a"), col("id_b"), lit("audio").as("modality"))
-      val vid = graft.ops.VideoDedup.videoNearDups(
-          graft.ops.VideoDedup.frameHashes(
-            demoVideoTable(s, dir), "media_id", "payload"),
-          "media_id")
-        .select(col("id_a"), col("id_b"), lit("video").as("modality"))
-      val edges = img.unionByName(aud).unionByName(vid).localCheckpoint()
-      val labels = Dedup.components(edges.select("id_a", "id_b"))
-        .select(col("id").as("id_a"), col("label").as("cluster_id"))
-      val members = labels.groupBy("cluster_id")
-        .agg(count(lit(1)).as("n_members"))
-      val byModality = edges.join(labels, Seq("id_a"))
-        .groupBy("cluster_id")
-        .agg(
-          sum(when(col("modality") === "image", 1L).otherwise(0L))
-            .as("n_image_edges"),
-          sum(when(col("modality") === "audio", 1L).otherwise(0L))
-            .as("n_audio_edges"),
-          sum(when(col("modality") === "video", 1L).otherwise(0L))
-            .as("n_video_edges"))
-      members.join(byModality, Seq("cluster_id"))
-    })
-  )
-
-  /** Deterministic video corpus for q288/q289: one raw Y4M clip per
-    * document (REAL bytes — [[graft.ops.Multimodal.demoY4m]]; ids
-    * divisible by 13 are truncated blobs that must drop, not crash).
-    * Built executor-side per row — the corpus never reaches the
-    * driver. */
-  private def demoVideoTable(s: SparkSession, dir: String): DataFrame = {
-    val y4m = udf((id: Long) => graft.ops.Multimodal.demoY4m(id, 36, 32))
-    T(s, dir, "documents").select(col("doc_id").as("media_id"))
-      .withColumn("payload", y4m(col("media_id")))
-  }
-
-  private val graphIdxMemo =
-    scala.collection.concurrent.TrieMap.empty[(String, String, String), String]
-
-  /** q286 durable nav graph over the FULL fixture corpus — annGraph's
-    * geometry, persisted. Built once per app run (bench reps time the
-    * PROBE — the q97 convention); rebuilt from scratch so a stale
-    * store from a previous JVM can't serve. */
-  private def durableGraphIndex(s: SparkSession, dir: String): String =
-    graphIdxMemo.getOrElseUpdate(
-      (s.sparkContext.applicationId, dir, "full"), {
-        val idxDir = tmp("graph_index_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
-        graft.io.GraphIndex.build(
-          T(s, dir, "embeddings"), "vec_id", "embedding", idxDir,
-          dims = 64, k = 8, planesPerBand = 6, bands = 4,
-          maxBucketSize = 400, nEntries = 4, beamWidth = 16, maxSteps = 10)
-        idxDir
-      })
-
-  /** q287 store: standing graph over the corpus minus (0, 10, 20),
-    * then ONE search-then-link drain inserting those three. */
-  private def insertedGraphIndex(s: SparkSession, dir: String): String =
-    graphIdxMemo.getOrElseUpdate(
-      (s.sparkContext.applicationId, dir, "ins"), {
-        val idxDir = tmp("graph_index_i_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
-        val emb = T(s, dir, "embeddings")
-        val batchIds = Seq(0L, 10L, 20L)
-        graft.io.GraphIndex.build(
-          emb.filter(!col("vec_id").isin(batchIds: _*)),
-          "vec_id", "embedding", idxDir,
-          dims = 64, k = 8, planesPerBand = 6, bands = 4,
-          maxBucketSize = 400, nEntries = 4, beamWidth = 16, maxSteps = 10)
-        graft.io.GraphIndex.ingestBatch(s, idxDir, emb,
-          emb.filter(col("vec_id").isin(batchIds: _*)))
-        idxDir
-      })
-
-  private val annGraphMemo =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
-
-  /** q283/q284 navigation graph: LSH candidates (4 bands × 6 planes;
-    * edges are NAVIGATION, so no cosine floor; per-bucket cap 400
-    * bounds the build at any corpus — production scales planes/band
-    * with log(corpus) instead, the banding note of q216) → per-vertex
-    * top-8. MEMOIZED + checkpointed: the graph is the durable artifact
-    * a deployment builds once (an indexWarmers entry keeps bench reps
-    * timing the SEARCH, not the build — the q97 convention). */
-  private def annGraph(s: SparkSession, dir: String): DataFrame =
-    annGraphMemo.getOrElseUpdate(
-      (s.sparkContext.applicationId, dir), {
-        Similarity.knnGraph(T(s, dir, "embeddings"), "vec_id", "embedding",
-          planesPerBand = 6, bands = 4, dims = 64, k = 8,
-          minCosine = -1.0, maxBucketSize = 400)
-          .select(col("id"), col("nbr"))
-          .localCheckpoint()
-      })
-
-  private val imageIngestMemo =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
-
-  /** q282 fixture: two WARC waves through
-    * [[graft.streaming.ImageIngest.maintainImages]]. The store is
-    * rebuilt from scratch each app run (a stale index from a previous
-    * JVM would empty the delta); the memo pins drain 2's pair report
-    * as the query result across bench reps. */
-  private def imageIngestPairs(s: SparkSession, dir: String): DataFrame =
-    imageIngestMemo.getOrElseUpdate(
-      (s.sparkContext.applicationId, dir), {
-        val base = tmp("image_ingest_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
-        val fs = new org.apache.hadoop.fs.Path(base)
-          .getFileSystem(s.sparkContext.hadoopConfiguration)
-        fs.delete(new org.apache.hadoop.fs.Path(base), true)
-        val png = udf((id: Long) => graft.ops.Multimodal.demoPng(id, 36, 32))
-        def wave(docs: DataFrame, sub: String): Unit =
-          graft.sources.WarcIO.writeWarc(
-            docs.select(
-              concat(lit("http://img.example/"), col("doc_id")).as("target_uri"),
-              lit("2026-01-01T00:00:00Z").as("warc_date"),
-              concat(lit("<urn:graft:img:"), col("doc_id"), lit(">")).as("record_id"),
-              lit("image/png").as("content_type"),
-              png(col("doc_id")).as("payload")),
-            s"$base/landing/$sub")
-        def drain() = graft.streaming.ImageIngest.maintainImages(
-          s, s"$base/landing", s"$base/silver", s"$base/ledger",
-          s"$base/index", maxHamming = 6)
-        val docs = T(s, dir, "documents").select("doc_id")
-        wave(docs.filter(col("doc_id") % 2 === 0), "w1")
-        drain()
-        wave(docs.filter(col("doc_id") % 2 =!= 0), "w2")
-        drain().localCheckpoint()
-      })
-
-  /** Deterministic audio corpus for q278/q279: one RIFF/WAVE PCM tone
-    * per document (REAL bytes — [[graft.ops.Multimodal.demoTone]]; ids
-    * divisible by 13 are truncated blobs that must drop, not crash). */
-  private def demoToneTable(s: SparkSession, dir: String): DataFrame = {
-    val wav = udf((id: Long) => graft.ops.Multimodal.demoTone(id))
-    T(s, dir, "documents").select(col("doc_id").as("media_id"))
-      .withColumn("payload", wav(col("media_id")))
-  }
-
-  /** Deterministic image corpus for q276/q277: one 36×32 grayscale PNG
-    * per document (REAL bytes — see [[graft.ops.Multimodal.demoPng]];
-    * ids divisible by 13 are truncated blobs that must drop, not
-    * crash). The payload column is built executor-side per row: the
-    * corpus never materializes on the driver. */
-  private def demoImageTable(s: SparkSession, dir: String): DataFrame = {
-    val png = udf((id: Long) => graft.ops.Multimodal.demoPng(id, 36, 32))
-    T(s, dir, "documents").select(col("doc_id").as("media_id"))
-      .withColumn("payload", png(col("media_id")))
-  }
-
-  /** graft-authored pipeline config (reference YAML shape,
-    * `configs/breweries_gold_pipeline.yml:32-69`) over the customer
-    * table — parsed by `config.PipelineConfig` for q26. */
-  /** Declarative corpus-clean chain (q62): order = evaluation order —
-    * cheap token fence first, heuristic scores after. */
-  private val corpusFilterYaml: String =
-    """corpus_filters:
-      |  - filter: min_tokens
-      |    min: 20
-      |  - filter: max_tokens
-      |    max: 100000
-      |  - filter: languages
-      |    allow: ["en", "fr", "es"]
-      |  - filter: min_quality
-      |    min: 0.3
-      |  - filter: max_repetition
-      |    max: 0.5
-      |""".stripMargin
-
-  private val pipelineYaml: String =
-    s"""dag:
-       |  dag_id: customer_gold_daily
-       |  schedule_interval: "30 7 * * *"   # parity with the reference cadence
-       |
-       |stages:
-       |  - task_id: aggregate_gold
-       |    parameters:
-       |      aggregations:
-       |        - name: "by_segment"
-       |          group_by: ["c_mktsegment"]
-       |          metrics:
-       |            - name: "total_customers"
-       |              expr: "count(*)"
-       |            - name: "sum_acctbal"
-       |              expr: "${dsum("c_acctbal")}"
-       |        - name: "by_segment_nation"
-       |          group_by: ["c_mktsegment", "c_nationkey"]
-       |          metrics:
-       |            - name: "total_customers"
-       |              expr: "count(*)"
-       |            - name: "sum_acctbal"
-       |              expr: "${dsum("c_acctbal")}"
-       |  - task_id: validate_gold_quality
-       |    depends_on: ["aggregate_gold"]
-       |    quality_rules:
-       |      - rule: "positive_counts"
-       |        column: "total_customers"
-       |        type: "greater_than_zero"
-       |      - rule: "segment_not_null"
-       |        column: "c_mktsegment"
-       |        type: "not_null"
-       |""".stripMargin
-
-  /** Silver metadata config (reference shape,
-    * `configs/metadata/breweries_metadata_ingestion.yml`). */
-  private val metadataYaml: String =
-    """dataset:
-      |  name: customer_silver
-      |  layer: "silver"
-      |  format: "parquet"
-      |  partition_by: "c_mktsegment"
-      |
-      |schema:
-      |  - name: c_custkey
-      |    type: long
-      |    nullable: false
-      |  - name: c_name
-      |    type: string
-      |  - name: c_nationkey
-      |    type: int
-      |  - name: c_acctbal
-      |    type: double
-      |  - name: c_mktsegment
-      |    type: string
-      |""".stripMargin
-
-  // ------------------------------------------------------------ oracleSql
-
-  private val custSchemaCols = "c_custkey, c_name, c_mktsegment, c_acctbal"
-
-  /** DuckDB shingle list for documents.text (3-word shingles). */
-  private val duckToks = DD.tokens("text")
-
-  /** Shared BM25 scoring CTEs (q51/q181): terms spark/hash/window,
-    * k1 = 1.2, b = 0.75, ending in `sc(doc_id, bm25)`. Constants
-    * appear as the same IEEE ops Spark's literals compute ((1.2 + 1.0),
-    * not 2.2 — addition is deterministic, literal parsing of the
-    * pre-summed decimal need not equal it). */
-  private def bm25Ctes: String = {
-    val terms = Seq("spark", "hash", "window")
-    val tfCols = terms.zipWithIndex.map { case (t, i) =>
-      s"len(list_filter(toks, __t -> __t = '$t')) AS tf$i"
-    }.mkString(", ")
-    val dfCols = terms.indices.map(i =>
-      s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
-      .mkString(", ")
-    val score = terms.indices.map { i =>
-      val tf = s"CAST(tf$i AS DOUBLE)"
-      val dfT = s"CAST(df$i AS DOUBLE)"
-      s"ln((CAST(n AS DOUBLE) - $dfT + 0.5) / ($dfT + 0.5) + 1.0) * ($tf * (1.2 + 1.0)) / " +
-        s"($tf + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(len AS DOUBLE) / (CAST(sumlen AS DOUBLE) / CAST(n AS DOUBLE))))"
-    }.mkString("(", " + ", ")")
-    s"""t AS (SELECT doc_id, $duckToks AS toks FROM documents),
-       |f AS (SELECT doc_id, len(toks) AS len, $tfCols FROM t),
-       |s AS (SELECT count(*) AS n, CAST(sum(len) AS BIGINT) AS sumlen, $dfCols FROM f),
-       |sc AS (SELECT doc_id, round($score, 6) AS bm25 FROM f, s)""".stripMargin
-  }
-  private val duckShingles = DD.shingles("toks", 3)
-
-  /** DuckDB CTEs shared by the MinHash queries. */
-  private def minhashCtes: String = {
-    val sigCols = (0 until 8)
-      .map(i => s"${PortableSql.minhashSig("s", i, DD)} AS s$i").mkString(", ")
-    val bandRows = (0 until 4).map { b =>
-      val lo = 2 * b; val hi = 2 * b + 1
-      s"SELECT doc_id, $b AS band, md5(concat(s$lo, '|', s$hi)) AS bucket FROM sig"
-    }.mkString(" UNION ALL ")
-    s"""t AS (SELECT doc_id, $duckToks AS toks FROM documents),
-       |sh AS (SELECT doc_id, $duckShingles AS s FROM t),
-       |sig AS (SELECT doc_id, $sigCols FROM sh),
-       |buckets AS ($bandRows)""".stripMargin
-  }
-
-  /** Shared CTE chain for the MinHash→LSH→Jaccard-verified near-dup
-    * pipeline, ending in `vpairs(id_a, id_b, jaccard ≥ 0.8)` — used by
-    * q16 (pairs) and q39 (clusters). */
-  /** Candidate generation + exact overlap counts (`inter`/`sizes`) —
-    * the shared stem of the Jaccard and containment oracles. */
-  private def lshInterCtes: String =
-    s"""${minhashCtes},
-       |pairs AS (
-       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-       |),
-       |exsh AS (SELECT DISTINCT doc_id, unnest(s) AS sv FROM sh),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM exsh GROUP BY doc_id),
-       |inter AS (
-       |  SELECT p.id_a, p.id_b, count(*) AS i
-       |  FROM pairs p
-       |  JOIN exsh ea ON ea.doc_id = p.id_a
-       |  JOIN exsh eb ON eb.doc_id = p.id_b AND eb.sv = ea.sv
-       |  GROUP BY p.id_a, p.id_b
-       |)""".stripMargin
-
-  private def jaccardCtes: String =
-    s"""$lshInterCtes,
-       |vpairs AS (
-       |  SELECT it.id_a, it.id_b, round(it.i / (sa.n + sb.n - it.i), 6) AS jaccard
-       |  FROM inter it JOIN sizes sa ON sa.doc_id = it.id_a JOIN sizes sb ON sb.doc_id = it.id_b
-       |  WHERE round(it.i / (sa.n + sb.n - it.i), 6) >= 0.8
-       |)""".stripMargin
-
-  /** DuckDB oracle CTE chain replaying [[graft.ops.Bpe.train]]
-    * verbatim: `w` word counts, `v0` the char-symbol seeding (symbols
-    * joined by the doubled `chr(1)` separator), then per merge rank i
-    * the pair aggregation `p_i`, the deterministic winner `b_i`
-    * (count desc, left asc, right asc — the exact Spark ordering), and
-    * the merge application `v_i` via the SAME padded-`replace` both
-    * engines share (leftmost non-overlapping = greedy BPE). */
-  private def bpeTrainCtes(k: Int, corpusWhere: String = ""): String = {
-    val ss = "chr(1) || chr(1)"
-    val sb = new StringBuilder
-    sb ++=
-      s"""WITH w AS (SELECT word, count(*) AS n
-         |  FROM (SELECT unnest(string_split(text, ' ')) AS word
-         |        FROM documents $corpusWhere)
-         |  GROUP BY word),
-         |v0 AS (SELECT rtrim(regexp_replace(word, '(.)', '\\1' || $ss, 'g'), chr(1)) AS wsym, n
-         |       FROM w)""".stripMargin
-    for (i <- 1 to k) {
-      val prev = s"v${i - 1}"
-      sb ++=
-        s""",
-           |p$i AS MATERIALIZED (SELECT pair, sum(n) AS cnt FROM (
-           |    SELECT n, unnest(list_transform(generate_series(1, len(l) - 1),
-           |      __j -> l[__j] || chr(2) || l[__j + 1])) AS pair
-           |    FROM (SELECT n, string_split(wsym, $ss) AS l FROM $prev))
-           |  GROUP BY pair),
-           |b$i AS (SELECT string_split(pair, chr(2))[1] AS left_sym,
-           |         string_split(pair, chr(2))[2] AS right_sym,
-           |         CAST(cnt AS BIGINT) AS pair_count
-           |       FROM p$i ORDER BY cnt DESC, left_sym ASC, right_sym ASC LIMIT 1),
-           |v$i AS (SELECT trim(replace(chr(1) || wsym || chr(1),
-           |          chr(1) || b.left_sym || $ss || b.right_sym || chr(1),
-           |          chr(1) || b.left_sym || b.right_sym || chr(1)), chr(1)) AS wsym, n
-           |        FROM $prev, b$i b)""".stripMargin
-    }
-    sb.toString
-  }
-
-  /** DuckDB oracle CTE chain replaying [[graft.ops.WordPiece.train]]
-    * verbatim — [[bpeTrainCtes]]'s loop with the WordPiece objective:
-    * per rank i a symbol-count aggregation `sy_i`, the pair counts
-    * `p_i`, the winner `b_i` by likelihood score `pc/(cl·cr)` (double
-    * of exact ints — identically rounded in both engines; ties left
-    * asc, right asc), and the merge application `v_i` where the fused
-    * symbol drops the right side's `##` marker. Starts the WITH list
-    * as RECURSIVE so [[wordPieceEncodeCtes]] can append its walk. */
-  private def wordPieceTrainCtes(
-      k: Int, corpusWhere: String = "", pfx: String = ""): String = {
-    val ss = "chr(1) || chr(1)"
-    val sb = new StringBuilder
-    sb ++=
-      s"""WITH RECURSIVE ${pfx}w AS (SELECT word, count(*) AS n
-         |  FROM (SELECT unnest(string_split(text, ' ')) AS word
-         |        FROM documents $corpusWhere)
-         |  GROUP BY word),
-         |${pfx}v0 AS MATERIALIZED (SELECT regexp_replace(rtrim(regexp_replace(word, '(.)',
-         |         '##\\1' || $ss, 'g'), chr(1)), '^##', '') AS wsym, n
-         |       FROM ${pfx}w)""".stripMargin
-    for (i <- 1 to k) {
-      val prev = s"${pfx}v${i - 1}"
-      sb ++=
-        s""",
-           |${pfx}sy$i AS MATERIALIZED (SELECT sym, sum(n) AS cnt FROM (
-           |    SELECT n, unnest(string_split(wsym, $ss)) AS sym FROM $prev)
-           |  GROUP BY sym),
-           |${pfx}p$i AS MATERIALIZED (SELECT pair, sum(n) AS cnt FROM (
-           |    SELECT n, unnest(list_transform(generate_series(1, len(l) - 1),
-           |      __j -> l[__j] || chr(2) || l[__j + 1])) AS pair
-           |    FROM (SELECT n, string_split(wsym, $ss) AS l FROM $prev))
-           |  GROUP BY pair),
-           |${pfx}b$i AS MATERIALIZED (SELECT left_sym, right_sym, pair_count, left_count, right_count,
-           |         left_sym || CASE WHEN right_sym LIKE '##%' THEN substr(right_sym, 3)
-           |                          ELSE right_sym END AS merged_sym
-           |       FROM (SELECT string_split(pair, chr(2))[1] AS left_sym,
-           |               string_split(pair, chr(2))[2] AS right_sym,
-           |               CAST(p.cnt AS BIGINT) AS pair_count,
-           |               CAST(sl.cnt AS BIGINT) AS left_count,
-           |               CAST(sr.cnt AS BIGINT) AS right_count
-           |             FROM ${pfx}p$i p
-           |             JOIN ${pfx}sy$i sl ON sl.sym = string_split(p.pair, chr(2))[1]
-           |             JOIN ${pfx}sy$i sr ON sr.sym = string_split(p.pair, chr(2))[2])
-           |       ORDER BY CAST(pair_count AS DOUBLE) /
-           |           (CAST(left_count AS DOUBLE) * CAST(right_count AS DOUBLE)) DESC,
-           |         left_sym ASC, right_sym ASC LIMIT 1),
-           |${pfx}v$i AS MATERIALIZED (SELECT trim(replace(chr(1) || wsym || chr(1),
-           |          chr(1) || b.left_sym || $ss || b.right_sym || chr(1),
-           |          chr(1) || b.merged_sym || chr(1)), chr(1)) AS wsym, n
-           |        FROM $prev, ${pfx}b$i b)""".stripMargin
-    }
-    sb.toString
-  }
-
-  /** Greedy WordPiece encode replay (appends to [[wordPieceTrainCtes]]):
-    * `vocab` = training alphabet (every seeded piece of `v0`) + the k
-    * merged pieces; the longest-match-first walk over `wordsCte`'s
-    * DISTINCT words is UNROLLED as `maxW` chained step CTEs against a
-    * precomputed per-(word, position) best-match-length table `wsub`
-    * (each step consumes >= 1 char, so `maxW` >= the max word length
-    * bounds the walk — 16 vs the fixture's 8, the q173 margin). A
-    * matchless position kills the word to one [UNK] token (`fin`).
-    * Deliberately NOT a recursive CTE: DuckDB 1.0 mis-evaluates
-    * correlated lookups against MATERIALIZED CTEs inside recursion
-    * (observed: every lookup NULL -> all words [UNK]), and without
-    * materialization the chained train CTEs re-inline exponentially.
-    * Character positions replay the kernel's code points exactly on
-    * ASCII corpora (spec-pinned). */
-  private def wordPieceEncodeCtes(
-      k: Int, wordsCte: String, maxW: Int = 16, pfx: String = ""): String = {
-    val ss = "chr(1) || chr(1)"
-    val merged = (1 to k).map(i => s"SELECT merged_sym FROM ${pfx}b$i").mkString(" UNION ")
-    val sb = new StringBuilder
-    sb ++=
-      s""",
-         |${pfx}walpha AS (SELECT DISTINCT unnest(string_split(wsym, $ss)) AS piece
-         |           FROM ${pfx}v0 WHERE wsym <> ''),
-         |${pfx}vocab AS (SELECT piece FROM ${pfx}walpha UNION $merged),
-         |${pfx}vraw AS MATERIALIZED (SELECT piece, piece NOT LIKE '##%' AS init,
-         |    CASE WHEN piece LIKE '##%' THEN substr(piece, 3) ELSE piece END AS raw
-         |  FROM ${pfx}vocab),
-         |${pfx}words AS MATERIALIZED (SELECT word, length(word) AS wl
-         |  FROM (SELECT DISTINCT word FROM $wordsCte WHERE word <> '')),
-         |${pfx}wsub AS MATERIALIZED (
-         |  SELECT w.word, q.i AS pos, max(length(v.raw)) AS bl
-         |  FROM ${pfx}words w
-         |  JOIN (SELECT unnest(generate_series(1, $maxW)) AS i) q ON q.i <= w.wl
-         |  JOIN ${pfx}vraw v ON v.init = (q.i = 1)
-         |    AND substr(w.word, q.i, length(v.raw)) = v.raw
-         |  GROUP BY w.word, q.i),
-         |${pfx}g0 AS (SELECT word, wl, 1 AS pos, 0 AS np, FALSE AS dead FROM ${pfx}words)""".stripMargin
-    for (j <- 1 to maxW) {
-      sb ++=
-        s""",
-           |${pfx}g$j AS MATERIALIZED (
-           |  SELECT g.word, g.wl,
-           |    CASE WHEN g.pos > g.wl OR g.dead THEN g.pos
-           |         ELSE g.pos + coalesce(s.bl, 1) END AS pos,
-           |    CASE WHEN g.pos > g.wl OR g.dead THEN g.np ELSE g.np + 1 END AS np,
-           |    CASE WHEN g.pos > g.wl THEN g.dead
-           |         ELSE g.dead OR s.bl IS NULL END AS dead
-           |  FROM ${pfx}g${j - 1} g LEFT JOIN ${pfx}wsub s
-           |    ON s.word = g.word AND s.pos = g.pos)""".stripMargin
-    }
-    sb ++=
-      s""",
-         |${pfx}fin AS (SELECT word, CASE WHEN dead THEN 1 ELSE np END AS n
-         |        FROM ${pfx}g$maxW)""".stripMargin
-    sb.toString
-  }
-
-  /**
-   * Viterbi-segmentation replay chain (q172+): DP over `wordCte`
-   * (word, n, wl) under model `modelCte` (piece, lp) — integer
-   * micronat scores, so every comparison is exact. Emits CTEs
-   * `{p}sub` (end-position piece-score lookups), `{p}d0…{p}dW` (the
-   * position-chained DP: best-score list `b`, chosen-length list `c`),
-   * and `{p}bt` (recursive backtrace; piece rows have piece NOT NULL).
-   * Starts with a comma — appends to an open WITH RECURSIVE list.
-   */
-  private def unigramSegCtes(
-      p: String, wordCte: String, modelCte: String,
-      maxPieceLen: Int, maxW: Int): String = {
-    val unk = graft.functions.UnigramKernels.UnkMicro
-    val sb = new StringBuilder
-    val eCols = (1 to maxPieceLen).map { l =>
-      if (l == 1)
-        s"(SELECT lp FROM $modelCte x WHERE x.piece = substr(q.word, q.i, 1)) AS e1"
-      else
-        s"CASE WHEN q.i >= $l THEN (SELECT lp FROM $modelCte x " +
-          s"WHERE x.piece = substr(q.word, q.i - ${l - 1}, $l)) END AS e$l"
-    }.mkString(",\n    ")
-    sb ++=
-      s""",
-         |${p}sub AS MATERIALIZED (
-         |  SELECT q.word, q.i,
-         |    $eCols
-         |  FROM (SELECT word, unnest(generate_series(1, wl)) AS i FROM $wordCte) q),
-         |${p}d0 AS MATERIALIZED (SELECT word, n, wl, [CAST(0 AS BIGINT)] AS b,
-         |           CAST([] AS INTEGER[]) AS c FROM $wordCte)""".stripMargin
-    for (i <- 1 to maxW) {
-      val cands = (1 to maxPieceLen).map { l =>
-        if (l == 1) s"d.b[$i] + coalesce(s.e1, $unk) AS cand1"
-        else if (l <= i) s"d.b[${i - l + 1}] + s.e$l AS cand$l"
-        else s"CAST(NULL AS BIGINT) AS cand$l"
-      }.mkString(", ")
-      val bestArgs = (1 to maxPieceLen).map(l => s"cand$l").mkString(", ")
-      val multi = (2 to maxPieceLen).map(l => s"cand$l").mkString(", ")
-      val tie = (maxPieceLen to 2 by -1)
-        .map(l => s"WHEN cand$l = best THEN $l").mkString(" ")
-      sb ++=
-        s""",
-           |${p}d$i AS MATERIALIZED (
-           |  SELECT word, n, wl,
-           |    CASE WHEN wl >= $i THEN list_append(b, best) ELSE b END AS b,
-           |    CASE WHEN wl >= $i
-           |      THEN list_append(c, CASE $tie ELSE 1 END) ELSE c END AS c
-           |  FROM (SELECT word, n, wl, b, c, greatest($bestArgs) AS best, $multi
-           |        FROM (SELECT d.word, d.n, d.wl, d.b, d.c, $cands
-           |              FROM ${p}d${i - 1} d LEFT JOIN ${p}sub s
-           |                ON s.word = d.word AND s.i = $i) z1) z2)""".stripMargin
-    }
-    sb ++=
-      s""",
-         |${p}bt AS (
-         |  SELECT word, n, c, wl AS i, CAST(NULL AS VARCHAR) AS piece FROM ${p}d$maxW
-         |  UNION ALL
-         |  SELECT word, n, c, i - c[i], substr(word, i - c[i] + 1, c[i])
-         |  FROM ${p}bt WHERE i > 0)""".stripMargin
-    sb.toString
-  }
-
-  /**
-   * Unigram-LM training replay (q172+), mirroring
-   * [[graft.ops.Unigram.train]] step for step: substring seed → hard-EM
-   * Viterbi re-counts (one [[unigramSegCtes]] chain per round) → prune
-   * → `ulpf` (piece, cnt, logp_micro). Must open under WITH RECURSIVE
-   * (the backtrace CTEs recurse).
-   */
-  private def unigramTrainCtes(
-      maxPieceLen: Int, seedSize: Int, emIters: Int, keepSize: Int,
-      maxWordLen: Int, corpusWhere: String = ""): String = {
-    val sb = new StringBuilder
-    sb ++=
-      s"""uw AS MATERIALIZED (SELECT word, count(*) AS n FROM (
-         |    SELECT unnest(string_split(text, ' ')) AS word
-         |    FROM documents $corpusWhere)
-         |  GROUP BY word),
-         |uwf AS MATERIALIZED (SELECT word, CAST(n AS BIGINT) AS n, len(word) AS wl
-         |        FROM uw WHERE len(word) BETWEEN 1 AND $maxWordLen),
-         |usubs AS MATERIALIZED (SELECT piece, CAST(sum(n) AS BIGINT) AS cnt FROM (
-         |    SELECT n, unnest(flatten(list_transform(generate_series(1, wl), __s ->
-         |      list_transform(generate_series(__s, least(__s + ${maxPieceLen - 1}, wl)),
-         |        __e -> substr(word, __s, __e - __s + 1))))) AS piece
-         |    FROM uwf)
-         |  GROUP BY piece),
-         |usingles AS MATERIALIZED (SELECT piece, cnt FROM usubs WHERE len(piece) = 1),
-         |um0 AS MATERIALIZED (SELECT piece, cnt FROM usingles
-         |        UNION ALL SELECT piece, cnt FROM (
-         |          SELECT piece, cnt FROM usubs WHERE len(piece) > 1
-         |          ORDER BY cnt DESC, piece ASC LIMIT $seedSize)),
-         |ulp0 AS MATERIALIZED (SELECT piece, cnt,
-         |    CAST(round(ln(CAST(cnt AS DOUBLE) / tot) * 1000000) AS BIGINT) AS lp
-         |  FROM um0, (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM um0) t)""".stripMargin
-    for (k <- 1 to emIters) {
-      sb ++= unigramSegCtes(s"ue$k", "uwf", s"ulp${k - 1}", maxPieceLen, maxWordLen)
-      sb ++=
-        s""",
-           |ucnt$k AS MATERIALIZED (SELECT piece, CAST(sum(n) AS BIGINT) AS cnt
-           |  FROM ue${k}bt WHERE piece IS NOT NULL GROUP BY piece),
-           |um$k AS MATERIALIZED (
-           |  SELECT s.piece, greatest(coalesce(cc.cnt, 0), 1) AS cnt
-           |  FROM usingles s LEFT JOIN ucnt$k cc ON cc.piece = s.piece
-           |  UNION ALL
-           |  SELECT p.piece, cc.cnt
-           |  FROM ulp${k - 1} p JOIN ucnt$k cc ON cc.piece = p.piece
-           |  WHERE len(p.piece) > 1),
-           |ulp$k AS MATERIALIZED (SELECT piece, cnt,
-           |    CAST(round(ln(CAST(cnt AS DOUBLE) / tot) * 1000000) AS BIGINT) AS lp
-           |  FROM um$k, (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM um$k) t)""".stripMargin
-    }
-    sb ++=
-      s""",
-         |ufin AS MATERIALIZED (SELECT piece, cnt FROM ulp$emIters WHERE len(piece) = 1
-         |         UNION ALL SELECT piece, cnt FROM (
-         |           SELECT piece, cnt FROM ulp$emIters WHERE len(piece) > 1
-         |           ORDER BY cnt DESC, piece ASC LIMIT $keepSize)),
-         |ulpf AS MATERIALIZED (SELECT piece, CAST(cnt AS BIGINT) AS cnt,
-         |    CAST(round(ln(CAST(cnt AS DOUBLE) / tot) * 1000000) AS BIGINT)
-         |      AS logp_micro,
-         |    CAST(round(ln(CAST(cnt AS DOUBLE) / tot) * 1000000) AS BIGINT) AS lp
-         |  FROM ufin, (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM ufin) t)""".stripMargin
-    sb.toString
-  }
-
-  /** Per-word BPE encode expression over the learned b1…bk CTE rows:
-    * seed chars (doubled chr(1) separators), then the k merges applied
-    * in rank order as padded replaces — the portable twin of
-    * `graft_bpe_count` (q119/q124). */
-  private def bpeMergedExpr(k: Int): String = {
-    val seed = "chr(1) || rtrim(regexp_replace(__w, '(.)', '\\1' || chr(1) || chr(1), 'g'), chr(1)) || chr(1)"
-    (1 to k).foldLeft(seed) { (acc, i) =>
-      s"""replace($acc,
-         |  chr(1) || b$i.left_sym || chr(1) || chr(1) || b$i.right_sym || chr(1),
-         |  chr(1) || b$i.left_sym || b$i.right_sym || chr(1))""".stripMargin
-    }
-  }
-
-  /** DuckDB oracle for exact-substring duplicate spans — the same
-    * gaps-and-islands construction as the Spark plan: windows whose md5
-    * occurs >1 time anywhere in the corpus, merged per doc on
-    * overlap-or-touch. `finalWhere` filters the final span rows (empty
-    * for the full corpus, q74; a doc predicate for the incremental
-    * probe, q77 — dup-ness itself is ALWAYS judged corpus-wide). */
-  private def dupSpansSql(
-      finalWhere: String, n: Int = 3, corpusWhere: String = ""): String =
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents $corpusWhere),
-       |u AS (SELECT doc_id,
-       |        unnest(generate_series(1, len(toks) - ${n - 1})) AS pos, toks
-       |      FROM t WHERE len(toks) >= $n),
-       |h AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
-       |        md5(array_to_string(toks[pos:pos + ${n - 1}], ' ')) AS hh
-       |      FROM u),
-       |d AS (SELECT hh FROM h GROUP BY hh HAVING count(*) > 1),
-       |m AS (SELECT doc_id, pos FROM h JOIN d USING (hh)),
-       |i AS (SELECT doc_id, pos,
-       |        CASE WHEN pos <= max(pos + $n) OVER (PARTITION BY doc_id
-       |          ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-       |        THEN 0 ELSE 1 END AS brk
-       |      FROM m),
-       |g AS (SELECT doc_id, pos, CAST(sum(brk) OVER (PARTITION BY doc_id
-       |        ORDER BY pos) AS BIGINT) AS grp FROM i)
-       |SELECT doc_id, min(pos) AS span_start, max(pos) + $n AS span_end,
-       |  count(*) AS n_windows
-       |FROM g $finalWhere GROUP BY doc_id, grp""".stripMargin
-
-  /** DuckDB CTE chain for exact-substring scrubbing (q75's shape) over
-    * `src(doc_id, text)`: windows → keep-first marking (row_number per
-    * hash) → cut set → merged spans → rebuild (token i survives iff no
-    * span covers it). Ends in `sc_clean(doc_id, clean, n_tokens,
-    * n_removed)`; all CTE names are `sc_`-prefixed so the chain
-    * composes with the jaccard/closure/packing CTEs (q76). Shared by
-    * q75 and q76 so their scrub semantics can never desynchronize. */
-  private def scrubCtes(src: String, n: Int): String = scrubCtesWith(src, n,
-    s"""sc_mk AS (SELECT doc_id, pos,
-       |         row_number() OVER (PARTITION BY hh ORDER BY doc_id, pos) AS rn,
-       |         count(*) OVER (PARTITION BY hh) AS c
-       |       FROM sc_h),
-       |sc_cut AS (SELECT doc_id, pos FROM sc_mk WHERE c > 1 AND rn > 1)""".stripMargin)
-
-  /** [[scrubCtes]] with a caller-supplied cut rule: `cutCtes` must end
-    * in `sc_cut(doc_id, pos)` over the window frame `sc_h(doc_id, pos,
-    * hh)`; the islands merge + narrow rebuild tail is shared verbatim
-    * (q75/q76 keep-first vs q108 benchmark-match can never drift). */
-  private def scrubCtesWith(src: String, n: Int, cutCtes: String): String =
-    s"""sc_t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM $src),
-       |sc_u AS (SELECT doc_id,
-       |        unnest(generate_series(1, len(toks) - ${n - 1})) AS pos, toks
-       |      FROM sc_t WHERE len(toks) >= $n),
-       |sc_h AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
-       |        md5(array_to_string(toks[pos:pos + ${n - 1}], ' ')) AS hh
-       |      FROM sc_u),
-       |$cutCtes,
-       |sc_i AS (SELECT doc_id, pos,
-       |        CASE WHEN pos <= max(pos + $n) OVER (PARTITION BY doc_id
-       |          ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-       |        THEN 0 ELSE 1 END AS brk
-       |      FROM sc_cut),
-       |sc_g AS (SELECT doc_id, pos, CAST(sum(brk) OVER (PARTITION BY doc_id
-       |        ORDER BY pos) AS BIGINT) AS grp FROM sc_i),
-       |sc_sp AS (SELECT doc_id, min(pos) AS s, max(pos) + $n AS e
-       |       FROM sc_g GROUP BY doc_id, grp),
-       |sc_sl AS (SELECT doc_id, list(s ORDER BY s) AS ss, list(e ORDER BY s) AS ee
-       |       FROM sc_sp GROUP BY doc_id),
-       |sc_k AS (SELECT t.doc_id, t.toks,
-       |        list_filter(generate_series(1, len(t.toks)), __i ->
-       |          len(list_filter(generate_series(1, coalesce(len(sl.ss), 0)),
-       |            __j -> __i >= sl.ss[__j] AND __i < sl.ee[__j])) = 0) AS kept
-       |      FROM sc_t t LEFT JOIN sc_sl sl USING (doc_id)),
-       |sc_clean AS (SELECT doc_id,
-       |  -- coalesce: DuckDB's array_to_string of an empty list is NULL,
-       |  -- Spark's concat_ws is '' — a fully-scrubbed doc must agree
-       |  coalesce(array_to_string(list_transform(kept, __i -> toks[__i]), ' '),
-       |           '') AS clean,
-       |  CAST(len(toks) AS BIGINT) AS n_tokens,
-       |  CAST(len(toks) - len(kept) AS BIGINT) AS n_removed
-       |FROM sc_k)""".stripMargin
-
-  /** Recursive-CTE transitive closure + min-label clustering over a
-    * pair CTE with (id_a, id_b) columns — shared by q39/q47 (over
-    * [[jaccardCtes]]'s `vpairs`) and q59 (over [[embPairCtes]]'s `p`)
-    * so the closure semantics can never desynchronize between their
-    * oracles. Ends in `labels(doc_id, cluster_id)`. */
-  /** DuckDB oracle for the trained-IVF probe (q61) — reused verbatim by
-    * q97 (the durable [[graft.io.VectorIndex]] probe must return the
-    * identical result through the storage round-trip) and, with a scan
-    * filter, by q99 (deletion leaves the quantizer and probe ranking
-    * untouched; only the scored lists shrink). */
-  /** Shared k-means-training + list-assignment CTE prefix of the
-    * trained-IVF oracles (q61/q97/q99 single-query, q102/q104 batch):
-    * ends in `c1` (trained centroids) and `alist(vec_id, list_id)`. */
-  private def ivfTrainCtes(dims: Int, src: String = "embeddings"): String = {
-    def assignCte(cents: String) =
-      s"""SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY ${duckCosine("e.embedding", "c.cemb", dims)} DESC, c.cid ASC) AS rn
-         |    FROM $src e CROSS JOIN $cents c""".stripMargin
-    s"""c0 AS (SELECT CAST(vec_id AS BIGINT) AS cid,
-       |            list_transform(embedding, __x -> CAST(__x AS DOUBLE)) AS cemb
-       |            FROM $src ORDER BY vec_id LIMIT 8),
-       |a0 AS (SELECT vec_id, cid AS cluster FROM (${assignCte("c0")}) WHERE rn = 1),
-       |m1 AS (SELECT a0.cluster, d.d, round(avg(CAST(e.embedding[d.d] AS DOUBLE)), 6) AS v
-       |       FROM a0 JOIN $src e USING (vec_id), generate_series(1, $dims) d(d)
-       |       GROUP BY a0.cluster, d.d),
-       |cm AS (SELECT cluster AS cid, list(v ORDER BY d) AS cemb FROM m1 GROUP BY cluster),
-       |c1 AS (SELECT c0.cid, coalesce(cm.cemb, c0.cemb) AS cemb
-       |       FROM c0 LEFT JOIN cm ON c0.cid = cm.cid),
-       |alist AS (SELECT vec_id, cid AS list_id FROM (${assignCte("c1")}) WHERE rn = 1)"""
-      .stripMargin
-  }
-
-  private def ivfTrainedSql(scanWhere: String = ""): String = {
-    val dims = 64
-    s"""WITH ${ivfTrainCtes(dims)},
-       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-       |probe AS (SELECT cid AS list_id FROM (
-       |    SELECT c.cid, row_number() OVER (
-       |      ORDER BY ${duckCosine("c.cemb", "q.qe", dims)} DESC, c.cid ASC) AS rn
-       |    FROM c1 c, q) WHERE rn <= 2),
-       |s AS (SELECT e.vec_id, ${duckCosine("e.embedding", "q.qe", dims)} AS cosine_sim
-       |      FROM embeddings e
-       |      JOIN alist a ON e.vec_id = a.vec_id
-       |      JOIN probe p ON a.list_id = p.list_id, q $scanWhere)
-       |SELECT vec_id, cosine_sim FROM s ORDER BY cosine_sim DESC, vec_id LIMIT 10""".stripMargin
-  }
-
-  /** Multi-query trained-IVF oracle (q102; reused verbatim by q104 —
-    * the durable batch probe must equal the in-memory pipeline through
-    * the storage round-trip): same training CTEs, then every query
-    * ranks its own nprobe lists and its own candidates. The Spark
-    * side's salted two-stage ranking is salt-invariant (the final rank
-    * is the global total order), so the oracle replays it as ONE plain
-    * window per query. */
-  // batch brute-force oracle: one plain window per query over the full
-  // cross score (salt-invariant replay of the Spark side's two-stage rank)
-  private def bruteBatchSql(dims: Int = 64): String =
-    s"""WITH q AS (SELECT CAST(vec_id AS BIGINT) AS query_id, embedding AS qe
-       |      FROM embeddings WHERE vec_id < 3),
-       |s AS (SELECT q.query_id, e.vec_id,
-       |        ${duckCosine("e.embedding", "q.qe", dims)} AS cosine_sim
-       |      FROM embeddings e, q),
-       |r AS (SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
-       |        ORDER BY cosine_sim DESC, vec_id ASC) AS BIGINT) AS rank,
-       |        vec_id, cosine_sim FROM s)
-       |SELECT query_id, rank, vec_id, cosine_sim FROM r WHERE rank <= 10""".stripMargin
-
-  private def ivfTrainedBatchSql(): String = {
-    val dims = 64
-    s"""WITH ${ivfTrainCtes(dims)},
-       |q AS (SELECT CAST(vec_id AS BIGINT) AS query_id, embedding AS qe
-       |      FROM embeddings WHERE vec_id < 3),
-       |probe AS (SELECT query_id, cid AS list_id FROM (
-       |    SELECT q.query_id, c.cid, row_number() OVER (PARTITION BY q.query_id
-       |      ORDER BY ${duckCosine("c.cemb", "q.qe", dims)} DESC, c.cid ASC) AS rn
-       |    FROM c1 c, q) WHERE rn <= 2),
-       |s AS (SELECT p.query_id, e.vec_id,
-       |        ${duckCosine("e.embedding", "q.qe", dims)} AS cosine_sim
-       |      FROM probe p JOIN q USING (query_id)
-       |      JOIN alist a ON a.list_id = p.list_id
-       |      JOIN embeddings e ON e.vec_id = a.vec_id),
-       |r AS (SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
-       |        ORDER BY cosine_sim DESC, vec_id ASC) AS BIGINT) AS rank,
-       |        vec_id, cosine_sim FROM s)
-       |SELECT query_id, rank, vec_id, cosine_sim FROM r WHERE rank <= 10""".stripMargin
-  }
-
-  private def closureCtes: String = closureCtesOver("vpairs")
-
-  private def closureCtesOver(src: String): String =
-    s"""edges AS (
-       |  SELECT id_a AS src, id_b AS dst FROM $src
-       |  UNION SELECT id_b, id_a FROM $src
-       |),
-       |reach AS (
-       |  SELECT src, dst FROM edges
-       |  UNION
-       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-       |),
-       |labels AS (
-       |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
-       |  FROM reach GROUP BY src
-       |)""".stripMargin
-
-  /** DuckDB ±1-hyperplane projection sign-bucket for `embCol`. */
-  private def duckSignBucket(embCol: String, numPlanes: Int, dims: Int): String =
-    duckSignBucketP(embCol, Similarity.planes(numPlanes, dims), dims)
-
-  private def duckSignBucketP(embCol: String, planes: Seq[Seq[Int]], dims: Int): String = {
-    val bits = planes.map { hp =>
-      val lst = hp.mkString("[", ", ", "]")
-      val proj = s"list_sum(list_transform(generate_series(1, $dims), " +
-        s"__i -> CAST(($embCol)[__i] AS DOUBLE) * ($lst)[__i]))"
-      // round-before-sign mirrors Similarity.signBucket (cross-engine
-      // float-sum association can differ by ~1e-13 near zero)
-      s"(CASE WHEN round($proj, 6) >= 0 THEN '1' ELSE '0' END)"
-    }
-    bits.mkString("concat(", ", ", ")")
-  }
-
-  /** Shared CTE chain for banded embedding near-dup pairs (the q24
-    * pipeline: 2 bands × 8 planes, capped buckets, cosine ≥ 0.15),
-    * ending in `p(id_a, id_b, cosine_sim)` — used by q24 (pairs) and
-    * q59 (semantic clusters) so the pair semantics can never
-    * desynchronize between their oracles. */
-  private def embPairCtes: String = {
-    val all = Similarity.planes(16, 64)
-    val bandSelects = (0 until 2).map { b =>
-      val bucket = duckSignBucketP("embedding", all.slice(b * 8, (b + 1) * 8), 64)
-      s"SELECT vec_id, embedding, $b AS band, $bucket AS bucket FROM embeddings"
-    }.mkString(" UNION ALL ")
-    s"""embm AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
-       |bb AS ($bandSelects),
-       |capped AS (
-       |  SELECT * FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY band, bucket ORDER BY vec_id) AS rn FROM bb
-       |  ) WHERE rn <= 1000
-       |),
-       |p AS (
-       |  SELECT * FROM (
-       |    SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b,
-       |      ${duckCosine("a.embedding", "c.embedding", 64)} AS cosine_sim
-       |    FROM capped a JOIN capped c
-       |      ON a.band = c.band AND a.bucket = c.bucket AND a.vec_id < c.vec_id
-       |  ) WHERE cosine_sim >= 0.15
-       |)""".stripMargin
-  }
-
-  /** Shared q283–q287 oracle graph stem: 4×4-band LSH candidates (no
-    * cosine floor — navigation edges) → per-vertex top-8 kNN edges
-    * (`kg$sfx`, plus `kgc$sfx` retaining the edge cosines for the
-    * q287 degree-re-prune) + the 4 lowest-id entries (`ent$sfx`).
-    * `src` is the corpus relation (a table or a parenthesized
-    * subquery); `sfx` namespaces the CTEs so two stems (full corpus +
-    * standing slice) can coexist. Composed with
-    * [[graphAnnWalkCtes]] per query. */
-  private def graphAnnStemCtes(
-      src: String = "embeddings", sfx: String = ""): String = {
-    val dims = 64
-    val all = Similarity.planes(24, dims)
-    val bandSelects = (0 until 4).map { b =>
-      val bucket = duckSignBucketP("embedding", all.slice(b * 6, (b + 1) * 6), dims)
-      s"SELECT vec_id, embedding, $b AS band, $bucket AS bucket FROM embm$sfx"
-    }.mkString(" UNION ALL ")
-    s"""embm$sfx AS MATERIALIZED (SELECT vec_id, embedding FROM $src),
-       |bb$sfx AS ($bandSelects),
-       |capped$sfx AS (
-       |  SELECT * FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY band, bucket
-       |      ORDER BY vec_id) AS rn FROM bb$sfx
-       |  ) WHERE rn <= 400),
-       |cp$sfx AS (
-       |  SELECT * FROM (
-       |    SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b,
-       |      ${duckCosine("a.embedding", "c.embedding", dims)} AS cosine_sim
-       |    FROM capped$sfx a JOIN capped$sfx c
-       |      ON a.band = c.band AND a.bucket = c.bucket AND a.vec_id < c.vec_id
-       |  ) WHERE cosine_sim >= -1.0),
-       |sym$sfx AS (SELECT id_a AS id, id_b AS nbr, cosine_sim FROM cp$sfx
-       |  UNION ALL SELECT id_b, id_a, cosine_sim FROM cp$sfx),
-       |kr$sfx AS (SELECT id, nbr, cosine_sim,
-       |    row_number() OVER (PARTITION BY id
-       |      ORDER BY round(cosine_sim*1000000, 0) DESC, nbr) AS rank
-       |  FROM sym$sfx),
-       |kgc$sfx AS MATERIALIZED (SELECT id, nbr, cosine_sim FROM kr$sfx
-       |  WHERE rank <= 8),
-       |kg$sfx AS (SELECT id, nbr FROM kgc$sfx),
-       |ent$sfx AS (SELECT vec_id AS node FROM embm$sfx
-       |  ORDER BY vec_id LIMIT 4)""".stripMargin
-  }
-
-  /** One query's beam walk over a [[graphAnnStemCtes]] graph:
-    * `steps` unrolled rounds (neighbor scoring + top-`beam` cut) from
-    * the `ent` entries; ends in `res_$ns` (node, sim, rn ≤ k — the
-    * ranked answer). `graph`/`ent`/`emb` name the stem CTEs to walk;
-    * `qsrc` is the relation holding the query vector (q287's inserted
-    * vectors live outside the standing stem). Replays the SEARCH PATH
-    * of Similarity.graphSearch/graphSearchBatch, cut by cut. */
-  private def graphAnnWalkCtes(
-      qid: Long, steps: Int = 10, beam: Int = 16, k: Int = 10,
-      graph: String = "kg", ent: String = "ent", emb: String = "embm",
-      qsrc: String = "embm", ns0: String = ""): String = {
-    val dims = 64
-    val ns = if (ns0.nonEmpty) ns0 else s"q$qid"
-    def c(n: String) = s"${n}_$ns" // per-walk CTE namespace
-    val stepCtes = (1 to steps).map { i =>
-      val prev = s"${c("p")}_${i - 1}"
-      s"""${c("n")}_$i AS (SELECT DISTINCT g.nbr AS node FROM $prev pp
-         |  JOIN $graph g ON g.id = pp.node),
-         |${c("ns")}_$i AS MATERIALIZED (SELECT n.node,
-         |    ${duckCosine("e.embedding", s"${c("qv")}.qe", dims)} AS sim
-         |  FROM ${c("n")}_$i n JOIN $emb e ON e.vec_id = n.node, ${c("qv")}),
-         |${c("u")}_$i AS (SELECT node, max(sim) AS sim FROM (
-         |    SELECT node, sim FROM $prev
-         |    UNION ALL SELECT node, sim FROM ${c("ns")}_$i)
-         |  GROUP BY node),
-         |${c("p")}_$i AS MATERIALIZED (SELECT node, sim FROM (
-         |    SELECT node, sim,
-         |      row_number() OVER (ORDER BY sim DESC, node ASC) AS rn
-         |    FROM ${c("u")}_$i) WHERE rn <= $beam)""".stripMargin
-    }.mkString(",\n")
-    val visUnions = (1 to steps)
-      .map(i => s"SELECT node, sim FROM ${c("ns")}_$i").mkString(" UNION ALL ")
-    s"""${c("qv")} AS (SELECT embedding AS qe FROM $qsrc WHERE vec_id = $qid),
-       |${c("p")}_0 AS MATERIALIZED (SELECT e.node,
-       |    ${duckCosine("emb.embedding", s"${c("qv")}.qe", dims)} AS sim
-       |  FROM $ent e JOIN $emb emb ON emb.vec_id = e.node, ${c("qv")}),
-       |$stepCtes,
-       |${c("vis")} AS (SELECT node, max(sim) AS sim FROM (
-       |    SELECT node, sim FROM ${c("p")}_0 UNION ALL $visUnions)
-       |  GROUP BY node),
-       |res_$ns AS (SELECT node, sim, rn FROM (
-       |    SELECT node, sim,
-       |      row_number() OVER (ORDER BY sim DESC, node ASC) AS rn
-       |    FROM ${c("vis")}) WHERE rn <= $k)""".stripMargin
-  }
-
-  /** Per-block PQ training CTE chain (q70/q71): replays
-    * `Clustering.train` + the final argmax for each slice — the
-    * q55/q61 recipe applied per block. Emits `c0_b`, `a0_b`, `m1_b`,
-    * `cm_b`, `c1_b` (trained codebook), `ab_b` (codes). */
-  private def pqBlockCtes(blocks: Int, d: Int, k: Int, src: String = "embeddings"): String =
-    (0 until blocks).map { b =>
-      val lo = b * d + 1
-      val hi = (b + 1) * d
-      val sl = s"(e.embedding)[$lo:$hi]"
-      def assignCte(cents: String) =
-        s"""SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
-           |      ORDER BY ${duckCosine(sl, "c.cemb", d)} DESC, c.cid ASC) AS rn
-           |    FROM $src e CROSS JOIN $cents c""".stripMargin
-      s"""c0_$b AS (SELECT CAST(vec_id AS BIGINT) AS cid,
-         |  list_transform((embedding)[$lo:$hi], __x -> CAST(__x AS DOUBLE)) AS cemb
-         |  FROM $src ORDER BY vec_id LIMIT $k),
-         |a0_$b AS (SELECT vec_id, cid AS cluster FROM (${assignCte(s"c0_$b")}) WHERE rn = 1),
-         |m1_$b AS (SELECT a.cluster, d.d,
-         |    round(avg(CAST((e.embedding)[${lo - 1} + d.d] AS DOUBLE)), 6) AS v
-         |  FROM a0_$b a JOIN $src e USING (vec_id), generate_series(1, $d) d(d)
-         |  GROUP BY a.cluster, d.d),
-         |cm_$b AS (SELECT cluster AS cid, list(v ORDER BY d) AS cemb FROM m1_$b GROUP BY cluster),
-         |c1_$b AS (SELECT c0.cid, coalesce(cm.cemb, c0.cemb) AS cemb
-         |  FROM c0_$b c0 LEFT JOIN cm_$b cm ON c0.cid = cm.cid),
-         |ab_$b AS (SELECT vec_id, cid AS code_$b FROM (${assignCte(s"c1_$b")}) WHERE rn = 1)"""
-        .stripMargin
-    }.mkString(",\n")
-
-  /** Naive Bayes oracle (q106; reused verbatim by q116 — the stored
-    * model table must change nothing through the parquet roundtrip):
-    * per-class smoothed bucket log-liks over the q79 hashed-gram chain
-    * + log priors; argmax replayed as a rank window (score DESC, class
-    * ASC = the Spark min-struct tie-break). */
-  private def nbOracleSql: String = {
-    val base = PortableSql.minhashBase("gram", DD)
-    val sh2 = DD.shingles("l", 2)
-    s"""WITH tr AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 0),
-       |te AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 <> 0),
-       |dtr AS (SELECT lang AS cls, string_split(text, ' ') AS l FROM tr),
-       |gtr AS (SELECT cls, unnest(list_concat(l, $sh2)) AS gram FROM dtr),
-       |btr AS (SELECT cls, ($base % ${PortableSql.minhashP}) % 128 AS bucket FROM gtr),
-       |cnt AS (SELECT cls, bucket, count(*) AS c FROM btr GROUP BY cls, bucket),
-       |tot AS (SELECT cls, CAST(sum(c) AS DOUBLE) AS n FROM cnt GROUP BY cls),
-       |bkt AS (SELECT unnest(generate_series(0, 127)) AS bucket),
-       |lut AS (SELECT t.cls, b.bucket,
-       |        ln(CAST(coalesce(c.c, 0) + 1 AS DOUBLE) / (t.n + 128.0)) AS ll
-       |        FROM tot t CROSS JOIN bkt b
-       |        LEFT JOIN cnt c ON c.cls = t.cls AND c.bucket = b.bucket),
-       |dt AS (SELECT CAST(count(*) AS DOUBLE) AS dt FROM tr),
-       |pri AS (SELECT lang AS cls, ln(CAST(count(*) AS DOUBLE) / dt.dt) AS lp
-       |        FROM tr, dt GROUP BY lang, dt.dt),
-       |dte AS (SELECT doc_id, string_split(text, ' ') AS l FROM te),
-       |gte AS (SELECT doc_id, unnest(list_concat(l, $sh2)) AS gram FROM dte),
-       |bte AS (SELECT doc_id, ($base % ${PortableSql.minhashP}) % 128 AS bucket FROM gte),
-       |sc AS (SELECT bte.doc_id, l.cls, round(sum(l.ll) + p.lp, 6) AS score
-       |       FROM bte JOIN lut l USING (bucket) JOIN pri p ON p.cls = l.cls
-       |       GROUP BY bte.doc_id, l.cls, p.lp),
-       |r AS (SELECT doc_id, cls, score, row_number() OVER (PARTITION BY doc_id
-       |        ORDER BY score DESC, cls ASC) AS rn FROM sc)
-       |SELECT doc_id, cls AS predicted, score FROM r WHERE rn = 1""".stripMargin
-  }
-
-  private def duckCosine(a: String, b: String, dims: Int): String = {
-    def dot(x: String, y: String) =
-      s"list_sum(list_transform(generate_series(1, $dims), " +
-        s"__i -> CAST(($x)[__i] AS DOUBLE) * CAST(($y)[__i] AS DOUBLE)))"
-    s"round(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})), 6)"
-  }
-
-  def oracleSql: Map[String, String] = Map(
-    "q01_silver_clean" ->
-      s"""WITH base AS (SELECT $custSchemaCols FROM customer),
-         |inj AS (
-         |  SELECT * FROM base
-         |  UNION ALL SELECT c_custkey, concat(' ', c_name, '  '), c_mktsegment, c_acctbal FROM base WHERE c_custkey % 20 = 0
-         |  UNION ALL SELECT c_custkey, NULL, c_mktsegment, c_acctbal FROM base WHERE c_custkey % 20 = 7
-         |), d AS (
-         |  SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY c_name ASC NULLS FIRST) AS rn FROM inj
-         |)
-         |SELECT c_custkey, trim(lower(c_name)) AS c_name, trim(lower(c_mktsegment)) AS c_mktsegment, c_acctbal
-         |FROM d WHERE rn = 1 AND c_name IS NOT NULL""".stripMargin,
-
-    "q02_gold_union3" ->
-      s"""SELECT o_orderstatus, NULL AS o_orderpriority, count(*) AS total_orders, 'by_status' AS aggregation, '2025-10-15' AS transformation_date FROM orders GROUP BY o_orderstatus
-         |UNION ALL
-         |SELECT o_orderstatus, o_orderpriority, count(*) AS total_orders, 'by_priority_status' AS aggregation, '2025-10-15' AS transformation_date FROM orders GROUP BY o_orderstatus, o_orderpriority
-         |UNION ALL
-         |SELECT o_orderstatus, o_orderpriority, count(*) AS total_orders, 'by_status_priority' AS aggregation, '2025-10-15' AS transformation_date FROM orders GROUP BY o_orderstatus, o_orderpriority""".stripMargin,
-
-    "q03_grouping_sets" ->
-      s"""SELECT o_orderstatus, o_orderpriority, count(*) AS total_orders,
-         |  ${dsum("o_totalprice")} AS sum_price,
-         |  CASE concat(CAST(GROUPING(o_orderstatus) AS VARCHAR), CAST(GROUPING(o_orderpriority) AS VARCHAR))
-         |    WHEN '01' THEN 'g_status' WHEN '00' THEN 'g_priority_status' END AS aggregation,
-         |  '2025-10-15' AS transformation_date
-         |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderstatus, o_orderpriority))""".stripMargin,
-
-    "q04_quality_report" ->
-      s"""WITH w AS (SELECT
-         |  CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS non_null_returnflag,
-         |  CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS positive_quantity,
-         |  CAST(sum(CASE WHEN NOT coalesce(l_discount >= 0 AND l_discount <= 0.1, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS discount_range
-         | FROM lineitem)
-         |SELECT 'non_null_returnflag' AS rule, non_null_returnflag AS invalid_count, non_null_returnflag = 0 AS passed FROM w
-         |UNION ALL SELECT 'positive_quantity', positive_quantity, positive_quantity = 0 FROM w
-         |UNION ALL SELECT 'discount_range', discount_range, discount_range = 0 FROM w""".stripMargin,
-
-    "q05_agg_dsl" ->
-      s"""SELECT l_returnflag, l_linestatus, count(*) AS count_order,
-         |  ${dsum("l_quantity")} AS sum_qty,
-         |  ${dsum("l_extendedprice")} AS sum_base_price,
-         |  cast(sum(cast(l_extendedprice as decimal(18,2)) * (1 - cast(l_discount as decimal(4,2)))) as double) AS sum_disc_price,
-         |  ${dsum("l_quantity")} / count(*) AS avg_qty,
-         |  'q1' AS aggregation
-         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
-
-    "q06_dedup_exact" -> "SELECT DISTINCT lang, source FROM documents",
-
-    "q07_ingest_stamp" ->
-      "SELECT c_custkey, c_name, c_mktsegment, DATE '2025-10-15' AS ingestion_date FROM customer",
-
-    "q08_jsonl_roundtrip" ->
-      s"""SELECT c_mktsegment, count(*) AS n_customers, ${dsum("c_acctbal")} AS sum_acctbal
-         |FROM customer GROUP BY c_mktsegment""".stripMargin,
-
-    "q09_partition_roundtrip" ->
-      s"""SELECT c_mktsegment, count(*) AS n_customers, ${dsum("c_acctbal")} AS sum_acctbal
-         |FROM customer GROUP BY c_mktsegment""".stripMargin,
-
-    "q10_latest_run" ->
-      "SELECT count(*) AS n_rows, CAST(sum(c_custkey) AS BIGINT) AS sum_key FROM customer",
-
-    "q11_token_count" ->
-      s"""SELECT doc_id, ${PortableSql.tokenCount("text", DD)} AS n_tokens,
-         |  ${PortableSql.regexTokenCount("text", DD)} AS n_rtokens
-         |FROM documents""".stripMargin,
-
-    "q12_lang_id" ->
-      s"SELECT doc_id, lang, ${PortableSql.langId("text", DD)} AS lang_pred FROM documents",
-
-    "q13_quality_score" ->
-      s"SELECT doc_id, ${PortableSql.qualityScore("text", DD)} AS quality FROM documents",
-
-    "q14_fingerprint" ->
-      s"SELECT doc_id, ${PortableSql.fingerprint("text")} AS fp FROM documents",
-
-    "q15_minhash_bands" ->
-      s"""WITH ${minhashCtes}
-         |SELECT doc_id, band, bucket FROM buckets""".stripMargin,
-
-    "q16_neardup_pairs" ->
-      s"""WITH $jaccardCtes
-         |SELECT id_a, id_b, jaccard FROM vpairs""".stripMargin,
-
-    // anomaly replay: identical per-type hour-grid densification
-    // (min..max spine, n=0 fill) + identical Σn/Σn² window arithmetic
-    // on the same trailing frame — integer sums are exact, so the
-    // doubles match bit-for-bit before the shared round(…,6)
-    "q170_rate_anomaly" ->
-      """WITH obs AS (
-        |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
-        |    count(*) AS n
-        |  FROM events GROUP BY 1, 2),
-        |bounds AS (
-        |  SELECT event_type, min(hour) AS mn, max(hour) AS mx
-        |  FROM obs GROUP BY 1),
-        |spine AS (
-        |  SELECT event_type,
-        |    unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour
-        |  FROM bounds),
-        |h AS (
-        |  SELECT spine.event_type, spine.hour, COALESCE(obs.n, 0) AS n
-        |  FROM spine LEFT JOIN obs
-        |    ON spine.event_type = obs.event_type AND spine.hour = obs.hour),
-        |wstats AS (
-        |  SELECT event_type, hour, n,
-        |    sum(CAST(n AS DOUBLE)) OVER w AS s1,
-        |    sum(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) OVER w AS s2,
-        |    CAST(count(n) OVER w AS DOUBLE) AS c
-        |  FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hour
-        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
-        |z AS (
-        |  SELECT event_type, hour, n,
-        |    CASE WHEN c >= 2 AND sqrt(GREATEST((s2 - s1*s1/c)/(c-1),
-        |        CAST(0 AS DOUBLE))) > 0
-        |      THEN round((CAST(n AS DOUBLE) - s1/c) /
-        |        sqrt(GREATEST((s2 - s1*s1/c)/(c-1), CAST(0 AS DOUBLE))), 6)
-        |    END AS z
-        |  FROM wstats)
-        |SELECT event_type, count(*) AS n_hours,
-        |  CAST(sum(CASE WHEN abs(z) > 3.0 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_anomalies,
-        |  CAST(sum(CASE WHEN z IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_warmup,
-        |  round(max(abs(z)), 6) AS max_abs_z
-        |FROM z GROUP BY event_type""".stripMargin,
-
-    // k-anonymity replay: identical grouping + identical floor-bucket
-    // of the sensitive attribute; l failures counted only among
-    // k-anonymous groups
-    "q171_k_anonymity" ->
-      """WITH g AS (
-        |  SELECT c_nationkey, c_mktsegment, count(*) AS n,
-        |    count(DISTINCT floor(c_acctbal / 1000)) AS nd
-        |  FROM customer GROUP BY 1, 2)
-        |SELECT count(*) AS n_groups,
-        |  CAST(sum(CASE WHEN n < 10 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_small_groups,
-        |  CAST(COALESCE(sum(CASE WHEN n < 10 THEN n END), 0) AS BIGINT)
-        |    AS n_rows_at_risk,
-        |  CAST(min(n) AS BIGINT) AS min_group,
-        |  CAST(sum(CASE WHEN n >= 10 AND nd < 3 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_low_diversity
-        |FROM g""".stripMargin,
-
-    // unigram training replay: substring seed, two hard-EM Viterbi
-    // rounds (integer-micronat DP chains + recursive backtraces),
-    // count-based prune — the model arithmetic step for step
-    "q172_unigram_model" ->
-      s"""WITH RECURSIVE ${unigramTrainCtes(3, 30, 2, 12, 16)}
-         |SELECT piece, cnt, logp_micro FROM ulpf""".stripMargin,
-
-    // durable unigram replay: train chain restricted to the even half,
-    // then ONE more segmentation chain over the odd half's distinct
-    // words under the final model — storage must change nothing
-    "q173_unigram_encode" ->
-      s"""WITH RECURSIVE ${unigramTrainCtes(3, 30, 2, 12, 16, "WHERE doc_id % 2 = 0")},
-         |ew AS MATERIALIZED (SELECT word, CAST(0 AS BIGINT) AS n, len(word) AS wl FROM (
-         |    SELECT DISTINCT word FROM (
-         |      SELECT unnest(string_split(text, ' ')) AS word
-         |      FROM documents WHERE doc_id % 2 <> 0 AND text IS NOT NULL)))
-         |${unigramSegCtes("en", "ew", "ulpf", 3, 16)},
-         |upc AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS pc
-         |        FROM enbt WHERE piece IS NOT NULL GROUP BY word)
-         |SELECT dw.doc_id, CAST(sum(coalesce(p.pc, 0)) AS BIGINT)
-         |    AS n_unigram_tokens
-         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
-         |      FROM documents WHERE doc_id % 2 <> 0 AND text IS NOT NULL) dw
-         |LEFT JOIN upc p ON p.word = dw.word
-         |GROUP BY dw.doc_id""".stripMargin,
-
-    // dual-tokenizer equity replay: the q126 BPE chain and the unigram
-    // train+encode chains rolled up per language side by side
-    "q174_tokenizer_equity2" -> {
-      val k = 6
-      s"""WITH RECURSIVE ${unigramTrainCtes(3, 30, 2, 12, 16)},
-         |${bpeTrainCtes(k).stripPrefix("WITH ")},
-         |ew AS MATERIALIZED (SELECT word, CAST(0 AS BIGINT) AS n, len(word) AS wl FROM (
-         |    SELECT DISTINCT word FROM (
-         |      SELECT unnest(string_split(text, ' ')) AS word
-         |      FROM documents WHERE text IS NOT NULL)))
-         |${unigramSegCtes("en", "ew", "ulpf", 3, 16)},
-         |upc AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS pc
-         |        FROM enbt WHERE piece IS NOT NULL GROUP BY word),
-         |udoc AS (
-         |  SELECT dw.doc_id, sum(coalesce(p.pc, 0)) AS un
-         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
-         |        FROM documents WHERE text IS NOT NULL) dw
-         |  LEFT JOIN upc p ON p.word = dw.word
-         |  GROUP BY dw.doc_id),
-         |base AS (
-         |  SELECT d.doc_id, d.lang,
-         |    len(replace(d.text, ' ', '')) AS ch,
-         |    list_sum(list_transform(string_split(d.text, ' '), __w ->
-         |      len(string_split(trim(${bpeMergedExpr(k)}, chr(1)),
-         |        chr(1) || chr(1))))) AS bpe
-         |  FROM documents d, ${(1 to k).map(i => s"b$i").mkString(", ")}
-         |  WHERE d.text IS NOT NULL)
-         |SELECT b.lang, count(*) AS n_docs,
-         |  CAST(sum(b.ch) AS BIGINT) AS n_chars,
-         |  CAST(sum(b.bpe) AS BIGINT) AS bpe_tokens,
-         |  CAST(sum(u.un) AS BIGINT) AS unigram_tokens,
-         |  round(CAST(sum(b.ch) AS DOUBLE) / sum(b.bpe), 6)
-         |    AS chars_per_bpe_token,
-         |  round(CAST(sum(b.ch) AS DOUBLE) / sum(u.un), 6)
-         |    AS chars_per_unigram_token
-         |FROM base b JOIN udoc u ON u.doc_id = b.doc_id
-         |GROUP BY b.lang""".stripMargin
-    },
-
-    // coverage replay: the q173 train+encode chains over the
-    // OOV-injected held-out text, pieces kept with their words,
-    // UNK = piece absent from the final model table
-    "q177_unigram_coverage" ->
-      s"""WITH RECURSIVE ${unigramTrainCtes(3, 30, 2, 12, 16, "WHERE doc_id % 2 = 0")},
-         |odocs AS MATERIALIZED (
-         |  SELECT lang, CASE WHEN doc_id % 11 = 0 THEN text || ' zxz'
-         |                    ELSE text END AS text
-         |  FROM documents WHERE doc_id % 2 <> 0 AND text IS NOT NULL),
-         |ew AS MATERIALIZED (SELECT word, CAST(0 AS BIGINT) AS n,
-         |    len(word) AS wl FROM (
-         |    SELECT DISTINCT word FROM (
-         |      SELECT unnest(string_split(text, ' ')) AS word FROM odocs)))
-         |${unigramSegCtes("en", "ew", "ulpf", 3, 16)},
-         |wpieces AS MATERIALIZED (SELECT word, piece FROM enbt
-         |                         WHERE piece IS NOT NULL),
-         |docw AS (SELECT lang, word FROM (
-         |    SELECT lang, unnest(string_split(text, ' ')) AS word FROM odocs)
-         |  WHERE len(word) >= 1),
-         |pieces AS (SELECT d.lang, w.piece
-         |           FROM docw d JOIN wpieces w ON w.word = d.word)
-         |SELECT p.lang, count(*) AS n_pieces,
-         |  CAST(sum(CASE WHEN m.piece IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_unk,
-         |  count(DISTINCT p.piece) AS n_distinct_pieces,
-         |  round(CAST(sum(CASE WHEN m.piece IS NULL THEN 1 ELSE 0 END)
-         |      AS DOUBLE) / count(*), 6) AS unk_rate
-         |FROM pieces p LEFT JOIN ulpf m ON m.piece = p.piece
-         |GROUP BY p.lang""".stripMargin,
-
-    // triangle replay: canonical a<b edges from the shared pair CTEs;
-    // wedge count = Σ C(d⁺,2) under the same (degree, id) orientation,
-    // triangle count = the a<b<c closed-triple join (orientation-free,
-    // provably equal)
-    "q180_triangles" ->
-      s"""WITH RECURSIVE $jaccardCtes,
-         |te AS (SELECT DISTINCT least(id_a, id_b) AS a,
-         |         greatest(id_a, id_b) AS b
-         |       FROM vpairs WHERE id_a <> id_b),
-         |tdeg AS (SELECT v, count(*) AS d FROM (
-         |    SELECT a AS v FROM te UNION ALL SELECT b AS v FROM te)
-         |  GROUP BY v),
-         |tor AS (SELECT
-         |    CASE WHEN (da.d < db.d) OR (da.d = db.d AND te.a < te.b)
-         |      THEN te.a ELSE te.b END AS f
-         |  FROM te JOIN tdeg da ON da.v = te.a
-         |  JOIN tdeg db ON db.v = te.b),
-         |todeg AS (SELECT f, count(*) AS dd FROM tor GROUP BY f),
-         |tri AS (SELECT count(*) AS n_triangles
-         |        FROM te e1 JOIN te e2 ON e2.a = e1.a AND e2.b > e1.b
-         |        JOIN te e3 ON e3.a = e1.b AND e3.b = e2.b)
-         |SELECT (SELECT count(*) FROM tdeg) AS n_vertices,
-         |  (SELECT count(*) FROM te) AS n_edges,
-         |  (SELECT CAST(coalesce(sum(dd * (dd - 1) / 2), 0) AS BIGINT)
-         |   FROM todeg) AS n_wedges,
-         |  (SELECT CAST(n_triangles AS BIGINT) FROM tri) AS n_triangles""".stripMargin,
-
-    // clustering replay: the orientation-free a<b<c triple enumeration
-    // hits the same triangle set, so per-corner explode + counts equal
-    // the oriented pipeline's; identical IEEE division, micro-rounded
-    "q190_clustering_coeff" ->
-      s"""WITH RECURSIVE $jaccardCtes,
-         |te AS (SELECT DISTINCT least(id_a, id_b) AS a,
-         |         greatest(id_a, id_b) AS b
-         |       FROM vpairs WHERE id_a <> id_b),
-         |tdeg AS (SELECT v, count(*) AS d FROM (
-         |    SELECT a AS v FROM te UNION ALL SELECT b AS v FROM te)
-         |  GROUP BY v),
-         |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
-         |        FROM te e1 JOIN te e2 ON e2.a = e1.a AND e2.b > e1.b
-         |        JOIN te e3 ON e3.a = e1.b AND e3.b = e2.b),
-         |pv AS (SELECT v, count(*) AS t FROM (
-         |    SELECT x AS v FROM tri UNION ALL SELECT y FROM tri
-         |    UNION ALL SELECT z FROM tri) GROUP BY v),
-         |cc AS (SELECT d.v, d.d, coalesce(pv.t, 0) AS t,
-         |         CASE WHEN d.d >= 2
-         |           THEN 2.0*coalesce(pv.t, 0)/(d.d*(d.d - 1)) END AS cc
-         |       FROM tdeg d LEFT JOIN pv ON pv.v = d.v)
-         |SELECT v % 5 AS bucket, count(*) AS n_vertices,
-         |  CAST(sum(d) AS BIGINT) AS sum_deg,
-         |  CAST(sum(t) AS BIGINT) AS sum_tri,
-         |  CAST(sum(CASE WHEN cc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_cc_defined,
-         |  CAST(sum(CASE WHEN cc IS NOT NULL
-         |    THEN CAST(round(cc*1000000, 0) AS BIGINT) ELSE 0 END) AS BIGINT)
-         |    AS sum_cc_micro
-         |FROM cc GROUP BY 1""".stripMargin,
-
-    // EXIF replay: the injected metadata is modular in doc_id — valid
-    // ids recover every field (checks == counts), truncated ids
-    // (%13=0) land in the NULL-orientation group with zero recoveries
-    "q179_exif_meta" ->
-      """WITH p AS (
-        |  SELECT doc_id,
-        |    CASE WHEN doc_id % 13 = 0 THEN NULL
-        |         ELSE CAST(doc_id % 8 + 1 AS INT) END AS o
-        |  FROM documents WHERE text IS NOT NULL)
-        |SELECT o AS orientation, count(*) AS n_images,
-        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
-        |  CAST(sum(CASE WHEN o IS NULL THEN 0 ELSE 1 END) AS BIGINT)
-        |    AS n_dims_ok,
-        |  CAST(sum(CASE WHEN o IS NULL THEN 0 ELSE 1 END) AS BIGINT)
-        |    AS n_make_ok,
-        |  CAST(sum(CASE WHEN o IS NULL THEN 0 ELSE 1 END) AS BIGINT)
-        |    AS n_dt_ok
-        |FROM p GROUP BY o""".stripMargin,
-
-    // seed-centroid replay: identical decimal-summed per-dim means,
-    // float-cast centroid, same cosine/round arithmetic, decimal-exact
-    // score sums per histogram bucket
-    "q178_seed_centroid" ->
-      s"""WITH seeds AS (SELECT embedding AS e FROM embeddings
-         |               WHERE vec_id % 37 = 0),
-         |cent AS (
-         |  SELECT i, CAST(round(CAST(sum(CAST(round(CAST(e[i] AS DOUBLE), 6)
-         |      AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS FLOAT) AS c
-         |  FROM seeds, (SELECT unnest(generate_series(1, 64)) AS i) d
-         |  GROUP BY i),
-         |cl AS (SELECT list(c ORDER BY i) AS cl FROM cent),
-         |sc AS (SELECT vec_id,
-         |         ${duckCosine("embedding", "cl", 64)} AS cos
-         |       FROM embeddings, cl)
-         |SELECT CAST(floor(cos * 10) AS INT) AS bucket,
-         |  count(*) AS n_vectors,
-         |  CAST(sum(vec_id) AS BIGINT) AS sum_ids,
-         |  round(CAST(sum(CAST(cos AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_cos
-         |FROM sc GROUP BY 1""".stripMargin,
-
-    // meta-robots fence replay: the injected directives are modular in
-    // doc_id, so the fence is pure arithmetic — noindex for %5 in
-    // {0 ("noindex, follow"), 2 ("none")}, nofollow for %5 in {1, 2},
-    // cross-canonical for %7 = 0 except the self-targeting doc 0
-    "q175_meta_robots_fence" ->
-      """WITH p AS (
-        |  SELECT doc_id,
-        |    (doc_id % 5 = 0 OR doc_id % 5 = 2) AS noindex,
-        |    (doc_id % 5 = 1 OR doc_id % 5 = 2) AS nofollow,
-        |    CASE WHEN doc_id % 7 = 0
-        |           THEN 'https://corpus.local/d/' || CAST(doc_id // 7 AS VARCHAR)
-        |         WHEN doc_id % 7 = 3
-        |           THEN 'https://corpus.local/d/' || CAST(doc_id AS VARCHAR)
-        |    END AS canonical,
-        |    'https://corpus.local/d/' || CAST(doc_id AS VARCHAR) AS url
-        |  FROM documents WHERE text IS NOT NULL),
-        |k AS (SELECT doc_id, noindex, nofollow, canonical, url,
-        |        (NOT noindex AND (canonical IS NULL OR canonical = url)) AS keep
-        |      FROM p)
-        |SELECT count(*) AS n_pages,
-        |  CAST(sum(CASE WHEN noindex THEN 1 ELSE 0 END) AS BIGINT) AS n_noindex,
-        |  CAST(sum(CASE WHEN nofollow THEN 1 ELSE 0 END) AS BIGINT) AS n_nofollow,
-        |  CAST(sum(CASE WHEN canonical IS NOT NULL AND canonical <> url
-        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_canonical,
-        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-        |  CAST(sum(CASE WHEN keep THEN doc_id ELSE 0 END) AS BIGINT)
-        |    AS sum_kept_ids
-        |FROM k""".stripMargin,
-
-    // containment replay: the shared LSH-candidate/overlap stem with
-    // the min-size denominator instead of the union
-    "q169_containment" ->
-      s"""WITH $lshInterCtes,
-         |cpairs AS (
-         |  SELECT it.id_a, it.id_b,
-         |    round(it.i / LEAST(sa.n, sb.n), 6) AS containment
-         |  FROM inter it JOIN sizes sa ON sa.doc_id = it.id_a
-         |  JOIN sizes sb ON sb.doc_id = it.id_b
-         |  WHERE round(it.i / LEAST(sa.n, sb.n), 6) >= 0.9)
-         |SELECT id_a, id_b, containment FROM cpairs""".stripMargin,
-
-    "q39_dedup_clusters" ->
-      s"""WITH RECURSIVE $jaccardCtes,
-         |$closureCtes
-         |SELECT doc_id, cluster_id, cluster_id = doc_id AS is_keeper
-         |FROM labels""".stripMargin,
-
-    "q17_simhash" ->
-      s"SELECT doc_id, ${PortableSql.simhash("text", 16, DD)} AS simhash FROM documents",
-
-    "q18_events_hourly" ->
-      s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
-         |  count(*) AS n_events, ${dsum("value")} AS total_value
-         |FROM events GROUP BY 1, 2""".stripMargin,
-
-    "q19_sessions" ->
-      s"""WITH p AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events)
-         |SELECT user_id, count(*) AS n_events,
-         |  CAST(sum(CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 1800.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
-         |FROM p GROUP BY user_id""".stripMargin,
-
-    "q20_join_revenue" ->
-      s"""SELECT r_name, n_name, count(*) AS n_orders, ${dsum("o_totalprice")} AS revenue
-         |FROM orders
-         |JOIN customer ON o_custkey = c_custkey
-         |JOIN nation ON c_nationkey = n_nationkey
-         |JOIN region ON n_regionkey = r_regionkey
-         |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
-         |GROUP BY r_name, n_name""".stripMargin,
-
-    "q21_topk_per_segment" ->
-      s"""WITH r AS (
-         |  SELECT c_mktsegment, o_orderkey, o_totalprice,
-         |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
-         |  FROM orders JOIN customer ON o_custkey = c_custkey
-         |)
-         |SELECT c_mktsegment, rank, o_orderkey, o_totalprice FROM r WHERE rank <= 3""".stripMargin,
-
-    "q22_ann_topk" ->
-      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-         |s AS (SELECT vec_id, ${duckCosine("embedding", "qe", 64)} AS cosine_sim FROM embeddings, q)
-         |SELECT vec_id, cosine_sim FROM s ORDER BY cosine_sim DESC, vec_id LIMIT 10""".stripMargin,
-
-    "q23_ann_lsh" ->
-      s"""WITH q AS (SELECT embedding AS qe, ${duckSignBucket("embedding", 8, 64)} AS qbucket FROM embeddings WHERE vec_id = 0),
-         |b AS (SELECT vec_id, embedding, ${duckSignBucket("embedding", 8, 64)} AS bucket FROM embeddings),
-         |s AS (SELECT vec_id, ${duckCosine("embedding", "qe", 64)} AS cosine_sim FROM b, q WHERE b.bucket = q.qbucket)
-         |SELECT vec_id, cosine_sim FROM s ORDER BY cosine_sim DESC, vec_id LIMIT 10""".stripMargin,
-
-    "q24_embedding_pairs" ->
-      s"""WITH $embPairCtes
-         |SELECT id_a, id_b, cosine_sim FROM p""".stripMargin,
-
-    // kNN replay: the q24 pair CTEs symmetrized, per-vertex rank by
-    // (cosine_micro desc, nbr) — the same integer key the sorted-
-    // struct slice uses
-    "q191_knn_graph" ->
-      s"""WITH $embPairCtes,
-         |sym AS (SELECT id_a AS id, id_b AS nbr, cosine_sim FROM p
-         |        UNION ALL SELECT id_b, id_a, cosine_sim FROM p),
-         |r AS (SELECT id, nbr,
-         |        CAST(round(cosine_sim*1000000, 0) AS BIGINT) AS cm,
-         |        row_number() OVER (PARTITION BY id
-         |          ORDER BY round(cosine_sim*1000000, 0) DESC, nbr) AS rank
-         |      FROM sym)
-         |SELECT rank, count(*) AS n_edges,
-         |  count(DISTINCT id) AS n_vertices,
-         |  CAST(sum(cm) AS BIGINT) AS sum_cos_micro,
-         |  CAST(sum(nbr) AS BIGINT) AS sum_nbrs
-         |FROM r WHERE rank <= 5 GROUP BY 1""".stripMargin,
-
-    // k-core replay: the q182 edge CTEs + 4 unrolled peel rounds —
-    // each round keeps vertices with degree >= 5 in the PREVIOUS edge
-    // set and edges whose both endpoints survive; pure integer counts,
-    // so core membership and in-core degrees replay bit-identically
-    "q192_k_core" -> {
-      def peel(prev: String, cur: String): String =
-        s"""k_$cur AS (
-           |  SELECT v FROM (SELECT a AS v FROM e_$prev
-           |                 UNION ALL SELECT b FROM e_$prev)
-           |  GROUP BY v HAVING count(*) >= 5),
-           |e_$cur AS (
-           |  SELECT e.a, e.b FROM e_$prev e
-           |  JOIN k_$cur x ON e.a = x.v
-           |  JOIN k_$cur y ON e.b = y.v)""".stripMargin
-      s"""WITH nn AS (SELECT count(*) AS n FROM documents WHERE text IS NOT NULL),
-         |e0 AS (
-         |  SELECT doc_id AS src, (doc_id*2+1) % n AS dst
-         |  FROM documents, nn WHERE text IS NOT NULL
-         |  UNION ALL
-         |  SELECT doc_id, (doc_id*3+2) % n FROM documents, nn WHERE text IS NOT NULL
-         |  UNION ALL
-         |  SELECT doc_id, (doc_id*7+5) % n FROM documents, nn WHERE text IS NOT NULL),
-         |e_0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-         |        FROM e0 WHERE src <> dst),
-         |${peel("0", "1")},
-         |${peel("1", "2")},
-         |${peel("2", "3")},
-         |${peel("3", "4")},
-         |deg AS (
-         |  SELECT id, count(*) AS core_deg FROM (
-         |    SELECT a AS id FROM e_4 UNION ALL SELECT b FROM e_4)
-         |  GROUP BY id)
-         |SELECT id % 5 AS bucket, count(*) AS n_vertices,
-         |  CAST(sum(core_deg) AS BIGINT) AS sum_core_deg,
-         |  max(core_deg) AS max_core_deg,
-         |  min(core_deg) AS min_core_deg
-         |FROM deg GROUP BY 1""".stripMargin
-    },
-
-    // edit-verified replay: the shared LSH candidate CTEs + DuckDB's
-    // builtin levenshtein (byte-based, == code-point on this ASCII
-    // corpus); the Spark side's banded -1 drop replays as d <= cap
-    "q193_edit_verified" ->
-      s"""WITH $minhashCtes,
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM buckets a JOIN buckets b
-         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-         |lv AS (
-         |  SELECT p.id_a, p.id_b,
-         |    levenshtein(da.text, db.text) AS d,
-         |    greatest(strlen(da.text), strlen(db.text)) AS mx
-         |  FROM pairs p
-         |  JOIN documents da ON da.doc_id = p.id_a
-         |  JOIN documents db ON db.doc_id = p.id_b),
-         |kept AS (
-         |  SELECT id_a, id_b, CAST(d AS BIGINT) AS d,
-         |    CASE WHEN mx = 0 THEN 1.0 ELSE round(1.0 - d / mx, 6) END AS sim
-         |  FROM lv WHERE d <= 200)
-         |SELECT id_a % 5 AS bucket, count(*) AS n_pairs,
-         |  CAST(sum(d) AS BIGINT) AS sum_dist,
-         |  max(d) AS max_dist,
-         |  round(sum(sim), 6) AS sum_sim
-         |FROM kept GROUP BY 1""".stripMargin,
-
-    // Gopher-gate replay: generated from the SAME filter objects as
-    // the Spark expression (single source of truth, the q62 pattern)
-    "q194_gopher_gate" ->
-      graft.ops.CorpusFilters.oracleSql(
-        graft.ops.CorpusFilters.gopherRules(minTokens = 30L, minStopwords = 1),
-        "documents", "text", "doc_id"),
-
-    // WordPiece training replay: per-round symbol/pair aggregations,
-    // the likelihood-score argmax (double of exact ints — identically
-    // rounded), and the ##-aware merge, unrolled per rank
-    "q195_wordpiece_train" -> {
-      val k = 6
-      s"""${wordPieceTrainCtes(k)}
-         |${(1 to k).map(i =>
-        s"SELECT CAST($i AS BIGINT) AS rank, left_sym, right_sym, " +
-          s"merged_sym, pair_count, left_count, right_count FROM b$i")
-        .mkString(" UNION ALL ")}""".stripMargin
-    },
-
-    // durable-WordPiece replay: train on the even half, vocabulary =
-    // seeded alphabet + merged pieces, then the recursive greedy
-    // longest-match walk over the odd half's distinct words (whole-
-    // word [UNK] on a matchless position), summed back per doc
-    "q196_durable_wordpiece" -> {
-      val k = 6
-      s"""${wordPieceTrainCtes(k, "WHERE doc_id % 2 = 0")},
-         |tw AS MATERIALIZED (SELECT doc_id, unnest(string_split(text, ' ')) AS word
-         |       FROM documents WHERE doc_id % 2 <> 0)${wordPieceEncodeCtes(k, "tw")}
-         |SELECT t.doc_id, CAST(coalesce(sum(f.n), 0) AS BIGINT) AS n_wp_tokens
-         |FROM tw t JOIN fin f ON f.word = t.word
-         |GROUP BY t.doc_id""".stripMargin
-    },
-
-    // SQ8 replay: per-dimension min/max (summation-free — exact), the
-    // same floor/clamp code arithmetic, midpoint dequantization with
-    // identical parenthesization, and the shared left-fold dot
-    "q197_sq8_topk" ->
-      s"""WITH rngrows AS (
-         |  SELECT d.__i AS d,
-         |    min(CAST(embedding[d.__i] AS DOUBLE)) AS mn,
-         |    max(CAST(embedding[d.__i] AS DOUBLE)) AS mx
-         |  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS __i) d
-         |  GROUP BY d.__i),
-         |rng AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs
-         |        FROM rngrows),
-         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-         |s AS (SELECT e.vec_id,
-         |    round(list_sum(list_transform(generate_series(1, 64), __i ->
-         |      CAST(q.qe[__i] AS DOUBLE) *
-         |        (r.mns[__i] +
-         |          ((CASE WHEN r.mxs[__i] = r.mns[__i] THEN 0
-         |             ELSE least(greatest(CAST(floor(
-         |               (CAST(e.embedding[__i] AS DOUBLE) - r.mns[__i])
-         |                 / (r.mxs[__i] - r.mns[__i]) * 255) AS BIGINT),
-         |               0), 255) END) + 0.5) *
-         |          ((r.mxs[__i] - r.mns[__i]) / 256)))), 6) AS approx_dot
-         |  FROM embeddings e, rng r, q)
-         |SELECT vec_id, approx_dot FROM s
-         |ORDER BY approx_dot DESC, vec_id ASC LIMIT 10""".stripMargin,
-
-    // t-closeness replay: identical integer numerators over the
-    // group×value grid, ordered cumulative window, one final division
-    "q198_t_closeness" ->
-      """WITH rows0 AS (
-        |  SELECT c_nationkey, c_mktsegment, floor(c_acctbal / 1000) AS v
-        |  FROM customer WHERE floor(c_acctbal / 1000) IS NOT NULL),
-        |gv AS (SELECT v, count(*) AS gcnt FROM rows0 GROUP BY v),
-        |gvr AS (SELECT v, gcnt, row_number() OVER (ORDER BY v) AS r FROM gv),
-        |meta AS (SELECT CAST(sum(gcnt) AS BIGINT) AS n_total, count(*) AS m
-        |         FROM gv),
-        |grp AS (SELECT c_nationkey, c_mktsegment, count(*) AS ng
-        |        FROM rows0 GROUP BY 1, 2),
-        |cells AS (SELECT c_nationkey, c_mktsegment, v, count(*) AS cnt
-        |          FROM rows0 GROUP BY 1, 2, 3),
-        |grid AS (
-        |  SELECT g.c_nationkey, g.c_mktsegment, g.ng, x.r, m.n_total, m.m,
-        |    (coalesce(c.cnt, 0) * m.n_total - x.gcnt * g.ng) AS numer
-        |  FROM grp g CROSS JOIN gvr x CROSS JOIN meta m
-        |  LEFT JOIN cells c ON c.c_nationkey = g.c_nationkey
-        |    AND c.c_mktsegment = g.c_mktsegment AND c.v = x.v),
-        |cum AS (SELECT c_nationkey, c_mktsegment, ng, n_total, m,
-        |    sum(numer) OVER (PARTITION BY c_nationkey, c_mktsegment
-        |      ORDER BY r) AS cum
-        |  FROM grid)
-        |SELECT c_nationkey, c_mktsegment, CAST(ng AS BIGINT) AS n,
-        |  CASE WHEN m <= 1 THEN 0.0
-        |       ELSE round(CAST(sum(abs(cum)) AS BIGINT)
-        |         / (ng * n_total * (m - 1)), 6) END AS emd
-        |FROM cum GROUP BY c_nationkey, c_mktsegment, ng, n_total, m""".stripMargin,
-
-    // three-tokenizer equity replay: the q174 BPE+unigram chains plus
-    // the "wp"-prefixed WordPiece train + greedy-walk chains, per-doc
-    // WordPiece sums joined into the same per-language rollup
-    "q199_tokenizer_equity3" -> {
-      val k = 6
-      s"""WITH RECURSIVE ${unigramTrainCtes(3, 30, 2, 12, 16)},
-         |${bpeTrainCtes(k).stripPrefix("WITH ")},
-         |${wordPieceTrainCtes(k, "", "wp").stripPrefix("WITH RECURSIVE ")},
-         |ew AS MATERIALIZED (SELECT word, CAST(0 AS BIGINT) AS n, len(word) AS wl FROM (
-         |    SELECT DISTINCT word FROM (
-         |      SELECT unnest(string_split(text, ' ')) AS word
-         |      FROM documents WHERE text IS NOT NULL)))
-         |${unigramSegCtes("en", "ew", "ulpf", 3, 16)},
-         |upc AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS pc
-         |        FROM enbt WHERE piece IS NOT NULL GROUP BY word),
-         |dw AS MATERIALIZED (
-         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
-         |  FROM documents WHERE text IS NOT NULL)${wordPieceEncodeCtes(k, "dw", 16, "wp")},
-         |udoc AS (
-         |  SELECT dw.doc_id, sum(coalesce(p.pc, 0)) AS un
-         |  FROM dw LEFT JOIN upc p ON p.word = dw.word
-         |  GROUP BY dw.doc_id),
-         |wdoc AS (
-         |  SELECT dw.doc_id, CAST(coalesce(sum(f.n), 0) AS BIGINT) AS wp
-         |  FROM dw JOIN wpfin f ON f.word = dw.word
-         |  GROUP BY dw.doc_id),
-         |base AS (
-         |  SELECT d.doc_id, d.lang,
-         |    len(replace(d.text, ' ', '')) AS ch,
-         |    list_sum(list_transform(string_split(d.text, ' '), __w ->
-         |      len(string_split(trim(${bpeMergedExpr(k)}, chr(1)),
-         |        chr(1) || chr(1))))) AS bpe
-         |  FROM documents d, ${(1 to k).map(i => s"b$i").mkString(", ")}
-         |  WHERE d.text IS NOT NULL)
-         |SELECT b.lang, count(*) AS n_docs,
-         |  CAST(sum(b.ch) AS BIGINT) AS n_chars,
-         |  CAST(sum(b.bpe) AS BIGINT) AS bpe_tokens,
-         |  CAST(sum(u.un) AS BIGINT) AS unigram_tokens,
-         |  CAST(sum(w.wp) AS BIGINT) AS wp_tokens,
-         |  round(CAST(sum(b.ch) AS DOUBLE) / sum(b.bpe), 6)
-         |    AS chars_per_bpe_token,
-         |  round(CAST(sum(b.ch) AS DOUBLE) / sum(u.un), 6)
-         |    AS chars_per_unigram_token,
-         |  round(CAST(sum(b.ch) AS DOUBLE) / sum(w.wp), 6)
-         |    AS chars_per_wp_token
-         |FROM base b JOIN udoc u ON u.doc_id = b.doc_id
-         |JOIN wdoc w ON w.doc_id = b.doc_id
-         |GROUP BY b.lang""".stripMargin
-    },
-
-    // vocab-growth replay: identical bucket arithmetic (double
-    // division + floor), first-bucket-per-type aggregation, and the
-    // buckets-bounded cumulative window
-    "q200_vocab_growth" ->
-      """WITH rows0 AS (SELECT doc_id, text FROM documents
-        |               WHERE text IS NOT NULL),
-        |mx AS (SELECT max(doc_id) AS mx FROM rows0),
-        |words AS (SELECT doc_id,
-        |    least(CAST(floor(doc_id * 10 / (mx + 1)) AS BIGINT), 9) AS b,
-        |    unnest(string_split(text, ' ')) AS w
-        |  FROM rows0, mx),
-        |pb AS (SELECT b, count(DISTINCT doc_id) AS n_docs,
-        |         count(*) AS n_tokens FROM words GROUP BY b),
-        |nt AS (SELECT b, count(*) AS n_new_types FROM (
-        |    SELECT w, min(b) AS b FROM words GROUP BY w) GROUP BY b)
-        |SELECT pb.b AS bucket, pb.n_docs, pb.n_tokens,
-        |  coalesce(nt.n_new_types, 0) AS n_new_types,
-        |  CAST(sum(pb.n_tokens) OVER (ORDER BY pb.b) AS BIGINT) AS cum_tokens,
-        |  CAST(sum(coalesce(nt.n_new_types, 0)) OVER (ORDER BY pb.b)
-        |    AS BIGINT) AS cum_types
-        |FROM pb LEFT JOIN nt ON nt.b = pb.b""".stripMargin,
-
-    // MMR replay: the q51 BM25 chain top-15 (micro relevance), exact
-    // 3-gram-Jaccard micro sims over candidate pairs, then 8 unrolled
-    // greedy steps — integer 7·rel − 3·maxSimToSelected, ties by id
-    "q201_mmr_rerank" -> {
-      val steps = 8
-      val sb = new StringBuilder
-      sb ++=
-        s"""WITH $bm25Ctes,
-           |top AS MATERIALIZED (
-           |  SELECT doc_id, CAST(round(bm25 * 1e6, 0) AS BIGINT) AS rel
-           |  FROM sc WHERE bm25 > 0 ORDER BY bm25 DESC, doc_id LIMIT 15),
-           |csh AS MATERIALIZED (
-           |  SELECT DISTINCT t.doc_id, unnest($duckShingles) AS sv
-           |  FROM t JOIN top USING (doc_id)),
-           |csz AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM csh
-           |                     GROUP BY doc_id),
-           |cp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-           |       FROM top a JOIN top b ON a.doc_id < b.doc_id),
-           |pin AS (SELECT p.id_a, p.id_b, count(*) AS i
-           |  FROM cp p JOIN csh ea ON ea.doc_id = p.id_a
-           |  JOIN csh eb ON eb.doc_id = p.id_b AND eb.sv = ea.sv
-           |  GROUP BY p.id_a, p.id_b),
-           |psim0 AS (SELECT pin.id_a, pin.id_b,
-           |    CAST(round(round(pin.i / (sa.n + sb.n - pin.i), 6) * 1e6, 0)
-           |      AS BIGINT) AS sim
-           |  FROM pin JOIN csz sa ON sa.doc_id = pin.id_a
-           |  JOIN csz sb ON sb.doc_id = pin.id_b),
-           |sym AS MATERIALIZED (SELECT id_a AS ida, id_b AS idb, sim FROM psim0
-           |       UNION ALL SELECT id_b, id_a, sim FROM psim0),
-           |sel0 AS (SELECT CAST(NULL AS BIGINT) AS id WHERE FALSE)""".stripMargin
-      for (i <- 1 to steps) {
-        sb ++=
-          s""",
-             |rem$i AS (SELECT c.doc_id, c.rel FROM top c
-             |  LEFT JOIN sel${i - 1} s ON s.id = c.doc_id WHERE s.id IS NULL),
-             |ms$i AS (SELECT r.doc_id, r.rel, coalesce(max(z.sim), 0) AS ms
-             |  FROM rem$i r LEFT JOIN (
-             |    SELECT y.ida, y.sim FROM sym y
-             |    JOIN sel${i - 1} s ON s.id = y.idb) z ON z.ida = r.doc_id
-             |  GROUP BY r.doc_id, r.rel),
-             |pick$i AS MATERIALIZED (
-             |  SELECT doc_id, 7 * rel - 3 * ms AS mmr FROM ms$i
-             |  ORDER BY mmr DESC, doc_id LIMIT 1),
-             |sel$i AS MATERIALIZED (SELECT id FROM sel${i - 1}
-             |  UNION ALL SELECT doc_id FROM pick$i)""".stripMargin
-      }
-      sb ++= "\n" + (1 to steps).map(i =>
-        s"SELECT CAST($i AS BIGINT) AS position, doc_id, " +
-          s"CAST(mmr AS BIGINT) AS mmr_micro FROM pick$i")
-        .mkString(" UNION ALL ")
-      sb.toString
-    },
-
-    // assortativity replay: canonical edges, degrees, symmetrized
-    // endpoint-degree sample, exact integer sums, one division
-    "q202_assortativity" ->
-      """WITH nn AS (SELECT count(*) AS n FROM documents WHERE text IS NOT NULL),
-        |e0 AS (
-        |  SELECT doc_id AS src, (doc_id*2+1) % n AS dst
-        |  FROM documents, nn WHERE text IS NOT NULL
-        |  UNION ALL
-        |  SELECT doc_id, (doc_id*3+2) % n FROM documents, nn WHERE text IS NOT NULL
-        |  UNION ALL
-        |  SELECT doc_id, (doc_id*7+5) % n FROM documents, nn WHERE text IS NOT NULL),
-        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-        |        FROM e0 WHERE src <> dst),
-        |deg AS (SELECT v, count(*) AS d FROM (
-        |    SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY v),
-        |att AS (SELECT da.d AS x, db.d AS y FROM und
-        |        JOIN deg da ON da.v = und.a JOIN deg db ON db.v = und.b),
-        |sym AS (SELECT x, y FROM att UNION ALL SELECT y, x FROM att),
-        |agg AS (SELECT count(*) AS m2,
-        |    CAST(sum(x*y) AS BIGINT) AS sum_xy,
-        |    CAST(sum(x) AS BIGINT) AS sum_x,
-        |    CAST(sum(x*x) AS BIGINT) AS sum_x2
-        |  FROM sym)
-        |SELECT (SELECT count(*) FROM deg) AS n_nodes,
-        |  CAST(m2 / 2 AS BIGINT) AS n_edges, sum_xy, sum_x, sum_x2,
-        |  CASE WHEN m2 * sum_x2 - sum_x * sum_x <> 0
-        |    THEN round(CAST(m2 * sum_xy - sum_x * sum_x AS DOUBLE)
-        |      / CAST(m2 * sum_x2 - sum_x * sum_x AS DOUBLE), 6) END
-        |    AS assortativity
-        |FROM agg""".stripMargin,
-
-    // matryoshka replay: the exact-batch chain at dims 64 (truth), 16
-    // and 32 (prefix cosine == cosine of the truncated vectors),
-    // recall joins per truncation level
-    "q203_matryoshka_recall" -> {
-      def level(d: Int): String =
-        s"""SELECT t.query_id, count(a$d.vec_id) AS hits,
-           |  round(CAST(count(a$d.vec_id) AS DOUBLE) / count(*), 6)
-           |    AS recall_at_k, CAST($d AS BIGINT) AS dims
-           |FROM truth t LEFT JOIN a$d
-           |  ON t.query_id = a$d.query_id AND t.vec_id = a$d.vec_id
-           |GROUP BY t.query_id""".stripMargin
-      s"""WITH truth AS (SELECT DISTINCT query_id, vec_id FROM (${bruteBatchSql()})),
-         |a16 AS (SELECT DISTINCT query_id, vec_id FROM (${bruteBatchSql(16)})),
-         |a32 AS (SELECT DISTINCT query_id, vec_id FROM (${bruteBatchSql(32)}))
-         |${level(16)}
-         |UNION ALL
-         |${level(32)}""".stripMargin
-    },
-
-    // crawl-trap replay: every trap shape is constructive, so depth /
-    // repeat / params are doc_id arithmetic; thresholds depth>8,
-    // repeat>=3, params>10
-    "q204_crawl_traps" ->
-      """WITH x AS (
-        |  SELECT doc_id,
-        |    'h' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS host,
-        |    CASE doc_id % 4
-        |      WHEN 0 THEN 2 * (doc_id % 3 + 2)
-        |      WHEN 1 THEN doc_id % 12 + 1
-        |      WHEN 2 THEN 1
-        |      ELSE 2 END AS depth,
-        |    CASE WHEN doc_id % 4 = 0 THEN doc_id % 3 + 2 ELSE 1 END AS rep,
-        |    CASE WHEN doc_id % 4 = 2 THEN doc_id % 15 + 1 ELSE 0 END AS params
-        |  FROM documents)
-        |SELECT host, count(*) AS n_urls,
-        |  CAST(sum(CASE WHEN depth > 8 OR rep >= 3 OR params > 10
-        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_traps,
-        |  CAST(sum(depth) AS BIGINT) AS sum_depth,
-        |  CAST(max(depth) AS BIGINT) AS max_depth,
-        |  CAST(sum(params) AS BIGINT) AS sum_params,
-        |  CAST(max(rep) AS BIGINT) AS max_rep,
-        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
-        |FROM x GROUP BY host""".stripMargin,
-
-    // KWIC replay: the q152 direct-scan phrase lambda + inclusive
-    // 1-based list slicing (both ends clamp); hit_off is the phrase's
-    // 0-based token offset inside the snippet
-    "q205_kwic_snippets" ->
-      """WITH tk AS (
-        |  SELECT doc_id, string_split(text, ' ') AS toks
-        |  FROM documents WHERE text IS NOT NULL),
-        |m AS (
-        |  SELECT doc_id, toks,
-        |    len(list_filter(range(1, len(toks)),
-        |      i -> toks[i] = 'spark' AND toks[i+1] = 'window')) AS occ,
-        |    list_min(list_filter(range(1, len(toks)),
-        |      i -> toks[i] = 'spark' AND toks[i+1] = 'window')) AS first1
-        |  FROM tk)
-        |SELECT doc_id, CAST(occ AS BIGINT) AS n_occurrences,
-        |  CAST(first1 - 1 AS BIGINT) AS first_pos,
-        |  array_to_string(toks[greatest(first1 - 3, 1):first1 + 4], ' ')
-        |    AS snippet,
-        |  CAST(first1 - greatest(first1 - 3, 1) AS BIGINT) AS hit_off
-        |FROM m WHERE occ > 0""".stripMargin,
-
-    "q25_media_stats" ->
-      s"""SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-         |  count(*) AS n_assets,
-         |  CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
-         |  CAST(max(strlen(text) * 10) AS BIGINT) AS max_duration_ms
-         |FROM documents GROUP BY 1""".stripMargin,
-
-    "q26_pipeline_gold" ->
-      s"""WITH silver AS (
-         |  SELECT c_custkey, trim(lower(c_name)) AS c_name, c_nationkey, c_acctbal,
-         |         trim(lower(c_mktsegment)) AS c_mktsegment
-         |  FROM customer
-         |)
-         |SELECT c_mktsegment, CAST(NULL AS INTEGER) AS c_nationkey,
-         |  count(*) AS total_customers, ${dsum("c_acctbal")} AS sum_acctbal,
-         |  'by_segment' AS aggregation, '2025-10-15' AS transformation_date
-         |FROM silver GROUP BY c_mktsegment
-         |UNION ALL
-         |SELECT c_mktsegment, c_nationkey, count(*), ${dsum("c_acctbal")},
-         |  'by_segment_nation', '2025-10-15'
-         |FROM silver GROUP BY c_mktsegment, c_nationkey""".stripMargin,
-
-    "q27_jsonl_inferred" ->
-      """SELECT c_mktsegment, count(*) AS n_customers,
-        |  CAST(sum(c_custkey) AS BIGINT) AS sum_key
-        |FROM customer GROUP BY c_mktsegment""".stripMargin,
-
-    "q28_paged_source" ->
-      """SELECT CAST(ceil(count(*) / 100.0) AS BIGINT) AS n_pages,
-        |  count(*) AS n_rows, CAST(sum(c_custkey) AS BIGINT) AS sum_key
-        |FROM customer""".stripMargin,
-
-    "q30_salted_agg" ->
-      s"""SELECT l_returnflag, count(*) AS n_items,
-         |  ${dsum("l_quantity")} AS sum_qty,
-         |  max(l_extendedprice) AS max_price
-         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
-
-    "q33_asof_join" ->
-      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
-        |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
-        |        event_id AS purchase_id, value AS purchase_value
-        |      FROM events WHERE event_type = 'purchase')
-        |SELECT e.event_id, e.user_id, p.purchase_id, p.purchase_value
-        |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin,
-
-    "q34_range_join" ->
-      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
-        |p AS (SELECT user_id, event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS start_ts,
-        |        CAST(ts AS TIMESTAMP) + INTERVAL 2 HOUR AS end_ts
-        |      FROM events WHERE event_type = 'purchase')
-        |SELECT p.purchase_id, count(*) AS n_events
-        |FROM p JOIN e ON e.user_id = p.user_id AND e.ts >= p.start_ts AND e.ts < p.end_ts
-        |GROUP BY p.purchase_id""".stripMargin,
-
-    "q36_corpus_filter" ->
-      s"""WITH q AS (
-         |  SELECT doc_id, source, ${PortableSql.qualityScore("text", DD)} AS quality,
-         |    ${PortableSql.langId("text", DD)} AS lang_pred, md5(lower(trim(text))) AS fp
-         |  FROM documents
-         |),
-         |k AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY fp),
-         |f AS (SELECT q.* FROM q JOIN k USING (doc_id)
-         |      WHERE quality >= 0.4 AND lang_pred = 'en')
-         |SELECT source, count(*) AS n_docs,
-         |  round(cast(sum(cast(quality as decimal(18,6))) as double) / count(*), 6) AS avg_quality
-         |FROM f GROUP BY source""".stripMargin,
-
-    "q38_length_stats" -> {
-      val pcols = Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99").map { case (p, name) =>
-        s"""round(
-           |    max(CASE WHEN rn = CAST(floor((n - 1) * $p) AS BIGINT) + 1 THEN v END) +
-           |    (max(CASE WHEN rn = CAST(ceil((n - 1) * $p) AS BIGINT) + 1 THEN v END) -
-           |     max(CASE WHEN rn = CAST(floor((n - 1) * $p) AS BIGINT) + 1 THEN v END))
-           |    * max((n - 1) * $p - floor((n - 1) * $p)), 6) AS $name""".stripMargin
-      }.mkString(",\n  ")
-      s"""WITH t AS (SELECT lang, CAST(len(string_split(text, ' ')) AS DOUBLE) AS v FROM documents),
-         |r AS (SELECT lang, v,
-         |    row_number() OVER (PARTITION BY lang ORDER BY v ASC) AS rn,
-         |    CAST(count(*) OVER (PARTITION BY lang) AS DOUBLE) AS n
-         |  FROM t)
-         |SELECT lang,
-         |  $pcols,
-         |  CAST(max(n) AS BIGINT) AS n_rows
-         |FROM r GROUP BY lang""".stripMargin
-    },
-
-    "q37_hash_split" -> {
-      // interpolate the EXACT cumulative doubles Spark's scanLeft
-      // produces (0.8 + 0.1 != 0.9 in binary) so both engines compare p
-      // against bit-identical thresholds
-      val cum = Seq(0.8, 0.1, 0.1).scanLeft(0.0)(_ + _)
-      val h = PortableSql.minhashBase("concat('v1', ':', CAST(doc_id AS VARCHAR))", DD)
-      s"""WITH h AS (SELECT doc_id,
-         |    CAST($h AS DOUBLE) / 1152921504606846976.0 AS p FROM documents),
-         |t AS (SELECT doc_id,
-         |    CASE WHEN p < ${cum(1)} THEN 'train'
-         |         WHEN p < ${cum(2)} THEN 'val' ELSE 'test' END AS split
-         |  FROM h)
-         |SELECT split, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
-         |FROM t GROUP BY split""".stripMargin
-    },
-
-    "q35_kmv_distinct" -> {
-      val h = s"(CAST(${PortableSql.minhashBase("CAST(o_custkey AS VARCHAR)", DD)} AS DOUBLE) / 1152921504606846976.0)"
-      s"""WITH hs AS (SELECT DISTINCT $h AS h FROM orders),
-         |k AS (SELECT h FROM hs ORDER BY h LIMIT 256),
-         |agg AS (SELECT count(*) AS n, max(h) AS hk FROM k)
-         |SELECT round(CASE WHEN n < 256 THEN CAST(n AS DOUBLE) ELSE 255.0 / hk END, 6) AS est_distinct,
-         |  (SELECT count(DISTINCT o_custkey) FROM orders) AS exact_distinct
-         |FROM agg""".stripMargin
-    },
-
-    "q31_simhash_pairs" -> {
-      val nib = (c: String, i: Int) => s"(instr('0123456789abcdef', substr($c, $i, 1)) - 1)"
-      val hamming = (1 to 8).map(i =>
-        s"CAST(substr('0112122312232334', xor(${nib("sha", i)}, ${nib("shb", i)}) + 1, 1) AS BIGINT)")
-        .mkString(" + ")
-      s"""WITH s AS (SELECT doc_id, ${PortableSql.simhash("text", 32, DD)} AS sh FROM documents),
-         |ex AS (
-         |  SELECT doc_id, sh, b, substr(sh, b * 2 + 1, 2) AS v
-         |  FROM s CROSS JOIN (VALUES (0), (1), (2), (3)) t(b)
-         |),
-         |p AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b, a.sh AS sha, c.sh AS shb
-         |  FROM ex a JOIN ex c ON a.b = c.b AND a.v = c.v AND a.doc_id < c.doc_id
-         |),
-         |h AS (SELECT id_a, id_b, ($hamming) AS hamming FROM p)
-         |SELECT id_a, id_b, hamming FROM h WHERE hamming <= 3""".stripMargin
-    },
-
-    "q32_sliding_window" ->
-      s"""WITH e AS (SELECT event_type, value,
-         |    time_bucket(INTERVAL '30 minutes', ts) AS tb FROM events),
-         |w AS (
-         |  SELECT tb AS window_start, event_type, value FROM e
-         |  UNION ALL
-         |  SELECT tb - INTERVAL '30 minutes', event_type, value FROM e
-         |)
-         |SELECT CAST(window_start AS TIMESTAMP) AS window_start, event_type,
-         |  count(*) AS n_events, ${dsum("value")} AS total_value
-         |FROM w GROUP BY 1, 2""".stripMargin,
-
-    "q43_repetition" ->
-      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
-         |sh AS (SELECT doc_id, $duckShingles AS s FROM t)
-         |SELECT doc_id, len(s) AS n_grams,
-         |  round(1.0 - CAST(len(list_distinct(s)) AS DOUBLE) / CAST(len(s) AS DOUBLE), 6) AS dup_ratio
-         |FROM sh""".stripMargin,
-
-    "q44_scrub" -> {
-      // literal single backslashes survive DuckDB standard string
-      // literals; the Scala escapes below render e.g. `\.` verbatim
-      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-      val url = "https?://[^ \\t\\n\\r\\f]+"
-      val enriched = "concat(text, ' contact user', CAST(doc_id AS VARCHAR), " +
-        "'@mail.example.com or ', 'https://site.example/d/', CAST(doc_id AS VARCHAR), ' thanks')"
-      s"""WITH e AS (SELECT doc_id, $enriched AS x FROM documents)
-         |SELECT doc_id,
-         |  CAST(length(x) AS BIGINT) AS raw_len,
-         |  CAST(length(regexp_replace(regexp_replace(x, '$url', '<scrubbed>', 'g'),
-         |    '$email', '<scrubbed>', 'g')) AS BIGINT) AS clean_len,
-         |  CAST(len(regexp_extract_all(x, '$email')) AS BIGINT) AS n_emails,
-         |  CAST(len(regexp_extract_all(x, '$url')) AS BIGINT) AS n_urls
-         |FROM e""".stripMargin
-    },
-
-    "q46_incremental_neardups" ->
-      s"""WITH $jaccardCtes
-         |SELECT id_a, id_b, jaccard FROM vpairs
-         |WHERE id_a % 10 = 0 OR id_b % 10 = 0""".stripMargin,
-
-    // durable-index probe returns exactly the incremental pair set
-    "q60_durable_index" ->
-      s"""WITH $jaccardCtes
-         |SELECT id_a, id_b, jaccard FROM vpairs
-         |WHERE id_a % 10 = 0 OR id_b % 10 = 0""".stripMargin,
-
-    "q73_line_dedup" -> {
-      // order-preserving first-occurrence dedup: keep index i iff the
-      // line's first position IS i (DuckDB's list_distinct reorders)
-      val dedup = "array_to_string(list_transform(" +
-        "list_filter(generate_series(1, len(l)), __i -> list_position(l, l[__i]) = __i), " +
-        "__i -> l[__i]), chr(10))"
-      s"""WITH s AS (SELECT doc_id,
-         |  concat(text, chr(10), line1, chr(10), line1, chr(10), text) AS x
-         |  FROM (SELECT doc_id, text,
-         |    array_to_string((string_split(text, ' '))[1:5], ' ') AS line1
-         |    FROM documents)),
-         |t AS (SELECT doc_id, x, string_split(x, chr(10)) AS l FROM s)
-         |SELECT doc_id, $dedup AS clean,
-         |  CAST(len(l) AS BIGINT) AS n_before,
-         |  CAST(len(string_split($dedup, chr(10))) AS BIGINT) AS n_after
-         |FROM t""".stripMargin
-    },
-
-    "q74_dup_spans" -> dupSpansSql(""),
-
-    // incremental probe returns exactly the full-corpus span set
-    // restricted to the batch docs — dup-ness is judged against the
-    // WHOLE corpus (index counts + batch counts)
-    "q77_incremental_spans" -> dupSpansSql("WHERE doc_id % 10 = 0"),
-
-    // forgetting is endpoint-local for PAIRWISE near-dup: the full
-    // pipeline's pairs minus any touching a deleted doc
-    "q82_forget_neardups" ->
-      s"""WITH $jaccardCtes
-         |SELECT id_a, id_b, jaccard FROM vpairs
-         |WHERE (id_a % 10 = 0 OR id_b % 10 = 0)
-         |  AND NOT (id_a % 10 <> 0 AND id_a % 7 = 0)
-         |  AND NOT (id_b % 10 <> 0 AND id_b % 7 = 0)""".stripMargin,
-
-    // forgetting is CORPUS-GLOBAL for exact-substring dup-ness (a
-    // window can stop being duplicated when its other occurrence is
-    // deleted) — the oracle recomputes spans over corpus-minus-deleted
-    "q83_forget_spans" -> dupSpansSql("WHERE doc_id % 10 = 0", 3,
-      "WHERE NOT (doc_id % 10 <> 0 AND doc_id % 7 = 0)"),
-
-    "q84_text_cosine_pairs" -> {
-      // replay: hashed tf → idf in the hashed space → round-then-float
-      // normalized weights → dense 64-wide vectors → the q24 banding
-      val base = PortableSql.minhashBase("tok", DD)
-      val all = Similarity.planes(16, 64)
-      val bandSelects = (0 until 2).map { b =>
-        val bucket = duckSignBucketP("tvec", all.slice(b * 8, (b + 1) * 8), 64)
-        s"SELECT doc_id, tvec, $b AS band, $bucket AS bucket FROM tv"
-      }.mkString(" UNION ALL ")
-      s"""WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-         |tf AS (SELECT doc_id, ($base % ${PortableSql.minhashP}) % 64 AS b, count(*) AS tf
-         |       FROM e GROUP BY doc_id, b),
-         |dfq AS (SELECT b, count(*) AS df FROM tf GROUP BY b),
-         |nn AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM tf),
-         |w AS (SELECT doc_id, b, tf * ln(nn.n / dfq.df) AS w
-         |      FROM tf JOIN dfq USING (b), nn),
-         |nm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
-         |wn AS (SELECT w.doc_id, b, CAST(round(w / nrm, 6) AS REAL) AS w
-         |       FROM w JOIN nm USING (doc_id) WHERE nrm > 0),
-         |grid AS (SELECT doc_id, i.i AS idx
-         |         FROM (SELECT DISTINCT doc_id FROM wn), generate_series(0, 63) i(i)),
-         |vv AS (SELECT g.doc_id, g.idx, coalesce(wn.w, CAST(0.0 AS REAL)) AS w
-         |       FROM grid g LEFT JOIN wn ON wn.doc_id = g.doc_id AND wn.b = g.idx),
-         |tv AS (SELECT doc_id, list(w ORDER BY idx) AS tvec FROM vv GROUP BY doc_id),
-         |bb AS ($bandSelects),
-         |capped AS (SELECT * FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY band, bucket ORDER BY doc_id) AS rn FROM bb
-         |) WHERE rn <= 1000),
-         |p AS (SELECT * FROM (
-         |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
-         |    ${duckCosine("a.tvec", "c.tvec", 64)} AS cosine_sim
-         |  FROM capped a JOIN capped c
-         |    ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id
-         |) WHERE cosine_sim >= 0.9)
-         |SELECT id_a, id_b, cosine_sim FROM p""".stripMargin
-    },
-
-    // the EXACTNESS oracle: all pairs with Jaccard ≥ 0.8, computed with
-    // no prefix/LSH mechanics at all — any miss in the prefix path
-    // would surface here as a row-count/hash mismatch
-    "q88_exact_jaccard_pairs" ->
-      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
-         |sh AS (SELECT doc_id, $duckShingles AS s FROM t),
-         |exsh AS (SELECT DISTINCT doc_id, unnest(s) AS sv FROM sh),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM exsh GROUP BY doc_id),
-         |inter AS (
-         |  SELECT ea.doc_id AS id_a, eb.doc_id AS id_b, count(*) AS i
-         |  FROM exsh ea JOIN exsh eb ON eb.sv = ea.sv AND ea.doc_id < eb.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT id_a, id_b, round(it.i / (sa.n + sb.n - it.i), 6) AS jaccard
-         |FROM inter it JOIN sizes sa ON sa.doc_id = it.id_a
-         |JOIN sizes sb ON sb.doc_id = it.id_b
-         |WHERE round(it.i / (sa.n + sb.n - it.i), 6) >= 0.8""".stripMargin,
-
-    // arrival-order verdicts over the incremental pair set (q60's SQL):
-    // drop = corpus partner exists OR a smaller-id batch partner exists
-    "q98_incremental_decisions" ->
-      s"""WITH $jaccardCtes,
-         |drops AS (SELECT DISTINCT CASE
-         |    WHEN id_a % 10 = 0 AND id_b % 10 = 0 THEN id_b
-         |    WHEN id_a % 10 = 0 THEN id_a
-         |    ELSE id_b END AS doc_id
-         |  FROM vpairs WHERE id_a % 10 = 0 OR id_b % 10 = 0)
-         |SELECT d.doc_id, dr.doc_id IS NULL AS keep
-         |FROM documents d LEFT JOIN drops dr ON d.doc_id = dr.doc_id
-         |WHERE d.doc_id % 10 = 0""".stripMargin,
-
-    "q96_incremental_curation" -> {
-      val dropCase = graft.ops.CorpusFilters.dropReasonSql(
-        graft.config.PipelineConfig.parseCorpusFilters(corpusFilterYaml),
-        "text", graft.functions.PortableSql.DuckDialect)
-      val nClean = PortableSql.tokenCount("clean", DD)
-      // batch quality gate → arrival-order near-dup drops (vpairs
-      // touching the batch) → q95's scrub restricted to the kept docs
-      // → q64's packing on the CLEANED token counts. `t` (doc_id, toks)
-      // is shared with the jaccard chain.
-      s"""WITH $jaccardCtes,
-         |quality AS (SELECT doc_id FROM documents
-         |            WHERE doc_id % 10 = 0 AND ($dropCase) IS NULL),
-         |drops AS (SELECT DISTINCT CASE
-         |    WHEN id_a % 10 = 0 AND id_b % 10 = 0 THEN id_b
-         |    WHEN id_a % 10 = 0 THEN id_a
-         |    ELSE id_b END AS doc_id
-         |  FROM vpairs WHERE id_a % 10 = 0 OR id_b % 10 = 0),
-         |kept AS (SELECT q.doc_id FROM quality q
-         |         LEFT JOIN drops dr ON q.doc_id = dr.doc_id
-         |         WHERE dr.doc_id IS NULL),
-         |wu AS (SELECT doc_id,
-         |        unnest(generate_series(1, len(toks) - 2)) AS pos, toks
-         |      FROM t WHERE len(toks) >= 3),
-         |wh AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
-         |        md5(array_to_string(toks[pos:pos + 2], ' ')) AS hh
-         |      FROM wu),
-         |cw AS (SELECT DISTINCT hh FROM wh WHERE doc_id % 10 <> 0),
-         |bm AS (SELECT doc_id, pos, hh,
-         |    row_number() OVER (PARTITION BY hh ORDER BY doc_id, pos) AS rn
-         |  FROM wh JOIN kept USING (doc_id)),
-         |cut AS (SELECT bm.doc_id, bm.pos FROM bm LEFT JOIN cw USING (hh)
-         |        WHERE cw.hh IS NOT NULL OR bm.rn > 1),
-         |ii AS (SELECT doc_id, pos,
-         |        CASE WHEN pos <= max(pos + 3) OVER (PARTITION BY doc_id
-         |          ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-         |        THEN 0 ELSE 1 END AS brk
-         |      FROM cut),
-         |gg AS (SELECT doc_id, pos, CAST(sum(brk) OVER (PARTITION BY doc_id
-         |        ORDER BY pos) AS BIGINT) AS grp FROM ii),
-         |ssp AS (SELECT doc_id, min(pos) AS s, max(pos) + 3 AS e
-         |       FROM gg GROUP BY doc_id, grp),
-         |sl AS (SELECT doc_id, list(s ORDER BY s) AS ss, list(e ORDER BY s) AS ee
-         |       FROM ssp GROUP BY doc_id),
-         |bt AS (SELECT t.doc_id, t.toks FROM t JOIN kept USING (doc_id)),
-         |kk AS (SELECT bt.doc_id, bt.toks,
-         |        list_filter(generate_series(1, len(bt.toks)), __i ->
-         |          len(list_filter(generate_series(1, coalesce(len(sl.ss), 0)),
-         |            __j -> __i >= sl.ss[__j] AND __i < sl.ee[__j])) = 0) AS kept_i
-         |      FROM bt LEFT JOIN sl USING (doc_id)),
-         |cleaned AS (SELECT doc_id,
-         |  coalesce(array_to_string(list_transform(kept_i, __i -> toks[__i]), ' '),
-         |           '') AS clean FROM kk),
-         |cur AS (SELECT c.doc_id, d.lang, CAST($nClean AS BIGINT) AS n
-         |        FROM cleaned c JOIN documents d USING (doc_id)),
-         |pp AS (SELECT doc_id, lang, n,
-         |        sum(n) OVER (PARTITION BY lang ORDER BY doc_id) AS e
-         |      FROM cur WHERE n > 0),
-         |xx AS (SELECT doc_id, lang, e - n AS s, e FROM pp),
-         |pu AS (SELECT doc_id, lang, s, e,
-         |        unnest(generate_series(CAST(s // 512 AS BIGINT),
-         |                               CAST((e - 1) // 512 AS BIGINT))) AS seq_idx
-         |      FROM xx)
-         |SELECT doc_id, lang, seq_idx,
-         |  CAST(least(e, (seq_idx + 1) * 512) - greatest(s, seq_idx * 512) AS BIGINT) AS toks_in_seq
-         |FROM pu""".stripMargin
-    },
-
-    // arrival-order keep-first: corpus occurrences are canonical (cut
-    // every batch occurrence of a corpus-seen window), corpus-new
-    // windows keep their first (doc,pos) batch occurrence
-    "q95_incremental_scrub" ->
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |u AS (SELECT doc_id,
-         |        unnest(generate_series(1, len(toks) - 2)) AS pos, toks
-         |      FROM t WHERE len(toks) >= 3),
-         |h AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
-         |        md5(array_to_string(toks[pos:pos + 2], ' ')) AS hh
-         |      FROM u),
-         |cw AS (SELECT DISTINCT hh FROM h WHERE doc_id % 10 <> 0),
-         |bm AS (SELECT doc_id, pos, hh,
-         |    row_number() OVER (PARTITION BY hh ORDER BY doc_id, pos) AS rn
-         |  FROM h WHERE doc_id % 10 = 0),
-         |cut AS (SELECT bm.doc_id, bm.pos FROM bm LEFT JOIN cw USING (hh)
-         |        WHERE cw.hh IS NOT NULL OR bm.rn > 1),
-         |i AS (SELECT doc_id, pos,
-         |        CASE WHEN pos <= max(pos + 3) OVER (PARTITION BY doc_id
-         |          ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-         |        THEN 0 ELSE 1 END AS brk
-         |      FROM cut),
-         |g AS (SELECT doc_id, pos, CAST(sum(brk) OVER (PARTITION BY doc_id
-         |        ORDER BY pos) AS BIGINT) AS grp FROM i),
-         |sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 3 AS e
-         |       FROM g GROUP BY doc_id, grp),
-         |sl AS (SELECT doc_id, list(s ORDER BY s) AS ss, list(e ORDER BY s) AS ee
-         |       FROM sp GROUP BY doc_id),
-         |bt AS (SELECT doc_id, toks FROM t WHERE doc_id % 10 = 0),
-         |k AS (SELECT bt.doc_id, bt.toks,
-         |        list_filter(generate_series(1, len(bt.toks)), __i ->
-         |          len(list_filter(generate_series(1, coalesce(len(sl.ss), 0)),
-         |            __j -> __i >= sl.ss[__j] AND __i < sl.ee[__j])) = 0) AS kept
-         |      FROM bt LEFT JOIN sl USING (doc_id))
-         |SELECT doc_id,
-         |  coalesce(array_to_string(list_transform(kept, __i -> toks[__i]), ' '),
-         |           '') AS clean,
-         |  CAST(len(toks) AS BIGINT) AS n_tokens,
-         |  CAST(len(toks) - len(kept) AS BIGINT) AS n_removed
-         |FROM k""".stripMargin,
-
-    "q93_index_stats" ->
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-         |           WHERE doc_id % 10 <> 0),
-         |u AS (SELECT doc_id,
-         |        unnest(generate_series(1, len(toks) - 2)) AS pos, toks
-         |      FROM t WHERE len(toks) >= 3),
-         |h AS (SELECT md5(array_to_string(toks[pos:pos + 2], ' ')) AS hh FROM u),
-         |g AS (SELECT hh, count(*) AS c FROM h GROUP BY hh)
-         |SELECT CAST(count(*) AS BIGINT) AS n_distinct_grams,
-         |  CAST(sum(c) AS BIGINT) AS n_windows,
-         |  CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
-         |  (SELECT count(*) FROM documents WHERE doc_id % 10 <> 0) AS n_docs
-         |FROM g""".stripMargin,
-
-    "q91_source_dup_matrix" ->
-      s"""WITH $jaccardCtes
-         |SELECT least(da.source, db.source) AS source_a,
-         |  greatest(da.source, db.source) AS source_b,
-         |  count(*) AS n_pairs,
-         |  cast(sum(cast(jaccard as decimal(18,6))) as double) AS sum_jaccard
-         |FROM vpairs v
-         |JOIN documents da ON da.doc_id = v.id_a
-         |JOIN documents db ON db.doc_id = v.id_b
-         |GROUP BY 1, 2""".stripMargin,
-
-    "q92_cluster_sizes" ->
-      s"""WITH RECURSIVE $jaccardCtes,
-         |$closureCtes,
-         |cs AS (SELECT cluster_id, count(*) AS cluster_size
-         |       FROM labels GROUP BY cluster_id)
-         |SELECT cluster_size, count(*) AS n_clusters
-         |FROM cs GROUP BY cluster_size""".stripMargin,
-
-    "q100_source_novelty" ->
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |u AS (SELECT doc_id,
-         |        unnest(generate_series(1, len(toks) - 2)) AS pos, toks
-         |      FROM t WHERE len(toks) >= 3),
-         |h AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
-         |        md5(array_to_string(toks[pos:pos + 2], ' ')) AS hh
-         |      FROM u),
-         |cw AS (SELECT DISTINCT hh FROM h WHERE doc_id % 10 <> 0),
-         |bw AS (SELECT doc_id, hh FROM h WHERE doc_id % 10 = 0),
-         |d AS (SELECT bw.doc_id, count(*) AS w,
-         |        sum(CASE WHEN cw.hh IS NULL THEN 1 ELSE 0 END) AS nv
-         |      FROM bw LEFT JOIN cw USING (hh) GROUP BY bw.doc_id)
-         |SELECT s.source, count(*) AS n_docs,
-         |  CAST(sum(d.w) AS BIGINT) AS n_windows,
-         |  CAST(sum(d.nv) AS BIGINT) AS n_novel,
-         |  round(CAST(sum(d.nv) AS DOUBLE) / sum(d.w), 6) AS novelty
-         |FROM d JOIN documents s USING (doc_id)
-         |GROUP BY s.source""".stripMargin,
-
-    // novelty judged vs the CORPUS only (batch-internal repeats stay
-    // novel): batch windows left-join the corpus's distinct window set
-    "q90_novelty_scores" ->
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |u AS (SELECT doc_id,
-         |        unnest(generate_series(1, len(toks) - 2)) AS pos, toks
-         |      FROM t WHERE len(toks) >= 3),
-         |h AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
-         |        md5(array_to_string(toks[pos:pos + 2], ' ')) AS hh
-         |      FROM u),
-         |cw AS (SELECT DISTINCT hh FROM h WHERE doc_id % 10 <> 0),
-         |bw AS (SELECT doc_id, hh FROM h WHERE doc_id % 10 = 0)
-         |SELECT bw.doc_id, count(*) AS n_windows,
-         |  CAST(sum(CASE WHEN cw.hh IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
-         |  round(CAST(sum(CASE WHEN cw.hh IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
-         |    / count(*), 6) AS novelty
-         |FROM bw LEFT JOIN cw USING (hh)
-         |GROUP BY bw.doc_id""".stripMargin,
-
-    "q89_corpus_report" -> {
-      val n = PortableSql.tokenCount("text", DD)
-      val q = PortableSql.qualityScore("text", DD)
-      s"""SELECT CAST(count(*) AS BIGINT) AS n_docs,
-         |  CAST(sum($n) AS BIGINT) AS n_tokens,
-         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
-         |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
-         |  round(1.0 - CAST(count(DISTINCT md5(lower(trim(text)))) AS DOUBLE) / count(*), 6) AS dup_rate,
-         |  round(cast(sum(cast($q as decimal(18,6))) as double) / count(*), 6) AS mean_quality
-         |FROM documents""".stripMargin
-    },
-
-    "q85_quality_signals" ->
-      // ttr replays the kernel's exact double ops (1 − (1 − d/t));
-      // entropy over code points — DuckDB string_split('') code-point
-      // semantics match the kernel's codePointAt walk
-      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
-         |c AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
-         |f AS (SELECT doc_id, ch, count(*) AS n FROM c GROUP BY doc_id, ch),
-         |tt AS (SELECT doc_id, CAST(sum(n) AS DOUBLE) AS t FROM f GROUP BY doc_id),
-         |ent AS (SELECT f.doc_id,
-         |    round(-sum((CAST(n AS DOUBLE) / t) * ln(CAST(n AS DOUBLE) / t)), 6) AS char_entropy
-         |  FROM f JOIN tt USING (doc_id) GROUP BY f.doc_id)
-         |SELECT t.doc_id,
-         |  round(1.0 - (1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)), 6) AS ttr,
-         |  ent.char_entropy,
-         |  round((CAST(length(text) AS DOUBLE) - (CAST(len(toks) AS DOUBLE) - 1.0))
-         |    / CAST(len(toks) AS DOUBLE), 6) AS mean_word_len,
-         |  round((CAST(length(text) AS DOUBLE) - length(regexp_replace(text, '[0-9]', '', 'g')))
-         |    / CAST(length(text) AS DOUBLE), 6) AS digit_ratio,
-         |  round((CAST(length(text) AS DOUBLE) - length(regexp_replace(text, '[A-Z]', '', 'g')))
-         |    / CAST(length(text) AS DOUBLE), 6) AS upper_ratio
-         |FROM t JOIN ent USING (doc_id)""".stripMargin,
-
-    "q86_curriculum_bins" -> {
-      // q38's rank-interpolation percentile replay at 0.25/0.5/0.75,
-      // then the same ≤-boundary CASE sum the Spark projection uses
-      val pcols = Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75").map { case (p, name) =>
-        s"""round(
-           |    max(CASE WHEN rn = CAST(floor((n - 1) * $p) AS BIGINT) + 1 THEN metric END) +
-           |    (max(CASE WHEN rn = CAST(ceil((n - 1) * $p) AS BIGINT) + 1 THEN metric END) -
-           |     max(CASE WHEN rn = CAST(floor((n - 1) * $p) AS BIGINT) + 1 THEN metric END))
-           |    * max((n - 1) * $p - floor((n - 1) * $p)), 6) AS $name""".stripMargin
-      }.mkString(",\n  ")
-      s"""WITH c AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
-         |f AS (SELECT doc_id, ch, count(*) AS n FROM c GROUP BY doc_id, ch),
-         |tt AS (SELECT doc_id, CAST(sum(n) AS DOUBLE) AS t FROM f GROUP BY doc_id),
-         |m AS (SELECT d.lang, f.doc_id,
-         |    round(-sum((CAST(n AS DOUBLE) / t) * ln(CAST(n AS DOUBLE) / t)), 6) AS metric
-         |  FROM f JOIN tt USING (doc_id) JOIN documents d ON d.doc_id = f.doc_id
-         |  GROUP BY d.lang, f.doc_id),
-         |r AS (SELECT lang, metric,
-         |    row_number() OVER (PARTITION BY lang ORDER BY metric ASC) AS rn,
-         |    CAST(count(*) OVER (PARTITION BY lang) AS DOUBLE) AS n
-         |  FROM m),
-         |b AS (SELECT lang,
-         |  $pcols
-         |FROM r GROUP BY lang)
-         |SELECT m.lang, m.doc_id, m.metric,
-         |  CAST(CASE WHEN m.metric <= b.p25 THEN 0 ELSE 1 END +
-         |       CASE WHEN m.metric <= b.p50 THEN 0 ELSE 1 END +
-         |       CASE WHEN m.metric <= b.p75 THEN 0 ELSE 1 END AS BIGINT) AS bin
-         |FROM m JOIN b USING (lang)""".stripMargin
-    },
-
-    "q87_shard_manifest" -> {
-      // q81's salted prefix-sum shard assignment + per-shard rollup;
-      // modal source with ties → lexicographically first
-      val n = PortableSql.tokenCount("text", DD)
-      s"""WITH h AS (SELECT doc_id,
-         |    md5(concat('shards', ':', CAST(doc_id AS VARCHAR))) AS k,
-         |    CAST($n AS BIGINT) AS n FROM documents),
-         |p AS (SELECT doc_id, n,
-         |    CAST(sum(n) OVER (ORDER BY k, doc_id) - n AS BIGINT) AS s FROM h),
-         |a AS (SELECT p.doc_id, p.n, CAST(s // 2048 AS BIGINT) AS shard_idx, d.source
-         |      FROM p JOIN documents d USING (doc_id)),
-         |g AS (SELECT shard_idx, source, count(*) AS c, sum(n) AS t
-         |      FROM a GROUP BY shard_idx, source),
-         |r AS (SELECT shard_idx, source,
-         |    row_number() OVER (PARTITION BY shard_idx ORDER BY c DESC, source ASC) AS rn
-         |  FROM g)
-         |SELECT g.shard_idx,
-         |  CAST(sum(g.c) AS BIGINT) AS n_docs,
-         |  CAST(sum(g.t) AS BIGINT) AS n_tokens,
-         |  count(*) AS n_attrs,
-         |  max(r.source) AS top_attr
-         |FROM g JOIN r ON r.shard_idx = g.shard_idx AND r.rn = 1
-         |GROUP BY g.shard_idx""".stripMargin
-    },
-
-    "q75_span_scrub" ->
-      s"""WITH ${scrubCtes("documents", 3)}
-         |SELECT doc_id, clean, n_tokens, n_removed FROM sc_clean""".stripMargin,
-
-    "q76_curation_scrubbed" -> {
-      val dropCase = graft.ops.CorpusFilters.dropReasonSql(
-        graft.config.PipelineConfig.parseCorpusFilters(corpusFilterYaml),
-        "text", graft.functions.PortableSql.DuckDialect)
-      val n = PortableSql.tokenCount("clean", DD)
-      // q72's selection (near-dup keepers ∧ quality) → q75's scrub over
-      // the curated docs → q72's packing, on the CLEANED token counts
-      s"""WITH RECURSIVE $jaccardCtes,
-         |$closureCtes,
-         |keepers AS (
-         |  SELECT d.doc_id FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
-         |  WHERE coalesce(l.cluster_id, d.doc_id) = d.doc_id),
-         |quality AS (SELECT doc_id FROM documents WHERE ($dropCase) IS NULL),
-         |cdocs AS (
-         |  SELECT d.doc_id, d.lang, d.text FROM documents d
-         |  JOIN keepers USING (doc_id) JOIN quality USING (doc_id)),
-         |${scrubCtes("cdocs", 3)},
-         |cur AS (SELECT c.doc_id, d.lang, CAST($n AS BIGINT) AS n
-         |        FROM sc_clean c JOIN cdocs d USING (doc_id)),
-         |p AS (SELECT doc_id, lang, n,
-         |        sum(n) OVER (PARTITION BY lang ORDER BY doc_id) AS e
-         |      FROM cur WHERE n > 0),
-         |x AS (SELECT doc_id, lang, e - n AS s, e FROM p),
-         |u AS (SELECT doc_id, lang, s, e,
-         |        unnest(generate_series(CAST(s // 512 AS BIGINT),
-         |                               CAST((e - 1) // 512 AS BIGINT))) AS seq_idx
-         |      FROM x)
-         |SELECT doc_id, lang, seq_idx,
-         |  CAST(least(e, (seq_idx + 1) * 512) - greatest(s, seq_idx * 512) AS BIGINT) AS toks_in_seq
-         |FROM u""".stripMargin
-    },
-
-    "q72_curation_pipeline" -> {
-      val dropCase = graft.ops.CorpusFilters.dropReasonSql(
-        graft.config.PipelineConfig.parseCorpusFilters(corpusFilterYaml),
-        "text", graft.functions.PortableSql.DuckDialect)
-      val n = PortableSql.tokenCount("text", DD)
-      s"""WITH RECURSIVE $jaccardCtes,
-         |$closureCtes,
-         |keepers AS (
-         |  SELECT d.doc_id FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
-         |  WHERE coalesce(l.cluster_id, d.doc_id) = d.doc_id),
-         |quality AS (SELECT doc_id FROM documents WHERE ($dropCase) IS NULL),
-         |cur AS (
-         |  SELECT d.doc_id, d.lang, CAST($n AS BIGINT) AS n FROM documents d
-         |  JOIN keepers USING (doc_id) JOIN quality USING (doc_id)),
-         |p AS (SELECT doc_id, lang, n,
-         |        sum(n) OVER (PARTITION BY lang ORDER BY doc_id) AS e
-         |      FROM cur WHERE n > 0),
-         |x AS (SELECT doc_id, lang, e - n AS s, e FROM p),
-         |u AS (SELECT doc_id, lang, s, e,
-         |        unnest(generate_series(CAST(s // 512 AS BIGINT),
-         |                               CAST((e - 1) // 512 AS BIGINT))) AS seq_idx
-         |      FROM x)
-         |SELECT doc_id, lang, seq_idx,
-         |  CAST(least(e, (seq_idx + 1) * 512) - greatest(s, seq_idx * 512) AS BIGINT) AS toks_in_seq
-         |FROM u""".stripMargin
-    },
-
-    "q70_pq_codes" -> {
-      val (blocks, d, k) = (4, 16, 4)
-      val joins = (1 until blocks).map(b => s"JOIN ab_$b USING (vec_id)").mkString(" ")
-      val cols = (0 until blocks).map(b => s"code_$b").mkString(", ")
-      s"""WITH ${pqBlockCtes(blocks, d, k)}
-         |SELECT vec_id, $cols FROM ab_0 $joins""".stripMargin
-    },
-
-    "q71_pq_topk" -> {
-      val (blocks, d, k) = (4, 16, 4)
-      // per-block ADC contribution: join each vector's code to its
-      // codebook entry, exact-query dot against the centroid
-      val scoreCtes = (0 until blocks).map { b =>
-        val lo = b * d
-        val dot = s"list_sum(list_transform(generate_series(1, $d), " +
-          s"__i -> CAST((qe.embedding)[$lo + __i] AS DOUBLE) * (c.cemb)[__i]))"
-        s"""s_$b AS (SELECT a.vec_id, $dot AS v_$b
-           |  FROM ab_$b a JOIN c1_$b c ON a.code_$b = c.cid, qe)""".stripMargin
-      }.mkString(",\n")
-      val joins = (1 until blocks).map(b => s"JOIN s_$b USING (vec_id)").mkString(" ")
-      val total = (0 until blocks).map(b => s"v_$b").mkString(" + ")
-      s"""WITH ${pqBlockCtes(blocks, d, k)},
-         |qe AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
-         |$scoreCtes
-         |SELECT vec_id, round($total, 6) AS approx_dot
-         |FROM s_0 $joins
-         |ORDER BY approx_dot DESC, vec_id ASC LIMIT 10""".stripMargin
-    },
-
-    "q68_unigram_nll" ->
-      s"""WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-         |c AS (SELECT tok, count(*) AS c FROM e GROUP BY tok),
-         |n AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM c)
-         |SELECT doc_id, round(avg(-ln(CAST(c AS DOUBLE) / n)), 6) AS nll
-         |FROM e JOIN c USING (tok), n GROUP BY doc_id""".stripMargin,
-
-    "q69_heldout_nll" ->
-      s"""WITH m AS (SELECT unnest(string_split(text, ' ')) AS tok
-         |           FROM documents WHERE doc_id % 10 != 0),
-         |c AS (SELECT tok, count(*) AS c FROM m GROUP BY tok),
-         |s AS (SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM c),
-         |b AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-         |      FROM documents WHERE doc_id % 10 = 0)
-         |SELECT doc_id,
-         |  round(avg(-ln(CAST(coalesce(c, 0) + 1 AS DOUBLE) / (n + v))), 6) AS nll
-         |FROM b LEFT JOIN c USING (tok), s GROUP BY doc_id""".stripMargin,
-
-    "q79_dsir_weights" -> {
-      // hashed unigram+bigram features; smoothed per-bucket log-ratio
-      // summed per gram INSTANCE — the same association the Spark side
-      // uses (lookup per gram, sum per doc)
-      val base = PortableSql.minhashBase("gram", DD)
-      val sh2 = DD.shingles("l", 2)
-      s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents),
-         |g AS (SELECT doc_id, lang, unnest(list_concat(l, $sh2)) AS gram FROM d),
-         |b AS (SELECT doc_id, lang,
-         |  ($base % ${PortableSql.minhashP}) % 128 AS bucket FROM g),
-         |t AS (SELECT bucket, count(*) AS tc FROM b WHERE lang = 'en' GROUP BY bucket),
-         |r AS (SELECT bucket, count(*) AS rc FROM b GROUP BY bucket),
-         |s AS (SELECT (SELECT CAST(sum(tc) AS DOUBLE) FROM t) AS tn,
-         |             (SELECT CAST(sum(rc) AS DOUBLE) FROM r) AS rn)
-         |SELECT b.doc_id,
-         |  round(sum(ln(CAST(coalesce(t.tc, 0) + 1 AS DOUBLE) / (s.tn + 128.0)) -
-         |            ln(CAST(r.rc + 1 AS DOUBLE) / (s.rn + 128.0))), 6) AS logratio
-         |FROM b LEFT JOIN t USING (bucket) JOIN r USING (bucket), s
-         |GROUP BY b.doc_id""".stripMargin
-    },
-
-    "q80_corpus_line_dedup" ->
-      // keep-first corpus-wide per LINE: row_number over (line, order
-      // doc,pos) = 1 ≡ Spark's min(struct(doc,pos)) canonical
-      s"""WITH s0 AS (SELECT doc_id, text,
-         |    array_to_string((string_split(text, ' '))[1:5], ' ') AS l1
-         |  FROM documents),
-         |s AS (SELECT doc_id, concat('graft shared header line', chr(10),
-         |    text, chr(10), l1, chr(10), l1) AS x FROM s0),
-         |t AS (SELECT doc_id, string_split(x, chr(10)) AS l FROM s),
-         |e AS (SELECT doc_id, unnest(l) AS line,
-         |    unnest(generate_series(1, len(l))) AS pos FROM t),
-         |k AS (SELECT doc_id, line, pos,
-         |    row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
-         |  FROM e),
-         |r AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean,
-         |    count(*) AS n_after
-         |  FROM k WHERE rn = 1 GROUP BY doc_id)
-         |SELECT t.doc_id, coalesce(r.clean, '') AS clean,
-         |  CAST(len(t.l) AS BIGINT) AS n_before,
-         |  CAST(coalesce(r.n_after, 0) AS BIGINT) AS n_after
-         |FROM t LEFT JOIN r USING (doc_id)""".stripMargin,
-
-    "q81_balanced_shards" -> {
-      // ONE global running sum in the oracle — equals Spark's salted
-      // prefix-sum decomposition because the salt is a key prefix
-      val n = PortableSql.tokenCount("text", DD)
-      s"""WITH h AS (SELECT doc_id,
-         |    md5(concat('shards', ':', CAST(doc_id AS VARCHAR))) AS k,
-         |    CAST($n AS BIGINT) AS n FROM documents),
-         |p AS (SELECT doc_id, n,
-         |    CAST(sum(n) OVER (ORDER BY k, doc_id) - n AS BIGINT) AS s FROM h)
-         |SELECT doc_id, n AS n_toks, s AS tok_start,
-         |  CAST(s // 2048 AS BIGINT) AS shard_idx
-         |FROM p""".stripMargin
-    },
-
-    "q67_mixture_weights" -> {
-      val n = PortableSql.tokenCount("text", DD)
-      s"""WITH c AS (SELECT lang, CAST(sum($n) AS BIGINT) AS n_units
-         |           FROM documents GROUP BY lang),
-         |z AS (SELECT sum(pow(n_units, 0.5)) AS z FROM c)
-         |SELECT lang, n_units,
-         |  round(pow(n_units, 0.5) / z, 6) AS weight,
-         |  round(least(1.0, 50000 * (pow(n_units, 0.5) / z) / n_units), 6) AS keep_fraction
-         |FROM c, z""".stripMargin
-    },
-
-    "q66_feature_hash" -> {
-      val base = PortableSql.minhashBase("tok", DD)
-      s"""WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
-         |SELECT doc_id, ($base % ${PortableSql.minhashP}) % 64 AS feature_idx,
-         |  count(*) AS tf
-         |FROM e GROUP BY doc_id, feature_idx""".stripMargin
-    },
-
-    "q64_sequence_pack" -> {
-      val n = PortableSql.tokenCount("text", DD)
-      s"""WITH t AS (SELECT doc_id, lang, CAST($n AS BIGINT) AS n FROM documents),
-         |p AS (SELECT doc_id, lang, n,
-         |        sum(n) OVER (PARTITION BY lang ORDER BY doc_id) AS e
-         |      FROM t WHERE n > 0),
-         |x AS (SELECT doc_id, lang, e - n AS s, e FROM p),
-         |u AS (SELECT doc_id, lang, s, e,
-         |        unnest(generate_series(CAST(s // 512 AS BIGINT),
-         |                               CAST((e - 1) // 512 AS BIGINT))) AS seq_idx
-         |      FROM x)
-         |SELECT doc_id, lang, seq_idx,
-         |  CAST(least(e, (seq_idx + 1) * 512) - greatest(s, seq_idx * 512) AS BIGINT) AS toks_in_seq
-         |FROM u""".stripMargin
-    },
-
-    "q65_token_quota" -> {
-      val n = PortableSql.tokenCount("text", DD)
-      s"""WITH t AS (SELECT doc_id, lang, CAST($n AS BIGINT) AS n FROM documents),
-         |p AS (SELECT doc_id, lang, n,
-         |        sum(n) OVER (PARTITION BY lang ORDER BY doc_id) AS e
-         |      FROM t WHERE n > 0)
-         |SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
-         |FROM p WHERE e - n < 5000 GROUP BY lang""".stripMargin
-    },
-
-    "q62_corpus_filter_dsl" ->
-      graft.ops.CorpusFilters.oracleSql(
-        graft.config.PipelineConfig.parseCorpusFilters(corpusFilterYaml),
-        "documents", "text", "doc_id"),
-
-    "q61_ann_ivf_trained" -> ivfTrainedSql(),
-
-    // durable index probe ≡ the in-memory trained-IVF pipeline: same
-    // trainer, same probe ranking, through a storage round-trip
-    "q97_durable_ann" -> ivfTrainedSql(),
-
-    // deletion touches only the LISTS: quantizer, probe ranking and
-    // scan pruning are unchanged — the scored set just shrinks
-    "q99_forget_vectors" -> ivfTrainedSql("WHERE e.vec_id % 7 <> 0"),
-
-    // batch retrieval oracles replay the Spark side's salted two-stage
-    // ranking as ONE plain window per query (salt-invariant: the final
-    // rank is the global total order score desc, id asc)
-    "q101_ann_batch_brute" -> bruteBatchSql(),
-
-    "q102_ann_batch_ivf" -> ivfTrainedBatchSql(),
-
-    // batch probe of the durable index ≡ the in-memory batch pipeline
-    // through the storage round-trip (the q97/q61 equivalence, per query)
-    "q104_durable_ann_batch" -> ivfTrainedBatchSql(),
-
-    "q103_ann_batch_pq" -> {
-      val (blocks, d, k) = (4, 16, 4)
-      val scoreCtes = (0 until blocks).map { b =>
-        val lo = b * d
-        val dot = s"list_sum(list_transform(generate_series(1, $d), " +
-          s"__i -> CAST((q.qe)[$lo + __i] AS DOUBLE) * (c.cemb)[__i]))"
-        s"""s_$b AS (SELECT q.query_id, a.vec_id, $dot AS v_$b
-           |  FROM ab_$b a JOIN c1_$b c ON a.code_$b = c.cid, q)""".stripMargin
-      }.mkString(",\n")
-      val joins = (1 until blocks)
-        .map(b => s"JOIN s_$b USING (query_id, vec_id)").mkString(" ")
-      val total = (0 until blocks).map(b => s"v_$b").mkString(" + ")
-      s"""WITH ${pqBlockCtes(blocks, d, k)},
-         |q AS (SELECT CAST(vec_id AS BIGINT) AS query_id, embedding AS qe
-         |      FROM embeddings WHERE vec_id < 3),
-         |$scoreCtes,
-         |t AS (SELECT query_id, vec_id, round($total, 6) AS approx_dot
-         |      FROM s_0 $joins),
-         |r AS (SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
-         |        ORDER BY approx_dot DESC, vec_id ASC) AS BIGINT) AS rank,
-         |        vec_id, approx_dot FROM t)
-         |SELECT query_id, rank, vec_id, approx_dot FROM r WHERE rank <= 10""".stripMargin
-    },
-
-    // SemDeDup oracle: q55's kmeans CTE chain (same k=4/iters=2 seeds
-    // and update) + within-cluster pair probe; keep ⇔ no lower-id
-    // cluster-mate with cosine ≥ 0.15
-    "q105_semantic_dedup" -> {
-      val dims = 64
-      def assignCte(cents: String) =
-        s"""SELECT vec_id, cid AS cluster FROM (
-           |    SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
-           |      ORDER BY ${duckCosine("e.embedding", "c.cemb", dims)} DESC, c.cid ASC) AS rn
-           |    FROM embeddings e CROSS JOIN $cents c) WHERE rn = 1""".stripMargin
-      s"""WITH c0 AS (SELECT CAST(vec_id AS BIGINT) AS cid,
-         |            list_transform(embedding, __x -> CAST(__x AS DOUBLE)) AS cemb
-         |            FROM embeddings ORDER BY vec_id LIMIT 4),
-         |a0 AS (${assignCte("c0")}),
-         |m1 AS (SELECT a0.cluster, d.d, round(avg(CAST(e.embedding[d.d] AS DOUBLE)), 6) AS v
-         |       FROM a0 JOIN embeddings e USING (vec_id), generate_series(1, $dims) d(d)
-         |       GROUP BY a0.cluster, d.d),
-         |c1 AS (SELECT cluster AS cid, list(v ORDER BY d) AS cemb FROM m1 GROUP BY cluster),
-         |a1 AS (${assignCte("c1")}),
-         |dr AS (SELECT DISTINCT b.vec_id AS id
-         |       FROM a1 a JOIN a1 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-         |       JOIN embeddings ea ON ea.vec_id = a.vec_id
-         |       JOIN embeddings eb ON eb.vec_id = b.vec_id
-         |       WHERE ${duckCosine("ea.embedding", "eb.embedding", dims)} >= 0.15)
-         |SELECT a1.vec_id, a1.cluster, dr.id IS NULL AS keep
-         |FROM a1 LEFT JOIN dr ON a1.vec_id = dr.id""".stripMargin
-    },
-
-    // Naive Bayes oracle: per-class smoothed bucket log-liks over the
-    // q79 hashed-gram chain + log priors; argmax replayed as a rank
-    // window (score DESC, class ASC = the Spark min-struct tie-break)
-    "q106_nb_classifier" -> nbOracleSql,
-
-    // the stored model must change nothing: q106's SQL verbatim
-    "q116_durable_nb_model" -> nbOracleSql,
-
-    "q114_boilerplate_report" ->
-      s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS l FROM documents),
-         |w AS (SELECT doc_id, source, unnest(${DD.shingles("l", 4)}) AS "window" FROM t),
-         |c AS (SELECT "window", count(*) AS n_occurrences,
-         |        count(DISTINCT doc_id) AS n_docs,
-         |        count(DISTINCT source) AS n_sources
-         |      FROM w GROUP BY "window")
-         |SELECT "window", n_occurrences, n_docs, n_sources
-         |FROM c ORDER BY n_occurrences DESC, "window" ASC LIMIT 20""".stripMargin,
-
-    // incremental semantic dedup oracle: the slice-trained quantizer
-    // CTEs, per-query probe of 2 lists, corpus matches ≥ t within
-    // probed lists, then batch-internal keep-first pairwise
-    "q113_incremental_semdedup" -> {
-      val dims = 64
-      val corpusSrc = "(SELECT * FROM embeddings WHERE vec_id % 10 <> 0)"
-      s"""WITH ${ivfTrainCtes(dims, corpusSrc)},
-         |bq AS (SELECT CAST(vec_id AS BIGINT) AS query_id, embedding AS qe
-         |       FROM embeddings WHERE vec_id % 10 = 0),
-         |probe AS (SELECT query_id, cid AS list_id FROM (
-         |    SELECT bq.query_id, c.cid, row_number() OVER (PARTITION BY bq.query_id
-         |      ORDER BY ${duckCosine("c.cemb", "bq.qe", dims)} DESC, c.cid ASC) AS rn
-         |    FROM c1 c, bq) WHERE rn <= 2),
-         |cd AS (SELECT DISTINCT p.query_id
-         |       FROM probe p JOIN bq USING (query_id)
-         |       JOIN alist a ON a.list_id = p.list_id
-         |       JOIN embeddings e ON e.vec_id = a.vec_id
-         |       WHERE ${duckCosine("e.embedding", "bq.qe", dims)} >= 0.15),
-         |bd AS (SELECT DISTINCT hi.query_id
-         |       FROM bq lo JOIN bq hi ON lo.query_id < hi.query_id
-         |       WHERE ${duckCosine("lo.qe", "hi.qe", dims)} >= 0.15)
-         |SELECT b.query_id AS vec_id,
-         |  CASE WHEN cd.query_id IS NOT NULL THEN 'corpus'
-         |       WHEN bd.query_id IS NOT NULL THEN 'batch' END AS reason,
-         |  cd.query_id IS NULL AND bd.query_id IS NULL AS keep
-         |FROM bq b
-         |LEFT JOIN cd ON b.query_id = cd.query_id
-         |LEFT JOIN bd ON b.query_id = bd.query_id""".stripMargin
-    },
-
-    // batch residual IVF-PQ oracle: q112's chain with per-query probe,
-    // correction and ADC CTEs keyed by query_id, rank window per query
-    "q115_ann_ivfpq_batch" -> {
-      val (dims, blocks, d, k) = (64, 4, 16, 4)
-      val scoreCtes = (0 until blocks).map { b =>
-        val lo = b * d
-        val dot = s"list_sum(list_transform(generate_series(1, $d), " +
-          s"__i -> CAST((q.qe)[$lo + __i] AS DOUBLE) * (c.cemb)[__i]))"
-        s"""s_$b AS (SELECT q.query_id, a.vec_id, $dot AS v_$b
-           |  FROM ab_$b a JOIN c1_$b c ON a.code_$b = c.cid, q)""".stripMargin
-      }.mkString(",\n")
-      val joins = (1 until blocks)
-        .map(b => s"JOIN s_$b USING (query_id, vec_id)").mkString(" ")
-      val total = (0 until blocks).map(b => s"v_$b").mkString(" + ")
-      val qcDot = s"list_sum(list_transform(generate_series(1, $dims), " +
-        s"__i -> CAST((q.qe)[__i] AS DOUBLE) * (c.cemb)[__i]))"
-      s"""WITH ${ivfTrainCtes(dims)},
-         |res AS (SELECT e.vec_id,
-         |    list_transform(generate_series(1, $dims), __i ->
-         |      CAST(CAST(e.embedding[__i] AS DOUBLE) - (c.cemb)[__i] AS FLOAT)) AS embedding
-         |  FROM embeddings e JOIN alist a USING (vec_id) JOIN c1 c ON c.cid = a.list_id),
-         |${pqBlockCtes(blocks, d, k, "res")},
-         |q AS (SELECT CAST(vec_id AS BIGINT) AS query_id, embedding AS qe
-         |      FROM embeddings WHERE vec_id < 3),
-         |probe AS (SELECT query_id, cid AS list_id FROM (
-         |    SELECT q.query_id, c.cid, row_number() OVER (PARTITION BY q.query_id
-         |      ORDER BY ${duckCosine("c.cemb", "q.qe", dims)} DESC, c.cid ASC) AS rn
-         |    FROM c1 c, q) WHERE rn <= 2),
-         |corr AS (SELECT q.query_id, c.cid AS list_id, $qcDot AS qc FROM c1 c, q),
-         |$scoreCtes,
-         |t AS (SELECT query_id, vec_id, $total AS adcv FROM s_0 $joins),
-         |sc AS (SELECT t.query_id, t.vec_id, round(co.qc + t.adcv, 6) AS approx_dot
-         |      FROM t JOIN alist al ON t.vec_id = al.vec_id
-         |      JOIN probe p ON p.query_id = t.query_id AND al.list_id = p.list_id
-         |      JOIN corr co ON co.query_id = t.query_id AND co.list_id = al.list_id),
-         |r AS (SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
-         |        ORDER BY approx_dot DESC, vec_id ASC) AS BIGINT) AS rank,
-         |        vec_id, approx_dot FROM sc)
-         |SELECT query_id, rank, vec_id, approx_dot FROM r WHERE rank <= 10""".stripMargin
-    },
-
-    // residual IVF-PQ oracle: q61's coarse CTEs → residual table →
-    // q71's per-block training/code CTEs over the residuals → ADC
-    // partials + the per-list dot(q, centroid) correction
-    "q112_ann_ivfpq" -> {
-      val (dims, blocks, d, k) = (64, 4, 16, 4)
-      val scoreCtes = (0 until blocks).map { b =>
-        val lo = b * d
-        val dot = s"list_sum(list_transform(generate_series(1, $d), " +
-          s"__i -> CAST((q.qe)[$lo + __i] AS DOUBLE) * (c.cemb)[__i]))"
-        s"""s_$b AS (SELECT a.vec_id, $dot AS v_$b
-           |  FROM ab_$b a JOIN c1_$b c ON a.code_$b = c.cid, q)""".stripMargin
-      }.mkString(",\n")
-      val joins = (1 until blocks).map(b => s"JOIN s_$b USING (vec_id)").mkString(" ")
-      val total = (0 until blocks).map(b => s"v_$b").mkString(" + ")
-      val qcDot = s"list_sum(list_transform(generate_series(1, $dims), " +
-        s"__i -> CAST((q.qe)[__i] AS DOUBLE) * (c.cemb)[__i]))"
-      s"""WITH ${ivfTrainCtes(dims)},
-         |res AS (SELECT e.vec_id,
-         |    list_transform(generate_series(1, $dims), __i ->
-         |      CAST(CAST(e.embedding[__i] AS DOUBLE) - (c.cemb)[__i] AS FLOAT)) AS embedding
-         |  FROM embeddings e JOIN alist a USING (vec_id) JOIN c1 c ON c.cid = a.list_id),
-         |${pqBlockCtes(blocks, d, k, "res")},
-         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-         |probe AS (SELECT cid AS list_id FROM (
-         |    SELECT c.cid, row_number() OVER (
-         |      ORDER BY ${duckCosine("c.cemb", "q.qe", dims)} DESC, c.cid ASC) AS rn
-         |    FROM c1 c, q) WHERE rn <= 2),
-         |corr AS (SELECT c.cid AS list_id, $qcDot AS qc FROM c1 c, q),
-         |$scoreCtes,
-         |t AS (SELECT vec_id, $total AS adcv FROM s_0 $joins),
-         |sc AS (SELECT t.vec_id, round(co.qc + t.adcv, 6) AS approx_dot
-         |      FROM t JOIN alist al ON t.vec_id = al.vec_id
-         |      JOIN probe p ON al.list_id = p.list_id
-         |      JOIN corr co ON co.list_id = al.list_id)
-         |SELECT vec_id, approx_dot FROM sc ORDER BY approx_dot DESC, vec_id LIMIT 10"""
-        .stripMargin
-    },
-
-    // JL projection oracle: the ±1 plane matrix as a nested literal,
-    // stage-1 rank on 16-dim cosines, exact rerank of the 40 survivors
-    "q110_ann_projected" -> {
-      val mat = Similarity.planes(16, 64)
-        .map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
-      val projList =
-        s"""list_transform(generate_series(1, 16), __j ->
-           |  list_sum(list_transform(generate_series(1, 64), __i ->
-           |    CAST(embedding[__i] AS DOUBLE) * CAST(($mat)[__j][__i] AS DOUBLE))))""".stripMargin
-      s"""WITH pr AS (SELECT vec_id, embedding, $projList AS p FROM embeddings),
-         |q AS (SELECT p AS qp, embedding AS qemb FROM pr WHERE vec_id = 7),
-         |c AS (SELECT pr.vec_id, pr.embedding,
-         |      ${duckCosine("pr.p", "q.qp", 16)} AS pc FROM pr, q),
-         |cand AS (SELECT vec_id, embedding FROM c
-         |      ORDER BY pc DESC, vec_id ASC LIMIT 40)
-         |SELECT cand.vec_id, ${duckCosine("cand.embedding", "q.qemb", 64)} AS cosine_sim
-         |FROM cand, q ORDER BY cosine_sim DESC, vec_id ASC LIMIT 10""".stripMargin
-    },
-
-    // domain-mixture oracle: q68's corpus NLL per doc → per-source
-    // means → exact softmax over the excess vs the easiest source
-    "q111_domain_mixture" ->
-      s"""WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-         |c AS (SELECT tok, count(*) AS c FROM e GROUP BY tok),
-         |n AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM c),
-         |nll AS (SELECT doc_id, round(avg(-ln(CAST(c AS DOUBLE) / n)), 6) AS nll
-         |        FROM e JOIN c USING (tok), n GROUP BY doc_id),
-         |ms AS (SELECT d.source, round(avg(nll.nll), 6) AS mean_score
-         |       FROM nll JOIN documents d USING (doc_id) GROUP BY d.source),
-         |mn AS (SELECT min(mean_score) AS m FROM ms),
-         |ex AS (SELECT source, mean_score, exp((mean_score - mn.m) / 0.25) AS e
-         |       FROM ms, mn),
-         |z AS (SELECT sum(e) AS z FROM ex)
-         |SELECT source, mean_score, round(e / z.z, 6) AS weight FROM ex, z""".stripMargin,
-
-    // cluster-cap oracle: q47's closure labels + a per-cluster rank
-    // window; singletons (not in labels) keep unconditionally
-    "q109_cluster_cap" ->
-      s"""WITH RECURSIVE $jaccardCtes,
-         |$closureCtes,
-         |rk AS (SELECT d.doc_id, l.cluster_id,
-         |        row_number() OVER (PARTITION BY l.cluster_id
-         |          ORDER BY d.n_chars DESC, d.doc_id ASC) AS rk
-         |      FROM documents d JOIN labels l ON d.doc_id = l.doc_id)
-         |SELECT doc_id, cluster_id, rk <= 2 AS keep FROM rk
-         |UNION ALL
-         |SELECT d.doc_id, d.doc_id AS cluster_id, TRUE AS keep
-         |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
-         |WHERE l.doc_id IS NULL""".stripMargin,
-
-    // decontamination oracle: q50's corpus/bench split, the scrub
-    // chain's shared islands+rebuild tail, cut = windows whose md5
-    // matches any distinct benchmark shingle hash
-    "q108_decontaminate" -> {
-      val cut =
-        s"""sc_bw AS (SELECT unnest(${DD.shingles("toks", 4)}) AS w
-           |       FROM (SELECT string_split(text, ' ') AS toks
-           |             FROM documents WHERE doc_id % 50 = 0)),
-           |sc_bh AS (SELECT DISTINCT md5(w) AS hh FROM sc_bw),
-           |sc_cut AS (SELECT doc_id, pos FROM sc_h JOIN sc_bh USING (hh))""".stripMargin
-      s"""WITH c108 AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0),
-         |${scrubCtesWith("c108", 4, cut)}
-         |SELECT doc_id, clean, n_tokens, n_removed FROM sc_clean""".stripMargin
-    },
-
-    // interpolated bigram NLL oracle: same smoothing arithmetic, the
-    // bigram's context/next words recovered from the shingle string
-    "q107_bigram_nll" ->
-      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-         |m AS (SELECT doc_id, l FROM d WHERE len(l) >= 2),
-         |u AS (SELECT unnest(l) AS token FROM d),
-         |uc AS (SELECT token, count(*) AS c FROM u GROUP BY token),
-         |st AS (SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM uc),
-         |bg AS (SELECT doc_id, unnest(${DD.shingles("l", 2)}) AS bgm FROM m),
-         |bc AS (SELECT bgm, count(*) AS bc FROM bg GROUP BY bgm),
-         |sc AS (SELECT g.doc_id,
-         |    0.75 * (CAST(coalesce(b.bc, 0) + 1 AS DOUBLE) /
-         |            (CAST(coalesce(u1.c, 0) AS DOUBLE) + st.v)) +
-         |    (1.0 - 0.75) * (CAST(coalesce(u2.c, 0) + 1 AS DOUBLE) / (st.n + st.v)) AS p
-         |  FROM bg g
-         |  LEFT JOIN bc b USING (bgm)
-         |  LEFT JOIN uc u1 ON u1.token = string_split(g.bgm, ' ')[1]
-         |  LEFT JOIN uc u2 ON u2.token = string_split(g.bgm, ' ')[-1], st)
-         |SELECT doc_id, round(avg(-ln(p)), 6) AS nll2 FROM sc GROUP BY doc_id""".stripMargin,
-
-    // Kneser-Ney oracle: replay the absolute-discount + continuation
-    // arithmetic from the same bigram TYPE table (w1/w2 recovered from
-    // the shingle string, as q107)
-    "q206_kneser_ney" ->
-      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-         |m AS (SELECT doc_id, l FROM d WHERE len(l) >= 2),
-         |bg AS (SELECT doc_id, unnest(${DD.shingles("l", 2)}) AS bgm FROM m),
-         |bc AS (SELECT bgm, count(*) AS bc FROM bg GROUP BY bgm),
-         |bt AS (SELECT bgm, bc, string_split(bgm, ' ')[1] AS w1,
-         |         string_split(bgm, ' ')[-1] AS w2 FROM bc),
-         |hist AS (SELECT w1, CAST(sum(bc) AS DOUBLE) AS h,
-         |           CAST(count(*) AS DOUBLE) AS fert FROM bt GROUP BY w1),
-         |cont AS (SELECT w2, CAST(count(*) AS DOUBLE) AS pre FROM bt GROUP BY w2),
-         |tt AS (SELECT CAST(count(*) AS DOUBLE) AS b FROM bt),
-         |sc AS (SELECT g.doc_id,
-         |    greatest(CAST(t.bc AS DOUBLE) - 0.75, 0.0) / h.h +
-         |    0.75 * h.fert / h.h * (c.pre / tt.b) AS p
-         |  FROM bg g
-         |  JOIN bt t USING (bgm)
-         |  JOIN hist h ON h.w1 = t.w1
-         |  JOIN cont c ON c.w2 = t.w2, tt)
-         |SELECT doc_id, round(avg(-ln(p)), 6) AS nll_kn FROM sc GROUP BY doc_id""".stripMargin,
-
-    // SQ8-refine replay: the q197 ADC chain over-fetches LIMIT 30,
-    // then the exact float dot re-ranks only those candidates
-    "q207_sq8_refine" ->
-      s"""WITH rngrows AS (
-         |  SELECT d.__i AS d,
-         |    min(CAST(embedding[d.__i] AS DOUBLE)) AS mn,
-         |    max(CAST(embedding[d.__i] AS DOUBLE)) AS mx
-         |  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS __i) d
-         |  GROUP BY d.__i),
-         |rng AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs
-         |        FROM rngrows),
-         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-         |s AS (SELECT e.vec_id,
-         |    round(list_sum(list_transform(generate_series(1, 64), __i ->
-         |      CAST(q.qe[__i] AS DOUBLE) *
-         |        (r.mns[__i] +
-         |          ((CASE WHEN r.mxs[__i] = r.mns[__i] THEN 0
-         |             ELSE least(greatest(CAST(floor(
-         |               (CAST(e.embedding[__i] AS DOUBLE) - r.mns[__i])
-         |                 / (r.mxs[__i] - r.mns[__i]) * 255) AS BIGINT),
-         |               0), 255) END) + 0.5) *
-         |          ((r.mxs[__i] - r.mns[__i]) / 256)))), 6) AS approx_dot
-         |  FROM embeddings e, rng r, q),
-         |cand AS (SELECT vec_id, approx_dot FROM s
-         |         ORDER BY approx_dot DESC, vec_id ASC LIMIT 30)
-         |SELECT c.vec_id, c.approx_dot,
-         |  round(list_sum(list_transform(generate_series(1, 64), __i ->
-         |    CAST(q.qe[__i] AS DOUBLE) * CAST(e.embedding[__i] AS DOUBLE))), 6)
-         |    AS exact_dot
-         |FROM cand c JOIN embeddings e USING (vec_id), q
-         |ORDER BY exact_dot DESC, vec_id ASC LIMIT 10""".stripMargin,
-
-    // zone-map replay: identical closed-form range binning (multiply
-    // before divide, clamp), min/max stats, overlap flags
-    "q208_zone_map" ->
-      """WITH b AS (SELECT min(epoch(o_orderdate)) AS lo,
-        |                  max(epoch(o_orderdate)) AS hi FROM orders),
-        |f AS (SELECT o.*,
-        |    CASE WHEN b.hi = b.lo THEN 0
-        |         ELSE least(15, greatest(0, CAST(floor(
-        |           (epoch(o_orderdate) - b.lo) * 16 / (b.hi - b.lo))
-        |           AS INT))) END AS file_id
-        |  FROM orders o, b),
-        |st AS (SELECT file_id, count(*) AS n_rows,
-        |    min(o_orderdate) AS o_orderdate_mn,
-        |    max(o_orderdate) AS o_orderdate_mx,
-        |    min(o_totalprice) AS o_totalprice_mn,
-        |    max(o_totalprice) AS o_totalprice_mx
-        |  FROM f GROUP BY file_id)
-        |SELECT file_id, n_rows, o_orderdate_mn, o_orderdate_mx,
-        |  o_totalprice_mn, o_totalprice_mx,
-        |  NOT (o_orderdate_mx >= TIMESTAMP '1997-01-01 00:00:00'
-        |    AND o_orderdate_mn <= TIMESTAMP '1997-03-31 00:00:00')
-        |    AS pruned_date,
-        |  NOT (o_totalprice_mx >= 100000.0 AND o_totalprice_mn <= 150000.0)
-        |    AS pruned_price
-        |FROM st""".stripMargin,
-
-    // mirror replay: distinct (host, fp), spread cap 2..8, fp-keyed
-    // pair join, resemblance/containment arithmetic
-    "q209_mirror_hosts" ->
-      """WITH pages AS (
-        |  SELECT DISTINCT host, fp FROM (
-        |    SELECT 'h' || CAST(doc_id % 6 AS VARCHAR) AS host,
-        |      md5(lower(trim(text))) AS fp
-        |    FROM documents WHERE text IS NOT NULL
-        |    UNION ALL
-        |    SELECT 'm' || CAST(doc_id % 6 AS VARCHAR) AS host,
-        |      md5(lower(trim(text))) AS fp
-        |    FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0)),
-        |rare AS (SELECT fp FROM pages GROUP BY fp
-        |         HAVING count(*) BETWEEN 2 AND 8),
-        |capped AS (SELECT p.host, p.fp FROM pages p JOIN rare USING (fp)),
-        |sizes AS (SELECT host, count(*) AS sz FROM pages GROUP BY host),
-        |prs AS (SELECT a.host AS host_a, b.host AS host_b,
-        |    count(*) AS shared
-        |  FROM capped a JOIN capped b
-        |    ON a.fp = b.fp AND a.host < b.host
-        |  GROUP BY 1, 2 HAVING count(*) >= 2)
-        |SELECT host_a, host_b, shared,
-        |  sa.sz AS n_a, sb.sz AS n_b,
-        |  round(CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared), 6)
-        |    AS resemblance,
-        |  round(CAST(shared AS DOUBLE) / least(sa.sz, sb.sz), 6)
-        |    AS containment
-        |FROM prs
-        |JOIN sizes sa ON sa.host = host_a
-        |JOIN sizes sb ON sb.host = host_b""".stripMargin,
-
-    // UniMax replay: per-lang exact-double capacities, ascending
-    // exclusive prefix sums, theta = max water level, min-clamp
-    "q210_unimax" ->
-      s"""WITH pl AS (SELECT lang,
-         |    CAST(sum(len(${DD.tokens("text")})) AS DOUBLE) AS n_tokens
-         |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
-         |  GROUP BY lang),
-         |c AS (SELECT lang, n_tokens, n_tokens * 4.0 AS capacity FROM pl),
-         |w AS (SELECT *,
-         |    row_number() OVER (ORDER BY capacity ASC, lang ASC) AS i,
-         |    coalesce(sum(capacity) OVER (ORDER BY capacity ASC, lang ASC
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS cum,
-         |    count(*) OVER () AS n
-         |  FROM c),
-         |t AS (SELECT max((80000.0 - cum) / (n - i + 1)) AS theta FROM w)
-         |SELECT lang, CAST(n_tokens AS BIGINT) AS n_tokens, capacity,
-         |  round(least(capacity, theta), 6) AS alloc_tokens,
-         |  round(least(capacity, theta) / n_tokens, 6) AS sample_rate
-         |FROM w, t""".stripMargin,
-
-    // nDCG replay: the shared q51 BM25 chain top-20 ranked, judged
-    // pool doc_id%3=0 graded id%4, unjudged rel 0; ideal = judged
-    // top-10 by grade
-    "q211_ndcg" ->
-      s"""WITH $bm25Ctes,
-         |bml AS (SELECT doc_id, bm25 FROM sc WHERE bm25 > 0
-         |        ORDER BY bm25 DESC, doc_id LIMIT 20),
-         |rk AS (SELECT doc_id,
-         |         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
-         |       FROM bml),
-         |rels AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS rel
-         |         FROM documents WHERE doc_id % 3 = 0),
-         |sys AS (SELECT sum((pow(2.0, CAST(coalesce(r.rel, 0) AS DOUBLE)) - 1.0)
-         |          / log2(CAST(rk.rank AS DOUBLE) + 1.0)) AS dcg
-         |        FROM rk LEFT JOIN rels r USING (doc_id)
-         |        WHERE rk.rank <= 10),
-         |itop AS (SELECT rel,
-         |           row_number() OVER (ORDER BY rel DESC, doc_id ASC) AS rank
-         |         FROM (SELECT * FROM rels
-         |               ORDER BY rel DESC, doc_id ASC LIMIT 10)),
-         |ideal AS (SELECT sum((pow(2.0, CAST(rel AS DOUBLE)) - 1.0)
-         |            / log2(CAST(rank AS DOUBLE) + 1.0)) AS idcg
-         |          FROM itop)
-         |SELECT 10 AS k, round(dcg, 6) AS dcg, round(idcg, 6) AS idcg,
-         |  round(dcg / idcg, 6) AS ndcg
-         |FROM sys, ideal""".stripMargin,
-
-    // Zipf replay: head-100 frequency table, ln-ln least squares with
-    // the same multiply-before-divide normal-equation arithmetic
-    "q212_zipf_fit" ->
-      s"""WITH tok AS (SELECT unnest(${DD.tokens("text")}) AS w
-         |  FROM documents WHERE text IS NOT NULL),
-         |c AS (SELECT w, count(*) AS n FROM tok GROUP BY w),
-         |h AS (SELECT w, n FROM c ORDER BY n DESC, w ASC LIMIT 100),
-         |xy AS (SELECT
-         |    ln(CAST(row_number() OVER (ORDER BY n DESC, w ASC) AS DOUBLE))
-         |      AS x,
-         |    ln(CAST(n AS DOUBLE)) AS y
-         |  FROM h),
-         |s AS (SELECT CAST(count(*) AS DOUBLE) AS k,
-         |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
-         |    sum(x * x) AS sxx, sum(y * y) AS syy
-         |  FROM xy)
-         |SELECT CAST(k AS BIGINT) AS n_fit,
-         |  round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS slope,
-         |  round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx) / k, 6)
-         |    AS intercept,
-         |  round(((k * sxy - sx * sy) * (k * sxy - sx * sy))
-         |    / ((k * sxx - sx * sx) * (k * syy - sy * sy)), 6) AS r2
-         |FROM s""".stripMargin,
-
-    // kappa replay: integer confusion cells, marginal products, three
-    // final divisions
-    "q213_kappa" ->
-      s"""WITH l AS (SELECT
-         |    (${PortableSql.qualityScore("text", DD)} >= 0.5) AS a,
-         |    (n_chars >= 306) AS b
-         |  FROM documents WHERE text IS NOT NULL),
-         |cells AS (SELECT a, b, count(*) AS n FROM l
-         |          WHERE a IS NOT NULL AND b IS NOT NULL GROUP BY a, b),
-         |rm AS (SELECT a, sum(n) AS ra FROM cells GROUP BY a),
-         |cm AS (SELECT b, sum(n) AS cb FROM cells GROUP BY b),
-         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n,
-         |    CAST(sum(CASE WHEN a = b THEN n ELSE 0 END) AS BIGINT)
-         |      AS n_agree
-         |  FROM cells),
-         |pe AS (SELECT coalesce(sum(ra * cb), 0) AS pe_num
-         |       FROM rm JOIN cm ON rm.a = cm.b),
-         |st AS (SELECT n, n_agree,
-         |    CAST(n_agree AS DOUBLE) / n AS po,
-         |    CAST(pe_num AS DOUBLE) / (n * n) AS pe
-         |  FROM tot, pe)
-         |SELECT n, n_agree, round(po, 6) AS po, round(pe, 6) AS pe,
-         |  round(CASE WHEN pe = 1.0 THEN NULL
-         |             ELSE (po - pe) / (1.0 - pe) END, 6) AS kappa
-         |FROM st""".stripMargin,
-
-    // PMI replay: bigram type table, slot marginals, exact integer
-    // ratio under one ln
-    "q214_pmi" ->
-      s"""WITH d AS (SELECT string_split(text, ' ') AS l FROM documents
-         |           WHERE text IS NOT NULL),
-         |m AS (SELECT l FROM d WHERE len(l) >= 2),
-         |bg AS (SELECT unnest(${DD.shingles("l", 2)}) AS bgm FROM m),
-         |bc AS (SELECT bgm, count(*) AS n_pair FROM bg GROUP BY bgm),
-         |bt AS (SELECT bgm, n_pair, string_split(bgm, ' ')[1] AS w1,
-         |         string_split(bgm, ' ')[-1] AS w2 FROM bc),
-         |lft AS (SELECT w1, CAST(sum(n_pair) AS BIGINT) AS n_left
-         |        FROM bt GROUP BY w1),
-         |rgt AS (SELECT w2, CAST(sum(n_pair) AS BIGINT) AS n_right
-         |        FROM bt GROUP BY w2),
-         |tt AS (SELECT CAST(sum(n_pair) AS DOUBLE) AS t FROM bt)
-         |SELECT bgm AS bigram, n_pair, n_left, n_right,
-         |  round(ln(CAST(n_pair AS DOUBLE) * t /
-         |    (CAST(n_left AS DOUBLE) * CAST(n_right AS DOUBLE))), 6) AS pmi
-         |FROM bt JOIN lft USING (w1) JOIN rgt USING (w2), tt
-         |WHERE n_pair >= 3
-         |ORDER BY pmi DESC, bigram ASC LIMIT 20""".stripMargin,
-
-    // shrinkage replay: integer per-source counts, 1-row global rate,
-    // (k·mu + good)/(k + n)
-    "q215_source_quality" ->
-      s"""WITH s AS (SELECT source,
-         |    CASE WHEN ${PortableSql.qualityScore("text", DD)} >= 0.5
-         |         THEN 1 ELSE 0 END AS good
-         |  FROM documents WHERE source IS NOT NULL),
-         |per AS (SELECT source, count(*) AS n_docs,
-         |          CAST(sum(good) AS BIGINT) AS n_good
-         |        FROM s GROUP BY source),
-         |g AS (SELECT CAST(sum(n_good) AS DOUBLE) / sum(n_docs) AS mu
-         |      FROM per)
-         |SELECT source, n_docs, n_good,
-         |  round(CAST(n_good AS DOUBLE) / n_docs, 6) AS raw_rate,
-         |  round((20.0 * mu + n_good) / (20.0 + n_docs), 6) AS shrunk_rate
-         |FROM per, g""".stripMargin,
-
-    // LSH-eval replay: the shared banded-candidate CTEs vs the q88
-    // exact all-pairs truth, three 1-row counts
-    "q216_lsh_eval" ->
-      s"""WITH $minhashCtes,
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM buckets a JOIN buckets b
-         |    ON a.band = b.band AND a.bucket = b.bucket
-         |      AND a.doc_id < b.doc_id),
-         |exsh AS (SELECT DISTINCT doc_id, unnest(s) AS sv FROM sh),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM exsh GROUP BY doc_id),
-         |inter AS (
-         |  SELECT ea.doc_id AS id_a, eb.doc_id AS id_b, count(*) AS i
-         |  FROM exsh ea JOIN exsh eb
-         |    ON eb.sv = ea.sv AND ea.doc_id < eb.doc_id
-         |  GROUP BY 1, 2),
-         |truth AS (SELECT id_a, id_b
-         |  FROM inter it JOIN sizes sa ON sa.doc_id = it.id_a
-         |  JOIN sizes sb ON sb.doc_id = it.id_b
-         |  WHERE round(it.i / (sa.n + sb.n - it.i), 6) >= 0.8),
-         |cnts AS (SELECT
-         |    (SELECT count(*) FROM cand) AS n_candidates,
-         |    (SELECT count(*) FROM truth) AS n_truth,
-         |    (SELECT count(*) FROM cand c
-         |       WHERE EXISTS (SELECT 1 FROM truth t
-         |         WHERE t.id_a = c.id_a AND t.id_b = c.id_b)) AS n_hits),
-         |pr AS (SELECT n_candidates, n_truth, n_hits,
-         |    CAST(n_hits AS DOUBLE) / n_candidates AS p,
-         |    CAST(n_hits AS DOUBLE) / n_truth AS r
-         |  FROM cnts)
-         |SELECT n_candidates, n_truth, n_hits,
-         |  round(p, 6) AS precision, round(r, 6) AS recall,
-         |  CASE WHEN p + r = 0 THEN NULL
-         |       ELSE round(2.0 * p * r / (p + r), 6) END AS f1
-         |FROM pr""".stripMargin,
-
-    // journeys replay: the q19 sessionization window, ordered
-    // per-session type lists, sliding 3-gram slices
-    "q217_journeys" ->
-      """WITH p AS (SELECT user_id, event_id, ts, event_type,
-        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |      AS prev
-        |  FROM events),
-        |s AS (SELECT *, sum(CASE WHEN prev IS NULL
-        |      OR epoch(ts) - epoch(prev) > 1800.0 THEN 1 ELSE 0 END)
-        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
-        |  FROM p),
-        |seqs AS (SELECT user_id, sess,
-        |    list(event_type ORDER BY ts, event_id) AS types
-        |  FROM s GROUP BY user_id, sess),
-        |g AS (SELECT array_to_string(list_slice(types, gi, gi + 2), '→')
-        |    AS journey
-        |  FROM seqs, unnest(generate_series(1, len(types) - 2)) AS t(gi)
-        |  WHERE len(types) >= 3)
-        |SELECT journey, count(*) AS n_occurrences
-        |FROM g GROUP BY journey
-        |ORDER BY n_occurrences DESC, journey ASC LIMIT 15""".stripMargin,
-
-    // hard-negative replay: exact over-fetch cut (rank <= 20), label
-    // filter, per-query re-rank to 5
-    "q218_hard_negatives" ->
-      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS qg
-         |           FROM embeddings WHERE vec_id IN (0, 1, 2)),
-         |sc AS (SELECT q.query_id, e.vec_id,
-         |    ${duckCosine("e.embedding", "q.qe", 64)} AS cosine_sim,
-         |    q.qg, e.label AS cg
-         |  FROM embeddings e, q),
-         |cut AS (SELECT *, row_number() OVER (PARTITION BY query_id
-         |    ORDER BY cosine_sim DESC, vec_id ASC) AS rn FROM sc),
-         |neg AS (SELECT query_id, vec_id, cosine_sim FROM cut
-         |  WHERE rn <= 20 AND vec_id <> query_id
-         |    AND (cg IS NULL OR qg IS NULL OR cg <> qg)),
-         |rk AS (SELECT query_id,
-         |    CAST(row_number() OVER (PARTITION BY query_id
-         |      ORDER BY cosine_sim DESC, vec_id ASC) AS BIGINT) AS rank,
-         |    vec_id, cosine_sim FROM neg)
-         |SELECT query_id, rank, vec_id, cosine_sim FROM rk
-         |WHERE rank <= 5""".stripMargin,
-
-    // multi-probe replay: per-bit bucket comparison, Hamming <= 1
-    "q219_multiprobe_lsh" ->
-      s"""WITH q AS (SELECT embedding AS qe,
-         |    ${duckSignBucket("embedding", 8, 64)} AS qb
-         |  FROM embeddings WHERE vec_id = 0),
-         |b AS (SELECT vec_id, embedding,
-         |    ${duckSignBucket("embedding", 8, 64)} AS bucket
-         |  FROM embeddings),
-         |s AS (SELECT vec_id,
-         |    ${duckCosine("embedding", "qe", 64)} AS cosine_sim
-         |  FROM b, q
-         |  WHERE list_sum(list_transform(generate_series(1, 8), __i ->
-         |    CASE WHEN substr(bucket, CAST(__i AS INT), 1)
-         |       <> substr(qb, CAST(__i AS INT), 1) THEN 1 ELSE 0 END)) <= 1)
-         |SELECT vec_id, cosine_sim FROM s
-         |ORDER BY cosine_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
-
-    // quality-canonical replay: the q39 closure labels + quality
-    // argmax per cluster (qual desc, id asc)
-    "q220_quality_canonical" ->
-      s"""WITH RECURSIVE $jaccardCtes,
-         |$closureCtes,
-         |qq AS (SELECT doc_id,
-         |    ${PortableSql.qualityScore("text", DD)} AS qual
-         |  FROM documents WHERE text IS NOT NULL),
-         |lab AS (SELECT qq.doc_id, qq.qual,
-         |    coalesce(l.cluster_id, qq.doc_id) AS cluster_id
-         |  FROM qq LEFT JOIN labels l ON l.doc_id = qq.doc_id),
-         |k AS (SELECT cluster_id, doc_id AS keeper_id,
-         |    qual AS keeper_quality,
-         |    row_number() OVER (PARTITION BY cluster_id
-         |      ORDER BY qual DESC, doc_id ASC) AS rn
-         |  FROM lab)
-         |SELECT lab.doc_id, lab.cluster_id, k.keeper_id,
-         |  k.keeper_quality, lab.doc_id = k.keeper_id AS is_keeper
-         |FROM lab JOIN k ON k.cluster_id = lab.cluster_id AND k.rn = 1""".stripMargin,
-
-    // reciprocal-NN replay: the q191 kNN chain + ordered-pair
-    // self-join of the rank<=5 edges
-    "q222_reciprocal_nn" ->
-      s"""WITH $embPairCtes,
-         |sym AS (SELECT id_a AS id, id_b AS nbr, cosine_sim FROM p
-         |        UNION ALL SELECT id_b, id_a, cosine_sim FROM p),
-         |r AS (SELECT id, nbr,
-         |        CAST(round(cosine_sim*1000000, 0) AS BIGINT) AS cm,
-         |        CAST(row_number() OVER (PARTITION BY id
-         |          ORDER BY round(cosine_sim*1000000, 0) DESC, nbr)
-         |          AS BIGINT) AS rank
-         |      FROM sym),
-         |k AS (SELECT id, nbr, rank, cm FROM r WHERE rank <= 5),
-         |fwd AS (SELECT id AS id_a, nbr AS id_b, rank AS rank_ab, cm
-         |        FROM k WHERE id < nbr),
-         |bwd AS (SELECT nbr AS id_a, id AS id_b, rank AS rank_ba
-         |        FROM k WHERE id > nbr)
-         |SELECT id_a, id_b, rank_ab, rank_ba, cm AS cos_micro
-         |FROM fwd JOIN bwd USING (id_a, id_b)""".stripMargin,
-
-    // residual replay: the q151 unrolled iterations, diff of r_3 vs r_2
-    "q223_pagerank_residual" -> {
-      def iter(prev: String, cur: String): String =
-        s"""c_$cur AS (
-           |  SELECT e.dst AS id, sum(r_$prev.pr / deg.outdeg) AS cin
-           |  FROM r_$prev JOIN e ON r_$prev.id = e.src
-           |  JOIN deg ON e.src = deg.src
-           |  GROUP BY e.dst),
-           |r_$cur AS (
-           |  SELECT nodes.id,
-           |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))/nn.nd
-           |      + CAST(0.85 AS DOUBLE)*(COALESCE(c_$cur.cin, 0.0)) AS pr
-           |  FROM nodes LEFT JOIN c_$cur ON nodes.id = c_$cur.id, nn)""".stripMargin
-      s"""WITH nn AS (
-         |  SELECT CAST(count(*) AS DOUBLE) AS nd, count(*) AS n
-         |  FROM documents WHERE text IS NOT NULL),
-         |nodes AS (SELECT doc_id AS id FROM documents WHERE text IS NOT NULL),
-         |e AS (
-         |  SELECT doc_id AS src, (doc_id*2+1) % n AS dst
-         |  FROM documents, nn WHERE text IS NOT NULL
-         |  UNION ALL
-         |  SELECT doc_id, (doc_id*3+2) % n FROM documents, nn WHERE text IS NOT NULL
-         |  UNION ALL
-         |  SELECT doc_id, (doc_id*7+5) % n FROM documents, nn WHERE text IS NOT NULL),
-         |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
-         |r_0 AS (SELECT id, 1.0/nd AS pr FROM nodes, nn),
-         |${iter("0", "1")},
-         |${iter("1", "2")},
-         |${iter("2", "3")}
-         |SELECT 3 AS iters, count(*) AS n_nodes,
-         |  round(sum(abs(r_3.pr - r_2.pr)), 6) AS l1_residual,
-         |  round(max(abs(r_3.pr - r_2.pr)), 9) AS max_delta
-         |FROM r_3 JOIN r_2 ON r_3.id = r_2.id""".stripMargin
-    },
-
-    // host-PageRank replay: page edges contracted to distinct
-    // inter-host edges, 3 iterations WITH the dangling-mass term
-    "q224_host_pagerank" -> {
-      def iter(prev: String, cur: String): String =
-        s"""c_$cur AS (
-           |  SELECT he.dst AS id, sum(r_$prev.pr / deg.outdeg) AS cin
-           |  FROM r_$prev JOIN he ON r_$prev.id = he.src
-           |  JOIN deg ON he.src = deg.src
-           |  GROUP BY he.dst),
-           |d_$cur AS (
-           |  SELECT coalesce(sum(pr), 0.0) AS dm FROM r_$prev
-           |  WHERE id NOT IN (SELECT src FROM deg)),
-           |r_$cur AS (
-           |  SELECT hosts.id,
-           |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))/hn.nd
-           |      + CAST(0.85 AS DOUBLE)*(COALESCE(c_$cur.cin, 0.0)
-           |        + d_$cur.dm/hn.nd) AS pr
-           |  FROM hosts LEFT JOIN c_$cur ON hosts.id = c_$cur.id,
-           |    hn, d_$cur)""".stripMargin
-      s"""WITH nn AS (SELECT count(*) AS n FROM documents WHERE text IS NOT NULL),
-         |pe AS (
-         |  SELECT doc_id AS psrc, (doc_id*2+1) % n AS pdst
-         |  FROM documents, nn WHERE text IS NOT NULL
-         |  UNION ALL
-         |  SELECT doc_id, (doc_id*3+2) % n FROM documents, nn WHERE text IS NOT NULL
-         |  UNION ALL
-         |  SELECT doc_id, (doc_id*7+5) % n FROM documents, nn WHERE text IS NOT NULL),
-         |he AS (SELECT DISTINCT psrc % 12 AS src, pdst % 12 AS dst
-         |       FROM pe WHERE psrc % 12 <> pdst % 12),
-         |hosts AS (SELECT DISTINCT doc_id % 12 AS id
-         |          FROM documents WHERE text IS NOT NULL),
-         |hn AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM hosts),
-         |deg AS (SELECT src, count(*) AS outdeg FROM he GROUP BY src),
-         |r_0 AS (SELECT id, 1.0/nd AS pr FROM hosts, hn),
-         |${iter("0", "1")},
-         |${iter("1", "2")},
-         |${iter("2", "3")}
-         |SELECT id AS host, round(pr, 9) AS pr FROM r_3""".stripMargin
-    },
-
-    // confusability replay: trigram profiles, integer dots, one sqrt
-    "q225_lang_confusability" ->
-      """WITH tri AS (SELECT lang AS l,
-        |    unnest(list_transform(generate_series(1,
-        |      greatest(length(text) - 2, 0)),
-        |      __i -> substr(text, CAST(__i AS INT), 3))) AS tg
-        |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
-        |prof AS (SELECT l, tg, count(*) AS c FROM tri GROUP BY l, tg),
-        |norms AS (SELECT l, CAST(sum(c * c) AS BIGINT) AS n2
-        |          FROM prof GROUP BY l),
-        |dots AS (SELECT a.l AS lang_a, b.l AS lang_b,
-        |    count(*) AS n_shared, CAST(sum(a.c * b.c) AS BIGINT) AS dot
-        |  FROM prof a JOIN prof b ON a.tg = b.tg AND a.l < b.l
-        |  GROUP BY 1, 2)
-        |SELECT lang_a, lang_b, n_shared,
-        |  round(dot / (sqrt(CAST(na.n2 AS DOUBLE))
-        |    * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cosine
-        |FROM dots
-        |JOIN norms na ON na.l = lang_a
-        |JOIN norms nb ON nb.l = lang_b""".stripMargin,
-
-    // minhash-error replay: the shared sig/bucket CTEs, candidate
-    // pairs, component-match estimate vs the exact candidate Jaccard
-    "q226_minhash_error" -> {
-      val matches = (0 until 8).map(i =>
-        s"(CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END)").mkString(" + ")
-      s"""WITH $minhashCtes,
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM buckets a JOIN buckets b
-         |    ON a.band = b.band AND a.bucket = b.bucket
-         |      AND a.doc_id < b.doc_id),
-         |exsh AS (SELECT DISTINCT doc_id, unnest(s) AS sv FROM sh),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM exsh GROUP BY doc_id),
-         |inter AS (
-         |  SELECT c.id_a, c.id_b, count(*) AS i
-         |  FROM cand c
-         |  JOIN exsh ea ON ea.doc_id = c.id_a
-         |  JOIN exsh eb ON eb.doc_id = c.id_b AND eb.sv = ea.sv
-         |  GROUP BY c.id_a, c.id_b),
-         |ex AS (SELECT it.id_a, it.id_b,
-         |    round(it.i / (sa.n + sb.n - it.i), 6) AS jaccard
-         |  FROM inter it JOIN sizes sa ON sa.doc_id = it.id_a
-         |  JOIN sizes sb ON sb.doc_id = it.id_b),
-         |est AS (SELECT c.id_a, c.id_b,
-         |    CAST(($matches) AS DOUBLE) / 8 AS e
-         |  FROM cand c JOIN sig sa ON sa.doc_id = c.id_a
-         |  JOIN sig sb ON sb.doc_id = c.id_b)
-         |SELECT count(*) AS n_pairs,
-         |  round(avg(jaccard), 6) AS mean_exact,
-         |  round(avg(e), 6) AS mean_est,
-         |  round(avg(e - jaccard), 6) AS bias,
-         |  round(avg(abs(e - jaccard)), 6) AS mean_abs_err,
-         |  round(max(abs(e - jaccard)), 6) AS max_abs_err
-         |FROM est JOIN ex USING (id_a, id_b)""".stripMargin
-    },
-
-    // trimmed-stats replay: per-source rank window, floor(n·0.05)
-    // cut from each end, exact integer sums
-    "q227_trimmed_stats" ->
-      """WITH r AS (SELECT source, n_chars AS v,
-        |    row_number() OVER (PARTITION BY source ORDER BY n_chars)
-        |      AS rk,
-        |    count(*) OVER (PARTITION BY source) AS n
-        |  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL),
-        |c AS (SELECT *, CAST(floor(n * 0.05) AS BIGINT) AS cut FROM r)
-        |SELECT source, max(n) AS n,
-        |  2 * max(cut) AS n_trimmed,
-        |  round(CAST(sum(v) AS DOUBLE) / max(n), 6) AS mean_raw,
-        |  round(CAST(sum(CASE WHEN rk > cut AND rk <= n - cut
-        |      THEN v ELSE 0 END) AS DOUBLE)
-        |    / (max(n) - 2 * max(cut)), 6) AS mean_trimmed
-        |FROM c GROUP BY source""".stripMargin,
-
-    // quantile-norm replay: per-source rank window, rank/(n+1)
-    "q228_quantile_norm" ->
-      s"""WITH s AS (SELECT doc_id, source,
-         |    ${PortableSql.qualityScore("text", DD)} AS quality
-         |  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
-         |r AS (SELECT *,
-         |    row_number() OVER (PARTITION BY source
-         |      ORDER BY quality, doc_id) AS rk,
-         |    count(*) OVER (PARTITION BY source) AS n
-         |  FROM s)
-         |SELECT doc_id, source, quality,
-         |  round(CAST(rk AS DOUBLE) / (n + 1), 6) AS q_norm FROM r""".stripMargin,
-
-    // chi2 replay: fenced vocab, shared-vocab totals, identical
-    // expected expression at every use site
-    "q229_chi2_drift" ->
-      s"""WITH b AS (SELECT token, count(*) AS n_base FROM (
-         |    SELECT unnest(${DD.tokens("text")}) AS token
-         |    FROM documents WHERE doc_id % 2 = 0) GROUP BY token
-         |  HAVING count(*) >= 5),
-         |nx AS (SELECT token, count(*) AS n_next FROM (
-         |    SELECT unnest(${DD.tokens("text")}) AS token
-         |    FROM documents WHERE doc_id % 2 = 1) GROUP BY token),
-         |j AS (SELECT b.token, b.n_base,
-         |    CAST(coalesce(nx.n_next, 0) AS BIGINT) AS n_next
-         |  FROM b LEFT JOIN nx USING (token)),
-         |t AS (SELECT CAST(sum(n_base) AS DOUBLE) AS bt,
-         |    CAST(sum(n_next) AS DOUBLE) AS nt FROM j)
-         |SELECT token, n_base, n_next,
-         |  round(nt * n_base / bt, 6) AS expected,
-         |  round((n_next - nt * n_base / bt) * (n_next - nt * n_base / bt)
-         |    / (nt * n_base / bt), 6) AS chi2_term
-         |FROM j, t
-         |ORDER BY chi2_term DESC, token ASC LIMIT 20""".stripMargin,
-
-    // compaction-plan replay: the q208 binning at 64 files, running-sum
-    // bins at 2000 target rows
-    "q230_compaction_plan" ->
-      """WITH b AS (SELECT min(epoch(o_orderdate)) AS lo,
-        |                  max(epoch(o_orderdate)) AS hi FROM orders),
-        |f AS (SELECT o.*,
-        |    CASE WHEN b.hi = b.lo THEN 0
-        |         ELSE least(63, greatest(0, CAST(floor(
-        |           (epoch(o_orderdate) - b.lo) * 64 / (b.hi - b.lo))
-        |           AS INT))) END AS file_id
-        |  FROM orders o, b),
-        |st AS (SELECT file_id, count(*) AS n_rows,
-        |    min(o_orderdate) AS mn FROM f GROUP BY file_id),
-        |w AS (SELECT *,
-        |    sum(n_rows) OVER (ORDER BY mn, n_rows
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        |  FROM st)
-        |SELECT CAST(floor((cum - n_rows) / 2000) AS BIGINT) AS bin,
-        |  count(*) AS n_files, CAST(sum(n_rows) AS BIGINT) AS total_rows
-        |FROM w GROUP BY 1""".stripMargin,
-
-    // attribution replay: the q19/q217 sessionization window + lag of
-    // (type, session), purchase rows only
-    "q231_attribution" ->
-      """WITH p AS (SELECT user_id, event_id, ts, event_type,
-        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |      AS prev,
-        |    lag(event_type) OVER (PARTITION BY user_id
-        |      ORDER BY ts, event_id) AS ptype
-        |  FROM events),
-        |s AS (SELECT *, sum(CASE WHEN prev IS NULL
-        |      OR epoch(ts) - epoch(prev) > 1800.0 THEN 1 ELSE 0 END)
-        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
-        |  FROM p),
-        |s2 AS (SELECT *, lag(sess) OVER (PARTITION BY user_id
-        |    ORDER BY ts, event_id) AS psess FROM s)
-        |SELECT CASE WHEN psess IS NULL OR psess <> sess THEN '(direct)'
-        |            ELSE ptype END AS touch_type,
-        |  count(*) AS n_conversions
-        |FROM s2 WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
-
-    // time-travel replay: each version's filter re-derived
-    "q232_time_travel" ->
-      """SELECT 0 AS version, count(*) AS n_rows,
-        |  CAST(sum(c_custkey) AS BIGINT) AS sum_key
-        |FROM customer WHERE c_custkey % 3 = 0
-        |UNION ALL
-        |SELECT 1, count(*), CAST(sum(c_custkey) AS BIGINT)
-        |FROM customer WHERE c_custkey % 2 = 0
-        |UNION ALL
-        |SELECT 2, count(*), CAST(sum(c_custkey) AS BIGINT)
-        |FROM customer""".stripMargin,
-
-    // Gini replay: per-source counts, ascending rank window, the
-    // discrete-distribution formula with integer sums
-    "q233_gini" ->
-      """WITH g AS (SELECT source, count(*) AS x FROM documents
-        |           WHERE source IS NOT NULL GROUP BY source),
-        |r AS (SELECT x, row_number() OVER (ORDER BY x ASC, source ASC)
-        |        AS i FROM g)
-        |SELECT count(*) AS n_groups, CAST(sum(x) AS BIGINT) AS total,
-        |  round(CAST(2 * sum(i * x) - (count(*) + 1) * sum(x) AS DOUBLE)
-        |    / (count(*) * sum(x)), 6) AS gini
-        |FROM r""".stripMargin,
-
-    // host-boilerplate replay: constructive pages, per-(host, line)
-    // distinct-page frequencies, ordered surviving-line rebuild
-    "q234_host_boilerplate" ->
-      """WITH pages AS (SELECT doc_id,
-        |    'h' || CAST(doc_id % 5 AS VARCHAR) AS host,
-        |    'NAV h' || CAST(doc_id % 5 AS VARCHAR) || chr(10) || text ||
-        |      CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'PROMO'
-        |           ELSE '' END AS page
-        |  FROM documents WHERE text IS NOT NULL),
-        |split0 AS (SELECT doc_id, host, string_split(page, chr(10)) AS l
-        |           FROM pages),
-        |lines AS (SELECT doc_id, host, gi AS p,
-        |    md5(l[CAST(gi AS INT)]) AS h
-        |  FROM split0, unnest(generate_series(1, len(l))) AS u(gi)),
-        |hp AS (SELECT host, count(DISTINCT doc_id) AS np
-        |       FROM pages GROUP BY host),
-        |lf AS (SELECT host, h, count(DISTINCT doc_id) AS nl
-        |       FROM lines GROUP BY host, h),
-        |boiler AS (SELECT lf.host, lf.h
-        |  FROM lf JOIN hp ON hp.host = lf.host
-        |  WHERE hp.np >= 3 AND CAST(lf.nl AS DOUBLE) >= 0.5 * hp.np),
-        |kept AS (SELECT li.doc_id, li.p, li.h
-        |  FROM lines li LEFT JOIN boiler b
-        |    ON b.host = li.host AND b.h = li.h
-        |  WHERE b.h IS NULL),
-        |rebuilt AS (SELECT s.doc_id,
-        |    coalesce(string_agg(s.l[CAST(k.p AS INT)], chr(10)
-        |      ORDER BY k.p), '') AS clean,
-        |    any_value(len(s.l)) AS n_before,
-        |    count(k.p) AS n_after
-        |  FROM split0 s LEFT JOIN kept k ON k.doc_id = s.doc_id
-        |  GROUP BY s.doc_id)
-        |SELECT doc_id, clean, CAST(n_before AS BIGINT) AS n_before,
-        |  CAST(n_after AS BIGINT) AS n_after
-        |FROM rebuilt""".stripMargin,
-
-    // CDC replay: q49's polynomial hash terms at k=5, cut positions
-    // i+4 where h%64=0, bounds-window chunks, md5 identity, spread>=2
-    "q235_cdc_dedup" -> {
-      val k = 5
-      val terms = (0 until k).map { j =>
-        val pow = BigInt(257).pow(k - 1 - j).toLong
-        s"ascii(substr(page, __i + $j, 1)) * $pow"
-      }.mkString("(", " + ", ")")
-      val lic = (" license clause alpha beta gamma delta epsilon " +
-        "zeta eta theta iota kappa applies to this corpus document ") * 4
-      s"""WITH pages AS (SELECT doc_id,
-         |    CASE WHEN doc_id % 3 = 0 THEN text || '$lic'
-         |         ELSE text END AS page
-         |  FROM documents WHERE text IS NOT NULL),
-         |hs AS (SELECT doc_id, page,
-         |    CASE WHEN length(page) >= $k THEN list_transform(
-         |      generate_series(1, length(page) - ${k - 1}),
-         |      __i -> $terms % 1000003) ELSE [] END AS h
-         |  FROM pages),
-         |cuts AS (SELECT doc_id, page,
-         |    list_sort(list_distinct(
-         |      [CAST(0 AS BIGINT)] ||
-         |      list_transform(
-         |        list_filter(generate_series(1, len(h)),
-         |          __i -> h[CAST(__i AS INT)] % 64 = 0),
-         |        __i -> __i + ${k - 1}) ||
-         |      [CAST(length(page) AS BIGINT)])) AS b
-         |  FROM hs),
-         |chunks AS (SELECT doc_id, page,
-         |    b[CAST(gi AS INT)] + 1 AS s,
-         |    b[CAST(gi AS INT) + 1] - b[CAST(gi AS INT)] AS l
-         |  FROM cuts, unnest(generate_series(1, len(b) - 1)) AS u(gi)
-         |  WHERE len(b) >= 2),
-         |ch AS (SELECT doc_id,
-         |    md5(substr(page, CAST(s AS INT), CAST(l AS INT))) AS h2,
-         |    l FROM chunks),
-         |spread AS (SELECT h2 FROM ch GROUP BY h2
-         |           HAVING count(DISTINCT doc_id) >= 2),
-         |tot AS (SELECT doc_id, count(*) AS n_chunks,
-         |    CAST(sum(l) AS BIGINT) AS total_bytes FROM ch GROUP BY doc_id),
-         |shr AS (SELECT doc_id, count(*) AS n_shared_chunks,
-         |    CAST(sum(l) AS BIGINT) AS shared_bytes
-         |  FROM ch WHERE h2 IN (SELECT h2 FROM spread) GROUP BY doc_id)
-         |SELECT t.doc_id, t.n_chunks,
-         |  coalesce(s.n_shared_chunks, 0) AS n_shared_chunks,
-         |  coalesce(s.shared_bytes, 0) AS shared_bytes,
-         |  t.total_bytes,
-         |  round(CAST(coalesce(s.shared_bytes, 0) AS DOUBLE)
-         |    / t.total_bytes, 6) AS dup_ratio
-         |FROM tot t LEFT JOIN shr s ON s.doc_id = t.doc_id""".stripMargin
-    },
-
-    // KMV set-ops replay: the q35 hash, bottom-256 per half, merged
-    // bottom-256 union, both-sketch membership
-    "q236_kmv_setops" -> {
-      val h = s"(CAST(${PortableSql.minhashBase("CAST(o_custkey AS VARCHAR)", DD)} AS DOUBLE) / 1152921504606846976.0)"
-      def estSel(src: String) =
-        s"(SELECT CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE) ELSE 255.0 / max(h) END FROM $src)"
-      s"""WITH ha AS (SELECT DISTINCT $h AS h FROM orders
-         |  WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'),
-         |hb AS (SELECT DISTINCT $h AS h FROM orders
-         |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'),
-         |ka AS (SELECT h FROM ha ORDER BY h LIMIT 256),
-         |kb AS (SELECT h FROM hb ORDER BY h LIMIT 256),
-         |ku AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
-         |       ORDER BY h LIMIT 256),
-         |sh AS (SELECT count(*) AS s FROM ku
-         |  WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)),
-         |un AS (SELECT count(*) AS nu FROM ku)
-         |SELECT round(${estSel("ka")}, 6) AS est_a,
-         |  round(${estSel("kb")}, 6) AS est_b,
-         |  round(${estSel("ku")}, 6) AS est_union,
-         |  round(CAST(sh.s AS DOUBLE) / un.nu, 6) AS est_jaccard,
-         |  round((CAST(sh.s AS DOUBLE) / un.nu) * ${estSel("ku")}, 6)
-         |    AS est_intersection
-         |FROM sh, un""".stripMargin
-    },
-
-    // multi-probe recall replay: per-bit Hamming distance against each
-    // query's bucket — 0 for single, <=1 for multi-probe — vs the
-    // shared brute-force truth
-    "q237_multiprobe_recall" -> {
-      def ham(b: String, qb: String) =
-        s"""list_sum(list_transform(generate_series(1, 8), __i ->
-           |  CASE WHEN substr($b, CAST(__i AS INT), 1)
-           |     <> substr($qb, CAST(__i AS INT), 1) THEN 1 ELSE 0 END))""".stripMargin
-      def method(name: String, maxHam: Int) =
-        s"""SELECT '$name' AS method, t.query_id,
-           |  CAST(count(a.vec_id) AS BIGINT) AS hits,
-           |  round(CAST(count(a.vec_id) AS DOUBLE) / count(*), 6)
-           |    AS recall_at_k
-           |FROM truth t LEFT JOIN (
-           |  SELECT query_id, vec_id FROM ranked_$name WHERE rn <= 10) a
-           |  ON a.query_id = t.query_id AND a.vec_id = t.vec_id
-           |GROUP BY t.query_id""".stripMargin
-      s"""WITH tr AS (${bruteBatchSql()}),
-         |truth AS (SELECT DISTINCT query_id, vec_id FROM tr),
-         |q AS (SELECT CAST(vec_id AS BIGINT) AS query_id, embedding AS qe,
-         |    ${duckSignBucket("embedding", 8, 64)} AS qb
-         |  FROM embeddings WHERE vec_id < 3),
-         |b AS (SELECT vec_id, embedding,
-         |    ${duckSignBucket("embedding", 8, 64)} AS bucket
-         |  FROM embeddings),
-         |sc AS (SELECT q.query_id, b.vec_id,
-         |    ${duckCosine("b.embedding", "q.qe", 64)} AS cs,
-         |    ${ham("b.bucket", "q.qb")} AS hd
-         |  FROM b, q),
-         |ranked_single AS (SELECT query_id, vec_id,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY cs DESC, vec_id ASC) AS rn
-         |  FROM sc WHERE hd = 0),
-         |ranked_multiprobe AS (SELECT query_id, vec_id,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY cs DESC, vec_id ASC) AS rn
-         |  FROM sc WHERE hd <= 1)
-         |${method("single", 0)}
-         |UNION ALL
-         |${method("multiprobe", 1)}""".stripMargin
-    },
-
-    // winnow-mirror replay: the q49 fingerprint CTE feeding the q209
-    // mirror SQL at fingerprint granularity
-    "q238_winnow_mirrors" -> {
-      val k = 5; val w = 4
-      val terms = (0 until k).map { j =>
-        val pow = BigInt(257).pow(k - 1 - j).toLong
-        s"ascii(substr(text, __i + $j, 1)) * $pow"
-      }.mkString("(", " + ", ")")
-      s"""WITH hs AS (
-         |  SELECT doc_id, CASE WHEN length(text) >= $k THEN list_transform(
-         |    generate_series(1, length(text) - ${k - 1}),
-         |    __i -> $terms % 1000003) ELSE [] END AS h
-         |  FROM documents WHERE text IS NOT NULL),
-         |fpl AS (
-         |  SELECT doc_id, CASE WHEN len(h) >= 1 THEN list_distinct(list_transform(
-         |    generate_series(1, greatest(len(h) - ${w - 1}, 1)),
-         |    __t -> list_min(h[__t:__t + ${w - 1}]))) ELSE [] END AS fps
-         |  FROM hs),
-         |fps AS (SELECT doc_id, unnest(fps) AS fp FROM fpl),
-         |pages AS (
-         |  SELECT DISTINCT host, fp FROM (
-         |    SELECT 'h' || CAST(doc_id % 6 AS VARCHAR) AS host, fp FROM fps
-         |    UNION ALL
-         |    SELECT 'm' || CAST(doc_id % 6 AS VARCHAR) AS host, fp
-         |    FROM fps WHERE doc_id % 2 = 0)),
-         |rare AS (SELECT fp FROM pages GROUP BY fp
-         |         HAVING count(*) BETWEEN 2 AND 8),
-         |capped AS (SELECT p.host, p.fp FROM pages p JOIN rare USING (fp)),
-         |sizes AS (SELECT host, count(*) AS sz FROM pages GROUP BY host),
-         |prs AS (SELECT a.host AS host_a, b.host AS host_b,
-         |    count(*) AS shared
-         |  FROM capped a JOIN capped b
-         |    ON a.fp = b.fp AND a.host < b.host
-         |  GROUP BY 1, 2 HAVING count(*) >= 5)
-         |SELECT host_a, host_b, shared,
-         |  sa.sz AS n_a, sb.sz AS n_b,
-         |  round(CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared), 6)
-         |    AS resemblance,
-         |  round(CAST(shared AS DOUBLE) / least(sa.sz, sb.sz), 6)
-         |    AS containment
-         |FROM prs
-         |JOIN sizes sa ON sa.host = host_a
-         |JOIN sizes sb ON sb.host = host_b""".stripMargin
-    },
-
-    // KS replay: per-value counts, running-sum CDFs over the joined
-    // distinct-value frame, argmax with smallest-value tie-break —
-    // integer cumulatives make both CDF quotients engine-exact
-    "q239_ks_drift" ->
-      """WITH d AS (SELECT lang,
-        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS v
-        |  FROM documents WHERE text IS NOT NULL),
-        |a AS (SELECT v, count(*) AS ca FROM d WHERE lang = 'en' GROUP BY v),
-        |b AS (SELECT v, count(*) AS cb FROM d WHERE lang <> 'en' GROUP BY v),
-        |j AS (SELECT coalesce(a.v, b.v) AS v, coalesce(ca, 0) AS ca,
-        |    coalesce(cb, 0) AS cb
-        |  FROM a FULL OUTER JOIN b ON a.v = b.v),
-        |c AS (SELECT v,
-        |    sum(ca) OVER (ORDER BY v
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
-        |    sum(cb) OVER (ORDER BY v
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
-        |    sum(ca) OVER () AS na, sum(cb) OVER () AS nb
-        |  FROM j)
-        |SELECT round(abs(CAST(cuma AS DOUBLE) / na
-        |    - CAST(cumb AS DOUBLE) / nb), 6) AS d_stat,
-        |  v AS at_value, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b
-        |FROM c
-        |ORDER BY abs(CAST(cuma AS DOUBLE) / na
-        |  - CAST(cumb AS DOUBLE) / nb) DESC, v ASC
-        |LIMIT 1""".stripMargin,
-
-    // histogram-selectivity replay: rank → equal-count bins (floor of
-    // the same double quotient), uniform-within-bin overlap estimate,
-    // one conditional-aggregation actual; rel_error from the ROUNDED
-    // estimate so the report is engine-exact
-    "q240_selectivity" ->
-      """WITH r AS (SELECT l_extendedprice AS v,
-        |    row_number() OVER (ORDER BY l_extendedprice) AS rk,
-        |    count(*) OVER () AS n
-        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
-        |h AS (SELECT CAST(floor((rk - 1) * 8.0 / n) AS BIGINT) AS bin,
-        |    min(v) AS lo, max(v) AS hi, count(*) AS cnt
-        |  FROM r GROUP BY 1),
-        |preds AS (SELECT CAST(pl AS DOUBLE) AS pred_lo,
-        |    CAST(ph AS DOUBLE) AS pred_hi
-        |  FROM (VALUES (2000.0, 10000.0),
-        |    (10000.0, 50000.0), (50000.0, 105000.0)) AS t(pl, ph)),
-        |est AS (SELECT pred_lo, pred_hi,
-        |    round(sum(cnt * CASE WHEN hi = lo
-        |      THEN CASE WHEN pred_lo <= lo AND lo < pred_hi
-        |        THEN 1.0 ELSE 0.0 END
-        |      ELSE greatest(0.0, least((least(hi, pred_hi)
-        |        - greatest(lo, pred_lo)) / (hi - lo), 1.0)) END), 4)
-        |      AS est_rows
-        |  FROM h CROSS JOIN preds GROUP BY 1, 2),
-        |act AS (SELECT p.pred_lo, p.pred_hi,
-        |    CAST(sum(CASE WHEN l.l_extendedprice >= p.pred_lo
-        |      AND l.l_extendedprice < p.pred_hi THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS actual_rows
-        |  FROM preds p CROSS JOIN lineitem l GROUP BY 1, 2)
-        |SELECT e.pred_lo, e.pred_hi, e.est_rows, a.actual_rows,
-        |  CASE WHEN a.actual_rows = 0 THEN NULL
-        |    ELSE round((e.est_rows - a.actual_rows) / a.actual_rows, 6)
-        |  END AS rel_error
-        |FROM est e JOIN act a
-        |  ON a.pred_lo = e.pred_lo AND a.pred_hi = e.pred_hi""".stripMargin,
-
-    // join-cardinality replay: per-key count frames, System-R estimate
-    // |A||B|/max(ndv), actual = Σ cnt_a·cnt_b — never the join itself
-    "q241_join_card" -> {
-      def one(label: String, ta: String, ka: String, tb: String, kb: String) =
-        s"""SELECT '$label' AS label, n_a, n_b, ndv_a, ndv_b,
-           |  round(CAST(n_a AS DOUBLE) * n_b / greatest(ndv_a, ndv_b), 4)
-           |    AS est_rows,
-           |  actual_rows,
-           |  round(actual_rows / round(CAST(n_a AS DOUBLE) * n_b
-           |    / greatest(ndv_a, ndv_b), 4), 6) AS ratio
-           |FROM (
-           |  SELECT
-           |    (SELECT count(*) FROM $ta WHERE $ka IS NOT NULL) AS n_a,
-           |    (SELECT count(DISTINCT $ka) FROM $ta) AS ndv_a,
-           |    (SELECT count(*) FROM $tb WHERE $kb IS NOT NULL) AS n_b,
-           |    (SELECT count(DISTINCT $kb) FROM $tb) AS ndv_b,
-           |    (SELECT CAST(coalesce(sum(ca.na * cb.nb), 0) AS BIGINT) FROM
-           |      (SELECT $ka AS k, count(*) AS na FROM $ta
-           |       WHERE $ka IS NOT NULL GROUP BY 1) ca
-           |      JOIN (SELECT $kb AS k, count(*) AS nb FROM $tb
-           |       WHERE $kb IS NOT NULL GROUP BY 1) cb USING (k))
-           |      AS actual_rows)""".stripMargin
-      one("orders_lineitem", "orders", "o_orderkey", "lineitem", "l_orderkey") +
-        "\nUNION ALL\n" +
-        one("customer_orders", "customer", "c_custkey", "orders", "o_custkey")
-    },
-
-    // Markov-attribution replay: q231's sessionization, paths truncated
-    // at the first conversion, (src,dst) transition counts, and the
-    // SAME 15-step truncated Neumann series unrolled as chained CTEs —
-    // per removed channel — that the Spark side computes on the
-    // collected (type-vocabulary-bounded) transition matrix
-    "q242_markov_attribution" -> {
-      def iter(prev: Int, cur: Int): String =
-        s"""it$cur AS (
-           |  SELECT r.removed, t.src AS state,
-           |    sum(t.prob * CASE WHEN t.dst = 'CONV' THEN 1.0
-           |      WHEN t.dst = 'NULL' OR t.dst = r.removed THEN 0.0
-           |      ELSE coalesce(i.p, 0.0) END) AS p
-           |  FROM tp t CROSS JOIN removals r
-           |  LEFT JOIN it$prev i ON i.state = t.dst AND i.removed = r.removed
-           |  GROUP BY 1, 2)""".stripMargin
-      val itChain = (1 to 15).map(i => iter(i - 1, i)).mkString(",\n")
-      s"""WITH pp AS (SELECT user_id, event_id, ts, event_type,
-         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-         |      AS prev
-         |  FROM events),
-         |ss AS (SELECT *, sum(CASE WHEN prev IS NULL
-         |      OR epoch(ts) - epoch(prev) > 1800.0 THEN 1 ELSE 0 END)
-         |    OVER (PARTITION BY user_id ORDER BY ts, event_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
-         |  FROM pp),
-         |paths AS (SELECT user_id, sess,
-         |    list(event_type ORDER BY ts, event_id) AS types
-         |  FROM ss GROUP BY user_id, sess),
-         |tr0 AS (SELECT CASE WHEN cpos IS NOT NULL AND cpos > 0
-         |    THEN ['START'] || types[1:cpos-1] || ['CONV']
-         |    ELSE ['START'] || types || ['NULL'] END AS path
-         |  FROM (SELECT types, list_position(types, 'purchase') AS cpos
-         |        FROM paths)),
-         |trans AS (SELECT path[i] AS src, path[i+1] AS dst, count(*) AS cnt
-         |  FROM (SELECT path, unnest(generate_series(1, len(path) - 1)) AS i
-         |        FROM tr0)
-         |  GROUP BY 1, 2),
-         |tp AS (SELECT src, dst,
-         |    CAST(cnt AS DOUBLE) / sum(cnt) OVER (PARTITION BY src) AS prob
-         |  FROM trans),
-         |states AS (SELECT DISTINCT src AS state FROM trans),
-         |removals AS (SELECT 'NONE' AS removed
-         |  UNION ALL SELECT state FROM states WHERE state <> 'START'),
-         |it0 AS (SELECT r.removed, st.state, 0.0 AS p
-         |  FROM states st CROSS JOIN removals r),
-         |$itChain,
-         |base AS (SELECT p AS pb FROM it15
-         |  WHERE removed = 'NONE' AND state = 'START'),
-         |eff AS (SELECT i.removed AS channel, (b.pb - i.p) / b.pb AS effect
-         |  FROM it15 i, base b
-         |  WHERE i.removed <> 'NONE' AND i.state = 'START'),
-         |tot AS (SELECT sum(effect) AS te FROM eff)
-         |SELECT channel, round(effect, 6) AS removal_effect,
-         |  round(CASE WHEN te > 0 THEN effect / te ELSE 0.0 END, 6)
-         |    AS attribution_share
-         |FROM eff, tot""".stripMargin
-    },
-
-    // DP-counts replay: the q37 salted md5 unit hash drives the same
-    // Laplace inverse CDF at ε = 1
-    "q243_dp_counts" -> {
-      val h = PortableSql.minhashBase("concat('e1', ':', lang)", DD)
-      s"""WITH g AS (SELECT lang, count(*) AS n FROM documents
-         |  WHERE lang IS NOT NULL GROUP BY lang),
-         |u AS (SELECT lang, n,
-         |    CAST($h AS DOUBLE) / 1152921504606846976.0 AS u FROM g)
-         |SELECT lang, round(n + (-1.0) * sign(u - 0.5)
-         |  * ln(1 - 2 * abs(u - 0.5)), 6) AS n_noisy
-         |FROM u""".stripMargin
-    },
-
-    // weighted-Jaccard replay: the q88 all-pairs stem at 0.5 for the
-    // candidate set, then micro-integer IDF token weights — integer
-    // intersection/total sums, one final division
-    "q244_weighted_jaccard" ->
-      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents
-         |  WHERE text IS NOT NULL),
-         |sh AS (SELECT doc_id, $duckShingles AS s FROM t),
-         |exsh AS (SELECT DISTINCT doc_id, unnest(s) AS sv FROM sh),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM exsh GROUP BY doc_id),
-         |inter AS (
-         |  SELECT ea.doc_id AS id_a, eb.doc_id AS id_b, count(*) AS i
-         |  FROM exsh ea JOIN exsh eb ON eb.sv = ea.sv
-         |    AND ea.doc_id < eb.doc_id
-         |  GROUP BY 1, 2),
-         |pairs AS (
-         |  SELECT id_a, id_b,
-         |    round(it.i / (sa.n + sb.n - it.i), 6) AS jaccard
-         |  FROM inter it JOIN sizes sa ON sa.doc_id = it.id_a
-         |  JOIN sizes sb ON sb.doc_id = it.id_b
-         |  WHERE round(it.i / (sa.n + sb.n - it.i), 6) >= 0.5),
-         |nd AS (SELECT count(*) AS nd FROM documents WHERE text IS NOT NULL),
-         |tok AS (SELECT DISTINCT doc_id, unnest(toks) AS tk FROM t),
-         |idf AS (SELECT tk,
-         |    CAST(round(ln((nd + 1.0) / (count(*) + 1)) * 1e6) AS BIGINT)
-         |      AS w
-         |  FROM tok, nd GROUP BY tk, nd.nd),
-         |docw AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS sw
-         |  FROM tok JOIN idf USING (tk) GROUP BY doc_id),
-         |iw AS (SELECT p.id_a, p.id_b, CAST(sum(i.w) AS BIGINT) AS iw
-         |  FROM pairs p
-         |  JOIN tok ta ON ta.doc_id = p.id_a
-         |  JOIN tok tb ON tb.doc_id = p.id_b AND tb.tk = ta.tk
-         |  JOIN idf i ON i.tk = ta.tk
-         |  GROUP BY 1, 2)
-         |SELECT p.id_a, p.id_b, p.jaccard,
-         |  round(CAST(coalesce(iw.iw, 0) AS DOUBLE)
-         |    / (da.sw + db.sw - coalesce(iw.iw, 0)), 6) AS w_jaccard
-         |FROM pairs p
-         |LEFT JOIN iw ON iw.id_a = p.id_a AND iw.id_b = p.id_b
-         |JOIN docw da ON da.doc_id = p.id_a
-         |JOIN docw db ON db.doc_id = p.id_b""".stripMargin,
-
-    // modularity replay: q182's graph + 3 label-prop rounds, then the
-    // Newman–Girvan decomposition with integer numerators over the
-    // common 4m² denominator
-    "q245_modularity" -> {
-      def iter(prev: String, cur: String): String =
-        s"""v_$cur AS (
-           |  SELECT x.id, x.label, count(*) AS c FROM (
-           |    SELECT adj.v AS id, l.label
-           |    FROM adj JOIN l_$prev l ON l.id = adj.nbr
-           |    UNION ALL SELECT id, label FROM l_$prev) x
-           |  GROUP BY x.id, x.label),
-           |l_$cur AS (
-           |  SELECT id, min(label) AS label FROM (
-           |    SELECT id, label, c, max(c) OVER (PARTITION BY id) AS mc
-           |    FROM v_$cur) WHERE c = mc GROUP BY id)""".stripMargin
-      s"""WITH nn AS (SELECT count(*) AS n FROM documents
-         |  WHERE text IS NOT NULL),
-         |nodes AS (SELECT doc_id AS id FROM documents WHERE text IS NOT NULL),
-         |e AS (
-         |  SELECT doc_id AS src, (doc_id*2+1) % n AS dst
-         |  FROM documents, nn WHERE text IS NOT NULL
-         |  UNION ALL
-         |  SELECT doc_id, (doc_id*3+2) % n FROM documents, nn
-         |  WHERE text IS NOT NULL
-         |  UNION ALL
-         |  SELECT doc_id, (doc_id*7+5) % n FROM documents, nn
-         |  WHERE text IS NOT NULL),
-         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-         |        FROM e WHERE src <> dst),
-         |adj AS (SELECT a AS v, b AS nbr FROM und
-         |        UNION ALL SELECT b, a FROM und),
-         |l_0 AS (SELECT id, id AS label FROM nodes),
-         |${iter("0", "1")},
-         |${iter("1", "2")},
-         |${iter("2", "3")},
-         |m AS (SELECT count(*) AS m FROM und),
-         |deg AS (SELECT id, count(*) AS d FROM (
-         |    SELECT a AS id FROM und UNION ALL SELECT b FROM und)
-         |  GROUP BY id),
-         |ds AS (SELECT l.label, count(*) AS n_nodes,
-         |    CAST(sum(coalesce(deg.d, 0)) AS BIGINT) AS degree_sum
-         |  FROM l_3 l LEFT JOIN deg ON deg.id = l.id GROUP BY l.label),
-         |intra AS (SELECT la.label, count(*) AS internal_edges
-         |  FROM und u JOIN l_3 la ON la.id = u.a
-         |  JOIN l_3 lb ON lb.id = u.b AND lb.label = la.label
-         |  GROUP BY la.label)
-         |SELECT ds.label, ds.n_nodes, ds.degree_sum,
-         |  coalesce(i.internal_edges, 0) AS internal_edges,
-         |  round(CAST(4 * m.m * coalesce(i.internal_edges, 0)
-         |    - ds.degree_sum * ds.degree_sum AS DOUBLE)
-         |    / (4 * m.m * m.m), 6) AS q_term
-         |FROM ds LEFT JOIN intra i USING (label) CROSS JOIN m
-         |WHERE ds.n_nodes >= 2""".stripMargin
-    },
-
-    // silhouette replay: the q55 2-iteration k-means chain, per-point
-    // sims to all final centroids, micro-int scores, exact means
-    "q246_silhouette" -> {
-      val dims = 64
-      def assignCte(cents: String) =
-        s"""SELECT vec_id, cid AS cluster FROM (
-           |    SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
-           |      ORDER BY ${duckCosine("e.embedding", "c.cemb", dims)} DESC, c.cid ASC) AS rn
-           |    FROM embeddings e CROSS JOIN $cents c) WHERE rn = 1""".stripMargin
-      s"""WITH c0 AS (SELECT CAST(vec_id AS BIGINT) AS cid,
-         |            list_transform(embedding, __x -> CAST(__x AS DOUBLE)) AS cemb
-         |            FROM embeddings ORDER BY vec_id LIMIT 4),
-         |a0 AS (${assignCte("c0")}),
-         |m1 AS (SELECT a0.cluster, d.d, round(avg(CAST(e.embedding[d.d] AS DOUBLE)), 6) AS v
-         |       FROM a0 JOIN embeddings e USING (vec_id), generate_series(1, $dims) d(d)
-         |       GROUP BY a0.cluster, d.d),
-         |c1 AS (SELECT cluster AS cid, list(v ORDER BY d) AS cemb FROM m1 GROUP BY cluster),
-         |sims AS (SELECT e.vec_id, c.cid,
-         |    ${duckCosine("e.embedding", "c.cemb", dims)} AS sim
-         |  FROM embeddings e CROSS JOIN c1 c),
-         |asg AS (SELECT vec_id, cid AS cluster FROM (
-         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY sim DESC, cid ASC) AS rn FROM sims) WHERE rn = 1),
-         |sil AS (SELECT s.vec_id, a.cluster,
-         |    max(CASE WHEN s.cid = a.cluster THEN s.sim END) AS own,
-         |    max(CASE WHEN s.cid <> a.cluster THEN s.sim END) AS oth
-         |  FROM sims s JOIN asg a USING (vec_id) GROUP BY 1, 2),
-         |pt AS (SELECT cluster,
-         |    CAST(round(CASE WHEN 1 - least(own, oth) = 0 THEN 0.0
-         |      ELSE (own - oth) / (1 - least(own, oth)) END * 1e6) AS BIGINT)
-         |      AS sm
-         |  FROM sil)
-         |SELECT cluster, count(*) AS n_points,
-         |  round(CAST(sum(sm) AS BIGINT) / 1e6 / count(*), 6)
-         |    AS mean_silhouette
-         |FROM pt GROUP BY cluster""".stripMargin
-    },
-
-    // vacuum replay: pinned run ids make names deterministic; content
-    // counts re-derive from the version filters; the orphan reports
-    // with NULL version/rows
-    "q247_vacuum_plan" ->
-      """SELECT 'run_20250101' AS run_name, CAST(0 AS BIGINT) AS version,
-        |  'expire' AS status,
-        |  (SELECT count(*) FROM customer WHERE c_custkey % 3 = 0) AS n_rows
-        |UNION ALL
-        |SELECT 'run_20250102', CAST(1 AS BIGINT), 'expire',
-        |  (SELECT count(*) FROM customer WHERE c_custkey % 2 = 0)
-        |UNION ALL
-        |SELECT 'run_20250103', CAST(2 AS BIGINT), 'keep',
-        |  (SELECT count(*) FROM customer WHERE c_custkey % 5 = 0)
-        |UNION ALL
-        |SELECT 'run_20250104', CAST(3 AS BIGINT), 'keep',
-        |  (SELECT count(*) FROM customer)
-        |UNION ALL
-        |SELECT 'run_20250105_partial', CAST(NULL AS BIGINT), 'orphan',
-        |  CAST(NULL AS BIGINT)""".stripMargin,
-
-    // stupid-backoff replay: model-half n-gram count tables, heldout
-    // trigram positions, the same three-branch CASE (α interpolated as
-    // the exact Scala doubles so both engines score identical floats)
-    "q248_stupid_backoff" -> {
-      val a = 0.4
-      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS l
-         |  FROM documents WHERE text IS NOT NULL),
-         |mdl AS (SELECT * FROM d WHERE doc_id % 2 = 0),
-         |hld AS (SELECT * FROM d WHERE doc_id % 2 = 1),
-         |tc AS (SELECT g, count(*) AS c3 FROM (
-         |    SELECT unnest(${DD.shingles("l", 3)}) AS g FROM mdl
-         |    WHERE len(l) >= 3) GROUP BY g),
-         |bc AS (SELECT g, count(*) AS c2 FROM (
-         |    SELECT unnest(${DD.shingles("l", 2)}) AS g FROM mdl
-         |    WHERE len(l) >= 2) GROUP BY g),
-         |uc AS (SELECT w, count(*) AS c1 FROM (
-         |    SELECT unnest(l) AS w FROM mdl) GROUP BY w),
-         |st AS (SELECT CAST(sum(c1) AS DOUBLE) AS n,
-         |    CAST(count(*) AS DOUBLE) AS v FROM uc),
-         |px AS (SELECT doc_id, tg,
-         |    array_to_string(string_split(tg, ' ')[1:2], ' ') AS h12,
-         |    array_to_string(string_split(tg, ' ')[2:3], ' ') AS g23,
-         |    string_split(tg, ' ')[2] AS w2,
-         |    string_split(tg, ' ')[3] AS w3
-         |  FROM (SELECT doc_id, unnest(${DD.shingles("l", 3)}) AS tg
-         |        FROM hld WHERE len(l) >= 3)),
-         |sc AS (SELECT p.doc_id,
-         |    CASE WHEN coalesce(t.c3, 0) > 0
-         |      THEN CAST(t.c3 AS DOUBLE) / bh.c2
-         |    WHEN coalesce(bg.c2, 0) > 0
-         |      THEN $a * CAST(bg.c2 AS DOUBLE) / u2.c1
-         |    ELSE ${a * a} * (coalesce(u3.c1, 0) + 1) / (st.n + st.v)
-         |    END AS s
-         |  FROM px p
-         |  LEFT JOIN tc t ON t.g = p.tg
-         |  LEFT JOIN bc bh ON bh.g = p.h12
-         |  LEFT JOIN bc bg ON bg.g = p.g23
-         |  LEFT JOIN uc u2 ON u2.w = p.w2
-         |  LEFT JOIN uc u3 ON u3.w = p.w3, st)
-         |SELECT doc_id, round(avg(-ln(s)), 6) AS nll_sb
-         |FROM sc GROUP BY doc_id""".stripMargin
-    },
-
-    // skip-rate replay: the q208 range-bin file assignment per layout,
-    // per-file min/max zones, overlap counting per predicate
-    "q249_skip_rate" -> {
-      def layout(cluster: String, tag: String) =
-        s"""b_$tag AS (SELECT min(CAST($cluster AS DOUBLE)) AS lo,
-           |    max(CAST($cluster AS DOUBLE)) AS hi FROM orders),
-           |f_$tag AS (SELECT CASE WHEN b.hi = b.lo THEN 0
-           |    ELSE least(31, greatest(0,
-           |      CAST(floor((CAST($cluster AS DOUBLE) - b.lo) * 32
-           |        / (b.hi - b.lo)) AS INT))) END AS file_id,
-           |    o_totalprice AS v
-           |  FROM orders, b_$tag b),
-           |s_$tag AS (SELECT file_id, min(v) AS mn, max(v) AS mx
-           |  FROM f_$tag GROUP BY file_id),
-           |o_$tag AS (SELECT pred_lo, pred_hi, count(*) AS ft,
-           |    CAST(sum(CASE WHEN mx >= pred_lo AND mn <= pred_hi
-           |      THEN 1 ELSE 0 END) AS BIGINT) AS opened
-           |  FROM s_$tag CROSS JOIN preds GROUP BY 1, 2)""".stripMargin
-      s"""WITH preds AS (SELECT CAST(pl AS DOUBLE) AS pred_lo,
-         |    CAST(ph AS DOUBLE) AS pred_hi
-         |  FROM (VALUES (1000.0, 50000.0), (100000.0, 200000.0),
-         |    (400000.0, 500000.0)) AS t(pl, ph)),
-         |${layout("o_totalprice", "a")},
-         |${layout("o_orderkey", "b")}
-         |SELECT a.pred_lo, a.pred_hi, a.ft AS files_a,
-         |  a.opened AS open_a,
-         |  round(CAST(a.ft - a.opened AS DOUBLE) / a.ft, 6) AS skip_rate_a,
-         |  b.ft AS files_b, b.opened AS open_b,
-         |  round(CAST(b.ft - b.opened AS DOUBLE) / b.ft, 6) AS skip_rate_b
-         |FROM o_a a JOIN o_b b
-         |  ON b.pred_lo = a.pred_lo AND b.pred_hi = a.pred_hi""".stripMargin
-    },
-
-    // b-bit replay: the q226 chain plus the low-2-bit match fraction
-    // and its exact collision correction (E_b − ¼)/¾
-    "q250_bbit_minhash" -> {
-      val mf = (0 until 8).map(i =>
-        s"(CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END)").mkString(" + ")
-      val mb = (0 until 8).map(i =>
-        s"(CASE WHEN sa.s$i % 4 = sb.s$i % 4 THEN 1 ELSE 0 END)")
-        .mkString(" + ")
-      s"""WITH $minhashCtes,
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM buckets a JOIN buckets b
-         |    ON a.band = b.band AND a.bucket = b.bucket
-         |      AND a.doc_id < b.doc_id),
-         |exsh AS (SELECT DISTINCT doc_id, unnest(s) AS sv FROM sh),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM exsh GROUP BY doc_id),
-         |inter AS (
-         |  SELECT c.id_a, c.id_b, count(*) AS i
-         |  FROM cand c
-         |  JOIN exsh ea ON ea.doc_id = c.id_a
-         |  JOIN exsh eb ON eb.doc_id = c.id_b AND eb.sv = ea.sv
-         |  GROUP BY c.id_a, c.id_b),
-         |ex AS (SELECT it.id_a, it.id_b,
-         |    round(it.i / (sa.n + sb.n - it.i), 6) AS jaccard
-         |  FROM inter it JOIN sizes sa ON sa.doc_id = it.id_a
-         |  JOIN sizes sb ON sb.doc_id = it.id_b),
-         |est AS (SELECT c.id_a, c.id_b,
-         |    CAST(($mf) AS DOUBLE) / 8 AS ef,
-         |    (CAST(($mb) AS DOUBLE) / 8 - 0.25) / 0.75 AS eb
-         |  FROM cand c JOIN sig sa ON sa.doc_id = c.id_a
-         |  JOIN sig sb ON sb.doc_id = c.id_b)
-         |SELECT count(*) AS n_pairs, 2 AS bits_per_component,
-         |  round(avg(jaccard), 6) AS mean_exact,
-         |  round(avg(ef), 6) AS mean_est_full,
-         |  round(avg(eb), 6) AS mean_est_b,
-         |  round(avg(abs(ef - jaccard)), 6) AS mae_full,
-         |  round(avg(abs(eb - jaccard)), 6) AS mae_b
-         |FROM est JOIN ex USING (id_a, id_b)""".stripMargin
-    },
-
-    // Krippendorff replay: melt the three raters (token gate abstains
-    // on zh), per-unit category counts, lcm(1,2)=2-scaled integer
-    // disagreement sums, one final division
-    "q251_krippendorff" ->
-      s"""WITH r AS (SELECT doc_id,
-         |    CAST((${PortableSql.qualityScore("text", DD)} >= 0.5)
-         |      AS VARCHAR) AS ra,
-         |    CAST((n_chars >= 306) AS VARCHAR) AS rb,
-         |    CASE WHEN lang <> 'zh'
-         |      THEN CAST((len(string_split(text, ' ')) >= 50) AS VARCHAR)
-         |    END AS rc
-         |  FROM documents WHERE text IS NOT NULL),
-         |m AS (SELECT doc_id, cat FROM (
-         |    SELECT doc_id, ra AS cat FROM r
-         |    UNION ALL SELECT doc_id, rb FROM r
-         |    UNION ALL SELECT doc_id, rc FROM r)
-         |  WHERE cat IS NOT NULL),
-         |uc AS (SELECT doc_id, cat, count(*) AS nuc FROM m GROUP BY 1, 2),
-         |u AS (SELECT doc_id, CAST(sum(nuc) AS BIGINT) AS mu,
-         |    CAST(sum(nuc * nuc) AS BIGINT) AS sq
-         |  FROM uc GROUP BY doc_id HAVING sum(nuc) >= 2),
-         |d_o AS (SELECT
-         |    coalesce(CAST(sum((mu * mu - sq) * (2 / (mu - 1)))
-         |      AS BIGINT), 0) AS d_o_scaled,
-         |    coalesce(CAST(sum(mu) AS BIGINT), 0) AS n_ratings,
-         |    count(*) AS n_units
-         |  FROM u),
-         |ct AS (SELECT coalesce(CAST(sum(nc * nc) AS BIGINT), 0) AS sqc
-         |  FROM (SELECT cat, sum(nuc) AS nc FROM uc
-         |        JOIN u USING (doc_id) GROUP BY cat))
-         |SELECT n_ratings, n_units, d_o_scaled,
-         |  n_ratings * n_ratings - sqc AS d_e,
-         |  round(CASE WHEN n_ratings * n_ratings - sqc = 0 THEN NULL
-         |    ELSE 1.0 - CAST(n_ratings - 1 AS DOUBLE) * d_o_scaled
-         |      / (2 * (n_ratings * n_ratings - sqc)) END, 6) AS alpha
-         |FROM d_o, ct""".stripMargin,
-
-    // param-audit replay: the constructive URL recipe re-derived as
-    // (host, param, value) rows directly, then the same counts and
-    // rounded-ratio verdicts
-    "q252_param_audit" ->
-      """WITH b AS (SELECT doc_id,
-        |    'h' || CAST(doc_id % 4 AS VARCHAR) || '.example.com' AS host
-        |  FROM documents),
-        |p AS (
-        |  SELECT host, 'sid' AS param,
-        |    md5(CAST(doc_id AS VARCHAR)) AS value FROM b
-        |  UNION ALL
-        |  SELECT host, 'page', CAST(doc_id % 3 AS VARCHAR) FROM b
-        |  UNION ALL
-        |  SELECT host, 'ref', 'mail' FROM b WHERE doc_id % 5 = 0),
-        |g AS (SELECT host, param, count(*) AS n_urls,
-        |    count(DISTINCT value) AS n_values FROM p GROUP BY 1, 2)
-        |SELECT host, param, n_urls, n_values,
-        |  round(CAST(n_values AS DOUBLE) / n_urls, 6) AS distinct_ratio,
-        |  CASE WHEN n_urls < 10 THEN 'low_evidence'
-        |    WHEN round(CAST(n_values AS DOUBLE) / n_urls, 6) >= 0.9
-        |      THEN 'strip'
-        |    ELSE 'keep' END AS verdict
-        |FROM g""".stripMargin,
-
-    // CUPED replay: decimal-exact per-user pre/post sums and global
-    // moments, then the SAME scalar expression tree (theta, analytic
-    // per-arm adjusted mean, variance identity)
-    "q253_cuped" -> {
-      val cut = "TIMESTAMP '2024-01-16 00:00:00'"
-      val theta = "((sxy/nd - (sx/nd)*(sy/nd)) / (sxx/nd - (sx/nd)*(sx/nd)))"
-      s"""WITH pu AS (SELECT user_id,
-         |    CAST(sum(CAST(CASE WHEN ts < $cut THEN value ELSE 0.0 END
-         |      AS DECIMAL(28,8))) AS DOUBLE) AS x,
-         |    CAST(sum(CAST(CASE WHEN ts >= $cut THEN value ELSE 0.0 END
-         |      AS DECIMAL(28,8))) AS DOUBLE) AS y
-         |  FROM events GROUP BY user_id),
-         |mo AS (SELECT count(*) AS n,
-         |    CAST(sum(CAST(x AS DECIMAL(28,8))) AS DOUBLE) AS sx,
-         |    CAST(sum(CAST(y AS DECIMAL(28,8))) AS DOUBLE) AS sy,
-         |    CAST(sum(CAST(x * y AS DECIMAL(28,8))) AS DOUBLE) AS sxy,
-         |    CAST(sum(CAST(x * x AS DECIMAL(28,8))) AS DOUBLE) AS sxx,
-         |    CAST(sum(CAST(y * y AS DECIMAL(28,8))) AS DOUBLE) AS syy
-         |  FROM pu),
-         |ar AS (SELECT user_id % 2 AS arm, count(*) AS n_users,
-         |    CAST(sum(CAST(x AS DECIMAL(28,8))) AS DOUBLE) AS ax,
-         |    CAST(sum(CAST(y AS DECIMAL(28,8))) AS DOUBLE) AS ay
-         |  FROM pu GROUP BY 1),
-         |f AS (SELECT arm, n_users, ax, ay, sx, sy, sxy, sxx, syy,
-         |    CAST(n AS DOUBLE) AS nd FROM ar, mo)
-         |SELECT arm, n_users,
-         |  round(ay / n_users, 6) AS mean_y,
-         |  round((ay - $theta * (ax - n_users * (sx/nd))) / n_users, 6)
-         |    AS mean_y_adj,
-         |  round($theta, 6) AS theta,
-         |  round(syy/nd - (sy/nd)*(sy/nd), 6) AS var_y,
-         |  round((syy/nd - (sy/nd)*(sy/nd))
-         |    - $theta * $theta * (sxx/nd - (sx/nd)*(sx/nd)), 6)
-         |    AS var_y_adj
-         |FROM f""".stripMargin
-    },
-
-    // centroid-drift replay: decimal-exact per-dim means for each
-    // half, in-order cosine fold over the two mean vectors, rounded
-    // abs-shift top-k (posexplode dims are 0-based: dim = __i − 1)
-    "q254_centroid_drift" -> {
-      def half(tag: String, m: Int) =
-        s"""m_$tag AS (SELECT d.__i AS di,
-           |    CAST(sum(CAST(CAST(embedding[d.__i] AS DOUBLE)
-           |      AS DECIMAL(28,8))) AS DOUBLE) / count(*) AS mean_$tag
-           |  FROM embeddings, (SELECT unnest(generate_series(1, 64))
-           |    AS __i) d
-           |  WHERE vec_id % 2 = $m GROUP BY d.__i)""".stripMargin
-      s"""WITH ${half("base", 0)},
-         |${half("next", 1)},
-         |j AS (SELECT m_base.di - 1 AS dim, mean_base, mean_next
-         |  FROM m_base JOIN m_next ON m_next.di = m_base.di),
-         |va AS (SELECT list(mean_base ORDER BY dim) AS a,
-         |    list(mean_next ORDER BY dim) AS b FROM j),
-         |cs AS (SELECT ${duckCosine("a", "b", 64)} AS centroid_cosine
-         |  FROM va)
-         |SELECT dim, round(mean_base, 6) AS mean_base,
-         |  round(mean_next, 6) AS mean_next,
-         |  round(abs(mean_next - mean_base), 6) AS abs_shift,
-         |  cs.centroid_cosine
-         |FROM j, cs
-         |ORDER BY round(abs(mean_next - mean_base), 6) DESC, dim ASC
-         |LIMIT 8""".stripMargin
-    },
-
-    // funnel-latency replay: the q135 chain keeping each step's
-    // timestamp, elapsed = epoch diff, then the q38 percentile
-    // interpolation partitioned by step
-    "q255_funnel_latency" -> {
-      val pcols = Seq(0.5 -> "p50", 0.9 -> "p90").map { case (p, name) =>
-        s"""round(
-           |    max(CASE WHEN rn = CAST(floor((n - 1) * $p) AS BIGINT) + 1 THEN v END) +
-           |    (max(CASE WHEN rn = CAST(ceil((n - 1) * $p) AS BIGINT) + 1 THEN v END) -
-           |     max(CASE WHEN rn = CAST(floor((n - 1) * $p) AS BIGINT) + 1 THEN v END))
-           |    * max((n - 1) * $p - floor((n - 1) * $p)), 6) AS $name""".stripMargin
-      }.mkString(",\n  ")
-      s"""WITH fn1 AS (SELECT user_id, min(ts) AS anchor
-         |  FROM events WHERE event_type = 'view' GROUP BY user_id),
-         |fn2 AS (SELECT e.user_id, min(f.anchor) AS anchor,
-         |    min(e.ts) AS prev
-         |  FROM events e JOIN fn1 f ON e.user_id = f.user_id
-         |  WHERE e.event_type = 'click' AND e.ts > f.anchor
-         |    AND e.ts <= f.anchor + INTERVAL 604800 SECONDS
-         |  GROUP BY e.user_id),
-         |fn3 AS (SELECT e.user_id, min(f.anchor) AS anchor,
-         |    min(e.ts) AS prev
-         |  FROM events e JOIN fn2 f ON e.user_id = f.user_id
-         |  WHERE e.event_type = 'purchase' AND e.ts > f.prev
-         |    AND e.ts <= f.anchor + INTERVAL 604800 SECONDS
-         |  GROUP BY e.user_id),
-         |lat AS (SELECT 'click' AS step, 2 AS step_idx,
-         |    epoch(prev) - epoch(anchor) AS v FROM fn2
-         |  UNION ALL SELECT 'purchase', 3,
-         |    epoch(prev) - epoch(anchor) FROM fn3),
-         |r AS (SELECT step, step_idx, v,
-         |    row_number() OVER (PARTITION BY step ORDER BY v ASC) AS rn,
-         |    CAST(count(*) OVER (PARTITION BY step) AS DOUBLE) AS n
-         |  FROM lat)
-         |SELECT step, step_idx,
-         |  $pcols,
-         |  CAST(max(n) AS BIGINT) AS n_rows
-         |FROM r GROUP BY step, step_idx""".stripMargin
-    },
-
-    // MASE replay: hour-floor counts, per-type densified spine, both
-    // lags on one window, the four integer sums and one division
-    "q256_volume_mase" ->
-      """WITH hc AS (SELECT event_type,
-        |    CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h, count(*) AS n
-        |  FROM events GROUP BY 1, 2),
-        |sp AS (SELECT event_type, unnest(generate_series(min(h), max(h)))
-        |    AS h FROM hc GROUP BY event_type),
-        |g AS (SELECT sp.event_type, sp.h, coalesce(hc.n, 0) AS y
-        |  FROM sp LEFT JOIN hc USING (event_type, h)),
-        |l AS (SELECT event_type, y,
-        |    lag(y, 24) OVER (PARTITION BY event_type ORDER BY h) AS ys,
-        |    lag(y, 1) OVER (PARTITION BY event_type ORDER BY h) AS y1
-        |  FROM g)
-        |SELECT event_type, count(*) AS n_hours,
-        |  coalesce(CAST(sum(abs(y - ys)) AS BIGINT), 0)
-        |    AS sum_abs_seasonal,
-        |  count(ys) AS n_seasonal,
-        |  coalesce(CAST(sum(abs(y - y1)) AS BIGINT), 0) AS sum_abs_naive1,
-        |  count(y1) AS n_naive1,
-        |  round(CASE WHEN coalesce(sum(abs(y - y1)), 0) = 0
-        |      OR count(ys) = 0 THEN NULL
-        |    ELSE CAST(sum(abs(y - ys)) AS DOUBLE) * count(y1)
-        |      / (count(ys) * sum(abs(y - y1))) END, 6) AS mase
-        |FROM l GROUP BY event_type""".stripMargin,
-
-    // Fellegi–Sunter replay: the same perturbed twin, blocking join,
-    // and the Scala-computed m/u log weights interpolated verbatim so
-    // both engines sum identical literals
-    "q257_record_linkage" -> {
-      val (wnA, wnD) = (math.log(0.95 / 0.002), math.log(0.05 / 0.998))
-      val (wbA, wbD) = (math.log(0.9 / 0.05), math.log(0.1 / 0.95))
-      val (wkA, wkD) = (math.log(0.95 / 0.04), math.log(0.05 / 0.96))
-      s"""WITH dirty AS (SELECT c_custkey + 100000 AS k,
-         |    ' ' || upper(c_name) || '  ' AS name, c_nationkey AS nk,
-         |    c_acctbal + 0.5 AS bal, c_mktsegment AS seg
-         |  FROM customer WHERE c_custkey % 20 = 0),
-         |p AS (SELECT d.k AS id_a, c.c_custkey AS id_b,
-         |    coalesce(lower(trim(d.name)) = lower(trim(c.c_name)), false)
-         |      AS agree_name,
-         |    coalesce(abs(d.bal - c.c_acctbal) <= 1.0, false) AS agree_bal,
-         |    coalesce(d.nk = c.c_nationkey, false) AS agree_nation
-         |  FROM dirty d JOIN customer c ON c.c_mktsegment = d.seg),
-         |s AS (SELECT *,
-         |    round((CASE WHEN agree_name THEN CAST($wnA AS DOUBLE)
-         |        ELSE CAST($wnD AS DOUBLE) END)
-         |      + (CASE WHEN agree_bal THEN CAST($wbA AS DOUBLE)
-         |        ELSE CAST($wbD AS DOUBLE) END)
-         |      + (CASE WHEN agree_nation THEN CAST($wkA AS DOUBLE)
-         |        ELSE CAST($wkD AS DOUBLE) END), 6) AS score
-         |  FROM p),
-         |dec AS (SELECT id_a, id_b, agree_name, agree_bal, agree_nation,
-         |    score,
-         |    CASE WHEN score >= 5.0 THEN 'match'
-         |      WHEN score <= 0.0 THEN 'non_match'
-         |      ELSE 'possible' END AS decision
-         |  FROM s)
-         |SELECT * FROM dec WHERE decision <> 'non_match'""".stripMargin
-    },
-
-    // Benford replay: first [1-9] of the string form, the SAME Scala
-    // log10 expectation doubles interpolated, per-digit χ² terms
-    "q258_benford" -> {
-      val shares = (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d))
-      val digitRows = shares.map { case (d, e) =>
-        s"SELECT $d AS digit, CAST($e AS DOUBLE) AS e"
-      }.mkString("\nUNION ALL ")
-      s"""WITH c AS (SELECT CAST(regexp_extract(
-         |      CAST(abs(l_extendedprice) AS VARCHAR), '[1-9]') AS INT)
-         |      AS digit,
-         |    count(*) AS n
-         |  FROM lineitem
-         |  WHERE l_extendedprice IS NOT NULL AND l_extendedprice <> 0
-         |    AND regexp_extract(CAST(abs(l_extendedprice) AS VARCHAR),
-         |      '[1-9]') <> ''
-         |  GROUP BY 1),
-         |d AS ($digitRows),
-         |t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c)
-         |SELECT d.digit, coalesce(c.n, 0) AS n,
-         |  round(CAST(coalesce(c.n, 0) AS DOUBLE) / t.t, 6) AS share,
-         |  round(d.e, 6) AS expected_share,
-         |  round((coalesce(c.n, 0) - d.e * t.t)
-         |    * (coalesce(c.n, 0) - d.e * t.t) / (d.e * t.t), 6)
-         |    AS chi2_term
-         |FROM d LEFT JOIN c ON c.digit = d.digit CROSS JOIN t""".stripMargin
-    },
-
-    // revisit replay: the same synthetic history, the Poisson MLE with
-    // the continuity-corrected boundary, clamps, and verdict fences
-    "q259_revisit" ->
-      """WITH h AS (SELECT doc_id,
-        |    CASE WHEN doc_id % 13 = 0 THEN 2
-        |      ELSE 4 + doc_id % 10 END AS visits,
-        |    CASE WHEN doc_id % 17 = 0 THEN
-        |        CASE WHEN doc_id % 13 = 0 THEN 2 ELSE 4 + doc_id % 10 END
-        |      ELSE doc_id % 5 END AS changes
-        |  FROM documents),
-        |x AS (SELECT doc_id, visits, changes,
-        |    CAST(visits AS DOUBLE) AS v, CAST(changes AS DOUBLE) AS c
-        |  FROM h),
-        |l AS (SELECT *,
-        |    -ln(1.0 - CASE WHEN c >= v THEN (v - 0.5) / v
-        |      ELSE c / v END) AS lam
-        |  FROM x)
-        |SELECT doc_id, visits, changes,
-        |  CASE WHEN visits < 4 OR c = 0 THEN NULL
-        |    ELSE round(lam, 6) END AS change_rate,
-        |  CASE WHEN visits < 4 THEN NULL
-        |    WHEN c = 0 THEN 60.0
-        |    ELSE round(least(60.0, greatest(0.25,
-        |      CAST(1.0 AS DOUBLE) / lam)), 6) END AS revisit_days,
-        |  CASE WHEN visits < 4 THEN 'insufficient'
-        |    WHEN c = 0 THEN 'static'
-        |    ELSE 'scheduled' END AS verdict
-        |FROM l""".stripMargin,
-
-    // WOE replay: rank-cut equal-count bins, smoothed shares, ln
-    // evidence and IV terms — same expression shapes
-    "q260_woe" ->
-      """WITH r AS (SELECT l_extendedprice AS v,
-        |    (l_returnflag = 'R') AS g,
-        |    row_number() OVER (ORDER BY l_extendedprice,
-        |      (l_returnflag = 'R')) AS rk,
-        |    count(*) OVER () AS n
-        |  FROM lineitem
-        |  WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL),
-        |b AS (SELECT CAST(floor((rk - 1) * 6.0 / n) AS BIGINT) AS bin,
-        |    v, g FROM r),
-        |pb AS (SELECT bin, min(v) AS lo, max(v) AS hi,
-        |    CAST(sum(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
-        |    CAST(sum(CASE WHEN g THEN 0 ELSE 1 END) AS BIGINT) AS n_bad
-        |  FROM b GROUP BY bin),
-        |t AS (SELECT CAST(sum(n_good) AS BIGINT) AS tg,
-        |    CAST(sum(n_bad) AS BIGINT) AS tb, count(*) AS k FROM pb)
-        |SELECT bin, lo, hi, n_good, n_bad,
-        |  round(ln(((n_good + CAST(0.5 AS DOUBLE)) / (tg + CAST(0.5 AS DOUBLE) * k))
-        |    / ((n_bad + CAST(0.5 AS DOUBLE)) / (tb + CAST(0.5 AS DOUBLE) * k))), 6)
-        |    AS woe,
-        |  round((((n_good + CAST(0.5 AS DOUBLE)) / (tg + CAST(0.5 AS DOUBLE) * k))
-        |    - ((n_bad + CAST(0.5 AS DOUBLE)) / (tb + CAST(0.5 AS DOUBLE) * k)))
-        |    * ln(((n_good + CAST(0.5 AS DOUBLE)) / (tg + CAST(0.5 AS DOUBLE) * k))
-        |    / ((n_bad + CAST(0.5 AS DOUBLE)) / (tb + CAST(0.5 AS DOUBLE) * k))), 6)
-        |    AS iv_term
-        |FROM pb CROSS JOIN t""".stripMargin,
-
-    // index-upsert replay: the merged index must answer phrase queries
-    // as if rebuilt over CURRENT text — q152's positional replay,
-    // per-doc rows
-    "q261_index_upsert" ->
-      """WITH tk AS (
-        |  SELECT doc_id, string_split(text, ' ') AS toks
-        |  FROM documents WHERE text IS NOT NULL),
-        |m AS (
-        |  SELECT doc_id,
-        |    len(list_filter(range(1, len(toks)),
-        |      i -> toks[i] = 'spark' AND toks[i+1] = 'window')) AS occ,
-        |    list_min(list_filter(range(1, len(toks)),
-        |      i -> toks[i] = 'spark' AND toks[i+1] = 'window')) AS first1
-        |  FROM tk)
-        |SELECT doc_id, CAST(occ AS BIGINT) AS n_occurrences,
-        |  CAST(first1 - 1 AS INT) AS first_pos
-        |FROM m WHERE occ > 0""".stripMargin,
-
-    // Hill replay: top-(k+1) order statistics, min threshold,
-    // micro-int ln terms over the strictly-above set, /k
-    "q262_hill_tail" ->
-      """WITH v AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
-        |  WHERE n_chars IS NOT NULL AND n_chars > 0),
-        |top AS (SELECT v FROM v ORDER BY v DESC LIMIT 101),
-        |thr AS (SELECT min(v) AS t FROM top),
-        |s AS (SELECT coalesce(CAST(sum(CAST(round(ln(v / t) * 1e6)
-        |      AS BIGINT)) AS BIGINT), 0) AS s
-        |  FROM top, thr WHERE v > t)
-        |SELECT 100 AS k, t AS threshold,
-        |  round(CAST(s AS DOUBLE) / 1e6 / 100, 6) AS hill,
-        |  CASE WHEN s = 0 THEN NULL
-        |    ELSE round(100 * 1e6 / CAST(s AS DOUBLE), 6) END AS alpha
-        |FROM s, thr""".stripMargin,
-
-    // conformal replay: the rank ⌈(n+1)(1−α)⌉ with (1−α) interpolated
-    // as the exact Scala double, the rank-th order statistic, and the
-    // test-side coverage count
-    "q263_conformal" -> {
-      val oneMinusAlpha = 1.0 - 0.1
-      s"""WITH calr AS (SELECT 1.0 - (${PortableSql.qualityScore("text", DD)})
-         |    AS s
-         |  FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0),
-         |r AS (SELECT s, row_number() OVER (ORDER BY s ASC) AS rk
-         |  FROM calr),
-         |k AS (SELECT count(*) AS n_cal,
-         |    CAST(ceil((count(*) + 1) * CAST($oneMinusAlpha AS DOUBLE))
-         |      AS BIGINT) AS rank
-         |  FROM calr),
-         |thr AS (SELECT k.n_cal, k.rank, r.s AS threshold
-         |  FROM k LEFT JOIN r ON r.rk = k.rank),
-         |tst AS (SELECT 1.0 - (${PortableSql.qualityScore("text", DD)})
-         |    AS t
-         |  FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 1),
-         |cov AS (SELECT count(*) AS n_test,
-         |    CAST(sum(CASE WHEN t <= thr.threshold THEN 1 ELSE 0 END)
-         |      AS BIGINT) AS nc2
-         |  FROM tst, thr)
-         |SELECT n_cal, rank, threshold, n_test,
-         |  CASE WHEN threshold IS NULL THEN NULL ELSE nc2 END
-         |    AS n_covered,
-         |  CASE WHEN threshold IS NULL THEN NULL
-         |    ELSE round(CAST(nc2 AS DOUBLE) / n_test, 6) END AS coverage
-         |FROM thr, cov""".stripMargin
-    },
-
-    // jackknife replay: decimal-exact bucket sums, analytic
-    // leave-one-out thetas, decimal-exact theta moments, the same
-    // scalar shapes
-    "q264_jackknife" ->
-      """WITH pe AS (SELECT user_id % 20 AS bkt,
-        |    CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN value
-        |      ELSE 0.0 END AS DECIMAL(28,8))) AS DOUBLE) AS n,
-        |    CAST(sum(CAST(1.0 AS DECIMAL(28,8))) AS DOUBLE) AS d
-        |  FROM events GROUP BY 1),
-        |tot AS (SELECT count(*) AS B,
-        |    CAST(sum(CAST(n AS DECIMAL(28,8))) AS DOUBLE) AS sn,
-        |    CAST(sum(CAST(d AS DECIMAL(28,8))) AS DOUBLE) AS sd
-        |  FROM pe),
-        |loo AS (SELECT B, sn, sd, (sn - n) / (sd - d) AS t
-        |  FROM pe, tot),
-        |m AS (SELECT B, sn, sd,
-        |    CAST(sum(CAST(t AS DECIMAL(28,8))) AS DOUBLE) AS st,
-        |    CAST(sum(CAST(t * t AS DECIMAL(28,8))) AS DOUBLE) AS tsq
-        |  FROM loo GROUP BY B, sn, sd)
-        |SELECT B AS b_buckets, round(sn / sd, 6) AS theta,
-        |  round(B * (sn / sd) - (B - 1) * (st / B), 6) AS theta_jk,
-        |  round(sqrt(greatest(CAST(0.0 AS DOUBLE),
-        |    (CAST(B - 1 AS DOUBLE) / B)
-        |    * (tsq - B * (st / B) * (st / B)))), 6) AS se
-        |FROM m""".stripMargin,
-
-    // Good–Turing replay: count-of-counts, the (r+1)·n_{r+1}/N ladder
-    // over r = 0…5 with absent frequencies as zero
-    "q265_good_turing" ->
-      """WITH uc AS (SELECT w, count(*) AS c FROM (
-        |    SELECT unnest(string_split(text, ' ')) AS w
-        |    FROM documents WHERE text IS NOT NULL) GROUP BY w),
-        |fof AS (SELECT c AS r, count(*) AS nr FROM uc GROUP BY c),
-        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS N FROM uc),
-        |rs AS (SELECT unnest(generate_series(0, 5)) AS r)
-        |SELECT rs.r, coalesce(f1.nr, 0) AS n_types,
-        |  round((rs.r + 1) * CAST(coalesce(f2.nr, 0) AS DOUBLE) / N, 6)
-        |    AS gt_mass
-        |FROM rs LEFT JOIN fof f1 ON f1.r = rs.r
-        |LEFT JOIN fof f2 ON f2.r = rs.r + 1 CROSS JOIN tot""".stripMargin,
-
-    // largest-remainder replay: exact integer quota/remainder via //
-    // and %, remainder-ranked bonuses, group-ascending tie-break
-    "q266_allocation" ->
-      """WITH g AS (SELECT source, count(*) AS n_rows FROM documents
-        |  WHERE source IS NOT NULL GROUP BY source),
-        |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS N FROM g),
-        |b AS (SELECT source, n_rows,
-        |    CAST((1000 * n_rows) // N AS BIGINT) AS base,
-        |    (1000 * n_rows) % N AS rem
-        |  FROM g, t),
-        |e AS (SELECT CAST(1000 - sum(base) AS BIGINT) AS extra FROM b),
-        |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source ASC)
-        |    AS rk FROM b)
-        |SELECT source, n_rows, base,
-        |  CAST(CASE WHEN rk <= e.extra THEN 1 ELSE 0 END AS BIGINT)
-        |    AS bonus,
-        |  CAST(base + CASE WHEN rk <= e.extra THEN 1 ELSE 0 END
-        |    AS BIGINT) AS allocation
-        |FROM r, e""".stripMargin,
-
-    // compaction replay: after the second wave the live index IS the
-    // current corpus, and exactly two dead generations (0 and 1) fall
-    // to the compactor — the phrase rows are q261's replay
-    "q267_index_compaction" ->
-      """WITH tk AS (
-        |  SELECT doc_id, string_split(text, ' ') AS toks
-        |  FROM documents WHERE text IS NOT NULL),
-        |m AS (
-        |  SELECT doc_id,
-        |    len(list_filter(range(1, len(toks)),
-        |      i -> toks[i] = 'spark' AND toks[i+1] = 'window')) AS occ,
-        |    list_min(list_filter(range(1, len(toks)),
-        |      i -> toks[i] = 'spark' AND toks[i+1] = 'window')) AS first1
-        |  FROM tk)
-        |SELECT doc_id, CAST(occ AS BIGINT) AS n_occurrences,
-        |  CAST(first1 - 1 AS INT) AS first_pos,
-        |  2 AS n_pruned_generations
-        |FROM m WHERE occ > 0""".stripMargin,
-
-    // threshold-sensitivity replay: the q88 all-pairs stem at the
-    // lowest threshold, melted to (jaccard, doc), per-threshold
-    // conditional aggregates
-    "q268_threshold_sensitivity" -> {
-      def row(t: Double) =
-        s"""SELECT CAST($t AS DOUBLE) AS threshold,
-           |  CAST((count(*) FILTER (jaccard >= $t)) // 2 AS BIGINT)
-           |    AS n_pairs,
-           |  count(DISTINCT d) FILTER (jaccard >= $t) AS n_docs,
-           |  round(avg(jaccard) FILTER (jaccard >= $t), 6)
-           |    AS mean_jaccard
-           |FROM mel""".stripMargin
-      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
-         |sh AS (SELECT doc_id, $duckShingles AS s FROM t),
-         |exsh AS (SELECT DISTINCT doc_id, unnest(s) AS sv FROM sh),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM exsh GROUP BY doc_id),
-         |inter AS (
-         |  SELECT ea.doc_id AS id_a, eb.doc_id AS id_b, count(*) AS i
-         |  FROM exsh ea JOIN exsh eb ON eb.sv = ea.sv
-         |    AND ea.doc_id < eb.doc_id
-         |  GROUP BY 1, 2),
-         |pairs AS (
-         |  SELECT id_a, id_b,
-         |    round(it.i / (sa.n + sb.n - it.i), 6) AS jaccard
-         |  FROM inter it JOIN sizes sa ON sa.doc_id = it.id_a
-         |  JOIN sizes sb ON sb.doc_id = it.id_b
-         |  WHERE round(it.i / (sa.n + sb.n - it.i), 6) >= 0.5),
-         |mel AS (SELECT jaccard, id_a AS d FROM pairs
-         |  UNION ALL SELECT jaccard, id_b FROM pairs)
-         |${row(0.5)}
-         |UNION ALL ${row(0.7)}
-         |UNION ALL ${row(0.9)}""".stripMargin
-    },
-
-    // Bloom-FPR replay: the salted md5 double hash per key, the
-    // distinct set-position frame, any-position-missing probe test,
-    // and both theory lines with the same expression shapes
-    "q269_bloom_fpr" -> {
-      def h(expr: String) = PortableSql.minhashBase(expr, DD)
-      val h1 = s"${h("CAST(key AS VARCHAR)")} % 4096"
-      val h2 = s"${h("concat(CAST(key AS VARCHAR), ':bloom2')")} % 4096"
-      s"""WITH ik AS (SELECT DISTINCT c_custkey AS key FROM customer),
-         |ipos AS (SELECT DISTINCT p FROM (
-         |  SELECT unnest(list_transform(generate_series(0, 2),
-         |    __j -> (($h1) + __j * ($h2)) % 4096)) AS p
-         |  FROM ik)),
-         |pk AS (SELECT DISTINCT c_custkey + 1000000 AS key FROM customer),
-         |pp AS (SELECT key, unnest(list_transform(generate_series(0, 2),
-         |    __j -> (($h1) + __j * ($h2)) % 4096)) AS p
-         |  FROM pk),
-         |miss AS (SELECT count(DISTINCT key) AS nm FROM pp
-         |  WHERE p NOT IN (SELECT p FROM ipos)),
-         |meta AS (SELECT (SELECT count(*) FROM ik) AS n_inserted,
-         |    (SELECT count(*) FROM pk) AS n_probes,
-         |    (SELECT count(*) FROM ipos) AS set_bits,
-         |    (SELECT nm FROM miss) AS nm)
-         |SELECT n_inserted, n_probes, 4096 AS m_bits, 3 AS k_hashes,
-         |  set_bits, n_probes - nm AS n_false_hits,
-         |  round(CAST(n_probes - nm AS DOUBLE) / n_probes, 6)
-         |    AS fpr_measured,
-         |  round(pow(CAST(set_bits AS DOUBLE) / 4096, 3), 6) AS fpr_fill,
-         |  round(pow(CAST(1.0 AS DOUBLE) - exp(CAST(-3.0 AS DOUBLE)
-         |    * n_inserted / 4096), 3), 6) AS fpr_theory
-         |FROM meta""".stripMargin
-    },
-
-    // linkage-cluster replay: q257's match pairs + the recursive
-    // min-label closure, canonical = cluster minimum
-    "q270_linkage_clusters" -> {
-      val (wnA, wnD) = (math.log(0.95 / 0.002), math.log(0.05 / 0.998))
-      val (wbA, wbD) = (math.log(0.9 / 0.05), math.log(0.1 / 0.95))
-      val (wkA, wkD) = (math.log(0.95 / 0.04), math.log(0.05 / 0.96))
-      s"""WITH RECURSIVE dirty AS (SELECT c_custkey + 100000 AS k,
-         |    ' ' || upper(c_name) || '  ' AS name, c_nationkey AS nk,
-         |    c_acctbal + 0.5 AS bal, c_mktsegment AS seg
-         |  FROM customer WHERE c_custkey % 20 = 0),
-         |pp AS (SELECT d.k AS id_a, c.c_custkey AS id_b,
-         |    coalesce(lower(trim(d.name)) = lower(trim(c.c_name)), false)
-         |      AS agree_name,
-         |    coalesce(abs(d.bal - c.c_acctbal) <= 1.0, false) AS agree_bal,
-         |    coalesce(d.nk = c.c_nationkey, false) AS agree_nation
-         |  FROM dirty d JOIN customer c ON c.c_mktsegment = d.seg),
-         |sc AS (SELECT id_a, id_b,
-         |    round((CASE WHEN agree_name THEN CAST($wnA AS DOUBLE)
-         |        ELSE CAST($wnD AS DOUBLE) END)
-         |      + (CASE WHEN agree_bal THEN CAST($wbA AS DOUBLE)
-         |        ELSE CAST($wbD AS DOUBLE) END)
-         |      + (CASE WHEN agree_nation THEN CAST($wkA AS DOUBLE)
-         |        ELSE CAST($wkD AS DOUBLE) END), 6) AS score
-         |  FROM pp),
-         |m AS (SELECT id_a, id_b FROM sc WHERE score >= 5.0),
-         |${closureCtesOver("m")}
-         |SELECT doc_id AS id, cluster_id,
-         |  cluster_id = doc_id AS is_canonical
-         |FROM labels""".stripMargin
-    },
-
-    // reciprocity replay: the directed synthetic edges, distinct,
-    // self-loop-free, reversed-key semi-join via EXISTS
-    "q271_reciprocity" ->
-      """WITH nn AS (SELECT count(*) AS n FROM documents
-        |  WHERE text IS NOT NULL),
-        |e0 AS (
-        |  SELECT doc_id AS src, (doc_id*2+1) % n AS dst
-        |  FROM documents, nn WHERE text IS NOT NULL
-        |  UNION ALL
-        |  SELECT doc_id, (doc_id*3+2) % n FROM documents, nn
-        |  WHERE text IS NOT NULL
-        |  UNION ALL
-        |  SELECT doc_id, (doc_id*7+5) % n FROM documents, nn
-        |  WHERE text IS NOT NULL),
-        |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
-        |r AS (SELECT count(*) AS n_reciprocated FROM e a
-        |  WHERE EXISTS (SELECT 1 FROM e b
-        |    WHERE b.src = a.dst AND b.dst = a.src)),
-        |t AS (SELECT count(*) AS n_edges FROM e)
-        |SELECT n_edges, n_reciprocated,
-        |  round(CAST(n_reciprocated AS DOUBLE) / n_edges, 6)
-        |    AS reciprocity
-        |FROM t, r""".stripMargin,
-
-    // longest-burst replay: densified hour grid, the two-rank island
-    // id, per-island lengths, longest with earliest-start tie-break
-    "q272_longest_burst" ->
-      """WITH hc AS (SELECT event_type,
-        |    CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h, count(*) AS n
-        |  FROM events GROUP BY 1, 2),
-        |sp AS (SELECT event_type, unnest(generate_series(min(h), max(h)))
-        |    AS h FROM hc GROUP BY event_type),
-        |g AS (SELECT sp.event_type, sp.h,
-        |    (coalesce(hc.n, 0) >= 3) AS q
-        |  FROM sp LEFT JOIN hc USING (event_type, h)),
-        |gr AS (SELECT *,
-        |    row_number() OVER (PARTITION BY event_type ORDER BY h)
-        |    - row_number() OVER (PARTITION BY event_type, q ORDER BY h)
-        |      AS grp
-        |  FROM g),
-        |isl AS (SELECT event_type, grp, count(*) AS len,
-        |    min(h) AS start FROM gr WHERE q GROUP BY 1, 2),
-        |tot AS (SELECT event_type, count(*) AS n_hours,
-        |    CAST(sum(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS n_burst_hours
-        |  FROM gr GROUP BY event_type),
-        |best AS (SELECT event_type, len AS longest_burst,
-        |    start AS burst_start_hour,
-        |    row_number() OVER (PARTITION BY event_type
-        |      ORDER BY len DESC, start ASC) AS rk
-        |  FROM isl)
-        |SELECT t.event_type, t.n_hours, t.n_burst_hours,
-        |  b.longest_burst, b.burst_start_hour
-        |FROM tot t JOIN best b
-        |  ON b.event_type = t.event_type AND b.rk = 1""".stripMargin,
-
-    // Cramér's V replay: margins, densified r×c grid, χ² over every
-    // cell (absent = observed-0), the min(r−1,c−1) normalization
-    "q273_cramers_v" ->
-      """WITH rws AS (SELECT lang AS a, source AS b FROM documents
-        |  WHERE lang IS NOT NULL AND source IS NOT NULL),
-        |cells AS (SELECT a, b, count(*) AS o FROM rws GROUP BY 1, 2),
-        |ma AS (SELECT a, count(*) AS ra FROM rws GROUP BY a),
-        |mb AS (SELECT b, count(*) AS cb FROM rws GROUP BY b),
-        |t AS (SELECT count(*) AS n FROM rws),
-        |grid AS (SELECT t.n,
-        |    CAST(ma.ra AS DOUBLE) * mb.cb / t.n AS e,
-        |    coalesce(c.o, 0) AS o
-        |  FROM ma CROSS JOIN mb
-        |  LEFT JOIN cells c ON c.a = ma.a AND c.b = mb.b
-        |  CROSS JOIN t),
-        |x AS (SELECT CAST(max(n) AS BIGINT) AS n,
-        |    sum((o - e) * (o - e) / e) AS chi2 FROM grid),
-        |d AS (SELECT (SELECT count(*) FROM ma) AS r,
-        |    (SELECT count(*) FROM mb) AS c)
-        |SELECT n, r, c, round(chi2, 6) AS chi2,
-        |  CASE WHEN least(r, c) <= 1 THEN NULL
-        |    ELSE round(sqrt(chi2 / (n * (least(r, c) - 1))), 6)
-        |  END AS cramers_v
-        |FROM x, d""".stripMargin,
-
-    // assortativity replay: labeled synthetic edges, mixing margins,
-    // the integer-exact E² common-denominator form
-    "q274_lang_assortativity" ->
-      """WITH nn AS (SELECT count(*) AS n FROM documents
-        |  WHERE text IS NOT NULL),
-        |e AS (
-        |  SELECT doc_id AS src, (doc_id*2+1) % n AS dst
-        |  FROM documents, nn WHERE text IS NOT NULL
-        |  UNION ALL
-        |  SELECT doc_id, (doc_id*3+2) % n FROM documents, nn
-        |  WHERE text IS NOT NULL
-        |  UNION ALL
-        |  SELECT doc_id, (doc_id*7+5) % n FROM documents, nn
-        |  WHERE text IS NOT NULL),
-        |lab AS (SELECT doc_id AS id, lang AS label FROM documents
-        |  WHERE text IS NOT NULL),
-        |tg AS (SELECT ls.label AS lx, ld.label AS ly
-        |  FROM e JOIN lab ls ON ls.id = e.src
-        |  JOIN lab ld ON ld.id = e.dst),
-        |mix AS (SELECT lx, ly, count(*) AS nxy FROM tg GROUP BY 1, 2),
-        |rs AS (SELECT lx, CAST(sum(nxy) AS BIGINT) AS r FROM mix
-        |  GROUP BY lx),
-        |cs AS (SELECT ly, CAST(sum(nxy) AS BIGINT) AS c FROM mix
-        |  GROUP BY ly),
-        |ab AS (SELECT coalesce(CAST(sum(r * c) AS BIGINT), 0) AS ab
-        |  FROM rs JOIN cs ON cs.ly = rs.lx),
-        |dg AS (SELECT CAST(sum(nxy) AS BIGINT) AS n_edges,
-        |    CAST(sum(CASE WHEN lx = ly THEN nxy ELSE 0 END) AS BIGINT)
-        |      AS n_same_label
-        |  FROM mix)
-        |SELECT n_edges, n_same_label,
-        |  CASE WHEN n_edges * n_edges = ab THEN NULL
-        |    ELSE round(CAST(n_edges * n_same_label - ab AS DOUBLE)
-        |      / (n_edges * n_edges - ab), 6) END AS r_assortativity
-        |FROM dg, ab""".stripMargin,
-
-    // index-health replay: per-token df/tf from the text directly,
-    // totals, top-10 by df with the token tie-break
-    "q275_index_health" ->
-      s"""WITH tok AS (SELECT doc_id, unnest($duckToks) AS token
-         |  FROM documents WHERE text IS NOT NULL),
-         |pt AS (SELECT token, count(DISTINCT doc_id) AS df,
-         |    count(*) AS tf_sum FROM tok GROUP BY token),
-         |t AS (SELECT count(*) AS n_tokens,
-         |    CAST(sum(df) AS BIGINT) AS n_postings,
-         |    CAST(sum(tf_sum) AS BIGINT) AS ttf FROM pt)
-         |SELECT token, df, CAST(tf_sum AS BIGINT) AS tf_sum,
-         |  round(CAST(df AS DOUBLE) / n_postings, 6) AS df_share,
-         |  round(CAST(tf_sum AS DOUBLE) / ttf, 6) AS tf_share,
-         |  n_tokens, n_postings
-         |FROM pt, t
-         |ORDER BY df DESC, token ASC LIMIT 10""".stripMargin,
-
-    // proximity replay: token positions from the text directly —
-    // gaps are base-independent (Spark postings are 0-based)
-    "q221_proximity" ->
-      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l
-        |  FROM documents WHERE text IS NOT NULL),
-        |pa AS (SELECT doc_id, gi AS p FROM tok,
-        |  unnest(generate_series(1, len(l))) AS t(gi)
-        |  WHERE l[CAST(gi AS INT)] = 'spark'),
-        |pb AS (SELECT doc_id, gi AS p FROM tok,
-        |  unnest(generate_series(1, len(l))) AS t(gi)
-        |  WHERE l[CAST(gi AS INT)] = 'window'),
-        |m AS (SELECT pa.doc_id, pb.p - pa.p AS gap
-        |  FROM pa JOIN pb USING (doc_id)
-        |  WHERE pb.p > pa.p AND pb.p - pa.p <= 3)
-        |SELECT doc_id, count(*) AS n_matches,
-        |  CAST(min(gap) AS BIGINT) AS min_gap
-        |FROM m GROUP BY doc_id""".stripMargin,
-
-    "q49_winnowing" -> {
-      val k = 5; val w = 4
-      val terms = (0 until k).map { j =>
-        val pow = BigInt(257).pow(k - 1 - j).toLong
-        s"ascii(substr(text, __i + $j, 1)) * $pow"
-      }.mkString("(", " + ", ")")
-      // short-doc guards mirror the Spark side: < k chars → no k-grams
-      s"""WITH hs AS (
-         |  SELECT doc_id, CASE WHEN length(text) >= $k THEN list_transform(
-         |    generate_series(1, length(text) - ${k - 1}),
-         |    __i -> $terms % 1000003) ELSE [] END AS h
-         |  FROM documents
-         |),
-         |fp AS (
-         |  SELECT doc_id, CASE WHEN len(h) >= 1 THEN list_distinct(list_transform(
-         |    generate_series(1, greatest(len(h) - ${w - 1}, 1)),
-         |    __t -> list_min(h[__t:__t + ${w - 1}]))) ELSE [] END AS fps
-         |  FROM hs
-         |)
-         |SELECT doc_id, unnest(fps) AS fp FROM fp""".stripMargin
-    },
-
-    "q48_pivot" ->
-      """SELECT o_orderpriority,
-        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
-        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
-        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
-        |FROM orders GROUP BY o_orderpriority""".stripMargin,
-
-    "q47_dedup_decisions" ->
-      s"""WITH RECURSIVE $jaccardCtes,
-         |$closureCtes
-         |SELECT d.doc_id,
-         |  coalesce(l.cluster_id, d.doc_id) AS cluster_id,
-         |  coalesce(l.cluster_id, d.doc_id) = d.doc_id AS keep
-         |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id""".stripMargin,
-
-    // soft-dedup replay: the q47 closure chain plus a cluster-size
-    // rollup; weight = 1/|cluster|, singletons weigh 1
-    "q176_soft_dedup" ->
-      s"""WITH RECURSIVE $jaccardCtes,
-         |$closureCtes,
-         |clsizes AS (SELECT cluster_id, count(*) AS csize
-         |            FROM labels GROUP BY cluster_id)
-         |SELECT d.doc_id,
-         |  coalesce(l.cluster_id, d.doc_id) AS cluster_id,
-         |  round(CAST(1 AS DOUBLE) / coalesce(sz.csize, 1), 6) AS weight
-         |FROM documents d
-         |LEFT JOIN labels l ON d.doc_id = l.doc_id
-         |LEFT JOIN clsizes sz ON l.cluster_id = sz.cluster_id""".stripMargin,
-
-    "q45_model_score" ->
-      """SELECT doc_id,
-        |  CAST((length(text) * 2654435761) % 1000003 AS DOUBLE) / 1000003.0 AS score
-        |FROM documents""".stripMargin,
-
-    "q29_ann_ivf" ->
-      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 16),
-         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-         |assign AS (
-         |  SELECT vec_id, list_id FROM (
-         |    SELECT e.vec_id, c.cid AS list_id,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${duckCosine("e.embedding", "c.cemb", 64)} DESC, c.cid ASC) AS rn
-         |    FROM embeddings e CROSS JOIN cents c
-         |  ) WHERE rn = 1
-         |),
-         |probe AS (
-         |  SELECT cid AS list_id FROM (
-         |    SELECT c.cid, row_number() OVER (
-         |      ORDER BY ${duckCosine("c.cemb", "q.qe", 64)} DESC, c.cid ASC) AS rn
-         |    FROM cents c, q
-         |  ) WHERE rn <= 4
-         |),
-         |s AS (
-         |  SELECT e.vec_id, ${duckCosine("e.embedding", "q.qe", 64)} AS cosine_sim
-         |  FROM embeddings e
-         |  JOIN assign a ON e.vec_id = a.vec_id
-         |  JOIN probe p ON a.list_id = p.list_id, q
-         |)
-         |SELECT vec_id, cosine_sim FROM s ORDER BY cosine_sim DESC, vec_id LIMIT 10""".stripMargin,
-
-    "q50_contamination" ->
-      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
-         |sh AS (SELECT doc_id, ${DD.shingles("toks", 4)} AS s FROM t),
-         |cg AS (SELECT DISTINCT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 50 <> 0),
-         |bg AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 50 = 0)
-         |SELECT cg.doc_id, count(*) AS n_contaminated
-         |FROM cg JOIN bg USING (g) GROUP BY cg.doc_id""".stripMargin,
-
-    "q51_bm25" ->
-      s"""WITH $bm25Ctes
-         |SELECT doc_id, bm25 FROM sc WHERE bm25 > 0
-         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
-
-    // RRF replay: the shared q51 BM25 chain and the q13 quality score
-    // each ranked top-20, fused as exact integer micro-contributions
-    "q181_rrf_hybrid" ->
-      s"""WITH $bm25Ctes,
-         |bml AS (SELECT doc_id, bm25 FROM sc WHERE bm25 > 0
-         |        ORDER BY bm25 DESC, doc_id LIMIT 20),
-         |bmr AS (SELECT doc_id,
-         |          row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
-         |        FROM bml),
-         |ql AS (SELECT doc_id,
-         |         ${PortableSql.qualityScore("text", DD)} AS quality
-         |       FROM documents WHERE text IS NOT NULL
-         |       ORDER BY quality DESC, doc_id LIMIT 20),
-         |qr AS (SELECT doc_id,
-         |         row_number() OVER (ORDER BY quality DESC, doc_id) AS rank
-         |       FROM ql),
-         |u AS (SELECT doc_id,
-         |        CAST(round(1000000000.0 / (CAST(60 AS DOUBLE) + rank))
-         |          AS BIGINT) AS c
-         |      FROM bmr
-         |      UNION ALL
-         |      SELECT doc_id,
-         |        CAST(round(1000000000.0 / (CAST(60 AS DOUBLE) + rank))
-         |          AS BIGINT) AS c
-         |      FROM qr)
-         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS rrf_micro,
-         |  count(*) AS n_lists
-         |FROM u GROUP BY doc_id
-         |ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin,
-
-    "q52_heavy_hitters" ->
-      s"""WITH tok AS (SELECT unnest($duckToks) AS token FROM documents),
-         |c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token)
-         |SELECT token, cnt FROM c ORDER BY cnt DESC, token ASC LIMIT 20""".stripMargin,
-
-    "q53_cms_counts" -> {
-      val depth = 3; val width = 32
-      def bucket(d: Int) =
-        s"(${PortableSql.minhashBase(s"concat('cms$d:', token)", DD)} % $width)"
-      val cellSel = (0 until depth).map(d =>
-        s"SELECT $d AS d, ${bucket(d)} AS bucket, exact_cnt FROM cnt").mkString(" UNION ALL ")
-      val probeSel = (0 until depth).map(d =>
-        s"SELECT token, exact_cnt, $d AS d, ${bucket(d)} AS bucket FROM top").mkString(" UNION ALL ")
-      s"""WITH tok AS (SELECT unnest($duckToks) AS token FROM documents),
-         |cnt AS (SELECT token, count(*) AS exact_cnt FROM tok GROUP BY token),
-         |cells AS (SELECT d, bucket, CAST(sum(exact_cnt) AS BIGINT) AS total
-         |          FROM ($cellSel) GROUP BY d, bucket),
-         |top AS (SELECT token, exact_cnt FROM cnt ORDER BY exact_cnt DESC, token LIMIT 10),
-         |probes AS ($probeSel)
-         |SELECT p.token, p.exact_cnt, min(c.total) AS cms_est
-         |FROM probes p JOIN cells c USING (d, bucket)
-         |GROUP BY p.token, p.exact_cnt""".stripMargin
-    },
-
-    "q54_bloom_join" ->
-      s"""SELECT l_returnflag, count(*) AS n_rows, ${dsum("l_quantity")} AS sum_qty
-         |FROM lineitem
-         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000.0)
-         |GROUP BY l_returnflag""".stripMargin,
-
-    "q55_kmeans" -> {
-      val dims = 64
-      def assignCte(cents: String) =
-        s"""SELECT vec_id, cid AS cluster FROM (
-           |    SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
-           |      ORDER BY ${duckCosine("e.embedding", "c.cemb", dims)} DESC, c.cid ASC) AS rn
-           |    FROM embeddings e CROSS JOIN $cents c) WHERE rn = 1""".stripMargin
-      s"""WITH c0 AS (SELECT CAST(vec_id AS BIGINT) AS cid,
-         |            list_transform(embedding, __x -> CAST(__x AS DOUBLE)) AS cemb
-         |            FROM embeddings ORDER BY vec_id LIMIT 4),
-         |a0 AS (${assignCte("c0")}),
-         |m1 AS (SELECT a0.cluster, d.d, round(avg(CAST(e.embedding[d.d] AS DOUBLE)), 6) AS v
-         |       FROM a0 JOIN embeddings e USING (vec_id), generate_series(1, $dims) d(d)
-         |       GROUP BY a0.cluster, d.d),
-         |c1 AS (SELECT cluster AS cid, list(v ORDER BY d) AS cemb FROM m1 GROUP BY cluster),
-         |a1 AS (${assignCte("c1")})
-         |SELECT vec_id, cluster FROM a1""".stripMargin
-    },
-
-    "q57_range_clustered" ->
-      s"""SELECT count(*) AS n_orders, ${dsum("o_totalprice")} AS sum_price
-         |FROM orders
-         |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-         |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin,
-
-    "q58_profile" -> {
-      def block(c: String, num: Boolean) = {
-        val mn = if (num) s"CAST(min($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
-        val mx = if (num) s"CAST(max($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
-        s"""SELECT '$c' AS "column", count(*) AS n_rows,
-           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
-           |  count(DISTINCT $c) AS n_distinct, $mn AS min_val, $mx AS max_val
-           |FROM lineitem""".stripMargin
-      }
-      Seq(
-        block("l_quantity", num = true),
-        block("l_extendedprice", num = true),
-        block("l_returnflag", num = false),
-        block("l_orderkey", num = true)).mkString("\nUNION ALL\n")
-    },
-
-    "q59_semantic_clusters" ->
-      s"""WITH RECURSIVE $embPairCtes,
-         |${closureCtesOver("p")}
-         |SELECT e.vec_id,
-         |  coalesce(l.cluster_id, e.vec_id) AS cluster_id,
-         |  coalesce(l.cluster_id, e.vec_id) = e.vec_id AS keep
-         |FROM embeddings e LEFT JOIN labels l ON e.vec_id = l.doc_id""".stripMargin,
-
-    "q56_stratified_sample" -> {
-      val h = PortableSql.minhashBase("concat('mix1', ':', CAST(doc_id AS VARCHAR))", DD)
-      s"""WITH h AS (SELECT doc_id, lang,
-         |    CAST($h AS DOUBLE) / 1152921504606846976.0 AS p FROM documents),
-         |f AS (SELECT doc_id, lang FROM h WHERE p < CASE lang
-         |    WHEN 'de' THEN 0.1 WHEN 'en' THEN 0.9 WHEN 'es' THEN 0.25
-         |    WHEN 'fr' THEN 0.5 WHEN 'zh' THEN 0.05 ELSE 0.0 END)
-         |SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
-         |FROM f GROUP BY lang""".stripMargin
-    },
-
-    // chunking oracle: same start grid (0, stride, …, capped so a
-    // window fully contained in its predecessor is dropped), same
-    // inclusive list slice
-    "q117_chunk_docs" -> {
-      val (chunk, ov) = (32, 8)
-      val stride = chunk - ov
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-         |s AS (SELECT doc_id, l,
-         |        unnest(generate_series(0, greatest(len(l) - $ov - 1, 0), $stride)) AS st
-         |      FROM t)
-         |SELECT doc_id, CAST(st / $stride AS BIGINT) AS chunk_index,
-         |  array_to_string(l[st + 1 : st + $chunk], ' ') AS chunk_text,
-         |  CAST(least($chunk, len(l) - st) AS BIGINT) AS n_tokens
-         |FROM s""".stripMargin
-    },
-
-    // BPE training replay: the v0…v6 merge chain, one row per rank
-    "q118_bpe_merges" -> {
-      val k = 6
-      s"""${bpeTrainCtes(k)}
-         |${(1 to k).map(i =>
-            s"SELECT CAST($i AS BIGINT) AS rank, left_sym, right_sym, pair_count FROM b$i")
-            .mkString("\nUNION ALL\n")}""".stripMargin
-    },
-
-    // BPE encoding replay: the same training chain learns b1…b6, then
-    // every doc's words run the 6 padded replaces in rank order and
-    // the surviving symbols are counted — the portable form of the
-    // graft_bpe_count kernel
-    "q119_bpe_encode" -> {
-      val k = 6
-      s"""${bpeTrainCtes(k)}
-         |SELECT d.doc_id,
-         |  CAST(list_sum(list_transform(string_split(d.text, ' '), __w ->
-         |    len(string_split(trim(${bpeMergedExpr(k)}, chr(1)), chr(1) || chr(1))))) AS BIGINT)
-         |    AS n_bpe_tokens,
-         |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_ws_tokens
-         |FROM documents d, ${(1 to k).map(i => s"b$i").mkString(", ")}""".stripMargin
-    },
-
-    // BPE vocabulary replay: the trained chain's FINAL vocab state v6
-    // already holds every word's surviving symbols — unnest and roll up
-    "q123_bpe_vocab" -> {
-      val k = 6
-      s"""${bpeTrainCtes(k)}
-         |SELECT symbol, CAST(sum(n) AS BIGINT) AS n_occurrences FROM (
-         |  SELECT unnest(string_split(wsym, chr(1) || chr(1))) AS symbol, n
-         |  FROM v$k)
-         |GROUP BY symbol""".stripMargin
-    },
-
-    // durable BPE replay: train chain restricted to the even half,
-    // encode chain over the odd half — storage must change nothing
-    "q124_durable_bpe" -> {
-      val k = 6
-      s"""${bpeTrainCtes(k, "WHERE doc_id % 2 = 0")}
-         |SELECT d.doc_id,
-         |  CAST(list_sum(list_transform(string_split(d.text, ' '), __w ->
-         |    len(string_split(trim(${bpeMergedExpr(k)}, chr(1)), chr(1) || chr(1))))) AS BIGINT)
-         |    AS n_bpe_tokens
-         |FROM documents d, ${(1 to k).map(i => s"b$i").mkString(", ")}
-         |WHERE d.doc_id % 2 <> 0""".stripMargin
-    },
-
-    // tokenizer-aware packing replay: q64's running-sum chain with n =
-    // the BPE count (training replay + 6 chained replaces per word)
-    "q125_bpe_pack" -> {
-      val k = 6
-      s"""${bpeTrainCtes(k)},
-         |t AS (SELECT d.doc_id, d.lang,
-         |  CAST(list_sum(list_transform(string_split(d.text, ' '), __w ->
-         |    len(string_split(trim(${bpeMergedExpr(k)}, chr(1)), chr(1) || chr(1))))) AS BIGINT) AS n
-         |  FROM documents d, ${(1 to k).map(i => s"b$i").mkString(", ")}),
-         |p AS (SELECT doc_id, lang, n,
-         |        sum(n) OVER (PARTITION BY lang ORDER BY doc_id) AS e
-         |      FROM t WHERE n > 0),
-         |x AS (SELECT doc_id, lang, e - n AS s, e FROM p),
-         |u AS (SELECT doc_id, lang, s, e,
-         |        unnest(generate_series(CAST(s // 512 AS BIGINT),
-         |                               CAST((e - 1) // 512 AS BIGINT))) AS seq_idx
-         |      FROM x)
-         |SELECT doc_id, lang, seq_idx,
-         |  CAST(least(e, (seq_idx + 1) * 512) - greatest(s, seq_idx * 512) AS BIGINT) AS toks_in_seq
-         |FROM u""".stripMargin
-    },
-
-    // tokenizer-equity replay: the q119 per-doc encode rolled up per
-    // language; compression = chars (spaces removed) per BPE token
-    "q126_tokenizer_report" -> {
-      val k = 6
-      s"""${bpeTrainCtes(k)},
-         |t AS (SELECT d.lang,
-         |  len(string_split(d.text, ' ')) AS ws,
-         |  len(replace(d.text, ' ', '')) AS ch,
-         |  list_sum(list_transform(string_split(d.text, ' '), __w ->
-         |    len(string_split(trim(${bpeMergedExpr(k)}, chr(1)), chr(1) || chr(1))))) AS bpe
-         |  FROM documents d, ${(1 to k).map(i => s"b$i").mkString(", ")})
-         |SELECT lang, count(*) AS n_docs,
-         |  CAST(sum(ws) AS BIGINT) AS ws_tokens,
-         |  CAST(sum(ch) AS BIGINT) AS n_chars,
-         |  CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
-         |  round(CAST(sum(ch) AS DOUBLE) / sum(bpe), 6) AS chars_per_bpe_token
-         |FROM t GROUP BY lang""".stripMargin
-    },
-
-    // recall replay: the q101 exact chain LEFT JOINed against the q102
-    // IVF chain on (query, id), both DEDUPED; recall = matched over the
-    // query's own distinct truth count (≤ k), mirroring recallAtK
-    "q127_ann_recall" ->
-      s"""WITH truth AS (SELECT DISTINCT query_id, vec_id FROM (${bruteBatchSql()})),
-         |approx AS (SELECT DISTINCT query_id, vec_id FROM (${ivfTrainedBatchSql()}))
-         |SELECT t.query_id, count(a.vec_id) AS hits,
-         |  round(CAST(count(a.vec_id) AS DOUBLE) / count(*), 6) AS recall_at_k
-         |FROM truth t LEFT JOIN approx a
-         |  ON t.query_id = a.query_id AND t.vec_id = a.vec_id
-         |GROUP BY t.query_id""".stripMargin,
-
-    // encoding-health replay: the same deterministic seeding (chr(769)
-    // = U+0301 combining acute, chr(65533) = U+FFFD), DuckDB's
-    // utf8proc nfc_normalize against the kernel's java.text.Normalizer
-    // — both count length in code points
-    "q128_unicode_clean" ->
-      """WITH seeded AS (
-        |  SELECT lang,
-        |    CASE WHEN doc_id % 7 = 0
-        |           THEN text || ' cafe' || chr(769) || ' re' || chr(769)
-        |                || 'sume' || chr(769)
-        |         WHEN doc_id % 11 = 0
-        |           THEN text || ' ' || chr(65533) || chr(65533) || 'broken'
-        |         ELSE text END AS t
-        |  FROM documents)
-        |SELECT lang, count(*) AS n_docs,
-        |  CAST(sum(CASE WHEN t <> nfc_normalize(t) THEN 1 ELSE 0 END) AS BIGINT) AS n_non_nfc,
-        |  CAST(sum(length(t) - length(nfc_normalize(t))) AS BIGINT) AS chars_saved,
-        |  CAST(sum(length(t) - length(replace(t, chr(65533), ''))) AS BIGINT) AS repl_chars
-        |FROM seeded GROUP BY lang""".stripMargin,
-
-    // compaction is pure layout: the answers come straight from the
-    // source table (the q121 invariant for the file-count dimension)
-    "q129_compaction" ->
-      """SELECT lang, count(*) AS n_docs,
-        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
-        |FROM documents GROUP BY lang""".stripMargin,
-
-    // drift replay: v1's float narrowing is reproduced with CAST(... AS
-    // REAL) then widened back — IEEE round-trips identically in both
-    // engines; max() keeps the check order-insensitive
-    // vector-audit replay: identical corruption seeding (CASE order
-    // mirrored — zero wins over NaN wins over truncation), norms via
-    // the q22 list arithmetic, healthy = right dims AND no NaN
-    "q138_vector_audit" -> {
-      val normOf = "sqrt(list_sum(list_transform(e, __x -> " +
-        "CAST(__x AS DOUBLE) * CAST(__x AS DOUBLE))))"
-      s"""WITH va_s AS (
-         |  SELECT CASE
-         |    WHEN vec_id % 13 = 0
-         |      THEN list_transform(embedding, __x -> CAST(0.0 AS REAL))
-         |    WHEN vec_id % 17 = 0
-         |      THEN list_concat([CAST('nan' AS REAL)], embedding[2:64])
-         |    WHEN vec_id % 19 = 0 THEN embedding[1:32]
-         |    ELSE embedding END AS e
-         |  FROM embeddings),
-         |va_m AS (
-         |  SELECT len(e) = 64 AS dims_ok,
-         |    len(list_filter(e, __x -> isnan(CAST(__x AS DOUBLE)))) > 0 AS has_nan,
-         |    $normOf AS nrm
-         |  FROM va_s)
-         |SELECT count(*) AS n_vectors,
-         |  CAST(sum(CASE WHEN NOT dims_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_wrong_dims,
-         |  CAST(sum(CASE WHEN has_nan THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
-         |  CAST(sum(CASE WHEN dims_ok AND NOT has_nan AND nrm < 1e-6
-         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
-         |  round(min(CASE WHEN dims_ok AND NOT has_nan THEN nrm END), 6) AS min_norm,
-         |  round(max(CASE WHEN dims_ok AND NOT has_nan THEN nrm END), 6) AS max_norm
-         |FROM va_m""".stripMargin
-    },
-
-    // WARC replay: the archive is rendered FROM documents, so a
-    // lossless roundtrip must reproduce the table's own per-bucket
-    // byte/char/key sums (strlen = UTF-8 bytes = Content-Length)
-    "q139_warc_source" ->
-      """SELECT doc_id % 7 AS bucket, count(*) AS n_records,
-        |  CAST(sum(strlen(text)) AS BIGINT) AS sum_bytes,
-        |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
-        |  CAST(sum(doc_id) AS BIGINT) AS sum_doc
-        |FROM documents WHERE text IS NOT NULL GROUP BY 1""".stripMargin,
-
-    // HTML-extract replay: q140's page is rendered FROM documents and
-    // extraction is exact recovery, so the oracle needs no HTML — every
-    // doc must come back byte-identical (n_exact = n_docs = count)
-    "q140_html_extract" ->
-      """SELECT doc_id % 5 AS bucket, count(*) AS n_docs,
-        |  count(*) AS n_exact,
-        |  CAST(sum(length(text)) AS BIGINT) AS sum_chars
-        |FROM documents WHERE text IS NOT NULL GROUP BY 1""".stripMargin,
-
-    // web-pipeline replay: extraction is identity (q140), so the
-    // filter+dedup chain runs directly on documents; the duplicate
-    // crawl is the same doc_id % 3 union
-    "q141_web_pipeline" ->
-      """WITH pages AS (
-        |  SELECT text FROM documents WHERE text IS NOT NULL
-        |  UNION ALL
-        |  SELECT text FROM documents WHERE text IS NOT NULL AND doc_id % 3 = 0),
-        |kept AS (
-        |  SELECT text FROM pages WHERE len(string_split(text, ' ')) >= 20)
-        |SELECT count(*) AS n_pages_kept,
-        |  count(DISTINCT text) AS n_unique
-        |FROM kept""".stripMargin,
-
-    // URL-normalize replay: the messy URL is built FROM the clean
-    // parts, so the oracle reconstructs expected forms without any URL
-    // parsing — every normalization must land exactly (n_exact=n_urls)
-    "q142_url_normalize" ->
-      """WITH u AS (
-        |  SELECT doc_id,
-        |    ['com','org','net','co.uk','de'][CAST(doc_id % 5 AS INT) + 1] AS tld,
-        |    'site' || CAST(doc_id % 11 AS VARCHAR) || '.'
-        |      || ['com','org','net','co.uk','de'][CAST(doc_id % 5 AS INT) + 1] AS dom
-        |  FROM documents)
-        |SELECT tld, count(*) AS n_urls, count(*) AS n_exact,
-        |  count(DISTINCT dom) AS n_domains,
-        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
-        |FROM u GROUP BY tld""".stripMargin,
-
-    // domain-cap replay: identical salted-md5 unit positions on both
-    // engines (the q37 hash discipline), row_number over (pos, url)
-    "q143_domain_cap" -> {
-      val h = PortableSql.minhashBase("concat('domcap', ':', url)", DD)
-      """WITH urls AS (
-        |  SELECT doc_id,
-        |    'http://d' || CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 10
-        |      ELSE doc_id % 200 END AS VARCHAR)
-        |      || '.com/p/' || CAST(doc_id AS VARCHAR) AS url,
-        |    'd' || CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 10
-        |      ELSE doc_id % 200 END AS VARCHAR) || '.com' AS dom
-        |  FROM documents),
-        |h AS (SELECT doc_id, url, dom,
-        |    CAST(""".stripMargin + h +
-        """ AS DOUBLE) / 1152921504606846976.0 AS p FROM urls),
-        |r AS (SELECT doc_id, dom,
-        |    ROW_NUMBER() OVER (PARTITION BY dom ORDER BY p, url) AS rn
-        |  FROM h)
-        |SELECT count(*) AS n_kept, count(DISTINCT dom) AS n_domains,
-        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
-        |FROM r WHERE rn <= 5""".stripMargin
-    },
-
-    // robots replay: decisions are known by construction — host h2 has
-    // no robots (allow all), h3's agent-specific group denies all,
-    // h0/h1 allow exactly path cases 0/2/4 (public, allow-override,
-    // no-match default); the oracle never parses robots.txt
-    "q144_robots_filter" ->
-      """WITH u AS (
-        |  SELECT doc_id, CAST(doc_id % 4 AS INT) AS hostnum,
-        |    CAST(doc_id % 5 AS INT) AS pc
-        |  FROM documents),
-        |a AS (
-        |  SELECT * FROM u
-        |  WHERE hostnum = 2 OR (hostnum <> 3 AND pc IN (0, 2, 4)))
-        |SELECT 'h' || CAST(hostnum AS VARCHAR) || '.com' AS host,
-        |  count(*) AS n_allowed, CAST(sum(doc_id) AS BIGINT) AS sum_ids
-        |FROM a GROUP BY 1""".stripMargin,
-
-    // triage replay: payloads are synthesized so every sniff, charset,
-    // and decode outcome is known by construction — all counters must
-    // equal the bucket size
-    "q145_payload_triage" ->
-      """SELECT doc_id % 6 AS bucket, count(*) AS n_payloads,
-        |  count(*) AS n_mime_ok, count(*) AS n_charset_ok,
-        |  count(*) AS n_decode_ok
-        |FROM documents WHERE text IS NOT NULL GROUP BY 1""".stripMargin,
-
-    // capstone replay: every stage is identity-or-known (WARC roundtrip
-    // byte-exact per q139, decode strips the BOM per q145, extraction
-    // recovers text per q140, robots denies exactly the /private/
-    // paths per q144), so the oracle is pure arithmetic on documents —
-    // duplicate crawl rows included
-    "q146_web_capstone" ->
-      """WITH pages AS (
-        |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
-        |  UNION ALL
-        |  SELECT doc_id, text FROM documents
-        |  WHERE text IS NOT NULL AND doc_id % 3 = 0),
-        |allowed AS (SELECT * FROM pages WHERE doc_id % 7 <> 0)
-        |SELECT count(*) AS n_allowed,
-        |  count(DISTINCT text) AS n_unique,
-        |  CAST(sum(length(text)) AS BIGINT) AS sum_chars
-        |FROM allowed""".stripMargin,
-
-    // title replay: the synthesized page titles each doc "Doc <id>",
-    // so every title must come back exactly and titles are as distinct
-    // as doc ids
-    "q147_html_title" ->
-      """SELECT count(*) AS n_docs, count(*) AS n_title_ok,
-        |  count(DISTINCT doc_id) AS n_unique
-        |FROM documents WHERE text IS NOT NULL""".stripMargin,
-
-    // PII-audit replay: every span is placed (or withheld — the Luhn
-    // decoy) by a modular condition, so the counts are arithmetic;
-    // the kernel must agree exactly
-    "q148_pii_audit" ->
-      """SELECT doc_id % 7 AS bucket, count(*) AS n_docs,
-        |  CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_email,
-        |  CAST(sum(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_phone,
-        |  CAST(sum(CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ipv4,
-        |  CAST(sum(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_card
-        |FROM documents WHERE text IS NOT NULL GROUP BY 1""".stripMargin,
-
-    // PII-scrub replay: expected text is reconstructible (typed token
-    // lengths: " contact <EMAIL>"=16, " call <PHONE>"=13,
-    // " host <IP>"=10, " card <CARD>"=12, untouched decoy=21), and
-    // exactness is asserted by n_exact = n_docs
-    "q149_pii_scrub" ->
-      """SELECT doc_id % 7 AS bucket, count(*) AS n_docs, count(*) AS n_exact,
-        |  CAST(sum(length(text)
-        |    + CASE WHEN doc_id % 3 = 0 THEN 16 ELSE 0 END
-        |    + CASE WHEN doc_id % 4 = 0 THEN 13 ELSE 0 END
-        |    + CASE WHEN doc_id % 6 = 0 THEN 10 ELSE 0 END
-        |    + CASE WHEN doc_id % 5 = 0 THEN 12
-        |           WHEN doc_id % 5 = 1 THEN 21 ELSE 0 END) AS BIGINT) AS sum_chars
-        |FROM documents WHERE text IS NOT NULL GROUP BY 1""".stripMargin,
-
-    // link-graph replay: the 3 article links per page are doc_id
-    // arithmetic; nav links fail the '/doc/' shape filter; the third
-    // anchor's '&amp;' must decode
-    "q150_link_graph" ->
-      """WITH nn AS (SELECT count(*) AS n FROM documents WHERE text IS NOT NULL),
-        |e AS (
-        |  SELECT doc_id AS src, (doc_id*2+1) % n AS dst, 'ref one' AS anchor
-        |  FROM documents, nn WHERE text IS NOT NULL
-        |  UNION ALL
-        |  SELECT doc_id, (doc_id*3+2) % n, 'ref two'
-        |  FROM documents, nn WHERE text IS NOT NULL
-        |  UNION ALL
-        |  SELECT doc_id, (doc_id*7+5) % n, 'ref & three'
-        |  FROM documents, nn WHERE text IS NOT NULL)
-        |SELECT dst % 5 AS bucket, count(*) AS n_edges,
-        |  count(DISTINCT dst) AS n_targets,
-        |  count(DISTINCT src) AS n_sources,
-        |  CAST(sum(dst) AS BIGINT) AS sum_dst,
-        |  CAST(sum(CASE WHEN anchor = 'ref & three' THEN 1 ELSE 0 END) AS BIGINT) AS n_amp
-        |FROM e GROUP BY 1""".stripMargin,
-
-    // PageRank replay: the same 3 unrolled power iterations as CTEs;
-    // (1.0 - 0.85) keeps the teleport constant bit-identical to the
-    // Scala side's `1.0 - damping`; dangling mass is 0 by construction
-    // (every node has 3 out-links) on BOTH engines
-    "q151_pagerank" -> {
-      def iter(prev: String, cur: String): String =
-        s"""c_$cur AS (
-           |  SELECT e.dst AS id, sum(r_$prev.pr / deg.outdeg) AS cin
-           |  FROM r_$prev JOIN e ON r_$prev.id = e.src
-           |  JOIN deg ON e.src = deg.src
-           |  GROUP BY e.dst),
-           |r_$cur AS (
-           |  SELECT nodes.id,
-           |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))/nn.nd
-           |      + CAST(0.85 AS DOUBLE)*(COALESCE(c_$cur.cin, 0.0)) AS pr
-           |  FROM nodes LEFT JOIN c_$cur ON nodes.id = c_$cur.id, nn)""".stripMargin
-      s"""WITH nn AS (
-         |  SELECT CAST(count(*) AS DOUBLE) AS nd, count(*) AS n
-         |  FROM documents WHERE text IS NOT NULL),
-         |nodes AS (SELECT doc_id AS id FROM documents WHERE text IS NOT NULL),
-         |e AS (
-         |  SELECT doc_id AS src, (doc_id*2+1) % n AS dst
-         |  FROM documents, nn WHERE text IS NOT NULL
-         |  UNION ALL
-         |  SELECT doc_id, (doc_id*3+2) % n FROM documents, nn WHERE text IS NOT NULL
-         |  UNION ALL
-         |  SELECT doc_id, (doc_id*7+5) % n FROM documents, nn WHERE text IS NOT NULL),
-         |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
-         |r_0 AS (SELECT id, 1.0/nd AS pr FROM nodes, nn),
-         |${iter("0", "1")},
-         |${iter("1", "2")},
-         |${iter("2", "3")}
-         |SELECT id % 5 AS bucket, count(*) AS n_nodes,
-         |  round(sum(pr), 6) AS sum_pr,
-         |  round(max(pr), 9) AS max_pr
-         |FROM r_3 GROUP BY 1""".stripMargin
-    },
-
-    // LPA replay: the same 3 synchronous rounds as CTEs — neighbor
-    // votes + one self-vote, argmax = (max count, min label) via a
-    // per-node windowed max; pure integer logic, bit-identical
-    "q182_label_prop" -> {
-      def iter(prev: String, cur: String): String =
-        s"""v_$cur AS (
-           |  SELECT x.id, x.label, count(*) AS c FROM (
-           |    SELECT adj.v AS id, l.label
-           |    FROM adj JOIN l_$prev l ON l.id = adj.nbr
-           |    UNION ALL SELECT id, label FROM l_$prev) x
-           |  GROUP BY x.id, x.label),
-           |l_$cur AS (
-           |  SELECT id, min(label) AS label FROM (
-           |    SELECT id, label, c, max(c) OVER (PARTITION BY id) AS mc
-           |    FROM v_$cur) WHERE c = mc GROUP BY id)""".stripMargin
-      s"""WITH nn AS (SELECT count(*) AS n FROM documents WHERE text IS NOT NULL),
-         |nodes AS (SELECT doc_id AS id FROM documents WHERE text IS NOT NULL),
-         |e AS (
-         |  SELECT doc_id AS src, (doc_id*2+1) % n AS dst
-         |  FROM documents, nn WHERE text IS NOT NULL
-         |  UNION ALL
-         |  SELECT doc_id, (doc_id*3+2) % n FROM documents, nn WHERE text IS NOT NULL
-         |  UNION ALL
-         |  SELECT doc_id, (doc_id*7+5) % n FROM documents, nn WHERE text IS NOT NULL),
-         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-         |        FROM e WHERE src <> dst),
-         |adj AS (SELECT a AS v, b AS nbr FROM und
-         |        UNION ALL SELECT b, a FROM und),
-         |l_0 AS (SELECT id, id AS label FROM nodes),
-         |${iter("0", "1")},
-         |${iter("1", "2")},
-         |${iter("2", "3")}
-         |SELECT label % 5 AS bucket, count(*) AS n_nodes,
-         |  count(DISTINCT label) AS n_communities,
-         |  CAST(sum(label) AS BIGINT) AS sum_labels,
-         |  CAST(sum(CASE WHEN label = id THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_self
-         |FROM l_3 GROUP BY 1""".stripMargin
-    },
-
-    // co-citation / coupling replay: distinct (src, dst) edges, pair
-    // self-joins on the shared endpoint, the same >=2-strength rollup;
-    // the coupling side replays the in-degree cap (non-binding at
-    // fixture scale, but the contract is part of the query)
-    "q183_link_similarity" ->
-      """WITH nn AS (SELECT count(*) AS n FROM documents WHERE text IS NOT NULL),
-        |e0 AS (
-        |  SELECT doc_id AS src, (doc_id*2+1) % n AS dst
-        |  FROM documents, nn WHERE text IS NOT NULL
-        |  UNION ALL
-        |  SELECT doc_id, (doc_id*3+2) % n FROM documents, nn WHERE text IS NOT NULL
-        |  UNION ALL
-        |  SELECT doc_id, (doc_id*7+5) % n FROM documents, nn WHERE text IS NOT NULL),
-        |e AS (SELECT DISTINCT src, dst FROM e0),
-        |cc AS (
-        |  SELECT ea.dst AS ta, eb.dst AS tb, count(*) AS n_common
-        |  FROM e ea JOIN e eb ON ea.src = eb.src AND ea.dst < eb.dst
-        |  GROUP BY 1, 2),
-        |kept AS (SELECT dst FROM e GROUP BY dst HAVING count(*) <= 1000),
-        |ek AS (SELECT e.src, e.dst FROM e JOIN kept USING (dst)),
-        |bc AS (
-        |  SELECT ea.src AS sa, eb.src AS sb, count(*) AS n_common
-        |  FROM ek ea JOIN ek eb ON ea.dst = eb.dst AND ea.src < eb.src
-        |  GROUP BY 1, 2)
-        |SELECT 'cocite' AS kind, ta % 5 AS bucket, count(*) AS n_pairs,
-        |  CAST(sum(n_common) AS BIGINT) AS sum_common,
-        |  max(n_common) AS max_common,
-        |  CAST(sum(CASE WHEN n_common >= 2 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_strong
-        |FROM cc GROUP BY 1, 2
-        |UNION ALL
-        |SELECT 'bibcouple', sa % 5, count(*),
-        |  CAST(sum(n_common) AS BIGINT), max(n_common),
-        |  CAST(sum(CASE WHEN n_common >= 2 THEN 1 ELSE 0 END) AS BIGINT)
-        |FROM bc GROUP BY 1, 2""".stripMargin,
-
-    // script-profile replay: per-class counts via one [^range] regex
-    // each over the SAME pinned BMP blocks the kernel sweeps; other =
-    // chars minus all classes; identical argmax CASE chain
-    "q184_script_audit" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    (CASE WHEN doc_id % 7 <> 0 AND doc_id % 3 = 0 THEN ''
-        |          ELSE text END) ||
-        |    CASE WHEN doc_id % 7 = 1 THEN ' Привет мир 2024'
-        |         WHEN doc_id % 7 = 2 THEN ' Ελληνικά κείμενο'
-        |         WHEN doc_id % 7 = 3 THEN ' مرحبا بالعالم'
-        |         WHEN doc_id % 7 = 4 THEN ' שלום עולם'
-        |         WHEN doc_id % 7 = 5 THEN ' नमस्ते दुनिया'
-        |         WHEN doc_id % 7 = 6 THEN ' 你好世界 ありがとう 한국어'
-        |         ELSE '' END AS tx
-        |  FROM documents WHERE text IS NOT NULL),
-        |p AS (
-        |  SELECT doc_id, length(tx) AS n_chars,
-        |    length(regexp_replace(tx, '[^A-Za-z\x{00C0}-\x{00D6}\x{00D8}-\x{00F6}\x{00F8}-\x{00FF}\x{0100}-\x{024F}]', '', 'g')) AS n_latin,
-        |    length(regexp_replace(tx, '[^\x{0400}-\x{04FF}]', '', 'g')) AS n_cyrillic,
-        |    length(regexp_replace(tx, '[^\x{0370}-\x{03FF}]', '', 'g')) AS n_greek,
-        |    length(regexp_replace(tx, '[^\x{0600}-\x{06FF}]', '', 'g')) AS n_arabic,
-        |    length(regexp_replace(tx, '[^\x{0590}-\x{05FF}]', '', 'g')) AS n_hebrew,
-        |    length(regexp_replace(tx, '[^\x{0900}-\x{097F}]', '', 'g')) AS n_devanagari,
-        |    length(regexp_replace(tx, '[^\x{3040}-\x{30FF}\x{4E00}-\x{9FFF}\x{AC00}-\x{D7A3}]', '', 'g')) AS n_cjk,
-        |    length(regexp_replace(tx, '[^0-9]', '', 'g')) AS n_digit
-        |  FROM t),
-        |d AS (
-        |  SELECT *,
-        |    n_chars - n_latin - n_cyrillic - n_greek - n_arabic - n_hebrew
-        |      - n_devanagari - n_cjk - n_digit AS n_other,
-        |    CASE
-        |      WHEN n_latin >= n_cyrillic AND n_latin >= n_greek
-        |        AND n_latin >= n_arabic AND n_latin >= n_hebrew
-        |        AND n_latin >= n_devanagari AND n_latin >= n_cjk THEN 'latin'
-        |      WHEN n_cyrillic >= n_greek AND n_cyrillic >= n_arabic
-        |        AND n_cyrillic >= n_hebrew AND n_cyrillic >= n_devanagari
-        |        AND n_cyrillic >= n_cjk THEN 'cyrillic'
-        |      WHEN n_greek >= n_arabic AND n_greek >= n_hebrew
-        |        AND n_greek >= n_devanagari AND n_greek >= n_cjk THEN 'greek'
-        |      WHEN n_arabic >= n_hebrew AND n_arabic >= n_devanagari
-        |        AND n_arabic >= n_cjk THEN 'arabic'
-        |      WHEN n_hebrew >= n_devanagari AND n_hebrew >= n_cjk THEN 'hebrew'
-        |      WHEN n_devanagari >= n_cjk THEN 'devanagari'
-        |      ELSE 'cjk' END AS dominant,
-        |    CASE WHEN (CASE WHEN n_latin > 0 THEN 1 ELSE 0 END
-        |      + CASE WHEN n_cyrillic > 0 THEN 1 ELSE 0 END
-        |      + CASE WHEN n_greek > 0 THEN 1 ELSE 0 END
-        |      + CASE WHEN n_arabic > 0 THEN 1 ELSE 0 END
-        |      + CASE WHEN n_hebrew > 0 THEN 1 ELSE 0 END
-        |      + CASE WHEN n_devanagari > 0 THEN 1 ELSE 0 END
-        |      + CASE WHEN n_cjk > 0 THEN 1 ELSE 0 END) >= 2
-        |      THEN 1 ELSE 0 END AS mixed
-        |  FROM p)
-        |SELECT dominant, count(*) AS n_docs,
-        |  CAST(sum(mixed) AS BIGINT) AS n_mixed,
-        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-        |  CAST(sum(n_digit) AS BIGINT) AS sum_digits,
-        |  CAST(sum(n_other) AS BIGINT) AS sum_other
-        |FROM d GROUP BY 1""".stripMargin,
-
-    // perplexity-bucket replay: the q68 NLL chain (rounded 6dp both
-    // engines), per-lang rank with doc_id tie-break, integer tercile
-    // comparisons, micronat sums
-    "q185_perplexity_buckets" ->
-      s"""WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-         |           FROM documents),
-         |c AS (SELECT tok, count(*) AS c FROM e GROUP BY tok),
-         |n AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM c),
-         |nll AS (SELECT doc_id, round(avg(-ln(CAST(c AS DOUBLE) / n)), 6) AS nll
-         |        FROM e JOIN c USING (tok), n GROUP BY doc_id),
-         |r AS (SELECT d.lang, nll.doc_id, nll.nll,
-         |        CAST(row_number() OVER (PARTITION BY d.lang
-         |          ORDER BY nll.nll, nll.doc_id) AS BIGINT) AS rn,
-         |        count(*) OVER (PARTITION BY d.lang) AS cnt
-         |      FROM nll JOIN documents d ON d.doc_id = nll.doc_id)
-         |SELECT lang,
-         |  CASE WHEN 3*(rn-1) < cnt THEN 'head'
-         |       WHEN 3*(rn-1) < 2*cnt THEN 'middle'
-         |       ELSE 'tail' END AS bucket,
-         |  count(*) AS n_docs,
-         |  CAST(sum(CAST(round(nll*1000000, 0) AS BIGINT)) AS BIGINT)
-         |    AS sum_nll_micro,
-         |  min(nll) AS min_nll, max(nll) AS max_nll
-         |FROM r GROUP BY 1, 2""".stripMargin,
-
-    // audio replay: per-sample modular arithmetic over unnest(range),
-    // same clip/peak/abs/DC sums; id%13 payloads are corrupt by
-    // construction and must count only in n_corrupt
-    "q186_audio_quality" ->
-      """WITH d AS (SELECT doc_id FROM documents WHERE text IS NOT NULL),
-        |g AS (SELECT doc_id FROM d WHERE doc_id % 13 <> 0),
-        |s AS (SELECT doc_id, unnest(range(0, 200 + doc_id % 50)) AS i FROM g),
-        |v AS (SELECT doc_id,
-        |        CASE WHEN doc_id % 9 = 0 AND i % 25 = 0 THEN 32767
-        |             ELSE ((doc_id*31 + i*17) % 2001 - 1000) * 16 END AS v
-        |      FROM s),
-        |a AS (SELECT doc_id, count(*) AS n_samples, max(abs(v)) AS peak,
-        |        sum(CASE WHEN v = 32767 OR v = -32768 THEN 1 ELSE 0 END)
-        |          AS n_clipped,
-        |        sum(abs(v)) AS sum_abs, sum(v) AS sum_val
-        |      FROM v GROUP BY doc_id)
-        |SELECT d.doc_id % 5 AS bucket, count(*) AS n_payloads,
-        |  CAST(sum(CASE WHEN a.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_corrupt,
-        |  CAST(sum(a.n_samples) AS BIGINT) AS sum_samples,
-        |  CAST(max(a.peak) AS BIGINT) AS max_peak,
-        |  CAST(sum(a.n_clipped) AS BIGINT) AS n_clipped,
-        |  CAST(sum(a.sum_abs) AS BIGINT) AS sum_abs,
-        |  CAST(sum(a.sum_val) AS BIGINT) AS sum_val,
-        |  CAST(sum(CASE WHEN a.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_fmt_ok
-        |FROM d LEFT JOIN a ON a.doc_id = d.doc_id
-        |GROUP BY 1""".stripMargin,
-
-    // BFS replay: 3 unrolled min-relaxation rounds over the distinct
-    // synthetic edges; least() ignores NULL in both engines
-    "q187_seed_distance" -> {
-      def iter(prev: String, cur: String): String =
-        s"""r_$cur AS (
-           |  SELECT e.dst AS id, min(d.dist + 1) AS via
-           |  FROM d_$prev d JOIN e ON d.id = e.src
-           |  WHERE d.dist IS NOT NULL GROUP BY e.dst),
-           |d_$cur AS (
-           |  SELECT d.id, least(d.dist, r.via) AS dist
-           |  FROM d_$prev d LEFT JOIN r_$cur r ON r.id = d.id)""".stripMargin
-      s"""WITH nn AS (SELECT count(*) AS n FROM documents WHERE text IS NOT NULL),
-         |nodes AS (SELECT doc_id AS id FROM documents WHERE text IS NOT NULL),
-         |e0 AS (
-         |  SELECT doc_id AS src, (doc_id*2+1) % n AS dst
-         |  FROM documents, nn WHERE text IS NOT NULL
-         |  UNION ALL
-         |  SELECT doc_id, (doc_id*3+2) % n FROM documents, nn WHERE text IS NOT NULL
-         |  UNION ALL
-         |  SELECT doc_id, (doc_id*7+5) % n FROM documents, nn WHERE text IS NOT NULL),
-         |e AS (SELECT DISTINCT src, dst FROM e0),
-         |d_0 AS (SELECT id,
-         |          CASE WHEN id % 97 = 0 THEN CAST(0 AS BIGINT) END AS dist
-         |        FROM nodes),
-         |${iter("0", "1")},
-         |${iter("1", "2")},
-         |${iter("2", "3")}
-         |SELECT dist, count(*) AS n_nodes, CAST(sum(id) AS BIGINT) AS sum_ids
-         |FROM d_3 GROUP BY 1""".stripMargin
-    },
-
-    // LCS replay: identical 3-gram candidate gen, then the SAME DP as
-    // an anti-diagonal recursive CTE — diag d+1 computed from diags d
-    // and d-1 with list_transform (out-of-grid cells coalesce to 0);
-    // the answer is the single cell of diag n+m
-    "q188_lcs_decontamination" ->
-      """WITH RECURSIVE tk AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t
-        |  FROM documents WHERE text IS NOT NULL),
-        |it AS (SELECT doc_id AS item_id, list_slice(t, 1, 12) AS bt
-        |       FROM tk WHERE doc_id % 53 = 0),
-        |dg AS (SELECT DISTINCT doc_id, g FROM (
-        |  SELECT doc_id, unnest(list_transform(range(1, len(t)-2+1),
-        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
-        |  FROM tk WHERE len(t) >= 3)),
-        |ig AS (SELECT DISTINCT item_id, g FROM (
-        |  SELECT item_id, unnest(list_transform(range(1, len(bt)-2+1),
-        |    i -> bt[i] || ' ' || bt[i+1] || ' ' || bt[i+2])) AS g
-        |  FROM it WHERE len(bt) >= 3)),
-        |cand AS (SELECT DISTINCT dg.doc_id, ig.item_id
-        |         FROM dg JOIN ig USING (g) WHERE dg.doc_id <> ig.item_id),
-        |pm AS (SELECT c.doc_id, c.item_id, tk.t AS a, it.bt AS b,
-        |         len(tk.t) AS n, len(it.bt) AS m
-        |       FROM cand c JOIN tk ON tk.doc_id = c.doc_id
-        |       JOIN it ON it.item_id = c.item_id),
-        |dp AS (
-        |  SELECT doc_id, item_id, 1 AS d, CAST([] AS BIGINT[]) AS prev2,
-        |         CAST([] AS BIGINT[]) AS prev, n, m, a, b FROM pm
-        |  UNION ALL
-        |  SELECT doc_id, item_id, d+1,
-        |    prev,
-        |    list_transform(range(greatest(1, (d+1)-m), least(n, d)+1),
-        |      i -> CASE WHEN a[i] = b[(d+1)-i]
-        |        THEN coalesce(prev2[(i-1) - greatest(1, (d-1)-m) + 1], 0) + 1
-        |        ELSE greatest(
-        |          coalesce(prev[(i-1) - greatest(1, d-m) + 1], 0),
-        |          coalesce(prev[i - greatest(1, d-m) + 1], 0)) END),
-        |    n, m, a, b
-        |  FROM dp WHERE d < n + m),
-        |res AS (SELECT item_id, m, coalesce(prev[1], 0) AS lcs
-        |        FROM dp WHERE d = n + m)
-        |SELECT item_id, count(*) AS n_candidates,
-        |  CAST(sum(CASE WHEN 10*lcs >= 8*m THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_contaminated,
-        |  max(lcs) AS max_lcs, CAST(sum(lcs) AS BIGINT) AS sum_lcs
-        |FROM res GROUP BY 1""".stripMargin,
-
-    // gate replay: q184's regex-count chain over the extended fixture
-    // + the portable lang-ID CASE + the same precedence rules
-    "q189_multilingual_gate" ->
-      s"""WITH t AS (
-         |  SELECT doc_id,
-         |    (CASE WHEN doc_id % 7 <> 0 AND doc_id % 3 = 0 THEN ''
-         |          ELSE text END) ||
-         |    CASE WHEN doc_id % 7 = 1 THEN ' Привет мир 2024'
-         |         WHEN doc_id % 7 = 2 THEN ' Ελληνικά κείμενο'
-         |         WHEN doc_id % 7 = 3 THEN ' مرحبا بالعالم'
-         |         WHEN doc_id % 7 = 4 THEN ' שלום עולם'
-         |         WHEN doc_id % 7 = 5 THEN ' नमस्ते दुनिया'
-         |         WHEN doc_id % 7 = 6 THEN ' 你好世界 ありがとう 한국어'
-         |         ELSE '' END ||
-         |    CASE WHEN doc_id % 23 = 0 THEN
-         |      ' 0123456789012345678901234567890123456789012345678' ||
-         |      ' 0123456789012345678901234567890123456789012345678' ||
-         |      ' 0123456789012345678901234567890123456789012345678'
-         |      ELSE '' END AS tx
-         |  FROM documents WHERE text IS NOT NULL),
-         |p AS (
-         |  SELECT doc_id, ${PortableSql.langId("tx", DD)} AS lang_pred,
-         |    length(tx) AS n_chars,
-         |    length(regexp_replace(tx, '[^A-Za-z\\x{00C0}-\\x{00D6}\\x{00D8}-\\x{00F6}\\x{00F8}-\\x{00FF}\\x{0100}-\\x{024F}]', '', 'g')) AS n_latin,
-         |    length(regexp_replace(tx, '[^\\x{0400}-\\x{04FF}]', '', 'g')) AS n_cyrillic,
-         |    length(regexp_replace(tx, '[^\\x{0370}-\\x{03FF}]', '', 'g')) AS n_greek,
-         |    length(regexp_replace(tx, '[^\\x{0600}-\\x{06FF}]', '', 'g')) AS n_arabic,
-         |    length(regexp_replace(tx, '[^\\x{0590}-\\x{05FF}]', '', 'g')) AS n_hebrew,
-         |    length(regexp_replace(tx, '[^\\x{0900}-\\x{097F}]', '', 'g')) AS n_devanagari,
-         |    length(regexp_replace(tx, '[^\\x{3040}-\\x{30FF}\\x{4E00}-\\x{9FFF}\\x{AC00}-\\x{D7A3}]', '', 'g')) AS n_cjk,
-         |    length(regexp_replace(tx, '[^0-9]', '', 'g')) AS n_digit
-         |  FROM t),
-         |d AS (
-         |  SELECT doc_id, lang_pred, n_chars,
-         |    CASE
-         |      WHEN (CASE WHEN n_latin > 0 THEN 1 ELSE 0 END
-         |        + CASE WHEN n_cyrillic > 0 THEN 1 ELSE 0 END
-         |        + CASE WHEN n_greek > 0 THEN 1 ELSE 0 END
-         |        + CASE WHEN n_arabic > 0 THEN 1 ELSE 0 END
-         |        + CASE WHEN n_hebrew > 0 THEN 1 ELSE 0 END
-         |        + CASE WHEN n_devanagari > 0 THEN 1 ELSE 0 END
-         |        + CASE WHEN n_cjk > 0 THEN 1 ELSE 0 END) >= 2
-         |        THEN 'mixed_script'
-         |      WHEN lang_pred = 'und' AND
-         |        (n_latin + n_cyrillic + n_greek + n_arabic + n_hebrew
-         |          + n_devanagari + n_cjk) > 0 THEN 'lang_unsupported'
-         |      WHEN 5*n_digit > n_chars THEN 'digit_heavy'
-         |      ELSE 'kept' END AS reason
-         |  FROM p)
-         |SELECT reason, count(*) AS n_docs,
-         |  count(DISTINCT lang_pred) AS n_langs,
-         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
-         |FROM d GROUP BY 1""".stripMargin,
-
-    // phrase replay: DuckDB scans the corpus directly with a lambda
-    // over token bigrams (1-based list index i -> 0-based position
-    // i-1); the Spark side must reach the same answer from the
-    // persisted index alone
-    "q152_phrase_search" ->
-      """WITH tk AS (
-        |  SELECT doc_id, string_split(text, ' ') AS toks
-        |  FROM documents WHERE text IS NOT NULL),
-        |m AS (
-        |  SELECT doc_id,
-        |    len(list_filter(range(1, len(toks)),
-        |      i -> toks[i] = 'spark' AND toks[i+1] = 'window')) AS occ,
-        |    list_min(list_filter(range(1, len(toks)),
-        |      i -> toks[i] = 'spark' AND toks[i+1] = 'window')) AS first1
-        |  FROM tk)
-        |SELECT count(*) FILTER (occ > 0) AS n_docs,
-        |  CAST(sum(occ) AS BIGINT) AS n_occ,
-        |  CAST(sum(CASE WHEN occ > 0 THEN doc_id END) AS BIGINT) AS sum_ids,
-        |  CAST(min(first1) - 1 AS BIGINT) AS min_first
-        |FROM m""".stripMargin,
-
-    // sitemap replay: lastmod/fetched are day-of-month arithmetic, the
-    // 1/9 no-lastmod entries are never stale, and string date compare
-    // ("" on the Spark side, NULL-cased here) agrees by construction
-    "q154_sitemap_stale" ->
-      """WITH d AS (SELECT doc_id FROM documents WHERE text IS NOT NULL),
-        |x AS (
-        |  SELECT doc_id, doc_id % 10 AS hostnum,
-        |    CASE WHEN doc_id % 9 <> 0 THEN doc_id % 27 + 1 END AS lm,
-        |    (doc_id*3) % 27 + 1 AS f
-        |  FROM d)
-        |SELECT hostnum, count(*) AS n_urls,
-        |  CAST(sum(CASE WHEN lm IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nolastmod,
-        |  CAST(sum(CASE WHEN lm > f THEN 1 ELSE 0 END) AS BIGINT) AS n_stale,
-        |  CAST(sum(CASE WHEN lm > f THEN doc_id END) AS BIGINT) AS sum_stale
-        |FROM x GROUP BY hostnum""".stripMargin,
-
-    // schedule replay: per-host aggregates depend only on the slot SET
-    // {0..n-1} × delay, so the rollup is exact arithmetic; mean waits
-    // are exact multiples of 0.5×delay and survive round(…,6) intact
-    "q155_crawl_schedule" ->
-      """WITH f AS (
-        |  SELECT doc_id,
-        |    'd' || CAST(doc_id % 50 AS VARCHAR) || '.example' AS host,
-        |    (doc_id % 50 % 5 + 1) AS delay_s
-        |  FROM documents WHERE text IS NOT NULL),
-        |h AS (
-        |  SELECT host, count(*) AS n_urls,
-        |    (count(*) - 1) * min(delay_s) AS makespan_s,
-        |    round((count(*) - 1) * min(delay_s) / 2.0, 6) AS mean_wait_s,
-        |    min(delay_s) AS delay_s
-        |  FROM f GROUP BY host)
-        |SELECT length(host) % 3 AS bucket, count(*) AS n_hosts,
-        |  CAST(sum(n_urls) AS BIGINT) AS n_urls,
-        |  CAST(sum(makespan_s) AS BIGINT) AS sum_makespan,
-        |  round(sum(mean_wait_s), 6) AS sum_mean_wait,
-        |  CAST(sum(delay_s) AS BIGINT) AS sum_delay
-        |FROM h GROUP BY 1""".stripMargin,
-
-    // crawl-plan replay: discovery/staleness/robots/schedule are all
-    // constructive — robots decisions mirror q144's pinned semantics
-    // (even hosts: path cases 0/2/4 allowed; h3/h7: bot-banned; odd
-    // non-ban hosts: no robots = allow), the schedule is the same
-    // (prio, url) row_number
-    "q156_crawl_plan" ->
-      """WITH d AS (
-        |  SELECT doc_id, doc_id % 10 AS h, (doc_id // 10) % 5 AS pc
-        |  FROM documents WHERE text IS NOT NULL),
-        |u AS (
-        |  SELECT doc_id, h, pc,
-        |    'https://h' || CAST(h AS VARCHAR) || '.example' ||
-        |    CASE pc WHEN 0 THEN '/public/doc' || CAST(doc_id AS VARCHAR)
-        |            WHEN 1 THEN '/private/doc' || CAST(doc_id AS VARCHAR)
-        |            WHEN 2 THEN '/private/pub' || CAST(doc_id AS VARCHAR)
-        |            WHEN 3 THEN '/cache/doc' || CAST(doc_id AS VARCHAR) || '.tmp'
-        |            ELSE '/docs/doc' || CAST(doc_id AS VARCHAR) || '.html' END AS url,
-        |    CASE WHEN doc_id % 9 = 0 THEN 1 ELSE 0 END AS prio,
-        |    (doc_id % 27) > ((doc_id*3) % 27) AS stale
-        |  FROM d),
-        |due AS (SELECT * FROM u WHERE prio = 1 OR stale),
-        |alw AS (
-        |  SELECT * FROM due
-        |  WHERE h % 4 <> 3 AND (h % 2 <> 0 OR pc IN (0, 2, 4))),
-        |r AS (
-        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY h ORDER BY prio, url) AS rn
-        |  FROM alw)
-        |SELECT h AS hostnum, count(*) AS n_fetch,
-        |  CAST(max((rn-1) * (h % 5 + 1)) AS BIGINT) AS makespan_s,
-        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
-        |  CAST(sum(CASE WHEN prio = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_stale
-        |FROM r WHERE rn <= 30 GROUP BY h""".stripMargin,
-
-    // anchor-mode replay: per-(dst, anchor) counts then the same
-    // deterministic mode (count desc, anchor asc)
-    "q157_anchor_text" ->
-      """WITH nn AS (SELECT count(*) AS n FROM documents WHERE text IS NOT NULL),
-        |e AS (
-        |  SELECT (doc_id*2+1) % n AS dst, 'ref one' AS anchor
-        |  FROM documents, nn WHERE text IS NOT NULL
-        |  UNION ALL
-        |  SELECT (doc_id*3+2) % n, 'ref two'
-        |  FROM documents, nn WHERE text IS NOT NULL
-        |  UNION ALL
-        |  SELECT (doc_id*7+5) % n, 'ref & three'
-        |  FROM documents, nn WHERE text IS NOT NULL),
-        |c AS (SELECT dst, anchor, count(*) AS cnt FROM e GROUP BY dst, anchor),
-        |t AS (
-        |  SELECT dst, anchor, cnt,
-        |    ROW_NUMBER() OVER (PARTITION BY dst ORDER BY cnt DESC, anchor ASC) AS rn,
-        |    sum(cnt) OVER (PARTITION BY dst) AS total,
-        |    count(*) OVER (PARTITION BY dst) AS ndis
-        |  FROM c)
-        |SELECT dst % 5 AS bucket, count(*) AS n_targets,
-        |  CAST(sum(total) AS BIGINT) AS n_links,
-        |  CAST(sum(ndis) AS BIGINT) AS sum_distinct,
-        |  CAST(sum(CASE WHEN anchor = 'ref one' THEN 1 ELSE 0 END) AS BIGINT) AS n_top_one,
-        |  CAST(sum(CASE WHEN anchor = 'ref & three' THEN 1 ELSE 0 END) AS BIGINT) AS n_top_amp,
-        |  CAST(sum(cnt) AS BIGINT) AS sum_top
-        |FROM t WHERE rn = 1 GROUP BY 1""".stripMargin,
-
-    // HITS replay: identical update order (auth from OLD hubs, hub
-    // from NEW auths), L2 norms as one-row aggregates
-    "q158_hits" -> {
-      def iter(prev: String, cur: String): String =
-        s"""a${cur}raw AS (
-           |  SELECT e.dst AS id, sum(h$prev.hub) AS v
-           |  FROM h$prev JOIN e ON h$prev.id = e.src GROUP BY e.dst),
-           |a${cur}u AS (
-           |  SELECT nodes.id, COALESCE(a${cur}raw.v, 0.0) AS auth
-           |  FROM nodes LEFT JOIN a${cur}raw ON nodes.id = a${cur}raw.id),
-           |a${cur}n AS (SELECT sqrt(sum(auth*auth)) AS nrm FROM a${cur}u),
-           |a$cur AS (
-           |  SELECT id, CASE WHEN nrm > 0 THEN auth/nrm ELSE 0.0 END AS auth
-           |  FROM a${cur}u, a${cur}n),
-           |h${cur}raw AS (
-           |  SELECT e.src AS id, sum(a$cur.auth) AS v
-           |  FROM a$cur JOIN e ON a$cur.id = e.dst GROUP BY e.src),
-           |h${cur}u AS (
-           |  SELECT nodes.id, COALESCE(h${cur}raw.v, 0.0) AS hub
-           |  FROM nodes LEFT JOIN h${cur}raw ON nodes.id = h${cur}raw.id),
-           |h${cur}n AS (SELECT sqrt(sum(hub*hub)) AS nrm FROM h${cur}u),
-           |h$cur AS (
-           |  SELECT id, CASE WHEN nrm > 0 THEN hub/nrm ELSE 0.0 END AS hub
-           |  FROM h${cur}u, h${cur}n)""".stripMargin
-      s"""WITH nn AS (SELECT count(*) AS n FROM documents WHERE text IS NOT NULL),
-         |nodes AS (SELECT doc_id AS id FROM documents WHERE text IS NOT NULL),
-         |e AS (
-         |  SELECT doc_id AS src, (doc_id*2+1) % n AS dst
-         |  FROM documents, nn WHERE text IS NOT NULL
-         |  UNION ALL
-         |  SELECT doc_id, (doc_id*3+2) % n FROM documents, nn WHERE text IS NOT NULL
-         |  UNION ALL
-         |  SELECT doc_id, (doc_id*7+5) % n FROM documents, nn WHERE text IS NOT NULL),
-         |h0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS hub FROM nodes),
-         |${iter("0", "1")},
-         |${iter("1", "2")}
-         |SELECT a2.id % 5 AS bucket, count(*) AS n_nodes,
-         |  round(sum(a2.auth), 6) AS sum_auth,
-         |  round(sum(h2.hub), 6) AS sum_hub
-         |FROM a2 JOIN h2 ON a2.id = h2.id GROUP BY 1""".stripMargin
-    },
-
-    // personalized-PageRank replay: teleport = isSeed/|S|, init = t,
-    // 3 unrolled iterations, dangling term 0 by construction; the
-    // (1.0 − 0.85) CAST discipline matches the Scala double exactly
-    "q159_ppr" -> {
-      def iter(prev: String, cur: String): String =
-        s"""c_$cur AS (
-           |  SELECT e.dst AS id, sum(r_$prev.pr / deg.outdeg) AS cin
-           |  FROM r_$prev JOIN e ON r_$prev.id = e.src
-           |  JOIN deg ON e.src = deg.src
-           |  GROUP BY e.dst),
-           |r_$cur AS (
-           |  SELECT t.id,
-           |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * t.t
-           |      + CAST(0.85 AS DOUBLE)*(COALESCE(c_$cur.cin, 0.0)) AS pr
-           |  FROM t LEFT JOIN c_$cur ON t.id = c_$cur.id)""".stripMargin
-      s"""WITH nn AS (SELECT count(*) AS n FROM documents WHERE text IS NOT NULL),
-         |ss AS (
-         |  SELECT CAST(count(*) AS DOUBLE) AS s
-         |  FROM documents WHERE text IS NOT NULL AND doc_id % 100 = 0),
-         |t AS (
-         |  SELECT doc_id AS id,
-         |    CASE WHEN doc_id % 100 = 0 THEN 1.0/s ELSE CAST(0.0 AS DOUBLE) END AS t
-         |  FROM documents, ss WHERE text IS NOT NULL),
-         |e AS (
-         |  SELECT doc_id AS src, (doc_id*2+1) % n AS dst
-         |  FROM documents, nn WHERE text IS NOT NULL
-         |  UNION ALL
-         |  SELECT doc_id, (doc_id*3+2) % n FROM documents, nn WHERE text IS NOT NULL
-         |  UNION ALL
-         |  SELECT doc_id, (doc_id*7+5) % n FROM documents, nn WHERE text IS NOT NULL),
-         |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
-         |r_0 AS (SELECT id, t AS pr FROM t),
-         |${iter("0", "1")},
-         |${iter("1", "2")},
-         |${iter("2", "3")}
-         |SELECT id % 5 AS bucket, count(*) AS n_nodes,
-         |  round(sum(pr), 6) AS sum_pr
-         |FROM r_3 GROUP BY 1""".stripMargin
-    },
-
-    // weighted-sample replay: identical Efraimidis–Spirakis keys from
-    // the shared salted-md5 unit hash — the exact member set must
-    // agree, not just the counts
-    "q160_weighted_sample" -> {
-      val h = PortableSql.minhashBase("concat('ws1', ':', CAST(doc_id AS VARCHAR))", DD)
-      s"""WITH hh AS (
-         |  SELECT doc_id, source, CAST(doc_id % 4 + 1 AS DOUBLE) AS w,
-         |    CAST($h AS DOUBLE) / 1152921504606846976.0 AS p
-         |  FROM documents WHERE text IS NOT NULL),
-         |sc AS (SELECT *, power(p, 1.0/w) AS ws FROM hh),
-         |r AS (
-         |  SELECT *, ROW_NUMBER() OVER
-         |    (PARTITION BY source ORDER BY ws DESC, doc_id ASC) AS rn
-         |  FROM sc)
-         |SELECT source, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_ids,
-         |  round(sum(w), 6) AS sum_w
-         |FROM r WHERE rn <= 10 GROUP BY source""".stripMargin
-    },
-
-    // ORC replay: lossless roundtrip ⇒ the filtered aggregates equal
-    // the source table's
-    "q161_orc_roundtrip" ->
-      """SELECT lang, count(*) AS n_docs,
-        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
-        |  count(DISTINCT source) AS n_sources
-        |FROM documents WHERE text IS NOT NULL AND n_chars >= 20
-        |GROUP BY lang""".stripMargin,
-
-    // CSV replay: payload = 'pre,' + text + ' "q" end' + newline +
-    // 'line2 ' + id ⇒ length = len(text) + 19 + digits(id); exactness
-    // asserted by n_exact = n_rows
-    "q162_csv_roundtrip" ->
-      """SELECT lang, count(*) AS n_rows, count(*) AS n_exact,
-        |  CAST(sum(length(text) + 19 + length(CAST(doc_id AS VARCHAR))) AS BIGINT)
-        |    AS sum_chars
-        |FROM documents WHERE text IS NOT NULL GROUP BY lang""".stripMargin,
-
-    // robots-politeness replay: delays are known per host class
-    // (h%3==0 declares h%5+2 for '*', h%3==1 overrides graftbot to 10,
-    // h%3==2 has no robots -> default 1.0); makespan = (n-1)·delay
-    "q163_robots_politeness" ->
-      """WITH d AS (
-        |  SELECT doc_id, doc_id % 10 AS h
-        |  FROM documents WHERE text IS NOT NULL),
-        |hn AS (SELECT h, count(*) AS n FROM d GROUP BY h),
-        |del AS (
-        |  SELECT h, n,
-        |    CASE WHEN h % 3 = 0 THEN CAST(h % 5 + 2 AS DOUBLE)
-        |         WHEN h % 3 = 1 THEN CAST(10.0 AS DOUBLE)
-        |         ELSE CAST(1.0 AS DOUBLE) END AS delay
-        |  FROM hn)
-        |SELECT h % 3 AS bucket, count(*) AS n_hosts,
-        |  CAST(sum(n) AS BIGINT) AS n_urls,
-        |  round(sum((n-1) * delay), 6) AS sum_makespan,
-        |  round(sum(delay), 6) AS sum_delay
-        |FROM del GROUP BY 1""".stripMargin,
-
-    // bucketed-join replay: bucketing changes the PLAN, not the
-    // answer — plain join + rollup
-    "q165_bucketed_join" ->
-      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, count(*) AS n_items,
-        |  count(DISTINCT o_orderkey) AS n_orders,
-        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
-        |  cast(sum(cast(l_extendedprice as decimal(18,6))) as double) AS sum_price
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY 1""".stripMargin,
-
-    // corpus-capstone replay: WARC/decode/extract are identity
-    // (q139/q145/q140), the scrub is the q149 construction, token and
-    // char deltas per suffix are fixed (+2 tokens each; 16/13/10/12/21
-    // chars) — pure arithmetic incl. the duplicate-crawl union
-    "q166_corpus_capstone" ->
-      """WITH base AS (
-        |  SELECT doc_id,
-        |    len(string_split(text, ' '))
-        |      + CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 0 END
-        |      + CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 0 END
-        |      + CASE WHEN doc_id % 6 = 0 THEN 2 ELSE 0 END
-        |      + CASE WHEN doc_id % 5 IN (0, 1) THEN 2 ELSE 0 END AS toks,
-        |    length(text)
-        |      + CASE WHEN doc_id % 3 = 0 THEN 16 ELSE 0 END
-        |      + CASE WHEN doc_id % 4 = 0 THEN 13 ELSE 0 END
-        |      + CASE WHEN doc_id % 6 = 0 THEN 10 ELSE 0 END
-        |      + CASE WHEN doc_id % 5 = 0 THEN 12
-        |             WHEN doc_id % 5 = 1 THEN 21 ELSE 0 END AS chars,
-        |    text
-        |      || CASE WHEN doc_id % 3 = 0 THEN ' contact <EMAIL>' ELSE '' END
-        |      || CASE WHEN doc_id % 4 = 0 THEN ' call <PHONE>' ELSE '' END
-        |      || CASE WHEN doc_id % 6 = 0 THEN ' host <IP>' ELSE '' END
-        |      || CASE WHEN doc_id % 5 = 0 THEN ' card <CARD>'
-        |              WHEN doc_id % 5 = 1 THEN ' ref 4532015112830367'
-        |              ELSE '' END AS scrub
-        |  FROM documents WHERE text IS NOT NULL),
-        |pages AS (
-        |  SELECT * FROM base
-        |  UNION ALL
-        |  SELECT * FROM base WHERE doc_id % 3 = 0),
-        |kept AS (SELECT * FROM pages WHERE toks >= 20)
-        |SELECT count(*) AS n_kept, count(DISTINCT scrub) AS n_unique,
-        |  CAST(sum(chars) AS BIGINT) AS sum_chars
-        |FROM kept""".stripMargin,
-
-    // PSI replay: identical equal-width binning from the BASE
-    // min/max, identical ((v-lo)*bins)/(hi-lo) evaluation order,
-    // eps-floored shares, per-bin terms rounded at 6
-    "q167_psi_drift" ->
-      """WITH b AS (SELECT n_chars FROM documents WHERE text IS NOT NULL),
-        |nx AS (
-        |  SELECT CASE WHEN doc_id % 3 = 0 THEN n_chars + 40
-        |              ELSE n_chars END AS n_chars
-        |  FROM documents WHERE text IS NOT NULL AND doc_id % 7 <> 0),
-        |st AS (
-        |  SELECT CAST(min(n_chars) AS DOUBLE) AS lo,
-        |    CAST(max(n_chars) AS DOUBLE) AS hi
-        |  FROM b),
-        |bb AS (
-        |  SELECT CASE WHEN hi = lo
-        |      THEN CASE WHEN CAST(n_chars AS DOUBLE) > lo THEN 9 ELSE 0 END
-        |      ELSE LEAST(9, GREATEST(0, CAST(floor(
-        |        (CAST(n_chars AS DOUBLE) - lo) * 10 / (hi - lo)) AS INT)))
-        |      END AS bin,
-        |    count(*) AS bn
-        |  FROM b, st GROUP BY 1),
-        |nb AS (
-        |  SELECT CASE WHEN hi = lo
-        |      THEN CASE WHEN CAST(n_chars AS DOUBLE) > lo THEN 9 ELSE 0 END
-        |      ELSE LEAST(9, GREATEST(0, CAST(floor(
-        |        (CAST(n_chars AS DOUBLE) - lo) * 10 / (hi - lo)) AS INT)))
-        |      END AS bin,
-        |    count(*) AS nn
-        |  FROM nx, st GROUP BY 1),
-        |bt AS (SELECT CAST(sum(bn) AS DOUBLE) AS t FROM bb),
-        |nt AS (SELECT CAST(sum(nn) AS DOUBLE) AS t FROM nb),
-        |allb AS (SELECT CAST(range AS INT) AS bin FROM range(0, 10)),
-        |sh AS (
-        |  SELECT allb.bin,
-        |    GREATEST(CAST(COALESCE(bb.bn, 0) AS DOUBLE) / bt.t, 1e-6) AS bs,
-        |    GREATEST(CAST(COALESCE(nb.nn, 0) AS DOUBLE) / nt.t, 1e-6) AS ns
-        |  FROM allb LEFT JOIN bb ON allb.bin = bb.bin
-        |  LEFT JOIN nb ON allb.bin = nb.bin, bt, nt)
-        |SELECT bin, round(bs, 6) AS base_share, round(ns, 6) AS next_share,
-        |  round((bs - ns) * ln(bs / ns), 6) AS psi_term
-        |FROM sh""".stripMargin,
-
-    // JS replay: token distributions via unnest, full-outer vocab
-    // join, p>0-guarded log terms, one rounded scalar
-    "q168_js_divergence" ->
-      """WITH ta AS (
-        |  SELECT u.tok AS token, count(*) AS ca
-        |  FROM documents, UNNEST(string_split(text, ' ')) AS u(tok)
-        |  WHERE text IS NOT NULL AND lang = 'en' GROUP BY 1),
-        |tb AS (
-        |  SELECT u.tok AS token, count(*) AS cb
-        |  FROM documents, UNNEST(string_split(text, ' ')) AS u(tok)
-        |  WHERE text IS NOT NULL AND lang = 'fr' GROUP BY 1),
-        |tot AS (
-        |  SELECT (SELECT CAST(sum(ca) AS DOUBLE) FROM ta) AS sa,
-        |    (SELECT CAST(sum(cb) AS DOUBLE) FROM tb) AS sb),
-        |pq AS (
-        |  SELECT CAST(COALESCE(ca, 0) AS DOUBLE) / sa AS p,
-        |    CAST(COALESCE(cb, 0) AS DOUBLE) / sb AS q
-        |  FROM ta FULL OUTER JOIN tb ON ta.token = tb.token, tot),
-        |pqm AS (SELECT p, q, (p + q) / 2 AS m FROM pq)
-        |SELECT round((
-        |  sum(CASE WHEN p > 0 THEN p * ln(p / m) ELSE 0.0 END) +
-        |  sum(CASE WHEN q > 0 THEN q * ln(q / m) ELSE 0.0 END)) / 2, 6)
-        |  AS js_nats
-        |FROM pqm""".stripMargin,
-
-    // accent-fold replay: folding recovers the pre-injection text
-    // exactly, so every aggregate is the raw table's (translate is
-    // 1:1 in chars, so even the accented char sum is the raw sum)
-    "q164_accent_fold" ->
-      """SELECT doc_id % 7 AS bucket, count(*) AS n_docs, count(*) AS n_exact,
-        |  count(DISTINCT text) AS n_distinct_folded,
-        |  count(DISTINCT text) AS n_distinct_raw,
-        |  CAST(sum(length(text)) AS BIGINT) AS sum_acc_chars
-        |FROM documents WHERE text IS NOT NULL GROUP BY 1""".stripMargin,
-
-    // crawl-delta replay: every status is decided by the construction
-    // arithmetic (drop %13, edit %5 of the survivors, add %11 under
-    // shifted keys)
-    "q153_crawl_delta" ->
-      """WITH d AS (SELECT doc_id FROM documents WHERE text IS NOT NULL),
-        |s AS (
-        |  SELECT 'removed' AS status, doc_id AS key FROM d WHERE doc_id % 13 = 0
-        |  UNION ALL
-        |  SELECT 'changed', doc_id FROM d
-        |  WHERE doc_id % 13 <> 0 AND doc_id % 5 = 0
-        |  UNION ALL
-        |  SELECT 'added', doc_id + 1000000 FROM d WHERE doc_id % 11 = 0
-        |  UNION ALL
-        |  SELECT 'unchanged', doc_id FROM d
-        |  WHERE doc_id % 13 <> 0 AND doc_id % 5 <> 0)
-        |SELECT status, count(*) AS n, CAST(sum(key) AS BIGINT) AS sum_keys
-        |FROM s GROUP BY status""".stripMargin,
-
-    // CDC replay: latest change per key via row_number over ts desc
-    // ((key, ts) unique by construction), delete removes, I/U replaces,
-    // untouched state passes through the anti-join
-    "q137_cdc_apply" ->
-      """WITH cd_c AS (
-        |  SELECT c_custkey, 10 AS ts, 'U' AS op,
-        |    c_mktsegment || '_U' AS seg, c_acctbal + 100.0 AS bal
-        |  FROM customer WHERE c_custkey % 5 = 0
-        |  UNION ALL
-        |  SELECT c_custkey, 20, 'D', NULL, NULL
-        |  FROM customer WHERE c_custkey % 7 = 0
-        |  UNION ALL
-        |  SELECT c_custkey, 5, 'U', 'LATE', 0.0
-        |  FROM customer WHERE c_custkey % 7 = 0
-        |  UNION ALL
-        |  SELECT c_custkey + 1000000, 10, 'I', 'NEW_SEG', 1.5
-        |  FROM customer WHERE c_custkey % 25 = 0),
-        |cd_w AS (SELECT * FROM (
-        |  SELECT c_custkey, op, seg, bal,
-        |    row_number() OVER (PARTITION BY c_custkey ORDER BY ts DESC) AS rn
-        |  FROM cd_c) WHERE rn = 1),
-        |cd_f AS (
-        |  SELECT c.c_custkey, c.c_mktsegment AS seg, c.c_acctbal AS bal
-        |  FROM customer c LEFT JOIN cd_w w ON c.c_custkey = w.c_custkey
-        |  WHERE w.c_custkey IS NULL
-        |  UNION ALL
-        |  SELECT c_custkey, seg, bal FROM cd_w WHERE op <> 'D')
-        |SELECT seg AS c_mktsegment, count(*) AS n_rows,
-        |  CAST(sum(c_custkey) AS BIGINT) AS sum_keys,
-        |  cast(sum(cast(bal as decimal(18,6))) as double) AS sum_bal
-        |FROM cd_f GROUP BY seg""".stripMargin,
-
-    // funnel replay: identical greedy-earliest chaining — per-step
-    // first-occurrence min after the previous step, whole chain fenced
-    // to the anchor's window
-    "q135_event_funnel" ->
-      """WITH fn1 AS (SELECT user_id, min(ts) AS anchor
-        |  FROM events WHERE event_type = 'view' GROUP BY user_id),
-        |fn2 AS (SELECT e.user_id, min(f.anchor) AS anchor, min(e.ts) AS prev
-        |  FROM events e JOIN fn1 f ON e.user_id = f.user_id
-        |  WHERE e.event_type = 'click' AND e.ts > f.anchor
-        |    AND e.ts <= f.anchor + INTERVAL 604800 SECONDS
-        |  GROUP BY e.user_id),
-        |fn3 AS (SELECT e.user_id
-        |  FROM events e JOIN fn2 f ON e.user_id = f.user_id
-        |  WHERE e.event_type = 'purchase' AND e.ts > f.prev
-        |    AND e.ts <= f.anchor + INTERVAL 604800 SECONDS
-        |  GROUP BY e.user_id),
-        |fn_n AS (SELECT (SELECT count(*) FROM fn1) AS n1,
-        |                (SELECT count(*) FROM fn2) AS n2,
-        |                (SELECT count(*) FROM fn3) AS n3)
-        |SELECT 'view' AS step, 1 AS step_idx, n1 AS n_users, 1.0 AS conversion FROM fn_n
-        |UNION ALL SELECT 'click', 2, n2, round(CAST(n2 AS DOUBLE) / n1, 6) FROM fn_n
-        |UNION ALL SELECT 'purchase', 3, n3, round(CAST(n3 AS DOUBLE) / n1, 6) FROM fn_n""".stripMargin,
-
-    // retention replay: identical integer period arithmetic vs the
-    // fixed epoch date
-    "q136_retention" ->
-      """WITH rt_a AS (SELECT DISTINCT user_id,
-        |    CAST(floor(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7.0) AS BIGINT) AS p
-        |  FROM events),
-        |rt_c AS (SELECT user_id, min(p) AS cohort FROM rt_a GROUP BY user_id),
-        |rt_j AS (SELECT a.user_id, c.cohort, a.p - c.cohort AS k
-        |  FROM rt_a a JOIN rt_c c USING (user_id)),
-        |rt_k AS (SELECT cohort, k, count(*) AS n_users FROM rt_j GROUP BY cohort, k),
-        |rt_s AS (SELECT cohort, count(*) AS sz FROM rt_c GROUP BY cohort)
-        |SELECT k.cohort, k.k, k.n_users,
-        |  round(CAST(k.n_users AS DOUBLE) / s.sz, 6) AS retention
-        |FROM rt_k k JOIN rt_s s USING (cohort)""".stripMargin,
-
-    // skew-report replay: decomposable counts, 1-row stats, LIMIT-ed
-    // top-k with ascending-key tie-break; arithmetic order mirrored
-    // exactly (n*nkeys/total, then /2 for the salt)
-    "q133_skew_report" ->
-      """WITH sk_c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
-        |sk_s AS (SELECT count(*) AS nkeys, sum(n) AS total FROM sk_c),
-        |sk_t AS (SELECT user_id, n FROM sk_c ORDER BY n DESC, user_id ASC LIMIT 5)
-        |SELECT t.user_id, t.n,
-        |  round(CAST(t.n AS DOUBLE) / s.total, 6) AS share,
-        |  round(CAST(s.total AS DOUBLE) / s.nkeys, 6) AS mean_n,
-        |  round(CAST(t.n AS DOUBLE) * s.nkeys / s.total, 6) AS skew,
-        |  CAST(ceil(CAST(t.n AS DOUBLE) * s.nkeys / s.total / 2) AS BIGINT) AS rec_salt
-        |FROM sk_t t, sk_s s""".stripMargin,
-
-    // calibration replay: q38's exact interpolated-percentile scheme
-    // over the per-source quality distribution
-    "q134_quality_calibration" -> {
-      val q = PortableSql.qualityScore("text", DD)
-      val pcols = Seq(0.5 -> "p50", 0.9 -> "p90").map { case (p, name) =>
-        s"""round(
-           |    max(CASE WHEN rn = CAST(floor((n - 1) * $p) AS BIGINT) + 1 THEN v END) +
-           |    (max(CASE WHEN rn = CAST(ceil((n - 1) * $p) AS BIGINT) + 1 THEN v END) -
-           |     max(CASE WHEN rn = CAST(floor((n - 1) * $p) AS BIGINT) + 1 THEN v END))
-           |    * max((n - 1) * $p - floor((n - 1) * $p)), 6) AS $name""".stripMargin
-      }.mkString(",\n  ")
-      s"""WITH qc_t AS (SELECT source, CAST($q AS DOUBLE) AS v
-         |  FROM documents WHERE $q IS NOT NULL),
-         |qc_r AS (SELECT source, v,
-         |    row_number() OVER (PARTITION BY source ORDER BY v ASC) AS rn,
-         |    CAST(count(*) OVER (PARTITION BY source) AS DOUBLE) AS n
-         |  FROM qc_t)
-         |SELECT source,
-         |  $pcols,
-         |  CAST(max(n) AS BIGINT) AS n_rows
-         |FROM qc_r GROUP BY source""".stripMargin
-    },
-
-    // token-budget replay: identical two-stage arithmetic — per-bin
-    // token mass, window cum-mass from the top bin down (`above` =
-    // strictly-higher bins), full bins where above+btok <= B, the one
-    // threshold bin spends B-above in doc_id order; all integer math
-    "q132_token_budget" -> {
-      val budget = 12000L
-      val q = PortableSql.qualityScore("text", DD)
-      val tok = PortableSql.tokenCount("text", DD)
-      s"""WITH tb_d AS (
-         |  SELECT doc_id, source, CAST($tok AS BIGINT) AS tok,
-         |    CAST(least(greatest(floor($q * 100), 0), 99) AS INT) AS b
-         |  FROM documents WHERE $q IS NOT NULL),
-         |tb_bs AS (SELECT b, sum(tok) AS btok FROM tb_d GROUP BY b),
-         |tb_a AS (SELECT b, btok,
-         |    coalesce(sum(btok) OVER (ORDER BY b DESC
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS above
-         |  FROM tb_bs),
-         |tb_sel AS (
-         |  SELECT d.doc_id, d.source, d.tok, d.b, a.above, a.btok,
-         |    sum(d.tok) OVER (PARTITION BY d.b ORDER BY d.doc_id) AS run
-         |  FROM tb_d d JOIN tb_a a USING (b)),
-         |tb_kept AS (
-         |  SELECT * FROM tb_sel
-         |  WHERE above + btok <= $budget
-         |     OR (above <= $budget AND above + btok > $budget
-         |         AND above + run <= $budget))
-         |SELECT k.source, count(*) AS n_docs,
-         |  CAST(sum(k.tok) AS BIGINT) AS n_tokens,
-         |  min($q) AS min_q
-         |FROM tb_kept k JOIN documents USING (doc_id)
-         |GROUP BY k.source""".stripMargin
-    },
-
-    // leakage-safe split replay: closure labels give the cluster
-    // representative; every doc hashes on it (singletons on their own
-    // id), then q37's salted fence with bit-identical cumulative
-    // thresholds
-    "q131_leakage_safe_split" -> {
-      val cum = Seq(0.8, 0.1, 0.1).scanLeft(0.0)(_ + _)
-      val h = PortableSql.minhashBase("concat('v1', ':', CAST(skey AS VARCHAR))", DD)
-      s"""WITH RECURSIVE $jaccardCtes,
-         |$closureCtes,
-         |ls_k AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS skey
-         |      FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id),
-         |ls_h AS (SELECT doc_id,
-         |    CAST($h AS DOUBLE) / 1152921504606846976.0 AS p FROM ls_k),
-         |ls_t AS (SELECT doc_id,
-         |    CASE WHEN p < ${cum(1)} THEN 'train'
-         |         WHEN p < ${cum(2)} THEN 'val' ELSE 'test' END AS split
-         |  FROM ls_h)
-         |SELECT split, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
-         |FROM ls_t GROUP BY split""".stripMargin
-    },
-
-    "q130_schema_drift" ->
-      """WITH v1 AS (
-        |  SELECT CAST(doc_id AS INTEGER) AS doc_id, lang,
-        |         CAST(n_chars / 100.0 AS REAL) AS q
-        |  FROM documents WHERE doc_id % 2 = 0),
-        |v2 AS (
-        |  SELECT doc_id, lang, CAST(n_chars / 100.0 AS DOUBLE) AS q, n_chars
-        |  FROM documents WHERE doc_id % 2 = 1),
-        |u AS (
-        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
-        |         CAST(q AS DOUBLE) AS q, CAST(NULL AS BIGINT) AS n_chars
-        |  FROM v1
-        |  UNION ALL
-        |  SELECT doc_id, lang, q, n_chars FROM v2)
-        |SELECT lang, count(*) AS n_rows,
-        |  CAST(sum(doc_id) AS BIGINT) AS sum_id,
-        |  CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_chars_missing,
-        |  max(q) AS max_q
-        |FROM u GROUP BY lang""".stripMargin,
-
-    // Morton-key replay: same integer bucketing (bit-exact // div)
-    // and the same bit-interleave positions (col i bit j → j·k + i)
-    "q120_zvalues" -> {
-      val bits = 8
-      val terms = (0 until bits).flatMap(j => Seq(
-        s"(((bk1 >> $j) & 1) << ${2 * j})",
-        s"(((bk2 >> $j) & 1) << ${2 * j + 1})"))
-      s"""WITH b AS (SELECT CAST(min(l_orderkey) AS BIGINT) AS mn1,
-         |                  CAST(max(l_orderkey) AS BIGINT) AS mx1,
-         |                  CAST(min(l_partkey) AS BIGINT) AS mn2,
-         |                  CAST(max(l_partkey) AS BIGINT) AS mx2 FROM lineitem),
-         |k AS (SELECT l_orderkey, l_partkey,
-         |        ((CAST(l_orderkey AS BIGINT) - b.mn1) * 256) // (b.mx1 - b.mn1 + 1) AS bk1,
-         |        ((CAST(l_partkey AS BIGINT) - b.mn2) * 256) // (b.mx2 - b.mn2 + 1) AS bk2
-         |      FROM lineitem, b WHERE l_orderkey <= 400)
-         |SELECT l_orderkey, l_partkey,
-         |  CAST(${terms.mkString(" | ")} AS BIGINT) AS zval
-         |FROM k""".stripMargin
-    },
-
-    // z-ordering is pure layout: the box filter answers come straight
-    // from the source table
-    "q121_zorder_roundtrip" ->
-      s"""SELECT count(*) AS n_rows,
-         |  CAST(sum(l_orderkey) AS BIGINT) AS sum_ok,
-         |  CAST(sum(l_partkey) AS BIGINT) AS sum_pk,
-         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
-         |FROM lineitem
-         |WHERE l_orderkey BETWEEN 3000 AND 6000
-         |  AND l_partkey BETWEEN 500 AND 900""".stripMargin,
-
-    // SCD2 replay: candidate sequencing (open row first on ties),
-    // null-safe no-op suppression, lead() closing, anti-join
-    // pass-through of untouched keys
-    "q122_scd2_merge" ->
-      s"""WITH s0 AS (SELECT c_custkey AS k, c_mktsegment AS seg,
-         |             CAST(0 AS BIGINT) AS vf FROM customer),
-         |u AS (SELECT c_custkey AS k, c_mktsegment || '_U' AS seg,
-         |        CAST(10 AS BIGINT) AS vf FROM customer WHERE c_custkey % 5 = 0
-         |      UNION ALL
-         |      SELECT c_custkey, c_mktsegment || '_U', 20
-         |      FROM customer WHERE c_custkey % 10 = 0
-         |      UNION ALL
-         |      SELECT c_custkey + 100000, 'NEW_SEG', 10
-         |      FROM customer WHERE c_custkey % 25 = 0),
-         |uk AS (SELECT DISTINCT k FROM u),
-         |cand AS (SELECT s0.k, s0.seg, s0.vf, 0 AS src FROM s0 JOIN uk USING (k)
-         |         UNION ALL SELECT k, seg, vf, 1 FROM u),
-         |seq AS (SELECT *, lag(seg) OVER (PARTITION BY k ORDER BY vf, src) AS prev
-         |        FROM cand),
-         |kept AS (SELECT k, seg, vf, src FROM seq
-         |         WHERE prev IS NULL OR seg IS DISTINCT FROM prev),
-         |ver AS (SELECT k, seg, vf,
-         |          lead(vf) OVER (PARTITION BY k ORDER BY vf, src) AS vt
-         |        FROM kept)
-         |SELECT k AS c_custkey, seg AS c_mktsegment, vf AS valid_from,
-         |  vt AS valid_to, vt IS NULL AS is_current
-         |FROM ver
-         |UNION ALL
-         |SELECT s0.k, s0.seg, s0.vf, CAST(NULL AS BIGINT), TRUE
-         |FROM s0 ANTI JOIN uk USING (k)""".stripMargin,
-
-    // perceptual-hash replay: the WHOLE decode→pool→hash chain as
-    // modular arithmetic — PNG is lossless, gray-raster luma is the
-    // pixel value, pooling is integer block means, bits pack into a
-    // signed BIGINT (bit 63 is the two's-complement sign term, spelled
-    // as a literal because 1<<63 overflows)
-    "q276_image_phash" -> (imagePhashSql +
-      """
-        |SELECT ah.id AS media_id, ah.ahash, dh.dhash
-        |FROM ah JOIN dh ON dh.id = ah.id""".stripMargin),
-
-    // near-dup replay: identical 16-bit banding over the oracle's own
-    // ahash, then the bit_count(xor) verify — band recall is part of
-    // the CONTRACT (both engines surface exactly the banded pairs)
-    "q277_image_neardup" -> (imagePhashSql +
-      """,
-        |bands AS (SELECT id, b.b AS band,
-        |    (ahash >> CAST(b.b * 16 AS INTEGER)) & 65535 AS v
-        |  FROM ah, generate_series(0, 3) b(b)),
-        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-        |  FROM bands a JOIN bands b
-        |    ON b.band = a.band AND b.v = a.v AND a.id < b.id)
-        |SELECT c.id_a, c.id_b,
-        |  CAST(bit_count(xor(x.ahash, y.ahash)) AS BIGINT) AS hamming
-        |FROM cand c JOIN ah x ON x.id = c.id_a JOIN ah y ON y.id = c.id_b
-        |WHERE bit_count(xor(x.ahash, y.ahash)) <= 6""".stripMargin),
-
-    // video replay: luma formula → sampled frames (t even, t < nf) →
-    // 4×4 block means → per-frame aHash (the q276 packing, with the
-    // frame dimension threaded through every CTE)
-    "q288_video_phash" -> (videoPhashSql +
-      """
-        |SELECT id AS media_id, CAST(t AS BIGINT) AS frame_idx, ahash
-        |FROM vah""".stripMargin),
-
-    // aligned-frame near-dup replay: identical 16-bit banding per
-    // (frame_idx, band), Hamming ≤ 6 verify per alignment, pairs at
-    // ≥ 2 aligned sampled frames
-    "q289_video_neardup" -> (videoPhashSql +
-      """,
-        |vbands AS (SELECT id, t, b.b AS band,
-        |    (ahash >> CAST(b.b * 16 AS INTEGER)) & 65535 AS v
-        |  FROM vah, generate_series(0, 3) b(b)),
-        |vcand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.t
-        |  FROM vbands a JOIN vbands b
-        |    ON b.t = a.t AND b.band = a.band AND b.v = a.v AND a.id < b.id),
-        |valign AS (SELECT DISTINCT c.id_a, c.id_b, c.t
-        |  FROM vcand c JOIN vah x ON x.id = c.id_a AND x.t = c.t
-        |  JOIN vah y ON y.id = c.id_b AND y.t = c.t
-        |  WHERE bit_count(xor(x.ahash, y.ahash)) <= 6)
-        |SELECT id_a, id_b, count(*) AS n_frames FROM valign
-        |GROUP BY id_a, id_b HAVING count(*) >= 2""".stripMargin),
-
-    // constellation replay: tone formula → 32-sample frames → 16-bin
-    // square-wave responses → signed top-two signature
-    // sig = ((top·2+sgn_top)·16 + second)·2 + sgn_second ∈ [0, 4·bins²=1024)
-    // → fanout-3 landmark packing fp = (sig_t·1024 + sig_{t+d})·3 + (Δt−1)
-    "q278_audio_fingerprint" -> (audioPeaksSql +
-      """
-        |SELECT a.id AS media_id, CAST(a.t AS BIGINT) AS t,
-        |  CAST((a.sig * 1024 + b.sig) * 3 + (b.t - a.t - 1) AS BIGINT) AS fp
-        |FROM pk a JOIN pk b
-        |  ON b.id = a.id AND b.t > a.t AND b.t <= a.t + 3""".stripMargin),
-
-    // shared-landmark replay: distinct per-doc landmarks, inverted
-    // fp join, same >= 8 threshold
-    "q279_audio_neardup" -> (audioPeaksSql +
-      """,
-        |fp AS (SELECT DISTINCT a.id,
-        |    (a.sig * 1024 + b.sig) * 3 + (b.t - a.t - 1) AS fp
-        |  FROM pk a JOIN pk b
-        |    ON b.id = a.id AND b.t > a.t AND b.t <= a.t + 3)
-        |SELECT x.id AS id_a, y.id AS id_b, count(*) AS n_shared
-        |FROM fp x JOIN fp y ON y.fp = x.fp AND x.id < y.id
-        |GROUP BY x.id, y.id HAVING count(*) >= 8""".stripMargin),
-
-    // cross-modal cluster replay: both modality stems, identical pair
-    // derivations, union → recursive min-id closure → per-cluster
-    // member and per-modality edge counts
-    "q281_multimodal_clusters" -> {
-      val img = imagePhashSql.stripPrefix("WITH ")
-      val aud = audioPeaksSql.stripPrefix("WITH ")
-      s"""WITH RECURSIVE $img,
-         |$aud,
-         |ibands AS (SELECT id, b.b AS band,
-         |    (ahash >> CAST(b.b * 16 AS INTEGER)) & 65535 AS v
-         |  FROM ah, generate_series(0, 3) b(b)),
-         |ipairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-         |  FROM ibands a JOIN ibands b
-         |    ON b.band = a.band AND b.v = a.v AND a.id < b.id
-         |  JOIN ah x ON x.id = a.id JOIN ah y ON y.id = b.id
-         |  WHERE bit_count(xor(x.ahash, y.ahash)) <= 6),
-         |afp AS (SELECT DISTINCT a.id,
-         |    (a.sig * 1024 + b.sig) * 3 + (b.t - a.t - 1) AS fp
-         |  FROM pk a JOIN pk b
-         |    ON b.id = a.id AND b.t > a.t AND b.t <= a.t + 3),
-         |apairs AS (SELECT x.id AS id_a, y.id AS id_b
-         |  FROM afp x JOIN afp y ON y.fp = x.fp AND x.id < y.id
-         |  GROUP BY x.id, y.id HAVING count(*) >= 8),
-         |medges AS (SELECT id_a, id_b, 'image' AS modality FROM ipairs
-         |  UNION ALL SELECT id_a, id_b, 'audio' FROM apairs),
-         |mp AS (SELECT DISTINCT id_a, id_b FROM medges),
-         |${closureCtesOver("mp")},
-         |mm AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
-         |  FROM labels GROUP BY cluster_id),
-         |ec AS (SELECT l.cluster_id,
-         |    CAST(sum(CASE WHEN e.modality = 'image' THEN 1 ELSE 0 END) AS BIGINT)
-         |      AS n_image_edges,
-         |    CAST(sum(CASE WHEN e.modality = 'audio' THEN 1 ELSE 0 END) AS BIGINT)
-         |      AS n_audio_edges
-         |  FROM medges e JOIN labels l ON l.doc_id = e.id_a
-         |  GROUP BY l.cluster_id)
-         |SELECT mm.cluster_id, mm.n_members, ec.n_image_edges, ec.n_audio_edges
-         |FROM mm JOIN ec ON ec.cluster_id = mm.cluster_id""".stripMargin
-    },
-
-    // tri-modal cluster replay: all three modality stems (image
-    // pixels, audio tones, video frames — every decoder lossless, so
-    // each replays from its formula), identical pair derivations,
-    // union → recursive min-id closure → per-cluster member and
-    // per-modality edge counts
-    "q290_trimodal_clusters" -> {
-      val img = imagePhashSql.stripPrefix("WITH ")
-      val aud = audioPeaksSql.stripPrefix("WITH ")
-      val vid = videoPhashSql.stripPrefix("WITH ")
-      s"""WITH RECURSIVE $img,
-         |$aud,
-         |$vid,
-         |ibands AS (SELECT id, b.b AS band,
-         |    (ahash >> CAST(b.b * 16 AS INTEGER)) & 65535 AS v
-         |  FROM ah, generate_series(0, 3) b(b)),
-         |ipairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-         |  FROM ibands a JOIN ibands b
-         |    ON b.band = a.band AND b.v = a.v AND a.id < b.id
-         |  JOIN ah x ON x.id = a.id JOIN ah y ON y.id = b.id
-         |  WHERE bit_count(xor(x.ahash, y.ahash)) <= 6),
-         |afp AS (SELECT DISTINCT a.id,
-         |    (a.sig * 1024 + b.sig) * 3 + (b.t - a.t - 1) AS fp
-         |  FROM pk a JOIN pk b
-         |    ON b.id = a.id AND b.t > a.t AND b.t <= a.t + 3),
-         |apairs AS (SELECT x.id AS id_a, y.id AS id_b
-         |  FROM afp x JOIN afp y ON y.fp = x.fp AND x.id < y.id
-         |  GROUP BY x.id, y.id HAVING count(*) >= 8),
-         |vbands AS (SELECT id, t, b.b AS band,
-         |    (ahash >> CAST(b.b * 16 AS INTEGER)) & 65535 AS v
-         |  FROM vah, generate_series(0, 3) b(b)),
-         |vcand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.t
-         |  FROM vbands a JOIN vbands b
-         |    ON b.t = a.t AND b.band = a.band AND b.v = a.v AND a.id < b.id),
-         |valign AS (SELECT DISTINCT c.id_a, c.id_b, c.t
-         |  FROM vcand c JOIN vah x ON x.id = c.id_a AND x.t = c.t
-         |  JOIN vah y ON y.id = c.id_b AND y.t = c.t
-         |  WHERE bit_count(xor(x.ahash, y.ahash)) <= 6),
-         |vpairs AS (SELECT id_a, id_b FROM valign
-         |  GROUP BY id_a, id_b HAVING count(*) >= 2),
-         |medges AS (SELECT id_a, id_b, 'image' AS modality FROM ipairs
-         |  UNION ALL SELECT id_a, id_b, 'audio' FROM apairs
-         |  UNION ALL SELECT id_a, id_b, 'video' FROM vpairs),
-         |mp AS (SELECT DISTINCT id_a, id_b FROM medges),
-         |${closureCtesOver("mp")},
-         |mm AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
-         |  FROM labels GROUP BY cluster_id),
-         |ec AS (SELECT l.cluster_id,
-         |    CAST(sum(CASE WHEN e.modality = 'image' THEN 1 ELSE 0 END) AS BIGINT)
-         |      AS n_image_edges,
-         |    CAST(sum(CASE WHEN e.modality = 'audio' THEN 1 ELSE 0 END) AS BIGINT)
-         |      AS n_audio_edges,
-         |    CAST(sum(CASE WHEN e.modality = 'video' THEN 1 ELSE 0 END) AS BIGINT)
-         |      AS n_video_edges
-         |  FROM medges e JOIN labels l ON l.doc_id = e.id_a
-         |  GROUP BY l.cluster_id)
-         |SELECT mm.cluster_id, mm.n_members, ec.n_image_edges,
-         |  ec.n_audio_edges, ec.n_video_edges
-         |FROM mm JOIN ec ON ec.cluster_id = mm.cluster_id""".stripMargin
-    },
-
-    // image-ingest drain replay: hashes from the pixel formula, WARC
-    // record URN identities, the probe's banding with the odd-side
-    // (drain-2 batch) candidate rule, lexicographic pair normalization
-    "q282_image_ingest" -> (imagePhashSql +
-      """,
-        |rid AS (SELECT '<urn:graft:img:' || CAST(id AS VARCHAR) || '>' AS rid,
-        |    id % 2 <> 0 AS is_odd, ahash
-        |  FROM ah),
-        |pb AS (SELECT rid, ahash, b.b AS band,
-        |    (ahash >> CAST(b.b * 16 AS INTEGER)) & 65535 AS v
-        |  FROM rid, generate_series(0, 3) b(b) WHERE is_odd),
-        |sb AS (SELECT rid, ahash, b.b AS band,
-        |    (ahash >> CAST(b.b * 16 AS INTEGER)) & 65535 AS v
-        |  FROM rid, generate_series(0, 3) b(b))
-        |SELECT DISTINCT least(p.rid, s.rid) AS id_a,
-        |  greatest(p.rid, s.rid) AS id_b,
-        |  CAST(bit_count(xor(p.ahash, s.ahash)) AS BIGINT) AS hamming
-        |FROM pb p JOIN sb s ON s.band = p.band AND s.v = p.v
-        |  AND s.rid <> p.rid
-        |WHERE bit_count(xor(p.ahash, s.ahash)) <= 6""".stripMargin),
-
-    // graph-ANN replay: candidate banding → kNN edges → every beam
-    // round unrolled (the search path, not just the answer)
-    "q283_graph_ann" ->
-      s"""WITH ${graphAnnStemCtes()},
-         |${graphAnnWalkCtes(0)}
-         |SELECT node AS vec_id, sim AS cosine_sim FROM res_q0""".stripMargin,
-
-    // durable nav-graph probe: the stored graph must reproduce the
-    // in-memory walk verbatim (the q60 equivalence convention — same
-    // oracle as q283)
-    "q286_durable_graph_ann" ->
-      s"""WITH ${graphAnnStemCtes()},
-         |${graphAnnWalkCtes(0)}
-         |SELECT node AS vec_id, sim AS cosine_sim FROM res_q0""".stripMargin,
-
-    // search-then-link replay: standing stem (batch held out) → one
-    // walk per inserted vector (its top-8 forward candidates) + exact
-    // batch-internal pairs → micro-ranked forward cut → symmetrize →
-    // degree-re-prune touched nodes against the standing edge cosines
-    // → merged graph → the final probe walk over the FULL corpus
-    "q287_graph_ann_insert" -> {
-      val batch = Seq(0L, 10L, 20L)
-      val bList = batch.mkString(", ")
-      val walks = batch.map(q => graphAnnWalkCtes(q, k = 8,
-        graph = "kg_s", ent = "ent_s", emb = "embm_s", qsrc = "fullemb",
-        ns0 = s"i$q")).mkString(",\n")
-      val walkCand = batch.map(q =>
-        s"SELECT CAST($q AS BIGINT) AS qid, node, sim FROM res_i$q")
-        .mkString(" UNION ALL ")
-      s"""WITH ${graphAnnStemCtes(
-             s"(SELECT * FROM embeddings WHERE vec_id NOT IN ($bList))", "_s")},
-         |fullemb AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
-         |$walks,
-         |batchv AS (SELECT vec_id, embedding FROM fullemb
-         |  WHERE vec_id IN ($bList)),
-         |internal AS (SELECT a.vec_id AS qid, CAST(b.vec_id AS BIGINT) AS node,
-         |    ${duckCosine("a.embedding", "b.embedding", 64)} AS sim
-         |  FROM batchv a JOIN batchv b ON b.vec_id <> a.vec_id),
-         |candm AS (SELECT qid AS id, node AS nbr,
-         |    max(CAST(round(sim*1000000, 0) AS BIGINT)) AS c
-         |  FROM ($walkCand UNION ALL SELECT qid, node, sim FROM internal)
-         |  GROUP BY qid, node),
-         |fwd AS (SELECT id, nbr, c FROM (SELECT id, nbr, c,
-         |    row_number() OVER (PARTITION BY id ORDER BY c DESC, nbr ASC) AS rn
-         |  FROM candm) WHERE rn <= 8),
-         |symn AS (SELECT id, nbr, c FROM fwd
-         |  UNION ALL SELECT nbr AS id, id AS nbr, c FROM fwd),
-         |touched AS (SELECT DISTINCT id FROM symn),
-         |mrg AS (SELECT id, nbr, max(c) AS c FROM (
-         |    SELECT k.id, k.nbr,
-         |      CAST(round(k.cosine_sim*1000000, 0) AS BIGINT) AS c
-         |    FROM kgc_s k JOIN touched t ON t.id = k.id
-         |    UNION ALL SELECT id, nbr, c FROM symn)
-         |  GROUP BY id, nbr),
-         |pr AS (SELECT id, nbr FROM (SELECT id, nbr,
-         |    row_number() OVER (PARTITION BY id ORDER BY c DESC, nbr ASC) AS rn
-         |  FROM mrg) WHERE rn <= 8),
-         |kg2 AS MATERIALIZED (
-         |  SELECT k.id, k.nbr FROM kg_s k
-         |  WHERE k.id NOT IN (SELECT id FROM touched)
-         |  UNION ALL SELECT id, nbr FROM pr),
-         |ent2 AS (SELECT vec_id AS node FROM fullemb ORDER BY vec_id LIMIT 4),
-         |${graphAnnWalkCtes(0, k = 10, graph = "kg2", ent = "ent2",
-             emb = "fullemb", qsrc = "fullemb", ns0 = "f")}
-         |SELECT node AS vec_id, sim AS cosine_sim FROM res_f""".stripMargin
-    },
-
-    // recall readout: the same walk intersected with the exact top-10
-    "q284_graph_ann_recall" ->
-      s"""WITH ${graphAnnStemCtes()},
-         |${graphAnnWalkCtes(0)},
-         |bt AS (SELECT vec_id FROM (
-         |    SELECT e.vec_id,
-         |      row_number() OVER (ORDER BY
-         |        ${duckCosine("e.embedding", "qv_q0.qe", 64)} DESC,
-         |        e.vec_id ASC) AS rn
-         |    FROM embm e, qv_q0) WHERE rn <= 10)
-         |SELECT CAST(10 AS BIGINT) AS k,
-         |  CAST(count(*) AS BIGINT) AS n_hits,
-         |  round(count(*) / 10.0, 6) AS recall
-         |FROM res_q0 r JOIN bt ON bt.vec_id = r.node""".stripMargin,
-
-    // batch replay: one walk namespace per query over the SHARED graph
-    // stem — the amortization under test is that the engine's rounds
-    // merge across queries while per-query semantics stay the single
-    // walk's, so the oracle is literally three single walks
-    "q285_graph_ann_batch" ->
-      s"""WITH ${graphAnnStemCtes()},
-         |${Seq(0L, 7L, 23L).map(graphAnnWalkCtes(_)).mkString(",\n")}
-         |${Seq(0L, 7L, 23L).map(q =>
-             s"""SELECT CAST($q AS BIGINT) AS query_id,
-                |  CAST(rn AS BIGINT) AS rank, node AS vec_id,
-                |  sim AS cosine_sim FROM res_q$q""".stripMargin)
-           .mkString("\nUNION ALL\n")}""".stripMargin,
-
-    // IVF maintenance replay: k-means on the even half (the shared
-    // trained-IVF CTEs), frozen-quantizer assignment of the odd half,
-    // per-list member means (rounded per the training convention),
-    // cosine drift with the ≤1 float guard, the 0.07 threshold
-    "q280_ivf_maintain" -> {
-      val dims = 64
-      val driftSql = "CASE WHEN mv.mean IS NULL THEN NULL ELSE " +
-        s"round(greatest(0.0, 1.0 - ${duckCosine("c.cemb", "mv.mean", dims)}), 6) END"
-      s"""WITH ${ivfTrainCtes(dims, "(SELECT * FROM embeddings WHERE vec_id % 2 = 0)")},
-         |odd AS (SELECT * FROM embeddings WHERE vec_id % 2 <> 0),
-         |aodd AS (SELECT vec_id, cid AS list_id FROM (
-         |    SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY ${duckCosine("e.embedding", "c.cemb", dims)} DESC, c.cid ASC) AS rn
-         |    FROM odd e CROSS JOIN c1 c) WHERE rn = 1),
-         |mem AS (SELECT vec_id, list_id FROM alist
-         |  UNION ALL SELECT vec_id, list_id FROM aodd),
-         |md AS (SELECT m.list_id, d.d,
-         |    round(avg(CAST(e.embedding[d.d] AS DOUBLE)), 6) AS v
-         |  FROM mem m JOIN embeddings e USING (vec_id),
-         |    generate_series(1, $dims) d(d)
-         |  GROUP BY m.list_id, d.d),
-         |mv AS (SELECT list_id, list(v ORDER BY d) AS mean FROM md
-         |  GROUP BY list_id),
-         |cnt AS (SELECT list_id, count(*) AS n_members FROM mem
-         |  GROUP BY list_id)
-         |SELECT c.cid AS list_id,
-         |  CAST(coalesce(cnt.n_members, 0) AS BIGINT) AS n_members,
-         |  $driftSql AS drift,
-         |  coalesce($driftSql > 0.07, FALSE) AS retrained
-         |FROM c1 c LEFT JOIN mv ON mv.list_id = c.cid
-         |LEFT JOIN cnt ON cnt.list_id = c.cid""".stripMargin
-    }
-  )
-
-  /** Shared q278/q279 oracle stem: demoTone samples from the formula →
-    * framed square-wave filter-bank responses → per-frame peak bin
-    * (CTEs par, smp, corr, pk — composed by each query's final
-    * SELECT). */
-  private val audioPeaksSql: String =
-    """WITH par AS (
-      |  SELECT d.doc_id AS id, 2 + (d.doc_id // 10) % 7 AS p1,
-      |    3 + (5 * (d.doc_id // 10)) % 11 AS p2,
-      |    (d.doc_id // 10) % 5 AS ph1, (d.doc_id // 10) % 13 AS ph2,
-      |    9000 - 100 * ((d.doc_id // 10) % 23) AS a1,
-      |    5000 + 100 * ((d.doc_id // 10) % 29) AS a2,
-      |    200 + d.doc_id % 50 AS n
-      |  FROM documents d WHERE d.doc_id % 13 <> 0),
-      |smp AS (
-      |  SELECT id, i.i // 32 AS t, i.i % 32 AS j,
-      |    a1 * (1 - 2 * (((i.i + ph1) // p1) % 2))
-      |      + a2 * (1 - 2 * (((i.i + ph2) // p2) % 2))
-      |      + ((id // 10) * 2654435761 + i.i * 40503) % 4001 - 2000
-      |      + CASE WHEN (id * 37 + i.i * 13) % 89 = 0 THEN 800 ELSE 0 END AS s
-      |  FROM par, generate_series(0, 248) i(i)
-      |  WHERE i.i < (n // 32) * 32),
-      |corr AS (
-      |  SELECT id, t, k.k AS k,
-      |    SUM(s * (1 - 2 * ((j // (k.k + 1)) % 2))) AS corr
-      |  FROM smp, generate_series(0, 15) k(k)
-      |  GROUP BY id, t, k.k),
-      |pkr AS (
-      |  SELECT id, t, k, corr, row_number()
-      |    OVER (PARTITION BY id, t ORDER BY abs(corr) DESC, k ASC) AS rn
-      |  FROM corr),
-      |pk AS (
-      |  SELECT a.id, a.t,
-      |    ((a.k * 2 + CASE WHEN a.corr >= 0 THEN 1 ELSE 0 END) * 16 + b.k) * 2
-      |      + CASE WHEN b.corr >= 0 THEN 1 ELSE 0 END AS sig
-      |  FROM pkr a JOIN pkr b ON b.id = a.id AND b.t = a.t AND b.rn = 2
-      |  WHERE a.rn = 1)""".stripMargin
-
-  /** Shared q288/q289 oracle stem: sampled-frame pixels from the
-    * demoY4m luma formula (t even, t < nf = 4 + id%5) → 4×4 integer
-    * block means → per-frame aHash BIGINTs (CTEs vpar, vpx, vgrid,
-    * vmn, vah — composed by each query's final SELECT). Raw video is
-    * lossless, so this replays the REAL decode end to end. */
-  private val videoPhashSql: String =
-    """WITH vpar AS (
-      |  SELECT d.doc_id AS id, d.doc_id // 10 AS k, 4 + d.doc_id % 5 AS nf
-      |  FROM documents d WHERE d.doc_id % 13 <> 0),
-      |vpx AS (
-      |  SELECT id, t.t AS t, x.x AS x, y.y AS y,
-      |    ((3 + k % 199) * x.x + (5 + k % 193) * y.y + (11 + k % 7) * t.t
-      |      + CASE WHEN (id * 131 + x.x * 7 + y.y * 3 + t.t * 17) % 97 = 0
-      |             THEN 40 ELSE 0 END) % 256 AS v
-      |  FROM vpar, generate_series(0, 7) t(t),
-      |    generate_series(0, 35) x(x), generate_series(0, 31) y(y)
-      |  WHERE t.t < nf AND t.t % 2 = 0),
-      |vgrid AS (
-      |  SELECT id, t, y // 4 AS r, x // 4 AS c,
-      |    CAST(SUM(v) // 16 AS BIGINT) AS g
-      |  FROM vpx GROUP BY id, t, y // 4, x // 4),
-      |vmn AS (
-      |  SELECT id, t, CAST(SUM(g) // 64 AS BIGINT) AS mean
-      |  FROM vgrid WHERE r < 8 AND c < 8 GROUP BY id, t),
-      |vah AS (
-      |  SELECT g.id, g.t, COALESCE(bit_or(CASE WHEN g.g > m.mean THEN
-      |      CASE WHEN g.r * 8 + g.c = 63 THEN (-9223372036854775807 - 1)
-      |           ELSE (CAST(1 AS BIGINT) << CAST(g.r * 8 + g.c AS INTEGER))
-      |      END END), 0) AS ahash
-      |  FROM vgrid g JOIN vmn m ON m.id = g.id AND m.t = g.t
-      |  WHERE g.r < 8 AND g.c < 8 GROUP BY g.id, g.t)""".stripMargin
-
-  /** Shared q276/q277 oracle stem: pixels from the demoPng formula →
-    * 4×4 integer block means → aHash/dHash BIGINTs (CTEs px, grid, m,
-    * ah, dh — composed by each query's final SELECT). */
-  private val imagePhashSql: String =
-    """WITH px AS (
-      |  SELECT d.doc_id AS id, x.x AS x, y.y AS y,
-      |    ((3 + (d.doc_id // 10) % 199) * x.x
-      |      + (5 + (d.doc_id // 10) % 193) * y.y
-      |      + CASE WHEN (d.doc_id * 131 + x.x * 7 + y.y * 3) % 97 = 0
-      |             THEN 40 ELSE 0 END) % 256 AS v
-      |  FROM documents d,
-      |    generate_series(0, 35) x(x), generate_series(0, 31) y(y)
-      |  WHERE d.doc_id % 13 <> 0),
-      |grid AS (
-      |  SELECT id, y // 4 AS r, x // 4 AS c,
-      |    CAST(SUM(v) // 16 AS BIGINT) AS g
-      |  FROM px GROUP BY id, y // 4, x // 4),
-      |m AS (
-      |  SELECT id, CAST(SUM(g) // 64 AS BIGINT) AS mean
-      |  FROM grid WHERE r < 8 AND c < 8 GROUP BY id),
-      |ah AS (
-      |  SELECT g.id, COALESCE(bit_or(CASE WHEN g.g > m.mean THEN
-      |      CASE WHEN g.r * 8 + g.c = 63 THEN (-9223372036854775807 - 1)
-      |           ELSE (CAST(1 AS BIGINT) << CAST(g.r * 8 + g.c AS INTEGER))
-      |      END END), 0) AS ahash
-      |  FROM grid g JOIN m ON m.id = g.id
-      |  WHERE g.r < 8 AND g.c < 8 GROUP BY g.id),
-      |dh AS (
-      |  SELECT a.id, COALESCE(bit_or(CASE WHEN b.g > a.g THEN
-      |      CASE WHEN a.r * 8 + a.c = 63 THEN (-9223372036854775807 - 1)
-      |           ELSE (CAST(1 AS BIGINT) << CAST(a.r * 8 + a.c AS INTEGER))
-      |      END END), 0) AS dhash
-      |  FROM grid a JOIN grid b
-      |    ON b.id = a.id AND b.r = a.r AND b.c = a.c + 1
-      |  WHERE a.r < 8 AND a.c < 8 GROUP BY a.id)""".stripMargin
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    ioQueries ++ mediaQueries ++ dedupQueries ++ annQueries ++
+      webQueries ++ textQueries ++ statsQueries
+
+  def oracleSql: Map[String, String] =
+    ioOracles ++ mediaOracles ++ dedupOracles ++ annOracles ++
+      webOracles ++ textOracles ++ statsOracles
 }

@@ -1,0 +1,1496 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableSql
+import graft.functions.PortableSql.{DuckDialect => DD, SparkDialect => SD}
+import graft.io.Layers
+import graft.ops.{Aggregate, Clean, Dedup, ImageDedup, Multimodal, Quality, Similarity}
+import graft.ops.Aggregate.{AggSpec, Metric}
+
+/** ann slice of the [[SparkEntry]] registry — similarity search: brute/LSH/IVF/PQ/SQ8/multi-probe/graph ANN, clustering, durable vector/graph indexes, recall readouts.
+  * Split by family for maintainability; entries and oracles are
+  * verbatim registry content (no behavior change). */
+private[graft] trait EntryAnn extends EntryContext {
+
+  protected def annQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- north-star similarity: exact brute-force cosine top-k
+    "q22_ann_topk" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+        emb, emb.filter(col("vec_id") === 0), "vec_id", "embedding", k = 10)
+    }),
+
+
+    // ---- north-star similarity: LSH-bucketed ANN top-k
+    "q23_ann_lsh" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.lshTopK(
+        emb, emb.filter(col("vec_id") === 0), "vec_id", "embedding",
+        k = 10, numPlanes = 8, dims = 64)
+    }),
+
+
+    // ---- north-star similarity: banded kNN pairs (embedding near-dup;
+    //      OR-amplified multi-band LSH with a per-bucket skew cap)
+    "q24_embedding_pairs" -> ((s, dir) =>
+      Similarity.bandedNeighbors(
+        T(s, dir, "embeddings"), "vec_id", "embedding",
+        planesPerBand = 8, bands = 2, dims = 64,
+        minCosine = 0.15, maxBucketSize = 1000)),
+
+
+    // ---- north-star similarity: IVF coarse-quantizer ANN (broadcast
+    //      centroids, inverted-list probe — the nprobe/nlist scale path)
+    "q29_ann_ivf" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.ivfTopK(
+        emb, emb.filter(col("vec_id") === 0), "vec_id", "embedding",
+        k = 10, nlist = 16, nprobe = 4)
+    }),
+
+
+    // ---- north-star: IVF with a TRAINED coarse quantizer — k-means
+    //      centroids (q55's trainer) feeding q29's probe shape. The
+    //      oracle replays training AND probe, so quantizer quality is
+    //      itself correctness-checked.
+    "q61_ann_ivf_trained" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.ivfTopKTrained(
+        emb, emb.filter(col("vec_id") === 0), "vec_id", "embedding",
+        k = 10, nlist = 8, nprobe = 2, iters = 2)
+    }),
+
+
+    // ---- north-star: Lloyd's k-means over embeddings (2 iterations,
+    //      seeds = lowest-id vectors, broadcast centroids, partial-agg
+    //      means) — the trainer for the IVF quantizer q29 probes.
+    "q55_kmeans" -> ((s, dir) =>
+      graft.ops.Clustering.kmeans(
+        T(s, dir, "embeddings"), "vec_id", "embedding", k = 4, iters = 2)),
+
+
+    // ---- north-star: product-quantization codes — per-block trained
+    //      codebooks (q55's trainer per slice), encoding = ONE narrow
+    //      projection evaluating every block's argmax.
+    "q70_pq_codes" -> ((s, dir) =>
+      Similarity.pqEncode(
+        T(s, dir, "embeddings"), "vec_id", "embedding",
+        dims = 64, codebooks = pqBooks(s, dir))),
+
+
+    // ---- north-star: TEXT-derived embedding near-dup — hashed tf-idf
+    //      vectors (q66's feature space, idf-weighted, L2-normalized)
+    //      fed into q24's banded sign-LSH pair pipeline. Closes the
+    //      text→vector→cosine path for corpora with no embedding
+    //      column; every stage is dims-bounded or bucket-keyed.
+    "q84_text_cosine_pairs" -> ((s, dir) =>
+      Similarity.bandedNeighbors(
+        graft.ops.TextOps.hashedTfidfVectors(
+          T(s, dir, "documents"), "text", "doc_id", dims = 64),
+        "doc_id", "tvec",
+        planesPerBand = 8, bands = 2, dims = 64, minCosine = 0.9)),
+
+
+    // ---- north-star: DURABLE IVF ANN index — the vector-space member
+    //      of the published index family: centroids trained once, the
+    //      corpus stored PARTITIONED BY inverted list, probes scan only
+    //      the nprobe winning list DIRECTORIES (static partition
+    //      pruning at planning time). Result ≡ q61's in-memory pipeline
+    //      through a storage round-trip.
+    "q97_durable_ann" -> ((s, dir) =>
+      graft.io.VectorIndex.probe(
+        T(s, dir, "embeddings").filter(col("vec_id") === 0),
+        durableVecIndex(s, dir), k = 10, nprobe = 2)),
+
+
+    // ---- north-star: BATCH multi-query ANN — retrieval for a query
+    //      SET (seed-set dedup, eval batches): ONE corpus scan scores
+    //      every query against the broadcast query table; per-query
+    //      ranking is the salted two-stage window (no corpus-sized
+    //      partition per query). N single-query jobs become one.
+    "q101_ann_batch_brute" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.bruteForceTopKBatch(
+        emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding", "vec_id",
+        k = 10)
+    }),
+
+
+    // ---- north-star: batch IVF — one training run + one corpus
+    //      assignment serve the whole query set; each query ranks its
+    //      own nprobe lists inside the same broadcast and all
+    //      candidate scoring rides one join.
+    "q102_ann_batch_ivf" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.ivfTopKTrainedBatch(
+        emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding", "vec_id",
+        k = 10, nlist = 8, nprobe = 2, iters = 2)
+    }),
+
+
+    // ---- north-star: batch PQ ADC — the per-block code→partial-dot
+    //      lookups become nested (query → code) literal maps, so all
+    //      queries score in one narrow projection over the integer
+    //      code table.
+    "q103_ann_batch_pq" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.pqTopKWithBatch(
+        emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding", "vec_id",
+        topK = 10, dims = 64, codebooks = pqBooks(s, dir))
+    }),
+
+
+    // ---- north-star: batch probe of the DURABLE vector index — each
+    //      query ranks its own nprobe lists; the scan covers the UNION
+    //      of probed list directories (still a static planning-time
+    //      partition filter) and each list is scored only against the
+    //      queries that probed it.
+    "q104_durable_ann_batch" -> ((s, dir) =>
+      graft.io.VectorIndex.probeBatch(
+        T(s, dir, "embeddings").filter(col("vec_id") < 3), "vec_id",
+        durableVecIndex(s, dir), k = 10, nprobe = 2)),
+
+
+    // ---- north-star: cluster-capped diversity sampling — keep the
+    //      top-2 (longest, then lowest id) of each near-dup family
+    //      instead of hard dedup; only clustered docs (∝ pairs) enter
+    //      the ranking window, singletons bypass via anti-join.
+    "q109_cluster_cap" -> ((s, dir) =>
+      graft.ops.Sampling.clusterCapped(
+        T(s, dir, "documents"), "doc_id", clusterLabels(s, dir),
+        cap = 2, orderCol = "n_chars")),
+
+
+    // ---- north-star: JL random-projection retrieval — rank in a
+    //      16-dim ±1-projected space, exact-rerank the top 4k
+    //      candidates on full vectors (two-stage compressed retrieval).
+    "q110_ann_projected" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.projectedTopK(
+        emb, emb.filter(col("vec_id") === 7), "vec_id", "embedding",
+        k = 10, projDims = 16, dims = 64)
+    }),
+
+
+    // ---- north-star: residual IVF-PQ — the FAISS composite index:
+    //      coarse-quantize, product-quantize the RESIDUALS, search =
+    //      per-list dot correction + ADC over probed lists' codes only.
+    "q112_ann_ivfpq" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.ivfPqTopK(
+        emb, emb.filter(col("vec_id") === 0), "vec_id", "embedding",
+        topK = 10, dims = 64, nlist = 8, nprobe = 2, coarseIters = 2,
+        blocks = 4, k = 4, pqIters = 2)
+    }),
+
+
+    // ---- north-star: batch residual IVF-PQ — the q112 composite for
+    //      a query SET: nested ADC/correction literal maps, per-query
+    //      probe ranking, one scan of the probed code table.
+    "q115_ann_ivfpq_batch" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.ivfPqTopKBatch(
+        emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding", "vec_id",
+        topK = 10, dims = 64, nlist = 8, nprobe = 2, coarseIters = 2,
+        blocks = 4, k = 4, pqIters = 2)
+    }),
+
+
+    // ---- north-star: PQ asymmetric-distance search — approximate
+    //      inner-product top-k touching ONLY the integer code table
+    //      (exact query side, per-block lookup maps).
+    "q71_pq_topk" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.pqTopKWith(
+        emb, emb.filter(col("vec_id") === 0), "vec_id", "embedding",
+        topK = 10, dims = 64, codebooks = pqBooks(s, dir))
+    }),
+
+
+    // ---- north-star: SEMANTIC dedup decisions — embedding near-dup
+    //      pairs (q24's banded LSH) resolved into clusters (pointer-
+    //      doubling components) and keep/drop decisions: the
+    //      embedding-space twin of the lexical q47.
+    "q59_semantic_clusters" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val pairs = Similarity.bandedNeighbors(
+        emb, "vec_id", "embedding",
+        planesPerBand = 8, bands = 2, dims = 64, minCosine = 0.15)
+        .select("id_a", "id_b")
+      Dedup.dedupDecisions(emb, "vec_id", Dedup.components(pairs))
+    }),
+
+
+    // ---- north-star: ANN recall@k — the measurement that closes the
+    //      approximate-index tuning loop (nlist/nprobe chosen by
+    //      measured recall against exact ground truth, not guesswork).
+    //      Both sides are k·|queries|-row index outputs, so the
+    //      compare is a broadcast join, never a corpus pass.
+    "q127_ann_recall" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 3)
+      val truth = Similarity.bruteForceTopKBatch(
+        emb, queries, "vec_id", "embedding", "vec_id", k = 10)
+      val approx = Similarity.ivfTopKTrainedBatch(
+        emb, queries, "vec_id", "embedding", "vec_id",
+        k = 10, nlist = 8, nprobe = 2, iters = 2)
+      Similarity.recallAtK(truth, approx, "query_id", "vec_id", k = 10)
+    }),
+
+
+    // ---- north-star: vector-quality audit — the pre-index health
+    //      check (NaN components, zero norms, wrong dims poison an ANN
+    //      index SILENTLY). The fixture is clean, so corruption is
+    //      seeded deterministically in-query (the q44/q128 pattern):
+    //      zero vectors, a NaN component, truncated dims.
+    "q138_vector_audit" -> ((s, dir) => {
+      val e = col("embedding")
+      val seeded = when(col("vec_id") % 13 === 0,
+          transform(e, _ => lit(0.0f)))
+        .when(col("vec_id") % 17 === 0,
+          concat(array(lit(Float.NaN)), slice(e, 2, 63)))
+        .when(col("vec_id") % 19 === 0, slice(e, 1, 32))
+        .otherwise(e)
+      graft.ops.Similarity.vectorAudit(
+        T(s, dir, "embeddings").select(seeded.as("embedding")),
+        "embedding", expectedDims = 64)
+    }),
+
+
+    // ---- north-star: seed-centroid quality scoring — the
+    //      classifier-free embedding quality signal: a curated seed
+    //      set's centroid defines "good", every corpus vector scores
+    //      by cosine to it. Centroid = decimal-summed dims-bounded
+    //      aggregate (deterministic); scoring = ONE codegen scan with
+    //      the centroid as a literal array; histogram rollup.
+    "q178_seed_centroid" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val cent = Similarity.seedCentroid(
+        emb.filter(col("vec_id") % 37 === 0), "embedding")
+      Similarity.seedCentroidScores(emb, "vec_id", "embedding", cent)
+        .groupBy(floor(col("cos") * 10).cast("int").as("bucket"))
+        .agg(
+          count(lit(1)).as("n_vectors"),
+          sum(col("vec_id")).as("sum_ids"),
+          round(sum(col("cos").cast("decimal(18,6)")).cast("double"), 6)
+            .as("sum_cos"))
+    }),
+
+
+    // ---- north-star: trust distance — multi-source BFS hops from a
+    //      sparse seed set (id%97=0) along out-links, 3 rounds of
+    //      declarative min-relaxation; unreachable pages stay NULL.
+    //      The oracle unrolls the same rounds (least() ignores NULL
+    //      identically in both engines).
+    "q187_seed_distance" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      val nRow = docs.agg(count(lit(1)).as("__n"))
+      val id = col("doc_id")
+      val edges = docs.crossJoin(broadcast(nRow)).select(
+        id.as("src"),
+        explode(array(
+          (id * 2 + 1) % col("__n"),
+          (id * 3 + 2) % col("__n"),
+          (id * 7 + 5) % col("__n"))).as("dst"))
+      val nodes = docs.select(id.as("id"))
+      graft.ops.LinkGraph
+        .seedDistance(nodes, edges, nodes.filter(col("id") % 97 === 0),
+          maxHops = 3)
+        .groupBy("dist")
+        .agg(count(lit(1)).as("n_nodes"), sum(col("id")).as("sum_ids"))
+    }),
+
+
+    // ---- north-star: kNN graph over the embedding corpus (q24's
+    //      banded candidates, k=5) — per-vertex top-k as a pure
+    //      aggregation (sorted-struct slice, integer sort keys), the
+    //      input structure for graph clustering and SemDeDup.
+    "q191_knn_graph" -> ((s, dir) =>
+      Similarity.knnGraph(
+        T(s, dir, "embeddings"), "vec_id", "embedding",
+        planesPerBand = 8, bands = 2, dims = 64, k = 5,
+        minCosine = 0.15, maxBucketSize = 1000)
+        .groupBy("rank")
+        .agg(
+          count(lit(1)).as("n_edges"),
+          countDistinct(col("id")).as("n_vertices"),
+          sum(col("cos_micro")).as("sum_cos_micro"),
+          sum(col("nbr")).as("sum_nbrs"))),
+
+
+    // ---- north-star: SQ8 scalar-quantized ANN — the no-codebook
+    //      sibling of PQ (q70/q71): per-dimension min/max train, one
+    //      narrow encode projection to [0,255] codes, asymmetric
+    //      midpoint-dequantized inner product; search touches only the
+    //      integer code table. Train/encode/score replay exactly
+    //      (min/max are summation-free, the score is the shared
+    //      left-fold dot, rounded).
+    "q197_sq8_topk" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.sqTopK(emb, emb.filter(col("vec_id") === 0),
+        "vec_id", "embedding", topK = 10, dims = 64)
+    }),
+
+
+    // ---- north-star: MMR diversification (Carbonell & Goldstein
+    //      1998) — dedup-aware re-ranking of the q51 BM25 top-15:
+    //      greedy integer-scored selection 7·rel − 3·maxSimToSelected
+    //      (λ = 0.7 as exact weights) with 3-gram-Jaccard similarity
+    //      between candidates; the retrieval-time complement of
+    //      corpus dedup. Driver greedy over a top-k list by design.
+    "q201_mmr_rerank" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val bm = graft.ops.Search.bm25(docs, "text", "doc_id",
+          terms = Seq("spark", "hash", "window"), topK = 15)
+        .select(col("doc_id"),
+          round(col("bm25") * 1e6, 0).cast("long").as("rel_micro"))
+        .localCheckpoint()
+      val ids = bm.select("doc_id")
+      val pairs = ids.select(col("doc_id").as("id_a"))
+        .crossJoin(ids.select(col("doc_id").as("id_b")))
+        .filter(col("id_a") < col("id_b"))
+        .localCheckpoint()
+      val sims = Dedup.verifyPairs(docs, pairs, "text", "doc_id",
+          threshold = 0.0, shingleWords = 3)
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard") * 1e6, 0).cast("long").as("sim_micro"))
+      graft.ops.Search.mmrSelect(bm, sims, "doc_id",
+        k = 8, wRel = 7L, wDiv = 3L)
+    }),
+
+
+    // ---- north-star: matryoshka truncation recall (Kusupati et al.
+    //      2022) — how much ANN quality survives keeping only a
+    //      prefix of each embedding (the 4×/2× memory lever an MRL-
+    //      trained model offers): recall@10 of dim-16 and dim-32
+    //      prefix search against the full-64 exact top-k, per query.
+    //      Truncated cosine ≡ cosine over the first d components, so
+    //      the oracle reuses the exact-batch chain at dims=d.
+    "q203_matryoshka_recall" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 3)
+      val truth = Similarity.bruteForceTopKBatch(
+        emb, queries, "vec_id", "embedding", "vec_id", k = 10)
+      def tr(df: DataFrame, d: Int): DataFrame = df.select(
+        col("vec_id"), slice(col("embedding"), 1, d).as("embedding"))
+      Seq(16, 32).map { d =>
+        Similarity.recallAtK(truth,
+          Similarity.bruteForceTopKBatch(
+            tr(emb, d), tr(queries, d), "vec_id", "embedding", "vec_id", k = 10),
+          "query_id", "vec_id", k = 10)
+          .withColumn("dims", lit(d.toLong))
+      }.reduce(_ unionByName _)
+    }),
+
+
+    // ---- north-star: SQ8 + exact refine re-rank (the FAISS
+    //      IndexRefineFlat pattern) — the compressed stage over-fetches
+    //      3·k candidates from the integer code table, then ONLY those
+    //      30 ids re-score against the float embeddings; the final
+    //      order is exact while scan cost stays code-table-sized.
+    "q207_sq8_refine" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.sqRefineTopK(emb, emb.filter(col("vec_id") === 0),
+        "vec_id", "embedding", topK = 10, refineFactor = 3, dims = 64)
+    }),
+
+
+    // ---- north-star: LSH parameter eval — precision/recall of the
+    //      (8 hashes, 4 bands) candidate set against the exact
+    //      prefix-filtered ground truth at J ≥ 0.8: the measurement a
+    //      banding choice is made from before a 100 TB dedup run.
+    "q216_lsh_eval" -> ((s, dir) =>
+      Dedup.lshDedupEval(
+        T(s, dir, "documents"), "text", "doc_id", threshold = 0.8)),
+
+
+    // ---- north-star: hard-negative mining (DPR-style) — for each of
+    //      3 query vectors, the most similar candidates NOT sharing
+    //      its cluster label: over-fetched exact cut (k·4), group
+    //      filter, per-query re-rank. The training-data op behind
+    //      every dense retriever.
+    "q218_hard_negatives" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.hardNegatives(emb,
+        emb.filter(col("vec_id").isin(0L, 1L, 2L)),
+        "vec_id", "embedding", "vec_id", "label", k = 5, overFetch = 4)
+    }),
+
+
+    // ---- north-star: multi-probe LSH (Lv et al. 2007) — the query's
+    //      sign-bucket plus all Hamming-1 flips (9 buckets of 256):
+    //      the recall repair for hairline hyperplane misses at ~9/256
+    //      of the corpus touched; probe set is a driver literal, the
+    //      scan stays narrow with an isin filter.
+    "q219_multiprobe_lsh" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.multiProbeTopK(emb, emb.filter(col("vec_id") === 0),
+        "vec_id", "embedding", k = 10, numPlanes = 8, dims = 64)
+    }),
+
+
+    // ---- north-star: reciprocal nearest neighbors — mutual-kNN
+    //      pairs over the q191 graph (both sides rank each other in
+    //      their own top-5): the duplicate signal that survives
+    //      hubness; one self-equi-join of the k·|nodes| edge list.
+    "q222_reciprocal_nn" -> ((s, dir) =>
+      Similarity.reciprocalNeighbors(
+        Similarity.knnGraph(
+          T(s, dir, "embeddings"), "vec_id", "embedding",
+          planesPerBand = 8, bands = 2, dims = 64, k = 5,
+          minCosine = 0.15, maxBucketSize = 1000))),
+
+
+    // ---- north-star: the multi-probe recall repair, MEASURED —
+    //      recall@10 of single-bucket LSH vs Hamming-1 multi-probe
+    //      against exact truth, per query: the evidence the q219
+    //      probe-set widening exists for.
+    "q237_multiprobe_recall" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 3)
+      val truth = Similarity.bruteForceTopKBatch(
+        emb, queries, "vec_id", "embedding", "vec_id", k = 10)
+      def batched(fn: DataFrame => DataFrame): DataFrame =
+        (0L until 3L).map { q =>
+          fn(emb.filter(col("vec_id") === q))
+            .withColumn("query_id", lit(q))
+        }.reduce(_ unionByName _)
+      val single = batched(q => Similarity.lshTopK(
+        emb, q, "vec_id", "embedding", k = 10, numPlanes = 8, dims = 64))
+      val multi = batched(q => Similarity.multiProbeTopK(
+        emb, q, "vec_id", "embedding", k = 10, numPlanes = 8, dims = 64))
+      Similarity.recallAtK(truth, single, "query_id", "vec_id", k = 10)
+        .withColumn("method", lit("single"))
+        .unionByName(
+          Similarity.recallAtK(truth, multi, "query_id", "vec_id", k = 10)
+            .withColumn("method", lit("multiprobe")))
+        .select("method", "query_id", "hits", "recall_at_k")
+    }),
+
+
+    // ---- north-star: simplified (centroid) silhouette of the q55
+    //      k-means clustering — the LINEAR cluster-quality gauge (the
+    //      classic silhouette is all-pairs, dead at corpus scale);
+    //      micro-int per-point scores keep the means engine-exact.
+    "q246_silhouette" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val cents = graft.ops.Clustering.train(
+        emb, "vec_id", "embedding", k = 4, iters = 2)
+      graft.ops.Clustering.silhouette(emb, "vec_id", "embedding", cents)
+    }),
+
+
+    // ---- north-star: embedding centroid drift — the vector-space
+    //      drift gauge beside PSI/JS/KS: snapshot mean-vector cosine +
+    //      top-8 dimensions by centroid shift, decimal-exact means.
+    "q254_centroid_drift" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      graft.ops.Diagnostics.embeddingCentroidDrift(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1), "embedding", topK = 8)
+    }),
+
+
+    // ---- north-star: IVF list maintenance — the quantizer-drift
+    //      audit + list-local retrain (FAISS practice: appends assign
+    //      against frozen centroids, so a shifting corpus decays probe
+    //      recall until drifted lists re-center and reassign). Build on
+    //      the even half, append the odd half as the drift source, one
+    //      maintenance pass; the result is the audit report. Cost ∝
+    //      drifted lists (retire-spec'd maintenance batch), never the
+    //      corpus; the oracle replays train → frozen-assign → member
+    //      means → cosine drift → threshold.
+    "q280_ivf_maintain" -> ((s, dir) => maintainedVecReport(s, dir)),
+
+
+    // ---- north-star: graph ANN — beam (ef-) search over the LSH-built
+    //      kNN graph (single-layer NSW, the HNSW/Vamana base layer with
+    //      deterministic entries): adaptive expansion scores only
+    //      ≤ beam·k·steps vectors per query, no corpus scan — the
+    //      third pruning regime beside IVF partitions and LSH buckets.
+    //      The oracle unrolls every beam round (neighbor scoring +
+    //      top-beam cut) — search path, not just the answer, is what
+    //      replays.
+    "q283_graph_ann" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.graphSearch(
+        emb, "vec_id", "embedding", emb.filter(col("vec_id") === 0),
+        annGraph(s, dir), k = 10,
+        nEntries = 4, beamWidth = 16, maxSteps = 10)
+    }),
+
+
+    // ---- north-star: graph-ANN recall readout — the dial that says
+    //      whether beam/steps/graph-degree are enough: recall@10 of
+    //      the q283 walk against the exact brute-force ranking, one
+    //      row. (The q219 multi-probe-LSH recall pattern applied to
+    //      the graph regime.)
+    "q284_graph_ann_recall" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+      val walk = Similarity.graphSearch(
+        emb, "vec_id", "embedding", q, annGraph(s, dir), k = 10,
+        nEntries = 4, beamWidth = 16, maxSteps = 10)
+      val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 10)
+      walk.select("vec_id").join(exact.select("vec_id"), Seq("vec_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(10L).as("k"), col("n_hits"),
+          round(col("n_hits").cast("double") / 10.0, 6).as("recall"))
+    }),
+
+
+    // ---- north-star: graph-ANN BATCH probe — the production shape a
+    //      probe service runs: one beam per query, every round's
+    //      embedding/adjacency lookups merged across the batch into
+    //      ONE isin-pruned point fetch (the pqTopKWithBatch
+    //      amortization in the graph regime). Oracle = three full
+    //      single-query walk unrolls over the shared graph stem.
+    "q285_graph_ann_batch" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.graphSearchBatch(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id").isin(0L, 7L, 23L))
+          .select(col("vec_id").as("query_id"), col("embedding")),
+        "query_id", annGraph(s, dir), k = 10,
+        nEntries = 4, beamWidth = 16, maxSteps = 10)
+    }),
+
+
+    // ---- north-star: DURABLE nav-graph index (q283's production
+    //      form — the adjacency lives in parquet with a merge-on-read
+    //      gen/ledger lifecycle, built once; the probe walks the
+    //      stored graph cold with the geometry from the index's own
+    //      committed meta). Same oracle as q283: the store must
+    //      reproduce the in-memory walk verbatim (q60 convention).
+    "q286_durable_graph_ann" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      graft.io.GraphIndex.search(s, durableGraphIndex(s, dir), emb,
+        emb.filter(col("vec_id") === 0), k = 10)
+    }),
+
+
+    // ---- north-star: incremental NSW insert (search-then-link) —
+    //      the graph twin of SignatureIndex.ingestBatch: a held-out
+    //      batch joins the standing graph through one beam search per
+    //      vector + exact batch-internal links, touched nodes re-prune
+    //      to degree k, and the probe then walks the MERGED graph
+    //      (query = an inserted vector — only reachable if the link
+    //      pass actually wired it in). Oracle replays walks, forward
+    //      cut, symmetrize, re-prune, and the final probe.
+    "q287_graph_ann_insert" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      graft.io.GraphIndex.search(s, insertedGraphIndex(s, dir), emb,
+        emb.filter(col("vec_id") === 0), k = 10)
+    })
+  )
+
+  protected def annOracles: Map[String, String] = Map(
+
+    // seed-centroid replay: identical decimal-summed per-dim means,
+    // float-cast centroid, same cosine/round arithmetic, decimal-exact
+    // score sums per histogram bucket
+    "q178_seed_centroid" ->
+      s"""WITH seeds AS (SELECT embedding AS e FROM embeddings
+         |               WHERE vec_id % 37 = 0),
+         |cent AS (
+         |  SELECT i, CAST(round(CAST(sum(CAST(round(CAST(e[i] AS DOUBLE), 6)
+         |      AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS FLOAT) AS c
+         |  FROM seeds, (SELECT unnest(generate_series(1, 64)) AS i) d
+         |  GROUP BY i),
+         |cl AS (SELECT list(c ORDER BY i) AS cl FROM cent),
+         |sc AS (SELECT vec_id,
+         |         ${duckCosine("embedding", "cl", 64)} AS cos
+         |       FROM embeddings, cl)
+         |SELECT CAST(floor(cos * 10) AS INT) AS bucket,
+         |  count(*) AS n_vectors,
+         |  CAST(sum(vec_id) AS BIGINT) AS sum_ids,
+         |  round(CAST(sum(CAST(cos AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_cos
+         |FROM sc GROUP BY 1""".stripMargin,
+
+
+    "q22_ann_topk" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |s AS (SELECT vec_id, ${duckCosine("embedding", "qe", 64)} AS cosine_sim FROM embeddings, q)
+         |SELECT vec_id, cosine_sim FROM s ORDER BY cosine_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+
+    "q23_ann_lsh" ->
+      s"""WITH q AS (SELECT embedding AS qe, ${duckSignBucket("embedding", 8, 64)} AS qbucket FROM embeddings WHERE vec_id = 0),
+         |b AS (SELECT vec_id, embedding, ${duckSignBucket("embedding", 8, 64)} AS bucket FROM embeddings),
+         |s AS (SELECT vec_id, ${duckCosine("embedding", "qe", 64)} AS cosine_sim FROM b, q WHERE b.bucket = q.qbucket)
+         |SELECT vec_id, cosine_sim FROM s ORDER BY cosine_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+
+    "q24_embedding_pairs" ->
+      s"""WITH $embPairCtes
+         |SELECT id_a, id_b, cosine_sim FROM p""".stripMargin,
+
+
+    // kNN replay: the q24 pair CTEs symmetrized, per-vertex rank by
+    // (cosine_micro desc, nbr) — the same integer key the sorted-
+    // struct slice uses
+    "q191_knn_graph" ->
+      s"""WITH $embPairCtes,
+         |sym AS (SELECT id_a AS id, id_b AS nbr, cosine_sim FROM p
+         |        UNION ALL SELECT id_b, id_a, cosine_sim FROM p),
+         |r AS (SELECT id, nbr,
+         |        CAST(round(cosine_sim*1000000, 0) AS BIGINT) AS cm,
+         |        row_number() OVER (PARTITION BY id
+         |          ORDER BY round(cosine_sim*1000000, 0) DESC, nbr) AS rank
+         |      FROM sym)
+         |SELECT rank, count(*) AS n_edges,
+         |  count(DISTINCT id) AS n_vertices,
+         |  CAST(sum(cm) AS BIGINT) AS sum_cos_micro,
+         |  CAST(sum(nbr) AS BIGINT) AS sum_nbrs
+         |FROM r WHERE rank <= 5 GROUP BY 1""".stripMargin,
+
+
+    // SQ8 replay: per-dimension min/max (summation-free — exact), the
+    // same floor/clamp code arithmetic, midpoint dequantization with
+    // identical parenthesization, and the shared left-fold dot
+    "q197_sq8_topk" ->
+      s"""WITH rngrows AS (
+         |  SELECT d.__i AS d,
+         |    min(CAST(embedding[d.__i] AS DOUBLE)) AS mn,
+         |    max(CAST(embedding[d.__i] AS DOUBLE)) AS mx
+         |  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS __i) d
+         |  GROUP BY d.__i),
+         |rng AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs
+         |        FROM rngrows),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |s AS (SELECT e.vec_id,
+         |    round(list_sum(list_transform(generate_series(1, 64), __i ->
+         |      CAST(q.qe[__i] AS DOUBLE) *
+         |        (r.mns[__i] +
+         |          ((CASE WHEN r.mxs[__i] = r.mns[__i] THEN 0
+         |             ELSE least(greatest(CAST(floor(
+         |               (CAST(e.embedding[__i] AS DOUBLE) - r.mns[__i])
+         |                 / (r.mxs[__i] - r.mns[__i]) * 255) AS BIGINT),
+         |               0), 255) END) + 0.5) *
+         |          ((r.mxs[__i] - r.mns[__i]) / 256)))), 6) AS approx_dot
+         |  FROM embeddings e, rng r, q)
+         |SELECT vec_id, approx_dot FROM s
+         |ORDER BY approx_dot DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+
+    // MMR replay: the q51 BM25 chain top-15 (micro relevance), exact
+    // 3-gram-Jaccard micro sims over candidate pairs, then 8 unrolled
+    // greedy steps — integer 7·rel − 3·maxSimToSelected, ties by id
+    "q201_mmr_rerank" -> {
+      val steps = 8
+      val sb = new StringBuilder
+      sb ++=
+        s"""WITH $bm25Ctes,
+           |top AS MATERIALIZED (
+           |  SELECT doc_id, CAST(round(bm25 * 1e6, 0) AS BIGINT) AS rel
+           |  FROM sc WHERE bm25 > 0 ORDER BY bm25 DESC, doc_id LIMIT 15),
+           |csh AS MATERIALIZED (
+           |  SELECT DISTINCT t.doc_id, unnest($duckShingles) AS sv
+           |  FROM t JOIN top USING (doc_id)),
+           |csz AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM csh
+           |                     GROUP BY doc_id),
+           |cp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |       FROM top a JOIN top b ON a.doc_id < b.doc_id),
+           |pin AS (SELECT p.id_a, p.id_b, count(*) AS i
+           |  FROM cp p JOIN csh ea ON ea.doc_id = p.id_a
+           |  JOIN csh eb ON eb.doc_id = p.id_b AND eb.sv = ea.sv
+           |  GROUP BY p.id_a, p.id_b),
+           |psim0 AS (SELECT pin.id_a, pin.id_b,
+           |    CAST(round(round(pin.i / (sa.n + sb.n - pin.i), 6) * 1e6, 0)
+           |      AS BIGINT) AS sim
+           |  FROM pin JOIN csz sa ON sa.doc_id = pin.id_a
+           |  JOIN csz sb ON sb.doc_id = pin.id_b),
+           |sym AS MATERIALIZED (SELECT id_a AS ida, id_b AS idb, sim FROM psim0
+           |       UNION ALL SELECT id_b, id_a, sim FROM psim0),
+           |sel0 AS (SELECT CAST(NULL AS BIGINT) AS id WHERE FALSE)""".stripMargin
+      for (i <- 1 to steps) {
+        sb ++=
+          s""",
+             |rem$i AS (SELECT c.doc_id, c.rel FROM top c
+             |  LEFT JOIN sel${i - 1} s ON s.id = c.doc_id WHERE s.id IS NULL),
+             |ms$i AS (SELECT r.doc_id, r.rel, coalesce(max(z.sim), 0) AS ms
+             |  FROM rem$i r LEFT JOIN (
+             |    SELECT y.ida, y.sim FROM sym y
+             |    JOIN sel${i - 1} s ON s.id = y.idb) z ON z.ida = r.doc_id
+             |  GROUP BY r.doc_id, r.rel),
+             |pick$i AS MATERIALIZED (
+             |  SELECT doc_id, 7 * rel - 3 * ms AS mmr FROM ms$i
+             |  ORDER BY mmr DESC, doc_id LIMIT 1),
+             |sel$i AS MATERIALIZED (SELECT id FROM sel${i - 1}
+             |  UNION ALL SELECT doc_id FROM pick$i)""".stripMargin
+      }
+      sb ++= "\n" + (1 to steps).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS position, doc_id, " +
+          s"CAST(mmr AS BIGINT) AS mmr_micro FROM pick$i")
+        .mkString(" UNION ALL ")
+      sb.toString
+    },
+
+
+    // matryoshka replay: the exact-batch chain at dims 64 (truth), 16
+    // and 32 (prefix cosine == cosine of the truncated vectors),
+    // recall joins per truncation level
+    "q203_matryoshka_recall" -> {
+      def level(d: Int): String =
+        s"""SELECT t.query_id, count(a$d.vec_id) AS hits,
+           |  round(CAST(count(a$d.vec_id) AS DOUBLE) / count(*), 6)
+           |    AS recall_at_k, CAST($d AS BIGINT) AS dims
+           |FROM truth t LEFT JOIN a$d
+           |  ON t.query_id = a$d.query_id AND t.vec_id = a$d.vec_id
+           |GROUP BY t.query_id""".stripMargin
+      s"""WITH truth AS (SELECT DISTINCT query_id, vec_id FROM (${bruteBatchSql()})),
+         |a16 AS (SELECT DISTINCT query_id, vec_id FROM (${bruteBatchSql(16)})),
+         |a32 AS (SELECT DISTINCT query_id, vec_id FROM (${bruteBatchSql(32)}))
+         |${level(16)}
+         |UNION ALL
+         |${level(32)}""".stripMargin
+    },
+
+
+    "q84_text_cosine_pairs" -> {
+      // replay: hashed tf → idf in the hashed space → round-then-float
+      // normalized weights → dense 64-wide vectors → the q24 banding
+      val base = PortableSql.minhashBase("tok", DD)
+      val all = Similarity.planes(16, 64)
+      val bandSelects = (0 until 2).map { b =>
+        val bucket = duckSignBucketP("tvec", all.slice(b * 8, (b + 1) * 8), 64)
+        s"SELECT doc_id, tvec, $b AS band, $bucket AS bucket FROM tv"
+      }.mkString(" UNION ALL ")
+      s"""WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |tf AS (SELECT doc_id, ($base % ${PortableSql.minhashP}) % 64 AS b, count(*) AS tf
+         |       FROM e GROUP BY doc_id, b),
+         |dfq AS (SELECT b, count(*) AS df FROM tf GROUP BY b),
+         |nn AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM tf),
+         |w AS (SELECT doc_id, b, tf * ln(nn.n / dfq.df) AS w
+         |      FROM tf JOIN dfq USING (b), nn),
+         |nm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+         |wn AS (SELECT w.doc_id, b, CAST(round(w / nrm, 6) AS REAL) AS w
+         |       FROM w JOIN nm USING (doc_id) WHERE nrm > 0),
+         |grid AS (SELECT doc_id, i.i AS idx
+         |         FROM (SELECT DISTINCT doc_id FROM wn), generate_series(0, 63) i(i)),
+         |vv AS (SELECT g.doc_id, g.idx, coalesce(wn.w, CAST(0.0 AS REAL)) AS w
+         |       FROM grid g LEFT JOIN wn ON wn.doc_id = g.doc_id AND wn.b = g.idx),
+         |tv AS (SELECT doc_id, list(w ORDER BY idx) AS tvec FROM vv GROUP BY doc_id),
+         |bb AS ($bandSelects),
+         |capped AS (SELECT * FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY band, bucket ORDER BY doc_id) AS rn FROM bb
+         |) WHERE rn <= 1000),
+         |p AS (SELECT * FROM (
+         |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+         |    ${duckCosine("a.tvec", "c.tvec", 64)} AS cosine_sim
+         |  FROM capped a JOIN capped c
+         |    ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id
+         |) WHERE cosine_sim >= 0.9)
+         |SELECT id_a, id_b, cosine_sim FROM p""".stripMargin
+    },
+
+
+    "q70_pq_codes" -> {
+      val (blocks, d, k) = (4, 16, 4)
+      val joins = (1 until blocks).map(b => s"JOIN ab_$b USING (vec_id)").mkString(" ")
+      val cols = (0 until blocks).map(b => s"code_$b").mkString(", ")
+      s"""WITH ${pqBlockCtes(blocks, d, k)}
+         |SELECT vec_id, $cols FROM ab_0 $joins""".stripMargin
+    },
+
+
+    "q71_pq_topk" -> {
+      val (blocks, d, k) = (4, 16, 4)
+      // per-block ADC contribution: join each vector's code to its
+      // codebook entry, exact-query dot against the centroid
+      val scoreCtes = (0 until blocks).map { b =>
+        val lo = b * d
+        val dot = s"list_sum(list_transform(generate_series(1, $d), " +
+          s"__i -> CAST((qe.embedding)[$lo + __i] AS DOUBLE) * (c.cemb)[__i]))"
+        s"""s_$b AS (SELECT a.vec_id, $dot AS v_$b
+           |  FROM ab_$b a JOIN c1_$b c ON a.code_$b = c.cid, qe)""".stripMargin
+      }.mkString(",\n")
+      val joins = (1 until blocks).map(b => s"JOIN s_$b USING (vec_id)").mkString(" ")
+      val total = (0 until blocks).map(b => s"v_$b").mkString(" + ")
+      s"""WITH ${pqBlockCtes(blocks, d, k)},
+         |qe AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+         |$scoreCtes
+         |SELECT vec_id, round($total, 6) AS approx_dot
+         |FROM s_0 $joins
+         |ORDER BY approx_dot DESC, vec_id ASC LIMIT 10""".stripMargin
+    },
+
+
+    "q61_ann_ivf_trained" -> ivfTrainedSql(),
+
+
+    // durable index probe ≡ the in-memory trained-IVF pipeline: same
+    // trainer, same probe ranking, through a storage round-trip
+    "q97_durable_ann" -> ivfTrainedSql(),
+
+
+    // batch retrieval oracles replay the Spark side's salted two-stage
+    // ranking as ONE plain window per query (salt-invariant: the final
+    // rank is the global total order score desc, id asc)
+    "q101_ann_batch_brute" -> bruteBatchSql(),
+
+
+    "q102_ann_batch_ivf" -> ivfTrainedBatchSql(),
+
+
+    // batch probe of the durable index ≡ the in-memory batch pipeline
+    // through the storage round-trip (the q97/q61 equivalence, per query)
+    "q104_durable_ann_batch" -> ivfTrainedBatchSql(),
+
+
+    "q103_ann_batch_pq" -> {
+      val (blocks, d, k) = (4, 16, 4)
+      val scoreCtes = (0 until blocks).map { b =>
+        val lo = b * d
+        val dot = s"list_sum(list_transform(generate_series(1, $d), " +
+          s"__i -> CAST((q.qe)[$lo + __i] AS DOUBLE) * (c.cemb)[__i]))"
+        s"""s_$b AS (SELECT q.query_id, a.vec_id, $dot AS v_$b
+           |  FROM ab_$b a JOIN c1_$b c ON a.code_$b = c.cid, q)""".stripMargin
+      }.mkString(",\n")
+      val joins = (1 until blocks)
+        .map(b => s"JOIN s_$b USING (query_id, vec_id)").mkString(" ")
+      val total = (0 until blocks).map(b => s"v_$b").mkString(" + ")
+      s"""WITH ${pqBlockCtes(blocks, d, k)},
+         |q AS (SELECT CAST(vec_id AS BIGINT) AS query_id, embedding AS qe
+         |      FROM embeddings WHERE vec_id < 3),
+         |$scoreCtes,
+         |t AS (SELECT query_id, vec_id, round($total, 6) AS approx_dot
+         |      FROM s_0 $joins),
+         |r AS (SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+         |        ORDER BY approx_dot DESC, vec_id ASC) AS BIGINT) AS rank,
+         |        vec_id, approx_dot FROM t)
+         |SELECT query_id, rank, vec_id, approx_dot FROM r WHERE rank <= 10""".stripMargin
+    },
+
+
+    // batch residual IVF-PQ oracle: q112's chain with per-query probe,
+    // correction and ADC CTEs keyed by query_id, rank window per query
+    "q115_ann_ivfpq_batch" -> {
+      val (dims, blocks, d, k) = (64, 4, 16, 4)
+      val scoreCtes = (0 until blocks).map { b =>
+        val lo = b * d
+        val dot = s"list_sum(list_transform(generate_series(1, $d), " +
+          s"__i -> CAST((q.qe)[$lo + __i] AS DOUBLE) * (c.cemb)[__i]))"
+        s"""s_$b AS (SELECT q.query_id, a.vec_id, $dot AS v_$b
+           |  FROM ab_$b a JOIN c1_$b c ON a.code_$b = c.cid, q)""".stripMargin
+      }.mkString(",\n")
+      val joins = (1 until blocks)
+        .map(b => s"JOIN s_$b USING (query_id, vec_id)").mkString(" ")
+      val total = (0 until blocks).map(b => s"v_$b").mkString(" + ")
+      val qcDot = s"list_sum(list_transform(generate_series(1, $dims), " +
+        s"__i -> CAST((q.qe)[__i] AS DOUBLE) * (c.cemb)[__i]))"
+      s"""WITH ${ivfTrainCtes(dims)},
+         |res AS (SELECT e.vec_id,
+         |    list_transform(generate_series(1, $dims), __i ->
+         |      CAST(CAST(e.embedding[__i] AS DOUBLE) - (c.cemb)[__i] AS FLOAT)) AS embedding
+         |  FROM embeddings e JOIN alist a USING (vec_id) JOIN c1 c ON c.cid = a.list_id),
+         |${pqBlockCtes(blocks, d, k, "res")},
+         |q AS (SELECT CAST(vec_id AS BIGINT) AS query_id, embedding AS qe
+         |      FROM embeddings WHERE vec_id < 3),
+         |probe AS (SELECT query_id, cid AS list_id FROM (
+         |    SELECT q.query_id, c.cid, row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY ${duckCosine("c.cemb", "q.qe", dims)} DESC, c.cid ASC) AS rn
+         |    FROM c1 c, q) WHERE rn <= 2),
+         |corr AS (SELECT q.query_id, c.cid AS list_id, $qcDot AS qc FROM c1 c, q),
+         |$scoreCtes,
+         |t AS (SELECT query_id, vec_id, $total AS adcv FROM s_0 $joins),
+         |sc AS (SELECT t.query_id, t.vec_id, round(co.qc + t.adcv, 6) AS approx_dot
+         |      FROM t JOIN alist al ON t.vec_id = al.vec_id
+         |      JOIN probe p ON p.query_id = t.query_id AND al.list_id = p.list_id
+         |      JOIN corr co ON co.query_id = t.query_id AND co.list_id = al.list_id),
+         |r AS (SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+         |        ORDER BY approx_dot DESC, vec_id ASC) AS BIGINT) AS rank,
+         |        vec_id, approx_dot FROM sc)
+         |SELECT query_id, rank, vec_id, approx_dot FROM r WHERE rank <= 10""".stripMargin
+    },
+
+
+    // residual IVF-PQ oracle: q61's coarse CTEs → residual table →
+    // q71's per-block training/code CTEs over the residuals → ADC
+    // partials + the per-list dot(q, centroid) correction
+    "q112_ann_ivfpq" -> {
+      val (dims, blocks, d, k) = (64, 4, 16, 4)
+      val scoreCtes = (0 until blocks).map { b =>
+        val lo = b * d
+        val dot = s"list_sum(list_transform(generate_series(1, $d), " +
+          s"__i -> CAST((q.qe)[$lo + __i] AS DOUBLE) * (c.cemb)[__i]))"
+        s"""s_$b AS (SELECT a.vec_id, $dot AS v_$b
+           |  FROM ab_$b a JOIN c1_$b c ON a.code_$b = c.cid, q)""".stripMargin
+      }.mkString(",\n")
+      val joins = (1 until blocks).map(b => s"JOIN s_$b USING (vec_id)").mkString(" ")
+      val total = (0 until blocks).map(b => s"v_$b").mkString(" + ")
+      val qcDot = s"list_sum(list_transform(generate_series(1, $dims), " +
+        s"__i -> CAST((q.qe)[__i] AS DOUBLE) * (c.cemb)[__i]))"
+      s"""WITH ${ivfTrainCtes(dims)},
+         |res AS (SELECT e.vec_id,
+         |    list_transform(generate_series(1, $dims), __i ->
+         |      CAST(CAST(e.embedding[__i] AS DOUBLE) - (c.cemb)[__i] AS FLOAT)) AS embedding
+         |  FROM embeddings e JOIN alist a USING (vec_id) JOIN c1 c ON c.cid = a.list_id),
+         |${pqBlockCtes(blocks, d, k, "res")},
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |probe AS (SELECT cid AS list_id FROM (
+         |    SELECT c.cid, row_number() OVER (
+         |      ORDER BY ${duckCosine("c.cemb", "q.qe", dims)} DESC, c.cid ASC) AS rn
+         |    FROM c1 c, q) WHERE rn <= 2),
+         |corr AS (SELECT c.cid AS list_id, $qcDot AS qc FROM c1 c, q),
+         |$scoreCtes,
+         |t AS (SELECT vec_id, $total AS adcv FROM s_0 $joins),
+         |sc AS (SELECT t.vec_id, round(co.qc + t.adcv, 6) AS approx_dot
+         |      FROM t JOIN alist al ON t.vec_id = al.vec_id
+         |      JOIN probe p ON al.list_id = p.list_id
+         |      JOIN corr co ON co.list_id = al.list_id)
+         |SELECT vec_id, approx_dot FROM sc ORDER BY approx_dot DESC, vec_id LIMIT 10"""
+        .stripMargin
+    },
+
+
+    // JL projection oracle: the ±1 plane matrix as a nested literal,
+    // stage-1 rank on 16-dim cosines, exact rerank of the 40 survivors
+    "q110_ann_projected" -> {
+      val mat = Similarity.planes(16, 64)
+        .map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+      val projList =
+        s"""list_transform(generate_series(1, 16), __j ->
+           |  list_sum(list_transform(generate_series(1, 64), __i ->
+           |    CAST(embedding[__i] AS DOUBLE) * CAST(($mat)[__j][__i] AS DOUBLE))))""".stripMargin
+      s"""WITH pr AS (SELECT vec_id, embedding, $projList AS p FROM embeddings),
+         |q AS (SELECT p AS qp, embedding AS qemb FROM pr WHERE vec_id = 7),
+         |c AS (SELECT pr.vec_id, pr.embedding,
+         |      ${duckCosine("pr.p", "q.qp", 16)} AS pc FROM pr, q),
+         |cand AS (SELECT vec_id, embedding FROM c
+         |      ORDER BY pc DESC, vec_id ASC LIMIT 40)
+         |SELECT cand.vec_id, ${duckCosine("cand.embedding", "q.qemb", 64)} AS cosine_sim
+         |FROM cand, q ORDER BY cosine_sim DESC, vec_id ASC LIMIT 10""".stripMargin
+    },
+
+
+    // cluster-cap oracle: q47's closure labels + a per-cluster rank
+    // window; singletons (not in labels) keep unconditionally
+    "q109_cluster_cap" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         |$closureCtes,
+         |rk AS (SELECT d.doc_id, l.cluster_id,
+         |        row_number() OVER (PARTITION BY l.cluster_id
+         |          ORDER BY d.n_chars DESC, d.doc_id ASC) AS rk
+         |      FROM documents d JOIN labels l ON d.doc_id = l.doc_id)
+         |SELECT doc_id, cluster_id, rk <= 2 AS keep FROM rk
+         |UNION ALL
+         |SELECT d.doc_id, d.doc_id AS cluster_id, TRUE AS keep
+         |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+         |WHERE l.doc_id IS NULL""".stripMargin,
+
+
+    // SQ8-refine replay: the q197 ADC chain over-fetches LIMIT 30,
+    // then the exact float dot re-ranks only those candidates
+    "q207_sq8_refine" ->
+      s"""WITH rngrows AS (
+         |  SELECT d.__i AS d,
+         |    min(CAST(embedding[d.__i] AS DOUBLE)) AS mn,
+         |    max(CAST(embedding[d.__i] AS DOUBLE)) AS mx
+         |  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS __i) d
+         |  GROUP BY d.__i),
+         |rng AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs
+         |        FROM rngrows),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |s AS (SELECT e.vec_id,
+         |    round(list_sum(list_transform(generate_series(1, 64), __i ->
+         |      CAST(q.qe[__i] AS DOUBLE) *
+         |        (r.mns[__i] +
+         |          ((CASE WHEN r.mxs[__i] = r.mns[__i] THEN 0
+         |             ELSE least(greatest(CAST(floor(
+         |               (CAST(e.embedding[__i] AS DOUBLE) - r.mns[__i])
+         |                 / (r.mxs[__i] - r.mns[__i]) * 255) AS BIGINT),
+         |               0), 255) END) + 0.5) *
+         |          ((r.mxs[__i] - r.mns[__i]) / 256)))), 6) AS approx_dot
+         |  FROM embeddings e, rng r, q),
+         |cand AS (SELECT vec_id, approx_dot FROM s
+         |         ORDER BY approx_dot DESC, vec_id ASC LIMIT 30)
+         |SELECT c.vec_id, c.approx_dot,
+         |  round(list_sum(list_transform(generate_series(1, 64), __i ->
+         |    CAST(q.qe[__i] AS DOUBLE) * CAST(e.embedding[__i] AS DOUBLE))), 6)
+         |    AS exact_dot
+         |FROM cand c JOIN embeddings e USING (vec_id), q
+         |ORDER BY exact_dot DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+
+    // LSH-eval replay: the shared banded-candidate CTEs vs the q88
+    // exact all-pairs truth, three 1-row counts
+    "q216_lsh_eval" ->
+      s"""WITH $minhashCtes,
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM buckets a JOIN buckets b
+         |    ON a.band = b.band AND a.bucket = b.bucket
+         |      AND a.doc_id < b.doc_id),
+         |exsh AS (SELECT DISTINCT doc_id, unnest(s) AS sv FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM exsh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT ea.doc_id AS id_a, eb.doc_id AS id_b, count(*) AS i
+         |  FROM exsh ea JOIN exsh eb
+         |    ON eb.sv = ea.sv AND ea.doc_id < eb.doc_id
+         |  GROUP BY 1, 2),
+         |truth AS (SELECT id_a, id_b
+         |  FROM inter it JOIN sizes sa ON sa.doc_id = it.id_a
+         |  JOIN sizes sb ON sb.doc_id = it.id_b
+         |  WHERE round(it.i / (sa.n + sb.n - it.i), 6) >= 0.8),
+         |cnts AS (SELECT
+         |    (SELECT count(*) FROM cand) AS n_candidates,
+         |    (SELECT count(*) FROM truth) AS n_truth,
+         |    (SELECT count(*) FROM cand c
+         |       WHERE EXISTS (SELECT 1 FROM truth t
+         |         WHERE t.id_a = c.id_a AND t.id_b = c.id_b)) AS n_hits),
+         |pr AS (SELECT n_candidates, n_truth, n_hits,
+         |    CAST(n_hits AS DOUBLE) / n_candidates AS p,
+         |    CAST(n_hits AS DOUBLE) / n_truth AS r
+         |  FROM cnts)
+         |SELECT n_candidates, n_truth, n_hits,
+         |  round(p, 6) AS precision, round(r, 6) AS recall,
+         |  CASE WHEN p + r = 0 THEN NULL
+         |       ELSE round(2.0 * p * r / (p + r), 6) END AS f1
+         |FROM pr""".stripMargin,
+
+
+    // hard-negative replay: exact over-fetch cut (rank <= 20), label
+    // filter, per-query re-rank to 5
+    "q218_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS qg
+         |           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+         |sc AS (SELECT q.query_id, e.vec_id,
+         |    ${duckCosine("e.embedding", "q.qe", 64)} AS cosine_sim,
+         |    q.qg, e.label AS cg
+         |  FROM embeddings e, q),
+         |cut AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine_sim DESC, vec_id ASC) AS rn FROM sc),
+         |neg AS (SELECT query_id, vec_id, cosine_sim FROM cut
+         |  WHERE rn <= 20 AND vec_id <> query_id
+         |    AND (cg IS NULL OR qg IS NULL OR cg <> qg)),
+         |rk AS (SELECT query_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine_sim DESC, vec_id ASC) AS BIGINT) AS rank,
+         |    vec_id, cosine_sim FROM neg)
+         |SELECT query_id, rank, vec_id, cosine_sim FROM rk
+         |WHERE rank <= 5""".stripMargin,
+
+
+    // multi-probe replay: per-bit bucket comparison, Hamming <= 1
+    "q219_multiprobe_lsh" ->
+      s"""WITH q AS (SELECT embedding AS qe,
+         |    ${duckSignBucket("embedding", 8, 64)} AS qb
+         |  FROM embeddings WHERE vec_id = 0),
+         |b AS (SELECT vec_id, embedding,
+         |    ${duckSignBucket("embedding", 8, 64)} AS bucket
+         |  FROM embeddings),
+         |s AS (SELECT vec_id,
+         |    ${duckCosine("embedding", "qe", 64)} AS cosine_sim
+         |  FROM b, q
+         |  WHERE list_sum(list_transform(generate_series(1, 8), __i ->
+         |    CASE WHEN substr(bucket, CAST(__i AS INT), 1)
+         |       <> substr(qb, CAST(__i AS INT), 1) THEN 1 ELSE 0 END)) <= 1)
+         |SELECT vec_id, cosine_sim FROM s
+         |ORDER BY cosine_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+
+    // reciprocal-NN replay: the q191 kNN chain + ordered-pair
+    // self-join of the rank<=5 edges
+    "q222_reciprocal_nn" ->
+      s"""WITH $embPairCtes,
+         |sym AS (SELECT id_a AS id, id_b AS nbr, cosine_sim FROM p
+         |        UNION ALL SELECT id_b, id_a, cosine_sim FROM p),
+         |r AS (SELECT id, nbr,
+         |        CAST(round(cosine_sim*1000000, 0) AS BIGINT) AS cm,
+         |        CAST(row_number() OVER (PARTITION BY id
+         |          ORDER BY round(cosine_sim*1000000, 0) DESC, nbr)
+         |          AS BIGINT) AS rank
+         |      FROM sym),
+         |k AS (SELECT id, nbr, rank, cm FROM r WHERE rank <= 5),
+         |fwd AS (SELECT id AS id_a, nbr AS id_b, rank AS rank_ab, cm
+         |        FROM k WHERE id < nbr),
+         |bwd AS (SELECT nbr AS id_a, id AS id_b, rank AS rank_ba
+         |        FROM k WHERE id > nbr)
+         |SELECT id_a, id_b, rank_ab, rank_ba, cm AS cos_micro
+         |FROM fwd JOIN bwd USING (id_a, id_b)""".stripMargin,
+
+
+    // multi-probe recall replay: per-bit Hamming distance against each
+    // query's bucket — 0 for single, <=1 for multi-probe — vs the
+    // shared brute-force truth
+    "q237_multiprobe_recall" -> {
+      def ham(b: String, qb: String) =
+        s"""list_sum(list_transform(generate_series(1, 8), __i ->
+           |  CASE WHEN substr($b, CAST(__i AS INT), 1)
+           |     <> substr($qb, CAST(__i AS INT), 1) THEN 1 ELSE 0 END))""".stripMargin
+      def method(name: String, maxHam: Int) =
+        s"""SELECT '$name' AS method, t.query_id,
+           |  CAST(count(a.vec_id) AS BIGINT) AS hits,
+           |  round(CAST(count(a.vec_id) AS DOUBLE) / count(*), 6)
+           |    AS recall_at_k
+           |FROM truth t LEFT JOIN (
+           |  SELECT query_id, vec_id FROM ranked_$name WHERE rn <= 10) a
+           |  ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+           |GROUP BY t.query_id""".stripMargin
+      s"""WITH tr AS (${bruteBatchSql()}),
+         |truth AS (SELECT DISTINCT query_id, vec_id FROM tr),
+         |q AS (SELECT CAST(vec_id AS BIGINT) AS query_id, embedding AS qe,
+         |    ${duckSignBucket("embedding", 8, 64)} AS qb
+         |  FROM embeddings WHERE vec_id < 3),
+         |b AS (SELECT vec_id, embedding,
+         |    ${duckSignBucket("embedding", 8, 64)} AS bucket
+         |  FROM embeddings),
+         |sc AS (SELECT q.query_id, b.vec_id,
+         |    ${duckCosine("b.embedding", "q.qe", 64)} AS cs,
+         |    ${ham("b.bucket", "q.qb")} AS hd
+         |  FROM b, q),
+         |ranked_single AS (SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cs DESC, vec_id ASC) AS rn
+         |  FROM sc WHERE hd = 0),
+         |ranked_multiprobe AS (SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cs DESC, vec_id ASC) AS rn
+         |  FROM sc WHERE hd <= 1)
+         |${method("single", 0)}
+         |UNION ALL
+         |${method("multiprobe", 1)}""".stripMargin
+    },
+
+
+    // silhouette replay: the q55 2-iteration k-means chain, per-point
+    // sims to all final centroids, micro-int scores, exact means
+    "q246_silhouette" -> {
+      val dims = 64
+      def assignCte(cents: String) =
+        s"""SELECT vec_id, cid AS cluster FROM (
+           |    SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY ${duckCosine("e.embedding", "c.cemb", dims)} DESC, c.cid ASC) AS rn
+           |    FROM embeddings e CROSS JOIN $cents c) WHERE rn = 1""".stripMargin
+      s"""WITH c0 AS (SELECT CAST(vec_id AS BIGINT) AS cid,
+         |            list_transform(embedding, __x -> CAST(__x AS DOUBLE)) AS cemb
+         |            FROM embeddings ORDER BY vec_id LIMIT 4),
+         |a0 AS (${assignCte("c0")}),
+         |m1 AS (SELECT a0.cluster, d.d, round(avg(CAST(e.embedding[d.d] AS DOUBLE)), 6) AS v
+         |       FROM a0 JOIN embeddings e USING (vec_id), generate_series(1, $dims) d(d)
+         |       GROUP BY a0.cluster, d.d),
+         |c1 AS (SELECT cluster AS cid, list(v ORDER BY d) AS cemb FROM m1 GROUP BY cluster),
+         |sims AS (SELECT e.vec_id, c.cid,
+         |    ${duckCosine("e.embedding", "c.cemb", dims)} AS sim
+         |  FROM embeddings e CROSS JOIN c1 c),
+         |asg AS (SELECT vec_id, cid AS cluster FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY sim DESC, cid ASC) AS rn FROM sims) WHERE rn = 1),
+         |sil AS (SELECT s.vec_id, a.cluster,
+         |    max(CASE WHEN s.cid = a.cluster THEN s.sim END) AS own,
+         |    max(CASE WHEN s.cid <> a.cluster THEN s.sim END) AS oth
+         |  FROM sims s JOIN asg a USING (vec_id) GROUP BY 1, 2),
+         |pt AS (SELECT cluster,
+         |    CAST(round(CASE WHEN 1 - least(own, oth) = 0 THEN 0.0
+         |      ELSE (own - oth) / (1 - least(own, oth)) END * 1e6) AS BIGINT)
+         |      AS sm
+         |  FROM sil)
+         |SELECT cluster, count(*) AS n_points,
+         |  round(CAST(sum(sm) AS BIGINT) / 1e6 / count(*), 6)
+         |    AS mean_silhouette
+         |FROM pt GROUP BY cluster""".stripMargin
+    },
+
+
+    // centroid-drift replay: decimal-exact per-dim means for each
+    // half, in-order cosine fold over the two mean vectors, rounded
+    // abs-shift top-k (posexplode dims are 0-based: dim = __i − 1)
+    "q254_centroid_drift" -> {
+      def half(tag: String, m: Int) =
+        s"""m_$tag AS (SELECT d.__i AS di,
+           |    CAST(sum(CAST(CAST(embedding[d.__i] AS DOUBLE)
+           |      AS DECIMAL(28,8))) AS DOUBLE) / count(*) AS mean_$tag
+           |  FROM embeddings, (SELECT unnest(generate_series(1, 64))
+           |    AS __i) d
+           |  WHERE vec_id % 2 = $m GROUP BY d.__i)""".stripMargin
+      s"""WITH ${half("base", 0)},
+         |${half("next", 1)},
+         |j AS (SELECT m_base.di - 1 AS dim, mean_base, mean_next
+         |  FROM m_base JOIN m_next ON m_next.di = m_base.di),
+         |va AS (SELECT list(mean_base ORDER BY dim) AS a,
+         |    list(mean_next ORDER BY dim) AS b FROM j),
+         |cs AS (SELECT ${duckCosine("a", "b", 64)} AS centroid_cosine
+         |  FROM va)
+         |SELECT dim, round(mean_base, 6) AS mean_base,
+         |  round(mean_next, 6) AS mean_next,
+         |  round(abs(mean_next - mean_base), 6) AS abs_shift,
+         |  cs.centroid_cosine
+         |FROM j, cs
+         |ORDER BY round(abs(mean_next - mean_base), 6) DESC, dim ASC
+         |LIMIT 8""".stripMargin
+    },
+
+
+    "q29_ann_ivf" ->
+      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 16),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |assign AS (
+         |  SELECT vec_id, list_id FROM (
+         |    SELECT e.vec_id, c.cid AS list_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckCosine("e.embedding", "c.cemb", 64)} DESC, c.cid ASC) AS rn
+         |    FROM embeddings e CROSS JOIN cents c
+         |  ) WHERE rn = 1
+         |),
+         |probe AS (
+         |  SELECT cid AS list_id FROM (
+         |    SELECT c.cid, row_number() OVER (
+         |      ORDER BY ${duckCosine("c.cemb", "q.qe", 64)} DESC, c.cid ASC) AS rn
+         |    FROM cents c, q
+         |  ) WHERE rn <= 4
+         |),
+         |s AS (
+         |  SELECT e.vec_id, ${duckCosine("e.embedding", "q.qe", 64)} AS cosine_sim
+         |  FROM embeddings e
+         |  JOIN assign a ON e.vec_id = a.vec_id
+         |  JOIN probe p ON a.list_id = p.list_id, q
+         |)
+         |SELECT vec_id, cosine_sim FROM s ORDER BY cosine_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+
+    "q55_kmeans" -> {
+      val dims = 64
+      def assignCte(cents: String) =
+        s"""SELECT vec_id, cid AS cluster FROM (
+           |    SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY ${duckCosine("e.embedding", "c.cemb", dims)} DESC, c.cid ASC) AS rn
+           |    FROM embeddings e CROSS JOIN $cents c) WHERE rn = 1""".stripMargin
+      s"""WITH c0 AS (SELECT CAST(vec_id AS BIGINT) AS cid,
+         |            list_transform(embedding, __x -> CAST(__x AS DOUBLE)) AS cemb
+         |            FROM embeddings ORDER BY vec_id LIMIT 4),
+         |a0 AS (${assignCte("c0")}),
+         |m1 AS (SELECT a0.cluster, d.d, round(avg(CAST(e.embedding[d.d] AS DOUBLE)), 6) AS v
+         |       FROM a0 JOIN embeddings e USING (vec_id), generate_series(1, $dims) d(d)
+         |       GROUP BY a0.cluster, d.d),
+         |c1 AS (SELECT cluster AS cid, list(v ORDER BY d) AS cemb FROM m1 GROUP BY cluster),
+         |a1 AS (${assignCte("c1")})
+         |SELECT vec_id, cluster FROM a1""".stripMargin
+    },
+
+
+    "q59_semantic_clusters" ->
+      s"""WITH RECURSIVE $embPairCtes,
+         |${closureCtesOver("p")}
+         |SELECT e.vec_id,
+         |  coalesce(l.cluster_id, e.vec_id) AS cluster_id,
+         |  coalesce(l.cluster_id, e.vec_id) = e.vec_id AS keep
+         |FROM embeddings e LEFT JOIN labels l ON e.vec_id = l.doc_id""".stripMargin,
+
+
+    // recall replay: the q101 exact chain LEFT JOINed against the q102
+    // IVF chain on (query, id), both DEDUPED; recall = matched over the
+    // query's own distinct truth count (≤ k), mirroring recallAtK
+    "q127_ann_recall" ->
+      s"""WITH truth AS (SELECT DISTINCT query_id, vec_id FROM (${bruteBatchSql()})),
+         |approx AS (SELECT DISTINCT query_id, vec_id FROM (${ivfTrainedBatchSql()}))
+         |SELECT t.query_id, count(a.vec_id) AS hits,
+         |  round(CAST(count(a.vec_id) AS DOUBLE) / count(*), 6) AS recall_at_k
+         |FROM truth t LEFT JOIN approx a
+         |  ON t.query_id = a.query_id AND t.vec_id = a.vec_id
+         |GROUP BY t.query_id""".stripMargin,
+
+
+    // drift replay: v1's float narrowing is reproduced with CAST(... AS
+    // REAL) then widened back — IEEE round-trips identically in both
+    // engines; max() keeps the check order-insensitive
+    // vector-audit replay: identical corruption seeding (CASE order
+    // mirrored — zero wins over NaN wins over truncation), norms via
+    // the q22 list arithmetic, healthy = right dims AND no NaN
+    "q138_vector_audit" -> {
+      val normOf = "sqrt(list_sum(list_transform(e, __x -> " +
+        "CAST(__x AS DOUBLE) * CAST(__x AS DOUBLE))))"
+      s"""WITH va_s AS (
+         |  SELECT CASE
+         |    WHEN vec_id % 13 = 0
+         |      THEN list_transform(embedding, __x -> CAST(0.0 AS REAL))
+         |    WHEN vec_id % 17 = 0
+         |      THEN list_concat([CAST('nan' AS REAL)], embedding[2:64])
+         |    WHEN vec_id % 19 = 0 THEN embedding[1:32]
+         |    ELSE embedding END AS e
+         |  FROM embeddings),
+         |va_m AS (
+         |  SELECT len(e) = 64 AS dims_ok,
+         |    len(list_filter(e, __x -> isnan(CAST(__x AS DOUBLE)))) > 0 AS has_nan,
+         |    $normOf AS nrm
+         |  FROM va_s)
+         |SELECT count(*) AS n_vectors,
+         |  CAST(sum(CASE WHEN NOT dims_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_wrong_dims,
+         |  CAST(sum(CASE WHEN has_nan THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
+         |  CAST(sum(CASE WHEN dims_ok AND NOT has_nan AND nrm < 1e-6
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+         |  round(min(CASE WHEN dims_ok AND NOT has_nan THEN nrm END), 6) AS min_norm,
+         |  round(max(CASE WHEN dims_ok AND NOT has_nan THEN nrm END), 6) AS max_norm
+         |FROM va_m""".stripMargin
+    },
+
+
+    // BFS replay: 3 unrolled min-relaxation rounds over the distinct
+    // synthetic edges; least() ignores NULL in both engines
+    "q187_seed_distance" -> {
+      def iter(prev: String, cur: String): String =
+        s"""r_$cur AS (
+           |  SELECT e.dst AS id, min(d.dist + 1) AS via
+           |  FROM d_$prev d JOIN e ON d.id = e.src
+           |  WHERE d.dist IS NOT NULL GROUP BY e.dst),
+           |d_$cur AS (
+           |  SELECT d.id, least(d.dist, r.via) AS dist
+           |  FROM d_$prev d LEFT JOIN r_$cur r ON r.id = d.id)""".stripMargin
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents WHERE text IS NOT NULL),
+         |nodes AS (SELECT doc_id AS id FROM documents WHERE text IS NOT NULL),
+         |e0 AS (
+         |  SELECT doc_id AS src, (doc_id*2+1) % n AS dst
+         |  FROM documents, nn WHERE text IS NOT NULL
+         |  UNION ALL
+         |  SELECT doc_id, (doc_id*3+2) % n FROM documents, nn WHERE text IS NOT NULL
+         |  UNION ALL
+         |  SELECT doc_id, (doc_id*7+5) % n FROM documents, nn WHERE text IS NOT NULL),
+         |e AS (SELECT DISTINCT src, dst FROM e0),
+         |d_0 AS (SELECT id,
+         |          CASE WHEN id % 97 = 0 THEN CAST(0 AS BIGINT) END AS dist
+         |        FROM nodes),
+         |${iter("0", "1")},
+         |${iter("1", "2")},
+         |${iter("2", "3")}
+         |SELECT dist, count(*) AS n_nodes, CAST(sum(id) AS BIGINT) AS sum_ids
+         |FROM d_3 GROUP BY 1""".stripMargin
+    },
+
+
+    // graph-ANN replay: candidate banding → kNN edges → every beam
+    // round unrolled (the search path, not just the answer)
+    "q283_graph_ann" ->
+      s"""WITH ${graphAnnStemCtes()},
+         |${graphAnnWalkCtes(0)}
+         |SELECT node AS vec_id, sim AS cosine_sim FROM res_q0""".stripMargin,
+
+
+    // durable nav-graph probe: the stored graph must reproduce the
+    // in-memory walk verbatim (the q60 equivalence convention — same
+    // oracle as q283)
+    "q286_durable_graph_ann" ->
+      s"""WITH ${graphAnnStemCtes()},
+         |${graphAnnWalkCtes(0)}
+         |SELECT node AS vec_id, sim AS cosine_sim FROM res_q0""".stripMargin,
+
+
+    // search-then-link replay: standing stem (batch held out) → one
+    // walk per inserted vector (its top-8 forward candidates) + exact
+    // batch-internal pairs → micro-ranked forward cut → symmetrize →
+    // degree-re-prune touched nodes against the standing edge cosines
+    // → merged graph → the final probe walk over the FULL corpus
+    "q287_graph_ann_insert" -> {
+      val batch = Seq(0L, 10L, 20L)
+      val bList = batch.mkString(", ")
+      val walks = batch.map(q => graphAnnWalkCtes(q, k = 8,
+        graph = "kg_s", ent = "ent_s", emb = "embm_s", qsrc = "fullemb",
+        ns0 = s"i$q")).mkString(",\n")
+      val walkCand = batch.map(q =>
+        s"SELECT CAST($q AS BIGINT) AS qid, node, sim FROM res_i$q")
+        .mkString(" UNION ALL ")
+      s"""WITH ${graphAnnStemCtes(
+             s"(SELECT * FROM embeddings WHERE vec_id NOT IN ($bList))", "_s")},
+         |fullemb AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+         |$walks,
+         |batchv AS (SELECT vec_id, embedding FROM fullemb
+         |  WHERE vec_id IN ($bList)),
+         |internal AS (SELECT a.vec_id AS qid, CAST(b.vec_id AS BIGINT) AS node,
+         |    ${duckCosine("a.embedding", "b.embedding", 64)} AS sim
+         |  FROM batchv a JOIN batchv b ON b.vec_id <> a.vec_id),
+         |candm AS (SELECT qid AS id, node AS nbr,
+         |    max(CAST(round(sim*1000000, 0) AS BIGINT)) AS c
+         |  FROM ($walkCand UNION ALL SELECT qid, node, sim FROM internal)
+         |  GROUP BY qid, node),
+         |fwd AS (SELECT id, nbr, c FROM (SELECT id, nbr, c,
+         |    row_number() OVER (PARTITION BY id ORDER BY c DESC, nbr ASC) AS rn
+         |  FROM candm) WHERE rn <= 8),
+         |symn AS (SELECT id, nbr, c FROM fwd
+         |  UNION ALL SELECT nbr AS id, id AS nbr, c FROM fwd),
+         |touched AS (SELECT DISTINCT id FROM symn),
+         |mrg AS (SELECT id, nbr, max(c) AS c FROM (
+         |    SELECT k.id, k.nbr,
+         |      CAST(round(k.cosine_sim*1000000, 0) AS BIGINT) AS c
+         |    FROM kgc_s k JOIN touched t ON t.id = k.id
+         |    UNION ALL SELECT id, nbr, c FROM symn)
+         |  GROUP BY id, nbr),
+         |pr AS (SELECT id, nbr FROM (SELECT id, nbr,
+         |    row_number() OVER (PARTITION BY id ORDER BY c DESC, nbr ASC) AS rn
+         |  FROM mrg) WHERE rn <= 8),
+         |kg2 AS MATERIALIZED (
+         |  SELECT k.id, k.nbr FROM kg_s k
+         |  WHERE k.id NOT IN (SELECT id FROM touched)
+         |  UNION ALL SELECT id, nbr FROM pr),
+         |ent2 AS (SELECT vec_id AS node FROM fullemb ORDER BY vec_id LIMIT 4),
+         |${graphAnnWalkCtes(0, k = 10, graph = "kg2", ent = "ent2",
+             emb = "fullemb", qsrc = "fullemb", ns0 = "f")}
+         |SELECT node AS vec_id, sim AS cosine_sim FROM res_f""".stripMargin
+    },
+
+
+    // recall readout: the same walk intersected with the exact top-10
+    "q284_graph_ann_recall" ->
+      s"""WITH ${graphAnnStemCtes()},
+         |${graphAnnWalkCtes(0)},
+         |bt AS (SELECT vec_id FROM (
+         |    SELECT e.vec_id,
+         |      row_number() OVER (ORDER BY
+         |        ${duckCosine("e.embedding", "qv_q0.qe", 64)} DESC,
+         |        e.vec_id ASC) AS rn
+         |    FROM embm e, qv_q0) WHERE rn <= 10)
+         |SELECT CAST(10 AS BIGINT) AS k,
+         |  CAST(count(*) AS BIGINT) AS n_hits,
+         |  round(count(*) / 10.0, 6) AS recall
+         |FROM res_q0 r JOIN bt ON bt.vec_id = r.node""".stripMargin,
+
+
+    // batch replay: one walk namespace per query over the SHARED graph
+    // stem — the amortization under test is that the engine's rounds
+    // merge across queries while per-query semantics stay the single
+    // walk's, so the oracle is literally three single walks
+    "q285_graph_ann_batch" ->
+      s"""WITH ${graphAnnStemCtes()},
+         |${Seq(0L, 7L, 23L).map(graphAnnWalkCtes(_)).mkString(",\n")}
+         |${Seq(0L, 7L, 23L).map(q =>
+             s"""SELECT CAST($q AS BIGINT) AS query_id,
+                |  CAST(rn AS BIGINT) AS rank, node AS vec_id,
+                |  sim AS cosine_sim FROM res_q$q""".stripMargin)
+           .mkString("\nUNION ALL\n")}""".stripMargin,
+
+
+    // IVF maintenance replay: k-means on the even half (the shared
+    // trained-IVF CTEs), frozen-quantizer assignment of the odd half,
+    // per-list member means (rounded per the training convention),
+    // cosine drift with the ≤1 float guard, the 0.07 threshold
+    "q280_ivf_maintain" -> {
+      val dims = 64
+      val driftSql = "CASE WHEN mv.mean IS NULL THEN NULL ELSE " +
+        s"round(greatest(0.0, 1.0 - ${duckCosine("c.cemb", "mv.mean", dims)}), 6) END"
+      s"""WITH ${ivfTrainCtes(dims, "(SELECT * FROM embeddings WHERE vec_id % 2 = 0)")},
+         |odd AS (SELECT * FROM embeddings WHERE vec_id % 2 <> 0),
+         |aodd AS (SELECT vec_id, cid AS list_id FROM (
+         |    SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${duckCosine("e.embedding", "c.cemb", dims)} DESC, c.cid ASC) AS rn
+         |    FROM odd e CROSS JOIN c1 c) WHERE rn = 1),
+         |mem AS (SELECT vec_id, list_id FROM alist
+         |  UNION ALL SELECT vec_id, list_id FROM aodd),
+         |md AS (SELECT m.list_id, d.d,
+         |    round(avg(CAST(e.embedding[d.d] AS DOUBLE)), 6) AS v
+         |  FROM mem m JOIN embeddings e USING (vec_id),
+         |    generate_series(1, $dims) d(d)
+         |  GROUP BY m.list_id, d.d),
+         |mv AS (SELECT list_id, list(v ORDER BY d) AS mean FROM md
+         |  GROUP BY list_id),
+         |cnt AS (SELECT list_id, count(*) AS n_members FROM mem
+         |  GROUP BY list_id)
+         |SELECT c.cid AS list_id,
+         |  CAST(coalesce(cnt.n_members, 0) AS BIGINT) AS n_members,
+         |  $driftSql AS drift,
+         |  coalesce($driftSql > 0.07, FALSE) AS retrained
+         |FROM c1 c LEFT JOIN mv ON mv.list_id = c.cid
+         |LEFT JOIN cnt ON cnt.list_id = c.cid""".stripMargin
+    }
+  )
+}

@@ -1,0 +1,1795 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableSql
+import graft.functions.PortableSql.{DuckDialect => DD, SparkDialect => SD}
+import graft.io.Layers
+import graft.ops.{Aggregate, Clean, Dedup, ImageDedup, Multimodal, Quality, Similarity}
+import graft.ops.Aggregate.{AggSpec, Metric}
+
+/** stats slice of the [[SparkEntry]] registry — statistics + events: sketches, joins/windows, drift, hypothesis metrics, attribution, sampling, funnels.
+  * Split by family for maintainability; entries and oracles are
+  * verbatim registry content (no behavior change). */
+private[graft] trait EntryStats extends EntryContext {
+
+  protected def statsQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- events: hourly tumbling-window aggregation (batch twin of the
+    //      streaming hourlyByType)
+    "q18_events_hourly" -> ((s, dir) =>
+      Layers.readEvents(s, s"$dir/events.parquet")
+        .groupBy(
+          date_trunc("hour", col("ts")).as("window_start"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          expr(dsum("value")).as("total_value"))),
+
+
+    // ---- events: batch sessionization (30-min inactivity gap)
+    "q19_sessions" -> ((s, dir) => {
+      val ev = Layers.readEvents(s, s"$dir/events.parquet")
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      ev.withColumn("prev", lag(col("ts"), 1).over(w))
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(when(col("prev").isNull ||
+            (col("ts").cast("double") - col("prev").cast("double")) > 1800.0, 1L)
+            .otherwise(0L)).as("n_sessions"))
+    }),
+
+
+    // ---- joins: star-schema revenue rollup, dims broadcast
+    "q20_join_revenue" -> ((s, dir) => {
+      val o = T(s, dir, "orders").filter(
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      o.join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(T(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(T(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          expr(dsum("o_totalprice")).as("revenue"))
+    }),
+
+
+    // ---- window top-k per group
+    "q21_topk_per_segment" -> ((s, dir) => {
+      val j = T(s, dir, "orders")
+        .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      j.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select("c_mktsegment", "rank", "o_orderkey", "o_totalprice")
+    }),
+
+
+    // ---- events: sliding-window aggregation (1 h window, 30 min slide)
+    "q32_sliding_window" -> ((s, dir) =>
+      Layers.readEvents(s, s"$dir/events.parquet")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          expr(dsum("value")).as("total_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n_events"), col("total_value"))),
+
+
+    // ---- as-of (point-in-time) join: each event joined to the user's
+    //      latest prior purchase (no future leakage) — composed from
+    //      union + running-last window, oracle = DuckDB native ASOF JOIN
+    "q33_asof_join" -> ((s, dir) => {
+      val ev = Layers.readEvents(s, s"$dir/events.parquet")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+      graft.ops.AsOf.asofJoin(
+        ev.select("event_id", "user_id", "ts"),
+        purchases,
+        keys = Seq("user_id"), tsCol = "ts",
+        rightCols = Seq("purchase_id", "purchase_value"))
+        .select("event_id", "user_id", "purchase_id", "purchase_value")
+    }),
+
+
+    // ---- range (interval) join via bucketed equi-join decomposition:
+    //      events counted into 2-hour windows opened by each purchase
+    "q34_range_join" -> ((s, dir) => {
+      val ev = Layers.readEvents(s, s"$dir/events.parquet")
+      val win = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("start_ts"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("end_ts"))
+      graft.ops.Ranges.rangeJoin(
+        ev.select(col("user_id"), col("ts"), col("event_id")),
+        win, keys = Seq("user_id"), tsCol = "ts",
+        startCol = "start_ts", endCol = "end_ts", bucketWidthSeconds = 3600)
+        .groupBy("purchase_id")
+        .agg(count(lit(1)).as("n_events"))
+    }),
+
+
+    // ---- deterministic KMV cardinality sketch (bounded-memory typed
+    //      Aggregator; md5-derived → bit-reproducible in the oracle).
+    //      calibrate=true rides the exact twin along for the oracle
+    //      check; the production default is sketch-only (no distinct
+    //      shuffle) — see SketchesSpec plan assertion.
+    "q35_kmv_distinct" -> ((s, dir) =>
+      graft.ops.Sketches.kmvDistinct(T(s, dir, "orders"), "o_custkey", k = 256,
+        calibrate = true)),
+
+
+    // ---- skew handling: salted two-stage aggregation over a 3-value
+    //      (maximally skewed) key — results identical to a plain groupBy
+    "q30_salted_agg" -> ((s, dir) =>
+      Aggregate.saltedRollup(
+        T(s, dir, "lineitem"),
+        groupBy = Seq("l_returnflag"),
+        metrics = Seq(
+          Aggregate.SaltedMetric("n_items", "count", "*"),
+          Aggregate.SaltedMetric("sum_qty_dec", "sum", "cast(l_quantity as decimal(18,6))"),
+          Aggregate.SaltedMetric("max_price", "max", "l_extendedprice")),
+        saltBuckets = 8,
+        saltOn = Seq("l_orderkey", "l_linenumber"))
+        .select(col("l_returnflag"), col("n_items"),
+          col("sum_qty_dec").cast("double").as("sum_qty"), col("max_price"))),
+
+
+    // ---- north-star: corpus-wide heavy hitters (exact top-k tokens;
+    //      map-side partial counts, k-row TakeOrdered — never a full
+    //      vocabulary sort).
+    "q52_heavy_hitters" -> ((s, dir) =>
+      graft.ops.Search.topTokens(T(s, dir, "documents"), "text", k = 20)),
+
+
+    // ---- north-star: count-min sketch — md5-derived buckets make the
+    //      whole sketch (cells AND estimates) replayable in the DuckDB
+    //      oracle, so unlike typical sketches this one is HASH-checked,
+    //      not just bounds-checked. width=32 forces real collisions on
+    //      the fixture vocabulary (est > exact for some tokens).
+    "q53_cms_counts" -> ((s, dir) =>
+      graft.ops.Sketches.cmsTopTokens(
+        T(s, dir, "documents"), "text", k = 10, depth = 3, width = 32)),
+
+
+    // ---- north-star: bloom-pruned exact semi-join — the broadcast
+    //      bloom bits prune the big side BEFORE its exchange; the
+    //      exact semi-join removes false positives, so the result (and
+    //      oracle) is a plain semi-join.
+    "q54_bloom_join" -> ((s, dir) => {
+      val hot = T(s, dir, "orders")
+        .filter(col("o_totalprice") > 450000.0)
+        .select("o_orderkey")
+      graft.ops.Bloom.prunedSemiJoin(
+        T(s, dir, "lineitem"), "l_orderkey", hot, "o_orderkey")
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          expr(s"${dsum("l_quantity")} AS sum_qty"))
+    }),
+
+
+    // ---- north-star: stratified deterministic sampling — the
+    //      data-mixing primitive (per-language keep fractions as one
+    //      narrow scan-speed filter).
+    "q56_stratified_sample" -> ((s, dir) =>
+      graft.ops.Sampling.stratifiedSample(
+        T(s, dir, "documents"), "lang", "doc_id",
+        fractions = Map(
+          "en" -> 0.9, "fr" -> 0.5, "es" -> 0.25, "de" -> 0.1, "zh" -> 0.05),
+        salt = "mix1")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))),
+
+
+    // ---- north-star: hashed-feature Naive Bayes — the fastText-style
+    //      corpus classifier (quality/domain/lang routing): model =
+    //      classes×dims rows broadcast; scoring = one gram explode +
+    //      broadcast LUT join + doc-keyed agg. Train even ids, score odd.
+    "q106_nb_classifier" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.ops.LanguageModel.naiveBayesClassify(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 =!= 0),
+        "text", "doc_id", "lang", dims = 128)
+    }),
+
+
+    // ---- north-star: DURABLE Naive Bayes model — train once, publish
+    //      the classes×dims model table as parquet, score later batches
+    //      from the stored model; must equal q106 through the roundtrip.
+    "q116_durable_nb_model" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val modelDir = tmp("q116_nb_model")
+      graft.ops.LanguageModel.naiveBayesModel(
+          docs.filter(col("doc_id") % 2 === 0), "text", "lang", dims = 128)
+        .write.mode("overwrite").parquet(modelDir)
+      graft.ops.LanguageModel.naiveBayesScore(
+        s.read.parquet(modelDir),
+        docs.filter(col("doc_id") % 2 =!= 0), "text", "doc_id")
+    }),
+
+
+    // ---- north-star: leakage-safe train/val/test split — docs hash on
+    //      their near-dup CLUSTER representative (q39's components;
+    //      singletons on themselves), so a duplicate family can never
+    //      straddle the train/test fence and leak training text into
+    //      eval through its copies. Same salted fence as q37; the
+    //      SamplingSpec integrity case proves zero straddling clusters.
+    "q131_leakage_safe_split" -> ((s, dir) => {
+      val splits = graft.ops.Sampling.clusterAwareSplit(
+        T(s, dir, "documents"), "doc_id", clusterLabels(s, dir),
+        Seq(0.8, 0.1, 0.1), salt = "v1")
+      splits.zip(Seq("train", "val", "test"))
+        .map { case (d, t) => d.select(lit(t).as("split"), col("doc_id")) }
+        .reduce(_.unionByName(_))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))
+    }),
+
+
+    // ---- north-star: keyed-skew diagnostics — the pre-flight report
+    //      before any big join/agg: heavy-hitter keys, their share,
+    //      skew vs the key-space mean, and the salt fan-out that would
+    //      level them (feeds q30's salted path). Decomposable counts +
+    //      broadcast 1-row stats + TakeOrdered top-k — no global sort.
+    "q133_skew_report" -> ((s, dir) =>
+      graft.ops.Diagnostics.skewReport(
+        graft.io.Layers.readEvents(s, s"$dir/events.parquet")
+          .select("user_id"),
+        "user_id", topK = 5)),
+
+
+    // ---- north-star events: ordered funnel — greedy-earliest
+    //      view→click→purchase within 7 days of the anchor; one
+    //      decomposable groupBy(user).min per step chained by user-key
+    //      equi-joins, each stage checkpointed once (no per-user loops,
+    //      no event-array collection).
+    "q135_event_funnel" -> ((s, dir) =>
+      graft.ops.EventOps.funnel(
+        graft.io.Layers.readEvents(s, s"$dir/events.parquet"),
+        "user_id", "event_type", "ts",
+        steps = Seq("view", "click", "purchase"),
+        windowSeconds = 604800L)),
+
+
+    // ---- north-star events: weekly cohort retention — cohort = the
+    //      period of a user's first event (integer arithmetic vs a
+    //      fixed epoch date, bit-replayable); (cohort, k) activity
+    //      counts + rate vs the cohort's own size.
+    "q136_retention" -> ((s, dir) =>
+      graft.ops.EventOps.retention(
+        graft.io.Layers.readEvents(s, s"$dir/events.parquet"),
+        "user_id", "ts", epochDate = "2024-01-01", periodDays = 7)),
+
+
+    // ---- north-star: weighted sampling without replacement
+    //      (Efraimidis–Spirakis keys over the deterministic md5 unit
+    //      hash) — per-source top-k by u^(1/w); the oracle replays the
+    //      identical keys, so the exact member SET must agree.
+    "q160_weighted_sample" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      graft.ops.Sampling.weightedSample(
+          docs.withColumn("w", (col("doc_id") % 4 + 1).cast("double")),
+          "doc_id", "w", k = 10, salt = "ws1", strataCol = Some("source"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("doc_id")).as("sum_ids"),
+          round(sum(col("w")), 6).as("sum_w"))
+    }),
+
+
+    // ---- north-star: PSI drift alarm — the refresh gate between two
+    //      corpus snapshots; the next snapshot drifts constructively
+    //      (drop 1/7, inflate 1/3 of lengths by +40), and the oracle
+    //      replays the identical binning arithmetic.
+    "q167_psi_drift" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      val id = col("doc_id")
+      val next = docs.filter(id % 7 =!= 0)
+        .select(when(id % 3 === 0, col("n_chars") + 40)
+          .otherwise(col("n_chars")).as("n_chars"))
+      graft.ops.Diagnostics.psi(
+        docs.select(col("n_chars")), next, "n_chars", bins = 10)
+    }),
+
+
+    // ---- north-star: Jensen–Shannon lexical divergence between two
+    //      subcorpora (en vs fr) — the mixing diagnostic; symmetric,
+    //      bounded by ln 2, one (token, count) join, corpus text never
+    //      shuffles.
+    "q168_js_divergence" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      graft.ops.Diagnostics.jsDivergence(
+        docs.filter(col("lang") === "en"),
+        docs.filter(col("lang") === "fr"),
+        "text")
+    }),
+
+
+    // ---- north-star: event-rate anomaly alarm — per-type hourly
+    //      counts z-scored against their own trailing 24 h; the
+    //      baseline uses decomposable Σn/Σn² window sums (NOT
+    //      stddev_samp, whose merge order differs between engines at
+    //      the ulp level), so both engines compute identical doubles.
+    "q170_rate_anomaly" -> ((s, dir) => {
+      val ev = Layers.readEvents(s, s"$dir/events.parquet")
+      graft.ops.EventOps.rateAnomalies(ev, "event_type", "ts")
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_hours"),
+          sum(when(col("is_anomaly"), 1L).otherwise(0L)).as("n_anomalies"),
+          sum(when(col("z").isNull, 1L).otherwise(0L)).as("n_warmup"),
+          round(max(abs(col("z"))), 6).as("max_abs_z"))
+    }),
+
+
+    // ---- north-star: k-anonymity / l-diversity release gate — the
+    //      aggregate-side privacy audit after the span-level scrub:
+    //      quasi-identifier combos covering < k rows are
+    //      re-identifiable, k-anonymous combos whose sensitive bucket
+    //      takes < l values still leak.
+    "q171_k_anonymity" -> ((s, dir) => {
+      val cust = T(s, dir, "customer")
+        .withColumn("bal_bucket", floor(col("c_acctbal") / 1000))
+      graft.ops.Privacy.anonymityReport(
+        cust, Seq("c_nationkey", "c_mktsegment"), "bal_bucket", k = 10, l = 3)
+    }),
+
+
+    // ---- north-star: t-closeness audit (q171's missing third gate):
+    //      per-group Earth Mover's Distance of the sensitive-bucket
+    //      distribution from the global one, over the ordered
+    //      equal-spacing metric — integer-exact cumulative numerators
+    //      over the common denominator, ONE double division per group.
+    "q198_t_closeness" -> ((s, dir) => {
+      val cust = T(s, dir, "customer")
+        .withColumn("bal_bucket", floor(col("c_acctbal") / 1000))
+      graft.ops.Privacy.tClosenessGroups(
+        cust, Seq("c_nationkey", "c_mktsegment"), "bal_bucket")
+    }),
+
+
+    // ---- north-star: Cohen's kappa between two keep-gates (quality
+    //      score vs length cutoff) — chance-corrected agreement, the
+    //      QA metric for a classifier change; raw agreement flatters
+    //      imbalanced gates, κ subtracts the marginal-expected part.
+    "q213_kappa" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      val labeled = docs.select(
+        (graft.ops.TextOps.qualityScore(col("text")) >= 0.5).as("gate_a"),
+        (col("n_chars") >= 306L).as("gate_b"))
+      graft.ops.Quality.agreementKappa(labeled, "gate_a", "gate_b")
+    }),
+
+
+    // ---- north-star: per-source trimmed length stats — 5%-trimmed
+    //      robust means per source (one per-group window, never a
+    //      global sort; equal boundary values interchangeable so the
+    //      trimmed multiset is deterministic).
+    "q227_trimmed_stats" -> ((s, dir) =>
+      graft.ops.Stats.trimmedStats(
+        T(s, dir, "documents"), "source", "n_chars", trimFrac = 0.05)),
+
+
+    // ---- north-star: per-source quantile normalization — each doc's
+    //      quality score mapped to its within-source rank position
+    //      rank/(n+1): "top 10% of each source" becomes the same
+    //      predicate everywhere (raw scales drift per source).
+    "q228_quantile_norm" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .withColumn("quality", graft.ops.TextOps.qualityScore(col("text")))
+      graft.ops.Quality.quantileNormalize(docs, "source", "quality", "doc_id")
+    }),
+
+
+    // ---- north-star: χ² drift attribution — WHICH tokens moved
+    //      between the even-id and odd-id corpus halves: per-token
+    //      goodness-of-fit terms over the minCount-fenced vocabulary,
+    //      the explanation layer over q167/q168's single-number alarms.
+    "q229_chi2_drift" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.ops.Diagnostics.chiSquareDrift(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "text", minCount = 5L, topK = 20)
+    }),
+
+
+    // ---- north-star: last-touch attribution — which event type
+    //      immediately precedes each purchase in its session (the
+    //      first attribution model every analytics stack ships);
+    //      session-opening purchases attribute to "(direct)".
+    "q231_attribution" -> ((s, dir) =>
+      graft.ops.EventOps.lastTouchAttribution(
+        Layers.readEvents(s, s"$dir/events.parquet"),
+        "user_id", "ts", "event_id", "event_type",
+        conversionType = "purchase", gapSeconds = 1800)),
+
+
+    // ---- north-star: Gini concentration of per-source doc mass —
+    //      the "is this corpus a monoculture" gauge beside the domain
+    //      caps; one |sources|-row window, integer-exact sums.
+    "q233_gini" -> ((s, dir) =>
+      graft.ops.Stats.giniConcentration(
+        T(s, dir, "documents").filter(col("source").isNotNull), "source")),
+
+
+    // ---- north-star: KMV set-operation cardinalities (Beyer et al.
+    //      2007) — distinct-customer estimates for the pre/post-1996
+    //      order halves AND their union/intersection from two
+    //      bottom-256 sketches alone; the sketch algebra behind "how
+    //      many NEW users does source B add".
+    "q236_kmv_setops" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      val cut = lit("1996-01-01 00:00:00").cast("timestamp")
+      graft.ops.Sketches.kmvSetCardinalities(
+        o.filter(col("o_orderdate") < cut), "o_custkey",
+        o.filter(col("o_orderdate") >= cut), "o_custkey", k = 256)
+    }),
+
+
+    // ---- north-star: two-sample Kolmogorov–Smirnov drift — the
+    //      binning-free companion of PSI/JS/χ²: sup-norm distance
+    //      between the empirical token-length CDFs of the English and
+    //      non-English corpus halves.
+    "q239_ks_drift" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+        .selectExpr("lang", "size(split(text, ' ')) AS n_tokens")
+      graft.ops.Diagnostics.ksStatistic(
+        docs.filter(col("lang") === "en"),
+        docs.filter(col("lang") =!= "en"), "n_tokens")
+    }),
+
+
+    // ---- north-star: optimizer-statistics quality — equi-height
+    //      histogram selectivity estimates vs TRUE counts for three
+    //      range predicates: the report that says whether the cost
+    //      model's numbers can be trusted before a join order locks.
+    "q240_selectivity" -> ((s, dir) =>
+      graft.ops.OptimizerStats.rangeSelectivityReport(
+        T(s, dir, "lineitem"), "l_extendedprice", bins = 8,
+        predicates = Seq((2000.0, 10000.0), (10000.0, 50000.0),
+          (50000.0, 105000.0)))),
+
+
+    // ---- north-star: System-R join-cardinality estimate vs actual on
+    //      the two workhorse TPC-H joins — actual computed from the
+    //      per-key count frames, never by materializing the join.
+    "q241_join_card" -> ((s, dir) =>
+      graft.ops.OptimizerStats.joinCardinalityEstimate(
+          T(s, dir, "orders"), "o_orderkey",
+          T(s, dir, "lineitem"), "l_orderkey", label = "orders_lineitem")
+        .unionByName(graft.ops.OptimizerStats.joinCardinalityEstimate(
+          T(s, dir, "customer"), "c_custkey",
+          T(s, dir, "orders"), "o_custkey", label = "customer_orders"))),
+
+
+    // ---- north-star: Markov-chain removal-effect attribution — the
+    //      principled upgrade over q231's last-touch: credit = how much
+    //      conversion probability drops when the channel is removed.
+    "q242_markov_attribution" -> ((s, dir) =>
+      graft.ops.EventOps.markovAttribution(
+        Layers.readEvents(s, s"$dir/events.parquet"),
+        "user_id", "ts", "event_id", "event_type",
+        conversionType = "purchase", gapSeconds = 1800, iters = 15)),
+
+
+    // ---- north-star: ε-DP Laplace release counts with SEEDED noise
+    //      (salted md5 inverse-CDF draw) — reproducible releases, no
+    //      fresh noise leakage on re-runs; per-language doc counts.
+    "q243_dp_counts" -> ((s, dir) =>
+      graft.ops.Privacy.dpNoisyCounts(
+        T(s, dir, "documents"), "lang", epsilon = 1.0, salt = "e1")),
+
+
+    // ---- north-star: Newman–Girvan modularity of the q182
+    //      label-propagation communities over the same synthetic link
+    //      graph — integer-numerator per-community terms, one division.
+    "q245_modularity" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      val nRow = docs.agg(count(lit(1)).as("__n"))
+      val id = col("doc_id")
+      val edges = docs.crossJoin(broadcast(nRow)).select(
+        id.as("src"),
+        explode(array(
+          (id * 2 + 1) % col("__n"),
+          (id * 3 + 2) % col("__n"),
+          (id * 7 + 5) % col("__n"))).as("dst"))
+      val nodes = docs.select(id.as("id"))
+      val labels = graft.ops.LinkGraph
+        .labelPropagation(nodes, edges, "src", "dst", iters = 3)
+      graft.ops.LinkGraph
+        .communityModularity(labels, edges, "src", "dst")
+        .filter(col("n_nodes") >= 2)
+    }),
+
+
+    // ---- north-star: Krippendorff's alpha over three quality
+    //      "raters" with abstention (the token gate skips zh) — the
+    //      missing-tolerant IAA statistic κ cannot be; exact-integer
+    //      disagreement sums via the lcm scaling.
+    "q251_krippendorff" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      val rated = docs.select(col("doc_id"),
+        (graft.ops.TextOps.qualityScore(col("text")) >= 0.5)
+          .cast("string").as("rater_quality"),
+        (col("n_chars") >= 306L).cast("string").as("rater_length"),
+        when(col("lang") =!= "zh",
+          (graft.ops.TextOps.tokenCount(col("text")) >= 50L)
+            .cast("string")).as("rater_tokens"))
+      graft.ops.Quality.krippendorffAlpha(rated, "doc_id",
+        Seq("rater_quality", "rater_length", "rater_tokens"))
+    }),
+
+
+    // ---- north-star: CUPED variance-reduced experiment readout
+    //      (Deng 2013) — pre-period covariate adjustment with
+    //      decimal-exact moments and ANALYTIC per-arm adjusted means
+    //      (no row-wise float accumulation anywhere).
+    "q253_cuped" -> ((s, dir) =>
+      graft.ops.EventOps.cupedReadout(
+        Layers.readEvents(s, s"$dir/events.parquet"),
+        "user_id", "ts", "value",
+        cutoverTs = "2024-01-16 00:00:00",
+        armOf = col("user_id") % 2)),
+
+
+    // ---- north-star: funnel time-to-convert percentiles — the
+    //      latency companion of q135's reach counts (same greedy
+    //      chain); p50/p90 seconds from anchor per step decide the
+    //      attribution window.
+    "q255_funnel_latency" -> ((s, dir) =>
+      graft.ops.EventOps.funnelLatency(
+        Layers.readEvents(s, s"$dir/events.parquet"),
+        "user_id", "event_type", "ts",
+        steps = Seq("view", "click", "purchase"),
+        windowSeconds = 604800L, ps = Seq(0.5, 0.9))),
+
+
+    // ---- north-star: seasonal-naive volume forecast error (MASE) —
+    //      does "same hour yesterday" beat "last hour" per event type,
+    //      over the DENSIFIED hour grid; integer-exact sums, one
+    //      division.
+    "q256_volume_mase" -> ((s, dir) =>
+      graft.ops.EventOps.volumeForecastError(
+        Layers.readEvents(s, s"$dir/events.parquet"),
+        "event_type", "ts", seasonHours = 24)),
+
+
+    // ---- north-star: Benford first-digit audit — the fabricated-
+    //      data detector: observed first-significant-digit shares vs
+    //      log10(1+1/d), per-digit χ² terms; string-derived digits, no
+    //      float-boundary risk.
+    "q258_benford" -> ((s, dir) =>
+      graft.ops.Stats.benfordAudit(
+        T(s, dir, "lineitem"), "l_extendedprice")),
+
+
+    // ---- north-star: weight-of-evidence binning — equi-height score
+    //      bins encoded as ln(good-share/bad-share) with per-bin
+    //      information value: the scorecard feature-engineering
+    //      standard, Laplace-smoothed.
+    "q260_woe" -> ((s, dir) =>
+      graft.ops.Scoring.woeBinning(
+        T(s, dir, "lineitem").withColumn("is_r", col("l_returnflag") === "R"),
+        "l_extendedprice", "is_r", bins = 6, smooth = 0.5)),
+
+
+    // ---- north-star: Hill tail-index of doc lengths — the
+    //      extreme-value companion of q212's Zipf rank fit: α̂ ≤ 2
+    //      means infinite variance and mean-based planning is wrong;
+    //      micro-int ln terms over the top-k order statistics.
+    "q262_hill_tail" -> ((s, dir) =>
+      graft.ops.Stats.hillTailIndex(
+        T(s, dir, "documents"), "n_chars", k = 100)),
+
+
+    // ---- north-star: split-conformal accept gate — the
+    //      distribution-free threshold turning a raw quality score
+    //      into a gate with a STATED miscoverage budget; calibration
+    //      on the even half, coverage audited on the odd half.
+    "q263_conformal" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          (lit(1.0) - graft.ops.TextOps.qualityScore(col("text")))
+            .as("nonconf"))
+      graft.ops.Scoring.conformalReport(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "nonconf", alpha = 0.1)
+    }),
+
+
+    // ---- north-star: bucket-jackknife ratio metric — revenue per
+    //      event with a delete-one-user-bucket standard error;
+    //      decimal-exact θ moments (a float Σθ²−Bθ̄² is catastrophic
+    //      cancellation).
+    "q264_jackknife" -> ((s, dir) =>
+      graft.ops.Stats.jackknifeRatio(
+        Layers.readEvents(s, s"$dir/events.parquet")
+          .select(col("user_id"),
+            when(col("event_type") === "purchase", col("value"))
+              .otherwise(lit(0.0)).as("rev"),
+            lit(1.0).as("one")),
+        bucketOf = col("user_id") % 20, numCol = "rev", denCol = "one")),
+
+
+    // ---- north-star: Good–Turing frequency masses — the unseen-mass
+    //      estimate (r=0 ≡ singleton share) plus the r=1…5 ladder:
+    //      "how much of the language have we crawled".
+    "q265_good_turing" -> ((s, dir) =>
+      graft.ops.LanguageModel.goodTuringMass(
+        T(s, dir, "documents").filter(col("text").isNotNull),
+        "text", maxR = 5)),
+
+
+    // ---- north-star: largest-remainder apportionment — split 1000
+    //      eval slots across sources proportionally with EXACT integer
+    //      quotas (truncation alone starves small groups).
+    "q266_allocation" -> ((s, dir) =>
+      graft.ops.Sampling.largestRemainderAllocation(
+        T(s, dir, "documents"), "source", seats = 1000L)),
+
+
+    // ---- north-star: longest sustained burst per event type — the
+    //      gaps-and-islands decomposition over the densified hour grid:
+    //      duration-aware operational facts beside q170's point alarms.
+    "q272_longest_burst" -> ((s, dir) =>
+      graft.ops.EventOps.longestBurst(
+        Layers.readEvents(s, s"$dir/events.parquet"),
+        "event_type", "ts", minCount = 3L)),
+
+
+    // ---- north-star: Cramér's V between language and source — "are
+    //      the corpus's categoricals independent", normalized to [0,1]
+    //      over the DENSIFIED contingency grid.
+    "q273_cramers_v" -> ((s, dir) =>
+      graft.ops.Diagnostics.cramersV(
+        T(s, dir, "documents"), "lang", "source"))
+  )
+
+  protected def statsOracles: Map[String, String] = Map(
+
+    // anomaly replay: identical per-type hour-grid densification
+    // (min..max spine, n=0 fill) + identical Σn/Σn² window arithmetic
+    // on the same trailing frame — integer sums are exact, so the
+    // doubles match bit-for-bit before the shared round(…,6)
+    "q170_rate_anomaly" ->
+      """WITH obs AS (
+        |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT event_type, min(hour) AS mn, max(hour) AS mx
+        |  FROM obs GROUP BY 1),
+        |spine AS (
+        |  SELECT event_type,
+        |    unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour
+        |  FROM bounds),
+        |h AS (
+        |  SELECT spine.event_type, spine.hour, COALESCE(obs.n, 0) AS n
+        |  FROM spine LEFT JOIN obs
+        |    ON spine.event_type = obs.event_type AND spine.hour = obs.hour),
+        |wstats AS (
+        |  SELECT event_type, hour, n,
+        |    sum(CAST(n AS DOUBLE)) OVER w AS s1,
+        |    sum(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) OVER w AS s2,
+        |    CAST(count(n) OVER w AS DOUBLE) AS c
+        |  FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hour
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        |z AS (
+        |  SELECT event_type, hour, n,
+        |    CASE WHEN c >= 2 AND sqrt(GREATEST((s2 - s1*s1/c)/(c-1),
+        |        CAST(0 AS DOUBLE))) > 0
+        |      THEN round((CAST(n AS DOUBLE) - s1/c) /
+        |        sqrt(GREATEST((s2 - s1*s1/c)/(c-1), CAST(0 AS DOUBLE))), 6)
+        |    END AS z
+        |  FROM wstats)
+        |SELECT event_type, count(*) AS n_hours,
+        |  CAST(sum(CASE WHEN abs(z) > 3.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_anomalies,
+        |  CAST(sum(CASE WHEN z IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_warmup,
+        |  round(max(abs(z)), 6) AS max_abs_z
+        |FROM z GROUP BY event_type""".stripMargin,
+
+
+    // k-anonymity replay: identical grouping + identical floor-bucket
+    // of the sensitive attribute; l failures counted only among
+    // k-anonymous groups
+    "q171_k_anonymity" ->
+      """WITH g AS (
+        |  SELECT c_nationkey, c_mktsegment, count(*) AS n,
+        |    count(DISTINCT floor(c_acctbal / 1000)) AS nd
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT count(*) AS n_groups,
+        |  CAST(sum(CASE WHEN n < 10 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_small_groups,
+        |  CAST(COALESCE(sum(CASE WHEN n < 10 THEN n END), 0) AS BIGINT)
+        |    AS n_rows_at_risk,
+        |  CAST(min(n) AS BIGINT) AS min_group,
+        |  CAST(sum(CASE WHEN n >= 10 AND nd < 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_low_diversity
+        |FROM g""".stripMargin,
+
+
+    "q18_events_hourly" ->
+      s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
+         |  count(*) AS n_events, ${dsum("value")} AS total_value
+         |FROM events GROUP BY 1, 2""".stripMargin,
+
+
+    "q19_sessions" ->
+      s"""WITH p AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events)
+         |SELECT user_id, count(*) AS n_events,
+         |  CAST(sum(CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 1800.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+         |FROM p GROUP BY user_id""".stripMargin,
+
+
+    "q20_join_revenue" ->
+      s"""SELECT r_name, n_name, count(*) AS n_orders, ${dsum("o_totalprice")} AS revenue
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY r_name, n_name""".stripMargin,
+
+
+    "q21_topk_per_segment" ->
+      s"""WITH r AS (
+         |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |)
+         |SELECT c_mktsegment, rank, o_orderkey, o_totalprice FROM r WHERE rank <= 3""".stripMargin,
+
+
+    // t-closeness replay: identical integer numerators over the
+    // group×value grid, ordered cumulative window, one final division
+    "q198_t_closeness" ->
+      """WITH rows0 AS (
+        |  SELECT c_nationkey, c_mktsegment, floor(c_acctbal / 1000) AS v
+        |  FROM customer WHERE floor(c_acctbal / 1000) IS NOT NULL),
+        |gv AS (SELECT v, count(*) AS gcnt FROM rows0 GROUP BY v),
+        |gvr AS (SELECT v, gcnt, row_number() OVER (ORDER BY v) AS r FROM gv),
+        |meta AS (SELECT CAST(sum(gcnt) AS BIGINT) AS n_total, count(*) AS m
+        |         FROM gv),
+        |grp AS (SELECT c_nationkey, c_mktsegment, count(*) AS ng
+        |        FROM rows0 GROUP BY 1, 2),
+        |cells AS (SELECT c_nationkey, c_mktsegment, v, count(*) AS cnt
+        |          FROM rows0 GROUP BY 1, 2, 3),
+        |grid AS (
+        |  SELECT g.c_nationkey, g.c_mktsegment, g.ng, x.r, m.n_total, m.m,
+        |    (coalesce(c.cnt, 0) * m.n_total - x.gcnt * g.ng) AS numer
+        |  FROM grp g CROSS JOIN gvr x CROSS JOIN meta m
+        |  LEFT JOIN cells c ON c.c_nationkey = g.c_nationkey
+        |    AND c.c_mktsegment = g.c_mktsegment AND c.v = x.v),
+        |cum AS (SELECT c_nationkey, c_mktsegment, ng, n_total, m,
+        |    sum(numer) OVER (PARTITION BY c_nationkey, c_mktsegment
+        |      ORDER BY r) AS cum
+        |  FROM grid)
+        |SELECT c_nationkey, c_mktsegment, CAST(ng AS BIGINT) AS n,
+        |  CASE WHEN m <= 1 THEN 0.0
+        |       ELSE round(CAST(sum(abs(cum)) AS BIGINT)
+        |         / (ng * n_total * (m - 1)), 6) END AS emd
+        |FROM cum GROUP BY c_nationkey, c_mktsegment, ng, n_total, m""".stripMargin,
+
+
+    "q30_salted_agg" ->
+      s"""SELECT l_returnflag, count(*) AS n_items,
+         |  ${dsum("l_quantity")} AS sum_qty,
+         |  max(l_extendedprice) AS max_price
+         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+
+    "q33_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |        event_id AS purchase_id, value AS purchase_value
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT e.event_id, e.user_id, p.purchase_id, p.purchase_value
+        |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin,
+
+
+    "q34_range_join" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |p AS (SELECT user_id, event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS start_ts,
+        |        CAST(ts AS TIMESTAMP) + INTERVAL 2 HOUR AS end_ts
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT p.purchase_id, count(*) AS n_events
+        |FROM p JOIN e ON e.user_id = p.user_id AND e.ts >= p.start_ts AND e.ts < p.end_ts
+        |GROUP BY p.purchase_id""".stripMargin,
+
+
+    "q35_kmv_distinct" -> {
+      val h = s"(CAST(${PortableSql.minhashBase("CAST(o_custkey AS VARCHAR)", DD)} AS DOUBLE) / 1152921504606846976.0)"
+      s"""WITH hs AS (SELECT DISTINCT $h AS h FROM orders),
+         |k AS (SELECT h FROM hs ORDER BY h LIMIT 256),
+         |agg AS (SELECT count(*) AS n, max(h) AS hk FROM k)
+         |SELECT round(CASE WHEN n < 256 THEN CAST(n AS DOUBLE) ELSE 255.0 / hk END, 6) AS est_distinct,
+         |  (SELECT count(DISTINCT o_custkey) FROM orders) AS exact_distinct
+         |FROM agg""".stripMargin
+    },
+
+
+    "q32_sliding_window" ->
+      s"""WITH e AS (SELECT event_type, value,
+         |    time_bucket(INTERVAL '30 minutes', ts) AS tb FROM events),
+         |w AS (
+         |  SELECT tb AS window_start, event_type, value FROM e
+         |  UNION ALL
+         |  SELECT tb - INTERVAL '30 minutes', event_type, value FROM e
+         |)
+         |SELECT CAST(window_start AS TIMESTAMP) AS window_start, event_type,
+         |  count(*) AS n_events, ${dsum("value")} AS total_value
+         |FROM w GROUP BY 1, 2""".stripMargin,
+
+
+    // Naive Bayes oracle: per-class smoothed bucket log-liks over the
+    // q79 hashed-gram chain + log priors; argmax replayed as a rank
+    // window (score DESC, class ASC = the Spark min-struct tie-break)
+    "q106_nb_classifier" -> nbOracleSql,
+
+
+    // the stored model must change nothing: q106's SQL verbatim
+    "q116_durable_nb_model" -> nbOracleSql,
+
+
+    // kappa replay: integer confusion cells, marginal products, three
+    // final divisions
+    "q213_kappa" ->
+      s"""WITH l AS (SELECT
+         |    (${PortableSql.qualityScore("text", DD)} >= 0.5) AS a,
+         |    (n_chars >= 306) AS b
+         |  FROM documents WHERE text IS NOT NULL),
+         |cells AS (SELECT a, b, count(*) AS n FROM l
+         |          WHERE a IS NOT NULL AND b IS NOT NULL GROUP BY a, b),
+         |rm AS (SELECT a, sum(n) AS ra FROM cells GROUP BY a),
+         |cm AS (SELECT b, sum(n) AS cb FROM cells GROUP BY b),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN a = b THEN n ELSE 0 END) AS BIGINT)
+         |      AS n_agree
+         |  FROM cells),
+         |pe AS (SELECT coalesce(sum(ra * cb), 0) AS pe_num
+         |       FROM rm JOIN cm ON rm.a = cm.b),
+         |st AS (SELECT n, n_agree,
+         |    CAST(n_agree AS DOUBLE) / n AS po,
+         |    CAST(pe_num AS DOUBLE) / (n * n) AS pe
+         |  FROM tot, pe)
+         |SELECT n, n_agree, round(po, 6) AS po, round(pe, 6) AS pe,
+         |  round(CASE WHEN pe = 1.0 THEN NULL
+         |             ELSE (po - pe) / (1.0 - pe) END, 6) AS kappa
+         |FROM st""".stripMargin,
+
+
+    // trimmed-stats replay: per-source rank window, floor(n·0.05)
+    // cut from each end, exact integer sums
+    "q227_trimmed_stats" ->
+      """WITH r AS (SELECT source, n_chars AS v,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars)
+        |      AS rk,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+        |c AS (SELECT *, CAST(floor(n * 0.05) AS BIGINT) AS cut FROM r)
+        |SELECT source, max(n) AS n,
+        |  2 * max(cut) AS n_trimmed,
+        |  round(CAST(sum(v) AS DOUBLE) / max(n), 6) AS mean_raw,
+        |  round(CAST(sum(CASE WHEN rk > cut AND rk <= n - cut
+        |      THEN v ELSE 0 END) AS DOUBLE)
+        |    / (max(n) - 2 * max(cut)), 6) AS mean_trimmed
+        |FROM c GROUP BY source""".stripMargin,
+
+
+    // quantile-norm replay: per-source rank window, rank/(n+1)
+    "q228_quantile_norm" ->
+      s"""WITH s AS (SELECT doc_id, source,
+         |    ${PortableSql.qualityScore("text", DD)} AS quality
+         |  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+         |r AS (SELECT *,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY quality, doc_id) AS rk,
+         |    count(*) OVER (PARTITION BY source) AS n
+         |  FROM s)
+         |SELECT doc_id, source, quality,
+         |  round(CAST(rk AS DOUBLE) / (n + 1), 6) AS q_norm FROM r""".stripMargin,
+
+
+    // chi2 replay: fenced vocab, shared-vocab totals, identical
+    // expected expression at every use site
+    "q229_chi2_drift" ->
+      s"""WITH b AS (SELECT token, count(*) AS n_base FROM (
+         |    SELECT unnest(${DD.tokens("text")}) AS token
+         |    FROM documents WHERE doc_id % 2 = 0) GROUP BY token
+         |  HAVING count(*) >= 5),
+         |nx AS (SELECT token, count(*) AS n_next FROM (
+         |    SELECT unnest(${DD.tokens("text")}) AS token
+         |    FROM documents WHERE doc_id % 2 = 1) GROUP BY token),
+         |j AS (SELECT b.token, b.n_base,
+         |    CAST(coalesce(nx.n_next, 0) AS BIGINT) AS n_next
+         |  FROM b LEFT JOIN nx USING (token)),
+         |t AS (SELECT CAST(sum(n_base) AS DOUBLE) AS bt,
+         |    CAST(sum(n_next) AS DOUBLE) AS nt FROM j)
+         |SELECT token, n_base, n_next,
+         |  round(nt * n_base / bt, 6) AS expected,
+         |  round((n_next - nt * n_base / bt) * (n_next - nt * n_base / bt)
+         |    / (nt * n_base / bt), 6) AS chi2_term
+         |FROM j, t
+         |ORDER BY chi2_term DESC, token ASC LIMIT 20""".stripMargin,
+
+
+    // attribution replay: the q19/q217 sessionization window + lag of
+    // (type, session), purchase rows only
+    "q231_attribution" ->
+      """WITH p AS (SELECT user_id, event_id, ts, event_type,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS ptype
+        |  FROM events),
+        |s AS (SELECT *, sum(CASE WHEN prev IS NULL
+        |      OR epoch(ts) - epoch(prev) > 1800.0 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM p),
+        |s2 AS (SELECT *, lag(sess) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS psess FROM s)
+        |SELECT CASE WHEN psess IS NULL OR psess <> sess THEN '(direct)'
+        |            ELSE ptype END AS touch_type,
+        |  count(*) AS n_conversions
+        |FROM s2 WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
+
+
+    // Gini replay: per-source counts, ascending rank window, the
+    // discrete-distribution formula with integer sums
+    "q233_gini" ->
+      """WITH g AS (SELECT source, count(*) AS x FROM documents
+        |           WHERE source IS NOT NULL GROUP BY source),
+        |r AS (SELECT x, row_number() OVER (ORDER BY x ASC, source ASC)
+        |        AS i FROM g)
+        |SELECT count(*) AS n_groups, CAST(sum(x) AS BIGINT) AS total,
+        |  round(CAST(2 * sum(i * x) - (count(*) + 1) * sum(x) AS DOUBLE)
+        |    / (count(*) * sum(x)), 6) AS gini
+        |FROM r""".stripMargin,
+
+
+    // KMV set-ops replay: the q35 hash, bottom-256 per half, merged
+    // bottom-256 union, both-sketch membership
+    "q236_kmv_setops" -> {
+      val h = s"(CAST(${PortableSql.minhashBase("CAST(o_custkey AS VARCHAR)", DD)} AS DOUBLE) / 1152921504606846976.0)"
+      def estSel(src: String) =
+        s"(SELECT CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE) ELSE 255.0 / max(h) END FROM $src)"
+      s"""WITH ha AS (SELECT DISTINCT $h AS h FROM orders
+         |  WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'),
+         |hb AS (SELECT DISTINCT $h AS h FROM orders
+         |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'),
+         |ka AS (SELECT h FROM ha ORDER BY h LIMIT 256),
+         |kb AS (SELECT h FROM hb ORDER BY h LIMIT 256),
+         |ku AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+         |       ORDER BY h LIMIT 256),
+         |sh AS (SELECT count(*) AS s FROM ku
+         |  WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)),
+         |un AS (SELECT count(*) AS nu FROM ku)
+         |SELECT round(${estSel("ka")}, 6) AS est_a,
+         |  round(${estSel("kb")}, 6) AS est_b,
+         |  round(${estSel("ku")}, 6) AS est_union,
+         |  round(CAST(sh.s AS DOUBLE) / un.nu, 6) AS est_jaccard,
+         |  round((CAST(sh.s AS DOUBLE) / un.nu) * ${estSel("ku")}, 6)
+         |    AS est_intersection
+         |FROM sh, un""".stripMargin
+    },
+
+
+    // KS replay: per-value counts, running-sum CDFs over the joined
+    // distinct-value frame, argmax with smallest-value tie-break —
+    // integer cumulatives make both CDF quotients engine-exact
+    "q239_ks_drift" ->
+      """WITH d AS (SELECT lang,
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS v
+        |  FROM documents WHERE text IS NOT NULL),
+        |a AS (SELECT v, count(*) AS ca FROM d WHERE lang = 'en' GROUP BY v),
+        |b AS (SELECT v, count(*) AS cb FROM d WHERE lang <> 'en' GROUP BY v),
+        |j AS (SELECT coalesce(a.v, b.v) AS v, coalesce(ca, 0) AS ca,
+        |    coalesce(cb, 0) AS cb
+        |  FROM a FULL OUTER JOIN b ON a.v = b.v),
+        |c AS (SELECT v,
+        |    sum(ca) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+        |    sum(cb) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+        |    sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+        |  FROM j)
+        |SELECT round(abs(CAST(cuma AS DOUBLE) / na
+        |    - CAST(cumb AS DOUBLE) / nb), 6) AS d_stat,
+        |  v AS at_value, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b
+        |FROM c
+        |ORDER BY abs(CAST(cuma AS DOUBLE) / na
+        |  - CAST(cumb AS DOUBLE) / nb) DESC, v ASC
+        |LIMIT 1""".stripMargin,
+
+
+    // histogram-selectivity replay: rank → equal-count bins (floor of
+    // the same double quotient), uniform-within-bin overlap estimate,
+    // one conditional-aggregation actual; rel_error from the ROUNDED
+    // estimate so the report is engine-exact
+    "q240_selectivity" ->
+      """WITH r AS (SELECT l_extendedprice AS v,
+        |    row_number() OVER (ORDER BY l_extendedprice) AS rk,
+        |    count(*) OVER () AS n
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |h AS (SELECT CAST(floor((rk - 1) * 8.0 / n) AS BIGINT) AS bin,
+        |    min(v) AS lo, max(v) AS hi, count(*) AS cnt
+        |  FROM r GROUP BY 1),
+        |preds AS (SELECT CAST(pl AS DOUBLE) AS pred_lo,
+        |    CAST(ph AS DOUBLE) AS pred_hi
+        |  FROM (VALUES (2000.0, 10000.0),
+        |    (10000.0, 50000.0), (50000.0, 105000.0)) AS t(pl, ph)),
+        |est AS (SELECT pred_lo, pred_hi,
+        |    round(sum(cnt * CASE WHEN hi = lo
+        |      THEN CASE WHEN pred_lo <= lo AND lo < pred_hi
+        |        THEN 1.0 ELSE 0.0 END
+        |      ELSE greatest(0.0, least((least(hi, pred_hi)
+        |        - greatest(lo, pred_lo)) / (hi - lo), 1.0)) END), 4)
+        |      AS est_rows
+        |  FROM h CROSS JOIN preds GROUP BY 1, 2),
+        |act AS (SELECT p.pred_lo, p.pred_hi,
+        |    CAST(sum(CASE WHEN l.l_extendedprice >= p.pred_lo
+        |      AND l.l_extendedprice < p.pred_hi THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS actual_rows
+        |  FROM preds p CROSS JOIN lineitem l GROUP BY 1, 2)
+        |SELECT e.pred_lo, e.pred_hi, e.est_rows, a.actual_rows,
+        |  CASE WHEN a.actual_rows = 0 THEN NULL
+        |    ELSE round((e.est_rows - a.actual_rows) / a.actual_rows, 6)
+        |  END AS rel_error
+        |FROM est e JOIN act a
+        |  ON a.pred_lo = e.pred_lo AND a.pred_hi = e.pred_hi""".stripMargin,
+
+
+    // join-cardinality replay: per-key count frames, System-R estimate
+    // |A||B|/max(ndv), actual = Σ cnt_a·cnt_b — never the join itself
+    "q241_join_card" -> {
+      def one(label: String, ta: String, ka: String, tb: String, kb: String) =
+        s"""SELECT '$label' AS label, n_a, n_b, ndv_a, ndv_b,
+           |  round(CAST(n_a AS DOUBLE) * n_b / greatest(ndv_a, ndv_b), 4)
+           |    AS est_rows,
+           |  actual_rows,
+           |  round(actual_rows / round(CAST(n_a AS DOUBLE) * n_b
+           |    / greatest(ndv_a, ndv_b), 4), 6) AS ratio
+           |FROM (
+           |  SELECT
+           |    (SELECT count(*) FROM $ta WHERE $ka IS NOT NULL) AS n_a,
+           |    (SELECT count(DISTINCT $ka) FROM $ta) AS ndv_a,
+           |    (SELECT count(*) FROM $tb WHERE $kb IS NOT NULL) AS n_b,
+           |    (SELECT count(DISTINCT $kb) FROM $tb) AS ndv_b,
+           |    (SELECT CAST(coalesce(sum(ca.na * cb.nb), 0) AS BIGINT) FROM
+           |      (SELECT $ka AS k, count(*) AS na FROM $ta
+           |       WHERE $ka IS NOT NULL GROUP BY 1) ca
+           |      JOIN (SELECT $kb AS k, count(*) AS nb FROM $tb
+           |       WHERE $kb IS NOT NULL GROUP BY 1) cb USING (k))
+           |      AS actual_rows)""".stripMargin
+      one("orders_lineitem", "orders", "o_orderkey", "lineitem", "l_orderkey") +
+        "\nUNION ALL\n" +
+        one("customer_orders", "customer", "c_custkey", "orders", "o_custkey")
+    },
+
+
+    // Markov-attribution replay: q231's sessionization, paths truncated
+    // at the first conversion, (src,dst) transition counts, and the
+    // SAME 15-step truncated Neumann series unrolled as chained CTEs —
+    // per removed channel — that the Spark side computes on the
+    // collected (type-vocabulary-bounded) transition matrix
+    "q242_markov_attribution" -> {
+      def iter(prev: Int, cur: Int): String =
+        s"""it$cur AS (
+           |  SELECT r.removed, t.src AS state,
+           |    sum(t.prob * CASE WHEN t.dst = 'CONV' THEN 1.0
+           |      WHEN t.dst = 'NULL' OR t.dst = r.removed THEN 0.0
+           |      ELSE coalesce(i.p, 0.0) END) AS p
+           |  FROM tp t CROSS JOIN removals r
+           |  LEFT JOIN it$prev i ON i.state = t.dst AND i.removed = r.removed
+           |  GROUP BY 1, 2)""".stripMargin
+      val itChain = (1 to 15).map(i => iter(i - 1, i)).mkString(",\n")
+      s"""WITH pp AS (SELECT user_id, event_id, ts, event_type,
+         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |      AS prev
+         |  FROM events),
+         |ss AS (SELECT *, sum(CASE WHEN prev IS NULL
+         |      OR epoch(ts) - epoch(prev) > 1800.0 THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+         |  FROM pp),
+         |paths AS (SELECT user_id, sess,
+         |    list(event_type ORDER BY ts, event_id) AS types
+         |  FROM ss GROUP BY user_id, sess),
+         |tr0 AS (SELECT CASE WHEN cpos IS NOT NULL AND cpos > 0
+         |    THEN ['START'] || types[1:cpos-1] || ['CONV']
+         |    ELSE ['START'] || types || ['NULL'] END AS path
+         |  FROM (SELECT types, list_position(types, 'purchase') AS cpos
+         |        FROM paths)),
+         |trans AS (SELECT path[i] AS src, path[i+1] AS dst, count(*) AS cnt
+         |  FROM (SELECT path, unnest(generate_series(1, len(path) - 1)) AS i
+         |        FROM tr0)
+         |  GROUP BY 1, 2),
+         |tp AS (SELECT src, dst,
+         |    CAST(cnt AS DOUBLE) / sum(cnt) OVER (PARTITION BY src) AS prob
+         |  FROM trans),
+         |states AS (SELECT DISTINCT src AS state FROM trans),
+         |removals AS (SELECT 'NONE' AS removed
+         |  UNION ALL SELECT state FROM states WHERE state <> 'START'),
+         |it0 AS (SELECT r.removed, st.state, 0.0 AS p
+         |  FROM states st CROSS JOIN removals r),
+         |$itChain,
+         |base AS (SELECT p AS pb FROM it15
+         |  WHERE removed = 'NONE' AND state = 'START'),
+         |eff AS (SELECT i.removed AS channel, (b.pb - i.p) / b.pb AS effect
+         |  FROM it15 i, base b
+         |  WHERE i.removed <> 'NONE' AND i.state = 'START'),
+         |tot AS (SELECT sum(effect) AS te FROM eff)
+         |SELECT channel, round(effect, 6) AS removal_effect,
+         |  round(CASE WHEN te > 0 THEN effect / te ELSE 0.0 END, 6)
+         |    AS attribution_share
+         |FROM eff, tot""".stripMargin
+    },
+
+
+    // DP-counts replay: the q37 salted md5 unit hash drives the same
+    // Laplace inverse CDF at ε = 1
+    "q243_dp_counts" -> {
+      val h = PortableSql.minhashBase("concat('e1', ':', lang)", DD)
+      s"""WITH g AS (SELECT lang, count(*) AS n FROM documents
+         |  WHERE lang IS NOT NULL GROUP BY lang),
+         |u AS (SELECT lang, n,
+         |    CAST($h AS DOUBLE) / 1152921504606846976.0 AS u FROM g)
+         |SELECT lang, round(n + (-1.0) * sign(u - 0.5)
+         |  * ln(1 - 2 * abs(u - 0.5)), 6) AS n_noisy
+         |FROM u""".stripMargin
+    },
+
+
+    // modularity replay: q182's graph + 3 label-prop rounds, then the
+    // Newman–Girvan decomposition with integer numerators over the
+    // common 4m² denominator
+    "q245_modularity" -> {
+      def iter(prev: String, cur: String): String =
+        s"""v_$cur AS (
+           |  SELECT x.id, x.label, count(*) AS c FROM (
+           |    SELECT adj.v AS id, l.label
+           |    FROM adj JOIN l_$prev l ON l.id = adj.nbr
+           |    UNION ALL SELECT id, label FROM l_$prev) x
+           |  GROUP BY x.id, x.label),
+           |l_$cur AS (
+           |  SELECT id, min(label) AS label FROM (
+           |    SELECT id, label, c, max(c) OVER (PARTITION BY id) AS mc
+           |    FROM v_$cur) WHERE c = mc GROUP BY id)""".stripMargin
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents
+         |  WHERE text IS NOT NULL),
+         |nodes AS (SELECT doc_id AS id FROM documents WHERE text IS NOT NULL),
+         |e AS (
+         |  SELECT doc_id AS src, (doc_id*2+1) % n AS dst
+         |  FROM documents, nn WHERE text IS NOT NULL
+         |  UNION ALL
+         |  SELECT doc_id, (doc_id*3+2) % n FROM documents, nn
+         |  WHERE text IS NOT NULL
+         |  UNION ALL
+         |  SELECT doc_id, (doc_id*7+5) % n FROM documents, nn
+         |  WHERE text IS NOT NULL),
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |        FROM e WHERE src <> dst),
+         |adj AS (SELECT a AS v, b AS nbr FROM und
+         |        UNION ALL SELECT b, a FROM und),
+         |l_0 AS (SELECT id, id AS label FROM nodes),
+         |${iter("0", "1")},
+         |${iter("1", "2")},
+         |${iter("2", "3")},
+         |m AS (SELECT count(*) AS m FROM und),
+         |deg AS (SELECT id, count(*) AS d FROM (
+         |    SELECT a AS id FROM und UNION ALL SELECT b FROM und)
+         |  GROUP BY id),
+         |ds AS (SELECT l.label, count(*) AS n_nodes,
+         |    CAST(sum(coalesce(deg.d, 0)) AS BIGINT) AS degree_sum
+         |  FROM l_3 l LEFT JOIN deg ON deg.id = l.id GROUP BY l.label),
+         |intra AS (SELECT la.label, count(*) AS internal_edges
+         |  FROM und u JOIN l_3 la ON la.id = u.a
+         |  JOIN l_3 lb ON lb.id = u.b AND lb.label = la.label
+         |  GROUP BY la.label)
+         |SELECT ds.label, ds.n_nodes, ds.degree_sum,
+         |  coalesce(i.internal_edges, 0) AS internal_edges,
+         |  round(CAST(4 * m.m * coalesce(i.internal_edges, 0)
+         |    - ds.degree_sum * ds.degree_sum AS DOUBLE)
+         |    / (4 * m.m * m.m), 6) AS q_term
+         |FROM ds LEFT JOIN intra i USING (label) CROSS JOIN m
+         |WHERE ds.n_nodes >= 2""".stripMargin
+    },
+
+
+    // Krippendorff replay: melt the three raters (token gate abstains
+    // on zh), per-unit category counts, lcm(1,2)=2-scaled integer
+    // disagreement sums, one final division
+    "q251_krippendorff" ->
+      s"""WITH r AS (SELECT doc_id,
+         |    CAST((${PortableSql.qualityScore("text", DD)} >= 0.5)
+         |      AS VARCHAR) AS ra,
+         |    CAST((n_chars >= 306) AS VARCHAR) AS rb,
+         |    CASE WHEN lang <> 'zh'
+         |      THEN CAST((len(string_split(text, ' ')) >= 50) AS VARCHAR)
+         |    END AS rc
+         |  FROM documents WHERE text IS NOT NULL),
+         |m AS (SELECT doc_id, cat FROM (
+         |    SELECT doc_id, ra AS cat FROM r
+         |    UNION ALL SELECT doc_id, rb FROM r
+         |    UNION ALL SELECT doc_id, rc FROM r)
+         |  WHERE cat IS NOT NULL),
+         |uc AS (SELECT doc_id, cat, count(*) AS nuc FROM m GROUP BY 1, 2),
+         |u AS (SELECT doc_id, CAST(sum(nuc) AS BIGINT) AS mu,
+         |    CAST(sum(nuc * nuc) AS BIGINT) AS sq
+         |  FROM uc GROUP BY doc_id HAVING sum(nuc) >= 2),
+         |d_o AS (SELECT
+         |    coalesce(CAST(sum((mu * mu - sq) * (2 / (mu - 1)))
+         |      AS BIGINT), 0) AS d_o_scaled,
+         |    coalesce(CAST(sum(mu) AS BIGINT), 0) AS n_ratings,
+         |    count(*) AS n_units
+         |  FROM u),
+         |ct AS (SELECT coalesce(CAST(sum(nc * nc) AS BIGINT), 0) AS sqc
+         |  FROM (SELECT cat, sum(nuc) AS nc FROM uc
+         |        JOIN u USING (doc_id) GROUP BY cat))
+         |SELECT n_ratings, n_units, d_o_scaled,
+         |  n_ratings * n_ratings - sqc AS d_e,
+         |  round(CASE WHEN n_ratings * n_ratings - sqc = 0 THEN NULL
+         |    ELSE 1.0 - CAST(n_ratings - 1 AS DOUBLE) * d_o_scaled
+         |      / (2 * (n_ratings * n_ratings - sqc)) END, 6) AS alpha
+         |FROM d_o, ct""".stripMargin,
+
+
+    // CUPED replay: decimal-exact per-user pre/post sums and global
+    // moments, then the SAME scalar expression tree (theta, analytic
+    // per-arm adjusted mean, variance identity)
+    "q253_cuped" -> {
+      val cut = "TIMESTAMP '2024-01-16 00:00:00'"
+      val theta = "((sxy/nd - (sx/nd)*(sy/nd)) / (sxx/nd - (sx/nd)*(sx/nd)))"
+      s"""WITH pu AS (SELECT user_id,
+         |    CAST(sum(CAST(CASE WHEN ts < $cut THEN value ELSE 0.0 END
+         |      AS DECIMAL(28,8))) AS DOUBLE) AS x,
+         |    CAST(sum(CAST(CASE WHEN ts >= $cut THEN value ELSE 0.0 END
+         |      AS DECIMAL(28,8))) AS DOUBLE) AS y
+         |  FROM events GROUP BY user_id),
+         |mo AS (SELECT count(*) AS n,
+         |    CAST(sum(CAST(x AS DECIMAL(28,8))) AS DOUBLE) AS sx,
+         |    CAST(sum(CAST(y AS DECIMAL(28,8))) AS DOUBLE) AS sy,
+         |    CAST(sum(CAST(x * y AS DECIMAL(28,8))) AS DOUBLE) AS sxy,
+         |    CAST(sum(CAST(x * x AS DECIMAL(28,8))) AS DOUBLE) AS sxx,
+         |    CAST(sum(CAST(y * y AS DECIMAL(28,8))) AS DOUBLE) AS syy
+         |  FROM pu),
+         |ar AS (SELECT user_id % 2 AS arm, count(*) AS n_users,
+         |    CAST(sum(CAST(x AS DECIMAL(28,8))) AS DOUBLE) AS ax,
+         |    CAST(sum(CAST(y AS DECIMAL(28,8))) AS DOUBLE) AS ay
+         |  FROM pu GROUP BY 1),
+         |f AS (SELECT arm, n_users, ax, ay, sx, sy, sxy, sxx, syy,
+         |    CAST(n AS DOUBLE) AS nd FROM ar, mo)
+         |SELECT arm, n_users,
+         |  round(ay / n_users, 6) AS mean_y,
+         |  round((ay - $theta * (ax - n_users * (sx/nd))) / n_users, 6)
+         |    AS mean_y_adj,
+         |  round($theta, 6) AS theta,
+         |  round(syy/nd - (sy/nd)*(sy/nd), 6) AS var_y,
+         |  round((syy/nd - (sy/nd)*(sy/nd))
+         |    - $theta * $theta * (sxx/nd - (sx/nd)*(sx/nd)), 6)
+         |    AS var_y_adj
+         |FROM f""".stripMargin
+    },
+
+
+    // funnel-latency replay: the q135 chain keeping each step's
+    // timestamp, elapsed = epoch diff, then the q38 percentile
+    // interpolation partitioned by step
+    "q255_funnel_latency" -> {
+      val pcols = Seq(0.5 -> "p50", 0.9 -> "p90").map { case (p, name) =>
+        s"""round(
+           |    max(CASE WHEN rn = CAST(floor((n - 1) * $p) AS BIGINT) + 1 THEN v END) +
+           |    (max(CASE WHEN rn = CAST(ceil((n - 1) * $p) AS BIGINT) + 1 THEN v END) -
+           |     max(CASE WHEN rn = CAST(floor((n - 1) * $p) AS BIGINT) + 1 THEN v END))
+           |    * max((n - 1) * $p - floor((n - 1) * $p)), 6) AS $name""".stripMargin
+      }.mkString(",\n  ")
+      s"""WITH fn1 AS (SELECT user_id, min(ts) AS anchor
+         |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+         |fn2 AS (SELECT e.user_id, min(f.anchor) AS anchor,
+         |    min(e.ts) AS prev
+         |  FROM events e JOIN fn1 f ON e.user_id = f.user_id
+         |  WHERE e.event_type = 'click' AND e.ts > f.anchor
+         |    AND e.ts <= f.anchor + INTERVAL 604800 SECONDS
+         |  GROUP BY e.user_id),
+         |fn3 AS (SELECT e.user_id, min(f.anchor) AS anchor,
+         |    min(e.ts) AS prev
+         |  FROM events e JOIN fn2 f ON e.user_id = f.user_id
+         |  WHERE e.event_type = 'purchase' AND e.ts > f.prev
+         |    AND e.ts <= f.anchor + INTERVAL 604800 SECONDS
+         |  GROUP BY e.user_id),
+         |lat AS (SELECT 'click' AS step, 2 AS step_idx,
+         |    epoch(prev) - epoch(anchor) AS v FROM fn2
+         |  UNION ALL SELECT 'purchase', 3,
+         |    epoch(prev) - epoch(anchor) FROM fn3),
+         |r AS (SELECT step, step_idx, v,
+         |    row_number() OVER (PARTITION BY step ORDER BY v ASC) AS rn,
+         |    CAST(count(*) OVER (PARTITION BY step) AS DOUBLE) AS n
+         |  FROM lat)
+         |SELECT step, step_idx,
+         |  $pcols,
+         |  CAST(max(n) AS BIGINT) AS n_rows
+         |FROM r GROUP BY step, step_idx""".stripMargin
+    },
+
+
+    // MASE replay: hour-floor counts, per-type densified spine, both
+    // lags on one window, the four integer sums and one division
+    "q256_volume_mase" ->
+      """WITH hc AS (SELECT event_type,
+        |    CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (SELECT event_type, unnest(generate_series(min(h), max(h)))
+        |    AS h FROM hc GROUP BY event_type),
+        |g AS (SELECT sp.event_type, sp.h, coalesce(hc.n, 0) AS y
+        |  FROM sp LEFT JOIN hc USING (event_type, h)),
+        |l AS (SELECT event_type, y,
+        |    lag(y, 24) OVER (PARTITION BY event_type ORDER BY h) AS ys,
+        |    lag(y, 1) OVER (PARTITION BY event_type ORDER BY h) AS y1
+        |  FROM g)
+        |SELECT event_type, count(*) AS n_hours,
+        |  coalesce(CAST(sum(abs(y - ys)) AS BIGINT), 0)
+        |    AS sum_abs_seasonal,
+        |  count(ys) AS n_seasonal,
+        |  coalesce(CAST(sum(abs(y - y1)) AS BIGINT), 0) AS sum_abs_naive1,
+        |  count(y1) AS n_naive1,
+        |  round(CASE WHEN coalesce(sum(abs(y - y1)), 0) = 0
+        |      OR count(ys) = 0 THEN NULL
+        |    ELSE CAST(sum(abs(y - ys)) AS DOUBLE) * count(y1)
+        |      / (count(ys) * sum(abs(y - y1))) END, 6) AS mase
+        |FROM l GROUP BY event_type""".stripMargin,
+
+
+    // Benford replay: first [1-9] of the string form, the SAME Scala
+    // log10 expectation doubles interpolated, per-digit χ² terms
+    "q258_benford" -> {
+      val shares = (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d))
+      val digitRows = shares.map { case (d, e) =>
+        s"SELECT $d AS digit, CAST($e AS DOUBLE) AS e"
+      }.mkString("\nUNION ALL ")
+      s"""WITH c AS (SELECT CAST(regexp_extract(
+         |      CAST(abs(l_extendedprice) AS VARCHAR), '[1-9]') AS INT)
+         |      AS digit,
+         |    count(*) AS n
+         |  FROM lineitem
+         |  WHERE l_extendedprice IS NOT NULL AND l_extendedprice <> 0
+         |    AND regexp_extract(CAST(abs(l_extendedprice) AS VARCHAR),
+         |      '[1-9]') <> ''
+         |  GROUP BY 1),
+         |d AS ($digitRows),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c)
+         |SELECT d.digit, coalesce(c.n, 0) AS n,
+         |  round(CAST(coalesce(c.n, 0) AS DOUBLE) / t.t, 6) AS share,
+         |  round(d.e, 6) AS expected_share,
+         |  round((coalesce(c.n, 0) - d.e * t.t)
+         |    * (coalesce(c.n, 0) - d.e * t.t) / (d.e * t.t), 6)
+         |    AS chi2_term
+         |FROM d LEFT JOIN c ON c.digit = d.digit CROSS JOIN t""".stripMargin
+    },
+
+
+    // WOE replay: rank-cut equal-count bins, smoothed shares, ln
+    // evidence and IV terms — same expression shapes
+    "q260_woe" ->
+      """WITH r AS (SELECT l_extendedprice AS v,
+        |    (l_returnflag = 'R') AS g,
+        |    row_number() OVER (ORDER BY l_extendedprice,
+        |      (l_returnflag = 'R')) AS rk,
+        |    count(*) OVER () AS n
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL),
+        |b AS (SELECT CAST(floor((rk - 1) * 6.0 / n) AS BIGINT) AS bin,
+        |    v, g FROM r),
+        |pb AS (SELECT bin, min(v) AS lo, max(v) AS hi,
+        |    CAST(sum(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+        |    CAST(sum(CASE WHEN g THEN 0 ELSE 1 END) AS BIGINT) AS n_bad
+        |  FROM b GROUP BY bin),
+        |t AS (SELECT CAST(sum(n_good) AS BIGINT) AS tg,
+        |    CAST(sum(n_bad) AS BIGINT) AS tb, count(*) AS k FROM pb)
+        |SELECT bin, lo, hi, n_good, n_bad,
+        |  round(ln(((n_good + CAST(0.5 AS DOUBLE)) / (tg + CAST(0.5 AS DOUBLE) * k))
+        |    / ((n_bad + CAST(0.5 AS DOUBLE)) / (tb + CAST(0.5 AS DOUBLE) * k))), 6)
+        |    AS woe,
+        |  round((((n_good + CAST(0.5 AS DOUBLE)) / (tg + CAST(0.5 AS DOUBLE) * k))
+        |    - ((n_bad + CAST(0.5 AS DOUBLE)) / (tb + CAST(0.5 AS DOUBLE) * k)))
+        |    * ln(((n_good + CAST(0.5 AS DOUBLE)) / (tg + CAST(0.5 AS DOUBLE) * k))
+        |    / ((n_bad + CAST(0.5 AS DOUBLE)) / (tb + CAST(0.5 AS DOUBLE) * k))), 6)
+        |    AS iv_term
+        |FROM pb CROSS JOIN t""".stripMargin,
+
+
+    // Hill replay: top-(k+1) order statistics, min threshold,
+    // micro-int ln terms over the strictly-above set, /k
+    "q262_hill_tail" ->
+      """WITH v AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+        |  WHERE n_chars IS NOT NULL AND n_chars > 0),
+        |top AS (SELECT v FROM v ORDER BY v DESC LIMIT 101),
+        |thr AS (SELECT min(v) AS t FROM top),
+        |s AS (SELECT coalesce(CAST(sum(CAST(round(ln(v / t) * 1e6)
+        |      AS BIGINT)) AS BIGINT), 0) AS s
+        |  FROM top, thr WHERE v > t)
+        |SELECT 100 AS k, t AS threshold,
+        |  round(CAST(s AS DOUBLE) / 1e6 / 100, 6) AS hill,
+        |  CASE WHEN s = 0 THEN NULL
+        |    ELSE round(100 * 1e6 / CAST(s AS DOUBLE), 6) END AS alpha
+        |FROM s, thr""".stripMargin,
+
+
+    // conformal replay: the rank ⌈(n+1)(1−α)⌉ with (1−α) interpolated
+    // as the exact Scala double, the rank-th order statistic, and the
+    // test-side coverage count
+    "q263_conformal" -> {
+      val oneMinusAlpha = 1.0 - 0.1
+      s"""WITH calr AS (SELECT 1.0 - (${PortableSql.qualityScore("text", DD)})
+         |    AS s
+         |  FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0),
+         |r AS (SELECT s, row_number() OVER (ORDER BY s ASC) AS rk
+         |  FROM calr),
+         |k AS (SELECT count(*) AS n_cal,
+         |    CAST(ceil((count(*) + 1) * CAST($oneMinusAlpha AS DOUBLE))
+         |      AS BIGINT) AS rank
+         |  FROM calr),
+         |thr AS (SELECT k.n_cal, k.rank, r.s AS threshold
+         |  FROM k LEFT JOIN r ON r.rk = k.rank),
+         |tst AS (SELECT 1.0 - (${PortableSql.qualityScore("text", DD)})
+         |    AS t
+         |  FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 1),
+         |cov AS (SELECT count(*) AS n_test,
+         |    CAST(sum(CASE WHEN t <= thr.threshold THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS nc2
+         |  FROM tst, thr)
+         |SELECT n_cal, rank, threshold, n_test,
+         |  CASE WHEN threshold IS NULL THEN NULL ELSE nc2 END
+         |    AS n_covered,
+         |  CASE WHEN threshold IS NULL THEN NULL
+         |    ELSE round(CAST(nc2 AS DOUBLE) / n_test, 6) END AS coverage
+         |FROM thr, cov""".stripMargin
+    },
+
+
+    // jackknife replay: decimal-exact bucket sums, analytic
+    // leave-one-out thetas, decimal-exact theta moments, the same
+    // scalar shapes
+    "q264_jackknife" ->
+      """WITH pe AS (SELECT user_id % 20 AS bkt,
+        |    CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN value
+        |      ELSE 0.0 END AS DECIMAL(28,8))) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(1.0 AS DECIMAL(28,8))) AS DOUBLE) AS d
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT count(*) AS B,
+        |    CAST(sum(CAST(n AS DECIMAL(28,8))) AS DOUBLE) AS sn,
+        |    CAST(sum(CAST(d AS DECIMAL(28,8))) AS DOUBLE) AS sd
+        |  FROM pe),
+        |loo AS (SELECT B, sn, sd, (sn - n) / (sd - d) AS t
+        |  FROM pe, tot),
+        |m AS (SELECT B, sn, sd,
+        |    CAST(sum(CAST(t AS DECIMAL(28,8))) AS DOUBLE) AS st,
+        |    CAST(sum(CAST(t * t AS DECIMAL(28,8))) AS DOUBLE) AS tsq
+        |  FROM loo GROUP BY B, sn, sd)
+        |SELECT B AS b_buckets, round(sn / sd, 6) AS theta,
+        |  round(B * (sn / sd) - (B - 1) * (st / B), 6) AS theta_jk,
+        |  round(sqrt(greatest(CAST(0.0 AS DOUBLE),
+        |    (CAST(B - 1 AS DOUBLE) / B)
+        |    * (tsq - B * (st / B) * (st / B)))), 6) AS se
+        |FROM m""".stripMargin,
+
+
+    // Good–Turing replay: count-of-counts, the (r+1)·n_{r+1}/N ladder
+    // over r = 0…5 with absent frequencies as zero
+    "q265_good_turing" ->
+      """WITH uc AS (SELECT w, count(*) AS c FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w
+        |    FROM documents WHERE text IS NOT NULL) GROUP BY w),
+        |fof AS (SELECT c AS r, count(*) AS nr FROM uc GROUP BY c),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS N FROM uc),
+        |rs AS (SELECT unnest(generate_series(0, 5)) AS r)
+        |SELECT rs.r, coalesce(f1.nr, 0) AS n_types,
+        |  round((rs.r + 1) * CAST(coalesce(f2.nr, 0) AS DOUBLE) / N, 6)
+        |    AS gt_mass
+        |FROM rs LEFT JOIN fof f1 ON f1.r = rs.r
+        |LEFT JOIN fof f2 ON f2.r = rs.r + 1 CROSS JOIN tot""".stripMargin,
+
+
+    // largest-remainder replay: exact integer quota/remainder via //
+    // and %, remainder-ranked bonuses, group-ascending tie-break
+    "q266_allocation" ->
+      """WITH g AS (SELECT source, count(*) AS n_rows FROM documents
+        |  WHERE source IS NOT NULL GROUP BY source),
+        |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS N FROM g),
+        |b AS (SELECT source, n_rows,
+        |    CAST((1000 * n_rows) // N AS BIGINT) AS base,
+        |    (1000 * n_rows) % N AS rem
+        |  FROM g, t),
+        |e AS (SELECT CAST(1000 - sum(base) AS BIGINT) AS extra FROM b),
+        |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source ASC)
+        |    AS rk FROM b)
+        |SELECT source, n_rows, base,
+        |  CAST(CASE WHEN rk <= e.extra THEN 1 ELSE 0 END AS BIGINT)
+        |    AS bonus,
+        |  CAST(base + CASE WHEN rk <= e.extra THEN 1 ELSE 0 END
+        |    AS BIGINT) AS allocation
+        |FROM r, e""".stripMargin,
+
+
+    // longest-burst replay: densified hour grid, the two-rank island
+    // id, per-island lengths, longest with earliest-start tie-break
+    "q272_longest_burst" ->
+      """WITH hc AS (SELECT event_type,
+        |    CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (SELECT event_type, unnest(generate_series(min(h), max(h)))
+        |    AS h FROM hc GROUP BY event_type),
+        |g AS (SELECT sp.event_type, sp.h,
+        |    (coalesce(hc.n, 0) >= 3) AS q
+        |  FROM sp LEFT JOIN hc USING (event_type, h)),
+        |gr AS (SELECT *,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h)
+        |    - row_number() OVER (PARTITION BY event_type, q ORDER BY h)
+        |      AS grp
+        |  FROM g),
+        |isl AS (SELECT event_type, grp, count(*) AS len,
+        |    min(h) AS start FROM gr WHERE q GROUP BY 1, 2),
+        |tot AS (SELECT event_type, count(*) AS n_hours,
+        |    CAST(sum(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_burst_hours
+        |  FROM gr GROUP BY event_type),
+        |best AS (SELECT event_type, len AS longest_burst,
+        |    start AS burst_start_hour,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY len DESC, start ASC) AS rk
+        |  FROM isl)
+        |SELECT t.event_type, t.n_hours, t.n_burst_hours,
+        |  b.longest_burst, b.burst_start_hour
+        |FROM tot t JOIN best b
+        |  ON b.event_type = t.event_type AND b.rk = 1""".stripMargin,
+
+
+    // Cramér's V replay: margins, densified r×c grid, χ² over every
+    // cell (absent = observed-0), the min(r−1,c−1) normalization
+    "q273_cramers_v" ->
+      """WITH rws AS (SELECT lang AS a, source AS b FROM documents
+        |  WHERE lang IS NOT NULL AND source IS NOT NULL),
+        |cells AS (SELECT a, b, count(*) AS o FROM rws GROUP BY 1, 2),
+        |ma AS (SELECT a, count(*) AS ra FROM rws GROUP BY a),
+        |mb AS (SELECT b, count(*) AS cb FROM rws GROUP BY b),
+        |t AS (SELECT count(*) AS n FROM rws),
+        |grid AS (SELECT t.n,
+        |    CAST(ma.ra AS DOUBLE) * mb.cb / t.n AS e,
+        |    coalesce(c.o, 0) AS o
+        |  FROM ma CROSS JOIN mb
+        |  LEFT JOIN cells c ON c.a = ma.a AND c.b = mb.b
+        |  CROSS JOIN t),
+        |x AS (SELECT CAST(max(n) AS BIGINT) AS n,
+        |    sum((o - e) * (o - e) / e) AS chi2 FROM grid),
+        |d AS (SELECT (SELECT count(*) FROM ma) AS r,
+        |    (SELECT count(*) FROM mb) AS c)
+        |SELECT n, r, c, round(chi2, 6) AS chi2,
+        |  CASE WHEN least(r, c) <= 1 THEN NULL
+        |    ELSE round(sqrt(chi2 / (n * (least(r, c) - 1))), 6)
+        |  END AS cramers_v
+        |FROM x, d""".stripMargin,
+
+
+    "q52_heavy_hitters" ->
+      s"""WITH tok AS (SELECT unnest($duckToks) AS token FROM documents),
+         |c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token)
+         |SELECT token, cnt FROM c ORDER BY cnt DESC, token ASC LIMIT 20""".stripMargin,
+
+
+    "q53_cms_counts" -> {
+      val depth = 3; val width = 32
+      def bucket(d: Int) =
+        s"(${PortableSql.minhashBase(s"concat('cms$d:', token)", DD)} % $width)"
+      val cellSel = (0 until depth).map(d =>
+        s"SELECT $d AS d, ${bucket(d)} AS bucket, exact_cnt FROM cnt").mkString(" UNION ALL ")
+      val probeSel = (0 until depth).map(d =>
+        s"SELECT token, exact_cnt, $d AS d, ${bucket(d)} AS bucket FROM top").mkString(" UNION ALL ")
+      s"""WITH tok AS (SELECT unnest($duckToks) AS token FROM documents),
+         |cnt AS (SELECT token, count(*) AS exact_cnt FROM tok GROUP BY token),
+         |cells AS (SELECT d, bucket, CAST(sum(exact_cnt) AS BIGINT) AS total
+         |          FROM ($cellSel) GROUP BY d, bucket),
+         |top AS (SELECT token, exact_cnt FROM cnt ORDER BY exact_cnt DESC, token LIMIT 10),
+         |probes AS ($probeSel)
+         |SELECT p.token, p.exact_cnt, min(c.total) AS cms_est
+         |FROM probes p JOIN cells c USING (d, bucket)
+         |GROUP BY p.token, p.exact_cnt""".stripMargin
+    },
+
+
+    "q54_bloom_join" ->
+      s"""SELECT l_returnflag, count(*) AS n_rows, ${dsum("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000.0)
+         |GROUP BY l_returnflag""".stripMargin,
+
+
+    "q56_stratified_sample" -> {
+      val h = PortableSql.minhashBase("concat('mix1', ':', CAST(doc_id AS VARCHAR))", DD)
+      s"""WITH h AS (SELECT doc_id, lang,
+         |    CAST($h AS DOUBLE) / 1152921504606846976.0 AS p FROM documents),
+         |f AS (SELECT doc_id, lang FROM h WHERE p < CASE lang
+         |    WHEN 'de' THEN 0.1 WHEN 'en' THEN 0.9 WHEN 'es' THEN 0.25
+         |    WHEN 'fr' THEN 0.5 WHEN 'zh' THEN 0.05 ELSE 0.0 END)
+         |SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |FROM f GROUP BY lang""".stripMargin
+    },
+
+
+    // weighted-sample replay: identical Efraimidis–Spirakis keys from
+    // the shared salted-md5 unit hash — the exact member set must
+    // agree, not just the counts
+    "q160_weighted_sample" -> {
+      val h = PortableSql.minhashBase("concat('ws1', ':', CAST(doc_id AS VARCHAR))", DD)
+      s"""WITH hh AS (
+         |  SELECT doc_id, source, CAST(doc_id % 4 + 1 AS DOUBLE) AS w,
+         |    CAST($h AS DOUBLE) / 1152921504606846976.0 AS p
+         |  FROM documents WHERE text IS NOT NULL),
+         |sc AS (SELECT *, power(p, 1.0/w) AS ws FROM hh),
+         |r AS (
+         |  SELECT *, ROW_NUMBER() OVER
+         |    (PARTITION BY source ORDER BY ws DESC, doc_id ASC) AS rn
+         |  FROM sc)
+         |SELECT source, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+         |  round(sum(w), 6) AS sum_w
+         |FROM r WHERE rn <= 10 GROUP BY source""".stripMargin
+    },
+
+
+    // PSI replay: identical equal-width binning from the BASE
+    // min/max, identical ((v-lo)*bins)/(hi-lo) evaluation order,
+    // eps-floored shares, per-bin terms rounded at 6
+    "q167_psi_drift" ->
+      """WITH b AS (SELECT n_chars FROM documents WHERE text IS NOT NULL),
+        |nx AS (
+        |  SELECT CASE WHEN doc_id % 3 = 0 THEN n_chars + 40
+        |              ELSE n_chars END AS n_chars
+        |  FROM documents WHERE text IS NOT NULL AND doc_id % 7 <> 0),
+        |st AS (
+        |  SELECT CAST(min(n_chars) AS DOUBLE) AS lo,
+        |    CAST(max(n_chars) AS DOUBLE) AS hi
+        |  FROM b),
+        |bb AS (
+        |  SELECT CASE WHEN hi = lo
+        |      THEN CASE WHEN CAST(n_chars AS DOUBLE) > lo THEN 9 ELSE 0 END
+        |      ELSE LEAST(9, GREATEST(0, CAST(floor(
+        |        (CAST(n_chars AS DOUBLE) - lo) * 10 / (hi - lo)) AS INT)))
+        |      END AS bin,
+        |    count(*) AS bn
+        |  FROM b, st GROUP BY 1),
+        |nb AS (
+        |  SELECT CASE WHEN hi = lo
+        |      THEN CASE WHEN CAST(n_chars AS DOUBLE) > lo THEN 9 ELSE 0 END
+        |      ELSE LEAST(9, GREATEST(0, CAST(floor(
+        |        (CAST(n_chars AS DOUBLE) - lo) * 10 / (hi - lo)) AS INT)))
+        |      END AS bin,
+        |    count(*) AS nn
+        |  FROM nx, st GROUP BY 1),
+        |bt AS (SELECT CAST(sum(bn) AS DOUBLE) AS t FROM bb),
+        |nt AS (SELECT CAST(sum(nn) AS DOUBLE) AS t FROM nb),
+        |allb AS (SELECT CAST(range AS INT) AS bin FROM range(0, 10)),
+        |sh AS (
+        |  SELECT allb.bin,
+        |    GREATEST(CAST(COALESCE(bb.bn, 0) AS DOUBLE) / bt.t, 1e-6) AS bs,
+        |    GREATEST(CAST(COALESCE(nb.nn, 0) AS DOUBLE) / nt.t, 1e-6) AS ns
+        |  FROM allb LEFT JOIN bb ON allb.bin = bb.bin
+        |  LEFT JOIN nb ON allb.bin = nb.bin, bt, nt)
+        |SELECT bin, round(bs, 6) AS base_share, round(ns, 6) AS next_share,
+        |  round((bs - ns) * ln(bs / ns), 6) AS psi_term
+        |FROM sh""".stripMargin,
+
+
+    // JS replay: token distributions via unnest, full-outer vocab
+    // join, p>0-guarded log terms, one rounded scalar
+    "q168_js_divergence" ->
+      """WITH ta AS (
+        |  SELECT u.tok AS token, count(*) AS ca
+        |  FROM documents, UNNEST(string_split(text, ' ')) AS u(tok)
+        |  WHERE text IS NOT NULL AND lang = 'en' GROUP BY 1),
+        |tb AS (
+        |  SELECT u.tok AS token, count(*) AS cb
+        |  FROM documents, UNNEST(string_split(text, ' ')) AS u(tok)
+        |  WHERE text IS NOT NULL AND lang = 'fr' GROUP BY 1),
+        |tot AS (
+        |  SELECT (SELECT CAST(sum(ca) AS DOUBLE) FROM ta) AS sa,
+        |    (SELECT CAST(sum(cb) AS DOUBLE) FROM tb) AS sb),
+        |pq AS (
+        |  SELECT CAST(COALESCE(ca, 0) AS DOUBLE) / sa AS p,
+        |    CAST(COALESCE(cb, 0) AS DOUBLE) / sb AS q
+        |  FROM ta FULL OUTER JOIN tb ON ta.token = tb.token, tot),
+        |pqm AS (SELECT p, q, (p + q) / 2 AS m FROM pq)
+        |SELECT round((
+        |  sum(CASE WHEN p > 0 THEN p * ln(p / m) ELSE 0.0 END) +
+        |  sum(CASE WHEN q > 0 THEN q * ln(q / m) ELSE 0.0 END)) / 2, 6)
+        |  AS js_nats
+        |FROM pqm""".stripMargin,
+
+
+    // funnel replay: identical greedy-earliest chaining — per-step
+    // first-occurrence min after the previous step, whole chain fenced
+    // to the anchor's window
+    "q135_event_funnel" ->
+      """WITH fn1 AS (SELECT user_id, min(ts) AS anchor
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |fn2 AS (SELECT e.user_id, min(f.anchor) AS anchor, min(e.ts) AS prev
+        |  FROM events e JOIN fn1 f ON e.user_id = f.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > f.anchor
+        |    AND e.ts <= f.anchor + INTERVAL 604800 SECONDS
+        |  GROUP BY e.user_id),
+        |fn3 AS (SELECT e.user_id
+        |  FROM events e JOIN fn2 f ON e.user_id = f.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > f.prev
+        |    AND e.ts <= f.anchor + INTERVAL 604800 SECONDS
+        |  GROUP BY e.user_id),
+        |fn_n AS (SELECT (SELECT count(*) FROM fn1) AS n1,
+        |                (SELECT count(*) FROM fn2) AS n2,
+        |                (SELECT count(*) FROM fn3) AS n3)
+        |SELECT 'view' AS step, 1 AS step_idx, n1 AS n_users, 1.0 AS conversion FROM fn_n
+        |UNION ALL SELECT 'click', 2, n2, round(CAST(n2 AS DOUBLE) / n1, 6) FROM fn_n
+        |UNION ALL SELECT 'purchase', 3, n3, round(CAST(n3 AS DOUBLE) / n1, 6) FROM fn_n""".stripMargin,
+
+
+    // retention replay: identical integer period arithmetic vs the
+    // fixed epoch date
+    "q136_retention" ->
+      """WITH rt_a AS (SELECT DISTINCT user_id,
+        |    CAST(floor(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7.0) AS BIGINT) AS p
+        |  FROM events),
+        |rt_c AS (SELECT user_id, min(p) AS cohort FROM rt_a GROUP BY user_id),
+        |rt_j AS (SELECT a.user_id, c.cohort, a.p - c.cohort AS k
+        |  FROM rt_a a JOIN rt_c c USING (user_id)),
+        |rt_k AS (SELECT cohort, k, count(*) AS n_users FROM rt_j GROUP BY cohort, k),
+        |rt_s AS (SELECT cohort, count(*) AS sz FROM rt_c GROUP BY cohort)
+        |SELECT k.cohort, k.k, k.n_users,
+        |  round(CAST(k.n_users AS DOUBLE) / s.sz, 6) AS retention
+        |FROM rt_k k JOIN rt_s s USING (cohort)""".stripMargin,
+
+
+    // skew-report replay: decomposable counts, 1-row stats, LIMIT-ed
+    // top-k with ascending-key tie-break; arithmetic order mirrored
+    // exactly (n*nkeys/total, then /2 for the salt)
+    "q133_skew_report" ->
+      """WITH sk_c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+        |sk_s AS (SELECT count(*) AS nkeys, sum(n) AS total FROM sk_c),
+        |sk_t AS (SELECT user_id, n FROM sk_c ORDER BY n DESC, user_id ASC LIMIT 5)
+        |SELECT t.user_id, t.n,
+        |  round(CAST(t.n AS DOUBLE) / s.total, 6) AS share,
+        |  round(CAST(s.total AS DOUBLE) / s.nkeys, 6) AS mean_n,
+        |  round(CAST(t.n AS DOUBLE) * s.nkeys / s.total, 6) AS skew,
+        |  CAST(ceil(CAST(t.n AS DOUBLE) * s.nkeys / s.total / 2) AS BIGINT) AS rec_salt
+        |FROM sk_t t, sk_s s""".stripMargin,
+
+
+    // leakage-safe split replay: closure labels give the cluster
+    // representative; every doc hashes on it (singletons on their own
+    // id), then q37's salted fence with bit-identical cumulative
+    // thresholds
+    "q131_leakage_safe_split" -> {
+      val cum = Seq(0.8, 0.1, 0.1).scanLeft(0.0)(_ + _)
+      val h = PortableSql.minhashBase("concat('v1', ':', CAST(skey AS VARCHAR))", DD)
+      s"""WITH RECURSIVE $jaccardCtes,
+         |$closureCtes,
+         |ls_k AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS skey
+         |      FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id),
+         |ls_h AS (SELECT doc_id,
+         |    CAST($h AS DOUBLE) / 1152921504606846976.0 AS p FROM ls_k),
+         |ls_t AS (SELECT doc_id,
+         |    CASE WHEN p < ${cum(1)} THEN 'train'
+         |         WHEN p < ${cum(2)} THEN 'val' ELSE 'test' END AS split
+         |  FROM ls_h)
+         |SELECT split, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |FROM ls_t GROUP BY split""".stripMargin
+    }
+  )
+}

@@ -1,0 +1,1727 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableSql
+import graft.functions.PortableSql.{DuckDialect => DD, SparkDialect => SD}
+import graft.io.Layers
+import graft.ops.{Aggregate, Clean, Dedup, ImageDedup, Multimodal, Quality, Similarity}
+import graft.ops.Aggregate.{AggSpec, Metric}
+
+/** text slice of the [[SparkEntry]] registry — text analysis + tokenizers + LM: quality/lang/tokens, BPE/WordPiece/unigram, NLL/DSIR, packing/quotas/mixtures.
+  * Split by family for maintainability; entries and oracles are
+  * verbatim registry content (no behavior change). */
+private[graft] trait EntryText extends EntryContext {
+
+  protected def textQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- north-star text: token counting
+    "q11_token_count" -> ((s, dir) =>
+      T(s, dir, "documents").selectExpr(
+        "doc_id",
+        s"${PortableSql.tokenCount("text", SD)} AS n_tokens",
+        s"${PortableSql.regexTokenCount("text", SD)} AS n_rtokens")),
+
+
+    // ---- north-star text: language ID
+    "q12_lang_id" -> ((s, dir) =>
+      T(s, dir, "documents").selectExpr(
+        "doc_id", "lang",
+        s"${PortableSql.langId("text", SD)} AS lang_pred")),
+
+
+    // ---- north-star text: quality scoring
+    "q13_quality_score" -> ((s, dir) =>
+      T(s, dir, "documents").selectExpr(
+        "doc_id",
+        s"${PortableSql.qualityScore("text", SD)} AS quality")),
+
+
+    // ---- composite corpus clean: fingerprint exact-dedup (min-id
+    //      keeper) → quality gate → language filter → per-source stats —
+    //      the end-to-end training-data cleaning flow in one plan
+    "q36_corpus_filter" -> ((s, dir) => {
+      val enriched = T(s, dir, "documents").select(
+        col("doc_id"), col("source"),
+        graft.ops.TextOps.qualityScore(col("text")).as("quality"),
+        graft.functions.GraftFunctions.langId(s, col("text")).as("lang_pred"),
+        graft.ops.TextOps.fingerprint(col("text")).as("fp"))
+      val keepers = enriched.groupBy("fp").agg(min("doc_id").as("doc_id"))
+      enriched.join(keepers, Seq("doc_id"), "left_semi")
+        .filter(col("quality") >= 0.4 && col("lang_pred") === "en")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(expr("cast(sum(cast(quality as decimal(18,6))) as double)")
+            / count(lit(1)), 6).as("avg_quality"))
+    }),
+
+
+    // ---- corpus distribution stats: exact interpolated percentiles of
+    //      doc token counts per language, one shuffle for all quantiles
+    "q38_length_stats" -> ((s, dir) =>
+      graft.ops.Stats.exactPercentiles(
+        T(s, dir, "documents").selectExpr("lang", "size(split(text, ' ')) AS n_tokens"),
+        groupCols = Seq("lang"), valueCol = "n_tokens",
+        ps = Seq(0.5, 0.9, 0.99))),
+
+
+    // ---- deterministic hash split: train/val/test fences that are a
+    //      pure function of the key (reproducible across runs/engines)
+    "q37_hash_split" -> ((s, dir) => {
+      val splits = graft.ops.Sampling.hashSplit(
+        T(s, dir, "documents"), "doc_id", Seq(0.8, 0.1, 0.1), salt = "v1")
+      splits.zip(Seq("train", "val", "test"))
+        .map { case (d, t) => d.select(lit(t).as("split"), col("doc_id")) }
+        .reduce(_.unionByName(_))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))
+    }),
+
+
+    // ---- north-star text: Gopher-style repetition filter signal
+    "q43_repetition" -> ((s, dir) =>
+      T(s, dir, "documents").select(
+        col("doc_id"),
+        // |shingles| = max(tokens − 2, 1) — arithmetic instead of
+        // materializing the shingle array just to take its size. NULL
+        // text must stay NULL (the oracle's len() over a NULL list):
+        // greatest() SKIPS null arguments, so guard explicitly.
+        when(col("text").isNull, lit(null).cast("long")).otherwise(
+          greatest(graft.functions.GraftFunctions.tokenCount(s, col("text")) - 2,
+            lit(1L))).as("n_grams"),
+        round(graft.functions.GraftFunctions.dupShingleRatio(s, col("text"), 3), 6)
+          .as("dup_ratio"))),
+
+
+    // ---- north-star: one-pass column profiler (row/null/distinct
+    //      counts + numeric min/max for every column from ONE scan).
+    "q58_profile" -> ((s, dir) =>
+      graft.ops.Stats.profile(
+        T(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_returnflag", "l_orderkey"))),
+
+
+    // ---- north-star: GPT-style concat-and-chunk sequence packing —
+    //      ONE running-sum window per shard + a bounded explode maps
+    //      every doc to the fixed-budget training sequences it fills.
+    "q64_sequence_pack" -> ((s, dir) =>
+      graft.ops.Packing.packSequences(
+        T(s, dir, "documents"), "text", "lang", "doc_id", budget = 512L)),
+
+
+    // ---- north-star: per-source token quotas (data-mixing caps) —
+    //      keep docs in deterministic order while the source's running
+    //      token total is inside quota; boundary doc kept (truncate
+    //      downstream).
+    "q65_token_quota" -> ((s, dir) =>
+      graft.ops.Packing.tokenQuota(
+        T(s, dir, "documents"), "text", "lang", "doc_id", quota = 5000L)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))),
+
+
+    // ---- north-star: interpolated bigram LM NLL (KenLM-lite) — word
+    //      ORDER enters the fluency fence; vocab-bounded count tables,
+    //      one bigram explode + broadcast joins + per-doc mean.
+    "q107_bigram_nll" -> ((s, dir) =>
+      graft.ops.LanguageModel.bigramNll(
+        T(s, dir, "documents"), "text", "doc_id", lambda = 0.75)),
+
+
+    // ---- north-star: boilerplate report — the top-20 most frequent
+    //      4-token windows with doc/source spread; the audit a pipeline
+    //      owner runs before configuring the scrub.
+    "q114_boilerplate_report" -> ((s, dir) =>
+      graft.ops.TextOps.boilerplateReport(
+        T(s, dir, "documents"), "text", "doc_id", "source", n = 4, k = 20)),
+
+
+    // ---- north-star: quality-signal pack (Gopher/C4-family fences) —
+    //      type-token ratio, code-point Shannon entropy (codegen
+    //      kernel), mean word length, digit/uppercase density. One
+    //      scan-speed projection, zero shuffles.
+    "q85_quality_signals" -> ((s, dir) =>
+      graft.ops.TextOps.qualitySignals(T(s, dir, "documents"), "text", "doc_id")),
+
+
+    // ---- north-star: curriculum difficulty bins — per-language exact
+    //      quartiles of char entropy broadcast back as a scan-speed
+    //      CASE (curriculum schedules read the bin column; nothing
+    //      globally sorts the corpus).
+    "q86_curriculum_bins" -> ((s, dir) =>
+      graft.ops.Sampling.curriculumBins(
+        T(s, dir, "documents"), "lang", "doc_id",
+        graft.functions.GraftFunctions.charEntropy(s, col("text")), nBins = 4)),
+
+
+    // ---- north-star: shard manifest / dataset card — per-shard doc
+    //      and token counts + source composition over q81's balanced
+    //      export; |shards| rows a consumer reads instead of scanning
+    //      the export.
+    "q87_shard_manifest" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.ops.Packing.shardManifest(
+        graft.ops.Packing.exportShards(docs, "text", "doc_id", targetTokens = 2048L),
+        docs, "doc_id", "source")
+    }),
+
+
+    // ---- north-star: corpus unigram LM scoring (CCNet-style fence) —
+    //      per-doc mean negative log-likelihood under the corpus's own
+    //      token distribution; vocabulary broadcast, scoring narrow.
+    "q68_unigram_nll" -> ((s, dir) =>
+      graft.ops.LanguageModel.meanNegLogLik(
+        T(s, dir, "documents"), "text", "doc_id")),
+
+
+    // ---- north-star: held-out LM scoring — batch docs scored against
+    //      the FROZEN corpus model with add-one smoothing (OOV-safe);
+    //      the daily-ingest quality fence companion to q60's index.
+    "q69_heldout_nll" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.ops.LanguageModel.scoreHeldOut(
+        graft.ops.LanguageModel.unigramCounts(
+          docs.filter(col("doc_id") % 10 =!= 0), "text"),
+        docs.filter(col("doc_id") % 10 === 0), "text", "doc_id")
+    }),
+
+
+    // ---- north-star: temperature mixture weights (UniMax shape) —
+    //      per-source token counts → α-scaled sampling weights + keep
+    //      fractions for a target-size mixture; |strata| rows out.
+    "q67_mixture_weights" -> ((s, dir) =>
+      graft.ops.Sampling.mixtureWeights(
+        T(s, dir, "documents"), "lang",
+        graft.functions.GraftFunctions.tokenCount(s, col("text")),
+        alpha = 0.5, targetUnits = 50000L)),
+
+
+    // ---- north-star: feature hashing (hashing-trick term
+    //      frequencies) — vocabulary-free fixed-width text features,
+    //      sparse row form, one shuffle with map-side partial counts.
+    "q66_feature_hash" -> ((s, dir) =>
+      graft.ops.TextOps.hashedTermFrequencies(
+        T(s, dir, "documents"), "text", "doc_id", dims = 64)),
+
+
+    // ---- north-star: DSIR importance weights — every raw doc scored
+    //      by ln p̂_target − ln p̂_raw over hashed unigram+bigram
+    //      features (target = the English slice); two dims-bounded
+    //      model aggregations + one broadcast lookup join.
+    "q79_dsir_weights" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.ops.LanguageModel.importanceWeights(
+        docs, docs.filter(col("lang") === "en"), "text", "doc_id", dims = 128)
+    }),
+
+
+    // ---- north-star: token-balanced shard export — seeded
+    //      deterministic global shuffle + contiguous token-budget
+    //      shards via a distributed prefix sum (256 salt groups;
+    //      constant-size offset state, no corpus-wide window).
+    "q81_balanced_shards" -> ((s, dir) =>
+      graft.ops.Packing.exportShards(
+        T(s, dir, "documents"), "text", "doc_id", targetTokens = 2048L)),
+
+
+    // ---- north-star: RAG-style document chunking — overlapping
+    //      fixed-width token windows (the pre-embedding split for
+    //      retrieval corpora); pure narrow explode, scan-speed.
+    "q117_chunk_docs" -> ((s, dir) =>
+      graft.ops.TextOps.chunkDocuments(
+        T(s, dir, "documents"), "text", "doc_id",
+        chunkTokens = 32, overlap = 8)),
+
+
+    // ---- north-star: distributed BPE tokenizer training — ONE corpus
+    //      pass builds the (word, count) vocabulary, then every merge
+    //      iteration is vocab-bounded (pair agg + 1-row collect +
+    //      narrow merge projection, checkpointed lineage).
+    "q118_bpe_merges" -> ((s, dir) =>
+      graft.ops.Bpe.train(T(s, dir, "documents"), "text", merges = 6)),
+
+
+    // ---- north-star: BPE encoding with the learned merge list — the
+    //      codegen kernel loops the (broadcast-as-literal) merge array
+    //      per word; scan-speed, parity-pinned against the portable
+    //      fold-of-replace form the oracle replays.
+    "q119_bpe_encode" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val merges = graft.ops.Bpe.mergeList(
+        graft.ops.Bpe.train(docs, "text", merges = 6))
+      docs.select(col("doc_id"),
+        graft.functions.GraftFunctions.bpeCount(s, col("text"), merges)
+          .as("n_bpe_tokens"),
+        graft.functions.GraftFunctions.tokenCount(s, col("text"))
+          .as("n_ws_tokens"))
+    }),
+
+
+    // ---- north-star: BPE vocabulary — the token frequency table a
+    //      tokenizer ships beside its merges; vocab-bounded after the
+    //      one corpus word-count pass.
+    "q123_bpe_vocab" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.ops.Bpe.vocabulary(docs, "text",
+        graft.ops.Bpe.mergeList(graft.ops.Bpe.train(docs, "text", 6)))
+    }),
+
+
+    // ---- north-star: DURABLE BPE model — train on the even half,
+    //      publish the merge table as parquet, encode the odd half
+    //      from the STORED model (the q69/q116 frozen-model lifecycle
+    //      for the tokenizer).
+    "q124_durable_bpe" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val modelDir = tmp("q124_bpe_model")
+      graft.ops.Bpe.train(docs.filter(col("doc_id") % 2 === 0), "text", 6)
+        .write.mode("overwrite").parquet(modelDir)
+      val merges = graft.ops.Bpe.mergeList(s.read.parquet(modelDir))
+      docs.filter(col("doc_id") % 2 =!= 0).select(col("doc_id"),
+        graft.functions.GraftFunctions.bpeCount(s, col("text"), merges)
+          .as("n_bpe_tokens"))
+    }),
+
+
+    // ---- north-star composition: tokenizer-aware sequence packing —
+    //      q64's concat-and-chunk, but budgeted in the tokens the
+    //      MODEL will see (the learned BPE), not whitespace words.
+    "q125_bpe_pack" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val merges = graft.ops.Bpe.mergeList(
+        graft.ops.Bpe.train(docs, "text", 6))
+      graft.ops.Packing.packSequencesBy(docs,
+        graft.functions.GraftFunctions.bpeCount(s, col("text"), merges),
+        "lang", "doc_id", budget = 512L)
+    }),
+
+
+    // ---- north-star: tokenizer equity report — per-language
+    //      compression (chars per BPE token) of the learned tokenizer;
+    //      the fairness/efficiency audit run before shipping a vocab.
+    "q126_tokenizer_report" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val merges = graft.ops.Bpe.mergeList(
+        graft.ops.Bpe.train(docs, "text", 6))
+      docs.groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(graft.functions.GraftFunctions.tokenCount(s, col("text")))
+            .as("ws_tokens"),
+          sum(length(replace(col("text"), lit(" ")))).as("n_chars"),
+          sum(graft.functions.GraftFunctions.bpeCount(s, col("text"), merges))
+            .as("bpe_tokens"))
+        .withColumn("chars_per_bpe_token",
+          round(col("n_chars").cast("double") / col("bpe_tokens"), 6))
+    }),
+
+
+    // ---- north-star: encoding-health report — Unicode NFC
+    //      normalization via the `graft_nfc` codegen kernel (Spark's
+    //      function library has NO normalizer; mixed composed/
+    //      decomposed forms break exact dedup, fingerprints, and BPE
+    //      vocab unification) + mojibake signals (U+FFFD replacement
+    //      chars). The fixture corpus is clean ASCII, so decomposed
+    //      sequences and replacement chars are seeded deterministically
+    //      in-query (the q44 pattern) — the oracle then checks REAL
+    //      normalization semantics, not an identity pass.
+    "q128_unicode_clean" -> ((s, dir) => {
+      val seeded = when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" cafe\u0301 re\u0301sume\u0301")))
+        .when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" \uFFFD\uFFFDbroken")))
+        .otherwise(col("text"))
+      val t = col("t")
+      val nt = graft.functions.GraftFunctions.nfc(s, t)
+      T(s, dir, "documents")
+        .select(col("lang"), seeded.as("t"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(t =!= nt, 1L).otherwise(0L)).as("n_non_nfc"),
+          sum((length(t) - length(nt)).cast("long")).as("chars_saved"),
+          sum((length(t) - length(replace(t, lit("\uFFFD"), lit(""))))
+            .cast("long")).as("repl_chars"))
+    }),
+
+
+    // ---- north-star: token-budget selection — keep the best-quality
+    //      docs until a global token budget, WITHOUT a global sort:
+    //      quality bins → per-bin token mass (≤100 driver rows) →
+    //      threshold bin found driver-side → stateless keep/drop
+    //      filters everywhere except the ONE threshold bin, whose
+    //      ~corpus/100 rows spend the remainder via a running-sum
+    //      window in id order. The "data selection under budget" op
+    //      every pretraining run starts with.
+    "q132_token_budget" -> ((s, dir) => {
+      val scored = T(s, dir, "documents").select(
+        col("doc_id"), col("source"),
+        graft.ops.TextOps.qualityScore(col("text")).as("q"),
+        graft.functions.GraftFunctions.tokenCount(s, col("text")).as("tok"))
+      graft.ops.Sampling.tokenBudgetSelect(
+          scored, "doc_id", "q", "tok", budget = 12000L, bins = 100)
+        .filter(col("keep"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("tok").cast("long").as("n_tokens"),
+          min("q").as("min_q"))
+    }),
+
+
+    // ---- north-star: per-source quality calibration — exact p50/p90
+    //      quality per source, the threshold table a mixing pipeline
+    //      consumes (a global quality fence over uncalibrated
+    //      per-domain score distributions systematically starves whole
+    //      domains; thresholds must be set per source).
+    "q134_quality_calibration" -> ((s, dir) =>
+      graft.ops.Stats.exactPercentiles(
+        T(s, dir, "documents").select(col("source"),
+          graft.ops.TextOps.qualityScore(col("text")).as("q")),
+        groupCols = Seq("source"), valueCol = "q",
+        ps = Seq(0.5, 0.9))),
+
+
+    // ---- north-star: unigram-LM (SentencePiece-style) tokenizer
+    //      training — seed substrings → hard-EM Viterbi re-counts →
+    //      prune; integer-micronat log-probs make every Viterbi
+    //      comparison an exact integer sum, so the oracle replays
+    //      training bit-for-bit (chained DP CTEs + recursive
+    //      backtrace). One corpus pass; everything after is
+    //      vocab-bounded.
+    "q172_unigram_model" -> ((s, dir) =>
+      graft.ops.Unigram.train(T(s, dir, "documents"), "text",
+        maxPieceLen = 3, seedSize = 30, emIters = 2, keepSize = 12)),
+
+
+    // ---- north-star: DURABLE unigram model — train on the even half,
+    //      publish (piece, cnt, logp_micro) as parquet, encode the odd
+    //      half from the STORED model (the q124 frozen-model lifecycle
+    //      for the second tokenizer; odd-half-only characters exercise
+    //      the deterministic UNK path).
+    "q173_unigram_encode" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val modelDir = tmp("q173_unigram_model")
+      graft.ops.Unigram.train(docs.filter(col("doc_id") % 2 === 0), "text",
+          maxPieceLen = 3, seedSize = 30, emIters = 2, keepSize = 12)
+        .write.mode("overwrite").parquet(modelDir)
+      val model = graft.ops.Unigram.modelTable(s.read.parquet(modelDir))
+      docs.filter(col("doc_id") % 2 =!= 0 && col("text").isNotNull)
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.unigramCount(s, col("text"), model)
+            .as("n_unigram_tokens"))
+    }),
+
+
+    // ---- north-star: tokenizer equity report over BOTH tokenizers —
+    //      per-language compression (chars per token) of the learned
+    //      BPE AND unigram vocabularies side by side; the fairness
+    //      audit that decides which tokenizer ships.
+    "q174_tokenizer_equity2" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val bpeMerges = graft.ops.Bpe.mergeList(
+        graft.ops.Bpe.train(docs, "text", merges = 6))
+      val uniModel = graft.ops.Unigram.modelTable(
+        graft.ops.Unigram.train(docs, "text",
+          maxPieceLen = 3, seedSize = 30, emIters = 2, keepSize = 12))
+      docs.filter(col("text").isNotNull).groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(length(replace(col("text"), lit(" ")))).as("n_chars"),
+          sum(graft.functions.GraftFunctions.bpeCount(s, col("text"), bpeMerges))
+            .as("bpe_tokens"),
+          sum(graft.functions.GraftFunctions.unigramCount(s, col("text"), uniModel))
+            .as("unigram_tokens"))
+        .withColumn("chars_per_bpe_token",
+          round(col("n_chars").cast("double") / col("bpe_tokens"), 6))
+        .withColumn("chars_per_unigram_token",
+          round(col("n_chars").cast("double") / col("unigram_tokens"), 6))
+    }),
+
+
+    // ---- north-star: tokenizer coverage / OOV audit — per-language
+    //      UNK-piece rate of the unigram model on HELD-OUT text (train
+    //      even half, measure odd half: characters unique to the
+    //      held-out side surface as UNK pieces). The coverage report a
+    //      multilingual release reads before freezing a vocab. One
+    //      piece-explode scan + a |langs|-group decomposable rollup.
+    //      OOV is INJECTED constructively (every 11th held-out doc
+    //      gains a token of characters absent from the corpus
+    //      alphabet), so the UNK path is exercised and its per-lang
+    //      rate is known by design.
+    "q177_unigram_coverage" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      val model = graft.ops.Unigram.modelTable(
+        graft.ops.Unigram.train(docs.filter(col("doc_id") % 2 === 0), "text",
+          maxPieceLen = 3, seedSize = 30, emIters = 2, keepSize = 12))
+      val known = model.map(_._1)
+      docs.filter(col("doc_id") % 2 =!= 0)
+        .withColumn("text", when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" zxz"))).otherwise(col("text")))
+        .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) >= 1)
+        .select(col("lang"),
+          explode(graft.functions.GraftFunctions.unigramPieces(
+            s, col("word"), model)).as("piece"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_pieces"),
+          sum(when(!col("piece").isInCollection(known), 1L).otherwise(0L))
+            .as("n_unk"),
+          countDistinct(col("piece")).as("n_distinct_pieces"))
+        .withColumn("unk_rate",
+          round(col("n_unk").cast("double") / col("n_pieces"), 6))
+    }),
+
+
+    // ---- north-star: CCNet-style perplexity bucketing — per-language
+    //      head/middle/tail terciles by unigram-LM mean NLL (lowest
+    //      perplexity = head). Rank ties break on doc_id; tercile
+    //      boundaries are pure integer comparisons (3·(rn−1) vs cnt) —
+    //      no float division, replays exactly. One per-lang window +
+    //      a broadcast per-lang count join; NLL sums travel as exact
+    //      integer micronats.
+    "q185_perplexity_buckets" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val nll = graft.ops.LanguageModel.meanNegLogLik(docs, "text", "doc_id")
+      val byLang = nll.join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      val cnt = byLang.groupBy("lang").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("nll"), col("doc_id"))
+      byLang
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .join(broadcast(cnt), Seq("lang"))
+        .withColumn("bucket",
+          when(lit(3) * (col("rn") - 1) < col("cnt"), "head")
+            .when(lit(3) * (col("rn") - 1) < lit(2) * col("cnt"), "middle")
+            .otherwise("tail"))
+        .groupBy("lang", "bucket")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(round(col("nll") * 1e6, 0).cast("long")).as("sum_nll_micro"),
+          min(col("nll")).as("min_nll"),
+          max(col("nll")).as("max_nll"))
+    }),
+
+
+    // ---- capstone: multilingual corpus gate — ONE scan evaluates
+    //      lang-ID and the script profile side by side, then three
+    //      integer drop rules in precedence order: mixed-script,
+    //      lang-unsupported (identifier says 'und' but letters are
+    //      present — the CCNet keep-only-supported-languages
+    //      discipline), digit-heavy (5·digits > chars). Fixture
+    //      extends q184's with forced digit-run docs.
+    "q189_multilingual_gate" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      val id = col("doc_id")
+      val scripted = concat(
+        when(id % 7 =!= 0 && id % 3 === 0, lit("")).otherwise(col("text")),
+        when(id % 7 === 1, lit(" Привет мир 2024"))
+          .when(id % 7 === 2, lit(" Ελληνικά κείμενο"))
+          .when(id % 7 === 3, lit(" مرحبا بالعالم"))
+          .when(id % 7 === 4, lit(" שלום עולם"))
+          .when(id % 7 === 5, lit(" नमस्ते दुनिया"))
+          .when(id % 7 === 6, lit(" 你好世界 ありがとう 한국어"))
+          .otherwise(lit("")),
+        when(id % 23 === 0, lit(
+          " 0123456789012345678901234567890123456789012345678" +
+            " 0123456789012345678901234567890123456789012345678" +
+            " 0123456789012345678901234567890123456789012345678"))
+          .otherwise(lit("")))
+      val prof = docs
+        .select(id.as("doc_id"),
+          graft.functions.GraftFunctions.langId(s, scripted).as("lang_pred"),
+          graft.functions.GraftFunctions.scriptProfile(s, scripted).as("p"))
+        .select(col("doc_id"), col("lang_pred"), col("p.*"))
+      val letters = Seq("n_latin", "n_cyrillic", "n_greek", "n_arabic",
+        "n_hebrew", "n_devanagari", "n_cjk")
+      val nScripts = letters.map(c =>
+        when(col(c) > 0, 1L).otherwise(0L)).reduce(_ + _)
+      val nLetters = letters.map(col).reduce(_ + _)
+      prof
+        .withColumn("reason",
+          when(nScripts >= 2, "mixed_script")
+            .when(col("lang_pred") === "und" && nLetters > 0,
+              "lang_unsupported")
+            .when(lit(5) * col("n_digit") > col("n_chars"), "digit_heavy")
+            .otherwise("kept"))
+        .groupBy("reason")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("lang_pred")).as("n_langs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("doc_id")).as("sum_ids"))
+    }),
+
+
+    // ---- north-star: the Gopher structural gate (Rae et al. 2021) —
+    //      word-shape bounds, symbol density, alpha-word floor, and
+    //      the stopword prose test, compiled through the SAME dual-
+    //      dialect DSL as q62 (one filter definition is both the Spark
+    //      expression and the oracle SQL); per-doc verdict + first
+    //      failing rule, scan-speed, zero shuffles.
+    "q194_gopher_gate" -> ((s, dir) =>
+      graft.ops.CorpusFilters.decide(
+        T(s, dir, "documents"), "text", "doc_id",
+        graft.ops.CorpusFilters.gopherRules(minTokens = 30L, minStopwords = 1))),
+
+
+    // ---- north-star: WordPiece trainer (Schuster & Nakajima 2012 —
+    //      the third public tokenizer algorithm beside BPE and the
+    //      unigram LM): the BPE merge loop with the LIKELIHOOD
+    //      objective pc/(cl·cr); the oracle replays every round's
+    //      symbol counts, pair counts, score argmax, and ##-aware
+    //      merge application bit-identically.
+    "q195_wordpiece_train" -> ((s, dir) =>
+      graft.ops.WordPiece.train(T(s, dir, "documents"), "text", 6)),
+
+
+    // ---- north-star: DURABLE WordPiece vocabulary — train on the
+    //      even half, publish alphabet+merges as parquet, greedy-
+    //      encode the odd half from the STORED vocab via the codegen
+    //      kernel (the q124/q173 frozen-model lifecycle; longest-
+    //      match-first with the whole-word [UNK] fallback).
+    "q196_durable_wordpiece" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val even = docs.filter(col("doc_id") % 2 === 0)
+      val modelDir = tmp("q196_wp_vocab")
+      graft.ops.WordPiece.vocab(even, "text",
+        graft.ops.WordPiece.train(even, "text", 6))
+        .write.mode("overwrite").parquet(modelDir)
+      val pieces = graft.ops.WordPiece.pieceList(s.read.parquet(modelDir))
+      // text IS NOT NULL pins the row universe to the oracle's: its
+      // string_split unnest silently drops null-text docs, so an
+      // unfiltered Spark side would emit an extra null-count row
+      docs.filter(col("doc_id") % 2 =!= 0 && col("text").isNotNull)
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.wordPieceCount(s, col("text"), pieces)
+            .as("n_wp_tokens"))
+    }),
+
+
+    // ---- north-star: THREE-tokenizer equity report — q174 extended
+    //      with the WordPiece column: per-language chars/token under
+    //      BPE, unigram-LM, and greedy WordPiece side by side, all
+    //      three trained on the same corpus in the same job. The
+    //      fairness dashboard a multilingual pipeline publishes when
+    //      CHOOSING its tokenizer, not just shipping one.
+    "q199_tokenizer_equity3" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val bpeMerges = graft.ops.Bpe.mergeList(
+        graft.ops.Bpe.train(docs, "text", merges = 6))
+      val uniModel = graft.ops.Unigram.modelTable(
+        graft.ops.Unigram.train(docs, "text",
+          maxPieceLen = 3, seedSize = 30, emIters = 2, keepSize = 12))
+      val wpPieces = graft.ops.WordPiece.pieceList(
+        graft.ops.WordPiece.vocab(docs, "text",
+          graft.ops.WordPiece.train(docs, "text", merges = 6)))
+      docs.filter(col("text").isNotNull).groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(length(replace(col("text"), lit(" ")))).as("n_chars"),
+          sum(graft.functions.GraftFunctions.bpeCount(s, col("text"), bpeMerges))
+            .as("bpe_tokens"),
+          sum(graft.functions.GraftFunctions.unigramCount(s, col("text"), uniModel))
+            .as("unigram_tokens"),
+          sum(graft.functions.GraftFunctions.wordPieceCount(s, col("text"), wpPieces))
+            .as("wp_tokens"))
+        .withColumn("chars_per_bpe_token",
+          round(col("n_chars").cast("double") / col("bpe_tokens"), 6))
+        .withColumn("chars_per_unigram_token",
+          round(col("n_chars").cast("double") / col("unigram_tokens"), 6))
+        .withColumn("chars_per_wp_token",
+          round(col("n_chars").cast("double") / col("wp_tokens"), 6))
+    }),
+
+
+    // ---- north-star: Heaps-law vocabulary growth — distinct word
+    //      types vs corpus size at 10 ingestion-order checkpoints; a
+    //      flattening curve means the crawl is re-reading itself. One
+    //      (word -> first bucket) aggregation; everything after is
+    //      buckets-bounded integers.
+    "q200_vocab_growth" -> ((s, dir) =>
+      graft.ops.TextOps.vocabularyGrowth(
+        T(s, dir, "documents"), "text", "doc_id", buckets = 10)),
+
+
+    // ---- north-star: Kneser–Ney bigram NLL — THE standard n-gram
+    //      smoothing (absolute discount + continuation unigram); the
+    //      "San Francisco" effect the q107 add-one interpolation
+    //      cannot express. All model statistics are decomposable
+    //      aggregations over the bigram TYPE table.
+    "q206_kneser_ney" -> ((s, dir) =>
+      graft.ops.LanguageModel.kneserNeyNll(
+        T(s, dir, "documents"), "text", "doc_id", discount = 0.75)),
+
+
+    // ---- north-star: UniMax language-budget allocation (Chung et
+    //      al. 2023) — water-filling a token budget across languages
+    //      under a per-language epoch ceiling: at this budget every
+    //      tail language caps at 4 epochs and the head (en) absorbs
+    //      exactly the remainder — the anti-rich-get-richer mixture
+    //      temperature sampling cannot express.
+    "q210_unimax" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      graft.ops.Sampling.unimaxAllocation(docs, "lang",
+        graft.ops.TextOps.tokenCount(col("text")).cast("long"),
+        budget = 80000L, epochCap = 4.0)
+    }),
+
+
+    // ---- north-star: Zipf-law head fit — least-squares slope of
+    //      ln(freq) on ln(rank) over the top-100 types (the head is
+    //      where the law holds AND what keeps ranking a TakeOrdered
+    //      top-k instead of a vocabulary sort); the corpus-shape
+    //      sibling of q200's Heaps curve.
+    "q212_zipf_fit" -> ((s, dir) =>
+      graft.ops.TextOps.zipfFit(
+        T(s, dir, "documents"), "text", headSize = 100)),
+
+
+    // ---- north-star: PMI collocations (Church & Hanks 1990) — word
+    //      pairs co-occurring far above chance over the bigram TYPE
+    //      table; minCount fences the singleton-pair pathology AND the
+    //      vocab² tail. The multiword-expression miner.
+    "q214_pmi" -> ((s, dir) =>
+      graft.ops.LanguageModel.pmiCollocations(
+        T(s, dir, "documents"), "text", minCount = 3L, topK = 20)),
+
+
+    // ---- north-star: empirical-Bayes source quality — per-source
+    //      good-doc rates shrunk toward the corpus rate with 20
+    //      pseudo-observations; the curation ranking raw rates get
+    //      wrong for barely-sampled sources.
+    "q215_source_quality" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.ops.Quality.shrunkSourceQuality(docs, "source",
+        graft.ops.TextOps.qualityScore(col("text")) >= 0.5,
+        priorStrength = 20.0)
+    }),
+
+
+    // ---- north-star: quality-canonical cluster keepers — the q39
+    //      clusters re-decided by HIGHEST QUALITY member (tie: min id)
+    //      instead of min id: one decomposable max(struct) per
+    //      cluster, no corpus window. Reads the SAME shared pair
+    //      index as q16/q39/q47.
+    "q220_quality_canonical" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      val labels = Dedup.components(
+        verifiedPairs(s, dir).select("id_a", "id_b"))
+      Dedup.qualityCanonical(docs, "doc_id", labels,
+        graft.ops.TextOps.qualityScore(col("text")))
+    }),
+
+
+    // ---- north-star: language confusability matrix — pairwise
+    //      cosine of per-language char-trigram profiles (Cavnar &
+    //      Trenkle 1994): the lang pairs a lang-ID gate confuses;
+    //      integer dot products over ONE trigram-keyed join.
+    "q225_lang_confusability" -> ((s, dir) =>
+      graft.ops.TextOps.langConfusability(
+        T(s, dir, "documents"), "text", "lang")),
+
+
+    // ---- north-star: stupid-backoff trigram NLL (Brants 2007) over a
+    //      real train/heldout split — the web-scale unnormalized
+    //      backoff beside q206's Kneser–Ney; the heldout side actually
+    //      exercises all three backoff branches.
+    "q248_stupid_backoff" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      graft.ops.LanguageModel.stupidBackoffNll(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "text", "doc_id", alpha = 0.4)
+    })
+  )
+
+  protected def textOracles: Map[String, String] = Map(
+
+    "q11_token_count" ->
+      s"""SELECT doc_id, ${PortableSql.tokenCount("text", DD)} AS n_tokens,
+         |  ${PortableSql.regexTokenCount("text", DD)} AS n_rtokens
+         |FROM documents""".stripMargin,
+
+
+    "q12_lang_id" ->
+      s"SELECT doc_id, lang, ${PortableSql.langId("text", DD)} AS lang_pred FROM documents",
+
+
+    "q13_quality_score" ->
+      s"SELECT doc_id, ${PortableSql.qualityScore("text", DD)} AS quality FROM documents",
+
+
+    // unigram training replay: substring seed, two hard-EM Viterbi
+    // rounds (integer-micronat DP chains + recursive backtraces),
+    // count-based prune — the model arithmetic step for step
+    "q172_unigram_model" ->
+      s"""WITH RECURSIVE ${unigramTrainCtes(3, 30, 2, 12, 16)}
+         |SELECT piece, cnt, logp_micro FROM ulpf""".stripMargin,
+
+
+    // durable unigram replay: train chain restricted to the even half,
+    // then ONE more segmentation chain over the odd half's distinct
+    // words under the final model — storage must change nothing
+    "q173_unigram_encode" ->
+      s"""WITH RECURSIVE ${unigramTrainCtes(3, 30, 2, 12, 16, "WHERE doc_id % 2 = 0")},
+         |ew AS MATERIALIZED (SELECT word, CAST(0 AS BIGINT) AS n, len(word) AS wl FROM (
+         |    SELECT DISTINCT word FROM (
+         |      SELECT unnest(string_split(text, ' ')) AS word
+         |      FROM documents WHERE doc_id % 2 <> 0 AND text IS NOT NULL)))
+         |${unigramSegCtes("en", "ew", "ulpf", 3, 16)},
+         |upc AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS pc
+         |        FROM enbt WHERE piece IS NOT NULL GROUP BY word)
+         |SELECT dw.doc_id, CAST(sum(coalesce(p.pc, 0)) AS BIGINT)
+         |    AS n_unigram_tokens
+         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |      FROM documents WHERE doc_id % 2 <> 0 AND text IS NOT NULL) dw
+         |LEFT JOIN upc p ON p.word = dw.word
+         |GROUP BY dw.doc_id""".stripMargin,
+
+
+    // dual-tokenizer equity replay: the q126 BPE chain and the unigram
+    // train+encode chains rolled up per language side by side
+    "q174_tokenizer_equity2" -> {
+      val k = 6
+      s"""WITH RECURSIVE ${unigramTrainCtes(3, 30, 2, 12, 16)},
+         |${bpeTrainCtes(k).stripPrefix("WITH ")},
+         |ew AS MATERIALIZED (SELECT word, CAST(0 AS BIGINT) AS n, len(word) AS wl FROM (
+         |    SELECT DISTINCT word FROM (
+         |      SELECT unnest(string_split(text, ' ')) AS word
+         |      FROM documents WHERE text IS NOT NULL)))
+         |${unigramSegCtes("en", "ew", "ulpf", 3, 16)},
+         |upc AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS pc
+         |        FROM enbt WHERE piece IS NOT NULL GROUP BY word),
+         |udoc AS (
+         |  SELECT dw.doc_id, sum(coalesce(p.pc, 0)) AS un
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |        FROM documents WHERE text IS NOT NULL) dw
+         |  LEFT JOIN upc p ON p.word = dw.word
+         |  GROUP BY dw.doc_id),
+         |base AS (
+         |  SELECT d.doc_id, d.lang,
+         |    len(replace(d.text, ' ', '')) AS ch,
+         |    list_sum(list_transform(string_split(d.text, ' '), __w ->
+         |      len(string_split(trim(${bpeMergedExpr(k)}, chr(1)),
+         |        chr(1) || chr(1))))) AS bpe
+         |  FROM documents d, ${(1 to k).map(i => s"b$i").mkString(", ")}
+         |  WHERE d.text IS NOT NULL)
+         |SELECT b.lang, count(*) AS n_docs,
+         |  CAST(sum(b.ch) AS BIGINT) AS n_chars,
+         |  CAST(sum(b.bpe) AS BIGINT) AS bpe_tokens,
+         |  CAST(sum(u.un) AS BIGINT) AS unigram_tokens,
+         |  round(CAST(sum(b.ch) AS DOUBLE) / sum(b.bpe), 6)
+         |    AS chars_per_bpe_token,
+         |  round(CAST(sum(b.ch) AS DOUBLE) / sum(u.un), 6)
+         |    AS chars_per_unigram_token
+         |FROM base b JOIN udoc u ON u.doc_id = b.doc_id
+         |GROUP BY b.lang""".stripMargin
+    },
+
+
+    // coverage replay: the q173 train+encode chains over the
+    // OOV-injected held-out text, pieces kept with their words,
+    // UNK = piece absent from the final model table
+    "q177_unigram_coverage" ->
+      s"""WITH RECURSIVE ${unigramTrainCtes(3, 30, 2, 12, 16, "WHERE doc_id % 2 = 0")},
+         |odocs AS MATERIALIZED (
+         |  SELECT lang, CASE WHEN doc_id % 11 = 0 THEN text || ' zxz'
+         |                    ELSE text END AS text
+         |  FROM documents WHERE doc_id % 2 <> 0 AND text IS NOT NULL),
+         |ew AS MATERIALIZED (SELECT word, CAST(0 AS BIGINT) AS n,
+         |    len(word) AS wl FROM (
+         |    SELECT DISTINCT word FROM (
+         |      SELECT unnest(string_split(text, ' ')) AS word FROM odocs)))
+         |${unigramSegCtes("en", "ew", "ulpf", 3, 16)},
+         |wpieces AS MATERIALIZED (SELECT word, piece FROM enbt
+         |                         WHERE piece IS NOT NULL),
+         |docw AS (SELECT lang, word FROM (
+         |    SELECT lang, unnest(string_split(text, ' ')) AS word FROM odocs)
+         |  WHERE len(word) >= 1),
+         |pieces AS (SELECT d.lang, w.piece
+         |           FROM docw d JOIN wpieces w ON w.word = d.word)
+         |SELECT p.lang, count(*) AS n_pieces,
+         |  CAST(sum(CASE WHEN m.piece IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_unk,
+         |  count(DISTINCT p.piece) AS n_distinct_pieces,
+         |  round(CAST(sum(CASE WHEN m.piece IS NULL THEN 1 ELSE 0 END)
+         |      AS DOUBLE) / count(*), 6) AS unk_rate
+         |FROM pieces p LEFT JOIN ulpf m ON m.piece = p.piece
+         |GROUP BY p.lang""".stripMargin,
+
+
+    // Gopher-gate replay: generated from the SAME filter objects as
+    // the Spark expression (single source of truth, the q62 pattern)
+    "q194_gopher_gate" ->
+      graft.ops.CorpusFilters.oracleSql(
+        graft.ops.CorpusFilters.gopherRules(minTokens = 30L, minStopwords = 1),
+        "documents", "text", "doc_id"),
+
+
+    // WordPiece training replay: per-round symbol/pair aggregations,
+    // the likelihood-score argmax (double of exact ints — identically
+    // rounded), and the ##-aware merge, unrolled per rank
+    "q195_wordpiece_train" -> {
+      val k = 6
+      s"""${wordPieceTrainCtes(k)}
+         |${(1 to k).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS rank, left_sym, right_sym, " +
+          s"merged_sym, pair_count, left_count, right_count FROM b$i")
+        .mkString(" UNION ALL ")}""".stripMargin
+    },
+
+
+    // durable-WordPiece replay: train on the even half, vocabulary =
+    // seeded alphabet + merged pieces, then the recursive greedy
+    // longest-match walk over the odd half's distinct words (whole-
+    // word [UNK] on a matchless position), summed back per doc
+    "q196_durable_wordpiece" -> {
+      val k = 6
+      s"""${wordPieceTrainCtes(k, "WHERE doc_id % 2 = 0")},
+         |tw AS MATERIALIZED (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |       FROM documents WHERE doc_id % 2 <> 0)${wordPieceEncodeCtes(k, "tw")}
+         |SELECT t.doc_id, CAST(coalesce(sum(f.n), 0) AS BIGINT) AS n_wp_tokens
+         |FROM tw t JOIN fin f ON f.word = t.word
+         |GROUP BY t.doc_id""".stripMargin
+    },
+
+
+    // three-tokenizer equity replay: the q174 BPE+unigram chains plus
+    // the "wp"-prefixed WordPiece train + greedy-walk chains, per-doc
+    // WordPiece sums joined into the same per-language rollup
+    "q199_tokenizer_equity3" -> {
+      val k = 6
+      s"""WITH RECURSIVE ${unigramTrainCtes(3, 30, 2, 12, 16)},
+         |${bpeTrainCtes(k).stripPrefix("WITH ")},
+         |${wordPieceTrainCtes(k, "", "wp").stripPrefix("WITH RECURSIVE ")},
+         |ew AS MATERIALIZED (SELECT word, CAST(0 AS BIGINT) AS n, len(word) AS wl FROM (
+         |    SELECT DISTINCT word FROM (
+         |      SELECT unnest(string_split(text, ' ')) AS word
+         |      FROM documents WHERE text IS NOT NULL)))
+         |${unigramSegCtes("en", "ew", "ulpf", 3, 16)},
+         |upc AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS pc
+         |        FROM enbt WHERE piece IS NOT NULL GROUP BY word),
+         |dw AS MATERIALIZED (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |  FROM documents WHERE text IS NOT NULL)${wordPieceEncodeCtes(k, "dw", 16, "wp")},
+         |udoc AS (
+         |  SELECT dw.doc_id, sum(coalesce(p.pc, 0)) AS un
+         |  FROM dw LEFT JOIN upc p ON p.word = dw.word
+         |  GROUP BY dw.doc_id),
+         |wdoc AS (
+         |  SELECT dw.doc_id, CAST(coalesce(sum(f.n), 0) AS BIGINT) AS wp
+         |  FROM dw JOIN wpfin f ON f.word = dw.word
+         |  GROUP BY dw.doc_id),
+         |base AS (
+         |  SELECT d.doc_id, d.lang,
+         |    len(replace(d.text, ' ', '')) AS ch,
+         |    list_sum(list_transform(string_split(d.text, ' '), __w ->
+         |      len(string_split(trim(${bpeMergedExpr(k)}, chr(1)),
+         |        chr(1) || chr(1))))) AS bpe
+         |  FROM documents d, ${(1 to k).map(i => s"b$i").mkString(", ")}
+         |  WHERE d.text IS NOT NULL)
+         |SELECT b.lang, count(*) AS n_docs,
+         |  CAST(sum(b.ch) AS BIGINT) AS n_chars,
+         |  CAST(sum(b.bpe) AS BIGINT) AS bpe_tokens,
+         |  CAST(sum(u.un) AS BIGINT) AS unigram_tokens,
+         |  CAST(sum(w.wp) AS BIGINT) AS wp_tokens,
+         |  round(CAST(sum(b.ch) AS DOUBLE) / sum(b.bpe), 6)
+         |    AS chars_per_bpe_token,
+         |  round(CAST(sum(b.ch) AS DOUBLE) / sum(u.un), 6)
+         |    AS chars_per_unigram_token,
+         |  round(CAST(sum(b.ch) AS DOUBLE) / sum(w.wp), 6)
+         |    AS chars_per_wp_token
+         |FROM base b JOIN udoc u ON u.doc_id = b.doc_id
+         |JOIN wdoc w ON w.doc_id = b.doc_id
+         |GROUP BY b.lang""".stripMargin
+    },
+
+
+    // vocab-growth replay: identical bucket arithmetic (double
+    // division + floor), first-bucket-per-type aggregation, and the
+    // buckets-bounded cumulative window
+    "q200_vocab_growth" ->
+      """WITH rows0 AS (SELECT doc_id, text FROM documents
+        |               WHERE text IS NOT NULL),
+        |mx AS (SELECT max(doc_id) AS mx FROM rows0),
+        |words AS (SELECT doc_id,
+        |    least(CAST(floor(doc_id * 10 / (mx + 1)) AS BIGINT), 9) AS b,
+        |    unnest(string_split(text, ' ')) AS w
+        |  FROM rows0, mx),
+        |pb AS (SELECT b, count(DISTINCT doc_id) AS n_docs,
+        |         count(*) AS n_tokens FROM words GROUP BY b),
+        |nt AS (SELECT b, count(*) AS n_new_types FROM (
+        |    SELECT w, min(b) AS b FROM words GROUP BY w) GROUP BY b)
+        |SELECT pb.b AS bucket, pb.n_docs, pb.n_tokens,
+        |  coalesce(nt.n_new_types, 0) AS n_new_types,
+        |  CAST(sum(pb.n_tokens) OVER (ORDER BY pb.b) AS BIGINT) AS cum_tokens,
+        |  CAST(sum(coalesce(nt.n_new_types, 0)) OVER (ORDER BY pb.b)
+        |    AS BIGINT) AS cum_types
+        |FROM pb LEFT JOIN nt ON nt.b = pb.b""".stripMargin,
+
+
+    "q36_corpus_filter" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, source, ${PortableSql.qualityScore("text", DD)} AS quality,
+         |    ${PortableSql.langId("text", DD)} AS lang_pred, md5(lower(trim(text))) AS fp
+         |  FROM documents
+         |),
+         |k AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY fp),
+         |f AS (SELECT q.* FROM q JOIN k USING (doc_id)
+         |      WHERE quality >= 0.4 AND lang_pred = 'en')
+         |SELECT source, count(*) AS n_docs,
+         |  round(cast(sum(cast(quality as decimal(18,6))) as double) / count(*), 6) AS avg_quality
+         |FROM f GROUP BY source""".stripMargin,
+
+
+    "q38_length_stats" -> {
+      val pcols = Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99").map { case (p, name) =>
+        s"""round(
+           |    max(CASE WHEN rn = CAST(floor((n - 1) * $p) AS BIGINT) + 1 THEN v END) +
+           |    (max(CASE WHEN rn = CAST(ceil((n - 1) * $p) AS BIGINT) + 1 THEN v END) -
+           |     max(CASE WHEN rn = CAST(floor((n - 1) * $p) AS BIGINT) + 1 THEN v END))
+           |    * max((n - 1) * $p - floor((n - 1) * $p)), 6) AS $name""".stripMargin
+      }.mkString(",\n  ")
+      s"""WITH t AS (SELECT lang, CAST(len(string_split(text, ' ')) AS DOUBLE) AS v FROM documents),
+         |r AS (SELECT lang, v,
+         |    row_number() OVER (PARTITION BY lang ORDER BY v ASC) AS rn,
+         |    CAST(count(*) OVER (PARTITION BY lang) AS DOUBLE) AS n
+         |  FROM t)
+         |SELECT lang,
+         |  $pcols,
+         |  CAST(max(n) AS BIGINT) AS n_rows
+         |FROM r GROUP BY lang""".stripMargin
+    },
+
+
+    "q37_hash_split" -> {
+      // interpolate the EXACT cumulative doubles Spark's scanLeft
+      // produces (0.8 + 0.1 != 0.9 in binary) so both engines compare p
+      // against bit-identical thresholds
+      val cum = Seq(0.8, 0.1, 0.1).scanLeft(0.0)(_ + _)
+      val h = PortableSql.minhashBase("concat('v1', ':', CAST(doc_id AS VARCHAR))", DD)
+      s"""WITH h AS (SELECT doc_id,
+         |    CAST($h AS DOUBLE) / 1152921504606846976.0 AS p FROM documents),
+         |t AS (SELECT doc_id,
+         |    CASE WHEN p < ${cum(1)} THEN 'train'
+         |         WHEN p < ${cum(2)} THEN 'val' ELSE 'test' END AS split
+         |  FROM h)
+         |SELECT split, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |FROM t GROUP BY split""".stripMargin
+    },
+
+
+    "q43_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |sh AS (SELECT doc_id, $duckShingles AS s FROM t)
+         |SELECT doc_id, len(s) AS n_grams,
+         |  round(1.0 - CAST(len(list_distinct(s)) AS DOUBLE) / CAST(len(s) AS DOUBLE), 6) AS dup_ratio
+         |FROM sh""".stripMargin,
+
+
+    "q85_quality_signals" ->
+      // ttr replays the kernel's exact double ops (1 − (1 − d/t));
+      // entropy over code points — DuckDB string_split('') code-point
+      // semantics match the kernel's codePointAt walk
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+         |c AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+         |f AS (SELECT doc_id, ch, count(*) AS n FROM c GROUP BY doc_id, ch),
+         |tt AS (SELECT doc_id, CAST(sum(n) AS DOUBLE) AS t FROM f GROUP BY doc_id),
+         |ent AS (SELECT f.doc_id,
+         |    round(-sum((CAST(n AS DOUBLE) / t) * ln(CAST(n AS DOUBLE) / t)), 6) AS char_entropy
+         |  FROM f JOIN tt USING (doc_id) GROUP BY f.doc_id)
+         |SELECT t.doc_id,
+         |  round(1.0 - (1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)), 6) AS ttr,
+         |  ent.char_entropy,
+         |  round((CAST(length(text) AS DOUBLE) - (CAST(len(toks) AS DOUBLE) - 1.0))
+         |    / CAST(len(toks) AS DOUBLE), 6) AS mean_word_len,
+         |  round((CAST(length(text) AS DOUBLE) - length(regexp_replace(text, '[0-9]', '', 'g')))
+         |    / CAST(length(text) AS DOUBLE), 6) AS digit_ratio,
+         |  round((CAST(length(text) AS DOUBLE) - length(regexp_replace(text, '[A-Z]', '', 'g')))
+         |    / CAST(length(text) AS DOUBLE), 6) AS upper_ratio
+         |FROM t JOIN ent USING (doc_id)""".stripMargin,
+
+
+    "q86_curriculum_bins" -> {
+      // q38's rank-interpolation percentile replay at 0.25/0.5/0.75,
+      // then the same ≤-boundary CASE sum the Spark projection uses
+      val pcols = Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75").map { case (p, name) =>
+        s"""round(
+           |    max(CASE WHEN rn = CAST(floor((n - 1) * $p) AS BIGINT) + 1 THEN metric END) +
+           |    (max(CASE WHEN rn = CAST(ceil((n - 1) * $p) AS BIGINT) + 1 THEN metric END) -
+           |     max(CASE WHEN rn = CAST(floor((n - 1) * $p) AS BIGINT) + 1 THEN metric END))
+           |    * max((n - 1) * $p - floor((n - 1) * $p)), 6) AS $name""".stripMargin
+      }.mkString(",\n  ")
+      s"""WITH c AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+         |f AS (SELECT doc_id, ch, count(*) AS n FROM c GROUP BY doc_id, ch),
+         |tt AS (SELECT doc_id, CAST(sum(n) AS DOUBLE) AS t FROM f GROUP BY doc_id),
+         |m AS (SELECT d.lang, f.doc_id,
+         |    round(-sum((CAST(n AS DOUBLE) / t) * ln(CAST(n AS DOUBLE) / t)), 6) AS metric
+         |  FROM f JOIN tt USING (doc_id) JOIN documents d ON d.doc_id = f.doc_id
+         |  GROUP BY d.lang, f.doc_id),
+         |r AS (SELECT lang, metric,
+         |    row_number() OVER (PARTITION BY lang ORDER BY metric ASC) AS rn,
+         |    CAST(count(*) OVER (PARTITION BY lang) AS DOUBLE) AS n
+         |  FROM m),
+         |b AS (SELECT lang,
+         |  $pcols
+         |FROM r GROUP BY lang)
+         |SELECT m.lang, m.doc_id, m.metric,
+         |  CAST(CASE WHEN m.metric <= b.p25 THEN 0 ELSE 1 END +
+         |       CASE WHEN m.metric <= b.p50 THEN 0 ELSE 1 END +
+         |       CASE WHEN m.metric <= b.p75 THEN 0 ELSE 1 END AS BIGINT) AS bin
+         |FROM m JOIN b USING (lang)""".stripMargin
+    },
+
+
+    "q87_shard_manifest" -> {
+      // q81's salted prefix-sum shard assignment + per-shard rollup;
+      // modal source with ties → lexicographically first
+      val n = PortableSql.tokenCount("text", DD)
+      s"""WITH h AS (SELECT doc_id,
+         |    md5(concat('shards', ':', CAST(doc_id AS VARCHAR))) AS k,
+         |    CAST($n AS BIGINT) AS n FROM documents),
+         |p AS (SELECT doc_id, n,
+         |    CAST(sum(n) OVER (ORDER BY k, doc_id) - n AS BIGINT) AS s FROM h),
+         |a AS (SELECT p.doc_id, p.n, CAST(s // 2048 AS BIGINT) AS shard_idx, d.source
+         |      FROM p JOIN documents d USING (doc_id)),
+         |g AS (SELECT shard_idx, source, count(*) AS c, sum(n) AS t
+         |      FROM a GROUP BY shard_idx, source),
+         |r AS (SELECT shard_idx, source,
+         |    row_number() OVER (PARTITION BY shard_idx ORDER BY c DESC, source ASC) AS rn
+         |  FROM g)
+         |SELECT g.shard_idx,
+         |  CAST(sum(g.c) AS BIGINT) AS n_docs,
+         |  CAST(sum(g.t) AS BIGINT) AS n_tokens,
+         |  count(*) AS n_attrs,
+         |  max(r.source) AS top_attr
+         |FROM g JOIN r ON r.shard_idx = g.shard_idx AND r.rn = 1
+         |GROUP BY g.shard_idx""".stripMargin
+    },
+
+
+    "q68_unigram_nll" ->
+      s"""WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |c AS (SELECT tok, count(*) AS c FROM e GROUP BY tok),
+         |n AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM c)
+         |SELECT doc_id, round(avg(-ln(CAST(c AS DOUBLE) / n)), 6) AS nll
+         |FROM e JOIN c USING (tok), n GROUP BY doc_id""".stripMargin,
+
+
+    "q69_heldout_nll" ->
+      s"""WITH m AS (SELECT unnest(string_split(text, ' ')) AS tok
+         |           FROM documents WHERE doc_id % 10 != 0),
+         |c AS (SELECT tok, count(*) AS c FROM m GROUP BY tok),
+         |s AS (SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM c),
+         |b AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |      FROM documents WHERE doc_id % 10 = 0)
+         |SELECT doc_id,
+         |  round(avg(-ln(CAST(coalesce(c, 0) + 1 AS DOUBLE) / (n + v))), 6) AS nll
+         |FROM b LEFT JOIN c USING (tok), s GROUP BY doc_id""".stripMargin,
+
+
+    "q79_dsir_weights" -> {
+      // hashed unigram+bigram features; smoothed per-bucket log-ratio
+      // summed per gram INSTANCE — the same association the Spark side
+      // uses (lookup per gram, sum per doc)
+      val base = PortableSql.minhashBase("gram", DD)
+      val sh2 = DD.shingles("l", 2)
+      s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents),
+         |g AS (SELECT doc_id, lang, unnest(list_concat(l, $sh2)) AS gram FROM d),
+         |b AS (SELECT doc_id, lang,
+         |  ($base % ${PortableSql.minhashP}) % 128 AS bucket FROM g),
+         |t AS (SELECT bucket, count(*) AS tc FROM b WHERE lang = 'en' GROUP BY bucket),
+         |r AS (SELECT bucket, count(*) AS rc FROM b GROUP BY bucket),
+         |s AS (SELECT (SELECT CAST(sum(tc) AS DOUBLE) FROM t) AS tn,
+         |             (SELECT CAST(sum(rc) AS DOUBLE) FROM r) AS rn)
+         |SELECT b.doc_id,
+         |  round(sum(ln(CAST(coalesce(t.tc, 0) + 1 AS DOUBLE) / (s.tn + 128.0)) -
+         |            ln(CAST(r.rc + 1 AS DOUBLE) / (s.rn + 128.0))), 6) AS logratio
+         |FROM b LEFT JOIN t USING (bucket) JOIN r USING (bucket), s
+         |GROUP BY b.doc_id""".stripMargin
+    },
+
+
+    "q81_balanced_shards" -> {
+      // ONE global running sum in the oracle — equals Spark's salted
+      // prefix-sum decomposition because the salt is a key prefix
+      val n = PortableSql.tokenCount("text", DD)
+      s"""WITH h AS (SELECT doc_id,
+         |    md5(concat('shards', ':', CAST(doc_id AS VARCHAR))) AS k,
+         |    CAST($n AS BIGINT) AS n FROM documents),
+         |p AS (SELECT doc_id, n,
+         |    CAST(sum(n) OVER (ORDER BY k, doc_id) - n AS BIGINT) AS s FROM h)
+         |SELECT doc_id, n AS n_toks, s AS tok_start,
+         |  CAST(s // 2048 AS BIGINT) AS shard_idx
+         |FROM p""".stripMargin
+    },
+
+
+    "q67_mixture_weights" -> {
+      val n = PortableSql.tokenCount("text", DD)
+      s"""WITH c AS (SELECT lang, CAST(sum($n) AS BIGINT) AS n_units
+         |           FROM documents GROUP BY lang),
+         |z AS (SELECT sum(pow(n_units, 0.5)) AS z FROM c)
+         |SELECT lang, n_units,
+         |  round(pow(n_units, 0.5) / z, 6) AS weight,
+         |  round(least(1.0, 50000 * (pow(n_units, 0.5) / z) / n_units), 6) AS keep_fraction
+         |FROM c, z""".stripMargin
+    },
+
+
+    "q66_feature_hash" -> {
+      val base = PortableSql.minhashBase("tok", DD)
+      s"""WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+         |SELECT doc_id, ($base % ${PortableSql.minhashP}) % 64 AS feature_idx,
+         |  count(*) AS tf
+         |FROM e GROUP BY doc_id, feature_idx""".stripMargin
+    },
+
+
+    "q64_sequence_pack" -> {
+      val n = PortableSql.tokenCount("text", DD)
+      s"""WITH t AS (SELECT doc_id, lang, CAST($n AS BIGINT) AS n FROM documents),
+         |p AS (SELECT doc_id, lang, n,
+         |        sum(n) OVER (PARTITION BY lang ORDER BY doc_id) AS e
+         |      FROM t WHERE n > 0),
+         |x AS (SELECT doc_id, lang, e - n AS s, e FROM p),
+         |u AS (SELECT doc_id, lang, s, e,
+         |        unnest(generate_series(CAST(s // 512 AS BIGINT),
+         |                               CAST((e - 1) // 512 AS BIGINT))) AS seq_idx
+         |      FROM x)
+         |SELECT doc_id, lang, seq_idx,
+         |  CAST(least(e, (seq_idx + 1) * 512) - greatest(s, seq_idx * 512) AS BIGINT) AS toks_in_seq
+         |FROM u""".stripMargin
+    },
+
+
+    "q65_token_quota" -> {
+      val n = PortableSql.tokenCount("text", DD)
+      s"""WITH t AS (SELECT doc_id, lang, CAST($n AS BIGINT) AS n FROM documents),
+         |p AS (SELECT doc_id, lang, n,
+         |        sum(n) OVER (PARTITION BY lang ORDER BY doc_id) AS e
+         |      FROM t WHERE n > 0)
+         |SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |FROM p WHERE e - n < 5000 GROUP BY lang""".stripMargin
+    },
+
+
+    "q114_boilerplate_report" ->
+      s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS l FROM documents),
+         |w AS (SELECT doc_id, source, unnest(${DD.shingles("l", 4)}) AS "window" FROM t),
+         |c AS (SELECT "window", count(*) AS n_occurrences,
+         |        count(DISTINCT doc_id) AS n_docs,
+         |        count(DISTINCT source) AS n_sources
+         |      FROM w GROUP BY "window")
+         |SELECT "window", n_occurrences, n_docs, n_sources
+         |FROM c ORDER BY n_occurrences DESC, "window" ASC LIMIT 20""".stripMargin,
+
+
+    // interpolated bigram NLL oracle: same smoothing arithmetic, the
+    // bigram's context/next words recovered from the shingle string
+    "q107_bigram_nll" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         |m AS (SELECT doc_id, l FROM d WHERE len(l) >= 2),
+         |u AS (SELECT unnest(l) AS token FROM d),
+         |uc AS (SELECT token, count(*) AS c FROM u GROUP BY token),
+         |st AS (SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM uc),
+         |bg AS (SELECT doc_id, unnest(${DD.shingles("l", 2)}) AS bgm FROM m),
+         |bc AS (SELECT bgm, count(*) AS bc FROM bg GROUP BY bgm),
+         |sc AS (SELECT g.doc_id,
+         |    0.75 * (CAST(coalesce(b.bc, 0) + 1 AS DOUBLE) /
+         |            (CAST(coalesce(u1.c, 0) AS DOUBLE) + st.v)) +
+         |    (1.0 - 0.75) * (CAST(coalesce(u2.c, 0) + 1 AS DOUBLE) / (st.n + st.v)) AS p
+         |  FROM bg g
+         |  LEFT JOIN bc b USING (bgm)
+         |  LEFT JOIN uc u1 ON u1.token = string_split(g.bgm, ' ')[1]
+         |  LEFT JOIN uc u2 ON u2.token = string_split(g.bgm, ' ')[-1], st)
+         |SELECT doc_id, round(avg(-ln(p)), 6) AS nll2 FROM sc GROUP BY doc_id""".stripMargin,
+
+
+    // Kneser-Ney oracle: replay the absolute-discount + continuation
+    // arithmetic from the same bigram TYPE table (w1/w2 recovered from
+    // the shingle string, as q107)
+    "q206_kneser_ney" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         |m AS (SELECT doc_id, l FROM d WHERE len(l) >= 2),
+         |bg AS (SELECT doc_id, unnest(${DD.shingles("l", 2)}) AS bgm FROM m),
+         |bc AS (SELECT bgm, count(*) AS bc FROM bg GROUP BY bgm),
+         |bt AS (SELECT bgm, bc, string_split(bgm, ' ')[1] AS w1,
+         |         string_split(bgm, ' ')[-1] AS w2 FROM bc),
+         |hist AS (SELECT w1, CAST(sum(bc) AS DOUBLE) AS h,
+         |           CAST(count(*) AS DOUBLE) AS fert FROM bt GROUP BY w1),
+         |cont AS (SELECT w2, CAST(count(*) AS DOUBLE) AS pre FROM bt GROUP BY w2),
+         |tt AS (SELECT CAST(count(*) AS DOUBLE) AS b FROM bt),
+         |sc AS (SELECT g.doc_id,
+         |    greatest(CAST(t.bc AS DOUBLE) - 0.75, 0.0) / h.h +
+         |    0.75 * h.fert / h.h * (c.pre / tt.b) AS p
+         |  FROM bg g
+         |  JOIN bt t USING (bgm)
+         |  JOIN hist h ON h.w1 = t.w1
+         |  JOIN cont c ON c.w2 = t.w2, tt)
+         |SELECT doc_id, round(avg(-ln(p)), 6) AS nll_kn FROM sc GROUP BY doc_id""".stripMargin,
+
+
+    // UniMax replay: per-lang exact-double capacities, ascending
+    // exclusive prefix sums, theta = max water level, min-clamp
+    "q210_unimax" ->
+      s"""WITH pl AS (SELECT lang,
+         |    CAST(sum(len(${DD.tokens("text")})) AS DOUBLE) AS n_tokens
+         |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+         |  GROUP BY lang),
+         |c AS (SELECT lang, n_tokens, n_tokens * 4.0 AS capacity FROM pl),
+         |w AS (SELECT *,
+         |    row_number() OVER (ORDER BY capacity ASC, lang ASC) AS i,
+         |    coalesce(sum(capacity) OVER (ORDER BY capacity ASC, lang ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS cum,
+         |    count(*) OVER () AS n
+         |  FROM c),
+         |t AS (SELECT max((80000.0 - cum) / (n - i + 1)) AS theta FROM w)
+         |SELECT lang, CAST(n_tokens AS BIGINT) AS n_tokens, capacity,
+         |  round(least(capacity, theta), 6) AS alloc_tokens,
+         |  round(least(capacity, theta) / n_tokens, 6) AS sample_rate
+         |FROM w, t""".stripMargin,
+
+
+    // Zipf replay: head-100 frequency table, ln-ln least squares with
+    // the same multiply-before-divide normal-equation arithmetic
+    "q212_zipf_fit" ->
+      s"""WITH tok AS (SELECT unnest(${DD.tokens("text")}) AS w
+         |  FROM documents WHERE text IS NOT NULL),
+         |c AS (SELECT w, count(*) AS n FROM tok GROUP BY w),
+         |h AS (SELECT w, n FROM c ORDER BY n DESC, w ASC LIMIT 100),
+         |xy AS (SELECT
+         |    ln(CAST(row_number() OVER (ORDER BY n DESC, w ASC) AS DOUBLE))
+         |      AS x,
+         |    ln(CAST(n AS DOUBLE)) AS y
+         |  FROM h),
+         |s AS (SELECT CAST(count(*) AS DOUBLE) AS k,
+         |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         |    sum(x * x) AS sxx, sum(y * y) AS syy
+         |  FROM xy)
+         |SELECT CAST(k AS BIGINT) AS n_fit,
+         |  round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS slope,
+         |  round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx) / k, 6)
+         |    AS intercept,
+         |  round(((k * sxy - sx * sy) * (k * sxy - sx * sy))
+         |    / ((k * sxx - sx * sx) * (k * syy - sy * sy)), 6) AS r2
+         |FROM s""".stripMargin,
+
+
+    // PMI replay: bigram type table, slot marginals, exact integer
+    // ratio under one ln
+    "q214_pmi" ->
+      s"""WITH d AS (SELECT string_split(text, ' ') AS l FROM documents
+         |           WHERE text IS NOT NULL),
+         |m AS (SELECT l FROM d WHERE len(l) >= 2),
+         |bg AS (SELECT unnest(${DD.shingles("l", 2)}) AS bgm FROM m),
+         |bc AS (SELECT bgm, count(*) AS n_pair FROM bg GROUP BY bgm),
+         |bt AS (SELECT bgm, n_pair, string_split(bgm, ' ')[1] AS w1,
+         |         string_split(bgm, ' ')[-1] AS w2 FROM bc),
+         |lft AS (SELECT w1, CAST(sum(n_pair) AS BIGINT) AS n_left
+         |        FROM bt GROUP BY w1),
+         |rgt AS (SELECT w2, CAST(sum(n_pair) AS BIGINT) AS n_right
+         |        FROM bt GROUP BY w2),
+         |tt AS (SELECT CAST(sum(n_pair) AS DOUBLE) AS t FROM bt)
+         |SELECT bgm AS bigram, n_pair, n_left, n_right,
+         |  round(ln(CAST(n_pair AS DOUBLE) * t /
+         |    (CAST(n_left AS DOUBLE) * CAST(n_right AS DOUBLE))), 6) AS pmi
+         |FROM bt JOIN lft USING (w1) JOIN rgt USING (w2), tt
+         |WHERE n_pair >= 3
+         |ORDER BY pmi DESC, bigram ASC LIMIT 20""".stripMargin,
+
+
+    // shrinkage replay: integer per-source counts, 1-row global rate,
+    // (k·mu + good)/(k + n)
+    "q215_source_quality" ->
+      s"""WITH s AS (SELECT source,
+         |    CASE WHEN ${PortableSql.qualityScore("text", DD)} >= 0.5
+         |         THEN 1 ELSE 0 END AS good
+         |  FROM documents WHERE source IS NOT NULL),
+         |per AS (SELECT source, count(*) AS n_docs,
+         |          CAST(sum(good) AS BIGINT) AS n_good
+         |        FROM s GROUP BY source),
+         |g AS (SELECT CAST(sum(n_good) AS DOUBLE) / sum(n_docs) AS mu
+         |      FROM per)
+         |SELECT source, n_docs, n_good,
+         |  round(CAST(n_good AS DOUBLE) / n_docs, 6) AS raw_rate,
+         |  round((20.0 * mu + n_good) / (20.0 + n_docs), 6) AS shrunk_rate
+         |FROM per, g""".stripMargin,
+
+
+    // quality-canonical replay: the q39 closure labels + quality
+    // argmax per cluster (qual desc, id asc)
+    "q220_quality_canonical" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         |$closureCtes,
+         |qq AS (SELECT doc_id,
+         |    ${PortableSql.qualityScore("text", DD)} AS qual
+         |  FROM documents WHERE text IS NOT NULL),
+         |lab AS (SELECT qq.doc_id, qq.qual,
+         |    coalesce(l.cluster_id, qq.doc_id) AS cluster_id
+         |  FROM qq LEFT JOIN labels l ON l.doc_id = qq.doc_id),
+         |k AS (SELECT cluster_id, doc_id AS keeper_id,
+         |    qual AS keeper_quality,
+         |    row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY qual DESC, doc_id ASC) AS rn
+         |  FROM lab)
+         |SELECT lab.doc_id, lab.cluster_id, k.keeper_id,
+         |  k.keeper_quality, lab.doc_id = k.keeper_id AS is_keeper
+         |FROM lab JOIN k ON k.cluster_id = lab.cluster_id AND k.rn = 1""".stripMargin,
+
+
+    // confusability replay: trigram profiles, integer dots, one sqrt
+    "q225_lang_confusability" ->
+      """WITH tri AS (SELECT lang AS l,
+        |    unnest(list_transform(generate_series(1,
+        |      greatest(length(text) - 2, 0)),
+        |      __i -> substr(text, CAST(__i AS INT), 3))) AS tg
+        |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+        |prof AS (SELECT l, tg, count(*) AS c FROM tri GROUP BY l, tg),
+        |norms AS (SELECT l, CAST(sum(c * c) AS BIGINT) AS n2
+        |          FROM prof GROUP BY l),
+        |dots AS (SELECT a.l AS lang_a, b.l AS lang_b,
+        |    count(*) AS n_shared, CAST(sum(a.c * b.c) AS BIGINT) AS dot
+        |  FROM prof a JOIN prof b ON a.tg = b.tg AND a.l < b.l
+        |  GROUP BY 1, 2)
+        |SELECT lang_a, lang_b, n_shared,
+        |  round(dot / (sqrt(CAST(na.n2 AS DOUBLE))
+        |    * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cosine
+        |FROM dots
+        |JOIN norms na ON na.l = lang_a
+        |JOIN norms nb ON nb.l = lang_b""".stripMargin,
+
+
+    // stupid-backoff replay: model-half n-gram count tables, heldout
+    // trigram positions, the same three-branch CASE (α interpolated as
+    // the exact Scala doubles so both engines score identical floats)
+    "q248_stupid_backoff" -> {
+      val a = 0.4
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS l
+         |  FROM documents WHERE text IS NOT NULL),
+         |mdl AS (SELECT * FROM d WHERE doc_id % 2 = 0),
+         |hld AS (SELECT * FROM d WHERE doc_id % 2 = 1),
+         |tc AS (SELECT g, count(*) AS c3 FROM (
+         |    SELECT unnest(${DD.shingles("l", 3)}) AS g FROM mdl
+         |    WHERE len(l) >= 3) GROUP BY g),
+         |bc AS (SELECT g, count(*) AS c2 FROM (
+         |    SELECT unnest(${DD.shingles("l", 2)}) AS g FROM mdl
+         |    WHERE len(l) >= 2) GROUP BY g),
+         |uc AS (SELECT w, count(*) AS c1 FROM (
+         |    SELECT unnest(l) AS w FROM mdl) GROUP BY w),
+         |st AS (SELECT CAST(sum(c1) AS DOUBLE) AS n,
+         |    CAST(count(*) AS DOUBLE) AS v FROM uc),
+         |px AS (SELECT doc_id, tg,
+         |    array_to_string(string_split(tg, ' ')[1:2], ' ') AS h12,
+         |    array_to_string(string_split(tg, ' ')[2:3], ' ') AS g23,
+         |    string_split(tg, ' ')[2] AS w2,
+         |    string_split(tg, ' ')[3] AS w3
+         |  FROM (SELECT doc_id, unnest(${DD.shingles("l", 3)}) AS tg
+         |        FROM hld WHERE len(l) >= 3)),
+         |sc AS (SELECT p.doc_id,
+         |    CASE WHEN coalesce(t.c3, 0) > 0
+         |      THEN CAST(t.c3 AS DOUBLE) / bh.c2
+         |    WHEN coalesce(bg.c2, 0) > 0
+         |      THEN $a * CAST(bg.c2 AS DOUBLE) / u2.c1
+         |    ELSE ${a * a} * (coalesce(u3.c1, 0) + 1) / (st.n + st.v)
+         |    END AS s
+         |  FROM px p
+         |  LEFT JOIN tc t ON t.g = p.tg
+         |  LEFT JOIN bc bh ON bh.g = p.h12
+         |  LEFT JOIN bc bg ON bg.g = p.g23
+         |  LEFT JOIN uc u2 ON u2.w = p.w2
+         |  LEFT JOIN uc u3 ON u3.w = p.w3, st)
+         |SELECT doc_id, round(avg(-ln(s)), 6) AS nll_sb
+         |FROM sc GROUP BY doc_id""".stripMargin
+    },
+
+
+    "q58_profile" -> {
+      def block(c: String, num: Boolean) = {
+        val mn = if (num) s"CAST(min($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+        val mx = if (num) s"CAST(max($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct, $mn AS min_val, $mx AS max_val
+           |FROM lineitem""".stripMargin
+      }
+      Seq(
+        block("l_quantity", num = true),
+        block("l_extendedprice", num = true),
+        block("l_returnflag", num = false),
+        block("l_orderkey", num = true)).mkString("\nUNION ALL\n")
+    },
+
+
+    // chunking oracle: same start grid (0, stride, …, capped so a
+    // window fully contained in its predecessor is dropped), same
+    // inclusive list slice
+    "q117_chunk_docs" -> {
+      val (chunk, ov) = (32, 8)
+      val stride = chunk - ov
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         |s AS (SELECT doc_id, l,
+         |        unnest(generate_series(0, greatest(len(l) - $ov - 1, 0), $stride)) AS st
+         |      FROM t)
+         |SELECT doc_id, CAST(st / $stride AS BIGINT) AS chunk_index,
+         |  array_to_string(l[st + 1 : st + $chunk], ' ') AS chunk_text,
+         |  CAST(least($chunk, len(l) - st) AS BIGINT) AS n_tokens
+         |FROM s""".stripMargin
+    },
+
+
+    // BPE training replay: the v0…v6 merge chain, one row per rank
+    "q118_bpe_merges" -> {
+      val k = 6
+      s"""${bpeTrainCtes(k)}
+         |${(1 to k).map(i =>
+            s"SELECT CAST($i AS BIGINT) AS rank, left_sym, right_sym, pair_count FROM b$i")
+            .mkString("\nUNION ALL\n")}""".stripMargin
+    },
+
+
+    // BPE encoding replay: the same training chain learns b1…b6, then
+    // every doc's words run the 6 padded replaces in rank order and
+    // the surviving symbols are counted — the portable form of the
+    // graft_bpe_count kernel
+    "q119_bpe_encode" -> {
+      val k = 6
+      s"""${bpeTrainCtes(k)}
+         |SELECT d.doc_id,
+         |  CAST(list_sum(list_transform(string_split(d.text, ' '), __w ->
+         |    len(string_split(trim(${bpeMergedExpr(k)}, chr(1)), chr(1) || chr(1))))) AS BIGINT)
+         |    AS n_bpe_tokens,
+         |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_ws_tokens
+         |FROM documents d, ${(1 to k).map(i => s"b$i").mkString(", ")}""".stripMargin
+    },
+
+
+    // BPE vocabulary replay: the trained chain's FINAL vocab state v6
+    // already holds every word's surviving symbols — unnest and roll up
+    "q123_bpe_vocab" -> {
+      val k = 6
+      s"""${bpeTrainCtes(k)}
+         |SELECT symbol, CAST(sum(n) AS BIGINT) AS n_occurrences FROM (
+         |  SELECT unnest(string_split(wsym, chr(1) || chr(1))) AS symbol, n
+         |  FROM v$k)
+         |GROUP BY symbol""".stripMargin
+    },
+
+
+    // durable BPE replay: train chain restricted to the even half,
+    // encode chain over the odd half — storage must change nothing
+    "q124_durable_bpe" -> {
+      val k = 6
+      s"""${bpeTrainCtes(k, "WHERE doc_id % 2 = 0")}
+         |SELECT d.doc_id,
+         |  CAST(list_sum(list_transform(string_split(d.text, ' '), __w ->
+         |    len(string_split(trim(${bpeMergedExpr(k)}, chr(1)), chr(1) || chr(1))))) AS BIGINT)
+         |    AS n_bpe_tokens
+         |FROM documents d, ${(1 to k).map(i => s"b$i").mkString(", ")}
+         |WHERE d.doc_id % 2 <> 0""".stripMargin
+    },
+
+
+    // tokenizer-aware packing replay: q64's running-sum chain with n =
+    // the BPE count (training replay + 6 chained replaces per word)
+    "q125_bpe_pack" -> {
+      val k = 6
+      s"""${bpeTrainCtes(k)},
+         |t AS (SELECT d.doc_id, d.lang,
+         |  CAST(list_sum(list_transform(string_split(d.text, ' '), __w ->
+         |    len(string_split(trim(${bpeMergedExpr(k)}, chr(1)), chr(1) || chr(1))))) AS BIGINT) AS n
+         |  FROM documents d, ${(1 to k).map(i => s"b$i").mkString(", ")}),
+         |p AS (SELECT doc_id, lang, n,
+         |        sum(n) OVER (PARTITION BY lang ORDER BY doc_id) AS e
+         |      FROM t WHERE n > 0),
+         |x AS (SELECT doc_id, lang, e - n AS s, e FROM p),
+         |u AS (SELECT doc_id, lang, s, e,
+         |        unnest(generate_series(CAST(s // 512 AS BIGINT),
+         |                               CAST((e - 1) // 512 AS BIGINT))) AS seq_idx
+         |      FROM x)
+         |SELECT doc_id, lang, seq_idx,
+         |  CAST(least(e, (seq_idx + 1) * 512) - greatest(s, seq_idx * 512) AS BIGINT) AS toks_in_seq
+         |FROM u""".stripMargin
+    },
+
+
+    // tokenizer-equity replay: the q119 per-doc encode rolled up per
+    // language; compression = chars (spaces removed) per BPE token
+    "q126_tokenizer_report" -> {
+      val k = 6
+      s"""${bpeTrainCtes(k)},
+         |t AS (SELECT d.lang,
+         |  len(string_split(d.text, ' ')) AS ws,
+         |  len(replace(d.text, ' ', '')) AS ch,
+         |  list_sum(list_transform(string_split(d.text, ' '), __w ->
+         |    len(string_split(trim(${bpeMergedExpr(k)}, chr(1)), chr(1) || chr(1))))) AS bpe
+         |  FROM documents d, ${(1 to k).map(i => s"b$i").mkString(", ")})
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(ws) AS BIGINT) AS ws_tokens,
+         |  CAST(sum(ch) AS BIGINT) AS n_chars,
+         |  CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+         |  round(CAST(sum(ch) AS DOUBLE) / sum(bpe), 6) AS chars_per_bpe_token
+         |FROM t GROUP BY lang""".stripMargin
+    },
+
+
+    // encoding-health replay: the same deterministic seeding (chr(769)
+    // = U+0301 combining acute, chr(65533) = U+FFFD), DuckDB's
+    // utf8proc nfc_normalize against the kernel's java.text.Normalizer
+    // — both count length in code points
+    "q128_unicode_clean" ->
+      """WITH seeded AS (
+        |  SELECT lang,
+        |    CASE WHEN doc_id % 7 = 0
+        |           THEN text || ' cafe' || chr(769) || ' re' || chr(769)
+        |                || 'sume' || chr(769)
+        |         WHEN doc_id % 11 = 0
+        |           THEN text || ' ' || chr(65533) || chr(65533) || 'broken'
+        |         ELSE text END AS t
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN t <> nfc_normalize(t) THEN 1 ELSE 0 END) AS BIGINT) AS n_non_nfc,
+        |  CAST(sum(length(t) - length(nfc_normalize(t))) AS BIGINT) AS chars_saved,
+        |  CAST(sum(length(t) - length(replace(t, chr(65533), ''))) AS BIGINT) AS repl_chars
+        |FROM seeded GROUP BY lang""".stripMargin,
+
+
+    // perplexity-bucket replay: the q68 NLL chain (rounded 6dp both
+    // engines), per-lang rank with doc_id tie-break, integer tercile
+    // comparisons, micronat sums
+    "q185_perplexity_buckets" ->
+      s"""WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |           FROM documents),
+         |c AS (SELECT tok, count(*) AS c FROM e GROUP BY tok),
+         |n AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM c),
+         |nll AS (SELECT doc_id, round(avg(-ln(CAST(c AS DOUBLE) / n)), 6) AS nll
+         |        FROM e JOIN c USING (tok), n GROUP BY doc_id),
+         |r AS (SELECT d.lang, nll.doc_id, nll.nll,
+         |        CAST(row_number() OVER (PARTITION BY d.lang
+         |          ORDER BY nll.nll, nll.doc_id) AS BIGINT) AS rn,
+         |        count(*) OVER (PARTITION BY d.lang) AS cnt
+         |      FROM nll JOIN documents d ON d.doc_id = nll.doc_id)
+         |SELECT lang,
+         |  CASE WHEN 3*(rn-1) < cnt THEN 'head'
+         |       WHEN 3*(rn-1) < 2*cnt THEN 'middle'
+         |       ELSE 'tail' END AS bucket,
+         |  count(*) AS n_docs,
+         |  CAST(sum(CAST(round(nll*1000000, 0) AS BIGINT)) AS BIGINT)
+         |    AS sum_nll_micro,
+         |  min(nll) AS min_nll, max(nll) AS max_nll
+         |FROM r GROUP BY 1, 2""".stripMargin,
+
+
+    // gate replay: q184's regex-count chain over the extended fixture
+    // + the portable lang-ID CASE + the same precedence rules
+    "q189_multilingual_gate" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN doc_id % 7 <> 0 AND doc_id % 3 = 0 THEN ''
+         |          ELSE text END) ||
+         |    CASE WHEN doc_id % 7 = 1 THEN ' Привет мир 2024'
+         |         WHEN doc_id % 7 = 2 THEN ' Ελληνικά κείμενο'
+         |         WHEN doc_id % 7 = 3 THEN ' مرحبا بالعالم'
+         |         WHEN doc_id % 7 = 4 THEN ' שלום עולם'
+         |         WHEN doc_id % 7 = 5 THEN ' नमस्ते दुनिया'
+         |         WHEN doc_id % 7 = 6 THEN ' 你好世界 ありがとう 한국어'
+         |         ELSE '' END ||
+         |    CASE WHEN doc_id % 23 = 0 THEN
+         |      ' 0123456789012345678901234567890123456789012345678' ||
+         |      ' 0123456789012345678901234567890123456789012345678' ||
+         |      ' 0123456789012345678901234567890123456789012345678'
+         |      ELSE '' END AS tx
+         |  FROM documents WHERE text IS NOT NULL),
+         |p AS (
+         |  SELECT doc_id, ${PortableSql.langId("tx", DD)} AS lang_pred,
+         |    length(tx) AS n_chars,
+         |    length(regexp_replace(tx, '[^A-Za-z\\x{00C0}-\\x{00D6}\\x{00D8}-\\x{00F6}\\x{00F8}-\\x{00FF}\\x{0100}-\\x{024F}]', '', 'g')) AS n_latin,
+         |    length(regexp_replace(tx, '[^\\x{0400}-\\x{04FF}]', '', 'g')) AS n_cyrillic,
+         |    length(regexp_replace(tx, '[^\\x{0370}-\\x{03FF}]', '', 'g')) AS n_greek,
+         |    length(regexp_replace(tx, '[^\\x{0600}-\\x{06FF}]', '', 'g')) AS n_arabic,
+         |    length(regexp_replace(tx, '[^\\x{0590}-\\x{05FF}]', '', 'g')) AS n_hebrew,
+         |    length(regexp_replace(tx, '[^\\x{0900}-\\x{097F}]', '', 'g')) AS n_devanagari,
+         |    length(regexp_replace(tx, '[^\\x{3040}-\\x{30FF}\\x{4E00}-\\x{9FFF}\\x{AC00}-\\x{D7A3}]', '', 'g')) AS n_cjk,
+         |    length(regexp_replace(tx, '[^0-9]', '', 'g')) AS n_digit
+         |  FROM t),
+         |d AS (
+         |  SELECT doc_id, lang_pred, n_chars,
+         |    CASE
+         |      WHEN (CASE WHEN n_latin > 0 THEN 1 ELSE 0 END
+         |        + CASE WHEN n_cyrillic > 0 THEN 1 ELSE 0 END
+         |        + CASE WHEN n_greek > 0 THEN 1 ELSE 0 END
+         |        + CASE WHEN n_arabic > 0 THEN 1 ELSE 0 END
+         |        + CASE WHEN n_hebrew > 0 THEN 1 ELSE 0 END
+         |        + CASE WHEN n_devanagari > 0 THEN 1 ELSE 0 END
+         |        + CASE WHEN n_cjk > 0 THEN 1 ELSE 0 END) >= 2
+         |        THEN 'mixed_script'
+         |      WHEN lang_pred = 'und' AND
+         |        (n_latin + n_cyrillic + n_greek + n_arabic + n_hebrew
+         |          + n_devanagari + n_cjk) > 0 THEN 'lang_unsupported'
+         |      WHEN 5*n_digit > n_chars THEN 'digit_heavy'
+         |      ELSE 'kept' END AS reason
+         |  FROM p)
+         |SELECT reason, count(*) AS n_docs,
+         |  count(DISTINCT lang_pred) AS n_langs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |FROM d GROUP BY 1""".stripMargin,
+
+
+    // calibration replay: q38's exact interpolated-percentile scheme
+    // over the per-source quality distribution
+    "q134_quality_calibration" -> {
+      val q = PortableSql.qualityScore("text", DD)
+      val pcols = Seq(0.5 -> "p50", 0.9 -> "p90").map { case (p, name) =>
+        s"""round(
+           |    max(CASE WHEN rn = CAST(floor((n - 1) * $p) AS BIGINT) + 1 THEN v END) +
+           |    (max(CASE WHEN rn = CAST(ceil((n - 1) * $p) AS BIGINT) + 1 THEN v END) -
+           |     max(CASE WHEN rn = CAST(floor((n - 1) * $p) AS BIGINT) + 1 THEN v END))
+           |    * max((n - 1) * $p - floor((n - 1) * $p)), 6) AS $name""".stripMargin
+      }.mkString(",\n  ")
+      s"""WITH qc_t AS (SELECT source, CAST($q AS DOUBLE) AS v
+         |  FROM documents WHERE $q IS NOT NULL),
+         |qc_r AS (SELECT source, v,
+         |    row_number() OVER (PARTITION BY source ORDER BY v ASC) AS rn,
+         |    CAST(count(*) OVER (PARTITION BY source) AS DOUBLE) AS n
+         |  FROM qc_t)
+         |SELECT source,
+         |  $pcols,
+         |  CAST(max(n) AS BIGINT) AS n_rows
+         |FROM qc_r GROUP BY source""".stripMargin
+    },
+
+
+    // token-budget replay: identical two-stage arithmetic — per-bin
+    // token mass, window cum-mass from the top bin down (`above` =
+    // strictly-higher bins), full bins where above+btok <= B, the one
+    // threshold bin spends B-above in doc_id order; all integer math
+    "q132_token_budget" -> {
+      val budget = 12000L
+      val q = PortableSql.qualityScore("text", DD)
+      val tok = PortableSql.tokenCount("text", DD)
+      s"""WITH tb_d AS (
+         |  SELECT doc_id, source, CAST($tok AS BIGINT) AS tok,
+         |    CAST(least(greatest(floor($q * 100), 0), 99) AS INT) AS b
+         |  FROM documents WHERE $q IS NOT NULL),
+         |tb_bs AS (SELECT b, sum(tok) AS btok FROM tb_d GROUP BY b),
+         |tb_a AS (SELECT b, btok,
+         |    coalesce(sum(btok) OVER (ORDER BY b DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS above
+         |  FROM tb_bs),
+         |tb_sel AS (
+         |  SELECT d.doc_id, d.source, d.tok, d.b, a.above, a.btok,
+         |    sum(d.tok) OVER (PARTITION BY d.b ORDER BY d.doc_id) AS run
+         |  FROM tb_d d JOIN tb_a a USING (b)),
+         |tb_kept AS (
+         |  SELECT * FROM tb_sel
+         |  WHERE above + btok <= $budget
+         |     OR (above <= $budget AND above + btok > $budget
+         |         AND above + run <= $budget))
+         |SELECT k.source, count(*) AS n_docs,
+         |  CAST(sum(k.tok) AS BIGINT) AS n_tokens,
+         |  min($q) AS min_q
+         |FROM tb_kept k JOIN documents USING (doc_id)
+         |GROUP BY k.source""".stripMargin
+    }
+  )
+}

@@ -240,7 +240,8 @@ object CorpusIngest {
           delta, idCol, vecCol, indexDir, threshold, nprobe)
         .localCheckpoint()
       if (!delta.isEmpty)
-        graft.io.VectorIndex.append(delta.select(col(idCol), col(vecCol)), indexDir)
+        graft.io.VectorIndex.appendLocked(
+          delta.select(col(idCol), col(vecCol)), indexDir)
       d
     }
   }
