@@ -585,6 +585,20 @@ private[graft] trait EntryAnn extends EntryContext {
       val emb = T(s, dir, "embeddings")
       graft.io.GraphIndex.search(s, insertedGraphIndex(s, dir), emb,
         emb.filter(col("vec_id") === 0), k = 10)
+    }),
+
+    // ---- north-star: right-to-be-forgotten for the nav graph — the
+    //      takedown pass every other durable index has (q82/q83/q99):
+    //      deleted ids leave the ledger and every edge incident to
+    //      them drops (owners-only rewrite). The probe then walks the
+    //      pruned graph over the SURVIVING corpus; a forgotten vector
+    //      can never surface. Oracle = the walk over kg minus the
+    //      incident edges, entries from the survivors.
+    "q291_forget_graph" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      graft.io.GraphIndex.search(s, forgottenGraphIndex(s, dir),
+        emb.filter(!col("vec_id").isin(1L, 11L, 21L)),
+        emb.filter(col("vec_id") === 0), k = 10)
     })
   )
 
@@ -1378,6 +1392,20 @@ private[graft] trait EntryAnn extends EntryContext {
 
 
     // search-then-link replay: standing stem (batch held out) → one
+    // forget replay: full-corpus graph minus every edge incident to a
+    // deleted id, probe walk over the surviving corpus (entries from
+    // the survivors — a forgotten vector can never surface)
+    "q291_forget_graph" ->
+      s"""WITH ${graphAnnStemCtes()},
+         |embs AS MATERIALIZED (SELECT vec_id, embedding FROM embm
+         |  WHERE vec_id NOT IN (1, 11, 21)),
+         |kgd AS MATERIALIZED (SELECT id, nbr FROM kg
+         |  WHERE id NOT IN (1, 11, 21) AND nbr NOT IN (1, 11, 21)),
+         |entd AS (SELECT vec_id AS node FROM embs ORDER BY vec_id LIMIT 4),
+         |${graphAnnWalkCtes(0, graph = "kgd", ent = "entd",
+             emb = "embs", qsrc = "embs", ns0 = "fg")}
+         |SELECT node AS vec_id, sim AS cosine_sim FROM res_fg""".stripMargin,
+
     // walk per inserted vector (its top-8 forward candidates) + exact
     // batch-internal pairs → micro-ranked forward cut → symmetrize →
     // degree-re-prune touched nodes against the standing edge cosines

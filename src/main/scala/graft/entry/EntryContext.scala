@@ -348,7 +348,8 @@ private[graft] trait EntryContext {
     "q284_graph_ann_recall" -> ((s, dir) => annGraph(s, dir): Unit),
     "q285_graph_ann_batch" -> ((s, dir) => annGraph(s, dir): Unit),
     "q286_durable_graph_ann" -> ((s, dir) => durableGraphIndex(s, dir): Unit),
-    "q287_graph_ann_insert" -> ((s, dir) => insertedGraphIndex(s, dir): Unit))
+    "q287_graph_ann_insert" -> ((s, dir) => insertedGraphIndex(s, dir): Unit),
+    "q291_forget_graph" -> ((s, dir) => forgottenGraphIndex(s, dir): Unit))
 
   /** Deterministic video corpus for q288/q289: one raw Y4M clip per
     * document (REAL bytes — [[graft.ops.Multimodal.demoY4m]]; ids
@@ -394,6 +395,23 @@ private[graft] trait EntryContext {
           maxBucketSize = 400, nEntries = 4, beamWidth = 16, maxSteps = 10)
         graft.io.GraphIndex.ingestBatch(s, idxDir, emb,
           emb.filter(col("vec_id").isin(batchIds: _*)))
+        idxDir
+      })
+
+  /** q291 store: the full-corpus graph, then a right-to-be-forgotten
+    * delete of (1, 11, 21) — incident edges drop, owners rewrite. */
+  protected def forgottenGraphIndex(s: SparkSession, dir: String): String =
+    graphIdxMemo.getOrElseUpdate(
+      (s.sparkContext.applicationId, dir, "fgt"), {
+        val idxDir = tmp("graph_index_f_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+        val emb = T(s, dir, "embeddings")
+        graft.io.GraphIndex.build(
+          emb, "vec_id", "embedding", idxDir,
+          dims = 64, k = 8, planesPerBand = 6, bands = 4,
+          maxBucketSize = 400, nEntries = 4, beamWidth = 16, maxSteps = 10)
+        import s.implicits._
+        graft.io.GraphIndex.delete(s, idxDir,
+          Seq(1L, 11L, 21L).toDF("vec_id"))
         idxDir
       })
 

@@ -283,6 +283,62 @@ object GraphIndex {
   }
 
   /**
+   * Remove vectors from the graph — the takedown /
+   * right-to-be-forgotten pass of the index family
+   * ([[SignatureIndex.delete]], [[VectorIndex.delete]], graph form):
+   * deleted ids leave the ledger (their adjacency lists become
+   * unreachable — physically reclaimed by [[compact]]), and every
+   * surviving node that POINTED at a deleted id rewrites its list
+   * minus those edges into a fresh generation. Cost ∝ the deleted
+   * ids' in/out neighborhoods — untouched nodes' rows never rewrite.
+   *
+   * Equivalent to dropping every edge incident to a deleted id
+   * (spec-pinned). Survivor navigability can degrade vs a full
+   * rebuild — the honest NSW deletion trade; the public practice is
+   * periodic re-link (a [[ingestBatch]] of the affected region) or
+   * rebuild on schedule. Callers must also forget the vectors in the
+   * corpus store they search with. Returns ids actually removed.
+   */
+  def delete(spark: SparkSession, dir: String, deletedIds: DataFrame): Long =
+    Commits.withClaim(spark, dir) {
+      val (ledgerVersion, ledger) =
+        Commits.readVersioned(spark, ledgerDir(dir))
+          .getOrElse(sys.error(s"no committed ledger under ${ledgerDir(dir)}"))
+      val del = deletedIds
+        .select(col(deletedIds.columns.head).cast("long").as("id"))
+        .distinct()
+        .join(ledger.select("id"), Seq("id"), "left_semi") // unknown ids no-op
+        .localCheckpoint()
+      val nDel = del.count()
+      if (nDel == 0) 0L
+      else {
+        val live = edges(spark, dir).localCheckpoint()
+        // survivors whose lists reference a deleted id rewrite, minus
+        // those edges; a list can legitimately empty out (the node
+        // stays in the ledger with no out-edges)
+        val owners = live
+          .join(broadcast(del.select(col("id").as("nbr"))), Seq("nbr"), "left_semi")
+          .select(col("id")).distinct()
+          .join(broadcast(del), Seq("id"), "left_anti")
+          .localCheckpoint()
+        val rewritten = live
+          .join(broadcast(owners), Seq("id"), "left_semi")
+          .join(broadcast(del.select(col("id").as("nbr"))), Seq("nbr"), "left_anti")
+          .select(col("id"), col("nbr"), col("cos_micro"))
+        val gen = maxGenOnDisk(spark, dir) + 1
+        rewritten.withColumn("gen", lit(gen))
+          .sortWithinPartitions("id")
+          .write.mode("append").partitionBy("gen").parquet(adjPath(dir))
+        val newLedger = ledger
+          .join(broadcast(del), Seq("id"), "left_anti")
+          .join(owners, Seq("id"), "left_anti")
+          .unionByName(owners.withColumn("gen", lit(gen)))
+        Commits.commitVersion(newLedger, ledgerDir(dir), ledgerVersion)
+        nDel
+      }
+    }
+
+  /**
    * Merge-on-read compaction: rewrite every LIVE adjacency list into
    * one fresh generation (max-on-disk + 1 — a crashed compaction's
    * number is never reused), swap the ledger all-or-nothing, then

@@ -141,6 +141,41 @@ class GraphIndexSpec extends AnyFunSuite {
     assert(gens.length == 1, s"expected one live generation, got ${gens.toSeq}")
   }
 
+  test("delete: incident edges drop, owners-only rewrite, forgotten ids never surface") {
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("graph_index_forget") + "/idx"
+    buildAt(dir, emb)
+    val delIds = Seq(1L, 11L, 21L)
+    val before = GraphIndex.edges(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(before.exists(e => delIds.contains(e._1) || delIds.contains(e._2)),
+      "fixture must actually have edges incident to the deleted ids")
+
+    assert(GraphIndex.delete(spark, dir, Seq(1L, 11L, 21L, 999999L).toDF("vec_id")) == 3L,
+      "unknown ids must not count as removed")
+    val after = GraphIndex.edges(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // spec-pinned equivalence: EXACTLY the edges not incident to a
+    // deleted id survive, values untouched
+    assert(after == before.filterNot(e =>
+      delIds.contains(e._1) || delIds.contains(e._2)))
+    val ids = GraphIndex.storedIds(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(delIds.forall(i => !ids.contains(i)))
+
+    // probes over the surviving corpus never surface a forgotten id
+    val survivors = emb.filter(!col("vec_id").isin(delIds: _*))
+    val got = GraphIndex.search(spark, dir, survivors,
+        emb.filter(col("vec_id") === 0), k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert((got & delIds.toSet).isEmpty && got.nonEmpty)
+
+    // re-deleting is a no-op (version does not advance)
+    val v = Commits.readVersioned(spark, s"$dir/ledger").get._1
+    assert(GraphIndex.delete(spark, dir, Seq(1L, 11L).toDF("vec_id")) == 0L)
+    assert(Commits.readVersioned(spark, s"$dir/ledger").get._1 == v)
+  }
+
   test("a build without its meta commit is unreadable (meta-last contract)") {
     val dir = TestSpark.tmpDir("graph_index_meta") + "/idx"
     buildAt(dir, emb)
