@@ -587,6 +587,19 @@ private[graft] trait EntryAnn extends EntryContext {
         emb.filter(col("vec_id") === 0), k = 10)
     }),
 
+    // ---- north-star: durable BATCH probe — q285's stored-graph twin
+    //      (the probe-service shape against the published layer): all
+    //      three beams share each round's pruned lookups against the
+    //      id-sorted adjacency files. Same oracle as q285 — the store
+    //      must reproduce the in-memory batch walks verbatim.
+    "q292_durable_graph_batch" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      graft.io.GraphIndex.searchBatch(s, durableGraphIndex(s, dir), emb,
+        emb.filter(col("vec_id").isin(0L, 7L, 23L))
+          .select(col("vec_id").as("query_id"), col("embedding")),
+        "query_id", k = 10)
+    }),
+
     // ---- north-star: right-to-be-forgotten for the nav graph — the
     //      takedown pass every other durable index has (q82/q83/q99):
     //      deleted ids leave the ledger and every edge incident to
@@ -1479,6 +1492,16 @@ private[graft] trait EntryAnn extends EntryContext {
     // merge across queries while per-query semantics stay the single
     // walk's, so the oracle is literally three single walks
     "q285_graph_ann_batch" ->
+      s"""WITH ${graphAnnStemCtes()},
+         |${Seq(0L, 7L, 23L).map(graphAnnWalkCtes(_)).mkString(",\n")}
+         |${Seq(0L, 7L, 23L).map(q =>
+             s"""SELECT CAST($q AS BIGINT) AS query_id,
+                |  CAST(rn AS BIGINT) AS rank, node AS vec_id,
+                |  sim AS cosine_sim FROM res_q$q""".stripMargin)
+           .mkString("\nUNION ALL\n")}""".stripMargin,
+
+    // durable batch probe ≡ the in-memory batch walks (q60 convention)
+    "q292_durable_graph_batch" ->
       s"""WITH ${graphAnnStemCtes()},
          |${Seq(0L, 7L, 23L).map(graphAnnWalkCtes(_)).mkString(",\n")}
          |${Seq(0L, 7L, 23L).map(q =>

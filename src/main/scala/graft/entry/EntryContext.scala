@@ -349,7 +349,8 @@ private[graft] trait EntryContext {
     "q285_graph_ann_batch" -> ((s, dir) => annGraph(s, dir): Unit),
     "q286_durable_graph_ann" -> ((s, dir) => durableGraphIndex(s, dir): Unit),
     "q287_graph_ann_insert" -> ((s, dir) => insertedGraphIndex(s, dir): Unit),
-    "q291_forget_graph" -> ((s, dir) => forgottenGraphIndex(s, dir): Unit))
+    "q291_forget_graph" -> ((s, dir) => forgottenGraphIndex(s, dir): Unit),
+    "q292_durable_graph_batch" -> ((s, dir) => durableGraphIndex(s, dir): Unit))
 
   /** Deterministic video corpus for q288/q289: one raw Y4M clip per
     * document (REAL bytes — [[graft.ops.Multimodal.demoY4m]]; ids
@@ -365,6 +366,13 @@ private[graft] trait EntryContext {
   protected val graphIdxMemo =
     scala.collection.concurrent.TrieMap.empty[(String, String, String), String]
 
+  /** Hard-reset a scratch store dir (stale claims/records from a
+    * crashed previous JVM must not trip a fresh build). */
+  protected def wipe(s: SparkSession, dirPath: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dirPath)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
   /** q286 durable nav graph over the FULL fixture corpus — annGraph's
     * geometry, persisted. Built once per app run (bench reps time the
     * PROBE — the q97 convention); rebuilt from scratch so a stale
@@ -373,6 +381,7 @@ private[graft] trait EntryContext {
     graphIdxMemo.getOrElseUpdate(
       (s.sparkContext.applicationId, dir, "full"), {
         val idxDir = tmp("graph_index_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+        wipe(s, idxDir) // a previous JVM's crashed run may hold a claim
         graft.io.GraphIndex.build(
           T(s, dir, "embeddings"), "vec_id", "embedding", idxDir,
           dims = 64, k = 8, planesPerBand = 6, bands = 4,
@@ -386,6 +395,7 @@ private[graft] trait EntryContext {
     graphIdxMemo.getOrElseUpdate(
       (s.sparkContext.applicationId, dir, "ins"), {
         val idxDir = tmp("graph_index_i_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+        wipe(s, idxDir)
         val emb = T(s, dir, "embeddings")
         val batchIds = Seq(0L, 10L, 20L)
         graft.io.GraphIndex.build(
@@ -404,6 +414,7 @@ private[graft] trait EntryContext {
     graphIdxMemo.getOrElseUpdate(
       (s.sparkContext.applicationId, dir, "fgt"), {
         val idxDir = tmp("graph_index_f_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+        wipe(s, idxDir)
         val emb = T(s, dir, "embeddings")
         graft.io.GraphIndex.build(
           emb, "vec_id", "embedding", idxDir,

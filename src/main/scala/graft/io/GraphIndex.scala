@@ -117,7 +117,12 @@ object GraphIndex {
     val spark = corpus.sparkSession
     val base = new Path(dir)
     val fs = fsOf(spark, base)
-    fs.delete(base, true)
+    // targeted reset: only the index's own parts — a maintainer's held
+    // drain claim (and its durable folded-files record) must survive a
+    // bootstrap build running UNDER that claim
+    fs.delete(metaFile(dir), false)
+    fs.delete(new Path(adjPath(dir)), true)
+    fs.delete(new Path(ledgerDir(dir)), true)
     val g = Similarity.knnGraph(corpus, idCol, embCol,
         planesPerBand, bands, dims, k, minCosine = -1.0, maxBucketSize)
       .select(col("id").cast("long").as("id"), col("nbr").cast("long").as("nbr"),
@@ -125,8 +130,12 @@ object GraphIndex {
       .withColumn("gen", lit(0))
     g.sortWithinPartitions("id") // footer min/max → point-lookup pruning
       .write.mode("overwrite").partitionBy("gen").parquet(adjPath(dir))
+    // ledger = EVERY corpus id (isolated vectors hold an empty list):
+    // the indexed-set record the maintainer's replay anti-join needs,
+    // and the hook back-links attach to when neighbors arrive later
     Commits.commitVersion(
-      g.select(col("id")).distinct().withColumn("gen", lit(0)),
+      corpus.select(col(idCol).cast("long").as("id")).distinct()
+        .withColumn("gen", lit(0)),
       ledgerDir(dir), -1)
     val json =
       s"""{"id_col": "$idCol", "emb_col": "$embCol", "dims": $dims, """ +
@@ -216,7 +225,20 @@ object GraphIndex {
       dir: String,
       corpus: DataFrame,
       newVecs: DataFrame,
-      maxBatchLink: Int = 4096): Long = Commits.withClaim(spark, dir) {
+      maxBatchLink: Int = 4096): Long =
+    Commits.withClaim(spark, dir)(
+      ingestLocked(spark, dir, corpus, newVecs, maxBatchLink))
+
+  /** [[ingestBatch]] for callers that ALREADY hold the store's drain
+    * claim (the streaming maintainer serializes silver + index under
+    * one claim — re-acquiring here would self-conflict; the
+    * [[VectorIndex.appendLocked]] convention). */
+  private[graft] def ingestLocked(
+      spark: SparkSession,
+      dir: String,
+      corpus: DataFrame,
+      newVecs: DataFrame,
+      maxBatchLink: Int): Long = {
     val m = meta(spark, dir)
     val (ledgerVersion, ledger) =
       Commits.readVersioned(spark, ledgerDir(dir))
@@ -264,7 +286,11 @@ object GraphIndex {
         m.k)
       val sym = fwd.unionByName(fwd.select(col("nbr").as("id"),
         col("id").as("nbr"), col("cos_micro")))
-      val touched = sym.select(col("id")).distinct().localCheckpoint()
+      // touched = linked nodes ∪ the WHOLE batch: a batch vector that
+      // found no links still enters the ledger (indexed, empty list)
+      val touched = sym.select(col("id"))
+        .unionByName(batch.select(col("id")))
+        .distinct().localCheckpoint()
       val merged = pruneDegree(
         standingEdges.join(broadcast(touched), Seq("id"), "left_semi")
           .unionByName(sym),

@@ -174,6 +174,17 @@ class GraphIndexSpec extends AnyFunSuite {
     val v = Commits.readVersioned(spark, s"$dir/ledger").get._1
     assert(GraphIndex.delete(spark, dir, Seq(1L, 11L).toDF("vec_id")) == 0L)
     assert(Commits.readVersioned(spark, s"$dir/ledger").get._1 == v)
+
+    // compaction PHYSICALLY reclaims the forgotten lists: after the
+    // rewrite, no adjacency row for a deleted id remains on disk
+    GraphIndex.compact(spark, dir)
+    val onDisk = spark.read.parquet(s"$dir/adj")
+      .filter(col("id").isin(delIds: _*) || col("nbr").isin(delIds: _*))
+      .count()
+    assert(onDisk == 0, "compact must reclaim forgotten adjacency bytes")
+    assert(GraphIndex.edges(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      == after, "compaction must not change the live adjacency")
   }
 
   test("a build without its meta commit is unreadable (meta-last contract)") {

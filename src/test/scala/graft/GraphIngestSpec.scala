@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.{Commits, GraphIndex}
+import graft.streaming.GraphIngest
+
+/** The streaming nav-graph maintainer: bootstrap build, O(drain)
+  * folded-files batches, search-then-link insert visibility, crash
+  * heal, and the visible-failure claim contract. */
+class GraphIngestSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val vschema = graft.schema.Metadata.structFromSpec(
+    """
+    vec_id: long
+    embedding: array<float>
+    """)
+
+  private def unit(axis: Int, eps: Double): Seq[Float] = {
+    val v = Array.fill(4)(eps.toFloat); v(axis) = 1.0f; v.toSeq
+  }
+
+  private def landVecs(
+      dir: java.io.File, name: String, rows: Seq[(Long, Seq[Float])]): Unit = {
+    val w = new java.io.PrintWriter(new java.io.File(dir, name))
+    try rows.foreach { case (id, v) =>
+      w.println(s"""{"vec_id": $id, "embedding": [${v.mkString(", ")}]}""")
+    } finally w.close()
+  }
+
+  test("maintainGraph: bootstrap, O(drain) folds, inserted vectors findable, heal") {
+    val base = TestSpark.tmpDir("graph_ingest")
+    val landing = new java.io.File(base, "landing"); landing.mkdirs()
+    def drain() = GraphIngest.maintainGraph(
+      spark, landing.getPath, vschema, "vec_id", "embedding",
+      silverDir = s"$base/silver", checkpointDir = s"$base/ckpt",
+      indexDir = s"$base/index", dims = 4, k = 2,
+      planesPerBand = 2, bands = 2, nEntries = 2, beamWidth = 4, maxSteps = 4)
+    def silver() = spark.read.schema(vschema).parquet(s"$base/silver")
+
+    assert(drain() == 0L, "drain before anything lands is a clean no-op")
+
+    // bootstrap wave builds the graph
+    landVecs(landing, "w1.jsonl",
+      Seq(1L -> unit(0, 0.0), 2L -> unit(0, 0.001), 10L -> unit(1, 0.0)))
+    assert(drain() == 3L)
+    assert(GraphIndex.storedIds(spark, s"$base/index")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 10L))
+
+    // replay with nothing new: folded record short-circuits
+    assert(drain() == 0L)
+
+    // wave 2 inserts by search-then-link; the new vector is findable
+    landVecs(landing, "w2.jsonl", Seq(20L -> unit(0, 0.002)))
+    assert(drain() == 1L)
+    val top = GraphIndex.search(spark, s"$base/index", silver(),
+        silver().filter(col("vec_id") === 20L), k = 2)
+      .collect().head
+    assert(top.getLong(0) == 20L && top.getDouble(1) == 1.0,
+      "an inserted vector must be reachable from the maintained graph")
+
+    // CRASH SIMULATION: wave 3 reaches silver (drainOnce committed)
+    // but the process dies before the fold — the folded-files diff
+    // re-enters those files and the graph ledger anti-join inserts
+    // exactly the stranded vectors
+    landVecs(landing, "w3.jsonl", Seq(30L -> unit(2, 0.0)))
+    graft.streaming.IngestStream.drainOnce(spark, landing.getPath, vschema,
+      requiredCols = Seq("vec_id", "embedding"), normalizeCols = Nil,
+      outDir = s"$base/silver", checkpointDir = s"$base/ckpt")
+    assert(drain() == 1L,
+      "vectors stranded in silver by a crash must link on the next drain")
+    assert(GraphIndex.storedIds(spark, s"$base/index")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 10L, 20L, 30L))
+
+    // concurrent drain fails visibly under the index claim
+    Commits.acquireClaim(spark, s"$base/index")
+    intercept[Commits.ConcurrentWriteException] { drain() }
+    Commits.forceReleaseClaim(spark, s"$base/index")
+    assert(drain() == 0L)
+
+    // O(drain) contract: the folded record covers every silver file
+    val silverFiles = {
+      val p = new org.apache.hadoop.fs.Path(s"$base/silver")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).filter(_.isFile).map(_.getPath.toString)
+        .filter(_.endsWith(".parquet")).toSet
+    }
+    assert(Commits.readVersioned(spark, s"$base/index/folded")
+      .get._2.collect().map(_.getString(0)).toSet == silverFiles)
+  }
+}
