@@ -21,7 +21,8 @@ import graft.ops.Aggregate.{AggSpec, Metric}
  */
 object SparkEntry extends EntryContext
     with EntryIo with EntryMedia with EntryDedup with EntryAnn
-    with EntryWeb with EntryText with EntryStats {
+    with EntryWeb with EntryGraph with EntrySearch
+    with EntryText with EntryStats {
 
   // ---------------------------------------------------------------- entry
 
@@ -51,9 +52,11 @@ object SparkEntry extends EntryContext
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ioQueries ++ mediaQueries ++ dedupQueries ++ annQueries ++
-      webQueries ++ textQueries ++ statsQueries
+      webQueries ++ graphQueries ++ searchQueries ++
+      textQueries ++ statsQueries
 
   def oracleSql: Map[String, String] =
     ioOracles ++ mediaOracles ++ dedupOracles ++ annOracles ++
-      webOracles ++ textOracles ++ statsOracles
+      webOracles ++ graphOracles ++ searchOracles ++
+      textOracles ++ statsOracles
 }

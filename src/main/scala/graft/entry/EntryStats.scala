@@ -16,7 +16,6 @@ import graft.ops.Aggregate.{AggSpec, Metric}
 private[graft] trait EntryStats extends EntryContext {
 
   protected def statsQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
-
     // ---- events: hourly tumbling-window aggregation (batch twin of the
     //      streaming hourlyByType)
     "q18_events_hourly" -> ((s, dir) =>
@@ -27,6 +26,7 @@ private[graft] trait EntryStats extends EntryContext {
         .agg(
           count(lit(1)).as("n_events"),
           expr(dsum("value")).as("total_value"))),
+
 
 
     // ---- events: batch sessionization (30-min inactivity gap)
@@ -41,6 +41,7 @@ private[graft] trait EntryStats extends EntryContext {
             (col("ts").cast("double") - col("prev").cast("double")) > 1800.0, 1L)
             .otherwise(0L)).as("n_sessions"))
     }),
+
 
 
     // ---- joins: star-schema revenue rollup, dims broadcast
@@ -58,6 +59,7 @@ private[graft] trait EntryStats extends EntryContext {
     }),
 
 
+
     // ---- window top-k per group
     "q21_topk_per_segment" -> ((s, dir) => {
       val j = T(s, dir, "orders")
@@ -70,6 +72,7 @@ private[graft] trait EntryStats extends EntryContext {
     }),
 
 
+
     // ---- events: sliding-window aggregation (1 h window, 30 min slide)
     "q32_sliding_window" -> ((s, dir) =>
       Layers.readEvents(s, s"$dir/events.parquet")
@@ -79,6 +82,7 @@ private[graft] trait EntryStats extends EntryContext {
           expr(dsum("value")).as("total_value"))
         .select(col("window.start").as("window_start"), col("event_type"),
           col("n_events"), col("total_value"))),
+
 
 
     // ---- as-of (point-in-time) join: each event joined to the user's
@@ -98,6 +102,7 @@ private[graft] trait EntryStats extends EntryContext {
     }),
 
 
+
     // ---- range (interval) join via bucketed equi-join decomposition:
     //      events counted into 2-hour windows opened by each purchase
     "q34_range_join" -> ((s, dir) => {
@@ -115,6 +120,7 @@ private[graft] trait EntryStats extends EntryContext {
     }),
 
 
+
     // ---- deterministic KMV cardinality sketch (bounded-memory typed
     //      Aggregator; md5-derived → bit-reproducible in the oracle).
     //      calibrate=true rides the exact twin along for the oracle
@@ -123,6 +129,7 @@ private[graft] trait EntryStats extends EntryContext {
     "q35_kmv_distinct" -> ((s, dir) =>
       graft.ops.Sketches.kmvDistinct(T(s, dir, "orders"), "o_custkey", k = 256,
         calibrate = true)),
+
 
 
     // ---- skew handling: salted two-stage aggregation over a 3-value
@@ -141,11 +148,13 @@ private[graft] trait EntryStats extends EntryContext {
           col("sum_qty_dec").cast("double").as("sum_qty"), col("max_price"))),
 
 
+
     // ---- north-star: corpus-wide heavy hitters (exact top-k tokens;
     //      map-side partial counts, k-row TakeOrdered — never a full
     //      vocabulary sort).
     "q52_heavy_hitters" -> ((s, dir) =>
       graft.ops.Search.topTokens(T(s, dir, "documents"), "text", k = 20)),
+
 
 
     // ---- north-star: count-min sketch — md5-derived buckets make the
@@ -156,6 +165,7 @@ private[graft] trait EntryStats extends EntryContext {
     "q53_cms_counts" -> ((s, dir) =>
       graft.ops.Sketches.cmsTopTokens(
         T(s, dir, "documents"), "text", k = 10, depth = 3, width = 32)),
+
 
 
     // ---- north-star: bloom-pruned exact semi-join — the broadcast
@@ -175,6 +185,7 @@ private[graft] trait EntryStats extends EntryContext {
     }),
 
 
+
     // ---- north-star: stratified deterministic sampling — the
     //      data-mixing primitive (per-language keep fractions as one
     //      narrow scan-speed filter).
@@ -186,6 +197,7 @@ private[graft] trait EntryStats extends EntryContext {
         salt = "mix1")
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))),
+
 
 
     // ---- north-star: hashed-feature Naive Bayes — the fastText-style
@@ -201,6 +213,7 @@ private[graft] trait EntryStats extends EntryContext {
     }),
 
 
+
     // ---- north-star: DURABLE Naive Bayes model — train once, publish
     //      the classes×dims model table as parquet, score later batches
     //      from the stored model; must equal q106 through the roundtrip.
@@ -214,6 +227,7 @@ private[graft] trait EntryStats extends EntryContext {
         s.read.parquet(modelDir),
         docs.filter(col("doc_id") % 2 =!= 0), "text", "doc_id")
     }),
+
 
 
     // ---- north-star: leakage-safe train/val/test split — docs hash on
@@ -234,6 +248,7 @@ private[graft] trait EntryStats extends EntryContext {
     }),
 
 
+
     // ---- north-star: keyed-skew diagnostics — the pre-flight report
     //      before any big join/agg: heavy-hitter keys, their share,
     //      skew vs the key-space mean, and the salt fan-out that would
@@ -244,6 +259,7 @@ private[graft] trait EntryStats extends EntryContext {
         graft.io.Layers.readEvents(s, s"$dir/events.parquet")
           .select("user_id"),
         "user_id", topK = 5)),
+
 
 
     // ---- north-star events: ordered funnel — greedy-earliest
@@ -259,6 +275,7 @@ private[graft] trait EntryStats extends EntryContext {
         windowSeconds = 604800L)),
 
 
+
     // ---- north-star events: weekly cohort retention — cohort = the
     //      period of a user's first event (integer arithmetic vs a
     //      fixed epoch date, bit-replayable); (cohort, k) activity
@@ -267,6 +284,7 @@ private[graft] trait EntryStats extends EntryContext {
       graft.ops.EventOps.retention(
         graft.io.Layers.readEvents(s, s"$dir/events.parquet"),
         "user_id", "ts", epochDate = "2024-01-01", periodDays = 7)),
+
 
 
     // ---- north-star: weighted sampling without replacement
@@ -286,6 +304,7 @@ private[graft] trait EntryStats extends EntryContext {
     }),
 
 
+
     // ---- north-star: PSI drift alarm — the refresh gate between two
     //      corpus snapshots; the next snapshot drifts constructively
     //      (drop 1/7, inflate 1/3 of lengths by +40), and the oracle
@@ -301,6 +320,7 @@ private[graft] trait EntryStats extends EntryContext {
     }),
 
 
+
     // ---- north-star: Jensen–Shannon lexical divergence between two
     //      subcorpora (en vs fr) — the mixing diagnostic; symmetric,
     //      bounded by ln 2, one (token, count) join, corpus text never
@@ -312,6 +332,7 @@ private[graft] trait EntryStats extends EntryContext {
         docs.filter(col("lang") === "fr"),
         "text")
     }),
+
 
 
     // ---- north-star: event-rate anomaly alarm — per-type hourly
@@ -331,6 +352,7 @@ private[graft] trait EntryStats extends EntryContext {
     }),
 
 
+
     // ---- north-star: k-anonymity / l-diversity release gate — the
     //      aggregate-side privacy audit after the span-level scrub:
     //      quasi-identifier combos covering < k rows are
@@ -342,6 +364,7 @@ private[graft] trait EntryStats extends EntryContext {
       graft.ops.Privacy.anonymityReport(
         cust, Seq("c_nationkey", "c_mktsegment"), "bal_bucket", k = 10, l = 3)
     }),
+
 
 
     // ---- north-star: t-closeness audit (q171's missing third gate):
@@ -357,6 +380,7 @@ private[graft] trait EntryStats extends EntryContext {
     }),
 
 
+
     // ---- north-star: Cohen's kappa between two keep-gates (quality
     //      score vs length cutoff) — chance-corrected agreement, the
     //      QA metric for a classifier change; raw agreement flatters
@@ -370,6 +394,7 @@ private[graft] trait EntryStats extends EntryContext {
     }),
 
 
+
     // ---- north-star: per-source trimmed length stats — 5%-trimmed
     //      robust means per source (one per-group window, never a
     //      global sort; equal boundary values interchangeable so the
@@ -377,6 +402,7 @@ private[graft] trait EntryStats extends EntryContext {
     "q227_trimmed_stats" -> ((s, dir) =>
       graft.ops.Stats.trimmedStats(
         T(s, dir, "documents"), "source", "n_chars", trimFrac = 0.05)),
+
 
 
     // ---- north-star: per-source quantile normalization — each doc's
@@ -389,6 +415,7 @@ private[graft] trait EntryStats extends EntryContext {
         .withColumn("quality", graft.ops.TextOps.qualityScore(col("text")))
       graft.ops.Quality.quantileNormalize(docs, "source", "quality", "doc_id")
     }),
+
 
 
     // ---- north-star: χ² drift attribution — WHICH tokens moved
@@ -404,6 +431,7 @@ private[graft] trait EntryStats extends EntryContext {
     }),
 
 
+
     // ---- north-star: last-touch attribution — which event type
     //      immediately precedes each purchase in its session (the
     //      first attribution model every analytics stack ships);
@@ -415,12 +443,14 @@ private[graft] trait EntryStats extends EntryContext {
         conversionType = "purchase", gapSeconds = 1800)),
 
 
+
     // ---- north-star: Gini concentration of per-source doc mass —
     //      the "is this corpus a monoculture" gauge beside the domain
     //      caps; one |sources|-row window, integer-exact sums.
     "q233_gini" -> ((s, dir) =>
       graft.ops.Stats.giniConcentration(
         T(s, dir, "documents").filter(col("source").isNotNull), "source")),
+
 
 
     // ---- north-star: KMV set-operation cardinalities (Beyer et al.
@@ -437,6 +467,7 @@ private[graft] trait EntryStats extends EntryContext {
     }),
 
 
+
     // ---- north-star: two-sample Kolmogorov–Smirnov drift — the
     //      binning-free companion of PSI/JS/χ²: sup-norm distance
     //      between the empirical token-length CDFs of the English and
@@ -450,6 +481,7 @@ private[graft] trait EntryStats extends EntryContext {
     }),
 
 
+
     // ---- north-star: optimizer-statistics quality — equi-height
     //      histogram selectivity estimates vs TRUE counts for three
     //      range predicates: the report that says whether the cost
@@ -459,6 +491,7 @@ private[graft] trait EntryStats extends EntryContext {
         T(s, dir, "lineitem"), "l_extendedprice", bins = 8,
         predicates = Seq((2000.0, 10000.0), (10000.0, 50000.0),
           (50000.0, 105000.0)))),
+
 
 
     // ---- north-star: System-R join-cardinality estimate vs actual on
@@ -473,6 +506,7 @@ private[graft] trait EntryStats extends EntryContext {
           T(s, dir, "orders"), "o_custkey", label = "customer_orders"))),
 
 
+
     // ---- north-star: Markov-chain removal-effect attribution — the
     //      principled upgrade over q231's last-touch: credit = how much
     //      conversion probability drops when the channel is removed.
@@ -483,12 +517,14 @@ private[graft] trait EntryStats extends EntryContext {
         conversionType = "purchase", gapSeconds = 1800, iters = 15)),
 
 
+
     // ---- north-star: ε-DP Laplace release counts with SEEDED noise
     //      (salted md5 inverse-CDF draw) — reproducible releases, no
     //      fresh noise leakage on re-runs; per-language doc counts.
     "q243_dp_counts" -> ((s, dir) =>
       graft.ops.Privacy.dpNoisyCounts(
         T(s, dir, "documents"), "lang", epsilon = 1.0, salt = "e1")),
+
 
 
     // ---- north-star: Newman–Girvan modularity of the q182
@@ -513,6 +549,7 @@ private[graft] trait EntryStats extends EntryContext {
     }),
 
 
+
     // ---- north-star: Krippendorff's alpha over three quality
     //      "raters" with abstention (the token gate skips zh) — the
     //      missing-tolerant IAA statistic κ cannot be; exact-integer
@@ -531,6 +568,7 @@ private[graft] trait EntryStats extends EntryContext {
     }),
 
 
+
     // ---- north-star: CUPED variance-reduced experiment readout
     //      (Deng 2013) — pre-period covariate adjustment with
     //      decimal-exact moments and ANALYTIC per-arm adjusted means
@@ -541,6 +579,7 @@ private[graft] trait EntryStats extends EntryContext {
         "user_id", "ts", "value",
         cutoverTs = "2024-01-16 00:00:00",
         armOf = col("user_id") % 2)),
+
 
 
     // ---- north-star: funnel time-to-convert percentiles — the
@@ -555,6 +594,7 @@ private[graft] trait EntryStats extends EntryContext {
         windowSeconds = 604800L, ps = Seq(0.5, 0.9))),
 
 
+
     // ---- north-star: seasonal-naive volume forecast error (MASE) —
     //      does "same hour yesterday" beat "last hour" per event type,
     //      over the DENSIFIED hour grid; integer-exact sums, one
@@ -565,6 +605,7 @@ private[graft] trait EntryStats extends EntryContext {
         "event_type", "ts", seasonHours = 24)),
 
 
+
     // ---- north-star: Benford first-digit audit — the fabricated-
     //      data detector: observed first-significant-digit shares vs
     //      log10(1+1/d), per-digit χ² terms; string-derived digits, no
@@ -572,6 +613,7 @@ private[graft] trait EntryStats extends EntryContext {
     "q258_benford" -> ((s, dir) =>
       graft.ops.Stats.benfordAudit(
         T(s, dir, "lineitem"), "l_extendedprice")),
+
 
 
     // ---- north-star: weight-of-evidence binning — equi-height score
@@ -584,6 +626,7 @@ private[graft] trait EntryStats extends EntryContext {
         "l_extendedprice", "is_r", bins = 6, smooth = 0.5)),
 
 
+
     // ---- north-star: Hill tail-index of doc lengths — the
     //      extreme-value companion of q212's Zipf rank fit: α̂ ≤ 2
     //      means infinite variance and mean-based planning is wrong;
@@ -591,6 +634,7 @@ private[graft] trait EntryStats extends EntryContext {
     "q262_hill_tail" -> ((s, dir) =>
       graft.ops.Stats.hillTailIndex(
         T(s, dir, "documents"), "n_chars", k = 100)),
+
 
 
     // ---- north-star: split-conformal accept gate — the
@@ -608,6 +652,7 @@ private[graft] trait EntryStats extends EntryContext {
     }),
 
 
+
     // ---- north-star: bucket-jackknife ratio metric — revenue per
     //      event with a delete-one-user-bucket standard error;
     //      decimal-exact θ moments (a float Σθ²−Bθ̄² is catastrophic
@@ -622,6 +667,7 @@ private[graft] trait EntryStats extends EntryContext {
         bucketOf = col("user_id") % 20, numCol = "rev", denCol = "one")),
 
 
+
     // ---- north-star: Good–Turing frequency masses — the unseen-mass
     //      estimate (r=0 ≡ singleton share) plus the r=1…5 ladder:
     //      "how much of the language have we crawled".
@@ -631,12 +677,14 @@ private[graft] trait EntryStats extends EntryContext {
         "text", maxR = 5)),
 
 
+
     // ---- north-star: largest-remainder apportionment — split 1000
     //      eval slots across sources proportionally with EXACT integer
     //      quotas (truncation alone starves small groups).
     "q266_allocation" -> ((s, dir) =>
       graft.ops.Sampling.largestRemainderAllocation(
         T(s, dir, "documents"), "source", seats = 1000L)),
+
 
 
     // ---- north-star: longest sustained burst per event type — the
@@ -648,16 +696,27 @@ private[graft] trait EntryStats extends EntryContext {
         "event_type", "ts", minCount = 3L)),
 
 
+
     // ---- north-star: Cramér's V between language and source — "are
     //      the corpus's categoricals independent", normalized to [0,1]
     //      over the DENSIFIED contingency grid.
     "q273_cramers_v" -> ((s, dir) =>
       graft.ops.Diagnostics.cramersV(
-        T(s, dir, "documents"), "lang", "source"))
+        T(s, dir, "documents"), "lang", "source")),
+
+
+
+    // ---- bench twin (no oracle: HLL estimates aren't replayable in
+    //      DuckDB): the profiler's 100 TB configuration — approx
+    //      distincts remove the Expand row duplication entirely.
+    "q63_profile_approx" -> ((s, dir) =>
+      graft.ops.Stats.profile(
+        T(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_returnflag", "l_orderkey"),
+        approxDistinct = true))
   )
 
   protected def statsOracles: Map[String, String] = Map(
-
     // anomaly replay: identical per-type hour-grid densification
     // (min..max spine, n=0 fill) + identical Σn/Σn² window arithmetic
     // on the same trailing frame — integer sums are exact, so the
@@ -701,6 +760,7 @@ private[graft] trait EntryStats extends EntryContext {
         |FROM z GROUP BY event_type""".stripMargin,
 
 
+
     // k-anonymity replay: identical grouping + identical floor-bucket
     // of the sensitive attribute; l failures counted only among
     // k-anonymous groups
@@ -720,10 +780,12 @@ private[graft] trait EntryStats extends EntryContext {
         |FROM g""".stripMargin,
 
 
+
     "q18_events_hourly" ->
       s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
          |  count(*) AS n_events, ${dsum("value")} AS total_value
          |FROM events GROUP BY 1, 2""".stripMargin,
+
 
 
     "q19_sessions" ->
@@ -731,6 +793,7 @@ private[graft] trait EntryStats extends EntryContext {
          |SELECT user_id, count(*) AS n_events,
          |  CAST(sum(CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 1800.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
          |FROM p GROUP BY user_id""".stripMargin,
+
 
 
     "q20_join_revenue" ->
@@ -743,6 +806,7 @@ private[graft] trait EntryStats extends EntryContext {
          |GROUP BY r_name, n_name""".stripMargin,
 
 
+
     "q21_topk_per_segment" ->
       s"""WITH r AS (
          |  SELECT c_mktsegment, o_orderkey, o_totalprice,
@@ -750,6 +814,7 @@ private[graft] trait EntryStats extends EntryContext {
          |  FROM orders JOIN customer ON o_custkey = c_custkey
          |)
          |SELECT c_mktsegment, rank, o_orderkey, o_totalprice FROM r WHERE rank <= 3""".stripMargin,
+
 
 
     // t-closeness replay: identical integer numerators over the
@@ -783,11 +848,13 @@ private[graft] trait EntryStats extends EntryContext {
         |FROM cum GROUP BY c_nationkey, c_mktsegment, ng, n_total, m""".stripMargin,
 
 
+
     "q30_salted_agg" ->
       s"""SELECT l_returnflag, count(*) AS n_items,
          |  ${dsum("l_quantity")} AS sum_qty,
          |  max(l_extendedprice) AS max_price
          |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
 
 
     "q33_asof_join" ->
@@ -797,6 +864,7 @@ private[graft] trait EntryStats extends EntryContext {
         |      FROM events WHERE event_type = 'purchase')
         |SELECT e.event_id, e.user_id, p.purchase_id, p.purchase_value
         |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin,
+
 
 
     "q34_range_join" ->
@@ -809,6 +877,7 @@ private[graft] trait EntryStats extends EntryContext {
         |GROUP BY p.purchase_id""".stripMargin,
 
 
+
     "q35_kmv_distinct" -> {
       val h = s"(CAST(${PortableSql.minhashBase("CAST(o_custkey AS VARCHAR)", DD)} AS DOUBLE) / 1152921504606846976.0)"
       s"""WITH hs AS (SELECT DISTINCT $h AS h FROM orders),
@@ -818,6 +887,7 @@ private[graft] trait EntryStats extends EntryContext {
          |  (SELECT count(DISTINCT o_custkey) FROM orders) AS exact_distinct
          |FROM agg""".stripMargin
     },
+
 
 
     "q32_sliding_window" ->
@@ -833,14 +903,17 @@ private[graft] trait EntryStats extends EntryContext {
          |FROM w GROUP BY 1, 2""".stripMargin,
 
 
+
     // Naive Bayes oracle: per-class smoothed bucket log-liks over the
     // q79 hashed-gram chain + log priors; argmax replayed as a rank
     // window (score DESC, class ASC = the Spark min-struct tie-break)
     "q106_nb_classifier" -> nbOracleSql,
 
 
+
     // the stored model must change nothing: q106's SQL verbatim
     "q116_durable_nb_model" -> nbOracleSql,
+
 
 
     // kappa replay: integer confusion cells, marginal products, three
@@ -870,6 +943,7 @@ private[graft] trait EntryStats extends EntryContext {
          |FROM st""".stripMargin,
 
 
+
     // trimmed-stats replay: per-source rank window, floor(n·0.05)
     // cut from each end, exact integer sums
     "q227_trimmed_stats" ->
@@ -888,6 +962,7 @@ private[graft] trait EntryStats extends EntryContext {
         |FROM c GROUP BY source""".stripMargin,
 
 
+
     // quantile-norm replay: per-source rank window, rank/(n+1)
     "q228_quantile_norm" ->
       s"""WITH s AS (SELECT doc_id, source,
@@ -900,6 +975,7 @@ private[graft] trait EntryStats extends EntryContext {
          |  FROM s)
          |SELECT doc_id, source, quality,
          |  round(CAST(rk AS DOUBLE) / (n + 1), 6) AS q_norm FROM r""".stripMargin,
+
 
 
     // chi2 replay: fenced vocab, shared-vocab totals, identical
@@ -925,6 +1001,7 @@ private[graft] trait EntryStats extends EntryContext {
          |ORDER BY chi2_term DESC, token ASC LIMIT 20""".stripMargin,
 
 
+
     // attribution replay: the q19/q217 sessionization window + lag of
     // (type, session), purchase rows only
     "q231_attribution" ->
@@ -947,6 +1024,7 @@ private[graft] trait EntryStats extends EntryContext {
         |FROM s2 WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
 
 
+
     // Gini replay: per-source counts, ascending rank window, the
     // discrete-distribution formula with integer sums
     "q233_gini" ->
@@ -958,6 +1036,7 @@ private[graft] trait EntryStats extends EntryContext {
         |  round(CAST(2 * sum(i * x) - (count(*) + 1) * sum(x) AS DOUBLE)
         |    / (count(*) * sum(x)), 6) AS gini
         |FROM r""".stripMargin,
+
 
 
     // KMV set-ops replay: the q35 hash, bottom-256 per half, merged
@@ -987,6 +1066,7 @@ private[graft] trait EntryStats extends EntryContext {
     },
 
 
+
     // KS replay: per-value counts, running-sum CDFs over the joined
     // distinct-value frame, argmax with smallest-value tie-break —
     // integer cumulatives make both CDF quotients engine-exact
@@ -1013,6 +1093,7 @@ private[graft] trait EntryStats extends EntryContext {
         |ORDER BY abs(CAST(cuma AS DOUBLE) / na
         |  - CAST(cumb AS DOUBLE) / nb) DESC, v ASC
         |LIMIT 1""".stripMargin,
+
 
 
     // histogram-selectivity replay: rank → equal-count bins (floor of
@@ -1052,6 +1133,7 @@ private[graft] trait EntryStats extends EntryContext {
         |  ON a.pred_lo = e.pred_lo AND a.pred_hi = e.pred_hi""".stripMargin,
 
 
+
     // join-cardinality replay: per-key count frames, System-R estimate
     // |A||B|/max(ndv), actual = Σ cnt_a·cnt_b — never the join itself
     "q241_join_card" -> {
@@ -1078,6 +1160,7 @@ private[graft] trait EntryStats extends EntryContext {
         "\nUNION ALL\n" +
         one("customer_orders", "customer", "c_custkey", "orders", "o_custkey")
     },
+
 
 
     // Markov-attribution replay: q231's sessionization, paths truncated
@@ -1139,6 +1222,7 @@ private[graft] trait EntryStats extends EntryContext {
     },
 
 
+
     // DP-counts replay: the q37 salted md5 unit hash drives the same
     // Laplace inverse CDF at ε = 1
     "q243_dp_counts" -> {
@@ -1151,6 +1235,7 @@ private[graft] trait EntryStats extends EntryContext {
          |  * ln(1 - 2 * abs(u - 0.5)), 6) AS n_noisy
          |FROM u""".stripMargin
     },
+
 
 
     // modularity replay: q182's graph + 3 label-prop rounds, then the
@@ -1209,6 +1294,7 @@ private[graft] trait EntryStats extends EntryContext {
     },
 
 
+
     // Krippendorff replay: melt the three raters (token gate abstains
     // on zh), per-unit category counts, lcm(1,2)=2-scaled integer
     // disagreement sums, one final division
@@ -1247,6 +1333,7 @@ private[graft] trait EntryStats extends EntryContext {
          |FROM d_o, ct""".stripMargin,
 
 
+
     // CUPED replay: decimal-exact per-user pre/post sums and global
     // moments, then the SAME scalar expression tree (theta, analytic
     // per-arm adjusted mean, variance identity)
@@ -1283,6 +1370,7 @@ private[graft] trait EntryStats extends EntryContext {
          |    AS var_y_adj
          |FROM f""".stripMargin
     },
+
 
 
     // funnel-latency replay: the q135 chain keeping each step's
@@ -1325,6 +1413,7 @@ private[graft] trait EntryStats extends EntryContext {
     },
 
 
+
     // MASE replay: hour-floor counts, per-type densified spine, both
     // lags on one window, the four integer sums and one division
     "q256_volume_mase" ->
@@ -1350,6 +1439,7 @@ private[graft] trait EntryStats extends EntryContext {
         |    ELSE CAST(sum(abs(y - ys)) AS DOUBLE) * count(y1)
         |      / (count(ys) * sum(abs(y - y1))) END, 6) AS mase
         |FROM l GROUP BY event_type""".stripMargin,
+
 
 
     // Benford replay: first [1-9] of the string form, the SAME Scala
@@ -1378,6 +1468,7 @@ private[graft] trait EntryStats extends EntryContext {
          |    AS chi2_term
          |FROM d LEFT JOIN c ON c.digit = d.digit CROSS JOIN t""".stripMargin
     },
+
 
 
     // WOE replay: rank-cut equal-count bins, smoothed shares, ln
@@ -1410,6 +1501,7 @@ private[graft] trait EntryStats extends EntryContext {
         |FROM pb CROSS JOIN t""".stripMargin,
 
 
+
     // Hill replay: top-(k+1) order statistics, min threshold,
     // micro-int ln terms over the strictly-above set, /k
     "q262_hill_tail" ->
@@ -1425,6 +1517,7 @@ private[graft] trait EntryStats extends EntryContext {
         |  CASE WHEN s = 0 THEN NULL
         |    ELSE round(100 * 1e6 / CAST(s AS DOUBLE), 6) END AS alpha
         |FROM s, thr""".stripMargin,
+
 
 
     // conformal replay: the rank ⌈(n+1)(1−α)⌉ with (1−α) interpolated
@@ -1459,6 +1552,7 @@ private[graft] trait EntryStats extends EntryContext {
     },
 
 
+
     // jackknife replay: decimal-exact bucket sums, analytic
     // leave-one-out thetas, decimal-exact theta moments, the same
     // scalar shapes
@@ -1486,6 +1580,7 @@ private[graft] trait EntryStats extends EntryContext {
         |FROM m""".stripMargin,
 
 
+
     // Good–Turing replay: count-of-counts, the (r+1)·n_{r+1}/N ladder
     // over r = 0…5 with absent frequencies as zero
     "q265_good_turing" ->
@@ -1500,6 +1595,7 @@ private[graft] trait EntryStats extends EntryContext {
         |    AS gt_mass
         |FROM rs LEFT JOIN fof f1 ON f1.r = rs.r
         |LEFT JOIN fof f2 ON f2.r = rs.r + 1 CROSS JOIN tot""".stripMargin,
+
 
 
     // largest-remainder replay: exact integer quota/remainder via //
@@ -1521,6 +1617,7 @@ private[graft] trait EntryStats extends EntryContext {
         |  CAST(base + CASE WHEN rk <= e.extra THEN 1 ELSE 0 END
         |    AS BIGINT) AS allocation
         |FROM r, e""".stripMargin,
+
 
 
     // longest-burst replay: densified hour grid, the two-rank island
@@ -1556,6 +1653,7 @@ private[graft] trait EntryStats extends EntryContext {
         |  ON b.event_type = t.event_type AND b.rk = 1""".stripMargin,
 
 
+
     // Cramér's V replay: margins, densified r×c grid, χ² over every
     // cell (absent = observed-0), the min(r−1,c−1) normalization
     "q273_cramers_v" ->
@@ -1582,10 +1680,12 @@ private[graft] trait EntryStats extends EntryContext {
         |FROM x, d""".stripMargin,
 
 
+
     "q52_heavy_hitters" ->
       s"""WITH tok AS (SELECT unnest($duckToks) AS token FROM documents),
          |c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token)
          |SELECT token, cnt FROM c ORDER BY cnt DESC, token ASC LIMIT 20""".stripMargin,
+
 
 
     "q53_cms_counts" -> {
@@ -1608,11 +1708,13 @@ private[graft] trait EntryStats extends EntryContext {
     },
 
 
+
     "q54_bloom_join" ->
       s"""SELECT l_returnflag, count(*) AS n_rows, ${dsum("l_quantity")} AS sum_qty
          |FROM lineitem
          |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000.0)
          |GROUP BY l_returnflag""".stripMargin,
+
 
 
     "q56_stratified_sample" -> {
@@ -1625,6 +1727,7 @@ private[graft] trait EntryStats extends EntryContext {
          |SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
          |FROM f GROUP BY lang""".stripMargin
     },
+
 
 
     // weighted-sample replay: identical Efraimidis–Spirakis keys from
@@ -1645,6 +1748,7 @@ private[graft] trait EntryStats extends EntryContext {
          |  round(sum(w), 6) AS sum_w
          |FROM r WHERE rn <= 10 GROUP BY source""".stripMargin
     },
+
 
 
     // PSI replay: identical equal-width binning from the BASE
@@ -1690,6 +1794,7 @@ private[graft] trait EntryStats extends EntryContext {
         |FROM sh""".stripMargin,
 
 
+
     // JS replay: token distributions via unnest, full-outer vocab
     // join, p>0-guarded log terms, one rounded scalar
     "q168_js_divergence" ->
@@ -1716,6 +1821,7 @@ private[graft] trait EntryStats extends EntryContext {
         |FROM pqm""".stripMargin,
 
 
+
     // funnel replay: identical greedy-earliest chaining — per-step
     // first-occurrence min after the previous step, whole chain fenced
     // to the anchor's window
@@ -1740,6 +1846,7 @@ private[graft] trait EntryStats extends EntryContext {
         |UNION ALL SELECT 'purchase', 3, n3, round(CAST(n3 AS DOUBLE) / n1, 6) FROM fn_n""".stripMargin,
 
 
+
     // retention replay: identical integer period arithmetic vs the
     // fixed epoch date
     "q136_retention" ->
@@ -1756,6 +1863,7 @@ private[graft] trait EntryStats extends EntryContext {
         |FROM rt_k k JOIN rt_s s USING (cohort)""".stripMargin,
 
 
+
     // skew-report replay: decomposable counts, 1-row stats, LIMIT-ed
     // top-k with ascending-key tie-break; arithmetic order mirrored
     // exactly (n*nkeys/total, then /2 for the salt)
@@ -1769,6 +1877,7 @@ private[graft] trait EntryStats extends EntryContext {
         |  round(CAST(t.n AS DOUBLE) * s.nkeys / s.total, 6) AS skew,
         |  CAST(ceil(CAST(t.n AS DOUBLE) * s.nkeys / s.total / 2) AS BIGINT) AS rec_salt
         |FROM sk_t t, sk_s s""".stripMargin,
+
 
 
     // leakage-safe split replay: closure labels give the cluster

@@ -16,13 +16,13 @@ import graft.ops.Aggregate.{AggSpec, Metric}
 private[graft] trait EntryText extends EntryContext {
 
   protected def textQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
-
     // ---- north-star text: token counting
     "q11_token_count" -> ((s, dir) =>
       T(s, dir, "documents").selectExpr(
         "doc_id",
         s"${PortableSql.tokenCount("text", SD)} AS n_tokens",
         s"${PortableSql.regexTokenCount("text", SD)} AS n_rtokens")),
+
 
 
     // ---- north-star text: language ID
@@ -32,11 +32,13 @@ private[graft] trait EntryText extends EntryContext {
         s"${PortableSql.langId("text", SD)} AS lang_pred")),
 
 
+
     // ---- north-star text: quality scoring
     "q13_quality_score" -> ((s, dir) =>
       T(s, dir, "documents").selectExpr(
         "doc_id",
         s"${PortableSql.qualityScore("text", SD)} AS quality")),
+
 
 
     // ---- composite corpus clean: fingerprint exact-dedup (min-id
@@ -59,6 +61,7 @@ private[graft] trait EntryText extends EntryContext {
     }),
 
 
+
     // ---- corpus distribution stats: exact interpolated percentiles of
     //      doc token counts per language, one shuffle for all quantiles
     "q38_length_stats" -> ((s, dir) =>
@@ -66,6 +69,7 @@ private[graft] trait EntryText extends EntryContext {
         T(s, dir, "documents").selectExpr("lang", "size(split(text, ' ')) AS n_tokens"),
         groupCols = Seq("lang"), valueCol = "n_tokens",
         ps = Seq(0.5, 0.9, 0.99))),
+
 
 
     // ---- deterministic hash split: train/val/test fences that are a
@@ -79,6 +83,7 @@ private[graft] trait EntryText extends EntryContext {
         .groupBy("split")
         .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))
     }),
+
 
 
     // ---- north-star text: Gopher-style repetition filter signal
@@ -96,6 +101,7 @@ private[graft] trait EntryText extends EntryContext {
           .as("dup_ratio"))),
 
 
+
     // ---- north-star: one-pass column profiler (row/null/distinct
     //      counts + numeric min/max for every column from ONE scan).
     "q58_profile" -> ((s, dir) =>
@@ -104,12 +110,14 @@ private[graft] trait EntryText extends EntryContext {
         Seq("l_quantity", "l_extendedprice", "l_returnflag", "l_orderkey"))),
 
 
+
     // ---- north-star: GPT-style concat-and-chunk sequence packing —
     //      ONE running-sum window per shard + a bounded explode maps
     //      every doc to the fixed-budget training sequences it fills.
     "q64_sequence_pack" -> ((s, dir) =>
       graft.ops.Packing.packSequences(
         T(s, dir, "documents"), "text", "lang", "doc_id", budget = 512L)),
+
 
 
     // ---- north-star: per-source token quotas (data-mixing caps) —
@@ -123,12 +131,14 @@ private[graft] trait EntryText extends EntryContext {
         .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))),
 
 
+
     // ---- north-star: interpolated bigram LM NLL (KenLM-lite) — word
     //      ORDER enters the fluency fence; vocab-bounded count tables,
     //      one bigram explode + broadcast joins + per-doc mean.
     "q107_bigram_nll" -> ((s, dir) =>
       graft.ops.LanguageModel.bigramNll(
         T(s, dir, "documents"), "text", "doc_id", lambda = 0.75)),
+
 
 
     // ---- north-star: boilerplate report — the top-20 most frequent
@@ -139,12 +149,14 @@ private[graft] trait EntryText extends EntryContext {
         T(s, dir, "documents"), "text", "doc_id", "source", n = 4, k = 20)),
 
 
+
     // ---- north-star: quality-signal pack (Gopher/C4-family fences) —
     //      type-token ratio, code-point Shannon entropy (codegen
     //      kernel), mean word length, digit/uppercase density. One
     //      scan-speed projection, zero shuffles.
     "q85_quality_signals" -> ((s, dir) =>
       graft.ops.TextOps.qualitySignals(T(s, dir, "documents"), "text", "doc_id")),
+
 
 
     // ---- north-star: curriculum difficulty bins — per-language exact
@@ -155,6 +167,7 @@ private[graft] trait EntryText extends EntryContext {
       graft.ops.Sampling.curriculumBins(
         T(s, dir, "documents"), "lang", "doc_id",
         graft.functions.GraftFunctions.charEntropy(s, col("text")), nBins = 4)),
+
 
 
     // ---- north-star: shard manifest / dataset card — per-shard doc
@@ -169,12 +182,14 @@ private[graft] trait EntryText extends EntryContext {
     }),
 
 
+
     // ---- north-star: corpus unigram LM scoring (CCNet-style fence) —
     //      per-doc mean negative log-likelihood under the corpus's own
     //      token distribution; vocabulary broadcast, scoring narrow.
     "q68_unigram_nll" -> ((s, dir) =>
       graft.ops.LanguageModel.meanNegLogLik(
         T(s, dir, "documents"), "text", "doc_id")),
+
 
 
     // ---- north-star: held-out LM scoring — batch docs scored against
@@ -189,6 +204,7 @@ private[graft] trait EntryText extends EntryContext {
     }),
 
 
+
     // ---- north-star: temperature mixture weights (UniMax shape) —
     //      per-source token counts → α-scaled sampling weights + keep
     //      fractions for a target-size mixture; |strata| rows out.
@@ -199,12 +215,14 @@ private[graft] trait EntryText extends EntryContext {
         alpha = 0.5, targetUnits = 50000L)),
 
 
+
     // ---- north-star: feature hashing (hashing-trick term
     //      frequencies) — vocabulary-free fixed-width text features,
     //      sparse row form, one shuffle with map-side partial counts.
     "q66_feature_hash" -> ((s, dir) =>
       graft.ops.TextOps.hashedTermFrequencies(
         T(s, dir, "documents"), "text", "doc_id", dims = 64)),
+
 
 
     // ---- north-star: DSIR importance weights — every raw doc scored
@@ -218,6 +236,7 @@ private[graft] trait EntryText extends EntryContext {
     }),
 
 
+
     // ---- north-star: token-balanced shard export — seeded
     //      deterministic global shuffle + contiguous token-budget
     //      shards via a distributed prefix sum (256 salt groups;
@@ -225,6 +244,7 @@ private[graft] trait EntryText extends EntryContext {
     "q81_balanced_shards" -> ((s, dir) =>
       graft.ops.Packing.exportShards(
         T(s, dir, "documents"), "text", "doc_id", targetTokens = 2048L)),
+
 
 
     // ---- north-star: RAG-style document chunking — overlapping
@@ -236,12 +256,14 @@ private[graft] trait EntryText extends EntryContext {
         chunkTokens = 32, overlap = 8)),
 
 
+
     // ---- north-star: distributed BPE tokenizer training — ONE corpus
     //      pass builds the (word, count) vocabulary, then every merge
     //      iteration is vocab-bounded (pair agg + 1-row collect +
     //      narrow merge projection, checkpointed lineage).
     "q118_bpe_merges" -> ((s, dir) =>
       graft.ops.Bpe.train(T(s, dir, "documents"), "text", merges = 6)),
+
 
 
     // ---- north-star: BPE encoding with the learned merge list — the
@@ -260,6 +282,7 @@ private[graft] trait EntryText extends EntryContext {
     }),
 
 
+
     // ---- north-star: BPE vocabulary — the token frequency table a
     //      tokenizer ships beside its merges; vocab-bounded after the
     //      one corpus word-count pass.
@@ -268,6 +291,7 @@ private[graft] trait EntryText extends EntryContext {
       graft.ops.Bpe.vocabulary(docs, "text",
         graft.ops.Bpe.mergeList(graft.ops.Bpe.train(docs, "text", 6)))
     }),
+
 
 
     // ---- north-star: DURABLE BPE model — train on the even half,
@@ -286,6 +310,7 @@ private[graft] trait EntryText extends EntryContext {
     }),
 
 
+
     // ---- north-star composition: tokenizer-aware sequence packing —
     //      q64's concat-and-chunk, but budgeted in the tokens the
     //      MODEL will see (the learned BPE), not whitespace words.
@@ -297,6 +322,7 @@ private[graft] trait EntryText extends EntryContext {
         graft.functions.GraftFunctions.bpeCount(s, col("text"), merges),
         "lang", "doc_id", budget = 512L)
     }),
+
 
 
     // ---- north-star: tokenizer equity report — per-language
@@ -316,6 +342,7 @@ private[graft] trait EntryText extends EntryContext {
         .withColumn("chars_per_bpe_token",
           round(col("n_chars").cast("double") / col("bpe_tokens"), 6))
     }),
+
 
 
     // ---- north-star: encoding-health report — Unicode NFC
@@ -347,6 +374,7 @@ private[graft] trait EntryText extends EntryContext {
     }),
 
 
+
     // ---- north-star: token-budget selection — keep the best-quality
     //      docs until a global token budget, WITHOUT a global sort:
     //      quality bins → per-bin token mass (≤100 driver rows) →
@@ -370,6 +398,7 @@ private[graft] trait EntryText extends EntryContext {
     }),
 
 
+
     // ---- north-star: per-source quality calibration — exact p50/p90
     //      quality per source, the threshold table a mixing pipeline
     //      consumes (a global quality fence over uncalibrated
@@ -383,6 +412,7 @@ private[graft] trait EntryText extends EntryContext {
         ps = Seq(0.5, 0.9))),
 
 
+
     // ---- north-star: unigram-LM (SentencePiece-style) tokenizer
     //      training — seed substrings → hard-EM Viterbi re-counts →
     //      prune; integer-micronat log-probs make every Viterbi
@@ -393,6 +423,7 @@ private[graft] trait EntryText extends EntryContext {
     "q172_unigram_model" -> ((s, dir) =>
       graft.ops.Unigram.train(T(s, dir, "documents"), "text",
         maxPieceLen = 3, seedSize = 30, emIters = 2, keepSize = 12)),
+
 
 
     // ---- north-star: DURABLE unigram model — train on the even half,
@@ -412,6 +443,7 @@ private[graft] trait EntryText extends EntryContext {
           graft.functions.GraftFunctions.unigramCount(s, col("text"), model)
             .as("n_unigram_tokens"))
     }),
+
 
 
     // ---- north-star: tokenizer equity report over BOTH tokenizers —
@@ -437,6 +469,7 @@ private[graft] trait EntryText extends EntryContext {
         .withColumn("chars_per_unigram_token",
           round(col("n_chars").cast("double") / col("unigram_tokens"), 6))
     }),
+
 
 
     // ---- north-star: tokenizer coverage / OOV audit — per-language
@@ -474,6 +507,7 @@ private[graft] trait EntryText extends EntryContext {
     }),
 
 
+
     // ---- north-star: CCNet-style perplexity bucketing — per-language
     //      head/middle/tail terciles by unigram-LM mean NLL (lowest
     //      perplexity = head). Rank ties break on doc_id; tercile
@@ -502,6 +536,7 @@ private[graft] trait EntryText extends EntryContext {
           min(col("nll")).as("min_nll"),
           max(col("nll")).as("max_nll"))
     }),
+
 
 
     // ---- capstone: multilingual corpus gate — ONE scan evaluates
@@ -554,6 +589,7 @@ private[graft] trait EntryText extends EntryContext {
     }),
 
 
+
     // ---- north-star: the Gopher structural gate (Rae et al. 2021) —
     //      word-shape bounds, symbol density, alpha-word floor, and
     //      the stopword prose test, compiled through the SAME dual-
@@ -566,6 +602,7 @@ private[graft] trait EntryText extends EntryContext {
         graft.ops.CorpusFilters.gopherRules(minTokens = 30L, minStopwords = 1))),
 
 
+
     // ---- north-star: WordPiece trainer (Schuster & Nakajima 2012 —
     //      the third public tokenizer algorithm beside BPE and the
     //      unigram LM): the BPE merge loop with the LIKELIHOOD
@@ -574,6 +611,7 @@ private[graft] trait EntryText extends EntryContext {
     //      merge application bit-identically.
     "q195_wordpiece_train" -> ((s, dir) =>
       graft.ops.WordPiece.train(T(s, dir, "documents"), "text", 6)),
+
 
 
     // ---- north-star: DURABLE WordPiece vocabulary — train on the
@@ -597,6 +635,7 @@ private[graft] trait EntryText extends EntryContext {
           graft.functions.GraftFunctions.wordPieceCount(s, col("text"), pieces)
             .as("n_wp_tokens"))
     }),
+
 
 
     // ---- north-star: THREE-tokenizer equity report — q174 extended
@@ -633,6 +672,7 @@ private[graft] trait EntryText extends EntryContext {
     }),
 
 
+
     // ---- north-star: Heaps-law vocabulary growth — distinct word
     //      types vs corpus size at 10 ingestion-order checkpoints; a
     //      flattening curve means the crawl is re-reading itself. One
@@ -643,6 +683,7 @@ private[graft] trait EntryText extends EntryContext {
         T(s, dir, "documents"), "text", "doc_id", buckets = 10)),
 
 
+
     // ---- north-star: Kneser–Ney bigram NLL — THE standard n-gram
     //      smoothing (absolute discount + continuation unigram); the
     //      "San Francisco" effect the q107 add-one interpolation
@@ -651,6 +692,7 @@ private[graft] trait EntryText extends EntryContext {
     "q206_kneser_ney" -> ((s, dir) =>
       graft.ops.LanguageModel.kneserNeyNll(
         T(s, dir, "documents"), "text", "doc_id", discount = 0.75)),
+
 
 
     // ---- north-star: UniMax language-budget allocation (Chung et
@@ -667,6 +709,7 @@ private[graft] trait EntryText extends EntryContext {
     }),
 
 
+
     // ---- north-star: Zipf-law head fit — least-squares slope of
     //      ln(freq) on ln(rank) over the top-100 types (the head is
     //      where the law holds AND what keeps ranking a TakeOrdered
@@ -677,6 +720,7 @@ private[graft] trait EntryText extends EntryContext {
         T(s, dir, "documents"), "text", headSize = 100)),
 
 
+
     // ---- north-star: PMI collocations (Church & Hanks 1990) — word
     //      pairs co-occurring far above chance over the bigram TYPE
     //      table; minCount fences the singleton-pair pathology AND the
@@ -684,6 +728,7 @@ private[graft] trait EntryText extends EntryContext {
     "q214_pmi" -> ((s, dir) =>
       graft.ops.LanguageModel.pmiCollocations(
         T(s, dir, "documents"), "text", minCount = 3L, topK = 20)),
+
 
 
     // ---- north-star: empirical-Bayes source quality — per-source
@@ -696,6 +741,7 @@ private[graft] trait EntryText extends EntryContext {
         graft.ops.TextOps.qualityScore(col("text")) >= 0.5,
         priorStrength = 20.0)
     }),
+
 
 
     // ---- north-star: quality-canonical cluster keepers — the q39
@@ -712,6 +758,7 @@ private[graft] trait EntryText extends EntryContext {
     }),
 
 
+
     // ---- north-star: language confusability matrix — pairwise
     //      cosine of per-language char-trigram profiles (Cavnar &
     //      Trenkle 1994): the lang pairs a lang-ID gate confuses;
@@ -719,6 +766,7 @@ private[graft] trait EntryText extends EntryContext {
     "q225_lang_confusability" -> ((s, dir) =>
       graft.ops.TextOps.langConfusability(
         T(s, dir, "documents"), "text", "lang")),
+
 
 
     // ---- north-star: stupid-backoff trigram NLL (Brants 2007) over a
@@ -731,23 +779,35 @@ private[graft] trait EntryText extends EntryContext {
         docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 === 1),
         "text", "doc_id", alpha = 0.4)
-    })
+    }),
+
+    // ---- 100 TB twin of q38: one bounded GK sketch per group instead
+    //      of a full per-group rank sort. No SQL oracle (sketch
+    //      internals are engine-specific) → rows-only check; StatsSpec
+    //      pins the rank-error bound against exactPercentiles.
+    "q42_length_stats_approx" -> ((s, dir) =>
+      graft.ops.Stats.approxPercentiles(
+        T(s, dir, "documents").selectExpr("lang", "size(split(text, ' ')) AS n_tokens"),
+        groupCols = Seq("lang"), valueCol = "n_tokens",
+        ps = Seq(0.5, 0.9, 0.99)))
   )
 
   protected def textOracles: Map[String, String] = Map(
-
     "q11_token_count" ->
       s"""SELECT doc_id, ${PortableSql.tokenCount("text", DD)} AS n_tokens,
          |  ${PortableSql.regexTokenCount("text", DD)} AS n_rtokens
          |FROM documents""".stripMargin,
 
 
+
     "q12_lang_id" ->
       s"SELECT doc_id, lang, ${PortableSql.langId("text", DD)} AS lang_pred FROM documents",
 
 
+
     "q13_quality_score" ->
       s"SELECT doc_id, ${PortableSql.qualityScore("text", DD)} AS quality FROM documents",
+
 
 
     // unigram training replay: substring seed, two hard-EM Viterbi
@@ -756,6 +816,7 @@ private[graft] trait EntryText extends EntryContext {
     "q172_unigram_model" ->
       s"""WITH RECURSIVE ${unigramTrainCtes(3, 30, 2, 12, 16)}
          |SELECT piece, cnt, logp_micro FROM ulpf""".stripMargin,
+
 
 
     // durable unigram replay: train chain restricted to the even half,
@@ -776,6 +837,7 @@ private[graft] trait EntryText extends EntryContext {
          |      FROM documents WHERE doc_id % 2 <> 0 AND text IS NOT NULL) dw
          |LEFT JOIN upc p ON p.word = dw.word
          |GROUP BY dw.doc_id""".stripMargin,
+
 
 
     // dual-tokenizer equity replay: the q126 BPE chain and the unigram
@@ -818,6 +880,7 @@ private[graft] trait EntryText extends EntryContext {
     },
 
 
+
     // coverage replay: the q173 train+encode chains over the
     // OOV-injected held-out text, pieces kept with their words,
     // UNK = piece absent from the final model table
@@ -849,12 +912,14 @@ private[graft] trait EntryText extends EntryContext {
          |GROUP BY p.lang""".stripMargin,
 
 
+
     // Gopher-gate replay: generated from the SAME filter objects as
     // the Spark expression (single source of truth, the q62 pattern)
     "q194_gopher_gate" ->
       graft.ops.CorpusFilters.oracleSql(
         graft.ops.CorpusFilters.gopherRules(minTokens = 30L, minStopwords = 1),
         "documents", "text", "doc_id"),
+
 
 
     // WordPiece training replay: per-round symbol/pair aggregations,
@@ -870,6 +935,7 @@ private[graft] trait EntryText extends EntryContext {
     },
 
 
+
     // durable-WordPiece replay: train on the even half, vocabulary =
     // seeded alphabet + merged pieces, then the recursive greedy
     // longest-match walk over the odd half's distinct words (whole-
@@ -883,6 +949,7 @@ private[graft] trait EntryText extends EntryContext {
          |FROM tw t JOIN fin f ON f.word = t.word
          |GROUP BY t.doc_id""".stripMargin
     },
+
 
 
     // three-tokenizer equity replay: the q174 BPE+unigram chains plus
@@ -936,6 +1003,7 @@ private[graft] trait EntryText extends EntryContext {
     },
 
 
+
     // vocab-growth replay: identical bucket arithmetic (double
     // division + floor), first-bucket-per-type aggregation, and the
     // buckets-bounded cumulative window
@@ -959,6 +1027,7 @@ private[graft] trait EntryText extends EntryContext {
         |FROM pb LEFT JOIN nt ON nt.b = pb.b""".stripMargin,
 
 
+
     "q36_corpus_filter" ->
       s"""WITH q AS (
          |  SELECT doc_id, source, ${PortableSql.qualityScore("text", DD)} AS quality,
@@ -971,6 +1040,7 @@ private[graft] trait EntryText extends EntryContext {
          |SELECT source, count(*) AS n_docs,
          |  round(cast(sum(cast(quality as decimal(18,6))) as double) / count(*), 6) AS avg_quality
          |FROM f GROUP BY source""".stripMargin,
+
 
 
     "q38_length_stats" -> {
@@ -993,6 +1063,7 @@ private[graft] trait EntryText extends EntryContext {
     },
 
 
+
     "q37_hash_split" -> {
       // interpolate the EXACT cumulative doubles Spark's scanLeft
       // produces (0.8 + 0.1 != 0.9 in binary) so both engines compare p
@@ -1010,12 +1081,14 @@ private[graft] trait EntryText extends EntryContext {
     },
 
 
+
     "q43_repetition" ->
       s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
          |sh AS (SELECT doc_id, $duckShingles AS s FROM t)
          |SELECT doc_id, len(s) AS n_grams,
          |  round(1.0 - CAST(len(list_distinct(s)) AS DOUBLE) / CAST(len(s) AS DOUBLE), 6) AS dup_ratio
          |FROM sh""".stripMargin,
+
 
 
     "q85_quality_signals" ->
@@ -1039,6 +1112,7 @@ private[graft] trait EntryText extends EntryContext {
          |  round((CAST(length(text) AS DOUBLE) - length(regexp_replace(text, '[A-Z]', '', 'g')))
          |    / CAST(length(text) AS DOUBLE), 6) AS upper_ratio
          |FROM t JOIN ent USING (doc_id)""".stripMargin,
+
 
 
     "q86_curriculum_bins" -> {
@@ -1073,6 +1147,7 @@ private[graft] trait EntryText extends EntryContext {
     },
 
 
+
     "q87_shard_manifest" -> {
       // q81's salted prefix-sum shard assignment + per-shard rollup;
       // modal source with ties → lexicographically first
@@ -1099,12 +1174,14 @@ private[graft] trait EntryText extends EntryContext {
     },
 
 
+
     "q68_unigram_nll" ->
       s"""WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
          |c AS (SELECT tok, count(*) AS c FROM e GROUP BY tok),
          |n AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM c)
          |SELECT doc_id, round(avg(-ln(CAST(c AS DOUBLE) / n)), 6) AS nll
          |FROM e JOIN c USING (tok), n GROUP BY doc_id""".stripMargin,
+
 
 
     "q69_heldout_nll" ->
@@ -1117,6 +1194,7 @@ private[graft] trait EntryText extends EntryContext {
          |SELECT doc_id,
          |  round(avg(-ln(CAST(coalesce(c, 0) + 1 AS DOUBLE) / (n + v))), 6) AS nll
          |FROM b LEFT JOIN c USING (tok), s GROUP BY doc_id""".stripMargin,
+
 
 
     "q79_dsir_weights" -> {
@@ -1141,6 +1219,7 @@ private[graft] trait EntryText extends EntryContext {
     },
 
 
+
     "q81_balanced_shards" -> {
       // ONE global running sum in the oracle — equals Spark's salted
       // prefix-sum decomposition because the salt is a key prefix
@@ -1156,6 +1235,7 @@ private[graft] trait EntryText extends EntryContext {
     },
 
 
+
     "q67_mixture_weights" -> {
       val n = PortableSql.tokenCount("text", DD)
       s"""WITH c AS (SELECT lang, CAST(sum($n) AS BIGINT) AS n_units
@@ -1168,6 +1248,7 @@ private[graft] trait EntryText extends EntryContext {
     },
 
 
+
     "q66_feature_hash" -> {
       val base = PortableSql.minhashBase("tok", DD)
       s"""WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
@@ -1175,6 +1256,7 @@ private[graft] trait EntryText extends EntryContext {
          |  count(*) AS tf
          |FROM e GROUP BY doc_id, feature_idx""".stripMargin
     },
+
 
 
     "q64_sequence_pack" -> {
@@ -1194,6 +1276,7 @@ private[graft] trait EntryText extends EntryContext {
     },
 
 
+
     "q65_token_quota" -> {
       val n = PortableSql.tokenCount("text", DD)
       s"""WITH t AS (SELECT doc_id, lang, CAST($n AS BIGINT) AS n FROM documents),
@@ -1205,6 +1288,7 @@ private[graft] trait EntryText extends EntryContext {
     },
 
 
+
     "q114_boilerplate_report" ->
       s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS l FROM documents),
          |w AS (SELECT doc_id, source, unnest(${DD.shingles("l", 4)}) AS "window" FROM t),
@@ -1214,6 +1298,7 @@ private[graft] trait EntryText extends EntryContext {
          |      FROM w GROUP BY "window")
          |SELECT "window", n_occurrences, n_docs, n_sources
          |FROM c ORDER BY n_occurrences DESC, "window" ASC LIMIT 20""".stripMargin,
+
 
 
     // interpolated bigram NLL oracle: same smoothing arithmetic, the
@@ -1235,6 +1320,7 @@ private[graft] trait EntryText extends EntryContext {
          |  LEFT JOIN uc u1 ON u1.token = string_split(g.bgm, ' ')[1]
          |  LEFT JOIN uc u2 ON u2.token = string_split(g.bgm, ' ')[-1], st)
          |SELECT doc_id, round(avg(-ln(p)), 6) AS nll2 FROM sc GROUP BY doc_id""".stripMargin,
+
 
 
     // Kneser-Ney oracle: replay the absolute-discount + continuation
@@ -1261,6 +1347,7 @@ private[graft] trait EntryText extends EntryContext {
          |SELECT doc_id, round(avg(-ln(p)), 6) AS nll_kn FROM sc GROUP BY doc_id""".stripMargin,
 
 
+
     // UniMax replay: per-lang exact-double capacities, ascending
     // exclusive prefix sums, theta = max water level, min-clamp
     "q210_unimax" ->
@@ -1280,6 +1367,7 @@ private[graft] trait EntryText extends EntryContext {
          |  round(least(capacity, theta), 6) AS alloc_tokens,
          |  round(least(capacity, theta) / n_tokens, 6) AS sample_rate
          |FROM w, t""".stripMargin,
+
 
 
     // Zipf replay: head-100 frequency table, ln-ln least squares with
@@ -1307,6 +1395,7 @@ private[graft] trait EntryText extends EntryContext {
          |FROM s""".stripMargin,
 
 
+
     // PMI replay: bigram type table, slot marginals, exact integer
     // ratio under one ln
     "q214_pmi" ->
@@ -1330,6 +1419,7 @@ private[graft] trait EntryText extends EntryContext {
          |ORDER BY pmi DESC, bigram ASC LIMIT 20""".stripMargin,
 
 
+
     // shrinkage replay: integer per-source counts, 1-row global rate,
     // (k·mu + good)/(k + n)
     "q215_source_quality" ->
@@ -1346,6 +1436,7 @@ private[graft] trait EntryText extends EntryContext {
          |  round(CAST(n_good AS DOUBLE) / n_docs, 6) AS raw_rate,
          |  round((20.0 * mu + n_good) / (20.0 + n_docs), 6) AS shrunk_rate
          |FROM per, g""".stripMargin,
+
 
 
     // quality-canonical replay: the q39 closure labels + quality
@@ -1369,6 +1460,7 @@ private[graft] trait EntryText extends EntryContext {
          |FROM lab JOIN k ON k.cluster_id = lab.cluster_id AND k.rn = 1""".stripMargin,
 
 
+
     // confusability replay: trigram profiles, integer dots, one sqrt
     "q225_lang_confusability" ->
       """WITH tri AS (SELECT lang AS l,
@@ -1389,6 +1481,7 @@ private[graft] trait EntryText extends EntryContext {
         |FROM dots
         |JOIN norms na ON na.l = lang_a
         |JOIN norms nb ON nb.l = lang_b""".stripMargin,
+
 
 
     // stupid-backoff replay: model-half n-gram count tables, heldout
@@ -1435,6 +1528,7 @@ private[graft] trait EntryText extends EntryContext {
     },
 
 
+
     "q58_profile" -> {
       def block(c: String, num: Boolean) = {
         val mn = if (num) s"CAST(min($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
@@ -1450,6 +1544,7 @@ private[graft] trait EntryText extends EntryContext {
         block("l_returnflag", num = false),
         block("l_orderkey", num = true)).mkString("\nUNION ALL\n")
     },
+
 
 
     // chunking oracle: same start grid (0, stride, …, capped so a
@@ -1469,6 +1564,7 @@ private[graft] trait EntryText extends EntryContext {
     },
 
 
+
     // BPE training replay: the v0…v6 merge chain, one row per rank
     "q118_bpe_merges" -> {
       val k = 6
@@ -1477,6 +1573,7 @@ private[graft] trait EntryText extends EntryContext {
             s"SELECT CAST($i AS BIGINT) AS rank, left_sym, right_sym, pair_count FROM b$i")
             .mkString("\nUNION ALL\n")}""".stripMargin
     },
+
 
 
     // BPE encoding replay: the same training chain learns b1…b6, then
@@ -1495,6 +1592,7 @@ private[graft] trait EntryText extends EntryContext {
     },
 
 
+
     // BPE vocabulary replay: the trained chain's FINAL vocab state v6
     // already holds every word's surviving symbols — unnest and roll up
     "q123_bpe_vocab" -> {
@@ -1505,6 +1603,7 @@ private[graft] trait EntryText extends EntryContext {
          |  FROM v$k)
          |GROUP BY symbol""".stripMargin
     },
+
 
 
     // durable BPE replay: train chain restricted to the even half,
@@ -1519,6 +1618,7 @@ private[graft] trait EntryText extends EntryContext {
          |FROM documents d, ${(1 to k).map(i => s"b$i").mkString(", ")}
          |WHERE d.doc_id % 2 <> 0""".stripMargin
     },
+
 
 
     // tokenizer-aware packing replay: q64's running-sum chain with n =
@@ -1544,6 +1644,7 @@ private[graft] trait EntryText extends EntryContext {
     },
 
 
+
     // tokenizer-equity replay: the q119 per-doc encode rolled up per
     // language; compression = chars (spaces removed) per BPE token
     "q126_tokenizer_report" -> {
@@ -1562,6 +1663,7 @@ private[graft] trait EntryText extends EntryContext {
          |  round(CAST(sum(ch) AS DOUBLE) / sum(bpe), 6) AS chars_per_bpe_token
          |FROM t GROUP BY lang""".stripMargin
     },
+
 
 
     // encoding-health replay: the same deterministic seeding (chr(769)
@@ -1583,6 +1685,7 @@ private[graft] trait EntryText extends EntryContext {
         |  CAST(sum(length(t) - length(nfc_normalize(t))) AS BIGINT) AS chars_saved,
         |  CAST(sum(length(t) - length(replace(t, chr(65533), ''))) AS BIGINT) AS repl_chars
         |FROM seeded GROUP BY lang""".stripMargin,
+
 
 
     // perplexity-bucket replay: the q68 NLL chain (rounded 6dp both
@@ -1609,6 +1712,7 @@ private[graft] trait EntryText extends EntryContext {
          |    AS sum_nll_micro,
          |  min(nll) AS min_nll, max(nll) AS max_nll
          |FROM r GROUP BY 1, 2""".stripMargin,
+
 
 
     // gate replay: q184's regex-count chain over the extended fixture
@@ -1667,6 +1771,7 @@ private[graft] trait EntryText extends EntryContext {
          |FROM d GROUP BY 1""".stripMargin,
 
 
+
     // calibration replay: q38's exact interpolated-percentile scheme
     // over the per-source quality distribution
     "q134_quality_calibration" -> {
@@ -1689,6 +1794,7 @@ private[graft] trait EntryText extends EntryContext {
          |  CAST(max(n) AS BIGINT) AS n_rows
          |FROM qc_r GROUP BY source""".stripMargin
     },
+
 
 
     // token-budget replay: identical two-stage arithmetic — per-bin
