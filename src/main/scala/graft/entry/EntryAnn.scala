@@ -600,6 +600,19 @@ private[graft] trait EntryAnn extends EntryContext {
         "query_id", k = 10)
     }),
 
+    // ---- north-star: the streaming graph maintainer END TO END —
+    //      wave 1 lands as JSONL and bootstraps the graph through
+    //      GraphIngest.maintainGraph (exactly-once silver, folded-
+    //      files batches), wave 2 (0, 10, 20) lands and search-then-
+    //      links; the probe over the maintained store must equal the
+    //      directly-built q287 store (same oracle — the q282
+    //      convention for the graph regime).
+    "q293_graph_ingest" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      graft.io.GraphIndex.search(s, graphIngestStore(s, dir), emb,
+        emb.filter(col("vec_id") === 0), k = 10)
+    }),
+
     // ---- north-star: right-to-be-forgotten for the nav graph — the
     //      takedown pass every other durable index has (q82/q83/q99):
     //      deleted ids leave the ledger and every edge incident to
@@ -1423,52 +1436,13 @@ private[graft] trait EntryAnn extends EntryContext {
     // batch-internal pairs → micro-ranked forward cut → symmetrize →
     // degree-re-prune touched nodes against the standing edge cosines
     // → merged graph → the final probe walk over the FULL corpus
-    "q287_graph_ann_insert" -> {
-      val batch = Seq(0L, 10L, 20L)
-      val bList = batch.mkString(", ")
-      val walks = batch.map(q => graphAnnWalkCtes(q, k = 8,
-        graph = "kg_s", ent = "ent_s", emb = "embm_s", qsrc = "fullemb",
-        ns0 = s"i$q")).mkString(",\n")
-      val walkCand = batch.map(q =>
-        s"SELECT CAST($q AS BIGINT) AS qid, node, sim FROM res_i$q")
-        .mkString(" UNION ALL ")
-      s"""WITH ${graphAnnStemCtes(
-             s"(SELECT * FROM embeddings WHERE vec_id NOT IN ($bList))", "_s")},
-         |fullemb AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
-         |$walks,
-         |batchv AS (SELECT vec_id, embedding FROM fullemb
-         |  WHERE vec_id IN ($bList)),
-         |internal AS (SELECT a.vec_id AS qid, CAST(b.vec_id AS BIGINT) AS node,
-         |    ${duckCosine("a.embedding", "b.embedding", 64)} AS sim
-         |  FROM batchv a JOIN batchv b ON b.vec_id <> a.vec_id),
-         |candm AS (SELECT qid AS id, node AS nbr,
-         |    max(CAST(round(sim*1000000, 0) AS BIGINT)) AS c
-         |  FROM ($walkCand UNION ALL SELECT qid, node, sim FROM internal)
-         |  GROUP BY qid, node),
-         |fwd AS (SELECT id, nbr, c FROM (SELECT id, nbr, c,
-         |    row_number() OVER (PARTITION BY id ORDER BY c DESC, nbr ASC) AS rn
-         |  FROM candm) WHERE rn <= 8),
-         |symn AS (SELECT id, nbr, c FROM fwd
-         |  UNION ALL SELECT nbr AS id, id AS nbr, c FROM fwd),
-         |touched AS (SELECT DISTINCT id FROM symn),
-         |mrg AS (SELECT id, nbr, max(c) AS c FROM (
-         |    SELECT k.id, k.nbr,
-         |      CAST(round(k.cosine_sim*1000000, 0) AS BIGINT) AS c
-         |    FROM kgc_s k JOIN touched t ON t.id = k.id
-         |    UNION ALL SELECT id, nbr, c FROM symn)
-         |  GROUP BY id, nbr),
-         |pr AS (SELECT id, nbr FROM (SELECT id, nbr,
-         |    row_number() OVER (PARTITION BY id ORDER BY c DESC, nbr ASC) AS rn
-         |  FROM mrg) WHERE rn <= 8),
-         |kg2 AS MATERIALIZED (
-         |  SELECT k.id, k.nbr FROM kg_s k
-         |  WHERE k.id NOT IN (SELECT id FROM touched)
-         |  UNION ALL SELECT id, nbr FROM pr),
-         |ent2 AS (SELECT vec_id AS node FROM fullemb ORDER BY vec_id LIMIT 4),
-         |${graphAnnWalkCtes(0, k = 10, graph = "kg2", ent = "ent2",
-             emb = "fullemb", qsrc = "fullemb", ns0 = "f")}
-         |SELECT node AS vec_id, sim AS cosine_sim FROM res_f""".stripMargin
-    },
+    "q287_graph_ann_insert" -> graphInsertOracle,
+
+    // maintainer end-to-end ≡ the same insert math: the landed-JSONL
+    // drains (bootstrap build + search-then-link) must produce the
+    // IDENTICAL merged graph, so the oracle is q287's verbatim (float
+    // JSON round-trips are exact — Java shortest-repr)
+    "q293_graph_ingest" -> graphInsertOracle,
 
 
     // recall readout: the same walk intersected with the exact top-10
@@ -1544,4 +1518,52 @@ private[graft] trait EntryAnn extends EntryContext {
          |LEFT JOIN cnt ON cnt.list_id = c.cid""".stripMargin
     }
   )
+
+  /** Shared q287/q293 oracle: the full search-then-link replay. */
+  protected lazy val graphInsertOracle: String = {
+      val batch = Seq(0L, 10L, 20L)
+      val bList = batch.mkString(", ")
+      val walks = batch.map(q => graphAnnWalkCtes(q, k = 8,
+        graph = "kg_s", ent = "ent_s", emb = "embm_s", qsrc = "fullemb",
+        ns0 = s"i$q")).mkString(",\n")
+      val walkCand = batch.map(q =>
+        s"SELECT CAST($q AS BIGINT) AS qid, node, sim FROM res_i$q")
+        .mkString(" UNION ALL ")
+      s"""WITH ${graphAnnStemCtes(
+             s"(SELECT * FROM embeddings WHERE vec_id NOT IN ($bList))", "_s")},
+         |fullemb AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+         |$walks,
+         |batchv AS (SELECT vec_id, embedding FROM fullemb
+         |  WHERE vec_id IN ($bList)),
+         |internal AS (SELECT a.vec_id AS qid, CAST(b.vec_id AS BIGINT) AS node,
+         |    ${duckCosine("a.embedding", "b.embedding", 64)} AS sim
+         |  FROM batchv a JOIN batchv b ON b.vec_id <> a.vec_id),
+         |candm AS (SELECT qid AS id, node AS nbr,
+         |    max(CAST(round(sim*1000000, 0) AS BIGINT)) AS c
+         |  FROM ($walkCand UNION ALL SELECT qid, node, sim FROM internal)
+         |  GROUP BY qid, node),
+         |fwd AS (SELECT id, nbr, c FROM (SELECT id, nbr, c,
+         |    row_number() OVER (PARTITION BY id ORDER BY c DESC, nbr ASC) AS rn
+         |  FROM candm) WHERE rn <= 8),
+         |symn AS (SELECT id, nbr, c FROM fwd
+         |  UNION ALL SELECT nbr AS id, id AS nbr, c FROM fwd),
+         |touched AS (SELECT DISTINCT id FROM symn),
+         |mrg AS (SELECT id, nbr, max(c) AS c FROM (
+         |    SELECT k.id, k.nbr,
+         |      CAST(round(k.cosine_sim*1000000, 0) AS BIGINT) AS c
+         |    FROM kgc_s k JOIN touched t ON t.id = k.id
+         |    UNION ALL SELECT id, nbr, c FROM symn)
+         |  GROUP BY id, nbr),
+         |pr AS (SELECT id, nbr FROM (SELECT id, nbr,
+         |    row_number() OVER (PARTITION BY id ORDER BY c DESC, nbr ASC) AS rn
+         |  FROM mrg) WHERE rn <= 8),
+         |kg2 AS MATERIALIZED (
+         |  SELECT k.id, k.nbr FROM kg_s k
+         |  WHERE k.id NOT IN (SELECT id FROM touched)
+         |  UNION ALL SELECT id, nbr FROM pr),
+         |ent2 AS (SELECT vec_id AS node FROM fullemb ORDER BY vec_id LIMIT 4),
+         |${graphAnnWalkCtes(0, k = 10, graph = "kg2", ent = "ent2",
+             emb = "fullemb", qsrc = "fullemb", ns0 = "f")}
+         |SELECT node AS vec_id, sim AS cosine_sim FROM res_f""".stripMargin
+  }
 }

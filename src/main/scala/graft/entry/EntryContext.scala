@@ -350,7 +350,8 @@ private[graft] trait EntryContext {
     "q286_durable_graph_ann" -> ((s, dir) => durableGraphIndex(s, dir): Unit),
     "q287_graph_ann_insert" -> ((s, dir) => insertedGraphIndex(s, dir): Unit),
     "q291_forget_graph" -> ((s, dir) => forgottenGraphIndex(s, dir): Unit),
-    "q292_durable_graph_batch" -> ((s, dir) => durableGraphIndex(s, dir): Unit))
+    "q292_durable_graph_batch" -> ((s, dir) => durableGraphIndex(s, dir): Unit),
+    "q293_graph_ingest" -> ((s, dir) => graphIngestStore(s, dir): Unit))
 
   /** Deterministic video corpus for q288/q289: one raw Y4M clip per
     * document (REAL bytes — [[graft.ops.Multimodal.demoY4m]]; ids
@@ -424,6 +425,39 @@ private[graft] trait EntryContext {
         graft.io.GraphIndex.delete(s, idxDir,
           Seq(1L, 11L, 21L).toDF("vec_id"))
         idxDir
+      })
+
+  /** q293 store: the graph built and grown ENTIRELY through the
+    * streaming maintainer — wave 1 (standing ids) lands as JSONL and
+    * bootstraps, wave 2 (0, 10, 20) lands and search-then-links; must
+    * equal q287's directly-built store. Landing files are written by
+    * SPARK (to_json → text parts), never a driver loop. */
+  protected def graphIngestStore(s: SparkSession, dir: String): String =
+    graphIdxMemo.getOrElseUpdate(
+      (s.sparkContext.applicationId, dir, "ing"), {
+        val base = tmp("graph_ingest_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+        wipe(s, base)
+        val emb = T(s, dir, "embeddings")
+        val batchIds = Seq(0L, 10L, 20L)
+        val vschema = graft.schema.Metadata.structFromSpec(
+          """
+          vec_id: long
+          embedding: array<float>
+          """)
+        def land(df: DataFrame): Unit = df
+          .selectExpr("to_json(struct(vec_id, embedding)) AS value")
+          .coalesce(4).write.mode("append").text(s"$base/landing")
+        def drain(): Long = graft.streaming.GraphIngest.maintainGraph(
+          s, s"$base/landing", vschema, "vec_id", "embedding",
+          silverDir = s"$base/silver", checkpointDir = s"$base/ckpt",
+          indexDir = s"$base/index", dims = 64, k = 8,
+          planesPerBand = 6, bands = 4, maxBucketSize = 400,
+          nEntries = 4, beamWidth = 16, maxSteps = 10)
+        land(emb.filter(!col("vec_id").isin(batchIds: _*)))
+        drain()
+        land(emb.filter(col("vec_id").isin(batchIds: _*)))
+        drain()
+        s"$base/index"
       })
 
   protected val annGraphMemo =
