@@ -514,16 +514,21 @@ object Similarity {
       col(embCol).as("__qe"))
     val qRows = qSel.collect()
     require(qRows.nonEmpty, "graphSearchBatch: empty query set")
+    require(qRows.forall(r => !r.isNullAt(0) && !r.isNullAt(1)),
+      "graphSearchBatch: null query id or embedding")
     val qids = qRows.map(_.getLong(0)).toSeq
     require(qids.distinct.length == qids.length,
       "graphSearchBatch: duplicate query ids")
     val qLocal = broadcast(
       spark.createDataFrame(qRows.toSeq.asJava, qSel.schema))
 
+    // null ids are unaddressable (and would NPE the driver-side beam
+    // state) — drop them here instead of relying on input hygiene
     val nodeEmb = corpus.select(col(idCol).cast("long").as("node"),
-      col(embCol).as("__e"))
+      col(embCol).as("__e")).filter(col("node").isNotNull)
     val edges = graph.select(col("id").cast("long").as("id"),
       col("nbr").cast("long").as("nbr"))
+      .filter(col("id").isNotNull && col("nbr").isNotNull)
     val pairSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("query_id",
         org.apache.spark.sql.types.LongType, nullable = false),
@@ -567,6 +572,7 @@ object Similarity {
     // deterministic entries: the nEntries lowest corpus ids (one
     // column-pruned TakeOrdered pass, shared by every query)
     val entries = corpus.select(col(idCol).cast("long").as("node"))
+      .filter(col("node").isNotNull)
       .orderBy(col("node").asc).limit(nEntries)
       .collect().map(_.getLong(0)).toSeq
     score(qids.flatMap(q => entries.map(q -> _)))

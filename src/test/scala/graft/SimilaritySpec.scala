@@ -724,6 +724,27 @@ class SimilaritySpec extends AnyFunSuite {
       Similarity.graphSearchBatch(emb, "vec_id", "embedding",
         queries.unionAll(queries), "query_id", g, k = 1)
     }
+    // null query ids are rejected, not silently keyed as 0
+    intercept[IllegalArgumentException] {
+      Similarity.graphSearchBatch(emb, "vec_id", "embedding",
+        queries.select(lit(null).cast("long").as("query_id"),
+          col("embedding")).limit(1),
+        "query_id", g, k = 1)
+    }
+    // a null-id corpus row is unaddressable and must drop, not NPE the
+    // driver-side beam state
+    val dirty = emb.select("vec_id", "embedding").unionByName(
+      emb.limit(1).select(lit(null).cast("long").as("vec_id"),
+        col("embedding")))
+    val viaDirty = Similarity.graphSearch(
+        dirty, "vec_id", "embedding", emb.filter(col("vec_id") === 0), g,
+        k = 10, beamWidth = 16, maxSteps = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val viaClean = Similarity.graphSearch(
+        emb, "vec_id", "embedding", emb.filter(col("vec_id") === 0), g,
+        k = 10, beamWidth = 16, maxSteps = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaDirty == viaClean)
   }
 
   test("pointLookup: the id set reaches the parquet scan as a pushed filter") {
