@@ -277,6 +277,7 @@ private[graft] trait EntryContext {
     pqMemo.clear(); labelsMemo.clear(); winIdxMemo.clear()
     forgetIdxMemo.clear(); vecIdxMemo.clear(); corpusVecIdxMemo.clear()
     maintReportMemo.clear(); imageIngestMemo.clear(); annGraphMemo.clear()
+    graphIdxMemo.clear()
   }
 
   /** q280 fixture: durable IVF built on the EVEN vectors, the odd half

@@ -90,6 +90,10 @@ object Commits {
           s"rename to $finalDir did not commit our payload — lost the " +
             "commit race; re-read the store and retry")
       }
+      // the identity proof is consumed — drop the token so committed
+      // dirs don't accrete stray files for non-dot-filtering consumers
+      // (checksum audits, distcp diffs); the dir is provably ours now
+      fs.delete(new Path(finalDir, token), false)
     } finally {
       if (fs.exists(tmp)) fs.delete(tmp, true)
     }

@@ -172,7 +172,27 @@ object GraphIndex {
     val ledger = Commits.readVersioned(spark, ledgerDir(dir))
       .getOrElse(sys.error(s"no committed ledger under ${ledgerDir(dir)}"))
       ._2.select(col("id"), col("gen"))
-    spark.read.parquet(adjPath(dir))
+    // an EDGE-FREE graph is a valid state (single-vector bootstrap, a
+    // delete-all followed by compact): Spark's dynamic-partition writer
+    // creates no files for zero rows, so read with the explicit schema
+    // and hand back an empty frame instead of a schema-inference crash
+    // (the VectorIndex empty-but-readable contract)
+    val p = new Path(adjPath(dir))
+    val fs = fsOf(spark, p)
+    def hasData: Boolean = fs.exists(p) && fs.listStatus(p)
+      .filter(_.isDirectory).exists(g => fs.listStatus(g.getPath)
+        .exists(f => f.isFile && f.getPath.getName.endsWith(".parquet")))
+    val adjSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("nbr",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("cos_micro",
+        org.apache.spark.sql.types.LongType, nullable = true)))
+    if (!hasData)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], adjSchema)
+    else spark.read.parquet(adjPath(dir))
       .join(broadcast(ledger), Seq("id", "gen"), "left_semi")
       .select(col("id"), col("nbr"), col("cos_micro"))
   }
@@ -243,8 +263,15 @@ object GraphIndex {
     val (ledgerVersion, ledger) =
       Commits.readVersioned(spark, ledgerDir(dir))
         .getOrElse(sys.error(s"no committed ledger under ${ledgerDir(dir)}"))
+    // one vector per id per drain is the landing-zone contract; an
+    // at-least-once producer can still violate it, and a duplicate id
+    // would otherwise throw inside the batch search and WEDGE a
+    // replaying maintainer (the fresh files never fold) — resolve to
+    // the max embedding (array ordering), deterministically
     val batch = newVecs
       .select(col(m.idCol).cast("long").as("id"), col(m.embCol).as("__e"))
+      .filter(col("id").isNotNull)
+      .groupBy("id").agg(max(col("__e")).as("__e"))
       .join(broadcast(ledger.select(col("id"))), Seq("id"), "left_anti")
       .localCheckpoint() // feeds searches, internal pairs, and the link
     val nDelta = batch.count()

@@ -474,14 +474,18 @@ object Dedup {
       // concentrate one hash; that bucket alone makes the candidate
       // join quadratic, so it fails LOUDLY naming the key instead of
       // silently burning the cluster
+      // decimal product: Long __np² overflows past ~3e9 entries and
+      // would silently DISABLE the fence on exactly the degenerate
+      // corpus it exists for
+      val np2 = (col("__np").cast("decimal(20,0)") * col("__np"))
       val hot = prefix.groupBy(col("__h").as("__hk"))
         .agg(count(lit(1)).as("__np"))
-        .filter(col("__np") * col("__np") > maxPrefixPairs)
-        .select(col("__hk").cast("string"), col("__np") * col("__np"))
+        .filter(np2 > lit(maxPrefixPairs).cast("decimal(38,0)"))
+        .select(col("__hk").cast("string"), np2.cast("decimal(38,0)"))
         .limit(1).collect()
       require(hot.isEmpty, {
         val r = hot.head
-        s"prefix bucket '${r.getString(0)}' would form ${r.getLong(1)} " +
+        s"prefix bucket '${r.getString(0)}' would form ${r.getDecimal(1)} " +
           s"candidate pairs (> maxPrefixPairs=$maxPrefixPairs): one hot " +
           "shingle makes the similarity join quadratic — raise the " +
           "threshold, widen shingleWords, pre-dedup exact copies (or " +

@@ -85,17 +85,21 @@ object Linkage {
     require(upper >= lower, "upper threshold must be >= lower")
     if (maxBlockPairs < Long.MaxValue) {
       // key-∝ audit; null keys never join, so they never form pairs
+      // decimal product: a Long __na·__nb overflows past ~3e9-row
+      // sides and would silently disable the fence at exactly the
+      // scale it exists for
+      val pairs2 = col("__na").cast("decimal(20,0)") * col("__nb")
       val hot = a.filter(col(blockCol).isNotNull)
         .groupBy(col(blockCol).as("__k")).agg(count(lit(1)).as("__na"))
         .join(b.filter(col(blockCol).isNotNull)
           .groupBy(col(blockCol).as("__k")).agg(count(lit(1)).as("__nb")),
           Seq("__k"))
-        .filter(col("__na") * col("__nb") > maxBlockPairs)
-        .select(col("__k").cast("string"), col("__na") * col("__nb"))
+        .filter(pairs2 > lit(maxBlockPairs).cast("decimal(38,0)"))
+        .select(col("__k").cast("string"), pairs2.cast("decimal(38,0)"))
         .limit(1).collect()
       require(hot.isEmpty, {
         val r = hot.head
-        s"blocking key '${r.getString(0)}' would form ${r.getLong(1)} " +
+        s"blocking key '${r.getString(0)}' would form ${r.getDecimal(1)} " +
           s"candidate pairs (> maxBlockPairs=$maxBlockPairs): one hot " +
           "block makes the linkage join quadratic — salt or refine the " +
           "blocking key (or raise the cap explicitly)"

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
-import graft.io.{Commits, GraphIndex}
+import graft.io.{Commits, FoldedFiles, GraphIndex}
 
 /**
  * Incremental navigation-graph maintenance at the ingest front door —
@@ -68,16 +68,8 @@ object GraphIngest {
     val sfs = silverPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!sfs.exists(silverPath)) 0L
     else {
-      val silverFiles: Set[String] = sfs.listStatus(silverPath)
-        .filter(_.isFile).map(_.getPath.toString)
-        .filter(_.endsWith(".parquet")).toSet
-      val foldedBase = s"$indexDir/folded"
-      val foldedRead = Commits.readVersioned(spark, foldedBase)
-      val foldedVersion = foldedRead.map(_._1).getOrElse(-1)
-      val folded: Set[String] = foldedRead
-        .map(_._2.collect().map(_.getString(0)).toSet) // ∝ silver FILE COUNT
-        .getOrElse(Set.empty)
-      val fresh = (silverFiles -- folded).toSeq.sorted
+      val (fresh, commitFolded) =
+        FoldedFiles.fresh(spark, silverDir, s"$indexDir/folded")
       if (fresh.isEmpty) 0L
       else {
         val batch = spark.read.schema(schema).parquet(fresh: _*)
@@ -104,10 +96,7 @@ object GraphIngest {
           }
         // folded record LAST: a crash before this line re-reads the
         // same files next drain; the graph ledger anti-join heals it
-        import spark.implicits._
-        Commits.commitVersion(
-          folded.union(fresh.toSet).toSeq.sorted.toDF("file"),
-          foldedBase, foldedVersion)
+        commitFolded()
         n
       }
     }

@@ -101,28 +101,14 @@ object ImageIngest {
     if (!sfs.exists(silverPath)) empty
     else {
       // O(drain) batch: silver data files not yet folded into the
-      // index, judged against the durable folded record — every drain
-      // reads only new files instead of paying an O(silver) payload
-      // scan; silver is append-only flat parquet, so the file set IS
-      // the fold unit
-      val silverFiles: Set[String] = sfs.listStatus(silverPath)
-        .filter(_.isFile).map(_.getPath.toString)
-        .filter(_.endsWith(".parquet")).toSet
-      val foldedBase = s"$indexDir/folded"
-      val foldedRead = Commits.readVersioned(spark, foldedBase)
-      val foldedVersion = foldedRead.map(_._1).getOrElse(-1)
-      val folded: Set[String] = foldedRead
-        .map(_._2.collect().map(_.getString(0)).toSet) // ∝ silver FILE COUNT
-        .getOrElse(Set.empty)
-      val fresh = (silverFiles -- folded).toSeq.sorted
+      // index, judged against the durable folded record
+      // ([[graft.io.FoldedFiles]]) — every drain reads only new files
+      // instead of paying an O(silver) payload scan; silver is
+      // append-only flat parquet, so the file set IS the fold unit
+      val (fresh, commitFolded) =
+        graft.io.FoldedFiles.fresh(spark, silverDir, s"$indexDir/folded")
       if (fresh.isEmpty) empty
       else {
-        def commitFolded(): Unit = {
-          import spark.implicits._
-          Commits.commitVersion(
-            folded.union(fresh.toSet).toSeq.sorted.toDF("file"),
-            foldedBase, foldedVersion)
-        }
         val images = spark.read.parquet(fresh: _*)
           .filter(col("content_type").startsWith("image/"))
           .select(col("record_id").as("media_id"), col("payload"))

@@ -119,18 +119,8 @@ object SearchIngest {
     // forever (and pay an O(silver) scan per drain); the durable diff
     // keeps the drain O(batch) AND survives a crash between the silver
     // drain and the fold (an in-memory pre/post listing would not)
-    val silverPath = new Path(silverDir)
-    val sfs = silverPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val silverFiles: Set[String] =
-      if (!sfs.exists(silverPath)) Set.empty
-      else sfs.listStatus(silverPath).filter(_.isFile)
-        .map(_.getPath.toString).filter(_.endsWith(".parquet")).toSet
-    val foldedRead = Commits.readVersioned(spark, foldedDir(indexDir))
-    val foldedVersion = foldedRead.map(_._1).getOrElse(-1)
-    val folded: Set[String] = foldedRead
-      .map(_._2.collect().map(_.getString(0)).toSet) // ∝ silver FILE COUNT
-      .getOrElse(Set.empty)
-    val fresh = (silverFiles -- folded).toSeq.sorted
+    val (fresh, commitFolded) =
+      graft.io.FoldedFiles.fresh(spark, silverDir, foldedDir(indexDir))
     val batch =
       if (fresh.nonEmpty) spark.read.schema(schema).parquet(fresh: _*)
       else spark.createDataFrame(
@@ -178,12 +168,7 @@ object SearchIngest {
     // folded record LAST (even on an all-unchanged batch): a crash
     // before this line re-scans `fresh` next drain, where the hash
     // delta is empty and this commit heals forward
-    if (fresh.nonEmpty) {
-      import spark.implicits._
-      Commits.commitVersion(
-        folded.union(fresh.toSet).toSeq.sorted.toDF("file"),
-        foldedDir(indexDir), foldedVersion)
-    }
+    if (fresh.nonEmpty) commitFolded()
     nDelta
   } }
 
