@@ -55,11 +55,40 @@ private[graft] trait EntryDedup extends EntryContext {
 
 
     // ---- north-star dedup: SimHash near-dup pairs (hamming-block LSH,
-    //      perfect recall for hamming < blocks by pigeonhole)
+    //      perfect recall for hamming < blocks by pigeonhole).
+    //      maxBucketPairs is raised EXPLICITLY above the 25M default:
+    //      32-bit simhash on this small-vocab corpus has ~10 of 32
+    //      bits near-unanimous (the q41 entropy note), so 8-bit block
+    //      values concentrate AND the hamming-≤3 ball saturates —
+    //      measured (SimhashAudit, BASELINE.md r17 density audit): at
+    //      sf1 the hottest (blk,v) bucket holds 13,673 postings =
+    //      187M candidate pairs (default fence fired for real on the
+    //      sf1 sweep) and the TRUE output is 83,078 → 9,262,736 pairs
+    //      sf0.1→sf1 (111× at 10× corpus — the output itself is
+    //      quadratic; the 29× runtime is BELOW output growth). Keeping
+    //      the 32-bit surface is a deliberate, capped decision; the
+    //      production fix is q294's 64-bit/16-bit-block twin, which
+    //      stays under the default cap.
     "q31_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashNearDups(
         T(s, dir, "documents"), "text", "doc_id",
-        bits = 32, blocks = 4, maxHamming = 3)),
+        bits = 32, blocks = 4, maxHamming = 3,
+        maxBucketPairs = 1_000_000_000L)),
+
+
+    // ---- the production-shaped simhash: 64 bits in four 16-BIT
+    //      blocks (65,536 bucket values vs q31's 256) — the "more
+    //      bits" fix the q41 entropy note prescribes. Same pigeonhole
+    //      recall (maxHamming 3 < 4 blocks); bucket postings stay
+    //      hash-thin at scale, UNDER the default 25M fence where the
+    //      32-bit shape tripped it (sf1 hottest bucket: 3,032 postings
+    //      = 9.19M pairs vs 32-bit's 13,673 = 187M; output 312 →
+    //      13,564 true near-dups vs q31's collision-saturated 9.26M —
+    //      SimhashAudit, BASELINE.md r17 density audit).
+    "q294_simhash64_pairs" -> ((s, dir) =>
+      Dedup.simhashNearDups(
+        T(s, dir, "documents"), "text", "doc_id",
+        bits = 64, blocks = 4, maxHamming = 3)),
 
 
     // ---- north-star text: PII/URL scrubbing. The fixture corpus has no
@@ -150,7 +179,12 @@ private[graft] trait EntryDedup extends EntryContext {
     "q41_simhash_pairs_xx64" -> ((s, dir) =>
       Dedup.simhashNearDups(
         T(s, dir, "documents"), "text", "doc_id",
-        bits = 32, blocks = 4, maxHamming = 3, kind = Dedup.Xx64)),
+        bits = 32, blocks = 4, maxHamming = 3, kind = Dedup.Xx64,
+        // same explicit 32-bit-entropy cap decision as q31 (xx64 draws
+        // MORE near-unanimous bits: sf1 hottest bucket 14,848 postings
+        // = 220M candidates; output 232,138 → 24,599,549 = 106× at
+        // 10× — SimhashAudit, BASELINE.md r17 density audit)
+        maxBucketPairs = 1_000_000_000L)),
 
 
     // ---- production-kernel twin of q74 (rows-only bench row, like
@@ -888,6 +922,27 @@ private[graft] trait EntryDedup extends EntryContext {
       s"""WITH s AS (SELECT doc_id, ${PortableSql.simhash("text", 32, DD)} AS sh FROM documents),
          |ex AS (
          |  SELECT doc_id, sh, b, substr(sh, b * 2 + 1, 2) AS v
+         |  FROM s CROSS JOIN (VALUES (0), (1), (2), (3)) t(b)
+         |),
+         |p AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b, a.sh AS sha, c.sh AS shb
+         |  FROM ex a JOIN ex c ON a.b = c.b AND a.v = c.v AND a.doc_id < c.doc_id
+         |),
+         |h AS (SELECT id_a, id_b, ($hamming) AS hamming FROM p)
+         |SELECT id_a, id_b, hamming FROM h WHERE hamming <= 3""".stripMargin
+    },
+
+
+    // q31's replay at 64 bits / 16-bit blocks: 16 hex chars, blocks of
+    // 4 chars, hamming summed over all 16 nibbles
+    "q294_simhash64_pairs" -> {
+      val nib = (c: String, i: Int) => s"(instr('0123456789abcdef', substr($c, $i, 1)) - 1)"
+      val hamming = (1 to 16).map(i =>
+        s"CAST(substr('0112122312232334', xor(${nib("sha", i)}, ${nib("shb", i)}) + 1, 1) AS BIGINT)")
+        .mkString(" + ")
+      s"""WITH s AS (SELECT doc_id, ${PortableSql.simhash("text", 64, DD)} AS sh FROM documents),
+         |ex AS (
+         |  SELECT doc_id, sh, b, substr(sh, b * 4 + 1, 4) AS v
          |  FROM s CROSS JOIN (VALUES (0), (1), (2), (3)) t(b)
          |),
          |p AS (

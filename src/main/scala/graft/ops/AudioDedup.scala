@@ -135,8 +135,10 @@ object AudioDedup {
    *        preambles — the audio analog of stopwords) contributes a
    *        near-quadratic bucket to the join while carrying no
    *        discriminative evidence; such landmarks are DROPPED before
-   *        the join (the SimHash family's per-bucket skew cap). 0
-   *        disables the fence.
+   *        the join — a drop-the-stopword policy, unlike the SimHash/
+   *        image/video family's fail-loud [[Fences.assertBucketPairs]]
+   *        cap, because a saturated landmark genuinely carries no
+   *        signal (a hot simhash block might). 0 disables the fence.
    */
   def sharedFingerprintPairs(
       fps: DataFrame, idCol: String, minShared: Long,

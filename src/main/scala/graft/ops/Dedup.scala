@@ -832,7 +832,8 @@ object Dedup {
       bits: Int = 32,
       blocks: Int = 4,
       maxHamming: Int = 3,
-      kind: HashKind = Md5): DataFrame = {
+      kind: HashKind = Md5,
+      maxBucketPairs: Long = 25_000_000L): DataFrame = {
     val hexLen = bits / 4
     require(hexLen % blocks == 0, "blocks must divide the hex length")
     require(maxHamming < blocks,
@@ -865,6 +866,14 @@ object Dedup {
       element_at(typedlit(popcount4),
         element_at(col("na"), i).bitwiseXOR(element_at(col("nb"), i)) + 1))
       .reduce(_ + _).cast("long")
+    // hot-bucket fence (the prefixFilteredPairs/Linkage convention): a
+    // constant simhash block across a mass-duplicated template corpus
+    // concentrates one (blk, v) bucket, and that bucket alone makes
+    // the candidate join quadratic — fail loudly naming the key. `ex`
+    // re-derives from the checkpointed `sh`, so the audit pass costs
+    // one narrow explode + decomposable count, never a re-hash.
+    Fences.assertBucketPairs(ex, Seq("blk", "v"), maxBucketPairs,
+      "simhash", "raise bits (narrower buckets), pre-dedup exact copies")
     a.join(b, Seq("blk", "v"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), hamming.as("hamming"))

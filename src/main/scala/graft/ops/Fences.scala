@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Shared fail-loud skew fences for bucket-keyed candidate joins (the
+ * `/root/reference` pipeline has no joins at all — this is scale
+ * armor for the north-star near-dup family).
+ *
+ * Every near-dup stem in this repo reduces the O(n²) pair space to
+ * per-bucket self-joins (LSH bands, SimHash blocks, Hamming bands,
+ * prefix postings, blocking keys). AQE's skew split can re-balance the
+ * SHUFFLE for a hot bucket, but nothing in the engine bounds the pair
+ * OUTPUT: one degenerate bucket value (a constant hash block across a
+ * mass-duplicated template corpus) makes the candidate join quadratic
+ * on its own. The repo convention — established by
+ * [[Dedup.prefixFilteredPairs]]'s `maxPrefixPairs` and
+ * [[Linkage]]'s `maxBlockPairs` — is to fail LOUDLY naming the hot
+ * key before burning the cluster, instead of silently running an
+ * n² job. This object is the one shared implementation of that fence
+ * for the banded Hamming family (SimHash text, image perceptual-hash,
+ * video aligned-frame).
+ */
+object Fences {
+
+  /**
+   * Hot-bucket candidate-pair fence: counts postings per bucket key in
+   * the exploded frame `ex` and fails loudly — naming the hottest key
+   * and its pair count — if any single bucket would form more than
+   * `maxPairs` candidate pairs (count² per bucket, the
+   * [[Dedup.prefixFilteredPairs]] convention). The product is computed
+   * in decimal: a Long count² overflows past ~3e9 postings and would
+   * silently DISABLE the fence on exactly the degenerate corpus it
+   * exists for. `maxPairs >= Long.MaxValue` disables the fence.
+   *
+   * Cost: one decomposable groupBy over `ex` (map-side partials
+   * collapse hot keys per-mapper) + a limit-1 collect — O(buckets)
+   * driver traffic, never data-proportional.
+   */
+  def assertBucketPairs(
+      ex: DataFrame,
+      keyCols: Seq[String],
+      maxPairs: Long,
+      op: String,
+      remedy: String): Unit = {
+    if (maxPairs >= Long.MaxValue) return
+    val np2 = col("__np").cast("decimal(20,0)") * col("__np")
+    val hot = ex.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__np"))
+      .filter(np2 > lit(maxPairs).cast("decimal(38,0)"))
+      .select(
+        concat_ws(",", keyCols.map(c => col(c).cast("string")): _*)
+          .as("__key"),
+        np2.cast("decimal(38,0)").as("__pairs"))
+      .limit(1).collect()
+    require(hot.isEmpty, {
+      val r = hot.head
+      s"$op bucket (${keyCols.mkString(",")})=(${r.getString(0)}) would " +
+        s"form ${r.getDecimal(1)} candidate pairs (> maxBucketPairs=" +
+        s"$maxPairs): one hot bucket makes the candidate join quadratic " +
+        s"— $remedy (or raise the cap explicitly)"
+    })
+  }
+}

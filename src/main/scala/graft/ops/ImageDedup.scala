@@ -135,8 +135,13 @@ object ImageDedup {
       idCol: String,
       hashCol: String,
       maxHamming: Int = 10,
-      bands: Int = 4): DataFrame = {
+      bands: Int = 4,
+      maxBucketPairs: Long = 25_000_000L): DataFrame = {
     require(bands >= 1 && bands <= 4, "64-bit hash holds 1..4 16-bit bands")
+    // materialized ONCE: the banded frame is tiny (id + hash + band/v,
+    // ≤4 rows per image) but derives from the decode-heavy hash stem —
+    // without the checkpoint the self-join AND the fence audit would
+    // each re-decode the corpus (the candidatePairs pattern)
     val ex = hashes.select(
         col(idCol), col(hashCol).as("__h"),
         explode(array((0 until bands).map(b =>
@@ -144,6 +149,13 @@ object ImageDedup {
           .as("bb"))
       .select(col(idCol), col("__h"),
         col("bb.band").as("band"), col("bb.v").as("v"))
+      .localCheckpoint()
+    // hot-bucket fence (the prefixFilteredPairs/Linkage convention): a
+    // constant hash band — black frames, letterbox bars, a template
+    // thumbnail re-encoded a million times — concentrates one
+    // (band, v) bucket that alone makes the join quadratic
+    Fences.assertBucketPairs(ex, Seq("band", "v"), maxBucketPairs,
+      "image-hamming", "pre-dedup exact payload copies, drop blank media")
     val a = ex.select(col("band"), col("v"),
       col(idCol).as("id_a"), col("__h").as("__ha"))
     val b = ex.select(col("band"), col("v"),

@@ -62,15 +62,36 @@ object VideoDedup {
    * band; a frame alignment verifies at `bit_count(XOR) ≤ maxHamming`;
    * a PAIR reports when ≥ `minFrames` sampled frames align. Output
    * (id_a, id_b, n_frames), id_a < id_b.
+   *
+   * @param maxHamming banded candidate generation is pigeonhole-
+   *        COMPLETE only for maxHamming ≤ bands−1 (=3 at the default
+   *        4 bands): per aligned frame, ≤3 flipped bits guarantee an
+   *        intact shared band. The default 6 deliberately trades
+   *        recall past that bound — a frame pair at Hamming 4–6 whose
+   *        flips spread across all four bands is missed for THAT
+   *        frame (banded-LSH-approximate recall, recovered at the
+   *        PAIR level when other sampled frames of the same cut land
+   *        inside the bound) — the exact trade [[ImageDedup]] makes
+   *        at maxHamming=10/bands=4. Set maxHamming ≤ bands−1 for
+   *        guaranteed per-frame recall.
+   * @param maxBucketPairs hot-bucket fence ([[Fences.assertBucketPairs]],
+   *        the prefixFilteredPairs convention): a constant
+   *        (frame_idx, band, value) bucket — black first frames,
+   *        station-logo stills — fails loudly instead of going
+   *        quadratic.
    */
   def videoNearDups(
       hashes: DataFrame,
       idCol: String,
       maxHamming: Int = 6,
       bands: Int = 4,
-      minFrames: Int = 2): DataFrame = {
+      minFrames: Int = 2,
+      maxBucketPairs: Long = 25_000_000L): DataFrame = {
     require(bands >= 1 && bands <= 4, "64-bit hash holds 1..4 16-bit bands")
     require(minFrames >= 1, "minFrames must be >= 1")
+    // materialized ONCE: banded frame rows are ~64 bits per sampled
+    // frame but derive from the decode-heavy hash stem — the
+    // self-join and the fence audit must not re-decode the corpus
     val ex = hashes.select(
         col(idCol), col("frame_idx"), col("ahash").as("__h"),
         explode(array((0 until bands).map(b =>
@@ -79,6 +100,10 @@ object VideoDedup {
               .as("v"))): _*)).as("bb"))
       .select(col(idCol), col("frame_idx"), col("__h"),
         col("bb.band").as("band"), col("bb.v").as("v"))
+      .localCheckpoint()
+    Fences.assertBucketPairs(
+      ex, Seq("frame_idx", "band", "v"), maxBucketPairs,
+      "video-frame", "drop static/blank frames, pre-dedup exact payloads")
     val a = ex.select(col("frame_idx"), col("band"), col("v"),
       col(idCol).as("id_a"), col("__h").as("__ha"))
     val b = ex.select(col("frame_idx"), col("band"), col("v"),

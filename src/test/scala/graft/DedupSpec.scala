@@ -370,6 +370,24 @@ class DedupSpec extends AnyFunSuite {
       Dedup.simhashNearDups(corpus, "text", "doc_id", bits = 32, blocks = 3, maxHamming = 2))
   }
 
+  test("simhashNearDups: hot simhash block fails loudly naming the bucket") {
+    // exact clones share every simhash block → one (blk, v) bucket
+    // holds all 40 postings → 1600 candidate pairs, the quadratic
+    // regime the fence exists for (the prefixFilteredPairs template)
+    val clones = (1L to 40L)
+      .map(i => (i, "the same template text repeated verbatim everywhere"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.simhashNearDups(clones, "text", "doc_id", maxBucketPairs = 100L)
+    }
+    assert(e.getMessage.contains("simhash bucket") &&
+      e.getMessage.contains("maxBucketPairs=100"),
+      s"fence must name the bucket and the cap: ${e.getMessage}")
+    // explicit opt-out still computes: every clone pairs at hamming 0
+    assert(Dedup.simhashNearDups(clones, "text", "doc_id",
+      maxBucketPairs = Long.MaxValue).count() == 40L * 39 / 2)
+  }
+
   test("simhash: deterministic hex of bits/4 chars; exact dups collide; parity with oracle fragment") {
     val out = Dedup.simhash(corpus, "text", "doc_id", bits = 16)
       .as[(Long, String)].collect().toMap

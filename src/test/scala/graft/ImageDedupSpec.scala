@@ -93,4 +93,20 @@ class ImageDedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(pairs == Set((1L, 2L, 3L)))
   }
+
+  test("hammingNearDups: hot band bucket fails loudly naming the key") {
+    import spark.implicits._
+    // 40 identical hashes (blank frames, template thumbnails): every
+    // (band, v) bucket holds all 40 postings → 1600 candidate pairs
+    val clones = (1L to 40L).map(i => (i, 0x1111222233334444L)).toDF("id", "h")
+    val e = intercept[IllegalArgumentException] {
+      ImageDedup.hammingNearDups(clones, "id", "h", maxBucketPairs = 100L)
+    }
+    assert(e.getMessage.contains("image-hamming bucket") &&
+      e.getMessage.contains("maxBucketPairs=100"),
+      s"fence must name the bucket and the cap: ${e.getMessage}")
+    // explicit opt-out still computes the full clone lattice
+    assert(ImageDedup.hammingNearDups(clones, "id", "h",
+      maxBucketPairs = Long.MaxValue).count() == 40L * 39 / 2)
+  }
 }

@@ -90,4 +90,21 @@ class VideoDedupSpec extends AnyFunSuite {
     // evidence weight: aligned sampled frames only (≥ minFrames = 2)
     assert(pairs.forall(_._3 >= 2))
   }
+
+  test("videoNearDups: hot (frame_idx, band) bucket fails loudly naming the key") {
+    // 40 videos whose frame 0 hashes identically (a station logo
+    // still): every (0, band, v) bucket holds all 40 postings
+    val clones = (1L to 40L).map(i => (i, 0L, 0x1111222233334444L))
+      .toDF("media_id", "frame_idx", "ahash")
+    val e = intercept[IllegalArgumentException] {
+      VideoDedup.videoNearDups(clones, "media_id", minFrames = 1,
+        maxBucketPairs = 100L)
+    }
+    assert(e.getMessage.contains("video-frame bucket") &&
+      e.getMessage.contains("maxBucketPairs=100"),
+      s"fence must name the bucket and the cap: ${e.getMessage}")
+    // explicit opt-out still computes the full aligned-clone lattice
+    assert(VideoDedup.videoNearDups(clones, "media_id", minFrames = 1,
+      maxBucketPairs = Long.MaxValue).count() == 40L * 39 / 2)
+  }
 }
