@@ -194,6 +194,7 @@ private[graft] trait EntryContext {
     vecIdxMemo.getOrElseUpdate(
       (s.sparkContext.applicationId, dir), {
         val idxDir = tmp("vec_index_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+        wipe(s, idxDir) // a previous JVM's crashed writer may hold a claim
         graft.io.VectorIndex.build(
           T(s, dir, "embeddings"), "vec_id", "embedding", idxDir,
           nlist = 8, iters = 2)
@@ -206,6 +207,7 @@ private[graft] trait EntryContext {
     corpusVecIdxMemo.getOrElseUpdate(
       (s.sparkContext.applicationId, dir), {
         val idxDir = tmp("vec_index_c_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+        wipe(s, idxDir) // a previous JVM's crashed writer may hold a claim
         graft.io.VectorIndex.build(
           T(s, dir, "embeddings").filter(col("vec_id") % 10 =!= 0),
           "vec_id", "embedding", idxDir, nlist = 8, iters = 2)
@@ -216,6 +218,7 @@ private[graft] trait EntryContext {
     forgetIdxMemo.getOrElseUpdate(
       (s.sparkContext.applicationId, dir, "vec"), {
         val idxDir = tmp("vec_forget_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+        wipe(s, idxDir) // a previous JVM's crashed writer may hold a claim
         val emb = T(s, dir, "embeddings")
         graft.io.VectorIndex.build(
           emb, "vec_id", "embedding", idxDir, nlist = 8, iters = 2)
@@ -277,7 +280,7 @@ private[graft] trait EntryContext {
     pqMemo.clear(); labelsMemo.clear(); winIdxMemo.clear()
     forgetIdxMemo.clear(); vecIdxMemo.clear(); corpusVecIdxMemo.clear()
     maintReportMemo.clear(); imageIngestMemo.clear(); annGraphMemo.clear()
-    graphIdxMemo.clear()
+    graphIdxMemo.clear(); audioIdxMemo.clear(); audioIngestMemo.clear()
   }
 
   /** q280 fixture: durable IVF built on the EVEN vectors, the odd half
@@ -290,6 +293,7 @@ private[graft] trait EntryContext {
     maintReportMemo.getOrElseUpdate(
       (s.sparkContext.applicationId, dir), {
         val idxDir = tmp("vec_index_m_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+        wipe(s, idxDir) // a previous JVM's crashed writer may hold a claim
         val emb = T(s, dir, "embeddings")
         graft.io.VectorIndex.build(
           emb.filter(col("vec_id") % 2 === 0),
@@ -352,7 +356,9 @@ private[graft] trait EntryContext {
     "q287_graph_ann_insert" -> ((s, dir) => insertedGraphIndex(s, dir): Unit),
     "q291_forget_graph" -> ((s, dir) => forgottenGraphIndex(s, dir): Unit),
     "q292_durable_graph_batch" -> ((s, dir) => durableGraphIndex(s, dir): Unit),
-    "q293_graph_ingest" -> ((s, dir) => graphIngestStore(s, dir): Unit))
+    "q293_graph_ingest" -> ((s, dir) => graphIngestStore(s, dir): Unit),
+    "q295_audio_index_probe" -> ((s, dir) => durableAudioIndex(s, dir): Unit),
+    "q296_audio_index_forget" -> ((s, dir) => forgottenAudioIndex(s, dir): Unit))
 
   /** Deterministic video corpus for q288/q289: one raw Y4M clip per
     * document (REAL bytes — [[graft.ops.Multimodal.demoY4m]]; ids
@@ -509,6 +515,75 @@ private[graft] trait EntryContext {
         def drain() = graft.streaming.ImageIngest.maintainImages(
           s, s"$base/landing", s"$base/silver", s"$base/ledger",
           s"$base/index", maxHamming = 6)
+        val docs = T(s, dir, "documents").select("doc_id")
+        wave(docs.filter(col("doc_id") % 2 === 0), "w1")
+        drain()
+        wave(docs.filter(col("doc_id") % 2 =!= 0), "w2")
+        drain().localCheckpoint()
+      })
+
+  protected val audioIdxMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), String]
+
+  /** q295 store: durable audio-fingerprint index over the corpus
+    * slice (media_id % 10 ≠ 0) — the standing store the q295 batch
+    * probes (the q60/q286 durable-probe convention). Rebuilt from
+    * scratch per app run; bench reps time the PROBE. */
+  protected def durableAudioIndex(s: SparkSession, dir: String): String =
+    audioIdxMemo.getOrElseUpdate(
+      (s.sparkContext.applicationId, dir, "full"), {
+        val idxDir = tmp("audio_index_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+        wipe(s, idxDir) // a previous JVM's crashed writer may hold a claim
+        graft.io.AudioIndex.build(
+          demoToneTable(s, dir).filter(col("media_id") % 10 =!= 0),
+          "media_id", "payload", idxDir, bins = 16)
+        idxDir
+      })
+
+  /** q296 store: the q295 standing index, then a right-to-be-forgotten
+    * delete of the % 7 == 0 sources — probes must never pair with a
+    * forgotten doc again. */
+  protected def forgottenAudioIndex(s: SparkSession, dir: String): String =
+    audioIdxMemo.getOrElseUpdate(
+      (s.sparkContext.applicationId, dir, "fgt"), {
+        val idxDir = tmp("audio_forget_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+        wipe(s, idxDir)
+        graft.io.AudioIndex.build(
+          demoToneTable(s, dir).filter(col("media_id") % 10 =!= 0),
+          "media_id", "payload", idxDir, bins = 16)
+        graft.io.AudioIndex.delete(
+          T(s, dir, "documents").filter(col("doc_id") % 7 === 0)
+            .select(col("doc_id").as("media_id")),
+          idxDir)
+        idxDir
+      })
+
+  protected val audioIngestMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  /** q297 fixture: two WARC waves of WAV payloads through
+    * [[graft.streaming.AudioIngest.maintainAudio]] — evens land and
+    * bootstrap the fingerprint store, odds land and probe it. The
+    * memo pins drain 2's pair report across bench reps (the
+    * imageIngestPairs convention). */
+  protected def audioIngestPairs(s: SparkSession, dir: String): DataFrame =
+    audioIngestMemo.getOrElseUpdate(
+      (s.sparkContext.applicationId, dir), {
+        val base = tmp("audio_ingest_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+        wipe(s, base)
+        val wav = udf((id: Long) => graft.ops.Multimodal.demoTone(id))
+        def wave(docs: DataFrame, sub: String): Unit =
+          graft.sources.WarcIO.writeWarc(
+            docs.select(
+              concat(lit("http://aud.example/"), col("doc_id")).as("target_uri"),
+              lit("2026-01-01T00:00:00Z").as("warc_date"),
+              concat(lit("<urn:graft:aud:"), col("doc_id"), lit(">")).as("record_id"),
+              lit("audio/wav").as("content_type"),
+              wav(col("doc_id")).as("payload")),
+            s"$base/landing/$sub")
+        def drain() = graft.streaming.AudioIngest.maintainAudio(
+          s, s"$base/landing", s"$base/silver", s"$base/ledger",
+          s"$base/index", minShared = 8L, bins = 16)
         val docs = T(s, dir, "documents").select("doc_id")
         wave(docs.filter(col("doc_id") % 2 === 0), "w1")
         drain()

@@ -232,6 +232,40 @@ private[graft] trait EntryMedia extends EntryContext {
         "media_id", minShared = 8L)),
 
 
+    // ---- north-star: the DURABLE audio-fingerprint probe — q279's
+    //      production shape (the q60/q286 convention): the corpus
+    //      slice's landmarks live in io/AudioIndex (built once,
+    //      geometry pinned in meta), and the % 10 == 0 batch decodes
+    //      map-side and probes the store — batch×store + batch-
+    //      internal, never store×store, the corpus never re-decoded.
+    //      Result ≡ q279 restricted to pairs touching the batch.
+    "q295_audio_index_probe" -> ((s, dir) =>
+      graft.io.AudioIndex.probe(
+        demoToneTable(s, dir).filter(col("media_id") % 10 === 0),
+        "payload", durableAudioIndex(s, dir), minShared = 8L)),
+
+
+    // ---- north-star: right-to-be-forgotten on the audio store — the
+    //      % 7 == 0 sources are deleted (one anti-join rewrite, stage
+    //      + two renames); the same probe must never pair with them
+    //      again ≡ an index built without them (AudioIndexSpec pins
+    //      the rebuild equivalence; this query pins it vs the oracle).
+    "q296_audio_index_forget" -> ((s, dir) =>
+      graft.io.AudioIndex.probe(
+        demoToneTable(s, dir).filter(col("media_id") % 10 === 0),
+        "payload", forgottenAudioIndex(s, dir), minShared = 8L)),
+
+
+    // ---- north-star: streaming audio near-dup gating end-to-end —
+    //      WAV payloads land as WARC waves (evens, then odds), each
+    //      drain O(new files) via the folded-files ledger, decode →
+    //      landmark → probe the standing store → append committed
+    //      marker-last (streaming/AudioIngest — ImageIngest's q282
+    //      shape in the landmark domain). Result = drain 2's pairs:
+    //      odd batch × even standing + odd-internal evidence.
+    "q297_audio_ingest" -> ((s, dir) => audioIngestPairs(s, dir)),
+
+
     // ---- north-star: CROSS-MODAL duplicate clusters — the fusion
     //      capstone of the multimodal dedup family: image Hamming
     //      pairs (q277) and audio shared-landmark pairs (q279) over
@@ -538,6 +572,55 @@ private[graft] trait EntryMedia extends EntryContext {
         |SELECT x.id AS id_a, y.id AS id_b, count(*) AS n_shared
         |FROM fp x JOIN fp y ON y.fp = x.fp AND x.id < y.id
         |GROUP BY x.id, y.id HAVING count(*) >= 8""".stripMargin),
+
+
+    // durable-probe replay: q279's pair set restricted to pairs
+    // touching the % 10 == 0 batch (the q60 equivalence convention)
+    "q295_audio_index_probe" -> (audioPeaksSql +
+      """,
+        |fp AS (SELECT DISTINCT a.id,
+        |    (a.sig * 1024 + b.sig) * 3 + (b.t - a.t - 1) AS fp
+        |  FROM pk a JOIN pk b
+        |    ON b.id = a.id AND b.t > a.t AND b.t <= a.t + 3)
+        |SELECT x.id AS id_a, y.id AS id_b, count(*) AS n_shared
+        |FROM fp x JOIN fp y ON y.fp = x.fp AND x.id < y.id
+        |WHERE x.id % 10 = 0 OR y.id % 10 = 0
+        |GROUP BY x.id, y.id HAVING count(*) >= 8""".stripMargin),
+
+
+    // forget replay: q295's pair set minus any pair whose STORE-side
+    // member (% 10 <> 0) was deleted (% 7 = 0) — batch docs are not
+    // in the store and survive regardless of their own % 7
+    "q296_audio_index_forget" -> (audioPeaksSql +
+      """,
+        |fp AS (SELECT DISTINCT a.id,
+        |    (a.sig * 1024 + b.sig) * 3 + (b.t - a.t - 1) AS fp
+        |  FROM pk a JOIN pk b
+        |    ON b.id = a.id AND b.t > a.t AND b.t <= a.t + 3)
+        |SELECT x.id AS id_a, y.id AS id_b, count(*) AS n_shared
+        |FROM fp x JOIN fp y ON y.fp = x.fp AND x.id < y.id
+        |WHERE (x.id % 10 = 0 OR y.id % 10 = 0)
+        |  AND (x.id % 10 = 0 OR x.id % 7 <> 0)
+        |  AND (y.id % 10 = 0 OR y.id % 7 <> 0)
+        |GROUP BY x.id, y.id HAVING count(*) >= 8""".stripMargin),
+
+
+    // audio-ingest drain replay: landmarks from the tone formula, WARC
+    // record URN identities, drain 2's odd-side batch rule with
+    // lexicographic pair normalization (the q282 convention)
+    "q297_audio_ingest" -> (audioPeaksSql +
+      """,
+        |rfp AS (SELECT DISTINCT
+        |    '<urn:graft:aud:' || CAST(a.id AS VARCHAR) || '>' AS rid,
+        |    a.id % 2 <> 0 AS is_odd,
+        |    (a.sig * 1024 + b.sig) * 3 + (b.t - a.t - 1) AS fp
+        |  FROM pk a JOIN pk b
+        |    ON b.id = a.id AND b.t > a.t AND b.t <= a.t + 3)
+        |SELECT least(p.rid, s.rid) AS id_a, greatest(p.rid, s.rid) AS id_b,
+        |  count(DISTINCT p.fp) AS n_shared
+        |FROM rfp p JOIN rfp s ON s.fp = p.fp AND s.rid <> p.rid
+        |WHERE p.is_odd
+        |GROUP BY 1, 2 HAVING count(DISTINCT p.fp) >= 8""".stripMargin),
 
 
     // cross-modal cluster replay: both modality stems, identical pair

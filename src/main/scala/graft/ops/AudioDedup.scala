@@ -93,6 +93,24 @@ object AudioDedup {
     out
   }
 
+  /** One payload's landmark rows (t, fp) — the shared kernel of both
+    * [[fingerprints]] variants; undecodable payloads yield nothing. */
+  private def landmarksOf(
+      payload: Array[Byte],
+      frameLen: Int,
+      bins: Int,
+      fanout: Int): Seq[(Long, Long)] =
+    Multimodal.pcmSamples(payload).toSeq.flatMap { samples =>
+      val sigs = constellation(samples, frameLen, bins)
+      val sigSpace = 4L * bins * bins
+      for {
+        (t, sigA) <- sigs
+        d <- 1 to fanout
+        if t + d < sigs.length
+      } yield (t.toLong,
+        (sigA * sigSpace + sigs(t + d)._2) * fanout + (d - 1))
+    }
+
   /**
    * Per-payload landmark fingerprints: (idCol, t, fp) — one row per
    * (anchor frame, fanout offset), undecodable payloads drop (the
@@ -110,16 +128,29 @@ object AudioDedup {
     media.select(col(idCol).cast("long"), col(payloadCol))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, payload) =>
-        Multimodal.pcmSamples(payload).toSeq.flatMap { samples =>
-          val sigs = constellation(samples, frameLen, bins)
-          val sigSpace = 4L * bins * bins
-          for {
-            (t, sigA) <- sigs
-            d <- 1 to fanout
-            if t + d < sigs.length
-          } yield (id, t.toLong,
-            (sigA * sigSpace + sigs(t + d)._2) * fanout + (d - 1))
-        }
+        landmarksOf(payload, frameLen, bins, fanout)
+          .map { case (t, fp) => (id, t, fp) }
+      }
+      .toDF(idCol, "t", "fp")
+  }
+
+  /** [[fingerprints]] with the id kept as a STRING (the WARC-ingestion
+    * path's record_id identity — [[ImageDedup.perceptualHashesStr]]'s
+    * convention): same kernel, id verbatim. */
+  def fingerprintsStr(
+      media: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      frameLen: Int = 32,
+      bins: Int = 8,
+      fanout: Int = 3): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("string"), col(payloadCol))
+      .as[(String, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        landmarksOf(payload, frameLen, bins, fanout)
+          .map { case (t, fp) => (id, t, fp) }
       }
       .toDF(idCol, "t", "fp")
   }
@@ -155,6 +186,57 @@ object AudioDedup {
     val b = d.select(col(idCol).as("id_b"), col("fp"))
     a.join(b, Seq("fp"))
       .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /**
+   * [[sharedFingerprintPairs]]'s batch-vs-corpus PROBE — the
+   * incremental-drain shape ([[ImageDedup.hammingProbe]]'s contract in
+   * the landmark domain): candidates are the BATCH's distinct
+   * fingerprints joined against (standing ∪ batch) distinct
+   * fingerprints, so every emitted pair touches the batch
+   * (batch×corpus AND batch-internal; never corpus×corpus — the
+   * standing store is only read where a batch landmark actually
+   * lands, and at cluster scale the store is fp-clustered so that
+   * read is a pruned scan). `batch` and `standing` are (idCol, fp)
+   * frames with DISJOINT ids (the caller's index-as-ledger anti-join
+   * guarantees it). Output (id_a, id_b, n_shared), id_a < id_b,
+   * n_shared = distinct shared fps ≥ `minShared`.
+   *
+   * @param maxDocsPerFp [[sharedFingerprintPairs]]'s stop-landmark
+   *        fence, counted over standing ∪ batch (dropping a saturated
+   *        landmark from the standing side kills every pair it would
+   *        have generated — same semantics as filtering both sides).
+   *        0 disables.
+   */
+  def sharedFingerprintProbe(
+      batch: DataFrame,
+      standing: DataFrame,
+      idCol: String,
+      minShared: Long,
+      maxDocsPerFp: Long = 0L): DataFrame = {
+    val b = batch.select(col(idCol), col("fp")).distinct()
+    val all = standing.select(col(idCol), col("fp")).distinct().unionByName(b)
+    val kept =
+      if (maxDocsPerFp <= 0L) all
+      else {
+        // decomposable groupBy, not a window: a saturated landmark is
+        // exactly the hot key a window partition could not split
+        val hot = all.groupBy("fp").agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > maxDocsPerFp).select("fp")
+        all.join(hot, Seq("fp"), "left_anti")
+      }
+    val p = b.select(col("fp"), col(idCol).as("__pi"))
+    val s = kept.select(col("fp"), col(idCol).as("__si"))
+    p.join(s, Seq("fp"))
+      .filter(col("__pi") =!= col("__si"))
+      .select(
+        least(col("__pi"), col("__si")).as("id_a"),
+        greatest(col("__pi"), col("__si")).as("id_b"),
+        col("fp"))
+      .distinct() // batch-internal pairs arrive in both directions
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
