@@ -225,11 +225,7 @@ private[graft] trait EntryMedia extends EntryContext {
     //      square period, so cluster mates share most landmarks and
     //      strangers share almost none; the oracle replays landmarking
     //      AND the same threshold count.
-    "q279_audio_neardup" -> ((s, dir) =>
-      graft.ops.AudioDedup.sharedFingerprintPairs(
-        graft.ops.AudioDedup.fingerprints(
-          demoToneTable(s, dir), "media_id", "payload", bins = 16),
-        "media_id", minShared = 8L)),
+    "q279_audio_neardup" -> ((s, dir) => audioPairs(s, dir)),
 
 
     // ---- north-star: the DURABLE audio-fingerprint probe — q279's
@@ -266,6 +262,17 @@ private[graft] trait EntryMedia extends EntryContext {
     "q297_audio_ingest" -> ((s, dir) => audioIngestPairs(s, dir)),
 
 
+    // ---- north-star: streaming video near-dup gating end-to-end —
+    //      Y4M payloads land as WARC waves (evens, then odds), each
+    //      drain O(new files), decode → per-sampled-frame aHash →
+    //      probe the standing frame-hash store for ALIGNED-frame
+    //      near-dups → append committed marker-last
+    //      (streaming/VideoIngest — the q282/q297 shape in the frame
+    //      domain; the store extends ImageIngest's keyed by
+    //      (asset, frame_idx)). Result = drain 2's pairs.
+    "q298_video_ingest" -> ((s, dir) => videoIngestPairs(s, dir)),
+
+
     // ---- north-star: CROSS-MODAL duplicate clusters — the fusion
     //      capstone of the multimodal dedup family: image Hamming
     //      pairs (q277) and audio shared-landmark pairs (q279) over
@@ -281,10 +288,10 @@ private[graft] trait EntryMedia extends EntryContext {
             demoImageTable(s, dir), "media_id", "payload"),
           "media_id", "ahash", maxHamming = 6)
         .select(col("id_a"), col("id_b"), lit("image").as("modality"))
-      val aud = graft.ops.AudioDedup.sharedFingerprintPairs(
-          graft.ops.AudioDedup.fingerprints(
-            demoToneTable(s, dir), "media_id", "payload", bins = 16),
-          "media_id", minShared = 8L)
+      // the audio stem is the SHARED published pair artifact
+      // (EntryContext.audioPairs) — the capstone consumes it instead
+      // of re-paying the corpus decode + landmark join
+      val aud = audioPairs(s, dir)
         .select(col("id_a"), col("id_b"), lit("audio").as("modality"))
       // materialized once: the edge set feeds the closure AND the
       // per-modality agreement counts
@@ -351,10 +358,9 @@ private[graft] trait EntryMedia extends EntryContext {
             demoImageTable(s, dir), "media_id", "payload"),
           "media_id", "ahash", maxHamming = 6)
         .select(col("id_a"), col("id_b"), lit("image").as("modality"))
-      val aud = graft.ops.AudioDedup.sharedFingerprintPairs(
-          graft.ops.AudioDedup.fingerprints(
-            demoToneTable(s, dir), "media_id", "payload", bins = 16),
-          "media_id", minShared = 8L)
+      // consumes the shared published audio-pair stem
+      // (EntryContext.audioPairs) — see q281's note
+      val aud = audioPairs(s, dir)
         .select(col("id_a"), col("id_b"), lit("audio").as("modality"))
       val vid = graft.ops.VideoDedup.videoNearDups(
           graft.ops.VideoDedup.frameHashes(
@@ -621,6 +627,29 @@ private[graft] trait EntryMedia extends EntryContext {
         |FROM rfp p JOIN rfp s ON s.fp = p.fp AND s.rid <> p.rid
         |WHERE p.is_odd
         |GROUP BY 1, 2 HAVING count(DISTINCT p.fp) >= 8""".stripMargin),
+
+
+    // video-ingest drain replay: frame hashes from the luma formula,
+    // WARC record URN identities, drain 2's odd-side batch rule with
+    // lexicographic pair normalization and aligned-frame counting
+    "q298_video_ingest" -> (videoPhashSql +
+      """,
+        |rvh AS (SELECT '<urn:graft:vid:' || CAST(id AS VARCHAR) || '>' AS rid,
+        |    id % 2 <> 0 AS is_odd, t, ahash
+        |  FROM vah),
+        |vpb AS (SELECT rid, t, ahash, b.b AS band,
+        |    (ahash >> CAST(b.b * 16 AS INTEGER)) & 65535 AS v
+        |  FROM rvh, generate_series(0, 3) b(b) WHERE is_odd),
+        |vsb AS (SELECT rid, t, ahash, b.b AS band,
+        |    (ahash >> CAST(b.b * 16 AS INTEGER)) & 65535 AS v
+        |  FROM rvh, generate_series(0, 3) b(b)),
+        |valn AS (SELECT DISTINCT least(p.rid, s.rid) AS id_a,
+        |    greatest(p.rid, s.rid) AS id_b, p.t
+        |  FROM vpb p JOIN vsb s ON s.t = p.t AND s.band = p.band
+        |    AND s.v = p.v AND s.rid <> p.rid
+        |  WHERE bit_count(xor(p.ahash, s.ahash)) <= 6)
+        |SELECT id_a, id_b, count(*) AS n_frames FROM valn
+        |GROUP BY id_a, id_b HAVING count(*) >= 2""".stripMargin),
 
 
     // cross-modal cluster replay: both modality stems, identical pair

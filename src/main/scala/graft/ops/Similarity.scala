@@ -441,12 +441,42 @@ object Similarity {
       k: Int,
       nEntries: Int = 4,
       beamWidth: Int = 8,
-      maxSteps: Int = 8): DataFrame = {
+      maxSteps: Int = 8,
+      entries: Seq[Long] = Nil): DataFrame = {
     requireSingleQuery(queryDf, "graphSearch")
     graphSearchBatch(corpus, idCol, embCol,
         queryDf.select(lit(0L).as("__qid"), col(embCol)), "__qid",
-        graph, k, nEntries, beamWidth, maxSteps)
+        graph, k, nEntries, beamWidth, maxSteps, entries)
       .select(col(idCol), col("cosine_sim"))
+  }
+
+  /**
+   * Deterministic SPREAD entry seeds for the NSW beam — the id-range
+   * stride: seed i = the smallest corpus id ≥ minId + i·(span/n).
+   * The lowest-ids rule seeds one corner of the graph; as the corpus
+   * (and the NSW diameter) grows, a fixed-step beam from a static
+   * corner loses recall — the public fix is hierarchical entries
+   * (HNSW layers) or spread seeds; this is the replayable spread
+   * (measured sf1: recall@10 3/10 corner → 9/10 stride, BASELINE.md
+   * r17 recall audit). Cost: ONE min/max aggregate + one conditional-
+   * min pass — no sort, no window; both are footer-stat-cheap on a
+   * range-clustered store. SQL-replayable as n scalar subqueries.
+   */
+  def strideEntries(corpus: DataFrame, idCol: String, n: Int): Seq[Long] = {
+    require(n >= 1, "need at least one entry")
+    val mm = corpus.agg(
+      min(col(idCol).cast("long")).as("lo"),
+      max(col(idCol).cast("long")).as("hi")).head()
+    if (mm.isNullAt(0)) return Nil
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val span = hi - lo + 1
+    val cuts = (0 until n).map(i => lo + i * span / n).distinct
+    val aggCols = cuts.map(c =>
+      min(when(col(idCol).cast("long") >= c, col(idCol).cast("long")))
+        .as(s"__e$c"))
+    val agg = corpus.agg(aggCols.head, aggCols.tail: _*).head()
+    cuts.indices.flatMap(i =>
+      if (agg.isNullAt(i)) None else Some(agg.getLong(i))).distinct
   }
 
   /**
@@ -458,9 +488,33 @@ object Similarity {
    * [[graft.io.GraphIndex]]) a lookup of b ids reads O(b) row groups,
    * never the corpus. Ids are read as long (the batch-variant
    * contract, [[pqTopKWithBatch]]).
+   *
+   * Above [[maxIsinLiterals]] ids the literal form stops paying: a
+   * ~500k-element `In` bloats the plan and strains driver codegen more
+   * than the footer pruning saves (the GraphIngest drain regime —
+   * maxBatchLink=4096 × beam geometry). Past the threshold the same
+   * id set rides a BROADCAST left-semi join instead: one hashed
+   * membership probe executor-side, plan size O(1) in |ids|. A
+   * min/max range filter still reaches the scan so footer stats prune
+   * the untouched tail of a range-clustered layout.
    */
   def pointLookup(df: DataFrame, idCol: String, ids: Seq[Long]): DataFrame =
-    df.filter(col(idCol).isin(ids: _*))
+    if (ids.size <= maxIsinLiterals) df.filter(col(idCol).isin(ids: _*))
+    else {
+      val spark = df.sparkSession
+      import scala.jdk.CollectionConverters._
+      val idDf = spark.createDataFrame(
+        ids.distinct.map(org.apache.spark.sql.Row(_)).asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__pl_id",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+      df.filter(col(idCol) >= lit(ids.min) && col(idCol) <= lit(ids.max))
+        .join(broadcast(idDf), col(idCol) === col("__pl_id"), "left_semi")
+    }
+
+  /** Literal-`isin` ceiling for [[pointLookup]] — beyond this the
+    * lookup becomes a broadcast semi-join (plan-size O(1)). */
+  val maxIsinLiterals: Int = 8192
 
   /**
    * Graph-based ANN for a query SET — [[graphSearch]]'s production
@@ -502,7 +556,8 @@ object Similarity {
       k: Int,
       nEntries: Int = 4,
       beamWidth: Int = 8,
-      maxSteps: Int = 8): DataFrame = {
+      maxSteps: Int = 8,
+      entries: Seq[Long] = Nil): DataFrame = {
     require(k >= 1 && nEntries >= 1 && beamWidth >= 1 && maxSteps >= 0,
       "degenerate geometry")
     val spark = corpus.sparkSession
@@ -569,18 +624,22 @@ object Similarity {
         .foreach(r => simOf(r.getLong(0))(r.getLong(1)) = r.getDouble(2))
     }
 
-    // deterministic entries: the nEntries lowest corpus ids (one
-    // column-pruned TakeOrdered pass, shared by every query)
-    val entries = corpus.select(col(idCol).cast("long").as("node"))
-      .filter(col("node").isNotNull)
-      .orderBy(col("node").asc).limit(nEntries)
-      .collect().map(_.getLong(0)).toSeq
-    score(qids.flatMap(q => entries.map(q -> _)))
+    // deterministic entry seeds, shared by every query: caller-supplied
+    // (the [[strideEntries]] spread — the recall-preserving choice as
+    // the NSW diameter grows; see that doc) or, by default, the
+    // nEntries lowest corpus ids (one column-pruned TakeOrdered pass)
+    val seeds: Seq[Long] =
+      if (entries.nonEmpty) entries.distinct
+      else corpus.select(col(idCol).cast("long").as("node"))
+        .filter(col("node").isNotNull)
+        .orderBy(col("node").asc).limit(nEntries)
+        .collect().map(_.getLong(0)).toSeq
+    score(qids.flatMap(q => seeds.map(q -> _)))
     def topBeam(q: Long, cand: Seq[Long], width: Int): Seq[Long] =
       cand.distinct.filter(simOf(q).contains)
         .sortBy(n => (-simOf(q)(n), n)).take(width)
     var pool: Map[Long, Seq[Long]] =
-      qids.map(q => q -> entries.filter(simOf(q).contains)).toMap
+      qids.map(q => q -> seeds.filter(simOf(q).contains)).toMap
     (1 to maxSteps).foreach { _ =>
       fetchAdj(pool.valuesIterator.flatten.toSeq.distinct)
       score(for {

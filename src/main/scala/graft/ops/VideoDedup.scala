@@ -56,6 +56,30 @@ object VideoDedup {
       .toDF(idCol, "frame_idx", "ahash")
   }
 
+  /** [[frameHashes]] with the id kept as a STRING (the WARC-ingestion
+    * path's record_id identity — [[ImageDedup.perceptualHashesStr]]'s
+    * convention): same kernel, id verbatim. */
+  def frameHashesStr(
+      media: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      gw: Int = 9,
+      gh: Int = 8,
+      everyN: Int = 2): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("string"), col(payloadCol))
+      .as[(String, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        Multimodal.y4mFrameGrids(payload, gw, gh, everyN)
+          .getOrElse(Seq.empty)
+          .map { case (t, grid) =>
+            (id, t.toLong, ImageDedup.hashesOfGrid(grid, gw)._1)
+          }
+      }
+      .toDF(idCol, "frame_idx", "ahash")
+  }
+
   /**
    * Aligned-frame near-dup pairs over [[frameHashes]] output:
    * candidates share an identical (frame_idx, band, value) 16-bit
@@ -113,6 +137,56 @@ object VideoDedup {
       .filter(bit_count(col("__ha").bitwiseXOR(col("__hb"))) <= maxHamming)
       .select(col("id_a"), col("id_b"), col("frame_idx"))
       .distinct() // one vote per aligned frame, however many bands hit
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_frames"))
+      .filter(col("n_frames") >= minFrames)
+  }
+
+  /**
+   * [[videoNearDups]]'s batch-vs-corpus PROBE — the incremental-drain
+   * shape ([[ImageDedup.hammingProbe]]'s contract with frame
+   * alignment): candidates are the BATCH's (frame_idx, band, value)
+   * buckets joined against (standing ∪ batch) buckets, so every
+   * emitted pair touches the batch (batch×corpus AND batch-internal;
+   * never corpus×corpus — the standing store is only read where a
+   * batch bucket actually lands, and at cluster scale the store is
+   * bucketed by (frame_idx, band, value) so that read is a partition
+   * probe). `batch` and `standing` are [[frameHashes]]-shaped frames
+   * (idCol, frame_idx, ahash) with DISJOINT ids (the caller's
+   * index-as-ledger anti-join guarantees it). Output
+   * (id_a, id_b, n_frames), id_a < id_b, n_frames ≥ `minFrames`.
+   */
+  def videoProbe(
+      batch: DataFrame,
+      standing: DataFrame,
+      idCol: String,
+      maxHamming: Int = 6,
+      bands: Int = 4,
+      minFrames: Int = 2): DataFrame = {
+    require(bands >= 1 && bands <= 4, "64-bit hash holds 1..4 16-bit bands")
+    require(minFrames >= 1, "minFrames must be >= 1")
+    def banded(df: DataFrame): DataFrame = df.select(
+        col(idCol), col("frame_idx"), col("ahash").as("__h"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("ahash"), b * 16).bitwiseAND(lit(0xffffL))
+              .as("v"))): _*)).as("bb"))
+      .select(col(idCol), col("frame_idx"), col("__h"),
+        col("bb.band").as("band"), col("bb.v").as("v"))
+    val probeSide = banded(batch)
+      .select(col("frame_idx"), col("band"), col("v"),
+        col(idCol).as("__pi"), col("__h").as("__ph"))
+    val standSide = banded(standing.unionByName(batch))
+      .select(col("frame_idx"), col("band"), col("v"),
+        col(idCol).as("__si"), col("__h").as("__sh"))
+    probeSide.join(standSide, Seq("frame_idx", "band", "v"))
+      .filter(col("__pi") =!= col("__si"))
+      .filter(bit_count(col("__ph").bitwiseXOR(col("__sh"))) <= maxHamming)
+      .select(
+        least(col("__pi"), col("__si")).as("id_a"),
+        greatest(col("__pi"), col("__si")).as("id_b"),
+        col("frame_idx"))
+      .distinct() // one vote per aligned frame; both directions collapse
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_frames"))
       .filter(col("n_frames") >= minFrames)

@@ -706,8 +706,12 @@ class SimilaritySpec extends AnyFunSuite {
       .collect()
       .groupBy(_.getLong(0))
       .map { case (q, rs) =>
-        q -> rs.sortBy(_.getLong(1))
-          .map(r => (r.getLong(2), r.getDouble(3))).toSeq
+        val sorted = rs.sortBy(_.getLong(1))
+        // ranks are exactly 1..k per query, no gaps or duplicates
+        assert(sorted.map(_.getLong(1)).toSeq ==
+          (1L to sorted.length.toLong),
+          s"ranks for query $q are not contiguous 1..k")
+        q -> sorted.map(r => (r.getLong(2), r.getDouble(3))).toSeq
       }
     assert(batch.keySet == qids.toSet)
     qids.foreach { q =>
@@ -718,8 +722,6 @@ class SimilaritySpec extends AnyFunSuite {
       assert(batch(q) == single,
         s"batch walk for query $q diverged from the single-query walk")
     }
-    // ranks are 1..k per query
-    assert(batch.values.forall(rs => rs.indices.forall(i => rs(i) == rs(i))))
     intercept[IllegalArgumentException] {
       Similarity.graphSearchBatch(emb, "vec_id", "embedding",
         queries.unionAll(queries), "query_id", g, k = 1)
@@ -765,5 +767,63 @@ class SimilaritySpec extends AnyFunSuite {
     }.getOrElse(fail("no parquet scan in the pointLookup plan"))
     assert(scan.metadata("PushedFilters").contains("In(vec_id"),
       s"expected In(vec_id…) pushed to the scan, got: ${scan.metadata("PushedFilters")}")
+
+    // past the literal ceiling the same contract holds via a broadcast
+    // semi-join (plan-size O(1) in |ids|) — the id RANGE still reaches
+    // the scan so footer stats prune a range-clustered layout
+    val big = (0L until (Similarity.maxIsinLiterals + 10L)).map(_ * 2 + 1)
+    val bigLooked = Similarity.pointLookup(stored, "vec_id", big)
+    val want = TestSpark.table("embeddings")
+      .filter(col("vec_id") % 2 === 1 && col("vec_id") <= big.max)
+      .count()
+    assert(bigLooked.count() == want)
+    // the scan hides under the AQE wrapper in a join plan — read the
+    // formatted explain instead of pattern-matching the plan tree
+    val bigPlan = bigLooked.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(bigPlan.contains("GreaterThanOrEqual(vec_id"),
+      s"expected the id range pushed to the scan:\n$bigPlan")
+    assert(!bigPlan.contains("In(vec_id"),
+      "the large id set must NOT ride the plan as an In literal")
+    assert(bigPlan.contains("BroadcastHashJoin") &&
+      bigPlan.contains("LeftSemi"),
+      s"expected a broadcast left-semi membership probe:\n$bigPlan")
+  }
+
+  test("strideEntries: spread seeds exist in the corpus, span the id range") {
+    val emb = TestSpark.table("embeddings")
+    val ids = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    val seeds = Similarity.strideEntries(emb, "vec_id", 8)
+    assert(seeds.nonEmpty && seeds.distinct == seeds)
+    assert(seeds.forall(ids.contains), "every seed is a real corpus id")
+    // spread: seeds cover the id range at ~span/n stride, so the beam
+    // enters the graph from every region, not one corner
+    val (lo, hi) = (ids.min, ids.max)
+    val span = hi - lo + 1
+    val sorted = seeds.sorted
+    assert(sorted.length == 8)
+    assert(sorted.zip(sorted.tail).forall { case (a, b) => b - a >= span / 16 },
+      s"adjacent seeds cluster instead of spreading: $sorted")
+    assert(sorted.last - sorted.head >= span * 3 / 4,
+      s"seeds cover too little of the id range: $sorted")
+    // n=1 degenerates to the minimum id; an empty corpus yields none
+    assert(Similarity.strideEntries(emb, "vec_id", 1) == Seq(lo))
+    assert(Similarity.strideEntries(
+      emb.filter(col("vec_id") < 0), "vec_id", 4) == Nil)
+    // caller-supplied seeds thread through the batch walk: seeding the
+    // beam from spread entries yields ranked output with the same
+    // contract (ranks 1..k, cosine desc)
+    val g = Similarity.knnGraph(emb, "vec_id", "embedding",
+      planesPerBand = 4, bands = 4, dims = 64, k = 8,
+      minCosine = -1.0, maxBucketSize = 1000)
+      .select(col("id"), col("nbr")).localCheckpoint()
+    val q = emb.filter(col("vec_id") === 5L)
+    val walked = Similarity.graphSearch(
+        emb, "vec_id", "embedding", q, g,
+        k = 10, beamWidth = 16, maxSteps = 10, entries = seeds)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(walked.length == 10)
+    assert(walked.map(_._2).toSeq == walked.map(_._2).sorted.reverse.toSeq)
+    assert(walked.map(_._1).contains(5L), "the query's own vector must rank")
   }
 }
