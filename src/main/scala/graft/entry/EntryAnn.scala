@@ -625,6 +625,45 @@ private[graft] trait EntryAnn extends EntryContext {
       graft.io.GraphIndex.search(s, forgottenGraphIndex(s, dir),
         emb.filter(!col("vec_id").isin(1L, 11L, 21L)),
         emb.filter(col("vec_id") === 0), k = 10)
+    }),
+
+    // ---- north-star: one NN-DESCENT round over the q191 kNN graph
+    //      (Dong et al. WWW'11 — "a neighbor of my neighbor is
+    //      probably my neighbor"): reverse edges capped at k per
+    //      vertex, two-hop candidates through the symmetrized graph,
+    //      true-cosine re-score, per-vertex top-k. The EDGE-QUALITY
+    //      op (mutual-kNN/SemDeDup consumers) — the r17 recall audit
+    //      measured it repairing the LSH banding gap on edges while
+    //      NOT being the navigation fix (BASELINE.md). Readout =
+    //      q191's per-rank aggregate so the whole refined edge set
+    //      hash-checks compactly.
+    "q299_nn_descent" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val seed = Similarity.knnGraph(emb, "vec_id", "embedding",
+        planesPerBand = 8, bands = 2, dims = 64, k = 5,
+        minCosine = 0.15, maxBucketSize = 1000)
+      Similarity.nnDescentRound(seed, emb, "vec_id", "embedding", k = 5)
+        .groupBy("rank")
+        .agg(
+          count(lit(1)).as("n_edges"),
+          countDistinct(col("id")).as("n_vertices"),
+          sum(col("cos_micro")).as("sum_cos_micro"),
+          sum(col("nbr")).as("sum_nbrs"))
+    }),
+
+    // ---- north-star: the q283 beam walk from SPREAD entry seeds
+    //      (strideEntries — the production seeding policy the r17
+    //      recall audit recommends: +56% relative recall at 10× over
+    //      the lowest-id corner as the NSW diameter grows). The
+    //      oracle replays seed derivation (id-range stride →
+    //      conditional min) AND every beam round from those seeds.
+    "q300_graph_ann_stride" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.graphSearch(
+        emb, "vec_id", "embedding", emb.filter(col("vec_id") === 0),
+        annGraph(s, dir), k = 10, nEntries = 4, beamWidth = 16,
+        maxSteps = 10,
+        entries = Similarity.strideEntries(emb, "vec_id", 4))
     })
   )
 
@@ -1516,7 +1555,60 @@ private[graft] trait EntryAnn extends EntryContext {
          |  coalesce($driftSql > 0.07, FALSE) AS retrained
          |FROM c1 c LEFT JOIN mv ON mv.list_id = c.cid
          |LEFT JOIN cnt ON cnt.list_id = c.cid""".stripMargin
-    }
+    },
+
+
+    // NN-descent replay: the q191 pair CTEs → k=5 seed edges →
+    // reverse cap (top-k incoming by cos desc, id asc) → symmetrize →
+    // two-hop → fresh cosine re-score (no floor — repair edges) →
+    // per-vertex top-k → q191's per-rank readout
+    "q299_nn_descent" ->
+      s"""WITH $embPairCtes,
+         |sym0 AS (SELECT id_a AS id, id_b AS nbr, cosine_sim FROM p
+         |  UNION ALL SELECT id_b, id_a, cosine_sim FROM p),
+         |kgs AS MATERIALIZED (SELECT id, nbr, cm FROM (
+         |    SELECT id, nbr,
+         |      CAST(round(cosine_sim*1000000, 0) AS BIGINT) AS cm,
+         |      row_number() OVER (PARTITION BY id
+         |        ORDER BY round(cosine_sim*1000000, 0) DESC, nbr) AS rank
+         |    FROM sym0) WHERE rank <= 5),
+         |revc AS (SELECT nbr AS id, id AS nbr FROM (
+         |    SELECT id, nbr, row_number() OVER (PARTITION BY nbr
+         |      ORDER BY cm DESC, id ASC) AS rr FROM kgs) WHERE rr <= 5),
+         |symd AS MATERIALIZED (SELECT DISTINCT id, nbr FROM (
+         |    SELECT id, nbr FROM kgs UNION ALL SELECT id, nbr FROM revc)),
+         |hop2 AS (SELECT a.id, b.nbr FROM symd a JOIN symd b
+         |    ON a.nbr = b.id WHERE a.id <> b.nbr),
+         |cand AS (SELECT DISTINCT id, nbr FROM (
+         |    SELECT id, nbr FROM symd UNION ALL SELECT id, nbr FROM hop2)),
+         |scd AS (SELECT c.id, c.nbr, CAST(round(
+         |      ${duckCosine("ea.embedding", "eb.embedding", 64)}*1000000, 0)
+         |      AS BIGINT) AS cm
+         |  FROM cand c JOIN embm ea ON ea.vec_id = c.id
+         |  JOIN embm eb ON eb.vec_id = c.nbr),
+         |rd AS (SELECT id, nbr, cm, row_number() OVER (PARTITION BY id
+         |    ORDER BY cm DESC, nbr ASC) AS rank FROM scd)
+         |SELECT rank, count(*) AS n_edges,
+         |  count(DISTINCT id) AS n_vertices,
+         |  CAST(sum(cm) AS BIGINT) AS sum_cos_micro,
+         |  CAST(sum(nbr) AS BIGINT) AS sum_nbrs
+         |FROM rd WHERE rank <= 5 GROUP BY 1""".stripMargin,
+
+
+    // stride-seeded walk replay: the seed derivation (id-range stride
+    // cuts → conditional min per cut, exactly strideEntries' integer
+    // arithmetic) feeds the same unrolled beam rounds as q283
+    "q300_graph_ann_stride" ->
+      s"""WITH ${graphAnnStemCtes()},
+         |mmS AS (SELECT min(vec_id) AS lo, max(vec_id) AS hi FROM embm),
+         |entS AS (SELECT DISTINCT node FROM (
+         |    SELECT (SELECT min(e2.vec_id) FROM embm e2
+         |        WHERE e2.vec_id >= m.lo + (i.i * (m.hi - m.lo + 1)) // 4)
+         |      AS node
+         |    FROM mmS m, generate_series(0, 3) i(i))
+         |  WHERE node IS NOT NULL),
+         |${graphAnnWalkCtes(0, ent = "entS", ns0 = "st")}
+         |SELECT node AS vec_id, sim AS cosine_sim FROM res_st""".stripMargin
   )
 
   /** Shared q287/q293 oracle: the full search-then-link replay. */

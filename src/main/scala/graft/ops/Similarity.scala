@@ -382,6 +382,100 @@ object Similarity {
   }
 
   /**
+   * One NN-DESCENT refinement round over a [[knnGraph]]-shaped edge
+   * list — "a neighbor of my neighbor is probably my neighbor" (Dong,
+   * Moses & Li, WWW'11): candidates are the current edges plus every
+   * two-hop path through the SYMMETRIZED graph, re-scored by true
+   * cosine, per-vertex top-k kept. An LSH-seeded graph only competes
+   * same-bucket pairs, so its edges plateau at the banding recall; a
+   * descent round lets every vertex see its neighbors' neighborhoods,
+   * which converges toward the exact kNN graph in O(log n) rounds on
+   * real metrics (the paper's empirical result).
+   *
+   * Scale shape: reverse edges are capped at `k` per vertex before the
+   * two-hop join (the paper's reverse-sampling — an in-degree hub
+   * would otherwise mint in-degree² candidates), so candidates are
+   * ≤ 4k² per vertex — n·O(k²) rows total, two embedding joins and one
+   * bounded per-vertex aggregation; never corpus×corpus. Output schema
+   * = [[knnGraph]]'s (id, rank, nbr, cos_micro), deterministic.
+   */
+  def nnDescentRound(
+      knn: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "nnDescentRound needs k >= 1")
+    val spark = corpus.sparkSession
+    val fwd = knn.select(col("id"), col("nbr"))
+    // reverse edges capped at k per vertex by (cos desc, nbr asc) —
+    // the same bounded aggregation as the forward top-k
+    val rev = knn
+      .select(col("nbr").as("id"), struct(
+        (-col("cos_micro")).as("nc"), col("id").as("nbr")).as("e"))
+      .groupBy("id")
+      .agg(slice(array_sort(collect_list(col("e"))), 1, k).as("top"))
+      .select(col("id"), explode(col("top")).as("e"))
+      .select(col("id"), col("e.nbr").as("nbr"))
+    val sym = fwd.unionAll(rev).distinct()
+    val twoHop = sym.as("a").join(sym.as("b"), col("a.nbr") === col("b.id"))
+      .select(col("a.id").as("id"), col("b.nbr").as("nbr"))
+      .filter(col("id") =!= col("nbr"))
+    val cand = sym.unionAll(twoHop).distinct()
+    val emb = corpus.select(col(idCol).cast("long").as("__nid"),
+      col(embCol).as("__ne"))
+    cand
+      .join(emb.select(col("__nid").as("id"), col("__ne").as("__ea")), Seq("id"))
+      .join(emb.select(col("__nid").as("nbr"), col("__ne").as("__eb")), Seq("nbr"))
+      .select(col("id"), struct(
+        (-round(cosineFast(spark, col("__ea"), col("__eb")) * 1e6, 0)
+          .cast("long")).as("nc"),
+        col("nbr").as("nbr")).as("e"))
+      .filter(col("e.nc").isNotNull) // zero-norm endpoints are unrankable
+      .groupBy("id")
+      .agg(slice(array_sort(collect_list(col("e"))), 1, k).as("top"))
+      .select(col("id"), posexplode(col("top")).as(Seq("rank0", "e")))
+      .select(col("id"), (col("rank0") + 1).cast("long").as("rank"),
+        col("e.nbr").as("nbr"), (-col("e.nc")).as("cos_micro"))
+  }
+
+  /**
+   * [[knnGraph]] + `rounds` of [[nnDescentRound]] — the EDGE-QUALITY
+   * build: LSH seeds the neighborhoods, descent rounds converge the
+   * edges toward the exact kNN graph. Use it where the edges
+   * themselves are the product (mutual-kNN near-dup,
+   * [[reciprocalNeighbors]], SemDeDup pruning, graph clustering) —
+   * there, truer edges are strictly better. For BEAM-SEARCH
+   * navigation the trade is real and measured (BASELINE.md r17
+   * recall audit): descent tightens clusters and prunes the
+   * accidental long-range links that make a flat graph navigable, so
+   * on vanishing-contrast (noise-floor) data beam recall@10 DROPPED
+   * 0.200 → 0.150 after one round at 10×; the published navigation
+   * fixes are diversified pruning (HNSW's heuristic / DiskANN's
+   * α-RNG) or hierarchy, not more descent. Each round
+   * localCheckpoints so the lineage doesn't stack joins.
+   */
+  def knnGraphRefined(
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      planesPerBand: Int,
+      bands: Int,
+      dims: Int,
+      k: Int,
+      minCosine: Double,
+      maxBucketSize: Int = 1000,
+      rounds: Int = 2): DataFrame = {
+    require(rounds >= 0, "rounds must be >= 0")
+    var g = knnGraph(corpus, idCol, embCol, planesPerBand, bands, dims,
+      k, minCosine, maxBucketSize)
+    (1 to rounds).foreach { _ =>
+      g = nnDescentRound(g.localCheckpoint(), corpus, idCol, embCol, k)
+    }
+    g
+  }
+
+  /**
    * Reciprocal nearest neighbors over a [[knnGraph]]: pairs where EACH
    * side ranks the other in its own top-k (the mutual-kNN criterion —
    * public staple of agglomerative/near-dup clustering, e.g. Qin et
@@ -455,12 +549,15 @@ object Similarity {
    * stride: seed i = the smallest corpus id ≥ minId + i·(span/n).
    * The lowest-ids rule seeds one corner of the graph; as the corpus
    * (and the NSW diameter) grows, a fixed-step beam from a static
-   * corner loses recall — the public fix is hierarchical entries
-   * (HNSW layers) or spread seeds; this is the replayable spread
-   * (measured sf1: recall@10 3/10 corner → 9/10 stride, BASELINE.md
-   * r17 recall audit). Cost: ONE min/max aggregate + one conditional-
-   * min pass — no sort, no window; both are footer-stat-cheap on a
-   * range-clustered store. SQL-replayable as n scalar subqueries.
+   * corner loses recall — the public fixes are hierarchical entries
+   * (HNSW layers) or spread seeds; this is the replayable spread.
+   * Measured (BASELINE.md r17 recall audit, 10× fixture): noise-floor
+   * recall@10 0.200 corner → 0.313 stride16 (+56% relative); planted-
+   * target hit@1 8/8 — the gap to 1.0 is the fixture's vanishing
+   * contrast (rank-10/11 cosine margin ~0.003), not navigation. Cost:
+   * ONE min/max aggregate + one conditional-min pass — no sort, no
+   * window; both are footer-stat-cheap on a range-clustered store.
+   * SQL-replayable as n scalar subqueries.
    */
   def strideEntries(corpus: DataFrame, idCol: String, n: Int): Seq[Long] = {
     require(n >= 1, "need at least one entry")
@@ -557,7 +654,8 @@ object Similarity {
       nEntries: Int = 4,
       beamWidth: Int = 8,
       maxSteps: Int = 8,
-      entries: Seq[Long] = Nil): DataFrame = {
+      entries: Seq[Long] = Nil,
+      entriesByQuery: Map[Long, Seq[Long]] = Map.empty): DataFrame = {
     require(k >= 1 && nEntries >= 1 && beamWidth >= 1 && maxSteps >= 0,
       "degenerate geometry")
     val spark = corpus.sparkSession
@@ -624,22 +722,29 @@ object Similarity {
         .foreach(r => simOf(r.getLong(0))(r.getLong(1)) = r.getDouble(2))
     }
 
-    // deterministic entry seeds, shared by every query: caller-supplied
-    // (the [[strideEntries]] spread — the recall-preserving choice as
-    // the NSW diameter grows; see that doc) or, by default, the
-    // nEntries lowest corpus ids (one column-pruned TakeOrdered pass)
-    val seeds: Seq[Long] =
-      if (entries.nonEmpty) entries.distinct
+    // deterministic entry seeds: PER-QUERY (`entriesByQuery` — the
+    // hierarchical regime: an upper-layer walk hands each query its
+    // own near-the-target seeds, [[hierarchicalSearchBatch]]), else
+    // shared — caller-supplied (the [[strideEntries]] spread) or, by
+    // default, the nEntries lowest corpus ids (one column-pruned
+    // TakeOrdered pass)
+    val shared: Seq[Long] =
+      if (entriesByQuery.nonEmpty && qids.forall(q =>
+          entriesByQuery.get(q).exists(_.nonEmpty))) Nil
+      else if (entries.nonEmpty) entries.distinct
       else corpus.select(col(idCol).cast("long").as("node"))
         .filter(col("node").isNotNull)
         .orderBy(col("node").asc).limit(nEntries)
         .collect().map(_.getLong(0)).toSeq
-    score(qids.flatMap(q => seeds.map(q -> _)))
+    def seedsOf(q: Long): Seq[Long] =
+      entriesByQuery.get(q).filter(_.nonEmpty)
+        .map(_.distinct).getOrElse(shared)
+    score(qids.flatMap(q => seedsOf(q).map(q -> _)))
     def topBeam(q: Long, cand: Seq[Long], width: Int): Seq[Long] =
       cand.distinct.filter(simOf(q).contains)
         .sortBy(n => (-simOf(q)(n), n)).take(width)
     var pool: Map[Long, Seq[Long]] =
-      qids.map(q => q -> seeds.filter(simOf(q).contains)).toMap
+      qids.map(q => q -> seedsOf(q).filter(simOf(q).contains)).toMap
     (1 to maxSteps).foreach { _ =>
       fetchAdj(pool.valuesIterator.flatten.toSeq.distinct)
       score(for {

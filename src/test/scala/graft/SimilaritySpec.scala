@@ -790,6 +790,97 @@ class SimilaritySpec extends AnyFunSuite {
       s"expected a broadcast left-semi membership probe:\n$bigPlan")
   }
 
+  test("nnDescentRound: per-vertex quality never degrades, converges toward exact kNN") {
+    val emb = TestSpark.table("embeddings")
+    // deliberately weak LSH seed so descent has work to do — but at
+    // least TWO bands: with one band every candidate neighborhood is
+    // an intra-bucket clique and two-hop provably cannot escape it
+    val lsh = Similarity.knnGraph(emb, "vec_id", "embedding",
+      planesPerBand = 8, bands = 2, dims = 64, k = 4,
+      minCosine = -1.0, maxBucketSize = 1000).localCheckpoint()
+    val refined = Similarity.nnDescentRound(lsh, emb, "vec_id", "embedding", k = 4)
+    // output contract: knnGraph schema, contiguous ranks, cos desc
+    refined.collect().groupBy(_.getLong(0)).foreach { case (id, rs) =>
+      val byRank = rs.sortBy(_.getLong(1))
+      assert(byRank.map(_.getLong(1)).toSeq == (1L to byRank.length))
+      val cs = byRank.map(_.getLong(3)).toSeq
+      assert(cs == cs.sorted.reverse, s"vertex $id not cos-desc")
+      assert(byRank.forall(_.getLong(2) != id), "no self edges")
+    }
+    // candidates ⊇ current neighborhood, so RANK-WISE each vertex can
+    // only improve (or stay): the rank-r edge after a round is at
+    // least as close as the rank-r edge before (a vertex may also GAIN
+    // edges it lacked — more coverage, never a trade)
+    def ranked(df: org.apache.spark.sql.DataFrame) =
+      df.collect().groupBy(_.getLong(0)).map { case (id, rs) =>
+        id -> rs.sortBy(_.getLong(1)).map(_.getLong(3)).toSeq
+      }
+    val (k0, k1) = (ranked(lsh), ranked(refined))
+    k0.foreach { case (id, before) =>
+      val after = k1.getOrElse(id, Seq.empty)
+      assert(after.length >= before.length,
+        s"vertex $id lost edges: ${before.length} -> ${after.length}")
+      before.indices.foreach { i =>
+        assert(after(i) >= before(i),
+          s"vertex $id rank ${i + 1} got worse: ${before(i)} -> ${after(i)}")
+      }
+    }
+    // edge recall vs the EXACT kNN graph strictly improves on the
+    // weak seed (the Dong et al. convergence claim, one round)
+    val ids = emb.select("vec_id").collect().map(_.getLong(0))
+    val exact = Similarity.bruteForceTopKBatch(
+        emb, emb.select(col("vec_id").as("query_id"), col("embedding")),
+        "vec_id", "embedding", "query_id", k = 5)
+      .filter(col("vec_id") =!= col("query_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def edgeRecall(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2)))
+        .count(exact.contains).toDouble / exact.size
+    val (r0, r1) = (edgeRecall(lsh), edgeRecall(refined))
+    assert(r1 > r0, s"descent did not improve edge recall: $r0 -> $r1")
+    // determinism
+    val again = Similarity.nnDescentRound(lsh, emb, "vec_id", "embedding", k = 4)
+    assert(refined.collect().toSet == again.collect().toSet)
+    // rounds=0 is the raw LSH graph verbatim
+    val zero = Similarity.knnGraphRefined(emb, "vec_id", "embedding",
+      planesPerBand = 8, bands = 2, dims = 64, k = 4,
+      minCosine = -1.0, maxBucketSize = 1000, rounds = 0)
+    assert(zero.collect().toSet == lsh.collect().toSet)
+  }
+
+  test("graphSearchBatch: per-query entry seeds steer each beam independently") {
+    val emb = TestSpark.table("embeddings")
+    val g = Similarity.knnGraph(emb, "vec_id", "embedding",
+      planesPerBand = 4, bands = 4, dims = 64, k = 8,
+      minCosine = -1.0, maxBucketSize = 1000)
+      .select(col("id"), col("nbr")).localCheckpoint()
+    val qids = Seq(0L, 7L)
+    val queries = emb.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    // each query seeded AT its own node must rank itself first
+    val self = Similarity.graphSearchBatch(
+        emb, "vec_id", "embedding", queries, "query_id", g,
+        k = 5, entriesByQuery = qids.map(q => q -> Seq(q)).toMap)
+      .filter(col("rank") === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(self == qids.map(q => q -> q).toMap,
+      "a beam seeded at the query's own vector must rank it #1")
+    // a query missing from the map falls back to the shared seeds —
+    // identical to the same walk with explicit shared entries
+    val mixed = Similarity.graphSearchBatch(
+        emb, "vec_id", "embedding", queries, "query_id", g,
+        k = 5, entries = Seq(1L, 2L), entriesByQuery = Map(0L -> Seq(0L)))
+      .collect().groupBy(_.getLong(0))
+    val sharedOnly = Similarity.graphSearchBatch(
+        emb, "vec_id", "embedding",
+        queries.filter(col("query_id") === 7L), "query_id", g,
+        k = 5, entries = Seq(1L, 2L))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(mixed(7L).map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      .sortBy(_._1) == sharedOnly.sortBy(_._1),
+      "uncovered queries must walk from the shared seeds")
+  }
+
   test("strideEntries: spread seeds exist in the corpus, span the id range") {
     val emb = TestSpark.table("embeddings")
     val ids = emb.select("vec_id").collect().map(_.getLong(0)).toSet
