@@ -22,7 +22,7 @@ import graft.ops.Aggregate.{AggSpec, Metric}
 object SparkEntry extends EntryContext
     with EntryIo with EntryMedia with EntryDedup with EntryAnn
     with EntryWeb with EntryGraph with EntrySearch
-    with EntryText with EntryStats {
+    with EntryText with EntryStats with EntryEvents with EntryCuration {
 
   // ---------------------------------------------------------------- entry
 
@@ -53,10 +53,10 @@ object SparkEntry extends EntryContext
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ioQueries ++ mediaQueries ++ dedupQueries ++ annQueries ++
       webQueries ++ graphQueries ++ searchQueries ++
-      textQueries ++ statsQueries
+      textQueries ++ statsQueries ++ eventsQueries ++ curationQueries
 
   def oracleSql: Map[String, String] =
     ioOracles ++ mediaOracles ++ dedupOracles ++ annOracles ++
       webOracles ++ graphOracles ++ searchOracles ++
-      textOracles ++ statsOracles
+      textOracles ++ statsOracles ++ eventsOracles ++ curationOracles
 }
