@@ -881,6 +881,38 @@ class SimilaritySpec extends AnyFunSuite {
       "uncovered queries must walk from the shared seeds")
   }
 
+  test("graph walk: planted targets above the noise floor are navigated to rank 1") {
+    // the r17 recall audit's decisive control (BASELINE.md): on
+    // vanishing-contrast fixtures recall@10 measures tie-breaking, so
+    // the NAVIGATION property is pinned on planted structure — each
+    // query is a corpus vector plus deterministic hash noise at
+    // cos≈0.9, far above the fixture's noise ceiling; the beam must
+    // surface the planted target as rank 1
+    val emb = TestSpark.table("embeddings")
+    val g = Similarity.knnGraph(emb, "vec_id", "embedding",
+      planesPerBand = 4, bands = 4, dims = 64, k = 8,
+      minCosine = -1.0, maxBucketSize = 1000)
+      .select(col("id"), col("nbr")).localCheckpoint()
+    val qids = Similarity.strideEntries(emb, "vec_id", 6)
+    val planted = emb.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("query_id"),
+        transform(col("embedding"),
+          (x, i) => x + lit(0.08) * sin(col("query_id") * 37 + i * 131))
+          .as("__raw"))
+      .select(col("query_id"),
+        transform(col("__raw"), x =>
+          (x / sqrt(aggregate(col("__raw"), lit(0.0d),
+            (a, v) => a + v * v))).cast("float")).as("embedding"))
+    val hits = Similarity.graphSearchBatch(
+        emb, "vec_id", "embedding", planted, "query_id", g,
+        k = 10, nEntries = 4, beamWidth = 16, maxSteps = 10,
+        entries = Similarity.strideEntries(emb, "vec_id", 8))
+      .filter(col("rank") === 1 && col("vec_id") === col("query_id"))
+      .count()
+    assert(hits == qids.length,
+      s"planted-target navigation broke: $hits/${qids.length} at rank 1")
+  }
+
   test("strideEntries: spread seeds exist in the corpus, span the id range") {
     val emb = TestSpark.table("embeddings")
     val ids = emb.select("vec_id").collect().map(_.getLong(0)).toSet

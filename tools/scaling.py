@@ -42,6 +42,12 @@ ENTRY_GLOB = "src/main/scala/graft/entry/Entry*.scala"
 # width is the dial).
 OUTPUT_BOUND = {
     "q31_simhash_pairs", "q41_simhash_pairs_xx64", "q279_audio_neardup",
+    # q294: measured output 312 -> 13,564 true pairs (43x at 10x; the
+    # ScaleGen 5%-near-dup-of-an-EARLIER-doc recipe densifies pairs
+    # superlinearly by construction); runtime 35x sits BELOW output
+    # growth and the candidate join is under the default 25M-pair
+    # fence (hottest bucket 9.19M pairs, BASELINE r17 density audit)
+    "q294_simhash64_pairs",
 }
 
 
