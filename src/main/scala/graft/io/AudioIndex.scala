@@ -51,8 +51,10 @@ object AudioIndex {
   /** Recover the live fps dir after a crashed [[compact]]/[[delete]]:
     * the only window that can leave `fps` missing is between the two
     * renames, and then `fps_prev` still holds the full pre-rewrite
-    * index — restore it and drop the half-staged output. Called by
-    * every entry point; no-op in the steady state. */
+    * index — restore it and drop the half-staged output. MUTATING —
+    * called only by writers that hold the store claim (a claim-free
+    * heal would race a LIVE delete/compact between its renames and
+    * discard its staged rewrite); no-op in the steady state. */
   private def ensureLive(spark: SparkSession, dir: String): Unit = {
     val live = new Path(fpsPath(dir))
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -61,6 +63,18 @@ object AudioIndex {
       require(fs.rename(prevPath(dir), live),
         s"failed to restore $live from ${prevPath(dir)}")
     }
+  }
+
+  /** Resolve the readable fps dir WITHOUT mutating — the read-path
+    * twin of [[ensureLive]]: reads hold no claim, so they must not
+    * race a live rewrite's renames (or each other). Steady state =
+    * `fps`; the crashed-rewrite window = `fps_prev` (still the full
+    * pre-rewrite index — the next claim-holding writer heals it). */
+  private def livePath(spark: SparkSession, dir: String): String = {
+    val live = new Path(fpsPath(dir))
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(live) && fs.exists(prevPath(dir))) prevPath(dir).toString
+    else fpsPath(dir)
   }
 
   /** Build the index from scratch: decode + fingerprint every payload
@@ -78,13 +92,24 @@ object AudioIndex {
       s"idCol '$idCol' must be a plain identifier (stored in index meta)")
     val spark = media.sparkSession
     Commits.withClaim(spark, dir) {
+      val fs = metaFile(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // REBUILD over an existing index: retire the meta FIRST, so a
+      // crash mid-overwrite leaves the documented fail-loud
+      // missing-meta state — never stale geometry over new landmarks
+      // (a probe against that would silently find nothing)
+      fs.delete(metaFile(dir), false)
+      // a full rebuild owns the dir: drop crash artifacts of any
+      // previous delete/compact so they can't be "healed" over the
+      // fresh index later
+      fs.delete(prevPath(dir), true)
+      fs.delete(new Path(stagePath(dir)), true)
       AudioDedup.fingerprints(media, idCol, payloadCol, frameLen, bins, fanout)
         .sortWithinPartitions("fp") // probe-key clustering: tight fp footers
         .write.mode("overwrite").parquet(fpsPath(dir))
       val json =
         s"""{"id_col": "$idCol", "frame_len": $frameLen, """ +
           s""""bins": $bins, "fanout": $fanout}"""
-      val fs = metaFile(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
       val out = fs.create(metaFile(dir), true)
       try out.write(json.getBytes("UTF-8")) finally out.close()
     }
@@ -106,11 +131,11 @@ object AudioIndex {
     Meta(str("id_col"), num("frame_len"), num("bins"), num("fanout"))
   }
 
-  /** The stored landmark table (meta.idCol, t, fp). */
-  def fingerprints(spark: SparkSession, dir: String): DataFrame = {
-    ensureLive(spark, dir)
-    spark.read.parquet(fpsPath(dir))
-  }
+  /** The stored landmark table (meta.idCol, t, fp). Read-only — a
+    * crashed rewrite window resolves to `fps_prev` without mutating
+    * (see [[livePath]]). */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(livePath(spark, dir))
 
   /**
    * Near-dup pairs between `batch` (raw payloads — decoded and
@@ -191,6 +216,10 @@ object AudioIndex {
    * index built from the corpus minus the deleted docs (spec-pinned).
    */
   def delete(deletedIds: DataFrame, dir: String): Unit = {
+    require(deletedIds.columns.length == 1,
+      s"delete takes a single-column id frame (got " +
+        s"${deletedIds.columns.mkString(", ")}) — a takedown must not " +
+        "guess which column holds the ids")
     val spark = deletedIds.sparkSession
     Commits.withClaim(spark, dir) {
       ensureLive(spark, dir)
@@ -237,8 +266,10 @@ object AudioIndex {
     * Returns true when a compaction ran. */
   def compactIfFragmented(
       spark: SparkSession, dir: String, targetFiles: Int): Boolean = {
-    ensureLive(spark, dir)
-    val live = new Path(fpsPath(dir))
+    // claim-free read of the fragmentation gauge (the listing must not
+    // heal-rename under a live writer); compact() itself heals under
+    // its own claim before rewriting
+    val live = new Path(livePath(spark, dir))
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val nFiles = fs.listStatus(live).count(_.getPath.getName.endsWith(".parquet"))
     val fragmented = nFiles > 2 * targetFiles

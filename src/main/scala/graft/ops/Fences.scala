@@ -62,4 +62,45 @@ object Fences {
         s"— $remedy (or raise the cap explicitly)"
     })
   }
+
+  /**
+   * [[assertBucketPairs]] for the PROBE shape (batch buckets joined
+   * against a standing store): the per-bucket candidate count is
+   * `batch postings × standing postings`, so a saturated standing
+   * bucket makes EVERY future drain that touches it pay
+   * store-proportional work — the incremental regime's version of the
+   * quadratic hazard. Same decimal arithmetic, same fail-loud
+   * contract; `maxPairs >= Long.MaxValue` disables.
+   *
+   * Cost: two decomposable groupBys + a broadcast-sized join of bucket
+   * counts — O(buckets), never data-proportional.
+   */
+  def assertProbePairs(
+      probe: DataFrame,
+      standing: DataFrame,
+      keyCols: Seq[String],
+      maxPairs: Long,
+      op: String,
+      remedy: String): Unit = {
+    if (maxPairs >= Long.MaxValue) return
+    val pc = probe.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__npb"))
+    val sc = standing.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__nps"))
+    val pairs = col("__npb").cast("decimal(20,0)") * col("__nps")
+    val hot = pc.join(sc, keyCols)
+      .filter(pairs > lit(maxPairs).cast("decimal(38,0)"))
+      .select(
+        concat_ws(",", keyCols.map(c => col(c).cast("string")): _*)
+          .as("__key"),
+        pairs.cast("decimal(38,0)").as("__pairs"))
+      .limit(1).collect()
+    require(hot.isEmpty, {
+      val r = hot.head
+      s"$op probe bucket (${keyCols.mkString(",")})=(${r.getString(0)}) " +
+        s"would form ${r.getDecimal(1)} batch×standing candidate pairs " +
+        s"(> maxBucketPairs=$maxPairs): a saturated standing bucket " +
+        s"taxes every future drain — $remedy (or raise the cap explicitly)"
+    })
+  }
 }

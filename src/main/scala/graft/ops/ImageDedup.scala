@@ -186,7 +186,8 @@ object ImageDedup {
       idCol: String,
       hashCol: String,
       maxHamming: Int = 10,
-      bands: Int = 4): DataFrame = {
+      bands: Int = 4,
+      maxBucketPairs: Long = 25_000_000L): DataFrame = {
     require(bands >= 1 && bands <= 4, "64-bit hash holds 1..4 16-bit bands")
     def banded(df: DataFrame): DataFrame = df.select(
         col(idCol), col(hashCol).as("__h"),
@@ -195,12 +196,24 @@ object ImageDedup {
           .as("bb"))
       .select(col(idCol), col("__h"),
         col("bb.band").as("band"), col("bb.v").as("v"))
+    // NOT checkpointed here: both callers (ImageIngest, the q-entry
+    // fixtures) hand in already-materialized hash frames, so the fence
+    // pass below re-bands a cheap checkpoint — while checkpointing the
+    // standing side HERE would materialize a store-sized frame per
+    // drain
     val probeSide = banded(batch.select(col(idCol), col(hashCol)))
       .select(col("band"), col("v"), col(idCol).as("__pi"), col("__h").as("__ph"))
     val standSide = banded(
         corpus.select(col(idCol), col(hashCol))
           .unionByName(batch.select(col(idCol), col(hashCol))))
       .select(col("band"), col("v"), col(idCol).as("__si"), col("__h").as("__sh"))
+    // probe-shaped hot-bucket fence (the assertBucketPairs convention
+    // in the incremental regime): a saturated standing band — a
+    // template thumbnail indexed a million times — would tax EVERY
+    // future drain store-proportionally; fail loudly naming it
+    Fences.assertProbePairs(probeSide, standSide, Seq("band", "v"),
+      maxBucketPairs, "image-hamming",
+      "pre-dedup exact payload copies, drop blank media")
     probeSide.join(standSide, Seq("band", "v"))
       .filter(col("__pi") =!= col("__si"))
       .select(

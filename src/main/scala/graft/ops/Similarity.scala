@@ -417,7 +417,11 @@ object Similarity {
       .agg(slice(array_sort(collect_list(col("e"))), 1, k).as("top"))
       .select(col("id"), explode(col("top")).as("e"))
       .select(col("id"), col("e.nbr").as("nbr"))
-    val sym = fwd.unionAll(rev).distinct()
+    // materialized: sym derives from the reverse-cap aggregation (a
+    // full-edge-list shuffle) and feeds the plan THREE times (both
+    // sides of the two-hop self-join + the candidate union) — without
+    // the checkpoint each reference recomputes that shuffle
+    val sym = fwd.unionAll(rev).distinct().localCheckpoint()
     val twoHop = sym.as("a").join(sym.as("b"), col("a.nbr") === col("b.id"))
       .select(col("a.id").as("id"), col("b.nbr").as("nbr"))
       .filter(col("id") =!= col("nbr"))

@@ -162,7 +162,8 @@ object VideoDedup {
       idCol: String,
       maxHamming: Int = 6,
       bands: Int = 4,
-      minFrames: Int = 2): DataFrame = {
+      minFrames: Int = 2,
+      maxBucketPairs: Long = 25_000_000L): DataFrame = {
     require(bands >= 1 && bands <= 4, "64-bit hash holds 1..4 16-bit bands")
     require(minFrames >= 1, "minFrames must be >= 1")
     def banded(df: DataFrame): DataFrame = df.select(
@@ -173,12 +174,23 @@ object VideoDedup {
               .as("v"))): _*)).as("bb"))
       .select(col(idCol), col("frame_idx"), col("__h"),
         col("bb.band").as("band"), col("bb.v").as("v"))
+    // NOT checkpointed here: the caller hands in materialized hash
+    // frames (VideoIngest checkpoints the decode), so the fence pass
+    // re-bands cheap checkpoints — checkpointing the standing side
+    // HERE would materialize a store-sized frame per drain
     val probeSide = banded(batch)
       .select(col("frame_idx"), col("band"), col("v"),
         col(idCol).as("__pi"), col("__h").as("__ph"))
     val standSide = banded(standing.unionByName(batch))
       .select(col("frame_idx"), col("band"), col("v"),
         col(idCol).as("__si"), col("__h").as("__sh"))
+    // probe-shaped hot-bucket fence: a saturated standing
+    // (frame_idx, band, value) bucket — black first frames, a station
+    // logo indexed a million times — would tax EVERY future drain
+    // store-proportionally; fail loudly naming it
+    Fences.assertProbePairs(probeSide, standSide,
+      Seq("frame_idx", "band", "v"), maxBucketPairs, "video-frame",
+      "drop static/blank frames, pre-dedup exact payloads")
     probeSide.join(standSide, Seq("frame_idx", "band", "v"))
       .filter(col("__pi") =!= col("__si"))
       .filter(bit_count(col("__ph").bitwiseXOR(col("__sh"))) <= maxHamming)

@@ -51,6 +51,31 @@ object AudioIngest {
     StructField("t", LongType, nullable = false),
     StructField("fp", LongType, nullable = false)))
 
+  /** Write-once geometry record for the standing store (claim held by
+    * the caller). Later drains fail loudly on drift instead of
+    * silently probing nothing against unmatchable landmarks. */
+  private def pinGeometry(
+      spark: SparkSession, indexDir: String,
+      frameLen: Int, bins: Int, fanout: Int): Unit = {
+    val p = new Path(indexDir, "_graft_geometry.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val want = s"""{"frame_len": $frameLen, "bins": $bins, "fanout": $fanout}"""
+    if (!fs.exists(p)) {
+      val out = fs.create(p, false)
+      try out.write(want.getBytes("UTF-8")) finally out.close()
+    } else {
+      val in = fs.open(p)
+      val got =
+        try new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+        finally in.close()
+      require(got == want,
+        s"audio-ingest geometry drift at $indexDir: store pinned $got, " +
+          s"this drain passed $want — a drifted drain would probe " +
+          "nothing and poison the store; use the pinned parameters")
+    }
+  }
+
   private def committedBatches(
       spark: SparkSession, indexDir: String): Seq[Path] = {
     val p = new Path(indexDir)
@@ -90,6 +115,12 @@ object AudioIngest {
       frameLen: Int = 32,
       fanout: Int = 3,
       maxDocsPerFp: Long = 0L): DataFrame = Commits.withClaim(spark, indexDir) {
+    // geometry pinning (the AudioIndex `_graft_index.json` contract —
+    // the fingerprint parameters are the standing store's IDENTITY): a
+    // drain hashed with drifted parameters would silently probe
+    // nothing AND poison the store with unmatchable landmarks. The
+    // first drain writes the geometry; every later drain must match.
+    pinGeometry(spark, indexDir, frameLen, bins, fanout)
     WarcIngest.drainWarc(spark, landingDir, silverDir, warcLedgerDir)
     val silverPath = new Path(silverDir)
     val sfs = silverPath.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -90,6 +90,69 @@ class AudioIndexSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no audio index"))
   }
 
+  test("a crashed REBUILD is fail-loud, never stale-geometry-readable") {
+    val dir = TestSpark.tmpDir("audio_index_rebuild_crash")
+    AudioIndex.build(tones(Seq(1L, 2L)), "media_id", "payload", dir, bins = 8)
+    // a rebuild retires the meta FIRST: simulate its crash window by
+    // replaying exactly what build does up to the meta write — old
+    // meta gone, new fps (different geometry) written
+    val p = new org.apache.hadoop.fs.Path(dir, "_graft_index.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, false)
+    AudioDedup.fingerprints(tones(Seq(1L, 2L)), "media_id", "payload", bins = 16)
+      .write.mode("overwrite").parquet(s"$dir/fps")
+    // the half-rebuilt index must FAIL, not silently probe bins=8
+    // landmarks against a bins=16 store
+    val e = intercept[IllegalArgumentException] {
+      AudioIndex.probe(tones(Seq(3L)), "payload", dir, minShared = 8L)
+    }
+    assert(e.getMessage.contains("no audio index"))
+    // a completed rebuild recovers it
+    AudioIndex.build(tones(Seq(1L, 2L)), "media_id", "payload", dir, bins = 16)
+    assert(AudioIndex.meta(spark, dir).bins == 16)
+    assert(AudioIndex.probe(tones(Seq(3L)), "payload", dir, minShared = 8L)
+      .count() > 0)
+  }
+
+  test("reads resolve a crashed-rewrite window WITHOUT mutating the store") {
+    val dir = TestSpark.tmpDir("audio_index_read_heal")
+    AudioIndex.build(tones(Seq(1L, 2L)), "media_id", "payload", dir, bins = 16)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val live = new org.apache.hadoop.fs.Path(s"$dir/fps")
+    val prev = new org.apache.hadoop.fs.Path(s"$dir/fps_prev")
+    val fs = live.getFileSystem(conf)
+    // simulate a delete/compact crashed between its two renames: fps
+    // retired to fps_prev, the staged rewrite half-written
+    assert(fs.rename(live, prev))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/fps_rewriting"))
+    // a CLAIM-FREE read must answer from fps_prev...
+    assert(AudioIndex.fingerprints(spark, dir).count() > 0)
+    assert(AudioIndex.probe(tones(Seq(3L)), "payload", dir, minShared = 8L)
+      .count() > 0)
+    // ...and must NOT have healed: the store is byte-untouched (a
+    // mutating read would race the live writer that owns the window)
+    assert(!fs.exists(live), "a read must not rename the store")
+    assert(fs.exists(prev))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/fps_rewriting")),
+      "a read must not delete the staged rewrite")
+    // the next claim-holding WRITER heals the window
+    AudioIndex.append(tones(Seq(3L)), "payload", dir)
+    assert(fs.exists(live) && !fs.exists(prev))
+  }
+
+  test("delete refuses a multi-column id frame instead of guessing") {
+    val dir = TestSpark.tmpDir("audio_index_del_cols")
+    AudioIndex.build(tones(Seq(1L, 2L)), "media_id", "payload", dir, bins = 16)
+    val e = intercept[IllegalArgumentException] {
+      AudioIndex.delete(
+        Seq(("2026-01-01", 1L)).toDF("deleted_at", "media_id"), dir)
+    }
+    assert(e.getMessage.contains("single-column"))
+    // the takedown never ran: id 1 still pairs
+    assert(AudioIndex.probe(tones(Seq(3L)), "payload", dir, minShared = 8L)
+      .collect().exists(r => r.getLong(0) == 1L || r.getLong(1) == 1L))
+  }
+
   test("writers serialize under the store claim; probe is read-only") {
     val dir = TestSpark.tmpDir("audio_index_claim")
     AudioIndex.build(tones(Seq(1L, 2L)), "media_id", "payload", dir, bins = 16)

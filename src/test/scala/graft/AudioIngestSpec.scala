@@ -48,6 +48,16 @@ class AudioIngestSpec extends AnyFunSuite {
     // re-drain with nothing new: no pairs, no index growth
     assert(drain().count() == 0)
 
+    // geometry drift fails LOUDLY: a drain hashed with different
+    // parameters would silently probe nothing and poison the store —
+    // the first drain pinned (32, 16, 3), later drains must match
+    val drift = intercept[IllegalArgumentException] {
+      AudioIngest.maintainAudio(
+        spark, s"$base/landing", s"$base/silver", s"$base/ledger",
+        s"$base/index", minShared = 8L, bins = 8)
+    }
+    assert(drift.getMessage.contains("geometry drift"))
+
     // wave 2: id 3 joins cluster 0 → pairs against BOTH standing
     // members; id 55 joins cluster 5 → pairs with standing id 51
     landWave(s"$base/landing/w2", Seq(3L, 55L))

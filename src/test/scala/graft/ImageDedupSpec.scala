@@ -109,4 +109,23 @@ class ImageDedupSpec extends AnyFunSuite {
     assert(ImageDedup.hammingNearDups(clones, "id", "h",
       maxBucketPairs = Long.MaxValue).count() == 40L * 39 / 2)
   }
+
+  test("hammingProbe: saturated standing bucket fails loudly (probe fence)") {
+    import spark.implicits._
+    // a template thumbnail indexed 40 times: every batch probe that
+    // lands in its (band, v) bucket pays 40× — the store-proportional
+    // drain tax the probe fence exists for
+    val standing = (1L to 40L).map(i => (i, 0x1111222233334444L)).toDF("id", "h")
+    val batch = Seq((100L, 0x1111222233334444L)).toDF("id", "h")
+    val e = intercept[IllegalArgumentException] {
+      ImageDedup.hammingProbe(batch, standing, "id", "h",
+        maxBucketPairs = 30L)
+    }
+    assert(e.getMessage.contains("image-hamming probe bucket") &&
+      e.getMessage.contains("maxBucketPairs=30"),
+      s"probe fence must name the bucket and the cap: ${e.getMessage}")
+    // opt-out: the batch pairs against every standing clone
+    assert(ImageDedup.hammingProbe(batch, standing, "id", "h",
+      maxBucketPairs = Long.MaxValue).count() == 40L)
+  }
 }

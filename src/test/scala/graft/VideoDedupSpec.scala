@@ -107,4 +107,25 @@ class VideoDedupSpec extends AnyFunSuite {
     assert(VideoDedup.videoNearDups(clones, "media_id", minFrames = 1,
       maxBucketPairs = Long.MaxValue).count() == 40L * 39 / 2)
   }
+
+  test("videoProbe: saturated standing bucket fails loudly (probe fence)") {
+    import spark.implicits._
+    // a station-logo frame indexed 40 times: every drain whose batch
+    // lands in that (frame_idx, band, v) bucket pays 40× — the
+    // store-proportional tax the probe fence exists for
+    val h = 0x1111222233334444L
+    val standing = (1L to 40L).map(i => (s"s$i", 0L, h))
+      .toDF("id", "frame_idx", "ahash")
+    val batch = Seq(("b1", 0L, h)).toDF("id", "frame_idx", "ahash")
+    val e = intercept[IllegalArgumentException] {
+      VideoDedup.videoProbe(batch, standing, "id",
+        minFrames = 1, maxBucketPairs = 30L)
+    }
+    assert(e.getMessage.contains("video-frame probe bucket") &&
+      e.getMessage.contains("maxBucketPairs=30"),
+      s"probe fence must name the bucket and the cap: ${e.getMessage}")
+    // opt-out: the batch pairs against every standing clone
+    assert(VideoDedup.videoProbe(batch, standing, "id",
+      minFrames = 1, maxBucketPairs = Long.MaxValue).count() == 40L)
+  }
 }
