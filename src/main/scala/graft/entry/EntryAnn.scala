@@ -664,6 +664,47 @@ private[graft] trait EntryAnn extends EntryContext {
         annGraph(s, dir), k = 10, nEntries = 4, beamWidth = 16,
         maxSteps = 10,
         entries = Similarity.strideEntries(emb, "vec_id", 4))
+    }),
+
+    // ---- north-star: PLANTED-TARGET navigation probe as a gate query
+    //      — the r17 recall audit's decisive control, hash-checked:
+    //      the query is corpus vector 0 plus PURE-INTEGER-derived
+    //      noise (exact decimals, float-cast — bit-identical in both
+    //      engines, no trig/normalization whose summation order could
+    //      drift), planted ~cos 0.9 from its target; the stride-seeded
+    //      beam must walk to it (rank 1 rides the hash). Recall@10 on
+    //      this fixture measures tie-breaking noise (BASELINE r17
+    //      audit); planted hit@1 measures NAVIGATION.
+    "q301_planted_walk" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val planted = emb.filter(col("vec_id") === 0)
+        .select(col("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            x.cast("double") +
+              ((i * 131 + 17) % 201 - 100).cast("double") / lit(1000.0))
+            .cast("array<float>").as("embedding"))
+      Similarity.graphSearch(
+        emb, "vec_id", "embedding", planted, annGraph(s, dir),
+        k = 10, nEntries = 4, beamWidth = 16, maxSteps = 10,
+        entries = Similarity.strideEntries(emb, "vec_id", 4))
+    }),
+
+    // ---- north-star: the q284 recall readout under the PRODUCTION
+    //      seeding policy (stride spread) — ties the audit's
+    //      recommendation to the oracle gate: seed derivation, every
+    //      beam round, and the exact-top-10 intersection all replay.
+    "q302_stride_recall" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+      val walk = Similarity.graphSearch(
+        emb, "vec_id", "embedding", q, annGraph(s, dir), k = 10,
+        nEntries = 4, beamWidth = 16, maxSteps = 10,
+        entries = Similarity.strideEntries(emb, "vec_id", 4))
+      val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 10)
+      walk.select("vec_id").join(exact.select("vec_id"), Seq("vec_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(10L).as("k"), col("n_hits"),
+          round(col("n_hits").cast("double") / 10.0, 6).as("recall"))
     })
   )
 
@@ -1608,7 +1649,54 @@ private[graft] trait EntryAnn extends EntryContext {
          |    FROM mmS m, generate_series(0, 3) i(i))
          |  WHERE node IS NOT NULL),
          |${graphAnnWalkCtes(0, ent = "entS", ns0 = "st")}
-         |SELECT node AS vec_id, sim AS cosine_sim FROM res_st""".stripMargin
+         |SELECT node AS vec_id, sim AS cosine_sim FROM res_st""".stripMargin,
+
+
+    // planted-walk replay: the planted query vector from the same
+    // pure-integer noise formula (1-based __i ↔ Spark's 0-based
+    // transform index), REAL-cast for bit parity, then the stride
+    // seeds + every beam round
+    "q301_planted_walk" ->
+      s"""WITH ${graphAnnStemCtes()},
+         |plq AS (SELECT vec_id,
+         |    list_transform(generate_series(1, 64), __i ->
+         |      CAST(CAST(embedding[__i] AS DOUBLE) +
+         |        (((__i - 1) * 131 + 17) % 201 - 100) / 1000.0 AS REAL))
+         |      AS embedding
+         |  FROM embm WHERE vec_id = 0),
+         |mmS AS (SELECT min(vec_id) AS lo, max(vec_id) AS hi FROM embm),
+         |entS AS (SELECT DISTINCT node FROM (
+         |    SELECT (SELECT min(e2.vec_id) FROM embm e2
+         |        WHERE e2.vec_id >= m.lo + (i.i * (m.hi - m.lo + 1)) // 4)
+         |      AS node
+         |    FROM mmS m, generate_series(0, 3) i(i))
+         |  WHERE node IS NOT NULL),
+         |${graphAnnWalkCtes(0, ent = "entS", qsrc = "plq", ns0 = "pl")}
+         |SELECT node AS vec_id, sim AS cosine_sim FROM res_pl""".stripMargin,
+
+
+    // stride-recall replay: the q284 readout with the entS seeds —
+    // walk rounds + the exact-top-10 intersection
+    "q302_stride_recall" ->
+      s"""WITH ${graphAnnStemCtes()},
+         |mmS AS (SELECT min(vec_id) AS lo, max(vec_id) AS hi FROM embm),
+         |entS AS (SELECT DISTINCT node FROM (
+         |    SELECT (SELECT min(e2.vec_id) FROM embm e2
+         |        WHERE e2.vec_id >= m.lo + (i.i * (m.hi - m.lo + 1)) // 4)
+         |      AS node
+         |    FROM mmS m, generate_series(0, 3) i(i))
+         |  WHERE node IS NOT NULL),
+         |${graphAnnWalkCtes(0, ent = "entS", ns0 = "sr")},
+         |bt AS (SELECT vec_id FROM (
+         |    SELECT e.vec_id,
+         |      row_number() OVER (ORDER BY
+         |        ${duckCosine("e.embedding", "qv_sr.qe", 64)} DESC,
+         |        e.vec_id ASC) AS rn
+         |    FROM embm e, qv_sr) WHERE rn <= 10)
+         |SELECT CAST(10 AS BIGINT) AS k,
+         |  CAST(count(*) AS BIGINT) AS n_hits,
+         |  round(count(*) / 10.0, 6) AS recall
+         |FROM res_sr r JOIN bt ON bt.vec_id = r.node""".stripMargin
   )
 
   /** Shared q287/q293 oracle: the full search-then-link replay. */

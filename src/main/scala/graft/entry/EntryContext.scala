@@ -364,7 +364,9 @@ private[graft] trait EntryContext {
     "q290_trimodal_clusters" -> ((s, dir) => audioPairs(s, dir).count(): Unit),
     "q297_audio_ingest" -> ((s, dir) => audioIngestPairs(s, dir).count(): Unit),
     "q298_video_ingest" -> ((s, dir) => videoIngestPairs(s, dir).count(): Unit),
-    "q300_graph_ann_stride" -> ((s, dir) => annGraph(s, dir): Unit))
+    "q300_graph_ann_stride" -> ((s, dir) => annGraph(s, dir): Unit),
+    "q301_planted_walk" -> ((s, dir) => annGraph(s, dir): Unit),
+    "q302_stride_recall" -> ((s, dir) => annGraph(s, dir): Unit))
 
   /** Deterministic video corpus for q288/q289: one raw Y4M clip per
     * document (REAL bytes — [[graft.ops.Multimodal.demoY4m]]; ids
