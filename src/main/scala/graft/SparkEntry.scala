@@ -22,7 +22,8 @@ import graft.ops.Aggregate.{AggSpec, Metric}
 object SparkEntry extends EntryContext
     with EntryIo with EntryMedia with EntryDedup with EntryAnn
     with EntryWeb with EntryGraph with EntrySearch
-    with EntryText with EntryStats with EntryEvents with EntryCuration {
+    with EntryText with EntryTokenize
+    with EntryStats with EntryEvents with EntryCuration {
 
   // ---------------------------------------------------------------- entry
 
@@ -53,10 +54,12 @@ object SparkEntry extends EntryContext
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ioQueries ++ mediaQueries ++ dedupQueries ++ annQueries ++
       webQueries ++ graphQueries ++ searchQueries ++
-      textQueries ++ statsQueries ++ eventsQueries ++ curationQueries
+      textQueries ++ tokenizeQueries ++ statsQueries ++ eventsQueries ++
+      curationQueries
 
   def oracleSql: Map[String, String] =
     ioOracles ++ mediaOracles ++ dedupOracles ++ annOracles ++
       webOracles ++ graphOracles ++ searchOracles ++
-      textOracles ++ statsOracles ++ eventsOracles ++ curationOracles
+      textOracles ++ tokenizeOracles ++ statsOracles ++ eventsOracles ++
+      curationOracles
 }

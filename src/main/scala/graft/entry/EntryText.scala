@@ -10,7 +10,10 @@ import graft.io.Layers
 import graft.ops.{Aggregate, Clean, Dedup, ImageDedup, Multimodal, Quality, Similarity}
 import graft.ops.Aggregate.{AggSpec, Metric}
 
-/** text slice of the [[SparkEntry]] registry — text analysis + tokenizers + LM: quality/lang/tokens, BPE/WordPiece/unigram, NLL/DSIR, packing/quotas/mixtures.
+/** text slice of the [[SparkEntry]] registry — corpus text analysis:
+  * quality/lang/token signals, Gopher/C4 gates, packing, quotas,
+  * mixtures, shards, DSIR (subword tokenizers and statistical LMs
+  * live in [[EntryTokenize]]).
   * Split by family for maintainability; entries and oracles are
   * verbatim registry content (no behavior change). */
 private[graft] trait EntryText extends EntryContext {
@@ -25,6 +28,7 @@ private[graft] trait EntryText extends EntryContext {
 
 
 
+
     // ---- north-star text: language ID
     "q12_lang_id" -> ((s, dir) =>
       T(s, dir, "documents").selectExpr(
@@ -33,11 +37,13 @@ private[graft] trait EntryText extends EntryContext {
 
 
 
+
     // ---- north-star text: quality scoring
     "q13_quality_score" -> ((s, dir) =>
       T(s, dir, "documents").selectExpr(
         "doc_id",
         s"${PortableSql.qualityScore("text", SD)} AS quality")),
+
 
 
 
@@ -62,6 +68,7 @@ private[graft] trait EntryText extends EntryContext {
 
 
 
+
     // ---- corpus distribution stats: exact interpolated percentiles of
     //      doc token counts per language, one shuffle for all quantiles
     "q38_length_stats" -> ((s, dir) =>
@@ -69,6 +76,7 @@ private[graft] trait EntryText extends EntryContext {
         T(s, dir, "documents").selectExpr("lang", "size(split(text, ' ')) AS n_tokens"),
         groupCols = Seq("lang"), valueCol = "n_tokens",
         ps = Seq(0.5, 0.9, 0.99))),
+
 
 
 
@@ -83,6 +91,7 @@ private[graft] trait EntryText extends EntryContext {
         .groupBy("split")
         .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))
     }),
+
 
 
 
@@ -102,6 +111,7 @@ private[graft] trait EntryText extends EntryContext {
 
 
 
+
     // ---- north-star: one-pass column profiler (row/null/distinct
     //      counts + numeric min/max for every column from ONE scan).
     "q58_profile" -> ((s, dir) =>
@@ -111,12 +121,14 @@ private[graft] trait EntryText extends EntryContext {
 
 
 
+
     // ---- north-star: GPT-style concat-and-chunk sequence packing —
     //      ONE running-sum window per shard + a bounded explode maps
     //      every doc to the fixed-budget training sequences it fills.
     "q64_sequence_pack" -> ((s, dir) =>
       graft.ops.Packing.packSequences(
         T(s, dir, "documents"), "text", "lang", "doc_id", budget = 512L)),
+
 
 
 
@@ -132,14 +144,6 @@ private[graft] trait EntryText extends EntryContext {
 
 
 
-    // ---- north-star: interpolated bigram LM NLL (KenLM-lite) — word
-    //      ORDER enters the fluency fence; vocab-bounded count tables,
-    //      one bigram explode + broadcast joins + per-doc mean.
-    "q107_bigram_nll" -> ((s, dir) =>
-      graft.ops.LanguageModel.bigramNll(
-        T(s, dir, "documents"), "text", "doc_id", lambda = 0.75)),
-
-
 
     // ---- north-star: boilerplate report — the top-20 most frequent
     //      4-token windows with doc/source spread; the audit a pipeline
@@ -147,6 +151,7 @@ private[graft] trait EntryText extends EntryContext {
     "q114_boilerplate_report" -> ((s, dir) =>
       graft.ops.TextOps.boilerplateReport(
         T(s, dir, "documents"), "text", "doc_id", "source", n = 4, k = 20)),
+
 
 
 
@@ -159,6 +164,7 @@ private[graft] trait EntryText extends EntryContext {
 
 
 
+
     // ---- north-star: curriculum difficulty bins — per-language exact
     //      quartiles of char entropy broadcast back as a scan-speed
     //      CASE (curriculum schedules read the bin column; nothing
@@ -167,6 +173,7 @@ private[graft] trait EntryText extends EntryContext {
       graft.ops.Sampling.curriculumBins(
         T(s, dir, "documents"), "lang", "doc_id",
         graft.functions.GraftFunctions.charEntropy(s, col("text")), nBins = 4)),
+
 
 
 
@@ -183,27 +190,6 @@ private[graft] trait EntryText extends EntryContext {
 
 
 
-    // ---- north-star: corpus unigram LM scoring (CCNet-style fence) —
-    //      per-doc mean negative log-likelihood under the corpus's own
-    //      token distribution; vocabulary broadcast, scoring narrow.
-    "q68_unigram_nll" -> ((s, dir) =>
-      graft.ops.LanguageModel.meanNegLogLik(
-        T(s, dir, "documents"), "text", "doc_id")),
-
-
-
-    // ---- north-star: held-out LM scoring — batch docs scored against
-    //      the FROZEN corpus model with add-one smoothing (OOV-safe);
-    //      the daily-ingest quality fence companion to q60's index.
-    "q69_heldout_nll" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
-      graft.ops.LanguageModel.scoreHeldOut(
-        graft.ops.LanguageModel.unigramCounts(
-          docs.filter(col("doc_id") % 10 =!= 0), "text"),
-        docs.filter(col("doc_id") % 10 === 0), "text", "doc_id")
-    }),
-
-
 
     // ---- north-star: temperature mixture weights (UniMax shape) —
     //      per-source token counts → α-scaled sampling weights + keep
@@ -216,12 +202,14 @@ private[graft] trait EntryText extends EntryContext {
 
 
 
+
     // ---- north-star: feature hashing (hashing-trick term
     //      frequencies) — vocabulary-free fixed-width text features,
     //      sparse row form, one shuffle with map-side partial counts.
     "q66_feature_hash" -> ((s, dir) =>
       graft.ops.TextOps.hashedTermFrequencies(
         T(s, dir, "documents"), "text", "doc_id", dims = 64)),
+
 
 
 
@@ -237,6 +225,7 @@ private[graft] trait EntryText extends EntryContext {
 
 
 
+
     // ---- north-star: token-balanced shard export — seeded
     //      deterministic global shuffle + contiguous token-budget
     //      shards via a distributed prefix sum (256 salt groups;
@@ -244,6 +233,7 @@ private[graft] trait EntryText extends EntryContext {
     "q81_balanced_shards" -> ((s, dir) =>
       graft.ops.Packing.exportShards(
         T(s, dir, "documents"), "text", "doc_id", targetTokens = 2048L)),
+
 
 
 
@@ -255,93 +245,6 @@ private[graft] trait EntryText extends EntryContext {
         T(s, dir, "documents"), "text", "doc_id",
         chunkTokens = 32, overlap = 8)),
 
-
-
-    // ---- north-star: distributed BPE tokenizer training — ONE corpus
-    //      pass builds the (word, count) vocabulary, then every merge
-    //      iteration is vocab-bounded (pair agg + 1-row collect +
-    //      narrow merge projection, checkpointed lineage).
-    "q118_bpe_merges" -> ((s, dir) =>
-      graft.ops.Bpe.train(T(s, dir, "documents"), "text", merges = 6)),
-
-
-
-    // ---- north-star: BPE encoding with the learned merge list — the
-    //      codegen kernel loops the (broadcast-as-literal) merge array
-    //      per word; scan-speed, parity-pinned against the portable
-    //      fold-of-replace form the oracle replays.
-    "q119_bpe_encode" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
-      val merges = graft.ops.Bpe.mergeList(
-        graft.ops.Bpe.train(docs, "text", merges = 6))
-      docs.select(col("doc_id"),
-        graft.functions.GraftFunctions.bpeCount(s, col("text"), merges)
-          .as("n_bpe_tokens"),
-        graft.functions.GraftFunctions.tokenCount(s, col("text"))
-          .as("n_ws_tokens"))
-    }),
-
-
-
-    // ---- north-star: BPE vocabulary — the token frequency table a
-    //      tokenizer ships beside its merges; vocab-bounded after the
-    //      one corpus word-count pass.
-    "q123_bpe_vocab" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
-      graft.ops.Bpe.vocabulary(docs, "text",
-        graft.ops.Bpe.mergeList(graft.ops.Bpe.train(docs, "text", 6)))
-    }),
-
-
-
-    // ---- north-star: DURABLE BPE model — train on the even half,
-    //      publish the merge table as parquet, encode the odd half
-    //      from the STORED model (the q69/q116 frozen-model lifecycle
-    //      for the tokenizer).
-    "q124_durable_bpe" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
-      val modelDir = tmp("q124_bpe_model")
-      graft.ops.Bpe.train(docs.filter(col("doc_id") % 2 === 0), "text", 6)
-        .write.mode("overwrite").parquet(modelDir)
-      val merges = graft.ops.Bpe.mergeList(s.read.parquet(modelDir))
-      docs.filter(col("doc_id") % 2 =!= 0).select(col("doc_id"),
-        graft.functions.GraftFunctions.bpeCount(s, col("text"), merges)
-          .as("n_bpe_tokens"))
-    }),
-
-
-
-    // ---- north-star composition: tokenizer-aware sequence packing —
-    //      q64's concat-and-chunk, but budgeted in the tokens the
-    //      MODEL will see (the learned BPE), not whitespace words.
-    "q125_bpe_pack" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
-      val merges = graft.ops.Bpe.mergeList(
-        graft.ops.Bpe.train(docs, "text", 6))
-      graft.ops.Packing.packSequencesBy(docs,
-        graft.functions.GraftFunctions.bpeCount(s, col("text"), merges),
-        "lang", "doc_id", budget = 512L)
-    }),
-
-
-
-    // ---- north-star: tokenizer equity report — per-language
-    //      compression (chars per BPE token) of the learned tokenizer;
-    //      the fairness/efficiency audit run before shipping a vocab.
-    "q126_tokenizer_report" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
-      val merges = graft.ops.Bpe.mergeList(
-        graft.ops.Bpe.train(docs, "text", 6))
-      docs.groupBy("lang").agg(
-          count(lit(1)).as("n_docs"),
-          sum(graft.functions.GraftFunctions.tokenCount(s, col("text")))
-            .as("ws_tokens"),
-          sum(length(replace(col("text"), lit(" ")))).as("n_chars"),
-          sum(graft.functions.GraftFunctions.bpeCount(s, col("text"), merges))
-            .as("bpe_tokens"))
-        .withColumn("chars_per_bpe_token",
-          round(col("n_chars").cast("double") / col("bpe_tokens"), 6))
-    }),
 
 
 
@@ -375,6 +278,7 @@ private[graft] trait EntryText extends EntryContext {
 
 
 
+
     // ---- north-star: token-budget selection — keep the best-quality
     //      docs until a global token budget, WITHOUT a global sort:
     //      quality bins → per-bin token mass (≤100 driver rows) →
@@ -399,6 +303,7 @@ private[graft] trait EntryText extends EntryContext {
 
 
 
+
     // ---- north-star: per-source quality calibration — exact p50/p90
     //      quality per source, the threshold table a mixing pipeline
     //      consumes (a global quality fence over uncalibrated
@@ -411,131 +316,6 @@ private[graft] trait EntryText extends EntryContext {
         groupCols = Seq("source"), valueCol = "q",
         ps = Seq(0.5, 0.9))),
 
-
-
-    // ---- north-star: unigram-LM (SentencePiece-style) tokenizer
-    //      training — seed substrings → hard-EM Viterbi re-counts →
-    //      prune; integer-micronat log-probs make every Viterbi
-    //      comparison an exact integer sum, so the oracle replays
-    //      training bit-for-bit (chained DP CTEs + recursive
-    //      backtrace). One corpus pass; everything after is
-    //      vocab-bounded.
-    "q172_unigram_model" -> ((s, dir) =>
-      graft.ops.Unigram.train(T(s, dir, "documents"), "text",
-        maxPieceLen = 3, seedSize = 30, emIters = 2, keepSize = 12)),
-
-
-
-    // ---- north-star: DURABLE unigram model — train on the even half,
-    //      publish (piece, cnt, logp_micro) as parquet, encode the odd
-    //      half from the STORED model (the q124 frozen-model lifecycle
-    //      for the second tokenizer; odd-half-only characters exercise
-    //      the deterministic UNK path).
-    "q173_unigram_encode" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
-      val modelDir = tmp("q173_unigram_model")
-      graft.ops.Unigram.train(docs.filter(col("doc_id") % 2 === 0), "text",
-          maxPieceLen = 3, seedSize = 30, emIters = 2, keepSize = 12)
-        .write.mode("overwrite").parquet(modelDir)
-      val model = graft.ops.Unigram.modelTable(s.read.parquet(modelDir))
-      docs.filter(col("doc_id") % 2 =!= 0 && col("text").isNotNull)
-        .select(col("doc_id"),
-          graft.functions.GraftFunctions.unigramCount(s, col("text"), model)
-            .as("n_unigram_tokens"))
-    }),
-
-
-
-    // ---- north-star: tokenizer equity report over BOTH tokenizers —
-    //      per-language compression (chars per token) of the learned
-    //      BPE AND unigram vocabularies side by side; the fairness
-    //      audit that decides which tokenizer ships.
-    "q174_tokenizer_equity2" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
-      val bpeMerges = graft.ops.Bpe.mergeList(
-        graft.ops.Bpe.train(docs, "text", merges = 6))
-      val uniModel = graft.ops.Unigram.modelTable(
-        graft.ops.Unigram.train(docs, "text",
-          maxPieceLen = 3, seedSize = 30, emIters = 2, keepSize = 12))
-      docs.filter(col("text").isNotNull).groupBy("lang").agg(
-          count(lit(1)).as("n_docs"),
-          sum(length(replace(col("text"), lit(" ")))).as("n_chars"),
-          sum(graft.functions.GraftFunctions.bpeCount(s, col("text"), bpeMerges))
-            .as("bpe_tokens"),
-          sum(graft.functions.GraftFunctions.unigramCount(s, col("text"), uniModel))
-            .as("unigram_tokens"))
-        .withColumn("chars_per_bpe_token",
-          round(col("n_chars").cast("double") / col("bpe_tokens"), 6))
-        .withColumn("chars_per_unigram_token",
-          round(col("n_chars").cast("double") / col("unigram_tokens"), 6))
-    }),
-
-
-
-    // ---- north-star: tokenizer coverage / OOV audit — per-language
-    //      UNK-piece rate of the unigram model on HELD-OUT text (train
-    //      even half, measure odd half: characters unique to the
-    //      held-out side surface as UNK pieces). The coverage report a
-    //      multilingual release reads before freezing a vocab. One
-    //      piece-explode scan + a |langs|-group decomposable rollup.
-    //      OOV is INJECTED constructively (every 11th held-out doc
-    //      gains a token of characters absent from the corpus
-    //      alphabet), so the UNK path is exercised and its per-lang
-    //      rate is known by design.
-    "q177_unigram_coverage" -> ((s, dir) => {
-      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
-      val model = graft.ops.Unigram.modelTable(
-        graft.ops.Unigram.train(docs.filter(col("doc_id") % 2 === 0), "text",
-          maxPieceLen = 3, seedSize = 30, emIters = 2, keepSize = 12))
-      val known = model.map(_._1)
-      docs.filter(col("doc_id") % 2 =!= 0)
-        .withColumn("text", when(col("doc_id") % 11 === 0,
-          concat(col("text"), lit(" zxz"))).otherwise(col("text")))
-        .select(col("lang"), explode(split(col("text"), " ")).as("word"))
-        .filter(length(col("word")) >= 1)
-        .select(col("lang"),
-          explode(graft.functions.GraftFunctions.unigramPieces(
-            s, col("word"), model)).as("piece"))
-        .groupBy("lang")
-        .agg(
-          count(lit(1)).as("n_pieces"),
-          sum(when(!col("piece").isInCollection(known), 1L).otherwise(0L))
-            .as("n_unk"),
-          countDistinct(col("piece")).as("n_distinct_pieces"))
-        .withColumn("unk_rate",
-          round(col("n_unk").cast("double") / col("n_pieces"), 6))
-    }),
-
-
-
-    // ---- north-star: CCNet-style perplexity bucketing — per-language
-    //      head/middle/tail terciles by unigram-LM mean NLL (lowest
-    //      perplexity = head). Rank ties break on doc_id; tercile
-    //      boundaries are pure integer comparisons (3·(rn−1) vs cnt) —
-    //      no float division, replays exactly. One per-lang window +
-    //      a broadcast per-lang count join; NLL sums travel as exact
-    //      integer micronats.
-    "q185_perplexity_buckets" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
-      val nll = graft.ops.LanguageModel.meanNegLogLik(docs, "text", "doc_id")
-      val byLang = nll.join(docs.select("doc_id", "lang"), Seq("doc_id"))
-      val cnt = byLang.groupBy("lang").agg(count(lit(1)).as("cnt"))
-      val w = Window.partitionBy(col("lang"))
-        .orderBy(col("nll"), col("doc_id"))
-      byLang
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .join(broadcast(cnt), Seq("lang"))
-        .withColumn("bucket",
-          when(lit(3) * (col("rn") - 1) < col("cnt"), "head")
-            .when(lit(3) * (col("rn") - 1) < lit(2) * col("cnt"), "middle")
-            .otherwise("tail"))
-        .groupBy("lang", "bucket")
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum(round(col("nll") * 1e6, 0).cast("long")).as("sum_nll_micro"),
-          min(col("nll")).as("min_nll"),
-          max(col("nll")).as("max_nll"))
-    }),
 
 
 
@@ -590,6 +370,7 @@ private[graft] trait EntryText extends EntryContext {
 
 
 
+
     // ---- north-star: the Gopher structural gate (Rae et al. 2021) —
     //      word-shape bounds, symbol density, alpha-word floor, and
     //      the stopword prose test, compiled through the SAME dual-
@@ -601,97 +382,6 @@ private[graft] trait EntryText extends EntryContext {
         T(s, dir, "documents"), "text", "doc_id",
         graft.ops.CorpusFilters.gopherRules(minTokens = 30L, minStopwords = 1))),
 
-
-
-    // ---- north-star: WordPiece trainer (Schuster & Nakajima 2012 —
-    //      the third public tokenizer algorithm beside BPE and the
-    //      unigram LM): the BPE merge loop with the LIKELIHOOD
-    //      objective pc/(cl·cr); the oracle replays every round's
-    //      symbol counts, pair counts, score argmax, and ##-aware
-    //      merge application bit-identically.
-    "q195_wordpiece_train" -> ((s, dir) =>
-      graft.ops.WordPiece.train(T(s, dir, "documents"), "text", 6)),
-
-
-
-    // ---- north-star: DURABLE WordPiece vocabulary — train on the
-    //      even half, publish alphabet+merges as parquet, greedy-
-    //      encode the odd half from the STORED vocab via the codegen
-    //      kernel (the q124/q173 frozen-model lifecycle; longest-
-    //      match-first with the whole-word [UNK] fallback).
-    "q196_durable_wordpiece" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
-      val even = docs.filter(col("doc_id") % 2 === 0)
-      val modelDir = tmp("q196_wp_vocab")
-      graft.ops.WordPiece.vocab(even, "text",
-        graft.ops.WordPiece.train(even, "text", 6))
-        .write.mode("overwrite").parquet(modelDir)
-      val pieces = graft.ops.WordPiece.pieceList(s.read.parquet(modelDir))
-      // text IS NOT NULL pins the row universe to the oracle's: its
-      // string_split unnest silently drops null-text docs, so an
-      // unfiltered Spark side would emit an extra null-count row
-      docs.filter(col("doc_id") % 2 =!= 0 && col("text").isNotNull)
-        .select(col("doc_id"),
-          graft.functions.GraftFunctions.wordPieceCount(s, col("text"), pieces)
-            .as("n_wp_tokens"))
-    }),
-
-
-
-    // ---- north-star: THREE-tokenizer equity report — q174 extended
-    //      with the WordPiece column: per-language chars/token under
-    //      BPE, unigram-LM, and greedy WordPiece side by side, all
-    //      three trained on the same corpus in the same job. The
-    //      fairness dashboard a multilingual pipeline publishes when
-    //      CHOOSING its tokenizer, not just shipping one.
-    "q199_tokenizer_equity3" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
-      val bpeMerges = graft.ops.Bpe.mergeList(
-        graft.ops.Bpe.train(docs, "text", merges = 6))
-      val uniModel = graft.ops.Unigram.modelTable(
-        graft.ops.Unigram.train(docs, "text",
-          maxPieceLen = 3, seedSize = 30, emIters = 2, keepSize = 12))
-      val wpPieces = graft.ops.WordPiece.pieceList(
-        graft.ops.WordPiece.vocab(docs, "text",
-          graft.ops.WordPiece.train(docs, "text", merges = 6)))
-      docs.filter(col("text").isNotNull).groupBy("lang").agg(
-          count(lit(1)).as("n_docs"),
-          sum(length(replace(col("text"), lit(" ")))).as("n_chars"),
-          sum(graft.functions.GraftFunctions.bpeCount(s, col("text"), bpeMerges))
-            .as("bpe_tokens"),
-          sum(graft.functions.GraftFunctions.unigramCount(s, col("text"), uniModel))
-            .as("unigram_tokens"),
-          sum(graft.functions.GraftFunctions.wordPieceCount(s, col("text"), wpPieces))
-            .as("wp_tokens"))
-        .withColumn("chars_per_bpe_token",
-          round(col("n_chars").cast("double") / col("bpe_tokens"), 6))
-        .withColumn("chars_per_unigram_token",
-          round(col("n_chars").cast("double") / col("unigram_tokens"), 6))
-        .withColumn("chars_per_wp_token",
-          round(col("n_chars").cast("double") / col("wp_tokens"), 6))
-    }),
-
-
-
-    // ---- north-star: Heaps-law vocabulary growth — distinct word
-    //      types vs corpus size at 10 ingestion-order checkpoints; a
-    //      flattening curve means the crawl is re-reading itself. One
-    //      (word -> first bucket) aggregation; everything after is
-    //      buckets-bounded integers.
-    "q200_vocab_growth" -> ((s, dir) =>
-      graft.ops.TextOps.vocabularyGrowth(
-        T(s, dir, "documents"), "text", "doc_id", buckets = 10)),
-
-
-
-    // ---- north-star: Kneser–Ney bigram NLL — THE standard n-gram
-    //      smoothing (absolute discount + continuation unigram); the
-    //      "San Francisco" effect the q107 add-one interpolation
-    //      cannot express. All model statistics are decomposable
-    //      aggregations over the bigram TYPE table.
-    "q206_kneser_ney" -> ((s, dir) =>
-      graft.ops.LanguageModel.kneserNeyNll(
-        T(s, dir, "documents"), "text", "doc_id", discount = 0.75)),
 
 
 
@@ -710,6 +400,7 @@ private[graft] trait EntryText extends EntryContext {
 
 
 
+
     // ---- north-star: Zipf-law head fit — least-squares slope of
     //      ln(freq) on ln(rank) over the top-100 types (the head is
     //      where the law holds AND what keeps ranking a TakeOrdered
@@ -718,6 +409,7 @@ private[graft] trait EntryText extends EntryContext {
     "q212_zipf_fit" -> ((s, dir) =>
       graft.ops.TextOps.zipfFit(
         T(s, dir, "documents"), "text", headSize = 100)),
+
 
 
 
@@ -731,6 +423,7 @@ private[graft] trait EntryText extends EntryContext {
 
 
 
+
     // ---- north-star: empirical-Bayes source quality — per-source
     //      good-doc rates shrunk toward the corpus rate with 20
     //      pseudo-observations; the curation ranking raw rates get
@@ -741,6 +434,7 @@ private[graft] trait EntryText extends EntryContext {
         graft.ops.TextOps.qualityScore(col("text")) >= 0.5,
         priorStrength = 20.0)
     }),
+
 
 
 
@@ -759,6 +453,7 @@ private[graft] trait EntryText extends EntryContext {
 
 
 
+
     // ---- north-star: language confusability matrix — pairwise
     //      cosine of per-language char-trigram profiles (Cavnar &
     //      Trenkle 1994): the lang pairs a lang-ID gate confuses;
@@ -767,19 +462,6 @@ private[graft] trait EntryText extends EntryContext {
       graft.ops.TextOps.langConfusability(
         T(s, dir, "documents"), "text", "lang")),
 
-
-
-    // ---- north-star: stupid-backoff trigram NLL (Brants 2007) over a
-    //      real train/heldout split — the web-scale unnormalized
-    //      backoff beside q206's Kneser–Ney; the heldout side actually
-    //      exercises all three backoff branches.
-    "q248_stupid_backoff" -> ((s, dir) => {
-      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
-      graft.ops.LanguageModel.stupidBackoffNll(
-        docs.filter(col("doc_id") % 2 === 0),
-        docs.filter(col("doc_id") % 2 === 1),
-        "text", "doc_id", alpha = 0.4)
-    }),
 
     // ---- 100 TB twin of q38: one bounded GK sketch per group instead
     //      of a full per-group rank sort. No SQL oracle (sketch
@@ -800,116 +482,16 @@ private[graft] trait EntryText extends EntryContext {
 
 
 
+
     "q12_lang_id" ->
       s"SELECT doc_id, lang, ${PortableSql.langId("text", DD)} AS lang_pred FROM documents",
+
 
 
 
     "q13_quality_score" ->
       s"SELECT doc_id, ${PortableSql.qualityScore("text", DD)} AS quality FROM documents",
 
-
-
-    // unigram training replay: substring seed, two hard-EM Viterbi
-    // rounds (integer-micronat DP chains + recursive backtraces),
-    // count-based prune — the model arithmetic step for step
-    "q172_unigram_model" ->
-      s"""WITH RECURSIVE ${unigramTrainCtes(3, 30, 2, 12, 16)}
-         |SELECT piece, cnt, logp_micro FROM ulpf""".stripMargin,
-
-
-
-    // durable unigram replay: train chain restricted to the even half,
-    // then ONE more segmentation chain over the odd half's distinct
-    // words under the final model — storage must change nothing
-    "q173_unigram_encode" ->
-      s"""WITH RECURSIVE ${unigramTrainCtes(3, 30, 2, 12, 16, "WHERE doc_id % 2 = 0")},
-         |ew AS MATERIALIZED (SELECT word, CAST(0 AS BIGINT) AS n, len(word) AS wl FROM (
-         |    SELECT DISTINCT word FROM (
-         |      SELECT unnest(string_split(text, ' ')) AS word
-         |      FROM documents WHERE doc_id % 2 <> 0 AND text IS NOT NULL)))
-         |${unigramSegCtes("en", "ew", "ulpf", 3, 16)},
-         |upc AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS pc
-         |        FROM enbt WHERE piece IS NOT NULL GROUP BY word)
-         |SELECT dw.doc_id, CAST(sum(coalesce(p.pc, 0)) AS BIGINT)
-         |    AS n_unigram_tokens
-         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
-         |      FROM documents WHERE doc_id % 2 <> 0 AND text IS NOT NULL) dw
-         |LEFT JOIN upc p ON p.word = dw.word
-         |GROUP BY dw.doc_id""".stripMargin,
-
-
-
-    // dual-tokenizer equity replay: the q126 BPE chain and the unigram
-    // train+encode chains rolled up per language side by side
-    "q174_tokenizer_equity2" -> {
-      val k = 6
-      s"""WITH RECURSIVE ${unigramTrainCtes(3, 30, 2, 12, 16)},
-         |${bpeTrainCtes(k).stripPrefix("WITH ")},
-         |ew AS MATERIALIZED (SELECT word, CAST(0 AS BIGINT) AS n, len(word) AS wl FROM (
-         |    SELECT DISTINCT word FROM (
-         |      SELECT unnest(string_split(text, ' ')) AS word
-         |      FROM documents WHERE text IS NOT NULL)))
-         |${unigramSegCtes("en", "ew", "ulpf", 3, 16)},
-         |upc AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS pc
-         |        FROM enbt WHERE piece IS NOT NULL GROUP BY word),
-         |udoc AS (
-         |  SELECT dw.doc_id, sum(coalesce(p.pc, 0)) AS un
-         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
-         |        FROM documents WHERE text IS NOT NULL) dw
-         |  LEFT JOIN upc p ON p.word = dw.word
-         |  GROUP BY dw.doc_id),
-         |base AS (
-         |  SELECT d.doc_id, d.lang,
-         |    len(replace(d.text, ' ', '')) AS ch,
-         |    list_sum(list_transform(string_split(d.text, ' '), __w ->
-         |      len(string_split(trim(${bpeMergedExpr(k)}, chr(1)),
-         |        chr(1) || chr(1))))) AS bpe
-         |  FROM documents d, ${(1 to k).map(i => s"b$i").mkString(", ")}
-         |  WHERE d.text IS NOT NULL)
-         |SELECT b.lang, count(*) AS n_docs,
-         |  CAST(sum(b.ch) AS BIGINT) AS n_chars,
-         |  CAST(sum(b.bpe) AS BIGINT) AS bpe_tokens,
-         |  CAST(sum(u.un) AS BIGINT) AS unigram_tokens,
-         |  round(CAST(sum(b.ch) AS DOUBLE) / sum(b.bpe), 6)
-         |    AS chars_per_bpe_token,
-         |  round(CAST(sum(b.ch) AS DOUBLE) / sum(u.un), 6)
-         |    AS chars_per_unigram_token
-         |FROM base b JOIN udoc u ON u.doc_id = b.doc_id
-         |GROUP BY b.lang""".stripMargin
-    },
-
-
-
-    // coverage replay: the q173 train+encode chains over the
-    // OOV-injected held-out text, pieces kept with their words,
-    // UNK = piece absent from the final model table
-    "q177_unigram_coverage" ->
-      s"""WITH RECURSIVE ${unigramTrainCtes(3, 30, 2, 12, 16, "WHERE doc_id % 2 = 0")},
-         |odocs AS MATERIALIZED (
-         |  SELECT lang, CASE WHEN doc_id % 11 = 0 THEN text || ' zxz'
-         |                    ELSE text END AS text
-         |  FROM documents WHERE doc_id % 2 <> 0 AND text IS NOT NULL),
-         |ew AS MATERIALIZED (SELECT word, CAST(0 AS BIGINT) AS n,
-         |    len(word) AS wl FROM (
-         |    SELECT DISTINCT word FROM (
-         |      SELECT unnest(string_split(text, ' ')) AS word FROM odocs)))
-         |${unigramSegCtes("en", "ew", "ulpf", 3, 16)},
-         |wpieces AS MATERIALIZED (SELECT word, piece FROM enbt
-         |                         WHERE piece IS NOT NULL),
-         |docw AS (SELECT lang, word FROM (
-         |    SELECT lang, unnest(string_split(text, ' ')) AS word FROM odocs)
-         |  WHERE len(word) >= 1),
-         |pieces AS (SELECT d.lang, w.piece
-         |           FROM docw d JOIN wpieces w ON w.word = d.word)
-         |SELECT p.lang, count(*) AS n_pieces,
-         |  CAST(sum(CASE WHEN m.piece IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_unk,
-         |  count(DISTINCT p.piece) AS n_distinct_pieces,
-         |  round(CAST(sum(CASE WHEN m.piece IS NULL THEN 1 ELSE 0 END)
-         |      AS DOUBLE) / count(*), 6) AS unk_rate
-         |FROM pieces p LEFT JOIN ulpf m ON m.piece = p.piece
-         |GROUP BY p.lang""".stripMargin,
 
 
 
@@ -920,111 +502,6 @@ private[graft] trait EntryText extends EntryContext {
         graft.ops.CorpusFilters.gopherRules(minTokens = 30L, minStopwords = 1),
         "documents", "text", "doc_id"),
 
-
-
-    // WordPiece training replay: per-round symbol/pair aggregations,
-    // the likelihood-score argmax (double of exact ints — identically
-    // rounded), and the ##-aware merge, unrolled per rank
-    "q195_wordpiece_train" -> {
-      val k = 6
-      s"""${wordPieceTrainCtes(k)}
-         |${(1 to k).map(i =>
-        s"SELECT CAST($i AS BIGINT) AS rank, left_sym, right_sym, " +
-          s"merged_sym, pair_count, left_count, right_count FROM b$i")
-        .mkString(" UNION ALL ")}""".stripMargin
-    },
-
-
-
-    // durable-WordPiece replay: train on the even half, vocabulary =
-    // seeded alphabet + merged pieces, then the recursive greedy
-    // longest-match walk over the odd half's distinct words (whole-
-    // word [UNK] on a matchless position), summed back per doc
-    "q196_durable_wordpiece" -> {
-      val k = 6
-      s"""${wordPieceTrainCtes(k, "WHERE doc_id % 2 = 0")},
-         |tw AS MATERIALIZED (SELECT doc_id, unnest(string_split(text, ' ')) AS word
-         |       FROM documents WHERE doc_id % 2 <> 0)${wordPieceEncodeCtes(k, "tw")}
-         |SELECT t.doc_id, CAST(coalesce(sum(f.n), 0) AS BIGINT) AS n_wp_tokens
-         |FROM tw t JOIN fin f ON f.word = t.word
-         |GROUP BY t.doc_id""".stripMargin
-    },
-
-
-
-    // three-tokenizer equity replay: the q174 BPE+unigram chains plus
-    // the "wp"-prefixed WordPiece train + greedy-walk chains, per-doc
-    // WordPiece sums joined into the same per-language rollup
-    "q199_tokenizer_equity3" -> {
-      val k = 6
-      s"""WITH RECURSIVE ${unigramTrainCtes(3, 30, 2, 12, 16)},
-         |${bpeTrainCtes(k).stripPrefix("WITH ")},
-         |${wordPieceTrainCtes(k, "", "wp").stripPrefix("WITH RECURSIVE ")},
-         |ew AS MATERIALIZED (SELECT word, CAST(0 AS BIGINT) AS n, len(word) AS wl FROM (
-         |    SELECT DISTINCT word FROM (
-         |      SELECT unnest(string_split(text, ' ')) AS word
-         |      FROM documents WHERE text IS NOT NULL)))
-         |${unigramSegCtes("en", "ew", "ulpf", 3, 16)},
-         |upc AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS pc
-         |        FROM enbt WHERE piece IS NOT NULL GROUP BY word),
-         |dw AS MATERIALIZED (
-         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
-         |  FROM documents WHERE text IS NOT NULL)${wordPieceEncodeCtes(k, "dw", 16, "wp")},
-         |udoc AS (
-         |  SELECT dw.doc_id, sum(coalesce(p.pc, 0)) AS un
-         |  FROM dw LEFT JOIN upc p ON p.word = dw.word
-         |  GROUP BY dw.doc_id),
-         |wdoc AS (
-         |  SELECT dw.doc_id, CAST(coalesce(sum(f.n), 0) AS BIGINT) AS wp
-         |  FROM dw JOIN wpfin f ON f.word = dw.word
-         |  GROUP BY dw.doc_id),
-         |base AS (
-         |  SELECT d.doc_id, d.lang,
-         |    len(replace(d.text, ' ', '')) AS ch,
-         |    list_sum(list_transform(string_split(d.text, ' '), __w ->
-         |      len(string_split(trim(${bpeMergedExpr(k)}, chr(1)),
-         |        chr(1) || chr(1))))) AS bpe
-         |  FROM documents d, ${(1 to k).map(i => s"b$i").mkString(", ")}
-         |  WHERE d.text IS NOT NULL)
-         |SELECT b.lang, count(*) AS n_docs,
-         |  CAST(sum(b.ch) AS BIGINT) AS n_chars,
-         |  CAST(sum(b.bpe) AS BIGINT) AS bpe_tokens,
-         |  CAST(sum(u.un) AS BIGINT) AS unigram_tokens,
-         |  CAST(sum(w.wp) AS BIGINT) AS wp_tokens,
-         |  round(CAST(sum(b.ch) AS DOUBLE) / sum(b.bpe), 6)
-         |    AS chars_per_bpe_token,
-         |  round(CAST(sum(b.ch) AS DOUBLE) / sum(u.un), 6)
-         |    AS chars_per_unigram_token,
-         |  round(CAST(sum(b.ch) AS DOUBLE) / sum(w.wp), 6)
-         |    AS chars_per_wp_token
-         |FROM base b JOIN udoc u ON u.doc_id = b.doc_id
-         |JOIN wdoc w ON w.doc_id = b.doc_id
-         |GROUP BY b.lang""".stripMargin
-    },
-
-
-
-    // vocab-growth replay: identical bucket arithmetic (double
-    // division + floor), first-bucket-per-type aggregation, and the
-    // buckets-bounded cumulative window
-    "q200_vocab_growth" ->
-      """WITH rows0 AS (SELECT doc_id, text FROM documents
-        |               WHERE text IS NOT NULL),
-        |mx AS (SELECT max(doc_id) AS mx FROM rows0),
-        |words AS (SELECT doc_id,
-        |    least(CAST(floor(doc_id * 10 / (mx + 1)) AS BIGINT), 9) AS b,
-        |    unnest(string_split(text, ' ')) AS w
-        |  FROM rows0, mx),
-        |pb AS (SELECT b, count(DISTINCT doc_id) AS n_docs,
-        |         count(*) AS n_tokens FROM words GROUP BY b),
-        |nt AS (SELECT b, count(*) AS n_new_types FROM (
-        |    SELECT w, min(b) AS b FROM words GROUP BY w) GROUP BY b)
-        |SELECT pb.b AS bucket, pb.n_docs, pb.n_tokens,
-        |  coalesce(nt.n_new_types, 0) AS n_new_types,
-        |  CAST(sum(pb.n_tokens) OVER (ORDER BY pb.b) AS BIGINT) AS cum_tokens,
-        |  CAST(sum(coalesce(nt.n_new_types, 0)) OVER (ORDER BY pb.b)
-        |    AS BIGINT) AS cum_types
-        |FROM pb LEFT JOIN nt ON nt.b = pb.b""".stripMargin,
 
 
 
@@ -1040,6 +517,7 @@ private[graft] trait EntryText extends EntryContext {
          |SELECT source, count(*) AS n_docs,
          |  round(cast(sum(cast(quality as decimal(18,6))) as double) / count(*), 6) AS avg_quality
          |FROM f GROUP BY source""".stripMargin,
+
 
 
 
@@ -1064,6 +542,7 @@ private[graft] trait EntryText extends EntryContext {
 
 
 
+
     "q37_hash_split" -> {
       // interpolate the EXACT cumulative doubles Spark's scanLeft
       // produces (0.8 + 0.1 != 0.9 in binary) so both engines compare p
@@ -1082,12 +561,14 @@ private[graft] trait EntryText extends EntryContext {
 
 
 
+
     "q43_repetition" ->
       s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
          |sh AS (SELECT doc_id, $duckShingles AS s FROM t)
          |SELECT doc_id, len(s) AS n_grams,
          |  round(1.0 - CAST(len(list_distinct(s)) AS DOUBLE) / CAST(len(s) AS DOUBLE), 6) AS dup_ratio
          |FROM sh""".stripMargin,
+
 
 
 
@@ -1112,6 +593,7 @@ private[graft] trait EntryText extends EntryContext {
          |  round((CAST(length(text) AS DOUBLE) - length(regexp_replace(text, '[A-Z]', '', 'g')))
          |    / CAST(length(text) AS DOUBLE), 6) AS upper_ratio
          |FROM t JOIN ent USING (doc_id)""".stripMargin,
+
 
 
 
@@ -1148,6 +630,7 @@ private[graft] trait EntryText extends EntryContext {
 
 
 
+
     "q87_shard_manifest" -> {
       // q81's salted prefix-sum shard assignment + per-shard rollup;
       // modal source with ties → lexicographically first
@@ -1175,27 +658,6 @@ private[graft] trait EntryText extends EntryContext {
 
 
 
-    "q68_unigram_nll" ->
-      s"""WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-         |c AS (SELECT tok, count(*) AS c FROM e GROUP BY tok),
-         |n AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM c)
-         |SELECT doc_id, round(avg(-ln(CAST(c AS DOUBLE) / n)), 6) AS nll
-         |FROM e JOIN c USING (tok), n GROUP BY doc_id""".stripMargin,
-
-
-
-    "q69_heldout_nll" ->
-      s"""WITH m AS (SELECT unnest(string_split(text, ' ')) AS tok
-         |           FROM documents WHERE doc_id % 10 != 0),
-         |c AS (SELECT tok, count(*) AS c FROM m GROUP BY tok),
-         |s AS (SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM c),
-         |b AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-         |      FROM documents WHERE doc_id % 10 = 0)
-         |SELECT doc_id,
-         |  round(avg(-ln(CAST(coalesce(c, 0) + 1 AS DOUBLE) / (n + v))), 6) AS nll
-         |FROM b LEFT JOIN c USING (tok), s GROUP BY doc_id""".stripMargin,
-
-
 
     "q79_dsir_weights" -> {
       // hashed unigram+bigram features; smoothed per-bucket log-ratio
@@ -1220,6 +682,7 @@ private[graft] trait EntryText extends EntryContext {
 
 
 
+
     "q81_balanced_shards" -> {
       // ONE global running sum in the oracle — equals Spark's salted
       // prefix-sum decomposition because the salt is a key prefix
@@ -1236,6 +699,7 @@ private[graft] trait EntryText extends EntryContext {
 
 
 
+
     "q67_mixture_weights" -> {
       val n = PortableSql.tokenCount("text", DD)
       s"""WITH c AS (SELECT lang, CAST(sum($n) AS BIGINT) AS n_units
@@ -1249,6 +713,7 @@ private[graft] trait EntryText extends EntryContext {
 
 
 
+
     "q66_feature_hash" -> {
       val base = PortableSql.minhashBase("tok", DD)
       s"""WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
@@ -1256,6 +721,7 @@ private[graft] trait EntryText extends EntryContext {
          |  count(*) AS tf
          |FROM e GROUP BY doc_id, feature_idx""".stripMargin
     },
+
 
 
 
@@ -1277,6 +743,7 @@ private[graft] trait EntryText extends EntryContext {
 
 
 
+
     "q65_token_quota" -> {
       val n = PortableSql.tokenCount("text", DD)
       s"""WITH t AS (SELECT doc_id, lang, CAST($n AS BIGINT) AS n FROM documents),
@@ -1286,6 +753,7 @@ private[graft] trait EntryText extends EntryContext {
          |SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
          |FROM p WHERE e - n < 5000 GROUP BY lang""".stripMargin
     },
+
 
 
 
@@ -1299,52 +767,6 @@ private[graft] trait EntryText extends EntryContext {
          |SELECT "window", n_occurrences, n_docs, n_sources
          |FROM c ORDER BY n_occurrences DESC, "window" ASC LIMIT 20""".stripMargin,
 
-
-
-    // interpolated bigram NLL oracle: same smoothing arithmetic, the
-    // bigram's context/next words recovered from the shingle string
-    "q107_bigram_nll" ->
-      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-         |m AS (SELECT doc_id, l FROM d WHERE len(l) >= 2),
-         |u AS (SELECT unnest(l) AS token FROM d),
-         |uc AS (SELECT token, count(*) AS c FROM u GROUP BY token),
-         |st AS (SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM uc),
-         |bg AS (SELECT doc_id, unnest(${DD.shingles("l", 2)}) AS bgm FROM m),
-         |bc AS (SELECT bgm, count(*) AS bc FROM bg GROUP BY bgm),
-         |sc AS (SELECT g.doc_id,
-         |    0.75 * (CAST(coalesce(b.bc, 0) + 1 AS DOUBLE) /
-         |            (CAST(coalesce(u1.c, 0) AS DOUBLE) + st.v)) +
-         |    (1.0 - 0.75) * (CAST(coalesce(u2.c, 0) + 1 AS DOUBLE) / (st.n + st.v)) AS p
-         |  FROM bg g
-         |  LEFT JOIN bc b USING (bgm)
-         |  LEFT JOIN uc u1 ON u1.token = string_split(g.bgm, ' ')[1]
-         |  LEFT JOIN uc u2 ON u2.token = string_split(g.bgm, ' ')[-1], st)
-         |SELECT doc_id, round(avg(-ln(p)), 6) AS nll2 FROM sc GROUP BY doc_id""".stripMargin,
-
-
-
-    // Kneser-Ney oracle: replay the absolute-discount + continuation
-    // arithmetic from the same bigram TYPE table (w1/w2 recovered from
-    // the shingle string, as q107)
-    "q206_kneser_ney" ->
-      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-         |m AS (SELECT doc_id, l FROM d WHERE len(l) >= 2),
-         |bg AS (SELECT doc_id, unnest(${DD.shingles("l", 2)}) AS bgm FROM m),
-         |bc AS (SELECT bgm, count(*) AS bc FROM bg GROUP BY bgm),
-         |bt AS (SELECT bgm, bc, string_split(bgm, ' ')[1] AS w1,
-         |         string_split(bgm, ' ')[-1] AS w2 FROM bc),
-         |hist AS (SELECT w1, CAST(sum(bc) AS DOUBLE) AS h,
-         |           CAST(count(*) AS DOUBLE) AS fert FROM bt GROUP BY w1),
-         |cont AS (SELECT w2, CAST(count(*) AS DOUBLE) AS pre FROM bt GROUP BY w2),
-         |tt AS (SELECT CAST(count(*) AS DOUBLE) AS b FROM bt),
-         |sc AS (SELECT g.doc_id,
-         |    greatest(CAST(t.bc AS DOUBLE) - 0.75, 0.0) / h.h +
-         |    0.75 * h.fert / h.h * (c.pre / tt.b) AS p
-         |  FROM bg g
-         |  JOIN bt t USING (bgm)
-         |  JOIN hist h ON h.w1 = t.w1
-         |  JOIN cont c ON c.w2 = t.w2, tt)
-         |SELECT doc_id, round(avg(-ln(p)), 6) AS nll_kn FROM sc GROUP BY doc_id""".stripMargin,
 
 
 
@@ -1367,6 +789,7 @@ private[graft] trait EntryText extends EntryContext {
          |  round(least(capacity, theta), 6) AS alloc_tokens,
          |  round(least(capacity, theta) / n_tokens, 6) AS sample_rate
          |FROM w, t""".stripMargin,
+
 
 
 
@@ -1396,6 +819,7 @@ private[graft] trait EntryText extends EntryContext {
 
 
 
+
     // PMI replay: bigram type table, slot marginals, exact integer
     // ratio under one ln
     "q214_pmi" ->
@@ -1420,6 +844,7 @@ private[graft] trait EntryText extends EntryContext {
 
 
 
+
     // shrinkage replay: integer per-source counts, 1-row global rate,
     // (k·mu + good)/(k + n)
     "q215_source_quality" ->
@@ -1436,6 +861,7 @@ private[graft] trait EntryText extends EntryContext {
          |  round(CAST(n_good AS DOUBLE) / n_docs, 6) AS raw_rate,
          |  round((20.0 * mu + n_good) / (20.0 + n_docs), 6) AS shrunk_rate
          |FROM per, g""".stripMargin,
+
 
 
 
@@ -1458,6 +884,7 @@ private[graft] trait EntryText extends EntryContext {
          |SELECT lab.doc_id, lab.cluster_id, k.keeper_id,
          |  k.keeper_quality, lab.doc_id = k.keeper_id AS is_keeper
          |FROM lab JOIN k ON k.cluster_id = lab.cluster_id AND k.rn = 1""".stripMargin,
+
 
 
 
@@ -1484,50 +911,6 @@ private[graft] trait EntryText extends EntryContext {
 
 
 
-    // stupid-backoff replay: model-half n-gram count tables, heldout
-    // trigram positions, the same three-branch CASE (α interpolated as
-    // the exact Scala doubles so both engines score identical floats)
-    "q248_stupid_backoff" -> {
-      val a = 0.4
-      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS l
-         |  FROM documents WHERE text IS NOT NULL),
-         |mdl AS (SELECT * FROM d WHERE doc_id % 2 = 0),
-         |hld AS (SELECT * FROM d WHERE doc_id % 2 = 1),
-         |tc AS (SELECT g, count(*) AS c3 FROM (
-         |    SELECT unnest(${DD.shingles("l", 3)}) AS g FROM mdl
-         |    WHERE len(l) >= 3) GROUP BY g),
-         |bc AS (SELECT g, count(*) AS c2 FROM (
-         |    SELECT unnest(${DD.shingles("l", 2)}) AS g FROM mdl
-         |    WHERE len(l) >= 2) GROUP BY g),
-         |uc AS (SELECT w, count(*) AS c1 FROM (
-         |    SELECT unnest(l) AS w FROM mdl) GROUP BY w),
-         |st AS (SELECT CAST(sum(c1) AS DOUBLE) AS n,
-         |    CAST(count(*) AS DOUBLE) AS v FROM uc),
-         |px AS (SELECT doc_id, tg,
-         |    array_to_string(string_split(tg, ' ')[1:2], ' ') AS h12,
-         |    array_to_string(string_split(tg, ' ')[2:3], ' ') AS g23,
-         |    string_split(tg, ' ')[2] AS w2,
-         |    string_split(tg, ' ')[3] AS w3
-         |  FROM (SELECT doc_id, unnest(${DD.shingles("l", 3)}) AS tg
-         |        FROM hld WHERE len(l) >= 3)),
-         |sc AS (SELECT p.doc_id,
-         |    CASE WHEN coalesce(t.c3, 0) > 0
-         |      THEN CAST(t.c3 AS DOUBLE) / bh.c2
-         |    WHEN coalesce(bg.c2, 0) > 0
-         |      THEN $a * CAST(bg.c2 AS DOUBLE) / u2.c1
-         |    ELSE ${a * a} * (coalesce(u3.c1, 0) + 1) / (st.n + st.v)
-         |    END AS s
-         |  FROM px p
-         |  LEFT JOIN tc t ON t.g = p.tg
-         |  LEFT JOIN bc bh ON bh.g = p.h12
-         |  LEFT JOIN bc bg ON bg.g = p.g23
-         |  LEFT JOIN uc u2 ON u2.w = p.w2
-         |  LEFT JOIN uc u3 ON u3.w = p.w3, st)
-         |SELECT doc_id, round(avg(-ln(s)), 6) AS nll_sb
-         |FROM sc GROUP BY doc_id""".stripMargin
-    },
-
-
 
     "q58_profile" -> {
       def block(c: String, num: Boolean) = {
@@ -1547,6 +930,7 @@ private[graft] trait EntryText extends EntryContext {
 
 
 
+
     // chunking oracle: same start grid (0, stride, …, capped so a
     // window fully contained in its predecessor is dropped), same
     // inclusive list slice
@@ -1563,106 +947,6 @@ private[graft] trait EntryText extends EntryContext {
          |FROM s""".stripMargin
     },
 
-
-
-    // BPE training replay: the v0…v6 merge chain, one row per rank
-    "q118_bpe_merges" -> {
-      val k = 6
-      s"""${bpeTrainCtes(k)}
-         |${(1 to k).map(i =>
-            s"SELECT CAST($i AS BIGINT) AS rank, left_sym, right_sym, pair_count FROM b$i")
-            .mkString("\nUNION ALL\n")}""".stripMargin
-    },
-
-
-
-    // BPE encoding replay: the same training chain learns b1…b6, then
-    // every doc's words run the 6 padded replaces in rank order and
-    // the surviving symbols are counted — the portable form of the
-    // graft_bpe_count kernel
-    "q119_bpe_encode" -> {
-      val k = 6
-      s"""${bpeTrainCtes(k)}
-         |SELECT d.doc_id,
-         |  CAST(list_sum(list_transform(string_split(d.text, ' '), __w ->
-         |    len(string_split(trim(${bpeMergedExpr(k)}, chr(1)), chr(1) || chr(1))))) AS BIGINT)
-         |    AS n_bpe_tokens,
-         |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_ws_tokens
-         |FROM documents d, ${(1 to k).map(i => s"b$i").mkString(", ")}""".stripMargin
-    },
-
-
-
-    // BPE vocabulary replay: the trained chain's FINAL vocab state v6
-    // already holds every word's surviving symbols — unnest and roll up
-    "q123_bpe_vocab" -> {
-      val k = 6
-      s"""${bpeTrainCtes(k)}
-         |SELECT symbol, CAST(sum(n) AS BIGINT) AS n_occurrences FROM (
-         |  SELECT unnest(string_split(wsym, chr(1) || chr(1))) AS symbol, n
-         |  FROM v$k)
-         |GROUP BY symbol""".stripMargin
-    },
-
-
-
-    // durable BPE replay: train chain restricted to the even half,
-    // encode chain over the odd half — storage must change nothing
-    "q124_durable_bpe" -> {
-      val k = 6
-      s"""${bpeTrainCtes(k, "WHERE doc_id % 2 = 0")}
-         |SELECT d.doc_id,
-         |  CAST(list_sum(list_transform(string_split(d.text, ' '), __w ->
-         |    len(string_split(trim(${bpeMergedExpr(k)}, chr(1)), chr(1) || chr(1))))) AS BIGINT)
-         |    AS n_bpe_tokens
-         |FROM documents d, ${(1 to k).map(i => s"b$i").mkString(", ")}
-         |WHERE d.doc_id % 2 <> 0""".stripMargin
-    },
-
-
-
-    // tokenizer-aware packing replay: q64's running-sum chain with n =
-    // the BPE count (training replay + 6 chained replaces per word)
-    "q125_bpe_pack" -> {
-      val k = 6
-      s"""${bpeTrainCtes(k)},
-         |t AS (SELECT d.doc_id, d.lang,
-         |  CAST(list_sum(list_transform(string_split(d.text, ' '), __w ->
-         |    len(string_split(trim(${bpeMergedExpr(k)}, chr(1)), chr(1) || chr(1))))) AS BIGINT) AS n
-         |  FROM documents d, ${(1 to k).map(i => s"b$i").mkString(", ")}),
-         |p AS (SELECT doc_id, lang, n,
-         |        sum(n) OVER (PARTITION BY lang ORDER BY doc_id) AS e
-         |      FROM t WHERE n > 0),
-         |x AS (SELECT doc_id, lang, e - n AS s, e FROM p),
-         |u AS (SELECT doc_id, lang, s, e,
-         |        unnest(generate_series(CAST(s // 512 AS BIGINT),
-         |                               CAST((e - 1) // 512 AS BIGINT))) AS seq_idx
-         |      FROM x)
-         |SELECT doc_id, lang, seq_idx,
-         |  CAST(least(e, (seq_idx + 1) * 512) - greatest(s, seq_idx * 512) AS BIGINT) AS toks_in_seq
-         |FROM u""".stripMargin
-    },
-
-
-
-    // tokenizer-equity replay: the q119 per-doc encode rolled up per
-    // language; compression = chars (spaces removed) per BPE token
-    "q126_tokenizer_report" -> {
-      val k = 6
-      s"""${bpeTrainCtes(k)},
-         |t AS (SELECT d.lang,
-         |  len(string_split(d.text, ' ')) AS ws,
-         |  len(replace(d.text, ' ', '')) AS ch,
-         |  list_sum(list_transform(string_split(d.text, ' '), __w ->
-         |    len(string_split(trim(${bpeMergedExpr(k)}, chr(1)), chr(1) || chr(1))))) AS bpe
-         |  FROM documents d, ${(1 to k).map(i => s"b$i").mkString(", ")})
-         |SELECT lang, count(*) AS n_docs,
-         |  CAST(sum(ws) AS BIGINT) AS ws_tokens,
-         |  CAST(sum(ch) AS BIGINT) AS n_chars,
-         |  CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
-         |  round(CAST(sum(ch) AS DOUBLE) / sum(bpe), 6) AS chars_per_bpe_token
-         |FROM t GROUP BY lang""".stripMargin
-    },
 
 
 
@@ -1686,32 +970,6 @@ private[graft] trait EntryText extends EntryContext {
         |  CAST(sum(length(t) - length(replace(t, chr(65533), ''))) AS BIGINT) AS repl_chars
         |FROM seeded GROUP BY lang""".stripMargin,
 
-
-
-    // perplexity-bucket replay: the q68 NLL chain (rounded 6dp both
-    // engines), per-lang rank with doc_id tie-break, integer tercile
-    // comparisons, micronat sums
-    "q185_perplexity_buckets" ->
-      s"""WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-         |           FROM documents),
-         |c AS (SELECT tok, count(*) AS c FROM e GROUP BY tok),
-         |n AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM c),
-         |nll AS (SELECT doc_id, round(avg(-ln(CAST(c AS DOUBLE) / n)), 6) AS nll
-         |        FROM e JOIN c USING (tok), n GROUP BY doc_id),
-         |r AS (SELECT d.lang, nll.doc_id, nll.nll,
-         |        CAST(row_number() OVER (PARTITION BY d.lang
-         |          ORDER BY nll.nll, nll.doc_id) AS BIGINT) AS rn,
-         |        count(*) OVER (PARTITION BY d.lang) AS cnt
-         |      FROM nll JOIN documents d ON d.doc_id = nll.doc_id)
-         |SELECT lang,
-         |  CASE WHEN 3*(rn-1) < cnt THEN 'head'
-         |       WHEN 3*(rn-1) < 2*cnt THEN 'middle'
-         |       ELSE 'tail' END AS bucket,
-         |  count(*) AS n_docs,
-         |  CAST(sum(CAST(round(nll*1000000, 0) AS BIGINT)) AS BIGINT)
-         |    AS sum_nll_micro,
-         |  min(nll) AS min_nll, max(nll) AS max_nll
-         |FROM r GROUP BY 1, 2""".stripMargin,
 
 
 
@@ -1772,6 +1030,7 @@ private[graft] trait EntryText extends EntryContext {
 
 
 
+
     // calibration replay: q38's exact interpolated-percentile scheme
     // over the per-source quality distribution
     "q134_quality_calibration" -> {
@@ -1794,6 +1053,7 @@ private[graft] trait EntryText extends EntryContext {
          |  CAST(max(n) AS BIGINT) AS n_rows
          |FROM qc_r GROUP BY source""".stripMargin
     },
+
 
 
 
