@@ -268,11 +268,20 @@ object AudioIndex {
       spark: SparkSession, dir: String, targetFiles: Int): Boolean = {
     // claim-free read of the fragmentation gauge (the listing must not
     // heal-rename under a live writer); compact() itself heals under
-    // its own claim before rewriting
-    val live = new Path(livePath(spark, dir))
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val nFiles = fs.listStatus(live).count(_.getPath.getName.endsWith(".parquet"))
-    val fragmented = nFiles > 2 * targetFiles
+    // its own claim before rewriting. The gauge is guarded: a
+    // never-built store, or a concurrent delete/compact renaming the
+    // live dir between livePath() and the listing, reads as "not
+    // fragmented" (retried once — the post-swap listing is the real
+    // gauge) instead of a raw FileNotFoundException.
+    def gauge(): Option[Int] =
+      try {
+        val live = new Path(livePath(spark, dir))
+        val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(live)) None
+        else Some(fs.listStatus(live)
+          .count(_.getPath.getName.endsWith(".parquet")))
+      } catch { case _: java.io.FileNotFoundException => None }
+    val fragmented = gauge().orElse(gauge()).exists(_ > 2 * targetFiles)
     if (fragmented) compact(spark, dir, targetFiles)
     fragmented
   }

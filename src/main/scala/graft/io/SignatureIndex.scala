@@ -224,10 +224,19 @@ object SignatureIndex {
     * actually accreted. Returns true when a compaction ran. */
   def compactIfFragmented(spark: SparkSession, dir: String, targetFiles: Int): Boolean = {
     ensureLive(spark, dir)
-    val live = new Path(sigsPath(dir))
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val nFiles = fs.listStatus(live).count(_.getPath.getName.endsWith(".parquet"))
-    val fragmented = nFiles > 2 * targetFiles
+    // guarded gauge: a never-built store, or a concurrent
+    // delete/compact renaming sigs between the exists check and the
+    // listing, reads as "not fragmented" (retried once) instead of a
+    // raw FileNotFoundException
+    def gauge(): Option[Int] =
+      try {
+        val live = new Path(sigsPath(dir))
+        val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(live)) None
+        else Some(fs.listStatus(live)
+          .count(_.getPath.getName.endsWith(".parquet")))
+      } catch { case _: java.io.FileNotFoundException => None }
+    val fragmented = gauge().orElse(gauge()).exists(_ > 2 * targetFiles)
     if (fragmented) compact(spark, dir, targetFiles)
     fragmented
   }

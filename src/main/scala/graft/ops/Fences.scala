@@ -25,6 +25,45 @@ import org.apache.spark.sql.functions._
 object Fences {
 
   /**
+   * Stop-bucket CONTINUE path for the banded Hamming stems — the
+   * recall-accounted alternative to raising [[assertBucketPairs]]'s
+   * cap when a deployment saturates ([[graft.ops.AudioDedup]]'s
+   * `maxDocsPerFp` convention applied to bucket keys): buckets whose
+   * posting count exceeds `maxPostings` are DROPPED before the
+   * candidate join, bounding per-bucket pairs at `maxPostings²`.
+   *
+   * Unlike a saturated audio landmark (which genuinely carries no
+   * discriminative signal), a dropped Hamming bucket CAN cost recall:
+   * a pair whose ONLY shared block/band was the dropped one loses its
+   * candidate, and the pigeonhole completeness guarantee no longer
+   * covers it. The trade is deliberate and must be accounted —
+   * [[bucketDropReport]] enumerates exactly what was dropped for
+   * monitoring, and the measured recall cost at scale is a
+   * SimhashAudit row in BASELINE.md. `maxPostings <= 0` disables
+   * (the default everywhere — fail-loud stays the default posture).
+   *
+   * Cost: one count over the bucket key the join shuffles on anyway
+   * (the audio convention's window form), no extra wide pass.
+   */
+  def stopBuckets(
+      ex: DataFrame, keyCols: Seq[String], maxPostings: Long): DataFrame =
+    if (maxPostings <= 0L) ex
+    else ex.withColumn("__nb",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCols.map(col): _*)))
+      .filter(col("__nb") <= maxPostings)
+      .drop("__nb")
+
+  /** The buckets [[stopBuckets]] would drop at `maxPostings` —
+    * (keyCols…, n_postings), the drop-accounting readout a capped
+    * deployment monitors alongside its recall budget. O(buckets). */
+  def bucketDropReport(
+      ex: DataFrame, keyCols: Seq[String], maxPostings: Long): DataFrame =
+    ex.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_postings"))
+      .filter(col("n_postings") > maxPostings)
+
+  /**
    * Hot-bucket candidate-pair fence: counts postings per bucket key in
    * the exploded frame `ex` and fails loudly — naming the hottest key
    * and its pair count — if any single bucket would form more than
@@ -72,8 +111,13 @@ object Fences {
    * quadratic hazard. Same decimal arithmetic, same fail-loud
    * contract; `maxPairs >= Long.MaxValue` disables.
    *
-   * Cost: two decomposable groupBys + a broadcast-sized join of bucket
-   * counts — O(buckets), never data-proportional.
+   * Cost: the probe-side groupBy is batch-sized; the standing side is
+   * first SEMI-JOINED to the batch's bucket keys (broadcast — a batch
+   * has few distinct buckets) so only buckets the batch actually lands
+   * in are counted: against a (key)-bucketed store that filter prunes
+   * the read, and the fence never group-scans the whole standing side
+   * per drain (which would have made every drain store-proportional —
+   * exactly the cost shape the probe contract exists to avoid).
    */
   def assertProbePairs(
       probe: DataFrame,
@@ -85,7 +129,9 @@ object Fences {
     if (maxPairs >= Long.MaxValue) return
     val pc = probe.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("__npb"))
-    val sc = standing.groupBy(keyCols.map(col): _*)
+    val sc = standing
+      .join(broadcast(pc.select(keyCols.map(col): _*)), keyCols, "left_semi")
+      .groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("__nps"))
     val pairs = col("__npb").cast("decimal(20,0)") * col("__nps")
     val hot = pc.join(sc, keyCols)

@@ -140,15 +140,21 @@ object AudioIngest {
           .filter(col("content_type").startsWith("audio/"))
           .select(col("record_id").as("media_id"), col("payload"))
         val standing = readFingerprints(spark, indexDir).localCheckpoint()
+        val standingIds = standing.select("media_id").distinct()
         // index-as-ledger backstop: a crash between the index append
         // and the folded commit replays these files — the anti-join
-        // keeps the replay from double-decoding/double-appending
-        val delta = audio.join(
-          standing.select("media_id").distinct(), Seq("media_id"), "left_anti")
+        // keeps the replay from double-decoding/double-appending, and
+        // the stored PAIR REPORT of any touched batch re-surfaces
+        // (the crashed drain computed its pairs but never returned
+        // them to a caller — [[PairReports]])
+        val healed = PairReports.healed(spark, indexDir,
+          committedBatches(spark, indexDir),
+          audio.select("media_id").distinct(), standingIds, empty.schema)
+        val delta = audio.join(standingIds, Seq("media_id"), "left_anti")
         val fps = AudioDedup.fingerprintsStr(
             delta, "media_id", "payload", frameLen, bins, fanout)
           .localCheckpoint() // one decode: feeds the probe AND the append
-        if (fps.isEmpty) { commitFolded(); empty }
+        if (fps.isEmpty) { commitFolded(); healed }
         else {
           val pairs = AudioDedup.sharedFingerprintProbe(
               fps, standing, "media_id", minShared, maxDocsPerFp)
@@ -161,12 +167,15 @@ object AudioIngest {
           val tag = s"b${r.getLong(0)}x${java.lang.Long.toHexString(r.getLong(1))}"
           val dir = s"$indexDir/batch=$tag"
           fps.write.mode("overwrite").parquet(dir)
+          // pair report BEFORE the marker: a marker-committed batch is
+          // always re-readable on replay (the meta-last convention)
+          PairReports.persist(pairs, indexDir, tag)
           val mk = new Path(dir, marker)
           val fs = mk.getFileSystem(spark.sparkContext.hadoopConfiguration)
           fs.create(mk, true).close() // index commit point
           commitFolded() // folded record LAST: crash before re-scans,
                          // the anti-join above heals the replay
-          pairs
+          pairs.unionAll(healed)
         }
       }
     }

@@ -113,14 +113,20 @@ object ImageIngest {
           .filter(col("content_type").startsWith("image/"))
           .select(col("record_id").as("media_id"), col("payload"))
         val standing = readHashes(spark, indexDir).localCheckpoint()
+        val standingIds = standing.select("media_id").distinct()
         // index-as-ledger backstop: a crash between the index append
         // and the folded commit replays these files — the anti-join
-        // keeps the replay from double-hashing/double-appending
-        val delta = images.join(
-          standing.select("media_id"), Seq("media_id"), "left_anti")
+        // keeps the replay from double-hashing/double-appending, and
+        // the stored PAIR REPORT of any touched batch re-surfaces
+        // (the crashed drain computed its pairs but never returned
+        // them to a caller — [[PairReports]])
+        val healed = PairReports.healed(spark, indexDir,
+          committedBatches(spark, indexDir),
+          images.select("media_id").distinct(), standingIds, empty.schema)
+        val delta = images.join(standingIds, Seq("media_id"), "left_anti")
         val hashed = ImageDedup.perceptualHashesStr(delta, "media_id", "payload")
           .localCheckpoint() // feeds the probe AND the append
-        if (hashed.isEmpty) { commitFolded(); empty }
+        if (hashed.isEmpty) { commitFolded(); healed }
         else {
           val pairs = ImageDedup.hammingProbe(
               hashed, standing, "media_id", "ahash", maxHamming, bands)
@@ -133,12 +139,15 @@ object ImageIngest {
           val tag = s"b${r.getLong(0)}x${java.lang.Long.toHexString(r.getLong(1))}"
           val dir = s"$indexDir/batch=$tag"
           hashed.write.mode("overwrite").parquet(dir)
+          // pair report BEFORE the marker: a marker-committed batch is
+          // always re-readable on replay (the meta-last convention)
+          PairReports.persist(pairs, indexDir, tag)
           val mk = new Path(dir, marker)
           val fs = mk.getFileSystem(spark.sparkContext.hadoopConfiguration)
           fs.create(mk, true).close() // index commit point
           commitFolded() // folded record LAST: crash before re-scans,
                          // the anti-join above heals the replay
-          pairs
+          pairs.unionAll(healed)
         }
       }
     }

@@ -186,5 +186,10 @@ class AudioIndexSpec extends AnyFunSuite {
       AudioIndex.probe(tones(Seq(4L, 23L)), "payload", dir, minShared = 8L))
     assert(before == after)
     assert(before.nonEmpty)
+
+    // the gauge is guarded: a never-built store is "not fragmented",
+    // not a raw FileNotFoundException from the listing
+    assert(!AudioIndex.compactIfFragmented(
+      spark, TestSpark.tmpDir("audio_index_never_built"), targetFiles = 2))
   }
 }

@@ -78,6 +78,21 @@ class ImageIngestSpec extends AnyFunSuite {
     graft.io.Commits.forceReleaseClaim(spark, s"$base/index")
     assert(drain().count() == 0)
 
+    // CRASH SIMULATION 2 (the marker/folded window): wave 4 drains
+    // FULLY, then the folded record rolls back — the replayed drain's
+    // delta is empty, but the crashed drain's caller never received
+    // its pairs; the stored pair report must re-surface them
+    landWave(s"$base/landing/w4", Seq(5L))
+    val foldedBefore = TestSpark.snapshotVersion(s"$base/index/folded")
+    val p4 = unordered(drain().collect())
+    assert(p4 == Set(Set(urn(1), urn(5)), Set(urn(2), urn(5)),
+      Set(urn(3), urn(5)), Set(urn(4), urn(5))))
+    TestSpark.restoreVersion(s"$base/index/folded", foldedBefore)
+    assert(unordered(drain().collect()) == p4,
+      "a marker-committed / folded-uncommitted batch must re-surface " +
+        "its stored pair report on replay")
+    assert(drain().count() == 0, "the healed replay is one-shot")
+
     // O(drain) contract: the durable folded record now covers every
     // silver data file, so the next drain reads NO silver payload at
     // all (fresh = ∅ short-circuits before any parquet scan)

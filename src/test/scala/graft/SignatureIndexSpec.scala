@@ -157,4 +157,9 @@ class SignatureIndexSpec extends AnyFunSuite {
       .select(size($"sig")).distinct().as[Int].collect().toSet
     assert(widths == Set(16))
   }
+
+  test("compactIfFragmented on a never-built store is a clean no-op") {
+    assert(!SignatureIndex.compactIfFragmented(
+      spark, TestSpark.tmpDir("sigidx_never_built"), targetFiles = 2))
+  }
 }

@@ -32,4 +32,27 @@ object TestSpark {
     p.toFile.deleteOnExit()
     p.toString
   }
+
+  /** Crash simulation for [[graft.io.Commits]]-versioned single-column
+    * records: snapshot the current content so [[restoreVersion]] can
+    * roll the record back to it (as if a later writer died before its
+    * version commit — commitVersion PRUNES superseded versions, so
+    * "delete the newest dir" would not reproduce that state). */
+  def snapshotVersion(base: String): Seq[String] =
+    graft.io.Commits.readVersioned(spark, base) match {
+      case Some((_, df)) => df.collect().map(_.getString(0)).toSeq
+      case None => Nil
+    }
+
+  /** Restore a record captured by [[snapshotVersion]] (drops every
+    * live version, then commits the snapshot as the only one). */
+  def restoreVersion(base: String, rows: Seq[String]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      fs.listStatus(p).map(_.getPath).filter(_.getName.startsWith("v="))
+        .foreach(fs.delete(_, true))
+    import spark.implicits._
+    graft.io.Commits.commitVersion(rows.toDF("file"), base, -1)
+  }
 }
