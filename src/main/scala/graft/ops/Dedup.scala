@@ -824,6 +824,15 @@ object Dedup {
    * the MinHash path.
    *
    * Output: (id_a, id_b, hamming) with hamming ≤ maxHamming.
+   *
+   * @param maxBucketPostings stop-bucket CONTINUE path
+   *        ([[Fences.stopBuckets]]): (blk, v) buckets past this
+   *        posting count are DROPPED before the join instead of
+   *        tripping the fail-loud fence — the recall-accounted route
+   *        for a deployment whose corpus outgrows the cap (pairs whose
+   *        ONLY shared block was dropped are missed; enumerate the
+   *        drops with [[Fences.bucketDropReport]]). 0 disables
+   *        (default — fail-loud stays the default posture).
    */
   def simhashNearDups(
       df: DataFrame,
@@ -833,7 +842,8 @@ object Dedup {
       blocks: Int = 4,
       maxHamming: Int = 3,
       kind: HashKind = Md5,
-      maxBucketPairs: Long = 25_000_000L): DataFrame = {
+      maxBucketPairs: Long = 25_000_000L,
+      maxBucketPostings: Long = 0L): DataFrame = {
     val hexLen = bits / 4
     require(hexLen % blocks == 0, "blocks must divide the hex length")
     require(maxHamming < blocks,
@@ -854,10 +864,12 @@ object Dedup {
         lit(b).as("blk"),
         substring(col("simhash"), b * blockChars + 1, blockChars).as("v"))
     }
-    val ex = sh.select(col(idCol), col("nibs"),
-      explode(array(blocksCol: _*)).as("bb"))
-      .select(col(idCol), col("nibs"),
-        col("bb.blk").as("blk"), col("bb.v").as("v"))
+    val ex = Fences.stopBuckets(
+      sh.select(col(idCol), col("nibs"),
+          explode(array(blocksCol: _*)).as("bb"))
+        .select(col(idCol), col("nibs"),
+          col("bb.blk").as("blk"), col("bb.v").as("v")),
+      Seq("blk", "v"), maxBucketPostings)
     val a = ex.select(col("blk"), col("v"),
       col(idCol).as("id_a"), col("nibs").as("na"))
     val b = ex.select(col("blk"), col("v"),

@@ -136,7 +136,8 @@ object ImageDedup {
       hashCol: String,
       maxHamming: Int = 10,
       bands: Int = 4,
-      maxBucketPairs: Long = 25_000_000L): DataFrame = {
+      maxBucketPairs: Long = 25_000_000L,
+      maxBucketPostings: Long = 0L): DataFrame = {
     require(bands >= 1 && bands <= 4, "64-bit hash holds 1..4 16-bit bands")
     // materialized ONCE: the banded frame is tiny (id + hash + band/v,
     // ≤4 rows per image) but derives from the decode-heavy hash stem —
@@ -150,15 +151,19 @@ object ImageDedup {
       .select(col(idCol), col("__h"),
         col("bb.band").as("band"), col("bb.v").as("v"))
       .localCheckpoint()
+    // stop-bucket continue path (opt-in, [[Fences.stopBuckets]]): drop
+    // saturated (band, v) buckets with accounted recall cost instead
+    // of tripping the fence — the 100×-scale route
+    val exS = Fences.stopBuckets(ex, Seq("band", "v"), maxBucketPostings)
     // hot-bucket fence (the prefixFilteredPairs/Linkage convention): a
     // constant hash band — black frames, letterbox bars, a template
     // thumbnail re-encoded a million times — concentrates one
     // (band, v) bucket that alone makes the join quadratic
-    Fences.assertBucketPairs(ex, Seq("band", "v"), maxBucketPairs,
+    Fences.assertBucketPairs(exS, Seq("band", "v"), maxBucketPairs,
       "image-hamming", "pre-dedup exact payload copies, drop blank media")
-    val a = ex.select(col("band"), col("v"),
+    val a = exS.select(col("band"), col("v"),
       col(idCol).as("id_a"), col("__h").as("__ha"))
-    val b = ex.select(col("band"), col("v"),
+    val b = exS.select(col("band"), col("v"),
       col(idCol).as("id_b"), col("__h").as("__hb"))
     a.join(b, Seq("band", "v"))
       .filter(col("id_a") < col("id_b"))
@@ -187,7 +192,8 @@ object ImageDedup {
       hashCol: String,
       maxHamming: Int = 10,
       bands: Int = 4,
-      maxBucketPairs: Long = 25_000_000L): DataFrame = {
+      maxBucketPairs: Long = 25_000_000L,
+      maxBucketPostings: Long = 0L): DataFrame = {
     require(bands >= 1 && bands <= 4, "64-bit hash holds 1..4 16-bit bands")
     def banded(df: DataFrame): DataFrame = df.select(
         col(idCol), col(hashCol).as("__h"),
@@ -203,10 +209,15 @@ object ImageDedup {
     // drain
     val probeSide = banded(batch.select(col(idCol), col(hashCol)))
       .select(col("band"), col("v"), col(idCol).as("__pi"), col("__h").as("__ph"))
-    val standSide = banded(
+    // the stop-bucket continue path filters the STANDING side (a
+    // dropped bucket yields no candidates regardless of the batch) —
+    // opt-in, recall-accounted via [[Fences.bucketDropReport]]
+    val standSide = Fences.stopBuckets(
+      banded(
         corpus.select(col(idCol), col(hashCol))
           .unionByName(batch.select(col(idCol), col(hashCol))))
-      .select(col("band"), col("v"), col(idCol).as("__si"), col("__h").as("__sh"))
+      .select(col("band"), col("v"), col(idCol).as("__si"), col("__h").as("__sh")),
+      Seq("band", "v"), maxBucketPostings)
     // probe-shaped hot-bucket fence (the assertBucketPairs convention
     // in the incremental regime): a saturated standing band — a
     // template thumbnail indexed a million times — would tax EVERY

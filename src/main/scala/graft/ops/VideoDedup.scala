@@ -110,7 +110,8 @@ object VideoDedup {
       maxHamming: Int = 6,
       bands: Int = 4,
       minFrames: Int = 2,
-      maxBucketPairs: Long = 25_000_000L): DataFrame = {
+      maxBucketPairs: Long = 25_000_000L,
+      maxBucketPostings: Long = 0L): DataFrame = {
     require(bands >= 1 && bands <= 4, "64-bit hash holds 1..4 16-bit bands")
     require(minFrames >= 1, "minFrames must be >= 1")
     // materialized ONCE: banded frame rows are ~64 bits per sampled
@@ -125,12 +126,17 @@ object VideoDedup {
       .select(col(idCol), col("frame_idx"), col("__h"),
         col("bb.band").as("band"), col("bb.v").as("v"))
       .localCheckpoint()
+    // stop-bucket continue path (opt-in, [[Fences.stopBuckets]]): drop
+    // saturated (frame_idx, band, v) buckets with accounted recall
+    // cost instead of tripping the fence — the 100×-scale route
+    val exS = Fences.stopBuckets(
+      ex, Seq("frame_idx", "band", "v"), maxBucketPostings)
     Fences.assertBucketPairs(
-      ex, Seq("frame_idx", "band", "v"), maxBucketPairs,
+      exS, Seq("frame_idx", "band", "v"), maxBucketPairs,
       "video-frame", "drop static/blank frames, pre-dedup exact payloads")
-    val a = ex.select(col("frame_idx"), col("band"), col("v"),
+    val a = exS.select(col("frame_idx"), col("band"), col("v"),
       col(idCol).as("id_a"), col("__h").as("__ha"))
-    val b = ex.select(col("frame_idx"), col("band"), col("v"),
+    val b = exS.select(col("frame_idx"), col("band"), col("v"),
       col(idCol).as("id_b"), col("__h").as("__hb"))
     a.join(b, Seq("frame_idx", "band", "v"))
       .filter(col("id_a") < col("id_b"))
@@ -163,7 +169,8 @@ object VideoDedup {
       maxHamming: Int = 6,
       bands: Int = 4,
       minFrames: Int = 2,
-      maxBucketPairs: Long = 25_000_000L): DataFrame = {
+      maxBucketPairs: Long = 25_000_000L,
+      maxBucketPostings: Long = 0L): DataFrame = {
     require(bands >= 1 && bands <= 4, "64-bit hash holds 1..4 16-bit bands")
     require(minFrames >= 1, "minFrames must be >= 1")
     def banded(df: DataFrame): DataFrame = df.select(
@@ -181,9 +188,14 @@ object VideoDedup {
     val probeSide = banded(batch)
       .select(col("frame_idx"), col("band"), col("v"),
         col(idCol).as("__pi"), col("__h").as("__ph"))
-    val standSide = banded(standing.unionByName(batch))
-      .select(col("frame_idx"), col("band"), col("v"),
-        col(idCol).as("__si"), col("__h").as("__sh"))
+    // the stop-bucket continue path filters the STANDING side (a
+    // dropped bucket yields no candidates regardless of the batch) —
+    // opt-in, recall-accounted via [[Fences.bucketDropReport]]
+    val standSide = Fences.stopBuckets(
+      banded(standing.unionByName(batch))
+        .select(col("frame_idx"), col("band"), col("v"),
+          col(idCol).as("__si"), col("__h").as("__sh")),
+      Seq("frame_idx", "band", "v"), maxBucketPostings)
     // probe-shaped hot-bucket fence: a saturated standing
     // (frame_idx, band, value) bucket — black first frames, a station
     // logo indexed a million times — would tax EVERY future drain

@@ -388,6 +388,39 @@ class DedupSpec extends AnyFunSuite {
       maxBucketPairs = Long.MaxValue).count() == 40L * 39 / 2)
   }
 
+  test("simhashNearDups: stop-bucket continue path drops saturated buckets, accounted") {
+    // 40 exact clones saturate every one of their (blk, v) buckets; a
+    // distinct near-identical pair rides unsaturated buckets
+    val docs = ((1L to 40L)
+      .map(i => (i, "the same template text repeated verbatim everywhere")) ++
+      Seq((101L, "completely different subject matter entirely"),
+          (102L, "completely different subject matter entirely")))
+      .toDF("doc_id", "text")
+    // default-off: the fail-loud posture is unchanged
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDups(docs, "text", "doc_id", maxBucketPairs = 100L)
+    }
+    // opt-in: the clones' saturated buckets DROP (their pairs are the
+    // accounted recall cost), the distinct pair survives through its
+    // own buckets, and the same fence cap no longer trips
+    val capped = Dedup.simhashNearDups(docs, "text", "doc_id",
+        maxBucketPairs = 100L, maxBucketPostings = 5L)
+      .as[(Long, Long, Long)].collect()
+    assert(capped.toSeq == Seq((101L, 102L, 0L)))
+  }
+
+  test("Fences.stopBuckets/bucketDropReport: cap semantics and drop accounting") {
+    val ex = Seq((0, 5L, "a"), (0, 5L, "b"), (0, 5L, "c"), (1, 7L, "d"))
+      .toDF("blk", "v", "id")
+    assert(graft.ops.Fences.stopBuckets(ex, Seq("blk", "v"), 2L)
+      .select("id").as[String].collect().toSeq == Seq("d"))
+    assert(graft.ops.Fences.stopBuckets(ex, Seq("blk", "v"), 0L).count() == 4,
+      "0 disables the stop-bucket path")
+    assert(graft.ops.Fences.bucketDropReport(ex, Seq("blk", "v"), 2L)
+      .as[(Int, Long, Long)].collect().toSeq == Seq((0, 5L, 3L)),
+      "the report names exactly the dropped buckets with their postings")
+  }
+
   test("simhash: deterministic hex of bits/4 chars; exact dups collide; parity with oracle fragment") {
     val out = Dedup.simhash(corpus, "text", "doc_id", bits = 16)
       .as[(Long, String)].collect().toMap

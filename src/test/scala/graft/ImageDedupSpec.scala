@@ -128,4 +128,38 @@ class ImageDedupSpec extends AnyFunSuite {
     assert(ImageDedup.hammingProbe(batch, standing, "id", "h",
       maxBucketPairs = Long.MaxValue).count() == 40L)
   }
+
+  test("hammingNearDups/hammingProbe: stop-bucket continue path, accounted recall") {
+    import spark.implicits._
+    // (a, b) share bands 1-3; (c, d) differ by 6 bits spread over
+    // bands 1-3 so band 0 (0x0123) is their ONLY shared band — and two
+    // far fillers saturate exactly that bucket (4 postings)
+    val a = 0x1111222233334444L
+    val b = a ^ 1L
+    val c = 0x5555666677770123L
+    val d = c ^ 0x0003000300030000L
+    val f1 = 0xFFFF000000000123L
+    val f2 = 0x0000FFFF00000123L
+    val df = Seq((1L, a), (2L, b), (3L, c), (4L, d), (5L, f1), (6L, f2))
+      .toDF("id", "h")
+    def pairs(maxBucketPostings: Long) =
+      ImageDedup.hammingNearDups(df, "id", "h", maxHamming = 10,
+          maxBucketPostings = maxBucketPostings)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs(0L) == Set((1L, 2L, 1L), (3L, 4L, 6L)), "default off")
+    assert(pairs(3L) == Set((1L, 2L, 1L)),
+      "(c, d)'s only shared band saturated and dropped — the accounted " +
+        "recall cost; (a, b) rides its unsaturated bands")
+    // probe shape: the standing bands shared by {c1, c2, b1} saturate
+    // at cap 2 and drop — b1's pairs relied on them; the surviving
+    // band-0 candidate (b2, c1) fails the hamming verify
+    val standing = Seq(("c1", 0x1111222233334444L),
+      ("c2", 0x1111222233334445L)).toDF("id", "h")
+    val batch = Seq(("b1", 0x1111222233334444L ^ (1L << 5)),
+      ("b2", 0x7777666655554444L)).toDF("id", "h")
+    assert(ImageDedup.hammingProbe(batch, standing, "id", "h",
+      maxHamming = 6, maxBucketPostings = 2L).count() == 0)
+    assert(ImageDedup.hammingProbe(batch, standing, "id", "h",
+      maxHamming = 6).count() == 2, "default off: both b1 pairs surface")
+  }
 }

@@ -128,4 +128,37 @@ class VideoDedupSpec extends AnyFunSuite {
     assert(VideoDedup.videoProbe(batch, standing, "id",
       minFrames = 1, maxBucketPairs = Long.MaxValue).count() == 40L)
   }
+
+  test("videoNearDups/videoProbe: stop-bucket continue path, accounted recall") {
+    import spark.implicits._
+    // (x, y) differ by 6 bits spread over bands 1-3, so their ONLY
+    // shared bucket is (frame 0, band 0, 0x0123) — which two far
+    // fillers saturate to 4 postings
+    val x = 0xAAAABBBBCCCC0123L
+    val y = x ^ 0x0003000300030000L
+    val hashes = Seq(("x", 0L, x), ("y", 0L, y),
+      ("fa", 0L, 0xFFFF000000000123L), ("fb", 0L, 0x0000FFFF00000123L))
+      .toDF("id", "frame_idx", "ahash")
+    val base = VideoDedup.videoNearDups(hashes, "id",
+        maxHamming = 6, minFrames = 1)
+      .collect().map(r => Set(r.getString(0), r.getString(1))).toSet
+    assert(base == Set(Set("x", "y")), "default off")
+    assert(VideoDedup.videoNearDups(hashes, "id", maxHamming = 6,
+      minFrames = 1, maxBucketPostings = 3L).count() == 0,
+      "the pair's only shared bucket saturated and dropped — the " +
+        "accounted recall cost")
+    // probe shape: the frame-0/frame-2 bands shared by {c1, c2, b1}
+    // saturate at cap 2 and drop; the surviving candidates fail the
+    // verify (b2×c1 at hamming 8) or the minFrames floor (b1×c2 on
+    // one frame)
+    val h = 0x1111222233334444L
+    val standing = Seq(("c1", 0L, h), ("c1", 2L, h ^ 1L),
+      ("c2", 0L, h ^ 2L), ("c2", 2L, h)).toDF("id", "frame_idx", "ahash")
+    val batch = Seq(("b1", 0L, h ^ 4L), ("b1", 2L, h),
+      ("b2", 0L, h ^ (0xffL << 24))).toDF("id", "frame_idx", "ahash")
+    assert(VideoDedup.videoProbe(batch, standing, "id", maxHamming = 6,
+      maxBucketPostings = 2L).count() == 0)
+    assert(VideoDedup.videoProbe(batch, standing, "id",
+      maxHamming = 6).count() == 2, "default off: both b1 pairs surface")
+  }
 }

@@ -6,7 +6,9 @@ rows sorted, strict exact value compare — floats must be bit-identical,
 which both sides guarantee by rounding/decimal-summing; on mismatch the
 per-column detail shows the differing values so a 1-ulp drift is visible).
 
-Usage: python3 tools/check.py <sfDir> <outDir>
+Usage: python3 tools/check.py <sfDir> <outDir> [qName,qName,...]
+(the optional third arg restricts the compare to those queries — the
+SPARK_GRAFT_ONLY iteration loop; without it every oracle runs)
 """
 import json
 import math
@@ -76,6 +78,9 @@ if __name__ == "__main__":
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     with open(f"{out_dir}/oracle_sql.json") as f:
         ORACLES = json.load(f)
+    if len(sys.argv) > 3:
+        only = set(sys.argv[3].split(","))
+        ORACLES = {k: v for k, v in ORACLES.items() if k in only}
     failures = 0
     for name in sorted(ORACLES):
         res = compare(name, con, sf_dir, out_dir)
