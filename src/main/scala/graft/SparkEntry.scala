@@ -21,6 +21,7 @@ import graft.ops.Aggregate.{AggSpec, Metric}
  */
 object SparkEntry extends EntryContext
     with EntryIo with EntryMedia with EntryDedup with EntryAnn
+    with EntryAnnGraph
     with EntryWeb with EntryGraph with EntrySearch
     with EntryText with EntryTokenize
     with EntryStats with EntryEvents with EntryCuration {
@@ -53,12 +54,14 @@ object SparkEntry extends EntryContext
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ioQueries ++ mediaQueries ++ dedupQueries ++ annQueries ++
+      annGraphQueries ++
       webQueries ++ graphQueries ++ searchQueries ++
       textQueries ++ tokenizeQueries ++ statsQueries ++ eventsQueries ++
       curationQueries
 
   def oracleSql: Map[String, String] =
     ioOracles ++ mediaOracles ++ dedupOracles ++ annOracles ++
+      annGraphOracles ++
       webOracles ++ graphOracles ++ searchOracles ++
       textOracles ++ tokenizeOracles ++ statsOracles ++ eventsOracles ++
       curationOracles

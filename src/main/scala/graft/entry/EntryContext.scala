@@ -362,6 +362,13 @@ private[graft] trait EntryContext {
     "q296_audio_index_forget" -> ((s, dir) => forgottenAudioIndex(s, dir): Unit),
     "q281_multimodal_clusters" -> ((s, dir) => audioPairs(s, dir).count(): Unit),
     "q290_trimodal_clusters" -> ((s, dir) => audioPairs(s, dir).count(): Unit),
+    // one convention family-wide (r17 verdict finding #1): every media
+    // ingest drain builds UNTIMED here and the bench rows time the
+    // memoized pair-report read — the drain cost itself is
+    // crash/claim-spec'd, and its representative magnitude is the
+    // BASELINE r17 in-bench measurement (image 3.8 s sf0.1 / 10.4 s
+    // sf1) recorded in the r18 accounting note
+    "q282_image_ingest" -> ((s, dir) => imageIngestPairs(s, dir).count(): Unit),
     "q297_audio_ingest" -> ((s, dir) => audioIngestPairs(s, dir).count(): Unit),
     "q298_video_ingest" -> ((s, dir) => videoIngestPairs(s, dir).count(): Unit),
     "q300_graph_ann_stride" -> ((s, dir) => annGraph(s, dir): Unit),

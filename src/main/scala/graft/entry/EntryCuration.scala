@@ -80,7 +80,7 @@ private[graft] trait EntryCuration extends EntryContext {
 
 
     // ---- production-kernel twin of q74 (rows-only bench row, like
-    //      q40/q41): xx64 window hashing on the full token-window
+    //      q40): xx64 window hashing on the full token-window
     //      volume — same plan, no md5. Span-set parity with Md5 is
     //      spec-pinned (DedupSpec duplicateSpans xx64 case). Xx64 is
     //      DETECTION-grade only; the scrub path stays on Md5

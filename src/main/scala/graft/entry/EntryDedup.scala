@@ -64,25 +64,24 @@ private[graft] trait EntryDedup extends EntryContext {
 
 
     // ---- north-star dedup: SimHash near-dup pairs (hamming-block LSH,
-    //      perfect recall for hamming < blocks by pigeonhole).
-    //      maxBucketPairs is raised EXPLICITLY above the 25M default:
-    //      32-bit simhash on this small-vocab corpus has ~10 of 32
-    //      bits near-unanimous (the q41 entropy note), so 8-bit block
-    //      values concentrate AND the hamming-≤3 ball saturates —
-    //      measured (SimhashAudit, BASELINE.md r17 density audit): at
-    //      sf1 the hottest (blk,v) bucket holds 13,673 postings =
-    //      187M candidate pairs (default fence fired for real on the
-    //      sf1 sweep) and the TRUE output is 83,078 → 9,262,736 pairs
-    //      sf0.1→sf1 (111× at 10× corpus — the output itself is
-    //      quadratic; the 29× runtime is BELOW output growth). Keeping
-    //      the 32-bit surface is a deliberate, capped decision; the
-    //      production fix is q294's 64-bit/16-bit-block twin, which
-    //      stays under the default cap.
+    //      perfect recall for hamming < blocks by pigeonhole). The
+    //      32-bit geometry is the documented LEGACY surface and is
+    //      collision-saturated by measurement on this small-vocab
+    //      corpus (~10 of 32 bits near-unanimous; SimhashAudit,
+    //      BASELINE.md r17 density audit: full-corpus sf1 output
+    //      9.26M pairs = 111× at 10×, hottest bucket 187M candidate
+    //      pairs). It therefore runs on a QUARTER corpus slice
+    //      (doc_id % 4 = 0): the md5 oracle surface stays
+    //      hash-checked and the plan shape identical, without the
+    //      ~38 s of sf1 sweep spent producing output the repo itself
+    //      classifies as degenerate (r17 verdict bench-hygiene item);
+    //      the slice also sits back under the DEFAULT 25M fence. The
+    //      production op is q294's 64-bit / 16-bit-block twin on the
+    //      FULL corpus.
     "q31_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashNearDups(
-        T(s, dir, "documents"), "text", "doc_id",
-        bits = 32, blocks = 4, maxHamming = 3,
-        maxBucketPairs = 1_000_000_000L)),
+        T(s, dir, "documents").filter(col("doc_id") % 4 === 0),
+        "text", "doc_id", bits = 32, blocks = 4, maxHamming = 3)),
 
 
 
@@ -112,37 +111,22 @@ private[graft] trait EntryDedup extends EntryContext {
 
 
 
-    // ---- production-kernel twins of q16/q31: identical plan shape with
+    // ---- production-kernel twin of q16: identical plan shape with
     //      the xxhash64 kernel swapped in for md5 (Dedup.Xx64). No SQL
     //      oracle (DuckDB has no xxhash64) → driver records a rows-only
     //      check; pair-set parity with the md5 kernel is asserted in
     //      DedupSpec, and the bench rows quantify the kernel speedup.
-    //      NOTE q41 returns ~3× MORE pairs than q31 (and costs
-    //      proportionally more): simhash bits are majority votes
-    //      dominated by the corpus's highest-frequency tokens, so on
-    //      this small-vocabulary synthetic corpus the per-bit 1-rates
-    //      are far from 0.5 under EITHER kernel (measured at sf0.1:
-    //      md5 ~10 of 32 bits ≥0.9 or ≤0.1, xx64 ~14), and the kernel
-    //      that draws more near-unanimous bits has less effective
-    //      entropy → more hamming-≤3 collisions. A property of 32-bit
-    //      simhash on this corpus, not of the kernel: the production
-    //      fix is more bits (64) or idf-weighted votes.
+    //      (q41, the 32-bit SIMHASH xx64 twin, was RETIRED in r18:
+    //      measured collision-saturated — sf1 output 24.6M pairs =
+    //      106× at 10×, ~58 s of sweep producing degenerate output,
+    //      the r17 verdict bench-hygiene item; its kernel seam stays
+    //      spec'd in DedupSpec and its density numbers in the
+    //      BASELINE.md r17 density-audit row. q294 is the production
+    //      simhash surface.)
     "q40_neardup_pairs_xx64" -> ((s, dir) =>
       Dedup.verifiedNearDups(
         T(s, dir, "documents"), "text", "doc_id", threshold = 0.8,
         kind = Dedup.Xx64)),
-
-
-
-    "q41_simhash_pairs_xx64" -> ((s, dir) =>
-      Dedup.simhashNearDups(
-        T(s, dir, "documents"), "text", "doc_id",
-        bits = 32, blocks = 4, maxHamming = 3, kind = Dedup.Xx64,
-        // same explicit 32-bit-entropy cap decision as q31 (xx64 draws
-        // MORE near-unanimous bits: sf1 hottest bucket 14,848 postings
-        // = 220M candidates; output 232,138 → 24,599,549 = 106× at
-        // 10× — SimhashAudit, BASELINE.md r17 density audit)
-        maxBucketPairs = 1_000_000_000L)),
 
 
 
@@ -520,7 +504,8 @@ private[graft] trait EntryDedup extends EntryContext {
       val hamming = (1 to 8).map(i =>
         s"CAST(substr('0112122312232334', xor(${nib("sha", i)}, ${nib("shb", i)}) + 1, 1) AS BIGINT)")
         .mkString(" + ")
-      s"""WITH s AS (SELECT doc_id, ${PortableSql.simhash("text", 32, DD)} AS sh FROM documents),
+      s"""WITH s AS (SELECT doc_id, ${PortableSql.simhash("text", 32, DD)} AS sh
+         |           FROM documents WHERE doc_id % 4 = 0),
          |ex AS (
          |  SELECT doc_id, sh, b, substr(sh, b * 2 + 1, 2) AS v
          |  FROM s CROSS JOIN (VALUES (0), (1), (2), (3)) t(b)

@@ -3,7 +3,8 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Reproducible density audit behind the q31/q41 explicit fence caps
+/** Reproducible density audit behind the 32-bit simhash fence caps (q31;
+  * the retired q41 xx64 twin's numbers are in the BASELINE r17 row)
   * and q294's 64-bit fix (BASELINE.md r17): prints, for a given
   * simhash geometry/kernel over a fixture's `documents`, the hottest
   * (blk, v) bucket's posting count, its implied candidate-pair count
