@@ -214,7 +214,62 @@ private[graft] trait EntryAnnGraph extends EntryContext {
         .agg(count(lit(1)).as("n_hits"))
         .select(lit(10L).as("k"), col("n_hits"),
           round(col("n_hits").cast("double") / 10.0, 6).as("recall"))
+    }),
+
+    // ---- north-star: DIVERSIFIED-PRUNING navigation as a production
+    //      op (DiskANN α-RNG RobustPrune / HNSW select-neighbors
+    //      heuristic — GraphNav.alphaPrunedGraph): the annGraph
+    //      geometry with candidates WIDENED to 12 and α-RNG-pruned
+    //      back to degree ≤ 8 (α = 1.2) — the same edge budget spent
+    //      across DIRECTIONS. The oracle replays the candidate graph,
+    //      the greedy occlusion prune EDGE-FOR-EDGE (24 unrolled
+    //      kept-set CTEs in micro-cosine integer arithmetic), the
+    //      stride seeds, and every beam round. Measured value is
+    //      regime-dependent (BASELINE r18 recall + cluster-nav
+    //      audits): on the contrast-free noise fixture occlusion
+    //      fires on 1.6% of edges and walks are unchanged (0.313
+    //      noise-floor tie, planted hit@1 8/8); on clustered data
+    //      (q304) it is the difference between 0.000 and 1.000.
+    "q303_diversified_walk" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.graphSearch(
+        emb, "vec_id", "embedding", emb.filter(col("vec_id") === 0),
+        divGraph(s, dir), k = 10, nEntries = 4, beamWidth = 16,
+        maxSteps = 10, entries = Similarity.strideEntries(emb, "vec_id", 4))
+    }),
+
+    // ---- north-star: CLUSTERED-corpus navigation gate — the regime
+    //      the diversified-pruning heuristic was published for
+    //      (Malkov & Yashunin 2018 §4): every 20th vector seeds a
+    //      tight 20-clone cluster (pure-integer noise, the q301
+    //      convention), so a raw kNN graph with k=8 < cluster size is
+    //      disconnected cliques and navigates at recall 0.000
+    //      (measured, ClusterNav, both scales), while the α-RNG graph
+    //      from a 24-candidate pool at the SAME degree-8 budget
+    //      reaches 1.000. The walk probes cluster [100, 119] from a
+    //      fresh clone of seed 100; output = the ranked walk with the
+    //      exact-top-10 membership flag — ranking AND recall
+    //      hash-check together.
+    "q304_clustered_nav" -> ((s, dir) => {
+      val corpus = clusteredCorpus(s, dir)
+      val q = corpus.filter(col("vec_id") === 100)
+        .select(col("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            x.cast("double") +
+              ((i * 131 + 757) % 201 - 100).cast("double") / lit(1000.0))
+            .cast("array<float>").as("embedding"))
+      val walk = Similarity.graphSearch(
+        corpus, "vec_id", "embedding", q, clusteredDivGraph(s, dir),
+        k = 10, nEntries = 4, beamWidth = 16, maxSteps = 10,
+        entries = Similarity.strideEntries(corpus, "vec_id", 16))
+      val exact = Similarity.bruteForceTopK(
+          corpus, q, "vec_id", "embedding", k = 10)
+        .select(col("vec_id").as("__ev"))
+      walk.join(exact, walk("vec_id") === exact("__ev"), "left")
+        .select(col("vec_id"), col("cosine_sim"),
+          col("__ev").isNotNull.as("in_exact"))
     })
+
   )
 
   protected def annGraphOracles: Map[String, String] = Map(
@@ -402,7 +457,54 @@ private[graft] trait EntryAnnGraph extends EntryContext {
          |SELECT CAST(10 AS BIGINT) AS k,
          |  CAST(count(*) AS BIGINT) AS n_hits,
          |  round(count(*) / 10.0, 6) AS recall
-         |FROM res_sr r JOIN bt ON bt.vec_id = r.node""".stripMargin
+         |FROM res_sr r JOIN bt ON bt.vec_id = r.node""".stripMargin,
+
+    // diversified-walk replay: candidate stem at k=12, the α-RNG
+    // greedy unrolled kept-set by kept-set, stride seeds, every beam
+    // round — the walk runs on the PRUNED graph kgp
+    "q303_diversified_walk" ->
+      s"""WITH ${graphAnnStemCtes(k = 12)},
+         |${alphaPruneCtes(k = 12, r = 8)},
+         |${strideEntCtes(4, "S")},
+         |${graphAnnWalkCtes(0, graph = "kgp", ent = "entS", ns0 = "dv")}
+         |SELECT node AS vec_id, sim AS cosine_sim FROM res_dv""".stripMargin,
+
+    // clustered-nav replay: the clone corpus (pure-integer noise,
+    // REAL-cast), candidate stem at k=24 over it, the α-RNG prune,
+    // 16 stride seeds, the walk for seed 100's fresh clone, and the
+    // exact-top-10 membership flag
+    "q304_clustered_nav" ->
+      s"""WITH seedsC AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id % 20 = 0),
+         |cembC AS MATERIALIZED (SELECT s.vec_id + t.j AS vec_id,
+         |    CASE WHEN t.j = 0 THEN s.embedding ELSE
+         |      list_transform(generate_series(1, 64), __i ->
+         |        CAST(CAST(s.embedding[__i] AS DOUBLE) +
+         |          (((__i - 1) * 131 + t.j * 37 + 17) % 201 - 100) / 1000.0
+         |          AS REAL))
+         |    END AS embedding
+         |  FROM seedsC s, generate_series(0, 19) t(j)),
+         |${graphAnnStemCtes(src = "cembC", sfx = "_c", k = 24)},
+         |${alphaPruneCtes(k = 24, r = 8, sfx = "_c", emb = "embm_c")},
+         |${strideEntCtes(16, "S_c", emb = "embm_c")},
+         |plqC AS (SELECT vec_id,
+         |    list_transform(generate_series(1, 64), __i ->
+         |      CAST(CAST(embedding[__i] AS DOUBLE) +
+         |        (((__i - 1) * 131 + 757) % 201 - 100) / 1000.0 AS REAL))
+         |      AS embedding
+         |  FROM embm_c WHERE vec_id = 100),
+         |${graphAnnWalkCtes(100, graph = "kgp_c", ent = "entS_c",
+             emb = "embm_c", qsrc = "plqC", ns0 = "cn")},
+         |bt AS (SELECT vec_id FROM (
+         |    SELECT e.vec_id,
+         |      row_number() OVER (ORDER BY
+         |        ${duckCosine("e.embedding", "qv_cn.qe", 64)} DESC,
+         |        e.vec_id ASC) AS rn
+         |    FROM embm_c e, qv_cn) WHERE rn <= 10)
+         |SELECT r.node AS vec_id, r.sim AS cosine_sim,
+         |  bt.vec_id IS NOT NULL AS in_exact
+         |FROM res_cn r LEFT JOIN bt ON bt.vec_id = r.node""".stripMargin
+
   )
 
   /** Shared q287/q293 oracle: the full search-then-link replay. */

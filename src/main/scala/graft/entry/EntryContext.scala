@@ -373,7 +373,9 @@ private[graft] trait EntryContext {
     "q298_video_ingest" -> ((s, dir) => videoIngestPairs(s, dir).count(): Unit),
     "q300_graph_ann_stride" -> ((s, dir) => annGraph(s, dir): Unit),
     "q301_planted_walk" -> ((s, dir) => annGraph(s, dir): Unit),
-    "q302_stride_recall" -> ((s, dir) => annGraph(s, dir): Unit))
+    "q302_stride_recall" -> ((s, dir) => annGraph(s, dir): Unit),
+    "q303_diversified_walk" -> ((s, dir) => divGraph(s, dir): Unit),
+    "q304_clustered_nav" -> ((s, dir) => clusteredDivGraph(s, dir): Unit))
 
   /** Deterministic video corpus for q288/q289: one raw Y4M clip per
     * document (REAL bytes — [[graft.ops.Multimodal.demoY4m]]; ids
@@ -498,6 +500,67 @@ private[graft] trait EntryContext {
         Similarity.knnGraph(T(s, dir, "embeddings"), "vec_id", "embedding",
           planesPerBand = 6, bands = 4, dims = 64, k = 8,
           minCosine = -1.0, maxBucketSize = 400)
+          .select(col("id"), col("nbr"))
+          .localCheckpoint()
+      })
+
+  /** q303 navigation graph: the annGraph geometry with the candidate
+    * list WIDENED to 12 and α-RNG diversified pruning back to degree
+    * ≤ 8 ([[graft.ops.GraphNav.alphaPrunedGraph]], α = 1.2) — same
+    * edge budget as annGraph, spent across directions. Memoized +
+    * warmed like annGraph so bench reps time the walk. */
+  protected def divGraph(s: SparkSession, dir: String): DataFrame =
+    annGraphMemo.getOrElseUpdate(
+      (s.sparkContext.applicationId, "div:" + dir), {
+        val emb = T(s, dir, "embeddings")
+        graft.ops.GraphNav.alphaPrunedGraph(
+          Similarity.knnGraph(emb, "vec_id", "embedding",
+            planesPerBand = 6, bands = 4, dims = 64, k = 12,
+            minCosine = -1.0, maxBucketSize = 400),
+          emb, "vec_id", "embedding", r = 8, alphaNum = 12, alphaDen = 10)
+          .select(col("id"), col("nbr"))
+          .localCheckpoint()
+      })
+
+  /** q304 corpus: the CLUSTERED navigation fixture — every 20th
+    * corpus vector seeds a tight cluster of 20 integer-noise clones
+    * at cos≈0.9 (ids re-packed seed+j; the q301 pure-integer noise
+    * convention, bit-identical in both engines). The regime where a
+    * raw kNN graph with k < cluster size degenerates into
+    * disconnected cliques (Malkov & Yashunin 2018 §4) — measured in
+    * the BASELINE r18 cluster-nav audit (`graft.tools.ClusterNav`):
+    * recall@10 0.000 raw vs 1.000 α-RNG-pruned at the same degree-8
+    * budget, both scales. */
+  protected def clusteredCorpus(s: SparkSession, dir: String): DataFrame =
+    annGraphMemo.getOrElseUpdate(
+      (s.sparkContext.applicationId, "clus:" + dir), {
+        T(s, dir, "embeddings")
+          .filter(col("vec_id") % 20 === 0)
+          .crossJoin(s.range(0, 20).select(col("id").cast("int").as("__j")))
+          .select((col("vec_id") + col("__j")).as("vec_id"),
+            when(col("__j") === 0, col("embedding")).otherwise(
+              transform(col("embedding"), (x, i) =>
+                (x.cast("double") +
+                  ((i * 131 + col("__j") * 37 + 17) % 201 - 100)
+                    .cast("double") / lit(1000.0)))
+                .cast("array<float>")).as("embedding"))
+          .localCheckpoint()
+      })
+
+  /** q304 navigation graph: α-RNG pruning over a 24-candidate pool on
+    * the clustered corpus, degree ≤ 8. The pool must be WIDER than
+    * the cluster size's reach (24 > 20) so it carries cross-cluster
+    * candidates for the occlusion rule to keep — a k=8 raw graph on
+    * this corpus is all intra-cluster edges and navigates at 0.000. */
+  protected def clusteredDivGraph(s: SparkSession, dir: String): DataFrame =
+    annGraphMemo.getOrElseUpdate(
+      (s.sparkContext.applicationId, "clusdiv:" + dir), {
+        val corpus = clusteredCorpus(s, dir)
+        graft.ops.GraphNav.alphaPrunedGraph(
+          Similarity.knnGraph(corpus, "vec_id", "embedding",
+            planesPerBand = 6, bands = 4, dims = 64, k = 24,
+            minCosine = -1.0, maxBucketSize = 400),
+          corpus, "vec_id", "embedding", r = 8, alphaNum = 12, alphaDen = 10)
           .select(col("id"), col("nbr"))
           .localCheckpoint()
       })
@@ -1355,7 +1418,7 @@ private[graft] trait EntryContext {
     * standing slice) can coexist. Composed with
     * [[graphAnnWalkCtes]] per query. */
   protected def graphAnnStemCtes(
-      src: String = "embeddings", sfx: String = ""): String = {
+      src: String = "embeddings", sfx: String = "", k: Int = 8): String = {
     val dims = 64
     val all = Similarity.planes(24, dims)
     val bandSelects = (0 until 4).map { b =>
@@ -1383,7 +1446,7 @@ private[graft] trait EntryContext {
        |      ORDER BY round(cosine_sim*1000000, 0) DESC, nbr) AS rank
        |  FROM sym$sfx),
        |kgc$sfx AS MATERIALIZED (SELECT id, nbr, cosine_sim FROM kr$sfx
-       |  WHERE rank <= 8),
+       |  WHERE rank <= $k),
        |kg$sfx AS (SELECT id, nbr FROM kgc$sfx),
        |ent$sfx AS (SELECT vec_id AS node FROM embm$sfx
        |  ORDER BY vec_id LIMIT 4)""".stripMargin
@@ -1433,6 +1496,64 @@ private[graft] trait EntryContext {
        |    SELECT node, sim,
        |      row_number() OVER (ORDER BY sim DESC, node ASC) AS rn
        |    FROM ${c("vis")}) WHERE rn <= $k)""".stripMargin
+  }
+
+  /** Stride-entry seed CTEs ([[Similarity.strideEntries]]'s integer
+    * arithmetic — n id-range cuts, conditional min per cut). Emits
+    * `ent$sfx(node)`. */
+  protected def strideEntCtes(
+      n: Int, sfx: String, emb: String = "embm"): String =
+    s"""mm$sfx AS (SELECT min(vec_id) AS lo, max(vec_id) AS hi FROM $emb),
+       |ent$sfx AS (SELECT DISTINCT node FROM (
+       |    SELECT (SELECT min(e2.vec_id) FROM $emb e2
+       |        WHERE e2.vec_id >= m.lo + (i.i * (m.hi - m.lo + 1)) // $n)
+       |      AS node
+       |    FROM mm$sfx m, generate_series(0, ${n - 1}) i(i))
+       |  WHERE node IS NOT NULL)""".stripMargin
+
+  /** α-RNG RobustPrune replay over a [[graphAnnStemCtes]] candidate
+    * graph (`kgc$sfx`, rank ≤ k): the greedy unrolls as k
+    * MATERIALIZED kept-set CTEs — candidate rank i joins while its
+    * node's kept count < r and no kept better-ranked neighbor
+    * occludes it (alphaNum·d(p,c) ≤ alphaDen·d(node,c) in
+    * micro-cosine distance — [[graft.ops.GraphNav.alphaPrunedGraph]]'s
+    * exact integer arithmetic, so the pruned edge set replays
+    * edge-for-edge). Emits `kgp$sfx(id, nbr)`. */
+  protected def alphaPruneCtes(
+      k: Int, r: Int, alphaNum: Int = 12, alphaDen: Int = 10,
+      sfx: String = "", emb: String = "embm"): String = {
+    val steps = (2 to k).map { i =>
+      s"""kp${sfx}_$i AS MATERIALIZED (
+         |  SELECT id, nbr, cm FROM kp${sfx}_${i - 1}
+         |  UNION ALL
+         |  SELECT cd.id, cd.nbr, cd.cm FROM candP$sfx cd
+         |  WHERE cd.rank = $i
+         |    AND (SELECT count(*) FROM kp${sfx}_${i - 1} kk
+         |         WHERE kk.id = cd.id) < $r
+         |    AND NOT EXISTS (SELECT 1 FROM kp${sfx}_${i - 1} kk
+         |      JOIN pwP$sfx w ON w.id = cd.id AND w.p = kk.nbr
+         |        AND w.c = cd.nbr
+         |      WHERE kk.id = cd.id
+         |        AND $alphaNum * (1000000 - w.pcm)
+         |          <= $alphaDen * (1000000 - cd.cm)))""".stripMargin
+    }.mkString(",\n")
+    s"""candP$sfx AS MATERIALIZED (SELECT id, nbr,
+       |    CAST(round(cosine_sim*1000000, 0) AS BIGINT) AS cm,
+       |    row_number() OVER (PARTITION BY id
+       |      ORDER BY round(cosine_sim*1000000, 0) DESC, nbr) AS rank
+       |  FROM kgc$sfx),
+       |pwP$sfx AS MATERIALIZED (SELECT a.id, a.nbr AS p, b.nbr AS c,
+       |    CAST(round(${duckCosine("ea.embedding", "eb.embedding", 64)}
+       |      * 1000000, 0) AS BIGINT) AS pcm
+       |  FROM candP$sfx a JOIN candP$sfx b
+       |    ON a.id = b.id AND a.nbr <> b.nbr
+       |    AND (a.cm > b.cm OR (a.cm = b.cm AND a.nbr < b.nbr))
+       |  JOIN $emb ea ON ea.vec_id = a.nbr
+       |  JOIN $emb eb ON eb.vec_id = b.nbr),
+       |kp${sfx}_1 AS MATERIALIZED (SELECT id, nbr, cm FROM candP$sfx
+       |  WHERE rank = 1),
+       |$steps,
+       |kgp$sfx AS (SELECT id, nbr FROM kp${sfx}_$k)""".stripMargin
   }
 
   /** Per-block PQ training CTE chain (q70/q71): replays

@@ -1,0 +1,184 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Graph-ANN NAVIGATION quality ops — the published fixes the flat-NSW
+ * beam ([[Similarity.graphSearchBatch]]) plateaus without
+ * (`/root/reference` has no ANN at all — north-star surface; the r17
+ * recall audit measured stride seeding topping out at 0.313
+ * noise-floor recall@10 at 10×, with both fixes named in
+ * [[Similarity.nnDescentRound]]'s scaladoc):
+ *
+ *  - '''Diversified pruning''' ([[alphaPrunedGraph]]) — DiskANN's
+ *    α-RNG RobustPrune (Subramanya et al., NeurIPS 2019) / HNSW's
+ *    select-neighbors heuristic (Malkov & Yashunin 2018 §4): keep a
+ *    candidate edge only if no already-kept closer neighbor "occludes"
+ *    it (α·d(kept, cand) > d(node, cand)). A raw kNN edge list spends
+ *    its whole degree budget on one tight cluster direction; the
+ *    occlusion rule forces the budget across DIRECTIONS, preserving
+ *    the long-range links beam navigation lives on — exactly the
+ *    links NN-descent prunes away (the measured navigation regression
+ *    knnGraphRefined documents).
+ *  - '''Hierarchy''' ([[hierarchicalSearchBatch]]) — HNSW's layer
+ *    descent: a sampled upper-layer corpus is walked first, and each
+ *    query's upper-layer result seeds its base-layer beam
+ *    (per-query entries through `entriesByQuery`), replacing global
+ *    seeds with near-the-target ones.
+ *
+ * Everything is integer-deterministic (micro-cosine arithmetic, total
+ * orders) so the gate queries replay edge-for-edge in the DuckDB
+ * oracle — the q300 convention.
+ *
+ * WHEN the occlusion rule has power (measured, BASELINE r18 recall +
+ * cluster-nav audits): it needs distance CONTRAST among a node's
+ * candidates — some candidate pair closer to each other than to the
+ * node. On near-orthogonal noise (the ScaleGen fixture: all pairwise
+ * distances ≈ equal) α = 1.2 fires on 1.6% of edges and walks are
+ * bit-identical to the raw graph (noise-floor recall@10 ties at
+ * 0.313, planted-target hit@1 8/8 — the r17 fixture-contrast ceiling,
+ * now confirmed for the third published fix). On CLUSTERED data —
+ * the regime the heuristic was published for — it is decisive: raw
+ * kNN with k < cluster size is disconnected cliques (recall@10
+ * 0.000 at 5k AND 50k corpus), while α-RNG over a pool wide enough
+ * to carry cross-cluster candidates reaches 1.000 at the SAME
+ * degree-8 budget (`graft.tools.ClusterNav`). Corollary: clusters
+ * need a CENTER for intra-cluster occlusion (the hub is closer to
+ * every clone than they are to each other); a center-free simplex of
+ * equidistant clones occludes nothing.
+ */
+object GraphNav {
+
+  /**
+   * α-RNG diversified pruning of a [[Similarity.knnGraph]]-shaped edge
+   * list (id, rank, nbr, cos_micro): per node, process candidates
+   * best-first — (cos_micro desc, nbr asc), the knnGraph rank order —
+   * and KEEP a candidate `c` only while fewer than `r` edges are kept
+   * and no kept `p` occludes it:
+   *
+   *   occluded(p, c)  ⟺  alphaNum · d(p, c) ≤ alphaDen · d(node, c)
+   *
+   * with d = 1e6 − cos_micro (micro cosine distance) — α =
+   * alphaNum/alphaDen as an exact integer ratio, so the decision is
+   * pure integer arithmetic and replays bit-for-bit in SQL. α = 1
+   * is the classic relative-neighborhood graph; DiskANN's α ≈ 1.2
+   * keeps slightly-occluded edges for robustness. Build the candidate
+   * list WIDER than the degree budget (k of the input knnGraph > `r`)
+   * so pruned slots refill with directionally-diverse picks.
+   *
+   * Scale shape: pairwise candidate cosines are one self-equi-join on
+   * the node id — ≤ k²/2 rows per node, n·O(k²) total (the
+   * [[Similarity.nnDescentRound]] candidate budget), two embedding
+   * joins, then ONE bounded per-node aggregation whose greedy scan
+   * runs as a higher-order `aggregate` over ≤ k structs; never
+   * corpus×corpus, no driver-side state.
+   *
+   * Output schema = knnGraph's (id, rank, nbr, cos_micro) with ≤ `r`
+   * edges per node, rank re-numbered 1..≤r in kept order.
+   */
+  def alphaPrunedGraph(
+      knn: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      r: Int,
+      alphaNum: Int = 12,
+      alphaDen: Int = 10): DataFrame = {
+    require(r >= 1, "alphaPrunedGraph needs r >= 1")
+    require(alphaNum >= alphaDen && alphaDen >= 1,
+      "alpha must be >= 1 (alphaNum >= alphaDen >= 1)")
+    val spark = corpus.sparkSession
+    val cand = knn.select(col("id"), col("nbr"), col("cos_micro"))
+    val emb = corpus.select(col(idCol).cast("long").as("__nid"),
+      col(embCol).as("__ne"))
+    // pairwise cosines between BETTER-ranKED p and candidate c of the
+    // same node (the only pairs the greedy consults): micro-rounded
+    // through the same kernel/rounding as the input edges
+    val better = col("a.cos_micro") > col("b.cos_micro") ||
+      (col("a.cos_micro") === col("b.cos_micro") && col("a.nbr") < col("b.nbr"))
+    val pw = cand.as("a").join(cand.as("b"),
+        col("a.id") === col("b.id") && col("a.nbr") =!= col("b.nbr") && better)
+      .select(col("a.id").as("id"), col("a.nbr").as("p"), col("b.nbr").as("c"))
+      .join(emb.select(col("__nid").as("p"), col("__ne").as("__ea")), Seq("p"))
+      .join(emb.select(col("__nid").as("c"), col("__ne").as("__eb")), Seq("c"))
+      .select(col("id"), col("p"), col("c"),
+        round(Similarity.cosineFast(spark, col("__ea"), col("__eb")) * 1e6, 0)
+          .cast("long").as("pcm"))
+      .filter(col("pcm").isNotNull) // zero-norm candidates are unoccludable
+    // per candidate: its occlusion context (every better-ranked p with
+    // the pairwise micro cosine), then per node: candidates sorted
+    // best-first with the context inlined
+    val withOcc = cand.join(
+        pw.groupBy(col("id"), col("c").as("nbr"))
+          .agg(collect_list(struct(col("p"), col("pcm"))).as("occ")),
+        Seq("id", "nbr"), "left")
+      .select(col("id"), struct(
+        (-col("cos_micro")).as("nc"),
+        col("nbr").as("nbr"),
+        coalesce(col("occ"),
+          array().cast("array<struct<p:bigint,pcm:bigint>>")).as("occ")).as("e"))
+    // the greedy: aggregate over the sorted candidate structs, kept =
+    // array of nbr ids; a candidate joins while |kept| < r and no kept
+    // p occludes it — all integer arithmetic, SQL-replayable
+    val kept = withOcc
+      .groupBy("id")
+      .agg(array_sort(collect_list(col("e"))).as("cands"))
+      .select(col("id"), expr(
+        s"""aggregate(cands, cast(array() as array<bigint>), (kept, c) ->
+           |  if (size(kept) >= $r
+           |      or exists(c.occ, o -> array_contains(kept, o.p)
+           |        and ${alphaNum}L * (1000000L - o.pcm)
+           |          <= ${alphaDen}L * (1000000L + c.nc)),
+           |    kept, concat(kept, array(c.nbr))))""".stripMargin).as("kept"))
+    kept
+      .select(col("id"), posexplode(col("kept")).as(Seq("rank0", "nbr")))
+      .select(col("id"), (col("rank0") + 1).cast("long").as("rank"), col("nbr"))
+      .join(cand.select(col("id"), col("nbr"), col("cos_micro")),
+        Seq("id", "nbr"))
+      .select(col("id"), col("rank"), col("nbr"), col("cos_micro"))
+  }
+
+  /**
+   * HNSW-style two-layer hierarchical beam search — the PRODUCTION
+   * wrapper for the per-query-seed hook
+   * ([[Similarity.graphSearchBatch]]'s `entriesByQuery`; prototyped in
+   * `graft.tools.GraphRecall`): walk the sampled `upperCorpus` first
+   * (its graph is small, so a cheap wide beam covers it), then hand
+   * each query its own upper-layer top-`seedK` as base-layer entries —
+   * near-the-target seeds instead of global ones, the layer-descent
+   * step of Malkov & Yashunin 2018. Deterministic end to end: the
+   * upper layer is whatever reproducible sample the caller built
+   * (e.g. `xxhash64(id) % m = 0`), both walks are the replayable beam.
+   *
+   * Cost: one graphSearchBatch over the upper layer (corpus-size
+   * |upper| ≈ n/m) + the base walk — the base rounds dominate; the
+   * upper walk adds one beam's worth of pruned point lookups.
+   */
+  def hierarchicalSearchBatch(
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      queries: DataFrame,
+      qidCol: String,
+      graph: DataFrame,
+      upperCorpus: DataFrame,
+      upperGraph: DataFrame,
+      k: Int,
+      seedK: Int = 8,
+      beamWidth: Int = 8,
+      maxSteps: Int = 8,
+      upperBeamWidth: Int = 16,
+      upperMaxSteps: Int = 10): DataFrame = {
+    val upper = Similarity.graphSearchBatch(
+        upperCorpus, idCol, embCol, queries, qidCol, upperGraph,
+        k = seedK, nEntries = 4, beamWidth = upperBeamWidth,
+        maxSteps = upperMaxSteps,
+        entries = Similarity.strideEntries(upperCorpus, idCol, 4))
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(2)).toSeq }
+    Similarity.graphSearchBatch(corpus, idCol, embCol, queries, qidCol,
+      graph, k, nEntries = 4, beamWidth = beamWidth, maxSteps = maxSteps,
+      entriesByQuery = upper)
+  }
+}

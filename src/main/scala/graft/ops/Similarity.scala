@@ -728,7 +728,7 @@ object Similarity {
 
     // deterministic entry seeds: PER-QUERY (`entriesByQuery` — the
     // hierarchical regime: an upper-layer walk hands each query its
-    // own near-the-target seeds, [[hierarchicalSearchBatch]]), else
+    // own near-the-target seeds, [[GraphNav.hierarchicalSearchBatch]]), else
     // shared — caller-supplied (the [[strideEntries]] spread) or, by
     // default, the nEntries lowest corpus ids (one column-pruned
     // TakeOrdered pass)

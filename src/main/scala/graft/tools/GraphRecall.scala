@@ -128,6 +128,39 @@ object GraphRecall {
       println(s"[recall] $dir hier_mod$mod per-query=${per.mkString(",")} " +
         f"mean_recall@10=${per.sum.toDouble / per.length / 10.0}%.3f")
     }
+    // DIVERSIFIED PRUNING (DiskANN α-RNG RobustPrune / HNSW heuristic,
+    // GraphNav.alphaPrunedGraph): candidates widened to k=16, pruned
+    // to degree ≤ 8 — the fixture graph's edge budget spent across
+    // DIRECTIONS instead of one tight cluster; "divsym" additionally
+    // inserts the reverse edges and re-prunes (the full DiskANN
+    // two-pass build)
+    val wide = Similarity.knnGraph(emb, "vec_id", "embedding",
+        planesPerBand = 6, bands = 4, dims = 64, k = 16,
+        minCosine = -1.0, maxBucketSize = 400).localCheckpoint()
+    val divGraphs = Seq((11, "a11"), (12, "a12"), (14, "a14")).map {
+      case (an, lbl) =>
+        val div = graft.ops.GraphNav.alphaPrunedGraph(
+            wide, emb, "vec_id", "embedding", r = 8,
+            alphaNum = an, alphaDen = 10)
+          .select(col("id"), col("nbr"), col("cos_micro")).localCheckpoint()
+        recallOf(Similarity.strideEntries(emb, "vec_id", 16),
+          s"div_${lbl}_stride16", div)
+        (lbl, div)
+    }.toMap
+    recallOf(Nil, "div_a12_corner", divGraphs("a12"))
+    val divsym = {
+      val d = divGraphs("a12")
+      val union = d.unionByName(d.select(col("nbr").as("id"),
+          col("id").as("nbr"), col("cos_micro")))
+        .dropDuplicates("id", "nbr")
+      graft.ops.GraphNav.alphaPrunedGraph(
+          union, emb, "vec_id", "embedding", r = 8,
+          alphaNum = 12, alphaDen = 10)
+        .select(col("id"), col("nbr"), col("cos_micro")).localCheckpoint()
+    }
+    recallOf(Similarity.strideEntries(emb, "vec_id", 16),
+      "divsym_a12_stride16", divsym)
+
     // PLANTED-structure probe — the readout that separates "the index
     // fails" from "the fixture has nothing to find" (the unit-Gaussian
     // corpus's top-10 cosines bunch at 0.40–0.50 with ~0.003 margins at
@@ -145,7 +178,8 @@ object GraphRecall {
           (x / sqrt(aggregate(col("__raw"), lit(0.0d),
             (a, v) => a + v * v))).cast("float")).as("embedding"))
       .localCheckpoint()
-    for ((g, label) <- Seq((graph, "fixture"), (scaled, "scaledlsh"))) {
+    for ((g, label) <- Seq((graph, "fixture"), (scaled, "scaledlsh"),
+        (divGraphs("a12"), "div_a12"), (divsym, "divsym_a12"))) {
       val hits = Similarity.graphSearchBatch(
           emb, "vec_id", "embedding", planted, "query_id", g,
           k = 10, nEntries = 4, beamWidth = beam, maxSteps = steps,

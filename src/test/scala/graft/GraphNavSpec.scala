@@ -1,0 +1,192 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{GraphNav, Similarity}
+
+class GraphNavSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def micro(cos: Double): Long =
+    BigDecimal(cos * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  private def cosOf(a: Seq[Float], b: Seq[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    a.indices.foreach { i =>
+      dot += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  test("alphaPrunedGraph: occlusion rule, degree cap, rank order — hand case") {
+    // node 0's candidates: a (10°, best), b (20° — occluded by a:
+    // 1.2·d(a,b) ≤ d(0,b)), c (orthogonal to both — unoccluded)
+    val v0 = Seq(1f, 0f, 0f, 0f)
+    val va = Seq(math.cos(0.1745).toFloat, math.sin(0.1745).toFloat, 0f, 0f)
+    val vb = Seq(math.cos(0.3491).toFloat, math.sin(0.3491).toFloat, 0f, 0f)
+    val vc = Seq(0f, 0f, 1f, 0f)
+    val corpus = Seq((0L, v0), (1L, va), (2L, vb), (3L, vc))
+      .toDF("vid", "emb")
+    val knn = Seq(
+      (0L, 1L, 1L, micro(cosOf(v0, va))),
+      (0L, 2L, 2L, micro(cosOf(v0, vb))),
+      (0L, 3L, 3L, micro(cosOf(v0, vc))))
+      .toDF("id", "rank", "nbr", "cos_micro")
+    val pruned = GraphNav.alphaPrunedGraph(knn, corpus, "vid", "emb", r = 8)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(pruned.toSeq == Seq((1L, 1L), (2L, 3L)),
+      "b is occluded by a (same direction, farther); orthogonal c survives")
+    // degree cap: r = 1 keeps only the best candidate
+    val capped = GraphNav.alphaPrunedGraph(knn, corpus, "vid", "emb", r = 1)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(capped.toSeq == Seq((1L, 1L)))
+    // alpha = 1 (classic RNG): c is exactly equidistant from a and 0
+    // (both orthogonal), and the boundary ≤ occludes — only a survives
+    assert(GraphNav.alphaPrunedGraph(knn, corpus, "vid", "emb", r = 8,
+      alphaNum = 10, alphaDen = 10).count() == 1)
+    assert(GraphNav.alphaPrunedGraph(knn, corpus, "vid", "emb", r = 8,
+      alphaNum = 100, alphaDen = 10).count() == 3,
+      "a loose enough alpha occludes nothing")
+  }
+
+  test("alphaPrunedGraph: independent greedy replay on an LSH kNN graph") {
+    // deterministic 24-vector / 8-dim corpus with enough directional
+    // spread that occlusion decisions actually vary
+    val corpus = (0L until 24L).map { i =>
+      (i, (0 until 8).map(d =>
+        (math.sin(i * 0.7 + d * 1.3) + 0.2 * math.cos(i * 2.1 * (d + 1)))
+          .toFloat))
+    }.toDF("vid", "emb")
+    val knn = Similarity.knnGraph(corpus, "vid", "emb",
+      planesPerBand = 2, bands = 2, dims = 8, k = 6, minCosine = -1.0)
+      .localCheckpoint()
+    val r = 3
+    val got = GraphNav.alphaPrunedGraph(knn, corpus, "vid", "emb", r = r)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+
+    // replay: collect edges + embeddings, run the published greedy in
+    // plain Scala (independent of the HOF implementation)
+    val emb = corpus.collect()
+      .map(x => x.getLong(0) -> x.getSeq[Float](1)).toMap
+    val edges = knn.collect()
+      .map(x => (x.getLong(0), x.getLong(2), x.getLong(3)))
+      .groupBy(_._1)
+    val expected = edges.flatMap { case (id, es) =>
+      val cands = es.map { case (_, nbr, cm) => (nbr, cm) }
+        .sortBy { case (nbr, cm) => (-cm, nbr) }
+      val kept = collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      cands.foreach { case (c, cm) =>
+        val occluded = kept.exists { case (p, _) =>
+          val pcm = micro(cosOf(emb(p), emb(c)))
+          12L * (1000000L - pcm) <= 10L * (1000000L - cm)
+        }
+        if (kept.size < r && !occluded) kept += ((c, cm))
+      }
+      kept.zipWithIndex.map { case ((c, _), i) => (id, (i + 1).toLong, c) }
+    }.toSet
+    assert(got == expected)
+    assert(got.groupBy(_._1).values.forall(_.size <= r))
+  }
+
+  test("clustered corpus: raw kNN cliques trap the beam; α-RNG at the same degree navigates") {
+    // 40 tight clusters of 12 over a pseudo-random 32-dim base (the
+    // ClusterNav construction at miniature scale): a raw kNN graph
+    // with k=6 < cluster size is disconnected cliques (Malkov &
+    // Yashunin 2018 §4); α-RNG pruning of a wider pool keeps
+    // cross-cluster links at the SAME degree budget
+    // j = 0 is the pure cluster seed: the occlusion rule needs the
+    // center (closer to every clone than they are to each other) to
+    // prune the periphery — a center-free simplex of equidistant
+    // clones occludes nothing at α = 1.2
+    val corpus = (0L until 480L).map { i =>
+      val c = (i / 12).toInt
+      val j = (i % 12).toInt
+      (i, (0 until 32).map(d =>
+        (math.sin(c * 7.13 + d * 3.77 + c * d * 0.91) +
+          (if (j == 0) 0.0
+           else 0.15 * math.sin(j * 3.1 + d * 1.3 + j * d * 0.7)))
+          .toFloat))
+    }.toDF("vid", "emb").localCheckpoint()
+    // query: a fresh clone near cluster 13 (ids 156-167) — chosen OFF
+    // the stride-16 seed grid (multiples of 30), so no walk seed lands
+    // in the target cluster
+    val queries = corpus.filter(col("vid") === 156L)
+      .select(col("vid").as("qid"),
+        transform(col("emb"), (x, i) =>
+          (x + lit(0.05f) * cos(i.cast("double") * 2.3).cast("float")))
+          .as("emb"))
+      .localCheckpoint()
+    val exact = Similarity.bruteForceTopKBatch(
+        corpus, queries, "vid", "emb", "qid", k = 10)
+      .select(col("query_id"), col("vid")).localCheckpoint()
+    // the contrast is real: the exact top-10 IS the cluster
+    assert(exact.filter(col("vid") >= 156 && col("vid") < 168).count() == 10)
+    def recall(g: org.apache.spark.sql.DataFrame): Long =
+      Similarity.graphSearchBatch(corpus, "vid", "emb",
+          queries, "qid", g, k = 10, nEntries = 4, beamWidth = 16,
+          maxSteps = 12,
+          entries = Similarity.strideEntries(corpus, "vid", 16))
+        .select(col("query_id"), col("vid"))
+        .join(exact, Seq("query_id", "vid")).count()
+    val raw = Similarity.knnGraph(corpus, "vid", "emb",
+      planesPerBand = 4, bands = 2, dims = 32, k = 6, minCosine = -1.0)
+      .localCheckpoint()
+    val div = GraphNav.alphaPrunedGraph(
+      Similarity.knnGraph(corpus, "vid", "emb",
+        planesPerBand = 4, bands = 2, dims = 32, k = 24, minCosine = -1.0),
+      corpus, "vid", "emb", r = 6).localCheckpoint()
+    val (rawHits, divHits) = (recall(raw), recall(div))
+    assert(rawHits == 0, s"raw kNN cliques must trap the beam (got $rawHits)")
+    assert(divHits >= 8,
+      s"α-RNG at the same degree budget must navigate in (got $divHits/10)")
+    // same degree budget really holds
+    assert(div.groupBy("id").count().agg(max("count")).head().getLong(0) <= 6)
+  }
+
+  test("hierarchicalSearchBatch: per-query upper-layer seeds, planted target walks home") {
+    // clustered corpus: 4 tight clusters of 10 vectors; the upper layer
+    // is every 4th id. A planted query near id 37 must walk to it even
+    // though the global corner seeds sit in cluster 0.
+    val corpus = (0L until 40L).map { i =>
+      val c = (i / 10).toInt
+      (i, (0 until 8).map(d =>
+        (math.cos(c * 1.5 + d) + 0.05 * math.sin(i * 3.7 + d * 1.9))
+          .toFloat))
+    }.toDF("vid", "emb").localCheckpoint()
+    val graph = Similarity.knnGraph(corpus, "vid", "emb",
+      planesPerBand = 2, bands = 2, dims = 8, k = 4, minCosine = -1.0)
+      .localCheckpoint()
+    val upperCorpus = corpus.filter(col("vid") % 4 === 0).localCheckpoint()
+    val upperGraph = Similarity.knnGraph(upperCorpus, "vid", "emb",
+      planesPerBand = 1, bands = 2, dims = 8, k = 4, minCosine = -1.0)
+      .localCheckpoint()
+    val queries = corpus.filter(col("vid") === 37L)
+      .select(col("vid").as("qid"),
+        transform(col("emb"), (x, i) =>
+          (x + lit(0.01f) * cos(i.cast("double")).cast("float")))
+          .as("emb"))
+    val got = GraphNav.hierarchicalSearchBatch(
+      corpus, "vid", "emb", queries, "qid", graph,
+      upperCorpus, upperGraph, k = 5)
+    val top = got.filter(col("rank") === 1).collect()
+    assert(top.length == 1 && top.head.getLong(2) == 37L,
+      "the upper-layer walk must seed the base beam inside the target cluster")
+    // wrapper ≡ inline construction through the entriesByQuery hook
+    val upper = Similarity.graphSearchBatch(
+        upperCorpus, "vid", "emb", queries, "qid", upperGraph,
+        k = 8, nEntries = 4, beamWidth = 16, maxSteps = 10,
+        entries = Similarity.strideEntries(upperCorpus, "vid", 4))
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(2)).toSeq }
+    val inline = Similarity.graphSearchBatch(corpus, "vid", "emb",
+      queries, "qid", graph, k = 5, nEntries = 4, beamWidth = 8,
+      maxSteps = 8, entriesByQuery = upper)
+    assert(got.collect().toSeq == inline.collect().toSeq)
+  }
+}
