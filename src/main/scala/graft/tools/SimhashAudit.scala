@@ -43,6 +43,20 @@ object SimhashAudit {
       bits = bits, blocks = 4, maxHamming = 3, kind = kind,
       maxBucketPairs = Long.MaxValue).count()
     println(s"[audit] $dir bits=$bits ${args(2)} output_pairs=$pairs")
+    // stop-bucket recall cost (optional 4th arg = maxBucketPostings):
+    // the CONTINUE path drops saturated buckets; this prints how many
+    // buckets/postings drop and the true-pair recall that survives —
+    // the accounting a capped deployment budgets against
+    args.drop(3).headOption.map(_.toLong).foreach { cap =>
+      val dropped = graft.ops.Fences.bucketDropReport(ex, Seq("blk", "v"), cap)
+        .agg(count(lit(1)), sum("n_postings")).head()
+      val kept = graft.ops.Dedup.simhashNearDups(docs, "text", "doc_id",
+        bits = bits, blocks = 4, maxHamming = 3, kind = kind,
+        maxBucketPairs = Long.MaxValue, maxBucketPostings = cap).count()
+      println(s"[audit] $dir bits=$bits ${args(2)} stop_cap=$cap " +
+        s"dropped_buckets=${dropped.get(0)} dropped_postings=${dropped.get(1)} " +
+        f"kept_pairs=$kept recall_vs_uncapped=${kept.toDouble / math.max(1L, pairs)}%.4f")
+    }
     spark.stop()
   }
 }
