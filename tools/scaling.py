@@ -34,14 +34,15 @@ ENTRY_GLOB = "src/main/scala/graft/entry/Entry*.scala"
 # corpus size — these ops are output-bound (cost ∝ their own answer),
 # not algorithmically superlinear. MEASURED sf0.1→sf1 output rows
 # (graft.tools.SimhashAudit / CountRows; BASELINE.md r17 density
-# audit): q31 83,078→9,262,736 (111×), q41 232,138→24,599,549 (106×)
-# — both runtimes (29×/20×) sit BELOW their output growth; the 32-bit
-# hamming ball saturates on this corpus (q294 is the 64-bit fix whose
+# audit): q31 (full corpus) 83,078→9,262,736 (111×) — the 32-bit
+# hamming ball saturates on this corpus; since r18 q31 runs a QUARTER
+# slice (bench hygiene) and q41 is retired, but the slice's output is
+# still pair-dense by the same recipe (q294 is the 64-bit fix whose
 # output is 312→13,564). q279's residual term is the
 # fingerprint-capacity saturation documented in AudioDedup (bank
 # width is the dial).
 OUTPUT_BOUND = {
-    "q31_simhash_pairs", "q41_simhash_pairs_xx64", "q279_audio_neardup",
+    "q31_simhash_pairs", "q279_audio_neardup",
     # q294: measured output 312 -> 13,564 true pairs (43x at 10x; the
     # ScaleGen 5%-near-dup-of-an-EARLIER-doc recipe densifies pairs
     # superlinearly by construction); runtime 35x sits BELOW output
