@@ -42,17 +42,21 @@ object Fences {
    * SimhashAudit row in BASELINE.md. `maxPostings <= 0` disables
    * (the default everywhere — fail-loud stays the default posture).
    *
-   * Cost: one count over the bucket key the join shuffles on anyway
-   * (the audio convention's window form), no extra wide pass.
+   * Cost: one DECOMPOSABLE groupBy count over the bucket key (map-side
+   * partials collapse the hot key per-mapper) + a broadcast anti-join
+   * against the tiny over-cap key set. Deliberately NOT a window
+   * count: a window partitioned by the bucket key would funnel the
+   * saturated bucket — the exact input this path exists to survive —
+   * through a single task, payload columns and all (the
+   * [[graft.ops.AudioDedup]] `maxDocsPerFp` lesson).
    */
   def stopBuckets(
       ex: DataFrame, keyCols: Seq[String], maxPostings: Long): DataFrame =
     if (maxPostings <= 0L) ex
-    else ex.withColumn("__nb",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(keyCols.map(col): _*)))
-      .filter(col("__nb") <= maxPostings)
-      .drop("__nb")
+    else ex.join(
+      broadcast(bucketDropReport(ex, keyCols, maxPostings)
+        .select(keyCols.map(col): _*)),
+      keyCols, "left_anti")
 
   /** The buckets [[stopBuckets]] would drop at `maxPostings` —
     * (keyCols…, n_postings), the drop-accounting readout a capped

@@ -43,8 +43,10 @@ object ClusterNav {
     val emb0 = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
     // "clustered" mode: REPLACE the corpus with tight clusters of 20
-    // (every 20th vector seeds 20 integer-noise clones at cos≈0.9, ids
-    // re-packed seed*20+j) — the regime where a raw kNN graph with
+    // (every 20th vector seeds 20 integer-noise clones at cos≈0.9;
+    // clone ids are seed + j, collision-free ONLY because the seeds
+    // are the dense %-20 grid — re-derive the packing for sparse-id
+    // fixtures) — the regime where a raw kNN graph with
     // k < cluster size degenerates into disconnected cliques (Malkov &
     // Yashunin 2018 §4's clustered-data failure) while α-RNG pruning
     // of a wider pool keeps the cross-cluster links
