@@ -268,6 +268,23 @@ private[graft] trait EntryAnnGraph extends EntryContext {
       walk.join(exact, walk("vec_id") === exact("__ev"), "left")
         .select(col("vec_id"), col("cosine_sim"),
           col("__ev").isNotNull.as("in_exact"))
+    }),
+
+
+    // ---- north-star: the DIVERSIFIED graph as a DURABLE index — the
+    //      q303 construction (12-candidate pool, α-RNG prune to
+    //      degree ≤ 8) committed through the GraphIndex lifecycle
+    //      (gen/ledger CAS, MoR adjacency, claim-serialized drains,
+    //      RTBF), with the α policy stored in the meta so every
+    //      future insert-merge RobustPrunes instead of top-k (the
+    //      DiskANN insertion rule; GraphIndexSpec pins the occlusion
+    //      invariant across drains). Probe ≡ the in-memory q303 walk
+    //      — same oracle, the q60/q286 durable-twin convention.
+    "q305_durable_diversified" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      graft.io.GraphIndex.search(s, durableDivGraphIndex(s, dir), emb,
+        emb.filter(col("vec_id") === 0), k = 10,
+        entries = Similarity.strideEntries(emb, "vec_id", 4))
     })
 
   )
@@ -503,7 +520,17 @@ private[graft] trait EntryAnnGraph extends EntryContext {
          |    FROM embm_c e, qv_cn) WHERE rn <= 10)
          |SELECT r.node AS vec_id, r.sim AS cosine_sim,
          |  bt.vec_id IS NOT NULL AS in_exact
-         |FROM res_cn r LEFT JOIN bt ON bt.vec_id = r.node""".stripMargin
+         |FROM res_cn r LEFT JOIN bt ON bt.vec_id = r.node""".stripMargin,
+
+
+    // durable diversified probe ≡ the in-memory q303 walk (the stored
+    // adjacency IS the α-pruned graph): q303's replay verbatim
+    "q305_durable_diversified" ->
+      s"""WITH ${graphAnnStemCtes(k = 12)},
+         |${alphaPruneCtes(k = 12, r = 8)},
+         |${strideEntCtes(4, "S")},
+         |${graphAnnWalkCtes(0, graph = "kgp", ent = "entS", ns0 = "dd")}
+         |SELECT node AS vec_id, sim AS cosine_sim FROM res_dd""".stripMargin
 
   )
 

@@ -375,7 +375,8 @@ private[graft] trait EntryContext {
     "q301_planted_walk" -> ((s, dir) => annGraph(s, dir): Unit),
     "q302_stride_recall" -> ((s, dir) => annGraph(s, dir): Unit),
     "q303_diversified_walk" -> ((s, dir) => divGraph(s, dir): Unit),
-    "q304_clustered_nav" -> ((s, dir) => clusteredDivGraph(s, dir): Unit))
+    "q304_clustered_nav" -> ((s, dir) => clusteredDivGraph(s, dir): Unit),
+    "q305_durable_diversified" -> ((s, dir) => durableDivGraphIndex(s, dir): Unit))
 
   /** Deterministic video corpus for q288/q289: one raw Y4M clip per
     * document (REAL bytes — [[graft.ops.Multimodal.demoY4m]]; ids
@@ -411,6 +412,24 @@ private[graft] trait EntryContext {
           T(s, dir, "embeddings"), "vec_id", "embedding", idxDir,
           dims = 64, k = 8, planesPerBand = 6, bands = 4,
           maxBucketSize = 400, nEntries = 4, beamWidth = 16, maxSteps = 10)
+        idxDir
+      })
+
+  /** q305 store: the DIVERSIFIED durable graph — q303's exact
+    * construction (candidate pool 12, α-RNG prune to degree ≤ 8)
+    * committed through the GraphIndex lifecycle, so the stored
+    * adjacency ≡ the in-memory divGraph and the probe replays against
+    * q303's oracle (the q60/q286 durable-twin convention). */
+  protected def durableDivGraphIndex(s: SparkSession, dir: String): String =
+    graphIdxMemo.getOrElseUpdate(
+      (s.sparkContext.applicationId, dir, "div"), {
+        val idxDir = tmp("graph_div_index_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+        wipe(s, idxDir)
+        graft.io.GraphIndex.build(
+          T(s, dir, "embeddings"), "vec_id", "embedding", idxDir,
+          dims = 64, k = 8, planesPerBand = 6, bands = 4,
+          maxBucketSize = 400, nEntries = 4, beamWidth = 16, maxSteps = 10,
+          candidateK = 12, alphaNum = 12, alphaDen = 10)
         idxDir
       })
 

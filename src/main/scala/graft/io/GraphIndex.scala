@@ -52,11 +52,18 @@ import graft.ops.Similarity
  */
 object GraphIndex {
 
-  /** Index identity + search geometry, fixed at build time. */
+  /** Index identity + search geometry, fixed at build time.
+    * `alphaNum/alphaDen` > 0 selects the DIVERSIFIED (α-RNG /
+    * DiskANN RobustPrune) adjacency policy — every prune (build,
+    * insert-merge) goes through [[graft.ops.GraphNav.alphaPrunedGraph]]
+    * with a `candidateK`-wide pool instead of plain top-k; 0 = the
+    * classic top-k store (and the value absent metas read as, so
+    * pre-α stores keep their committed behavior). */
   final case class Meta(
       idCol: String, embCol: String, dims: Int, k: Int,
       planesPerBand: Int, bands: Int, maxBucketSize: Int,
-      nEntries: Int, beamWidth: Int, maxSteps: Int)
+      nEntries: Int, beamWidth: Int, maxSteps: Int,
+      candidateK: Int, alphaNum: Int, alphaDen: Int)
 
   private def adjPath(dir: String) = s"$dir/adj"
   private def ledgerDir(dir: String) = s"$dir/ledger"
@@ -111,7 +118,10 @@ object GraphIndex {
       maxBucketSize: Int = 400,
       nEntries: Int = 4,
       beamWidth: Int = 16,
-      maxSteps: Int = 10): Unit = {
+      maxSteps: Int = 10,
+      candidateK: Int = 0,
+      alphaNum: Int = 0,
+      alphaDen: Int = 10): Unit = {
     require(Seq(idCol, embCol).forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")),
       "id/emb columns must be plain identifiers (stored in index meta)")
     val spark = corpus.sparkSession
@@ -123,8 +133,12 @@ object GraphIndex {
     fs.delete(metaFile(dir), false)
     fs.delete(new Path(adjPath(dir)), true)
     fs.delete(new Path(ledgerDir(dir)), true)
-    val g = Similarity.knnGraph(corpus, idCol, embCol,
-        planesPerBand, bands, dims, k, minCosine = -1.0, maxBucketSize)
+    val poolK = if (alphaNum > 0) math.max(candidateK, k) else k
+    val g0 = Similarity.knnGraph(corpus, idCol, embCol,
+      planesPerBand, bands, dims, poolK, minCosine = -1.0, maxBucketSize)
+    val g = (if (alphaNum <= 0) g0
+      else graft.ops.GraphNav.alphaPrunedGraph(
+        g0, corpus, idCol, embCol, r = k, alphaNum, alphaDen))
       .select(col("id").cast("long").as("id"), col("nbr").cast("long").as("nbr"),
         col("cos_micro").cast("long").as("cos_micro"))
       .withColumn("gen", lit(0))
@@ -141,7 +155,9 @@ object GraphIndex {
       s"""{"id_col": "$idCol", "emb_col": "$embCol", "dims": $dims, """ +
         s""""k": $k, "planes_per_band": $planesPerBand, "bands": $bands, """ +
         s""""max_bucket_size": $maxBucketSize, "n_entries": $nEntries, """ +
-        s""""beam_width": $beamWidth, "max_steps": $maxSteps}"""
+        s""""beam_width": $beamWidth, "max_steps": $maxSteps, """ +
+        s""""candidate_k": ${math.max(candidateK, k)}, """ +
+        s""""alpha_num": $alphaNum, "alpha_den": $alphaDen}"""
     val out = fs.create(metaFile(dir), true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
   }
@@ -159,9 +175,14 @@ object GraphIndex {
       .getOrElse(sys.error(s"bad graph index meta: missing $k")).group(1)
     def num(k: String) = s""""$k": (\\d+)""".r.findFirstMatchIn(json)
       .getOrElse(sys.error(s"bad graph index meta: missing $k")).group(1).toInt
+    // absent in pre-α metas → the classic top-k policy, unchanged
+    def numOr(k: String, d: Int) = s""""$k": (\\d+)""".r
+      .findFirstMatchIn(json).map(_.group(1).toInt).getOrElse(d)
     Meta(str("id_col"), str("emb_col"), num("dims"), num("k"),
       num("planes_per_band"), num("bands"), num("max_bucket_size"),
-      num("n_entries"), num("beam_width"), num("max_steps"))
+      num("n_entries"), num("beam_width"), num("max_steps"),
+      numOr("candidate_k", num("k")), numOr("alpha_num", 0),
+      numOr("alpha_den", 10))
   }
 
   /** The live adjacency (id, nbr, cos_micro): generation rows
@@ -213,23 +234,28 @@ object GraphIndex {
       corpus: DataFrame,
       queries: DataFrame,
       qidCol: String,
-      k: Int): DataFrame = {
+      k: Int,
+      entries: Seq[Long] = Nil): DataFrame = {
     val m = meta(spark, dir)
     Similarity.graphSearchBatch(corpus, m.idCol, m.embCol,
       queries, qidCol, edges(spark, dir), k,
-      m.nEntries, m.beamWidth, m.maxSteps)
+      m.nEntries, m.beamWidth, m.maxSteps, entries)
   }
 
-  /** Single-query [[searchBatch]]: (idCol, cosine_sim), top-k. */
+  /** Single-query [[searchBatch]]: (idCol, cosine_sim), top-k.
+    * `entries` overrides the corner seeds (the stride policy the r17
+    * recall audit recommends — replayable spread seeds). */
   def search(
       spark: SparkSession,
       dir: String,
       corpus: DataFrame,
       queryDf: DataFrame,
-      k: Int): DataFrame = {
+      k: Int,
+      entries: Seq[Long] = Nil): DataFrame = {
     val m = meta(spark, dir)
     searchBatch(spark, dir, corpus,
-        queryDf.select(lit(0L).as("__qid"), col(m.embCol)), "__qid", k)
+        queryDf.select(lit(0L).as("__qid"), col(m.embCol)), "__qid", k,
+        entries)
       .select(col(m.idCol), col("cosine_sim"))
   }
 
@@ -287,11 +313,24 @@ object GraphIndex {
       val standing = corpus.join(
         broadcast(batch.select(col("id").as(m.idCol))), Seq(m.idCol), "left_anti")
       val standingEdges = edges(spark, dir).localCheckpoint()
-      // one shared-rounds search per new vector over the standing graph
+      // per-store prune policy: plain top-k, or the α-RNG RobustPrune
+      // (the DiskANN insert rule — candidates deduped to max cos, then
+      // the occlusion greedy against the corpus embeddings)
+      def prune(edges: DataFrame): DataFrame =
+        if (m.alphaNum <= 0) pruneDegree(edges, m.k)
+        else graft.ops.GraphNav.alphaPrunedGraph(
+            edges.groupBy(col("id"), col("nbr"))
+              .agg(max(col("cos_micro")).as("cos_micro")),
+            corpus, m.idCol, m.embCol, r = m.k, m.alphaNum, m.alphaDen)
+          .select(col("id"), col("nbr"), col("cos_micro"))
+      // one shared-rounds search per new vector over the standing
+      // graph; an α store walks a candidateK-wide pool so RobustPrune
+      // has diverse candidates to keep (the DiskANN visited-set role)
+      val poolK = if (m.alphaNum > 0) math.max(m.candidateK, m.k) else m.k
       val walks = Similarity.graphSearchBatch(
         standing, m.idCol, m.embCol,
         batch.select(col("id").as("__bq"), col("__e").as(m.embCol)), "__bq",
-        standingEdges, m.k, m.nEntries, m.beamWidth, m.maxSteps)
+        standingEdges, poolK, m.nEntries, m.beamWidth, m.maxSteps)
       // exact batch-internal candidates (fenced above)
       val b2 = batch.select(col("id").as("__ib"), col("__e").as("__e2"))
       val internal = broadcast(batch).join(b2, col("id") =!= col("__ib"))
@@ -303,14 +342,13 @@ object GraphIndex {
       // forward links: per new id, top-k of (walk ∪ internal) by
       // (cos_micro desc, nbr asc) — the stored graph's micro-integer
       // rank order, applied through the same pruning kernel
-      val fwd = pruneDegree(
+      val fwd = prune(
         walks.select(col("query_id").as("id"),
             col(m.idCol).cast("long").as("nbr"),
             round(col("cosine_sim") * 1e6, 0).cast("long").as("cos_micro"))
           .unionByName(internal.select(col("query_id").as("id"),
             col("nbr").cast("long").as("nbr"),
-            round(col("cosine_sim") * 1e6, 0).cast("long").as("cos_micro"))),
-        m.k)
+            round(col("cosine_sim") * 1e6, 0).cast("long").as("cos_micro"))))
       val sym = fwd.unionByName(fwd.select(col("nbr").as("id"),
         col("id").as("nbr"), col("cos_micro")))
       // touched = linked nodes ∪ the WHOLE batch: a batch vector that
@@ -318,10 +356,10 @@ object GraphIndex {
       val touched = sym.select(col("id"))
         .unionByName(batch.select(col("id")))
         .distinct().localCheckpoint()
-      val merged = pruneDegree(
+      val merged = prune(
         standingEdges.join(broadcast(touched), Seq("id"), "left_semi")
-          .unionByName(sym),
-        m.k).localCheckpoint() // sized ∝ touched·k; feeds adj AND ledger
+          .unionByName(sym))
+        .localCheckpoint() // sized ∝ touched·k; feeds adj AND ledger
       // adjacency generation FIRST (orphan if we crash), ledger CAS LAST
       val gen = maxGenOnDisk(spark, dir) + 1
       merged.withColumn("gen", lit(gen))

@@ -198,4 +198,70 @@ class GraphIndexSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("no graph index"))
   }
+
+  test("diversified (α-RNG) store: policy in meta, occlusion invariant survives drains") {
+    val dir = TestSpark.tmpDir("graph_index_alpha") + "/idx"
+    val batchIds = Seq(0L, 10L, 20L)
+    val standing = emb.filter(!col("vec_id").isin(batchIds: _*))
+    GraphIndex.build(standing, "vec_id", "embedding", dir,
+      dims = 64, k = 8, planesPerBand = 4, bands = 4, maxBucketSize = 1000,
+      nEntries = 4, beamWidth = 16, maxSteps = 10,
+      candidateK = 12, alphaNum = 12, alphaDen = 10)
+    // the α policy is the store's identity
+    val m = GraphIndex.meta(spark, dir)
+    assert((m.candidateK, m.alphaNum, m.alphaDen) == (12, 12, 10))
+
+    // stored adjacency ≡ the in-memory α-pruned graph (build parity)
+    val expected = graft.ops.GraphNav.alphaPrunedGraph(
+        Similarity.knnGraph(standing, "vec_id", "embedding",
+          planesPerBand = 4, bands = 4, dims = 64, k = 12,
+          minCosine = -1.0, maxBucketSize = 1000),
+        standing, "vec_id", "embedding", r = 8, alphaNum = 12, alphaDen = 10)
+      .select("id", "nbr").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(GraphIndex.edges(spark, dir).select("id", "nbr")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == expected)
+
+    // a drain merges through RobustPrune, not top-k: after the insert,
+    // EVERY adjacency list still satisfies the occlusion invariant —
+    // no kept edge c is occluded by a better kept edge p
+    // (12·d(p,c) > 10·d(node,c) for all better p)
+    assert(GraphIndex.ingestBatch(spark, dir, emb,
+      emb.filter(col("vec_id").isin(batchIds: _*))) == 3L)
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def cosM(a: Long, b: Long): Long = {
+      val (x, y) = (vecs(a), vecs(b))
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      x.indices.foreach { i =>
+        dot += x(i).toDouble * y(i).toDouble
+        na += x(i).toDouble * x(i).toDouble
+        nb += y(i).toDouble * y(i).toDouble
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val adj = GraphIndex.edges(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    adj.foreach { case (id, es) =>
+      assert(es.length <= 8, s"degree bound violated at $id")
+      val sorted = es.map { case (_, nbr, cm) => (nbr, cm) }
+        .sortBy { case (nbr, cm) => (-cm, nbr) }
+      sorted.zipWithIndex.foreach { case ((c, cm), i) =>
+        sorted.take(i).foreach { case (p, _) =>
+          assert(12L * (1000000L - cosM(p, c)) > 10L * (1000000L - cm),
+            s"occlusion invariant violated at node $id: kept $p occludes kept $c")
+        }
+      }
+    }
+    // the inserted vector is reachable (self-probe rank 1)
+    val top = GraphIndex.search(spark, dir, emb,
+        emb.filter(col("vec_id") === 0), k = 3)
+      .collect().head
+    assert(top.getLong(0) == 0L, "an inserted vector must find itself")
+    // pre-α metas (no alpha keys) keep the classic top-k policy
+    val plainDir = TestSpark.tmpDir("graph_index_plain_meta") + "/idx"
+    buildAt(plainDir, standing)
+    assert(GraphIndex.meta(spark, plainDir).alphaNum == 0)
+  }
 }
