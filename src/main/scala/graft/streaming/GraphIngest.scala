@@ -60,7 +60,10 @@ object GraphIngest {
       nEntries: Int = 4,
       beamWidth: Int = 16,
       maxSteps: Int = 10,
-      maxBatchLink: Int = 4096): Long = Commits.withClaim(spark, indexDir) {
+      maxBatchLink: Int = 4096,
+      candidateK: Int = 0,
+      alphaNum: Int = 0,
+      alphaDen: Int = 10): Long = Commits.withClaim(spark, indexDir) {
     IngestStream.drainOnce(spark, landingDir, schema,
       requiredCols = Seq(idCol, vecCol), normalizeCols = Nil,
       outDir = silverDir, checkpointDir = checkpointDir)
@@ -82,9 +85,12 @@ object GraphIngest {
             // resets only its own parts — the held claim and the
             // folded record committed below survive it)
             val cnt = batch.count()
+            // the α policy rides the bootstrap into the index meta;
+            // every later drain's ingestLocked reads it from there and
+            // RobustPrunes its merges (GraphIndex.Meta)
             GraphIndex.build(batch, idCol, vecCol, indexDir, dims, k,
               planesPerBand, bands, maxBucketSize, nEntries, beamWidth,
-              maxSteps)
+              maxSteps, candidateK, alphaNum, alphaDen)
             cnt
           } else {
             // corpus for the searches = standing silver ∪ batch; the

@@ -91,4 +91,40 @@ class GraphIngestSpec extends AnyFunSuite {
     assert(Commits.readVersioned(spark, s"$base/index/folded")
       .get._2.collect().map(_.getString(0)).toSet == silverFiles)
   }
+
+  test("maintainGraph: α policy rides the bootstrap into the meta; drains RobustPrune") {
+    val base = TestSpark.tmpDir("graph_ingest_alpha")
+    val landing = new java.io.File(s"$base/landing"); landing.mkdirs()
+    def drain() = GraphIngest.maintainGraph(
+      spark, landing.getPath, vschema, "vec_id", "embedding",
+      silverDir = s"$base/silver", checkpointDir = s"$base/ckpt",
+      indexDir = s"$base/index", dims = 4, k = 2,
+      planesPerBand = 2, bands = 2, nEntries = 2, beamWidth = 4,
+      maxSteps = 4, candidateK = 4, alphaNum = 12, alphaDen = 10)
+    landVecs(landing, "w1.jsonl",
+      Seq(1L -> unit(0, 0.0), 2L -> unit(0, 0.001), 10L -> unit(1, 0.0)))
+    assert(drain() == 3L)
+    val m = GraphIndex.meta(spark, s"$base/index")
+    assert((m.candidateK, m.alphaNum, m.alphaDen) == (4, 12, 10),
+      "the bootstrap must commit the α policy into the index meta")
+    // a later wave drains through the α MERGE path: 11's walk finds
+    // the near-duplicate pair {1, 2} (cos(1,2) ≈ 1), and RobustPrune
+    // keeps only the closer one — 2 OCCLUDES 1 (plain top-k at k=2
+    // would keep both, spending the whole budget on one direction)
+    landVecs(landing, "w2.jsonl", Seq(11L -> unit(1, 0.001)))
+    assert(drain() == 1L)
+    val adj11 = GraphIndex.edges(spark, s"$base/index")
+      .filter(col("id") === 11L).collect().map(_.getLong(1)).toSet
+    assert(adj11 == Set(2L),
+      "the drain must RobustPrune its links: 2 occludes the near-dup 1")
+    // the inserted vector is findable through the merged graph
+    val top = GraphIndex.search(spark, s"$base/index",
+        spark.read.schema(vschema).parquet(s"$base/silver"),
+        Seq(Tuple1(unit(1, 0.0005))).toDF("embedding"), k = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(top == Set(11L))
+    // degree bound holds through the α merge
+    assert(GraphIndex.edges(spark, s"$base/index")
+      .groupBy("id").count().filter(col("count") > 2).count() == 0)
+  }
 }
