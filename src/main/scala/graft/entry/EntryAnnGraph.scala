@@ -285,6 +285,26 @@ private[graft] trait EntryAnnGraph extends EntryContext {
       graft.io.GraphIndex.search(s, durableDivGraphIndex(s, dir), emb,
         emb.filter(col("vec_id") === 0), k = 10,
         entries = Similarity.strideEntries(emb, "vec_id", 4))
+    }),
+
+
+    // ---- north-star: attribute-FILTERED graph ANN — the production
+    //      "nearest neighbors WHERE <predicate>" shape (Filtered-
+    //      DiskANN's problem, solved here by the standard
+    //      over-retrieve baseline): the beam walks UNFILTERED (the
+    //      graph's navigability must not depend on the predicate),
+    //      the ranked VISITED set is then filtered and cut — pure
+    //      composition over the oracle-gated walk, no new operator.
+    //      Deterministic stand-in predicate: vec_id % 3 = 0.
+    "q306_filtered_walk" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.graphSearch(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") === 0), annGraph(s, dir), k = 60,
+          nEntries = 4, beamWidth = 16, maxSteps = 10,
+          entries = Similarity.strideEntries(emb, "vec_id", 4))
+        .filter(col("vec_id") % 3 === 0)
+        .orderBy(col("cosine_sim").desc, col("vec_id").asc)
+        .limit(10)
     })
 
   )
@@ -530,7 +550,20 @@ private[graft] trait EntryAnnGraph extends EntryContext {
          |${alphaPruneCtes(k = 12, r = 8)},
          |${strideEntCtes(4, "S")},
          |${graphAnnWalkCtes(0, graph = "kgp", ent = "entS", ns0 = "dd")}
-         |SELECT node AS vec_id, sim AS cosine_sim FROM res_dd""".stripMargin
+         |SELECT node AS vec_id, sim AS cosine_sim FROM res_dd""".stripMargin,
+
+
+    // filtered-walk replay: the stride-seeded walk at k=60 (the
+    // visited-set over-retrieve), then the predicate + re-cut — same
+    // total order as the engine (sim desc, id asc)
+    "q306_filtered_walk" ->
+      s"""WITH ${graphAnnStemCtes()},
+         |${strideEntCtes(4, "S")},
+         |${graphAnnWalkCtes(0, k = 60, ent = "entS", ns0 = "fw")}
+         |SELECT node AS vec_id, sim AS cosine_sim FROM (
+         |  SELECT node, sim,
+         |    row_number() OVER (ORDER BY sim DESC, node ASC) AS fr
+         |  FROM res_fw WHERE node % 3 = 0) WHERE fr <= 10""".stripMargin
 
   )
 

@@ -376,7 +376,8 @@ private[graft] trait EntryContext {
     "q302_stride_recall" -> ((s, dir) => annGraph(s, dir): Unit),
     "q303_diversified_walk" -> ((s, dir) => divGraph(s, dir): Unit),
     "q304_clustered_nav" -> ((s, dir) => clusteredDivGraph(s, dir): Unit),
-    "q305_durable_diversified" -> ((s, dir) => durableDivGraphIndex(s, dir): Unit))
+    "q305_durable_diversified" -> ((s, dir) => durableDivGraphIndex(s, dir): Unit),
+    "q306_filtered_walk" -> ((s, dir) => annGraph(s, dir): Unit))
 
   /** Deterministic video corpus for q288/q289: one raw Y4M clip per
     * document (REAL bytes — [[graft.ops.Multimodal.demoY4m]]; ids
