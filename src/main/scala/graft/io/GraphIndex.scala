@@ -314,19 +314,25 @@ object GraphIndex {
         broadcast(batch.select(col("id").as(m.idCol))), Seq(m.idCol), "left_anti")
       val standingEdges = edges(spark, dir).localCheckpoint()
       // per-store prune policy: plain top-k, or the α-RNG RobustPrune
-      // (the DiskANN insert rule — candidates deduped to max cos, then
-      // the occlusion greedy against the corpus embeddings)
+      // (the DiskANN insert rule). The candidate list is PRE-CUT to
+      // the meta's candidateK pool through the bounded top-k kernel
+      // BEFORE the occlusion greedy: alphaPrunedGraph's pairwise pass
+      // is O(candidates²) per node, and a near-maxBatchLink drain
+      // feeds each new id ~batch internal candidates (a hot standing
+      // node collects ~batch back-links) — uncapped, that is a
+      // batch²-per-node join; capped, it is the documented n·O(k²)
+      // contract with the same greedy semantics on the sorted prefix.
       def prune(edges: DataFrame): DataFrame =
         if (m.alphaNum <= 0) pruneDegree(edges, m.k)
         else graft.ops.GraphNav.alphaPrunedGraph(
-            edges.groupBy(col("id"), col("nbr"))
-              .agg(max(col("cos_micro")).as("cos_micro")),
+            pruneDegree(edges, m.candidateK),
             corpus, m.idCol, m.embCol, r = m.k, m.alphaNum, m.alphaDen)
           .select(col("id"), col("nbr"), col("cos_micro"))
       // one shared-rounds search per new vector over the standing
       // graph; an α store walks a candidateK-wide pool so RobustPrune
-      // has diverse candidates to keep (the DiskANN visited-set role)
-      val poolK = if (m.alphaNum > 0) math.max(m.candidateK, m.k) else m.k
+      // has diverse candidates to keep (the DiskANN visited-set role;
+      // the meta normalizes candidate_k >= k at build time)
+      val poolK = if (m.alphaNum > 0) m.candidateK else m.k
       val walks = Similarity.graphSearchBatch(
         standing, m.idCol, m.embCol,
         batch.select(col("id").as("__bq"), col("__e").as(m.embCol)), "__bq",

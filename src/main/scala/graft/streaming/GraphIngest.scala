@@ -93,6 +93,21 @@ object GraphIngest {
               maxSteps, candidateK, alphaNum, alphaDen)
             cnt
           } else {
+            // the α policy is the STORE's identity (committed at
+            // bootstrap): a non-bootstrap drain passing a DIFFERENT
+            // explicit policy is a misconfiguration that would
+            // otherwise be silently ignored — fail loudly naming both
+            // (alphaNum = 0 means "use the committed policy", so
+            // default-parameter callers keep working on α stores)
+            val m = GraphIndex.meta(spark, indexDir)
+            require(alphaNum == 0 ||
+              (alphaNum == m.alphaNum && alphaDen == m.alphaDen &&
+                math.max(candidateK, k) == m.candidateK),
+              s"graph-maintainer α-policy drift at $indexDir: store " +
+                s"committed (candidate_k=${m.candidateK}, " +
+                s"alpha=${m.alphaNum}/${m.alphaDen}); this drain passed " +
+                s"(candidate_k=$candidateK, alpha=$alphaNum/$alphaDen) — " +
+                "rebuild to change the policy")
             // corpus for the searches = standing silver ∪ batch; the
             // beam's isin point lookups prune this scan per round
             GraphIndex.ingestLocked(spark, indexDir,
