@@ -305,6 +305,48 @@ private[graft] trait EntryAnnGraph extends EntryContext {
         .filter(col("vec_id") % 3 === 0)
         .orderBy(col("cosine_sim").desc, col("vec_id").asc)
         .limit(10)
+    }),
+
+    // ---- north-star: SELECTIVITY-SAFE filtered graph ANN — q306's
+    //      over-retrieve composition made safe under a SELECTIVE
+    //      predicate (keep-rate 1/10 here vs q306's ~1/3): if the
+    //      cheap rung's filtered cut comes up short of k, the search
+    //      ESCALATES (beam and cut ×4) up to a documented budget cap,
+    //      and a still-thin answer surfaces `thin_result = true`
+    //      instead of a silently short list (Filtered-DiskANN's
+    //      over-retrieve escalation, Gollapudi et al. WWW 2023 —
+    //      GraphNav.filteredSearch). The oracle replays BOTH rungs'
+    //      beam walks and the integer-count pick between them.
+    "q307_filtered_escalation" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      graft.ops.GraphNav.filteredSearch(
+        emb, "vec_id", "embedding", emb.filter(col("vec_id") === 0),
+        annGraph(s, dir), predicate = col("vec_id") % 10 === 7, k = 10,
+        nEntries = 4, beamWidth = 16, maxSteps = 10,
+        entries = Similarity.strideEntries(emb, "vec_id", 4),
+        overFetch = 4, escalations = 1, growth = 4)
+    }),
+
+    // ---- north-star: HNSW layer-descent as a GATE query — the
+    //      hierarchicalSearchBatch production wrapper (upper-layer
+    //      walk hands each query its own near-the-target base seeds;
+    //      Malkov & Yashunin 2018) was spec-only in r18, the one
+    //      GraphNav op outside the oracle gate. Upper layer = the
+    //      deterministic % 4 sample under annGraph's geometry; three
+    //      queries gate the per-query-seed batch semantics. The
+    //      oracle replays the upper stem, each upper walk, the seed
+    //      handoff, and every base round (the q300 convention,
+    //      composed twice).
+    "q308_hierarchical_walk" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      graft.ops.GraphNav.hierarchicalSearchBatch(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id").isin(0L, 7L, 23L))
+          .select(col("vec_id").as("query_id"), col("embedding")),
+        "query_id", annGraph(s, dir),
+        emb.filter(col("vec_id") % 4 === 0), upperAnnGraph(s, dir),
+        k = 10, seedK = 8, beamWidth = 8, maxSteps = 8,
+        upperBeamWidth = 16, upperMaxSteps = 10)
     })
 
   )
@@ -563,7 +605,57 @@ private[graft] trait EntryAnnGraph extends EntryContext {
          |SELECT node AS vec_id, sim AS cosine_sim FROM (
          |  SELECT node, sim,
          |    row_number() OVER (ORDER BY sim DESC, node ASC) AS fr
-         |  FROM res_fw WHERE node % 3 = 0) WHERE fr <= 10""".stripMargin
+         |  FROM res_fw WHERE node % 3 = 0) WHERE fr <= 10""".stripMargin,
+
+    // escalation replay: BOTH rungs' walks (rung 0 beam 16 / cut 40;
+    // rung 1 beam 64 / cut 160), the per-rung predicate filters, the
+    // integer-count pick (rung 0 wins iff it already holds k
+    // matches), and the thin flag from the selected rung's count —
+    // GraphNav.filteredSearch's exact escalation arithmetic
+    "q307_filtered_escalation" ->
+      s"""WITH ${graphAnnStemCtes()},
+         |${strideEntCtes(4, "S")},
+         |${graphAnnWalkCtes(0, beam = 16, k = 40, ent = "entS", ns0 = "e0")},
+         |${graphAnnWalkCtes(0, beam = 64, k = 160, ent = "entS", ns0 = "e1")},
+         |f0 AS (SELECT node, sim FROM res_e0 WHERE node % 10 = 7),
+         |f1 AS (SELECT node, sim FROM res_e1 WHERE node % 10 = 7),
+         |pick AS (SELECT (SELECT count(*) FROM f0) >= 10 AS ok0),
+         |sel AS (SELECT node, sim FROM f0 WHERE (SELECT ok0 FROM pick)
+         |  UNION ALL
+         |  SELECT node, sim FROM f1 WHERE NOT (SELECT ok0 FROM pick)),
+         |nsel AS (SELECT count(*) AS c FROM sel)
+         |SELECT CAST(fr AS BIGINT) AS rank, node AS vec_id,
+         |  sim AS cosine_sim, (SELECT c FROM nsel) < 10 AS thin_result
+         |FROM (SELECT node, sim,
+         |    row_number() OVER (ORDER BY sim DESC, node ASC) AS fr
+         |  FROM sel) WHERE fr <= 10""".stripMargin,
+
+    // layer-descent replay: the upper stem (the % 4 sample under the
+    // same banding), each query's upper walk (beam 16, 10 rounds,
+    // k = seedK), its result nodes handed to the base walk as
+    // per-query entries, then every base round (beam 8, 8 rounds) —
+    // the q285 batch shape with hierarchical seeds
+    "q308_hierarchical_walk" ->
+      s"""WITH ${graphAnnStemCtes()},
+         |${graphAnnStemCtes(
+             "(SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0)",
+             "_u")},
+         |${strideEntCtes(4, "U", emb = "embm_u")},
+         |${Seq(0L, 7L, 23L).map(q =>
+             graphAnnWalkCtes(q, steps = 10, beam = 16, k = 8,
+               graph = "kg_u", ent = "entU", emb = "embm_u",
+               qsrc = "embm", ns0 = s"u$q")).mkString(",\n")},
+         |${Seq(0L, 7L, 23L).map(q =>
+             s"sb$q AS (SELECT node FROM res_u$q)").mkString(",\n")},
+         |${Seq(0L, 7L, 23L).map(q =>
+             graphAnnWalkCtes(q, steps = 8, beam = 8, k = 10,
+               graph = "kg", ent = s"sb$q", emb = "embm",
+               qsrc = "embm", ns0 = s"h$q")).mkString(",\n")}
+         |${Seq(0L, 7L, 23L).map(q =>
+             s"""SELECT CAST($q AS BIGINT) AS query_id,
+                |  CAST(rn AS BIGINT) AS rank, node AS vec_id,
+                |  sim AS cosine_sim FROM res_h$q""".stripMargin)
+           .mkString("\nUNION ALL\n")}""".stripMargin
 
   )
 

@@ -266,13 +266,22 @@ object AudioIndex {
     * Returns true when a compaction ran. */
   def compactIfFragmented(
       spark: SparkSession, dir: String, targetFiles: Int): Boolean = {
+    // a missing STORE ROOT is a mistyped path or a never-built store —
+    // fail loudly instead of no-opping forever (the silent-no-op trap:
+    // a misconfigured maintenance loop would gauge "not fragmented"
+    // on every tick while the real store fragments elsewhere)
+    val root = new Path(dir)
+    require(root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(root),
+      s"compactIfFragmented: no audio index at $dir — mistyped path or " +
+        "never-built store (build it before scheduling maintenance)")
     // claim-free read of the fragmentation gauge (the listing must not
     // heal-rename under a live writer); compact() itself heals under
     // its own claim before rewriting. The gauge is guarded: a
-    // never-built store, or a concurrent delete/compact renaming the
-    // live dir between livePath() and the listing, reads as "not
-    // fragmented" (retried once — the post-swap listing is the real
-    // gauge) instead of a raw FileNotFoundException.
+    // concurrent delete/compact renaming the live dir between
+    // livePath() and the listing reads as "not fragmented" (retried
+    // once — the post-swap listing is the real gauge) instead of a
+    // raw FileNotFoundException.
     def gauge(): Option[Int] =
       try {
         val live = new Path(livePath(spark, dir))

@@ -223,11 +223,18 @@ object SignatureIndex {
     * (one driver-side listing), a full rewrite only when appends have
     * actually accreted. Returns true when a compaction ran. */
   def compactIfFragmented(spark: SparkSession, dir: String, targetFiles: Int): Boolean = {
+    // a missing STORE ROOT is a mistyped path or a never-built store —
+    // fail loudly instead of no-opping forever on every maintenance
+    // tick (the AudioIndex convention)
+    val rootP = new Path(dir)
+    require(rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(rootP),
+      s"compactIfFragmented: no signature index at $dir — mistyped path " +
+        "or never-built store (build it before scheduling maintenance)")
     ensureLive(spark, dir)
-    // guarded gauge: a never-built store, or a concurrent
-    // delete/compact renaming sigs between the exists check and the
-    // listing, reads as "not fragmented" (retried once) instead of a
-    // raw FileNotFoundException
+    // guarded gauge: a concurrent delete/compact renaming sigs between
+    // the exists check and the listing reads as "not fragmented"
+    // (retried once) instead of a raw FileNotFoundException
     def gauge(): Option[Int] =
       try {
         val live = new Path(sigsPath(dir))

@@ -58,6 +58,36 @@ object Fences {
         .select(keyCols.map(col): _*)),
       keyCols, "left_anti")
 
+  /**
+   * [[stopBuckets]] for the PROBE shape (a batch joined against a
+   * standing store): the standing side is first SEMI-JOINED to the
+   * batch's bucket keys (broadcast — a batch has few distinct
+   * buckets) and only the probed buckets are counted, so a capped
+   * incremental drain stays O(drain) instead of group-scanning the
+   * whole store every drain (the [[assertProbePairs]] cost contract
+   * applied to the continue path). Output-equivalent to capping the
+   * full store: a bucket the batch never probes contributes no
+   * candidate pairs whether it is dropped or kept, and a saturated
+   * bucket is dropped on every drain that touches it. The returned
+   * frame is the standing side RESTRICTED to the batch's surviving
+   * buckets — exactly the rows the candidate join can match.
+   */
+  def stopProbeBuckets(
+      standing: DataFrame,
+      probe: DataFrame,
+      keyCols: Seq[String],
+      maxPostings: Long): DataFrame =
+    if (maxPostings <= 0L) standing
+    else {
+      val probed = standing.join(
+        broadcast(probe.select(keyCols.map(col): _*).distinct()),
+        keyCols, "left_semi")
+      probed.join(
+        broadcast(bucketDropReport(probed, keyCols, maxPostings)
+          .select(keyCols.map(col): _*)),
+        keyCols, "left_anti")
+    }
+
   /** The buckets [[stopBuckets]] would drop at `maxPostings` —
     * (keyCols…, n_postings), the drop-accounting readout a capped
     * deployment monitors alongside its recall budget. O(buckets). */

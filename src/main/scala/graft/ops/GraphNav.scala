@@ -140,6 +140,74 @@ object GraphNav {
   }
 
   /**
+   * SELECTIVITY-SAFE attribute-filtered graph ANN — "top-k WHERE
+   * <predicate>" with the predicate-aware over-retrieve ESCALATION of
+   * Filtered-DiskANN's baseline (Gollapudi et al., WWW 2023; the fix
+   * for the q306 composition's silent-thin-answer failure): the beam
+   * walks UNFILTERED (graph navigability must not depend on the
+   * predicate), the ranked visited set is filtered, and if fewer than
+   * `k` rows survive the search WIDENS — beam width and the visited
+   * cut both scale by `growth` per rung — until the filtered result
+   * reaches `k` or the documented budget cap (`escalations` rungs)
+   * is exhausted. A capped-out thin answer is SURFACED, not silent:
+   * every row carries `thin_result = true` when the final rung still
+   * returned fewer than `k` matches, so a caller filtering on a
+   * predicate more selective than the budget covers sees the signal
+   * instead of a quietly short list.
+   *
+   * Scale shape: each rung is one [[Similarity.graphSearch]] beam —
+   * corpus-independent pruned point lookups, driver state
+   * beam-geometry-bounded; the per-rung count action reads ≤
+   * k·overFetch·growth^rung rows. Worst case (selective predicate)
+   * pays `escalations + 1` walks — bounded by construction, and only
+   * when the cheap rung actually came up thin. Deterministic end to
+   * end (each rung is the replayable beam + an integer-count pick),
+   * so the whole escalation unrolls in SQL — the q300 convention.
+   *
+   * Output: (rank, idCol, cosine_sim, thin_result), rank 1..≤k by
+   * (cosine desc, id asc) over the selected rung's filtered rows.
+   */
+  def filteredSearch(
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      queryDf: DataFrame,
+      graph: DataFrame,
+      predicate: Column,
+      k: Int,
+      nEntries: Int = 4,
+      beamWidth: Int = 16,
+      maxSteps: Int = 10,
+      entries: Seq[Long] = Nil,
+      overFetch: Int = 4,
+      escalations: Int = 1,
+      growth: Int = 4): DataFrame = {
+    require(k >= 1 && overFetch >= 1 && escalations >= 0 && growth >= 1,
+      "degenerate escalation geometry")
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cosine_sim").desc, col(idCol).asc)
+    var rung = 0
+    var out: DataFrame = null
+    while (out == null) {
+      val scale = math.pow(growth.toDouble, rung.toDouble).toInt
+      val kept = Similarity.graphSearch(
+          corpus, idCol, embCol, queryDf, graph,
+          k = k * overFetch * scale, nEntries, beamWidth * scale,
+          maxSteps, entries)
+        .filter(predicate)
+      val n = kept.count() // ≤ the rung's cut — never corpus-∝
+      if (n >= k || rung >= escalations)
+        out = kept
+          .withColumn("rank", row_number().over(win).cast("long"))
+          .filter(col("rank") <= k)
+          .select(col("rank"), col(idCol), col("cosine_sim"),
+            lit(n < k).as("thin_result"))
+      else rung += 1
+    }
+    out
+  }
+
+  /**
    * HNSW-style two-layer hierarchical beam search — the PRODUCTION
    * wrapper for the per-query-seed hook
    * ([[Similarity.graphSearchBatch]]'s `entriesByQuery`; prototyped in

@@ -210,14 +210,16 @@ object ImageDedup {
     val probeSide = banded(batch.select(col(idCol), col(hashCol)))
       .select(col("band"), col("v"), col(idCol).as("__pi"), col("__h").as("__ph"))
     // the stop-bucket continue path filters the STANDING side (a
-    // dropped bucket yields no candidates regardless of the batch) —
-    // opt-in, recall-accounted via [[Fences.bucketDropReport]]
-    val standSide = Fences.stopBuckets(
+    // dropped bucket yields no candidates regardless of the batch),
+    // PROBE-PRUNED so the cap's bucket count stays O(drain), never a
+    // per-drain store scan — opt-in, recall-accounted via
+    // [[Fences.bucketDropReport]]
+    val standSide = Fences.stopProbeBuckets(
       banded(
         corpus.select(col(idCol), col(hashCol))
           .unionByName(batch.select(col(idCol), col(hashCol))))
       .select(col("band"), col("v"), col(idCol).as("__si"), col("__h").as("__sh")),
-      Seq("band", "v"), maxBucketPostings)
+      probeSide, Seq("band", "v"), maxBucketPostings)
     // probe-shaped hot-bucket fence (the assertBucketPairs convention
     // in the incremental regime): a saturated standing band — a
     // template thumbnail indexed a million times — would tax EVERY

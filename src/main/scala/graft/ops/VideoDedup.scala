@@ -189,13 +189,15 @@ object VideoDedup {
       .select(col("frame_idx"), col("band"), col("v"),
         col(idCol).as("__pi"), col("__h").as("__ph"))
     // the stop-bucket continue path filters the STANDING side (a
-    // dropped bucket yields no candidates regardless of the batch) —
-    // opt-in, recall-accounted via [[Fences.bucketDropReport]]
-    val standSide = Fences.stopBuckets(
+    // dropped bucket yields no candidates regardless of the batch),
+    // PROBE-PRUNED so the cap's bucket count stays O(drain), never a
+    // per-drain store scan — opt-in, recall-accounted via
+    // [[Fences.bucketDropReport]]
+    val standSide = Fences.stopProbeBuckets(
       banded(standing.unionByName(batch))
         .select(col("frame_idx"), col("band"), col("v"),
           col(idCol).as("__si"), col("__h").as("__sh")),
-      Seq("frame_idx", "band", "v"), maxBucketPostings)
+      probeSide, Seq("frame_idx", "band", "v"), maxBucketPostings)
     // probe-shaped hot-bucket fence: a saturated standing
     // (frame_idx, band, value) bucket — black first frames, a station
     // logo indexed a million times — would tax EVERY future drain

@@ -148,8 +148,7 @@ object AudioIngest {
         // (the crashed drain computed its pairs but never returned
         // them to a caller — [[PairReports]])
         val healed = PairReports.healed(spark, indexDir,
-          committedBatches(spark, indexDir),
-          audio.select("media_id").distinct(), standingIds, empty.schema)
+          committedBatches(spark, indexDir), fresh, empty.schema)
         val delta = audio.join(standingIds, Seq("media_id"), "left_anti")
         val fps = AudioDedup.fingerprintsStr(
             delta, "media_id", "payload", frameLen, bins, fanout)
@@ -167,9 +166,10 @@ object AudioIngest {
           val tag = s"b${r.getLong(0)}x${java.lang.Long.toHexString(r.getLong(1))}"
           val dir = s"$indexDir/batch=$tag"
           fps.write.mode("overwrite").parquet(dir)
-          // pair report BEFORE the marker: a marker-committed batch is
-          // always re-readable on replay (the meta-last convention)
-          PairReports.persist(pairs, indexDir, tag)
+          // pair report + source-file list BEFORE the marker: a
+          // marker-committed batch is always re-readable on replay
+          // (the meta-last convention)
+          PairReports.persist(pairs, indexDir, tag, fresh)
           val mk = new Path(dir, marker)
           val fs = mk.getFileSystem(spark.sparkContext.hadoopConfiguration)
           fs.create(mk, true).close() // index commit point

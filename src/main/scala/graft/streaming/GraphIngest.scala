@@ -96,18 +96,25 @@ object GraphIngest {
             // the α policy is the STORE's identity (committed at
             // bootstrap): a non-bootstrap drain passing a DIFFERENT
             // explicit policy is a misconfiguration that would
-            // otherwise be silently ignored — fail loudly naming both
-            // (alphaNum = 0 means "use the committed policy", so
-            // default-parameter callers keep working on α stores)
+            // otherwise be silently ignored — fail loudly NAMING the
+            // drifting field. Each parameter carries its own
+            // "use the committed policy" sentinel (alphaNum = 0,
+            // candidateK = 0), so a drain passing the correct alpha
+            // with candidateK left at the default never trips on a
+            // candidate_k it didn't specify (and the drain-local k,
+            // which is ignored post-bootstrap, is never consulted)
             val m = GraphIndex.meta(spark, indexDir)
-            require(alphaNum == 0 ||
-              (alphaNum == m.alphaNum && alphaDen == m.alphaDen &&
-                math.max(candidateK, k) == m.candidateK),
-              s"graph-maintainer α-policy drift at $indexDir: store " +
-                s"committed (candidate_k=${m.candidateK}, " +
-                s"alpha=${m.alphaNum}/${m.alphaDen}); this drain passed " +
-                s"(candidate_k=$candidateK, alpha=$alphaNum/$alphaDen) — " +
-                "rebuild to change the policy")
+            val drift = Seq(
+              (alphaNum != 0 &&
+                (alphaNum != m.alphaNum || alphaDen != m.alphaDen)) ->
+                s"alpha=$alphaNum/$alphaDen vs committed ${m.alphaNum}/${m.alphaDen}",
+              (candidateK > 0 && math.max(candidateK, m.k) != m.candidateK) ->
+                (s"candidate_k=$candidateK (normalized " +
+                  s"${math.max(candidateK, m.k)}) vs committed ${m.candidateK}"))
+              .collect { case (true, msg) => msg }
+            require(drift.isEmpty,
+              s"graph-maintainer α-policy drift at $indexDir: " +
+                s"${drift.mkString("; ")} — rebuild to change the policy")
             // corpus for the searches = standing silver ∪ batch; the
             // beam's isin point lookups prune this scan per round
             GraphIndex.ingestLocked(spark, indexDir,

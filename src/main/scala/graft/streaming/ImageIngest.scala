@@ -117,12 +117,13 @@ object ImageIngest {
         // index-as-ledger backstop: a crash between the index append
         // and the folded commit replays these files — the anti-join
         // keeps the replay from double-hashing/double-appending, and
-        // the stored PAIR REPORT of any touched batch re-surfaces
-        // (the crashed drain computed its pairs but never returned
-        // them to a caller — [[PairReports]])
+        // the stored PAIR REPORT of any batch built from still-fresh
+        // files re-surfaces (the crashed drain computed its pairs but
+        // never returned them to a caller — [[PairReports]]; detection
+        // is commit state, so an at-least-once producer re-delivering
+        // an id in a NEW file never re-emits a folded batch's report)
         val healed = PairReports.healed(spark, indexDir,
-          committedBatches(spark, indexDir),
-          images.select("media_id").distinct(), standingIds, empty.schema)
+          committedBatches(spark, indexDir), fresh, empty.schema)
         val delta = images.join(standingIds, Seq("media_id"), "left_anti")
         val hashed = ImageDedup.perceptualHashesStr(delta, "media_id", "payload")
           .localCheckpoint() // feeds the probe AND the append
@@ -139,9 +140,10 @@ object ImageIngest {
           val tag = s"b${r.getLong(0)}x${java.lang.Long.toHexString(r.getLong(1))}"
           val dir = s"$indexDir/batch=$tag"
           hashed.write.mode("overwrite").parquet(dir)
-          // pair report BEFORE the marker: a marker-committed batch is
-          // always re-readable on replay (the meta-last convention)
-          PairReports.persist(pairs, indexDir, tag)
+          // pair report + source-file list BEFORE the marker: a
+          // marker-committed batch is always re-readable on replay
+          // (the meta-last convention)
+          PairReports.persist(pairs, indexDir, tag, fresh)
           val mk = new Path(dir, marker)
           val fs = mk.getFileSystem(spark.sparkContext.hadoopConfiguration)
           fs.create(mk, true).close() // index commit point

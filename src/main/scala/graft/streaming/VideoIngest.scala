@@ -112,8 +112,7 @@ object VideoIngest {
         // (the crashed drain computed its pairs but never returned
         // them to a caller — [[PairReports]])
         val healed = PairReports.healed(spark, indexDir,
-          committedBatches(spark, indexDir),
-          videos.select("media_id").distinct(), standingIds, empty.schema)
+          committedBatches(spark, indexDir), fresh, empty.schema)
         val delta = videos.join(standingIds, Seq("media_id"), "left_anti")
         val hashed = VideoDedup.frameHashesStr(delta, "media_id", "payload")
           .localCheckpoint() // one decode: feeds the probe AND the append
@@ -130,9 +129,10 @@ object VideoIngest {
           val tag = s"b${r.getLong(0)}x${java.lang.Long.toHexString(r.getLong(1))}"
           val dir = s"$indexDir/batch=$tag"
           hashed.write.mode("overwrite").parquet(dir)
-          // pair report BEFORE the marker: a marker-committed batch is
-          // always re-readable on replay (the meta-last convention)
-          PairReports.persist(pairs, indexDir, tag)
+          // pair report + source-file list BEFORE the marker: a
+          // marker-committed batch is always re-readable on replay
+          // (the meta-last convention)
+          PairReports.persist(pairs, indexDir, tag, fresh)
           val mk = new Path(dir, marker)
           val fs = mk.getFileSystem(spark.sparkContext.hadoopConfiguration)
           fs.create(mk, true).close() // index commit point

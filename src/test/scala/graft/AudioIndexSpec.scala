@@ -187,9 +187,17 @@ class AudioIndexSpec extends AnyFunSuite {
     assert(before == after)
     assert(before.nonEmpty)
 
-    // the gauge is guarded: a never-built store is "not fragmented",
-    // not a raw FileNotFoundException from the listing
+    // the gauge is guarded: an existing-but-empty store root is "not
+    // fragmented", not a raw FileNotFoundException from the listing
     assert(!AudioIndex.compactIfFragmented(
       spark, TestSpark.tmpDir("audio_index_never_built"), targetFiles = 2))
+
+    // but a MISSING store root (mistyped path / never-built store)
+    // fails loudly instead of no-opping on every maintenance tick
+    intercept[IllegalArgumentException] {
+      AudioIndex.compactIfFragmented(
+        spark, TestSpark.tmpDir("audio_index_root") + "/nope",
+        targetFiles = 2)
+    }
   }
 }

@@ -421,6 +421,37 @@ class DedupSpec extends AnyFunSuite {
       "the report names exactly the dropped buckets with their postings")
   }
 
+  test("Fences.stopProbeBuckets: probe-pruned cap, output-equivalent to the full-store drop") {
+    // standing: bucket (0,5) saturated (3 postings), (1,7) fine,
+    // (2,9) saturated but NEVER PROBED — a probed-restricted count
+    // must still drop (0,5), keep (1,7), and never read-count (2,9)
+    val standing = Seq(
+      (0, 5L, "a"), (0, 5L, "b"), (0, 5L, "c"), (1, 7L, "d"),
+      (2, 9L, "x"), (2, 9L, "y"), (2, 9L, "z"))
+      .toDF("blk", "v", "id")
+    val probe = Seq((0, 5L, "p1"), (1, 7L, "p2")).toDF("blk", "v", "pid")
+    val pruned = graft.ops.Fences.stopProbeBuckets(
+      standing, probe, Seq("blk", "v"), 2L)
+      .select("id").as[String].collect().toSet
+    assert(pruned == Set("d"),
+      "probed saturated bucket drops; unprobed buckets are pruned " +
+        "(they can form no candidate pairs either way)")
+    // candidate-join output equivalence vs the full-store drop: the
+    // join only matches probed buckets, so restricting the standing
+    // side to them changes nothing the join can see
+    val full = graft.ops.Fences.stopBuckets(standing, Seq("blk", "v"), 2L)
+    val viaFull = probe.join(full, Seq("blk", "v"))
+      .select("pid", "id").as[(String, String)].collect().toSet
+    val viaPruned = probe.join(
+        graft.ops.Fences.stopProbeBuckets(standing, probe, Seq("blk", "v"), 2L),
+        Seq("blk", "v"))
+      .select("pid", "id").as[(String, String)].collect().toSet
+    assert(viaFull == viaPruned)
+    assert(graft.ops.Fences.stopProbeBuckets(
+      standing, probe, Seq("blk", "v"), 0L).count() == 7,
+      "0 disables — the standing side passes through untouched")
+  }
+
   test("simhash: deterministic hex of bits/4 chars; exact dups collide; parity with oracle fragment") {
     val out = Dedup.simhash(corpus, "text", "doc_id", bits = 16)
       .as[(Long, String)].collect().toMap

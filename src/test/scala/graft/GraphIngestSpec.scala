@@ -126,5 +126,38 @@ class GraphIngestSpec extends AnyFunSuite {
     // degree bound holds through the α merge
     assert(GraphIndex.edges(spark, s"$base/index")
       .groupBy("id").count().filter(col("count") > 2).count() == 0)
+
+    // drift sentinels are PER FIELD: a drain passing the correct α
+    // with candidateK left at the default 0 ("use the committed
+    // policy") must NOT trip the candidate_k comparison...
+    landVecs(landing, "w3.jsonl", Seq(12L -> unit(0, 0.002)))
+    assert(GraphIngest.maintainGraph(
+      spark, landing.getPath, vschema, "vec_id", "embedding",
+      silverDir = s"$base/silver", checkpointDir = s"$base/ckpt",
+      indexDir = s"$base/index", dims = 4, k = 2,
+      planesPerBand = 2, bands = 2, nEntries = 2, beamWidth = 4,
+      maxSteps = 4, candidateK = 0, alphaNum = 12, alphaDen = 10) == 1L)
+    // ...a drifting α fails naming alpha...
+    landVecs(landing, "w4.jsonl", Seq(13L -> unit(1, 0.002)))
+    val eA = intercept[IllegalArgumentException] {
+      GraphIngest.maintainGraph(
+        spark, landing.getPath, vschema, "vec_id", "embedding",
+        silverDir = s"$base/silver", checkpointDir = s"$base/ckpt",
+        indexDir = s"$base/index", dims = 4, k = 2,
+        planesPerBand = 2, bands = 2, nEntries = 2, beamWidth = 4,
+        maxSteps = 4, candidateK = 0, alphaNum = 15, alphaDen = 10)
+    }
+    assert(eA.getMessage.contains("alpha=15/10"), eA.getMessage)
+    assert(!eA.getMessage.contains("candidate_k="), eA.getMessage)
+    // ...and a drifting candidate_k fails naming candidate_k
+    val eK = intercept[IllegalArgumentException] {
+      GraphIngest.maintainGraph(
+        spark, landing.getPath, vschema, "vec_id", "embedding",
+        silverDir = s"$base/silver", checkpointDir = s"$base/ckpt",
+        indexDir = s"$base/index", dims = 4, k = 2,
+        planesPerBand = 2, bands = 2, nEntries = 2, beamWidth = 4,
+        maxSteps = 4, candidateK = 6, alphaNum = 12, alphaDen = 10)
+    }
+    assert(eK.getMessage.contains("candidate_k=6"), eK.getMessage)
   }
 }

@@ -149,6 +149,48 @@ class GraphNavSpec extends AnyFunSuite {
     assert(div.groupBy("id").count().agg(max("count")).head().getLong(0) <= 6)
   }
 
+  test("filteredSearch: escalates to k matches; thin_result surfaces budget exhaustion") {
+    // SMOOTH corpus (the 24-vector replay fixture extended to 40): the
+    // kNN graph is navigable, so a wider beam genuinely visits more of
+    // the corpus — the regime escalation exists for (a clique-trapped
+    // graph is q304's problem, solved by α-RNG, not by widening)
+    val corpus = (0L until 40L).map { i =>
+      (i, (0 until 8).map(d =>
+        (math.sin(i * 0.7 + d * 1.3) + 0.2 * math.cos(i * 2.1 * (d + 1)))
+          .toFloat))
+    }.toDF("vid", "emb").localCheckpoint()
+    val graph = Similarity.knnGraph(corpus, "vid", "emb",
+      planesPerBand = 2, bands = 2, dims = 8, k = 4, minCosine = -1.0)
+      .localCheckpoint()
+    val q = corpus.filter(col("vid") === 0L)
+    val pred = col("vid") % 10 === 7 // 4 of 40 ids — selective
+    val got = GraphNav.filteredSearch(corpus, "vid", "emb", q, graph,
+        pred, k = 2, nEntries = 4, beamWidth = 8, maxSteps = 10,
+        overFetch = 2, escalations = 1, growth = 4)
+      .collect()
+    // replay the escalation through the public walk: rung scale s =
+    // beam 8s, cut 4s; rung 0 wins iff it already holds k matches
+    def rung(s: Int) = Similarity.graphSearch(corpus, "vid", "emb", q,
+        graph, k = 4 * s, nEntries = 4, beamWidth = 8 * s, maxSteps = 10)
+      .filter(pred)
+    val n0 = rung(1).count()
+    assert(n0 < 2,
+      "fixture must be thin at rung 0 so the escalation path is under test")
+    val sel = rung(4)
+    val expect = sel.orderBy(col("cosine_sim").desc, col("vid").asc)
+      .limit(2).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.map(r => (r.getLong(1), r.getDouble(2))).toSeq == expect)
+    assert(got.length == 2 && got.forall(!_.getBoolean(3)),
+      "the widened rung reaches k matches — full answer, thin flag off")
+    // budget exhaustion is SURFACED, never silent: the default entries
+    // (4 lowest ids) are always visited, so `vid < 3` yields exactly 3
+    // of k = 5 even with no escalation budget — 3 rows, all flagged
+    val thin = GraphNav.filteredSearch(corpus, "vid", "emb", q, graph,
+      col("vid") < 3, k = 5, escalations = 0).collect()
+    assert(thin.length == 3 && thin.forall(_.getBoolean(3)),
+      "a capped-out thin answer must carry thin_result = true")
+  }
+
   test("hierarchicalSearchBatch: per-query upper-layer seeds, planted target walks home") {
     // clustered corpus: 4 tight clusters of 10 vectors; the upper layer
     // is every 4th id. A planted query near id 37 must walk to it even

@@ -108,6 +108,29 @@ class ImageIngestSpec extends AnyFunSuite {
       "folded record must track exactly the silver data files")
   }
 
+  test("at-least-once re-delivery in a NEW silver file is not a crash replay") {
+    val base = TestSpark.tmpDir("image_ingest_alo")
+    def drain() = ImageIngest.maintainImages(
+      spark, s"$base/landing", s"$base/silver", s"$base/ledger",
+      s"$base/index", maxHamming = 6)
+    landWave(s"$base/landing/w1", Seq(1L, 2L))
+    assert(drain().count() == 1) // pair (1, 2); batch committed AND folded
+    // an at-least-once producer re-delivers id 1 in a NEW silver file
+    // (bypassing the WARC ledger — silver is exactly-once only for
+    // well-behaved producers). Under the first-draft id-overlap test
+    // this was indistinguishable from a crash replay and re-emitted
+    // the folded batch's stored pair report; the commit-state test
+    // sees every committed batch's sources folded and stays quiet.
+    Seq((urn(1), "http://img.example/1", "2026-01-01T00:00:00Z",
+        "image/png", Multimodal.demoPng(1L, 36, 32), "redelivered"))
+      .toDF("record_id", "target_uri", "warc_date", "content_type",
+        "payload", "source_file")
+      .coalesce(1).write.mode("append").parquet(s"$base/silver")
+    assert(drain().count() == 0,
+      "a re-delivered id in a new file must not re-surface stored pairs")
+    assert(drain().count() == 0, "and the fold must have advanced")
+  }
+
   test("hammingProbe: batch-internal + batch×corpus, never corpus×corpus") {
     val corpus = Seq(("c1", 0x1111222233334444L), ("c2", 0x1111222233334445L))
       .toDF("id", "h") // corpus pair (c1, c2) differs by 1 bit — but

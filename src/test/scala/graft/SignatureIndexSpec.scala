@@ -159,7 +159,14 @@ class SignatureIndexSpec extends AnyFunSuite {
   }
 
   test("compactIfFragmented on a never-built store is a clean no-op") {
+    // existing-but-empty store root: acceptable no-op
     assert(!SignatureIndex.compactIfFragmented(
       spark, TestSpark.tmpDir("sigidx_never_built"), targetFiles = 2))
+    // MISSING store root (mistyped path): fail loudly, never a
+    // silent forever-no-op
+    intercept[IllegalArgumentException] {
+      SignatureIndex.compactIfFragmented(
+        spark, TestSpark.tmpDir("sigidx_root") + "/nope", targetFiles = 2)
+    }
   }
 }
