@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.PortableSql
 import graft.functions.PortableSql.{DuckDialect => DD, SparkDialect => SD}
-import graft.ops.Dedup
+import graft.ops.{Dedup, Spans}
 
 /** curation slice of the [[SparkEntry]] registry — corpus curation
   * lifecycle: span/line dedup + scrub, decontamination, PII, the
@@ -86,7 +86,7 @@ private[graft] trait EntryCuration extends EntryContext {
     //      DETECTION-grade only; the scrub path stays on Md5
     //      (see scrubDuplicates scaladoc).
     "q78_dup_spans_xx64" -> ((s, dir) =>
-      Dedup.duplicateSpans(T(s, dir, "documents"), "text", "doc_id", n = 3,
+      Spans.duplicateSpans(T(s, dir, "documents"), "text", "doc_id", n = 3,
         kind = Dedup.Xx64)),
 
 
@@ -127,7 +127,7 @@ private[graft] trait EntryCuration extends EntryContext {
     //      the corpus, merged into maximal per-doc token spans. The
     //      verbatim-boilerplate detector doc-level near-dup can't see.
     "q74_dup_spans" -> ((s, dir) =>
-      Dedup.duplicateSpans(T(s, dir, "documents"), "text", "doc_id", n = 3)),
+      Spans.duplicateSpans(T(s, dir, "documents"), "text", "doc_id", n = 3)),
 
 
 
@@ -204,7 +204,7 @@ private[graft] trait EntryCuration extends EntryContext {
     //      the rest of a contaminated doc survives.
     "q108_decontaminate" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
-      Dedup.decontaminate(
+      Spans.decontaminate(
         docs.filter(col("doc_id") % 50 =!= 0), "text", "doc_id",
         docs.filter(col("doc_id") % 50 === 0), "text", n = 4)
     }),
@@ -336,7 +336,7 @@ private[graft] trait EntryCuration extends EntryContext {
     //      3-token window except its first corpus-wide occurrence and
     //      rebuild the text (the keep-first action for q74's detector).
     "q75_span_scrub" -> ((s, dir) =>
-      Dedup.scrubDuplicates(T(s, dir, "documents"), "text", "doc_id", n = 3)),
+      Spans.scrubDuplicates(T(s, dir, "documents"), "text", "doc_id", n = 3)),
 
 
 
@@ -358,7 +358,7 @@ private[graft] trait EntryCuration extends EntryContext {
       val curated = docs
         .join(broadcast(keepers), Seq("doc_id"), "left_semi")
         .join(broadcast(quality), Seq("doc_id"), "left_semi")
-      val scrubbed = Dedup.scrubDuplicates(curated, "text", "doc_id", n = 3)
+      val scrubbed = Spans.scrubDuplicates(curated, "text", "doc_id", n = 3)
         .select(col("doc_id"), col("clean"))
         // re-attach the shard key (scrub projects it away); id-keyed
         // equi-join against the id+lang projection only
@@ -403,7 +403,7 @@ private[graft] trait EntryCuration extends EntryContext {
       val line1 = concat_ws(" ", slice(split(col("text"), " "), 1, 5))
       val synth = concat_ws("\n",
         lit("graft shared header line"), col("text"), line1, line1)
-      Dedup.corpusLineDedup(
+      Spans.corpusLineDedup(
         T(s, dir, "documents").select(col("doc_id"), synth.as("body")),
         "body", "doc_id")
     }),

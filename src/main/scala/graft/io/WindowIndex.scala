@@ -5,16 +5,16 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.Dedup
+import graft.ops.{Dedup, Spans}
 
 /**
  * Durable exact-substring window-hash index — the parquet-backed store
  * behind incremental duplicate-span detection
- * ([[Dedup.incrementalDuplicateSpans]]). Companion to
+ * ([[Spans.incrementalDuplicateSpans]]). Companion to
  * [[SignatureIndex]] (MinHash, doc granularity); this one works at
  * TOKEN-WINDOW granularity, so daily ingest can find verbatim
  * boilerplate between a new batch and a 100 TB corpus without
- * re-hashing the corpus ([[Dedup.duplicateSpans]] rebuilds every
+ * re-hashing the corpus ([[Spans.duplicateSpans]] rebuilds every
  * window of every doc per run — exactly the cost an index exists to
  * avoid).
  *
@@ -127,7 +127,7 @@ object WindowIndex {
       newDocs: DataFrame, textCol: String, dir: String, tag: String,
       m: Meta): Unit = {
     val spark = newDocs.sparkSession
-    Dedup.windowHashCounts(newDocs, textCol, m.idCol, m.n, m.kind)
+    Spans.windowHashCounts(newDocs, textCol, m.idCol, m.n, m.kind)
       .sortWithinPartitions("hh") // dictionary/RLE-friendly runs
       .write.mode("overwrite").parquet(s"${countsPath(dir)}/batch=$tag")
     newDocs.select(m.idCol)
@@ -202,29 +202,29 @@ object WindowIndex {
     * probe CANNOT drift from the index's parameters. */
   def probe(newDocs: DataFrame, textCol: String, dir: String): DataFrame = {
     val m = meta(newDocs.sparkSession, dir)
-    Dedup.incrementalDuplicateSpans(
+    Spans.incrementalDuplicateSpans(
       newDocs, counts(newDocs.sparkSession, dir), textCol, m.idCol, m.n, m.kind)
   }
 
   /** Per-doc n-gram novelty of `newDocs` against the indexed corpus
-    * ([[Dedup.noveltyScores]]) — the data-selection read of the same
+    * ([[Spans.noveltyScores]]) — the data-selection read of the same
     * store the span probe uses. Window width and hash kind come from
     * the stored meta. */
   def noveltyProbe(newDocs: DataFrame, textCol: String, dir: String): DataFrame = {
     val m = meta(newDocs.sparkSession, dir)
-    Dedup.noveltyScores(
+    Spans.noveltyScores(
       newDocs, counts(newDocs.sparkSession, dir), textCol, m.idCol, m.n, m.kind)
   }
 
   /** Incrementally scrub `newDocs`' duplicated spans against the
-    * indexed corpus ([[Dedup.incrementalScrub]] — arrival-order
+    * indexed corpus ([[Spans.incrementalScrub]] — arrival-order
     * keep-first: corpus occurrences are always canonical). Parameters
     * come from the stored meta. */
   def scrubProbe(newDocs: DataFrame, textCol: String, dir: String): DataFrame = {
     val m = meta(newDocs.sparkSession, dir)
     require(m.kind == Dedup.Md5,
       "scrubbing requires the 128-bit Md5 index (xx64 is detection-grade)")
-    Dedup.incrementalScrub(
+    Spans.incrementalScrub(
       newDocs, counts(newDocs.sparkSession, dir), textCol, m.idCol, m.n, m.kind)
   }
 
@@ -324,7 +324,7 @@ object WindowIndex {
     require(missing == 0,
       s"delete: some ids are not in the index ledger at $dir — " +
         "subtracting an unindexed doc would corrupt the counts")
-    val del = Dedup.windowHashCounts(deduped, textCol, m.idCol, m.n, m.kind)
+    val del = Spans.windowHashCounts(deduped, textCol, m.idCol, m.n, m.kind)
       .withColumnRenamed("cnt", "del_cnt")
     val remaining = counts(spark, dir)
       .groupBy(col("hh")).agg(sum(col("cnt")).as("cnt"))

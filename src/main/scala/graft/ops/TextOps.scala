@@ -485,7 +485,7 @@ object TextOps {
    * count joined back to the exploded lines — all aggregations
    * decomposable on (host, hash); the rebuild collects surviving
    * positions per doc (doc-bounded) and re-splits the text in one
-   * narrow projection, the [[graft.ops.Dedup.corpusLineDedup]]
+   * narrow projection, the [[graft.ops.Spans.corpusLineDedup]]
    * rebuild contract.
    *
    * Output: (idCol, clean, n_before, n_after).

@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.PortableSql
 import graft.functions.PortableSql.{SparkDialect => SD}
-import graft.ops.Dedup
+import graft.ops.{Dedup, Spans}
 
 class DedupSpec extends AnyFunSuite {
   import TestSpark.spark
@@ -474,7 +474,7 @@ class DedupSpec extends AnyFunSuite {
       (3L, "x y z w x y z v"),
       (4L, "unique words only here never repeated"),
       (5L, "p q")).toDF("doc_id", "text")
-    val spans = Dedup.duplicateSpans(df, "text", "doc_id", n = 3)
+    val spans = Spans.duplicateSpans(df, "text", "doc_id", n = 3)
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(spans == Set(
       (1L, 3L, 7L, 2L), // "p q r s" = windows at pos 3,4 merged
@@ -485,11 +485,11 @@ class DedupSpec extends AnyFunSuite {
     // adjacent (touching) windows merge into one span: "m n o m n o m n o"
     // repeats "m n o" — every window of the run is duplicated somewhere
     val run = Seq((9L, "m n o m n o m n o"), (10L, "m n o")).toDF("doc_id", "text")
-    val merged = Dedup.duplicateSpans(run, "text", "doc_id", n = 3)
+    val merged = Spans.duplicateSpans(run, "text", "doc_id", n = 3)
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(merged == Set((9L, 1L, 10L, 7L), (10L, 1L, 4L, 1L)))
     // xx64 kernel: identical span set on the same corpus (hash-free merge)
-    val xx = Dedup.duplicateSpans(df, "text", "doc_id", n = 3, kind = Dedup.Xx64)
+    val xx = Spans.duplicateSpans(df, "text", "doc_id", n = 3, kind = Dedup.Xx64)
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(xx == spans)
   }
@@ -501,7 +501,7 @@ class DedupSpec extends AnyFunSuite {
       (3L, "x y z w x y z v"), // intra-doc repeat: second "x y z" cut
       (4L, "unique words only here never repeated"),
       (5L, "p q")).toDF("doc_id", "text")
-    val out = Dedup.scrubDuplicates(df, "text", "doc_id", n = 3)
+    val out = Spans.scrubDuplicates(df, "text", "doc_id", n = 3)
       .as[(Long, String, Long, Long)].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
     assert(out(1L) == (("a b p q r s c d", 8L, 0L)))
@@ -511,7 +511,7 @@ class DedupSpec extends AnyFunSuite {
     assert(out(5L) == (("p q", 2L, 0L))) // shorter than the window → untouched
     // a doc that is ALL boilerplate scrubs to empty, not to a crash
     val all = Seq((1L, "m n o"), (2L, "m n o")).toDF("doc_id", "text")
-    val scrubbed = Dedup.scrubDuplicates(all, "text", "doc_id", n = 3)
+    val scrubbed = Spans.scrubDuplicates(all, "text", "doc_id", n = 3)
       .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r._2).toMap
     assert(scrubbed(1L) == "m n o" && scrubbed(2L) == "")
   }
@@ -521,7 +521,7 @@ class DedupSpec extends AnyFunSuite {
     // result on real corpus data, not just the engineered fixture
     val d = TestSpark.table("documents")
     def spans(k: Dedup.HashKind) =
-      Dedup.duplicateSpans(d, "text", "doc_id", n = 3, kind = k)
+      Spans.duplicateSpans(d, "text", "doc_id", n = 3, kind = k)
         .as[(Long, Long, Long, Long)].collect().toSet
     val md = spans(Dedup.Md5)
     assert(spans(Dedup.Xx64) == md)
@@ -535,13 +535,13 @@ class DedupSpec extends AnyFunSuite {
     // 60 window rows) and ends with a unique tail.
     val docs = (1L to 60L).map(i => (i, s"shared boiler plate tail$i only$i"))
       .toDF("doc_id", "text")
-    val spans = Dedup.duplicateSpans(docs, "text", "doc_id", n = 3)
+    val spans = Spans.duplicateSpans(docs, "text", "doc_id", n = 3)
       .as[(Long, Long, Long, Long)].collect()
     // "shared boiler plate" = windows at pos 1 only (pos 2 window
     // "boiler plate tail$i" is unique per doc) → span [1, 4) per doc
     assert(spans.length == 60)
     assert(spans.forall(s => s._2 == 1L && s._3 == 4L && s._4 == 1L))
-    val out = Dedup.scrubDuplicates(docs, "text", "doc_id", n = 3)
+    val out = Spans.scrubDuplicates(docs, "text", "doc_id", n = 3)
       .as[(Long, String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._4))).toMap
     // keep-first: doc 1 (smallest (id, pos)) keeps the boilerplate
     assert(out(1L) == (("shared boiler plate tail1 only1", 0L)))
@@ -557,8 +557,8 @@ class DedupSpec extends AnyFunSuite {
     // legal window partitioning is the per-doc islands merge.
     val df = Seq((1L, "a b c d e"), (2L, "a b c d f")).toDF("doc_id", "text")
     val plans = Seq(
-      "duplicateSpans" -> Dedup.duplicateSpans(df, "text", "doc_id", n = 3),
-      "scrubDuplicates" -> Dedup.scrubDuplicates(df, "text", "doc_id", n = 3))
+      "duplicateSpans" -> Spans.duplicateSpans(df, "text", "doc_id", n = 3),
+      "scrubDuplicates" -> Spans.scrubDuplicates(df, "text", "doc_id", n = 3))
     for ((name, out) <- plans) {
       val plan = out.queryExecution.optimizedPlan
       val hashWindows = plan.collect {
@@ -582,7 +582,7 @@ class DedupSpec extends AnyFunSuite {
       (2L, "h\nc\na"),
       (3L, "h\nh\nd"),
       (4L, "h\na")).toDF("doc_id", "text")
-    val out = Dedup.corpusLineDedup(docs, "text", "doc_id")
+    val out = Spans.corpusLineDedup(docs, "text", "doc_id")
       .as[(Long, String, Long, Long)].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
     assert(out(1L) == (("h\na\nb", 3L, 3L)), "first doc keeps everything")
@@ -596,7 +596,7 @@ class DedupSpec extends AnyFunSuite {
     // unique body line; only doc 1 keeps the header
     val docs = (1L to 60L).map(i => (i, s"shared header\nbody line $i"))
       .toDF("doc_id", "text")
-    val out = Dedup.corpusLineDedup(docs, "text", "doc_id")
+    val out = Spans.corpusLineDedup(docs, "text", "doc_id")
       .as[(Long, String, Long, Long)].collect()
       .map(r => r._1 -> r._2).toMap
     assert(out(1L) == "shared header\nbody line 1")
@@ -605,7 +605,7 @@ class DedupSpec extends AnyFunSuite {
 
   test("corpus line dedup plan: no window over the hash, decomposable canonical") {
     val df = Seq((1L, "x\ny"), (2L, "x\nz")).toDF("doc_id", "text")
-    val plan = Dedup.corpusLineDedup(df, "text", "doc_id")
+    val plan = Spans.corpusLineDedup(df, "text", "doc_id")
       .queryExecution.optimizedPlan
     val hashWindows = plan.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window
@@ -624,7 +624,7 @@ class DedupSpec extends AnyFunSuite {
       .select(col("doc_id"),
         concat_ws("\n", lit("hdr"), col("text")).as("text"))
     def run(parts: Int) =
-      Dedup.corpusLineDedup(base.repartition(parts), "text", "doc_id")
+      Spans.corpusLineDedup(base.repartition(parts), "text", "doc_id")
         .as[(Long, String, Long, Long)].collect().toSet
     assert(run(3) == run(17))
   }
@@ -635,11 +635,11 @@ class DedupSpec extends AnyFunSuite {
     // irreversibly cuts legitimate text
     val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
     val scrubErr = intercept[IllegalArgumentException] {
-      Dedup.scrubDuplicates(docs, "text", "doc_id", n = 3, kind = Dedup.Xx64)
+      Spans.scrubDuplicates(docs, "text", "doc_id", n = 3, kind = Dedup.Xx64)
     }
     assert(scrubErr.getMessage.contains("detection-grade"))
     val lineErr = intercept[IllegalArgumentException] {
-      Dedup.corpusLineDedup(docs, "text", "doc_id", kind = Dedup.Xx64)
+      Spans.corpusLineDedup(docs, "text", "doc_id", kind = Dedup.Xx64)
     }
     assert(lineErr.getMessage.contains("detection-grade"))
   }
@@ -655,7 +655,7 @@ class DedupSpec extends AnyFunSuite {
       (3L, "secret eval answer key here"),
       // shorter than the window width → untouchable by construction
       (4L, "tiny doc")).toDF("doc_id", "text")
-    val got = Dedup.decontaminate(corpus, "text", "doc_id", bench, "text", n = 4)
+    val got = Spans.decontaminate(corpus, "text", "doc_id", bench, "text", n = 4)
       .as[(Long, String, Long, Long)].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
     // doc 1: windows at pos 3 and 4 match ('secret eval answer key',
@@ -667,7 +667,7 @@ class DedupSpec extends AnyFunSuite {
     assert(got(4L) == (("tiny doc", 2L, 0L)))
     assert(got.size == 4, "every corpus doc keeps a row")
     val err = intercept[IllegalArgumentException] {
-      Dedup.decontaminate(corpus, "text", "doc_id", bench, "text", n = 4,
+      Spans.decontaminate(corpus, "text", "doc_id", bench, "text", n = 4,
         kind = Dedup.Xx64)
     }
     assert(err.getMessage.contains("detection-grade"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.io.WindowIndex
-import graft.ops.Dedup
+import graft.ops.{Dedup, Spans}
 
 class WindowIndexSpec extends AnyFunSuite {
   import TestSpark.spark
@@ -37,7 +37,7 @@ class WindowIndexSpec extends AnyFunSuite {
     WindowIndex.build(corpus, "text", "doc_id", dir, n = 3)
     val incremental = spanSet(WindowIndex.probe(batch, "text", dir))
     val full = spanSet(
-      Dedup.duplicateSpans(docs, "text", "doc_id", n = 3)
+      Spans.duplicateSpans(docs, "text", "doc_id", n = 3)
         .filter($"doc_id" % 10 === 0))
     assert(incremental == full)
     assert(incremental.nonEmpty, "fixture must exercise cross-batch duplication")
@@ -106,7 +106,7 @@ class WindowIndexSpec extends AnyFunSuite {
     val dir = TestSpark.tmpDir("winidx_stats")
     WindowIndex.build(corpus, "text", "doc_id", dir, n = 3)
     def direct(d: org.apache.spark.sql.DataFrame) = {
-      val c = Dedup.windowHashCounts(d, "text", "doc_id", 3)
+      val c = Spans.windowHashCounts(d, "text", "doc_id", 3)
         .as[(String, Long)].collect()
       (c.length.toLong, c.map(_._2).sum, c.count(_._2 > 1).toLong, d.count())
     }
@@ -288,7 +288,7 @@ class WindowIndexSpec extends AnyFunSuite {
     val spans = spanSet(WindowIndex.ingestBatch(batch, "text", dir))
     assert(spans == ctlSpans, "post-heal report equals the crash-free run")
     assert(spans == spanSet(
-      Dedup.duplicateSpans(docs, "text", "doc_id", n = 3)
+      Spans.duplicateSpans(docs, "text", "doc_id", n = 3)
         .filter($"doc_id" % 10 === 0)),
       "post-heal report equals the full-corpus truth restricted to the batch")
     assert(state(dir) == state(ctlDir), "post-heal store equals the crash-free store")
