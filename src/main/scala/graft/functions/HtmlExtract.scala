@@ -383,6 +383,10 @@ object HtmlExtract {
 case class HtmlTitleKernel(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def prettyName: String = "graft_html_title"
+  // null for title-less html regardless of child nullability (the
+  // SniffMimeKernel codegen-declaration hazard: an isNull-assigning
+  // genCode needs the expression itself nullable)
+  override def nullable: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(

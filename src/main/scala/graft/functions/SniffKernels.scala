@@ -186,6 +186,13 @@ private[functions] trait BinaryKernelExpression extends UnaryExpression {
 case class SniffMimeKernel(child: Expression) extends BinaryKernelExpression {
   override def dataType: DataType = StringType
   override def prettyName: String = "graft_sniff_mime"
+  // null for an EMPTY (non-null) payload, so nullability must not be
+  // inherited from the child: with a non-nullable child the default
+  // nullSafeCodeGen never declares ev.isNull and this kernel's
+  // isNull-assignment failed janino — disabling whole-stage codegen
+  // for EVERY plan containing it (and the interpreted twin could
+  // claim non-null while returning null)
+  override def nullable: Boolean = true
   override def nullSafeEval(input: Any): Any =
     SniffKernels.sniffMime(input.asInstanceOf[Array[Byte]])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -200,6 +207,9 @@ case class SniffMimeKernel(child: Expression) extends BinaryKernelExpression {
 case class DetectCharsetKernel(child: Expression) extends BinaryKernelExpression {
   override def dataType: DataType = StringType
   override def prettyName: String = "graft_detect_charset"
+  // null for an empty payload regardless of child nullability (the
+  // SniffMimeKernel codegen-declaration hazard)
+  override def nullable: Boolean = true
   override def nullSafeEval(input: Any): Any =
     SniffKernels.detectCharset(input.asInstanceOf[Array[Byte]])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
