@@ -153,7 +153,10 @@ object GraphNav {
    * every row carries `thin_result = true` when the final rung still
    * returned fewer than `k` matches, so a caller filtering on a
    * predicate more selective than the budget covers sees the signal
-   * instead of a quietly short list.
+   * instead of a quietly short list. The flag is row-carried, so a
+   * ZERO-match result (the maximally thin case) has no row to carry
+   * it — the signal there is the row count itself: `rows < k` ⟺ thin
+   * by construction (the result holds min(matches, k) rows).
    *
    * Scale shape: each rung is one [[Similarity.graphSearch]] beam —
    * corpus-independent pruned point lookups, driver state

@@ -148,7 +148,8 @@ object AudioIngest {
         // (the crashed drain computed its pairs but never returned
         // them to a caller — [[PairReports]])
         val healed = PairReports.healed(spark, indexDir,
-          committedBatches(spark, indexDir), fresh, empty.schema)
+          committedBatches(spark, indexDir), fresh,
+          audio.select("media_id").distinct(), empty.schema)
         val delta = audio.join(standingIds, Seq("media_id"), "left_anti")
         val fps = AudioDedup.fingerprintsStr(
             delta, "media_id", "payload", frameLen, bins, fanout)

@@ -123,7 +123,8 @@ object ImageIngest {
         // is commit state, so an at-least-once producer re-delivering
         // an id in a NEW file never re-emits a folded batch's report)
         val healed = PairReports.healed(spark, indexDir,
-          committedBatches(spark, indexDir), fresh, empty.schema)
+          committedBatches(spark, indexDir), fresh,
+          images.select("media_id").distinct(), empty.schema)
         val delta = images.join(standingIds, Seq("media_id"), "left_anti")
         val hashed = ImageDedup.perceptualHashesStr(delta, "media_id", "payload")
           .localCheckpoint() // feeds the probe AND the append

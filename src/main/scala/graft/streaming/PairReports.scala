@@ -34,13 +34,23 @@ import org.apache.spark.sql.types.StructType
  * at-least-once producer re-delivering an id in a NEW silver file is
  * indistinguishable from a crash under that test and would re-emit a
  * long-folded batch's whole report — silent duplicate pair delivery.)
- * Batches are checked newest-first and the scan stops at the first
- * batch whose sources are fully folded (every unfolded batch is
- * strictly newer than every folded one — drains serialize under the
- * index claim and the folded record advances monotonically), so the
- * steady state reads ONE tiny sidecar per drain, never the store.
- * Batches that predate source-list persistence have no sidecar and
- * terminate the scan — the pre-upgrade store behaves as before.
+ *
+ * Scan order and cost: batches are checked newest-first by dir mtime
+ * and the scan stops once it clears a fully-folded batch — but the
+ * stop NEVER trusts mtime ordering beyond strict inequality: every
+ * batch whose mtime TIES the stop batch is still examined, so a
+ * filesystem with coarse (or absent — object-store prefixes report 0)
+ * directory mtimes degrades to a correct full metadata scan instead
+ * of silently skipping an unfolded batch that sorted behind a folded
+ * one. On a POSIX store the steady state reads ONE tiny sidecar per
+ * drain.
+ *
+ * Pre-upgrade batches (persisted before source-list sidecars) are
+ * healed through the LEGACY test at the scan frontier only: the
+ * batch's stored ids are intersected with the drain's fresh ids —
+ * the r18 detection, with its at-least-once false-positive accepted
+ * for the one transition window (post-upgrade batches always carry
+ * the sidecar, so the legacy path never runs for them).
  */
 object PairReports {
 
@@ -73,16 +83,17 @@ object PairReports {
    * The stored pair reports of marker-committed batches whose SOURCE
    * FILES are still among `freshFiles` (the drain's not-yet-folded
    * silver files) — exactly the marker-committed / folded-uncommitted
-   * crash signature. Returns an empty `pairSchema` frame in the
-   * steady state (the newest committed batch's sources are folded —
-   * one sidecar read decides it, no store scan) and for pre-upgrade
-   * stores (no sidecar).
+   * crash signature. `freshIds` (one `media_id` column — the drain's
+   * fresh files' ids, pre-anti-join) feeds ONLY the legacy test for
+   * pre-sidecar batches. Returns an empty `pairSchema` frame in the
+   * steady state.
    */
   def healed(
       spark: SparkSession,
       indexDir: String,
       committedBatches: Seq[Path],
       freshFiles: Seq[String],
+      freshIds: DataFrame,
       pairSchema: StructType): DataFrame = {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], pairSchema)
@@ -90,28 +101,38 @@ object PairReports {
     val fresh = freshFiles.toSet
     val fs = new Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // newest-first (drains serialize under the claim, so dir mtimes
-    // order the batches); stop at the first fully-folded batch —
-    // everything older is folded too
     val byAge = committedBatches
       .map(b => b -> fs.getFileStatus(b).getModificationTime)
       .sortBy { case (b, t) => (-t, b.getName) }
-      .map(_._1)
     val touched = scala.collection.mutable.Buffer.empty[String]
-    var scanning = true
+    // stopAt = mtime of the first fully-folded batch seen; batches
+    // STRICTLY older stop the scan, TIES are still examined (see
+    // scaladoc — never trust mtime beyond strict inequality)
+    var stopAt: Option[Long] = None
     val it = byAge.iterator
-    while (scanning && it.hasNext) {
-      val tag = it.next().getName.stripPrefix("batch=")
-      val srcP = new Path(reportDir(indexDir, tag), sourcesName)
-      if (!fs.exists(srcP)) scanning = false // pre-upgrade batch
+    var done = false
+    while (it.hasNext && !done) {
+      val (b, mtime) = it.next()
+      if (stopAt.exists(mtime < _)) done = true
       else {
-        val in = fs.open(srcP)
-        val srcs =
-          try scala.io.Source.fromInputStream(in, "UTF-8")
-            .getLines().filter(_.nonEmpty).toSet
-          finally in.close()
-        if (srcs.exists(fresh)) touched += tag
-        else scanning = false // sources folded → steady state
+        val tag = b.getName.stripPrefix("batch=")
+        val srcP = new Path(reportDir(indexDir, tag), sourcesName)
+        val inWindow =
+          if (fs.exists(srcP)) {
+            val in = fs.open(srcP)
+            val srcs =
+              try scala.io.Source.fromInputStream(in, "UTF-8")
+                .getLines().filter(_.nonEmpty).toSet
+              finally in.close()
+            srcs.exists(fresh)
+          } else {
+            // legacy pre-sidecar batch: the r18 id-overlap test,
+            // batch-sized (one skinny media_id read), frontier-only
+            !spark.read.parquet(b.toString).select("media_id")
+              .join(freshIds, Seq("media_id"), "left_semi").isEmpty
+          }
+        if (inWindow) touched += tag
+        else if (stopAt.isEmpty) stopAt = Some(mtime)
       }
     }
     val dirs = touched.toSeq.map(t => reportDir(indexDir, t))

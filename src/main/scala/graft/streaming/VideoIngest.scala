@@ -112,7 +112,8 @@ object VideoIngest {
         // (the crashed drain computed its pairs but never returned
         // them to a caller — [[PairReports]])
         val healed = PairReports.healed(spark, indexDir,
-          committedBatches(spark, indexDir), fresh, empty.schema)
+          committedBatches(spark, indexDir), fresh,
+          videos.select("media_id").distinct(), empty.schema)
         val delta = videos.join(standingIds, Seq("media_id"), "left_anti")
         val hashed = VideoDedup.frameHashesStr(delta, "media_id", "payload")
           .localCheckpoint() // one decode: feeds the probe AND the append

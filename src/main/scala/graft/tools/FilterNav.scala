@@ -60,7 +60,9 @@ object FilterNav {
           entries = entries)
         .filter(pred).count()
       val hits = res.count(r => exact.contains(r.getLong(1)))
-      val thin = res.headOption.exists(_.getBoolean(3))
+      // thin ⟺ fewer than k rows came back — an EMPTY result is the
+      // maximally thin case and carries no rows for the flag to ride
+      val thin = res.length < 10 || res.headOption.exists(_.getBoolean(3))
       println(f"[filternav] q=$q rows=${res.length} thin=$thin " +
         f"rung0_matches=$n0 recall@10=${hits / 10.0}%.3f")
     }

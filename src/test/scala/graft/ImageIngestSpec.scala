@@ -93,6 +93,29 @@ class ImageIngestSpec extends AnyFunSuite {
         "its stored pair report on replay")
     assert(drain().count() == 0, "the healed replay is one-shot")
 
+    // PRE-UPGRADE window: the same crash but the batch lacks the
+    // source-file sidecar (persisted by the r18 code) — the legacy
+    // id-overlap test must still locate and re-emit the report
+    landWave(s"$base/landing/w5", Seq(53L)) // joins cluster 5 (51, 55)
+    val foldedBefore5 = TestSpark.snapshotVersion(s"$base/index/folded")
+    val p5 = unordered(drain().collect())
+    assert(p5.nonEmpty)
+    TestSpark.restoreVersion(s"$base/index/folded", foldedBefore5)
+    // strip the newest batch's sidecar to simulate an r18-era batch
+    val ifs = new org.apache.hadoop.fs.Path(s"$base/index")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pairsDirs = ifs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$base/index/pairs"))
+      .map(_.getPath)
+    val stripped = pairsDirs.map(d =>
+        new org.apache.hadoop.fs.Path(d, "_graft_sources"))
+      .filter(ifs.exists(_)).map { p => ifs.delete(p, false); p }
+    assert(stripped.nonEmpty, "fixture must have sidecars to strip")
+    assert(unordered(drain().collect()) == p5,
+      "a pre-sidecar (r18) batch inside the window must heal through " +
+        "the legacy id-overlap test")
+    assert(drain().count() == 0, "and the fold then closes the window")
+
     // O(drain) contract: the durable folded record now covers every
     // silver data file, so the next drain reads NO silver payload at
     // all (fresh = ∅ short-circuits before any parquet scan)
