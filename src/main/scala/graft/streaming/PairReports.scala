@@ -46,11 +46,20 @@ import org.apache.spark.sql.types.StructType
  * drain.
  *
  * Pre-upgrade batches (persisted before source-list sidecars) are
- * healed through the LEGACY test at the scan frontier only: the
- * batch's stored ids are intersected with the drain's fresh ids —
- * the r18 detection, with its at-least-once false-positive accepted
- * for the one transition window (post-upgrade batches always carry
- * the sidecar, so the legacy path never runs for them).
+ * healed through the LEGACY test: the batch's stored ids are
+ * intersected with the drain's fresh ids — the r18 detection, with
+ * its at-least-once false-positive accepted for ONE test per legacy
+ * batch, because the scan BACKFILLS the sidecar it just derived
+ * (verified-folded → empty sources; in-window → the current fresh
+ * set, whose files this drain's fold commits — so a re-crash still
+ * re-heals and a success closes it). Without the backfill, a
+ * coarse-mtime store (every batch ties the stop mtime) would re-run
+ * the legacy id test on every legacy batch on every drain, forever —
+ * re-exposing the false positive indefinitely. `healed` runs inside
+ * the drain under the index claim, so the backfill write is
+ * claim-serialized like every other index mutation (the
+ * reads-never-mutate rule binds free-standing READERS, not the
+ * drain's own maintenance path).
  */
 object PairReports {
 
@@ -127,9 +136,17 @@ object PairReports {
             srcs.exists(fresh)
           } else {
             // legacy pre-sidecar batch: the r18 id-overlap test,
-            // batch-sized (one skinny media_id read), frontier-only
-            !spark.read.parquet(b.toString).select("media_id")
+            // batch-sized (one skinny media_id read) — then BACKFILL
+            // the sidecar so this batch is never legacy-tested again
+            // (see scaladoc; in-window batches record the current
+            // fresh set, which this drain's fold commits)
+            val overlap = !spark.read.parquet(b.toString).select("media_id")
               .join(freshIds, Seq("media_id"), "left_semi").isEmpty
+            val bf = fs.create(srcP, true)
+            try bf.write(
+              (if (overlap) freshFiles else Nil).mkString("\n").getBytes("UTF-8"))
+            finally bf.close()
+            overlap
           }
         if (inWindow) touched += tag
         else if (stopAt.isEmpty) stopAt = Some(mtime)

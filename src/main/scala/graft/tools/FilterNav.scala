@@ -42,29 +42,33 @@ object FilterNav {
     val entries = Similarity.strideEntries(emb, "vec_id", 4)
     val pred = col("vec_id") % 10 === 7
     val filteredCorpus = emb.filter(pred).localCheckpoint()
+    val K = 10          // one k for the search, the thin test, the
+    val overFetch = 4   // recall divisor, and the rung-0 cut below
 
     def search(qdf: org.apache.spark.sql.DataFrame) =
       GraphNav.filteredSearch(emb, "vec_id", "embedding", qdf, graph,
-        pred, k = 10, nEntries = 4, beamWidth = 16, maxSteps = 10,
-        entries = entries, overFetch = 4, escalations = 1, growth = 4)
+        pred, k = K, nEntries = 4, beamWidth = 16, maxSteps = 10,
+        entries = entries, overFetch = overFetch, escalations = 1,
+        growth = 4)
 
     // recall vs filtered brute force (corpus queries)
     Seq(0L, 7L, 23L).foreach { q =>
       val qdf = emb.filter(col("vec_id") === q)
       val res = search(qdf).collect()
       val exact = Similarity.bruteForceTopK(
-          filteredCorpus, qdf, "vec_id", "embedding", k = 10)
+          filteredCorpus, qdf, "vec_id", "embedding", k = K)
         .collect().map(_.getLong(0)).toSet
       val n0 = Similarity.graphSearch(emb, "vec_id", "embedding", qdf,
-          graph, k = 40, nEntries = 4, beamWidth = 16, maxSteps = 10,
-          entries = entries)
+          graph, k = K * overFetch, nEntries = 4, beamWidth = 16,
+          maxSteps = 10, entries = entries)
         .filter(pred).count()
       val hits = res.count(r => exact.contains(r.getLong(1)))
-      // thin ⟺ fewer than k rows came back — an EMPTY result is the
-      // maximally thin case and carries no rows for the flag to ride
-      val thin = res.length < 10 || res.headOption.exists(_.getBoolean(3))
+      // thin ⟺ fewer than k rows came back (rows = min(matches, k) by
+      // construction, so the row-carried flag adds nothing here — and
+      // an EMPTY result has no row to carry it)
+      val thin = res.length < K
       println(f"[filternav] q=$q rows=${res.length} thin=$thin " +
-        f"rung0_matches=$n0 recall@10=${hits / 10.0}%.3f")
+        f"rung0_matches=$n0 recall@$K=${hits.toDouble / K}%.3f")
     }
 
     // planted-filtered hit@1 (targets satisfy the predicate)

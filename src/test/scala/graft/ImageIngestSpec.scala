@@ -101,19 +101,39 @@ class ImageIngestSpec extends AnyFunSuite {
     val p5 = unordered(drain().collect())
     assert(p5.nonEmpty)
     TestSpark.restoreVersion(s"$base/index/folded", foldedBefore5)
-    // strip the newest batch's sidecar to simulate an r18-era batch
+    // strip ONLY the in-window batch's sidecar — the realistic mixed
+    // transition store: one r18-era batch at the frontier above
+    // sidecar-carrying folded batches, so the scan must run the
+    // legacy id test for it, then switch back to the sidecar test
+    // and stop on the first folded batch
     val ifs = new org.apache.hadoop.fs.Path(s"$base/index")
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val pairsDirs = ifs.listStatus(
+    val foldedNow = graft.io.Commits
+      .readVersioned(spark, s"$base/index/folded")
+      .get._2.collect().map(_.getString(0)).toSet
+    val freshNow = {
+      val p = new org.apache.hadoop.fs.Path(s"$base/silver")
+      ifs.listStatus(p).filter(_.isFile).map(_.getPath.toString)
+        .filter(_.endsWith(".parquet")).toSet -- foldedNow
+    }
+    assert(freshNow.nonEmpty, "the rolled-back fold must leave fresh files")
+    val stripped = ifs.listStatus(
         new org.apache.hadoop.fs.Path(s"$base/index/pairs"))
-      .map(_.getPath)
-    val stripped = pairsDirs.map(d =>
-        new org.apache.hadoop.fs.Path(d, "_graft_sources"))
-      .filter(ifs.exists(_)).map { p => ifs.delete(p, false); p }
-    assert(stripped.nonEmpty, "fixture must have sidecars to strip")
+      .map(d => new org.apache.hadoop.fs.Path(d.getPath, "_graft_sources"))
+      .filter(ifs.exists(_))
+      .filter { p =>
+        val in = ifs.open(p)
+        val srcs = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().toSet finally in.close()
+        srcs.exists(freshNow) // the in-window batch only
+      }
+      .map { p => ifs.delete(p, false); p }
+    assert(stripped.length == 1, "exactly the window batch is stripped")
     assert(unordered(drain().collect()) == p5,
       "a pre-sidecar (r18) batch inside the window must heal through " +
         "the legacy id-overlap test")
+    assert(ifs.exists(stripped.head),
+      "the legacy test must BACKFILL the sidecar it derived")
     assert(drain().count() == 0, "and the fold then closes the window")
 
     // O(drain) contract: the durable folded record now covers every
