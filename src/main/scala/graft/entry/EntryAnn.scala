@@ -8,6 +8,7 @@ import graft.functions.PortableSql
 import graft.functions.PortableSql.{DuckDialect => DD, SparkDialect => SD}
 import graft.io.Layers
 import graft.ops.{Aggregate, Clean, Dedup, ImageDedup, Multimodal, Quality, Similarity}
+import graft.ops.Nsw
 import graft.ops.Aggregate.{AggSpec, Metric}
 
 /** ann slice of the [[SparkEntry]] registry — similarity search: brute/LSH/IVF/PQ/SQ8/multi-probe/graph ANN, clustering, durable vector/graph indexes, recall readouts.
@@ -310,7 +311,7 @@ private[graft] trait EntryAnn extends EntryContext {
     //      aggregation (sorted-struct slice, integer sort keys), the
     //      input structure for graph clustering and SemDeDup.
     "q191_knn_graph" -> ((s, dir) =>
-      Similarity.knnGraph(
+      Nsw.knnGraph(
         T(s, dir, "embeddings"), "vec_id", "embedding",
         planesPerBand = 8, bands = 2, dims = 64, k = 5,
         minCosine = 0.15, maxBucketSize = 1000)
@@ -438,8 +439,8 @@ private[graft] trait EntryAnn extends EntryContext {
     //      their own top-5): the duplicate signal that survives
     //      hubness; one self-equi-join of the k·|nodes| edge list.
     "q222_reciprocal_nn" -> ((s, dir) =>
-      Similarity.reciprocalNeighbors(
-        Similarity.knnGraph(
+      Nsw.reciprocalNeighbors(
+        Nsw.knnGraph(
           T(s, dir, "embeddings"), "vec_id", "embedding",
           planesPerBand = 8, bands = 2, dims = 64, k = 5,
           minCosine = 0.15, maxBucketSize = 1000))),

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.Similarity
+import graft.ops.Nsw
 
 /** graph-ANN slice of the [[SparkEntry]] registry — NSW beam walks
   * (single/batch/durable/maintained), NN-descent refinement, stride
@@ -26,7 +27,7 @@ private[graft] trait EntryAnnGraph extends EntryContext {
     //      replays.
     "q283_graph_ann" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
-      Similarity.graphSearch(
+      Nsw.graphSearch(
         emb, "vec_id", "embedding", emb.filter(col("vec_id") === 0),
         annGraph(s, dir), k = 10,
         nEntries = 4, beamWidth = 16, maxSteps = 10)
@@ -41,7 +42,7 @@ private[graft] trait EntryAnnGraph extends EntryContext {
     "q284_graph_ann_recall" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") === 0)
-      val walk = Similarity.graphSearch(
+      val walk = Nsw.graphSearch(
         emb, "vec_id", "embedding", q, annGraph(s, dir), k = 10,
         nEntries = 4, beamWidth = 16, maxSteps = 10)
       val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 10)
@@ -60,7 +61,7 @@ private[graft] trait EntryAnnGraph extends EntryContext {
     //      single-query walk unrolls over the shared graph stem.
     "q285_graph_ann_batch" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
-      Similarity.graphSearchBatch(
+      Nsw.graphSearchBatch(
         emb, "vec_id", "embedding",
         emb.filter(col("vec_id").isin(0L, 7L, 23L))
           .select(col("vec_id").as("query_id"), col("embedding")),
@@ -148,10 +149,10 @@ private[graft] trait EntryAnnGraph extends EntryContext {
     //      hash-checks compactly.
     "q299_nn_descent" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
-      val seed = Similarity.knnGraph(emb, "vec_id", "embedding",
+      val seed = Nsw.knnGraph(emb, "vec_id", "embedding",
         planesPerBand = 8, bands = 2, dims = 64, k = 5,
         minCosine = 0.15, maxBucketSize = 1000)
-      Similarity.nnDescentRound(seed, emb, "vec_id", "embedding", k = 5)
+      Nsw.nnDescentRound(seed, emb, "vec_id", "embedding", k = 5)
         .groupBy("rank")
         .agg(
           count(lit(1)).as("n_edges"),
@@ -168,11 +169,11 @@ private[graft] trait EntryAnnGraph extends EntryContext {
     //      conditional min) AND every beam round from those seeds.
     "q300_graph_ann_stride" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
-      Similarity.graphSearch(
+      Nsw.graphSearch(
         emb, "vec_id", "embedding", emb.filter(col("vec_id") === 0),
         annGraph(s, dir), k = 10, nEntries = 4, beamWidth = 16,
         maxSteps = 10,
-        entries = Similarity.strideEntries(emb, "vec_id", 4))
+        entries = Nsw.strideEntries(emb, "vec_id", 4))
     }),
 
     // ---- north-star: PLANTED-TARGET navigation probe as a gate query
@@ -192,10 +193,10 @@ private[graft] trait EntryAnnGraph extends EntryContext {
             x.cast("double") +
               ((i * 131 + 17) % 201 - 100).cast("double") / lit(1000.0))
             .cast("array<float>").as("embedding"))
-      Similarity.graphSearch(
+      Nsw.graphSearch(
         emb, "vec_id", "embedding", planted, annGraph(s, dir),
         k = 10, nEntries = 4, beamWidth = 16, maxSteps = 10,
-        entries = Similarity.strideEntries(emb, "vec_id", 4))
+        entries = Nsw.strideEntries(emb, "vec_id", 4))
     }),
 
     // ---- north-star: the q284 recall readout under the PRODUCTION
@@ -205,10 +206,10 @@ private[graft] trait EntryAnnGraph extends EntryContext {
     "q302_stride_recall" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") === 0)
-      val walk = Similarity.graphSearch(
+      val walk = Nsw.graphSearch(
         emb, "vec_id", "embedding", q, annGraph(s, dir), k = 10,
         nEntries = 4, beamWidth = 16, maxSteps = 10,
-        entries = Similarity.strideEntries(emb, "vec_id", 4))
+        entries = Nsw.strideEntries(emb, "vec_id", 4))
       val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 10)
       walk.select("vec_id").join(exact.select("vec_id"), Seq("vec_id"))
         .agg(count(lit(1)).as("n_hits"))
@@ -232,10 +233,10 @@ private[graft] trait EntryAnnGraph extends EntryContext {
     //      (q304) it is the difference between 0.000 and 1.000.
     "q303_diversified_walk" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
-      Similarity.graphSearch(
+      Nsw.graphSearch(
         emb, "vec_id", "embedding", emb.filter(col("vec_id") === 0),
         divGraph(s, dir), k = 10, nEntries = 4, beamWidth = 16,
-        maxSteps = 10, entries = Similarity.strideEntries(emb, "vec_id", 4))
+        maxSteps = 10, entries = Nsw.strideEntries(emb, "vec_id", 4))
     }),
 
     // ---- north-star: CLUSTERED-corpus navigation gate — the regime
@@ -258,10 +259,10 @@ private[graft] trait EntryAnnGraph extends EntryContext {
             x.cast("double") +
               ((i * 131 + 757) % 201 - 100).cast("double") / lit(1000.0))
             .cast("array<float>").as("embedding"))
-      val walk = Similarity.graphSearch(
+      val walk = Nsw.graphSearch(
         corpus, "vec_id", "embedding", q, clusteredDivGraph(s, dir),
         k = 10, nEntries = 4, beamWidth = 16, maxSteps = 10,
-        entries = Similarity.strideEntries(corpus, "vec_id", 16))
+        entries = Nsw.strideEntries(corpus, "vec_id", 16))
       val exact = Similarity.bruteForceTopK(
           corpus, q, "vec_id", "embedding", k = 10)
         .select(col("vec_id").as("__ev"))
@@ -284,7 +285,7 @@ private[graft] trait EntryAnnGraph extends EntryContext {
       val emb = T(s, dir, "embeddings")
       graft.io.GraphIndex.search(s, durableDivGraphIndex(s, dir), emb,
         emb.filter(col("vec_id") === 0), k = 10,
-        entries = Similarity.strideEntries(emb, "vec_id", 4))
+        entries = Nsw.strideEntries(emb, "vec_id", 4))
     }),
 
 
@@ -298,10 +299,10 @@ private[graft] trait EntryAnnGraph extends EntryContext {
     //      Deterministic stand-in predicate: vec_id % 3 = 0.
     "q306_filtered_walk" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
-      Similarity.graphSearch(emb, "vec_id", "embedding",
+      Nsw.graphSearch(emb, "vec_id", "embedding",
           emb.filter(col("vec_id") === 0), annGraph(s, dir), k = 60,
           nEntries = 4, beamWidth = 16, maxSteps = 10,
-          entries = Similarity.strideEntries(emb, "vec_id", 4))
+          entries = Nsw.strideEntries(emb, "vec_id", 4))
         .filter(col("vec_id") % 3 === 0)
         .orderBy(col("cosine_sim").desc, col("vec_id").asc)
         .limit(10)
@@ -323,7 +324,7 @@ private[graft] trait EntryAnnGraph extends EntryContext {
         emb, "vec_id", "embedding", emb.filter(col("vec_id") === 0),
         annGraph(s, dir), predicate = col("vec_id") % 10 === 7, k = 10,
         nEntries = 4, beamWidth = 16, maxSteps = 10,
-        entries = Similarity.strideEntries(emb, "vec_id", 4),
+        entries = Nsw.strideEntries(emb, "vec_id", 4),
         overFetch = 4, escalations = 1, growth = 4)
     }),
 

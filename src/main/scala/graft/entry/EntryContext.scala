@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.PortableSql
 import graft.io.Layers
 import graft.ops.{Aggregate, Clean, Dedup, ImageDedup, Multimodal, Quality, Similarity}
+import graft.ops.Nsw
 import graft.ops.Aggregate.{AggSpec, Metric}
 
 /** Shared context of the [[SparkEntry]] registry: fixture tables and
@@ -531,7 +532,7 @@ private[graft] trait EntryContext extends EntryOracleSql {
   protected def annGraph(s: SparkSession, dir: String): DataFrame =
     annGraphMemo.getOrElseUpdate(
       (s.sparkContext.applicationId, dir), {
-        Similarity.knnGraph(T(s, dir, "embeddings"), "vec_id", "embedding",
+        Nsw.knnGraph(T(s, dir, "embeddings"), "vec_id", "embedding",
           planesPerBand = 6, bands = 4, dims = 64, k = 8,
           minCosine = -1.0, maxBucketSize = 400)
           .select(col("id"), col("nbr"))
@@ -548,7 +549,7 @@ private[graft] trait EntryContext extends EntryOracleSql {
       (s.sparkContext.applicationId, "div:" + dir), {
         val emb = T(s, dir, "embeddings")
         graft.ops.GraphNav.alphaPrunedGraph(
-          Similarity.knnGraph(emb, "vec_id", "embedding",
+          Nsw.knnGraph(emb, "vec_id", "embedding",
             planesPerBand = 6, bands = 4, dims = 64, k = 12,
             minCosine = -1.0, maxBucketSize = 400),
           emb, "vec_id", "embedding", r = 8, alphaNum = 12, alphaDen = 10)
@@ -565,7 +566,7 @@ private[graft] trait EntryContext extends EntryOracleSql {
   protected def upperAnnGraph(s: SparkSession, dir: String): DataFrame =
     annGraphMemo.getOrElseUpdate(
       (s.sparkContext.applicationId, "upper:" + dir), {
-        Similarity.knnGraph(
+        Nsw.knnGraph(
           T(s, dir, "embeddings").filter(col("vec_id") % 4 === 0),
           "vec_id", "embedding",
           planesPerBand = 6, bands = 4, dims = 64, k = 8,
@@ -609,7 +610,7 @@ private[graft] trait EntryContext extends EntryOracleSql {
       (s.sparkContext.applicationId, "clusdiv:" + dir), {
         val corpus = clusteredCorpus(s, dir)
         graft.ops.GraphNav.alphaPrunedGraph(
-          Similarity.knnGraph(corpus, "vec_id", "embedding",
+          Nsw.knnGraph(corpus, "vec_id", "embedding",
             planesPerBand = 6, bands = 4, dims = 64, k = 24,
             minCosine = -1.0, maxBucketSize = 400),
           corpus, "vec_id", "embedding", r = 8, alphaNum = 12, alphaDen = 10)

@@ -3,6 +3,7 @@ package graft
 import graft.functions.PortableSql
 import graft.functions.PortableSql.{DuckDialect => DD}
 import graft.ops.Similarity
+import graft.ops.Nsw
 
 /** The engine-portable ORACLE SQL stems of the [[SparkEntry]] registry
   * — DuckDB CTE builders the family traits compose into `oracleSql`
@@ -652,7 +653,7 @@ private[graft] trait EntryOracleSql {
     * ranked answer). `graph`/`ent`/`emb` name the stem CTEs to walk;
     * `qsrc` is the relation holding the query vector (q287's inserted
     * vectors live outside the standing stem). Replays the SEARCH PATH
-    * of Similarity.graphSearch/graphSearchBatch, cut by cut. */
+    * of Nsw.graphSearch/graphSearchBatch, cut by cut. */
   protected def graphAnnWalkCtes(
       qid: Long, steps: Int = 10, beam: Int = 16, k: Int = 10,
       graph: String = "kg", ent: String = "ent", emb: String = "embm",
@@ -692,7 +693,7 @@ private[graft] trait EntryOracleSql {
        |    FROM ${c("vis")}) WHERE rn <= $k)""".stripMargin
   }
 
-  /** Stride-entry seed CTEs ([[Similarity.strideEntries]]'s integer
+  /** Stride-entry seed CTEs ([[Nsw.strideEntries]]'s integer
     * arithmetic — n id-range cuts, conditional min per cut). Emits
     * `ent$sfx(node)`. */
   protected def strideEntCtes(

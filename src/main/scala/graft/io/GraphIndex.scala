@@ -6,6 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.Similarity
+import graft.ops.Nsw
 
 /**
  * Durable navigation-graph ANN index — the graph-regime member of the
@@ -31,7 +32,7 @@ import graft.ops.Similarity
  *
  * A drain ([[ingestBatch]]) is O(batch), never O(graph): each new
  * vector runs one beam search over the standing graph
- * ([[Similarity.graphSearchBatch]] — all searches share each round's
+ * ([[Nsw.graphSearchBatch]] — all searches share each round's
  * pruned point lookups), links forward to its top-`k` candidates and
  * backward from them, and only the TOUCHED nodes' adjacency lists are
  * rewritten into the new generation (degree re-pruned to `k` by
@@ -102,7 +103,7 @@ object GraphIndex {
       .select(col("id"), col("e.nbr").as("nbr"), (-col("e.nc")).as("cos_micro"))
 
   /**
-   * Build the index from scratch: [[Similarity.knnGraph]] over the
+   * Build the index from scratch: [[Nsw.knnGraph]] over the
    * corpus → adjacency generation 0 → ledger v0 → meta LAST.
    * Overwrites any previous index at `dir`.
    */
@@ -134,7 +135,7 @@ object GraphIndex {
     fs.delete(new Path(adjPath(dir)), true)
     fs.delete(new Path(ledgerDir(dir)), true)
     val poolK = if (alphaNum > 0) math.max(candidateK, k) else k
-    val g0 = Similarity.knnGraph(corpus, idCol, embCol,
+    val g0 = Nsw.knnGraph(corpus, idCol, embCol,
       planesPerBand, bands, dims, poolK, minCosine = -1.0, maxBucketSize)
     val g = (if (alphaNum <= 0) g0
       else graft.ops.GraphNav.alphaPrunedGraph(
@@ -225,7 +226,7 @@ object GraphIndex {
       ._2.select(col("id"))
 
   /** Beam search over the stored graph with the geometry committed at
-    * build time — [[Similarity.graphSearchBatch]] against the MoR
+    * build time — [[Nsw.graphSearchBatch]] against the MoR
     * adjacency; per-round point lookups prune on the id-sorted files.
     * `corpus` supplies the vectors (the graph stores topology only). */
   def searchBatch(
@@ -237,7 +238,7 @@ object GraphIndex {
       k: Int,
       entries: Seq[Long] = Nil): DataFrame = {
     val m = meta(spark, dir)
-    Similarity.graphSearchBatch(corpus, m.idCol, m.embCol,
+    Nsw.graphSearchBatch(corpus, m.idCol, m.embCol,
       queries, qidCol, edges(spark, dir), k,
       m.nEntries, m.beamWidth, m.maxSteps, entries)
   }
@@ -333,7 +334,7 @@ object GraphIndex {
       // has diverse candidates to keep (the DiskANN visited-set role;
       // the meta normalizes candidate_k >= k at build time)
       val poolK = if (m.alphaNum > 0) m.candidateK else m.k
-      val walks = Similarity.graphSearchBatch(
+      val walks = Nsw.graphSearchBatch(
         standing, m.idCol, m.embCol,
         batch.select(col("id").as("__bq"), col("__e").as(m.embCol)), "__bq",
         standingEdges, poolK, m.nEntries, m.beamWidth, m.maxSteps)

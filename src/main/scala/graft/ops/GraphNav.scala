@@ -5,11 +5,11 @@ import org.apache.spark.sql.functions._
 
 /**
  * Graph-ANN NAVIGATION quality ops — the published fixes the flat-NSW
- * beam ([[Similarity.graphSearchBatch]]) plateaus without
+ * beam ([[Nsw.graphSearchBatch]]) plateaus without
  * (`/root/reference` has no ANN at all — north-star surface; the r17
  * recall audit measured stride seeding topping out at 0.313
  * noise-floor recall@10 at 10×, with both fixes named in
- * [[Similarity.nnDescentRound]]'s scaladoc):
+ * [[Nsw.nnDescentRound]]'s scaladoc):
  *
  *  - '''Diversified pruning''' ([[alphaPrunedGraph]]) — DiskANN's
  *    α-RNG RobustPrune (Subramanya et al., NeurIPS 2019) / HNSW's
@@ -51,7 +51,7 @@ import org.apache.spark.sql.functions._
 object GraphNav {
 
   /**
-   * α-RNG diversified pruning of a [[Similarity.knnGraph]]-shaped edge
+   * α-RNG diversified pruning of a [[Nsw.knnGraph]]-shaped edge
    * list (id, rank, nbr, cos_micro): per node, process candidates
    * best-first — (cos_micro desc, nbr asc), the knnGraph rank order —
    * and KEEP a candidate `c` only while fewer than `r` edges are kept
@@ -69,7 +69,7 @@ object GraphNav {
    *
    * Scale shape: pairwise candidate cosines are one self-equi-join on
    * the node id — ≤ k²/2 rows per node, n·O(k²) total (the
-   * [[Similarity.nnDescentRound]] candidate budget), two embedding
+   * [[Nsw.nnDescentRound]] candidate budget), two embedding
    * joins, then ONE bounded per-node aggregation whose greedy scan
    * runs as a higher-order `aggregate` over ≤ k structs; never
    * corpus×corpus, no driver-side state.
@@ -158,7 +158,7 @@ object GraphNav {
    * it — the signal there is the row count itself: `rows < k` ⟺ thin
    * by construction (the result holds min(matches, k) rows).
    *
-   * Scale shape: each rung is one [[Similarity.graphSearch]] beam —
+   * Scale shape: each rung is one [[Nsw.graphSearch]] beam —
    * corpus-independent pruned point lookups, driver state
    * beam-geometry-bounded; the per-rung count action reads ≤
    * k·overFetch·growth^rung rows. Worst case (selective predicate)
@@ -193,7 +193,7 @@ object GraphNav {
     var out: DataFrame = null
     while (out == null) {
       val scale = math.pow(growth.toDouble, rung.toDouble).toInt
-      val kept = Similarity.graphSearch(
+      val kept = Nsw.graphSearch(
           corpus, idCol, embCol, queryDf, graph,
           k = k * overFetch * scale, nEntries, beamWidth * scale,
           maxSteps, entries)
@@ -213,7 +213,7 @@ object GraphNav {
   /**
    * HNSW-style two-layer hierarchical beam search — the PRODUCTION
    * wrapper for the per-query-seed hook
-   * ([[Similarity.graphSearchBatch]]'s `entriesByQuery`; prototyped in
+   * ([[Nsw.graphSearchBatch]]'s `entriesByQuery`; prototyped in
    * `graft.tools.GraphRecall`): walk the sampled `upperCorpus` first
    * (its graph is small, so a cheap wide beam covers it), then hand
    * each query its own upper-layer top-`seedK` as base-layer entries —
@@ -241,14 +241,14 @@ object GraphNav {
       maxSteps: Int = 8,
       upperBeamWidth: Int = 16,
       upperMaxSteps: Int = 10): DataFrame = {
-    val upper = Similarity.graphSearchBatch(
+    val upper = Nsw.graphSearchBatch(
         upperCorpus, idCol, embCol, queries, qidCol, upperGraph,
         k = seedK, nEntries = 4, beamWidth = upperBeamWidth,
         maxSteps = upperMaxSteps,
-        entries = Similarity.strideEntries(upperCorpus, idCol, 4))
+        entries = Nsw.strideEntries(upperCorpus, idCol, 4))
       .collect().groupBy(_.getLong(0))
       .map { case (q, rows) => q -> rows.map(_.getLong(2)).toSeq }
-    Similarity.graphSearchBatch(corpus, idCol, embCol, queries, qidCol,
+    Nsw.graphSearchBatch(corpus, idCol, embCol, queries, qidCol,
       graph, k, nEntries = 4, beamWidth = beamWidth, maxSteps = maxSteps,
       entriesByQuery = upper)
   }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.{GraphNav, Similarity}
+import graft.ops.Nsw
 
 /**
  * Planted-CLUSTER navigation readout — the regime where diversified
@@ -68,7 +69,7 @@ object ClusterNav {
     // subset of stride16 cuts, so stride targets would hand the walk
     // a seed INSIDE every target cluster and defeat the probe)
     val targets: Seq[Long] =
-      if (mode != "clustered") Similarity.strideEntries(emb, "vec_id", 8)
+      if (mode != "clustered") Nsw.strideEntries(emb, "vec_id", 8)
       else emb.filter(col("vec_id") % 20 === 0)
         .select(col("vec_id")).orderBy(xxhash64(col("vec_id")))
         .limit(8).collect().map(_.getLong(0)).toSeq
@@ -113,10 +114,10 @@ object ClusterNav {
       s"$inCluster/${targets.length * 10}")
 
     def recallOf(g: DataFrame, label: String): Unit = {
-      val walk = Similarity.graphSearchBatch(
+      val walk = Nsw.graphSearchBatch(
           corpus, "vec_id", "embedding", queries, "query_id", g,
           k = 10, nEntries = 4, beamWidth = beam, maxSteps = steps,
-          entries = Similarity.strideEntries(corpus, "vec_id", 16))
+          entries = Nsw.strideEntries(corpus, "vec_id", 16))
         .select(col("query_id"), col("vec_id"))
       val hits = walk.join(exact, Seq("query_id", "vec_id")).count()
       println(f"[clusternav] $dir $label recall@10=" +
@@ -124,13 +125,13 @@ object ClusterNav {
     }
 
     // raw kNN graph at the fixture geometry (degree 8)
-    val base = Similarity.knnGraph(corpus, "vec_id", "embedding",
+    val base = Nsw.knnGraph(corpus, "vec_id", "embedding",
         planesPerBand = 6, bands = 4, dims = 64, k = 8,
         minCosine = -1.0, maxBucketSize = 400)
       .select(col("id"), col("nbr"), col("cos_micro")).localCheckpoint()
     recallOf(base, "knn_k8")
     // diversified: candidates widened to 16, α-RNG-pruned to degree ≤ 8
-    val wide = Similarity.knnGraph(corpus, "vec_id", "embedding",
+    val wide = Nsw.knnGraph(corpus, "vec_id", "embedding",
         planesPerBand = 6, bands = 4, dims = 64, k = 16,
         minCosine = -1.0, maxBucketSize = 400).localCheckpoint()
     val div = GraphNav.alphaPrunedGraph(wide, corpus, "vec_id", "embedding",
@@ -141,7 +142,7 @@ object ClusterNav {
       // the wider pool is what lets the occlusion rule FIND diverse
       // edges — cluster size 20 > 16 would leave a k=16 pool all
       // intra-cluster; k=24 carries cross-cluster candidates
-      val wide24 = Similarity.knnGraph(corpus, "vec_id", "embedding",
+      val wide24 = Nsw.knnGraph(corpus, "vec_id", "embedding",
           planesPerBand = 6, bands = 4, dims = 64, k = 24,
           minCosine = -1.0, maxBucketSize = 400).localCheckpoint()
       recallOf(GraphNav.alphaPrunedGraph(wide24, corpus, "vec_id",

@@ -4,6 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.ops.{GraphNav, Similarity}
+import graft.ops.Nsw
 
 /** One-off diagnostic: how much does α-RNG pruning actually change the
   * fixture kNN graph? (edge overlap + occlusion-fire counts) */
@@ -18,11 +19,11 @@ object DivDebug {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-    val base = Similarity.knnGraph(emb, "vec_id", "embedding",
+    val base = Nsw.knnGraph(emb, "vec_id", "embedding",
         planesPerBand = 6, bands = 4, dims = 64, k = 8,
         minCosine = -1.0, maxBucketSize = 400)
       .select(col("id"), col("nbr")).localCheckpoint()
-    val wide = Similarity.knnGraph(emb, "vec_id", "embedding",
+    val wide = Nsw.knnGraph(emb, "vec_id", "embedding",
         planesPerBand = 6, bands = 4, dims = 64, k = 16,
         minCosine = -1.0, maxBucketSize = 400).localCheckpoint()
     for (an <- Seq(10, 11, 12, 14)) {

@@ -4,6 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.ops.{GraphNav, Similarity}
+import graft.ops.Nsw
 
 /**
  * Filtered graph-ANN audit: `runMain graft.tools.FilterNav <sfDir>`.
@@ -35,11 +36,11 @@ object FilterNav {
     spark.sparkContext.setLogLevel("WARN")
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), col("embedding")).localCheckpoint()
-    val graph = Similarity.knnGraph(emb, "vec_id", "embedding",
+    val graph = Nsw.knnGraph(emb, "vec_id", "embedding",
         planesPerBand = 6, bands = 4, dims = 64, k = 8,
         minCosine = -1.0, maxBucketSize = 400)
       .select(col("id"), col("nbr")).localCheckpoint()
-    val entries = Similarity.strideEntries(emb, "vec_id", 4)
+    val entries = Nsw.strideEntries(emb, "vec_id", 4)
     val pred = col("vec_id") % 10 === 7
     val filteredCorpus = emb.filter(pred).localCheckpoint()
     val K = 10          // one k for the search, the thin test, the
@@ -58,7 +59,7 @@ object FilterNav {
       val exact = Similarity.bruteForceTopK(
           filteredCorpus, qdf, "vec_id", "embedding", k = K)
         .collect().map(_.getLong(0)).toSet
-      val n0 = Similarity.graphSearch(emb, "vec_id", "embedding", qdf,
+      val n0 = Nsw.graphSearch(emb, "vec_id", "embedding", qdf,
           graph, k = K * overFetch, nEntries = 4, beamWidth = 16,
           maxSteps = 10, entries = entries)
         .filter(pred).count()
@@ -88,7 +89,7 @@ object FilterNav {
       // control: the UNFILTERED q301-shape walk on the same planted
       // query — separates "the filtered path lost the target" from
       // "the beam never reached it" (the navigation ceiling)
-      val walkHit = Similarity.graphSearch(emb, "vec_id", "embedding",
+      val walkHit = Nsw.graphSearch(emb, "vec_id", "embedding",
           planted, graph, k = 1, nEntries = 4, beamWidth = 16,
           maxSteps = 10, entries = entries)
         .collect().headOption.exists(_.getLong(0) == t)

@@ -4,13 +4,14 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.ops.Similarity
+import graft.ops.Nsw
 
 /** Recall-vs-scale audit for the graph-ANN beam (the BASELINE.md
   * recall rows): builds the q283 navigation graph on an sfDir's
   * embeddings, then measures recall@10 against brute force for a
   * deterministic query panel under BOTH entry-seeding policies —
   * `corner` (the nEntries lowest ids, q283's default) and `stride`
-  * ([[Similarity.strideEntries]] spread seeds). As the corpus (and
+  * ([[Nsw.strideEntries]] spread seeds). As the corpus (and
   * the NSW diameter) grows, a fixed-step beam from a static corner
   * loses recall; the spread seeds are the public recall-preserving
   * fix short of full HNSW layers.
@@ -35,20 +36,20 @@ object GraphRecall {
 
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     // the q283 fixture geometry, verbatim (EntryContext.annGraph)
-    val graph = Similarity.knnGraph(emb, "vec_id", "embedding",
+    val graph = Nsw.knnGraph(emb, "vec_id", "embedding",
         planesPerBand = 6, bands = 4, dims = 64, k = 8,
         minCosine = -1.0, maxBucketSize = 400)
       .select(col("id"), col("nbr"), col("cos_micro")).localCheckpoint()
 
     // deterministic panel spread over the corpus: query i = the
     // smallest id >= i*span/n (works at any sf)
-    val qids = Similarity.strideEntries(emb, "vec_id", nQueries)
+    val qids = Nsw.strideEntries(emb, "vec_id", nQueries)
     val queries = emb.filter(col("vec_id").isin(qids: _*))
       .select(col("vec_id").as("query_id"), col("embedding"))
 
     def recallOf(entries: Seq[Long], label: String,
         g: org.apache.spark.sql.DataFrame = graph): Unit = {
-      val walk = Similarity.graphSearchBatch(
+      val walk = Nsw.graphSearchBatch(
           emb, "vec_id", "embedding", queries, "query_id", g,
           k = 10, nEntries = 4, beamWidth = beam, maxSteps = steps,
           entries = entries)
@@ -68,10 +69,10 @@ object GraphRecall {
     }
 
     recallOf(Nil, "corner")
-    recallOf(Similarity.strideEntries(emb, "vec_id", 4), "stride4")
-    recallOf(Similarity.strideEntries(emb, "vec_id", 16), "stride16")
+    recallOf(Nsw.strideEntries(emb, "vec_id", 4), "stride4")
+    recallOf(Nsw.strideEntries(emb, "vec_id", 16), "stride16")
     // the NN-descent-refined graph, same geometry
-    val refined = Similarity.nnDescentRound(
+    val refined = Nsw.nnDescentRound(
         graph, emb, "vec_id", "embedding", k = 8)
       .select(col("id"), col("nbr"), col("cos_micro")).localCheckpoint()
     recallOf(Nil, "refined_corner", refined)
@@ -82,17 +83,17 @@ object GraphRecall {
     val n = emb.count()
     val planes = math.max(6,
       (math.log(n / 100.0) / math.log(2.0)).ceil.toInt)
-    val scaled = Similarity.knnGraph(emb, "vec_id", "embedding",
+    val scaled = Nsw.knnGraph(emb, "vec_id", "embedding",
         planesPerBand = planes, bands = 8, dims = 64, k = 8,
         minCosine = -1.0, maxBucketSize = 400)
       .select(col("id"), col("nbr"), col("cos_micro")).localCheckpoint()
     recallOf(Nil, s"scaledlsh_p${planes}_corner", scaled)
-    recallOf(Similarity.strideEntries(emb, "vec_id", 16),
+    recallOf(Nsw.strideEntries(emb, "vec_id", 16),
       s"scaledlsh_p${planes}_stride16", scaled)
-    val scaledRef = Similarity.nnDescentRound(
+    val scaledRef = Nsw.nnDescentRound(
         scaled, emb, "vec_id", "embedding", k = 8)
       .select(col("id"), col("nbr"), col("cos_micro")).localCheckpoint()
-    recallOf(Similarity.strideEntries(emb, "vec_id", 16),
+    recallOf(Nsw.strideEntries(emb, "vec_id", 16),
       s"scaledlsh_p${planes}_refined_stride16", scaledRef)
 
     // HIERARCHICAL: an upper layer of every 32nd vector walks first
@@ -101,17 +102,17 @@ object GraphRecall {
     for (mod <- Seq(16L, 32L)) {
       val upperCorpus = emb.filter(pmod(xxhash64(col("vec_id")), lit(mod)) === 0)
         .localCheckpoint()
-      val upperGraph = Similarity.knnGraph(upperCorpus, "vec_id", "embedding",
+      val upperGraph = Nsw.knnGraph(upperCorpus, "vec_id", "embedding",
           planesPerBand = 6, bands = 4, dims = 64, k = 8,
           minCosine = -1.0, maxBucketSize = 400)
         .select(col("id"), col("nbr")).localCheckpoint()
-      val upper = Similarity.graphSearchBatch(
+      val upper = Nsw.graphSearchBatch(
           upperCorpus, "vec_id", "embedding", queries, "query_id",
           upperGraph, k = 8, nEntries = 4, beamWidth = 16, maxSteps = 10,
-          entries = Similarity.strideEntries(upperCorpus, "vec_id", 4))
+          entries = Nsw.strideEntries(upperCorpus, "vec_id", 4))
         .collect().groupBy(_.getLong(0))
         .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSeq }
-      val walk = Similarity.graphSearchBatch(
+      val walk = Nsw.graphSearchBatch(
           emb, "vec_id", "embedding", queries, "query_id", graph,
           k = 10, nEntries = 4, beamWidth = beam, maxSteps = steps,
           entriesByQuery = upper)
@@ -134,7 +135,7 @@ object GraphRecall {
     // DIRECTIONS instead of one tight cluster; "divsym" additionally
     // inserts the reverse edges and re-prunes (the full DiskANN
     // two-pass build)
-    val wide = Similarity.knnGraph(emb, "vec_id", "embedding",
+    val wide = Nsw.knnGraph(emb, "vec_id", "embedding",
         planesPerBand = 6, bands = 4, dims = 64, k = 16,
         minCosine = -1.0, maxBucketSize = 400).localCheckpoint()
     val divGraphs = Seq((11, "a11"), (12, "a12"), (14, "a14")).map {
@@ -143,7 +144,7 @@ object GraphRecall {
             wide, emb, "vec_id", "embedding", r = 8,
             alphaNum = an, alphaDen = 10)
           .select(col("id"), col("nbr"), col("cos_micro")).localCheckpoint()
-        recallOf(Similarity.strideEntries(emb, "vec_id", 16),
+        recallOf(Nsw.strideEntries(emb, "vec_id", 16),
           s"div_${lbl}_stride16", div)
         (lbl, div)
     }.toMap
@@ -158,7 +159,7 @@ object GraphRecall {
           alphaNum = 12, alphaDen = 10)
         .select(col("id"), col("nbr"), col("cos_micro")).localCheckpoint()
     }
-    recallOf(Similarity.strideEntries(emb, "vec_id", 16),
+    recallOf(Nsw.strideEntries(emb, "vec_id", 16),
       "divsym_a12_stride16", divsym)
 
     // PLANTED-structure probe — the readout that separates "the index
@@ -180,10 +181,10 @@ object GraphRecall {
       .localCheckpoint()
     for ((g, label) <- Seq((graph, "fixture"), (scaled, "scaledlsh"),
         (divGraphs("a12"), "div_a12"), (divsym, "divsym_a12"))) {
-      val hits = Similarity.graphSearchBatch(
+      val hits = Nsw.graphSearchBatch(
           emb, "vec_id", "embedding", planted, "query_id", g,
           k = 10, nEntries = 4, beamWidth = beam, maxSteps = steps,
-          entries = Similarity.strideEntries(emb, "vec_id", 16))
+          entries = Nsw.strideEntries(emb, "vec_id", 16))
         .filter(col("rank") === 1 && col("vec_id") === col("query_id"))
         .count()
       // the planted contrast really is above the noise floor

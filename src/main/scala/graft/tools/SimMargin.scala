@@ -4,6 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.ops.Similarity
+import graft.ops.Nsw
 
 /** Tie-structure probe for the recall audits: prints each panel
   * query's exact top-20 cosines. If ranks 10 and 11+ are separated by
@@ -20,7 +21,7 @@ object SimMargin {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-    val qids = Similarity.strideEntries(emb, "vec_id", 4)
+    val qids = Nsw.strideEntries(emb, "vec_id", 4)
     val queries = emb.filter(col("vec_id").isin(qids: _*))
       .select(col("vec_id").as("query_id"), col("embedding"))
     val exact = Similarity.bruteForceTopKBatch(

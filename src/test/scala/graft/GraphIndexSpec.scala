@@ -6,6 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.io.{Commits, GraphIndex}
 import graft.ops.Similarity
+import graft.ops.Nsw
 
 /**
  * The durable navigation-graph index: build/search equivalence with
@@ -29,10 +30,10 @@ class GraphIndexSpec extends AnyFunSuite {
     val q0 = emb.filter(col("vec_id") === 0)
     val durable = GraphIndex.search(spark, dir, emb, q0, k = 10)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-    val g = Similarity.knnGraph(emb, "vec_id", "embedding",
+    val g = Nsw.knnGraph(emb, "vec_id", "embedding",
       planesPerBand = 4, bands = 4, dims = 64, k = 8,
       minCosine = -1.0, maxBucketSize = 1000)
-    val inMemory = Similarity.graphSearch(
+    val inMemory = Nsw.graphSearch(
         emb, "vec_id", "embedding", q0, g, k = 10,
         nEntries = 4, beamWidth = 16, maxSteps = 10)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
@@ -213,7 +214,7 @@ class GraphIndexSpec extends AnyFunSuite {
 
     // stored adjacency ≡ the in-memory α-pruned graph (build parity)
     val expected = graft.ops.GraphNav.alphaPrunedGraph(
-        Similarity.knnGraph(standing, "vec_id", "embedding",
+        Nsw.knnGraph(standing, "vec_id", "embedding",
           planesPerBand = 4, bands = 4, dims = 64, k = 12,
           minCosine = -1.0, maxBucketSize = 1000),
         standing, "vec_id", "embedding", r = 8, alphaNum = 12, alphaDen = 10)

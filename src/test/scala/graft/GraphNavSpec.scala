@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ops.{GraphNav, Similarity}
+import graft.ops.Nsw
 
 class GraphNavSpec extends AnyFunSuite {
   import TestSpark.spark
@@ -63,7 +64,7 @@ class GraphNavSpec extends AnyFunSuite {
         (math.sin(i * 0.7 + d * 1.3) + 0.2 * math.cos(i * 2.1 * (d + 1)))
           .toFloat))
     }.toDF("vid", "emb")
-    val knn = Similarity.knnGraph(corpus, "vid", "emb",
+    val knn = Nsw.knnGraph(corpus, "vid", "emb",
       planesPerBand = 2, bands = 2, dims = 8, k = 6, minCosine = -1.0)
       .localCheckpoint()
     val r = 3
@@ -128,17 +129,17 @@ class GraphNavSpec extends AnyFunSuite {
     // the contrast is real: the exact top-10 IS the cluster
     assert(exact.filter(col("vid") >= 156 && col("vid") < 168).count() == 10)
     def recall(g: org.apache.spark.sql.DataFrame): Long =
-      Similarity.graphSearchBatch(corpus, "vid", "emb",
+      Nsw.graphSearchBatch(corpus, "vid", "emb",
           queries, "qid", g, k = 10, nEntries = 4, beamWidth = 16,
           maxSteps = 12,
-          entries = Similarity.strideEntries(corpus, "vid", 16))
+          entries = Nsw.strideEntries(corpus, "vid", 16))
         .select(col("query_id"), col("vid"))
         .join(exact, Seq("query_id", "vid")).count()
-    val raw = Similarity.knnGraph(corpus, "vid", "emb",
+    val raw = Nsw.knnGraph(corpus, "vid", "emb",
       planesPerBand = 4, bands = 2, dims = 32, k = 6, minCosine = -1.0)
       .localCheckpoint()
     val div = GraphNav.alphaPrunedGraph(
-      Similarity.knnGraph(corpus, "vid", "emb",
+      Nsw.knnGraph(corpus, "vid", "emb",
         planesPerBand = 4, bands = 2, dims = 32, k = 24, minCosine = -1.0),
       corpus, "vid", "emb", r = 6).localCheckpoint()
     val (rawHits, divHits) = (recall(raw), recall(div))
@@ -159,7 +160,7 @@ class GraphNavSpec extends AnyFunSuite {
         (math.sin(i * 0.7 + d * 1.3) + 0.2 * math.cos(i * 2.1 * (d + 1)))
           .toFloat))
     }.toDF("vid", "emb").localCheckpoint()
-    val graph = Similarity.knnGraph(corpus, "vid", "emb",
+    val graph = Nsw.knnGraph(corpus, "vid", "emb",
       planesPerBand = 2, bands = 2, dims = 8, k = 4, minCosine = -1.0)
       .localCheckpoint()
     val q = corpus.filter(col("vid") === 0L)
@@ -170,7 +171,7 @@ class GraphNavSpec extends AnyFunSuite {
       .collect()
     // replay the escalation through the public walk: rung scale s =
     // beam 8s, cut 4s; rung 0 wins iff it already holds k matches
-    def rung(s: Int) = Similarity.graphSearch(corpus, "vid", "emb", q,
+    def rung(s: Int) = Nsw.graphSearch(corpus, "vid", "emb", q,
         graph, k = 4 * s, nEntries = 4, beamWidth = 8 * s, maxSteps = 10)
       .filter(pred)
     val n0 = rung(1).count()
@@ -201,11 +202,11 @@ class GraphNavSpec extends AnyFunSuite {
         (math.cos(c * 1.5 + d) + 0.05 * math.sin(i * 3.7 + d * 1.9))
           .toFloat))
     }.toDF("vid", "emb").localCheckpoint()
-    val graph = Similarity.knnGraph(corpus, "vid", "emb",
+    val graph = Nsw.knnGraph(corpus, "vid", "emb",
       planesPerBand = 2, bands = 2, dims = 8, k = 4, minCosine = -1.0)
       .localCheckpoint()
     val upperCorpus = corpus.filter(col("vid") % 4 === 0).localCheckpoint()
-    val upperGraph = Similarity.knnGraph(upperCorpus, "vid", "emb",
+    val upperGraph = Nsw.knnGraph(upperCorpus, "vid", "emb",
       planesPerBand = 1, bands = 2, dims = 8, k = 4, minCosine = -1.0)
       .localCheckpoint()
     val queries = corpus.filter(col("vid") === 37L)
@@ -220,13 +221,13 @@ class GraphNavSpec extends AnyFunSuite {
     assert(top.length == 1 && top.head.getLong(2) == 37L,
       "the upper-layer walk must seed the base beam inside the target cluster")
     // wrapper ≡ inline construction through the entriesByQuery hook
-    val upper = Similarity.graphSearchBatch(
+    val upper = Nsw.graphSearchBatch(
         upperCorpus, "vid", "emb", queries, "qid", upperGraph,
         k = 8, nEntries = 4, beamWidth = 16, maxSteps = 10,
-        entries = Similarity.strideEntries(upperCorpus, "vid", 4))
+        entries = Nsw.strideEntries(upperCorpus, "vid", 4))
       .collect().groupBy(_.getLong(0))
       .map { case (q, rows) => q -> rows.map(_.getLong(2)).toSeq }
-    val inline = Similarity.graphSearchBatch(corpus, "vid", "emb",
+    val inline = Nsw.graphSearchBatch(corpus, "vid", "emb",
       queries, "qid", graph, k = 5, nEntries = 4, beamWidth = 8,
       maxSteps = 8, entriesByQuery = upper)
     assert(got.collect().toSeq == inline.collect().toSeq)

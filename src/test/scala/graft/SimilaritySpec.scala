@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ops.Similarity
+import graft.ops.Nsw
 
 class SimilaritySpec extends AnyFunSuite {
   import TestSpark.spark
@@ -112,7 +113,7 @@ class SimilaritySpec extends AnyFunSuite {
         case ((_, nbr, cm), i) => (id, i + 1L, nbr, cm)
       }.toSeq
     }.toSet
-    val got = Similarity.knnGraph(emb, "vec_id", "embedding",
+    val got = Nsw.knnGraph(emb, "vec_id", "embedding",
       planesPerBand = 8, bands = 2, dims = 64, k = 3, minCosine = 0.1)
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(got == expected)
@@ -608,7 +609,7 @@ class SimilaritySpec extends AnyFunSuite {
       (3L, 1L, 4L, 700000L), (3L, 2L, 5L, 600000L),
       (4L, 1L, 3L, 700000L))
       .toDF("id", "rank", "nbr", "cos_micro")
-    val got = Similarity.reciprocalNeighbors(knn)
+    val got = Nsw.reciprocalNeighbors(knn)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4))).toSet
     assert(got == Set((1L, 2L, 1L, 2L, 900000L), (3L, 4L, 1L, 1L, 700000L)))
@@ -652,21 +653,21 @@ class SimilaritySpec extends AnyFunSuite {
     val graph = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 3L))
       .toDF("id", "nbr")
     val query = corpus.filter(col("vec_id") === 4L)
-    val got = Similarity.graphSearch(
+    val got = Nsw.graphSearch(
         corpus, "vec_id", "embedding", query, graph, k = 3,
         nEntries = 2, maxSteps = 8)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(got == Seq((4L, 1.0), (3L, 0.995037), (2L, 0.894427)))
 
     // maxSteps = 0: only the entries themselves are visited
-    val frozen = Similarity.graphSearch(
+    val frozen = Nsw.graphSearch(
         corpus, "vec_id", "embedding", query, graph, k = 3,
         nEntries = 2, maxSteps = 0)
       .collect().map(_.getLong(0)).toSeq
     assert(frozen == Seq(1L, 0L), "no steps → entry nodes only, ranked")
 
     // too few steps: the walk stops mid-chain — visited is the fence
-    val short = Similarity.graphSearch(
+    val short = Nsw.graphSearch(
         corpus, "vec_id", "embedding", query, graph, k = 1,
         nEntries = 2, maxSteps = 1)
       .collect().map(_.getLong(0)).toSeq
@@ -676,12 +677,12 @@ class SimilaritySpec extends AnyFunSuite {
     // kNN graph must recover most of the exact top-10 (deterministic
     // fixture → a pinned lower bound, not a flaky expectation)
     val emb = TestSpark.table("embeddings")
-    val g = Similarity.knnGraph(emb, "vec_id", "embedding",
+    val g = Nsw.knnGraph(emb, "vec_id", "embedding",
       planesPerBand = 4, bands = 4, dims = 64, k = 8,
       minCosine = -1.0, maxBucketSize = 1000)
       .select(col("id"), col("nbr"))
     val q0 = emb.filter(col("vec_id") === 0)
-    val walk = Similarity.graphSearch(
+    val walk = Nsw.graphSearch(
         emb, "vec_id", "embedding", q0, g, k = 10, beamWidth = 16, maxSteps = 10)
       .collect().map(_.getLong(0)).toSet
     val exact = Similarity.bruteForceTopK(
@@ -693,14 +694,14 @@ class SimilaritySpec extends AnyFunSuite {
 
   test("graphSearchBatch: per-query beams ≡ the single-query walk, ranked") {
     val emb = TestSpark.table("embeddings")
-    val g = Similarity.knnGraph(emb, "vec_id", "embedding",
+    val g = Nsw.knnGraph(emb, "vec_id", "embedding",
       planesPerBand = 4, bands = 4, dims = 64, k = 8,
       minCosine = -1.0, maxBucketSize = 1000)
       .select(col("id"), col("nbr")).localCheckpoint()
     val qids = Seq(0L, 7L, 23L)
     val queries = emb.filter(col("vec_id").isin(qids: _*))
       .select(col("vec_id").as("query_id"), col("embedding"))
-    val batch = Similarity.graphSearchBatch(
+    val batch = Nsw.graphSearchBatch(
         emb, "vec_id", "embedding", queries, "query_id", g,
         k = 10, beamWidth = 16, maxSteps = 10)
       .collect()
@@ -715,7 +716,7 @@ class SimilaritySpec extends AnyFunSuite {
       }
     assert(batch.keySet == qids.toSet)
     qids.foreach { q =>
-      val single = Similarity.graphSearch(
+      val single = Nsw.graphSearch(
           emb, "vec_id", "embedding", emb.filter(col("vec_id") === q), g,
           k = 10, beamWidth = 16, maxSteps = 10)
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
@@ -723,12 +724,12 @@ class SimilaritySpec extends AnyFunSuite {
         s"batch walk for query $q diverged from the single-query walk")
     }
     intercept[IllegalArgumentException] {
-      Similarity.graphSearchBatch(emb, "vec_id", "embedding",
+      Nsw.graphSearchBatch(emb, "vec_id", "embedding",
         queries.unionAll(queries), "query_id", g, k = 1)
     }
     // null query ids are rejected, not silently keyed as 0
     intercept[IllegalArgumentException] {
-      Similarity.graphSearchBatch(emb, "vec_id", "embedding",
+      Nsw.graphSearchBatch(emb, "vec_id", "embedding",
         queries.select(lit(null).cast("long").as("query_id"),
           col("embedding")).limit(1),
         "query_id", g, k = 1)
@@ -738,11 +739,11 @@ class SimilaritySpec extends AnyFunSuite {
     val dirty = emb.select("vec_id", "embedding").unionByName(
       emb.limit(1).select(lit(null).cast("long").as("vec_id"),
         col("embedding")))
-    val viaDirty = Similarity.graphSearch(
+    val viaDirty = Nsw.graphSearch(
         dirty, "vec_id", "embedding", emb.filter(col("vec_id") === 0), g,
         k = 10, beamWidth = 16, maxSteps = 10)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-    val viaClean = Similarity.graphSearch(
+    val viaClean = Nsw.graphSearch(
         emb, "vec_id", "embedding", emb.filter(col("vec_id") === 0), g,
         k = 10, beamWidth = 16, maxSteps = 10)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
@@ -757,7 +758,7 @@ class SimilaritySpec extends AnyFunSuite {
       .write.parquet(dir)
     val stored = spark.read.parquet(dir)
     val ids = Seq(3L, 17L, 41L)
-    val looked = Similarity.pointLookup(stored, "vec_id", ids)
+    val looked = Nsw.pointLookup(stored, "vec_id", ids)
     assert(looked.collect().map(_.getLong(0)).sorted.toSeq == ids)
     // the beam's per-round probe must PRUNE the scan: the In filter is
     // pushed to the parquet reader (footer min/max skipping), not
@@ -771,8 +772,8 @@ class SimilaritySpec extends AnyFunSuite {
     // past the literal ceiling the same contract holds via a broadcast
     // semi-join (plan-size O(1) in |ids|) — the id RANGE still reaches
     // the scan so footer stats prune a range-clustered layout
-    val big = (0L until (Similarity.maxIsinLiterals + 10L)).map(_ * 2 + 1)
-    val bigLooked = Similarity.pointLookup(stored, "vec_id", big)
+    val big = (0L until (Nsw.maxIsinLiterals + 10L)).map(_ * 2 + 1)
+    val bigLooked = Nsw.pointLookup(stored, "vec_id", big)
     val want = TestSpark.table("embeddings")
       .filter(col("vec_id") % 2 === 1 && col("vec_id") <= big.max)
       .count()
@@ -795,10 +796,10 @@ class SimilaritySpec extends AnyFunSuite {
     // deliberately weak LSH seed so descent has work to do — but at
     // least TWO bands: with one band every candidate neighborhood is
     // an intra-bucket clique and two-hop provably cannot escape it
-    val lsh = Similarity.knnGraph(emb, "vec_id", "embedding",
+    val lsh = Nsw.knnGraph(emb, "vec_id", "embedding",
       planesPerBand = 8, bands = 2, dims = 64, k = 4,
       minCosine = -1.0, maxBucketSize = 1000).localCheckpoint()
-    val refined = Similarity.nnDescentRound(lsh, emb, "vec_id", "embedding", k = 4)
+    val refined = Nsw.nnDescentRound(lsh, emb, "vec_id", "embedding", k = 4)
     // output contract: knnGraph schema, contiguous ranks, cos desc
     refined.collect().groupBy(_.getLong(0)).foreach { case (id, rs) =>
       val byRank = rs.sortBy(_.getLong(1))
@@ -839,10 +840,10 @@ class SimilaritySpec extends AnyFunSuite {
     val (r0, r1) = (edgeRecall(lsh), edgeRecall(refined))
     assert(r1 > r0, s"descent did not improve edge recall: $r0 -> $r1")
     // determinism
-    val again = Similarity.nnDescentRound(lsh, emb, "vec_id", "embedding", k = 4)
+    val again = Nsw.nnDescentRound(lsh, emb, "vec_id", "embedding", k = 4)
     assert(refined.collect().toSet == again.collect().toSet)
     // rounds=0 is the raw LSH graph verbatim
-    val zero = Similarity.knnGraphRefined(emb, "vec_id", "embedding",
+    val zero = Nsw.knnGraphRefined(emb, "vec_id", "embedding",
       planesPerBand = 8, bands = 2, dims = 64, k = 4,
       minCosine = -1.0, maxBucketSize = 1000, rounds = 0)
     assert(zero.collect().toSet == lsh.collect().toSet)
@@ -850,7 +851,7 @@ class SimilaritySpec extends AnyFunSuite {
 
   test("graphSearchBatch: per-query entry seeds steer each beam independently") {
     val emb = TestSpark.table("embeddings")
-    val g = Similarity.knnGraph(emb, "vec_id", "embedding",
+    val g = Nsw.knnGraph(emb, "vec_id", "embedding",
       planesPerBand = 4, bands = 4, dims = 64, k = 8,
       minCosine = -1.0, maxBucketSize = 1000)
       .select(col("id"), col("nbr")).localCheckpoint()
@@ -858,7 +859,7 @@ class SimilaritySpec extends AnyFunSuite {
     val queries = emb.filter(col("vec_id").isin(qids: _*))
       .select(col("vec_id").as("query_id"), col("embedding"))
     // each query seeded AT its own node must rank itself first
-    val self = Similarity.graphSearchBatch(
+    val self = Nsw.graphSearchBatch(
         emb, "vec_id", "embedding", queries, "query_id", g,
         k = 5, entriesByQuery = qids.map(q => q -> Seq(q)).toMap)
       .filter(col("rank") === 1).collect()
@@ -867,11 +868,11 @@ class SimilaritySpec extends AnyFunSuite {
       "a beam seeded at the query's own vector must rank it #1")
     // a query missing from the map falls back to the shared seeds —
     // identical to the same walk with explicit shared entries
-    val mixed = Similarity.graphSearchBatch(
+    val mixed = Nsw.graphSearchBatch(
         emb, "vec_id", "embedding", queries, "query_id", g,
         k = 5, entries = Seq(1L, 2L), entriesByQuery = Map(0L -> Seq(0L)))
       .collect().groupBy(_.getLong(0))
-    val sharedOnly = Similarity.graphSearchBatch(
+    val sharedOnly = Nsw.graphSearchBatch(
         emb, "vec_id", "embedding",
         queries.filter(col("query_id") === 7L), "query_id", g,
         k = 5, entries = Seq(1L, 2L))
@@ -889,11 +890,11 @@ class SimilaritySpec extends AnyFunSuite {
     // cos≈0.9, far above the fixture's noise ceiling; the beam must
     // surface the planted target as rank 1
     val emb = TestSpark.table("embeddings")
-    val g = Similarity.knnGraph(emb, "vec_id", "embedding",
+    val g = Nsw.knnGraph(emb, "vec_id", "embedding",
       planesPerBand = 4, bands = 4, dims = 64, k = 8,
       minCosine = -1.0, maxBucketSize = 1000)
       .select(col("id"), col("nbr")).localCheckpoint()
-    val qids = Similarity.strideEntries(emb, "vec_id", 6)
+    val qids = Nsw.strideEntries(emb, "vec_id", 6)
     val planted = emb.filter(col("vec_id").isin(qids: _*))
       .select(col("vec_id").as("query_id"),
         transform(col("embedding"),
@@ -903,10 +904,10 @@ class SimilaritySpec extends AnyFunSuite {
         transform(col("__raw"), x =>
           (x / sqrt(aggregate(col("__raw"), lit(0.0d),
             (a, v) => a + v * v))).cast("float")).as("embedding"))
-    val hits = Similarity.graphSearchBatch(
+    val hits = Nsw.graphSearchBatch(
         emb, "vec_id", "embedding", planted, "query_id", g,
         k = 10, nEntries = 4, beamWidth = 16, maxSteps = 10,
-        entries = Similarity.strideEntries(emb, "vec_id", 8))
+        entries = Nsw.strideEntries(emb, "vec_id", 8))
       .filter(col("rank") === 1 && col("vec_id") === col("query_id"))
       .count()
     assert(hits == qids.length,
@@ -916,7 +917,7 @@ class SimilaritySpec extends AnyFunSuite {
   test("strideEntries: spread seeds exist in the corpus, span the id range") {
     val emb = TestSpark.table("embeddings")
     val ids = emb.select("vec_id").collect().map(_.getLong(0)).toSet
-    val seeds = Similarity.strideEntries(emb, "vec_id", 8)
+    val seeds = Nsw.strideEntries(emb, "vec_id", 8)
     assert(seeds.nonEmpty && seeds.distinct == seeds)
     assert(seeds.forall(ids.contains), "every seed is a real corpus id")
     // spread: seeds cover the id range at ~span/n stride, so the beam
@@ -930,18 +931,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(sorted.last - sorted.head >= span * 3 / 4,
       s"seeds cover too little of the id range: $sorted")
     // n=1 degenerates to the minimum id; an empty corpus yields none
-    assert(Similarity.strideEntries(emb, "vec_id", 1) == Seq(lo))
-    assert(Similarity.strideEntries(
+    assert(Nsw.strideEntries(emb, "vec_id", 1) == Seq(lo))
+    assert(Nsw.strideEntries(
       emb.filter(col("vec_id") < 0), "vec_id", 4) == Nil)
     // caller-supplied seeds thread through the batch walk: seeding the
     // beam from spread entries yields ranked output with the same
     // contract (ranks 1..k, cosine desc)
-    val g = Similarity.knnGraph(emb, "vec_id", "embedding",
+    val g = Nsw.knnGraph(emb, "vec_id", "embedding",
       planesPerBand = 4, bands = 4, dims = 64, k = 8,
       minCosine = -1.0, maxBucketSize = 1000)
       .select(col("id"), col("nbr")).localCheckpoint()
     val q = emb.filter(col("vec_id") === 5L)
-    val walked = Similarity.graphSearch(
+    val walked = Nsw.graphSearch(
         emb, "vec_id", "embedding", q, g,
         k = 10, beamWidth = 16, maxSteps = 10, entries = seeds)
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
