@@ -21,7 +21,7 @@ object Nsw {
    * kNN graph over the whole corpus from banded-LSH candidates — the
    * input structure for graph-based clustering and SemDeDup-style
    * neighborhood dedup: every vector's top-`k` neighbors by cosine
-   * among its [[bandedNeighbors]] candidates (approximate by
+   * among its [[Similarity.bandedNeighbors]] candidates (approximate by
    * construction: only same-bucket pairs compete; recall is the
    * banding trade documented there).
    *
@@ -267,7 +267,7 @@ object Nsw {
    * range-clustered layouts ([[graft.io.VectorIndex]],
    * [[graft.io.GraphIndex]]) a lookup of b ids reads O(b) row groups,
    * never the corpus. Ids are read as long (the batch-variant
-   * contract, [[pqTopKWithBatch]]).
+   * contract, [[Similarity.pqTopKWithBatch]]).
    *
    * Above [[maxIsinLiterals]] ids the literal form stops paying: a
    * ~500k-element `In` bloats the plan and strains driver codegen more
@@ -300,7 +300,7 @@ object Nsw {
    * Graph-based ANN for a query SET — [[graphSearch]]'s production
    * probe shape: one beam per query, but each round's lookups merge
    * across ALL queries into one pruned embedding fetch and one pruned
-   * adjacency fetch (the [[pqTopKWithBatch]] amortization applied to
+   * adjacency fetch (the [[Similarity.pqTopKWithBatch]] amortization applied to
    * the graph regime — a probe service runs thousands of queries; one
    * driver call per query would serialize and rescan).
    *
@@ -308,7 +308,7 @@ object Nsw {
    * yet expanded — [[pointLookup]] on the graph, collected (≤ pool·k
    * skinny rows); (2) cosine scores for (query, node) pairs not yet
    * scored — the union of frontiers becomes ONE [[pointLookup]] on the
-   * corpus, scored executor-side through [[cosineFast]]'s codegen
+   * corpus, scored executor-side through [[Similarity.cosineFast]]'s codegen
    * kernel against the broadcast query batch, collected (≤
    * |queries|·beamWidth·k scalar rows). Driver state is beam-geometry-
    * bounded by construction — pools (beamWidth ids/query), the score

@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.ops.{GraphNav, Similarity}
+import graft.ops.GraphNav
 import graft.ops.Nsw
 
 /** One-off diagnostic: how much does α-RNG pruning actually change the

@@ -5,7 +5,6 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.io.{Commits, GraphIndex}
-import graft.ops.Similarity
 import graft.ops.Nsw
 
 /**
