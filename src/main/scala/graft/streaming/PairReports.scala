@@ -50,9 +50,9 @@ import org.apache.spark.sql.types.StructType
  * intersected with the drain's fresh ids — the r18 detection, with
  * its at-least-once false-positive accepted for ONE test per legacy
  * batch, because the scan BACKFILLS the sidecar it just derived
- * (verified-folded → empty sources; in-window → the current fresh
- * set, whose files this drain's fold commits — so a re-crash still
- * re-heals and a success closes it). Without the backfill, a
+ * (verified-folded → the non-empty folded token; in-window → the
+ * current fresh set, whose files this drain's fold commits — so a
+ * re-crash still re-heals and a success closes it). Without the backfill, a
  * coarse-mtime store (every batch ties the stop mtime) would re-run
  * the legacy id test on every legacy batch on every drain, forever —
  * re-exposing the false positive indefinitely. `healed` runs inside
@@ -64,6 +64,15 @@ import org.apache.spark.sql.types.StructType
 object PairReports {
 
   private val sourcesName = "_graft_sources" // `_` prefix: parquet readers skip it
+
+  /** Sidecar token marking a legacy batch the heal scan VERIFIED as
+    * folded. A real silver path can never equal it, so the reader's
+    * `srcs.exists(fresh)` naturally reads it as "not in window" — and
+    * unlike the first draft's EMPTY sidecar, a crash-truncated file
+    * (zero bytes) is now DISTINGUISHABLE: no token, no paths → fall
+    * back to the legacy id-overlap test instead of treating the batch
+    * as folded forever (r19 advice). */
+  private val foldedToken = "__graft_verified_folded__"
 
   private def reportDir(indexDir: String, tag: String): String =
     s"$indexDir/pairs/batch=$tag"
@@ -110,8 +119,15 @@ object PairReports {
     val fresh = freshFiles.toSet
     val fs = new Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a batch dir can vanish between the caller's listing and this
+    // stat (concurrent compaction/cleanup) — skip it like the report
+    // scan's fs.exists filter does, instead of aborting the whole
+    // drain on FileNotFoundException (r19 advice)
     val byAge = committedBatches
-      .map(b => b -> fs.getFileStatus(b).getModificationTime)
+      .flatMap { b =>
+        try Some(b -> fs.getFileStatus(b).getModificationTime)
+        catch { case _: java.io.FileNotFoundException => None }
+      }
       .sortBy { case (b, t) => (-t, b.getName) }
     val touched = scala.collection.mutable.Buffer.empty[String]
     // stopAt = mtime of the first fully-folded batch seen; batches
@@ -126,28 +142,47 @@ object PairReports {
       else {
         val tag = b.getName.stripPrefix("batch=")
         val srcP = new Path(reportDir(indexDir, tag), sourcesName)
-        val inWindow =
-          if (fs.exists(srcP)) {
+        // a zero-line sidecar is treated as ABSENT: the only writers
+        // emit either source paths or the folded token, so no lines
+        // means a truncated write — re-derive, never trust it
+        val srcs: Option[Set[String]] =
+          if (!fs.exists(srcP)) None
+          else {
             val in = fs.open(srcP)
-            val srcs =
+            val lines =
               try scala.io.Source.fromInputStream(in, "UTF-8")
                 .getLines().filter(_.nonEmpty).toSet
               finally in.close()
-            srcs.exists(fresh)
-          } else {
+            if (lines.isEmpty) None else Some(lines)
+          }
+        val inWindow = srcs match {
+          case Some(lines) => lines.exists(fresh)
+          case None =>
             // legacy pre-sidecar batch: the r18 id-overlap test,
             // batch-sized (one skinny media_id read) — then BACKFILL
             // the sidecar so this batch is never legacy-tested again
             // (see scaladoc; in-window batches record the current
-            // fresh set, which this drain's fold commits)
+            // fresh set, which this drain's fold commits; folded ones
+            // the non-empty token). The backfill lands temp-then-
+            // rename (the meta-last convention): a crash mid-write
+            // leaves only the temp file, which the next drain ignores
+            // and re-derives — never a truncated sidecar misread as
+            // folded (r19 advice).
             val overlap = !spark.read.parquet(b.toString).select("media_id")
               .join(freshIds, Seq("media_id"), "left_semi").isEmpty
-            val bf = fs.create(srcP, true)
+            val tmpP = new Path(srcP.getParent, s".${sourcesName}_tmp")
+            val bf = fs.create(tmpP, true)
             try bf.write(
-              (if (overlap) freshFiles else Nil).mkString("\n").getBytes("UTF-8"))
+              (if (overlap) freshFiles else Seq(foldedToken))
+                .mkString("\n").getBytes("UTF-8"))
             finally bf.close()
+            // a zero-line sidecar may sit at the target — drop it so
+            // the rename lands (a crash in between leaves the batch
+            // sidecar-less: re-derived next drain, never misread)
+            fs.delete(srcP, false)
+            fs.rename(tmpP, srcP)
             overlap
-          }
+        }
         if (inWindow) touched += tag
         else if (stopAt.isEmpty) stopAt = Some(mtime)
       }
