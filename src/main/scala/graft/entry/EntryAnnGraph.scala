@@ -348,7 +348,66 @@ private[graft] trait EntryAnnGraph extends EntryContext {
         emb.filter(col("vec_id") % 4 === 0), upperAnnGraph(s, dir),
         k = 10, seedK = 8, beamWidth = 8, maxSteps = 8,
         upperBeamWidth = 16, upperMaxSteps = 10)
-    })
+    }),
+
+
+    // ---- north-star: BATCH filtered graph ANN — q307's escalation
+    //      ladder in the probe-service shape: one ladder per query,
+    //      every rung ONE graphSearchBatch over the rung's still-thin
+    //      queries (adjacency/embedding fetches merge across the
+    //      batch — the q285 amortization), escalation decisions
+    //      per-query (a satisfied query never re-walks; a selective
+    //      one never drags the batch). Oracle = each query's two-rung
+    //      ladder replayed independently (per-query semantics ≡
+    //      filteredSearch exactly).
+    "q309_filtered_batch" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      graft.ops.GraphNav.filteredSearchBatch(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id").isin(0L, 7L, 23L))
+          .select(col("vec_id").as("query_id"), col("embedding")),
+        "query_id", annGraph(s, dir),
+        predicate = col("vec_id") % 10 === 7, k = 10,
+        nEntries = 4, beamWidth = 16, maxSteps = 10,
+        entries = Nsw.strideEntries(emb, "vec_id", 4),
+        overFetch = 4, escalations = 1, growth = 4)
+    }),
+
+
+    // ---- north-star: filtered walk against the PUBLISHED store — the
+    //      production "top-k WHERE <pred>" a probe service answers
+    //      from a committed index, not a session-built graph: q309's
+    //      per-query escalation wired to q305's durable α-pruned
+    //      adjacency (GraphIndex.filteredSearchBatch — MoR ledger
+    //      resolve, build-time geometry, id-sorted point-lookup
+    //      pruning). Oracle = the q305 stem (α-RNG replay) under the
+    //      q309 ladder.
+    "q310_durable_filtered_walk" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      graft.io.GraphIndex.filteredSearchBatch(
+        s, durableDivGraphIndex(s, dir), emb,
+        emb.filter(col("vec_id").isin(0L, 7L, 23L))
+          .select(col("vec_id").as("query_id"), col("embedding")),
+        "query_id", predicate = col("vec_id") % 10 === 7, k = 10,
+        entries = Nsw.strideEntries(emb, "vec_id", 4),
+        overFetch = 4, escalations = 1, growth = 4)
+    }),
+
+
+    // ---- north-star: predicate-aware probe of the DURABLE IVF
+    //      index — the escalation ladder in the IVF regime
+    //      (VectorIndex.probeFilteredBatch): each rung probes
+    //      nprobe·growth^rung list DIRECTORIES (static partition
+    //      pruning), thin queries widen per-query, and the nlist cap
+    //      makes the last rung EXACT (rung 1 here: 2×4 ≥ nlist=8 →
+    //      all lists — thin then means the store truly holds < k
+    //      matches). Oracle replays training, both rungs' probes, and
+    //      the per-query integer-count pick.
+    "q311_durable_filtered_probe" -> ((s, dir) =>
+      graft.io.VectorIndex.probeFilteredBatch(
+        T(s, dir, "embeddings").filter(col("vec_id") < 3), "vec_id",
+        durableVecIndex(s, dir), predicate = col("vec_id") % 10 === 7,
+        k = 10, nprobe = 2, escalations = 1, growth = 4))
 
   )
 
@@ -656,9 +715,106 @@ private[graft] trait EntryAnnGraph extends EntryContext {
              s"""SELECT CAST($q AS BIGINT) AS query_id,
                 |  CAST(rn AS BIGINT) AS rank, node AS vec_id,
                 |  sim AS cosine_sim FROM res_h$q""".stripMargin)
-           .mkString("\nUNION ALL\n")}""".stripMargin
+           .mkString("\nUNION ALL\n")}""".stripMargin,
+
+    // batch-ladder replay over the session graph: per query, both
+    // rungs' walks + the integer-count pick (the q307 arithmetic,
+    // composed per query — batch semantics are per-query identical)
+    "q309_filtered_batch" ->
+      s"""WITH ${graphAnnStemCtes()},
+         |${filteredLadderCtes(graph = "kg")}
+         |${filteredLadderFinalSql}""".stripMargin,
+
+    // durable-store ladder: the q305 stem (α-RNG RobustPrune replay
+    // of the stored adjacency) under the same per-query two-rung pick
+    "q310_durable_filtered_walk" ->
+      s"""WITH ${graphAnnStemCtes(k = 12)},
+         |${alphaPruneCtes(k = 12, r = 8)},
+         |${filteredLadderCtes(graph = "kgp")}
+         |${filteredLadderFinalSql}""".stripMargin,
+
+    // IVF-ladder replay: k-means training, rung-0 probe (top-2 lists
+    // per query), rung-1 probe (2×4 ≥ nlist → ALL lists, the exact
+    // regime), predicate on both, per-query count pick + thin flag
+    "q311_durable_filtered_probe" -> {
+      val dims = 64
+      s"""WITH ${ivfTrainCtes(dims)},
+         |q AS (SELECT CAST(vec_id AS BIGINT) AS query_id, embedding AS qe
+         |      FROM embeddings WHERE vec_id < 3),
+         |pr0 AS (SELECT query_id, cid AS list_id FROM (
+         |    SELECT q.query_id, c.cid, row_number() OVER (
+         |        PARTITION BY q.query_id
+         |        ORDER BY ${duckCosine("c.cemb", "q.qe", dims)} DESC,
+         |          c.cid ASC) AS rn
+         |    FROM c1 c, q) WHERE rn <= 2),
+         |s0 AS (SELECT p.query_id, e.vec_id,
+         |        ${duckCosine("e.embedding", "q.qe", dims)} AS cosine_sim
+         |      FROM pr0 p JOIN q USING (query_id)
+         |      JOIN alist a ON a.list_id = p.list_id
+         |      JOIN embeddings e ON e.vec_id = a.vec_id
+         |      WHERE e.vec_id % 10 = 7),
+         |s1 AS (SELECT q.query_id, e.vec_id,
+         |        ${duckCosine("e.embedding", "q.qe", dims)} AS cosine_sim
+         |      FROM embeddings e, q WHERE e.vec_id % 10 = 7),
+         |n0 AS (SELECT query_id, count(*) AS c FROM s0 GROUP BY query_id),
+         |sel AS (
+         |  SELECT s0.query_id, s0.vec_id, s0.cosine_sim
+         |  FROM s0 JOIN n0 USING (query_id) WHERE n0.c >= 10
+         |  UNION ALL
+         |  SELECT s1.query_id, s1.vec_id, s1.cosine_sim
+         |  FROM s1 LEFT JOIN n0 USING (query_id)
+         |  WHERE coalesce(n0.c, 0) < 10),
+         |nsel AS (SELECT query_id, count(*) AS c FROM sel GROUP BY query_id),
+         |r AS (SELECT query_id, CAST(row_number() OVER (
+         |      PARTITION BY query_id
+         |      ORDER BY cosine_sim DESC, vec_id ASC) AS BIGINT) AS rank,
+         |    vec_id, cosine_sim FROM sel)
+         |SELECT r.query_id, r.rank, r.vec_id, r.cosine_sim,
+         |  (nsel.c < 10) AS thin_result
+         |FROM r JOIN nsel USING (query_id) WHERE r.rank <= 10""".stripMargin
+    }
 
   )
+
+  /** Per-query two-rung filtered-escalation CTEs over a walkable stem
+    * (the q307 arithmetic composed for the q309/q310 batch gates):
+    * for each query — rung-0 walk (beam 16, cut 40), rung-1 walk
+    * (beam 64, cut 160), the `% 10 = 7` filters, the count pick, and
+    * the selected count. Ends after `cnt<q>`; pair with
+    * [[filteredLadderFinalSql]]. */
+  private def filteredLadderCtes(graph: String): String = {
+    val walks = Seq(0L, 7L, 23L).map { q =>
+      Seq(
+        graphAnnWalkCtes(q, beam = 16, k = 40, graph = graph,
+          ent = "entS", ns0 = s"a$q"),
+        graphAnnWalkCtes(q, beam = 64, k = 160, graph = graph,
+          ent = "entS", ns0 = s"b$q"),
+        s"f0x$q AS (SELECT node, sim FROM res_a$q WHERE node % 10 = 7)",
+        s"f1x$q AS (SELECT node, sim FROM res_b$q WHERE node % 10 = 7)",
+        s"pk$q AS (SELECT (SELECT count(*) FROM f0x$q) >= 10 AS ok0)",
+        s"""sel$q AS (SELECT node, sim FROM f0x$q
+           |    WHERE (SELECT ok0 FROM pk$q)
+           |  UNION ALL
+           |  SELECT node, sim FROM f1x$q
+           |    WHERE NOT (SELECT ok0 FROM pk$q))""".stripMargin,
+        s"cnt$q AS (SELECT count(*) AS c FROM sel$q)"
+      ).mkString(",\n")
+    }.mkString(",\n")
+    s"""${strideEntCtes(4, "S")},
+       |$walks""".stripMargin
+  }
+
+  /** Final SELECT for [[filteredLadderCtes]]: per query the ranked cut
+    * of its selected rung + the thin flag from the selected count. */
+  private val filteredLadderFinalSql: String =
+    Seq(0L, 7L, 23L).map { q =>
+      s"""SELECT CAST($q AS BIGINT) AS query_id, CAST(fr AS BIGINT) AS rank,
+         |  node AS vec_id, sim AS cosine_sim,
+         |  (SELECT c FROM cnt$q) < 10 AS thin_result
+         |FROM (SELECT node, sim,
+         |    row_number() OVER (ORDER BY sim DESC, node ASC) AS fr
+         |  FROM sel$q) WHERE fr <= 10""".stripMargin
+    }.mkString("\nUNION ALL\n")
 
   /** Shared q287/q293 oracle: the full search-then-link replay. */
   protected lazy val graphInsertOracle: String = {

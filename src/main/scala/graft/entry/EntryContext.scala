@@ -392,7 +392,12 @@ private[graft] trait EntryContext extends EntryOracleSql {
     "q307_filtered_escalation" -> ((s, dir) => annGraph(s, dir): Unit),
     "q308_hierarchical_walk" -> ((s, dir) => {
       annGraph(s, dir); upperAnnGraph(s, dir); ()
-    }))
+    }),
+    "q309_filtered_batch" -> ((s, dir) => annGraph(s, dir): Unit),
+    "q310_durable_filtered_walk" -> ((s, dir) =>
+      durableDivGraphIndex(s, dir): Unit),
+    "q311_durable_filtered_probe" -> ((s, dir) =>
+      durableVecIndex(s, dir): Unit))
 
   /** Deterministic video corpus for q288/q289: one raw Y4M clip per
     * document (REAL bytes — [[graft.ops.Multimodal.demoY4m]]; ids

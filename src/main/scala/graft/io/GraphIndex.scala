@@ -243,6 +243,35 @@ object GraphIndex {
       m.nEntries, m.beamWidth, m.maxSteps, entries)
   }
 
+  /** Attribute-FILTERED batch search over the stored graph — the
+    * production "top-k WHERE <predicate>" against a PUBLISHED index:
+    * [[graft.ops.GraphNav.filteredSearchBatch]]'s per-query
+    * over-retrieve escalation (Filtered-DiskANN's baseline, Gollapudi
+    * et al. WWW 2023) wired to the MoR adjacency, walking with the
+    * geometry committed at build time. Each rung's merged point
+    * lookups prune on the id-sorted generation files exactly as
+    * [[searchBatch]]'s do; `predicate` sees (query_id, idCol,
+    * cosine_sim). Output: (qidCol, rank, idCol, cosine_sim,
+    * thin_result), rank 1..≤k per query. */
+  def filteredSearchBatch(
+      spark: SparkSession,
+      dir: String,
+      corpus: DataFrame,
+      queries: DataFrame,
+      qidCol: String,
+      predicate: org.apache.spark.sql.Column,
+      k: Int,
+      entries: Seq[Long] = Nil,
+      overFetch: Int = 4,
+      escalations: Int = 1,
+      growth: Int = 4): DataFrame = {
+    val m = meta(spark, dir)
+    graft.ops.GraphNav.filteredSearchBatch(corpus, m.idCol, m.embCol,
+      queries, qidCol, edges(spark, dir), predicate, k,
+      m.nEntries, m.beamWidth, m.maxSteps, entries,
+      overFetch, escalations, growth)
+  }
+
   /** Single-query [[searchBatch]]: (idCol, cosine_sim), top-k.
     * `entries` overrides the corner seeds (the stride policy the r17
     * recall audit recommends — replayable spread seeds). */

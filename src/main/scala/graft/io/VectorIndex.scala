@@ -2,7 +2,7 @@ package graft.io
 
 import org.apache.hadoop.fs.Path
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructType}
 
@@ -407,6 +407,107 @@ object VectorIndex {
       .select(col("query_id"), col(m.idCol),
         Similarity.cosineFast(spark, col(m.vecCol), col("__q")).as("cosine_sim"))
       .filter(col("cosine_sim") >= minCosine)
+  }
+
+  /**
+   * Predicate-aware [[probeBatch]] — "top-k WHERE <predicate>" against
+   * the published lists, with the nprobe-ESCALATION analog of
+   * [[graft.ops.GraphNav.filteredSearchBatch]]'s over-retrieve ladder
+   * (Filtered-DiskANN's baseline, Gollapudi et al. WWW 2023, in the
+   * IVF regime): each rung probes `nprobe · growth^rung` lists (capped
+   * at `nlist`), filters the scored candidates, and a query whose
+   * filtered cut holds `k` matches FINALIZES there — only still-thin
+   * queries re-probe wider, so one selective query never drags the
+   * batch. A rung that already covers ALL `nlist` lists is terminal
+   * regardless of remaining budget (wider cannot exist: the filtered
+   * result is exact and `thin` means the store truly holds < k
+   * matches). `thin_result` rides every row of a query whose FINAL
+   * rung stayed short (the row-carried contract of the graph family —
+   * a zero-match query signals through its absent rows).
+   *
+   * `predicate` sees (query_id, idCol, cosine_sim) — deterministic id
+   * arithmetic or a pre-joined id set; attribute predicates join their
+   * attribute table on `idCol` downstream of [[probeThreshold]] if
+   * they need scores too. Per rung the plan is exactly
+   * [[probeBatch]]'s: static partition filter over the probed-list
+   * union, broadcast pair join, salted two-stage ranking — plus one
+   * ≤|queries|-row count collect driving the per-query pick.
+   *
+   * Output: (query_id, rank, idCol, cosine_sim, thin_result),
+   * rank 1..≤k per query by (cosine desc, id asc).
+   */
+  def probeFilteredBatch(
+      queries: DataFrame,
+      qidCol: String,
+      dir: String,
+      predicate: Column,
+      k: Int,
+      nprobe: Int,
+      escalations: Int = 1,
+      growth: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    ensureLive(spark, dir)
+    val m = meta(spark, dir)
+    require(k >= 1 && nprobe >= 1 && escalations >= 0 && growth >= 1,
+      "degenerate escalation geometry")
+    requireDims(queries, m.vecCol, m.dims, "probe queries")
+    val q = queries.select(col(qidCol).cast("long").as("query_id"),
+      col(m.vecCol).as("__q")).localCheckpoint() // re-read per rung
+    var active = q.select("query_id").collect().map(_.getLong(0)).toSeq
+    require(active.nonEmpty, "probeFilteredBatch: empty query set")
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("__csim").desc, col("cid").asc)
+    val cents = centroids(spark, dir)
+    val lists = liveLists(spark, dir, m)
+    var rung = 0
+    var out: DataFrame = null
+    var doneLoop = false
+    while (!doneLoop) {
+      // Long-guarded rung width (the graph ladder's overflow rule),
+      // capped at nlist — the cap is what makes the ladder terminal
+      val width = (1 to rung).foldLeft(nprobe.toLong) {
+        case (acc, _) => if (acc > m.nlist) acc else acc * growth
+      }
+      val effNprobe = math.min(width, m.nlist.toLong).toInt
+      val qr = q.filter(col("query_id").isin(active: _*))
+      val pairs = cents
+        .crossJoin(broadcast(qr))
+        .select(col("query_id"), col("cid"), col("__q"),
+          Similarity.cosine(col("cemb").cast("array<double>"), col("__q"))
+            .as("__csim"))
+        .withColumn("__rn", row_number().over(wq))
+        .filter(col("__rn") <= effNprobe)
+        .select(col("query_id"), col("cid").as("list_id"), col("__q"))
+        .localCheckpoint()
+      val listIds = pairs.select("list_id").distinct().collect()
+        .map(_.getLong(0))
+      val kept = lists
+        .filter(col("list_id").isin(listIds: _*))
+        .join(broadcast(pairs), "list_id")
+        .select(col("query_id"), col(m.idCol),
+          Similarity.cosineFast(spark, col(m.vecCol), col("__q"))
+            .as("cosine_sim"))
+        .filter(predicate)
+        .localCheckpoint() // counts + cut: one pruned list scan, not two
+      val counts = kept.groupBy("query_id").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val thin = active.filter(qid => counts.getOrElse(qid, 0L) < k)
+      val terminal = rung >= escalations || effNprobe >= m.nlist
+      val settled = if (terminal) active else active.diff(thin)
+      if (settled.nonEmpty) {
+        val thinSet = thin.toSet
+        val cut = Similarity.perQueryTopK(
+            kept.filter(col("query_id").isin(settled: _*)),
+            "query_id", m.idCol, "cosine_sim", k)
+          .select(col("query_id"), col("rank"), col(m.idCol),
+            col("cosine_sim"),
+            col("query_id").isin(thinSet.toSeq: _*).as("thin_result"))
+        out = if (out == null) cut else out.unionByName(cut)
+      }
+      if (terminal || thin.isEmpty) doneLoop = true
+      else { active = thin; rung += 1 }
+    }
+    out
   }
 
   /** Assign a new batch against the FROZEN stored quantizer and land

@@ -169,6 +169,8 @@ object GraphNav {
    *
    * Output: (rank, idCol, cosine_sim, thin_result), rank 1..≤k by
    * (cosine desc, id asc) over the selected rung's filtered rows.
+   * Single-query wrapper over [[filteredSearchBatch]] (the
+   * [[Nsw.graphSearch]]/[[Nsw.graphSearchBatch]] convention).
    */
   def filteredSearch(
       corpus: DataFrame,
@@ -185,29 +187,107 @@ object GraphNav {
       overFetch: Int = 4,
       escalations: Int = 1,
       growth: Int = 4): DataFrame = {
+    Similarity.requireSingleQuery(queryDf, "filteredSearch")
+    filteredSearchBatch(corpus, idCol, embCol,
+        queryDf.select(lit(0L).as("__qid"), col(embCol)), "__qid",
+        graph, predicate, k, nEntries, beamWidth, maxSteps, entries,
+        overFetch, escalations, growth)
+      .select(col("rank"), col(idCol), col("cosine_sim"), col("thin_result"))
+  }
+
+  /**
+   * [[filteredSearch]] for a query SET — the probe-service shape: one
+   * escalation ladder per query, but every rung's walk runs as ONE
+   * [[Nsw.graphSearchBatch]] over the rung's still-thin queries, so
+   * each round's adjacency/embedding point lookups merge across the
+   * whole batch (the q285 amortization — a per-query driver loop would
+   * serialize the walks and re-fetch shared neighborhoods).
+   * ESCALATION DECISIONS STAY PER-QUERY: a query whose rung-0 filtered
+   * cut already holds `k` matches finalizes there; only the thin
+   * queries re-walk at the next rung's geometry (beam and cut ×
+   * `growth`), so one selective query never drags the whole batch up
+   * the ladder — and the ladder never walks a satisfied query again.
+   *
+   * Per query the semantics are EXACTLY [[filteredSearch]] (shared
+   * `entries`, same rung geometry, same integer-count pick), so the
+   * oracle replays each query's ladder independently — the q300
+   * convention, composed per query. Driver state: per-rung match
+   * counts (one ≤|queries|-row collect per rung) + the beam state
+   * [[Nsw.graphSearchBatch]] already bounds.
+   *
+   * Output: (qidCol: long, rank, idCol, cosine_sim, thin_result),
+   * rank 1..≤k per query by (cosine desc, id asc) over that query's
+   * selected rung; `thin_result` = that rung (the final one walked for
+   * the query) still held fewer than `k` matches.
+   */
+  def filteredSearchBatch(
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      queries: DataFrame,
+      qidCol: String,
+      graph: DataFrame,
+      predicate: Column,
+      k: Int,
+      nEntries: Int = 4,
+      beamWidth: Int = 16,
+      maxSteps: Int = 10,
+      entries: Seq[Long] = Nil,
+      overFetch: Int = 4,
+      escalations: Int = 1,
+      growth: Int = 4): DataFrame = {
     require(k >= 1 && overFetch >= 1 && escalations >= 0 && growth >= 1,
       "degenerate escalation geometry")
-    val win = org.apache.spark.sql.expressions.Window
-      .orderBy(col("cosine_sim").desc, col(idCol).asc)
+    // the worst rung's cut is computed in Int (beam geometry): guard
+    // the PRODUCT, not just each factor — growth^escalations saturates
+    // Double→Int and the multiply wraps negative, which would surface
+    // as a silently empty beam instead of this require (r19 advice)
+    val worstCut = (1 to escalations).foldLeft(k.toLong * overFetch) {
+      case (acc, _) => if (acc > Int.MaxValue) acc else acc * growth
+    }
+    require(worstCut <= Int.MaxValue,
+      s"escalation geometry overflows Int: k * overFetch * growth^escalations " +
+        s"= $k * $overFetch * $growth^$escalations > ${Int.MaxValue}")
+    val perQ = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cosine_sim").desc, col(idCol).asc)
+    val qFrame = queries.select(col(qidCol).cast("long").as("query_id"),
+      col(embCol)).localCheckpoint() // rung filters re-read it per rung
+    var active = qFrame.select("query_id").collect().map(_.getLong(0)).toSeq
     var rung = 0
     var out: DataFrame = null
-    while (out == null) {
+    var doneLoop = false
+    while (!doneLoop) {
       val scale = math.pow(growth.toDouble, rung.toDouble).toInt
-      val kept = Nsw.graphSearch(
-          corpus, idCol, embCol, queryDf, graph,
-          k = k * overFetch * scale, nEntries, beamWidth * scale,
+      // the rung's walk output is a driver-built local relation
+      // (graphSearchBatch collects its beam state), so re-reading
+      // `kept` for counts and the cut recomputes nothing remote
+      val kept = Nsw.graphSearchBatch(
+          corpus, idCol, embCol,
+          qFrame.filter(col("query_id").isin(active: _*)), "query_id",
+          graph, k = k * overFetch * scale, nEntries, beamWidth * scale,
           maxSteps, entries)
+        .select(col("query_id"), col(idCol), col("cosine_sim"))
         .filter(predicate)
-      val n = kept.count() // ≤ the rung's cut — never corpus-∝
-      if (n >= k || rung >= escalations)
-        out = kept
-          .withColumn("rank", row_number().over(win).cast("long"))
+      // per-query match counts: ≤ |active| rows on the driver —
+      // beam-cut-bounded input, never corpus-∝
+      val counts = kept.groupBy("query_id").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val thin = active.filter(q => counts.getOrElse(q, 0L) < k)
+      val settled = if (rung >= escalations) active else active.diff(thin)
+      if (settled.nonEmpty) {
+        val thinSet = thin.toSet
+        val cut = kept
+          .filter(col("query_id").isin(settled: _*))
+          .withColumn("rank", row_number().over(perQ).cast("long"))
           .filter(col("rank") <= k)
-          .select(col("rank"), col(idCol), col("cosine_sim"),
-            lit(n < k).as("thin_result"))
-      else rung += 1
+          .select(col("query_id"), col("rank"), col(idCol), col("cosine_sim"),
+            col("query_id").isin(thinSet.toSeq: _*).as("thin_result"))
+        out = if (out == null) cut else out.unionByName(cut)
+      }
+      if (rung >= escalations || thin.isEmpty) doneLoop = true
+      else { active = thin; rung += 1 }
     }
-    out
+    out.withColumnRenamed("query_id", qidCol)
   }
 
   /**

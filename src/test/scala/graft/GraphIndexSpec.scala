@@ -44,6 +44,32 @@ class GraphIndexSpec extends AnyFunSuite {
     assert(overK == 0, "build must bound every adjacency list at k")
   }
 
+  test("filteredSearchBatch: durable ladder == the in-memory ladder at the build geometry") {
+    val dir = TestSpark.tmpDir("graph_index_filtered") + "/idx"
+    buildAt(dir, emb)
+    val pred = col("vec_id") % 10 === 7
+    val queries = emb.filter(col("vec_id").isin(0L, 7L))
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val entries = Nsw.strideEntries(emb, "vec_id", 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).toSet
+    val viaStore = rows(GraphIndex.filteredSearchBatch(
+      spark, dir, emb, queries, "query_id", pred, k = 10,
+      entries = entries, overFetch = 2, escalations = 1, growth = 4))
+    // the stored walk must honor the COMMITTED geometry (meta), not
+    // defaults — replay with the meta values against the MoR edges
+    val m = GraphIndex.meta(spark, dir)
+    assert((m.nEntries, m.beamWidth, m.maxSteps) == ((4, 16, 10)))
+    val direct = rows(graft.ops.GraphNav.filteredSearchBatch(
+      emb, "vec_id", "embedding", queries, "query_id",
+      GraphIndex.edges(spark, dir), pred, k = 10,
+      m.nEntries, m.beamWidth, m.maxSteps, entries,
+      overFetch = 2, escalations = 1, growth = 4))
+    assert(viaStore == direct && viaStore.nonEmpty,
+      "published-store ladder must reproduce the in-memory escalation")
+  }
+
   test("ingestBatch: search-then-link visibility, degree bound, replay no-op") {
     val dir = TestSpark.tmpDir("graph_index_ingest") + "/idx"
     val batchIds = Seq(0L, 10L, 20L)

@@ -232,4 +232,62 @@ class GraphNavSpec extends AnyFunSuite {
       maxSteps = 8, entriesByQuery = upper)
     assert(got.collect().toSeq == inline.collect().toSeq)
   }
+
+  test("filteredSearchBatch: per-query ladders — queries escalate independently, batch == per-query") {
+    // the filteredSearch fixture (smooth 40-vector corpus, navigable
+    // kNN graph); queries chosen so the LADDERS DIVERGE (calibrated
+    // below): vid 7 finds its k=1 match in the rung-0 cut (its own id
+    // satisfies the predicate and tops its beam) and must finalize
+    // there, while vid 1's rung-0 cut holds none — only vid 1 re-walks
+    val corpus = (0L until 40L).map { i =>
+      (i, (0 until 8).map(d =>
+        (math.sin(i * 0.7 + d * 1.3) + 0.2 * math.cos(i * 2.1 * (d + 1)))
+          .toFloat))
+    }.toDF("vid", "emb").localCheckpoint()
+    val graph = Nsw.knnGraph(corpus, "vid", "emb",
+      planesPerBand = 2, bands = 2, dims = 8, k = 4, minCosine = -1.0)
+      .localCheckpoint()
+    val pred = col("vid") % 10 === 7
+    val qids = Seq(1L, 7L)
+    val queries = corpus.filter(col("vid").isin(qids: _*))
+      .select(col("vid").as("qid"), col("emb"))
+    def rungCount(q: Long, s: Int): Long =
+      Nsw.graphSearch(corpus, "vid", "emb",
+          corpus.filter(col("vid") === q), graph,
+          k = 4 * s, nEntries = 4, beamWidth = 8 * s, maxSteps = 10)
+        .filter(pred).count()
+    // calibration: the fixture really makes the ladders diverge, and
+    // the escalated query ends FULL (both queries carry rows)
+    assert(rungCount(1L, 1) == 0, "vid 1 must be thin at rung 0")
+    assert(rungCount(7L, 1) >= 1, "vid 7 must settle at rung 0")
+    assert(rungCount(1L, 4) >= 1, "vid 1's widened rung must fill")
+    val got = GraphNav.filteredSearchBatch(corpus, "vid", "emb",
+        queries, "qid", graph, pred, k = 1,
+        nEntries = 4, beamWidth = 8, maxSteps = 10,
+        overFetch = 4, escalations = 1, growth = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).toSet
+    // batch ≡ each query's own single-query ladder (the per-query
+    // semantics contract the oracle replays)
+    val solo = qids.flatMap { q =>
+      GraphNav.filteredSearch(corpus, "vid", "emb",
+          corpus.filter(col("vid") === q), graph, pred, k = 1,
+          nEntries = 4, beamWidth = 8, maxSteps = 10,
+          overFetch = 4, escalations = 1, growth = 4)
+        .collect()
+        .map(r => (q, r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getBoolean(3)))
+    }.toSet
+    assert(got.map(_._1) == Set(1L, 7L),
+      "both the settled and the escalated query must carry rows")
+    assert(got == solo, "batch ladder must equal the per-query ladders")
+    // the escalation-geometry overflow guard fails loud, not wrapped
+    val err = intercept[IllegalArgumentException] {
+      GraphNav.filteredSearchBatch(corpus, "vid", "emb", queries, "qid",
+        graph, pred, k = 1000, overFetch = 64, escalations = 16,
+        growth = 4)
+    }
+    assert(err.getMessage.contains("overflows Int"))
+  }
 }

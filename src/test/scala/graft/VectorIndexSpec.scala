@@ -208,6 +208,50 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(renamed == got, "decisions must not depend on the batch's column name")
   }
 
+  test("probeFilteredBatch: per-query nprobe ladder, nlist-cap terminal rung, thin flags") {
+    val dir = TestSpark.tmpDir("vecidx_filtered")
+    VectorIndex.build(emb, "vec_id", "embedding", dir, nlist = 8, iters = 2)
+    val pred = $"vec_id" % 10 === 7
+    val qs = emb.filter($"vec_id" < 3)
+    val got = VectorIndex.probeFilteredBatch(qs, "vec_id", dir, pred,
+        k = 10, nprobe = 2, escalations = 1, growth = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))
+    // replay each query's ladder through the public probe: rung 0 =
+    // every candidate of its top-2 lists (huge k), rung 1 = 2·4 ≥
+    // nlist → ALL lists (the exact regime)
+    def rung(q: Long, nprobe: Int) = VectorIndex
+      .probeBatch(qs.filter($"vec_id" === q), "vec_id", dir,
+        k = 1000000, nprobe = nprobe)
+      .filter(pred)
+      .select($"query_id", $"vec_id", $"cosine_sim")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (-t._3, t._2))
+    val expect = Seq(0L, 1L, 2L).flatMap { q =>
+      val r0 = rung(q, 2)
+      val sel = if (r0.size >= 10) r0 else rung(q, 8)
+      sel.take(10).zipWithIndex.map { case ((qq, id, sim), i) =>
+        (qq, (i + 1).toLong, id, sim, sel.size < 10)
+      }
+    }.toSet
+    assert(got.toSet == expect, "batch ladder must equal per-query replays")
+    // a store holding fewer than k matches: the nlist cap makes the
+    // final rung exact, so thin_result is TRUE and the rows are the
+    // complete match set — never a silent short list
+    val one = VectorIndex.probeFilteredBatch(qs.filter($"vec_id" === 0),
+        "vec_id", dir, $"vec_id" === 7L, k = 10, nprobe = 1,
+        escalations = 99, growth = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getBoolean(4)))
+    assert(one.toSeq == Seq((1L, 7L, true)),
+      "single true match: rank 1, thin flagged, ladder stops at nlist")
+    // zero matches anywhere: the ladder must TERMINATE at the cap with
+    // no rows (the row-count-is-the-signal contract), not spin 99 rungs
+    assert(VectorIndex.probeFilteredBatch(qs, "vec_id", dir,
+      $"vec_id" === -1L, k = 5, nprobe = 1, escalations = 99,
+      growth = 2).isEmpty)
+  }
+
   test("maintainLists: drift audit, list-local retrain, non-drifted lists untouched") {
     val dir = TestSpark.tmpDir("vecidx_maintain")
     // build: seeds [1,0] (cid 0) and [0,1] (cid 1); members sit exactly
