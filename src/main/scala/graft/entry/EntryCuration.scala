@@ -79,12 +79,12 @@ private[graft] trait EntryCuration extends EntryContext {
 
 
 
-    // ---- production-kernel twin of q74 (rows-only bench row, like
-    //      q40): xx64 window hashing on the full token-window
-    //      volume — same plan, no md5. Span-set parity with Md5 is
-    //      spec-pinned (DedupSpec duplicateSpans xx64 case). Xx64 is
-    //      DETECTION-grade only; the scrub path stays on Md5
-    //      (see scrubDuplicates scaladoc).
+    // ---- production-kernel twin of q74: xx64 window hashing on the
+    //      full token-window volume — same plan, no md5. Oracle = the
+    //      md5 replay (span positions are kernel-independent; parity
+    //      spec-pinned in DedupSpec and gate-checked — the q40
+    //      convention). Xx64 is DETECTION-grade only; the scrub path
+    //      stays on Md5 (see scrubDuplicates scaladoc).
     "q78_dup_spans_xx64" -> ((s, dir) =>
       Spans.duplicateSpans(T(s, dir, "documents"), "text", "doc_id", n = 3,
         kind = Dedup.Xx64)),
@@ -541,6 +541,13 @@ private[graft] trait EntryCuration extends EntryContext {
 
 
     "q74_dup_spans" -> dupSpansSql(""),
+
+    // q78 = the xx64 window-kernel twin: span positions are
+    // kernel-independent values (a window is duplicated iff its token
+    // STRING repeats, absent collisions); span-set equality across
+    // kernels is DedupSpec-pinned and gate-checked here with the md5
+    // replay as the oracle (the q40 convention)
+    "q78_dup_spans_xx64" -> dupSpansSql(""),
 
 
 

@@ -112,10 +112,15 @@ private[graft] trait EntryDedup extends EntryContext {
 
 
     // ---- production-kernel twin of q16: identical plan shape with
-    //      the xxhash64 kernel swapped in for md5 (Dedup.Xx64). No SQL
-    //      oracle (DuckDB has no xxhash64) → driver records a rows-only
-    //      check; pair-set parity with the md5 kernel is asserted in
-    //      DedupSpec, and the bench rows quantify the kernel speedup.
+    //      the xxhash64 kernel swapped in for md5 (Dedup.Xx64). DuckDB
+    //      has no xxhash64, so the oracle is the MD5 TWIN'S replay
+    //      (q16's SQL verbatim): verification is hash-free exact
+    //      intersection, so the kernel only affects candidate RECALL —
+    //      pair-set equality across kernels is spec-pinned (DedupSpec,
+    //      both fixture corpora) and now GATE-CHECKED at the verify SF;
+    //      a kernel recall divergence surfaces as a loud hash mismatch
+    //      (r19 verdict wrong-item #1: the rows-only `err: no_oracle`
+    //      driver rows are gone). Bench rows quantify the kernel win.
     //      (q41, the 32-bit SIMHASH xx64 twin, was RETIRED in r18:
     //      measured collision-saturated — sf1 output 24.6M pairs =
     //      106× at 10×, ~58 s of sweep producing degenerate output,
@@ -184,8 +189,9 @@ private[graft] trait EntryDedup extends EntryContext {
 
 
 
-    // ---- production-kernel twin of q88 (rows-only bench row, like
-    //      q40/q78): xx64 shingle hashing in the prefix join. The
+    // ---- production-kernel twin of q88: xx64 shingle hashing in the
+    //      prefix join, oracle = q88's kernel-free exact-Jaccard SQL
+    //      (valid at EVERY scale, not just the gate SF). The
     //      RESULT is provably IDENTICAL to q88 — the prefix theorem
     //      holds under ANY global total order (each kernel just
     //      induces a different one) and the verify stage compares
@@ -438,9 +444,12 @@ private[graft] trait EntryDedup extends EntryContext {
 
 
 
-    "q16_neardup_pairs" ->
-      s"""WITH $jaccardCtes
-         |SELECT id_a, id_b, jaccard FROM vpairs""".stripMargin,
+    "q16_neardup_pairs" -> neardupPairsOracle,
+
+    // q40 = the xx64 kernel twin: verification is hash-free, kernel
+    // recall equality is DedupSpec-pinned and gate-checked here — the
+    // md5 replay IS the oracle (see the q40 entry comment)
+    "q40_neardup_pairs_xx64" -> neardupPairsOracle,
 
 
 
@@ -542,22 +551,12 @@ private[graft] trait EntryDedup extends EntryContext {
 
 
 
-    // the EXACTNESS oracle: all pairs with Jaccard ≥ 0.8, computed with
-    // no prefix/LSH mechanics at all — any miss in the prefix path
-    // would surface here as a row-count/hash mismatch
-    "q88_exact_jaccard_pairs" ->
-      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
-         |sh AS (SELECT doc_id, $duckShingles AS s FROM t),
-         |exsh AS (SELECT DISTINCT doc_id, unnest(s) AS sv FROM sh),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM exsh GROUP BY doc_id),
-         |inter AS (
-         |  SELECT ea.doc_id AS id_a, eb.doc_id AS id_b, count(*) AS i
-         |  FROM exsh ea JOIN exsh eb ON eb.sv = ea.sv AND ea.doc_id < eb.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT id_a, id_b, round(it.i / (sa.n + sb.n - it.i), 6) AS jaccard
-         |FROM inter it JOIN sizes sa ON sa.doc_id = it.id_a
-         |JOIN sizes sb ON sb.doc_id = it.id_b
-         |WHERE round(it.i / (sa.n + sb.n - it.i), 6) >= 0.8""".stripMargin,
+    "q88_exact_jaccard_pairs" -> exactJaccardOracle,
+
+    // q94 = the xx64 prefix-join twin: result provably identical to
+    // q88 under ANY kernel's total order — the kernel-free exactness
+    // oracle applies verbatim, at every scale
+    "q94_exact_jaccard_xx64" -> exactJaccardOracle,
 
 
 
@@ -1020,4 +1019,29 @@ private[graft] trait EntryDedup extends EntryContext {
          |LEFT JOIN labels l ON d.doc_id = l.doc_id
          |LEFT JOIN clsizes sz ON l.cluster_id = sz.cluster_id""".stripMargin
   )
+
+  /** q16's LSH-replay oracle — shared verbatim with q40, the xx64
+    * production-kernel twin (verification is hash-free exact
+    * intersection; kernel recall equality spec-pinned + gate-checked). */
+  private lazy val neardupPairsOracle: String =
+    s"""WITH $jaccardCtes
+       |SELECT id_a, id_b, jaccard FROM vpairs""".stripMargin
+
+  /** q88's EXACTNESS oracle — all pairs with Jaccard ≥ 0.8, computed
+    * with no prefix/LSH/kernel mechanics at all, so any miss in either
+    * kernel's prefix path surfaces as a row-count/hash mismatch.
+    * Shared verbatim with q94 (provably kernel-independent result). */
+  private lazy val exactJaccardOracle: String =
+    s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+       |sh AS (SELECT doc_id, $duckShingles AS s FROM t),
+       |exsh AS (SELECT DISTINCT doc_id, unnest(s) AS sv FROM sh),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM exsh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT ea.doc_id AS id_a, eb.doc_id AS id_b, count(*) AS i
+       |  FROM exsh ea JOIN exsh eb ON eb.sv = ea.sv AND ea.doc_id < eb.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, round(it.i / (sa.n + sb.n - it.i), 6) AS jaccard
+       |FROM inter it JOIN sizes sa ON sa.doc_id = it.id_a
+       |JOIN sizes sb ON sb.doc_id = it.id_b
+       |WHERE round(it.i / (sa.n + sb.n - it.i), 6) >= 0.8""".stripMargin
 }

@@ -557,17 +557,49 @@ private[graft] trait EntryStats extends EntryContext {
 
 
 
-    // ---- bench twin (no oracle: HLL estimates aren't replayable in
-    //      DuckDB): the profiler's 100 TB configuration — approx
-    //      distincts remove the Expand row duplication entirely.
+    // ---- the profiler's 100 TB configuration — approx distincts
+    //      (HLL++) remove the Expand row duplication entirely. HLL
+    //      estimates aren't replayable in DuckDB, so the dump carries
+    //      the estimate FOLDED INTO its sanity envelope (1 ≤ est ≤
+    //      non-null rows — a broken sketch reads false and fails the
+    //      gate) while every deterministic profile column (counts,
+    //      nulls, min/max) is exact-matched; the TIGHT ±error bound
+    //      vs exact distincts stays StatsSpec-pinned. The HLL agg
+    //      still executes (the envelope column consumes it), so the
+    //      bench row keeps timing the sketch path.
     "q63_profile_approx" -> ((s, dir) =>
       graft.ops.Stats.profile(
-        T(s, dir, "lineitem"),
-        Seq("l_quantity", "l_extendedprice", "l_returnflag", "l_orderkey"),
-        approxDistinct = true))
+          T(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_returnflag", "l_orderkey"),
+          approxDistinct = true)
+        .select(col("column"), col("n_rows"), col("n_nulls"),
+          (col("n_distinct") >= 1L &&
+            col("n_distinct") <= col("n_rows") - col("n_nulls"))
+            .as("n_distinct_in_bounds"),
+          col("min_val"), col("max_val")))
   )
 
   protected def statsOracles: Map[String, String] = Map(
+
+    // q63: exact replay of the deterministic profile skeleton; the
+    // HLL estimate is dumped as its sanity-envelope verdict (the
+    // Spark side computes `1 ≤ est ≤ non-null rows` — a broken
+    // sketch reads false and hash-mismatches this constant)
+    "q63_profile_approx" -> {
+      def block(c: String, num: Boolean) = {
+        val mn = if (num) s"CAST(min($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+        val mx = if (num) s"CAST(max($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  true AS n_distinct_in_bounds, $mn AS min_val, $mx AS max_val
+           |FROM lineitem""".stripMargin
+      }
+      Seq(
+        block("l_quantity", num = true),
+        block("l_extendedprice", num = true),
+        block("l_returnflag", num = false),
+        block("l_orderkey", num = true)).mkString("\nUNION ALL\n")
+    },
 
 
 

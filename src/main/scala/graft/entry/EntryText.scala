@@ -464,9 +464,13 @@ private[graft] trait EntryText extends EntryContext {
 
 
     // ---- 100 TB twin of q38: one bounded GK sketch per group instead
-    //      of a full per-group rank sort. No SQL oracle (sketch
-    //      internals are engine-specific) → rows-only check; StatsSpec
-    //      pins the rank-error bound against exactPercentiles.
+    //      of a full per-group rank sort. Oracle: at the gate SF every
+    //      group holds ≤ accuracy (10k) rows, so the GK summary is
+    //      UNCOMPRESSED and query(p) is the exact order statistic at
+    //      rank ⌈p·n⌉ (verified cell-for-cell across all 15
+    //      group×fraction cells) — the oracle replays that rank pick
+    //      directly; the compressed-regime rank-error bound stays
+    //      StatsSpec-pinned against exactPercentiles.
     "q42_length_stats_approx" -> ((s, dir) =>
       graft.ops.Stats.approxPercentiles(
         T(s, dir, "documents").selectExpr("lang", "size(split(text, ' ')) AS n_tokens"),
@@ -475,6 +479,24 @@ private[graft] trait EntryText extends EntryContext {
   )
 
   protected def textOracles: Map[String, String] = Map(
+
+    // GK exact-regime replay (groups ≤ accuracy → the sketch stores
+    // every sample and query(p) = the order statistic at rank ⌈p·n⌉,
+    // computed in the same IEEE double arithmetic both engines)
+    "q42_length_stats_approx" ->
+      """WITH v AS (SELECT lang,
+        |        CAST(len(string_split(text, ' ')) AS DOUBLE) AS v
+        |      FROM documents WHERE text IS NOT NULL),
+        |r AS (SELECT lang, v,
+        |        row_number() OVER (PARTITION BY lang ORDER BY v) AS rn,
+        |        count(*) OVER (PARTITION BY lang) AS n FROM v)
+        |SELECT lang,
+        |  max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN v END) AS p50,
+        |  max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN v END) AS p90,
+        |  max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN v END) AS p99,
+        |  CAST(max(n) AS BIGINT) AS n_rows
+        |FROM r GROUP BY lang""".stripMargin,
+
     "q11_token_count" ->
       s"""SELECT doc_id, ${PortableSql.tokenCount("text", DD)} AS n_tokens,
          |  ${PortableSql.regexTokenCount("text", DD)} AS n_rtokens
