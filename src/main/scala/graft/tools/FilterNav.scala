@@ -97,6 +97,61 @@ object FilterNav {
       println(s"[filternav] planted target=$t hit@1=$ok unfiltered_walk_hit@1=$walkHit")
     }
     println(s"[filternav] planted_hit@1 $hit/${targets.size}")
+
+    // ---- durable-store ladders (r20): the same probes through
+    // PUBLISHED indexes — the α-pruned graph store (q305/q310
+    // geometry) and the IVF store (q97/q311 geometry) — instead of
+    // the session graph. The IVF rung-1 covers all nlist lists, so
+    // its escalated answers are EXACT (recall 1.0 is the invariant,
+    // not an aspiration); rung-0-settled queries read candidate-
+    // limited recall, which this audit surfaces per query.
+    val idxBase = s"${sys.props("java.io.tmpdir")}/graft_filternav_idx"
+    val fs = new org.apache.hadoop.fs.Path(idxBase)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(idxBase), true)
+    val (gDir, vDir) = (s"$idxBase/graph", s"$idxBase/vec")
+    graft.io.GraphIndex.build(emb, "vec_id", "embedding", gDir,
+      dims = 64, k = 8, planesPerBand = 6, bands = 4,
+      maxBucketSize = 400, nEntries = 4, beamWidth = 16, maxSteps = 10,
+      candidateK = 12, alphaNum = 12, alphaDen = 10)
+    graft.io.VectorIndex.build(emb, "vec_id", "embedding", vDir,
+      nlist = 8, iters = 2)
+    val qids = Seq(0L, 7L, 23L)
+    val queries = emb.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("query_id"), col("embedding"))
+      .localCheckpoint()
+    def exactOf(q: Long): Set[Long] = Similarity.bruteForceTopK(
+        filteredCorpus, emb.filter(col("vec_id") === q),
+        "vec_id", "embedding", k = K)
+      .collect().map(_.getLong(0)).toSet
+    def audit(tag: String, rows: Array[org.apache.spark.sql.Row],
+        ms: Long): Unit =
+      qids.foreach { q =>
+        val mine = rows.filter(_.getLong(0) == q)
+        val hits = mine.count(r => exactOf(q).contains(r.getLong(2)))
+        val thin = mine.headOption.exists(_.getBoolean(4)) || mine.isEmpty
+        println(f"[filternav-durable] $tag q=$q rows=${mine.length} " +
+          f"thin=$thin recall@$K=${hits.toDouble / K}%.3f batch_ms=$ms")
+      }
+    var t0 = System.nanoTime()
+    val gRes = graft.io.GraphIndex.filteredSearchBatch(
+      spark, gDir, emb, queries, "query_id", pred, k = K,
+      entries = entries, overFetch = overFetch, escalations = 1,
+      growth = 4).collect()
+    audit("graph-store", gRes, (System.nanoTime() - t0) / 1000000)
+    // rung-0 IVF match counts: did the nprobe escalation engage?
+    qids.foreach { q =>
+      val n0 = graft.io.VectorIndex.probeBatch(
+          queries.filter(col("query_id") === q), "query_id", vDir,
+          k = 1000000, nprobe = 2)
+        .filter(pred).count()
+      println(s"[filternav-durable] ivf q=$q rung0_matches=$n0")
+    }
+    t0 = System.nanoTime()
+    val vRes = graft.io.VectorIndex.probeFilteredBatch(
+      queries, "query_id", vDir, pred, k = K, nprobe = 2,
+      escalations = 1, growth = 4).collect()
+    audit("ivf-store", vRes, (System.nanoTime() - t0) / 1000000)
     spark.stop()
   }
 }
