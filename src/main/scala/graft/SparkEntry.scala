@@ -24,7 +24,8 @@ object SparkEntry extends EntryContext
     with EntryAnnGraph
     with EntryWeb with EntryGraph with EntrySearch
     with EntryText with EntryTokenize
-    with EntryStats with EntryEvents with EntryCuration {
+    with EntryStats with EntryStatsInfer
+    with EntryEvents with EntryCuration {
 
   // ---------------------------------------------------------------- entry
 
@@ -56,13 +57,15 @@ object SparkEntry extends EntryContext
     ioQueries ++ mediaQueries ++ dedupQueries ++ annQueries ++
       annGraphQueries ++
       webQueries ++ graphQueries ++ searchQueries ++
-      textQueries ++ tokenizeQueries ++ statsQueries ++ eventsQueries ++
+      textQueries ++ tokenizeQueries ++ statsQueries ++
+      statsInferQueries ++ eventsQueries ++
       curationQueries
 
   def oracleSql: Map[String, String] =
     ioOracles ++ mediaOracles ++ dedupOracles ++ annOracles ++
       annGraphOracles ++
       webOracles ++ graphOracles ++ searchOracles ++
-      textOracles ++ tokenizeOracles ++ statsOracles ++ eventsOracles ++
+      textOracles ++ tokenizeOracles ++ statsOracles ++
+      statsInferOracles ++ eventsOracles ++
       curationOracles
 }
