@@ -248,24 +248,39 @@ object GraphNav {
     require(worstCut <= Int.MaxValue,
       s"escalation geometry overflows Int: k * overFetch * growth^escalations " +
         s"= $k * $overFetch * $growth^$escalations > ${Int.MaxValue}")
+    val spark = corpus.sparkSession
+    import scala.jdk.CollectionConverters._
     val perQ = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cosine_sim").desc, col(idCol).asc)
-    val qFrame = queries.select(col(qidCol).cast("long").as("query_id"),
-      col(embCol)).localCheckpoint() // rung filters re-read it per rung
-    var active = qFrame.select("query_id").collect().map(_.getLong(0)).toSeq
+    // query batch collected ONCE to the driver (small by contract);
+    // each rung hands its still-thin subset back as a LOCAL relation —
+    // no checkpoint job, no re-scan of whatever frame produced the
+    // queries, and graphSearchBatch's own collect of it is a free
+    // LocalTableScan
+    val qSel = queries.select(col(qidCol).cast("long").as("query_id"),
+      col(embCol))
+    val qRows = qSel.collect()
+    var active = qRows.map(_.getLong(0)).toSeq
+    // ONE memo across the whole ladder: rung r+1's wider walk revisits
+    // most of rung r's nodes — shared state turns those re-fetches
+    // into driver-map hits (identical results; see BeamState scaladoc)
+    val beamState = new Nsw.BeamState
     var rung = 0
     var out: DataFrame = null
     var doneLoop = false
     while (!doneLoop) {
       val scale = math.pow(growth.toDouble, rung.toDouble).toInt
+      val activeSet = active.toSet
+      val activeDf = spark.createDataFrame(
+        qRows.filter(r => activeSet(r.getLong(0))).toSeq.asJava, qSel.schema)
       // the rung's walk output is a driver-built local relation
       // (graphSearchBatch collects its beam state), so re-reading
       // `kept` for counts and the cut recomputes nothing remote
       val kept = Nsw.graphSearchBatch(
           corpus, idCol, embCol,
-          qFrame.filter(col("query_id").isin(active: _*)), "query_id",
+          activeDf, "query_id",
           graph, k = k * overFetch * scale, nEntries, beamWidth * scale,
-          maxSteps, entries)
+          maxSteps, entries, state = beamState)
         .select(col("query_id"), col(idCol), col("cosine_sim"))
         .filter(predicate)
       // per-query match counts: ≤ |active| rows on the driver —

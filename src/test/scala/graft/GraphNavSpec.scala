@@ -290,4 +290,33 @@ class GraphNavSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("overflows Int"))
   }
+
+  test("BeamState reuse: a memo pre-warmed by a narrower walk cannot move the wider walk") {
+    // the cross-rung amortization contract (r20 escalation-ladder
+    // optimization): rung 1 walks with rung 0's memo in hand; cached
+    // cosines and adjacency are deterministic for a fixed (corpus,
+    // graph), so the warm walk must be row-identical to a cold one
+    val corpus = (0L until 40L).map { i =>
+      (i, (0 until 8).map(d =>
+        (math.sin(i * 0.7 + d * 1.3) + 0.2 * math.cos(i * 2.1 * (d + 1)))
+          .toFloat))
+    }.toDF("vid", "emb").localCheckpoint()
+    val graph = Nsw.knnGraph(corpus, "vid", "emb",
+      planesPerBand = 2, bands = 2, dims = 8, k = 4, minCosine = -1.0)
+      .localCheckpoint()
+    val queries = corpus.filter(col("vid").isin(1L, 7L))
+      .select(col("vid").as("qid"), col("emb"))
+    val shared = new Nsw.BeamState
+    val narrow = Nsw.graphSearchBatch(corpus, "vid", "emb", queries, "qid",
+      graph, k = 4, nEntries = 4, beamWidth = 8, maxSteps = 10,
+      state = shared)
+    narrow.count() // rung 0 populates the memo
+    val warm = Nsw.graphSearchBatch(corpus, "vid", "emb", queries, "qid",
+      graph, k = 16, nEntries = 4, beamWidth = 32, maxSteps = 10,
+      state = shared)
+    val cold = Nsw.graphSearchBatch(corpus, "vid", "emb", queries, "qid",
+      graph, k = 16, nEntries = 4, beamWidth = 32, maxSteps = 10)
+    assert(warm.collect().toSeq == cold.collect().toSeq,
+      "a pre-warmed shared memo must not change any walk's result")
+  }
 }
