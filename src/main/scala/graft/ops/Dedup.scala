@@ -376,6 +376,14 @@ object Dedup {
 
   /** Shared verify plumbing: exact shingle-set overlap per candidate
     * pair — (id_a, id_b, i, na, nb). */
+  /** Crossover above which [[pairOverlap]] dictionary-encodes shingles
+    * before the per-pair merge (see the gate comment there): measured
+    * at sf0.1, the long-kernel saving passes the dictionary's fixed
+    * cost around tens of thousands of candidate pairs. `var` only as a
+    * test seam (DedupSpec lowers it to force the dict branch on a
+    * hand fixture); production code never writes it. */
+  private[graft] var dictVerifyMinPairs = 30000L
+
   private def pairOverlap(
       df: DataFrame,
       pairs: DataFrame,
@@ -387,19 +395,58 @@ object Dedup {
     val candIds = pairs.select(col("id_a").as("sid"))
       .union(pairs.select(col("id_b").as("sid")))
       .distinct()
-    // sort ONCE per doc: the per-pair intersection then runs as an
-    // allocation-free merge scan (graft_sorted_intersect kernel) —
-    // size(array_intersect) would build a per-PAIR hash set instead
-    // (identical counts by construction: both are |a ∩ b| on the
-    // distinct shingle sets; kernel parity is spec-pinned)
-    val shingled = df
-      .select(
-        col(idCol).as("sid"),
-        sort_array(array_distinct(graft.functions.GraftFunctions
-          .wordShingles(df.sparkSession, col(textCol), shingleWords)))
-          .as("shset"))
-      .join(candIds, Seq("sid"), "left_semi")
-      .localCheckpoint() // reused by both sides of the pair attach
+    // Pair-count-gated dictionary encoding (r20). At LARGE candidate
+    // counts the per-pair merge scan over string arrays dominates
+    // verify: every element read allocates a UTF8String wrapper —
+    // measured ~95% of verify wall time at the 125 k-candidate / ~10³-
+    // shingle regime (BASELINE r20 row). Dictionary-encoding shingles
+    // to dense longs makes the merge primitive and allocation-free
+    // (measured 6.8 → 5.1 s on q268). The encoding is an injective
+    // relabeling of exact shingle STRINGS (ids from
+    // `monotonically_increasing_id`, assigned once inside the
+    // checkpoint's materialization), so every |a ∩ b| and set size is
+    // IDENTICAL to the string-set computation — spec-pinned. But the
+    // dictionary itself costs a fixed explode + vocab distinct + join
+    // + re-aggregate over the candidate-DOC slice, which at SMALL pair
+    // counts exceeds the kernel savings (measured +2 s on q88's
+    // ~2 k-pair regime) — so the string path stays the default below
+    // the measured crossover. `pairs` is materialized by every caller
+    // (scaladoc contract), so the gate count is one cheap scan.
+    val useDict = pairs.count() >= dictVerifyMinPairs
+    val shingled = (if (!useDict) {
+      // sort ONCE per doc: the per-pair intersection then runs as an
+      // allocation-free merge scan (graft_sorted_intersect kernel) —
+      // size(array_intersect) would build a per-PAIR hash set instead
+      // (identical counts by construction: both are |a ∩ b| on the
+      // distinct shingle sets; kernel parity is spec-pinned)
+      df.select(
+          col(idCol).as("sid"),
+          sort_array(array_distinct(graft.functions.GraftFunctions
+            .wordShingles(df.sparkSession, col(textCol), shingleWords)))
+            .as("shset"))
+        .join(candIds, Seq("sid"), "left_semi")
+    } else {
+      val exploded = df
+        .select(
+          col(idCol).as("sid"),
+          explode(array_distinct(graft.functions.GraftFunctions
+            .wordShingles(df.sparkSession, col(textCol), shingleWords)))
+            .as("__s"))
+        .join(candIds, Seq("sid"), "left_semi")
+      val dict = exploded.select("__s").distinct()
+        .withColumn("__t", monotonically_increasing_id())
+      // re-attach through candIds so a zero-shingle doc keeps its
+      // EMPTY set (explode emits no rows for it) — na = 0 pairs must
+      // verify to jaccard 0 exactly as the string-set path did, not
+      // vanish
+      candIds
+        .join(exploded.join(dict, Seq("__s"))
+          .groupBy(col("sid"))
+          .agg(sort_array(collect_list(col("__t"))).as("shset")),
+          Seq("sid"), "left")
+        .select(col("sid"),
+          coalesce(col("shset"), array().cast("array<long>")).as("shset"))
+    }).localCheckpoint() // reused by both sides of the pair attach
     pairs
       .join(shingled.as("sa"), col("id_a") === col("sa.sid"))
       .join(shingled.as("sb"), col("id_b") === col("sb.sid"))
@@ -517,6 +564,10 @@ object Dedup {
         least(col("__na") - col("__ka"), col("__nb") - col("__kb")) >= alpha)
       .select("id_a", "id_b")
       .distinct()
+      // materialized: verify consumes the pair list THREE times (size
+      // gate, candidate-doc derivation, the attach join) — without the
+      // checkpoint each consumer re-runs the prefix self-join (r20)
+      .localCheckpoint()
     verifyPairs(df, cands, textCol, idCol, threshold, shingleWords)
   }
 

@@ -148,6 +148,46 @@ class DedupSpec extends AnyFunSuite {
     assert(diffs == 0)
   }
 
+  test("long-kernel fast path == size(array_intersect); dict-encoded verify keeps na=0 pairs") {
+    // the r20 dictionary encoding sends verify through the
+    // array<bigint> kernel branch — pin it on the same edge shapes
+    val edges = Seq(
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)),
+      (Seq(1L, 2L), Seq(3L, 4L)),
+      (Seq[Long](), Seq(1L)),
+      (Seq[Long](), Seq[Long]()),
+      (Seq(1L, 2L, 3L, 4L), Seq(2L, 4L))).toDF("x", "y")
+      .select(sort_array(col("x")).as("x"), sort_array(col("y")).as("y"))
+    edges.select(
+        graft.functions.GraftFunctions.sortedIntersect(spark, col("x"), col("y")).as("k"),
+        size(array_intersect(col("x"), col("y"))).as("r"))
+      .collect().foreach(r => assert(r.getInt(0) == r.getInt(1)))
+    // a zero-shingle doc (text shorter than the shingle window) in an
+    // explicit pair at threshold 0.0 must still verify to jaccard 0 —
+    // the dict explode emits no rows for it; the candIds re-attach
+    // restores its empty set. The pair-count gate is lowered to force
+    // the dict branch on this 1-pair fixture, then the STRING branch
+    // is checked for the identical rows.
+    val docs = Seq((1L, "one two"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "alpha beta gamma delta other"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    def run(): Seq[(Long, Long, Double)] =
+      Dedup.verifyPairs(docs, pairs, "text", "doc_id", 0.0, 3)
+        .orderBy("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val saved = Dedup.dictVerifyMinPairs
+    val viaDict =
+      try { Dedup.dictVerifyMinPairs = 1L; run() }
+      finally Dedup.dictVerifyMinPairs = saved
+    val viaString = run()
+    assert(viaDict == viaString, "dict and string verify paths must agree")
+    assert(viaDict.head == ((1L, 2L, 0.0)),
+      "na=0 pairs must verify to 0.0, not vanish")
+    assert(viaDict(1)._3 > 0.0, "overlapping docs must score > 0")
+  }
+
   test("prefixFilteredPairs == brute-force all-pairs Jaccard (exactness guarantee)") {
     val docs = TestSpark.table("documents")
     def pairSet(df: org.apache.spark.sql.DataFrame) =
