@@ -384,6 +384,20 @@ object Dedup {
     * hand fixture); production code never writes it. */
   private[graft] var dictVerifyMinPairs = 30000L
 
+  /** Node-count gate for [[components]]' broadcast label joins: ~64 MB
+    * of (long, long) rows at the cap — far under the 8 GB broadcast
+    * limit, and the label table's size is KNOWN exactly (counted once;
+    * it never grows during the run). Pair graphs past the gate keep
+    * the shuffle path. */
+  private[graft] val componentsBroadcastMaxNodes = 4_000_000L
+
+  /** Edge-count gate for [[components]]' driver union-find fast path:
+    * ~32 MB of long pairs at the cap — the bounded-driver-value
+    * contract (beam state / centroid matrices). `var` only as a test
+    * seam (DedupSpec forces the loop path on a hand fixture to pin
+    * fast-path ≡ loop); production code never writes it. */
+  private[graft] var componentsDriverMaxEdges = 2_000_000L
+
   private def pairOverlap(
       df: DataFrame,
       pairs: DataFrame,
@@ -788,22 +802,79 @@ object Dedup {
   def components(pairs: DataFrame, maxIter: Int = 20, strict: Boolean = true): DataFrame = {
     val edges = pairs
       .select(col(pairs.columns(0)).as("src"), col(pairs.columns(1)).as("dst"))
+    // r20 small-graph fast path: the distributed loop pays ~log(diam)
+    // materialization rounds (measured 8 rounds × ~0.27 s floor on a
+    // 5 k-pair graph — iteration overhead, not data). A pair graph
+    // under the gate is a BOUNDED driver value (the same contract as
+    // beam state / centroid matrices: ≤ ~32 MB of long pairs), and
+    // min-label union-find on it reaches the IDENTICAL fixpoint — the
+    // unique min-id-per-component labeling the loop converges to — in
+    // one collect + one local relation. Long ids only (every caller
+    // today); anything else, or past the gate, takes the loop below —
+    // the 100 TB regime never collects a pair graph.
+    val longIds = edges.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.LongType)
+    if (longIds) {
+      val edgesCk = edges.filter(col("src").isNotNull && col("dst").isNotNull)
+        .localCheckpoint()
+      if (edgesCk.count() <= componentsDriverMaxEdges) {
+        val parent = collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x // path compression
+          while (parent.getOrElse(c, c) != c) {
+            val nxt = parent.getOrElse(c, c); parent(c) = r; c = nxt
+          }
+          r
+        }
+        edgesCk.collect().foreach { row =>
+          val (a, b) = (row.getLong(0), row.getLong(1))
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          // min-id root ⇒ the final root IS the loop's min label
+          if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+        }
+        import scala.jdk.CollectionConverters._
+        val out = parent.keys.toArray.sorted.map(idv =>
+          org.apache.spark.sql.Row(idv, find(idv))).toSeq
+        return pairs.sparkSession.createDataFrame(out.asJava,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("label",
+              org.apache.spark.sql.types.LongType, nullable = false))))
+      }
+    }
     val undirected = edges
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
     var labels = undirected.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
       .localCheckpoint()
+    // r20: checkpointed frames carry no size stats, so without a hint
+    // every round's two label joins plan as sort-merge — ~6 exchanges
+    // per round on a frame whose exact size we already know (the node
+    // count is fixed for the whole run). Below the gate, an explicit
+    // broadcast turns both joins into BHJs: one exchange per round
+    // (the label re-aggregation) instead of six, identical rows
+    // (guide §3.1 — hint when the estimate is wrong, never past the
+    // broadcast caps). Above the gate the sort-merge path is exactly
+    // as before — the 100 TB regime never broadcasts a pair graph.
+    val nNodes = labels.count()
+    val small = nNodes <= componentsBroadcastMaxNodes
     val labelType = labels.schema("label").dataType
     def nullLabel = lit(null).cast(labelType)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
+      val lbl = if (small) broadcast(labels) else labels
       val viaNeighbors = undirected
-        .join(labels, undirected("dst") === labels("id"))
+        .join(lbl, undirected("dst") === lbl("id"))
         .select(undirected("src").as("id"), col("label"), nullLabel.as("__old"))
       val viaPointer = labels.as("l1")
-        .join(labels.as("l2"), col("l1.label") === col("l2.id"))
+        .join(if (small) broadcast(labels.as("l2")) else labels.as("l2"),
+          col("l1.label") === col("l2.id"))
         .select(col("l1.id").as("id"), col("l2.label").as("label"), nullLabel.as("__old"))
       val next = labels.select(col("id"), col("label"), col("label").as("__old"))
         .union(viaNeighbors)

@@ -280,14 +280,39 @@ class DedupSpec extends AnyFunSuite {
 
   test("components: non-strict mode returns best-effort labels instead of throwing") {
     val chain = (0L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    // maxIter too small to converge: strict throws, lenient degrades
-    intercept[IllegalStateException](
-      Dedup.components(chain, maxIter = 2, strict = true).collect())
-    val best = Dedup.components(chain, maxIter = 2, strict = false)
-      .as[(Long, Long)].collect().toMap
-    assert(best.size == 65)
-    // labels only ever decrease toward the component min
-    assert(best.forall { case (id, label) => label <= id })
+    // the maxIter semantics belong to the DISTRIBUTED loop — force it
+    // (the r20 driver fast path always converges fully)
+    val saved = Dedup.componentsDriverMaxEdges
+    try {
+      Dedup.componentsDriverMaxEdges = 0L
+      // maxIter too small to converge: strict throws, lenient degrades
+      intercept[IllegalStateException](
+        Dedup.components(chain, maxIter = 2, strict = true).collect())
+      val best = Dedup.components(chain, maxIter = 2, strict = false)
+        .as[(Long, Long)].collect().toMap
+      assert(best.size == 65)
+      // labels only ever decrease toward the component min
+      assert(best.forall { case (id, label) => label <= id })
+    } finally Dedup.componentsDriverMaxEdges = saved
+  }
+
+  test("components: driver fast path == distributed loop (chains, cliques, shared hubs)") {
+    // chain (pointer-doubling regime), 4-clique, star hub, isolated
+    // pair — the r20 union-find fast path must reach the loop's exact
+    // min-label fixpoint row-for-row
+    val pairs = ((0L until 50L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (100L, 102L), (100L, 103L), (101L, 103L),
+        (200L, 205L), (205L, 203L), (203L, 201L),
+        (300L, 301L))).toDF("id_a", "id_b")
+    val fast = Dedup.components(pairs).as[(Long, Long)].collect().toMap
+    val saved = Dedup.componentsDriverMaxEdges
+    val loop =
+      try {
+        Dedup.componentsDriverMaxEdges = 0L
+        Dedup.components(pairs).as[(Long, Long)].collect().toMap
+      } finally Dedup.componentsDriverMaxEdges = saved
+    assert(fast == loop, "fast path must equal the loop's fixpoint")
+    assert(fast(205L) == 200L && fast(50L) == 0L && fast(103L) == 100L)
   }
 
   test("components of verified near-dups: keepers are cluster minima, members clustered together") {
