@@ -78,11 +78,85 @@ object Bpe {
       s"merge count must be in [1, 100000]: got $merges")
     val spark = df.sparkSession
     import spark.implicits._
-    var vocab = df
+    val vocab0 = df
       .select(explode(TextOps.tokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
       .select(seedSymbols(col("word")).as("wsym"), col("n"))
       .localCheckpoint()
+    // r20 driver fast path: the vocabulary is a BOUNDED driver value
+    // (distinct words — the same contract under which the trained
+    // model tables already live on the driver, EntryContext's
+    // tokenizerMemo), and the merge loop over it is pure arithmetic.
+    // The distributed loop paid 2 jobs per merge (a one-row TakeOrdered
+    // + a checkpoint) on a frame that is tiny next to the corpus;
+    // under the gate the SAME seeded vocab is collected once and the
+    // merges run in-process: identical pair counts (overlapping
+    // adjacent occurrences, summed in Long), identical tie-break
+    // (count desc, then UTF-8 BYTE order on left then right — exactly
+    // Spark's string ordering), identical greedy leftmost
+    // non-overlapping merge application (the padded-replace's
+    // semantics, in list form). BpeSpec pins fast ≡ loop on the real
+    // corpus. Past the gate (a 100 TB corpus's vocabulary) the
+    // distributed loop below runs unchanged.
+    if (vocab0.count() <= bpeDriverMaxVocab) {
+      var words: Array[(Array[String], Long)] = vocab0.collect().map { r =>
+        (r.getString(0).split(java.util.regex.Pattern.quote(SS), -1),
+          r.getLong(1))
+      }
+      def u8(s: String) = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val learned = Seq.newBuilder[(Long, String, String, Long)]
+      var rank = 1
+      var exhausted = false
+      while (rank <= merges && !exhausted) {
+        val counts = collection.mutable.HashMap.empty[(String, String), Long]
+        words.foreach { case (syms, n) =>
+          var i = 0
+          while (i < syms.length - 1) {
+            val k = (syms(i), syms(i + 1))
+            counts(k) = counts.getOrElse(k, 0L) + n
+            i += 1
+          }
+        }
+        if (counts.isEmpty) exhausted = true
+        else {
+          var best: ((String, String), Long) = null
+          counts.foreach { e =>
+            if (best == null) best = e
+            else {
+              val c = java.lang.Long.compare(e._2, best._2)
+              val better =
+                if (c != 0) c > 0
+                else {
+                  val cl = java.util.Arrays.compareUnsigned(
+                    u8(e._1._1), u8(best._1._1))
+                  if (cl != 0) cl < 0
+                  else java.util.Arrays.compareUnsigned(
+                    u8(e._1._2), u8(best._1._2)) < 0
+                }
+              if (better) best = e
+            }
+          }
+          val ((lft, rgt), cnt) = best
+          learned += ((rank.toLong, lft, rgt, cnt))
+          words = words.map { case (syms, n) =>
+            if (syms.length < 2) (syms, n)
+            else {
+              val out = Array.newBuilder[String]
+              var i = 0
+              while (i < syms.length) {
+                if (i < syms.length - 1 && syms(i) == lft && syms(i + 1) == rgt) {
+                  out += lft + rgt; i += 2 // leftmost non-overlapping
+                } else { out += syms(i); i += 1 }
+              }
+              (out.result(), n)
+            }
+          }
+          rank += 1
+        }
+      }
+      return learned.result().toDF("rank", "left_sym", "right_sym", "pair_count")
+    }
+    var vocab = vocab0
     val learned = Seq.newBuilder[(Long, String, String, Long)]
     var rank = 1
     var exhausted = false
@@ -113,6 +187,12 @@ object Bpe {
     }
     learned.result().toDF("rank", "left_sym", "right_sym", "pair_count")
   }
+
+  /** Vocabulary gate for [[train]]'s driver fast path (~100 MB of
+    * word/count pairs at the cap — the tokenizerMemo bounded-driver-
+    * value contract). `var` only as a test seam (BpeSpec forces the
+    * distributed loop to pin fast ≡ loop); production never writes. */
+  private[graft] var bpeDriverMaxVocab = 2_000_000L
 
   /** The learned merge list in rank order, collected to the driver —
     * constant-size (the merge count the caller chose). */

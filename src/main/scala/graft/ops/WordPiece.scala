@@ -72,11 +72,83 @@ object WordPiece {
       s"merge count must be in [1, 100000]: got $merges")
     val spark = df.sparkSession
     import spark.implicits._
-    var vocab = df
+    val vocab0 = df
       .select(explode(TextOps.tokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
       .select(seedSymbols(col("word")).as("wsym"), col("n"))
       .localCheckpoint()
+    // r20 driver fast path — the [[Bpe.train]] gate applied to the
+    // WordPiece objective: same collected vocab, same greedy leftmost
+    // merge list form; the winner is argmax of the double score
+    // p/(l·r) computed from exact Long counts — the identical IEEE
+    // operations the distributed branch runs, so ordering (score desc,
+    // UTF-8-byte left asc, right asc) is bit-identical. WordPieceSpec
+    // pins fast ≡ loop; past the gate the loop below runs unchanged.
+    if (vocab0.count() <= Bpe.bpeDriverMaxVocab) {
+      var words: Array[(Array[String], Long)] = vocab0.collect().map { r =>
+        (r.getString(0).split(java.util.regex.Pattern.quote(SS), -1),
+          r.getLong(1))
+      }
+      def u8(s: String) = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val learned = Seq.newBuilder[(Long, String, String, String, Long, Long, Long)]
+      var rank = 1
+      var exhausted = false
+      while (rank <= merges && !exhausted) {
+        val symCounts = collection.mutable.HashMap.empty[String, Long]
+        val pairCounts = collection.mutable.HashMap.empty[(String, String), Long]
+        words.foreach { case (syms, n) =>
+          var i = 0
+          while (i < syms.length) {
+            symCounts(syms(i)) = symCounts.getOrElse(syms(i), 0L) + n
+            if (i < syms.length - 1) {
+              val k = (syms(i), syms(i + 1))
+              pairCounts(k) = pairCounts.getOrElse(k, 0L) + n
+            }
+            i += 1
+          }
+        }
+        if (pairCounts.isEmpty) exhausted = true
+        else {
+          var bestK: (String, String) = null
+          var bestC = 0L
+          var bestScore = 0.0
+          pairCounts.foreach { case (k, p) =>
+            val score = p.toDouble /
+              (symCounts(k._1).toDouble * symCounts(k._2).toDouble)
+            val better =
+              if (bestK == null) true
+              else if (score != bestScore) score > bestScore
+              else {
+                val cl = java.util.Arrays.compareUnsigned(u8(k._1), u8(bestK._1))
+                if (cl != 0) cl < 0
+                else java.util.Arrays.compareUnsigned(u8(k._2), u8(bestK._2)) < 0
+              }
+            if (better) { bestK = k; bestC = p; bestScore = score }
+          }
+          val (lft, rgt) = bestK
+          learned += ((rank.toLong, lft, rgt, lft + rgt.stripPrefix(CC),
+            bestC, symCounts(lft), symCounts(rgt)))
+          val merged = lft + rgt.stripPrefix(CC)
+          words = words.map { case (syms, n) =>
+            if (syms.length < 2) (syms, n)
+            else {
+              val out = Array.newBuilder[String]
+              var i = 0
+              while (i < syms.length) {
+                if (i < syms.length - 1 && syms(i) == lft && syms(i + 1) == rgt) {
+                  out += merged; i += 2 // leftmost non-overlapping
+                } else { out += syms(i); i += 1 }
+              }
+              (out.result(), n)
+            }
+          }
+          rank += 1
+        }
+      }
+      return learned.result().toDF("rank", "left_sym", "right_sym",
+        "merged_sym", "pair_count", "left_count", "right_count")
+    }
+    var vocab = vocab0
     val learned = Seq.newBuilder[(Long, String, String, String, Long, Long, Long)]
     var rank = 1
     var exhausted = false

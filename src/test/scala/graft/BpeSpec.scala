@@ -159,4 +159,24 @@ class BpeSpec extends AnyFunSuite {
     }
     assert(fused.nonEmpty, s"graft_bpe_count not inside WholeStageCodegen:\n$plan")
   }
+
+  test("train: driver fast path == distributed loop (real corpus, ties included)") {
+    // the r20 fast path must reproduce the loop's merge table
+    // rank-for-rank: same overlapping pair counts, same (count desc,
+    // UTF-8-byte left asc, right asc) tie-break, same greedy leftmost
+    // application — checked on the real fixture corpus where ties and
+    // multi-merge interactions actually occur
+    val docs = TestSpark.table("documents").filter(col("text").isNotNull)
+    val fast = Bpe.train(docs, "text", merges = 6)
+      .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+    val saved = Bpe.bpeDriverMaxVocab
+    val loop =
+      try {
+        Bpe.bpeDriverMaxVocab = 0L
+        Bpe.train(docs, "text", merges = 6)
+          .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+      } finally Bpe.bpeDriverMaxVocab = saved
+    assert(fast == loop, "driver fast path must equal the distributed loop")
+    assert(fast.size == 6)
+  }
 }

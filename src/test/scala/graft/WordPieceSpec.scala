@@ -139,4 +139,25 @@ class WordPieceSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(enc == enc2)
   }
+
+  test("train: driver fast path == distributed loop (real corpus, score ties)") {
+    // the r20 fast path must reproduce the loop's merge table
+    // rank-for-rank under the LIKELIHOOD objective: the double score
+    // p/(l·r) is the identical IEEE computation on both paths, ties
+    // break on UTF-8-byte symbol order
+    val docs = TestSpark.table("documents").filter(col("text").isNotNull)
+    val fast = WordPiece.train(docs, "text", merges = 6)
+      .as[(Long, String, String, String, Long, Long, Long)]
+      .collect().toSeq.sortBy(_._1)
+    val saved = graft.ops.Bpe.bpeDriverMaxVocab
+    val loop =
+      try {
+        graft.ops.Bpe.bpeDriverMaxVocab = 0L
+        WordPiece.train(docs, "text", merges = 6)
+          .as[(Long, String, String, String, Long, Long, Long)]
+          .collect().toSeq.sortBy(_._1)
+      } finally graft.ops.Bpe.bpeDriverMaxVocab = saved
+    assert(fast == loop, "driver fast path must equal the distributed loop")
+    assert(fast.size == 6)
+  }
 }
