@@ -384,6 +384,14 @@ object Dedup {
     * hand fixture); production code never writes it. */
   private[graft] var dictVerifyMinPairs = 30000L
 
+  /** Candidate-DOC ceiling for the same gate: the dictionary build
+    * shuffles the doc slice's exploded shingles (string-keyed distinct
+    * + join), which the string path never shuffles at all — measured
+    * 2× WORSE at the 50 k-doc sf1 slice while winning at the 2 k-doc
+    * sf0.1 slice. Above the ceiling verify always takes the
+    * shuffle-free string path (the 100 TB answer). */
+  private[graft] var dictVerifyMaxDocs = 10000L
+
   /** Node-count gate for [[components]]' broadcast label joins: ~64 MB
     * of (long, long) rows at the cap — far under the 8 GB broadcast
     * limit, and the label table's size is KNOWN exactly (counted once;
@@ -409,24 +417,33 @@ object Dedup {
     val candIds = pairs.select(col("id_a").as("sid"))
       .union(pairs.select(col("id_b").as("sid")))
       .distinct()
-    // Pair-count-gated dictionary encoding (r20). At LARGE candidate
-    // counts the per-pair merge scan over string arrays dominates
-    // verify: every element read allocates a UTF8String wrapper —
-    // measured ~95% of verify wall time at the 125 k-candidate / ~10³-
-    // shingle regime (BASELINE r20 row). Dictionary-encoding shingles
-    // to dense longs makes the merge primitive and allocation-free
-    // (measured 6.8 → 5.1 s on q268). The encoding is an injective
-    // relabeling of exact shingle STRINGS (ids from
-    // `monotonically_increasing_id`, assigned once inside the
-    // checkpoint's materialization), so every |a ∩ b| and set size is
-    // IDENTICAL to the string-set computation — spec-pinned. But the
-    // dictionary itself costs a fixed explode + vocab distinct + join
-    // + re-aggregate over the candidate-DOC slice, which at SMALL pair
-    // counts exceeds the kernel savings (measured +2 s on q88's
-    // ~2 k-pair regime) — so the string path stays the default below
-    // the measured crossover. `pairs` is materialized by every caller
-    // (scaladoc contract), so the gate count is one cheap scan.
-    val useDict = pairs.count() >= dictVerifyMinPairs
+    // Two-sided dictionary gate (r20). At LARGE candidate counts over
+    // a SMALL doc slice, the per-pair merge scan over string arrays
+    // dominates verify: every element read allocates a UTF8String
+    // wrapper — measured ~95% of verify wall time at the 125 k-
+    // candidate / 2 k-doc / ~10³-shingle regime. Dictionary-encoding
+    // shingles to dense longs makes the merge primitive and
+    // allocation-free (measured 6.8 → 5.1 s on q268 at sf0.1). The
+    // encoding is an injective relabeling of exact shingle STRINGS
+    // (ids from `monotonically_increasing_id`, assigned once inside
+    // the checkpoint's materialization), so every |a ∩ b| and set
+    // size is IDENTICAL to the string-set computation — spec-pinned,
+    // and verification stays HASH-FREE (the q88 invariant).
+    //   BUT the dictionary build is a distinct + join SHUFFLE of the
+    // candidate-doc shingle slice — string-keyed, Σ-shingle-sized —
+    // where the string path shuffles NOTHING (a narrow per-doc
+    // projection + a semi join). Measured both ways: at sf0.1 (2 k
+    // candidate docs) the dict wins by ~1.7 s; at sf1 (50 k candidate
+    // docs) it LOSES 2× (dict 59.8 s vs string 29.0 s whole-stem) —
+    // the shuffle grows with the doc slice, the saving only with
+    // pairs × set size. Hence BOTH gates: a pair-count floor (below
+    // it the kernel is not the bottleneck — q88's small regime read
+    // +2 s under dict) and a candidate-DOC ceiling (above it the
+    // dictionary shuffle dominates — the 100 TB regime always takes
+    // the shuffle-free string path). `pairs` is materialized by every
+    // caller (scaladoc contract), so both gate counts are cheap scans.
+    val useDict = pairs.count() >= dictVerifyMinPairs &&
+      candIds.count() <= dictVerifyMaxDocs
     val shingled = (if (!useDict) {
       // sort ONCE per doc: the per-pair intersection then runs as an
       // allocation-free merge scan (graft_sorted_intersect kernel) —
@@ -447,6 +464,7 @@ object Dedup {
             .wordShingles(df.sparkSession, col(textCol), shingleWords)))
             .as("__s"))
         .join(candIds, Seq("sid"), "left_semi")
+        .localCheckpoint() // feeds the dict build AND the encode join
       val dict = exploded.select("__s").distinct()
         .withColumn("__t", monotonically_increasing_id())
       // re-attach through candIds so a zero-shingle doc keeps its
