@@ -45,16 +45,19 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   }
 
   override def checkInputDataTypes(): TypeCheckResult = {
-    def ok(t: DataType) = t match {
-      case ArrayType(StringType, _) => true
-      case ArrayType(LongType, _)   => true
-      case _                        => false
+    // element types only — containsNull is irrelevant to the merge
+    // (the contract already requires non-null elements), and two valid
+    // array<string> inputs differing only in element nullability (one
+    // side through coalesce/array literal) must not fail analysis (r21)
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects two array<string> or two array<bigint> " +
+          s"arguments, got ${left.dataType.sql} and ${right.dataType.sql}")
     }
-    if (ok(left.dataType) && left.dataType == right.dataType)
-      TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects two array<string> or two array<bigint> " +
-        s"arguments, got ${left.dataType.sql} and ${right.dataType.sql}")
   }
 
   override def dataType: DataType = IntegerType

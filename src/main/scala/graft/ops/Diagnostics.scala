@@ -343,6 +343,8 @@ object Diagnostics {
       .select(col("__v"),
         coalesce(col("__ca"), lit(0L)).as("__ca"),
         coalesce(col("__cb"), lit(0L)).as("__cb"))
+    // single-partition windows over DISTINCT values (both sides pre-
+    // aggregated above) — value-bounded, the exact-KS shape
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("__v"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)

@@ -15,11 +15,12 @@ import org.apache.spark.sql.functions._
  * whether the planner's numbers can be trusted before a 100 TB join
  * order is locked in.
  *
- * Scale shape: the histogram build ranks values with ONE window — the
- * exact form for stats collection, which at warehouse scale runs over
- * a SAMPLE by design (stats are advisory; Spark's own ANALYZE samples
- * too), so the sort is sample-∝, never table-∝. Everything downstream
- * of the build is bins-/predicates-bounded. The join estimator needs
+ * Scale shape: the histogram build aggregates to one row per DISTINCT
+ * value first (map-side partials), then ranks the value frame with ONE
+ * window — so the single-partition sort is ndv-∝, never table-∝; and
+ * stats collection at warehouse scale runs over a SAMPLE by design
+ * (stats are advisory; Spark's own ANALYZE samples too). Everything
+ * downstream of the build is bins-/predicates-bounded. The join estimator needs
  * only per-side 1-row aggregates plus a per-key count join — the
  * actual cardinality is computed WITHOUT materializing the join
  * (Σ_k cnt_a(k)·cnt_b(k) over the key frame).
@@ -47,19 +48,46 @@ object OptimizerStats {
       valueCol: String,
       bins: Int): DataFrame = {
     require(bins >= 1, s"bins must be >= 1, got $bins")
-    val w = Window.orderBy(col("__v"))
-    val n = Window.partitionBy()
-    val ranked = df
+    // r21: rank arithmetic over per-VALUE counts, not per-row ranks.
+    // The previous form shuffled EVERY row to one partition for a
+    // global row_number — a corpus-∝ single-task window. Aggregating
+    // to one row per distinct value first (map-side partials) makes
+    // the single-partition window value-bounded (the ksStatistic
+    // shape). Bin content is IDENTICAL: bin(r) = ⌊(r−1)·bins/n⌋
+    // depends only on the rank RANGE a value's ties occupy (the
+    // tie-invariance already documented above), so each value's rows
+    // land in bins ⌊start·bins/n⌋‥⌊(end−1)·bins/n⌋ with the per-bin
+    // row count a pure interval intersection — and the per-bin
+    // (lo, hi, n_rows, ndv) aggregate the same multiset. Integer DIV
+    // equals the old floor-of-double-division for any realistic n
+    // (both sides exact below 2⁵³).
+    val counts = df
       .select(col(valueCol).cast("double").as("__v"))
       .filter(col("__v").isNotNull)
-      .withColumn("__rk", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(n))
+      .groupBy("__v").agg(count(lit(1)).as("__c"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = counts.select(col("__v"), col("__c"),
+      // __s = (1-based rank of this value's first row) − 1
+      (sum(col("__c")).over(w) - col("__c")).as("__s"),
+      sum(col("__c")).over(all).as("__n"))
+    // bins the value's rank interval [__s+1, __s+__c] intersects; bin
+    // b covers ranks r with r−1 ∈ [⌈b·n/bins⌉, ⌈(b+1)·n/bins⌉ − 1]
+    val binLo = expr(s"(bin * __n + ${bins - 1}) DIV $bins")
+    val binHi = expr(s"((bin + 1) * __n + ${bins - 1}) DIV $bins - 1")
     ranked
-      .select(floor((col("__rk") - 1) * bins / col("__n")).as("bin"),
-        col("__v"))
+      .select(col("__v"), col("__c"), col("__s"), col("__n"),
+        explode(sequence(
+          expr(s"(__s * $bins) DIV __n"),
+          expr(s"((__s + __c - 1) * $bins) DIV __n"))).as("bin"))
+      .select(col("bin"), col("__v"),
+        (least(col("__s") + col("__c") - 1, binHi) -
+          greatest(col("__s"), binLo) + 1).as("__nb"))
       .groupBy("bin")
       .agg(min(col("__v")).as("lo"), max(col("__v")).as("hi"),
-        count(lit(1)).as("n_rows"), count_distinct(col("__v")).as("ndv"))
+        sum(col("__nb")).as("n_rows"), count(lit(1)).as("ndv"))
   }
 
   /**

@@ -106,6 +106,8 @@ object Privacy {
     // carries N and m (both one-row, broadcast)
     val gv = rows.groupBy(col(sensitiveCol).as("__v"))
       .agg(count(lit(1)).as("__gcnt"))
+    // single-partition window over DISTINCT sensitive values — the
+    // t-closeness domain, value-bounded (never the row count)
     val gvr = gv.select(col("__v"), col("__gcnt"),
       row_number().over(Window.orderBy(col("__v"))).as("__r"))
     val meta = gv.agg(sum("__gcnt").as("__N"), count(lit(1)).as("__m"))

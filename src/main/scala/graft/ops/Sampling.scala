@@ -392,6 +392,8 @@ object Sampling {
       .localCheckpoint() // feeds the leftover count AND the ranking
     val leftover = withBase
       .agg((lit(seats) - sum(col("base"))).as("__extra"))
+    // single-partition window over the per-GROUP remainder rows
+    // (group-bounded, never the corpus)
     val w = Window.orderBy(col("__rem").desc, col(groupCol).asc)
     withBase
       .withColumn("__rk", row_number().over(w))

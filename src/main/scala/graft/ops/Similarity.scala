@@ -492,7 +492,18 @@ object Similarity {
       .select(col("query_id"), col("rank"), col(idCol), col("cosine_sim"))
   }
 
-  /** Train the per-block PQ codebooks (one k-means per slice). */
+  /** Train the per-block PQ codebooks — one FUSED Lloyd's run for all
+    * blocks (r21): the naive form runs [[Clustering.train]] once per
+    * slice, paying `blocks` seed-collect jobs plus `blocks × (iters−1)`
+    * means jobs on a corpus scanned `blocks` times per iteration. All
+    * blocks share the same seed rule (the k lowest-id vectors — slicing
+    * never touches the id), every block's assignment is an independent
+    * projection expression, and the per-(block, cluster, dim) means are
+    * ONE decomposable aggregation keyed on (block, cluster, dim-in-
+    * block) — so training melts into 1 seed job + (iters−1) mean jobs
+    * total, scanning the corpus once per iteration (guide §2.4: remove
+    * work — identical argmins, identical rounded means, spec-pinned
+    * against the per-slice form in SimilaritySpec). */
   def pqCodebooks(
       corpus: DataFrame,
       idCol: String,
@@ -502,11 +513,54 @@ object Similarity {
       k: Int,
       iters: Int): Seq[Seq[(Long, Seq[Double])]] = {
     require(blocks >= 1 && dims % blocks == 0, "blocks must divide dims")
+    require(k >= 2 && iters >= 1)
     val d = dims / blocks
-    (0 until blocks).map { b =>
-      val sub = corpus.select(col(idCol), slice(col(embCol), b * d + 1, d).as(embCol))
-      Clustering.train(sub, idCol, embCol, k, iters)
+    // ONE seeds job for every block (Clustering.train's seed rule on
+    // each sliced frame picks the same k lowest ids; the slice happens
+    // driver-side on the collected rows)
+    val seeds = corpus.orderBy(col(idCol).asc).limit(k)
+      .select(col(idCol).cast("long"), col(embCol)).collect()
+    var books: Seq[Seq[(Long, Seq[Double])]] = (0 until blocks).map { b =>
+      seeds.map { r =>
+        r.getLong(0) ->
+          r.getSeq[Float](1).slice(b * d, b * d + d).map(_.toDouble).toSeq
+      }.toSeq
     }
+    var iter = 1
+    while (iter < iters) {
+      // all blocks' argmins in ONE projection, means in ONE aggregation:
+      // posexplode the full embedding, derive (block, dim-in-block) from
+      // the position, look the row's cluster up in the per-block
+      // assignment array — blocks × k × d rows back to the driver
+      val assignCols = books.zipWithIndex.map { case (cs, b) =>
+        Clustering.nearestCentroid(slice(col(embCol), b * d + 1, d), cs)
+      }
+      // two selects: the argmin structs' field access must resolve in a
+      // plain projection BEFORE the generator select (the Generate
+      // rewrite resolves getField against unaliased struct names)
+      val means = corpus
+        .select(array(assignCols: _*).as("__cl"), col(embCol))
+        .select(col("__cl"), posexplode(col(embCol)).as(Seq("__d", "__v")))
+        .select(expr(s"__d DIV $d").cast("int").as("__b"),
+          element_at(col("__cl"), expr(s"__d DIV $d").cast("int") + 1)
+            .as("cluster"),
+          expr(s"__d % $d").cast("int").as("__bd"), col("__v"))
+        .groupBy(col("__b"), col("cluster"), col("__bd"))
+        .agg(round(avg(col("__v").cast("double")), 6).as("__m"))
+        .collect()
+      val byBlock = means.groupBy(_.getInt(0))
+      books = books.zipWithIndex.map { case (cs, b) =>
+        val byCluster = byBlock.getOrElse(b, Array.empty).toSeq
+          .groupBy(_.getLong(1)).map { case (cid, rows) =>
+            cid -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq
+          }
+        // a cluster that loses all members keeps its previous centroid
+        // (Clustering.train's degenerate-case rule)
+        cs.map { case (cid, old) => cid -> byCluster.getOrElse(cid, old) }
+      }
+      iter += 1
+    }
+    books
   }
 
   /** Encode against trained codebooks: ONE narrow projection. */

@@ -96,6 +96,8 @@ object Stats {
       .filter(col(groupCol).isNotNull)
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("__x"))
+    // single-partition window over the per-GROUP counts (group-bounded,
+    // never the row count)
     val w = Window.orderBy(col("__x").asc, col(groupCol).asc)
     perGroup
       .withColumn("__i", row_number().over(w))

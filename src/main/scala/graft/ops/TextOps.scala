@@ -463,6 +463,8 @@ object TextOps {
         count(lit(1)).as("n_tokens"))
     val newTypes = words.groupBy("__w").agg(min(col("__b")).as("__b"))
       .groupBy("__b").agg(count(lit(1)).as("n_new_types"))
+    // single-partition window over the `buckets`-row rollup (bounded
+    // by the bucket count, never the corpus)
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
     perBucket.join(newTypes, Seq("__b"), "left_outer")
       .select(col("__b").as("bucket"), col("n_docs"), col("n_tokens"),

@@ -162,6 +162,13 @@ class DedupSpec extends AnyFunSuite {
         graft.functions.GraftFunctions.sortedIntersect(spark, col("x"), col("y")).as("k"),
         size(array_intersect(col("x"), col("y"))).as("r"))
       .collect().foreach(r => assert(r.getInt(0) == r.getInt(1)))
+    // element-type-only check (r21): sides differing ONLY in element
+    // nullability (array literal vs column) must pass analysis
+    val mixedNullability = Seq((Seq(1L, 2L), 0)).toDF("x", "pad")
+      .select(graft.functions.GraftFunctions.sortedIntersect(spark,
+        col("x"), array(lit(1L), lit(3L))).as("k"))
+      .collect()
+    assert(mixedNullability.head.getInt(0) == 1)
     // a zero-shingle doc (text shorter than the shingle window) in an
     // explicit pair at threshold 0.0 must still verify to jaccard 0 —
     // the dict explode emits no rows for it; the candIds re-attach
@@ -313,6 +320,56 @@ class DedupSpec extends AnyFunSuite {
       } finally Dedup.componentsDriverMaxEdges = saved
     assert(fast == loop, "fast path must equal the loop's fixpoint")
     assert(fast(205L) == 200L && fast(50L) == 0L && fast(103L) == 100L)
+  }
+
+  test("components: non-strict small maxIter takes the loop even under the driver gate") {
+    // r21 contract fix: with strict = false and a maxIter the loop can
+    // bind on, the caller is asking for possibly-PARTIAL labels — the
+    // always-converged union-find must defer to the loop. The chain is
+    // well under componentsDriverMaxEdges, so only the maxIter guard
+    // keeps the fast path out.
+    val chain = (0L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val gated = Dedup.components(chain, maxIter = 2, strict = false)
+      .as[(Long, Long)].collect().toMap
+    val saved = Dedup.componentsDriverMaxEdges
+    val loop =
+      try {
+        Dedup.componentsDriverMaxEdges = 0L
+        Dedup.components(chain, maxIter = 2, strict = false)
+          .as[(Long, Long)].collect().toMap
+      } finally Dedup.componentsDriverMaxEdges = saved
+    assert(gated == loop,
+      "non-strict small-maxIter labels must be the loop's best effort")
+    assert(gated.values.exists(_ != 0L),
+      "fixture must actually be unconverged at maxIter = 2 " +
+        "(otherwise this test pins nothing)")
+    // ...and a maxIter past the convergence bound may use the fast
+    // path again: identical to the fixpoint
+    val converged = Dedup.components(chain, maxIter = 32, strict = false)
+      .as[(Long, Long)].collect().toMap
+    assert(converged.size == 65 && converged.values.forall(_ == 0L))
+  }
+
+  test("components: null-endpoint edges drop identically on both paths") {
+    // a node whose ONLY pairs involve null must be absent from the
+    // output on BOTH paths (r21 alignment — the r20 loop self-labeled
+    // it while the fast path dropped it, with graph size deciding
+    // which ran)
+    val dirty = Seq(
+      (java.lang.Long.valueOf(1L), java.lang.Long.valueOf(2L)),
+      (java.lang.Long.valueOf(3L), null.asInstanceOf[java.lang.Long]),
+      (null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(4L)),
+      (null.asInstanceOf[java.lang.Long], null.asInstanceOf[java.lang.Long]))
+      .toDF("id_a", "id_b")
+    val fast = Dedup.components(dirty).as[(Long, Long)].collect().toMap
+    val saved = Dedup.componentsDriverMaxEdges
+    val loop =
+      try {
+        Dedup.componentsDriverMaxEdges = 0L
+        Dedup.components(dirty).as[(Long, Long)].collect().toMap
+      } finally Dedup.componentsDriverMaxEdges = saved
+    assert(fast == Map(1L -> 1L, 2L -> 1L))
+    assert(loop == fast, "both paths must agree on dirty input")
   }
 
   test("components of verified near-dups: keepers are cluster minima, members clustered together") {

@@ -29,6 +29,26 @@ class OptimizerStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("equiHeightHistogram: a value straddling a bin boundary splits by rank, exactly") {
+    // r21 distinct-value rewrite: value 3 occupies ranks 6..8 of n=8 at
+    // bins=3 — rank 6 lands in bin 1, ranks 7..8 in bin 2, so bin 1
+    // mixes values {2, 3} (ndv 2) and bin 2 holds 2 rows of value 3
+    val h = OptimizerStats.equiHeightHistogram(
+      Seq(1L, 1L, 1L, 2L, 2L, 3L, 3L, 3L).toDF("v"), "v", bins = 3)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4)))
+    assert(h.toSeq == Seq(
+      (0L, 1.0, 1.0, 3L, 1L),
+      (1L, 2.0, 3.0, 3L, 2L),
+      (2L, 3.0, 3.0, 2L, 1L)))
+    // n < bins: sparse bins, one row each, never a crash
+    val s = OptimizerStats.equiHeightHistogram(
+      Seq(5L, 7L).toDF("v"), "v", bins = 4)
+      .orderBy("bin").collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(s.toSeq == Seq((0L, 1L), (2L, 1L)))
+  }
+
   test("rangeSelectivityReport: uniform-within-bin estimate vs truth") {
     val df = (1L to 100L).toDF("v")
     // bins over 1..100 at 4: [1,25] [26,50] [51,75] [76,100], 25 each.

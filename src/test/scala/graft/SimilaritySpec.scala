@@ -191,6 +191,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"encoding must be join-free:\n$plan")
   }
 
+  test("pqCodebooks: fused all-blocks training == one Clustering.train per slice") {
+    // r21 fusion: one seed job + one means job per iteration for ALL
+    // blocks must reproduce the per-slice trainings centroid-for-
+    // centroid (same seeds, same argmin expression, same rounded
+    // means, same empty-cluster carry-forward)
+    val emb = TestSpark.table("embeddings")
+    val d = 64 / 4
+    val fused = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      dims = 64, blocks = 4, k = 4, iters = 2)
+    val perSlice = (0 until 4).map { b =>
+      graft.ops.Clustering.train(
+        emb.select(col("vec_id"),
+          slice(col("embedding"), b * d + 1, d).as("embedding")),
+        "vec_id", "embedding", k = 4, iters = 2)
+    }
+    assert(fused == perSlice, "fused codebooks must equal per-slice training")
+    // iters = 1 (seeds only) must also agree
+    assert(Similarity.pqCodebooks(emb, "vec_id", "embedding", 64, 4, 4, 1) ==
+      (0 until 4).map(b => graft.ops.Clustering.train(
+        emb.select(col("vec_id"),
+          slice(col("embedding"), b * d + 1, d).as("embedding")),
+        "vec_id", "embedding", 4, 1)))
+  }
+
   test("pqTopK: ADC scores equal the lookup-table recompute; result deterministic") {
     val emb = TestSpark.table("embeddings")
     val q = emb.filter(col("vec_id") === 0)
