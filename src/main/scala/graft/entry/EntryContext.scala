@@ -406,6 +406,11 @@ private[graft] trait EntryContext extends EntryOracleSql {
     * driver. */
   protected def demoVideoTable(s: SparkSession, dir: String): DataFrame = {
     val y4m = udf((id: Long) => graft.ops.Multimodal.demoY4m(id, 36, 32))
+    // NO decode-spread here (unlike demoImageTable): measured both
+    // ways at sf0.1 (r21) — q290 is flat without it ([3.79, 4.04] vs
+    // [3.74, 3.88]; its decode-spread win is the IMAGE side) and q289
+    // reads slightly WORSE with it in matched windows; the frame
+    // explode downstream already spreads the per-frame hash work.
     T(s, dir, "documents").select(col("doc_id").as("media_id"))
       .withColumn("payload", y4m(col("media_id")))
   }
@@ -834,6 +839,11 @@ private[graft] trait EntryContext extends EntryOracleSql {
     * divisible by 13 are truncated blobs that must drop, not crash). */
   protected def demoToneTable(s: SparkSession, dir: String): DataFrame = {
     val wav = udf((id: Long) => graft.ops.Multimodal.demoTone(id))
+    // NO decode-spread here (unlike demoImageTable/demoVideoTable):
+    // tone synthesis + landmarking is cheap per row (~0.1 ms — the
+    // whole serial pass is 0.5 s warm), and the measured spread run
+    // is SLOWER (1.28 s) — exchange + 32-task setup costs more than
+    // the saved compute. Measured both ways at sf0.1 (r21).
     T(s, dir, "documents").select(col("doc_id").as("media_id"))
       .withColumn("payload", wav(col("media_id")))
   }
@@ -846,6 +856,17 @@ private[graft] trait EntryContext extends EntryOracleSql {
   protected def demoImageTable(s: SparkSession, dir: String): DataFrame = {
     val png = udf((id: Long) => graft.ops.Multimodal.demoPng(id, 36, 32))
     T(s, dir, "documents").select(col("doc_id").as("media_id"))
+      // the fixture corpus is ONE parquet split (one row group), so
+      // without this every per-row payload synthesis + decode runs on
+      // a single task regardless of core count (measured: the whole
+      // media family was serial — image phash 0.9 s, video hashes
+      // 0.95 s on 32 idle cores). A shuffle of bare id longs buys
+      // full-width decode parallelism; scale-adaptive (the session's
+      // defaultParallelism, never a constant), and row→partition
+      // placement cannot affect results (all consumers are
+      // partition-invariant). Guide §2.5: input parallelism fixed
+      // right after the read. (r21)
+      .repartition(s.sparkContext.defaultParallelism)
       .withColumn("payload", png(col("media_id")))
   }
 

@@ -118,6 +118,17 @@ object GraftFunctions {
     SortedIntersectCount(args.head, args(1))
   }
 
+  private val sortedIntersectWsumId =
+    FunctionIdentifier("graft_sorted_intersect_wsum")
+  private val sortedIntersectWsumInfo = new ExpressionInfo(
+    classOf[SortedIntersectWeightedSum].getName, "graft_sorted_intersect_wsum")
+  private val sortedIntersectWsumBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 3,
+      s"graft_sorted_intersect_wsum expects (ids_a, weights_a, ids_b), " +
+        s"got ${args.length} args")
+    SortedIntersectWeightedSum(args.head, args(1), args(2))
+  }
+
   private val bpeCountId = FunctionIdentifier("graft_bpe_count")
   private val bpeCountInfo =
     new ExpressionInfo(classOf[BpeCountKernel].getName, "graft_bpe_count")
@@ -350,6 +361,7 @@ object GraftFunctions {
     (entropyId, entropyInfo, entropyBuilder),
     (wordShinglesId, wordShinglesInfo, wordShinglesBuilder),
     (sortedIntersectId, sortedIntersectInfo, sortedIntersectBuilder),
+    (sortedIntersectWsumId, sortedIntersectWsumInfo, sortedIntersectWsumBuilder),
     (bpeCountId, bpeCountInfo, bpeCountBuilder),
     (nfcId, nfcInfo, nfcBuilder),
     (htmlMainId, htmlMainInfo, htmlMainBuilder))
@@ -447,6 +459,16 @@ object GraftFunctions {
   def sortedIntersect(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     org.apache.spark.sql.functions.call_function("graft_sorted_intersect", a, b)
+  }
+
+  /** Column-API handle on the weighted sorted-intersect kernel
+    * ([[SortedIntersectWeightedSum]]): Σ weightsA[i] where idsA[i] ∈
+    * idsB, over sorted distinct long-id arrays. */
+  def sortedIntersectWsum(
+      spark: SparkSession, idsA: Column, weightsA: Column, idsB: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function(
+      "graft_sorted_intersect_wsum", idsA, weightsA, idsB)
   }
 
   /** Column-API handle on the char-entropy kernel (UNROUNDED nats;

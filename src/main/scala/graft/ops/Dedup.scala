@@ -406,6 +406,15 @@ object Dedup {
     * fast-path ≡ loop); production code never writes it. */
   private[graft] var componentsDriverMaxEdges = 2_000_000L
 
+  /** Verified-pair floor for [[weightedJaccardPairs]]' kernel
+    * re-score: below it the join-form intermediate (pairs × tokens
+    * per doc) is small and the kernel path's two extra
+    * materializations (id dictionary + doc-array frame) cost more
+    * than they save — measured at sf0.1's 256-verified-pair regime.
+    * `var` only as a test seam (DedupSpec forces the kernel branch);
+    * production code never writes it. */
+  private[graft] var weightedKernelMinPairs = 30000L
+
   /** `maxIter` bound under which the non-strict fast path must defer
     * to the loop (r21): under the edge gate the pointer-doubling loop
     * converges within ⌈log₂(diameter ≤ 2·10⁶+1)⌉ + 2 ≤ 23 rounds, so
@@ -460,12 +469,19 @@ object Dedup {
     // deployment that tunes the floor high) nothing is counted or
     // checkpointed: the string path's semi-join is the sole consumer,
     // exactly as before r20.
-    val (candIds, useDict) =
-      if (pairs.count() < dictVerifyMinPairs) (candIdsRaw, false)
+    val (candIds, nDocs) =
+      if (pairs.count() < dictVerifyMinPairs) (candIdsRaw, None)
       else {
         val ck = candIdsRaw.localCheckpoint()
-        (ck, ck.count() <= dictVerifyMaxDocs)
+        (ck, Some(ck.count()))
       }
+    val useDict = nDocs.exists(_ <= dictVerifyMaxDocs)
+    // gate-bounded id list: broadcast the prune key when its size is
+    // known small (checkpointed frames carry no stats — every join
+    // against candIds would otherwise plan sort-merge, exchanging the
+    // corpus-side rows on a key the plan never reuses)
+    val candIdsB = if (nDocs.exists(_ <= dictVerifyMaxDocs))
+      broadcast(candIds) else candIds
     val shingled = (if (!useDict) {
       // sort ONCE per doc: the per-pair intersection then runs as an
       // allocation-free merge scan (graft_sorted_intersect kernel) —
@@ -477,7 +493,7 @@ object Dedup {
           sort_array(array_distinct(graft.functions.GraftFunctions
             .wordShingles(df.sparkSession, col(textCol), shingleWords)))
             .as("shset"))
-        .join(candIds, Seq("sid"), "left_semi")
+        .join(candIdsB, Seq("sid"), "left_semi")
     } else {
       val exploded = df
         .select(
@@ -485,7 +501,7 @@ object Dedup {
           explode(array_distinct(graft.functions.GraftFunctions
             .wordShingles(df.sparkSession, col(textCol), shingleWords)))
             .as("__s"))
-        .join(candIds, Seq("sid"), "left_semi")
+        .join(candIdsB, Seq("sid"), "left_semi")
         .localCheckpoint() // feeds the dict build AND the encode join
       // checkpointed so ids are assigned exactly ONCE in their own
       // materialization: monotonically_increasing_id on top of a
@@ -501,17 +517,30 @@ object Dedup {
       // EMPTY set (explode emits no rows for it) — na = 0 pairs must
       // verify to jaccard 0 exactly as the string-set path did, not
       // vanish
-      candIds
-        .join(exploded.join(dict, Seq("__s"))
+      candIdsB
+        .join(exploded.join(broadcast(dict), Seq("__s"))
           .groupBy(col("sid"))
           .agg(sort_array(collect_list(col("__t"))).as("shset")),
           Seq("sid"), "left")
         .select(col("sid"),
           coalesce(col("shset"), array().cast("array<long>")).as("shset"))
     }).localCheckpoint() // reused by both sides of the pair attach
+    // r21: the checkpointed shingle frame carries no size stats, so
+    // both attach joins planned SORT-MERGE — two exchanges of the PAIR
+    // frame (the big side: 125 k rows at the q244 regime) keyed on ids
+    // whose partitioning nothing downstream reuses. Past the gate
+    // probe the doc count is KNOWN and bounded (≤ dictVerifyMaxDocs ≈
+    // a few MB of set arrays), so an explicit broadcast turns both
+    // attaches into BHJs with ZERO pair-side exchange — the
+    // components() broadcast-when-stats-lie pattern (guide §3.1).
+    // Unknown (below the pair floor) or over-gate doc slices keep
+    // sort-merge: the 100 TB string regime never broadcasts the
+    // corpus-∝ candidate-doc slice.
+    val attach = if (nDocs.exists(_ <= dictVerifyMaxDocs)) broadcast(shingled)
+      else shingled
     pairs
-      .join(shingled.as("sa"), col("id_a") === col("sa.sid"))
-      .join(shingled.as("sb"), col("id_b") === col("sb.sid"))
+      .join(attach.as("sa"), col("id_a") === col("sa.sid"))
+      .join(attach.as("sb"), col("id_b") === col("sb.sid"))
       // two-step select: `i` is referenced twice below and the
       // intersection is not cheap enough for CollapseProject to
       // inline — this keeps ONE intersection per pair
@@ -663,38 +692,100 @@ object Dedup {
       idCol: String,
       candThreshold: Double = 0.5,
       maxPrefixPairs: Long = 25_000_000L): DataFrame = {
+    // materialized: the verify output feeds the doc-array prune AND
+    // the final attach — without the checkpoint the attach+kernel
+    // tail of verifyPairs re-runs once per consumer (r21)
     val pairs = prefixFilteredPairs(df, textCol, idCol, candThreshold,
       maxPrefixPairs = maxPrefixPairs)
+      .localCheckpoint()
     val docs = df.filter(col(textCol).isNotNull)
     val toks = docs
       .select(col(idCol).as("__id"),
         explode(array_distinct(TextOps.tokens(col(textCol)))).as("__tok"))
-      .localCheckpoint() // feeds df counts, doc totals, and the pair join
+      .localCheckpoint() // feeds the df counts AND the per-doc arrays
     val nDocs = docs.agg(count(lit(1)).as("__nd"))
-    val idf = toks.groupBy("__tok").agg(count(lit(1)).as("__df"))
-      .crossJoin(broadcast(nDocs))
-      .select(col("__tok"),
-        round(log((col("__nd") + 1).cast("double") / (col("__df") + 1))
-          * 1e6).cast("long").as("__w"))
-    val wtoks = toks.join(idf, Seq("__tok"))
-    val docw = wtoks.groupBy(col("__id")).agg(sum(col("__w")).as("__sw"))
-    val inter = pairs.select(col("id_a"), col("id_b"))
-      .join(wtoks.select(col("__id").as("id_a"), col("__tok"), col("__w")),
-        Seq("id_a"))
-      .join(wtoks.select(col("__id").as("id_b"), col("__tok")),
-        Seq("id_b", "__tok"))
-      .groupBy("id_a", "id_b")
-      .agg(sum(col("__w")).as("__iw"))
-    pairs
-      .join(inter, Seq("id_a", "id_b"), "left_outer")
-      .join(docw.select(col("__id").as("id_a"), col("__sw").as("__sa")),
-        Seq("id_a"))
-      .join(docw.select(col("__id").as("id_b"), col("__sw").as("__sb")),
-        Seq("id_b"))
-      .select(col("id_a"), col("id_b"), col("jaccard"),
-        round(coalesce(col("__iw"), lit(0L)).cast("double") /
-          (col("__sa") + col("__sb") - coalesce(col("__iw"), lit(0L))), 6)
-          .as("w_jaccard"))
+    // Candidate-doc prune (r21): the re-score only ever needs token
+    // rows for docs that appear in some VERIFIED pair, but the r20
+    // form joined IDF onto the FULL corpus token table and aggregated
+    // corpus-wide doc totals — two corpus-∝ shuffles to re-score what
+    // can be a handful of pairs. IDF itself stays CORPUS-wide
+    // (document frequency is a global statistic — computed from the
+    // unpruned `toks`); only the per-doc weight rows are pruned.
+    val candIds = pairs.select(col("id_a").as("__id"))
+      .union(pairs.select(col("id_b").as("__id")))
+      .distinct()
+    val toksC = toks.join(candIds, Seq("__id"), "left_semi")
+    if (pairs.count() < weightedKernelMinPairs) {
+      // join-form re-score (r20 semantics over the pruned rows): at a
+      // small verified-pair count the pairs × tokens/doc intermediate
+      // is tiny and the kernel path's two extra materializations cost
+      // more than they save — measured at sf0.1 (256 verified pairs):
+      // kernel [6.5, 7.6] vs join [5.3, 6.7] s whole-query.
+      val idf = toks.groupBy("__tok").agg(count(lit(1)).as("__df"))
+        .crossJoin(broadcast(nDocs))
+        .select(col("__tok"),
+          round(log((col("__nd") + 1).cast("double") / (col("__df") + 1))
+            * 1e6).cast("long").as("__w"))
+      val wtoks = toksC.join(idf, Seq("__tok"))
+      val docw = wtoks.groupBy(col("__id")).agg(sum(col("__w")).as("__sw"))
+      val inter = pairs.select(col("id_a"), col("id_b"))
+        .join(wtoks.select(col("__id").as("id_a"), col("__tok"), col("__w")),
+          Seq("id_a"))
+        .join(wtoks.select(col("__id").as("id_b"), col("__tok")),
+          Seq("id_b", "__tok"))
+        .groupBy("id_a", "id_b")
+        .agg(sum(col("__w")).as("__iw"))
+      pairs
+        .join(inter, Seq("id_a", "id_b"), "left_outer")
+        .join(docw.select(col("__id").as("id_a"), col("__sw").as("__sa")),
+          Seq("id_a"))
+        .join(docw.select(col("__id").as("id_b"), col("__sw").as("__sb")),
+          Seq("id_b"))
+        .select(col("id_a"), col("id_b"), col("jaccard"),
+          round(coalesce(col("__iw"), lit(0L)).cast("double") /
+            (col("__sa") + col("__sb") - coalesce(col("__iw"), lit(0L))), 6)
+            .as("w_jaccard"))
+    } else {
+      // kernel re-score (r21, the scale path): the join form shuffles
+      // a |pairs| × |tokens/doc| intermediate TWICE — at millions of
+      // verified pairs × hundreds of tokens that is the dominant
+      // exchange. Per-doc (sorted token-id, weight) parallel arrays
+      // attach once per side and the merge kernel computes the SAME
+      // exact integer Σ idf over the intersection in a projection
+      // (guide §2.3: decide per pair on doc-bounded metadata;
+      // spec-pinned against the join form). The dictionary doubles as
+      // the token→dense-id map, checkpointed so ids are assigned
+      // exactly once (the pairOverlap dict discipline).
+      val idf = toks.groupBy("__tok").agg(count(lit(1)).as("__df"))
+        .crossJoin(broadcast(nDocs))
+        .select(col("__tok"),
+          round(log((col("__nd") + 1).cast("double") / (col("__df") + 1))
+            * 1e6).cast("long").as("__w"),
+          monotonically_increasing_id().as("__tid"))
+        .localCheckpoint()
+      val docArr = toksC
+        .join(idf, Seq("__tok"))
+        .groupBy(col("__id"))
+        .agg(sort_array(collect_list(struct(col("__tid"), col("__w"))))
+            .as("__tw"),
+          sum(col("__w")).as("__sw"))
+        .select(col("__id"),
+          transform(col("__tw"), x => x.getField("__tid")).as("__tids"),
+          transform(col("__tw"), x => x.getField("__w")).as("__tws"),
+          col("__sw"))
+        .localCheckpoint() // both sides of the pair attach
+      val iw = graft.functions.GraftFunctions.sortedIntersectWsum(
+        df.sparkSession, col("wa.__tids"), col("wa.__tws"), col("wb.__tids"))
+      pairs
+        .join(docArr.as("wa"), col("id_a") === col("wa.__id"))
+        .join(docArr.as("wb"), col("id_b") === col("wb.__id"))
+        .select(col("id_a"), col("id_b"), col("jaccard"), iw.as("__iw"),
+          col("wa.__sw").as("__sa"), col("wb.__sw").as("__sb"))
+        .select(col("id_a"), col("id_b"), col("jaccard"),
+          round(col("__iw").cast("double") /
+            (col("__sa") + col("__sb") - col("__iw")), 6)
+            .as("w_jaccard"))
+    }
   }
 
   /**

@@ -1037,6 +1037,68 @@ class DedupSpec extends AnyFunSuite {
     assert(r.getDouble(3) < r.getDouble(2))
   }
 
+  test("weightedJaccardPairs: kernel re-score == join-formulation reference on the corpus") {
+    import TestSpark.spark
+    import spark.implicits._
+    val docs = TestSpark.table("documents")
+    // force the kernel branch (the fixture's verified-pair count is
+    // below the production floor)
+    val saved = graft.ops.Dedup.weightedKernelMinPairs
+    val got =
+      try {
+        graft.ops.Dedup.weightedKernelMinPairs = 1L
+        graft.ops.Dedup.weightedJaccardPairs(
+            docs, "text", "doc_id", candThreshold = 0.5)
+          .collect().map(r => (r.getLong(0), r.getLong(1),
+            r.getDouble(2), r.getDouble(3))).toSet
+      } finally graft.ops.Dedup.weightedKernelMinPairs = saved
+    // the r20 join formulation, replayed verbatim as the reference
+    val pairs = graft.ops.Dedup.prefixFilteredPairs(
+      docs, "text", "doc_id", 0.5).localCheckpoint()
+    val d2 = docs.filter(col("text").isNotNull)
+    val toks = d2.select(col("doc_id").as("__id"),
+      explode(array_distinct(graft.ops.TextOps.tokens(col("text")))).as("__tok"))
+    val nDocs = d2.agg(count(lit(1)).as("__nd"))
+    val idf = toks.groupBy("__tok").agg(count(lit(1)).as("__df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("__tok"),
+        round(log((col("__nd") + 1).cast("double") / (col("__df") + 1))
+          * 1e6).cast("long").as("__w"))
+    val wtoks = toks.join(idf, Seq("__tok"))
+    val docw = wtoks.groupBy(col("__id")).agg(sum(col("__w")).as("__sw"))
+    val inter = pairs.select(col("id_a"), col("id_b"))
+      .join(wtoks.select(col("__id").as("id_a"), col("__tok"), col("__w")), Seq("id_a"))
+      .join(wtoks.select(col("__id").as("id_b"), col("__tok")), Seq("id_b", "__tok"))
+      .groupBy("id_a", "id_b").agg(sum(col("__w")).as("__iw"))
+    val ref = pairs
+      .join(inter, Seq("id_a", "id_b"), "left_outer")
+      .join(docw.select(col("__id").as("id_a"), col("__sw").as("__sa")), Seq("id_a"))
+      .join(docw.select(col("__id").as("id_b"), col("__sw").as("__sb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        round(coalesce(col("__iw"), lit(0L)).cast("double") /
+          (col("__sa") + col("__sb") - coalesce(col("__iw"), lit(0L))), 6)
+          .as("w_jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3))).toSet
+    assert(got == ref, "kernel and join re-scores must agree pair-for-pair")
+    assert(got.nonEmpty)
+  }
+
+  test("weighted sorted-intersect kernel: hand edges incl. empty and disjoint") {
+    import TestSpark.spark
+    import spark.implicits._
+    val edges = Seq(
+      (Seq(1L, 2L, 3L), Seq(10L, 20L, 30L), Seq(1L, 2L, 3L), 60L),
+      (Seq(1L, 2L), Seq(10L, 20L), Seq(3L, 4L), 0L),
+      (Seq[Long](), Seq[Long](), Seq(1L), 0L),
+      (Seq(1L, 3L, 5L), Seq(10L, 30L, 50L), Seq(3L, 4L, 5L, 6L), 80L))
+      .toDF("a", "w", "b", "want")
+    edges.select(graft.functions.GraftFunctions
+        .sortedIntersectWsum(spark, col("a"), col("w"), col("b")).as("got"),
+        col("want"))
+      .collect().foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("bBitMinhashReport: identical pair is exact under any b; correction bounds") {
     import TestSpark.spark
     import spark.implicits._
