@@ -35,6 +35,21 @@ import org.apache.spark.sql.functions._
  */
 object LinkGraph {
 
+  /** Node-count gate for the per-iteration broadcast hints in the
+    * iterate-joins loops below ([[pageRank]]/[[personalizedPageRank]]/
+    * [[hits]]/[[labelPropagation]]) — the
+    * [[graft.ops.Dedup.components]] rationale: a node-sized score or
+    * label frame is ≤ ~100 MB of (long, double) rows at the cap, its
+    * size is KNOWN exactly (counted once up front; it never grows
+    * during the run), and checkpointed frames carry no stats, so
+    * un-hinted every per-round join plans sort-merge and exchanges the
+    * EDGE frame each round on a key nothing downstream reuses. Past
+    * the gate every join keeps the shuffle path — the 100 TB web
+    * graph never broadcasts its rank vector. `var` only as a test
+    * seam (LinkGraphSpec forces the shuffle path to pin hinted ≡
+    * un-hinted); production code never writes it. */
+  private[graft] var broadcastMaxNodes = 4_000_000L
+
   /** In-degree + distinct-source count per target — the cheap
     * link-popularity signal (one shuffle on `dst`). */
   def inDegree(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
@@ -86,7 +101,11 @@ object LinkGraph {
     // whole build stays declarative (q84's corpus-size discipline)
     val nRow = n.agg(count(lit(1)).cast("double").as("__n")).localCheckpoint()
 
+    // deg is node-sized and read EVERY iteration (the dangling scan) +
+    // once for edgesDeg — un-checkpointed it re-ran the edge groupBy
+    // per round (one corpus-∝ scan+shuffle each, r21)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("__outdeg"))
+      .localCheckpoint()
     val edgesDeg = edges.select(col("src"), col("dst"))
       .join(deg, "src")
       .localCheckpoint() // the immutable per-iteration input
@@ -95,36 +114,53 @@ object LinkGraph {
       .select(col("id"), (lit(1.0) / col("__n")).as("pr"))
       .localCheckpoint()
 
+    val small = n.count() <= broadcastMaxNodes
     var it = 0
     while (it < iters) {
-      ranks = prStep(n, nRow, deg, edgesDeg, ranks, damping)
+      ranks = prStep(n, nRow, deg, edgesDeg, ranks, damping, small)
+        .localCheckpoint()
       it += 1
     }
     ranks
   }
 
-  /** One power-method step: contributions + dangling mass + teleport.
-    * Shared by [[pageRank]] and [[pageRankResidual]]. */
-  private def prStep(
+  /** One power-method step (UN-materialized — callers checkpoint):
+    * contributions + dangling mass + teleport. Shared by [[pageRank]]
+    * and [[pageRankResidual]]; `private[graft]` so the plan probe can
+    * explain a real step. `small` gates the broadcast hints below
+    * (see [[broadcastMaxNodes]]). */
+  private[graft] def prStep(
       n: DataFrame, nRow: DataFrame, deg: DataFrame, edgesDeg: DataFrame,
-      ranks: DataFrame, damping: Double): DataFrame = {
-    val contribs = ranks
-      .join(edgesDeg, ranks("id") === edgesDeg("src"))
+      ranks: DataFrame, damping: Double, small: Boolean): DataFrame = {
+    // r21: ranks/deg/contribs are NODE-sized frames whose count is
+    // known once up front, but as checkpoints they carry no stats —
+    // un-hinted, all three joins here plan sort-merge and every
+    // iteration exchanges the EDGE frame by src (the corpus-∝ side)
+    // plus ranks twice, for joins whose partitioning nothing reuses.
+    // Under the gate the hints make each round: one map-side BHJ over
+    // the edge checkpoint + one node-sized exchange (the dst
+    // aggregation) — the components() broadcast-when-stats-lie
+    // pattern (guide §3.1). Past the gate everything keeps the
+    // shuffle path.
+    val ranksB = if (small) broadcast(ranks) else ranks
+    val degB = if (small) broadcast(deg) else deg
+    val contribs = ranksB
+      .join(edgesDeg, ranksB("id") === edgesDeg("src"))
       .groupBy(col("dst").as("id"))
       .agg(sum(col("pr") / col("__outdeg")).as("__in"))
     // dangling mass: rank sitting on nodes with no out-edges
     val dangling = ranks
-      .join(deg, ranks("id") === deg("src"), "left_anti")
+      .join(degB, ranks("id") === degB("src"), "left_anti")
       .agg(coalesce(sum(col("pr")), lit(0.0)).as("__dm"))
     n
-      .join(contribs, Seq("id"), "left_outer")
+      .join(if (small) broadcast(contribs) else contribs,
+        Seq("id"), "left_outer")
       .crossJoin(dangling)
       .crossJoin(nRow)
       .select(col("id"),
         (lit(1.0 - damping) / col("__n") +
           lit(damping) * (coalesce(col("__in"), lit(0.0)) +
             col("__dm") / col("__n"))).as("pr"))
-      .localCheckpoint()
   }
 
   /**
@@ -150,21 +186,25 @@ object LinkGraph {
     val n = nodes.select(col("id")).distinct().localCheckpoint()
     val nRow = n.agg(count(lit(1)).cast("double").as("__n")).localCheckpoint()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("__outdeg"))
+      .localCheckpoint() // read every iteration — see pageRank
     val edgesDeg = edges.select(col("src"), col("dst"))
       .join(deg, "src")
       .localCheckpoint()
     var ranks = n.crossJoin(nRow)
       .select(col("id"), (lit(1.0) / col("__n")).as("pr"))
       .localCheckpoint()
+    val small = n.count() <= broadcastMaxNodes
     var prev = ranks
     var it = 0
     while (it < iters) {
       prev = ranks
-      ranks = prStep(n, nRow, deg, edgesDeg, ranks, damping)
+      ranks = prStep(n, nRow, deg, edgesDeg, ranks, damping, small)
+        .localCheckpoint()
       it += 1
     }
     ranks
-      .join(prev.withColumnRenamed("pr", "__prev"), "id")
+      .join(if (small) broadcast(prev.withColumnRenamed("pr", "__prev"))
+        else prev.withColumnRenamed("pr", "__prev"), "id")
       .agg(count(lit(1)).as("n_nodes"),
         round(sum(abs(col("pr") - col("__prev"))), 6).as("l1_residual"),
         round(max(abs(col("pr") - col("__prev"))), 9).as("max_delta"))
@@ -202,23 +242,29 @@ object LinkGraph {
       .localCheckpoint()
 
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("__outdeg"))
+      .localCheckpoint() // read every iteration — see pageRank
     val edgesDeg = edges.select(col("src"), col("dst"))
       .join(deg, "src")
       .localCheckpoint()
 
     var ranks = n.select(col("id"), col("__t"), col("__t").as("pr"))
       .localCheckpoint()
+    // gated per-round broadcast hints — see broadcastMaxNodes/prStep
+    val small = n.count() <= broadcastMaxNodes
     var it = 0
     while (it < iters) {
-      val contribs = ranks
-        .join(edgesDeg, ranks("id") === edgesDeg("src"))
+      val ranksB = if (small) broadcast(ranks) else ranks
+      val degB = if (small) broadcast(deg) else deg
+      val contribs = ranksB
+        .join(edgesDeg, ranksB("id") === edgesDeg("src"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("pr") / col("__outdeg")).as("__in"))
       val dangling = ranks
-        .join(deg, ranks("id") === deg("src"), "left_anti")
+        .join(degB, ranks("id") === degB("src"), "left_anti")
         .agg(coalesce(sum(col("pr")), lit(0.0)).as("__dm"))
       ranks = n
-        .join(contribs, Seq("id"), "left_outer")
+        .join(if (small) broadcast(contribs) else contribs,
+          Seq("id"), "left_outer")
         .crossJoin(dangling)
         .select(col("id"), col("__t"),
           (lit(1.0 - damping) * col("__t") +
@@ -255,27 +301,32 @@ object LinkGraph {
 
     var hubs = n.select(col("id"), lit(1.0).as("hub")).localCheckpoint()
     var auths = n.select(col("id"), lit(1.0).as("auth"))
+    // gated per-round broadcast hints — see broadcastMaxNodes/prStep
+    val small = n.count() <= broadcastMaxNodes
+    def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     var it = 0
     while (it < iters) {
-      val authRaw = hubs
-        .join(e, hubs("id") === e("src"))
+      val hubsB = bc(hubs)
+      val authRaw = hubsB
+        .join(e, hubsB("id") === e("src"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("hub")).as("auth"))
       auths = l2normalize(
-        n.join(authRaw, Seq("id"), "left_outer")
+        n.join(bc(authRaw), Seq("id"), "left_outer")
           .select(col("id"), coalesce(col("auth"), lit(0.0)).as("auth")),
         "auth").localCheckpoint()
-      val hubRaw = auths
-        .join(e, auths("id") === e("dst"))
+      val authsB = bc(auths)
+      val hubRaw = authsB
+        .join(e, authsB("id") === e("dst"))
         .groupBy(col("src").as("id"))
         .agg(sum(col("auth")).as("hub"))
       hubs = l2normalize(
-        n.join(hubRaw, Seq("id"), "left_outer")
+        n.join(bc(hubRaw), Seq("id"), "left_outer")
           .select(col("id"), coalesce(col("hub"), lit(0.0)).as("hub")),
         "hub").localCheckpoint()
       it += 1
     }
-    auths.join(hubs, "id")
+    auths.join(bc(hubs), "id")
   }
 
   /**
@@ -320,10 +371,17 @@ object LinkGraph {
     val n = nodes.select(col("id")).distinct().localCheckpoint()
 
     var labels = n.select(col("id"), col("id").as("label")).localCheckpoint()
+    // gated per-round broadcast hint — see broadcastMaxNodes/prStep
+    // (labels are node-sized (long, long) rows; un-hinted the vote
+    // join exchanges the ADJACENCY by nbr every round)
+    val small = n.count() <= broadcastMaxNodes
     var it = 0
     while (it < iters) {
+      val labelsB =
+        if (small) broadcast(labels.select(col("id").as("nbr"), col("label")))
+        else labels.select(col("id").as("nbr"), col("label"))
       val nbrVotes = adj
-        .join(labels.select(col("id").as("nbr"), col("label")), Seq("nbr"))
+        .join(labelsB, Seq("nbr"))
         .select(col("v").as("id"), col("label"))
       val votes = nbrVotes.unionAll(labels) // self-vote damps oscillation
       labels = votes
@@ -523,14 +581,22 @@ object LinkGraph {
       .localCheckpoint()
 
     var dist = n
+    // gated per-hop broadcast hints — see broadcastMaxNodes/prStep
+    // (dist is node-sized and checkpointed per hop: no stats, so both
+    // joins planned sort-merge, exchanging the EDGE frame every hop;
+    // min() over integer hops is order-free, labels exact)
+    val small = n.count() <= broadcastMaxNodes
     var it = 0
     while (it < maxHops) {
-      val relaxed = dist.filter(col("dist").isNotNull)
-        .join(e, dist("id") === e("src"))
+      val frontier = dist.filter(col("dist").isNotNull)
+      val frontierB = if (small) broadcast(frontier) else frontier
+      val relaxed = frontierB
+        .join(e, frontierB("id") === e("src"))
         .groupBy(col("dst").as("id"))
         .agg(min(col("dist") + 1L).as("__via"))
       dist = dist
-        .join(relaxed, Seq("id"), "left_outer")
+        .join(if (small) broadcast(relaxed) else relaxed,
+          Seq("id"), "left_outer")
         .select(col("id"), least(col("dist"), col("__via")).as("dist"))
         .localCheckpoint()
       it += 1
@@ -737,15 +803,25 @@ object LinkGraph {
       .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
       .distinct()
       .localCheckpoint()
+    // gated per-round broadcast hints — see broadcastMaxNodes/prStep:
+    // `keep` is node-sized (≤ 2·edges survivors, and peeling only
+    // shrinks), but un-hinted both semi joins planned sort-merge,
+    // exchanging the EDGE frame twice per round; semi-join semantics
+    // are set membership — exact either way
+    val small = und.count() * 2 <= broadcastMaxNodes
     var it = 0
     while (it < rounds) {
       val keep = und.select(explode(array(col("a"), col("b"))).as("v"))
         .groupBy("v").agg(count(lit(1)).as("d"))
         .filter(col("d") >= k)
         .select("v")
+      def side(c: String) = {
+        val s = keep.select(col("v").as(c))
+        if (small) broadcast(s) else s
+      }
       und = und
-        .join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
-        .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
+        .join(side("a"), Seq("a"), "left_semi")
+        .join(side("b"), Seq("b"), "left_semi")
         .select("a", "b")
         .localCheckpoint()
       it += 1

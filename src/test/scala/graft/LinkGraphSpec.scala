@@ -413,4 +413,52 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(LinkGraph.attributeAssortativity(edges, mono, "src", "dst")
       .head.isNullAt(2))
   }
+
+  test("iterate-joins broadcast gate: hinted == un-hinted (pageRank, hits, labelProp, ppr)") {
+    import spark.implicits._
+    // non-trivial graph: ring + chords + dangling node 49
+    val nodes = (0L to 49L).toDF("id")
+    val edges = (0L until 49L).flatMap(i =>
+      Seq((i, (i + 1) % 49), (i, (i * 3 + 2) % 49))).toDF("src", "dst")
+    val seeds = Seq(0L, 7L).toDF("id")
+    def all() = (
+      LinkGraph.pageRank(nodes, edges, iters = 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet,
+      LinkGraph.hits(nodes, edges, iters = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet,
+      LinkGraph.labelPropagation(nodes, edges, "src", "dst", iters = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+      LinkGraph.personalizedPageRank(nodes, edges, seeds, iters = 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet,
+      LinkGraph.kCore(edges, "src", "dst", k = 3, rounds = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+      LinkGraph.seedDistance(nodes, edges, seeds, maxHops = 4)
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1))).toSet)
+    val saved = LinkGraph.broadcastMaxNodes
+    val (hintedPr, hintedHits, hintedLp, hintedPpr, hintedKc, hintedSd) =
+      try { LinkGraph.broadcastMaxNodes = 4_000_000L; all() }
+      finally LinkGraph.broadcastMaxNodes = saved
+    val (loopPr, loopHits, loopLp, loopPpr, loopKc, loopSd) =
+      try { LinkGraph.broadcastMaxNodes = 0L; all() }
+      finally LinkGraph.broadcastMaxNodes = saved
+    // labels/degrees/hops are integers (exact); the double scores
+    // agree to 1e-12 (same arithmetic, different partials — the
+    // oracle rounds at 6)
+    assert(hintedLp == loopLp)
+    assert(hintedKc == loopKc)
+    assert(hintedSd == loopSd)
+    def close(a: Set[(Long, Double)], b: Set[(Long, Double)]): Unit = {
+      val bm = b.toMap
+      a.foreach { case (k, v) =>
+        assert(math.abs(v - bm(k)) < 1e-12, s"node $k: $v vs ${bm(k)}") }
+    }
+    close(hintedPr, loopPr)
+    close(hintedPpr, loopPpr)
+    val hitsB = loopHits.map(t => t._1 -> ((t._2, t._3))).toMap
+    hintedHits.foreach { case (k, a1, h1) =>
+      val (a2, h2) = hitsB(k)
+      assert(math.abs(a1 - a2) < 1e-12 && math.abs(h1 - h2) < 1e-12)
+    }
+  }
 }
