@@ -45,6 +45,11 @@ object Nsw {
     require(k >= 1, "knnGraph needs k >= 1")
     val pairs = Similarity.bandedNeighbors(corpus, idCol, embCol, planesPerBand,
       bands, dims, minCosine, maxBucketSize)
+      // pinned: the symmetrize union below reads `pairs` twice, and
+      // un-checkpointed the WHOLE banded stem (bucket self-join +
+      // cosine + distinct) ran once per branch (r21 — the
+      // nnDescentRound sym pin, one level up)
+      .localCheckpoint()
     val sym = pairs
       .select(col("id_a").as("id"), col("id_b").as("nbr"), col("cosine_sim"))
       .unionAll(pairs.select(col("id_b").as("id"), col("id_a").as("nbr"),

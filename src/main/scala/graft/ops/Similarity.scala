@@ -313,19 +313,23 @@ object Similarity {
         signBucket(col(embCol), all.slice(b * planesPerBand, (b + 1) * planesPerBand))
           .as("bucket"))
     }
-    // materialize the (id, emb, band, bucket) index before the self-join
-    // (expression-heavy projection; see bucketedNeighbors note)
-    val bucketed = corpus
+    // materialize the CAPPED (id, emb, band, bucket) index before the
+    // self-join: both join sides read it, and the checkpoint sits
+    // ABOVE the skew-cap window (r21 — checkpointing below it, as r15
+    // did, left the exchange + window subtree duplicated per side:
+    // the q84 plan showed two full Exchange→WindowGroupLimit→Window
+    // chains over one checkpoint). One materialization still guards
+    // the expression-heavy bucket projection (the original note).
+    val w = Window.partitionBy("band", "bucket").orderBy("id")
+    val capped = corpus
       .select(col(idCol).as("id"), col(embCol).as("emb"),
         explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("emb"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-      .localCheckpoint()
-    val w = Window.partitionBy("band", "bucket").orderBy("id")
-    val capped = bucketed
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= maxBucketSize)
       .drop("__rn")
+      .localCheckpoint()
     val a = capped.select(col("band"), col("bucket"),
       col("id").as("id_a"), col("emb").as("emb_a"))
     val c = capped.select(col("band"), col("bucket"),
